@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.GF._
+
+/** Core relational surface: projection/filter (SURVEY §2.2), joins (§2.3),
+  * groupby aggregation (§2.4), sorts/top-k (§2.6).
+  *
+  * Scale notes (100 TB): every query here filters+projects before shuffling,
+  * keeps aggregates partial-final (plain groupBy.agg), and joins dimension
+  * tables via broadcast — lineitem/orders never sit on the build side.
+  */
+object RelationalQueries extends QueryPack {
+
+  // --- §2.4 groupby hash path: TPC-H Q1 shape (sum/avg/count) ---------------
+  register("agg_groupby_q1",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)) * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    val decQ  = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(12, 2))
+    val decR  = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(4, 2))
+    val li = Tables.lineitem(s, d)
+    val oneMinusDisc = (lit(1) - decR(col("l_discount"))).cast(DecimalType(4, 2))
+    val onePlusTax   = (lit(1) + decR(col("l_tax"))).cast(DecimalType(4, 2))
+    li.filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(decQ(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(decQ(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum(decQ(col("l_extendedprice")) * oneMinusDisc).cast(DoubleType).as("sum_disc_price"),
+        sum(decQ(col("l_extendedprice")) * oneMinusDisc * onePlusTax).cast(DoubleType).as("sum_charge"),
+        (sum(decQ(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // --- §2.2 boolean-mask filter + projection (pushed to parquet scan) -------
+  register("filt_boolean_mask",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_quantity >= 45 AND l_discount >= 0.09 AND l_returnflag = 'R'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 45 && col("l_discount") >= 0.09 &&
+        col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // --- §2.3 inner join: fact ⋈ broadcast dims, aggregated -------------------
+  register("join_inner",
+    """SELECT n_name, count(*) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), sumMoney(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("n_name"))
+  }
+
+  // --- §2.3 left outer join -------------------------------------------------
+  register("join_left",
+    """SELECT n_nationkey, n_name, count(c_custkey) AS n_cust
+      |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+      |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    Tables.nation(s, d)
+      .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"), "left")
+      .groupBy(col("n_nationkey"), col("n_name"))
+      .agg(count(col("c_custkey")).as("n_cust"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  // --- §2.3 full outer join -------------------------------------------------
+  register("join_full",
+    """WITH cn AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1),
+      |     sn AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1)
+      |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+      |       coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+      |FROM cn FULL OUTER JOIN sn ON c_nationkey = s_nationkey
+      |ORDER BY nationkey""".stripMargin) { (s, d) =>
+    val cn = Tables.customer(s, d).groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sn = Tables.supplier(s, d).groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    cn.join(sn, col("c_nationkey") === col("s_nationkey"), "full")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  // --- §2.3 left semi (EXISTS) ----------------------------------------------
+  register("join_semi",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  // --- §2.3 left anti (NOT EXISTS) ------------------------------------------
+  register("join_anti",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  // --- §2.3 cross join ------------------------------------------------------
+  register("join_cross",
+    """SELECT a.r_regionkey AS rk1, b.r_regionkey AS rk2
+      |FROM region a CROSS JOIN region b
+      |ORDER BY rk1, rk2""".stripMargin) { (s, d) =>
+    val a = Tables.region(s, d).select(col("r_regionkey").as("rk1"))
+    val b = Tables.region(s, d).select(col("r_regionkey").as("rk2"))
+    a.crossJoin(b).orderBy("rk1", "rk2")
+  }
+
+  // --- §2.3 conditional (theta) join — join.hpp:687 nested-loop with AST ----
+  register("join_conditional",
+    """SELECT n_nationkey, r_regionkey
+      |FROM nation JOIN region ON n_regionkey > r_regionkey
+      |ORDER BY n_nationkey, r_regionkey""".stripMargin) { (s, d) =>
+    Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") > col("r_regionkey"))
+      .select("n_nationkey", "r_regionkey")
+      .orderBy("n_nationkey", "r_regionkey")
+  }
+
+  // --- §2.6 sort + top-k (nlargest dataframe.py:4142) -----------------------
+  register("sort_topk",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  // --- §2.4 nunique / distinct_count (stream_compaction.hpp:262) ------------
+  register("agg_nunique",
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |       count(DISTINCT l_suppkey) AS n_supps
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy(col("l_returnflag"))
+  }
+}
