@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** All query packs, one per operator family. */
   val packs: Seq[QueryPack] = Seq(
-    RelationalQueries
+    RelationalQueries,
+    AggregationQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,329 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.GF._
+
+/** Full cuDF aggregation-kind inventory (SURVEY §2.4; reference
+  * cpp/include/cudf/aggregation.hpp:59-90): SUM, PRODUCT, MIN, MAX,
+  * COUNT_VALID, COUNT_ALL, ANY, ALL, SUM_OF_SQUARES, MEAN, VARIANCE, STD,
+  * MEDIAN, QUANTILE, ARGMAX, ARGMIN, NUNIQUE, NTH_ELEMENT, COLLECT_LIST,
+  * COLLECT_SET, plus reductions (whole-column scalar) and value_counts /
+  * mode / cov / corr / kurtosis / skew from the python layer.
+  *
+  * Determinism engineering for the oracle hash gate (all values in the
+  * testdata are 2-decimal doubles):
+  *  - VARIANCE/STD are computed from exact decimal sums via the
+  *    (Σx² − (Σx)²/n)/(n−1) identity — not the engine's streaming var —
+  *    so Spark and DuckDB evaluate the identical double expression.
+  *  - ARGMIN/ARGMAX use a lexicographic (value, key) tie-break.
+  *  - PRODUCT is folded over scaled integers (x·100 as BIGINT), exact in
+  *    both engines, then lowered to double.
+  *  - COLLECT_LIST/SET are sorted before comparison.
+  *
+  * Scale notes: everything is a single partial+final hash aggregate over the
+  * fact table — one shuffle on the grouping key, no row explosion. The
+  * identity-based variance keeps it a single pass (cuDF's M2/MERGE_M2 partial
+  * kinds correspond exactly to Spark's partial aggregation of these sums).
+  */
+object AggregationQueries extends QueryPack {
+
+  private def decQ(c: Column) = c.cast(DecimalType(12, 2))
+
+  // --- SUM / MIN / MAX / MEAN / COUNT_VALID / COUNT_ALL ---------------------
+  // COUNT_VALID vs COUNT_ALL needs nulls: nullif(l_discount, 0.0) introduces
+  // them (cudf null_policy {EXCLUDE, INCLUDE}, types.hpp:127).
+  register("agg_kinds_basic",
+    """SELECT l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+      |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+      |  count(nullif(l_discount, 0.0)) AS count_valid,
+      |  count(*) AS count_all,
+      |  CAST(sum(CAST(nullif(l_discount, 0.0) AS DECIMAL(4,2))) AS DOUBLE) AS sum_nullable
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(decQ(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        count(nullif(col("l_discount"), lit(0.0))).as("count_valid"),
+        count(lit(1)).as("count_all"),
+        sum(nullif(col("l_discount"), lit(0.0)).cast(DecimalType(4, 2)))
+          .cast(DoubleType).as("sum_nullable"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  // --- ANY / ALL (aggregation.hpp ANY, ALL) ---------------------------------
+  register("agg_any_all",
+    """SELECT l_returnflag,
+      |  bool_or(l_discount > 0.09) AS any_high_disc,
+      |  bool_and(l_quantity >= 1) AS all_qty_pos,
+      |  bool_and(l_tax < 0.05) AS all_low_tax
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        bool_or(col("l_discount") > 0.09).as("any_high_disc"),
+        bool_and(col("l_quantity") >= 1).as("all_qty_pos"),
+        bool_and(col("l_tax") < 0.05).as("all_low_tax"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // --- SUM_OF_SQUARES / VARIANCE / STD via exact-sum identity ---------------
+  register("agg_var_std",
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_sq,
+      |  (CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |   - CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |     * CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*))
+      |   / (count(*) - 1) AS var_qty,
+      |  sqrt((CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |   - CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |     * CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*))
+      |   / (count(*) - 1)) AS std_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val q = decQ(col("l_quantity"))
+    val sumSq = sum(q * q).cast(DoubleType)
+    val sm = sum(q).cast(DoubleType)
+    val n = count(lit(1))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(sumSq.as("sum_sq"), sm.as("s"), n.as("n"))
+      .select(
+        col("l_returnflag"),
+        col("sum_sq"),
+        ((col("sum_sq") - col("s") * col("s") / col("n")) / (col("n") - 1)).as("var_qty"),
+        sqrt((col("sum_sq") - col("s") * col("s") / col("n")) / (col("n") - 1)).as("std_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // --- MEDIAN / QUANTILE (sort-groupby path, cpp/src/groupby/sort) ----------
+  register("agg_median_quantile",
+    """SELECT l_returnflag,
+      |  median(l_quantity) AS med_qty,
+      |  quantile_cont(l_quantity, 0.25) AS q25,
+      |  quantile_cont(l_quantity, 0.75) AS q75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("med_qty"),
+        expr("percentile(l_quantity, 0.25)").as("q25"),
+        expr("percentile(l_quantity, 0.75)").as("q75"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // --- ARGMIN / ARGMAX (idxmin/idxmax) with lexicographic tie-break ---------
+  register("agg_argmin_argmax",
+    """WITH mx AS (
+      |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |                       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rmax,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |                       ORDER BY l_extendedprice ASC, l_orderkey, l_linenumber) AS rmin
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |  max(CASE WHEN rmax = 1 THEN l_orderkey END) AS argmax_order,
+      |  max(CASE WHEN rmax = 1 THEN l_extendedprice END) AS max_price,
+      |  max(CASE WHEN rmin = 1 THEN l_orderkey END) AS argmin_order,
+      |  max(CASE WHEN rmin = 1 THEN l_extendedprice END) AS min_price
+      |FROM mx WHERE rmax = 1 OR rmin = 1
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val wMax = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val wMin = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").asc, col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("rmax", row_number().over(wMax))
+      .withColumn("rmin", row_number().over(wMin))
+      .filter(col("rmax") === 1 || col("rmin") === 1)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(when(col("rmax") === 1, col("l_orderkey"))).as("argmax_order"),
+        max(when(col("rmax") === 1, col("l_extendedprice"))).as("max_price"),
+        max(when(col("rmin") === 1, col("l_orderkey"))).as("argmin_order"),
+        max(when(col("rmin") === 1, col("l_extendedprice"))).as("min_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // --- NTH_ELEMENT (aggregation.hpp NTH_ELEMENT; order = shipdate,key) ------
+  register("agg_nth_element",
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders)
+      |SELECT o_orderpriority, o_orderkey AS nth_orderkey, o_totalprice AS nth_price
+      |FROM r WHERE rn = 3 ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 3)
+      .select(col("o_orderpriority"), col("o_orderkey").as("nth_orderkey"),
+        col("o_totalprice").as("nth_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // --- COLLECT_LIST / COLLECT_SET (sorted for cross-engine determinism) -----
+  register("agg_collect",
+    """SELECT l_orderkey,
+      |  list(l_linenumber ORDER BY l_linenumber) AS lines,
+      |  list_sort(list(DISTINCT l_returnflag)) AS flags
+      |FROM lineitem WHERE l_orderkey <= 100
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 100)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sort_array(collect_list(col("l_linenumber"))).as("lines"),
+        sort_array(collect_set(col("l_returnflag"))).as("flags"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  // --- PRODUCT via exact scaled-integer fold --------------------------------
+  // (1+l_tax) scaled by 100 → BIGINT, folded over the DISTINCT per-group
+  // values (≤9 of them, so the product stays < 2^63 and the fold is exact in
+  // both engines); final value lowered to double.
+  register("agg_product",
+    """SELECT l_orderkey,
+      |  CAST(list_reduce(list_sort(list(DISTINCT CAST(round((1 + l_tax) * 100) AS BIGINT))),
+      |                   (a, b) -> a * b) AS DOUBLE)
+      |    / power(100, count(DISTINCT l_tax)) AS tax_factor
+      |FROM lineitem WHERE l_orderkey <= 100
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 100)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        (aggregate(
+          sort_array(collect_set(round((lit(1) + col("l_tax")) * 100).cast(LongType))),
+          lit(1L), (acc, v) => acc * v).cast(DoubleType)
+          / pow(lit(100.0), countDistinct(col("l_tax")))).as("tax_factor"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  // --- value_counts / mode (series.py:5091, :4690) --------------------------
+  register("agg_value_counts",
+    """SELECT o_orderpriority AS value, count(*) AS count
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY count DESC, value""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("value"))
+      .agg(count(lit(1)).as("count"))
+      .orderBy(col("count").desc, col("value"))
+  }
+
+  register("agg_mode",
+    """WITH vc AS (
+      |  SELECT l_returnflag, l_quantity, count(*) AS c,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |                       ORDER BY count(*) DESC, l_quantity) AS rn
+      |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+      |SELECT l_returnflag, l_quantity AS mode_qty, c AS mode_count
+      |FROM vc WHERE rn = 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("c").desc, col("l_quantity"))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+        col("c").as("mode_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // --- cov / corr via exact-sum identities (dataframe.py:7448,7465) ---------
+  register("agg_cov_corr",
+    """WITH s AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+      |  FROM lineitem)
+      |SELECT (sxy - sx*sy/n) / (n-1) AS cov_qty_price,
+      |  (sxy - sx*sy/n) / (n-1) / (sqrt((sxx - sx*sx/n)/(n-1)) * sqrt((syy - sy*sy/n)/(n-1))) AS corr_qty_price
+      |FROM s""".stripMargin) { (s, d) =>
+    val x = decQ(col("l_quantity"))
+    val y = decQ(col("l_extendedprice"))
+    Tables.lineitem(s, d)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast(DoubleType).as("sx"),
+        sum(y).cast(DoubleType).as("sy"),
+        sum(x * y).cast(DoubleType).as("sxy"),
+        sum(x * x).cast(DoubleType).as("sxx"),
+        sum(y * y).cast(DoubleType).as("syy"))
+      .select(
+        ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1)).as("cov_qty_price"),
+        (((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+          / (sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+            * sqrt((col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1))))
+          .as("corr_qty_price"))
+  }
+
+  // --- whole-column reductions (reduction.hpp:66; series.py:4110) -----------
+  register("agg_reduce_scalar",
+    """SELECT
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+      |  min(o_totalprice) AS min_p, max(o_totalprice) AS max_p,
+      |  count(*) AS n, count(DISTINCT o_custkey) AS n_cust,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS mean_p
+      |FROM orders""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .agg(
+        sum(decQ(col("o_totalprice"))).cast(DoubleType).as("total"),
+        min(col("o_totalprice")).as("min_p"),
+        max(col("o_totalprice")).as("max_p"),
+        count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        (sum(decQ(col("o_totalprice"))).cast(DoubleType) / count(lit(1))).as("mean_p"))
+  }
+
+  // --- multi-agg dict normalization (groupby.py:140 agg({'b':['min','mean']}))
+  register("agg_multi_per_column",
+    """SELECT c_mktsegment,
+      |  min(c_acctbal) AS bal_min, max(c_acctbal) AS bal_max,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS bal_mean,
+      |  count(*) AS n
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        min(col("c_acctbal")).as("bal_min"),
+        max(col("c_acctbal")).as("bal_max"),
+        (sum(decQ(col("c_acctbal"))).cast(DoubleType) / count(lit(1))).as("bal_mean"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  // --- grouping sets / rollup / cube (free Spark extension, SURVEY §2.4) ----
+  register("agg_rollup",
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |       coalesce(l_linestatus, 'ALL') AS status,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(decQ(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("flag"), col("status"))
+  }
+}
