@@ -15,7 +15,10 @@ object SparkEntry {
   /** All query packs, one per operator family. */
   val packs: Seq[QueryPack] = Seq(
     RelationalQueries,
-    AggregationQueries
+    AggregationQueries,
+    WindowQueries,
+    CompactionQueries,
+    ReshapeQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver test tables (see TESTDATA.md / FIXTURES.md).
   *
@@ -24,7 +25,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = apply(s, d, "events")
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects ([PARQUET_TYPE_ILLEGAL]). cuDF supports TIMESTAMP_NS natively
+    * (types.hpp:220); our mapping reads the raw int64 nanos
+    * (legacy.parquet.nanosAsLong) and exposes both a µs-truncated `ts`
+    * (TimestampType, SURVEY §1.2's documented ns→µs narrowing) and the exact
+    * `ts_ns` long.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(s, d, "events")
+      .withColumn("ts_ns", col("ts"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

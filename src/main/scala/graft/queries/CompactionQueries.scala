@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.GF
+
+/** Stream-compaction + null-handling surface (SURVEY §2.2; reference
+  * cpp/include/cudf/stream_compaction.hpp, replace.hpp, copying.hpp).
+  *
+  * The testdata has no nulls, so null-op queries synthesize them with
+  * nullif() — identically on both engines — to pin EXCLUDE/INCLUDE null
+  * semantics (types.hpp:127).
+  */
+object CompactionQueries extends QueryPack {
+
+  // --- isin (dataframe.py:5975) — literal list + large-set semi-join form ---
+  register("filt_isin",
+    """SELECT o_orderkey, o_orderpriority FROM orders
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderkey <= 2000
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") && col("o_orderkey") <= 2000)
+      .select("o_orderkey", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  // --- where / mask (frame.py:827,884) ---------------------------------------
+  register("filt_where_mask",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice > 100000 THEN o_totalprice END AS price_where,
+      |  CASE WHEN o_totalprice > 100000 THEN -1.0 ELSE o_totalprice END AS price_mask
+      |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val df = Tables.orders(s, d).filter(col("o_orderkey") <= 2000)
+    df.select(
+      col("o_orderkey"),
+      GF.where(col("o_totalprice"), col("o_totalprice") > 100000, lit(null)).as("price_where"),
+      GF.mask(col("o_totalprice"), col("o_totalprice") > 100000, lit(-1.0)).as("price_mask"))
+      .orderBy("o_orderkey")
+  }
+
+  // --- clip (frame.py:700; replace.hpp:202) ----------------------------------
+  register("filt_clip",
+    """SELECT c_custkey, least(greatest(c_acctbal, 1000.0), 5000.0) AS bal_clipped
+      |FROM customer WHERE c_custkey <= 1000 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .filter(col("c_custkey") <= 1000)
+      .select(col("c_custkey"),
+        GF.clip(col("c_acctbal"), lit(1000.0), lit(5000.0)).as("bal_clipped"))
+      .orderBy("c_custkey")
+  }
+
+  // --- drop_nulls (stream_compaction.hpp:69; frame.py:1079 dropna) ----------
+  register("filt_dropna",
+    """SELECT l_orderkey, l_linenumber, l_discount FROM lineitem
+      |WHERE nullif(l_discount, 0.0) IS NOT NULL AND l_orderkey <= 500
+      |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 500)
+      .withColumn("disc_n", nullif(col("l_discount"), lit(0.0)))
+      .na.drop(Seq("disc_n"))
+      .select("l_orderkey", "l_linenumber", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+  }
+
+  // --- fillna (replace.hpp:50 replace_nulls) ---------------------------------
+  register("filt_fillna",
+    """SELECT l_orderkey, l_linenumber, l_partkey,
+      |  coalesce(nullif(l_discount, 0.0), -9.99) AS disc_filled
+      |FROM lineitem WHERE l_orderkey <= 500
+      |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 500)
+      .withColumn("disc_filled", nullif(col("l_discount"), lit(0.0)))
+      .na.fill(Map("disc_filled" -> -9.99))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "disc_filled")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+  }
+
+  // --- find_and_replace (replace.hpp:151; dataframe.py:4889 replace) --------
+  register("filt_replace",
+    """SELECT o_orderkey,
+      |  CASE o_orderpriority WHEN '1-URGENT' THEN 'P1' WHEN '2-HIGH' THEN 'P2'
+      |       ELSE o_orderpriority END AS priority
+      |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") <= 2000)
+      .na.replace("o_orderpriority", Map("1-URGENT" -> "P1", "2-HIGH" -> "P2"))
+      .select(col("o_orderkey"), col("o_orderpriority").as("priority"))
+      .orderBy("o_orderkey")
+  }
+
+  // --- sample (copying.hpp:913) — deterministic hash-split form -------------
+  // cuDF sample(random_state=n) is seeded; the distributed-safe equivalent is
+  // a key-hash split (stable under repartitioning, unlike Bernoulli sampling).
+  register("filt_sample_hash",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_orderkey % 10 = 3 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .filter(GF.pymod(col("o_orderkey"), lit(10)) === 3)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  // --- drop_duplicates keep=first in index order (stream_compaction.hpp:238,
+  //     duplicate_keep_option :210; order-honoring via row_number, §7.4) ----
+  register("set_drop_duplicates",
+    """SELECT l_suppkey, l_quantity, l_orderkey, l_linenumber FROM lineitem
+      |WHERE l_suppkey <= 20
+      |QUALIFY row_number() OVER (PARTITION BY l_suppkey, l_quantity
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey) = 1
+      |ORDER BY l_suppkey, l_quantity""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("l_suppkey"), col("l_quantity"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    Tables.lineitem(s, d)
+      .filter(col("l_suppkey") <= 20)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("l_suppkey", "l_quantity", "l_orderkey", "l_linenumber")
+      .orderBy("l_suppkey", "l_quantity")
+  }
+
+  // --- drop_duplicates keep=none (rows that are unique, keep_option KEEP_NONE)
+  register("set_drop_duplicates_none",
+    """SELECT l_suppkey, l_quantity FROM lineitem
+      |WHERE l_suppkey <= 20
+      |GROUP BY l_suppkey, l_quantity HAVING count(*) = 1
+      |ORDER BY l_suppkey, l_quantity""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_suppkey") <= 20)
+      .groupBy(col("l_suppkey"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") === 1)
+      .select("l_suppkey", "l_quantity")
+      .orderBy("l_suppkey", "l_quantity")
+  }
+
+  // --- unique / factorize (series.py:5023; frame.py:3608) -------------------
+  // factorize codes assigned in sorted order (deterministic cross-engine
+  // variant of first-appearance order, which is partition-dependent).
+  register("set_factorize",
+    """SELECT p_type AS value, dense_rank() OVER (ORDER BY p_type) - 1 AS code
+      |FROM (SELECT DISTINCT p_type FROM part) ORDER BY value""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_type").as("value")).distinct()
+      .withColumn("code", dense_rank().over(Window.orderBy(col("value"))) - 1)
+      .orderBy("value")
+  }
+
+  // --- set ops: intersect / except (Spark-native; SURVEY §2.7) --------------
+  register("set_intersect",
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+  }
+
+  register("set_except",
+    """SELECT n_nationkey AS nationkey FROM nation
+      |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin) { (s, d) =>
+    Tables.nation(s, d).select(col("n_nationkey").as("nationkey"))
+      .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+  }
+
+  // --- concat rows with column union (reshape.py:90, join="outer") ----------
+  register("set_concat_rows",
+    """SELECT c_custkey AS key, c_name AS name, c_acctbal AS acctbal, NULL AS nationkey FROM customer WHERE c_custkey <= 100
+      |UNION ALL
+      |SELECT s_suppkey, s_name, NULL, s_nationkey FROM supplier WHERE s_suppkey <= 100
+      |ORDER BY key, name""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).filter(col("c_custkey") <= 100)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+    val sup = Tables.supplier(s, d).filter(col("s_suppkey") <= 100)
+      .select(col("s_suppkey").as("key"), col("s_name").as("name"),
+        col("s_nationkey").cast(IntegerType).as("nationkey"))
+    c.unionByName(sup, allowMissingColumns = true).orderBy("key", "name")
+  }
+
+  // --- searchsorted / lower_bound (search.hpp:69; frame.py:2518) ------------
+  // positions of probe values in the sorted column = count of rows < probe,
+  // expressed as a broadcastable theta-join aggregate (no global sort).
+  register("sort_searchsorted",
+    """SELECT p.v AS probe,
+      |  count(CASE WHEN o.o_totalprice < p.v THEN 1 END) AS lower_bound,
+      |  count(CASE WHEN o.o_totalprice <= p.v THEN 1 END) AS upper_bound
+      |FROM (VALUES (50000.0), (150000.0), (300000.0)) p(v)
+      |CROSS JOIN orders o GROUP BY p.v ORDER BY probe""".stripMargin) { (s, d) =>
+    val probes = s.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(50000.0),
+        org.apache.spark.sql.Row(150000.0),
+        org.apache.spark.sql.Row(300000.0)),
+      StructType(Seq(StructField("v", DoubleType, nullable = false))))
+    Tables.orders(s, d)
+      .crossJoin(broadcast(probes))
+      .groupBy(col("v").as("probe"))
+      .agg(
+        count(when(col("o_totalprice") < col("v"), 1)).as("lower_bound"),
+        count(when(col("o_totalprice") <= col("v"), 1)).as("upper_bound"))
+      .orderBy("probe")
+  }
+
+  // --- is_sorted / monotonic (sorting.hpp:96; frame.py:3573) ----------------
+  register("sort_is_sorted",
+    """SELECT o_custkey,
+      |  bool_and(o_totalprice >= prev OR prev IS NULL) AS is_monotonic_by_date
+      |FROM (SELECT o_custkey, o_totalprice,
+      |        lag(o_totalprice) OVER (PARTITION BY o_custkey
+      |            ORDER BY o_orderdate, o_orderkey) AS prev
+      |      FROM orders WHERE o_custkey <= 50)
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_custkey") <= 50)
+      .withColumn("prev", lag(col("o_totalprice"), 1).over(w))
+      .groupBy(col("o_custkey"))
+      .agg(bool_and(col("o_totalprice") >= col("prev") || col("prev").isNull)
+        .as("is_monotonic_by_date"))
+      .orderBy("o_custkey")
+  }
+
+  // --- multi-column sort with explicit null ordering (sorting.hpp:114) ------
+  register("sort_multi_nulls",
+    """SELECT l_orderkey, l_linenumber, l_partkey,
+      |  nullif(l_discount, 0.0) AS disc_n,
+      |  row_number() OVER (ORDER BY nullif(l_discount, 0.0) ASC NULLS FIRST,
+      |                     l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey) AS pos
+      |FROM lineitem WHERE l_orderkey <= 200
+      |ORDER BY pos""".stripMargin) { (s, d) =>
+    val ord = Seq(
+      nullif(col("l_discount"), lit(0.0)).asc_nulls_first,
+      col("l_extendedprice").desc,
+      col("l_orderkey").asc, col("l_linenumber").asc, col("l_partkey").asc)
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 200)
+      .withColumn("disc_n", nullif(col("l_discount"), lit(0.0)))
+      .withColumn("pos", row_number().over(Window.orderBy(ord: _*)))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "disc_n", "pos")
+      .orderBy("pos")
+  }
+}

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Reshape surface (SURVEY §2.7; reference core/reshape.py, lists/explode.hpp,
+  * cudf cut / get_dummies / pivot / melt).
+  */
+object ReshapeQueries extends QueryPack {
+
+  // --- melt wide→long (reshape.py:394; Spark stack()) -----------------------
+  register("reshape_melt",
+    """SELECT l_orderkey, l_linenumber, l_partkey, variable, value FROM (
+      |  SELECT l_orderkey, l_linenumber, l_partkey, 'quantity' AS variable, l_quantity AS value
+      |  FROM lineitem WHERE l_orderkey <= 100
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, l_partkey, 'discount', l_discount
+      |  FROM lineitem WHERE l_orderkey <= 100
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, l_partkey, 'tax', l_tax
+      |  FROM lineitem WHERE l_orderkey <= 100)
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, variable""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 100)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        expr("stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax) AS (variable, value)"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "variable")
+  }
+
+  // --- pivot long→wide (reshape.py:843; groupBy().pivot().agg) --------------
+  register("reshape_pivot",
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS A,
+      |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS N,
+      |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS R
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DoubleType))
+      .orderBy("l_linestatus")
+  }
+
+  // --- explode / posexplode (lists/explode.hpp:63,107) ----------------------
+  register("reshape_explode",
+    """SELECT vec_id, unnest(embedding) AS val
+      |FROM embeddings WHERE vec_id <= 20
+      |ORDER BY vec_id, val""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") <= 20)
+      .select(col("vec_id"), explode(col("embedding")).as("val"))
+      .orderBy("vec_id", "val")
+  }
+
+  register("reshape_posexplode",
+    """SELECT vec_id, unnest(range(0, len(embedding))) AS pos, unnest(embedding) AS val
+      |FROM embeddings WHERE vec_id <= 20
+      |ORDER BY vec_id, pos""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") <= 20)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .orderBy("vec_id", "pos")
+  }
+
+  // --- explode_outer: null lists keep their row (explode.hpp outer variants)
+  register("reshape_explode_outer",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 0 THEN NULL
+      |         ELSE list_slice(string_split(text, ' '), 1, 3) END AS arr
+      |  FROM documents WHERE doc_id <= 50)
+      |SELECT doc_id, unnest(arr) AS tok FROM t WHERE arr IS NOT NULL
+      |UNION ALL
+      |SELECT doc_id, NULL FROM t WHERE arr IS NULL
+      |ORDER BY doc_id, tok""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") <= 50)
+      .withColumn("arr",
+        when(col("doc_id") % 10 === 0, lit(null))
+          .otherwise(slice(split(col("text"), " "), 1, 3)))
+      .select(col("doc_id"), explode_outer(col("arr")).as("tok"))
+      .orderBy("doc_id", "tok")
+  }
+
+  // --- get_dummies / one-hot (reshape.py:566) -------------------------------
+  register("reshape_get_dummies",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pri_1_urgent,
+      |  CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END AS pri_2_high,
+      |  CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END AS pri_3_medium
+      |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    def dummy(v: String) = when(col("o_orderpriority") === v, 1).otherwise(0)
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") <= 1000)
+      .select(col("o_orderkey"),
+        dummy("1-URGENT").as("pri_1_urgent"),
+        dummy("2-HIGH").as("pri_2_high"),
+        dummy("3-MEDIUM").as("pri_3_medium"))
+      .orderBy("o_orderkey")
+  }
+
+  // --- cut / label_bins (core/cut.py:15; labeling/label_bins.hpp:72) --------
+  register("reshape_cut",
+    """SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INT) AS bin,
+      |  count(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(least(floor(col("o_totalprice") / 50000), lit(9)).cast(IntegerType).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+  }
+
+  // --- sequence / repeat / tile (filling.hpp:175,121; reshape interleave) ---
+  register("reshape_sequence_repeat",
+    """SELECT r_regionkey, unnest(range(0, r_regionkey + 1)) AS seq_val,
+      |  repeat(r_name, 2) AS name_x2
+      |FROM region ORDER BY r_regionkey, seq_val""".stripMargin) { (s, d) =>
+    Tables.region(s, d)
+      .select(col("r_regionkey"),
+        explode(sequence(lit(0), col("r_regionkey"))).as("seq_val"),
+        repeat(col("r_name"), 2).as("name_x2"))
+      .orderBy("r_regionkey", "seq_val")
+  }
+
+  // --- interleave_columns (reshape.hpp:49) via array+explode ----------------
+  register("reshape_interleave",
+    """SELECT n_nationkey, unnest([CAST(n_name AS VARCHAR), CAST(n_regionkey AS VARCHAR)]) AS v
+      |FROM nation ORDER BY n_nationkey, v""".stripMargin) { (s, d) =>
+    Tables.nation(s, d)
+      .select(col("n_nationkey"),
+        explode(array(col("n_name").cast(StringType),
+          col("n_regionkey").cast(StringType))).as("v"))
+      .orderBy("n_nationkey", "v")
+  }
+
+  // --- transpose (dataframe.py:4292) — small-data contract, via melt+pivot --
+  register("reshape_transpose",
+    """SELECT variable,
+      |  CAST(sum(CASE WHEN r_regionkey = 0 THEN v END) AS DOUBLE) AS r0,
+      |  CAST(sum(CASE WHEN r_regionkey = 1 THEN v END) AS DOUBLE) AS r1,
+      |  CAST(sum(CASE WHEN r_regionkey = 2 THEN v END) AS DOUBLE) AS r2
+      |FROM (
+      |  SELECT r_regionkey, 'regionkey' AS variable, CAST(r_regionkey AS DOUBLE) AS v FROM region
+      |  UNION ALL
+      |  SELECT r_regionkey, 'name_len', CAST(length(r_name) AS DOUBLE) FROM region)
+      |GROUP BY variable ORDER BY variable""".stripMargin) { (s, d) =>
+    Tables.region(s, d)
+      .select(col("r_regionkey"),
+        expr("stack(2, 'regionkey', CAST(r_regionkey AS DOUBLE), 'name_len', CAST(length(r_name) AS DOUBLE)) AS (variable, v)"))
+      .groupBy(col("variable"))
+      .pivot("r_regionkey", Seq("0", "1", "2"))
+      .agg(sum(col("v")).cast(DoubleType))
+      .withColumnRenamed("0", "r0").withColumnRenamed("1", "r1").withColumnRenamed("2", "r2")
+      .orderBy("variable")
+  }
+}

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Window-function surface (SURVEY §2.5; reference cpp/src/rolling, 3,531 LoC
+  * + group scans cpp/src/groupby/sort/scan.cpp).
+  *
+  * cuDF rolling windows are ordered over the frame's implicit row order; the
+  * Spark-native re-expression partitions by a grouping key and orders by an
+  * explicit sort key (SURVEY §1.4's index-column design). That keeps every
+  * window parallel over partitions — no single-partition global Window, which
+  * would serialize at 100 TB.
+  *
+  * Determinism: window order keys are made unique within each partition (the
+  * testdata has no uniqueness guarantee on (orderkey, linenumber)), so frame
+  * contents are identical across engines.
+  */
+object WindowQueries extends QueryPack {
+
+  // unique per-supplier ordering for lineitem windows
+  private val liOrder = Seq("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey")
+
+  // --- fixed-size trailing rolling window (rolling.hpp:57; grouped :194) ----
+  register("win_rolling_sum",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+      |    OVER (PARTITION BY l_suppkey
+      |          ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum,
+      |  count(*) OVER (PARTITION BY l_suppkey
+      |          ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_n
+      |FROM lineitem WHERE l_suppkey <= 20
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_partkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(liOrder.map(col): _*)
+      .rowsBetween(-2, 0)
+    Tables.lineitem(s, d)
+      .filter(col("l_suppkey") <= 20)
+      .withColumn("roll_sum", sum(col("l_quantity").cast(DecimalType(12, 2))).over(w).cast(DoubleType))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "roll_sum", "roll_n")
+      .orderBy(col("l_suppkey") +: liOrder.map(col): _*)
+  }
+
+  // --- centered window + min_periods (rolling.py:17 center=True) ------------
+  register("win_rolling_center",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  min(l_quantity) OVER w AS roll_min,
+      |  max(l_quantity) OVER w AS roll_max,
+      |  CASE WHEN count(*) OVER w >= 3
+      |       THEN CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) OVER w AS DOUBLE) END AS roll_sum_minp
+      |FROM lineitem WHERE l_suppkey <= 20
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+      |             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_partkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(liOrder.map(col): _*)
+      .rowsBetween(-1, 1)
+    Tables.lineitem(s, d)
+      .filter(col("l_suppkey") <= 20)
+      .withColumn("roll_min", min(col("l_quantity")).over(w))
+      .withColumn("roll_max", max(col("l_quantity")).over(w))
+      .withColumn("roll_sum_minp",
+        when(count(lit(1)).over(w) >= 3,
+          sum(col("l_quantity").cast(DecimalType(12, 2))).over(w).cast(DoubleType)))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "roll_min", "roll_max", "roll_sum_minp")
+      .orderBy(col("l_suppkey") +: liOrder.map(col): _*)
+  }
+
+  // --- grouped time-range rolling (rolling.hpp:350 — window = interval) -----
+  register("win_rolling_time_range",
+    """SELECT o_custkey, o_orderkey,
+      |  count(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+      |                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS orders_30d,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+      |          RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+      |FROM orders WHERE o_custkey <= 50
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").cast(TimestampType).cast(LongType))
+      .rangeBetween(-2592000L, 0L) // 30 days in seconds
+    Tables.orders(s, d)
+      .filter(col("o_custkey") <= 50)
+      .withColumn("orders_30d", count(lit(1)).over(w))
+      .withColumn("spend_30d",
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).over(w).cast(DoubleType))
+      .select("o_custkey", "o_orderkey", "orders_30d", "spend_30d")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // --- LEAD / LAG / shift / diff (aggregation.hpp:80-84; groupby.hpp:278) ---
+  register("win_lead_lag",
+    """SELECT o_custkey, o_orderkey,
+      |  lag(o_totalprice) OVER w AS prev_price,
+      |  lead(o_totalprice) OVER w AS next_price,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) -
+      |       lag(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS diff_price
+      |FROM orders WHERE o_custkey <= 50
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val pdec = col("o_totalprice").cast(DecimalType(12, 2))
+    Tables.orders(s, d)
+      .filter(col("o_custkey") <= 50)
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("diff_price", (pdec - lag(pdec, 1).over(w)).cast(DoubleType))
+      .select("o_custkey", "o_orderkey", "prev_price", "next_price", "diff_price")
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  // --- rank family (sorting.hpp:178 rank_method FIRST/MIN/DENSE/AVERAGE/pct)
+  register("win_rank",
+    """SELECT c_mktsegment, c_custkey,
+      |  row_number() OVER w AS rank_first,
+      |  rank() OVER w AS rank_min,
+      |  dense_rank() OVER w AS rank_dense,
+      |  percent_rank() OVER w AS rank_pct
+      |FROM customer WHERE c_custkey <= 300
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .filter(col("c_custkey") <= 300)
+      .withColumn("rank_first", row_number().over(w))
+      .withColumn("rank_min", rank().over(w))
+      .withColumn("rank_dense", dense_rank().over(w))
+      .withColumn("rank_pct", percent_rank().over(w))
+      .select("c_mktsegment", "c_custkey", "rank_first", "rank_min", "rank_dense", "rank_pct")
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  // --- group scans: cumsum / cummax / cumcount (groupby/sort/scan.cpp) ------
+  register("win_group_scan",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS cum_spend,
+      |  max(o_totalprice) OVER w AS cum_max,
+      |  count(*) OVER w - 1 AS cum_count
+      |FROM orders WHERE o_custkey <= 50
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") <= 50)
+      .withColumn("cum_spend",
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).over(w).cast(DoubleType))
+      .withColumn("cum_max", max(col("o_totalprice")).over(w))
+      .withColumn("cum_count", count(lit(1)).over(w) - 1) // cudf cumcount is 0-based
+      .select("o_custkey", "o_orderkey", "cum_spend", "cum_max", "cum_count")
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  // --- grouped ffill (replace_nulls grouped, _lib/groupby.pyx:251) ----------
+  // nulls synthesized via nullif; ffill = last non-null over preceding frame.
+  register("win_group_ffill",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  last_value(nullif(l_discount, 0.0) IGNORE NULLS)
+      |    OVER (PARTITION BY l_suppkey
+      |          ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS disc_ffill
+      |FROM lineitem WHERE l_suppkey <= 20
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_partkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(liOrder.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.lineitem(s, d)
+      .filter(col("l_suppkey") <= 20)
+      .withColumn("disc_ffill",
+        last(nullif(col("l_discount"), lit(0.0)), ignoreNulls = true).over(w))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "disc_ffill")
+      .orderBy(col("l_suppkey") +: liOrder.map(col): _*)
+  }
+
+  // --- ntile / first_value / nth_value over window ---------------------------
+  register("win_ntile_first",
+    """SELECT c_mktsegment, c_custkey,
+      |  ntile(4) OVER w AS quartile,
+      |  first_value(c_custkey) OVER w AS top_cust,
+      |  nth_value(c_custkey, 2) OVER (PARTITION BY c_mktsegment
+      |      ORDER BY c_acctbal DESC, c_custkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_cust
+      |FROM customer WHERE c_custkey <= 300
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.customer(s, d)
+      .filter(col("c_custkey") <= 300)
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("top_cust", first(col("c_custkey")).over(w))
+      .withColumn("second_cust", nth_value(col("c_custkey"), 2).over(wf))
+      .select("c_mktsegment", "c_custkey", "quartile", "top_cust", "second_cust")
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+}
