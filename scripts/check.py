@@ -27,8 +27,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             except TypeError:
                 df[c] = v.dt.tz_convert("UTC").dt.tz_localize(None)
         elif v.dtype == object:
-            df[c] = v.map(lambda x: tuple(x.tolist()) if isinstance(x, np.ndarray)
-                          else (tuple(x) if isinstance(x, list) else x))
+            def hashable(x):
+                if isinstance(x, np.ndarray):
+                    return tuple(hashable(e) for e in x.tolist())
+                if isinstance(x, (list, tuple)):
+                    return tuple(hashable(e) for e in x)
+                if isinstance(x, dict):
+                    return tuple((k, hashable(val)) for k, val in sorted(x.items()))
+                return x
+            df[c] = v.map(hashable)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 def main():

@@ -18,7 +18,11 @@ object SparkEntry {
     AggregationQueries,
     WindowQueries,
     CompactionQueries,
-    ReshapeQueries
+    ReshapeQueries,
+    ScalarQueries,
+    DatetimeQueries,
+    StringQueries,
+    ListStructQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.GF
+
+/** Scalar binary/unary operator surface (SURVEY §2.8; reference
+  * cpp/include/cudf/binaryop.hpp:36-73, unary.hpp:30-52, round.hpp:70).
+  *
+  * Everything is a codegen'd column expression over a filtered projection —
+  * the whole query is one WholeStageCodegen span over the parquet scan.
+  */
+object ScalarQueries extends QueryPack {
+
+  // --- binary arithmetic incl. python-semantics MOD variants ----------------
+  register("expr_binops_arith",
+    """SELECT l_orderkey, l_linenumber, l_partkey,
+      |  l_partkey + l_suppkey AS add_v, l_partkey - l_suppkey AS sub_v,
+      |  l_linenumber * l_suppkey AS mul_v,
+      |  CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE) AS truediv_v,
+      |  CAST(floor(CAST(l_partkey AS DOUBLE) / CAST(l_suppkey + 1 AS DOUBLE)) AS BIGINT) AS floordiv_v,
+      |  l_partkey % (l_suppkey + 1) AS cmod_v,
+      |  ((l_partkey % (l_suppkey + 1)) + (l_suppkey + 1)) % (l_suppkey + 1) AS pymod_v,
+      |  power(l_linenumber, 2) AS pow_v
+      |FROM lineitem WHERE l_orderkey <= 500
+      |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin) { (s, d) =>
+    val sup1 = col("l_suppkey") + 1
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 500)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        (col("l_partkey") + col("l_suppkey")).as("add_v"),
+        (col("l_partkey") - col("l_suppkey")).as("sub_v"),
+        (col("l_linenumber") * col("l_suppkey")).as("mul_v"),
+        GF.truediv(col("l_extendedprice"), col("l_quantity")).as("truediv_v"),
+        GF.floordiv(col("l_partkey").cast(DoubleType), sup1.cast(DoubleType))
+          .cast(LongType).as("floordiv_v"),
+        (col("l_partkey") % sup1).as("cmod_v"),
+        GF.pymod(col("l_partkey"), sup1).as("pymod_v"),
+        pow(col("l_linenumber"), 2).as("pow_v"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+  }
+
+  // --- bitwise / shift ops (binaryop.hpp SHIFT_*, BITWISE_*) ----------------
+  register("expr_binops_bitwise",
+    """SELECT p_partkey,
+      |  p_size << 1 AS shl_v, p_size >> 1 AS shr_v,
+      |  p_size & 7 AS and_v, p_size | 8 AS or_v, xor(p_size, 5) AS xor_v,
+      |  ~p_size AS not_v
+      |FROM part WHERE p_partkey <= 1000 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 1000)
+      .select(col("p_partkey"),
+        shiftleft(col("p_size"), 1).as("shl_v"),
+        shiftright(col("p_size"), 1).as("shr_v"),
+        col("p_size").bitwiseAND(7).as("and_v"),
+        col("p_size").bitwiseOR(8).as("or_v"),
+        col("p_size").bitwiseXOR(5).as("xor_v"),
+        bitwise_not(col("p_size")).as("not_v"))
+      .orderBy("p_partkey")
+  }
+
+  // --- unary math (unary.hpp SIN..CBRT; rounded to absorb libm ulp skew) ----
+  register("expr_unary_math",
+    """SELECT c_custkey,
+      |  round(sin(c_acctbal / 10000), 9) AS sin_v,
+      |  round(cos(c_acctbal / 10000), 9) AS cos_v,
+      |  round(exp(c_acctbal / 10000), 9) AS exp_v,
+      |  round(ln(abs(c_acctbal) + 1), 9) AS log_v,
+      |  round(sqrt(abs(c_acctbal)), 9) AS sqrt_v,
+      |  round(cbrt(abs(c_acctbal)), 9) AS cbrt_v,
+      |  CAST(ceil(c_acctbal) AS BIGINT) AS ceil_v,
+      |  CAST(floor(c_acctbal) AS BIGINT) AS floor_v,
+      |  abs(c_acctbal) AS abs_v
+      |FROM customer WHERE c_custkey <= 1000 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val x = col("c_acctbal")
+    Tables.customer(s, d)
+      .filter(col("c_custkey") <= 1000)
+      .select(col("c_custkey"),
+        round(sin(x / 10000), 9).as("sin_v"),
+        round(cos(x / 10000), 9).as("cos_v"),
+        round(exp(x / 10000), 9).as("exp_v"),
+        round(log(abs(x) + 1), 9).as("log_v"),
+        round(sqrt(abs(x)), 9).as("sqrt_v"),
+        round(cbrt(abs(x)), 9).as("cbrt_v"),
+        ceil(x).as("ceil_v"), floor(x).as("floor_v"),
+        abs(x).as("abs_v"))
+      .orderBy("c_custkey")
+  }
+
+  // --- round half-up vs half-even (round.hpp:70 half_even/half_up) ----------
+  // Half-way cases only exist in decimal space (doubles never sit exactly on
+  // .x5), so rounding-mode semantics are pinned on DECIMAL(12,2) inputs.
+  register("expr_round_modes",
+    """SELECT c_custkey,
+      |  CAST(round(CAST(c_acctbal AS DECIMAL(12,2)), 1) AS DOUBLE) AS round_half_up,
+      |  CAST((n - d + CASE WHEN d > 5 THEN 10 WHEN d < 5 THEN 0
+      |        WHEN (((n - d) // 10) % 2 + 2) % 2 = 0 THEN 0 ELSE 10 END) AS DOUBLE) / 100 AS round_half_even,
+      |  CAST(round(CAST(c_acctbal AS DECIMAL(12,2)), -2) AS DOUBLE) AS round_neg_digits
+      |FROM (SELECT c_custkey, c_acctbal,
+      |        CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS n,
+      |        ((CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) % 10) + 10) % 10 AS d
+      |      FROM customer WHERE c_custkey <= 1000)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val dec = col("c_acctbal").cast(DecimalType(12, 2))
+    Tables.customer(s, d)
+      .filter(col("c_custkey") <= 1000)
+      .select(col("c_custkey"),
+        round(dec, 1).cast(DoubleType).as("round_half_up"),
+        bround(dec, 1).cast(DoubleType).as("round_half_even"),
+        round(dec, -2).cast(DoubleType).as("round_neg_digits"))
+      .orderBy("c_custkey")
+  }
+
+  // --- casts (unary.hpp:111; DuckDB CAST rounds, cuDF/Spark truncate — the
+  //     oracle uses trunc() to pin cuDF's toward-zero semantics) ------------
+  register("expr_cast",
+    """SELECT c_custkey,
+      |  CAST(trunc(c_acctbal) AS BIGINT) AS to_long,
+      |  CAST(c_custkey AS DOUBLE) AS to_double,
+      |  CAST(c_acctbal AS VARCHAR) AS to_string,
+      |  CAST(CAST(c_custkey AS VARCHAR) AS BIGINT) AS roundtrip_long
+      |FROM customer WHERE c_custkey <= 1000 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .filter(col("c_custkey") <= 1000)
+      .select(col("c_custkey"),
+        col("c_acctbal").cast(LongType).as("to_long"),
+        col("c_custkey").cast(DoubleType).as("to_double"),
+        col("c_acctbal").cast(StringType).as("to_string"),
+        col("c_custkey").cast(StringType).cast(LongType).as("roundtrip_long"))
+      .orderBy("c_custkey")
+  }
+
+  // --- null predicates + null-safe ops (unary.hpp:81 is_null; NULL_EQUALS,
+  //     NULL_MAX/MIN; nan_policy types.hpp:135) ------------------------------
+  register("expr_null_ops",
+    """SELECT l_orderkey, l_linenumber, l_partkey,
+      |  nullif(l_discount, 0.0) IS NULL AS is_null_v,
+      |  nullif(l_discount, 0.0) IS NOT NULL AS is_valid_v,
+      |  nullif(l_discount, 0.0) IS NOT DISTINCT FROM nullif(l_tax, 0.0) AS null_eq,
+      |  greatest(nullif(l_discount, 0.0), nullif(l_tax, 0.0)) AS null_max,
+      |  least(nullif(l_discount, 0.0), nullif(l_tax, 0.0)) AS null_min,
+      |  isnan(CASE WHEN l_discount > 0.05 THEN CAST('nan' AS DOUBLE) ELSE l_discount END) AS nan_probe,
+      |  CASE WHEN isnan(CASE WHEN l_discount > 0.05 THEN CAST('nan' AS DOUBLE) ELSE l_discount END)
+      |       THEN -1.0 ELSE l_discount END AS nanvl_v
+      |FROM lineitem WHERE l_orderkey <= 300
+      |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin) { (s, d) =>
+    val dn = nullif(col("l_discount"), lit(0.0))
+    val tn = nullif(col("l_tax"), lit(0.0))
+    // NaN ≠ null (types.hpp:135 nan_policy): synthesize NaNs, test isnan+nanvl
+    val nanCol = when(col("l_discount") > 0.05, lit(Double.NaN)).otherwise(col("l_discount"))
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 300)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        dn.isNull.as("is_null_v"),
+        dn.isNotNull.as("is_valid_v"),
+        GF.nullEquals(dn, tn).as("null_eq"),
+        GF.nullMax(dn, tn).as("null_max"),
+        GF.nullMin(dn, tn).as("null_min"),
+        isnan(nanCol).as("nan_probe"),
+        nanvl(nanCol, lit(-1.0)).as("nanvl_v"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+  }
+
+  // --- Spark-compatible murmur3 hash (types.hpp:333 HASH_SPARK_MURMUR3 —
+  //     the reference ships a Spark-bit-compatible hash; here Spark IS the
+  //     reference implementation, so no oracle: rows-only check) ------------
+  registerNoOracle("expr_hash_murmur3") { (s, d) =>
+    Tables.customer(s, d)
+      .filter(col("c_custkey") <= 1000)
+      .select(col("c_custkey"),
+        hash(col("c_custkey"), col("c_name")).as("murmur3"),
+        md5(col("c_name").cast(BinaryType)).as("md5_hex"),
+        xxhash64(col("c_custkey"), col("c_name")).as("xx64"))
+      .orderBy("c_custkey")
+  }
+}

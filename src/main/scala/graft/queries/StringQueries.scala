@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.GF
+
+/** String operator surface (SURVEY §2.8; reference cpp/src/strings = 15,674
+  * LoC, python accessor core/column/string.py = 5,509 LoC).
+  *
+  * cuDF's regex dialect is close to Java's for the constructs used here;
+  * the oracle side (DuckDB) uses RE2 — patterns are restricted to the
+  * common subset and pinned by the hash gate.
+  */
+object StringQueries extends QueryPack {
+
+  // --- case ops (case.hpp:42-77, capitalize.hpp) ----------------------------
+  register("str_case",
+    """SELECT p_partkey, lower(p_name) AS lower_v, upper(p_name) AS upper_v,
+      |  array_to_string(list_transform(string_split(lower(p_name), ' '),
+      |      w -> upper(w[1]) || w[2:]), ' ') AS title_v,
+      |  array_to_string(list_transform(string_split(p_brand, ''),
+      |      ch -> CASE WHEN ch = upper(ch) THEN lower(ch) ELSE upper(ch) END), '') AS swapcase_v
+      |FROM part WHERE p_partkey <= 1000 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 1000)
+      .select(col("p_partkey"),
+        lower(col("p_name")).as("lower_v"),
+        upper(col("p_name")).as("upper_v"),
+        initcap(lower(col("p_name"))).as("title_v"),
+        GF.swapcase(col("p_brand")).as("swapcase_v"))
+      .orderBy("p_partkey")
+  }
+
+  // --- attributes (attributes.hpp count_characters/bytes/code_points) ------
+  register("str_attributes",
+    """SELECT p_partkey, length(p_name) AS n_chars, strlen(p_name) AS n_bytes,
+      |  list_transform(string_split(p_brand, ''), ch -> ascii(ch)) AS code_points
+      |FROM part WHERE p_partkey <= 1000 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 1000)
+      .select(col("p_partkey"),
+        GF.countCharacters(col("p_name")).as("n_chars"),
+        GF.countBytes(col("p_name")).as("n_bytes"),
+        GF.codePoints(col("p_brand")).as("code_points"))
+      .orderBy("p_partkey")
+  }
+
+  // --- pad / strip / zfill (padding.hpp, strip.hpp) -------------------------
+  register("str_pad_strip",
+    """SELECT p_partkey,
+      |  lpad(p_brand, 12, '*') AS lpad_v, rpad(p_brand, 12, '*') AS rpad_v,
+      |  lpad(CAST(p_size AS VARCHAR), 5, '0') AS zfill_v,
+      |  trim('  ' || p_brand || '  ') AS strip_v,
+      |  ltrim('  ' || p_brand) AS lstrip_v, rtrim(p_brand || '  ') AS rstrip_v
+      |FROM part WHERE p_partkey <= 1000 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 1000)
+      .select(col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("lpad_v"),
+        rpad(col("p_brand"), 12, "*").as("rpad_v"),
+        GF.zfill(col("p_size").cast(StringType), 5).as("zfill_v"),
+        trim(concat(lit("  "), col("p_brand"), lit("  "))).as("strip_v"),
+        ltrim(concat(lit("  "), col("p_brand"))).as("lstrip_v"),
+        rtrim(concat(col("p_brand"), lit("  "))).as("rstrip_v"))
+      .orderBy("p_partkey")
+  }
+
+  // --- find / contains / starts / ends (find.hpp) ---------------------------
+  register("str_find",
+    """SELECT p_partkey,
+      |  instr(p_name, 'al') AS find_pos,
+      |  contains(p_name, 'al') AS contains_v,
+      |  starts_with(p_type, 'STANDARD') AS startswith_v,
+      |  suffix(p_type, 'STEEL') AS endswith_v
+      |FROM part WHERE p_partkey <= 1000 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 1000)
+      .select(col("p_partkey"),
+        instr(col("p_name"), "al").as("find_pos"),
+        col("p_name").contains("al").as("contains_v"),
+        col("p_type").startsWith("STANDARD").as("startswith_v"),
+        col("p_type").endsWith("STEEL").as("endswith_v"))
+      .orderBy("p_partkey")
+  }
+
+  // --- regex family (contains.hpp, extract.hpp, findall.hpp, replace_re.hpp)
+  register("str_regex",
+    """SELECT p_partkey,
+      |  regexp_matches(p_name, '[aeiou]{2}') AS contains_re,
+      |  regexp_full_match(p_brand, 'Brand#[0-9]+') AS matches_re,
+      |  len(regexp_extract_all(p_name, '[aeiou]')) AS count_re,
+      |  regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS extract_v,
+      |  regexp_extract_all(p_name, '[a-z]+a') AS findall_v,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS replace_re
+      |FROM part WHERE p_partkey <= 1000 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 1000)
+      .select(col("p_partkey"),
+        col("p_name").rlike("[aeiou]{2}").as("contains_re"),
+        col("p_brand").rlike("^Brand#[0-9]+$").as("matches_re"),
+        size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0))).as("count_re"),
+        regexp_extract(col("p_brand"), "Brand#([0-9]+)", 1).as("extract_v"),
+        regexp_extract_all(col("p_name"), lit("[a-z]+a"), lit(0)).as("findall_v"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("replace_re"))
+      .orderBy("p_partkey")
+  }
+
+  // --- slice / replace / translate (substring.hpp, replace.hpp, translate.hpp)
+  register("str_slice_replace",
+    """SELECT p_partkey,
+      |  substring(p_name, 3, 8) AS slice_v,
+      |  left(p_name, 5) AS left_v, right(p_name, 5) AS right_v,
+      |  replace(p_name, 'al', 'AL') AS replace_v,
+      |  translate(p_name, 'aeiou', '12345') AS translate_v,
+      |  reverse(p_brand) AS reverse_v,
+      |  repeat(p_brand, 2) AS repeat_v
+      |FROM part WHERE p_partkey <= 1000 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 1000)
+      .select(col("p_partkey"),
+        substring(col("p_name"), 3, 8).as("slice_v"),
+        substring(col("p_name"), 1, 5).as("left_v"),
+        expr("right(p_name, 5)").as("right_v"),
+        regexp_replace(col("p_name"), "al", "AL").as("replace_v"),
+        translate(col("p_name"), "aeiou", "12345").as("translate_v"),
+        reverse(col("p_brand")).as("reverse_v"),
+        repeat(col("p_brand"), 2).as("repeat_v"))
+      .orderBy("p_partkey")
+  }
+
+  // --- split family (split.hpp, partition.hpp) ------------------------------
+  register("str_split",
+    """SELECT p_partkey,
+      |  string_split(p_name, ' ') AS tokens,
+      |  string_split(p_name, ' ')[1] AS first_tok,
+      |  string_split(p_name, ' ')[-1] AS last_tok,
+      |  len(string_split(p_name, ' ')) AS n_tokens,
+      |  string_split(p_name, ' ')[1] AS part_head,
+      |  CASE WHEN instr(p_name, ' ') > 0 THEN ' ' ELSE '' END AS part_sep,
+      |  CASE WHEN instr(p_name, ' ') > 0
+      |       THEN substring(p_name, instr(p_name, ' ') + 1) ELSE '' END AS part_tail
+      |FROM part WHERE p_partkey <= 1000 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    val toks = split(col("p_name"), " ")
+    val p = GF.strPartition(col("p_name"), " ")
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 1000)
+      .select(col("p_partkey"),
+        toks.as("tokens"),
+        element_at(toks, 1).as("first_tok"),
+        element_at(toks, -1).as("last_tok"),
+        size(toks).as("n_tokens"),
+        p.getField("head").as("part_head"),
+        p.getField("sep").as("part_sep"),
+        p.getField("tail").as("part_tail"))
+      .orderBy("p_partkey")
+  }
+
+  // --- combine: concat, concat_ws, grouped join_strings (combine.hpp) -------
+  register("str_combine",
+    """SELECT n_nationkey,
+      |  n_name || '-' || CAST(n_regionkey AS VARCHAR) AS concat_v,
+      |  concat_ws('/', n_name, CAST(n_nationkey AS VARCHAR)) AS concat_ws_v
+      |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    Tables.nation(s, d)
+      .select(col("n_nationkey"),
+        concat(col("n_name"), lit("-"), col("n_regionkey").cast(StringType)).as("concat_v"),
+        concat_ws("/", col("n_name"), col("n_nationkey").cast(StringType)).as("concat_ws_v"))
+      .orderBy("n_nationkey")
+  }
+
+  register("str_join_grouped",
+    """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, d) =>
+    Tables.nation(s, d)
+      .groupBy(col("n_regionkey"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("names"))
+      .orderBy("n_regionkey")
+  }
+
+  // --- char-class predicates (char_types.hpp:93; py isalpha… string.py) -----
+  register("str_char_types",
+    """SELECT p_partkey, t,
+      |  regexp_full_match(t, '\p{L}+') AS isalpha_v,
+      |  regexp_full_match(t, '[0-9]+') AS isdigit_v,
+      |  regexp_full_match(t, '[\p{L}0-9]+') AS isalnum_v,
+      |  t = upper(t) AND regexp_matches(t, '[A-Z]') AS isupper_v,
+      |  t = lower(t) AND regexp_matches(t, '[a-z]') AS islower_v
+      |FROM (SELECT p_partkey, string_split(p_name, ' ')[1] AS t FROM part
+      |      WHERE p_partkey <= 1000)
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    val t = col("t")
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 1000)
+      .select(col("p_partkey"), element_at(split(col("p_name"), " "), 1).as("t"))
+      .select(col("p_partkey"), t,
+        t.rlike("^\\p{L}+$").as("isalpha_v"),
+        t.rlike("^[0-9]+$").as("isdigit_v"),
+        t.rlike("^[\\p{L}0-9]+$").as("isalnum_v"),
+        (t === upper(t) && t.rlike("[A-Z]")).as("isupper_v"),
+        (t === lower(t) && t.rlike("[a-z]")).as("islower_v"))
+      .orderBy("p_partkey")
+  }
+
+  // --- get_json_object + JSONPath (json.hpp:116) on events.props ------------
+  register("str_json",
+    """SELECT event_id, props->>'k' AS k_value,
+      |  CAST(props->>'k' AS BIGINT) AS k_long
+      |FROM events WHERE event_id <= 2000 ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .filter(col("event_id") <= 2000)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_value"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k_long"))
+      .orderBy("event_id")
+  }
+
+  // --- convert: numeric↔string, hex (convert_integers.hpp:158) --------------
+  register("str_convert",
+    """SELECT p_partkey,
+      |  CAST(CAST(p_size AS VARCHAR) AS INT) AS int_roundtrip,
+      |  upper(to_hex(p_size)) AS to_hex_v,
+      |  CAST(CAST('0x' || to_hex(p_size) AS UBIGINT) AS BIGINT) AS from_hex_v,
+      |  ascii(p_brand) AS first_code
+      |FROM part WHERE p_partkey <= 1000 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 1000)
+      .select(col("p_partkey"),
+        col("p_size").cast(StringType).cast(IntegerType).as("int_roundtrip"),
+        hex(col("p_size")).as("to_hex_v"),
+        conv(hex(col("p_size")), 16, 10).cast(LongType).as("from_hex_v"),
+        ascii(col("p_brand")).as("first_code"))
+      .orderBy("p_partkey")
+  }
+}
