@@ -22,7 +22,10 @@ object SparkEntry {
     ScalarQueries,
     DatetimeQueries,
     StringQueries,
-    ListStructQueries
+    ListStructQueries,
+    TextQueries,
+    DedupQueries,
+    SimilarityQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

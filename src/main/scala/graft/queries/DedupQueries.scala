@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.text.TextFunctions._
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (north-star extension; seeded by nvtext + hashing primitives, SURVEY §2.8).
+  *
+  * Scale design, per operator:
+  *  - exact: one hash-groupBy on a 64-bit digest — single shuffle of
+  *    (digest, id), never the text.
+  *  - minhash LSH: signatures are computed partition-locally; the join that
+  *    finds candidates shuffles only (band, key, id). Candidate verification
+  *    re-joins the shingle sets for candidates only — at 100 TB the candidate
+  *    set is orders of magnitude smaller than the corpus.
+  *  - simhash: one 64-bit value per doc; near-dup buckets = groupBy.
+  *  - embedding cosine: brute force is O(n²)/quadratic shuffle — bounded here
+  *    to a keyed self-join sample; the scalable path is the LSH variant in
+  *    SimilarityQueries (random-hyperplane buckets).
+  */
+object DedupQueries extends QueryPack {
+
+  private def sqlPolyHash(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), ch -> CAST(ascii(ch) AS BIGINT))), " +
+      s"(h, c) -> (h * 31 + c) % 1000000007)"
+
+  // shared oracle CTE: distinct 3-shingles per doc
+  private val sqlShingles =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |         i -> t[i] || '_' || t[i+1] || '_' || t[i+2])) AS shingles
+      |       FROM toks WHERE len(t) >= 3)""".stripMargin
+
+  // --- exact dedup via content digest (hash-groupBy) ------------------------
+  // Key = polynomial hash of the normalized text; survivors = min doc_id.
+  register("dedup_exact",
+    s"""SELECT digest, min(doc_id) AS keep_id, count(*) AS n_copies
+       |FROM (SELECT doc_id, ${sqlPolyHash("text")} AS digest FROM documents)
+       |GROUP BY digest HAVING count(*) >= 1
+       |ORDER BY digest""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), polyHash(col("text")).as("digest"))
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("digest")
+  }
+
+  // --- MinHash + LSH near-dup: shingle → sign → band → bucket-join → verify -
+  register("dedup_minhash_lsh",
+    s"""$sqlShingles,
+       |fp AS (SELECT doc_id, shingles,
+       |         list_transform(shingles, s -> ${sqlPolyHash("s")}) AS fps FROM sh),
+       |mh AS (SELECT doc_id, shingles,
+       |         list_transform(range(0, 8), i -> list_min(list_transform(fps,
+       |           f -> ((2*i + 1) * f + i * 7919) % 1000000007))) AS sig FROM fp),
+       |bands AS (SELECT doc_id, shingles, unnest(range(0, 4)) AS band, sig FROM mh),
+       |keyed AS (SELECT doc_id, shingles, band,
+       |            CAST(sig[2*band + 1] AS VARCHAR) || '_' || CAST(sig[2*band + 2] AS VARCHAR) AS bkey
+       |          FROM bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |            a.shingles AS sh1, b.shingles AS sh2
+       |         FROM keyed a JOIN keyed b
+       |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT d1, d2,
+       |  round(CAST(len(list_intersect(sh1, sh2)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(sh1, sh2))), 6) AS jaccard
+       |FROM cand
+       |WHERE CAST(len(list_intersect(sh1, sh2)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(sh1, sh2))) >= 0.3
+       |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) >= 1)
+    val sig = docs.withColumn("sig", minhashSignature(col("sh"), 8))
+      .withColumn("bkeys", lshBandKeys(col("sig"), 4, 2))
+    val keyed = sig.select(col("doc_id"), col("sh"),
+      posexplode(col("bkeys")).as(Seq("band", "bkey")))
+    val a = keyed.select(col("band"), col("bkey"),
+      col("doc_id").as("d1"), col("sh").as("sh1"))
+    val b = keyed.select(col("band"), col("bkey"),
+      col("doc_id").as("d2"), col("sh").as("sh2"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("sh1"), col("sh2")).distinct()
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  // --- SimHash near-dup buckets (16-bit for the oracle-checked demo) --------
+  register("dedup_simhash",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |h AS (SELECT doc_id, list_transform(toks, w -> ${sqlPolyHash("w")}) AS th FROM t),
+       |s AS (SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 16)), (acc, j) ->
+       |    acc + CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), th), (sm, v) ->
+       |        sm + CASE WHEN CAST(floor(v / power(2, j)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) > 0
+       |      THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS simhash16
+       |  FROM h)
+       |SELECT simhash16, count(*) AS n_docs, min(doc_id) AS keep_id
+       |FROM s GROUP BY simhash16 ORDER BY simhash16""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), simhash(tokenize(col("text")), 16).as("simhash16"))
+      .groupBy(col("simhash16"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .orderBy("simhash16")
+  }
+
+  // --- n-gram Jaccard pairwise (bounded self-join; verification-grade) ------
+  register("dedup_ngram_jaccard",
+    s"""$sqlShingles
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE a.doc_id <= 300 AND b.doc_id <= 300
+       |  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2
+       |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+    val sh = Tables.documents(s, d)
+      .filter(col("doc_id") <= 300)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val a = sh.select(col("doc_id").as("d1"), col("sh").as("sh1"))
+    val b = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+    a.crossJoin(b)
+      .filter(col("d1") < col("d2"))
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  // --- embedding-cosine near-dup (bounded exact; scale path = LSH buckets) --
+  register("dedup_embedding_cosine",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <= 150)
+      |SELECT a.vec_id AS v1, b.vec_id AS v2,
+      |  round(list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+      |     * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))), 6) AS cosine
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+      |     * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))) >= 0.3
+      |ORDER BY v1, v2""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .filter(col("vec_id") <= 150)
+      .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
+    val a = e.select(col("vec_id").as("v1"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("v2"), col("v").as("vb"))
+    val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (x, y) => x + y)
+    val na = sqrt(aggregate(transform(col("va"), x => x * x), lit(0.0), (x, y) => x + y))
+    val nb = sqrt(aggregate(transform(col("vb"), x => x * x), lit(0.0), (x, y) => x + y))
+    a.crossJoin(b)
+      .filter(col("v1") < col("v2"))
+      .withColumn("cosine", dot / (na * nb))
+      .filter(col("cosine") >= 0.3)
+      .select(col("v1"), col("v2"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("v1", "v2")
+  }
+}

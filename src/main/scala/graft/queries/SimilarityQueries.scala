@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.GF
+
+/** Approximate-nearest-neighbor search over the embeddings table (north-star
+  * extension).
+  *
+  * Three tiers, by scale:
+  *  1. brute-force top-k: exact, O(q·n) — fine when the query set is small
+  *     and broadcastable; the corpus side streams, never materializes pairs
+  *     beyond the window ranking.
+  *  2. random-hyperplane LSH buckets: corpus is bucketed by sign bits of
+  *     integer-deterministic hyperplanes; search touches one bucket —
+  *     sub-linear candidate sets, one shuffle on the bucket key.
+  *  3. IVF-style coarse quantization: corpus partitioned by nearest centroid;
+  *     queries probe their own cell. Centroids here are fixed seed vectors
+  *     (k-means would converge them; assignment is the operator under test).
+  */
+object SimilarityQueries extends QueryPack {
+
+  // DuckDB fragments over DOUBLE[] vectors
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+  private def normSql(a: String) =
+    s"sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y))"
+  private def cosSql(a: String, b: String) =
+    s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
+
+  private def vecs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast(DoubleType)).as("v"))
+
+  private val dot = (a: Column, b: Column) =>
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (x, y) => x + y)
+  private val norm = (a: Column) =>
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (x, y) => x + y))
+
+  // --- 1. brute-force cosine top-k (exact baseline) -------------------------
+  register("sim_bruteforce_topk",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |scored AS (SELECT qid, vec_id AS nid,
+      |    round(""".stripMargin + cosSql("qv", "v") + """, 6) AS cosine
+      |  FROM q, e WHERE vec_id <> qid)
+      |SELECT qid, nid, cosine FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) <= 3
+      |ORDER BY qid, cosine DESC, nid""".stripMargin) { (s, d) =>
+    val e = vecs(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    e.select(col("vec_id").as("nid"), col("v"))
+      .crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cosine", round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("nid"), col("cosine"))
+      .orderBy(col("qid"), col("cosine").desc, col("nid"))
+  }
+
+  // --- 2. random-hyperplane LSH buckets -------------------------------------
+  // Hyperplane j component i = ((i·31 + j·17) mod 7) − 3: integer-valued,
+  // engine-exact, fixed. Bucket = Σ_j [dot(v, plane_j) > 0]·2^j  (8 bits).
+  register("sim_lsh_buckets",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |b AS (SELECT vec_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 8)), (acc, j) ->
+      |    acc + CASE WHEN list_reduce(list_transform(range(1, len(v) + 1),
+      |        i -> v[i] * (((i - 1) * 31 + j * 17) % 7 - 3)), (x, y) -> x + y) > 0
+      |      THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS bucket
+      |  FROM e)
+      |SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+    val planeDot = (v: Column, j: Column) =>
+      aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * ((i * 31 + j * 17) % 7 - 3).cast(DoubleType)),
+        lit(0.0), (x, y) => x + y)
+    val bucket = aggregate(
+      sequence(lit(0), lit(7)), lit(0L),
+      (acc, j) => acc + when(planeDot(col("v"), j) > 0,
+        pow(lit(2.0), j).cast(LongType)).otherwise(0L))
+    vecs(s, d)
+      .withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
+      .orderBy("bucket")
+  }
+
+  // --- 2b. LSH-bucketed neighbor search: candidates share a bucket ----------
+  register("sim_lsh_search",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |b AS (SELECT vec_id, v,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 4)), (acc, j) ->
+      |    acc + CASE WHEN list_reduce(list_transform(range(1, len(v) + 1),
+      |        i -> v[i] * (((i - 1) * 31 + j * 17) % 7 - 3)), (x, y) -> x + y) > 0
+      |      THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS bucket
+      |  FROM e)
+      |SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |  round(""".stripMargin + cosSql("a.v", "b.v") + """, 6) AS cosine
+      |FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      |WHERE a.vec_id < 5
+      |QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY """.stripMargin +
+      cosSql("a.v", "b.v") + """ DESC, b.vec_id) <= 3
+      |ORDER BY qid, cosine DESC, nid""".stripMargin) { (s, d) =>
+    val planeDot = (v: Column, j: Column) =>
+      aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * ((i * 31 + j * 17) % 7 - 3).cast(DoubleType)),
+        lit(0.0), (x, y) => x + y)
+    val bucket = aggregate(
+      sequence(lit(0), lit(3)), lit(0L),
+      (acc, j) => acc + when(planeDot(col("v"), j) > 0,
+        pow(lit(2.0), j).cast(LongType)).otherwise(0L))
+    val e = vecs(s, d).withColumn("bucket", bucket)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("bucket"), col("vec_id").as("qid"), col("v").as("qv"))
+    val c = e.select(col("bucket"), col("vec_id").as("nid"), col("v"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    q.join(c, Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cosine", round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("nid"), col("cosine"))
+      .orderBy(col("qid"), col("cosine").desc, col("nid"))
+  }
+
+  // --- 3. IVF-style coarse assignment (centroids = seed vectors 0..3) -------
+  register("sim_ivf_assign",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+      |scored AS (SELECT e.vec_id, c.cid,
+      |    """.stripMargin + cosSql("e.v", "c.cv") + """ AS cos_c
+      |  FROM e, c),
+      |best AS (SELECT vec_id, cid, cos_c FROM scored
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cid) = 1)
+      |SELECT cid, count(*) AS cell_size,
+      |  round(CAST(sum(CAST(round(cos_c * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS sum_cos
+      |FROM best GROUP BY cid ORDER BY cid""".stripMargin) { (s, d) =>
+    val e = vecs(s, d)
+    val c = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid"))
+    e.crossJoin(broadcast(c))
+      .withColumn("cos_c", dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("cell_size"),
+        round(sum(round(col("cos_c") * 1000000).cast(LongType)).cast(DoubleType) / 1000000, 6)
+          .as("sum_cos"))
+      .orderBy("cid")
+  }
+}

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.text.TextFunctions._
+
+/** nvtext operator surface + text-analysis extensions (SURVEY §2.8 nvtext;
+  * north-star: lang-ID, quality scoring, token counting, fingerprinting).
+  * All run over the documents table; every op is a partition-local column
+  * expression.
+  */
+object TextQueries extends QueryPack {
+
+  // Shared oracle fragment: polynomial string hash in DuckDB SQL.
+  // list_reduce has no init element, so 0 is prepended.
+  private def sqlPolyHash(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), ch -> CAST(ascii(ch) AS BIGINT))), " +
+      s"(h, c) -> (h * 31 + c) % 1000000007)"
+
+  // --- tokenize + counts (nvtext/tokenize.hpp, token_count) -----------------
+  register("text_tokenize",
+    """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      |  string_split(text, ' ')[1] AS first_token,
+      |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_regex_tokens,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(text, ' '), t -> CAST(ceil(length(t) / 4.0) AS BIGINT))),
+      |    (a, b) -> a + b) AS n_subword_est
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = tokenize(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        element_at(toks, 1).as("first_token"),
+        regexTokenCount(col("text")).as("n_regex_tokens"),
+        subwordEstimate(toks).as("n_subword_est"))
+      .orderBy("doc_id")
+  }
+
+  // --- word + character n-grams (generate_ngrams.hpp) -----------------------
+  register("text_ngrams",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id <= 100)
+      |SELECT doc_id,
+      |  list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i+1]) AS bigrams,
+      |  len(list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]))) AS n_distinct_trigrams,
+      |  list_transform(range(1, length(toks[1]) - 1), i -> substring(toks[1], i, 3)) AS char_trigrams
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = tokenize(col("text"))
+    Tables.documents(s, d)
+      .filter(col("doc_id") <= 100)
+      .select(col("doc_id"),
+        wordNgrams(toks, 2).as("bigrams"),
+        size(array_distinct(wordNgrams(toks, 3))).as("n_distinct_trigrams"),
+        charNgrams(element_at(toks, 1), 3).as("char_trigrams"))
+      .orderBy("doc_id")
+  }
+
+  // --- edit distance (nvtext/edit_distance.hpp) -----------------------------
+  register("text_edit_distance",
+    """SELECT a.doc_id,
+      |  levenshtein(string_split(a.text, ' ')[1], string_split(b.text, ' ')[1]) AS lev_first_tok,
+      |  levenshtein(substring(a.text, 1, 30), substring(b.text, 1, 30)) AS lev_prefix
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |WHERE a.doc_id <= 100 ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val a = docs.select(col("doc_id"), col("text").as("ta"))
+    val b = docs.select((col("doc_id") - 1).as("doc_id"), col("text").as("tb"))
+    a.join(b, Seq("doc_id"))
+      .filter(col("doc_id") <= 100)
+      .select(col("doc_id"),
+        levenshtein(element_at(tokenize(col("ta")), 1),
+          element_at(tokenize(col("tb")), 1)).as("lev_first_tok"),
+        levenshtein(substring(col("ta"), 1, 30), substring(col("tb"), 1, 30)).as("lev_prefix"))
+      .orderBy("doc_id")
+  }
+
+  // --- normalize / replace / filter tokens (normalize.hpp, replace.hpp) ----
+  register("text_token_transforms",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id <= 100)
+      |SELECT doc_id,
+      |  trim(regexp_replace(replace(array_to_string(toks, ' '), 'a ', 'a  '), '\s+', ' ', 'g')) AS normalized,
+      |  list_transform(toks, t -> CASE WHEN t = 'table' THEN 'TBL' ELSE t END)[1:8] AS replaced_head,
+      |  len(list_filter(toks, t -> length(t) >= 5)) AS n_long_tokens
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = tokenize(col("text"))
+    Tables.documents(s, d)
+      .filter(col("doc_id") <= 100)
+      .select(col("doc_id"),
+        normalizeSpaces(regexp_replace(array_join(toks, " "), "a ", "a  ")).as("normalized"),
+        slice(replaceTokens(toks, "table", "TBL"), 1, 8).as("replaced_head"),
+        size(filterTokens(toks, 5)).as("n_long_tokens"))
+      .orderBy("doc_id")
+  }
+
+  // --- porter stemmer measure (nvtext/stemmer.hpp, simplified) --------------
+  register("text_porter_measure",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ')[1] AS w FROM documents WHERE doc_id <= 200)
+      |SELECT doc_id, w,
+      |  len(regexp_extract_all(regexp_replace(lower(w), '[aeiou]+', 'V', 'g'), 'V[^V]+')) AS measure
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") <= 200)
+      .select(col("doc_id"), element_at(tokenize(col("text")), 1).as("w"))
+      .withColumn("measure", porterMeasure(col("w")))
+      .orderBy("doc_id")
+  }
+
+  // --- language ID: stopword-profile scoring (n-gram heuristic) -------------
+  // Profiles are tiny fixed sets; argmax with deterministic tie-break on
+  // profile order. (The corpus vocabulary is synthetic; the operator shape —
+  // per-row profile scoring, no shuffle — is the deliverable.)
+  register("text_lang_id",
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |scored AS (SELECT doc_id, lang,
+      |  CAST(len(list_filter(toks, w -> list_contains(['the','a','value','table'], w))) AS DOUBLE) / len(toks) AS s_en,
+      |  CAST(len(list_filter(toks, w -> list_contains(['query','sort','filter'], w))) AS DOUBLE) / len(toks) AS s_fr,
+      |  CAST(len(list_filter(toks, w -> list_contains(['window','stream','batch'], w))) AS DOUBLE) / len(toks) AS s_de
+      |FROM t)
+      |SELECT doc_id, lang,
+      |  CASE WHEN s_en >= s_fr AND s_en >= s_de THEN 'en'
+      |       WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS predicted,
+      |  round(greatest(s_en, s_fr, s_de), 6) AS confidence
+      |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = tokenize(col("text"))
+    val sEn = stopwordRatio(toks, Seq("the", "a", "value", "table"))
+    val sFr = stopwordRatio(toks, Seq("query", "sort", "filter"))
+    val sDe = stopwordRatio(toks, Seq("window", "stream", "batch"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        sEn.as("s_en"), sFr.as("s_fr"), sDe.as("s_de"))
+      .select(col("doc_id"), col("lang"),
+        when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_fr") >= col("s_de"), "fr").otherwise("de").as("predicted"),
+        round(greatest(col("s_en"), col("s_fr"), col("s_de")), 6).as("confidence"))
+      .orderBy("doc_id")
+  }
+
+  // --- quality scoring: length/stopword/uniqueness ratios -------------------
+  register("text_quality",
+    """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id,
+      |  len(toks) AS n_tokens,
+      |  round(CAST(n_chars AS DOUBLE) / len(toks), 6) AS mean_token_len,
+      |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS uniq_ratio,
+      |  round(CAST(len(list_filter(toks, w -> list_contains(['the','a'], w))) AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+      |  CAST(len(toks) BETWEEN 20 AND 90
+      |    AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.2 AS BOOLEAN) AS keep
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = tokenize(col("text"))
+    val uniqRatio = size(array_distinct(toks)).cast(DoubleType) / size(toks)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        round(col("n_chars").cast(DoubleType) / size(toks), 6).as("mean_token_len"),
+        round(uniqRatio, 6).as("uniq_ratio"),
+        round(stopwordRatio(toks, Seq("the", "a")), 6).as("stopword_ratio"),
+        (size(toks).between(20, 90) && uniqRatio > 0.2).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  // --- document fingerprint (winnowing-style min rolling hash) --------------
+  register("text_fingerprint",
+    s"""SELECT doc_id,
+       |  list_min(list_transform(range(1, greatest(length(substring(text, 1, 64)) - 7, 1) + 1),
+       |    i -> ${sqlPolyHash("substring(substring(text, 1, 64), i, 8)")})) AS fp64
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text"), 8, 64).as("fp64"))
+      .orderBy("doc_id")
+  }
+}

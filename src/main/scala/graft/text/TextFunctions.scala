@@ -1,0 +1,146 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text / LLM-data-pipeline primitives (SURVEY §2.8 nvtext + north-star
+  * extensions: dedup, similarity, text analysis).
+  *
+  * Everything here is a pure Catalyst column expression (higher-order array
+  * functions, no UDFs) so it stays inside whole-stage codegen and is
+  * partition-local — the shuffle-bearing operators built from these
+  * (LSH banding joins, near-dup groupBys) shuffle only small derived keys,
+  * never the raw text. That is the property that makes them viable at 100 TB:
+  * signature computation is embarrassingly parallel over rows, and the only
+  * exchanged data is k integers per document.
+  *
+  * Reference anchors: nvtext tokenize (cpp/include/nvtext/tokenize.hpp),
+  * generate_ngrams (generate_ngrams.hpp), minhash is the standard
+  * shingle→permute→band construction (Broder '97), simhash per Charikar '02.
+  */
+object TextFunctions {
+
+  val HashMod = 1000000007L // prime modulus for all integer hashes
+
+  /** Whitespace tokenization (nvtext/tokenize.hpp). */
+  def tokenize(text: Column): Column = split(text, "\\s+")
+
+  /** Deterministic polynomial rolling hash of a string: fold over UTF-8 code
+    * points, h ← (31·h + c) mod p. Same integer arithmetic is expressible in
+    * any SQL engine, which is what makes oracle checking possible.
+    */
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), ch => ascii(ch).cast(LongType)),
+      lit(0L),
+      (h, c) => (h * 31L + c) % HashMod)
+
+  /** Word n-grams joined with '_' (nvtext/generate_ngrams.hpp). Guarded
+    * against Spark's descending sequence() for rows with < n tokens.
+    */
+  def wordNgrams(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      transform(
+        sequence(lit(1), size(tokens) - (n - 1)),
+        i => concat_ws("_", (0 until n).map(k => element_at(tokens, i + k)): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Character n-grams of a single token. Guarded: Spark's sequence(a, b)
+    * counts DOWN when b < a, so short strings must short-circuit to empty.
+    */
+  def charNgrams(s: Column, n: Int): Column =
+    when(length(s) >= n,
+      transform(sequence(lit(1), length(s) - (n - 1)), i => s.substr(i, lit(n))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Distinct word-shingle set of a text column (the minhash input). */
+  def shingles(text: Column, n: Int = 3): Column =
+    array_distinct(wordNgrams(tokenize(text), n))
+
+  /** MinHash signature: k permutation-hashes h_i(x) = ((2i+1)·x + 7919·i)
+    * mod p minimized over the shingle fingerprints. Returns Array[Long] of
+    * length k. One pass over shingles per row; no shuffle.
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column = {
+    val fps = transform(shingleCol, s => polyHash(s))
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(fps, f => ((lit(2) * i + 1) * f + i * 7919L) % HashMod)))
+  }
+
+  /** LSH band keys from a minhash signature: rowsPerBand consecutive hashes
+    * concatenated per band. Joining on (band, key) finds candidate pairs with
+    * jaccard ≳ threshold — the only shuffled payload is these short strings.
+    */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws("_",
+        (0 until rowsPerBand).map(r =>
+          element_at(sig, b * rowsPerBand + r + 1).cast(StringType)): _*))
+
+  /** Exact Jaccard similarity of two array columns (verification step after
+    * LSH candidate generation). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
+
+  /** SimHash over token hashes, `bits` wide: bit j is set iff the sum of
+    * ±1 votes (per token, by that token-hash's bit j) is positive.
+    */
+  def simhash(tokens: Column, bits: Int): Column = {
+    val hashes = transform(tokens, t => polyHash(t))
+    // bit j of h extracted arithmetically (shift functions take only literal
+    // shift amounts): floor(h / 2^j) mod 2 — exact for h < 2^53.
+    aggregate(
+      sequence(lit(0), lit(bits - 1)),
+      lit(0L),
+      (acc, j) => acc + when(
+        aggregate(hashes, lit(0L),
+          (s, h) => s + when(
+            floor(h / pow(lit(2.0), j)).cast(LongType) % 2 === 1, 1L).otherwise(-1L)) > 0,
+        pow(lit(2.0), j).cast(LongType)).otherwise(0L))
+  }
+
+  /** Porter stemmer measure m (nvtext/stemmer.hpp), simplified: vowel runs
+    * collapse to 'V'; m = number of VC transitions. (y-as-vowel rule omitted;
+    * documented deviation.)
+    */
+  def porterMeasure(word: Column): Column = {
+    val collapsed = regexp_replace(lower(word), "[aeiou]+", "V")
+    size(regexp_extract_all(collapsed, lit("V[^V]+"), lit(0)))
+  }
+
+  /** normalize_spaces (nvtext/normalize.hpp): collapse runs of whitespace. */
+  def normalizeSpaces(s: Column): Column = trim(regexp_replace(s, "\\s+", " "))
+
+  /** replace_tokens / filter_tokens (nvtext/replace.hpp). */
+  def replaceTokens(tokens: Column, from: String, to: String): Column =
+    transform(tokens, t => when(t === from, lit(to)).otherwise(t))
+
+  def filterTokens(tokens: Column, minLen: Int): Column =
+    filter(tokens, t => length(t) >= minLen)
+
+  /** BPE-ish token count: word tokens + punctuation tokens via regex. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+
+  /** Crude subword-budget estimate: Σ ceil(len(word)/4). */
+  def subwordEstimate(tokens: Column): Column =
+    aggregate(tokens, lit(0L), (acc, t) => acc + ceil(length(t) / 4.0).cast(LongType))
+
+  /** Stopword ratio against a fixed set (quality scoring + lang-ID input). */
+  def stopwordRatio(tokens: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens, t => array_contains(sw, t))).cast(DoubleType) / size(tokens)
+  }
+
+  /** Document fingerprint: minimum polynomial hash over sliding character
+    * windows (winnowing-style, single window size). Bounded to the first
+    * `prefixLen` chars so cost is O(prefixLen) per row.
+    */
+  def fingerprint(text: Column, window: Int, prefixLen: Int): Column = {
+    val prefix = substring(text, 1, prefixLen)
+    array_min(transform(
+      sequence(lit(1), greatest(length(prefix) - (window - 1), lit(1))),
+      i => polyHash(prefix.substr(i, lit(window)))))
+  }
+}
