@@ -26,16 +26,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
                 df[c] = v.dt.tz_localize(None)
             except TypeError:
                 df[c] = v.dt.tz_convert("UTC").dt.tz_localize(None)
-        elif v.dtype == object:
-            def hashable(x):
-                if isinstance(x, np.ndarray):
-                    return tuple(hashable(e) for e in x.tolist())
-                if isinstance(x, (list, tuple)):
-                    return tuple(hashable(e) for e in x)
-                if isinstance(x, dict):
-                    return tuple((k, hashable(val)) for k, val in sorted(x.items()))
-                return x
-            df[c] = v.map(hashable)
+    # NOTE: intentionally NO canonicalization of array/struct values — the
+    # real driver's pandas compare errors on them (unhashable ndarray/dict),
+    # so queries must flatten complex outputs; this replica must too.
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 def main():
@@ -70,7 +63,12 @@ def main():
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        g, e = canon(got), canon(exp)
+        try:
+            g, e = canon(got), canon(exp)
+        except Exception as ex:
+            print(f"FAIL {name}: compare error (unhashable output?): {ex}")
+            n_fail += 1
+            continue
         if list(g.columns) != list(e.columns):
             print(f"FAIL {name}: columns {list(g.columns)} != {list(e.columns)}")
             n_fail += 1

@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession builder for the harness mains and tests.
+  *
+  * All session-scoped configuration lives here — most importantly
+  * `spark.sql.legacy.parquet.nanosAsLong`, which the events table needs
+  * (TIMESTAMP_NS parquet; cuDF supports it natively, types.hpp:220).
+  * Scoping it to the builder keeps table loaders side-effect free
+  * (no action-at-a-distance conf mutation mid-query).
+  */
+object GraftSession {
+  def build(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+}

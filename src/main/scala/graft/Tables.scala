@@ -27,13 +27,15 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
   /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
     * rejects ([PARQUET_TYPE_ILLEGAL]). cuDF supports TIMESTAMP_NS natively
-    * (types.hpp:220); our mapping reads the raw int64 nanos
-    * (legacy.parquet.nanosAsLong) and exposes both a µs-truncated `ts`
-    * (TimestampType, SURVEY §1.2's documented ns→µs narrowing) and the exact
-    * `ts_ns` long.
+    * (types.hpp:220); our mapping reads the raw int64 nanos and exposes both
+    * a µs-truncated `ts` (TimestampType, SURVEY §1.2's documented ns→µs
+    * narrowing) and the exact `ts_ns` long. The required session conf
+    * `spark.sql.legacy.parquet.nanosAsLong` is set by GraftSession — no conf
+    * mutation happens inside this loader.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events table needs spark.sql.legacy.parquet.nanosAsLong=true (use GraftSession.build)")
     apply(s, d, "events")
       .withColumn("ts_ns", col("ts"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

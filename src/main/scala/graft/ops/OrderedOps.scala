@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Order-bearing operators that must not collapse to a single task.
+  *
+  * A bare `row_number() OVER (ORDER BY ...)` forces every row through one
+  * partition — fine at 1k rows, fatal at 100 TB. The scalable equivalent is
+  * classic two-phase global numbering (RDD zipWithIndex semantics, expressed
+  * in the DataFrame API so Catalyst still prunes/pushes down around it):
+  *
+  *   1. range-repartition by the sort key (partition p's keys all ≤ p+1's);
+  *   2. per-partition row_number, partitioned by `spark_partition_id()` —
+  *      parallel across all partitions;
+  *   3. per-partition counts (tiny: one row per partition) → running-sum
+  *      offsets, broadcast back and added.
+  *
+  * The only global window runs over ≤ numPartitions rows of counts.
+  * Reference semantics: cudf sorted_order / stable argsort
+  * (cpp/include/cudf/sorting.hpp:114), factorize (python frame.py:3608).
+  */
+object OrderedOps {
+
+  /** Adds a 1-based global position column in the order of `sortCols`.
+    * Deterministic when the composite sort key is unique (callers append a
+    * unique tie-break key, same contract as cudf's stable argsort).
+    */
+  def withGlobalRowNumber(df: DataFrame, posCol: String, sortCols: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df
+      .repartitionByRange(nPart, sortCols: _*)
+      .withColumn("__gpid", spark_partition_id())
+    val local = ranged.withColumn("__grn",
+      row_number().over(Window.partitionBy(col("__gpid")).orderBy(sortCols: _*)))
+    // one row per partition — the ONLY globally-windowed data
+    val offsets = local
+      .groupBy(col("__gpid")).agg(count(lit(1)).as("__gcnt"))
+      .withColumn("__goff",
+        coalesce(
+          sum(col("__gcnt")).over(
+            Window.orderBy(col("__gpid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__gpid"), col("__goff"))
+    local
+      .join(broadcast(offsets), Seq("__gpid"))
+      .withColumn(posCol, (col("__goff") + col("__grn")).cast("long"))
+      .drop("__gpid", "__grn", "__goff")
+  }
+}

@@ -136,21 +136,25 @@ object AggregationQueries extends QueryPack {
       |  max(CASE WHEN rmin = 1 THEN l_extendedprice END) AS min_price
       |FROM mx WHERE rmax = 1 OR rmin = 1
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-    val wMax = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-    val wMin = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice").asc, col("l_orderkey"), col("l_linenumber"))
+    // Spark side: ONE partial+final hash aggregate via max_by/min_by over a
+    // unique (value, tie-break) struct — no window, no skewed 3-task sort.
+    // The struct composite is unique ((l_orderkey, l_linenumber) is the PK),
+    // so max_by/min_by are deterministic; -key inverts tie-break direction so
+    // equal prices pick the SMALLEST (orderkey, linenumber), matching the
+    // oracle's row_number ordering. (Oracle SQL keeps the window form — it
+    // runs once in DuckDB on small data; only the Spark plan must scale.)
     Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-      .withColumn("rmax", row_number().over(wMax))
-      .withColumn("rmin", row_number().over(wMin))
-      .filter(col("rmax") === 1 || col("rmin") === 1)
       .groupBy(col("l_returnflag"))
       .agg(
-        max(when(col("rmax") === 1, col("l_orderkey"))).as("argmax_order"),
-        max(when(col("rmax") === 1, col("l_extendedprice"))).as("max_price"),
-        max(when(col("rmin") === 1, col("l_orderkey"))).as("argmin_order"),
-        max(when(col("rmin") === 1, col("l_extendedprice"))).as("min_price"))
+        max_by(col("l_orderkey"),
+          struct(col("l_extendedprice"), -col("l_orderkey"), -col("l_linenumber")))
+          .as("argmax_order"),
+        max(col("l_extendedprice")).as("max_price"),
+        min_by(col("l_orderkey"),
+          struct(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
+          .as("argmin_order"),
+        min(col("l_extendedprice")).as("min_price"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -174,30 +178,34 @@ object AggregationQueries extends QueryPack {
   }
 
   // --- COLLECT_LIST / COLLECT_SET (sorted for cross-engine determinism) -----
+  // collected lists flattened to CSV strings — driver compare is not
+  // array-aware; collect_list/collect_set still run in the plan.
   register("agg_collect",
     """SELECT l_orderkey,
-      |  list(l_linenumber ORDER BY l_linenumber) AS lines,
-      |  list_sort(list(DISTINCT l_returnflag)) AS flags
+      |  array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS lines,
+      |  array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags
       |FROM lineitem WHERE l_orderkey <= 100
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d)
       .filter(col("l_orderkey") <= 100)
       .groupBy(col("l_orderkey"))
       .agg(
-        sort_array(collect_list(col("l_linenumber"))).as("lines"),
-        sort_array(collect_set(col("l_returnflag"))).as("flags"))
+        array_join(transform(sort_array(collect_list(col("l_linenumber"))),
+          _.cast(StringType)), ",").as("lines"),
+        array_join(sort_array(collect_set(col("l_returnflag"))), ",").as("flags"))
       .orderBy(col("l_orderkey"))
   }
 
-  // --- PRODUCT via exact scaled-integer fold --------------------------------
-  // (1+l_tax) scaled by 100 → BIGINT, folded over the DISTINCT per-group
-  // values (≤9 of them, so the product stays < 2^63 and the fold is exact in
-  // both engines); final value lowered to double.
+  // --- PRODUCT over ALL per-group values (cuDF PRODUCT semantics,
+  // aggregation.hpp:60 — not distinct). Groups can exceed what a BIGINT fold
+  // holds (108^13 > 2^63), so the fold runs in DOUBLE over the SORTED value
+  // list: identical fold order → identical IEEE-754 multiply sequence in
+  // both engines → bit-deterministic despite fp non-associativity.
   register("agg_product",
     """SELECT l_orderkey,
-      |  CAST(list_reduce(list_sort(list(DISTINCT CAST(round((1 + l_tax) * 100) AS BIGINT))),
-      |                   (a, b) -> a * b) AS DOUBLE)
-      |    / power(100, count(DISTINCT l_tax)) AS tax_factor
+      |  list_reduce(list_sort(list(CAST(round((1 + l_tax) * 100) AS DOUBLE))),
+      |              (a, b) -> a * b)
+      |    / power(100, count(*)) AS tax_factor
       |FROM lineitem WHERE l_orderkey <= 100
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d)
@@ -205,9 +213,9 @@ object AggregationQueries extends QueryPack {
       .groupBy(col("l_orderkey"))
       .agg(
         (aggregate(
-          sort_array(collect_set(round((lit(1) + col("l_tax")) * 100).cast(LongType))),
-          lit(1L), (acc, v) => acc * v).cast(DoubleType)
-          / pow(lit(100.0), countDistinct(col("l_tax")))).as("tax_factor"))
+          sort_array(collect_list(round((lit(1) + col("l_tax")) * 100).cast(DoubleType))),
+          lit(1.0), (acc, v) => acc * v)
+          / pow(lit(100.0), count(lit(1)))).as("tax_factor"))
       .orderBy(col("l_orderkey"))
   }
 

@@ -139,12 +139,15 @@ object CompactionQueries extends QueryPack {
   // --- unique / factorize (series.py:5023; frame.py:3608) -------------------
   // factorize codes assigned in sorted order (deterministic cross-engine
   // variant of first-appearance order, which is partition-dependent).
+  // Codes come from the two-phase global numbering in OrderedOps — no
+  // single-task Window.orderBy; scales to any number of distinct values.
   register("set_factorize",
     """SELECT p_type AS value, dense_rank() OVER (ORDER BY p_type) - 1 AS code
       |FROM (SELECT DISTINCT p_type FROM part) ORDER BY value""".stripMargin) { (s, d) =>
-    Tables.part(s, d)
-      .select(col("p_type").as("value")).distinct()
-      .withColumn("code", dense_rank().over(Window.orderBy(col("value"))) - 1)
+    val uniques = Tables.part(s, d).select(col("p_type").as("value")).distinct()
+    graft.ops.OrderedOps
+      .withGlobalRowNumber(uniques, "pos", Seq(col("value")))
+      .select(col("value"), (col("pos") - 1).as("code"))
       .orderBy("value")
   }
 
@@ -230,15 +233,19 @@ object CompactionQueries extends QueryPack {
       |                     l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey) AS pos
       |FROM lineitem WHERE l_orderkey <= 200
       |ORDER BY pos""".stripMargin) { (s, d) =>
+    // stable argsort via two-phase global numbering (OrderedOps) — the full
+    // composite key is unique, no single-task Window.orderBy anywhere.
     val ord = Seq(
-      nullif(col("l_discount"), lit(0.0)).asc_nulls_first,
+      col("disc_n").asc_nulls_first,
       col("l_extendedprice").desc,
       col("l_orderkey").asc, col("l_linenumber").asc, col("l_partkey").asc)
-    Tables.lineitem(s, d)
+    val base = Tables.lineitem(s, d)
       .filter(col("l_orderkey") <= 200)
       .withColumn("disc_n", nullif(col("l_discount"), lit(0.0)))
-      .withColumn("pos", row_number().over(Window.orderBy(ord: _*)))
-      .select("l_orderkey", "l_linenumber", "l_partkey", "disc_n", "pos")
+    graft.ops.OrderedOps
+      .withGlobalRowNumber(base, "pos", ord)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("disc_n"), col("pos").cast(IntegerType).as("pos"))
       .orderBy("pos")
   }
 }

@@ -71,20 +71,47 @@ object DedupQueries extends QueryPack {
        |WHERE CAST(len(list_intersect(sh1, sh2)) AS DOUBLE) /
        |      len(list_distinct(list_concat(sh1, sh2))) >= 0.3
        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+    // Shuffle-payload discipline: the band self-join carries ONLY
+    // (band, bkey, doc_id) — ~32 bytes/doc/band — never the shingle arrays.
+    // Shingles are re-joined for the (distinct) candidate id-pairs only,
+    // which at 100 TB is orders of magnitude smaller than the corpus.
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) >= 1)
-    val sig = docs.withColumn("sig", minhashSignature(col("sh"), 8))
-      .withColumn("bkeys", lshBandKeys(col("sig"), 4, 2))
-    val keyed = sig.select(col("doc_id"), col("sh"),
-      posexplode(col("bkeys")).as(Seq("band", "bkey")))
-    val a = keyed.select(col("band"), col("bkey"),
-      col("doc_id").as("d1"), col("sh").as("sh1"))
-    val b = keyed.select(col("band"), col("bkey"),
-      col("doc_id").as("d2"), col("sh").as("sh2"))
-    a.join(b, Seq("band", "bkey"))
+    // Signature computation is explode-based, NOT nested array expressions:
+    // Catalyst collapses chained projections into the band-explode and
+    // re-evaluates the (interpreted, higher-order-function) minhash tree per
+    // band reference — measured 30× slower. Exploding to (doc_id, shingle)
+    // evaluates polyHash exactly once per shingle; the 8 permutation minima
+    // are plain min() aggregates with map-side partial aggregation, so the
+    // shuffle carries only (doc_id, 8 longs) per document.
+    val nHashes = 8
+    val fp = docs
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), polyHash(col("shingle")).as("fp"))
+    val hashCols = (0 until nHashes).map(i =>
+      min((lit(2L * i + 1) * col("fp") + lit(i * 7919L)) % lit(HashMod)).as(s"h$i"))
+    val sig = fp.groupBy(col("doc_id")).agg(hashCols.head, hashCols.tail: _*)
+    val bandCols = (0 until 4).map(b =>
+      concat_ws("_", col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
+    val keyed = sig
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
+    val cand = keyed.select(col("band"), col("bkey"), col("doc_id").as("d1"))
+      .join(keyed.select(col("band"), col("bkey"), col("doc_id").as("d2")),
+        Seq("band", "bkey"))
       .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), col("sh1"), col("sh2")).distinct()
+      .select("d1", "d2").distinct()
+    // Verify stage: semi-join candidate ids FIRST, then re-derive shingles
+    // for candidate documents only — shingle computation for the verify pass
+    // is O(candidates), not O(corpus).
+    val candIds = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    val candSh = Tables.documents(s, d)
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    cand
+      .join(candSh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+      .join(candSh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .filter(col("jaccard") >= 0.3)
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))

@@ -46,20 +46,22 @@ object ListStructQueries extends QueryPack {
   }
 
   // --- sort_lists / drop_list_duplicates / slice (sorting.hpp, gather.hpp) --
+  // outputs flattened to '|'-joined strings — the driver's pandas compare
+  // can't sort array cells; the list ops themselves still run in the plan.
   register("list_sort_distinct",
     """WITH t AS (SELECT doc_id, list_slice(string_split(text, ' '), 1, 12) AS toks
       |           FROM documents WHERE doc_id <= 100)
-      |SELECT doc_id, list_sort(toks) AS sorted_toks,
-      |  list_sort(list_distinct(toks)) AS distinct_toks,
-      |  list_slice(toks, 2, 4) AS slice_toks
+      |SELECT doc_id, array_to_string(list_sort(toks), '|') AS sorted_toks,
+      |  array_to_string(list_sort(list_distinct(toks)), '|') AS distinct_toks,
+      |  array_to_string(list_slice(toks, 2, 4), '|') AS slice_toks
       |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
     val toks = slice(split(col("text"), " "), 1, 12)
     Tables.documents(s, d)
       .filter(col("doc_id") <= 100)
       .select(col("doc_id"),
-        sort_array(toks).as("sorted_toks"),
-        sort_array(array_distinct(toks)).as("distinct_toks"),
-        slice(toks, 2, 3).as("slice_toks"))
+        array_join(sort_array(toks), "|").as("sorted_toks"),
+        array_join(sort_array(array_distinct(toks)), "|").as("distinct_toks"),
+        array_join(slice(toks, 2, 3), "|").as("slice_toks"))
       .orderBy("doc_id")
   }
 
@@ -105,16 +107,20 @@ object ListStructQueries extends QueryPack {
   }
 
   // --- struct create + field access (structs/; struct.py:154) ---------------
+  // struct is built and accessed in the plan; the struct VALUE is flattened
+  // to a canonical string for the driver's compare (no raw struct output).
   register("struct_ops",
     """SELECT n_nationkey,
-      |  struct_pack(name := n_name, region := n_regionkey) AS info,
+      |  '{' || struct_pack(name := n_name, region := n_regionkey).name || ','
+      |      || CAST(struct_pack(name := n_name, region := n_regionkey).region AS VARCHAR) || '}' AS info,
       |  struct_pack(name := n_name, region := n_regionkey).name AS name_field,
       |  struct_pack(name := n_name, region := n_regionkey).region AS region_field
       |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, d) =>
     val st = struct(col("n_name").as("name"), col("n_regionkey").as("region"))
     Tables.nation(s, d)
       .select(col("n_nationkey"),
-        st.as("info"),
+        concat(lit("{"), st.getField("name"), lit(","),
+          st.getField("region").cast(StringType), lit("}")).as("info"),
         st.getField("name").as("name_field"),
         st.getField("region").as("region_field"))
       .orderBy("n_nationkey")
@@ -124,16 +130,21 @@ object ListStructQueries extends QueryPack {
   register("struct_interval",
     """SELECT o_orderkey,
       |  struct_pack(left := CAST(floor(o_totalprice / 100000) * 100000 AS DOUBLE),
-      |              right := CAST((floor(o_totalprice / 100000) + 1) * 100000 AS DOUBLE)) AS price_bin,
+      |              right := CAST((floor(o_totalprice / 100000) + 1) * 100000 AS DOUBLE)).left AS bin_left,
+      |  struct_pack(left := CAST(floor(o_totalprice / 100000) * 100000 AS DOUBLE),
+      |              right := CAST((floor(o_totalprice / 100000) + 1) * 100000 AS DOUBLE)).right AS bin_right,
       |  o_totalprice >= floor(o_totalprice / 100000) * 100000 AS in_bin
       |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
     val lo = floor(col("o_totalprice") / 100000) * 100000
+    // interval modeled as struct(left,right) (SURVEY §1.2); fields projected
+    // out of the struct in the final select so the compare stays hashable
+    val bin = struct(lo.cast(DoubleType).as("left"),
+      ((floor(col("o_totalprice") / 100000) + 1) * 100000).cast(DoubleType).as("right"))
     Tables.orders(s, d)
       .filter(col("o_orderkey") <= 1000)
       .select(col("o_orderkey"),
-        struct(lo.cast(DoubleType).as("left"),
-          ((floor(col("o_totalprice") / 100000) + 1) * 100000).cast(DoubleType).as("right"))
-          .as("price_bin"),
+        bin.getField("left").as("bin_left"),
+        bin.getField("right").as("bin_right"),
         (col("o_totalprice") >= lo).as("in_bin"))
       .orderBy("o_orderkey")
   }

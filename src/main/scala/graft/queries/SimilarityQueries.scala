@@ -107,8 +107,8 @@ object SimilarityQueries extends QueryPack {
       |  round(""".stripMargin + cosSql("a.v", "b.v") + """, 6) AS cosine
       |FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
       |WHERE a.vec_id < 5
-      |QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY """.stripMargin +
-      cosSql("a.v", "b.v") + """ DESC, b.vec_id) <= 3
+      |QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY round(""".stripMargin +
+      cosSql("a.v", "b.v") + """, 6) DESC, b.vec_id) <= 3
       |ORDER BY qid, cosine DESC, nid""".stripMargin) { (s, d) =>
     val planeDot = (v: Column, j: Column) =>
       aggregate(

@@ -33,16 +33,19 @@ object StringQueries extends QueryPack {
   }
 
   // --- attributes (attributes.hpp count_characters/bytes/code_points) ------
+  // code_points flattened to a CSV string in the final projection on BOTH
+  // sides — the driver's pandas hash-compare can't sort array cells.
   register("str_attributes",
     """SELECT p_partkey, length(p_name) AS n_chars, strlen(p_name) AS n_bytes,
-      |  list_transform(string_split(p_brand, ''), ch -> ascii(ch)) AS code_points
+      |  array_to_string(list_transform(string_split(p_brand, ''), ch -> ascii(ch)), ',') AS code_points
       |FROM part WHERE p_partkey <= 1000 ORDER BY p_partkey""".stripMargin) { (s, d) =>
     Tables.part(s, d)
       .filter(col("p_partkey") <= 1000)
       .select(col("p_partkey"),
         GF.countCharacters(col("p_name")).as("n_chars"),
         GF.countBytes(col("p_name")).as("n_bytes"),
-        GF.codePoints(col("p_brand")).as("code_points"))
+        array_join(transform(GF.codePoints(col("p_brand")), _.cast(StringType)), ",")
+          .as("code_points"))
       .orderBy("p_partkey")
   }
 
@@ -91,7 +94,7 @@ object StringQueries extends QueryPack {
       |  regexp_full_match(p_brand, 'Brand#[0-9]+') AS matches_re,
       |  len(regexp_extract_all(p_name, '[aeiou]')) AS count_re,
       |  regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS extract_v,
-      |  regexp_extract_all(p_name, '[a-z]+a') AS findall_v,
+      |  coalesce(array_to_string(regexp_extract_all(p_name, '[a-z]+a'), '|'), '') AS findall_v,
       |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS replace_re
       |FROM part WHERE p_partkey <= 1000 ORDER BY p_partkey""".stripMargin) { (s, d) =>
     Tables.part(s, d)
@@ -101,7 +104,8 @@ object StringQueries extends QueryPack {
         col("p_brand").rlike("^Brand#[0-9]+$").as("matches_re"),
         size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0))).as("count_re"),
         regexp_extract(col("p_brand"), "Brand#([0-9]+)", 1).as("extract_v"),
-        regexp_extract_all(col("p_name"), lit("[a-z]+a"), lit(0)).as("findall_v"),
+        array_join(regexp_extract_all(col("p_name"), lit("[a-z]+a"), lit(0)), "|")
+          .as("findall_v"),
         regexp_replace(col("p_name"), "[aeiou]", "_").as("replace_re"))
       .orderBy("p_partkey")
   }
@@ -132,7 +136,7 @@ object StringQueries extends QueryPack {
   // --- split family (split.hpp, partition.hpp) ------------------------------
   register("str_split",
     """SELECT p_partkey,
-      |  string_split(p_name, ' ') AS tokens,
+      |  array_to_string(string_split(p_name, ' '), '|') AS tokens,
       |  string_split(p_name, ' ')[1] AS first_tok,
       |  string_split(p_name, ' ')[-1] AS last_tok,
       |  len(string_split(p_name, ' ')) AS n_tokens,
@@ -146,7 +150,7 @@ object StringQueries extends QueryPack {
     Tables.part(s, d)
       .filter(col("p_partkey") <= 1000)
       .select(col("p_partkey"),
-        toks.as("tokens"),
+        array_join(toks, "|").as("tokens"),
         element_at(toks, 1).as("first_tok"),
         element_at(toks, -1).as("last_tok"),
         size(toks).as("n_tokens"),

@@ -39,21 +39,22 @@ object TextQueries extends QueryPack {
   }
 
   // --- word + character n-grams (generate_ngrams.hpp) -----------------------
+  // n-gram arrays flattened to '|'-joined strings for the driver's compare
   register("text_ngrams",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id <= 100)
       |SELECT doc_id,
-      |  list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i+1]) AS bigrams,
+      |  coalesce(array_to_string(list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i+1]), '|'), '') AS bigrams,
       |  len(list_distinct(list_transform(range(1, len(toks) - 1),
       |      i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]))) AS n_distinct_trigrams,
-      |  list_transform(range(1, length(toks[1]) - 1), i -> substring(toks[1], i, 3)) AS char_trigrams
+      |  coalesce(array_to_string(list_transform(range(1, length(toks[1]) - 1), i -> substring(toks[1], i, 3)), '|'), '') AS char_trigrams
       |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
     val toks = tokenize(col("text"))
     Tables.documents(s, d)
       .filter(col("doc_id") <= 100)
       .select(col("doc_id"),
-        wordNgrams(toks, 2).as("bigrams"),
+        array_join(wordNgrams(toks, 2), "|").as("bigrams"),
         size(array_distinct(wordNgrams(toks, 3))).as("n_distinct_trigrams"),
-        charNgrams(element_at(toks, 1), 3).as("char_trigrams"))
+        array_join(charNgrams(element_at(toks, 1), 3), "|").as("char_trigrams"))
       .orderBy("doc_id")
   }
 
@@ -81,7 +82,7 @@ object TextQueries extends QueryPack {
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id <= 100)
       |SELECT doc_id,
       |  trim(regexp_replace(replace(array_to_string(toks, ' '), 'a ', 'a  '), '\s+', ' ', 'g')) AS normalized,
-      |  list_transform(toks, t -> CASE WHEN t = 'table' THEN 'TBL' ELSE t END)[1:8] AS replaced_head,
+      |  array_to_string(list_transform(toks, t -> CASE WHEN t = 'table' THEN 'TBL' ELSE t END)[1:8], '|') AS replaced_head,
       |  len(list_filter(toks, t -> length(t) >= 5)) AS n_long_tokens
       |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
     val toks = tokenize(col("text"))
@@ -89,7 +90,7 @@ object TextQueries extends QueryPack {
       .filter(col("doc_id") <= 100)
       .select(col("doc_id"),
         normalizeSpaces(regexp_replace(array_join(toks, " "), "a ", "a  ")).as("normalized"),
-        slice(replaceTokens(toks, "table", "TBL"), 1, 8).as("replaced_head"),
+        array_join(slice(replaceTokens(toks, "table", "TBL"), 1, 8), "|").as("replaced_head"),
         size(filterTokens(toks, 5)).as("n_long_tokens"))
       .orderBy("doc_id")
   }

@@ -23,18 +23,26 @@ object TextFunctions {
 
   val HashMod = 1000000007L // prime modulus for all integer hashes
 
-  /** Whitespace tokenization (nvtext/tokenize.hpp). */
-  def tokenize(text: Column): Column = split(text, "\\s+")
+  /** Single-space tokenization (nvtext/tokenize.hpp default delimiter).
+    * Deliberately split(" ") — not \s+ — so Spark and the DuckDB oracle's
+    * string_split(text, ' ') agree on runs of spaces/tabs/newlines.
+    * For whitespace-run collapsing use [[tokenizeWs]].
+    */
+  def tokenize(text: Column): Column = split(text, " ")
+
+  /** Whitespace-run tokenization (collapses \s+); oracle side must use
+    * regexp_split_to_array with the same pattern. */
+  def tokenizeWs(text: Column): Column = split(text, "\\s+")
 
   /** Deterministic polynomial rolling hash of a string: fold over UTF-8 code
     * points, h ← (31·h + c) mod p. Same integer arithmetic is expressible in
-    * any SQL engine, which is what makes oracle checking possible.
+    * any SQL engine, which is what makes oracle checking possible. Evaluated
+    * by the codegen'd native expression [[graft.expressions.PolyHash]] (one
+    * JVM loop per string, not an interpreted per-char expression tree).
     */
   def polyHash(s: Column): Column =
-    aggregate(
-      transform(split(s, ""), ch => ascii(ch).cast(LongType)),
-      lit(0L),
-      (h, c) => (h * 31L + c) % HashMod)
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.PolyHash(org.apache.spark.sql.graft.Bridge.expression(s)))
 
   /** Word n-grams joined with '_' (nvtext/generate_ngrams.hpp). Guarded
     * against Spark's descending sequence() for rows with < n tokens.
@@ -54,19 +62,37 @@ object TextFunctions {
       transform(sequence(lit(1), length(s) - (n - 1)), i => s.substr(i, lit(n))))
       .otherwise(array().cast(ArrayType(StringType)))
 
-  /** Distinct word-shingle set of a text column (the minhash input). */
-  def shingles(text: Column, n: Int = 3): Column =
-    array_distinct(wordNgrams(tokenize(text), n))
-
-  /** MinHash signature: k permutation-hashes h_i(x) = ((2i+1)·x + 7919·i)
-    * mod p minimized over the shingle fingerprints. Returns Array[Long] of
-    * length k. One pass over shingles per row; no shuffle.
+  /** Distinct word-shingle set of a text column (the minhash input).
+    * Codegen'd native expression — see [[graft.expressions.WordShingles]];
+    * identical semantics to array_distinct(wordNgrams(tokenize(text), n)).
     */
-  def minhashSignature(shingleCol: Column, k: Int): Column = {
-    val fps = transform(shingleCol, s => polyHash(s))
+  def shingles(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.WordShingles(
+        org.apache.spark.sql.graft.Bridge.expression(text), n))
+
+  /** Shingle fingerprints: polyHash per shingle. Materialize this as its own
+    * column (withColumn) before building signatures — polyHash is expensive
+    * and must be computed once per shingle, not once per signature position.
+    * (CollapseProject won't inline a non-cheap aliased expression that is
+    * referenced more than once, so the column boundary is the CSE mechanism.)
+    */
+  def shingleFingerprints(shingleCol: Column): Column =
+    transform(shingleCol, s => polyHash(s))
+
+  /** MinHash signature from materialized fingerprints: k permutation-hashes
+    * h_i(x) = ((2i+1)·x + 7919·i) mod p minimized over the fingerprints.
+    * Returns Array[Long] of length k. Partition-local; no shuffle.
+    */
+  def minhashFromFps(fps: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(fps, f => ((lit(2) * i + 1) * f + i * 7919L) % HashMod)))
-  }
+
+  /** Convenience composition — only for small/one-shot use; prefer
+    * shingleFingerprints + minhashFromFps with column materialization.
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    minhashFromFps(shingleFingerprints(shingleCol), k)
 
   /** LSH band keys from a minhash signature: rowsPerBand consecutive hashes
     * concatenated per band. Joining on (band, key) finds candidate pairs with
