@@ -25,7 +25,9 @@ object SparkEntry {
     ListStructQueries,
     TextQueries,
     DedupQueries,
-    SimilarityQueries
+    SimilarityQueries,
+    IoQueries,
+    UdfQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -106,6 +106,33 @@ object GF {
       when(idx > 0, c.substr(idx + lit(sep.length), length(c))).otherwise(lit("")).as("tail"))
   }
 
+  /** integers_to_ipv4 (strings/convert/convert_ipv4.hpp:81): uint32 → dotted
+    * quad. Pure div/mod arithmetic so any SQL engine replicates it. */
+  def intToIpv4(v: Column): Column =
+    concat_ws(".",
+      (v.cast(LongType) / 16777216).cast(LongType) % 256,
+      (v.cast(LongType) / 65536).cast(LongType) % 256,
+      (v.cast(LongType) / 256).cast(LongType) % 256,
+      v.cast(LongType) % 256)
+
+  /** ipv4_to_integers (convert_ipv4.hpp:53). */
+  def ipv4ToInt(s: Column): Column = {
+    val o = split(s, "\\.")
+    element_at(o, 1).cast(LongType) * 16777216 +
+      element_at(o, 2).cast(LongType) * 65536 +
+      element_at(o, 3).cast(LongType) * 256 +
+      element_at(o, 4).cast(LongType)
+  }
+
+  /** to_booleans (strings/convert/convert_booleans.hpp:46): string → bool
+    * with explicit true/false token sets; unknown tokens → null. */
+  def strToBool(c: Column,
+                trues: Seq[String] = Seq("true", "1", "t", "yes"),
+                falses: Seq[String] = Seq("false", "0", "f", "no")): Column =
+    when(lower(c).isin(trues: _*), lit(true))
+      .when(lower(c).isin(falses: _*), lit(false))
+      .otherwise(lit(null).cast("boolean"))
+
   /** character class predicates (strings/char_types/char_types.hpp:93). */
   def isAlpha(c: Column): Column   = c.rlike("^\\p{L}+$")
   def isDigit(c: Column): Column   = c.rlike("^\\p{Nd}+$")

@@ -316,6 +316,102 @@ object AggregationQueries extends QueryPack {
       .orderBy(col("c_mktsegment"))
   }
 
+  // --- kurtosis / skew (dataframe.py:6869,6922; pandas G1/G2 sample-adjusted
+  // normalization, matching cuDF). Central moments derived from EXACT scaled-
+  // integer power sums (q = 100·x fits q⁴ in BIGINT per row; sums in
+  // DECIMAL(38,0)), so both engines evaluate the identical double formula on
+  // identical integers — one partial+final hash aggregate, no second pass.
+  // G1/G2 are scale-invariant in q, so no descaling needed.
+  register("agg_kurt_skew",
+    """WITH s AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(CAST(q AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+      |    CAST(sum(CAST(q*q AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+      |    CAST(sum(CAST(q*q*q AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+      |    CAST(sum(CAST(q*q*q*q AS DECIMAL(38,0))) AS DOUBLE) AS s4
+      |  FROM (SELECT l_returnflag, CAST(round(l_quantity * 100) AS BIGINT) AS q FROM lineitem)
+      |  GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |  round(sqrt(CAST(n*(n-1) AS DOUBLE)) / (n-2)
+      |    * ((s3 - 3*s1*s2/n + 2*s1*s1*s1/(CAST(n AS DOUBLE)*n))/n)
+      |    / power((s2 - s1*s1/n)/n, 1.5), 9) AS skew_q,
+      |  round((CAST(n*n - 1 AS DOUBLE) * ((s4 - 4*s1*s3/n + 6*s1*s1*s2/(CAST(n AS DOUBLE)*n)
+      |        - 3*s1*s1*s1*s1/(CAST(n AS DOUBLE)*n*n))/n)
+      |      / (((s2 - s1*s1/n)/n) * ((s2 - s1*s1/n)/n))
+      |    - 3.0*(n-1)*(n-1)) / (CAST(n-2 AS DOUBLE)*(n-3)), 9) AS kurt_q
+      |FROM s ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val q = round(col("l_quantity") * 100).cast(LongType)
+    val dec = (c: Column) => sum(c.cast(DecimalType(38, 0))).cast(DoubleType)
+    val base = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), q.as("q"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        dec(col("q")).as("s1"),
+        dec(col("q") * col("q")).as("s2"),
+        dec(col("q") * col("q") * col("q")).as("s3"),
+        dec(col("q") * col("q") * col("q") * col("q")).as("s4"))
+    val n = col("n"); val s1 = col("s1"); val s2 = col("s2")
+    val s3 = col("s3"); val s4 = col("s4")
+    val nD = n.cast(DoubleType)
+    val m2 = (s2 - s1 * s1 / n) / n
+    val m3 = (s3 - lit(3) * s1 * s2 / n + lit(2) * s1 * s1 * s1 / (nD * n)) / n
+    val m4 = (s4 - lit(4) * s1 * s3 / n + lit(6) * s1 * s1 * s2 / (nD * n)
+      - lit(3) * s1 * s1 * s1 * s1 / (nD * n * n)) / n
+    base.select(col("l_returnflag"),
+      round(sqrt((n * (n - 1)).cast(DoubleType)) / (n - 2) * m3 / pow(m2, 1.5), 9)
+        .as("skew_q"),
+      round(((n * n - 1).cast(DoubleType) * m4 / (m2 * m2)
+        - lit(3.0) * (n - 1) * (n - 1)) / ((n - 2).cast(DoubleType) * (n - 3)), 9)
+        .as("kurt_q"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // --- describe (dataframe.py:5323): count/mean/std/min/quartiles/max -------
+  // One aggregate pass, then stack() to (stat, value) rows.
+  register("agg_describe",
+    """WITH a AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS count_v,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS mean_v,
+      |    sqrt((CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |      - CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |        * CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*)) / (count(*) - 1)) AS std_v,
+      |    min(l_quantity) AS min_v,
+      |    quantile_cont(l_quantity, 0.25) AS q25_v,
+      |    quantile_cont(l_quantity, 0.50) AS q50_v,
+      |    quantile_cont(l_quantity, 0.75) AS q75_v,
+      |    max(l_quantity) AS max_v
+      |  FROM lineitem)
+      |SELECT stat, value FROM (
+      |  SELECT 'count' AS stat, count_v AS value FROM a UNION ALL
+      |  SELECT 'mean', mean_v FROM a UNION ALL
+      |  SELECT 'std', std_v FROM a UNION ALL
+      |  SELECT 'min', min_v FROM a UNION ALL
+      |  SELECT '25%', q25_v FROM a UNION ALL
+      |  SELECT '50%', q50_v FROM a UNION ALL
+      |  SELECT '75%', q75_v FROM a UNION ALL
+      |  SELECT 'max', max_v FROM a)
+      |ORDER BY stat""".stripMargin) { (s, d) =>
+    val qd = decQ(col("l_quantity"))
+    val a = Tables.lineitem(s, d)
+      .agg(
+        count(lit(1)).cast(DoubleType).as("count_v"),
+        (sum(qd).cast(DoubleType) / count(lit(1))).as("mean_v"),
+        sqrt((sum(qd * qd).cast(DoubleType)
+          - sum(qd).cast(DoubleType) * sum(qd).cast(DoubleType) / count(lit(1)))
+          / (count(lit(1)) - 1)).as("std_v"),
+        min(col("l_quantity")).as("min_v"),
+        expr("percentile(l_quantity, 0.25)").as("q25_v"),
+        expr("percentile(l_quantity, 0.50)").as("q50_v"),
+        expr("percentile(l_quantity, 0.75)").as("q75_v"),
+        max(col("l_quantity")).as("max_v"))
+    a.select(expr(
+      """stack(8,
+        |  'count', count_v, 'mean', mean_v, 'std', std_v, 'min', min_v,
+        |  '25%', q25_v, '50%', q50_v, '75%', q75_v, 'max', max_v)
+        |  AS (stat, value)""".stripMargin))
+      .orderBy("stat")
+  }
+
   // --- grouping sets / rollup / cube (free Spark extension, SURVEY §2.4) ----
   register("agg_rollup",
     """SELECT coalesce(l_returnflag, 'ALL') AS flag,

@@ -91,6 +91,54 @@ object CompactionQueries extends QueryPack {
       .orderBy("o_orderkey")
   }
 
+  // --- df.query(expr) string predicates (dataframe.py:4610) -----------------
+  // cuDF compiles the query string through its own parser to a libcudf AST
+  // (cpp ast/expressions.hpp); here the string IS Spark SQL and Catalyst is
+  // the compiler — filters still push down to the scan.
+  register("filt_query",
+    """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      |WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O' AND o_orderkey <= 5000
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .filter(expr("o_totalprice > 150000.0 AND o_orderstatus = 'O' AND o_orderkey <= 5000"))
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
+  // --- seeded random sample (frame.py:1785 sample(random_state=n)) ----------
+  // The distributed-reproducible form: per-row uniform from a keyed hash of
+  // (seed, key) — unlike Bernoulli rand(), the decision is a pure function of
+  // the row, stable under repartitioning/retries at any scale, and the
+  // oracle replicates it exactly. ~15% target fraction.
+  register("filt_sample_seeded",
+    s"""SELECT o_orderkey, o_totalprice FROM orders
+       |WHERE ${graft.queries.SqlFrag.polyHash("'seed42_' || CAST(o_orderkey AS VARCHAR)")} % 1000 < 150
+       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val u = graft.text.TextFunctions.polyHash(
+      concat(lit("seed42_"), col("o_orderkey").cast(StringType))) % 1000
+    Tables.orders(s, d)
+      .filter(u < 150)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  // --- merge_sorted (merge.hpp:96): k-way merge of pre-sorted tables --------
+  // Spark expresses this as union + sort; with range-partitioned inputs the
+  // sort is a streaming merge per partition (SortMergeExec over presorted
+  // runs), not a full re-sort of either input.
+  register("set_merge_sorted",
+    """SELECT key, src FROM (
+      |  SELECT c_custkey AS key, 'c' AS src FROM customer WHERE c_custkey <= 300
+      |  UNION ALL
+      |  SELECT s_suppkey AS key, 's' AS src FROM supplier WHERE s_suppkey <= 300)
+      |ORDER BY key, src""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).filter(col("c_custkey") <= 300)
+      .select(col("c_custkey").as("key"), lit("c").as("src"))
+    val sup = Tables.supplier(s, d).filter(col("s_suppkey") <= 300)
+      .select(col("s_suppkey").as("key"), lit("s").as("src"))
+    c.unionByName(sup).orderBy("key", "src")
+  }
+
   // --- sample (copying.hpp:913) — deterministic hash-split form -------------
   // cuDF sample(random_state=n) is seeded; the distributed-safe equivalent is
   // a key-hash split (stable under repartitioning, unlike Bernoulli sampling).

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
+import graft.functions.GF
 
 /** Reshape surface (SURVEY §2.7; reference core/reshape.py, lists/explode.hpp,
   * cudf cut / get_dummies / pivot / melt).
@@ -81,6 +82,47 @@ object ReshapeQueries extends QueryPack {
           .otherwise(slice(split(col("text"), " "), 1, 3)))
       .select(col("doc_id"), explode_outer(col("arr")).as("tok"))
       .orderBy("doc_id", "tok")
+  }
+
+  // --- posexplode_outer (lists/explode.hpp:193) -----------------------------
+  register("reshape_posexplode_outer",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 0 THEN NULL
+      |         ELSE list_slice(string_split(text, ' '), 1, 3) END AS arr
+      |  FROM documents WHERE doc_id <= 50)
+      |SELECT doc_id, CAST(unnest(range(0, len(arr))) AS INT) AS pos, unnest(arr) AS tok
+      |FROM t WHERE arr IS NOT NULL
+      |UNION ALL
+      |SELECT doc_id, CAST(NULL AS INT), CAST(NULL AS VARCHAR) FROM t WHERE arr IS NULL
+      |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") <= 50)
+      .withColumn("arr",
+        when(col("doc_id") % 10 === 0, lit(null))
+          .otherwise(slice(split(col("text"), " "), 1, 3)))
+      .select(col("doc_id"), posexplode_outer(col("arr")).as(Seq("pos", "tok")))
+      .orderBy("doc_id", "pos")
+  }
+
+  // --- hash_partition / scatter_by_map (partitioning.hpp:67,239) ------------
+  // The scatter map is an explicit per-row target-partition column; Spark's
+  // repartition(n, col) IS the scatter (one shuffle, map-side routing).
+  // Output verifies placement by per-partition counts, which the oracle
+  // reproduces from the same map function.
+  register("reshape_scatter_partition",
+    """SELECT CAST(o_orderkey % 8 AS BIGINT) AS p, count(*) AS n,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM orders GROUP BY o_orderkey % 8 ORDER BY p""".stripMargin) { (s, d) =>
+    val parts = 8
+    Tables.orders(s, d)
+      .withColumn("p", GF.pymod(col("o_orderkey"), lit(parts)).cast(LongType))
+      .repartition(parts, col("p"))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("p")
   }
 
   // --- get_dummies / one-hot (reshape.py:566) -------------------------------

@@ -219,6 +219,58 @@ object StringQueries extends QueryPack {
       .orderBy("event_id")
   }
 
+  // --- convert: ipv4 ↔ int (convert_ipv4.hpp:53,81) -------------------------
+  register("str_convert_ipv4",
+    """WITH t AS (SELECT p_partkey, (p_partkey * 2654435761) % 4294967296 AS v
+      |           FROM part WHERE p_partkey <= 1000)
+      |SELECT p_partkey,
+      |  CAST(v // 16777216 % 256 AS VARCHAR) || '.' || CAST(v // 65536 % 256 AS VARCHAR)
+      |    || '.' || CAST(v // 256 % 256 AS VARCHAR) || '.' || CAST(v % 256 AS VARCHAR) AS ip,
+      |  v AS ip_int_roundtrip
+      |FROM t ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    val v = (col("p_partkey") * 2654435761L) % 4294967296L
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 1000)
+      .withColumn("ip", GF.intToIpv4(v))
+      .select(col("p_partkey"), col("ip"),
+        GF.ipv4ToInt(col("ip")).as("ip_int_roundtrip"))
+      .orderBy("p_partkey")
+  }
+
+  // --- convert: url encode/decode + bool (convert_urls.hpp:44,62;
+  //     convert_booleans.hpp:46). Inputs restricted to [A-Z ] so the oracle
+  //     can mirror form-encoding with a space→'+' replace. -------------------
+  register("str_convert_url_bool",
+    """SELECT n_nationkey,
+      |  replace(n_name || ' ' || CAST(n_regionkey AS VARCHAR), ' ', '+') AS url_enc,
+      |  n_name || ' ' || CAST(n_regionkey AS VARCHAR) AS url_dec_roundtrip,
+      |  CAST(CASE WHEN n_regionkey > 2 THEN 'true' ELSE 'false' END AS BOOLEAN) AS bool_v,
+      |  CAST(NULL AS BOOLEAN) AS bool_invalid
+      |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    val raw = concat(col("n_name"), lit(" "), col("n_regionkey").cast(StringType))
+    Tables.nation(s, d)
+      .withColumn("url_enc", url_encode(raw))
+      .select(col("n_nationkey"),
+        col("url_enc"),
+        url_decode(col("url_enc")).as("url_dec_roundtrip"),
+        GF.strToBool(when(col("n_regionkey") > 2, "true").otherwise("false")).as("bool_v"),
+        GF.strToBool(lit("maybe")).as("bool_invalid"))
+      .orderBy("n_nationkey")
+  }
+
+  // --- repeat_strings with per-row counts (strings/repeat_strings.hpp:54) ---
+  register("str_repeat",
+    """SELECT p_partkey, repeat(p_brand, 1 + p_size % 3) AS rep_v,
+      |  repeat(p_brand, 0) AS rep_zero
+      |FROM part WHERE p_partkey <= 1000 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 1000)
+      .select(col("p_partkey"),
+        expr("repeat(p_brand, 1 + p_size % 3)").as("rep_v"),
+        expr("repeat(p_brand, 0)").as("rep_zero"))
+      .orderBy("p_partkey")
+  }
+
   // --- convert: numeric↔string, hex (convert_integers.hpp:158) --------------
   register("str_convert",
     """SELECT p_partkey,
