@@ -27,7 +27,9 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     IoQueries,
-    UdfQueries
+    UdfQueries,
+    IndexQueries,
+    MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

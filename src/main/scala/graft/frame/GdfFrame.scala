@@ -1,0 +1,104 @@
+package graft.frame
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.OrderedOps
+
+/** Ordered-frame facade: cuDF/pandas index semantics over an unordered
+  * Spark DataFrame (SURVEY §1.4 — "the single biggest semantic gap").
+  *
+  * Row order is represented by an EXPLICIT index column; operators that
+  * promise order (head/tail/shift/diff/alignment) sort by or window over it.
+  * Design rules, all enforced here rather than per-query:
+  *
+  *  - no operator funnels the full frame through one task: head/tail use
+  *    sort+limit (Spark's TakeOrderedAndProject — per-partition top-k then
+  *    driver merge of k·p rows); shift/diff use range-partitioned windows
+  *    with explicit partition-boundary repair; alignment is a shuffle join
+  *    on the index.
+  *  - the index is data, not metadata: it survives writes and reads and
+  *    shuffles with its rows (dask_cudf makes the same choice —
+  *    python/dask_cudf partitions carry index columns).
+  *
+  * Reference anchors: core/frame.py head/tail, core/dataframe.py shift/diff
+  * (:3089), core/reshape.py:13 `_align_objs` (concat axis=1 outer-align).
+  */
+final class GdfFrame(val df: DataFrame, val indexCol: String) {
+
+  private def idx: Column = col(indexCol)
+
+  /** First n rows in index order (frame.py head): sort+limit compiles to
+    * TakeOrderedAndProject — distributed top-k, no global sort. */
+  def head(n: Int): DataFrame = df.orderBy(idx.asc).limit(n)
+
+  /** Last n rows in index order, returned ascending like pandas tail. */
+  def tail(n: Int): DataFrame =
+    df.orderBy(idx.desc).limit(n).orderBy(idx.asc)
+
+  /** shift(periods) of `valueCol` along the index (dataframe.py:3089).
+    * Requires a unique index (the facade's standing contract).
+    *
+    * Scalable two-phase form: range-repartition by index and lag within each
+    * partition (parallel windows keyed by partition id). Only the EDGE SET —
+    * the first and last `periods` rows of every partition,
+    * ≤ 2·periods·numPartitions rows total — goes through a global window to
+    * repair partition-boundary rows. Every global predecessor of an edge-head
+    * row is itself in the edge set (tails are included; partitions smaller
+    * than `periods` are included wholly), so the small-window lag is exact
+    * regardless of partition sizing. The full frame never funnels into one
+    * task.
+    */
+  def shift(valueCol: String, outCol: String, periods: Int = 1): DataFrame = {
+    require(periods >= 1, "periods must be >= 1 (negative shift: flip the sort)")
+    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.repartitionByRange(nPart, idx.asc)
+      .withColumn("__pid", spark_partition_id())
+    val wAsc = Window.partitionBy(col("__pid")).orderBy(idx.asc)
+    val wDesc = Window.partitionBy(col("__pid")).orderBy(idx.desc)
+    val local = ranged
+      .withColumn("__rn", row_number().over(wAsc))
+      .withColumn("__rr", row_number().over(wDesc))
+      .withColumn(outCol, lag(col(valueCol), periods).over(wAsc))
+    val edge = local.filter(col("__rn") <= periods || col("__rr") <= periods)
+      .select(idx, col(valueCol))
+    val edgeLag = edge
+      .withColumn("__edge_lag", lag(col(valueCol), periods).over(Window.orderBy(idx.asc)))
+      .select(idx.as("__eidx"), col("__edge_lag"))
+    local
+      .join(broadcast(edgeLag), idx === col("__eidx"), "left")
+      .withColumn(outCol,
+        when(col("__rn") <= periods, col("__edge_lag")).otherwise(col(outCol)))
+      .drop("__pid", "__rn", "__rr", "__eidx", "__edge_lag")
+  }
+
+  /** diff(periods): value − shift(value) (dataframe.py diff → binop). */
+  def diff(valueCol: String, outCol: String, periods: Int = 1): DataFrame = {
+    val shifted = shift(valueCol, "__prev", periods)
+    shifted.withColumn(outCol, col(valueCol) - col("__prev")).drop("__prev")
+  }
+
+  /** concat(axis=1): outer-align another frame on the index
+    * (core/reshape.py:13 _align_objs) — a full outer shuffle join on the
+    * index, both frames keep all labels, missing side → nulls. */
+  def concatAxis1(other: GdfFrame): GdfFrame = {
+    val joined = df
+      .join(other.df.withColumnRenamed(other.indexCol, indexCol), Seq(indexCol), "full_outer")
+    new GdfFrame(joined, indexCol)
+  }
+
+  /** Materialized RangeIndex in the order of `sortCols` (index.py RangeIndex
+    * — built lazily in cuDF; materialized here via the two-phase global
+    * numbering, 0-based). */
+  def withRangeIndex(posCol: String, sortCols: Column*): GdfFrame = {
+    val numbered = OrderedOps.withGlobalRowNumber(df, posCol, sortCols)
+      .withColumn(posCol, col(posCol) - 1)
+    new GdfFrame(numbered, posCol)
+  }
+}
+
+object GdfFrame {
+  /** setIndex (dataframe.py set_index): promote a column to the index. */
+  def apply(df: DataFrame, indexCol: String): GdfFrame = new GdfFrame(df, indexCol)
+}

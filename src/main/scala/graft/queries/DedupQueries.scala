@@ -137,6 +137,64 @@ object DedupQueries extends QueryPack {
       .orderBy("simhash16")
   }
 
+  // --- LSH→verify: the CANONICAL near-dup path at scale ---------------------
+  // Same construction as dedup_minhash_lsh but with 8 bands × 1 row (higher
+  // recall, catches pairs down to jaccard ≈ 0.2) and the exact n-gram
+  // Jaccard verification threshold of the pairwise demo — i.e. this operator
+  // REPLACES dedup_ngram_jaccard's all-pairs crossJoin with a plan whose
+  // only joins are equi-joins on (band, key) and candidate ids. No
+  // CartesianProduct / BroadcastNestedLoopJoin anywhere (asserted in
+  // DedupPlanSpec).
+  register("dedup_lsh_verified",
+    s"""$sqlShingles,
+       |fp AS (SELECT doc_id, list_transform(shingles, s -> ${sqlPolyHash("s")}) AS fps FROM sh),
+       |mh AS (SELECT doc_id, list_transform(range(0, 8), i -> list_min(list_transform(fps,
+       |         f -> ((2*i + 1) * f + i * 7919) % 1000000007))) AS sig FROM fp),
+       |keyed AS (SELECT doc_id, unnest(range(0, 8)) AS band, sig FROM mh),
+       |kb AS (SELECT doc_id, band, sig[band + 1] AS bkey FROM keyed),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM kb a JOIN kb b ON a.band = b.band AND a.bkey = b.bkey
+       |            AND a.doc_id < b.doc_id)
+       |SELECT d1, d2,
+       |  round(CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(s1.shingles, s2.shingles))), 6) AS jaccard
+       |FROM cand JOIN sh s1 ON s1.doc_id = d1 JOIN sh s2 ON s2.doc_id = d2
+       |WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.2
+       |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) >= 1)
+    val fp = docs
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), polyHash(col("shingle")).as("fp"))
+    val nHashes = 8
+    val hashCols = (0 until nHashes).map(i =>
+      min((lit(2L * i + 1) * col("fp") + lit(i * 7919L)) % lit(HashMod)).as(s"h$i"))
+    val sig = fp.groupBy(col("doc_id")).agg(hashCols.head, hashCols.tail: _*)
+    // 8 bands × 1 hash: band key IS the single minhash value
+    val bandCols = (0 until nHashes).map(i => col(s"h$i").cast(StringType))
+    val keyed = sig
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
+    val cand = keyed.select(col("band"), col("bkey"), col("doc_id").as("d1"))
+      .join(keyed.select(col("band"), col("bkey"), col("doc_id").as("d2")),
+        Seq("band", "bkey"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val candIds = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    val candSh = Tables.documents(s, d)
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    cand
+      .join(candSh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+      .join(candSh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
   // --- n-gram Jaccard pairwise (bounded self-join; verification-grade) ------
   register("dedup_ngram_jaccard",
     s"""$sqlShingles

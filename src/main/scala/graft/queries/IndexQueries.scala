@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.frame.GdfFrame
+
+/** Index/order facade coverage (SURVEY §1.4, §7.1): head/tail in index
+  * order, shift/diff along the index with boundary-exact distributed
+  * windows, concat(axis=1) outer alignment, materialized RangeIndex.
+  */
+object IndexQueries extends QueryPack {
+
+  // --- head/tail in index order (frame.py head/tail) ------------------------
+  register("idx_head_tail",
+    """SELECT * FROM (
+      |  SELECT 'head' AS part, c_custkey, c_acctbal FROM customer
+      |  ORDER BY c_custkey LIMIT 5)
+      |UNION ALL
+      |SELECT * FROM (
+      |  SELECT 'tail' AS part, c_custkey, c_acctbal FROM customer
+      |  ORDER BY c_custkey DESC LIMIT 5)
+      |ORDER BY part, c_custkey""".stripMargin) { (s, d) =>
+    val f = GdfFrame(Tables.customer(s, d).select("c_custkey", "c_acctbal"), "c_custkey")
+    f.head(5).withColumn("part", lit("head"))
+      .unionByName(f.tail(5).withColumn("part", lit("tail")))
+      .select("part", "c_custkey", "c_acctbal")
+      .orderBy("part", "c_custkey")
+  }
+
+  // --- shift / diff along the index (dataframe.py:3089) ---------------------
+  register("idx_shift_diff",
+    """SELECT o_orderkey,
+      |  lag(o_totalprice, 1) OVER (ORDER BY o_orderkey) AS prev_price,
+      |  o_totalprice - lag(o_totalprice, 1) OVER (ORDER BY o_orderkey) AS price_diff
+      |FROM orders WHERE o_orderkey <= 3000
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d)
+      .filter(col("o_orderkey") <= 3000)
+      .select("o_orderkey", "o_totalprice")
+    val f = GdfFrame(base, "o_orderkey")
+    val shifted = f.shift("o_totalprice", "prev_price")
+    shifted
+      .withColumn("price_diff", col("o_totalprice") - col("prev_price"))
+      .select("o_orderkey", "prev_price", "price_diff")
+      .orderBy("o_orderkey")
+  }
+
+  // --- shift with periods=3 (multi-row boundary repair) ---------------------
+  register("idx_shift3",
+    """SELECT o_orderkey,
+      |  lag(o_totalprice, 3) OVER (ORDER BY o_orderkey) AS prev3
+      |FROM orders WHERE o_orderkey <= 3000
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d)
+      .filter(col("o_orderkey") <= 3000)
+      .select("o_orderkey", "o_totalprice")
+    GdfFrame(base, "o_orderkey")
+      .shift("o_totalprice", "prev3", periods = 3)
+      .select("o_orderkey", "prev3")
+      .orderBy("o_orderkey")
+  }
+
+  // --- concat(axis=1): outer index alignment (reshape.py:13 _align_objs) ----
+  register("idx_concat_axis1",
+    """SELECT coalesce(c.c_custkey, s.s_suppkey) AS key,
+      |  c.c_acctbal AS cust_bal, s.s_acctbal AS supp_bal
+      |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 150) c
+      |FULL OUTER JOIN (SELECT s_suppkey, s_acctbal FROM supplier WHERE s_suppkey <= 150) s
+      |  ON c.c_custkey = s.s_suppkey
+      |ORDER BY key""".stripMargin) { (s, d) =>
+    val c = GdfFrame(
+      Tables.customer(s, d).filter(col("c_custkey") <= 150)
+        .select(col("c_custkey").as("key"), col("c_acctbal").as("cust_bal")), "key")
+    val sup = GdfFrame(
+      Tables.supplier(s, d).filter(col("s_suppkey") <= 150)
+        .select(col("s_suppkey").as("key"), col("s_acctbal").as("supp_bal")), "key")
+    c.concatAxis1(sup).df
+      .select("key", "cust_bal", "supp_bal")
+      .orderBy("key")
+  }
+
+  // --- materialized RangeIndex (index.py RangeIndex; two-phase numbering) ---
+  register("idx_range_index",
+    """SELECT row_number() OVER (ORDER BY n_name) - 1 AS pos, n_name
+      |FROM nation ORDER BY pos""".stripMargin) { (s, d) =>
+    GdfFrame(Tables.nation(s, d).select("n_name"), "n_name")
+      .withRangeIndex("pos", col("n_name")).df
+      .select("pos", "n_name")
+      .orderBy("pos")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extension (SURVEY §2.9 north star; cuDF itself is
+  * strictly batch — dask_cudf distributes but does not stream — so this is
+  * greenfield surface, built the Spark way).
+  *
+  * Every transform here takes a streaming OR batch DataFrame: the same
+  * logical plan runs both ways, which is how the batch oracle pins the
+  * streaming semantics (the batch run of `windowedCounts` is the
+  * dt_window_bucket query family; the streaming run is asserted in
+  * StreamingSpec with a MemoryStream).
+  *
+  * Scale notes: watermark + windowed aggregation keeps state bounded per
+  * (window, key); state lives in the state store keyed by the shuffle
+  * partitioning of the grouping key, so a 1000-executor cluster partitions
+  * state exactly like the batch shuffle.
+  */
+object GraftStreaming {
+
+  /** Event-time tumbling-window counts with a watermark: the canonical
+    * readStream → window agg → writeStream pipeline. */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     windowDur: String, watermarkDur: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDur)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col(keyCol), col("n"))
+
+  /** Streaming exact dedup on a digest column within the watermark horizon —
+    * the streaming form of dedup_exact (state: one digest per key). */
+  def streamingDedup(events: DataFrame, tsCol: String, digestCol: String,
+                     watermarkDur: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDur)
+      .dropDuplicates(Seq(digestCol))
+
+  final case class SessionInput(user: String, tsMillis: Long)
+  final case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)
+  final case class SessionOutput(user: String, nEvents: Long, durationMillis: Long, closed: Boolean)
+
+  /** Custom sessionization state machine via mapGroupsWithState — the
+    * KeyValueGroupedDataset custom-state tier (the streaming analogue of
+    * groupby.apply). With `gapMillis > 0` a processing-time timeout closes
+    * idle sessions (production mode — the trigger loop keeps firing, so
+    * tests that wait for quiescence should pass `gapMillis = 0` for
+    * NoTimeout). */
+  def sessionize(input: Dataset[SessionInput], gapMillis: Long): Dataset[SessionOutput] = {
+    import input.sparkSession.implicits._
+    val timeout =
+      if (gapMillis > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    input
+      .groupByKey(_.user)
+      .mapGroupsWithState[SessionState, SessionOutput](timeout) {
+        (user: String, events: Iterator[SessionInput], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionOutput(user, s.nEvents, s.lastTs - s.firstTs, closed = true)
+          } else {
+            val ts = events.map(_.tsMillis).toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, ts.min, ts.min))
+            val next = SessionState(prev.nEvents + ts.size,
+              math.min(prev.firstTs, ts.min), math.max(prev.lastTs, ts.max))
+            state.update(next)
+            if (gapMillis > 0) state.setTimeoutDuration(gapMillis)
+            SessionOutput(user, next.nEvents, next.lastTs - next.firstTs, closed = false)
+          }
+      }
+  }
+
+  /** Update-mode console/memory-sink convenience used by the spec. */
+  def startToMemory(df: DataFrame, queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Update()).start()
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.{PolyHashImpl, WordShinglesImpl}
+import graft.text.TextFunctions
+
+/** Property-style tests (seeded fuzz) for the native codegen expressions
+  * against independent reference implementations — the SURVEY §5 stand-in
+  * for cuDF's rand_dataframe fuzzers.
+  */
+class ExpressionsSpec extends AnyFunSuite {
+
+  private def refPolyHash(s: String): Long =
+    s.codePoints().toArray.foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+
+  private val rnd = new scala.util.Random(42)
+  private def randText(): String = {
+    val alphabet = "abcXYZ019 _  "
+    (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+  }
+
+  test("PolyHashImpl matches the reference fold (fuzz + edges)") {
+    for (_ <- 1 to 500) {
+      val s = randText()
+      assert(PolyHashImpl.hash(UTF8String.fromString(s)) == refPolyHash(s), s"input=[$s]")
+    }
+    assert(PolyHashImpl.hash(UTF8String.fromString("")) == 0L)
+    assert(PolyHashImpl.hash(UTF8String.fromString("héllo")) == refPolyHash("héllo"))
+  }
+
+  test("WordShinglesImpl matches a naive sliding-window reference (fuzz)") {
+    def ref(s: String, n: Int): Seq[String] = {
+      val toks = s.split(" ", -1)
+      if (toks.length < n) Seq.empty
+      else toks.sliding(n).map(_.mkString("_")).toSeq.distinct
+    }
+    for (_ <- 1 to 500) {
+      val s = randText()
+      val n = 1 + rnd.nextInt(4)
+      val got = WordShinglesImpl.eval(UTF8String.fromString(s), n)
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      assert(got == ref(s, n), s"input=[$s] n=$n")
+    }
+  }
+
+  test("PolyHash expression evaluates in a DataFrame (codegen path)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val inputs = Seq("", "a", "hello world", "x_y z")
+    val rows = inputs.toDF("s")
+      .select(TextFunctions.polyHash(col("s")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == inputs.map(refPolyHash))
+  }
+
+  test("PolyHash of null is null") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val r = Seq[Option[String]](None, Some("x")).toDF("s")
+      .select(TextFunctions.polyHash(col("s")).as("h")).collect()
+    assert(r(0).isNullAt(0) && !r(1).isNullAt(0))
+  }
+
+  test("shingles expression equals builtin pipeline on real documents") {
+    val spark = TestSpark.spark
+    val docs = Tables.documents(spark, TestSpark.sfDir).limit(50)
+    val builtin = array_distinct(
+      TextFunctions.wordNgrams(split(col("text"), " "), 3))
+    val diff = docs.select(
+      TextFunctions.shingles(col("text")).as("fast"), builtin.as("ref"))
+      .filter(not(col("fast") === col("ref")))
+      .count()
+    assert(diff == 0)
+  }
+}

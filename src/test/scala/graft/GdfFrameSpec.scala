@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.frame.GdfFrame
+
+class GdfFrameSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("head/tail return index-ordered slices") {
+    import spark.implicits._
+    val f = GdfFrame(Seq(5, 3, 9, 1, 7).toDF("i"), "i")
+    assert(f.head(2).as[Int].collect().toSeq == Seq(1, 3))
+    assert(f.tail(2).as[Int].collect().toSeq == Seq(7, 9))
+  }
+
+  test("shift matches a global-window lag for several partition layouts") {
+    import spark.implicits._
+    for (parts <- Seq(1, 3, 8)) {
+      val base = spark.sparkContext
+        .parallelize(scala.util.Random.shuffle((1 to 200).toList), parts)
+        .toDF("i").withColumn("v", col("i") * 10)
+      for (periods <- Seq(1, 3)) {
+        val got = GdfFrame(base, "i").shift("v", "prev", periods)
+          .select("i", "prev").collect()
+          .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+          .toMap
+        (1 to 200).foreach { i =>
+          val expected = if (i > periods) Some((i - periods) * 10) else None
+          assert(got(i) == expected, s"parts=$parts periods=$periods i=$i")
+        }
+      }
+    }
+  }
+
+  test("diff subtracts the shifted value") {
+    import spark.implicits._
+    val base = Seq((1, 10.0), (2, 13.0), (3, 11.5)).toDF("i", "v")
+    val got = GdfFrame(base, "i").diff("v", "d")
+      .select("i", "d").collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map(1 -> None, 2 -> Some(3.0), 3 -> Some(-1.5)))
+  }
+
+  test("concatAxis1 outer-aligns on the index") {
+    import spark.implicits._
+    val a = GdfFrame(Seq((1, "a1"), (2, "a2")).toDF("k", "a"), "k")
+    val b = GdfFrame(Seq((2, "b2"), (3, "b3")).toDF("k", "b"), "k")
+    val got = a.concatAxis1(b).df.orderBy("k")
+      .collect().map(r => (r.getInt(0), Option(r.getString(1)), Option(r.getString(2)))).toSeq
+    assert(got == Seq((1, Some("a1"), None), (2, Some("a2"), Some("b2")), (3, None, Some("b3"))))
+  }
+
+  test("withRangeIndex is 0-based and dense") {
+    import spark.implicits._
+    val f = GdfFrame(Seq("c", "a", "b").toDF("s"), "s").withRangeIndex("pos", col("s"))
+    val got = f.df.orderBy("pos").select("pos", "s").as[(Long, String)].collect().toSeq
+    assert(got == Seq((0L, "a"), (1L, "b"), (2L, "c")))
+  }
+
+  test("shift on empty frame") {
+    import spark.implicits._
+    val f = GdfFrame(Seq.empty[(Int, Int)].toDF("i", "v"), "i")
+    assert(f.shift("v", "prev").count() == 0)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{Asset, HeaderCodec}
+
+class MultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("synthesize → decodeHeader roundtrips metadata as column exprs") {
+    import spark.implicits._
+    val df = Seq((40, 30, "payload-bytes")).toDF("w", "h", "p")
+      .select(Multimodal.synthImageBytes(col("w"), col("h"), col("p")).as("bytes"))
+    val meta = Multimodal.decodeHeader(col("bytes"))
+    val r = df.select(
+      meta.getField("width"), meta.getField("height"), meta.getField("format"),
+      octet_length(Multimodal.payloadBytes(col("bytes")))).collect()(0)
+    assert((r.getInt(0), r.getInt(1), r.getString(2), r.getInt(3)) == ((40, 30, "IMG", 13)))
+  }
+
+  test("decodeBatch runs the codec per partition over typed assets") {
+    import spark.implicits._
+    val assets = Seq(
+      Asset(1L, "IMG00400030abc".getBytes("UTF-8")),
+      Asset(2L, "IMG01280256xyzw".getBytes("UTF-8"))).toDS().repartition(2)
+    val got = Multimodal.decodeBatch(assets, HeaderCodec)
+      .collect().sortBy(_.asset_id)
+    assert(got(0).width == 40 && got(0).height == 30 && got(0).payloadLen == 3)
+    assert(got(1).width == 128 && got(1).height == 256 && got(1).format == "IMG")
+    // checksum is the polyHash fold over payload bytes
+    val ck = "abc".getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+    assert(got(0).checksum == ck)
+  }
+
+  test("JpegCodec is an explicit unimplemented stub") {
+    intercept[NotImplementedError] {
+      HeaderCodec.getClass // touch to avoid unused warning
+      Multimodal.JpegCodec.decode(Array[Byte](1, 2, 3))
+    }
+  }
+
+  test("sampleFrameOffsets picks every stride-th frame") {
+    import spark.implicits._
+    val got = Seq(7).toDF("n")
+      .select(Multimodal.sampleFrameOffsets(col("n"), 1024, 3).as("o"))
+      .collect()(0).getSeq[Long](0)
+    assert(got == Seq(1L, 3073L, 6145L))
+  }
+}

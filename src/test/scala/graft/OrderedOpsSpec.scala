@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.OrderedOps
+
+class OrderedOpsSpec extends AnyFunSuite {
+
+  test("withGlobalRowNumber matches a global sort (unique keys)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = spark.sparkContext.parallelize(
+      scala.util.Random.shuffle((1 to 1000).toList), 7).toDF("k")
+    val got = OrderedOps.withGlobalRowNumber(df, "pos", Seq(col("k")))
+      .select("k", "pos").as[(Int, Long)].collect().sortBy(_._1)
+    assert(got.zipWithIndex.forall { case ((k, pos), i) => k == i + 1 && pos == i + 1 })
+  }
+
+  test("withGlobalRowNumber on empty input") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq.empty[Int].toDF("k")
+    assert(OrderedOps.withGlobalRowNumber(df, "pos", Seq(col("k"))).count() == 0)
+  }
+
+  test("withGlobalRowNumber honors desc + nulls-first ordering") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(Some(3), None, Some(1), Some(2)).toDF("k")
+    val got = OrderedOps.withGlobalRowNumber(df, "pos",
+      Seq(col("k").desc_nulls_first))
+      .select("k", "pos").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0))) -> r.getLong(1))
+      .toMap
+    assert(got == Map(None -> 1L, Some(3) -> 2L, Some(2) -> 3L, Some(1) -> 4L))
+  }
+
+  test("plan has no single-task global Window over the data") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = (1 to 100).toDF("k")
+    val plan = OrderedOps.withGlobalRowNumber(df, "pos", Seq(col("k")))
+      .queryExecution.optimizedPlan.toString
+    // every Window node must carry a partitionSpec (windowing by __gpid or
+    // over the tiny counts frame); a bare windowspecdefinition() with empty
+    // partition list over the main data would start with 'windowspecdefinition(k'
+    assert(!plan.contains("windowspecdefinition(k#"), plan)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions for the scale-critical operators: the properties
+  * the VERDICT flagged (no cartesian products on the canonical near-dup
+  * path, no wide-payload LSH shuffles, no single-task global windows) are
+  * pinned here so regressions fail the build, not the next audit.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sfDir
+
+  private def executedPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("dedup_lsh_verified has no cartesian/broadcast-nested-loop join") {
+    val p = executedPlan("dedup_lsh_verified")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_minhash_lsh band join does not shuffle shingle arrays") {
+    // the exchanges between signature and candidate-distinct must not carry
+    // the `sh` array column — ids/bands/keys only
+    val qe = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).queryExecution
+    val exchanges = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    // the band self-join's output must not contain the shingle column
+    val bandJoin = exchanges.filter(_.condition.exists(_.toString.contains("bkey")))
+    assert(bandJoin.nonEmpty)
+    bandJoin.foreach { j =>
+      assert(!j.output.exists(_.name == "sh"), j.output.map(_.name).mkString(","))
+    }
+  }
+
+  test("agg_argmin_argmax plan is window-free (pure hash aggregate)") {
+    val p = executedPlan("agg_argmin_argmax")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("agg_groupby_q1 pushes filter and prunes columns at the scan") {
+    val p = executedPlan("agg_groupby_q1")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+  }
+
+  test("sort_topk compiles to TakeOrderedAndProject (no global sort)") {
+    val p = executedPlan("sort_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("join_inner broadcasts the dimension side") {
+    val p = executedPlan("join_inner")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("every query registers an oracle") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.GraftStreaming
+
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("windowedCounts aggregates event-time windows with a watermark") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val df = input.toDF().toDF("ts", "k")
+    val q = GraftStreaming.startToMemory(
+      GraftStreaming.windowedCounts(df, "ts", "k", "10 minutes", "5 minutes"),
+      "win_counts")
+    try {
+      input.addData((ts(1), "a"), (ts(2), "a"), (ts(11), "b"), (ts(3), "a"))
+      q.processAllAvailable()
+      val got = spark.table("win_counts")
+        .groupBy("win_start", "k").agg(max("n").as("n"))
+        .orderBy("win_start", "k")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+      assert(got == Seq(
+        (Timestamp.valueOf("2026-01-01 10:00:00"), "a", 3L),
+        (Timestamp.valueOf("2026-01-01 10:10:00"), "b", 1L)))
+    } finally q.stop()
+  }
+
+  test("windowedCounts batch-mode plan equals the batch oracle result") {
+    import spark.implicits._
+    val batch = Seq((ts(1), "a"), (ts(2), "a"), (ts(11), "b"), (ts(3), "a")).toDF("ts", "k")
+    val got = GraftStreaming.windowedCounts(batch, "ts", "k", "10 minutes", "5 minutes")
+      .orderBy("win_start", "k")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (Timestamp.valueOf("2026-01-01 10:00:00"), "a", 3L),
+      (Timestamp.valueOf("2026-01-01 10:10:00"), "b", 1L)))
+  }
+
+  test("streamingDedup keeps first occurrence per digest") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    val df = input.toDF().toDF("ts", "digest")
+    val q = df.withWatermark("ts", "5 minutes")
+      .dropDuplicates(Seq("digest"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(1), 100L), (ts(2), 100L), (ts(3), 200L))
+      q.processAllAvailable()
+      // append-mode dedup emits each digest once
+      val got = spark.table("dedup_out").select("digest")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(100L, 200L))
+    } finally q.stop()
+  }
+
+  test("sessionize tracks per-user state via mapGroupsWithState") {
+    import spark.implicits._
+    val input = MemoryStream[GraftStreaming.SessionInput](spark)
+    val out = GraftStreaming.sessionize(input.toDS(), gapMillis = 0)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        GraftStreaming.SessionInput("u1", 1000L),
+        GraftStreaming.SessionInput("u1", 5000L),
+        GraftStreaming.SessionInput("u2", 2000L))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .groupBy("user").agg(max("nEvents").as("n"), max("durationMillis").as("dur"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got("u1") == ((2L, 4000L)))
+      assert(got("u2") == ((1L, 0L)))
+    } finally q.stop()
+  }
+}
