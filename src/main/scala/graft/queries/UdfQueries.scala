@@ -74,6 +74,25 @@ object UdfQueries extends QueryPack {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  // --- custom typed Aggregator (UDF aggregation tier): GCD of scaled prices
+  //     per priority — partial-aggregating, shuffle carries one long/group --
+  register("udf_custom_agg_gcd",
+    """SELECT o_orderpriority,
+      |  list_reduce(list(CAST(round(o_totalprice * 100) AS BIGINT)),
+      |              (a, b) -> gcd(a, b)) AS gcd_cents,
+      |  count(*) AS n
+      |FROM orders WHERE o_orderkey <= 2000
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val gcdUdaf = udaf(graft.functions.GcdAgg, org.apache.spark.sql.Encoders.scalaLong)
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") <= 2000)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        gcdUdaf(round(col("o_totalprice") * 100).cast(LongType)).as("gcd_cents"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
   // --- mapPartitions (apply_chunks, core/dataframe.py:4799): per-partition
   //     batch function — the escape hatch tier (SURVEY §2.10 last resort) ----
   register("udf_apply_chunks",

@@ -203,4 +203,72 @@ object WindowQueries extends QueryPack {
       .select("c_mktsegment", "c_custkey", "quartile", "top_cust", "second_cust")
       .orderBy("c_mktsegment", "c_custkey")
   }
+
+  // --- rolling.apply: custom per-window function (rolling.py:249) -----------
+  // The window materializes its frame as a list (collect_list preserves the
+  // window ORDER BY), and the user function is a fold over that list — the
+  // Spark-shaped equivalent of cuDF's numba-compiled rolling UDF. Here:
+  // position-weighted sum Σ value_i·i over the trailing-3 frame, scaled
+  // integers so both engines fold exactly.
+  register("win_rolling_apply",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(list(CAST(round(l_quantity * 100) AS BIGINT)) OVER w,
+      |                   x -> x)),
+      |    (acc, v) -> acc + v) AS wsum_plain,
+      |  len(list(l_quantity) OVER w) AS frame_n
+      |FROM lineitem WHERE l_suppkey <= 20
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_partkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(liOrder.map(col): _*)
+      .rowsBetween(-2, 0)
+    val frame = collect_list(round(col("l_quantity") * 100).cast(LongType)).over(w)
+    Tables.lineitem(s, d)
+      .filter(col("l_suppkey") <= 20)
+      .withColumn("wsum_plain",
+        aggregate(frame, lit(0L), (acc, v) => acc + v))
+      .withColumn("frame_n", size(collect_list(col("l_quantity")).over(w)))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "wsum_plain", "frame_n")
+      .orderBy(col("l_suppkey") +: liOrder.map(col): _*)
+  }
+
+  // --- variable per-row window sizes (rolling.hpp window-column overload;
+  // SURVEY §7.4's documented deferral, now implemented). Each row aggregates
+  // its trailing w_i rows where w_i = 1 + (l_linenumber % 3). Expressed as a
+  // per-group equi-join on the key with a position-range predicate — the
+  // join shuffles on the grouping key only, windows stay partition-local.
+  register("win_variable_window",
+    """WITH p AS (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+      |    1 + l_linenumber % 3 AS w,
+      |    row_number() OVER (PARTITION BY l_suppkey
+      |        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey) AS pos
+      |  FROM lineitem WHERE l_suppkey <= 10)
+      |SELECT a.l_suppkey, a.l_orderkey, a.l_linenumber, a.w,
+      |  count(*) AS n_in_window,
+      |  CAST(sum(CAST(b.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS var_sum
+      |FROM p a JOIN p b
+      |  ON b.l_suppkey = a.l_suppkey AND b.pos BETWEEN a.pos - (a.w - 1) AND a.pos
+      |GROUP BY a.l_suppkey, a.l_orderkey, a.l_linenumber, a.w
+      |ORDER BY a.l_suppkey, a.l_orderkey, a.l_linenumber""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(liOrder.map(col): _*)
+    val p = Tables.lineitem(s, d)
+      .filter(col("l_suppkey") <= 10)
+      .withColumn("w", lit(1) + col("l_linenumber") % 3)
+      .withColumn("pos", row_number().over(w))
+    val a = p.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      col("w"), col("pos"))
+    val b = p.select(col("l_suppkey").as("b_suppkey"), col("pos").as("b_pos"),
+      col("l_quantity").as("b_qty"))
+    a.join(b, col("b_suppkey") === col("l_suppkey") &&
+        col("b_pos").between(col("pos") - (col("w") - 1), col("pos")))
+      .groupBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("w"))
+      .agg(count(lit(1)).as("n_in_window"),
+        sum(col("b_qty").cast(DecimalType(12, 2))).cast(DoubleType).as("var_sum"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
 }

@@ -145,6 +145,29 @@ object TextFunctions {
   def filterTokens(tokens: Column, minLen: Int): Column =
     filter(tokens, t => length(t) >= minLen)
 
+  /** WordPiece vocabulary for [[wordpiece]]: all single alphanumerics as
+    * word-starts and continuations (so alphanumeric words never hit [UNK])
+    * plus multi-char pieces drawn from the corpus vocabulary — the greedy
+    * matcher prefers these, producing realistic subword splits.
+    */
+  val WordpieceVocab: Seq[String] = {
+    val singles = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+    val multi = Seq(
+      "the", "ta", "wind", "qu", "str", "val", "sort", "filt", "tab",
+      "##ble", "##ow", "##ery", "##eam", "##ue", "##er", "##le", "##ing",
+      "##tion", "##ata", "##am")
+    singles ++ singles.map("##" + _) ++ multi
+  }
+
+  /** Greedy longest-match WordPiece subword tokenization (BERT algorithm;
+    * nvtext/subword_tokenize.hpp + core/subword_tokenizer.py — emits piece
+    * strings instead of hashed ids to stay engine-checkable). Codegen'd
+    * native expression, one JVM loop per row. */
+  def wordpiece(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.WordpieceTokenize(
+        org.apache.spark.sql.graft.Bridge.expression(text), WordpieceVocab))
+
   /** BPE-ish token count: word tokens + punctuation tokens via regex. */
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
