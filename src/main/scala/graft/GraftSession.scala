@@ -19,6 +19,8 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }

@@ -134,6 +134,46 @@ object IoQueries extends QueryPack {
       .orderBy("o_orderpriority")
   }
 
+  // --- bucketed tables: co-located join with NO shuffle ---------------------
+  // Both sides written bucketed+sorted by the join key (8 buckets): Spark's
+  // scan exposes the bucket hash-partitioning, so the sort-merge join needs
+  // no Exchange on either side (asserted in PlanSpec). This is THE pattern
+  // for repeated large-scale joins on a stable key — at 100 TB, bucketing
+  // the fact table once removes the dominant shuffle from every downstream
+  // join on that key.
+  register("io_bucketed_join",
+    """SELECT o.o_custkey AS custkey, count(*) AS n_orders,
+      |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+      |  max(c.c_mktsegment) AS segment
+      |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |WHERE o.o_orderkey <= 5000
+      |GROUP BY o.o_custkey ORDER BY custkey""".stripMargin) { (s, d) =>
+    // drop catalog entries AND stale locations (a fresh in-memory catalog
+    // doesn't know about directories a previous session left behind)
+    for (t <- Seq("graft_orders_b", "graft_customer_b")) {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + s"/$t")
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
+    Tables.orders(s, d).filter(col("o_orderkey") <= 5000)
+      .write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_orders_b")
+    Tables.customer(s, d)
+      .write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_customer_b")
+    val o = s.table("graft_orders_b")
+    val c = s.table("graft_customer_b")
+    o.join(c, o.col("o_custkey") === c.col("c_custkey"))
+      .groupBy(o.col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType).as("total"),
+        max(col("c_mktsegment")).as("segment"))
+      .orderBy("custkey")
+  }
+
   // --- parquet partition pruning: read back ONE partition ------------------
   register("io_parquet_pruned",
     """SELECT o_orderkey, o_totalprice FROM orders

@@ -151,6 +151,27 @@ object RelationalQueries extends QueryPack {
       .orderBy("n_nationkey", "r_regionkey")
   }
 
+  // --- skew-salted join (AQE handles moderate skew; explicit salting is the
+  // plan-level fix for arbitrary skew — see ops/SkewJoin). Results identical
+  // to the plain join, so the oracle is the plain join. ----------------------
+  register("join_skew_salted",
+    """SELECT s.s_nationkey AS nationkey, count(*) AS n_items,
+      |  CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |WHERE l.l_orderkey <= 5000
+      |GROUP BY s.s_nationkey ORDER BY nationkey""".stripMargin) { (s, d) =>
+    val fact = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 5000)
+      .withColumn("s_suppkey", col("l_suppkey"))
+    val dim = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    graft.ops.SkewJoin
+      .saltedInnerJoin(fact, dim, "s_suppkey", factIdCol = "l_orderkey", saltFactor = 8)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_qty"))
+      .orderBy("nationkey")
+  }
+
   // --- §2.6 sort + top-k (nlargest dataframe.py:4142) -----------------------
   register("sort_topk",
     """SELECT o_orderkey, o_totalprice FROM orders

@@ -57,6 +57,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("io_bucketed_join join+aggregate are exchange-free (bucketed scans)") {
+    val df = SparkEntry.queries("io_bucketed_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // bucketed scans on the join/grouping key: neither the join nor the
+    // groupBy may introduce a hash-partition shuffle (the only allowed
+    // exchange is the final orderBy's range partitioning)
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("join_skew_salted equals the plain join result") {
+    import org.apache.spark.sql.functions._
+    val salted = SparkEntry.queries("join_skew_salted")(spark, sf).collect()
+    val plain = Tables.lineitem(spark, sf).filter(col("l_orderkey") <= 5000)
+      .join(Tables.supplier(spark, sf), col("s_suppkey") === col("l_suppkey"))
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+      .orderBy("nationkey").collect()
+    assert(salted.toSeq == plain.toSeq)
+  }
+
   test("every query registers an oracle") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
