@@ -23,6 +23,36 @@ import org.apache.spark.sql.functions._
   */
 object OrderedOps {
 
+  /** Adds a global running total of `valueCol` in the order of `sortCols`
+    * (cudf ungrouped cumulative scan, reduction.hpp scan; pandas cumsum).
+    * Same two-phase shape as [[withGlobalRowNumber]]: per-partition prefix
+    * sums in parallel, then per-partition totals (one row each) get a
+    * running offset and broadcast back. Sum type follows the input column
+    * (use an exact decimal for money columns).
+    */
+  def withRunningTotal(df: DataFrame, valueCol: Column, outCol: String,
+                       sortCols: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df
+      .repartitionByRange(nPart, sortCols: _*)
+      .withColumn("__gpid", spark_partition_id())
+      .withColumn("__gval", valueCol)
+    val wLocal = Window.partitionBy(col("__gpid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = ranged.withColumn("__gprefix", sum(col("__gval")).over(wLocal))
+    val offsets = ranged
+      .groupBy(col("__gpid")).agg(sum(col("__gval")).as("__gtot"))
+      .withColumn("__goff",
+        sum(col("__gtot")).over(
+          Window.orderBy(col("__gpid")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__gpid"), col("__goff"))
+    local
+      .join(broadcast(offsets), Seq("__gpid"))
+      .withColumn(outCol, col("__gprefix") + coalesce(col("__goff"), lit(0)))
+      .drop("__gpid", "__gval", "__gprefix", "__goff")
+  }
+
   /** Adds a 1-based global position column in the order of `sortCols`.
     * Deterministic when the composite sort key is unique (callers append a
     * unique tie-break key, same contract as cudf's stable argsort).

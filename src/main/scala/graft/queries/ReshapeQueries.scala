@@ -105,6 +105,52 @@ object ReshapeQueries extends QueryPack {
       .orderBy("doc_id", "pos")
   }
 
+  // --- label encoding (categorical.py label_encoding; factorize applied
+  // back to rows). The dictionary is built once (sorted-distinct codes via
+  // two-phase numbering) and BROADCAST-joined back — dictionary-encode at
+  // scale without any global window over the data.
+  register("reshape_label_encode",
+    """SELECT o_orderkey, o_orderpriority,
+      |  dense_rank() OVER (ORDER BY o_orderpriority) - 1 AS code
+      |FROM orders WHERE o_orderkey <= 2000
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val rows = Tables.orders(s, d)
+      .filter(col("o_orderkey") <= 2000)
+      .select("o_orderkey", "o_orderpriority")
+    val dict = graft.ops.OrderedOps.withGlobalRowNumber(
+      rows.select(col("o_orderpriority")).distinct(), "pos", Seq(col("o_orderpriority")))
+      .select(col("o_orderpriority"), (col("pos") - 1).as("code"))
+    rows.join(broadcast(dict), Seq("o_orderpriority"))
+      .select("o_orderkey", "o_orderpriority", "code")
+      .orderBy("o_orderkey")
+  }
+
+  // --- qcut: quantile binning (reshape qcut; quartile edges computed once,
+  // broadcast into a CASE over the rows — two aggregate passes, no sort) ----
+  register("reshape_qcut",
+    """WITH q AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+      |                  quantile_cont(o_totalprice, 0.50) AS q2,
+      |                  quantile_cont(o_totalprice, 0.75) AS q3
+      |           FROM orders WHERE o_orderkey <= 2000)
+      |SELECT o_orderkey,
+      |  CASE WHEN o_totalprice <= q1 THEN 0 WHEN o_totalprice <= q2 THEN 1
+      |       WHEN o_totalprice <= q3 THEN 2 ELSE 3 END AS bucket
+      |FROM orders, q WHERE o_orderkey <= 2000
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d).filter(col("o_orderkey") <= 2000)
+    val q = base.agg(
+      expr("percentile(o_totalprice, 0.25)").as("q1"),
+      expr("percentile(o_totalprice, 0.50)").as("q2"),
+      expr("percentile(o_totalprice, 0.75)").as("q3"))
+    base.crossJoin(broadcast(q))
+      .select(col("o_orderkey"),
+        when(col("o_totalprice") <= col("q1"), 0)
+          .when(col("o_totalprice") <= col("q2"), 1)
+          .when(col("o_totalprice") <= col("q3"), 2)
+          .otherwise(3).as("bucket"))
+      .orderBy("o_orderkey")
+  }
+
   // --- hash_partition / scatter_by_map (partitioning.hpp:67,239) ------------
   // The scatter map is an explicit per-row target-partition column; Spark's
   // repartition(n, col) IS the scatter (one shuffle, map-side routing).

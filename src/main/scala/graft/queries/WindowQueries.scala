@@ -204,6 +204,26 @@ object WindowQueries extends QueryPack {
       .orderBy("c_mktsegment", "c_custkey")
   }
 
+  // --- ungrouped global cumulative sum (reduction scan; pandas cumsum) ------
+  // The naive form is a global Window.orderBy — one task. OrderedOps
+  // .withRunningTotal does per-partition prefix sums + broadcast offsets, so
+  // the scan parallelizes like any other shuffle stage.
+  register("win_global_cumsum",
+    """SELECT o_orderkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+      |    OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_total
+      |FROM orders WHERE o_orderkey <= 5000
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d)
+      .filter(col("o_orderkey") <= 5000)
+      .select("o_orderkey", "o_totalprice")
+    graft.ops.OrderedOps
+      .withRunningTotal(base, col("o_totalprice").cast(DecimalType(12, 2)),
+        "cum_total", Seq(col("o_orderkey")))
+      .select(col("o_orderkey"), col("cum_total").cast(DoubleType).as("cum_total"))
+      .orderBy("o_orderkey")
+  }
+
   // --- rolling.apply: custom per-window function (rolling.py:249) -----------
   // The window materializes its frame as a list (collect_list preserves the
   // window ORDER BY), and the user function is a fold over that list — the
