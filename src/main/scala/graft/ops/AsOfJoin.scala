@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join (pandas/cuDF merge_asof semantics: for each left row
+  * (key, t), attach the latest right row with the same key and t_r ≤ t).
+  *
+  * Spark has no asof operator; the naive form is a range join that explodes
+  * to |left|·|right| per key. The scalable composition is the union+window
+  * trick: tag both inputs, union, sort within each key by (time, tag) —
+  * right rows before left rows at equal times, so ties match backward-
+  * inclusive — and carry the last non-null right payload forward with
+  * `last(..., ignoreNulls)`. ONE shuffle on the key, window strictly
+  * partition-local, zero row explosion: this is the plan you want at
+  * 100 TB (both inputs stream through a single sort-merge pass per key).
+  */
+object AsOfJoin {
+
+  /** Left rows gain `matched` columns from the latest right row at or
+    * before their time.
+    *
+    * @param left      point-in-time rows; must contain keyCol + tCol
+    * @param right     versioned rows; must contain keyCol + tCol + payload
+    * @param keyCol    equi-join key
+    * @param tCol      ordering column (numeric or timestamp; must be
+    *                  duplicate-free per key on the right for determinism)
+    * @param payload   right columns to attach (renamed as given)
+    */
+  def backward(left: DataFrame, right: DataFrame, keyCol: String, tCol: String,
+               payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("__tag", lit(1))
+      .select(leftCols.map(col) ++ Seq(col("__tag")) ++
+        payload.map(p => lit(null).as(p)): _*)
+    val r = right
+      .withColumn("__tag", lit(0))
+      .select(leftCols.map(c => if (c == keyCol || c == tCol) col(c) else lit(null).as(c)) ++
+        Seq(col("__tag")) ++ payload.map(col): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tCol).asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = l.unionByName(r)
+      .select(col("*") +: payload.map(p =>
+        last(col(p), ignoreNulls = true).over(w).as(s"__m_$p")): _*)
+    carried
+      .filter(col("__tag") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(p => col(s"__m_$p").as(p)): _*)
+  }
+}

@@ -151,6 +151,71 @@ object RelationalQueries extends QueryPack {
       .orderBy("n_nationkey", "r_regionkey")
   }
 
+  // --- as-of join (pandas/cuDF merge_asof; ops/AsOfJoin union+window form,
+  // one shuffle, no range explosion). Clicks pick up the latest prior view
+  // per user; µs epoch on both sides (DuckDB's TIMESTAMP is µs — ns would
+  // silently truncate in the oracle), (user_id, µs) is duplicate-free. -----
+  register("join_asof",
+    """WITH u AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_id AS click_id,
+      |         CAST(NULL AS BIGINT) AS view_id, CAST(NULL AS DOUBLE) AS view_value, 1 AS tag
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, epoch_us(ts), NULL, event_id, value, 0
+      |  FROM events WHERE event_type = 'view'),
+      |m AS (
+      |  SELECT user_id, tus, click_id, tag,
+      |    last_value(view_id IGNORE NULLS) OVER w AS matched_view,
+      |    last_value(view_value IGNORE NULLS) OVER w AS matched_value
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, tag
+      |               ROWS UNBOUNDED PRECEDING))
+      |SELECT click_id, user_id, tus, matched_view, matched_value
+      |FROM m WHERE tag = 1 ORDER BY click_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .withColumn("tus", expr("ts_ns div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tus"), col("event_id").as("click_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("tus"),
+        col("event_id").as("matched_view"), col("value").as("matched_value"))
+    graft.ops.AsOfJoin
+      .backward(clicks, views, keyCol = "user_id", tCol = "tus",
+        payload = Seq("matched_view", "matched_value"))
+      .select("click_id", "user_id", "tus", "matched_view", "matched_value")
+      .orderBy("click_id")
+  }
+
+  // --- range join (point-in-interval) via bucketized equi-join --------------
+  // Synthetic 7-hour maintenance windows every 5 hours over the events span;
+  // counting events per window. ops/RangeJoin quantizes to 1-hour buckets —
+  // hash equi-join + residual filter, no BroadcastNestedLoopJoin (PlanSpec).
+  register("join_range_bucketed",
+    """WITH iv AS (
+      |  SELECT i AS interval_id,
+      |    1704067200000000 + i * 5 * 3600 * 1000000 AS start_us,
+      |    1704067200000000 + (i * 5 + 7) * 3600 * 1000000 AS end_us
+      |  FROM range(0, 40) t(i))
+      |SELECT interval_id, count(*) AS n_events,
+      |  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+      |FROM iv JOIN events e ON epoch_us(e.ts) >= iv.start_us AND epoch_us(e.ts) < iv.end_us
+      |GROUP BY interval_id ORDER BY interval_id""".stripMargin) { (s, d) =>
+    val hourUs = 3600L * 1000000L
+    val baseUs = 1704067200000000L // 2024-01-01T00:00:00Z
+    val intervals = s.range(0, 40)
+      .select(col("id").as("interval_id"),
+        (lit(baseUs) + col("id") * 5 * hourUs).as("start_us"),
+        (lit(baseUs) + (col("id") * 5 + 7) * hourUs).as("end_us"))
+    val points = Tables.events(s, d)
+      .select(expr("ts_ns div 1000").as("tus"), col("value"))
+    graft.ops.RangeJoin
+      .pointInInterval(points, "tus", intervals, "start_us", "end_us", hourUs)
+      .groupBy(col("interval_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast(LongType)).cast(DoubleType) / 100).as("sum_value"))
+      .orderBy("interval_id")
+  }
+
   // --- skew-salted join (AQE handles moderate skew; explicit salting is the
   // plan-level fix for arbitrary skew — see ops/SkewJoin). Results identical
   // to the plain join, so the oracle is the plain join. ----------------------

@@ -79,6 +79,17 @@ class PlanSpec extends AnyFunSuite {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("join_range_bucketed is an equi-join, not a nested loop") {
+    val p = executedPlan("join_range_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("join_asof is window-composed: no join operator, no row explosion") {
+    val p = executedPlan("join_asof")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("every query registers an oracle") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
