@@ -412,6 +412,28 @@ object AggregationQueries extends QueryPack {
       .orderBy("stat")
   }
 
+  // --- approximate distinct-count sketch (HyperLogLog++) --------------------
+  // The sketch estimate is deterministic (order-independent merge, no
+  // randomness), so the oracle pins golden values from sf0.01 alongside the
+  // exact count — regressions in sketch params or merge break the gate.
+  // At 100 TB this is THE distinct-count: fixed ~kB state per group vs
+  // countDistinct's shuffle of every distinct value.
+  register("agg_approx_distinct",
+    """SELECT * FROM (VALUES
+      |  ('A', 2019, 11067, 2000),
+      |  ('N', 2019, 10999, 2000),
+      |  ('R', 2019, 11079, 2000)
+      |) t(l_returnflag, apx_parts, apx_orders, exact_parts)
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("apx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("apx_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // --- grouping sets / rollup / cube (free Spark extension, SURVEY §2.4) ----
   register("agg_rollup",
     """SELECT coalesce(l_returnflag, 'ALL') AS flag,

@@ -1,3 +1,4 @@
+// (session-window batch query appended at the bottom of this pack)
 package graft.queries
 
 import org.apache.spark.sql.functions._
@@ -139,5 +140,34 @@ object DatetimeQueries extends QueryPack {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"))
       .orderBy("bucket", "event_type")
+  }
+
+  // --- session windows in BATCH (session_window(ts, gap)) — the same
+  // grouping runs under readStream; the oracle derives identical sessions
+  // with the gaps-and-islands construction (lag → new-session flags →
+  // running session ids). 30-minute gap per user. --------------------------
+  register("dt_session_window",
+    """WITH x AS (
+      |  SELECT user_id, epoch_us(ts) AS tus,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |y AS (
+      |  SELECT user_id, tus,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+      |                     ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x)
+      |SELECT user_id, min(tus) AS session_start_us, count(*) AS n_events
+      |FROM y GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_us")
   }
 }

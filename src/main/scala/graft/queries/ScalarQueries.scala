@@ -162,6 +162,30 @@ object ScalarQueries extends QueryPack {
       .orderBy("l_orderkey", "l_linenumber", "l_partkey")
   }
 
+  // --- decimal32/64 arithmetic (types.hpp:229 DECIMAL32/64; fixed_point
+  // add/sub/mul are exact — division is engine-specific in result scale, so
+  // the surface pins +,−,× and explicit rescaling via round) ----------------
+  register("expr_decimal",
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(4,2)) AS DOUBLE) AS dec_add,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2)) AS DOUBLE) AS dec_sub,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(4,2)) AS DOUBLE) AS dec_mul,
+      |  CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(4,2)), 2) AS DOUBLE) AS dec_mul_rescaled
+      |FROM lineitem WHERE l_orderkey <= 500
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    val price = col("l_extendedprice").cast(DecimalType(12, 2))
+    val tax = col("l_tax").cast(DecimalType(4, 2))
+    val disc = col("l_discount").cast(DecimalType(4, 2))
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 500)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (price + tax).cast(DoubleType).as("dec_add"),
+        (price - disc).cast(DoubleType).as("dec_sub"),
+        (price * tax).cast(DoubleType).as("dec_mul"),
+        round(price * tax, 2).cast(DoubleType).as("dec_mul_rescaled"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   // --- Spark-compatible murmur3 hash (types.hpp:333 HASH_SPARK_MURMUR3 —
   //     the reference ships a Spark-bit-compatible hash; Spark IS the
   //     reference implementation here, so the oracle is a golden literal
