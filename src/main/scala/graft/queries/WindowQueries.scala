@@ -160,6 +160,29 @@ object WindowQueries extends QueryPack {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  // --- cumprod group scan (aggregation.hpp PRODUCT scan): no product window
+  // aggregate exists in either engine, so the scan folds the window's value
+  // list in WINDOW ORDER — identical fold sequence in both engines, so the
+  // double product is bit-deterministic despite fp non-associativity.
+  register("win_group_cumprod",
+    """SELECT l_orderkey, l_linenumber,
+      |  list_reduce(list(1.0 + l_tax) OVER w, (a, b) -> a * b) AS cum_tax_factor
+      |FROM lineitem WHERE l_orderkey <= 300
+      |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 300)
+      .withColumn("cum_tax_factor",
+        aggregate(collect_list(lit(1.0) + col("l_tax")).over(w),
+          lit(1.0), (acc, v) => acc * v))
+      .select("l_orderkey", "l_linenumber", "cum_tax_factor")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   // --- grouped ffill (replace_nulls grouped, _lib/groupby.pyx:251) ----------
   // nulls synthesized via nullif; ffill = last non-null over preceding frame.
   register("win_group_ffill",
