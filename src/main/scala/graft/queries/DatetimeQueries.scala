@@ -142,6 +142,34 @@ object DatetimeQueries extends QueryPack {
       .orderBy("bucket", "event_type")
   }
 
+  // --- datetime ceil/floor/round to a frequency (datetime.hpp:260-321
+  // ceil/floor/round_datetimes) — computed in epoch-µs arithmetic so both
+  // engines evaluate identical integer expressions (no tz/timestamp-type
+  // divergence). Hour precision.
+  register("dt_round_ceil",
+    """WITH t AS (SELECT event_id, epoch_us(ts) AS tus FROM events WHERE event_id <= 2000)
+      |SELECT event_id,
+      |  tus // 3600000000 * 3600000000 AS floor_hour_us,
+      |  CASE WHEN tus % 3600000000 = 0 THEN tus
+      |       ELSE (tus // 3600000000 + 1) * 3600000000 END AS ceil_hour_us,
+      |  CASE WHEN tus % 3600000000 >= 1800000000
+      |       THEN (tus // 3600000000 + 1) * 3600000000
+      |       ELSE tus // 3600000000 * 3600000000 END AS round_hour_us
+      |FROM t ORDER BY event_id""".stripMargin) { (s, d) =>
+    val hourUs = 3600000000L
+    val q = expr(s"tus div $hourUs") // exact integer division
+    Tables.events(s, d)
+      .filter(col("event_id") <= 2000)
+      .select(col("event_id"), expr("ts_ns div 1000").as("tus"))
+      .select(col("event_id"),
+        (q * hourUs).as("floor_hour_us"),
+        when(col("tus") % hourUs === 0, col("tus"))
+          .otherwise((q + 1) * hourUs).as("ceil_hour_us"),
+        when(col("tus") % hourUs >= hourUs / 2, (q + 1) * hourUs)
+          .otherwise(q * hourUs).as("round_hour_us"))
+      .orderBy("event_id")
+  }
+
   // --- session windows in BATCH (session_window(ts, gap)) — the same
   // grouping runs under readStream; the oracle derives identical sessions
   // with the gaps-and-islands construction (lag → new-session flags →

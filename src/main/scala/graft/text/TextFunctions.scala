@@ -104,10 +104,14 @@ object TextFunctions {
         (0 until rowsPerBand).map(r =>
           element_at(sig, b * rowsPerBand + r + 1).cast(StringType)): _*))
 
-  /** Exact Jaccard similarity of two array columns (verification step after
-    * LSH candidate generation). */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
+  /** Exact Jaccard similarity of two string-array columns (verification
+    * step after LSH candidate generation). Single-pass codegen expression —
+    * see [[graft.expressions.JaccardSim]]; semantics identical to
+    * size(array_intersect)/size(array_union). */
+  def jaccard(a: Column, b: Column): Column = {
+    val B = org.apache.spark.sql.graft.Bridge
+    B.column(graft.expressions.JaccardSim(B.expression(a), B.expression(b)))
+  }
 
   /** SimHash over token hashes, `bits` wide: bit j is set iff the sum of
     * ±1 votes (per token, by that token-hash's bit j) is positive.

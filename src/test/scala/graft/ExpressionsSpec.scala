@@ -64,6 +64,23 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r(0).isNullAt(0) && !r(1).isNullAt(0))
   }
 
+  test("JaccardSim equals the builtin intersect/union formula (fuzz)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = (1 to 300).map { _ =>
+      def arr() = (0 until rnd.nextInt(12)).map(_ => s"t${rnd.nextInt(15)}").distinct
+      (arr(), arr())
+    }
+    val df = rows.toDF("a", "b").select(
+      TextFunctions.jaccard(col("a"), col("b")).as("fast"),
+      try_divide(size(array_intersect(col("a"), col("b"))).cast("double"),
+        size(array_union(col("a"), col("b")))).as("ref"))
+    // builtin yields null on empty/empty; JaccardSim defines it as 0.0
+    val bad = df.filter(
+      !(col("fast") === col("ref") || (col("ref").isNull && col("fast") === 0.0))).count()
+    assert(bad == 0)
+  }
+
   test("shingles expression equals builtin pipeline on real documents") {
     val spark = TestSpark.spark
     val docs = Tables.documents(spark, TestSpark.sfDir).limit(50)
