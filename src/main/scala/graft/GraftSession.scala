@@ -18,6 +18,7 @@ object GraftSession {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",
         s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_warehouse")

@@ -21,7 +21,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * (shingle inputs here are already distinct). Null elements do not occur
   * in shingle arrays (containsNull=false upstream).
   */
-case class JaccardSim(left: Expression, right: Expression) extends BinaryExpression {
+case class JaccardSim(left: Expression, right: Expression,
+                      prefiltered: Boolean = false) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_jaccard"
