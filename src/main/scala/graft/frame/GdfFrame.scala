@@ -25,7 +25,7 @@ import graft.ops.OrderedOps
   * Reference anchors: core/frame.py head/tail, core/dataframe.py shift/diff
   * (:3089), core/reshape.py:13 `_align_objs` (concat axis=1 outer-align).
   */
-final class GdfFrame(val df: DataFrame, val indexCol: String) {
+final class GdfFrame(val df: DataFrame, val indexCol: String) extends GdfFrameOps {
 
   private def idx: Column = col(indexCol)
 
@@ -101,4 +101,30 @@ final class GdfFrame(val df: DataFrame, val indexCol: String) {
 object GdfFrame {
   /** setIndex (dataframe.py set_index): promote a column to the index. */
   def apply(df: DataFrame, indexCol: String): GdfFrame = new GdfFrame(df, indexCol)
+}
+
+/** Extra index-shaped API on GdfFrame (kept separate for scaladoc clarity). */
+trait GdfFrameOps { self: GdfFrame =>
+
+  /** sort_index: physically range-order rows by the index (a pandas no-op
+    * view; in Spark an explicit range repartition + intra-partition sort —
+    * the layout downstream merge-type operators want). */
+  def sortIndex(): GdfFrame = {
+    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    new GdfFrame(
+      df.repartitionByRange(nPart, col(indexCol)).sortWithinPartitions(indexCol),
+      indexCol)
+  }
+
+  /** reset_index: demote the index to a plain column (identity here — the
+    * index IS a column; kept for API parity). */
+  def resetIndex(): DataFrame = df
+
+  /** reindex by another label set: left-align onto `labels` (missing → null
+    * rows), matching pandas reindex semantics via a left join on labels. */
+  def reindex(labels: DataFrame, labelCol: String): GdfFrame =
+    new GdfFrame(
+      labels.withColumnRenamed(labelCol, indexCol)
+        .join(df, Seq(indexCol), "left"),
+      indexCol)
 }

@@ -64,6 +64,38 @@ object CompactionQueries extends QueryPack {
       .orderBy("l_orderkey", "l_linenumber", "l_partkey")
   }
 
+  // --- dropna(thresh=k): keep rows with at least k non-nulls (frame.py:1079)
+  register("filt_dropna_thresh",
+    """SELECT l_orderkey, l_linenumber, d1, d2
+      |FROM (SELECT l_orderkey, l_linenumber,
+      |        nullif(l_discount, 0.0) AS d1, nullif(l_tax, 0.0) AS d2
+      |      FROM lineitem WHERE l_orderkey <= 500)
+      |WHERE (CASE WHEN d1 IS NULL THEN 0 ELSE 1 END
+      |     + CASE WHEN d2 IS NULL THEN 0 ELSE 1 END) >= 1
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 500)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        nullif(col("l_discount"), lit(0.0)).as("d1"),
+        nullif(col("l_tax"), lit(0.0)).as("d2"))
+      .na.drop(minNonNulls = 1, Seq("d1", "d2"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // --- duplicated() mask (series.py duplicated; keep=False marks ALL copies)
+  register("set_duplicated_mask",
+    """SELECT l_suppkey, l_quantity, l_orderkey, l_linenumber,
+      |  count(*) OVER (PARTITION BY l_suppkey, l_quantity) > 1 AS is_dup
+      |FROM lineitem WHERE l_suppkey <= 10
+      |ORDER BY l_suppkey, l_quantity, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("l_suppkey"), col("l_quantity"))
+    Tables.lineitem(s, d)
+      .filter(col("l_suppkey") <= 10)
+      .withColumn("is_dup", count(lit(1)).over(w) > 1)
+      .select("l_suppkey", "l_quantity", "l_orderkey", "l_linenumber", "is_dup")
+      .orderBy("l_suppkey", "l_quantity", "l_orderkey", "l_linenumber")
+  }
+
   // --- fillna (replace.hpp:50 replace_nulls) ---------------------------------
   register("filt_fillna",
     """SELECT l_orderkey, l_linenumber, l_partkey,

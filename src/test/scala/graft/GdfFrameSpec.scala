@@ -60,6 +60,22 @@ class GdfFrameSpec extends AnyFunSuite {
     assert(got == Seq((0L, "a"), (1L, "b"), (2L, "c")))
   }
 
+  test("reindex left-aligns onto the label set with nulls for misses") {
+    import spark.implicits._
+    val f = GdfFrame(Seq((1, "a"), (3, "c")).toDF("k", "v"), "k")
+    val labels = Seq(1, 2, 3).toDF("lbl")
+    val got = f.reindex(labels, "lbl").df.orderBy("k")
+      .collect().map(r => (r.getInt(0), Option(r.getString(1)))).toSeq
+    assert(got == Seq((1, Some("a")), (2, None), (3, Some("c"))))
+  }
+
+  test("sortIndex produces index-sorted partitions") {
+    import spark.implicits._
+    val f = GdfFrame(Seq(5, 1, 4, 2, 3).toDF("k"), "k").sortIndex()
+    val perPartition = f.df.rdd.mapPartitions(it => Iterator(it.map(_.getInt(0)).toSeq)).collect()
+    assert(perPartition.forall(p => p == p.sorted))
+  }
+
   test("shift on empty frame") {
     import spark.implicits._
     val f = GdfFrame(Seq.empty[(Int, Int)].toDF("i", "v"), "i")
