@@ -160,6 +160,30 @@ object WindowQueries extends QueryPack {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  // --- groupby.transform: group aggregate broadcast back to every row
+  // (groupby.py transform — same-length output). Unordered per-group window
+  // = one shuffle on the key, aggregate computed once per group per
+  // partition frame; no join needed.
+  register("win_group_transform",
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) OVER g AS DOUBLE) AS grp_sum,
+      |  max(l_quantity) OVER g AS grp_max,
+      |  l_quantity - CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) OVER g AS DOUBLE)
+      |    / count(*) OVER g AS demeaned
+      |FROM lineitem WHERE l_orderkey <= 300
+      |WINDOW g AS (PARTITION BY l_orderkey)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    val g = Window.partitionBy(col("l_orderkey"))
+    val gsum = sum(col("l_quantity").cast(DecimalType(12, 2))).over(g).cast(DoubleType)
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 300)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        gsum.as("grp_sum"),
+        max(col("l_quantity")).over(g).as("grp_max"),
+        (col("l_quantity") - gsum / count(lit(1)).over(g)).as("demeaned"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   // --- cumprod group scan (aggregation.hpp PRODUCT scan): no product window
   // aggregate exists in either engine, so the scan folds the window's value
   // list in WINDOW ORDER — identical fold sequence in both engines, so the

@@ -18,6 +18,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (window, key); state lives in the state store keyed by the shuffle
   * partitioning of the grouping key, so a 1000-executor cluster partitions
   * state exactly like the batch shuffle.
+  *
+  * Sources: these transforms are source-agnostic (file, rate, memory — and
+  * kafka via `spark-sql-kafka` where that connector is deployed; it is not
+  * present in this zero-egress environment, so specs drive MemoryStream).
   */
 object GraftStreaming {
 
