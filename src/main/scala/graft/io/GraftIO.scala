@@ -18,38 +18,118 @@ import org.apache.spark.sql.types.StructType
 object GraftIO {
 
   /** read_csv options (python/cudf/cudf/io/csv.py:15; option struct
-    * cpp/include/cudf/io/csv.hpp:48-652). Unlisted cuDF options map 1:1 to
-    * Spark reader options (quoting → quote/escape, comment → comment,
-    * true/false_values → no direct option: pre-map via dtype string+expr).
+    * cpp/include/cudf/io/csv.hpp:48-652). Direct Spark mappings: header,
+    * sep, comment, dtype→schema. Options Spark's reader lacks are layered:
+    *  - skiprows/skipfooter — pre-filter raw lines by global line number
+    *    (rdd.zipWithIndex preserves file order); skipfooter costs one extra
+    *    count pass over the text, same as cuDF's tail scan.
+    *  - nrows — `.limit(n)` on parsed data rows.
+    *  - naValues (plural) — Spark takes ONE `nullValue`; the rest are
+    *    nulled by a post-read projection. Non-string typed columns already
+    *    null out unparseable markers under PERMISSIVE partial-results mode;
+    *    the projection is what fixes STRING columns, where a marker would
+    *    otherwise survive as data.
+    *  - thousands / trueValues / falseValues — affected columns (numeric /
+    *    boolean per `dtype`, which is required for these) are read as
+    *    string, then stripped/mapped and cast in the same projection.
+    *  - parseDatesCols — named columns cast via to_timestamp after read.
     */
   final case class CsvOptions(
-      header: Boolean = true,           // csv.hpp:  header row present
-      sep: String = ",",                // delimiter
-      names: Seq[String] = Nil,         // explicit column names (header=False)
-      dtype: Option[StructType] = None, // explicit schema (disables inference)
-      usecols: Seq[String] = Nil,       // column projection
-      naValues: Seq[String] = Nil,      // extra null markers
-      parseDates: Boolean = false,      // infer dates/timestamps
-      compression: String = "auto")     // gzip/bz2/deflate auto-detected by extension
+      header: Boolean = true,            // csv.hpp: header row present
+      sep: String = ",",                 // delimiter
+      names: Seq[String] = Nil,          // explicit column names (header=False)
+      dtype: Option[StructType] = None,  // explicit schema (disables inference)
+      usecols: Seq[String] = Nil,        // column projection
+      naValues: Seq[String] = Nil,       // null markers (all honored)
+      parseDates: Boolean = false,       // infer dates/timestamps
+      parseDatesCols: Seq[String] = Nil, // per-column to_timestamp cast
+      skiprows: Int = 0,                 // raw lines dropped at file start
+      skipfooter: Int = 0,               // raw lines dropped at file end
+      nrows: Long = -1L,                 // cap on parsed data rows (-1 = all)
+      comment: Option[Char] = None,      // skip lines starting with this char
+      thousands: Option[Char] = None,    // digit grouping sep in numerics
+      trueValues: Seq[String] = Nil,     // extra boolean-true spellings
+      falseValues: Seq[String] = Nil,    // extra boolean-false spellings
+      compression: String = "auto")      // Spark infers codec from extension
 
   def readCsv(spark: SparkSession, path: String, o: CsvOptions = CsvOptions()): DataFrame = {
+    require(o.compression == "auto" || o.compression == "infer",
+      "Spark's CSV reader infers the codec from the file extension; explicit " +
+        "compression override is not supported (name files *.gz / *.bz2)")
+    val needsStringStage = o.thousands.nonEmpty || o.trueValues.nonEmpty || o.falseValues.nonEmpty
+    require(!needsStringStage || o.dtype.nonEmpty,
+      "thousands/trueValues/falseValues require an explicit dtype schema")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{BooleanType, NumericType, StringType}
+
+    // Which dtype fields get the read-as-string-then-cast treatment.
+    val stringStaged: Map[String, org.apache.spark.sql.types.DataType] =
+      o.dtype.fold(Map.empty[String, org.apache.spark.sql.types.DataType]) { sch =>
+        sch.fields.collect {
+          case f if o.thousands.nonEmpty && f.dataType.isInstanceOf[NumericType] =>
+            f.name -> f.dataType
+          case f if (o.trueValues.nonEmpty || o.falseValues.nonEmpty) &&
+            f.dataType == BooleanType => f.name -> f.dataType
+        }.toMap
+      }
+
     var r: DataFrameReader = spark.read
       .option("header", o.header)
       .option("sep", o.sep)
       .option("mode", "PERMISSIVE")
     if (o.naValues.nonEmpty) r = r.option("nullValue", o.naValues.head)
-    // cuDF skiprows/byte_range intentionally absent: Spark's file-split model
-    // owns intra-file positioning; header skipping is the `header` option.
+    o.comment.foreach(c => r = r.option("comment", c.toString))
     r = o.dtype match {
-      case Some(schema) => r.schema(schema)
+      case Some(schema) =>
+        val readSchema = StructType(schema.fields.map(f =>
+          if (stringStaged.contains(f.name)) f.copy(dataType = StringType) else f))
+        r.schema(readSchema)
       case None => r.option("inferSchema", true)
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
         .option("dateFormat", "yyyy-MM-dd")
     }
     if (!o.parseDates && o.dtype.isEmpty) r = r.option("preferDate", false)
-    val df = r.csv(path)
+
+    // skiprows/skipfooter operate on RAW lines (before the header option is
+    // applied to what remains — pandas semantics), via the Dataset[String]
+    // overload of the CSV reader.
+    val df =
+      if (o.skiprows > 0 || o.skipfooter > 0) {
+        val lines = spark.read.textFile(path)
+        val indexed = lines.rdd.zipWithIndex()
+        val hi = if (o.skipfooter > 0) indexed.count() - o.skipfooter else Long.MaxValue
+        val lo = o.skiprows.toLong
+        val kept = indexed.filter { case (_, i) => i >= lo && i < hi }.map(_._1)
+        r.csv(spark.createDataset(kept)(org.apache.spark.sql.Encoders.STRING))
+      } else r.csv(path)
+
     val named = if (o.names.nonEmpty) df.toDF(o.names: _*) else df
-    if (o.usecols.nonEmpty) named.select(o.usecols.map(named.col): _*) else named
+    val limited = if (o.nrows >= 0) named.limit(o.nrows.toInt) else named
+
+    // Single post-read projection: extra na markers, thousands strip,
+    // boolean spellings, per-column date parse, staged casts.
+    val extraNa = o.naValues.drop(1)
+    val projected = limited.select(limited.schema.fields.map { f =>
+      val base = col(f.name)
+      val naCleared =
+        if (extraNa.nonEmpty && f.dataType == StringType)
+          when(base.isin(o.naValues: _*), lit(null)).otherwise(base)
+        else base
+      val out = stringStaged.get(f.name) match {
+        case Some(BooleanType) =>
+          when(naCleared.isNull, lit(null))
+            .when(naCleared.isin(o.trueValues ++ Seq("true", "True", "TRUE", "1"): _*), lit(true))
+            .when(naCleared.isin(o.falseValues ++ Seq("false", "False", "FALSE", "0"): _*), lit(false))
+            .otherwise(lit(null)).cast(BooleanType)
+        case Some(num) =>
+          regexp_replace(naCleared,
+            java.util.regex.Pattern.quote(o.thousands.get.toString), "").cast(num)
+        case _ if o.parseDatesCols.contains(f.name) => to_timestamp(naCleared)
+        case _ => naCleared
+      }
+      out.as(f.name)
+    }.toSeq: _*)
+    if (o.usecols.nonEmpty) projected.select(o.usecols.map(projected.col): _*) else projected
   }
 
   /** to_csv (cudf/io/csv.py:108). `single` coalesces to one output file the

