@@ -16,9 +16,13 @@ import graft.text.TextFunctions._
   *    re-joins the shingle sets for candidates only — at 100 TB the candidate
   *    set is orders of magnitude smaller than the corpus.
   *  - simhash: one 64-bit value per doc; near-dup buckets = groupBy.
-  *  - embedding cosine: brute force is O(n²)/quadratic shuffle — bounded here
-  *    to a keyed self-join sample; the scalable path is the LSH variant in
-  *    SimilarityQueries (random-hyperplane buckets).
+  *  - n-gram Jaccard: DF-capped inverted-index candidate pairs (posting-list
+  *    self-join), exact verify on candidates only.
+  *  - embedding cosine: banded random-hyperplane LSH candidates (2 tables ×
+  *    4 sign bits), exact cosine verify on candidates only.
+  * Every join in this pack is an equi-join on a short key; there is no
+  * CartesianProduct / BroadcastNestedLoopJoin anywhere (asserted repo-wide
+  * in PlanSpec's cartesian sweep).
   */
 object DedupQueries extends QueryPack {
 
@@ -195,52 +199,109 @@ object DedupQueries extends QueryPack {
       .orderBy("d1", "d2")
   }
 
-  // --- n-gram Jaccard pairwise (bounded self-join; verification-grade) ------
+  // --- n-gram Jaccard via DF-capped inverted index (scale path, no x-join) --
+  // Candidate generation is a posting-list self-join: explode docs to
+  // (shingle, doc_id), keep shingles whose document frequency is in [2, 20]
+  // (df=1 can't pair; df>20 is a stopword-shingle whose posting list would
+  // expand quadratically — the standard all-pairs-similarity pruning), and
+  // pair up within each posting list. Shuffle payload is (shingle, id) only;
+  // per-key pair fan-out is bounded by df² ≤ 400. Exact n-gram Jaccard then
+  // verifies candidates only. Recall contract: finds every pair sharing at
+  // least one non-stopword shingle — the same contract production near-dup
+  // pipelines ship with.
   register("dedup_ngram_jaccard",
-    s"""$sqlShingles
-       |SELECT a.doc_id AS d1, b.doc_id AS d2,
-       |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-       |        len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE a.doc_id <= 300 AND b.doc_id <= 300
-       |  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-       |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2
+    s"""$sqlShingles,
+       |inv AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+       |rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) BETWEEN 2 AND 20),
+       |post AS (SELECT i.doc_id, i.g FROM inv i JOIN rare r ON i.g = r.g),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id)
+       |SELECT d1, d2,
+       |  round(CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(s1.shingles, s2.shingles))), 6) AS jaccard
+       |FROM cand JOIN sh s1 ON s1.doc_id = d1 JOIN sh s2 ON s2.doc_id = d2
+       |WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.2
        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-    val sh = Tables.documents(s, d)
-      .filter(col("doc_id") <= 300)
+    val docs = Tables.documents(s, d)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
-    val a = sh.select(col("doc_id").as("d1"), col("sh").as("sh1"))
-    val b = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
-    a.crossJoin(b)
+      .filter(size(col("sh")) >= 1)
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+    val rare = inv.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 20))
+      .select("g")
+    val post = inv.join(rare, Seq("g"))
+    val cand = post.select(col("g"), col("doc_id").as("d1"))
+      .join(post.select(col("g"), col("doc_id").as("d2")), Seq("g"))
       .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val candIds = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    val candSh = Tables.documents(s, d)
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    cand
+      .join(candSh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+      .join(candSh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .filter(col("jaccard") >= 0.2)
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("d1", "d2")
   }
 
-  // --- embedding-cosine near-dup (bounded exact; scale path = LSH buckets) --
+  // --- embedding-cosine near-dup via banded hyperplane LSH (no x-join) ------
+  // Candidates come from 2 hash tables of 4 sign bits each (integer-exact
+  // hyperplanes, same family as sim_lsh_buckets): a pair is a candidate if it
+  // collides in EITHER band — the multi-table construction that trades one
+  // all-pairs crossJoin for two equi-joins on (band, 4-bit key). Exact cosine
+  // then verifies candidates only. Recall contract: pairs must agree on all 4
+  // sign bits of one band (standard hyperplane-LSH guarantee; more
+  // tables/fewer bits per table raise recall).
   register("dedup_embedding_cosine",
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <= 150)
-      |SELECT a.vec_id AS v1, b.vec_id AS v2,
-      |  round(list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
-      |    / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
-      |     * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))), 6) AS cosine
-      |FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |WHERE list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
-      |    / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
-      |     * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))) >= 0.3
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |bk AS (SELECT vec_id, band,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 4)), (acc, jj) ->
+      |    acc + CASE WHEN list_reduce(list_transform(range(1, len(v) + 1),
+      |        i -> v[i] * (((i - 1) * 31 + (band * 4 + jj) * 17) % 7 - 3)), (x, y) -> x + y) > 0
+      |      THEN CAST(power(2, jj) AS BIGINT) ELSE 0 END) AS bkey
+      |  FROM e, (SELECT unnest(range(0, 2)) AS band) bands),
+      |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+      |         FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+      |            AND a.vec_id < b.vec_id)
+      |SELECT v1, v2,
+      |  round(list_reduce(list_transform(range(1, len(e1.v) + 1), i -> e1.v[i] * e2.v[i]), (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_transform(e1.v, x -> x * x), (x, y) -> x + y))
+      |     * sqrt(list_reduce(list_transform(e2.v, x -> x * x), (x, y) -> x + y))), 6) AS cosine
+      |FROM cand JOIN e e1 ON e1.vec_id = v1 JOIN e e2 ON e2.vec_id = v2
+      |WHERE list_reduce(list_transform(range(1, len(e1.v) + 1), i -> e1.v[i] * e2.v[i]), (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_transform(e1.v, x -> x * x), (x, y) -> x + y))
+      |     * sqrt(list_reduce(list_transform(e2.v, x -> x * x), (x, y) -> x + y))) >= 0.3
       |ORDER BY v1, v2""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
-      .filter(col("vec_id") <= 150)
       .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
-    val a = e.select(col("vec_id").as("v1"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("v2"), col("v").as("vb"))
+    val planeDot = (v: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =>
+      aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * ((i * 31 + j * 17) % 7 - 3).cast(DoubleType)),
+        lit(0.0), (x, y) => x + y)
+    val bandKey = (band: Int) => aggregate(
+      sequence(lit(0), lit(3)), lit(0L),
+      (acc, jj) => acc + when(planeDot(col("v"), lit(band * 4) + jj) > 0,
+        pow(lit(2.0), jj).cast(LongType)).otherwise(0L))
+    val keyed = e.select(col("vec_id"),
+      posexplode(array(bandKey(0), bandKey(1))).as(Seq("band", "bkey")))
+    val cand = keyed.select(col("band"), col("bkey"), col("vec_id").as("v1"))
+      .join(keyed.select(col("band"), col("bkey"), col("vec_id").as("v2")),
+        Seq("band", "bkey"))
+      .filter(col("v1") < col("v2"))
+      .select("v1", "v2").distinct()
     val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (x, y) => x + y)
     val na = sqrt(aggregate(transform(col("va"), x => x * x), lit(0.0), (x, y) => x + y))
     val nb = sqrt(aggregate(transform(col("vb"), x => x * x), lit(0.0), (x, y) => x + y))
-    a.crossJoin(b)
-      .filter(col("v1") < col("v2"))
+    cand
+      .join(e.select(col("vec_id").as("v1"), col("v").as("va")), Seq("v1"))
+      .join(e.select(col("vec_id").as("v2"), col("v").as("vb")), Seq("v2"))
       .withColumn("cosine", dot / (na * nb))
       .filter(col("cosine") >= 0.3)
       .select(col("v1"), col("v2"), round(col("cosine"), 6).as("cosine"))

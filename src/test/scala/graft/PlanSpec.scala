@@ -90,6 +90,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  // Queries where a cartesian/nested-loop join is the DOCUMENTED intent,
+  // with the reason it is acceptable. Everything else must plan equi-joins.
+  private val cartesianExempt: Map[String, String] = Map(
+    "join_cross" -> "the cross-join operator itself is under test",
+    "join_conditional" -> "non-equi predicate join over two broadcastable dims",
+    "sim_bruteforce_topk" -> "exact ANN baseline: corpus x broadcast query set",
+    "sim_ivf_assign" -> "corpus x broadcast centroid set (k centroids, k tiny)",
+    "sort_searchsorted" -> "attaches one broadcast aggregate row to every row",
+    "reshape_qcut" -> "attaches one broadcast quantile-edges row to every row",
+    "reshape_transpose" -> "documented small-data contract (driver-side shape)"
+  )
+
+  test("repo-wide sweep: no undocumented cartesian/nested-loop joins") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      if (cartesianExempt.contains(name)) None
+      else {
+        val p = executedPlan(name)
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"queries planning cartesian/BNLJ without an exemption: $offenders")
+  }
+
   test("every query registers an oracle") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
