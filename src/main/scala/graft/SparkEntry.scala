@@ -29,6 +29,7 @@ object SparkEntry {
     IoQueries,
     UdfQueries,
     IndexQueries,
+    SeriesQueries,
     MultimodalQueries
   )
 
