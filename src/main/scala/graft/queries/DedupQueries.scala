@@ -19,7 +19,8 @@ import graft.text.TextFunctions._
   *  - n-gram Jaccard: DF-capped inverted-index candidate pairs (posting-list
   *    self-join), exact verify on candidates only.
   *  - embedding cosine: banded random-hyperplane LSH candidates (2 tables ×
-  *    4 sign bits), exact cosine verify on candidates only.
+  *    12 sign bits, per-bucket candidate cap ⇒ linear-in-N pair count),
+  *    exact cosine verify on candidates only.
   * Every join in this pack is an equi-join on a short key; there is no
   * CartesianProduct / BroadcastNestedLoopJoin anywhere (asserted repo-wide
   * in PlanSpec's cartesian sweep).
@@ -251,23 +252,39 @@ object DedupQueries extends QueryPack {
   }
 
   // --- embedding-cosine near-dup via banded hyperplane LSH (no x-join) ------
-  // Candidates come from 2 hash tables of 4 sign bits each (integer-exact
-  // hyperplanes, same family as sim_lsh_buckets): a pair is a candidate if it
-  // collides in EITHER band — the multi-table construction that trades one
-  // all-pairs crossJoin for two equi-joins on (band, 4-bit key). Exact cosine
-  // then verifies candidates only. Recall contract: pairs must agree on all 4
-  // sign bits of one band (standard hyperplane-LSH guarantee; more
-  // tables/fewer bits per table raise recall).
+  // Candidates come from 2 hash tables of 12 sign bits each. Cost bound, the
+  // property that survives 100×: (a) key width — 12 bits ≈ log₂N at test
+  // scale (at production N, widen to ceil(log₂N): the per-band bucket count
+  // tracks N, so E[bucket size] stays O(1)); (b) a HARD per-bucket cap —
+  // buckets with more than MaxBucket members are dropped before pairing
+  // (the embedding-space analogue of the n-gram df cap above), so total
+  // candidate pairs ≤ (N/MaxBucket)·C(MaxBucket,2) < N·MaxBucket/2 — LINEAR
+  // in N for any key width and any data skew, never Θ(N²). Recall contract:
+  // a pair is found iff it agrees on all 12 sign bits of one band and its
+  // bucket is not degenerate-dense (dropped dense buckets are re-findable by
+  // widening keys — the documented production knob).
+  //
+  // Sign bits are computed on QUANTIZED integer components
+  // (xi = floor(1000·x): exact in IEEE — float mantissa 24 bits × 1000 < 2⁵³)
+  // so every hyperplane dot is integer arithmetic: the sign is exact and
+  // independent of summation order, which lets the dots be computed by
+  // explode → 24 codegen sum() aggregates with map-side partials — NOT by
+  // nested interpreted higher-order aggregates duplicated through the band
+  // posexplode (the 30×-measured trap documented at dedup_minhash_lsh).
   register("dedup_embedding_cosine",
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000) AS BIGINT)) AS xi,
+      |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |bk AS (SELECT vec_id, band,
-      |  list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 4)), (acc, jj) ->
-      |    acc + CASE WHEN list_reduce(list_transform(range(1, len(v) + 1),
-      |        i -> v[i] * (((i - 1) * 31 + (band * 4 + jj) * 17) % 7 - 3)), (x, y) -> x + y) > 0
-      |      THEN CAST(power(2, jj) AS BIGINT) ELSE 0 END) AS bkey
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 12)), (acc, jj) ->
+      |    acc + CASE WHEN list_reduce(list_transform(range(1, len(xi) + 1),
+      |        i -> xi[i] * (((i - 1) * 31 + (band * 12 + jj) * 17) % 7 - 3)), (x, y) -> x + y) > 0
+      |      THEN (CAST(1 AS BIGINT) << jj) ELSE 0 END) AS bkey
       |  FROM e, (SELECT unnest(range(0, 2)) AS band) bands),
+      |ok AS (SELECT band, bkey FROM bk GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 50),
+      |pr AS (SELECT b.vec_id, b.band, b.bkey FROM bk b JOIN ok USING (band, bkey)),
       |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
-      |         FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+      |         FROM pr a JOIN pr b ON a.band = b.band AND a.bkey = b.bkey
       |            AND a.vec_id < b.vec_id)
       |SELECT v1, v2,
       |  round(list_reduce(list_transform(range(1, len(e1.v) + 1), i -> e1.v[i] * e2.v[i]), (x, y) -> x + y)
@@ -278,21 +295,35 @@ object DedupQueries extends QueryPack {
       |    / (sqrt(list_reduce(list_transform(e1.v, x -> x * x), (x, y) -> x + y))
       |     * sqrt(list_reduce(list_transform(e2.v, x -> x * x), (x, y) -> x + y))) >= 0.3
       |ORDER BY v1, v2""".stripMargin) { (s, d) =>
+    val BitsPerBand = 12 // ≈ log₂N at test scale; production: ceil(log₂N)
+    val NBands = 2
+    val MaxBucket = 50 // hard cap ⇒ candidates ≤ N·MaxBucket/2, linear in N
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
-    val planeDot = (v: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =>
-      aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * ((i * 31 + j * 17) % 7 - 3).cast(DoubleType)),
-        lit(0.0), (x, y) => x + y)
-    val bandKey = (band: Int) => aggregate(
-      sequence(lit(0), lit(3)), lit(0L),
-      (acc, jj) => acc + when(planeDot(col("v"), lit(band * 4) + jj) > 0,
-        pow(lit(2.0), jj).cast(LongType)).otherwise(0L))
-    val keyed = e.select(col("vec_id"),
-      posexplode(array(bandKey(0), bandKey(1))).as(Seq("band", "bkey")))
-    val cand = keyed.select(col("band"), col("bkey"), col("vec_id").as("v1"))
-      .join(keyed.select(col("band"), col("bkey"), col("vec_id").as("v2")),
+    // One explode pass: (vec_id, dim, quantized component). The 24 hyperplane
+    // dots are plain integer sum() aggregates — whole-stage codegen with
+    // map-side partial aggregation; the shuffle carries (vec_id, 24 longs).
+    val dims = e.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"), floor(col("x") * 1000).cast(LongType).as("xi"))
+    val dotCols = (0 until NBands * BitsPerBand).map { j =>
+      sum(col("xi") * ((col("i") * 31 + lit(j * 17)) % 7 - 3)).as(s"dot$j")
+    }
+    val dots = dims.groupBy(col("vec_id")).agg(dotCols.head, dotCols.tail: _*)
+    val bandKey = (band: Int) =>
+      (0 until BitsPerBand).map { jj =>
+        when(col(s"dot${band * BitsPerBand + jj}") > 0, lit(1L << jj)).otherwise(0L)
+      }.reduce(_ + _)
+    val keyed = dots.select(col("vec_id"),
+      posexplode(array((0 until NBands).map(bandKey): _*)).as(Seq("band", "bkey")))
+    // Per-bucket cap: drop degenerate-dense buckets BEFORE pairing — the
+    // df-cap pattern from dedup_ngram_jaccard applied to hash buckets.
+    val okBuckets = keyed.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, MaxBucket))
+      .select("band", "bkey")
+    val pruned = keyed.join(okBuckets, Seq("band", "bkey"))
+    val cand = pruned.select(col("band"), col("bkey"), col("vec_id").as("v1"))
+      .join(pruned.select(col("band"), col("bkey"), col("vec_id").as("v2")),
         Seq("band", "bkey"))
       .filter(col("v1") < col("v2"))
       .select("v1", "v2").distinct()
