@@ -30,6 +30,7 @@ object SparkEntry {
     UdfQueries,
     IndexQueries,
     SeriesQueries,
+    CategoricalQueries,
     MultimodalQueries
   )
 
