@@ -38,7 +38,9 @@ final class GdfFrame(val df: DataFrame, val indexCol: String) extends GdfFrameOp
     df.orderBy(idx.desc).limit(n).orderBy(idx.asc)
 
   /** shift(periods) of `valueCol` along the index (dataframe.py:3089).
-    * Requires a unique index (the facade's standing contract).
+    * Requires a unique index (the facade's standing contract). Negative
+    * periods shift values from LATER rows (pandas shift(-n)) — same
+    * algorithm run over the flipped sort direction.
     *
     * Scalable two-phase form: range-repartition by index and lag within each
     * partition (parallel windows keyed by partition id). Only the EDGE SET —
@@ -51,25 +53,28 @@ final class GdfFrame(val df: DataFrame, val indexCol: String) extends GdfFrameOp
     * task.
     */
   def shift(valueCol: String, outCol: String, periods: Int = 1): DataFrame = {
-    require(periods >= 1, "periods must be >= 1 (negative shift: flip the sort)")
+    require(periods != 0, "shift(0) is the identity; use periods != 0")
+    val p = math.abs(periods)
+    val ord = if (periods > 0) idx.asc else idx.desc
+    val ordRev = if (periods > 0) idx.desc else idx.asc
     val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val ranged = df.repartitionByRange(nPart, idx.asc)
+    val ranged = df.repartitionByRange(nPart, ord)
       .withColumn("__pid", spark_partition_id())
-    val wAsc = Window.partitionBy(col("__pid")).orderBy(idx.asc)
-    val wDesc = Window.partitionBy(col("__pid")).orderBy(idx.desc)
+    val wFwd = Window.partitionBy(col("__pid")).orderBy(ord)
+    val wRev = Window.partitionBy(col("__pid")).orderBy(ordRev)
     val local = ranged
-      .withColumn("__rn", row_number().over(wAsc))
-      .withColumn("__rr", row_number().over(wDesc))
-      .withColumn(outCol, lag(col(valueCol), periods).over(wAsc))
-    val edge = local.filter(col("__rn") <= periods || col("__rr") <= periods)
+      .withColumn("__rn", row_number().over(wFwd))
+      .withColumn("__rr", row_number().over(wRev))
+      .withColumn(outCol, lag(col(valueCol), p).over(wFwd))
+    val edge = local.filter(col("__rn") <= p || col("__rr") <= p)
       .select(idx, col(valueCol))
     val edgeLag = edge
-      .withColumn("__edge_lag", lag(col(valueCol), periods).over(Window.orderBy(idx.asc)))
+      .withColumn("__edge_lag", lag(col(valueCol), p).over(Window.orderBy(ord)))
       .select(idx.as("__eidx"), col("__edge_lag"))
     local
       .join(broadcast(edgeLag), idx === col("__eidx"), "left")
       .withColumn(outCol,
-        when(col("__rn") <= periods, col("__edge_lag")).otherwise(col(outCol)))
+        when(col("__rn") <= p, col("__edge_lag")).otherwise(col(outCol)))
       .drop("__pid", "__rn", "__rr", "__eidx", "__edge_lag")
   }
 

@@ -45,6 +45,22 @@ object IndexQueries extends QueryPack {
       .orderBy("o_orderkey")
   }
 
+  // --- negative shift: values from LATER rows (pandas shift(-n)) ------------
+  // Same two-phase boundary-repair algorithm, run over the flipped sort.
+  register("idx_shift_neg",
+    """SELECT o_orderkey,
+      |  lead(o_totalprice, 2) OVER (ORDER BY o_orderkey) AS next2
+      |FROM orders WHERE o_orderkey <= 3000
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d)
+      .filter(col("o_orderkey") <= 3000)
+      .select("o_orderkey", "o_totalprice")
+    GdfFrame(base, "o_orderkey")
+      .shift("o_totalprice", "next2", periods = -2)
+      .select("o_orderkey", "next2")
+      .orderBy("o_orderkey")
+  }
+
   // --- shift with periods=3 (multi-row boundary repair) ---------------------
   register("idx_shift3",
     """SELECT o_orderkey,

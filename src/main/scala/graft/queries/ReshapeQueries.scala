@@ -43,6 +43,25 @@ object ReshapeQueries extends QueryPack {
       .orderBy("l_linestatus")
   }
 
+  // --- pivot with RUNTIME value discovery (reshape.py:843 pivot_table) ------
+  // No hardcoded value list on either side: Spark's .pivot(col) collects the
+  // distinct priorities at plan time (bounded by spark.sql.pivotMaxValues),
+  // DuckDB's PIVOT discovers its own. Priority strings contain spaces — the
+  // discovered names are used verbatim as column names by both engines.
+  register("reshape_pivot_dynamic",
+    """SELECT * FROM (
+      |  PIVOT (SELECT o_orderstatus, o_orderpriority,
+      |           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+      |         FROM orders GROUP BY 1, 2)
+      |  ON o_orderpriority USING first(tp) GROUP BY o_orderstatus)
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority") // values discovered from the data
+      .agg(GF.sumMoney(col("o_totalprice")))
+      .orderBy("o_orderstatus")
+  }
+
   // --- explode / posexplode (lists/explode.hpp:63,107) ----------------------
   register("reshape_explode",
     """SELECT vec_id, unnest(embedding) AS val

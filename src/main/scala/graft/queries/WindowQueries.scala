@@ -137,6 +137,29 @@ object WindowQueries extends QueryPack {
       .orderBy("c_mktsegment", "c_custkey")
   }
 
+  // --- rank method="average"/"max" (sorting.hpp:31-36 rank_method) ----------
+  // Composites over rank_min and the tie count: average = min + (ties−1)/2,
+  // max = min + ties − 1. One extra unordered window over (keys, value) —
+  // both windows share the same (c_mktsegment) shuffle partitioning, so the
+  // second adds no exchange. Ranked on c_nationkey, which is tie-heavy.
+  register("win_rank_avg_max",
+    """SELECT c_mktsegment, c_custkey, c_nationkey,
+      |  rank() OVER w + (count(*) OVER t - 1) / 2.0 AS rank_avg,
+      |  rank() OVER w + count(*) OVER t - 1 AS rank_max
+      |FROM customer WHERE c_custkey <= 400
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_nationkey),
+      |       t AS (PARTITION BY c_mktsegment, c_nationkey)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_nationkey"))
+    val t = Window.partitionBy(col("c_mktsegment"), col("c_nationkey"))
+    Tables.customer(s, d)
+      .filter(col("c_custkey") <= 400)
+      .withColumn("rank_avg", rank().over(w) + (count(lit(1)).over(t) - 1) / 2.0)
+      .withColumn("rank_max", rank().over(w) + count(lit(1)).over(t) - 1)
+      .select("c_mktsegment", "c_custkey", "c_nationkey", "rank_avg", "rank_max")
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
   // --- group scans: cumsum / cummax / cumcount (groupby/sort/scan.cpp) ------
   register("win_group_scan",
     """SELECT o_custkey, o_orderkey,

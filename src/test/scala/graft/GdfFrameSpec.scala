@@ -22,13 +22,14 @@ class GdfFrameSpec extends AnyFunSuite {
       val base = spark.sparkContext
         .parallelize(scala.util.Random.shuffle((1 to 200).toList), parts)
         .toDF("i").withColumn("v", col("i") * 10)
-      for (periods <- Seq(1, 3)) {
+      for (periods <- Seq(1, 3, -1, -2)) {
         val got = GdfFrame(base, "i").shift("v", "prev", periods)
           .select("i", "prev").collect()
           .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
           .toMap
         (1 to 200).foreach { i =>
-          val expected = if (i > periods) Some((i - periods) * 10) else None
+          val src = i - periods
+          val expected = if (src >= 1 && src <= 200) Some(src * 10) else None
           assert(got(i) == expected, s"parts=$parts periods=$periods i=$i")
         }
       }
