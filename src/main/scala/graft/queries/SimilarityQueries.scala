@@ -133,6 +133,83 @@ object SimilarityQueries extends QueryPack {
       .orderBy(col("qid"), col("cosine").desc, col("nid"))
   }
 
+  // --- 3a. IVF k-means TRAINING: 3 Lloyd's iterations + final assignment ----
+  // Distributed k-means the way Spark MLlib does it: per iteration, assign
+  // every vector to its nearest centroid (a projection against k broadcast
+  // centroid literals — the corpus never shuffles), then re-centroid with one
+  // hash aggregation; only k·dim numbers (the new centroids) ever reach the
+  // driver. Determinism contract, which is what lets DuckDB replicate the
+  // run exactly instead of pinning a golden literal: components quantized to
+  // floor(1000·x) make every iteration-1 distance an exact integer, per-dim
+  // means are exact-integer-sum / count (order-independent), and later
+  // distances fold left over identical doubles in both engines. Ties break
+  // to the lowest cid on both sides.
+  register("sim_ivf_train_assign", {
+    val dist = (xi: String, cv: String) =>
+      s"list_reduce(list_transform(range(1, len($xi) + 1), " +
+        s"i -> ($xi[i] - $cv[i]) * ($xi[i] - $cv[i])), (x, y) -> x + y)"
+    val assign = (src: String, cents: String) =>
+      s"""(SELECT vec_id, cid, xi FROM (
+         |   SELECT e.vec_id, c.cid, e.xi,
+         |     row_number() OVER (PARTITION BY e.vec_id
+         |       ORDER BY ${dist("e.xi", "c.cv")}, c.cid) AS rn
+         |   FROM $src e, $cents c) WHERE rn = 1)""".stripMargin
+    val recenter = (asg: String) =>
+      s"""(SELECT cid, list(m ORDER BY i) AS cv FROM (
+         |   SELECT cid, i, CAST(sum(x) AS DOUBLE) / count(*) AS m FROM (
+         |     SELECT cid, generate_subscripts(xi, 1) AS i, unnest(xi) AS x
+         |     FROM $asg) GROUP BY cid, i) GROUP BY cid)""".stripMargin
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1000)) AS xi
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, xi AS cv FROM e WHERE vec_id < 4),
+       |a1 AS ${assign("e", "c0")},
+       |c1 AS ${recenter("a1")},
+       |a2 AS ${assign("e", "c1")},
+       |c2 AS ${recenter("a2")},
+       |a3 AS ${assign("e", "c2")},
+       |c3 AS ${recenter("a3")},
+       |af AS ${assign("e", "c3")}
+       |SELECT cid, count(*) AS cell_size,
+       |  round(sum(xi[1]) / count(*), 6) AS mean_dim0
+       |FROM af GROUP BY cid ORDER BY cid""".stripMargin
+  }) { (s, d) =>
+    val k = 4
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(DoubleType))
+          .as("xi"))
+    // seed centroids: quantized vectors 0..k-1 (k rows to the driver)
+    var cents: IndexedSeq[Seq[Double]] = e.filter(col("vec_id") < k).orderBy("vec_id")
+      .collect().map(_.getSeq[Double](1)).toIndexedSeq
+    // nearest-centroid assignment against k literal centroids; ties → lowest cid
+    def assigned() = {
+      val dists = array(cents.map(c =>
+        aggregate(zip_with(col("xi"), typedlit(c), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (x, y) => x + y)): _*)
+      e.withColumn("cid", (array_position(dists, array_min(dists)) - 1).cast(IntegerType))
+    }
+    for (_ <- 1 to 3) {
+      // re-centroid: exact integer sums per (cid, dim); k·dim rows collect
+      val means = assigned()
+        .select(col("cid"), posexplode(col("xi")).as(Seq("i", "x")))
+        .groupBy(col("cid"), col("i"))
+        .agg((sum(col("x")) / count(lit(1))).as("m"))
+        .collect()
+      val byCid = means.groupBy(_.getInt(0))
+      cents = (0 until k).map { cid =>
+        byCid.get(cid) // empty cluster keeps its centroid (MLlib convention)
+          .map(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+          .getOrElse(cents(cid))
+      }
+    }
+    assigned()
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("cell_size"),
+        round(sum(element_at(col("xi"), 1)) / count(lit(1)), 6).as("mean_dim0"))
+      .orderBy("cid")
+  }
+
   // --- 3. IVF-style coarse assignment (centroids = seed vectors 0..3) -------
   register("sim_ivf_assign",
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
