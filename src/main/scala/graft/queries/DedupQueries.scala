@@ -27,6 +27,35 @@ import graft.text.TextFunctions._
   */
 object DedupQueries extends QueryPack {
 
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** Opt-in shingle-relation caching. MEASURED at sf0.1 (local[32], noop
+    * writes): persisting the (doc_id, shingles) relation made every LSH
+    * query SLOWER (dedup_ngram_jaccard 9.1 → 12.6 s) — the codegen'd
+    * WordShingles recompute over a column-pruned parquet scan is cheaper
+    * than serializing string arrays into the block store, and the persist
+    * also forces full-corpus shingling on the verify side where the lazy
+    * plan shingles candidates only (the semi-join runs BEFORE the shingle
+    * projection). Default is therefore lazy recompute; flip the env knob on
+    * clusters where the scan itself is the bottleneck (cold object stores).
+    */
+  private val PersistShingles = sys.env.get("GRAFT_PERSIST_SHINGLES").contains("1")
+
+  /** One shared shingle source per query: `docs` for index/signature
+    * building, and a candidate-verify accessor that re-derives shingles for
+    * the (small) candidate id set — O(candidates), not O(corpus). */
+  private def shingleSource(s: SparkSession, d: String): (DataFrame, DataFrame => DataFrame) = {
+    val base = Tables.documents(s, d)
+    val docs = base.select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) >= 1)
+    if (PersistShingles) {
+      val cached = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (cached, candIds => cached.join(candIds, Seq("doc_id"), "left_semi"))
+    } else
+      (docs, candIds => base.join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), shingles(col("text")).as("sh")))
+  }
+
   private def sqlPolyHash(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($e, ''), ch -> CAST(ascii(ch) AS BIGINT))), " +
@@ -80,9 +109,7 @@ object DedupQueries extends QueryPack {
     // (band, bkey, doc_id) — ~32 bytes/doc/band — never the shingle arrays.
     // Shingles are re-joined for the (distinct) candidate id-pairs only,
     // which at 100 TB is orders of magnitude smaller than the corpus.
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) >= 1)
+    val (docs, candShOf) = shingleSource(s, d)
     // Signature computation is explode-based, NOT nested array expressions:
     // Catalyst collapses chained projections into the band-explode and
     // re-evaluates the (interpreted, higher-order-function) minhash tree per
@@ -111,9 +138,7 @@ object DedupQueries extends QueryPack {
     // is O(candidates), not O(corpus).
     val candIds = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
-    val candSh = Tables.documents(s, d)
-      .join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val candSh = candShOf(candIds)
     cand
       .join(candSh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
       .join(candSh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
@@ -167,9 +192,7 @@ object DedupQueries extends QueryPack {
        |WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
        |      len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.2
        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) >= 1)
+    val (docs, candShOf) = shingleSource(s, d)
     val fp = docs
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), polyHash(col("shingle")).as("fp"))
@@ -188,9 +211,7 @@ object DedupQueries extends QueryPack {
       .select("d1", "d2").distinct()
     val candIds = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
-    val candSh = Tables.documents(s, d)
-      .join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val candSh = candShOf(candIds)
     cand
       .join(candSh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
       .join(candSh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
@@ -224,9 +245,7 @@ object DedupQueries extends QueryPack {
        |WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
        |      len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.2
        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) >= 1)
+    val (docs, candShOf) = shingleSource(s, d)
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("g"))
     val rare = inv.groupBy(col("g"))
       .agg(count(lit(1)).as("df"))
@@ -239,9 +258,7 @@ object DedupQueries extends QueryPack {
       .select("d1", "d2").distinct()
     val candIds = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
-    val candSh = Tables.documents(s, d)
-      .join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val candSh = candShOf(candIds)
     cand
       .join(candSh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
       .join(candSh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))

@@ -107,6 +107,49 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // --- character_tokenize + normalize_characters (tokenize.hpp:96,
+  // normalize.hpp:72). The accent table only bites on injected literals —
+  // the synthetic corpus is ASCII — so the normalization path is exercised
+  // with a seeded accented prefix per row.
+  register("text_char_tokenize",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ')[1] AS w FROM documents WHERE doc_id <= 200)
+      |SELECT doc_id,
+      |  array_to_string(string_split_regex(w, ''), '|') AS chars,
+      |  length(w) AS n_chars,
+      |  translate(lower('Éclair-Über_' || w),
+      |    'àáâãäåçèéêëìíîïñòóôõöùúûüýÿ', 'aaaaaaceeeeiiiinooooouuuuyy') AS normalized
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = element_at(tokenize(col("text")), 1)
+    Tables.documents(s, d)
+      .filter(col("doc_id") <= 200)
+      .select(col("doc_id"),
+        array_join(characterTokenize(w), "|").as("chars"),
+        length(w).as("n_chars"),
+        normalizeCharacters(concat(lit("Éclair-Über_"), w)).as("normalized"))
+      .orderBy("doc_id")
+  }
+
+  // --- edit-distance MATRIX (edit_distance.hpp:89 edit_distance_matrix):
+  // all-pairs levenshtein within each row's token list — upper triangle,
+  // flattened to (doc_id, i, j, lev). Per-row work is C(4,2) pairs; the
+  // operator is a pure projection + two generators, no shuffle at all.
+  register("text_edit_distance_matrix",
+    """WITH t AS (SELECT doc_id, list_slice(string_split(text, ' '), 1, 4) AS tk
+      |  FROM documents WHERE doc_id <= 30),
+      |a AS (SELECT doc_id, tk, generate_subscripts(tk, 1) - 1 AS i, unnest(tk) AS ti FROM t),
+      |b AS (SELECT doc_id, i, ti, generate_subscripts(tk, 1) - 1 AS j, unnest(tk) AS tj FROM a)
+      |SELECT doc_id, i, j, levenshtein(ti, tj) AS lev
+      |FROM b WHERE j > i ORDER BY doc_id, i, j""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") <= 30)
+      .select(col("doc_id"), slice(tokenize(col("text")), 1, 4).as("tk"))
+      .select(col("doc_id"), col("tk"), posexplode(col("tk")).as(Seq("i", "ti")))
+      .select(col("doc_id"), col("i"), col("ti"), posexplode(col("tk")).as(Seq("j", "tj")))
+      .filter(col("j") > col("i"))
+      .select(col("doc_id"), col("i"), col("j"), levenshtein(col("ti"), col("tj")).as("lev"))
+      .orderBy("doc_id", "i", "j")
+  }
+
   // --- edit distance (nvtext/edit_distance.hpp) -----------------------------
   register("text_edit_distance",
     """SELECT a.doc_id,

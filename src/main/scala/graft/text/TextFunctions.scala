@@ -115,19 +115,18 @@ object TextFunctions {
 
   /** SimHash over token hashes, `bits` wide: bit j is set iff the sum of
     * ±1 votes (per token, by that token-hash's bit j) is positive.
+    * Bit extraction is an integer shiftright per literal j — exact for the
+    * FULL non-negative 64-bit range (the old floor(h/2^j) float-pow form was
+    * exact only below 2⁵³, a landmine had anyone swapped in xxhash64).
     */
   def simhash(tokens: Column, bits: Int): Column = {
     val hashes = transform(tokens, t => polyHash(t))
-    // bit j of h extracted arithmetically (shift functions take only literal
-    // shift amounts): floor(h / 2^j) mod 2 — exact for h < 2^53.
-    aggregate(
-      sequence(lit(0), lit(bits - 1)),
-      lit(0L),
-      (acc, j) => acc + when(
+    (0 until bits).map { j =>
+      when(
         aggregate(hashes, lit(0L),
-          (s, h) => s + when(
-            floor(h / pow(lit(2.0), j)).cast(LongType) % 2 === 1, 1L).otherwise(-1L)) > 0,
-        pow(lit(2.0), j).cast(LongType)).otherwise(0L))
+          (s, h) => s + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L)) > 0,
+        lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
   }
 
   /** Porter stemmer measure m (nvtext/stemmer.hpp), simplified: vowel runs
@@ -141,6 +140,24 @@ object TextFunctions {
 
   /** normalize_spaces (nvtext/normalize.hpp): collapse runs of whitespace. */
   def normalizeSpaces(s: Column): Column = trim(regexp_replace(s, "\\s+", " "))
+
+  /** character_tokenize (nvtext/tokenize.hpp:96): one token per character.
+    * Guarded: sequence(a, b) counts DOWN for b < a, so empty strings
+    * short-circuit to an empty array. */
+  def characterTokenize(s: Column): Column =
+    when(length(s) >= 1,
+      transform(sequence(lit(1), length(s)), i => s.substr(i, lit(1))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** normalize_characters (nvtext/normalize.hpp:72), simplified to the
+    * engine-checkable core: lowercase + strip a fixed table of accented
+    * latin-1 characters (the reference's full unicode decomposition tables
+    * are data, not algorithm — the per-row, shuffle-free shape is the same).
+    */
+  val AccentFrom = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿ"
+  val AccentTo = "aaaaaaceeeeiiiinooooouuuuyy"
+  def normalizeCharacters(s: Column): Column =
+    translate(lower(s), AccentFrom, AccentTo)
 
   /** replace_tokens / filter_tokens (nvtext/replace.hpp). */
   def replaceTokens(tokens: Column, from: String, to: String): Column =
