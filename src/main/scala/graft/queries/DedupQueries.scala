@@ -175,7 +175,9 @@ object DedupQueries extends QueryPack {
   // only joins are equi-joins on (band, key) and candidate ids. No
   // CartesianProduct / BroadcastNestedLoopJoin anywhere (asserted in
   // DedupPlanSpec).
-  register("dedup_lsh_verified",
+  /** Oracle SQL for the LSH-verified pair set (no final ORDER BY) — shared
+    * by dedup_lsh_verified and the connected-components clustering. */
+  private val sqlLshVerifiedPairs =
     s"""$sqlShingles,
        |fp AS (SELECT doc_id, list_transform(shingles, s -> ${sqlPolyHash("s")}) AS fps FROM sh),
        |mh AS (SELECT doc_id, list_transform(range(0, 8), i -> list_min(list_transform(fps,
@@ -190,8 +192,11 @@ object DedupQueries extends QueryPack {
        |        len(list_distinct(list_concat(s1.shingles, s2.shingles))), 6) AS jaccard
        |FROM cand JOIN sh s1 ON s1.doc_id = d1 JOIN sh s2 ON s2.doc_id = d2
        |WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
-       |      len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.2
-       |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+       |      len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.2""".stripMargin
+
+  /** LSH-verified near-dup pairs (d1 < d2, jaccard ≥ 0.2) — the Spark side
+    * of [[sqlLshVerifiedPairs]]. */
+  private def lshVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     val (docs, candShOf) = shingleSource(s, d)
     val fp = docs
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
@@ -218,7 +223,60 @@ object DedupQueries extends QueryPack {
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .filter(col("jaccard") >= 0.2)
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("d1", "d2")
+  }
+
+  register("dedup_lsh_verified",
+    sqlLshVerifiedPairs + "\nORDER BY d1, d2") { (s, d) =>
+    lshVerifiedPairs(s, d).orderBy("d1", "d2")
+  }
+
+  // --- near-dup CLUSTERS: connected components over the verified pairs ------
+  // The "keep one per cluster" step every production dedup pipeline needs:
+  // pairs are not enough, the transitive closure is (A≈B, B≈C ⇒ drop two of
+  // {A,B,C}). Distributed min-label propagation: every iteration is one
+  // equi-join (edges × labels, both hash-partitioned on the key) plus one
+  // min() aggregate — shuffle volume O(|edges|) per round, iteration count
+  // bounded by the component diameter (near-dup clusters are shallow; the
+  // loop also short-circuits on a converged round). Each round materializes
+  // via persist and drops its predecessor, so lineage stays flat — the same
+  // discipline GraphX/production CC jobs use (checkpoint dir at cluster
+  // scale). The driver sees one Boolean per round, never the labels.
+  register("dedup_connected_components",
+    s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($sqlLshVerifiedPairs)),
+       |e AS (SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |r AS (SELECT d1 AS a, d2 AS b FROM e
+       |      UNION SELECT r.a, e.d2 FROM r JOIN e ON r.b = e.d1 WHERE e.d2 <> r.a),
+       |lab AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM r GROUP BY a)
+       |SELECT component, count(*) AS n_docs, max(doc_id) AS max_doc
+       |FROM lab GROUP BY component ORDER BY component""".stripMargin) { (s, d) =>
+    import org.apache.spark.storage.StorageLevel
+    val pairs = lshVerifiedPairs(s, d).select("d1", "d2")
+    val edges = pairs
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("d1").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 12) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("d2"), col("label").as("nl")), Seq("d2"))
+        .groupBy(col("d1").as("doc_id")).agg(min(col("nl")).as("nmin"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") < col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels
+      .groupBy(col("label").as("component"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
+      .orderBy("component")
   }
 
   // --- n-gram Jaccard via DF-capped inverted index (scale path, no x-join) --
