@@ -183,6 +183,32 @@ object CompactionQueries extends QueryPack {
       .orderBy("o_orderkey")
   }
 
+  // --- stratified sampling: per-group fractions via salted hash -------------
+  // The training-data mixing step (sampleBy / cuDF sample with per-class
+  // weights): keep a row iff its salted content hash lands under the
+  // group's threshold. Pure projection + filter — deterministic,
+  // re-runnable, pushes to the scan, zero shuffle; changing the mix is a
+  // literal map edit, not a re-shuffle.
+  register("filt_sample_stratified",
+    """WITH h AS (SELECT doc_id, lang,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split('salt42_' || CAST(doc_id AS VARCHAR), ''),
+      |      ch -> CAST(ascii(ch) AS BIGINT))), (h, c) -> (h * 31 + c) % 1000000007) % 1000 AS u
+      |  FROM documents)
+      |SELECT doc_id, lang FROM h
+      |WHERE u < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 100 END
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.text.TextFunctions.polyHash
+    val u = polyHash(concat(lit("salt42_"), col("doc_id").cast(StringType))) % 1000
+    val threshold = when(col("lang") === "en", 500)
+      .when(col("lang") === "de", 250).otherwise(100)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), u.as("u"))
+      .filter(col("u") < threshold)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   // --- drop_duplicates keep=first in index order (stream_compaction.hpp:238,
   //     duplicate_keep_option :210; order-honoring via row_number, §7.4) ----
   register("set_drop_duplicates",

@@ -107,6 +107,30 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // --- token-budget packing: assign docs to fixed-budget training bins ------
+  // The batch-assembly step of a training pipeline: documents are packed
+  // into 8192-token bins in stable doc_id order; a doc's bin is decided by
+  // its STARTING offset in the global token stream. The global running
+  // total uses OrderedOps' two-phase numbering (per-partition partials +
+  // broadcast prefix), so the packing of a 100-TB corpus never funnels
+  // through a single task.
+  register("text_token_budget_pack",
+    """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+      |SELECT CAST(floor((cum - n_tokens) / 8192) AS BIGINT) AS bin,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+      |FROM c GROUP BY 1 ORDER BY bin""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), size(tokenize(col("text"))).cast(LongType).as("n_tokens"))
+    graft.ops.OrderedOps
+      .withRunningTotal(base, col("n_tokens"), "cum", Seq(col("doc_id")))
+      .withColumn("bin", floor((col("cum") - col("n_tokens")) / 8192).cast(LongType))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+      .orderBy("bin")
+  }
+
   // --- character_tokenize + normalize_characters (tokenize.hpp:96,
   // normalize.hpp:72). The accent table only bites on injected literals —
   // the synthetic corpus is ASCII — so the normalization path is exercised

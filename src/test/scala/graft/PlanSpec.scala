@@ -90,6 +90,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("cat_codes_roundtrip never shuffles the fact side (broadcast dict)") {
+    val p = executedPlan("cat_codes_roundtrip")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("series_aligned_binop aligns with ONE full-outer shuffle join") {
+    val qe = SparkEntry.queries("series_aligned_binop")(spark, sf).queryExecution
+    val joins = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.joinType.toString
+    }
+    assert(joins == Seq("FullOuter"), joins.mkString(","))
+  }
+
   // Queries where a cartesian/nested-loop join is the DOCUMENTED intent,
   // with the reason it is acceptable. Everything else must plan equi-joins.
   private val cartesianExempt: Map[String, String] = Map(
