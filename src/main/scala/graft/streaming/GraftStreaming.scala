@@ -48,6 +48,16 @@ object GraftStreaming {
       .withWatermark(tsCol, watermarkDur)
       .dropDuplicatesWithinWatermark(Seq(digestCol))
 
+  /** Stream-static dimension enrichment: join each micro-batch against a
+    * small static dimension table. The static side is broadcast into every
+    * micro-batch (no stream-side state at all — unlike stream-stream joins
+    * this needs no watermark bookkeeping), which is the right plan for
+    * enriching a 100-TB/day stream with a dimension that fits an executor:
+    * the stream never shuffles for the join. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String,
+                    how: String = "left"): DataFrame =
+    events.join(broadcast(dim), Seq(key), how)
+
   final case class SessionInput(user: String, tsMillis: Long)
   final case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)
   final case class SessionOutput(user: String, nEvents: Long, durationMillis: Long, closed: Boolean)
