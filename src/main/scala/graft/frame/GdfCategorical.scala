@@ -4,41 +4,48 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.OrderedOps
-
 /** Categorical dtype facade (reference python/cudf/cudf/core/column/
   * categorical.py — CategoricalAccessor: categories/codes/add_categories/
   * remove_categories/rename_categories/reorder_categories).
   *
-  * Faithful to the reference representation: the DATA IS THE CODES — `facts`
-  * carries an integer `codeCol`, and the labels live only in the dictionary
-  * `(category, code)`. That is why rename_categories touches zero fact rows,
-  * and why remove/reorder re-code facts through a code→code broadcast map
-  * rather than re-hashing strings.
+  * Faithful to the reference representation in BOTH directions:
+  *  - the DATA IS THE CODES — `facts` carries an integer `codeCol`; and
+  *  - the DICTIONARY IS METADATA — `categories(i)` is the label for code i,
+  *    held driver-side exactly like cuDF's CategoricalDtype.categories (and
+  *    Spark MLlib's StringIndexer labels). A categorical's cardinality is
+  *    small by definition, so the label list is collected ONCE at
+  *    construction (a distributed distinct; only k strings reach the
+  *    driver) and every dictionary verb afterwards is a pure driver-side
+  *    list transform — zero Spark jobs, zero scans.
   *
-  * Codes are assigned in sorted category order (the deterministic
-  * cross-engine variant of first-appearance order — same convention as
-  * set_factorize), built with the two-phase OrderedOps numbering so the
-  * dictionary build never funnels through one task.
-  *
-  * Scale contract: the dictionary is small by the nature of a categorical
-  * (cardinality ≪ rows), so every fact-touching verb is ONE broadcast-hash
-  * join — re-coding a 100-TB column shuffles nothing, and the string labels
-  * cross the wire exactly once (at construction).
+  * Fact-touching verbs are ONE broadcast-hash join against a
+  * LocalTableScan of the k-row dictionary (plan-audited: the fact side
+  * never shuffles and the dictionary is never recomputed) — re-coding a
+  * 100-TB column moves no data but the broadcast. Label strings cross the
+  * wire exactly once, at construction.
   *
   * pandas semantics pinned here (and in CategoricalSpec):
+  *  - codes assigned in sorted category order at construction (the
+  *    deterministic cross-engine variant of first-appearance order, same
+  *    convention as set_factorize); nulls are never a category.
   *  - rename_categories: 1:1 relabel, codes unchanged, facts untouched.
   *  - remove_categories: removed values' rows get a null code (pandas NaN);
-  *    surviving categories are re-coded in their retained order.
-  *  - add_categories: appended AFTER existing categories (fresh codes at the
-  *    end), present in the dictionary but in no row.
+  *    survivors re-code in retained order.
+  *  - add_categories: appended AFTER existing categories (fresh codes at
+  *    the end), present in the dictionary but in no row.
   *  - reorder_categories: permutation of the existing category set; codes
-  *    follow the new order and facts are re-coded accordingly.
+  *    follow the new order and facts are re-coded through a code→code map.
   */
 final class GdfCategorical(
-    val facts: DataFrame, val codeCol: String, val dict: DataFrame) {
+    val facts: DataFrame, val codeCol: String, val categories: Seq[String]) {
 
-  def categories: DataFrame = dict // (category, code)
+  private def spark = facts.sparkSession
+
+  /** The dictionary as a (category, code) DataFrame — a LocalTableScan. */
+  def dict: DataFrame = {
+    import spark.implicits._
+    categories.zipWithIndex.toDF("category", "code")
+  }
 
   /** Fact rows with labels restored — a broadcast join on the code. Rows
     * whose category was removed decode to null, like pandas NaN. */
@@ -47,76 +54,63 @@ final class GdfCategorical(
       broadcast(dict.select(col("code").as(codeCol), col("category").as(outCol))),
       Seq(codeCol), "left")
 
-  /** rename_categories(mapper): dictionary-only relabel; labels not in the
-    * mapper pass through (pandas dict-mapper behavior). Codes and facts are
-    * untouched — the whole op is a projection over k dictionary rows. */
-  def renameCategories(mapper: Map[String, String]): GdfCategorical = {
-    val m = typedlit(mapper)
-    new GdfCategorical(facts, codeCol,
-      dict.select(
-        coalesce(element_at(m, col("category")), col("category")).as("category"),
-        col("code")))
-  }
+  /** rename_categories(mapper): driver-side relabel; labels not in the
+    * mapper pass through (pandas dict-mapper behavior). No Spark job. */
+  def renameCategories(mapper: Map[String, String]): GdfCategorical =
+    new GdfCategorical(facts, codeCol, categories.map(c => mapper.getOrElse(c, c)))
 
   /** remove_categories(values): dropped categories leave the dictionary and
     * their rows' codes become null; survivors re-code in retained order. */
-  def removeCategories(values: Seq[String]): GdfCategorical =
-    rebuildWith(dict.filter(!col("category").isin(values: _*))
-      .select(col("category"), col("code").as("__old")))
-
-  /** add_categories(values): append with fresh codes after the existing max.
-    * Dictionary-only; no fact row changes. */
-  def addCategories(values: Seq[String]): GdfCategorical = {
-    val spark = dict.sparkSession
-    import spark.implicits._
-    val start = dict.agg(coalesce(max(col("code")), lit(-1))).head().getInt(0) + 1
-    val added = values.zipWithIndex
-      .map { case (v, i) => (v, start + i) }.toDF("category", "code")
-    new GdfCategorical(facts, codeCol, dict.unionByName(added))
+  def removeCategories(values: Seq[String]): GdfCategorical = {
+    val drop = values.toSet
+    val kept = categories.filterNot(drop)
+    recode(kept, categories.zipWithIndex.collect {
+      case (c, old) if !drop(c) => (old, kept.indexOf(c))
+    })
   }
+
+  /** add_categories(values): append with fresh codes at the end. Dictionary
+    * metadata only; no fact row changes, no Spark job. */
+  def addCategories(values: Seq[String]): GdfCategorical =
+    new GdfCategorical(facts, codeCol, categories ++ values)
 
   /** reorder_categories(newOrder): explicit permutation of the current
-    * category set (facade contract, as in pandas: same elements, new order);
-    * codes follow the listed order and facts are re-coded. */
+    * category set (facade contract, as in pandas: same elements, new
+    * order); codes follow the listed order and facts are re-coded. */
   def reorderCategories(newOrder: Seq[String]): GdfCategorical = {
-    val spark = dict.sparkSession
-    import spark.implicits._
-    val target = newOrder.zipWithIndex.toDF("category", "__new")
-    rebuildWith(dict.join(broadcast(target), Seq("category"))
-      .select(col("category"), col("code").as("__old"), col("__new")))
+    require(newOrder.sorted == categories.sorted,
+      s"reorder must permute the current categories ($categories)")
+    recode(newOrder, categories.zipWithIndex.map {
+      case (c, old) => (old, newOrder.indexOf(c))
+    })
   }
 
-  /** Re-code facts through an old→new code map (broadcast, k rows) and
-    * install the new dictionary. `pending`: (category, __old[, __new]);
-    * when __new is absent the new codes come from sorted-category order. */
-  private def rebuildWith(pending: DataFrame): GdfCategorical = {
-    val withNew =
-      if (pending.columns.contains("__new")) pending
-      else OrderedOps.withGlobalRowNumber(pending, "__rn", Seq(col("category")))
-        .select(col("category"), col("__old"), (col("__rn") - 1).as("__new"))
-    val codeMap = withNew.select(col("__old").as(codeCol),
-      col("__new").cast(IntegerType).as("__newcode"))
+  /** Re-code facts through an old→new broadcast map (k rows; missing old
+    * codes — removed categories — decode to null). */
+  private def recode(newCats: Seq[String], mapping: Seq[(Int, Int)]): GdfCategorical = {
+    import spark.implicits._
+    val codeMap = mapping.toDF(codeCol, "__newcode")
     val refacts = facts
       .join(broadcast(codeMap), Seq(codeCol), "left")
       .withColumn(codeCol, col("__newcode"))
       .drop("__newcode")
-    val newDict = withNew.select(col("category"), col("__new").cast(IntegerType).as("code"))
-    new GdfCategorical(refacts, codeCol, newDict)
+    new GdfCategorical(refacts, codeCol, newCats)
   }
 }
 
 object GdfCategorical {
   /** astype('category'): factorize `valueCol` into a sorted-order dictionary
-    * and replace the raw values with codes — the one pass where label strings
-    * travel (categorical.py as_categorical_column). */
+    * and replace the raw values with codes — the one pass where label
+    * strings travel. The distinct runs distributed; only the k distinct
+    * labels are collected (categorical.py as_categorical_column). */
   def fromColumn(facts: DataFrame, valueCol: String, codeCol: String): GdfCategorical = {
-    val dict = OrderedOps.withGlobalRowNumber(
-        facts.select(col(valueCol).as("category")).distinct(), "code", Seq(col("category")))
-      .select(col("category"), (col("code") - 1).cast(IntegerType).as("code"))
+    import facts.sparkSession.implicits._
+    val cats: Seq[String] = facts.select(col(valueCol)).distinct()
+      .collect().flatMap(r => Option(r.getString(0))).sorted.toSeq
+    val dict = cats.zipWithIndex.toDF(valueCol, codeCol)
     val coded = facts
-      .join(broadcast(dict.select(col("category").as(valueCol), col("code").as(codeCol))),
-        Seq(valueCol), "left")
+      .join(broadcast(dict), Seq(valueCol), "left")
       .drop(valueCol)
-    new GdfCategorical(coded, codeCol, dict)
+    new GdfCategorical(coded, codeCol, cats)
   }
 }
