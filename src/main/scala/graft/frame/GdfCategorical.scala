@@ -39,7 +39,7 @@ import org.apache.spark.sql.types._
 final class GdfCategorical(
     val facts: DataFrame, val codeCol: String, val categories: Seq[String]) {
 
-  private def spark = facts.sparkSession
+  private val spark = facts.sparkSession
 
   /** The dictionary as a (category, code) DataFrame — a LocalTableScan. */
   def dict: DataFrame = {
