@@ -189,8 +189,9 @@ object ScalarQueries extends QueryPack {
   // --- Spark-compatible murmur3 hash (types.hpp:333 HASH_SPARK_MURMUR3 —
   //     the reference ships a Spark-bit-compatible hash; Spark IS the
   //     reference implementation here, so the oracle is a golden literal
-  //     table pinned from the sf0.01 customer rows — any regression in the
-  //     hash implementation or its seeding breaks the hash-compare) --------
+  //     table. Inputs are LITERAL (bigint key + TPC-H-format name string),
+  //     not table rows, so the golden is valid at ANY scale factor — the
+  //     query pins ONLY the hash implementations, not the dataset --------
   register("expr_hash_murmur3",
     """SELECT * FROM (VALUES
       |  (0, -1093816050, '83791d5040f24a425b59e8f9ef801409', -1611614044712855306),
@@ -214,9 +215,9 @@ object ScalarQueries extends QueryPack {
       |  (18, -862294309, '56bd63286667ddff65a379815e7d7d3c', 2633404807699057550),
       |  (19, 1548867029, '9094ae162f0e3e014c52efb677360696', 4629955984357864070),
       |  (20, -535560678, 'bba8fa7740cbff2e51bfe6b14e40cd04', 8712587351026243346)
-      |) t(c_custkey, murmur3, md5_hex, xx64) ORDER BY c_custkey""".stripMargin) { (s, d) =>
-    Tables.customer(s, d)
-      .filter(col("c_custkey") <= 20)
+      |) t(c_custkey, murmur3, md5_hex, xx64) ORDER BY c_custkey""".stripMargin) { (s, _) =>
+    import s.implicits._
+    (0 to 20).map(i => (i.toLong, f"Customer#$i%09d")).toDF("c_custkey", "c_name")
       .select(col("c_custkey").cast(IntegerType).as("c_custkey"),
         hash(col("c_custkey"), col("c_name")).as("murmur3"),
         md5(col("c_name").cast(BinaryType)).as("md5_hex"),

@@ -60,47 +60,35 @@ object TextQueries extends QueryPack {
 
   // --- WordPiece subword tokenization (nvtext/subword_tokenize.hpp;
   // core/subword_tokenizer.py). Greedy longest-match is iterative and not
-  // expressible in oracle SQL, so the oracle is a golden literal table
-  // pinned from sf0.01 (the algorithm itself is verified against an
-  // independent reference implementation in WordpieceSpec).
+  // expressible in oracle SQL, so the oracle is a golden literal table.
+  // Inputs are LITERAL sentences (covering multi-piece vocab hits,
+  // punctuation → [UNK], and accented chars → [UNK]), so the golden is
+  // valid at ANY scale factor — it pins only the matcher + vocab. The
+  // algorithm is independently verified in WordpieceSpec.
   register("text_wordpiece",
     """SELECT * FROM (VALUES
-      |  (0, 89, 'k|##e|##y|a|##g|##g|r|##ow', 0),
-      |  (1, 237, 'b|##a|##t|##c|##h|wind|##ow|s', 0),
-      |  (2, 149, 's|##m|##a|##l|##l|f|##a|##s', 0),
-      |  (3, 95, 'wind|##ow|m|##er|##g|##e|s|##p', 0),
-      |  (4, 149, 'd|##ata|qu|##ery|s|##m|##a|##l', 0),
-      |  (5, 208, 'a|##g|##g|tab|##le|s|##p|##a', 0),
-      |  (6, 58, 'a|##g|##g|s|##m|##a|##l|##l', 0),
-      |  (7, 268, 'b|##a|##t|##c|##h|wind|##ow|v', 0),
-      |  (8, 307, 'the|s|##p|##a|##r|##k|j|##o', 0),
-      |  (9, 267, 'o|##r|##d|##er|s|##m|##a|##l', 0),
-      |  (10, 133, 'o|##r|##d|##er|s|##c|##a|##n', 0),
-      |  (11, 196, 'the|b|##i|##g|d|##ata|m|##er', 0),
-      |  (12, 221, 'b|##a|##t|##c|##h|s|##m|##a', 0),
-      |  (13, 203, 'wind|##ow|qu|##ery|o|##r|##d|##er', 0),
-      |  (14, 315, 'str|##eam|s|##m|##a|##l|##l|a', 0),
-      |  (15, 148, 'o|##r|##d|##er|m|##er|##g|##e', 0),
-      |  (16, 61, 'l|##i|##n|##e|v|##e|##c|##t', 0),
-      |  (17, 235, 'k|##e|##y|a|s|##m|##a|##l', 0),
-      |  (18, 253, 'm|##er|##g|##e|s|##m|##a|##l', 0),
-      |  (19, 36, 'v|##e|##c|##t|##o|##r|s|##c', 0),
-      |  (20, 247, 'wind|##ow|p|##a|##r|##t|s|##l', 0),
-      |  (21, 147, 'k|##e|##y|o|##r|##d|##er|j', 0),
-      |  (22, 280, 's|##l|##ow|sort|s|##m|##a|##l', 0),
-      |  (23, 96, 'filt|##er|s|##l|##ow|the|d|##ata', 0),
-      |  (24, 347, 'sort|a|s|##p|##a|##r|##k|tab', 0),
-      |  (25, 304, 'm|##er|##g|##e|f|##a|##s|##t', 0),
-      |  (26, 39, 'tab|##le|s|##m|##a|##l|##l|sort', 0),
-      |  (27, 223, 'k|##e|##y|s|##m|##a|##l|##l', 0),
-      |  (28, 187, 'qu|##ery|h|##a|##s|##h|k|##e', 0),
-      |  (29, 123, 'tab|##le|s|##m|##a|##l|##l|wind', 0),
-      |  (30, 93, 'k|##e|##y|r|##ow|sort|s|##m', 0)
-      |) t(doc_id, n_pieces, head_pieces, n_unk) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |  (0, 12, 'the|str|##eam|##ing|tab|##le|sort|##s', 0),
+      |  (1, 10, 'wind|##ow|##s|qu|##ery|d|##ata|val', 0),
+      |  (2, 13, 'tab|##u|##l|##a|##t|##e|the|qu', 0),
+      |  (3, 8, 'filt|##er|##ing|[UNK]|sort|##e|##d|[UNK]', 2),
+      |  (4, 14, 'e|##t|##a|##t|n|##a|##i|##v', 1),
+      |  (5, 24, 's|##p|##a|##r|##k|##4|s|##h', 0),
+      |  (6, 17, 'qu|##ery|##ing|tab|##le|##s|d|##u', 0),
+      |  (7, 12, 'val|##u|##a|##tion|o|##f|the|wind', 0)
+      |) t(doc_id, n_pieces, head_pieces, n_unk) ORDER BY doc_id""".stripMargin) { (s, _) =>
+    import s.implicits._
+    val sents = Seq(
+      (0, "the streaming table sorts fast"),
+      (1, "windows query data values"),
+      (2, "tabulate the quick stream"),
+      (3, "filtering windows, sorted rows!"),
+      (4, "etat naive cafe été"),
+      (5, "spark4 shuffles 1000 partitions"),
+      (6, "querying tables during compaction"),
+      (7, "valuation of the windowing stream")).toDF("doc_id", "text")
     val pieces = wordpiece(col("text"))
-    Tables.documents(s, d)
-      .filter(col("doc_id") <= 30)
-      .select(col("doc_id").cast(IntegerType).as("doc_id"),
+    sents
+      .select(col("doc_id"),
         size(pieces).as("n_pieces"),
         array_join(slice(pieces, 1, 8), "|").as("head_pieces"),
         size(filter(pieces, p => p === "[UNK]")).as("n_unk"))
