@@ -254,23 +254,27 @@ object DedupQueries extends QueryPack {
     val edges = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("d1").as("doc_id")).distinct()
+    var cached = edges.select(col("d1").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = cached
     var converged = false
     var iter = 0
     while (!converged && iter < 12) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("d2"), col("label").as("nl")), Seq("d2"))
         .groupBy(col("d1").as("doc_id")).agg(min(col("nl")).as("nmin"))
-      val next = labels
+      // carry the old label through the same projection so convergence needs
+      // no second labels join — one filter over the persisted round result
+      val round = labels
         .join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .select(col("doc_id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .filter(col("label") < col("old")).isEmpty
-      labels.unpersist()
-      labels = next
+      converged = round.filter(col("label") < col("old")).isEmpty
+      cached.unpersist()
+      cached = round
+      labels = round.select("doc_id", "label")
       iter += 1
     }
     labels
@@ -336,6 +340,36 @@ object DedupQueries extends QueryPack {
       .filter(col("jaccard") >= 0.2)
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("d1", "d2")
+  }
+
+  // --- benchmark contamination check ----------------------------------------
+  // The decontamination gate every pretraining pipeline runs before training:
+  // flag corpus documents sharing n-gram content with an evaluation set
+  // (GPT-3 appendix C / PaLM §8 use exactly this 3-gram-overlap construction).
+  // The benchmark here is the deterministic doc_id % 97 == 0 slice standing
+  // in for MMLU/GSM8K/etc. Scale shape: the benchmark is ALWAYS tiny relative
+  // to the corpus, so its distinct-shingle set is collected into a broadcast
+  // hash relation and the corpus side streams through a broadcast semi-join —
+  // the 100-TB corpus never shuffles, and the ≥3-shared-shingle threshold
+  // applies per (doc, benchmark-set), not per pair, so output is one row per
+  // contaminated doc.
+  register("dedup_contamination",
+    s"""$sqlShingles,
+       |bg AS (SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE doc_id % 97 = 0),
+       |ov AS (SELECT s.doc_id, count(*) AS n_overlap
+       |       FROM (SELECT doc_id, unnest(shingles) AS g FROM sh WHERE doc_id % 97 <> 0) s
+       |       JOIN bg USING (g) GROUP BY 1 HAVING count(*) >= 3)
+       |SELECT doc_id, n_overlap FROM ov ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val (docs, _) = shingleSource(s, d)
+    val benchG = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("sh")).as("g")).distinct()
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(broadcast(benchG), Seq("g"))
+      // sh is distinct per doc, so count(*) counts distinct shared shingles
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= 3)
+      .orderBy("doc_id")
   }
 
   // --- embedding-cosine near-dup via banded hyperplane LSH (no x-join) ------

@@ -311,4 +311,39 @@ object IoQueries extends QueryPack {
       .select("o_orderkey", "o_totalprice")
       .orderBy("o_orderkey")
   }
+
+  // --- Z-order layout key: multi-dimensional data clustering ----------------
+  // The data-layout optimization behind Delta/Iceberg OPTIMIZE ZORDER BY:
+  // interleaving the bits of two (quantized) sort dimensions gives a 1-D key
+  // whose ordering preserves 2-D locality, so `repartitionByRange(zkey)` +
+  // sorted parquet writes put rows that agree on EITHER dimension's prefix
+  // into the SAME few files — min/max footer stats then prune scans on both
+  // `o_custkey` AND `o_orderdate` predicates, where a single-column sort
+  // layout only ever prunes one. The key is 12+12 bits of pure integer
+  // shift/mask arithmetic — whole-stage codegen, no shuffle added beyond the
+  // range partitioning the rewrite needs anyway. `cell = zkey >> 16` is the
+  // coarse file-cell id a compaction job would bucket by.
+  register("io_zorder_key", {
+    val bits = (0 until 12).map { b =>
+      s"(((x >> $b) & 1) << ${2 * b}) + (((y >> $b) & 1) << ${2 * b + 1})"
+    }.mkString(" + ")
+    s"""WITH q AS (SELECT o_orderkey,
+       |    o_custkey % 4096 AS x,
+       |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) % 4096 AS y
+       |  FROM orders),
+       |z AS (SELECT o_orderkey, $bits AS zkey FROM q)
+       |SELECT o_orderkey, zkey, zkey >> 16 AS cell
+       |FROM z ORDER BY o_orderkey""".stripMargin
+  }) { (s, d) =>
+    val q = Tables.orders(s, d).select(col("o_orderkey"),
+      (col("o_custkey") % 4096).as("x"),
+      (datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast(LongType) % 4096).as("y"))
+    val zkey = (0 until 12).map { b =>
+      (shiftleft(shiftright(col("x"), b).bitwiseAND(lit(1L)), 2 * b)
+        + shiftleft(shiftright(col("y"), b).bitwiseAND(lit(1L)), 2 * b + 1))
+    }.reduce(_ + _)
+    q.select(col("o_orderkey"), zkey.as("zkey"))
+      .select(col("o_orderkey"), col("zkey"), shiftright(col("zkey"), 16).as("cell"))
+      .orderBy("o_orderkey")
+  }
 }

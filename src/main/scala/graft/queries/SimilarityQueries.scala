@@ -236,4 +236,100 @@ object SimilarityQueries extends QueryPack {
           .as("sum_cos"))
       .orderBy("cid")
   }
+
+  // --- 3b. IVF SEARCH: probe nprobe cells per query -------------------------
+  // The full ANN query path over the coarse quantizer: corpus vectors carry
+  // their nearest-centroid cell id (broadcast centroids — corpus never
+  // shuffles for assignment), each query probes its nprobe=2 nearest cells,
+  // and the candidate join is an EQUI-join on the cell id — at 100 TB the
+  // corpus is bucketed by cid so a probe reads nprobe buckets, never the full
+  // table; scoring cost is |cells probed|, the IVF contract. Ties → lowest
+  // cid/nid everywhere, so both engines agree exactly.
+  register("sim_ivf_search",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+      |asg AS (SELECT vec_id, cid, v FROM (
+      |    SELECT e.vec_id, c.cid, e.v,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY """.stripMargin + cosSql("e.v", "c.cv") + """ DESC, c.cid) AS rn
+      |    FROM e, c) WHERE rn = 1),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |probe AS (SELECT qid, cid, qv FROM (
+      |    SELECT q.qid, c.cid, q.qv,
+      |      row_number() OVER (PARTITION BY q.qid
+      |        ORDER BY """.stripMargin + cosSql("q.qv", "c.cv") + """ DESC, c.cid) AS rn
+      |    FROM q, c) WHERE rn <= 2),
+      |scored AS (SELECT qid, a.vec_id AS nid,
+      |    round(""".stripMargin + cosSql("qv", "a.v") + """, 6) AS cosine
+      |  FROM probe p JOIN asg a ON p.cid = a.cid AND a.vec_id <> p.qid)
+      |SELECT qid, nid, cosine FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) <= 3
+      |ORDER BY qid, cosine DESC, nid""".stripMargin) { (s, d) =>
+    val e = vecs(s, d)
+    val c = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid"))
+    val asg = e.crossJoin(broadcast(c))
+      .withColumn("cos_c", dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))))
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("v"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("cos_q").desc, col("cid"))
+    val probe = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .crossJoin(broadcast(c))
+      .withColumn("cos_q", dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("qid"), col("cid"), col("qv"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    probe.join(asg, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 6).as("cosine"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("nid"), col("cosine"))
+      .orderBy(col("qid"), col("cosine").desc, col("nid"))
+  }
+
+  // --- int8 scalar quantization round-trip ----------------------------------
+  // Vector compression for ANN at scale: 4× smaller than float32, the
+  // standard first step before IVF/PQ indexes (FAISS SQ8). Per-vector
+  // absmax scale, q_i = round-half-up(x_i/scale) ∈ [-127, 127]; the gate
+  // checks the two invariants that make SQ8 usable — codes stay in range
+  // and reconstruction error is bounded by scale/2 per component. All
+  // arithmetic is identical IEEE doubles on both engines, so the booleans
+  // (not just approximations) are oracle-checkable at any sf.
+  register("emb_quantize_roundtrip", {
+    val absmax = "list_reduce(list_transform(v, x -> abs(x)), (x, y) -> CASE WHEN x > y THEN x ELSE y END)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sc AS (SELECT vec_id, v,
+       |    CASE WHEN $absmax / 127 > 1e-12 THEN $absmax / 127 ELSE 1e-12 END AS scale
+       |  FROM e),
+       |qz AS (SELECT vec_id, scale,
+       |    list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q, v
+       |  FROM sc)
+       |SELECT vec_id, round(scale, 9) AS scale_r,
+       |  list_reduce(list_transform(q, x -> abs(x)), (x, y) -> CASE WHEN x > y THEN x ELSE y END) <= 127 AS codes_in_range,
+       |  list_reduce(list_transform(range(1, len(v) + 1), i -> abs(v[i] - q[i] * scale)),
+       |    (x, y) -> CASE WHEN x > y THEN x ELSE y END) <= scale * 0.5 + 1e-12 AS err_bounded
+       |FROM qz ORDER BY vec_id""".stripMargin
+  }) { (s, d) =>
+    val e = vecs(s, d).select(col("vec_id"), col("v"))
+    val absmax = aggregate(transform(col("v"), x => abs(x)), lit(0.0),
+      (acc, x) => when(x > acc, x).otherwise(acc))
+    val sc = e.withColumn("scale", greatest(absmax / 127, lit(1e-12)))
+    val qz = sc.withColumn("q",
+      transform(col("v"), x => floor(x / col("scale") + 0.5).cast(LongType)))
+    val qmax = aggregate(transform(col("q"), x => abs(x)), lit(0L),
+      (acc, x) => when(x > acc, x).otherwise(acc))
+    val emax = aggregate(
+      zip_with(col("v"), col("q"), (x, q) => abs(x - q * col("scale"))), lit(0.0),
+      (acc, x) => when(x > acc, x).otherwise(acc))
+    qz.select(col("vec_id"), round(col("scale"), 9).as("scale_r"),
+        (qmax <= 127).as("codes_in_range"),
+        (emax <= col("scale") * 0.5 + 1e-12).as("err_bounded"))
+      .orderBy("vec_id")
+  }
 }

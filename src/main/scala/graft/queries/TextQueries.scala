@@ -275,4 +275,64 @@ object TextQueries extends QueryPack {
       .select(col("doc_id"), fingerprint(col("text"), 8, 64).as("fp64"))
       .orderBy("doc_id")
   }
+
+  // --- repetition quality metrics (Gopher-style repetition filters:
+  // Rae et al. 2021 §A1.1 — duplicate n-gram fraction and top-token share
+  // are THE pretraining quality gates for removing boilerplate/spam).
+  // top-token share needs a per-(doc, token) count: explode → two hash
+  // aggregations, all map-side-combinable — no window, no driver loop.
+  // The bigram-duplication fraction is a pure per-row expression.
+  register("text_repetition_metrics",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tc AS (SELECT doc_id, tok, count(*) AS c
+      |       FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+      |ts AS (SELECT doc_id, max(c) AS top_cnt, CAST(sum(c) AS BIGINT) AS n_tokens FROM tc GROUP BY 1),
+      |bs AS (SELECT doc_id,
+      |         len(list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i+1])) AS nb,
+      |         len(list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i+1]))) AS ndb
+      |       FROM t)
+      |SELECT ts.doc_id, n_tokens,
+      |  round(CAST(top_cnt AS DOUBLE) / n_tokens, 6) AS top_token_share,
+      |  CASE WHEN nb = 0 THEN 0.0
+      |       ELSE round(1.0 - CAST(ndb AS DOUBLE) / nb, 6) END AS dup_bigram_frac
+      |FROM ts JOIN bs ON ts.doc_id = bs.doc_id
+      |ORDER BY ts.doc_id""".stripMargin) { (s, d) =>
+    val toks = tokenize(col("text"))
+    val base = Tables.documents(s, d).select(col("doc_id"), toks.as("t"))
+    val shares = base
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_cnt"), sum(col("c")).as("n_tokens"))
+    val bg = wordNgrams(col("t"), 2)
+    val dupfrac = base.select(col("doc_id"),
+      when(size(bg) === 0, 0.0)
+        .otherwise(round(lit(1.0) - size(array_distinct(bg)).cast(DoubleType) / size(bg), 6))
+        .as("dup_bigram_frac"))
+    shares.join(dupfrac, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("top_cnt").cast(DoubleType) / col("n_tokens"), 6).as("top_token_share"),
+        col("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  // --- corpus-scale WordPiece invariant --------------------------------------
+  // text_wordpiece pins the matcher on literal sentences (sf-independent
+  // golden); this runs the tokenizer over the WHOLE corpus and gates the
+  // lossless-ness invariant the greedy matcher guarantees on in-vocab text:
+  // pieces stripped of '##' re-concatenate to the input without its spaces,
+  // and nothing falls to [UNK] (the corpus is lowercase alphanumeric, which
+  // the vocab covers by construction). SQL can't tokenize, but it CAN demand
+  // the invariant hold everywhere — a full-corpus gate at every sf.
+  register("text_wordpiece_corpus",
+    """SELECT doc_id, true AS roundtrip_ok, 0 AS n_unk
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pieces = wordpiece(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (array_join(transform(pieces, p => regexp_replace(p, "^##", "")), "")
+          === regexp_replace(col("text"), " ", "")).as("roundtrip_ok"),
+        size(filter(pieces, p => p === "[UNK]")).cast(IntegerType).as("n_unk"))
+      .orderBy("doc_id")
+  }
 }

@@ -104,6 +104,33 @@ class PlanSpec extends AnyFunSuite {
     assert(joins == Seq("FullOuter"), joins.mkString(","))
   }
 
+  test("dedup_contamination routes the benchmark set through a broadcast join") {
+    // the corpus side must never shuffle: the benchmark shingle set is the
+    // build side of a BroadcastHashJoin, and no sort-merge join appears
+    val p = executedPlan("dedup_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("sim_ivf_search candidate join is an equi-join on the cell id") {
+    val qe = SparkEntry.queries("sim_ivf_search")(spark, sf).queryExecution
+    val joins = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    // at least one equi-join keyed on cid (the probe→cell candidate join);
+    // only the k-row centroid routing joins may be non-equi
+    assert(joins.exists(_.condition.exists(_.toString.contains("cid"))),
+      joins.map(_.condition).mkString(","))
+  }
+
+  test("io_zorder_key plan stays in one codegen stage up to the final sort") {
+    // pure integer projection: no joins, no aggregates, no window
+    val p = executedPlan("io_zorder_key")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   // Queries where a cartesian/nested-loop join is the DOCUMENTED intent,
   // with the reason it is acceptable. Everything else must plan equi-joins.
   private val cartesianExempt: Map[String, String] = Map(
@@ -111,6 +138,7 @@ class PlanSpec extends AnyFunSuite {
     "join_conditional" -> "non-equi predicate join over two broadcastable dims",
     "sim_bruteforce_topk" -> "exact ANN baseline: corpus x broadcast query set",
     "sim_ivf_assign" -> "corpus x broadcast centroid set (k centroids, k tiny)",
+    "sim_ivf_search" -> "corpus/query x broadcast centroid set for cell routing; the candidate join itself is an equi-join on cid",
     "sort_searchsorted" -> "attaches one broadcast aggregate row to every row",
     "reshape_qcut" -> "attaches one broadcast quantile-edges row to every row",
     "reshape_transpose" -> "documented small-data contract (driver-side shape)"
