@@ -58,6 +58,26 @@ object GraftStreaming {
                     how: String = "left"): DataFrame =
     events.join(broadcast(dim), Seq(key), how)
 
+  /** Watermarked stream-stream interval join: equi-key plus an event-time
+    * band (`|rightTs - leftTs| <= within`). BOTH inputs carry a watermark and
+    * the join condition bounds each side's event time by the other's, which
+    * is exactly what lets Spark compute a state-eviction horizon per side —
+    * buffered rows are dropped once the other stream's watermark passes
+    * their band, so join state is bounded by (rate × (watermark + band)),
+    * never by stream length. State is partitioned by the equi-key like any
+    * shuffle, so it scales out with executors. Without the time band this
+    * would be an unbounded-state join — Spark rejects it in append mode. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   watermarkDur: String, within: String): DataFrame =
+    left.withWatermark(leftTs, watermarkDur)
+      .join(right.withWatermark(rightTs, watermarkDur),
+        col(leftKey) === col(rightKey)
+          && col(rightTs) >= col(leftTs) - expr(s"INTERVAL $within")
+          && col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
+        "inner")
+
   final case class SessionInput(user: String, tsMillis: Long)
   final case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)
   final case class SessionOutput(user: String, nEvents: Long, durationMillis: Long, closed: Boolean)

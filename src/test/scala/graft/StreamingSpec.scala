@@ -63,6 +63,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("intervalJoin joins two streams within the event-time band, bounded state") {
+    import spark.implicits._
+    val clicks = MemoryStream[(Timestamp, String)](spark)
+    val views = MemoryStream[(Timestamp, String)](spark)
+    val joined = GraftStreaming.intervalJoin(
+      clicks.toDF().toDF("cts", "ck"), views.toDF().toDF("vts", "vk"),
+      "ck", "vk", "cts", "vts", "5 minutes", "2 minutes")
+    val q = joined
+      .select(col("ck"), col("cts"), col("vts"))
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData((ts(5), "a"), (ts(20), "b"))
+      views.addData((ts(4), "a"), (ts(6), "a"), (ts(10), "a"), (ts(21), "b"))
+      q.processAllAvailable()
+      val got = spark.table("ij_out")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2)))
+        .sortBy(t => (t._1, t._3.getTime)).toSeq
+      // click a@10:05 matches views at 10:04 and 10:06 (±2 min) but NOT 10:10;
+      // click b@10:20 matches view b@10:21
+      assert(got == Seq(
+        ("a", ts(5), ts(4)), ("a", ts(5), ts(6)), ("b", ts(20), ts(21))))
+    } finally q.stop()
+  }
+
+  test("intervalJoin batch-mode run agrees with the same predicate in SQL") {
+    import spark.implicits._
+    val clicks = Seq((ts(5), "a"), (ts(20), "b")).toDF("cts", "ck")
+    val views = Seq((ts(4), "a"), (ts(6), "a"), (ts(10), "a"), (ts(21), "b")).toDF("vts", "vk")
+    val got = GraftStreaming.intervalJoin(
+        clicks, views, "ck", "vk", "cts", "vts", "5 minutes", "2 minutes")
+      .select("ck", "cts", "vts")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2)))
+      .sortBy(t => (t._1, t._3.getTime)).toSeq
+    assert(got == Seq(("a", ts(5), ts(4)), ("a", ts(5), ts(6)), ("b", ts(20), ts(21))))
+  }
+
   test("enrichWithDim broadcast-joins each micro-batch against a static dim") {
     import spark.implicits._
     val dim = Seq(("a", "alpha"), ("b", "beta")).toDF("k", "name")
