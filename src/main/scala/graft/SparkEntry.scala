@@ -31,7 +31,8 @@ object SparkEntry {
     IndexQueries,
     SeriesQueries,
     CategoricalQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    PipelineQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
