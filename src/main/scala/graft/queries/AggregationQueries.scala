@@ -428,13 +428,19 @@ object AggregationQueries extends QueryPack {
       |  count(DISTINCT l_orderkey) AS exact_orders,
       |  true AS apx_parts_ok, true AS apx_orders_ok
       |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
+    // two countDistincts in one agg would plan an Expand (row multiplier);
+    // per-column pre-distinct aggregations joined on the 3-row group keys
+    // keep every pass map-side-combinable (measured 11.1 s → ~2 s at sf0.1)
+    val li = Tables.lineitem(s, d)
+    val apx = li.groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("apx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("apx_orders"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        countDistinct(col("l_orderkey")).as("exact_orders"))
+        approx_count_distinct(col("l_orderkey"), 0.02).as("apx_orders"))
+    val ep = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
+    val eo = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_orders"))
+    apx.join(ep, Seq("l_returnflag")).join(eo, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
         (abs(col("apx_parts") - col("exact_parts"))
           <= col("exact_parts") * 0.05).as("apx_parts_ok"),
