@@ -12,11 +12,20 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def build(appName: String): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the machine's cores (the target harness runs local[32]);
+    // SPARK_GRAFT_CPUS overrides for debugging at lower parallelism
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE right-sizes the 32-way shuffles at small SF (and re-plans skew
+      // at large SF); letting it also repartition cached plans keeps the
+      // iterative queries (connected components) from paying 32 near-empty
+      // tasks per round
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
