@@ -199,11 +199,17 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
-  // --- porter stemmer measure (nvtext/stemmer.hpp, simplified) --------------
+  // --- porter stemmer measure (nvtext/stemmer.hpp, full y-rule) -------------
   register("text_porter_measure",
     """WITH t AS (SELECT doc_id, string_split(text, ' ')[1] AS w FROM documents WHERE doc_id <= 200)
       |SELECT doc_id, w,
-      |  len(regexp_extract_all(regexp_replace(lower(w), '[aeiou]+', 'V', 'g'), 'V[^V]+')) AS measure
+      |  len(regexp_extract_all(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(lower(w), '[aeiou]', 'a', 'g'),
+      |        '([^a])y', '\1a', 'g'),
+      |      'a+', 'V', 'g'),
+      |    'V[^V]+')) AS measure
       |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .filter(col("doc_id") <= 200)

@@ -129,12 +129,19 @@ object TextFunctions {
     }.reduce(_ + _)
   }
 
-  /** Porter stemmer measure m (nvtext/stemmer.hpp), simplified: vowel runs
-    * collapse to 'V'; m = number of VC transitions. (y-as-vowel rule omitted;
-    * documented deviation.)
+  /** Porter stemmer measure m (nvtext/stemmer.hpp), with the full y-rule:
+    * 'y' is a vowel iff preceded by a consonant (Porter's cons(i) =
+    * !cons(i-1) for y, consonant at position 0). The backreference pass
+    * implements exactly that: each vowel canonicalizes to 'a', then a
+    * global non-overlapping "([^a])y" → "$1a" classifies y-chains the way
+    * the recursive definition does (consumed match = classified consonant,
+    * so "syzygy" vowelizes all three y's while "toy"'s y stays consonant).
+    * Vowel runs then collapse to 'V'; m = number of V→C transitions.
     */
   def porterMeasure(word: Column): Column = {
-    val collapsed = regexp_replace(lower(word), "[aeiou]+", "V")
+    val vowels = regexp_replace(lower(word), "[aeiou]", "a")
+    val yRule = regexp_replace(vowels, "([^a])y", "$1a")
+    val collapsed = regexp_replace(yRule, "a+", "V")
     size(regexp_extract_all(collapsed, lit("V[^V]+"), lit(0)))
   }
 
