@@ -218,6 +218,28 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // --- is_letter vowel/consonant classification (nvtext/stemmer.hpp:77) ----
+  // The per-position companion to porter_stemmer_measure: classify the
+  // first and last character of each word under the y-rule. Pure per-row
+  // expressions, fused into the scan.
+  register("text_porter_is_letter",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ')[1] AS w FROM documents WHERE doc_id <= 200),
+      |c AS (SELECT doc_id, w,
+      |  regexp_replace(regexp_replace(lower(w), '[aeiou]', 'a', 'g'), '([^a])y', '\1a', 'g') AS canon
+      |FROM t)
+      |SELECT doc_id, w,
+      |  substring(canon, 1, 1) = 'a' AS first_is_vowel,
+      |  substring(canon, length(canon), 1) = 'a' AS last_is_vowel
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") <= 200)
+      .select(col("doc_id"), element_at(tokenize(col("text")), 1).as("w"))
+      .select(col("doc_id"), col("w"),
+        porterIsVowel(col("w"), lit(1)).as("first_is_vowel"),
+        porterIsVowel(col("w"), length(col("w"))).as("last_is_vowel"))
+      .orderBy("doc_id")
+  }
+
   // --- language ID: stopword-profile scoring (n-gram heuristic) -------------
   // Profiles are tiny fixed sets; argmax with deterministic tie-break on
   // profile order. (The corpus vocabulary is synthetic; the operator shape —

@@ -145,6 +145,16 @@ object TextFunctions {
     size(regexp_extract_all(collapsed, lit("V[^V]+"), lit(0)))
   }
 
+  /** is_letter(VOWEL/CONSONANT, i) (nvtext/stemmer.hpp:77): classify the
+    * character at 1-based position i under the same y-rule canonicalization
+    * as [[porterMeasure]] — the canonical form has 'a' exactly at vowel
+    * positions (replacements are 1 char per 1 char, so positions align). */
+  def porterIsVowel(word: Column, i: Column): Column = {
+    val vowels = regexp_replace(lower(word), "[aeiou]", "a")
+    val yRule = regexp_replace(vowels, "([^a])y", "$1a")
+    yRule.substr(i, lit(1)) === "a"
+  }
+
   /** normalize_spaces (nvtext/normalize.hpp): collapse runs of whitespace. */
   def normalizeSpaces(s: Column): Column = trim(regexp_replace(s, "\\s+", " "))
 
