@@ -120,6 +120,33 @@ object AggregationQueries extends QueryPack {
       .orderBy(col("l_returnflag"))
   }
 
+  // --- approximate quantile sketch (the 100-TB quantile tier) ---------------
+  // percentile_approx is the mergeable-sketch quantile — fixed per-group
+  // state vs exact percentile's full sort — the same exact-vs-sketch
+  // pairing as agg_approx_distinct. The oracle checks exact quantiles
+  // (engine-matched, as in agg_median_quantile) plus a generous error band
+  // on the sketch, valid at any sf; l_quantity spans [1, 50] so an absolute
+  // band of 1.0 admits ~2% rank error while still failing on any real
+  // sketch regression.
+  register("agg_approx_quantile",
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS ex50,
+      |  quantile_cont(l_quantity, 0.9) AS ex90,
+      |  true AS apx50_ok, true AS apx90_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("ex50"),
+        expr("percentile(l_quantity, 0.9)").as("ex90"),
+        expr("percentile_approx(l_quantity, 0.5, 10000)").as("apx50"),
+        expr("percentile_approx(l_quantity, 0.9, 10000)").as("apx90"))
+      .select(col("l_returnflag"), col("ex50"), col("ex90"),
+        (abs(col("apx50") - col("ex50")) <= 1.0).as("apx50_ok"),
+        (abs(col("apx90") - col("ex90")) <= 1.0).as("apx90_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // --- ARGMIN / ARGMAX (idxmin/idxmax) with lexicographic tie-break ---------
   register("agg_argmin_argmax",
     """WITH mx AS (
