@@ -252,6 +252,28 @@ object WindowQueries extends QueryPack {
   }
 
   // --- ntile / first_value / nth_value over window ---------------------------
+  // --- per-group top-k (groupby.head / nlargest-per-group) ------------------
+  // The filter on row_number directly above the window lets Spark plan
+  // WindowGroupLimit: each map task keeps only k rows per group BEFORE the
+  // shuffle and the window sort runs over k·groups rows, not the corpus —
+  // the difference between "sort 100 TB" and "sort k rows per group"
+  // (pinned in PlanSpec).
+  register("win_topk_per_group",
+    """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |QUALIFY row_number() OVER (PARTITION BY l_returnflag
+      |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) <= 3
+      |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_returnflag"), col("l_extendedprice").desc,
+        col("l_orderkey"), col("l_linenumber"))
+  }
+
   register("win_ntile_first",
     """SELECT c_mktsegment, c_custkey,
       |  ntile(4) OVER w AS quartile,

@@ -123,6 +123,11 @@ class PlanSpec extends AnyFunSuite {
       joins.map(_.condition).mkString(","))
   }
 
+  test("win_topk_per_group plans WindowGroupLimit (map-side k-per-group prune)") {
+    val p = executedPlan("win_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("io_zorder_key plan stays in one codegen stage up to the final sort") {
     // pure integer projection: no joins, no aggregates, no window
     val p = executedPlan("io_zorder_key")
