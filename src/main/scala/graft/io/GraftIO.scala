@@ -14,6 +14,19 @@ import org.apache.spark.sql.types.StructType
   * predicate pushdown and column pruning all arrive via the data source
   * framework. Writers partition by columns via dynamic partition insert —
   * the write parallelism is the upstream partitioning, no driver funnels.
+  *
+  * Formats NOT covered, and why:
+  *  - read_avro (io/avro.py): Spark supports Avro via the external
+  *    `spark-avro` connector jar, absent from /opt/spark/jars in this
+  *    zero-egress environment.
+  *  - read_feather / read_hdf (io/feather.py:16, io/hdf.py:14): the
+  *    reference itself delegates these to CPU pyarrow/pandas with a
+  *    "using CPU" warning — they are convenience passthroughs, not engine
+  *    surface; Spark equivalents would likewise need third-party
+  *    datasource jars (absent here).
+  *  - from_dlpack/to_dlpack (io/dlpack.py): a GPU device-memory tensor
+  *    interchange ABI — meaningless for a JVM engine; the columnar
+  *    interchange role is played by Arrow/parquet.
   */
 object GraftIO {
 

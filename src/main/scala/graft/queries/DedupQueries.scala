@@ -298,6 +298,14 @@ object DedupQueries extends QueryPack {
   // Exact n-gram Jaccard then verifies survivors only. Recall contract:
   // finds every pair sharing ≥ 3 rare (df ≤ 20) shingles — the multi-
   // collision prefilter production near-dup pipelines ship with.
+  //
+  // REJECTED alternative (measured r5): building posting lists with one
+  // collect_list shuffle and generating pairs via an in-array HOF was
+  // wall-clock identical at sf0.1 (5.8 vs 6.2 s warm) but materializes the
+  // FULL posting array per shingle key before the df filter can drop it —
+  // an unbounded aggregation buffer on stopword shingles (df can be ~corpus
+  // size), i.e. an executor-OOM hazard at 100 TB that the count-then-join
+  // construction below structurally cannot hit.
   register("dedup_ngram_jaccard",
     s"""$sqlShingles,
        |inv AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
