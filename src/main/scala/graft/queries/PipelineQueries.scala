@@ -12,8 +12,9 @@ import graft.text.TextFunctions._
   *
   * Stage shapes at 100 TB:
   *  1. quality gate — per-row expressions fused into the parquet scan.
-  *  2. exact dedup — one shuffle of (digest, id, n_tokens); survivors via
-  *     groupBy-min + equi-join back (map-side-combinable, window-free).
+  *  2. exact dedup — one shuffle of (digest, id, n_tokens); the survivor
+  *     row rides the aggregation itself via min_by (map-side-combinable,
+  *     window-free, no join-back).
   *  3. decontamination — benchmark shingle set is tiny ⇒ broadcast join;
   *     the corpus side never shuffles for this stage.
   * The only full shuffle in the whole pipeline is the dedup digest — which
@@ -55,10 +56,14 @@ object PipelineQueries extends QueryPack {
       .filter(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"), col("text"), size(toks).as("n_tokens"), uniqRatio.as("uniq"))
       .filter(col("n_tokens").between(20, 90) && col("uniq") > 0.2)
-    // stage 2: exact dedup — groupBy-min survivors, joined back on the digest
+    // stage 2: exact dedup — min_by carries the survivor's payload through
+    // the digest aggregation itself, so dedup costs exactly ONE corpus-scale
+    // shuffle (a groupBy-min + join-back would cost three: the aggregate
+    // plus both sides of the survivor join)
     val dg = q.select(col("doc_id"), col("n_tokens"), polyHash(col("text")).as("digest"))
-    val keep = dg.groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
-    val kd = dg.join(keep, Seq("digest", "doc_id"))
+    val kd = dg.groupBy(col("digest"))
+      .agg(min_by(struct(col("doc_id"), col("n_tokens")), col("doc_id")).as("s"))
+      .select(col("s.doc_id").as("doc_id"), col("digest"), col("s.n_tokens").as("n_tokens"))
     // stage 3: decontamination — broadcast the benchmark shingle set and
     // anti-join the survivors against docs with >= 3 shared shingles
     val sh = Tables.documents(s, d)
@@ -72,7 +77,7 @@ object PipelineQueries extends QueryPack {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= 3)
       .select("doc_id")
-    kd.join(cont, Seq("doc_id"), "left_anti")
+    kd.join(broadcast(cont), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("digest"), col("n_tokens"))
       .orderBy("doc_id")
   }

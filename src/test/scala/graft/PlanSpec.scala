@@ -128,6 +128,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("pipeline_corpus_prep: dedup is one aggregation, all joins broadcast") {
+    // the min_by survivor aggregation means no sort-merge join anywhere:
+    // the only corpus-scale exchange is the digest groupBy
+    val p = executedPlan("pipeline_corpus_prep")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("io_zorder_key plan stays in one codegen stage up to the final sort") {
     // pure integer projection: no joins, no aggregates, no window
     val p = executedPlan("io_zorder_key")
