@@ -104,4 +104,22 @@ object IndexQueries extends QueryPack {
       .select("pos", "n_name")
       .orderBy("pos")
   }
+
+  // --- interval_range (reference core/index.py:2620) ------------------------
+  // Fixed-frequency IntervalIndex generation: interval_range(start=0,
+  // end=7000, freq=7, closed='right'). Built on spark.range — the
+  // DISTRIBUTED generator source (partitions split the id space across
+  // executors; no driver-side materialization, unlike a literal VALUES
+  // relation), with the bounds as pure per-row arithmetic on top.
+  register("idx_interval_range",
+    """SELECT CAST(i AS BIGINT) AS idx,
+      |  CAST(i * 7 AS BIGINT) AS lo, CAST((i + 1) * 7 AS BIGINT) AS hi,
+      |  'right' AS closed
+      |FROM generate_series(0, 999) t(i) ORDER BY idx""".stripMargin) { (s, _) =>
+    s.range(0, 1000)
+      .select(col("id").as("idx"),
+        (col("id") * 7).as("lo"), ((col("id") + 1) * 7).as("hi"),
+        lit("right").as("closed"))
+      .orderBy("idx")
+  }
 }
