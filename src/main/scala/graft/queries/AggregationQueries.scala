@@ -494,4 +494,47 @@ object AggregationQueries extends QueryPack {
         col("n"), col("sum_qty"))
       .orderBy(col("flag"), col("status"))
   }
+
+  // --- quantile interpolation modes (types.hpp interpolation enum; ----------
+  // quantiles.hpp:52). Spark's percentile() is LINEAR only; LOWER / HIGHER /
+  // NEAREST / MIDPOINT come from the sorted position directly: with n values
+  // and p·(n−1) = pos, pick rank floor(pos) / ceil(pos) / floor(pos+0.5)
+  // (half-up — rint's half-even documented as the one deviation) and compose.
+  // Single per-group window + one aggregate — parallel over groups, no
+  // global sort.
+  register("agg_quantile_interp",
+    """WITH v AS (SELECT l_returnflag AS flag, l_quantity AS v,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) - 1 AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem),
+      |q AS (SELECT flag,
+      |    max(CASE WHEN rn = floor(0.35 * (n - 1)) THEN v END) AS q_lower,
+      |    max(CASE WHEN rn = ceil(0.35 * (n - 1)) THEN v END) AS q_higher,
+      |    max(CASE WHEN rn = floor(0.35 * (n - 1) + 0.5) THEN v END) AS q_nearest,
+      |    max(0.35 * (n - 1) - floor(0.35 * (n - 1))) AS frac
+      |  FROM v GROUP BY flag)
+      |SELECT flag, q_lower, q_higher, q_nearest,
+      |  round((q_lower + q_higher) / 2, 6) AS q_midpoint,
+      |  round(q_lower + (q_higher - q_lower) * frac, 6) AS q_linear
+      |FROM q ORDER BY flag""".stripMargin) { (s, d) =>
+    val p = lit(0.35)
+    val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    val pos = p * (col("n") - 1)
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"), col("l_quantity").as("v"),
+        (row_number().over(wOrd) - 1).as("rn"),
+        count(lit(1)).over(wAll).as("n"))
+      .groupBy(col("flag"))
+      .agg(
+        max(when(col("rn") === floor(pos), col("v"))).as("q_lower"),
+        max(when(col("rn") === ceil(pos), col("v"))).as("q_higher"),
+        max(when(col("rn") === floor(pos + 0.5), col("v"))).as("q_nearest"),
+        max(pos - floor(pos)).as("frac"))
+      .select(col("flag"), col("q_lower"), col("q_higher"), col("q_nearest"),
+        round((col("q_lower") + col("q_higher")) / 2, 6).as("q_midpoint"),
+        round(col("q_lower") + (col("q_higher") - col("q_lower")) * col("frac"), 6)
+          .as("q_linear"))
+      .orderBy(col("flag"))
+  }
 }

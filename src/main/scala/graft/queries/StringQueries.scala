@@ -288,4 +288,92 @@ object StringQueries extends QueryPack {
         ascii(col("p_brand")).as("first_code"))
       .orderBy("p_partkey")
   }
+
+  // --- wrap (strings/wrap.hpp:63): greedy wrap at width by replacing the ----
+  // space before the overflow with a newline. A single higher-order fold over
+  // the token array — per-row, no shuffle. The oracle folds the same
+  // recurrence with a "len|text" string accumulator (DuckDB's list_reduce
+  // keeps the accumulator element-typed); '|' never occurs in p_name.
+  register("str_wrap",
+    """SELECT p_partkey,
+      |  substring(acc, instr(acc, '|') + 1) AS wrapped
+      |FROM (SELECT p_partkey,
+      |  list_reduce(list_prepend('0|', string_split(p_name, ' ')), (acc, t) ->
+      |    CASE WHEN instr(acc, '|') = len(acc)
+      |           THEN concat(CAST(len(t) AS VARCHAR), '|', t)
+      |         WHEN CAST(substring(acc, 1, instr(acc, '|') - 1) AS INT) + 1 + len(t) > 15
+      |           THEN concat(CAST(len(t) AS VARCHAR), '|',
+      |                       substring(acc, instr(acc, '|') + 1), chr(10), t)
+      |         ELSE concat(CAST(CAST(substring(acc, 1, instr(acc, '|') - 1) AS INT)
+      |                            + 1 + len(t) AS VARCHAR), '|',
+      |                     substring(acc, instr(acc, '|') + 1), ' ', t) END) AS acc
+      |  FROM part WHERE p_partkey <= 500) ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    val width = 15
+    val wrapped = aggregate(
+      split(col("p_name"), " "),
+      struct(lit("").as("s"), lit(0).as("n")),
+      (acc, t) => {
+        val joined = acc.getField("n") + 1 + length(t)
+        when(acc.getField("n") === 0, struct(t.as("s"), length(t).as("n")))
+          .when(joined > width,
+            struct(concat(acc.getField("s"), lit("\n"), t).as("s"), length(t).as("n")))
+          .otherwise(
+            struct(concat(acc.getField("s"), lit(" "), t).as("s"), joined.as("n")))
+      },
+      acc => acc.getField("s"))
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 500)
+      .select(col("p_partkey"), wrapped.as("wrapped"))
+      .orderBy("p_partkey")
+  }
+
+  // --- find_multiple (strings/find_multiple.hpp:52): first-match character --
+  // position for each of several targets, -1 when absent (instr is 1-based,
+  // 0 on miss — minus 1 gives cuDF's convention directly).
+  register("str_find_multiple",
+    """SELECT p_partkey,
+      |  array_to_string(list_transform(['an', 're', 'ous', 'zzz'],
+      |    t -> CAST(instr(p_name, t) - 1 AS VARCHAR)), ',') AS find_pos
+      |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    val targets = Seq("an", "re", "ous", "zzz")
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 500)
+      .select(col("p_partkey"),
+        array_join(array(targets.map(t =>
+          (instr(col("p_name"), t) - 1).cast(StringType)): _*), ",").as("find_pos"))
+      .orderBy("p_partkey")
+  }
+
+  // --- to_numeric(errors="coerce") (core/tools/numeric.py:23) ---------------
+  // Messy inputs synthesized per row; coerce = try_cast → NULL on failure,
+  // downcast probe = integer try_cast failing on fractional text.
+  register("str_to_numeric",
+    """SELECT p_partkey, raw,
+      |  TRY_CAST(trim(raw) AS DOUBLE) AS as_double,
+      |  CASE WHEN instr(raw, '.') > 0 THEN NULL
+      |       ELSE TRY_CAST(trim(raw) AS INT) END AS as_int
+      |FROM (SELECT p_partkey,
+      |  CASE p_partkey % 4 WHEN 0 THEN CAST(p_size AS VARCHAR)
+      |    WHEN 1 THEN concat(' ', CAST(p_size AS VARCHAR), ' ')
+      |    WHEN 2 THEN concat(CAST(p_size AS VARCHAR), '.5')
+      |    ELSE concat('x', CAST(p_size AS VARCHAR)) END AS raw
+      |  FROM part WHERE p_partkey <= 1000) ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 1000)
+      .select(col("p_partkey"),
+        when(col("p_partkey") % 4 === 0, col("p_size").cast(StringType))
+          .when(col("p_partkey") % 4 === 1,
+            concat(lit(" "), col("p_size").cast(StringType), lit(" ")))
+          .when(col("p_partkey") % 4 === 2,
+            concat(col("p_size").cast(StringType), lit(".5")))
+          .otherwise(concat(lit("x"), col("p_size").cast(StringType))).as("raw"))
+      .select(col("p_partkey"), col("raw"),
+        expr("try_cast(trim(raw) AS DOUBLE)").as("as_double"),
+        // DuckDB's string→int cast rounds fractional text where Spark's
+        // returns NULL; pandas to_numeric(downcast=) keeps only lossless
+        // integers — pinned explicitly on both sides.
+        when(instr(col("raw"), ".") > 0, lit(null).cast(IntegerType))
+          .otherwise(expr("try_cast(trim(raw) AS INT)")).as("as_int"))
+      .orderBy("p_partkey")
+  }
 }

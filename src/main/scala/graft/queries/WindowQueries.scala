@@ -383,4 +383,53 @@ object WindowQueries extends QueryPack {
         sum(col("b_qty").cast(DecimalType(12, 2))).cast(DoubleType).as("var_sum"))
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
   }
+
+  // --- grouped bfill (replace_nulls BACKWARD, groupby.py:821) ----------------
+  // Mirror of win_group_ffill: first non-null over the FOLLOWING frame. Same
+  // per-group window parallelism; no global sort.
+  register("win_group_bfill",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  first_value(nullif(l_discount, 0.0) IGNORE NULLS)
+      |    OVER (PARTITION BY l_suppkey
+      |          ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+      |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS disc_bfill
+      |FROM lineitem WHERE l_suppkey <= 20
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_partkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(liOrder.map(col): _*)
+      .rowsBetween(0, Window.unboundedFollowing)
+    Tables.lineitem(s, d)
+      .filter(col("l_suppkey") <= 20)
+      .withColumn("disc_bfill",
+        first(nullif(col("l_discount"), lit(0.0)), ignoreNulls = true).over(w))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "disc_bfill")
+      .orderBy(col("l_suppkey") +: liOrder.map(col): _*)
+  }
+
+  // --- rolling COLLECT_LIST / COLLECT_SET (aggregation.cpp rolling kinds) ----
+  // The frame's values as a list (order = window order) and as a sorted
+  // distinct set, flattened to strings for the cross-engine hash.
+  register("win_rolling_collect",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  array_to_string(list(CAST(l_linenumber AS BIGINT))
+      |    OVER (PARTITION BY l_suppkey
+      |          ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), ',') AS frame_list,
+      |  array_to_string(list_sort(list_distinct(list(CAST(l_linenumber AS BIGINT))
+      |    OVER (PARTITION BY l_suppkey
+      |          ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))), ',') AS frame_set
+      |FROM lineitem WHERE l_suppkey <= 20
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_partkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(liOrder.map(col): _*)
+      .rowsBetween(-2, 0)
+    val frame = collect_list(col("l_linenumber").cast(LongType)).over(w)
+    Tables.lineitem(s, d)
+      .filter(col("l_suppkey") <= 20)
+      .withColumn("frame_list", array_join(frame, ","))
+      .withColumn("frame_set", array_join(array_sort(array_distinct(frame)), ","))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "frame_list", "frame_set")
+      .orderBy(col("l_suppkey") +: liOrder.map(col): _*)
+  }
 }
