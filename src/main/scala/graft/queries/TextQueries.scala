@@ -363,4 +363,88 @@ object TextQueries extends QueryPack {
         size(filter(pieces, p => p === "[UNK]")).cast(IntegerType).as("n_unk"))
       .orderBy("doc_id")
   }
+
+  // --- TF-IDF keyword extraction (north-star text analysis) -----------------
+  // Per-doc top-3 terms by tf·idf, idf = ln((N+1)/(df+1)). Two shuffles —
+  // (doc, term) then term — both partial-aggregated map-side; the corpus
+  // count N is one scalar broadcast, never a driver collect. The top-k is
+  // a per-doc WindowGroupLimit (k rows per doc leave each map task), so the
+  // window sorts k·docs rows, not the token stream. Ties are broken by term
+  // so the rank is total and engine-independent.
+  register("text_tfidf_topk",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |w AS (SELECT doc_id, term,
+      |    round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id, term, tfidf FROM (
+      |  SELECT doc_id, term, tfidf,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      |  FROM w) WHERE rk <= 3
+      |ORDER BY doc_id, tfidf DESC, term""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"), explode(tokenize(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    w.withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+  }
+
+  // --- bigram LM quality score (perplexity-style, north-star) ---------------
+  // Corpus bigram model with add-one smoothing: P(w2|w1) = (c12+1)/(c1+V);
+  // per-doc score = mean −ln P over its bigrams. Counts are corpus-scale
+  // aggregates (two shuffles, map-side combined); the per-doc mean sums
+  // DECIMAL(18,6)-rounded terms so the fold is order-independent — the
+  // repo's exact-decimal pattern applied to log-probs.
+  register("text_bigram_lm_score",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bg AS (SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || chr(9) || toks[i+1])) AS big
+      |  FROM t),
+      |uni AS (SELECT doc_id, unnest(toks) AS w FROM t),
+      |c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+      |c12 AS (SELECT big, count(*) AS c12 FROM bg GROUP BY big),
+      |v AS (SELECT count(*) AS v FROM c1),
+      |term AS (SELECT bg.doc_id,
+      |    CAST(round(-ln((c12.c12 + 1.0) / (c1.c1 + v.v)), 6) AS DECIMAL(18,6)) AS nll
+      |  FROM bg JOIN c12 USING (big)
+      |  JOIN c1 ON c1.w = string_split(bg.big, chr(9))[1]
+      |  CROSS JOIN v)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+      |FROM term GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d).select(col("doc_id"), tokenize(col("text")).as("toks"))
+    // adjacent-pair generation is a per-row HOF (slice + transform with the
+    // outer array in scope) — no self-join, no shuffle to form bigrams
+    val pairs = t.select(col("doc_id"),
+      explode(expr("transform(slice(toks, 1, size(toks) - 1), " +
+        "(x, i) -> struct(x AS w1, toks[i + 1] AS w2))")).as("p"))
+      .select(col("doc_id"),
+        concat_ws("\t", col("p.w1"), col("p.w2")).as("big"),
+        col("p.w1").as("w1"))
+    val uni = t.select(col("doc_id"), explode(col("toks")).as("w"))
+    val c1 = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val c12 = pairs.groupBy(col("big")).agg(count(lit(1)).as("c12"))
+    val v = c1.agg(count(lit(1)).as("v"))
+    val term = pairs.join(c12, Seq("big"))
+      .join(c1.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        round(-log((col("c12") + 1.0) / (col("c1") + col("v"))), 6)
+          .cast(DecimalType(18, 6)).as("nll"))
+    term.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll")).cast(DoubleType) / count(lit(1)), 6).as("avg_nll"))
+      .orderBy("doc_id")
+  }
 }
