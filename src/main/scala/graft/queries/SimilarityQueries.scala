@@ -332,4 +332,85 @@ object SimilarityQueries extends QueryPack {
         (emax <= col("scale") * 0.5 + 1e-12).as("err_bounded"))
       .orderBy("vec_id")
   }
+
+  // --- SemDeDup-style semantic dedup (Abbas et al. 2023 construction) -------
+  // Cluster the corpus (nearest of k centroids — k-means-trained in
+  // production, k ∝ N so cell size stays constant; seed centroids here, the
+  // sim_ivf_assign exemption), then find near-dups WITHIN cells only. Cells
+  // are further sub-bucketed by a 12-bit hyperplane LSH key with a hard
+  // per-bucket cap, so candidate pairs are ≤ N·cap/2 — linear in N, the
+  // same bound as dedup_embedding_cosine. A removed doc is one with a
+  // lower-id near-dup (cosine ≥ τ) in its bucket; survivors = the rest.
+  // The LSH dots are posexplode→sum aggregates (codegen-friendly), never
+  // nested interpreted HOFs feeding a generator.
+  register("dedup_semantic",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |asg AS (SELECT vec_id, cid, v FROM (
+      |    SELECT e.vec_id, c.cid, e.v,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY """.stripMargin + cosSql("e.v", "c.cv") + """ DESC, c.cid) AS rn
+      |    FROM e, c) WHERE rn = 1),
+      |ax AS (SELECT vec_id, cid,
+      |    list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS xi FROM asg),
+      |bk AS (SELECT vec_id, cid,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 12)), (acc, jj) ->
+      |    acc + CASE WHEN list_reduce(list_transform(range(1, len(xi) + 1),
+      |        i -> xi[i] * (((i - 1) * 31 + jj * 17) % 7 - 3)), (x, y) -> x + y) > 0
+      |      THEN (CAST(1 AS BIGINT) << jj) ELSE 0 END) AS bkey
+      |  FROM ax),
+      |ok AS (SELECT cid, bkey FROM bk GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 50),
+      |pr AS (SELECT b.vec_id, b.cid, b.bkey FROM bk b JOIN ok USING (cid, bkey)),
+      |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+      |         FROM pr a JOIN pr b ON a.cid = b.cid AND a.bkey = b.bkey
+      |            AND a.vec_id < b.vec_id),
+      |dup AS (SELECT v1, v2,
+      |    """.stripMargin + cosSql("e1.v", "e2.v") + """ AS cos_v
+      |  FROM cand JOIN e e1 ON e1.vec_id = v1 JOIN e e2 ON e2.vec_id = v2
+      |  WHERE """.stripMargin + cosSql("e1.v", "e2.v") + """ >= 0.2)
+      |SELECT v2 AS vec_id, min(v1) AS dup_of, round(max(cos_v), 6) AS best_cos
+      |FROM dup GROUP BY v2 ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val MaxBucket = 50
+    val Bits = 12
+    val tau = 0.2
+    val e = vecs(s, d).select(col("vec_id"), col("v"))
+    val c = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid"))
+    val asg = e.crossJoin(broadcast(c))
+      .withColumn("cos_c", dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))))
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("v"))
+    val dims = asg.select(col("vec_id"), col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("cid"), col("i"),
+        floor(col("x") * 1000).cast(LongType).as("xi"))
+    val dotCols = (0 until Bits).map { j =>
+      sum(col("xi") * ((col("i") * 31 + lit(j * 17)) % 7 - 3)).as(s"dot$j")
+    }
+    val dots = dims.groupBy(col("vec_id"), col("cid")).agg(dotCols.head, dotCols.tail: _*)
+    val bkey = (0 until Bits).map { jj =>
+      when(col(s"dot$jj") > 0, lit(1L << jj)).otherwise(0L)
+    }.reduce(_ + _)
+    val keyed = dots.select(col("vec_id"), col("cid"), bkey.as("bkey"))
+    val okBuckets = keyed.groupBy(col("cid"), col("bkey"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, MaxBucket))
+      .select("cid", "bkey")
+    val pruned = keyed.join(okBuckets, Seq("cid", "bkey"))
+    val cand = pruned.select(col("cid"), col("bkey"), col("vec_id").as("v1"))
+      .join(pruned.select(col("cid"), col("bkey"), col("vec_id").as("v2")),
+        Seq("cid", "bkey"))
+      .filter(col("v1") < col("v2"))
+      .select("v1", "v2").distinct()
+    cand
+      .join(e.select(col("vec_id").as("v1"), col("v").as("va")), Seq("v1"))
+      .join(e.select(col("vec_id").as("v2"), col("v").as("vb")), Seq("v2"))
+      .withColumn("cos_v", dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+      .filter(col("cos_v") >= tau)
+      .groupBy(col("v2"))
+      .agg(min(col("v1")).as("dup_of"), round(max(col("cos_v")), 6).as("best_cos"))
+      .select(col("v2").as("vec_id"), col("dup_of"), col("best_cos"))
+      .orderBy("vec_id")
+  }
 }
