@@ -224,4 +224,25 @@ object ScalarQueries extends QueryPack {
         xxhash64(col("c_custkey"), col("c_name")).as("xx64"))
       .orderBy("c_custkey")
   }
+
+  // --- byte_cast (reshape.hpp:95): int32 → its 4 bytes, both endiannesses ---
+  // Pure per-row bit arithmetic (shift + mask), flattened to a CSV string
+  // for the cross-engine hash; no UDF, fully codegen'd.
+  register("expr_byte_cast",
+    """SELECT c_custkey,
+      |  concat_ws(',',
+      |    CAST((c_custkey >> 24) & 255 AS VARCHAR), CAST((c_custkey >> 16) & 255 AS VARCHAR),
+      |    CAST((c_custkey >> 8) & 255 AS VARCHAR), CAST(c_custkey & 255 AS VARCHAR)) AS be_bytes,
+      |  concat_ws(',',
+      |    CAST(c_custkey & 255 AS VARCHAR), CAST((c_custkey >> 8) & 255 AS VARCHAR),
+      |    CAST((c_custkey >> 16) & 255 AS VARCHAR), CAST((c_custkey >> 24) & 255 AS VARCHAR)) AS le_bytes
+      |FROM customer WHERE c_custkey <= 1000 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val b = (n: Int) => (shiftright(col("c_custkey"), n) bitwiseAND 255).cast(StringType)
+    Tables.customer(s, d)
+      .filter(col("c_custkey") <= 1000)
+      .select(col("c_custkey"),
+        concat_ws(",", b(24), b(16), b(8), b(0)).as("be_bytes"),
+        concat_ws(",", b(0), b(8), b(16), b(24)).as("le_bytes"))
+      .orderBy("c_custkey")
+  }
 }
