@@ -517,19 +517,30 @@ object AggregationQueries extends QueryPack {
       |  round((q_lower + q_higher) / 2, 6) AS q_midpoint,
       |  round(q_lower + (q_higher - q_lower) * frac, 6) AS q_linear
       |FROM q ORDER BY flag""".stripMargin) { (s, d) =>
+    // Scale path: rank the VALUE HISTOGRAM, not the rows. The groupBy below
+    // partial-aggregates map-side, so the shuffle carries (group, value,
+    // count) — ≤ groups·|distinct values| rows — and the rank window runs
+    // over that tiny relation instead of sorting the fact table (the oracle
+    // SQL ranks rows directly; same result, DuckDB's cost). Value v covers
+    // 0-based sorted ranks [cum−cnt, cum−1]; each interpolation rank is
+    // looked up in that range.
     val p = lit(0.35)
-    val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
-    val wAll = Window.partitionBy(col("l_returnflag"))
+    val hist = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("flag"), col("l_quantity").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("flag")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("flag"))
     val pos = p * (col("n") - 1)
-    Tables.lineitem(s, d)
-      .select(col("l_returnflag").as("flag"), col("l_quantity").as("v"),
-        (row_number().over(wOrd) - 1).as("rn"),
-        count(lit(1)).over(wAll).as("n"))
+    val covers = (r: Column) => r.between(col("cum") - col("cnt"), col("cum") - 1)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
       .groupBy(col("flag"))
       .agg(
-        max(when(col("rn") === floor(pos), col("v"))).as("q_lower"),
-        max(when(col("rn") === ceil(pos), col("v"))).as("q_higher"),
-        max(when(col("rn") === floor(pos + 0.5), col("v"))).as("q_nearest"),
+        max(when(covers(floor(pos)), col("v"))).as("q_lower"),
+        max(when(covers(ceil(pos)), col("v"))).as("q_higher"),
+        max(when(covers(floor(pos + 0.5)), col("v"))).as("q_nearest"),
         max(pos - floor(pos)).as("frac"))
       .select(col("flag"), col("q_lower"), col("q_higher"), col("q_nearest"),
         round((col("q_lower") + col("q_higher")) / 2, 6).as("q_midpoint"),
