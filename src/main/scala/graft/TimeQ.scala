@@ -1,0 +1,16 @@
+package graft
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val spark = GraftSession.build("graft-timeq")
+    spark.sparkContext.setLogLevel("WARN")
+    try SparkEntry.queries("agg_groupby_q1")(spark, sfDir).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+    for (name <- args(1).split(",") ; rep <- 1 to 2) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"TIMEQ $name rep$rep ${(System.nanoTime()-t0)/1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -170,6 +170,11 @@ object GF {
   def l2Norm(c: Column): Column =
     sqrt(aggregate(transform(c, x => x * x), lit(0.0d), (acc, v) => acc + v))
 
-  /** Cosine similarity of two float-array columns. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity of two double-array columns — fused codegen kernel
+    * ([[graft.expressions.CosineSim]]); bit-identical to
+    * `dot(a,b) / (l2Norm(a) * l2Norm(b))`. */
+  def cosine(a: Column, b: Column): Column = {
+    val B = org.apache.spark.sql.graft.Bridge
+    B.column(graft.expressions.CosineSim(B.expression(a), B.expression(b)))
+  }
 }

@@ -456,13 +456,11 @@ object DedupQueries extends QueryPack {
         Seq("band", "bkey"))
       .filter(col("v1") < col("v2"))
       .select("v1", "v2").distinct()
-    val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (x, y) => x + y)
-    val na = sqrt(aggregate(transform(col("va"), x => x * x), lit(0.0), (x, y) => x + y))
-    val nb = sqrt(aggregate(transform(col("vb"), x => x * x), lit(0.0), (x, y) => x + y))
     cand
       .join(e.select(col("vec_id").as("v1"), col("v").as("va")), Seq("v1"))
       .join(e.select(col("vec_id").as("v2"), col("v").as("vb")), Seq("v2"))
-      .withColumn("cosine", dot / (na * nb))
+      // fused codegen cosine kernel — bit-identical to the HOF fold
+      .withColumn("cosine", graft.functions.GF.cosine(col("va"), col("vb")))
       .filter(col("cosine") >= 0.3)
       .select(col("v1"), col("v2"), round(col("cosine"), 6).as("cosine"))
       .orderBy("v1", "v2")

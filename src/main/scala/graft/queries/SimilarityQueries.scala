@@ -36,10 +36,9 @@ object SimilarityQueries extends QueryPack {
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), _.cast(DoubleType)).as("v"))
 
-  private val dot = (a: Column, b: Column) =>
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (x, y) => x + y)
-  private val norm = (a: Column) =>
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (x, y) => x + y))
+  // fused codegen cosine kernel (expressions/CosineSim.scala) — bit-identical
+  // to the dot/(norm·norm) HOF fold it replaced, but whole-stage-codegen'd
+  private val cosine = (a: Column, b: Column) => GF.cosine(a, b)
 
   // --- 1. brute-force cosine top-k (exact baseline) -------------------------
   register("sim_bruteforce_topk",
@@ -58,7 +57,7 @@ object SimilarityQueries extends QueryPack {
     e.select(col("vec_id").as("nid"), col("v"))
       .crossJoin(broadcast(q))
       .filter(col("nid") =!= col("qid"))
-      .withColumn("cosine", round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 6))
+      .withColumn("cosine", round(cosine(col("qv"), col("v")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("qid"), col("nid"), col("cosine"))
@@ -126,7 +125,7 @@ object SimilarityQueries extends QueryPack {
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
     q.join(c, Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cosine", round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 6))
+      .withColumn("cosine", round(cosine(col("qv"), col("v")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("qid"), col("nid"), col("cosine"))
@@ -227,7 +226,7 @@ object SimilarityQueries extends QueryPack {
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid"))
     e.crossJoin(broadcast(c))
-      .withColumn("cos_c", dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))))
+      .withColumn("cos_c", cosine(col("v"), col("cv")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .groupBy(col("cid"))
@@ -270,7 +269,7 @@ object SimilarityQueries extends QueryPack {
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid"))
     val asg = e.crossJoin(broadcast(c))
-      .withColumn("cos_c", dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))))
+      .withColumn("cos_c", cosine(col("v"), col("cv")))
       .withColumn("rn", row_number().over(wAsg))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"), col("v"))
@@ -278,7 +277,7 @@ object SimilarityQueries extends QueryPack {
     val probe = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
       .crossJoin(broadcast(c))
-      .withColumn("cos_q", dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
+      .withColumn("cos_q", cosine(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= 2)
       .select(col("qid"), col("cid"), col("qv"))
@@ -286,7 +285,7 @@ object SimilarityQueries extends QueryPack {
     probe.join(asg, Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 6).as("cosine"))
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= 3)
       .select(col("qid"), col("nid"), col("cosine"))
@@ -378,7 +377,7 @@ object SimilarityQueries extends QueryPack {
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid"))
     val asg = e.crossJoin(broadcast(c))
-      .withColumn("cos_c", dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))))
+      .withColumn("cos_c", cosine(col("v"), col("cv")))
       .withColumn("rn", row_number().over(wAsg))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"), col("v"))
@@ -406,7 +405,7 @@ object SimilarityQueries extends QueryPack {
     cand
       .join(e.select(col("vec_id").as("v1"), col("v").as("va")), Seq("v1"))
       .join(e.select(col("vec_id").as("v2"), col("v").as("vb")), Seq("v2"))
-      .withColumn("cos_v", dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+      .withColumn("cos_v", cosine(col("va"), col("vb")))
       .filter(col("cos_v") >= tau)
       .groupBy(col("v2"))
       .agg(min(col("v1")).as("dup_of"), round(max(col("cos_v")), 6).as("best_cos"))

@@ -81,6 +81,27 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("CosineSim equals the HOF dot/(norm·norm) fold bit-for-bit (fuzz)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = (1 to 300).map { _ =>
+      def vec() = (0 until 16).map(_ => rnd.nextDouble() * 2 - 1)
+      (vec(), vec())
+    }
+    val hofDot = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (x, y) => x + y)
+    val hofNorm = (c: org.apache.spark.sql.Column) =>
+      sqrt(aggregate(transform(c, x => x * x), lit(0.0), (x, y) => x + y))
+    val df = rows.toDF("a", "b").select(
+      graft.functions.GF.cosine(col("a"), col("b")).as("fast"),
+      (hofDot / (hofNorm(col("a")) * hofNorm(col("b")))).as("ref"))
+    // exact equality — the kernel folds in the same order as the lambdas
+    assert(df.filter(not(col("fast") === col("ref"))).count() == 0)
+    // unequal lengths → NULL, mirroring zip_with
+    val mix = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    assert(mix.select(graft.functions.GF.cosine(col("a"), col("b"))).head.isNullAt(0))
+  }
+
   test("shingles expression equals builtin pipeline on real documents") {
     val spark = TestSpark.spark
     val docs = Tables.documents(spark, TestSpark.sfDir).limit(50)
