@@ -1,4 +1,12 @@
 package graft
+
+/** Dev timing harness: run a comma-separated list of registry queries twice
+  * each (cold + warm) after the same untimed warmup Bench uses, printing
+  * per-rep wall seconds. Complements Bench (whole-suite, single rep) when
+  * isolating one query's cost from suite ordering noise.
+  *
+  * Usage: runMain graft.TimeQ <sfDir> <name>[,<name>...]
+  */
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -9,7 +17,7 @@ object TimeQ {
     for (name <- args(1).split(",") ; rep <- 1 to 2) {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"TIMEQ $name rep$rep ${(System.nanoTime()-t0)/1e9}%.2f s")
+      println(f"TIMEQ $name rep$rep ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }
