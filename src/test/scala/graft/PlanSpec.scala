@@ -154,7 +154,10 @@ class PlanSpec extends AnyFunSuite {
     "sim_ivf_search" -> "corpus/query x broadcast centroid set for cell routing; the candidate join itself is an equi-join on cid",
     "sort_searchsorted" -> "attaches one broadcast aggregate row to every row",
     "reshape_qcut" -> "attaches one broadcast quantile-edges row to every row",
-    "reshape_transpose" -> "documented small-data contract (driver-side shape)"
+    "reshape_transpose" -> "documented small-data contract (driver-side shape)",
+    "dedup_semantic" -> "corpus x broadcast centroid set for cell assignment; the candidate join itself is an equi-join on (cid, bkey)",
+    "text_tfidf_topk" -> "attaches one broadcast corpus-count row to every (doc, term)",
+    "text_bigram_lm_score" -> "attaches one broadcast vocab-size row to every bigram"
   )
 
   test("repo-wide sweep: no undocumented cartesian/nested-loop joins") {
