@@ -447,4 +447,46 @@ object TextQueries extends QueryPack {
         round(sum(col("nll")).cast(DoubleType) / count(lit(1)), 6).as("avg_nll"))
       .orderBy("doc_id")
   }
+
+  // --- URL/domain filtering (web-corpus prep: host extraction + blocklist) --
+  // URLs are synthesized deterministically from (source, lang, doc_id); the
+  // operator under test is Spark's codegen parse_url (HOST / PATH / QUERY
+  // key) + a broadcast-anti-join blocklist + per-domain rollup — the
+  // domain-level filter stage every crawl pipeline runs before dedup. The
+  // blocklist is an explicit anti-join (the production shape: blocklists are
+  // tables, not literals); at corpus scale it broadcasts.
+  register("text_url_domain",
+    """WITH u AS (SELECT doc_id, lang, source,
+      |    concat('https://', source, '.example.com/', lang, '/doc-', doc_id,
+      |           '?ref=', source, '&id=', doc_id) AS url
+      |  FROM documents),
+      |p AS (SELECT doc_id, lang, source,
+      |    regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+      |    regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+      |    regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref_param
+      |  FROM u),
+      |kept AS (SELECT * FROM p WHERE source NOT IN ('src3', 'src7'))
+      |SELECT host, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+      |  min(doc_id) AS min_doc, min(path) AS sample_path, min(ref_param) AS ref_src
+      |FROM kept GROUP BY host ORDER BY host""".stripMargin) { (s, d) =>
+    val u = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        concat(lit("https://"), col("source"), lit(".example.com/"), col("lang"),
+          lit("/doc-"), col("doc_id"), lit("?ref="), col("source"),
+          lit("&id="), col("doc_id")).as("url"))
+    val p = u.select(col("doc_id"), col("lang"), col("source"),
+      parse_url(col("url"), lit("HOST")).as("host"),
+      parse_url(col("url"), lit("PATH")).as("path"),
+      parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref_param"))
+    val block = u.sparkSession.createDataFrame(
+      Seq("src3", "src7").map(Tuple1.apply)).toDF("source")
+    p.join(broadcast(block), Seq("source"), "left_anti")
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("doc_id")).as("min_doc"),
+        min(col("path")).as("sample_path"),
+        min(col("ref_param")).as("ref_src"))
+      .orderBy("host")
+  }
 }
