@@ -183,6 +183,31 @@ object WindowQueries extends QueryPack {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  // --- EXCLUSIVE scan (reduction.hpp:32 scan_type::EXCLUSIVE): the prefix
+  // sum NOT including the current row — frame ends at 1 PRECEDING; the
+  // group's first row is the scan identity (0 / null-min), pinned with
+  // coalesce on both sides.
+  register("win_group_scan_exclusive",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w, 0) AS DOUBLE) AS excl_sum,
+      |  min(o_totalprice) OVER w AS excl_min
+      |FROM orders WHERE o_custkey <= 50
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") <= 50)
+      .withColumn("excl_sum",
+        coalesce(sum(col("o_totalprice").cast(DecimalType(12, 2))).over(w), lit(0))
+          .cast(DoubleType))
+      .withColumn("excl_min", min(col("o_totalprice")).over(w))
+      .select("o_custkey", "o_orderkey", "excl_sum", "excl_min")
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
   // --- groupby.transform: group aggregate broadcast back to every row
   // (groupby.py transform — same-length output). Unordered per-group window
   // = one shuffle on the key, aggregate computed once per group per
