@@ -128,6 +128,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("text_tfidf_topk plans WindowGroupLimit and broadcasts the corpus count") {
+    val p = executedPlan("text_tfidf_topk")
+    // per-doc top-k pruned map-side; the scalar N and term-df joins never
+    // shuffle the token stream beyond the two counting aggregations
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("dedup_semantic: candidate generation is an equi-join on (cid, bkey)") {
+    val p = executedPlan("dedup_semantic")
+    // the only non-equi join is the corpus x 8-centroid broadcast assignment;
+    // pairing and verification are hash equi-joins
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
   test("pipeline_corpus_prep: dedup is one aggregation, all joins broadcast") {
     // the min_by survivor aggregation means no sort-merge join anywhere:
     // the only corpus-scale exchange is the digest groupBy
