@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -181,6 +182,48 @@ object WindowQueries extends QueryPack {
       .withColumn("cum_count", count(lit(1)).over(w) - 1) // cudf cumcount is 0-based
       .select("o_custkey", "o_orderkey", "cum_spend", "cum_max", "cum_count")
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  // --- rolling ARGMIN / ARGMAX (aggregation.cpp rolling kinds): the order
+  // key of the frame's extreme row, first occurrence on ties. The frame (≤ 3
+  // structs) is materialized once and folded — per-row work bounded by the
+  // window size, like win_rolling_apply; lexicographic (value, position)
+  // fold gives cuDF's first-occurrence tie rule on both engines.
+  register("win_rolling_argminmax",
+    """WITH t AS (SELECT l_suppkey, l_quantity,
+      |    row_number() OVER (PARTITION BY l_suppkey
+      |        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey) AS pos
+      |  FROM lineitem WHERE l_suppkey <= 20),
+      |f AS (SELECT l_suppkey, pos,
+      |    list(ROW(l_quantity, pos)) OVER (PARTITION BY l_suppkey ORDER BY pos
+      |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS frame
+      |  FROM t)
+      |SELECT l_suppkey, pos,
+      |  list_reduce(frame, (a, b) ->
+      |    CASE WHEN b.l_quantity < a.l_quantity THEN b ELSE a END).pos AS argmin_pos,
+      |  list_reduce(frame, (a, b) ->
+      |    CASE WHEN b.l_quantity > a.l_quantity THEN b ELSE a END).pos AS argmax_pos
+      |FROM f ORDER BY l_suppkey, pos""".stripMargin) { (s, d) =>
+    val wPos = Window.partitionBy(col("l_suppkey"))
+      .orderBy(liOrder.map(col): _*)
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("pos"))
+      .rowsBetween(-2, 0)
+    val frame = collect_list(struct(col("l_quantity").as("v"), col("pos"))).over(w)
+    // fold keeps the accumulator unless strictly better — first occurrence
+    // wins ties, cuDF's argmin/argmax rule (same fold as DuckDB list_reduce)
+    val fold = (better: (Column, Column) => Column) =>
+      aggregate(slice(col("frame"), lit(2), size(col("frame"))),
+        element_at(col("frame"), 1),
+        (acc, e) => when(better(e.getField("v"), acc.getField("v")), e).otherwise(acc))
+        .getField("pos")
+    Tables.lineitem(s, d)
+      .filter(col("l_suppkey") <= 20)
+      .withColumn("pos", row_number().over(wPos))
+      .withColumn("frame", frame)
+      .withColumn("argmin_pos", fold(_ < _))
+      .withColumn("argmax_pos", fold(_ > _))
+      .select("l_suppkey", "pos", "argmin_pos", "argmax_pos")
+      .orderBy(col("l_suppkey"), col("pos"))
   }
 
   // --- EXCLUSIVE scan (reduction.hpp:32 scan_type::EXCLUSIVE): the prefix
