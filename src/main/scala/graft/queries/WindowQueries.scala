@@ -195,14 +195,14 @@ object WindowQueries extends QueryPack {
       |        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey) AS pos
       |  FROM lineitem WHERE l_suppkey <= 20),
       |f AS (SELECT l_suppkey, pos,
-      |    list(ROW(l_quantity, pos)) OVER (PARTITION BY l_suppkey ORDER BY pos
+      |    list({'v': l_quantity, 'pos': pos}) OVER (PARTITION BY l_suppkey ORDER BY pos
       |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS frame
       |  FROM t)
       |SELECT l_suppkey, pos,
       |  list_reduce(frame, (a, b) ->
-      |    CASE WHEN b.l_quantity < a.l_quantity THEN b ELSE a END).pos AS argmin_pos,
+      |    CASE WHEN b.v < a.v THEN b ELSE a END).pos AS argmin_pos,
       |  list_reduce(frame, (a, b) ->
-      |    CASE WHEN b.l_quantity > a.l_quantity THEN b ELSE a END).pos AS argmax_pos
+      |    CASE WHEN b.v > a.v THEN b ELSE a END).pos AS argmax_pos
       |FROM f ORDER BY l_suppkey, pos""".stripMargin) { (s, d) =>
     val wPos = Window.partitionBy(col("l_suppkey"))
       .orderBy(liOrder.map(col): _*)
