@@ -12,22 +12,28 @@ package graft
   * silently pose as a fast one.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.build("graft-bench")
-    spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JVM/codegen/parquet-footer costs land here, not on
-    // whichever query happens to run first. One query per (table, operator
-    // class) — measured r6: the first window query of a cold run absorbed
-    // ~4 s of JIT that re-timing in isolation showed was not its own cost.
+  /** Untimed warmup shared by Bench and TimeQ: JVM/codegen/parquet-footer
+    * costs land here, not on whichever query happens to run first. One query
+    * per (table, operator class) — measured r6: the first window query of a
+    * cold run absorbed ~4 s of JIT that re-timing in isolation showed was
+    * not its own cost. Also builds the bucketed-table fixture: bucketing is
+    * a write-once cost amortized over every downstream join, so
+    * io_bucketed_join times the JOIN, not the write.
+    */
+  def warmup(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
     for (w <- Seq("agg_groupby_q1", "win_rolling_sum", "text_tokenize", "sim_lsh_buckets"))
       try SparkEntry.queries(w)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-    // untimed fixture: bucketing is a write-once cost amortized over every
-    // downstream join — io_bucketed_join should time the JOIN, not the write
     try graft.queries.IoQueries.ensureBucketedTables(spark, sfDir)
     catch { case _: Throwable => () }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.build("graft-bench")
+    spark.sparkContext.setLogLevel("WARN")
+    warmup(spark, sfDir)
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

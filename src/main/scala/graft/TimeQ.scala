@@ -1,9 +1,10 @@
 package graft
 
 /** Dev timing harness: run a comma-separated list of registry queries twice
-  * each (cold + warm) after the same untimed warmup Bench uses, printing
-  * per-rep wall seconds. Complements Bench (whole-suite, single rep) when
-  * isolating one query's cost from suite ordering noise.
+  * each (cold + warm) after the same untimed warmup Bench uses
+  * (Bench.warmup — one query per table/operator class + the bucketed-table
+  * fixture), printing per-rep wall seconds. Complements Bench (whole-suite,
+  * single rep) when isolating one query's cost from suite ordering noise.
   *
   * Usage: runMain graft.TimeQ <sfDir> <name>[,<name>...]
   */
@@ -12,8 +13,7 @@ object TimeQ {
     val sfDir = args(0)
     val spark = GraftSession.build("graft-timeq")
     spark.sparkContext.setLogLevel("WARN")
-    try SparkEntry.queries("agg_groupby_q1")(spark, sfDir).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    Bench.warmup(spark, sfDir)
     for (name <- args(1).split(",") ; rep <- 1 to 2) {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -20,9 +20,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * evaluated O(candidates) times, so it compiles to a single primitive loop
   * with no allocation.
   *
-  * Mirrors zip_with's unequal-length semantics by returning NULL. Element
-  * nulls do not occur (embedding vectors are dense, containsNull=false
-  * upstream).
+  * Mirrors zip_with's unequal-length semantics by returning NULL, and the
+  * HOF fold's element-null semantics too: a null element anywhere poisons
+  * the double accumulator, so the whole similarity is NULL (dense embedding
+  * vectors never hit this path; callers with nullable elements get the same
+  * answer the aggregate/zip_with form would give, not a garbage read).
   *
   * Reference semantics: near-dup cosine over embedding columns (north-star
   * similarity tier; cf. dask_cudf partitioned reductions — the reference has
@@ -74,6 +76,7 @@ object CosineSimImpl {
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getDouble(i)
       val y = b.getDouble(i)
       dot += x * y

@@ -408,9 +408,11 @@ object TextQueries extends QueryPack {
   // repo's exact-decimal pattern applied to log-probs.
   register("text_bigram_lm_score",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      |bg AS (SELECT doc_id,
-      |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || chr(9) || toks[i+1])) AS big
+      |bg0 AS (SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks)),
+      |      i -> {'big': toks[i] || chr(9) || toks[i+1], 'w1': toks[i]})) AS p
       |  FROM t),
+      |bg AS (SELECT doc_id, p.big AS big, p.w1 AS w1 FROM bg0),
       |uni AS (SELECT doc_id, unnest(toks) AS w FROM t),
       |c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
       |c12 AS (SELECT big, count(*) AS c12 FROM bg GROUP BY big),
@@ -418,7 +420,7 @@ object TextQueries extends QueryPack {
       |term AS (SELECT bg.doc_id,
       |    CAST(round(-ln((c12.c12 + 1.0) / (c1.c1 + v.v)), 6) AS DECIMAL(18,6)) AS nll
       |  FROM bg JOIN c12 USING (big)
-      |  JOIN c1 ON c1.w = string_split(bg.big, chr(9))[1]
+      |  JOIN c1 ON c1.w = bg.w1
       |  CROSS JOIN v)
       |SELECT doc_id, count(*) AS n_bigrams,
       |  round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll

@@ -100,6 +100,11 @@ class ExpressionsSpec extends AnyFunSuite {
     // unequal lengths → NULL, mirroring zip_with
     val mix = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
     assert(mix.select(graft.functions.GF.cosine(col("a"), col("b"))).head.isNullAt(0))
+    // a null ELEMENT → NULL, mirroring the HOF fold's null propagation
+    // (not a garbage 0.0 read) — pins the nullable-element contract
+    val withNull = Seq((Seq[java.lang.Double](1.0, null, 3.0),
+      Seq[java.lang.Double](1.0, 2.0, 3.0))).toDF("a", "b")
+    assert(withNull.select(graft.functions.GF.cosine(col("a"), col("b"))).head.isNullAt(0))
   }
 
   test("shingles expression equals builtin pipeline on real documents") {
