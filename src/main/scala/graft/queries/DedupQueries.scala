@@ -465,4 +465,51 @@ object DedupQueries extends QueryPack {
       .select(col("v1"), col("v2"), round(col("cosine"), 6).as("cosine"))
       .orderBy("v1", "v2")
   }
+
+  // --- line-level boilerplate removal (C4/CCNet-style, north-star) ----------
+  // Cross-document repeated "lines" (3-token blocks standing in for the
+  // sentences/lines of real corpora) are boilerplate: any line appearing in
+  // ≥3 distinct documents is dropped from EVERY document, and each doc's
+  // surviving text is re-assembled in original order. Scale shape: explode
+  // lines (linear in corpus tokens) → one map-side-combined groupBy for the
+  // document-frequency table → one equi-join back on the line key → per-doc
+  // re-aggregation. The line key here is the 3-token string (short, and it
+  // must match the oracle's grouping exactly); at 100 TB you'd key the DF
+  // table and the join on xxhash64(line) instead, shrinking the shuffle to
+  // (digest, doc_id, pos) — same plan shape, narrower rows.
+  register("dedup_lines",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |l AS (SELECT doc_id,
+      |    unnest(list_transform(range(0, CAST(ceil(len(toks) / 3.0) AS INT)),
+      |      i -> {'pos': i, 'line': array_to_string(list_slice(toks, i*3+1, i*3+3), ' ')})) AS p
+      |  FROM t),
+      |lines AS (SELECT doc_id, p.pos AS pos, p.line AS line FROM l),
+      |df AS (SELECT line, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY line),
+      |m AS (SELECT lines.doc_id, lines.pos, lines.line, df.n_docs >= 3 AS boiler
+      |  FROM lines JOIN df USING (line))
+      |SELECT doc_id, count(*) AS n_lines,
+      |  CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  md5(coalesce(array_to_string(list_transform(
+      |    list_sort(list((pos, line)) FILTER (NOT boiler)), x -> x[2]), ' '), '')) AS kept_md5
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val lines = Tables.documents(s, d)
+      .select(col("doc_id"), tokenize(col("text")).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, cast(ceil(size(toks) / 3.0) as int) - 1), " +
+          "i -> struct(i as pos, array_join(slice(toks, i*3+1, 3), ' ') as line))")).as("p"))
+      .select(col("doc_id"), col("p.pos").as("pos"), col("p.line").as("line"))
+    val df = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    lines.join(df, Seq("line"))
+      .withColumn("boiler", col("n_docs") >= 3)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("boiler").cast(IntegerType)).as("n_removed"),
+        // collect_list drops the nulls `when` leaves on boilerplate rows;
+        // sort_array orders struct(pos, line) by pos — original line order
+        md5(array_join(transform(
+          sort_array(collect_list(when(!col("boiler"), struct(col("pos"), col("line"))))),
+          x => x.getField("line")), " ")).as("kept_md5"))
+      .orderBy("doc_id")
+  }
 }

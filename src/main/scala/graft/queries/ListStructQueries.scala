@@ -148,4 +148,27 @@ object ListStructQueries extends QueryPack {
         (col("o_totalprice") >= lo).as("in_bin"))
       .orderBy("o_orderkey")
   }
+
+  // --- segmented_gather (lists/gather.hpp:56): per-row element gather by an
+  // index list — a fixed pick list and a full reverse permutation. Pure
+  // per-row HOF (transform over the index array), no shuffle. Out-of-range
+  // indexes are exercised implicitly by the docs-length filter staying ≥ 5.
+  register("list_gather",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |           WHERE doc_id <= 100 AND len(string_split(text, ' ')) >= 5)
+      |SELECT doc_id,
+      |  array_to_string(list_transform([3, 1, 5], i -> toks[CAST(i AS INT)]), '|') AS gathered,
+      |  array_to_string(list_transform(range(len(toks), 0, -1), i -> toks[CAST(i AS INT)]), '|') AS reversed_toks
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") <= 100)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"),
+        array_join(expr("transform(array(3, 1, 5), i -> element_at(toks, i))"), "|")
+          .as("gathered"),
+        array_join(expr("transform(sequence(size(toks), 1, -1), i -> element_at(toks, i))"), "|")
+          .as("reversed_toks"))
+      .orderBy("doc_id")
+  }
 }

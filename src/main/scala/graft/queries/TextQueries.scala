@@ -491,4 +491,103 @@ object TextQueries extends QueryPack {
         min(col("ref_param")).as("ref_src"))
       .orderBy("host")
   }
+
+  // --- PII redaction (corpus-prep scrub pass, north-star) -------------------
+  // Emails / IPv4s / phone numbers are counted and replaced with typed
+  // placeholder tokens — the standard scrub every web corpus runs before
+  // training. PII is synthesized deterministically from (doc_id, source) so
+  // the op is exercised at any scale factor; the patterns are written in the
+  // dialect intersection of Java regex and RE2 (no backrefs, no lookaround)
+  // so both engines compile them identically. Pure per-row codegen
+  // expressions — zero shuffles, scales embarrassingly.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhoneRe = "\\+1-555-\\d{4}"
+  register("text_pii_redact",
+    s"""WITH a AS (SELECT doc_id,
+      |    text || ' contact user' || doc_id || '@mail-' || source || '.com from 10.' ||
+      |      (doc_id % 256) || '.' || (doc_id % 100) || '.7 call +1-555-' ||
+      |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' end' AS aug
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(aug, '$EmailRe')) AS n_emails,
+      |  len(regexp_extract_all(aug, '$Ipv4Re')) AS n_ips,
+      |  len(regexp_extract_all(aug, '$PhoneRe')) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+      |      '$EmailRe', '<EMAIL>', 'g'),
+      |      '$Ipv4Re', '<IP>', 'g'),
+      |      '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
+      |FROM a ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val aug = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast(StringType), lit("@mail-"), col("source"),
+      lit(".com from 10."), (col("doc_id") % 256).cast(StringType), lit("."),
+      (col("doc_id") % 100).cast(StringType), lit(".7 call +1-555-"),
+      lpad((col("doc_id") % 10000).cast(StringType), 4, "0"), lit(" end"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id"),
+        regexp_count(col("aug"), lit(EmailRe)).as("n_emails"),
+        regexp_count(col("aug"), lit(Ipv4Re)).as("n_ips"),
+        regexp_count(col("aug"), lit(PhoneRe)).as("n_phones"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("aug"),
+          EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  // --- sliding-window chunking with overlap (training-sequence prep) --------
+  // seq_len=16, stride=12 token windows per document — the chunking step
+  // that turns variable-length documents into fixed-context training rows
+  // (complements text_token_budget_pack, which packs WHOLE docs). Chunk
+  // generation is a per-row HOF over the token array (no self-join, no
+  // shuffle); output cardinality is sum(ceil(len/stride)) — linear in corpus
+  // token count, the same scaling as the tokenize pass itself.
+  register("text_chunk_stride",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (SELECT doc_id,
+      |    unnest(list_transform(range(0, CAST(floor((len(toks) - 1) / 12.0) AS INT) + 1),
+      |      i -> {'cid': i, 'chunk': list_slice(toks, i*12+1, i*12+16)})) AS p
+      |  FROM t)
+      |SELECT doc_id, p.cid AS chunk_id, len(p.chunk) AS n_tok,
+      |  p.chunk[1] AS first_tok, p.chunk[-1] AS last_tok
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokenize(col("text")).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, cast(floor((size(toks) - 1) / 12.0) as int)), " +
+          "i -> struct(i as cid, slice(toks, i*12+1, 16) as chunk))")).as("p"))
+      .select(col("doc_id"), col("p.cid").as("chunk_id"),
+        size(col("p.chunk")).as("n_tok"),
+        element_at(col("p.chunk"), 1).as("first_tok"),
+        element_at(col("p.chunk"), -1).as("last_tok"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  // --- BPE pair counting (vocab-training inner loop) ------------------------
+  // One iteration of byte-pair-encoding merge selection: adjacent
+  // character-pair frequencies weighted by word frequency, top-20 pairs.
+  // The corpus collapses to a vocab-sized word-frequency table FIRST (one
+  // map-side-combined shuffle of (word, count)); pair explosion runs over
+  // the vocab, not the corpus — at 100 TB the vocab is ~10⁶ rows, so the
+  // expensive HOF touches 10⁶ rows regardless of corpus size. Final top-k is
+  // a TakeOrdered over pair counts (vocab-bounded, no full sort).
+  register("text_bpe_pair_counts",
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |wf AS (SELECT word, count(*) AS freq FROM w WHERE len(word) >= 2 GROUP BY word),
+      |p AS (SELECT freq,
+      |    unnest(list_transform(range(1, len(word)), i -> substring(word, i, 2))) AS pair
+      |  FROM wf),
+      |pc AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY pair)
+      |SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair LIMIT 20""".stripMargin) { (s, d) =>
+    val wf = Tables.documents(s, d)
+      .select(explode(tokenize(col("text"))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    wf.select(col("freq"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+  }
 }
