@@ -153,6 +153,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("text_bpe_pair_counts top-k is a TakeOrdered, pair explosion is vocab-side") {
+    val p = executedPlan("text_bpe_pair_counts")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the char-pair Generate must sit ABOVE the word-frequency aggregate
+    // (explosion over the vocab table, whose HashAggregate prints BELOW it
+    // in the tree), not directly on the corpus scan
+    val genIdx = p.indexOf("Generate explode(transform(sequence(1")
+    assert(genIdx >= 0, p)
+    assert(p.indexOf("HashAggregate", genIdx) > genIdx, p)
+  }
+
+  test("text_pii_redact and text_chunk_stride shuffle only for the output sort") {
+    for (name <- Seq("text_pii_redact", "text_chunk_stride")) {
+      val p = executedPlan(name)
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges <= 1, s"$name has $exchanges exchanges:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
+  test("dedup_lines joins lines to the DF table on the line key (equi-join)") {
+    val qe = SparkEntry.queries("dedup_lines")(spark, sf).queryExecution
+    val joins = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("io_zorder_key plan stays in one codegen stage up to the final sort") {
     // pure integer projection: no joins, no aggregates, no window
     val p = executedPlan("io_zorder_key")
