@@ -548,4 +548,80 @@ object AggregationQueries extends QueryPack {
           .as("q_linear"))
       .orderBy(col("flag"))
   }
+
+  // --- axis=1 (row-wise) reductions (dataframe.py sum/min/max/mean axis=1) --
+  // pandas-style horizontal reductions: per-row folds over the column set,
+  // pure codegen expressions — no aggregation, no shuffle beyond the output
+  // sort. Row-local double arithmetic is order-fixed, so no decimal pattern
+  // is needed.
+  register("agg_rowwise",
+    """SELECT l_orderkey, l_linenumber,
+      |  round(l_quantity + l_discount + l_tax, 6) AS row_sum,
+      |  least(l_quantity, l_discount, l_tax) AS row_min,
+      |  greatest(l_quantity, l_discount, l_tax) AS row_max,
+      |  round((l_quantity + l_discount + l_tax) / 3, 6) AS row_mean,
+      |  CAST(l_quantity IS NOT NULL AS INT) + CAST(l_discount IS NOT NULL AS INT)
+      |    + CAST(l_tax IS NOT NULL AS INT) AS row_count
+      |FROM lineitem WHERE l_orderkey <= 500 ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    val cols = Seq(col("l_quantity"), col("l_discount"), col("l_tax"))
+    val rowSum = cols.reduce(_ + _)
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 500)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(rowSum, 6).as("row_sum"),
+        least(cols: _*).as("row_min"),
+        greatest(cols: _*).as("row_max"),
+        round(rowSum / 3, 6).as("row_mean"),
+        cols.map(c => c.isNotNull.cast(IntegerType)).reduce(_ + _).as("row_count"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // --- full correlation matrix in ONE pass (dataframe.py:7448 corr) ---------
+  // All pairwise correlations of k columns from a single aggregation: k
+  // first-moment + k(k+1)/2 second-moment sums, then the k(k-1)/2 corrs are
+  // driver-side arithmetic on one row. Inputs are floor-quantized to integer
+  // units (tie-free across engines, and correlation is affine-invariant so
+  // the quantized corr is the defined semantic); moment products stay in
+  // compact DECIMAL(18,0) — long-backed on the fast path at sf0.1, promoted
+  // losslessly by the DECIMAL(28,0) sum accumulator at 10¹²-row scale where
+  // a BIGINT sum would silently overflow.
+  register("agg_corr_matrix",
+    """WITH q AS (SELECT CAST(floor(l_quantity * 100) AS BIGINT) AS x,
+      |    CAST(floor(l_extendedprice) AS BIGINT) AS y,
+      |    CAST(floor(l_discount * 1000000) AS BIGINT) AS z
+      |  FROM lineitem),
+      |s AS (SELECT count(*) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(z AS DECIMAL(18,0))) AS DOUBLE) AS sz,
+      |    CAST(sum(CAST(x*x AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(y*y AS DECIMAL(18,0))) AS DOUBLE) AS syy,
+      |    CAST(sum(CAST(z*z AS DECIMAL(18,0))) AS DOUBLE) AS szz,
+      |    CAST(sum(CAST(x*y AS DECIMAL(18,0))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(x*z AS DECIMAL(18,0))) AS DOUBLE) AS sxz,
+      |    CAST(sum(CAST(y*z AS DECIMAL(18,0))) AS DOUBLE) AS syz
+      |  FROM q)
+      |SELECT
+      |  round((sxy - sx*sy/n) / (sqrt(sxx - sx*sx/n) * sqrt(syy - sy*sy/n)), 6) AS corr_qty_price,
+      |  round((sxz - sx*sz/n) / (sqrt(sxx - sx*sx/n) * sqrt(szz - sz*sz/n)), 6) AS corr_qty_disc,
+      |  round((syz - sy*sz/n) / (sqrt(syy - sy*sy/n) * sqrt(szz - sz*sz/n)), 6) AS corr_price_disc
+      |FROM s""".stripMargin) { (s, d) =>
+    val dec18 = (c: Column) => sum(c.cast(DecimalType(18, 0))).cast(DoubleType)
+    val base = Tables.lineitem(s, d)
+      .select(floor(col("l_quantity") * 100).cast(LongType).as("x"),
+        floor(col("l_extendedprice")).cast(LongType).as("y"),
+        floor(col("l_discount") * 1000000).cast(LongType).as("z"))
+      .agg(count(lit(1)).as("n"),
+        dec18(col("x")).as("sx"), dec18(col("y")).as("sy"), dec18(col("z")).as("sz"),
+        dec18(col("x") * col("x")).as("sxx"), dec18(col("y") * col("y")).as("syy"),
+        dec18(col("z") * col("z")).as("szz"), dec18(col("x") * col("y")).as("sxy"),
+        dec18(col("x") * col("z")).as("sxz"), dec18(col("y") * col("z")).as("syz"))
+    def corr(sab: Column, sa: Column, sb: Column, saa: Column, sbb: Column) =
+      round((sab - sa * sb / col("n")) /
+        (sqrt(saa - sa * sa / col("n")) * sqrt(sbb - sb * sb / col("n"))), 6)
+    base.select(
+      corr(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy")).as("corr_qty_price"),
+      corr(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz")).as("corr_qty_disc"),
+      corr(col("syz"), col("sy"), col("sz"), col("syy"), col("szz")).as("corr_price_disc"))
+  }
 }
