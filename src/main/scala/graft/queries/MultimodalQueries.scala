@@ -94,4 +94,62 @@ object MultimodalQueries extends QueryPack {
           _.cast(StringType)), ","))
       .orderBy("doc_id")
   }
+
+  // --- nearest-neighbor resize over the payload pixel grid ------------------
+  // The payload is a row-major 8×5 "pixel" grid (one ASCII byte per pixel);
+  // a 2× downsample gathers source pixel (2r, 2c) for each target pixel —
+  // the actual index arithmetic of NN resize, as pure per-row codegen
+  // expressions. A real decoder would run the identical gather over decoded
+  // RGB in the typed decodeBatch path; only the pixel source is faked here
+  // (no codec libs), not the resize math or the Spark plumbing.
+  register("mm_resize_nn",
+    """WITH img AS (SELECT doc_id, substring(text, 1, 40) AS pay
+      |  FROM documents WHERE doc_id <= 200 AND length(text) >= 40)
+      |SELECT doc_id, 4 AS out_w, 2 AS out_h,
+      |  array_to_string(list_transform(range(0, 8),
+      |    i -> substring(pay, CAST((i // 4) * 16 + (i % 4) * 2 + 1 AS INT), 1)), '') AS resized,
+      |  substring(pay, 1, 8) AS src_row0
+      |FROM img ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") <= 200 && length(col("text")) >= 40)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("pay"))
+      .select(col("doc_id"), lit(4).as("out_w"), lit(2).as("out_h"),
+        array_join(expr("transform(sequence(0, 7), " +
+          "i -> substring(pay, (i div 4) * 16 + (i % 4) * 2 + 1, 1))"), "").as("resized"),
+        substring(col("pay"), 1, 8).as("src_row0"))
+      .orderBy("doc_id")
+  }
+
+  // --- audio feature extraction: windowed energy over PCM-style samples -----
+  // The payload's bytes stand in for 8-bit PCM samples; per-window energy
+  // (sum of squared centered samples over 16-sample windows) and whole-clip
+  // RMS are the canonical first features an audio pipeline extracts before
+  // filtering/segmenting. Window fold is a per-row HOF — no shuffle; at
+  // corpus scale this runs entirely map-side like the tokenize pass.
+  register("mm_audio_energy",
+    """WITH a AS (SELECT doc_id, substring(text, 1, 64) AS pay
+      |  FROM documents WHERE doc_id <= 200 AND length(text) >= 64),
+      |e AS (SELECT doc_id,
+      |    list_transform(range(0, 4), w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 17),
+      |        i -> CAST((ascii(substring(pay, CAST(w*16 + i AS INT), 1)) - 96)
+      |             * (ascii(substring(pay, CAST(w*16 + i AS INT), 1)) - 96) AS BIGINT))),
+      |      (x, y) -> x + y)) AS en
+      |  FROM a)
+      |SELECT doc_id, array_to_string(en, ',') AS win_energy,
+      |  round(sqrt((en[1] + en[2] + en[3] + en[4]) / 64.0), 6) AS rms
+      |FROM e ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") <= 200 && length(col("text")) >= 64)
+      .select(col("doc_id"), substring(col("text"), 1, 64).as("pay"))
+      .withColumn("en", expr("transform(sequence(0, 3), " +
+        "w -> aggregate(transform(sequence(1, 16), " +
+        "i -> cast((ascii(substring(pay, w*16 + i, 1)) - 96) " +
+        "* (ascii(substring(pay, w*16 + i, 1)) - 96) as bigint)), 0L, (x, y) -> x + y))"))
+      .select(col("doc_id"),
+        array_join(expr("transform(en, x -> cast(x as string))"), ",").as("win_energy"),
+        round(sqrt((element_at(col("en"), 1) + element_at(col("en"), 2)
+          + element_at(col("en"), 3) + element_at(col("en"), 4)) / 64.0), 6).as("rms"))
+      .orderBy("doc_id")
+  }
 }
