@@ -106,6 +106,40 @@ final class GdfFrame(val df: DataFrame, val indexCol: String) extends GdfFrameOp
 object GdfFrame {
   /** setIndex (dataframe.py set_index): promote a column to the index. */
   def apply(df: DataFrame, indexCol: String): GdfFrame = new GdfFrame(df, indexCol)
+
+  /** Frame-level aligned binop (dataframe.py add/sub/... with fill_value;
+    * column alignment via ColumnAccessor union, index alignment via
+    * _align_objs): the result carries the UNION of both frames' value
+    * columns over the UNION of index labels. A column absent from one frame
+    * behaves as all-null on that side; with a fill value, a value missing on
+    * ONE side is filled before the op, while a (row, column) missing on BOTH
+    * sides stays null — the same contract GdfSeries.alignedBinop pins 1-D.
+    * One full-outer shuffle join on the index; everything else is codegen
+    * projection. */
+  def alignedBinop(left: GdfFrame, right: GdfFrame,
+                   fill: Option[Column] = None)(
+                   op: (Column, Column) => Column): GdfFrame = {
+    val idx = left.indexCol
+    val lCols = left.df.columns.toSeq.filterNot(_ == idx)
+    val rCols = right.df.columns.toSeq.filterNot(_ == right.indexCol)
+    val union = lCols ++ rCols.filterNot(lCols.contains)
+    val l = left.df.select(col(idx) +: lCols.map(c => col(c).as(s"__l_$c")): _*)
+    val r = right.df.select(
+      col(right.indexCol).as(idx) +: rCols.map(c => col(c).as(s"__r_$c")): _*)
+    val joined = l.join(r, Seq(idx), "full_outer")
+    val outs = union.map { c =>
+      val lv = if (lCols.contains(c)) col(s"__l_$c") else lit(null)
+      val rv = if (rCols.contains(c)) col(s"__r_$c") else lit(null)
+      val v = fill match {
+        case Some(f) =>
+          when(lv.isNull && rv.isNull, lit(null))
+            .otherwise(op(coalesce(lv, f), coalesce(rv, f)))
+        case None => op(lv, rv)
+      }
+      v.as(c)
+    }
+    new GdfFrame(joined.select(col(idx) +: outs: _*), idx)
+  }
 }
 
 /** Extra index-shaped API on GdfFrame (kept separate for scaladoc clarity). */

@@ -176,4 +176,41 @@ object SeriesQueries extends QueryPack {
       .swapLevel(0, 1) // (l_orderkey, l_linestatus, l_linenumber)
       .head(50)
   }
+
+  // --- DataFrame.add(other, fill_value): index AND column alignment ---------
+  // (dataframe.py _binaryop; ColumnAccessor column union + _align_objs row
+  // union). Frame A(spend, cnt) per 1995 customer, frame B(cnt, maxp) per
+  // 1996 customer: the result carries columns {spend, cnt, maxp} over the
+  // label union — spend/maxp live on one side only (other side all-null, so
+  // label-present rows get value+fill and label-absent rows stay null), cnt
+  // is filled-before-add on both. One full-outer shuffle join, then codegen.
+  register("frame_aligned_add",
+    """WITH a AS (SELECT o_custkey AS custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+      |    count(*) AS cnt
+      |  FROM orders WHERE year(o_orderdate) = 1995 AND o_custkey <= 400 GROUP BY 1),
+      |b AS (SELECT o_custkey AS custkey, count(*) AS cnt, max(o_totalprice) AS maxp
+      |  FROM orders WHERE year(o_orderdate) = 1996 AND o_custkey <= 400 GROUP BY 1)
+      |SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+      |  round(a.spend, 2) AS spend,
+      |  CASE WHEN a.cnt IS NULL AND b.cnt IS NULL THEN NULL
+      |       ELSE COALESCE(a.cnt, 0) + COALESCE(b.cnt, 0) END AS cnt,
+      |  b.maxp AS maxp
+      |FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
+      |ORDER BY custkey""".stripMargin) { (s, d) =>
+    val a = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === 1995 && col("o_custkey") <= 400)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(GF.sumMoney(col("o_totalprice")).as("spend"), count(lit(1)).as("cnt"))
+    val b = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === 1996 && col("o_custkey") <= 400)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("cnt"), max(col("o_totalprice")).as("maxp"))
+    graft.frame.GdfFrame
+      .alignedBinop(graft.frame.GdfFrame(a, "custkey"),
+        graft.frame.GdfFrame(b, "custkey"), fill = Some(lit(0)))(_ + _)
+      .df
+      .withColumn("spend", round(col("spend"), 2))
+      .orderBy("custkey")
+  }
 }

@@ -82,4 +82,25 @@ class GdfFrameSpec extends AnyFunSuite {
     val f = GdfFrame(Seq.empty[(Int, Int)].toDF("i", "v"), "i")
     assert(f.shift("v", "prev").count() == 0)
   }
+
+  test("alignedBinop unions columns and labels with fill-before-op semantics") {
+    import spark.implicits._
+    // left has (x, shared), right has (shared, z); labels 1 left-only,
+    // 2 on both, 3 right-only; shared is NULL on both sides at label 4
+    val l = Seq((1, Some(10), Some(1)), (2, Some(20), Some(2)), (4, Some(40), None))
+      .toDF("i", "x", "shared")
+    val r = Seq((2, Some(200), Some(5)), (3, Some(300), Some(6)), (4, None, Some(7)))
+      .toDF("i", "shared", "z")
+    val out = GdfFrame.alignedBinop(GdfFrame(l, "i"), GdfFrame(r, "i"),
+        fill = Some(lit(0)))(_ + _)
+      .df.orderBy("i").collect()
+      .map(row => row.getInt(0) -> (1 to 3).map(j =>
+        if (row.isNullAt(j)) None else Some(row.getInt(j))))
+      .toMap
+    // columns ordered (i, x, shared, z)
+    assert(out(1) == Seq(Some(10), Some(1), None))    // label on left only: z (right-only col) null
+    assert(out(2) == Seq(Some(20), Some(202), Some(5))) // shared filled-before-add both sides
+    assert(out(3) == Seq(None, Some(300), Some(6)))   // label on right only: x null
+    assert(out(4) == Seq(Some(40), None, Some(7)))    // shared NULL on BOTH sides stays null
+  }
 }
