@@ -564,6 +564,32 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id", "chunk_id")
   }
 
+  // --- conjunctive full-text search over the inverted index -----------------
+  // AND-of-terms keyword search: docs containing EVERY query term, ranked by
+  // summed term frequency. The term filter lands BEFORE any aggregation —
+  // the corpus collapses to rows matching the query terms immediately after
+  // tokenize (with a pre-built (term, doc_id, tf) index table this is a
+  // partition-pruned scan of two term partitions). One shuffle on doc_id for
+  // the AND-count, TakeOrdered for the top-k — no full sort, no join.
+  register("text_search_and",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+      |  WHERE term IN ('table', 'window') GROUP BY doc_id, term),
+      |hit AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM tf
+      |  GROUP BY doc_id HAVING count(*) = 2)
+      |SELECT doc_id, score FROM hit ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokenize(col("text"))).as("term"))
+      .filter(col("term").isin("table", "window"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("score"))
+      .filter(col("n_terms") === 2)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
   // --- BPE pair counting (vocab-training inner loop) ------------------------
   // One iteration of byte-pair-encoding merge selection: adjacent
   // character-pair frequencies weighted by word frequency, top-20 pairs.

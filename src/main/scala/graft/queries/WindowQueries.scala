@@ -275,6 +275,26 @@ object WindowQueries extends QueryPack {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  // --- exact group median / quantile broadcast to rows (groupby median
+  // transform; sort-groupby QUANTILE kind, quantiles.hpp:52). An unordered
+  // per-group window evaluates the exact percentile once per group frame —
+  // one shuffle on the key, no join; both engines interpolate linearly.
+  register("win_group_median",
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  round(median(l_quantity) OVER g, 6) AS grp_median,
+      |  round(quantile_cont(l_quantity, 0.25) OVER g, 6) AS grp_q1
+      |FROM lineitem WHERE l_orderkey <= 300
+      |WINDOW g AS (PARTITION BY l_orderkey)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    val g = Window.partitionBy(col("l_orderkey"))
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 300)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        round(percentile(col("l_quantity"), lit(0.5)).over(g), 6).as("grp_median"),
+        round(percentile(col("l_quantity"), lit(0.25)).over(g), 6).as("grp_q1"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   // --- cumprod group scan (aggregation.hpp PRODUCT scan): no product window
   // aggregate exists in either engine, so the scan folds the window's value
   // list in WINDOW ORDER — identical fold sequence in both engines, so the

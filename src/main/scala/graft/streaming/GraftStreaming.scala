@@ -117,4 +117,36 @@ object GraftStreaming {
   def startToMemory(df: DataFrame, queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.format("memory").queryName(queryName)
       .outputMode(OutputMode.Update()).start()
+
+  /** Incremental corpus prep: the streaming form of pipeline_corpus_prep's
+    * quality gate + exact dedup. Documents arrive as (ts, doc_id, digest,
+    * n_tokens, quality); the gate is a stateless codegen filter, dedup keeps
+    * the first occurrence of each digest within the watermark horizon
+    * (bounded state — `dropDuplicatesWithinWatermark`), and the per-row
+    * survivor stream is returned append-mode, ready for a parquet sink.
+    * Batch parity: on a static frame the same call runs filter +
+    * dropDuplicates (Spark rejects the watermarked variant in batch mode,
+    * where the horizon is meaningless anyway — the whole input is one
+    * "batch"); StreamingSpec asserts both modes agree.
+    *
+    * The expensive parts of batch corpus prep (digest computation,
+    * tokenize) stay upstream map-side in both modes; the only stateful
+    * operator is the digest dedup, keyed exactly like the batch shuffle. */
+  def corpusPrepStream(docs: DataFrame, tsCol: String, digestCol: String,
+                       minTokens: Int, minQuality: Double,
+                       watermarkDur: String): DataFrame = {
+    val gated = docs.filter(col("n_tokens") >= minTokens && col("quality") >= minQuality)
+    if (docs.isStreaming)
+      gated.withWatermark(tsCol, watermarkDur)
+        .dropDuplicatesWithinWatermark(Seq(digestCol))
+    else {
+      // first-occurrence-by-event-time, the deterministic batch equivalent
+      // of the stream's arrival-order keep-first (plain dropDuplicates keeps
+      // an arbitrary row)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(digestCol)).orderBy(col(tsCol))
+      gated.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+  }
 }

@@ -63,6 +63,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("corpusPrepStream gates quality then dedups digests, streaming == batch") {
+    import spark.implicits._
+    // (ts, doc_id, digest, n_tokens, quality): doc 2 is a dup of doc 1's
+    // digest, doc 3 fails the token gate, doc 4 fails the quality gate
+    val rows = Seq(
+      (ts(1), 1L, 100L, 50L, 0.9),
+      (ts(2), 2L, 100L, 60L, 0.8),
+      (ts(3), 3L, 200L, 5L, 0.9),
+      (ts(4), 4L, 300L, 80L, 0.1),
+      (ts(5), 5L, 400L, 70L, 0.7))
+    val cols = Seq("ts", "doc_id", "digest", "n_tokens", "quality")
+    val input = MemoryStream[(Timestamp, Long, Long, Long, Double)](spark)
+    val q = GraftStreaming.corpusPrepStream(input.toDF().toDF(cols: _*),
+        "ts", "digest", minTokens = 10, minQuality = 0.5, "5 minutes")
+      .writeStream.format("memory").queryName("prep_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("prep_out").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 5L))
+      // batch parity: the same call over a static frame (watermark is a
+      // no-op there; dropDuplicatesWithinWatermark behaves as dropDuplicates)
+      val batch = GraftStreaming.corpusPrepStream(rows.toDF(cols: _*),
+        "ts", "digest", minTokens = 10, minQuality = 0.5, "5 minutes")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(batch == Seq(1L, 5L))
+    } finally q.stop()
+  }
+
   test("intervalJoin joins two streams within the event-time band, bounded state") {
     import spark.implicits._
     val clicks = MemoryStream[(Timestamp, String)](spark)
