@@ -231,6 +231,19 @@ object ReshapeQueries extends QueryPack {
       .orderBy("r_regionkey", "seq_val")
   }
 
+  // --- tile (frame.py:2489 tile — repeat the whole table n times) -----------
+  // Join-free: each row emits its n copies via a per-row sequence explode
+  // (a cross join against a range table would be the naive shape); the
+  // (tile_idx, index) pair reproduces cuDF's repeated-table row order.
+  register("reshape_tile",
+    """SELECT unnest(range(0, 3)) AS tile_idx, n_nationkey, n_name
+      |FROM nation ORDER BY tile_idx, n_nationkey""".stripMargin) { (s, d) =>
+    Tables.nation(s, d)
+      .select(explode(sequence(lit(0), lit(2))).as("tile_idx"),
+        col("n_nationkey"), col("n_name"))
+      .orderBy("tile_idx", "n_nationkey")
+  }
+
   // --- interleave_columns (reshape.hpp:49) via array+explode ----------------
   register("reshape_interleave",
     """SELECT n_nationkey, unnest([CAST(n_name AS VARCHAR), CAST(n_regionkey AS VARCHAR)]) AS v
