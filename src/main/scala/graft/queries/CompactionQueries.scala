@@ -227,6 +227,26 @@ object CompactionQueries extends QueryPack {
       .orderBy("l_suppkey", "l_quantity")
   }
 
+  // keep="last" (duplicate_keep_option KEEP_LAST, stream_compaction.hpp:212):
+  // same single-shuffle window rank, index order flipped — the LAST
+  // occurrence in index order survives.
+  register("set_drop_duplicates_last",
+    """SELECT l_suppkey, l_quantity, l_orderkey, l_linenumber FROM lineitem
+      |WHERE l_suppkey <= 20
+      |QUALIFY row_number() OVER (PARTITION BY l_suppkey, l_quantity
+      |    ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC, l_partkey DESC) = 1
+      |ORDER BY l_suppkey, l_quantity""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("l_suppkey"), col("l_quantity"))
+      .orderBy(col("l_shipdate").desc, col("l_orderkey").desc,
+        col("l_linenumber").desc, col("l_partkey").desc)
+    Tables.lineitem(s, d)
+      .filter(col("l_suppkey") <= 20)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("l_suppkey", "l_quantity", "l_orderkey", "l_linenumber")
+      .orderBy("l_suppkey", "l_quantity")
+  }
+
   // --- drop_duplicates keep=none (rows that are unique, keep_option KEEP_NONE)
   register("set_drop_duplicates_none",
     """SELECT l_suppkey, l_quantity FROM lineitem
@@ -286,6 +306,25 @@ object CompactionQueries extends QueryPack {
       .select(col("s_suppkey").as("key"), col("s_name").as("name"),
         col("s_nationkey").cast(IntegerType).as("nationkey"))
     c.unionByName(sup, allowMissingColumns = true).orderBy("key", "name")
+  }
+
+  // concat(join="inner") (core/reshape.py:90): column INTERSECTION instead
+  // of union — one-side-only columns are dropped, no null padding.
+  register("set_concat_rows_inner",
+    """SELECT c_custkey AS key, c_name AS name FROM customer WHERE c_custkey <= 100
+      |UNION ALL
+      |SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey <= 100
+      |ORDER BY key, name""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).filter(col("c_custkey") <= 100)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"))
+    val sup = Tables.supplier(s, d).filter(col("s_suppkey") <= 100)
+      .select(col("s_suppkey").as("key"), col("s_name").as("name"),
+        col("s_nationkey").as("nationkey"))
+    val common = c.columns.filter(sup.columns.contains).toSeq
+    c.select(common.map(col): _*)
+      .unionByName(sup.select(common.map(col): _*))
+      .orderBy("key", "name")
   }
 
   // --- searchsorted / lower_bound (search.hpp:69; frame.py:2518) ------------
