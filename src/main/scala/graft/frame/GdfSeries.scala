@@ -68,6 +68,22 @@ final class GdfSeries(val df: DataFrame, val indexCols: Seq[String], val valueCo
   def combineFirst(o: GdfSeries, out: String): GdfSeries =
     alignedBinop(o, out)((a, b) => coalesce(a, b))
 
+  /** update (series.py:3574): the OTHER side's non-null values overwrite
+    * this one's, but the label set stays THIS series' — a left join on the
+    * index (vs combine_first's full-outer label union with this side
+    * winning). */
+  def update(o: GdfSeries, out: String): GdfSeries = {
+    val l = df.select(indexCols.map(col) :+ value.as("__l"): _*)
+    val r = o.df.select(
+      o.indexCols.zip(indexCols).map { case (oc, n) => col(oc).as(n) } :+
+        col(o.valueCol).as("__r"): _*)
+    new GdfSeries(
+      l.join(r, indexCols, "left")
+        .withColumn(out, coalesce(col("__r"), col("__l")))
+        .drop("__l", "__r"),
+      indexCols, out)
+  }
+
   /** Scalar binop — no alignment, plain projection. */
   def mapValue(out: String)(op: Column => Column): GdfSeries =
     new GdfSeries(df.withColumn(out, op(value)), indexCols, out)

@@ -552,6 +552,27 @@ object AggregationQueries extends QueryPack {
       .orderBy(col("flag"))
   }
 
+  // --- min-max scaling (series.py:5213 scale: (x − min)/(max − min)) --------
+  // One reduction pass for (min, max), broadcast back over the rows as a
+  // codegen projection — the classic two-job normalize, no shuffle of the
+  // fact table itself.
+  register("agg_scale_minmax",
+    """WITH mm AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      |  FROM lineitem WHERE l_orderkey <= 2000)
+      |SELECT l_orderkey, l_linenumber,
+      |  round((l_extendedprice - lo) / (hi - lo), 6) AS scaled
+      |FROM lineitem, mm WHERE l_orderkey <= 2000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    val base = Tables.lineitem(s, d).filter(col("l_orderkey") <= 2000)
+    val mm = base.agg(min(col("l_extendedprice")).as("lo"),
+      max(col("l_extendedprice")).as("hi"))
+    base.crossJoin(broadcast(mm))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round((col("l_extendedprice") - col("lo")) / (col("hi") - col("lo")), 6)
+          .as("scaled"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   // --- axis=1 (row-wise) reductions (dataframe.py sum/min/max/mean axis=1) --
   // pandas-style horizontal reductions: per-row folds over the column set,
   // pure codegen expressions — no aggregation, no shuffle beyond the output

@@ -177,6 +177,32 @@ object SeriesQueries extends QueryPack {
       .head(50)
   }
 
+  // --- Series.update: other's non-null values overwrite, labels stay ours ---
+  // (series.py:3574). LEFT join on the label — the label set is this
+  // series', unlike combine_first's union; corrections present only in the
+  // other series are ignored.
+  register("series_update",
+    """WITH a AS (SELECT c_custkey AS custkey, c_acctbal AS v
+      |  FROM customer WHERE c_custkey <= 300),
+      |b AS (SELECT c_custkey AS custkey,
+      |    CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE -c_acctbal END AS v
+      |  FROM customer WHERE c_custkey BETWEEN 200 AND 500)
+      |SELECT a.custkey AS custkey, COALESCE(b.v, a.v) AS bal
+      |FROM a LEFT JOIN b ON a.custkey = b.custkey
+      |ORDER BY a.custkey""".stripMargin) { (s, d) =>
+    val a = Tables.customer(s, d)
+      .filter(col("c_custkey") <= 300)
+      .select(col("c_custkey").as("custkey"), col("c_acctbal").as("v"))
+    val b = Tables.customer(s, d)
+      .filter(col("c_custkey").between(200, 500))
+      .select(col("c_custkey").as("custkey"),
+        when(col("c_custkey") % 5 === 0, lit(null).cast(DoubleType))
+          .otherwise(-col("c_acctbal")).as("v"))
+    GdfSeries(a, "custkey", "v")
+      .update(GdfSeries(b, "custkey", "v"), "bal")
+      .toDF
+  }
+
   // --- DataFrame.add(other, fill_value): index AND column alignment ---------
   // (dataframe.py _binaryop; ColumnAccessor column union + _align_objs row
   // union). Frame A(spend, cnt) per 1995 customer, frame B(cnt, maxp) per

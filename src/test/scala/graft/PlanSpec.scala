@@ -204,7 +204,8 @@ class PlanSpec extends AnyFunSuite {
     "reshape_transpose" -> "documented small-data contract (driver-side shape)",
     "dedup_semantic" -> "corpus x broadcast centroid set for cell assignment; the candidate join itself is an equi-join on (cid, bkey)",
     "text_tfidf_topk" -> "attaches one broadcast corpus-count row to every (doc, term)",
-    "text_bigram_lm_score" -> "attaches one broadcast vocab-size row to every bigram"
+    "text_bigram_lm_score" -> "attaches one broadcast vocab-size row to every bigram",
+    "agg_scale_minmax" -> "attaches one broadcast (min, max) row to every fact row"
   )
 
   test("repo-wide sweep: no undocumented cartesian/nested-loop joins") {
