@@ -46,8 +46,55 @@ class JaccardThresholdPruning extends Rule[LogicalPlan] {
 }
 
 /** Session extension entry point:
-  * `.config("spark.sql.extensions", "graft.extensions.GraftExtensions")`. */
+  * `.config("spark.sql.extensions", "graft.extensions.GraftExtensions")`.
+  *
+  * Besides the optimizer rule, the native codegen expressions are registered
+  * as SQL functions, so `spark.sql("SELECT graft_cosine(a, b) ...")` works
+  * anywhere the DataFrame builders do — the same dual surface (python API +
+  * libcudf C++ callable) the reference exposes per operator.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => new JaccardThresholdPruning)
+
+    ext.injectFunction((FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - fused cosine similarity of two double arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_cosine(a, b) takes 2 arguments")
+        graft.expressions.CosineSim(args.head, args(1))
+      }))
+
+    ext.injectFunction((FunctionIdentifier("graft_jaccard"),
+      info("graft_jaccard", "graft_jaccard(a, b) - set Jaccard similarity of two string arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_jaccard(a, b) takes 2 arguments")
+        graft.expressions.JaccardSim(args.head, args(1))
+      }))
+
+    ext.injectFunction((FunctionIdentifier("graft_polyhash"),
+      info("graft_polyhash", "graft_polyhash(s) - 31-base polynomial string hash mod 1e9+7"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_polyhash(s) takes 1 argument")
+        graft.expressions.PolyHash(args.head)
+      }))
+
+    ext.injectFunction((FunctionIdentifier("graft_shingles"),
+      info("graft_shingles", "graft_shingles(s, n) - distinct word n-gram shingles of a string"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_shingles(s, n) takes 2 arguments")
+        graft.expressions.WordShingles(args.head, intLit(args(1), "shingle width n"))
+      }))
+  }
 }

@@ -54,4 +54,25 @@ class ExtensionsSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("dedup_lsh_verified")(spark, TestSpark.sfDir).count()
     assert(rows >= 0) // smoke: plan executes with the injected rule
   }
+
+  test("injected SQL functions resolve and agree with the column builders") {
+    import spark.implicits._
+    Seq(("the quick brown fox jumps over", Seq(0.1, 0.2, 0.3), Seq(0.3, 0.2, 0.1)))
+      .toDF("s", "va", "vb").createOrReplaceTempView("ext_fn_probe")
+    val r = spark.sql(
+      """SELECT graft_cosine(va, vb) AS c,
+        |  graft_jaccard(split(s, ' '), slice(split(s, ' '), 1, 3)) AS j,
+        |  graft_polyhash(s) AS h,
+        |  graft_shingles(s, 3) AS sh
+        |FROM ext_fn_probe""".stripMargin).head
+    val ref = spark.table("ext_fn_probe").select(
+      graft.functions.GF.cosine(col("va"), col("vb")),
+      TextFunctions.jaccard(split(col("s"), " "), slice(split(col("s"), " "), 1, 3)),
+      TextFunctions.polyHash(col("s")),
+      TextFunctions.shingles(col("s"))).head
+    assert(r.getDouble(0) == ref.getDouble(0))
+    assert(r.getDouble(1) == ref.getDouble(1))
+    assert(r.getLong(2) == ref.getLong(2))
+    assert(r.getSeq[String](3) == ref.getSeq[String](3))
+  }
 }
