@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GF
+import graft.text.TextFunctions
+
+/** Property layer: ScalaCheck generators in the role of the reference's
+  * `rand_dataframe`/fuzzer (cudf/testing/dataset_generator.py:183,
+  * _fuzz_testing) — randomized dtype/null/cardinality mixes, FIXED seed so
+  * the gate is deterministic. Each property materializes one seeded sample
+  * batch as a single DataFrame and compares against an independent
+  * Scala-side reference fold (the same pattern as the reference's
+  * cudf-vs-pandas `assert_eq`, with plain Scala as the oracle).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  test("pymod matches Python sign semantics on random operand mixes") {
+    import spark.implicits._
+    val cases = sample(Gen.listOfN(500, for {
+      a <- Gen.chooseNum(-1000000L, 1000000L)
+      b <- Gen.chooseNum(-999L, 999L).suchThat(_ != 0L)
+    } yield (a, b)), 42L)
+    val got = cases.toDF("a", "b")
+      .select(col("a"), col("b"), GF.pymod(col("a"), col("b")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (a, b, m) =>
+      val ref = ((a % b) + b) % b // python: result carries the divisor's sign
+      assert(m == ref, s"pymod($a, $b) = $m, want $ref")
+      assert(if (b > 0) m >= 0 && m < b else m <= 0 && m > b, s"range: pymod($a, $b) = $m")
+    }
+  }
+
+  test("PolyHash equals the documented fold on random ASCII strings") {
+    import spark.implicits._
+    val strGen = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(32, 126)).map(_.map(_.toChar).mkString))
+    val cases = sample(Gen.listOfN(200, strGen), 7L)
+    val got = cases.toDF("s")
+      .select(col("s"), TextFunctions.polyHash(col("s")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    got.foreach { case (s, h) =>
+      val ref = s.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L)
+      assert(h == ref, s"polyHash('$s') = $h, want $ref")
+    }
+  }
+
+  test("JaccardSim is bounded, symmetric, and 1 on self for random token sets") {
+    import spark.implicits._
+    val toksGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf((0 until 15).map(i => s"t$i"))))
+    val cases = sample(Gen.listOfN(200, for {
+      a <- toksGen; b <- toksGen
+    } yield (a, b)), 11L)
+    val got = cases.toDF("a", "b").select(
+      col("a"), col("b"),
+      TextFunctions.jaccard(col("a"), col("b")).as("jab"),
+      TextFunctions.jaccard(col("b"), col("a")).as("jba"),
+      TextFunctions.jaccard(col("a"), col("a")).as("jaa"))
+      .collect()
+    got.foreach { r =>
+      val (a, b) = (r.getSeq[String](0).toSet, r.getSeq[String](1).toSet)
+      val (jab, jba, jaa) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val ref = if (a.isEmpty && b.isEmpty) 0.0
+        else (a & b).size.toDouble / (a | b).size
+      assert(jab == ref, s"jaccard($a, $b) = $jab, want $ref")
+      assert(jab == jba, "symmetry")
+      assert(jaa == (if (a.isEmpty) 0.0 else 1.0), "self-similarity")
+    }
+  }
+
+  test("two-phase global cumsum equals a sequential prefix scan, any layout") {
+    import spark.implicits._
+    val cases = sample(Gen.listOfN(300, Gen.chooseNum(-50L, 50L)), 23L)
+    for (parts <- Seq(1, 5, 32)) {
+      val df = spark.sparkContext
+        .parallelize(cases.zipWithIndex.map { case (v, i) => (i.toLong, v) }, parts)
+        .toDF("i", "v")
+      val got = graft.ops.OrderedOps.withRunningTotal(df, col("v"), "cum", Seq(col("i")))
+        .orderBy("i").select("cum").as[Long].collect().toSeq
+      val ref = cases.scanLeft(0L)(_ + _).tail
+      assert(got == ref, s"parts=$parts")
+    }
+  }
+
+  test("aligned Series add is commutative and labels the union, random label sets") {
+    import spark.implicits._
+    val entryGen = for {
+      k <- Gen.chooseNum(0, 60)
+      v <- Gen.option(Gen.chooseNum(-100, 100))
+    } yield (k.toLong, v.map(_.toDouble))
+    // distinct labels per side (the facade's standing unique-index contract)
+    def side(seed: Long) =
+      sample(Gen.listOfN(40, entryGen), seed).distinctBy(_._1)
+    val (la, lb) = (side(31L), side(37L))
+    val a = la.toDF("k", "v")
+    val b = lb.toDF("k", "v")
+    import graft.frame.GdfSeries
+    def run(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      GdfSeries(x, "k", "v").add(GdfSeries(y, "k", "v"), "s", fill = Some(lit(0.0)))
+        .toDF.collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+    val ab = run(a, b)
+    val ba = run(b, a)
+    assert(ab == ba, "commutativity under fill")
+    assert(ab.keySet == (la.map(_._1) ++ lb.map(_._1)).toSet, "label union")
+    val ma = la.toMap; val mb = lb.toMap
+    ab.foreach { case (k, got) =>
+      val (x, y) = (ma.get(k).flatten, mb.get(k).flatten)
+      val ref = if (x.isEmpty && y.isEmpty) None
+        else Some(x.getOrElse(0.0) + y.getOrElse(0.0))
+      assert(got == ref, s"label $k: got $got, want $ref (x=$x, y=$y)")
+    }
+  }
+}
