@@ -254,8 +254,12 @@ object DedupQueries extends QueryPack {
     val edges = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var cached = edges.select(col("d1").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    // round 1 for free: from identity labels, one propagation step is just
+    // min(neighbor) vs self over the raw edge list — a single aggregation
+    // instead of the loop body's join+agg+join round
+    var cached = edges.groupBy(col("d1"))
+      .agg(min(col("d2")).as("nmin"))
+      .select(col("d1").as("doc_id"), least(col("d1"), col("nmin")).as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = cached
     var converged = false
