@@ -160,6 +160,53 @@ object StringQueries extends QueryPack {
       .orderBy("p_partkey")
   }
 
+  // --- center / rfind / filter_characters (padding.hpp center side,
+  // find.hpp:81 rfind, translate.hpp:95 filter_characters) -------------------
+  // center follows pandas: pad to width 24, extra space goes RIGHT;
+  // rfind returns the 1-based position of the LAST occurrence (0 = absent),
+  // via the reverse trick — both engines lack a native rfind;
+  // filter_characters keeps only letters (regex char-class complement).
+  register("str_center_rfind",
+    """SELECT p_partkey,
+      |  lpad(rpad(p_name, CAST(length(p_name) + floor((24 - length(p_name)) / 2.0) AS INT), '.'),
+      |       24, '.') AS center_v,
+      |  CASE WHEN instr(reverse(p_name), 'a') = 0 THEN 0
+      |       ELSE length(p_name) - instr(reverse(p_name), 'a') + 1 END AS rfind_a,
+      |  regexp_replace(p_name, '[^A-Za-z]', '', 'g') AS letters_only
+      |FROM part WHERE p_partkey <= 500 AND length(p_name) <= 24
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    val nm = col("p_name")
+    // pandas center: left pad = floor(total/2), remainder right
+    val centered = lpad(
+      rpad(nm, (length(nm) + floor((lit(24) - length(nm)) / 2.0).cast(IntegerType))
+        .cast(IntegerType), lit(".")), 24, ".")
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 500 && length(nm) <= 24)
+      .select(col("p_partkey"),
+        centered.as("center_v"),
+        when(instr(reverse(nm), "a") === 0, lit(0))
+          .otherwise(length(nm) - instr(reverse(nm), "a") + 1).as("rfind_a"),
+        regexp_replace(nm, "[^A-Za-z]", "").as("letters_only"))
+      .orderBy("p_partkey")
+  }
+
+  // --- replace_with_backrefs (replace_re.hpp:87): captured groups in the
+  // replacement. The PATTERN lives in the shared regex dialect; the
+  // replacement syntax is engine-native ($2/$1 in Java, \2/\1 in RE2) — the
+  // gate compares results, not spellings.
+  register("str_replace_backrefs",
+    """SELECT p_partkey,
+      |  regexp_replace(p_name, '^([a-z]+) ([a-z]+)', '\2 \1') AS swapped,
+      |  regexp_replace(p_name, '([a-z]+)$', '<\1>', 'g') AS tagged_last
+      |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 500)
+      .select(col("p_partkey"),
+        regexp_replace(col("p_name"), "^([a-z]+) ([a-z]+)", "$2 $1").as("swapped"),
+        regexp_replace(col("p_name"), "([a-z]+)$", "<$1>").as("tagged_last"))
+      .orderBy("p_partkey")
+  }
+
   // --- combine: concat, concat_ws, grouped join_strings (combine.hpp) -------
   register("str_combine",
     """SELECT n_nationkey,

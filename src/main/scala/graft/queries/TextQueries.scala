@@ -492,6 +492,35 @@ object TextQueries extends QueryPack {
       .orderBy("host")
   }
 
+  // --- detokenize (nvtext/tokenize.hpp detokenize): reassemble documents
+  // from (row_id, position, token) triples — the inverse of tokenize, and
+  // the write path of every token-level transform. Roundtrip gate: explode
+  // with position, regroup per doc ordered by position, and the rebuilt
+  // string must equal the source byte-for-byte. One shuffle on doc_id.
+  register("text_detokenize",
+    """WITH tok AS (SELECT doc_id, text,
+      |    unnest(string_split(text, ' ')) AS token,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents WHERE doc_id <= 200),
+      |back AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS rebuilt,
+      |    min(text) AS text FROM tok GROUP BY doc_id)
+      |SELECT doc_id, rebuilt = text AS roundtrip_ok, substring(rebuilt, 1, 30) AS head
+      |FROM back ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") <= 200)
+      .select(col("doc_id"), col("text"),
+        posexplode(tokenize(col("text"))).as(Seq("pos", "token")))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("token")))),
+          x => x.getField("token")), " ").as("rebuilt"),
+        min(col("text")).as("text"))
+      .select(col("doc_id"), (col("rebuilt") === col("text")).as("roundtrip_ok"),
+        substring(col("rebuilt"), 1, 30).as("head"))
+      .orderBy("doc_id")
+  }
+
   // --- PII redaction (corpus-prep scrub pass, north-star) -------------------
   // Emails / IPv4s / phone numbers are counted and replaced with typed
   // placeholder tokens — the standard scrub every web corpus runs before
