@@ -247,6 +247,46 @@ object RelationalQueries extends QueryPack {
       .limit(10)
   }
 
+  // --- composite analytics: TPC-H Q3 shape (shipping priority) --------------
+  // Not one operator but the composition Catalyst exists for: two
+  // dimension-filtered joins into the fact table, decimal-exact revenue
+  // aggregation, top-k. The plan to demand at 100 TB: filtered customer
+  // broadcast into orders, the orders side shuffled once onto l_orderkey,
+  // revenue partial-aggregated map-side, TakeOrdered for the limit (no
+  // global sort). Filters reach the scans (PushedFilters on both dates).
+  register("rel_q3_shipping_priority",
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  min(o_orderdate) AS orderdate, min(o_orderpriority) AS priority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < DATE '1995-03-15' AND l_shipdate > DATE '1995-03-15'
+      |GROUP BY l_orderkey
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1995-03-15").cast(DateType))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast(DateType))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(12, 2))
+          * (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+          .cast(DoubleType).as("revenue"),
+        min(col("o_orderdate")).as("orderdate"),
+        min(col("o_orderpriority")).as("priority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   // --- §2.4 nunique / distinct_count (stream_compaction.hpp:262) ------------
   register("agg_nunique",
     """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,

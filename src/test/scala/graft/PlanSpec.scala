@@ -183,6 +183,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("rel_q3 pushes all three filters to the scans and TakeOrders the limit") {
+    val p = SparkEntry.queries("rel_q3_shipping_priority")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    for (pf <- Seq("GreaterThan(l_shipdate", "LessThan(o_orderdate",
+                   "EqualTo(c_mktsegment,BUILDING)"))
+      assert(p.contains(pf), s"missing pushed filter $pf:\n$p")
+  }
+
   test("io_zorder_key plan stays in one codegen stage up to the final sort") {
     // pure integer projection: no joins, no aggregates, no window
     val p = executedPlan("io_zorder_key")
