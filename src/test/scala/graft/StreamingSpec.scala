@@ -35,6 +35,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowedCounts append mode finalizes on watermark and drops late rows") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val df = input.toDF().toDF("ts", "k")
+    val q = GraftStreaming.windowedCounts(df, "ts", "k", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win_final")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(1), "a"), (ts(2), "a"))
+      q.processAllAvailable() // watermark 09:57 — window [10:00,10:10) still open
+      assert(spark.table("win_final").count() == 0)
+      input.addData((ts(16), "b"))
+      q.processAllAvailable() // watermark 10:11 — closes and emits [10:00,10:10)
+      input.addData((ts(3), "a"))
+      q.processAllAvailable() // LATE: event 10:03 behind the 10:11 watermark → dropped
+      input.addData((ts(27), "c"))
+      q.processAllAvailable() // watermark 10:22 — closes [10:10,10:20)
+      val got = spark.table("win_final")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      // the late row neither re-opened [10:00,10:10) nor changed its count
+      assert(got == Set(
+        (Timestamp.valueOf("2026-01-01 10:00:00"), "a", 2L),
+        (Timestamp.valueOf("2026-01-01 10:10:00"), "b", 1L)))
+    } finally q.stop()
+  }
+
   test("windowedCounts batch-mode plan equals the batch oracle result") {
     import spark.implicits._
     val batch = Seq((ts(1), "a"), (ts(2), "a"), (ts(11), "b"), (ts(3), "a")).toDF("ts", "k")
