@@ -516,4 +516,79 @@ object DedupQueries extends QueryPack {
           x => x.getField("line")), " ")).as("kept_md5"))
       .orderBy("doc_id")
   }
+
+  // --- duplicate-span coverage (exact-substring dedup signal; Lee et al.
+  // 2022 "Deduplicating Training Data Makes Language Models Better") -------
+  // Overlapping 8-token windows; a window is a duplicate span iff its
+  // (hashed) content occurs in ≥ 2 distinct documents. Per doc: span counts
+  // plus the fraction of token positions covered by ≥ 1 duplicate span —
+  // the paper's dup-coverage metric, the usual cut feature for substring-
+  // level contamination. Differs from dedup_lines (non-overlapping fixed
+  // lines, removal) in window overlap and in producing coverage, not a
+  // scrubbed text.
+  //
+  // Scale: window rows shuffle as (doc_id, pos, 64-bit hash) — never text;
+  // per-shingle document frequency is a map-combinable count over the
+  // per-doc-distinct (shid, doc_id) relation; flagging is a semi-join on
+  // shid; coverage is a per-row interval-merge fold over the SORTED dup
+  // positions — O(dup spans) per doc, not the quadratic exists() scan.
+  // Hash note: 64-bit-space polyhash (mod 1e9+7 here for oracle parity)
+  // conflates colliding spans identically on both engines; production
+  // would widen to 128-bit (xxhash64 pair) — same plan shape.
+  register("dedup_span_ngrams",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tt AS (SELECT doc_id, len(toks) AS n_tok, toks FROM t WHERE len(toks) >= 8),
+       |w AS (SELECT doc_id, n_tok,
+       |    unnest(range(0, n_tok - 7)) AS pos,
+       |    unnest(list_transform(range(0, n_tok - 7),
+       |      i -> ${sqlPolyHash("array_to_string(toks[i+1:i+8], '_')")})) AS shid
+       |  FROM tt),
+       |dup AS (SELECT shid FROM (SELECT DISTINCT doc_id, shid FROM w)
+       |        GROUP BY shid HAVING count(*) >= 2),
+       |f AS (SELECT w.doc_id, w.pos FROM w JOIN dup ON w.shid = dup.shid),
+       |dp AS (SELECT doc_id, count(*) AS n_dup, list_sort(list(pos)) AS dpos
+       |       FROM f GROUP BY doc_id),
+       |pd AS (SELECT doc_id, count(*) AS n_spans, any_value(n_tok) AS n_tok FROM w GROUP BY doc_id)
+       |SELECT pd.doc_id, pd.n_spans,
+       |  coalesce(dp.n_dup, 0) AS n_dup_spans,
+       |  len(list_filter(range(0, n_tok),
+       |    t -> len(list_filter(coalesce(dpos, []), i -> t - i BETWEEN 0 AND 7)) > 0)) AS covered_tokens,
+       |  round(CAST(len(list_filter(range(0, n_tok),
+       |    t -> len(list_filter(coalesce(dpos, []), i -> t - i BETWEEN 0 AND 7)) > 0)) AS DOUBLE) / n_tok, 6) AS dup_cover_frac
+       |FROM pd LEFT JOIN dp ON pd.doc_id = dp.doc_id
+       |ORDER BY pd.doc_id""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), tokenize(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 8)
+    val wins = base
+      .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_tok"),
+        posexplode(wordNgrams(col("toks"), 8)).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("n_tok"), col("pos"), polyHash(col("g")).as("shid"))
+    val dup = wins.select(col("doc_id"), col("shid")).distinct()
+      .groupBy(col("shid")).agg(count(lit(1)).as("docfreq"))
+      .filter(col("docfreq") >= 2)
+      .select("shid")
+    val perDocDup = wins.join(dup, Seq("shid"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sort_array(collect_set(col("pos"))).as("dpos"))
+    val perDoc = wins.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), first(col("n_tok")).as("n_tok"))
+    // interval-merge fold: windows at 0-based pos i cover tokens [i, i+7];
+    // newly covered by i = (i+7) − max(i−1, lastEnd), clamped at 0.
+    val covered = expr(
+      """aggregate(coalesce(dpos, cast(array() as array<int>)),
+        |  named_struct('cov', cast(0 as bigint), 'lastend', cast(-1 as bigint)),
+        |  (acc, i) -> named_struct(
+        |    'cov', acc.cov + greatest(cast(0 as bigint),
+        |      cast(i as bigint) + 7 - greatest(cast(i as bigint) - 1, acc.lastend)),
+        |    'lastend', greatest(acc.lastend, cast(i as bigint) + 7)),
+        |  acc -> acc.cov)""".stripMargin)
+    perDoc.join(perDocDup, Seq("doc_id"), "left")
+      .withColumn("n_dup_spans", coalesce(col("n_dup_spans"), lit(0L)))
+      .withColumn("covered_tokens", covered)
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"), col("covered_tokens"),
+        round(col("covered_tokens").cast(DoubleType) / col("n_tok"), 6).as("dup_cover_frac"))
+      .orderBy("doc_id")
+  }
 }

@@ -122,4 +122,25 @@ object IndexQueries extends QueryPack {
         lit("right").as("closed"))
       .orderBy("idx")
   }
+
+  // --- take: gather rows by ordinal position (copying.hpp gather;
+  // frame.py take) -----------------------------------------------------------
+  // Positions are resolved against the frame's index ORDER (not its storage
+  // order): a RangeIndex is materialized with the same two-phase numbering
+  // head/tail use, then the position set filters it. The position list is a
+  // broadcast-scale literal — the filter is an isin() pushed to the rows,
+  // no join, no sort of the full table.
+  register("idx_take",
+    """WITH t AS (SELECT n_name, n_nationkey,
+      |    row_number() OVER (ORDER BY n_name) - 1 AS pos FROM nation)
+      |SELECT pos, n_name, n_nationkey FROM t
+      |WHERE pos IN (0, 3, 7, 11, 19, 24)
+      |ORDER BY pos""".stripMargin) { (s, d) =>
+    val positions = Seq(0L, 3L, 7L, 11L, 19L, 24L)
+    GdfFrame(Tables.nation(s, d).select("n_name", "n_nationkey"), "n_name")
+      .withRangeIndex("pos", col("n_name")).df
+      .filter(col("pos").isin(positions: _*))
+      .select("pos", "n_name", "n_nationkey")
+      .orderBy("pos")
+  }
 }

@@ -81,4 +81,58 @@ object PipelineQueries extends QueryPack {
       .select(col("doc_id"), col("digest"), col("n_tokens"))
       .orderBy("doc_id")
   }
+
+  // --- domain-mixture sampling to per-source token budgets -----------------
+  // The training-mix assembly step: each source (domain) contributes a
+  // reproducible hash-ordered prefix of its documents until that source's
+  // token budget is exhausted (weights: src0 gets 2× the budget of every
+  // other source). Hash order makes the sample uniform AND stable across
+  // reruns/backfills — the standard reproducible-mixture construction.
+  //
+  // Scale design — the naive plan (one window per source) funnels each
+  // domain through a single task; a 40-TB common-crawl domain would be one
+  // partition. Instead, two-phase prefix sums (the OrderedOps construction
+  // applied per group):
+  //   1. hkey buckets (top 8 bits) → per-(source, bucket) token sums →
+  //      running bucket offsets; this relation is (sources × 256) rows —
+  //      broadcast, never shuffled wide.
+  //   2. buckets whose offset already exceeds the budget are dropped BEFORE
+  //      the row-level window — the corpus past the cutoff never windows at
+  //      all (at a 1% sampling rate, ~99% of rows skip phase 2); survivors
+  //      window within (source, bucket) — 256-way parallel per domain.
+  register("pipeline_domain_mix",
+    s"""WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+       |    ${sqlPolyHash("CAST(doc_id AS VARCHAR)")} AS hkey FROM documents),
+       |c AS (SELECT doc_id, source, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY source ORDER BY hkey, doc_id
+       |                     ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+       |SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok, CAST(cum AS BIGINT) AS cum_tokens
+       |FROM c WHERE cum <= CASE WHEN source = 'src0' THEN 1200 ELSE 600 END
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    def budget(src: org.apache.spark.sql.Column) =
+      when(src === "src0", 1200L).otherwise(600L)
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(tokenize(col("text"))).cast(LongType).as("n_tok"),
+        polyHash(col("doc_id").cast(StringType)).as("hkey"))
+      .withColumn("bucket", shiftright(col("hkey"), 22)) // top bits: order-aligned
+    // phase 1: bucket offsets (metadata-scale; broadcast back)
+    val wB = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val off = t.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tok")).as("bsum"))
+      .withColumn("offset", sum(col("bsum")).over(wB) - col("bsum"))
+      .filter(col("offset") <= budget(col("source"))) // prune past-cutoff buckets
+      .select(col("source"), col("bucket"), col("offset"))
+    // phase 2: row-level prefix sum within surviving (source, bucket) only
+    val wR = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("hkey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.join(broadcast(off), Seq("source", "bucket"))
+      .withColumn("cum_tokens", col("offset") + sum(col("n_tok")).over(wR))
+      .filter(col("cum_tokens") <= budget(col("source")))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
 }

@@ -275,4 +275,22 @@ object ReshapeQueries extends QueryPack {
       .withColumnRenamed("0", "r0").withColumnRenamed("1", "r1").withColumnRenamed("2", "r2")
       .orderBy("variable")
   }
+
+  // --- digitize: bin index against sorted edges (series.py digitize;
+  // np.digitize right=False ⇒ index = count of edges ≤ v). Same family as
+  // sort_searchsorted but per-row over the full column. The edge list is a
+  // tiny literal array: per-row HOF over ≤ |edges| elements, fully fused
+  // into the scan projection — zero shuffles.
+  register("reshape_digitize",
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  len(list_filter([10.0, 20.0, 30.0, 40.0], e -> l_quantity >= e)) AS bin
+      |FROM lineitem WHERE l_orderkey <= 400
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    val edges = array(Seq(10.0, 20.0, 30.0, 40.0).map(lit): _*)
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 400)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        size(filter(edges, e => col("l_quantity") >= e)).as("bin"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
 }

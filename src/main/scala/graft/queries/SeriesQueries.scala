@@ -239,4 +239,32 @@ object SeriesQueries extends QueryPack {
       .withColumn("spend", round(col("spend"), 2))
       .orderBy("custkey")
   }
+
+  // --- reindex: conform a frame onto a new label set (frame.py reindex;
+  // dataframe.py:2890) -------------------------------------------------------
+  // Labels come from ANOTHER relation (the common distributed case — e.g.
+  // conforming a feature table onto the training-id universe). Semantics:
+  // left-align onto the label set; labels absent from the frame produce
+  // all-null rows; frame rows absent from the labels are dropped. One
+  // shuffle join on the label; at scale either side may be the big one, so
+  // no broadcast hint — AQE picks it when a side is small.
+  register("series_reindex",
+    """WITH lbl AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_custkey <= 350),
+      |v AS (SELECT c_custkey AS custkey, c_acctbal AS bal, c_nationkey AS nk
+      |      FROM customer WHERE c_custkey <= 300)
+      |SELECT lbl.custkey, v.bal, v.nk
+      |FROM lbl LEFT JOIN v USING (custkey)
+      |ORDER BY custkey""".stripMargin) { (s, d) =>
+    val labels = Tables.orders(s, d)
+      .filter(col("o_custkey") <= 350)
+      .select(col("o_custkey").as("lbl")).distinct()
+    val frame = Tables.customer(s, d)
+      .filter(col("c_custkey") <= 300)
+      .select(col("c_custkey").as("custkey"),
+        col("c_acctbal").as("bal"), col("c_nationkey").as("nk"))
+    graft.frame.GdfFrame(frame, "custkey")
+      .reindex(labels, "lbl")
+      .df
+      .orderBy("custkey")
+  }
 }

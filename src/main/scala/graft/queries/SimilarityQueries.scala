@@ -412,4 +412,52 @@ object SimilarityQueries extends QueryPack {
       .select(col("v2").as("vec_id"), col("dup_of"), col("best_cos"))
       .orderBy("vec_id")
   }
+
+  // --- per-class mean-pool + L2-normalized centroid -------------------------
+  // The embedding-pipeline pooling step (class prototypes / cluster
+  // centroids / doc-from-token pooling all share this shape): element-wise
+  // mean per group, then unit-normalize. Output flattened to
+  // (label, pos, pooled, unit) — the driver compare can't hash arrays.
+  //
+  // Cross-engine float discipline: element sums are quantized to 1e-6 units
+  // (exact in IEEE for |x| ≤ 1: 24-bit float mantissa × 10⁶ < 2⁵³) and
+  // summed as integers — order-independent, so Spark's partial aggregation
+  // and DuckDB's single-threaded sum agree bit-for-bit; the per-label norm
+  // is then derived from re-quantized means (integers again) so the final
+  // doubles are identical on both engines before round(…, 6).
+  //
+  // Scale: explode → (label, pos) groupBy is one map-side-combinable shuffle
+  // of (label, pos, long); the per-label norm relation is (labels) rows —
+  // broadcast back. No window, no driver collect.
+  register("emb_mean_pool_norm",
+    """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |px AS (SELECT label,
+      |    unnest(range(1, len(v) + 1)) AS pos,
+      |    unnest(list_transform(range(1, len(v) + 1),
+      |      i -> CAST(round(v[i] * 1000000) AS BIGINT))) AS q
+      |  FROM e),
+      |mp AS (SELECT label, pos,
+      |    CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS mq
+      |  FROM px GROUP BY label, pos),
+      |nr AS (SELECT label, sum(mq * mq) AS n2 FROM mp GROUP BY label)
+      |SELECT mp.label, CAST(pos AS INT) AS pos,
+      |  round(mq / 1000000.0, 6) AS pooled,
+      |  round(mq / sqrt(n2), 6) AS unit
+      |FROM mp JOIN nr ON mp.label = nr.label
+      |ORDER BY mp.label, pos""".stripMargin) { (s, d) =>
+    val qv = Tables.embeddings(s, d)
+      .select(col("label"),
+        transform(col("embedding"),
+          x => round(x.cast(DoubleType) * 1000000).cast(LongType)).as("qv"))
+    val mp = qv
+      .select(col("label"), posexplode(col("qv")).as(Seq("pos0", "q")))
+      .groupBy(col("label"), (col("pos0") + 1).as("pos"))
+      .agg(round(sum(col("q")).cast(DoubleType) / count(lit(1))).cast(LongType).as("mq"))
+    val nr = mp.groupBy(col("label")).agg(sum(col("mq") * col("mq")).as("n2"))
+    mp.join(broadcast(nr), Seq("label"))
+      .select(col("label"), col("pos").cast(IntegerType).as("pos"),
+        round(col("mq") / 1000000.0, 6).as("pooled"),
+        round(col("mq") / sqrt(col("n2")), 6).as("unit"))
+      .orderBy("label", "pos")
+  }
 }

@@ -645,4 +645,54 @@ object TextQueries extends QueryPack {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(20)
   }
+
+  // --- Gopher structural quality rules (Rae et al. 2021 §A1.1) --------------
+  // The word-level rule battery applied before any model-based scoring:
+  // word-count bounds, mean-word-length band, alphabetic-word fraction, and
+  // required-stopword count, combined into one keep decision. Complements
+  // text_quality (uniq/stopword ratios) and text_repetition_metrics (dup
+  // n-gram share) — together the three cover the full Gopher rule set that
+  // is meaningful for single-line documents. Pure per-row projection fused
+  // into the scan: zero shuffles at any corpus size.
+  register("text_gopher_rules",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id,
+      |  len(toks) AS n_words,
+      |  round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(toks, w -> length(w))), (a, b) -> a + b) AS DOUBLE)
+      |    / len(toks), 6) AS mean_word_len,
+      |  round(CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+      |    / len(toks), 6) AS alpha_word_frac,
+      |  len(list_filter(['the', 'a', 'value', 'row', 'table'],
+      |      sw -> list_contains(toks, sw))) AS n_req_stopwords,
+      |  CAST(len(toks) BETWEEN 15 AND 120
+      |    AND CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(toks, w -> length(w))), (a, b) -> a + b) AS DOUBLE)
+      |      / len(toks) BETWEEN 2.5 AND 10
+      |    AND CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+      |      / len(toks) >= 0.8
+      |    AND len(list_filter(['the', 'a', 'value', 'row', 'table'],
+      |        sw -> list_contains(toks, sw))) >= 2 AS BOOLEAN) AS keep
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val reqStopwords = Seq("the", "a", "value", "row", "table")
+    val toks = col("toks")
+    val meanLen = aggregate(toks, lit(0L), (a, w) => a + length(w))
+      .cast(DoubleType) / size(toks)
+    val alphaFrac = size(filter(toks, w => w.rlike("[a-z]")))
+      .cast(DoubleType) / size(toks)
+    val nStop = size(filter(array(reqStopwords.map(lit): _*),
+      sw => array_contains(toks, sw)))
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokenize(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(toks).as("n_words"),
+        round(meanLen, 6).as("mean_word_len"),
+        round(alphaFrac, 6).as("alpha_word_frac"),
+        nStop.as("n_req_stopwords"),
+        (size(toks).between(15, 120) &&
+          meanLen.between(2.5, 10) &&
+          alphaFrac >= 0.8 &&
+          nStop >= 2).as("keep"))
+      .orderBy("doc_id")
+  }
 }
