@@ -520,4 +520,46 @@ object WindowQueries extends QueryPack {
       .select("l_suppkey", "l_orderkey", "l_linenumber", "frame_list", "frame_set")
       .orderBy(col("l_suppkey") +: liOrder.map(col): _*)
   }
+
+  // --- rolling VARIANCE/STD (rolling.py var/std; cudf rolling aggs) ---------
+  // n < 2 in the frame → NULL (pandas ddof=1 semantics). Cross-engine float
+  // discipline: values are quantized to cents (exact — quantities are
+  // integral doubles), the two window moments Σq and Σq² are INTEGER sums,
+  // and var = (n·Σq² − (Σq)²) / (n·(n−1)) / 10⁴ is then a ratio of
+  // identical integers on both engines — no summation-order drift before
+  // round(…, 6). Same trick as agg_kurt_skew's compact-decimal power sums,
+  // applied to a sliding frame.
+  register("win_rolling_var",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CASE WHEN cnt > 1 THEN round((cnt * sq2 - sq * sq)
+      |      / (cnt * (cnt - 1.0)) / 10000, 6) END AS roll_var,
+      |  CASE WHEN cnt > 1 THEN round(sqrt((cnt * sq2 - sq * sq)
+      |      / (cnt * (cnt - 1.0)) / 10000), 6) END AS roll_std
+      |FROM (SELECT l_suppkey, l_orderkey, l_linenumber,
+      |    CAST(sum(q) OVER w AS DOUBLE) AS sq,
+      |    CAST(sum(q * q) OVER w AS DOUBLE) AS sq2,
+      |    count(*) OVER w AS cnt
+      |  FROM (SELECT *, CAST(round(l_quantity * 100) AS BIGINT) AS q
+      |        FROM lineitem WHERE l_suppkey <= 20)
+      |  WINDOW w AS (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(liOrder.map(col): _*)
+      .rowsBetween(-3, 0)
+    val base = Tables.lineitem(s, d)
+      .filter(col("l_suppkey") <= 20)
+      .withColumn("q", round(col("l_quantity") * 100).cast(LongType))
+      .withColumn("sq", sum(col("q")).over(w).cast(DoubleType))
+      .withColumn("sq2", sum(col("q") * col("q")).over(w).cast(DoubleType))
+      .withColumn("cnt", count(lit(1)).over(w))
+    val variance = (col("cnt") * col("sq2") - col("sq") * col("sq")) /
+      (col("cnt") * (col("cnt") - 1.0)) / 10000
+    base
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        when(col("cnt") > 1, round(variance, 6)).as("roll_var"),
+        when(col("cnt") > 1, round(sqrt(variance), 6)).as("roll_std"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
 }

@@ -113,6 +113,48 @@ object GraftStreaming {
       }
   }
 
+  final case class QuotaInput(source: String, tsMillis: Long, docId: Long, nTokens: Long)
+  final case class QuotaState(used: Long, open: Boolean)
+  final case class QuotaOutput(source: String, docId: Long, nTokens: Long, cumTokens: Long)
+
+  /** Streaming per-domain token-budget quota — the incremental form of
+    * pipeline_domain_mix: each source admits documents in event-time order
+    * until its token budget is exhausted, then closes (strict prefix
+    * semantics: the first overflowing document closes the quota, matching
+    * the batch query's `cum <= budget` prefix — no skip-and-backfill).
+    *
+    * flatMapGroupsWithState keyed by source: state is two scalars per
+    * domain — bounded by the domain count, not the stream — and partitions
+    * with the shuffle like all keyed state. Within a micro-batch events are
+    * ordered by (ts, docId) so replays are deterministic; across batches
+    * event-time order is the source's append order (enforce upstream with a
+    * watermark-sorted sink if the transport reorders). */
+  def domainQuota(input: Dataset[QuotaInput],
+                  budgetFor: String => Long): Dataset[QuotaOutput] = {
+    import input.sparkSession.implicits._
+    input
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[QuotaState, QuotaOutput](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, events: Iterator[QuotaInput], state: GroupState[QuotaState]) =>
+          val budget = budgetFor(source)
+          val prev = state.getOption.getOrElse(QuotaState(0L, open = true))
+          var used = prev.used
+          var open = prev.open
+          val out = Seq.newBuilder[QuotaOutput]
+          events.toSeq.sortBy(e => (e.tsMillis, e.docId)).foreach { e =>
+            if (open) {
+              if (used + e.nTokens <= budget) {
+                used += e.nTokens
+                out += QuotaOutput(source, e.docId, e.nTokens, used)
+              } else open = false
+            }
+          }
+          state.update(QuotaState(used, open))
+          out.result().iterator
+      }
+  }
+
   /** Update-mode console/memory-sink convenience used by the spec. */
   def startToMemory(df: DataFrame, queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.format("memory").queryName(queryName)

@@ -196,4 +196,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(got("u2") == ((1L, 0L)))
     } finally q.stop()
   }
+
+  test("domainQuota admits a strict per-source token-budget prefix across batches") {
+    import spark.implicits._
+    val input = MemoryStream[GraftStreaming.QuotaInput](spark)
+    val budgets = Map("a" -> 100L, "b" -> 50L)
+    val out = GraftStreaming.domainQuota(input.toDS(), budgets(_))
+    val q = out.writeStream.format("memory").queryName("quota_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        GraftStreaming.QuotaInput("a", 1000L, 1L, 40L),
+        GraftStreaming.QuotaInput("a", 2000L, 2L, 40L),
+        GraftStreaming.QuotaInput("b", 1000L, 10L, 30L))
+      q.processAllAvailable()
+      input.addData(
+        GraftStreaming.QuotaInput("a", 3000L, 3L, 30L), // 80+30 > 100 → closes a
+        GraftStreaming.QuotaInput("a", 4000L, 4L, 10L), // would fit; quota closed
+        GraftStreaming.QuotaInput("b", 3000L, 11L, 20L)) // fills b exactly
+      q.processAllAvailable()
+      val got = spark.table("quota_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+      assert(got == Set(("a", 1L, 40L), ("a", 2L, 80L), ("b", 10L, 30L), ("b", 11L, 50L)))
+      // batch parity: the same admitted set as the batch prefix construction
+      // (window cumsum in event-time order, cum <= budget) over the union of
+      // both micro-batches. The cumsum counts REJECTED docs' tokens too, so
+      // every doc after the first overflow stays over-budget — the batch
+      // filter is the same strict prefix the streaming close implements
+      // (doc 4 fits the remaining budget but is excluded on both sides).
+      val batch = Seq(
+        ("a", 1000L, 1L, 40L), ("a", 2000L, 2L, 40L), ("b", 1000L, 10L, 30L),
+        ("a", 3000L, 3L, 30L), ("a", 4000L, 4L, 10L), ("b", 3000L, 11L, 20L))
+        .toDF("source", "tsMillis", "docId", "nTokens")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("tsMillis", "docId")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val batchKept = batch
+        .withColumn("cum", sum("nTokens").over(w))
+        .withColumn("budget", when(col("source") === "a", 100L).otherwise(50L))
+        .filter(col("cum") <= col("budget"))
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4))).toSet
+      assert(batchKept == got)
+    } finally q.stop()
+  }
 }
