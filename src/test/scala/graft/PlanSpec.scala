@@ -200,6 +200,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("pipeline_domain_mix: bucketed two-phase prefix sum, offsets broadcast") {
+    val qe = SparkEntry.queries("pipeline_domain_mix")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    // phase-1 offsets ride a broadcast join back onto the rows
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus-scale window partitions by (source, bucket) — never by
+    // source alone, which would funnel each domain through one task
+    val windows = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec.map(_.toString)
+    }
+    assert(windows.exists(ps => ps.size == 2 &&
+      ps.exists(_.contains("source")) && ps.exists(_.contains("bucket"))), windows.toString)
+  }
+
+  test("dedup_span_ngrams: flag join is an equi-join on the span hash, ids-only") {
+    val qe = SparkEntry.queries("dedup_span_ngrams")(spark, sf).queryExecution
+    val joins = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    val flagJoin = joins.filter(_.condition.exists(_.toString.contains("shid")))
+    assert(flagJoin.nonEmpty)
+    // no join output may carry token arrays or shingle text — hashes and
+    // positions only cross the wire
+    flagJoin.foreach { j =>
+      assert(!j.output.exists(a => a.name == "toks" || a.name == "g"),
+        j.output.map(_.name).mkString(","))
+    }
+  }
+
+  test("emb_mean_pool_norm: per-label norms broadcast back onto the pooled rows") {
+    val p = executedPlan("emb_mean_pool_norm")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   // Queries where a cartesian/nested-loop join is the DOCUMENTED intent,
   // with the reason it is acceptable. Everything else must plan equi-joins.
   private val cartesianExempt: Map[String, String] = Map(
