@@ -209,6 +209,36 @@ object CompactionQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // --- weighted (πps) sampling: inclusion probability ∝ row weight ----------
+  // Poisson sampling with p_i = min(1, k·w_i/W): the deterministic weighted
+  // form of sample() used for training-mix assembly when longer documents
+  // should be proportionally likelier to survive. The decision is
+  // u_i·W < k·w_i·10⁶ with u_i a keyed-hash uniform — pure integer
+  // arithmetic (no transcendentals, so the oracle is bit-exact), stable
+  // under repartitioning/retries. W rides a broadcast one-row aggregate
+  // (documented nested-loop exemption, the agg_scale_minmax pattern); the
+  // corpus side stays a scan-fused filter — zero data-bearing shuffles.
+  register("filt_sample_weighted",
+    s"""WITH w AS (SELECT doc_id, n_chars AS wt,
+       |    ${graft.queries.SqlFrag.polyHash("'wsamp_' || CAST(doc_id AS VARCHAR)")} % 1000000 AS u
+       |  FROM documents),
+       |t AS (SELECT CAST(sum(wt) AS BIGINT) AS tot FROM w)
+       |SELECT doc_id, wt, round(50.0 * wt / tot, 6) AS incl_prob
+       |FROM w, t
+       |WHERE u * tot < 50 * wt * 1000000
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.text.TextFunctions.polyHash
+    val w = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars").as("wt"),
+        (polyHash(concat(lit("wsamp_"), col("doc_id").cast(StringType))) % 1000000).as("u"))
+    val tot = w.agg(sum(col("wt")).as("tot"))
+    w.crossJoin(broadcast(tot))
+      .filter(col("u") * col("tot") < lit(50L) * col("wt") * 1000000L)
+      .select(col("doc_id"), col("wt"),
+        round(lit(50.0) * col("wt") / col("tot"), 6).as("incl_prob"))
+      .orderBy("doc_id")
+  }
+
   // --- drop_duplicates keep=first in index order (stream_compaction.hpp:238,
   //     duplicate_keep_option :210; order-honoring via row_number, §7.4) ----
   register("set_drop_duplicates",

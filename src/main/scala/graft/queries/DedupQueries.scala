@@ -574,16 +574,10 @@ object DedupQueries extends QueryPack {
         sort_array(collect_set(col("pos"))).as("dpos"))
     val perDoc = wins.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"), first(col("n_tok")).as("n_tok"))
-    // interval-merge fold: windows at 0-based pos i cover tokens [i, i+7];
-    // newly covered by i = (i+7) − max(i−1, lastEnd), clamped at 0.
-    val covered = expr(
-      """aggregate(coalesce(dpos, cast(array() as array<int>)),
-        |  named_struct('cov', cast(0 as bigint), 'lastend', cast(-1 as bigint)),
-        |  (acc, i) -> named_struct(
-        |    'cov', acc.cov + greatest(cast(0 as bigint),
-        |      cast(i as bigint) + 7 - greatest(cast(i as bigint) - 1, acc.lastend)),
-        |    'lastend', greatest(acc.lastend, cast(i as bigint) + 7)),
-        |  acc -> acc.cov)""".stripMargin)
+    // interval-merge fold over the sorted dup positions (TextFunctions
+    // .spanCoverage — property-pinned against a naive per-position scan)
+    val covered = spanCoverage(
+      coalesce(col("dpos"), expr("cast(array() as array<int>)")), 8)
     perDoc.join(perDocDup, Seq("doc_id"), "left")
       .withColumn("n_dup_spans", coalesce(col("n_dup_spans"), lit(0L)))
       .withColumn("covered_tokens", covered)

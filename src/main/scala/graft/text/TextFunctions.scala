@@ -220,6 +220,23 @@ object TextFunctions {
     size(filter(tokens, t => array_contains(sw, t))).cast(DoubleType) / size(tokens)
   }
 
+  /** Token positions covered by ≥ 1 window of `span` tokens starting at the
+    * SORTED 0-based positions in `dpos`: interval-merge fold, O(|dpos|) per
+    * row (newly covered by window i = (i+span−1) − max(i−1, lastEnd),
+    * clamped at 0). The sorted-input contract is the caller's — feed it
+    * sort_array/collect_set output.
+    */
+  def spanCoverage(dpos: Column, span: Int): Column =
+    aggregate(
+      dpos,
+      struct(lit(0L).as("cov"), lit(-1L).as("lastend")),
+      (acc, i) => struct(
+        (acc.getField("cov") + greatest(lit(0L),
+          i.cast(LongType) + (span - 1) -
+            greatest(i.cast(LongType) - 1, acc.getField("lastend")))).as("cov"),
+        greatest(acc.getField("lastend"), i.cast(LongType) + (span - 1)).as("lastend")),
+      acc => acc.getField("cov"))
+
   /** Document fingerprint: minimum polynomial hash over sliding character
     * windows (winnowing-style, single window size). Bounded to the first
     * `prefixLen` chars so cost is O(prefixLen) per row.

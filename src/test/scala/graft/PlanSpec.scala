@@ -248,7 +248,8 @@ class PlanSpec extends AnyFunSuite {
     "dedup_semantic" -> "corpus x broadcast centroid set for cell assignment; the candidate join itself is an equi-join on (cid, bkey)",
     "text_tfidf_topk" -> "attaches one broadcast corpus-count row to every (doc, term)",
     "text_bigram_lm_score" -> "attaches one broadcast vocab-size row to every bigram",
-    "agg_scale_minmax" -> "attaches one broadcast (min, max) row to every fact row"
+    "agg_scale_minmax" -> "attaches one broadcast (min, max) row to every fact row",
+    "filt_sample_weighted" -> "attaches one broadcast total-weight row to every row"
   )
 
   test("repo-wide sweep: no undocumented cartesian/nested-loop joins") {

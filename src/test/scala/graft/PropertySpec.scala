@@ -121,4 +121,18 @@ class PropertySpec extends AnyFunSuite {
       assert(got == ref, s"label $k: got $got, want $ref (x=$x, y=$y)")
     }
   }
+
+  test("spanCoverage interval-merge fold equals the naive per-position scan") {
+    import spark.implicits._
+    val span = 8
+    val gen = Gen.listOf(Gen.choose(0, 60)).map(_.distinct.sorted)
+    val cases = (1L to 60L).map(seed => sample(gen, seed))
+    val df = cases.zipWithIndex.map { case (ps, i) => (i, ps) }.toDF("id", "dpos")
+      .withColumn("cov", TextFunctions.spanCoverage(col("dpos"), span))
+    val got = df.collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    cases.zipWithIndex.foreach { case (ps, i) =>
+      val ref = ps.flatMap(p => p until (p + span)).distinct.size.toLong
+      assert(got(i) == ref, s"case $i positions $ps: got ${got(i)}, want $ref")
+    }
+  }
 }
