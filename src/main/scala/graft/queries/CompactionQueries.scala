@@ -209,6 +209,33 @@ object CompactionQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // --- dropna(axis=1): drop COLUMNS containing any null ---------------------
+  // (frame.py dropna(axis=1); the column-axis twin of filt_dropna.) Column
+  // survival is decided by ONE aggregation of per-column null counts; the
+  // single collected row is schema-sized metadata (like Spark's own
+  // dynamic pivot-value discovery and reshape_pivot_dynamic) — the data
+  // itself never leaves the executors. The oracle pins the dynamically
+  // discovered schema statically: the two injected-sparse columns must
+  // vanish, the dense ones must survive.
+  register("filt_dropna_axis1",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_tax FROM lineitem
+      |WHERE l_orderkey <= 500
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    val base = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 500)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        when(col("l_discount") < 0.05, lit(null)).otherwise(col("l_discount"))
+          .as("disc_sparse"),
+        when(col("l_returnflag") === "R", lit(null)).otherwise(col("l_returnflag"))
+          .as("flag_sparse"),
+        col("l_tax"))
+    val nullCounts = base
+      .select(base.columns.map(c => sum(col(c).isNull.cast(LongType)).as(c)): _*)
+      .collect()(0)
+    val keep = base.columns.filter(c => nullCounts.getAs[Long](c) == 0L)
+    base.select(keep.map(col): _*).orderBy("l_orderkey", "l_linenumber")
+  }
+
   // --- weighted (πps) sampling: inclusion probability ∝ row weight ----------
   // Poisson sampling with p_i = min(1, k·w_i/W): the deterministic weighted
   // form of sample() used for training-mix assembly when longer documents

@@ -66,17 +66,23 @@ object GraftStreaming {
     * their band, so join state is bounded by (rate × (watermark + band)),
     * never by stream length. State is partitioned by the equi-key like any
     * shuffle, so it scales out with executors. Without the time band this
-    * would be an unbounded-state join — Spark rejects it in append mode. */
+    * would be an unbounded-state join — Spark rejects it in append mode.
+    *
+    * `joinType` supports the outer variants too ("left_outer",
+    * "right_outer", "full_outer"): an unmatched buffered row is emitted
+    * null-padded only once the other side's watermark proves no in-band
+    * match can still arrive — late outer results by design, not a bug. */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String,
                    leftTs: String, rightTs: String,
-                   watermarkDur: String, within: String): DataFrame =
+                   watermarkDur: String, within: String,
+                   joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTs, watermarkDur)
       .join(right.withWatermark(rightTs, watermarkDur),
         col(leftKey) === col(rightKey)
           && col(rightTs) >= col(leftTs) - expr(s"INTERVAL $within")
           && col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
-        "inner")
+        joinType)
 
   final case class SessionInput(user: String, tsMillis: Long)
   final case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)

@@ -145,6 +145,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("intervalJoin left_outer emits null-padded rows once the watermark closes the band") {
+    import spark.implicits._
+    val clicks = MemoryStream[(Timestamp, String)](spark)
+    val views = MemoryStream[(Timestamp, String)](spark)
+    val joined = GraftStreaming.intervalJoin(
+      clicks.toDF().toDF("cts", "ck"), views.toDF().toDF("vts", "vk"),
+      "ck", "vk", "cts", "vts", "5 minutes", "2 minutes", "left_outer")
+    val q = joined
+      .select(col("ck"), col("cts"), col("vts"))
+      .writeStream.format("memory").queryName("ij_outer")
+      .outputMode("append").start()
+    try {
+      clicks.addData((ts(5), "a"), (ts(6), "c")) // c has no view ever
+      views.addData((ts(4), "a"))
+      q.processAllAvailable()
+      // c@10:06 may not emit yet: a view in [10:04, 10:08] could still arrive
+      val early = spark.table("ij_outer")
+        .collect().map(r => (r.getString(0), r.getTimestamp(2) == null)).toSet
+      assert(!early.contains(("c", true)), s"outer row emitted before the band closed: $early")
+      // advance both watermarks far past c's band
+      clicks.addData((ts(40), "z"))
+      views.addData((ts(40), "z"))
+      q.processAllAvailable()
+      clicks.addData((ts(55), "z2"))
+      views.addData((ts(55), "z2"))
+      q.processAllAvailable()
+      val got = spark.table("ij_outer")
+        .collect().map(r => (r.getString(0), Option(r.getTimestamp(2)))).toSet
+      assert(got.contains(("a", Some(ts(4)))), got.toString) // matched pair
+      assert(got.contains(("c", None)), got.toString) // null-padded after close
+    } finally q.stop()
+  }
+
   test("intervalJoin batch-mode run agrees with the same predicate in SQL") {
     import spark.implicits._
     val clicks = Seq((ts(5), "a"), (ts(20), "b")).toDF("cts", "ck")
