@@ -326,18 +326,26 @@ object TextQueries extends QueryPack {
       |FROM ts JOIN bs ON ts.doc_id = bs.doc_id
       |ORDER BY ts.doc_id""".stripMargin) { (s, d) =>
     val toks = tokenize(col("text"))
-    val base = Tables.documents(s, d).select(col("doc_id"), toks.as("t"))
-    val shares = base
-      .select(col("doc_id"), explode(col("t")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    // bg is materialized as its OWN column before being referenced three
+    // times: CollapseProject will not inline a non-cheap aliased expression
+    // with multiple references (the shingleFingerprints CSE pattern), so the
+    // bigram transform runs once per row, not 3×. The per-row dup fraction
+    // then rides THROUGH both aggregations as first() instead of paying a
+    // separate shuffle join back onto the per-doc shares.
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("bg", wordNgrams(col("t"), 2))
+      .withColumn("dup_bigram_frac",
+        when(size(col("bg")) === 0, 0.0)
+          .otherwise(round(lit(1.0) -
+            size(array_distinct(col("bg"))).cast(DoubleType) / size(col("bg")), 6)))
+    base
+      .select(col("doc_id"), col("dup_bigram_frac"), explode(col("t")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"), first(col("dup_bigram_frac")).as("dup_bigram_frac"))
       .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("top_cnt"), sum(col("c")).as("n_tokens"))
-    val bg = wordNgrams(col("t"), 2)
-    val dupfrac = base.select(col("doc_id"),
-      when(size(bg) === 0, 0.0)
-        .otherwise(round(lit(1.0) - size(array_distinct(bg)).cast(DoubleType) / size(bg), 6))
-        .as("dup_bigram_frac"))
-    shares.join(dupfrac, Seq("doc_id"))
+      .agg(max(col("c")).as("top_cnt"), sum(col("c")).as("n_tokens"),
+        first(col("dup_bigram_frac")).as("dup_bigram_frac"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("top_cnt").cast(DoubleType) / col("n_tokens"), 6).as("top_token_share"),
         col("dup_bigram_frac"))
