@@ -460,4 +460,66 @@ object SimilarityQueries extends QueryPack {
         round(col("mq") / sqrt(col("n2")), 6).as("unit"))
       .orderBy("label", "pos")
   }
+
+  // --- product quantization encode (the IVF-PQ memory tier) -----------------
+  // 64-dim vectors → 8 subspaces × 8 dims; per subspace the code is the
+  // nearest of 4 codebook centroids (seed rows vec_id < 4, the sim_ivf_assign
+  // convention — k-means would refine them; the encode operator is what's
+  // under test). Output: the 8-code signature + reconstruction MSE (= mean
+  // of the per-subspace min distances the argmin already computed — no
+  // second reconstruction pass).
+  //
+  // Scale: one generator explode (×8 subvector rows), one equi-join on the
+  // subspace id against the BROADCAST codebook (k·m rows), then two hash
+  // aggregations (argmin via min_by, then per-vector re-assembly). The
+  // shuffle carries (vec_id, sub, code, d2) — never full vectors. Float
+  // discipline: every distance is a fixed-order sequential fold and the
+  // per-vector MSE folds the SORTED (sub, …) structs, so both engines sum
+  // identical doubles in identical order.
+  register("sim_pq_encode",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sub AS (SELECT vec_id, s, v[s*8+1 : s*8+8] AS sv FROM e, range(0, 8) t(s)),
+      |c AS (SELECT vec_id AS code, s, sv AS cv FROM sub WHERE vec_id < 4),
+      |d AS (SELECT sub.vec_id, sub.s, c.code,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9),
+      |      i -> (sub.sv[i] - c.cv[i]) * (sub.sv[i] - c.cv[i]))), (x, y) -> x + y) AS d2
+      |  FROM sub JOIN c ON sub.s = c.s),
+      |b AS (SELECT vec_id, s, code, d2 FROM d
+      |      QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) = 1),
+      |g AS (SELECT vec_id,
+      |    list_sort(list(struct_pack(s := s, code := code, d2 := d2))) AS xs
+      |  FROM b GROUP BY vec_id)
+      |SELECT vec_id,
+      |  array_to_string(list_transform(xs, x -> CAST(x.code AS VARCHAR)), '_') AS codes,
+      |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(xs, x -> x.d2)), (x, y) -> x + y) / 64, 6) AS recon_mse
+      |FROM g ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), _.cast(DoubleType)).as("v"))
+    val subs = e.select(col("vec_id"),
+      posexplode(expr("transform(sequence(0, 7), s -> slice(v, s*8+1, 8))"))
+        .as(Seq("sub", "sv")))
+    val cents = subs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("code"), col("sub"), col("sv").as("cv"))
+    val d2 = expr(
+      """aggregate(sequence(1, 8), cast(0 as double),
+        |  (acc, i) -> acc + (element_at(sv, i) - element_at(cv, i))
+        |                  * (element_at(sv, i) - element_at(cv, i)))""".stripMargin)
+    val best = subs.join(broadcast(cents), Seq("sub"))
+      .withColumn("d2", d2)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(struct(col("code"), col("d2")),
+        struct(col("d2"), col("code"))).as("b"))
+      .select(col("vec_id"), col("sub"),
+        col("b.code").as("code"), col("b.d2").as("d2"))
+    val sorted = array_sort(collect_list(struct(col("sub"), col("code"), col("d2"))))
+    best.groupBy(col("vec_id"))
+      .agg(sorted.as("xs"))
+      .select(col("vec_id"),
+        array_join(transform(col("xs"),
+          x => x.getField("code").cast(StringType)), "_").as("codes"),
+        round(aggregate(col("xs"), lit(0.0),
+          (acc, x) => acc + x.getField("d2")) / 64, 6).as("recon_mse"))
+      .orderBy("vec_id")
+  }
 }
