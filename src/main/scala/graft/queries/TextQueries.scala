@@ -654,6 +654,89 @@ object TextQueries extends QueryPack {
       .limit(20)
   }
 
+  // --- BPE merge-training loop (3 rounds) -----------------------------------
+  // The tokenizer-training inner loop end-to-end (text_bpe_pair_counts is
+  // one round's counting step): per round, count adjacent symbol pairs over
+  // the vocab-collapsed word-frequency table, pick the top pair (count desc,
+  // pair asc — the deterministic merge order), and merge it greedily
+  // left-to-right in every word via an array fold.
+  //
+  // Scale: the corpus collapses to the vocab ONCE (one map-side-combined
+  // shuffle); every subsequent round touches only vocab-sized relations.
+  // Each round's winner and symbol-count are 1-row broadcast scalars
+  // (documented nested-loop exemption). The 3 unioned round plans share the
+  // identical vocab-aggregation subtree, which ReuseExchange dedupes — the
+  // corpus is scanned once, not once per round.
+  register("text_bpe_train", {
+    def roundSql(r: Int): String = {
+      val prev = if (r == 1) "s0" else s"s${r - 1}"
+      s"""p$r AS (SELECT ps.a AS a, ps.b AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |      i -> struct_pack(a := syms[i], b := syms[i+1]))) AS ps
+         |    FROM $prev WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2),
+         |w$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$r AS (SELECT freq, list_reduce(
+         |    list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, x -> [x])),
+         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = w.a AND x[1] = w.b
+         |      THEN list_append(acc[1:len(acc)-1], w.a || w.b)
+         |      ELSE list_append(acc, x[1]) END) AS syms
+         |  FROM $prev, w$r w)""".stripMargin
+    }
+    s"""WITH wf AS (SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) >= 2 GROUP BY word),
+       |s0 AS (SELECT freq, string_split(word, '') AS syms FROM wf),
+       |${roundSql(1)},
+       |${roundSql(2)},
+       |${roundSql(3)}
+       |SELECT * FROM (
+       |  SELECT 1 AS round, a, b, cnt,
+       |    (SELECT CAST(sum(freq * len(syms)) AS BIGINT) FROM s1) AS n_symbols FROM w1
+       |  UNION ALL
+       |  SELECT 2, a, b, cnt,
+       |    (SELECT CAST(sum(freq * len(syms)) AS BIGINT) FROM s2) FROM w2
+       |  UNION ALL
+       |  SELECT 3, a, b, cnt,
+       |    (SELECT CAST(sum(freq * len(syms)) AS BIGINT) FROM s3) FROM w3)
+       |ORDER BY round""".stripMargin
+  }) { (s, d) =>
+    import org.apache.spark.sql.DataFrame
+    val wf = Tables.documents(s, d)
+      .select(explode(tokenize(col("text"))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val s0 = wf.select(col("freq"), characterTokenize(col("word")).as("syms"))
+    // one BPE round: (pair counts → 1-row winner → greedy left-to-right merge)
+    def bpeRound(syms: DataFrame): (DataFrame, DataFrame) = {
+      val pc = syms.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) as a, element_at(syms, i+1) as b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+      val win = pc.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+      val merged = syms
+        .crossJoin(broadcast(win.select(col("a").as("pa"), col("b").as("pb"))))
+        .withColumn("syms", expr(
+          """aggregate(syms, cast(array() as array<string>), (acc, x) ->
+            |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = pa AND x = pb
+            |    THEN concat(slice(acc, 1, size(acc) - 1), array(concat(pa, pb)))
+            |    ELSE concat(acc, array(x)) END)""".stripMargin))
+        .select(col("freq"), col("syms"))
+      (win, merged)
+    }
+    var syms = s0
+    val rows = (1 to 3).map { r =>
+      val (win, merged) = bpeRound(syms)
+      val stats = merged.agg(sum(size(col("syms")) * col("freq")).as("n_symbols"))
+      syms = merged
+      win.withColumn("round", lit(r)).crossJoin(broadcast(stats))
+        .select(col("round"), col("a"), col("b"), col("cnt"), col("n_symbols"))
+    }
+    rows.reduce(_ unionByName _).orderBy("round")
+  }
+
   // --- Gopher structural quality rules (Rae et al. 2021 §A1.1) --------------
   // The word-level rule battery applied before any model-based scoring:
   // word-count bounds, mean-word-length band, alphabetic-word fraction, and

@@ -249,7 +249,8 @@ class PlanSpec extends AnyFunSuite {
     "text_tfidf_topk" -> "attaches one broadcast corpus-count row to every (doc, term)",
     "text_bigram_lm_score" -> "attaches one broadcast vocab-size row to every bigram",
     "agg_scale_minmax" -> "attaches one broadcast (min, max) row to every fact row",
-    "filt_sample_weighted" -> "attaches one broadcast total-weight row to every row"
+    "filt_sample_weighted" -> "attaches one broadcast total-weight row to every row",
+    "text_bpe_train" -> "per-round 1-row winner + symbol-count scalars broadcast onto the vocab-sized relation"
   )
 
   test("repo-wide sweep: no undocumented cartesian/nested-loop joins") {
