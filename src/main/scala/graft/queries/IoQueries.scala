@@ -346,4 +346,28 @@ object IoQueries extends QueryPack {
       .select(col("o_orderkey"), col("zkey"), shiftright(col("zkey"), 16).as("cell"))
       .orderBy("o_orderkey")
   }
+
+  // --- nested parquet roundtrip: struct + list columns with nested pruning --
+  // (cudf nested-type parquet tests, e.g. tests/data/parquet/nested_column_
+  // map.parquet; io/parquet.py columns selection.) Writes struct<lang,src> +
+  // array<string> columns, reads back filtering ON a nested field and
+  // projecting through it. At scale what matters is that the nested filter
+  // reaches the reader (PushedFilters on meta.lang) and the scan prunes to
+  // the referenced leaves — asserted in PlanSpec, not just row-checked.
+  register("io_parquet_nested",
+    """SELECT doc_id, lang, src, first_tok FROM (
+      |  SELECT doc_id, lang, source AS src, string_split(text, ' ')[1] AS first_tok
+      |  FROM documents)
+      |WHERE lang = 'en' ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val src = Tables.documents(s, d).select(col("doc_id"),
+      struct(col("lang"), col("source").as("src")).as("meta"),
+      graft.text.TextFunctions.tokenize(col("text")).as("toks"))
+    val path = tmp("parquet_nested")
+    src.write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+      .filter(col("meta.lang") === "en")
+      .select(col("doc_id"), col("meta.lang").as("lang"), col("meta.src").as("src"),
+        element_at(col("toks"), 1).as("first_tok"))
+      .orderBy("doc_id")
+  }
 }

@@ -234,6 +234,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("io_parquet_nested pushes the nested-struct filter to the reader") {
+    val p = executedPlan("io_parquet_nested")
+    assert(p.contains("EqualTo(meta.lang,en)"), p)
+  }
+
   // Queries where a cartesian/nested-loop join is the DOCUMENTED intent,
   // with the reason it is acceptable. Everything else must plan equi-joins.
   private val cartesianExempt: Map[String, String] = Map(
