@@ -84,6 +84,17 @@ final class GdfSeries(val df: DataFrame, val indexCols: Seq[String], val valueCo
       indexCols, out)
   }
 
+  /** map with a Series argument (series.py map): each VALUE is looked up in
+    * the other series' INDEX; unmatched values → null (pandas NaN), the
+    * label set stays this series'. A left equi-join on the value — the
+    * dictionary-lookup shape; Spark broadcasts the dict side when small. */
+  def map(o: GdfSeries, out: String): GdfSeries = {
+    require(o.indexCols.size == 1, "map target needs a single-level index")
+    val l = df.select(indexCols.map(col) :+ value.as("__k"): _*)
+    val r = o.df.select(col(o.indexCols.head).as("__k"), col(o.valueCol).as(out))
+    new GdfSeries(l.join(r, Seq("__k"), "left").drop("__k"), indexCols, out)
+  }
+
   /** Scalar binop — no alignment, plain projection. */
   def mapValue(out: String)(op: Column => Column): GdfSeries =
     new GdfSeries(df.withColumn(out, op(value)), indexCols, out)

@@ -123,6 +123,20 @@ object IndexQueries extends QueryPack {
       .orderBy("idx")
   }
 
+  // --- reverse: flip row order (series.py reverse; copying.hpp reverse) -----
+  // Order is index semantics, not storage: the reversed frame is the same
+  // rows under a descending-built RangeIndex (two-phase numbering — no
+  // single-task window).
+  register("idx_reverse",
+    """WITH t AS (SELECT n_name, n_nationkey,
+      |    row_number() OVER (ORDER BY n_name DESC) - 1 AS pos FROM nation)
+      |SELECT pos, n_name, n_nationkey FROM t ORDER BY pos""".stripMargin) { (s, d) =>
+    GdfFrame(Tables.nation(s, d).select("n_name", "n_nationkey"), "n_name")
+      .withRangeIndex("pos", col("n_name").desc).df
+      .select("pos", "n_name", "n_nationkey")
+      .orderBy("pos")
+  }
+
   // --- take: gather rows by ordinal position (copying.hpp gather;
   // frame.py take) -----------------------------------------------------------
   // Positions are resolved against the frame's index ORDER (not its storage

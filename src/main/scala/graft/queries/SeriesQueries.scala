@@ -240,6 +240,28 @@ object SeriesQueries extends QueryPack {
       .orderBy("custkey")
   }
 
+  // --- Series.map with a Series argument (series.py map) --------------------
+  // Values looked up in the other series' index; misses → null, labels
+  // preserved. The dict side is filtered to n_nationkey < 13 so roughly
+  // half the customers exercise the unmatched→null path.
+  register("series_map",
+    """SELECT c.c_custkey AS custkey, n.n_name AS nation_name
+      |FROM customer c LEFT JOIN (SELECT n_nationkey, n_name FROM nation
+      |                           WHERE n_nationkey < 13) n
+      |  ON c.c_nationkey = n.n_nationkey
+      |WHERE c.c_custkey <= 500
+      |ORDER BY custkey""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d)
+      .filter(col("c_custkey") <= 500)
+      .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+    val dict = Tables.nation(s, d)
+      .filter(col("n_nationkey") < 13)
+      .select(col("n_nationkey"), col("n_name"))
+    GdfSeries(cust, "custkey", "c_nationkey")
+      .map(GdfSeries(dict, "n_nationkey", "n_name"), "nation_name")
+      .toDF
+  }
+
   // --- reindex: conform a frame onto a new label set (frame.py reindex;
   // dataframe.py:2890) -------------------------------------------------------
   // Labels come from ANOTHER relation (the common distributed case — e.g.
