@@ -111,6 +111,35 @@ object DatetimeQueries extends QueryPack {
       .orderBy("l_orderkey", "l_linenumber", "l_partkey")
   }
 
+  // --- timedelta components accessor (core/column/timedelta.py components;
+  // dt.days/seconds/microseconds) — decompose a µs-precision duration into
+  // the pandas components columns. Pure integer div/mod projection, fused
+  // into the scan. (The duration here is the event's µs offset from the
+  // epoch — the decomposition arithmetic is what's under test.)
+  register("dt_duration_components",
+    """SELECT event_id,
+      |  d // 86400000000 AS days,
+      |  (d % 86400000000) // 3600000000 AS hours,
+      |  (d % 3600000000) // 60000000 AS minutes,
+      |  (d % 60000000) // 1000000 AS seconds,
+      |  (d % 1000000) // 1000 AS ms,
+      |  d % 1000 AS us
+      |FROM (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS d FROM events)
+      |WHERE event_id <= 2000 ORDER BY event_id""".stripMargin) { (s, d) =>
+    val dur = expr("ts_ns div 1000")
+    Tables.events(s, d)
+      .filter(col("event_id") <= 2000)
+      .select(col("event_id"), dur.as("d"))
+      .select(col("event_id"),
+        expr("d div 86400000000").as("days"),
+        expr("(d % 86400000000) div 3600000000").as("hours"),
+        expr("(d % 3600000000) div 60000000").as("minutes"),
+        expr("(d % 60000000) div 1000000").as("seconds"),
+        expr("(d % 1000000) div 1000").as("ms"),
+        expr("d % 1000").as("us"))
+      .orderBy("event_id")
+  }
+
   // --- epoch / unix time (events ts_ns keeps exact nanos; DuckDB's parquet
   //     read truncates ns→µs so only the µs view is oracle-checkable) -------
   register("dt_epoch",
