@@ -68,4 +68,43 @@ object CategoricalQueries extends QueryPack {
       .groupBy("code", "segment").agg(count(lit(1)).as("n"))
       .orderBy("code")
   }
+
+  // --- ordered-categorical comparisons (categorical.py as_ordered;
+  // pandas ordered=True) ------------------------------------------------------
+  // After reorder_categories the DICTIONARY ORDER is the comparison order:
+  // min/max/> follow codes, not lexicographic labels (under this order
+  // MACHINERY < BUILDING < AUTOMOBILE < …, so lexicographic min/max would
+  // give different rows). Aggregations run on the int codes — the cheapest
+  // possible shuffle payload — and labels are restored from the driver-side
+  // dictionary metadata, no join needed.
+  register("cat_ordered_minmax",
+    """WITH d AS (SELECT c_nationkey,
+      |    CASE c_mktsegment WHEN 'MACHINERY' THEN 0 WHEN 'BUILDING' THEN 1
+      |      WHEN 'AUTOMOBILE' THEN 2 WHEN 'FURNITURE' THEN 3
+      |      WHEN 'HOUSEHOLD' THEN 4 END AS code
+      |  FROM customer),
+      |lbl AS (SELECT * FROM (VALUES (0, 'MACHINERY'), (1, 'BUILDING'),
+      |    (2, 'AUTOMOBILE'), (3, 'FURNITURE'), (4, 'HOUSEHOLD')) t(code, seg))
+      |SELECT c_nationkey,
+      |  min(code) AS min_code, (SELECT seg FROM lbl WHERE code = min(d.code)) AS min_seg,
+      |  max(code) AS max_code, (SELECT seg FROM lbl WHERE code = max(d.code)) AS max_seg,
+      |  CAST(sum(CASE WHEN code > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_building
+      |FROM d GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+    val order = Seq("MACHINERY", "BUILDING", "AUTOMOBILE", "FURNITURE", "HOUSEHOLD")
+    val cat = GdfCategorical
+      .fromColumn(Tables.customer(s, d).select("c_nationkey", "c_mktsegment"),
+        "c_mktsegment", "code")
+      .reorderCategories(order)
+    val labels = array(cat.categories.map(lit): _*) // driver-side dictionary
+    val pivot = cat.categories.indexOf("BUILDING")
+    cat.facts
+      .groupBy(col("c_nationkey"))
+      .agg(min(col("code")).as("min_code"), max(col("code")).as("max_code"),
+        sum((col("code") > pivot).cast("long")).as("n_above_building"))
+      .select(col("c_nationkey"),
+        col("min_code"), element_at(labels, col("min_code") + 1).as("min_seg"),
+        col("max_code"), element_at(labels, col("max_code") + 1).as("max_seg"),
+        col("n_above_building"))
+      .orderBy("c_nationkey")
+  }
 }
