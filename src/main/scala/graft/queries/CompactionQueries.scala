@@ -209,6 +209,34 @@ object CompactionQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // --- fixed-size per-group sample: k rows per group, hash order ------------
+  // The third sampling tier next to rate-based (filt_sample_stratified) and
+  // weight-based (filt_sample_weighted): EXACTLY k survivors per group,
+  // reproducible because the order key is a keyed hash. Plans as
+  // row_number ≤ k over the hash order — Spark's WindowGroupLimit prunes to
+  // k rows per group MAP-SIDE before the shuffle, so the exchange carries
+  // ~k·groups rows, not the corpus (the win_topk_per_group machinery
+  // applied to sampling).
+  register("filt_sample_fixed_k",
+    s"""WITH h AS (SELECT doc_id, lang,
+       |    ${graft.queries.SqlFrag.polyHash("'ksamp_' || CAST(doc_id AS VARCHAR)")} AS u
+       |  FROM documents),
+       |r AS (SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn FROM h)
+       |SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM r
+       |WHERE rn <= 20 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.text.TextFunctions.polyHash
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("u"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        polyHash(concat(lit("ksamp_"), col("doc_id").cast(StringType))).as("u"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("doc_id"), col("lang"), col("rn").cast(LongType).as("rn"))
+      .orderBy("doc_id")
+  }
+
   // --- dropna(axis=1): drop COLUMNS containing any null ---------------------
   // (frame.py dropna(axis=1); the column-axis twin of filt_dropna.) Column
   // survival is decided by ONE aggregation of per-column null counts; the

@@ -234,6 +234,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("filt_sample_fixed_k prunes to k rows per group map-side (WindowGroupLimit)") {
+    val p = executedPlan("filt_sample_fixed_k")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("io_parquet_nested pushes the nested-struct filter to the reader") {
     val p = executedPlan("io_parquet_nested")
     assert(p.contains("EqualTo(meta.lang,en)"), p)
