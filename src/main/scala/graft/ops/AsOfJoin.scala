@@ -56,4 +56,71 @@ object AsOfJoin {
       .select(leftCols.map(col) ++
         payload.map(p => col(s"__m.$p").as(p)): _*)
   }
+
+  /** Forward as-of join (pandas merge_asof direction='forward'): attach the
+    * EARLIEST right row with t_r ≥ t. Same union+window construction with
+    * the frame flipped to [current, ∞) and ties ordered left-before-right
+    * (tag desc) so an equal-time right row is inside the forward frame. */
+  def forward(left: DataFrame, right: DataFrame, keyCol: String, tCol: String,
+              payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val payloadStruct = struct(payload.map(col): _*)
+    val payloadType = right.select(payloadStruct).schema.head.dataType
+    val l = left
+      .withColumn("__tag", lit(1))
+      .select(leftCols.map(col) ++ Seq(col("__tag"),
+        lit(null).cast(payloadType).as("__payload")): _*)
+    val r = right
+      .withColumn("__tag", lit(0))
+      .select(leftCols.map(c => if (c == keyCol || c == tCol) col(c) else lit(null).as(c)) ++
+        Seq(col("__tag"), payloadStruct.as("__payload")): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tCol).asc, col("__tag").desc)
+      .rowsBetween(0, Window.unboundedFollowing)
+    l.unionByName(r)
+      .withColumn("__m", first(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(p => col(s"__m.$p").as(p)): _*)
+  }
+
+  /** Nearest as-of join (pandas merge_asof direction='nearest'): attach the
+    * right row minimizing |t_r − t|; backward wins exact ties (pandas). ONE
+    * union and ONE sort feed BOTH framed aggregates (backward last +
+    * forward first share the window ordering), so nearest costs the same
+    * single shuffle as backward. The matched time rides inside the payload
+    * struct (`__rt`) to decide the pick per row. */
+  def nearest(left: DataFrame, right: DataFrame, keyCol: String, tCol: String,
+              payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val payloadStruct = struct(col(tCol).as("__rt") +: payload.map(col): _*)
+    val payloadType = right.select(payloadStruct).schema.head.dataType
+    val l = left
+      .withColumn("__tag", lit(1))
+      .select(leftCols.map(col) ++ Seq(col("__tag"),
+        lit(null).cast(payloadType).as("__payload")): _*)
+    val r = right
+      .withColumn("__tag", lit(0))
+      .select(leftCols.map(c => if (c == keyCol || c == tCol) col(c) else lit(null).as(c)) ++
+        Seq(col("__tag"), payloadStruct.as("__payload")): _*)
+    val base = Window.partitionBy(col(keyCol))
+      .orderBy(col(tCol).asc, col("__tag").asc)
+    val wB = base.rowsBetween(Window.unboundedPreceding, 0)
+    val wF = base.rowsBetween(0, Window.unboundedFollowing)
+    // tag asc puts equal-time right rows BEFORE the left row: they land in
+    // the backward frame (distance 0) and not the forward one — exactly the
+    // backward-wins-ties rule.
+    val t = col(tCol)
+    val pick = when(col("__f").isNull, col("__b"))
+      .when(col("__b").isNull, col("__f"))
+      .when(t - col("__b.__rt") <= col("__f.__rt") - t, col("__b"))
+      .otherwise(col("__f"))
+    l.unionByName(r)
+      .withColumn("__b", last(col("__payload"), ignoreNulls = true).over(wB))
+      .withColumn("__f", first(col("__payload"), ignoreNulls = true).over(wF))
+      .filter(col("__tag") === 1)
+      .withColumn("__m", pick)
+      .select(leftCols.map(col) ++
+        payload.map(p => col(s"__m.$p").as(p)): _*)
+  }
 }

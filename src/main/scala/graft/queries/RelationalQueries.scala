@@ -186,6 +186,78 @@ object RelationalQueries extends QueryPack {
       .orderBy("click_id")
   }
 
+  // --- as-of join, direction='forward' (earliest right at or after t) -------
+  register("join_asof_forward",
+    """WITH u AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_id AS click_id,
+      |         CAST(NULL AS BIGINT) AS view_id, CAST(NULL AS DOUBLE) AS view_value, 1 AS tag
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, epoch_us(ts), NULL, event_id, value, 0
+      |  FROM events WHERE event_type = 'view'),
+      |m AS (
+      |  SELECT user_id, tus, click_id, tag,
+      |    first_value(view_id IGNORE NULLS) OVER w AS matched_view,
+      |    first_value(view_value IGNORE NULLS) OVER w AS matched_value
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, tag DESC
+      |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT click_id, user_id, tus, matched_view, matched_value
+      |FROM m WHERE tag = 1 ORDER BY click_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .withColumn("tus", expr("ts_ns div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tus"), col("event_id").as("click_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("tus"),
+        col("event_id").as("matched_view"), col("value").as("matched_value"))
+    graft.ops.AsOfJoin
+      .forward(clicks, views, keyCol = "user_id", tCol = "tus",
+        payload = Seq("matched_view", "matched_value"))
+      .select("click_id", "user_id", "tus", "matched_view", "matched_value")
+      .orderBy("click_id")
+  }
+
+  // --- as-of join, direction='nearest' (closest in time, backward wins ties) -
+  register("join_asof_nearest",
+    """WITH u AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_id AS click_id,
+      |         CAST(NULL AS BIGINT) AS view_id, CAST(NULL AS DOUBLE) AS view_value, 1 AS tag
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, epoch_us(ts), NULL, event_id, value, 0
+      |  FROM events WHERE event_type = 'view'),
+      |m AS (
+      |  SELECT user_id, tus, click_id, tag,
+      |    last_value(CASE WHEN tag = 0
+      |        THEN struct_pack(rt := tus, v := view_id, val := view_value) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY tus, tag
+      |            ROWS UNBOUNDED PRECEDING) AS b,
+      |    first_value(CASE WHEN tag = 0
+      |        THEN struct_pack(rt := tus, v := view_id, val := view_value) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY tus, tag
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f
+      |  FROM u)
+      |SELECT click_id, user_id, tus,
+      |  CASE WHEN f IS NULL THEN b.v WHEN b IS NULL THEN f.v
+      |       WHEN tus - b.rt <= f.rt - tus THEN b.v ELSE f.v END AS matched_view,
+      |  CASE WHEN f IS NULL THEN b.val WHEN b IS NULL THEN f.val
+      |       WHEN tus - b.rt <= f.rt - tus THEN b.val ELSE f.val END AS matched_value
+      |FROM m WHERE tag = 1 ORDER BY click_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .withColumn("tus", expr("ts_ns div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tus"), col("event_id").as("click_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("tus"),
+        col("event_id").as("matched_view"), col("value").as("matched_value"))
+    graft.ops.AsOfJoin
+      .nearest(clicks, views, keyCol = "user_id", tCol = "tus",
+        payload = Seq("matched_view", "matched_value"))
+      .select("click_id", "user_id", "tus", "matched_view", "matched_value")
+      .orderBy("click_id")
+  }
+
   // --- range join (point-in-interval) via bucketized equi-join --------------
   // Synthetic 7-hour maintenance windows every 5 hours over the events span;
   // counting events per window. ops/RangeJoin quantizes to 1-hour buckets —

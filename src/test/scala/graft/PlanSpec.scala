@@ -85,9 +85,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("join_asof is window-composed: no join operator, no row explosion") {
-    val p = executedPlan("join_asof")
-    assert(!p.contains("Join"), p)
-    assert(p.contains("Window"), p)
+    for (name <- Seq("join_asof", "join_asof_forward", "join_asof_nearest")) {
+      val p = executedPlan(name)
+      assert(!p.contains("Join"), s"$name: $p")
+      assert(p.contains("Window"), s"$name: $p")
+    }
   }
 
   test("cat_codes_roundtrip never shuffles the fact side (broadcast dict)") {
