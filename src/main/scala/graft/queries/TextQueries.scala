@@ -737,6 +737,44 @@ object TextQueries extends QueryPack {
     rows.reduce(_ unionByName _).orderBy("round")
   }
 
+  // --- fastText-style linear quality classifier ------------------------------
+  // The model-based tier of quality filtering (fastText/CCNet-style): a
+  // linear model over HASHED unigram features, mean-pooled, sigmoid output.
+  // Weights here are a fixed literal table (training happens offline; the
+  // serving operator is what a 100-TB pipeline runs) — the per-row cost is
+  // one fold over the tokens, fully scan-fused, zero shuffles. Both engines
+  // fold the token sequence left-to-right, so the double accumulation is
+  // order-identical before round(…, 6).
+  register("text_fasttext_score", {
+    val w = (0 until 32).map(i => ((i * 37) % 21 - 10) / 10.0)
+    val wSql = w.mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (SELECT doc_id,
+       |    0.1 + list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(toks, tok -> ($wSql)[CAST(${sqlPolyHash("tok")} % 32 AS INT) + 1])),
+       |      (a, b) -> a + b) / len(toks) AS raw
+       |  FROM t)
+       |SELECT doc_id, round(raw, 6) AS raw_score,
+       |  round(1.0 / (1.0 + exp(-raw)), 6) AS prob,
+       |  prob >= 0.5 AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+  }) { (s, d) =>
+    val w = (0 until 32).map(i => ((i * 37) % 21 - 10) / 10.0)
+    val weights = array(w.map(lit): _*)
+    val toks = tokenize(col("text"))
+    val raw = (lit(0.1) +
+      aggregate(toks, lit(0.0),
+        (acc, tok) => acc + element_at(weights, (polyHash(tok) % 32).cast(IntegerType) + 1))
+        / size(toks)).as("raw")
+    Tables.documents(s, d)
+      .select(col("doc_id"), raw)
+      .select(col("doc_id"),
+        round(col("raw"), 6).as("raw_score"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("raw"))), 6).as("prob"),
+        (round(lit(1.0) / (lit(1.0) + exp(-col("raw"))), 6) >= 0.5).as("keep"))
+      .orderBy("doc_id")
+  }
+
   // --- Gopher structural quality rules (Rae et al. 2021 §A1.1) --------------
   // The word-level rule battery applied before any model-based scoring:
   // word-count bounds, mean-word-length band, alphabetic-word fraction, and
