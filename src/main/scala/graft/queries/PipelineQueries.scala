@@ -109,29 +109,53 @@ object PipelineQueries extends QueryPack {
        |SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok, CAST(cum AS BIGINT) AS cum_tokens
        |FROM c WHERE cum <= CASE WHEN source = 'src0' THEN 1200 ELSE 600 END
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    def budget(src: org.apache.spark.sql.Column) =
-      when(src === "src0", 1200L).otherwise(600L)
     val t = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         size(tokenize(col("text"))).cast(LongType).as("n_tok"),
         polyHash(col("doc_id").cast(StringType)).as("hkey"))
-      .withColumn("bucket", shiftright(col("hkey"), 22)) // top bits: order-aligned
-    // phase 1: bucket offsets (metadata-scale; broadcast back)
-    val wB = Window.partitionBy(col("source")).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val off = t.groupBy(col("source"), col("bucket"))
-      .agg(sum(col("n_tok")).as("bsum"))
-      .withColumn("offset", sum(col("bsum")).over(wB) - col("bsum"))
-      .filter(col("offset") <= budget(col("source"))) // prune past-cutoff buckets
-      .select(col("source"), col("bucket"), col("offset"))
-    // phase 2: row-level prefix sum within surviving (source, bucket) only
-    val wR = Window.partitionBy(col("source"), col("bucket"))
-      .orderBy(col("hkey"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t.join(broadcast(off), Seq("source", "bucket"))
-      .withColumn("cum_tokens", col("offset") + sum(col("n_tok")).over(wR))
-      .filter(col("cum_tokens") <= budget(col("source")))
+    graft.ops.DomainMix
+      .budgetPrefix(t, "source", "n_tok", "hkey", "doc_id", "cum_tokens",
+        src => when(src === "src0", 1200L).otherwise(600L))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
+  // --- capstone composite: quality gate → exact dedup → domain-mix budget ---
+  // The full training-mix assembly as ONE declarative plan: the quality
+  // gate fuses into the scan, dedup is the single corpus-scale digest
+  // shuffle with the survivor riding min_by, and the mixture prefix runs
+  // DomainMix's two-phase bucketed construction on the survivors. Stages
+  // compose lazily — nothing materializes between them, and Catalyst sees
+  // the whole pipeline when pruning columns back to the scan.
+  register("pipeline_training_mix",
+    s"""WITH q AS (SELECT doc_id, source, text, len(string_split(text, ' ')) AS n_tok
+       |    FROM documents WHERE len(string_split(text, ' ')) BETWEEN 20 AND 90),
+       |dg AS (SELECT doc_id, source, n_tok, ${sqlPolyHash("text")} AS digest FROM q),
+       |keep AS (SELECT digest, min(doc_id) AS doc_id FROM dg GROUP BY digest),
+       |kd AS (SELECT d.doc_id, d.source, d.n_tok,
+       |    ${sqlPolyHash("CAST(d.doc_id AS VARCHAR)")} AS hkey
+       |  FROM dg d JOIN keep k ON d.digest = k.digest AND d.doc_id = k.doc_id),
+       |c AS (SELECT doc_id, source, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY source ORDER BY hkey, doc_id
+       |                     ROWS UNBOUNDED PRECEDING) AS cum FROM kd)
+       |SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok, CAST(cum AS BIGINT) AS cum_tokens
+       |FROM c WHERE cum <= 400
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = tokenize(col("text"))
+    val q = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(toks).cast(LongType).as("n_tok"))
+      .filter(col("n_tok").between(20, 90))
+    val kd = q
+      .select(col("doc_id"), col("source"), col("n_tok"), polyHash(col("text")).as("digest"))
+      .groupBy(col("digest"))
+      .agg(min_by(struct(col("doc_id"), col("source"), col("n_tok")), col("doc_id")).as("s"))
+      .select(col("s.doc_id").as("doc_id"), col("s.source").as("source"),
+        col("s.n_tok").as("n_tok"))
+      .withColumn("hkey", polyHash(col("doc_id").cast(StringType)))
+    graft.ops.DomainMix
+      .budgetPrefix(kd, "source", "n_tok", "hkey", "doc_id", "cum_tokens",
+        _ => lit(400L))
       .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tokens"))
       .orderBy("doc_id")
   }

@@ -122,6 +122,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("minhash signature equals the scalar permutation-hash fold, random fingerprint sets") {
+    import spark.implicits._
+    val k = 6
+    val gen = Gen.nonEmptyListOf(Gen.choose(0L, TextFunctions.HashMod - 1))
+    val cases = (1L to 40L).map(seed => sample(gen, seed))
+    val df = cases.zipWithIndex.map { case (fps, i) => (i, fps) }.toDF("id", "fps")
+      .withColumn("sig", TextFunctions.minhashFromFps(col("fps"), k))
+    val got = df.collect().map(r => r.getInt(0) -> r.getSeq[Long](2)).toMap
+    cases.zipWithIndex.foreach { case (fps, i) =>
+      val ref = (0 until k).map(j =>
+        fps.map(f => ((2L * j + 1) * f + j * 7919L) % TextFunctions.HashMod).min)
+      assert(got(i) == ref, s"case $i")
+    }
+  }
+
+  test("simhash equals the scalar bit-vote fold, random token hash sets") {
+    import spark.implicits._
+    val bits = 16
+    val gen = Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty))
+    val cases = (1L to 30L).map(seed => sample(gen, seed))
+    val df = cases.zipWithIndex.map { case (ts, i) => (i, ts) }.toDF("id", "toks")
+      .withColumn("sh", TextFunctions.simhash(col("toks"), bits))
+    val got = df.collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    def polyRef(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % TextFunctions.HashMod)
+    cases.zipWithIndex.foreach { case (ts, i) =>
+      val hs = ts.map(polyRef)
+      val ref = (0 until bits).map { j =>
+        val vote = hs.map(h => if (((h >> j) & 1L) == 1L) 1L else -1L).sum
+        if (vote > 0) 1L << j else 0L
+      }.sum
+      assert(got(i) == ref, s"case $i tokens $ts")
+    }
+  }
+
   test("spanCoverage interval-merge fold equals the naive per-position scan") {
     import spark.implicits._
     val span = 8

@@ -51,6 +51,16 @@ class SeriesSpec extends AnyFunSuite {
       Map(1 -> Some(11.0), 2 -> Some(2.0), 3 -> None))
   }
 
+  test("map with a Series arg: values looked up in the dict index, misses → null") {
+    import spark.implicits._
+    // values (not labels!) are the lookup keys; label set stays the caller's
+    val s = GdfSeries(Seq((1, 10), (2, 20), (3, 99)).toDF("k", "v"), "k", "v")
+    val dict = GdfSeries(Seq((10, 100.0), (20, 200.0)).toDF("dk", "dv"), "dk", "dv")
+    val got = s.map(dict, "mapped").toDF.collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map(1 -> Some(100.0), 2 -> Some(200.0), 3 -> None))
+  }
+
   test("scalar binop is a plain projection — labels untouched, no join") {
     val a = series(Seq(1 -> 10.0, 2 -> 20.0), "a")
     val out = a.mapValue("out")(_ * 2)
