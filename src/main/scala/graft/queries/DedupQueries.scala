@@ -312,7 +312,8 @@ object DedupQueries extends QueryPack {
   // construction below structurally cannot hit.
   register("dedup_ngram_jaccard",
     s"""$sqlShingles,
-       |inv AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+       |inv AS (SELECT doc_id, ${sqlPolyHash("g")} AS g
+       |        FROM (SELECT doc_id, unnest(shingles) AS g FROM sh)),
        |rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) BETWEEN 2 AND 20),
        |post AS (SELECT i.doc_id, i.g FROM inv i JOIN rare r ON i.g = r.g),
        |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
@@ -326,7 +327,13 @@ object DedupQueries extends QueryPack {
        |      len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.2
        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
     val (docs, candShOf) = shingleSource(s, d)
-    val inv = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+    // candidate generation runs on 64-bit shingle HASHES, not the strings:
+    // every exchange/join on this path carries (doc_id, long) instead of
+    // (doc_id, ~30-byte shingle). A hash collision can only merge posting
+    // lists (spurious candidates are killed by the exact-set verify below);
+    // the oracle hashes identically so the df-cap sees the same lists.
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("g0"))
+      .select(col("doc_id"), polyHash(col("g0")).as("g"))
     val rare = inv.groupBy(col("g"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 20))
