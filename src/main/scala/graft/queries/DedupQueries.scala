@@ -524,6 +524,31 @@ object DedupQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // --- incremental dedup: new batch vs existing digest index ----------------
+  // The daily-increment mode: a 100-TB corpus is NOT re-deduplicated per
+  // ingest — the new batch anti-joins the standing digest index, and only
+  // batch-internal duplicates need the groupBy. Corpus side collapses to
+  // digests only (min_by carries nothing); the increment is the small side.
+  // Here the "new batch" is the deterministic doc_id % 5 = 0 slice.
+  register("dedup_incremental",
+    s"""WITH idx AS (SELECT DISTINCT ${sqlPolyHash("text")} AS digest
+       |           FROM documents WHERE doc_id % 5 <> 0),
+       |batch AS (SELECT doc_id, ${sqlPolyHash("text")} AS digest
+       |          FROM documents WHERE doc_id % 5 = 0),
+       |fresh AS (SELECT b.doc_id, b.digest FROM batch b
+       |          LEFT JOIN idx ON b.digest = idx.digest WHERE idx.digest IS NULL)
+       |SELECT digest, min(doc_id) AS keep_id, count(*) AS n_in_batch
+       |FROM fresh GROUP BY digest ORDER BY digest""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), polyHash(col("text")).as("digest"))
+    val idx = docs.filter(col("doc_id") % 5 =!= 0).select("digest").distinct()
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    batch.join(idx, Seq("digest"), "left_anti")
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_in_batch"))
+      .orderBy("digest")
+  }
+
   // --- duplicate-span coverage (exact-substring dedup signal; Lee et al.
   // 2022 "Deduplicating Training Data Makes Language Models Better") -------
   // Overlapping 8-token windows; a window is a duplicate span iff its
