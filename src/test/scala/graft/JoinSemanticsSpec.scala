@@ -66,4 +66,23 @@ class JoinSemanticsSpec extends AnyFunSuite {
       .groupBy("k").count().collect().map(_.getLong(1)).sorted.toSeq
     assert(groups == Seq(1L, 2L))
   }
+
+  test("nearest as-of join: backward wins exact-distance ties (pandas rule)") {
+    import spark.implicits._
+    // left at t=10; right at t=5 (dist 5), t=15 (dist 5), and t=10 (dist 0)
+    // for a second key. Equidistant → the EARLIER (backward) row must win;
+    // an exact-time right row matches with distance 0.
+    val left = Seq(("a", 10L, 1L), ("b", 10L, 2L)).toDF("k", "t", "lid")
+    val right = Seq(("a", 5L, 100L), ("a", 15L, 200L), ("b", 10L, 300L))
+      .toDF("k", "t", "rid")
+    val got = graft.ops.AsOfJoin
+      .nearest(left, right, keyCol = "k", tCol = "t", payload = Seq("rid"))
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(got == Map("a" -> 100L, "b" -> 300L))
+    // forward direction on the same fixture takes the later row for a
+    val fwd = graft.ops.AsOfJoin
+      .forward(left, right, keyCol = "k", tCol = "t", payload = Seq("rid"))
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(fwd == Map("a" -> 200L, "b" -> 300L))
+  }
 }
