@@ -648,4 +648,31 @@ object AggregationQueries extends QueryPack {
       corr(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz")).as("corr_qty_disc"),
       corr(col("syz"), col("sy"), col("sz"), col("syy"), col("szz")).as("corr_price_disc"))
   }
+
+  // --- groupby(dropna=True): null keys form NO group ------------------------
+  // (groupby.py dropna; pandas default.) A REAL cross-engine divergence:
+  // Spark's groupBy (and SQL GROUP BY) keep a null-key group, so the cuDF
+  // default needs an explicit null-key filter BEFORE the aggregation — which
+  // also pushes to the scan, shrinking the shuffle by the null fraction.
+  // The dropped mass is accounted in a sentinel row so the oracle proves
+  // rows were dropped rather than silently missing.
+  register("agg_groupby_dropna",
+    """WITH k AS (SELECT nullif(lang, 'de') AS key, n_chars FROM documents)
+      |SELECT * FROM (
+      |  SELECT key, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+      |  FROM k WHERE key IS NOT NULL GROUP BY key
+      |  UNION ALL
+      |  SELECT '__dropped__', count(*), CAST(sum(n_chars) AS BIGINT)
+      |  FROM k WHERE key IS NULL)
+      |ORDER BY key""".stripMargin) { (s, d) =>
+    val k = Tables.documents(s, d)
+      .select(nullif(col("lang"), lit("de")).as("key"), col("n_chars"))
+    val grouped = k.filter(col("key").isNotNull)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    val dropped = k.filter(col("key").isNull)
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .select(lit("__dropped__").as("key"), col("n"), col("chars"))
+    grouped.unionByName(dropped).orderBy("key")
+  }
 }
