@@ -138,6 +138,40 @@ object WindowQueries extends QueryPack {
       .orderBy("c_mktsegment", "c_custkey")
   }
 
+  // --- rank na_option = keep / top / bottom (sorting.hpp null_order;
+  // pandas rank(na_option)) ---------------------------------------------------
+  // keep: null values get a null rank, non-nulls ranked among themselves
+  // (nulls sorted LAST so they never shift non-null ranks, then masked);
+  // top: nulls rank first; bottom: nulls rank last. All three share one
+  // partition shuffle — the two sort orders differ only within partitions.
+  register("win_rank_na_option",
+    """SELECT c_mktsegment, c_custkey,
+      |  CASE WHEN v IS NOT NULL THEN rank() OVER wl END AS rank_keep,
+      |  rank() OVER wf AS rank_top,
+      |  rank() OVER wl AS rank_bottom
+      |FROM (SELECT c_mktsegment, c_custkey, nullif(c_nationkey, 7) AS v
+      |      FROM customer WHERE c_custkey <= 300)
+      |WINDOW wl AS (PARTITION BY c_mktsegment ORDER BY v ASC NULLS LAST),
+      |       wf AS (PARTITION BY c_mktsegment ORDER BY v ASC NULLS FIRST)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin) { (s, d) =>
+    // rank(method='min'): ORDER BY the value alone — equal values (and all
+    // nulls) tie to the same min rank, so the output is deterministic
+    // without a tie-break column.
+    val wl = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("v").asc_nulls_last)
+    val wf = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("v").asc_nulls_first)
+    Tables.customer(s, d)
+      .filter(col("c_custkey") <= 300)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        nullif(col("c_nationkey"), lit(7)).as("v"))
+      .withColumn("rank_keep", when(col("v").isNotNull, rank().over(wl)))
+      .withColumn("rank_top", rank().over(wf))
+      .withColumn("rank_bottom", rank().over(wl))
+      .select("c_mktsegment", "c_custkey", "rank_keep", "rank_top", "rank_bottom")
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
   // --- rank method="average"/"max" (sorting.hpp:31-36 rank_method) ----------
   // Composites over rank_min and the tie count: average = min + (ties−1)/2,
   // max = min + ties − 1. One extra unordered window over (keys, value) —
