@@ -53,6 +53,44 @@ object OrderedOps {
       .drop("__gpid", "__gval", "__gprefix", "__goff")
   }
 
+  /** Adds a GLOBAL forward-fill of `valueCol` in the order of `sortCols`
+    * (pandas/cuDF fillna(method='ffill') WITHOUT a grouping key — the hard
+    * distributed case, because the filling value can live in an earlier
+    * partition). Same two-phase shape: per-partition last-non-null runs in
+    * parallel; each partition's tail value (one row per partition) gets a
+    * running carry from its predecessors; rows whose local fill is null
+    * coalesce to the broadcast carry. The only global window runs over
+    * ≤ numPartitions tail rows.
+    */
+  def withGlobalFfill(df: DataFrame, valueCol: Column, outCol: String,
+                      sortCols: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df
+      .repartitionByRange(nPart, sortCols: _*)
+      .withColumn("__gpid", spark_partition_id())
+      .withColumn("__gval", valueCol)
+    val wLocal = Window.partitionBy(col("__gpid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = ranged.withColumn("__glf",
+      last(col("__gval"), ignoreNulls = true).over(wLocal))
+    // per-partition tail = value at the greatest sort key among non-null
+    // rows (max_by skips rows whose ordering expression is null)
+    val tails = ranged
+      .groupBy(col("__gpid"))
+      .agg(max_by(col("__gval"),
+        when(col("__gval").isNotNull, struct(sortCols: _*))).as("__gtail"))
+    val carries = tails
+      .withColumn("__gcarry",
+        last(col("__gtail"), ignoreNulls = true).over(
+          Window.orderBy(col("__gpid")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__gpid"), col("__gcarry"))
+    local
+      .join(broadcast(carries), Seq("__gpid"))
+      .withColumn(outCol, coalesce(col("__glf"), col("__gcarry")))
+      .drop("__gpid", "__gval", "__glf", "__gcarry")
+  }
+
   /** Adds a 1-based global position column in the order of `sortCols`.
     * Deterministic when the composite sort key is unique (callers append a
     * unique tie-break key, same contract as cudf's stable argsort).

@@ -137,6 +137,29 @@ object IndexQueries extends QueryPack {
       .orderBy("pos")
   }
 
+  // --- GLOBAL forward-fill along the index (fillna method='ffill' without a
+  // grouping key; replace.hpp replace_nulls(replace_policy::PRECEDING)) -----
+  // The filling value can live in an earlier range partition, so this runs
+  // OrderedOps' two-phase construction: parallel per-partition last-non-null
+  // + a broadcast cross-partition carry (win_group_ffill is the easy grouped
+  // case; this is the global one).
+  register("idx_global_ffill",
+    """SELECT o_orderkey, v,
+      |  last_value(v IGNORE NULLS) OVER (ORDER BY o_orderkey
+      |    ROWS UNBOUNDED PRECEDING) AS filled
+      |FROM (SELECT o_orderkey,
+      |        CASE WHEN o_orderkey % 7 < 3 THEN NULL ELSE o_totalprice END AS v
+      |      FROM orders)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 < 3, lit(null)).otherwise(col("o_totalprice")).as("v"))
+    graft.ops.OrderedOps
+      .withGlobalFfill(base, col("v"), "filled", Seq(col("o_orderkey")))
+      .select("o_orderkey", "v", "filled")
+      .orderBy("o_orderkey")
+  }
+
   // --- take: gather rows by ordinal position (copying.hpp gather;
   // frame.py take) -----------------------------------------------------------
   // Positions are resolved against the frame's index ORDER (not its storage

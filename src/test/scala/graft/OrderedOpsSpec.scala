@@ -47,4 +47,25 @@ class OrderedOpsSpec extends AnyFunSuite {
     // partition list over the main data would start with 'windowspecdefinition(k'
     assert(!plan.contains("windowspecdefinition(k#"), plan)
   }
+
+  test("withGlobalFfill equals a sequential scan, nulls spanning partition boundaries") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 200 rows over 32 range partitions (~6 rows each); long null runs make
+    // many partitions start with a null, forcing the cross-partition carry;
+    // keys 0-9 are all-null so the leading rows must stay null.
+    val vals: Seq[(Long, Option[Double])] = (0L until 200L).map { k =>
+      k -> (if (k < 10 || (k % 13) < 8) None else Some(k * 1.5))
+    }
+    val df = vals.map { case (k, v) => (k, v.map(Double.box).orNull) }
+      .toDF("k", "v").withColumn("v", col("v").cast("double"))
+    val got = OrderedOps.withGlobalFfill(df, col("v"), "f", Seq(col("k")))
+      .select("k", "f").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    var carry: Option[Double] = None
+    vals.foreach { case (k, v) =>
+      if (v.isDefined) carry = v
+      assert(got(k) == carry, s"key $k: got ${got(k)}, want $carry")
+    }
+  }
 }
