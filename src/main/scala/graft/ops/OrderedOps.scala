@@ -20,8 +20,21 @@ import org.apache.spark.sql.functions._
   * The only global window runs over ≤ numPartitions rows of counts.
   * Reference semantics: cudf sorted_order / stable argsort
   * (cpp/include/cudf/sorting.hpp:114), factorize (python frame.py:3608).
+  *
+  * CORRECTNESS HAZARD, handled here once for all helpers: the offsets
+  * branch and the data branch both read the range-partitioned relation, and
+  * `repartitionByRange` SAMPLES its bounds with a per-evaluation seed. When
+  * Catalyst reuses the exchange the two branches agree; when a composed
+  * plan defeats reuse, each branch gets different bounds and the offsets no
+  * longer match the numbering (measured: duplicate global positions). The
+  * ranged relation is therefore pinned with persist() so it is evaluated
+  * exactly once — the distributed analogue of checkpointing partition
+  * bounds before reuse. Blocks are MEMORY_AND_DISK and evicted LRU.
   */
 object OrderedOps {
+
+  private def pinned(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Adds a global running total of `valueCol` in the order of `sortCols`
     * (cudf ungrouped cumulative scan, reduction.hpp scan; pandas cumsum).
@@ -34,10 +47,10 @@ object OrderedOps {
                        sortCols: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val ranged = df
+    val ranged = pinned(df
       .repartitionByRange(nPart, sortCols: _*)
       .withColumn("__gpid", spark_partition_id())
-      .withColumn("__gval", valueCol)
+      .withColumn("__gval", valueCol))
     val wLocal = Window.partitionBy(col("__gpid")).orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = ranged.withColumn("__gprefix", sum(col("__gval")).over(wLocal))
@@ -66,10 +79,10 @@ object OrderedOps {
                       sortCols: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val ranged = df
+    val ranged = pinned(df
       .repartitionByRange(nPart, sortCols: _*)
       .withColumn("__gpid", spark_partition_id())
-      .withColumn("__gval", valueCol)
+      .withColumn("__gval", valueCol))
     val wLocal = Window.partitionBy(col("__gpid")).orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = ranged.withColumn("__glf",
@@ -91,6 +104,39 @@ object OrderedOps {
       .drop("__gpid", "__gval", "__glf", "__gcarry")
   }
 
+  /** GLOBAL trailing rolling sum+count over a w-row frame in the order of
+    * `sortCols` — WITHOUT the single-task `Window.orderBy(...)` a naive
+    * global rolling would plan. Construction: two-phase global numbering,
+    * then rows are grouped into fixed-size position blocks; the last w−1
+    * rows of each block are REPLICATED into the next block as read-only
+    * context, so every block's windows are complete locally. The window
+    * partitions by block — parallel across ⌈N/block⌉ tasks; replica rows are
+    * dropped after the frame aggregation (their own results are computed in
+    * their home block). Shuffle cost: the numbering plus one exchange of
+    * (rows + (w−1)/block replicas).
+    */
+  def withGlobalRolling(df: DataFrame, valueCol: Column,
+                        sumCol: String, cntCol: String,
+                        sortCols: Seq[Column], w: Int,
+                        block: Int = 4096): DataFrame = {
+    require(w >= 1 && block >= w, s"need block ($block) >= w ($w)")
+    val numbered = withGlobalRowNumber(df, "__gpos", sortCols)
+      .withColumn("__gval", valueCol)
+    val withBlocks = numbered
+      .withColumn("__own", expr(s"(__gpos - 1) div $block"))
+      .withColumn("__blk", explode(
+        when((col("__gpos") - 1) % block >= block - (w - 1),
+          array(col("__own"), col("__own") + 1))
+          .otherwise(array(col("__own")))))
+    val wRoll = Window.partitionBy(col("__blk")).orderBy(col("__gpos"))
+      .rowsBetween(-(w - 1), 0)
+    withBlocks
+      .withColumn(sumCol, sum(col("__gval")).over(wRoll))
+      .withColumn(cntCol, count(lit(1)).over(wRoll))
+      .filter(col("__blk") === col("__own"))
+      .drop("__gpos", "__gval", "__own", "__blk")
+  }
+
   /** Adds a 1-based global position column in the order of `sortCols`.
     * Deterministic when the composite sort key is unique (callers append a
     * unique tie-break key, same contract as cudf's stable argsort).
@@ -98,9 +144,9 @@ object OrderedOps {
   def withGlobalRowNumber(df: DataFrame, posCol: String, sortCols: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val ranged = df
+    val ranged = pinned(df
       .repartitionByRange(nPart, sortCols: _*)
-      .withColumn("__gpid", spark_partition_id())
+      .withColumn("__gpid", spark_partition_id()))
     val local = ranged.withColumn("__grn",
       row_number().over(Window.partitionBy(col("__gpid")).orderBy(sortCols: _*)))
     // one row per partition — the ONLY globally-windowed data

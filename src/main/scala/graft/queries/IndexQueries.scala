@@ -160,6 +160,29 @@ object IndexQueries extends QueryPack {
       .orderBy("o_orderkey")
   }
 
+  // --- GLOBAL rolling window along the index (pandas rolling on the whole
+  // frame, no grouping key) ---------------------------------------------------
+  // The block-replication construction (OrderedOps.withGlobalRolling): the
+  // naive plan is a single-task Window.orderBy over 100 TB; here the only
+  // global structure is the numbering's per-partition counts. Cents
+  // quantization keeps the rolling sum integer-exact cross-engine.
+  register("win_global_rolling",
+    """SELECT o_orderkey,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS roll_cents,
+      |  count(*) OVER w AS roll_n
+      |FROM orders
+      |WINDOW w AS (ORDER BY o_orderkey ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    graft.ops.OrderedOps
+      .withGlobalRolling(base, col("cents"), "roll_cents", "roll_n",
+        Seq(col("o_orderkey")), w = 5)
+      .select("o_orderkey", "roll_cents", "roll_n")
+      .orderBy("o_orderkey")
+  }
+
   // --- take: gather rows by ordinal position (copying.hpp gather;
   // frame.py take) -----------------------------------------------------------
   // Positions are resolved against the frame's index ORDER (not its storage

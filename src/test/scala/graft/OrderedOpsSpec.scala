@@ -68,4 +68,19 @@ class OrderedOpsSpec extends AnyFunSuite {
       assert(got(k) == carry, s"key $k: got ${got(k)}, want $carry")
     }
   }
+
+  test("withGlobalRolling equals a sequential window, tiny blocks forcing replication") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val w = 3
+    val vals = (0L until 100L).map(k => (k, k * 7 % 23))
+    val df = vals.toDF("k", "v")
+    val got = OrderedOps
+      .withGlobalRolling(df, col("v"), "s", "n", Seq(col("k")), w, block = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    vals.zipWithIndex.foreach { case ((k, _), i) =>
+      val frame = vals.slice(math.max(0, i - (w - 1)), i + 1).map(_._2)
+      assert(got(k) == ((frame.sum, frame.size.toLong)), s"key $k")
+    }
+  }
 }
