@@ -58,8 +58,12 @@ final class GdfFrame(val df: DataFrame, val indexCol: String) extends GdfFrameOp
     val ord = if (periods > 0) idx.asc else idx.desc
     val ordRev = if (periods > 0) idx.desc else idx.asc
     val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // pinned: the edge relation and the main path both read this, and
+    // repartitionByRange samples bounds per evaluation — same dual-branch
+    // determinism hazard OrderedOps documents; persist() evaluates it once.
     val ranged = df.repartitionByRange(nPart, ord)
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wFwd = Window.partitionBy(col("__pid")).orderBy(ord)
     val wRev = Window.partitionBy(col("__pid")).orderBy(ordRev)
     val local = ranged
