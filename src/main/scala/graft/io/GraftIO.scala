@@ -150,10 +150,12 @@ object GraftIO {
     * keep their partitioning (one file per task, the distributed default).
     */
   def writeCsv(df: DataFrame, path: String, header: Boolean = true,
-               sep: String = ",", naRep: String = "", single: Boolean = false): Unit = {
+               sep: String = ",", naRep: String = "", single: Boolean = false,
+               compression: String = "none"): Unit = {
     val out = if (single) df.coalesce(1) else df
     out.write.mode("overwrite")
       .option("header", header).option("sep", sep).option("nullValue", naRep)
+      .option("compression", compression)
       .csv(path)
   }
 

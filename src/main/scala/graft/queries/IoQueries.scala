@@ -39,6 +39,26 @@ object IoQueries extends QueryPack {
       .orderBy("c_custkey")
   }
 
+  // --- CSV gzip roundtrip (csv.hpp compression_type; read_csv compression
+  // ='gzip'/'infer') — writer emits .csv.gz parts, the reader infers the
+  // codec from the extension (the cuDF 'infer' mode). Note gzip files are
+  // NOT splittable: at 100 TB you write many parts (default parallelism
+  // preserved here — no coalesce) so reads stay parallel per file.
+  register("io_csv_gzip",
+    """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+      |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val src = Tables.supplier(s, d).select("s_suppkey", "s_name", "s_acctbal")
+    val path = tmp("csv_gzip")
+    GraftIO.writeCsv(src, path, header = true, compression = "gzip")
+    GraftIO.readCsv(s, path, CsvOptions(
+      header = true,
+      dtype = Some(StructType(Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_name", StringType),
+        StructField("s_acctbal", DoubleType))))))
+      .orderBy("s_suppkey")
+  }
+
   // --- CSV options: custom sep, no header + names, na_values --------------
   // (csv.hpp: delimiter, names, na_values; cudf/io/csv.py keep_default_na)
   register("io_csv_options",
