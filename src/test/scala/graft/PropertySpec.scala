@@ -157,6 +157,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("DomainMix.budgetPrefix equals the sequential per-domain prefix, random rows") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val gen = Gen.listOfN(300, for {
+      src <- Gen.oneOf("a", "b", "c", "d")
+      tok <- Gen.choose(1L, 50L)
+      hk <- Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
+    } yield (src, tok, hk))
+    val rows = sample(gen, 7L).zipWithIndex
+      .map { case ((s, t, h), i) => (s, t, h, i.toLong) }
+    val df = rows.toDF("src", "tok", "hk", "id")
+    val budgets = Map("a" -> 200L, "b" -> 350L, "c" -> 50L, "d" -> 1000L)
+    val got = graft.ops.DomainMix
+      .budgetPrefix(df, "src", "tok", "hk", "id", "cum",
+        s => when(s === "a", 200L).when(s === "b", 350L)
+          .when(s === "c", 50L).otherwise(1000L))
+      .select("id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: per source, hash-order scan keeping cum <= budget
+    val ref = rows.groupBy(_._1).flatMap { case (src, rs) =>
+      var cum = 0L
+      rs.sortBy(r => (r._3, r._4)).flatMap { r =>
+        cum += r._2
+        if (cum <= budgets(src)) Some(r._4 -> cum) else None
+      }
+    }.toMap
+    assert(got == ref, s"diff: got-extra=${got.toSet -- ref.toSet}, missing=${ref.toSet -- got.toSet}")
+  }
+
   test("spanCoverage interval-merge fold equals the naive per-position scan") {
     import spark.implicits._
     val span = 8
