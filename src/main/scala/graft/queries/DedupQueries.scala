@@ -524,6 +524,29 @@ object DedupQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // --- normalized-text exact dedup ------------------------------------------
+  // The tier between byte-exact and fuzzy: digest the text after casefold,
+  // punctuation strip, and whitespace-run collapse, so trivially-reformatted
+  // copies (the most common web duplicates) collapse without any candidate
+  // generation. Same single (digest, id) shuffle as dedup_exact; the
+  // normalization is a per-row codegen regex chain fused into the scan.
+  register("dedup_exact_normalized",
+    s"""WITH n AS (SELECT doc_id,
+       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+       |         ' +', ' ', 'g')) AS norm
+       |  FROM documents)
+       |SELECT ${sqlPolyHash("norm")} AS digest, min(doc_id) AS keep_id,
+       |  count(*) AS n_copies
+       |FROM n GROUP BY 1 ORDER BY digest""".stripMargin) { (s, d) =>
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(s, d)
+      .select(col("doc_id"), polyHash(norm).as("digest"))
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("digest")
+  }
+
   // --- incremental dedup: new batch vs existing digest index ----------------
   // The daily-increment mode: a 100-TB corpus is NOT re-deduplicated per
   // ingest — the new batch anti-joins the standing digest index, and only
