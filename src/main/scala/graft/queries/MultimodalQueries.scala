@@ -152,4 +152,31 @@ object MultimodalQueries extends QueryPack {
           + element_at(col("en"), 3) + element_at(col("en"), 4)) / 64.0), 6).as("rms"))
       .orderBy("doc_id")
   }
+
+  // --- asset dedup by payload content digest --------------------------------
+  // The image-dedup staple: identical payload BYTES collapse regardless of
+  // differing header metadata (two assets with different declared sizes but
+  // the same pixels dedup together). The digest is computed next to the
+  // scan — payload pages stream through md5 once and only the (16-byte
+  // digest, id) pair shuffles; at 100 TB the shuffle is metadata-sized
+  // while the binary column never leaves its scan stage.
+  register("mm_payload_dedup",
+    """WITH img AS (
+      |  SELECT doc_id, substring(text, 1, 40) AS payload
+      |  FROM documents WHERE doc_id <= 400)
+      |SELECT md5(payload) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM img GROUP BY 1 ORDER BY digest""".stripMargin) { (s, d) =>
+    val img = Tables.documents(s, d)
+      .filter(col("doc_id") <= 400)
+      .select(col("doc_id"),
+        Multimodal.synthImageBytes(
+          lit(32) + col("doc_id") % 64, // headers differ per doc —
+          lit(32) + col("doc_id") % 48, // dedup must ignore them
+          substring(col("text"), 1, 40)).as("bytes"))
+    img
+      .select(col("doc_id"), md5(Multimodal.payloadBytes(col("bytes"))).as("digest"))
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("digest")
+  }
 }
