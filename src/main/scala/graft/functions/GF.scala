@@ -106,6 +106,18 @@ object GF {
       when(idx > 0, c.substr(idx + lit(sep.length), length(c))).otherwise(lit("")).as("tail"))
   }
 
+  /** rpartition (strings/partition.hpp rpartition): split on the LAST
+    * occurrence; pandas puts the whole string in the TAIL when the
+    * separator is absent (mirror-image of partition's head rule). */
+  def strRPartition(c: Column, sep: String): Column = {
+    val revIdx = instr(reverse(c), reverse(lit(sep)))
+    val lastPos = length(c) - revIdx - lit(sep.length) + 2 // 1-based start of last sep
+    struct(
+      when(revIdx > 0, c.substr(lit(1), lastPos - 1)).otherwise(lit("")).as("head"),
+      when(revIdx > 0, lit(sep)).otherwise(lit("")).as("sep"),
+      when(revIdx > 0, c.substr(lastPos + lit(sep.length), length(c))).otherwise(c).as("tail"))
+  }
+
   /** integers_to_ipv4 (strings/convert/convert_ipv4.hpp:81): uint32 → dotted
     * quad. Pure div/mod arithmetic so any SQL engine replicates it. */
   def intToIpv4(v: Column): Column =

@@ -160,6 +160,40 @@ object StringQueries extends QueryPack {
       .orderBy("p_partkey")
   }
 
+  // --- rsplit / rpartition (split.hpp rsplit, partition.hpp rpartition) -----
+  // Right-anchored variants: rpartition splits on the LAST separator
+  // (pandas: absent separator puts the whole string in the TAIL), rsplit
+  // with maxsplit=2 keeps the right two tokens whole and joins the rest.
+  // Pure per-row projection, scan-fused.
+  register("str_rsplit_rpartition",
+    """WITH t AS (SELECT p_partkey, p_name,
+      |    instr(reverse(p_name), ' ') AS ridx,
+      |    string_split(p_name, ' ') AS toks
+      |  FROM part WHERE p_partkey <= 500)
+      |SELECT p_partkey,
+      |  CASE WHEN ridx > 0 THEN substring(p_name, 1, length(p_name) - ridx) ELSE '' END AS rpart_head,
+      |  CASE WHEN ridx > 0 THEN ' ' ELSE '' END AS rpart_sep,
+      |  CASE WHEN ridx > 0 THEN substring(p_name, length(p_name) - ridx + 2) ELSE p_name END AS rpart_tail,
+      |  array_to_string(CASE WHEN len(toks) <= 3 THEN toks
+      |    ELSE list_concat([array_to_string(toks[1:len(toks)-2], ' ')],
+      |                     toks[len(toks)-1:len(toks)]) END, '|') AS rsplit2
+      |FROM t ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    val p = GF.strRPartition(col("p_name"), " ")
+    val rsplit2 = expr(
+      """case when size(toks) <= 3 then toks
+        |else concat(array(array_join(slice(toks, 1, size(toks) - 2), ' ')),
+        |            slice(toks, size(toks) - 1, 2)) end""".stripMargin)
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 500)
+      .withColumn("toks", split(col("p_name"), " "))
+      .select(col("p_partkey"),
+        p.getField("head").as("rpart_head"),
+        p.getField("sep").as("rpart_sep"),
+        p.getField("tail").as("rpart_tail"),
+        array_join(rsplit2, "|").as("rsplit2"))
+      .orderBy("p_partkey")
+  }
+
   // --- center / rfind / filter_characters (padding.hpp center side,
   // find.hpp:81 rfind, translate.hpp:95 filter_characters) -------------------
   // center follows pandas: pad to width 24, extra space goes RIGHT;
