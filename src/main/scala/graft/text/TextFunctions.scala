@@ -71,6 +71,15 @@ object TextFunctions {
       graft.expressions.WordShingles(
         org.apache.spark.sql.graft.Bridge.expression(text), n))
 
+  /** Distinct word-shingle HASH set — [[shingles]] fused with [[polyHash]],
+    * no shingle strings materialized (expressions/WordShingleHashes). The
+    * index-side primitive for hash-keyed candidate generation; oracle
+    * equivalent: list_distinct(list_transform(shingles, polyhash)). */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.WordShingleHashes(
+        org.apache.spark.sql.graft.Bridge.expression(text), n))
+
   /** Shingle fingerprints: polyHash per shingle. Materialize this as its own
     * column (withColumn) before building signatures — polyHash is expensive
     * and must be computed once per shingle, not once per signature position.

@@ -118,4 +118,16 @@ class ExpressionsSpec extends AnyFunSuite {
       .count()
     assert(diff == 0)
   }
+
+  test("shingleHashes equals distinct(polyHash(shingles)) on real documents") {
+    val spark = TestSpark.spark
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val ref = array_distinct(transform(
+      TextFunctions.shingles(col("text")), s => TextFunctions.polyHash(s)))
+    val diff = docs.select(
+      TextFunctions.shingleHashes(col("text")).as("fast"), ref.as("ref"))
+      .filter(not(col("fast") === col("ref")))
+      .count()
+    assert(diff == 0)
+  }
 }
