@@ -85,42 +85,46 @@ object DedupQueries extends QueryPack {
   // --- MinHash + LSH near-dup: shingle → sign → band → bucket-join → verify -
   register("dedup_minhash_lsh",
     s"""$sqlShingles,
-       |fp AS (SELECT doc_id, shingles,
-       |         list_transform(shingles, s -> ${sqlPolyHash("s")}) AS fps FROM sh),
-       |mh AS (SELECT doc_id, shingles,
-       |         list_transform(range(0, 8), i -> list_min(list_transform(fps,
-       |           f -> ((2*i + 1) * f + i * 7919) % 1000000007))) AS sig FROM fp),
-       |bands AS (SELECT doc_id, shingles, unnest(range(0, 4)) AS band, sig FROM mh),
-       |keyed AS (SELECT doc_id, shingles, band,
+       |hs AS (SELECT doc_id,
+       |         list_distinct(list_transform(shingles, g -> ${sqlPolyHash("g")})) AS h FROM sh),
+       |mh AS (SELECT doc_id, h,
+       |         list_transform(range(0, 8), i -> list_min(list_transform(h,
+       |           f -> ((2*i + 1) * f + i * 7919) % 1000000007))) AS sig FROM hs),
+       |bands AS (SELECT doc_id, h, unnest(range(0, 4)) AS band, sig FROM mh),
+       |keyed AS (SELECT doc_id, h, band,
        |            CAST(sig[2*band + 1] AS VARCHAR) || '_' || CAST(sig[2*band + 2] AS VARCHAR) AS bkey
        |          FROM bands),
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
-       |            a.shingles AS sh1, b.shingles AS sh2
+       |            a.h AS h1, b.h AS h2
        |         FROM keyed a JOIN keyed b
        |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
        |SELECT d1, d2,
-       |  round(CAST(len(list_intersect(sh1, sh2)) AS DOUBLE) /
-       |        len(list_distinct(list_concat(sh1, sh2))), 6) AS jaccard
+       |  round(CAST(len(list_intersect(h1, h2)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(h1, h2))), 6) AS jaccard
        |FROM cand
-       |WHERE CAST(len(list_intersect(sh1, sh2)) AS DOUBLE) /
-       |      len(list_distinct(list_concat(sh1, sh2))) >= 0.3
+       |WHERE CAST(len(list_intersect(h1, h2)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(h1, h2))) >= 0.3
        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
     // Shuffle-payload discipline: the band self-join carries ONLY
-    // (band, bkey, doc_id) — ~32 bytes/doc/band — never the shingle arrays.
-    // Shingles are re-joined for the (distinct) candidate id-pairs only,
+    // (band, bkey, doc_id) — ~32 bytes/doc/band — never shingle data.
+    // Fully hash-keyed: the fused WordShingleHashes expression streams the
+    // polynomial hash over the tokens, so shingle STRINGS never materialize
+    // — signatures come from the hash explode, and the candidate verify
+    // compares distinct-hash SETS (a collision merges two shingles
+    // identically on both engines, keeping the similarity oracle-exact).
+    // Hash sets are re-derived for the (distinct) candidate id-pairs only,
     // which at 100 TB is orders of magnitude smaller than the corpus.
-    val (docs, candShOf) = shingleSource(s, d)
+    val base = Tables.documents(s, d)
     // Signature computation is explode-based, NOT nested array expressions:
     // Catalyst collapses chained projections into the band-explode and
     // re-evaluates the (interpreted, higher-order-function) minhash tree per
-    // band reference — measured 30× slower. Exploding to (doc_id, shingle)
-    // evaluates polyHash exactly once per shingle; the 8 permutation minima
+    // band reference — measured 30× slower. Exploding to (doc_id, hash)
+    // evaluates the shingle hash exactly once; the 8 permutation minima
     // are plain min() aggregates with map-side partial aggregation, so the
     // shuffle carries only (doc_id, 8 longs) per document.
     val nHashes = 8
-    val fp = docs
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), polyHash(col("shingle")).as("fp"))
+    val fp = base
+      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("fp"))
     val hashCols = (0 until nHashes).map(i =>
       min((lit(2L * i + 1) * col("fp") + lit(i * 7919L)) % lit(HashMod)).as(s"h$i"))
     val sig = fp.groupBy(col("doc_id")).agg(hashCols.head, hashCols.tail: _*)
@@ -133,16 +137,19 @@ object DedupQueries extends QueryPack {
         Seq("band", "bkey"))
       .filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-    // Verify stage: semi-join candidate ids FIRST, then re-derive shingles
-    // for candidate documents only — shingle computation for the verify pass
-    // is O(candidates), not O(corpus).
+    // Verify stage: semi-join candidate ids FIRST, then re-derive hash sets
+    // for candidate documents only — verify-side work is O(candidates),
+    // not O(corpus).
     val candIds = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
-    val candSh = candShOf(candIds)
+    val candH = base.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingleHashes(col("text")).as("h"))
+    val jac = size(array_intersect(col("h1"), col("h2"))).cast(DoubleType) /
+      size(array_distinct(concat(col("h1"), col("h2"))))
     cand
-      .join(candSh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
-      .join(candSh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
-      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .join(candH.select(col("doc_id").as("d1"), col("h").as("h1")), Seq("d1"))
+      .join(candH.select(col("doc_id").as("d2"), col("h").as("h2")), Seq("d2"))
+      .withColumn("jaccard", jac)
       .filter(col("jaccard") >= 0.3)
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("d1", "d2")

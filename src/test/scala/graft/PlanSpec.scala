@@ -28,11 +28,13 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = qe.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
     }
-    // the band self-join's output must not contain the shingle column
+    // the band self-join's output must not contain shingle data (neither
+    // the string arrays nor the hash sets) — ids/bands/keys only
     val bandJoin = exchanges.filter(_.condition.exists(_.toString.contains("bkey")))
     assert(bandJoin.nonEmpty)
     bandJoin.foreach { j =>
-      assert(!j.output.exists(_.name == "sh"), j.output.map(_.name).mkString(","))
+      assert(!j.output.exists(a => a.name == "sh" || a.name == "h"),
+        j.output.map(_.name).mkString(","))
     }
   }
 
