@@ -186,28 +186,29 @@ object DedupQueries extends QueryPack {
     * by dedup_lsh_verified and the connected-components clustering. */
   private val sqlLshVerifiedPairs =
     s"""$sqlShingles,
-       |fp AS (SELECT doc_id, list_transform(shingles, s -> ${sqlPolyHash("s")}) AS fps FROM sh),
-       |mh AS (SELECT doc_id, list_transform(range(0, 8), i -> list_min(list_transform(fps,
-       |         f -> ((2*i + 1) * f + i * 7919) % 1000000007))) AS sig FROM fp),
+       |hs AS (SELECT doc_id,
+       |         list_distinct(list_transform(shingles, g -> ${sqlPolyHash("g")})) AS h FROM sh),
+       |mh AS (SELECT doc_id, list_transform(range(0, 8), i -> list_min(list_transform(h,
+       |         f -> ((2*i + 1) * f + i * 7919) % 1000000007))) AS sig FROM hs),
        |keyed AS (SELECT doc_id, unnest(range(0, 8)) AS band, sig FROM mh),
        |kb AS (SELECT doc_id, band, sig[band + 1] AS bkey FROM keyed),
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |         FROM kb a JOIN kb b ON a.band = b.band AND a.bkey = b.bkey
        |            AND a.doc_id < b.doc_id)
        |SELECT d1, d2,
-       |  round(CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
-       |        len(list_distinct(list_concat(s1.shingles, s2.shingles))), 6) AS jaccard
-       |FROM cand JOIN sh s1 ON s1.doc_id = d1 JOIN sh s2 ON s2.doc_id = d2
-       |WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
-       |      len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.2""".stripMargin
+       |  round(CAST(len(list_intersect(s1.h, s2.h)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(s1.h, s2.h))), 6) AS jaccard
+       |FROM cand JOIN hs s1 ON s1.doc_id = d1 JOIN hs s2 ON s2.doc_id = d2
+       |WHERE CAST(len(list_intersect(s1.h, s2.h)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(s1.h, s2.h))) >= 0.2""".stripMargin
 
   /** LSH-verified near-dup pairs (d1 < d2, jaccard ≥ 0.2) — the Spark side
-    * of [[sqlLshVerifiedPairs]]. */
+    * of [[sqlLshVerifiedPairs]]. Fully hash-keyed like dedup_minhash_lsh:
+    * fused shingle hashes for signatures, distinct-hash-set verify. */
   private def lshVerifiedPairs(s: SparkSession, d: String): DataFrame = {
-    val (docs, candShOf) = shingleSource(s, d)
-    val fp = docs
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), polyHash(col("shingle")).as("fp"))
+    val base = Tables.documents(s, d)
+    val fp = base
+      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("fp"))
     val nHashes = 8
     val hashCols = (0 until nHashes).map(i =>
       min((lit(2L * i + 1) * col("fp") + lit(i * 7919L)) % lit(HashMod)).as(s"h$i"))
@@ -223,11 +224,14 @@ object DedupQueries extends QueryPack {
       .select("d1", "d2").distinct()
     val candIds = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
-    val candSh = candShOf(candIds)
+    val candH = base.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingleHashes(col("text")).as("h"))
+    val jac = size(array_intersect(col("h1"), col("h2"))).cast(DoubleType) /
+      size(array_distinct(concat(col("h1"), col("h2"))))
     cand
-      .join(candSh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
-      .join(candSh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
-      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .join(candH.select(col("doc_id").as("d1"), col("h").as("h1")), Seq("d1"))
+      .join(candH.select(col("doc_id").as("d2"), col("h").as("h2")), Seq("d2"))
+      .withColumn("jaccard", jac)
       .filter(col("jaccard") >= 0.2)
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
   }
