@@ -96,5 +96,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "graft_shingles(s, n) takes 2 arguments")
         graft.expressions.WordShingles(args.head, intLit(args(1), "shingle width n"))
       }))
+
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes",
+        "graft_shingle_hashes(s, n) - distinct polynomial hashes of word n-gram shingles (strings never materialized)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_shingle_hashes(s, n) takes 2 arguments")
+        graft.expressions.WordShingleHashes(args.head, intLit(args(1), "shingle width n"))
+      }))
   }
 }

@@ -63,16 +63,19 @@ class ExtensionsSpec extends AnyFunSuite {
       """SELECT graft_cosine(va, vb) AS c,
         |  graft_jaccard(split(s, ' '), slice(split(s, ' '), 1, 3)) AS j,
         |  graft_polyhash(s) AS h,
-        |  graft_shingles(s, 3) AS sh
+        |  graft_shingles(s, 3) AS sh,
+        |  graft_shingle_hashes(s, 3) AS shh
         |FROM ext_fn_probe""".stripMargin).head
     val ref = spark.table("ext_fn_probe").select(
       graft.functions.GF.cosine(col("va"), col("vb")),
       TextFunctions.jaccard(split(col("s"), " "), slice(split(col("s"), " "), 1, 3)),
       TextFunctions.polyHash(col("s")),
-      TextFunctions.shingles(col("s"))).head
+      TextFunctions.shingles(col("s")),
+      TextFunctions.shingleHashes(col("s"))).head
     assert(r.getDouble(0) == ref.getDouble(0))
     assert(r.getDouble(1) == ref.getDouble(1))
     assert(r.getLong(2) == ref.getLong(2))
     assert(r.getSeq[String](3) == ref.getSeq[String](3))
+    assert(r.getSeq[Long](4) == ref.getSeq[Long](4))
   }
 }
