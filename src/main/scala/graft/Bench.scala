@@ -1,6 +1,16 @@
 package graft
 
-/** Benchmark main: one JSON line with per-query wall seconds.
+/** Benchmark main: full per-query wall seconds written to `target/bench.json`,
+  * plus ONE SHORT summary JSON line on stdout.
+  *
+  * The stdout line is deliberately small (< ~1.5 KB): the driver archives
+  * only a 2000-char tail of the run's stdout, and rounds 6-7 proved that a
+  * single line carrying all 258 per-query times gets decapitated there
+  * (`BENCH_r0{6,7}.json`: `"parsed": null`). The full map — same schema the
+  * driver has always expected (`metric/value/unit/queries/failed/sf`) — now
+  * lives whole in `target/bench.json`; the stdout line carries the totals,
+  * the failed list, the 10 slowest queries inline, and `queries_file`
+  * pointing at the full artifact.
   *
   * Each query is forced through a `noop`-format write — unlike `.count()`,
   * this evaluates EVERY output column (no column pruning of projections, no
@@ -48,9 +58,21 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val flFull = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$flFull,"sf":"$sfDir"}"""
+    val outFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_BENCH_FILE", "target/bench.json"))
+    Option(outFile.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(outFile, (fullLine + "\n").getBytes("UTF-8"))
+    val slow = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
+      .mkString("{", ",", "}")
+    // Inline failed list capped at 20 names so a catastrophic run can't push
+    // the summary line past the driver's 2000-char tail either.
+    val flShort = failed.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$flShort,"slowest":$slow,"queries_file":"${outFile.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
     // rc stays 0 by default: the JSON line is the artifact; failures are
     // visible in the `failed` list and on stderr (a nonzero rc would void

@@ -99,13 +99,33 @@ final class GdfCategorical(
 }
 
 object GdfCategorical {
+  /** Default dictionary-size cap for `fromColumn`. A categorical is by
+    * definition low-cardinality; 65 536 labels is already far past any
+    * sensible dictionary and still only a few MB on the driver. */
+  val DefaultMaxCategories: Int = 1 << 16
+
   /** astype('category'): factorize `valueCol` into a sorted-order dictionary
     * and replace the raw values with codes — the one pass where label
     * strings travel. The distinct runs distributed; only the k distinct
-    * labels are collected (categorical.py as_categorical_column). */
-  def fromColumn(facts: DataFrame, valueCol: String, codeCol: String): GdfCategorical = {
+    * labels are collected (categorical.py as_categorical_column).
+    *
+    * Guarded: `astype('category')` on a high-cardinality column (doc ids,
+    * URLs) at 100-TB scale must be a clear error, not a driver OOM. A
+    * bounded `limit(cap+1).count()` probe — never more than cap+1 rows leave
+    * the distinct — fails fast with the observed bound before anything is
+    * collected. Callers that genuinely want a bigger dictionary pass an
+    * explicit `maxCategories`. */
+  def fromColumn(facts: DataFrame, valueCol: String, codeCol: String,
+      maxCategories: Int = DefaultMaxCategories): GdfCategorical = {
     import facts.sparkSession.implicits._
-    val cats: Seq[String] = facts.select(col(valueCol)).distinct()
+    val distinctLabels = facts.select(col(valueCol)).distinct()
+    val probe = distinctLabels.limit(maxCategories + 1).count()
+    require(probe <= maxCategories,
+      s"astype('category') on '$valueCol' found > $maxCategories distinct labels; " +
+        "this column is not categorical — collecting its dictionary would OOM the " +
+        "driver at scale. Pass a larger maxCategories only if the dictionary is " +
+        "genuinely meant to be this big.")
+    val cats: Seq[String] = distinctLabels
       .collect().flatMap(r => Option(r.getString(0))).sorted.toSeq
     val dict = cats.zipWithIndex.toDF(valueCol, codeCol)
     val coded = facts

@@ -739,39 +739,42 @@ object TextQueries extends QueryPack {
 
   // --- fastText-style linear quality classifier ------------------------------
   // The model-based tier of quality filtering (fastText/CCNet-style): a
-  // linear model over HASHED unigram features, mean-pooled, sigmoid output.
-  // Weights here are a fixed literal table (training happens offline; the
-  // serving operator is what a 100-TB pipeline runs) — the per-row cost is
-  // one fold over the tokens, fully scan-fused, zero shuffles. Both engines
-  // fold the token sequence left-to-right, so the double accumulation is
-  // order-identical before round(…, 6).
+  // linear model over HASHED unigram features, mean-pooled, thresholded at
+  // sigmoid(raw) >= 0.5 ⟺ raw >= 0. Weights here are a fixed literal table
+  // (training happens offline; the serving operator is what a 100-TB
+  // pipeline runs) — the per-row cost is one fold over the tokens, fully
+  // scan-fused, zero shuffles. The weights are exact multiples of 0.1, so
+  // the fold accumulates BIGINT tenths: raw = 0.1 + S/(10n)·10/10 =
+  // (n + S_tenths)/(10n), an exact rational. The hashed projection is a
+  // single correctly-rounded IEEE division plus an integer sign test — no
+  // transcendentals, so the oracle is bit-exact (sigmoid would put a
+  // libm-vs-JVM 1-ulp exp() divergence inside round(…, 6)).
   register("text_fasttext_score", {
-    val w = (0 until 32).map(i => ((i * 37) % 21 - 10) / 10.0)
-    val wSql = w.mkString("[", ", ", "]")
+    val wTenths = (0 until 32).map(i => (i * 37) % 21 - 10)
+    val wSql = wTenths.mkString("[", ", ", "]")
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |s AS (SELECT doc_id,
-       |    0.1 + list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |      list_transform(toks, tok -> ($wSql)[CAST(${sqlPolyHash("tok")} % 32 AS INT) + 1])),
-       |      (a, b) -> a + b) / len(toks) AS raw
+       |s AS (SELECT doc_id, len(toks) AS n,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(toks, tok -> CAST(($wSql)[CAST(${sqlPolyHash("tok")} % 32 AS INT) + 1] AS BIGINT))),
+       |      (a, b) -> a + b) AS s_tenths
        |  FROM t)
-       |SELECT doc_id, round(raw, 6) AS raw_score,
-       |  round(1.0 / (1.0 + exp(-raw)), 6) AS prob,
-       |  prob >= 0.5 AS keep
+       |SELECT doc_id,
+       |  round(CAST(n + s_tenths AS DOUBLE) / CAST(10 * n AS DOUBLE), 6) AS raw_score,
+       |  (n + s_tenths) >= 0 AS keep
        |FROM s ORDER BY doc_id""".stripMargin
   }) { (s, d) =>
-    val w = (0 until 32).map(i => ((i * 37) % 21 - 10) / 10.0)
-    val weights = array(w.map(lit): _*)
-    val toks = tokenize(col("text"))
-    val raw = (lit(0.1) +
-      aggregate(toks, lit(0.0),
-        (acc, tok) => acc + element_at(weights, (polyHash(tok) % 32).cast(IntegerType) + 1))
-        / size(toks)).as("raw")
+    val wTenths = (0 until 32).map(i => ((i * 37) % 21 - 10).toLong)
+    val weights = array(wTenths.map(lit): _*)
     Tables.documents(s, d)
-      .select(col("doc_id"), raw)
+      .select(col("doc_id"), tokenize(col("text")).as("toks"))
       .select(col("doc_id"),
-        round(col("raw"), 6).as("raw_score"),
-        round(lit(1.0) / (lit(1.0) + exp(-col("raw"))), 6).as("prob"),
-        (round(lit(1.0) / (lit(1.0) + exp(-col("raw"))), 6) >= 0.5).as("keep"))
+        (size(col("toks")).cast(LongType) + aggregate(col("toks"), lit(0L),
+          (acc, tok) => acc + element_at(weights, (polyHash(tok) % 32).cast(IntegerType) + 1)))
+          .as("num"),
+        (size(col("toks")).cast(LongType) * 10L).as("den"))
+      .select(col("doc_id"),
+        round(col("num").cast(DoubleType) / col("den").cast(DoubleType), 6).as("raw_score"),
+        (col("num") >= 0).as("keep"))
       .orderBy("doc_id")
   }
 

@@ -37,6 +37,18 @@ class CategoricalSpec extends AnyFunSuite {
       3 -> (Some(1), Some("b")), 4 -> (Some(2), Some("c"))))
   }
 
+  test("fromColumn fails fast past the cardinality cap instead of collecting") {
+    import spark.implicits._
+    val highCard = (1 to 50).map(i => (i, s"label_$i")).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      GdfCategorical.fromColumn(highCard, "v", "code", maxCategories = 10)
+    }
+    assert(e.getMessage.contains("not categorical"))
+    // The same column is fine when the caller raises the cap explicitly.
+    assert(GdfCategorical.fromColumn(highCard, "v", "code", maxCategories = 50)
+      .categories.size == 50)
+  }
+
   test("renameCategories relabels the dictionary; codes and facts untouched") {
     val c = cat().renameCategories(Map("a" -> "alpha"))
     assert(dictMap(c) == Map("alpha" -> 0, "b" -> 1, "c" -> 2))
