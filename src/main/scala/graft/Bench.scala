@@ -54,7 +54,9 @@ object Bench {
           failed += name
           false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      graft.ops.OrderedOps.clearPins() // release pins outside the timed region
+      name -> (if (ok) secs else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -60,10 +60,10 @@ final class GdfFrame(val df: DataFrame, val indexCol: String) extends GdfFrameOp
     val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // pinned: the edge relation and the main path both read this, and
     // repartitionByRange samples bounds per evaluation — same dual-branch
-    // determinism hazard OrderedOps documents; persist() evaluates it once.
-    val ranged = df.repartitionByRange(nPart, ord)
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // determinism hazard OrderedOps documents; the tracked pin evaluates it
+    // once and OrderedOps.clearPins() can release it after the action.
+    val ranged = graft.ops.OrderedOps.pinned(df.repartitionByRange(nPart, ord)
+      .withColumn("__pid", spark_partition_id()))
     val wFwd = Window.partitionBy(col("__pid")).orderBy(ord)
     val wRev = Window.partitionBy(col("__pid")).orderBy(ordRev)
     val local = ranged

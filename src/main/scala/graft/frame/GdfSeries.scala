@@ -87,11 +87,25 @@ final class GdfSeries(val df: DataFrame, val indexCols: Seq[String], val valueCo
   /** map with a Series argument (series.py map): each VALUE is looked up in
     * the other series' INDEX; unmatched values → null (pandas NaN), the
     * label set stays this series'. A left equi-join on the value — the
-    * dictionary-lookup shape; Spark broadcasts the dict side when small. */
+    * dictionary-lookup shape; Spark broadcasts the dict side when small.
+    *
+    * pandas raises InvalidIndexError when the dict index is not unique; a
+    * silent left join would instead MULTIPLY caller rows. The uniqueness
+    * check is baked into the plan (group the dict by label, raise_error on
+    * any count > 1) so it costs one aggregation of the small dict side and
+    * fails at execution exactly when pandas would, with the offending
+    * label in the message. */
   def map(o: GdfSeries, out: String): GdfSeries = {
     require(o.indexCols.size == 1, "map target needs a single-level index")
     val l = df.select(indexCols.map(col) :+ value.as("__k"): _*)
     val r = o.df.select(col(o.indexCols.head).as("__k"), col(o.valueCol).as(out))
+      .groupBy(col("__k"))
+      .agg(first(col(out)).as(out), count(lit(1)).as("__dupes"))
+      .select(col("__k"),
+        when(col("__dupes") > 1, raise_error(concat(
+          lit("map dict index is not unique at label: "),
+          col("__k").cast("string"))))
+          .otherwise(col(out)).as(out))
     new GdfSeries(l.join(r, Seq("__k"), "left").drop("__k"), indexCols, out)
   }
 

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by min-label propagation — the
+  * transitive-closure step of near-dup clustering (pairs are not enough:
+  * A≈B, B≈C ⇒ drop two of {A,B,C}).
+  *
+  * Every iteration is one equi-join (edges × labels, both hash-partitioned
+  * on the key) plus one min() aggregate — shuffle volume O(|edges|) per
+  * round; the iteration count needed is the longest min-label path, bounded
+  * by the largest component diameter. The driver sees one Boolean per
+  * round, never the labels.
+  *
+  * LINEAGE DISCIPLINE — each round's plan references the previous labels
+  * relation twice (the neighbor join and the carry join), so building
+  * lazily would DOUBLE the logical plan per round: 2^rounds plan nodes,
+  * a driver OOM near the round cap even on a 40-row graph (measured:
+  * the pre-checkpoint version of this loop died exactly that way in
+  * ConnectedComponentsSpec). persist() alone does not help — it caches
+  * blocks, not plans. Every round is therefore CHECKPOINTED (eager), which
+  * truncates lineage to a leaf: reliable checkpoint when the session has a
+  * checkpoint dir (cluster operation — survives executor loss), else
+  * localCheckpoint (fine single-node and in tests). Same discipline as
+  * GraphX's Pregel checkpoint interval.
+  *
+  * The round cap exists to bound a pathological input (a 100-TB near-dup
+  * graph should be shallow; a million-node chain is a data bug, not a
+  * cluster), and hitting it FAILS LOUDLY: silently returning
+  * partially-propagated labels would under-merge clusters and let
+  * duplicates through the dedup gate, which is exactly the corruption a
+  * pipeline can least afford to miss. Reference semantics: transitive
+  * near-dup clustering over MinHash pairs (Lee et al. 2022 dedup;
+  * cuDF has no graph op — this is the Spark-native construction).
+  */
+object ConnectedComponents {
+
+  /** Eagerly materializes and truncates lineage: reliable checkpoint if the
+    * session has a checkpoint dir, localCheckpoint otherwise. */
+  private def materialized(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
+  /** Labels every vertex of the undirected `pairs` graph with its
+    * component's minimum vertex id.
+    *
+    * @param pairs    (d1, d2) edge list; direction ignored
+    * @param maxIters hard round cap; exceeding it throws IllegalStateException
+    * @return (doc_id, label) — one row per vertex that appears in any pair
+    */
+  def minLabel(pairs: DataFrame, maxIters: Int = 12): DataFrame = {
+    val edges = materialized(pairs.select("d1", "d2")
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2"))))
+    // round 1 for free: from identity labels, one propagation step is just
+    // min(neighbor) vs self over the raw edge list — a single aggregation
+    // instead of the loop body's join+agg+join round
+    var labels = materialized(edges.groupBy(col("d1"))
+      .agg(min(col("d2")).as("nmin"))
+      .select(col("d1").as("doc_id"), least(col("d1"), col("nmin")).as("label")))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("d2"), col("label").as("nl")), Seq("d2"))
+        .groupBy(col("d1").as("doc_id")).agg(min(col("nl")).as("nmin"))
+      // carry the old label through the same projection so convergence needs
+      // no second labels join — one filter over the materialized round result
+      val round = materialized(labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
+      converged = round.filter(col("label") < col("old")).isEmpty
+      labels = round.select("doc_id", "label")
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIters rounds — " +
+          "a component's min-label path is longer than the cap. Returning the " +
+          "partial labels would under-merge clusters (duplicates would pass " +
+          "the dedup gate); raise maxIters if the graph is genuinely this deep.")
+    labels
+  }
+}

@@ -25,14 +25,29 @@ object DomainMix {
   /** Adds `cumCol` (the running token total in hash order within `srcCol`)
     * and keeps exactly the budget prefix: rows with cum ≤ budget(src).
     *
+    * Bucketing contract: buckets are the top 8 bits of the order key, so the
+    * shift MUST match the key's width — `keyBits` is the documented width of
+    * `hkeyCol`'s distribution. The default 30 fits `polyHash` (uniform over
+    * [0, 1e9+7) < 2^30 — every production caller); pass 64 for a full-range
+    * signed 64-bit hash (arithmetic shift keeps bucket order aligned with
+    * key order: negatives land in negative buckets). Getting this wrong in
+    * either direction defeats the construction — too-small a shift makes the
+    * offsets relation corpus-sized (no longer broadcastable), too-large
+    * collapses everything into one bucket (the single-task-per-domain window
+    * this module exists to avoid) — so the bucket count is asserted
+    * structurally: 2^8 = 256 buckets ⇒ offsets = domains × 256 rows.
+    *
     * @param df      input; must carry srcCol, tokCol, hkeyCol and tieCol
     * @param tieCol  unique tie-break for hash collisions (determinism)
     * @param budget  per-domain token budget as a Column expression of srcCol
+    * @param keyBits width of hkeyCol's uniform distribution (30 = polyHash)
     */
   def budgetPrefix(df: DataFrame, srcCol: String, tokCol: String,
                    hkeyCol: String, tieCol: String, cumCol: String,
-                   budget: Column => Column): DataFrame = {
-    val t = df.withColumn("__bucket", shiftright(col(hkeyCol), 22))
+                   budget: Column => Column, keyBits: Int = 30): DataFrame = {
+    require(keyBits >= 8 && keyBits <= 64,
+      s"keyBits must be in [8, 64], got $keyBits")
+    val t = df.withColumn("__bucket", shiftright(col(hkeyCol), keyBits - 8))
     val wB = Window.partitionBy(col(srcCol)).orderBy(col("__bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val off = t.groupBy(col(srcCol), col("__bucket"))

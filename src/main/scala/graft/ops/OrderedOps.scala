@@ -33,8 +33,27 @@ import org.apache.spark.sql.functions._
   */
 object OrderedOps {
 
-  private def pinned(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  // Every pin is tracked so long-lived sessions can release them: each
+  // helper call persists one relation, and without a release hook a session
+  // running thousands of queries accumulates cache entries until LRU
+  // pressure evicts them. Callers with a clear query boundary (Verify/Bench
+  // loops, notebook cells) call clearPins() after the consuming action.
+  private val pins = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private[graft] def pinned(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pins.add(p)
+    p
+  }
+
+  /** Unpersists every relation pinned by the ordered-op helpers since the
+    * last call. Safe ONLY after the consuming action has run — unpersisting
+    * a pin before its query executes would re-expose the
+    * repartitionByRange re-sampling hazard the pin exists to close. */
+  def clearPins(): Unit = {
+    var p = pins.poll()
+    while (p != null) { p.unpersist(blocking = false); p = pins.poll() }
+  }
 
   /** Adds a global running total of `valueCol` in the order of `sortCols`
     * (cudf ungrouped cumulative scan, reduction.hpp scan; pandas cumsum).
@@ -87,12 +106,17 @@ object OrderedOps {
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = ranged.withColumn("__glf",
       last(col("__gval"), ignoreNulls = true).over(wLocal))
-    // per-partition tail = value at the greatest sort key among non-null
-    // rows (max_by skips rows whose ordering expression is null)
-    val tails = ranged
+      .withColumn("__glrn",
+        row_number().over(Window.partitionBy(col("__gpid")).orderBy(sortCols: _*)))
+    // per-partition tail = the local fill at the partition's LAST row in
+    // window order. Taken via max_by over the same window's row_number —
+    // not max_by over struct(sortCols), which would silently pick the wrong
+    // end whenever a caller passes descending SortOrder columns (row_number
+    // honors the declared ordering; a struct comparison is always
+    // ascending).
+    val tails = local
       .groupBy(col("__gpid"))
-      .agg(max_by(col("__gval"),
-        when(col("__gval").isNotNull, struct(sortCols: _*))).as("__gtail"))
+      .agg(max_by(col("__glf"), col("__glrn")).as("__gtail"))
     val carries = tails
       .withColumn("__gcarry",
         last(col("__gtail"), ignoreNulls = true).over(
@@ -101,7 +125,7 @@ object OrderedOps {
     local
       .join(broadcast(carries), Seq("__gpid"))
       .withColumn(outCol, coalesce(col("__glf"), col("__gcarry")))
-      .drop("__gpid", "__gval", "__glf", "__gcarry")
+      .drop("__gpid", "__gval", "__glf", "__glrn", "__gcarry")
   }
 
   /** GLOBAL trailing rolling sum+count over a w-row frame in the order of

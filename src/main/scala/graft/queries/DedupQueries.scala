@@ -260,39 +260,10 @@ object DedupQueries extends QueryPack {
        |lab AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM r GROUP BY a)
        |SELECT component, count(*) AS n_docs, max(doc_id) AS max_doc
        |FROM lab GROUP BY component ORDER BY component""".stripMargin) { (s, d) =>
-    import org.apache.spark.storage.StorageLevel
-    val pairs = lshVerifiedPairs(s, d).select("d1", "d2")
-    val edges = pairs
-      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // round 1 for free: from identity labels, one propagation step is just
-    // min(neighbor) vs self over the raw edge list — a single aggregation
-    // instead of the loop body's join+agg+join round
-    var cached = edges.groupBy(col("d1"))
-      .agg(min(col("d2")).as("nmin"))
-      .select(col("d1").as("doc_id"), least(col("d1"), col("nmin")).as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = cached
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 12) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("d2"), col("label").as("nl")), Seq("d2"))
-        .groupBy(col("d1").as("doc_id")).agg(min(col("nl")).as("nmin"))
-      // carry the old label through the same projection so convergence needs
-      // no second labels join — one filter over the persisted round result
-      val round = labels
-        .join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      converged = round.filter(col("label") < col("old")).isEmpty
-      cached.unpersist()
-      cached = round
-      labels = round.select("doc_id", "label")
-      iter += 1
-    }
-    labels
+    // min-label propagation loop lives in ops.ConnectedComponents (shared,
+    // spec'd there incl. the loud non-convergence failure past the cap)
+    graft.ops.ConnectedComponents
+      .minLabel(lshVerifiedPairs(s, d).select("d1", "d2"))
       .groupBy(col("label").as("component"))
       .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
       .orderBy("component")

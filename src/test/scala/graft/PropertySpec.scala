@@ -172,7 +172,8 @@ class PropertySpec extends AnyFunSuite {
     val got = graft.ops.DomainMix
       .budgetPrefix(df, "src", "tok", "hk", "id", "cum",
         s => when(s === "a", 200L).when(s === "b", 350L)
-          .when(s === "c", 50L).otherwise(1000L))
+          .when(s === "c", 50L).otherwise(1000L),
+        keyBits = 64) // hk here is full-range signed, not polyHash-scale
       .select("id", "cum").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // reference: per source, hash-order scan keeping cum <= budget

@@ -61,6 +61,20 @@ class SeriesSpec extends AnyFunSuite {
     assert(got == Map(1 -> Some(100.0), 2 -> Some(200.0), 3 -> None))
   }
 
+  test("map with a duplicate dict index raises instead of multiplying rows") {
+    import spark.implicits._
+    val s = GdfSeries(Seq((1, 10), (2, 20)).toDF("k", "v"), "k", "v")
+    val dupDict = GdfSeries(
+      Seq((10, 100.0), (10, 101.0), (20, 200.0)).toDF("dk", "dv"), "dk", "dv")
+    val e = intercept[Exception] {
+      s.map(dupDict, "mapped").toDF.collect()
+    }
+    // pandas InvalidIndexError analogue: the plan's raise_error fires with
+    // the offending label named
+    assert(e.getMessage.contains("not unique") ||
+      Option(e.getCause).exists(_.getMessage.contains("not unique")))
+  }
+
   test("scalar binop is a plain projection — labels untouched, no join") {
     val a = series(Seq(1 -> 10.0, 2 -> 20.0), "a")
     val out = a.mapValue("out")(_ * 2)
