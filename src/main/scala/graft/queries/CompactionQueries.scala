@@ -137,6 +137,32 @@ object CompactionQueries extends QueryPack {
       .orderBy("o_orderkey")
   }
 
+  // --- df.query(expr) with @local references (utils/queryutils.py:38) ------
+  // `@name` binds a caller-side value; QueryLocals renders each binding as a
+  // properly-escaped SQL literal BEFORE Catalyst parses, so bound values
+  // constant-fold and push down to the scan like hand-written literals
+  // (including the IN-list form for collection locals).
+  register("filt_query_local",
+    """SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority FROM orders
+      |WHERE o_totalprice > CAST(120000.5 AS DOUBLE)
+      |  AND o_orderstatus IN ('O', 'F')
+      |  AND o_orderpriority <> '1-URGENT''S'
+      |  AND o_orderkey <= 4000
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val locals = Map[String, Any](
+      "cutoff" -> 120000.5,
+      "statuses" -> Seq("O", "F"),
+      "quoted" -> "1-URGENT'S", // exercises single-quote escaping
+      "kmax" -> 4000L)
+    Tables.orders(s, d)
+      .filter(graft.ops.QueryLocals.queryExpr(
+        "o_totalprice > @cutoff and o_orderstatus in @statuses " +
+          "and o_orderpriority <> @quoted and o_orderkey <= @kmax",
+        locals))
+      .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
   // --- seeded random sample (frame.py:1785 sample(random_state=n)) ----------
   // The distributed-reproducible form: per-row uniform from a keyed hash of
   // (seed, key) — unlike Bernoulli rand(), the decision is a pure function of

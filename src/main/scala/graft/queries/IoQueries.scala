@@ -390,4 +390,134 @@ object IoQueries extends QueryPack {
         element_at(col("toks"), 1).as("first_tok"))
       .orderBy("doc_id")
   }
+
+  // --- FOREIGN-FILE edge corpus ---------------------------------------------
+  // The reference ships binary reader-edge fixtures (tests/data/parquet/
+  // spark_timestamp.snappy.parquet — INT96; nested_column_map.parquet —
+  // legacy 2-level lists; ORC/parquet decimal edges) because self-roundtrips
+  // can't catch reader quirks on files OTHER writers produced. The same
+  // principle here via Spark's LEGACY writer paths: the write uses encodings
+  // the modern reader never emits (INT96 physical timestamps, decimals as
+  // FIXED_LEN_BYTE_ARRAY, 2-level "bag" list structure, Julian-rebased
+  // ancient timestamps), so the read exercises the foreign-format decode
+  // branches. IoSpec asserts the footers really carry the legacy physical
+  // types — the fixtures are provably not modern-writer output.
+
+  /** Runs `body` under temporarily-set session confs, restoring after —
+    * writer-path toggles must not leak into other queries' plans. */
+  private def withConf[T](s: org.apache.spark.sql.SparkSession,
+                          kv: (String, String)*)(body: => T): T = {
+    val olds = kv.map { case (k, _) => k -> s.conf.getOption(k) }
+    kv.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally olds.foreach { case (k, o) => o.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
+  // INT96 physical timestamps (spark_timestamp.snappy.parquet;
+  // cudf parquet.hpp INT96 decode): the Impala/legacy-Spark encoding every
+  // warehouse still has on disk. Write INT96, decode with the modern reader.
+  register("io_parquet_int96",
+    """SELECT o_orderkey, o_orderdate FROM orders
+      |WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    // cast NTZ → LTZ (identity under the UTC session): the INT96 writer
+    // path applies only to TimestampType; NTZ always writes INT64
+    val src = Tables.orders(s, d).filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey"), col("o_orderdate").cast(TimestampType).as("o_orderdate"))
+    val path = tmp("parquet_int96")
+    withConf(s, "spark.sql.parquet.outputTimestampType" -> "INT96") {
+      src.write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path).orderBy("o_orderkey")
+  }
+
+  // Legacy decimal encoding (parquet decimal edge fixtures;
+  // fixed_point parquet read path): modern writers emit small-precision
+  // decimals as INT32/INT64; the legacy format stores every precision as
+  // FIXED_LEN_BYTE_ARRAY. Both precisions cross the int32/int64/FLBA
+  // boundary here.
+  register("io_parquet_legacy_decimal",
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(9,2)) AS DOUBLE) AS price_d9,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(20,4)) AS DOUBLE) AS price_d20
+      |FROM lineitem WHERE l_orderkey <= 500
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    val src = Tables.lineitem(s, d).filter(col("l_orderkey") <= 500)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast(DecimalType(9, 2)).as("price_d9"),
+        col("l_extendedprice").cast(DecimalType(20, 4)).as("price_d20"))
+    val path = tmp("parquet_legacy_decimal")
+    withConf(s, "spark.sql.parquet.writeLegacyFormat" -> "true") {
+      src.write.mode("overwrite").parquet(path)
+    }
+    // the FILE carries FLBA decimals (IoSpec pins the footer); the hashed
+    // projection re-casts to double because the driver's pandas compare
+    // can't equate object-Decimal and float64 columns
+    s.read.parquet(path)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("price_d9").cast(DoubleType).as("price_d9"),
+        col("price_d20").cast(DoubleType).as("price_d20"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // Legacy 2-level list / map-as-list<struct> nesting
+  // (nested_column_map.parquet): old writers wrap arrays in the 2-level
+  // "bag" group and maps as repeated key_value structs without the modern
+  // LIST/MAP annotations' 3-level shape. Write the legacy structure, read
+  // with the modern reader, flatten for the compare (arrays explode; the
+  // map proves itself by element_at(ln) == qty on every row).
+  register("io_parquet_legacy_nested",
+    """SELECT l_orderkey, l_linenumber AS ln,
+      |  CAST(sum(l_quantity) AS DOUBLE) AS qty, CAST(sum(l_quantity) AS DOUBLE) AS qty_m
+      |FROM lineitem WHERE l_orderkey <= 300
+      |GROUP BY l_orderkey, l_linenumber
+      |ORDER BY l_orderkey, ln""".stripMargin) { (s, d) =>
+    // pre-aggregate to one row per (order, ln): the synthetic lineitem can
+    // repeat a line number within an order, and map keys must be unique
+    val src = Tables.lineitem(s, d).filter(col("l_orderkey") <= 300)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(sum(col("l_quantity")).as("q"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sort_array(collect_list(struct(
+          col("l_linenumber").as("ln"), col("q").as("qty")))).as("lines"),
+        map_from_entries(collect_list(struct(
+          col("l_linenumber"), col("q")))).as("qty_by_ln"))
+    val path = tmp("parquet_legacy_nested")
+    withConf(s, "spark.sql.parquet.writeLegacyFormat" -> "true") {
+      src.write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+      .select(col("l_orderkey"), explode(col("lines")).as("line"), col("qty_by_ln"))
+      .select(col("l_orderkey"), col("line.ln").as("ln"), col("line.qty").as("qty"),
+        element_at(col("qty_by_ln"), col("line.ln")).as("qty_m"))
+      .orderBy("l_orderkey", "ln")
+  }
+
+  // Julian-rebased ancient timestamps (spark datetime rebase; the
+  // pre-1582 edge the reference's spark fixtures pin): LEGACY write mode
+  // stores hybrid Julian/Gregorian micros for ancient values; the reader
+  // must detect the file's rebase marker and convert back to proleptic
+  // Gregorian. Day-offset arithmetic (not year intervals) keeps both
+  // engines clear of leap-day clamping.
+  register("io_parquet_rebase_julian",
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate - INTERVAL 200000 DAY, '%Y-%m-%d %H:%M:%S') AS ancient_ts
+      |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    // cast to LTZ: the Julian rebase path (and its file marker) applies to
+    // TimestampType; NTZ values are defined proleptic and never rebased
+    val src = Tables.orders(s, d).filter(col("o_orderkey") <= 1000)
+      .select(col("o_orderkey"),
+        (col("o_orderdate") - expr("INTERVAL 200000 DAY"))
+          .cast(TimestampType).as("ancient_ts"))
+    val path = tmp("parquet_rebase_julian")
+    withConf(s, "spark.sql.parquet.datetimeRebaseModeInWrite" -> "LEGACY") {
+      src.write.mode("overwrite").parquet(path)
+    }
+    // hashed as a formatted string: pandas datetime64[ns] overflows below
+    // year 1677, so pre-1582 values can't ride the timestamp compare
+    s.read.parquet(path)
+      .select(col("o_orderkey"),
+        date_format(col("ancient_ts"), "yyyy-MM-dd HH:mm:ss").as("ancient_ts"))
+      .orderBy("o_orderkey")
+  }
 }

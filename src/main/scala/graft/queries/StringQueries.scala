@@ -110,6 +110,55 @@ object StringQueries extends QueryPack {
       .orderBy("p_partkey")
   }
 
+  // --- regex dialect corpus (cpp/src/strings/regex custom engine;
+  //     contains.hpp:50 contains_re/matches_re dialect surface) -------------
+  // Systematic sweep of the constructs where regex dialects diverge, pinned
+  // across Java Pattern (Spark) and RE2 (DuckDB oracle) — the two engines a
+  // migrating cuDF user actually hits. Each column isolates one construct:
+  // negated classes, escaped metachars inside classes, \d and \w WIDTH
+  // (pinned ASCII: Java's default and RE2 agree; Java only widens under
+  // UNICODE_CHARACTER_CLASS, which this library never enables), alternation
+  // under anchors, lazy vs greedy quantifiers, bounded repetition, inline
+  // case-insensitive flag, \b word boundaries, and replace with
+  // alternation. DOCUMENTED EXCLUSIONS (constructs with no cross-engine
+  // meaning, SURVEY §7.4): backreferences INSIDE the pattern and
+  // lookaround — RE2 rejects both by design, the reference's custom engine
+  // supports neither (cpp/src/strings/regex), Java supports both;
+  // replacement-side group refs differ ($1 Java vs \1 RE2) and are pinned
+  // per-side here as in str_regex_backref.
+  register("str_regex_dialect",
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '[^aeiou ]+') AS cls_negated,
+      |  regexp_matches(p_name, '[a-d][.#-]?[l-p]') AS cls_meta,
+      |  len(regexp_extract_all(p_brand, '\d')) AS digit_ascii_n,
+      |  regexp_extract(p_type, '\w+') AS word_first,
+      |  regexp_matches(p_name, '^(al|an|aq|bl)') AS alt_anchor_head,
+      |  regexp_matches(p_name, '(ed|ry|le|te)$') AS alt_anchor_tail,
+      |  regexp_extract(p_name, '^(.*?[aeiou])', 1) AS lazy_prefix,
+      |  regexp_extract(p_name, '^(.*[aeiou])', 1) AS greedy_prefix,
+      |  regexp_matches(p_name, '^[a-z]{4,6} ') AS bounded_rep,
+      |  regexp_matches(p_name, '(?i)BLUE|PUFF') AS inline_ci,
+      |  len(regexp_extract_all(p_name, '\bs[a-z]*')) AS boundary_words,
+      |  regexp_replace(p_name, '(blue|red|green|white)', 'C', 'g') AS alt_replace
+      |FROM part WHERE p_partkey <= 1000 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 1000)
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "[^aeiou ]+", 0).as("cls_negated"),
+        col("p_name").rlike("[a-d][.#-]?[l-p]").as("cls_meta"),
+        size(regexp_extract_all(col("p_brand"), lit("\\d"), lit(0))).as("digit_ascii_n"),
+        regexp_extract(col("p_type"), "\\w+", 0).as("word_first"),
+        col("p_name").rlike("^(al|an|aq|bl)").as("alt_anchor_head"),
+        col("p_name").rlike("(ed|ry|le|te)$").as("alt_anchor_tail"),
+        regexp_extract(col("p_name"), "^(.*?[aeiou])", 1).as("lazy_prefix"),
+        regexp_extract(col("p_name"), "^(.*[aeiou])", 1).as("greedy_prefix"),
+        col("p_name").rlike("^[a-z]{4,6} ").as("bounded_rep"),
+        col("p_name").rlike("(?i)BLUE|PUFF").as("inline_ci"),
+        size(regexp_extract_all(col("p_name"), lit("\\bs[a-z]*"), lit(0))).as("boundary_words"),
+        regexp_replace(col("p_name"), "(blue|red|green|white)", "C").as("alt_replace"))
+      .orderBy("p_partkey")
+  }
+
   // --- slice / replace / translate (substring.hpp, replace.hpp, translate.hpp)
   register("str_slice_replace",
     """SELECT p_partkey,

@@ -48,6 +48,75 @@ class IoSpec extends AnyFunSuite {
     assert(back.count() == src.count())
   }
 
+  /** Parquet footer schema of the first part file under `dir`. */
+  private def footerSchema(dir: String): org.apache.parquet.schema.MessageType = {
+    val part = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .minBy(_.getName)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(part.getPath),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try reader.getFooter.getFileMetaData.getSchema
+    finally reader.close()
+  }
+
+  // getType(String) is overload-ambiguous from Scala (MessageType varargs vs
+  // GroupType single-arg) — go through the field index instead
+  private def field(g: org.apache.parquet.schema.GroupType, name: String) =
+    g.getFields.get(g.getFieldIndex(name))
+
+  test("foreign-format fixtures really carry the legacy physical types") {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    // materialize the io edge fixtures at the smoke SF
+    for (q <- Seq("io_parquet_int96", "io_parquet_legacy_decimal",
+        "io_parquet_legacy_nested", "io_parquet_rebase_julian"))
+      SparkEntry.queries(q)(spark, TestSpark.sfDir).write
+        .format("noop").mode("overwrite").save()
+    val ioTmp = s"${sys.props("java.io.tmpdir")}/graft_io"
+
+    // INT96 physical timestamps — not the modern INT64 micros
+    val int96 = footerSchema(s"$ioTmp/parquet_int96")
+    assert(field(int96, "o_orderdate").asPrimitiveType()
+      .getPrimitiveTypeName == INT96)
+
+    // legacy decimals — FIXED_LEN_BYTE_ARRAY even at precision 9 (the
+    // modern writer would emit INT32 there)
+    val dec = footerSchema(s"$ioTmp/parquet_legacy_decimal")
+    assert(field(dec, "price_d9").asPrimitiveType()
+      .getPrimitiveTypeName == FIXED_LEN_BYTE_ARRAY)
+    assert(field(dec, "price_d20").asPrimitiveType()
+      .getPrimitiveTypeName == FIXED_LEN_BYTE_ARRAY)
+
+    // legacy 2-level list: the struct elements sit directly in a repeated
+    // group named "array" (modern 3-level wraps an "element" inside "list")
+    val nested = footerSchema(s"$ioTmp/parquet_legacy_nested")
+    val lines = field(nested, "lines").asGroupType()
+    assert(lines.getFieldName(0) == "array",
+      s"expected legacy 2-level array group, got ${nested}")
+    assert(field(lines, "array").isRepetition(
+      org.apache.parquet.schema.Type.Repetition.REPEATED))
+
+    // Julian rebase: the LEGACY write mode stamps the file-level marker the
+    // reader keys its rebase decision on
+    val rebaseMeta = footerMeta(s"$ioTmp/parquet_rebase_julian")
+    assert(rebaseMeta.containsKey("org.apache.spark.legacyDateTime"),
+      s"expected legacy-datetime rebase marker, got keys ${rebaseMeta.keySet()}")
+  }
+
+  /** Key-value metadata of the first part file under `dir`. */
+  private def footerMeta(dir: String): java.util.Map[String, String] = {
+    val part = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .minBy(_.getName)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(part.getPath),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try reader.getFooter.getFileMetaData.getKeyValueMetaData
+    finally reader.close()
+  }
+
   test("JSON-lines roundtrip preserves schema'd types") {
     import spark.implicits._
     val src = Seq((1L, 1.5, "a"), (2L, -0.25, "b")).toDF("l", "d", "s")

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.QueryLocals
+
+/** Pins the @local substitution surface (reference utils/queryutils.py:38):
+  * literal rendering per type, escaping, IN-lists, and the fail-fast paths
+  * the oracle query can't exercise. */
+class QueryLocalsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("locals bind as literals: numerics, strings with quotes, IN-lists") {
+    import spark.implicits._
+    val df = Seq((1L, "a'b", 1.5), (2L, "cd", 9.0), (3L, "a'b", -2.0))
+      .toDF("id", "s", "v")
+    val got = df.filter(QueryLocals.queryExpr(
+      "s == @needle and v > @lo and id in @ids",
+      Map("needle" -> "a'b", "lo" -> 0.0, "ids" -> Seq(1L, 3L))))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L))
+  }
+
+  test("date and timestamp locals render as typed literals") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2024-03-01")),
+      (2L, java.sql.Date.valueOf("2024-05-01"))).toDF("id", "d")
+    val got = df.filter(QueryLocals.queryExpr(
+      "d >= @cut", Map("cut" -> java.sql.Date.valueOf("2024-04-01"))))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L))
+  }
+
+  test("unknown @name fails fast naming the available bindings") {
+    val e = intercept[IllegalArgumentException] {
+      QueryLocals.queryExpr("x > @missing", Map("present" -> 1))
+    }
+    assert(e.getMessage.contains("@missing") && e.getMessage.contains("present"))
+  }
+
+  test("empty IN-list and non-finite doubles are rejected") {
+    intercept[IllegalArgumentException] {
+      QueryLocals.queryExpr("x in @xs", Map("xs" -> Seq.empty[Int]))
+    }
+    intercept[IllegalArgumentException] {
+      QueryLocals.queryExpr("x > @nan", Map("nan" -> Double.NaN))
+    }
+  }
+}
