@@ -49,7 +49,8 @@ object DedupQueries extends QueryPack {
     val docs = base.select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) >= 1)
     if (PersistShingles) {
-      val cached = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // tracked pin: released by OrderedOps.clearPins() after the action
+      val cached = graft.ops.OrderedOps.pinned(docs)
       (cached, candIds => cached.join(candIds, Seq("doc_id"), "left_semi"))
     } else
       (docs, candIds => base.join(candIds, Seq("doc_id"), "left_semi")
