@@ -15,10 +15,13 @@ import org.apache.spark.sql.types.StructType
   * framework. Writers partition by columns via dynamic partition insert —
   * the write parallelism is the upstream partitioning, no driver funnels.
   *
+  * Avro (io/avro.py) is covered by [[GraftAvro]]: the external `spark-avro`
+  * connector jar is absent from /opt/spark/jars, but the Avro library
+  * itself ships as a Spark core dependency, so the source/sink is built
+  * directly on it (one task per part file, snappy/deflate codecs, logical
+  * types, columns= pruning).
+  *
   * Formats NOT covered, and why:
-  *  - read_avro (io/avro.py): Spark supports Avro via the external
-  *    `spark-avro` connector jar, absent from /opt/spark/jars in this
-  *    zero-egress environment.
   *  - read_feather / read_hdf (io/feather.py:16, io/hdf.py:14): the
   *    reference itself delegates these to CPU pyarrow/pandas with a
   *    "using CPU" warning — they are convenience passthroughs, not engine

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
-import graft.io.GraftIO
+import graft.io.{GraftAvro, GraftIO}
 import graft.io.GraftIO.CsvOptions
 
 /** IO surface coverage (SURVEY §2.1): CSV/JSON/ORC read+write with cuDF
@@ -491,6 +491,21 @@ object IoQueries extends QueryPack {
       .select(col("l_orderkey"), col("line.ln").as("ln"), col("line.qty").as("qty"),
         element_at(col("qty_by_ln"), col("line.ln")).as("qty_m"))
       .orderBy("l_orderkey", "ln")
+  }
+
+  // Avro roundtrip (cudf/io/avro.py:7 read_avro + columns=) — built on the
+  // Avro library Spark bundles (the spark-avro CONNECTOR is what the
+  // zero-egress env lacks), one task per part file, snappy blocks. The
+  // columns= projection goes through GraftAvro.read's pruning path.
+  register("io_avro_roundtrip",
+    """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+      |WHERE c_custkey <= 1200 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val src = Tables.customer(s, d).filter(col("c_custkey") <= 1200)
+    val path = tmp("avro_roundtrip")
+    GraftAvro.write(src, path, codec = "snappy")
+    GraftAvro.read(s, path,
+      columns = Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment"))
+      .orderBy("c_custkey")
   }
 
   // Julian-rebased ancient timestamps (spark datetime rebase; the

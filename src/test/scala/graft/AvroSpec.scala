@@ -1,0 +1,139 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.GraftAvro
+
+/** GraftAvro decode pinned against a FOREIGN file: the fixture is written
+  * with the raw Avro API (its own schema, unions, enums, logical types),
+  * not GraftAvro.write — so this checks the reader's schema mapping and
+  * value conversion, not a reader/writer pair agreeing with itself.
+  * (io_avro_roundtrip covers the write→read pair against the oracle.) */
+class AvroSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private def tmp(n: String) = s"${sys.props("java.io.tmpdir")}/graft_avro_test/$n"
+
+  private def writeForeign(path: String): Schema = {
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"ext_event","namespace":"ext","fields":[
+        |  {"name":"id","type":"long"},
+        |  {"name":"tag","type":["null","string"],"default":null},
+        |  {"name":"kind","type":{"type":"enum","name":"Kind","symbols":["A","B"]}},
+        |  {"name":"score","type":["null","double"],"default":null},
+        |  {"name":"day","type":{"type":"int","logicalType":"date"}},
+        |  {"name":"at","type":{"type":"long","logicalType":"timestamp-micros"}},
+        |  {"name":"amount","type":{"type":"bytes","logicalType":"decimal","precision":10,"scale":2}},
+        |  {"name":"xs","type":{"type":"array","items":"int"}},
+        |  {"name":"kv","type":{"type":"map","values":"long"}},
+        |  {"name":"inner","type":{"type":"record","name":"Inner","fields":[
+        |    {"name":"a","type":"int"},{"name":"b","type":["null","string"],"default":null}]}}
+        |]}""".stripMargin)
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(3))
+    w.create(schema, new java.io.File(dir, "part-00000.avro"))
+    def rec(id: Long, tag: String, kind: String, score: java.lang.Double,
+            day: Int, at: Long, cents: Long, xs: Seq[Int],
+            kv: Map[String, Long], a: Int, b: String): GenericRecord = {
+      val r = new GenericData.Record(schema)
+      r.put("id", id)
+      r.put("tag", tag)
+      r.put("kind", new GenericData.EnumSymbol(
+        schema.getField("kind").schema(), kind))
+      r.put("score", score)
+      r.put("day", day)
+      r.put("at", at)
+      r.put("amount", java.nio.ByteBuffer.wrap(
+        java.math.BigInteger.valueOf(cents).toByteArray))
+      r.put("xs", xs.map(Int.box).asJava)
+      r.put("kv", kv.map { case (k, v) => k -> Long.box(v) }.asJava)
+      val inner = new GenericData.Record(
+        schema.getField("inner").schema())
+      inner.put("a", a)
+      inner.put("b", b)
+      r.put("inner", inner)
+      r
+    }
+    // day 19723 = 2024-01-01; at = 2024-01-01T00:00:00.000001Z in micros
+    w.append(rec(1L, "x", "A", 1.5, 19723, 1704067200000001L, 123456L,
+      Seq(1, 2, 3), Map("k1" -> 10L), 7, "s"))
+    w.append(rec(2L, null, "B", null, 19724, 1704153600500000L, -250L,
+      Seq(), Map(), 8, null))
+    w.close()
+    schema
+  }
+
+  test("reads a foreign-written file: unions, enum, logical types, nesting") {
+    import org.apache.spark.sql.types._
+    val path = tmp("foreign")
+    writeForeign(path)
+    val df = GraftAvro.read(spark, path)
+    val st = df.schema
+    assert(st("tag").dataType == StringType && st("tag").nullable)
+    assert(st("kind").dataType == StringType)
+    assert(st("day").dataType == DateType)
+    assert(st("at").dataType == TimestampType)
+    assert(st("amount").dataType == DecimalType(10, 2))
+    assert(st("xs").dataType == ArrayType(IntegerType))
+    assert(st("kv").dataType == MapType(StringType, LongType))
+    assert(st("inner").dataType.isInstanceOf[StructType])
+
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 2)
+    val r1 = rows(0)
+    assert(r1.getLong(0) == 1L && r1.getString(1) == "x" && r1.getString(2) == "A")
+    assert(r1.getDouble(3) == 1.5)
+    assert(r1.getDate(4).toString == "2024-01-01")
+    assert(r1.getTimestamp(5).getTime == 1704067200000L) // micros floor to ms
+    assert(r1.getDecimal(6) == new java.math.BigDecimal("1234.56"))
+    assert(r1.getSeq[Int](7) == Seq(1, 2, 3))
+    assert(r1.getMap[String, Long](8) == Map("k1" -> 10L))
+    assert(r1.getStruct(9).getInt(0) == 7 && r1.getStruct(9).getString(1) == "s")
+    val r2 = rows(1)
+    assert(r2.isNullAt(1) && r2.isNullAt(3))
+    assert(r2.getDecimal(6) == new java.math.BigDecimal("-2.50"))
+    assert(r2.getSeq[Int](7).isEmpty && r2.getMap[String, Long](8).isEmpty)
+    assert(r2.getStruct(9).isNullAt(1))
+  }
+
+  test("columns= prunes; missing column fails at analysis") {
+    val path = tmp("foreign")
+    writeForeign(path)
+    val pruned = GraftAvro.read(spark, path, columns = Seq("id", "kind"))
+    assert(pruned.columns.toSeq == Seq("id", "kind"))
+    assert(pruned.count() == 2)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      GraftAvro.read(spark, path, columns = Seq("nope")).collect()
+    }
+  }
+
+  test("write emits one part per partition and roundtrips types incl. nulls") {
+    import spark.implicits._
+    val src = Seq(
+      (1L, Some("a"), java.sql.Timestamp.valueOf("2024-06-01 12:00:00.123456"),
+        Seq(1.0, 2.5), BigDecimal("12.34")),
+      (2L, None, java.sql.Timestamp.valueOf("1969-12-31 23:59:59.999999"),
+        Seq.empty[Double], BigDecimal("-0.01")))
+      .toDF("id", "s", "ts", "vs", "dec")
+      .withColumn("dec", org.apache.spark.sql.functions
+        .col("dec").cast(org.apache.spark.sql.types.DecimalType(10, 2)))
+      .repartition(3)
+    val path = tmp("write_parts")
+    GraftAvro.write(src, path, codec = "deflate")
+    val parts = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(parts.length == 3)
+    val back = GraftAvro.read(spark, path).orderBy("id").collect()
+    assert(back.length == 2)
+    assert(back(0).getTimestamp(2).getNanos == 123456000)
+    assert(back(1).isNullAt(1))
+    assert(back(1).getDecimal(4) == new java.math.BigDecimal("-0.01"))
+  }
+}
