@@ -97,6 +97,18 @@ final class GdfFrame(val df: DataFrame, val indexCol: String) extends GdfFrameOp
     new GdfFrame(joined, indexCol)
   }
 
+  /** select_dtypes(include=...) (dataframe.py select_dtypes): projection
+    * by column TYPE, resolved from the schema on the driver — a pure
+    * metadata operation, no Spark job. The index column is always kept
+    * (it is the frame's order, not a data column). */
+  def selectDtypes(include: Seq[org.apache.spark.sql.types.DataType]): GdfFrame = {
+    val inc = include.toSet
+    val kept = df.schema.fields
+      .filter(f => f.name == indexCol || inc.contains(f.dataType))
+      .map(_.name)
+    new GdfFrame(df.select(kept.map(col).toSeq: _*), indexCol)
+  }
+
   /** Materialized RangeIndex in the order of `sortCols` (index.py RangeIndex
     * — built lazily in cuDF; materialized here via the two-phase global
     * numbering, 0-based). */

@@ -185,6 +185,22 @@ object GF {
   /** Cosine similarity of two double-array columns — fused codegen kernel
     * ([[graft.expressions.CosineSim]]); bit-identical to
     * `dot(a,b) / (l2Norm(a) * l2Norm(b))`. */
+  /** numpy/cudf isclose (frame.py isclose): |a−b| ≤ atol + rtol·|b|, with
+    * the asymmetric-in-b numpy contract and optional equal_nan. Pure IEEE
+    * arithmetic and comparisons — no transcendentals, so the oracle is
+    * bit-exact; note both Spark and DuckDB order NaN above every value, so
+    * the non-equal_nan branch yields false on NaN inputs in both engines. */
+  def isclose(a: Column, b: Column, rtol: Double = 1e-5, atol: Double = 1e-8,
+              equalNan: Boolean = false): Column = {
+    val close = abs(a - b) <= lit(atol) + lit(rtol) * abs(b)
+    if (equalNan) (isnan(a) && isnan(b)) || close else close
+  }
+
+  /** nans_to_nulls (frame.py nans_to_nulls): float NaN becomes null —
+    * cuDF's bridge between the two missing-value representations
+    * (SURVEY §1.3). */
+  def nansToNulls(c: Column): Column = when(isnan(c), lit(null)).otherwise(c)
+
   def cosine(a: Column, b: Column): Column = {
     val B = org.apache.spark.sql.graft.Bridge
     B.column(graft.expressions.CosineSim(B.expression(a), B.expression(b)))

@@ -137,6 +137,25 @@ object CompactionQueries extends QueryPack {
       .orderBy("o_orderkey")
   }
 
+  // --- select_dtypes (dataframe.py select_dtypes) ---------------------------
+  // Projection by column TYPE, resolved from the schema on the driver (a
+  // pure metadata operation — no Spark job); the frame's index column is
+  // always kept. Here: the double-typed columns of lineitem, keyed for
+  // deterministic ordering by a composite index.
+  register("filt_select_dtypes",
+    """SELECT l_orderkey * 10 + l_linenumber AS idx,
+      |  l_quantity, l_extendedprice, l_discount, l_tax
+      |FROM lineitem WHERE l_orderkey <= 400 ORDER BY idx""".stripMargin) { (s, d) =>
+    val base = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 400)
+      .withColumn("idx", col("l_orderkey") * 10 + col("l_linenumber"))
+    graft.frame.GdfFrame(base, "idx")
+      .selectDtypes(Seq(DoubleType))
+      .df
+      .select("idx", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .orderBy("idx")
+  }
+
   // --- df.query(expr) with @local references (utils/queryutils.py:38) ------
   // `@name` binds a caller-side value; QueryLocals renders each binding as a
   // properly-escaped SQL literal BEFORE Catalyst parses, so bound values

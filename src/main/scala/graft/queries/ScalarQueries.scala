@@ -133,6 +133,38 @@ object ScalarQueries extends QueryPack {
 
   // --- null predicates + null-safe ops (unary.hpp:81 is_null; NULL_EQUALS,
   //     NULL_MAX/MIN; nan_policy types.hpp:135) ------------------------------
+  // --- isclose + nans_to_nulls (frame.py isclose, nans_to_nulls) ------------
+  // numpy-contract approximate equality (|a−b| ≤ atol + rtol·|b|, equal_nan
+  // variant) and the NaN→null bridge between the two missing-value
+  // representations (SURVEY §1.3). Pure IEEE arithmetic/comparisons;
+  // rtol=0.25 is a power of two so the scaled tolerance is exact; both
+  // engines order NaN above all values so the non-equal_nan branch agrees.
+  register("expr_isclose_nan",
+    """WITH t AS (SELECT l_orderkey, l_linenumber, l_partkey, l_tax, l_discount,
+      |    CASE WHEN l_orderkey % 7 = 0 THEN CAST('nan' AS DOUBLE) ELSE l_tax END AS nanv
+      |  FROM lineitem WHERE l_orderkey <= 500)
+      |SELECT l_orderkey, l_linenumber, l_partkey,
+      |  abs(l_tax - l_discount) <= 1e-8 + 1e-5 * abs(l_discount) AS close_default,
+      |  abs(l_tax - l_discount) <= 1e-8 + 0.25 * abs(l_discount) AS close_rtol,
+      |  (isnan(nanv) AND isnan(nanv))
+      |    OR abs(nanv - nanv) <= 1e-8 + 1e-5 * abs(nanv) AS nan_eq,
+      |  abs(nanv - nanv) <= 1e-8 + 1e-5 * abs(nanv) AS nan_ne,
+      |  CASE WHEN isnan(nanv) THEN NULL ELSE nanv END AS nulled
+      |FROM t ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin) { (s, d) =>
+    val nanv = when(col("l_orderkey") % 7 === 0, lit(Double.NaN))
+      .otherwise(col("l_tax"))
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 500)
+      .withColumn("nanv", nanv)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        GF.isclose(col("l_tax"), col("l_discount")).as("close_default"),
+        GF.isclose(col("l_tax"), col("l_discount"), rtol = 0.25).as("close_rtol"),
+        GF.isclose(col("nanv"), col("nanv"), equalNan = true).as("nan_eq"),
+        GF.isclose(col("nanv"), col("nanv")).as("nan_ne"),
+        GF.nansToNulls(col("nanv")).as("nulled"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+  }
+
   register("expr_null_ops",
     """SELECT l_orderkey, l_linenumber, l_partkey,
       |  nullif(l_discount, 0.0) IS NULL AS is_null_v,
