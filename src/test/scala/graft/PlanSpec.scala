@@ -49,6 +49,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
   }
 
+  test("filt_query_local binds @locals as literals that push down to the scan") {
+    val p = executedPlan("filt_query_local")
+    // the @cutoff/@kmax/@statuses bindings must appear as plan LITERALS
+    // reaching the scan, proving QueryLocals substitution happens before
+    // Catalyst sees the plan (PushedFilters renders truncated — assert the
+    // untruncated Filter node plus the pushdown prefix)
+    assert(p.contains("> 120000.5)"), p)
+    assert(p.contains("IN (O,F)"), p)
+    assert(p.contains("<= 4000)"), p)
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    assert(p.contains("GreaterThan(o_totalp"), p)
+  }
+
   test("sort_topk compiles to TakeOrderedAndProject (no global sort)") {
     val p = executedPlan("sort_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
