@@ -110,23 +110,26 @@ object GdfCategorical {
     * labels are collected (categorical.py as_categorical_column).
     *
     * Guarded: `astype('category')` on a high-cardinality column (doc ids,
-    * URLs) at 100-TB scale must be a clear error, not a driver OOM. A
-    * bounded `limit(cap+1).count()` probe — never more than cap+1 rows leave
-    * the distinct — fails fast with the observed bound before anything is
-    * collected. Callers that genuinely want a bigger dictionary pass an
-    * explicit `maxCategories`. */
+    * URLs) at 100-TB scale must be a clear error, not a driver OOM. ONE
+    * bounded job: `take(cap + 2)` never moves more than cap+2 rows to the
+    * driver (cap non-null labels + the at-most-one null distinct row + one
+    * overflow witness), fails fast when the non-null label count exceeds
+    * the cap, and on success IS the full dictionary — no second scan.
+    * Callers that genuinely want a bigger dictionary pass an explicit
+    * `maxCategories`. */
   def fromColumn(facts: DataFrame, valueCol: String, codeCol: String,
       maxCategories: Int = DefaultMaxCategories): GdfCategorical = {
     import facts.sparkSession.implicits._
     val distinctLabels = facts.select(col(valueCol)).distinct()
-    val probe = distinctLabels.limit(maxCategories + 1).count()
-    require(probe <= maxCategories,
+    val probe = distinctLabels.take(maxCategories + 2)
+    val nonNull = probe.flatMap(r => Option(r.getString(0)))
+    require(nonNull.length <= maxCategories,
       s"astype('category') on '$valueCol' found > $maxCategories distinct labels; " +
         "this column is not categorical — collecting its dictionary would OOM the " +
         "driver at scale. Pass a larger maxCategories only if the dictionary is " +
         "genuinely meant to be this big.")
-    val cats: Seq[String] = distinctLabels
-      .collect().flatMap(r => Option(r.getString(0))).sorted.toSeq
+    // probe returned fewer than cap+2 rows ⇒ it saw EVERY distinct label
+    val cats: Seq[String] = nonNull.sorted.toSeq
     val dict = cats.zipWithIndex.toDF(valueCol, codeCol)
     val coded = facts
       .join(broadcast(dict), Seq(valueCol), "left")

@@ -185,6 +185,11 @@ object GF {
   /** Cosine similarity of two double-array columns — fused codegen kernel
     * ([[graft.expressions.CosineSim]]); bit-identical to
     * `dot(a,b) / (l2Norm(a) * l2Norm(b))`. */
+  def cosine(a: Column, b: Column): Column = {
+    val B = org.apache.spark.sql.graft.Bridge
+    B.column(graft.expressions.CosineSim(B.expression(a), B.expression(b)))
+  }
+
   /** numpy/cudf isclose (frame.py isclose): |a−b| ≤ atol + rtol·|b|, with
     * the asymmetric-in-b numpy contract and optional equal_nan. Pure IEEE
     * arithmetic and comparisons — no transcendentals, so the oracle is
@@ -200,9 +205,4 @@ object GF {
     * cuDF's bridge between the two missing-value representations
     * (SURVEY §1.3). */
   def nansToNulls(c: Column): Column = when(isnan(c), lit(null)).otherwise(c)
-
-  def cosine(a: Column, b: Column): Column = {
-    val B = org.apache.spark.sql.graft.Bridge
-    B.column(graft.expressions.CosineSim(B.expression(a), B.expression(b)))
-  }
 }

@@ -139,11 +139,20 @@ object GraftAvro {
     files.map(_.toString).sorted
   }
 
+  /** Opens one part file. When `expected` is set, Avro schema RESOLUTION
+    * runs per file (fields matched by name against each file's embedded
+    * writer schema) — a schema-evolved directory whose parts reordered or
+    * prepended fields decodes correctly instead of silently misaligning
+    * positional reads. */
   private def openReader(conf: org.apache.hadoop.conf.Configuration,
-                         file: String): DataFileReader[GenericRecord] = {
-    val in = new org.apache.avro.mapred.FsInput(
-      new Path(file), conf)
-    new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+                         file: String,
+                         expected: Option[Schema] = None): DataFileReader[GenericRecord] = {
+    val in = new org.apache.avro.mapred.FsInput(new Path(file), conf)
+    val datum = expected match {
+      case Some(e) => new GenericDatumReader[GenericRecord](null, e)
+      case None => new GenericDatumReader[GenericRecord]()
+    }
+    new DataFileReader[GenericRecord](in, datum)
   }
 
   /** read_avro(path, columns=...): schema from one header, one task per
@@ -170,16 +179,26 @@ object GraftAvro {
         confMap.value.foreach { case (k, v) => execConf.set(k, v) }
         val schema = new Schema.Parser().parse(schemaJson)
         val fields = schema.getFields.asScala.toSeq
+        // close on task completion, not iterator exhaustion: limit()/take()
+        // and mid-file exceptions stop consuming early, and the open
+        // reader would otherwise leak one fd + decompressor per part file
+        val open = new java.util.ArrayList[DataFileReader[GenericRecord]]()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            open.asScala.foreach(r => try r.close() catch { case _: Exception => () })))
         fit.flatMap { file =>
-          val reader = openReader(execConf, file)
+          val reader = openReader(execConf, file, Some(schema))
+          open.add(reader)
           new Iterator[Row] {
             def hasNext: Boolean = {
               val h = reader.hasNext
-              if (!h) reader.close()
+              if (!h) { reader.close(); open.remove(reader) }
               h
             }
             def next(): Row = {
               val rec = reader.next()
+              // resolution (expected schema) makes positions match the
+              // driver schema regardless of each file's writer layout
               Row.fromSeq(fields.map(f =>
                 toSparkValue(f.schema(), rec.get(f.pos()))))
             }
@@ -266,7 +285,15 @@ object GraftAvro {
     }
   }
 
-  /** to_avro: one .avro part per partition, deflate or snappy codec. */
+  /** to_avro: one .avro part per partition, deflate or snappy codec.
+    *
+    * Commit discipline (no Hadoop committer here): each task writes a
+    * temp file named by its attempt id and renames to the final part name
+    * on success — duplicate speculative attempts race only on the rename
+    * (each file is complete, last rename wins; never interleaved bytes),
+    * and a failed job leaves `.tmp` turds, never a truncated part. The
+    * driver stamps `_SUCCESS` after the job, so readers can gate on
+    * completeness like any Hadoop-committed directory. */
   def write(df: DataFrame, path: String, codec: String = "snappy"): Unit = {
     val st = df.schema
     val schemaJson = toAvroSchema(st).toString
@@ -282,8 +309,12 @@ object GraftAvro {
       val execConf = new org.apache.hadoop.conf.Configuration(false)
       confMap.value.foreach { case (k, v) => execConf.set(k, v) }
       val schema = new Schema.Parser().parse(schemaJson)
-      val part = new Path(path, f"part-$pid%05d.avro")
-      val stream = part.getFileSystem(execConf).create(part, true)
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val partFs = new Path(path).getFileSystem(execConf)
+      val finalPart = new Path(path, f"part-$pid%05d.avro")
+      val tmpPart = new Path(path, f".part-$pid%05d-attempt-$attempt.avro.tmp")
+      val stream = partFs.create(tmpPart, true)
       val writer = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
       writer.setCodec(codec match {
@@ -294,17 +325,28 @@ object GraftAvro {
       })
       writer.create(schema, stream)
       var n = 0L
-      rows.foreach { r =>
-        val rec = new GenericData.Record(schema)
-        st.fields.zipWithIndex.foreach { case (f, i) =>
-          rec.put(f.name, toAvroValue(
-            schema.getField(f.name).schema(), f.dataType, r.get(i)))
+      try {
+        rows.foreach { r =>
+          val rec = new GenericData.Record(schema)
+          st.fields.zipWithIndex.foreach { case (f, i) =>
+            rec.put(f.name, toAvroValue(
+              schema.getField(f.name).schema(), f.dataType, r.get(i)))
+          }
+          writer.append(rec)
+          n += 1
         }
-        writer.append(rec)
-        n += 1
+        writer.close()
+        partFs.delete(finalPart, false)
+        require(partFs.rename(tmpPart, finalPart),
+          s"rename $tmpPart -> $finalPart failed")
+      } catch {
+        case e: Throwable =>
+          try { writer.close(); partFs.delete(tmpPart, false) }
+          catch { case _: Exception => () }
+          throw e
       }
-      writer.close()
       Iterator.single(n)
     }.count(): Unit
+    fs.create(new Path(out, "_SUCCESS"), true).close()
   }
 }

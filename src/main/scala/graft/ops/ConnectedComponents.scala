@@ -17,13 +17,16 @@ import org.apache.spark.sql.functions._
   * relation twice (the neighbor join and the carry join), so building
   * lazily would DOUBLE the logical plan per round: 2^rounds plan nodes,
   * a driver OOM near the round cap even on a 40-row graph (measured:
-  * the pre-checkpoint version of this loop died exactly that way in
+  * the pre-truncation version of this loop died exactly that way in
   * ConnectedComponentsSpec). persist() alone does not help — it caches
-  * blocks, not plans. Every round is therefore CHECKPOINTED (eager), which
-  * truncates lineage to a leaf: reliable checkpoint when the session has a
-  * checkpoint dir (cluster operation — survives executor loss), else
-  * localCheckpoint (fine single-node and in tests). Same discipline as
-  * GraphX's Pregel checkpoint interval.
+  * blocks, not plans. Every round is therefore materialized into a
+  * persisted RDD and re-wrapped as a LogicalRDD leaf (the same truncation
+  * Dataset.checkpoint performs), which keeps an explicit handle for
+  * cleanup: each round unpersists its predecessor, so storage stays
+  * O(one round), not O(rounds) — Dataset.checkpoint offers no public
+  * release and reliable checkpoint files are never auto-deleted under the
+  * default cleaner config. Same discipline as GraphX's Pregel
+  * checkpointer, which likewise unpersists superseded rounds eagerly.
   *
   * The round cap exists to bound a pathological input (a 100-TB near-dup
   * graph should be shallow; a million-node chain is a data bug, not a
@@ -36,12 +39,17 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** Eagerly materializes and truncates lineage: reliable checkpoint if the
-    * session has a checkpoint dir, localCheckpoint otherwise. */
-  private def materialized(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+  /** Eagerly materializes into a persisted RDD and re-wraps it as a fresh
+    * leaf DataFrame — truncates the logical plan like Dataset.checkpoint,
+    * but returns a release handle so superseded rounds free their blocks
+    * deterministically. */
+  private def materialized(df: DataFrame): (DataFrame, () => Unit) = {
+    val rdd = df.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count() // eager: pin blocks before the next round's plan reads twice
+    val out = df.sparkSession.createDataFrame(rdd, df.schema)
+    (out, () => { rdd.unpersist(false); () })
+  }
 
   /** Labels every vertex of the undirected `pairs` graph with its
     * component's minimum vertex id.
@@ -51,14 +59,17 @@ object ConnectedComponents {
     * @return (doc_id, label) — one row per vertex that appears in any pair
     */
   def minLabel(pairs: DataFrame, maxIters: Int = 12): DataFrame = {
-    val edges = materialized(pairs.select("d1", "d2")
+    val (edges, releaseEdges) = materialized(pairs.select("d1", "d2")
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2"))))
     // round 1 for free: from identity labels, one propagation step is just
     // min(neighbor) vs self over the raw edge list — a single aggregation
     // instead of the loop body's join+agg+join round
-    var labels = materialized(edges.groupBy(col("d1"))
-      .agg(min(col("d2")).as("nmin"))
-      .select(col("d1").as("doc_id"), least(col("d1"), col("nmin")).as("label")))
+    var (labels, releasePrev) = {
+      val (l, r) = materialized(edges.groupBy(col("d1"))
+        .agg(min(col("d2")).as("nmin"))
+        .select(col("d1").as("doc_id"), least(col("d1"), col("nmin")).as("label")))
+      (l, r)
+    }
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -67,20 +78,25 @@ object ConnectedComponents {
         .groupBy(col("d1").as("doc_id")).agg(min(col("nl")).as("nmin"))
       // carry the old label through the same projection so convergence needs
       // no second labels join — one filter over the materialized round result
-      val round = materialized(labels
+      val (round, releaseRound) = materialized(labels
         .join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
       converged = round.filter(col("label") < col("old")).isEmpty
+      releasePrev() // superseded round's blocks freed immediately
+      releasePrev = releaseRound
       labels = round.select("doc_id", "label")
       iter += 1
     }
-    if (!converged)
+    releaseEdges()
+    if (!converged) {
+      releasePrev()
       throw new IllegalStateException(
         s"connected components did not converge within $maxIters rounds — " +
           "a component's min-label path is longer than the cap. Returning the " +
           "partial labels would under-merge clusters (duplicates would pass " +
           "the dedup gate); raise maxIters if the graph is genuinely this deep.")
+    }
     labels
   }
 }

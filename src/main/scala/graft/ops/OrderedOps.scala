@@ -36,23 +36,31 @@ object OrderedOps {
   // Every pin is tracked so long-lived sessions can release them: each
   // helper call persists one relation, and without a release hook a session
   // running thousands of queries accumulates cache entries until LRU
-  // pressure evicts them. Callers with a clear query boundary (Verify/Bench
-  // loops, notebook cells) call clearPins() after the consuming action.
-  private val pins = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  // pressure evicts them. The registry is THREAD-LOCAL: pins are created at
+  // plan-construction time on the calling thread, so scoping by thread
+  // means clearPins() from one concurrent session thread (parallel
+  // notebook cells) cannot unpersist another thread's not-yet-executed
+  // pins — which would re-expose the re-sampling hazard the pin closes.
+  // Callers with a clear query boundary (Verify/Bench loops, notebook
+  // cells) call clearPins() on the same thread after the consuming action.
+  private val pins = ThreadLocal.withInitial[java.util.ArrayDeque[DataFrame]](
+    () => new java.util.ArrayDeque[DataFrame]())
 
   private[graft] def pinned(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pins.add(p)
+    pins.get().add(p)
     p
   }
 
-  /** Unpersists every relation pinned by the ordered-op helpers since the
-    * last call. Safe ONLY after the consuming action has run — unpersisting
-    * a pin before its query executes would re-expose the
-    * repartitionByRange re-sampling hazard the pin exists to close. */
+  /** Unpersists every relation pinned ON THIS THREAD since the last call.
+    * Safe ONLY after the consuming action has run — unpersisting a pin
+    * before its query executes would re-expose the repartitionByRange
+    * re-sampling hazard the pin exists to close; running a second action
+    * on a frame after clearPins() re-samples likewise. */
   def clearPins(): Unit = {
-    var p = pins.poll()
-    while (p != null) { p.unpersist(blocking = false); p = pins.poll() }
+    val q = pins.get()
+    var p = q.poll()
+    while (p != null) { p.unpersist(blocking = false); p = q.poll() }
   }
 
   /** Adds a global running total of `valueCol` in the order of `sortCols`

@@ -17,12 +17,15 @@ import org.apache.spark.sql.functions.expr
   */
 object QueryLocals {
 
-  private val Ref = raw"@(\w+)".r
-
-  /** Renders one bound value as a SQL literal. */
+  /** Renders one bound value as a SQL literal. String escaping targets
+    * Spark's default literal parser (escapedStringLiterals=false, i.e.
+    * backslash escapes ARE processed): every backslash must double, else
+    * the value is silently unescaped — and a trailing backslash would
+    * swallow the closing quote, splicing query text into the literal. */
   private def render(name: String, v: Any): String = v match {
     case null => "NULL"
-    case s: String => "'" + s.replace("'", "''") + "'"
+    case s: String =>
+      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     case b: Boolean => if (b) "true" else "false"
     case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
     case d: Double => if (d.isNaN || d.isInfinite)
@@ -44,15 +47,40 @@ object QueryLocals {
   }
 
   /** Compiles a query string with `@name` locals into a Column predicate.
-    * Unknown names fail fast with the full set of available bindings. */
+    * Unknown names fail fast with the full set of available bindings.
+    *
+    * Substitution is QUOTE-AWARE: an `@` inside a single-quoted string
+    * literal is query text, not a local reference ('alice@example.com'
+    * must not resolve @example) — same behavior as pandas' query
+    * tokenizer, which only resolves @ in identifier position. */
   def queryExpr(q: String, locals: Map[String, Any]): Column = {
-    val substituted = Ref.replaceAllIn(q, m => {
-      val name = m.group(1)
-      val v = locals.getOrElse(name,
-        throw new IllegalArgumentException(
-          s"query references @$name but locals only bind ${locals.keys.toSeq.sorted.mkString(", ")}"))
-      scala.util.matching.Regex.quoteReplacement(render(name, v))
-    })
-    expr(substituted)
+    val out = new StringBuilder
+    var i = 0
+    var inQuote = false
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (inQuote) {
+        out.append(c)
+        if (c == '\\' && i + 1 < q.length) { out.append(q.charAt(i + 1)); i += 1 }
+        else if (c == '\'') inQuote = false
+        i += 1
+      } else if (c == '\'') {
+        inQuote = true; out.append(c); i += 1
+      } else if (c == '@' && i + 1 < q.length &&
+          (q.charAt(i + 1).isLetterOrDigit || q.charAt(i + 1) == '_')) {
+        val start = i + 1
+        var j = start
+        while (j < q.length && (q.charAt(j).isLetterOrDigit || q.charAt(j) == '_')) j += 1
+        val name = q.substring(start, j)
+        val v = locals.getOrElse(name,
+          throw new IllegalArgumentException(
+            s"query references @$name but locals only bind ${locals.keys.toSeq.sorted.mkString(", ")}"))
+        out.append(render(name, v))
+        i = j
+      } else {
+        out.append(c); i += 1
+      }
+    }
+    expr(out.toString)
   }
 }

@@ -33,6 +33,29 @@ class QueryLocalsSpec extends AnyFunSuite {
     assert(got == Seq(2L))
   }
 
+  test("backslashes in string locals survive Spark's escape processing") {
+    import spark.implicits._
+    val df = Seq((1L, "a\\tb"), (2L, "a\tb"), (3L, "end\\")).toDF("id", "s")
+    // "a\tb" with a LITERAL backslash-t must match row 1, not the tab row
+    val got = df.filter(QueryLocals.queryExpr(
+      "s == @lit", Map("lit" -> "a\\tb"))).select("id").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(1L))
+    // a value ENDING in a backslash must not swallow the closing quote
+    val tail = df.filter(QueryLocals.queryExpr(
+      "s == @lit", Map("lit" -> "end\\"))).select("id").collect().map(_.getLong(0))
+    assert(tail.toSeq == Seq(3L))
+  }
+
+  test("@ inside a quoted string is query text, not a local reference") {
+    import spark.implicits._
+    val df = Seq((1L, "alice@example.com"), (2L, "bob@other.org")).toDF("id", "email")
+    // @example must NOT resolve (it is inside the literal); @dom must
+    val got = df.filter(QueryLocals.queryExpr(
+      "email == 'alice@example.com' or email == @dom",
+      Map("dom" -> "bob@other.org"))).select("id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L))
+  }
+
   test("unknown @name fails fast naming the available bindings") {
     val e = intercept[IllegalArgumentException] {
       QueryLocals.queryExpr("x > @missing", Map("present" -> 1))
