@@ -226,34 +226,36 @@ object ScalarQueries extends QueryPack {
   //     query pins ONLY the hash implementations, not the dataset --------
   register("expr_hash_murmur3",
     """SELECT * FROM (VALUES
-      |  (0, -1093816050, '83791d5040f24a425b59e8f9ef801409', -1611614044712855306),
-      |  (1, -1019145397, '1a81c7ee249d75989db905270e18d3bd', -1273194175839338384),
-      |  (2, -1236958300, '64a127b26abaa261372ac715ccf8104d', 4230275052035904739),
-      |  (3, 1109282735, '4b540ee8f5a3c2d0586ee20d46e0e49d', 8790310100283397219),
-      |  (4, 1620450021, '9c1892e34176c1a7d49f3797b87b9120', 316677342281141099),
-      |  (5, 1985496350, '73be20b2c916735379f5a0702c99844c', -5570647415552356329),
-      |  (6, -1117509934, '7e5972bbf0112d9ff4a2fa6a2b65cca3', -5102247309164607512),
-      |  (7, -122441681, 'd60fe91dfe072cbf230f0466bdd1ee34', -4322517095852596783),
-      |  (8, 1208212362, 'b5187d715e4fb941ce716a2918cebbd3', -6210387787695566441),
-      |  (9, -119114515, '86e0fe1bed5a93bd7fe999115601a59d', -6779273362615130559),
-      |  (10, 1623661346, 'fbedcddd668970ed933c5c459144c1ab', -4111994317867864847),
-      |  (11, -803109076, '704ebdf235ac385b8c06b20ea318ba78', -5443359310541977166),
-      |  (12, -1547564386, 'd3f90a2bfa53314e33640255542fc7ae', -8055872669115236803),
-      |  (13, 2096405692, '87ea8e7ad257b99deaccc39863a4c1bd', -8634557501709187542),
-      |  (14, 559504794, '9ef7a334c6caff68ecc99d1d66ba731c', 4750634036745744549),
-      |  (15, 964135357, '961288b59d432a10734056d2fccb4b37', -1728440964537798077),
-      |  (16, -1733889583, '75dbb64eb0ff47bb4160bd2acc5b0c6c', -4177512028953191414),
-      |  (17, 272001927, '773eb1baa048911e3b1afb7da2564bfd', 2664143128668371311),
-      |  (18, -862294309, '56bd63286667ddff65a379815e7d7d3c', 2633404807699057550),
-      |  (19, 1548867029, '9094ae162f0e3e014c52efb677360696', 4629955984357864070),
-      |  (20, -535560678, 'bba8fa7740cbff2e51bfe6b14e40cd04', 8712587351026243346)
-      |) t(c_custkey, murmur3, md5_hex, xx64) ORDER BY c_custkey""".stripMargin) { (s, _) =>
+      |  (0, -1093816050, '83791d5040f24a425b59e8f9ef801409', -1611614044712855306, 150),
+      |  (1, -1019145397, '1a81c7ee249d75989db905270e18d3bd', -1273194175839338384, 3),
+      |  (2, -1236958300, '64a127b26abaa261372ac715ccf8104d', 4230275052035904739, 100),
+      |  (3, 1109282735, '4b540ee8f5a3c2d0586ee20d46e0e49d', 8790310100283397219, 135),
+      |  (4, 1620450021, '9c1892e34176c1a7d49f3797b87b9120', 316677342281141099, 21),
+      |  (5, 1985496350, '73be20b2c916735379f5a0702c99844c', -5570647415552356329, 150),
+      |  (6, -1117509934, '7e5972bbf0112d9ff4a2fa6a2b65cca3', -5102247309164607512, 66),
+      |  (7, -122441681, 'd60fe91dfe072cbf230f0466bdd1ee34', -4322517095852596783, 119),
+      |  (8, 1208212362, 'b5187d715e4fb941ce716a2918cebbd3', -6210387787695566441, 162),
+      |  (9, -119114515, '86e0fe1bed5a93bd7fe999115601a59d', -6779273362615130559, 85),
+      |  (10, 1623661346, 'fbedcddd668970ed933c5c459144c1ab', -4111994317867864847, 146),
+      |  (11, -803109076, '704ebdf235ac385b8c06b20ea318ba78', -5443359310541977166, 124),
+      |  (12, -1547564386, 'd3f90a2bfa53314e33640255542fc7ae', -8055872669115236803, 14),
+      |  (13, 2096405692, '87ea8e7ad257b99deaccc39863a4c1bd', -8634557501709187542, 92),
+      |  (14, 559504794, '9ef7a334c6caff68ecc99d1d66ba731c', 4750634036745744549, 194),
+      |  (15, 964135357, '961288b59d432a10734056d2fccb4b37', -1728440964537798077, 157),
+      |  (16, -1733889583, '75dbb64eb0ff47bb4160bd2acc5b0c6c', -4177512028953191414, 17),
+      |  (17, 272001927, '773eb1baa048911e3b1afb7da2564bfd', 2664143128668371311, 127),
+      |  (18, -862294309, '56bd63286667ddff65a379815e7d7d3c', 2633404807699057550, 91),
+      |  (19, 1548867029, '9094ae162f0e3e014c52efb677360696', 4629955984357864070, 29),
+      |  (20, -535560678, 'bba8fa7740cbff2e51bfe6b14e40cd04', 8712587351026243346, 122)
+      |) t(c_custkey, murmur3, md5_hex, xx64, hash_enc) ORDER BY c_custkey""".stripMargin) { (s, _) =>
     import s.implicits._
     (0 to 20).map(i => (i.toLong, f"Customer#$i%09d")).toDF("c_custkey", "c_name")
       .select(col("c_custkey").cast(IntegerType).as("c_custkey"),
         hash(col("c_custkey"), col("c_name")).as("murmur3"),
         md5(col("c_name").cast(BinaryType)).as("md5_hex"),
-        xxhash64(col("c_custkey"), col("c_name")).as("xx64"))
+        xxhash64(col("c_custkey"), col("c_name")).as("xx64"),
+        // hash_encode (series.py:5358): hash → [0, stop) feature encoding
+        pmod(hash(col("c_custkey"), col("c_name")), lit(200)).as("hash_enc"))
       .orderBy("c_custkey")
   }
 
