@@ -15,11 +15,14 @@ import org.apache.spark.sql.types._
   * `spark.sql.files.maxPartitionBytes` keeps payload scans within executor
   * memory at any corpus size.
   *
-  * Decoding real formats (JPEG/WAV/H.264) requires codec libraries that are
-  * NOT in this environment — the codec is therefore a trait with the real
-  * implementation stubbed (`???`) and a deterministic header-parsing fake
-  * used by tests and queries. Everything Spark-side — schema, typed
-  * mapPartitions plumbing, batch shape, partitioning — is real and tested.
+  * Decoding: [[Multimodal.ImageIoCodec]] is a REAL decoder over the JDK's
+  * built-in ImageIO codecs (JPEG/PNG/GIF/BMP — no external library), spec'd
+  * against bitstreams produced by the JDK encoders. Video/audio bitstream
+  * codecs (H.264/WAV-PCM beyond energy) have no in-JVM decoder here; the
+  * driver-generated synthetic payloads use the deterministic
+  * [[Multimodal.HeaderCodec]] because their bytes are fake headers, not
+  * real bitstreams. Everything Spark-side — schema, typed mapPartitions
+  * plumbing, batch shape, partitioning — is real and tested.
   */
 object Multimodal {
 
@@ -66,18 +69,50 @@ object Multimodal {
   final case class DecodedMeta(asset_id: Long, width: Int, height: Int,
                                format: String, payloadLen: Int, checksum: Long)
 
-  /** Codec boundary. Real decoders (JPEG/PNG/WAV) belong here; absent codec
-    * libraries in this environment, only the deterministic header codec is
-    * implemented. */
+  /** Codec boundary. [[ImageIoCodec]] is the real decoder (JDK ImageIO —
+    * JPEG/PNG/GIF/BMP ship with the JVM, no external library);
+    * [[HeaderCodec]] decodes the driver-generated synthetic payloads whose
+    * header is a fake (not a real bitstream). */
   trait ImageCodec extends Serializable {
     def decode(bytes: Array[Byte]): DecodedMeta
   }
 
-  /** Real-format decoder — intentionally unimplemented (no codec libs). */
-  object JpegCodec extends ImageCodec {
-    def decode(bytes: Array[Byte]): DecodedMeta =
-      ??? // requires an image library; not available in this environment
+  /** Real-format decoder over the JDK's ImageIO codecs (JPEG/PNG/GIF/BMP).
+    * Dimensions come from the header read (cheap — no raster decode); the
+    * checksum folds the fully-decoded RGB raster, so two files with equal
+    * pixels checksum equal regardless of container bytes. Headless-safe:
+    * decoding never touches the display pipeline. */
+  object ImageIoCodec extends ImageCodec {
+    def decode(bytes: Array[Byte]): DecodedMeta = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "no ImageIO codec matches the payload")
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val (w, h) = (r.getWidth(0), r.getHeight(0))
+          val fmt = r.getFormatName.toLowerCase
+          val img = r.read(0)
+          var ck = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              ck = (ck * 31 + (img.getRGB(x, y) & 0xffffff)) % 1000000007L
+              x += 1
+            }
+            y += 1
+          }
+          DecodedMeta(-1L, w, h, fmt, bytes.length, ck)
+        } finally r.dispose()
+      } finally iis.close()
+    }
   }
+
+  /** Alias kept for the original codec-boundary name. */
+  val JpegCodec: ImageCodec = ImageIoCodec
 
   /** Deterministic fake: parses the synthetic 'IMG'+WWWW+HHHH header and
     * checksums the payload — exercises the full typed batch path. */

@@ -35,10 +35,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(0).checksum == ck)
   }
 
-  test("JpegCodec is an explicit unimplemented stub") {
-    intercept[NotImplementedError] {
-      HeaderCodec.getClass // touch to avoid unused warning
-      Multimodal.JpegCodec.decode(Array[Byte](1, 2, 3))
+  test("ImageIoCodec decodes real JPEG and PNG bytes from the JDK encoders") {
+    import spark.implicits._
+    // build real bitstreams with the JDK's own encoders — a foreign path
+    // relative to the decoder under test
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (x * 31 + y) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val assets = Seq(
+      Asset(1L, encode("jpeg", 8, 5)),
+      Asset(2L, encode("png", 3, 9))).toDS()
+    val got = Multimodal.decodeBatch(assets, Multimodal.ImageIoCodec)
+      .collect().sortBy(_.asset_id)
+    assert(got(0).width == 8 && got(0).height == 5)
+    assert(got(0).format.contains("jpeg") || got(0).format.contains("jpg"))
+    assert(got(1).width == 3 && got(1).height == 9 && got(1).format == "png")
+    // PNG is lossless: the raster checksum must equal the source fold
+    var ck = 0L
+    for (y <- 0 until 9; x <- 0 until 3)
+      ck = (ck * 31 + ((x * 31 + y) & 0xffffff)) % 1000000007L
+    assert(got(1).checksum == ck)
+    // non-image bytes fail loudly, not silently
+    intercept[Exception] {
+      Multimodal.ImageIoCodec.decode(Array[Byte](1, 2, 3))
     }
   }
 
