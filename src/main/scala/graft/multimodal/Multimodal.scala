@@ -114,6 +114,56 @@ object Multimodal {
   /** Alias kept for the original codec-boundary name. */
   val JpegCodec: ImageCodec = ImageIoCodec
 
+  final case class AudioMeta(asset_id: Long, sampleRate: Int, channels: Int,
+                             bitsPerSample: Int, nFrames: Long, durationMs: Double)
+
+  /** Real WAV (RIFF) container decode — pure byte arithmetic, no codec
+    * library: walks the chunk list (not a fixed 44-byte assumption — files
+    * with LIST/fact chunks before `data` parse correctly), reads the PCM
+    * fmt fields little-endian, and derives frame count and duration from
+    * the data chunk length. */
+  object WavCodec extends Serializable {
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    private def fourCC(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, "US-ASCII")
+
+    def decode(bytes: Array[Byte]): AudioMeta = {
+      require(bytes.length >= 12 && fourCC(bytes, 0) == "RIFF" &&
+        fourCC(bytes, 8) == "WAVE", "not a RIFF/WAVE payload")
+      var i = 12
+      var rate = -1; var channels = -1; var bits = -1
+      var dataLen = -1L
+      while (i + 8 <= bytes.length && (rate < 0 || dataLen < 0)) {
+        val id = fourCC(bytes, i)
+        val size = le32(bytes, i + 4).toLong & 0xffffffffL
+        if (id == "fmt ") {
+          channels = le16(bytes, i + 10)
+          rate = le32(bytes, i + 12)
+          bits = le16(bytes, i + 22)
+        } else if (id == "data") {
+          dataLen = math.min(size, bytes.length - (i + 8).toLong)
+        }
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      require(rate > 0 && dataLen >= 0, "missing fmt /data chunk")
+      val frameBytes = channels * (bits / 8)
+      val nFrames = if (frameBytes > 0) dataLen / frameBytes else 0L
+      AudioMeta(-1L, rate, channels, bits, nFrames,
+        nFrames * 1000.0 / rate)
+    }
+  }
+
+  /** Batch WAV decode over partitions — same typed mapPartitions shape as
+    * [[decodeBatch]]. */
+  def decodeWavBatch(assets: Dataset[Asset]): Dataset[AudioMeta] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(a => WavCodec.decode(a.bytes).copy(asset_id = a.asset_id)))
+  }
+
   /** Deterministic fake: parses the synthetic 'IMG'+WWWW+HHHH header and
     * checksums the payload — exercises the full typed batch path. */
   object HeaderCodec extends ImageCodec {

@@ -67,6 +67,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WavCodec parses a JDK-encoded WAV: rate, channels, bits, duration") {
+    import spark.implicits._
+    // real WAV bytes from javax.sound (a foreign encoder path): 300 frames
+    // of 16-bit stereo at 8 kHz
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val pcm = new Array[Byte](300 * 4)
+    for (i <- pcm.indices) pcm(i) = ((i * 7) % 251).toByte
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 300L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val got = Multimodal.decodeWavBatch(Seq(Asset(9L, bos.toByteArray)).toDS())
+      .collect()(0)
+    assert(got.asset_id == 9L && got.sampleRate == 8000 &&
+      got.channels == 2 && got.bitsPerSample == 16 && got.nFrames == 300L)
+    assert(math.abs(got.durationMs - 37.5) < 1e-9)
+    intercept[Exception] {
+      Multimodal.WavCodec.decode("nota wav".getBytes)
+    }
+  }
+
   test("sampleFrameOffsets picks every stride-th frame") {
     import spark.implicits._
     val got = Seq(7).toDF("n")
