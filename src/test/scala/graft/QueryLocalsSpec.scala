@@ -1,5 +1,7 @@
 package graft
 
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.QueryLocals
@@ -61,6 +63,24 @@ class QueryLocalsSpec extends AnyFunSuite {
       QueryLocals.queryExpr("x > @missing", Map("present" -> 1))
     }
     assert(e.getMessage.contains("@missing") && e.getMessage.contains("present"))
+  }
+
+  test("random adversarial strings roundtrip the literal rendering exactly") {
+    import spark.implicits._
+    // strings drawn from the characters that break naive escaping:
+    // backslashes, quotes, @, %, _, newlines/tabs, unicode
+    val hostile = Gen.listOf(Gen.oneOf(
+      Gen.const("\\"), Gen.const("'"), Gen.const("@"), Gen.const("%"),
+      Gen.const("_"), Gen.const("\n"), Gen.const("\t"), Gen.const("🙂"),
+      Gen.alphaNumChar.map(_.toString))).map(_.mkString)
+    val values = Gen.listOfN(60, hostile)
+      .pureApply(Gen.Parameters.default, Seed(11L)).distinct
+    val df = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "s")
+    values.zipWithIndex.foreach { case (v, i) =>
+      val got = df.filter(QueryLocals.queryExpr("s == @needle", Map("needle" -> v)))
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(i.toLong), s"value ${v.map(_.toInt)} did not roundtrip")
+    }
   }
 
   test("empty IN-list and non-finite doubles are rejected") {
