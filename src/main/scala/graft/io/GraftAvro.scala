@@ -16,12 +16,15 @@ import org.apache.spark.sql.types._
   * Reference: python/cudf/cudf/io/avro.py:7 (read_avro with columns=);
   * cpp avro reader supports primitives + union-with-null.
   *
-  * Scale shape: one task per .avro part file (the standard layout both this
-  * writer and every Avro-producing pipeline emit — many files ⇒ full
-  * parallelism; Avro's block-level sync markers would allow intra-file
-  * splits, deliberately not implemented until a single giant-file corpus
-  * demands it). The schema is read once, from one file header on the
-  * driver; executors stream-decode records and never materialize a file.
+  * Scale shape: SPLITTABLE reads — files larger than `maxSplitBytes` are
+  * divided into byte-range splits and each task seeks to the first Avro
+  * block sync marker inside its range (`DataFileReader.sync/pastSync`,
+  * the same protocol Hadoop's AvroRecordReader uses; the reference's C++
+  * reader block-decodes the same markers, cpp/src/io/avro/). A single
+  * giant third-party .avro drop therefore parallelizes across the
+  * cluster instead of serializing into one task. The schema is read
+  * once, from one file header on the driver; executors stream-decode
+  * records and never materialize a file.
   * Column projection (`columns`) prunes during row conversion — Avro's
   * serial record encoding forces a full decode pass per record regardless
   * (same contract as the reference's columns=).
@@ -125,18 +128,51 @@ object GraftAvro {
 
   // ---- read ----------------------------------------------------------------
 
-  /** Lists the .avro part files under `path` (a file or directory). */
-  private def partFiles(spark: SparkSession, path: String): Seq[String] = {
+  /** One broadcast Hadoop-conf snapshot per SparkSession, not per call: a
+    * long-lived session running many Avro queries must not accumulate
+    * broadcast blocks on driver + executors (the conf never changes between
+    * calls in practice; a session restart gets a fresh entry). */
+  private val confCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      SparkSession,
+      org.apache.spark.broadcast.Broadcast[Map[String, String]]]()
+
+  private def confBroadcast(spark: SparkSession)
+      : org.apache.spark.broadcast.Broadcast[Map[String, String]] =
+    confCache.computeIfAbsent(spark, s =>
+      s.sparkContext.broadcast(
+        s.sparkContext.hadoopConfiguration.iterator().asScala
+          .map(e => e.getKey -> e.getValue).toMap))
+
+  /** Lists the .avro part files under `path` (a file or directory) with
+    * their byte lengths (split planning needs them). */
+  private def partFiles(spark: SparkSession, path: String): Seq[(String, Long)] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stat = fs.getFileStatus(p)
     val files =
       if (stat.isDirectory)
-        fs.listStatus(p).toSeq.map(_.getPath)
-          .filter(f => f.getName.endsWith(".avro") && !f.getName.startsWith("_"))
-      else Seq(p)
+        fs.listStatus(p).toSeq
+          .filter(f => f.getPath.getName.endsWith(".avro") &&
+            !f.getPath.getName.startsWith("_"))
+      else Seq(stat)
     require(files.nonEmpty, s"no .avro files under $path")
-    files.map(_.toString).sorted
+    files.map(f => f.getPath.toString -> f.getLen).sortBy(_._1)
+  }
+
+  /** Fails fast with the offending FILE NAME when a part file's writer
+    * schema cannot resolve against the driver schema — a missing field
+    * with no default, the one structural mismatch name-based resolution
+    * cannot paper over. Type conflicts surface through the decode-error
+    * wrapping in [[read]] (also file-named). */
+  private def checkResolvable(expected: Schema, writer: Schema, file: String): Unit = {
+    expected.getFields.asScala.foreach { f =>
+      if (writer.getField(f.name()) == null && !f.hasDefaultValue)
+        throw new IllegalArgumentException(
+          s"Avro part file $file: writer schema has no field '${f.name()}' " +
+            "and the expected schema declares no default — cannot resolve. " +
+            s"Writer fields: ${writer.getFields.asScala.map(_.name()).mkString(", ")}")
+    }
   }
 
   /** Opens one part file. When `expected` is set, Avro schema RESOLUTION
@@ -155,53 +191,78 @@ object GraftAvro {
     new DataFileReader[GenericRecord](in, datum)
   }
 
-  /** read_avro(path, columns=...): schema from one header, one task per
-    * part file, post-decode projection. */
+  /** read_avro(path, columns=...): schema from one header, byte-range
+    * splits (one task each, sync-marker aligned), post-decode projection.
+    *
+    * Split ownership protocol (identical to Hadoop's AvroRecordReader): a
+    * task `sync(start)`s to the first block boundary at-or-after its start
+    * offset and consumes blocks until `pastSync(end)` — every block is
+    * owned by exactly the split containing its leading sync marker, so
+    * rows are read exactly once with no coordination. */
   def read(spark: SparkSession, path: String,
-           columns: Seq[String] = Nil): DataFrame = {
+           columns: Seq[String] = Nil,
+           maxSplitBytes: Long = 128L << 20): DataFrame = {
+    require(maxSplitBytes > 0, s"maxSplitBytes must be positive, got $maxSplitBytes")
     val conf = spark.sparkContext.hadoopConfiguration
     val files = partFiles(spark, path)
     val avroSchema = {
-      val r = openReader(conf, files.head)
+      val r = openReader(conf, files.head._1)
       try r.getSchema finally r.close()
     }
     require(avroSchema.getType == Schema.Type.RECORD,
       s"top-level Avro schema must be a record, got $avroSchema")
     val sparkSchema = toSparkType(avroSchema).asInstanceOf[StructType]
     val schemaJson = avroSchema.toString
+    // (file, startOffset, endOffset) byte-range splits
+    val splits: Seq[(String, Long, Long)] = files.flatMap { case (f, len) =>
+      val n = math.max(1L, (len + maxSplitBytes - 1) / maxSplitBytes).toInt
+      val step = (len + n - 1) / n
+      (0 until n).map(i => (f, i * step, math.min(len, (i + 1L) * step)))
+    }
     // serializable snapshot for executors (Configuration is not serializable)
-    val confMap = spark.sparkContext.broadcast(
-      conf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap)
+    val confMap = confBroadcast(spark)
     val rdd = spark.sparkContext
-      .parallelize(files, files.size)
-      .mapPartitions { fit =>
+      .parallelize(splits, splits.size)
+      .mapPartitions { sit =>
         val execConf = new org.apache.hadoop.conf.Configuration(false)
         confMap.value.foreach { case (k, v) => execConf.set(k, v) }
         val schema = new Schema.Parser().parse(schemaJson)
         val fields = schema.getFields.asScala.toSeq
         // close on task completion, not iterator exhaustion: limit()/take()
         // and mid-file exceptions stop consuming early, and the open
-        // reader would otherwise leak one fd + decompressor per part file
+        // reader would otherwise leak one fd + decompressor per split
         val open = new java.util.ArrayList[DataFileReader[GenericRecord]]()
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ =>
             open.asScala.foreach(r => try r.close() catch { case _: Exception => () })))
-        fit.flatMap { file =>
-          val reader = openReader(execConf, file, Some(schema))
+        sit.flatMap { case (file, start, end) =>
+          val reader =
+            try openReader(execConf, file, Some(schema))
+            catch { case e: Exception =>
+              throw new java.io.IOException(s"Avro part file $file: cannot open", e)
+            }
           open.add(reader)
+          checkResolvable(schema, reader.getSchema, file)
+          reader.sync(start) // first block boundary at-or-after start
           new Iterator[Row] {
             def hasNext: Boolean = {
-              val h = reader.hasNext
+              val h = reader.hasNext && !reader.pastSync(end)
               if (!h) { reader.close(); open.remove(reader) }
               h
             }
-            def next(): Row = {
-              val rec = reader.next()
-              // resolution (expected schema) makes positions match the
-              // driver schema regardless of each file's writer layout
-              Row.fromSeq(fields.map(f =>
-                toSparkValue(f.schema(), rec.get(f.pos()))))
-            }
+            def next(): Row =
+              try {
+                val rec = reader.next()
+                // resolution (expected schema) makes positions match the
+                // driver schema regardless of each file's writer layout
+                Row.fromSeq(fields.map(f =>
+                  toSparkValue(f.schema(), rec.get(f.pos()))))
+              } catch {
+                case e: org.apache.avro.AvroRuntimeException =>
+                  throw new java.io.IOException(
+                    s"Avro part file $file: record decode failed against the " +
+                      s"driver schema (writer schema incompatible?): ${e.getMessage}", e)
+              }
           }
         }
       }
@@ -294,16 +355,24 @@ object GraftAvro {
     * and a failed job leaves `.tmp` turds, never a truncated part. The
     * driver stamps `_SUCCESS` after the job, so readers can gate on
     * completeness like any Hadoop-committed directory. */
-  def write(df: DataFrame, path: String, codec: String = "snappy"): Unit = {
+  def write(df: DataFrame, path: String, codec: String = "snappy",
+            overwrite: Boolean = false): Unit = {
     val st = df.schema
     val schemaJson = toAvroSchema(st).toString
     val spark = df.sparkSession
-    val confMap = spark.sparkContext.broadcast(
-      spark.sparkContext.hadoopConfiguration.iterator().asScala
-        .map(e => e.getKey -> e.getValue).toMap)
+    val confMap = confBroadcast(spark)
     val out = new Path(path)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(out)) fs.delete(out, true)
+    if (fs.exists(out)) {
+      // Same contract as every Spark writer: destroying an existing
+      // dataset requires an explicit opt-in, not a mistyped path.
+      if (!overwrite)
+        throw new IllegalArgumentException(
+          s"GraftAvro.write: $path already exists; pass overwrite = true " +
+            "to replace it (ErrorIfExists is the default, as with " +
+            "DataFrameWriter.mode)")
+      fs.delete(out, true)
+    }
     fs.mkdirs(out)
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val execConf = new org.apache.hadoop.conf.Configuration(false)

@@ -139,15 +139,31 @@ object Multimodal {
       var dataLen = -1L
       while (i + 8 <= bytes.length && (rate < 0 || dataLen < 0)) {
         val id = fourCC(bytes, i)
+        // Unsigned 32-bit size kept in a Long: a crafted size like
+        // 0xFFFFFFF8 must not wrap to a negative Int (which would make the
+        // advance zero/negative and spin an executor task forever).
         val size = le32(bytes, i + 4).toLong & 0xffffffffL
         if (id == "fmt ") {
+          require(size >= 16 && i + 8 + size <= bytes.length,
+            s"malformed RIFF: fmt chunk at offset $i claims $size bytes " +
+              s"(payload ${bytes.length})")
           channels = le16(bytes, i + 10)
           rate = le32(bytes, i + 12)
           bits = le16(bytes, i + 22)
         } else if (id == "data") {
+          // Tolerate a truncated final data chunk (common in streamed WAVs)
+          // but never a data chunk that claims bytes past the end with more
+          // chunks still needed after it.
           dataLen = math.min(size, bytes.length - (i + 8).toLong)
+        } else {
+          require(i + 8 + size <= bytes.length,
+            s"malformed RIFF: chunk '$id' at offset $i claims $size bytes " +
+              s"(payload ${bytes.length})")
         }
-        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        // Word-aligned advance in Long space; clamp so i stays a valid Int
+        // and the loop guard terminates on truncated input.
+        val next = i.toLong + 8L + size + (size & 1L)
+        i = math.min(next, bytes.length.toLong).toInt
       }
       require(rate > 0 && dataLen >= 0, "missing fmt /data chunk")
       val frameBytes = channels * (bits / 8)

@@ -40,6 +40,14 @@ object QueryLocals {
     case xs: Seq[_] =>
       if (xs.isEmpty)
         throw new IllegalArgumentException(s"@$name: empty collection in an IN-list")
+      // A NULL element would make `x IN (...)` three-valued (never true for
+      // non-members, and negations return no rows) — silently diverging
+      // from pandas `a in @list` with None. Fail as loudly as the
+      // empty-collection case instead.
+      if (xs.exists(_ == null))
+        throw new IllegalArgumentException(
+          s"@$name: null element in an IN-list collection (SQL three-valued " +
+            "logic would silently change membership semantics)")
       xs.map(render(name, _)).mkString("(", ", ", ")")
     case other =>
       throw new IllegalArgumentException(

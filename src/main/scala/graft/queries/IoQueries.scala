@@ -502,7 +502,7 @@ object IoQueries extends QueryPack {
       |WHERE c_custkey <= 1200 ORDER BY c_custkey""".stripMargin) { (s, d) =>
     val src = Tables.customer(s, d).filter(col("c_custkey") <= 1200)
     val path = tmp("avro_roundtrip")
-    GraftAvro.write(src, path, codec = "snappy")
+    GraftAvro.write(src, path, codec = "snappy", overwrite = true)
     GraftAvro.read(s, path,
       columns = Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment"))
       .orderBy("c_custkey")

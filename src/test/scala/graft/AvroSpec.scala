@@ -133,7 +133,7 @@ class AvroSpec extends AnyFunSuite {
       .zipWithIndex.map { case ((_, s, d, xs), i) => (i.toLong, s, d, xs) }
     val df = rows.toDF("id", "s", "d", "xs").repartition(4)
     val path = tmp("prop_roundtrip")
-    GraftAvro.write(df, path, codec = "snappy")
+    GraftAvro.write(df, path, codec = "snappy", overwrite = true)
     val back = GraftAvro.read(spark, path).orderBy("id").collect()
     assert(back.length == rows.length)
     rows.sortBy(_._1).zip(back).foreach { case ((id, s, d, xs), r) =>
@@ -144,6 +144,82 @@ class AvroSpec extends AnyFunSuite {
         java.lang.Double.doubleToLongBits(d) || (rd.isNaN && d.isNaN))
       assert(r.getSeq[Int](3) == xs)
     }
+  }
+
+  test("one multi-block file splits across >1 task with identical rows") {
+    import spark.implicits._
+    // one .avro FILE with many small blocks: a tight sync interval forces
+    // a sync marker every ~200 bytes, so byte-range splits land mid-file
+    val schema = SchemaBuilder.record("big").fields()
+      .requiredLong("id").requiredString("payload").endRecord()
+    val dir = new java.io.File(tmp("split_one_file"))
+    dir.mkdirs()
+    val f = new java.io.File(dir, "part-00000.avro")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.setSyncInterval(200)
+    w.create(schema, f)
+    (0 until 5000).foreach { i =>
+      val r = new GenericData.Record(schema)
+      r.put("id", i.toLong)
+      r.put("payload", s"row-$i-${"x" * 40}")
+      w.append(r)
+    }
+    w.close()
+    assert(f.length() > 64 * 1024, "fixture must be big enough to split")
+
+    val whole = GraftAvro.read(spark, dir.getPath) // default split: 1 task
+    assert(whole.rdd.getNumPartitions == 1)
+    val split = GraftAvro.read(spark, dir.getPath, maxSplitBytes = 16 * 1024)
+    assert(split.rdd.getNumPartitions > 1,
+      s"expected >1 split task, got ${split.rdd.getNumPartitions}")
+    // exactly-once across block-ownership boundaries: same multiset of rows
+    assert(split.count() == 5000)
+    assert(split.select("id").as[Long].collect().sorted.toSeq == (0L until 5000L))
+    assert(split.orderBy("id").collect().toSeq ==
+      whole.orderBy("id").collect().toSeq)
+  }
+
+  test("schema-mismatched part file fails with the file named") {
+    val schemaFull = SchemaBuilder.record("ev").fields()
+      .requiredLong("id").requiredString("extra").endRecord()
+    val schemaMissing = SchemaBuilder.record("ev").fields()
+      .requiredLong("id").endRecord()
+    val dir = new java.io.File(tmp("mismatch"))
+    dir.mkdirs()
+    def put(name: String, schema: Schema): Unit = {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, new java.io.File(dir, name))
+      val r = new GenericData.Record(schema)
+      r.put("id", 1L)
+      if (schema.getField("extra") != null) r.put("extra", "e")
+      w.append(r)
+      w.close()
+    }
+    // driver schema comes from the lexicographically-first part (full);
+    // the second part lacks `extra` with no default -> unresolvable
+    put("part-00000.avro", schemaFull)
+    put("part-00001.avro", schemaMissing)
+    val e = intercept[Exception] {
+      GraftAvro.read(spark, dir.getPath).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(m =>
+      m.contains("part-00001.avro") && m.contains("extra")),
+      s"error chain should name the bad part file: ${chain(e).mkString(" | ")}")
+  }
+
+  test("write refuses an existing path unless overwrite = true") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "s")
+    val path = tmp("overwrite_guard")
+    GraftAvro.write(df, path, overwrite = true) // tmp dir may persist across runs
+    intercept[IllegalArgumentException] {
+      GraftAvro.write(df, path)
+    }
+    GraftAvro.write(df, path, overwrite = true)
+    assert(GraftAvro.read(spark, path).count() == 1)
   }
 
   test("write emits one part per partition and roundtrips types incl. nulls") {
@@ -158,7 +234,7 @@ class AvroSpec extends AnyFunSuite {
         .col("dec").cast(org.apache.spark.sql.types.DecimalType(10, 2)))
       .repartition(3)
     val path = tmp("write_parts")
-    GraftAvro.write(src, path, codec = "deflate")
+    GraftAvro.write(src, path, codec = "deflate", overwrite = true)
     val parts = new java.io.File(path).listFiles()
       .filter(_.getName.endsWith(".avro"))
     assert(parts.length == 3)

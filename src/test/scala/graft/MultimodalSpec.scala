@@ -89,6 +89,39 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WavCodec fails fast on crafted chunk sizes instead of spinning") {
+    def wav(chunks: (String, Array[Byte])*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Array[Byte] = Array(
+        (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      bos.write("RIFF".getBytes); bos.write(le32(0)); bos.write("WAVE".getBytes)
+      chunks.foreach { case (id, body) =>
+        bos.write(id.getBytes); bos.write(le32(body.length)); bos.write(body)
+      }
+      bos.toByteArray
+    }
+    // a chunk size of 0xFFFFFFF8 used to wrap to Int -8 -> zero/negative
+    // advance -> infinite executor-task spin; now it must throw promptly
+    val evil = wav(("fmt ", new Array[Byte](16)))
+    val sizeOff = evil.length - 16 - 4 // the fmt size field
+    val crafted = evil.clone()
+    crafted(sizeOff) = 0xF8.toByte; crafted(sizeOff + 1) = 0xFF.toByte
+    crafted(sizeOff + 2) = 0xFF.toByte; crafted(sizeOff + 3) = 0xFF.toByte
+    val e1 = intercept[IllegalArgumentException] { Multimodal.WavCodec.decode(crafted) }
+    assert(e1.getMessage.contains("malformed RIFF"))
+    // truncated fmt chunk (12 declared bytes, fields read up to +16)
+    val short = wav(("fmt ", new Array[Byte](12)))
+    val e2 = intercept[IllegalArgumentException] { Multimodal.WavCodec.decode(short) }
+    assert(e2.getMessage.contains("fmt"))
+    // an unknown chunk claiming bytes past the payload end
+    val overrun = wav(("LIST", new Array[Byte](4)), ("fmt ", new Array[Byte](16)))
+    val listOff = 12 + 4 // LIST size field
+    val bad = overrun.clone()
+    bad(listOff) = 0x40.toByte // claims 64 bytes, only 4 + fmt follow
+    intercept[IllegalArgumentException] { Multimodal.WavCodec.decode(bad) }
+  }
+
   test("sampleFrameOffsets picks every stride-th frame") {
     import spark.implicits._
     val got = Seq(7).toDF("n")

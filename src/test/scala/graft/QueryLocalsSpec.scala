@@ -91,4 +91,14 @@ class QueryLocalsSpec extends AnyFunSuite {
       QueryLocals.queryExpr("x > @nan", Map("nan" -> Double.NaN))
     }
   }
+
+  test("null element in an IN-list collection is rejected loudly") {
+    // SQL three-valued logic: `x IN (1, NULL)` is never TRUE for x != 1 and
+    // `NOT IN` returns no rows — silently diverging from pandas `in @list`
+    // with None. The divergence must be an error, like the empty list.
+    val e = intercept[IllegalArgumentException] {
+      QueryLocals.queryExpr("x in @xs", Map("xs" -> Seq("a", null, "b")))
+    }
+    assert(e.getMessage.contains("@xs") && e.getMessage.contains("null"))
+  }
 }
