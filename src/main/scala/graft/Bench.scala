@@ -3,6 +3,15 @@ package graft
 /** Benchmark main: full per-query wall seconds written to `target/bench.json`,
   * plus ONE SHORT summary JSON line on stdout.
   *
+  * MEDIAN-OF-N (default 3, `GRAFT_BENCH_REPS`): each query runs N times and
+  * the reported number is the per-query MEDIAN; the per-query MIN rides
+  * along in `queries_min`. A single-shot JVM measurement cannot distinguish
+  * a real regression from one GC pause or scheduler hiccup — the r8 driver
+  * sweep showed 18 queries >1.5× their r7 readings (mi_agg_dict 0.65→5.25 s)
+  * that the same-code re-sweep contradicted. The median kills one-outlier
+  * noise; the min is the best-case floor useful for spotting plan-level
+  * regressions (a plan change moves the min; noise does not).
+  *
   * The stdout line is deliberately small (< ~1.5 KB): the driver archives
   * only a 2000-char tail of the run's stdout, and rounds 6-7 proved that a
   * single line carrying all 258 per-query times gets decapitated there
@@ -44,37 +53,56 @@ object Bench {
     val spark = GraftSession.build("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
     warmup(spark, sfDir)
+    val reps = math.max(1, sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt)
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    // (name -> (median, min)); a query that fails on ANY rep records (-1,-1)
+    // and skips its remaining reps (re-running a broken query N times would
+    // only multiply the noise in the failure signal).
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var ok = true
+      var r = 0
+      while (ok && r < reps) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failed += name
-          false
+          ok = false
         }
-      val secs = (System.nanoTime() - t0) / 1e9
-      graft.ops.OrderedOps.clearPins() // release pins outside the timed region
-      name -> (if (ok) secs else -1.0)
+        if (ok) times += (System.nanoTime() - t0) / 1e9
+        graft.ops.OrderedOps.clearPins() // release pins outside the timed region
+        r += 1
+      }
+      val stats =
+        if (!ok) (-1.0, -1.0)
+        else {
+          val sorted = times.sorted
+          (sorted(sorted.size / 2), sorted.head)
+        }
+      name -> stats
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(f: ((String, (Double, Double))) => Double): String =
+      results.map { case (k, v) => "\"" + k + "\":" + f((k, v)) }
+        .mkString("{", ",", "}")
+    val qs = jmap(_._2._1)
+    val qsMin = jmap(_._2._2)
     val flFull = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.values.map(_._1).filter(_ >= 0).sum
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$flFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qsMin,"failed":$flFull,"sf":"$sfDir"}"""
     val outFile = java.nio.file.Paths.get(
       sys.env.getOrElse("GRAFT_BENCH_FILE", "target/bench.json"))
     Option(outFile.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outFile, (fullLine + "\n").getBytes("UTF-8"))
-    val slow = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(10)
+    val slow = results.collect { case (k, (med, _)) if med >= 0 => k -> med }
+      .toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
       .mkString("{", ",", "}")
     // Inline failed list capped at 20 names so a catastrophic run can't push
     // the summary line past the driver's 2000-char tail either.
     val flShort = failed.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$flShort,"slowest":$slow,"queries_file":"${outFile.toAbsolutePath}","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":${results.size},"n_failed":${failed.size},"failed":$flShort,"slowest":$slow,"queries_file":"${outFile.toAbsolutePath}","sf":"$sfDir"}""")
     spark.stop()
     // rc stays 0 by default: the JSON line is the artifact; failures are
     // visible in the `failed` list and on stderr (a nonzero rc would void

@@ -508,6 +508,93 @@ object IoQueries extends QueryPack {
       .orderBy("c_custkey")
   }
 
+  // --- FOREIGN ORC corpus (r8 parquet playbook applied to ORC) -------------
+  // The reference tests its ORC reader against binary edge fixtures
+  // (python/cudf/cudf/tests/data/orc/TestOrcFile.decimal.orc,
+  // TestOrcFile.gmt.orc — timezone stripes, TestOrcFile.RLEv2.orc; exercised
+  // by python/cudf/cudf/tests/test_orc.py) because self-roundtrips can't
+  // catch reader quirks on files other writers produced. Here the second
+  // writer is the raw orc-core Writer API (graft.io.ForeignOrc) — a
+  // different code path from Spark's DataSource writer — and OrcForeignSpec
+  // asserts the files really carry the foreign structures (multiple
+  // stripes, DIRECT_V2 encodings, a non-UTC stripe writer timezone).
+
+  // Multi-stripe decimals across the 18-digit boundary
+  // (TestOrcFile.decimal.orc; cudf orc reader decimal path).
+  register("io_orc_foreign_decimal",
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(9,2)) AS DOUBLE) AS price_d9,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(20,4)) AS DOUBLE) AS price_d20
+      |FROM lineitem WHERE l_orderkey <= 500
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    // bounded collect (≤ ~2000 rows) is fixture CONSTRUCTION, not a data
+    // path: the raw ORC writer is driver-side by nature
+    val rows = Tables.lineitem(s, d).filter(col("l_orderkey") <= 500)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast(DecimalType(9, 2)).as("price_d9"),
+        col("l_extendedprice").cast(DecimalType(20, 4)).as("price_d20"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getDecimal(2).asInstanceOf[java.math.BigDecimal],
+        r.getDecimal(3).asInstanceOf[java.math.BigDecimal]))
+      .toSeq
+    val path = tmp("orc_foreign_decimal")
+    graft.io.ForeignOrc.writeDecimals(path, rows, stripeEvery = 500)
+    s.read.orc(path)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("price_d9").cast(DoubleType).as("price_d9"),
+        col("price_d20").cast(DoubleType).as("price_d20"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // RLEv2 sub-encoding sweep (TestOrcFile.RLEv2.orc): DELTA (monotonic
+  // key), SHORT_REPEAT (constant), PATCHED_BASE (small values + rare huge
+  // outliers), zigzag DIRECT (sign-alternating ramp).
+  register("io_orc_foreign_rlev2",
+    """SELECT o_orderkey AS okey, 7 AS rep,
+      |  CASE WHEN o_orderkey % 64 = 0 THEN o_orderkey * 1048576 ELSE o_orderkey % 32 END AS pb,
+      |  32 - (o_orderkey % 64) AS zz
+      |FROM orders WHERE o_orderkey <= 4096 ORDER BY okey""".stripMargin) { (s, d) =>
+    val keys = Tables.orders(s, d).filter(col("o_orderkey") <= 4096)
+      .select("o_orderkey").orderBy("o_orderkey")
+      .collect().map(_.getLong(0)).toSeq
+    val rows = keys.map(k => (k, 7L,
+      if (k % 64 == 0) k * 1048576L else k % 32, 32L - (k % 64)))
+    val path = tmp("orc_foreign_rlev2")
+    graft.io.ForeignOrc.writeRlev2(path, rows)
+    s.read.orc(path).orderBy("okey")
+  }
+
+  // Timezone-bearing stripes (TestOrcFile.gmt.orc): the fixture is written
+  // with the JVM zone set to America/Los_Angeles, so the stripe footer
+  // records that zone. ORC timestamps carry WRITER-ZONE WALL-CLOCK
+  // semantics (hive-style local timestamps): the UTC session reads the LA
+  // wall clock, and `to_utc_timestamp(ts, LA)` — the standard consumer
+  // move for a foreign hive-written file — recovers the original
+  // instants. The roundtrip is exact ONLY if the reader applies the
+  // stripe zone's per-date DST rules (PST −8 in winter, PDT −7 in
+  // summer, and the dates span both): a reader that ignored the stripe
+  // footer or applied a constant offset fails the oracle hash on the
+  // summer rows. Seconds-of-day stay in [0, 6h) so no LA wall clock
+  // lands in the fall-back ambiguous hour.
+  register("io_orc_foreign_timezone",
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate AS TIMESTAMP) + (o_orderkey % 21600) * INTERVAL 1 SECOND AS ts
+      |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val rows = Tables.orders(s, d).filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey"),
+        expr("timestampadd(SECOND, CAST(o_orderkey % 21600 AS INT), CAST(o_orderdate AS TIMESTAMP))").as("ts"))
+      .orderBy("o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+    val path = tmp("orc_foreign_timezone")
+    graft.io.ForeignOrc.writeTimestamps(path, rows, "America/Los_Angeles")
+    s.read.orc(path)
+      .select(col("o_orderkey"),
+        to_utc_timestamp(col("ts"), "America/Los_Angeles").as("ts"))
+      .orderBy("o_orderkey")
+  }
+
   // Julian-rebased ancient timestamps (spark datetime rebase; the
   // pre-1582 edge the reference's spark fixtures pin): LEGACY write mode
   // stores hybrid Julian/Gregorian micros for ancient values; the reader
