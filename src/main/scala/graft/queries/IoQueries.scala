@@ -508,6 +508,39 @@ object IoQueries extends QueryPack {
       .orderBy("c_custkey")
   }
 
+  // Unsigned logical types (SURVEY §1.2; reference types.hpp:209-212
+  // UINT8..UINT64): written via parquet-mr's example API with
+  // UINT_8/16/32/64 annotations — no Spark writer emits these, so the read
+  // exercises the widening branches UINT_8→Short, UINT_16→Int,
+  // UINT_32→Long, UINT_64→Decimal(20,0). u32/u64 values have the sign bit
+  // set in their physical storage, so a signed misread would surface
+  // negative numbers and fail the hash. u64 hashes as a string on both
+  // sides (2^64-scale values don't survive float64, and the driver's
+  // compare can't equate object-Decimal with int).
+  register("io_parquet_unsigned",
+    """SELECT o_orderkey,
+      |  CAST(o_orderkey % 256 AS SMALLINT) AS u8,
+      |  CAST((o_orderkey * 257) % 65536 AS INTEGER) AS u16,
+      |  (o_orderkey * 2654435761) % 4294967296 AS u32,
+      |  CAST((CAST(o_orderkey AS HUGEINT) * CAST('11400714819323198485' AS HUGEINT))
+      |       % CAST('18446744073709551616' AS HUGEINT) AS VARCHAR) AS u64_s
+      |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val keys = Tables.orders(s, d).filter(col("o_orderkey") <= 2000)
+      .select("o_orderkey").orderBy("o_orderkey")
+      .collect().map(_.getLong(0)).toSeq
+    val rows = keys.map { k =>
+      (k, (k % 256).toInt, ((k * 257) % 65536).toInt,
+        (k * 2654435761L) % 4294967296L, // 0..2^32-1; high half sets the sign bit
+        k * 0x9E3779B97F4A7C15L) // wrapped 64-bit pattern; unsigned value = +2^64 when negative
+    }
+    val path = tmp("parquet_unsigned")
+    graft.io.ForeignParquet.writeUnsigned(path, rows)
+    s.read.parquet(path)
+      .select(col("okey").as("o_orderkey"), col("u8"), col("u16"), col("u32"),
+        col("u64").cast(StringType).as("u64_s"))
+      .orderBy("o_orderkey")
+  }
+
   // --- FOREIGN ORC corpus (r8 parquet playbook applied to ORC) -------------
   // The reference tests its ORC reader against binary edge fixtures
   // (python/cudf/cudf/tests/data/orc/TestOrcFile.decimal.orc,

@@ -104,6 +104,36 @@ class IoSpec extends AnyFunSuite {
       s"expected legacy-datetime rebase marker, got keys ${rebaseMeta.keySet()}")
   }
 
+  test("unsigned fixture carries UINT annotations and widens on read") {
+    import org.apache.spark.sql.types._
+    SparkEntry.queries("io_parquet_unsigned")(spark, TestSpark.sfDir)
+      .write.format("noop").mode("overwrite").save()
+    val ioTmp = s"${sys.props("java.io.tmpdir")}/graft_io"
+    // footer: the logical annotations really are unsigned (no Spark writer
+    // produces these)
+    val sch = footerSchema(s"$ioTmp/parquet_unsigned")
+    def intAnn(name: String) =
+      field(sch, name).getLogicalTypeAnnotation
+        .asInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation]
+    for ((n, w) <- Seq("u8" -> 8, "u16" -> 16, "u32" -> 32, "u64" -> 64)) {
+      assert(!intAnn(n).isSigned, s"$n should be unsigned")
+      assert(intAnn(n).getBitWidth == w)
+    }
+    // read-side widening (SURVEY §1.2): each type one step wider than its
+    // bit width so the full unsigned range fits
+    val st = spark.read.parquet(s"$ioTmp/parquet_unsigned").schema
+    assert(st("u8").dataType == ShortType)
+    assert(st("u16").dataType == IntegerType)
+    assert(st("u32").dataType == LongType)
+    assert(st("u64").dataType == DecimalType(20, 0))
+    // sign-edge values surface as positive unsigned, not negative signed
+    val mm = spark.read.parquet(s"$ioTmp/parquet_unsigned")
+      .selectExpr("min(u32)", "max(u32)", "min(u64)").collect()(0)
+    assert(mm.getLong(0) >= 0L && mm.getLong(1) > Int.MaxValue.toLong,
+      s"u32 range should cross 2^31: ${mm.getLong(0)}..${mm.getLong(1)}")
+    assert(mm.getDecimal(2).signum() >= 0, "u64 must never read negative")
+  }
+
   /** Key-value metadata of the first part file under `dir`. */
   private def footerMeta(dir: String): java.util.Map[String, String] = {
     val part = new java.io.File(dir).listFiles()
