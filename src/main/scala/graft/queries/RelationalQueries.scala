@@ -359,6 +359,87 @@ object RelationalQueries extends QueryPack {
       .limit(10)
   }
 
+  // --- Q5-shaped composite: 6-table join CYCLE ------------------------------
+  // (The reference has no SQL suite; this pins OUR multi-join plan
+  // discipline on the classic local-supplier shape: region→nation→supplier
+  // fold into one broadcast dim; customer⋈orders and the lineitem probe
+  // shuffle only on their join keys; the c_nationkey = s_nationkey edge
+  // CLOSES THE CYCLE as an extra equi-condition on the final join — no
+  // cartesian anywhere. PlanSpec pins the broadcasts + pushed filters.)
+  register("rel_q5_local_supplier",
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= DATE '1992-01-01' AND o_orderdate < DATE '1996-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+    // dim chain folds driver-free into ONE broadcast: region(1 row after
+    // filter) → nation → supplier, carrying (s_suppkey, s_nationkey, n_name)
+    val nr = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")
+        .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
+    val co = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1992-01-01").cast(DateType) &&
+        col("o_orderdate") < lit("1996-01-01").cast(DateType))
+      .select("o_orderkey", "o_custkey")
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_nationkey")
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(co, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey")) // closes the cycle
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2))
+          * (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // --- Q18-shaped composite: semi-join on an AGGREGATE ----------------------
+  // (Large-volume-customer shape: the HAVING aggregate reduces lineitem to
+  // a small key set BEFORE any join touches orders/customer — the filter
+  // must sit below the joins in the optimized plan, or at 100 TB the join
+  // processes the full fact table for nothing. PlanSpec pins
+  // aggregate-below-join + TakeOrderedAndProject.)
+  register("rel_q18_large_orders",
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  total_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey,
+      |        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250) big
+      |  ON o_orderkey = big.l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).as("qty_dec"))
+      .filter(col("qty_dec") > lit(250))
+      .select(col("l_orderkey"), col("qty_dec").cast(DoubleType).as("total_qty"))
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   // --- §2.4 nunique / distinct_count (stream_compaction.hpp:262) ------------
   register("agg_nunique",
     """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,

@@ -209,6 +209,34 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains(pf), s"missing pushed filter $pf:\n$p")
   }
 
+  test("rel_q5 broadcasts the folded dim chain and pushes both filters") {
+    val qe = SparkEntry.queries("rel_q5_local_supplier")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    // region→nation and the (supplier × nation × region) dim ride broadcasts;
+    // only the customer⋈orders and lineitem-probe joins may shuffle
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    for (pf <- Seq("EqualTo(r_name,ASIA)", "GreaterThanOrEqual(o_orderdate",
+                   "LessThan(o_orderdate"))
+      assert(p.contains(pf), s"missing pushed filter $pf:\n$p")
+  }
+
+  test("rel_q18 aggregates lineitem BELOW the joins and TakeOrders the limit") {
+    val qe = SparkEntry.queries("rel_q18_large_orders")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the HAVING-filtered aggregate must sit under the join, not above it:
+    // find a Join whose child subtree contains the quantity Aggregate
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val joinsWithAggBelow = qe.optimizedPlan.collect {
+      case j: Join if j.children.exists(_.collectFirst {
+        case a: Aggregate if a.aggregateExpressions.exists(_.toString.contains("qty")) => a
+      }.nonEmpty) => j
+    }
+    assert(joinsWithAggBelow.nonEmpty,
+      s"expected the qty aggregate below a join:\n${qe.optimizedPlan}")
+  }
+
   test("io_zorder_key plan stays in one codegen stage up to the final sort") {
     // pure integer projection: no joins, no aggregates, no window
     val p = executedPlan("io_zorder_key")
