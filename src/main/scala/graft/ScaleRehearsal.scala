@@ -33,6 +33,16 @@ object ScaleRehearsal {
     "text_lang_id", "text_quality", "text_fasttext_score",
     "text_fingerprint", "text_gopher_rules", "text_token_budget_pack")
 
+  /** The ordered/window tier (r8 ask #7): these ride the OrderedOps
+    * block-replication constructions that carry the engine's global-order
+    * contract — their claimed shuffle-bounded behavior gets the same
+    * measured 10× evidence as the dedup tier. Inputs are orders/lineitem,
+    * scaled by key-shifted copies (order statistics preserved per copy;
+    * the global window genuinely spans 10× rows). */
+  val OrderedFamily: Seq[String] = Seq(
+    "win_global_cumsum", "win_global_rolling", "idx_global_ffill",
+    "sort_multi_nulls", "win_topk_per_group")
+
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
@@ -64,6 +74,47 @@ object ScaleRehearsal {
     println(s"[scale] built ${docN * copies} docs / ${embN * copies} embeddings at $outDir")
   }
 
+  /** Key-shifted copies of orders/lineitem for the ordered/window tier:
+    * each copy offsets its join/sort keys by k·10⁷ so keys stay unique and
+    * the copies occupy disjoint, consecutive key ranges — the global
+    * ORDER BY genuinely spans 10× rows (block-replicated OrderedOps must
+    * carry boundary state across 10× the range blocks). */
+  def buildScaledRelational(spark: SparkSession, srcDir: String, outDir: String,
+                            copies: Int): Unit = {
+    val shift = (k: Int) => lit(k * 10_000_000L)
+    (0 until copies).map { k =>
+      Tables.orders(spark, srcDir)
+        .withColumn("o_orderkey", col("o_orderkey") + shift(k))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    (0 until copies).map { k =>
+      Tables.lineitem(spark, srcDir)
+        .withColumn("l_orderkey", col("l_orderkey") + shift(k))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+  }
+
+  /** Pathological connected-components input (r8 ask #8): a CHAIN graph of
+    * n vertices has diameter n — min-label propagation cannot converge
+    * within any sane cap, so the run must END IN THE LOUD FAILURE, and
+    * because every capped run executes exactly `cap` rounds, wall-clock at
+    * n vs 10n measures the per-round cost model (O(|edges|) per round ⇒
+    * ≤ ~10× wall at 10× edges). */
+  def ccPathological(spark: SparkSession, sizes: Seq[Long], cap: Int): Unit = {
+    sizes.foreach { n =>
+      val chain = spark.range(n - 1)
+        .select(col("id").as("d1"), (col("id") + 1).as("d2"))
+      val t0 = System.nanoTime()
+      val failed =
+        try { graft.ops.ConnectedComponents.minLabel(chain, maxIters = cap)
+              .write.format("noop").mode("overwrite").save(); false }
+        catch { case _: IllegalStateException => true }
+      val secs = (System.nanoTime() - t0) / 1e9
+      require(failed, s"a $n-vertex chain MUST hit the round cap loudly")
+      println(f"""{"cc_chain_n":$n,"rounds":$cap,"sec":$secs%.2f,"loud_failure":true}""")
+    }
+  }
+
   private def time(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, dir)
@@ -73,17 +124,12 @@ object ScaleRehearsal {
     s
   }
 
-  def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("target/scale")
-    val src = "/root/testdata/sf0.1"
-    val sf1 = s"$out/sf1"
-    val spark = GraftSession.build("graft-scale")
-    spark.sparkContext.setLogLevel("WARN")
-    buildScaled(spark, src, sf1, copies = 10)
+  private def runFamily(spark: SparkSession, family: Seq[String],
+                        src: String, sf1: String, tag: String): Unit = {
     // warmup: absorb JIT/codegen on one family member per scale
-    time(spark, Family.head, src)
-    time(spark, Family.head, sf1)
-    val rows = Family.map { q =>
+    time(spark, family.head, src)
+    time(spark, family.head, sf1)
+    val rows = family.map { q =>
       val t01 = time(spark, q, src)
       val t1 = time(spark, q, sf1)
       println(f"""{"query":"$q","sf01_sec":$t01%.2f,"sf1_sec":$t1%.2f,"ratio":${t1 / t01}%.2f}""")
@@ -91,7 +137,27 @@ object ScaleRehearsal {
     }
     val tot01 = rows.map(_._2).sum
     val tot1 = rows.map(_._3).sum
-    println(f"""{"total_sf01_sec":$tot01%.2f,"total_sf1_sec":$tot1%.2f,"ratio":${tot1 / tot01}%.2f}""")
+    println(f"""{"family":"$tag","total_sf01_sec":$tot01%.2f,"total_sf1_sec":$tot1%.2f,"ratio":${tot1 / tot01}%.2f}""")
+  }
+
+  /** Usage: runMain graft.ScaleRehearsal [outDir] [dedup|ordered|cc|all] */
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("target/scale")
+    val mode = args.drop(1).headOption.getOrElse("all")
+    val src = "/root/testdata/sf0.1"
+    val sf1 = s"$out/sf1"
+    val spark = GraftSession.build("graft-scale")
+    spark.sparkContext.setLogLevel("WARN")
+    if (mode == "all" || mode == "dedup") {
+      buildScaled(spark, src, sf1, copies = 10)
+      runFamily(spark, Family, src, sf1, "dedup")
+    }
+    if (mode == "all" || mode == "ordered") {
+      buildScaledRelational(spark, src, sf1, copies = 10)
+      runFamily(spark, OrderedFamily, src, sf1, "ordered")
+    }
+    if (mode == "all" || mode == "cc")
+      ccPathological(spark, Seq(100000L, 1000000L), cap = 12)
     spark.stop()
   }
 }
