@@ -157,11 +157,17 @@ class AvroSpec extends AnyFunSuite {
     val f = new java.io.File(dir, "part-00000.avro")
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
     w.setSyncInterval(200)
+    // compressed blocks: sync markers sit BETWEEN deflate blocks, so
+    // byte-range splitting must work on compressed files too
+    w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(3))
     w.create(schema, f)
     (0 until 5000).foreach { i =>
       val r = new GenericData.Record(schema)
       r.put("id", i.toLong)
-      r.put("payload", s"row-$i-${"x" * 40}")
+      // high-entropy payload so deflate can't shrink the file below the
+      // size needed to produce multiple byte-range splits
+      r.put("payload", (0 until 4).map(j =>
+        java.lang.Long.toHexString((i * 4L + j) * 0x9E3779B97F4A7C15L)).mkString("-"))
       w.append(r)
     }
     w.close()
