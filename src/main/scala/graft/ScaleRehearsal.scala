@@ -43,6 +43,14 @@ object ScaleRehearsal {
     "win_global_cumsum", "win_global_rolling", "idx_global_ffill",
     "sort_multi_nulls", "win_topk_per_group")
 
+  /** The custom-join tier: as-of (union+window), range (bucketized
+    * equi-join), skew-salted. Inputs scale by key-shifted events (user
+    * series replicate disjointly — per-key window sizes preserved, 10×
+    * the keys) and consistently-shifted lineitem.l_suppkey ↔
+    * supplier.s_suppkey. */
+  val JoinFamily: Seq[String] = Seq(
+    "join_asof", "join_asof_nearest", "join_range_bucketed", "join_skew_salted")
+
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
@@ -90,8 +98,26 @@ object ScaleRehearsal {
     (0 until copies).map { k =>
       Tables.lineitem(spark, srcDir)
         .withColumn("l_orderkey", col("l_orderkey") + shift(k))
+        .withColumn("l_suppkey", col("l_suppkey") + shift(k))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    // suppkeys shift consistently with lineitem so the join fans out the
+    // same per copy; events shift (user_id, event_id) so each copy is a
+    // disjoint block of user series with identical per-key window sizes
+    (0 until copies).map { k =>
+      Tables.supplier(spark, srcDir)
+        .withColumn("s_suppkey", col("s_suppkey") + shift(k))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+    // RAW events file, not Tables.events: the loader derives ts/ts_ns from
+    // the stored nanos column, so the scaled copy must carry the raw shape
+    // (the nanos read back as a plain long — same loader arithmetic)
+    (0 until copies).map { k =>
+      Tables(spark, srcDir, "events")
+        .withColumn("event_id", col("event_id") + shift(k))
+        .withColumn("user_id", col("user_id") + shift(k))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
   /** Pathological connected-components input (r8 ask #8): a CHAIN graph of
@@ -140,7 +166,7 @@ object ScaleRehearsal {
     println(f"""{"family":"$tag","total_sf01_sec":$tot01%.2f,"total_sf1_sec":$tot1%.2f,"ratio":${tot1 / tot01}%.2f}""")
   }
 
-  /** Usage: runMain graft.ScaleRehearsal [outDir] [dedup|ordered|cc|all] */
+  /** Usage: runMain graft.ScaleRehearsal [outDir] [dedup|ordered|joins|cc|all] */
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("target/scale")
     val mode = args.drop(1).headOption.getOrElse("all")
@@ -155,6 +181,10 @@ object ScaleRehearsal {
     if (mode == "all" || mode == "ordered") {
       buildScaledRelational(spark, src, sf1, copies = 10)
       runFamily(spark, OrderedFamily, src, sf1, "ordered")
+    }
+    if (mode == "all" || mode == "joins") {
+      buildScaledRelational(spark, src, sf1, copies = 10)
+      runFamily(spark, JoinFamily, src, sf1, "joins")
     }
     if (mode == "all" || mode == "cc")
       ccPathological(spark, Seq(100000L, 1000000L), cap = 12)
