@@ -90,6 +90,44 @@ object ForeignOrc {
     w.close()
   }
 
+  /** Boolean-with-nulls multi-stripe fixture
+    * (TestOrcFile.boolean_corruption_PR_6636.orc shape): ORC booleans are
+    * BIT-PACKED eight to a byte, and a null-bearing present stream that
+    * crosses stripe/batch boundaries historically desynchronized the bit
+    * cursor (the corruption the reference pins). `b` is a dense boolean,
+    * `bn` a nullable one; intermediate footers force multiple stripes so
+    * the present/data stream realignment happens mid-file. */
+  def writeBooleans(path: String,
+                    rows: Seq[(Long, Boolean, Option[Boolean])],
+                    stripeEvery: Int = 500): Unit = {
+    val schema = TypeDescription.fromString(
+      "struct<k:bigint,b:boolean,bn:boolean>")
+    val w = newWriter(s"$path/part-00000.orc", schema)
+    val batch = schema.createRowBatch(512)
+    val key = batch.cols(0).asInstanceOf[LongColumnVector]
+    val b = batch.cols(1).asInstanceOf[LongColumnVector]
+    val bn = batch.cols(2).asInstanceOf[LongColumnVector]
+    bn.noNulls = false
+    var written = 0
+    rows.foreach { case (k, vb, vbn) =>
+      val i = batch.size
+      key.vector(i) = k
+      b.vector(i) = if (vb) 1L else 0L
+      vbn match {
+        case Some(x) => bn.isNull(i) = false; bn.vector(i) = if (x) 1L else 0L
+        case None => bn.isNull(i) = true; bn.vector(i) = 0L
+      }
+      batch.size += 1
+      written += 1
+      if (batch.size == batch.getMaxSize) {
+        w.addRowBatch(batch); batch.reset(); bn.noNulls = false
+      }
+      if (written % stripeEvery == 0) w.writeIntermediateFooter()
+    }
+    if (batch.size > 0) w.addRowBatch(batch)
+    w.close()
+  }
+
   /** Timezone-stripe fixture (TestOrcFile.gmt.orc shape): ORC stripe
     * footers record the WRITER's timezone, and a correct reader must use
     * it to reconstruct instants written under a different zone. The write

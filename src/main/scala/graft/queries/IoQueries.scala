@@ -599,6 +599,29 @@ object IoQueries extends QueryPack {
     s.read.orc(path).orderBy("okey")
   }
 
+  // Bit-packed booleans with a null-bearing present stream crossing stripe
+  // boundaries (TestOrcFile.boolean_corruption_PR_6636.orc: the
+  // present/data bit-cursor desync the reference pins).
+  register("io_orc_foreign_bool",
+    """SELECT l_orderkey * 10 + l_linenumber AS k,
+      |  (l_orderkey % 3 = 0) AS b,
+      |  CASE WHEN l_orderkey % 5 = 0 THEN NULL ELSE l_quantity > 25 END AS bn
+      |FROM lineitem WHERE l_orderkey <= 500 ORDER BY k""".stripMargin) { (s, d) =>
+    val rows = Tables.lineitem(s, d).filter(col("l_orderkey") <= 500)
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("k"),
+        (col("l_orderkey") % 3 === 0).as("b"),
+        when(col("l_orderkey") % 5 === 0, lit(null))
+          .otherwise(col("l_quantity") > 25).as("bn"))
+      .orderBy("k")
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getBoolean(2))))
+      .toSeq
+    val path = tmp("orc_foreign_bool")
+    graft.io.ForeignOrc.writeBooleans(path, rows, stripeEvery = 500)
+    s.read.orc(path).orderBy("k")
+  }
+
   // Timezone-bearing stripes (TestOrcFile.gmt.orc): the fixture is written
   // with the JVM zone set to America/Los_Angeles, so the stripe footer
   // records that zone. ORC timestamps carry WRITER-ZONE WALL-CLOCK

@@ -21,7 +21,7 @@ class OrcForeignSpec extends AnyFunSuite {
 
   private def materialize(): Unit =
     for (q <- Seq("io_orc_foreign_decimal", "io_orc_foreign_rlev2",
-        "io_orc_foreign_timezone"))
+        "io_orc_foreign_timezone", "io_orc_foreign_bool"))
       SparkEntry.queries(q)(spark, TestSpark.sfDir).write
         .format("noop").mode("overwrite").save()
 
@@ -58,6 +58,21 @@ class OrcForeignSpec extends AnyFunSuite {
           _ == org.apache.orc.OrcProto.ColumnEncoding.Kind.DIRECT_V2),
           s"expected RLEv2 (DIRECT_V2) everywhere, got $kinds")
       } finally rr.close()
+    } finally r.close()
+  }
+
+  test("bool fixture: null-bearing booleans across >1 stripe") {
+    materialize()
+    val r = orcReader(s"$ioTmp/orc_foreign_bool")
+    try {
+      assert(r.getSchema.toString.contains("boolean"))
+      assert(r.getStripes.size() >= 2,
+        s"need the present stream to cross a stripe boundary, got ${r.getStripes.size()}")
+      // the nullable column really carries nulls (footer stats see fewer
+      // values than rows)
+      val stats = r.getStatistics
+      assert(stats(3).getNumberOfValues < r.getNumberOfRows,
+        s"bn should have nulls: ${stats(3).getNumberOfValues} of ${r.getNumberOfRows}")
     } finally r.close()
   }
 
