@@ -200,4 +200,62 @@ class PropertySpec extends AnyFunSuite {
       assert(got(i) == ref, s"case $i positions $ps: got ${got(i)}, want $ref")
     }
   }
+
+  test("random decimals roundtrip the foreign ORC writer bit-exactly") {
+    // fuzz the raw-ORC decimal path the io_orc_foreign_decimal fixture
+    // exercises: random unscaled values across the full precision range,
+    // including negatives, zero, and the max magnitudes for (9,2)/(20,4)
+    val gen = for {
+      u9 <- Gen.chooseNum(-999999999L, 999999999L)
+      u20 <- Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)
+    } yield (java.math.BigDecimal.valueOf(u9, 2),
+      java.math.BigDecimal.valueOf(u20, 4))
+    val decs = sample(Gen.listOfN(400, gen), 23L) ++ Seq(
+      (new java.math.BigDecimal("9999999.99"), new java.math.BigDecimal("9999999999999999.9999")),
+      (new java.math.BigDecimal("-9999999.99"), new java.math.BigDecimal("-9999999999999999.9999")),
+      (java.math.BigDecimal.valueOf(0, 2), java.math.BigDecimal.valueOf(0, 4)))
+    val rows = decs.zipWithIndex.map { case ((d9, d20), i) => (i.toLong, i, d9, d20) }
+    val path = s"${sys.props("java.io.tmpdir")}/graft_prop/orc_dec"
+    graft.io.ForeignOrc.writeDecimals(path, rows, stripeEvery = 100)
+    val back = spark.read.orc(path).orderBy("l_orderkey").collect()
+    assert(back.length == rows.length)
+    rows.zip(back).foreach { case ((k, _, d9, d20), r) =>
+      assert(r.getLong(0) == k)
+      assert(r.getDecimal(2).compareTo(d9) == 0, s"row $k d9: ${r.getDecimal(2)} != $d9")
+      assert(r.getDecimal(3).compareTo(d20) == 0, s"row $k d20: ${r.getDecimal(3)} != $d20")
+    }
+  }
+
+  test("random bit patterns read back as their unsigned parquet values") {
+    // fuzz the UINT widening path: arbitrary raw bits in each physical
+    // width must surface as the unsigned interpretation in the widened type
+    val gen = for {
+      u8 <- Gen.chooseNum(0, 255)
+      u16 <- Gen.chooseNum(0, 65535)
+      u32 <- Gen.chooseNum(0L, 4294967295L)
+      u64 <- Gen.chooseNum(Long.MinValue, Long.MaxValue) // raw signed bits
+    } yield (u8, u16, u32, u64)
+    val cases = sample(Gen.listOfN(400, gen), 29L) ++ Seq(
+      (255, 65535, 4294967295L, -1L), // all-ones in every width
+      (0, 0, 0L, 0L),
+      (128, 32768, 2147483648L, Long.MinValue)) // exactly the sign bit
+    val rows = cases.zipWithIndex.map { case ((a, b, c, d), i) => (i.toLong, a, b, c, d) }
+    val path = s"${sys.props("java.io.tmpdir")}/graft_prop/parquet_unsigned"
+    graft.io.ForeignParquet.writeUnsigned(path, rows)
+    val back = spark.read.parquet(path).orderBy("okey").collect()
+    assert(back.length == rows.length)
+    val two64 = java.math.BigInteger.ONE.shiftLeft(64)
+    rows.zip(back).foreach { case ((k, u8, u16, u32, u64raw), r) =>
+      assert(r.getLong(0) == k)
+      assert(r.getShort(1).toInt == u8)
+      assert(r.getInt(2) == u16)
+      assert(r.getLong(3) == u32)
+      val expected = {
+        val bi = java.math.BigInteger.valueOf(u64raw)
+        if (u64raw < 0) bi.add(two64) else bi
+      }
+      assert(r.getDecimal(4).toBigInteger == expected,
+        s"row $k u64: ${r.getDecimal(4)} != $expected (raw $u64raw)")
+    }
+  }
 }
