@@ -120,6 +120,91 @@ object ScaleRehearsal {
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
+  /** Skew-payoff demo: the registered `join_skew_salted` query runs on
+    * organic (unskewed) data where Spark broadcasts the dim and salt is
+    * moot — the honest measurement of WHY SkewJoin exists needs (a) a
+    * corpus with a genuinely hot key (50% of 10×-scaled lineitem lands on
+    * one suppkey) and (b) broadcast + AQE-skew mitigation disabled, i.e.
+    * the regime where the dim is too big to broadcast and the engine
+    * must shuffle — there a plain join funnels the hot key through ONE
+    * task while salting spreads it over `saltFactor`. Both variants are
+    * asserted row-identical before timing. */
+  def skewDemo(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    val hot = 7L
+    (0 until 20).map { k =>
+      Tables.lineitem(spark, srcDir)
+        .withColumn("l_orderkey", col("l_orderkey") + lit(k * 10_000_000L))
+        .withColumn("l_suppkey",
+          when(col("l_orderkey") % 10 < 9, lit(hot)).otherwise(col("l_suppkey")))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    Tables.supplier(spark, srcDir)
+      .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "false",
+      // AQE coalesce would merge the whole 12M-row shuffle into a couple
+      // of partitions at this data size, hiding the hot-key imbalance the
+      // demo measures (it did: both variants read ~12M records in one
+      // task until this was pinned off)
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = Tables.lineitem(spark, outDir)
+        .withColumn("s_suppkey", col("l_suppkey"))
+        .select("s_suppkey", "l_orderkey", "l_quantity")
+      val dim = Tables.supplier(spark, outDir).select("s_suppkey", "s_nationkey")
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("s_nationkey")).agg(
+          count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+      val plainDf = agg(fact.join(dim, Seq("s_suppkey")))
+      val saltedDf = agg(graft.ops.SkewJoin.saltedInnerJoin(
+        fact, dim, "s_suppkey", factIdCol = "l_orderkey", saltFactor = 32))
+      require(plainDf.exceptAll(saltedDf).isEmpty &&
+        saltedDf.exceptAll(plainDf).isEmpty, "salted join must be row-identical")
+      def t(df: org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def med3(df: org.apache.spark.sql.DataFrame): Double =
+        Seq(t(df), t(df), t(df)).sorted.apply(1)
+      def joinKind(df: org.apache.spark.sql.DataFrame): String =
+        Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+          .filter(df.queryExecution.executedPlan.toString.contains).mkString("+")
+      // per-task shuffle-read balance: the metric that IS the wall-clock on
+      // a real cluster (one executor sorting the hot partition while the
+      // fleet idles). Captured via listener across one run of the job.
+      val maxRecords = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null)
+            maxRecords.getAndUpdate(v => math.max(v, m.shuffleReadMetrics.recordsRead))
+        }
+      }
+      def maxTask(df: org.apache.spark.sql.DataFrame): Long = {
+        maxRecords.set(0)
+        spark.sparkContext.addSparkListener(listener)
+        try { df.write.format("noop").mode("overwrite").save() }
+        finally {
+          // listener events are async; a short drain keeps the max stable
+          Thread.sleep(500)
+          spark.sparkContext.removeSparkListener(listener)
+        }
+        maxRecords.get()
+      }
+      t(plainDf); t(saltedDf) // warm both plans
+      val plain = med3(plainDf)
+      val salted = med3(saltedDf)
+      val plainMax = maxTask(plainDf)
+      val saltedMax = maxTask(saltedDf)
+      println(f"""{"skew_demo":"hot_key_90pct_20x","plain_sec":$plain%.2f,"salted_sec":$salted%.2f,"plain_max_task_records":$plainMax,"salted_max_task_records":$saltedMax,"balance_gain":${plainMax.toDouble / saltedMax}%.1f,"plain_join":"${joinKind(plainDf)}","salted_join":"${joinKind(saltedDf)}"}""")
+    } finally olds.foreach { case (k, o) =>
+      o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   /** Pathological connected-components input (r8 ask #8): a CHAIN graph of
     * n vertices has diameter n — min-label propagation cannot converge
     * within any sane cap, so the run must END IN THE LOUD FAILURE, and
@@ -166,7 +251,7 @@ object ScaleRehearsal {
     println(f"""{"family":"$tag","total_sf01_sec":$tot01%.2f,"total_sf1_sec":$tot1%.2f,"ratio":${tot1 / tot01}%.2f}""")
   }
 
-  /** Usage: runMain graft.ScaleRehearsal [outDir] [dedup|ordered|joins|cc|all] */
+  /** Usage: runMain graft.ScaleRehearsal [outDir] [dedup|ordered|joins|cc|skew|all] */
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("target/scale")
     val mode = args.drop(1).headOption.getOrElse("all")
@@ -188,6 +273,8 @@ object ScaleRehearsal {
     }
     if (mode == "all" || mode == "cc")
       ccPathological(spark, Seq(100000L, 1000000L), cap = 12)
+    if (mode == "all" || mode == "skew")
+      skewDemo(spark, src, s"$out/skew")
     spark.stop()
   }
 }
