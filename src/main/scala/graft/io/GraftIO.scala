@@ -66,7 +66,16 @@ object GraftIO {
       thousands: Option[Char] = None,    // digit grouping sep in numerics
       trueValues: Seq[String] = Nil,     // extra boolean-true spellings
       falseValues: Seq[String] = Nil,    // extra boolean-false spellings
-      compression: String = "auto")      // Spark infers codec from extension
+      compression: String = "auto",      // Spark infers codec from extension
+      multiLine: Boolean = false,        // quoted fields may span lines
+                                         // (costs per-file parsing: a
+                                         // multiLine file is not splittable
+                                         // — reserve for quirky foreign
+                                         // drops, never bulk corpora)
+      doublequote: Boolean = false)      // RFC-4180 "" escapes inside quoted
+                                         // fields (pandas/cudf doublequote;
+                                         // Spark's default escape is \, so
+                                         // this maps to escape='"')
 
   def readCsv(spark: SparkSession, path: String, o: CsvOptions = CsvOptions()): DataFrame = {
     require(o.compression == "auto" || o.compression == "infer",
@@ -93,6 +102,8 @@ object GraftIO {
       .option("header", o.header)
       .option("sep", o.sep)
       .option("mode", "PERMISSIVE")
+    if (o.multiLine) r = r.option("multiLine", true)
+    if (o.doublequote) r = r.option("escape", "\"")
     if (o.naValues.nonEmpty) r = r.option("nullValue", o.naValues.head)
     o.comment.foreach(c => r = r.option("comment", c.toString))
     r = o.dtype match {

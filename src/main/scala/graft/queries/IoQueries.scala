@@ -101,6 +101,37 @@ object IoQueries extends QueryPack {
       .orderBy("c_custkey")
   }
 
+  // --- FOREIGN CSV quirks: BOM + CRLF + quoted embedded newlines -----------
+  // (The reader edges every third-party CSV drop eventually hits — the
+  // reference's csv tests pin quoted-field handling, cudf/io/csv.py
+  // quoting/quotechar and tests/test_csv.py; UTF-8 BOM and CRLF are the
+  // Windows-export signature.) The fixture is RAW BYTES written directly —
+  // no CSV writer involved — and read with multiLine quoted-field parsing.
+  // multiLine costs splittability (per-file parse), which is why it's an
+  // explicit option, not a default.
+  register("io_csv_foreign_quirks",
+    """SELECT n_nationkey,
+      |  'line1' || chr(10) || '"q" end #' || n_nationkey AS note
+      |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    val keys = Tables.nation(s, d).select("n_nationkey").orderBy("n_nationkey")
+      .collect().map(_.getInt(0)).toSeq
+    val body = keys.map { k =>
+      // embedded LF and ""-escaped quotes inside a quoted field
+      s"""$k,"line1\n""q"" end #$k""""
+    }.mkString("\r\n") // CRLF record separators
+    val bytes = ("\uFEFF" + "n_nationkey,note\r\n" + body + "\r\n").getBytes("UTF-8")
+    val dir = new java.io.File(tmp("csv_foreign_quirks"))
+    dir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(dir, "part-00000.csv").toPath, bytes)
+    GraftIO.readCsv(s, dir.getPath, CsvOptions(
+      header = true, multiLine = true, doublequote = true,
+      dtype = Some(StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("note", StringType))))))
+      .orderBy("n_nationkey")
+  }
+
   // --- JSON-lines roundtrip (cudf/io/json.py:14, lines=True engine) --------
   register("io_json_roundtrip",
     """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""") { (s, d) =>
