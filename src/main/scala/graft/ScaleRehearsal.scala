@@ -206,23 +206,25 @@ object ScaleRehearsal {
   }
 
   /** Pathological connected-components input (r8 ask #8): a CHAIN graph of
-    * n vertices has diameter n — min-label propagation cannot converge
-    * within any sane cap, so the run must END IN THE LOUD FAILURE, and
-    * because every capped run executes exactly `cap` rounds, wall-clock at
-    * n vs 10n measures the per-round cost model (O(|edges|) per round ⇒
-    * ≤ ~10× wall at 10× edges). */
-  def ccPathological(spark: SparkSession, sizes: Seq[Long], cap: Int): Unit = {
+    * n vertices has diameter n. With pointer doubling (r9) the chain
+    * CONVERGES in ~log2(n) rounds at the default cap — timed at n and 10n
+    * to pin the per-round O(|edges|+|V|) cost model — and the loud-failure
+    * contract is pinned separately with a cap far below the log bound. */
+  def ccPathological(spark: SparkSession, sizes: Seq[Long]): Unit = {
     sizes.foreach { n =>
       val chain = spark.range(n - 1)
         .select(col("id").as("d1"), (col("id") + 1).as("d2"))
       val t0 = System.nanoTime()
+      val labels = graft.ops.ConnectedComponents.minLabel(chain)
+      val distinct = labels.select("label").distinct().count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      require(distinct == 1L, s"a chain is ONE component, got $distinct labels")
       val failed =
-        try { graft.ops.ConnectedComponents.minLabel(chain, maxIters = cap)
+        try { graft.ops.ConnectedComponents.minLabel(chain, maxIters = 4)
               .write.format("noop").mode("overwrite").save(); false }
         catch { case _: IllegalStateException => true }
-      val secs = (System.nanoTime() - t0) / 1e9
-      require(failed, s"a $n-vertex chain MUST hit the round cap loudly")
-      println(f"""{"cc_chain_n":$n,"rounds":$cap,"sec":$secs%.2f,"loud_failure":true}""")
+      require(failed, s"cap 4 on a $n-vertex chain MUST fail loudly")
+      println(f"""{"cc_chain_n":$n,"converged_sec":$secs%.2f,"one_component":true,"tiny_cap_loud_failure":true}""")
     }
   }
 
@@ -272,7 +274,7 @@ object ScaleRehearsal {
       runFamily(spark, JoinFamily, src, sf1, "joins")
     }
     if (mode == "all" || mode == "cc")
-      ccPathological(spark, Seq(100000L, 1000000L), cap = 12)
+      ccPathological(spark, Seq(100000L, 1000000L))
     if (mode == "all" || mode == "skew")
       skewDemo(spark, src, s"$out/skew")
     spark.stop()

@@ -22,17 +22,24 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
-  test("a chain longer than the round cap fails loudly, not partially") {
+  test("pointer doubling converges a deep chain in O(log n) rounds") {
     import spark.implicits._
-    // path graph 0-1-2-...-39: the min label 0 moves one hop per round
-    // (plus the free first round), so 12 rounds cannot finish 40 nodes
-    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("d1", "d2")
+    // path graph 0-1-...-499: diameter 499. Plain propagation would need
+    // ~500 rounds; label shortcutting halves pointer chains each round,
+    // so ~11 rounds suffice — well under the default cap of 32.
+    val chain = (0L until 499L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val ok = ConnectedComponents.minLabel(chain).collect()
+    assert(ok.forall(_.getLong(1) == 0L) && ok.length == 500)
+  }
+
+  test("a cap below the log bound still fails loudly, not partially") {
+    import spark.implicits._
+    // after 3 rounds shortcutting reaches distance ≈ 2^2; a 500-node
+    // chain cannot finish — the loud-failure contract is unchanged
+    val chain = (0L until 499L).map(i => (i, i + 1)).toDF("d1", "d2")
     val e = intercept[IllegalStateException] {
-      ConnectedComponents.minLabel(chain, maxIters = 12)
+      ConnectedComponents.minLabel(chain, maxIters = 3)
     }
     assert(e.getMessage.contains("did not converge"))
-    // the same graph converges with a cap past the path length
-    val ok = ConnectedComponents.minLabel(chain, maxIters = 45).collect()
-    assert(ok.forall(_.getLong(1) == 0L) && ok.length == 40)
   }
 }
