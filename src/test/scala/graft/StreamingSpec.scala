@@ -89,6 +89,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingDedup state survives a checkpointed stop/restart") {
+    import spark.implicits._
+    // the operational contract at 100 TB/day: a restarted ingest job must
+    // not re-admit digests it already passed before the crash. File source
+    // (replayable) + file sink (exactly-once via _spark_metadata) + the
+    // SAME checkpoint dir across two query incarnations; the batch-2
+    // duplicate of a batch-1 digest is dropped ONLY if the dedup state
+    // store recovered from the checkpoint.
+    val root = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_stream_restart_${System.nanoTime()}")
+    val (in, out, ckpt) = (new java.io.File(root, "in"),
+      new java.io.File(root, "out"), new java.io.File(root, "ckpt"))
+    in.mkdirs()
+    def addBatch(name: String, rows: Seq[(Timestamp, Long)]): Unit =
+      rows.toDF("ts", "digest").repartition(1)
+        .write.mode("append").parquet(in.getPath)
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema("ts TIMESTAMP, digest BIGINT").parquet(in.getPath)
+      val q = GraftStreaming.streamingDedup(src, "ts", "digest", "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out.getPath)
+        .option("checkpointLocation", ckpt.getPath)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    addBatch("b1", Seq((ts(1), 100L), (ts(2), 200L)))
+    runOnce() // incarnation 1 admits 100 and 200
+    addBatch("b2", Seq((ts(3), 100L), (ts(4), 300L))) // 100 is a replayed dup
+    runOnce() // incarnation 2 must remember 100 from the checkpoint
+    val got = spark.read.parquet(out.getPath)
+      .select("digest").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(100L, 200L, 300L),
+      s"restart must keep dedup state (no re-admitted 100, no losses): $got")
+  }
+
   test("corpusPrepStream gates quality then dedups digests, streaming == batch") {
     import spark.implicits._
     // (ts, doc_id, digest, n_tokens, quality): doc 2 is a dup of doc 1's
