@@ -145,6 +145,52 @@ object IoQueries extends QueryPack {
       .orderBy("n_nationkey")
   }
 
+  // --- FOREIGN JSON-lines quirks ------------------------------------------
+  // (cudf/io/json.py + tests/test_json.py: schema'd reads over files OTHER
+  // writers produced.) Raw-byte fixture: \uXXXX unicode escapes that must
+  // decode, per-row FIELD ORDER shuffling (name-based resolution, never
+  // positional), sparse/missing fields (→ null), and a nested
+  // object+array projected through the schema.
+  register("io_json_foreign_quirks",
+    """SELECT n_nationkey,
+      |  CASE WHEN n_nationkey % 3 = 0 THEN NULL
+      |       ELSE 'café #' || n_nationkey END AS name_u,
+      |  n_regionkey AS region,
+      |  'r' || n_regionkey || ',n' || n_nationkey AS tags_csv
+      |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    val rows = Tables.nation(s, d).select("n_nationkey", "n_regionkey")
+      .orderBy("n_nationkey").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val lines = rows.map { case (k, rk) =>
+      val name = s""""name_u":"caf\\u00e9 #$k""""
+      val meta = s""""meta":{"region":$rk,"tags":["r$rk","n$k"]}"""
+      val key = s""""n_nationkey":$k"""
+      // field order varies per row; every third row omits name_u entirely
+      (k % 3, k % 2) match {
+        case (0, 0) => s"{$meta,$key}"
+        case (0, _) => s"{$key,$meta}"
+        case (_, 0) => s"{$name,$meta,$key}"
+        case _ => s"{$key,$name,$meta}"
+      }
+    }
+    val dir = new java.io.File(tmp("json_foreign_quirks"))
+    dir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(dir, "part-00000.jsonl").toPath,
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    s.read.schema(StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("name_u", StringType),
+        StructField("meta", StructType(Seq(
+          StructField("region", IntegerType),
+          StructField("tags", ArrayType(StringType))))))))
+      .json(dir.getPath)
+      .select(col("n_nationkey"), col("name_u"),
+        col("meta.region").as("region"),
+        array_join(col("meta.tags"), ",").as("tags_csv"))
+      .orderBy("n_nationkey")
+  }
+
   // --- ORC roundtrip (cudf/io/orc.py:225; zstd compression) ----------------
   register("io_orc_roundtrip",
     """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
