@@ -200,7 +200,27 @@ object ScaleRehearsal {
       val salted = med3(saltedDf)
       val plainMax = maxTask(plainDf)
       val saltedMax = maxTask(saltedDf)
-      println(f"""{"skew_demo":"hot_key_90pct_20x","plain_sec":$plain%.2f,"salted_sec":$salted%.2f,"plain_max_task_records":$plainMax,"salted_max_task_records":$saltedMax,"balance_gain":${plainMax.toDouble / saltedMax}%.1f,"plain_join":"${joinKind(plainDf)}","salted_join":"${joinKind(saltedDf)}"}""")
+      // third variant: AQE's runtime skew-join mitigation on the PLAIN
+      // join. Out of the box it DECLINES here — the downstream groupBy
+      // needs hash partitioning, and OptimizeSkewedJoin won't split a
+      // skewed partition when that would add a shuffle (plus the byte
+      // threshold is sized for clusters, not this corpus) — so the split
+      // must be forced and the threshold lowered. That asymmetry is the
+      // point of keeping SkewJoin: salting is a plan-level fix that works
+      // for any join strategy and downstream layout; AQE is a runtime
+      // mitigation with engagement conditions.
+      val aqeConfs = Seq(
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m")
+      val aqeOlds = aqeConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      aqeConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val (aqe, aqeMax) =
+        try { t(plainDf); (med3(plainDf), maxTask(plainDf)) }
+        finally aqeOlds.foreach { case (k, o) =>
+          o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      println(f"""{"skew_demo":"hot_key_90pct_20x","plain_sec":$plain%.2f,"salted_sec":$salted%.2f,"aqe_forced_sec":$aqe%.2f,"plain_max_task_records":$plainMax,"salted_max_task_records":$saltedMax,"aqe_max_task_records":$aqeMax,"balance_gain":${plainMax.toDouble / saltedMax}%.1f,"plain_join":"${joinKind(plainDf)}","salted_join":"${joinKind(saltedDf)}"}""")
     } finally olds.foreach { case (k, o) =>
       o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
