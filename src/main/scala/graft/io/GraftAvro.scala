@@ -128,21 +128,10 @@ object GraftAvro {
 
   // ---- read ----------------------------------------------------------------
 
-  /** One broadcast Hadoop-conf snapshot per SparkSession, not per call: a
-    * long-lived session running many Avro queries must not accumulate
-    * broadcast blocks on driver + executors (the conf never changes between
-    * calls in practice; a session restart gets a fresh entry). */
-  private val confCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      SparkSession,
-      org.apache.spark.broadcast.Broadcast[Map[String, String]]]()
-
-  private def confBroadcast(spark: SparkSession)
-      : org.apache.spark.broadcast.Broadcast[Map[String, String]] =
-    confCache.computeIfAbsent(spark, s =>
-      s.sparkContext.broadcast(
-        s.sparkContext.hadoopConfiguration.iterator().asScala
-          .map(e => e.getKey -> e.getValue).toMap))
+  // One broadcast Hadoop-conf snapshot per SparkSession (shared with the
+  // Feather source; see GraftHadoop for the rationale).
+  private def confBroadcast(spark: SparkSession) =
+    GraftHadoop.confBroadcast(spark)
 
   /** Lists the .avro part files under `path` (a file or directory) with
     * their byte lengths (split planning needs them). */

@@ -1,0 +1,515 @@
+package graft.io
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.complex.{ListVector, StructVector}
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
+import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit => ATimeUnit}
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Feather v2 source/sink. Feather v2 IS the Arrow IPC file format
+  * (magic `ARROW1`), and Spark bundles the Arrow Java libraries
+  * (arrow-vector / arrow-memory / arrow-compression 18.x) for its own
+  * Python interchange — so, exactly like [[GraftAvro]] un-blocked
+  * read_avro on the bundled codec, feather needs no new dependency.
+  * Reference: python/cudf/cudf/io/feather.py:12 (read_feather /
+  * to_feather as pyarrow passthroughs — the file format below is the
+  * same one pyarrow emits).
+  *
+  * Scale shape: SPLITTABLE reads at record-batch granularity. The IPC
+  * file footer indexes every record batch (offset + length), so the
+  * driver plans one task per group of batches (grouped to
+  * `maxSplitBytes` of body bytes) and each task seeks straight to its
+  * batches — a single giant third-party .feather drop parallelizes
+  * across the cluster with no scan-to-find-boundaries pass (cheaper
+  * than the Avro sync-marker protocol: the footer IS the split index).
+  * Batch body IO is monolithic per batch (buffers for all columns live
+  * in one contiguous body), so `columns=` prunes at CONVERSION, not IO
+  * — same contract as the reference's feather passthrough, which also
+  * materializes whole record batches.
+  *
+  * Compressed buffer support (LZ4_FRAME / ZSTD — what pandas
+  * `to_feather` emits by default) comes from the bundled
+  * arrow-compression `CommonsCompressionFactory` on the read side and
+  * the `ArrowFileWriter` codec constructor on the write side.
+  *
+  * Unsigned integer columns widen exactly like the parquet unsigned
+  * ingest path (SURVEY §1.2): UINT8→Short, UINT16→Int, UINT32→Long,
+  * UINT64→Decimal(20,0) — a signed misread would surface negative
+  * values and fail the oracle hash.
+  */
+object GraftFeather {
+
+  // ---- allocator (one per JVM; vectors are task-scoped) --------------------
+
+  private lazy val allocator = new RootAllocator(Long.MaxValue)
+
+  // ---- schema mapping ------------------------------------------------------
+
+  /** Arrow field → Spark type (read side). */
+  def toSparkType(f: Field): DataType = f.getType match {
+    case _: ArrowType.Bool => BooleanType
+    case i: ArrowType.Int if i.getIsSigned => i.getBitWidth match {
+      case 8 => ByteType
+      case 16 => ShortType
+      case 32 => IntegerType
+      case 64 => LongType
+      case w => throw new IllegalArgumentException(s"unsupported int width $w")
+    }
+    case i: ArrowType.Int => i.getBitWidth match { // unsigned: widen (§1.2)
+      case 8 => ShortType
+      case 16 => IntegerType
+      case 32 => LongType
+      case 64 => DecimalType(20, 0)
+      case w => throw new IllegalArgumentException(s"unsupported uint width $w")
+    }
+    case fp: ArrowType.FloatingPoint => fp.getPrecision match {
+      case FloatingPointPrecision.SINGLE => FloatType
+      case FloatingPointPrecision.DOUBLE => DoubleType
+      case p => throw new IllegalArgumentException(s"unsupported float precision $p")
+    }
+    case _: ArrowType.Utf8 | _: ArrowType.LargeUtf8 => StringType
+    case _: ArrowType.Binary | _: ArrowType.LargeBinary => BinaryType
+    case _: ArrowType.Date => DateType
+    case t: ArrowType.Timestamp =>
+      if (t.getTimezone == null) TimestampNTZType else TimestampType
+    case d: ArrowType.Decimal => DecimalType(d.getPrecision, d.getScale)
+    case _: ArrowType.List | _: ArrowType.LargeList =>
+      val elem = f.getChildren.get(0)
+      ArrayType(toSparkType(elem), elem.isNullable)
+    case _: ArrowType.Struct =>
+      StructType(f.getChildren.asScala.map(c =>
+        StructField(c.getName, toSparkType(c), c.isNullable)).toSeq)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported Arrow type $other")
+  }
+
+  /** Per-column value converter, built once per file from the Arrow field
+    * (the field carries unit/signedness the runtime object loses — a bare
+    * Long could be micros or nanos; a bare Byte could be i8 or u8). */
+  private def converter(f: Field): Any => Any = {
+    val conv: Any => Any = f.getType match {
+      case i: ArrowType.Int if !i.getIsSigned => i.getBitWidth match {
+        case 8 => v => v match {
+          case b: java.lang.Byte => ((b.toInt) & 0xff).toShort
+          case n: Number => n.shortValue()
+        }
+        case 16 => v => v match {
+          case c: java.lang.Character => c.toInt
+          case s: java.lang.Short => s.toInt & 0xffff
+          case n: Number => n.intValue()
+        }
+        case 32 => v => v match {
+          case i32: java.lang.Integer => i32.toLong & 0xffffffffL
+          case n: Number => n.longValue()
+        }
+        case _ => v => v match {
+          case l: java.lang.Long =>
+            BigDecimal(new java.math.BigInteger(java.lang.Long.toUnsignedString(l)))
+          case n: Number => BigDecimal(n.toString)
+        }
+      }
+      case _: ArrowType.Utf8 | _: ArrowType.LargeUtf8 => v => v.toString
+      case _: ArrowType.Date => v => v match {
+        case days: java.lang.Integer =>
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong))
+        case ldt: java.time.LocalDateTime => java.sql.Date.valueOf(ldt.toLocalDate)
+      }
+      case t: ArrowType.Timestamp =>
+        val toMicros: Long => Long = t.getUnit match {
+          case ATimeUnit.SECOND => _ * 1000000L
+          case ATimeUnit.MILLISECOND => _ * 1000L
+          case ATimeUnit.MICROSECOND => identity
+          case ATimeUnit.NANOSECOND => Math.floorDiv(_, 1000L)
+        }
+        def micros(v: Any): Long = v match {
+          case l: java.lang.Long => toMicros(l)
+          case ldt: java.time.LocalDateTime => // getObject pre-applies the unit
+            val inst = ldt.toInstant(java.time.ZoneOffset.UTC)
+            inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+        }
+        if (t.getTimezone == null)
+          // TimestampNTZ: wall-clock, no instant semantics
+          v => java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(micros(v), 1000000L),
+            (Math.floorMod(micros(v), 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
+        else
+          v => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+            Math.floorDiv(micros(v), 1000000L),
+            Math.floorMod(micros(v), 1000000L) * 1000L))
+      case _: ArrowType.Decimal => v =>
+        BigDecimal(v.asInstanceOf[java.math.BigDecimal])
+      case _: ArrowType.List | _: ArrowType.LargeList =>
+        val elem = converter(f.getChildren.get(0))
+        v => v.asInstanceOf[java.util.List[Any]].asScala
+          .map(e => if (e == null) null else elem(e)).toSeq
+      case _: ArrowType.Struct =>
+        val children = f.getChildren.asScala.toSeq
+        val convs = children.map(converter)
+        v => {
+          val m = v.asInstanceOf[java.util.Map[String, Any]]
+          Row.fromSeq(children.zip(convs).map { case (c, cf) =>
+            val cv = m.get(c.getName)
+            if (cv == null) null else cf(cv)
+          })
+        }
+      case _ => identity // bool/signed ints/float/double/binary pass through
+    }
+    v => if (v == null) null else conv(v)
+  }
+
+  // ---- read ----------------------------------------------------------------
+
+  /** A SeekableByteChannel over a Hadoop input stream — the Arrow reader
+    * wants NIO channel seeks; Hadoop gives Seekable streams. Same role
+    * FsInput plays for the Avro reader. */
+  private class HadoopChannel(in: org.apache.hadoop.fs.FSDataInputStream,
+                              len: Long)
+      extends java.nio.channels.SeekableByteChannel {
+    private var pos = 0L
+    private var open = true
+    override def read(dst: java.nio.ByteBuffer): Int = {
+      val want = math.min(dst.remaining().toLong, len - pos).toInt
+      if (want <= 0) return -1
+      val arr = new Array[Byte](want)
+      in.seek(pos)
+      val n = in.read(arr, 0, want)
+      if (n > 0) { dst.put(arr, 0, n); pos += n }
+      n
+    }
+    override def write(src: java.nio.ByteBuffer): Int =
+      throw new UnsupportedOperationException("read-only channel")
+    override def position(): Long = pos
+    override def position(p: Long): java.nio.channels.SeekableByteChannel = {
+      pos = p; this
+    }
+    override def size(): Long = len
+    override def truncate(s: Long): java.nio.channels.SeekableByteChannel =
+      throw new UnsupportedOperationException("read-only channel")
+    override def isOpen: Boolean = open
+    override def close(): Unit = { open = false; in.close() }
+  }
+
+  private def openReader(conf: org.apache.hadoop.conf.Configuration,
+                         file: String, len: Long): ArrowFileReader = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(conf)
+    new ArrowFileReader(
+      new HadoopChannel(fs.open(p), len), allocator,
+      org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
+  }
+
+  private def partFiles(spark: SparkSession, path: String): Seq[(String, Long)] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stat = fs.getFileStatus(p)
+    val files =
+      if (stat.isDirectory)
+        fs.listStatus(p).toSeq
+          .filter { f =>
+            val n = f.getPath.getName
+            (n.endsWith(".feather") || n.endsWith(".arrow")) && !n.startsWith("_")
+          }
+      else Seq(stat)
+    require(files.nonEmpty, s"no .feather/.arrow files under $path")
+    files.map(f => f.getPath.toString -> f.getLen).sortBy(_._1)
+  }
+
+  /** read_feather(path, columns=...): schema + split plan from the IPC
+    * footers (one footer read per file, on the driver — same cost class
+    * as parquet footer planning), then one task per batch group. */
+  def read(spark: SparkSession, path: String,
+           columns: Seq[String] = Nil,
+           maxSplitBytes: Long = 128L << 20): DataFrame = {
+    require(maxSplitBytes > 0, s"maxSplitBytes must be positive, got $maxSplitBytes")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = partFiles(spark, path)
+    // driver: schema from the first footer; batch index from every footer
+    val (arrowFields, batchInfo) = {
+      val head = openReader(conf, files.head._1, files.head._2)
+      val fields =
+        try head.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq
+        finally head.close()
+      val info = files.map { case (f, len) =>
+        val r = openReader(conf, f, len)
+        try {
+          val blocks = r.getRecordBlocks.asScala
+          (f, len, blocks.map(b => b.getBodyLength + b.getMetadataLength).toSeq)
+        } catch {
+          case e: Exception => throw new java.io.IOException(
+            s"Feather part file $f: cannot read IPC footer " +
+              "(not an Arrow IPC file, or truncated)", e)
+        } finally r.close()
+      }
+      (fields, info)
+    }
+    val projected: Seq[Field] =
+      if (columns.isEmpty) arrowFields
+      else columns.map { c =>
+        arrowFields.find(_.getName == c).getOrElse(throw new IllegalArgumentException(
+          s"column '$c' not in feather schema " +
+            s"(${arrowFields.map(_.getName).mkString(", ")})"))
+      }
+    val sparkSchema = StructType(projected.map(f =>
+      StructField(f.getName, toSparkType(f), f.isNullable)))
+    val colNames = projected.map(_.getName)
+    // (file, fileLen, batchIndices): consecutive batches grouped until the
+    // group's body bytes exceed maxSplitBytes
+    val splits: Seq[(String, Long, Seq[Int])] = batchInfo.flatMap {
+      case (f, len, sizes) =>
+        if (sizes.isEmpty) Seq.empty
+        else {
+          val groups = scala.collection.mutable.ArrayBuffer(
+            scala.collection.mutable.ArrayBuffer.empty[Int])
+          var acc = 0L
+          sizes.zipWithIndex.foreach { case (sz, i) =>
+            if (acc > 0 && acc + sz > maxSplitBytes) {
+              groups += scala.collection.mutable.ArrayBuffer.empty[Int]
+              acc = 0L
+            }
+            groups.last += i
+            acc += sz
+          }
+          groups.map(g => (f, len, g.toSeq))
+        }
+    }
+    require(splits.nonEmpty, s"feather files under $path contain no record batches")
+    val confMap = GraftHadoop.confBroadcast(spark)
+    val schemaFieldNames = arrowFields.map(_.getName) // for error messages
+    val rdd = spark.sparkContext
+      .parallelize(splits, splits.size)
+      .mapPartitions { sit =>
+        val execConf = new org.apache.hadoop.conf.Configuration(false)
+        confMap.value.foreach { case (k, v) => execConf.set(k, v) }
+        val open = new java.util.ArrayList[ArrowFileReader]()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            open.asScala.foreach(r => try r.close() catch { case _: Exception => () })))
+        sit.flatMap { case (file, len, batchIdxs) =>
+          val reader =
+            try openReader(execConf, file, len)
+            catch { case e: Exception =>
+              throw new java.io.IOException(s"Feather part file $file: cannot open", e)
+            }
+          open.add(reader)
+          val root = reader.getVectorSchemaRoot
+          val fileFields = root.getSchema.getFields.asScala.toSeq
+          // name-based resolution, like the Avro reader: each part's layout
+          // may differ; a part missing a projected column fails by NAME
+          val colIdx = colNames.map { c =>
+            val i = fileFields.indexWhere(_.getName == c)
+            if (i < 0) throw new java.io.IOException(
+              s"Feather part file $file: no column '$c' " +
+                s"(file has: ${fileFields.map(_.getName).mkString(", ")}; " +
+                s"driver schema: ${schemaFieldNames.mkString(", ")})")
+            i
+          }
+          val convs = colIdx.map(i => converter(fileFields(i)))
+          val blocks = reader.getRecordBlocks.asScala
+          batchIdxs.iterator.flatMap { bi =>
+            require(reader.loadRecordBatch(blocks(bi)),
+              s"Feather part file $file: failed to load record batch $bi")
+            val n = root.getRowCount
+            val vecs = colIdx.map(root.getVector)
+            (0 until n).iterator.map { r =>
+              Row.fromSeq(colIdx.indices.map { c =>
+                convs(c)(vecs(c).getObject(r))
+              })
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rdd, sparkSchema)
+  }
+
+  // ---- write ---------------------------------------------------------------
+
+  /** Spark → Arrow field (write side). */
+  def toArrowField(name: String, dt: DataType, nullable: Boolean): Field = {
+    def prim(t: ArrowType): Field =
+      new Field(name, new FieldType(nullable, t, null), null)
+    dt match {
+      case BooleanType => prim(ArrowType.Bool.INSTANCE)
+      case ByteType => prim(new ArrowType.Int(8, true))
+      case ShortType => prim(new ArrowType.Int(16, true))
+      case IntegerType => prim(new ArrowType.Int(32, true))
+      case LongType => prim(new ArrowType.Int(64, true))
+      case FloatType => prim(new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE))
+      case DoubleType => prim(new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE))
+      case StringType => prim(ArrowType.Utf8.INSTANCE)
+      case BinaryType => prim(ArrowType.Binary.INSTANCE)
+      case DateType => prim(new ArrowType.Date(DateUnit.DAY))
+      case TimestampType => prim(new ArrowType.Timestamp(ATimeUnit.MICROSECOND, "UTC"))
+      case TimestampNTZType => prim(new ArrowType.Timestamp(ATimeUnit.MICROSECOND, null))
+      case d: DecimalType =>
+        prim(new ArrowType.Decimal(d.precision, d.scale, 128))
+      case ArrayType(et, containsNull) =>
+        new Field(name, new FieldType(nullable, ArrowType.List.INSTANCE, null),
+          Seq(toArrowField("element", et, containsNull)).asJava)
+      case st: StructType =>
+        new Field(name, new FieldType(nullable, ArrowType.Struct.INSTANCE, null),
+          st.fields.map(f => toArrowField(f.name, f.dataType, f.nullable)).toSeq.asJava)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported write type $other for '$name'")
+    }
+  }
+
+  /** Recursive setter: Spark row value → Arrow vector slot. `setSafe`
+    * variants grow buffers, so no pre-sizing pass is needed. */
+  private def setValue(vec: FieldVector, i: Int, dt: DataType, v: Any): Unit = {
+    if (v == null) vec match {
+      case f: BaseFixedWidthVector => f.setNull(i)
+      case s: BaseVariableWidthVector => s.setNull(i)
+      case l: ListVector => l.setNull(i)
+      case s: StructVector => s.setNull(i)
+      case other => throw new IllegalArgumentException(
+        s"cannot set null on ${other.getClass.getSimpleName}")
+    }
+    else (vec, dt) match {
+      case (b: BitVector, _) =>
+        b.setSafe(i, if (v.asInstanceOf[Boolean]) 1 else 0)
+      case (t: TinyIntVector, _) => t.setSafe(i, v.asInstanceOf[Byte].toInt)
+      case (s: SmallIntVector, _) => s.setSafe(i, v.asInstanceOf[Short].toInt)
+      case (n: IntVector, _) => n.setSafe(i, v.asInstanceOf[Int])
+      case (l: BigIntVector, _) => l.setSafe(i, v.asInstanceOf[Long])
+      case (f: Float4Vector, _) => f.setSafe(i, v.asInstanceOf[Float])
+      case (d: Float8Vector, _) => d.setSafe(i, v.asInstanceOf[Double])
+      case (s: VarCharVector, _) =>
+        s.setSafe(i, v.asInstanceOf[String].getBytes("UTF-8"))
+      case (b: VarBinaryVector, _) => b.setSafe(i, v.asInstanceOf[Array[Byte]])
+      case (d: DateDayVector, _) =>
+        val days = v match {
+          case sd: java.sql.Date => sd.toLocalDate.toEpochDay
+          case ld: java.time.LocalDate => ld.toEpochDay
+        }
+        d.setSafe(i, days.toInt)
+      case (t: TimeStampVector, _) =>
+        val micros = v match {
+          case ts: java.sql.Timestamp =>
+            ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+          case inst: java.time.Instant =>
+            inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+          case ldt: java.time.LocalDateTime =>
+            val u = ldt.toInstant(java.time.ZoneOffset.UTC)
+            u.getEpochSecond * 1000000L + u.getNano / 1000L
+        }
+        t.setSafe(i, micros)
+      case (d: DecimalVector, dec: DecimalType) =>
+        val bd = v match {
+          case b: java.math.BigDecimal => b
+          case b: BigDecimal => b.bigDecimal
+        }
+        d.setSafe(i, bd.setScale(dec.scale))
+      case (l: ListVector, ArrayType(et, _)) =>
+        val xs = v.asInstanceOf[scala.collection.Seq[_]]
+        val start = l.startNewValue(i)
+        xs.zipWithIndex.foreach { case (e, j) =>
+          setValue(l.getDataVector.asInstanceOf[FieldVector], start + j, et, e)
+        }
+        l.endValue(i, xs.size)
+      case (s: StructVector, st: StructType) =>
+        s.setIndexDefined(i)
+        val row = v.asInstanceOf[Row]
+        st.fields.zipWithIndex.foreach { case (f, j) =>
+          setValue(s.getChild(f.name), i, f.dataType, row.get(j))
+        }
+      case (other, d) => throw new IllegalArgumentException(
+        s"no setter for ${other.getClass.getSimpleName} <- $d")
+    }
+  }
+
+  /** to_feather: one .feather part per partition, record batches of
+    * `batchSize` rows, LZ4_FRAME (pandas' default) / ZSTD / none buffer
+    * compression. Same commit discipline as [[GraftAvro.write]]: temp
+    * file per attempt, rename on success, `_SUCCESS` stamped by the
+    * driver. */
+  def write(df: DataFrame, path: String, codec: String = "lz4",
+            overwrite: Boolean = false, batchSize: Int = 4096): Unit = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val st = df.schema
+    // validate the schema maps BEFORE launching tasks
+    st.fields.foreach(f => toArrowField(f.name, f.dataType, f.nullable))
+    val codecNorm = codec match {
+      case "lz4" | "zstd" | "none" | "null" => codec
+      case other => throw new IllegalArgumentException(
+        s"unknown codec $other (lz4, zstd, none)")
+    }
+    val spark = df.sparkSession
+    val confMap = GraftHadoop.confBroadcast(spark)
+    val out = new Path(path)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(out)) {
+      if (!overwrite)
+        throw new IllegalArgumentException(
+          s"GraftFeather.write: $path already exists; pass overwrite = true " +
+            "to replace it (ErrorIfExists is the default, as with " +
+            "DataFrameWriter.mode)")
+      fs.delete(out, true)
+    }
+    fs.mkdirs(out)
+    val schemaFields = st.fields.toSeq
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val execConf = new org.apache.hadoop.conf.Configuration(false)
+      confMap.value.foreach { case (k, v) => execConf.set(k, v) }
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val partFs = new Path(path).getFileSystem(execConf)
+      val finalPart = new Path(path, f"part-$pid%05d.feather")
+      val tmpPart = new Path(path, f".part-$pid%05d-attempt-$attempt.feather.tmp")
+      val arrowSchema = new ArrowSchema(schemaFields.map(f =>
+        toArrowField(f.name, f.dataType, f.nullable)).asJava)
+      val root = VectorSchemaRoot.create(arrowSchema, allocator)
+      val stream = partFs.create(tmpPart, true)
+      val channel = java.nio.channels.Channels.newChannel(stream)
+      val writer = codecNorm match {
+        case "none" | "null" =>
+          new ArrowFileWriter(root, null, channel)
+        case c =>
+          new ArrowFileWriter(root, null, channel, null,
+            org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+            org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE,
+            if (c == "lz4")
+              org.apache.arrow.vector.compression.CompressionUtil.CodecType.LZ4_FRAME
+            else
+              org.apache.arrow.vector.compression.CompressionUtil.CodecType.ZSTD)
+      }
+      var n = 0L
+      try {
+        writer.start()
+        val vecs = root.getFieldVectors.asScala.toSeq
+        while (rows.hasNext) {
+          root.allocateNew()
+          var i = 0
+          while (i < batchSize && rows.hasNext) {
+            val r = rows.next()
+            schemaFields.zipWithIndex.foreach { case (f, c) =>
+              setValue(vecs(c), i, f.dataType, r.get(c))
+            }
+            i += 1
+          }
+          root.setRowCount(i)
+          writer.writeBatch()
+          n += i
+        }
+        writer.end()
+        writer.close(); root.close()
+        partFs.delete(finalPart, false)
+        require(partFs.rename(tmpPart, finalPart),
+          s"rename $tmpPart -> $finalPart failed")
+      } catch {
+        case e: Throwable =>
+          try { writer.close(); root.close(); partFs.delete(tmpPart, false) }
+          catch { case _: Exception => () }
+          throw e
+      }
+      Iterator.single(n)
+    }.count(): Unit
+    fs.create(new Path(out, "_SUCCESS"), true).close()
+  }
+}

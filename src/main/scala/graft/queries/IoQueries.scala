@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
-import graft.io.{GraftAvro, GraftIO}
+import graft.io.{GraftAvro, GraftFeather, GraftIO}
 import graft.io.GraftIO.CsvOptions
 
 /** IO surface coverage (SURVEY §2.1): CSV/JSON/ORC read+write with cuDF
@@ -583,6 +583,46 @@ object IoQueries extends QueryPack {
     GraftAvro.read(s, path,
       columns = Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment"))
       .orderBy("c_custkey")
+  }
+
+  // Feather v2 roundtrip (cudf/io/feather.py:12 read_feather/to_feather —
+  // pyarrow passthroughs; feather v2 IS the Arrow IPC file format) — built
+  // on the Arrow Java libs Spark bundles, LZ4 buffer compression (pandas'
+  // default), columns= through GraftFeather.read's projection path.
+  register("io_feather_roundtrip",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders
+      |WHERE o_orderkey <= 1500 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val src = Tables.orders(s, d).filter(col("o_orderkey") <= 1500)
+    val path = tmp("feather_roundtrip")
+    GraftFeather.write(src, path, codec = "lz4", overwrite = true)
+    GraftFeather.read(s, path,
+      columns = Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"))
+      .orderBy("o_orderkey")
+  }
+
+  // Feather as the embedding-interchange format (the actual reason a
+  // training pipeline touches feather: Arrow zero-copy hand-off of
+  // list<float> vectors to/from pandas and torch dataloaders). Pins the
+  // ListVector write path and zstd buffer codec.
+  // (arrays aren't hash-comparable by the driver, so the roundtripped
+  // vector proves itself through an exact integer-quantized fold: floats
+  // pass bit-exact through the IPC buffers, and floor(x*1e6) sums are
+  // integer-exact in both engines)
+  register("io_feather_embeddings",
+    """SELECT vec_id, label, len(embedding) AS n,
+      |  CAST(list_sum(list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS fp
+      |FROM embeddings WHERE vec_id <= 400 ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val src = Tables.embeddings(s, d).filter(col("vec_id") <= 400)
+    val path = tmp("feather_embeddings")
+    GraftFeather.write(src, path, codec = "zstd", overwrite = true)
+    GraftFeather.read(s, path)
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).as("n"),
+        expr("aggregate(transform(embedding, " +
+          "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), " +
+          "0L, (a, e) -> a + e)").as("fp"))
+      .orderBy("vec_id")
   }
 
   // Unsigned logical types (SURVEY §1.2; reference types.hpp:209-212
