@@ -170,6 +170,43 @@ class FeatherSpec extends AnyFunSuite {
     assert(rows(1).getShort(0) === 7.toShort)
   }
 
+  test("reads a file pandas actually wrote (lz4, uint16, ns, date32, lists)") {
+    // src/test/resources/pandas_foreign.feather: emitted once by
+    // pandas.DataFrame.to_feather (pyarrow, default LZ4 buffer
+    // compression) — third-party provenance, not our writer. Columns:
+    // int64, uint16, nullable string, double-with-NaN, bool,
+    // datetime64[ns], date32, list<int64>.
+    val res = getClass.getResourceAsStream("/pandas_foreign.feather")
+    assert(res != null, "fixture missing from test classpath")
+    val f = java.io.File.createTempFile("pandas_foreign", ".feather")
+    f.deleteOnExit()
+    java.nio.file.Files.copy(res, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val df = GraftFeather.read(spark, f.getAbsolutePath)
+    assert(df.schema.map(x => (x.name, x.dataType)) === Seq(
+      ("id", LongType), ("u16", IntegerType), ("name", StringType),
+      ("score", DoubleType), ("flag", BooleanType),
+      ("at", TimestampNTZType), ("day", DateType),
+      ("xs", ArrayType(LongType, true))))
+    val rows = df.orderBy("id").collect()
+    assert(rows.length === 100)
+    val r1 = rows(0)
+    assert(r1.getLong(0) === 1L && r1.getString(2) === "row_1")
+    assert(r1.getAs[java.time.LocalDateTime](5) ===
+      java.time.LocalDateTime.parse("2022-03-01T00:00:00"))
+    assert(r1.getDate(6).toString === "2020-01-01")
+    assert(r1.getSeq[Long](7) === Seq(0L))
+    // unsigned: 51 * 651 = 33201 overflows int16 — a signed misread
+    // would surface a negative
+    assert(rows(50).getInt(1) === 33201)
+    // pandas NaN is its MISSING marker: pyarrow converts it to an Arrow
+    // null, and it must arrive as a Spark null (not NaN)
+    assert(rows(6).isNullAt(3))
+    assert(rows(0).getDouble(3) === 1.0 / 3.0)
+    // pandas None string IS null
+    assert(rows(8).isNullAt(2))
+  }
+
   test("a part file missing a projected column fails with the FILE name") {
     import spark.implicits._
     val path = tmp("mismatch")
