@@ -440,6 +440,67 @@ object RelationalQueries extends QueryPack {
       .limit(100)
   }
 
+  // --- Q21-shaped composite: correlated EXISTS / NOT EXISTS self-joins ------
+  // (Suppliers-who-kept-orders-waiting shape; the synthetic lineitem has no
+  // receipt/commit dates, so l_returnflag = 'R' stands in as the "late"
+  // marker — the SHAPE under test is the same: a fact self-semi-join, a
+  // fact self-ANTI-join, a broadcast dim chain, and a top-k.
+  //
+  // Scale decision: the textbook formulation scans lineitem THREE times
+  // (l1 + the EXISTS probe + the NOT EXISTS probe), and each probe is a
+  // full fact-fact shuffle join — at 100 TB that is 2 extra exabyte-class
+  // shuffles. Both correlated subqueries only ask per-ORDER facts ("does
+  // another supplier exist", "does another LATE supplier exist"), so they
+  // fold into ONE per-order aggregate (distinct suppliers, distinct late
+  // suppliers) joined back once: 2 lineitem scans total, one of them
+  // pre-shrunk to (orderkey, 2 counts). The oracle runs the EXISTS
+  // formulation — the hash match proves the rewrite is semantics-exact.)
+  register("rel_q21_waiting_supplier",
+    """SELECT s_name, count(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      |WHERE l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin) { (s, d) =>
+    // per-order facts both EXISTS probes need, in one aggregate:
+    //   n_supp  — distinct suppliers on the order
+    //   n_late  — distinct suppliers with a late (returnflag='R') line
+    val orderStats = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("st_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_late"))
+    // EXISTS other-supplier      <=> n_supp >= 2
+    // NOT EXISTS other-late-supp <=> n_late = 1 (l1's own supplier is late)
+    val qualifying = orderStats
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .select("st_orderkey")
+    val supJp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")
+        .select("n_nationkey")), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey"), col("l_orderkey") === col("o_orderkey"))
+      .join(qualifying, col("l_orderkey") === col("st_orderkey"), "left_semi")
+      .join(broadcast(supJp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   // --- §2.4 nunique / distinct_count (stream_compaction.hpp:262) ------------
   register("agg_nunique",
     """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,

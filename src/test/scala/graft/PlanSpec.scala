@@ -237,6 +237,27 @@ class PlanSpec extends AnyFunSuite {
       s"expected the qty aggregate below a join:\n${qe.optimizedPlan}")
   }
 
+  test("rel_q21 folds both EXISTS probes into one aggregate: 2 lineitem scans") {
+    val qe = SparkEntry.queries("rel_q21_waiting_supplier")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    // the textbook EXISTS/NOT-EXISTS formulation scans the fact 3x and
+    // shuffles it 3x; the rewrite must scan lineitem exactly twice (l1 +
+    // the per-order stats aggregate), keep the probe as a SEMI join, and
+    // ride broadcasts for the supplier×nation dim
+    // (string count, not tree collect: AdaptiveSparkPlanExec hides its
+    // input plan from TreeNode.collect)
+    val lineitemScans = p.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(lineitemScans === 2,
+      s"expected exactly 2 lineitem scans, got $lineitemScans:\n$p")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the late-rows filter reaches the scan
+    assert(p.contains("EqualTo(l_returnflag,R)"), s"missing pushed filter:\n$p")
+  }
+
   test("io_zorder_key plan stays in one codegen stage up to the final sort") {
     // pure integer projection: no joins, no aggregates, no window
     val p = executedPlan("io_zorder_key")
