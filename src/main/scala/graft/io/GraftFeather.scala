@@ -236,17 +236,35 @@ object GraftFeather {
       val fields =
         try head.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq
         finally head.close()
-      val info = files.map { case (f, len) =>
-        val r = openReader(conf, f, len)
+      // footer reads are tiny but per-file; a 10k-part directory must not
+      // serialize them on the driver (parquet parallelizes its footer
+      // planning the same way)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, math.max(1, files.size)))
+      val info =
         try {
-          val blocks = r.getRecordBlocks.asScala
-          (f, len, blocks.map(b => b.getBodyLength + b.getMetadataLength).toSeq)
-        } catch {
-          case e: Exception => throw new java.io.IOException(
-            s"Feather part file $f: cannot read IPC footer " +
-              "(not an Arrow IPC file, or truncated)", e)
-        } finally r.close()
-      }
+          val futures = files.map { case (f, len) =>
+            pool.submit(new java.util.concurrent.Callable[(String, Long, Seq[Long])] {
+              def call(): (String, Long, Seq[Long]) = {
+                val r = openReader(conf, f, len)
+                try {
+                  val blocks = r.getRecordBlocks.asScala
+                  (f, len, blocks.map(b => b.getBodyLength + b.getMetadataLength).toSeq)
+                } catch {
+                  case e: Exception => throw new java.io.IOException(
+                    s"Feather part file $f: cannot read IPC footer " +
+                      "(not an Arrow IPC file, or truncated)", e)
+                } finally r.close()
+              }
+            })
+          }
+          futures.map { fu =>
+            try fu.get()
+            catch { // unwrap: the IOException above names the file
+              case e: java.util.concurrent.ExecutionException => throw e.getCause
+            }
+          }
+        } finally pool.shutdown()
       (fields, info)
     }
     val projected: Seq[Field] =
