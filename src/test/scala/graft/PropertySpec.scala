@@ -226,6 +226,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("random typed rows roundtrip feather bit-exactly across codecs") {
+    // fuzz the Arrow IPC write→read pair the io_feather_* queries ride:
+    // random nulls, unicode strings, full-range longs, decimal scales,
+    // dates, micro timestamps, and variable-length double lists — any
+    // value the schema mapping claims to support must survive unchanged
+    import spark.implicits._
+    val strGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(20)),
+      // incl. a surrogate-pair emoji: UTF-8 4-byte sequences must survive
+      Gen.listOfN(6, Gen.oneOf("ß", "λ", "中", "🚀", "\t", "\""))
+        .map(_.mkString))
+    val rowGen = for {
+      l <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      s <- Gen.option(strGen)
+      d <- Gen.option(Gen.chooseNum(-1e9, 1e9))
+      unscaled <- Gen.chooseNum(-99999999999L, 99999999999L)
+      days <- Gen.chooseNum(-30000, 30000) // ~1888..2052
+      micros <- Gen.chooseNum(-4102444800L, 4102444800L) // ±2100 in seconds
+      xs <- Gen.listOfN(3, Gen.chooseNum(-1e6, 1e6))
+      n <- Gen.chooseNum(0, 3)
+    } yield (l, s, d, BigDecimal(java.math.BigDecimal.valueOf(unscaled, 3)),
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong)),
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(micros, 123456000L)),
+      xs.take(n))
+    val rows = sample(Gen.listOfN(300, rowGen), 41L)
+    val src = rows.toDF("l", "s", "d", "dec", "day", "at", "xs")
+    for ((codec, batch) <- Seq(("none", 64), ("lz4", 300), ("zstd", 4096))) {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_prop/feather_$codec"
+      graft.io.GraftFeather.write(src, path, codec = codec,
+        overwrite = true, batchSize = batch)
+      val back = graft.io.GraftFeather.read(spark, path)
+      assert(back.count() == 300, s"codec $codec")
+      assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+        s"codec $codec batch $batch: roundtrip drift")
+    }
+  }
+
   test("random bit patterns read back as their unsigned parquet values") {
     // fuzz the UINT widening path: arbitrary raw bits in each physical
     // width must surface as the unsigned interpretation in the widened type
