@@ -405,6 +405,16 @@ object GraftAvro {
       }
       Iterator.single(n)
     }.count(): Unit
+    // an empty frame can optimize to a ZERO-partition RDD: no task ran, so
+    // no part carries the schema — stamp one schema-only part (header, no
+    // blocks) so a later read returns an empty frame, not "no .avro files"
+    if (!fs.listStatus(out).exists(_.getPath.getName.endsWith(".avro"))) {
+      val schema = new Schema.Parser().parse(schemaJson)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      val stream = fs.create(new Path(out, "part-00000.avro"), true)
+      try w.create(schema, stream) finally w.close()
+    }
     fs.create(new Path(out, "_SUCCESS"), true).close()
   }
 }

@@ -297,7 +297,11 @@ object GraftFeather {
           groups.map(g => (f, len, g.toSeq))
         }
     }
-    require(splits.nonEmpty, s"feather files under $path contain no record batches")
+    // a 0-row dataset has files with footers but no record batches: a
+    // valid empty frame, not an error
+    if (splits.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](), sparkSchema)
     val confMap = GraftHadoop.confBroadcast(spark)
     val schemaFieldNames = arrowFields.map(_.getName) // for error messages
     val rdd = spark.sparkContext
@@ -528,6 +532,18 @@ object GraftFeather {
       }
       Iterator.single(n)
     }.count(): Unit
+    // an empty frame can optimize to a ZERO-partition RDD: no task ran, so
+    // no part carries the schema — stamp one schema-only part (footer, no
+    // record batches) so a later read returns an empty frame, not ENOENT
+    if (!fs.listStatus(out).exists(_.getPath.getName.endsWith(".feather"))) {
+      val arrowSchema = new ArrowSchema(schemaFields.map(f =>
+        toArrowField(f.name, f.dataType, f.nullable)).asJava)
+      val root = VectorSchemaRoot.create(arrowSchema, allocator)
+      val stream = fs.create(new Path(out, "part-00000.feather"), true)
+      val w = new ArrowFileWriter(root,
+        null, java.nio.channels.Channels.newChannel(stream))
+      try { w.start(); w.end() } finally { w.close(); root.close() }
+    }
     fs.create(new Path(out, "_SUCCESS"), true).close()
   }
 }

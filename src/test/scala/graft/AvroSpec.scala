@@ -250,4 +250,17 @@ class AvroSpec extends AnyFunSuite {
     assert(back(1).isNullAt(1))
     assert(back(1).getDecimal(4) == new java.math.BigDecimal("-0.01"))
   }
+
+  test("an empty frame roundtrips as an empty frame with the right schema") {
+    import spark.implicits._
+    // an empty filtered frame optimizes to a zero-partition RDD: the
+    // writer must still stamp a schema-carrying part
+    val src = Seq((1L, "a")).toDF("id", "s")
+      .filter(org.apache.spark.sql.functions.col("id") < 0)
+    val path = tmp("empty")
+    GraftAvro.write(src, path, overwrite = true)
+    val back = GraftAvro.read(spark, path)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "s"))
+    assert(back.count() === 0)
+  }
 }

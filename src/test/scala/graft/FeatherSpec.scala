@@ -111,6 +111,16 @@ class FeatherSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("an empty frame roundtrips as an empty frame with the right schema") {
+    val src = allTypesDf.filter(col("id") < 0) // schema, zero rows
+    val path = tmp("empty")
+    GraftFeather.write(src, path, overwrite = true)
+    val back = GraftFeather.read(spark, path)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      src.schema.map(f => (f.name, f.dataType)))
+    assert(back.count() === 0)
+  }
+
   test("write refuses an existing path without overwrite (ErrorIfExists)") {
     val path = tmp("guard")
     GraftFeather.write(allTypesDf.limit(5), path, overwrite = true)
