@@ -225,6 +225,43 @@ object ScaleRehearsal {
       o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  /** IO tier: the hand-rolled sources (GraftAvro, GraftFeather) against
+    * parquet on the documents corpus at sf0.1 and 10× — write wall, read
+    * wall, and read-task parallelism. The scale claims under test: both
+    * custom sinks write one part per partition (so writes parallelize like
+    * parquet), and both readers SPLIT (sync-marker ranges / footer-indexed
+    * batches), so reads never serialize into one task even on few files. */
+  def ioTier(spark: SparkSession, srcDir: String, sf1Dir: String): Unit = {
+    def med3(f: () => Unit): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }
+      Seq(once(), once(), once()).sorted.apply(1)
+    }
+    for ((tag, dir) <- Seq("sf01" -> srcDir, "sf1" -> sf1Dir)) {
+      val docs = Tables.documents(spark, dir)
+      val out = s"target/scale/io_$tag"
+      docs.write.format("noop").mode("overwrite").save() // warm the scan
+      val wp = med3(() => docs.write.mode("overwrite").parquet(s"$out/p"))
+      val wa = med3(() => graft.io.GraftAvro.write(docs, s"$out/a", overwrite = true))
+      val wf = med3(() => graft.io.GraftFeather.write(docs, s"$out/f", overwrite = true))
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val rp = med3(() => noop(spark.read.parquet(s"$out/p")))
+      // small maxSplitBytes so split reads engage at this corpus size,
+      // mirroring what 128MB defaults do to multi-GB files
+      val ra = med3(() => noop(graft.io.GraftAvro.read(spark, s"$out/a",
+        maxSplitBytes = 4L << 20)))
+      val rf = med3(() => noop(graft.io.GraftFeather.read(spark, s"$out/f",
+        maxSplitBytes = 4L << 20)))
+      val tasksA = graft.io.GraftAvro.read(spark, s"$out/a",
+        maxSplitBytes = 4L << 20).rdd.getNumPartitions
+      val tasksF = graft.io.GraftFeather.read(spark, s"$out/f",
+        maxSplitBytes = 4L << 20).rdd.getNumPartitions
+      println(f"""{"io_tier":"$tag","write_parquet_sec":$wp%.2f,"write_avro_sec":$wa%.2f,"write_feather_sec":$wf%.2f,"read_parquet_sec":$rp%.2f,"read_avro_sec":$ra%.2f,"read_feather_sec":$rf%.2f,"avro_read_tasks":$tasksA,"feather_read_tasks":$tasksF}""")
+    }
+  }
+
   /** Pathological connected-components input (r8 ask #8): a CHAIN graph of
     * n vertices has diameter n. With pointer doubling (r9) the chain
     * CONVERGES in ~log2(n) rounds at the default cap — timed at n and 10n
@@ -273,7 +310,7 @@ object ScaleRehearsal {
     println(f"""{"family":"$tag","total_sf01_sec":$tot01%.2f,"total_sf1_sec":$tot1%.2f,"ratio":${tot1 / tot01}%.2f}""")
   }
 
-  /** Usage: runMain graft.ScaleRehearsal [outDir] [dedup|ordered|joins|cc|skew|all] */
+  /** Usage: runMain graft.ScaleRehearsal [outDir] [dedup|ordered|joins|cc|skew|io|all] */
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("target/scale")
     val mode = args.drop(1).headOption.getOrElse("all")
@@ -297,6 +334,10 @@ object ScaleRehearsal {
       ccPathological(spark, Seq(100000L, 1000000L))
     if (mode == "all" || mode == "skew")
       skewDemo(spark, src, s"$out/skew")
+    if (mode == "all" || mode == "io") {
+      buildScaled(spark, src, sf1, copies = 10)
+      ioTier(spark, src, sf1)
+    }
     spark.stop()
   }
 }

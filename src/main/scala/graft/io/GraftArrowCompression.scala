@@ -1,0 +1,84 @@
+package graft.io
+
+import org.apache.arrow.memory.{ArrowBuf, BufferAllocator}
+import org.apache.arrow.vector.compression.{AbstractCompressionCodec, CompressionCodec, CompressionUtil}
+
+/** Arrow buffer-compression factory with a FAST LZ4 path.
+  *
+  * The stock `CommonsCompressionFactory` implements LZ4_FRAME with
+  * commons-compress — a pure-Java LZ4 that measured ~20× slower than the
+  * format should be (11.4 s vs 0.65 s uncompressed for the sf0.1
+  * documents corpus; SCALE.md IO tier). Spark already bundles lz4-java —
+  * the JNI/unsafe implementation it uses for its own shuffle compression
+  * — whose `LZ4FrameOutputStream`/`LZ4FrameInputStream` speak the same
+  * standard LZ4 frame format pyarrow emits and reads. This factory routes
+  * LZ4_FRAME through lz4-java and delegates everything else (ZSTD via
+  * zstd-jni) to the stock factory.
+  *
+  * Buffer layout contract (AbstractCompressionCodec): compressed buffers
+  * carry an 8-byte little-endian uncompressed-length prefix; doCompress
+  * must RESERVE those bytes (the base class fills them, or replaces the
+  * whole buffer with a raw passthrough when compression didn't help). */
+object GraftArrowCompression extends CompressionCodec.Factory {
+
+  private val fallback =
+    org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE
+
+  private final class FastLz4Codec extends AbstractCompressionCodec {
+    override def getCodecType: CompressionUtil.CodecType =
+      CompressionUtil.CodecType.LZ4_FRAME
+
+    override protected def doCompress(allocator: BufferAllocator,
+                                      uncompressed: ArrowBuf): ArrowBuf = {
+      val len = uncompressed.writerIndex().toInt
+      val in = new Array[Byte](len)
+      uncompressed.getBytes(0, in)
+      val bos = new java.io.ByteArrayOutputStream(math.max(64, len / 2))
+      val os = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+      os.write(in)
+      os.close()
+      val out = bos.toByteArray
+      val buf = allocator.buffer(
+        CompressionUtil.SIZE_OF_UNCOMPRESSED_LENGTH + out.length)
+      buf.setBytes(CompressionUtil.SIZE_OF_UNCOMPRESSED_LENGTH, out)
+      buf.writerIndex(CompressionUtil.SIZE_OF_UNCOMPRESSED_LENGTH + out.length)
+      buf
+    }
+
+    override protected def doDecompress(allocator: BufferAllocator,
+                                        compressed: ArrowBuf): ArrowBuf = {
+      val decLen = readUncompressedLength(compressed)
+      val cLen = (compressed.writerIndex() -
+        CompressionUtil.SIZE_OF_UNCOMPRESSED_LENGTH).toInt
+      val in = new Array[Byte](cLen)
+      compressed.getBytes(CompressionUtil.SIZE_OF_UNCOMPRESSED_LENGTH, in)
+      val is = new net.jpountz.lz4.LZ4FrameInputStream(
+        new java.io.ByteArrayInputStream(in))
+      val out = new Array[Byte](decLen.toInt)
+      var off = 0
+      while (off < out.length) {
+        val n = is.read(out, off, out.length - off)
+        require(n > 0, s"truncated LZ4 frame: got $off of $decLen bytes")
+        off += n
+      }
+      is.close()
+      val buf = allocator.buffer(decLen)
+      buf.setBytes(0, out)
+      buf.writerIndex(decLen)
+      buf
+    }
+  }
+
+  override def createCodec(t: CompressionUtil.CodecType): CompressionCodec =
+    t match {
+      case CompressionUtil.CodecType.LZ4_FRAME => new FastLz4Codec
+      case other => fallback.createCodec(other)
+    }
+
+  override def createCodec(t: CompressionUtil.CodecType,
+                           level: Int): CompressionCodec =
+    t match {
+      case CompressionUtil.CodecType.LZ4_FRAME => new FastLz4Codec
+      case other => fallback.createCodec(other, level)
+    }
+}

@@ -35,7 +35,9 @@ import org.apache.spark.sql.types._
   *
   * Compressed buffer support (LZ4_FRAME / ZSTD — what pandas
   * `to_feather` emits by default) comes from the bundled
-  * arrow-compression `CommonsCompressionFactory` on the read side and
+  * arrow libs (LZ4 routed through the bundled lz4-java —
+  * `GraftArrowCompression` — the stock commons-compress LZ4 measured
+  * ~20× slow) on the read side and
   * the `ArrowFileWriter` codec constructor on the write side.
   *
   * Unsigned integer columns widen exactly like the parquet unsigned
@@ -202,7 +204,7 @@ object GraftFeather {
     val fs = p.getFileSystem(conf)
     new ArrowFileReader(
       new HadoopChannel(fs.open(p), len), allocator,
-      org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
+      GraftArrowCompression)
   }
 
   private def partFiles(spark: SparkSession, path: String): Seq[(String, Long)] = {
@@ -495,7 +497,7 @@ object GraftFeather {
         case c =>
           new ArrowFileWriter(root, null, channel, null,
             org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
-            org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE,
+            GraftArrowCompression,
             if (c == "lz4")
               org.apache.arrow.vector.compression.CompressionUtil.CodecType.LZ4_FRAME
             else
