@@ -229,46 +229,7 @@ object GraftFeather {
   def read(spark: SparkSession, path: String,
            columns: Seq[String] = Nil,
            maxSplitBytes: Long = 128L << 20): DataFrame = {
-    require(maxSplitBytes > 0, s"maxSplitBytes must be positive, got $maxSplitBytes")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val files = partFiles(spark, path)
-    // driver: schema from the first footer; batch index from every footer
-    val (arrowFields, batchInfo) = {
-      val head = openReader(conf, files.head._1, files.head._2)
-      val fields =
-        try head.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq
-        finally head.close()
-      // footer reads are tiny but per-file; a 10k-part directory must not
-      // serialize them on the driver (parquet parallelizes its footer
-      // planning the same way)
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(16, math.max(1, files.size)))
-      val info =
-        try {
-          val futures = files.map { case (f, len) =>
-            pool.submit(new java.util.concurrent.Callable[(String, Long, Seq[Long])] {
-              def call(): (String, Long, Seq[Long]) = {
-                val r = openReader(conf, f, len)
-                try {
-                  val blocks = r.getRecordBlocks.asScala
-                  (f, len, blocks.map(b => b.getBodyLength + b.getMetadataLength).toSeq)
-                } catch {
-                  case e: Exception => throw new java.io.IOException(
-                    s"Feather part file $f: cannot read IPC footer " +
-                      "(not an Arrow IPC file, or truncated)", e)
-                } finally r.close()
-              }
-            })
-          }
-          futures.map { fu =>
-            try fu.get()
-            catch { // unwrap: the IOException above names the file
-              case e: java.util.concurrent.ExecutionException => throw e.getCause
-            }
-          }
-        } finally pool.shutdown()
-      (fields, info)
-    }
+    val (arrowFields, splits) = planRead(spark, path, maxSplitBytes)
     val projected: Seq[Field] =
       if (columns.isEmpty) arrowFields
       else columns.map { c =>
@@ -279,33 +240,12 @@ object GraftFeather {
     val sparkSchema = StructType(projected.map(f =>
       StructField(f.getName, toSparkType(f), f.isNullable)))
     val colNames = projected.map(_.getName)
-    // (file, fileLen, batchIndices): consecutive batches grouped until the
-    // group's body bytes exceed maxSplitBytes
-    val splits: Seq[(String, Long, Seq[Int])] = batchInfo.flatMap {
-      case (f, len, sizes) =>
-        if (sizes.isEmpty) Seq.empty
-        else {
-          val groups = scala.collection.mutable.ArrayBuffer(
-            scala.collection.mutable.ArrayBuffer.empty[Int])
-          var acc = 0L
-          sizes.zipWithIndex.foreach { case (sz, i) =>
-            if (acc > 0 && acc + sz > maxSplitBytes) {
-              groups += scala.collection.mutable.ArrayBuffer.empty[Int]
-              acc = 0L
-            }
-            groups.last += i
-            acc += sz
-          }
-          groups.map(g => (f, len, g.toSeq))
-        }
-    }
     // a 0-row dataset has files with footers but no record batches: a
     // valid empty frame, not an error
     if (splits.isEmpty)
       return spark.createDataFrame(
         new java.util.ArrayList[Row](), sparkSchema)
     val confMap = GraftHadoop.confBroadcast(spark)
-    val schemaFieldNames = arrowFields.map(_.getName) // for error messages
     val rdd = spark.sparkContext
       .parallelize(splits, splits.size)
       .mapPartitions { sit =>
@@ -316,40 +256,112 @@ object GraftFeather {
           _.addTaskCompletionListener[Unit](_ =>
             open.asScala.foreach(r => try r.close() catch { case _: Exception => () })))
         sit.flatMap { case (file, len, batchIdxs) =>
-          val reader =
-            try openReader(execConf, file, len)
-            catch { case e: Exception =>
-              throw new java.io.IOException(s"Feather part file $file: cannot open", e)
-            }
-          open.add(reader)
-          val root = reader.getVectorSchemaRoot
-          val fileFields = root.getSchema.getFields.asScala.toSeq
-          // name-based resolution, like the Avro reader: each part's layout
-          // may differ; a part missing a projected column fails by NAME
-          val colIdx = colNames.map { c =>
-            val i = fileFields.indexWhere(_.getName == c)
-            if (i < 0) throw new java.io.IOException(
-              s"Feather part file $file: no column '$c' " +
-                s"(file has: ${fileFields.map(_.getName).mkString(", ")}; " +
-                s"driver schema: ${schemaFieldNames.mkString(", ")})")
-            i
-          }
-          val convs = colIdx.map(i => converter(fileFields(i)))
-          val blocks = reader.getRecordBlocks.asScala
-          batchIdxs.iterator.flatMap { bi =>
-            require(reader.loadRecordBatch(blocks(bi)),
-              s"Feather part file $file: failed to load record batch $bi")
-            val n = root.getRowCount
-            val vecs = colIdx.map(root.getVector)
-            (0 until n).iterator.map { r =>
-              Row.fromSeq(colIdx.indices.map { c =>
-                convs(c)(vecs(c).getObject(r))
-              })
-            }
-          }
+          splitRows(execConf, file, len, batchIdxs, colNames, open.add(_))
         }
       }
     spark.createDataFrame(rdd, sparkSchema)
+  }
+
+  /** Driver-side read planning: the Arrow schema fields (from the first
+    * footer) and the (file, fileLen, batchIndices) splits — consecutive
+    * batches grouped until a group's body bytes exceed `maxSplitBytes`.
+    * Shared by [[read]] and the DSv2 connector (graft.sources). */
+  private[graft] def planRead(spark: SparkSession, path: String,
+                              maxSplitBytes: Long)
+      : (Seq[Field], Seq[(String, Long, Seq[Int])]) = {
+    require(maxSplitBytes > 0, s"maxSplitBytes must be positive, got $maxSplitBytes")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = partFiles(spark, path)
+    val head = openReader(conf, files.head._1, files.head._2)
+    val fields =
+      try head.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq
+      finally head.close()
+    // footer reads are tiny but per-file; a 10k-part directory must not
+    // serialize them on the driver (parquet parallelizes its footer
+    // planning the same way)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, files.size)))
+    val batchInfo =
+      try {
+        val futures = files.map { case (f, len) =>
+          pool.submit(new java.util.concurrent.Callable[(String, Long, Seq[Long])] {
+            def call(): (String, Long, Seq[Long]) = {
+              val r = openReader(conf, f, len)
+              try {
+                val blocks = r.getRecordBlocks.asScala
+                (f, len, blocks.map(b => b.getBodyLength + b.getMetadataLength).toSeq)
+              } catch {
+                case e: Exception => throw new java.io.IOException(
+                  s"Feather part file $f: cannot read IPC footer " +
+                    "(not an Arrow IPC file, or truncated)", e)
+              } finally r.close()
+            }
+          })
+        }
+        futures.map { fu =>
+          try fu.get()
+          catch { // unwrap: the IOException above names the file
+            case e: java.util.concurrent.ExecutionException => throw e.getCause
+          }
+        }
+      } finally pool.shutdown()
+    val splits = batchInfo.flatMap { case (f, len, sizes) =>
+      if (sizes.isEmpty) Seq.empty[(String, Long, Seq[Int])]
+      else {
+        val groups = scala.collection.mutable.ArrayBuffer(
+          scala.collection.mutable.ArrayBuffer.empty[Int])
+        var acc = 0L
+        sizes.zipWithIndex.foreach { case (sz, i) =>
+          if (acc > 0 && acc + sz > maxSplitBytes) {
+            groups += scala.collection.mutable.ArrayBuffer.empty[Int]
+            acc = 0L
+          }
+          groups.last += i
+          acc += sz
+        }
+        groups.map(g => (f, len, g.toSeq))
+      }
+    }
+    (fields, splits)
+  }
+
+  /** Executor-side split decode: rows of `colNames` from the given record
+    * batches of one file. Name-based resolution, like the Avro reader: a
+    * part missing a projected column fails by FILE name. The caller owns
+    * reader lifecycle via `registerClose` (task-completion close). Shared
+    * by [[read]] and the DSv2 connector. */
+  private[graft] def splitRows(execConf: org.apache.hadoop.conf.Configuration,
+                               file: String, len: Long, batchIdxs: Seq[Int],
+                               colNames: Seq[String],
+                               registerClose: ArrowFileReader => Unit): Iterator[Row] = {
+    val reader =
+      try openReader(execConf, file, len)
+      catch { case e: Exception =>
+        throw new java.io.IOException(s"Feather part file $file: cannot open", e)
+      }
+    registerClose(reader)
+    val root = reader.getVectorSchemaRoot
+    val fileFields = root.getSchema.getFields.asScala.toSeq
+    val colIdx = colNames.map { c =>
+      val i = fileFields.indexWhere(_.getName == c)
+      if (i < 0) throw new java.io.IOException(
+        s"Feather part file $file: no column '$c' " +
+          s"(file has: ${fileFields.map(_.getName).mkString(", ")})")
+      i
+    }
+    val convs = colIdx.map(i => converter(fileFields(i)))
+    val blocks = reader.getRecordBlocks.asScala
+    batchIdxs.iterator.flatMap { bi =>
+      require(reader.loadRecordBatch(blocks(bi)),
+        s"Feather part file $file: failed to load record batch $bi")
+      val n = root.getRowCount
+      val vecs = colIdx.map(root.getVector)
+      (0 until n).iterator.map { r =>
+        Row.fromSeq(colIdx.indices.map { c =>
+          convs(c)(vecs(c).getObject(r))
+        })
+      }
+    }
   }
 
   // ---- write ---------------------------------------------------------------

@@ -625,6 +625,21 @@ object IoQueries extends QueryPack {
       .orderBy("vec_id")
   }
 
+  // The DSv2 face of the feather source (sources/FeatherSource.scala):
+  // format("feather") by registered short name, column pruning arriving
+  // from Catalyst (plain .select, no columns= argument — FeatherSourceSpec
+  // pins the pruned ReadSchema), size statistics feeding the planner.
+  register("io_feather_dsv2",
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE c_custkey <= 900 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val src = Tables.customer(s, d).filter(col("c_custkey") <= 900)
+    val path = tmp("feather_dsv2")
+    GraftFeather.write(src, path, codec = "zstd", overwrite = true)
+    s.read.format("feather").load(path)
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
   // Unsigned logical types (SURVEY §1.2; reference types.hpp:209-212
   // UINT8..UINT64): written via parquet-mr's example API with
   // UINT_8/16/32/64 annotations — no Spark writer emits these, so the read

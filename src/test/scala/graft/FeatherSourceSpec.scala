@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.GraftFeather
+
+/** The DSv2 face of the feather source: `format("feather")` must resolve
+  * by short name, prune columns through Catalyst (not a `columns=` arg),
+  * split multi-batch files across tasks, and hand the planner real size
+  * statistics. */
+class FeatherSourceSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private def tmp(n: String) = s"${sys.props("java.io.tmpdir")}/graft_feather_src/$n"
+
+  private def writeSample(path: String, rows: Int = 5000,
+                          batchSize: Int = 512): Unit = {
+    import spark.implicits._
+    val df = (1 to rows).map(i => (i.toLong, s"name_$i", i * 1.5, i % 7))
+      .toDF("id", "name", "v", "grp")
+    GraftFeather.write(df.repartition(1), path, codec = "lz4",
+      overwrite = true, batchSize = batchSize)
+  }
+
+  test("format(feather).load resolves by short name and roundtrips") {
+    val path = tmp("basic")
+    writeSample(path)
+    val df = spark.read.format("feather").load(path)
+    assert(df.count() === 5000)
+    assert(df.schema.fieldNames.toSeq === Seq("id", "name", "v", "grp"))
+    assert(df.filter(col("id") === 42L).select("name").head().getString(0)
+      === "name_42")
+  }
+
+  test("Catalyst prunes columns into the scan (ReadSchema shows the cut)") {
+    val path = tmp("prune")
+    writeSample(path)
+    val df = spark.read.format("feather").load(path).select("id", "v")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"), plan)
+    assert(plan.contains("struct<id:bigint,v:double>"),
+      s"expected a pruned 2-column ReadSchema:\n$plan")
+    assert(df.agg(sum(col("v"))).head().getDouble(0) ===
+      (1 to 5000).map(_ * 1.5).sum)
+  }
+
+  test("multi-batch files split across >1 input partition") {
+    val path = tmp("splits")
+    writeSample(path)
+    val df = spark.read.format("feather")
+      .option("maxSplitBytes", (32 << 10).toString).load(path)
+    assert(df.rdd.getNumPartitions > 1,
+      s"expected >1 partition, got ${df.rdd.getNumPartitions}")
+    assert(df.count() === 5000)
+  }
+
+  test("reported sizeInBytes lets the planner broadcast a small feather dim") {
+    val dimPath = tmp("dim")
+    writeSample(dimPath, rows = 7)
+    import spark.implicits._
+    val fact = (1 to 1000).map(i => (i.toLong % 7, i.toDouble)).toDF("grp", "x")
+    val dim = spark.read.format("feather").load(dimPath)
+      .select(col("id").as("grp"), col("name"))
+    val joined = fact.join(dim, "grp")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a 7-row feather dim with real stats must broadcast:\n$plan")
+  }
+
+  test("SQL over the source works via USING feather") {
+    val path = tmp("sql")
+    writeSample(path)
+    spark.sql("DROP TABLE IF EXISTS feather_sql_t")
+    spark.sql(
+      s"CREATE TABLE feather_sql_t USING feather OPTIONS (path '$path')")
+    try {
+      val n = spark.sql(
+        "SELECT count(*) AS n FROM feather_sql_t WHERE grp = 3").head().getLong(0)
+      assert(n === (1 to 5000).count(_ % 7 == 3))
+    } finally spark.sql("DROP TABLE IF EXISTS feather_sql_t")
+  }
+}
