@@ -191,6 +191,36 @@ object GraftAvro {
   def read(spark: SparkSession, path: String,
            columns: Seq[String] = Nil,
            maxSplitBytes: Long = 128L << 20): DataFrame = {
+    val (schemaJson, sparkSchema, splits) = planRead(spark, path, maxSplitBytes)
+    val confMap = confBroadcast(spark)
+    val rdd = spark.sparkContext
+      .parallelize(splits, splits.size)
+      .mapPartitions { sit =>
+        val execConf = new org.apache.hadoop.conf.Configuration(false)
+        confMap.value.foreach { case (k, v) => execConf.set(k, v) }
+        // close on task completion, not iterator exhaustion: limit()/take()
+        // and mid-file exceptions stop consuming early, and the open
+        // reader would otherwise leak one fd + decompressor per split
+        val open = new java.util.ArrayList[DataFileReader[GenericRecord]]()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            open.asScala.foreach(r => try r.close() catch { case _: Exception => () })))
+        sit.flatMap { case (file, start, end) =>
+          splitRows(execConf, schemaJson, file, start, end, None,
+            r => open.add(r), r => open.remove(r))
+        }
+      }
+    val df = spark.createDataFrame(rdd, sparkSchema)
+    if (columns.nonEmpty) df.select(columns.map(org.apache.spark.sql.functions.col): _*)
+    else df
+  }
+
+  /** Driver-side read planning: writer-schema JSON (from the first file
+    * header), the mapped Spark schema, and (file, startOffset, endOffset)
+    * byte-range splits. Shared by [[read]] and the DSv2 connector. */
+  private[graft] def planRead(spark: SparkSession, path: String,
+                              maxSplitBytes: Long)
+      : (String, StructType, Seq[(String, Long, Long)]) = {
     require(maxSplitBytes > 0, s"maxSplitBytes must be positive, got $maxSplitBytes")
     val conf = spark.sparkContext.hadoopConfiguration
     val files = partFiles(spark, path)
@@ -201,63 +231,64 @@ object GraftAvro {
     require(avroSchema.getType == Schema.Type.RECORD,
       s"top-level Avro schema must be a record, got $avroSchema")
     val sparkSchema = toSparkType(avroSchema).asInstanceOf[StructType]
-    val schemaJson = avroSchema.toString
-    // (file, startOffset, endOffset) byte-range splits
-    val splits: Seq[(String, Long, Long)] = files.flatMap { case (f, len) =>
+    val splits = files.flatMap { case (f, len) =>
       val n = math.max(1L, (len + maxSplitBytes - 1) / maxSplitBytes).toInt
       val step = (len + n - 1) / n
       (0 until n).map(i => (f, i * step, math.min(len, (i + 1L) * step)))
     }
-    // serializable snapshot for executors (Configuration is not serializable)
-    val confMap = confBroadcast(spark)
-    val rdd = spark.sparkContext
-      .parallelize(splits, splits.size)
-      .mapPartitions { sit =>
-        val execConf = new org.apache.hadoop.conf.Configuration(false)
-        confMap.value.foreach { case (k, v) => execConf.set(k, v) }
-        val schema = new Schema.Parser().parse(schemaJson)
-        val fields = schema.getFields.asScala.toSeq
-        // close on task completion, not iterator exhaustion: limit()/take()
-        // and mid-file exceptions stop consuming early, and the open
-        // reader would otherwise leak one fd + decompressor per split
-        val open = new java.util.ArrayList[DataFileReader[GenericRecord]]()
-        Option(org.apache.spark.TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ =>
-            open.asScala.foreach(r => try r.close() catch { case _: Exception => () })))
-        sit.flatMap { case (file, start, end) =>
-          val reader =
-            try openReader(execConf, file, Some(schema))
-            catch { case e: Exception =>
-              throw new java.io.IOException(s"Avro part file $file: cannot open", e)
-            }
-          open.add(reader)
-          checkResolvable(schema, reader.getSchema, file)
-          reader.sync(start) // first block boundary at-or-after start
-          new Iterator[Row] {
-            def hasNext: Boolean = {
-              val h = reader.hasNext && !reader.pastSync(end)
-              if (!h) { reader.close(); open.remove(reader) }
-              h
-            }
-            def next(): Row =
-              try {
-                val rec = reader.next()
-                // resolution (expected schema) makes positions match the
-                // driver schema regardless of each file's writer layout
-                Row.fromSeq(fields.map(f =>
-                  toSparkValue(f.schema(), rec.get(f.pos()))))
-              } catch {
-                case e: org.apache.avro.AvroRuntimeException =>
-                  throw new java.io.IOException(
-                    s"Avro part file $file: record decode failed against the " +
-                      s"driver schema (writer schema incompatible?): ${e.getMessage}", e)
-              }
-          }
-        }
+    (avroSchema.toString, sparkSchema, splits)
+  }
+
+  /** Executor-side split decode with the sync-marker ownership protocol.
+    * `colNames` None decodes every field; Some(names) decodes only those
+    * fields — Some(Nil) decodes NONE, the count(*) shape DSv2 pruning
+    * produces (Avro's serial record encoding still forces a full
+    * byte-level decode pass, but conversion work is pruned). Shared by
+    * [[read]] and the DSv2 connector. */
+  private[graft] def splitRows(execConf: org.apache.hadoop.conf.Configuration,
+                               schemaJson: String, file: String,
+                               start: Long, end: Long,
+                               colNames: Option[Seq[String]],
+                               registerOpen: DataFileReader[GenericRecord] => Unit,
+                               registerClosed: DataFileReader[GenericRecord] => Unit)
+      : Iterator[Row] = {
+    val schema = new Schema.Parser().parse(schemaJson)
+    val fields = colNames match {
+      case None => schema.getFields.asScala.toSeq
+      case Some(names) => names.map { c =>
+        val f = schema.getField(c)
+        require(f != null, s"column '$c' not in avro schema")
+        f
       }
-    val df = spark.createDataFrame(rdd, sparkSchema)
-    if (columns.nonEmpty) df.select(columns.map(org.apache.spark.sql.functions.col): _*)
-    else df
+    }
+    val reader =
+      try openReader(execConf, file, Some(schema))
+      catch { case e: Exception =>
+        throw new java.io.IOException(s"Avro part file $file: cannot open", e)
+      }
+    registerOpen(reader)
+    checkResolvable(schema, reader.getSchema, file)
+    reader.sync(start) // first block boundary at-or-after start
+    new Iterator[Row] {
+      def hasNext: Boolean = {
+        val h = reader.hasNext && !reader.pastSync(end)
+        if (!h) { reader.close(); registerClosed(reader) }
+        h
+      }
+      def next(): Row =
+        try {
+          val rec = reader.next()
+          // resolution (expected schema) makes positions match the
+          // driver schema regardless of each file's writer layout
+          Row.fromSeq(fields.map(f =>
+            toSparkValue(f.schema(), rec.get(f.pos()))))
+        } catch {
+          case e: org.apache.avro.AvroRuntimeException =>
+            throw new java.io.IOException(
+              s"Avro part file $file: record decode failed against the " +
+                s"driver schema (writer schema incompatible?): ${e.getMessage}", e)
+        }
+    }
   }
 
   // ---- write ---------------------------------------------------------------

@@ -625,6 +625,20 @@ object IoQueries extends QueryPack {
       .orderBy("vec_id")
   }
 
+  // The DSv2 face of the Avro source (sources/AvroSource.scala):
+  // format("graft-avro") by registered short name, Catalyst conversion
+  // pruning, sync-marker byte-range splits through the connector.
+  register("io_avro_dsv2",
+    """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+      |WHERE s_suppkey <= 120 ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val src = Tables.supplier(s, d).filter(col("s_suppkey") <= 120)
+    val path = tmp("avro_dsv2")
+    GraftAvro.write(src, path, codec = "deflate", overwrite = true)
+    s.read.format("graft-avro").load(path)
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
   // The DSv2 face of the feather source (sources/FeatherSource.scala):
   // format("feather") by registered short name, column pruning arriving
   // from Catalyst (plain .select, no columns= argument — FeatherSourceSpec

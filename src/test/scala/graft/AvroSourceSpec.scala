@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.GraftAvro
+
+/** DSv2 face of the Avro source (`format("graft-avro")` — short name
+  * deliberately not "avro", so the official connector can't be shadowed
+  * in deployments that ship it). */
+class AvroSourceSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private def tmp(n: String) = s"${sys.props("java.io.tmpdir")}/graft_avro_src/$n"
+
+  private def writeSample(path: String, rows: Int = 4000): Unit = {
+    import spark.implicits._
+    val df = (1 to rows).map(i =>
+      (i.toLong, s"name_$i", i * 0.5, if (i % 11 == 0) None else Some(s"t${i % 3}")))
+      .toDF("id", "name", "v", "tag")
+    GraftAvro.write(df.repartition(2), path, overwrite = true)
+  }
+
+  test("format(graft-avro).load resolves by short name and roundtrips") {
+    val path = tmp("basic")
+    writeSample(path)
+    val df = spark.read.format("graft-avro").load(path)
+    assert(df.schema.fieldNames.toSeq === Seq("id", "name", "v", "tag"))
+    assert(df.count() === 4000)
+    assert(df.filter(col("id") === 33L).head().getString(1) === "name_33")
+  }
+
+  test("Catalyst prunes conversion columns and count(*) decodes none") {
+    val path = tmp("prune")
+    writeSample(path)
+    val df = spark.read.format("graft-avro").load(path).select("id", "v")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("struct<id:bigint,v:double>"),
+      s"expected pruned ReadSchema:\n$plan")
+    assert(df.agg(sum(col("v"))).head().getDouble(0) ===
+      (1 to 4000).map(_ * 0.5).sum)
+    // count(*) prunes to the EMPTY schema (Some(Nil) path) and must still
+    // count every record
+    assert(spark.read.format("graft-avro").load(path).count() === 4000)
+  }
+
+  test("byte-range splits engage through the connector") {
+    val path = tmp("splits")
+    writeSample(path, rows = 20000)
+    val df = spark.read.format("graft-avro")
+      .option("maxSplitBytes", (64 << 10).toString).load(path)
+    assert(df.rdd.getNumPartitions > 2,
+      s"expected >2 partitions, got ${df.rdd.getNumPartitions}")
+    assert(df.count() === 20000)
+    assert(df.agg(sum(col("id"))).head().getLong(0) ===
+      (1 to 20000).map(_.toLong).sum)
+  }
+
+  test("a small graft-avro dim broadcasts off reported statistics") {
+    val dimPath = tmp("dim")
+    writeSample(dimPath, rows = 5)
+    import spark.implicits._
+    val fact = (1 to 500).map(i => (i.toLong % 5 + 1, i)).toDF("id", "x")
+    val dim = spark.read.format("graft-avro").load(dimPath).select("id", "name")
+    val plan = fact.join(dim, "id").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a 5-row avro dim with real stats must broadcast:\n$plan")
+  }
+}
