@@ -58,15 +58,19 @@ private class AvroTable(tableSchema: StructType, path: String)
 
 private class AvroScanBuilder(fullSchema: StructType, path: String,
                               maxSplitBytes: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   private var required: StructType = fullSchema
+  private var limit: Int = -1
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new AvroScan(required, path, maxSplitBytes)
+  // partial push: per-partition row cap; the global limit stays above
+  override def pushLimit(l: Int): Boolean = { limit = l; false }
+  override def build(): Scan = new AvroScan(required, path, maxSplitBytes, limit)
 }
 
 private class AvroScan(readSchema0: StructType, path: String,
-                       maxSplitBytes: Long)
+                       maxSplitBytes: Long, limit: Int)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = readSchema0
   override def description(): String =
@@ -80,7 +84,7 @@ private class AvroScan(readSchema0: StructType, path: String,
     plan._3.map { case (f, s, e) => AvroInputPartition(plan._1, f, s, e) }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(readSchema0,
+    new AvroReaderFactory(readSchema0, limit,
       GraftHadoop.confBroadcast(SparkSession.active))
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -97,7 +101,7 @@ private case class AvroInputPartition(schemaJson: String, file: String,
     extends InputPartition
 
 private class AvroReaderFactory(
-    readSchema: StructType,
+    readSchema: StructType, limit: Int,
     confMap: org.apache.spark.broadcast.Broadcast[Map[String, String]])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -111,10 +115,11 @@ private class AvroReaderFactory(
       private var open: Option[AutoCloseable] = None
       private val toInternal =
         CatalystTypeConverters.createToCatalystConverter(readSchema)
-      private val rows = GraftAvro.splitRows(
+      private val all = GraftAvro.splitRows(
         execConf, p.schemaJson, p.file, p.start, p.end,
         Some(readSchema.fieldNames.toSeq), // Some(Nil) = count(*) shape
         r => open = Some(r), _ => open = None)
+      private val rows = if (limit >= 0) all.take(limit) else all
       private var current: InternalRow = _
       override def next(): Boolean =
         if (rows.hasNext) {

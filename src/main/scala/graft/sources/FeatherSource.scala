@@ -76,16 +76,21 @@ private class FeatherTable(tableSchema: StructType, path: String,
 
 private class FeatherScanBuilder(fullSchema: StructType, path: String,
                                  maxSplitBytes: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   private var required: StructType = fullSchema
+  private var limit: Int = -1
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+  // partial push: each partition yields at most `limit` rows (batch decode
+  // stops early); Spark still applies the global limit above the scan
+  override def pushLimit(l: Int): Boolean = { limit = l; false }
   override def build(): Scan =
-    new FeatherScan(required, path, maxSplitBytes)
+    new FeatherScan(required, path, maxSplitBytes, limit)
 }
 
 private class FeatherScan(readSchema0: StructType, path: String,
-                          maxSplitBytes: Long)
+                          maxSplitBytes: Long, limit: Int)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = readSchema0
   override def description(): String =
@@ -102,12 +107,13 @@ private class FeatherScan(readSchema0: StructType, path: String,
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FeatherReaderFactory(readSchema0,
+    new FeatherReaderFactory(readSchema0, limit,
       GraftHadoop.confBroadcast(SparkSession.active))
 
   override def estimateStatistics(): Statistics = new Statistics {
     // file bytes: the honest lower bound the broadcast threshold needs
-    private val bytes = splits.map(_._2).distinct.sum
+    // (distinct by FILE — a length collision must not drop a file)
+    private val bytes = splits.map(s => (s._1, s._2)).distinct.map(_._2).sum
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong =
@@ -120,7 +126,7 @@ private case class FeatherInputPartition(file: String, len: Long,
     extends InputPartition
 
 private class FeatherReaderFactory(
-    readSchema: StructType,
+    readSchema: StructType, limit: Int,
     confMap: org.apache.spark.broadcast.Broadcast[Map[String, String]])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -134,9 +140,10 @@ private class FeatherReaderFactory(
       private var open: Option[AutoCloseable] = None
       private val toInternal =
         CatalystTypeConverters.createToCatalystConverter(readSchema)
-      private val rows = GraftFeather.splitRows(
+      private val all = GraftFeather.splitRows(
         execConf, p.file, p.len, p.batchIdxs,
         readSchema.fieldNames.toSeq, r => open = Some(r))
+      private val rows = if (limit >= 0) all.take(limit) else all
       private var current: InternalRow = _
       override def next(): Boolean =
         if (rows.hasNext) {

@@ -68,6 +68,18 @@ class FeatherSourceSpec extends AnyFunSuite {
       s"a 7-row feather dim with real stats must broadcast:\n$plan")
   }
 
+  test("limit pushes a per-partition row cap (partial push, exact result)") {
+    val path = tmp("limit")
+    writeSample(path)
+    val df = spark.read.format("feather")
+      .option("maxSplitBytes", (32 << 10).toString).load(path)
+    // correctness: the global limit still yields exactly N rows even
+    // though every partition is capped at N
+    assert(df.limit(17).count() === 17)
+    assert(df.orderBy("id").limit(3).collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L, 3L))
+  }
+
   test("SQL over the source works via USING feather") {
     val path = tmp("sql")
     writeSample(path)
