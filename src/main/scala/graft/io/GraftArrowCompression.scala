@@ -30,6 +30,9 @@ object GraftArrowCompression extends CompressionCodec.Factory {
 
     override protected def doCompress(allocator: BufferAllocator,
                                       uncompressed: ArrowBuf): ArrowBuf = {
+      require(uncompressed.writerIndex() <= Int.MaxValue,
+        s"LZ4 buffer of ${uncompressed.writerIndex()} bytes exceeds the " +
+          "2GiB JVM array limit — write with a smaller batchSize")
       val len = uncompressed.writerIndex().toInt
       val in = new Array[Byte](len)
       uncompressed.getBytes(0, in)
@@ -48,6 +51,10 @@ object GraftArrowCompression extends CompressionCodec.Factory {
     override protected def doDecompress(allocator: BufferAllocator,
                                         compressed: ArrowBuf): ArrowBuf = {
       val decLen = readUncompressedLength(compressed)
+      require(decLen >= 0 && decLen <= Int.MaxValue,
+        s"LZ4 buffer declares $decLen uncompressed bytes — beyond the " +
+          "2GiB JVM array limit (corrupt frame, or a foreign writer with " +
+          "multi-GiB column buffers)")
       val cLen = (compressed.writerIndex() -
         CompressionUtil.SIZE_OF_UNCOMPRESSED_LENGTH).toInt
       val in = new Array[Byte](cLen)

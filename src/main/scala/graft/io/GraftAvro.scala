@@ -425,13 +425,19 @@ object GraftAvro {
           n += 1
         }
         writer.close()
-        partFs.delete(finalPart, false)
-        require(partFs.rename(tmpPart, finalPart),
-          s"rename $tmpPart -> $finalPart failed")
+        // commit by RENAME ONLY — never delete the destination first: a
+        // speculative duplicate killed between a delete and its rename
+        // would silently lose the part another attempt committed. A lost
+        // race means a COMPLETE part already exists; drop the tmp.
+        if (!partFs.rename(tmpPart, finalPart)) {
+          require(partFs.exists(finalPart),
+            s"rename $tmpPart -> $finalPart failed with no winner present")
+          partFs.delete(tmpPart, false)
+        }
       } catch {
         case e: Throwable =>
-          try { writer.close(); partFs.delete(tmpPart, false) }
-          catch { case _: Exception => () }
+          try writer.close() catch { case _: Exception => () }
+          try partFs.delete(tmpPart, false) catch { case _: Exception => () }
           throw e
       }
       Iterator.single(n)

@@ -137,10 +137,13 @@ object GraftFeather {
         }
         if (t.getTimezone == null)
           // TimestampNTZ: wall-clock, no instant semantics
-          v => java.time.LocalDateTime.ofEpochSecond(
-            Math.floorDiv(micros(v), 1000000L),
-            (Math.floorMod(micros(v), 1000000L) * 1000L).toInt,
-            java.time.ZoneOffset.UTC)
+          v => {
+            val m = micros(v)
+            java.time.LocalDateTime.ofEpochSecond(
+              Math.floorDiv(m, 1000000L),
+              (Math.floorMod(m, 1000000L) * 1000L).toInt,
+              java.time.ZoneOffset.UTC)
+          }
         else
           v => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
             Math.floorDiv(micros(v), 1000000L),
@@ -179,10 +182,19 @@ object GraftFeather {
     override def read(dst: java.nio.ByteBuffer): Int = {
       val want = math.min(dst.remaining().toLong, len - pos).toInt
       if (want <= 0) return -1
-      val arr = new Array[Byte](want)
       in.seek(pos)
-      val n = in.read(arr, 0, want)
-      if (n > 0) { dst.put(arr, 0, n); pos += n }
+      val n =
+        if (dst.hasArray) { // write straight into the buffer's backing array
+          val m = in.read(dst.array(), dst.arrayOffset() + dst.position(), want)
+          if (m > 0) dst.position(dst.position() + m)
+          m
+        } else { // direct buffer: one bounded copy through a scratch array
+          val arr = new Array[Byte](want)
+          val m = in.read(arr, 0, want)
+          if (m > 0) dst.put(arr, 0, m)
+          m
+        }
+      if (n > 0) pos += n
       n
     }
     override def write(src: java.nio.ByteBuffer): Int =
@@ -260,6 +272,17 @@ object GraftFeather {
         }
       }
     spark.createDataFrame(rdd, sparkSchema)
+  }
+
+  /** Schema-only planning: the Arrow fields from the FIRST file's footer.
+    * One footer read — what `inferSchema` needs; the full every-file
+    * sweep happens once, in [[planRead]], at scan time. */
+  private[graft] def readFields(spark: SparkSession, path: String): Seq[Field] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = partFiles(spark, path)
+    val head = openReader(conf, files.head._1, files.head._2)
+    try head.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq
+    finally head.close()
   }
 
   /** Driver-side read planning: the Arrow schema fields (from the first
@@ -535,13 +558,23 @@ object GraftFeather {
         }
         writer.end()
         writer.close(); root.close()
-        partFs.delete(finalPart, false)
-        require(partFs.rename(tmpPart, finalPart),
-          s"rename $tmpPart -> $finalPart failed")
+        // commit by RENAME ONLY — never delete the destination first: a
+        // speculative duplicate killed between a delete and its rename
+        // would silently lose the part another attempt already committed.
+        // If the rename loses the race, the existing part is a COMPLETE
+        // file (parts only appear via rename) — drop our tmp and succeed.
+        if (!partFs.rename(tmpPart, finalPart)) {
+          require(partFs.exists(finalPart),
+            s"rename $tmpPart -> $finalPart failed with no winner present")
+          partFs.delete(tmpPart, false)
+        }
       } catch {
-        case e: Throwable =>
-          try { writer.close(); root.close(); partFs.delete(tmpPart, false) }
-          catch { case _: Exception => () }
+        case e: Throwable => // each cleanup swallows separately: a throw
+          // from writer.close() (dead channel) must not leak the Arrow
+          // buffers or orphan the tmp file
+          try writer.close() catch { case _: Exception => () }
+          try root.close() catch { case _: Exception => () }
+          try partFs.delete(tmpPart, false) catch { case _: Exception => () }
           throw e
       }
       Iterator.single(n)

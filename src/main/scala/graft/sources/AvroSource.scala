@@ -81,10 +81,13 @@ private class AvroScan(readSchema0: StructType, path: String,
     GraftAvro.planRead(SparkSession.active, path, maxSplitBytes)
 
   override def planInputPartitions(): Array[InputPartition] =
-    plan._3.map { case (f, s, e) => AvroInputPartition(plan._1, f, s, e) }.toArray
+    plan._3.map { case (f, s, e) => AvroInputPartition(f, s, e) }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(readSchema0, limit,
+    // schemaJson rides the factory (serialized ONCE into the shared task
+    // binary), not every InputPartition — a 100KB writer schema must not
+    // be duplicated across thousands of task descriptions
+    new AvroReaderFactory(readSchema0, plan._1, limit,
       GraftHadoop.confBroadcast(SparkSession.active))
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -96,12 +99,11 @@ private class AvroScan(readSchema0: StructType, path: String,
   }
 }
 
-private case class AvroInputPartition(schemaJson: String, file: String,
-                                      start: Long, end: Long)
+private case class AvroInputPartition(file: String, start: Long, end: Long)
     extends InputPartition
 
 private class AvroReaderFactory(
-    readSchema: StructType, limit: Int,
+    readSchema: StructType, schemaJson: String, limit: Int,
     confMap: org.apache.spark.broadcast.Broadcast[Map[String, String]])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -115,10 +117,17 @@ private class AvroReaderFactory(
       private var open: Option[AutoCloseable] = None
       private val toInternal =
         CatalystTypeConverters.createToCatalystConverter(readSchema)
-      private val all = GraftAvro.splitRows(
-        execConf, p.schemaJson, p.file, p.start, p.end,
-        Some(readSchema.fieldNames.toSeq), // Some(Nil) = count(*) shape
-        r => open = Some(r), _ => open = None)
+      // release a half-constructed reader (schema-resolution throw) —
+      // Spark only close()es readers whose construction succeeded
+      private val all =
+        try GraftAvro.splitRows(
+          execConf, schemaJson, p.file, p.start, p.end,
+          Some(readSchema.fieldNames.toSeq), // Some(Nil) = count(*) shape
+          r => open = Some(r), _ => open = None)
+        catch { case e: Throwable =>
+          open.foreach(r => try r.close() catch { case _: Exception => () })
+          throw e
+        }
       private val rows = if (limit >= 0) all.take(limit) else all
       private var current: InternalRow = _
       override def next(): Boolean =

@@ -42,19 +42,20 @@ class FeatherDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val spark = SparkSession.active
-    val (fields, _) = GraftFeather.planRead(spark, pathOf(options),
-      maxSplitBytes = 1L) // planning only; splits recomputed at scan time
+    // schema-only: ONE footer read (the first file); the every-file split
+    // sweep runs once, at scan time
+    val fields = GraftFeather.readFields(SparkSession.active, pathOf(options))
     StructType(fields.map(f => org.apache.spark.sql.types.StructField(
       f.getName, GraftFeather.toSparkType(f), f.isNullable)))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
-    new FeatherTable(schema,
-      pathOf(new CaseInsensitiveStringMap(properties)),
-      Option(properties.get("maxsplitbytes")).map(_.toLong)
+                        properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties) // keys arrive raw
+    new FeatherTable(schema, pathOf(opts),
+      Option(opts.get("maxsplitbytes")).map(_.toLong)
         .getOrElse(128L << 20))
+  }
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -140,9 +141,17 @@ private class FeatherReaderFactory(
       private var open: Option[AutoCloseable] = None
       private val toInternal =
         CatalystTypeConverters.createToCatalystConverter(readSchema)
-      private val all = GraftFeather.splitRows(
-        execConf, p.file, p.len, p.batchIdxs,
-        readSchema.fieldNames.toSeq, r => open = Some(r))
+      // a throw AFTER the reader opened but BEFORE construction finishes
+      // (missing column, corrupt footer) means Spark never gets a reader
+      // to close() — release here or the fd + Arrow buffers leak per retry
+      private val all =
+        try GraftFeather.splitRows(
+          execConf, p.file, p.len, p.batchIdxs,
+          readSchema.fieldNames.toSeq, r => open = Some(r))
+        catch { case e: Throwable =>
+          open.foreach(r => try r.close() catch { case _: Exception => () })
+          throw e
+        }
       private val rows = if (limit >= 0) all.take(limit) else all
       private var current: InternalRow = _
       override def next(): Boolean =
