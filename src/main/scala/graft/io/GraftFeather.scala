@@ -483,6 +483,67 @@ object GraftFeather {
     }
   }
 
+  /** One open .feather part: batches rows, flushes every `batchSize`,
+    * closes into a complete IPC file on [[finish]]. Shared by
+    * [[write]]'s RDD path and the DSv2 DataWriter (graft.sources), which
+    * each own file placement and commit. */
+  private[graft] final class FeatherPartWriter(
+      st: StructType, stream: java.io.OutputStream,
+      codec: String, batchSize: Int) {
+    private val root = VectorSchemaRoot.create(
+      new ArrowSchema(st.fields.map(f =>
+        toArrowField(f.name, f.dataType, f.nullable)).toSeq.asJava), allocator)
+    private val writer = codec match {
+      case "none" | "null" =>
+        new ArrowFileWriter(root, null,
+          java.nio.channels.Channels.newChannel(stream))
+      case c =>
+        new ArrowFileWriter(root, null,
+          java.nio.channels.Channels.newChannel(stream), null,
+          org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+          GraftArrowCompression,
+          if (c == "lz4")
+            org.apache.arrow.vector.compression.CompressionUtil.CodecType.LZ4_FRAME
+          else
+            org.apache.arrow.vector.compression.CompressionUtil.CodecType.ZSTD)
+    }
+    private val vecs = root.getFieldVectors.asScala.toSeq
+    private val fields = st.fields
+    private var i = 0
+    writer.start()
+
+    def append(r: Row): Unit = {
+      if (i == 0) root.allocateNew()
+      var c = 0
+      while (c < fields.length) {
+        setValue(vecs(c), i, fields(c).dataType, r.get(c))
+        c += 1
+      }
+      i += 1
+      if (i == batchSize) flush()
+    }
+
+    private def flush(): Unit = {
+      root.setRowCount(i)
+      writer.writeBatch()
+      i = 0
+    }
+
+    def finish(): Unit = {
+      if (i > 0) flush()
+      writer.end()
+      writer.close()
+      root.close()
+    }
+
+    /** Error-path release: each close swallows separately so a dead
+      * channel can't leak Arrow buffers. */
+    def abort(): Unit = {
+      try writer.close() catch { case _: Exception => () }
+      try root.close() catch { case _: Exception => () }
+    }
+  }
+
   /** to_feather: one .feather part per partition, record batches of
     * `batchSize` rows, LZ4_FRAME (pandas' default) / ZSTD / none buffer
     * compression. Same commit discipline as [[GraftAvro.write]]: temp
@@ -512,7 +573,7 @@ object GraftFeather {
       fs.delete(out, true)
     }
     fs.mkdirs(out)
-    val schemaFields = st.fields.toSeq
+    val schemaFields = StructType(st.fields)
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val execConf = new org.apache.hadoop.conf.Configuration(false)
       confMap.value.foreach { case (k, v) => execConf.set(k, v) }
@@ -521,43 +582,12 @@ object GraftFeather {
       val partFs = new Path(path).getFileSystem(execConf)
       val finalPart = new Path(path, f"part-$pid%05d.feather")
       val tmpPart = new Path(path, f".part-$pid%05d-attempt-$attempt.feather.tmp")
-      val arrowSchema = new ArrowSchema(schemaFields.map(f =>
-        toArrowField(f.name, f.dataType, f.nullable)).asJava)
-      val root = VectorSchemaRoot.create(arrowSchema, allocator)
-      val stream = partFs.create(tmpPart, true)
-      val channel = java.nio.channels.Channels.newChannel(stream)
-      val writer = codecNorm match {
-        case "none" | "null" =>
-          new ArrowFileWriter(root, null, channel)
-        case c =>
-          new ArrowFileWriter(root, null, channel, null,
-            org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
-            GraftArrowCompression,
-            if (c == "lz4")
-              org.apache.arrow.vector.compression.CompressionUtil.CodecType.LZ4_FRAME
-            else
-              org.apache.arrow.vector.compression.CompressionUtil.CodecType.ZSTD)
-      }
-      var n = 0L
+      val pw = new FeatherPartWriter(schemaFields,
+        partFs.create(tmpPart, true), codecNorm, batchSize)
       try {
-        writer.start()
-        val vecs = root.getFieldVectors.asScala.toSeq
-        while (rows.hasNext) {
-          root.allocateNew()
-          var i = 0
-          while (i < batchSize && rows.hasNext) {
-            val r = rows.next()
-            schemaFields.zipWithIndex.foreach { case (f, c) =>
-              setValue(vecs(c), i, f.dataType, r.get(c))
-            }
-            i += 1
-          }
-          root.setRowCount(i)
-          writer.writeBatch()
-          n += i
-        }
-        writer.end()
-        writer.close(); root.close()
+        var n = 0L
+        while (rows.hasNext) { pw.append(rows.next()); n += 1 }
+        pw.finish()
         // commit by RENAME ONLY — never delete the destination first: a
         // speculative duplicate killed between a delete and its rename
         // would silently lose the part another attempt already committed.
@@ -568,16 +598,13 @@ object GraftFeather {
             s"rename $tmpPart -> $finalPart failed with no winner present")
           partFs.delete(tmpPart, false)
         }
+        Iterator.single(n)
       } catch {
-        case e: Throwable => // each cleanup swallows separately: a throw
-          // from writer.close() (dead channel) must not leak the Arrow
-          // buffers or orphan the tmp file
-          try writer.close() catch { case _: Exception => () }
-          try root.close() catch { case _: Exception => () }
+        case e: Throwable =>
+          pw.abort()
           try partFs.delete(tmpPart, false) catch { case _: Exception => () }
           throw e
       }
-      Iterator.single(n)
     }.count(): Unit
     // an empty frame can optimize to a ZERO-partition RDD: no task ran, so
     // no part carries the schema — stamp one schema-only part (footer, no

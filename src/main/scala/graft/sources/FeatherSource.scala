@@ -62,17 +62,23 @@ class FeatherDataSource extends TableProvider with DataSourceRegister {
 
 private class FeatherTable(tableSchema: StructType, path: String,
                            maxSplitBytes: Long)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"feather `$path`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FeatherScanBuilder(tableSchema, path,
       // read options win over table properties (this is where
       // .option("maxSplitBytes", …) actually arrives)
       Option(options.get("maxsplitbytes")).map(_.toLong)
         .getOrElse(maxSplitBytes))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new FeatherWriteBuilder(info, path)
 }
 
 private class FeatherScanBuilder(fullSchema: StructType, path: String,
@@ -125,6 +131,131 @@ private class FeatherScan(readSchema0: StructType, path: String,
 private case class FeatherInputPartition(file: String, len: Long,
                                          batchIdxs: Seq[Int])
     extends InputPartition
+
+// ---- write path ------------------------------------------------------------
+// V2 path-based writes support append/overwrite (Spark's own contract for
+// TableProvider sinks: ErrorIfExists/Ignore are rejected upstream).
+// Commit protocol: each task writes a hidden tmp file and reports its name;
+// the DRIVER renames every reported tmp to a final part in commit() and
+// stamps _SUCCESS. With useCommitCoordinator (the default), Spark
+// guarantees exactly one committed attempt per partition — the coordinated
+// fix for the speculative-duplicate window the rename-only RDD path can
+// only mitigate.
+
+private class FeatherWriteBuilder(
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo, path: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new FeatherWrite(info.schema(), path, doTruncate,
+      Option(info.options.get("codec")).getOrElse("lz4"),
+      Option(info.options.get("batchsize")).map(_.toInt).getOrElse(4096))
+}
+
+private case class FeatherCommitMessage(tmpName: String, partitionId: Int)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private class FeatherWrite(st: StructType, path: String, truncate: Boolean,
+                           codec: String, batchSize: Int)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite {
+  // fail on unmappable schemas / bad options BEFORE tasks launch
+  st.fields.foreach(f => GraftFeather.toArrowField(f.name, f.dataType, f.nullable))
+  require(Seq("lz4", "zstd", "none", "null").contains(codec),
+    s"unknown codec $codec (lz4, zstd, none)")
+  require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = this
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    val spark = SparkSession.active
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    new FeatherWriterFactory(st, path, codec, batchSize,
+      GraftHadoop.confBroadcast(spark))
+  }
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val spark = SparkSession.active
+    val out = new org.apache.hadoop.fs.Path(path)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = messages.collect { case m: FeatherCommitMessage => m }
+    if (truncate) // overwrite: drop pre-existing parts, keep the new tmps
+      fs.listStatus(out).filter(_.getPath.getName.endsWith(".feather"))
+        .foreach(s => fs.delete(s.getPath, false))
+    committed.foreach { m =>
+      val tmp = new org.apache.hadoop.fs.Path(path, m.tmpName)
+      val fin = new org.apache.hadoop.fs.Path(path,
+        f"part-${m.partitionId}%05d-${java.util.UUID.nameUUIDFromBytes(
+          m.tmpName.getBytes("UTF-8"))}.feather")
+      require(fs.rename(tmp, fin), s"commit rename $tmp -> $fin failed")
+    }
+    // zero tasks or all-empty input: stamp one schema-only part so reads
+    // see the schema (same contract as GraftFeather.write)
+    if (!fs.listStatus(out).exists(_.getPath.getName.endsWith(".feather"))) {
+      val pw = new GraftFeather.FeatherPartWriter(st,
+        fs.create(new org.apache.hadoop.fs.Path(out, "part-00000.feather"),
+          true), "none", batchSize)
+      pw.finish()
+    }
+    fs.create(new org.apache.hadoop.fs.Path(out, "_SUCCESS"), true).close()
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val spark = SparkSession.active
+    val out = new org.apache.hadoop.fs.Path(path)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.collect { case m: FeatherCommitMessage => m }.foreach { m =>
+      try fs.delete(new org.apache.hadoop.fs.Path(path, m.tmpName), false)
+      catch { case _: Exception => () }
+    }
+  }
+}
+
+private class FeatherWriterFactory(
+    st: StructType, path: String, codec: String, batchSize: Int,
+    confMap: org.apache.spark.broadcast.Broadcast[Map[String, String]])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      private val execConf = {
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        confMap.value.foreach { case (k, v) => c.set(k, v) }
+        c
+      }
+      private val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(execConf)
+      private val tmpName = f".part-$partitionId%05d-task-$taskId.feather.tmp"
+      private val pw = new GraftFeather.FeatherPartWriter(st,
+        fs.create(new org.apache.hadoop.fs.Path(path, tmpName), true),
+        codec, batchSize)
+      private val toRow = CatalystTypeConverters.createToScalaConverter(st)
+      override def write(record: InternalRow): Unit =
+        pw.append(toRow(record).asInstanceOf[org.apache.spark.sql.Row])
+      override def commit()
+          : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        pw.finish()
+        FeatherCommitMessage(tmpName, partitionId)
+      }
+      override def abort(): Unit = {
+        pw.abort()
+        try fs.delete(new org.apache.hadoop.fs.Path(path, tmpName), false)
+        catch { case _: Exception => () }
+      }
+      override def close(): Unit = () // finish/abort own the resources
+    }
+}
 
 private class FeatherReaderFactory(
     readSchema: StructType, limit: Int,

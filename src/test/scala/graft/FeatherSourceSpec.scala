@@ -80,6 +80,46 @@ class FeatherSourceSpec extends AnyFunSuite {
       === Seq(1L, 2L, 3L))
   }
 
+  test("df.write.format(feather) appends and overwrites through BatchWrite") {
+    import spark.implicits._
+    val path = tmp("write_v2")
+    val a = (1 to 300).map(i => (i.toLong, s"a_$i")).toDF("id", "s")
+    val b = (301 to 400).map(i => (i.toLong, s"b_$i")).toDF("id", "s")
+    a.write.format("feather").mode("overwrite").save(path)
+    assert(spark.read.format("feather").load(path).count() === 300)
+    // append adds parts without touching the existing ones
+    b.write.format("feather").mode("append").save(path)
+    val both = spark.read.format("feather").load(path)
+    assert(both.count() === 400)
+    assert(both.agg(sum(col("id"))).head().getLong(0) ===
+      (1 to 400).map(_.toLong).sum)
+    // overwrite truncates to the new content only
+    b.write.format("feather").mode("overwrite").save(path)
+    assert(spark.read.format("feather").load(path).count() === 100)
+    // the non-DSv2 reader sees the same files (one format, two faces)
+    assert(GraftFeather.read(spark, path).count() === 100)
+    // _SUCCESS stamped by the driver-side commit
+    assert(new java.io.File(path, "_SUCCESS").exists())
+  }
+
+  test("DSv2 write honors codec/batchSize options and empty frames") {
+    import spark.implicits._
+    val path = tmp("write_v2_opts")
+    val df = (1 to 2000).map(i => (i.toLong, s"text_$i" * 10)).toDF("id", "s")
+    df.repartition(1).write.format("feather").mode("overwrite")
+      .option("codec", "zstd").option("batchSize", "100").save(path)
+    val back = spark.read.format("feather")
+      .option("maxSplitBytes", (16 << 10).toString).load(path)
+    assert(back.rdd.getNumPartitions > 1) // many batches -> splittable
+    assert(back.count() === 2000)
+    // empty frame: schema-only part, reads back as empty with schema
+    df.filter(col("id") < 0).write.format("feather")
+      .mode("overwrite").save(path)
+    val empty = spark.read.format("feather").load(path)
+    assert(empty.schema.fieldNames.toSeq === Seq("id", "s"))
+    assert(empty.count() === 0)
+  }
+
   test("SQL over the source works via USING feather") {
     val path = tmp("sql")
     writeSample(path)
