@@ -375,10 +375,45 @@ object GraftAvro {
     * and a failed job leaves `.tmp` turds, never a truncated part. The
     * driver stamps `_SUCCESS` after the job, so readers can gate on
     * completeness like any Hadoop-committed directory. */
+  /** One open .avro part: appends rows as GenericRecords, closes into a
+    * complete container file on [[finish]]. Shared by [[write]]'s RDD
+    * path and the DSv2 DataWriter (graft.sources), which each own file
+    * placement and commit. */
+  private[graft] final class AvroPartWriter(
+      st: StructType, schemaJson: String,
+      stream: java.io.OutputStream, codec: String) {
+    private val schema = new Schema.Parser().parse(schemaJson)
+    private val writer = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    writer.setCodec(codec match {
+      case "snappy" => org.apache.avro.file.CodecFactory.snappyCodec()
+      case "deflate" => org.apache.avro.file.CodecFactory.deflateCodec(6)
+      case "null" | "none" => org.apache.avro.file.CodecFactory.nullCodec()
+      case other => throw new IllegalArgumentException(s"unknown codec $other")
+    })
+    writer.create(schema, stream)
+
+    def append(r: Row): Unit = {
+      val rec = new GenericData.Record(schema)
+      st.fields.zipWithIndex.foreach { case (f, i) =>
+        rec.put(f.name, toAvroValue(
+          schema.getField(f.name).schema(), f.dataType, r.get(i)))
+      }
+      writer.append(rec)
+    }
+
+    def finish(): Unit = writer.close()
+
+    def abort(): Unit =
+      try writer.close() catch { case _: Exception => () }
+  }
+
   def write(df: DataFrame, path: String, codec: String = "snappy",
             overwrite: Boolean = false): Unit = {
     val st = df.schema
     val schemaJson = toAvroSchema(st).toString
+    require(Seq("snappy", "deflate", "null", "none").contains(codec),
+      s"unknown codec $codec (snappy, deflate, none)") // fail on the driver
     val spark = df.sparkSession
     val confMap = confBroadcast(spark)
     val out = new Path(path)
@@ -394,37 +429,21 @@ object GraftAvro {
       fs.delete(out, true)
     }
     fs.mkdirs(out)
+    val stFinal = st
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val execConf = new org.apache.hadoop.conf.Configuration(false)
       confMap.value.foreach { case (k, v) => execConf.set(k, v) }
-      val schema = new Schema.Parser().parse(schemaJson)
       val attempt = Option(org.apache.spark.TaskContext.get())
         .map(_.taskAttemptId()).getOrElse(0L)
       val partFs = new Path(path).getFileSystem(execConf)
       val finalPart = new Path(path, f"part-$pid%05d.avro")
       val tmpPart = new Path(path, f".part-$pid%05d-attempt-$attempt.avro.tmp")
-      val stream = partFs.create(tmpPart, true)
-      val writer = new DataFileWriter[GenericRecord](
-        new GenericDatumWriter[GenericRecord](schema))
-      writer.setCodec(codec match {
-        case "snappy" => org.apache.avro.file.CodecFactory.snappyCodec()
-        case "deflate" => org.apache.avro.file.CodecFactory.deflateCodec(6)
-        case "null" | "none" => org.apache.avro.file.CodecFactory.nullCodec()
-        case other => throw new IllegalArgumentException(s"unknown codec $other")
-      })
-      writer.create(schema, stream)
-      var n = 0L
+      val pw = new AvroPartWriter(stFinal, schemaJson,
+        partFs.create(tmpPart, true), codec)
       try {
-        rows.foreach { r =>
-          val rec = new GenericData.Record(schema)
-          st.fields.zipWithIndex.foreach { case (f, i) =>
-            rec.put(f.name, toAvroValue(
-              schema.getField(f.name).schema(), f.dataType, r.get(i)))
-          }
-          writer.append(rec)
-          n += 1
-        }
-        writer.close()
+        var n = 0L
+        rows.foreach { r => pw.append(r); n += 1 }
+        pw.finish()
         // commit by RENAME ONLY — never delete the destination first: a
         // speculative duplicate killed between a delete and its rename
         // would silently lose the part another attempt committed. A lost
@@ -434,13 +453,13 @@ object GraftAvro {
             s"rename $tmpPart -> $finalPart failed with no winner present")
           partFs.delete(tmpPart, false)
         }
+        Iterator.single(n)
       } catch {
         case e: Throwable =>
-          try writer.close() catch { case _: Exception => () }
+          pw.abort()
           try partFs.delete(tmpPart, false) catch { case _: Exception => () }
           throw e
       }
-      Iterator.single(n)
     }.count(): Unit
     // an empty frame can optimize to a ZERO-partition RDD: no task ran, so
     // no part carries the schema — stamp one schema-only part (header, no

@@ -45,15 +45,135 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
 }
 
 private class AvroTable(tableSchema: StructType, path: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-avro `$path`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(tableSchema, path,
       Option(options.get("maxsplitbytes")).map(_.toLong)
         .getOrElse(128L << 20))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new AvroWriteBuilder(info, path)
+}
+
+// ---- write path (same commit protocol as the feather connector: tmp per
+// task, driver-side rename in commit(), Spark's commit coordinator
+// guarantees exactly one committed attempt per partition) ------------------
+
+private class AvroWriteBuilder(
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo, path: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new AvroWrite(info.schema(), path, doTruncate,
+      Option(info.options.get("codec")).getOrElse("snappy"))
+}
+
+private case class AvroCommitMessage(tmpName: String, partitionId: Int)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private class AvroWrite(st: StructType, path: String, truncate: Boolean,
+                        codec: String)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite {
+  // fail on unmappable schemas / bad codecs BEFORE tasks launch
+  private val schemaJson = GraftAvro.toAvroSchema(st).toString
+  require(Seq("snappy", "deflate", "null", "none").contains(codec),
+    s"unknown codec $codec (snappy, deflate, none)")
+
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = this
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    val spark = SparkSession.active
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    new AvroWriterFactory(st, schemaJson, path, codec,
+      GraftHadoop.confBroadcast(spark))
+  }
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val spark = SparkSession.active
+    val out = new org.apache.hadoop.fs.Path(path)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = messages.collect { case m: AvroCommitMessage => m }
+    if (truncate)
+      fs.listStatus(out).filter(_.getPath.getName.endsWith(".avro"))
+        .foreach(s => fs.delete(s.getPath, false))
+    committed.foreach { m =>
+      val tmp = new org.apache.hadoop.fs.Path(path, m.tmpName)
+      val fin = new org.apache.hadoop.fs.Path(path,
+        f"part-${m.partitionId}%05d-${java.util.UUID.nameUUIDFromBytes(
+          m.tmpName.getBytes("UTF-8"))}.avro")
+      require(fs.rename(tmp, fin), s"commit rename $tmp -> $fin failed")
+    }
+    if (!fs.listStatus(out).exists(_.getPath.getName.endsWith(".avro"))) {
+      val pw = new GraftAvro.AvroPartWriter(st, schemaJson,
+        fs.create(new org.apache.hadoop.fs.Path(out, "part-00000.avro"),
+          true), "null")
+      pw.finish()
+    }
+    fs.create(new org.apache.hadoop.fs.Path(out, "_SUCCESS"), true).close()
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val spark = SparkSession.active
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.collect { case m: AvroCommitMessage => m }.foreach { m =>
+      try fs.delete(new org.apache.hadoop.fs.Path(path, m.tmpName), false)
+      catch { case _: Exception => () }
+    }
+  }
+}
+
+private class AvroWriterFactory(
+    st: StructType, schemaJson: String, path: String, codec: String,
+    confMap: org.apache.spark.broadcast.Broadcast[Map[String, String]])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      private val execConf = {
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        confMap.value.foreach { case (k, v) => c.set(k, v) }
+        c
+      }
+      private val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(execConf)
+      private val tmpName = f".part-$partitionId%05d-task-$taskId.avro.tmp"
+      private val pw = new GraftAvro.AvroPartWriter(st, schemaJson,
+        fs.create(new org.apache.hadoop.fs.Path(path, tmpName), true), codec)
+      private val toRow = CatalystTypeConverters.createToScalaConverter(st)
+      override def write(record: InternalRow): Unit =
+        pw.append(toRow(record).asInstanceOf[org.apache.spark.sql.Row])
+      override def commit()
+          : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        pw.finish()
+        AvroCommitMessage(tmpName, partitionId)
+      }
+      override def abort(): Unit = {
+        pw.abort()
+        try fs.delete(new org.apache.hadoop.fs.Path(path, tmpName), false)
+        catch { case _: Exception => () }
+      }
+      override def close(): Unit = ()
+    }
 }
 
 private class AvroScanBuilder(fullSchema: StructType, path: String,

@@ -56,6 +56,31 @@ class AvroSourceSpec extends AnyFunSuite {
       (1 to 20000).map(_.toLong).sum)
   }
 
+  test("df.write.format(graft-avro) appends and overwrites through BatchWrite") {
+    import spark.implicits._
+    val path = tmp("write_v2")
+    val a = (1 to 250).map(i => (i.toLong, s"a_$i")).toDF("id", "s")
+    val b = (251 to 300).map(i => (i.toLong, s"b_$i")).toDF("id", "s")
+    a.write.format("graft-avro").mode("overwrite").save(path)
+    assert(spark.read.format("graft-avro").load(path).count() === 250)
+    b.write.format("graft-avro").mode("append").save(path)
+    val both = spark.read.format("graft-avro").load(path)
+    assert(both.count() === 300)
+    assert(both.agg(sum(col("id"))).head().getLong(0) ===
+      (1 to 300).map(_.toLong).sum)
+    b.write.format("graft-avro").mode("overwrite")
+      .option("codec", "deflate").save(path)
+    assert(spark.read.format("graft-avro").load(path).count() === 50)
+    // the non-DSv2 reader sees the same container files
+    assert(GraftAvro.read(spark, path).count() === 50)
+    // empty frame through the coordinated path: schema-only part
+    a.filter(col("id") < 0).write.format("graft-avro")
+      .mode("overwrite").save(path)
+    val empty = spark.read.format("graft-avro").load(path)
+    assert(empty.schema.fieldNames.toSeq === Seq("id", "s"))
+    assert(empty.count() === 0)
+  }
+
   test("a small graft-avro dim broadcasts off reported statistics") {
     val dimPath = tmp("dim")
     writeSample(dimPath, rows = 5)
