@@ -1,0 +1,205 @@
+package graft.io
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Per-record-batch min/max statistics for feather parts — the skipping
+  * index the format itself lacks (parquet carries row-group stats in its
+  * footer; the Arrow IPC footer carries none). The sink writes one
+  * `<part>.stats.json` sidecar per part file; the DSv2 scan loads it and
+  * SKIPS batches whose [min,max] ranges prove no row can satisfy the
+  * pushed filters. Pruning is skip-only — Spark re-applies every filter
+  * above the scan — so a missing/stale sidecar or an unsupported type
+  * costs pruning, never correctness.
+  *
+  * Ranges cover NON-NULL values only, which is sufficient: a row with a
+  * null in the filtered column never satisfies a comparison predicate,
+  * so "no non-null value in range" means "no row matches". A batch with
+  * ZERO non-null values ([[ColStat.Empty]]) is prunable by ANY
+  * comparison on that column.
+  *
+  * v1 scope: integer types (stored as long), float/double, string. Other
+  * types record no stats and never prune.
+  */
+object FeatherStats {
+
+  sealed trait ColStat
+  object ColStat {
+    final case class Longs(lo: Long, hi: Long) extends ColStat
+    final case class Doubles(lo: Double, hi: Double) extends ColStat
+    final case class Strings(lo: String, hi: String) extends ColStat
+    case object Empty extends ColStat // all-null batch column
+  }
+
+  /** Accumulates one batch's ranges; reset between batches. */
+  final class Collector(st: StructType) {
+    private def isTracked(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType => true
+      case _ => false
+    }
+    private val tracked: Array[Int] = st.fields.zipWithIndex.collect {
+      case (f, i) if isTracked(f.dataType) => i
+    }
+    private val los = new Array[Any](st.fields.length)
+    private val his = new Array[Any](st.fields.length)
+
+    def observe(r: Row): Unit = tracked.foreach { i =>
+      if (!r.isNullAt(i)) {
+        val v: Any = st.fields(i).dataType match {
+          case ByteType => r.getByte(i).toLong
+          case ShortType => r.getShort(i).toLong
+          case IntegerType => r.getInt(i).toLong
+          case LongType => r.getLong(i)
+          case FloatType => r.getFloat(i).toDouble
+          case DoubleType => r.getDouble(i)
+          case StringType => r.getString(i)
+          case _ => null
+        }
+        if (v != null) {
+          if (los(i) == null || lt(v, los(i))) los(i) = v
+          if (his(i) == null || lt(his(i), v)) his(i) = v
+        }
+      }
+    }
+
+    private def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long) => x < y
+      case (x: Double, y: Double) => x < y
+      case (x: String, y: String) => x.compareTo(y) < 0
+      case _ => false
+    }
+
+    /** Snapshot this batch's stats and reset for the next. */
+    def snapshotAndReset(): Map[String, ColStat] = {
+      val out = tracked.map { i =>
+        val name = st.fields(i).name
+        val stat = (los(i), his(i)) match {
+          case (null, _) => ColStat.Empty
+          case (lo: Long, hi: Long) => ColStat.Longs(lo, hi)
+          case (lo: Double, hi: Double) => ColStat.Doubles(lo, hi)
+          case (lo: String, hi: String) => ColStat.Strings(lo, hi)
+          case _ => ColStat.Empty
+        }
+        los(i) = null; his(i) = null
+        name -> stat
+      }.toMap
+      out
+    }
+  }
+
+  // ---- sidecar JSON (jackson, bundled with Spark) --------------------------
+
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def toJson(batches: Seq[Map[String, ColStat]]): String = {
+    val root: java.util.List[java.util.Map[String, Any]] = batches.map { b =>
+      b.map { case (name, stat) =>
+        val m = new java.util.LinkedHashMap[String, Any]()
+        stat match {
+          case ColStat.Longs(lo, hi) =>
+            m.put("t", "l"); m.put("lo", lo.toString); m.put("hi", hi.toString)
+          case ColStat.Doubles(lo, hi) =>
+            m.put("t", "d"); m.put("lo", lo.toString); m.put("hi", hi.toString)
+          case ColStat.Strings(lo, hi) =>
+            m.put("t", "s"); m.put("lo", lo); m.put("hi", hi)
+          case ColStat.Empty => m.put("t", "e")
+        }
+        name -> (m: Any)
+      }.asJava
+    }.asJava
+    mapper.writeValueAsString(root)
+  }
+
+  def fromJson(json: String): Seq[Map[String, ColStat]] = {
+    val root = mapper.readTree(json)
+    (0 until root.size()).map { bi =>
+      val b = root.get(bi)
+      b.properties().asScala.map { e =>
+        val n = e.getValue
+        val stat = n.get("t").asText() match {
+          case "l" => ColStat.Longs(n.get("lo").asText().toLong,
+            n.get("hi").asText().toLong)
+          case "d" => ColStat.Doubles(n.get("lo").asText().toDouble,
+            n.get("hi").asText().toDouble)
+          case "s" => ColStat.Strings(n.get("lo").asText(), n.get("hi").asText())
+          case _ => ColStat.Empty
+        }
+        e.getKey -> stat
+      }.toMap
+    }
+  }
+
+  // ---- pruning -------------------------------------------------------------
+
+  /** True when `filters` PROVE no row of a batch with `stats` can match.
+    * Conservative: unknown columns/filters never prune. */
+  def batchProvablyEmpty(stats: Map[String, ColStat],
+                         filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Boolean =
+    filters.exists(f => filterImpossible(stats, f))
+
+  private def filterImpossible(stats: Map[String, ColStat],
+                               f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(c, v) => outside(stats.get(c), v, eqImpossible)
+      case GreaterThan(c, v) => outside(stats.get(c), v, gtImpossible)
+      case GreaterThanOrEqual(c, v) => outside(stats.get(c), v, geImpossible)
+      case LessThan(c, v) => outside(stats.get(c), v, ltImpossible)
+      case LessThanOrEqual(c, v) => outside(stats.get(c), v, leImpossible)
+      case And(l, r) => filterImpossible(stats, l) || filterImpossible(stats, r)
+      case Or(l, r) => filterImpossible(stats, l) && filterImpossible(stats, r)
+      case In(c, vs) if vs.nonEmpty =>
+        vs.forall(v => outside(stats.get(c), v, eqImpossible))
+      case _ => false
+    }
+  }
+
+  // (lo, hi, v) -> batch cannot satisfy the comparison
+  private type Rule = (Any, Any, Any) => Boolean
+  private val eqImpossible: Rule = (lo, hi, v) => lt(v, lo) || lt(hi, v)
+  private val gtImpossible: Rule = (_, hi, v) => !lt(v, hi) // hi <= v
+  private val geImpossible: Rule = (_, hi, v) => lt(hi, v)
+  private val ltImpossible: Rule = (lo, _, v) => !lt(lo, v) // lo >= v
+  private val leImpossible: Rule = (lo, _, v) => lt(v, lo)
+
+  private def outside(stat: Option[ColStat], value: Any, rule: Rule): Boolean =
+    stat match {
+      case Some(ColStat.Empty) => true // zero non-null values: nothing matches
+      case Some(ColStat.Longs(lo, hi)) => norm(value) match {
+        case Some(v: Long) => rule(lo, hi, v)
+        case _ => false
+      }
+      case Some(ColStat.Doubles(lo, hi)) => norm(value) match {
+        case Some(v: Long) => rule(lo, hi, v.toDouble)
+        case Some(v: Double) => rule(lo, hi, v)
+        case _ => false
+      }
+      case Some(ColStat.Strings(lo, hi)) => value match {
+        case s: String => rule(lo, hi, s)
+        case u: org.apache.spark.unsafe.types.UTF8String => rule(lo, hi, u.toString)
+        case _ => false
+      }
+      case _ => false
+    }
+
+  private def norm(v: Any): Option[Any] = v match {
+    case b: java.lang.Byte => Some(b.longValue())
+    case s: java.lang.Short => Some(s.longValue())
+    case i: java.lang.Integer => Some(i.longValue())
+    case l: java.lang.Long => Some(l.longValue())
+    case f: java.lang.Float => Some(f.doubleValue())
+    case d: java.lang.Double => Some(d.doubleValue())
+    case _ => None
+  }
+
+  private def lt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long) => x < y
+    case (x: Double, y: Double) => x < y
+    case (x: String, y: String) => x.compareTo(y) < 0
+    case _ => false
+  }
+}

@@ -510,6 +510,10 @@ object GraftFeather {
     private val vecs = root.getFieldVectors.asScala.toSeq
     private val fields = st.fields
     private var i = 0
+    // per-batch min/max ranges -> the <part>.stats.json skipping sidecar
+    private val statsCollector = new FeatherStats.Collector(st)
+    private val stats = scala.collection.mutable.ArrayBuffer
+      .empty[Map[String, FeatherStats.ColStat]]
     writer.start()
 
     def append(r: Row): Unit = {
@@ -519,6 +523,7 @@ object GraftFeather {
         setValue(vecs(c), i, fields(c).dataType, r.get(c))
         c += 1
       }
+      statsCollector.observe(r)
       i += 1
       if (i == batchSize) flush()
     }
@@ -526,6 +531,7 @@ object GraftFeather {
     private def flush(): Unit = {
       root.setRowCount(i)
       writer.writeBatch()
+      stats += statsCollector.snapshotAndReset()
       i = 0
     }
 
@@ -535,6 +541,9 @@ object GraftFeather {
       writer.close()
       root.close()
     }
+
+    /** One entry per written batch, in batch order; call after finish. */
+    def batchStats: Seq[Map[String, FeatherStats.ColStat]] = stats.toSeq
 
     /** Error-path release: each close swallows separately so a dead
       * channel can't leak Arrow buffers. */
@@ -597,6 +606,13 @@ object GraftFeather {
           require(partFs.exists(finalPart),
             s"rename $tmpPart -> $finalPart failed with no winner present")
           partFs.delete(tmpPart, false)
+        } else {
+          // skipping sidecar beside the committed part (idempotent small
+          // write; a missing sidecar only costs pruning, never rows)
+          val sc = partFs.create(
+            new Path(path, finalPart.getName + ".stats.json"), true)
+          try sc.write(FeatherStats.toJson(pw.batchStats).getBytes("UTF-8"))
+          finally sc.close()
         }
         Iterator.single(n)
       } catch {

@@ -84,34 +84,90 @@ private class FeatherTable(tableSchema: StructType, path: String,
 private class FeatherScanBuilder(fullSchema: StructType, path: String,
                                  maxSplitBytes: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = fullSchema
   private var limit: Int = -1
+  private var skipFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   // partial push: each partition yields at most `limit` rows (batch decode
   // stops early); Spark still applies the global limit above the scan
   override def pushLimit(l: Int): Boolean = { limit = l; false }
+  // skip-only pushdown against the <part>.stats.json sidecars: accept the
+  // comparison shapes the skipping index can use, but return EVERY filter
+  // for post-scan evaluation — pruning drops provably-empty batches, it
+  // never takes over row-level filtering (the parquet best-effort pattern)
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    skipFilters = filters.filter(FeatherScanBuilder.usable)
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    skipFilters
   override def build(): Scan =
-    new FeatherScan(required, path, maxSplitBytes, limit)
+    new FeatherScan(required, path, maxSplitBytes, limit, skipFilters.toSeq)
+}
+
+private object FeatherScanBuilder {
+  import org.apache.spark.sql.sources._
+  def usable(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual => true
+    case In(_, vs) => vs.nonEmpty
+    case And(l, r) => usable(l) || usable(r)
+    case Or(l, r) => usable(l) && usable(r)
+    case _ => false
+  }
 }
 
 private class FeatherScan(readSchema0: StructType, path: String,
-                          maxSplitBytes: Long, limit: Int)
+                          maxSplitBytes: Long, limit: Int,
+                          skipFilters: Seq[org.apache.spark.sql.sources.Filter])
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = readSchema0
   override def description(): String =
-    s"feather `$path` ReadSchema: ${readSchema0.catalogString}"
+    s"feather `$path` ReadSchema: ${readSchema0.catalogString}" +
+      (if (skipFilters.nonEmpty)
+        s", SkipFilters: ${skipFilters.mkString(", ")}" else "")
   override def toBatch: Batch = this
 
   // planned once per scan, on the driver
   private lazy val splits: Seq[(String, Long, Seq[Int])] =
     GraftFeather.planRead(SparkSession.active, path, maxSplitBytes)._2
 
-  override def planInputPartitions(): Array[InputPartition] =
-    splits.map { case (f, len, idxs) =>
-      FeatherInputPartition(f, len, idxs)
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // sidecar-driven batch skipping: drop batch indices whose stats prove
+    // no row can pass skipFilters; files without a sidecar never prune
+    val statsCache = scala.collection.mutable.Map
+      .empty[String, Option[Seq[Map[String, graft.io.FeatherStats.ColStat]]]]
+    def statsOf(file: String) = statsCache.getOrElseUpdate(file, {
+      val p = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(file).getParent,
+        new org.apache.hadoop.fs.Path(file).getName + ".stats.json")
+      try {
+        if (skipFilters.isEmpty || !fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          try Some(graft.io.FeatherStats.fromJson(
+            new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+              "UTF-8")))
+          finally in.close()
+        }
+      } catch { case _: Exception => None } // bad sidecar = no pruning
+    })
+    splits.flatMap { case (f, len, idxs) =>
+      val kept = statsOf(f) match {
+        case Some(stats) => idxs.filterNot(i => i < stats.size &&
+          graft.io.FeatherStats.batchProvablyEmpty(stats(i), skipFilters))
+        case None => idxs
+      }
+      if (kept.isEmpty) None else Some(FeatherInputPartition(f, len, kept))
     }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FeatherReaderFactory(readSchema0, limit,
@@ -156,7 +212,8 @@ private class FeatherWriteBuilder(
       Option(info.options.get("batchsize")).map(_.toInt).getOrElse(4096))
 }
 
-private case class FeatherCommitMessage(tmpName: String, partitionId: Int)
+private case class FeatherCommitMessage(tmpName: String, partitionId: Int,
+                                        statsJson: String)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private class FeatherWrite(st: StructType, path: String, truncate: Boolean,
@@ -198,6 +255,9 @@ private class FeatherWrite(st: StructType, path: String, truncate: Boolean,
         f"part-${m.partitionId}%05d-${java.util.UUID.nameUUIDFromBytes(
           m.tmpName.getBytes("UTF-8"))}.feather")
       require(fs.rename(tmp, fin), s"commit rename $tmp -> $fin failed")
+      val sc = fs.create(new org.apache.hadoop.fs.Path(path,
+        fin.getName + ".stats.json"), true)
+      try sc.write(m.statsJson.getBytes("UTF-8")) finally sc.close()
     }
     // zero tasks or all-empty input: stamp one schema-only part so reads
     // see the schema (same contract as GraftFeather.write)
@@ -246,7 +306,8 @@ private class FeatherWriterFactory(
       override def commit()
           : org.apache.spark.sql.connector.write.WriterCommitMessage = {
         pw.finish()
-        FeatherCommitMessage(tmpName, partitionId)
+        FeatherCommitMessage(tmpName, partitionId,
+          graft.io.FeatherStats.toJson(pw.batchStats))
       }
       override def abort(): Unit = {
         pw.abort()

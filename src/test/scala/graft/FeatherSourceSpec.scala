@@ -120,6 +120,59 @@ class FeatherSourceSpec extends AnyFunSuite {
     assert(empty.count() === 0)
   }
 
+  test("stats sidecars let filters skip record batches (feather's missing row-group stats)") {
+    import spark.implicits._
+    val path = tmp("skip")
+    // sorted id -> disjoint per-batch ranges; batchSize 100 over 1000 rows
+    // = 10 batches; tiny maxSplitBytes puts ~1 batch per split
+    val df = (1 to 1000).map(i => (i.toLong, s"name_$i", i * 2.0))
+      .toDF("id", "name", "v").orderBy("id")
+    df.repartition(1).sortWithinPartitions("id")
+      .write.format("feather").mode("overwrite")
+      .option("codec", "none").option("batchSize", "100").save(path)
+    def scan = spark.read.format("feather")
+      .option("maxSplitBytes", "1").load(path)
+    val full = scan
+    val pruned = scan.filter(col("id") > 950L)
+    assert(full.rdd.getNumPartitions === 10)
+    assert(pruned.rdd.getNumPartitions === 1,
+      s"expected 9 of 10 batches skipped, got ${pruned.rdd.getNumPartitions}")
+    assert(pruned.count() === 50) // correctness under pruning
+    // a filter matching nothing prunes EVERY batch
+    assert(scan.filter(col("id") > 5000L).rdd.getNumPartitions === 0)
+    assert(scan.filter(col("id") > 5000L).count() === 0)
+    // string ranges prune too; conjunctions prune if either side proves empty
+    assert(scan.filter(col("v") < 20.0 && col("name") === "zzz")
+      .rdd.getNumPartitions === 0)
+    // an unfilterable predicate shape disables pruning, never correctness
+    assert(scan.filter(length(col("name")) > 4).count() === 1000)
+  }
+
+  test("all-null batches prune under any comparison; foreign files never prune") {
+    import spark.implicits._
+    val path = tmp("skip_nulls")
+    val df = (1 to 200).map(i =>
+      (i.toLong, if (i <= 100) null else s"x_$i")).toDF("id", "s")
+    df.repartition(1).sortWithinPartitions("id")
+      .write.format("feather").mode("overwrite")
+      .option("batchSize", "100").save(path)
+    val scan = spark.read.format("feather")
+      .option("maxSplitBytes", "1").load(path)
+    // batch 1 is all-null in s: no row there can satisfy s = 'x_150'
+    assert(scan.filter(col("s") === "x_150").rdd.getNumPartitions === 1)
+    assert(scan.filter(col("s") === "x_150").count() === 1)
+    // foreign file (no sidecar): same filters, no pruning, full correctness
+    val foreign = tmp("skip_foreign")
+    GraftFeather.write(df.repartition(1), foreign, overwrite = true,
+      batchSize = 100)
+    new java.io.File(foreign).listFiles()
+      .filter(_.getName.endsWith(".stats.json")).foreach(_.delete())
+    val fscan = spark.read.format("feather")
+      .option("maxSplitBytes", "1").load(foreign)
+    assert(fscan.filter(col("s") === "x_150").rdd.getNumPartitions === 2)
+    assert(fscan.filter(col("s") === "x_150").count() === 1)
+  }
+
   test("SQL over the source works via USING feather") {
     val path = tmp("sql")
     writeSample(path)
