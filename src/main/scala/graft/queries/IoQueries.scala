@@ -654,6 +654,26 @@ object IoQueries extends QueryPack {
       .orderBy("c_custkey")
   }
 
+  // Feather skipping index end-to-end (io/FeatherStats.scala): DSv2 write
+  // emits per-batch min/max sidecars; the filtered read prunes batches
+  // whose ranges can't match (FeatherSourceSpec pins the partition-count
+  // drop — here the ORACLE pins that pruning loses no rows).
+  register("io_feather_skipping",
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |WHERE l_orderkey > 4500 AND l_orderkey <= 5000
+      |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin) { (s, d) =>
+    val src = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 5000)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .repartition(1).sortWithinPartitions("l_orderkey")
+    val path = tmp("feather_skipping")
+    src.write.format("feather").mode("overwrite")
+      .option("batchSize", "512").save(path)
+    s.read.format("feather").option("maxSplitBytes", "1").load(path)
+      .filter(col("l_orderkey") > 4500)
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+  }
+
   // Unsigned logical types (SURVEY §1.2; reference types.hpp:209-212
   // UINT8..UINT64): written via parquet-mr's example API with
   // UINT_8/16/32/64 annotations — no Spark writer emits these, so the read
