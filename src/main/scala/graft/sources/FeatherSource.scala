@@ -68,7 +68,8 @@ private class FeatherTable(tableSchema: StructType, path: String,
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FeatherScanBuilder(tableSchema, path,
       // read options win over table properties (this is where
@@ -173,6 +174,10 @@ private class FeatherScan(readSchema0: StructType, path: String,
     new FeatherReaderFactory(readSchema0, limit,
       GraftHadoop.confBroadcast(SparkSession.active))
 
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FeatherMicroBatchStream(readSchema0, path, maxSplitBytes)
+
   override def estimateStatistics(): Statistics = new Statistics {
     // file bytes: the honest lower bound the broadcast threshold needs
     // (distinct by FILE — a length collision must not drop a file)
@@ -187,6 +192,81 @@ private class FeatherScan(readSchema0: StructType, path: String,
 private case class FeatherInputPartition(file: String, len: Long,
                                          batchIdxs: Seq[Int])
     extends InputPartition
+
+// ---- streaming read --------------------------------------------------------
+// Incremental ingestion over a DROP DIRECTORY: each micro-batch processes
+// the .feather files that appeared since the last offset. The offset is
+// the SET of processed file names (JSON array, persisted by Spark's offset
+// log), so arrival order and clock skew cannot lose or replay a file —
+// any file not in the previous offset is new, wherever it sorts. The
+// contract on producers is atomic drops (write elsewhere, rename in; both
+// graft sinks already commit by rename). The set grows with file count;
+// a production long-runner would compact into a file log like Spark's
+// FileStreamSource — documented bound, not a correctness limit.
+
+private case class FeatherOffset(files: Set[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.writeValueAsString(files.toSeq.sorted.toArray)
+  }
+}
+
+private object FeatherOffset {
+  def fromJson(json: String): FeatherOffset = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    FeatherOffset(m.readValue(json, classOf[Array[String]]).toSet)
+  }
+}
+
+private class FeatherMicroBatchStream(readSchema: StructType, path: String,
+                                      maxSplitBytes: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def spark = SparkSession.active
+
+  private def listFiles(): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).iterator.map(_.getPath)
+      .filter { f =>
+        val n = f.getName
+        (n.endsWith(".feather") || n.endsWith(".arrow")) && !n.startsWith("_")
+      }
+      .map(_.toString).toSet
+  }
+
+  override def initialOffset(): Offset = FeatherOffset(Set.empty)
+  override def deserializeOffset(json: String): Offset =
+    FeatherOffset.fromJson(json)
+  override def latestOffset(): Offset = FeatherOffset(listFiles())
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val prev = start.asInstanceOf[FeatherOffset].files
+    val now = end.asInstanceOf[FeatherOffset].files
+    val fresh = (now -- prev).toSeq.sorted
+    if (fresh.isEmpty) Array.empty
+    else {
+      // footer-planned splits for ONLY the new files (GraftFeather.planRead
+      // lists the whole dir, so plan per fresh file)
+      fresh.flatMap { f =>
+        val (_, splits) = GraftFeather.planRead(spark, f, maxSplitBytes)
+        splits.map { case (file, len, idxs) =>
+          FeatherInputPartition(file, len, idxs)
+        }
+      }.toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FeatherReaderFactory(readSchema, -1,
+      GraftHadoop.confBroadcast(spark))
+}
 
 // ---- write path ------------------------------------------------------------
 // V2 path-based writes support append/overwrite (Spark's own contract for

@@ -173,6 +173,40 @@ class FeatherSourceSpec extends AnyFunSuite {
     assert(fscan.filter(col("s") === "x_150").count() === 1)
   }
 
+  test("readStream.format(feather) ingests a drop directory exactly once") {
+    import spark.implicits._
+    val path = tmp("stream_drops")
+    // fresh dirs per run: the memory sink cannot recover a checkpoint,
+    // and a stale drop dir would shift the expected counts
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(path, tmp("stream_ckpt")).foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    // batch 1 on disk before the stream starts (also feeds inferSchema)
+    (1 to 100).map(i => (i.toLong, s"a_$i")).toDF("id", "s")
+      .write.format("feather").mode("overwrite").save(path)
+    val q = spark.readStream.format("feather").load(path)
+      .writeStream.format("memory").queryName("feather_stream")
+      .option("checkpointLocation", tmp("stream_ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("feather_stream").count() === 100)
+      // more files DROP into the directory (append = new parts, atomic
+      // rename commit) — the next micro-batch picks up only the new ones
+      (101 to 150).map(i => (i.toLong, s"b_$i")).toDF("id", "s")
+        .write.format("feather").mode("append").save(path)
+      q.processAllAvailable()
+      val got = spark.table("feather_stream")
+      assert(got.count() === 150) // exactly once: no replay of batch 1
+      assert(got.agg(sum(col("id"))).head().getLong(0) ===
+        (1 to 150).map(_.toLong).sum)
+      // a batch with no new files is empty, not a replay
+      q.processAllAvailable()
+      assert(spark.table("feather_stream").count() === 150)
+    } finally q.stop()
+  }
+
   test("SQL over the source works via USING feather") {
     val path = tmp("sql")
     writeSample(path)
