@@ -51,11 +51,13 @@ private class AvroTable(tableSchema: StructType, path: String)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(tableSchema, path,
       Option(options.get("maxsplitbytes")).map(_.toLong)
-        .getOrElse(128L << 20))
+        .getOrElse(128L << 20),
+      Option(options.get("maxfilespertrigger")).map(_.toInt))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -177,7 +179,8 @@ private class AvroWriterFactory(
 }
 
 private class AvroScanBuilder(fullSchema: StructType, path: String,
-                              maxSplitBytes: Long)
+                              maxSplitBytes: Long,
+                              maxFilesPerTrigger: Option[Int])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit {
   private var required: StructType = fullSchema
@@ -186,11 +189,13 @@ private class AvroScanBuilder(fullSchema: StructType, path: String,
     required = requiredSchema
   // partial push: per-partition row cap; the global limit stays above
   override def pushLimit(l: Int): Boolean = { limit = l; false }
-  override def build(): Scan = new AvroScan(required, path, maxSplitBytes, limit)
+  override def build(): Scan =
+    new AvroScan(required, path, maxSplitBytes, limit, maxFilesPerTrigger)
 }
 
 private class AvroScan(readSchema0: StructType, path: String,
-                       maxSplitBytes: Long, limit: Int)
+                       maxSplitBytes: Long, limit: Int,
+                       maxFilesPerTrigger: Option[Int])
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = readSchema0
   override def description(): String =
@@ -210,6 +215,11 @@ private class AvroScan(readSchema0: StructType, path: String,
     new AvroReaderFactory(readSchema0, plan._1, limit,
       GraftHadoop.confBroadcast(SparkSession.active))
 
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new AvroMicroBatchStream(readSchema0, path, maxSplitBytes,
+      maxFilesPerTrigger)
+
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = plan._3.map(s => s._3 - s._2).sum
     override def sizeInBytes(): java.util.OptionalLong =
@@ -217,6 +227,43 @@ private class AvroScan(readSchema0: StructType, path: String,
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.empty()
   }
+}
+
+// ---- streaming read --------------------------------------------------------
+// Drop-directory ingestion on the shared DropDirectoryMicroBatchStream
+// machinery (file-set offsets, maxFilesPerTrigger admission control);
+// this subclass contributes Avro's sync-marker byte-range splits.
+
+private class AvroMicroBatchStream(readSchema: StructType, path: String,
+                                   maxSplitBytes: Long,
+                                   maxFilesPerTrigger: Option[Int])
+    extends DropDirectoryMicroBatchStream(path, Seq(".avro"),
+      maxFilesPerTrigger) {
+
+  // Expected schema for per-file resolution, fixed at stream start for the
+  // stream's lifetime (same contract as the batch scan, where it is the
+  // first part file's writer schema): files dropped later with reordered /
+  // evolved writer schemas resolve against it by field name, and an
+  // irreconcilable drop fails with GraftAvro's named-file diagnostic. A
+  // stream started on an EMPTY directory (user-supplied schema) falls back
+  // to the table schema's Avro mapping.
+  private lazy val expectedSchemaJson: String = {
+    val existing = listFiles()
+    if (existing.nonEmpty)
+      GraftAvro.planRead(spark, existing.min, Long.MaxValue)._1
+    else GraftAvro.toAvroSchema(readSchema).toString
+  }
+
+  override protected def planSplits(fresh: Seq[String]): Array[InputPartition] =
+    fresh.flatMap { f =>
+      GraftAvro.planRead(spark, f, maxSplitBytes)._3.map {
+        case (file, s, e) => AvroInputPartition(file, s, e)
+      }
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AvroReaderFactory(readSchema, expectedSchemaJson, -1,
+      GraftHadoop.confBroadcast(spark))
 }
 
 private case class AvroInputPartition(file: String, start: Long, end: Long)

@@ -75,7 +75,8 @@ private class FeatherTable(tableSchema: StructType, path: String,
       // read options win over table properties (this is where
       // .option("maxSplitBytes", …) actually arrives)
       Option(options.get("maxsplitbytes")).map(_.toLong)
-        .getOrElse(maxSplitBytes))
+        .getOrElse(maxSplitBytes),
+      Option(options.get("maxfilespertrigger")).map(_.toInt))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -83,7 +84,8 @@ private class FeatherTable(tableSchema: StructType, path: String,
 }
 
 private class FeatherScanBuilder(fullSchema: StructType, path: String,
-                                 maxSplitBytes: Long)
+                                 maxSplitBytes: Long,
+                                 maxFilesPerTrigger: Option[Int])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
@@ -107,7 +109,8 @@ private class FeatherScanBuilder(fullSchema: StructType, path: String,
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     skipFilters
   override def build(): Scan =
-    new FeatherScan(required, path, maxSplitBytes, limit, skipFilters.toSeq)
+    new FeatherScan(required, path, maxSplitBytes, limit, skipFilters.toSeq,
+      maxFilesPerTrigger)
 }
 
 private object FeatherScanBuilder {
@@ -124,7 +127,8 @@ private object FeatherScanBuilder {
 
 private class FeatherScan(readSchema0: StructType, path: String,
                           maxSplitBytes: Long, limit: Int,
-                          skipFilters: Seq[org.apache.spark.sql.sources.Filter])
+                          skipFilters: Seq[org.apache.spark.sql.sources.Filter],
+                          maxFilesPerTrigger: Option[Int])
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = readSchema0
   override def description(): String =
@@ -176,7 +180,8 @@ private class FeatherScan(readSchema0: StructType, path: String,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new FeatherMicroBatchStream(readSchema0, path, maxSplitBytes)
+    new FeatherMicroBatchStream(readSchema0, path, maxSplitBytes,
+      maxFilesPerTrigger)
 
   override def estimateStatistics(): Statistics = new Statistics {
     // file bytes: the honest lower bound the broadcast threshold needs
@@ -194,74 +199,25 @@ private case class FeatherInputPartition(file: String, len: Long,
     extends InputPartition
 
 // ---- streaming read --------------------------------------------------------
-// Incremental ingestion over a DROP DIRECTORY: each micro-batch processes
-// the .feather files that appeared since the last offset. The offset is
-// the SET of processed file names (JSON array, persisted by Spark's offset
-// log), so arrival order and clock skew cannot lose or replay a file —
-// any file not in the previous offset is new, wherever it sorts. The
-// contract on producers is atomic drops (write elsewhere, rename in; both
-// graft sinks already commit by rename). The set grows with file count;
-// a production long-runner would compact into a file log like Spark's
-// FileStreamSource — documented bound, not a correctness limit.
-
-private case class FeatherOffset(files: Set[String])
-    extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    m.writeValueAsString(files.toSeq.sorted.toArray)
-  }
-}
-
-private object FeatherOffset {
-  def fromJson(json: String): FeatherOffset = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    FeatherOffset(m.readValue(json, classOf[Array[String]]).toSet)
-  }
-}
+// Drop-directory ingestion on the shared DropDirectoryMicroBatchStream
+// machinery (file-set offsets, maxFilesPerTrigger admission control);
+// this subclass contributes feather's footer-planned splits.
 
 private class FeatherMicroBatchStream(readSchema: StructType, path: String,
-                                      maxSplitBytes: Long)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+                                      maxSplitBytes: Long,
+                                      maxFilesPerTrigger: Option[Int])
+    extends DropDirectoryMicroBatchStream(path, Seq(".feather", ".arrow"),
+      maxFilesPerTrigger) {
 
-  private def spark = SparkSession.active
-
-  private def listFiles(): Set[String] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Set.empty
-    else fs.listStatus(p).iterator.map(_.getPath)
-      .filter { f =>
-        val n = f.getName
-        (n.endsWith(".feather") || n.endsWith(".arrow")) && !n.startsWith("_")
+  override protected def planSplits(fresh: Seq[String]): Array[InputPartition] =
+    // footer-planned splits for ONLY the new files (GraftFeather.planRead
+    // lists the whole dir, so plan per fresh file)
+    fresh.flatMap { f =>
+      val (_, splits) = GraftFeather.planRead(spark, f, maxSplitBytes)
+      splits.map { case (file, len, idxs) =>
+        FeatherInputPartition(file, len, idxs)
       }
-      .map(_.toString).toSet
-  }
-
-  override def initialOffset(): Offset = FeatherOffset(Set.empty)
-  override def deserializeOffset(json: String): Offset =
-    FeatherOffset.fromJson(json)
-  override def latestOffset(): Offset = FeatherOffset(listFiles())
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
-
-  override def planInputPartitions(start: Offset, end: Offset)
-      : Array[InputPartition] = {
-    val prev = start.asInstanceOf[FeatherOffset].files
-    val now = end.asInstanceOf[FeatherOffset].files
-    val fresh = (now -- prev).toSeq.sorted
-    if (fresh.isEmpty) Array.empty
-    else {
-      // footer-planned splits for ONLY the new files (GraftFeather.planRead
-      // lists the whole dir, so plan per fresh file)
-      fresh.flatMap { f =>
-        val (_, splits) = GraftFeather.planRead(spark, f, maxSplitBytes)
-        splits.map { case (file, len, idxs) =>
-          FeatherInputPartition(file, len, idxs)
-        }
-      }.toArray
-    }
-  }
+    }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FeatherReaderFactory(readSchema, -1,

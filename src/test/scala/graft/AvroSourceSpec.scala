@@ -81,6 +81,70 @@ class AvroSourceSpec extends AnyFunSuite {
     assert(empty.count() === 0)
   }
 
+  test("readStream.format(graft-avro) ingests a drop directory exactly once") {
+    import spark.implicits._
+    val path = tmp("stream_drops")
+    val ckpt = tmp("stream_ckpt")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(path, ckpt).foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    // batch 1 on disk before the stream starts (also feeds inferSchema)
+    (1 to 100).map(i => (i.toLong, s"a_$i")).toDF("id", "s")
+      .write.format("graft-avro").mode("overwrite").save(path)
+    val q = spark.readStream.format("graft-avro").load(path)
+      .writeStream.format("memory").queryName("avro_stream")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("avro_stream").count() === 100)
+      // more files DROP in (append = new parts, rename commit) — the next
+      // micro-batch picks up only the new ones
+      (101 to 150).map(i => (i.toLong, s"b_$i")).toDF("id", "s")
+        .write.format("graft-avro").mode("append").save(path)
+      q.processAllAvailable()
+      val got = spark.table("avro_stream")
+      assert(got.count() === 150) // exactly once: no replay of batch 1
+      assert(got.agg(sum(col("id"))).head().getLong(0) ===
+        (1 to 150).map(_.toLong).sum)
+      // a batch with no new files is empty, not a replay
+      q.processAllAvailable()
+      assert(spark.table("avro_stream").count() === 150)
+    } finally q.stop()
+  }
+
+  test("a stream started on an empty directory picks up the first drops") {
+    import spark.implicits._
+    val path = tmp("stream_cold")
+    val ckpt = tmp("stream_cold_ckpt")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(path, ckpt).foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    // no files yet: the user supplies the schema, and the stream's
+    // expected Avro schema falls back to the table schema's mapping
+    val st = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val q = spark.readStream.format("graft-avro").schema(st).load(path)
+      .writeStream.format("memory").queryName("avro_cold")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("avro_cold").count() === 0)
+      (1 to 40).map(i => (i.toLong, s"c_$i")).toDF("id", "s")
+        .write.format("graft-avro").mode("append").save(path)
+      q.processAllAvailable()
+      assert(spark.table("avro_cold").count() === 40)
+      assert(spark.table("avro_cold").agg(sum(col("id"))).head().getLong(0) ===
+        (1 to 40).map(_.toLong).sum)
+    } finally q.stop()
+  }
+
   test("a small graft-avro dim broadcasts off reported statistics") {
     val dimPath = tmp("dim")
     writeSample(dimPath, rows = 5)

@@ -207,6 +207,40 @@ class FeatherSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxFilesPerTrigger drains a file backlog in bounded micro-batches") {
+    import spark.implicits._
+    val path = tmp("stream_admission")
+    val ckpt = tmp("stream_admission_ckpt")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(path, ckpt).foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    // backlog BEFORE the stream starts: 5 one-part drops of 10 rows each —
+    // the restart-after-downtime shape admission control exists for
+    (0 until 5).foreach { k =>
+      (1 to 10).map(i => (k * 10L + i, s"f${k}_$i")).toDF("id", "s")
+        .repartition(1).write.format("feather")
+        .mode(if (k == 0) "overwrite" else "append").save(path)
+    }
+    val q = spark.readStream.format("feather")
+      .option("maxFilesPerTrigger", "2").load(path)
+      .writeStream.format("memory").queryName("feather_admission")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("feather_admission")
+      assert(got.count() === 50) // exactly once across all batches
+      assert(got.agg(sum(col("id"))).head().getLong(0) ===
+        (1 to 50).map(_.toLong).sum)
+      // the backlog must have been split into 2+2+1 files, never one
+      // 5-file batch: batch row counts are (10, 20, 20) in some order
+      val batchRows = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(batchRows.sorted.toSeq === Seq(10L, 20L, 20L),
+        s"expected 3 bounded batches, got ${batchRows.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("SQL over the source works via USING feather") {
     val path = tmp("sql")
     writeSample(path)
