@@ -501,6 +501,51 @@ object RelationalQueries extends QueryPack {
       .limit(100)
   }
 
+  // --- Q17-shaped composite: correlated SCALAR subquery against a per-key
+  // aggregate of the same fact ("parts ordered below 20% of their average
+  // quantity"). The textbook plan scans lineitem twice and joins fact to
+  // fact; this one scans it ONCE — broadcast semi-join on the filtered
+  // part keys first (shrinks the fact before any shuffle; the per-partkey
+  // average is unchanged because the semi-join keeps EVERY line of a kept
+  // part), then ONE shuffle on l_partkey computes the window count+sum and
+  // the threshold filter in the same pass. No fact-fact join at all.
+  //
+  // The q < 0.2*avg boundary is re-expressed as 5*q*cnt < sum over exact
+  // DECIMAL quantities — both engines compare exact integers, so a row
+  // landing ON the threshold cannot hash-diverge through float rounding;
+  // the money output leaves as exact cents floor-divided by 7 (integers
+  // below 2^53, FLOOR stable: the true ratio is never within 1/7 of an
+  // integer unless exactly integral). The oracle runs the correlated
+  // formulation — the hash match proves the rewrite is semantics-exact.
+  register("rel_q17_small_quantity",
+    """SELECT CAST(FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100
+      |                       AS BIGINT) / 7.0) AS BIGINT) AS avg_yearly_cents7
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#4' AND p_size < 15
+      |  AND 5 * CAST(l_quantity AS DECIMAL(12,2))
+      |        * (SELECT COUNT(*) FROM lineitem l2
+      |           WHERE l2.l_partkey = p_partkey)
+      |      < (SELECT SUM(CAST(l_quantity AS DECIMAL(12,2))) FROM lineitem l3
+      |         WHERE l3.l_partkey = p_partkey)""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val pKeys = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#4" && col("p_size") < 15)
+      .select(col("p_partkey"))
+    val qdec = col("l_quantity").cast(DecimalType(12, 2))
+    val flagged = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(pKeys), col("l_partkey") === col("p_partkey"), "left_semi")
+      .withColumn("wcnt", count(lit(1))
+        .over(Window.partitionBy(col("l_partkey"))))
+      .withColumn("wsum", sum(qdec)
+        .over(Window.partitionBy(col("l_partkey"))))
+      .filter(qdec * lit(5) * col("wcnt") < col("wsum"))
+    flagged
+      .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2))).as("sd"))
+      .select(floor((col("sd") * 100).cast(LongType) / lit(7.0))
+        .cast(LongType).as("avg_yearly_cents7"))
+  }
+
   // --- §2.4 nunique / distinct_count (stream_compaction.hpp:262) ------------
   register("agg_nunique",
     """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,

@@ -258,6 +258,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(l_returnflag,R)"), s"missing pushed filter:\n$p")
   }
 
+  test("rel_q17 folds the correlated scalar subquery into one fact scan") {
+    val qe = SparkEntry.queries("rel_q17_small_quantity")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    // the textbook correlated-avg formulation scans lineitem twice and
+    // joins fact to fact; the window rewrite must scan it ONCE, shrink it
+    // through a broadcast SEMI join on the filtered part keys before the
+    // only shuffle, and compute the threshold in a window over l_partkey
+    val lineitemScans = p.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(lineitemScans === 1,
+      s"expected exactly 1 lineitem scan, got $lineitemScans:\n$p")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // both part filters reach the part scan
+    assert(p.contains("EqualTo(p_brand,Brand#4)"), s"missing pushed filter:\n$p")
+    assert(p.contains("LessThan(p_size,15)"), s"missing pushed filter:\n$p")
+  }
+
   test("io_zorder_key plan stays in one codegen stage up to the final sort") {
     // pure integer projection: no joins, no aggregates, no window
     val p = executedPlan("io_zorder_key")
