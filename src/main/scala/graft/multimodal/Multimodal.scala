@@ -83,6 +83,12 @@ object Multimodal {
     * pixels checksum equal regardless of container bytes. Headless-safe:
     * decoding never touches the display pipeline. */
   object ImageIoCodec extends ImageCodec {
+    /** Raster allocation cap (~256 MB ARGB). Header dimensions are
+      * attacker-controlled bytes: without this, one crafted/corrupt file
+      * claiming 2^15×2^15 pixels OOMs the executor at `read` time instead
+      * of failing the row. */
+    val MaxPixels: Long = 1L << 26
+
     def decode(bytes: Array[Byte]): DecodedMeta = {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -93,6 +99,9 @@ object Multimodal {
         try {
           r.setInput(iis)
           val (w, h) = (r.getWidth(0), r.getHeight(0))
+          require(w > 0 && h > 0 && w.toLong * h <= MaxPixels,
+            s"image dimensions ${w}x$h exceed the $MaxPixels-pixel " +
+              "decode guard (crafted header?)")
           val fmt = r.getFormatName.toLowerCase
           val img = r.read(0)
           var ck = 0L

@@ -122,6 +122,81 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Multimodal.WavCodec.decode(bad) }
   }
 
+  test("crafted image dimensions hit the pixel guard before allocation") {
+    // PNG: the JDK reader does NOT verify the IHDR CRC at header-read
+    // time (probed: a patched width reports straight through getWidth),
+    // so a flipped dimension byte reaches the raster allocation
+    // unchallenged — exactly the shape a corrupt or adversarial asset
+    // takes at ingest. (BMP is safe by accident: its reader checks
+    // width×height against the data size.)
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val b = bos.toByteArray
+    // IHDR width big-endian at offset 16: claim 2^25 pixels wide (×4 high
+    // = 2^27 > the 2^26 guard; without the guard this is a >512 MB
+    // allocation attempt inside r.read)
+    b(16) = 0x02.toByte; b(17) = 0x00.toByte
+    b(18) = 0x00.toByte; b(19) = 0x00.toByte
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.ImageIoCodec.decode(b)
+    }
+    assert(e.getMessage.contains("decode guard"), e.getMessage)
+  }
+
+  test("fuzzed payloads decode or throw — never hang, never OOM") {
+    // seeded mutation sweep over REAL encoder output: byte flips and
+    // truncations of valid JPEG/PNG/BMP/WAV payloads. The contract under
+    // test is executor-safety — every mutant either decodes or raises a
+    // catchable exception promptly; any spin or giant allocation shows up
+    // as a suite-visible hang/OOM here with a replayable seed.
+    val rnd = new scala.util.Random(20260813L)
+    def mutate(src: Array[Byte]): Array[Byte] = {
+      val base = rnd.nextInt(3) match {
+        case 0 => src.clone()
+        case 1 => src.take(1 + rnd.nextInt(src.length)) // truncate
+        case _ => src ++ Array.fill(rnd.nextInt(16))(rnd.nextInt(256).toByte)
+      }
+      if (base.nonEmpty)
+        (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+          base(rnd.nextInt(base.length)) = rnd.nextInt(256).toByte }
+      base
+    }
+    def image(fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, x * 31 + y)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val wav = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+      val pcm = new Array[Byte](64 * 4)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, 64L),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    var decoded = 0; var rejected = 0
+    def fuzz(src: Array[Byte], rounds: Int)(dec: Array[Byte] => Any): Unit =
+      (0 until rounds).foreach { _ =>
+        try { dec(mutate(src)); decoded += 1 }
+        catch { case scala.util.control.NonFatal(_) => rejected += 1 }
+      }
+    fuzz(image("jpeg"), 500)(Multimodal.ImageIoCodec.decode)
+    fuzz(image("png"), 500)(Multimodal.ImageIoCodec.decode)
+    fuzz(image("bmp"), 500)(Multimodal.ImageIoCodec.decode)
+    fuzz(wav, 1500)(Multimodal.WavCodec.decode)
+    assert(decoded + rejected === 3000)
+    // both outcomes must occur, or the sweep isn't exercising anything
+    assert(decoded > 0, "no mutant decoded — mutation too destructive")
+    assert(rejected > 0, "no mutant rejected — mutation too gentle")
+  }
+
   test("sampleFrameOffsets picks every stride-th frame") {
     import spark.implicits._
     val got = Seq(7).toDF("n")
