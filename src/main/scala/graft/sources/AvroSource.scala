@@ -52,7 +52,7 @@ private class AvroTable(tableSchema: StructType, path: String)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(tableSchema, path,
       Option(options.get("maxsplitbytes")).map(_.toLong)
@@ -143,6 +143,76 @@ private class AvroWrite(st: StructType, path: String, truncate: Boolean,
       catch { case _: Exception => () }
     }
   }
+
+  // streaming sink: epoch-tagged tmps, idempotent driver-side rename
+  // commit — the same contract as the feather sink (see
+  // FeatherStreamingWrite for the replayed-epoch reasoning)
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(!truncate,
+      "graft-avro streaming sink supports APPEND output mode only")
+    new AvroStreamingWrite(st, schemaJson, path, codec)
+  }
+}
+
+private class AvroStreamingWrite(st: StructType, schemaJson: String,
+                                 path: String, codec: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val spark = SparkSession.active
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    new AvroStreamingWriterFactory(st, schemaJson, path, codec,
+      GraftHadoop.confBroadcast(spark))
+  }
+
+  override def commit(
+      epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val spark = SparkSession.active
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.collect { case m: AvroCommitMessage => m }.foreach { m =>
+      val tmp = new org.apache.hadoop.fs.Path(path, m.tmpName)
+      val fin = new org.apache.hadoop.fs.Path(path,
+        f"part-e$epochId%05d-${m.partitionId}%05d-${java.util.UUID
+          .nameUUIDFromBytes(m.tmpName.getBytes("UTF-8"))}.avro")
+      if (fs.exists(fin) && !fs.exists(tmp)) {
+        // epoch replayed after a committed run: already renamed, skip
+      } else {
+        require(fs.rename(tmp, fin), s"commit rename $tmp -> $fin failed")
+      }
+    }
+  }
+
+  override def abort(
+      epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val spark = SparkSession.active
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.collect { case m: AvroCommitMessage => m }.foreach { m =>
+      try fs.delete(new org.apache.hadoop.fs.Path(path, m.tmpName), false)
+      catch { case _: Exception => () }
+    }
+  }
+}
+
+private class AvroStreamingWriterFactory(
+    st: StructType, schemaJson: String, path: String, codec: String,
+    confMap: org.apache.spark.broadcast.Broadcast[Map[String, String]])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    AvroSourceWriters.dataWriter(st, schemaJson, path,
+      f".part-e$epochId%05d-$partitionId%05d-task-$taskId.avro.tmp",
+      codec, partitionId, confMap)
 }
 
 private class AvroWriterFactory(
@@ -151,6 +221,18 @@ private class AvroWriterFactory(
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    AvroSourceWriters.dataWriter(st, schemaJson, path,
+      f".part-$partitionId%05d-task-$taskId.avro.tmp",
+      codec, partitionId, confMap)
+}
+
+/** Task-side writer shared by the batch and streaming factories (only the
+  * tmp naming differs — streaming tags the epoch). */
+private object AvroSourceWriters {
+  def dataWriter(st: StructType, schemaJson: String, path: String,
+                 tmpName: String, codec: String, partitionId: Int,
+                 confMap: org.apache.spark.broadcast.Broadcast[Map[String, String]])
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
       private val execConf = {
         val c = new org.apache.hadoop.conf.Configuration(false)
@@ -158,7 +240,6 @@ private class AvroWriterFactory(
         c
       }
       private val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(execConf)
-      private val tmpName = f".part-$partitionId%05d-task-$taskId.avro.tmp"
       private val pw = new GraftAvro.AvroPartWriter(st, schemaJson,
         fs.create(new org.apache.hadoop.fs.Path(path, tmpName), true), codec)
       private val toRow = CatalystTypeConverters.createToScalaConverter(st)

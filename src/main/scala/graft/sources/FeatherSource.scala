@@ -69,7 +69,7 @@ private class FeatherTable(tableSchema: StructType, path: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FeatherScanBuilder(tableSchema, path,
       // read options win over table properties (this is where
@@ -317,6 +317,86 @@ private class FeatherWrite(st: StructType, path: String, truncate: Boolean,
       catch { case _: Exception => () }
     }
   }
+
+  // ---- streaming sink ------------------------------------------------------
+  // `writeStream.format("feather")`: each epoch's tasks write epoch-tagged
+  // hidden tmp files; the driver renames them to final parts in
+  // commit(epochId, …). Epoch ids ride both the tmp and final names, so a
+  // RE-COMMITTED epoch (driver recovery replays the last batch) is
+  // idempotent: a rename whose destination already exists while its tmp is
+  // gone is the already-committed case and is skipped, not failed. Closes
+  // the drop-directory loop — a graft stream can PRODUCE the atomic drops
+  // the connectors' streaming reads consume. Append-only (Complete mode
+  // would truncate the directory every epoch).
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(!truncate,
+      "feather streaming sink supports APPEND output mode only")
+    new FeatherStreamingWrite(st, path, codec, batchSize)
+  }
+}
+
+private class FeatherStreamingWrite(st: StructType, path: String,
+                                    codec: String, batchSize: Int)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val spark = SparkSession.active
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    new FeatherStreamingWriterFactory(st, path, codec, batchSize,
+      GraftHadoop.confBroadcast(spark))
+  }
+
+  override def commit(
+      epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val spark = SparkSession.active
+    val out = new org.apache.hadoop.fs.Path(path)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.collect { case m: FeatherCommitMessage => m }.foreach { m =>
+      val tmp = new org.apache.hadoop.fs.Path(path, m.tmpName)
+      val fin = new org.apache.hadoop.fs.Path(path,
+        f"part-e$epochId%05d-${m.partitionId}%05d-${java.util.UUID
+          .nameUUIDFromBytes(m.tmpName.getBytes("UTF-8"))}.feather")
+      if (fs.exists(fin) && !fs.exists(tmp)) {
+        // epoch replayed after a committed run: already renamed, skip
+      } else {
+        require(fs.rename(tmp, fin), s"commit rename $tmp -> $fin failed")
+        val sc = fs.create(new org.apache.hadoop.fs.Path(path,
+          fin.getName + ".stats.json"), true)
+        try sc.write(m.statsJson.getBytes("UTF-8")) finally sc.close()
+      }
+    }
+  }
+
+  override def abort(
+      epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val spark = SparkSession.active
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.collect { case m: FeatherCommitMessage => m }.foreach { m =>
+      try fs.delete(new org.apache.hadoop.fs.Path(path, m.tmpName), false)
+      catch { case _: Exception => () }
+    }
+  }
+}
+
+private class FeatherStreamingWriterFactory(
+    st: StructType, path: String, codec: String, batchSize: Int,
+    confMap: org.apache.spark.broadcast.Broadcast[Map[String, String]])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    FeatherSourceWriters.dataWriter(st, path,
+      f".part-e$epochId%05d-$partitionId%05d-task-$taskId.feather.tmp",
+      codec, batchSize, partitionId, confMap)
 }
 
 private class FeatherWriterFactory(
@@ -325,6 +405,19 @@ private class FeatherWriterFactory(
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    FeatherSourceWriters.dataWriter(st, path,
+      f".part-$partitionId%05d-task-$taskId.feather.tmp",
+      codec, batchSize, partitionId, confMap)
+}
+
+/** The task-side writer shared by the batch and streaming factories: only
+  * the tmp-file naming differs (streaming tags the epoch so a replayed
+  * epoch's tmps never collide with a committed one's finals). */
+private object FeatherSourceWriters {
+  def dataWriter(st: StructType, path: String, tmpName: String,
+                 codec: String, batchSize: Int, partitionId: Int,
+                 confMap: org.apache.spark.broadcast.Broadcast[Map[String, String]])
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
       private val execConf = {
         val c = new org.apache.hadoop.conf.Configuration(false)
@@ -332,7 +425,6 @@ private class FeatherWriterFactory(
         c
       }
       private val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(execConf)
-      private val tmpName = f".part-$partitionId%05d-task-$taskId.feather.tmp"
       private val pw = new GraftFeather.FeatherPartWriter(st,
         fs.create(new org.apache.hadoop.fs.Path(path, tmpName), true),
         codec, batchSize)

@@ -145,6 +145,38 @@ class AvroSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("writeStream.format(graft-avro) lands epoch-committed atomic drops") {
+    import spark.implicits._
+    val src = tmp("sink_src")
+    val out = tmp("sink_out")
+    val ckpt = tmp("sink_ckpt")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(src, out, ckpt).foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    (1 to 80).map(i => (i.toLong, s"a_$i")).toDF("id", "s")
+      .write.format("graft-avro").mode("overwrite").save(src)
+    val q = spark.readStream.format("graft-avro").load(src)
+      .writeStream.format("graft-avro").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.format("graft-avro").load(out).count() === 80)
+      (81 to 120).map(i => (i.toLong, s"b_$i")).toDF("id", "s")
+        .write.format("graft-avro").mode("append").save(src)
+      q.processAllAvailable()
+      val got = spark.read.format("graft-avro").load(out)
+      assert(got.count() === 120)
+      assert(got.agg(sum(col("id"))).head().getLong(0) ===
+        (1 to 120).map(_.toLong).sum)
+      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+        .map(_.getPath.getName).filter(_.endsWith(".avro"))
+      assert(parts.nonEmpty && parts.forall(_.startsWith("part-e")),
+        parts.mkString(","))
+    } finally q.stop()
+  }
+
   test("a small graft-avro dim broadcasts off reported statistics") {
     val dimPath = tmp("dim")
     writeSample(dimPath, rows = 5)

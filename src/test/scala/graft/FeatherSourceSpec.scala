@@ -281,6 +281,45 @@ class FeatherSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("writeStream.format(feather) lands epoch-committed atomic drops") {
+    import spark.implicits._
+    val src = tmp("sink_src")
+    val out = tmp("sink_out")
+    val ckpt = tmp("sink_ckpt")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(src, out, ckpt).foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    (1 to 80).map(i => (i.toLong, s"a_$i")).toDF("id", "s")
+      .write.format("feather").mode("overwrite").save(src)
+    // feather in → feather out: the full drop-directory loop
+    val q = spark.readStream.format("feather").load(src)
+      .writeStream.format("feather").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      val first = spark.read.format("feather").load(out)
+      assert(first.count() === 80)
+      (81 to 120).map(i => (i.toLong, s"b_$i")).toDF("id", "s")
+        .write.format("feather").mode("append").save(src)
+      q.processAllAvailable()
+      val got = spark.read.format("feather").load(out)
+      assert(got.count() === 120)
+      assert(got.agg(sum(col("id"))).head().getLong(0) ===
+        (1 to 120).map(_.toLong).sum)
+      // epoch ids ride the part names, and every part carries its
+      // skipping-index sidecar — streamed output prunes like batch output
+      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+        .map(_.getPath.getName).filter(_.endsWith(".feather"))
+      assert(parts.nonEmpty && parts.forall(_.startsWith("part-e")),
+        parts.mkString(","))
+      assert(parts.forall(p => fs.exists(
+        new org.apache.hadoop.fs.Path(out, p + ".stats.json"))),
+        "missing stats sidecar on a streamed part")
+    } finally q.stop()
+  }
+
   test("SQL over the source works via USING feather") {
     val path = tmp("sql")
     writeSample(path)
