@@ -262,6 +262,48 @@ object ScaleRehearsal {
     }
   }
 
+  /** Streaming-connector ingest tier: drains an N-file drop backlog
+    * through readStream(feather) → feather sink at N and 10N files, with
+    * maxFilesPerTrigger=10 admission control. Per-batch cost is planning
+    * + epoch commit + the data itself; batches scale linearly in file
+    * count, so wall time should too (≤ ~10× at 10× files). The file-set
+    * offset grows with TOTAL processed files — the documented bound —
+    * and this measures its practical cost at hundreds of files. */
+  def ingestTier(spark: SparkSession, out: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val results = Seq(20, 200).map { n =>
+      val src = s"$out/ingest_src_$n"
+      val dst = s"$out/ingest_dst_$n"
+      val ckpt = s"$out/ingest_ckpt_$n"
+      Seq(src, dst, ckpt).foreach(d =>
+        fs.delete(new org.apache.hadoop.fs.Path(d), true))
+      // the backlog: n one-part drops of 2000 rows each, landed BEFORE
+      // the stream starts (the restart-after-downtime shape)
+      (0 until n).foreach { k =>
+        spark.range(k * 2000L, (k + 1) * 2000L)
+          .select(col("id"), concat(lit("doc_"), col("id")).as("s"))
+          .repartition(1).write.format("feather")
+          .mode(if (k == 0) "overwrite" else "append").save(src)
+      }
+      val t0 = System.nanoTime()
+      val q = spark.readStream.format("feather")
+        .option("maxFilesPerTrigger", "10").load(src)
+        .writeStream.format("feather").option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      val rows = spark.read.format("feather").load(dst).count()
+      require(rows == n * 2000L, s"expected ${n * 2000L} rows, got $rows")
+      println(f"""{"ingest_files":$n,"drain_sec":$secs%.2f,"nonempty_batches":$batches,"rows":$rows}""")
+      (n, secs)
+    }
+    val ratio = results(1)._2 / results(0)._2
+    println(f"""{"ingest_tier":"feather","files_ratio":10,"wall_ratio":$ratio%.2f}""")
+  }
+
   /** Pathological connected-components input (r8 ask #8): a CHAIN graph of
     * n vertices has diameter n. With pointer doubling (r9) the chain
     * CONVERGES in ~log2(n) rounds at the default cap — timed at n and 10n
@@ -310,7 +352,8 @@ object ScaleRehearsal {
     println(f"""{"family":"$tag","total_sf01_sec":$tot01%.2f,"total_sf1_sec":$tot1%.2f,"ratio":${tot1 / tot01}%.2f}""")
   }
 
-  /** Usage: runMain graft.ScaleRehearsal [outDir] [dedup|ordered|joins|cc|skew|io|all] */
+  /** Usage: runMain graft.ScaleRehearsal [outDir]
+    * [dedup|ordered|joins|cc|skew|io|ingest|all] */
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("target/scale")
     val mode = args.drop(1).headOption.getOrElse("all")
@@ -338,6 +381,8 @@ object ScaleRehearsal {
       buildScaled(spark, src, sf1, copies = 10)
       ioTier(spark, src, sf1)
     }
+    if (mode == "all" || mode == "ingest")
+      ingestTier(spark, s"$out/ingest")
     spark.stop()
   }
 }
