@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.read.streaming.ReadLimit
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property layer for the shared drop-directory streaming machinery: the
+  * offset is durable state (it round-trips through Spark's JSON offset
+  * log across restarts), so its serialization must survive every file
+  * name a filesystem can produce, and admission must never lose or
+  * re-admit a file regardless of listing order. Seeded, deterministic. */
+class DropStreamPropertySpec extends AnyFunSuite {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  // hostile-name generator: JSON metacharacters, quotes, commas, unicode,
+  // spaces, backslashes — everything a producer could legally drop
+  private val nameGen: Gen[String] = for {
+    n <- Gen.chooseNum(1, 24)
+    parts <- Gen.listOfN(n, Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf("\"", ",", "[", "]", "\\\\", "{", "}", " ", "'", ":"),
+      1 -> Gen.oneOf("é", "ß", "中", "🙂", " "))) // incl. surrogate pair
+  } yield "file:/drops/" + parts.mkString + ".feather"
+
+  test("FileSetOffset JSON round-trips arbitrary file names exactly") {
+    val sets = sample(Gen.listOfN(200, Gen.chooseNum(0, 30)
+      .flatMap(k => Gen.listOfN(k, nameGen).map(_.toSet))), 20260813L)
+    sets.foreach { files =>
+      val off = FileSetOffset(files)
+      val back = FileSetOffset.fromJson(off.json())
+      assert(back.files === files, s"roundtrip lost names: ${off.json()}")
+      // the log compares offsets by serialized form: equal sets must
+      // serialize identically regardless of construction order
+      assert(FileSetOffset(files.toSeq.reverse.toSet).json() === off.json())
+    }
+  }
+
+  test("admission is exactly-once and bounded under arbitrary listings") {
+    val scenarios = sample(Gen.listOfN(100, for {
+      total <- Gen.chooseNum(0, 60)
+      names <- Gen.listOfN(total, nameGen).map(_.distinct)
+      limit <- Gen.chooseNum(1, 12)
+    } yield (names, limit)), 99L)
+    scenarios.foreach { case (names, limit) =>
+      // a stream whose "directory" is an in-memory set, so the admission
+      // logic is exercised without a filesystem
+      var onDisk = Set.empty[String]
+      val stream = new DropDirectoryMicroBatchStream(
+          "/nonexistent", Seq(".feather"), Some(limit)) {
+        override protected def listFiles(): Set[String] = onDisk
+        override protected def planSplits(fresh: Seq[String]) =
+          Array.empty[org.apache.spark.sql.connector.read.InputPartition]
+        override def createReaderFactory() = null
+      }
+      onDisk = names.toSet
+      var offset = stream.initialOffset().asInstanceOf[FileSetOffset]
+      var admittedTotal = Seq.empty[String]
+      var batches = 0
+      while ({
+        val next = stream.latestOffset(offset, ReadLimit.maxFiles(limit))
+          .asInstanceOf[FileSetOffset]
+        val admitted = (next.files -- offset.files).toSeq
+        assert(admitted.size <= limit, s"batch over limit: $admitted")
+        admittedTotal ++= admitted
+        offset = next
+        batches += 1
+        assert(batches <= names.size + 2, "admission loop did not converge")
+        admitted.nonEmpty
+      }) ()
+      // every file admitted exactly once, none lost, none duplicated
+      assert(admittedTotal.sorted === names.sorted.toSeq)
+      // a file DELETED from the directory must stay in the offset
+      if (names.nonEmpty) {
+        onDisk = Set.empty
+        val after = stream.latestOffset(offset, ReadLimit.maxFiles(limit))
+          .asInstanceOf[FileSetOffset]
+        assert(after.files === offset.files, "offset shrank on deletion")
+      }
+    }
+  }
+}
