@@ -161,6 +161,90 @@ object GraftStreaming {
       }
   }
 
+  final case class BandRow(ts: java.sql.Timestamp, doc_id: Long,
+                           h: Seq[Long], band: Int, bkey: Long)
+  final case class BucketEntry(docId: Long, h: Seq[Long], tsMs: Long)
+  final case class BucketState(entries: List[BucketEntry])
+  final case class NearDupHit(doc_id: Long, band: Int, dup_of: Long,
+                              jaccard: Double)
+
+  /** Streaming NEAR-duplicate detection — MinHash-LSH within the watermark
+    * horizon, the incremental form of `dedup_minhash_lsh`/
+    * `dedup_lsh_verified`. Batch near-dup needs the whole corpus; an
+    * ingest stream needs "is this arriving document a near-copy of
+    * anything recent?" answered online with bounded state.
+    *
+    * Shape (keyed EXACTLY like the batch LSH shuffle):
+    *  1. Per row, fully scalar — no pre-shuffle aggregation: distinct
+    *     word-shingle hash set `h` (fused WordShingleHashes), 8-hash
+    *     MinHash signature, 8 bands × 1 row (band key = signature value).
+    *  2. Explode to (band, bkey) rows, watermark, groupByKey on the
+    *     BUCKET — state is per band-bucket, partitioned like any shuffle.
+    *  3. flatMapGroupsWithState: compare the arriving doc's `h` against
+    *     the bucket's stored entries (EXACT jaccard on the hash sets, the
+    *     same verify the batch path runs); emit a hit per match ≥
+    *     threshold; append self to the bucket (most-recent `bucketCap`
+    *     kept — the batch sub-bucket cap's streaming twin); event-time
+    *     timeout evicts buckets once the watermark passes their newest
+    *     entry + horizon.
+    *
+    * A document repeats across 8 band buckets, so doc-level verdicts are
+    * a trivial rollup of the emitted hits (distinct dup_of per doc_id) —
+    * hits stream append-mode, available immediately.
+    *
+    * State bound: activeBuckets × bucketCap × |h|. The horizon bounds
+    * activeBuckets to the recent-window working set; 100-TB/day ingest
+    * tunes the horizon exactly like streamingDedup's. */
+  def streamingNearDup(docs: DataFrame, simThreshold: Double,
+                       watermarkDur: String, horizonMs: Long,
+                       bucketCap: Int = 20): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    import graft.text.TextFunctions
+    val nBands = 8
+    val sig = TextFunctions.minhashFromFps(col("h"), nBands)
+    val keyed = docs
+      .select(col("ts"), col("doc_id"),
+        array_distinct(TextFunctions.shingleHashes(col("text"))).as("h"))
+      .filter(size(col("h")) > 0) // an empty/short doc has no signature
+      .select(col("ts"), col("doc_id"), col("h"),
+        posexplode(sig).as(Seq("band", "bkey")))
+      .withWatermark("ts", watermarkDur)
+      .as[BandRow]
+    def jac(a: Seq[Long], b: Seq[Long]): Double = {
+      val (sa, sb) = (a.toSet, b.toSet)
+      val inter = sa.intersect(sb).size
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
+    keyed
+      .groupByKey(r => (r.band, r.bkey))
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), rows: Iterator[BandRow],
+         state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            val hits = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+              .flatMap { r =>
+                val out = entries.flatMap { e =>
+                  val j = jac(r.h, e.h)
+                  if (e.docId != r.doc_id && j >= simThreshold)
+                    Some(NearDupHit(r.doc_id, r.band, e.docId,
+                      math.rint(j * 1e6) / 1e6))
+                  else None
+                }
+                entries = (BucketEntry(r.doc_id, r.h, r.ts.getTime) ::
+                  entries).take(bucketCap)
+                out
+              }
+            state.update(BucketState(entries))
+            // evict once the watermark passes newest-entry + horizon
+            state.setTimeoutTimestamp(entries.map(_.tsMs).max + horizonMs)
+            hits.iterator
+          }
+      }
+  }
+
   /** Update-mode console/memory-sink convenience used by the spec. */
   def startToMemory(df: DataFrame, queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.format("memory").queryName(queryName)

@@ -207,6 +207,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingNearDup flags near-copies online; horizon evicts state") {
+    import spark.implicits._
+    val t1 = "the quick brown fox jumps over the lazy dog while seven " +
+      "wizards brew strong potions under pale moonlight tonight"
+    val t2 = t1.replace("seven", "nine") // near-copy of doc 1
+    val t3 = "completely different content about distributed query " +
+      "engines shuffling partitions across executors with adaptive plans enabled"
+    val t4 = t3.replace("enabled", "disabled") // near-copy of doc 3
+    val filler = "filler words that resemble nothing else in this " +
+      "stream at all today because every token here is deliberately unique"
+    val input = MemoryStream[(Timestamp, Long, String)](spark)
+    val hits = GraftStreaming.streamingNearDup(
+      input.toDF().toDF("ts", "doc_id", "text"),
+      simThreshold = 0.5, watermarkDur = "5 minutes",
+      horizonMs = 10 * 60 * 1000L)
+    val q = hits.writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    def flagged(): Set[(Long, Long)] = spark.table("neardup")
+      .select("doc_id", "dup_of").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      input.addData((ts(1), 1L, t1), (ts(2), 2L, t2), (ts(3), 3L, t3))
+      q.processAllAvailable()
+      assert(flagged() === Set((2L, 1L)))
+      // cross-batch: the bucket state must remember doc 3
+      input.addData((ts(4), 4L, t4))
+      q.processAllAvailable()
+      assert(flagged() === Set((2L, 1L), (4L, 3L)))
+      // jump event time far ahead: watermark passes every bucket's
+      // newest-entry + horizon, evicting all state…
+      input.addData((Timestamp.valueOf("2026-01-01 12:00:00"), 50L, filler))
+      q.processAllAvailable()
+      // …so a fresh copy of doc 1 after the horizon is NOT flagged
+      input.addData((Timestamp.valueOf("2026-01-01 12:01:00"), 6L, t1))
+      q.processAllAvailable()
+      assert(flagged() === Set((2L, 1L), (4L, 3L)))
+    } finally q.stop()
+    // batch parity on the same rows: same call, same plan, no horizon in
+    // batch mode — doc 6 now matches doc 1 AND doc 2 (t2 is itself a
+    // near-copy of t1), the only expected delta vs the streamed run
+    val batchHits = GraftStreaming.streamingNearDup(
+      Seq((ts(1), 1L, t1), (ts(2), 2L, t2), (ts(3), 3L, t3), (ts(4), 4L, t4),
+        (Timestamp.valueOf("2026-01-01 12:00:00"), 50L, filler),
+        (Timestamp.valueOf("2026-01-01 12:01:00"), 6L, t1))
+        .toDF("ts", "doc_id", "text"),
+      simThreshold = 0.5, watermarkDur = "5 minutes",
+      horizonMs = 10 * 60 * 1000L)
+      .select("doc_id", "dup_of").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchHits === Set((2L, 1L), (4L, 3L), (6L, 1L), (6L, 2L)))
+  }
+
   test("intervalJoin joins two streams within the event-time band, bounded state") {
     import spark.implicits._
     val clicks = MemoryStream[(Timestamp, String)](spark)
