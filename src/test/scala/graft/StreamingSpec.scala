@@ -259,6 +259,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchHits === Set((2L, 1L), (4L, 3L), (6L, 1L), (6L, 2L)))
   }
 
+  test("streamingNearDup reproduces the batch LSH pair set on a real corpus") {
+    // corpus-scale parity: the streaming operator in batch mode (uncapped
+    // buckets, no horizon) must find EXACTLY the pairs dedup_lsh_verified
+    // finds at the same threshold — same banding, same verify — on the
+    // 500-doc test corpus. This pins that the online operator is the
+    // batch operator's semantics, not an approximation of it.
+    val docs = graft.Tables.documents(spark, TestSpark.sfDir)
+      .select((col("doc_id") * 1000).cast("timestamp").as("ts"),
+        col("doc_id"), col("text"))
+    val streamed = GraftStreaming.streamingNearDup(docs,
+      simThreshold = 0.2, watermarkDur = "1 minute",
+      horizonMs = Long.MaxValue / 4, bucketCap = Int.MaxValue)
+      .select(least(col("doc_id"), col("dup_of")).as("d1"),
+        greatest(col("doc_id"), col("dup_of")).as("d2"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = SparkEntry.queries("dedup_lsh_verified")(spark, TestSpark.sfDir)
+      .select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch,
+      s"streaming found ${streamed.size} pairs, batch ${batch.size}")
+    assert(batch.nonEmpty, "corpus has no near-dup pairs — vacuous parity")
+  }
+
   test("intervalJoin joins two streams within the event-time band, bounded state") {
     import spark.implicits._
     val clicks = MemoryStream[(Timestamp, String)](spark)
