@@ -220,10 +220,19 @@ object GraftAvro {
     * byte-range splits. Shared by [[read]] and the DSv2 connector. */
   private[graft] def planRead(spark: SparkSession, path: String,
                               maxSplitBytes: Long)
+      : (String, StructType, Seq[(String, Long, Long)]) =
+    planReadFiles(spark, partFiles(spark, path), maxSplitBytes)
+
+  /** [[planRead]] over an explicit file list — for callers that discover
+    * files themselves (the partitioned-layout connector walks `key=value`
+    * chains; `partFiles` only lists flat dirs). */
+  private[graft] def planReadFiles(spark: SparkSession,
+                                   files: Seq[(String, Long)],
+                                   maxSplitBytes: Long)
       : (String, StructType, Seq[(String, Long, Long)]) = {
     require(maxSplitBytes > 0, s"maxSplitBytes must be positive, got $maxSplitBytes")
+    require(files.nonEmpty, "planReadFiles: empty file list")
     val conf = spark.sparkContext.hadoopConfiguration
-    val files = partFiles(spark, path)
     val avroSchema = {
       val r = openReader(conf, files.head._1)
       try r.getSchema finally r.close()

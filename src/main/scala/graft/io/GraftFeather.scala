@@ -291,10 +291,19 @@ object GraftFeather {
     * Shared by [[read]] and the DSv2 connector (graft.sources). */
   private[graft] def planRead(spark: SparkSession, path: String,
                               maxSplitBytes: Long)
+      : (Seq[Field], Seq[(String, Long, Seq[Int])]) =
+    planReadFiles(spark, partFiles(spark, path), maxSplitBytes)
+
+  /** [[planRead]] over an explicit file list — the entry point for callers
+    * that discover files themselves (the partitioned-layout connector
+    * walks `key=value` chains; `partFiles` only lists flat dirs). */
+  private[graft] def planReadFiles(spark: SparkSession,
+                                   files: Seq[(String, Long)],
+                                   maxSplitBytes: Long)
       : (Seq[Field], Seq[(String, Long, Seq[Int])]) = {
     require(maxSplitBytes > 0, s"maxSplitBytes must be positive, got $maxSplitBytes")
+    require(files.nonEmpty, "planReadFiles: empty file list")
     val conf = spark.sparkContext.hadoopConfiguration
-    val files = partFiles(spark, path)
     val head = openReader(conf, files.head._1, files.head._2)
     val fields =
       try head.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq

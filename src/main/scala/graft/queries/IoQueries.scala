@@ -654,6 +654,36 @@ object IoQueries extends QueryPack {
       .orderBy("c_custkey")
   }
 
+  // Partitioned-directory discovery end-to-end (sources/FeatherPartitions):
+  // the connector walks key=value chains, types the partition columns, and
+  // prunes directories on partition filters (FeatherSourceSpec pins the
+  // file-count drop — here the ORACLE pins that pruning loses no rows and
+  // that chain values land on the right rows).
+  register("io_feather_partitioned",
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_orderkey <= 3000 AND l_returnflag <> 'A'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val src = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 3000)
+      .select("l_returnflag", "l_orderkey", "l_quantity")
+    val path = tmp("feather_partitioned")
+    // one key=value leaf per return flag, written through the sink
+    src.select(col("l_returnflag")).distinct().collect().map(_.getString(0))
+      .sorted.foreach { rf =>
+        GraftFeather.write(
+          src.filter(col("l_returnflag") === rf).drop("l_returnflag"),
+          s"$path/l_returnflag=$rf", overwrite = true)
+      }
+    s.read.format("feather").load(path)
+      .filter(col("l_returnflag") =!= "A") // prunes a whole directory
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(12, 2)))
+          .cast(DoubleType).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   // Feather skipping index end-to-end (io/FeatherStats.scala): DSv2 write
   // emits per-batch min/max sidecars; the filtered read prunes batches
   // whose ranges can't match (FeatherSourceSpec pins the partition-count

@@ -33,9 +33,16 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
     p
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftAvro.planRead(SparkSession.active, pathOf(options),
-      maxSplitBytes = Long.MaxValue)._2
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // data schema from the first discovered file's header, plus the
+    // partition columns the directory layout declares
+    val spark = SparkSession.active
+    val disc = FeatherPartitions.discover(spark, pathOf(options), Seq(".avro"))
+    StructType(
+      GraftAvro.planReadFiles(spark,
+        Seq((disc.files.head.file, disc.files.head.len)),
+        maxSplitBytes = Long.MaxValue)._2.fields ++ disc.partSchema.fields)
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
@@ -263,19 +270,34 @@ private class AvroScanBuilder(fullSchema: StructType, path: String,
                               maxSplitBytes: Long,
                               maxFilesPerTrigger: Option[Int])
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  // filters are captured ONLY to prune partition directories at plan
+  // time; every filter is returned for post-scan evaluation (and
+  // pushedFilters stays empty — nothing is consumed row-level)
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pruneFilters = filters
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
   private var required: StructType = fullSchema
   private var limit: Int = -1
+  private var pruneFilters: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   // partial push: per-partition row cap; the global limit stays above
   override def pushLimit(l: Int): Boolean = { limit = l; false }
   override def build(): Scan =
-    new AvroScan(required, path, maxSplitBytes, limit, maxFilesPerTrigger)
+    new AvroScan(required, path, maxSplitBytes, limit,
+      pruneFilters.toSeq, maxFilesPerTrigger)
 }
 
 private class AvroScan(readSchema0: StructType, path: String,
                        maxSplitBytes: Long, limit: Int,
+                       pruneFilters: Seq[org.apache.spark.sql.sources.Filter],
                        maxFilesPerTrigger: Option[Int])
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = readSchema0
@@ -283,11 +305,28 @@ private class AvroScan(readSchema0: StructType, path: String,
     s"graft-avro `$path` ReadSchema: ${readSchema0.catalogString}"
   override def toBatch: Batch = this
 
-  private lazy val plan =
-    GraftAvro.planRead(SparkSession.active, path, maxSplitBytes)
+  // discovery + partition-directory pruning (see FeatherScan — same
+  // machinery, avro suffix)
+  private lazy val surviving: Seq[FeatherPartitions.LeafFile] = {
+    val disc = FeatherPartitions.discover(SparkSession.active, path,
+      Seq(".avro"))
+    val ps = disc.partSchema
+    if (disc.partCols.isEmpty || pruneFilters.isEmpty) disc.files
+    else disc.files.filter(FeatherPartitions.survives(_, ps, pruneFilters))
+  }
+
+  private lazy val plan = {
+    val byFile = surviving.map(l => l.file -> l.values).toMap
+    val p = GraftAvro.planReadFiles(SparkSession.active,
+      surviving.map(l => (l.file, l.len)), maxSplitBytes)
+    (p._1, p._2, p._3.map { case (f, s, e) => (f, s, e, byFile(f)) })
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
-    plan._3.map { case (f, s, e) => AvroInputPartition(f, s, e) }.toArray
+    if (surviving.isEmpty) Array.empty
+    else plan._3.map { case (f, s, e, pv) =>
+      AvroInputPartition(f, s, e, pv)
+    }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     // schemaJson rides the factory (serialized ONCE into the shared task
@@ -302,7 +341,8 @@ private class AvroScan(readSchema0: StructType, path: String,
       maxFilesPerTrigger)
 
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = plan._3.map(s => s._3 - s._2).sum
+    // bytes AFTER partition pruning (post-pushdown, like parquet reports)
+    private val bytes = surviving.map(_.len).sum
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong =
@@ -347,7 +387,8 @@ private class AvroMicroBatchStream(readSchema: StructType, path: String,
       GraftHadoop.confBroadcast(spark))
 }
 
-private case class AvroInputPartition(file: String, start: Long, end: Long)
+private case class AvroInputPartition(file: String, start: Long, end: Long,
+                                      partValues: Seq[(String, String)] = Nil)
     extends InputPartition
 
 private class AvroReaderFactory(
@@ -365,12 +406,22 @@ private class AvroReaderFactory(
       private var open: Option[AutoCloseable] = None
       private val toInternal =
         CatalystTypeConverters.createToCatalystConverter(readSchema)
+      // partition columns come from the directory chain, not the file
+      // (see FeatherReaderFactory — same splice)
+      private val partRaw = p.partValues.toMap
+      private val partAt: Map[Int, Any] =
+        readSchema.fields.zipWithIndex.collect {
+          case (f, i) if partRaw.contains(f.name) =>
+            i -> FeatherPartitions.castValue(partRaw(f.name), f.dataType)
+        }.toMap
+      private val dataNames =
+        readSchema.fieldNames.filterNot(partRaw.contains).toSeq
       // release a half-constructed reader (schema-resolution throw) —
       // Spark only close()es readers whose construction succeeded
       private val all =
         try GraftAvro.splitRows(
           execConf, schemaJson, p.file, p.start, p.end,
-          Some(readSchema.fieldNames.toSeq), // Some(Nil) = count(*) shape
+          Some(dataNames), // Some(Nil) = count(*) shape
           r => open = Some(r), _ => open = None)
         catch { case e: Throwable =>
           open.foreach(r => try r.close() catch { case _: Exception => () })
@@ -378,9 +429,19 @@ private class AvroReaderFactory(
         }
       private val rows = if (limit >= 0) all.take(limit) else all
       private var current: InternalRow = _
+      private def splice(dataRow: org.apache.spark.sql.Row)
+          : org.apache.spark.sql.Row =
+        if (partAt.isEmpty) dataRow
+        else {
+          var di = 0
+          org.apache.spark.sql.Row.fromSeq(
+            readSchema.fields.indices.map { i =>
+              partAt.getOrElse(i, { val v = dataRow.get(di); di += 1; v })
+            })
+        }
       override def next(): Boolean =
         if (rows.hasNext) {
-          current = toInternal(rows.next()).asInstanceOf[InternalRow]
+          current = toInternal(splice(rows.next())).asInstanceOf[InternalRow]
           true
         } else false
       override def get(): InternalRow = current

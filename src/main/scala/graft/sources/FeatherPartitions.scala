@@ -1,0 +1,148 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** Hive-style partition discovery for the path-based connectors: leaf
+  * files under `key=value` directory chains become rows carrying the
+  * directory's values as columns, and filters on those columns prune
+  * whole directories BEFORE any footer is opened — at 100 TB the
+  * difference between planning thousands of files and planning the three
+  * directories a query actually touches.
+  *
+  * Contract mirrors Spark's parquet discovery where it matters:
+  * consistent key chains at a single depth (mixed layouts fail loudly,
+  * not silently half-read), `__HIVE_DEFAULT_PARTITION__` decodes to
+  * null, values are URL-unescaped, and partition types are inferred
+  * long → double → string over the observed values. */
+private[sources] object FeatherPartitions {
+
+  val HiveNull = "__HIVE_DEFAULT_PARTITION__"
+
+  /** One discovered leaf file: absolute path, length, and the (ordered)
+    * partition values on its directory chain. */
+  final case class LeafFile(file: String, len: Long,
+                            values: Seq[(String, String)])
+
+  final case class Discovered(partCols: Seq[String], files: Seq[LeafFile]) {
+    /** Inferred schema of the partition columns (nullable iff a null
+      * partition value was observed). */
+    def partSchema: StructType = StructType(partCols.zipWithIndex.map {
+      case (c, i) =>
+        val vs = files.map(_.values(i)._2)
+        StructField(c, inferType(vs.filter(_ != null)),
+          nullable = vs.contains(null))
+    })
+  }
+
+  private def inferType(values: Seq[String]): DataType =
+    if (values.nonEmpty && values.forall(v => scala.util.Try(v.toLong).isSuccess))
+      LongType
+    else if (values.nonEmpty &&
+      values.forall(v => scala.util.Try(v.toDouble).isSuccess)) DoubleType
+    else StringType
+
+  def castValue(v: String, dt: DataType): Any =
+    if (v == null) null
+    else dt match {
+      case LongType => v.toLong
+      case DoubleType => v.toDouble
+      case _ => v
+    }
+
+  /** Recursive walk. Flat directories (or a single file) come back with
+    * no partition columns — the pre-discovery behavior, unchanged. */
+  def discover(spark: SparkSession, root: String,
+               suffixes: Seq[String]): Discovered = {
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootStat = fs.getFileStatus(rp) // missing path: same error as before
+    if (!rootStat.isDirectory)
+      return Discovered(Nil, Seq(LeafFile(rp.toString, rootStat.getLen, Nil)))
+
+    def isData(s: FileStatus): Boolean = {
+      val n = s.getPath.getName
+      s.isFile && suffixes.exists(n.endsWith) &&
+        !n.startsWith("_") && !n.startsWith(".")
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[LeafFile]
+    def walk(dir: Path, values: Seq[(String, String)]): Unit = {
+      val entries = fs.listStatus(dir)
+      entries.foreach { e =>
+        if (isData(e))
+          out += LeafFile(e.getPath.toString, e.getLen, values)
+        else if (e.isDirectory) {
+          val n = e.getPath.getName
+          val eq = n.indexOf('=')
+          if (eq > 0) {
+            val key = java.net.URLDecoder.decode(n.substring(0, eq), "UTF-8")
+            val raw = n.substring(eq + 1)
+            val v =
+              if (raw == HiveNull) null
+              else java.net.URLDecoder.decode(raw, "UTF-8")
+            walk(e.getPath, values :+ (key -> v))
+          }
+          // non-partition subdirectories (checkpoints, _temporary) skipped
+        }
+      }
+    }
+    walk(rp, Nil)
+    require(out.nonEmpty, s"no ${suffixes.mkString("/")} files under $root")
+    val chains = out.map(_.values.map(_._1)).distinct
+    require(chains.size == 1,
+      s"inconsistent partition layouts under $root: " +
+        chains.map(_.mkString("/")).map(c => if (c.isEmpty) "<flat>" else c)
+          .mkString(" vs ") +
+        " — a mixed directory would silently misread; fix the layout")
+    Discovered(chains.head, out.toSeq.sortBy(_.file))
+  }
+
+  /** Conservative tri-state filter evaluation against one file's partition
+    * values: Some(false) prunes the file, Some(true)/None keep it (a
+    * filter this evaluator cannot decide — unknown shape, data-column
+    * reference — never prunes; Spark re-evaluates every filter on the
+    * rows anyway). */
+  def survives(leaf: LeafFile, partSchema: StructType,
+               filters: Seq[Filter]): Boolean = {
+    val vals: Map[String, Any] = leaf.values.map { case (k, v) =>
+      k -> castValue(v, partSchema(k).dataType)
+    }.toMap
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (null, _) | (_, null) => None
+      case (x: Long, y: Number) => Some(java.lang.Long.compare(x, y.longValue))
+      case (x: Double, y: Number) =>
+        Some(java.lang.Double.compare(x, y.doubleValue))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case _ => None
+    }
+    def eval(f: Filter): Option[Boolean] = f match {
+      case EqualTo(a, v) if vals.contains(a) => cmp(vals(a), v).map(_ == 0)
+      case GreaterThan(a, v) if vals.contains(a) => cmp(vals(a), v).map(_ > 0)
+      case GreaterThanOrEqual(a, v) if vals.contains(a) =>
+        cmp(vals(a), v).map(_ >= 0)
+      case LessThan(a, v) if vals.contains(a) => cmp(vals(a), v).map(_ < 0)
+      case LessThanOrEqual(a, v) if vals.contains(a) =>
+        cmp(vals(a), v).map(_ <= 0)
+      case In(a, vs) if vals.contains(a) =>
+        if (vals(a) == null) Some(false)
+        else Some(vs.exists(v => cmp(vals(a), v).contains(0)))
+      case IsNull(a) if vals.contains(a) => Some(vals(a) == null)
+      case IsNotNull(a) if vals.contains(a) => Some(vals(a) != null)
+      case And(l, r) => (eval(l), eval(r)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+      case Or(l, r) => (eval(l), eval(r)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case Not(x) => eval(x).map(!_)
+      case _ => None
+    }
+    !filters.exists(f => eval(f).contains(false))
+  }
+}

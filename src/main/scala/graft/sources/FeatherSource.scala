@@ -42,11 +42,16 @@ class FeatherDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    // schema-only: ONE footer read (the first file); the every-file split
-    // sweep runs once, at scan time
-    val fields = GraftFeather.readFields(SparkSession.active, pathOf(options))
+    // schema-only: ONE footer read (the first discovered file) plus the
+    // partition columns the directory layout declares; the every-file
+    // split sweep runs once, at scan time
+    val spark = SparkSession.active
+    val disc = FeatherPartitions.discover(spark, pathOf(options),
+      Seq(".feather", ".arrow"))
+    val fields = GraftFeather.readFields(spark, disc.files.head.file)
     StructType(fields.map(f => org.apache.spark.sql.types.StructField(
-      f.getName, GraftFeather.toSparkType(f), f.isNullable)))
+      f.getName, GraftFeather.toSparkType(f), f.isNullable)) ++
+      disc.partSchema.fields)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -97,20 +102,23 @@ private class FeatherScanBuilder(fullSchema: StructType, path: String,
   // partial push: each partition yields at most `limit` rows (batch decode
   // stops early); Spark still applies the global limit above the scan
   override def pushLimit(l: Int): Boolean = { limit = l; false }
+  private var allFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   // skip-only pushdown against the <part>.stats.json sidecars: accept the
   // comparison shapes the skipping index can use, but return EVERY filter
-  // for post-scan evaluation — pruning drops provably-empty batches, it
-  // never takes over row-level filtering (the parquet best-effort pattern)
+  // for post-scan evaluation — pruning drops provably-empty batches (and,
+  // for partitioned layouts, whole key=value directories), it never takes
+  // over row-level filtering (the parquet best-effort pattern)
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
     skipFilters = filters.filter(FeatherScanBuilder.usable)
+    allFilters = filters
     filters
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     skipFilters
   override def build(): Scan =
     new FeatherScan(required, path, maxSplitBytes, limit, skipFilters.toSeq,
-      maxFilesPerTrigger)
+      allFilters.toSeq, maxFilesPerTrigger)
 }
 
 private object FeatherScanBuilder {
@@ -128,6 +136,7 @@ private object FeatherScanBuilder {
 private class FeatherScan(readSchema0: StructType, path: String,
                           maxSplitBytes: Long, limit: Int,
                           skipFilters: Seq[org.apache.spark.sql.sources.Filter],
+                          pruneFilters: Seq[org.apache.spark.sql.sources.Filter],
                           maxFilesPerTrigger: Option[Int])
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = readSchema0
@@ -137,9 +146,26 @@ private class FeatherScan(readSchema0: StructType, path: String,
         s", SkipFilters: ${skipFilters.mkString(", ")}" else "")
   override def toBatch: Batch = this
 
-  // planned once per scan, on the driver
-  private lazy val splits: Seq[(String, Long, Seq[Int])] =
-    GraftFeather.planRead(SparkSession.active, path, maxSplitBytes)._2
+  // discovery + partition-directory pruning, once per scan, on the driver:
+  // filters on partition columns eliminate whole key=value directories
+  // BEFORE any footer is opened
+  private lazy val surviving: Seq[FeatherPartitions.LeafFile] = {
+    val disc = FeatherPartitions.discover(SparkSession.active, path,
+      Seq(".feather", ".arrow"))
+    val ps = disc.partSchema
+    if (disc.partCols.isEmpty || pruneFilters.isEmpty) disc.files
+    else disc.files.filter(FeatherPartitions.survives(_, ps, pruneFilters))
+  }
+
+  // footer-planned splits for the surviving files only
+  private lazy val splits: Seq[(String, Long, Seq[Int], Seq[(String, String)])] =
+    if (surviving.isEmpty) Seq.empty
+    else {
+      val byFile = surviving.map(l => l.file -> l.values).toMap
+      GraftFeather.planReadFiles(SparkSession.active,
+        surviving.map(l => (l.file, l.len)), maxSplitBytes)._2
+        .map { case (f, len, idxs) => (f, len, idxs, byFile(f)) }
+    }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
@@ -164,13 +190,13 @@ private class FeatherScan(readSchema0: StructType, path: String,
         }
       } catch { case _: Exception => None } // bad sidecar = no pruning
     })
-    splits.flatMap { case (f, len, idxs) =>
+    splits.flatMap { case (f, len, idxs, pv) =>
       val kept = statsOf(f) match {
         case Some(stats) => idxs.filterNot(i => i < stats.size &&
           graft.io.FeatherStats.batchProvablyEmpty(stats(i), skipFilters))
         case None => idxs
       }
-      if (kept.isEmpty) None else Some(FeatherInputPartition(f, len, kept))
+      if (kept.isEmpty) None else Some(FeatherInputPartition(f, len, kept, pv))
     }.toArray
   }
 
@@ -184,9 +210,9 @@ private class FeatherScan(readSchema0: StructType, path: String,
       maxFilesPerTrigger)
 
   override def estimateStatistics(): Statistics = new Statistics {
-    // file bytes: the honest lower bound the broadcast threshold needs
-    // (distinct by FILE — a length collision must not drop a file)
-    private val bytes = splits.map(s => (s._1, s._2)).distinct.map(_._2).sum
+    // file bytes AFTER partition pruning: the honest size the broadcast
+    // threshold needs (post-pushdown, like the parquet source reports)
+    private val bytes = surviving.map(_.len).sum
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong =
@@ -195,7 +221,8 @@ private class FeatherScan(readSchema0: StructType, path: String,
 }
 
 private case class FeatherInputPartition(file: String, len: Long,
-                                         batchIdxs: Seq[Int])
+                                         batchIdxs: Seq[Int],
+                                         partValues: Seq[(String, String)] = Nil)
     extends InputPartition
 
 // ---- streaming read --------------------------------------------------------
@@ -461,22 +488,43 @@ private class FeatherReaderFactory(
       private var open: Option[AutoCloseable] = None
       private val toInternal =
         CatalystTypeConverters.createToCatalystConverter(readSchema)
+      // partition columns come from the directory chain, not the file:
+      // precompute their (projected-schema position → typed value) splice;
+      // the file decode projects only the remaining (data) columns
+      private val partRaw = p.partValues.toMap
+      private val partAt: Map[Int, Any] =
+        readSchema.fields.zipWithIndex.collect {
+          case (f, i) if partRaw.contains(f.name) =>
+            i -> FeatherPartitions.castValue(partRaw(f.name), f.dataType)
+        }.toMap
+      private val dataNames =
+        readSchema.fieldNames.filterNot(partRaw.contains).toSeq
       // a throw AFTER the reader opened but BEFORE construction finishes
       // (missing column, corrupt footer) means Spark never gets a reader
       // to close() — release here or the fd + Arrow buffers leak per retry
       private val all =
         try GraftFeather.splitRows(
           execConf, p.file, p.len, p.batchIdxs,
-          readSchema.fieldNames.toSeq, r => open = Some(r))
+          dataNames, r => open = Some(r))
         catch { case e: Throwable =>
           open.foreach(r => try r.close() catch { case _: Exception => () })
           throw e
         }
       private val rows = if (limit >= 0) all.take(limit) else all
       private var current: InternalRow = _
+      private def splice(dataRow: org.apache.spark.sql.Row)
+          : org.apache.spark.sql.Row =
+        if (partAt.isEmpty) dataRow
+        else {
+          var di = 0
+          org.apache.spark.sql.Row.fromSeq(
+            readSchema.fields.indices.map { i =>
+              partAt.getOrElse(i, { val v = dataRow.get(di); di += 1; v })
+            })
+        }
       override def next(): Boolean =
         if (rows.hasNext) {
-          current = toInternal(rows.next()).asInstanceOf[InternalRow]
+          current = toInternal(splice(rows.next())).asInstanceOf[InternalRow]
           true
         } else false
       override def get(): InternalRow = current

@@ -177,6 +177,34 @@ class AvroSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hive-style partition directories discover, type, and prune") {
+    import spark.implicits._
+    val root = tmp("partitioned")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val leaves = Seq(("en", 1, 0L), ("en", 2, 100L), ("de", 1, 200L))
+    leaves.foreach { case (lang, day, base) =>
+      (1 to 10).map(i => (base + i, s"${lang}_$i"))
+        .toDF("id", "s").repartition(1).write.format("graft-avro")
+        .mode("overwrite").save(s"$root/lang=$lang/day=$day")
+    }
+    val df = spark.read.format("graft-avro").load(root)
+    assert(df.schema.fieldNames.toSeq === Seq("id", "s", "lang", "day"))
+    assert(df.schema("day").dataType === org.apache.spark.sql.types.LongType)
+    assert(df.count() === 30)
+    assert(df.filter(col("lang") === "de").agg(min(col("id"))).head()
+      .getLong(0) === 201L)
+    // a partition filter prunes directories before planning
+    val pruned = df.filter(col("day") === 2L)
+    assert(pruned.rdd.getNumPartitions === 1,
+      s"expected 1 surviving file, got ${pruned.rdd.getNumPartitions}")
+    assert(pruned.agg(sum(col("id"))).head().getLong(0) ===
+      (101L to 110L).sum)
+    // projecting only partition columns still counts file rows
+    assert(df.select("lang").filter(col("lang") === "en").count() === 20)
+  }
+
   test("a small graft-avro dim broadcasts off reported statistics") {
     val dimPath = tmp("dim")
     writeSample(dimPath, rows = 5)

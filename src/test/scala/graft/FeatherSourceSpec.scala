@@ -320,6 +320,59 @@ class FeatherSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hive-style partition directories discover, type, and prune") {
+    import spark.implicits._
+    val root = tmp("partitioned")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    // lang=?/day=? leaves, each written through the sink; ids encode the
+    // leaf so values can be cross-checked against the directory chain
+    val leaves = Seq(("en", 1, 0L), ("en", 2, 100L), ("de", 1, 200L))
+    leaves.foreach { case (lang, day, base) =>
+      (1 to 10).map(i => (base + i, s"${lang}_$i"))
+        .toDF("id", "s").repartition(1).write.format("feather")
+        .mode("overwrite").save(s"$root/lang=$lang/day=$day")
+    }
+    val df = spark.read.format("feather").load(root)
+    // partition columns land after the data columns, typed by inference
+    assert(df.schema.fieldNames.toSeq === Seq("id", "s", "lang", "day"))
+    assert(df.schema("lang").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(df.schema("day").dataType === org.apache.spark.sql.types.LongType)
+    assert(df.count() === 30)
+    // values come from the chain, matched to the right rows
+    assert(df.filter(col("lang") === "de").agg(min(col("id"))).head()
+      .getLong(0) === 201L)
+    assert(df.filter(col("day") === 2L).count() === 10)
+    // pruning: a partition filter must cut the files BEFORE planning —
+    // 3 leaf files, day=2 touches exactly 1
+    val pruned = df.filter(col("day") === 2L)
+    assert(pruned.rdd.getNumPartitions === 1,
+      s"expected 1 surviving file, got ${pruned.rdd.getNumPartitions}")
+    val both = df.filter(col("lang") === "en" && col("day") === 1L)
+    assert(both.rdd.getNumPartitions === 1)
+    assert(both.agg(sum(col("id"))).head().getLong(0) ===
+      (1L to 10L).sum)
+    // projecting ONLY partition columns still counts file rows
+    assert(df.select("lang").filter(col("lang") === "en").count() === 20)
+    // a small pruned read reports a small size: the broadcast threshold
+    // sees post-pruning bytes
+    val fact = (1 to 500).map(i => (i % 10 + 1L, i)).toDF("id", "x")
+    val dim = spark.read.format("feather").load(root)
+      .filter(col("day") === 1L && col("lang") === "en").select("id", "s")
+    val plan = fact.join(dim, "id").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"pruned dim must broadcast:\n$plan")
+    // mixed layouts fail loudly, not silently half-read
+    (1 to 5).map(i => (900L + i, s"flat_$i")).toDF("id", "s")
+      .repartition(1).write.format("feather").mode("append").save(root)
+    val e = intercept[Exception] {
+      spark.read.format("feather").load(root).count()
+    }
+    assert(e.getMessage.contains("inconsistent partition layouts"),
+      e.getMessage)
+  }
+
   test("SQL over the source works via USING feather") {
     val path = tmp("sql")
     writeSample(path)
