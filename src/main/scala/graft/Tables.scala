@@ -25,20 +25,39 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). cuDF supports TIMESTAMP_NS natively
-    * (types.hpp:220); our mapping reads the raw int64 nanos and exposes both
-    * a µs-truncated `ts` (TimestampType, SURVEY §1.2's documented ns→µs
-    * narrowing) and the exact `ts_ns` long. The required session conf
-    * `spark.sql.legacy.parquet.nanosAsLong` is set by GraftSession — no conf
-    * mutation happens inside this loader.
+  /** events.parquet has carried `ts` under two physical encodings across
+    * fixture generations: TIMESTAMP(NANOS) — which Spark's parquet reader
+    * only surfaces as a raw int64 via `spark.sql.legacy.parquet.nanosAsLong`
+    * ([PARQUET_TYPE_ILLEGAL] otherwise) — and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false), which Spark reads natively as TIMESTAMP_NTZ.
+    * cuDF treats every timestamp resolution as first-class
+    * (cpp/include/cudf/types.hpp:216-220); this loader branches on the READ
+    * schema rather than assuming one encoding, and normalizes both to the
+    * same logical shape: `ts` = TimestampType (µs, SURVEY §1.2's documented
+    * ns→µs narrowing) and `ts_ns` = exact epoch-nanos long (µs fixtures
+    * carry no sub-µs information, so ts_ns = µs·1000 there). The NTZ→TZ cast
+    * is value-preserving because GraftSession pins the session timezone to
+    * UTC; `unix_micros` itself only accepts TimestampType, hence cast-first.
+    * The `nanosAsLong` conf requirement applies only to the nanos fixture
+    * branch; GraftSession still sets it so either fixture loads.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events table needs spark.sql.legacy.parquet.nanosAsLong=true (use GraftSession.build)")
-    apply(s, d, "events")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) fixture read as raw int64 nanos
+        require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+          "nanos events fixture needs spark.sql.legacy.parquet.nanosAsLong=true (use GraftSession.build)")
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case TimestampType => // µs fixture, already TZ-adjusted
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType => // µs NTZ fixture: wall clock == UTC instant
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        sys.error(s"events.ts: unsupported physical type $other (expected int64 nanos or timestamp)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -56,4 +56,51 @@ object ForeignParquet {
       writer.write(g)
     } finally writer.close()
   }
+
+  /** Writes an events-shaped fixture whose `ts` column carries an explicit
+    * parquet TIMESTAMP annotation — any (unit, isAdjustedToUTC) combination,
+    * including the two the driver fixture has shipped with across
+    * generations: TIMESTAMP(NANOS) (readable by Spark only via the
+    * `nanosAsLong` legacy conf, as a raw long) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (read natively as TIMESTAMP_NTZ). The reference
+    * treats all four resolutions as first-class column types
+    * (cpp/include/cudf/types.hpp:216-220); `Tables.events` must normalize
+    * every encoding to the same logical (ts, ts_ns) — the spec pins that.
+    *
+    * `rows` = (event_id, epochNanos); the stored INT64 is epochNanos
+    * rescaled to `unit`. */
+  def writeEventsTs(path: String,
+                    unit: LogicalTypeAnnotation.TimeUnit,
+                    adjustedToUTC: Boolean,
+                    rows: Seq[(Long, Long)]): Unit = {
+    import LogicalTypeAnnotation.TimeUnit
+    val schema: MessageType = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64)
+      .as(LogicalTypeAnnotation.timestampType(adjustedToUTC, unit))
+      .named("ts")
+      .named("events_row")
+    val conf = new Configuration()
+    val p = new Path(s"$path/part-00000.parquet")
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(new Path(path))) fs.delete(new Path(path), true)
+    fs.mkdirs(new Path(path))
+    val divisor = unit match {
+      case TimeUnit.NANOS  => 1L
+      case TimeUnit.MICROS => 1000L
+      case TimeUnit.MILLIS => 1000000L
+    }
+    val writer = ExampleParquetWriter.builder(p)
+      .withType(schema)
+      .withConf(conf)
+      .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+      .build()
+    val factory = new SimpleGroupFactory(schema)
+    try rows.foreach { case (id, ns) =>
+      val g = factory.newGroup()
+      g.append("event_id", id)
+      g.append("ts", ns / divisor)
+      writer.write(g)
+    } finally writer.close()
+  }
 }

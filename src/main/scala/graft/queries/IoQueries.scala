@@ -20,6 +20,38 @@ object IoQueries extends QueryPack {
   private def tmp(name: String): String =
     s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/$name"
 
+  /** One-time (per JVM, per sf dir) READ-fixture construction. Queries whose
+    * bench row is meant to measure a read path (DSv2 connectors, skipping
+    * index, foreign-writer corpus) must not pay fixture WRITING inside the
+    * timed closure on every rep — the r9 verdict showed io_feather_skipping's
+    * median measuring fixture construction under contention (16.4 s) while
+    * the read itself costs ~1.5 s. The builder runs once per (fixture,
+    * sf dir) per JVM: Bench.warmup triggers these queries untimed so every
+    * timed rep is read-only, and Verify stays standalone because the query
+    * body itself calls this first. The path embeds the sf dir's hash so two
+    * dirs in one JVM can never serve each other's fixture. Roundtrip-named
+    * queries (`io_*_roundtrip`) intentionally keep the writer in the timed
+    * body — the roundtrip IS what they measure. */
+  private val fixtureReady =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def readFixture(name: String, d: String)(build: String => Unit): String =
+    fixtureReady.computeIfAbsent(s"$name@$d", _ => {
+      val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/" +
+        s"fix_${java.lang.Integer.toHexString(d.hashCode)}/$name"
+      build(path)
+      path
+    })
+
+  /** Queries backed by [[readFixture]]; Bench.warmup runs each once untimed
+    * so the timed reps measure only the read path. */
+  val readFixtureQueries: Seq[String] = Seq(
+    "io_parquet_int96", "io_parquet_legacy_decimal", "io_parquet_legacy_nested",
+    "io_parquet_rebase_julian", "io_parquet_unsigned",
+    "io_orc_foreign_decimal", "io_orc_foreign_rlev2", "io_orc_foreign_bool",
+    "io_orc_foreign_timezone",
+    "io_avro_dsv2", "io_feather_dsv2", "io_feather_partitioned",
+    "io_feather_skipping")
+
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
   // (cudf/io/csv.py:15 dtype=, header=; csv.hpp:48)
   register("io_csv_roundtrip",
@@ -496,13 +528,14 @@ object IoQueries extends QueryPack {
   register("io_parquet_int96",
     """SELECT o_orderkey, o_orderdate FROM orders
       |WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-    // cast NTZ → LTZ (identity under the UTC session): the INT96 writer
-    // path applies only to TimestampType; NTZ always writes INT64
-    val src = Tables.orders(s, d).filter(col("o_orderkey") <= 2000)
-      .select(col("o_orderkey"), col("o_orderdate").cast(TimestampType).as("o_orderdate"))
-    val path = tmp("parquet_int96")
-    withConf(s, "spark.sql.parquet.outputTimestampType" -> "INT96") {
-      src.write.mode("overwrite").parquet(path)
+    val path = readFixture("parquet_int96", d) { p =>
+      // cast NTZ → LTZ (identity under the UTC session): the INT96 writer
+      // path applies only to TimestampType; NTZ always writes INT64
+      val src = Tables.orders(s, d).filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_orderdate").cast(TimestampType).as("o_orderdate"))
+      withConf(s, "spark.sql.parquet.outputTimestampType" -> "INT96") {
+        src.write.mode("overwrite").parquet(p)
+      }
     }
     s.read.parquet(path).orderBy("o_orderkey")
   }
@@ -518,13 +551,14 @@ object IoQueries extends QueryPack {
       |  CAST(CAST(l_extendedprice AS DECIMAL(20,4)) AS DOUBLE) AS price_d20
       |FROM lineitem WHERE l_orderkey <= 500
       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
-    val src = Tables.lineitem(s, d).filter(col("l_orderkey") <= 500)
-      .select(col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice").cast(DecimalType(9, 2)).as("price_d9"),
-        col("l_extendedprice").cast(DecimalType(20, 4)).as("price_d20"))
-    val path = tmp("parquet_legacy_decimal")
-    withConf(s, "spark.sql.parquet.writeLegacyFormat" -> "true") {
-      src.write.mode("overwrite").parquet(path)
+    val path = readFixture("parquet_legacy_decimal", d) { p =>
+      val src = Tables.lineitem(s, d).filter(col("l_orderkey") <= 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").cast(DecimalType(9, 2)).as("price_d9"),
+          col("l_extendedprice").cast(DecimalType(20, 4)).as("price_d20"))
+      withConf(s, "spark.sql.parquet.writeLegacyFormat" -> "true") {
+        src.write.mode("overwrite").parquet(p)
+      }
     }
     // the FILE carries FLBA decimals (IoSpec pins the footer); the hashed
     // projection re-casts to double because the driver's pandas compare
@@ -548,20 +582,21 @@ object IoQueries extends QueryPack {
       |FROM lineitem WHERE l_orderkey <= 300
       |GROUP BY l_orderkey, l_linenumber
       |ORDER BY l_orderkey, ln""".stripMargin) { (s, d) =>
-    // pre-aggregate to one row per (order, ln): the synthetic lineitem can
-    // repeat a line number within an order, and map keys must be unique
-    val src = Tables.lineitem(s, d).filter(col("l_orderkey") <= 300)
-      .groupBy(col("l_orderkey"), col("l_linenumber"))
-      .agg(sum(col("l_quantity")).as("q"))
-      .groupBy(col("l_orderkey"))
-      .agg(
-        sort_array(collect_list(struct(
-          col("l_linenumber").as("ln"), col("q").as("qty")))).as("lines"),
-        map_from_entries(collect_list(struct(
-          col("l_linenumber"), col("q")))).as("qty_by_ln"))
-    val path = tmp("parquet_legacy_nested")
-    withConf(s, "spark.sql.parquet.writeLegacyFormat" -> "true") {
-      src.write.mode("overwrite").parquet(path)
+    val path = readFixture("parquet_legacy_nested", d) { p =>
+      // pre-aggregate to one row per (order, ln): the synthetic lineitem can
+      // repeat a line number within an order, and map keys must be unique
+      val src = Tables.lineitem(s, d).filter(col("l_orderkey") <= 300)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(sum(col("l_quantity")).as("q"))
+        .groupBy(col("l_orderkey"))
+        .agg(
+          sort_array(collect_list(struct(
+            col("l_linenumber").as("ln"), col("q").as("qty")))).as("lines"),
+          map_from_entries(collect_list(struct(
+            col("l_linenumber"), col("q")))).as("qty_by_ln"))
+      withConf(s, "spark.sql.parquet.writeLegacyFormat" -> "true") {
+        src.write.mode("overwrite").parquet(p)
+      }
     }
     s.read.parquet(path)
       .select(col("l_orderkey"), explode(col("lines")).as("line"), col("qty_by_ln"))
@@ -631,9 +666,10 @@ object IoQueries extends QueryPack {
   register("io_avro_dsv2",
     """SELECT s_suppkey, s_name, s_acctbal FROM supplier
       |WHERE s_suppkey <= 120 ORDER BY s_suppkey""".stripMargin) { (s, d) =>
-    val src = Tables.supplier(s, d).filter(col("s_suppkey") <= 120)
-    val path = tmp("avro_dsv2")
-    GraftAvro.write(src, path, codec = "deflate", overwrite = true)
+    val path = readFixture("avro_dsv2", d) { p =>
+      val src = Tables.supplier(s, d).filter(col("s_suppkey") <= 120)
+      GraftAvro.write(src, p, codec = "deflate", overwrite = true)
+    }
     s.read.format("graft-avro").load(path)
       .select("s_suppkey", "s_name", "s_acctbal")
       .orderBy("s_suppkey")
@@ -646,9 +682,10 @@ object IoQueries extends QueryPack {
   register("io_feather_dsv2",
     """SELECT c_custkey, c_mktsegment FROM customer
       |WHERE c_custkey <= 900 ORDER BY c_custkey""".stripMargin) { (s, d) =>
-    val src = Tables.customer(s, d).filter(col("c_custkey") <= 900)
-    val path = tmp("feather_dsv2")
-    GraftFeather.write(src, path, codec = "zstd", overwrite = true)
+    val path = readFixture("feather_dsv2", d) { p =>
+      val src = Tables.customer(s, d).filter(col("c_custkey") <= 900)
+      GraftFeather.write(src, p, codec = "zstd", overwrite = true)
+    }
     s.read.format("feather").load(path)
       .select("c_custkey", "c_mktsegment")
       .orderBy("c_custkey")
@@ -664,17 +701,18 @@ object IoQueries extends QueryPack {
       |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem WHERE l_orderkey <= 3000 AND l_returnflag <> 'A'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-    val src = Tables.lineitem(s, d)
-      .filter(col("l_orderkey") <= 3000)
-      .select("l_returnflag", "l_orderkey", "l_quantity")
-    val path = tmp("feather_partitioned")
-    // one key=value leaf per return flag, written through the sink
-    src.select(col("l_returnflag")).distinct().collect().map(_.getString(0))
-      .sorted.foreach { rf =>
-        GraftFeather.write(
-          src.filter(col("l_returnflag") === rf).drop("l_returnflag"),
-          s"$path/l_returnflag=$rf", overwrite = true)
-      }
+    val path = readFixture("feather_partitioned", d) { p =>
+      val src = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 3000)
+        .select("l_returnflag", "l_orderkey", "l_quantity")
+      // one key=value leaf per return flag, written through the sink
+      src.select(col("l_returnflag")).distinct().collect().map(_.getString(0))
+        .sorted.foreach { rf =>
+          GraftFeather.write(
+            src.filter(col("l_returnflag") === rf).drop("l_returnflag"),
+            s"$p/l_returnflag=$rf", overwrite = true)
+        }
+    }
     s.read.format("feather").load(path)
       .filter(col("l_returnflag") =!= "A") // prunes a whole directory
       .groupBy(col("l_returnflag"))
@@ -692,13 +730,14 @@ object IoQueries extends QueryPack {
     """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
       |WHERE l_orderkey > 4500 AND l_orderkey <= 5000
       |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin) { (s, d) =>
-    val src = Tables.lineitem(s, d)
-      .filter(col("l_orderkey") <= 5000)
-      .select("l_orderkey", "l_linenumber", "l_quantity")
-      .repartition(1).sortWithinPartitions("l_orderkey")
-    val path = tmp("feather_skipping")
-    src.write.format("feather").mode("overwrite")
-      .option("batchSize", "512").save(path)
+    val path = readFixture("feather_skipping", d) { p =>
+      val src = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 5000)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .repartition(1).sortWithinPartitions("l_orderkey")
+      src.write.format("feather").mode("overwrite")
+        .option("batchSize", "512").save(p)
+    }
     s.read.format("feather").option("maxSplitBytes", "1").load(path)
       .filter(col("l_orderkey") > 4500)
       .orderBy("l_orderkey", "l_linenumber", "l_quantity")
@@ -721,16 +760,17 @@ object IoQueries extends QueryPack {
       |  CAST((CAST(o_orderkey AS HUGEINT) * CAST('11400714819323198485' AS HUGEINT))
       |       % CAST('18446744073709551616' AS HUGEINT) AS VARCHAR) AS u64_s
       |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-    val keys = Tables.orders(s, d).filter(col("o_orderkey") <= 2000)
-      .select("o_orderkey").orderBy("o_orderkey")
-      .collect().map(_.getLong(0)).toSeq
-    val rows = keys.map { k =>
-      (k, (k % 256).toInt, ((k * 257) % 65536).toInt,
-        (k * 2654435761L) % 4294967296L, // 0..2^32-1; high half sets the sign bit
-        k * 0x9E3779B97F4A7C15L) // wrapped 64-bit pattern; unsigned value = +2^64 when negative
+    val path = readFixture("parquet_unsigned", d) { p =>
+      val keys = Tables.orders(s, d).filter(col("o_orderkey") <= 2000)
+        .select("o_orderkey").orderBy("o_orderkey")
+        .collect().map(_.getLong(0)).toSeq
+      val rows = keys.map { k =>
+        (k, (k % 256).toInt, ((k * 257) % 65536).toInt,
+          (k * 2654435761L) % 4294967296L, // 0..2^32-1; high half sets the sign bit
+          k * 0x9E3779B97F4A7C15L) // wrapped 64-bit pattern; unsigned value = +2^64 when negative
+      }
+      graft.io.ForeignParquet.writeUnsigned(p, rows)
     }
-    val path = tmp("parquet_unsigned")
-    graft.io.ForeignParquet.writeUnsigned(path, rows)
     s.read.parquet(path)
       .select(col("okey").as("o_orderkey"), col("u8"), col("u16"), col("u32"),
         col("u64").cast(StringType).as("u64_s"))
@@ -756,20 +796,21 @@ object IoQueries extends QueryPack {
       |  CAST(CAST(l_extendedprice AS DECIMAL(20,4)) AS DOUBLE) AS price_d20
       |FROM lineitem WHERE l_orderkey <= 500
       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
-    // bounded collect (≤ ~2000 rows) is fixture CONSTRUCTION, not a data
-    // path: the raw ORC writer is driver-side by nature
-    val rows = Tables.lineitem(s, d).filter(col("l_orderkey") <= 500)
-      .select(col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice").cast(DecimalType(9, 2)).as("price_d9"),
-        col("l_extendedprice").cast(DecimalType(20, 4)).as("price_d20"))
-      .orderBy("l_orderkey", "l_linenumber")
-      .collect()
-      .map(r => (r.getLong(0), r.getInt(1),
-        r.getDecimal(2).asInstanceOf[java.math.BigDecimal],
-        r.getDecimal(3).asInstanceOf[java.math.BigDecimal]))
-      .toSeq
-    val path = tmp("orc_foreign_decimal")
-    graft.io.ForeignOrc.writeDecimals(path, rows, stripeEvery = 500)
+    val path = readFixture("orc_foreign_decimal", d) { p =>
+      // bounded collect (≤ ~2000 rows) is fixture CONSTRUCTION, not a data
+      // path: the raw ORC writer is driver-side by nature
+      val rows = Tables.lineitem(s, d).filter(col("l_orderkey") <= 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").cast(DecimalType(9, 2)).as("price_d9"),
+          col("l_extendedprice").cast(DecimalType(20, 4)).as("price_d20"))
+        .orderBy("l_orderkey", "l_linenumber")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          r.getDecimal(2).asInstanceOf[java.math.BigDecimal],
+          r.getDecimal(3).asInstanceOf[java.math.BigDecimal]))
+        .toSeq
+      graft.io.ForeignOrc.writeDecimals(p, rows, stripeEvery = 500)
+    }
     s.read.orc(path)
       .select(col("l_orderkey"), col("l_linenumber"),
         col("price_d9").cast(DoubleType).as("price_d9"),
@@ -785,13 +826,14 @@ object IoQueries extends QueryPack {
       |  CASE WHEN o_orderkey % 64 = 0 THEN o_orderkey * 1048576 ELSE o_orderkey % 32 END AS pb,
       |  32 - (o_orderkey % 64) AS zz
       |FROM orders WHERE o_orderkey <= 4096 ORDER BY okey""".stripMargin) { (s, d) =>
-    val keys = Tables.orders(s, d).filter(col("o_orderkey") <= 4096)
-      .select("o_orderkey").orderBy("o_orderkey")
-      .collect().map(_.getLong(0)).toSeq
-    val rows = keys.map(k => (k, 7L,
-      if (k % 64 == 0) k * 1048576L else k % 32, 32L - (k % 64)))
-    val path = tmp("orc_foreign_rlev2")
-    graft.io.ForeignOrc.writeRlev2(path, rows)
+    val path = readFixture("orc_foreign_rlev2", d) { p =>
+      val keys = Tables.orders(s, d).filter(col("o_orderkey") <= 4096)
+        .select("o_orderkey").orderBy("o_orderkey")
+        .collect().map(_.getLong(0)).toSeq
+      val rows = keys.map(k => (k, 7L,
+        if (k % 64 == 0) k * 1048576L else k % 32, 32L - (k % 64)))
+      graft.io.ForeignOrc.writeRlev2(p, rows)
+    }
     s.read.orc(path).orderBy("okey")
   }
 
@@ -803,18 +845,19 @@ object IoQueries extends QueryPack {
       |  (l_orderkey % 3 = 0) AS b,
       |  CASE WHEN l_orderkey % 5 = 0 THEN NULL ELSE l_quantity > 25 END AS bn
       |FROM lineitem WHERE l_orderkey <= 500 ORDER BY k""".stripMargin) { (s, d) =>
-    val rows = Tables.lineitem(s, d).filter(col("l_orderkey") <= 500)
-      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("k"),
-        (col("l_orderkey") % 3 === 0).as("b"),
-        when(col("l_orderkey") % 5 === 0, lit(null))
-          .otherwise(col("l_quantity") > 25).as("bn"))
-      .orderBy("k")
-      .collect()
-      .map(r => (r.getLong(0), r.getBoolean(1),
-        if (r.isNullAt(2)) None else Some(r.getBoolean(2))))
-      .toSeq
-    val path = tmp("orc_foreign_bool")
-    graft.io.ForeignOrc.writeBooleans(path, rows, stripeEvery = 500)
+    val path = readFixture("orc_foreign_bool", d) { p =>
+      val rows = Tables.lineitem(s, d).filter(col("l_orderkey") <= 500)
+        .select((col("l_orderkey") * 10 + col("l_linenumber")).as("k"),
+          (col("l_orderkey") % 3 === 0).as("b"),
+          when(col("l_orderkey") % 5 === 0, lit(null))
+            .otherwise(col("l_quantity") > 25).as("bn"))
+        .orderBy("k")
+        .collect()
+        .map(r => (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(2)) None else Some(r.getBoolean(2))))
+        .toSeq
+      graft.io.ForeignOrc.writeBooleans(p, rows, stripeEvery = 500)
+    }
     s.read.orc(path).orderBy("k")
   }
 
@@ -834,13 +877,14 @@ object IoQueries extends QueryPack {
     """SELECT o_orderkey,
       |  CAST(o_orderdate AS TIMESTAMP) + (o_orderkey % 21600) * INTERVAL 1 SECOND AS ts
       |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-    val rows = Tables.orders(s, d).filter(col("o_orderkey") <= 2000)
-      .select(col("o_orderkey"),
-        expr("timestampadd(SECOND, CAST(o_orderkey % 21600 AS INT), CAST(o_orderdate AS TIMESTAMP))").as("ts"))
-      .orderBy("o_orderkey")
-      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
-    val path = tmp("orc_foreign_timezone")
-    graft.io.ForeignOrc.writeTimestamps(path, rows, "America/Los_Angeles")
+    val path = readFixture("orc_foreign_timezone", d) { p =>
+      val rows = Tables.orders(s, d).filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          expr("timestampadd(SECOND, CAST(o_orderkey % 21600 AS INT), CAST(o_orderdate AS TIMESTAMP))").as("ts"))
+        .orderBy("o_orderkey")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+      graft.io.ForeignOrc.writeTimestamps(p, rows, "America/Los_Angeles")
+    }
     s.read.orc(path)
       .select(col("o_orderkey"),
         to_utc_timestamp(col("ts"), "America/Los_Angeles").as("ts"))
@@ -857,15 +901,16 @@ object IoQueries extends QueryPack {
     """SELECT o_orderkey,
       |  strftime(o_orderdate - INTERVAL 200000 DAY, '%Y-%m-%d %H:%M:%S') AS ancient_ts
       |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-    // cast to LTZ: the Julian rebase path (and its file marker) applies to
-    // TimestampType; NTZ values are defined proleptic and never rebased
-    val src = Tables.orders(s, d).filter(col("o_orderkey") <= 1000)
-      .select(col("o_orderkey"),
-        (col("o_orderdate") - expr("INTERVAL 200000 DAY"))
-          .cast(TimestampType).as("ancient_ts"))
-    val path = tmp("parquet_rebase_julian")
-    withConf(s, "spark.sql.parquet.datetimeRebaseModeInWrite" -> "LEGACY") {
-      src.write.mode("overwrite").parquet(path)
+    val path = readFixture("parquet_rebase_julian", d) { p =>
+      // cast to LTZ: the Julian rebase path (and its file marker) applies to
+      // TimestampType; NTZ values are defined proleptic and never rebased
+      val src = Tables.orders(s, d).filter(col("o_orderkey") <= 1000)
+        .select(col("o_orderkey"),
+          (col("o_orderdate") - expr("INTERVAL 200000 DAY"))
+            .cast(TimestampType).as("ancient_ts"))
+      withConf(s, "spark.sql.parquet.datetimeRebaseModeInWrite" -> "LEGACY") {
+        src.write.mode("overwrite").parquet(p)
+      }
     }
     // hashed as a formatted string: pandas datetime64[ns] overflows below
     // year 1677, so pre-1582 values can't ride the timestamp compare

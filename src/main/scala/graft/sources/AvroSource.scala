@@ -338,7 +338,7 @@ private class AvroScan(readSchema0: StructType, path: String,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new AvroMicroBatchStream(readSchema0, path, maxSplitBytes,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, checkpointLocation)
 
   override def estimateStatistics(): Statistics = new Statistics {
     // bytes AFTER partition pruning (post-pushdown, like parquet reports)
@@ -357,9 +357,10 @@ private class AvroScan(readSchema0: StructType, path: String,
 
 private class AvroMicroBatchStream(readSchema: StructType, path: String,
                                    maxSplitBytes: Long,
-                                   maxFilesPerTrigger: Option[Int])
+                                   maxFilesPerTrigger: Option[Int],
+                                   checkpointLocation: String)
     extends DropDirectoryMicroBatchStream(path, Seq(".avro"),
-      maxFilesPerTrigger) {
+      maxFilesPerTrigger, checkpointLocation) {
 
   // Expected schema for per-file resolution, fixed at stream start for the
   // stream's lifetime (same contract as the batch scan, where it is the

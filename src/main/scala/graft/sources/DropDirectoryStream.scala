@@ -4,24 +4,65 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.InputPartition
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 
-/** Offset for drop-directory streams: the SET of processed file names
-  * (JSON array, persisted by Spark's offset log). A set — not a
-  * high-watermark timestamp or name — means arrival order and clock skew
-  * cannot lose or replay a file: any file not in the previous offset is
-  * new, wherever it sorts. The set grows with file count; a production
-  * long-runner would compact into a file log like Spark's
-  * FileStreamSource — documented bound, not a correctness limit. */
-private[sources] case class FileSetOffset(files: Set[String]) extends Offset {
+/** Offset for drop-directory streams: the SET of processed file names. A
+  * set — not a high-watermark timestamp or name — means arrival order and
+  * clock skew cannot lose or replay a file: any file not in the previous
+  * offset is new, wherever it sorts.
+  *
+  * COMPACTION: the set grows with total files seen, and Spark persists the
+  * offset JSON on every micro-batch — at 10⁵ files a drop directory would
+  * rewrite megabytes of names per trigger. Above a threshold the set
+  * compacts into a checkpointed LOG FILE (sorted names, one per line,
+  * written atomically) and the offset JSON shrinks to
+  * `{"log": <path>, "extra": [names since compaction]}`; the inline form
+  * stays a plain JSON array, so offsets written by older runs still
+  * deserialize. This is the same shape as Spark's FileStreamSource compact
+  * batch log. Compacted logs live under the stream's own checkpoint
+  * location, so a restart that replays the offset can always re-read them
+  * (they are never deleted: an earlier retained offset may still reference
+  * an earlier log, and the log count is bounded by totalFiles/threshold).
+  *
+  * `base` is the compacted portion (content of `logPath`), `extra` the
+  * names added since. */
+private[sources] case class FileSetOffset(base: Set[String],
+                                          extra: Set[String],
+                                          logPath: Option[String]) extends Offset {
+  def files: Set[String] = base ++ extra
   override def json(): String = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    m.writeValueAsString(files.toSeq.sorted.toArray)
+    logPath match {
+      case None => m.writeValueAsString(files.toSeq.sorted.toArray)
+      case Some(p) =>
+        val node = m.createObjectNode()
+        node.put("log", p)
+        val arr = node.putArray("extra")
+        extra.toSeq.sorted.foreach(arr.add)
+        m.writeValueAsString(node)
+    }
   }
 }
 
 private[sources] object FileSetOffset {
-  def fromJson(json: String): FileSetOffset = {
+  def apply(files: Set[String]): FileSetOffset =
+    FileSetOffset(Set.empty, files, None)
+
+  /** Deserializes either offset form; `readLog` loads a compacted log file
+    * (filesystem access lives with the caller, which has the Hadoop conf). */
+  def fromJson(json: String, readLog: String => Set[String]): FileSetOffset = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    FileSetOffset(m.readValue(json, classOf[Array[String]]).toSet)
+    val root = m.readTree(json)
+    if (root.isArray) {
+      val it = root.elements()
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next().asText()
+      FileSetOffset(Set.empty, b.result(), None)
+    } else {
+      val log = root.get("log").asText()
+      val it = root.get("extra").elements()
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next().asText()
+      FileSetOffset(readLog(log), b.result(), Some(log))
+    }
   }
 }
 
@@ -36,10 +77,18 @@ private[sources] object FileSetOffset {
   * checkpoints, restart loses everything). With the option set, each
   * trigger admits at most N new files (name order, so batch membership
   * is deterministic across restarts); Spark keeps firing triggers until
-  * the backlog drains, checkpointing after each. Connectors subclass
-  * with their split planning + reader factory. */
+  * the backlog drains, checkpointing after each.
+  *
+  * OFFSET COMPACTION: once more than
+  * `spark.graft.streaming.seenCompactThreshold` (default 4096) names sit
+  * inline in the offset, the full set is written to
+  * `<checkpointLocation>/graft-seen/<size>.compact` and subsequent offsets
+  * carry only the log reference plus the inline tail — see
+  * [[FileSetOffset]]. Connectors subclass with their split planning +
+  * reader factory. */
 private[sources] abstract class DropDirectoryMicroBatchStream(
-    path: String, suffixes: Seq[String], maxFilesPerTrigger: Option[Int])
+    path: String, suffixes: Seq[String], maxFilesPerTrigger: Option[Int],
+    checkpointLocation: String)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   require(maxFilesPerTrigger.forall(_ > 0),
@@ -62,9 +111,46 @@ private[sources] abstract class DropDirectoryMicroBatchStream(
       .map(_.toString).toSet
   }
 
+  // defensive session lookup: the threshold is tunable per session, but
+  // the offset arithmetic itself must not require one (property tests
+  // drive the admission logic sessionless)
+  private def compactThreshold: Int =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.conf.get("spark.graft.streaming.seenCompactThreshold", "4096"))
+      .getOrElse("4096").toInt
+
+  private def hadoopConf = spark.sparkContext.hadoopConfiguration
+
+  private def readSeenLog(log: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(log)
+    val fs = p.getFileSystem(hadoopConf)
+    val in = fs.open(p)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      "UTF-8").split("\n").iterator.filter(_.nonEmpty).toSet
+    finally in.close()
+  }
+
+  /** Atomic write (tmp + rename) of the full seen-set; name keyed by set
+    * size, which strictly increases between compactions, so a replayed
+    * `latestOffset` after restart rewrites the same name with the same
+    * content instead of colliding. */
+  private def writeSeenLog(files: Set[String]): String = {
+    val dir = new org.apache.hadoop.fs.Path(checkpointLocation, "graft-seen")
+    val fs = dir.getFileSystem(hadoopConf)
+    fs.mkdirs(dir)
+    val fin = new org.apache.hadoop.fs.Path(dir, f"${files.size}%012d.compact")
+    val tmp = new org.apache.hadoop.fs.Path(dir, f".${files.size}%012d.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((files.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(fin, false) // replay-safe: same name ⇒ same content
+    fs.rename(tmp, fin)
+    fin.toString
+  }
+
   override def initialOffset(): Offset = FileSetOffset(Set.empty)
   override def deserializeOffset(json: String): Offset =
-    FileSetOffset.fromJson(json)
+    FileSetOffset.fromJson(json, readSeenLog)
 
   // with SupportsAdmissionControl Spark always calls the 2-arg form
   override def latestOffset(): Offset =
@@ -76,16 +162,25 @@ private[sources] abstract class DropDirectoryMicroBatchStream(
       .getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val prev = start.asInstanceOf[FileSetOffset].files
+    val prev = start.asInstanceOf[FileSetOffset]
     // monotone union: a processed file DELETED from the directory must
     // stay in the offset, or it would replay on reappearing
-    val fresh = (listFiles() -- prev).toSeq.sorted
+    val fresh = (listFiles() -- prev.files).toSeq.sorted
     val admitted = limit match {
       case m: ReadMaxFiles => fresh.take(m.maxFiles)
       case _: ReadAllAvailable => fresh
       case _ => fresh // composite/unknown limits: admit everything
     }
-    FileSetOffset(prev ++ admitted)
+    val next = FileSetOffset(prev.base, prev.extra ++ admitted, prev.logPath)
+    if (next.extra.size <= compactThreshold) next
+    else {
+      // the log is written BEFORE the offset referencing it is persisted
+      // (Spark serializes this return value into the offset log), so a
+      // crash between the two leaves only an orphan log file, never a
+      // dangling reference
+      val all = next.files
+      FileSetOffset(all, Set.empty, Some(writeSeenLog(all)))
+    }
   }
 
   override def planInputPartitions(start: Offset, end: Offset)

@@ -25,12 +25,16 @@ class DropStreamPropertySpec extends AnyFunSuite {
       1 -> Gen.oneOf("é", "ß", "中", "🙂", " "))) // incl. surrogate pair
   } yield "file:/drops/" + parts.mkString + ".feather"
 
+  // inline offsets never touch a log file; a read attempt is a bug
+  private val noLog: String => Set[String] =
+    p => fail(s"inline offset tried to read a compact log: $p")
+
   test("FileSetOffset JSON round-trips arbitrary file names exactly") {
     val sets = sample(Gen.listOfN(200, Gen.chooseNum(0, 30)
       .flatMap(k => Gen.listOfN(k, nameGen).map(_.toSet))), 20260813L)
     sets.foreach { files =>
       val off = FileSetOffset(files)
-      val back = FileSetOffset.fromJson(off.json())
+      val back = FileSetOffset.fromJson(off.json(), noLog)
       assert(back.files === files, s"roundtrip lost names: ${off.json()}")
       // the log compares offsets by serialized form: equal sets must
       // serialize identically regardless of construction order
@@ -49,7 +53,8 @@ class DropStreamPropertySpec extends AnyFunSuite {
       // logic is exercised without a filesystem
       var onDisk = Set.empty[String]
       val stream = new DropDirectoryMicroBatchStream(
-          "/nonexistent", Seq(".feather"), Some(limit)) {
+          "/nonexistent", Seq(".feather"), Some(limit),
+          s"${sys.props("java.io.tmpdir")}/graft_drop_ckpt_prop") {
         override protected def listFiles(): Set[String] = onDisk
         override protected def planSplits(fresh: Seq[String]) =
           Array.empty[org.apache.spark.sql.connector.read.InputPartition]
@@ -80,5 +85,58 @@ class DropStreamPropertySpec extends AnyFunSuite {
         assert(after.files === offset.files, "offset shrank on deletion")
       }
     }
+  }
+
+  test("offsets compact into a checkpointed log and a restart picks up exactly-once") {
+    val spark = graft.TestSpark.spark // compaction reads the session conf + fs
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    def mkStream(disk: () => Set[String]) =
+      new DropDirectoryMicroBatchStream("/nonexistent", Seq(".feather"),
+          Some(7), ckpt) {
+        override protected def listFiles(): Set[String] = disk()
+        override protected def planSplits(fresh: Seq[String]) =
+          Array.empty[org.apache.spark.sql.connector.read.InputPartition]
+        override def createReaderFactory() = null
+      }
+    spark.conf.set("spark.graft.streaming.seenCompactThreshold", "10")
+    try {
+      var onDisk = (1 to 35).map(i => f"file:/drops/a$i%03d.feather").toSet
+      val stream = mkStream(() => onDisk)
+      var offset = stream.initialOffset().asInstanceOf[FileSetOffset]
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[String]
+      var progressed = true
+      while (progressed) {
+        val next = stream.latestOffset(offset, ReadLimit.maxFiles(7))
+          .asInstanceOf[FileSetOffset]
+        val fresh = (next.files -- offset.files).toSeq.sorted
+        admitted ++= fresh
+        progressed = fresh.nonEmpty
+        offset = next
+      }
+      // every file admitted exactly once despite compaction mid-stream
+      assert(admitted.sorted.toSeq === onDisk.toSeq.sorted)
+      // 35 names at threshold 10 MUST have compacted: the offset carries a
+      // log reference and a small inline tail, not 35 inline names
+      assert(offset.logPath.isDefined, "no compaction happened")
+      assert(offset.extra.size <= 10)
+      val json = offset.json()
+      assert(json.contains("\"log\""))
+      assert(json.length < 400, s"offset JSON did not shrink: ${json.length}")
+      // the serialized offset is self-sufficient: a NEW stream instance
+      // (restart) deserializes it via the checkpointed log file
+      val restarted = mkStream(() => onDisk)
+      val back = restarted.deserializeOffset(json).asInstanceOf[FileSetOffset]
+      assert(back.files === offset.files)
+      // post-restart drops admit exactly the new files, nothing replays
+      onDisk ++= Seq("file:/drops/new1.feather", "file:/drops/new2.feather")
+      val after = restarted.latestOffset(back, ReadLimit.maxFiles(7))
+        .asInstanceOf[FileSetOffset]
+      assert((after.files -- back.files) ===
+        Set("file:/drops/new1.feather", "file:/drops/new2.feather"))
+      // compact logs are bounded: totalFiles/threshold, not one per batch
+      val logs = new java.io.File(s"$ckpt/graft-seen").listFiles()
+        .filter(_.getName.endsWith(".compact"))
+      assert(logs.length <= 4, s"too many compact logs: ${logs.length}")
+    } finally spark.conf.unset("spark.graft.streaming.seenCompactThreshold")
   }
 }
