@@ -30,6 +30,11 @@ object SimilarityQueries extends QueryPack {
     s"sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y))"
   private def cosSql(a: String, b: String) =
     s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
+  // squared L2 over the 8-dim PQ subvectors, left-fold in index order on
+  // both engines so the doubles are bit-identical
+  private def l2Sql8(a: String, b: String) =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 9), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (x, y) -> x + y)"
 
   private def vecs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.embeddings(s, d)
@@ -529,5 +534,120 @@ object SimilarityQueries extends QueryPack {
         round(aggregate(col("xs"), lit(0.0),
           (acc, x) => acc + x.getField("d2")) / 64, 6).as("recon_mse"))
       .orderBy("vec_id")
+  }
+
+  // --- IVF-PQ search with ADC scoring (the billion-scale composition) -------
+  // The standard shape for billion-vector ANN (FAISS IndexIVFPQ; the
+  // reference ecosystem's GPU equivalent lives in cuML/raft): coarse IVF
+  // cells bound the candidate set through an EQUI-join on the cell id, and
+  // scoring is asymmetric distance — 8 lookup-table reads per candidate
+  // instead of 64-dim float math. Scale properties this construction keeps
+  // at 100 TB: the LUT is (queries × 8 subspaces × 4 codes) and broadcast;
+  // candidate traffic carries (qid, nid, code) ids only — raw vectors never
+  // shuffle; per-cell candidate volume is bounded by the IVF partition.
+  // Codebooks/centroids are fixed seed vectors as in sim_ivf_* / sim_pq_*
+  // (k-means would converge them; the search composition is what's under
+  // test). ADC sums fold in subspace order on both engines (array_sort →
+  // left fold), so the rounded distances hash-match exactly.
+  register("sim_ivfpq_search",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+      |asg AS (SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY """.stripMargin + cosSql("e.v", "c.cv") + """ DESC, c.cid) AS rn
+      |    FROM e, c) WHERE rn = 1),
+      |sub AS (SELECT vec_id, s, v[s*8+1 : s*8+8] AS sv FROM e, range(0, 8) t(s)),
+      |cb AS (SELECT vec_id AS code, s, sv AS cv8 FROM sub WHERE vec_id < 4),
+      |codes AS (SELECT vec_id, s, code FROM (
+      |    SELECT sub.vec_id, sub.s, cb.code,
+      |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+      |        ORDER BY """.stripMargin + l2Sql8("sub.sv", "cb.cv8") + """, cb.code) AS rn
+      |    FROM sub JOIN cb ON sub.s = cb.s) WHERE rn = 1),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |probe AS (SELECT qid, cid FROM (
+      |    SELECT q.qid, c.cid,
+      |      row_number() OVER (PARTITION BY q.qid
+      |        ORDER BY """.stripMargin + cosSql("q.qv", "c.cv") + """ DESC, c.cid) AS rn
+      |    FROM q, c) WHERE rn <= 2),
+      |qsub AS (SELECT qid, s, qv[s*8+1 : s*8+8] AS qs FROM q, range(0, 8) t(s)),
+      |lut AS (SELECT qid, qsub.s, code,
+      |    """.stripMargin + l2Sql8("qsub.qs", "cb.cv8") + """ AS d2c
+      |  FROM qsub JOIN cb ON qsub.s = cb.s),
+      |cand AS (SELECT p.qid, a.vec_id AS nid FROM probe p
+      |  JOIN asg a ON p.cid = a.cid AND a.vec_id <> p.qid),
+      |scored AS (SELECT cd.qid, cd.nid,
+      |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(list_sort(list(struct_pack(s := l.s, d := l.d2c))),
+      |        x -> x.d)), (x, y) -> x + y), 6) AS adc
+      |  FROM cand cd
+      |  JOIN codes k ON k.vec_id = cd.nid
+      |  JOIN lut l ON l.qid = cd.qid AND l.s = k.s AND l.code = k.code
+      |  GROUP BY cd.qid, cd.nid)
+      |SELECT qid, nid, adc FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc, nid) <= 3
+      |ORDER BY qid, adc, nid""".stripMargin) { (s, d) =>
+    val e = vecs(s, d).select(col("vec_id"), col("v"))
+    val c = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // IVF cell assignment (one cell per vector; N×4 broadcast crossjoin is
+    // the documented centroid-assignment exemption)
+    val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid"))
+    val asg = e.crossJoin(broadcast(c))
+      .withColumn("cos_c", cosine(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+    // PQ codebooks: 8 subspaces × 8 dims, 4 codes per subspace
+    val subs = e.select(col("vec_id"),
+      posexplode(expr("transform(sequence(0, 7), s -> slice(v, s*8+1, 8))"))
+        .as(Seq("s", "sv")))
+    val cb = subs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("code"), col("s"), col("sv").as("cv8"))
+    val l2 = expr(
+      """aggregate(sequence(1, 8), cast(0 as double),
+        |  (acc, i) -> acc + (element_at(sv, i) - element_at(cv8, i))
+        |                  * (element_at(sv, i) - element_at(cv8, i)))""".stripMargin)
+    // PQ-encode every db vector: nearest codebook entry per (vec, subspace)
+    val codes = subs.join(broadcast(cb), Seq("s"))
+      .withColumn("d2", l2)
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+    // queries probe their nprobe=2 nearest cells
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("cos_q").desc, col("cid"))
+    val probe = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .crossJoin(broadcast(c))
+      .withColumn("cos_q", cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("qid"), col("cid"))
+    // ADC lookup table: ‖q_s − codebook(s, code)‖² per (query, s, code) —
+    // queries × 8 × 4 rows, broadcast to the candidate scoring join
+    val qsubs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"),
+        posexplode(expr("transform(sequence(0, 7), s -> slice(v, s*8+1, 8))"))
+          .as(Seq("s", "sv")))
+    val lut = qsubs.join(broadcast(cb), Seq("s"))
+      .withColumn("d2c", l2)
+      .select(col("qid"), col("s"), col("code"), col("d2c"))
+    // candidates come ONLY from probed cells (equi-join on cid)
+    val cand = probe.join(asg, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"))
+    // score = Σ_s LUT[qid][s][code(nid, s)], folded in subspace order
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
+    cand.join(codes, codes("vec_id") === cand("nid"))
+      .select(col("qid"), col("nid"), col("s"), col("code"))
+      .join(broadcast(lut), Seq("qid", "s", "code"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(array_sort(collect_list(struct(col("s"), col("d2c")))).as("xs"))
+      .select(col("qid"), col("nid"),
+        round(aggregate(col("xs"), lit(0.0),
+          (acc, x) => acc + x.getField("d2c")), 6).as("adc"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("nid"), col("adc"))
+      .orderBy(col("qid"), col("adc"), col("nid"))
   }
 }

@@ -162,6 +162,15 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), p)
   }
 
+  test("sim_ivfpq_search: candidates equi-join on cid, ADC scores via broadcast LUT") {
+    val p = executedPlan("sim_ivfpq_search")
+    // the only nested-loop joins are the corpus/query x tiny-centroid
+    // broadcasts; the candidate bound (cid) and the LUT scoring
+    // (qid, s, code) are hash equi-joins — no raw vectors in the score join
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("pipeline_corpus_prep: dedup is one aggregation, all joins broadcast") {
     // the min_by survivor aggregation means no sort-merge join anywhere:
     // the only corpus-scale exchange is the digest groupBy
@@ -338,6 +347,7 @@ class PlanSpec extends AnyFunSuite {
     "sim_bruteforce_topk" -> "exact ANN baseline: corpus x broadcast query set",
     "sim_ivf_assign" -> "corpus x broadcast centroid set (k centroids, k tiny)",
     "sim_ivf_search" -> "corpus/query x broadcast centroid set for cell routing; the candidate join itself is an equi-join on cid",
+    "sim_ivfpq_search" -> "corpus/query x broadcast centroid set for IVF routing; candidates equi-join on cid, ADC scoring equi-joins the broadcast LUT on (qid, s, code)",
     "sort_searchsorted" -> "attaches one broadcast aggregate row to every row",
     "reshape_qcut" -> "attaches one broadcast quantile-edges row to every row",
     "reshape_transpose" -> "documented small-data contract (driver-side shape)",
