@@ -210,7 +210,7 @@ object GraftFeather {
     override def close(): Unit = { open = false; in.close() }
   }
 
-  private def openReader(conf: org.apache.hadoop.conf.Configuration,
+  private[graft] def openReader(conf: org.apache.hadoop.conf.Configuration,
                          file: String, len: Long): ArrowFileReader = {
     val p = new Path(file)
     val fs = p.getFileSystem(conf)

@@ -50,7 +50,7 @@ object IoQueries extends QueryPack {
     "io_orc_foreign_decimal", "io_orc_foreign_rlev2", "io_orc_foreign_bool",
     "io_orc_foreign_timezone",
     "io_avro_dsv2", "io_feather_dsv2", "io_feather_partitioned",
-    "io_feather_skipping")
+    "io_feather_skipping", "io_feather_compact")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
   // (cudf/io/csv.py:15 dtype=, header=; csv.hpp:48)
@@ -741,6 +741,33 @@ object IoQueries extends QueryPack {
     s.read.format("feather").option("maxSplitBytes", "1").load(path)
       .filter(col("l_orderkey") > 4500)
       .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+  }
+
+  // Small-file compaction end-to-end (io/FeatherCompact.scala): a 16-part
+  // directory (the shape a per-trigger streaming sink leaves behind)
+  // bin-packs into one target-size part with a crash-safe manifest swap;
+  // the ORACLE pins that no row is lost or duplicated across the rewrite,
+  // FeatherCompactSpec pins file counts, no-op re-runs, per-leaf
+  // independence, and both crash-recovery halves.
+  register("io_feather_compact",
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_orderkey <= 2500
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val path = readFixture("feather_compact", d) { p =>
+      Tables.lineitem(s, d).filter(col("l_orderkey") <= 2500)
+        .select("l_returnflag", "l_orderkey", "l_quantity")
+        .repartition(16, col("l_orderkey"))
+        .write.format("feather").mode("overwrite").save(p)
+      val r = graft.io.FeatherCompact.compact(s, p, targetBytes = 1L << 30)
+      require(r.filesAfter < r.filesBefore, s"compaction was a no-op: $r")
+    }
+    s.read.format("feather").load(path)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(12, 2)))
+          .cast(DoubleType).as("sum_qty"))
+      .orderBy("l_returnflag")
   }
 
   // Unsigned logical types (SURVEY §1.2; reference types.hpp:209-212
