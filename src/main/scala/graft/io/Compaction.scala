@@ -1,0 +1,183 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Format-agnostic engine behind [[FeatherCompact]] and [[AvroCompact]]:
+  * leaf discovery, greedy grouping, the distributed rewrite fan-out, and
+  * the crash-safe manifest swap are identical across formats — only "read
+  * every row of these inputs into one output part" differs, which is the
+  * [[Compaction.Rewriter]] a format supplies.
+  *
+  * See [[FeatherCompact]] for the full design rationale (scale properties,
+  * crash-safety protocol, and the streaming-consumer caveat).
+  */
+private[graft] object Compaction {
+
+  case class Result(leaves: Int, groupsRewritten: Int,
+                    filesBefore: Int, filesAfter: Int)
+
+  /** Executor-side group rewrite. Implementations stream rows from every
+    * input into ONE part file at `tmp` and return the sidecar JSON to
+    * commit beside the final part, if the format carries one. */
+  trait Rewriter extends Serializable {
+    def rewriteGroup(execConf: org.apache.hadoop.conf.Configuration,
+                     inputs: Seq[(String, Long)], tmp: Path): Option[String]
+  }
+
+  private case class Group(leaf: String, gid: Int, suffix: String,
+                           inputs: Seq[(String, Long)]) {
+    // deterministic output name: re-planning the same inputs reproduces
+    // it, so a crashed run's recovery and the re-run converge
+    def outName: String = {
+      val h = inputs.map(_._1).hashCode() & 0x7fffffff
+      f"compact-$gid%05d-$h%08x$suffix"
+    }
+  }
+
+  /** `mkRewriter(leafDir, firstFile)` runs on the driver once per leaf —
+    * the place to fix the schema for the leaf's lifetime. */
+  def run(spark: SparkSession, path: String, suffix: String,
+          targetBytes: Long,
+          mkRewriter: (String, String) => Rewriter): Result = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    require(fs.exists(root), s"Compaction: $path does not exist")
+
+    // leaves = every directory directly holding data parts (the bare dir,
+    // or hive key=value leaves); service dirs (_compact, _temporary) skip
+    val leaves = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def walk(dir: Path): Unit = {
+      val entries = fs.listStatus(dir)
+      if (entries.exists(e => !e.isDirectory &&
+          e.getPath.getName.endsWith(suffix) &&
+          !e.getPath.getName.startsWith(".")))
+        leaves += dir
+      entries.filter(e => e.isDirectory && !e.getPath.getName.startsWith("_"))
+        .foreach(e => walk(e.getPath))
+    }
+    walk(root)
+
+    var groupsRewritten = 0
+    var filesBefore = 0
+    var filesAfter = 0
+    leaves.foreach { leaf =>
+      recover(fs, leaf)
+      val files = fs.listStatus(leaf).iterator
+        .filter(e => !e.isDirectory)
+        .map(_.getPath)
+        .filter(p => p.getName.endsWith(suffix) && !p.getName.startsWith("."))
+        .map(p => (p.toString, fs.getFileStatus(p).getLen))
+        .toSeq.sortBy(_._1)
+      filesBefore += files.size
+
+      // greedy first-fit in name order; a group of ONE is left untouched,
+      // so a re-run over a compacted directory rewrites nothing
+      val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      var accBytes = 0L
+      def close(): Unit = {
+        if (acc.size > 1) groups += Group(leaf.toString, groups.size, suffix, acc.toSeq)
+        acc.clear(); accBytes = 0L
+      }
+      files.foreach { case (f, len) =>
+        if (acc.nonEmpty && accBytes + len > targetBytes) close()
+        acc += ((f, len)); accBytes += len
+        if (accBytes >= targetBytes) close()
+      }
+      close()
+
+      if (groups.nonEmpty) {
+        val rewriter = mkRewriter(leaf.toString, groups.head.inputs.head._1)
+        val confMap = GraftHadoop.confBroadcast(spark)
+        // one task per group; tasks write HIDDEN tmps and return sidecar
+        // payloads — the driver owns the commit protocol
+        val written = spark.sparkContext
+          .parallelize(groups.toSeq, groups.size)
+          .map { g =>
+            val execConf = new org.apache.hadoop.conf.Configuration(false)
+            confMap.value.foreach { case (k, v) => execConf.set(k, v) }
+            val tmp = new Path(g.leaf, s".${g.outName}.tmp")
+            try (g.gid, rewriter.rewriteGroup(execConf, g.inputs, tmp))
+            catch {
+              case e: Throwable =>
+                val lfs = new Path(g.leaf).getFileSystem(execConf)
+                try lfs.delete(tmp, false) catch { case _: Exception => () }
+                throw e
+            }
+          }.collect().toMap
+
+        groups.foreach { g =>
+          val lfs = new Path(g.leaf).getFileSystem(conf)
+          val out = new Path(g.leaf, g.outName)
+          val tmp = new Path(g.leaf, s".${g.outName}.tmp")
+          // 1. manifest first: from here a crash is recoverable
+          writeManifest(lfs, new Path(g.leaf), g)
+          // 2. output becomes visible (complete file, atomic rename)
+          require(lfs.rename(tmp, out), s"rename $tmp -> $out failed")
+          written(g.gid).foreach { sidecar =>
+            val sc = lfs.create(new Path(g.leaf, g.outName + ".stats.json"), true)
+            try sc.write(sidecar.getBytes("UTF-8"))
+            finally sc.close()
+          }
+          // 3. inputs retire; 4. manifest retires
+          g.inputs.foreach { case (f, _) =>
+            lfs.delete(new Path(f), false)
+            lfs.delete(new Path(f + ".stats.json"), false)
+          }
+          lfs.delete(manifestPath(new Path(g.leaf), g.outName), false)
+          groupsRewritten += 1
+        }
+      }
+      filesAfter += fs.listStatus(leaf).count(e => !e.isDirectory &&
+        e.getPath.getName.endsWith(suffix) && !e.getPath.getName.startsWith("."))
+    }
+    Result(leaves.size, groupsRewritten, filesBefore, filesAfter)
+  }
+
+  private def manifestPath(leaf: Path, outName: String): Path =
+    new Path(new Path(leaf, "_compact"), outName + ".json")
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+                            leaf: Path, g: Group): Unit = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("output", g.outName)
+    val arr = node.putArray("inputs")
+    g.inputs.foreach { case (f, _) => arr.add(new Path(f).getName) }
+    fs.mkdirs(new Path(leaf, "_compact"))
+    val out = fs.create(manifestPath(leaf, g.outName), true)
+    try out.write(m.writeValueAsString(node).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Completes or discards swaps a crashed run left behind. Idempotent. */
+  private def recover(fs: org.apache.hadoop.fs.FileSystem, leaf: Path): Unit = {
+    val dir = new Path(leaf, "_compact")
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).filter(_.getPath.getName.endsWith(".json")).foreach { st =>
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val in = fs.open(st.getPath)
+      val node =
+        try m.readTree(new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+        finally in.close()
+      val out = new Path(leaf, node.get("output").asText())
+      if (fs.exists(out)) {
+        // crash between rename and input deletion: finish retiring
+        val it = node.get("inputs").elements()
+        while (it.hasNext) {
+          val name = it.next().asText()
+          fs.delete(new Path(leaf, name), false)
+          fs.delete(new Path(leaf, name + ".stats.json"), false)
+        }
+      } else {
+        // crash before the rename: inputs are intact, drop the half-write
+        fs.delete(new Path(leaf, s".${out.getName}.tmp"), false)
+      }
+      fs.delete(st.getPath, false)
+    }
+  }
+}

@@ -50,7 +50,7 @@ object IoQueries extends QueryPack {
     "io_orc_foreign_decimal", "io_orc_foreign_rlev2", "io_orc_foreign_bool",
     "io_orc_foreign_timezone",
     "io_avro_dsv2", "io_feather_dsv2", "io_feather_partitioned",
-    "io_feather_skipping", "io_feather_compact")
+    "io_feather_skipping", "io_feather_compact", "io_avro_compact")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
   // (cudf/io/csv.py:15 dtype=, header=; csv.hpp:48)
@@ -768,6 +768,31 @@ object IoQueries extends QueryPack {
         sum(col("l_quantity").cast(DecimalType(12, 2)))
           .cast(DoubleType).as("sum_qty"))
       .orderBy("l_returnflag")
+  }
+
+  // Avro face of the compaction job (shared Compaction engine; the oracle
+  // pins no-loss/no-duplication through the rewrite, AvroCompactSpec pins
+  // file counts and no-op re-runs).
+  register("io_avro_compact",
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders WHERE o_orderkey <= 2500
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val path = readFixture("avro_compact", d) { p =>
+      GraftAvro.write(
+        Tables.orders(s, d).filter(col("o_orderkey") <= 2500)
+          .select("o_orderpriority", "o_orderkey", "o_totalprice")
+          .repartition(12, col("o_orderkey")),
+        p, codec = "deflate", overwrite = true)
+      val r = graft.io.AvroCompact.compact(s, p, targetBytes = 1L << 30)
+      require(r.filesAfter < r.filesBefore, s"compaction was a no-op: $r")
+    }
+    s.read.format("graft-avro").load(path)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2)))
+          .cast(DoubleType).as("total"))
+      .orderBy("o_orderpriority")
   }
 
   // Unsigned logical types (SURVEY §1.2; reference types.hpp:209-212
