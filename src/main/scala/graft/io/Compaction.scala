@@ -65,6 +65,15 @@ private[graft] object Compaction {
     var filesAfter = 0
     leaves.foreach { leaf =>
       recover(fs, leaf)
+      // vacuum stale hidden tmps: a killed writer task leaves
+      // `.part-…​.tmp` (sink) / `.compact-…​.tmp` (a crashed run that never
+      // wrote its manifest) behind, and nothing else ever retires them.
+      // Safe under this job's contract — no concurrent writer owns the
+      // leaf while compaction runs; committed parts are never hidden.
+      fs.listStatus(leaf).iterator
+        .filter(e => !e.isDirectory && e.getPath.getName.startsWith(".") &&
+          e.getPath.getName.endsWith(".tmp"))
+        .foreach(e => fs.delete(e.getPath, false))
       val files = fs.listStatus(leaf).iterator
         .filter(e => !e.isDirectory)
         .map(_.getPath)

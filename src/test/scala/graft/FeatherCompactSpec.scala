@@ -84,6 +84,24 @@ class FeatherCompactSpec extends AnyFunSuite {
     assert(after === before)
   }
 
+  test("stale hidden tmps from killed writer tasks are vacuumed") {
+    val path = tmp("vacuum")
+    writeSmallParts(path, 500, 4)
+    val before = rows(path)
+    // a killed sink attempt and an orphan compact half-write, no manifest
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/.part-00009-attempt-42.feather.tmp"),
+      Array[Byte](1))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/.compact-00007-cafebabe.feather.tmp"),
+      Array[Byte](2))
+    FeatherCompact.compact(spark, path, targetBytes = 1L << 30)
+    val leftovers = new java.io.File(path).listFiles()
+      .filter(f => f.getName.startsWith(".") && f.getName.endsWith(".tmp"))
+    assert(leftovers.isEmpty, s"tmps not vacuumed: ${leftovers.mkString(", ")}")
+    assert(rows(path) === before)
+  }
+
   test("recovery completes a swap that crashed after the rename") {
     val path = tmp("recover_late")
     writeSmallParts(path, 500, 4)
