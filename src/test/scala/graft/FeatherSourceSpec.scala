@@ -275,6 +275,58 @@ class FeatherSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("a restart across a COMPACTED offset resumes exactly-once") {
+    import spark.implicits._
+    val path = tmp("stream_compact_restart")
+    val ckpt = tmp("stream_compact_restart_ckpt")
+    val out = tmp("stream_compact_restart_out")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(path, ckpt, out).foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    // 40-part backlog with a threshold of 8: the offset committed by the
+    // first run is GUARANTEED to be in the compacted {"log": …} form, so
+    // the restart exercises log-file recovery through Spark's real
+    // checkpoint, not just FileSetOffset.fromJson in isolation
+    (1 to 400).map(i => (i.toLong, s"a_$i")).toDF("id", "s")
+      .repartition(40, col("id"))
+      .write.format("feather").mode("overwrite").save(path)
+    spark.conf.set("spark.graft.streaming.seenCompactThreshold", "8")
+    try {
+      val q1 = spark.readStream.format("feather")
+        .option("maxFilesPerTrigger", "10").load(path)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try { q1.processAllAvailable() } finally q1.stop()
+      assert(spark.read.parquet(out).count() === 400)
+      val offsetsDir = new java.io.File(s"$ckpt/offsets")
+      val latest = offsetsDir.listFiles()
+        .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toInt)
+      val text = new String(
+        java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
+      assert(text.contains("\"log\""),
+        s"committed offset should be compacted, got: ${text.take(200)}")
+      // drop more files while down; the restarted query must read the
+      // compact log to know the 40 originals are done — a failure to load
+      // it replays all 40 as duplicates
+      (401 to 450).map(i => (i.toLong, s"b_$i")).toDF("id", "s")
+        .repartition(2, col("id"))
+        .write.format("feather").mode("append").save(path)
+      val q2 = spark.readStream.format("feather")
+        .option("maxFilesPerTrigger", "10").load(path)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try { q2.processAllAvailable() } finally q2.stop()
+      val got = spark.read.parquet(out)
+      assert(got.count() === 450,
+        s"resume across compacted offset failed: ${got.count()} rows")
+      assert(got.agg(sum(col("id"))).head().getLong(0) ===
+        (1 to 450).map(_.toLong).sum)
+    } finally spark.conf.unset("spark.graft.streaming.seenCompactThreshold")
+  }
+
   test("maxFilesPerTrigger drains a file backlog in bounded micro-batches") {
     import spark.implicits._
     val path = tmp("stream_admission")
