@@ -270,6 +270,44 @@ object DedupQueries extends QueryPack {
       .orderBy("component")
   }
 
+  // --- cluster representative selection (keep-best, not keep-min) -----------
+  // What production dedup actually ships: after near-dup clusters form, the
+  // kept member is the BEST one (here: longest by stored n_chars, doc_id
+  // tiebreak), not the smallest id — Lee et al. 2022 keep one canonical
+  // member per duplicate cluster for exactly this reason. Composes the CC
+  // labels with a broadcast-joined quality signal; the only corpus-scale
+  // exchanges are CC's own rounds plus one per-component aggregate. Scale
+  // note: the quality join keys on doc_id (equi), and the per-component
+  // argmax is a single min_by/max_by aggregate — no window over the corpus.
+  register("dedup_cluster_best",
+    s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($sqlLshVerifiedPairs)),
+       |e AS (SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |r AS (SELECT d1 AS a, d2 AS b FROM e
+       |      UNION SELECT r.a, e.d2 FROM r JOIN e ON r.b = e.d1 WHERE e.d2 <> r.a),
+       |lab AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM r GROUP BY a),
+       |scored AS (SELECT lab.doc_id, lab.component, d.n_chars
+       |  FROM lab JOIN documents d ON d.doc_id = lab.doc_id)
+       |SELECT component, doc_id AS keep_id, n_chars AS keep_chars,
+       |  CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_docs
+       |FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY component
+       |  ORDER BY n_chars DESC, doc_id) = 1
+       |ORDER BY component""".stripMargin) { (s, d) =>
+    val labels = graft.ops.ConnectedComponents
+      .minLabel(lshVerifiedPairs(s, d).select("d1", "d2"))
+    labels
+      .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy(col("label").as("component"))
+      .agg(
+        max_by(struct(col("doc_id"), col("n_chars")),
+          // highest n_chars wins; ties keep the LOWEST doc_id (negate it)
+          struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("best"),
+        count(lit(1)).as("n_docs"))
+      .select(col("component"), col("best.doc_id").as("keep_id"),
+        col("best.n_chars").as("keep_chars"), col("n_docs"))
+      .orderBy("component")
+  }
+
   // --- n-gram Jaccard via DF-capped inverted index (scale path, no x-join) --
   // Candidate generation is a posting-list self-join: explode docs to
   // (shingle, doc_id), keep shingles whose document frequency is in [2, 20]
