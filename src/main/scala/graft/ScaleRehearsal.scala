@@ -28,7 +28,8 @@ object ScaleRehearsal {
   val Family: Seq[String] = Seq(
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_embedding_cosine", "dedup_span_ngrams", "dedup_simhash",
-    "dedup_connected_components", "sim_lsh_buckets",
+    "dedup_connected_components", "dedup_cluster_best", "sim_lsh_buckets",
+    "sim_ivfpq_search", "dedup_semantic",
     // text-analysis tier: scan-fused or single-shuffle — expected ~linear
     "text_lang_id", "text_quality", "text_fasttext_score",
     "text_fingerprint", "text_gopher_rules", "text_token_budget_pack")
