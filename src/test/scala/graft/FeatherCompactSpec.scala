@@ -84,6 +84,30 @@ class FeatherCompactSpec extends AnyFunSuite {
     assert(after === before)
   }
 
+  test("mixed codecs, batch sizes, and schema-only parts survive the rewrite") {
+    import spark.implicits._
+    val path = tmp("mixed")
+    // three sink generations with different codecs/batch shapes — the drop
+    // directory a long-lived pipeline really accumulates
+    (1 to 700).map(i => (i.toLong, s"a_$i")).toDF("id", "s")
+      .repartition(3, col("id")).write.format("feather")
+      .option("codec", "lz4").option("batchSize", "64").mode("overwrite").save(path)
+    (701 to 1400).map(i => (i.toLong, s"b_$i")).toDF("id", "s")
+      .repartition(2, col("id")).write.format("feather")
+      .option("codec", "zstd").option("batchSize", "1000").mode("append").save(path)
+    (1401 to 1500).map(i => (i.toLong, s"c_$i")).toDF("id", "s")
+      .repartition(4, col("id")).write.format("feather")
+      .option("codec", "none").mode("append").save(path)
+    // a schema-only part (what the sink writes for an empty frame)
+    spark.emptyDataset[(Long, String)].toDF("id", "s")
+      .repartition(1).write.format("feather").mode("append").save(path)
+    val before = rows(path)
+    assert(before.size === 1500)
+    val r = FeatherCompact.compact(spark, path, targetBytes = 1L << 30)
+    assert(r.filesAfter === 1, s"$r")
+    assert(rows(path) === before)
+  }
+
   test("stale hidden tmps from killed writer tasks are vacuumed") {
     val path = tmp("vacuum")
     writeSmallParts(path, 500, 4)
