@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   * scaled corpus matches sf0.1. Embeddings rotate dimensions cyclically
   * per copy (an isometry — within-copy cosine structure invariant).
   *
-  * Usage: runMain graft.ScaleRehearsal [outDir]
+  * Usage: runMain graft.ScaleRehearsal [outDir] [mode]
+  *   mode ∈ dedup|ordered|joins|cc|skew|io|ingest|compaction|all;
   *   builds <outDir>/sf1/{documents,embeddings}.parquet from
   *   /root/testdata/sf0.1, then times the family at both scales.
   */
@@ -424,7 +425,7 @@ object ScaleRehearsal {
   }
 
   /** Usage: runMain graft.ScaleRehearsal [outDir]
-    * [dedup|ordered|joins|cc|skew|io|ingest|all] */
+    * [dedup|ordered|joins|cc|skew|io|ingest|compaction|all] */
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("target/scale")
     val mode = args.drop(1).headOption.getOrElse("all")

@@ -65,20 +65,25 @@ private[graft] object Compaction {
     var filesAfter = 0
     leaves.foreach { leaf =>
       recover(fs, leaf)
+      // ONE listing serves both the tmp vacuum and the grouping — at 10⁵
+      // files an extra per-file getFileStatus round-trip is the planning
+      // stall this job exists to remove, not to add
+      val listing = fs.listStatus(leaf).filter(!_.isDirectory)
       // vacuum stale hidden tmps: a killed writer task leaves
       // `.part-…​.tmp` (sink) / `.compact-…​.tmp` (a crashed run that never
       // wrote its manifest) behind, and nothing else ever retires them.
       // Safe under this job's contract — no concurrent writer owns the
       // leaf while compaction runs; committed parts are never hidden.
-      fs.listStatus(leaf).iterator
-        .filter(e => !e.isDirectory && e.getPath.getName.startsWith(".") &&
+      listing.iterator
+        .filter(e => e.getPath.getName.startsWith(".") &&
           e.getPath.getName.endsWith(".tmp"))
         .foreach(e => fs.delete(e.getPath, false))
-      val files = fs.listStatus(leaf).iterator
-        .filter(e => !e.isDirectory)
-        .map(_.getPath)
-        .filter(p => p.getName.endsWith(suffix) && !p.getName.startsWith("."))
-        .map(p => (p.toString, fs.getFileStatus(p).getLen))
+      val files = listing.iterator
+        .filter { e =>
+          val n = e.getPath.getName
+          n.endsWith(suffix) && !n.startsWith(".")
+        }
+        .map(e => (e.getPath.toString, e.getLen))
         .toSeq.sortBy(_._1)
       filesBefore += files.size
 
@@ -122,16 +127,20 @@ private[graft] object Compaction {
           val lfs = new Path(g.leaf).getFileSystem(conf)
           val out = new Path(g.leaf, g.outName)
           val tmp = new Path(g.leaf, s".${g.outName}.tmp")
-          // 1. manifest first: from here a crash is recoverable
+          // 1. manifest first (atomic): from here a crash is recoverable
           writeManifest(lfs, new Path(g.leaf), g)
-          // 2. output becomes visible (complete file, atomic rename)
-          require(lfs.rename(tmp, out), s"rename $tmp -> $out failed")
+          // 2. sidecar BEFORE the output rename: a sidecar with no part is
+          // inert (readers look sidecars up per part), but a committed
+          // part that lost its sidecar to a crash would silently never
+          // batch-prune again; recovery's no-output branch deletes it
           written(g.gid).foreach { sidecar =>
             val sc = lfs.create(new Path(g.leaf, g.outName + ".stats.json"), true)
             try sc.write(sidecar.getBytes("UTF-8"))
             finally sc.close()
           }
-          // 3. inputs retire; 4. manifest retires
+          // 3. output becomes visible (complete file, atomic rename)
+          require(lfs.rename(tmp, out), s"rename $tmp -> $out failed")
+          // 4. inputs retire; 5. manifest retires
           g.inputs.foreach { case (f, _) =>
             lfs.delete(new Path(f), false)
             lfs.delete(new Path(f + ".stats.json"), false)
@@ -149,6 +158,8 @@ private[graft] object Compaction {
   private def manifestPath(leaf: Path, outName: String): Path =
     new Path(new Path(leaf, "_compact"), outName + ".json")
 
+  /** Atomic (tmp + rename): a manifest is either absent or complete, so
+    * recovery never has to interpret a torn write. */
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
                             leaf: Path, g: Group): Unit = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -157,36 +168,60 @@ private[graft] object Compaction {
     val arr = node.putArray("inputs")
     g.inputs.foreach { case (f, _) => arr.add(new Path(f).getName) }
     fs.mkdirs(new Path(leaf, "_compact"))
-    val out = fs.create(manifestPath(leaf, g.outName), true)
+    val fin = manifestPath(leaf, g.outName)
+    val tmp = new Path(fin.getParent, s".${fin.getName}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(m.writeValueAsString(node).getBytes("UTF-8"))
     finally out.close()
+    fs.delete(fin, false) // replay-safe: same name ⇒ same content
+    require(fs.rename(tmp, fin), s"manifest rename $tmp -> $fin failed")
   }
 
-  /** Completes or discards swaps a crashed run left behind. Idempotent. */
+  /** Completes or discards swaps a crashed run left behind. Idempotent.
+    * Manifests are written atomically, so an unparseable one can only be
+    * foreign junk — and since inputs are never deleted before a VALID
+    * manifest exists and its output committed, dropping junk is safe. */
   private def recover(fs: org.apache.hadoop.fs.FileSystem, leaf: Path): Unit = {
     val dir = new Path(leaf, "_compact")
     if (!fs.exists(dir)) return
-    fs.listStatus(dir).filter(_.getPath.getName.endsWith(".json")).foreach { st =>
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      val in = fs.open(st.getPath)
-      val node =
-        try m.readTree(new String(
-          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
-        finally in.close()
-      val out = new Path(leaf, node.get("output").asText())
-      if (fs.exists(out)) {
-        // crash between rename and input deletion: finish retiring
-        val it = node.get("inputs").elements()
-        while (it.hasNext) {
-          val name = it.next().asText()
-          fs.delete(new Path(leaf, name), false)
-          fs.delete(new Path(leaf, name + ".stats.json"), false)
+    fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      if (name.endsWith(".tmp")) fs.delete(st.getPath, false)
+      else if (name.endsWith(".json")) {
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        val parsed =
+          try {
+            val in = fs.open(st.getPath)
+            val node =
+              try m.readTree(new String(
+                org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+              finally in.close()
+            if (node != null && node.hasNonNull("output") &&
+                node.get("inputs") != null && node.get("inputs").isArray)
+              Some(node)
+            else None
+          } catch { case _: Exception => None }
+        parsed match {
+          case Some(node) =>
+            val out = new Path(leaf, node.get("output").asText())
+            if (fs.exists(out)) {
+              // crash between rename and input deletion: finish retiring
+              val it = node.get("inputs").elements()
+              while (it.hasNext) {
+                val n = it.next().asText()
+                fs.delete(new Path(leaf, n), false)
+                fs.delete(new Path(leaf, n + ".stats.json"), false)
+              }
+            } else {
+              // crash before the rename: inputs intact — drop the
+              // half-write AND its already-committed sidecar
+              fs.delete(new Path(leaf, s".${out.getName}.tmp"), false)
+              fs.delete(new Path(leaf, out.getName + ".stats.json"), false)
+            }
+          case None => () // junk: fall through to manifest deletion below
         }
-      } else {
-        // crash before the rename: inputs are intact, drop the half-write
-        fs.delete(new Path(leaf, s".${out.getName}.tmp"), false)
+        fs.delete(st.getPath, false)
       }
-      fs.delete(st.getPath, false)
     }
   }
 }

@@ -64,13 +64,9 @@ object FeatherCompact {
         .empty[org.apache.arrow.vector.ipc.ArrowFileReader]
       try {
         inputs.foreach { case (f, len) =>
-          // footer first for the batch count, then every batch
-          val nBatches = {
-            val r = GraftFeather.openReader(execConf, f, len)
-            try r.getRecordBlocks.size()
-            finally r.close()
-          }
-          GraftFeather.splitRows(execConf, f, len, 0 until nBatches,
+          // one reader open per input: allRows derives the batch count
+          // from the footer it already parsed
+          GraftFeather.allRows(execConf, f, len,
             schema.fieldNames.toSeq, readers += _)
             .foreach(pw.append)
           // retire each input's reader as soon as it drains — a group of

@@ -365,7 +365,24 @@ object GraftFeather {
   private[graft] def splitRows(execConf: org.apache.hadoop.conf.Configuration,
                                file: String, len: Long, batchIdxs: Seq[Int],
                                colNames: Seq[String],
-                               registerClose: ArrowFileReader => Unit): Iterator[Row] = {
+                               registerClose: ArrowFileReader => Unit): Iterator[Row] =
+    rowsFrom(execConf, file, len, _ => batchIdxs, colNames, registerClose)
+
+  /** Every record batch of `file` through ONE reader open — the whole-file
+    * shape compaction consumes (a separate footer probe just to learn the
+    * batch count would double per-file open cost on exactly the
+    * thousands-of-tiny-files inputs the job exists for). */
+  private[graft] def allRows(execConf: org.apache.hadoop.conf.Configuration,
+                             file: String, len: Long, colNames: Seq[String],
+                             registerClose: ArrowFileReader => Unit): Iterator[Row] =
+    rowsFrom(execConf, file, len, r => 0 until r.getRecordBlocks.size(),
+      colNames, registerClose)
+
+  private def rowsFrom(execConf: org.apache.hadoop.conf.Configuration,
+                       file: String, len: Long,
+                       idxsOf: ArrowFileReader => Seq[Int],
+                       colNames: Seq[String],
+                       registerClose: ArrowFileReader => Unit): Iterator[Row] = {
     val reader =
       try openReader(execConf, file, len)
       catch { case e: Exception =>
@@ -383,7 +400,7 @@ object GraftFeather {
     }
     val convs = colIdx.map(i => converter(fileFields(i)))
     val blocks = reader.getRecordBlocks.asScala
-    batchIdxs.iterator.flatMap { bi =>
+    idxsOf(reader).iterator.flatMap { bi =>
       require(reader.loadRecordBatch(blocks(bi)),
         s"Feather part file $file: failed to load record batch $bi")
       val n = root.getRowCount

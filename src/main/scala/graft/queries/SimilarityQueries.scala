@@ -396,23 +396,30 @@ object SimilarityQueries extends QueryPack {
     val bkey = (0 until Bits).map { jj =>
       when(col(s"dot$jj") > 0, lit(1L << jj)).otherwise(0L)
     }.reduce(_ + _)
-    val keyed = dots.select(col("vec_id"), col("cid"), bkey.as("bkey"))
-    // Pair generation computes the expensive assignment chain ONCE: bucket
-    // membership is collected per (cid, bkey) with the 2..MaxBucket size
-    // gate applied on the collected list, then capped pairs explode out of
-    // each bucket (≤ MaxBucket² rows per bucket, linear in N overall). The
-    // previous shape — a separate bucket-size aggregate joined back, then a
-    // self-join of the pruned set — re-evaluated the crossjoin+window+
-    // posexplode subtree three times (no exchange was reusable across the
-    // three differently-shaped shuffles; r9 verdict flagged the cost).
-    // Each vec_id carries exactly one (cid, bkey), so in-bucket pairs are
-    // already globally unique — no distinct needed.
-    val buckets = keyed.groupBy(col("cid"), col("bkey"))
-      .agg(collect_list(col("vec_id")).as("ids"))
-      .filter(size(col("ids")).between(2, MaxBucket))
-    val cand = buckets
-      .select(col("ids"), explode(col("ids")).as("v1"))
-      .select(col("v1"), explode(col("ids")).as("v2"))
+    // The expensive assignment chain (crossjoin+window+posexplode+agg) is
+    // PINNED so it evaluates once — its three consumers (bucket-size gate,
+    // both sides of the candidate self-join) read the cached 3-column
+    // relation. The r9 shape re-evaluated the chain three times (no
+    // exchange is reusable across three differently-shaped shuffles); a
+    // collect_list-of-members rewrite would also evaluate once but holds
+    // an UNBOUNDED per-bucket buffer during aggregation — a degenerate
+    // corpus (many identical vectors in one LSH bucket) would OOM one
+    // reducer at exactly the scale this query pack documents. The
+    // count-gate + equi-join shape keeps every buffer O(1); candidate
+    // fan-out stays ≤ MaxBucket² per bucket. Verify/Bench release the pin
+    // via OrderedOps.clearPins after the consuming action.
+    val keyed = graft.ops.OrderedOps.pinned(
+      dots.select(col("vec_id"), col("cid"), bkey.as("bkey")))
+    val okBuckets = keyed.groupBy(col("cid"), col("bkey"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, MaxBucket))
+      .select("cid", "bkey")
+    val pruned = keyed.join(okBuckets, Seq("cid", "bkey"))
+    // each vec_id carries exactly one (cid, bkey), so in-bucket pairs are
+    // already globally unique — no distinct needed
+    val cand = pruned.select(col("cid"), col("bkey"), col("vec_id").as("v1"))
+      .join(pruned.select(col("cid"), col("bkey"), col("vec_id").as("v2")),
+        Seq("cid", "bkey"))
       .filter(col("v1") < col("v2"))
       .select("v1", "v2")
     cand

@@ -121,30 +121,41 @@ private[sources] abstract class DropDirectoryMicroBatchStream(
 
   private def hadoopConf = spark.sparkContext.hadoopConfiguration
 
+  // the log is a JSON ARRAY, not newline-delimited text: file names may
+  // legally contain newlines (the inline offset form round-trips them via
+  // JSON escaping, and the property spec pins exotic names) — the compact
+  // form must not corrupt what the inline form preserves
   private def readSeenLog(log: String): Set[String] = {
     val p = new org.apache.hadoop.fs.Path(log)
     val fs = p.getFileSystem(hadoopConf)
     val in = fs.open(p)
-    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-      "UTF-8").split("\n").iterator.filter(_.nonEmpty).toSet
-    finally in.close()
+    val text =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        "UTF-8")
+      finally in.close()
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.readValue(text, classOf[Array[String]]).toSet
   }
 
   /** Atomic write (tmp + rename) of the full seen-set; name keyed by set
     * size, which strictly increases between compactions, so a replayed
     * `latestOffset` after restart rewrites the same name with the same
-    * content instead of colliding. */
+    * content instead of colliding. The rename result is CHECKED: silently
+    * persisting an offset that references a log the rename never produced
+    * would brick every later restart. */
   private def writeSeenLog(files: Set[String]): String = {
     val dir = new org.apache.hadoop.fs.Path(checkpointLocation, "graft-seen")
     val fs = dir.getFileSystem(hadoopConf)
     fs.mkdirs(dir)
     val fin = new org.apache.hadoop.fs.Path(dir, f"${files.size}%012d.compact")
     val tmp = new org.apache.hadoop.fs.Path(dir, f".${files.size}%012d.tmp")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val out = fs.create(tmp, true)
-    try out.write((files.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write(m.writeValueAsString(files.toSeq.sorted.toArray)
+      .getBytes("UTF-8"))
     finally out.close()
     fs.delete(fin, false) // replay-safe: same name ⇒ same content
-    fs.rename(tmp, fin)
+    require(fs.rename(tmp, fin), s"seen-log rename $tmp -> $fin failed")
     fin.toString
   }
 
