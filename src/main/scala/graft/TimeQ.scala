@@ -18,6 +18,10 @@ object TimeQ {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"TIMEQ $name rep$rep ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // release pins per rep, exactly as Bench does — a pinned query's
+      // warm rep must rebuild its cache or the reading is not
+      // bench-representative (and pins would accumulate across queries)
+      graft.ops.OrderedOps.clearPins()
     }
     spark.stop()
   }

@@ -207,6 +207,16 @@ object DedupQueries extends QueryPack {
     * of [[sqlLshVerifiedPairs]]. Fully hash-keyed like dedup_minhash_lsh:
     * fused shingle hashes for signatures, distinct-hash-set verify. */
   private def lshVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+    // The banded `keyed` relation is PINNED: it feeds both sides of the
+    // candidate self-join — unpinned, the dominant shingling+signature
+    // chain would run twice with no reusable exchange (two sides of one
+    // join canonicalize differently after aliasing). `cand` is pinned too
+    // (three consumers: both candIds arms + the verify join). Pinning the
+    // pre-explode hash-array table as well was MEASURED slower under the
+    // per-run cache rebuild Bench models (array cache writes dominate), so
+    // the verify side re-shingles only the few candidate docs. This helper
+    // backs three registered queries (lsh_verified, connected_components,
+    // cluster_best); the pins pay off in each.
     val base = Tables.documents(s, d)
     val fp = base
       .select(col("doc_id"), explode(shingleHashes(col("text"))).as("fp"))
@@ -216,15 +226,17 @@ object DedupQueries extends QueryPack {
     val sig = fp.groupBy(col("doc_id")).agg(hashCols.head, hashCols.tail: _*)
     // 8 bands × 1 hash: band key IS the single minhash value
     val bandCols = (0 until nHashes).map(i => col(s"h$i").cast(StringType))
-    val keyed = sig
-      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
-    val cand = keyed.select(col("band"), col("bkey"), col("doc_id").as("d1"))
-      .join(keyed.select(col("band"), col("bkey"), col("doc_id").as("d2")),
-        Seq("band", "bkey"))
-      .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
+    val keyed = graft.ops.OrderedOps.pinned(sig
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bkey"))))
+    val cand = graft.ops.OrderedOps.pinned(
+      keyed.select(col("band"), col("bkey"), col("doc_id").as("d1"))
+        .join(keyed.select(col("band"), col("bkey"), col("doc_id").as("d2")),
+          Seq("band", "bkey"))
+        .filter(col("d1") < col("d2"))
+        .select("d1", "d2").distinct())
     val candIds = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
+    // verify side re-derives hash sets for the (small) candidate id set only
     val candH = base.join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingleHashes(col("text")).as("h"))
     val jac = size(array_intersect(col("h1"), col("h2"))).cast(DoubleType) /
@@ -355,29 +367,44 @@ object DedupQueries extends QueryPack {
     // Every exchange carries (doc_id, long); the verify jaccard compares
     // hash SETS — a collision merges two shingles identically on both
     // engines, so the df-cap and the verified similarity stay oracle-exact.
+    // The exploded (doc_id, shingle-hash) index is PINNED: it feeds both
+    // the df aggregate and the posting join — unpinned, the shingling
+    // scan (the measured dominant cost) would run twice with no reusable
+    // exchange across the two differently-shaped shuffles. The pin holds
+    // two longs per shingle (columnar-compressed, MEMORY_AND_DISK); a
+    // MEASURED alternative — pinning the pre-explode (doc_id, h-array)
+    // table so the verify side could reuse it — costs more than it saves
+    // under the per-run cache rebuild Bench models (array cache writes are
+    // the dominant term), so the verify side below re-shingles only the
+    // few candidate docs instead.
     val base = Tables.documents(s, d)
-    val docs = base
-      .select(col("doc_id"), shingleHashes(col("text")).as("h"))
-      .filter(size(col("h")) >= 1)
-    val inv = docs.select(col("doc_id"), explode(col("h")).as("g"))
-    // posting lists materialize ONCE per shingle (partial-merged
-    // collect_list), the df-cap is a size filter on the list itself — no
-    // separate df aggregation, no rare join, no self-join: the ≤C(20,2)
-    // pairs per list explode from a per-row HOF. Replaces the previous
-    // join-based pair generation (measured ~20% faster, identical pairs);
-    // the ≥3-shared-shingle prefilter keeps the ~100× candidate cut before
-    // the array-carrying verify joins.
-    val cand = inv.groupBy(col("g"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, 20))
-      .withColumn("sids", array_sort(col("ids")))
-      .select(explode(expr(
-        "flatten(transform(sids, (x, i) -> transform(slice(sids, i + 2, 20), " +
-          "y -> named_struct('d1', x, 'd2', y))))")).as("p"))
-      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
-      .agg(count(lit(1)).as("nshared"))
-      .filter(col("nshared") >= 3)
-      .select("d1", "d2")
+    val inv = graft.ops.OrderedOps.pinned(
+      base.select(col("doc_id"), explode(shingleHashes(col("text"))).as("g")))
+    // df-cap FIRST on a count-only aggregate (O(1) buffers), THEN the
+    // capped posting lists materialize once — ≤ 20 elements each, so the
+    // collect buffer is bounded by construction and the ≤C(20,2) pairs per
+    // list explode from a per-row HOF. (A collect-then-size-filter shape
+    // was briefly shipped here; it materializes the FULL posting array per
+    // shingle before the filter can drop it — the unbounded stopword-
+    // shingle buffer the r5 note below rejects. The count-gate restores
+    // the structural bound at one extra ids-only shuffle.) The
+    // ≥3-shared-shingle prefilter keeps the ~100× candidate cut before the
+    // array-carrying verify joins.
+    val rare = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 20))
+      .select("g")
+    val cand = graft.ops.OrderedOps.pinned(
+      inv.join(rare, Seq("g"))
+        .groupBy(col("g"))
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .withColumn("sids", array_sort(col("ids")))
+        .select(explode(expr(
+          "flatten(transform(sids, (x, i) -> transform(slice(sids, i + 2, 20), " +
+            "y -> named_struct('d1', x, 'd2', y))))")).as("p"))
+        .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+        .agg(count(lit(1)).as("nshared"))
+        .filter(col("nshared") >= 3)
+        .select("d1", "d2"))
     val candIds = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
     // verify side re-derives hash sets for the (small) candidate id set only
