@@ -131,13 +131,16 @@ object DedupQueries extends QueryPack {
     val sig = fp.groupBy(col("doc_id")).agg(hashCols.head, hashCols.tail: _*)
     val bandCols = (0 until 4).map(b =>
       concat_ws("_", col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
-    val keyed = sig
-      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
-    val cand = keyed.select(col("band"), col("bkey"), col("doc_id").as("d1"))
-      .join(keyed.select(col("band"), col("bkey"), col("doc_id").as("d2")),
-        Seq("band", "bkey"))
-      .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
+    // pins as in lshVerifiedPairs: `keyed` feeds both self-join sides,
+    // `cand` has three consumers — one signature pass instead of two
+    val keyed = graft.ops.OrderedOps.pinned(sig
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bkey"))))
+    val cand = graft.ops.OrderedOps.pinned(
+      keyed.select(col("band"), col("bkey"), col("doc_id").as("d1"))
+        .join(keyed.select(col("band"), col("bkey"), col("doc_id").as("d2")),
+          Seq("band", "bkey"))
+        .filter(col("d1") < col("d2"))
+        .select("d1", "d2").distinct())
     // Verify stage: semi-join candidate ids FIRST, then re-derive hash sets
     // for candidate documents only — verify-side work is O(candidates),
     // not O(corpus).

@@ -15,6 +15,26 @@ class PlanSpec extends AnyFunSuite {
   private def executedPlan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  // pinned queries persist intermediates at plan-build time; release them
+  // after every test so cache registrations don't leak across assertions
+  override protected def withFixture(test: NoArgTest): org.scalatest.Outcome =
+    try super.withFixture(test)
+    finally graft.ops.OrderedOps.clearPins()
+
+  /** Physical joins INCLUDING those inside pinned (cached) subplans — the
+    * pin discipline moves scale-critical joins behind InMemoryRelation
+    * boundaries that a plain collect cannot see through. */
+  private def physJoins(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.joins.BaseJoinExec] =
+    p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => Seq(j)
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        physJoins(s.relation.cachedPlan)
+      // AQE wraps subplans in a LEAF node a plain collect cannot enter
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        physJoins(a.inputPlan)
+    }.flatten
+
   test("dedup_lsh_verified has no cartesian/broadcast-nested-loop join") {
     val p = executedPlan("dedup_lsh_verified")
     assert(!p.contains("CartesianProduct"), p)
@@ -22,15 +42,13 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dedup_minhash_lsh band join does not shuffle shingle arrays") {
-    // the exchanges between signature and candidate-distinct must not carry
-    // the `sh` array column — ids/bands/keys only
+    // the band self-join now lives inside the pinned candidate cache —
+    // search through the InMemoryRelation boundary; its output must not
+    // carry shingle data (neither string arrays nor hash sets), only
+    // ids/bands/keys
     val qe = SparkEntry.queries("dedup_minhash_lsh")(spark, sf).queryExecution
-    val exchanges = qe.optimizedPlan.collect {
-      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
-    }
-    // the band self-join's output must not contain shingle data (neither
-    // the string arrays nor the hash sets) — ids/bands/keys only
-    val bandJoin = exchanges.filter(_.condition.exists(_.toString.contains("bkey")))
+    val bandJoin = physJoins(qe.executedPlan)
+      .filter(_.toString.contains("bkey"))
     assert(bandJoin.nonEmpty)
     bandJoin.foreach { j =>
       assert(!j.output.exists(a => a.name == "sh" || a.name == "h"),
