@@ -36,11 +36,18 @@ object IoQueries extends QueryPack {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def readFixture(name: String, d: String)(build: String => Unit): String =
     fixtureReady.computeIfAbsent(s"$name@$d", _ => {
-      val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/" +
-        s"fix_${java.lang.Integer.toHexString(d.hashCode)}/$name"
+      val path = fixturePath(name, d)
       build(path)
       path
     })
+
+  /** On-disk location of a [[readFixture]] fixture — the single source of
+    * truth for the specs that open these files with raw parquet/ORC readers
+    * (IoSpec / OrcForeignSpec footer assertions). Keyed by the sf dir's hash
+    * so two dirs in one JVM never serve each other's fixture. */
+  def fixturePath(name: String, d: String): String =
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/" +
+      s"fix_${java.lang.Integer.toHexString(d.hashCode)}/$name"
 
   /** Queries backed by [[readFixture]]; Bench.warmup runs each once untimed
     * so the timed reps measure only the read path. */

@@ -73,16 +73,16 @@ class IoSpec extends AnyFunSuite {
         "io_parquet_legacy_nested", "io_parquet_rebase_julian"))
       SparkEntry.queries(q)(spark, TestSpark.sfDir).write
         .format("noop").mode("overwrite").save()
-    val ioTmp = s"${sys.props("java.io.tmpdir")}/graft_io"
+    def fix(n: String) = graft.queries.IoQueries.fixturePath(n, TestSpark.sfDir)
 
     // INT96 physical timestamps — not the modern INT64 micros
-    val int96 = footerSchema(s"$ioTmp/parquet_int96")
+    val int96 = footerSchema(fix("parquet_int96"))
     assert(field(int96, "o_orderdate").asPrimitiveType()
       .getPrimitiveTypeName == INT96)
 
     // legacy decimals — FIXED_LEN_BYTE_ARRAY even at precision 9 (the
     // modern writer would emit INT32 there)
-    val dec = footerSchema(s"$ioTmp/parquet_legacy_decimal")
+    val dec = footerSchema(fix("parquet_legacy_decimal"))
     assert(field(dec, "price_d9").asPrimitiveType()
       .getPrimitiveTypeName == FIXED_LEN_BYTE_ARRAY)
     assert(field(dec, "price_d20").asPrimitiveType()
@@ -90,7 +90,7 @@ class IoSpec extends AnyFunSuite {
 
     // legacy 2-level list: the struct elements sit directly in a repeated
     // group named "array" (modern 3-level wraps an "element" inside "list")
-    val nested = footerSchema(s"$ioTmp/parquet_legacy_nested")
+    val nested = footerSchema(fix("parquet_legacy_nested"))
     val lines = field(nested, "lines").asGroupType()
     assert(lines.getFieldName(0) == "array",
       s"expected legacy 2-level array group, got ${nested}")
@@ -99,7 +99,7 @@ class IoSpec extends AnyFunSuite {
 
     // Julian rebase: the LEGACY write mode stamps the file-level marker the
     // reader keys its rebase decision on
-    val rebaseMeta = footerMeta(s"$ioTmp/parquet_rebase_julian")
+    val rebaseMeta = footerMeta(fix("parquet_rebase_julian"))
     assert(rebaseMeta.containsKey("org.apache.spark.legacyDateTime"),
       s"expected legacy-datetime rebase marker, got keys ${rebaseMeta.keySet()}")
   }
@@ -108,10 +108,10 @@ class IoSpec extends AnyFunSuite {
     import org.apache.spark.sql.types._
     SparkEntry.queries("io_parquet_unsigned")(spark, TestSpark.sfDir)
       .write.format("noop").mode("overwrite").save()
-    val ioTmp = s"${sys.props("java.io.tmpdir")}/graft_io"
+    val fix = graft.queries.IoQueries.fixturePath("parquet_unsigned", TestSpark.sfDir)
     // footer: the logical annotations really are unsigned (no Spark writer
     // produces these)
-    val sch = footerSchema(s"$ioTmp/parquet_unsigned")
+    val sch = footerSchema(fix)
     def intAnn(name: String) =
       field(sch, name).getLogicalTypeAnnotation
         .asInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation]
@@ -121,13 +121,13 @@ class IoSpec extends AnyFunSuite {
     }
     // read-side widening (SURVEY §1.2): each type one step wider than its
     // bit width so the full unsigned range fits
-    val st = spark.read.parquet(s"$ioTmp/parquet_unsigned").schema
+    val st = spark.read.parquet(fix).schema
     assert(st("u8").dataType == ShortType)
     assert(st("u16").dataType == IntegerType)
     assert(st("u32").dataType == LongType)
     assert(st("u64").dataType == DecimalType(20, 0))
     // sign-edge values surface as positive unsigned, not negative signed
-    val mm = spark.read.parquet(s"$ioTmp/parquet_unsigned")
+    val mm = spark.read.parquet(fix)
       .selectExpr("min(u32)", "max(u32)", "min(u64)").collect()(0)
     assert(mm.getLong(0) >= 0L && mm.getLong(1) > Int.MaxValue.toLong,
       s"u32 range should cross 2^31: ${mm.getLong(0)}..${mm.getLong(1)}")

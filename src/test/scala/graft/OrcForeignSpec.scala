@@ -17,7 +17,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class OrcForeignSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
-  private def ioTmp = s"${sys.props("java.io.tmpdir")}/graft_io"
+  private def fix(n: String) = graft.queries.IoQueries.fixturePath(n, TestSpark.sfDir)
 
   private def materialize(): Unit =
     for (q <- Seq("io_orc_foreign_decimal", "io_orc_foreign_rlev2",
@@ -34,7 +34,7 @@ class OrcForeignSpec extends AnyFunSuite {
 
   test("decimal fixture: ORC DECIMAL columns across >1 stripe") {
     materialize()
-    val r = orcReader(s"$ioTmp/orc_foreign_decimal")
+    val r = orcReader(fix("orc_foreign_decimal"))
     try {
       val schema = r.getSchema.toString
       assert(schema.contains("decimal(9,2)") && schema.contains("decimal(20,4)"),
@@ -47,7 +47,7 @@ class OrcForeignSpec extends AnyFunSuite {
 
   test("rlev2 fixture: every integer column uses DIRECT_V2 encoding") {
     materialize()
-    val r = orcReader(s"$ioTmp/orc_foreign_rlev2")
+    val r = orcReader(fix("orc_foreign_rlev2"))
     try {
       val rr = r.rows().asInstanceOf[org.apache.orc.impl.RecordReaderImpl]
       try {
@@ -63,7 +63,7 @@ class OrcForeignSpec extends AnyFunSuite {
 
   test("bool fixture: null-bearing booleans across >1 stripe") {
     materialize()
-    val r = orcReader(s"$ioTmp/orc_foreign_bool")
+    val r = orcReader(fix("orc_foreign_bool"))
     try {
       assert(r.getSchema.toString.contains("boolean"))
       assert(r.getStripes.size() >= 2,
@@ -78,7 +78,7 @@ class OrcForeignSpec extends AnyFunSuite {
 
   test("timezone fixture: stripe footer records the foreign writer zone") {
     materialize()
-    val r = orcReader(s"$ioTmp/orc_foreign_timezone")
+    val r = orcReader(fix("orc_foreign_timezone"))
     try {
       val rr = r.rows().asInstanceOf[org.apache.orc.impl.RecordReaderImpl]
       try {
@@ -90,7 +90,7 @@ class OrcForeignSpec extends AnyFunSuite {
       // to_utc_timestamp consumer pattern (what the registered query
       // does) recovers every original instant across PST and PDT rows
       import org.apache.spark.sql.functions.{col, expr, to_utc_timestamp}
-      val recovered = spark.read.orc(s"$ioTmp/orc_foreign_timezone")
+      val recovered = spark.read.orc(fix("orc_foreign_timezone"))
         .select(col("o_orderkey"),
           to_utc_timestamp(col("ts"), "America/Los_Angeles").as("ts"))
       val expected = Tables.orders(spark, TestSpark.sfDir)
