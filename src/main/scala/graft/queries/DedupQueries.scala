@@ -454,6 +454,57 @@ object DedupQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // --- decontamination at eval-aggregate scale: Bloom prune + exact confirm -
+  // dedup_contamination broadcasts the benchmark's RAW distinct-shingle set —
+  // right when decontaminating against one eval set, wrong when the
+  // "benchmark" is the union of every public benchmark + held-out suites
+  // (10⁹ shingles ≈ 100s of GB of strings: unbroadcastable, and a driver
+  // collect is out of the question). This variant keeps the benchmark side
+  // fully distributed: its shingle hashes fold into a FIXED-SIZE Bloom
+  // sketch via Spark's BloomFilterAggregate (the same tree-aggregated
+  // partial-merge machinery the engine's runtime row-level filtering uses —
+  // one binary row comes back, 2²⁰ bits = 128 KiB here regardless of
+  // benchmark cardinality; size bits ∝ items at production scale, ~1.2 MB
+  // per 10⁶ items at 1% FP). The corpus side is then pruned by a codegen'd
+  // `might_contain` on the embedded constant sketch BEFORE anything
+  // shuffles, so only sketch survivors (true overlaps + the FP-rate sliver)
+  // reach the exact-confirm equi-join against the benchmark relation.
+  // Result is EXACT — Bloom has no false negatives and the confirm join
+  // removes false positives — which is what lets a hash-comparing oracle
+  // check a sketch-accelerated plan at all.
+  register("dedup_contamination_bloom",
+    s"""$sqlShingles,
+       |bg AS (SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE doc_id % 89 = 0),
+       |ov AS (SELECT s.doc_id, count(*) AS n_overlap
+       |       FROM (SELECT doc_id, unnest(shingles) AS g FROM sh WHERE doc_id % 89 <> 0) s
+       |       JOIN bg USING (g) GROUP BY 1 HAVING count(*) >= 2)
+       |SELECT doc_id, n_overlap FROM ov ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    val (docs, _) = shingleSource(s, d)
+    val bench = docs.filter(col("doc_id") % 89 === 0)
+      .select(explode(col("sh")).as("g")).distinct()
+    // benchmark pass: distributed sketch build, one 128 KiB row to the driver
+    // (bounded by BITS, not by benchmark size — the whole point)
+    val sketch = bench
+      .select(Bridge.column(new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col("g"))),
+        Literal(1L << 16), Literal(1L << 20)).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    require(sketch != null, "benchmark slice is empty — no sketch to probe")
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Literal.create(sketch, BinaryType),
+      Bridge.expression(xxhash64(col("g")))))
+    docs.filter(col("doc_id") % 89 =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .filter(mightContain) // sketch prune: codegen scalar filter, pre-shuffle
+      .join(bench, Seq("g")) // exact confirm on survivors only
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= 2)
+      .orderBy("doc_id")
+  }
+
   // --- embedding-cosine near-dup via banded hyperplane LSH (no x-join) ------
   // Candidates come from 2 hash tables of 12 sign bits each. Cost bound, the
   // property that survives 100×: (a) key width — 12 bits ≈ log₂N at test

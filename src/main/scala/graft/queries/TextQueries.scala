@@ -827,4 +827,57 @@ object TextQueries extends QueryPack {
           nStop >= 2).as("keep"))
       .orderBy("doc_id")
   }
+
+  // --- sketch-accelerated heavy hitters: CMS prune + exact confirm ----------
+  // Corpus-frequency heavy hitters (the n-gram blocklist / boilerplate-
+  // detection primitive) without a full-vocabulary aggregation as the ONLY
+  // plan. A plain groupBy(gram).count() shuffles one partial row per
+  // distinct gram per partition and its reduce side is vocabulary-sized —
+  // at web-corpus scale the n-gram vocabulary is billions of rows of
+  // strings. The sketch discipline caps what must be exact: pass 1 folds
+  // the stream into a Count-Min sketch (fixed (eps, δ) geometry ⇒ ~1 MB
+  // regardless of vocabulary; tree-aggregated partial merges, ONE binary
+  // row to the driver) together with the exact stream length; candidate
+  // grams are the distinct grams whose sketch estimate clears the
+  // frequency threshold — CMS only ever OVER-estimates, so this set
+  // provably contains every true heavy hitter and is bounded by
+  // total/threshold + the eps sliver (broadcast-safe by construction, here
+  // ≤ ~2000 + eps·n/T rows whatever the data); pass 2 exact-counts the
+  // candidates alone, so the reduce side is candidate-sized, not
+  // vocabulary-sized. Output is EXACT (threshold re-applied on true
+  // counts), which is what lets the hash-comparing oracle gate a
+  // sketch-accelerated plan. The sketch probe is a Scala UDF — the one
+  // non-codegen step — and runs on the DISTINCT-gram relation only, never
+  // the corpus stream; SketchSpec pins the no-false-negative and
+  // bounded-overcount guarantees the prune depends on.
+  register("text_heavy_hitters_cms",
+    """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT unnest(list_transform(range(1, len(t)),
+      |        i -> t[i] || '_' || t[i+1])) AS gram
+      |      FROM toks WHERE len(t) >= 2),
+      |tot AS (SELECT count(*) AS n FROM g)
+      |SELECT gram, count(*) AS cnt FROM g
+      |GROUP BY gram HAVING count(*) >= (SELECT n FROM tot) / 2000.0
+      |ORDER BY gram""".stripMargin) { (s, d) =>
+    val grams = Tables.documents(s, d)
+      .select(explode(wordNgrams(tokenize(col("text")), 2)).as("gram"))
+    val row = grams.agg(
+      expr("count_min_sketch(gram, CAST(0.0001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)").as("cms"),
+      count(lit(1)).as("total")).head()
+    val total = row.getAs[Long]("total")
+    val threshold = total / 2000.0
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("cms")))
+    val bcSketch = s.sparkContext.broadcast(cms)
+    // probe with the gram's UTF-8 bytes: CountMinSketchAgg updates the
+    // sketch with UTF8String bytes, so the byte-array probe path hashes
+    // identically (asserted in SketchSpec).
+    val est = udf((g: String) => bcSketch.value.estimateCount(
+      g.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val candidates = grams.distinct().filter(est(col("gram")) >= threshold)
+    grams.join(broadcast(candidates), Seq("gram"), "left_semi")
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+      .orderBy("gram")
+  }
 }
