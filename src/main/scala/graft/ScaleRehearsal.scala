@@ -424,8 +424,15 @@ object ScaleRehearsal {
     println(f"""{"family":"$tag","total_sf01_sec":$tot01%.2f,"total_sf1_sec":$tot1%.2f,"ratio":${tot1 / tot01}%.2f}""")
   }
 
+  /** The sketch-prune tier (r10): bloom decontamination and CMS heavy
+    * hitters. Both are two-pass (sketch build, then pruned exact confirm)
+    * with fixed-size sketch state, so wall time should track corpus bytes
+    * ~linearly and the candidate/confirm stages must stay bounded. */
+  val SketchFamily: Seq[String] = Seq(
+    "dedup_contamination_bloom", "text_heavy_hitters_cms")
+
   /** Usage: runMain graft.ScaleRehearsal [outDir]
-    * [dedup|ordered|joins|cc|skew|io|ingest|compaction|all] */
+    * [dedup|ordered|joins|cc|skew|io|ingest|compaction|sketch|all] */
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("target/scale")
     val mode = args.drop(1).headOption.getOrElse("all")
@@ -452,6 +459,10 @@ object ScaleRehearsal {
     if (mode == "all" || mode == "io") {
       buildScaled(spark, src, sf1, copies = 10)
       ioTier(spark, src, sf1)
+    }
+    if (mode == "all" || mode == "sketch") {
+      buildScaled(spark, src, sf1, copies = 10)
+      runFamily(spark, SketchFamily, src, sf1, "sketch")
     }
     if (mode == "all" || mode == "ingest")
       ingestTier(spark, s"$out/ingest")

@@ -479,26 +479,16 @@ object DedupQueries extends QueryPack {
        |       FROM (SELECT doc_id, unnest(shingles) AS g FROM sh WHERE doc_id % 89 <> 0) s
        |       JOIN bg USING (g) GROUP BY 1 HAVING count(*) >= 2)
        |SELECT doc_id, n_overlap FROM ov ORDER BY doc_id""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.graft.Bridge
     val (docs, _) = shingleSource(s, d)
     val bench = docs.filter(col("doc_id") % 89 === 0)
       .select(explode(col("sh")).as("g")).distinct()
     // benchmark pass: distributed sketch build, one 128 KiB row to the driver
     // (bounded by BITS, not by benchmark size — the whole point)
-    val sketch = bench
-      .select(Bridge.column(new BloomFilterAggregate(
-        Bridge.expression(xxhash64(col("g"))),
-        Literal(1L << 16), Literal(1L << 20)).toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
-    require(sketch != null, "benchmark slice is empty — no sketch to probe")
-    val mightContain = Bridge.column(BloomFilterMightContain(
-      Literal.create(sketch, BinaryType),
-      Bridge.expression(xxhash64(col("g")))))
+    val sketch = graft.ops.SketchOps.bloomSketch(bench)
     docs.filter(col("doc_id") % 89 =!= 0)
       .select(col("doc_id"), explode(col("sh")).as("g"))
-      .filter(mightContain) // sketch prune: codegen scalar filter, pre-shuffle
+      // sketch prune: codegen scalar filter, pre-shuffle
+      .filter(graft.ops.SketchOps.mightContain(sketch)(col("g")))
       .join(bench, Seq("g")) // exact confirm on survivors only
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= 2)

@@ -281,4 +281,87 @@ object GraftStreaming {
         .filter(col("__rn") === 1).drop("__rn")
     }
   }
+
+  /** Distributed Bloom sketch of a shingle relation's `g` column: one
+    * fixed-size binary row via BloomFilterAggregate's tree-aggregated
+    * partial merges — the benchmark side never collects or broadcasts its
+    * raw strings. Shared by `dedup_contamination_bloom` (batch) and
+    * [[streamingDecontamination]]; see the batch query's Scaladoc for the
+    * sizing rule (bits ∝ items; 2²⁰ bits = 128 KiB here). */
+  def bloomSketch(shingles: DataFrame, column: String = "g",
+                  numItems: Long = 1L << 16, numBits: Long = 1L << 20): Array[Byte] =
+    graft.ops.SketchOps.bloomSketch(shingles, column, numItems, numBits)
+
+  /** Streaming decontamination — the online form of
+    * `dedup_contamination_bloom`: flag arriving documents that share ≥
+    * `minOverlap` distinct 3-shingles with a (static) benchmark corpus,
+    * using the benchmark's Bloom sketch so the overwhelmingly-clean ingest
+    * stream is rejected BEFORE any join, shuffle, or state.
+    *
+    * Shape, in cost order:
+    *  1. Per-row SCALAR prune: the document's distinct shingle array is
+    *     filtered by a codegen'd `might_contain` on the embedded constant
+    *     sketch *inside the array* (higher-order filter), so a document
+    *     with zero sketch hits — at 100 TB/day, almost all of them —
+    *     contributes nothing downstream. No false negatives: Bloom misses
+    *     only what was never inserted.
+    *  2. Surviving (doc, shingle) pairs explode and exact-confirm against
+    *     the static benchmark relation (stream-static equi-join, stateless
+    *     on the stream side) — false positives die here, keeping the
+    *     output exact, not approximate.
+    *  3. Watermarked per-(window, doc) count ≥ minOverlap emits one row
+    *     per contaminated document when its window closes. State is
+    *     bounded by contaminated-docs-per-horizon, not by the stream.
+    *
+    * Batch mode runs the identical plan (watermark is a no-op), which is
+    * how StreamingSpec pins parity with the batch query's oracle-checked
+    * result. */
+  def streamingDecontamination(docs: DataFrame, benchShingles: DataFrame,
+                               sketch: Array[Byte], minOverlap: Int,
+                               watermarkDur: String,
+                               windowDur: String = "10 minutes"): DataFrame = {
+    val mightContain = graft.ops.SketchOps.mightContain(sketch) _
+    // the watermark sits on the RAW stream, upstream of the prune: every
+    // arriving document advances event time, including the (vast) clean
+    // majority the sketch rejects — otherwise a stretch of clean ingest
+    // would freeze the watermark and no contaminated window would ever
+    // close
+    val src =
+      if (docs.isStreaming) docs.withWatermark("ts", watermarkDur) else docs
+    val candExpr = filter(graft.text.TextFunctions.shingles(col("text")),
+      g => mightContain(g))
+    // In batch, a size(cand) >= minOverlap pre-filter on a materialized
+    // candidate column is a free necessary condition. In STREAMING no
+    // part of the prune may become a Filter below the watermark node, or
+    // clean documents stop advancing event time — the watermark freezes
+    // and no window ever closes. Two optimizer rules conspire to put one
+    // there (both observed, not hypothetical): (a) an explicit
+    // size-filter is deterministic and event-time-free, so
+    // PushPredicateThroughNonJoin pushes it through EventTimeWatermark to
+    // the source; (b) even WITHOUT an explicit filter, exploding a
+    // materialized `cand` ATTRIBUTE lets InferFiltersFromGenerate add
+    // `size(cand) > 0` below the Generate, which then takes the same ride
+    // down. Exploding the candidate EXPRESSION inline defeats (b) — the
+    // inference rule only fires on attribute children, precisely to avoid
+    // duplicating expensive expressions — so the drop of clean documents
+    // happens in the Generate itself, safely above the watermark.
+    val pruned =
+      if (docs.isStreaming)
+        src.select(col("ts"), col("doc_id"), explode(candExpr).as("g"))
+      else
+        src.select(col("ts"), col("doc_id"), candExpr.as("cand"))
+          .filter(size(col("cand")) >= minOverlap)
+          .select(col("ts"), col("doc_id"), explode(col("cand")).as("g"))
+    val confirmed = pruned.join(benchShingles, Seq("g"))
+    val agged =
+      if (docs.isStreaming)
+        confirmed
+          .groupBy(window(col("ts"), windowDur), col("doc_id"))
+          .agg(count(lit(1)).as("n_overlap"))
+      else
+        confirmed.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_overlap"))
+    agged.filter(col("n_overlap") >= minOverlap)
+      .select(col("doc_id"), col("n_overlap"))
+  }
 }

@@ -434,4 +434,49 @@ class StreamingSpec extends AnyFunSuite {
       assert(batchKept == got)
     } finally q.stop()
   }
+
+  test("streamingDecontamination matches the batch bloom query on the corpus") {
+    // the online operator, driven at corpus scale through a MemoryStream,
+    // must flag EXACTLY the documents dedup_contamination_bloom flags —
+    // same %89 benchmark slice, same >= 2 distinct-shingle threshold.
+    import spark.implicits._
+    import graft.text.TextFunctions.shingles
+    val base = graft.Tables.documents(spark, TestSpark.sfDir)
+    val bench = base.filter(col("doc_id") % 89 === 0)
+      .select(explode(shingles(col("text"))).as("g")).distinct()
+    val sketch = GraftStreaming.bloomSketch(bench)
+    val rows = base.filter(col("doc_id") % 89 =!= 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val input = MemoryStream[(Timestamp, Long, String)](spark)
+    val out = GraftStreaming.streamingDecontamination(
+      input.toDF().toDF("ts", "doc_id", "text"), bench, sketch,
+      minOverlap = 2, watermarkDur = "1 minute", windowDur = "1 hour")
+    val q = out.writeStream.format("memory").queryName("decontam")
+      .outputMode("append").start()
+    try {
+      // two micro-batches, docs a few ms apart; then a far-future sentinel
+      // (shingle-free text) advances the watermark past every window
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.map { case (id, t) => (ts(1), id, t) }.toSeq)
+      q.processAllAvailable()
+      input.addData(b2.map { case (id, t) => (ts(2), id, t) }.toSeq)
+      q.processAllAvailable()
+      input.addData(Seq((Timestamp.valueOf("2026-01-02 12:00:00"), -1L, "zz")))
+      q.processAllAvailable()
+      val streamed = spark.table("decontam")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = SparkEntry.queries("dedup_contamination_bloom")(
+        spark, TestSpark.sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch,
+        s"streamed-batch delta: ${(streamed diff batch) ++ (batch diff streamed)}")
+      // and the operator's own BATCH mode runs the identical plan
+      val asBatch = GraftStreaming.streamingDecontamination(
+        rows.toSeq.toDF("doc_id", "text")
+          .withColumn("ts", lit(ts(1))), bench, sketch,
+        minOverlap = 2, watermarkDur = "1 minute")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(asBatch == batch)
+    } finally q.stop()
+  }
 }
