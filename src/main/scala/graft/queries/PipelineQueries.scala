@@ -159,4 +159,42 @@ object PipelineQueries extends QueryPack {
       .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tokens"))
       .orderBy("doc_id")
   }
+
+  // --- per-epoch corpus reshuffle + shard assignment ------------------------
+  // The "shuffle the corpus differently every epoch" step of training-data
+  // assembly: each epoch is an independent deterministic permutation of the
+  // whole corpus (shuffle key = salted content-free hash, so the order is
+  // reproducible from (epoch, doc_id) alone and needs no stored state), and
+  // each permutation is cut into shard files by position. Scale shape: the
+  // permutation is realized by OrderedOps.withGlobalRowNumber's two-phase
+  // numbering — range-partition on the hash key, per-partition local
+  // row_number, one broadcast prefix of per-partition counts — so a 100-TB
+  // corpus re-orders with ONE range shuffle per epoch-set and no
+  // single-task window anywhere. Writing `partitionBy(epoch, shard)` on
+  // the result is then an append-only file layout job. The epoch count
+  // multiplies rows linearly (here 2), exactly like the physical copies
+  // training makes anyway.
+  register("pipeline_epoch_shuffle",
+    s"""WITH e AS (SELECT doc_id, unnest([0, 1]) AS epoch FROM documents),
+       |k AS (SELECT epoch, doc_id,
+       |        ${sqlPolyHash("'ep' || epoch || '_' || doc_id")} AS key FROM e),
+       |r AS (SELECT epoch, doc_id, key,
+       |        row_number() OVER (PARTITION BY epoch ORDER BY key, doc_id) AS pos
+       |      FROM k)
+       |SELECT epoch, doc_id, CAST(pos AS BIGINT) AS pos,
+       |  CAST((pos - 1) % 8 AS BIGINT) AS shard
+       |FROM r ORDER BY epoch, pos""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val perEpoch = docs.count() // one count job; scalar, not collected data
+    val keyed = docs
+      .select(col("doc_id"), explode(array(lit(0), lit(1))).as("epoch"))
+      .withColumn("key", polyHash(concat(lit("ep"), col("epoch").cast(StringType),
+        lit("_"), col("doc_id").cast(StringType))))
+    graft.ops.OrderedOps
+      .withGlobalRowNumber(keyed, "gpos", Seq(col("epoch"), col("key"), col("doc_id")))
+      .select(col("epoch"), col("doc_id"),
+        (col("gpos") - col("epoch") * lit(perEpoch)).as("pos"),
+        ((col("gpos") - col("epoch") * lit(perEpoch) - 1) % 8).as("shard"))
+      .orderBy("epoch", "pos")
+  }
 }
