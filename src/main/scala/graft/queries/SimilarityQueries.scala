@@ -214,6 +214,87 @@ object SimilarityQueries extends QueryPack {
       .orderBy("cid")
   }
 
+  // --- 2b. incremental index maintenance: assign NEW vectors to a FROZEN ----
+  // trained index. The daily-ingest path of a production ANN index (FAISS
+  // add() after train()): the codebook is trained once on the existing
+  // corpus and new arrivals are routed without retraining — at 100 TB the
+  // retrain is a rare offline job while assignment is a cheap scan (new
+  // slice × k broadcast centroids, no shuffle beyond the output agg), so
+  // the two must be separable operators, not one fused query. Training here
+  // runs the same deterministic 3-round Lloyd's as sim_ivf_train_assign but
+  // on the even-id half only; the odd-id half then assigns against the
+  // frozen centroids. The oracle replays both phases exactly.
+  register("sim_ivf_incremental", {
+    val dist = (xi: String, cv: String) =>
+      s"list_reduce(list_transform(range(1, len($xi) + 1), " +
+        s"i -> ($xi[i] - $cv[i]) * ($xi[i] - $cv[i])), (x, y) -> x + y)"
+    val assign = (src: String, cents: String) =>
+      s"""(SELECT vec_id, cid, xi FROM (
+         |   SELECT e.vec_id, c.cid, e.xi,
+         |     row_number() OVER (PARTITION BY e.vec_id
+         |       ORDER BY ${dist("e.xi", "c.cv")}, c.cid) AS rn
+         |   FROM $src e, $cents c) WHERE rn = 1)""".stripMargin
+    val recenter = (asg: String) =>
+      s"""(SELECT cid, list(m ORDER BY i) AS cv FROM (
+         |   SELECT cid, i, CAST(sum(x) AS DOUBLE) / count(*) AS m FROM (
+         |     SELECT cid, generate_subscripts(xi, 1) AS i, unnest(xi) AS x
+         |     FROM $asg) GROUP BY cid, i) GROUP BY cid)""".stripMargin
+    s"""WITH eall AS (SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1000)) AS xi
+       |  FROM embeddings),
+       |e AS (SELECT * FROM eall WHERE vec_id % 2 = 0),
+       |enew AS (SELECT * FROM eall WHERE vec_id % 2 = 1),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, xi AS cv
+       |       FROM e WHERE vec_id < 8),
+       |a1 AS ${assign("e", "c0")},
+       |c1 AS ${recenter("a1")},
+       |a2 AS ${assign("e", "c1")},
+       |c2 AS ${recenter("a2")},
+       |a3 AS ${assign("e", "c2")},
+       |c3 AS ${recenter("a3")},
+       |af AS ${assign("enew", "c3")}
+       |SELECT cid, count(*) AS n_new,
+       |  round(sum(xi[1]) / count(*), 6) AS mean_dim0
+       |FROM af GROUP BY cid ORDER BY cid""".stripMargin
+  }) { (s, d) =>
+    val k = 4
+    val eall = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => floor(x.cast(DoubleType) * 1000).cast(DoubleType))
+          .as("xi"))
+    val e = eall.filter(col("vec_id") % 2 === 0)
+    val eNew = eall.filter(col("vec_id") % 2 === 1)
+    // k seeds from the TRAINING slice (even ids 0,2,4,6), re-indexed to
+    // positional cids 0..k-1 on both engines
+    var cents: IndexedSeq[Seq[Double]] = e.filter(col("vec_id") < 2 * k).orderBy("vec_id")
+      .collect().map(_.getSeq[Double](1)).toIndexedSeq
+    def assigned(src: org.apache.spark.sql.DataFrame) = {
+      val dists = array(cents.map(c =>
+        aggregate(zip_with(col("xi"), typedlit(c), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (x, y) => x + y)): _*)
+      src.withColumn("cid", (array_position(dists, array_min(dists)) - 1).cast(IntegerType))
+    }
+    for (_ <- 1 to 3) {
+      val means = assigned(e)
+        .select(col("cid"), posexplode(col("xi")).as(Seq("i", "x")))
+        .groupBy(col("cid"), col("i"))
+        .agg((sum(col("x")) / count(lit(1))).as("m"))
+        .collect()
+      val byCid = means.groupBy(_.getInt(0))
+      cents = (0 until k).map { cid =>
+        byCid.get(cid)
+          .map(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+          .getOrElse(cents(cid))
+      }
+    }
+    // frozen-index assignment of the new slice: scan + k literal centroids
+    assigned(eNew)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_new"),
+        round(sum(element_at(col("xi"), 1)) / count(lit(1)), 6).as("mean_dim0"))
+      .orderBy("cid")
+  }
+
   // --- 3. IVF-style coarse assignment (centroids = seed vectors 0..3) -------
   register("sim_ivf_assign",
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
