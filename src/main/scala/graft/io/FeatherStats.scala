@@ -31,7 +31,19 @@ object FeatherStats {
     final case class Doubles(lo: Double, hi: Double) extends ColStat
     final case class Strings(lo: String, hi: String) extends ColStat
     case object Empty extends ColStat // all-null batch column
+    /** Batch ROW COUNT, stored under the reserved [[RowCountKey]] pseudo-
+      * column. Lets the connector answer COUNT(*) (and bound MIN/MAX
+      * pushdown) from sidecars alone; older sidecars without it simply
+      * disqualify their file from aggregate pushdown, never from reads. */
+    final case class Count(n: Long) extends ColStat
   }
+
+  /** Reserved sidecar key for per-batch row counts ("__" prefix cannot
+    * collide with a real column: the feather sink rejects no names, but
+    * filters/aggregates arrive by field reference and Spark quotes real
+    * columns verbatim — a user column literally named __n would only make
+    * its own stats unusable, never corrupt another's). */
+  val RowCountKey = "__n"
 
   /** Accumulates one batch's ranges; reset between batches. */
   final class Collector(st: StructType) {
@@ -45,8 +57,9 @@ object FeatherStats {
     }
     private val los = new Array[Any](st.fields.length)
     private val his = new Array[Any](st.fields.length)
+    private var nRows: Long = 0L
 
-    def observe(r: Row): Unit = tracked.foreach { i =>
+    def observe(r: Row): Unit = { nRows += 1; tracked.foreach { i =>
       if (!r.isNullAt(i)) {
         val v: Any = st.fields(i).dataType match {
           case ByteType => r.getByte(i).toLong
@@ -63,7 +76,7 @@ object FeatherStats {
           if (his(i) == null || lt(his(i), v)) his(i) = v
         }
       }
-    }
+    } }
 
     private def lt(a: Any, b: Any): Boolean = (a, b) match {
       case (x: Long, y: Long) => x < y
@@ -86,7 +99,8 @@ object FeatherStats {
         los(i) = null; his(i) = null
         name -> stat
       }.toMap
-      out
+      val n = nRows; nRows = 0L
+      out + (RowCountKey -> ColStat.Count(n))
     }
   }
 
@@ -105,6 +119,7 @@ object FeatherStats {
             m.put("t", "d"); m.put("lo", lo.toString); m.put("hi", hi.toString)
           case ColStat.Strings(lo, hi) =>
             m.put("t", "s"); m.put("lo", lo); m.put("hi", hi)
+          case ColStat.Count(n) => m.put("t", "n"); m.put("n", n.toString)
           case ColStat.Empty => m.put("t", "e")
         }
         name -> (m: Any)
@@ -125,6 +140,7 @@ object FeatherStats {
           case "d" => ColStat.Doubles(n.get("lo").asText().toDouble,
             n.get("hi").asText().toDouble)
           case "s" => ColStat.Strings(n.get("lo").asText(), n.get("hi").asText())
+          case "n" => ColStat.Count(n.get("n").asText().toLong)
           case _ => ColStat.Empty
         }
         e.getKey -> stat

@@ -57,7 +57,8 @@ object IoQueries extends QueryPack {
     "io_orc_foreign_decimal", "io_orc_foreign_rlev2", "io_orc_foreign_bool",
     "io_orc_foreign_timezone",
     "io_avro_dsv2", "io_feather_dsv2", "io_feather_partitioned",
-    "io_feather_skipping", "io_feather_compact", "io_avro_compact")
+    "io_feather_skipping", "io_feather_compact", "io_avro_compact",
+    "io_feather_agg_pushdown")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
   // (cudf/io/csv.py:15 dtype=, header=; csv.hpp:48)
@@ -748,6 +749,33 @@ object IoQueries extends QueryPack {
     s.read.format("feather").option("maxSplitBytes", "1").load(path)
       .filter(col("l_orderkey") > 4500)
       .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+  }
+
+  // COMPLETE aggregate pushdown from the skipping index
+  // (FeatherAggPushdown in sources/FeatherSource.scala): an unfiltered,
+  // ungrouped COUNT(*)/MIN/MAX over a feather directory is answered on the
+  // driver from the per-batch stats sidecars — zero data bytes read, the
+  // plan collapses to a LocalTableScan (asserted here; at 100 TB this is
+  // the difference between a metadata lookup and a full corpus scan). The
+  // ORACLE pins the answered values against the source-of-truth parquet.
+  register("io_feather_agg_pushdown",
+    """SELECT count(*) AS n, min(c_custkey) AS min_key, max(c_custkey) AS max_key,
+      |  min(c_name) AS min_name, max(c_acctbal) AS max_bal
+      |FROM customer WHERE c_custkey <= 1200""".stripMargin) { (s, d) =>
+    val path = readFixture("feather_agg_pushdown", d) { p =>
+      val src = Tables.customer(s, d).filter(col("c_custkey") <= 1200)
+        .select("c_custkey", "c_name", "c_acctbal")
+      src.write.format("feather").mode("overwrite")
+        .option("batchSize", "1024").save(p)
+    }
+    val df = s.read.format("feather").load(path)
+      .agg(count(lit(1)).as("n"),
+        min("c_custkey").as("min_key"), max("c_custkey").as("max_key"),
+        min("c_name").as("min_name"), max("c_acctbal").as("max_bal"))
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"aggregate did not push into the sidecar index:\n$plan")
+    df
   }
 
   // Small-file compaction end-to-end (io/FeatherCompact.scala): a 16-part

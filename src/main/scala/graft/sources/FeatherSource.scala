@@ -93,7 +93,8 @@ private class FeatherScanBuilder(fullSchema: StructType, path: String,
                                  maxFilesPerTrigger: Option[Int])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = fullSchema
   private var limit: Int = -1
   private var skipFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
@@ -116,9 +117,178 @@ private class FeatherScanBuilder(fullSchema: StructType, path: String,
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     skipFilters
-  override def build(): Scan =
-    new FeatherScan(required, path, maxSplitBytes, limit, skipFilters.toSeq,
-      allFilters.toSeq, maxFilesPerTrigger)
+  // COMPLETE aggregate pushdown from the stats sidecars: an un-filtered,
+  // un-grouped COUNT(*)/MIN/MAX over the table is answered on the driver
+  // from the skipping index alone (per-batch row counts + exact min/max
+  // ranges the sink wrote at commit) — `select count(*) from feather.corpus`
+  // over a 10⁵-part directory reads sidecar JSONs, never a data byte. The
+  // gate is strict: any pushed filter, any grouping, any aggregate other
+  // than those three, any file missing a sidecar (or written before counts
+  // existed), or any min/max on an untracked/partition column falls back to
+  // the ordinary scan. One builder serves one query, so the memoized answer
+  // can't leak across aggregations.
+  private var aggAnswer: Option[(StructType, InternalRow)] = None
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (aggAnswer.isEmpty)
+      aggAnswer = FeatherAggPushdown.answer(path, fullSchema, agg, allFilters)
+    aggAnswer.nonEmpty
+  }
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    supportCompletePushDown(agg)
+  override def build(): Scan = aggAnswer match {
+    case Some((schema, row)) => new FeatherLocalScan(path, schema, Array(row))
+    case None =>
+      new FeatherScan(required, path, maxSplitBytes, limit, skipFilters.toSeq,
+        allFilters.toSeq, maxFilesPerTrigger)
+  }
+}
+
+/** One-row driver-side scan carrying a completely-pushed aggregate. */
+private class FeatherLocalScan(path: String, schema: StructType,
+                               rs: Array[InternalRow]) extends LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = rs
+  override def description(): String =
+    s"feather `$path` (aggregate answered from stats sidecars)"
+}
+
+private object FeatherAggPushdown {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.types._
+  import graft.io.FeatherStats
+  import graft.io.FeatherStats.ColStat
+
+  private def tracked(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | StringType => true
+    case _ => false
+  }
+
+  private def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case r: NamedReference if r.fieldNames().length == 1 =>
+      Some(r.fieldNames()(0))
+    case _ => None
+  }
+
+  /** None = not answerable (caller falls back to the data scan). */
+  def answer(path: String, fullSchema: StructType, agg: Aggregation,
+             pushedFilters: Array[org.apache.spark.sql.sources.Filter])
+      : Option[(StructType, InternalRow)] = {
+    if (pushedFilters.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    // plan: Left(()) = COUNT(*), Right((field, wantMin)) = MIN/MAX(field)
+    val plan = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Left(())
+      case m: Min => colOf(m.column()) match {
+        case Some(c) => Right((c, true))
+        case None => return None
+      }
+      case m: Max => colOf(m.column()) match {
+        case Some(c) => Right((c, false))
+        case None => return None
+      }
+      case _ => return None
+    }
+    val spark = SparkSession.active
+    val disc =
+      try FeatherPartitions.discover(spark, path, Seq(".feather", ".arrow"))
+      catch { case _: Exception => return None }
+    for (Right((c, _)) <- plan)
+      if (disc.partCols.contains(c) || !fullSchema.fieldNames.contains(c) ||
+          !tracked(fullSchema(c).dataType)) return None
+    // every surviving file must contribute a sidecar (parallel loads, same
+    // bound as footer planning)
+    val sidecars: Seq[Seq[Map[String, ColStat]]] =
+      if (disc.files.isEmpty) Seq.empty
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, math.max(1, disc.files.size)))
+        try disc.files.map { l =>
+          pool.submit(new java.util.concurrent.Callable[
+              Option[Seq[Map[String, ColStat]]]] {
+            def call() = {
+              val p = new org.apache.hadoop.fs.Path(
+                new org.apache.hadoop.fs.Path(l.file).getParent,
+                new org.apache.hadoop.fs.Path(l.file).getName + ".stats.json")
+              try {
+                val fs = p.getFileSystem(conf)
+                if (!fs.exists(p)) None
+                else {
+                  val in = fs.open(p)
+                  try Some(FeatherStats.fromJson(new String(
+                    org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+                    "UTF-8")))
+                  finally in.close()
+                }
+              } catch { case _: Exception => None }
+            }
+          })
+        }.map(_.get() match {
+          case Some(s) => s
+          case None => return None
+        })
+        finally pool.shutdown()
+      }
+    val allBatches = sidecars.flatten
+    val values: Seq[(Any, DataType)] = plan.map {
+      case Left(()) =>
+        var n = 0L
+        for (b <- allBatches) b.get(FeatherStats.RowCountKey) match {
+          case Some(ColStat.Count(bn)) => n += bn
+          case _ => return None // pre-count sidecar: not answerable
+        }
+        (n, LongType)
+      case Right((c, wantMin)) =>
+        val dt = fullSchema(c).dataType
+        var acc: Any = null
+        for (b <- allBatches) b.get(c) match {
+          case Some(ColStat.Empty) => // all-null batch: contributes nothing
+          case Some(st) =>
+            val v: Any = st match {
+              case ColStat.Longs(lo, hi) => if (wantMin) lo else hi
+              case ColStat.Doubles(lo, hi) => if (wantMin) lo else hi
+              case ColStat.Strings(lo, hi) => if (wantMin) lo else hi
+              case _ => return None
+            }
+            acc =
+              if (acc == null) v
+              else (acc, v) match {
+                case (a: Long, x: Long) => if (wantMin) a.min(x) else a.max(x)
+                case (a: Double, x: Double) => if (wantMin) a.min(x) else a.max(x)
+                case (a: String, x: String) =>
+                  if ((x.compareTo(a) < 0) == wantMin) x else a
+                case _ => return None
+              }
+          case None => return None // column untracked in this batch
+        }
+        // narrow back from the sidecar's widened storage to the field type
+        val out: Any = (acc, dt) match {
+          case (null, _) => null
+          case (v: Long, ByteType) => v.toByte
+          case (v: Long, ShortType) => v.toShort
+          case (v: Long, IntegerType) => v.toInt
+          case (v: Long, LongType) => v
+          case (v: Double, FloatType) => v.toFloat
+          case (v: Double, DoubleType) => v
+          case (v: String, StringType) =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(v)
+          case _ => return None
+        }
+        (out, dt)
+    }
+    val schema = StructType(plan.zip(values).map {
+      case (Left(()), _) => StructField("count(*)", LongType, nullable = false)
+      case (Right((c, wantMin)), (_, dt)) =>
+        StructField(s"${if (wantMin) "min" else "max"}($c)", dt, nullable = true)
+    })
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      values.map(_._1).toArray)
+    Some((schema, row))
+  }
 }
 
 private object FeatherScanBuilder {

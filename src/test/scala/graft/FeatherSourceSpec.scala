@@ -465,4 +465,67 @@ class FeatherSourceSpec extends AnyFunSuite {
       assert(n === (1 to 5000).count(_ % 7 == 3))
     } finally spark.sql("DROP TABLE IF EXISTS feather_sql_t")
   }
+
+  test("unfiltered count/min/max answer from sidecars without reading data") {
+    val path = tmp("agg_push")
+    writeSample(path, rows = 4000, batchSize = 512)
+    val df = spark.read.format("feather").load(path)
+    val agged = df.agg(count("*").as("n"), min("id").as("lo"),
+      max("id").as("hi"), min("name").as("slo"), max("v").as("vhi"))
+    val plan = agged.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"),
+      s"expected the aggregate to collapse to a local scan:\n$plan")
+    assert(!plan.contains("BatchScan"), s"data scan should not run:\n$plan")
+    val r = agged.head()
+    assert(r.getLong(0) === 4000L)
+    assert(r.getLong(1) === 1L && r.getLong(2) === 4000L)
+    assert(r.getString(3) === "name_1") // lexicographic min
+    assert(r.getDouble(4) === 4000 * 1.5)
+  }
+
+  test("aggregate pushdown bails to the data scan when it must") {
+    val path = tmp("agg_bail")
+    writeSample(path, rows = 1000, batchSize = 256)
+    val df = spark.read.format("feather").load(path)
+    // a filter keeps the exact semantics out of sidecar reach
+    val filtered = df.filter(col("id") > 500).agg(count("*").as("n"))
+    assert(filtered.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(filtered.head().getLong(0) === 500L)
+    // grouping keys can't be answered from whole-file ranges
+    val grouped = df.groupBy(col("grp")).count()
+    assert(grouped.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(grouped.agg(sum("count")).head().getLong(0) === 1000L)
+    // an aggregate the sidecars can't carry (sum) falls back whole-hog
+    val summed = df.agg(sum("id").as("s"))
+    assert(summed.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(summed.head().getLong(0) === (1 to 1000).map(_.toLong).sum)
+  }
+
+  test("pre-count sidecars disqualify pushdown but never the read") {
+    val path = tmp("agg_oldcar")
+    writeSample(path, rows = 800, batchSize = 256)
+    // rewrite every sidecar without the reserved __n entries — the format
+    // before counts existed. Rewriting out-of-band stales Hadoop's local
+    // .crc files, so drop those too (else the read throws ChecksumException
+    // and disqualifies min/max pushdown for the wrong reason).
+    val dir = new java.io.File(path)
+    for (sc <- dir.listFiles().filter(_.getName.endsWith(".stats.json"))) {
+      val batches = graft.io.FeatherStats.fromJson(
+        new String(java.nio.file.Files.readAllBytes(sc.toPath), "UTF-8"))
+      val stripped = batches.map(_ - graft.io.FeatherStats.RowCountKey)
+      java.nio.file.Files.write(sc.toPath,
+        graft.io.FeatherStats.toJson(stripped).getBytes("UTF-8"))
+      val crc = new java.io.File(dir, "." + sc.getName + ".crc")
+      if (crc.exists()) crc.delete()
+    }
+    val df = spark.read.format("feather").load(path)
+    val agged = df.agg(count("*").as("n"))
+    assert(agged.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "count over pre-count sidecars must fall back to the data scan")
+    assert(agged.head().getLong(0) === 800L)
+    // min/max still answer: ranges are present even without counts
+    val mm = df.agg(min("id").as("lo"), max("id").as("hi"))
+    assert(mm.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(mm.head().getLong(0) === 1L && mm.head().getLong(1) === 800L)
+  }
 }
