@@ -148,6 +148,23 @@ private[graft] object Compaction {
           lfs.delete(manifestPath(new Path(g.leaf), g.outName), false)
           groupsRewritten += 1
         }
+        // merged-stats cache maintenance: retire the compacted-away names,
+        // add the new parts (when the format carries sidecars). Only when
+        // the leaf already holds a merged file — it is a CACHE; a crash
+        // between the group commits and here leaves stale entries that no
+        // longer match any name/length and are simply ignored on read.
+        val lfs = new Path(leaf.toString).getFileSystem(conf)
+        if (lfs.exists(new Path(leaf, FeatherStats.MergedName))) {
+          val retired = groups.flatMap(_.inputs.map {
+            case (f, _) => new Path(f).getName }).toSet
+          val added = groups.flatMap { g =>
+            written(g.gid).map { sidecar =>
+              g.outName -> (lfs.getFileStatus(new Path(g.leaf, g.outName)).getLen,
+                FeatherStats.fromJson(sidecar))
+            }
+          }.toMap
+          FeatherStats.upsertMerged(lfs, leaf, added, retired)
+        }
       }
       filesAfter += fs.listStatus(leaf).count(e => !e.isDirectory &&
         e.getPath.getName.endsWith(suffix) && !e.getPath.getName.startsWith("."))

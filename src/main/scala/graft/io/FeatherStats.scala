@@ -108,8 +108,9 @@ object FeatherStats {
 
   private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  def toJson(batches: Seq[Map[String, ColStat]]): String = {
-    val root: java.util.List[java.util.Map[String, Any]] = batches.map { b =>
+  private def batchesToNode(batches: Seq[Map[String, ColStat]])
+      : java.util.List[java.util.Map[String, Any]] =
+    batches.map { b =>
       b.map { case (name, stat) =>
         val m = new java.util.LinkedHashMap[String, Any]()
         stat match {
@@ -125,11 +126,9 @@ object FeatherStats {
         name -> (m: Any)
       }.asJava
     }.asJava
-    mapper.writeValueAsString(root)
-  }
 
-  def fromJson(json: String): Seq[Map[String, ColStat]] = {
-    val root = mapper.readTree(json)
+  private def nodeToBatches(root: com.fasterxml.jackson.databind.JsonNode)
+      : Seq[Map[String, ColStat]] =
     (0 until root.size()).map { bi =>
       val b = root.get(bi)
       b.properties().asScala.map { e =>
@@ -146,6 +145,134 @@ object FeatherStats {
         e.getKey -> stat
       }.toMap
     }
+
+  def toJson(batches: Seq[Map[String, ColStat]]): String =
+    mapper.writeValueAsString(batchesToNode(batches))
+
+  def fromJson(json: String): Seq[Map[String, ColStat]] =
+    nodeToBatches(mapper.readTree(json))
+
+  // ---- merged per-directory stats ------------------------------------------
+  // One `_stats.json` per directory maps part NAME -> (byte length, batches).
+  // The merged file is a planning CACHE over the per-part sidecars: at 10⁵
+  // parts, one read replaces 10⁵ driver round-trips (parquet keeps row-group
+  // stats in each file's footer and still pays one footer fetch per file;
+  // merging is the step the sidecar design makes possible). Correctness
+  // guards, in order: (1) entries are keyed by part name AND validated
+  // against the discovered file LENGTH — a replaced/rewritten part stops
+  // matching and falls back to its own sidecar; (2) the file is written
+  // whole via create(overwrite) — a torn write fails JSON parsing and the
+  // whole merged file is ignored; (3) concurrent appenders can lose an
+  // update (read-modify-write race), which only UNCOVERS the lost files —
+  // sidecars remain the per-part source of truth.
+
+  /** Reserved merged-stats file name (underscore prefix: ignored by file
+    * listings the same way _SUCCESS is). */
+  val MergedName = "_stats.json"
+
+  /** Parts map of a directory's merged stats file; empty if absent/torn. */
+  def readMerged(fs: org.apache.hadoop.fs.FileSystem,
+                 dir: org.apache.hadoop.fs.Path)
+      : Map[String, (Long, Seq[Map[String, ColStat]])] = {
+    val p = new org.apache.hadoop.fs.Path(dir, MergedName)
+    try {
+      if (!fs.exists(p)) Map.empty
+      else {
+        val in = fs.open(p)
+        val txt =
+          try new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+          finally in.close()
+        val root = mapper.readTree(txt).get("parts")
+        root.properties().asScala.map { e =>
+          e.getKey -> (e.getValue.get("len").asText().toLong,
+            nodeToBatches(e.getValue.get("batches")))
+        }.toMap
+      }
+    } catch { case _: Exception => Map.empty } // torn/foreign file: no cache
+  }
+
+  /** Read-modify-write the directory's merged stats: drop `remove` names,
+    * add/replace `add` entries. Failures are swallowed — the merged file is
+    * a cache; sidecars carry the truth. */
+  def upsertMerged(fs: org.apache.hadoop.fs.FileSystem,
+                   dir: org.apache.hadoop.fs.Path,
+                   add: Map[String, (Long, Seq[Map[String, ColStat]])],
+                   remove: Set[String] = Set.empty,
+                   replaceAll: Boolean = false): Unit =
+    try {
+      val base = if (replaceAll) Map.empty[String, (Long, Seq[Map[String, ColStat]])]
+                 else readMerged(fs, dir)
+      val parts = (base -- remove) ++ add
+      val node = new java.util.LinkedHashMap[String, Any]()
+      val pm = new java.util.LinkedHashMap[String, Any]()
+      parts.toSeq.sortBy(_._1).foreach { case (name, (len, batches)) =>
+        val e = new java.util.LinkedHashMap[String, Any]()
+        e.put("len", len.toString)
+        e.put("batches", batchesToNode(batches))
+        pm.put(name, e)
+      }
+      node.put("parts", pm)
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, MergedName), true)
+      try out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
+      finally out.close()
+    } catch { case _: Exception => () }
+
+  /** Stats for each file (absolute path string, discovered length), merged
+    * files first: one `_stats.json` read per DIRECTORY covers every entry
+    * whose (name, length) matches; only uncovered files pay a per-file
+    * sidecar read. All remote reads run on a bounded pool — the planning
+    * bound is O(directories) + O(uncovered files), not O(files). */
+  def loadForFiles(conf: org.apache.hadoop.conf.Configuration,
+                   files: Seq[(String, Long)])
+      : Map[String, Option[Seq[Map[String, ColStat]]]] = {
+    if (files.isEmpty) return Map.empty
+    import org.apache.hadoop.fs.Path
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, files.size)))
+    try {
+      val byDir = files.groupBy(f => new Path(f._1).getParent.toString)
+      val mergedFuts = byDir.keys.toSeq.map { d =>
+        d -> pool.submit(new java.util.concurrent.Callable[
+            Map[String, (Long, Seq[Map[String, ColStat]])]] {
+          def call() = {
+            val dir = new Path(d)
+            readMerged(dir.getFileSystem(conf), dir)
+          }
+        })
+      }.toMap
+      val merged = mergedFuts.map { case (d, fu) => d -> fu.get() }
+      val fromMerged: Map[String, Option[Seq[Map[String, ColStat]]]] =
+        files.flatMap { case (f, len) =>
+          val p = new Path(f)
+          merged(p.getParent.toString).get(p.getName) match {
+            case Some((l, batches)) if l == len => Some(f -> Some(batches))
+            case _ => None
+          }
+        }.toMap
+      val uncovered = files.filterNot { case (f, _) => fromMerged.contains(f) }
+      val sidecarFuts = uncovered.map { case (f, _) =>
+        f -> pool.submit(new java.util.concurrent.Callable[
+            Option[Seq[Map[String, ColStat]]]] {
+          def call() = {
+            val p = new Path(new Path(f).getParent,
+              new Path(f).getName + ".stats.json")
+            try {
+              val fs = p.getFileSystem(conf)
+              if (!fs.exists(p)) None
+              else {
+                val in = fs.open(p)
+                try Some(fromJson(new String(
+                  org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+                  "UTF-8")))
+                finally in.close()
+              }
+            } catch { case _: Exception => None } // bad sidecar = no stats
+          }
+        })
+      }
+      fromMerged ++ sidecarFuts.map { case (f, fu) => f -> fu.get() }
+    } finally pool.shutdown()
   }
 
   // ---- pruning -------------------------------------------------------------

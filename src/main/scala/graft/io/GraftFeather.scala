@@ -609,7 +609,11 @@ object GraftFeather {
     }
     fs.mkdirs(out)
     val schemaFields = StructType(st.fields)
-    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+    // each task reports (part name, committed length, stats JSON) — schema-
+    // sized metadata, one row per part (the same payload a DSv2 commit
+    // message carries) — so the driver can fold one merged _stats.json
+    // beside the per-part sidecars
+    val partMeta = df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val execConf = new org.apache.hadoop.conf.Configuration(false)
       confMap.value.foreach { case (k, v) => execConf.set(k, v) }
       val attempt = Option(org.apache.spark.TaskContext.get())
@@ -628,6 +632,7 @@ object GraftFeather {
         // would silently lose the part another attempt already committed.
         // If the rename loses the race, the existing part is a COMPLETE
         // file (parts only appear via rename) — drop our tmp and succeed.
+        val statsJson = FeatherStats.toJson(pw.batchStats)
         if (!partFs.rename(tmpPart, finalPart)) {
           require(partFs.exists(finalPart),
             s"rename $tmpPart -> $finalPart failed with no winner present")
@@ -637,17 +642,26 @@ object GraftFeather {
           // write; a missing sidecar only costs pruning, never rows)
           val sc = partFs.create(
             new Path(path, finalPart.getName + ".stats.json"), true)
-          try sc.write(FeatherStats.toJson(pw.batchStats).getBytes("UTF-8"))
+          try sc.write(statsJson.getBytes("UTF-8"))
           finally sc.close()
         }
-        Iterator.single(n)
+        // stats are order-invariant, so even a lost-race attempt's ranges
+        // describe the winner's part; the length read here is the WINNER's
+        // committed length either way (the merged entry is length-validated
+        // on read)
+        Iterator.single((finalPart.getName,
+          partFs.getFileStatus(finalPart).getLen, statsJson))
       } catch {
         case e: Throwable =>
           pw.abort()
           try partFs.delete(tmpPart, false) catch { case _: Exception => () }
           throw e
       }
-    }.count(): Unit
+    }.collect()
+    FeatherStats.upsertMerged(fs, out,
+      partMeta.map { case (name, len, js) =>
+        name -> (len, FeatherStats.fromJson(js))
+      }.toMap, replaceAll = true) // write() always starts from an empty dir
     // an empty frame can optimize to a ZERO-partition RDD: no task ran, so
     // no part carries the schema — stamp one schema-only part (footer, no
     // record batches) so a later read returns an empty frame, not ENOENT

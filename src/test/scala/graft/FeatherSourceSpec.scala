@@ -194,7 +194,8 @@ class FeatherSourceSpec extends AnyFunSuite {
     GraftFeather.write(df.repartition(1), foreign, overwrite = true,
       batchSize = 100)
     new java.io.File(foreign).listFiles()
-      .filter(_.getName.endsWith(".stats.json")).foreach(_.delete())
+      .filter(f => f.getName.endsWith(".stats.json") ||
+        f.getName == graft.io.FeatherStats.MergedName).foreach(_.delete())
     val fscan = spark.read.format("feather")
       .option("maxSplitBytes", "1").load(foreign)
     assert(fscan.filter(col("s") === "x_150").rdd.getNumPartitions === 2)
@@ -505,10 +506,16 @@ class FeatherSourceSpec extends AnyFunSuite {
     val path = tmp("agg_oldcar")
     writeSample(path, rows = 800, batchSize = 256)
     // rewrite every sidecar without the reserved __n entries — the format
-    // before counts existed. Rewriting out-of-band stales Hadoop's local
-    // .crc files, so drop those too (else the read throws ChecksumException
-    // and disqualifies min/max pushdown for the wrong reason).
+    // before counts existed (and drop the merged cache, which post-dates
+    // counts: this test exercises the sidecar-era fallback). Rewriting
+    // out-of-band stales Hadoop's local .crc files, so drop those too
+    // (else the read throws ChecksumException and disqualifies min/max
+    // pushdown for the wrong reason).
     val dir = new java.io.File(path)
+    val mf = new java.io.File(dir, graft.io.FeatherStats.MergedName)
+    if (mf.exists()) { mf.delete()
+      val mc = new java.io.File(dir, "." + graft.io.FeatherStats.MergedName + ".crc")
+      if (mc.exists()) mc.delete() }
     for (sc <- dir.listFiles().filter(_.getName.endsWith(".stats.json"))) {
       val batches = graft.io.FeatherStats.fromJson(
         new String(java.nio.file.Files.readAllBytes(sc.toPath), "UTF-8"))
@@ -527,5 +534,87 @@ class FeatherSourceSpec extends AnyFunSuite {
     val mm = df.agg(min("id").as("lo"), max("id").as("hi"))
     assert(mm.queryExecution.executedPlan.toString.contains("LocalTableScan"))
     assert(mm.head().getLong(0) === 1L && mm.head().getLong(1) === 800L)
+  }
+
+  test("merged _stats.json alone answers aggregates and prunes batches") {
+    import spark.implicits._
+    val path = tmp("merged_only")
+    (1 to 1000).map(i => (i.toLong, s"n_$i")).toDF("id", "name")
+      .repartition(1).sortWithinPartitions("id")
+      .write.format("feather").mode("overwrite")
+      .option("batchSize", "100").save(path)
+    val dir = new java.io.File(path)
+    assert(new java.io.File(dir, graft.io.FeatherStats.MergedName).exists(),
+      "DSv2 commit must write the merged stats file")
+    // drop every per-file sidecar: the merged cache is the only stats left
+    dir.listFiles().filter(_.getName.endsWith(".stats.json"))
+      .foreach(_.delete())
+    def scan = spark.read.format("feather")
+      .option("maxSplitBytes", "1").load(path)
+    // batch skipping from the merged file (9 of 10 batches proven empty)
+    assert(scan.filter(col("id") > 900L).rdd.getNumPartitions === 1)
+    assert(scan.filter(col("id") > 900L).count() === 100)
+    // aggregate pushdown from the merged file
+    val agged = spark.read.format("feather").load(path)
+      .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
+    assert(agged.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(agged.head() === org.apache.spark.sql.Row(1000L, 1L, 1000L))
+  }
+
+  test("merged entries are length-validated; torn merged files are ignored") {
+    import spark.implicits._
+    val path = tmp("merged_guard")
+    (1 to 500).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .repartition(1).sortWithinPartitions("id")
+      .write.format("feather").mode("overwrite")
+      .option("batchSize", "100").save(path)
+    val dir = new java.io.File(path)
+    dir.listFiles().filter(_.getName.endsWith(".stats.json"))
+      .foreach(_.delete())
+    val mf = new java.io.File(dir, graft.io.FeatherStats.MergedName)
+    def rewrite(f: java.io.File)(xf: String => String): Unit = {
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      java.nio.file.Files.write(f.toPath, xf(txt).getBytes("UTF-8"))
+      val crc = new java.io.File(f.getParentFile, "." + f.getName + ".crc")
+      if (crc.exists()) crc.delete()
+    }
+    // 1. length mismatch: the entry stops matching the discovered file —
+    // aggregate pushdown bails (no sidecars left to fall back to), the
+    // data scan still answers correctly
+    rewrite(mf)(_.replaceAll("\"len\":\"\\d+\"", "\"len\":\"1\""))
+    val agged = spark.read.format("feather").load(path)
+      .agg(count(lit(1)).as("n"))
+    assert(agged.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "length-mismatched merged entries must not answer aggregates")
+    assert(agged.head().getLong(0) === 500L)
+    // pruning is likewise disabled, never correctness
+    val scan = spark.read.format("feather")
+      .option("maxSplitBytes", "1").load(path)
+    assert(scan.filter(col("id") > 450L).rdd.getNumPartitions === 5)
+    assert(scan.filter(col("id") > 450L).count() === 50)
+    // 2. torn write: invalid JSON is ignored wholesale, reads are unharmed
+    rewrite(mf)(txt => txt.substring(0, txt.length / 2))
+    assert(spark.read.format("feather").load(path).count() === 500)
+    assert(spark.read.format("feather").load(path)
+      .agg(count(lit(1))).queryExecution.executedPlan.toString
+      .contains("BatchScan"))
+  }
+
+  test("append commits fold new parts into the merged stats") {
+    import spark.implicits._
+    val path = tmp("merged_append")
+    (1 to 300).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .repartition(1).write.format("feather").mode("overwrite").save(path)
+    (301 to 500).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .repartition(1).write.format("feather").mode("append").save(path)
+    val dir = new java.io.File(path)
+    // merged covers BOTH commits' parts: delete sidecars, count must answer
+    dir.listFiles().filter(_.getName.endsWith(".stats.json"))
+      .foreach(_.delete())
+    val agged = spark.read.format("feather").load(path)
+      .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
+    assert(agged.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "append must fold its parts into the merged stats")
+    assert(agged.head() === org.apache.spark.sql.Row(500L, 1L, 500L))
   }
 }
