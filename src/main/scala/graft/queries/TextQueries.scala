@@ -737,6 +737,126 @@ object TextQueries extends QueryPack {
     rows.reduce(_ unionByName _).orderBy("round")
   }
 
+  // Shared CTE chain for the BPE ENCODE pair (merge-table derivation +
+  // rank-ordered application), spliced into both oracles below.
+  private val bpeEncodeCtes =
+    """wf AS (
+      |  SELECT word, count(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE length(word) >= 2 GROUP BY word),
+      |s0 AS (SELECT word, freq, string_split(word, '') AS syms FROM wf),
+      |pc AS (SELECT ps.a AS a, ps.b AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+      |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+      |      i -> struct_pack(a := syms[i], b := syms[i+1]))) AS ps
+      |    FROM s0 WHERE len(syms) >= 2)
+      |  GROUP BY 1, 2),
+      |merges AS (SELECT a, b,
+      |    CAST(row_number() OVER (ORDER BY cnt DESC, a, b) AS BIGINT) AS mrank
+      |  FROM (SELECT * FROM pc ORDER BY cnt DESC, a, b LIMIT 24)),
+      |enc AS (
+      |  SELECT word, freq, syms, 0 AS r FROM s0
+      |  UNION ALL
+      |  SELECT e.word, e.freq,
+      |    list_reduce(list_prepend(CAST([] AS VARCHAR[]),
+      |        list_transform(e.syms, x -> [x])),
+      |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a AND x[1] = m.b
+      |        THEN list_append(acc[1:len(acc)-1], m.a || m.b)
+      |        ELSE list_append(acc, x[1]) END) AS syms,
+      |    e.r + 1 AS r
+      |  FROM enc e JOIN merges m ON m.mrank = e.r + 1)""".stripMargin
+
+  /** Merge-table derivation + rank-ordered application shared by the two
+    * encode queries: top-24 pairs by corpus frequency become the ranked
+    * table; each word folds over the table, one greedy left-to-right merge
+    * pass per rank (the apply-in-creation-order discipline — equal to
+    * classic BPE encoding when each merge's parts predate it, which a
+    * frequency-ranked one-shot table satisfies for its own prefixes).
+    * Returns (word, freq, enc: array<string>) over the DISTINCT vocabulary
+    * — the fold is O(vocab), never O(corpus). */
+  private def bpeEncodedVocab(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wf = Tables.documents(s, d)
+      .select(explode(tokenize(col("text"))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val s0 = wf.select(col("word"), col("freq"),
+      characterTokenize(col("word")).as("syms"))
+    val pc = s0.filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+          "i -> struct(element_at(syms, i) as a, element_at(syms, i+1) as b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+    // 24 rows: the documented small-relation Window exemption (like k-means
+    // centroid collection); collected to ONE array row and broadcast
+    val merges = pc.orderBy(col("cnt").desc, col("a"), col("b")).limit(24)
+      .withColumn("mrank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("a"), col("b"))))
+      .agg(sort_array(collect_list(struct(col("mrank"), col("a"), col("b"))))
+        .as("ms"))
+    s0.crossJoin(broadcast(merges))
+      .withColumn("enc", expr(
+        """aggregate(ms, syms, (acc, m) ->
+          |  aggregate(acc, cast(array() as array<string>), (a2, x) ->
+          |    CASE WHEN size(a2) > 0 AND element_at(a2, -1) = m.a AND x = m.b
+          |      THEN concat(slice(a2, 1, size(a2) - 1), array(concat(m.a, m.b)))
+          |      ELSE concat(a2, array(x)) END))""".stripMargin))
+      .select(col("word"), col("freq"), col("enc"))
+  }
+
+  // --- BPE ENCODE (nvtext/byte_pair_encoding.hpp: cuDF's
+  // nvtext::byte_pair_encoding applies a trained merge-pair table to
+  // strings) -----------------------------------------------------------------
+  // The SERVING side of the tokenizer loop (text_bpe_train is the learning
+  // side): rank-ordered merge passes over the distinct vocabulary.
+  register("text_bpe_encode",
+    s"""WITH RECURSIVE $bpeEncodeCtes
+       |SELECT word, freq, array_to_string(syms, ' ') AS tokens,
+       |  CAST(len(syms) AS BIGINT) AS n_tokens
+       |FROM enc WHERE r = 24 AND freq >= 5 ORDER BY word""".stripMargin) { (s, d) =>
+    bpeEncodedVocab(s, d)
+      .filter(col("freq") >= 5)
+      .select(col("word"), col("freq"),
+        concat_ws(" ", col("enc")).as("tokens"),
+        size(col("enc")).cast(LongType).as("n_tokens"))
+      .orderBy("word")
+  }
+
+  // --- BPE fertility: corpus token counts under the learned tokenizer ------
+  // tokens-per-word by document — the metric that prices a tokenizer
+  // against a corpus (fertility ≈ how many BPE tokens a word costs; budget
+  // planning divides corpus token counts by it). Scale shape: the encoded
+  // vocabulary (O(distinct words)) BROADCASTS into the corpus-side word
+  // stream — the corpus pays one scan and one broadcast-join, no shuffle
+  // except the per-doc aggregation. Words shorter than 2 chars count one
+  // token by definition on both sides.
+  register("text_bpe_fertility",
+    s"""WITH RECURSIVE $bpeEncodeCtes,
+       |wt AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_tokens
+       |  FROM enc WHERE r = 24),
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents)
+       |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(COALESCE(wt.n_tokens, 1)) AS BIGINT) AS n_bpe_tokens,
+       |  round(CAST(sum(COALESCE(wt.n_tokens, 1)) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE), 6) AS fertility
+       |FROM dw LEFT JOIN wt ON dw.word = wt.word
+       |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin) { (s, d) =>
+    val wt = bpeEncodedVocab(s, d)
+      .select(col("word"), size(col("enc")).cast(LongType).as("n_tokens"))
+    val dw = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokenize(col("text"))).as("word"))
+    dw.join(broadcast(wt), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_tokens"), lit(1L))).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast(DoubleType) /
+          col("n_words").cast(DoubleType), 6).as("fertility"))
+      .orderBy("doc_id")
+  }
+
   // --- fastText-style linear quality classifier ------------------------------
   // The model-based tier of quality filtering (fastText/CCNet-style): a
   // linear model over HASHED unigram features, mean-pooled, thresholded at
