@@ -45,6 +45,13 @@ private[graft] object Compaction {
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     require(fs.exists(root), s"Compaction: $path does not exist")
+    // a snapshotted table's retained versions still reference the input
+    // parts this job would DELETE — compaction must go through a manifest
+    // commit (rewrite + new snapshot + expire), which this engine does not
+    // implement yet. Refuse loudly rather than corrupt time travel.
+    require(!fs.exists(new Path(root, "_snapshots")),
+      s"Compaction: $path carries _snapshots manifests; compacting would " +
+        "delete parts retained versions reference. Expire snapshots first.")
 
     // leaves = every directory directly holding data parts (the bare dir,
     // or hive key=value leaves); service dirs (_compact, _temporary) skip

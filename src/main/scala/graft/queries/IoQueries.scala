@@ -58,7 +58,7 @@ object IoQueries extends QueryPack {
     "io_orc_foreign_timezone",
     "io_avro_dsv2", "io_feather_dsv2", "io_feather_partitioned",
     "io_feather_skipping", "io_feather_compact", "io_avro_compact",
-    "io_feather_agg_pushdown")
+    "io_feather_agg_pushdown", "io_feather_time_travel")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
   // (cudf/io/csv.py:15 dtype=, header=; csv.hpp:48)
@@ -776,6 +776,34 @@ object IoQueries extends QueryPack {
     require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
       s"aggregate did not push into the sidecar index:\n$plan")
     df
+  }
+
+  // Snapshot manifests end-to-end (sources/FeatherSnapshots.scala): two
+  // commits (overwrite then append) publish numbered manifests; the read
+  // side plans v1 and latest off their manifests — no directory listing —
+  // and the ORACLE pins that both versions reproduce their exact states
+  // from the source-of-truth parquet. At 100 TB this is the atomic-commit
+  // + consistent-read story a drop directory can't give: readers never see
+  // a half-committed write, and overwrite retires data logically (vacuum
+  // is explicit) so in-flight readers finish against intact files.
+  register("io_feather_time_travel",
+    """SELECT v, c_custkey, c_mktsegment FROM (
+      |  SELECT 1 AS v, c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 600
+      |  UNION ALL
+      |  SELECT 2 AS v, c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 900)
+      |ORDER BY v, c_custkey""".stripMargin) { (s, d) =>
+    val path = readFixture("feather_time_travel", d) { p =>
+      val src = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+      src.filter(col("c_custkey") <= 600).write.format("feather")
+        .mode("overwrite").option("snapshots", "true").save(p)
+      src.filter(col("c_custkey") > 600 && col("c_custkey") <= 900)
+        .write.format("feather").mode("append").save(p)
+    }
+    val v1 = s.read.format("feather").option("versionAsOf", "1").load(path)
+      .withColumn("v", lit(1))
+    val v2 = s.read.format("feather").load(path).withColumn("v", lit(2))
+    v1.unionByName(v2).select("v", "c_custkey", "c_mktsegment")
+      .orderBy("v", "c_custkey")
   }
 
   // Small-file compaction end-to-end (io/FeatherCompact.scala): a 16-part

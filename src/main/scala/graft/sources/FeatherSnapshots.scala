@@ -1,0 +1,191 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Snapshot manifests for the feather DSv2 connector: a `_snapshots/`
+  * directory of numbered JSON manifests, each the COMPLETE list of live
+  * data files at one version. Modeled on the table-format idea parquet
+  * directories lack (Iceberg/Delta commit logs; the reference gets
+  * consistency for free from single-process ownership — a distributed
+  * 100-TB table does not):
+  *
+  *  - **Atomic multi-file commits**: a write renames its parts, then
+  *    publishes ONE manifest with create-exclusive semantics. Readers
+  *    either see the whole commit or none of it — never a half-renamed
+  *    directory.
+  *  - **O(1) planning**: a snapshot read opens two files (latest-version
+  *    probe + manifest) instead of listing a 10⁵-object prefix — on object
+  *    stores, listing is the slow, eventually-consistent operation.
+  *  - **Snapshot isolation + time travel**: overwrite publishes a manifest
+  *    that REFERENCES new files without deleting old ones, so concurrent
+  *    readers of version N finish against intact files and
+  *    `option("versionAsOf", n)` reproduces any retained version.
+  *  - **Explicit vacuum**: `expire(keepLast)` retires old manifests and
+  *    deletes data files no kept version references — physical deletion is
+  *    a separate, deliberate operation, never a side effect of a write.
+  *
+  * Manifest paths are RELATIVE to the table root (the manifest survives a
+  * directory move/copy) and may contain `key=value/` segments, so hive
+  * partition pruning works straight off the manifest without any listing.
+  */
+private[graft] object FeatherSnapshots {
+
+  val Dir = "_snapshots"
+
+  /** files = (root-relative path, byte length), sorted by path. */
+  final case class Snapshot(version: Long, parent: Long, op: String,
+                            files: Seq[(String, Long)])
+
+  private def snapDir(root: Path) = new Path(root, Dir)
+  private def snapPath(root: Path, v: Long) =
+    new Path(snapDir(root), f"v$v%08d.json")
+
+  def enabled(fs: FileSystem, root: Path): Boolean =
+    try fs.exists(snapDir(root)) catch { case _: Exception => false }
+
+  def latestVersion(fs: FileSystem, root: Path): Option[Long] = {
+    val d = snapDir(root)
+    if (!fs.exists(d)) None
+    else fs.listStatus(d).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .maxOption
+  }
+
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def read(fs: FileSystem, root: Path, version: Long): Snapshot = {
+    val p = snapPath(root, version)
+    require(fs.exists(p),
+      s"feather snapshot v$version does not exist under $root/$Dir " +
+        "(expired or never committed)")
+    val in = fs.open(p)
+    val txt =
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    val n = mapper.readTree(txt)
+    Snapshot(n.get("version").asText().toLong, n.get("parent").asText().toLong,
+      n.get("op").asText(),
+      (0 until n.get("files").size()).map { i =>
+        val f = n.get("files").get(i)
+        (f.get("p").asText(), f.get("len").asText().toLong)
+      })
+  }
+
+  /** The snapshot a read plans against: `versionAsOf` pins a version
+    * (loud error if the table has no snapshots or the version is gone);
+    * otherwise the latest, or None for a legacy listing-based directory. */
+  def resolve(fs: FileSystem, root: Path, versionAsOf: Option[Long])
+      : Option[Snapshot] = versionAsOf match {
+    case Some(v) =>
+      require(enabled(fs, root),
+        s"versionAsOf=$v on $root, which has no $Dir directory — time " +
+          "travel needs snapshot commits (write with option(\"snapshots\", \"true\"))")
+      Some(read(fs, root, v))
+    case None => latestVersion(fs, root).map(read(fs, root, _))
+  }
+
+  /** Publish the next version. `mkFiles(parentFiles)` builds the new
+    * complete file list from the parent snapshot's (append folds them in,
+    * overwrite ignores them); the create-exclusive manifest write makes
+    * the version number the arbiter under concurrent committers — the
+    * loser recomputes against the winner's files and retries. */
+  def commit(fs: FileSystem, root: Path, op: String)
+            (mkFiles: Seq[(String, Long)] => Seq[(String, Long)]): Long = {
+    fs.mkdirs(snapDir(root))
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= 20,
+        s"feather snapshot commit on $root lost ${attempt - 1} races; giving up")
+      val parent = latestVersion(fs, root)
+      val parentFiles = parent.map(read(fs, root, _).files).getOrElse(Nil)
+      val v = parent.getOrElse(0L) + 1
+      val files = mkFiles(parentFiles).distinct.sortBy(_._1)
+      val node = new java.util.LinkedHashMap[String, Any]()
+      node.put("version", v.toString)
+      node.put("parent", parent.getOrElse(0L).toString)
+      node.put("op", op)
+      node.put("files", files.map { case (p, len) =>
+        val f = new java.util.LinkedHashMap[String, Any]()
+        f.put("p", p); f.put("len", len.toString)
+        f: Any
+      }.asJava)
+      try {
+        // create-exclusive: exactly one committer wins each version number
+        val out = fs.create(snapPath(root, v), false)
+        try out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
+        finally out.close()
+        return v
+      } catch {
+        case _: java.io.IOException if fs.exists(snapPath(root, v)) =>
+          () // lost the race: recompute against the winner and retry
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Retire all but the last `keepLast` snapshots and DELETE every data
+    * file (and its stats sidecar) no kept snapshot references. Returns
+    * (snapshots removed, data files removed). */
+  def expire(fs: FileSystem, root: Path, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val versions = {
+      val d = snapDir(root)
+      if (!fs.exists(d)) return (0, 0)
+      fs.listStatus(d).iterator.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+          n.stripPrefix("v").stripSuffix(".json").toLong }
+        .toSeq.sorted
+    }
+    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
+    if (drop.isEmpty) return (0, 0)
+    val kept: Set[String] =
+      keep.flatMap(v => read(fs, root, v).files.map(_._1)).toSet
+    val dropped: Set[String] =
+      drop.flatMap(v => read(fs, root, v).files.map(_._1)).toSet
+    var removedFiles = 0
+    // delete unreferenced data files first, manifests last: a crash
+    // mid-expire leaves dangling manifests (loud on read), never kept
+    // versions with missing files
+    (dropped -- kept).toSeq.sorted.foreach { rel =>
+      val p = new Path(root, rel)
+      if (fs.delete(p, false)) removedFiles += 1
+      fs.delete(new Path(p.getParent, p.getName + ".stats.json"), false)
+    }
+    drop.foreach(v => fs.delete(snapPath(root, v), false))
+    (drop.size, removedFiles)
+  }
+
+  /** A snapshot's file list as discovery output: partition values parsed
+    * from `key=value/` segments of the RELATIVE paths — same contract as
+    * the walking discovery, no listing involved. */
+  def toDiscovered(root: Path, snap: Snapshot)
+      : FeatherPartitions.Discovered = {
+    val leaves = snap.files.map { case (rel, len) =>
+      val segs = rel.split('/')
+      val values = segs.dropRight(1).toSeq.flatMap { seg =>
+        val eq = seg.indexOf('=')
+        if (eq <= 0) None
+        else {
+          val raw = seg.substring(eq + 1)
+          Some(java.net.URLDecoder.decode(seg.substring(0, eq), "UTF-8") ->
+            (if (raw == FeatherPartitions.HiveNull) null
+             else java.net.URLDecoder.decode(raw, "UTF-8")))
+        }
+      }
+      FeatherPartitions.LeafFile(new Path(root, rel).toString, len, values)
+    }
+    require(leaves.nonEmpty,
+      s"feather snapshot v${snap.version} under $root lists no files")
+    val chains = leaves.map(_.values.map(_._1)).distinct
+    require(chains.size == 1,
+      s"inconsistent partition layouts in snapshot v${snap.version}: " +
+        chains.mkString(" vs "))
+    FeatherPartitions.Discovered(chains.head, leaves.sortBy(_.file))
+  }
+}

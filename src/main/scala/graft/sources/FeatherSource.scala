@@ -46,8 +46,8 @@ class FeatherDataSource extends TableProvider with DataSourceRegister {
     // partition columns the directory layout declares; the every-file
     // split sweep runs once, at scan time
     val spark = SparkSession.active
-    val disc = FeatherPartitions.discover(spark, pathOf(options),
-      Seq(".feather", ".arrow"))
+    val disc = FeatherDiscovery.discover(spark, pathOf(options),
+      Option(options.get("versionasof")).map(_.toLong))
     val fields = GraftFeather.readFields(spark, disc.files.head.file)
     StructType(fields.map(f => org.apache.spark.sql.types.StructField(
       f.getName, GraftFeather.toSparkType(f), f.isNullable)) ++
@@ -59,14 +59,32 @@ class FeatherDataSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties) // keys arrive raw
     new FeatherTable(schema, pathOf(opts),
       Option(opts.get("maxsplitbytes")).map(_.toLong)
-        .getOrElse(128L << 20))
+        .getOrElse(128L << 20),
+      Option(opts.get("versionasof")).map(_.toLong))
   }
 
   override def supportsExternalMetadata(): Boolean = true
 }
 
+/** Snapshot-aware discovery: a table with a `_snapshots/` directory plans
+  * off its manifest (two file reads, zero listings, time travel via
+  * `versionAsOf`); anything else walks the directory as before. */
+private object FeatherDiscovery {
+  def discover(spark: SparkSession, path: String,
+               versionAsOf: Option[Long]): FeatherPartitions.Discovered = {
+    val rp = new org.apache.hadoop.fs.Path(path)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    FeatherSnapshots.resolve(fs, rp, versionAsOf) match {
+      case Some(snap) => FeatherSnapshots.toDiscovered(rp, snap)
+      case None =>
+        FeatherPartitions.discover(spark, path, Seq(".feather", ".arrow"))
+    }
+  }
+}
+
 private class FeatherTable(tableSchema: StructType, path: String,
-                           maxSplitBytes: Long)
+                           maxSplitBytes: Long,
+                           versionAsOf: Option[Long])
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"feather `$path`"
@@ -81,6 +99,7 @@ private class FeatherTable(tableSchema: StructType, path: String,
       // .option("maxSplitBytes", …) actually arrives)
       Option(options.get("maxsplitbytes")).map(_.toLong)
         .getOrElse(maxSplitBytes),
+      Option(options.get("versionasof")).map(_.toLong).orElse(versionAsOf),
       Option(options.get("maxfilespertrigger")).map(_.toInt))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -90,6 +109,7 @@ private class FeatherTable(tableSchema: StructType, path: String,
 
 private class FeatherScanBuilder(fullSchema: StructType, path: String,
                                  maxSplitBytes: Long,
+                                 versionAsOf: Option[Long],
                                  maxFilesPerTrigger: Option[Int])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
@@ -131,7 +151,8 @@ private class FeatherScanBuilder(fullSchema: StructType, path: String,
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     if (aggAnswer.isEmpty)
-      aggAnswer = FeatherAggPushdown.answer(path, fullSchema, agg, allFilters)
+      aggAnswer = FeatherAggPushdown.answer(path, fullSchema, agg, allFilters,
+        versionAsOf)
     aggAnswer.nonEmpty
   }
   override def pushAggregation(
@@ -141,7 +162,7 @@ private class FeatherScanBuilder(fullSchema: StructType, path: String,
     case Some((schema, row)) => new FeatherLocalScan(path, schema, Array(row))
     case None =>
       new FeatherScan(required, path, maxSplitBytes, limit, skipFilters.toSeq,
-        allFilters.toSeq, maxFilesPerTrigger)
+        allFilters.toSeq, versionAsOf, maxFilesPerTrigger)
   }
 }
 
@@ -176,7 +197,8 @@ private object FeatherAggPushdown {
 
   /** None = not answerable (caller falls back to the data scan). */
   def answer(path: String, fullSchema: StructType, agg: Aggregation,
-             pushedFilters: Array[org.apache.spark.sql.sources.Filter])
+             pushedFilters: Array[org.apache.spark.sql.sources.Filter],
+             versionAsOf: Option[Long])
       : Option[(StructType, InternalRow)] = {
     if (pushedFilters.nonEmpty || agg.groupByExpressions().nonEmpty) return None
     // plan: Left(()) = COUNT(*), Right((field, wantMin)) = MIN/MAX(field)
@@ -194,7 +216,7 @@ private object FeatherAggPushdown {
     }
     val spark = SparkSession.active
     val disc =
-      try FeatherPartitions.discover(spark, path, Seq(".feather", ".arrow"))
+      try FeatherDiscovery.discover(spark, path, versionAsOf)
       catch { case _: Exception => return None }
     for (Right((c, _)) <- plan)
       if (disc.partCols.contains(c) || !fullSchema.fieldNames.contains(c) ||
@@ -284,6 +306,7 @@ private class FeatherScan(readSchema0: StructType, path: String,
                           maxSplitBytes: Long, limit: Int,
                           skipFilters: Seq[org.apache.spark.sql.sources.Filter],
                           pruneFilters: Seq[org.apache.spark.sql.sources.Filter],
+                          versionAsOf: Option[Long],
                           maxFilesPerTrigger: Option[Int])
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = readSchema0
@@ -297,8 +320,7 @@ private class FeatherScan(readSchema0: StructType, path: String,
   // filters on partition columns eliminate whole key=value directories
   // BEFORE any footer is opened
   private lazy val surviving: Seq[FeatherPartitions.LeafFile] = {
-    val disc = FeatherPartitions.discover(SparkSession.active, path,
-      Seq(".feather", ".arrow"))
+    val disc = FeatherDiscovery.discover(SparkSession.active, path, versionAsOf)
     val ps = disc.partSchema
     if (disc.partCols.isEmpty || pruneFilters.isEmpty) disc.files
     else disc.files.filter(FeatherPartitions.survives(_, ps, pruneFilters))
@@ -412,7 +434,8 @@ private class FeatherWriteBuilder(
   override def build(): org.apache.spark.sql.connector.write.Write =
     new FeatherWrite(info.schema(), path, doTruncate,
       Option(info.options.get("codec")).getOrElse("lz4"),
-      Option(info.options.get("batchsize")).map(_.toInt).getOrElse(4096))
+      Option(info.options.get("batchsize")).map(_.toInt).getOrElse(4096),
+      Option(info.options.get("snapshots")).exists(_.toBoolean))
 }
 
 private case class FeatherCommitMessage(tmpName: String, partitionId: Int,
@@ -420,7 +443,8 @@ private case class FeatherCommitMessage(tmpName: String, partitionId: Int,
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private class FeatherWrite(st: StructType, path: String, truncate: Boolean,
-                           codec: String, batchSize: Int)
+                           codec: String, batchSize: Int,
+                           snapshotsOpt: Boolean)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite {
   // fail on unmappable schemas / bad options BEFORE tasks launch
@@ -449,14 +473,33 @@ private class FeatherWrite(st: StructType, path: String, truncate: Boolean,
     val out = new org.apache.hadoop.fs.Path(path)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = messages.collect { case m: FeatherCommitMessage => m }
-    if (truncate) // overwrite: drop pre-existing parts, keep the new tmps
+    // snapshot mode: requested on this write, or the table already carries
+    // a _snapshots directory (once snapshotted, every commit must publish
+    // a manifest or manifest-planned reads would miss it)
+    val snapMode = snapshotsOpt || FeatherSnapshots.enabled(fs, out)
+    if (truncate && !snapMode) // overwrite: drop pre-existing parts
       fs.listStatus(out).filter(_.getPath.getName.endsWith(".feather"))
         .foreach(s => fs.delete(s.getPath, false))
+    // snapshot overwrite deletes NOTHING: old parts stay on disk for
+    // concurrent readers and time travel; expire() reclaims them later.
+    // Part names carry an epoch-nanos tag in snapshot mode so an
+    // overwrite's parts can never collide with a retained generation's.
+    val gen = if (snapMode) f"-g${System.nanoTime()}%x" else ""
+    // first snapshot on a legacy directory via append: absorb the
+    // pre-existing parts into v1, or manifest-planned reads would lose them
+    val legacySeed: Seq[(String, Long)] =
+      if (snapMode && !truncate &&
+          FeatherSnapshots.latestVersion(fs, out).isEmpty)
+        fs.listStatus(out).filter { x =>
+          val n = x.getPath.getName
+          n.endsWith(".feather") && !n.startsWith(".")
+        }.map(x => (x.getPath.getName, x.getLen)).toSeq
+      else Nil
     val mergedAdd = committed.map { m =>
       val tmp = new org.apache.hadoop.fs.Path(path, m.tmpName)
       val fin = new org.apache.hadoop.fs.Path(path,
         f"part-${m.partitionId}%05d-${java.util.UUID.nameUUIDFromBytes(
-          m.tmpName.getBytes("UTF-8"))}.feather")
+          m.tmpName.getBytes("UTF-8"))}$gen.feather")
       require(fs.rename(tmp, fin), s"commit rename $tmp -> $fin failed")
       val sc = fs.create(new org.apache.hadoop.fs.Path(path,
         fin.getName + ".stats.json"), true)
@@ -464,16 +507,29 @@ private class FeatherWrite(st: StructType, path: String, truncate: Boolean,
       fin.getName -> (m.bytes, graft.io.FeatherStats.fromJson(m.statsJson))
     }.toMap
     // one merged _stats.json per commit: overwrite replaces it whole,
-    // append folds the new parts into the existing map
+    // append folds the new parts in. Snapshot mode always folds — retained
+    // generations keep their stats coverage for time-travel reads.
     graft.io.FeatherStats.upsertMerged(fs, out, mergedAdd,
-      replaceAll = truncate)
+      replaceAll = truncate && !snapMode)
     // zero tasks or all-empty input: stamp one schema-only part so reads
     // see the schema (same contract as GraftFeather.write)
+    var stamped: Option[(String, Long)] = None
     if (!fs.listStatus(out).exists(_.getPath.getName.endsWith(".feather"))) {
+      val stampName = s"part-00000$gen.feather"
       val pw = new GraftFeather.FeatherPartWriter(st,
-        fs.create(new org.apache.hadoop.fs.Path(out, "part-00000.feather"),
+        fs.create(new org.apache.hadoop.fs.Path(out, stampName),
           true), "none", batchSize)
       pw.finish()
+      stamped = Some(stampName -> fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(out, stampName)).getLen)
+    }
+    if (snapMode) {
+      val newFiles = mergedAdd.map { case (n, (len, _)) => (n, len) }.toSeq ++
+        stamped.toSeq
+      FeatherSnapshots.commit(fs, out,
+        if (truncate) "overwrite" else "append") { parentFiles =>
+        if (truncate) newFiles else legacySeed ++ parentFiles ++ newFiles
+      }
     }
     fs.create(new org.apache.hadoop.fs.Path(out, "_SUCCESS"), true).close()
   }
@@ -548,9 +604,18 @@ private class FeatherStreamingWrite(st: StructType, path: String,
             (m.bytes, graft.io.FeatherStats.fromJson(m.statsJson)))
         }
       }.toMap
-    if (mergedAdd.nonEmpty)
-      graft.io.FeatherStats.upsertMerged(fs,
-        new org.apache.hadoop.fs.Path(path), mergedAdd)
+    if (mergedAdd.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(path)
+      graft.io.FeatherStats.upsertMerged(fs, root, mergedAdd)
+      // a snapshotted drop directory gets one appended manifest per epoch
+      // (replayed epochs contribute no parts and publish nothing); the
+      // streaming READ stays listing-based — its exactly-once contract
+      // lives in the checkpointed file-set offsets, not the manifest
+      if (FeatherSnapshots.enabled(fs, root))
+        FeatherSnapshots.commit(fs, root, "append") { parentFiles =>
+          parentFiles ++ mergedAdd.map { case (n, (len, _)) => (n, len) }
+        }
+    }
   }
 
   override def abort(

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.FeatherSnapshots
+
+/** Snapshot manifests on the feather DSv2 connector: atomic commits,
+  * manifest-planned reads (no listing), time travel, and explicit vacuum. */
+class FeatherSnapshotsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  // snapshot state is deliberately persistent, so each test starts from a
+  // WIPED directory — a re-run would otherwise keep appending versions
+  private def tmp(n: String): String = {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_feather_snap/$n"
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(p))
+    p
+  }
+  private def fsOf(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeV(path: String, lo: Int, hi: Int, mode: String): Unit = {
+    import spark.implicits._
+    (lo to hi).map(i => (i.toLong, s"n_$i")).toDF("id", "name")
+      .repartition(1).write.format("feather").mode(mode)
+      .option("snapshots", "true").save(path)
+  }
+
+  test("commits publish numbered manifests; overwrite retains old files") {
+    val path = tmp("versions")
+    writeV(path, 1, 100, "overwrite")    // v1
+    writeV(path, 101, 150, "append")     // v2
+    writeV(path, 201, 220, "overwrite")  // v3: REPLACES the table contents
+    val fs = fsOf(path)
+    assert(FeatherSnapshots.latestVersion(fs, new Path(path)) === Some(3L))
+    // latest read sees only v3's rows
+    val latest = spark.read.format("feather").load(path)
+    assert(latest.count() === 20)
+    assert(latest.agg(min("id"), max("id")).head() ===
+      org.apache.spark.sql.Row(201L, 220L))
+    // time travel: v1 and v2 reproduce their exact states
+    def asOf(v: Int) = spark.read.format("feather")
+      .option("versionAsOf", v.toString).load(path)
+    assert(asOf(1).count() === 100)
+    assert(asOf(2).count() === 150)
+    assert(asOf(2).agg(max("id")).head().getLong(0) === 150L)
+    // the overwrite deleted nothing: v1's parts are still on disk
+    val snap1 = FeatherSnapshots.read(fs, new Path(path), 1L)
+    snap1.files.foreach { case (rel, len) =>
+      assert(fs.getFileStatus(new Path(path, rel)).getLen === len,
+        s"v1 part $rel must survive the v3 overwrite")
+    }
+  }
+
+  test("reads plan off the manifest, not the listing") {
+    import spark.implicits._
+    val path = tmp("no_listing")
+    writeV(path, 1, 50, "overwrite")
+    // drop a foreign part into the directory OUTSIDE any snapshot commit:
+    // a listing-based read would pick it up; a manifest read must not
+    val donorDir = tmp("donor")
+    (1000L to 1009L).map(i => (i, s"x_$i")).toDF("id", "name")
+      .repartition(1).write.format("feather").mode("append").save(donorDir)
+    val donor = new java.io.File(donorDir).listFiles()
+      .filter(_.getName.endsWith(".feather")).head
+    java.nio.file.Files.copy(donor.toPath,
+      new java.io.File(path, "foreign-part.feather").toPath)
+    val df = spark.read.format("feather").load(path)
+    assert(df.count() === 50, "manifest read must ignore unreferenced files")
+    assert(df.agg(max("id")).head().getLong(0) === 50L)
+  }
+
+  test("stats keep working on snapshot tables: agg pushdown and skipping") {
+    import spark.implicits._
+    val path = tmp("stats")
+    (1 to 1000).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .repartition(1).sortWithinPartitions("id")
+      .write.format("feather").mode("overwrite")
+      .option("snapshots", "true").option("batchSize", "100").save(path)
+    val agged = spark.read.format("feather").load(path)
+      .agg(count(lit(1)).as("n"), max("id").as("hi"))
+    assert(agged.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(agged.head() === org.apache.spark.sql.Row(1000L, 1000L))
+    val scan = spark.read.format("feather")
+      .option("maxSplitBytes", "1").load(path)
+    assert(scan.filter(col("id") > 900L).rdd.getNumPartitions === 1)
+    assert(scan.filter(col("id") > 900L).count() === 100)
+  }
+
+  test("expire deletes unreferenced files and makes old versions loud") {
+    val path = tmp("expire")
+    writeV(path, 1, 80, "overwrite")   // v1
+    writeV(path, 81, 90, "append")     // v2
+    writeV(path, 501, 520, "overwrite")// v3
+    val fs = fsOf(path)
+    val v1Files = FeatherSnapshots.read(fs, new Path(path), 1L).files
+    val (snapsGone, filesGone) =
+      FeatherSnapshots.expire(fs, new Path(path), keepLast = 1)
+    assert(snapsGone === 2)
+    assert(filesGone > 0)
+    // v1's parts are physically gone (v3 shares none of them)
+    v1Files.foreach { case (rel, _) =>
+      assert(!fs.exists(new Path(path, rel)), s"$rel should be vacuumed")
+    }
+    // latest still reads; expired version errors loudly
+    assert(spark.read.format("feather").load(path).count() === 20)
+    val e = intercept[Exception] {
+      spark.read.format("feather").option("versionAsOf", "1").load(path).count()
+    }
+    assert(e.getMessage.contains("expired") ||
+      e.getMessage.contains("does not exist"))
+  }
+
+  test("versionAsOf on a non-snapshot table fails loudly; compaction refuses") {
+    import spark.implicits._
+    val plain = tmp("plain")
+    (1 to 10).map(i => (i.toLong, s"p_$i")).toDF("id", "name")
+      .repartition(1).write.format("feather").mode("overwrite").save(plain)
+    val e = intercept[Exception] {
+      spark.read.format("feather").option("versionAsOf", "1").load(plain).count()
+    }
+    assert(e.getMessage.contains("no _snapshots"))
+    val snapped = tmp("no_compact")
+    writeV(snapped, 1, 30, "overwrite")
+    val e2 = intercept[Exception] {
+      graft.io.FeatherCompact.compact(spark, snapped, targetBytes = 1L << 30)
+    }
+    assert(e2.getMessage.contains("_snapshots"))
+  }
+
+  test("once snapshotted, plain writes keep publishing manifests") {
+    import spark.implicits._
+    val path = tmp("sticky")
+    writeV(path, 1, 40, "overwrite") // v1, opted in
+    // a later writer "forgets" the option: the commit still snapshots
+    (41L to 60L).map(i => (i, s"n_$i")).toDF("id", "name")
+      .repartition(1).write.format("feather").mode("append").save(path)
+    val fs = fsOf(path)
+    assert(FeatherSnapshots.latestVersion(fs, new Path(path)) === Some(2L))
+    assert(spark.read.format("feather").load(path).count() === 60)
+    assert(spark.read.format("feather").option("versionAsOf", "1")
+      .load(path).count() === 40)
+  }
+}

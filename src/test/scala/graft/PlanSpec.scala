@@ -374,7 +374,9 @@ class PlanSpec extends AnyFunSuite {
     "text_bigram_lm_score" -> "attaches one broadcast vocab-size row to every bigram",
     "agg_scale_minmax" -> "attaches one broadcast (min, max) row to every fact row",
     "filt_sample_weighted" -> "attaches one broadcast total-weight row to every row",
-    "text_bpe_train" -> "per-round 1-row winner + symbol-count scalars broadcast onto the vocab-sized relation"
+    "text_bpe_train" -> "per-round 1-row winner + symbol-count scalars broadcast onto the vocab-sized relation",
+    "text_bpe_encode" -> "attaches the ONE broadcast merge-table row to the vocab-sized relation (like a centroid set)",
+    "text_bpe_fertility" -> "same one-row merge-table broadcast; the corpus-side vocabulary join is an equi-join on word"
   )
 
   test("repo-wide sweep: no undocumented cartesian/nested-loop joins") {
