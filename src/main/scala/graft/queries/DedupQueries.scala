@@ -744,4 +744,49 @@ object DedupQueries extends QueryPack {
         round(col("covered_tokens").cast(DoubleType) / col("n_tok"), 6).as("dup_cover_frac"))
       .orderBy("doc_id")
   }
+
+  // --- cross-source overlap matrix ------------------------------------------
+  // Which sources duplicate each other, and how much? For every source
+  // pair: |shingles(s1) ∩ shingles(s2)|, both set sizes, and the overlap
+  // coefficient |∩| / min(|S1|, |S2|) — the number a mix planner reads
+  // before weighting sources (two mirrors of the same crawl must not both
+  // get full weight). Scale shape: the corpus collapses to DISTINCT
+  // (source, shingle-hash) pairs in one shuffle — ids and hashes only,
+  // text never moves — and the shingle-keyed self-join emits at most
+  // C(#sources, 2) rows per distinct hash, so with tens of sources the
+  // candidate volume is bounded by vocabulary size, not corpus size. No
+  // DF cap needed (contrast dedup_ngram_jaccard, where the posting lists
+  // are per-DOCUMENT and unbounded).
+  register("dedup_source_overlap",
+    s"""$sqlShingles,
+       |hs AS (SELECT doc_id,
+       |         list_distinct(list_transform(shingles, g -> ${sqlPolyHash("g")})) AS h FROM sh),
+       |sd AS (SELECT DISTINCT d.source AS source, hsh
+       |       FROM (SELECT doc_id, unnest(h) AS hsh FROM hs) x
+       |       JOIN documents d USING (doc_id)),
+       |sizes AS (SELECT source, count(*) AS n FROM sd GROUP BY source),
+       |inter AS (SELECT a.source AS s1, b.source AS s2, count(*) AS n_common
+       |          FROM sd a JOIN sd b ON a.hsh = b.hsh AND a.source < b.source
+       |          GROUP BY 1, 2)
+       |SELECT s1, s2, n_common, x.n AS n1, y.n AS n2,
+       |  round(CAST(n_common AS DOUBLE) / least(x.n, y.n), 6) AS overlap
+       |FROM inter JOIN sizes x ON s1 = x.source JOIN sizes y ON s2 = y.source
+       |ORDER BY s1, s2""".stripMargin) { (s, d) =>
+    val sd = Tables.documents(s, d)
+      .select(col("source"), explode(shingleHashes(col("text"))).as("hsh"))
+      .distinct()
+    val sizes = sd.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sd.as("a")
+      .join(sd.as("b"), col("a.hsh") === col("b.hsh") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n1"))), Seq("s1"))
+      .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n2"))), Seq("s2"))
+      .select(col("s1"), col("s2"), col("n_common"), col("n1"), col("n2"),
+        round(col("n_common").cast(DoubleType) /
+          least(col("n1"), col("n2")).cast(DoubleType), 6).as("overlap"))
+      .orderBy("s1", "s2")
+  }
 }

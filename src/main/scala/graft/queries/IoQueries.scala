@@ -58,7 +58,7 @@ object IoQueries extends QueryPack {
     "io_orc_foreign_timezone",
     "io_avro_dsv2", "io_feather_dsv2", "io_feather_partitioned",
     "io_feather_skipping", "io_feather_compact", "io_avro_compact",
-    "io_feather_agg_pushdown", "io_feather_time_travel")
+    "io_feather_agg_pushdown", "io_feather_time_travel", "io_avro_skipping")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
   // (cudf/io/csv.py:15 dtype=, header=; csv.hpp:48)
@@ -776,6 +776,29 @@ object IoQueries extends QueryPack {
     require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
       s"aggregate did not push into the sidecar index:\n$plan")
     df
+  }
+
+  // Avro file-level skipping end-to-end: the DSv2 sink writes one stats
+  // batch per part (avro splits on byte ranges, so the skip unit is the
+  // FILE — parquet's footer-stats granularity supplied from outside the
+  // format) plus the merged _stats.json; the filtered read drops whole
+  // files whose ranges prove empty (AvroSourceSpec pins the file-count
+  // drop — here the ORACLE pins that pruning loses no rows).
+  register("io_avro_skipping",
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |WHERE l_orderkey > 4500 AND l_orderkey <= 5000
+      |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin) { (s, d) =>
+    val path = readFixture("avro_skipping", d) { p =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 5000)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.format("graft-avro").mode("overwrite").save(p)
+    }
+    s.read.format("graft-avro").load(path)
+      .filter(col("l_orderkey") > 4500)
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
   }
 
   // Snapshot manifests end-to-end (sources/FeatherSnapshots.scala): two

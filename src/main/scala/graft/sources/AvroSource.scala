@@ -88,7 +88,8 @@ private class AvroWriteBuilder(
       Option(info.options.get("codec")).getOrElse("snappy"))
 }
 
-private case class AvroCommitMessage(tmpName: String, partitionId: Int)
+private case class AvroCommitMessage(tmpName: String, partitionId: Int,
+                                     statsJson: String, bytes: Long)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private class AvroWrite(st: StructType, path: String, truncate: Boolean,
@@ -123,13 +124,19 @@ private class AvroWrite(st: StructType, path: String, truncate: Boolean,
     if (truncate)
       fs.listStatus(out).filter(_.getPath.getName.endsWith(".avro"))
         .foreach(s => fs.delete(s.getPath, false))
-    committed.foreach { m =>
+    val mergedAdd = committed.map { m =>
       val tmp = new org.apache.hadoop.fs.Path(path, m.tmpName)
       val fin = new org.apache.hadoop.fs.Path(path,
         f"part-${m.partitionId}%05d-${java.util.UUID.nameUUIDFromBytes(
           m.tmpName.getBytes("UTF-8"))}.avro")
       require(fs.rename(tmp, fin), s"commit rename $tmp -> $fin failed")
-    }
+      val sc = fs.create(new org.apache.hadoop.fs.Path(path,
+        fin.getName + ".stats.json"), true)
+      try sc.write(m.statsJson.getBytes("UTF-8")) finally sc.close()
+      fin.getName -> (m.bytes, graft.io.FeatherStats.fromJson(m.statsJson))
+    }.toMap
+    graft.io.FeatherStats.upsertMerged(fs, out, mergedAdd,
+      replaceAll = truncate)
     if (!fs.listStatus(out).exists(_.getPath.getName.endsWith(".avro"))) {
       val pw = new GraftAvro.AvroPartWriter(st, schemaJson,
         fs.create(new org.apache.hadoop.fs.Path(out, "part-00000.avro"),
@@ -184,17 +191,27 @@ private class AvroStreamingWrite(st: StructType, schemaJson: String,
     val spark = SparkSession.active
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    messages.collect { case m: AvroCommitMessage => m }.foreach { m =>
-      val tmp = new org.apache.hadoop.fs.Path(path, m.tmpName)
-      val fin = new org.apache.hadoop.fs.Path(path,
-        f"part-e$epochId%05d-${m.partitionId}%05d-${java.util.UUID
-          .nameUUIDFromBytes(m.tmpName.getBytes("UTF-8"))}.avro")
-      if (fs.exists(fin) && !fs.exists(tmp)) {
-        // epoch replayed after a committed run: already renamed, skip
-      } else {
-        require(fs.rename(tmp, fin), s"commit rename $tmp -> $fin failed")
-      }
-    }
+    val mergedAdd = messages.collect { case m: AvroCommitMessage => m }
+      .flatMap { m =>
+        val tmp = new org.apache.hadoop.fs.Path(path, m.tmpName)
+        val fin = new org.apache.hadoop.fs.Path(path,
+          f"part-e$epochId%05d-${m.partitionId}%05d-${java.util.UUID
+            .nameUUIDFromBytes(m.tmpName.getBytes("UTF-8"))}.avro")
+        if (fs.exists(fin) && !fs.exists(tmp)) {
+          // epoch replayed after a committed run: already renamed, skip
+          None
+        } else {
+          require(fs.rename(tmp, fin), s"commit rename $tmp -> $fin failed")
+          val sc = fs.create(new org.apache.hadoop.fs.Path(path,
+            fin.getName + ".stats.json"), true)
+          try sc.write(m.statsJson.getBytes("UTF-8")) finally sc.close()
+          Some(fin.getName ->
+            (m.bytes, graft.io.FeatherStats.fromJson(m.statsJson)))
+        }
+      }.toMap
+    if (mergedAdd.nonEmpty)
+      graft.io.FeatherStats.upsertMerged(fs,
+        new org.apache.hadoop.fs.Path(path), mergedAdd)
   }
 
   override def abort(
@@ -250,12 +267,21 @@ private object AvroSourceWriters {
       private val pw = new GraftAvro.AvroPartWriter(st, schemaJson,
         fs.create(new org.apache.hadoop.fs.Path(path, tmpName), true), codec)
       private val toRow = CatalystTypeConverters.createToScalaConverter(st)
-      override def write(record: InternalRow): Unit =
-        pw.append(toRow(record).asInstanceOf[org.apache.spark.sql.Row])
+      // ONE stats batch per part: avro splits on byte ranges, not indexed
+      // batches, so the skipping unit is the whole file (parquet's
+      // footer-stats granularity, supplied from outside the format)
+      private val stats = new graft.io.FeatherStats.Collector(st)
+      override def write(record: InternalRow): Unit = {
+        val r = toRow(record).asInstanceOf[org.apache.spark.sql.Row]
+        pw.append(r)
+        stats.observe(r)
+      }
       override def commit()
           : org.apache.spark.sql.connector.write.WriterCommitMessage = {
         pw.finish()
-        AvroCommitMessage(tmpName, partitionId)
+        AvroCommitMessage(tmpName, partitionId,
+          graft.io.FeatherStats.toJson(Seq(stats.snapshotAndReset())),
+          fs.getFileStatus(new org.apache.hadoop.fs.Path(path, tmpName)).getLen)
       }
       override def abort(): Unit = {
         pw.abort()
@@ -271,10 +297,12 @@ private class AvroScanBuilder(fullSchema: StructType, path: String,
                               maxFilesPerTrigger: Option[Int])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
-  // filters are captured ONLY to prune partition directories at plan
-  // time; every filter is returned for post-scan evaluation (and
-  // pushedFilters stays empty — nothing is consumed row-level)
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  // filters are captured to prune partition directories AND to skip whole
+  // files whose stats sidecar proves no row can match; every filter is
+  // returned for post-scan evaluation (and pushedFilters stays empty —
+  // nothing is consumed row-level, pruning is skip-only)
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
     pruneFilters = filters
@@ -290,9 +318,37 @@ private class AvroScanBuilder(fullSchema: StructType, path: String,
     required = requiredSchema
   // partial push: per-partition row cap; the global limit stays above
   override def pushLimit(l: Int): Boolean = { limit = l; false }
-  override def build(): Scan =
-    new AvroScan(required, path, maxSplitBytes, limit,
-      pruneFilters.toSeq, maxFilesPerTrigger)
+  // complete aggregate pushdown from the per-file stats sidecars — same
+  // engine and gate as the feather connector (StatsAggPushdown); avro has
+  // one stats batch per file
+  private var aggAnswer: Option[(StructType, InternalRow)] = None
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (aggAnswer.isEmpty)
+      aggAnswer = StatsAggPushdown.answer(
+        FeatherPartitions.discover(SparkSession.active, path, Seq(".avro")),
+        fullSchema, agg, pruneFilters)
+    aggAnswer.nonEmpty
+  }
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    supportCompletePushDown(agg)
+  override def build(): Scan = aggAnswer match {
+    case Some((schema, row)) => new AvroLocalScan(path, schema, Array(row))
+    case None =>
+      new AvroScan(required, path, maxSplitBytes, limit,
+        pruneFilters.toSeq, maxFilesPerTrigger)
+  }
+}
+
+/** One-row driver-side scan carrying a completely-pushed aggregate. */
+private class AvroLocalScan(path: String, schema: StructType,
+                            rs: Array[InternalRow])
+    extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = rs
+  override def description(): String =
+    s"graft-avro `$path` (aggregate answered from stats sidecars)"
 }
 
 private class AvroScan(readSchema0: StructType, path: String,
@@ -306,21 +362,45 @@ private class AvroScan(readSchema0: StructType, path: String,
   override def toBatch: Batch = this
 
   // discovery + partition-directory pruning (see FeatherScan — same
-  // machinery, avro suffix)
+  // machinery, avro suffix), then FILE-level stats skipping: a file whose
+  // single stats batch proves every pushed comparison impossible never
+  // plans a split (skip-only — Spark re-applies all filters; files with
+  // no/bad sidecar never prune)
   private lazy val surviving: Seq[FeatherPartitions.LeafFile] = {
     val disc = FeatherPartitions.discover(SparkSession.active, path,
       Seq(".avro"))
     val ps = disc.partSchema
-    if (disc.partCols.isEmpty || pruneFilters.isEmpty) disc.files
-    else disc.files.filter(FeatherPartitions.survives(_, ps, pruneFilters))
+    val afterPart =
+      if (disc.partCols.isEmpty || pruneFilters.isEmpty) disc.files
+      else disc.files.filter(FeatherPartitions.survives(_, ps, pruneFilters))
+    val skipFilters = pruneFilters.filter(FeatherScanBuilder.usable)
+    if (skipFilters.isEmpty || afterPart.isEmpty) afterPart
+    else {
+      val statsByFile = graft.io.FeatherStats.loadForFiles(
+        SparkSession.active.sparkContext.hadoopConfiguration,
+        afterPart.map(l => (l.file, l.len)))
+      afterPart.filterNot { l =>
+        statsByFile.getOrElse(l.file, None) match {
+          case Some(batches) => batches.nonEmpty && batches.forall(
+            graft.io.FeatherStats.batchProvablyEmpty(_, skipFilters))
+          case None => false
+        }
+      }
+    }
   }
 
-  private lazy val plan = {
-    val byFile = surviving.map(l => l.file -> l.values).toMap
-    val p = GraftAvro.planReadFiles(SparkSession.active,
-      surviving.map(l => (l.file, l.len)), maxSplitBytes)
-    (p._1, p._2, p._3.map { case (f, s, e) => (f, s, e, byFile(f)) })
-  }
+  private lazy val plan =
+    // every file skip-pruned: zero partitions, and the reader factory's
+    // schema is never consulted (Spark still constructs the factory)
+    if (surviving.isEmpty)
+      ("", org.apache.spark.sql.types.StructType(Nil),
+        Seq.empty[(String, Long, Long, Seq[(String, String)])])
+    else {
+      val byFile = surviving.map(l => l.file -> l.values).toMap
+      val p = GraftAvro.planReadFiles(SparkSession.active,
+        surviving.map(l => (l.file, l.len)), maxSplitBytes)
+      (p._1, p._2, p._3.map { case (f, s, e) => (f, s, e, byFile(f)) })
+    }
 
   override def planInputPartitions(): Array[InputPartition] =
     if (surviving.isEmpty) Array.empty

@@ -151,8 +151,9 @@ private class FeatherScanBuilder(fullSchema: StructType, path: String,
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     if (aggAnswer.isEmpty)
-      aggAnswer = FeatherAggPushdown.answer(path, fullSchema, agg, allFilters,
-        versionAsOf)
+      aggAnswer = StatsAggPushdown.answer(
+        FeatherDiscovery.discover(SparkSession.active, path, versionAsOf),
+        fullSchema, agg, allFilters)
     aggAnswer.nonEmpty
   }
   override def pushAggregation(
@@ -175,7 +176,7 @@ private class FeatherLocalScan(path: String, schema: StructType,
     s"feather `$path` (aggregate answered from stats sidecars)"
 }
 
-private object FeatherAggPushdown {
+private[sources] object StatsAggPushdown {
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate._
   import org.apache.spark.sql.types._
@@ -195,10 +196,13 @@ private object FeatherAggPushdown {
     case _ => None
   }
 
-  /** None = not answerable (caller falls back to the data scan). */
-  def answer(path: String, fullSchema: StructType, agg: Aggregation,
-             pushedFilters: Array[org.apache.spark.sql.sources.Filter],
-             versionAsOf: Option[Long])
+  /** None = not answerable (caller falls back to the data scan).
+    * `discover` is the caller's file enumeration (feather: snapshot-aware
+    * discovery; avro: partition walk) — evaluated lazily so an
+    * unreadable/empty directory bails instead of throwing. */
+  def answer(discover: => FeatherPartitions.Discovered,
+             fullSchema: StructType, agg: Aggregation,
+             pushedFilters: Array[org.apache.spark.sql.sources.Filter])
       : Option[(StructType, InternalRow)] = {
     if (pushedFilters.nonEmpty || agg.groupByExpressions().nonEmpty) return None
     // plan: Left(()) = COUNT(*), Right((field, wantMin)) = MIN/MAX(field)
@@ -216,7 +220,7 @@ private object FeatherAggPushdown {
     }
     val spark = SparkSession.active
     val disc =
-      try FeatherDiscovery.discover(spark, path, versionAsOf)
+      try discover
       catch { case _: Exception => return None }
     for (Right((c, _)) <- plan)
       if (disc.partCols.contains(c) || !fullSchema.fieldNames.contains(c) ||

@@ -215,4 +215,41 @@ class AvroSourceSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"a 5-row avro dim with real stats must broadcast:\n$plan")
   }
+
+  test("stats sidecars skip whole files and answer aggregates") {
+    import spark.implicits._
+    val path = tmp("skip_agg")
+    // DSv2 write, range-partitioned → disjoint id ranges per part file,
+    // each with a one-batch stats sidecar + the merged _stats.json
+    (1 to 10000).map(i => (i.toLong, i * 0.5)).toDF("id", "v")
+      .repartitionByRange(10, col("id")).sortWithinPartitions("id")
+      .write.format("graft-avro").mode("overwrite").save(path)
+    assert(new java.io.File(path, graft.io.FeatherStats.MergedName).exists())
+    def scan = spark.read.format("graft-avro").load(path)
+    assert(scan.rdd.getNumPartitions === 10)
+    // file-level skipping: ~9 of 10 range files prove empty for id > 9500
+    val pruned = scan.filter(col("id") > 9500L)
+    assert(pruned.rdd.getNumPartitions === 1,
+      s"expected 1 surviving file, got ${pruned.rdd.getNumPartitions}")
+    assert(pruned.count() === 500)
+    // nothing matches → every file proves empty
+    assert(scan.filter(col("id") > 99999L).rdd.getNumPartitions === 0)
+    // aggregate pushdown answers on the driver
+    val agged = scan.agg(count(lit(1)).as("n"), min("id").as("lo"),
+      max("id").as("hi"), max("v").as("vhi"))
+    val plan = agged.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), s"agg did not push:\n$plan")
+    assert(agged.head() === org.apache.spark.sql.Row(10000L, 1L, 10000L, 5000.0))
+    // a filter keeps the aggregate on the data scan, values stay exact
+    val fagg = scan.filter(col("id") > 5000L).agg(count(lit(1)).as("n"))
+    assert(fagg.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(fagg.head().getLong(0) === 5000L)
+    // legacy files (GraftAvro.write: no sidecars) never prune, never break
+    val legacy = tmp("skip_legacy")
+    writeSample(legacy, rows = 1000)
+    val lscan = spark.read.format("graft-avro").load(legacy)
+    assert(lscan.filter(col("id") > 900L).count() === 100)
+    assert(lscan.agg(count(lit(1))).queryExecution.executedPlan
+      .toString.contains("BatchScan"))
+  }
 }
