@@ -46,12 +46,12 @@ private[graft] object Compaction {
     val fs = root.getFileSystem(conf)
     require(fs.exists(root), s"Compaction: $path does not exist")
     // a snapshotted table's retained versions still reference the input
-    // parts this job would DELETE — compaction must go through a manifest
-    // commit (rewrite + new snapshot + expire), which this engine does not
-    // implement yet. Refuse loudly rather than corrupt time travel.
-    require(!fs.exists(new Path(root, "_snapshots")),
-      s"Compaction: $path carries _snapshots manifests; compacting would " +
-        "delete parts retained versions reference. Expire snapshots first.")
+    // parts — its compaction is a MANIFEST operation: rewrite groups, add
+    // the outputs, publish one "compact" snapshot that drops the inputs
+    // from view, and leave physical deletion to expire()
+    if (fs.exists(new Path(root,
+        graft.sources.FeatherSnapshots.Dir)))
+      return runSnapshot(spark, root, fs, suffix, targetBytes, mkRewriter)
 
     // leaves = every directory directly holding data parts (the bare dir,
     // or hive key=value leaves); service dirs (_compact, _temporary) skip
@@ -94,21 +94,7 @@ private[graft] object Compaction {
         .toSeq.sortBy(_._1)
       filesBefore += files.size
 
-      // greedy first-fit in name order; a group of ONE is left untouched,
-      // so a re-run over a compacted directory rewrites nothing
-      val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
-      val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-      var accBytes = 0L
-      def close(): Unit = {
-        if (acc.size > 1) groups += Group(leaf.toString, groups.size, suffix, acc.toSeq)
-        acc.clear(); accBytes = 0L
-      }
-      files.foreach { case (f, len) =>
-        if (acc.nonEmpty && accBytes + len > targetBytes) close()
-        acc += ((f, len)); accBytes += len
-        if (accBytes >= targetBytes) close()
-      }
-      close()
+      val groups = planGroups(leaf.toString, files, suffix, targetBytes)
 
       if (groups.nonEmpty) {
         val rewriter = mkRewriter(leaf.toString, groups.head.inputs.head._1)
@@ -177,6 +163,114 @@ private[graft] object Compaction {
         e.getPath.getName.endsWith(suffix) && !e.getPath.getName.startsWith("."))
     }
     Result(leaves.size, groupsRewritten, filesBefore, filesAfter)
+  }
+
+  /** Greedy first-fit in name order; a group of ONE is left untouched,
+    * so a re-run over a compacted directory rewrites nothing. */
+  private def planGroups(leaf: String, files: Seq[(String, Long)],
+                         suffix: String, targetBytes: Long): Seq[Group] = {
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var accBytes = 0L
+    def close(): Unit = {
+      if (acc.size > 1) groups += Group(leaf, groups.size, suffix, acc.toSeq)
+      acc.clear(); accBytes = 0L
+    }
+    files.foreach { case (f, len) =>
+      if (acc.nonEmpty && accBytes + len > targetBytes) close()
+      acc += ((f, len)); accBytes += len
+      if (accBytes >= targetBytes) close()
+    }
+    close()
+    groups.toSeq
+  }
+
+  /** Snapshotted-table compaction: inputs come from the LATEST manifest
+    * (never the listing — orphans and retired generations are not
+    * compaction's business), outputs land beside them, and ONE "compact"
+    * snapshot atomically swaps the group inputs for their outputs. Nothing
+    * is physically deleted: retained versions keep reading their files and
+    * expire() reclaims them later. Crash safety needs no _compact manifest
+    * here — an output that never made its snapshot commit is an orphan
+    * with a deterministic name; the re-run deletes and rewrites it, and
+    * the commit is the atomic publish. */
+  private def runSnapshot(spark: SparkSession, root: Path,
+                          fs: org.apache.hadoop.fs.FileSystem, suffix: String,
+                          targetBytes: Long,
+                          mkRewriter: (String, String) => Rewriter): Result = {
+    import graft.sources.FeatherSnapshots
+    val snap = FeatherSnapshots.resolve(fs, root, None) match {
+      case Some(sn) => sn
+      case None => return Result(0, 0, 0, 0)
+    }
+    val byLeaf: Seq[(String, Seq[(String, Long)])] = snap.files
+      .groupBy { case (rel, _) =>
+        val i = rel.lastIndexOf('/')
+        if (i < 0) "" else rel.substring(0, i)
+      }.toSeq.sortBy(_._1)
+    var groupsRewritten = 0
+    val removedRel = scala.collection.mutable.ArrayBuffer.empty[String]
+    val addedRel = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    byLeaf.foreach { case (relDir, relFiles) =>
+      val leaf = if (relDir.isEmpty) root else new Path(root, relDir)
+      val files = relFiles.map { case (rel, len) =>
+        (new Path(root, rel).toString, len) }.sortBy(_._1)
+      val groups = planGroups(leaf.toString, files, suffix, targetBytes)
+      if (groups.nonEmpty) {
+        val rewriter = mkRewriter(leaf.toString, groups.head.inputs.head._1)
+        val confMap = GraftHadoop.confBroadcast(spark)
+        val written = spark.sparkContext
+          .parallelize(groups, groups.size)
+          .map { g =>
+            val execConf = new org.apache.hadoop.conf.Configuration(false)
+            confMap.value.foreach { case (k, v) => execConf.set(k, v) }
+            val tmp = new Path(g.leaf, s".${g.outName}.tmp")
+            try (g.gid, rewriter.rewriteGroup(execConf, g.inputs, tmp))
+            catch {
+              case e: Throwable =>
+                val lfs = new Path(g.leaf).getFileSystem(execConf)
+                try lfs.delete(tmp, false) catch { case _: Exception => () }
+                throw e
+            }
+          }.collect().toMap
+        groups.foreach { g =>
+          val out = new Path(g.leaf, g.outName)
+          val tmp = new Path(g.leaf, s".${g.outName}.tmp")
+          // an existing output can only be a crashed run's orphan (a
+          // COMMITTED compaction retired these inputs from the manifest,
+          // so this group could not re-form) — replace it
+          if (fs.exists(out)) fs.delete(out, false)
+          written(g.gid).foreach { sidecar =>
+            val sc = fs.create(new Path(g.leaf, g.outName + ".stats.json"), true)
+            try sc.write(sidecar.getBytes("UTF-8"))
+            finally sc.close()
+          }
+          require(fs.rename(tmp, out), s"rename $tmp -> $out failed")
+          val outLen = fs.getFileStatus(out).getLen
+          val outRel = if (relDir.isEmpty) g.outName else s"$relDir/${g.outName}"
+          addedRel += ((outRel, outLen))
+          removedRel ++= g.inputs.map { case (f, _) =>
+            val n = new Path(f).getName
+            if (relDir.isEmpty) n else s"$relDir/$n"
+          }
+          // merged-stats cache: ADD the outputs, keep the inputs' entries
+          // (old versions still plan against them)
+          written(g.gid).foreach { sidecar =>
+            FeatherStats.upsertMerged(fs, leaf,
+              Map(g.outName -> (outLen, FeatherStats.fromJson(sidecar))))
+          }
+          groupsRewritten += 1
+        }
+      }
+    }
+    if (removedRel.nonEmpty) {
+      val gone = removedRel.toSet
+      FeatherSnapshots.commit(fs, root, "compact") { parentFiles =>
+        parentFiles.filterNot(f => gone(f._1)) ++ addedRel
+      }
+    }
+    Result(byLeaf.size, groupsRewritten, snap.files.size,
+      snap.files.size - removedRel.size + addedRel.size)
   }
 
   private def manifestPath(leaf: Path, outName: String): Path =

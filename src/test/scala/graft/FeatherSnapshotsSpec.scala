@@ -117,7 +117,7 @@ class FeatherSnapshotsSpec extends AnyFunSuite {
       e.getMessage.contains("does not exist"))
   }
 
-  test("versionAsOf on a non-snapshot table fails loudly; compaction refuses") {
+  test("versionAsOf on a non-snapshot table fails loudly") {
     import spark.implicits._
     val plain = tmp("plain")
     (1 to 10).map(i => (i.toLong, s"p_$i")).toDF("id", "name")
@@ -126,12 +126,44 @@ class FeatherSnapshotsSpec extends AnyFunSuite {
       spark.read.format("feather").option("versionAsOf", "1").load(plain).count()
     }
     assert(e.getMessage.contains("no _snapshots"))
-    val snapped = tmp("no_compact")
-    writeV(snapped, 1, 30, "overwrite")
-    val e2 = intercept[Exception] {
-      graft.io.FeatherCompact.compact(spark, snapped, targetBytes = 1L << 30)
+  }
+
+  test("compaction on a snapshotted table is a manifest operation") {
+    import spark.implicits._
+    val path = tmp("snap_compact")
+    // v1: eight small parts through the snapshotting sink
+    (1 to 800).map(i => (i.toLong, s"n_$i")).toDF("id", "name")
+      .repartition(8).write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(path)
+    val fs = fsOf(path)
+    val v1Files = FeatherSnapshots.read(fs, new Path(path), 1L).files
+    assert(v1Files.size === 8)
+    val r = graft.io.FeatherCompact.compact(spark, path, targetBytes = 1L << 30)
+    assert(r.groupsRewritten === 1 && r.filesAfter === 1, r.toString)
+    // the compaction published v2; the table reads whole from one part
+    assert(FeatherSnapshots.latestVersion(fs, new Path(path)) === Some(2L))
+    val latest = spark.read.format("feather").load(path)
+    assert(latest.count() === 800)
+    assert(latest.rdd.getNumPartitions === 1)
+    // inputs were NOT deleted — v1 still reproduces exactly
+    val v1 = spark.read.format("feather").option("versionAsOf", "1").load(path)
+    assert(v1.count() === 800)
+    v1Files.foreach { case (rel, _) =>
+      assert(fs.exists(new Path(path, rel)), s"$rel must survive compaction")
     }
-    assert(e2.getMessage.contains("_snapshots"))
+    // aggregate pushdown still answers post-compaction (merged stats
+    // gained the output's entry)
+    val agged = latest.agg(count(lit(1)).as("n"), max("id").as("hi"))
+    assert(agged.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(agged.head() === org.apache.spark.sql.Row(800L, 800L))
+    // a re-run over the compacted table rewrites nothing
+    val r2 = graft.io.FeatherCompact.compact(spark, path, targetBytes = 1L << 30)
+    assert(r2.groupsRewritten === 0)
+    // vacuum: only now do v1's parts physically retire
+    val (snapsGone, filesGone) =
+      FeatherSnapshots.expire(fs, new Path(path), keepLast = 1)
+    assert(snapsGone === 1 && filesGone === 8)
+    assert(spark.read.format("feather").load(path).count() === 800)
   }
 
   test("once snapshotted, plain writes keep publishing manifests") {
