@@ -100,7 +100,8 @@ private class FeatherTable(tableSchema: StructType, path: String,
       Option(options.get("maxsplitbytes")).map(_.toLong)
         .getOrElse(maxSplitBytes),
       Option(options.get("versionasof")).map(_.toLong).orElse(versionAsOf),
-      Option(options.get("maxfilespertrigger")).map(_.toInt))
+      Option(options.get("maxfilespertrigger")).map(_.toInt),
+      Option(options.get("ignorechanges")).exists(_.toBoolean))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -110,7 +111,8 @@ private class FeatherTable(tableSchema: StructType, path: String,
 private class FeatherScanBuilder(fullSchema: StructType, path: String,
                                  maxSplitBytes: Long,
                                  versionAsOf: Option[Long],
-                                 maxFilesPerTrigger: Option[Int])
+                                 maxFilesPerTrigger: Option[Int],
+                                 ignoreChanges: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -163,7 +165,7 @@ private class FeatherScanBuilder(fullSchema: StructType, path: String,
     case Some((schema, row)) => new FeatherLocalScan(path, schema, Array(row))
     case None =>
       new FeatherScan(required, path, maxSplitBytes, limit, skipFilters.toSeq,
-        allFilters.toSeq, versionAsOf, maxFilesPerTrigger)
+        allFilters.toSeq, versionAsOf, maxFilesPerTrigger, ignoreChanges)
   }
 }
 
@@ -311,7 +313,8 @@ private class FeatherScan(readSchema0: StructType, path: String,
                           skipFilters: Seq[org.apache.spark.sql.sources.Filter],
                           pruneFilters: Seq[org.apache.spark.sql.sources.Filter],
                           versionAsOf: Option[Long],
-                          maxFilesPerTrigger: Option[Int])
+                          maxFilesPerTrigger: Option[Int],
+                          ignoreChanges: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = readSchema0
   override def description(): String =
@@ -370,9 +373,21 @@ private class FeatherScan(readSchema0: StructType, path: String,
       GraftHadoop.confBroadcast(SparkSession.active))
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new FeatherMicroBatchStream(readSchema0, path, maxSplitBytes,
-      maxFilesPerTrigger, checkpointLocation)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // a snapshotted table streams by MANIFEST VERSION (Delta-style table
+    // streaming: offsets are version numbers, batches are version diffs,
+    // zero listings, exactly-once by manifest immutability); a plain drop
+    // directory streams by file-set offsets as before
+    val rp = new org.apache.hadoop.fs.Path(path)
+    val sfs = rp.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    if (FeatherSnapshots.enabled(sfs, rp))
+      new FeatherSnapshotStream(readSchema0, path, maxSplitBytes,
+        ignoreChanges)
+    else
+      new FeatherMicroBatchStream(readSchema0, path, maxSplitBytes,
+        maxFilesPerTrigger, checkpointLocation)
+  }
 
   override def estimateStatistics(): Statistics = new Statistics {
     // file bytes AFTER partition pruning: the honest size the broadcast
@@ -389,6 +404,88 @@ private case class FeatherInputPartition(file: String, len: Long,
                                          batchIdxs: Seq[Int],
                                          partValues: Seq[(String, String)] = Nil)
     extends InputPartition
+
+// ---- snapshot-version streaming read ---------------------------------------
+
+private case class SnapshotVersionOffset(v: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
+}
+
+/** Streams a SNAPSHOTTED feather table by manifest version: the
+  * checkpointed offset is a version number, each micro-batch reads the
+  * files that version range ADDED, and correctness comes from manifest
+  * immutability — a replayed batch re-derives the identical version diff,
+  * no file-set bookkeeping, no directory listing at any point. Commit-op
+  * semantics (the Delta streaming contract): `append` versions stream
+  * their new files; `compact` versions are SKIPPED (their outputs rewrite
+  * already-delivered rows); an `overwrite` mid-stream is a non-append
+  * change and fails loudly unless `option("ignoreChanges", "true")` opts
+  * into skipping the replaced data (the table's FIRST version streams
+  * whole regardless of its op — that is the initial load). */
+private class FeatherSnapshotStream(readSchema: StructType, path: String,
+                                    maxSplitBytes: Long,
+                                    ignoreChanges: Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  private def rp = new org.apache.hadoop.fs.Path(path)
+  private def fs = rp.getFileSystem(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
+  override def initialOffset(): Offset = SnapshotVersionOffset(0L)
+  override def latestOffset(): Offset =
+    SnapshotVersionOffset(FeatherSnapshots.latestVersion(fs, rp).getOrElse(0L))
+  override def deserializeOffset(json: String): Offset =
+    SnapshotVersionOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[SnapshotVersionOffset].v
+    val e = end.asInstanceOf[SnapshotVersionOffset].v
+    if (e <= s) return Array.empty
+    val newRel = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    if (s == 0) {
+      // initial load = the CURRENT snapshot (Delta's starting semantics):
+      // history before the stream started is not change data
+      newRel ++= FeatherSnapshots.read(fs, rp, e).files
+    } else {
+      var prev: Map[String, Long] = FeatherSnapshots.read(fs, rp, s).files.toMap
+      for (v <- (s + 1) to e) {
+        val snap = FeatherSnapshots.read(fs, rp, v)
+        snap.op match {
+          case "append" =>
+            newRel ++= snap.files.filterNot { case (rel, _) => prev.contains(rel) }
+          case "compact" => // rewrites of already-delivered rows: skip
+          case "overwrite" =>
+            if (!ignoreChanges) throw new IllegalStateException(
+              s"feather snapshot stream on $path hit an overwrite commit " +
+                s"(v$v): the table changed non-append. Restart the stream " +
+                "from scratch, or set option(\"ignoreChanges\", \"true\") " +
+                "to skip the replaced data.")
+          case other => throw new IllegalStateException(
+            s"feather snapshot v$v carries unknown op '$other'")
+        }
+        prev = snap.files.toMap
+      }
+    }
+    if (newRel.isEmpty) return Array.empty
+    // partition values ride the relative paths, exactly as batch discovery
+    val leaves = FeatherSnapshots.toDiscovered(rp,
+      FeatherSnapshots.Snapshot(e, s, "batch", newRel.toSeq.sortBy(_._1))).files
+    val byFile = leaves.map(l => l.file -> l.values).toMap
+    GraftFeather.planReadFiles(SparkSession.active,
+      leaves.map(l => (l.file, l.len)), maxSplitBytes)._2
+      .map { case (f, len, idxs) =>
+        FeatherInputPartition(f, len, idxs, byFile(f)) }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FeatherReaderFactory(readSchema, -1,
+      GraftHadoop.confBroadcast(SparkSession.active))
+}
 
 // ---- streaming read --------------------------------------------------------
 // Drop-directory ingestion on the shared DropDirectoryMicroBatchStream

@@ -166,6 +166,72 @@ class FeatherSnapshotsSpec extends AnyFunSuite {
     assert(spark.read.format("feather").load(path).count() === 800)
   }
 
+  test("a snapshotted table streams by manifest version, exactly once") {
+    import spark.implicits._
+    val path = tmp("stream")
+    val ckpt = tmp("stream_ckpt")
+    // v1 on disk before the stream starts (also feeds inferSchema)
+    writeV(path, 1, 100, "overwrite")
+    val q = spark.readStream.format("feather").load(path)
+      .writeStream.format("memory").queryName("feather_snap_stream")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable() // initial load = current snapshot
+      assert(spark.table("feather_snap_stream").count() === 100)
+      writeV(path, 101, 150, "append") // v2
+      q.processAllAvailable()
+      assert(spark.table("feather_snap_stream").count() === 150)
+      // compaction publishes v3 whose outputs REWRITE delivered rows —
+      // the stream must skip them, not re-deliver
+      val r = graft.io.FeatherCompact.compact(spark, path, targetBytes = 1L << 30)
+      assert(r.groupsRewritten >= 1)
+      q.processAllAvailable()
+      assert(spark.table("feather_snap_stream").count() === 150,
+        "compacted rewrites must not re-stream")
+      writeV(path, 151, 170, "append") // v4
+      q.processAllAvailable()
+      val got = spark.table("feather_snap_stream")
+      assert(got.count() === 170)
+      assert(got.agg(sum(col("id"))).head().getLong(0) ===
+        (1 to 170).map(_.toLong).sum, "exactly-once across all version ops")
+    } finally q.stop()
+  }
+
+  test("an overwrite mid-stream fails loudly unless ignoreChanges") {
+    import spark.implicits._
+    val path = tmp("stream_ow")
+    writeV(path, 1, 50, "overwrite")
+    val q = spark.readStream.format("feather").load(path)
+      .writeStream.format("memory").queryName("feather_snap_ow")
+      .option("checkpointLocation", tmp("stream_ow_ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("feather_snap_ow").count() === 50)
+      writeV(path, 201, 210, "overwrite") // non-append change mid-stream
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("overwrite") ||
+        Option(e.getCause).exists(_.getMessage.contains("overwrite")))
+    } finally q.stop()
+    // with ignoreChanges the replaced data is skipped, the stream lives on
+    val q2 = spark.readStream.format("feather")
+      .option("ignoreChanges", "true").load(path)
+      .writeStream.format("memory").queryName("feather_snap_ow2")
+      .option("checkpointLocation", tmp("stream_ow2_ckpt"))
+      .start()
+    try {
+      q2.processAllAvailable() // initial load = CURRENT snapshot (v2)
+      assert(spark.table("feather_snap_ow2").agg(min(col("id"))).head()
+        .getLong(0) === 201L)
+      writeV(path, 211, 220, "append")
+      q2.processAllAvailable()
+      assert(spark.table("feather_snap_ow2").count() === 20)
+    } finally q2.stop()
+  }
+
   test("once snapshotted, plain writes keep publishing manifests") {
     import spark.implicits._
     val path = tmp("sticky")
