@@ -468,6 +468,55 @@ object ScaleRehearsal {
       ingestTier(spark, s"$out/ingest")
     if (mode == "all" || mode == "compaction")
       compactionTier(spark, s"$out/compaction")
+    if (mode == "all" || mode == "mutation")
+      mutationTier(spark, s"$out/mutation")
     spark.stop()
+  }
+
+  /** Row-level mutation tier (r10, io/FeatherMutations.scala): DELETE and
+    * MERGE against range-clustered snapshotted tables at 1M and 10M rows.
+    * The structural claim under test: copy-on-write work scales with
+    * TOUCHED bytes, not table bytes — a fixed-width key band (50k keys)
+    * touches the same number of parts at both sizes, so its wall time
+    * should stay ~flat across the 10× table growth (the residual growth
+    * is the candidate probe + manifest bookkeeping, both O(files)). */
+  def mutationTier(spark: SparkSession, out: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val results = Seq((10, 1000000L), (100, 10000000L)).map { case (parts, n) =>
+      val dir = s"$out/mut_$n"
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      spark.range(n)
+        .select(col("id"), concat(lit("pay_"), col("id")).as("pay"))
+        .repartitionByRange(parts, col("id"))
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(dir)
+      // fixed-width band: 50k keys starting mid-table → touches the 1-2
+      // parts whose range covers the band, regardless of table size
+      val lo = n / 2
+      val delKeys = spark.range(lo, lo + 50000L).select(col("id"))
+      val t0 = System.nanoTime()
+      val rd = graft.io.FeatherMutations.deleteByKey(spark, dir, delKeys, Seq("id"))
+      val delSec = (System.nanoTime() - t0) / 1e9
+      require(rd.filesTouched <= 2,
+        s"fixed band must touch <=2 of $parts range parts: $rd")
+      val afterDel = spark.read.format("feather").load(dir).count()
+      require(afterDel == n - 50000L, s"rows after delete: $afterDel")
+      // merge: same-width update band at the table head + 10k inserts
+      val src = spark.range(0L, 40000L)
+        .select(col("id"), concat(lit("upd_"), col("id")).as("pay"))
+        .unionAll(spark.range(n, n + 10000L)
+          .select(col("id"), concat(lit("new_"), col("id")).as("pay")))
+      val t1 = System.nanoTime()
+      val rm = graft.io.FeatherMutations.merge(spark, dir, src, Seq("id"))
+      val mrgSec = (System.nanoTime() - t1) / 1e9
+      require(rm.filesTouched <= 2,
+        s"merge band must touch <=2 data parts: $rm")
+      val afterMrg = spark.read.format("feather").load(dir).count()
+      require(afterMrg == n - 50000L + 10000L, s"rows after merge: $afterMrg")
+      println(f"""{"mutation_rows":$n,"parts":$parts,"del_touched":${rd.filesTouched},"del_sec":$delSec%.2f,"merge_touched":${rm.filesTouched},"merge_sec":$mrgSec%.2f}""")
+      (delSec, mrgSec)
+    }
+    println(f"""{"mutation_tier":"feather","table_ratio":10,"del_wall_ratio":${results(1)._1 / results(0)._1}%.2f,"merge_wall_ratio":${results(1)._2 / results(0)._2}%.2f}""")
   }
 }

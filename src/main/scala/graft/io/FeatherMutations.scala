@@ -1,0 +1,264 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.FeatherSnapshots
+
+/** Row-level DELETE and MERGE (upsert) on snapshotted feather tables, as
+  * copy-on-write MANIFEST operations — the mutation tier a 100-TB corpus
+  * table needs (takedown/right-to-erasure deletes by document key;
+  * incremental corrections and late-arriving re-crawls as upserts) that
+  * the reference gets trivially from in-memory ownership
+  * (`DataFrame.drop` / boolean-mask assignment mutate the frame in
+  * place, python/cudf/cudf/core/dataframe.py `drop`/`__setitem__`) but a
+  * distributed immutable table does not.
+  *
+  * Shape, from the same playbook as [[Compaction.runSnapshot]]:
+  *
+  *  - **Copy-on-write, file-pruned.** Only files whose skipping-index key
+  *    range could contain a mutation key are rewritten ("touched");
+  *    everything else carries into the new manifest untouched. On a
+  *    range-clustered layout (repartitionByRange ingest, or hive
+  *    partitions) a narrow delete touches a sliver of the table. A file
+  *    with no usable stats is touched unconditionally — pruning is an
+  *    optimization, never a correctness input.
+  *  - **Candidate probe is distributed.** Mutation keys are NEVER
+  *    collected to the driver: the per-file [min,max] ranges (schema-sized,
+  *    from the manifest + stats sidecars) broadcast against the DISTINCT
+  *    keys, and only matching file ids come back. The probe is a
+  *    broadcast non-equi join — O(distinct keys × files) comparisons
+  *    spread across the cluster; a sorted-boundary binary-search
+  *    expression is the refinement if file counts reach 10⁵.
+  *  - **One atomic commit.** New parts land via tmp+rename under a
+  *    version-derived name prefix, then ONE snapshot manifest publishes
+  *    the swap (touched files out, new parts in). Readers of any retained
+  *    version are untouched — time travel across a delete shows the
+  *    pre-delete rows until `expire()` reclaims them, which is exactly
+  *    the audit trail a takedown pipeline wants (and `expire` is the
+  *    compliance point that makes erasure physical).
+  *  - **Single-mutator contract** (same as compaction): concurrent
+  *    mutators are outside the contract; the commit detects a raced
+  *    parent version and fails loudly rather than publish a manifest
+  *    computed against stale state. A crashed run's orphan parts are
+  *    reclaimed by the next run's prefix pre-clean ([[GraftFeather.writeParts]]).
+  *
+  * Semantics:
+  *  - `deleteByKey(keys, keyCols)`: drop every table row whose `keyCols`
+  *    tuple appears in `keys` (left-anti join; null keys never match,
+  *    per SQL equality). Works on hive-partitioned tables (each leaf
+  *    rewrites independently; rows never change partition).
+  *  - `merge(source, keyCols)`: upsert — table rows matched by a source
+  *    key tuple are REPLACED by the source row, unmatched source rows
+  *    are inserted. Source schema must carry exactly the table's
+  *    columns. Unpartitioned tables only (inserts would need partition
+  *    routing through the hive layout — documented follow-up).
+  *    Re-running the same merge is idempotent on table CONTENT (one more
+  *    version, same rows) — which makes it safe as a foreachBatch sink
+  *    under Structured Streaming's replayed-batch semantics.
+  */
+object FeatherMutations {
+
+  /** `version` = the committed snapshot; `filesTouched`/`filesKept` split
+    * the parent manifest; `partsWritten` = new parts in the commit. */
+  final case class Result(version: Long, filesTouched: Int, filesKept: Int,
+                          partsWritten: Int)
+
+  def deleteByKey(spark: SparkSession, path: String, keys: DataFrame,
+                  keyCols: Seq[String], codec: String = "lz4"): Result =
+    mutate(spark, path, "delete", keys, keyCols, appendSource = None, codec)
+
+  def merge(spark: SparkSession, path: String, source: DataFrame,
+            keyCols: Seq[String], codec: String = "lz4"): Result =
+    mutate(spark, path, "merge", source, keyCols,
+      appendSource = Some(source), codec)
+
+  // ---- shared implementation ----------------------------------------------
+
+  private sealed trait KeyRange
+  private case object Unknown extends KeyRange // no/partial stats: must touch
+  private case object NoRows extends KeyRange  // zero non-null keys: skip
+  private final case class Rng(lo: Any, hi: Any) extends KeyRange
+
+  private def mutate(spark: SparkSession, path: String, op: String,
+                     keysDf: DataFrame, keyCols: Seq[String],
+                     appendSource: Option[DataFrame], codec: String): Result = {
+    require(keyCols.nonEmpty, s"$op: keyCols must be non-empty")
+    keyCols.foreach(k => require(keysDf.columns.contains(k),
+      s"$op: key column '$k' not in keys frame (${keysDf.columns.mkString(", ")})"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    require(FeatherSnapshots.enabled(fs, root),
+      s"$op on $path, which has no ${FeatherSnapshots.Dir} directory — " +
+        "row-level mutation is a manifest operation; write the table with " +
+        "option(\"snapshots\", \"true\") first")
+    val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
+      sys.error(s"$op on $path: snapshot directory exists but holds no versions"))
+    val parentV = snap.version
+    val prefix = f"mut-v${parentV + 1}%08d"
+
+    def relDirOf(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }
+    val byLeaf: Seq[(String, Seq[(String, Long)])] =
+      snap.files.groupBy { case (rel, _) => relDirOf(rel) }.toSeq.sortBy(_._1)
+    if (appendSource.isDefined)
+      require(byLeaf.forall(_._1.isEmpty),
+        s"merge on $path: table is hive-partitioned " +
+          s"(${byLeaf.map(_._1).filter(_.nonEmpty).mkString(", ")}); merge " +
+          "currently requires an unpartitioned table (inserts would need " +
+          "partition routing) — deleteByKey supports partitioned tables")
+
+    // table schema from the first footer — validates keys before any work
+    val tableSchema = {
+      val (rel, len) = snap.files.head
+      val fields = GraftFeather.readFields(spark, new Path(root, rel).toString)
+      val _ = len
+      StructType(fields.map(f => StructField(f.getName,
+        GraftFeather.toSparkType(f), f.isNullable)))
+    }
+    keyCols.foreach(k => require(tableSchema.fieldNames.contains(k),
+      s"$op: key column '$k' not in table schema " +
+        s"(${tableSchema.fieldNames.mkString(", ")})"))
+    appendSource.foreach { src =>
+      require(src.columns.sorted.sameElements(tableSchema.fieldNames.sorted),
+        s"merge: source columns (${src.columns.sorted.mkString(", ")}) must " +
+          s"be exactly the table's (${tableSchema.fieldNames.sorted.mkString(", ")})")
+    }
+
+    // ---- prune: which files could contain a mutation key? ------------------
+    val absFiles = snap.files.map { case (rel, len) =>
+      (new Path(root, rel).toString, len) }
+    val stats = FeatherStats.loadForFiles(conf, absFiles)
+    val k0 = keyCols.head
+    val ranges: Seq[KeyRange] = absFiles.map { case (abs, _) =>
+      stats.getOrElse(abs, None) match {
+        case None => Unknown
+        case Some(batches) =>
+          val sts = batches.map(_.get(k0))
+          if (sts.exists(_.isEmpty)) Unknown // a batch without k0 stats
+          else {
+            val live = sts.flatten.filter(_ != FeatherStats.ColStat.Empty)
+            if (live.isEmpty) NoRows
+            else {
+              import FeatherStats.ColStat._
+              if (live.forall(_.isInstanceOf[Longs]))
+                Rng(live.map(_.asInstanceOf[Longs].lo).min,
+                    live.map(_.asInstanceOf[Longs].hi).max)
+              else if (live.forall(_.isInstanceOf[Doubles]))
+                Rng(live.map(_.asInstanceOf[Doubles].lo).min,
+                    live.map(_.asInstanceOf[Doubles].hi).max)
+              else if (live.forall(_.isInstanceOf[Strings]))
+                Rng(live.map(_.asInstanceOf[Strings].lo).min,
+                    live.map(_.asInstanceOf[Strings].hi).max)
+              else Unknown
+            }
+          }
+      }
+    }
+
+    // pruning family: both sides must map to the SAME stats family, else
+    // a cast could silently move a key across a file boundary (e.g. a
+    // double key overflowing a long cast) — when in doubt, touch.
+    def integral(dt: DataType) = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true; case _ => false
+    }
+    def fractional(dt: DataType) = dt match {
+      case FloatType | DoubleType => true; case _ => false
+    }
+    val family: Option[DataType] =
+      (tableSchema(k0).dataType, keysDf.schema(k0).dataType) match {
+        case (a, b) if integral(a) && integral(b) => Some(LongType)
+        case (a, b) if fractional(a) && fractional(b) => Some(DoubleType)
+        case (StringType, StringType) => Some(StringType)
+        case _ => None
+      }
+
+    val rangedIdx = ranges.zipWithIndex.collect { case (r: Rng, i) => (r, i) }
+    val candidateIdx: Set[Int] = family match {
+      case Some(dt) if rangedIdx.nonEmpty =>
+        val schema = StructType(Seq(
+          StructField("__fid", IntegerType, nullable = false),
+          StructField("__lo", dt, nullable = false),
+          StructField("__hi", dt, nullable = false)))
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        rangedIdx.foreach { case (Rng(lo, hi), i) =>
+          rows.add(org.apache.spark.sql.Row(i, lo, hi)) }
+        val rangesDf = spark.createDataFrame(rows, schema)
+        keysDf.select(col(k0).cast(dt).as("__k"))
+          .where(col("__k").isNotNull).distinct()
+          .join(broadcast(rangesDf),
+            col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+          .select("__fid").distinct()
+          .collect().map(_.getInt(0)).toSet
+      case _ => rangedIdx.map(_._2).toSet // no comparable family: touch all
+    }
+    val touchedIdx: Set[Int] = ranges.zipWithIndex.collect {
+      case (Unknown, i) => i
+      case (_: Rng, i) if candidateIdx(i) => i
+    }.toSet
+    val touchedRel: Set[String] =
+      touchedIdx.map(i => snap.files(i)._1)
+
+    // ---- rewrite touched leaves --------------------------------------------
+    val keysProj = keysDf.select(keyCols.map(col): _*)
+    val added = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var partsWritten = 0
+    byLeaf.foreach { case (relDir, leafFiles) =>
+      val touchedLeaf = leafFiles.filter { case (rel, _) => touchedRel(rel) }
+      if (touchedLeaf.nonEmpty || (appendSource.isDefined && relDir.isEmpty)) {
+        val leafDir = if (relDir.isEmpty) root else new Path(root, relDir)
+        val survivors: Option[DataFrame] =
+          if (touchedLeaf.isEmpty) None
+          else Some(GraftFeather.readFiles(spark,
+              touchedLeaf.map { case (rel, len) =>
+                (new Path(root, rel).toString, len) })
+            .join(keysProj, keyCols, "left_anti"))
+        val outDf = (survivors, appendSource) match {
+          case (Some(sv), Some(src)) => sv.unionByName(src)
+          case (Some(sv), None) => sv
+          case (None, Some(src)) => src
+          case (None, None) => sys.error("unreachable: untouched leaf")
+        }
+        // one output part per touched input (or per source partition for a
+        // pure insert) — keeps part counts stable across mutations instead
+        // of inheriting spark.sql.shuffle.partitions tiny parts; compaction
+        // owns long-run part hygiene either way
+        val targetParts = math.max(1, math.max(touchedLeaf.size,
+          appendSource.map(_.rdd.getNumPartitions).getOrElse(0)))
+        val parts = GraftFeather.writeParts(
+          outDf.coalesce(targetParts), leafDir.toString, prefix, codec)
+        if (parts.nonEmpty)
+          FeatherStats.upsertMerged(fs, leafDir,
+            parts.map { case (name, len, js) =>
+              name -> (len, FeatherStats.fromJson(js)) }.toMap)
+        added ++= parts.map { case (name, len, _) =>
+          (if (relDir.isEmpty) name else s"$relDir/$name", len) }
+        partsWritten += parts.size
+      }
+    }
+
+    // a table whose every row was deleted must still read as an EMPTY
+    // frame with its schema — stamp one schema-only part
+    if (added.isEmpty && snap.files.forall { case (rel, _) => touchedRel(rel) }) {
+      val fields = tableSchema.fields.toSeq.map(f =>
+        GraftFeather.toArrowField(f.name, f.dataType, f.nullable))
+      added += GraftFeather.stampSchemaOnly(fs, root,
+        s"$prefix-empty.feather", fields)
+    }
+
+    // ---- one atomic manifest publish ---------------------------------------
+    val committed = FeatherSnapshots.commit(fs, root, op) { parentFiles =>
+      require(parentFiles.toSet == snap.files.toSet,
+        s"$op on $path: concurrent commit detected (parent moved past " +
+          s"v$parentV while the mutation ran) — re-run against the new state")
+      parentFiles.filterNot { case (rel, _) => touchedRel(rel) } ++ added
+    }
+    Result(committed, touchedIdx.size, snap.files.size - touchedIdx.size,
+      partsWritten)
+  }
+}

@@ -240,8 +240,17 @@ object GraftFeather {
     * as parquet footer planning), then one task per batch group. */
   def read(spark: SparkSession, path: String,
            columns: Seq[String] = Nil,
-           maxSplitBytes: Long = 128L << 20): DataFrame = {
-    val (arrowFields, splits) = planRead(spark, path, maxSplitBytes)
+           maxSplitBytes: Long = 128L << 20): DataFrame =
+    readFiles(spark, partFiles(spark, path), columns, maxSplitBytes)
+
+  /** [[read]] over an explicit (file, length) list — the entry point for
+    * callers that already hold a file set (the mutation rewriter reads
+    * only a snapshot's TOUCHED files, never the directory listing). */
+  private[graft] def readFiles(spark: SparkSession,
+                               files: Seq[(String, Long)],
+                               columns: Seq[String] = Nil,
+                               maxSplitBytes: Long = 128L << 20): DataFrame = {
+    val (arrowFields, splits) = planReadFiles(spark, files, maxSplitBytes)
     val projected: Seq[Field] =
       if (columns.isEmpty) arrowFields
       else columns.map { c =>
@@ -675,5 +684,100 @@ object GraftFeather {
       try { w.start(); w.end() } finally { w.close(); root.close() }
     }
     fs.create(new Path(out, "_SUCCESS"), true).close()
+  }
+
+  /** Write `df`'s partitions as `$prefix-NNNNN.feather` parts (plus stats
+    * sidecars) INTO an existing directory, without touching anything else
+    * there. Empty partitions write nothing. Returns one (partName,
+    * committedLen, statsJson) row per part written — schema-sized
+    * metadata the caller folds into its own commit (snapshot manifest +
+    * merged-stats upsert); this helper deliberately does NOT write
+    * `_SUCCESS`, the merged stats, or a manifest.
+    *
+    * Names are DETERMINISTIC in (prefix, partitionId), so the caller must
+    * own the prefix (FeatherMutations derives it from the snapshot
+    * version it commits against, under a single-mutator contract). The
+    * driver pre-deletes any `$prefix-*` leftovers first: under that
+    * contract they can only be a crashed prior run's orphans — no
+    * manifest references them — so the pre-clean doubles as orphan
+    * reclamation. Task commit is rename-only, exactly like [[write]]
+    * (speculative duplicate attempts race to a complete file of
+    * identical content; the loser drops its tmp). */
+  private[graft] def writeParts(df: DataFrame, dir: String, prefix: String,
+                                codec: String = "lz4",
+                                batchSize: Int = 4096): Seq[(String, Long, String)] = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(prefix.nonEmpty && !prefix.contains("/") && !prefix.startsWith("."),
+      s"writeParts prefix must be a plain name fragment, got '$prefix'")
+    val st = df.schema
+    st.fields.foreach(f => toArrowField(f.name, f.dataType, f.nullable))
+    val codecNorm = codec match {
+      case "lz4" | "zstd" | "none" | "null" => codec
+      case other => throw new IllegalArgumentException(
+        s"unknown codec $other (lz4, zstd, none)")
+    }
+    val spark = df.sparkSession
+    val out = new Path(dir)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(out) && fs.getFileStatus(out).isDirectory,
+      s"writeParts: $dir is not an existing directory")
+    fs.listStatus(out).iterator
+      .filter(e => !e.isDirectory && e.getPath.getName.startsWith(prefix + "-"))
+      .foreach(e => fs.delete(e.getPath, false))
+    val confMap = GraftHadoop.confBroadcast(spark)
+    val schemaFields = StructType(st.fields)
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val execConf = new org.apache.hadoop.conf.Configuration(false)
+        confMap.value.foreach { case (k, v) => execConf.set(k, v) }
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val partFs = new Path(dir).getFileSystem(execConf)
+        val finalPart = new Path(dir, f"$prefix-$pid%05d.feather")
+        val tmpPart = new Path(dir, f".$prefix-$pid%05d-attempt-$attempt.feather.tmp")
+        val pw = new FeatherPartWriter(schemaFields,
+          partFs.create(tmpPart, true), codecNorm, batchSize)
+        try {
+          while (rows.hasNext) pw.append(rows.next())
+          pw.finish()
+          val statsJson = FeatherStats.toJson(pw.batchStats)
+          if (!partFs.rename(tmpPart, finalPart)) {
+            require(partFs.exists(finalPart),
+              s"rename $tmpPart -> $finalPart failed with no winner present")
+            partFs.delete(tmpPart, false)
+          } else {
+            val sc = partFs.create(
+              new Path(dir, finalPart.getName + ".stats.json"), true)
+            try sc.write(statsJson.getBytes("UTF-8"))
+            finally sc.close()
+          }
+          Iterator.single((finalPart.getName,
+            partFs.getFileStatus(finalPart).getLen, statsJson))
+        } catch {
+          case e: Throwable =>
+            pw.abort()
+            try partFs.delete(tmpPart, false) catch { case _: Exception => () }
+            throw e
+        }
+      }
+    }.collect().toSeq
+  }
+
+  /** Stamp one schema-only part (footer, no record batches) so a table
+    * whose every row was deleted still reads back as an EMPTY frame with
+    * its schema, not ENOENT — same trick [[write]] uses for zero-partition
+    * frames. Returns (name, committedLen). */
+  private[graft] def stampSchemaOnly(fs: org.apache.hadoop.fs.FileSystem,
+                                     dir: Path, name: String,
+                                     fields: Seq[Field]): (String, Long) = {
+    val arrowSchema = new ArrowSchema(fields.asJava)
+    val root = VectorSchemaRoot.create(arrowSchema, allocator)
+    val p = new Path(dir, name)
+    val stream = fs.create(p, true)
+    val w = new ArrowFileWriter(root,
+      null, java.nio.channels.Channels.newChannel(stream))
+    try { w.start(); w.end() } finally { w.close(); root.close() }
+    (name, fs.getFileStatus(p).getLen)
   }
 }

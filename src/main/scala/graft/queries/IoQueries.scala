@@ -58,7 +58,8 @@ object IoQueries extends QueryPack {
     "io_orc_foreign_timezone",
     "io_avro_dsv2", "io_feather_dsv2", "io_feather_partitioned",
     "io_feather_skipping", "io_feather_compact", "io_avro_compact",
-    "io_feather_agg_pushdown", "io_feather_time_travel", "io_avro_skipping")
+    "io_feather_agg_pushdown", "io_feather_time_travel", "io_avro_skipping",
+    "io_feather_delete", "io_feather_merge")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
   // (cudf/io/csv.py:15 dtype=, header=; csv.hpp:48)
@@ -879,6 +880,84 @@ object IoQueries extends QueryPack {
         sum(col("o_totalprice").cast(DecimalType(12, 2)))
           .cast(DoubleType).as("total"))
       .orderBy("o_orderpriority")
+  }
+
+  // Row-level DELETE on a snapshotted table (io/FeatherMutations.scala):
+  // the takedown operation — drop every row whose key appears in a delete
+  // list, as ONE copy-on-write manifest commit. The fixture asserts the
+  // skipping index pruned the rewrite to a sliver of the range-clustered
+  // parts (6 of 8 files carry over untouched); the ORACLE pins exact
+  // anti-join semantics against the source-of-truth parquet; the spec
+  // pins time travel, per-leaf partitioned deletes, and expire()
+  // reclamation. Reference: in-memory drop via boolean mask
+  // (python/cudf/cudf/core/dataframe.py __setitem__/drop) — re-expressed
+  // as an atomic table operation a 100-TB corpus can run for compliance.
+  register("io_feather_delete",
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_orderkey <= 4000
+      |  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+      |                         WHERE o_orderkey BETWEEN 1001 AND 1500)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val path = readFixture("feather_delete", d) { p =>
+      Tables.lineitem(s, d).filter(col("l_orderkey") <= 4000)
+        .select("l_returnflag", "l_orderkey", "l_quantity")
+        .repartitionByRange(8, col("l_orderkey"))
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(p)
+      val takedown = Tables.orders(s, d)
+        .filter(col("o_orderkey").between(1001, 1500))
+        .select(col("o_orderkey").as("l_orderkey"))
+      val r = graft.io.FeatherMutations.deleteByKey(
+        s, p, takedown, Seq("l_orderkey"))
+      require(r.filesTouched > 0 && r.filesTouched < 8,
+        s"delete should touch a strict subset of the 8 parts: $r")
+    }
+    s.read.format("feather").load(path)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(12, 2)))
+          .cast(DoubleType).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  // MERGE (upsert) on a snapshotted table (io/FeatherMutations.scala):
+  // matched keys are replaced by the source row, unmatched source rows
+  // insert — one atomic commit, file-pruned to the parts whose key range
+  // overlaps the source keys. The ORACLE rebuilds the post-merge state
+  // relationally from the parquet source of truth; the spec pins
+  // idempotent re-merge (the property that makes this a safe foreachBatch
+  // streaming sink) and insert-only merges touching zero files.
+  register("io_feather_merge",
+    """SELECT o_orderkey, o_orderpriority, total FROM (
+      |  SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderkey <= 3000 AND NOT (o_orderkey BETWEEN 1000 AND 1600)
+      |  UNION ALL
+      |  SELECT o_orderkey, '9-MERGED' AS o_orderpriority,
+      |    CAST(o_totalprice AS DOUBLE) * 2 AS total
+      |  FROM orders WHERE o_orderkey BETWEEN 1000 AND 1600
+      |     OR o_orderkey BETWEEN 3001 AND 3500
+      |) t ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val path = readFixture("feather_merge", d) { p =>
+      Tables.orders(s, d).filter(col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartitionByRange(6, col("o_orderkey"))
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(p)
+      val source = Tables.orders(s, d)
+        .filter(col("o_orderkey").between(1000, 1600) ||
+          col("o_orderkey").between(3001, 3500))
+        .select(col("o_orderkey"), lit("9-MERGED").as("o_orderpriority"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+      val r = graft.io.FeatherMutations.merge(
+        s, p, source, Seq("o_orderkey"))
+      require(r.filesTouched > 0 && r.filesTouched < 6,
+        s"merge should touch a strict subset of the 6 parts: $r")
+    }
+    s.read.format("feather").load(path)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").as("total"))
+      .orderBy("o_orderkey")
   }
 
   // Unsigned logical types (SURVEY §1.2; reference types.hpp:209-212

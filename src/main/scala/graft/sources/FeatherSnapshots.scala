@@ -129,6 +129,33 @@ private[graft] object FeatherSnapshots {
     sys.error("unreachable")
   }
 
+  /** Adopt an existing listing-based feather directory into the snapshot
+    * tier: walk the layout ONCE (flat or hive `key=value`), publish v1
+    * referencing every data file in place. Nothing is rewritten or moved —
+    * the migration path for an existing large directory (one listing pass
+    * + one manifest write, then every later read plans in O(1) and every
+    * later write commits atomically). Loud if the table is already
+    * snapshotted: adoption is a one-time conversion, not a refresh. */
+  def adopt(fs: FileSystem, root: Path): Long = {
+    require(!enabled(fs, root),
+      s"$root already has a $Dir directory — adopt converts a " +
+        "listing-based table exactly once")
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def walk(dir: Path, rel: String): Unit =
+      fs.listStatus(dir).foreach { e =>
+        val n = e.getPath.getName
+        if (e.isDirectory) {
+          if (!n.startsWith("_") && !n.startsWith(".")) walk(e.getPath,
+            if (rel.isEmpty) n else s"$rel/$n")
+        } else if ((n.endsWith(".feather") || n.endsWith(".arrow")) &&
+            !n.startsWith(".") && !n.startsWith("_"))
+          files += ((if (rel.isEmpty) n else s"$rel/$n", e.getLen))
+      }
+    walk(root, "")
+    require(files.nonEmpty, s"adopt: no .feather/.arrow files under $root")
+    commit(fs, root, "adopt")(_ => files.toSeq)
+  }
+
   /** Retire all but the last `keepLast` snapshots and DELETE every data
     * file (and its stats sidecar) no kept snapshot references. Returns
     * (snapshots removed, data files removed). */

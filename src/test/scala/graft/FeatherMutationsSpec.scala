@@ -1,0 +1,240 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.FeatherMutations
+import graft.sources.FeatherSnapshots
+
+/** Row-level DELETE / MERGE on snapshotted feather tables: copy-on-write
+  * semantics, skipping-index file pruning, time travel across mutations,
+  * idempotent re-merge, and the expire() reclamation path. */
+class FeatherMutationsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private def tmp(n: String): String = {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_feather_mut/$n"
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(p))
+    p
+  }
+  private def fsOf(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** 1..n as (id, grp, payload), range-clustered into `parts` files so the
+    * skipping index carries disjoint id ranges per part. */
+  private def writeTable(path: String, n: Int, parts: Int): Unit = {
+    import spark.implicits._
+    (1 to n).map(i => (i.toLong, s"g${i % 3}", s"p_$i")).toDF("id", "grp", "pay")
+      .repartitionByRange(parts, col("id"))
+      .write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(path)
+  }
+  private def keysOf(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.toDF("id")
+  }
+
+  test("deleteByKey drops exactly the keyed rows and prunes by file range") {
+    val path = tmp("delete_basic")
+    writeTable(path, 1000, 8) // ~disjoint 125-id ranges per part
+    val r = FeatherMutations.deleteByKey(spark, path,
+      keysOf(Seq(10L, 11L, 12L, 990L)), Seq("id"))
+    assert(r.version === 2L)
+    // keys 10-12 and 990 live in two of the eight range-clustered parts
+    assert(r.filesTouched === 2, s"expected 2 touched, got $r")
+    assert(r.filesKept === 6)
+    val after = spark.read.format("feather").load(path)
+    assert(after.count() === 996)
+    assert(after.where(col("id").isin(10L, 11L, 12L, 990L)).count() === 0)
+    // untouched survivors intact
+    assert(after.where(col("id") === 500L).count() === 1)
+  }
+
+  test("time travel: the pre-delete version still shows the deleted rows") {
+    val path = tmp("delete_tt")
+    writeTable(path, 200, 2)
+    FeatherMutations.deleteByKey(spark, path, keysOf(Seq(1L, 2L)), Seq("id"))
+    val v1 = spark.read.format("feather").option("versionAsOf", "1").load(path)
+    assert(v1.count() === 200)
+    assert(v1.where(col("id") <= 2).count() === 2)
+    val v2 = spark.read.format("feather").load(path)
+    assert(v2.count() === 198)
+  }
+
+  test("untouched files carry through the manifest byte-identical") {
+    val path = tmp("delete_carry")
+    writeTable(path, 1000, 8)
+    val fs = fsOf(path)
+    val before = FeatherSnapshots.read(fs, new Path(path), 1L).files.toMap
+    FeatherMutations.deleteByKey(spark, path, keysOf(Seq(5L)), Seq("id"))
+    val after = FeatherSnapshots.read(fs, new Path(path), 2L).files.toMap
+    val kept = before.keySet.intersect(after.keySet)
+    assert(kept.size === 7, "exactly one file touched")
+    kept.foreach(k => assert(before(k) === after(k), s"$k length changed"))
+  }
+
+  /** The sink has no partitionBy: hive layouts are written leaf-by-leaf
+    * and ADOPTED into the snapshot tier (the no-rewrite migration path). */
+  private def writePartitioned(path: String, n: Int): Unit = {
+    import spark.implicits._
+    val df = (1 to n).map(i => (i.toLong, s"d${i % 3}", s"p_$i"))
+      .toDF("id", "dom", "pay")
+    Seq("d0", "d1", "d2").foreach { dm =>
+      graft.io.GraftFeather.write(
+        df.where(col("dom") === dm).drop("dom").repartition(1),
+        s"$path/dom=$dm", overwrite = true)
+    }
+    FeatherSnapshots.adopt(fsOf(path), new Path(path)): Unit
+  }
+
+  test("delete on a hive-partitioned adopted table rewrites per leaf") {
+    val path = tmp("delete_part")
+    writePartitioned(path, 300)
+    val r = FeatherMutations.deleteByKey(spark, path,
+      keysOf(Seq(3L, 6L)), Seq("id")) // both in dom=d0
+    assert(r.version === 2L)
+    val after = spark.read.format("feather").load(path)
+    assert(after.count() === 298)
+    assert(after.where(col("dom") === "d0").count() === 98)
+    assert(after.where(col("dom") === "d1").count() === 100)
+  }
+
+  test("composite-key delete anti-joins on the full tuple") {
+    val path = tmp("delete_comp")
+    writeTable(path, 100, 2)
+    import spark.implicits._
+    // (10,g1) matches the real row id=10 grp=g1; (11,g0) matches nothing
+    val keys = Seq((10L, "g1"), (11L, "g0")).toDF("id", "grp")
+    FeatherMutations.deleteByKey(spark, path, keys, Seq("id", "grp"))
+    val after = spark.read.format("feather").load(path)
+    assert(after.count() === 99)
+    assert(after.where(col("id") === 11L).count() === 1)
+  }
+
+  test("deleting every row leaves a readable empty table with its schema") {
+    val path = tmp("delete_all")
+    writeTable(path, 50, 2)
+    FeatherMutations.deleteByKey(spark, path, keysOf((1L to 50L)), Seq("id"))
+    val after = spark.read.format("feather").load(path)
+    assert(after.count() === 0)
+    assert(after.columns.toSeq === Seq("id", "grp", "pay"))
+  }
+
+  test("merge replaces matched rows and inserts unmatched ones") {
+    val path = tmp("merge_basic")
+    writeTable(path, 100, 4)
+    import spark.implicits._
+    val src = Seq(
+      (10L, "gX", "updated_10"),  // update
+      (20L, "gX", "updated_20"),  // update
+      (101L, "gX", "new_101"))    // insert
+      .toDF("id", "grp", "pay")
+    val r = FeatherMutations.merge(spark, path, src, Seq("id"))
+    assert(r.version === 2L)
+    val after = spark.read.format("feather").load(path)
+    assert(after.count() === 101)
+    assert(after.where(col("id") === 10L).select("pay").head().getString(0)
+      === "updated_10")
+    assert(after.where(col("id") === 101L).count() === 1)
+    assert(after.where(col("id") === 50L).select("pay").head().getString(0)
+      === "p_50") // untouched row intact
+    // only files whose range covers 10/20/101 were rewritten
+    assert(r.filesTouched < 4, s"expected pruning, got $r")
+  }
+
+  test("re-running the same merge is idempotent on content") {
+    val path = tmp("merge_idem")
+    writeTable(path, 60, 2)
+    import spark.implicits._
+    val src = Seq((5L, "gX", "u5"), (61L, "gX", "n61")).toDF("id", "grp", "pay")
+    FeatherMutations.merge(spark, path, src, Seq("id"))
+    val once = spark.read.format("feather").load(path)
+      .orderBy("id").collect().toSeq
+    val r2 = FeatherMutations.merge(spark, path, src, Seq("id"))
+    assert(r2.version === 3L)
+    val twice = spark.read.format("feather").load(path)
+      .orderBy("id").collect().toSeq
+    assert(once === twice)
+  }
+
+  test("merge into a pure-insert (no matches) appends without rewriting") {
+    val path = tmp("merge_insert")
+    writeTable(path, 100, 4)
+    import spark.implicits._
+    val src = Seq((200L, "gX", "n200"), (201L, "gX", "n201"))
+      .toDF("id", "grp", "pay")
+    val r = FeatherMutations.merge(spark, path, src, Seq("id"))
+    assert(r.filesTouched === 0, s"insert-only merge must touch nothing: $r")
+    assert(r.filesKept === 4)
+    assert(spark.read.format("feather").load(path).count() === 102)
+  }
+
+  test("expire() after a mutation physically reclaims the retired files") {
+    val path = tmp("mut_expire")
+    writeTable(path, 100, 4)
+    val fs = fsOf(path)
+    val v1Files = FeatherSnapshots.read(fs, new Path(path), 1L).files.map(_._1)
+    val r = FeatherMutations.deleteByKey(spark, path, keysOf(Seq(1L)), Seq("id"))
+    assert(r.filesTouched === 1)
+    val (snapsGone, filesGone) =
+      FeatherSnapshots.expire(fs, new Path(path), keepLast = 1)
+    assert(snapsGone === 1)
+    assert(filesGone === 1, "exactly the touched v1 part is reclaimed")
+    // table still reads correctly from the kept version
+    assert(spark.read.format("feather").load(path).count() === 99)
+    // and the touched v1 part is physically gone
+    val v2Files = FeatherSnapshots.read(fs, new Path(path), 2L).files.map(_._1).toSet
+    v1Files.filterNot(v2Files).foreach { rel =>
+      assert(!fs.exists(new Path(path, rel)), s"$rel should be deleted")
+    }
+  }
+
+  test("merge on a partitioned table fails loudly") {
+    val path = tmp("merge_part_err")
+    writePartitioned(path, 30)
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      FeatherMutations.merge(spark, path,
+        Seq((1L, "p_1")).toDF("id", "pay"), Seq("id"))
+    }
+    assert(e.getMessage.contains("partitioned"))
+  }
+
+  test("mutation on a non-snapshotted directory fails loudly") {
+    val path = tmp("mut_nosnap")
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v")
+      .write.format("feather").mode("overwrite").save(path)
+    val e = intercept[IllegalArgumentException] {
+      FeatherMutations.deleteByKey(spark, path, keysOf(Seq(1L)), Seq("id"))
+    }
+    assert(e.getMessage.contains("snapshots"))
+  }
+
+  test("string keys prune on string ranges") {
+    val path = tmp("delete_str")
+    import spark.implicits._
+    (1 to 400).map(i => (f"doc_$i%04d", i)).toDF("doc", "n")
+      .repartitionByRange(4, col("doc"))
+      .write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(path)
+    val r = FeatherMutations.deleteByKey(spark, path,
+      Seq("doc_0001", "doc_0002").toDF("doc"), Seq("doc"))
+    assert(r.filesTouched === 1, s"string range pruning failed: $r")
+    assert(spark.read.format("feather").load(path).count() === 398)
+  }
+
+  test("null keys never match (SQL equality semantics)") {
+    val path = tmp("delete_null")
+    writeTable(path, 20, 1)
+    import spark.implicits._
+    val keys = Seq(Some(5L), None).toDF("id")
+    FeatherMutations.deleteByKey(spark, path, keys, Seq("id"))
+    assert(spark.read.format("feather").load(path).count() === 19)
+  }
+}
