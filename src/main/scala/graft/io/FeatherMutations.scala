@@ -75,6 +75,29 @@ object FeatherMutations {
     mutate(spark, path, "merge", source, keyCols,
       appendSource = Some(source), codec)
 
+  /** CDC apply: one change frame carrying upserts AND deletes, flagged by
+    * a boolean tombstone column (null = live). Matched tombstoned keys are
+    * deleted, matched live keys replaced, unmatched live rows inserted
+    * (an unmatched tombstone is a no-op) — all in ONE manifest commit, so
+    * a change batch is atomic. Idempotent on content like [[merge]],
+    * which is exactly what a `foreachBatch` streaming sink needs: Spark
+    * replays a batch after a crash, and the replay commits one more
+    * version with identical rows. The batch must be pre-collapsed to one
+    * change per key (standard CDC compaction: keep the max-sequence row
+    * per key) — with several changes to one key in a frame there is no
+    * order to apply them in. */
+  def applyCdc(spark: SparkSession, path: String, changes: DataFrame,
+               keyCols: Seq[String], deleteCol: String = "_deleted",
+               codec: String = "lz4"): Result = {
+    require(changes.columns.contains(deleteCol),
+      s"applyCdc: tombstone column '$deleteCol' not in changes frame " +
+        s"(${changes.columns.mkString(", ")})")
+    val live = changes
+      .filter(!coalesce(col(deleteCol), lit(false))).drop(deleteCol)
+    mutate(spark, path, "cdc", changes, keyCols,
+      appendSource = Some(live), codec)
+  }
+
   // ---- shared implementation ----------------------------------------------
 
   private sealed trait KeyRange

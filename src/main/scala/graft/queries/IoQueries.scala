@@ -59,7 +59,7 @@ object IoQueries extends QueryPack {
     "io_avro_dsv2", "io_feather_dsv2", "io_feather_partitioned",
     "io_feather_skipping", "io_feather_compact", "io_avro_compact",
     "io_feather_agg_pushdown", "io_feather_time_travel", "io_avro_skipping",
-    "io_feather_delete", "io_feather_merge")
+    "io_feather_delete", "io_feather_merge", "io_feather_cdc")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
   // (cudf/io/csv.py:15 dtype=, header=; csv.hpp:48)
@@ -957,6 +957,48 @@ object IoQueries extends QueryPack {
     s.read.format("feather").load(path)
       .select(col("o_orderkey"), col("o_orderpriority"),
         col("o_totalprice").as("total"))
+      .orderBy("o_orderkey")
+  }
+
+  // CDC apply on a snapshotted table (io/FeatherMutations.applyCdc): one
+  // change frame carrying upserts AND tombstoned deletes lands as ONE
+  // atomic manifest commit — the foreachBatch sink shape for a change
+  // stream (FeatherMutationsSpec pins the streaming loop and that a
+  // replayed batch leaves content unchanged). The ORACLE rebuilds the
+  // post-CDC state relationally.
+  register("io_feather_cdc",
+    """SELECT o_orderkey, o_orderpriority FROM (
+      |  SELECT o_orderkey, o_orderpriority FROM orders
+      |  WHERE o_orderkey <= 2000
+      |    AND NOT (o_orderkey BETWEEN 500 AND 700)
+      |    AND NOT (o_orderkey BETWEEN 900 AND 1000)
+      |  UNION ALL
+      |  SELECT o_orderkey, '9-CDC' AS o_orderpriority FROM orders
+      |  WHERE o_orderkey BETWEEN 900 AND 1000
+      |     OR o_orderkey BETWEEN 2001 AND 2200
+      |) t ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val path = readFixture("feather_cdc", d) { p =>
+      Tables.orders(s, d).filter(col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_orderpriority")
+        .repartitionByRange(6, col("o_orderkey"))
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(p)
+      val deletes = Tables.orders(s, d)
+        .filter(col("o_orderkey").between(500, 700))
+        .select(col("o_orderkey"),
+          lit(null: String).as("o_orderpriority"), lit(true).as("_deleted"))
+      val upserts = Tables.orders(s, d)
+        .filter(col("o_orderkey").between(900, 1000) ||
+          col("o_orderkey").between(2001, 2200))
+        .select(col("o_orderkey"),
+          lit("9-CDC").as("o_orderpriority"), lit(false).as("_deleted"))
+      val r = graft.io.FeatherMutations.applyCdc(
+        s, p, deletes.unionByName(upserts), Seq("o_orderkey"))
+      require(r.filesTouched > 0 && r.filesTouched < 6,
+        s"cdc should touch a strict subset of the 6 parts: $r")
+    }
+    s.read.format("feather").load(path)
+      .select("o_orderkey", "o_orderpriority")
       .orderBy("o_orderkey")
   }
 

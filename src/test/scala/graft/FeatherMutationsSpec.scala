@@ -229,6 +229,76 @@ class FeatherMutationsSpec extends AnyFunSuite {
     assert(spark.read.format("feather").load(path).count() === 398)
   }
 
+  test("applyCdc applies upserts and deletes in one atomic commit") {
+    val path = tmp("cdc_basic")
+    writeTable(path, 100, 4)
+    import spark.implicits._
+    val changes = Seq(
+      (10L, "gX", "upd_10", false),   // update
+      (101L, "gX", "new_101", false), // insert
+      (20L, null, null, true),        // delete
+      (999L, null, null, true))       // delete of an absent key: no-op
+      .toDF("id", "grp", "pay", "_deleted")
+    val r = FeatherMutations.applyCdc(spark, path, changes, Seq("id"))
+    assert(r.version === 2L)
+    val after = spark.read.format("feather").load(path)
+    assert(after.count() === 100L) // +1 insert, -1 delete
+    assert(after.where(col("id") === 20L).count() === 0)
+    assert(after.where(col("id") === 10L).select("pay").head().getString(0)
+      === "upd_10")
+    assert(after.where(col("id") === 101L).count() === 1)
+  }
+
+  test("applyCdc treats a null tombstone as live") {
+    val path = tmp("cdc_null_flag")
+    writeTable(path, 20, 1)
+    import spark.implicits._
+    val changes = Seq((5L, "gX", "upd_5", null.asInstanceOf[java.lang.Boolean]))
+      .toDF("id", "grp", "pay", "_deleted")
+    FeatherMutations.applyCdc(spark, path, changes, Seq("id"))
+    val after = spark.read.format("feather").load(path)
+    assert(after.count() === 20)
+    assert(after.where(col("id") === 5L).select("pay").head().getString(0)
+      === "upd_5")
+  }
+
+  test("foreachBatch CDC sink: streamed change batches land atomically; " +
+      "a replayed batch leaves content unchanged") {
+    val path = tmp("cdc_stream")
+    writeTable(path, 50, 2)
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, Boolean)](spark)
+    val captured = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    val q = input.toDF().toDF("id", "grp", "pay", "_deleted")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        captured += batch.persist()
+        FeatherMutations.applyCdc(spark, path, batch, Seq("id")): Unit
+      }
+      .start()
+    try {
+      input.addData((3L, "gX", "s_upd_3", false), (7L, "", "", true))
+      q.processAllAvailable()
+      input.addData((51L, "gX", "s_new_51", false))
+      q.processAllAvailable()
+    } finally q.stop()
+    val after = spark.read.format("feather").load(path)
+    assert(after.count() === 50) // -1 delete +1 insert
+    assert(after.where(col("id") === 7L).count() === 0)
+    assert(after.where(col("id") === 3L).select("pay").head().getString(0)
+      === "s_upd_3")
+    assert(after.where(col("id") === 51L).count() === 1)
+    // crash-replay: re-apply the LAST batch; content must not change
+    val before = after.orderBy("id").collect().toSeq
+    FeatherMutations.applyCdc(spark, path, captured.last, Seq("id"))
+    val replayed = spark.read.format("feather").load(path)
+      .orderBy("id").collect().toSeq
+    assert(replayed === before)
+    captured.foreach(_.unpersist())
+  }
+
   test("null keys never match (SQL equality semantics)") {
     val path = tmp("delete_null")
     writeTable(path, 20, 1)
