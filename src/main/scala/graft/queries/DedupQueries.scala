@@ -676,6 +676,76 @@ object DedupQueries extends QueryPack {
       .orderBy("digest")
   }
 
+  // --- incremental NEAR-dup: new batch vs a persisted LSH band index --------
+  // The near-dup face of dedup_incremental: a standing corpus keeps its
+  // (doc_id, band, bkey) LSH index as a snapshotted feather table, and a
+  // new batch is checked by signing ONLY the batch and equi-joining its
+  // band keys against the stored index — the corpus is never re-shingled
+  // in the ingest path. At 100 TB this is the difference between an
+  // O(corpus) re-hash per day and O(batch + candidates): index maintenance
+  // is an append of the accepted batch's keys (the connector's snapshot
+  // append gives that atomically), and verification re-derives shingle
+  // hash sets for candidate ids only, exactly like the full LSH queries.
+  // Here corpus = doc_id % 10 <> 0 (index built once, in the untimed
+  // fixture), batch = doc_id % 10 = 0.
+  register("dedup_lsh_incremental",
+    s"""$sqlShingles,
+       |hs AS (SELECT doc_id,
+       |         list_distinct(list_transform(shingles, g -> ${sqlPolyHash("g")})) AS h FROM sh),
+       |mh AS (SELECT doc_id, list_transform(range(0, 8), i -> list_min(list_transform(h,
+       |         f -> ((2*i + 1) * f + i * 7919) % 1000000007))) AS sig FROM hs),
+       |keyed AS (SELECT doc_id, unnest(range(0, 8)) AS band, sig FROM mh),
+       |kb AS (SELECT doc_id, band, CAST(sig[band + 1] AS VARCHAR) AS bkey FROM keyed),
+       |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+       |         FROM kb a JOIN kb b ON a.band = b.band AND a.bkey = b.bkey
+       |         WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+       |SELECT new_id, old_id,
+       |  round(CAST(len(list_intersect(s1.h, s2.h)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(s1.h, s2.h))), 6) AS jaccard
+       |FROM cand JOIN hs s1 ON s1.doc_id = new_id JOIN hs s2 ON s2.doc_id = old_id
+       |WHERE CAST(len(list_intersect(s1.h, s2.h)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(s1.h, s2.h))) >= 0.2
+       |ORDER BY new_id, old_id""".stripMargin) { (s, d) =>
+    val nHashes = 8
+    def bandKeys(docs: DataFrame): DataFrame = {
+      val fp = docs
+        .select(col("doc_id"), explode(shingleHashes(col("text"))).as("fp"))
+      val hashCols = (0 until nHashes).map(i =>
+        min((lit(2L * i + 1) * col("fp") + lit(i * 7919L)) % lit(HashMod)).as(s"h$i"))
+      val sig = fp.groupBy(col("doc_id")).agg(hashCols.head, hashCols.tail: _*)
+      val bandCols = (0 until nHashes).map(i => col(s"h$i").cast(StringType))
+      sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
+    }
+    val indexPath = IoQueries.readFixture("lsh_band_index", d) { p =>
+      bandKeys(Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0))
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(p)
+    }
+    val index = s.read.format("feather").load(indexPath)
+    val batch = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+    val cand = graft.ops.OrderedOps.pinned(
+      bandKeys(batch).select(col("band"), col("bkey"), col("doc_id").as("new_id"))
+        .join(index.select(col("band"), col("bkey"), col("doc_id").as("old_id")),
+          Seq("band", "bkey"))
+        .select("new_id", "old_id").distinct())
+    val base = Tables.documents(s, d)
+    def candH(idCol: String) = base
+      .join(cand.select(col(idCol).as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingleHashes(col("text")).as("h"))
+    val jac = size(array_intersect(col("h1"), col("h2"))).cast(DoubleType) /
+      size(array_distinct(concat(col("h1"), col("h2"))))
+    cand
+      .join(candH("new_id").select(col("doc_id").as("new_id"), col("h").as("h1")),
+        Seq("new_id"))
+      .join(candH("old_id").select(col("doc_id").as("old_id"), col("h").as("h2")),
+        Seq("old_id"))
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= 0.2)
+      .select(col("new_id"), col("old_id"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("new_id", "old_id")
+  }
+
   // --- duplicate-span coverage (exact-substring dedup signal; Lee et al.
   // 2022 "Deduplicating Training Data Makes Language Models Better") -------
   // Overlapping 8-token windows; a window is a duplicate span iff its

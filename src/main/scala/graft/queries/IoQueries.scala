@@ -34,7 +34,7 @@ object IoQueries extends QueryPack {
     * body — the roundtrip IS what they measure. */
   private val fixtureReady =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def readFixture(name: String, d: String)(build: String => Unit): String =
+  private[queries] def readFixture(name: String, d: String)(build: String => Unit): String =
     fixtureReady.computeIfAbsent(s"$name@$d", _ => {
       val path = fixturePath(name, d)
       build(path)
@@ -59,7 +59,8 @@ object IoQueries extends QueryPack {
     "io_avro_dsv2", "io_feather_dsv2", "io_feather_partitioned",
     "io_feather_skipping", "io_feather_compact", "io_avro_compact",
     "io_feather_agg_pushdown", "io_feather_time_travel", "io_avro_skipping",
-    "io_feather_delete", "io_feather_merge", "io_feather_cdc")
+    "io_feather_delete", "io_feather_merge", "io_feather_cdc",
+    "dedup_lsh_incremental")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
   // (cudf/io/csv.py:15 dtype=, header=; csv.hpp:48)
