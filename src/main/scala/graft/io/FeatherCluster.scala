@@ -1,0 +1,93 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.sources.FeatherSnapshots
+
+/** OPTIMIZE-style re-clustering of a snapshotted feather table: rewrite
+  * every live file range-clustered AND batch-sorted on chosen columns,
+  * swapped in as ONE "cluster" manifest commit.
+  *
+  * Why it exists: a table built by streaming ingest (or any hash-
+  * partitioned write) has arrival-ordered files whose key ranges all span
+  * the whole domain — the skipping index prunes nothing, and every
+  * key-banded mutation ([[FeatherMutations]]) or filtered read touches
+  * every file. Re-clustering is the standing fix (Delta OPTIMIZE ZORDER
+  * BY, Iceberg rewrite with sort orders): after it, a key band maps to
+  * few files, and within each file the 4096-row record batches are
+  * sorted, so the per-BATCH stats prune too — the two levels compound.
+  *
+  * Mechanics reuse the mutation machinery: per hive leaf, read the
+  * manifest's live files, `repartitionByRange` on the cluster columns
+  * into ceil(leafBytes / targetBytes) parts, `sortWithinPartitions`,
+  * write under a version-derived `clust-v…` prefix, publish one snapshot
+  * that swaps the leaf's inputs for the outputs. Nothing is physically
+  * deleted (retained versions keep reading; expire() reclaims), a
+  * crashed run's orphans are reclaimed by the next run's prefix
+  * pre-clean, and the commit detects a raced parent loudly — the same
+  * single-mutator contract as compaction and mutations.
+  *
+  * Multi-column clustering is lexicographic range partitioning; for
+  * genuinely multi-dimensional access patterns compute a Z-value column
+  * first (the `io_zorder_key` bit-interleave) and cluster on it.
+  */
+object FeatherCluster {
+
+  final case class Result(version: Long, filesBefore: Int, filesAfter: Int)
+
+  def cluster(spark: SparkSession, path: String, cols: Seq[String],
+              targetBytes: Long = 128L << 20,
+              codec: String = "lz4"): Result = {
+    require(cols.nonEmpty, "cluster: cols must be non-empty")
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    require(FeatherSnapshots.enabled(fs, root),
+      s"cluster on $path, which has no ${FeatherSnapshots.Dir} directory — " +
+        "re-clustering is a manifest operation; write the table with " +
+        "option(\"snapshots\", \"true\") first")
+    val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
+      sys.error(s"cluster on $path: snapshot directory holds no versions"))
+    val prefix = f"clust-v${snap.version + 1}%08d"
+
+    val byLeaf = snap.files.groupBy { case (rel, _) =>
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }.toSeq.sortBy(_._1)
+
+    val added = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    byLeaf.foreach { case (relDir, leafFiles) =>
+      val leafDir = if (relDir.isEmpty) root else new Path(root, relDir)
+      val leafBytes = leafFiles.map(_._2).sum
+      val nParts = math.max(1,
+        math.ceil(leafBytes.toDouble / targetBytes).toInt)
+      val df = GraftFeather.readFiles(spark,
+        leafFiles.map { case (rel, len) => (new Path(root, rel).toString, len) })
+      cols.foreach(c => require(df.columns.contains(c),
+        s"cluster: column '$c' not in table schema (${df.columns.mkString(", ")})"))
+      val clustered = df
+        .repartitionByRange(nParts, cols.map(col): _*)
+        .sortWithinPartitions(cols.map(col): _*)
+      val parts = GraftFeather.writeParts(
+        clustered, leafDir.toString, prefix, codec)
+      if (parts.nonEmpty)
+        FeatherStats.upsertMerged(fs, leafDir,
+          parts.map { case (name, len, js) =>
+            name -> (len, FeatherStats.fromJson(js)) }.toMap)
+      added ++= parts.map { case (name, len, _) =>
+        (if (relDir.isEmpty) name else s"$relDir/$name", len) }
+    }
+
+    val gone = snap.files.map(_._1).toSet
+    val committed = FeatherSnapshots.commit(fs, root, "cluster") { parentFiles =>
+      require(parentFiles.toSet == snap.files.toSet,
+        s"cluster on $path: concurrent commit detected (parent moved past " +
+          s"v${snap.version} while the rewrite ran) — re-run")
+      parentFiles.filterNot { case (rel, _) => gone(rel) } ++ added
+    }
+    Result(committed, snap.files.size, added.size)
+  }
+}

@@ -60,7 +60,7 @@ object IoQueries extends QueryPack {
     "io_feather_skipping", "io_feather_compact", "io_avro_compact",
     "io_feather_agg_pushdown", "io_feather_time_travel", "io_avro_skipping",
     "io_feather_delete", "io_feather_merge", "io_feather_cdc",
-    "dedup_lsh_incremental")
+    "io_feather_cluster", "dedup_lsh_incremental")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
   // (cudf/io/csv.py:15 dtype=, header=; csv.hpp:48)
@@ -959,6 +959,44 @@ object IoQueries extends QueryPack {
       .select(col("o_orderkey"), col("o_orderpriority"),
         col("o_totalprice").as("total"))
       .orderBy("o_orderkey")
+  }
+
+  // OPTIMIZE-style re-clustering (io/FeatherCluster.scala): a HASH-written
+  // table (every file's key range spans the domain — nothing prunes) is
+  // rewritten range-clustered + batch-sorted in one "cluster" manifest
+  // commit; the fixture PROVES the payoff by running the same key-banded
+  // delete before and after (8/8 files touched → strict subset), and the
+  // ORACLE pins that the rewrite + mutation lost no rows.
+  // FeatherClusterSpec pins content equality, time travel, and per-leaf
+  // independence.
+  register("io_feather_cluster",
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_orderkey <= 4000
+      |  AND NOT (l_orderkey BETWEEN 2001 AND 2300)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val path = readFixture("feather_cluster", d) { p =>
+      Tables.lineitem(s, d).filter(col("l_orderkey") <= 4000)
+        .select("l_returnflag", "l_orderkey", "l_quantity")
+        .repartition(8, col("l_orderkey")) // hash: worst case for skipping
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(p)
+      val rc = graft.io.FeatherCluster.cluster(s, p, Seq("l_orderkey"),
+        targetBytes = 64 << 10)
+      require(rc.filesAfter > 1, s"want multiple clustered parts: $rc")
+      val band = Tables.orders(s, d)
+        .filter(col("o_orderkey").between(2001, 2300))
+        .select(col("o_orderkey").as("l_orderkey"))
+      val r = graft.io.FeatherMutations.deleteByKey(s, p, band, Seq("l_orderkey"))
+      require(r.filesTouched < rc.filesAfter,
+        s"clustered delete must prune: $r of ${rc.filesAfter}")
+    }
+    s.read.format("feather").load(path)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(12, 2)))
+          .cast(DoubleType).as("sum_qty"))
+      .orderBy("l_returnflag")
   }
 
   // CDC apply on a snapshotted table (io/FeatherMutations.applyCdc): one

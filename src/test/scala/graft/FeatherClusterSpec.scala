@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{FeatherCluster, FeatherMutations}
+import graft.sources.FeatherSnapshots
+
+/** OPTIMIZE-style re-clustering: content preservation, the pruning payoff
+  * for subsequent key-banded mutations, time travel, and per-leaf
+  * independence on hive layouts. */
+class FeatherClusterSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private def tmp(n: String): String = {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_feather_clust/$n"
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(p))
+    p
+  }
+  private def fsOf(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Arrival-ordered worst case: HASH-partitioned, so every file's id
+    * range spans the whole domain and nothing prunes. */
+  private def writeHashed(path: String, n: Int, parts: Int): Unit = {
+    import spark.implicits._
+    (1 to n).map(i => (i.toLong, s"p_$i")).toDF("id", "pay")
+      .repartition(parts, col("id"))
+      .write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(path)
+  }
+
+  test("cluster preserves content exactly and bumps one version") {
+    val path = tmp("content")
+    writeHashed(path, 1000, 8)
+    val before = spark.read.format("feather").load(path)
+      .orderBy("id").collect().toSeq
+    val r = FeatherCluster.cluster(spark, path, Seq("id"))
+    assert(r.version === 2L)
+    assert(r.filesBefore === 8)
+    val after = spark.read.format("feather").load(path)
+      .orderBy("id").collect().toSeq
+    assert(after === before)
+  }
+
+  test("re-clustering turns touch-everything mutations into banded ones") {
+    val path = tmp("prune_payoff")
+    writeHashed(path, 2000, 8)
+    import spark.implicits._
+    // hash layout: a 50-key band overlaps every file's range
+    val r1 = FeatherMutations.deleteByKey(spark, path,
+      (100L to 149L).toDF("id"), Seq("id"))
+    assert(r1.filesTouched === 8, s"hash layout should touch all: $r1")
+    val rc = FeatherCluster.cluster(spark, path, Seq("id"),
+      targetBytes = 4096) // force several output parts at test size
+    assert(rc.filesAfter > 1, s"want multiple clustered parts: $rc")
+    // clustered layout: the next band touches a strict subset
+    val r2 = FeatherMutations.deleteByKey(spark, path,
+      (300L to 349L).toDF("id"), Seq("id"))
+    assert(r2.filesTouched < rc.filesAfter,
+      s"clustered delete must prune: $r2 of ${rc.filesAfter}")
+    val left = spark.read.format("feather").load(path)
+    assert(left.count() === 1900)
+    assert(left.where(col("id").between(100, 149) ||
+      col("id").between(300, 349)).count() === 0)
+  }
+
+  test("time travel: the pre-cluster version still reads") {
+    val path = tmp("tt")
+    writeHashed(path, 300, 4)
+    FeatherCluster.cluster(spark, path, Seq("id"))
+    val v1 = spark.read.format("feather").option("versionAsOf", "1").load(path)
+    assert(v1.count() === 300)
+    // expire reclaims the unclustered originals
+    val (gone, files) = FeatherSnapshots.expire(fsOf(path), new Path(path), 1)
+    assert(gone === 1 && files === 4)
+    assert(spark.read.format("feather").load(path).count() === 300)
+  }
+
+  test("hive leaves cluster independently") {
+    val path = tmp("leaves")
+    import spark.implicits._
+    val df = (1 to 400).map(i => (i.toLong, s"d${i % 2}", s"p_$i"))
+      .toDF("id", "dom", "pay")
+    Seq("d0", "d1").foreach { dm =>
+      graft.io.GraftFeather.write(
+        df.where(col("dom") === dm).drop("dom").repartition(3, col("id")),
+        s"$path/dom=$dm", overwrite = true)
+    }
+    FeatherSnapshots.adopt(fsOf(path), new Path(path))
+    val r = FeatherCluster.cluster(spark, path, Seq("id"))
+    assert(r.filesBefore === 6)
+    val snap = FeatherSnapshots.read(fsOf(path), new Path(path), r.version)
+    // every output stays inside its leaf
+    assert(snap.files.forall { case (rel, _) =>
+      rel.startsWith("dom=d0/") || rel.startsWith("dom=d1/") })
+    val after = spark.read.format("feather").load(path)
+    assert(after.count() === 400)
+    assert(after.where(col("dom") === "d0").count() === 200)
+  }
+
+  test("unknown cluster column fails loudly") {
+    val path = tmp("badcol")
+    writeHashed(path, 50, 2)
+    val e = intercept[IllegalArgumentException] {
+      FeatherCluster.cluster(spark, path, Seq("nope"))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+}
