@@ -294,6 +294,62 @@ object GraftFeather {
     finally head.close()
   }
 
+  /** Schema-evolution inference: the UNION of every file's footer fields,
+    * first-seen order (first file's layout, later files' new columns
+    * appended in discovery order). A name carried with two different
+    * types fails loudly BY FILE — silent coercion would corrupt a column
+    * an old generation wrote narrower. Footer reads run on the same
+    * bounded pool as split planning, so a 10⁵-file table infers in
+    * O(files / pool), not serially on the driver. */
+  private[graft] def readFieldsMerged(spark: SparkSession,
+                                      files: Seq[(String, Long)]): Seq[Field] = {
+    require(files.nonEmpty, "readFieldsMerged: empty file list")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, files.size)))
+    val perFile =
+      try {
+        val futs = files.map { case (f, len) =>
+          (f, pool.submit(new java.util.concurrent.Callable[Seq[Field]] {
+            def call(): Seq[Field] = {
+              val r = openReader(conf, f, len)
+              try r.getVectorSchemaRoot.getSchema.getFields.asScala.toSeq
+              finally r.close()
+            }
+          }))
+        }
+        futs.map { case (f, fu) =>
+          try (f, fu.get())
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw new java.io.IOException(
+                s"Feather part file $f: cannot read IPC footer", e.getCause)
+          }
+        }
+      } finally pool.shutdown()
+    val order = scala.collection.mutable.LinkedHashMap.empty[String, (Field, String)]
+    perFile.foreach { case (f, fields) =>
+      fields.foreach { fld =>
+        order.get(fld.getName) match {
+          case None => order(fld.getName) = (fld, f)
+          case Some((prev, prevFile)) =>
+            require(toSparkType(prev) == toSparkType(fld),
+              s"mergeSchema: column '${fld.getName}' is " +
+                s"${toSparkType(prev).catalogString} in $prevFile but " +
+                s"${toSparkType(fld).catalogString} in $f — evolved columns " +
+                "must keep their type")
+        }
+      }
+    }
+    // every merged column is nullable: files that predate it read null
+    order.values.map { case (f, _) =>
+      if (f.isNullable) f
+      else new Field(f.getName,
+        new FieldType(true, f.getType, f.getDictionary, f.getMetadata),
+        f.getChildren)
+    }.toSeq
+  }
+
   /** Driver-side read planning: the Arrow schema fields (from the first
     * footer) and the (file, fileLen, batchIndices) splits — consecutive
     * batches grouped until a group's body bytes exceed `maxSplitBytes`.
@@ -374,8 +430,10 @@ object GraftFeather {
   private[graft] def splitRows(execConf: org.apache.hadoop.conf.Configuration,
                                file: String, len: Long, batchIdxs: Seq[Int],
                                colNames: Seq[String],
-                               registerClose: ArrowFileReader => Unit): Iterator[Row] =
-    rowsFrom(execConf, file, len, _ => batchIdxs, colNames, registerClose)
+                               registerClose: ArrowFileReader => Unit,
+                               lenient: Boolean = false): Iterator[Row] =
+    rowsFrom(execConf, file, len, _ => batchIdxs, colNames, registerClose,
+      lenient)
 
   /** Every record batch of `file` through ONE reader open — the whole-file
     * shape compaction consumes (a separate footer probe just to learn the
@@ -391,7 +449,8 @@ object GraftFeather {
                        file: String, len: Long,
                        idxsOf: ArrowFileReader => Seq[Int],
                        colNames: Seq[String],
-                       registerClose: ArrowFileReader => Unit): Iterator[Row] = {
+                       registerClose: ArrowFileReader => Unit,
+                       lenient: Boolean = false): Iterator[Row] = {
     val reader =
       try openReader(execConf, file, len)
       catch { case e: Exception =>
@@ -400,23 +459,27 @@ object GraftFeather {
     registerClose(reader)
     val root = reader.getVectorSchemaRoot
     val fileFields = root.getSchema.getFields.asScala.toSeq
+    // lenient: a projected column absent from this file reads as NULL for
+    // every row — the mergeSchema contract (older file generations predate
+    // the column). Default stays loud: a missing column in a homogeneous
+    // table is corruption, not evolution.
     val colIdx = colNames.map { c =>
       val i = fileFields.indexWhere(_.getName == c)
-      if (i < 0) throw new java.io.IOException(
+      if (i < 0 && !lenient) throw new java.io.IOException(
         s"Feather part file $file: no column '$c' " +
           s"(file has: ${fileFields.map(_.getName).mkString(", ")})")
       i
     }
-    val convs = colIdx.map(i => converter(fileFields(i)))
+    val convs = colIdx.map(i => if (i < 0) null else converter(fileFields(i)))
     val blocks = reader.getRecordBlocks.asScala
     idxsOf(reader).iterator.flatMap { bi =>
       require(reader.loadRecordBatch(blocks(bi)),
         s"Feather part file $file: failed to load record batch $bi")
       val n = root.getRowCount
-      val vecs = colIdx.map(root.getVector)
+      val vecs = colIdx.map(i => if (i < 0) null else root.getVector(i))
       (0 until n).iterator.map { r =>
         Row.fromSeq(colIdx.indices.map { c =>
-          convs(c)(vecs(c).getObject(r))
+          if (vecs(c) == null) null else convs(c)(vecs(c).getObject(r))
         })
       }
     }

@@ -60,7 +60,7 @@ object IoQueries extends QueryPack {
     "io_feather_skipping", "io_feather_compact", "io_avro_compact",
     "io_feather_agg_pushdown", "io_feather_time_travel", "io_avro_skipping",
     "io_feather_delete", "io_feather_merge", "io_feather_cdc",
-    "io_feather_cluster", "dedup_lsh_incremental")
+    "io_feather_cluster", "io_feather_evolution", "dedup_lsh_incremental")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
   // (cudf/io/csv.py:15 dtype=, header=; csv.hpp:48)
@@ -959,6 +959,34 @@ object IoQueries extends QueryPack {
       .select(col("o_orderkey"), col("o_orderpriority"),
         col("o_totalprice").as("total"))
       .orderBy("o_orderkey")
+  }
+
+  // Read-side schema evolution (mergeSchema): two file GENERATIONS in one
+  // table — the older predates the `c_nationkey` column — read as the
+  // union schema with nulls filling the predating rows, exactly parquet's
+  // mergeSchema contract re-supplied to a format without file-level
+  // schema negotiation. Inference unions EVERY footer on a bounded pool;
+  // a type conflict fails loudly by file (FeatherSchemaEvolutionSpec).
+  register("io_feather_evolution",
+    """SELECT c_custkey, c_mktsegment,
+      |  CASE WHEN c_custkey <= 500 THEN NULL ELSE c_nationkey END AS c_nationkey
+      |FROM customer WHERE c_custkey <= 900 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val path = readFixture("feather_evolution", d) { p =>
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(p))
+      val src = Tables.customer(s, d)
+      GraftFeather.writeParts(
+        src.filter(col("c_custkey") <= 500)
+          .select("c_custkey", "c_mktsegment").repartition(1), p, "gen1")
+      GraftFeather.writeParts(
+        src.filter(col("c_custkey") > 500 && col("c_custkey") <= 900)
+          .select("c_custkey", "c_mktsegment", "c_nationkey")
+          .repartition(1), p, "gen2"): Unit
+    }
+    s.read.format("feather").option("mergeSchema", "true").load(path)
+      .select("c_custkey", "c_mktsegment", "c_nationkey")
+      .orderBy("c_custkey")
   }
 
   // OPTIMIZE-style re-clustering (io/FeatherCluster.scala): a HASH-written

@@ -44,11 +44,17 @@ class FeatherDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     // schema-only: ONE footer read (the first discovered file) plus the
     // partition columns the directory layout declares; the every-file
-    // split sweep runs once, at scan time
+    // split sweep runs once, at scan time. With mergeSchema=true the
+    // inference unions EVERY footer (bounded-pool reads) — the
+    // schema-evolution read over heterogeneous file generations.
     val spark = SparkSession.active
     val disc = FeatherDiscovery.discover(spark, pathOf(options),
       Option(options.get("versionasof")).map(_.toLong))
-    val fields = GraftFeather.readFields(spark, disc.files.head.file)
+    val fields =
+      if (Option(options.get("mergeschema")).exists(_.toBoolean))
+        GraftFeather.readFieldsMerged(spark,
+          disc.files.map(l => (l.file, l.len)))
+      else GraftFeather.readFields(spark, disc.files.head.file)
     StructType(fields.map(f => org.apache.spark.sql.types.StructField(
       f.getName, GraftFeather.toSparkType(f), f.isNullable)) ++
       disc.partSchema.fields)
@@ -60,7 +66,8 @@ class FeatherDataSource extends TableProvider with DataSourceRegister {
     new FeatherTable(schema, pathOf(opts),
       Option(opts.get("maxsplitbytes")).map(_.toLong)
         .getOrElse(128L << 20),
-      Option(opts.get("versionasof")).map(_.toLong))
+      Option(opts.get("versionasof")).map(_.toLong),
+      Option(opts.get("mergeschema")).exists(_.toBoolean))
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -84,7 +91,8 @@ private object FeatherDiscovery {
 
 private class FeatherTable(tableSchema: StructType, path: String,
                            maxSplitBytes: Long,
-                           versionAsOf: Option[Long])
+                           versionAsOf: Option[Long],
+                           mergeSchema: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"feather `$path`"
@@ -101,7 +109,9 @@ private class FeatherTable(tableSchema: StructType, path: String,
         .getOrElse(maxSplitBytes),
       Option(options.get("versionasof")).map(_.toLong).orElse(versionAsOf),
       Option(options.get("maxfilespertrigger")).map(_.toInt),
-      Option(options.get("ignorechanges")).exists(_.toBoolean))
+      Option(options.get("ignorechanges")).exists(_.toBoolean),
+      Option(options.get("mergeschema")).map(_.toBoolean)
+        .getOrElse(mergeSchema))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -112,7 +122,8 @@ private class FeatherScanBuilder(fullSchema: StructType, path: String,
                                  maxSplitBytes: Long,
                                  versionAsOf: Option[Long],
                                  maxFilesPerTrigger: Option[Int],
-                                 ignoreChanges: Boolean = false)
+                                 ignoreChanges: Boolean = false,
+                                 mergeSchema: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -165,7 +176,8 @@ private class FeatherScanBuilder(fullSchema: StructType, path: String,
     case Some((schema, row)) => new FeatherLocalScan(path, schema, Array(row))
     case None =>
       new FeatherScan(required, path, maxSplitBytes, limit, skipFilters.toSeq,
-        allFilters.toSeq, versionAsOf, maxFilesPerTrigger, ignoreChanges)
+        allFilters.toSeq, versionAsOf, maxFilesPerTrigger, ignoreChanges,
+        mergeSchema)
   }
 }
 
@@ -314,7 +326,8 @@ private class FeatherScan(readSchema0: StructType, path: String,
                           pruneFilters: Seq[org.apache.spark.sql.sources.Filter],
                           versionAsOf: Option[Long],
                           maxFilesPerTrigger: Option[Int],
-                          ignoreChanges: Boolean = false)
+                          ignoreChanges: Boolean = false,
+                          mergeSchema: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = readSchema0
   override def description(): String =
@@ -370,7 +383,7 @@ private class FeatherScan(readSchema0: StructType, path: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FeatherReaderFactory(readSchema0, limit,
-      GraftHadoop.confBroadcast(SparkSession.active))
+      GraftHadoop.confBroadcast(SparkSession.active), mergeSchema)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -794,7 +807,8 @@ private object FeatherSourceWriters {
 
 private class FeatherReaderFactory(
     readSchema: StructType, limit: Int,
-    confMap: org.apache.spark.broadcast.Broadcast[Map[String, String]])
+    confMap: org.apache.spark.broadcast.Broadcast[Map[String, String]],
+    mergeSchema: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[FeatherInputPartition]
@@ -824,7 +838,7 @@ private class FeatherReaderFactory(
       private val all =
         try GraftFeather.splitRows(
           execConf, p.file, p.len, p.batchIdxs,
-          dataNames, r => open = Some(r))
+          dataNames, r => open = Some(r), lenient = mergeSchema)
         catch { case e: Throwable =>
           open.foreach(r => try r.close() catch { case _: Exception => () })
           throw e
