@@ -154,6 +154,72 @@ object GraftAvro {
     * with no default, the one structural mismatch name-based resolution
     * cannot paper over. Type conflicts surface through the decode-error
     * wrapping in [[read]] (also file-named). */
+  /** mergeSchema reader schema: the UNION of every file header's fields,
+    * first-seen order, each wrapped nullable-with-null-default — so
+    * Avro's own per-file schema RESOLUTION (already run by [[openReader]]
+    * with an expected schema) fills null for writers that predate a
+    * field. This is evolution the Avro way: the reader schema declares
+    * the default; no row-level special-casing. A field carried with two
+    * structurally different (non-null) types fails loudly BY FILE.
+    * Header reads run on a bounded pool — O(files / pool), not serial. */
+  private[graft] def mergedSchema(spark: SparkSession,
+                                  files: Seq[(String, Long)]): Schema = {
+    require(files.nonEmpty, "mergedSchema: empty file list")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, files.size)))
+    val perFile =
+      try files.map { case (f, _) =>
+        (f, pool.submit(new java.util.concurrent.Callable[Schema] {
+          def call(): Schema = {
+            val r = openReader(conf, f)
+            try r.getSchema finally r.close()
+          }
+        }))
+      }.map { case (f, fu) =>
+        try (f, fu.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw new java.io.IOException(
+              s"Avro part file $f: cannot read header", e.getCause)
+        }
+      } finally pool.shutdown()
+    perFile.foreach { case (f, s) =>
+      require(s.getType == Schema.Type.RECORD,
+        s"Avro part file $f: top-level schema must be a record, got $s") }
+    def nonNull(s: Schema): Schema =
+      if (s.getType == Schema.Type.UNION) {
+        val rest = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+        if (rest.size == 1) rest.head else Schema.createUnion(rest.asJava)
+      } else s
+    val order = scala.collection.mutable.LinkedHashMap.empty[String, (Schema, String)]
+    perFile.foreach { case (f, rec) =>
+      rec.getFields.asScala.foreach { fld =>
+        order.get(fld.name()) match {
+          case None => order(fld.name()) = (fld.schema(), f)
+          case Some((prev, prevFile)) =>
+            require(nonNull(prev) == nonNull(fld.schema()),
+              s"mergeSchema: avro field '${fld.name()}' is " +
+                s"${nonNull(prev)} in $prevFile but " +
+                s"${nonNull(fld.schema())} in $f — evolved fields must " +
+                "keep their type")
+        }
+      }
+    }
+    val fields = order.map { case (name, (fs, _)) =>
+      val branches = nonNull(fs) match {
+        case u if u.getType == Schema.Type.UNION => u.getTypes.asScala.toSeq
+        case s => Seq(s)
+      }
+      val unioned = Schema.createUnion(
+        (Schema.create(Schema.Type.NULL) +: branches).asJava)
+      new Schema.Field(name, unioned, null,
+        org.apache.avro.JsonProperties.NULL_VALUE)
+    }.toSeq
+    Schema.createRecord("graft_merged", null, "graft.avro", false,
+      fields.asJava)
+  }
+
   private def checkResolvable(expected: Schema, writer: Schema, file: String): Unit = {
     expected.getFields.asScala.foreach { f =>
       if (writer.getField(f.name()) == null && !f.hasDefaultValue)

@@ -60,7 +60,8 @@ object IoQueries extends QueryPack {
     "io_feather_skipping", "io_feather_compact", "io_avro_compact",
     "io_feather_agg_pushdown", "io_feather_time_travel", "io_avro_skipping",
     "io_feather_delete", "io_feather_merge", "io_feather_cdc",
-    "io_feather_cluster", "io_feather_evolution", "dedup_lsh_incremental")
+    "io_feather_cluster", "io_feather_evolution", "io_avro_evolution",
+    "dedup_lsh_incremental")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
   // (cudf/io/csv.py:15 dtype=, header=; csv.hpp:48)
@@ -985,6 +986,37 @@ object IoQueries extends QueryPack {
           .repartition(1), p, "gen2"): Unit
     }
     s.read.format("feather").option("mergeSchema", "true").load(path)
+      .select("c_custkey", "c_mktsegment", "c_nationkey")
+      .orderBy("c_custkey")
+  }
+
+  // Avro face of schema evolution: the merged reader schema carries null
+  // DEFAULTS and Avro's own per-file resolution fills them — no row-level
+  // special-casing (AvroSchemaEvolutionSpec pins the strict-mode
+  // first-schema projection contract and type-conflict failure).
+  register("io_avro_evolution",
+    """SELECT c_custkey, c_mktsegment,
+      |  CASE WHEN c_custkey <= 500 THEN NULL ELSE c_nationkey END AS c_nationkey
+      |FROM customer WHERE c_custkey <= 900 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val path = readFixture("avro_evolution", d) { p =>
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(p))
+      val src = Tables.customer(s, d)
+      def writeGen(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val pw = new GraftAvro.AvroPartWriter(df.schema,
+          GraftAvro.toAvroSchema(df.schema).toString,
+          fs.create(new org.apache.hadoop.fs.Path(p, name), true), "null")
+        df.collect().foreach(pw.append)
+        pw.finish()
+      }
+      writeGen("gen1.avro", src.filter(col("c_custkey") <= 500)
+        .select("c_custkey", "c_mktsegment"))
+      writeGen("gen2.avro", src.filter(col("c_custkey") > 500 &&
+          col("c_custkey") <= 900)
+        .select("c_custkey", "c_mktsegment", "c_nationkey"))
+    }
+    s.read.format("graft-avro").option("mergeSchema", "true").load(path)
       .select("c_custkey", "c_mktsegment", "c_nationkey")
       .orderBy("c_custkey")
   }

@@ -35,23 +35,35 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     // data schema from the first discovered file's header, plus the
-    // partition columns the directory layout declares
+    // partition columns the directory layout declares; mergeSchema=true
+    // unions EVERY header (bounded pool) — schema evolution the Avro way
+    // (the merged reader schema carries null defaults; per-file
+    // resolution fills them)
     val spark = SparkSession.active
     val disc = FeatherPartitions.discover(spark, pathOf(options), Seq(".avro"))
-    StructType(
-      GraftAvro.planReadFiles(spark,
+    val dataSchema =
+      if (Option(options.get("mergeschema")).exists(_.toBoolean))
+        GraftAvro.toSparkType(GraftAvro.mergedSchema(spark,
+          disc.files.map(l => (l.file, l.len))))
+          .asInstanceOf[StructType]
+      else GraftAvro.planReadFiles(spark,
         Seq((disc.files.head.file, disc.files.head.len)),
-        maxSplitBytes = Long.MaxValue)._2.fields ++ disc.partSchema.fields)
+        maxSplitBytes = Long.MaxValue)._2
+    StructType(dataSchema.fields ++ disc.partSchema.fields)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
-    new AvroTable(schema, pathOf(new CaseInsensitiveStringMap(properties)))
+                        properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new AvroTable(schema, pathOf(opts),
+      Option(opts.get("mergeschema")).exists(_.toBoolean))
+  }
 
   override def supportsExternalMetadata(): Boolean = true
 }
 
-private class AvroTable(tableSchema: StructType, path: String)
+private class AvroTable(tableSchema: StructType, path: String,
+                        mergeSchema: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-avro `$path`"
@@ -64,7 +76,9 @@ private class AvroTable(tableSchema: StructType, path: String)
     new AvroScanBuilder(tableSchema, path,
       Option(options.get("maxsplitbytes")).map(_.toLong)
         .getOrElse(128L << 20),
-      Option(options.get("maxfilespertrigger")).map(_.toInt))
+      Option(options.get("maxfilespertrigger")).map(_.toInt),
+      Option(options.get("mergeschema")).map(_.toBoolean)
+        .getOrElse(mergeSchema))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -294,7 +308,8 @@ private object AvroSourceWriters {
 
 private class AvroScanBuilder(fullSchema: StructType, path: String,
                               maxSplitBytes: Long,
-                              maxFilesPerTrigger: Option[Int])
+                              maxFilesPerTrigger: Option[Int],
+                              mergeSchema: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -337,7 +352,7 @@ private class AvroScanBuilder(fullSchema: StructType, path: String,
     case Some((schema, row)) => new AvroLocalScan(path, schema, Array(row))
     case None =>
       new AvroScan(required, path, maxSplitBytes, limit,
-        pruneFilters.toSeq, maxFilesPerTrigger)
+        pruneFilters.toSeq, maxFilesPerTrigger, mergeSchema)
   }
 }
 
@@ -354,7 +369,8 @@ private class AvroLocalScan(path: String, schema: StructType,
 private class AvroScan(readSchema0: StructType, path: String,
                        maxSplitBytes: Long, limit: Int,
                        pruneFilters: Seq[org.apache.spark.sql.sources.Filter],
-                       maxFilesPerTrigger: Option[Int])
+                       maxFilesPerTrigger: Option[Int],
+                       mergeSchema: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = readSchema0
   override def description(): String =
@@ -399,7 +415,14 @@ private class AvroScan(readSchema0: StructType, path: String,
       val byFile = surviving.map(l => l.file -> l.values).toMap
       val p = GraftAvro.planReadFiles(SparkSession.active,
         surviving.map(l => (l.file, l.len)), maxSplitBytes)
-      (p._1, p._2, p._3.map { case (f, s, e) => (f, s, e, byFile(f)) })
+      // mergeSchema: the expected (reader) schema becomes the UNION of
+      // every surviving header, null-defaulted — per-file resolution in
+      // the task then fills nulls for predating writers
+      val schemaJson =
+        if (mergeSchema) GraftAvro.mergedSchema(SparkSession.active,
+          surviving.map(l => (l.file, l.len))).toString
+        else p._1
+      (schemaJson, p._2, p._3.map { case (f, s, e) => (f, s, e, byFile(f)) })
     }
 
   override def planInputPartitions(): Array[InputPartition] =
