@@ -970,18 +970,18 @@ object IoQueries extends QueryPack {
   // a type conflict fails loudly by file (FeatherSchemaEvolutionSpec).
   register("io_feather_evolution",
     """SELECT c_custkey, c_mktsegment,
-      |  CASE WHEN c_custkey <= 500 THEN NULL ELSE c_nationkey END AS c_nationkey
-      |FROM customer WHERE c_custkey <= 900 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      |  CASE WHEN c_custkey <= 60 THEN NULL ELSE c_nationkey END AS c_nationkey
+      |FROM customer WHERE c_custkey <= 120 ORDER BY c_custkey""".stripMargin) { (s, d) =>
     val path = readFixture("feather_evolution", d) { p =>
       val fs = new org.apache.hadoop.fs.Path(p)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.mkdirs(new org.apache.hadoop.fs.Path(p))
       val src = Tables.customer(s, d)
       GraftFeather.writeParts(
-        src.filter(col("c_custkey") <= 500)
+        src.filter(col("c_custkey") <= 60)
           .select("c_custkey", "c_mktsegment").repartition(1), p, "gen1")
       GraftFeather.writeParts(
-        src.filter(col("c_custkey") > 500 && col("c_custkey") <= 900)
+        src.filter(col("c_custkey") > 60 && col("c_custkey") <= 120)
           .select("c_custkey", "c_mktsegment", "c_nationkey")
           .repartition(1), p, "gen2"): Unit
     }
@@ -996,8 +996,8 @@ object IoQueries extends QueryPack {
   // first-schema projection contract and type-conflict failure).
   register("io_avro_evolution",
     """SELECT c_custkey, c_mktsegment,
-      |  CASE WHEN c_custkey <= 500 THEN NULL ELSE c_nationkey END AS c_nationkey
-      |FROM customer WHERE c_custkey <= 900 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      |  CASE WHEN c_custkey <= 60 THEN NULL ELSE c_nationkey END AS c_nationkey
+      |FROM customer WHERE c_custkey <= 120 ORDER BY c_custkey""".stripMargin) { (s, d) =>
     val path = readFixture("avro_evolution", d) { p =>
       val fs = new org.apache.hadoop.fs.Path(p)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1010,10 +1010,10 @@ object IoQueries extends QueryPack {
         df.collect().foreach(pw.append)
         pw.finish()
       }
-      writeGen("gen1.avro", src.filter(col("c_custkey") <= 500)
+      writeGen("gen1.avro", src.filter(col("c_custkey") <= 60)
         .select("c_custkey", "c_mktsegment"))
-      writeGen("gen2.avro", src.filter(col("c_custkey") > 500 &&
-          col("c_custkey") <= 900)
+      writeGen("gen2.avro", src.filter(col("c_custkey") > 60 &&
+          col("c_custkey") <= 120)
         .select("c_custkey", "c_mktsegment", "c_nationkey"))
     }
     s.read.format("graft-avro").option("mergeSchema", "true").load(path)

@@ -34,9 +34,10 @@ private[graft] object FeatherSnapshots {
 
   val Dir = "_snapshots"
 
-  /** files = (root-relative path, byte length), sorted by path. */
+  /** files = (root-relative path, byte length), sorted by path.
+    * `ts` = commit wall-clock millis (0 for pre-timestamp manifests). */
   final case class Snapshot(version: Long, parent: Long, op: String,
-                            files: Seq[(String, Long)])
+                            files: Seq[(String, Long)], ts: Long = 0L)
 
   private def snapDir(root: Path) = new Path(root, Dir)
   private def snapPath(root: Path, v: Long) =
@@ -73,7 +74,8 @@ private[graft] object FeatherSnapshots {
       (0 until n.get("files").size()).map { i =>
         val f = n.get("files").get(i)
         (f.get("p").asText(), f.get("len").asText().toLong)
-      })
+      },
+      if (n.hasNonNull("ts")) n.get("ts").asText().toLong else 0L)
   }
 
   /** The snapshot a read plans against: `versionAsOf` pins a version
@@ -110,6 +112,7 @@ private[graft] object FeatherSnapshots {
       node.put("version", v.toString)
       node.put("parent", parent.getOrElse(0L).toString)
       node.put("op", op)
+      node.put("ts", System.currentTimeMillis().toString)
       node.put("files", files.map { case (p, len) =>
         val f = new java.util.LinkedHashMap[String, Any]()
         f.put("p", p); f.put("len", len.toString)
@@ -127,6 +130,65 @@ private[graft] object FeatherSnapshots {
       }
     }
     sys.error("unreachable")
+  }
+
+  /** Time travel by WALL CLOCK: the newest snapshot committed at or
+    * before `tsMillis` (manifests carry their commit time; pre-timestamp
+    * manifests read as ts=0, i.e. "before everything"). Loud when the
+    * instant predates every retained snapshot — silently serving the
+    * oldest would misrepresent history. One listing + O(versions)
+    * manifest reads, all retained-version-bounded. */
+  def resolveAt(fs: FileSystem, root: Path, tsMillis: Long): Snapshot = {
+    require(enabled(fs, root),
+      s"timestampAsOf on $root, which has no $Dir directory")
+    val versions = fs.listStatus(snapDir(root)).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .toSeq.sorted
+    val snaps = versions.map(read(fs, root, _))
+    snaps.filter(_.ts <= tsMillis).lastOption.getOrElse(
+      sys.error(s"timestampAsOf=$tsMillis on $root: the earliest retained " +
+        s"snapshot (v${versions.headOption.getOrElse(0L)}) is newer — " +
+        "that instant's state is expired or never existed"))
+  }
+
+  /** Delete data files NO retained manifest references and whose
+    * modification time is older than `graceMillis` — the reclamation pass
+    * for orphans a crashed mutation/cluster/compaction run left behind
+    * (committed parts whose snapshot publish never happened). The grace
+    * window is what makes this safe to run beside a live writer: an
+    * in-flight commit's parts are renamed seconds before their manifest
+    * appears, never `graceMillis` before. Returns files removed. */
+  def vacuumOrphans(fs: FileSystem, root: Path,
+                    graceMillis: Long = 7L * 24 * 3600 * 1000): Int = {
+    if (!enabled(fs, root)) return 0
+    val referenced: Set[String] = {
+      val d = snapDir(root)
+      fs.listStatus(d).iterator.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+          n.stripPrefix("v").stripSuffix(".json").toLong }
+        .flatMap(v => read(fs, root, v).files.map(_._1)).toSet
+    }
+    val cutoff = System.currentTimeMillis() - graceMillis
+    var removed = 0
+    def walk(dir: Path, rel: String): Unit =
+      fs.listStatus(dir).foreach { e =>
+        val n = e.getPath.getName
+        if (e.isDirectory) {
+          if (!n.startsWith("_") && !n.startsWith(".")) walk(e.getPath,
+            if (rel.isEmpty) n else s"$rel/$n")
+        } else if ((n.endsWith(".feather") || n.endsWith(".arrow")) &&
+            !n.startsWith(".") && !n.startsWith("_")) {
+          val relPath = if (rel.isEmpty) n else s"$rel/$n"
+          if (!referenced(relPath) && e.getModificationTime < cutoff) {
+            if (fs.delete(e.getPath, false)) removed += 1
+            fs.delete(new Path(e.getPath.getParent, n + ".stats.json"), false)
+          }
+        }
+      }
+    walk(root, "")
+    removed
   }
 
   /** Adopt an existing listing-based feather directory into the snapshot

@@ -41,6 +41,12 @@ class FeatherDataSource extends TableProvider with DataSourceRegister {
     p
   }
 
+  private def pinnedVersion(options: CaseInsensitiveStringMap,
+                            path: String): Option[Long] =
+    FeatherTimeTravel.pinnedVersion(
+      Option(options.get("versionasof")),
+      Option(options.get("timestampasof")), path)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     // schema-only: ONE footer read (the first discovered file) plus the
     // partition columns the directory layout declares; the every-file
@@ -49,7 +55,7 @@ class FeatherDataSource extends TableProvider with DataSourceRegister {
     // schema-evolution read over heterogeneous file generations.
     val spark = SparkSession.active
     val disc = FeatherDiscovery.discover(spark, pathOf(options),
-      Option(options.get("versionasof")).map(_.toLong))
+      pinnedVersion(options, pathOf(options)))
     val fields =
       if (Option(options.get("mergeschema")).exists(_.toBoolean))
         GraftFeather.readFieldsMerged(spark,
@@ -66,11 +72,36 @@ class FeatherDataSource extends TableProvider with DataSourceRegister {
     new FeatherTable(schema, pathOf(opts),
       Option(opts.get("maxsplitbytes")).map(_.toLong)
         .getOrElse(128L << 20),
-      Option(opts.get("versionasof")).map(_.toLong),
+      pinnedVersion(opts, pathOf(opts)),
       Option(opts.get("mergeschema")).exists(_.toBoolean))
   }
 
   override def supportsExternalMetadata(): Boolean = true
+}
+
+/** `timestampAsOf` → pinned version resolution, shared by the table
+  * provider (infer/getTable) and the scan builder (where read options
+  * actually arrive). Accepts epoch millis, an ISO-8601 instant
+  * (`2026-08-14T09:00:00Z`), or a local `yyyy-MM-dd HH:mm:ss`. */
+private object FeatherTimeTravel {
+  def pinnedVersion(versionAsOf: Option[String],
+                    timestampAsOf: Option[String],
+                    path: String): Option[Long] = {
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "specify either versionAsOf or timestampAsOf, not both")
+    timestampAsOf match {
+      case Some(raw) =>
+        val millis = raw.toLongOption.getOrElse {
+          try java.time.Instant.parse(raw).toEpochMilli
+          catch { case _: Exception => java.sql.Timestamp.valueOf(raw).getTime }
+        }
+        val rp = new org.apache.hadoop.fs.Path(path)
+        val fs = rp.getFileSystem(
+          SparkSession.active.sparkContext.hadoopConfiguration)
+        Some(FeatherSnapshots.resolveAt(fs, rp, millis).version)
+      case None => versionAsOf.map(_.toLong)
+    }
+  }
 }
 
 /** Snapshot-aware discovery: a table with a `_snapshots/` directory plans
@@ -107,7 +138,9 @@ private class FeatherTable(tableSchema: StructType, path: String,
       // .option("maxSplitBytes", …) actually arrives)
       Option(options.get("maxsplitbytes")).map(_.toLong)
         .getOrElse(maxSplitBytes),
-      Option(options.get("versionasof")).map(_.toLong).orElse(versionAsOf),
+      FeatherTimeTravel.pinnedVersion(
+        Option(options.get("versionasof")),
+        Option(options.get("timestampasof")), path).orElse(versionAsOf),
       Option(options.get("maxfilespertrigger")).map(_.toInt),
       Option(options.get("ignorechanges")).exists(_.toBoolean),
       Option(options.get("mergeschema")).map(_.toBoolean)

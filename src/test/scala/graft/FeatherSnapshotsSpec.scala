@@ -245,4 +245,53 @@ class FeatherSnapshotsSpec extends AnyFunSuite {
     assert(spark.read.format("feather").option("versionAsOf", "1")
       .load(path).count() === 40)
   }
+
+  test("timestampAsOf resolves the snapshot live at that instant") {
+    val path = tmp("ts_travel")
+    writeV(path, 1, 100, "overwrite") // v1
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    writeV(path, 101, 150, "append")  // v2
+    // at `between`, v1 was the live snapshot
+    assert(spark.read.format("feather")
+      .option("timestampAsOf", between.toString).load(path).count() === 100)
+    // "now" resolves to the latest
+    assert(spark.read.format("feather")
+      .option("timestampAsOf", System.currentTimeMillis().toString)
+      .load(path).count() === 150)
+    // an instant before the first commit is a loud error, not v1
+    val e = intercept[Exception] {
+      spark.read.format("feather")
+        .option("timestampAsOf", "1000").load(path).count()
+    }
+    assert(e.getMessage.contains("expired or never existed"))
+    // both pins together are rejected
+    val e2 = intercept[Exception] {
+      spark.read.format("feather").option("versionAsOf", "1")
+        .option("timestampAsOf", between.toString).load(path).count()
+    }
+    assert(e2.getMessage.contains("not both"))
+  }
+
+  test("vacuumOrphans reclaims unreferenced parts past the grace window") {
+    val path = tmp("vacuum")
+    writeV(path, 1, 50, "overwrite")
+    val fs = fsOf(path)
+    // a crashed run's orphan: a committed-looking part no manifest lists
+    val orphan = new Path(path, "mut-v99999999-00000.feather")
+    val live = FeatherSnapshots.read(fs, new Path(path), 1L).files.head._1
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new Path(path, live), fs, orphan, false,
+      spark.sparkContext.hadoopConfiguration)
+    // inside the grace window: kept
+    assert(FeatherSnapshots.vacuumOrphans(fs, new Path(path),
+      graceMillis = 3600 * 1000) === 0)
+    assert(fs.exists(orphan))
+    // past the grace window: reclaimed, referenced files untouched
+    assert(FeatherSnapshots.vacuumOrphans(fs, new Path(path),
+      graceMillis = -1000) === 1)
+    assert(!fs.exists(orphan))
+    assert(spark.read.format("feather").load(path).count() === 50)
+  }
 }
