@@ -470,7 +470,46 @@ object ScaleRehearsal {
       compactionTier(spark, s"$out/compaction")
     if (mode == "all" || mode == "mutation")
       mutationTier(spark, s"$out/mutation")
+    if (mode == "all" || mode == "cluster")
+      clusterTier(spark, s"$out/cluster")
     spark.stop()
+  }
+
+  /** Re-clustering tier (r10, io/FeatherCluster.scala): OPTIMIZE is the
+    * deliberate O(table) rewrite that buys O(touched) mutations forever
+    * after — so the honest expectation here is ~LINEAR wall growth at 10×
+    * rows (it IS a full rewrite), verified together with the payoff: the
+    * same fixed band that touched every hash-written part touches ≤2
+    * after clustering, at both sizes. */
+  def clusterTier(spark: SparkSession, out: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val results = Seq((10, 1000000L), (100, 10000000L)).map { case (parts, n) =>
+      val dir = s"$out/clust_$n"
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      spark.range(n)
+        .select(col("id"), concat(lit("pay_"), col("id")).as("pay"))
+        .repartition(parts, col("id")) // hash: worst case, nothing prunes
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(dir)
+      val band = spark.range(n / 2, n / 2 + 50000L).select(col("id"))
+      val r0 = graft.io.FeatherMutations.deleteByKey(spark, dir, band, Seq("id"))
+      require(r0.filesTouched == parts,
+        s"hash layout should touch all $parts parts: $r0")
+      val t0 = System.nanoTime()
+      val rc = graft.io.FeatherCluster.cluster(spark, dir, Seq("id"),
+        targetBytes = (n * 24) / parts) // ~input part count out
+      val sec = (System.nanoTime() - t0) / 1e9
+      val band2 = spark.range(n / 4, n / 4 + 50000L).select(col("id"))
+      val r1 = graft.io.FeatherMutations.deleteByKey(spark, dir, band2, Seq("id"))
+      require(r1.filesTouched <= 2,
+        s"clustered band must touch <=2 of ${rc.filesAfter}: $r1")
+      val rows = spark.read.format("feather").load(dir).count()
+      require(rows == n - 100000L, s"rows after two deletes: $rows")
+      println(f"""{"cluster_rows":$n,"parts_in":$parts,"parts_out":${rc.filesAfter},"cluster_sec":$sec%.2f,"touched_before":${r0.filesTouched},"touched_after":${r1.filesTouched}}""")
+      sec
+    }
+    println(f"""{"cluster_tier":"feather","table_ratio":10,"wall_ratio":${results(1) / results(0)}%.2f}""")
   }
 
   /** Row-level mutation tier (r10, io/FeatherMutations.scala): DELETE and
