@@ -463,12 +463,16 @@ private case class SnapshotVersionOffset(v: Long)
   * files that version range ADDED, and correctness comes from manifest
   * immutability — a replayed batch re-derives the identical version diff,
   * no file-set bookkeeping, no directory listing at any point. Commit-op
-  * semantics (the Delta streaming contract): `append` versions stream
-  * their new files; `compact` versions are SKIPPED (their outputs rewrite
-  * already-delivered rows); an `overwrite` mid-stream is a non-append
-  * change and fails loudly unless `option("ignoreChanges", "true")` opts
-  * into skipping the replaced data (the table's FIRST version streams
-  * whole regardless of its op — that is the initial load). */
+  * semantics (the Delta streaming contract): `append`/`adopt` versions
+  * stream their new files; `compact`/`cluster` versions are SKIPPED
+  * (row-preserving rewrites of already-delivered rows); `overwrite`,
+  * `delete`, `merge`, and `cdc` are non-append changes that fail loudly
+  * unless `option("ignoreChanges", "true")` — which SKIPS a delete's
+  * rewrites (they hold only survivors, nothing new) but DELIVERS
+  * merge/cdc parts whole (inserts must arrive; already-delivered
+  * survivors may re-deliver, downstream dedups by key — Delta's
+  * ignoreChanges contract). The table's FIRST version streams whole
+  * regardless of its op — that is the initial load. */
 private class FeatherSnapshotStream(readSchema: StructType, path: String,
                                     maxSplitBytes: Long,
                                     ignoreChanges: Boolean)
@@ -501,15 +505,36 @@ private class FeatherSnapshotStream(readSchema: StructType, path: String,
       for (v <- (s + 1) to e) {
         val snap = FeatherSnapshots.read(fs, rp, v)
         snap.op match {
-          case "append" =>
+          case "append" | "adopt" =>
             newRel ++= snap.files.filterNot { case (rel, _) => prev.contains(rel) }
-          case "compact" => // rewrites of already-delivered rows: skip
+          // row-preserving rewrites of already-delivered rows: skip
+          case "compact" | "cluster" =>
           case "overwrite" =>
             if (!ignoreChanges) throw new IllegalStateException(
               s"feather snapshot stream on $path hit an overwrite commit " +
                 s"(v$v): the table changed non-append. Restart the stream " +
                 "from scratch, or set option(\"ignoreChanges\", \"true\") " +
                 "to skip the replaced data.")
+          case "delete" =>
+            // a delete's new parts hold only SURVIVORS of already-delivered
+            // rows — nothing new exists, so under ignoreChanges they skip
+            if (!ignoreChanges) throw new IllegalStateException(
+              s"feather snapshot stream on $path hit a delete commit " +
+                s"(v$v): rows were removed mid-stream. Restart from " +
+                "scratch, or set option(\"ignoreChanges\", \"true\") to " +
+                "continue (the deletions are not propagated downstream).")
+          case "merge" | "cdc" =>
+            // merge/cdc parts MIX survivors, updates, and inserts — under
+            // ignoreChanges they DELIVER whole (Delta's ignoreChanges
+            // contract: new rows arrive, already-delivered survivors may
+            // re-deliver; downstream must key-dedup)
+            if (!ignoreChanges) throw new IllegalStateException(
+              s"feather snapshot stream on $path hit a ${snap.op} commit " +
+                s"(v$v): rows were updated mid-stream. Restart from " +
+                "scratch, or set option(\"ignoreChanges\", \"true\") to " +
+                "deliver the rewritten parts (downstream must dedup by key).")
+            else newRel ++= snap.files.filterNot {
+              case (rel, _) => prev.contains(rel) }
           case other => throw new IllegalStateException(
             s"feather snapshot v$v carries unknown op '$other'")
         }

@@ -246,6 +246,46 @@ class FeatherSnapshotsSpec extends AnyFunSuite {
       .load(path).count() === 40)
   }
 
+  test("version stream: cluster skips; delete is loud then skips; " +
+      "merge is loud then delivers") {
+    import spark.implicits._
+    val path = tmp("stream_ops")
+    writeV(path, 1, 100, "overwrite") // v1
+    def startStream(name: String, ignoreChanges: Boolean) = {
+      var r = spark.readStream.format("feather")
+      if (ignoreChanges) r = r.option("ignoreChanges", "true")
+      r.load(path).writeStream.format("memory").queryName(name).start()
+    }
+    // cluster (row-preserving) mid-stream: silently skipped
+    val q1 = startStream("snap_ops_1", ignoreChanges = false)
+    try {
+      q1.processAllAvailable()
+      assert(spark.table("snap_ops_1").count() === 100)
+      graft.io.FeatherCluster.cluster(spark, path, Seq("id")) // v2
+      writeV(path, 101, 110, "append")                        // v3
+      q1.processAllAvailable()
+      assert(spark.table("snap_ops_1").count() === 110) // no re-delivery
+      // delete mid-stream: loud without ignoreChanges
+      graft.io.FeatherMutations.deleteByKey(spark, path,
+        Seq(5L).toDF("id"), Seq("id"))                        // v4
+      writeV(path, 111, 120, "append")                        // v5
+      intercept[Exception] { q1.processAllAvailable() }
+    } finally q1.stop()
+    // with ignoreChanges: the delete's rewrites skip, appends flow
+    val q2 = startStream("snap_ops_2", ignoreChanges = true)
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("snap_ops_2").count() === 119) // current snapshot
+      graft.io.FeatherMutations.merge(spark,
+        path, Seq((5L, "n_5_back")).toDF("id", "name"), Seq("id")) // v6
+      q2.processAllAvailable()
+      // merge DELIVERS its rewritten parts: the insert arrives (and
+      // survivor rows from the touched file re-deliver — by contract)
+      assert(spark.table("snap_ops_2")
+        .where(col("name") === "n_5_back").count() === 1)
+    } finally q2.stop()
+  }
+
   test("timestampAsOf resolves the snapshot live at that instant") {
     val path = tmp("ts_travel")
     writeV(path, 1, 100, "overwrite") // v1
