@@ -65,7 +65,8 @@ object FeatherCluster {
       val nParts = math.max(1,
         math.ceil(leafBytes.toDouble / targetBytes).toInt)
       val df = GraftFeather.readFiles(spark,
-        leafFiles.map { case (rel, len) => (new Path(root, rel).toString, len) })
+        leafFiles.map { case (rel, len) => (new Path(root, rel).toString, len) },
+        mergeSchema = true) // evolved generations keep their columns
       cols.foreach(c => require(df.columns.contains(c),
         s"cluster: column '$c' not in table schema (${df.columns.mkString(", ")})"))
       val clustered = df
@@ -79,6 +80,21 @@ object FeatherCluster {
             name -> (len, FeatherStats.fromJson(js)) }.toMap)
       added ++= parts.map { case (name, len, _) =>
         (if (relDir.isEmpty) name else s"$relDir/$name", len) }
+    }
+
+    // a zero-row table (e.g. post delete-all, only schema-only stamps)
+    // yields no parts — stamp per leaf rather than commit an EMPTY
+    // manifest that would make every later read fail at discovery
+    if (added.isEmpty) {
+      val fields = GraftFeather.readFieldsMerged(spark,
+        snap.files.map { case (rel, len) =>
+          (new Path(root, rel).toString, len) })
+      byLeaf.foreach { case (relDir, _) =>
+        val leafDir = if (relDir.isEmpty) root else new Path(root, relDir)
+        val (name, len) = GraftFeather.stampSchemaOnly(fs, leafDir,
+          s"$prefix-empty.feather", fields)
+        added += ((if (relDir.isEmpty) name else s"$relDir/$name", len))
+      }
     }
 
     val gone = snap.files.map(_._1).toSet

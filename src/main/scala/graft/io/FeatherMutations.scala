@@ -136,21 +136,31 @@ object FeatherMutations {
           "currently requires an unpartitioned table (inserts would need " +
           "partition routing) — deleteByKey supports partitioned tables")
 
-    // table schema from the first footer — validates keys before any work
-    val tableSchema = {
-      val (rel, len) = snap.files.head
-      val fields = GraftFeather.readFields(spark, new Path(root, rel).toString)
-      val _ = len
-      StructType(fields.map(f => StructField(f.getName,
-        GraftFeather.toSparkType(f), f.isNullable)))
-    }
+    // table schema = the UNION of every live footer (a mutated table may
+    // carry evolved generations; projecting to the first footer would
+    // silently drop evolved columns from the rewritten survivors) —
+    // validates keys before any work
+    val tableFields = GraftFeather.readFieldsMerged(spark,
+      snap.files.map { case (rel, len) => (new Path(root, rel).toString, len) })
+    val tableSchema = StructType(tableFields.map(f => StructField(f.getName,
+      GraftFeather.toSparkType(f), f.isNullable)))
     keyCols.foreach(k => require(tableSchema.fieldNames.contains(k),
       s"$op: key column '$k' not in table schema " +
         s"(${tableSchema.fieldNames.mkString(", ")})"))
     appendSource.foreach { src =>
       require(src.columns.sorted.sameElements(tableSchema.fieldNames.sorted),
-        s"merge: source columns (${src.columns.sorted.mkString(", ")}) must " +
+        s"$op: source columns (${src.columns.sorted.mkString(", ")}) must " +
           s"be exactly the table's (${tableSchema.fieldNames.sorted.mkString(", ")})")
+      // names alone would let a type-mismatched source commit parts whose
+      // footer types disagree with the table — corruption that surfaces
+      // only on a later read. Compare types, nullability-insensitive.
+      tableSchema.fields.foreach { tf =>
+        val st = src.schema(tf.name).dataType
+        require(st == tf.dataType,
+          s"$op: source column '${tf.name}' is ${st.catalogString} but the " +
+            s"table carries ${tf.dataType.catalogString} — cast the source " +
+            "before merging")
+      }
     }
 
     // ---- prune: which files could contain a mutation key? ------------------
@@ -239,7 +249,8 @@ object FeatherMutations {
           if (touchedLeaf.isEmpty) None
           else Some(GraftFeather.readFiles(spark,
               touchedLeaf.map { case (rel, len) =>
-                (new Path(root, rel).toString, len) })
+                (new Path(root, rel).toString, len) },
+              mergeSchema = true) // evolved generations keep their columns
             .join(keysProj, keyCols, "left_anti"))
         val outDf = (survivors, appendSource) match {
           case (Some(sv), Some(src)) => sv.unionByName(src)
@@ -266,12 +277,19 @@ object FeatherMutations {
     }
 
     // a table whose every row was deleted must still read as an EMPTY
-    // frame with its schema — stamp one schema-only part
+    // frame with its schema — stamp one schema-only part PER LEAF, so a
+    // hive layout keeps its key=value paths (and with them the partition
+    // columns discovery infers; a single root-level stamp would silently
+    // drop them from the table's schema)
     if (added.isEmpty && snap.files.forall { case (rel, _) => touchedRel(rel) }) {
       val fields = tableSchema.fields.toSeq.map(f =>
         GraftFeather.toArrowField(f.name, f.dataType, f.nullable))
-      added += GraftFeather.stampSchemaOnly(fs, root,
-        s"$prefix-empty.feather", fields)
+      byLeaf.foreach { case (relDir, _) =>
+        val leafDir = if (relDir.isEmpty) root else new Path(root, relDir)
+        val (name, len) = GraftFeather.stampSchemaOnly(fs, leafDir,
+          s"$prefix-empty.feather", fields)
+        added += ((if (relDir.isEmpty) name else s"$relDir/$name", len))
+      }
     }
 
     // ---- one atomic manifest publish ---------------------------------------

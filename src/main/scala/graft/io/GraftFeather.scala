@@ -245,12 +245,19 @@ object GraftFeather {
 
   /** [[read]] over an explicit (file, length) list — the entry point for
     * callers that already hold a file set (the mutation rewriter reads
-    * only a snapshot's TOUCHED files, never the directory listing). */
+    * only a snapshot's TOUCHED files, never the directory listing).
+    * `mergeSchema = true` reads the UNION of the files' footers with
+    * nulls filling predating files — mutations and re-clustering use it
+    * so a rewrite of a schema-evolved table carries every generation's
+    * columns instead of silently projecting to the first footer. */
   private[graft] def readFiles(spark: SparkSession,
                                files: Seq[(String, Long)],
                                columns: Seq[String] = Nil,
-                               maxSplitBytes: Long = 128L << 20): DataFrame = {
-    val (arrowFields, splits) = planReadFiles(spark, files, maxSplitBytes)
+                               maxSplitBytes: Long = 128L << 20,
+                               mergeSchema: Boolean = false): DataFrame = {
+    val (firstFields, splits) = planReadFiles(spark, files, maxSplitBytes)
+    val arrowFields =
+      if (mergeSchema) readFieldsMerged(spark, files) else firstFields
     val projected: Seq[Field] =
       if (columns.isEmpty) arrowFields
       else columns.map { c =>
@@ -277,7 +284,8 @@ object GraftFeather {
           _.addTaskCompletionListener[Unit](_ =>
             open.asScala.foreach(r => try r.close() catch { case _: Exception => () })))
         sit.flatMap { case (file, len, batchIdxs) =>
-          splitRows(execConf, file, len, batchIdxs, colNames, open.add(_))
+          splitRows(execConf, file, len, batchIdxs, colNames, open.add(_),
+            lenient = mergeSchema)
         }
       }
     spark.createDataFrame(rdd, sparkSchema)

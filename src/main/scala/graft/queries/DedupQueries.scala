@@ -706,16 +706,10 @@ object DedupQueries extends QueryPack {
        |WHERE CAST(len(list_intersect(s1.h, s2.h)) AS DOUBLE) /
        |      len(list_distinct(list_concat(s1.h, s2.h))) >= 0.2
        |ORDER BY new_id, old_id""".stripMargin) { (s, d) =>
-    val nHashes = 8
-    def bandKeys(docs: DataFrame): DataFrame = {
-      val fp = docs
-        .select(col("doc_id"), explode(shingleHashes(col("text"))).as("fp"))
-      val hashCols = (0 until nHashes).map(i =>
-        min((lit(2L * i + 1) * col("fp") + lit(i * 7919L)) % lit(HashMod)).as(s"h$i"))
-      val sig = fp.groupBy(col("doc_id")).agg(hashCols.head, hashCols.tail: _*)
-      val bandCols = (0 until nHashes).map(i => col(s"h$i").cast(StringType))
-      sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
-    }
+    // the banding construction is the SHARED one the streaming ingest
+    // sink persists its index with — one definition, or the hash family
+    // would drift between the stored index and its probes
+    import graft.streaming.CorpusIngest.bandKeys
     val indexPath = IoQueries.readFixture("lsh_band_index", d) { p =>
       bandKeys(Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0))
         .write.format("feather").mode("overwrite")

@@ -382,9 +382,10 @@ private class AvroScan(readSchema0: StructType, path: String,
   // single stats batch proves every pushed comparison impossible never
   // plans a split (skip-only — Spark re-applies all filters; files with
   // no/bad sidecar never prune)
+  private lazy val disc =
+    FeatherPartitions.discover(SparkSession.active, path, Seq(".avro"))
+
   private lazy val surviving: Seq[FeatherPartitions.LeafFile] = {
-    val disc = FeatherPartitions.discover(SparkSession.active, path,
-      Seq(".avro"))
     val ps = disc.partSchema
     val afterPart =
       if (disc.partCols.isEmpty || pruneFilters.isEmpty) disc.files
@@ -416,11 +417,13 @@ private class AvroScan(readSchema0: StructType, path: String,
       val p = GraftAvro.planReadFiles(SparkSession.active,
         surviving.map(l => (l.file, l.len)), maxSplitBytes)
       // mergeSchema: the expected (reader) schema becomes the UNION of
-      // every surviving header, null-defaulted — per-file resolution in
-      // the task then fills nulls for predating writers
+      // every DISCOVERED header (not the pruned subset — pruning away
+      // every file that carries an evolved column must not make that
+      // column unresolvable), null-defaulted; per-file resolution in the
+      // task then fills nulls for predating writers
       val schemaJson =
         if (mergeSchema) GraftAvro.mergedSchema(SparkSession.active,
-          surviving.map(l => (l.file, l.len))).toString
+          disc.files.map(l => (l.file, l.len))).toString
         else p._1
       (schemaJson, p._2, p._3.map { case (f, s, e) => (f, s, e, byFile(f)) })
     }

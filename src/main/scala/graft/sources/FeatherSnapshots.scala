@@ -153,25 +153,12 @@ private[graft] object FeatherSnapshots {
         "that instant's state is expired or never existed"))
   }
 
-  /** Delete data files NO retained manifest references and whose
-    * modification time is older than `graceMillis` — the reclamation pass
-    * for orphans a crashed mutation/cluster/compaction run left behind
-    * (committed parts whose snapshot publish never happened). The grace
-    * window is what makes this safe to run beside a live writer: an
-    * in-flight commit's parts are renamed seconds before their manifest
-    * appears, never `graceMillis` before. Returns files removed. */
-  def vacuumOrphans(fs: FileSystem, root: Path,
-                    graceMillis: Long = 7L * 24 * 3600 * 1000): Int = {
-    if (!enabled(fs, root)) return 0
-    val referenced: Set[String] = {
-      val d = snapDir(root)
-      fs.listStatus(d).iterator.map(_.getPath.getName)
-        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-          n.stripPrefix("v").stripSuffix(".json").toLong }
-        .flatMap(v => read(fs, root, v).files.map(_._1)).toSet
-    }
-    val cutoff = System.currentTimeMillis() - graceMillis
-    var removed = 0
+  /** One walk over a table's DATA files (flat or hive `key=value`):
+    * service dirs (`_…`, `.…`) and hidden/underscore files are skipped —
+    * the single definition of file eligibility that [[adopt]] and
+    * [[vacuumOrphans]] share (a rule duplicated per caller would drift). */
+  private def walkDataFiles(fs: FileSystem, root: Path)(
+      visit: (org.apache.hadoop.fs.FileStatus, String) => Unit): Unit = {
     def walk(dir: Path, rel: String): Unit =
       fs.listStatus(dir).foreach { e =>
         val n = e.getPath.getName
@@ -179,15 +166,52 @@ private[graft] object FeatherSnapshots {
           if (!n.startsWith("_") && !n.startsWith(".")) walk(e.getPath,
             if (rel.isEmpty) n else s"$rel/$n")
         } else if ((n.endsWith(".feather") || n.endsWith(".arrow")) &&
-            !n.startsWith(".") && !n.startsWith("_")) {
-          val relPath = if (rel.isEmpty) n else s"$rel/$n"
-          if (!referenced(relPath) && e.getModificationTime < cutoff) {
-            if (fs.delete(e.getPath, false)) removed += 1
-            fs.delete(new Path(e.getPath.getParent, n + ".stats.json"), false)
-          }
-        }
+            !n.startsWith(".") && !n.startsWith("_"))
+          visit(e, if (rel.isEmpty) n else s"$rel/$n")
       }
     walk(root, "")
+  }
+
+  /** Delete data files NO retained manifest references and whose
+    * modification time is older than `graceMillis` — the reclamation pass
+    * for orphans a crashed mutation/cluster/compaction run left behind
+    * (committed parts whose snapshot publish never happened).
+    *
+    * Safety: parts of a mutation/cluster run targeting a version NEWER
+    * than the latest committed manifest (`mut-v…`/`clust-v…` with
+    * v > latest) are never touched regardless of age — those are the
+    * in-flight (or reclaim-on-retry) generation. For everything else the
+    * grace window applies; note a long rewrite renames its EARLIEST
+    * parts long before its manifest commits, so choose `graceMillis`
+    * longer than any maintenance job's runtime (the version guard
+    * already covers the common mutation/cluster case; the grace bound is
+    * the backstop for foreign part names). Returns files removed. */
+  def vacuumOrphans(fs: FileSystem, root: Path,
+                    graceMillis: Long = 7L * 24 * 3600 * 1000): Int = {
+    if (!enabled(fs, root)) return 0
+    val latest = latestVersion(fs, root).getOrElse(0L)
+    val referenced: Set[String] = {
+      val d = snapDir(root)
+      fs.listStatus(d).iterator.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+          n.stripPrefix("v").stripSuffix(".json").toLong }
+        .flatMap(v => read(fs, root, v).files.map(_._1)).toSet
+    }
+    val inFlight = raw"(?:mut|clust)-v(\d+)-.*".r
+    val cutoff = System.currentTimeMillis() - graceMillis
+    var removed = 0
+    walkDataFiles(fs, root) { (e, relPath) =>
+      val pending = e.getPath.getName match {
+        case inFlight(v) => v.toLong > latest
+        case _ => false
+      }
+      if (!pending && !referenced(relPath) &&
+          e.getModificationTime < cutoff) {
+        if (fs.delete(e.getPath, false)) removed += 1
+        fs.delete(new Path(e.getPath.getParent,
+          e.getPath.getName + ".stats.json"), false)
+      }
+    }
     removed
   }
 
@@ -203,17 +227,7 @@ private[graft] object FeatherSnapshots {
       s"$root already has a $Dir directory — adopt converts a " +
         "listing-based table exactly once")
     val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    def walk(dir: Path, rel: String): Unit =
-      fs.listStatus(dir).foreach { e =>
-        val n = e.getPath.getName
-        if (e.isDirectory) {
-          if (!n.startsWith("_") && !n.startsWith(".")) walk(e.getPath,
-            if (rel.isEmpty) n else s"$rel/$n")
-        } else if ((n.endsWith(".feather") || n.endsWith(".arrow")) &&
-            !n.startsWith(".") && !n.startsWith("_"))
-          files += ((if (rel.isEmpty) n else s"$rel/$n", e.getLen))
-      }
-    walk(root, "")
+    walkDataFiles(fs, root)((e, rel) => files += ((rel, e.getLen)))
     require(files.nonEmpty, s"adopt: no .feather/.arrow files under $root")
     commit(fs, root, "adopt")(_ => files.toSeq)
   }

@@ -84,6 +84,15 @@ class FeatherDataSource extends TableProvider with DataSourceRegister {
   * actually arrive). Accepts epoch millis, an ISO-8601 instant
   * (`2026-08-14T09:00:00Z`), or a local `yyyy-MM-dd HH:mm:ss`. */
 private object FeatherTimeTravel {
+  // one read resolves the pin up to three times (inferSchema, getTable,
+  // newScanBuilder) and resolveAt parses EVERY retained manifest — a
+  // short-TTL memo collapses those into one resolution per read while
+  // staying fresh across reads (expire()/new commits can change the
+  // answer, so this must not cache indefinitely)
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Long)]()
+  private val TtlMillis = 10000L
+
   def pinnedVersion(versionAsOf: Option[String],
                     timestampAsOf: Option[String],
                     path: String): Option[Long] = {
@@ -91,14 +100,22 @@ private object FeatherTimeTravel {
       "specify either versionAsOf or timestampAsOf, not both")
     timestampAsOf match {
       case Some(raw) =>
-        val millis = raw.toLongOption.getOrElse {
-          try java.time.Instant.parse(raw).toEpochMilli
-          catch { case _: Exception => java.sql.Timestamp.valueOf(raw).getTime }
-        }
-        val rp = new org.apache.hadoop.fs.Path(path)
-        val fs = rp.getFileSystem(
-          SparkSession.active.sparkContext.hadoopConfiguration)
-        Some(FeatherSnapshots.resolveAt(fs, rp, millis).version)
+        val now = System.currentTimeMillis()
+        Option(memo.get((path, raw)))
+          .collect { case (v, at) if now - at < TtlMillis => v }
+          .orElse {
+            val millis = raw.toLongOption.getOrElse {
+              try java.time.Instant.parse(raw).toEpochMilli
+              catch { case _: Exception =>
+                java.sql.Timestamp.valueOf(raw).getTime }
+            }
+            val rp = new org.apache.hadoop.fs.Path(path)
+            val fs = rp.getFileSystem(
+              SparkSession.active.sparkContext.hadoopConfiguration)
+            val v = FeatherSnapshots.resolveAt(fs, rp, millis).version
+            memo.put((path, raw), (v, now))
+            Some(v)
+          }
       case None => versionAsOf.map(_.toLong)
     }
   }
@@ -429,10 +446,10 @@ private class FeatherScan(readSchema0: StructType, path: String,
       SparkSession.active.sparkContext.hadoopConfiguration)
     if (FeatherSnapshots.enabled(sfs, rp))
       new FeatherSnapshotStream(readSchema0, path, maxSplitBytes,
-        ignoreChanges)
+        ignoreChanges, mergeSchema)
     else
       new FeatherMicroBatchStream(readSchema0, path, maxSplitBytes,
-        maxFilesPerTrigger, checkpointLocation)
+        maxFilesPerTrigger, checkpointLocation, mergeSchema)
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -475,7 +492,8 @@ private case class SnapshotVersionOffset(v: Long)
   * regardless of its op — that is the initial load. */
 private class FeatherSnapshotStream(readSchema: StructType, path: String,
                                     maxSplitBytes: Long,
-                                    ignoreChanges: Boolean)
+                                    ignoreChanges: Boolean,
+                                    mergeSchema: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
   private def rp = new org.apache.hadoop.fs.Path(path)
@@ -555,7 +573,7 @@ private class FeatherSnapshotStream(readSchema: StructType, path: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FeatherReaderFactory(readSchema, -1,
-      GraftHadoop.confBroadcast(SparkSession.active))
+      GraftHadoop.confBroadcast(SparkSession.active), mergeSchema)
 }
 
 // ---- streaming read --------------------------------------------------------
@@ -566,7 +584,8 @@ private class FeatherSnapshotStream(readSchema: StructType, path: String,
 private class FeatherMicroBatchStream(readSchema: StructType, path: String,
                                       maxSplitBytes: Long,
                                       maxFilesPerTrigger: Option[Int],
-                                      checkpointLocation: String)
+                                      checkpointLocation: String,
+                                      mergeSchema: Boolean = false)
     extends DropDirectoryMicroBatchStream(path, Seq(".feather", ".arrow"),
       maxFilesPerTrigger, checkpointLocation) {
 
@@ -582,7 +601,7 @@ private class FeatherMicroBatchStream(readSchema: StructType, path: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FeatherReaderFactory(readSchema, -1,
-      GraftHadoop.confBroadcast(spark))
+      GraftHadoop.confBroadcast(spark), mergeSchema)
 }
 
 // ---- write path ------------------------------------------------------------

@@ -75,6 +75,23 @@ class AvroSchemaEvolutionSpec extends AnyFunSuite {
     assert(df.agg(sum("id")).head().getLong(0) === (1L to 80L).sum)
   }
 
+  test("pruning away every evolved file keeps the merged schema resolvable") {
+    val path = tmp("pruned_merge")
+    import spark.implicits._
+    // hive layout: dom=d0 predates `lang`, dom=d1 carries it
+    writeGen(s"$path/dom=d0", "gen1.avro",
+      (1 to 30).map(i => (i.toLong, s"p_$i")).toDF("id", "pay"))
+    writeGen(s"$path/dom=d1", "gen2.avro",
+      (31 to 50).map(i => (i.toLong, s"p_$i", "en")).toDF("id", "pay", "lang"))
+    val df = spark.read.format("graft-avro")
+      .option("mergeSchema", "true").load(path)
+    // partition pruning to d0 leaves no file that carries `lang`; the
+    // merged reader schema still resolves it (as all-null)
+    val d0 = df.where(col("dom") === "d0").select("id", "lang")
+    assert(d0.count() === 30)
+    assert(d0.where(col("lang").isNull).count() === 30)
+  }
+
   test("a type conflict across generations fails loudly naming both files") {
     val path = tmp("conflict")
     import spark.implicits._

@@ -104,6 +104,20 @@ class FeatherClusterSpec extends AnyFunSuite {
     assert(after.where(col("dom") === "d0").count() === 200)
   }
 
+  test("clustering an emptied table never commits an empty manifest") {
+    val path = tmp("empty_table")
+    writeHashed(path, 30, 2)
+    import spark.implicits._
+    FeatherMutations.deleteByKey(spark, path, (1L to 30L).toDF("id"), Seq("id"))
+    assert(spark.read.format("feather").load(path).count() === 0)
+    val r = FeatherCluster.cluster(spark, path, Seq("id"))
+    // the schema-only stamp keeps the table readable at head
+    assert(r.filesAfter >= 1)
+    val after = spark.read.format("feather").load(path)
+    assert(after.count() === 0)
+    assert(after.columns.toSeq === Seq("id", "pay"))
+  }
+
   test("unknown cluster column fails loudly") {
     val path = tmp("badcol")
     writeHashed(path, 50, 2)

@@ -299,6 +299,55 @@ class FeatherMutationsSpec extends AnyFunSuite {
     captured.foreach(_.unpersist())
   }
 
+  test("mutating a schema-evolved table keeps every generation's columns") {
+    val path = tmp("evolved_mut")
+    import spark.implicits._
+    (1 to 40).map(i => (i.toLong, s"p_$i")).toDF("id", "pay")
+      .repartition(1).write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(path)
+    val fs = fsOf(path)
+    val parts = graft.io.GraftFeather.writeParts(
+      (41 to 60).map(i => (i.toLong, s"p_$i", "de")).toDF("id", "pay", "lang")
+        .repartition(1), path, "gen2")
+    FeatherSnapshots.commit(fs, new Path(path), "append") { parent =>
+      parent ++ parts.map { case (n, len, _) => (n, len) }
+    }
+    // keys span BOTH generations: the rewrite must carry `lang` through
+    FeatherMutations.deleteByKey(spark, path,
+      keysOf(Seq(1L, 50L)), Seq("id"))
+    val after = spark.read.format("feather")
+      .option("mergeSchema", "true").load(path)
+    assert(after.count() === 58)
+    assert(after.columns.toSeq === Seq("id", "pay", "lang"))
+    assert(after.where(col("id") === 45L).select("lang").head().getString(0)
+      === "de") // evolved column survived the copy-on-write rewrite
+    assert(after.where(col("id") === 10L).select("lang").head().isNullAt(0))
+  }
+
+  test("merge with a type-mismatched source fails loudly before writing") {
+    val path = tmp("merge_type_err")
+    writeTable(path, 20, 1)
+    import spark.implicits._
+    val src = Seq(("5", "gX", "u5")).toDF("id", "grp", "pay") // id as string
+    val e = intercept[IllegalArgumentException] {
+      FeatherMutations.merge(spark, path, src, Seq("id"))
+    }
+    assert(e.getMessage.contains("'id'") && e.getMessage.contains("cast"))
+    // nothing committed
+    assert(FeatherSnapshots.latestVersion(fsOf(path), new Path(path))
+      === Some(1L))
+  }
+
+  test("partitioned delete-all keeps the hive layout and partition column") {
+    val path = tmp("delete_all_part")
+    writePartitioned(path, 30) // doms d0/d1/d2, ids 1..30
+    FeatherMutations.deleteByKey(spark, path, keysOf(1L to 30L), Seq("id"))
+    val after = spark.read.format("feather").load(path)
+    assert(after.count() === 0)
+    // the per-leaf stamps preserved the key=value paths → `dom` survives
+    assert(after.columns.contains("dom"))
+  }
+
   test("null keys never match (SQL equality semantics)") {
     val path = tmp("delete_null")
     writeTable(path, 20, 1)

@@ -116,4 +116,30 @@ class FeatherSchemaEvolutionSpec extends AnyFunSuite {
     assert(v1.columns.toSeq === Seq("id", "pay"))
     assert(v1.count() === 40)
   }
+
+  test("streaming read honors mergeSchema across generations") {
+    val path = tmp("stream_evo")
+    import spark.implicits._
+    (1 to 20).map(i => (i.toLong, s"p_$i")).toDF("id", "pay")
+      .repartition(1).write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(path)
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val parts = GraftFeather.writeParts(
+      (21 to 30).map(i => (i.toLong, s"p_$i", "fr")).toDF("id", "pay", "lang")
+        .repartition(1), path, "gen2")
+    FeatherSnapshots.commit(fs, new Path(path), "append") { parent =>
+      parent ++ parts.map { case (n, len, _) => (n, len) }
+    }
+    val q = spark.readStream.format("feather")
+      .option("mergeSchema", "true").load(path)
+      .writeStream.format("memory").queryName("evo_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("evo_stream")
+      assert(got.count() === 30)
+      assert(got.where(col("lang").isNull).count() === 20)
+      assert(got.where(col("lang") === "fr").count() === 10)
+    } finally q.stop()
+  }
 }

@@ -318,8 +318,8 @@ class FeatherSnapshotsSpec extends AnyFunSuite {
     val path = tmp("vacuum")
     writeV(path, 1, 50, "overwrite")
     val fs = fsOf(path)
-    // a crashed run's orphan: a committed-looking part no manifest lists
-    val orphan = new Path(path, "mut-v99999999-00000.feather")
+    // a foreign orphan: a committed-looking part no manifest lists
+    val orphan = new Path(path, "leftover-00000.feather")
     val live = FeatherSnapshots.read(fs, new Path(path), 1L).files.head._1
     org.apache.hadoop.fs.FileUtil.copy(
       fs, new Path(path, live), fs, orphan, false,
@@ -333,5 +333,24 @@ class FeatherSnapshotsSpec extends AnyFunSuite {
       graceMillis = -1000) === 1)
     assert(!fs.exists(orphan))
     assert(spark.read.format("feather").load(path).count() === 50)
+    // an IN-FLIGHT generation (mut-v targeting a version newer than the
+    // latest manifest) is never vacuumed, regardless of age
+    val pending = new Path(path, "mut-v00000099-00000.feather")
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new Path(path, live), fs, pending, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(FeatherSnapshots.vacuumOrphans(fs, new Path(path),
+      graceMillis = -1000) === 0)
+    assert(fs.exists(pending))
+    fs.delete(pending, false)
+    // but a mutation orphan from an ALREADY-COMMITTED generation
+    // (v <= latest) is reclaimable once past grace
+    val stale = new Path(path, "mut-v00000001-00000.feather")
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new Path(path, live), fs, stale, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(FeatherSnapshots.vacuumOrphans(fs, new Path(path),
+      graceMillis = -1000) === 1)
+    assert(!fs.exists(stale))
   }
 }
