@@ -214,20 +214,71 @@ object FeatherMutations {
     val rangedIdx = ranges.zipWithIndex.collect { case (r: Rng, i) => (r, i) }
     val candidateIdx: Set[Int] = family match {
       case Some(dt) if rangedIdx.nonEmpty =>
-        val schema = StructType(Seq(
-          StructField("__fid", IntegerType, nullable = false),
-          StructField("__lo", dt, nullable = false),
-          StructField("__hi", dt, nullable = false)))
-        val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
-        rangedIdx.foreach { case (Rng(lo, hi), i) =>
-          rows.add(org.apache.spark.sql.Row(i, lo, hi)) }
-        val rangesDf = spark.createDataFrame(rows, schema)
-        keysDf.select(col(k0).cast(dt).as("__k"))
-          .where(col("__k").isNotNull).distinct()
-          .join(broadcast(rangesDf),
-            col("__k") >= col("__lo") && col("__k") <= col("__hi"))
-          .select("__fid").distinct()
-          .collect().map(_.getInt(0)).toSet
+        // stats whose value family disagrees with the chosen probe family
+        // (foreign sidecars) can't be compared — touch them unconditionally
+        def familyOk(v: Any): Boolean = (dt, v) match {
+          case (LongType, _: Long) | (DoubleType, _: Double)
+             | (StringType, _: String) => true
+          case _ => false
+        }
+        val (typed, alien) = rangedIdx.partition { case (r, _) =>
+          familyOk(r.lo) && familyOk(r.hi) }
+        def lt(a: Any, b: Any): Boolean = (a, b) match {
+          case (x: Long, y: Long) => x < y
+          case (x: Double, y: Double) => x < y
+          case (x: String, y: String) => x < y
+          case _ => false
+        }
+        val sorted = typed.sortWith { case ((a, _), (b, _)) => lt(a.lo, b.lo) }
+        val disjoint = sorted.size <= 1 ||
+          sorted.iterator.sliding(2).forall(p => lt(p.head._1.hi, p(1)._1.lo))
+        val probed: Set[Int] =
+          if (typed.isEmpty) Set.empty
+          else if (disjoint) {
+            // sorted-boundary fast path (the invariant FeatherCluster
+            // establishes): per key ONE O(log files) binary search fused
+            // into the key scan — no join, no broadcast build
+            import org.apache.spark.sql.graft.Bridge
+            def exprVal(v: Any): Any = v match {
+              case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+              case other => other
+            }
+            val los: Array[Any] = sorted.map(r => exprVal(r._1.lo)).toArray
+            val his = sorted.map(_._1.hi)
+            val fids = sorted.map(_._2)
+            val keyed = keysDf.select(col(k0).cast(dt).as("__k"))
+              .where(col("__k").isNotNull).distinct()
+              .select(col("__k"), Bridge.column(graft.expressions.BoundBucket(
+                los, Bridge.expression(col("__k")))).as("__b"))
+              .where(col("__b") >= 0)
+            val hisCol = dt match {
+              case LongType => lit(his.map(_.asInstanceOf[Long]).toArray)
+              case DoubleType => lit(his.map(_.asInstanceOf[Double]).toArray)
+              case _ => lit(his.map(_.asInstanceOf[String]).toArray)
+            }
+            keyed
+              .where(element_at(hisCol, col("__b") + 1) >= col("__k"))
+              .select(element_at(lit(fids.toArray), col("__b") + 1).as("__fid"))
+              .distinct().collect().map(_.getInt(0)).toSet
+          } else {
+            // overlapping ranges: broadcast non-equi probe (O(keys·files)
+            // comparisons spread across the cluster)
+            val schema = StructType(Seq(
+              StructField("__fid", IntegerType, nullable = false),
+              StructField("__lo", dt, nullable = false),
+              StructField("__hi", dt, nullable = false)))
+            val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+            typed.foreach { case (Rng(lo, hi), i) =>
+              rows.add(org.apache.spark.sql.Row(i, lo, hi)) }
+            val rangesDf = spark.createDataFrame(rows, schema)
+            keysDf.select(col(k0).cast(dt).as("__k"))
+              .where(col("__k").isNotNull).distinct()
+              .join(broadcast(rangesDf),
+                col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+              .select("__fid").distinct()
+              .collect().map(_.getInt(0)).toSet
+          }
+        probed ++ alien.map(_._2)
       case _ => rangedIdx.map(_._2).toSet // no comparable family: touch all
     }
     val touchedIdx: Set[Int] = ranges.zipWithIndex.collect {

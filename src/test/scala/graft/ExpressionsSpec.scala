@@ -130,4 +130,39 @@ class ExpressionsSpec extends AnyFunSuite {
       .count()
     assert(diff == 0)
   }
+
+  test("BoundBucketImpl binary search matches a linear reference (fuzz)") {
+    def refSearch(bounds: Seq[Long], v: Long): Int =
+      bounds.lastIndexWhere(_ <= v)
+    for (_ <- 1 to 200) {
+      val n = rnd.nextInt(12)
+      val bounds = Seq.fill(n)(rnd.nextLong() % 1000).sorted.distinct
+      val v = rnd.nextLong() % 1200
+      val arr: Array[Any] = bounds.map(Long.box(_): Any).toArray
+      assert(graft.expressions.BoundBucketImpl.search(arr, v)
+        === refSearch(bounds, v), s"bounds=$bounds v=$v")
+    }
+    // string family
+    val sArr: Array[Any] =
+      Array("b", "d", "f").map(s => UTF8String.fromString(s): Any)
+    assert(graft.expressions.BoundBucketImpl
+      .search(sArr, UTF8String.fromString("a")) === -1)
+    assert(graft.expressions.BoundBucketImpl
+      .search(sArr, UTF8String.fromString("d")) === 1)
+    assert(graft.expressions.BoundBucketImpl
+      .search(sArr, UTF8String.fromString("z")) === 2)
+  }
+
+  test("BoundBucket expression evaluates through codegen in a DataFrame") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.graft.Bridge
+    val bounds: Array[Any] = Array(Long.box(0L), Long.box(100L), Long.box(200L))
+    val got = Seq(-5L, 0L, 99L, 150L, 200L, 999L).toDF("v")
+      .select(col("v"), Bridge.column(graft.expressions.BoundBucket(
+        bounds, Bridge.expression(col("v")))).as("b"))
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got === Seq((-5L, -1), (0L, 0), (99L, 0), (150L, 1),
+      (200L, 2), (999L, 2)))
+  }
 }
