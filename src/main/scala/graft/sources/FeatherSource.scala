@@ -452,6 +452,24 @@ private class FeatherScan(readSchema0: StructType, path: String,
         maxFilesPerTrigger, checkpointLocation, mergeSchema)
   }
 
+  // exact row count from the stats sidecars (the IPC footer itself
+  // carries none): defined only when EVERY surviving file's batches are
+  // covered — a partial count would mislead the join planner worse than
+  // none. Merged-first loads keep this O(directories).
+  private lazy val exactRows: Option[Long] = if (surviving.isEmpty) Some(0L) else {
+    val stats = graft.io.FeatherStats.loadForFiles(
+      SparkSession.active.sparkContext.hadoopConfiguration,
+      surviving.map(l => (l.file, l.len)))
+    val perFile = surviving.map { l =>
+      stats.getOrElse(l.file, None).flatMap { batches =>
+        val ns = batches.flatMap(_.get(graft.io.FeatherStats.RowCountKey))
+          .collect { case graft.io.FeatherStats.ColStat.Count(n) => n }
+        if (ns.size == batches.size) Some(ns.sum) else None
+      }
+    }
+    if (perFile.forall(_.isDefined)) Some(perFile.flatten.sum) else None
+  }
+
   override def estimateStatistics(): Statistics = new Statistics {
     // file bytes AFTER partition pruning: the honest size the broadcast
     // threshold needs (post-pushdown, like the parquet source reports)
@@ -459,7 +477,8 @@ private class FeatherScan(readSchema0: StructType, path: String,
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.empty() // row counts aren't in the IPC footer
+      exactRows.map(java.util.OptionalLong.of)
+        .getOrElse(java.util.OptionalLong.empty())
   }
 }
 

@@ -216,6 +216,18 @@ class AvroSourceSpec extends AnyFunSuite {
       s"a 5-row avro dim with real stats must broadcast:\n$plan")
   }
 
+  test("sidecar row counts reach the planner as exact numRows") {
+    import spark.implicits._
+    val path = tmp("numrows")
+    (1 to 777).map(i => (i.toLong, s"n_$i")).toDF("id", "name")
+      .repartition(3).write.format("graft-avro").mode("overwrite").save(path)
+    val rel = spark.read.format("graft-avro").load(path)
+      .queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.head
+    assert(rel.stats.rowCount === Some(BigInt(777)))
+  }
+
   test("stats sidecars skip whole files and answer aggregates") {
     import spark.implicits._
     val path = tmp("skip_agg")

@@ -68,6 +68,18 @@ class FeatherSourceSpec extends AnyFunSuite {
       s"a 7-row feather dim with real stats must broadcast:\n$plan")
   }
 
+  test("sidecar row counts reach the planner as exact numRows") {
+    import spark.implicits._
+    val path = tmp("numrows")
+    (1 to 888).map(i => (i.toLong, s"n_$i")).toDF("id", "name")
+      .repartition(3).write.format("feather").mode("overwrite").save(path)
+    val rel = spark.read.format("feather").load(path)
+      .queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.head
+    assert(rel.stats.rowCount === Some(BigInt(888)))
+  }
+
   test("limit pushes a per-partition row cap (partial push, exact result)") {
     val path = tmp("limit")
     writeSample(path)
