@@ -6,11 +6,13 @@ import org.apache.spark.sql.SparkSession
 /** Small-file compaction for Avro part directories — same job, grouping,
   * and crash-safe manifest swap as [[FeatherCompact]] (see there for the
   * full design rationale and the streaming-consumer caveat), on the shared
-  * [[Compaction]] engine. The leaf's writer schema is fixed from the first
-  * part on the driver and every input resolves against it during the
-  * rewrite (the connector's usual by-name resolution), so a leaf with
-  * irreconcilably drifted parts fails loudly rather than silently merging.
-  * Avro has no skipping sidecars, so the commit writes none. */
+  * [[Compaction]] engine. Each group's reader schema is the null-defaulted
+  * UNION of its inputs' headers (the same merged form the mergeSchema
+  * read uses), so a leaf holding evolved generations compacts without
+  * dropping newer columns — Avro's per-file resolution fills nulls for
+  * predating writers, and a field carried with two different types still
+  * fails loudly by file. Avro has no skipping sidecars, so the commit
+  * writes none. */
 object AvroCompact {
 
   type Result = Compaction.Result
@@ -18,19 +20,18 @@ object AvroCompact {
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024,
               codec: String = "snappy"): Result =
-    Compaction.run(spark, path, ".avro", targetBytes, (_, firstFile) => {
-      val (schemaJson, sparkSchema, _) =
-        GraftAvro.planReadFiles(spark, Seq((firstFile, Long.MaxValue)), Long.MaxValue)
-      new AvroRewriter(schemaJson, sparkSchema, codec)
-    })
+    Compaction.run(spark, path, ".avro", targetBytes, (_, _) =>
+      new AvroRewriter(codec))
 
-  private class AvroRewriter(schemaJson: String,
-                             sparkSchema: org.apache.spark.sql.types.StructType,
-                             codec: String) extends Compaction.Rewriter {
+  private class AvroRewriter(codec: String) extends Compaction.Rewriter {
     override def rewriteGroup(execConf: org.apache.hadoop.conf.Configuration,
                               inputs: Seq[(String, Long)],
                               tmp: Path): Option[String] = {
       val lfs = tmp.getFileSystem(execConf)
+      val merged = GraftAvro.mergedSchemaConf(execConf, inputs)
+      val schemaJson = merged.toString
+      val sparkSchema = GraftAvro.toSparkType(merged)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
       val pw = new GraftAvro.AvroPartWriter(
         sparkSchema, schemaJson, lfs.create(tmp, true), codec)
       val open = scala.collection.mutable.ArrayBuffer

@@ -43,21 +43,24 @@ object FeatherCompact {
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024,
               codec: String = "lz4", batchSize: Int = 4096): Result =
-    Compaction.run(spark, path, ".feather", targetBytes, (_, firstFile) => {
-      // leaf schema fixed from the first part (sink contract: one schema
-      // per directory)
-      val schema = StructType(GraftFeather.readFields(spark, firstFile)
-        .map(f => org.apache.spark.sql.types.StructField(
-          f.getName, GraftFeather.toSparkType(f), f.isNullable)))
-      new FeatherRewriter(schema, codec, batchSize)
-    })
+    Compaction.run(spark, path, ".feather", targetBytes, (_, _) =>
+      new FeatherRewriter(codec, batchSize))
 
-  private class FeatherRewriter(schema: StructType, codec: String,
+  private class FeatherRewriter(codec: String,
                                 batchSize: Int) extends Compaction.Rewriter {
     override def rewriteGroup(execConf: org.apache.hadoop.conf.Configuration,
                               inputs: Seq[(String, Long)],
                               tmp: Path): Option[String] = {
       val lfs = tmp.getFileSystem(execConf)
+      // the group's schema is the UNION of its inputs' footers — a leaf
+      // holding evolved generations compacts without dropping the columns
+      // only newer parts carry (predating rows fill null, same contract
+      // as the mergeSchema read); one homogeneous leaf reduces to its own
+      // schema exactly as before
+      val schema = StructType(
+        GraftFeather.readFieldsMergedConf(execConf, inputs)
+          .map(f => org.apache.spark.sql.types.StructField(
+            f.getName, GraftFeather.toSparkType(f), f.isNullable)))
       val pw = new GraftFeather.FeatherPartWriter(
         schema, lfs.create(tmp, true), codec, batchSize)
       val readers = scala.collection.mutable.ArrayBuffer
@@ -67,7 +70,7 @@ object FeatherCompact {
           // one reader open per input: allRows derives the batch count
           // from the footer it already parsed
           GraftFeather.allRows(execConf, f, len,
-            schema.fieldNames.toSeq, readers += _)
+            schema.fieldNames.toSeq, readers += _, lenient = true)
             .foreach(pw.append)
           // retire each input's reader as soon as it drains — a group of
           // thousands of tiny files must not hold every file's buffers

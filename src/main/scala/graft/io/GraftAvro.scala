@@ -163,9 +163,15 @@ object GraftAvro {
     * structurally different (non-null) types fails loudly BY FILE.
     * Header reads run on a bounded pool — O(files / pool), not serial. */
   private[graft] def mergedSchema(spark: SparkSession,
-                                  files: Seq[(String, Long)]): Schema = {
+                                  files: Seq[(String, Long)]): Schema =
+    mergedSchemaConf(spark.sparkContext.hadoopConfiguration, files)
+
+  /** [[mergedSchema]] off a bare Hadoop conf — callable from executor
+    * code (the compaction rewriter unions its GROUP's headers there). */
+  private[graft] def mergedSchemaConf(
+      conf: org.apache.hadoop.conf.Configuration,
+      files: Seq[(String, Long)]): Schema = {
     require(files.nonEmpty, "mergedSchema: empty file list")
-    val conf = spark.sparkContext.hadoopConfiguration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(16, math.max(1, files.size)))
     val perFile =

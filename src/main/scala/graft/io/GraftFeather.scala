@@ -310,9 +310,15 @@ object GraftFeather {
     * bounded pool as split planning, so a 10⁵-file table infers in
     * O(files / pool), not serially on the driver. */
   private[graft] def readFieldsMerged(spark: SparkSession,
-                                      files: Seq[(String, Long)]): Seq[Field] = {
+                                      files: Seq[(String, Long)]): Seq[Field] =
+    readFieldsMergedConf(spark.sparkContext.hadoopConfiguration, files)
+
+  /** [[readFieldsMerged]] off a bare Hadoop conf — callable from executor
+    * code (the compaction rewriter unions its GROUP's footers there). */
+  private[graft] def readFieldsMergedConf(
+      conf: org.apache.hadoop.conf.Configuration,
+      files: Seq[(String, Long)]): Seq[Field] = {
     require(files.nonEmpty, "readFieldsMerged: empty file list")
-    val conf = spark.sparkContext.hadoopConfiguration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(16, math.max(1, files.size)))
     val perFile =
@@ -449,9 +455,10 @@ object GraftFeather {
     * thousands-of-tiny-files inputs the job exists for). */
   private[graft] def allRows(execConf: org.apache.hadoop.conf.Configuration,
                              file: String, len: Long, colNames: Seq[String],
-                             registerClose: ArrowFileReader => Unit): Iterator[Row] =
+                             registerClose: ArrowFileReader => Unit,
+                             lenient: Boolean = false): Iterator[Row] =
     rowsFrom(execConf, file, len, r => 0 until r.getRecordBlocks.size(),
-      colNames, registerClose)
+      colNames, registerClose, lenient)
 
   private def rowsFrom(execConf: org.apache.hadoop.conf.Configuration,
                        file: String, len: Long,

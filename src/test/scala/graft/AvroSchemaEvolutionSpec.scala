@@ -92,6 +92,18 @@ class AvroSchemaEvolutionSpec extends AnyFunSuite {
     assert(d0.where(col("lang").isNull).count() === 30)
   }
 
+  test("compacting heterogeneous generations keeps evolved columns") {
+    val path = tmp("compact_evo")
+    twoGens(path)
+    val r = graft.io.AvroCompact.compact(spark, path, targetBytes = 1L << 30)
+    assert(r.filesAfter < r.filesBefore, s"no-op: $r")
+    val df = spark.read.format("graft-avro").load(path)
+    assert(df.columns.toSeq === Seq("id", "pay", "lang"))
+    assert(df.count() === 80)
+    assert(df.where(col("lang").isNull).count() === 50)
+    assert(df.where(col("lang") === "en").count() === 30)
+  }
+
   test("a type conflict across generations fails loudly naming both files") {
     val path = tmp("conflict")
     import spark.implicits._

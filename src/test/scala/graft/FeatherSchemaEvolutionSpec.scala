@@ -117,6 +117,21 @@ class FeatherSchemaEvolutionSpec extends AnyFunSuite {
     assert(v1.count() === 40)
   }
 
+  test("compacting heterogeneous generations keeps evolved columns") {
+    val path = tmp("compact_evo")
+    writeTwoGens(path)
+    val r = graft.io.FeatherCompact.compact(spark, path,
+      targetBytes = 1L << 30)
+    assert(r.filesAfter < r.filesBefore, s"no-op: $r")
+    // post-compaction the leaf is homogeneous on the UNION schema —
+    // a strict read sees all three columns
+    val df = spark.read.format("feather").load(path)
+    assert(df.columns.toSeq === Seq("id", "pay", "lang"))
+    assert(df.count() === 80)
+    assert(df.where(col("lang").isNull).count() === 50)
+    assert(df.where(col("lang") === "en").count() === 30)
+  }
+
   test("streaming read honors mergeSchema across generations") {
     val path = tmp("stream_evo")
     import spark.implicits._
