@@ -137,6 +137,7 @@ private[graft] object Compaction {
           g.inputs.foreach { case (f, _) =>
             lfs.delete(new Path(f), false)
             lfs.delete(new Path(f + ".stats.json"), false)
+            lfs.delete(new Path(f + ".bloom"), false)
           }
           lfs.delete(manifestPath(new Path(g.leaf), g.outName), false)
           groupsRewritten += 1
@@ -329,6 +330,7 @@ private[graft] object Compaction {
                 val n = it.next().asText()
                 fs.delete(new Path(leaf, n), false)
                 fs.delete(new Path(leaf, n + ".stats.json"), false)
+                fs.delete(new Path(leaf, n + ".bloom"), false)
               }
             } else {
               // crash before the rename: inputs intact — drop the

@@ -1,0 +1,118 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.sources.FeatherSnapshots
+
+/** Per-file Bloom sidecars (`<part>.bloom`) over a chosen key column —
+  * the POINT-LOOKUP index the min/max skipping stats can't be.
+  *
+  * Why: a takedown/delete list is typically a set of SCATTERED ids whose
+  * range spans the whole table, so range pruning touches every file even
+  * on a perfectly clustered layout. A per-file bloom answers "could this
+  * file contain key k" for individual keys: the mutation probe
+  * ([[FeatherMutations]]) drops every candidate file whose bloom
+  * excludes all probe keys, typically reducing a scattered delete from
+  * all-files to only-the-files-that-matter (at the sidecar's false-
+  * positive rate).
+  *
+  * `build` is a maintenance pass like clustering: one distributed job
+  * reads ONLY the key column of each live file and writes one bloom
+  * sidecar beside it (idempotent; re-run after heavy ingest, or follow
+  * every `cluster()`). Sidecars are advisory exactly like the stats
+  * sidecars — a missing/stale bloom costs pruning, never correctness
+  * (stale = name/len no longer matching is impossible since parts are
+  * immutable; a sidecar simply absent means the file stays a candidate).
+  * Long key columns only for now (document ids are longs); the fpp is
+  * sized for the file's actual row count.
+  */
+object FeatherBloom {
+
+  val Suffix = ".bloom"
+  private val Fpp = 0.001
+
+  /** Header: the key column the bloom was built over — a probe on a
+    * different column must ignore the sidecar. */
+  private def write(fs: org.apache.hadoop.fs.FileSystem, part: Path,
+                    keyCol: String, bloom: BloomFilter): Unit = {
+    val out = fs.create(new Path(part.getParent, part.getName + Suffix), true)
+    try {
+      val colBytes = keyCol.getBytes("UTF-8")
+      out.writeInt(colBytes.length)
+      out.write(colBytes)
+      bloom.writeTo(out)
+    } finally out.close()
+  }
+
+  /** Load a part's bloom if present AND built over `keyCol`. */
+  private[graft] def load(conf: org.apache.hadoop.conf.Configuration,
+                          partPath: String, keyCol: String): Option[BloomFilter] = {
+    val p = new Path(partPath + Suffix)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    try {
+      val in = fs.open(p)
+      try {
+        val n = in.readInt()
+        val colBytes = new Array[Byte](n)
+        in.readFully(colBytes)
+        if (new String(colBytes, "UTF-8") != keyCol) None
+        else Some(BloomFilter.readFrom(in))
+      } finally in.close()
+    } catch { case _: Exception => None } // torn/foreign sidecar: no pruning
+  }
+
+  /** Build (or rebuild) bloom sidecars for every live file of a
+    * snapshotted table, over a LONG key column. One task per file; each
+    * task decodes only the key column. Returns files indexed. */
+  def build(spark: SparkSession, path: String, keyCol: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    require(FeatherSnapshots.enabled(fs, root),
+      s"bloom build on $path, which has no snapshots — the index follows " +
+        "the manifest's live files; write with option(\"snapshots\", \"true\")")
+    val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
+      sys.error(s"bloom build on $path: no snapshot versions"))
+    val files = snap.files.map { case (rel, len) =>
+      (new Path(root, rel).toString, len) }
+    val keyType = GraftFeather.readFieldsMergedConf(conf, files)
+      .find(_.getName == keyCol).map(GraftFeather.toSparkType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"bloom build: column '$keyCol' not in table schema"))
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(keyType),
+      s"bloom build: '$keyCol' must be an integral column, " +
+        s"got ${keyType.catalogString}")
+    val confMap = GraftHadoop.confBroadcast(spark)
+    spark.sparkContext.parallelize(files, files.size).map { case (f, len) =>
+      val execConf = new org.apache.hadoop.conf.Configuration(false)
+      confMap.value.foreach { case (k, v) => execConf.set(k, v) }
+      val open = new java.util.ArrayList[org.apache.arrow.vector.ipc.ArrowFileReader]()
+      try {
+        // two passes, both key-column-only: count (to size the bloom
+        // honestly), then insert
+        import scala.jdk.CollectionConverters._
+        def rows() = GraftFeather.allRows(execConf, f, len, Seq(keyCol),
+          open.add(_), lenient = true)
+        var n = 0L
+        rows().foreach(_ => n += 1)
+        val bloom = BloomFilter.create(math.max(1L, n), Fpp)
+        rows().foreach { r =>
+          if (!r.isNullAt(0))
+            bloom.putLong(r.get(0).asInstanceOf[Number].longValue()) }
+        val pfs = new Path(f).getFileSystem(execConf)
+        write(pfs, new Path(f), keyCol, bloom)
+        open.asScala.foreach(r => try r.close() catch { case _: Exception => () })
+        1
+      } finally {
+        import scala.jdk.CollectionConverters._
+        open.asScala.foreach(r => try r.close() catch { case _: Exception => () })
+      }
+    }.sum().toInt
+  }
+}

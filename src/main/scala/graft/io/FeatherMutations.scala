@@ -232,7 +232,9 @@ object FeatherMutations {
         val sorted = typed.sortWith { case ((a, _), (b, _)) => lt(a.lo, b.lo) }
         val disjoint = sorted.size <= 1 ||
           sorted.iterator.sliding(2).forall(p => lt(p.head._1.hi, p(1)._1.lo))
-        val probed: Set[Int] =
+        // one probe pass: (key, candidate fid) pairs through the range
+        // structure, optionally filtered by per-file Bloom sidecars
+        def probeOnce(blooms: Option[Array[Any]]): Set[Int] =
           if (typed.isEmpty) Set.empty
           else if (disjoint) {
             // sorted-boundary fast path (the invariant FeatherCluster
@@ -256,13 +258,20 @@ object FeatherMutations {
               case DoubleType => lit(his.map(_.asInstanceOf[Double]).toArray)
               case _ => lit(his.map(_.asInstanceOf[String]).toArray)
             }
-            keyed
+            val hit = keyed
               .where(element_at(hisCol, col("__b") + 1) >= col("__k"))
-              .select(element_at(lit(fids.toArray), col("__b") + 1).as("__fid"))
-              .distinct().collect().map(_.getInt(0)).toSet
+              .select(element_at(lit(fids.toArray), col("__b") + 1).as("__fid"),
+                col("__k"))
+            blooms.map(arr => hit.where(Bridge.column(
+                graft.expressions.BloomHit(arr,
+                  Bridge.expression(col("__fid")),
+                  Bridge.expression(col("__k"))))))
+              .getOrElse(hit)
+              .select("__fid").distinct().collect().map(_.getInt(0)).toSet
           } else {
             // overlapping ranges: broadcast non-equi probe (O(keys·files)
             // comparisons spread across the cluster)
+            import org.apache.spark.sql.graft.Bridge
             val schema = StructType(Seq(
               StructField("__fid", IntegerType, nullable = false),
               StructField("__lo", dt, nullable = false),
@@ -271,12 +280,34 @@ object FeatherMutations {
             typed.foreach { case (Rng(lo, hi), i) =>
               rows.add(org.apache.spark.sql.Row(i, lo, hi)) }
             val rangesDf = spark.createDataFrame(rows, schema)
-            keysDf.select(col(k0).cast(dt).as("__k"))
+            val hit = keysDf.select(col(k0).cast(dt).as("__k"))
               .where(col("__k").isNotNull).distinct()
               .join(broadcast(rangesDf),
                 col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+            blooms.map(arr => hit.where(Bridge.column(
+                graft.expressions.BloomHit(arr,
+                  Bridge.expression(col("__fid")),
+                  Bridge.expression(col("__k"))))))
+              .getOrElse(hit)
               .select("__fid").distinct()
               .collect().map(_.getInt(0)).toSet
+          }
+        val byRange = probeOnce(None)
+        // second pass through the Bloom sidecars (FeatherBloom.build):
+        // a range-candidate file whose bloom excludes every probe key
+        // drops out — the refinement that saves a SCATTERED key list
+        // (takedown ids span the whole table; ranges alone prune nothing)
+        val probed: Set[Int] =
+          if (dt != LongType || byRange.isEmpty) byRange
+          else {
+            val loaded = byRange.toSeq.flatMap { i =>
+              FeatherBloom.load(conf, absFiles(i)._1, k0).map(i -> _) }
+            if (loaded.isEmpty) byRange
+            else {
+              val arr = Array.fill[Any](absFiles.length)(null)
+              loaded.foreach { case (i, b) => arr(i) = b }
+              probeOnce(Some(arr))
+            }
           }
         probed ++ alien.map(_._2)
       case _ => rangedIdx.map(_._2).toSet // no comparable family: touch all

@@ -210,6 +210,8 @@ private[graft] object FeatherSnapshots {
         if (fs.delete(e.getPath, false)) removed += 1
         fs.delete(new Path(e.getPath.getParent,
           e.getPath.getName + ".stats.json"), false)
+        fs.delete(new Path(e.getPath.getParent,
+          e.getPath.getName + ".bloom"), false)
       }
     }
     removed
@@ -259,6 +261,7 @@ private[graft] object FeatherSnapshots {
       val p = new Path(root, rel)
       if (fs.delete(p, false)) removedFiles += 1
       fs.delete(new Path(p.getParent, p.getName + ".stats.json"), false)
+      fs.delete(new Path(p.getParent, p.getName + ".bloom"), false)
     }
     drop.foreach(v => fs.delete(snapPath(root, v), false))
     (drop.size, removedFiles)

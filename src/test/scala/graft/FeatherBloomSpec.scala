@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{FeatherBloom, FeatherMutations}
+
+/** Per-file Bloom sidecars: the point-lookup refinement of the mutation
+  * probe. Range stats cannot prune a SCATTERED key list (its span covers
+  * every file); the blooms can. */
+class FeatherBloomSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private def tmp(n: String): String = {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_feather_bloom/$n"
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(p))
+    p
+  }
+
+  /** Range-clustered table holding only EVEN ids — every odd id falls
+    * inside some file's [min,max] range but is absent. */
+  private def writeEvens(path: String, n: Int, parts: Int): Unit = {
+    import spark.implicits._
+    (1 to n).map(i => (i * 2L, s"p_$i")).toDF("id", "pay")
+      .repartitionByRange(parts, col("id"))
+      .write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(path)
+  }
+
+  test("a scattered absent-key delete touches zero files through blooms") {
+    val path = tmp("scattered")
+    writeEvens(path, 1000, 8)
+    assert(FeatherBloom.build(spark, path, "id") === 8)
+    import spark.implicits._
+    // odd ids: inside the ranges, never present — ranges alone would
+    // touch every file the keys land in
+    val absent = Seq(11L, 333L, 777L, 1201L, 1999L).toDF("id")
+    val r = FeatherMutations.deleteByKey(spark, path, absent, Seq("id"))
+    assert(r.filesTouched === 0, s"blooms must prune absent keys: $r")
+    assert(spark.read.format("feather").load(path).count() === 1000)
+  }
+
+  test("present keys still delete correctly with blooms active") {
+    val path = tmp("present")
+    writeEvens(path, 1000, 8)
+    FeatherBloom.build(spark, path, "id")
+    import spark.implicits._
+    // two present (even) keys + two absent (odd) ones
+    val keys = Seq(100L, 1500L, 101L, 1501L).toDF("id")
+    val r = FeatherMutations.deleteByKey(spark, path, keys, Seq("id"))
+    assert(r.filesTouched >= 1 && r.filesTouched <= 2, s"got $r")
+    val after = spark.read.format("feather").load(path)
+    assert(after.count() === 998)
+    assert(after.where(col("id").isin(100L, 1500L)).count() === 0)
+  }
+
+  test("a probe on a different column ignores the sidecars") {
+    val path = tmp("other_col")
+    import spark.implicits._
+    (1 to 200).map(i => (i.toLong, i * 10L)).toDF("id", "alt")
+      .repartitionByRange(2, col("id"))
+      .write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(path)
+    FeatherBloom.build(spark, path, "id")
+    // delete by `alt`: the id-blooms must not misprune
+    val r = FeatherMutations.deleteByKey(spark, path,
+      Seq(50L).toDF("alt"), Seq("alt"))
+    assert(spark.read.format("feather").load(path)
+      .where(col("alt") === 50L).count() === 0)
+    assert(r.filesTouched === 1)
+  }
+
+  test("mutated parts without blooms stay candidates (no false pruning)") {
+    val path = tmp("post_mut")
+    writeEvens(path, 400, 4)
+    FeatherBloom.build(spark, path, "id")
+    import spark.implicits._
+    // first delete rewrites one file; its replacement has no bloom
+    FeatherMutations.deleteByKey(spark, path, Seq(100L).toDF("id"), Seq("id"))
+    // a key in the rewritten file's range must still be found
+    val r2 = FeatherMutations.deleteByKey(spark, path, Seq(102L).toDF("id"), Seq("id"))
+    assert(r2.filesTouched === 1)
+    assert(spark.read.format("feather").load(path)
+      .where(col("id").isin(100L, 102L)).count() === 0)
+  }
+
+  test("bloom build on a non-integral column fails loudly") {
+    val path = tmp("bad_col")
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "pay")
+      .write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(path)
+    val e = intercept[IllegalArgumentException] {
+      FeatherBloom.build(spark, path, "pay")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+}
