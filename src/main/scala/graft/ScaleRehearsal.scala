@@ -553,7 +553,20 @@ object ScaleRehearsal {
         s"merge band must touch <=2 data parts: $rm")
       val afterMrg = spark.read.format("feather").load(dir).count()
       require(afterMrg == n - 50000L + 10000L, s"rows after merge: $afterMrg")
-      println(f"""{"mutation_rows":$n,"parts":$parts,"del_touched":${rd.filesTouched},"del_sec":$delSec%.2f,"merge_touched":${rm.filesTouched},"merge_sec":$mrgSec%.2f}""")
+      // bloom refinement: a SCATTERED absent-key list spans every file's
+      // range (ranges alone would touch many files); with blooms built,
+      // the probe touches ZERO — the point-lookup story at scale
+      val t2 = System.nanoTime()
+      val nb = graft.io.FeatherBloom.build(spark, dir, "id")
+      val bloomBuildSec = (System.nanoTime() - t2) / 1e9
+      val scattered = spark.range(0L, 200L)
+        .select((col("id") * 104729L % n + n + 500000L).as("id")) // absent
+      val t3 = System.nanoTime()
+      val rb = graft.io.FeatherMutations.deleteByKey(spark, dir, scattered, Seq("id"))
+      val bloomProbeSec = (System.nanoTime() - t3) / 1e9
+      require(rb.filesTouched == 0,
+        s"bloom must prune a scattered absent-key delete to zero: $rb")
+      println(f"""{"mutation_rows":$n,"parts":$parts,"del_touched":${rd.filesTouched},"del_sec":$delSec%.2f,"merge_touched":${rm.filesTouched},"merge_sec":$mrgSec%.2f,"bloom_files":$nb,"bloom_build_sec":$bloomBuildSec%.2f,"bloom_probe_sec":$bloomProbeSec%.2f}""")
       (delSec, mrgSec)
     }
     println(f"""{"mutation_tier":"feather","table_ratio":10,"del_wall_ratio":${results(1)._1 / results(0)._1}%.2f,"merge_wall_ratio":${results(1)._2 / results(0)._2}%.2f}""")

@@ -61,7 +61,7 @@ object IoQueries extends QueryPack {
     "io_feather_agg_pushdown", "io_feather_time_travel", "io_avro_skipping",
     "io_feather_delete", "io_feather_merge", "io_feather_cdc",
     "io_feather_cluster", "io_feather_evolution", "io_avro_evolution",
-    "dedup_lsh_incremental")
+    "io_feather_bloom_skip", "dedup_lsh_incremental")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
   // (cudf/io/csv.py:15 dtype=, header=; csv.hpp:48)
@@ -1057,6 +1057,32 @@ object IoQueries extends QueryPack {
         sum(col("l_quantity").cast(DecimalType(12, 2)))
           .cast(DoubleType).as("sum_qty"))
       .orderBy("l_returnflag")
+  }
+
+  // Per-file Bloom sidecars on the read path (io/FeatherBloom.build):
+  // point-lookup file skipping the min/max ranges can't do — the ORACLE
+  // pins that an IN-list read over the bloom-indexed table returns
+  // exactly the relational answer (present + absent keys mixed);
+  // FeatherBloomSpec pins the planner-side evidence (0 partitions for
+  // absent keys) and the mutation-probe refinement.
+  register("io_feather_bloom_skip",
+    """SELECT o_orderkey, o_orderpriority FROM orders
+      |WHERE o_orderkey <= 4000
+      |  AND o_orderkey IN (7, 8, 9, 1000, 2000, 3999, 4000, 4001)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val path = readFixture("feather_bloom_skip", d) { p =>
+      Tables.orders(s, d).filter(col("o_orderkey") <= 4000)
+        .select("o_orderkey", "o_orderpriority")
+        .repartitionByRange(6, col("o_orderkey"))
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(p)
+      val n = graft.io.FeatherBloom.build(s, p, "o_orderkey")
+      require(n == 6, s"expected 6 bloom sidecars, built $n")
+    }
+    s.read.format("feather").load(path)
+      .where(col("o_orderkey").isin(7L, 8L, 9L, 1000L, 2000L, 3999L, 4000L, 4001L))
+      .select("o_orderkey", "o_orderpriority")
+      .orderBy("o_orderkey")
   }
 
   // CDC apply on a snapshotted table (io/FeatherMutations.applyCdc): one

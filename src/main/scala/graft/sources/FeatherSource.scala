@@ -421,14 +421,45 @@ private class FeatherScan(readSchema0: StructType, path: String,
       else graft.io.FeatherStats.loadForFiles(
         spark.sparkContext.hadoopConfiguration,
         splits.map(s => (s._1, s._2)).distinct)
+    // point-lookup file skipping through the Bloom sidecars
+    // (io/FeatherBloom.build): an EqualTo/In filter on an integral
+    // column whose bloom excludes every candidate value proves the whole
+    // file empty — what min/max ranges cannot do for scattered keys.
+    // Conjunctive semantics: ONE unsatisfiable filter skips the file.
+    // Sidecar loads are per surviving file but only when a point filter
+    // exists; absent sidecars never prune.
+    val pointFilters: Seq[(String, Seq[Long])] = skipFilters.collect {
+      case org.apache.spark.sql.sources.EqualTo(a, v: java.lang.Number)
+          if integralish(v) => a -> Seq(v.longValue())
+      case org.apache.spark.sql.sources.In(a, vs)
+          if vs.nonEmpty && vs.forall(v =>
+            v.isInstanceOf[java.lang.Number] &&
+              integralish(v.asInstanceOf[java.lang.Number])) =>
+        a -> vs.toSeq.map(_.asInstanceOf[java.lang.Number].longValue())
+    }
+    def bloomExcludes(f: String): Boolean =
+      pointFilters.nonEmpty && pointFilters.exists { case (attr, keys) =>
+        graft.io.FeatherBloom.load(
+          spark.sparkContext.hadoopConfiguration, f, attr) match {
+          case Some(b) => keys.forall(k => !b.mightContainLong(k))
+          case None => false
+        }
+      }
     splits.flatMap { case (f, len, idxs, pv) =>
       val kept = statsByFile.getOrElse(f, None) match {
         case Some(stats) => idxs.filterNot(i => i < stats.size &&
           graft.io.FeatherStats.batchProvablyEmpty(stats(i), skipFilters))
         case None => idxs
       }
-      if (kept.isEmpty) None else Some(FeatherInputPartition(f, len, kept, pv))
+      if (kept.isEmpty || bloomExcludes(f)) None
+      else Some(FeatherInputPartition(f, len, kept, pv))
     }.toArray
+  }
+
+  private def integralish(v: java.lang.Number): Boolean = v match {
+    case _: java.lang.Byte | _: java.lang.Short |
+         _: java.lang.Integer | _: java.lang.Long => true
+    case _ => false
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -88,6 +88,30 @@ class FeatherBloomSpec extends AnyFunSuite {
       .where(col("id").isin(100L, 102L)).count() === 0)
   }
 
+  test("read-path point lookups skip whole files through blooms") {
+    val path = tmp("read_skip")
+    writeEvens(path, 1000, 4)
+    FeatherBloom.build(spark, path, "id")
+    def partsFor(df: org.apache.spark.sql.DataFrame): Int =
+      df.rdd.getNumPartitions
+    // absent (odd) key: every file's range covers it, every bloom
+    // excludes it → zero input partitions planned
+    val absent = spark.read.format("feather").load(path)
+      .where(col("id") === 333L)
+    assert(absent.count() === 0)
+    assert(partsFor(absent) === 0, "bloom must skip all files at plan time")
+    // present key: found, and only its file plans
+    val present = spark.read.format("feather").load(path)
+      .where(col("id") === 500L)
+    assert(present.count() === 1)
+    assert(partsFor(present) === 1)
+    // IN-list of absent keys across several ranges: still zero
+    val inAbsent = spark.read.format("feather").load(path)
+      .where(col("id").isin(11L, 777L, 1999L))
+    assert(inAbsent.count() === 0)
+    assert(partsFor(inAbsent) === 0)
+  }
+
   test("bloom build on a non-integral column fails loudly") {
     val path = tmp("bad_col")
     import spark.implicits._
