@@ -37,9 +37,14 @@ object FeatherCluster {
 
   final case class Result(version: Long, filesBefore: Int, filesAfter: Int)
 
+  /** `bloomFor` rebuilds the point-lookup Bloom sidecars
+    * ([[FeatherBloom]]) over the NEW parts after the commit — the natural
+    * pairing, since re-clustering retires every old part and with it
+    * every old bloom. */
   def cluster(spark: SparkSession, path: String, cols: Seq[String],
               targetBytes: Long = 128L << 20,
-              codec: String = "lz4"): Result = {
+              codec: String = "lz4",
+              bloomFor: Option[String] = None): Result = {
     require(cols.nonEmpty, "cluster: cols must be non-empty")
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val conf = spark.sparkContext.hadoopConfiguration
@@ -104,6 +109,7 @@ object FeatherCluster {
           s"v${snap.version} while the rewrite ran) — re-run")
       parentFiles.filterNot { case (rel, _) => gone(rel) } ++ added
     }
+    bloomFor.foreach(FeatherBloom.build(spark, path, _): Unit)
     Result(committed, snap.files.size, added.size)
   }
 }

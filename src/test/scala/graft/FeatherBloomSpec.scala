@@ -112,6 +112,21 @@ class FeatherBloomSpec extends AnyFunSuite {
     assert(partsFor(inAbsent) === 0)
   }
 
+  test("cluster(bloomFor) rebuilds sidecars over the new parts") {
+    val path = tmp("cluster_bloom")
+    import spark.implicits._
+    (1 to 500).map(i => (i * 2L, s"p_$i")).toDF("id", "pay")
+      .repartition(4, col("id")) // hash layout
+      .write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(path)
+    graft.io.FeatherCluster.cluster(spark, path, Seq("id"),
+      targetBytes = 8 << 10, bloomFor = Some("id"))
+    // the clustered parts carry fresh blooms: absent-key delete touches 0
+    val r = FeatherMutations.deleteByKey(spark, path,
+      Seq(11L, 333L).toDF("id"), Seq("id"))
+    assert(r.filesTouched === 0, s"post-cluster blooms must prune: $r")
+  }
+
   test("bloom build on a non-integral column fails loudly") {
     val path = tmp("bad_col")
     import spark.implicits._

@@ -91,9 +91,9 @@ class MutationPropertySpec extends AnyFunSuite {
               changes.toDF("id", "pay", "_deleted"), Seq("id"))
             check(s"$step:cdc")
           }
-        case 4 => // cluster (row-preserving)
+        case 4 => // cluster (row-preserving), rebuilding bloom sidecars
           FeatherCluster.cluster(spark, path, Seq("id"),
-            targetBytes = 16 << 10)
+            targetBytes = 16 << 10, bloomFor = Some("id"))
           check(s"$step:cluster")
         case 5 => // expire history (content-preserving at head)
           FeatherSnapshots.expire(fs, new org.apache.hadoop.fs.Path(path),
