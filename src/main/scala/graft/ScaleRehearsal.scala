@@ -553,19 +553,26 @@ object ScaleRehearsal {
         s"merge band must touch <=2 data parts: $rm")
       val afterMrg = spark.read.format("feather").load(dir).count()
       require(afterMrg == n - 50000L + 10000L, s"rows after merge: $afterMrg")
-      // bloom refinement: a SCATTERED absent-key list spans every file's
-      // range (ranges alone would touch many files); with blooms built,
-      // the probe touches ZERO — the point-lookup story at scale
+      // bloom refinement: absent keys INSIDE a live file's range (the
+      // band deleted above — the rewritten survivor file still spans it).
+      // Keys ABOVE every range would prove nothing: the hi-bound check
+      // prunes those with no bloom involved. First probe runs WITHOUT
+      // blooms and must touch ≥1 file (ranges alone cannot prune this
+      // workload); after the build the same probe touches ZERO.
+      val inBandAbsent = spark.range(lo + 1000L, lo + 1200L).select(col("id"))
+      val rNoBloom = graft.io.FeatherMutations.deleteByKey(
+        spark, dir, inBandAbsent, Seq("id"))
+      require(rNoBloom.filesTouched >= 1,
+        s"workload sanity: ranges alone must NOT prune in-band keys: $rNoBloom")
       val t2 = System.nanoTime()
       val nb = graft.io.FeatherBloom.build(spark, dir, "id")
       val bloomBuildSec = (System.nanoTime() - t2) / 1e9
-      val scattered = spark.range(0L, 200L)
-        .select((col("id") * 104729L % n + n + 500000L).as("id")) // absent
       val t3 = System.nanoTime()
-      val rb = graft.io.FeatherMutations.deleteByKey(spark, dir, scattered, Seq("id"))
+      val rb = graft.io.FeatherMutations.deleteByKey(
+        spark, dir, inBandAbsent, Seq("id"))
       val bloomProbeSec = (System.nanoTime() - t3) / 1e9
       require(rb.filesTouched == 0,
-        s"bloom must prune a scattered absent-key delete to zero: $rb")
+        s"bloom must prune an in-range absent-key delete to zero: $rb")
       println(f"""{"mutation_rows":$n,"parts":$parts,"del_touched":${rd.filesTouched},"del_sec":$delSec%.2f,"merge_touched":${rm.filesTouched},"merge_sec":$mrgSec%.2f,"bloom_files":$nb,"bloom_build_sec":$bloomBuildSec%.2f,"bloom_probe_sec":$bloomProbeSec%.2f}""")
       (delSec, mrgSec)
     }

@@ -33,22 +33,28 @@ object FeatherBloom {
   val Suffix = ".bloom"
   private val Fpp = 0.001
 
-  /** Header: the key column the bloom was built over — a probe on a
-    * different column must ignore the sidecar. */
+  /** Header: the key column AND the part's byte length the bloom was
+    * built over — a probe on a different column ignores the sidecar, and
+    * (like the merged-stats length validation) a bloom left beside a
+    * same-name part of different content is rejected rather than trusted
+    * into mis-pruning. */
   private def write(fs: org.apache.hadoop.fs.FileSystem, part: Path,
-                    keyCol: String, bloom: BloomFilter): Unit = {
+                    partLen: Long, keyCol: String, bloom: BloomFilter): Unit = {
     val out = fs.create(new Path(part.getParent, part.getName + Suffix), true)
     try {
       val colBytes = keyCol.getBytes("UTF-8")
       out.writeInt(colBytes.length)
       out.write(colBytes)
+      out.writeLong(partLen)
       bloom.writeTo(out)
     } finally out.close()
   }
 
-  /** Load a part's bloom if present AND built over `keyCol`. */
+  /** Load a part's bloom if present, built over `keyCol`, and matching
+    * the part's current length. */
   private[graft] def load(conf: org.apache.hadoop.conf.Configuration,
-                          partPath: String, keyCol: String): Option[BloomFilter] = {
+                          partPath: String, partLen: Long,
+                          keyCol: String): Option[BloomFilter] = {
     val p = new Path(partPath + Suffix)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return None
@@ -59,6 +65,7 @@ object FeatherBloom {
         val colBytes = new Array[Byte](n)
         in.readFully(colBytes)
         if (new String(colBytes, "UTF-8") != keyCol) None
+        else if (in.readLong() != partLen) None // stale: part was replaced
         else Some(BloomFilter.readFrom(in))
       } finally in.close()
     } catch { case _: Exception => None } // torn/foreign sidecar: no pruning
@@ -94,20 +101,24 @@ object FeatherBloom {
       confMap.value.foreach { case (k, v) => execConf.set(k, v) }
       val open = new java.util.ArrayList[org.apache.arrow.vector.ipc.ArrowFileReader]()
       try {
-        // two passes, both key-column-only: count (to size the bloom
-        // honestly), then insert
         import scala.jdk.CollectionConverters._
         def rows() = GraftFeather.allRows(execConf, f, len, Seq(keyCol),
           open.add(_), lenient = true)
-        var n = 0L
-        rows().foreach(_ => n += 1)
+        // size the filter from the part's stats sidecar when present
+        // (exact per-batch counts); only a sidecar-less part pays a
+        // counting pass over the key column
+        val n = FeatherStats.exactRowCount(execConf, Seq((f, len)))
+          .getOrElse {
+            var c = 0L
+            rows().foreach(_ => c += 1)
+            c
+          }
         val bloom = BloomFilter.create(math.max(1L, n), Fpp)
         rows().foreach { r =>
           if (!r.isNullAt(0))
             bloom.putLong(r.get(0).asInstanceOf[Number].longValue()) }
         val pfs = new Path(f).getFileSystem(execConf)
-        write(pfs, new Path(f), keyCol, bloom)
-        open.asScala.foreach(r => try r.close() catch { case _: Exception => () })
+        write(pfs, new Path(f), len, keyCol, bloom)
         1
       } finally {
         import scala.jdk.CollectionConverters._

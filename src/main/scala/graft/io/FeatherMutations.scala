@@ -185,10 +185,14 @@ object FeatherMutations {
               else if (live.forall(_.isInstanceOf[Doubles]))
                 Rng(live.map(_.asInstanceOf[Doubles].lo).min,
                     live.map(_.asInstanceOf[Doubles].hi).max)
-              else if (live.forall(_.isInstanceOf[Strings]))
-                Rng(live.map(_.asInstanceOf[Strings].lo).min,
-                    live.map(_.asInstanceOf[Strings].hi).max)
-              else Unknown
+              else if (live.forall(_.isInstanceOf[Strings])) {
+                // UTF-8 byte order, matching BoundBucket / Spark string
+                // comparisons (Java's UTF-16 min/max would disagree
+                // beyond the BMP and mis-sort the probe bounds)
+                val ord = Ordering.fromLessThan[String](FeatherStats.utf8Lt)
+                Rng(live.map(_.asInstanceOf[Strings].lo).min(ord),
+                    live.map(_.asInstanceOf[Strings].hi).max(ord))
+              } else Unknown
             }
           }
       }
@@ -226,7 +230,10 @@ object FeatherMutations {
         def lt(a: Any, b: Any): Boolean = (a, b) match {
           case (x: Long, y: Long) => x < y
           case (x: Double, y: Double) => x < y
-          case (x: String, y: String) => x < y
+          // UTF-8 byte order: the sort/disjoint check must agree with the
+          // ordering BoundBucket's binary search (UTF8String.compareTo)
+          // applies, or a probe key could binary-search past its file
+          case (x: String, y: String) => FeatherStats.utf8Lt(x, y)
           case _ => false
         }
         val sorted = typed.sortWith { case ((a, _), (b, _)) => lt(a.lo, b.lo) }
@@ -292,24 +299,26 @@ object FeatherMutations {
               .select("__fid").distinct()
               .collect().map(_.getInt(0)).toSet
           }
-        val byRange = probeOnce(None)
-        // second pass through the Bloom sidecars (FeatherBloom.build):
-        // a range-candidate file whose bloom excludes every probe key
-        // drops out — the refinement that saves a SCATTERED key list
-        // (takedown ids span the whole table; ranges alone prune nothing)
-        val probed: Set[Int] =
-          if (dt != LongType || byRange.isEmpty) byRange
+        // Bloom sidecars (FeatherBloom.build) fold into the SAME probe
+        // pass: a range-candidate file whose bloom excludes the key drops
+        // out inside the codegen filter — the refinement that saves a
+        // SCATTERED key list (takedown ids span the whole table; ranges
+        // alone prune nothing). Loading is one existence check + read per
+        // ranged file, the same O(files) driver bound the stats load paid.
+        val blooms: Option[Array[Any]] =
+          if (dt != LongType) None
           else {
-            val loaded = byRange.toSeq.flatMap { i =>
-              FeatherBloom.load(conf, absFiles(i)._1, k0).map(i -> _) }
-            if (loaded.isEmpty) byRange
+            val loaded = typed.flatMap { case (_, i) =>
+              FeatherBloom.load(conf, absFiles(i)._1, absFiles(i)._2, k0)
+                .map(i -> _) }
+            if (loaded.isEmpty) None
             else {
               val arr = Array.fill[Any](absFiles.length)(null)
               loaded.foreach { case (i, b) => arr(i) = b }
-              probeOnce(Some(arr))
+              Some(arr)
             }
           }
-        probed ++ alien.map(_._2)
+        probeOnce(blooms) ++ alien.map(_._2)
       case _ => rangedIdx.map(_._2).toSet // no comparable family: touch all
     }
     val touchedIdx: Set[Int] = ranges.zipWithIndex.collect {

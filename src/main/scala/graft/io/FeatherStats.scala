@@ -81,7 +81,12 @@ object FeatherStats {
     private def lt(a: Any, b: Any): Boolean = (a, b) match {
       case (x: Long, y: Long) => x < y
       case (x: Double, y: Double) => x < y
-      case (x: String, y: String) => x.compareTo(y) < 0
+      // UTF-8 BYTE order, matching Spark's string comparisons: Java's
+      // UTF-16 compareTo disagrees beyond the BMP (surrogates sort below
+      // U+E000 in UTF-16 but above in UTF-8), and a min/max collected in
+      // the wrong order would let range pruning skip batches that DO
+      // contain matching rows
+      case (x: String, y: String) => utf8Lt(x, y)
       case _ => false
     }
 
@@ -342,7 +347,32 @@ object FeatherStats {
   private def lt(a: Any, b: Any): Boolean = (a, b) match {
     case (x: Long, y: Long) => x < y
     case (x: Double, y: Double) => x < y
-    case (x: String, y: String) => x.compareTo(y) < 0
+    case (x: String, y: String) => utf8Lt(x, y) // see Collector.lt
     case _ => false
+  }
+
+  /** UTF-8 byte-order comparison — the ordering Spark's UTF8String (and
+    * therefore every pushed string predicate) uses. One definition for
+    * the collector and the pruning compare, or they would drift. */
+  private[graft] def utf8Lt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+
+  /** Exact row count for a file set from the Count stats, merged-first:
+    * Some only when EVERY file's every batch carries a count — a partial
+    * sum would mislead a caller worse than none. Shared by both
+    * connectors' numRows statistics. */
+  def exactRowCount(conf: org.apache.hadoop.conf.Configuration,
+                    files: Seq[(String, Long)]): Option[Long] = {
+    if (files.isEmpty) return Some(0L)
+    val stats = loadForFiles(conf, files)
+    val perFile = files.map { case (f, _) =>
+      stats.getOrElse(f, None).flatMap { batches =>
+        val ns = batches.flatMap(_.get(RowCountKey))
+          .collect { case ColStat.Count(n) => n }
+        if (ns.size == batches.size) Some(ns.sum) else None
+      }
+    }
+    if (perFile.forall(_.isDefined)) Some(perFile.flatten.sum) else None
   }
 }

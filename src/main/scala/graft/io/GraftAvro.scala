@@ -199,8 +199,10 @@ object GraftAvro {
         if (rest.size == 1) rest.head else Schema.createUnion(rest.asJava)
       } else s
     val order = scala.collection.mutable.LinkedHashMap.empty[String, (Schema, String)]
+    val seen = scala.collection.mutable.Map.empty[String, Int]
     perFile.foreach { case (f, rec) =>
       rec.getFields.asScala.foreach { fld =>
+        seen(fld.name()) = seen.getOrElse(fld.name(), 0) + 1
         order.get(fld.name()) match {
           case None => order(fld.name()) = (fld.schema(), f)
           case Some((prev, prevFile)) =>
@@ -213,16 +215,28 @@ object GraftAvro {
       }
     }
     val fields = order.map { case (name, (fs, _)) =>
-      val branches = nonNull(fs) match {
-        case u if u.getType == Schema.Type.UNION => u.getTypes.asScala.toSeq
-        case s => Seq(s)
+      // a field every file carries keeps its declared schema unchanged;
+      // only fields some file PREDATES get the null-defaulted union so
+      // resolution can fill them — a routine compaction over a
+      // homogeneous directory must not widen nullability
+      if (seen(name) == perFile.size)
+        new Schema.Field(name, fs, null.asInstanceOf[String])
+      else {
+        val branches = nonNull(fs) match {
+          case u if u.getType == Schema.Type.UNION => u.getTypes.asScala.toSeq
+          case s => Seq(s)
+        }
+        val unioned = Schema.createUnion(
+          (Schema.create(Schema.Type.NULL) +: branches).asJava)
+        new Schema.Field(name, unioned, null,
+          org.apache.avro.JsonProperties.NULL_VALUE)
       }
-      val unioned = Schema.createUnion(
-        (Schema.create(Schema.Type.NULL) +: branches).asJava)
-      new Schema.Field(name, unioned, null,
-        org.apache.avro.JsonProperties.NULL_VALUE)
     }.toSeq
-    Schema.createRecord("graft_merged", null, "graft.avro", false,
+    // keep the first file's record identity: external avro consumers
+    // resolve records by full name, and compacted outputs must not
+    // advertise a different one than the inputs did
+    val rec0 = perFile.head._2
+    Schema.createRecord(rec0.getName, rec0.getDoc, rec0.getNamespace, false,
       fields.asJava)
   }
 

@@ -341,23 +341,27 @@ object GraftFeather {
           }
         }
       } finally pool.shutdown()
-    val order = scala.collection.mutable.LinkedHashMap.empty[String, (Field, String)]
+    val order = scala.collection.mutable.LinkedHashMap.empty[String, (Field, String, Int)]
     perFile.foreach { case (f, fields) =>
       fields.foreach { fld =>
         order.get(fld.getName) match {
-          case None => order(fld.getName) = (fld, f)
-          case Some((prev, prevFile)) =>
+          case None => order(fld.getName) = (fld, f, 1)
+          case Some((prev, prevFile, n)) =>
             require(toSparkType(prev) == toSparkType(fld),
               s"mergeSchema: column '${fld.getName}' is " +
                 s"${toSparkType(prev).catalogString} in $prevFile but " +
                 s"${toSparkType(fld).catalogString} in $f — evolved columns " +
                 "must keep their type")
+            order(fld.getName) = (prev, prevFile, n + 1)
         }
       }
     }
-    // every merged column is nullable: files that predate it read null
-    order.values.map { case (f, _) =>
-      if (f.isNullable) f
+    // a column some file PREDATES widens to nullable (those files read
+    // null); a column every file carries keeps its declared nullability —
+    // a routine maintenance pass over a homogeneous directory must not
+    // erode non-null guarantees
+    order.values.map { case (f, _, seen) =>
+      if (f.isNullable || seen == perFile.size) f
       else new Field(f.getName,
         new FieldType(true, f.getType, f.getDictionary, f.getMetadata),
         f.getChildren)

@@ -447,21 +447,11 @@ private class AvroScan(readSchema0: StructType, path: String,
       maxFilesPerTrigger, checkpointLocation)
 
   // exact row count from the stats sidecars (one Count batch per avro
-  // file); defined only when every surviving file is covered — a partial
-  // count would mislead the join planner worse than none
-  private lazy val exactRows: Option[Long] = if (surviving.isEmpty) Some(0L) else {
-    val stats = graft.io.FeatherStats.loadForFiles(
+  // file) — see FeatherStats.exactRowCount for the all-covered contract
+  private lazy val exactRows: Option[Long] =
+    graft.io.FeatherStats.exactRowCount(
       SparkSession.active.sparkContext.hadoopConfiguration,
       surviving.map(l => (l.file, l.len)))
-    val perFile = surviving.map { l =>
-      stats.getOrElse(l.file, None).flatMap { batches =>
-        val ns = batches.flatMap(_.get(graft.io.FeatherStats.RowCountKey))
-          .collect { case graft.io.FeatherStats.ColStat.Count(n) => n }
-        if (ns.size == batches.size) Some(ns.sum) else None
-      }
-    }
-    if (perFile.forall(_.isDefined)) Some(perFile.flatten.sum) else None
-  }
 
   override def estimateStatistics(): Statistics = new Statistics {
     // bytes AFTER partition pruning (post-pushdown, like parquet reports)

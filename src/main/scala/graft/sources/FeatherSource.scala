@@ -437,21 +437,25 @@ private class FeatherScan(readSchema0: StructType, path: String,
               integralish(v.asInstanceOf[java.lang.Number])) =>
         a -> vs.toSeq.map(_.asInstanceOf[java.lang.Number].longValue())
     }
-    def bloomExcludes(f: String): Boolean =
-      pointFilters.nonEmpty && pointFilters.exists { case (attr, keys) =>
-        graft.io.FeatherBloom.load(
-          spark.sparkContext.hadoopConfiguration, f, attr) match {
-          case Some(b) => keys.forall(k => !b.mightContainLong(k))
-          case None => false
-        }
-      }
+    // one sidecar load per DISTINCT file (splits repeat files per batch
+    // group; re-opening the same bloom per split and per filter would
+    // make planning O(splits × filters) instead of O(files))
+    val bloomExcluded: Set[String] =
+      if (pointFilters.isEmpty) Set.empty
+      else splits.map(s => (s._1, s._2)).distinct.collect {
+        case (f, len) if pointFilters.exists { case (attr, keys) =>
+          graft.io.FeatherBloom.load(
+            spark.sparkContext.hadoopConfiguration, f, len, attr)
+            .exists(b => keys.forall(k => !b.mightContainLong(k)))
+        } => f
+      }.toSet
     splits.flatMap { case (f, len, idxs, pv) =>
       val kept = statsByFile.getOrElse(f, None) match {
         case Some(stats) => idxs.filterNot(i => i < stats.size &&
           graft.io.FeatherStats.batchProvablyEmpty(stats(i), skipFilters))
         case None => idxs
       }
-      if (kept.isEmpty || bloomExcludes(f)) None
+      if (kept.isEmpty || bloomExcluded(f)) None
       else Some(FeatherInputPartition(f, len, kept, pv))
     }.toArray
   }
@@ -484,22 +488,12 @@ private class FeatherScan(readSchema0: StructType, path: String,
   }
 
   // exact row count from the stats sidecars (the IPC footer itself
-  // carries none): defined only when EVERY surviving file's batches are
-  // covered — a partial count would mislead the join planner worse than
-  // none. Merged-first loads keep this O(directories).
-  private lazy val exactRows: Option[Long] = if (surviving.isEmpty) Some(0L) else {
-    val stats = graft.io.FeatherStats.loadForFiles(
+  // carries none) — see FeatherStats.exactRowCount for the all-covered
+  // contract
+  private lazy val exactRows: Option[Long] =
+    graft.io.FeatherStats.exactRowCount(
       SparkSession.active.sparkContext.hadoopConfiguration,
       surviving.map(l => (l.file, l.len)))
-    val perFile = surviving.map { l =>
-      stats.getOrElse(l.file, None).flatMap { batches =>
-        val ns = batches.flatMap(_.get(graft.io.FeatherStats.RowCountKey))
-          .collect { case graft.io.FeatherStats.ColStat.Count(n) => n }
-        if (ns.size == batches.size) Some(ns.sum) else None
-      }
-    }
-    if (perFile.forall(_.isDefined)) Some(perFile.flatten.sum) else None
-  }
 
   override def estimateStatistics(): Statistics = new Statistics {
     // file bytes AFTER partition pruning: the honest size the broadcast
