@@ -61,7 +61,7 @@ object IoQueries extends QueryPack {
     "io_feather_agg_pushdown", "io_feather_time_travel", "io_avro_skipping",
     "io_feather_delete", "io_feather_merge", "io_feather_cdc",
     "io_feather_cluster", "io_feather_evolution", "io_avro_evolution",
-    "io_feather_bloom_skip", "dedup_lsh_incremental")
+    "io_feather_bloom_skip", "io_avro_time_travel", "dedup_lsh_incremental")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
   // (cudf/io/csv.py:15 dtype=, header=; csv.hpp:48)
@@ -988,6 +988,33 @@ object IoQueries extends QueryPack {
     s.read.format("feather").option("mergeSchema", "true").load(path)
       .select("c_custkey", "c_mktsegment", "c_nationkey")
       .orderBy("c_custkey")
+  }
+
+  // Avro face of the snapshot-manifest tier (sources/FeatherSnapshots,
+  // shared with feather): two commits publish numbered manifests, reads
+  // plan v1 and latest off their manifests (no listing; the retired
+  // generation stays on disk for time travel until expire()), and the
+  // ORACLE pins both versions against the source-of-truth parquet.
+  // AvroSnapshotsSpec pins compaction-as-manifest-op, adoption, the
+  // timestamp pin, and the snapshotted-stream guard.
+  register("io_avro_time_travel",
+    """SELECT v, c_custkey, c_mktsegment FROM (
+      |  SELECT 1 AS v, c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 600
+      |  UNION ALL
+      |  SELECT 2 AS v, c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 900)
+      |ORDER BY v, c_custkey""".stripMargin) { (s, d) =>
+    val path = readFixture("avro_time_travel", d) { p =>
+      val src = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+      src.filter(col("c_custkey") <= 600).write.format("graft-avro")
+        .mode("overwrite").option("snapshots", "true").save(p)
+      src.filter(col("c_custkey") > 600 && col("c_custkey") <= 900)
+        .write.format("graft-avro").mode("append").save(p)
+    }
+    val v1 = s.read.format("graft-avro").option("versionAsOf", "1").load(path)
+      .withColumn("v", lit(1))
+    val v2 = s.read.format("graft-avro").load(path).withColumn("v", lit(2))
+    v1.unionByName(v2).select("v", "c_custkey", "c_mktsegment")
+      .orderBy("v", "c_custkey")
   }
 
   // Avro face of schema evolution: the merged reader schema carries null

@@ -33,14 +33,23 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
     p
   }
 
+  private def pinnedVersion(options: CaseInsensitiveStringMap,
+                            path: String): Option[Long] =
+    FeatherTimeTravel.pinnedVersion(
+      Option(options.get("versionasof")),
+      Option(options.get("timestampasof")), path)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     // data schema from the first discovered file's header, plus the
     // partition columns the directory layout declares; mergeSchema=true
     // unions EVERY header (bounded pool) — schema evolution the Avro way
     // (the merged reader schema carries null defaults; per-file
-    // resolution fills them)
+    // resolution fills them). Discovery is snapshot-aware: a table with
+    // a _snapshots directory plans off its manifest, with version/
+    // timestamp time travel exactly like the feather face.
     val spark = SparkSession.active
-    val disc = FeatherPartitions.discover(spark, pathOf(options), Seq(".avro"))
+    val disc = AvroDiscovery.discover(spark, pathOf(options),
+      pinnedVersion(options, pathOf(options)))
     val dataSchema =
       if (Option(options.get("mergeschema")).exists(_.toBoolean))
         GraftAvro.toSparkType(GraftAvro.mergedSchema(spark,
@@ -56,14 +65,31 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
                         properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new AvroTable(schema, pathOf(opts),
-      Option(opts.get("mergeschema")).exists(_.toBoolean))
+      Option(opts.get("mergeschema")).exists(_.toBoolean),
+      pinnedVersion(opts, pathOf(opts)))
   }
 
   override def supportsExternalMetadata(): Boolean = true
 }
 
+/** Snapshot-aware discovery for the avro face: manifest-planned when a
+  * `_snapshots/` directory exists, directory walk otherwise — the same
+  * contract as FeatherDiscovery. */
+private object AvroDiscovery {
+  def discover(spark: SparkSession, path: String,
+               versionAsOf: Option[Long]): FeatherPartitions.Discovered = {
+    val rp = new org.apache.hadoop.fs.Path(path)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    FeatherSnapshots.resolve(fs, rp, versionAsOf) match {
+      case Some(snap) => FeatherSnapshots.toDiscovered(rp, snap)
+      case None => FeatherPartitions.discover(spark, path, Seq(".avro"))
+    }
+  }
+}
+
 private class AvroTable(tableSchema: StructType, path: String,
-                        mergeSchema: Boolean = false)
+                        mergeSchema: Boolean = false,
+                        versionAsOf: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-avro `$path`"
@@ -78,7 +104,10 @@ private class AvroTable(tableSchema: StructType, path: String,
         .getOrElse(128L << 20),
       Option(options.get("maxfilespertrigger")).map(_.toInt),
       Option(options.get("mergeschema")).map(_.toBoolean)
-        .getOrElse(mergeSchema))
+        .getOrElse(mergeSchema),
+      FeatherTimeTravel.pinnedVersion(
+        Option(options.get("versionasof")),
+        Option(options.get("timestampasof")), path).orElse(versionAsOf))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -99,7 +128,8 @@ private class AvroWriteBuilder(
   }
   override def build(): org.apache.spark.sql.connector.write.Write =
     new AvroWrite(info.schema(), path, doTruncate,
-      Option(info.options.get("codec")).getOrElse("snappy"))
+      Option(info.options.get("codec")).getOrElse("snappy"),
+      Option(info.options.get("snapshots")).exists(_.toBoolean))
 }
 
 private case class AvroCommitMessage(tmpName: String, partitionId: Int,
@@ -107,7 +137,7 @@ private case class AvroCommitMessage(tmpName: String, partitionId: Int,
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private class AvroWrite(st: StructType, path: String, truncate: Boolean,
-                        codec: String)
+                        codec: String, snapshotsOpt: Boolean = false)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite {
   // fail on unmappable schemas / bad codecs BEFORE tasks launch
@@ -135,14 +165,28 @@ private class AvroWrite(st: StructType, path: String, truncate: Boolean,
     val out = new org.apache.hadoop.fs.Path(path)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = messages.collect { case m: AvroCommitMessage => m }
-    if (truncate)
+    // snapshot mode mirrors the feather face: requested on this write or
+    // already snapshotted (then every commit must publish a manifest)
+    val snapMode = snapshotsOpt || FeatherSnapshots.enabled(fs, out)
+    if (truncate && !snapMode)
       fs.listStatus(out).filter(_.getPath.getName.endsWith(".avro"))
         .foreach(s => fs.delete(s.getPath, false))
+    // snapshot overwrite deletes NOTHING (retained generations keep
+    // reading; expire() reclaims); generation tag avoids name collisions
+    val gen = if (snapMode) f"-g${System.nanoTime()}%x" else ""
+    val legacySeed: Seq[(String, Long)] =
+      if (snapMode && !truncate &&
+          FeatherSnapshots.latestVersion(fs, out).isEmpty)
+        fs.listStatus(out).filter { x =>
+          val n = x.getPath.getName
+          n.endsWith(".avro") && !n.startsWith(".")
+        }.map(x => (x.getPath.getName, x.getLen)).toSeq
+      else Nil
     val mergedAdd = committed.map { m =>
       val tmp = new org.apache.hadoop.fs.Path(path, m.tmpName)
       val fin = new org.apache.hadoop.fs.Path(path,
         f"part-${m.partitionId}%05d-${java.util.UUID.nameUUIDFromBytes(
-          m.tmpName.getBytes("UTF-8"))}.avro")
+          m.tmpName.getBytes("UTF-8"))}$gen.avro")
       require(fs.rename(tmp, fin), s"commit rename $tmp -> $fin failed")
       val sc = fs.create(new org.apache.hadoop.fs.Path(path,
         fin.getName + ".stats.json"), true)
@@ -150,12 +194,24 @@ private class AvroWrite(st: StructType, path: String, truncate: Boolean,
       fin.getName -> (m.bytes, graft.io.FeatherStats.fromJson(m.statsJson))
     }.toMap
     graft.io.FeatherStats.upsertMerged(fs, out, mergedAdd,
-      replaceAll = truncate)
+      replaceAll = truncate && !snapMode)
+    var stamped: Option[(String, Long)] = None
     if (!fs.listStatus(out).exists(_.getPath.getName.endsWith(".avro"))) {
+      val stampName = s"part-00000$gen.avro"
       val pw = new GraftAvro.AvroPartWriter(st, schemaJson,
-        fs.create(new org.apache.hadoop.fs.Path(out, "part-00000.avro"),
+        fs.create(new org.apache.hadoop.fs.Path(out, stampName),
           true), "null")
       pw.finish()
+      stamped = Some(stampName -> fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(out, stampName)).getLen)
+    }
+    if (snapMode) {
+      val newFiles = mergedAdd.map { case (n, (len, _)) => (n, len) }.toSeq ++
+        stamped.toSeq
+      FeatherSnapshots.commit(fs, out,
+        if (truncate) "overwrite" else "append") { parentFiles =>
+        if (truncate) newFiles else legacySeed ++ parentFiles ++ newFiles
+      }
     }
     fs.create(new org.apache.hadoop.fs.Path(out, "_SUCCESS"), true).close()
   }
@@ -309,7 +365,8 @@ private object AvroSourceWriters {
 private class AvroScanBuilder(fullSchema: StructType, path: String,
                               maxSplitBytes: Long,
                               maxFilesPerTrigger: Option[Int],
-                              mergeSchema: Boolean = false)
+                              mergeSchema: Boolean = false,
+                              versionAsOf: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -341,7 +398,10 @@ private class AvroScanBuilder(fullSchema: StructType, path: String,
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     if (aggAnswer.isEmpty)
       aggAnswer = StatsAggPushdown.answer(
-        FeatherPartitions.discover(SparkSession.active, path, Seq(".avro")),
+        // snapshot-aware: the answer must come from the pinned version's
+        // LIVE files, never a directory listing that still holds retired
+        // generations
+        AvroDiscovery.discover(SparkSession.active, path, versionAsOf),
         fullSchema, agg, pruneFilters)
     aggAnswer.nonEmpty
   }
@@ -352,7 +412,7 @@ private class AvroScanBuilder(fullSchema: StructType, path: String,
     case Some((schema, row)) => new AvroLocalScan(path, schema, Array(row))
     case None =>
       new AvroScan(required, path, maxSplitBytes, limit,
-        pruneFilters.toSeq, maxFilesPerTrigger, mergeSchema)
+        pruneFilters.toSeq, maxFilesPerTrigger, mergeSchema, versionAsOf)
   }
 }
 
@@ -370,7 +430,8 @@ private class AvroScan(readSchema0: StructType, path: String,
                        maxSplitBytes: Long, limit: Int,
                        pruneFilters: Seq[org.apache.spark.sql.sources.Filter],
                        maxFilesPerTrigger: Option[Int],
-                       mergeSchema: Boolean = false)
+                       mergeSchema: Boolean = false,
+                       versionAsOf: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = readSchema0
   override def description(): String =
@@ -383,7 +444,7 @@ private class AvroScan(readSchema0: StructType, path: String,
   // plans a split (skip-only — Spark re-applies all filters; files with
   // no/bad sidecar never prune)
   private lazy val disc =
-    FeatherPartitions.discover(SparkSession.active, path, Seq(".avro"))
+    AvroDiscovery.discover(SparkSession.active, path, versionAsOf)
 
   private lazy val surviving: Seq[FeatherPartitions.LeafFile] = {
     val ps = disc.partSchema
@@ -442,9 +503,20 @@ private class AvroScan(readSchema0: StructType, path: String,
       GraftHadoop.confBroadcast(SparkSession.active))
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // a SNAPSHOTTED avro table must not be streamed by directory listing:
+    // retired generations (overwrite/compact) would re-deliver. Version
+    // streaming is implemented on the feather face; loud here.
+    val rp = new org.apache.hadoop.fs.Path(path)
+    val sfs = rp.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    require(!FeatherSnapshots.enabled(sfs, rp),
+      s"readStream on snapshotted avro table $path: file-set offsets " +
+        "would re-deliver retired generations — read it as a batch " +
+        "source (versionAsOf/timestampAsOf) or stream a feather table")
     new AvroMicroBatchStream(readSchema0, path, maxSplitBytes,
       maxFilesPerTrigger, checkpointLocation)
+  }
 
   // exact row count from the stats sidecars (one Count batch per avro
   // file) — see FeatherStats.exactRowCount for the all-covered contract

@@ -157,7 +157,8 @@ private[graft] object FeatherSnapshots {
     * service dirs (`_…`, `.…`) and hidden/underscore files are skipped —
     * the single definition of file eligibility that [[adopt]] and
     * [[vacuumOrphans]] share (a rule duplicated per caller would drift). */
-  private def walkDataFiles(fs: FileSystem, root: Path)(
+  private def walkDataFiles(fs: FileSystem, root: Path,
+                            suffixes: Seq[String])(
       visit: (org.apache.hadoop.fs.FileStatus, String) => Unit): Unit = {
     def walk(dir: Path, rel: String): Unit =
       fs.listStatus(dir).foreach { e =>
@@ -165,12 +166,16 @@ private[graft] object FeatherSnapshots {
         if (e.isDirectory) {
           if (!n.startsWith("_") && !n.startsWith(".")) walk(e.getPath,
             if (rel.isEmpty) n else s"$rel/$n")
-        } else if ((n.endsWith(".feather") || n.endsWith(".arrow")) &&
+        } else if (suffixes.exists(n.endsWith) &&
             !n.startsWith(".") && !n.startsWith("_"))
           visit(e, if (rel.isEmpty) n else s"$rel/$n")
       }
     walk(root, "")
   }
+
+  /** Default data suffixes (the feather face); the avro connector passes
+    * its own. */
+  val FeatherSuffixes: Seq[String] = Seq(".feather", ".arrow")
 
   /** Delete data files NO retained manifest references and whose
     * modification time is older than `graceMillis` — the reclamation pass
@@ -187,7 +192,8 @@ private[graft] object FeatherSnapshots {
     * already covers the common mutation/cluster case; the grace bound is
     * the backstop for foreign part names). Returns files removed. */
   def vacuumOrphans(fs: FileSystem, root: Path,
-                    graceMillis: Long = 7L * 24 * 3600 * 1000): Int = {
+                    graceMillis: Long = 7L * 24 * 3600 * 1000,
+                    suffixes: Seq[String] = FeatherSuffixes): Int = {
     if (!enabled(fs, root)) return 0
     val latest = latestVersion(fs, root).getOrElse(0L)
     val referenced: Set[String] = {
@@ -200,7 +206,7 @@ private[graft] object FeatherSnapshots {
     val inFlight = raw"(?:mut|clust)-v(\d+)-.*".r
     val cutoff = System.currentTimeMillis() - graceMillis
     var removed = 0
-    walkDataFiles(fs, root) { (e, relPath) =>
+    walkDataFiles(fs, root, suffixes) { (e, relPath) =>
       val pending = e.getPath.getName match {
         case inFlight(v) => v.toLong > latest
         case _ => false
@@ -224,13 +230,15 @@ private[graft] object FeatherSnapshots {
     * + one manifest write, then every later read plans in O(1) and every
     * later write commits atomically). Loud if the table is already
     * snapshotted: adoption is a one-time conversion, not a refresh. */
-  def adopt(fs: FileSystem, root: Path): Long = {
+  def adopt(fs: FileSystem, root: Path,
+            suffixes: Seq[String] = FeatherSuffixes): Long = {
     require(!enabled(fs, root),
       s"$root already has a $Dir directory — adopt converts a " +
         "listing-based table exactly once")
     val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    walkDataFiles(fs, root)((e, rel) => files += ((rel, e.getLen)))
-    require(files.nonEmpty, s"adopt: no .feather/.arrow files under $root")
+    walkDataFiles(fs, root, suffixes)((e, rel) => files += ((rel, e.getLen)))
+    require(files.nonEmpty,
+      s"adopt: no ${suffixes.mkString("/")} files under $root")
     commit(fs, root, "adopt")(_ => files.toSeq)
   }
 

@@ -55,8 +55,8 @@ class MutationPropertySpec extends AnyFunSuite {
 
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (step <- 1 to 18) {
-      rnd.nextInt(6) match {
+    for (step <- 1 to 21) {
+      rnd.nextInt(7) match {
         case 0 => // append
           val rows = freshRows(rnd.nextInt(50) + 1)
           rows.foreach { case (k, v) => model(k) = v }
@@ -99,6 +99,10 @@ class MutationPropertySpec extends AnyFunSuite {
           FeatherSnapshots.expire(fs, new org.apache.hadoop.fs.Path(path),
             keepLast = 2)
           check(s"$step:expire")
+        case 6 => // small-file compaction (content-preserving manifest op)
+          graft.io.FeatherCompact.compact(spark, path,
+            targetBytes = 64 << 10)
+          check(s"$step:compact")
       }
     }
     // final sanity: versions advanced (expire steps retire history and
