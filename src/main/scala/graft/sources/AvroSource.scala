@@ -77,14 +77,8 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
   * contract as FeatherDiscovery. */
 private object AvroDiscovery {
   def discover(spark: SparkSession, path: String,
-               versionAsOf: Option[Long]): FeatherPartitions.Discovered = {
-    val rp = new org.apache.hadoop.fs.Path(path)
-    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    FeatherSnapshots.resolve(fs, rp, versionAsOf) match {
-      case Some(snap) => FeatherSnapshots.toDiscovered(rp, snap)
-      case None => FeatherPartitions.discover(spark, path, Seq(".avro"))
-    }
-  }
+               versionAsOf: Option[Long]): FeatherPartitions.Discovered =
+    FeatherSnapshots.discoverOrWalk(spark, path, versionAsOf, Seq(".avro"))
 }
 
 private class AvroTable(tableSchema: StructType, path: String,
@@ -174,14 +168,6 @@ private class AvroWrite(st: StructType, path: String, truncate: Boolean,
     // snapshot overwrite deletes NOTHING (retained generations keep
     // reading; expire() reclaims); generation tag avoids name collisions
     val gen = if (snapMode) f"-g${System.nanoTime()}%x" else ""
-    val legacySeed: Seq[(String, Long)] =
-      if (snapMode && !truncate &&
-          FeatherSnapshots.latestVersion(fs, out).isEmpty)
-        fs.listStatus(out).filter { x =>
-          val n = x.getPath.getName
-          n.endsWith(".avro") && !n.startsWith(".")
-        }.map(x => (x.getPath.getName, x.getLen)).toSeq
-      else Nil
     val mergedAdd = committed.map { m =>
       val tmp = new org.apache.hadoop.fs.Path(path, m.tmpName)
       val fin = new org.apache.hadoop.fs.Path(path,
@@ -195,24 +181,21 @@ private class AvroWrite(st: StructType, path: String, truncate: Boolean,
     }.toMap
     graft.io.FeatherStats.upsertMerged(fs, out, mergedAdd,
       replaceAll = truncate && !snapMode)
-    var stamped: Option[(String, Long)] = None
-    if (!fs.listStatus(out).exists(_.getPath.getName.endsWith(".avro"))) {
+    def stampPart(): (String, Long) = {
       val stampName = s"part-00000$gen.avro"
       val pw = new GraftAvro.AvroPartWriter(st, schemaJson,
         fs.create(new org.apache.hadoop.fs.Path(out, stampName),
           true), "null")
       pw.finish()
-      stamped = Some(stampName -> fs.getFileStatus(
-        new org.apache.hadoop.fs.Path(out, stampName)).getLen)
+      stampName -> fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(out, stampName)).getLen
     }
-    if (snapMode) {
-      val newFiles = mergedAdd.map { case (n, (len, _)) => (n, len) }.toSeq ++
-        stamped.toSeq
-      FeatherSnapshots.commit(fs, out,
-        if (truncate) "overwrite" else "append") { parentFiles =>
-        if (truncate) newFiles else legacySeed ++ parentFiles ++ newFiles
-      }
-    }
+    if (snapMode)
+      FeatherSnapshots.publishDataCommit(fs, out, truncate, Seq(".avro"),
+        mergedAdd.map { case (n, (len, _)) => (n, len) }.toSeq,
+        stampPart _): Unit
+    else if (!fs.listStatus(out).exists(_.getPath.getName.endsWith(".avro")))
+      stampPart(): Unit
     fs.create(new org.apache.hadoop.fs.Path(out, "_SUCCESS"), true).close()
   }
 
@@ -279,9 +262,18 @@ private class AvroStreamingWrite(st: StructType, schemaJson: String,
             (m.bytes, graft.io.FeatherStats.fromJson(m.statsJson)))
         }
       }.toMap
-    if (mergedAdd.nonEmpty)
-      graft.io.FeatherStats.upsertMerged(fs,
-        new org.apache.hadoop.fs.Path(path), mergedAdd)
+    if (mergedAdd.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(path)
+      graft.io.FeatherStats.upsertMerged(fs, root, mergedAdd)
+      // a snapshotted avro table gets one appended manifest per epoch
+      // (same contract as the feather sink): without it every streamed
+      // part would be invisible to manifest-planned reads and reclaimed
+      // as an orphan by vacuum
+      if (FeatherSnapshots.enabled(fs, root))
+        FeatherSnapshots.commit(fs, root, "append") { parentFiles =>
+          parentFiles ++ mergedAdd.map { case (n, (len, _)) => (n, len) }
+        }
+    }
   }
 
   override def abort(

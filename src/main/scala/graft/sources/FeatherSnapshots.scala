@@ -177,6 +177,77 @@ private[graft] object FeatherSnapshots {
     * its own. */
   val FeatherSuffixes: Seq[String] = Seq(".feather", ".arrow")
 
+  /** Recursive (root-relative path, len) data-file listing — the seeding/
+    * adoption face of [[walkDataFiles]] (hive `key=value` subdirectories
+    * included; a flat listStatus would silently drop partitioned files). */
+  def listDataFiles(fs: FileSystem, root: Path,
+                    suffixes: Seq[String] = FeatherSuffixes): Seq[(String, Long)] = {
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    walkDataFiles(fs, root, suffixes)((e, rel) => files += ((rel, e.getLen)))
+    files.toSeq
+  }
+
+  /** The shared DSv2 snapshot publish protocol, ONE definition for both
+    * connectors (they previously carried near-verbatim copies that could
+    * drift): legacy-directory seeding (recursive — a hive-partitioned
+    * legacy table's subdirectory files must reach v1), empty-table
+    * stamping (an overwrite/first-commit that lands zero parts must not
+    * publish a zero-file manifest — the table would be unreadable at
+    * head), and the commit itself. `stampPart` physically writes one
+    * schema-only part and returns its (name, len); it is only invoked
+    * when needed. Call AFTER the new parts are renamed into place. */
+  private[graft] def publishDataCommit(fs: FileSystem, root: Path,
+                                       truncate: Boolean,
+                                       suffixes: Seq[String],
+                                       newParts: Seq[(String, Long)],
+                                       stampPart: () => (String, Long)): Long = {
+    val newNames = newParts.map(_._1).toSet
+    val legacySeed: Seq[(String, Long)] =
+      if (!truncate && latestVersion(fs, root).isEmpty)
+        listDataFiles(fs, root, suffixes).filterNot(f => newNames(f._1))
+      else Nil
+    val parentNonEmpty = !truncate && (legacySeed.nonEmpty ||
+      latestVersion(fs, root).exists(v => read(fs, root, v).files.nonEmpty))
+    val stamped =
+      if (newParts.isEmpty && !parentNonEmpty) Seq(stampPart()) else Nil
+    // layout guard BEFORE publishing: a root-level append into a hive
+    // key=value table (the DSv2 sinks have no partitionBy) would commit a
+    // manifest no read can plan — fail the WRITE loudly instead
+    def chainOf(rel: String): Seq[String] =
+      rel.split('/').dropRight(1).toSeq.flatMap { seg =>
+        val i = seg.indexOf('=')
+        if (i > 0) Some(seg.substring(0, i)) else None
+      }
+    val parentFiles0 =
+      if (truncate) Nil
+      else latestVersion(fs, root).map(read(fs, root, _).files).getOrElse(Nil)
+    val chains = (legacySeed ++ parentFiles0 ++ newParts ++ stamped)
+      .map(f => chainOf(f._1)).distinct
+    require(chains.size <= 1,
+      s"commit on $root would mix partition layouts " +
+        s"(${chains.mkString(" vs ")}): the sinks write root-level parts " +
+        "and cannot append into a hive key=value table — write each leaf " +
+        "directory and adopt(), or restructure the append")
+    commit(fs, root, if (truncate) "overwrite" else "append") { parent =>
+      if (truncate) newParts ++ stamped
+      else legacySeed ++ parent ++ newParts ++ stamped
+    }
+  }
+
+  /** Manifest-planned discovery when the table is snapshotted, directory
+    * walk otherwise — the single definition both connectors' discovery
+    * objects delegate to. */
+  def discoverOrWalk(spark: org.apache.spark.sql.SparkSession, path: String,
+                     versionAsOf: Option[Long],
+                     suffixes: Seq[String]): FeatherPartitions.Discovered = {
+    val rp = new Path(path)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    resolve(fs, rp, versionAsOf) match {
+      case Some(snap) => toDiscovered(rp, snap)
+      case None => FeatherPartitions.discover(spark, path, suffixes)
+    }
+  }
+
   /** Delete data files NO retained manifest references and whose
     * modification time is older than `graceMillis` — the reclamation pass
     * for orphans a crashed mutation/cluster/compaction run left behind
@@ -205,8 +276,15 @@ private[graft] object FeatherSnapshots {
     }
     val inFlight = raw"(?:mut|clust)-v(\d+)-.*".r
     val cutoff = System.currentTimeMillis() - graceMillis
+    // derive data suffixes from the manifests themselves in addition to
+    // the caller's: vacuuming an avro table with the feather defaults
+    // would otherwise silently reclaim nothing
+    val effSuffixes = (suffixes ++ referenced.flatMap { n =>
+      val i = n.lastIndexOf('.')
+      if (i > 0) Some(n.substring(i)) else None
+    }).distinct
     var removed = 0
-    walkDataFiles(fs, root, suffixes) { (e, relPath) =>
+    walkDataFiles(fs, root, effSuffixes) { (e, relPath) =>
       val pending = e.getPath.getName match {
         case inFlight(v) => v.toLong > latest
         case _ => false

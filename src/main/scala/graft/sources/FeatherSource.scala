@@ -126,15 +126,9 @@ private object FeatherTimeTravel {
   * `versionAsOf`); anything else walks the directory as before. */
 private object FeatherDiscovery {
   def discover(spark: SparkSession, path: String,
-               versionAsOf: Option[Long]): FeatherPartitions.Discovered = {
-    val rp = new org.apache.hadoop.fs.Path(path)
-    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    FeatherSnapshots.resolve(fs, rp, versionAsOf) match {
-      case Some(snap) => FeatherSnapshots.toDiscovered(rp, snap)
-      case None =>
-        FeatherPartitions.discover(spark, path, Seq(".feather", ".arrow"))
-    }
-  }
+               versionAsOf: Option[Long]): FeatherPartitions.Discovered =
+    FeatherSnapshots.discoverOrWalk(spark, path, versionAsOf,
+      FeatherSnapshots.FeatherSuffixes)
 }
 
 private class FeatherTable(tableSchema: StructType, path: String,
@@ -720,16 +714,6 @@ private class FeatherWrite(st: StructType, path: String, truncate: Boolean,
     // Part names carry an epoch-nanos tag in snapshot mode so an
     // overwrite's parts can never collide with a retained generation's.
     val gen = if (snapMode) f"-g${System.nanoTime()}%x" else ""
-    // first snapshot on a legacy directory via append: absorb the
-    // pre-existing parts into v1, or manifest-planned reads would lose them
-    val legacySeed: Seq[(String, Long)] =
-      if (snapMode && !truncate &&
-          FeatherSnapshots.latestVersion(fs, out).isEmpty)
-        fs.listStatus(out).filter { x =>
-          val n = x.getPath.getName
-          n.endsWith(".feather") && !n.startsWith(".")
-        }.map(x => (x.getPath.getName, x.getLen)).toSeq
-      else Nil
     val mergedAdd = committed.map { m =>
       val tmp = new org.apache.hadoop.fs.Path(path, m.tmpName)
       val fin = new org.apache.hadoop.fs.Path(path,
@@ -746,26 +730,27 @@ private class FeatherWrite(st: StructType, path: String, truncate: Boolean,
     // generations keep their stats coverage for time-travel reads.
     graft.io.FeatherStats.upsertMerged(fs, out, mergedAdd,
       replaceAll = truncate && !snapMode)
-    // zero tasks or all-empty input: stamp one schema-only part so reads
-    // see the schema (same contract as GraftFeather.write)
-    var stamped: Option[(String, Long)] = None
-    if (!fs.listStatus(out).exists(_.getPath.getName.endsWith(".feather"))) {
+    // zero tasks or all-empty input must still leave a readable schema.
+    // The stamp writer is shared with the snapshot publish protocol
+    // (which also guards the zero-part OVERWRITE of a retained table —
+    // a zero-file manifest would make head unreadable).
+    def stampPart(): (String, Long) = {
       val stampName = s"part-00000$gen.feather"
       val pw = new GraftFeather.FeatherPartWriter(st,
         fs.create(new org.apache.hadoop.fs.Path(out, stampName),
           true), "none", batchSize)
       pw.finish()
-      stamped = Some(stampName -> fs.getFileStatus(
-        new org.apache.hadoop.fs.Path(out, stampName)).getLen)
+      stampName -> fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(out, stampName)).getLen
     }
-    if (snapMode) {
-      val newFiles = mergedAdd.map { case (n, (len, _)) => (n, len) }.toSeq ++
-        stamped.toSeq
-      FeatherSnapshots.commit(fs, out,
-        if (truncate) "overwrite" else "append") { parentFiles =>
-        if (truncate) newFiles else legacySeed ++ parentFiles ++ newFiles
-      }
-    }
+    if (snapMode)
+      FeatherSnapshots.publishDataCommit(fs, out, truncate,
+        FeatherSnapshots.FeatherSuffixes,
+        mergedAdd.map { case (n, (len, _)) => (n, len) }.toSeq,
+        stampPart _): Unit
+    else if (!fs.listStatus(out).exists(
+        _.getPath.getName.endsWith(".feather")))
+      stampPart(): Unit
     fs.create(new org.apache.hadoop.fs.Path(out, "_SUCCESS"), true).close()
   }
 

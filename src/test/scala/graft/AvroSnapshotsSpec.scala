@@ -94,6 +94,43 @@ class AvroSnapshotsSpec extends AnyFunSuite {
       .load(path).count() === 300)
   }
 
+  test("streaming WRITES into a snapshotted avro table publish manifests") {
+    val path = tmp("stream_sink")
+    writeV(path, 1, 30, "overwrite") // v1
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = input.toDF().toDF("id", "name")
+      .writeStream.format("graft-avro")
+      .option("path", path)
+      .option("checkpointLocation", s"${tmp("stream_sink_ckpt")}/c")
+      .start()
+    try {
+      input.addData(31L -> "n_31", 32L -> "n_32")
+      q.processAllAvailable()
+    } finally q.stop()
+    val fs = fsOf(path)
+    // the epoch published an append manifest: manifest-planned reads see
+    // the streamed rows (without it they'd be invisible and vacuumable)
+    assert(FeatherSnapshots.latestVersion(fs, new Path(path)).get >= 2L)
+    assert(spark.read.format("graft-avro").load(path).count() === 32)
+  }
+
+  test("an empty overwrite of a snapshotted table stays readable") {
+    val path = tmp("empty_ow")
+    writeV(path, 1, 40, "overwrite")
+    import spark.implicits._
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        Seq((1L, "x")).toDF("id", "name").schema)
+      .write.format("graft-avro").mode("overwrite").save(path)
+    val df = spark.read.format("graft-avro").load(path)
+    assert(df.count() === 0)
+    assert(df.columns.toSeq === Seq("id", "name"))
+    // history intact
+    assert(spark.read.format("graft-avro").option("versionAsOf", "1")
+      .load(path).count() === 40)
+  }
+
   test("streaming a snapshotted avro table fails loudly") {
     val path = tmp("stream_guard")
     writeV(path, 1, 20, "overwrite")

@@ -286,6 +286,53 @@ class FeatherSnapshotsSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("an empty overwrite of a snapshotted table stays readable") {
+    val path = tmp("empty_ow")
+    writeV(path, 1, 40, "overwrite")
+    import spark.implicits._
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        Seq((1L, "x")).toDF("id", "name").schema)
+      .write.format("feather").mode("overwrite").save(path)
+    val df = spark.read.format("feather").load(path)
+    assert(df.count() === 0)
+    assert(df.columns.toSeq === Seq("id", "name"))
+    assert(spark.read.format("feather").option("versionAsOf", "1")
+      .load(path).count() === 40)
+  }
+
+  test("a snapshot append into a legacy hive directory fails loudly " +
+      "instead of dropping or mixing the partitioned files") {
+    val path = tmp("legacy_hive_seed")
+    import spark.implicits._
+    // legacy partitioned layout, NOT snapshotted
+    Seq("d0", "d1").foreach { dm =>
+      graft.io.GraftFeather.write(
+        (1 to 50).map(i => (i.toLong, s"p_$i")).toDF("id", "pay")
+          .repartition(1),
+        s"$path/dom=$dm", overwrite = true)
+    }
+    // the sinks write root-level parts; seeding would mix layouts — the
+    // WRITE must fail (previously the non-recursive seed silently dropped
+    // every subdirectory file from v1)
+    val e = intercept[Exception] {
+      (51 to 60).map(i => (i.toLong, s"p_$i")).toDF("id", "pay")
+        .repartition(1)
+        .write.format("feather").mode("append")
+        .option("snapshots", "true").save(path)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("mix partition layouts")))
+    // the refused append's renamed parts are orphans at the root — clear
+    // them (failed-write residue), then adopt() remains the correct path
+    val fs = fsOf(path)
+    fs.listStatus(new Path(path))
+      .filter(s => !s.isDirectory && s.getPath.getName.endsWith(".feather"))
+      .foreach(s => fs.delete(s.getPath, false))
+    FeatherSnapshots.adopt(fs, new Path(path))
+    assert(spark.read.format("feather").load(path).count() === 100)
+  }
+
   test("timestampAsOf resolves the snapshot live at that instant") {
     val path = tmp("ts_travel")
     writeV(path, 1, 100, "overwrite") // v1
