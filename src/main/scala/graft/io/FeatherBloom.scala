@@ -73,8 +73,11 @@ object FeatherBloom {
 
   /** Build (or rebuild) bloom sidecars for every live file of a
     * snapshotted table, over a LONG key column. One task per file; each
-    * task decodes only the key column. Returns files indexed. */
-  def build(spark: SparkSession, path: String, keyCol: String): Int = {
+    * task decodes only the key column. `suffix` selects the connector
+    * face (".feather" default; ".avro" for the avro connector — same
+    * sidecar format, different row reader). Returns files indexed. */
+  def build(spark: SparkSession, path: String, keyCol: String,
+            suffix: String = ".feather"): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
@@ -85,8 +88,14 @@ object FeatherBloom {
       sys.error(s"bloom build on $path: no snapshot versions"))
     val files = snap.files.map { case (rel, len) =>
       (new Path(root, rel).toString, len) }
-    val keyType = GraftFeather.readFieldsMergedConf(conf, files)
-      .find(_.getName == keyCol).map(GraftFeather.toSparkType)
+    val avro = suffix == ".avro"
+    val keyType =
+      (if (avro)
+        GraftAvro.toSparkType(GraftAvro.mergedSchema(spark, files))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fields.find(_.name == keyCol).map(_.dataType)
+      else GraftFeather.readFieldsMergedConf(conf, files)
+        .find(_.getName == keyCol).map(GraftFeather.toSparkType))
       .getOrElse(throw new IllegalArgumentException(
         s"bloom build: column '$keyCol' not in table schema"))
     require(Seq(org.apache.spark.sql.types.ByteType,
@@ -95,15 +104,24 @@ object FeatherBloom {
         org.apache.spark.sql.types.LongType).contains(keyType),
       s"bloom build: '$keyCol' must be an integral column, " +
         s"got ${keyType.catalogString}")
+    val avroReaderJson =
+      if (avro) GraftAvro.mergedSchema(spark, files).toString else ""
     val confMap = GraftHadoop.confBroadcast(spark)
     spark.sparkContext.parallelize(files, files.size).map { case (f, len) =>
       val execConf = new org.apache.hadoop.conf.Configuration(false)
       confMap.value.foreach { case (k, v) => execConf.set(k, v) }
       val open = new java.util.ArrayList[org.apache.arrow.vector.ipc.ArrowFileReader]()
+      val openAvro = new java.util.ArrayList[
+        org.apache.avro.file.DataFileReader[
+          org.apache.avro.generic.GenericRecord]]()
       try {
         import scala.jdk.CollectionConverters._
-        def rows() = GraftFeather.allRows(execConf, f, len, Seq(keyCol),
-          open.add(_), lenient = true)
+        def rows(): Iterator[org.apache.spark.sql.Row] =
+          if (avro)
+            GraftAvro.splitRows(execConf, avroReaderJson, f, 0L, len,
+              Some(Seq(keyCol)), openAvro.add(_), openAvro.remove(_))
+          else GraftFeather.allRows(execConf, f, len, Seq(keyCol),
+            open.add(_), lenient = true)
         // size the filter from the part's stats sidecar when present
         // (exact per-batch counts); only a sidecar-less part pays a
         // counting pass over the key column
@@ -123,6 +141,8 @@ object FeatherBloom {
       } finally {
         import scala.jdk.CollectionConverters._
         open.asScala.foreach(r => try r.close() catch { case _: Exception => () })
+        openAvro.asScala.foreach(r =>
+          try r.close() catch { case _: Exception => () })
       }
     }.sum().toInt
   }

@@ -444,17 +444,31 @@ private class AvroScan(readSchema0: StructType, path: String,
       if (disc.partCols.isEmpty || pruneFilters.isEmpty) disc.files
       else disc.files.filter(FeatherPartitions.survives(_, ps, pruneFilters))
     val skipFilters = pruneFilters.filter(FeatherScanBuilder.usable)
-    if (skipFilters.isEmpty || afterPart.isEmpty) afterPart
-    else {
-      val statsByFile = graft.io.FeatherStats.loadForFiles(
-        SparkSession.active.sparkContext.hadoopConfiguration,
-        afterPart.map(l => (l.file, l.len)))
-      afterPart.filterNot { l =>
-        statsByFile.getOrElse(l.file, None) match {
-          case Some(batches) => batches.nonEmpty && batches.forall(
-            graft.io.FeatherStats.batchProvablyEmpty(_, skipFilters))
-          case None => false
+    val afterStats =
+      if (skipFilters.isEmpty || afterPart.isEmpty) afterPart
+      else {
+        val statsByFile = graft.io.FeatherStats.loadForFiles(
+          SparkSession.active.sparkContext.hadoopConfiguration,
+          afterPart.map(l => (l.file, l.len)))
+        afterPart.filterNot { l =>
+          statsByFile.getOrElse(l.file, None) match {
+            case Some(batches) => batches.nonEmpty && batches.forall(
+              graft.io.FeatherStats.batchProvablyEmpty(_, skipFilters))
+            case None => false
+          }
         }
+      }
+    // point-lookup file skipping via bloom sidecars, same contract as the
+    // feather scan: a file whose bloom excludes every EqualTo/In value
+    // cannot match the conjunction
+    val pointFilters = FeatherScanBuilder.pointLookups(pruneFilters)
+    if (pointFilters.isEmpty || afterStats.isEmpty) afterStats
+    else afterStats.filterNot { l =>
+      pointFilters.exists { case (attr, keys) =>
+        graft.io.FeatherBloom.load(
+          SparkSession.active.sparkContext.hadoopConfiguration,
+          l.file, l.len, attr)
+          .exists(b => keys.forall(k => !b.mightContainLong(k)))
       }
     }
   }

@@ -362,6 +362,23 @@ private object FeatherScanBuilder {
     case Or(l, r) => usable(l) && usable(r)
     case _ => false
   }
+
+  private def integralish(v: Any): Boolean = v match {
+    case _: java.lang.Byte | _: java.lang.Short |
+         _: java.lang.Integer | _: java.lang.Long => true
+    case _ => false
+  }
+
+  /** (column, candidate long keys) for every EqualTo/In point lookup in a
+    * conjunctive filter set — the shape the bloom sidecars answer. Shared
+    * by both connectors' scans. */
+  def pointLookups(filters: Seq[Filter]): Seq[(String, Seq[Long])] =
+    filters.collect {
+      case EqualTo(a, v) if integralish(v) =>
+        a -> Seq(v.asInstanceOf[java.lang.Number].longValue())
+      case In(a, vs) if vs.nonEmpty && vs.forall(integralish) =>
+        a -> vs.toSeq.map(_.asInstanceOf[java.lang.Number].longValue())
+    }
 }
 
 private class FeatherScan(readSchema0: StructType, path: String,
@@ -422,15 +439,7 @@ private class FeatherScan(readSchema0: StructType, path: String,
     // Conjunctive semantics: ONE unsatisfiable filter skips the file.
     // Sidecar loads are per surviving file but only when a point filter
     // exists; absent sidecars never prune.
-    val pointFilters: Seq[(String, Seq[Long])] = skipFilters.collect {
-      case org.apache.spark.sql.sources.EqualTo(a, v: java.lang.Number)
-          if integralish(v) => a -> Seq(v.longValue())
-      case org.apache.spark.sql.sources.In(a, vs)
-          if vs.nonEmpty && vs.forall(v =>
-            v.isInstanceOf[java.lang.Number] &&
-              integralish(v.asInstanceOf[java.lang.Number])) =>
-        a -> vs.toSeq.map(_.asInstanceOf[java.lang.Number].longValue())
-    }
+    val pointFilters = FeatherScanBuilder.pointLookups(skipFilters)
     // one sidecar load per DISTINCT file (splits repeat files per batch
     // group; re-opening the same bloom per split and per filter would
     // make planning O(splits × filters) instead of O(files))
@@ -454,11 +463,6 @@ private class FeatherScan(readSchema0: StructType, path: String,
     }.toArray
   }
 
-  private def integralish(v: java.lang.Number): Boolean = v match {
-    case _: java.lang.Byte | _: java.lang.Short |
-         _: java.lang.Integer | _: java.lang.Long => true
-    case _ => false
-  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FeatherReaderFactory(readSchema0, limit,

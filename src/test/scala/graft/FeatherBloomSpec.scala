@@ -127,6 +127,25 @@ class FeatherBloomSpec extends AnyFunSuite {
     assert(r.filesTouched === 0, s"post-cluster blooms must prune: $r")
   }
 
+  test("avro face: bloom sidecars skip whole files on point lookups") {
+    val path = tmp("avro_bloom")
+    import spark.implicits._
+    (1 to 500).map(i => (i * 2L, s"p_$i")).toDF("id", "pay")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.format("graft-avro").mode("overwrite")
+      .option("snapshots", "true").save(path)
+    assert(graft.io.FeatherBloom.build(spark, path, "id", ".avro") === 4)
+    // absent (odd) key inside every range: blooms skip all files
+    val absent = spark.read.format("graft-avro").load(path)
+      .where(col("id") === 333L)
+    assert(absent.count() === 0)
+    assert(absent.rdd.getNumPartitions === 0,
+      "bloom must skip all avro files at plan time")
+    // present key found
+    assert(spark.read.format("graft-avro").load(path)
+      .where(col("id") === 500L).count() === 1)
+  }
+
   test("bloom build on a non-integral column fails loudly") {
     val path = tmp("bad_col")
     import spark.implicits._
