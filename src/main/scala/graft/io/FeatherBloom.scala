@@ -89,13 +89,18 @@ object FeatherBloom {
     val files = snap.files.map { case (rel, len) =>
       (new Path(root, rel).toString, len) }
     val avro = suffix == ".avro"
+    // one header sweep serves both the type check and the reader schema
+    val avroMerged =
+      if (avro) Some(GraftAvro.mergedSchema(spark, files)) else None
     val keyType =
-      (if (avro)
-        GraftAvro.toSparkType(GraftAvro.mergedSchema(spark, files))
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-          .fields.find(_.name == keyCol).map(_.dataType)
-      else GraftFeather.readFieldsMergedConf(conf, files)
-        .find(_.getName == keyCol).map(GraftFeather.toSparkType))
+      (avroMerged match {
+        case Some(m) =>
+          GraftAvro.toSparkType(m)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fields.find(_.name == keyCol).map(_.dataType)
+        case None => GraftFeather.readFieldsMergedConf(conf, files)
+          .find(_.getName == keyCol).map(GraftFeather.toSparkType)
+      })
       .getOrElse(throw new IllegalArgumentException(
         s"bloom build: column '$keyCol' not in table schema"))
     require(Seq(org.apache.spark.sql.types.ByteType,
@@ -104,8 +109,7 @@ object FeatherBloom {
         org.apache.spark.sql.types.LongType).contains(keyType),
       s"bloom build: '$keyCol' must be an integral column, " +
         s"got ${keyType.catalogString}")
-    val avroReaderJson =
-      if (avro) GraftAvro.mergedSchema(spark, files).toString else ""
+    val avroReaderJson = avroMerged.map(_.toString).getOrElse("")
     val confMap = GraftHadoop.confBroadcast(spark)
     spark.sparkContext.parallelize(files, files.size).map { case (f, len) =>
       val execConf = new org.apache.hadoop.conf.Configuration(false)

@@ -162,6 +162,10 @@ private class AvroWrite(st: StructType, path: String, truncate: Boolean,
     // snapshot mode mirrors the feather face: requested on this write or
     // already snapshotted (then every commit must publish a manifest)
     val snapMode = snapshotsOpt || FeatherSnapshots.enabled(fs, out)
+    // refuse a root append into a hive layout BEFORE renaming (see the
+    // feather commit: a post-rename refusal leaves orphan residue)
+    if (snapMode && !truncate)
+      FeatherSnapshots.requireRootAppendable(fs, out, Seq(".avro"))
     if (truncate && !snapMode)
       fs.listStatus(out).filter(_.getPath.getName.endsWith(".avro"))
         .foreach(s => fs.delete(s.getPath, false))
@@ -244,6 +248,8 @@ private class AvroStreamingWrite(st: StructType, schemaJson: String,
     val spark = SparkSession.active
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val replayed =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val mergedAdd = messages.collect { case m: AvroCommitMessage => m }
       .flatMap { m =>
         val tmp = new org.apache.hadoop.fs.Path(path, m.tmpName)
@@ -251,7 +257,10 @@ private class AvroStreamingWrite(st: StructType, schemaJson: String,
           f"part-e$epochId%05d-${m.partitionId}%05d-${java.util.UUID
             .nameUUIDFromBytes(m.tmpName.getBytes("UTF-8"))}.avro")
         if (fs.exists(fin) && !fs.exists(tmp)) {
-          // epoch replayed after a committed run: already renamed, skip
+          // replayed: no re-rename, but the part still joins the manifest
+          // publish (no-op if already referenced) -- heals a crash between
+          // the renames and the manifest commit
+          replayed += (fin.getName -> fs.getFileStatus(fin).getLen)
           None
         } else {
           require(fs.rename(tmp, fin), s"commit rename $tmp -> $fin failed")
@@ -262,18 +271,13 @@ private class AvroStreamingWrite(st: StructType, schemaJson: String,
             (m.bytes, graft.io.FeatherStats.fromJson(m.statsJson)))
         }
       }.toMap
-    if (mergedAdd.nonEmpty) {
-      val root = new org.apache.hadoop.fs.Path(path)
-      graft.io.FeatherStats.upsertMerged(fs, root, mergedAdd)
-      // a snapshotted avro table gets one appended manifest per epoch
-      // (same contract as the feather sink): without it every streamed
-      // part would be invisible to manifest-planned reads and reclaimed
-      // as an orphan by vacuum
-      if (FeatherSnapshots.enabled(fs, root))
-        FeatherSnapshots.commit(fs, root, "append") { parentFiles =>
-          parentFiles ++ mergedAdd.map { case (n, (len, _)) => (n, len) }
-        }
-    }
+    if (mergedAdd.nonEmpty)
+      graft.io.FeatherStats.upsertMerged(fs,
+        new org.apache.hadoop.fs.Path(path), mergedAdd)
+    // shared epoch protocol (layout guard + replay healing), same as the
+    // feather sink
+    FeatherSnapshots.publishEpoch(fs, new org.apache.hadoop.fs.Path(path),
+      mergedAdd.map { case (n, (len, _)) => (n, len) }.toSeq ++ replayed)
   }
 
   override def abort(

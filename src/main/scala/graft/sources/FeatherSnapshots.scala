@@ -206,32 +206,72 @@ private[graft] object FeatherSnapshots {
       if (!truncate && latestVersion(fs, root).isEmpty)
         listDataFiles(fs, root, suffixes).filterNot(f => newNames(f._1))
       else Nil
-    val parentNonEmpty = !truncate && (legacySeed.nonEmpty ||
-      latestVersion(fs, root).exists(v => read(fs, root, v).files.nonEmpty))
-    val stamped =
-      if (newParts.isEmpty && !parentNonEmpty) Seq(stampPart()) else Nil
-    // layout guard BEFORE publishing: a root-level append into a hive
-    // key=value table (the DSv2 sinks have no partitionBy) would commit a
-    // manifest no read can plan — fail the WRITE loudly instead
-    def chainOf(rel: String): Seq[String] =
-      rel.split('/').dropRight(1).toSeq.flatMap { seg =>
-        val i = seg.indexOf('=')
-        if (i > 0) Some(seg.substring(0, i)) else None
-      }
+    // one parent read serves the emptiness check and the layout guard
+    // (three separate listings/parses per publish would multiply commit
+    // latency on an object store)
     val parentFiles0 =
       if (truncate) Nil
-      else latestVersion(fs, root).map(read(fs, root, _).files).getOrElse(Nil)
+      else latestVersion(fs, root)
+        .map(read(fs, root, _).files).getOrElse(Nil)
+    val parentNonEmpty = !truncate && (legacySeed.nonEmpty ||
+      parentFiles0.nonEmpty)
+    val stamped =
+      if (newParts.isEmpty && !parentNonEmpty) Seq(stampPart()) else Nil
+    // layout guard (backstop — the sinks also pre-check BEFORE renaming
+    // via requireRootAppendable, so a refused write leaves no residue): a
+    // root-level append into a hive key=value table would commit a
+    // manifest no read can plan
     val chains = (legacySeed ++ parentFiles0 ++ newParts ++ stamped)
       .map(f => chainOf(f._1)).distinct
-    require(chains.size <= 1,
-      s"commit on $root would mix partition layouts " +
-        s"(${chains.mkString(" vs ")}): the sinks write root-level parts " +
-        "and cannot append into a hive key=value table — write each leaf " +
-        "directory and adopt(), or restructure the append")
+    require(chains.size <= 1, mixedLayoutMsg(root, chains))
     commit(fs, root, if (truncate) "overwrite" else "append") { parent =>
       if (truncate) newParts ++ stamped
       else legacySeed ++ parent ++ newParts ++ stamped
     }
+  }
+
+  private def chainOf(rel: String): Seq[String] =
+    rel.split('/').dropRight(1).toSeq.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i > 0) Some(seg.substring(0, i)) else None
+    }
+
+  private def mixedLayoutMsg(root: Path, chains: Seq[Seq[String]]): String =
+    s"commit on $root would mix partition layouts " +
+      s"(${chains.mkString(" vs ")}): the sinks write root-level parts " +
+      "and cannot append into a hive key=value table — write each leaf " +
+      "directory and adopt(), or restructure the append"
+
+  /** Pre-RENAME guard for the batch sinks: a snapshot append must fail
+    * BEFORE any part is renamed into the table when the existing state
+    * (manifest or legacy listing) carries hive `key=value` paths — the
+    * post-rename backstop would refuse the commit but leave orphaned
+    * root parts behind that a later adopt() would mix into a
+    * read-bricking manifest. */
+  private[graft] def requireRootAppendable(fs: FileSystem, root: Path,
+                                           suffixes: Seq[String]): Unit = {
+    val existing =
+      latestVersion(fs, root).map(read(fs, root, _).files)
+        .getOrElse(if (fs.exists(root)) listDataFiles(fs, root, suffixes)
+                   else Nil)
+    val chains = existing.map(f => chainOf(f._1)).distinct
+    require(chains.forall(_.isEmpty), mixedLayoutMsg(root, chains))
+  }
+
+  /** Shared per-EPOCH manifest publish for both streaming sinks: appends
+    * the epoch's parts (newly renamed AND replayed-already-renamed ones —
+    * `commit`'s distinct makes re-appending referenced parts a no-op, so
+    * a crash between an epoch's renames and its manifest is HEALED by the
+    * replay instead of leaving the parts invisible), with the same layout
+    * guard as the batch protocol. No-op on non-snapshotted directories. */
+  private[graft] def publishEpoch(fs: FileSystem, root: Path,
+                                  parts: Seq[(String, Long)]): Unit = {
+    if (parts.isEmpty || !enabled(fs, root)) return
+    val parentFiles = latestVersion(fs, root)
+      .map(read(fs, root, _).files).getOrElse(Nil)
+    val chains = (parentFiles ++ parts).map(f => chainOf(f._1)).distinct
+    require(chains.size <= 1, mixedLayoutMsg(root, chains))
+    commit(fs, root, "append")(parent => parent ++ parts): Unit
   }
 
   /** Manifest-planned discovery when the table is snapshotted, directory
@@ -313,10 +353,16 @@ private[graft] object FeatherSnapshots {
     require(!enabled(fs, root),
       s"$root already has a $Dir directory — adopt converts a " +
         "listing-based table exactly once")
-    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    walkDataFiles(fs, root, suffixes)((e, rel) => files += ((rel, e.getLen)))
+    val files = listDataFiles(fs, root, suffixes)
     require(files.nonEmpty,
       s"adopt: no ${suffixes.mkString("/")} files under $root")
+    // a directory mixing root-level and key=value files would publish a
+    // manifest no read can plan — refuse at adoption, name the residue
+    val chains = files.map(f => chainOf(f._1)).distinct
+    require(chains.size <= 1,
+      s"adopt on $root: mixed partition layouts (${chains.mkString(" vs ")})" +
+        " — remove the stray root-level parts (e.g. a refused append's " +
+        "residue) or restructure before adopting")
     commit(fs, root, "adopt")(_ => files.toSeq)
   }
 

@@ -710,6 +710,12 @@ private class FeatherWrite(st: StructType, path: String, truncate: Boolean,
     // a _snapshots directory (once snapshotted, every commit must publish
     // a manifest or manifest-planned reads would miss it)
     val snapMode = snapshotsOpt || FeatherSnapshots.enabled(fs, out)
+    // refuse a root-level append into a hive layout BEFORE renaming any
+    // part — failing after the renames would leave orphan residue at the
+    // root that a later adopt() would mix into an unreadable manifest
+    if (snapMode && !truncate)
+      FeatherSnapshots.requireRootAppendable(fs, out,
+        FeatherSnapshots.FeatherSuffixes)
     if (truncate && !snapMode) // overwrite: drop pre-existing parts
       fs.listStatus(out).filter(_.getPath.getName.endsWith(".feather"))
         .foreach(s => fs.delete(s.getPath, false))
@@ -810,6 +816,8 @@ private class FeatherStreamingWrite(st: StructType, path: String,
     val spark = SparkSession.active
     val out = new org.apache.hadoop.fs.Path(path)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val replayed =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val mergedAdd = messages.collect { case m: FeatherCommitMessage => m }
       .flatMap { m =>
         val tmp = new org.apache.hadoop.fs.Path(path, m.tmpName)
@@ -817,7 +825,11 @@ private class FeatherStreamingWrite(st: StructType, path: String,
           f"part-e$epochId%05d-${m.partitionId}%05d-${java.util.UUID
             .nameUUIDFromBytes(m.tmpName.getBytes("UTF-8"))}.feather")
         if (fs.exists(fin) && !fs.exists(tmp)) {
-          // epoch replayed after a committed run: already renamed, skip
+          // epoch replayed after the renames: no re-rename, but the part
+          // still joins the manifest publish below (no-op if already
+          // referenced) — this is what heals a crash that landed between
+          // the renames and the manifest commit
+          replayed += (fin.getName -> fs.getFileStatus(fin).getLen)
           None
         } else {
           require(fs.rename(tmp, fin), s"commit rename $tmp -> $fin failed")
@@ -828,18 +840,16 @@ private class FeatherStreamingWrite(st: StructType, path: String,
             (m.bytes, graft.io.FeatherStats.fromJson(m.statsJson)))
         }
       }.toMap
-    if (mergedAdd.nonEmpty) {
-      val root = new org.apache.hadoop.fs.Path(path)
-      graft.io.FeatherStats.upsertMerged(fs, root, mergedAdd)
-      // a snapshotted drop directory gets one appended manifest per epoch
-      // (replayed epochs contribute no parts and publish nothing); the
-      // streaming READ stays listing-based — its exactly-once contract
-      // lives in the checkpointed file-set offsets, not the manifest
-      if (FeatherSnapshots.enabled(fs, root))
-        FeatherSnapshots.commit(fs, root, "append") { parentFiles =>
-          parentFiles ++ mergedAdd.map { case (n, (len, _)) => (n, len) }
-        }
-    }
+    if (mergedAdd.nonEmpty)
+      graft.io.FeatherStats.upsertMerged(fs,
+        new org.apache.hadoop.fs.Path(path), mergedAdd)
+    // one appended manifest per epoch on a snapshotted directory, through
+    // the SHARED epoch protocol (layout guard + replay healing: replayed
+    // already-renamed parts re-append as no-ops, so a crash between an
+    // epoch's renames and its manifest publish is repaired here instead
+    // of leaving those parts invisible)
+    FeatherSnapshots.publishEpoch(fs, new org.apache.hadoop.fs.Path(path),
+      mergedAdd.map { case (n, (len, _)) => (n, len) }.toSeq ++ replayed)
   }
 
   override def abort(

@@ -333,6 +333,30 @@ class FeatherSnapshotsSpec extends AnyFunSuite {
     assert(spark.read.format("feather").load(path).count() === 100)
   }
 
+  test("publishEpoch heals replays and guards layouts") {
+    val path = tmp("epoch_publish")
+    writeV(path, 1, 20, "overwrite") // v1
+    val fs = fsOf(path)
+    val rp = new Path(path)
+    val existing = FeatherSnapshots.read(fs, rp, 1L).files
+    // replay shape: re-appending already-referenced parts is a no-op on
+    // the file list (the crash-healing path re-publishes them safely)
+    FeatherSnapshots.publishEpoch(fs, rp, existing)
+    val v2 = FeatherSnapshots.read(fs, rp, 2L)
+    assert(v2.files.toSet === existing.toSet)
+    // layout guard: root parts cannot append into a hive-layout parent
+    val hive = tmp("epoch_hive")
+    import spark.implicits._
+    graft.io.GraftFeather.write(
+      Seq((1L, "a")).toDF("id", "v"), s"$hive/dom=d0", overwrite = true)
+    FeatherSnapshots.adopt(fsOf(hive), new Path(hive))
+    val e = intercept[IllegalArgumentException] {
+      FeatherSnapshots.publishEpoch(fsOf(hive), new Path(hive),
+        Seq(("part-e1-root.feather", 10L)))
+    }
+    assert(e.getMessage.contains("mix partition layouts"))
+  }
+
   test("timestampAsOf resolves the snapshot live at that instant") {
     val path = tmp("ts_travel")
     writeV(path, 1, 100, "overwrite") // v1
