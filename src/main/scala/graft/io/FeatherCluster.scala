@@ -56,6 +56,12 @@ object FeatherCluster {
         "option(\"snapshots\", \"true\") first")
     val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
       sys.error(s"cluster on $path: snapshot directory holds no versions"))
+    snap.files.find { case (rel, _) =>
+      !FeatherSnapshots.FeatherSuffixes.exists(rel.endsWith) }.foreach {
+      case (rel, _) => throw new IllegalArgumentException(
+        s"cluster on $path: manifest references non-feather part '$rel' — " +
+          "re-clustering is implemented on the feather face only")
+    }
     val prefix = f"clust-v${snap.version + 1}%08d"
 
     val byLeaf = snap.files.groupBy { case (rel, _) =>

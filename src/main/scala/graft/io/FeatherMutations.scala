@@ -120,6 +120,15 @@ object FeatherMutations {
         "option(\"snapshots\", \"true\") first")
     val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
       sys.error(s"$op on $path: snapshot directory exists but holds no versions"))
+    // the rewriter reads/writes Arrow IPC parts; an avro-face snapshot
+    // table would die deep in the footer parser — name the limitation
+    snap.files.find { case (rel, _) =>
+      !FeatherSnapshots.FeatherSuffixes.exists(rel.endsWith) }.foreach {
+      case (rel, _) => throw new IllegalArgumentException(
+        s"$op on $path: manifest references non-feather part '$rel' — " +
+          "row-level mutations are implemented on the feather face only " +
+          "(read the avro table and rewrite it as feather to mutate)")
+    }
     val parentV = snap.version
     val prefix = f"mut-v${parentV + 1}%08d"
 

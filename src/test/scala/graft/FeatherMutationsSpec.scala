@@ -205,6 +205,22 @@ class FeatherMutationsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("partitioned"))
   }
 
+  test("mutation on an avro-face snapshot table fails loudly by name") {
+    val path = tmp("mut_avro_face")
+    import spark.implicits._
+    (1 to 20).map(i => (i.toLong, s"n_$i")).toDF("id", "name")
+      .repartition(1).write.format("graft-avro").mode("overwrite")
+      .option("snapshots", "true").save(path)
+    val e = intercept[IllegalArgumentException] {
+      FeatherMutations.deleteByKey(spark, path, keysOf(Seq(1L)), Seq("id"))
+    }
+    assert(e.getMessage.contains("feather face only"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.io.FeatherCluster.cluster(spark, path, Seq("id"))
+    }
+    assert(e2.getMessage.contains("feather face only"))
+  }
+
   test("mutation on a non-snapshotted directory fails loudly") {
     val path = tmp("mut_nosnap")
     import spark.implicits._
