@@ -164,7 +164,7 @@ private class AvroWrite(st: StructType, path: String, truncate: Boolean,
     val snapMode = snapshotsOpt || FeatherSnapshots.enabled(fs, out)
     // refuse a root append into a hive layout BEFORE renaming (see the
     // feather commit: a post-rename refusal leaves orphan residue)
-    if (snapMode && !truncate)
+    if (snapMode && !truncate && committed.nonEmpty)
       FeatherSnapshots.requireRootAppendable(fs, out, Seq(".avro"))
     if (truncate && !snapMode)
       fs.listStatus(out).filter(_.getPath.getName.endsWith(".avro"))
@@ -248,8 +248,12 @@ private class AvroStreamingWrite(st: StructType, schemaJson: String,
     val spark = SparkSession.active
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val replayed =
-      scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    // snapshotted table: refuse BEFORE renaming when the epoch's root
+    // parts would mix into a hive layout (same pre-rename discipline as
+    // the batch sinks — a post-rename refusal strands orphans each retry)
+    if (FeatherSnapshots.enabled(fs, new org.apache.hadoop.fs.Path(path)))
+      FeatherSnapshots.requireRootAppendable(fs,
+        new org.apache.hadoop.fs.Path(path), Seq(".avro"))
     val mergedAdd = messages.collect { case m: AvroCommitMessage => m }
       .flatMap { m =>
         val tmp = new org.apache.hadoop.fs.Path(path, m.tmpName)
@@ -257,11 +261,15 @@ private class AvroStreamingWrite(st: StructType, schemaJson: String,
           f"part-e$epochId%05d-${m.partitionId}%05d-${java.util.UUID
             .nameUUIDFromBytes(m.tmpName.getBytes("UTF-8"))}.avro")
         if (fs.exists(fin) && !fs.exists(tmp)) {
-          // replayed: no re-rename, but the part still joins the manifest
-          // publish (no-op if already referenced) -- heals a crash between
-          // the renames and the manifest commit
-          replayed += (fin.getName -> fs.getFileStatus(fin).getLen)
-          None
+          // replayed: no re-rename, but the part REJOINS the stats and
+          // manifest paths (sidecar rewrite idempotent; publishEpoch
+          // appends only never-referenced parts)
+          val sc = fs.create(new org.apache.hadoop.fs.Path(path,
+            fin.getName + ".stats.json"), true)
+          try sc.write(m.statsJson.getBytes("UTF-8")) finally sc.close()
+          Some(fin.getName ->
+            (fs.getFileStatus(fin).getLen,
+              graft.io.FeatherStats.fromJson(m.statsJson)))
         } else {
           require(fs.rename(tmp, fin), s"commit rename $tmp -> $fin failed")
           val sc = fs.create(new org.apache.hadoop.fs.Path(path,
@@ -277,7 +285,7 @@ private class AvroStreamingWrite(st: StructType, schemaJson: String,
     // shared epoch protocol (layout guard + replay healing), same as the
     // feather sink
     FeatherSnapshots.publishEpoch(fs, new org.apache.hadoop.fs.Path(path),
-      mergedAdd.map { case (n, (len, _)) => (n, len) }.toSeq ++ replayed)
+      mergedAdd.map { case (n, (len, _)) => (n, len) }.toSeq)
   }
 
   override def abort(

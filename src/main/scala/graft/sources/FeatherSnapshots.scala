@@ -218,15 +218,15 @@ private[graft] object FeatherSnapshots {
     val stamped =
       if (newParts.isEmpty && !parentNonEmpty) Seq(stampPart()) else Nil
     // layout guard (backstop — the sinks also pre-check BEFORE renaming
-    // via requireRootAppendable, so a refused write leaves no residue): a
-    // root-level append into a hive key=value table would commit a
-    // manifest no read can plan
-    val chains = (legacySeed ++ parentFiles0 ++ newParts ++ stamped)
-      .map(f => chainOf(f._1)).distinct
-    require(chains.size <= 1, mixedLayoutMsg(root, chains))
+    // via requireRootAppendable, so a refused write leaves no residue),
+    // run INSIDE the callback against the parent actually published over
     commit(fs, root, if (truncate) "overwrite" else "append") { parent =>
-      if (truncate) newParts ++ stamped
-      else legacySeed ++ parent ++ newParts ++ stamped
+      val out =
+        if (truncate) newParts ++ stamped
+        else legacySeed ++ parent ++ newParts ++ stamped
+      val chains = out.map(f => chainOf(f._1)).distinct
+      require(chains.size <= 1, mixedLayoutMsg(root, chains))
+      out
     }
   }
 
@@ -258,20 +258,34 @@ private[graft] object FeatherSnapshots {
     require(chains.forall(_.isEmpty), mixedLayoutMsg(root, chains))
   }
 
-  /** Shared per-EPOCH manifest publish for both streaming sinks: appends
-    * the epoch's parts (newly renamed AND replayed-already-renamed ones —
-    * `commit`'s distinct makes re-appending referenced parts a no-op, so
-    * a crash between an epoch's renames and its manifest is HEALED by the
-    * replay instead of leaving the parts invisible), with the same layout
-    * guard as the batch protocol. No-op on non-snapshotted directories. */
+  /** Shared per-EPOCH manifest publish for both streaming sinks. Appends
+    * only parts NO retained version has ever referenced: a crash between
+    * an epoch's renames and its manifest publish is healed by the replay
+    * (the parts are novel — they join the manifest), while a replay that
+    * races LATER maintenance (compaction/delete retired the parts after
+    * the original publish) finds them in the retained history and leaves
+    * them retired — re-appending would resurrect deleted rows or
+    * duplicate compacted data. The layout guard runs INSIDE the commit
+    * callback, against the parent the commit actually publishes over
+    * (race-free, no extra manifest read). No-op on non-snapshotted
+    * directories. */
   private[graft] def publishEpoch(fs: FileSystem, root: Path,
                                   parts: Seq[(String, Long)]): Unit = {
     if (parts.isEmpty || !enabled(fs, root)) return
-    val parentFiles = latestVersion(fs, root)
-      .map(read(fs, root, _).files).getOrElse(Nil)
-    val chains = (parentFiles ++ parts).map(f => chainOf(f._1)).distinct
-    require(chains.size <= 1, mixedLayoutMsg(root, chains))
-    commit(fs, root, "append")(parent => parent ++ parts): Unit
+    val d = snapDir(root)
+    val everReferenced: Set[String] = fs.listStatus(d).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .flatMap(v => read(fs, root, v).files.map(_._1)).toSet
+    val novel = parts.filterNot(p => everReferenced(p._1))
+    if (novel.isEmpty) return
+    commit(fs, root, "append") { parent =>
+      val out = parent ++ novel
+      val chains = out.map(f => chainOf(f._1)).distinct
+      require(chains.size <= 1, mixedLayoutMsg(root, chains))
+      out
+    }: Unit
   }
 
   /** Manifest-planned discovery when the table is snapshotted, directory

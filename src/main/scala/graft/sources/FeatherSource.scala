@@ -713,7 +713,7 @@ private class FeatherWrite(st: StructType, path: String, truncate: Boolean,
     // refuse a root-level append into a hive layout BEFORE renaming any
     // part — failing after the renames would leave orphan residue at the
     // root that a later adopt() would mix into an unreadable manifest
-    if (snapMode && !truncate)
+    if (snapMode && !truncate && committed.nonEmpty)
       FeatherSnapshots.requireRootAppendable(fs, out,
         FeatherSnapshots.FeatherSuffixes)
     if (truncate && !snapMode) // overwrite: drop pre-existing parts
@@ -816,8 +816,12 @@ private class FeatherStreamingWrite(st: StructType, path: String,
     val spark = SparkSession.active
     val out = new org.apache.hadoop.fs.Path(path)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val replayed =
-      scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    // snapshotted table: refuse BEFORE renaming when the epoch's root
+    // parts would mix into a hive layout (same pre-rename discipline as
+    // the batch sinks — a post-rename refusal strands orphans each retry)
+    if (FeatherSnapshots.enabled(fs, new org.apache.hadoop.fs.Path(path)))
+      FeatherSnapshots.requireRootAppendable(fs,
+        new org.apache.hadoop.fs.Path(path), FeatherSnapshots.FeatherSuffixes)
     val mergedAdd = messages.collect { case m: FeatherCommitMessage => m }
       .flatMap { m =>
         val tmp = new org.apache.hadoop.fs.Path(path, m.tmpName)
@@ -826,11 +830,16 @@ private class FeatherStreamingWrite(st: StructType, path: String,
             .nameUUIDFromBytes(m.tmpName.getBytes("UTF-8"))}.feather")
         if (fs.exists(fin) && !fs.exists(tmp)) {
           // epoch replayed after the renames: no re-rename, but the part
-          // still joins the manifest publish below (no-op if already
-          // referenced) — this is what heals a crash that landed between
-          // the renames and the manifest commit
-          replayed += (fin.getName -> fs.getFileStatus(fin).getLen)
-          None
+          // REJOINS the stats and manifest paths — this heals a crash
+          // anywhere between the rename and the publish (sidecar rewrite
+          // is idempotent; publishEpoch appends only never-referenced
+          // parts, so a part later maintenance retired stays retired)
+          val sc = fs.create(new org.apache.hadoop.fs.Path(path,
+            fin.getName + ".stats.json"), true)
+          try sc.write(m.statsJson.getBytes("UTF-8")) finally sc.close()
+          Some(fin.getName ->
+            (fs.getFileStatus(fin).getLen,
+              graft.io.FeatherStats.fromJson(m.statsJson)))
         } else {
           require(fs.rename(tmp, fin), s"commit rename $tmp -> $fin failed")
           val sc = fs.create(new org.apache.hadoop.fs.Path(path,
@@ -849,7 +858,7 @@ private class FeatherStreamingWrite(st: StructType, path: String,
     // epoch's renames and its manifest publish is repaired here instead
     // of leaving those parts invisible)
     FeatherSnapshots.publishEpoch(fs, new org.apache.hadoop.fs.Path(path),
-      mergedAdd.map { case (n, (len, _)) => (n, len) }.toSeq ++ replayed)
+      mergedAdd.map { case (n, (len, _)) => (n, len) }.toSeq)
   }
 
   override def abort(

@@ -323,12 +323,12 @@ class FeatherSnapshotsSpec extends AnyFunSuite {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("mix partition layouts")))
-    // the refused append's renamed parts are orphans at the root — clear
-    // them (failed-write residue), then adopt() remains the correct path
+    // the pre-rename guard refused BEFORE any rename: no orphan residue
+    // at the root, and adopt() works directly
     val fs = fsOf(path)
-    fs.listStatus(new Path(path))
-      .filter(s => !s.isDirectory && s.getPath.getName.endsWith(".feather"))
-      .foreach(s => fs.delete(s.getPath, false))
+    assert(!fs.listStatus(new Path(path)).exists(s =>
+      !s.isDirectory && s.getPath.getName.endsWith(".feather")),
+      "a refused append must leave no root-level residue")
     FeatherSnapshots.adopt(fs, new Path(path))
     assert(spark.read.format("feather").load(path).count() === 100)
   }
@@ -339,11 +339,25 @@ class FeatherSnapshotsSpec extends AnyFunSuite {
     val fs = fsOf(path)
     val rp = new Path(path)
     val existing = FeatherSnapshots.read(fs, rp, 1L).files
-    // replay shape: re-appending already-referenced parts is a no-op on
-    // the file list (the crash-healing path re-publishes them safely)
+    // replaying already-referenced parts publishes NOTHING (no version
+    // bump): only never-referenced parts are novel
     FeatherSnapshots.publishEpoch(fs, rp, existing)
-    val v2 = FeatherSnapshots.read(fs, rp, 2L)
-    assert(v2.files.toSet === existing.toSet)
+    assert(FeatherSnapshots.latestVersion(fs, rp) === Some(1L))
+    // a part RETIRED by later maintenance stays retired on replay — the
+    // healing path must not resurrect compacted/deleted data
+    graft.io.FeatherCluster.cluster(spark, path, Seq("id")) // v2 retires v1's
+    FeatherSnapshots.publishEpoch(fs, rp, existing)         // replay races it
+    assert(FeatherSnapshots.latestVersion(fs, rp) === Some(2L))
+    assert(spark.read.format("feather").load(path).count() === 20)
+    // a genuinely novel part (the crash-before-manifest window) heals in
+    val live = FeatherSnapshots.read(fs, rp, 2L).files.head
+    val orphan = new Path(path, "part-e9-heal.feather")
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(path, live._1),
+      fs, orphan, false, spark.sparkContext.hadoopConfiguration)
+    FeatherSnapshots.publishEpoch(fs, rp,
+      Seq((orphan.getName, fs.getFileStatus(orphan).getLen)))
+    assert(FeatherSnapshots.read(fs, rp, 3L).files
+      .exists(_._1 == orphan.getName))
     // layout guard: root parts cannot append into a hive-layout parent
     val hive = tmp("epoch_hive")
     import spark.implicits._
