@@ -71,6 +71,23 @@ object FeatherBloom {
     } catch { case _: Exception => None } // torn/foreign sidecar: no pruning
   }
 
+  /** Point-lookup exclusion verdict for ONE file against a conjunction of
+    * point filters: true when any filter's column has a sidecar excluding
+    * every candidate value. Loads each named column's sidecar at most
+    * ONCE per call — several point filters on the same column (or the
+    * caller's short-circuit order) must not re-open and re-parse the same
+    * sidecar k times per file. */
+  private[graft] def excludesFile(conf: org.apache.hadoop.conf.Configuration,
+                                  partPath: String, partLen: Long,
+                                  pointFilters: Seq[(String, Seq[Long])])
+      : Boolean = {
+    val cache = scala.collection.mutable.Map.empty[String, Option[BloomFilter]]
+    pointFilters.exists { case (attr, keys) =>
+      cache.getOrElseUpdate(attr, load(conf, partPath, partLen, attr))
+        .exists(b => keys.forall(k => !b.mightContainLong(k)))
+    }
+  }
+
   /** Build (or rebuild) bloom sidecars for every live file of a
     * snapshotted table, over a LONG key column. One task per file; each
     * task decodes only the key column. `suffix` selects the connector

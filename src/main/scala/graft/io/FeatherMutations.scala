@@ -347,11 +347,23 @@ object FeatherMutations {
         val leafDir = if (relDir.isEmpty) root else new Path(root, relDir)
         val survivors: Option[DataFrame] =
           if (touchedLeaf.isEmpty) None
-          else Some(GraftFeather.readFiles(spark,
+          else {
+            val sv0 = GraftFeather.readFiles(spark,
               touchedLeaf.map { case (rel, len) =>
                 (new Path(root, rel).toString, len) },
-              mergeSchema = true) // evolved generations keep their columns
-            .join(keysProj, keyCols, "left_anti"))
+              mergeSchema = true)
+            // project to the FULL table schema (mergeSchema above unions
+            // only the TOUCHED footers): when every touched file predates
+            // an evolved column, sv would lack it and a legitimate
+            // merge/cdc would die in unionByName — null-fill instead,
+            // exactly what a merged read of those files yields
+            val filled = tableSchema.fields.foldLeft(sv0) { (df, f) =>
+              if (df.columns.contains(f.name)) df
+              else df.withColumn(f.name, lit(null).cast(f.dataType))
+            }
+            Some(filled.select(tableSchema.fieldNames.map(col).toSeq: _*)
+              .join(keysProj, keyCols, "left_anti"))
+          }
         val outDf = (survivors, appendSource) match {
           case (Some(sv), Some(src)) => sv.unionByName(src)
           case (Some(sv), None) => sv

@@ -198,11 +198,17 @@ object GraftAvro {
         val rest = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
         if (rest.size == 1) rest.head else Schema.createUnion(rest.asJava)
       } else s
+    def isNullableSchema(s: Schema): Boolean =
+      s.getType == Schema.Type.UNION &&
+        s.getTypes.asScala.exists(_.getType == Schema.Type.NULL)
     val order = scala.collection.mutable.LinkedHashMap.empty[String, (Schema, String)]
     val seen = scala.collection.mutable.Map.empty[String, Int]
+    val anyNullable = scala.collection.mutable.Map.empty[String, Boolean]
     perFile.foreach { case (f, rec) =>
       rec.getFields.asScala.foreach { fld =>
         seen(fld.name()) = seen.getOrElse(fld.name(), 0) + 1
+        anyNullable(fld.name()) = anyNullable.getOrElse(fld.name(), false) ||
+          isNullableSchema(fld.schema())
         order.get(fld.name()) match {
           case None => order(fld.name()) = (fld.schema(), f)
           case Some((prev, prevFile)) =>
@@ -215,11 +221,14 @@ object GraftAvro {
       }
     }
     val fields = order.map { case (name, (fs, _)) =>
-      // a field every file carries keeps its declared schema unchanged;
-      // only fields some file PREDATES get the null-defaulted union so
-      // resolution can fill them — a routine compaction over a
-      // homogeneous directory must not widen nullability
-      if (seen(name) == perFile.size)
+      // a field every file carries with a uniform nullability verdict
+      // keeps its declared schema unchanged; a field some file PREDATES —
+      // or that ANY generation wrote as a null union while the first-seen
+      // file did not — gets the null-defaulted union so resolution can
+      // fill/carry nulls (keeping the first file's non-null schema over a
+      // later nullable generation fails resolution loudly at read time)
+      if (seen(name) == perFile.size &&
+          (isNullableSchema(fs) || !anyNullable(name)))
         new Schema.Field(name, fs, null.asInstanceOf[String])
       else {
         val branches = nonNull(fs) match {

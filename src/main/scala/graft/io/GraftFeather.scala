@@ -341,27 +341,32 @@ object GraftFeather {
           }
         }
       } finally pool.shutdown()
-    val order = scala.collection.mutable.LinkedHashMap.empty[String, (Field, String, Int)]
+    val order = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Field, String, Int, Boolean)]
     perFile.foreach { case (f, fields) =>
       fields.foreach { fld =>
         order.get(fld.getName) match {
-          case None => order(fld.getName) = (fld, f, 1)
-          case Some((prev, prevFile, n)) =>
+          case None => order(fld.getName) = (fld, f, 1, fld.isNullable)
+          case Some((prev, prevFile, n, anyNullable)) =>
             require(toSparkType(prev) == toSparkType(fld),
               s"mergeSchema: column '${fld.getName}' is " +
                 s"${toSparkType(prev).catalogString} in $prevFile but " +
                 s"${toSparkType(fld).catalogString} in $f — evolved columns " +
                 "must keep their type")
-            order(fld.getName) = (prev, prevFile, n + 1)
+            order(fld.getName) = (prev, prevFile, n + 1,
+              anyNullable || fld.isNullable)
         }
       }
     }
     // a column some file PREDATES widens to nullable (those files read
-    // null); a column every file carries keeps its declared nullability —
-    // a routine maintenance pass over a homogeneous directory must not
-    // erode non-null guarantees
-    order.values.map { case (f, _, seen) =>
-      if (f.isNullable || seen == perFile.size) f
+    // null), and so does a column ANY generation declared nullable — the
+    // first-seen footer must not impose non-null over files that hold
+    // nulls (codegen elides null checks off the schema: silent wrong
+    // results, not an error). Only a column every file carries AND every
+    // file declares non-null keeps the non-null guarantee.
+    order.values.map { case (f, _, seen, anyNullable) =>
+      if (f.isNullable) f
+      else if (seen == perFile.size && !anyNullable) f
       else new Field(f.getName,
         new FieldType(true, f.getType, f.getDictionary, f.getMetadata),
         f.getChildren)

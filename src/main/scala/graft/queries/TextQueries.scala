@@ -936,15 +936,22 @@ object TextQueries extends QueryPack {
       sw => array_contains(toks, sw)))
     Tables.documents(s, d)
       .select(col("doc_id"), tokenize(col("text")).as("toks"))
-      .select(col("doc_id"),
-        size(toks).as("n_words"),
-        round(meanLen, 6).as("mean_word_len"),
-        round(alphaFrac, 6).as("alpha_word_frac"),
-        nStop.as("n_req_stopwords"),
-        (size(toks).between(15, 120) &&
-          meanLen.between(2.5, 10) &&
-          alphaFrac >= 0.8 &&
-          nStop >= 2).as("keep"))
+      // each interpreted HOF fold computed ONCE here, referenced by
+      // column below — inlining them into both the output projection and
+      // the keep predicate would evaluate every fold twice per row
+      // (CollapseProject leaves multi-use non-cheap expressions alone,
+      // so the two-step shape survives optimization)
+      .select(col("doc_id"), size(toks).as("n_words"),
+        meanLen.as("__mwl"), alphaFrac.as("__awf"),
+        nStop.as("n_req_stopwords"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("__mwl"), 6).as("mean_word_len"),
+        round(col("__awf"), 6).as("alpha_word_frac"),
+        col("n_req_stopwords"),
+        (col("n_words").between(15, 120) &&
+          col("__mwl").between(2.5, 10) &&
+          col("__awf") >= 0.8 &&
+          col("n_req_stopwords") >= 2).as("keep"))
       .orderBy("doc_id")
   }
 

@@ -476,12 +476,11 @@ private class AvroScan(readSchema0: StructType, path: String,
     val pointFilters = FeatherScanBuilder.pointLookups(pruneFilters)
     if (pointFilters.isEmpty || afterStats.isEmpty) afterStats
     else afterStats.filterNot { l =>
-      pointFilters.exists { case (attr, keys) =>
-        graft.io.FeatherBloom.load(
-          SparkSession.active.sparkContext.hadoopConfiguration,
-          l.file, l.len, attr)
-          .exists(b => keys.forall(k => !b.mightContainLong(k)))
-      }
+      // one sidecar load per (file, column): excludesFile caches per
+      // column inside a file instead of re-parsing per point filter
+      graft.io.FeatherBloom.excludesFile(
+        SparkSession.active.sparkContext.hadoopConfiguration,
+        l.file, l.len, pointFilters)
     }
   }
 

@@ -269,15 +269,37 @@ private[graft] object FeatherSnapshots {
     * callback, against the parent the commit actually publishes over
     * (race-free, no extra manifest read). No-op on non-snapshotted
     * directories. */
+  /** Per-table ever-referenced cache for [[publishEpoch]]: high-water
+    * version scanned → union of file names referenced by versions up to
+    * it. Manifests are immutable and versions only grow, so the cache is
+    * refreshed by reading ONLY versions above the high water — O(new
+    * versions) per epoch instead of O(all retained versions) (quadratic
+    * over a long-running stream). Staleness is one-directional and safe:
+    * expire() removes manifests but the cached names stay, which can only
+    * keep a replayed part RETIRED — never resurrect one. */
+  private val epochRefCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Set[String])]()
+
   private[graft] def publishEpoch(fs: FileSystem, root: Path,
                                   parts: Seq[(String, Long)]): Unit = {
     if (parts.isEmpty || !enabled(fs, root)) return
     val d = snapDir(root)
-    val everReferenced: Set[String] = fs.listStatus(d).iterator
+    val versions: Seq[Long] = fs.listStatus(d).iterator
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
         n.stripPrefix("v").stripSuffix(".json").toLong }
-      .flatMap(v => read(fs, root, v).files.map(_._1)).toSet
+      .toSeq
+    val key = root.toString
+    val cached = Option(epochRefCache.get(key))
+      // a table dropped and recreated at the same path restarts at v1;
+      // a cache from the old incarnation would retire its replayed parts
+      .filter { case (hw, _) => versions.isEmpty || versions.max >= hw }
+      .getOrElse((0L, Set.empty[String]))
+    val fresh = versions.filter(_ > cached._1)
+    val everReferenced: Set[String] = cached._2 ++
+      fresh.flatMap(v => read(fs, root, v).files.map(_._1))
+    if (fresh.nonEmpty)
+      epochRefCache.put(key, (fresh.max, everReferenced))
     val novel = parts.filterNot(p => everReferenced(p._1))
     if (novel.isEmpty) return
     commit(fs, root, "append") { parent =>

@@ -89,8 +89,13 @@ private object FeatherTimeTravel {
   // short-TTL memo collapses those into one resolution per read while
   // staying fresh across reads (expire()/new commits can change the
   // answer, so this must not cache indefinitely)
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Long)]()
+  // keyed on (path, raw instant, LATEST version): a new commit moves the
+  // latest version, so the memo can never serve a pin computed before a
+  // commit whose timestamp the requested instant covers (the pure-TTL
+  // form could, for up to the TTL). The TTL stays as the expire() bound —
+  // expire removes OLD versions without moving the head.
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Long), (Long, Long)]()
   private val TtlMillis = 10000L
 
   def pinnedVersion(versionAsOf: Option[String],
@@ -101,19 +106,30 @@ private object FeatherTimeTravel {
     timestampAsOf match {
       case Some(raw) =>
         val now = System.currentTimeMillis()
-        Option(memo.get((path, raw)))
+        val rp = new org.apache.hadoop.fs.Path(path)
+        val fs = rp.getFileSystem(
+          SparkSession.active.sparkContext.hadoopConfiguration)
+        val latest = FeatherSnapshots.latestVersion(fs, rp).getOrElse(
+          sys.error(s"timestampAsOf on $path, which has no " +
+            s"${FeatherSnapshots.Dir} versions"))
+        Option(memo.get((path, raw, latest)))
           .collect { case (v, at) if now - at < TtlMillis => v }
           .orElse {
             val millis = raw.toLongOption.getOrElse {
               try java.time.Instant.parse(raw).toEpochMilli
               catch { case _: Exception =>
-                java.sql.Timestamp.valueOf(raw).getTime }
+                // local `yyyy-MM-dd HH:mm:ss` resolves through the SESSION
+                // timezone (spark.sql.session.timeZone), not the JVM
+                // default — the pin must agree with how the session
+                // renders timestamps
+                val tz = SparkSession.active.sessionState.conf
+                  .sessionLocalTimeZone
+                java.time.LocalDateTime
+                  .parse(raw.replaceFirst(" ", "T"))
+                  .atZone(java.time.ZoneId.of(tz)).toInstant.toEpochMilli }
             }
-            val rp = new org.apache.hadoop.fs.Path(path)
-            val fs = rp.getFileSystem(
-              SparkSession.active.sparkContext.hadoopConfiguration)
             val v = FeatherSnapshots.resolveAt(fs, rp, millis).version
-            memo.put((path, raw), (v, now))
+            memo.put((path, raw, latest), (v, now))
             Some(v)
           }
       case None => versionAsOf.map(_.toLong)
@@ -440,17 +456,14 @@ private class FeatherScan(readSchema0: StructType, path: String,
     // Sidecar loads are per surviving file but only when a point filter
     // exists; absent sidecars never prune.
     val pointFilters = FeatherScanBuilder.pointLookups(skipFilters)
-    // one sidecar load per DISTINCT file (splits repeat files per batch
-    // group; re-opening the same bloom per split and per filter would
-    // make planning O(splits × filters) instead of O(files))
+    // one sidecar load per DISTINCT (file, column) — excludesFile caches
+    // per column inside a file; the distinct() keeps splits (which repeat
+    // files per batch group) from multiplying loads per split
     val bloomExcluded: Set[String] =
       if (pointFilters.isEmpty) Set.empty
       else splits.map(s => (s._1, s._2)).distinct.collect {
-        case (f, len) if pointFilters.exists { case (attr, keys) =>
-          graft.io.FeatherBloom.load(
-            spark.sparkContext.hadoopConfiguration, f, len, attr)
-            .exists(b => keys.forall(k => !b.mightContainLong(k)))
-        } => f
+        case (f, len) if graft.io.FeatherBloom.excludesFile(
+          spark.sparkContext.hadoopConfiguration, f, len, pointFilters) => f
       }.toSet
     splits.flatMap { case (f, len, idxs, pv) =>
       val kept = statsByFile.getOrElse(f, None) match {

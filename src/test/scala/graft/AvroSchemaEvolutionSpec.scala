@@ -115,4 +115,23 @@ class AvroSchemaEvolutionSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("'v'"))
   }
+
+  test("a nullable later generation widens the merged reader schema") {
+    val path = tmp("null_widen")
+    import spark.implicits._
+    // gen1 writes v as plain long; gen2 writes it as a null union holding
+    // a null. Keeping gen1's non-null schema as the merged reader schema
+    // would fail Avro resolution loudly on gen2's null rows.
+    writeGen(path, "gen1.avro",
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    writeGen(path, "gen2.avro",
+      Seq((3L, Option(30L)), (4L, Option.empty[Long])).toDF("id", "v"))
+    val df = spark.read.format("graft-avro")
+      .option("mergeSchema", "true").load(path)
+    assert(df.schema("v").nullable)
+    assert(df.count() === 4)
+    assert(df.where(col("v").isNull).count() === 1)
+    assert(df.where(col("v").isNotNull).agg(sum("v")).head().getLong(0) === 60L)
+  }
+
 }

@@ -372,4 +372,38 @@ class FeatherMutationsSpec extends AnyFunSuite {
     FeatherMutations.deleteByKey(spark, path, keys, Seq("id"))
     assert(spark.read.format("feather").load(path).count() === 19)
   }
+
+  test("merge whose touched files all predate an evolved column null-fills " +
+       "the survivors instead of failing") {
+    val path = tmp("merge_evolved_touch")
+    import spark.implicits._
+    // gen1 (id, pay) range [1,40]; gen2 (id, pay, lang) range [41,60] —
+    // a merge keyed inside gen1's range touches ONLY pre-evolution files,
+    // whose mergeSchema union lacks `lang`; survivors must project to the
+    // FULL table schema (lang null-filled) so unionByName(source) holds.
+    (1 to 40).map(i => (i.toLong, s"p_$i")).toDF("id", "pay")
+      .repartition(1).write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(path)
+    val fs = fsOf(path)
+    val parts = graft.io.GraftFeather.writeParts(
+      (41 to 60).map(i => (i.toLong, s"p_$i", "de")).toDF("id", "pay", "lang")
+        .repartition(1), path, "gen2")
+    FeatherSnapshots.commit(fs, new Path(path), "append") { parent =>
+      parent ++ parts.map { case (n, len, _) => (n, len) }
+    }
+    val src = Seq((5L, "p_5_new", "fr")).toDF("id", "pay", "lang")
+    val r = FeatherMutations.merge(spark, path, src, Seq("id"))
+    assert(r.filesTouched === 1, s"expected only the gen1 part touched: $r")
+    val after = spark.read.format("feather")
+      .option("mergeSchema", "true").load(path)
+    assert(after.count() === 60)
+    val row5 = after.where(col("id") === 5L).collect()
+    assert(row5.length === 1)
+    assert(row5.head.getAs[String]("pay") === "p_5_new")
+    assert(row5.head.getAs[String]("lang") === "fr")
+    // other gen1 survivors carry null lang; gen2 untouched keeps "de"
+    assert(after.where(col("id") === 6L).head().getAs[String]("lang") == null)
+    assert(after.where(col("lang") === "de").count() === 20)
+  }
+
 }

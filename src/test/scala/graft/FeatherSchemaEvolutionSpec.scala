@@ -157,4 +157,29 @@ class FeatherSchemaEvolutionSpec extends AnyFunSuite {
       assert(got.where(col("lang") === "fr").count() === 10)
     } finally q.stop()
   }
+
+  test("a column ANY generation declared nullable reads nullable merged") {
+    val path = tmp("null_widen")
+    import spark.implicits._
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(path))
+    // gen1 declares v non-nullable; gen2 declares it nullable AND holds a
+    // null. First-seen-footer nullability would stamp the merged schema
+    // non-null over data containing nulls — codegen elides null checks
+    // off the schema, so that is silent wrong results, not an error.
+    GraftFeather.writeParts(
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v").repartition(1), path, "gen1")
+    GraftFeather.writeParts(
+      Seq((3L, Option(30L)), (4L, Option.empty[Long])).toDF("id", "v")
+        .repartition(1), path, "gen2")
+    val df = spark.read.format("feather")
+      .option("mergeSchema", "true").load(path)
+    assert(df.schema("v").nullable,
+      "a nullable generation must widen the merged schema")
+    assert(df.count() === 4)
+    assert(df.where(col("v").isNull).count() === 1)
+    assert(df.where(col("v").isNotNull).agg(sum("v")).head().getLong(0) === 60L)
+  }
+
 }

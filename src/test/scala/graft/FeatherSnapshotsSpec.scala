@@ -438,4 +438,43 @@ class FeatherSnapshotsSpec extends AnyFunSuite {
       graceMillis = -1000) === 1)
     assert(!fs.exists(stale))
   }
+
+  test("timestampAsOf local form resolves through the session timezone") {
+    val path = tmp("ts_session_tz")
+    writeV(path, 1, 100, "overwrite") // v1
+    Thread.sleep(1100)
+    val between = System.currentTimeMillis()
+    Thread.sleep(1100)
+    writeV(path, 101, 150, "append")  // v2
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+      // `between` rendered as a LOCAL 'yyyy-MM-dd HH:mm:ss' in the
+      // SESSION zone (+05:30): parsed back through the session zone it
+      // lands between the commits -> v1; a JVM-default (UTC) parse would
+      // read it 5.5 h in the future -> v2. Seconds truncation is covered
+      // by the >1 s gaps around `between`.
+      val local = java.time.Instant.ofEpochMilli(between)
+        .atZone(java.time.ZoneId.of("Asia/Kolkata")).toLocalDateTime
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss"))
+      assert(spark.read.format("feather")
+        .option("timestampAsOf", local).load(path).count() === 100)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("a new commit is visible to timestampAsOf immediately (memo is " +
+       "keyed on the head version)") {
+    val path = tmp("ts_memo_fresh")
+    writeV(path, 1, 100, "overwrite") // v1
+    val future = (System.currentTimeMillis() + 60000).toString
+    assert(spark.read.format("feather")
+      .option("timestampAsOf", future).load(path).count() === 100)
+    writeV(path, 101, 150, "append")  // v2, within the old memo TTL
+    // same raw instant, new head: a pure-TTL memo would serve the stale
+    // v1 pin for up to 10 s
+    assert(spark.read.format("feather")
+      .option("timestampAsOf", future).load(path).count() === 150)
+  }
+
 }
