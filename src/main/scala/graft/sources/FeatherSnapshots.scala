@@ -5,8 +5,17 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Snapshot manifests for the feather DSv2 connector: a `_snapshots/`
-  * directory of numbered JSON manifests, each the COMPLETE list of live
-  * data files at one version. Modeled on the table-format idea parquet
+  * directory of numbered JSON manifests. Storage is a DELTA LOG with
+  * periodic checkpoints (the Delta-Lake commit-log shape): most commits
+  * serialize only `add`/`remove` actions against their parent —
+  * O(changed files) driver bytes per commit — and every
+  * [[CheckpointEvery]]-th commit (plus v1 and any commit whose diff
+  * would outweigh it) writes the COMPLETE file list as a checkpoint, so
+  * reconstruction of any version folds at most a bounded delta chain
+  * forward from its nearest checkpoint. A 10⁵-file table's per-epoch
+  * append is a few hundred bytes, not a 10⁵-entry rewrite, and retained
+  * history holds O(files + versions·changes) bytes instead of
+  * O(versions × files). Modeled on the table-format idea parquet
   * directories lack (Iceberg/Delta commit logs; the reference gets
   * consistency for free from single-process ownership — a distributed
   * 100-TB table does not):
@@ -58,7 +67,20 @@ private[graft] object FeatherSnapshots {
 
   private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  def read(fs: FileSystem, root: Path, version: Long): Snapshot = {
+  /** Full checkpoints this often. Between checkpoints a reconstruction
+    * folds at most `CheckpointEvery - 1` deltas forward; the every-K full
+    * write amortizes to O(files / K) bytes per commit (Delta Lake ships
+    * the same shape at K = 10). */
+  private[graft] val CheckpointEvery = 8L
+
+  /** One manifest file as stored: `full` = complete file list (v1,
+    * checkpoints, legacy pre-delta manifests); otherwise `add`/`remove`
+    * actions against the parent version. */
+  private final case class Raw(version: Long, parent: Long, op: String,
+                               ts: Long, full: Option[Seq[(String, Long)]],
+                               add: Seq[(String, Long)], remove: Set[String])
+
+  private def readRaw(fs: FileSystem, root: Path, version: Long): Raw = {
     val p = snapPath(root, version)
     require(fs.exists(p),
       s"feather snapshot v$version does not exist under $root/$Dir " +
@@ -69,13 +91,110 @@ private[graft] object FeatherSnapshots {
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
       finally in.close()
     val n = mapper.readTree(txt)
-    Snapshot(n.get("version").asText().toLong, n.get("parent").asText().toLong,
-      n.get("op").asText(),
-      (0 until n.get("files").size()).map { i =>
-        val f = n.get("files").get(i)
+    def pairs(field: String): Seq[(String, Long)] = {
+      val arr = n.get(field)
+      (0 until arr.size()).map { i =>
+        val f = arr.get(i)
         (f.get("p").asText(), f.get("len").asText().toLong)
-      },
-      if (n.hasNonNull("ts")) n.get("ts").asText().toLong else 0L)
+      }
+    }
+    Raw(n.get("version").asText().toLong, n.get("parent").asText().toLong,
+      n.get("op").asText(),
+      if (n.hasNonNull("ts")) n.get("ts").asText().toLong else 0L,
+      if (n.has("files")) Some(pairs("files")) else None,
+      if (n.has("add")) pairs("add") else Nil,
+      if (n.has("remove")) {
+        val arr = n.get("remove")
+        (0 until arr.size()).map(arr.get(_).asText()).toSet
+      } else Set.empty)
+  }
+
+  private def applyDelta(parent: Seq[(String, Long)], d: Raw)
+      : Seq[(String, Long)] =
+    parent.filterNot(f => d.remove(f._1)) ++ d.add
+
+  /** Reconstruct one version: walk back to the nearest full manifest
+    * (checkpoint / v1 / legacy), then fold the delta chain forward —
+    * ≤ [[CheckpointEvery]] manifest reads. A broken chain (a delta whose
+    * parent was expired without the checkpoint-materialization step) is
+    * loud and names both versions. */
+  def read(fs: FileSystem, root: Path, version: Long): Snapshot = {
+    var chain = List(readRaw(fs, root, version))
+    while (chain.head.full.isEmpty) {
+      val child = chain.head
+      val parent =
+        try readRaw(fs, root, child.parent)
+        catch { case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"feather snapshot v$version under $root/$Dir cannot be " +
+              s"reconstructed: delta v${child.version} needs parent " +
+              s"v${child.parent} (${e.getMessage})", e)
+        }
+      chain = parent :: chain
+    }
+    var files = chain.head.full.get
+    chain.tail.foreach(d => files = applyDelta(files, d))
+    val tip = chain.last
+    Snapshot(tip.version, tip.parent, tip.op, files.sortBy(_._1), tip.ts)
+  }
+
+  /** Versions `from..to` inclusive, reconstructed with each manifest file
+    * read ONCE: `from` pays its chain walk, later versions fold raw
+    * deltas forward — the version-stream diff path's shape (per-version
+    * [[read]] would re-walk the chain for every version in the range). */
+  private[graft] def readRange(fs: FileSystem, root: Path,
+                               from: Long, to: Long): Seq[Snapshot] = {
+    require(from >= 1 && to >= from,
+      s"readRange: bad version range [$from, $to]")
+    val first = read(fs, root, from)
+    val out = scala.collection.mutable.ArrayBuffer(first)
+    var files = first.files
+    var v = from + 1
+    while (v <= to) {
+      val r = readRaw(fs, root, v)
+      require(r.full.isDefined || r.parent == v - 1,
+        s"snapshot chain under $root/$Dir is broken at delta v$v " +
+          s"(parent v${r.parent})")
+      files = r.full.getOrElse(applyDelta(files, r))
+      out += Snapshot(r.version, r.parent, r.op, files.sortBy(_._1), r.ts)
+      files = out.last.files
+      v += 1
+    }
+    out.toSeq
+  }
+
+  /** Every retained version reconstructed in ASCENDING order, each
+    * manifest file read exactly once (the per-version [[read]] would pay
+    * the chain walk per call). The oldest retained manifest must be full
+    * — [[expire]] materializes the oldest kept version as a checkpoint
+    * before deleting below it, so a delta there means a torn expire. */
+  private[graft] def readAll(fs: FileSystem, root: Path): Seq[Snapshot] = {
+    val d = snapDir(root)
+    if (!fs.exists(d)) return Nil
+    val versions = fs.listStatus(d).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .toSeq.sorted
+    if (versions.isEmpty) return Nil
+    val raws = versions.map(readRaw(fs, root, _))
+    require(raws.head.full.isDefined,
+      s"oldest retained snapshot v${raws.head.version} under $root/$Dir " +
+        "is a delta manifest with no parent — torn expire; restore the " +
+        "chain or re-adopt the table")
+    var cur: Seq[(String, Long)] = Nil
+    var prevV = -1L
+    raws.map { r =>
+      // a delta must chain off the version the fold just produced — a
+      // hole in the version sequence (a manually deleted manifest) must
+      // not silently apply a delta against the wrong parent
+      require(r.full.isDefined || r.parent == prevV,
+        s"snapshot chain under $root/$Dir is broken: delta v${r.version} " +
+          s"expects parent v${r.parent} but the fold is at v$prevV")
+      cur = r.full.getOrElse(applyDelta(cur, r))
+      prevV = r.version
+      Snapshot(r.version, r.parent, r.op, cur.sortBy(_._1), r.ts)
+    }
   }
 
   /** The snapshot a read plans against: `versionAsOf` pins a version
@@ -91,11 +210,40 @@ private[graft] object FeatherSnapshots {
     case None => latestVersion(fs, root).map(read(fs, root, _))
   }
 
+  private def pairsJson(files: Seq[(String, Long)]): java.util.List[Any] =
+    files.map { case (p, len) =>
+      val f = new java.util.LinkedHashMap[String, Any]()
+      f.put("p", p); f.put("len", len.toString)
+      f: Any
+    }.asJava
+
+  private def baseNode(v: Long, parentV: Long, op: String, ts: Long) = {
+    val node = new java.util.LinkedHashMap[String, Any]()
+    node.put("version", v.toString)
+    node.put("parent", parentV.toString)
+    node.put("op", op)
+    node.put("ts", ts.toString)
+    node
+  }
+
+  private def writeManifest(fs: FileSystem, root: Path, v: Long,
+                            node: java.util.Map[String, Any],
+                            overwrite: Boolean): Unit = {
+    val out = fs.create(snapPath(root, v), overwrite)
+    try out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** Publish the next version. `mkFiles(parentFiles)` builds the new
     * complete file list from the parent snapshot's (append folds them in,
     * overwrite ignores them); the create-exclusive manifest write makes
     * the version number the arbiter under concurrent committers — the
-    * loser recomputes against the winner's files and retries. */
+    * loser recomputes against the winner's files and retries.
+    *
+    * Storage form is decided HERE, invisibly to callers: the diff vs the
+    * parent is serialized as `add`/`remove` actions unless this version
+    * is a checkpoint (v1, every [[CheckpointEvery]]-th, or a diff that
+    * would outweigh the full list — an overwrite naturally checkpoints). */
   def commit(fs: FileSystem, root: Path, op: String)
             (mkFiles: Seq[(String, Long)] => Seq[(String, Long)]): Long = {
     fs.mkdirs(snapDir(root))
@@ -108,21 +256,25 @@ private[graft] object FeatherSnapshots {
       val parentFiles = parent.map(read(fs, root, _).files).getOrElse(Nil)
       val v = parent.getOrElse(0L) + 1
       val files = mkFiles(parentFiles).distinct.sortBy(_._1)
-      val node = new java.util.LinkedHashMap[String, Any]()
-      node.put("version", v.toString)
-      node.put("parent", parent.getOrElse(0L).toString)
-      node.put("op", op)
-      node.put("ts", System.currentTimeMillis().toString)
-      node.put("files", files.map { case (p, len) =>
-        val f = new java.util.LinkedHashMap[String, Any]()
-        f.put("p", p); f.put("len", len.toString)
-        f: Any
-      }.asJava)
+      val parentMap = parentFiles.toMap
+      val filesMap = files.toMap
+      // a path whose length changed (immutable parts make this foreign,
+      // but guard anyway) serializes as remove + add — replay-exact
+      val add = files.filter { case (p, len) => !parentMap.get(p).contains(len) }
+      val remove = parentFiles.collect {
+        case (p, len) if !filesMap.get(p).contains(len) => p }
+      val checkpoint = parent.isEmpty || v % CheckpointEvery == 0 ||
+        add.size + remove.size >= files.size
+      val node = baseNode(v, parent.getOrElse(0L), op,
+        System.currentTimeMillis())
+      if (checkpoint) node.put("files", pairsJson(files))
+      else {
+        node.put("add", pairsJson(add))
+        node.put("remove", remove.map(x => x: Any).asJava)
+      }
       try {
         // create-exclusive: exactly one committer wins each version number
-        val out = fs.create(snapPath(root, v), false)
-        try out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
-        finally out.close()
+        writeManifest(fs, root, v, node, overwrite = false)
         return v
       } catch {
         case _: java.io.IOException if fs.exists(snapPath(root, v)) =>
@@ -141,16 +293,11 @@ private[graft] object FeatherSnapshots {
   def resolveAt(fs: FileSystem, root: Path, tsMillis: Long): Snapshot = {
     require(enabled(fs, root),
       s"timestampAsOf on $root, which has no $Dir directory")
-    val versions = fs.listStatus(snapDir(root)).iterator
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-        n.stripPrefix("v").stripSuffix(".json").toLong }
-      .toSeq.sorted
-    val snaps = versions.map(read(fs, root, _))
+    val snaps = readAll(fs, root)
     snaps.filter(_.ts <= tsMillis).lastOption.getOrElse(
       sys.error(s"timestampAsOf=$tsMillis on $root: the earliest retained " +
-        s"snapshot (v${versions.headOption.getOrElse(0L)}) is newer — " +
-        "that instant's state is expired or never existed"))
+        s"snapshot (v${snaps.headOption.map(_.version).getOrElse(0L)}) is " +
+        "newer — that instant's state is expired or never existed"))
   }
 
   /** One walk over a table's DATA files (flat or hive `key=value`):
@@ -295,9 +442,18 @@ private[graft] object FeatherSnapshots {
       // a cache from the old incarnation would retire its replayed parts
       .filter { case (hw, _) => versions.isEmpty || versions.max >= hw }
       .getOrElse((0L, Set.empty[String]))
-    val fresh = versions.filter(_ > cached._1)
+    val fresh = versions.filter(_ > cached._1).sorted
+    // raw contributions suffice (full manifests: their file list; deltas:
+    // their adds) — a delta's carried-over names were already counted
+    // when the version that added them was scanned, and the first scan
+    // always starts from a full manifest (readAll invariant), so the
+    // union equals the union of full reconstructions without any chain
+    // walks
     val everReferenced: Set[String] = cached._2 ++
-      fresh.flatMap(v => read(fs, root, v).files.map(_._1))
+      fresh.flatMap { v =>
+        val r = readRaw(fs, root, v)
+        r.full.getOrElse(r.add).map(_._1)
+      }
     if (fresh.nonEmpty)
       epochRefCache.put(key, (fresh.max, everReferenced))
     val novel = parts.filterNot(p => everReferenced(p._1))
@@ -343,13 +499,10 @@ private[graft] object FeatherSnapshots {
                     suffixes: Seq[String] = FeatherSuffixes): Int = {
     if (!enabled(fs, root)) return 0
     val latest = latestVersion(fs, root).getOrElse(0L)
-    val referenced: Set[String] = {
-      val d = snapDir(root)
-      fs.listStatus(d).iterator.map(_.getPath.getName)
-        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-          n.stripPrefix("v").stripSuffix(".json").toLong }
-        .flatMap(v => read(fs, root, v).files.map(_._1)).toSet
-    }
+    // every retained version reconstructed once (one manifest read each);
+    // a file ANY retained version references is live, never an orphan
+    val referenced: Set[String] =
+      readAll(fs, root).flatMap(_.files.map(_._1)).toSet
     val inFlight = raw"(?:mut|clust)-v(\d+)-.*".r
     val cutoff = System.currentTimeMillis() - graceMillis
     // derive data suffixes from the manifests themselves in addition to
@@ -407,20 +560,24 @@ private[graft] object FeatherSnapshots {
     * (snapshots removed, data files removed). */
   def expire(fs: FileSystem, root: Path, keepLast: Int): (Int, Int) = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    val versions = {
-      val d = snapDir(root)
-      if (!fs.exists(d)) return (0, 0)
-      fs.listStatus(d).iterator.map(_.getPath.getName)
-        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-          n.stripPrefix("v").stripSuffix(".json").toLong }
-        .toSeq.sorted
-    }
-    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
+    val snaps = readAll(fs, root)
+    if (snaps.isEmpty) return (0, 0)
+    val (drop, keep) = snaps.splitAt(math.max(0, snaps.size - keepLast))
     if (drop.isEmpty) return (0, 0)
-    val kept: Set[String] =
-      keep.flatMap(v => read(fs, root, v).files.map(_._1)).toSet
-    val dropped: Set[String] =
-      drop.flatMap(v => read(fs, root, v).files.map(_._1)).toSet
+    // materialize the oldest KEPT version as a full checkpoint BEFORE the
+    // chain below it is deleted — every kept version must stay
+    // reconstructible after the prefix removal. The overwrite is safe:
+    // same version, same reconstructed file set, only the storage form
+    // changes; and it runs before any deletion, so a crash here leaves a
+    // fully intact log for the retry.
+    val oldest = keep.head
+    if (readRaw(fs, root, oldest.version).full.isEmpty) {
+      val node = baseNode(oldest.version, oldest.parent, oldest.op, oldest.ts)
+      node.put("files", pairsJson(oldest.files))
+      writeManifest(fs, root, oldest.version, node, overwrite = true)
+    }
+    val kept: Set[String] = keep.flatMap(_.files.map(_._1)).toSet
+    val dropped: Set[String] = drop.flatMap(_.files.map(_._1)).toSet
     var removedFiles = 0
     // delete unreferenced data files first, manifests last: a crash
     // mid-expire leaves dangling manifests (loud on read), never kept
@@ -431,7 +588,7 @@ private[graft] object FeatherSnapshots {
       fs.delete(new Path(p.getParent, p.getName + ".stats.json"), false)
       fs.delete(new Path(p.getParent, p.getName + ".bloom"), false)
     }
-    drop.foreach(v => fs.delete(snapPath(root, v), false))
+    drop.foreach(s => fs.delete(snapPath(root, s.version), false))
     (drop.size, removedFiles)
   }
 

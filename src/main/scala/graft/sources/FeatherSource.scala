@@ -574,9 +574,12 @@ private class FeatherSnapshotStream(readSchema: StructType, path: String,
       // history before the stream started is not change data
       newRel ++= FeatherSnapshots.read(fs, rp, e).files
     } else {
-      var prev: Map[String, Long] = FeatherSnapshots.read(fs, rp, s).files.toMap
-      for (v <- (s + 1) to e) {
-        val snap = FeatherSnapshots.read(fs, rp, v)
+      // incremental reconstruction: one manifest read per version in the
+      // range (per-version read() would re-walk the delta chain each time)
+      val snaps = FeatherSnapshots.readRange(fs, rp, s, e)
+      var prev: Map[String, Long] = snaps.head.files.toMap
+      for (snap <- snaps.tail) {
+        val v = snap.version
         snap.op match {
           case "append" | "adopt" =>
             newRel ++= snap.files.filterNot { case (rel, _) => prev.contains(rel) }

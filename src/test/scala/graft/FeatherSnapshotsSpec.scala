@@ -477,4 +477,114 @@ class FeatherSnapshotsSpec extends AnyFunSuite {
       .option("timestampAsOf", future).load(path).count() === 150)
   }
 
+
+  // ---- delta-log storage form (add/remove actions + periodic checkpoints)
+
+  private def manifestText(path: String, v: Long): String = {
+    val fs = fsOf(path)
+    val p = new Path(path,
+      f"${FeatherSnapshots.Dir}/v$v%08d.json")
+    val in = fs.open(p)
+    try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
+  test("append commits serialize as deltas; checkpoints land on schedule") {
+    val path = tmp("delta_form")
+    writeV(path, 1, 50, "overwrite") // v1: full (no parent)
+    for (k <- 0 until 9) writeV(path, 100 + k * 10, 100 + k * 10 + 9, "append")
+    // v1 full, v2..v7 deltas, v8 checkpoint (CheckpointEvery = 8), v9+ delta
+    assert(manifestText(path, 1L).contains("\"files\""))
+    for (v <- 2L to 7L) {
+      val t = manifestText(path, v)
+      assert(!t.contains("\"files\""), s"v$v should be a delta")
+      assert(t.contains("\"add\""), s"v$v should carry add actions")
+    }
+    assert(manifestText(path, 8L).contains("\"files\""), "v8 is a checkpoint")
+    assert(!manifestText(path, 9L).contains("\"files\""))
+    // reconstruction across the whole chain: v10 = 50 + 9*10 rows
+    assert(spark.read.format("feather").load(path).count() === 140)
+    // time travel to a delta version crossing the checkpoint boundary
+    assert(spark.read.format("feather").option("versionAsOf", "9")
+      .load(path).count() === 130)
+    assert(spark.read.format("feather").option("versionAsOf", "7")
+      .load(path).count() === 110)
+    // an overwrite diff outweighs the full list -> checkpoints naturally
+    writeV(path, 1, 20, "overwrite") // v11
+    assert(manifestText(path, 11L).contains("\"files\""))
+    assert(spark.read.format("feather").load(path).count() === 20)
+  }
+
+  test("a delta append's manifest bytes are O(changed files), not O(files)") {
+    val path = tmp("delta_bytes")
+    // many-file table: 16 parts at v1
+    locally {
+      import spark.implicits._
+      (1 to 1600).map(i => (i.toLong, s"n_$i")).toDF("id", "name")
+        .repartition(16).write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(path)
+    }
+    writeV(path, 2000, 2000, "append") // v2: ONE new part
+    val full = manifestText(path, 1L).length
+    val delta = manifestText(path, 2L).length
+    assert(delta < full / 4,
+      s"one-part append manifest ($delta B) should be far smaller than " +
+        s"the 16-part checkpoint ($full B)")
+    assert(spark.read.format("feather").load(path).count() === 1601)
+  }
+
+  test("expire mid-chain materializes the oldest kept version as a " +
+       "checkpoint and keeps every kept version reconstructible") {
+    val path = tmp("expire_ckpt")
+    writeV(path, 1, 30, "overwrite")            // v1 full
+    for (k <- 1 to 5) writeV(path, 100 * k, 100 * k + 4, "append") // v2..v6 deltas
+    // keep the last 3 -> oldest kept = v4, a delta whose chain (v1..v3)
+    // is about to vanish
+    assert(!manifestText(path, 4L).contains("\"files\""))
+    val (droppedManifests, _) =
+      FeatherSnapshots.expire(fsOf(path), new Path(path), keepLast = 3)
+    assert(droppedManifests === 3)
+    assert(manifestText(path, 4L).contains("\"files\""),
+      "oldest kept version must be rewritten as a full checkpoint")
+    // all kept versions reconstruct; dropped ones are loud
+    assert(spark.read.format("feather").option("versionAsOf", "4")
+      .load(path).count() === 30 + 3 * 5)
+    assert(spark.read.format("feather").option("versionAsOf", "6")
+      .load(path).count() === 30 + 5 * 5)
+    val e = intercept[Exception] {
+      spark.read.format("feather").option("versionAsOf", "2")
+        .load(path).count()
+    }
+    assert(e.getMessage.contains("expired or never committed"))
+    // a later append keeps working off the materialized checkpoint
+    writeV(path, 900, 904, "append") // v7
+    assert(spark.read.format("feather").load(path).count() === 30 + 6 * 5)
+  }
+
+  test("mutations and maintenance ride the delta log end-to-end") {
+    val path = tmp("delta_mut")
+    import spark.implicits._
+    (1 to 400).map(i => (i.toLong, s"g${i % 3}", s"p_$i"))
+      .toDF("id", "grp", "pay")
+      .repartitionByRange(4, col("id"))
+      .write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(path)
+    graft.io.FeatherMutations.deleteByKey(spark, path,
+      Seq(5L, 6L).toDF("id"), Seq("id"))                 // v2 delta
+    graft.io.FeatherMutations.merge(spark, path,
+      Seq((7L, "gX", "p_7_new"), (401L, "gY", "p_401"))
+        .toDF("id", "grp", "pay"), Seq("id"))            // v3 delta
+    val t2 = manifestText(path, 2L)
+    assert(!t2.contains("\"files\"") && t2.contains("\"remove\""),
+      "a pruned delete serializes touched files as remove actions")
+    val after = spark.read.format("feather").load(path)
+    assert(after.count() === 399)
+    assert(after.where(col("id") === 7L).head().getString(2) === "p_7_new")
+    assert(after.where(col("id") === 401L).count() === 1)
+    // time travel across the delta versions still works
+    assert(spark.read.format("feather").option("versionAsOf", "1")
+      .load(path).count() === 400)
+  }
+
 }
