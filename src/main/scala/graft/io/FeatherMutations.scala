@@ -7,7 +7,8 @@ import org.apache.spark.sql.types._
 
 import graft.sources.FeatherSnapshots
 
-/** Row-level DELETE and MERGE (upsert) on snapshotted feather tables, as
+/** Row-level DELETE and MERGE (upsert) on snapshotted feather AND avro
+  * tables (face auto-detected from the manifest's part suffixes), as
   * copy-on-write MANIFEST operations — the mutation tier a 100-TB corpus
   * table needs (takedown/right-to-erasure deletes by document key;
   * incremental corrections and late-arriving re-crawls as upserts) that
@@ -98,6 +99,59 @@ object FeatherMutations {
       appendSource = Some(live), codec)
   }
 
+  // ---- connector face -----------------------------------------------------
+  // The probe (stats ranges, bloom sidecars), manifest commit, and leaf
+  // orchestration are format-agnostic; only schema inference, the merged
+  // read, the part writer, and the empty-table stamp differ per face.
+  // Face is detected from the manifest's part suffixes — a mutation never
+  // needs to be told what the table is.
+
+  private sealed trait Face {
+    def label: String
+    def mergedSchema(spark: SparkSession, files: Seq[(String, Long)]): StructType
+    def readMerged(spark: SparkSession, files: Seq[(String, Long)]): DataFrame
+    def writeParts(df: DataFrame, dir: String, prefix: String,
+                   codec: String): Seq[(String, Long, String)]
+    def stamp(fs: org.apache.hadoop.fs.FileSystem, dir: Path, prefix: String,
+              schema: StructType): (String, Long)
+    /** Translate the caller's codec: "lz4" is the feather-centric default
+      * parameter value and maps to the face's own default elsewhere. */
+    def codecFor(requested: String): String
+  }
+
+  private object FeatherFace extends Face {
+    val label = "feather"
+    def mergedSchema(spark: SparkSession, files: Seq[(String, Long)]) =
+      StructType(GraftFeather.readFieldsMerged(spark, files).map(f =>
+        StructField(f.getName, GraftFeather.toSparkType(f), f.isNullable)))
+    def readMerged(spark: SparkSession, files: Seq[(String, Long)]) =
+      GraftFeather.readFiles(spark, files, mergeSchema = true)
+    def writeParts(df: DataFrame, dir: String, prefix: String, codec: String) =
+      GraftFeather.writeParts(df, dir, prefix, codecFor(codec))
+    def stamp(fs: org.apache.hadoop.fs.FileSystem, dir: Path, prefix: String,
+              schema: StructType) =
+      GraftFeather.stampSchemaOnly(fs, dir, s"$prefix-empty.feather",
+        schema.fields.toSeq.map(f =>
+          GraftFeather.toArrowField(f.name, f.dataType, f.nullable)))
+    def codecFor(requested: String): String = requested
+  }
+
+  private object AvroFace extends Face {
+    val label = "avro"
+    def mergedSchema(spark: SparkSession, files: Seq[(String, Long)]) =
+      GraftAvro.toSparkType(GraftAvro.mergedSchema(spark, files))
+        .asInstanceOf[StructType]
+    def readMerged(spark: SparkSession, files: Seq[(String, Long)]) =
+      GraftAvro.readFilesDF(spark, files, mergeSchema = true)
+    def writeParts(df: DataFrame, dir: String, prefix: String, codec: String) =
+      GraftAvro.writeParts(df, dir, prefix, codecFor(codec))
+    def stamp(fs: org.apache.hadoop.fs.FileSystem, dir: Path, prefix: String,
+              schema: StructType) =
+      GraftAvro.stampSchemaOnly(fs, dir, s"$prefix-empty.avro", schema)
+    def codecFor(requested: String): String =
+      if (requested == "lz4") "snappy" else requested
+  }
+
   // ---- shared implementation ----------------------------------------------
 
   private sealed trait KeyRange
@@ -120,15 +174,17 @@ object FeatherMutations {
         "option(\"snapshots\", \"true\") first")
     val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
       sys.error(s"$op on $path: snapshot directory exists but holds no versions"))
-    // the rewriter reads/writes Arrow IPC parts; an avro-face snapshot
-    // table would die deep in the footer parser — name the limitation
-    snap.files.find { case (rel, _) =>
-      !FeatherSnapshots.FeatherSuffixes.exists(rel.endsWith) }.foreach {
-      case (rel, _) => throw new IllegalArgumentException(
-        s"$op on $path: manifest references non-feather part '$rel' — " +
-          "row-level mutations are implemented on the feather face only " +
-          "(read the avro table and rewrite it as feather to mutate)")
-    }
+    val face: Face =
+      if (snap.files.forall { case (rel, _) => rel.endsWith(".avro") })
+        AvroFace
+      else if (snap.files.forall { case (rel, _) =>
+          FeatherSnapshots.FeatherSuffixes.exists(rel.endsWith) })
+        FeatherFace
+      else throw new IllegalArgumentException(
+        s"$op on $path: manifest mixes part formats (" +
+          snap.files.map(_._1.reverse.takeWhile(_ != '.').reverse)
+            .distinct.mkString(", ") +
+          ") — row-level mutations need a single-face table")
     val parentV = snap.version
     val prefix = f"mut-v${parentV + 1}%08d"
 
@@ -145,14 +201,12 @@ object FeatherMutations {
           "currently requires an unpartitioned table (inserts would need " +
           "partition routing) — deleteByKey supports partitioned tables")
 
-    // table schema = the UNION of every live footer (a mutated table may
-    // carry evolved generations; projecting to the first footer would
-    // silently drop evolved columns from the rewritten survivors) —
+    // table schema = the UNION of every live footer/header (a mutated
+    // table may carry evolved generations; projecting to the first file
+    // would silently drop evolved columns from the rewritten survivors) —
     // validates keys before any work
-    val tableFields = GraftFeather.readFieldsMerged(spark,
+    val tableSchema = face.mergedSchema(spark,
       snap.files.map { case (rel, len) => (new Path(root, rel).toString, len) })
-    val tableSchema = StructType(tableFields.map(f => StructField(f.getName,
-      GraftFeather.toSparkType(f), f.isNullable)))
     keyCols.foreach(k => require(tableSchema.fieldNames.contains(k),
       s"$op: key column '$k' not in table schema " +
         s"(${tableSchema.fieldNames.mkString(", ")})"))
@@ -348,10 +402,9 @@ object FeatherMutations {
         val survivors: Option[DataFrame] =
           if (touchedLeaf.isEmpty) None
           else {
-            val sv0 = GraftFeather.readFiles(spark,
+            val sv0 = face.readMerged(spark,
               touchedLeaf.map { case (rel, len) =>
-                (new Path(root, rel).toString, len) },
-              mergeSchema = true)
+                (new Path(root, rel).toString, len) })
             // project to the FULL table schema (mergeSchema above unions
             // only the TOUCHED footers): when every touched file predates
             // an evolved column, sv would lack it and a legitimate
@@ -376,7 +429,7 @@ object FeatherMutations {
         // owns long-run part hygiene either way
         val targetParts = math.max(1, math.max(touchedLeaf.size,
           appendSource.map(_.rdd.getNumPartitions).getOrElse(0)))
-        val parts = GraftFeather.writeParts(
+        val parts = face.writeParts(
           outDf.coalesce(targetParts), leafDir.toString, prefix, codec)
         if (parts.nonEmpty)
           FeatherStats.upsertMerged(fs, leafDir,
@@ -394,12 +447,9 @@ object FeatherMutations {
     // columns discovery infers; a single root-level stamp would silently
     // drop them from the table's schema)
     if (added.isEmpty && snap.files.forall { case (rel, _) => touchedRel(rel) }) {
-      val fields = tableSchema.fields.toSeq.map(f =>
-        GraftFeather.toArrowField(f.name, f.dataType, f.nullable))
       byLeaf.foreach { case (relDir, _) =>
         val leafDir = if (relDir.isEmpty) root else new Path(root, relDir)
-        val (name, len) = GraftFeather.stampSchemaOnly(fs, leafDir,
-          s"$prefix-empty.feather", fields)
+        val (name, len) = face.stamp(fs, leafDir, prefix, tableSchema)
         added += ((if (relDir.isEmpty) name else s"$relDir/$name", len))
       }
     }

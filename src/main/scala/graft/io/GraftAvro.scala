@@ -285,8 +285,27 @@ object GraftAvro {
     * rows are read exactly once with no coordination. */
   def read(spark: SparkSession, path: String,
            columns: Seq[String] = Nil,
-           maxSplitBytes: Long = 128L << 20): DataFrame = {
-    val (schemaJson, sparkSchema, splits) = planRead(spark, path, maxSplitBytes)
+           maxSplitBytes: Long = 128L << 20): DataFrame =
+    readFilesDF(spark, partFiles(spark, path), columns, maxSplitBytes)
+
+  /** [[read]] over an EXPLICIT file list, optionally with the merged
+    * (null-defaulted union) reader schema — the entry point for callers
+    * that plan files themselves (the mutation rewriter reads exactly the
+    * TOUCHED files of a snapshot manifest; a directory read would pull
+    * retired generations back in). */
+  private[graft] def readFilesDF(spark: SparkSession,
+                                 files: Seq[(String, Long)],
+                                 columns: Seq[String] = Nil,
+                                 maxSplitBytes: Long = 128L << 20,
+                                 mergeSchema: Boolean = false): DataFrame = {
+    val (firstJson, firstSchema, splits) =
+      planReadFiles(spark, files, maxSplitBytes)
+    val (schemaJson, sparkSchema) =
+      if (mergeSchema) {
+        val m = mergedSchema(spark, files)
+        (m.toString,
+          toSparkType(m).asInstanceOf[StructType])
+      } else (firstJson, firstSchema)
     val confMap = confBroadcast(spark)
     val rdd = spark.sparkContext
       .parallelize(splits, splits.size)
@@ -576,5 +595,83 @@ object GraftAvro {
       try w.create(schema, stream) finally w.close()
     }
     fs.create(new Path(out, "_SUCCESS"), true).close()
+  }
+
+  /** Write a frame as avro parts named `$prefix-NNNNN.avro` into an
+    * EXISTING directory, with per-part `.stats.json` sidecars — the avro
+    * twin of [[GraftFeather.writeParts]] (same tmp+rename commit, same
+    * prefix pre-clean so a crashed run's orphans are reclaimed by the
+    * retry). Returns (name, committedLen, statsJson) per part written;
+    * empty partitions write nothing. */
+  private[graft] def writeParts(df: DataFrame, dir: String, prefix: String,
+                                codec: String = "snappy")
+      : Seq[(String, Long, String)] = {
+    require(prefix.nonEmpty && !prefix.contains("/") && !prefix.startsWith("."),
+      s"writeParts prefix must be a plain name fragment, got '$prefix'")
+    val st = df.schema
+    val schemaJson = toAvroSchema(st).toString
+    require(Seq("snappy", "deflate", "null", "none").contains(codec),
+      s"unknown codec $codec (snappy, deflate, none)")
+    val spark = df.sparkSession
+    val out = new Path(dir)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(out) && fs.getFileStatus(out).isDirectory,
+      s"writeParts: $dir is not an existing directory")
+    fs.listStatus(out).iterator
+      .filter(e => !e.isDirectory && e.getPath.getName.startsWith(prefix + "-"))
+      .foreach(e => fs.delete(e.getPath, false))
+    val confMap = confBroadcast(spark)
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val execConf = new org.apache.hadoop.conf.Configuration(false)
+        confMap.value.foreach { case (k, v) => execConf.set(k, v) }
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val partFs = new Path(dir).getFileSystem(execConf)
+        val finalPart = new Path(dir, f"$prefix-$pid%05d.avro")
+        val tmpPart = new Path(dir, f".$prefix-$pid%05d-attempt-$attempt.avro.tmp")
+        val pw = new AvroPartWriter(st, schemaJson,
+          partFs.create(tmpPart, true), codec)
+        val stats = new FeatherStats.Collector(st)
+        try {
+          rows.foreach { r => pw.append(r); stats.observe(r) }
+          pw.finish()
+          val statsJson = FeatherStats.toJson(Seq(stats.snapshotAndReset()))
+          if (!partFs.rename(tmpPart, finalPart)) {
+            require(partFs.exists(finalPart),
+              s"rename $tmpPart -> $finalPart failed with no winner present")
+            partFs.delete(tmpPart, false)
+          } else {
+            val sc = partFs.create(
+              new Path(dir, finalPart.getName + ".stats.json"), true)
+            try sc.write(statsJson.getBytes("UTF-8"))
+            finally sc.close()
+          }
+          Iterator.single((finalPart.getName,
+            partFs.getFileStatus(finalPart).getLen, statsJson))
+        } catch {
+          case e: Throwable =>
+            pw.abort()
+            try partFs.delete(tmpPart, false) catch { case _: Exception => () }
+            throw e
+        }
+      }
+    }.collect().toSeq
+  }
+
+  /** Stamp one header-only avro part (schema, zero blocks) — the avro
+    * twin of [[GraftFeather.stampSchemaOnly]]: a table whose every row
+    * was deleted must still read back as an EMPTY frame with its schema.
+    * Returns (name, committedLen). */
+  private[graft] def stampSchemaOnly(fs: org.apache.hadoop.fs.FileSystem,
+                                     dir: Path, name: String,
+                                     st: StructType): (String, Long) = {
+    val schema = toAvroSchema(st)
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    val stream = fs.create(new Path(dir, name), true)
+    try w.create(schema, stream) finally w.close()
+    name -> fs.getFileStatus(new Path(dir, name)).getLen
   }
 }

@@ -60,6 +60,7 @@ object IoQueries extends QueryPack {
     "io_feather_skipping", "io_feather_compact", "io_avro_compact",
     "io_feather_agg_pushdown", "io_feather_time_travel", "io_avro_skipping",
     "io_feather_delete", "io_feather_merge", "io_feather_cdc",
+    "io_avro_delete", "io_avro_merge",
     "io_feather_cluster", "io_feather_evolution", "io_avro_evolution",
     "io_feather_bloom_skip", "io_avro_time_travel", "dedup_lsh_incremental")
 
@@ -957,6 +958,76 @@ object IoQueries extends QueryPack {
         s"merge should touch a strict subset of the 6 parts: $r")
     }
     s.read.format("feather").load(path)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").as("total"))
+      .orderBy("o_orderkey")
+  }
+
+  // Row-level DELETE on the AVRO face (io/FeatherMutations.scala, face
+  // auto-detected from the manifest): same copy-on-write manifest commit,
+  // stats-range file pruning, and left-anti rewrite as the feather face —
+  // the takedown path no longer requires converting an avro table. The
+  // rewriter reads exactly the touched parts via the merged reader schema
+  // and writes avro parts + stats sidecars back.
+  register("io_avro_delete",
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_orderkey <= 4000
+      |  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+      |                         WHERE o_orderkey BETWEEN 1001 AND 1500)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val path = readFixture("avro_delete", d) { p =>
+      Tables.lineitem(s, d).filter(col("l_orderkey") <= 4000)
+        .select("l_returnflag", "l_orderkey", "l_quantity")
+        .repartitionByRange(8, col("l_orderkey"))
+        .write.format("graft-avro").mode("overwrite")
+        .option("snapshots", "true").save(p)
+      val takedown = Tables.orders(s, d)
+        .filter(col("o_orderkey").between(1001, 1500))
+        .select(col("o_orderkey").as("l_orderkey"))
+      val r = graft.io.FeatherMutations.deleteByKey(
+        s, p, takedown, Seq("l_orderkey"))
+      require(r.filesTouched > 0 && r.filesTouched < 8,
+        s"avro delete should touch a strict subset of the 8 parts: $r")
+    }
+    s.read.format("graft-avro").load(path)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(12, 2)))
+          .cast(DoubleType).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  // MERGE (upsert) on the avro face — same commit/prune/idempotence
+  // contract as io_feather_merge; FeatherMutationsSpec pins the avro CDC
+  // and delete-all paths.
+  register("io_avro_merge",
+    """SELECT o_orderkey, o_orderpriority, total FROM (
+      |  SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderkey <= 3000 AND NOT (o_orderkey BETWEEN 1000 AND 1600)
+      |  UNION ALL
+      |  SELECT o_orderkey, '9-MERGED' AS o_orderpriority,
+      |    CAST(o_totalprice AS DOUBLE) * 2 AS total
+      |  FROM orders WHERE o_orderkey BETWEEN 1000 AND 1600
+      |     OR o_orderkey BETWEEN 3001 AND 3500
+      |) t ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val path = readFixture("avro_merge", d) { p =>
+      Tables.orders(s, d).filter(col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartitionByRange(6, col("o_orderkey"))
+        .write.format("graft-avro").mode("overwrite")
+        .option("snapshots", "true").save(p)
+      val source = Tables.orders(s, d)
+        .filter(col("o_orderkey").between(1000, 1600) ||
+          col("o_orderkey").between(3001, 3500))
+        .select(col("o_orderkey"), lit("9-MERGED").as("o_orderpriority"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+      val r = graft.io.FeatherMutations.merge(
+        s, p, source, Seq("o_orderkey"))
+      require(r.filesTouched > 0 && r.filesTouched < 6,
+        s"avro merge should touch a strict subset of the 6 parts: $r")
+    }
+    s.read.format("graft-avro").load(path)
       .select(col("o_orderkey"), col("o_orderpriority"),
         col("o_totalprice").as("total"))
       .orderBy("o_orderkey")

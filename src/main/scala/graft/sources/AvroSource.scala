@@ -101,7 +101,8 @@ private class AvroTable(tableSchema: StructType, path: String,
         .getOrElse(mergeSchema),
       FeatherTimeTravel.pinnedVersion(
         Option(options.get("versionasof")),
-        Option(options.get("timestampasof")), path).orElse(versionAsOf))
+        Option(options.get("timestampasof")), path).orElse(versionAsOf),
+      Option(options.get("ignorechanges")).exists(_.toBoolean))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -370,7 +371,8 @@ private class AvroScanBuilder(fullSchema: StructType, path: String,
                               maxSplitBytes: Long,
                               maxFilesPerTrigger: Option[Int],
                               mergeSchema: Boolean = false,
-                              versionAsOf: Option[Long] = None)
+                              versionAsOf: Option[Long] = None,
+                              ignoreChanges: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -416,7 +418,8 @@ private class AvroScanBuilder(fullSchema: StructType, path: String,
     case Some((schema, row)) => new AvroLocalScan(path, schema, Array(row))
     case None =>
       new AvroScan(required, path, maxSplitBytes, limit,
-        pruneFilters.toSeq, maxFilesPerTrigger, mergeSchema, versionAsOf)
+        pruneFilters.toSeq, maxFilesPerTrigger, mergeSchema, versionAsOf,
+        ignoreChanges)
   }
 }
 
@@ -435,7 +438,8 @@ private class AvroScan(readSchema0: StructType, path: String,
                        pruneFilters: Seq[org.apache.spark.sql.sources.Filter],
                        maxFilesPerTrigger: Option[Int],
                        mergeSchema: Boolean = false,
-                       versionAsOf: Option[Long] = None)
+                       versionAsOf: Option[Long] = None,
+                       ignoreChanges: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = readSchema0
   override def description(): String =
@@ -521,18 +525,17 @@ private class AvroScan(readSchema0: StructType, path: String,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    // a SNAPSHOTTED avro table must not be streamed by directory listing:
-    // retired generations (overwrite/compact) would re-deliver. Version
-    // streaming is implemented on the feather face; loud here.
+    // a SNAPSHOTTED avro table streams by MANIFEST VERSION, exactly like
+    // the feather face (file-set offsets would re-deliver retired
+    // generations); a plain drop directory streams by file-set offsets
     val rp = new org.apache.hadoop.fs.Path(path)
     val sfs = rp.getFileSystem(
       SparkSession.active.sparkContext.hadoopConfiguration)
-    require(!FeatherSnapshots.enabled(sfs, rp),
-      s"readStream on snapshotted avro table $path: file-set offsets " +
-        "would re-deliver retired generations — read it as a batch " +
-        "source (versionAsOf/timestampAsOf) or stream a feather table")
-    new AvroMicroBatchStream(readSchema0, path, maxSplitBytes,
-      maxFilesPerTrigger, checkpointLocation)
+    if (FeatherSnapshots.enabled(sfs, rp))
+      new AvroSnapshotStream(readSchema0, path, maxSplitBytes, ignoreChanges)
+    else
+      new AvroMicroBatchStream(readSchema0, path, maxSplitBytes,
+        maxFilesPerTrigger, checkpointLocation)
   }
 
   // exact row count from the stats sidecars (one Count batch per avro
@@ -589,6 +592,62 @@ private class AvroMicroBatchStream(readSchema: StructType, path: String,
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(readSchema, expectedSchemaJson, -1,
       GraftHadoop.confBroadcast(spark))
+}
+
+/** Streams a SNAPSHOTTED avro table by manifest version — the avro face
+  * of [[FeatherSnapshotStream]]: offsets are version numbers, batches are
+  * version diffs (semantics in FeatherSnapshots.versionDiffFiles, ONE
+  * definition for both faces), zero listings, exactly-once by manifest
+  * immutability. */
+private class AvroSnapshotStream(readSchema: StructType, path: String,
+                                 maxSplitBytes: Long,
+                                 ignoreChanges: Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  private def rp = new org.apache.hadoop.fs.Path(path)
+  private def fs = rp.getFileSystem(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
+  override def initialOffset(): Offset = SnapshotVersionOffset(0L)
+  override def latestOffset(): Offset =
+    SnapshotVersionOffset(FeatherSnapshots.latestVersion(fs, rp).getOrElse(0L))
+  override def deserializeOffset(json: String): Offset =
+    SnapshotVersionOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  // expected reader schema for per-file resolution, fixed at stream start
+  // (same contract as AvroMicroBatchStream): the head snapshot's first
+  // part's writer schema, or the table schema's mapping on an empty table
+  private lazy val expectedSchemaJson: String =
+    FeatherSnapshots.resolve(fs, rp, None)
+      .flatMap(_.files.headOption)
+      .map { case (rel, len) =>
+        GraftAvro.planReadFiles(SparkSession.active,
+          Seq((new org.apache.hadoop.fs.Path(rp, rel).toString, len)),
+          Long.MaxValue)._1
+      }
+      .getOrElse(GraftAvro.toAvroSchema(readSchema).toString)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[SnapshotVersionOffset].v
+    val e = end.asInstanceOf[SnapshotVersionOffset].v
+    if (e <= s) return Array.empty
+    val newRel = FeatherSnapshots.versionDiffFiles(fs, rp, s, e, ignoreChanges)
+    if (newRel.isEmpty) return Array.empty
+    val leaves = FeatherSnapshots.toDiscovered(rp,
+      FeatherSnapshots.Snapshot(e, s, "batch", newRel.sortBy(_._1))).files
+    val byFile = leaves.map(l => l.file -> l.values).toMap
+    GraftAvro.planReadFiles(SparkSession.active,
+      leaves.map(l => (l.file, l.len)), maxSplitBytes)._3
+      .map { case (f, st, en) => AvroInputPartition(f, st, en, byFile(f)) }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AvroReaderFactory(readSchema, expectedSchemaJson, -1,
+      GraftHadoop.confBroadcast(SparkSession.active))
 }
 
 private case class AvroInputPartition(file: String, start: Long, end: Long,

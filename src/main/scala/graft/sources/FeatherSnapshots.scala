@@ -163,6 +163,63 @@ private[graft] object FeatherSnapshots {
     out.toSeq
   }
 
+  /** The (relPath, len) files version range `(s, e]` DELIVERS to a
+    * snapshot-version stream — the Delta streaming contract, shared by
+    * the feather and avro faces (one definition of the op semantics; a
+    * per-face copy would drift): `s == 0` is the initial load (the
+    * CURRENT snapshot whole — history before the stream started is not
+    * change data); `append`/`adopt` versions stream their novel files;
+    * `compact`/`cluster` are row-preserving rewrites of already-delivered
+    * rows and SKIP; `overwrite`/`delete`/`merge`/`cdc` are non-append
+    * changes that fail loudly unless `ignoreChanges` — which skips a
+    * delete's rewrites (survivors only, nothing new) but DELIVERS
+    * merge/cdc parts whole (inserts must arrive; re-delivered survivors
+    * are downstream's key-dedup problem, Delta's ignoreChanges
+    * contract). */
+  private[graft] def versionDiffFiles(fs: FileSystem, root: Path,
+                                      s: Long, e: Long,
+                                      ignoreChanges: Boolean)
+      : Seq[(String, Long)] = {
+    val newRel = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    if (s == 0) newRel ++= read(fs, root, e).files
+    else {
+      val snaps = readRange(fs, root, s, e)
+      var prev: Map[String, Long] = snaps.head.files.toMap
+      for (snap <- snaps.tail) {
+        val v = snap.version
+        snap.op match {
+          case "append" | "adopt" =>
+            newRel ++= snap.files.filterNot { case (rel, _) => prev.contains(rel) }
+          case "compact" | "cluster" =>
+          case "overwrite" =>
+            if (!ignoreChanges) throw new IllegalStateException(
+              s"snapshot stream on $root hit an overwrite commit " +
+                s"(v$v): the table changed non-append. Restart the stream " +
+                "from scratch, or set option(\"ignoreChanges\", \"true\") " +
+                "to skip the replaced data.")
+          case "delete" =>
+            if (!ignoreChanges) throw new IllegalStateException(
+              s"snapshot stream on $root hit a delete commit " +
+                s"(v$v): rows were removed mid-stream. Restart from " +
+                "scratch, or set option(\"ignoreChanges\", \"true\") to " +
+                "continue (the deletions are not propagated downstream).")
+          case "merge" | "cdc" =>
+            if (!ignoreChanges) throw new IllegalStateException(
+              s"snapshot stream on $root hit a ${snap.op} commit " +
+                s"(v$v): rows were updated mid-stream. Restart from " +
+                "scratch, or set option(\"ignoreChanges\", \"true\") to " +
+                "deliver the rewritten parts (downstream must dedup by key).")
+            else newRel ++= snap.files.filterNot {
+              case (rel, _) => prev.contains(rel) }
+          case other => throw new IllegalStateException(
+            s"snapshot v$v carries unknown op '$other'")
+        }
+        prev = snap.files.toMap
+      }
+    }
+    newRel.toSeq
+  }
+
   /** Every retained version reconstructed in ASCENDING order, each
     * manifest file read exactly once (the per-version [[read]] would pay
     * the chain walk per call). The oldest retained manifest must be full

@@ -568,55 +568,9 @@ private class FeatherSnapshotStream(readSchema: StructType, path: String,
     val s = start.asInstanceOf[SnapshotVersionOffset].v
     val e = end.asInstanceOf[SnapshotVersionOffset].v
     if (e <= s) return Array.empty
-    val newRel = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    if (s == 0) {
-      // initial load = the CURRENT snapshot (Delta's starting semantics):
-      // history before the stream started is not change data
-      newRel ++= FeatherSnapshots.read(fs, rp, e).files
-    } else {
-      // incremental reconstruction: one manifest read per version in the
-      // range (per-version read() would re-walk the delta chain each time)
-      val snaps = FeatherSnapshots.readRange(fs, rp, s, e)
-      var prev: Map[String, Long] = snaps.head.files.toMap
-      for (snap <- snaps.tail) {
-        val v = snap.version
-        snap.op match {
-          case "append" | "adopt" =>
-            newRel ++= snap.files.filterNot { case (rel, _) => prev.contains(rel) }
-          // row-preserving rewrites of already-delivered rows: skip
-          case "compact" | "cluster" =>
-          case "overwrite" =>
-            if (!ignoreChanges) throw new IllegalStateException(
-              s"feather snapshot stream on $path hit an overwrite commit " +
-                s"(v$v): the table changed non-append. Restart the stream " +
-                "from scratch, or set option(\"ignoreChanges\", \"true\") " +
-                "to skip the replaced data.")
-          case "delete" =>
-            // a delete's new parts hold only SURVIVORS of already-delivered
-            // rows — nothing new exists, so under ignoreChanges they skip
-            if (!ignoreChanges) throw new IllegalStateException(
-              s"feather snapshot stream on $path hit a delete commit " +
-                s"(v$v): rows were removed mid-stream. Restart from " +
-                "scratch, or set option(\"ignoreChanges\", \"true\") to " +
-                "continue (the deletions are not propagated downstream).")
-          case "merge" | "cdc" =>
-            // merge/cdc parts MIX survivors, updates, and inserts — under
-            // ignoreChanges they DELIVER whole (Delta's ignoreChanges
-            // contract: new rows arrive, already-delivered survivors may
-            // re-deliver; downstream must key-dedup)
-            if (!ignoreChanges) throw new IllegalStateException(
-              s"feather snapshot stream on $path hit a ${snap.op} commit " +
-                s"(v$v): rows were updated mid-stream. Restart from " +
-                "scratch, or set option(\"ignoreChanges\", \"true\") to " +
-                "deliver the rewritten parts (downstream must dedup by key).")
-            else newRel ++= snap.files.filterNot {
-              case (rel, _) => prev.contains(rel) }
-          case other => throw new IllegalStateException(
-            s"feather snapshot v$v carries unknown op '$other'")
-        }
-        prev = snap.files.toMap
-      }
-    }
+    // version-diff semantics live in FeatherSnapshots.versionDiffFiles —
+    // ONE definition shared with the avro face
+    val newRel = FeatherSnapshots.versionDiffFiles(fs, rp, s, e, ignoreChanges)
     if (newRel.isEmpty) return Array.empty
     // partition values ride the relative paths, exactly as batch discovery
     val leaves = FeatherSnapshots.toDiscovered(rp,

@@ -131,15 +131,77 @@ class AvroSnapshotsSpec extends AnyFunSuite {
       .load(path).count() === 40)
   }
 
-  test("streaming a snapshotted avro table fails loudly") {
-    val path = tmp("stream_guard")
-    writeV(path, 1, 20, "overwrite")
-    val e = intercept[Exception] {
-      spark.readStream.format("graft-avro").load(path)
-        .writeStream.format("memory").queryName("avro_snap_guard").start()
-        .processAllAvailable()
-    }
-    assert(e.getMessage.contains("snapshotted avro") ||
-      Option(e.getCause).exists(_.getMessage.contains("snapshotted avro")))
+  test("a snapshotted avro table streams by manifest version, exactly once") {
+    import org.apache.spark.sql.functions._
+    val path = tmp("version_stream")
+    val ckpt = tmp("version_stream_ckpt")
+    writeV(path, 1, 100, "overwrite") // v1 before the stream starts
+    val q = spark.readStream.format("graft-avro").load(path)
+      .writeStream.format("memory").queryName("avro_snap_stream")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable() // initial load = current snapshot
+      assert(spark.table("avro_snap_stream").count() === 100)
+      writeV(path, 101, 150, "append") // v2
+      q.processAllAvailable()
+      assert(spark.table("avro_snap_stream").count() === 150)
+      // compaction rewrites delivered rows — the version stream skips them
+      val r = graft.io.AvroCompact.compact(spark, path, targetBytes = 1L << 30)
+      assert(r.groupsRewritten >= 1)
+      q.processAllAvailable()
+      assert(spark.table("avro_snap_stream").count() === 150,
+        "compacted rewrites must not re-stream")
+      writeV(path, 151, 170, "append") // v4
+      q.processAllAvailable()
+      val got = spark.table("avro_snap_stream")
+      assert(got.count() === 170)
+      assert(got.agg(sum(col("id"))).head().getLong(0) ===
+        (1 to 170).map(_.toLong).sum, "exactly-once across all version ops")
+    } finally q.stop()
+  }
+
+  test("an avro version stream hits a delete: loud, then skips under " +
+       "ignoreChanges; a merge delivers its parts under ignoreChanges") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = tmp("version_stream_mut")
+    writeV(path, 1, 60, "overwrite")
+    val q = spark.readStream.format("graft-avro").load(path)
+      .writeStream.format("memory").queryName("avro_snap_mut")
+      .option("checkpointLocation", tmp("version_stream_mut_ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("avro_snap_mut").count() === 60)
+      graft.io.FeatherMutations.deleteByKey(spark, path,
+        Seq(1L, 2L).toDF("id"), Seq("id")) // v2: delete mid-stream
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("delete") ||
+        Option(e.getCause).exists(_.getMessage.contains("delete")))
+    } finally q.stop()
+    val q2 = spark.readStream.format("graft-avro")
+      .option("ignoreChanges", "true").load(path)
+      .writeStream.format("memory").queryName("avro_snap_mut2")
+      .option("checkpointLocation", tmp("version_stream_mut2_ckpt"))
+      .start()
+    try {
+      q2.processAllAvailable() // initial load = post-delete snapshot
+      assert(spark.table("avro_snap_mut2").count() === 58)
+      // a merge mid-stream delivers its rewritten parts whole
+      graft.io.FeatherMutations.merge(spark, path,
+        Seq((100L, "n_100_v2"), (200L, "n_200")).toDF("id", "name"),
+        Seq("id")) // v3: one replace + one insert
+      q2.processAllAvailable()
+      val got = spark.table("avro_snap_mut2")
+      // the touched part re-delivers (downstream key-dedup contract):
+      // latest row per key must reflect the merge
+      val latest = got.groupBy("id").agg(max("name").as("name"))
+      assert(latest.where(col("id") === 200L).count() === 1)
+      assert(got.where(col("id") === 100L && col("name") === "n_100_v2")
+        .count() >= 1)
+    } finally q2.stop()
   }
 }

@@ -205,20 +205,86 @@ class FeatherMutationsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("partitioned"))
   }
 
-  test("mutation on an avro-face snapshot table fails loudly by name") {
+  test("OPTIMIZE on an avro-face snapshot table still fails loudly by name") {
     val path = tmp("mut_avro_face")
     import spark.implicits._
     (1 to 20).map(i => (i.toLong, s"n_$i")).toDF("id", "name")
       .repartition(1).write.format("graft-avro").mode("overwrite")
       .option("snapshots", "true").save(path)
-    val e = intercept[IllegalArgumentException] {
-      FeatherMutations.deleteByKey(spark, path, keysOf(Seq(1L)), Seq("id"))
-    }
-    assert(e.getMessage.contains("feather face only"))
     val e2 = intercept[IllegalArgumentException] {
       graft.io.FeatherCluster.cluster(spark, path, Seq("id"))
     }
     assert(e2.getMessage.contains("feather face only"))
+  }
+
+  /** Range-clustered snapshotted AVRO table, mirror of [[writeTable]]. */
+  private def writeAvroTable(path: String, n: Int, parts: Int): Unit = {
+    import spark.implicits._
+    (1 to n).map(i => (i.toLong, s"g${i % 3}", s"p_$i")).toDF("id", "grp", "pay")
+      .repartitionByRange(parts, col("id"))
+      .write.format("graft-avro").mode("overwrite")
+      .option("snapshots", "true").save(path)
+  }
+
+  test("avro face: deleteByKey prunes by range and drops exactly the rows") {
+    val path = tmp("avro_delete")
+    writeAvroTable(path, 1000, 8)
+    val r = FeatherMutations.deleteByKey(spark, path,
+      keysOf(Seq(10L, 11L, 990L)), Seq("id"))
+    assert(r.version === 2L)
+    assert(r.filesTouched === 2, s"expected range pruning on avro stats: $r")
+    val after = spark.read.format("graft-avro").load(path)
+    assert(after.count() === 997)
+    assert(after.where(col("id").isin(10L, 11L, 990L)).count() === 0)
+    assert(after.where(col("id") === 500L).count() === 1)
+    // time travel still shows the pre-delete state
+    assert(spark.read.format("graft-avro").option("versionAsOf", "1")
+      .load(path).count() === 1000)
+  }
+
+  test("avro face: merge replaces matched rows and inserts unmatched ones") {
+    val path = tmp("avro_merge")
+    writeAvroTable(path, 100, 2)
+    import spark.implicits._
+    val src = Seq(
+      (50L, "gX", "p_50_new"),   // replaces
+      (101L, "gY", "p_101")      // inserts
+    ).toDF("id", "grp", "pay")
+    val r = FeatherMutations.merge(spark, path, src, Seq("id"))
+    assert(r.version === 2L)
+    val after = spark.read.format("graft-avro").load(path)
+    assert(after.count() === 101)
+    assert(after.where(col("id") === 50L).head().getString(2) === "p_50_new")
+    assert(after.where(col("id") === 101L).count() === 1)
+    // idempotent on content
+    FeatherMutations.merge(spark, path, src, Seq("id"))
+    assert(spark.read.format("graft-avro").load(path).count() === 101)
+  }
+
+  test("avro face: applyCdc applies upserts and deletes in one commit") {
+    val path = tmp("avro_cdc")
+    writeAvroTable(path, 100, 2)
+    import spark.implicits._
+    val changes = Seq(
+      (10L, "gC", "p_10_v2", Option.empty[Boolean]), // upsert (matched)
+      (101L, "gC", "p_101", Option.empty[Boolean]),  // insert
+      (20L, null, null, Option(true))                // delete
+    ).toDF("id", "grp", "pay", "_deleted")
+    FeatherMutations.applyCdc(spark, path, changes, Seq("id"))
+    val after = spark.read.format("graft-avro").load(path)
+    assert(after.count() === 100) // +1 insert, -1 delete
+    assert(after.where(col("id") === 10L).head().getString(2) === "p_10_v2")
+    assert(after.where(col("id") === 20L).count() === 0)
+    assert(after.where(col("id") === 101L).count() === 1)
+  }
+
+  test("avro face: deleting every row leaves a readable empty table") {
+    val path = tmp("avro_delete_all")
+    writeAvroTable(path, 10, 1)
+    FeatherMutations.deleteByKey(spark, path, keysOf((1L to 10L)), Seq("id"))
+    val after = spark.read.format("graft-avro").load(path)
+    assert(after.count() === 0)
+    assert(after.columns.toSeq === Seq("id", "grp", "pay"))
   }
 
   test("mutation on a non-snapshotted directory fails loudly") {
