@@ -27,12 +27,15 @@ import graft.sources.FeatherSnapshots
   *    with no usable stats is touched unconditionally — pruning is an
   *    optimization, never a correctness input.
   *  - **Candidate probe is distributed.** Mutation keys are NEVER
-  *    collected to the driver: the per-file [min,max] ranges (schema-sized,
-  *    from the manifest + stats sidecars) broadcast against the DISTINCT
-  *    keys, and only matching file ids come back. The probe is a
-  *    broadcast non-equi join — O(distinct keys × files) comparisons
-  *    spread across the cluster; a sorted-boundary binary-search
-  *    expression is the refinement if file counts reach 10⁵.
+  *    collected to the driver: per-file [min,max] ranges (schema-sized,
+  *    from the manifest + stats sidecars) become a sorted-boundary
+  *    structure a codegen binary search probes INSIDE the key scan —
+  *    disjoint ranges (clustered layouts) search the file boundaries
+  *    directly; overlapping ranges stab an elementary-segment index
+  *    (O(log files + overlap depth) per key). Only matching file ids
+  *    come back to the driver. No broadcast join in either shape; a
+  *    pathological overlap that would blow the segment index's memory
+  *    cap falls back to a broadcast non-equi probe.
   *  - **One atomic commit.** New parts land via tmp+rename under a
   *    version-derived name prefix, then ONE snapshot manifest publishes
   *    the swap (touched files out, new parts in). Readers of any retained
@@ -339,28 +342,97 @@ object FeatherMutations {
               .getOrElse(hit)
               .select("__fid").distinct().collect().map(_.getInt(0)).toSet
           } else {
-            // overlapping ranges: broadcast non-equi probe (O(keys·files)
-            // comparisons spread across the cluster)
+            // overlapping ranges (multiple unclustered generations):
+            // interval-STAB probe. Elementary segments between the sorted
+            // distinct endpoints; segment i's candidates are exactly the
+            // intervals CONTAINING its start breakpoint (no endpoint lies
+            // strictly inside a segment, so an interval intersecting a
+            // segment must contain its start). Per key: ONE O(log files)
+            // binary search fused into the key scan (BoundBucket), an
+            // explode of the segment's candidate list, and an exact
+            // bounds re-check — O(keys · (log files + overlap depth))
+            // instead of the old DISTINCT-keys × broadcast-ranges
+            // BroadcastNestedLoopJoin's O(keys × files) comparisons.
+            // Driver build is a single sweep over 2·files endpoint
+            // events; the flattened segment→candidate table is files ×
+            // overlap depth, and a pathological layout that blows the cap
+            // falls back to the broadcast non-equi join instead of
+            // OOMing the driver.
             import org.apache.spark.sql.graft.Bridge
-            val schema = StructType(Seq(
-              StructField("__fid", IntegerType, nullable = false),
-              StructField("__lo", dt, nullable = false),
-              StructField("__hi", dt, nullable = false)))
-            val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
-            typed.foreach { case (Rng(lo, hi), i) =>
-              rows.add(org.apache.spark.sql.Row(i, lo, hi)) }
-            val rangesDf = spark.createDataFrame(rows, schema)
-            val hit = keysDf.select(col(k0).cast(dt).as("__k"))
-              .where(col("__k").isNotNull).distinct()
-              .join(broadcast(rangesDf),
-                col("__k") >= col("__lo") && col("__k") <= col("__hi"))
-            blooms.map(arr => hit.where(Bridge.column(
-                graft.expressions.BloomHit(arr,
-                  Bridge.expression(col("__fid")),
-                  Bridge.expression(col("__k"))))))
-              .getOrElse(hit)
-              .select("__fid").distinct()
-              .collect().map(_.getInt(0)).toSet
+            val anyOrd = Ordering.fromLessThan[Any](lt)
+            val los = typed.map(_._1.lo)
+            val his = typed.map(_._1.hi)
+            val breakpoints = (los ++ his).distinct.sorted(anyOrd).toIndexedSeq
+            val startsAt: Map[Any, Seq[Int]] = typed.indices.groupBy(los)
+            val pq = scala.collection.mutable.PriorityQueue.empty[Int](
+              Ordering.by[Int, Any](his)(anyOrd).reverse) // min-heap by hi
+            val coverSegs = new Array[Array[Int]](breakpoints.size)
+            var total = 0L
+            var capped = false
+            var i = 0
+            while (i < breakpoints.size && !capped) {
+              val b = breakpoints(i)
+              startsAt.getOrElse(b, Nil).foreach(pq.enqueue(_))
+              while (pq.nonEmpty && lt(his(pq.head), b)) { pq.dequeue(): Unit }
+              coverSegs(i) = pq.toArray
+              total += coverSegs(i).length
+              if (total > 4000000L) capped = true
+              i += 1
+            }
+            if (capped) {
+              // overlap depth × breakpoints too large to materialize:
+              // broadcast non-equi fallback (correct, O(keys×files))
+              val schema = StructType(Seq(
+                StructField("__fid", IntegerType, nullable = false),
+                StructField("__lo", dt, nullable = false),
+                StructField("__hi", dt, nullable = false)))
+              val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+              typed.foreach { case (Rng(lo, hi), fi) =>
+                rows.add(org.apache.spark.sql.Row(fi, lo, hi)) }
+              val rangesDf = spark.createDataFrame(rows, schema)
+              val hit = keysDf.select(col(k0).cast(dt).as("__k"))
+                .where(col("__k").isNotNull).distinct()
+                .join(broadcast(rangesDf),
+                  col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+              blooms.map(arr => hit.where(Bridge.column(
+                  graft.expressions.BloomHit(arr,
+                    Bridge.expression(col("__fid")),
+                    Bridge.expression(col("__k"))))))
+                .getOrElse(hit)
+                .select("__fid").distinct()
+                .collect().map(_.getInt(0)).toSet
+            } else {
+              def exprVal(v: Any): Any = v match {
+                case s: String =>
+                  org.apache.spark.unsafe.types.UTF8String.fromString(s)
+                case other => other
+              }
+              def anyArrayCol(vs: Seq[Any]) = dt match {
+                case LongType => lit(vs.map(_.asInstanceOf[Long]).toArray)
+                case DoubleType => lit(vs.map(_.asInstanceOf[Double]).toArray)
+                case _ => lit(vs.map(_.asInstanceOf[String]).toArray)
+              }
+              val segStarts: Array[Any] = breakpoints.map(exprVal).toArray
+              val coverLit = typedlit(coverSegs.map(_.toSeq).toSeq)
+              val hit = keysDf.select(col(k0).cast(dt).as("__k"))
+                .where(col("__k").isNotNull).distinct()
+                .select(col("__k"), Bridge.column(graft.expressions.BoundBucket(
+                  segStarts, Bridge.expression(col("__k")))).as("__s"))
+                .where(col("__s") >= 0) // below the smallest lo: no file
+                .select(col("__k"),
+                  explode(element_at(coverLit, col("__s") + 1)).as("__j"))
+                .where(element_at(anyArrayCol(los), col("__j") + 1) <= col("__k") &&
+                  col("__k") <= element_at(anyArrayCol(his), col("__j") + 1))
+                .select(element_at(lit(typed.map(_._2).toArray),
+                  col("__j") + 1).as("__fid"), col("__k"))
+              blooms.map(arr => hit.where(Bridge.column(
+                  graft.expressions.BloomHit(arr,
+                    Bridge.expression(col("__fid")),
+                    Bridge.expression(col("__k"))))))
+                .getOrElse(hit)
+                .select("__fid").distinct()
+                .collect().map(_.getInt(0)).toSet
+            }
           }
         // Bloom sidecars (FeatherBloom.build) fold into the SAME probe
         // pass: a range-candidate file whose bloom excludes the key drops
