@@ -472,7 +472,106 @@ object ScaleRehearsal {
       mutationTier(spark, s"$out/mutation")
     if (mode == "all" || mode == "cluster")
       clusterTier(spark, s"$out/cluster")
+    if (mode == "all" || mode == "manifest")
+      manifestTier(spark, s"$out/manifest")
+    if (mode == "all" || mode == "planning")
+      planningTier(spark, s"$out/planning")
     spark.stop()
+  }
+
+  /** Manifest delta-log tier (r11, sources/FeatherSnapshots.scala): the
+    * structural claim is that a commit's manifest bytes scale with the
+    * CHANGED files, not the table's — the pre-r11 full-file-set-per-
+    * version form made every epoch append an O(files) driver JSON write.
+    * Synthetic file entries (the manifest layer never opens data files),
+    * tables of 10³ and 10⁴ parts, 12 ten-file appends each: per-append
+    * manifest bytes must stay flat across the 10× table growth (the
+    * every-8th checkpoint is the amortized exception and is reported
+    * separately), and head reconstruction stays bounded by the
+    * checkpoint chain. */
+  def manifestTier(spark: SparkSession, out: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val results = Seq(1000, 10000).map { parts =>
+      val dir = new org.apache.hadoop.fs.Path(s"$out/man_$parts")
+      val fs = dir.getFileSystem(conf)
+      fs.delete(dir, true)
+      fs.mkdirs(dir)
+      val base = (0 until parts).map(i => (f"part-$i%06d.feather", 1000L))
+      graft.sources.FeatherSnapshots.commit(fs, dir, "overwrite")(_ => base)
+      var appendBytes = List.empty[Long]
+      var ckptBytes = List.empty[Long]
+      val t0 = System.nanoTime()
+      for (k <- 0 until 12) {
+        val add = (0 until 10).map(i => (f"epoch-$k%03d-$i%02d.feather", 500L))
+        val v = graft.sources.FeatherSnapshots.commit(fs, dir, "append")(
+          parent => parent ++ add)
+        val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(dir,
+          f"_snapshots/v$v%08d.json")).getLen
+        if (v % 8 == 0) ckptBytes ::= len else appendBytes ::= len
+      }
+      val commitSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val head = graft.sources.FeatherSnapshots.readAll(fs, dir).last
+      val readSec = (System.nanoTime() - t1) / 1e9
+      require(head.files.size == parts + 120, s"head files: ${head.files.size}")
+      val medAppend = appendBytes.sorted.apply(appendBytes.size / 2)
+      println(f"""{"manifest_parts":$parts,"append_manifest_bytes_median":$medAppend,"checkpoint_bytes":${ckptBytes.headOption.getOrElse(0L)},"commits_sec":$commitSec%.2f,"read_all_sec":$readSec%.2f}""")
+      medAppend
+    }
+    println(f"""{"manifest_tier":"delta_log","table_ratio":10,"append_bytes_ratio":${results(1).toDouble / results(0)}%.2f}""")
+  }
+
+  /** Connector planning tier (r11): FeatherSource's driver-side planning
+    * wall at 10³ / 10⁴ REAL parts — manifest discovery vs listing walk,
+    * merged-stats load (one `_stats.json` per directory) vs the
+    * per-file-sidecar fallback, and footer split planning (bounded pool,
+    * the one honest O(files/pool) term). The merged-stats and manifest
+    * paths must grow far slower than the file count; the footer sweep is
+    * the term a real 10⁵-part table amortizes across executors via
+    * caching/refresh, reported here for honesty. */
+  def planningTier(spark: SparkSession, out: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def med3(f: () => Unit): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(1)
+    val results = Seq((1000, 2000000L), (10000, 20000000L)).map {
+      case (parts, n) =>
+        val dir = s"$out/plan_$parts"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(conf)
+        fs.delete(p, true)
+        spark.range(n)
+          .select(col("id"), concat(lit("pay_"), col("id")).as("pay"))
+          .repartition(parts)
+          .write.format("feather").mode("overwrite")
+          .option("snapshots", "true").save(dir)
+        val discManifest = med3(() =>
+          graft.sources.FeatherSnapshots.discoverOrWalk(spark, dir, None,
+            graft.sources.FeatherSnapshots.FeatherSuffixes): Unit)
+        val fsLocal = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+        val discListing = med3(() =>
+          graft.sources.FeatherSnapshots.listDataFiles(fsLocal,
+            new org.apache.hadoop.fs.Path(dir)): Unit)
+        val files = graft.sources.FeatherSnapshots
+          .discoverOrWalk(spark, dir, None,
+            graft.sources.FeatherSnapshots.FeatherSuffixes)
+          .files.map(l => (l.file, l.len))
+        require(files.size == parts, s"parts on disk: ${files.size}")
+        val statsMerged = med3(() =>
+          graft.io.FeatherStats.loadForFiles(conf, files): Unit)
+        val footers = med3(() =>
+          graft.io.GraftFeather.planReadFiles(spark, files, 128L << 20): Unit)
+        // uncovered fallback LAST (destructive): remove the merged
+        // per-directory stats so every load falls back to per-file
+        // sidecars
+        fs.delete(new org.apache.hadoop.fs.Path(p, "_stats.json"), false)
+        val statsFallback = med3(() =>
+          graft.io.FeatherStats.loadForFiles(conf, files): Unit)
+        println(f"""{"planning_parts":$parts,"discover_manifest_sec":$discManifest%.3f,"discover_listing_sec":$discListing%.3f,"stats_merged_sec":$statsMerged%.3f,"stats_fallback_sec":$statsFallback%.3f,"footer_plan_sec":$footers%.3f}""")
+        (discManifest, statsMerged)
+    }
+    println(f"""{"planning_tier":"feather","file_ratio":10,"discover_ratio":${results(1)._1 / math.max(results(0)._1, 1e-4)}%.2f,"stats_ratio":${results(1)._2 / math.max(results(0)._2, 1e-4)}%.2f}""")
   }
 
   /** Re-clustering tier (r10, io/FeatherCluster.scala): OPTIMIZE is the
