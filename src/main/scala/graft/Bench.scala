@@ -143,7 +143,7 @@ object Bench {
     val loadMax = if (loads.isEmpty) 0.0 else loads.values.max
     val loadMean =
       if (loads.isEmpty) 0.0 else loads.values.sum / loads.size
-    val loadsJson = loads.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val loadsJson = loads.map { case (k, v) => jstr(k) + ":" + r3(v) }
       .mkString("{", ",", "}")
     val loadJson = s"""{"start":${r3(loadStart)},"end":${r3(loadEnd)},""" +
       s""""max":${r3(loadMax)},"mean":${r3(loadMean)},"queries":$loadsJson}"""

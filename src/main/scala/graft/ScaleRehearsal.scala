@@ -507,7 +507,9 @@ object ScaleRehearsal {
           parent => parent ++ add)
         val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(dir,
           f"_snapshots/v$v%08d.json")).getLen
-        if (v % 8 == 0) ckptBytes ::= len else appendBytes ::= len
+        if (v % graft.sources.FeatherSnapshots.CheckpointEvery == 0)
+          ckptBytes ::= len
+        else appendBytes ::= len
       }
       val commitSec = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()

@@ -305,6 +305,19 @@ object FeatherMutations {
         val sorted = typed.sortWith { case ((a, _), (b, _)) => lt(a.lo, b.lo) }
         val disjoint = sorted.size <= 1 ||
           sorted.iterator.sliding(2).forall(p => lt(p.head._1.hi, p(1)._1.lo))
+        // Any -> expression-value / typed-literal-array converters shared
+        // by BOTH probe shapes (a per-branch copy per key family would
+        // silently drift when a family is added)
+        def exprVal(v: Any): Any = v match {
+          case s: String =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          case other => other
+        }
+        def typedArrayCol(vs: Seq[Any]) = dt match {
+          case LongType => lit(vs.map(_.asInstanceOf[Long]).toArray)
+          case DoubleType => lit(vs.map(_.asInstanceOf[Double]).toArray)
+          case _ => lit(vs.map(_.asInstanceOf[String]).toArray)
+        }
         // one probe pass: (key, candidate fid) pairs through the range
         // structure, optionally filtered by per-file Bloom sidecars
         def probeOnce(blooms: Option[Array[Any]]): Set[Int] =
@@ -314,10 +327,6 @@ object FeatherMutations {
             // establishes): per key ONE O(log files) binary search fused
             // into the key scan — no join, no broadcast build
             import org.apache.spark.sql.graft.Bridge
-            def exprVal(v: Any): Any = v match {
-              case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
-              case other => other
-            }
             val los: Array[Any] = sorted.map(r => exprVal(r._1.lo)).toArray
             val his = sorted.map(_._1.hi)
             val fids = sorted.map(_._2)
@@ -326,13 +335,8 @@ object FeatherMutations {
               .select(col("__k"), Bridge.column(graft.expressions.BoundBucket(
                 los, Bridge.expression(col("__k")))).as("__b"))
               .where(col("__b") >= 0)
-            val hisCol = dt match {
-              case LongType => lit(his.map(_.asInstanceOf[Long]).toArray)
-              case DoubleType => lit(his.map(_.asInstanceOf[Double]).toArray)
-              case _ => lit(his.map(_.asInstanceOf[String]).toArray)
-            }
             val hit = keyed
-              .where(element_at(hisCol, col("__b") + 1) >= col("__k"))
+              .where(element_at(typedArrayCol(his), col("__b") + 1) >= col("__k"))
               .select(element_at(lit(fids.toArray), col("__b") + 1).as("__fid"),
                 col("__k"))
             blooms.map(arr => hit.where(Bridge.column(
@@ -402,16 +406,6 @@ object FeatherMutations {
                 .select("__fid").distinct()
                 .collect().map(_.getInt(0)).toSet
             } else {
-              def exprVal(v: Any): Any = v match {
-                case s: String =>
-                  org.apache.spark.unsafe.types.UTF8String.fromString(s)
-                case other => other
-              }
-              def anyArrayCol(vs: Seq[Any]) = dt match {
-                case LongType => lit(vs.map(_.asInstanceOf[Long]).toArray)
-                case DoubleType => lit(vs.map(_.asInstanceOf[Double]).toArray)
-                case _ => lit(vs.map(_.asInstanceOf[String]).toArray)
-              }
               val segStarts: Array[Any] = breakpoints.map(exprVal).toArray
               val coverLit = typedlit(coverSegs.map(_.toSeq).toSeq)
               val hit = keysDf.select(col(k0).cast(dt).as("__k"))
@@ -421,8 +415,8 @@ object FeatherMutations {
                 .where(col("__s") >= 0) // below the smallest lo: no file
                 .select(col("__k"),
                   explode(element_at(coverLit, col("__s") + 1)).as("__j"))
-                .where(element_at(anyArrayCol(los), col("__j") + 1) <= col("__k") &&
-                  col("__k") <= element_at(anyArrayCol(his), col("__j") + 1))
+                .where(element_at(typedArrayCol(los), col("__j") + 1) <= col("__k") &&
+                  col("__k") <= element_at(typedArrayCol(his), col("__j") + 1))
                 .select(element_at(lit(typed.map(_._2).toArray),
                   col("__j") + 1).as("__fid"), col("__k"))
               blooms.map(arr => hit.where(Bridge.column(

@@ -532,7 +532,8 @@ private class AvroScan(readSchema0: StructType, path: String,
     val sfs = rp.getFileSystem(
       SparkSession.active.sparkContext.hadoopConfiguration)
     if (FeatherSnapshots.enabled(sfs, rp))
-      new AvroSnapshotStream(readSchema0, path, maxSplitBytes, ignoreChanges)
+      new AvroSnapshotStream(readSchema0, path, maxSplitBytes, ignoreChanges,
+        mergeSchema)
     else
       new AvroMicroBatchStream(readSchema0, path, maxSplitBytes,
         maxFilesPerTrigger, checkpointLocation)
@@ -601,7 +602,8 @@ private class AvroMicroBatchStream(readSchema: StructType, path: String,
   * immutability. */
 private class AvroSnapshotStream(readSchema: StructType, path: String,
                                  maxSplitBytes: Long,
-                                 ignoreChanges: Boolean)
+                                 ignoreChanges: Boolean,
+                                 mergeSchema: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
   private def rp = new org.apache.hadoop.fs.Path(path)
@@ -617,15 +619,21 @@ private class AvroSnapshotStream(readSchema: StructType, path: String,
   override def stop(): Unit = ()
 
   // expected reader schema for per-file resolution, fixed at stream start
-  // (same contract as AvroMicroBatchStream): the head snapshot's first
-  // part's writer schema, or the table schema's mapping on an empty table
+  // (same contract as AvroMicroBatchStream): under mergeSchema the
+  // null-defaulted UNION of the head snapshot's headers (an evolved
+  // table's predating generations must resolve, exactly as the batch
+  // read), otherwise the head snapshot's first part's writer schema;
+  // the table schema's mapping on an empty table
   private lazy val expectedSchemaJson: String =
     FeatherSnapshots.resolve(fs, rp, None)
-      .flatMap(_.files.headOption)
-      .map { case (rel, len) =>
-        GraftAvro.planReadFiles(SparkSession.active,
-          Seq((new org.apache.hadoop.fs.Path(rp, rel).toString, len)),
-          Long.MaxValue)._1
+      .filter(_.files.nonEmpty)
+      .map { snap =>
+        val abs = snap.files.map { case (rel, len) =>
+          (new org.apache.hadoop.fs.Path(rp, rel).toString, len) }
+        if (mergeSchema)
+          GraftAvro.mergedSchema(SparkSession.active, abs).toString
+        else GraftAvro.planReadFiles(SparkSession.active,
+          Seq(abs.head), Long.MaxValue)._1
       }
       .getOrElse(GraftAvro.toAvroSchema(readSchema).toString)
 

@@ -286,9 +286,24 @@ private[graft] object FeatherSnapshots {
   private def writeManifest(fs: FileSystem, root: Path, v: Long,
                             node: java.util.Map[String, Any],
                             overwrite: Boolean): Unit = {
-    val out = fs.create(snapPath(root, v), overwrite)
-    try out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
-    finally out.close()
+    if (!overwrite) {
+      val out = fs.create(snapPath(root, v), false)
+      try out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
+      finally out.close()
+    } else {
+      // in-place REWRITE (expire's checkpoint materialization) must never
+      // leave a torn manifest: write a tmp beside it, then atomically
+      // rename over the destination (FileContext.rename OVERWRITE — the
+      // plain FileSystem.create(overwrite=true) truncates first, so a
+      // crash mid-write corrupts the only copy)
+      val dest = snapPath(root, v)
+      val tmp = new Path(dest.getParent, s".${dest.getName}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(mapper.writeValueAsString(node).getBytes("UTF-8"))
+      finally out.close()
+      org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri)
+        .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   /** Publish the next version. `mkFiles(parentFiles)` builds the new
@@ -495,9 +510,12 @@ private[graft] object FeatherSnapshots {
       .toSeq
     val key = root.toString
     val cached = Option(epochRefCache.get(key))
-      // a table dropped and recreated at the same path restarts at v1;
-      // a cache from the old incarnation would retire its replayed parts
-      .filter { case (hw, _) => versions.isEmpty || versions.max >= hw }
+      // a table dropped and recreated at the same path restarts at v1 —
+      // a cache from the old incarnation would retire the new table's
+      // replayed parts (silent data loss). An EMPTY versions list is the
+      // recreated case too (fresh _snapshots dir, first commit pending),
+      // so it must also reset, not keep, the stale cache.
+      .filter { case (hw, _) => versions.nonEmpty && versions.max >= hw }
       .getOrElse((0L, Set.empty[String]))
     val fresh = versions.filter(_ > cached._1).sorted
     // raw contributions suffice (full manifests: their file list; deltas:
@@ -645,7 +663,13 @@ private[graft] object FeatherSnapshots {
       fs.delete(new Path(p.getParent, p.getName + ".stats.json"), false)
       fs.delete(new Path(p.getParent, p.getName + ".bloom"), false)
     }
-    drop.foreach(s => fs.delete(snapPath(root, s.version), false))
+    // dropped manifests go in DESCENDING version order: at every instant
+    // the surviving prefix is a valid chain (v1's full manifest is the
+    // LAST to go), so a crash mid-loop leaves readAll — and the expire
+    // retry itself — working; ascending deletion would strand a delta as
+    // the oldest survivor and trip the torn-expire check forever
+    drop.sortBy(-_.version)
+      .foreach(s => fs.delete(snapPath(root, s.version), false))
     (drop.size, removedFiles)
   }
 

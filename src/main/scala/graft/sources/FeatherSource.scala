@@ -129,6 +129,10 @@ private object FeatherTimeTravel {
                   .atZone(java.time.ZoneId.of(tz)).toInstant.toEpochMilli }
             }
             val v = FeatherSnapshots.resolveAt(fs, rp, millis).version
+            // entries pinned under superseded head versions are dead —
+            // evict them, or a long-lived driver over an actively
+            // committed table grows the memo without bound
+            memo.keySet.removeIf(k => k._1 == path && k._3 != latest)
             memo.put((path, raw, latest), (v, now))
             Some(v)
           }

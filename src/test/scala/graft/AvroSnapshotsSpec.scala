@@ -204,4 +204,30 @@ class AvroSnapshotsSpec extends AnyFunSuite {
         .count() >= 1)
     } finally q2.stop()
   }
+
+  test("version stream over an evolved snapshotted avro table resolves " +
+       "with mergeSchema") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = tmp("version_stream_evo")
+    // gen1 (id, name) then an evolved append gen2 (id, name, lang)
+    writeV(path, 1, 30, "overwrite")
+    (31 to 40).map(i => (i.toLong, s"n_$i", "de")).toDF("id", "name", "lang")
+      .repartition(1).write.format("graft-avro").mode("append")
+      .option("snapshots", "true").save(path)
+    val q = spark.readStream.format("graft-avro")
+      .option("mergeSchema", "true").load(path)
+      .writeStream.format("memory").queryName("avro_snap_evo")
+      .option("checkpointLocation", tmp("version_stream_evo_ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("avro_snap_evo")
+      assert(got.columns.toSeq === Seq("id", "name", "lang"))
+      assert(got.count() === 40)
+      assert(got.where(col("lang").isNull).count() === 30)
+      assert(got.where(col("lang") === "de").count() === 10)
+    } finally q.stop()
+  }
+
 }

@@ -587,4 +587,34 @@ class FeatherSnapshotsSpec extends AnyFunSuite {
       .load(path).count() === 400)
   }
 
+
+  test("publishEpoch on a recreated table does not retire replayed parts " +
+       "through the stale incarnation's cache") {
+    val path = tmp("epoch_recreate")
+    val fs = fsOf(path)
+    val rp = new Path(path)
+    // first incarnation: several epochs populate the JVM-global cache
+    fs.mkdirs(new Path(rp, FeatherSnapshots.Dir))
+    def stamp(name: String): (String, Long) = {
+      val out = fs.create(new Path(rp, name), true)
+      out.write(Array.fill[Byte](64)(1)); out.close()
+      (name, 64L)
+    }
+    FeatherSnapshots.commit(fs, rp, "overwrite")(_ => Seq(stamp("a.feather")))
+    for (k <- 1 to 3)
+      FeatherSnapshots.publishEpoch(fs, rp, Seq(stamp(s"e$k.feather")))
+    assert(FeatherSnapshots.latestVersion(fs, rp) === Some(4L))
+    // drop and recreate the table at the SAME path: fresh _snapshots with
+    // no manifests yet (the crashed-first-commit shape)
+    fs.delete(rp, true)
+    fs.mkdirs(new Path(rp, FeatherSnapshots.Dir))
+    // replayed epoch re-uses a part name from the old incarnation — the
+    // stale cache must not filter it as already-referenced (that would
+    // silently drop the commit: data on disk invisible forever)
+    FeatherSnapshots.publishEpoch(fs, rp, Seq(stamp("e1.feather")))
+    assert(FeatherSnapshots.latestVersion(fs, rp) === Some(1L),
+      "the recreated table's first epoch must publish a manifest")
+    assert(FeatherSnapshots.read(fs, rp, 1L).files.map(_._1) === Seq("e1.feather"))
+  }
+
 }
