@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType}
 
 /** `blooms(fid) == null || blooms(fid).mightContainLong(key)` — the
   * codegen filter the mutation candidate probe applies after range
@@ -19,19 +19,26 @@ case class BloomHit(blooms: Array[Any], fid: Expression, key: Expression)
   override def prettyName: String = "graft_bloom_hit"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (fid.dataType == IntegerType && key.dataType == LongType)
+    if (fid.dataType == IntegerType &&
+        (key.dataType == LongType || key.dataType == StringType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (int fid, long key), got " +
+      s"$prettyName requires (int fid, long|string key), got " +
         s"(${fid.dataType.catalogString}, ${key.dataType.catalogString})")
 
-  override def nullSafeEval(f: Any, k: Any): Any =
-    BloomHitImpl.test(blooms, f.asInstanceOf[Int], k.asInstanceOf[Long])
+  override def nullSafeEval(f: Any, k: Any): Any = k match {
+    case s: org.apache.spark.unsafe.types.UTF8String =>
+      BloomHitImpl.testString(blooms, f.asInstanceOf[Int], s)
+    case l => BloomHitImpl.test(blooms, f.asInstanceOf[Int],
+      l.asInstanceOf[Long])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("blooms", blooms, "java.lang.Object[]")
+    val method =
+      if (key.dataType == StringType) "testString" else "test"
     defineCodeGen(ctx, ev, (f, k) =>
-      s"graft.expressions.BloomHitImpl.test($ref, $f, $k)")
+      s"graft.expressions.BloomHitImpl.$method($ref, $f, $k)")
   }
 
   override protected def withNewChildrenInternal(
@@ -44,5 +51,16 @@ object BloomHitImpl {
     val b = blooms(fid)
     b == null ||
       b.asInstanceOf[org.apache.spark.util.sketch.BloomFilter].mightContainLong(key)
+  }
+
+  /** String keys probe with the key's UTF-8 bytes — the exact bytes
+    * BloomFilter.putString hashed at build time (UTF8String already holds
+    * them; going through java.lang.String would copy twice per row). */
+  def testString(blooms: Array[Any], fid: Int,
+                 key: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+    val b = blooms(fid)
+    b == null ||
+      b.asInstanceOf[org.apache.spark.util.sketch.BloomFilter]
+        .mightContainBinary(key.getBytes)
   }
 }

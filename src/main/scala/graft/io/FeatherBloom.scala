@@ -25,7 +25,9 @@ import graft.sources.FeatherSnapshots
   * sidecars — a missing/stale bloom costs pruning, never correctness
   * (stale = name/len no longer matching is impossible since parts are
   * immutable; a sidecar simply absent means the file stays a candidate).
-  * Long key columns only for now (document ids are longs); the fpp is
+  * Integral AND string key columns (takedown lists are just as often
+  * string doc-ids as numeric ids; string keys hash their UTF-8 bytes,
+  * the same bytes Spark's BloomFilter.putString hashes); the fpp is
   * sized for the file's actual row count.
   */
 object FeatherBloom {
@@ -79,17 +81,21 @@ object FeatherBloom {
     * sidecar k times per file. */
   private[graft] def excludesFile(conf: org.apache.hadoop.conf.Configuration,
                                   partPath: String, partLen: Long,
-                                  pointFilters: Seq[(String, Seq[Long])])
+                                  pointFilters: Seq[(String, Seq[Any])])
       : Boolean = {
     val cache = scala.collection.mutable.Map.empty[String, Option[BloomFilter]]
     pointFilters.exists { case (attr, keys) =>
       cache.getOrElseUpdate(attr, load(conf, partPath, partLen, attr))
-        .exists(b => keys.forall(k => !b.mightContainLong(k)))
+        .exists(b => keys.forall {
+          case k: Long => !b.mightContainLong(k)
+          case s: String => !b.mightContainString(s)
+          case _ => false // unknown key shape: cannot prove exclusion
+        })
     }
   }
 
   /** Build (or rebuild) bloom sidecars for every live file of a
-    * snapshotted table, over a LONG key column. One task per file; each
+    * snapshotted table, over an integral or STRING key column. One task per file; each
     * task decodes only the key column. `suffix` selects the connector
     * face (".feather" default; ".avro" for the avro connector — same
     * sidecar format, different row reader). Returns files indexed. */
@@ -120,11 +126,12 @@ object FeatherBloom {
       })
       .getOrElse(throw new IllegalArgumentException(
         s"bloom build: column '$keyCol' not in table schema"))
-    require(Seq(org.apache.spark.sql.types.ByteType,
+    val isString = keyType == org.apache.spark.sql.types.StringType
+    require(isString || Seq(org.apache.spark.sql.types.ByteType,
         org.apache.spark.sql.types.ShortType,
         org.apache.spark.sql.types.IntegerType,
         org.apache.spark.sql.types.LongType).contains(keyType),
-      s"bloom build: '$keyCol' must be an integral column, " +
+      s"bloom build: '$keyCol' must be an integral or string column, " +
         s"got ${keyType.catalogString}")
     val avroReaderJson = avroMerged.map(_.toString).getOrElse("")
     val confMap = GraftHadoop.confBroadcast(spark)
@@ -154,8 +161,10 @@ object FeatherBloom {
           }
         val bloom = BloomFilter.create(math.max(1L, n), Fpp)
         rows().foreach { r =>
-          if (!r.isNullAt(0))
-            bloom.putLong(r.get(0).asInstanceOf[Number].longValue()) }
+          if (!r.isNullAt(0)) {
+            if (isString) bloom.putString(r.getString(0))
+            else bloom.putLong(r.get(0).asInstanceOf[Number].longValue())
+          } }
         val pfs = new Path(f).getFileSystem(execConf)
         write(pfs, new Path(f), len, keyCol, bloom)
         1

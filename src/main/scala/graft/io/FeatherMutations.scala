@@ -435,7 +435,7 @@ object FeatherMutations {
         // alone prune nothing). Loading is one existence check + read per
         // ranged file, the same O(files) driver bound the stats load paid.
         val blooms: Option[Array[Any]] =
-          if (dt != LongType) None
+          if (dt != LongType && dt != StringType) None
           else {
             val loaded = typed.flatMap { case (_, i) =>
               FeatherBloom.load(conf, absFiles(i)._1, absFiles(i)._2, k0)

@@ -62,7 +62,8 @@ object IoQueries extends QueryPack {
     "io_feather_delete", "io_feather_merge", "io_feather_cdc",
     "io_avro_delete", "io_avro_merge",
     "io_feather_cluster", "io_feather_evolution", "io_avro_evolution",
-    "io_feather_bloom_skip", "io_avro_time_travel", "dedup_lsh_incremental")
+    "io_feather_bloom_skip", "io_bloom_string_takedown",
+    "io_avro_time_travel", "dedup_lsh_incremental")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
   // (cudf/io/csv.py:15 dtype=, header=; csv.hpp:48)
@@ -1181,6 +1182,50 @@ object IoQueries extends QueryPack {
       .where(col("o_orderkey").isin(7L, 8L, 9L, 1000L, 2000L, 3999L, 4000L, 4001L))
       .select("o_orderkey", "o_orderpriority")
       .orderBy("o_orderkey")
+  }
+
+  // STRING-key bloom takedown (io/FeatherBloom + FeatherMutations): the
+  // corpus reality — takedown lists are string doc-ids, scattered across
+  // every file's lexical range, so range stats prune nothing. The bloom
+  // sidecars hash the keys' UTF-8 bytes (putString at build =
+  // mightContainBinary at probe, byte-identical); the fixture proves the
+  // absent-in-range probe touches ZERO files before deleting the present
+  // keys, and the ORACLE rebuilds the post-takedown state relationally.
+  register("io_bloom_string_takedown",
+    """SELECT doc_key, lang FROM (
+      |  SELECT concat('doc_', lpad(CAST(doc_id AS VARCHAR), 6, '0')) AS doc_key,
+      |    lang
+      |  FROM documents) t
+      |WHERE doc_key NOT IN ('doc_000007', 'doc_000023', 'doc_000040')
+      |ORDER BY doc_key""".stripMargin) { (s, d) =>
+    val path = readFixture("bloom_string_takedown", d) { p =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(concat(lit("doc_"),
+          lpad(col("doc_id").cast("string"), 6, "0")).as("doc_key"),
+          col("lang"))
+        .repartitionByRange(6, col("doc_key"))
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(p)
+      val n = graft.io.FeatherBloom.build(s, p, "doc_key")
+      require(n >= 1, s"expected bloom sidecars, built $n")
+      // absent-but-in-range keys (lexically between live doc ids): range
+      // stats cannot prune these, the string blooms must
+      val absent = Seq("doc_000007x", "doc_000023x").toDF("doc_key")
+      val r0 = graft.io.FeatherMutations.deleteByKey(
+        s, p, absent, Seq("doc_key"))
+      require(r0.filesTouched == 0,
+        s"string blooms must prune absent in-range doc ids: $r0")
+      val takedown = Seq("doc_000007", "doc_000023", "doc_000040")
+        .toDF("doc_key")
+      val r = graft.io.FeatherMutations.deleteByKey(
+        s, p, takedown, Seq("doc_key"))
+      require(r.filesTouched >= 1 && r.filesTouched < 6,
+        s"present doc ids touch a strict subset: $r")
+    }
+    s.read.format("feather").load(path)
+      .select("doc_key", "lang")
+      .orderBy("doc_key")
   }
 
   // CDC apply on a snapshotted table (io/FeatherMutations.applyCdc): one

@@ -389,15 +389,18 @@ private object FeatherScanBuilder {
     case _ => false
   }
 
-  /** (column, candidate long keys) for every EqualTo/In point lookup in a
-    * conjunctive filter set — the shape the bloom sidecars answer. Shared
-    * by both connectors' scans. */
-  def pointLookups(filters: Seq[Filter]): Seq[(String, Seq[Long])] =
+  /** (column, candidate keys — Long or String) for every EqualTo/In
+    * point lookup in a conjunctive filter set — the shape the bloom
+    * sidecars answer. Shared by both connectors' scans. */
+  def pointLookups(filters: Seq[Filter]): Seq[(String, Seq[Any])] =
     filters.collect {
       case EqualTo(a, v) if integralish(v) =>
-        a -> Seq(v.asInstanceOf[java.lang.Number].longValue())
+        a -> Seq[Any](v.asInstanceOf[java.lang.Number].longValue())
+      case EqualTo(a, v: String) => a -> Seq[Any](v)
       case In(a, vs) if vs.nonEmpty && vs.forall(integralish) =>
-        a -> vs.toSeq.map(_.asInstanceOf[java.lang.Number].longValue())
+        a -> vs.toSeq.map[Any](_.asInstanceOf[java.lang.Number].longValue())
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        a -> vs.toSeq.map[Any](identity)
     }
 }
 

@@ -146,15 +146,72 @@ class FeatherBloomSpec extends AnyFunSuite {
       .where(col("id") === 500L).count() === 1)
   }
 
-  test("bloom build on a non-integral column fails loudly") {
+  test("bloom build on an unsupported key type fails loudly") {
     val path = tmp("bad_col")
     import spark.implicits._
-    Seq((1L, "a")).toDF("id", "pay")
+    Seq((1L, 0.5)).toDF("id", "frac")
       .write.format("feather").mode("overwrite")
       .option("snapshots", "true").save(path)
+    // fractional keys have no stable hash identity (0.5 vs 0.5f vs a
+    // rounded double) — refused, not silently mis-hashed
     val e = intercept[IllegalArgumentException] {
-      FeatherBloom.build(spark, path, "pay")
+      FeatherBloom.build(spark, path, "frac")
     }
-    assert(e.getMessage.contains("integral"))
+    assert(e.getMessage.contains("integral or string"))
   }
+
+  /** Range-clustered STRING-keyed table holding only even-numbered doc
+    * ids — the odd ones sort inside every file's [min,max] but are
+    * absent (the takedown-list-of-doc-ids shape). */
+  private def writeStringDocs(path: String, n: Int, parts: Int): Unit = {
+    import spark.implicits._
+    (1 to n).map(i => (f"doc_${i * 2}%06d", s"p_$i")).toDF("doc", "pay")
+      .repartitionByRange(parts, col("doc"))
+      .write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(path)
+  }
+
+  test("string keys: a scattered absent-doc-id delete touches zero files") {
+    val path = tmp("str_scattered")
+    writeStringDocs(path, 1000, 8)
+    assert(FeatherBloom.build(spark, path, "doc") === 8)
+    import spark.implicits._
+    val absent = Seq("doc_000011", "doc_000333", "doc_001999")
+      .toDF("doc") // odd ids: in-range, never present
+    val r = FeatherMutations.deleteByKey(spark, path, absent, Seq("doc"))
+    assert(r.filesTouched === 0, s"string blooms must prune absent keys: $r")
+    assert(spark.read.format("feather").load(path).count() === 1000)
+  }
+
+  test("string keys: present doc-ids still delete correctly with blooms") {
+    val path = tmp("str_present")
+    writeStringDocs(path, 1000, 8)
+    FeatherBloom.build(spark, path, "doc")
+    import spark.implicits._
+    val keys = Seq("doc_000100", "doc_001500", "doc_000101").toDF("doc")
+    val r = FeatherMutations.deleteByKey(spark, path, keys, Seq("doc"))
+    assert(r.filesTouched >= 1 && r.filesTouched <= 2, s"got $r")
+    val after = spark.read.format("feather").load(path)
+    assert(after.count() === 998)
+    assert(after.where(col("doc").isin("doc_000100", "doc_001500"))
+      .count() === 0)
+  }
+
+  test("string keys: read-path point lookups skip whole files") {
+    val path = tmp("str_read_skip")
+    writeStringDocs(path, 1000, 8)
+    FeatherBloom.build(spark, path, "doc")
+    // an absent doc-id: every file's bloom excludes it -> zero partitions
+    val absent = spark.read.format("feather").load(path)
+      .where(col("doc") === "doc_000333")
+    assert(absent.count() === 0)
+    val scan = absent.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(absent.rdd.getNumPartitions === 0,
+      s"bloom exclusion should plan zero partitions:\n$scan")
+    // a present doc-id still reads
+    assert(spark.read.format("feather").load(path)
+      .where(col("doc") === "doc_000334").count() === 1)
+  }
+
 }
