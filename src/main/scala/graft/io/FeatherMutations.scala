@@ -56,9 +56,12 @@ import graft.sources.FeatherSnapshots
   *    rewrites independently; rows never change partition).
   *  - `merge(source, keyCols)`: upsert — table rows matched by a source
   *    key tuple are REPLACED by the source row, unmatched source rows
-  *    are inserted. Source schema must carry exactly the table's
-  *    columns. Unpartitioned tables only (inserts would need partition
-  *    routing through the hive layout — documented follow-up).
+  *    are inserted. Source schema must carry exactly the table's data
+  *    columns — plus, on a hive-partitioned table, its partition
+  *    columns: inserts ROUTE to the leaf their partition values name,
+  *    and a matched key whose source row names different partition
+  *    values MOVES partitions (delete-here + insert-there in the same
+  *    commit).
   *    Re-running the same merge is idempotent on table CONTENT (one more
   *    version, same rows) — which makes it safe as a foreachBatch sink
   *    under Structured Streaming's replayed-batch semantics.
@@ -197,12 +200,14 @@ object FeatherMutations {
     }
     val byLeaf: Seq[(String, Seq[(String, Long)])] =
       snap.files.groupBy { case (rel, _) => relDirOf(rel) }.toSeq.sortBy(_._1)
-    if (appendSource.isDefined)
-      require(byLeaf.forall(_._1.isEmpty),
-        s"merge on $path: table is hive-partitioned " +
-          s"(${byLeaf.map(_._1).filter(_.nonEmpty).mkString(", ")}); merge " +
-          "currently requires an unpartitioned table (inserts would need " +
-          "partition routing) — deleteByKey supports partitioned tables")
+    // hive partition columns from the leaf chains (the manifest layout
+    // guard keeps them uniform); a partitioned merge/cdc ROUTES inserts
+    // to their partition leaf and must carry the partition columns
+    val partCols: Seq[String] =
+      byLeaf.map(_._1).find(_.nonEmpty).map(_.split('/').toSeq.map { seg =>
+        java.net.URLDecoder.decode(seg.substring(0, seg.indexOf('=')), "UTF-8")
+      }).getOrElse(Nil)
+    val partitioned = partCols.nonEmpty
 
     // table schema = the UNION of every live footer/header (a mutated
     // table may carry evolved generations; projecting to the first file
@@ -211,12 +216,19 @@ object FeatherMutations {
     val tableSchema = face.mergedSchema(spark,
       snap.files.map { case (rel, len) => (new Path(root, rel).toString, len) })
     keyCols.foreach(k => require(tableSchema.fieldNames.contains(k),
-      s"$op: key column '$k' not in table schema " +
+      if (partCols.contains(k))
+        s"$op: key column '$k' is a partition column — partition values " +
+          "live in the directory chain, not the data files; key on data " +
+          "columns (the source's partition values route the rows)"
+      else s"$op: key column '$k' not in table schema " +
         s"(${tableSchema.fieldNames.mkString(", ")})"))
     appendSource.foreach { src =>
-      require(src.columns.sorted.sameElements(tableSchema.fieldNames.sorted),
+      val expected = (tableSchema.fieldNames ++ partCols).sorted
+      require(src.columns.sorted.sameElements(expected),
         s"$op: source columns (${src.columns.sorted.mkString(", ")}) must " +
-          s"be exactly the table's (${tableSchema.fieldNames.sorted.mkString(", ")})")
+          s"be exactly the table's data columns" +
+          (if (partitioned) s" plus its partition columns" else "") +
+          s" (${expected.mkString(", ")})")
       // names alone would let a type-mismatched source commit parts whose
       // footer types disagree with the table — corruption that surfaces
       // only on a later read. Compare types, nullability-insensitive.
@@ -463,7 +475,8 @@ object FeatherMutations {
     var partsWritten = 0
     byLeaf.foreach { case (relDir, leafFiles) =>
       val touchedLeaf = leafFiles.filter { case (rel, _) => touchedRel(rel) }
-      if (touchedLeaf.nonEmpty || (appendSource.isDefined && relDir.isEmpty)) {
+      if (touchedLeaf.nonEmpty ||
+          (appendSource.isDefined && !partitioned && relDir.isEmpty)) {
         val leafDir = if (relDir.isEmpty) root else new Path(root, relDir)
         val survivors: Option[DataFrame] =
           if (touchedLeaf.isEmpty) None
@@ -483,7 +496,10 @@ object FeatherMutations {
             Some(filled.select(tableSchema.fieldNames.map(col).toSeq: _*)
               .join(keysProj, keyCols, "left_anti"))
           }
-        val outDf = (survivors, appendSource) match {
+        // partitioned: survivors only here (inserts route per-partition
+        // below — a source row must land in ITS leaf, not this one)
+        val srcHere = if (partitioned) None else appendSource
+        val outDf = (survivors, srcHere) match {
           case (Some(sv), Some(src)) => sv.unionByName(src)
           case (Some(sv), None) => sv
           case (None, Some(src)) => src
@@ -494,7 +510,7 @@ object FeatherMutations {
         // of inheriting spark.sql.shuffle.partitions tiny parts; compaction
         // owns long-run part hygiene either way
         val targetParts = math.max(1, math.max(touchedLeaf.size,
-          appendSource.map(_.rdd.getNumPartitions).getOrElse(0)))
+          srcHere.map(_.rdd.getNumPartitions).getOrElse(0)))
         val parts = face.writeParts(
           outDf.coalesce(targetParts), leafDir.toString, prefix, codec)
         if (parts.nonEmpty)
@@ -503,6 +519,45 @@ object FeatherMutations {
               name -> (len, FeatherStats.fromJson(js)) }.toMap)
         added ++= parts.map { case (name, len, _) =>
           (if (relDir.isEmpty) name else s"$relDir/$name", len) }
+        partsWritten += parts.size
+      }
+    }
+
+    // ---- partitioned insert routing ----------------------------------------
+    // Source rows land in the leaf THEIR partition values name (the hive
+    // contract: a matched key whose source row carries different partition
+    // values moves partitions — delete-here + insert-there, both inside
+    // this one manifest commit). The distinct partition tuples of the
+    // source collect to the driver: partition-count-sized (a correction
+    // batch touches few partitions), never row-count-sized.
+    if (partitioned && appendSource.isDefined) {
+      val src = appendSource.get
+      def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
+      val tuples = src.select(partCols.map(col): _*).distinct().collect()
+      tuples.foreach { row =>
+        val relDir = partCols.zipWithIndex.map { case (c, i) =>
+          val v = row.get(i)
+          s"${enc(c)}=${if (v == null) graft.sources.FeatherPartitions.HiveNull
+            else enc(v.toString)}"
+        }.mkString("/")
+        val leafDir = new Path(root, relDir)
+        fs.mkdirs(leafDir)
+        val slice = src.filter(partCols.zipWithIndex.map { case (c, i) =>
+            if (row.get(i) == null) col(c).isNull
+            else col(c) === lit(row.get(i))
+          }.reduce(_ && _))
+          .drop(partCols: _*)
+          .select(tableSchema.fieldNames.map(col).toSeq: _*)
+        // insert parts use a sub-prefix so their pre-clean cannot delete
+        // this run's survivor parts in a leaf that is both touched and an
+        // insert target (crash retries reclaim both prefixes in order)
+        val parts = face.writeParts(slice.coalesce(1),
+          leafDir.toString, s"$prefix-ins", codec)
+        if (parts.nonEmpty)
+          FeatherStats.upsertMerged(fs, leafDir,
+            parts.map { case (name, len, js) =>
+              name -> (len, FeatherStats.fromJson(js)) }.toMap)
+        added ++= parts.map { case (name, len, _) => (s"$relDir/$name", len) }
         partsWritten += parts.size
       }
     }

@@ -60,7 +60,7 @@ object IoQueries extends QueryPack {
     "io_feather_skipping", "io_feather_compact", "io_avro_compact",
     "io_feather_agg_pushdown", "io_feather_time_travel", "io_avro_skipping",
     "io_feather_delete", "io_feather_merge", "io_feather_cdc",
-    "io_avro_delete", "io_avro_merge",
+    "io_avro_delete", "io_avro_merge", "io_feather_merge_partitioned",
     "io_feather_cluster", "io_feather_evolution", "io_avro_evolution",
     "io_feather_bloom_skip", "io_bloom_string_takedown",
     "io_avro_time_travel", "dedup_lsh_incremental")
@@ -1031,6 +1031,49 @@ object IoQueries extends QueryPack {
     s.read.format("graft-avro").load(path)
       .select(col("o_orderkey"), col("o_orderpriority"),
         col("o_totalprice").as("total"))
+      .orderBy("o_orderkey")
+  }
+
+  // MERGE on a HIVE-PARTITIONED snapshotted table: inserts ROUTE to the
+  // leaf their partition values name (including a brand-new leaf), and a
+  // matched key whose source row names a different partition MOVES —
+  // delete-here + insert-there inside one manifest commit. The ORACLE
+  // rebuilds the post-merge state relationally from parquet.
+  register("io_feather_merge_partitioned",
+    """SELECT o_orderkey, o_orderpriority, total FROM (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(o_totalprice AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderkey <= 2000 AND o_orderkey NOT IN (10, 32)
+      |  UNION ALL SELECT 10, '1-URGENT', 111.0
+      |  UNION ALL SELECT 32, '9-MOVED', 222.0
+      |  UNION ALL SELECT 99999999, '1-URGENT', 333.0
+      |) t ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val path = readFixture("feather_merge_part", d) { p =>
+      import s.implicits._
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val base = Tables.orders(s, d).filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast(DoubleType).as("total"))
+      base.select("o_orderpriority").distinct().collect()
+        .map(_.getString(0)).foreach { pr =>
+          GraftFeather.write(
+            base.where(col("o_orderpriority") === pr)
+              .drop("o_orderpriority").repartition(1),
+            s"$p/o_orderpriority=${java.net.URLEncoder.encode(pr, "UTF-8")}",
+            overwrite = true)
+        }
+      graft.sources.FeatherSnapshots.adopt(
+        fs, new org.apache.hadoop.fs.Path(p))
+      val src = Seq(
+        (10L, "1-URGENT", 111.0),       // replace (or insert if absent)
+        (32L, "9-MOVED", 222.0),        // move into a brand-new leaf
+        (99999999L, "1-URGENT", 333.0)  // pure insert
+      ).toDF("o_orderkey", "o_orderpriority", "total")
+      graft.io.FeatherMutations.merge(s, p, src, Seq("o_orderkey")): Unit
+    }
+    s.read.format("feather").load(path)
+      .select("o_orderkey", "o_orderpriority", "total")
       .orderBy("o_orderkey")
   }
 

@@ -17,7 +17,7 @@ import org.apache.spark.sql.types._
   * not silently half-read), `__HIVE_DEFAULT_PARTITION__` decodes to
   * null, values are URL-unescaped, and partition types are inferred
   * long → double → string over the observed values. */
-private[sources] object FeatherPartitions {
+private[graft] object FeatherPartitions {
 
   val HiveNull = "__HIVE_DEFAULT_PARTITION__"
 

@@ -194,7 +194,47 @@ class FeatherMutationsSpec extends AnyFunSuite {
     }
   }
 
-  test("merge on a partitioned table fails loudly") {
+  test("merge on a partitioned table routes inserts to their leaves") {
+    val path = tmp("merge_part_route")
+    writePartitioned(path, 30) // ids 1..30, dom = d(i%3); leaves hold (id, pay)
+    import spark.implicits._
+    val src = Seq(
+      (3L, "d0", "p_3_v2"),  // replace in place (3 lives in dom=d0)
+      (31L, "d1", "p_31"),   // insert into an existing leaf
+      (100L, "d9", "p_100")  // insert into a NEW leaf
+    ).toDF("id", "dom", "pay")
+    FeatherMutations.merge(spark, path, src, Seq("id"))
+    val after = spark.read.format("feather").load(path)
+    assert(after.count() === 32)
+    val row3 = after.where(col("id") === 3L).collect()
+    assert(row3.length === 1)
+    assert(row3.head.getAs[String]("pay") === "p_3_v2")
+    assert(row3.head.getAs[String]("dom") === "d0")
+    assert(after.where(col("id") === 31L).head().getAs[String]("dom") === "d1")
+    assert(after.where(col("id") === 100L).head().getAs[String]("dom") === "d9")
+    // partition pruning still works over the mutated layout
+    assert(after.where(col("dom") === "d9").count() === 1)
+  }
+
+  test("a matched key whose source row names a different partition moves") {
+    val path = tmp("merge_part_move")
+    writePartitioned(path, 30)
+    import spark.implicits._
+    val src = Seq((3L, "d2", "p_3_moved")).toDF("id", "dom", "pay")
+    FeatherMutations.merge(spark, path, src, Seq("id"))
+    val after = spark.read.format("feather").load(path)
+    assert(after.count() === 30)
+    val row3 = after.where(col("id") === 3L).collect()
+    assert(row3.length === 1, "the moved key must exist exactly once")
+    assert(row3.head.getAs[String]("dom") === "d2")
+    assert(row3.head.getAs[String]("pay") === "p_3_moved")
+    // idempotent re-merge on a partitioned table
+    FeatherMutations.merge(spark, path, src, Seq("id"))
+    assert(spark.read.format("feather").load(path).count() === 30)
+  }
+
+  test("partitioned merge without the partition columns is loud; keying " +
+       "on a partition column is loud") {
     val path = tmp("merge_part_err")
     writePartitioned(path, 30)
     import spark.implicits._
@@ -202,7 +242,12 @@ class FeatherMutationsSpec extends AnyFunSuite {
       FeatherMutations.merge(spark, path,
         Seq((1L, "p_1")).toDF("id", "pay"), Seq("id"))
     }
-    assert(e.getMessage.contains("partitioned"))
+    assert(e.getMessage.contains("partition columns"))
+    val e2 = intercept[IllegalArgumentException] {
+      FeatherMutations.merge(spark, path,
+        Seq((1L, "d0", "p_1")).toDF("id", "dom", "pay"), Seq("dom"))
+    }
+    assert(e2.getMessage.contains("partition column"))
   }
 
   test("OPTIMIZE on an avro-face snapshot table still fails loudly by name") {
