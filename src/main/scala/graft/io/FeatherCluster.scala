@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions.col
 
 import graft.sources.FeatherSnapshots
 
-/** OPTIMIZE-style re-clustering of a snapshotted feather table: rewrite
+/** OPTIMIZE-style re-clustering of a snapshotted feather OR avro table
+  * (face auto-detected from the manifest's part suffixes): rewrite
   * every live file range-clustered AND batch-sorted on chosen columns,
   * swapped in as ONE "cluster" manifest commit.
   *
@@ -56,12 +57,7 @@ object FeatherCluster {
         "option(\"snapshots\", \"true\") first")
     val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
       sys.error(s"cluster on $path: snapshot directory holds no versions"))
-    snap.files.find { case (rel, _) =>
-      !FeatherSnapshots.FeatherSuffixes.exists(rel.endsWith) }.foreach {
-      case (rel, _) => throw new IllegalArgumentException(
-        s"cluster on $path: manifest references non-feather part '$rel' — " +
-          "re-clustering is implemented on the feather face only")
-    }
+    val face = ConnectorFace.detect(snap.files, "cluster", path)
     val prefix = f"clust-v${snap.version + 1}%08d"
 
     val byLeaf = snap.files.groupBy { case (rel, _) =>
@@ -75,15 +71,14 @@ object FeatherCluster {
       val leafBytes = leafFiles.map(_._2).sum
       val nParts = math.max(1,
         math.ceil(leafBytes.toDouble / targetBytes).toInt)
-      val df = GraftFeather.readFiles(spark,
-        leafFiles.map { case (rel, len) => (new Path(root, rel).toString, len) },
-        mergeSchema = true) // evolved generations keep their columns
+      val df = face.readMerged(spark, // evolved generations keep their columns
+        leafFiles.map { case (rel, len) => (new Path(root, rel).toString, len) })
       cols.foreach(c => require(df.columns.contains(c),
         s"cluster: column '$c' not in table schema (${df.columns.mkString(", ")})"))
       val clustered = df
         .repartitionByRange(nParts, cols.map(col): _*)
         .sortWithinPartitions(cols.map(col): _*)
-      val parts = GraftFeather.writeParts(
+      val parts = face.writeParts(
         clustered, leafDir.toString, prefix, codec)
       if (parts.nonEmpty)
         FeatherStats.upsertMerged(fs, leafDir,
@@ -97,13 +92,12 @@ object FeatherCluster {
     // yields no parts — stamp per leaf rather than commit an EMPTY
     // manifest that would make every later read fail at discovery
     if (added.isEmpty) {
-      val fields = GraftFeather.readFieldsMerged(spark,
+      val schema = face.mergedSchema(spark,
         snap.files.map { case (rel, len) =>
           (new Path(root, rel).toString, len) })
       byLeaf.foreach { case (relDir, _) =>
         val leafDir = if (relDir.isEmpty) root else new Path(root, relDir)
-        val (name, len) = GraftFeather.stampSchemaOnly(fs, leafDir,
-          s"$prefix-empty.feather", fields)
+        val (name, len) = face.stamp(fs, leafDir, prefix, schema)
         added += ((if (relDir.isEmpty) name else s"$relDir/$name", len))
       }
     }
@@ -115,7 +109,7 @@ object FeatherCluster {
           s"v${snap.version} while the rewrite ran) — re-run")
       parentFiles.filterNot { case (rel, _) => gone(rel) } ++ added
     }
-    bloomFor.foreach(FeatherBloom.build(spark, path, _): Unit)
+    bloomFor.foreach(FeatherBloom.build(spark, path, _, face.suffix): Unit)
     Result(committed, snap.files.size, added.size)
   }
 }

@@ -105,59 +105,6 @@ object FeatherMutations {
       appendSource = Some(live), codec)
   }
 
-  // ---- connector face -----------------------------------------------------
-  // The probe (stats ranges, bloom sidecars), manifest commit, and leaf
-  // orchestration are format-agnostic; only schema inference, the merged
-  // read, the part writer, and the empty-table stamp differ per face.
-  // Face is detected from the manifest's part suffixes — a mutation never
-  // needs to be told what the table is.
-
-  private sealed trait Face {
-    def label: String
-    def mergedSchema(spark: SparkSession, files: Seq[(String, Long)]): StructType
-    def readMerged(spark: SparkSession, files: Seq[(String, Long)]): DataFrame
-    def writeParts(df: DataFrame, dir: String, prefix: String,
-                   codec: String): Seq[(String, Long, String)]
-    def stamp(fs: org.apache.hadoop.fs.FileSystem, dir: Path, prefix: String,
-              schema: StructType): (String, Long)
-    /** Translate the caller's codec: "lz4" is the feather-centric default
-      * parameter value and maps to the face's own default elsewhere. */
-    def codecFor(requested: String): String
-  }
-
-  private object FeatherFace extends Face {
-    val label = "feather"
-    def mergedSchema(spark: SparkSession, files: Seq[(String, Long)]) =
-      StructType(GraftFeather.readFieldsMerged(spark, files).map(f =>
-        StructField(f.getName, GraftFeather.toSparkType(f), f.isNullable)))
-    def readMerged(spark: SparkSession, files: Seq[(String, Long)]) =
-      GraftFeather.readFiles(spark, files, mergeSchema = true)
-    def writeParts(df: DataFrame, dir: String, prefix: String, codec: String) =
-      GraftFeather.writeParts(df, dir, prefix, codecFor(codec))
-    def stamp(fs: org.apache.hadoop.fs.FileSystem, dir: Path, prefix: String,
-              schema: StructType) =
-      GraftFeather.stampSchemaOnly(fs, dir, s"$prefix-empty.feather",
-        schema.fields.toSeq.map(f =>
-          GraftFeather.toArrowField(f.name, f.dataType, f.nullable)))
-    def codecFor(requested: String): String = requested
-  }
-
-  private object AvroFace extends Face {
-    val label = "avro"
-    def mergedSchema(spark: SparkSession, files: Seq[(String, Long)]) =
-      GraftAvro.toSparkType(GraftAvro.mergedSchema(spark, files))
-        .asInstanceOf[StructType]
-    def readMerged(spark: SparkSession, files: Seq[(String, Long)]) =
-      GraftAvro.readFilesDF(spark, files, mergeSchema = true)
-    def writeParts(df: DataFrame, dir: String, prefix: String, codec: String) =
-      GraftAvro.writeParts(df, dir, prefix, codecFor(codec))
-    def stamp(fs: org.apache.hadoop.fs.FileSystem, dir: Path, prefix: String,
-              schema: StructType) =
-      GraftAvro.stampSchemaOnly(fs, dir, s"$prefix-empty.avro", schema)
-    def codecFor(requested: String): String =
-      if (requested == "lz4") "snappy" else requested
-  }
-
   // ---- shared implementation ----------------------------------------------
 
   private sealed trait KeyRange
@@ -180,17 +127,7 @@ object FeatherMutations {
         "option(\"snapshots\", \"true\") first")
     val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
       sys.error(s"$op on $path: snapshot directory exists but holds no versions"))
-    val face: Face =
-      if (snap.files.forall { case (rel, _) => rel.endsWith(".avro") })
-        AvroFace
-      else if (snap.files.forall { case (rel, _) =>
-          FeatherSnapshots.FeatherSuffixes.exists(rel.endsWith) })
-        FeatherFace
-      else throw new IllegalArgumentException(
-        s"$op on $path: manifest mixes part formats (" +
-          snap.files.map(_._1.reverse.takeWhile(_ != '.').reverse)
-            .distinct.mkString(", ") +
-          ") — row-level mutations need a single-face table")
+    val face = ConnectorFace.detect(snap.files, op, path)
     val parentV = snap.version
     val prefix = f"mut-v${parentV + 1}%08d"
 

@@ -61,7 +61,8 @@ object IoQueries extends QueryPack {
     "io_feather_agg_pushdown", "io_feather_time_travel", "io_avro_skipping",
     "io_feather_delete", "io_feather_merge", "io_feather_cdc",
     "io_avro_delete", "io_avro_merge", "io_feather_merge_partitioned",
-    "io_feather_cluster", "io_feather_evolution", "io_avro_evolution",
+    "io_feather_cluster", "io_avro_cluster",
+    "io_feather_evolution", "io_avro_evolution",
     "io_feather_bloom_skip", "io_bloom_string_takedown",
     "io_avro_time_travel", "dedup_lsh_incremental")
 
@@ -1194,6 +1195,41 @@ object IoQueries extends QueryPack {
         s"clustered delete must prune: $r of ${rc.filesAfter}")
     }
     s.read.format("feather").load(path)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(12, 2)))
+          .cast(DoubleType).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  // OPTIMIZE on the AVRO face (io/FeatherCluster via ConnectorFace):
+  // the same range-clustered rewrite-as-one-manifest-commit, rewriting
+  // through the avro writer, with the same prunability payoff (the
+  // post-cluster banded delete touches a strict subset) — avro tables
+  // get the full maintenance tier, not just reads.
+  register("io_avro_cluster",
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_orderkey <= 4000
+      |  AND NOT (l_orderkey BETWEEN 1001 AND 1300)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val path = readFixture("avro_cluster", d) { p =>
+      Tables.lineitem(s, d).filter(col("l_orderkey") <= 4000)
+        .select("l_returnflag", "l_orderkey", "l_quantity")
+        .repartition(8, col("l_orderkey")) // hash: worst case for skipping
+        .write.format("graft-avro").mode("overwrite")
+        .option("snapshots", "true").save(p)
+      val rc = graft.io.FeatherCluster.cluster(s, p, Seq("l_orderkey"),
+        targetBytes = 64 << 10)
+      require(rc.filesAfter > 1, s"want multiple clustered parts: $rc")
+      val band = Tables.orders(s, d)
+        .filter(col("o_orderkey").between(1001, 1300))
+        .select(col("o_orderkey").as("l_orderkey"))
+      val r = graft.io.FeatherMutations.deleteByKey(s, p, band, Seq("l_orderkey"))
+      require(r.filesTouched < rc.filesAfter,
+        s"clustered avro delete must prune: $r of ${rc.filesAfter}")
+    }
+    s.read.format("graft-avro").load(path)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
         sum(col("l_quantity").cast(DecimalType(12, 2)))

@@ -250,16 +250,27 @@ class FeatherMutationsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("partition column"))
   }
 
-  test("OPTIMIZE on an avro-face snapshot table still fails loudly by name") {
-    val path = tmp("mut_avro_face")
+  test("OPTIMIZE re-clusters an avro-face snapshot table") {
+    val path = tmp("avro_cluster")
     import spark.implicits._
-    (1 to 20).map(i => (i.toLong, s"n_$i")).toDF("id", "name")
-      .repartition(1).write.format("graft-avro").mode("overwrite")
+    (1 to 800).map(i => (i.toLong, s"n_$i")).toDF("id", "name")
+      .repartition(4, col("id")) // hash: every part spans the domain
+      .write.format("graft-avro").mode("overwrite")
       .option("snapshots", "true").save(path)
-    val e2 = intercept[IllegalArgumentException] {
-      graft.io.FeatherCluster.cluster(spark, path, Seq("id"))
-    }
-    assert(e2.getMessage.contains("feather face only"))
+    val r0 = FeatherMutations.deleteByKey(spark, path,
+      (100L to 150L).toDF("id"), Seq("id"))
+    assert(r0.filesTouched === 4, s"hash layout touches all parts: $r0")
+    val rc = graft.io.FeatherCluster.cluster(spark, path, Seq("id"),
+      targetBytes = 4 << 10)
+    assert(rc.filesAfter > 1)
+    val r1 = FeatherMutations.deleteByKey(spark, path,
+      (200L to 250L).toDF("id"), Seq("id"))
+    assert(r1.filesTouched < rc.filesAfter,
+      s"clustered band must prune: $r1 of ${rc.filesAfter}")
+    val after = spark.read.format("graft-avro").load(path)
+    assert(after.count() === 800 - 51 - 51)
+    assert(after.where(col("id").between(100L, 150L)).count() === 0)
+    assert(after.where(col("id") === 300L).count() === 1)
   }
 
   /** Range-clustered snapshotted AVRO table, mirror of [[writeTable]]. */
