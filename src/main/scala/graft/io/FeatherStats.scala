@@ -375,4 +375,97 @@ object FeatherStats {
     }
     if (perFile.forall(_.isDefined)) Some(perFile.flatten.sum) else None
   }
+
+  /** Backfill stats sidecars (and each directory's merged cache) for a
+    * snapshotted table's live files that LACK coverage — the missing half
+    * of adopt(): adoption references foreign files in place but they
+    * carry no sidecars, so the adopted table plans with zero skipping,
+    * no exact row counts, and no aggregate pushdown until this pass runs
+    * (the ANALYZE of this tier, a maintenance job like
+    * [[FeatherBloom.build]]). One task per UNCOVERED file; each task
+    * decodes only the stats-tracked (numeric + string) columns and emits
+    * ONE stats batch for the whole file — batch-level granularity needs
+    * writer cooperation, file-level is what foreign files can have
+    * (parquet footer granularity, supplied from outside the format).
+    * Idempotent: covered files are skipped. Returns files backfilled. */
+  def backfill(spark: org.apache.spark.sql.SparkSession, path: String,
+               suffix: String = ".feather"): Int = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    require(graft.sources.FeatherSnapshots.enabled(fs, root),
+      s"stats backfill on $path, which has no snapshots — the pass " +
+        "follows the manifest's live files; adopt() or write with " +
+        "option(\"snapshots\", \"true\") first")
+    val snap = graft.sources.FeatherSnapshots.resolve(fs, root, None)
+      .getOrElse(sys.error(s"stats backfill on $path: no snapshot versions"))
+    val files = snap.files.map { case (rel, len) =>
+      (new Path(root, rel).toString, len) }
+    val covered = loadForFiles(conf, files)
+    val uncovered = files.filter { case (f, _) =>
+      covered.getOrElse(f, None).isEmpty }
+    if (uncovered.isEmpty) return 0
+    val avro = suffix == ".avro"
+    val avroMerged =
+      if (avro) Some(GraftAvro.mergedSchema(spark, files)) else None
+    val fullSchema: StructType = avroMerged match {
+      case Some(m) => GraftAvro.toSparkType(m).asInstanceOf[StructType]
+      case None => StructType(
+        GraftFeather.readFieldsMergedConf(conf, files).map(f =>
+          StructField(f.getName, GraftFeather.toSparkType(f), f.isNullable)))
+    }
+    def trackable(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType => true
+      case _ => false
+    }
+    // project to the tracked columns: the count still covers every row,
+    // and untracked columns would only be decoded to be ignored
+    val proj = StructType(fullSchema.fields.filter(f => trackable(f.dataType)))
+    require(proj.nonEmpty,
+      s"stats backfill on $path: no stats-trackable column in " +
+        s"(${fullSchema.fieldNames.mkString(", ")})")
+    val names = proj.fieldNames.toSeq
+    val avroReaderJson = avroMerged.map(_.toString).getOrElse("")
+    val confMap = GraftHadoop.confBroadcast(spark)
+    val results = spark.sparkContext
+      .parallelize(uncovered, uncovered.size).map { case (f, len) =>
+        val execConf = new org.apache.hadoop.conf.Configuration(false)
+        confMap.value.foreach { case (k, v) => execConf.set(k, v) }
+        val open = new java.util.ArrayList[
+          org.apache.arrow.vector.ipc.ArrowFileReader]()
+        val openAvro = new java.util.ArrayList[
+          org.apache.avro.file.DataFileReader[
+            org.apache.avro.generic.GenericRecord]]()
+        try {
+          val it =
+            if (avro)
+              GraftAvro.splitRows(execConf, avroReaderJson, f, 0L, len,
+                Some(names), openAvro.add(_), openAvro.remove(_))
+            else GraftFeather.allRows(execConf, f, len, names,
+              open.add(_), lenient = true)
+          val c = new Collector(proj)
+          it.foreach(c.observe)
+          val statsJson = toJson(Seq(c.snapshotAndReset()))
+          val pfs = new Path(f).getFileSystem(execConf)
+          val sc = pfs.create(new Path(f + ".stats.json"), true)
+          try sc.write(statsJson.getBytes("UTF-8")) finally sc.close()
+          (f, len, statsJson)
+        } finally {
+          open.asScala.foreach(r =>
+            try r.close() catch { case _: Exception => () })
+          openAvro.asScala.foreach(r =>
+            try r.close() catch { case _: Exception => () })
+        }
+      }.collect()
+    // fold the new sidecars into each directory's merged cache so the
+    // planner's O(directories) fast path covers them immediately
+    results.groupBy { case (f, _, _) => new Path(f).getParent }
+      .foreach { case (dir, entries) =>
+        upsertMerged(fs, dir, entries.map { case (f, len, js) =>
+          new Path(f).getName -> (len, fromJson(js)) }.toMap)
+      }
+    results.length
+  }
 }

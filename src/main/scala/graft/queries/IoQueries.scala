@@ -63,7 +63,7 @@ object IoQueries extends QueryPack {
     "io_avro_delete", "io_avro_merge", "io_feather_merge_partitioned",
     "io_feather_cluster", "io_avro_cluster",
     "io_feather_evolution", "io_avro_evolution",
-    "io_feather_bloom_skip", "io_bloom_string_takedown",
+    "io_feather_bloom_skip", "io_bloom_string_takedown", "io_stats_backfill",
     "io_avro_time_travel", "dedup_lsh_incremental")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
@@ -1235,6 +1235,45 @@ object IoQueries extends QueryPack {
         sum(col("l_quantity").cast(DecimalType(12, 2)))
           .cast(DoubleType).as("sum_qty"))
       .orderBy("l_returnflag")
+  }
+
+  // Stats BACKFILL for adopted/foreign files (FeatherStats.backfill —
+  // the ANALYZE of the sidecar tier): adopt() references files in place
+  // but they carry no stats, so the table plans with zero skipping, no
+  // exact row counts, and no aggregate pushdown. The fixture adopts a
+  // sidecar-stripped directory, proves it starts UNCOVERED, backfills,
+  // and proves exact row counts appear; the query's unfiltered
+  // COUNT/MIN/MAX is then answerable from the merged stats alone.
+  register("io_stats_backfill",
+    """SELECT count(*) AS n, min(c_custkey) AS mn, max(c_custkey) AS mx
+      |FROM customer WHERE c_custkey <= 1000""".stripMargin) { (s, d) =>
+    val path = readFixture("stats_backfill", d) { p =>
+      val conf = s.sparkContext.hadoopConfiguration
+      val rp = new org.apache.hadoop.fs.Path(p)
+      val fs = rp.getFileSystem(conf)
+      fs.mkdirs(rp)
+      GraftFeather.writeParts(
+        Tables.customer(s, d).filter(col("c_custkey") <= 1000)
+          .select("c_custkey", "c_name", "c_acctbal").repartition(4),
+        p, "foreign")
+      // strip every stats artifact: simulate genuinely FOREIGN files
+      fs.listStatus(rp).filter(_.getPath.getName.endsWith(".stats.json"))
+        .foreach(st => fs.delete(st.getPath, false))
+      fs.delete(new org.apache.hadoop.fs.Path(rp, "_stats.json"), false)
+      graft.sources.FeatherSnapshots.adopt(fs, rp)
+      val files = graft.sources.FeatherSnapshots.resolve(fs, rp, None).get
+        .files.map { case (rel, len) =>
+          (new org.apache.hadoop.fs.Path(rp, rel).toString, len) }
+      require(graft.io.FeatherStats.exactRowCount(conf, files).isEmpty,
+        "foreign files must start uncovered")
+      val nb = graft.io.FeatherStats.backfill(s, p)
+      require(nb == 4, s"expected 4 files backfilled, got $nb")
+      require(graft.io.FeatherStats.exactRowCount(conf, files).isDefined,
+        "backfill must produce exact row counts")
+    }
+    s.read.format("feather").load(path)
+      .agg(count(lit(1)).as("n"),
+        min(col("c_custkey")).as("mn"), max(col("c_custkey")).as("mx"))
   }
 
   // Per-file Bloom sidecars on the read path (io/FeatherBloom.build):
