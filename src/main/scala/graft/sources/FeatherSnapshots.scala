@@ -630,6 +630,23 @@ private[graft] object FeatherSnapshots {
     commit(fs, root, "adopt")(_ => files.toSeq)
   }
 
+  /** Retention-DURATION expire (the Delta VACUUM retention shape): retire
+    * every snapshot whose commit timestamp is older than
+    * `retentionMillis`, always keeping the head — the policy form a
+    * compliance pipeline states ("erasure becomes physical after N
+    * days") where [[expire]] is the count form. Delegates to [[expire]],
+    * so the checkpoint-materialization and crash-ordering guarantees are
+    * the same. */
+  def expireOlderThan(fs: FileSystem, root: Path,
+                      retentionMillis: Long): (Int, Int) = {
+    require(retentionMillis >= 0,
+      s"retentionMillis must be >= 0, got $retentionMillis")
+    val snaps = readAll(fs, root)
+    if (snaps.isEmpty) return (0, 0)
+    val cutoff = System.currentTimeMillis() - retentionMillis
+    expire(fs, root, math.max(1, snaps.count(_.ts >= cutoff)))
+  }
+
   /** Retire all but the last `keepLast` snapshots and DELETE every data
     * file (and its stats sidecar) no kept snapshot references. Returns
     * (snapshots removed, data files removed). */

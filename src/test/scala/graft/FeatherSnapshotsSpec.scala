@@ -617,4 +617,29 @@ class FeatherSnapshotsSpec extends AnyFunSuite {
     assert(FeatherSnapshots.read(fs, rp, 1L).files.map(_._1) === Seq("e1.feather"))
   }
 
+
+  test("expireOlderThan retires by commit age, always keeping the head") {
+    val path = tmp("expire_age")
+    writeV(path, 1, 20, "overwrite")          // v1
+    writeV(path, 21, 25, "append")            // v2
+    Thread.sleep(150)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(150)
+    writeV(path, 26, 30, "append")            // v3 (younger than mid)
+    val fs = fsOf(path)
+    // retention = age back to `mid`: v1/v2 are older -> retired; v3 kept
+    val (gone, _) = FeatherSnapshots.expireOlderThan(fs, new Path(path),
+      retentionMillis = System.currentTimeMillis() - mid)
+    assert(gone === 2)
+    assert(spark.read.format("feather").load(path).count() === 30)
+    intercept[Exception] {
+      spark.read.format("feather").option("versionAsOf", "1")
+        .load(path).count()
+    }
+    // a zero-retention expire still keeps the head
+    val (gone2, _) = FeatherSnapshots.expireOlderThan(fs, new Path(path), 0L)
+    assert(gone2 === 0)
+    assert(spark.read.format("feather").load(path).count() === 30)
+  }
+
 }
