@@ -13,7 +13,7 @@ import graft.sources.FeatherSnapshots
   * stamp differ between the feather and avro faces. Detected from the
   * manifest's part suffixes — a maintenance job never needs to be told
   * what the table is. */
-private[io] sealed trait ConnectorFace {
+private[io] sealed trait ConnectorFace extends Serializable {
   def label: String
   /** The face's part suffix (".feather" / ".avro") — what
     * [[FeatherBloom.build]] keys its row reader on. */
@@ -27,6 +27,20 @@ private[io] sealed trait ConnectorFace {
   /** Translate the caller's codec: "lz4" is the feather-centric default
     * parameter value and maps to the face's own default elsewhere. */
   def codecFor(requested: String): String
+  /** EXECUTOR-side single-file row iterator over `cols` — the shared
+    * plumbing the per-file maintenance passes (bloom build, stats
+    * backfill) consume. `readerJson` is the avro merged reader schema
+    * (ignored by feather). Opened readers report through
+    * `track`/`untrack`; the caller closes whatever is still tracked when
+    * done (early-exit safety). */
+  def fileRows(execConf: org.apache.hadoop.conf.Configuration,
+               readerJson: String, file: String, len: Long,
+               cols: Seq[String],
+               track: AutoCloseable => Unit,
+               untrack: AutoCloseable => Unit): Iterator[org.apache.spark.sql.Row]
+  /** Driver-side: the avro faces' merged reader schema JSON for
+    * [[fileRows]] ("" on feather — the IPC footer is self-describing). */
+  def readerJson(spark: SparkSession, files: Seq[(String, Long)]): String
 }
 
 private[io] object ConnectorFace {
@@ -61,6 +75,14 @@ private[io] object ConnectorFace {
         schema.fields.toSeq.map(f =>
           GraftFeather.toArrowField(f.name, f.dataType, f.nullable)))
     def codecFor(requested: String): String = requested
+    def fileRows(execConf: org.apache.hadoop.conf.Configuration,
+                 readerJson: String, file: String, len: Long,
+                 cols: Seq[String],
+                 track: AutoCloseable => Unit,
+                 untrack: AutoCloseable => Unit) =
+      GraftFeather.allRows(execConf, file, len, cols, r => track(r),
+        lenient = true)
+    def readerJson(spark: SparkSession, files: Seq[(String, Long)]): String = ""
   }
 
   object AvroFace extends ConnectorFace {
@@ -78,5 +100,14 @@ private[io] object ConnectorFace {
       GraftAvro.stampSchemaOnly(fs, dir, s"$prefix-empty.avro", schema)
     def codecFor(requested: String): String =
       if (requested == "lz4") "snappy" else requested
+    def fileRows(execConf: org.apache.hadoop.conf.Configuration,
+                 readerJson: String, file: String, len: Long,
+                 cols: Seq[String],
+                 track: AutoCloseable => Unit,
+                 untrack: AutoCloseable => Unit) =
+      GraftAvro.splitRows(execConf, readerJson, file, 0L, len,
+        Some(cols), r => track(r), r => untrack(r))
+    def readerJson(spark: SparkSession, files: Seq[(String, Long)]): String =
+      GraftAvro.mergedSchema(spark, files).toString
   }
 }

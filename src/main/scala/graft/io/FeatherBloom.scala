@@ -95,10 +95,10 @@ object FeatherBloom {
   }
 
   /** Build (or rebuild) bloom sidecars for every live file of a
-    * snapshotted table, over an integral or STRING key column. One task per file; each
-    * task decodes only the key column. `suffix` selects the connector
-    * face (".feather" default; ".avro" for the avro connector — same
-    * sidecar format, different row reader). Returns files indexed. */
+    * snapshotted table, over an integral or STRING key column. Face
+    * auto-detected from the manifest (the `suffix` parameter is retained
+    * for source compatibility and ignored). One task per file; each
+    * task decodes only the key column. Returns files indexed. */
   def build(spark: SparkSession, path: String, keyCol: String,
             suffix: String = ".feather"): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -109,21 +109,11 @@ object FeatherBloom {
         "the manifest's live files; write with option(\"snapshots\", \"true\")")
     val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
       sys.error(s"bloom build on $path: no snapshot versions"))
+    val face = ConnectorFace.detect(snap.files, "bloom build", path)
     val files = snap.files.map { case (rel, len) =>
       (new Path(root, rel).toString, len) }
-    val avro = suffix == ".avro"
-    // one header sweep serves both the type check and the reader schema
-    val avroMerged =
-      if (avro) Some(GraftAvro.mergedSchema(spark, files)) else None
-    val keyType =
-      (avroMerged match {
-        case Some(m) =>
-          GraftAvro.toSparkType(m)
-            .asInstanceOf[org.apache.spark.sql.types.StructType]
-            .fields.find(_.name == keyCol).map(_.dataType)
-        case None => GraftFeather.readFieldsMergedConf(conf, files)
-          .find(_.getName == keyCol).map(GraftFeather.toSparkType)
-      })
+    val keyType = face.mergedSchema(spark, files)
+      .fields.find(_.name == keyCol).map(_.dataType)
       .getOrElse(throw new IllegalArgumentException(
         s"bloom build: column '$keyCol' not in table schema"))
     val isString = keyType == org.apache.spark.sql.types.StringType
@@ -133,23 +123,17 @@ object FeatherBloom {
         org.apache.spark.sql.types.LongType).contains(keyType),
       s"bloom build: '$keyCol' must be an integral or string column, " +
         s"got ${keyType.catalogString}")
-    val avroReaderJson = avroMerged.map(_.toString).getOrElse("")
+    val readerJson = face.readerJson(spark, files)
     val confMap = GraftHadoop.confBroadcast(spark)
     spark.sparkContext.parallelize(files, files.size).map { case (f, len) =>
       val execConf = new org.apache.hadoop.conf.Configuration(false)
       confMap.value.foreach { case (k, v) => execConf.set(k, v) }
-      val open = new java.util.ArrayList[org.apache.arrow.vector.ipc.ArrowFileReader]()
-      val openAvro = new java.util.ArrayList[
-        org.apache.avro.file.DataFileReader[
-          org.apache.avro.generic.GenericRecord]]()
+      val open = new java.util.ArrayList[AutoCloseable]()
       try {
         import scala.jdk.CollectionConverters._
         def rows(): Iterator[org.apache.spark.sql.Row] =
-          if (avro)
-            GraftAvro.splitRows(execConf, avroReaderJson, f, 0L, len,
-              Some(Seq(keyCol)), openAvro.add(_), openAvro.remove(_))
-          else GraftFeather.allRows(execConf, f, len, Seq(keyCol),
-            open.add(_), lenient = true)
+          face.fileRows(execConf, readerJson, f, len, Seq(keyCol),
+            open.add(_): Unit, open.remove(_): Unit)
         // size the filter from the part's stats sidecar when present
         // (exact per-batch counts); only a sidecar-less part pays a
         // counting pass over the key column
@@ -171,8 +155,6 @@ object FeatherBloom {
       } finally {
         import scala.jdk.CollectionConverters._
         open.asScala.foreach(r => try r.close() catch { case _: Exception => () })
-        openAvro.asScala.foreach(r =>
-          try r.close() catch { case _: Exception => () })
       }
     }.sum().toInt
   }

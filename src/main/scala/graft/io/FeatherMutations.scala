@@ -139,11 +139,27 @@ object FeatherMutations {
       snap.files.groupBy { case (rel, _) => relDirOf(rel) }.toSeq.sortBy(_._1)
     // hive partition columns from the leaf chains (the manifest layout
     // guard keeps them uniform); a partitioned merge/cdc ROUTES inserts
-    // to their partition leaf and must carry the partition columns
+    // to their partition leaf and must carry the partition columns. A
+    // nested NON-hive layout (adopted `batch1/`, `batch2/` directories —
+    // segments without `=`) is not partitioned: delete rewrites its
+    // leaves generically, but merge has nowhere to route inserts and
+    // must refuse rather than silently drop them.
+    val chains: Seq[String] = byLeaf.map(_._1).filter(_.nonEmpty)
+    val hiveChains = chains.nonEmpty &&
+      chains.forall(_.split('/').forall(_.indexOf('=') > 0))
     val partCols: Seq[String] =
-      byLeaf.map(_._1).find(_.nonEmpty).map(_.split('/').toSeq.map { seg =>
-        java.net.URLDecoder.decode(seg.substring(0, seg.indexOf('=')), "UTF-8")
-      }).getOrElse(Nil)
+      if (hiveChains)
+        chains.head.split('/').toSeq.map { seg =>
+          java.net.URLDecoder.decode(seg.substring(0, seg.indexOf('=')),
+            "UTF-8")
+        }
+      else Nil
+    if (appendSource.isDefined && chains.nonEmpty && !hiveChains)
+      throw new IllegalArgumentException(
+        s"$op on $path: table has non-hive subdirectories " +
+          s"(${chains.mkString(", ")}) — $op routes inserts by partition " +
+          "values and needs a hive key=value layout (deleteByKey supports " +
+          "any layout)")
     val partitioned = partCols.nonEmpty
 
     // table schema = the UNION of every live footer/header (a mutated
@@ -160,6 +176,12 @@ object FeatherMutations {
       else s"$op: key column '$k' not in table schema " +
         s"(${tableSchema.fieldNames.mkString(", ")})"))
     appendSource.foreach { src =>
+      val embedded = partCols.filter(tableSchema.fieldNames.contains)
+      require(embedded.isEmpty,
+        s"$op: partition column(s) ${embedded.mkString(", ")} are ALSO " +
+          "embedded in the data files — routing cannot tell the path copy " +
+          "from the data copy; rewrite the table without the embedded " +
+          "columns to merge (deleteByKey works as is)")
       val expected = (tableSchema.fieldNames ++ partCols).sorted
       require(src.columns.sorted.sameElements(expected),
         s"$op: source columns (${src.columns.sorted.mkString(", ")}) must " +
@@ -468,35 +490,51 @@ object FeatherMutations {
     // source collect to the driver: partition-count-sized (a correction
     // batch touches few partitions), never row-count-sized.
     if (partitioned && appendSource.isDefined) {
+      // one source scan feeds the distinct() AND every per-tuple slice —
+      // an expensive upstream plan must not re-execute once per partition
       val src = appendSource.get
-      def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
-      val tuples = src.select(partCols.map(col): _*).distinct().collect()
-      tuples.foreach { row =>
-        val relDir = partCols.zipWithIndex.map { case (c, i) =>
-          val v = row.get(i)
-          s"${enc(c)}=${if (v == null) graft.sources.FeatherPartitions.HiveNull
-            else enc(v.toString)}"
-        }.mkString("/")
-        val leafDir = new Path(root, relDir)
-        fs.mkdirs(leafDir)
-        val slice = src.filter(partCols.zipWithIndex.map { case (c, i) =>
-            if (row.get(i) == null) col(c).isNull
-            else col(c) === lit(row.get(i))
-          }.reduce(_ && _))
-          .drop(partCols: _*)
-          .select(tableSchema.fieldNames.map(col).toSeq: _*)
-        // insert parts use a sub-prefix so their pre-clean cannot delete
-        // this run's survivor parts in a leaf that is both touched and an
-        // insert target (crash retries reclaim both prefixes in order)
-        val parts = face.writeParts(slice.coalesce(1),
-          leafDir.toString, s"$prefix-ins", codec)
-        if (parts.nonEmpty)
-          FeatherStats.upsertMerged(fs, leafDir,
-            parts.map { case (name, len, js) =>
-              name -> (len, FeatherStats.fromJson(js)) }.toMap)
-        added ++= parts.map { case (name, len, _) => (s"$relDir/$name", len) }
-        partsWritten += parts.size
-      }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
+        def leafOf(row: org.apache.spark.sql.Row): String =
+          partCols.zipWithIndex.map { case (c, i) =>
+            val v = row.get(i)
+            if (v != null &&
+                v.toString == graft.sources.FeatherPartitions.HiveNull)
+              throw new IllegalArgumentException(
+                s"$op: partition value for '$c' is the literal hive null " +
+                  s"marker '${v.toString}' — it would be unreadable as " +
+                  "anything but NULL; use an actual null")
+            s"${enc(c)}=${if (v == null)
+              graft.sources.FeatherPartitions.HiveNull else enc(v.toString)}"
+          }.mkString("/")
+        // deterministic leaf order: a crash-retry re-derives the same
+        // tuple → sub-prefix assignment, so its pre-clean reclaims the
+        // crashed attempt's parts instead of orphaning them
+        val tuples = src.select(partCols.map(col): _*).distinct().collect()
+          .map(row => (leafOf(row), row)).sortBy(_._1)
+        tuples.zipWithIndex.foreach { case ((relDir, row), idx) =>
+          val leafDir = new Path(root, relDir)
+          fs.mkdirs(leafDir)
+          val slice = src.filter(partCols.zipWithIndex.map { case (c, i) =>
+              if (row.get(i) == null) col(c).isNull
+              else col(c) === lit(row.get(i))
+            }.reduce(_ && _))
+            .drop(partCols: _*)
+            .select(tableSchema.fieldNames.map(col).toSeq: _*)
+          // per-tuple sub-prefix: the pre-clean of one tuple's write must
+          // never delete this run's survivor parts OR a sibling tuple's
+          // fresh insert parts
+          val parts = face.writeParts(slice.coalesce(1),
+            leafDir.toString, f"$prefix-ins$idx%04d", codec)
+          if (parts.nonEmpty)
+            FeatherStats.upsertMerged(fs, leafDir,
+              parts.map { case (name, len, js) =>
+                name -> (len, FeatherStats.fromJson(js)) }.toMap)
+          added ++= parts.map { case (name, len, _) => (s"$relDir/$name", len) }
+          partsWritten += parts.size
+        }
+      } finally src.unpersist(blocking = false): Unit
     }
 
     // a table whose every row was deleted must still read as an EMPTY

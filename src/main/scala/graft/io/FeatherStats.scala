@@ -46,14 +46,18 @@ object FeatherStats {
   val RowCountKey = "__n"
 
   /** Accumulates one batch's ranges; reset between batches. */
+  /** The column types the stats tier tracks — ONE definition shared by
+    * the sink-side Collector and the backfill pass (a per-site copy
+    * would silently drift when a type is added). */
+  private[io] def trackedType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | StringType => true
+    case _ => false
+  }
+
   final class Collector(st: StructType) {
-    private def isTracked(dt: DataType): Boolean = dt match {
-      case ByteType | ShortType | IntegerType | LongType |
-           FloatType | DoubleType | StringType => true
-      case _ => false
-    }
     private val tracked: Array[Int] = st.fields.zipWithIndex.collect {
-      case (f, i) if isTracked(f.dataType) => i
+      case (f, i) if trackedType(f.dataType) => i
     }
     private val los = new Array[Any](st.fields.length)
     private val his = new Array[Any](st.fields.length)
@@ -382,14 +386,14 @@ object FeatherStats {
     * carry no sidecars, so the adopted table plans with zero skipping,
     * no exact row counts, and no aggregate pushdown until this pass runs
     * (the ANALYZE of this tier, a maintenance job like
-    * [[FeatherBloom.build]]). One task per UNCOVERED file; each task
-    * decodes only the stats-tracked (numeric + string) columns and emits
+    * [[FeatherBloom.build]]). Face auto-detected from the manifest, like
+    * every maintenance pass. One task per UNCOVERED file; each task
+    * decodes only the stats-tracked columns ([[trackedType]]) and emits
     * ONE stats batch for the whole file — batch-level granularity needs
     * writer cooperation, file-level is what foreign files can have
     * (parquet footer granularity, supplied from outside the format).
     * Idempotent: covered files are skipped. Returns files backfilled. */
-  def backfill(spark: org.apache.spark.sql.SparkSession, path: String,
-               suffix: String = ".feather"): Int = {
+  def backfill(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
@@ -400,51 +404,31 @@ object FeatherStats {
         "option(\"snapshots\", \"true\") first")
     val snap = graft.sources.FeatherSnapshots.resolve(fs, root, None)
       .getOrElse(sys.error(s"stats backfill on $path: no snapshot versions"))
+    val face = ConnectorFace.detect(snap.files, "stats backfill", path)
     val files = snap.files.map { case (rel, len) =>
       (new Path(root, rel).toString, len) }
     val covered = loadForFiles(conf, files)
     val uncovered = files.filter { case (f, _) =>
       covered.getOrElse(f, None).isEmpty }
     if (uncovered.isEmpty) return 0
-    val avro = suffix == ".avro"
-    val avroMerged =
-      if (avro) Some(GraftAvro.mergedSchema(spark, files)) else None
-    val fullSchema: StructType = avroMerged match {
-      case Some(m) => GraftAvro.toSparkType(m).asInstanceOf[StructType]
-      case None => StructType(
-        GraftFeather.readFieldsMergedConf(conf, files).map(f =>
-          StructField(f.getName, GraftFeather.toSparkType(f), f.isNullable)))
-    }
-    def trackable(dt: DataType): Boolean = dt match {
-      case ByteType | ShortType | IntegerType | LongType |
-           FloatType | DoubleType | StringType => true
-      case _ => false
-    }
+    val fullSchema = face.mergedSchema(spark, files)
     // project to the tracked columns: the count still covers every row,
     // and untracked columns would only be decoded to be ignored
-    val proj = StructType(fullSchema.fields.filter(f => trackable(f.dataType)))
+    val proj = StructType(fullSchema.fields.filter(f => trackedType(f.dataType)))
     require(proj.nonEmpty,
       s"stats backfill on $path: no stats-trackable column in " +
         s"(${fullSchema.fieldNames.mkString(", ")})")
     val names = proj.fieldNames.toSeq
-    val avroReaderJson = avroMerged.map(_.toString).getOrElse("")
+    val readerJson = face.readerJson(spark, files)
     val confMap = GraftHadoop.confBroadcast(spark)
     val results = spark.sparkContext
       .parallelize(uncovered, uncovered.size).map { case (f, len) =>
         val execConf = new org.apache.hadoop.conf.Configuration(false)
         confMap.value.foreach { case (k, v) => execConf.set(k, v) }
-        val open = new java.util.ArrayList[
-          org.apache.arrow.vector.ipc.ArrowFileReader]()
-        val openAvro = new java.util.ArrayList[
-          org.apache.avro.file.DataFileReader[
-            org.apache.avro.generic.GenericRecord]]()
+        val open = new java.util.ArrayList[AutoCloseable]()
         try {
-          val it =
-            if (avro)
-              GraftAvro.splitRows(execConf, avroReaderJson, f, 0L, len,
-                Some(names), openAvro.add(_), openAvro.remove(_))
-            else GraftFeather.allRows(execConf, f, len, names,
-              open.add(_), lenient = true)
+          val it = face.fileRows(execConf, readerJson, f, len, names,
+            open.add(_): Unit, open.remove(_): Unit)
           val c = new Collector(proj)
           it.foreach(c.observe)
           val statsJson = toJson(Seq(c.snapshotAndReset()))
@@ -454,8 +438,6 @@ object FeatherStats {
           (f, len, statsJson)
         } finally {
           open.asScala.foreach(r =>
-            try r.close() catch { case _: Exception => () })
-          openAvro.asScala.foreach(r =>
             try r.close() catch { case _: Exception => () })
         }
       }.collect()

@@ -37,6 +37,15 @@ object IoQueries extends QueryPack {
   private[queries] def readFixture(name: String, d: String)(build: String => Unit): String =
     fixtureReady.computeIfAbsent(s"$name@$d", _ => {
       val path = fixturePath(name, d)
+      // the path persists across JVMs while the memo does not: each fresh
+      // JVM re-runs the builder, so it must start from a CLEAN directory —
+      // one-shot builders (adopt()) fail over last JVM's residue, and
+      // re-runnable ones silently accumulate version history in /tmp
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(wipe)
+        f.delete(): Unit
+      }
+      wipe(new java.io.File(path))
       build(path)
       path
     })

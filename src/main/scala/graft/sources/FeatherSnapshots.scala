@@ -644,7 +644,12 @@ private[graft] object FeatherSnapshots {
     val snaps = readAll(fs, root)
     if (snaps.isEmpty) return (0, 0)
     val cutoff = System.currentTimeMillis() - retentionMillis
-    expire(fs, root, math.max(1, snaps.count(_.ts >= cutoff)))
+    // drop only the leading RUN of too-old snapshots: expire() retires by
+    // position, and with a non-monotonic clock a young snapshot can sit
+    // below an old one — counting young snapshots globally would let the
+    // positional expire destroy history inside the retention window
+    val dropPrefix = snaps.takeWhile(_.ts < cutoff).size
+    expire(fs, root, math.max(1, snaps.size - dropPrefix))
   }
 
   /** Retire all but the last `keepLast` snapshots and DELETE every data

@@ -613,4 +613,29 @@ class FeatherMutationsSpec extends AnyFunSuite {
     assert(after.where(col("id") === 121L).count() === 2)
   }
 
+
+  test("nested NON-hive layout: deleteByKey rewrites generically, merge " +
+       "refuses loudly (nowhere to route inserts)") {
+    val path = tmp("nested_nonhive")
+    import spark.implicits._
+    graft.io.GraftFeather.write(
+      (1 to 50).map(i => (i.toLong, s"a_$i")).toDF("id", "pay")
+        .repartition(1), s"$path/batch1", overwrite = true)
+    graft.io.GraftFeather.write(
+      (51 to 100).map(i => (i.toLong, s"b_$i")).toDF("id", "pay")
+        .repartition(1), s"$path/batch2", overwrite = true)
+    FeatherSnapshots.adopt(fsOf(path), new Path(path))
+    val r = FeatherMutations.deleteByKey(spark, path,
+      keysOf(Seq(5L, 60L)), Seq("id"))
+    assert(r.version === 2L)
+    val after = spark.read.format("feather").load(path)
+    assert(after.count() === 98)
+    assert(after.where(col("id").isin(5L, 60L)).count() === 0)
+    val e = intercept[IllegalArgumentException] {
+      FeatherMutations.merge(spark, path,
+        Seq((1L, "x")).toDF("id", "pay"), Seq("id"))
+    }
+    assert(e.getMessage.contains("non-hive"))
+  }
+
 }

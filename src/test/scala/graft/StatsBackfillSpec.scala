@@ -78,7 +78,7 @@ class StatsBackfillSpec extends AnyFunSuite {
     fs.delete(new Path(path, "_stats.json"), false)
     FeatherSnapshots.adopt(fs, new Path(path), Seq(".avro"))
     assert(FeatherStats.exactRowCount(conf, liveFiles(path)).isEmpty)
-    assert(FeatherStats.backfill(spark, path, ".avro") === 3)
+    assert(FeatherStats.backfill(spark, path) === 3)
     assert(FeatherStats.exactRowCount(conf, liveFiles(path)) === Some(500L))
     // the mutation probe prunes off the backfilled ranges
     val r = graft.io.FeatherMutations.deleteByKey(spark, path,
