@@ -1228,8 +1228,11 @@ object IoQueries extends QueryPack {
         .repartition(8, col("l_orderkey")) // hash: worst case for skipping
         .write.format("graft-avro").mode("overwrite")
         .option("snapshots", "true").save(p)
+      // avro encodes this slice ~5x smaller than lz4 feather: a 64 KB
+      // target collapses sf0.001 to ONE part and the prunability require
+      // below turns vacuous — size for >1 part at the smallest sf
       val rc = graft.io.FeatherCluster.cluster(s, p, Seq("l_orderkey"),
-        targetBytes = 64 << 10)
+        targetBytes = 12 << 10)
       require(rc.filesAfter > 1, s"want multiple clustered parts: $rc")
       val band = Tables.orders(s, d)
         .filter(col("o_orderkey").between(1001, 1300))
