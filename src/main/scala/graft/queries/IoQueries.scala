@@ -73,6 +73,7 @@ object IoQueries extends QueryPack {
     "io_feather_cluster", "io_avro_cluster",
     "io_feather_evolution", "io_avro_evolution",
     "io_feather_bloom_skip", "io_bloom_string_takedown", "io_stats_backfill",
+    "io_feather_cdf",
     "io_avro_time_travel", "dedup_lsh_incremental")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
@@ -1247,6 +1248,51 @@ object IoQueries extends QueryPack {
         sum(col("l_quantity").cast(DecimalType(12, 2)))
           .cast(DoubleType).as("sum_qty"))
       .orderBy("l_returnflag")
+  }
+
+  // Batch CHANGE-DATA-FEED read (io/FeatherChanges.readChanges, the
+  // Delta CDF / table_changes shape): the row-level changes a version
+  // range introduced, derived from manifest diffs over TOUCHED files
+  // only — appends read as pure inserts, a delete as exactly its
+  // dropped rows, a merge as the old image (delete) plus the new rows
+  // (insert); carried-through survivor rewrites cancel via EXCEPT ALL.
+  // The ORACLE reconstructs the full expected feed relationally.
+  register("io_feather_cdf",
+    """SELECT o_orderkey, o_orderpriority, _change_type, _commit_version
+      |FROM (
+      |  SELECT o_orderkey, o_orderpriority, 'delete' AS _change_type,
+      |    CAST(2 AS BIGINT) AS _commit_version
+      |  FROM orders WHERE o_orderkey <= 2000
+      |    AND o_orderkey BETWEEN 500 AND 700
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderpriority, 'delete', CAST(3 AS BIGINT)
+      |  FROM orders WHERE o_orderkey <= 2000
+      |    AND o_orderkey BETWEEN 900 AND 1000
+      |  UNION ALL
+      |  SELECT o_orderkey, '9-CDF', 'insert', CAST(3 AS BIGINT)
+      |  FROM orders WHERE o_orderkey BETWEEN 900 AND 1000
+      |     OR o_orderkey BETWEEN 2001 AND 2100
+      |) t ORDER BY o_orderkey, _commit_version, _change_type""".stripMargin) { (s, d) =>
+    val path = readFixture("feather_cdf", d) { p =>
+      Tables.orders(s, d).filter(col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_orderpriority")
+        .repartitionByRange(6, col("o_orderkey"))
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(p)                       // v1
+      val takedown = Tables.orders(s, d)
+        .filter(col("o_orderkey").between(500, 700))
+        .select("o_orderkey")
+      graft.io.FeatherMutations.deleteByKey(
+        s, p, takedown, Seq("o_orderkey"))                         // v2
+      val src = Tables.orders(s, d)
+        .filter(col("o_orderkey").between(900, 1000) ||
+          col("o_orderkey").between(2001, 2100))
+        .select(col("o_orderkey"), lit("9-CDF").as("o_orderpriority"))
+      graft.io.FeatherMutations.merge(
+        s, p, src, Seq("o_orderkey")): Unit                        // v3
+    }
+    graft.io.FeatherChanges.readChanges(s, path, 1L, 3L)
+      .orderBy("o_orderkey", "_commit_version", "_change_type")
   }
 
   // Stats BACKFILL for adopted/foreign files (FeatherStats.backfill —

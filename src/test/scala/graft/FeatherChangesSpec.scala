@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{FeatherChanges, FeatherMutations}
+import graft.sources.FeatherSnapshots
+
+/** Batch CDF reads (FeatherChanges.readChanges): per-op change
+  * semantics, rewrite cancellation, both faces, evolved schemas. */
+class FeatherChangesSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private def tmp(n: String): String = {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_feather_cdf/$n"
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(p))
+    p
+  }
+
+  private def writeV(path: String, lo: Int, hi: Int, mode: String,
+                     fmt: String = "feather"): Unit = {
+    import spark.implicits._
+    (lo to hi).map(i => (i.toLong, s"n_$i")).toDF("id", "name")
+      .repartitionByRange(2, col("id")).write.format(fmt).mode(mode)
+      .option("snapshots", "true").save(path)
+  }
+
+  test("appends yield pure inserts; deletes yield exactly the dropped " +
+       "rows; a merge yields old-image deletes plus new inserts") {
+    val path = tmp("ops")
+    import spark.implicits._
+    writeV(path, 1, 100, "overwrite")  // v1
+    writeV(path, 101, 120, "append")   // v2
+    FeatherMutations.deleteByKey(spark, path,
+      Seq(10L, 11L).toDF("id"), Seq("id"))  // v3
+    FeatherMutations.merge(spark, path,
+      Seq((50L, "n_50_v2"), (200L, "n_200")).toDF("id", "name"),
+      Seq("id"))                            // v4
+    val ch = FeatherChanges.readChanges(spark, path, 1L, 4L).cache()
+    // v2: 20 inserts
+    assert(ch.where(col("_commit_version") === 2L &&
+      col("_change_type") === "insert").count() === 20)
+    assert(ch.where(col("_commit_version") === 2L &&
+      col("_change_type") === "delete").count() === 0)
+    // v3: exactly the two dropped rows (survivor rewrites cancel)
+    val d3 = ch.where(col("_commit_version") === 3L).collect()
+    assert(d3.length === 2)
+    assert(d3.forall(_.getAs[String]("_change_type") == "delete"))
+    assert(d3.map(_.getAs[Long]("id")).sorted.toSeq === Seq(10L, 11L))
+    // v4: old image of 50 deleted, new 50 + brand-new 200 inserted
+    val v4 = ch.where(col("_commit_version") === 4L)
+    assert(v4.where(col("_change_type") === "delete").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"))).toSeq ===
+      Seq((50L, "n_50")))
+    assert(v4.where(col("_change_type") === "insert").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"))).sorted.toSeq ===
+      Seq((50L, "n_50_v2"), (200L, "n_200")))
+    ch.unpersist()
+  }
+
+  test("compaction and clustering contribute no changes") {
+    val path = tmp("rewrites")
+    writeV(path, 1, 50, "overwrite")   // v1
+    writeV(path, 51, 60, "append")     // v2
+    assert(graft.io.FeatherCompact.compact(spark, path,
+      targetBytes = 1L << 30).groupsRewritten >= 1) // v3
+    graft.io.FeatherCluster.cluster(spark, path, Seq("id")) // v4
+    val ch = FeatherChanges.readChanges(spark, path, 2L, 4L)
+    assert(ch.count() === 0, "row-preserving rewrites are not changes")
+  }
+
+  test("an overwrite is a full replace, with identical rows canceling") {
+    val path = tmp("overwrite")
+    writeV(path, 1, 30, "overwrite")   // v1
+    writeV(path, 21, 40, "overwrite")  // v2: 21..30 identical content
+    val ch = FeatherChanges.readChanges(spark, path, 1L, 2L)
+    // deletes: 1..20 (21..30 cancel); inserts: 31..40
+    assert(ch.where(col("_change_type") === "delete").count() === 20)
+    assert(ch.where(col("_change_type") === "insert").count() === 10)
+    assert(ch.where(col("_change_type") === "insert")
+      .agg(min(col("id"))).head().getLong(0) === 31L)
+  }
+
+  test("avro face serves the same change feed") {
+    val path = tmp("avro")
+    import spark.implicits._
+    writeV(path, 1, 50, "overwrite", fmt = "graft-avro")  // v1
+    FeatherMutations.deleteByKey(spark, path,
+      Seq(5L).toDF("id"), Seq("id"))  // v2
+    val ch = FeatherChanges.readChanges(spark, path, 1L, 2L).collect()
+    assert(ch.length === 1)
+    assert(ch.head.getAs[Long]("id") === 5L)
+    assert(ch.head.getAs[String]("_change_type") === "delete")
+  }
+
+  test("evolved generations null-fill across the change feed") {
+    val path = tmp("evolved")
+    import spark.implicits._
+    writeV(path, 1, 20, "overwrite")  // v1 (id, name)
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val parts = graft.io.GraftFeather.writeParts(
+      (21 to 30).map(i => (i.toLong, s"n_$i", "de")).toDF("id", "name", "lang")
+        .repartition(1), path, "gen2")
+    FeatherSnapshots.commit(fs, new Path(path), "append") { parent =>
+      parent ++ parts.map { case (n, len, _) => (n, len) }
+    } // v2: evolved append
+    val ch = FeatherChanges.readChanges(spark, path, 1L, 2L)
+    assert(ch.columns.contains("lang"))
+    assert(ch.count() === 10)
+    assert(ch.where(col("lang") === "de").count() === 10)
+  }
+
+  test("a range reaching into expired history is loud") {
+    val path = tmp("expired")
+    writeV(path, 1, 10, "overwrite")
+    writeV(path, 11, 20, "append")
+    writeV(path, 21, 30, "append")
+    FeatherSnapshots.expire(new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration), new Path(path), keepLast = 1)
+    val e = intercept[Exception] {
+      FeatherChanges.readChanges(spark, path, 1L, 3L).count()
+    }
+    assert(e.getMessage.contains("expired or never committed"))
+  }
+}
