@@ -30,9 +30,15 @@ import graft.sources.FeatherSnapshots
   * pre-clean, and the commit detects a raced parent loudly — the same
   * single-mutator contract as compaction and mutations.
   *
-  * Multi-column clustering is lexicographic range partitioning; for
-  * genuinely multi-dimensional access patterns compute a Z-value column
-  * first (the `io_zorder_key` bit-interleave) and cluster on it.
+  * Multi-column [[cluster]] is lexicographic range partitioning (the
+  * leading column dominates); [[clusterZOrder]] is the genuinely
+  * multi-dimensional form (Delta OPTIMIZE ZORDER BY): each dimension
+  * min-max normalizes to `bitsPerDim` bits against its GLOBAL range
+  * (one aggregation pass), the bits interleave into a Z-value, and the
+  * table re-clusters on that derived key — after the rewrite, band
+  * filters and key-banded mutations on ANY of the dimensions prune
+  * files, because a file's Z-range bounds its per-dimension bounding
+  * box.
   */
 object FeatherCluster {
 
@@ -45,7 +51,32 @@ object FeatherCluster {
   def cluster(spark: SparkSession, path: String, cols: Seq[String],
               targetBytes: Long = 128L << 20,
               codec: String = "lz4",
-              bloomFor: Option[String] = None): Result = {
+              bloomFor: Option[String] = None): Result =
+    clusterImpl(spark, path, cols, targetBytes, codec, bloomFor,
+      zorderBits = 0)
+
+  /** OPTIMIZE ZORDER BY over NUMERIC dimensions — see the object
+    * scaladoc. `bitsPerDim` trades per-dimension resolution against the
+    * dimension count (bitsPerDim × dims ≤ 62); nulls sort first (z = 0
+    * in that dimension). */
+  def clusterZOrder(spark: SparkSession, path: String, cols: Seq[String],
+                    bitsPerDim: Int = 12,
+                    targetBytes: Long = 128L << 20,
+                    codec: String = "lz4",
+                    bloomFor: Option[String] = None): Result = {
+    require(cols.size >= 2,
+      "clusterZOrder: need >= 2 dimensions (cluster() serves 1)")
+    require(bitsPerDim >= 1 && bitsPerDim * cols.size <= 62,
+      s"clusterZOrder: bitsPerDim=$bitsPerDim x ${cols.size} dims must " +
+        "fit 62 bits")
+    clusterImpl(spark, path, cols, targetBytes, codec, bloomFor,
+      zorderBits = bitsPerDim)
+  }
+
+  private def clusterImpl(spark: SparkSession, path: String,
+                          cols: Seq[String], targetBytes: Long,
+                          codec: String, bloomFor: Option[String],
+                          zorderBits: Int): Result = {
     require(cols.nonEmpty, "cluster: cols must be non-empty")
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val conf = spark.sparkContext.hadoopConfiguration
@@ -65,6 +96,52 @@ object FeatherCluster {
       if (i < 0) "" else rel.substring(0, i)
     }.toSeq.sortBy(_._1)
 
+    // z-order: one GLOBAL min/max aggregation pass fixes the
+    // normalization (per-leaf ranges would give each leaf its own
+    // incompatible z-space)
+    val zRanges: Option[Seq[(Double, Double)]] =
+      if (zorderBits == 0) None
+      else {
+        val all = face.readMerged(spark,
+          snap.files.map { case (rel, len) =>
+            (new Path(root, rel).toString, len) })
+        cols.foreach { c =>
+          require(all.columns.contains(c),
+            s"clusterZOrder: column '$c' not in table schema")
+          require(all.schema(c).dataType.isInstanceOf[
+              org.apache.spark.sql.types.NumericType],
+            s"clusterZOrder: '$c' must be numeric, got " +
+              all.schema(c).dataType.catalogString)
+        }
+        val aggs = cols.flatMap(c => Seq(
+          org.apache.spark.sql.functions.min(col(c)).cast("double"),
+          org.apache.spark.sql.functions.max(col(c)).cast("double")))
+        val row = all.agg(aggs.head, aggs.tail: _*).head()
+        Some(cols.indices.map { i =>
+          (if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i),
+           if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1))
+        })
+      }
+
+    /** The interleaved Z-value over min-max-normalized dimensions;
+      * null → 0 in that dimension (nulls cluster first). */
+    def zExpr(ranges: Seq[(Double, Double)]): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions._
+      val maxVal = (1L << zorderBits) - 1
+      val dims = cols.zip(ranges).map { case (c, (lo, hi)) =>
+        if (hi <= lo) lit(0L)
+        else least(lit(maxVal), greatest(lit(0L),
+          ((coalesce(col(c).cast("double"), lit(lo)) - lit(lo)) *
+            lit(maxVal / (hi - lo))).cast("long")))
+      }
+      (0 until zorderBits).flatMap { b =>
+        dims.zipWithIndex.map { case (d, i) =>
+          shiftleft(shiftright(d, b).bitwiseAND(lit(1L)),
+            b * cols.size + i)
+        }
+      }.reduce(_ + _)
+    }
+
     val added = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     byLeaf.foreach { case (relDir, leafFiles) =>
       val leafDir = if (relDir.isEmpty) root else new Path(root, relDir)
@@ -75,9 +152,16 @@ object FeatherCluster {
         leafFiles.map { case (rel, len) => (new Path(root, rel).toString, len) })
       cols.foreach(c => require(df.columns.contains(c),
         s"cluster: column '$c' not in table schema (${df.columns.mkString(", ")})"))
-      val clustered = df
-        .repartitionByRange(nParts, cols.map(col): _*)
-        .sortWithinPartitions(cols.map(col): _*)
+      val clustered = zRanges match {
+        case Some(ranges) =>
+          df.withColumn("__zkey", zExpr(ranges))
+            .repartitionByRange(nParts, col("__zkey"))
+            .sortWithinPartitions(col("__zkey"))
+            .drop("__zkey")
+        case None =>
+          df.repartitionByRange(nParts, cols.map(col): _*)
+            .sortWithinPartitions(cols.map(col): _*)
+      }
       val parts = face.writeParts(
         clustered, leafDir.toString, prefix, codec)
       if (parts.nonEmpty)

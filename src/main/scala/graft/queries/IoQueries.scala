@@ -70,7 +70,7 @@ object IoQueries extends QueryPack {
     "io_feather_agg_pushdown", "io_feather_time_travel", "io_avro_skipping",
     "io_feather_delete", "io_feather_merge", "io_feather_cdc",
     "io_avro_delete", "io_avro_merge", "io_feather_merge_partitioned",
-    "io_feather_cluster", "io_avro_cluster",
+    "io_feather_cluster", "io_avro_cluster", "io_zorder_cluster",
     "io_feather_evolution", "io_avro_evolution",
     "io_feather_bloom_skip", "io_bloom_string_takedown", "io_stats_backfill",
     "io_feather_cdf",
@@ -1332,6 +1332,47 @@ object IoQueries extends QueryPack {
     s.read.format("feather").load(path)
       .agg(count(lit(1)).as("n"),
         min(col("c_custkey")).as("mn"), max(col("c_custkey")).as("mx"))
+  }
+
+  // OPTIMIZE ZORDER BY (FeatherCluster.clusterZOrder): genuinely
+  // multi-dimensional clustering — dimensions min-max normalize to
+  // bitsPerDim bits against their GLOBAL ranges (one agg pass) and
+  // interleave into a Z-value the rewrite range-clusters on; a file's
+  // Z-range bounds its per-dimension bounding box, so band filters and
+  // key-banded mutations on ANY dimension prune (lexicographic
+  // clustering only ever serves the leading column). The fixture
+  // z-orders on (o_custkey, o_orderkey) and key-bands the SECOND
+  // dimension; FeatherClusterSpec pins both-dimension pruning on a
+  // controlled grid.
+  register("io_zorder_cluster",
+    """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS total
+      |FROM orders WHERE o_orderkey <= 4000
+      |  AND NOT (o_orderkey BETWEEN 2001 AND 2300)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val path = readFixture("zorder_cluster", d) { p =>
+      Tables.orders(s, d).filter(col("o_orderkey") <= 4000)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast(DoubleType).as("total"))
+        .repartition(8, col("o_custkey")) // hash: nothing prunes
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(p)
+      val rc = graft.io.FeatherCluster.clusterZOrder(s, p,
+        Seq("o_custkey", "o_orderkey"), bitsPerDim = 10,
+        targetBytes = 24 << 10)
+      val band = Tables.orders(s, d)
+        .filter(col("o_orderkey").between(2001, 2300))
+        .select("o_orderkey")
+      val r = graft.io.FeatherMutations.deleteByKey(
+        s, p, band, Seq("o_orderkey"))
+      // the payoff require only binds with a real file population (the
+      // sf0.001 fixture collapses to a handful of coarse z-boxes)
+      if (rc.filesAfter >= 8)
+        require(r.filesTouched < rc.filesAfter,
+          s"z-order second-dimension band must prune: $r of ${rc.filesAfter}")
+    }
+    s.read.format("feather").load(path)
+      .select("o_orderkey", "o_custkey", "total")
+      .orderBy("o_orderkey")
   }
 
   // Per-file Bloom sidecars on the read path (io/FeatherBloom.build):

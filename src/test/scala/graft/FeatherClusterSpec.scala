@@ -126,4 +126,41 @@ class FeatherClusterSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  test("clusterZOrder makes band mutations on EVERY dimension prunable") {
+    val path = tmp("zorder")
+    import spark.implicits._
+    // 2-D grid: x = id % 300, y = id / 300 — a hash layout spans both
+    // dimensions in every file, and LEXICOGRAPHIC clustering on (x, y)
+    // would only serve x
+    spark.range(90000)
+      .select(col("id"), (col("id") % 300).as("x"),
+        (col("id") / 300).cast("long").as("y"))
+      .repartition(8, col("id"))
+      .write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(path)
+    val r0 = graft.io.FeatherMutations.deleteByKey(spark, path,
+      spark.range(100L, 111L).select(col("id").as("y")), Seq("y"))
+    assert(r0.filesTouched === 8, s"hash layout touches all parts: $r0")
+    val rc = graft.io.FeatherCluster.clusterZOrder(spark, path,
+      Seq("x", "y"), bitsPerDim = 10, targetBytes = 60 << 10)
+    assert(rc.filesAfter >= 8, s"want a real file population: $rc")
+    // a band on the SECOND dimension prunes (the z-box bounds y)
+    val ry = graft.io.FeatherMutations.deleteByKey(spark, path,
+      spark.range(200L, 206L).select(col("id").as("y")), Seq("y"))
+    assert(ry.filesTouched < rc.filesAfter,
+      s"y-band must touch a strict subset: $ry of ${rc.filesAfter}")
+    // and so does a band on the first
+    val rx = graft.io.FeatherMutations.deleteByKey(spark, path,
+      spark.range(10L, 16L).select(col("id").as("x")), Seq("x"))
+    assert(rx.filesTouched < rc.filesAfter,
+      s"x-band must touch a strict subset: $rx of ${rc.filesAfter}")
+    // content integrity after the three mutations
+    val after = spark.read.format("feather").load(path)
+    // 11 y-rows + 6 y-rows + 6 x-columns, minus the x-column cells the
+    // two y-band deletes already removed (17 shared cells per column)
+    assert(after.count() === 90000L - 11 * 300 - 6 * 300 - (6 * 300 - 6 * 17))
+    assert(after.where(col("y") === 105L).count() === 0)
+  }
+
 }
