@@ -73,7 +73,7 @@ object IoQueries extends QueryPack {
     "io_feather_cluster", "io_avro_cluster", "io_zorder_cluster",
     "io_feather_evolution", "io_avro_evolution",
     "io_feather_bloom_skip", "io_bloom_string_takedown", "io_stats_backfill",
-    "io_feather_cdf",
+    "io_feather_cdf", "io_feather_restore",
     "io_avro_time_travel", "dedup_lsh_incremental")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
@@ -1293,6 +1293,37 @@ object IoQueries extends QueryPack {
     }
     graft.io.FeatherChanges.readChanges(s, path, 1L, 3L)
       .orderBy("o_orderkey", "_commit_version", "_change_type")
+  }
+
+  // RESTORE (FeatherSnapshots.restore, the Delta RESTORE TABLE shape):
+  // roll the head back to an old version's content by publishing a NEW
+  // version referencing its file set — one atomic commit, nothing
+  // rewritten, history preserved (the rolled-back versions still
+  // time-travel until expire). The ORACLE is simply v1's relational
+  // content: the takedown that v2 applied must be fully undone.
+  register("io_feather_restore",
+    """SELECT o_orderkey, o_orderpriority FROM orders
+      |WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val path = readFixture("feather_restore", d) { p =>
+      Tables.orders(s, d).filter(col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_orderpriority")
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(p)                     // v1
+      val band = Tables.orders(s, d)
+        .filter(col("o_orderkey").between(500, 900))
+        .select("o_orderkey")
+      graft.io.FeatherMutations.deleteByKey(
+        s, p, band, Seq("o_orderkey"))                           // v2
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val v = graft.sources.FeatherSnapshots.restore(
+        fs, new org.apache.hadoop.fs.Path(p), 1L)                // v3
+      require(v == 3L, s"expected restore to commit v3, got v$v")
+    }
+    s.read.format("feather").load(path)
+      .select("o_orderkey", "o_orderpriority")
+      .orderBy("o_orderkey")
   }
 
   // Stats BACKFILL for adopted/foreign files (FeatherStats.backfill —

@@ -191,9 +191,13 @@ private[graft] object FeatherSnapshots {
           case "append" | "adopt" =>
             newRel ++= snap.files.filterNot { case (rel, _) => prev.contains(rel) }
           case "compact" | "cluster" =>
-          case "overwrite" =>
+          case "overwrite" | "restore" =>
+            // restore re-publishes previously-delivered rows: under
+            // ignoreChanges it skips exactly like an overwrite
             if (!ignoreChanges) throw new IllegalStateException(
-              s"snapshot stream on $root hit an overwrite commit " +
+              s"snapshot stream on $root hit ${
+                if (snap.op == "restore") "a restore" else "an overwrite"
+              } commit " +
                 s"(v$v): the table changed non-append. Restart the stream " +
                 "from scratch, or set option(\"ignoreChanges\", \"true\") " +
                 "to skip the replaced data.")
@@ -629,6 +633,31 @@ private[graft] object FeatherSnapshots {
         "residue) or restructure before adopting")
     commit(fs, root, "adopt")(_ => files.toSeq)
   }
+
+  /** RESTORE (Delta RESTORE TABLE ... TO VERSION AS OF): roll the table
+    * HEAD back to `toVersion`'s content by publishing a NEW version that
+    * references the old version's file set — history is preserved (the
+    * rolled-back versions still time-travel until expire()), nothing is
+    * rewritten or deleted, and the operation is itself one atomic
+    * commit. Loud when the target version (or any file it references)
+    * is expired. Returns the new head version. */
+  def restore(fs: FileSystem, root: Path, toVersion: Long): Long = {
+    val target = read(fs, root, toVersion) // loud if expired
+    target.files.foreach { case (rel, _) =>
+      require(fs.exists(new Path(root, rel)),
+        s"restore to v$toVersion on $root: referenced file '$rel' no " +
+          "longer exists (expired) — that version is not restorable")
+    }
+    commit(fs, root, "restore")(_ => target.files)
+  }
+
+  /** The version history as rows for a `describeHistory` frame:
+    * (version, parent, op, commit ts millis, file count, total bytes) in
+    * ascending version order — one manifest read per retained version. */
+  def history(fs: FileSystem, root: Path)
+      : Seq[(Long, Long, String, Long, Int, Long)] =
+    readAll(fs, root).map(s =>
+      (s.version, s.parent, s.op, s.ts, s.files.size, s.files.map(_._2).sum))
 
   /** Retention-DURATION expire (the Delta VACUUM retention shape): retire
     * every snapshot whose commit timestamp is older than

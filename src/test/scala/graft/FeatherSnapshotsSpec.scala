@@ -642,4 +642,59 @@ class FeatherSnapshotsSpec extends AnyFunSuite {
     assert(spark.read.format("feather").load(path).count() === 30)
   }
 
+
+  test("restore rolls the head back as a new commit, preserving history") {
+    val path = tmp("restore")
+    writeV(path, 1, 100, "overwrite") // v1
+    writeV(path, 101, 150, "append")  // v2
+    graft.io.FeatherMutations.deleteByKey(spark, path, {
+      import spark.implicits._
+      Seq(1L, 2L).toDF("id")
+    }, Seq("id"))                     // v3
+    val fs = fsOf(path)
+    val v = FeatherSnapshots.restore(fs, new Path(path), 1L) // v4 = v1 content
+    assert(v === 4L)
+    assert(spark.read.format("feather").load(path).count() === 100)
+    // history intact: every prior version still time-travels
+    assert(spark.read.format("feather").option("versionAsOf", "3")
+      .load(path).count() === 148)
+    assert(spark.read.format("feather").option("versionAsOf", "2")
+      .load(path).count() === 150)
+    // history() describes all five commits
+    val h = FeatherSnapshots.history(fs, new Path(path))
+    assert(h.map(_._1) === Seq(1L, 2L, 3L, 4L))
+    assert(h.map(_._3) === Seq("overwrite", "append", "delete", "restore"))
+    assert(h.head._5 === h.last._5, "restore references v1's exact files")
+    // a restore whose target is expired is loud
+    FeatherSnapshots.expire(fs, new Path(path), keepLast = 1)
+    val e = intercept[Exception] {
+      FeatherSnapshots.restore(fs, new Path(path), 2L)
+    }
+    assert(e.getMessage.contains("expired") ||
+      e.getMessage.contains("not restorable"))
+  }
+
+  test("a version stream hits a restore: loud, then skips under " +
+       "ignoreChanges") {
+    val path = tmp("restore_stream")
+    writeV(path, 1, 50, "overwrite") // v1
+    val q = spark.readStream.format("feather").load(path)
+      .writeStream.format("memory").queryName("feather_restore_stream")
+      .option("checkpointLocation", tmp("restore_stream_ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("feather_restore_stream").count() === 50)
+      writeV(path, 51, 60, "append") // v2
+      q.processAllAvailable()
+      assert(spark.table("feather_restore_stream").count() === 60)
+      FeatherSnapshots.restore(fsOf(path), new Path(path), 1L) // v3
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("restore") ||
+        Option(e.getCause).exists(_.getMessage.contains("restore")))
+    } finally q.stop()
+  }
+
 }
