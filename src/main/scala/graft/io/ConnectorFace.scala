@@ -45,6 +45,19 @@ private[io] sealed trait ConnectorFace extends Serializable {
 
 private[io] object ConnectorFace {
 
+  /** Null-fill `df` to `schema`'s fields and column order — the ONE
+    * definition of the align-to-union-schema fold (the mutation tier's
+    * survivor projection and the CDF read both need it; a copy per
+    * caller would drift). */
+  def align(df: DataFrame, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val filled = schema.fields.foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    filled.select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
   /** Detect the face from a manifest's relative part paths; loud on a
     * mixed-format manifest (no maintenance semantics exist for it). */
   def detect(files: Seq[(String, Long)], op: String,

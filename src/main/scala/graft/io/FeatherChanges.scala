@@ -4,14 +4,17 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.FeatherSnapshots
+import graft.sources.{FeatherPartitions, FeatherSnapshots}
 
 /** Batch CHANGE-DATA-FEED read over a snapshotted table's version
   * history (the Delta CDF / `table_changes` shape): the row-level
   * changes versions `(fromVersion, toVersion]` introduced, as one
-  * DataFrame of the table's columns plus `_change_type`
-  * ("insert" | "delete"; an update is its delete+insert pair, the
-  * relational normal form) and `_commit_version`.
+  * DataFrame of the table's columns — data AND hive partition columns —
+  * plus `_change_type` ("insert" | "delete"; an update is its
+  * delete+insert pair, the relational normal form) and
+  * `_commit_version`. `fromVersion = 0` bootstraps from nothing: v1's
+  * creation rows arrive as inserts, so a consumer can build its copy
+  * purely from the feed.
   *
   * Downstream incremental ETL wants exactly this: "give me what changed
   * since the version I last processed" as a batch frame — the version
@@ -20,23 +23,28 @@ import graft.sources.FeatherSnapshots
   *
   * Semantics per version step, derived from the manifest diff alone:
   *  - `compact` / `cluster` are row-preserving rewrites: no changes.
-  *  - every other op diffs at ROW level over the TOUCHED files only:
-  *    removed = rows of files the commit retired, added = rows of files
-  *    it introduced; `deletes = removed EXCEPT ALL added`,
-  *    `inserts = added EXCEPT ALL removed`. Rows carried unchanged
-  *    through a rewrite cancel, so an append yields pure inserts, a
-  *    delete yields exactly the dropped rows, a merge yields the old
-  *    image of matched keys as deletes plus the new/inserted rows as
-  *    inserts, and an overwrite yields the honest full replace (rows
-  *    identical across it cancel — rewriting the same data is not a
-  *    change).
+  *  - every other op (append, delete, merge, cdc, overwrite, restore)
+  *    diffs at ROW level over the TOUCHED files only: removed = rows of
+  *    files the commit retired, added = rows of files it introduced;
+  *    one tagged union + count aggregation nets them out (a multiset
+  *    EXCEPT ALL in both directions in a single pass), so rows carried
+  *    unchanged through a rewrite cancel — an append yields pure
+  *    inserts, a delete exactly the dropped rows, a merge the old image
+  *    of matched keys as deletes plus the new/inserted rows as inserts,
+  *    an overwrite the honest full replace.
+  *  - Row identity INCLUDES the partition columns (spliced per leaf
+  *    from the `key=value` paths, typed by the same inference the batch
+  *    read uses): a merge that MOVES a row across partitions reads as
+  *    delete-in-old-partition + insert-in-new even when the data
+  *    columns are unchanged.
   *
   * Scale: the diff touches O(changed bytes) per version, never the full
-  * table (except an overwrite, whose change set IS the table), and the
-  * exceptAll is a hash shuffle of exactly those rows. A pipeline that
-  * can shape its writes should still prefer [[FeatherMutations.applyCdc]]
+  * table (except overwrite/restore, whose change set IS the table), and
+  * nets out in ONE shuffle of exactly those rows. A pipeline that can
+  * shape its writes should still prefer [[FeatherMutations.applyCdc]]
   * input frames as the change source (they ARE the change set, no diff
   * needed); the CDF read is for consumers who only see the table.
+  * Map-typed data columns are not groupable and are rejected loudly.
   *
   * Face-agnostic via [[ConnectorFace]] (feather and avro tables both
   * serve changes). Evolved generations union by name with nulls filling
@@ -46,7 +54,7 @@ object FeatherChanges {
 
   def readChanges(spark: SparkSession, path: String,
                   fromVersion: Long, toVersion: Long): DataFrame = {
-    require(fromVersion >= 1 && toVersion >= fromVersion,
+    require(fromVersion >= 0 && toVersion >= math.max(fromVersion, 1L),
       s"readChanges: bad version range ($fromVersion, $toVersion]")
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
@@ -54,52 +62,102 @@ object FeatherChanges {
     require(FeatherSnapshots.enabled(fs, root),
       s"readChanges on $path, which has no ${FeatherSnapshots.Dir} " +
         "directory — change feeds are derived from the version history")
-    val snaps = FeatherSnapshots.readRange(fs, root, fromVersion, toVersion)
+    val effFrom = math.max(1L, fromVersion)
+    val snaps = FeatherSnapshots.readRange(fs, root, effFrom, toVersion)
     val face = ConnectorFace.detect(snaps.last.files, "readChanges", path)
-    // the output schema is the UNION over every involved version's files
-    // (an evolved column must appear, null-filled, even for changes that
-    // predate it)
-    val allFiles = snaps.flatMap(_.files).distinct.map { case (rel, len) =>
-      (new Path(root, rel).toString, len) }
-    val outSchema = face.mergedSchema(spark, allFiles)
+    val allFiles = snaps.flatMap(_.files).distinct
+    // typed partition schema over every involved file — partition values
+    // are part of row identity (see scaladoc)
+    val partSchema = FeatherSnapshots.toDiscovered(root,
+      FeatherSnapshots.Snapshot(toVersion, 0, "cdf",
+        allFiles.sortBy(_._1))).partSchema
+    val dataSchema = face.mergedSchema(spark,
+      allFiles.map { case (rel, len) => (new Path(root, rel).toString, len) })
+    dataSchema.fields.find(_.dataType.isInstanceOf[
+        org.apache.spark.sql.types.MapType]).foreach { f =>
+      throw new IllegalArgumentException(
+        s"readChanges on $path: column '${f.name}' is map-typed — maps " +
+          "have no grouping identity, so row-level diffs are undefined")
+    }
+    val idCols: Seq[String] =
+      dataSchema.fieldNames.toSeq ++ partSchema.fieldNames
+
+    /** One file set as rows, per hive leaf, with its typed partition
+      * values spliced in as columns. */
     def readSet(files: Seq[(String, Long)]): DataFrame = {
-      val df = face.readMerged(spark, files.map { case (rel, len) =>
-        (new Path(root, rel).toString, len) })
-      outSchema.fields.foldLeft(df) { (d, f) =>
-        if (d.columns.contains(f.name)) d
-        else d.withColumn(f.name, lit(null).cast(f.dataType))
-      }.select(outSchema.fieldNames.map(col).toSeq: _*)
+      val leaves = FeatherSnapshots.toDiscovered(root,
+        FeatherSnapshots.Snapshot(0, 0, "cdf", files.sortBy(_._1))).files
+      leaves.groupBy(_.values).map { case (values, lf) =>
+        val df0 = ConnectorFace.align(
+          face.readMerged(spark, lf.map(l => (l.file, l.len))), dataSchema)
+        val vm = values.toMap
+        partSchema.fields.foldLeft(df0) { (df, f) =>
+          vm.get(f.name).flatMap(Option(_)) match {
+            case Some(raw) => df.withColumn(f.name,
+              lit(FeatherPartitions.castValue(raw, f.dataType))
+                .cast(f.dataType))
+            case None => df.withColumn(f.name, lit(null).cast(f.dataType))
+          }
+        }
+      }.reduce(_ unionByName _)
     }
     def tagged(df: DataFrame, change: String, v: Long): DataFrame =
       df.withColumn("_change_type", lit(change))
         .withColumn("_commit_version", lit(v))
-    val empty = tagged(spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](),
-      outSchema), "insert", 0L).limit(0)
-    if (snaps.size < 2) return empty
-    snaps.sliding(2).foldLeft(empty) { (acc, pair) =>
-      val (prev, cur) = (pair.head, pair(1))
-      cur.op match {
-        case "compact" | "cluster" => acc // row-preserving rewrites
-        case _ =>
-          val prevSet = prev.files.toSet
-          val curSet = cur.files.toSet
-          val removed = prev.files.filterNot(curSet)
-          val added = cur.files.filterNot(prevSet)
-          val changes =
-            if (removed.isEmpty && added.isEmpty) None
-            else if (removed.isEmpty)
-              Some(tagged(readSet(added), "insert", cur.version))
-            else if (added.isEmpty)
-              Some(tagged(readSet(removed), "delete", cur.version))
-            else {
-              val r = readSet(removed)
-              val a = readSet(added)
-              Some(tagged(r.exceptAll(a), "delete", cur.version)
-                .unionByName(tagged(a.exceptAll(r), "insert", cur.version)))
-            }
-          changes.map(acc.unionByName(_)).getOrElse(acc)
+
+    /** Net row-level diff of one version step in a SINGLE pass: tag the
+      * sides, one count aggregation over the full row identity, expand
+      * the surplus per side (multiset semantics — duplicate rows diff by
+      * count). */
+    def diff(removed: Seq[(String, Long)], added: Seq[(String, Long)],
+             v: Long): Option[DataFrame] =
+      if (removed.isEmpty && added.isEmpty) None
+      else if (removed.isEmpty) Some(tagged(readSet(added), "insert", v))
+      else if (added.isEmpty) Some(tagged(readSet(removed), "delete", v))
+      else {
+        val both = readSet(removed).withColumn("__side", lit(1L))
+          .unionByName(readSet(added).withColumn("__side", lit(-1L)))
+        val net = both.groupBy(idCols.map(col): _*)
+          .agg(sum(when(col("__side") === 1L, 1L).otherwise(0L)).as("__rc"),
+            sum(when(col("__side") === -1L, 1L).otherwise(0L)).as("__ac"))
+          .where(col("__rc") =!= col("__ac"))
+        Some(net
+          .withColumn("_change_type",
+            when(col("__rc") > col("__ac"), "delete").otherwise("insert"))
+          .withColumn("__i",
+            explode(sequence(lit(1L), abs(col("__rc") - col("__ac")))))
+          .select((idCols.map(col) :+ col("_change_type")): _*)
+          .withColumn("_commit_version", lit(v)))
       }
-    }
+
+    val initial: Option[DataFrame] =
+      if (fromVersion == 0)
+        Some(tagged(readSet(snaps.head.files), "insert", snaps.head.version))
+      else None
+    val steps = snaps.sliding(2).flatMap { pair =>
+      if (pair.size < 2) None
+      else {
+        val (prev, cur) = (pair.head, pair(1))
+        cur.op match {
+          case "compact" | "cluster" => None // row-preserving rewrites
+          case _ =>
+            val prevSet = prev.files.toSet
+            val curSet = cur.files.toSet
+            diff(prev.files.filterNot(curSet), cur.files.filterNot(prevSet),
+              cur.version)
+        }
+      }
+    }.toSeq
+    val frames = initial.toSeq ++ steps
+    if (frames.isEmpty) {
+      val outSchema = org.apache.spark.sql.types.StructType(
+        dataSchema.fields ++ partSchema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    } else frames.reduce(_ unionByName _)
   }
 }

@@ -448,11 +448,7 @@ object FeatherMutations {
             // an evolved column, sv would lack it and a legitimate
             // merge/cdc would die in unionByName — null-fill instead,
             // exactly what a merged read of those files yields
-            val filled = tableSchema.fields.foldLeft(sv0) { (df, f) =>
-              if (df.columns.contains(f.name)) df
-              else df.withColumn(f.name, lit(null).cast(f.dataType))
-            }
-            Some(filled.select(tableSchema.fieldNames.map(col).toSeq: _*)
+            Some(ConnectorFace.align(sv0, tableSchema)
               .join(keysProj, keyCols, "left_anti"))
           }
         // partitioned: survivors only here (inserts route per-partition

@@ -642,12 +642,12 @@ private[graft] object FeatherSnapshots {
     * commit. Loud when the target version (or any file it references)
     * is expired. Returns the new head version. */
   def restore(fs: FileSystem, root: Path, toVersion: Long): Long = {
-    val target = read(fs, root, toVersion) // loud if expired
-    target.files.foreach { case (rel, _) =>
-      require(fs.exists(new Path(root, rel)),
-        s"restore to v$toVersion on $root: referenced file '$rel' no " +
-          "longer exists (expired) — that version is not restorable")
-    }
+    // read() is the expiry guard: a retired version's manifest is deleted
+    // BEFORE its files (expire order), and vacuumOrphans never touches
+    // files a retained manifest references — so a readable manifest
+    // implies live files, and a per-file existence sweep here would be
+    // O(files) object-store round-trips buying nothing
+    val target = read(fs, root, toVersion)
     commit(fs, root, "restore")(_ => target.files)
   }
 

@@ -128,4 +128,49 @@ class FeatherChangesSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("expired or never committed"))
   }
+
+  test("fromVersion 0 bootstraps with the creation rows as inserts") {
+    val path = tmp("bootstrap")
+    import spark.implicits._
+    writeV(path, 1, 30, "overwrite")  // v1
+    FeatherMutations.deleteByKey(spark, path,
+      Seq(1L).toDF("id"), Seq("id"))  // v2
+    val ch = FeatherChanges.readChanges(spark, path, 0L, 2L)
+    assert(ch.where(col("_commit_version") === 1L &&
+      col("_change_type") === "insert").count() === 30)
+    assert(ch.where(col("_commit_version") === 2L &&
+      col("_change_type") === "delete").count() === 1)
+    // a consumer replaying the feed reconstructs the head exactly
+    val replayed = ch.groupBy("id", "name")
+      .agg(sum(when(col("_change_type") === "insert", 1)
+        .otherwise(-1)).as("n"))
+      .where(col("n") > 0)
+    assert(replayed.count() === 29)
+  }
+
+  test("hive partitions: the feed carries partition columns and a " +
+       "cross-partition move does not cancel") {
+    val path = tmp("hive_move")
+    import spark.implicits._
+    // hive layout via per-leaf writes + adopt (dom is path-only)
+    graft.io.GraftFeather.write(
+      Seq((1L, "p_1"), (2L, "p_2")).toDF("id", "pay").repartition(1),
+      s"$path/dom=a", overwrite = true)
+    graft.io.GraftFeather.write(
+      Seq((3L, "p_3")).toDF("id", "pay").repartition(1),
+      s"$path/dom=b", overwrite = true)
+    FeatherSnapshots.adopt(new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration), new Path(path)) // v1
+    // move id=2 from dom=a to dom=b with UNCHANGED data columns
+    FeatherMutations.merge(spark, path,
+      Seq((2L, "b", "p_2")).toDF("id", "dom", "pay"), Seq("id")) // v2
+    val ch = FeatherChanges.readChanges(spark, path, 1L, 2L)
+    assert(ch.columns.contains("dom"),
+      "the feed must carry the partition column")
+    val rows = ch.collect().map(r => (r.getAs[Long]("id"),
+      r.getAs[String]("dom"), r.getAs[String]("_change_type"))).toSet
+    assert(rows === Set((2L, "a", "delete"), (2L, "b", "insert")),
+      s"a partition move is delete+insert, got ${rows.mkString(", ")}")
+  }
+
 }

@@ -660,7 +660,7 @@ class FeatherSnapshotsSpec extends AnyFunSuite {
       .load(path).count() === 148)
     assert(spark.read.format("feather").option("versionAsOf", "2")
       .load(path).count() === 150)
-    // history() describes all five commits
+    // history() describes all four commits
     val h = FeatherSnapshots.history(fs, new Path(path))
     assert(h.map(_._1) === Seq(1L, 2L, 3L, 4L))
     assert(h.map(_._3) === Seq("overwrite", "append", "delete", "restore"))
@@ -695,6 +695,24 @@ class FeatherSnapshotsSpec extends AnyFunSuite {
       assert(e.getMessage.contains("restore") ||
         Option(e.getCause).exists(_.getMessage.contains("restore")))
     } finally q.stop()
+    // under ignoreChanges the restore SKIPS (it re-publishes
+    // already-delivered rows) and later appends keep flowing
+    val q2 = spark.readStream.format("feather")
+      .option("ignoreChanges", "true").load(path)
+      .writeStream.format("memory").queryName("feather_restore_stream2")
+      .option("checkpointLocation", tmp("restore_stream2_ckpt"))
+      .start()
+    try {
+      q2.processAllAvailable() // initial load = restored head (v3 = v1)
+      assert(spark.table("feather_restore_stream2").count() === 50)
+      FeatherSnapshots.restore(fsOf(path), new Path(path), 2L) // v4 mid-stream
+      q2.processAllAvailable()
+      assert(spark.table("feather_restore_stream2").count() === 50,
+        "a restore must not re-deliver rows under ignoreChanges")
+      writeV(path, 61, 70, "append") // v5
+      q2.processAllAvailable()
+      assert(spark.table("feather_restore_stream2").count() === 60)
+    } finally q2.stop()
   }
 
 }
