@@ -52,6 +52,21 @@ import graft.sources.{FeatherPartitions, FeatherSnapshots}
   * history unreadable, loudly. */
 object FeatherChanges {
 
+  /** The incremental-ETL loop primitive: everything that changed after
+    * `lastProcessedVersion`, plus the head version to checkpoint for the
+    * next call — `val (changes, v) = changesSince(spark, path, ckpt)`;
+    * an unchanged table returns an empty frame and the same version. */
+  def changesSince(spark: SparkSession, path: String,
+                   lastProcessedVersion: Long): (DataFrame, Long) = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = FeatherSnapshots.latestVersion(fs, root).getOrElse(
+      sys.error(s"changesSince on $path: no snapshot versions"))
+    if (head <= lastProcessedVersion)
+      (readChanges(spark, path, math.max(1L, head), head).limit(0), head)
+    else (readChanges(spark, path, lastProcessedVersion, head), head)
+  }
+
   def readChanges(spark: SparkSession, path: String,
                   fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion >= 0 && toVersion >= math.max(fromVersion, 1L),

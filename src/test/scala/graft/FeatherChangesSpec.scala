@@ -173,4 +173,23 @@ class FeatherChangesSpec extends AnyFunSuite {
       s"a partition move is delete+insert, got ${rows.mkString(", ")}")
   }
 
+
+  test("changesSince drives an incremental-ETL loop") {
+    val path = tmp("since")
+    import spark.implicits._
+    writeV(path, 1, 20, "overwrite") // v1
+    val (c0, v0) = FeatherChanges.changesSince(spark, path, 0L)
+    assert(v0 === 1L)
+    assert(c0.where(col("_change_type") === "insert").count() === 20)
+    // nothing new: empty frame, same checkpoint
+    val (c1, v1) = FeatherChanges.changesSince(spark, path, v0)
+    assert(v1 === 1L && c1.count() === 0)
+    FeatherMutations.deleteByKey(spark, path, Seq(3L).toDF("id"), Seq("id"))
+    writeV(path, 21, 25, "append")
+    val (c2, v2) = FeatherChanges.changesSince(spark, path, v1)
+    assert(v2 === 3L)
+    assert(c2.where(col("_change_type") === "delete").count() === 1)
+    assert(c2.where(col("_change_type") === "insert").count() === 5)
+  }
+
 }
