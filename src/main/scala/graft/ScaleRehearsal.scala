@@ -474,9 +474,61 @@ object ScaleRehearsal {
       clusterTier(spark, s"$out/cluster")
     if (mode == "all" || mode == "manifest")
       manifestTier(spark, s"$out/manifest")
+    if (mode == "all" || mode == "overlap")
+      overlapTier(spark, s"$out/overlap")
     if (mode == "all" || mode == "planning")
       planningTier(spark, s"$out/planning")
     spark.stop()
+  }
+
+  /** Overlapping-generations probe tier (r11,
+    * io/FeatherMutations.scala): DELIBERATELY overlapping file ranges —
+    * each generation appends hash-partitioned parts whose [min,max]
+    * spans the whole key domain, so the disjoint fast path cannot apply
+    * and the probe runs the interval-STAB index (elementary segments +
+    * BoundBucket binary search; the pre-r11 shape was a
+    * DISTINCT-keys × broadcast-ranges BroadcastNestedLoopJoin). The
+    * structural claim: probe wall grows with keys · overlap depth, not
+    * keys × files, and stays sub-second while the rewrite cost tracks
+    * the (deliberately full) touch set. */
+  def overlapTier(spark: SparkSession, out: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val results = Seq((4, 1000000L), (8, 10000000L)).map { case (gens, n) =>
+      val dir = s"$out/ovl_$n"
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val perGen = n / gens
+      for (g <- 0 until gens)
+        spark.range(g * perGen, (g + 1) * perGen)
+          .select(col("id"), concat(lit("pay_"), col("id")).as("pay"))
+          .repartition(4, col("id")) // hash: every part spans the gen range
+          .write.format("feather")
+          .mode(if (g == 0) "overwrite" else "append")
+          .option("snapshots", "true").save(dir)
+      // generation ranges OVERLAP pairwise through the hash layout within
+      // each gen; delete keys scattered across three generations
+      val keys = spark.range(0, 50L)
+        .select((col("id") * (n / 50)).as("id")) // stride across the domain
+      val t0 = System.nanoTime()
+      val r = graft.io.FeatherMutations.deleteByKey(spark, dir, keys, Seq("id"))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = spark.read.format("feather").load(dir).count()
+      require(rows == n - 50, s"rows after overlap delete: $rows")
+      // probe-ONLY wall: bloom sidecars + the SAME (now absent, in-range)
+      // keys — the stab index and bloom refinement run, zero rewrites
+      graft.io.FeatherBloom.build(spark, dir, "id")
+      val t1 = System.nanoTime()
+      val r2 = graft.io.FeatherMutations.deleteByKey(spark, dir, keys, Seq("id"))
+      val probeSec = (System.nanoTime() - t1) / 1e9
+      // blooms are advisory at fpp 0.001: 50 keys x 32 files ≈ 1 expected
+      // false positive — a touched file or two is the index working as
+      // specified, not a pruning failure
+      require(r2.filesTouched <= 3,
+        s"absent in-range keys must prune to ~zero through blooms: $r2")
+      println(f"""{"overlap_rows":$n,"generations":$gens,"files":${gens * 4},"touched":${r.filesTouched},"probe_and_rewrite_sec":$sec%.2f,"probe_only_sec":$probeSec%.2f}""")
+      (sec, probeSec)
+    }
+    println(f"""{"overlap_tier":"interval_stab","table_ratio":10,"wall_ratio":${results(1)._1 / results(0)._1}%.2f,"probe_ratio":${results(1)._2 / results(0)._2}%.2f}""")
   }
 
   /** Manifest delta-log tier (r11, sources/FeatherSnapshots.scala): the
