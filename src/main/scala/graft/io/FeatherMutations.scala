@@ -77,10 +77,16 @@ object FeatherMutations {
                   keyCols: Seq[String], codec: String = "lz4"): Result =
     mutate(spark, path, "delete", keys, keyCols, appendSource = None, codec)
 
+  /** `evolveSchema = true` lets the source carry NEW columns: they join
+    * the table schema (nullable), survivors and older generations read
+    * them as null — the Delta mergeSchema-on-write contract. The table
+    * becomes schema-heterogeneous, which is exactly what the mergeSchema
+    * read option exists for. */
   def merge(spark: SparkSession, path: String, source: DataFrame,
-            keyCols: Seq[String], codec: String = "lz4"): Result =
+            keyCols: Seq[String], codec: String = "lz4",
+            evolveSchema: Boolean = false): Result =
     mutate(spark, path, "merge", source, keyCols,
-      appendSource = Some(source), codec)
+      appendSource = Some(source), codec, evolveSchema)
 
   /** CDC apply: one change frame carrying upserts AND deletes, flagged by
     * a boolean tombstone column (null = live). Matched tombstoned keys are
@@ -95,14 +101,15 @@ object FeatherMutations {
     * order to apply them in. */
   def applyCdc(spark: SparkSession, path: String, changes: DataFrame,
                keyCols: Seq[String], deleteCol: String = "_deleted",
-               codec: String = "lz4"): Result = {
+               codec: String = "lz4",
+               evolveSchema: Boolean = false): Result = {
     require(changes.columns.contains(deleteCol),
       s"applyCdc: tombstone column '$deleteCol' not in changes frame " +
         s"(${changes.columns.mkString(", ")})")
     val live = changes
       .filter(!coalesce(col(deleteCol), lit(false))).drop(deleteCol)
     mutate(spark, path, "cdc", changes, keyCols,
-      appendSource = Some(live), codec)
+      appendSource = Some(live), codec, evolveSchema)
   }
 
   // ---- shared implementation ----------------------------------------------
@@ -114,7 +121,8 @@ object FeatherMutations {
 
   private def mutate(spark: SparkSession, path: String, op: String,
                      keysDf: DataFrame, keyCols: Seq[String],
-                     appendSource: Option[DataFrame], codec: String): Result = {
+                     appendSource: Option[DataFrame], codec: String,
+                     evolveSchema: Boolean = false): Result = {
     require(keyCols.nonEmpty, s"$op: keyCols must be non-empty")
     keyCols.foreach(k => require(keysDf.columns.contains(k),
       s"$op: key column '$k' not in keys frame (${keysDf.columns.mkString(", ")})"))
@@ -166,8 +174,23 @@ object FeatherMutations {
     // table may carry evolved generations; projecting to the first file
     // would silently drop evolved columns from the rewritten survivors) —
     // validates keys before any work
-    val tableSchema = face.mergedSchema(spark,
+    val tableSchema0 = face.mergedSchema(spark,
       snap.files.map { case (rel, len) => (new Path(root, rel).toString, len) })
+    // schema evolution on write (opt-in): the source's NEW columns join
+    // the table schema as nullable — survivors and untouched generations
+    // read them as null through mergeSchema, exactly the read-side
+    // evolution contract. Without the flag, an unexpected column stays
+    // the loud mistake it usually is.
+    val tableSchema =
+      if (!evolveSchema) tableSchema0
+      else appendSource match {
+        case Some(src) =>
+          val known = tableSchema0.fieldNames.toSet ++ partCols
+          val extra = src.schema.fields.filterNot(f => known(f.name))
+            .map(f => StructField(f.name, f.dataType, nullable = true))
+          StructType(tableSchema0.fields ++ extra)
+        case None => tableSchema0
+      }
     keyCols.foreach(k => require(tableSchema.fieldNames.contains(k),
       if (partCols.contains(k))
         s"$op: key column '$k' is a partition column — partition values " +

@@ -638,4 +638,32 @@ class FeatherMutationsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-hive"))
   }
 
+
+  test("merge with evolveSchema adds the source's new column; without " +
+       "the flag it stays loud") {
+    val path = tmp("merge_evolve")
+    writeTable(path, 60, 2) // (id, grp, pay)
+    import spark.implicits._
+    val src = Seq((5L, "gX", "p_5_v2", 0.9), (61L, "gY", "p_61", 0.1))
+      .toDF("id", "grp", "pay", "score")
+    val e = intercept[IllegalArgumentException] {
+      FeatherMutations.merge(spark, path, src, Seq("id"))
+    }
+    assert(e.getMessage.contains("source columns"))
+    FeatherMutations.merge(spark, path, src, Seq("id"), evolveSchema = true)
+    val after = spark.read.format("feather")
+      .option("mergeSchema", "true").load(path)
+    assert(after.columns.contains("score"))
+    assert(after.count() === 61)
+    assert(after.where(col("id") === 5L).head().getAs[Double]("score") === 0.9)
+    // untouched generations read the evolved column as null
+    assert(after.where(col("score").isNull).count() === 59)
+    // a later plain merge against the EVOLVED schema needs the column
+    val e2 = intercept[IllegalArgumentException] {
+      FeatherMutations.merge(spark, path,
+        Seq((7L, "gZ", "p_7_v2")).toDF("id", "grp", "pay"), Seq("id"))
+    }
+    assert(e2.getMessage.contains("source columns"))
+  }
+
 }
