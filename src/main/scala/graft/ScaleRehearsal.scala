@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   * per copy (an isometry — within-copy cosine structure invariant).
   *
   * Usage: runMain graft.ScaleRehearsal [outDir] [mode]
-  *   mode ∈ dedup|ordered|joins|cc|skew|io|ingest|compaction|all;
+  *   mode ∈ dedup|ordered|joins|cc|skew|io|sketch|ingest|compaction|
+  *          mutation|cluster|manifest|planning|overlap|all;
   *   builds <outDir>/sf1/{documents,embeddings}.parquet from
   *   /root/testdata/sf0.1, then times the family at both scales.
   */
@@ -483,32 +484,31 @@ object ScaleRehearsal {
 
   /** Overlapping-generations probe tier (r11,
     * io/FeatherMutations.scala): DELIBERATELY overlapping file ranges —
-    * each generation appends hash-partitioned parts whose [min,max]
-    * spans the whole key domain, so the disjoint fast path cannot apply
-    * and the probe runs the interval-STAB index (elementary segments +
-    * BoundBucket binary search; the pre-r11 shape was a
-    * DISTINCT-keys × broadcast-ranges BroadcastNestedLoopJoin). The
-    * structural claim: probe wall grows with keys · overlap depth, not
-    * keys × files, and stays sub-second while the rewrite cost tracks
-    * the (deliberately full) touch set. */
+    * generation g holds the STRIDED keys {g, g+gens, g+2·gens, …}, so
+    * EVERY generation's every part spans the whole key domain and the
+    * overlap depth equals generations × parts-per-generation (the
+    * disjoint fast path cannot apply; the probe runs the interval-STAB
+    * index — elementary segments + BoundBucket binary search; the
+    * pre-r11 shape was a DISTINCT-keys × broadcast-ranges
+    * BroadcastNestedLoopJoin). The structural claim: probe wall grows
+    * with keys · overlap depth, not keys × files, and stays sub-second
+    * while the rewrite cost tracks the (deliberately full) touch set. */
   def overlapTier(spark: SparkSession, out: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val results = Seq((4, 1000000L), (8, 10000000L)).map { case (gens, n) =>
       val dir = s"$out/ovl_$n"
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-      val perGen = n / gens
       for (g <- 0 until gens)
-        spark.range(g * perGen, (g + 1) * perGen)
+        spark.range(g.toLong, n, gens.toLong) // strided: spans the WHOLE domain
           .select(col("id"), concat(lit("pay_"), col("id")).as("pay"))
-          .repartition(4, col("id")) // hash: every part spans the gen range
+          .repartition(4, col("id"))
           .write.format("feather")
           .mode(if (g == 0) "overwrite" else "append")
           .option("snapshots", "true").save(dir)
-      // generation ranges OVERLAP pairwise through the hash layout within
-      // each gen; delete keys scattered across three generations
+      // every file's [min,max] ≈ [g, n): overlap depth = gens × 4
       val keys = spark.range(0, 50L)
-        .select((col("id") * (n / 50)).as("id")) // stride across the domain
+        .select((col("id") * (n / 50)).as("id")) // scattered across the domain
       val t0 = System.nanoTime()
       val r = graft.io.FeatherMutations.deleteByKey(spark, dir, keys, Seq("id"))
       val sec = (System.nanoTime() - t0) / 1e9

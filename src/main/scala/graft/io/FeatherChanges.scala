@@ -52,19 +52,59 @@ import graft.sources.{FeatherPartitions, FeatherSnapshots}
   * history unreadable, loudly. */
 object FeatherChanges {
 
+  // feed schema per (path, head version) — the idle-poll path of
+  // changesSince must not pay an O(files) footer sweep per no-op poll
+  // just to shape an empty frame (versions are immutable, so the memo
+  // is exact for its head)
+  private val feedSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), org.apache.spark.sql.types.StructType]()
+
   /** The incremental-ETL loop primitive: everything that changed after
     * `lastProcessedVersion`, plus the head version to checkpoint for the
     * next call — `val (changes, v) = changesSince(spark, path, ckpt)`;
-    * an unchanged table returns an empty frame and the same version. */
+    * an unchanged table returns an empty frame and the same version.
+    * A checkpoint AHEAD of the head is loud: it means the table was
+    * dropped and rebuilt (or the caller mixed checkpoints across
+    * tables) — silently regressing the checkpoint would re-deliver or
+    * lose data. */
   def changesSince(spark: SparkSession, path: String,
                    lastProcessedVersion: Long): (DataFrame, Long) = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val head = FeatherSnapshots.latestVersion(fs, root).getOrElse(
       sys.error(s"changesSince on $path: no snapshot versions"))
-    if (head <= lastProcessedVersion)
-      (readChanges(spark, path, math.max(1L, head), head).limit(0), head)
-    else (readChanges(spark, path, lastProcessedVersion, head), head)
+    require(head >= lastProcessedVersion,
+      s"changesSince on $path: checkpoint v$lastProcessedVersion is ahead " +
+        s"of the table head v$head — the table was dropped and rebuilt, " +
+        "or this checkpoint belongs to another table; restart the " +
+        "consumer from 0 deliberately")
+    if (head == lastProcessedVersion) {
+      // idle poll: one manifest read for the head snapshot only when the
+      // schema is not memoized; never the per-version replay
+      val schema = feedSchemaCache.computeIfAbsent((path, head), _ => {
+        val snap = FeatherSnapshots.read(fs, root, head)
+        val face = ConnectorFace.detect(snap.files, "changesSince", path)
+        feedSchema(spark, root, face, snap.files)
+      })
+      (spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema), head)
+    } else (readChanges(spark, path, lastProcessedVersion, head), head)
+  }
+
+  /** The feed's output schema for a file population: data columns
+    * (merged), typed partition columns, then the two change columns. */
+  private def feedSchema(spark: SparkSession, root: Path,
+                         face: ConnectorFace,
+                         files: Seq[(String, Long)])
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val partSchema = FeatherSnapshots.toDiscovered(root,
+      FeatherSnapshots.Snapshot(0, 0, "cdf", files.sortBy(_._1))).partSchema
+    val dataSchema = face.mergedSchema(spark,
+      files.map { case (rel, len) => (new Path(root, rel).toString, len) })
+    StructType(dataSchema.fields ++ partSchema.fields ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_version", LongType, nullable = false)))
   }
 
   def readChanges(spark: SparkSession, path: String,
@@ -165,12 +205,10 @@ object FeatherChanges {
     }.toSeq
     val frames = initial.toSeq ++ steps
     if (frames.isEmpty) {
-      val outSchema = org.apache.spark.sql.types.StructType(
-        dataSchema.fields ++ partSchema.fields ++ Seq(
-          org.apache.spark.sql.types.StructField("_change_type",
-            org.apache.spark.sql.types.StringType, nullable = false),
-          org.apache.spark.sql.types.StructField("_commit_version",
-            org.apache.spark.sql.types.LongType, nullable = false)))
+      import org.apache.spark.sql.types._
+      val outSchema = StructType(dataSchema.fields ++ partSchema.fields ++ Seq(
+        StructField("_change_type", StringType, nullable = false),
+        StructField("_commit_version", LongType, nullable = false)))
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
     } else frames.reduce(_ unionByName _)

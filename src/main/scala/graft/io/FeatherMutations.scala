@@ -191,7 +191,11 @@ object FeatherMutations {
           StructType(tableSchema0.fields ++ extra)
         case None => tableSchema0
       }
-    keyCols.foreach(k => require(tableSchema.fieldNames.contains(k),
+    // keys validate against the PRE-evolution schema: a key naming a
+    // column that exists only in the evolving SOURCE (a typo for a real
+    // key) would otherwise pass and silently rewrite the whole table as
+    // an expensive no-match append
+    keyCols.foreach(k => require(tableSchema0.fieldNames.contains(k),
       if (partCols.contains(k))
         s"$op: key column '$k' is a partition column — partition values " +
           "live in the directory chain, not the data files; key on data " +

@@ -190,6 +190,12 @@ class FeatherChangesSpec extends AnyFunSuite {
     assert(v2 === 3L)
     assert(c2.where(col("_change_type") === "delete").count() === 1)
     assert(c2.where(col("_change_type") === "insert").count() === 5)
+    // a checkpoint AHEAD of the head (dropped-and-rebuilt table, or a
+    // checkpoint from another table) is loud, never a silent regression
+    val e = intercept[IllegalArgumentException] {
+      FeatherChanges.changesSince(spark, path, 99L)
+    }
+    assert(e.getMessage.contains("ahead"))
   }
 
 }
