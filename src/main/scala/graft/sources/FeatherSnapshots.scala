@@ -575,8 +575,24 @@ private[graft] object FeatherSnapshots {
     * the backstop for foreign part names). Returns files removed. */
   def vacuumOrphans(fs: FileSystem, root: Path,
                     graceMillis: Long = 7L * 24 * 3600 * 1000,
-                    suffixes: Seq[String] = FeatherSuffixes): Int = {
-    if (!enabled(fs, root)) return 0
+                    suffixes: Seq[String] = FeatherSuffixes): Int =
+    vacuumOrphansImpl(fs, root, graceMillis, suffixes,
+      dryRun = false).size
+
+  /** [[vacuumOrphans]] without deleting anything: the root-relative
+    * paths the real pass WOULD reclaim — the operational preview an
+    * operator wants before pointing a deletion pass at a 100-TB
+    * table. */
+  def vacuumOrphansDryRun(fs: FileSystem, root: Path,
+                          graceMillis: Long = 7L * 24 * 3600 * 1000,
+                          suffixes: Seq[String] = FeatherSuffixes)
+      : Seq[String] =
+    vacuumOrphansImpl(fs, root, graceMillis, suffixes, dryRun = true)
+
+  private def vacuumOrphansImpl(fs: FileSystem, root: Path,
+                                graceMillis: Long, suffixes: Seq[String],
+                                dryRun: Boolean): Seq[String] = {
+    if (!enabled(fs, root)) return Nil
     val latest = latestVersion(fs, root).getOrElse(0L)
     // every retained version reconstructed once (one manifest read each);
     // a file ANY retained version references is live, never an orphan
@@ -591,7 +607,7 @@ private[graft] object FeatherSnapshots {
       val i = n.lastIndexOf('.')
       if (i > 0) Some(n.substring(i)) else None
     }).distinct
-    var removed = 0
+    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
     walkDataFiles(fs, root, effSuffixes) { (e, relPath) =>
       val pending = e.getPath.getName match {
         case inFlight(v) => v.toLong > latest
@@ -599,14 +615,17 @@ private[graft] object FeatherSnapshots {
       }
       if (!pending && !referenced(relPath) &&
           e.getModificationTime < cutoff) {
-        if (fs.delete(e.getPath, false)) removed += 1
-        fs.delete(new Path(e.getPath.getParent,
-          e.getPath.getName + ".stats.json"), false)
-        fs.delete(new Path(e.getPath.getParent,
-          e.getPath.getName + ".bloom"), false)
+        if (dryRun) removed += relPath
+        else if (fs.delete(e.getPath, false)) {
+          removed += relPath
+          fs.delete(new Path(e.getPath.getParent,
+            e.getPath.getName + ".stats.json"), false)
+          fs.delete(new Path(e.getPath.getParent,
+            e.getPath.getName + ".bloom"), false)
+        }
       }
     }
-    removed
+    removed.toSeq
   }
 
   /** Adopt an existing listing-based feather directory into the snapshot

@@ -715,4 +715,26 @@ class FeatherSnapshotsSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+
+  test("vacuumOrphansDryRun previews reclamation without deleting") {
+    val path = tmp("vacuum_dry")
+    writeV(path, 1, 50, "overwrite")
+    val fs = fsOf(path)
+    val rp = new Path(path)
+    // an unreferenced orphan beside the live parts
+    val live = FeatherSnapshots.read(fs, rp, 1L).files.head._1
+    val orphan = new Path(rp, "orphan-old.feather")
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new Path(path, live), fs, orphan, false,
+      spark.sparkContext.hadoopConfiguration)
+    val preview = FeatherSnapshots.vacuumOrphansDryRun(fs, rp,
+      graceMillis = -1000)
+    assert(preview === Seq("orphan-old.feather"))
+    assert(fs.exists(orphan), "dry run must not delete")
+    // the real pass reclaims exactly the preview
+    assert(FeatherSnapshots.vacuumOrphans(fs, rp, graceMillis = -1000) === 1)
+    assert(!fs.exists(orphan))
+    assert(spark.read.format("feather").load(path).count() === 50)
+  }
+
 }
