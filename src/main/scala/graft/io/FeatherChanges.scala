@@ -80,12 +80,20 @@ object FeatherChanges {
         "consumer from 0 deliberately")
     if (head == lastProcessedVersion) {
       // idle poll: one manifest read for the head snapshot only when the
-      // schema is not memoized; never the per-version replay
-      val schema = feedSchemaCache.computeIfAbsent((path, head), _ => {
+      // schema is not memoized; never the per-version replay. Superseded
+      // heads for this path evict on each new memoization — a long-running
+      // poll loop holds ONE entry per table, not one per head version
+      // ever seen, and a drop/recreate that lands on a previously-seen
+      // (path, head) cannot be served that old incarnation's schema
+      // (the recreate moved the head, which evicted the stale entry).
+      val schema = Option(feedSchemaCache.get((path, head))).getOrElse {
         val snap = FeatherSnapshots.read(fs, root, head)
         val face = ConnectorFace.detect(snap.files, "changesSince", path)
-        feedSchema(spark, root, face, snap.files)
-      })
+        val s = feedSchema(spark, root, face, snap.files)
+        feedSchemaCache.keySet.removeIf(k => k._1 == path && k._2 != head)
+        feedSchemaCache.put((path, head), s)
+        s
+      }
       (spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema), head)
     } else (readChanges(spark, path, lastProcessedVersion, head), head)

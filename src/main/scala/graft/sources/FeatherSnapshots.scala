@@ -170,12 +170,14 @@ private[graft] object FeatherSnapshots {
     * CURRENT snapshot whole — history before the stream started is not
     * change data); `append`/`adopt` versions stream their novel files;
     * `compact`/`cluster` are row-preserving rewrites of already-delivered
-    * rows and SKIP; `overwrite`/`delete`/`merge`/`cdc` are non-append
-    * changes that fail loudly unless `ignoreChanges` — which skips a
-    * delete's rewrites (survivors only, nothing new) but DELIVERS
-    * merge/cdc parts whole (inserts must arrive; re-delivered survivors
-    * are downstream's key-dedup problem, Delta's ignoreChanges
-    * contract). */
+    * rows and SKIP; `overwrite`/`delete`/`merge`/`cdc`/`restore` are
+    * non-append changes that fail loudly unless `ignoreChanges` — which
+    * skips a delete's rewrites (survivors only, nothing new) and a
+    * restore's re-publish (previously-delivered rows) but DELIVERS
+    * merge/cdc parts AND an overwrite's novel files (new rows must
+    * arrive; re-delivered survivors are downstream's key-dedup problem —
+    * Delta's ignoreChanges contract re-delivers rewritten/new files and
+    * makes duplicates downstream's responsibility). */
   private[graft] def versionDiffFiles(fs: FileSystem, root: Path,
                                       s: Long, e: Long,
                                       ignoreChanges: Boolean)
@@ -191,16 +193,28 @@ private[graft] object FeatherSnapshots {
           case "append" | "adopt" =>
             newRel ++= snap.files.filterNot { case (rel, _) => prev.contains(rel) }
           case "compact" | "cluster" =>
-          case "overwrite" | "restore" =>
-            // restore re-publishes previously-delivered rows: under
-            // ignoreChanges it skips exactly like an overwrite
+          case "restore" =>
+            // restore re-publishes previously-DELIVERED rows (its files
+            // existed in an earlier version this stream already served):
+            // under ignoreChanges it skips — there is nothing novel
             if (!ignoreChanges) throw new IllegalStateException(
-              s"snapshot stream on $root hit ${
-                if (snap.op == "restore") "a restore" else "an overwrite"
-              } commit " +
+              s"snapshot stream on $root hit a restore commit " +
                 s"(v$v): the table changed non-append. Restart the stream " +
                 "from scratch, or set option(\"ignoreChanges\", \"true\") " +
                 "to skip the replaced data.")
+          case "overwrite" =>
+            // an overwrite's NEW files hold rows never delivered — under
+            // ignoreChanges they must arrive (the Delta contract; skipping
+            // them would silently lose the replacement's novel rows). The
+            // replaced files' rows are simply never re-sent.
+            if (!ignoreChanges) throw new IllegalStateException(
+              s"snapshot stream on $root hit an overwrite commit " +
+                s"(v$v): the table changed non-append. Restart the stream " +
+                "from scratch, or set option(\"ignoreChanges\", \"true\") " +
+                "to receive the replacement's new files (replaced rows " +
+                "are not retracted downstream).")
+            else newRel ++= snap.files.filterNot {
+              case (rel, _) => prev.contains(rel) }
           case "delete" =>
             if (!ignoreChanges) throw new IllegalStateException(
               s"snapshot stream on $root hit a delete commit " +
@@ -492,16 +506,25 @@ private[graft] object FeatherSnapshots {
     * callback, against the parent the commit actually publishes over
     * (race-free, no extra manifest read). No-op on non-snapshotted
     * directories. */
-  /** Per-table ever-referenced cache for [[publishEpoch]]: high-water
-    * version scanned → union of file names referenced by versions up to
-    * it. Manifests are immutable and versions only grow, so the cache is
-    * refreshed by reading ONLY versions above the high water — O(new
-    * versions) per epoch instead of O(all retained versions) (quadratic
-    * over a long-running stream). Staleness is one-directional and safe:
-    * expire() removes manifests but the cached names stay, which can only
-    * keep a replayed part RETIRED — never resurrect one. */
+  /** Per-table ever-referenced cache for [[publishEpoch]]: (incarnation,
+    * high-water version scanned, union of file names referenced by
+    * versions up to it). Manifests are immutable and versions only grow,
+    * so the cache is refreshed by reading ONLY versions above the high
+    * water — O(new versions) per epoch instead of O(all retained
+    * versions) (quadratic over a long-running stream). Staleness is
+    * one-directional and safe: the cached names can only keep a replayed
+    * part RETIRED — never resurrect one.
+    *
+    * The incarnation is (oldest retained version, that manifest's commit
+    * ts): a table dropped and recreated at the same path — even one that
+    * races back up to the old version count before the next epoch — gets
+    * a different v1 timestamp, so the stale cache resets instead of
+    * silently retiring the new table's replayed parts. expire() also
+    * moves the oldest version, which resets too: a spurious reset only
+    * costs one full rescan, never correctness. */
   private val epochRefCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Set[String])]()
+    new java.util.concurrent.ConcurrentHashMap[
+      String, ((Long, Long), Long, Set[String])]()
 
   private[graft] def publishEpoch(fs: FileSystem, root: Path,
                                   parts: Seq[(String, Long)]): Unit = {
@@ -513,13 +536,15 @@ private[graft] object FeatherSnapshots {
         n.stripPrefix("v").stripSuffix(".json").toLong }
       .toSeq
     val key = root.toString
+    // one O(1) manifest read per epoch buys the incarnation identity —
+    // an empty versions list (fresh _snapshots dir, first commit pending)
+    // has no incarnation and always resets the cache
+    val incarnation: Option[(Long, Long)] =
+      versions.minOption.map(mv => (mv, readRaw(fs, root, mv).ts))
     val cached = Option(epochRefCache.get(key))
-      // a table dropped and recreated at the same path restarts at v1 —
-      // a cache from the old incarnation would retire the new table's
-      // replayed parts (silent data loss). An EMPTY versions list is the
-      // recreated case too (fresh _snapshots dir, first commit pending),
-      // so it must also reset, not keep, the stale cache.
-      .filter { case (hw, _) => versions.nonEmpty && versions.max >= hw }
+      .filter { case (inc, hw, _) =>
+        incarnation.contains(inc) && versions.nonEmpty && versions.max >= hw }
+      .map { case (_, hw, names) => (hw, names) }
       .getOrElse((0L, Set.empty[String]))
     val fresh = versions.filter(_ > cached._1).sorted
     // raw contributions suffice (full manifests: their file list; deltas:
@@ -534,7 +559,8 @@ private[graft] object FeatherSnapshots {
         r.full.getOrElse(r.add).map(_._1)
       }
     if (fresh.nonEmpty)
-      epochRefCache.put(key, (fresh.max, everReferenced))
+      incarnation.foreach(inc =>
+        epochRefCache.put(key, (inc, fresh.max, everReferenced)))
     val novel = parts.filterNot(p => everReferenced(p._1))
     if (novel.isEmpty) return
     commit(fs, root, "append") { parent =>

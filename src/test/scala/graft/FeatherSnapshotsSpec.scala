@@ -229,6 +229,15 @@ class FeatherSnapshotsSpec extends AnyFunSuite {
       writeV(path, 211, 220, "append")
       q2.processAllAvailable()
       assert(spark.table("feather_snap_ow2").count() === 20)
+      // an overwrite MID-STREAM under ignoreChanges delivers its NOVEL
+      // files (the Delta contract: new rows must arrive; replaced rows
+      // are not retracted downstream) — silently skipping them would
+      // lose the replacement's data
+      writeV(path, 501, 505, "overwrite")
+      q2.processAllAvailable()
+      assert(spark.table("feather_snap_ow2").count() === 25)
+      assert(spark.table("feather_snap_ow2").agg(max(col("id"))).head()
+        .getLong(0) === 505L)
     } finally q2.stop()
   }
 
