@@ -557,10 +557,17 @@ object ScaleRehearsal {
         val add = (0 until 10).map(i => (f"epoch-$k%03d-$i%02d.feather", 500L))
         val v = graft.sources.FeatherSnapshots.commit(fs, dir, "append")(
           parent => parent ++ add)
-        val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(dir,
-          f"_snapshots/v$v%08d.json")).getLen
-        if (v % graft.sources.FeatherSnapshots.CheckpointEvery == 0)
-          ckptBytes ::= len
+        val mp = new org.apache.hadoop.fs.Path(dir,
+          f"_snapshots/v$v%08d.json")
+        val len = fs.getFileStatus(mp).getLen
+        // classify by CONTENT (a checkpoint carries the "files" list),
+        // not by version arithmetic — the cadence is size-aware now
+        val in = fs.open(mp)
+        val isCkpt =
+          try new String(org.apache.hadoop.io.IOUtils
+            .readFullyToByteArray(in), "UTF-8").contains("\"files\"")
+          finally in.close()
+        if (isCkpt) ckptBytes ::= len
         else appendBytes ::= len
       }
       val commitSec = (System.nanoTime() - t0) / 1e9

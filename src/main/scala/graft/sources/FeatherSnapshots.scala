@@ -6,15 +6,21 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Snapshot manifests for the feather DSv2 connector: a `_snapshots/`
   * directory of numbered JSON manifests. Storage is a DELTA LOG with
-  * periodic checkpoints (the Delta-Lake commit-log shape): most commits
-  * serialize only `add`/`remove` actions against their parent —
-  * O(changed files) driver bytes per commit — and every
-  * [[CheckpointEvery]]-th commit (plus v1 and any commit whose diff
-  * would outweigh it) writes the COMPLETE file list as a checkpoint, so
-  * reconstruction of any version folds at most a bounded delta chain
-  * forward from its nearest checkpoint. A 10⁵-file table's per-epoch
-  * append is a few hundred bytes, not a 10⁵-entry rewrite, and retained
-  * history holds O(files + versions·changes) bytes instead of
+  * SIZE-AWARE checkpoints (the Delta-Lake commit-log shape): most
+  * commits serialize only `add`/`remove` actions against their parent —
+  * O(changed files) driver bytes per commit — and a commit writes the
+  * COMPLETE file list as a checkpoint only when v1 (no parent), when the
+  * accumulated delta bytes since the last checkpoint would outweigh the
+  * full list (so total log bytes stay O(full list) between checkpoints),
+  * when the delta chain reaches [[MaxDeltaChain]] manifests (the
+  * read-latency backstop — reconstruction is one sequential manifest
+  * read per chain link, which on an object store is a round trip), or
+  * when the commit's own diff outweighs the full list (an overwrite
+  * naturally checkpoints). A 10⁵-file table's per-epoch append is a few
+  * hundred bytes, and the 10⁵-entry checkpoint amortizes over at least
+  * [[MaxDeltaChain]] commits instead of landing every fixed-K-th; a
+  * 3-file table checkpoints nearly every commit, which costs nothing.
+  * Retained history holds O(files + versions·changes) bytes instead of
   * O(versions × files). Modeled on the table-format idea parquet
   * directories lack (Iceberg/Delta commit logs; the reference gets
   * consistency for free from single-process ownership — a distributed
@@ -67,18 +73,21 @@ private[graft] object FeatherSnapshots {
 
   private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  /** Full checkpoints this often. Between checkpoints a reconstruction
-    * folds at most `CheckpointEvery - 1` deltas forward; the every-K full
-    * write amortizes to O(files / K) bytes per commit (Delta Lake ships
-    * the same shape at K = 10). */
-  private[graft] val CheckpointEvery = 8L
+  /** Read-latency backstop on the checkpoint cadence: a reconstruction
+    * folds at most this many delta manifests forward (each is one
+    * sequential object-store round trip — the BYTES between checkpoints
+    * are already bounded at ≤ one full list by the size rule, but 15 000
+    * tiny deltas would still cost 15 000 reads without this cap). */
+  private[graft] val MaxDeltaChain = 16
 
   /** One manifest file as stored: `full` = complete file list (v1,
     * checkpoints, legacy pre-delta manifests); otherwise `add`/`remove`
-    * actions against the parent version. */
+    * actions against the parent version. `bytes` = the manifest file's
+    * serialized size (feeds the size-aware checkpoint cadence). */
   private final case class Raw(version: Long, parent: Long, op: String,
                                ts: Long, full: Option[Seq[(String, Long)]],
-                               add: Seq[(String, Long)], remove: Set[String])
+                               add: Seq[(String, Long)], remove: Set[String],
+                               bytes: Int = 0)
 
   private def readRaw(fs: FileSystem, root: Path, version: Long): Raw = {
     val p = snapPath(root, version)
@@ -106,7 +115,8 @@ private[graft] object FeatherSnapshots {
       if (n.has("remove")) {
         val arr = n.get("remove")
         (0 until arr.size()).map(arr.get(_).asText()).toSet
-      } else Set.empty)
+      } else Set.empty,
+      txt.length)
   }
 
   private def applyDelta(parent: Seq[(String, Long)], d: Raw)
@@ -115,10 +125,18 @@ private[graft] object FeatherSnapshots {
 
   /** Reconstruct one version: walk back to the nearest full manifest
     * (checkpoint / v1 / legacy), then fold the delta chain forward —
-    * ≤ [[CheckpointEvery]] manifest reads. A broken chain (a delta whose
-    * parent was expired without the checkpoint-materialization step) is
-    * loud and names both versions. */
-  def read(fs: FileSystem, root: Path, version: Long): Snapshot = {
+    * ≤ [[MaxDeltaChain]] + 1 manifest reads. A broken chain (a delta
+    * whose parent was expired without the checkpoint-materialization
+    * step) is loud and names both versions. */
+  def read(fs: FileSystem, root: Path, version: Long): Snapshot =
+    readChain(fs, root, version)._1
+
+  /** [[read]] plus the delta chain the reconstruction folded (nearest
+    * full manifest first) — [[commit]] consumes the chain's length and
+    * byte sizes for the size-aware checkpoint decision, at zero extra
+    * manifest reads (it had to reconstruct the parent anyway). */
+  private def readChain(fs: FileSystem, root: Path, version: Long)
+      : (Snapshot, List[Raw]) = {
     var chain = List(readRaw(fs, root, version))
     while (chain.head.full.isEmpty) {
       val child = chain.head
@@ -135,7 +153,8 @@ private[graft] object FeatherSnapshots {
     var files = chain.head.full.get
     chain.tail.foreach(d => files = applyDelta(files, d))
     val tip = chain.last
-    Snapshot(tip.version, tip.parent, tip.op, files.sortBy(_._1), tip.ts)
+    (Snapshot(tip.version, tip.parent, tip.op, files.sortBy(_._1), tip.ts),
+      chain)
   }
 
   /** Versions `from..to` inclusive, reconstructed with each manifest file
@@ -332,8 +351,17 @@ private[graft] object FeatherSnapshots {
     *
     * Storage form is decided HERE, invisibly to callers: the diff vs the
     * parent is serialized as `add`/`remove` actions unless this version
-    * is a checkpoint (v1, every [[CheckpointEvery]]-th, or a diff that
-    * would outweigh the full list — an overwrite naturally checkpoints). */
+    * is a checkpoint. The cadence is SIZE-AWARE: checkpoint when (a) v1
+    * (no parent), (b) this commit's own diff would outweigh the full
+    * list (an overwrite naturally checkpoints), (c) the delta bytes
+    * accumulated since the last checkpoint — plus this delta — would
+    * outweigh the full list (bounds total log bytes between checkpoints
+    * at ~2× the full list), or (d) the delta chain has reached
+    * [[MaxDeltaChain]] manifests (bounds reconstruction round trips; a
+    * 10⁵-file table emitting 500-byte deltas would otherwise chain
+    * thousands of reads before rule (c) fired). A fixed every-K cadence
+    * would write the 10⁵-entry list every K-th epoch no matter how small
+    * the deltas were. */
   def commit(fs: FileSystem, root: Path, op: String)
             (mkFiles: Seq[(String, Long)] => Seq[(String, Long)]): Long = {
     fs.mkdirs(snapDir(root))
@@ -343,7 +371,8 @@ private[graft] object FeatherSnapshots {
       require(attempt <= 20,
         s"feather snapshot commit on $root lost ${attempt - 1} races; giving up")
       val parent = latestVersion(fs, root)
-      val parentFiles = parent.map(read(fs, root, _).files).getOrElse(Nil)
+      val parentChain = parent.map(readChain(fs, root, _))
+      val parentFiles = parentChain.map(_._1.files).getOrElse(Nil)
       val v = parent.getOrElse(0L) + 1
       val files = mkFiles(parentFiles).distinct.sortBy(_._1)
       val parentMap = parentFiles.toMap
@@ -353,8 +382,22 @@ private[graft] object FeatherSnapshots {
       val add = files.filter { case (p, len) => !parentMap.get(p).contains(len) }
       val remove = parentFiles.collect {
         case (p, len) if !filesMap.get(p).contains(len) => p }
-      val checkpoint = parent.isEmpty || v % CheckpointEvery == 0 ||
-        add.size + remove.size >= files.size
+      // serialized-size estimates (exact serialization of the full list
+      // just to measure it would be the O(files) work the cadence exists
+      // to avoid): per entry `{"p":"…","len":"…"},` ≈ path + len + 16
+      def entryBytes(f: (String, Long)): Long =
+        f._1.length + f._2.toString.length + 16L
+      val fullBytes = files.map(entryBytes).sum + 96L
+      val deltaBytes =
+        add.map(entryBytes).sum + remove.map(_.length + 3L).sum + 96L
+      val deltas = parentChain.map(_._2.count(_.full.isEmpty)).getOrElse(0)
+      val chainBytes = parentChain
+        .map(_._2.iterator.filter(_.full.isEmpty).map(_.bytes.toLong).sum)
+        .getOrElse(0L)
+      val checkpoint = parent.isEmpty ||
+        add.size + remove.size >= files.size ||
+        chainBytes + deltaBytes >= fullBytes ||
+        deltas + 1 > MaxDeltaChain
       val node = baseNode(v, parent.getOrElse(0L), op,
         System.currentTimeMillis())
       if (checkpoint) node.put("files", pairsJson(files))

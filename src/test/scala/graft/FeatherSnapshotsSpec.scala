@@ -499,22 +499,35 @@ class FeatherSnapshotsSpec extends AnyFunSuite {
     finally in.close()
   }
 
-  test("append commits serialize as deltas; checkpoints land on schedule") {
+  test("append commits serialize as deltas; size-aware checkpoints") {
     val path = tmp("delta_form")
     writeV(path, 1, 50, "overwrite") // v1: full (no parent)
     for (k <- 0 until 9) writeV(path, 100 + k * 10, 100 + k * 10 + 9, "append")
-    // v1 full, v2..v7 deltas, v8 checkpoint (CheckpointEvery = 8), v9+ delta
+    // v1 full; v2 is a small diff against a small table — a delta. Later
+    // versions checkpoint WHEN the accumulated delta bytes outweigh the
+    // full list (tiny tables checkpoint often, which costs nothing) —
+    // the invariant is the byte bound, not a fixed schedule.
     assert(manifestText(path, 1L).contains("\"files\""))
-    for (v <- 2L to 7L) {
-      val t = manifestText(path, v)
-      assert(!t.contains("\"files\""), s"v$v should be a delta")
-      assert(t.contains("\"add\""), s"v$v should carry add actions")
+    val t2 = manifestText(path, 2L)
+    assert(!t2.contains("\"files\""), "v2 should be a delta")
+    assert(t2.contains("\"add\""), "v2 should carry add actions")
+    // between consecutive checkpoints, delta bytes stay bounded by the
+    // NEXT checkpoint's full-list size (the size rule's invariant) —
+    // total log bytes are O(full list), never O(versions × files)
+    val texts = (1L to 10L).map(v => v -> manifestText(path, v))
+    val ckpts = texts.filter(_._2.contains("\"files\"")).map(_._1)
+    assert(ckpts.head === 1L)
+    for (Seq(a, b) <- ckpts.sliding(2) if b > a + 1) {
+      val deltaSum = texts.filter { case (v, _) => v > a && v < b }
+        .map(_._2.length).sum
+      val fullLen = texts.find(_._1 == b).get._2.length
+      assert(deltaSum <= 2 * fullLen,
+        s"deltas between checkpoints v$a..v$b hold $deltaSum bytes vs " +
+          s"a $fullLen-byte checkpoint — the size rule should have fired")
     }
-    assert(manifestText(path, 8L).contains("\"files\""), "v8 is a checkpoint")
-    assert(!manifestText(path, 9L).contains("\"files\""))
     // reconstruction across the whole chain: v10 = 50 + 9*10 rows
     assert(spark.read.format("feather").load(path).count() === 140)
-    // time travel to a delta version crossing the checkpoint boundary
+    // time travel to delta versions crossing checkpoint boundaries
     assert(spark.read.format("feather").option("versionAsOf", "9")
       .load(path).count() === 130)
     assert(spark.read.format("feather").option("versionAsOf", "7")
@@ -523,6 +536,34 @@ class FeatherSnapshotsSpec extends AnyFunSuite {
     writeV(path, 1, 20, "overwrite") // v11
     assert(manifestText(path, 11L).contains("\"files\""))
     assert(spark.read.format("feather").load(path).count() === 20)
+  }
+
+  test("the delta chain length is capped even when deltas are tiny") {
+    // a big table emitting one-file appends: the size rule would allow
+    // thousands of 130-byte deltas before matching the ~40 KB full list,
+    // but every reconstruction pays one manifest READ per chain link —
+    // the MaxDeltaChain backstop bounds the round trips. Synthetic
+    // entries: the manifest layer never opens data files.
+    val path = tmp("delta_chain_cap")
+    val fs = fsOf(path)
+    val root = new Path(path)
+    val base = (0 until 1000).map(i => (f"part-$i%06d.feather", 1000L))
+    FeatherSnapshots.commit(fs, root, "overwrite")(_ => base)
+    for (k <- 0 until 20)
+      FeatherSnapshots.commit(fs, root, "append")(
+        parent => parent :+ (f"extra-$k%03d.feather", 500L))
+    val ckpts = (1L to 21L)
+      .filter(v => manifestText(path, v).contains("\"files\""))
+    assert(ckpts.head === 1L)
+    // v2..v17 are 16 deltas (the cap); v18 must checkpoint
+    assert(ckpts.contains(18L),
+      s"expected the chain-length backstop to checkpoint at v18; " +
+        s"checkpoints: $ckpts")
+    assert((2L to 17L).forall(v =>
+      !manifestText(path, v).contains("\"files\"")),
+      "deltas below the cap must stay deltas")
+    val head = FeatherSnapshots.readAll(fs, root).last
+    assert(head.files.size === 1020)
   }
 
   test("a delta append's manifest bytes are O(changed files), not O(files)") {
@@ -546,7 +587,16 @@ class FeatherSnapshotsSpec extends AnyFunSuite {
   test("expire mid-chain materializes the oldest kept version as a " +
        "checkpoint and keeps every kept version reconstructible") {
     val path = tmp("expire_ckpt")
-    writeV(path, 1, 30, "overwrite")            // v1 full
+    // 16-part base: big enough that the size-aware cadence keeps the
+    // five one-part appends as deltas (a tiny table would checkpoint
+    // mid-chain and this test needs the oldest KEPT version to be a
+    // delta when expire runs)
+    locally {
+      import spark.implicits._
+      (1 to 30).map(i => (i.toLong, s"n_$i")).toDF("id", "name")
+        .repartition(16).write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(path)
+    }
     for (k <- 1 to 5) writeV(path, 100 * k, 100 * k + 4, "append") // v2..v6 deltas
     // keep the last 3 -> oldest kept = v4, a delta whose chain (v1..v3)
     // is about to vanish
