@@ -212,10 +212,45 @@ private[graft] object Compaction {
     var groupsRewritten = 0
     val removedRel = scala.collection.mutable.ArrayBuffer.empty[String]
     val addedRel = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    // deletion-vector FOLD: a DV-bound file cannot ride the binary
+    // batch-copy rewriter (it would resurrect the deleted rows) — each
+    // one decode-rewrites 1:1 through the face reader with its DV
+    // applied, joining the same commit. This is where a DV delete
+    // becomes physical-erasure-eligible: the new part has no binding,
+    // and expire() reclaims the old bytes.
+    val dvFold = snap.dvs.keySet
+    if (dvFold.nonEmpty) {
+      val face = ConnectorFace.detect(snap.files, "compact", root.toString)
+      val prefix = f"mut-v${snap.version + 1}%08d-dvfold"
+      byLeaf.foreach { case (relDir, relFiles) =>
+        val leaf = if (relDir.isEmpty) root else new Path(root, relDir)
+        relFiles.filter { case (rel, _) => dvFold(rel) }
+          .zipWithIndex.foreach { case ((rel, len), i) =>
+            val abs = new Path(root, rel).toString
+            val dvAbs = new Path(root, snap.dvs(rel)._1).toString
+            val df = face.readMergedDv(spark, Seq((abs, len)),
+              Map(abs -> dvAbs)).coalesce(1)
+            // the binary Rewriter preserves input codecs; a decode pass
+            // picks the face default ("lz4" → lz4 feather / snappy avro)
+            val parts = face.writeParts(df, leaf.toString,
+              f"$prefix-$i%04d", "lz4")
+            if (parts.nonEmpty)
+              FeatherStats.upsertMerged(fs, leaf,
+                parts.map { case (name, l, js) =>
+                  name -> (l, FeatherStats.fromJson(js)) }.toMap)
+            addedRel ++= parts.map { case (name, l, _) =>
+              (if (relDir.isEmpty) name else s"$relDir/$name", l) }
+            removedRel += rel
+            groupsRewritten += 1
+          }
+      }
+    }
     byLeaf.foreach { case (relDir, relFiles) =>
       val leaf = if (relDir.isEmpty) root else new Path(root, relDir)
-      val files = relFiles.map { case (rel, len) =>
-        (new Path(root, rel).toString, len) }.sortBy(_._1)
+      val files = relFiles
+        .filter { case (rel, _) => !dvFold(rel) } // folded above
+        .map { case (rel, len) =>
+          (new Path(root, rel).toString, len) }.sortBy(_._1)
       val groups = planGroups(leaf.toString, files, suffix, targetBytes)
       if (groups.nonEmpty) {
         val rewriter = mkRewriter(leaf.toString, groups.head.inputs.head._1)

@@ -20,6 +20,14 @@ private[io] sealed trait ConnectorFace extends Serializable {
   def suffix: String
   def mergedSchema(spark: SparkSession, files: Seq[(String, Long)]): StructType
   def readMerged(spark: SparkSession, files: Seq[(String, Long)]): DataFrame
+  /** [[readMerged]] with deletion vectors applied (`dvPaths`: abs file →
+    * abs DV sidecar; executor-side load) and/or driver-computed KEEP
+    * position sets (`posKeep`: only those rows — the CDF dv-diff read).
+    * Every maintenance read of a DV'd table MUST come through here: a
+    * plain merged read would resurrect deleted rows into a rewrite. */
+  def readMergedDv(spark: SparkSession, files: Seq[(String, Long)],
+                   dvPaths: Map[String, String],
+                   posKeep: Map[String, Array[Long]] = Map.empty): DataFrame
   def writeParts(df: DataFrame, dir: String, prefix: String,
                  codec: String): Seq[(String, Long, String)]
   def stamp(fs: org.apache.hadoop.fs.FileSystem, dir: Path, prefix: String,
@@ -38,6 +46,15 @@ private[io] sealed trait ConnectorFace extends Serializable {
                cols: Seq[String],
                track: AutoCloseable => Unit,
                untrack: AutoCloseable => Unit): Iterator[org.apache.spark.sql.Row]
+  /** [[fileRows]] with each row's DELETION-VECTOR POSITION — the DV
+    * writer's probe scan (WHERE do the matched keys live), and dv-aware:
+    * positions already deleted by `dv` never re-emit. */
+  def fileRowsPos(execConf: org.apache.hadoop.conf.Configuration,
+                  readerJson: String, file: String, len: Long,
+                  cols: Seq[String], dv: Array[Long],
+                  track: AutoCloseable => Unit,
+                  untrack: AutoCloseable => Unit)
+      : Iterator[(Long, org.apache.spark.sql.Row)]
   /** Driver-side: the avro faces' merged reader schema JSON for
     * [[fileRows]] ("" on feather — the IPC footer is self-describing). */
   def readerJson(spark: SparkSession, files: Seq[(String, Long)]): String
@@ -80,6 +97,11 @@ private[io] object ConnectorFace {
         StructField(f.getName, GraftFeather.toSparkType(f), f.isNullable)))
     def readMerged(spark: SparkSession, files: Seq[(String, Long)]) =
       GraftFeather.readFiles(spark, files, mergeSchema = true)
+    def readMergedDv(spark: SparkSession, files: Seq[(String, Long)],
+                     dvPaths: Map[String, String],
+                     posKeep: Map[String, Array[Long]] = Map.empty) =
+      GraftFeather.readFiles(spark, files, mergeSchema = true,
+        dvPaths = dvPaths, posKeep = posKeep)
     def writeParts(df: DataFrame, dir: String, prefix: String, codec: String) =
       GraftFeather.writeParts(df, dir, prefix, codecFor(codec))
     def stamp(fs: org.apache.hadoop.fs.FileSystem, dir: Path, prefix: String,
@@ -95,6 +117,13 @@ private[io] object ConnectorFace {
                  untrack: AutoCloseable => Unit) =
       GraftFeather.allRows(execConf, file, len, cols, r => track(r),
         lenient = true)
+    def fileRowsPos(execConf: org.apache.hadoop.conf.Configuration,
+                    readerJson: String, file: String, len: Long,
+                    cols: Seq[String], dv: Array[Long],
+                    track: AutoCloseable => Unit,
+                    untrack: AutoCloseable => Unit) =
+      GraftFeather.allRowsPos(execConf, file, len, cols, r => track(r),
+        lenient = true, dv = dv)
     def readerJson(spark: SparkSession, files: Seq[(String, Long)]): String = ""
   }
 
@@ -106,6 +135,11 @@ private[io] object ConnectorFace {
         .asInstanceOf[StructType]
     def readMerged(spark: SparkSession, files: Seq[(String, Long)]) =
       GraftAvro.readFilesDF(spark, files, mergeSchema = true)
+    def readMergedDv(spark: SparkSession, files: Seq[(String, Long)],
+                     dvPaths: Map[String, String],
+                     posKeep: Map[String, Array[Long]] = Map.empty) =
+      GraftAvro.readFilesDF(spark, files, mergeSchema = true,
+        dvPaths = dvPaths, posKeep = posKeep)
     def writeParts(df: DataFrame, dir: String, prefix: String, codec: String) =
       GraftAvro.writeParts(df, dir, prefix, codecFor(codec))
     def stamp(fs: org.apache.hadoop.fs.FileSystem, dir: Path, prefix: String,
@@ -120,6 +154,13 @@ private[io] object ConnectorFace {
                  untrack: AutoCloseable => Unit) =
       GraftAvro.splitRows(execConf, readerJson, file, 0L, len,
         Some(cols), r => track(r), r => untrack(r))
+    def fileRowsPos(execConf: org.apache.hadoop.conf.Configuration,
+                    readerJson: String, file: String, len: Long,
+                    cols: Seq[String], dv: Array[Long],
+                    track: AutoCloseable => Unit,
+                    untrack: AutoCloseable => Unit) =
+      GraftAvro.splitRowsPos(execConf, readerJson, file, 0L, len,
+        Some(cols), r => track(r), r => untrack(r), dv = dv)
     def readerJson(spark: SparkSession, files: Seq[(String, Long)]): String =
       GraftAvro.mergedSchema(spark, files).toString
   }

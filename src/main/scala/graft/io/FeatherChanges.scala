@@ -146,13 +146,30 @@ object FeatherChanges {
       dataSchema.fieldNames.toSeq ++ partSchema.fieldNames
 
     /** One file set as rows, per hive leaf, with its typed partition
-      * values spliced in as columns. */
-    def readSet(files: Seq[(String, Long)]): DataFrame = {
+      * values spliced in as columns. `dvs` (REL-path-keyed manifest
+      * bindings) filter deleted positions out; `posKeep` (rel path →
+      * positions) reads ONLY those rows — the DV-delta read. A file in
+      * `posKeep` ignores `dvs` (the delta positions were already computed
+      * against both bindings). */
+    def readSet(files: Seq[(String, Long)],
+                dvs: Map[String, (String, Long)],
+                posKeep: Map[String, Array[Long]] = Map.empty): DataFrame = {
       val leaves = FeatherSnapshots.toDiscovered(root,
         FeatherSnapshots.Snapshot(0, 0, "cdf", files.sortBy(_._1))).files
+      val absOf = files.map { case (rel, _) =>
+        new Path(root, rel).toString -> rel }.toMap
       leaves.groupBy(_.values).map { case (values, lf) =>
+        val dvPaths = lf.flatMap { l =>
+          val rel = absOf(l.file)
+          if (posKeep.contains(rel)) None
+          else dvs.get(rel).map { case (dvRel, _) =>
+            l.file -> new Path(root, dvRel).toString }
+        }.toMap
+        val keep = lf.flatMap { l =>
+          posKeep.get(absOf(l.file)).map(l.file -> _) }.toMap
         val df0 = ConnectorFace.align(
-          face.readMerged(spark, lf.map(l => (l.file, l.len))), dataSchema)
+          face.readMergedDv(spark, lf.map(l => (l.file, l.len)), dvPaths,
+            keep), dataSchema)
         val vm = values.toMap
         partSchema.fields.foldLeft(df0) { (df, f) =>
           vm.get(f.name).flatMap(Option(_)) match {
@@ -172,14 +189,14 @@ object FeatherChanges {
       * sides, one count aggregation over the full row identity, expand
       * the surplus per side (multiset semantics — duplicate rows diff by
       * count). */
-    def diff(removed: Seq[(String, Long)], added: Seq[(String, Long)],
+    def diff(removed: Option[DataFrame], added: Option[DataFrame],
              v: Long): Option[DataFrame] =
       if (removed.isEmpty && added.isEmpty) None
-      else if (removed.isEmpty) Some(tagged(readSet(added), "insert", v))
-      else if (added.isEmpty) Some(tagged(readSet(removed), "delete", v))
+      else if (removed.isEmpty) Some(tagged(added.get, "insert", v))
+      else if (added.isEmpty) Some(tagged(removed.get, "delete", v))
       else {
-        val both = readSet(removed).withColumn("__side", lit(1L))
-          .unionByName(readSet(added).withColumn("__side", lit(-1L)))
+        val both = removed.get.withColumn("__side", lit(1L))
+          .unionByName(added.get.withColumn("__side", lit(-1L)))
         val net = both.groupBy(idCols.map(col): _*)
           .agg(sum(when(col("__side") === 1L, 1L).otherwise(0L)).as("__rc"),
             sum(when(col("__side") === -1L, 1L).otherwise(0L)).as("__ac"))
@@ -193,9 +210,25 @@ object FeatherChanges {
           .withColumn("_commit_version", lit(v)))
       }
 
+    /** Union the optional side frames (a side can have both retired
+      * whole files AND DV-delta position reads). */
+    def merge2(a: Option[DataFrame], b: Option[DataFrame]): Option[DataFrame] =
+      (a, b) match {
+        case (Some(x), Some(y)) => Some(x.unionByName(y))
+        case (x, None) => x
+        case (None, y) => y
+      }
+    val dvCache = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+    def loadDv(binding: Option[(String, Long)]): Array[Long] =
+      binding.map { case (dvRel, _) =>
+        dvCache.getOrElseUpdate(dvRel,
+          DeletionVectors.read(conf, new Path(root, dvRel).toString))
+      }.getOrElse(Array.emptyLongArray)
+
     val initial: Option[DataFrame] =
       if (fromVersion == 0)
-        Some(tagged(readSet(snaps.head.files), "insert", snaps.head.version))
+        Some(tagged(readSet(snaps.head.files, snaps.head.dvs), "insert",
+          snaps.head.version))
       else None
     val steps = snaps.sliding(2).flatMap { pair =>
       if (pair.size < 2) None
@@ -206,8 +239,43 @@ object FeatherChanges {
           case _ =>
             val prevSet = prev.files.toSet
             val curSet = cur.files.toSet
-            diff(prev.files.filterNot(curSet), cur.files.filterNot(prevSet),
-              cur.version)
+            val removedFiles = prev.files.filterNot(curSet)
+            val addedFiles = cur.files.filterNot(prevSet)
+            // deletion-vector DELTAS on files carried through unchanged:
+            // positions newly bound are this version's deleted rows
+            // (read exactly those positions → "delete"); positions
+            // un-bound (a restore to an earlier binding) come back as
+            // inserts. O(delta positions) read work, no rewrite diffing.
+            val common = prev.files.filter(curSet)
+            var delKeep = Map.empty[String, Array[Long]]
+            var insKeep = Map.empty[String, Array[Long]]
+            val commonLens = scala.collection.mutable.HashMap.empty[String, Long]
+            common.foreach { case (rel, len) =>
+              val pb = prev.dvs.get(rel)
+              val cb = cur.dvs.get(rel)
+              if (pb != cb) {
+                val pArr = loadDv(pb)
+                val cArr = loadDv(cb)
+                val nd = DeletionVectors.diff(cArr, pArr)
+                val ui = DeletionVectors.diff(pArr, cArr)
+                if (nd.nonEmpty) { delKeep += rel -> nd; commonLens(rel) = len }
+                if (ui.nonEmpty) { insKeep += rel -> ui; commonLens(rel) = len }
+              }
+            }
+            def posFrame(keep: Map[String, Array[Long]]): Option[DataFrame] =
+              if (keep.isEmpty) None
+              else Some(readSet(
+                keep.keys.toSeq.sorted.map(r => (r, commonLens(r))),
+                Map.empty, keep))
+            val removedDf = merge2(
+              if (removedFiles.isEmpty) None
+              else Some(readSet(removedFiles, prev.dvs)),
+              posFrame(delKeep))
+            val addedDf = merge2(
+              if (addedFiles.isEmpty) None
+              else Some(readSet(addedFiles, cur.dvs)),
+              posFrame(insKeep))
+            diff(removedDf, addedDf, cur.version)
         }
       }
     }.toSeq

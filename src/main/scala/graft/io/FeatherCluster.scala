@@ -90,6 +90,14 @@ object FeatherCluster {
       sys.error(s"cluster on $path: snapshot directory holds no versions"))
     val face = ConnectorFace.detect(snap.files, "cluster", path)
     val prefix = f"clust-v${snap.version + 1}%08d"
+    // deletion vectors FOLD into the rewrite: every read below applies
+    // the bindings, so the re-clustered parts hold only live rows and
+    // carry no bindings forward
+    def dvPathsFor(files: Seq[(String, Long)]): Map[String, String] =
+      files.flatMap { case (rel, _) =>
+        snap.dvs.get(rel).map { case (dvRel, _) =>
+          new Path(root, rel).toString -> new Path(root, dvRel).toString }
+      }.toMap
 
     val byLeaf = snap.files.groupBy { case (rel, _) =>
       val i = rel.lastIndexOf('/')
@@ -102,9 +110,9 @@ object FeatherCluster {
     val zRanges: Option[Seq[(Double, Double)]] =
       if (zorderBits == 0) None
       else {
-        val all = face.readMerged(spark,
+        val all = face.readMergedDv(spark,
           snap.files.map { case (rel, len) =>
-            (new Path(root, rel).toString, len) })
+            (new Path(root, rel).toString, len) }, dvPathsFor(snap.files))
         cols.foreach { c =>
           require(all.columns.contains(c),
             s"clusterZOrder: column '$c' not in table schema")
@@ -148,8 +156,9 @@ object FeatherCluster {
       val leafBytes = leafFiles.map(_._2).sum
       val nParts = math.max(1,
         math.ceil(leafBytes.toDouble / targetBytes).toInt)
-      val df = face.readMerged(spark, // evolved generations keep their columns
-        leafFiles.map { case (rel, len) => (new Path(root, rel).toString, len) })
+      val df = face.readMergedDv(spark, // evolved generations keep their columns
+        leafFiles.map { case (rel, len) => (new Path(root, rel).toString, len) },
+        dvPathsFor(leafFiles))
       cols.foreach(c => require(df.columns.contains(c),
         s"cluster: column '$c' not in table schema (${df.columns.mkString(", ")})"))
       val clustered = zRanges match {
@@ -187,11 +196,16 @@ object FeatherCluster {
     }
 
     val gone = snap.files.map(_._1).toSet
-    val committed = FeatherSnapshots.commit(fs, root, "cluster") { parentFiles =>
-      require(parentFiles.toSet == snap.files.toSet,
-        s"cluster on $path: concurrent commit detected (parent moved past " +
-          s"v${snap.version} while the rewrite ran) — re-run")
-      parentFiles.filterNot { case (rel, _) => gone(rel) } ++ added
+    // DV bindings fold away with their files (the guard covers them: a
+    // concurrent DV delete would invalidate this rewrite's row set)
+    val committed = FeatherSnapshots.commitDv(fs, root, "cluster") {
+      (parentFiles, parentDvs) =>
+        require(parentFiles.toSet == snap.files.toSet &&
+            parentDvs == snap.dvs,
+          s"cluster on $path: concurrent commit detected (parent moved past " +
+            s"v${snap.version} while the rewrite ran) — re-run")
+        (parentFiles.filterNot { case (rel, _) => gone(rel) } ++ added,
+          parentDvs.filter { case (rel, _) => !gone(rel) })
     }
     bloomFor.foreach(FeatherBloom.build(spark, path, _, face.suffix): Unit)
     Result(committed, snap.files.size, added.size)

@@ -77,6 +77,134 @@ object FeatherMutations {
                   keyCols: Seq[String], codec: String = "lz4"): Result =
     mutate(spark, path, "delete", keys, keyCols, appendSource = None, codec)
 
+  /** MERGE-ON-READ delete: same semantics as [[deleteByKey]] (drop every
+    * row whose `keyCols` tuple appears in `keys`; null keys never match)
+    * but instead of copy-on-writing every candidate file it writes one
+    * tiny [[DeletionVectors]] sidecar of matched ROW POSITIONS per
+    * touched file and binds it in the manifest — bytes written scale
+    * with DELETED ROWS, not with touched-file sizes. The read path
+    * filters the positions inside the scan; compaction/clustering folds
+    * the DV into a physical rewrite; `expire()` then makes the erasure
+    * physical (the same compliance path as the copy-on-write delete).
+    * A second DV delete on an already-bound file unions into a fresh
+    * sidecar (the old one expires with its version). Prefer this for
+    * scattered takedowns; prefer [[deleteByKey]] when a delete drops a
+    * large fraction of the touched files' rows (the rewrite then pays
+    * for itself in read-side work).
+    *
+    * Scale: the probe is the same distributed stats/bloom candidate scan
+    * as the COW path; the position scan reads ONLY key columns of
+    * candidate files; matched (file, position) pairs come back to the
+    * driver — deleted-row-count-sized, the quantity a DV delete is for
+    * (a takedown list, not a retention sweep). `partsWritten` reports DV
+    * sidecars written. */
+  def deleteByKeyDV(spark: SparkSession, path: String, keys: DataFrame,
+                    keyCols: Seq[String]): Result = {
+    val op = "delete"
+    require(keyCols.nonEmpty, s"$op: keyCols must be non-empty")
+    keyCols.foreach(k => require(keys.columns.contains(k),
+      s"$op: key column '$k' not in keys frame (${keys.columns.mkString(", ")})"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    require(FeatherSnapshots.enabled(fs, root),
+      s"$op on $path, which has no ${FeatherSnapshots.Dir} directory — " +
+        "row-level mutation is a manifest operation; write the table with " +
+        "option(\"snapshots\", \"true\") first")
+    val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
+      sys.error(s"$op on $path: snapshot directory exists but holds no versions"))
+    val face = ConnectorFace.detect(snap.files, op, path)
+    val absFiles = snap.files.map { case (rel, len) =>
+      (new Path(root, rel).toString, len) }
+    val tableSchema = face.mergedSchema(spark, absFiles)
+    keyCols.foreach(k => require(tableSchema.fieldNames.contains(k),
+      s"$op: key column '$k' not in table schema " +
+        s"(${tableSchema.fieldNames.mkString(", ")}) — partition columns " +
+        "live in the directory chain and cannot key a DV delete"))
+    val touchedIdx =
+      probeTouched(spark, op, absFiles, tableSchema, keys, keyCols)
+        .toSeq.sorted
+    val targetV = snap.version + 1
+
+    // ---- distributed position scan over the candidate files ----------------
+    // one task per candidate file reads ONLY the key columns with row
+    // positions (existing DV applied, so an already-deleted row can never
+    // re-match); the inner join against the key frame leaves exactly the
+    // matched (file, position) pairs
+    val newByFile: Map[Int, Array[Long]] =
+      if (touchedIdx.isEmpty) Map.empty
+      else {
+        val readerJson = face.readerJson(spark,
+          touchedIdx.map(absFiles))
+        val confMap = GraftHadoop.confBroadcast(spark)
+        val work = touchedIdx.map { i =>
+          (i, absFiles(i)._1, absFiles(i)._2,
+            snap.dvs.get(snap.files(i)._1).map { case (dvRel, _) =>
+              new Path(root, dvRel).toString })
+        }
+        import org.apache.spark.sql.Row
+        val scanSchema = StructType(
+          StructField("__fid", IntegerType, nullable = false) +:
+          StructField("__pos", LongType, nullable = false) +:
+          keyCols.map(k => tableSchema(k)))
+        val rdd = spark.sparkContext
+          .parallelize(work, math.max(1, work.size))
+          .mapPartitions { it =>
+            val execConf = new org.apache.hadoop.conf.Configuration(false)
+            confMap.value.foreach { case (k, v) => execConf.set(k, v) }
+            val open = new java.util.ArrayList[AutoCloseable]()
+            Option(org.apache.spark.TaskContext.get()).foreach(
+              _.addTaskCompletionListener[Unit](_ => open.forEach(r =>
+                try r.close() catch { case _: Exception => () })))
+            it.flatMap { case (fid, abs, len, dvPath) =>
+              val dv = dvPath
+                .map(p => DeletionVectors.read(execConf, p)).orNull
+              face.fileRowsPos(execConf, readerJson, abs, len, keyCols, dv,
+                r => open.add(r): Unit, r => open.remove(r): Unit)
+                .map { case (pos, row) =>
+                  Row.fromSeq(fid +: pos +: row.toSeq) }
+            }
+          }
+        val keysProj = keys.select(keyCols.map(col): _*).distinct()
+        spark.createDataFrame(rdd, scanSchema)
+          .join(keysProj, keyCols, "inner")
+          .select(col("__fid"), col("__pos"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (fid, rows) => fid -> rows.map(_.getLong(1)) }
+      }
+
+    // ---- write the sidecars, bind them in ONE commit -----------------------
+    val newBindings: Map[String, (String, Long)] = newByFile.map {
+      case (fid, fresh) =>
+        val rel = snap.files(fid)._1
+        val i = rel.lastIndexOf('/')
+        val (relDir, name) =
+          if (i < 0) ("", rel) else (rel.substring(0, i), rel.substring(i + 1))
+        val leafDir = if (relDir.isEmpty) root else new Path(root, relDir)
+        val existing = snap.dvs.get(rel).map { case (dvRel, _) =>
+          DeletionVectors.read(conf, new Path(root, dvRel).toString) }
+        val all = existing.map(DeletionVectors.union(_, fresh))
+          .getOrElse(fresh.distinct.sorted)
+        val dvFile = DeletionVectors.dvName(targetV, name)
+        DeletionVectors.write(fs, leafDir, dvFile, all)
+        rel -> ((if (relDir.isEmpty) dvFile else s"$relDir/$dvFile"),
+          all.length.toLong)
+    }
+
+    val committed = FeatherSnapshots.commitDv(fs, root, op) {
+      (parentFiles, parentDvs) =>
+        require(parentFiles.toSet == snap.files.toSet &&
+            parentDvs == snap.dvs,
+          s"$op on $path: concurrent commit detected (parent moved past " +
+            s"v${snap.version} while the DV delete ran) — re-run against " +
+            "the new state")
+        (parentFiles, parentDvs ++ newBindings)
+    }
+    Result(committed, newBindings.size, snap.files.size - newBindings.size,
+      newBindings.size)
+  }
+
   /** `evolveSchema = true` lets the source carry NEW columns: they join
     * the table schema (nullable), survivors and older generations read
     * them as null — the Delta mergeSchema-on-write contract. The table
@@ -119,117 +247,19 @@ object FeatherMutations {
   private case object NoRows extends KeyRange  // zero non-null keys: skip
   private final case class Rng(lo: Any, hi: Any) extends KeyRange
 
-  private def mutate(spark: SparkSession, path: String, op: String,
-                     keysDf: DataFrame, keyCols: Seq[String],
-                     appendSource: Option[DataFrame], codec: String,
-                     evolveSchema: Boolean = false): Result = {
-    require(keyCols.nonEmpty, s"$op: keyCols must be non-empty")
-    keyCols.foreach(k => require(keysDf.columns.contains(k),
-      s"$op: key column '$k' not in keys frame (${keysDf.columns.mkString(", ")})"))
+  /** The file-pruning PROBE shared by the copy-on-write mutations and the
+    * deletion-vector delete: which files (by index into `absFiles`) could
+    * contain a key from `keysDf`? Stats ranges (sorted-boundary binary
+    * search on disjoint layouts, interval-stab on overlapping ones) and
+    * Bloom sidecars fold into one distributed pass; a file without usable
+    * stats is touched unconditionally — pruning is an optimization, never
+    * a correctness input. Mutation keys never collect to the driver. */
+  private def probeTouched(spark: SparkSession, op: String,
+                           absFiles: Seq[(String, Long)],
+                           tableSchema: StructType,
+                           keysDf: DataFrame,
+                           keyCols: Seq[String]): Set[Int] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val root = new Path(path)
-    val fs = root.getFileSystem(conf)
-    require(FeatherSnapshots.enabled(fs, root),
-      s"$op on $path, which has no ${FeatherSnapshots.Dir} directory — " +
-        "row-level mutation is a manifest operation; write the table with " +
-        "option(\"snapshots\", \"true\") first")
-    val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
-      sys.error(s"$op on $path: snapshot directory exists but holds no versions"))
-    val face = ConnectorFace.detect(snap.files, op, path)
-    val parentV = snap.version
-    val prefix = f"mut-v${parentV + 1}%08d"
-
-    def relDirOf(rel: String): String = {
-      val i = rel.lastIndexOf('/')
-      if (i < 0) "" else rel.substring(0, i)
-    }
-    val byLeaf: Seq[(String, Seq[(String, Long)])] =
-      snap.files.groupBy { case (rel, _) => relDirOf(rel) }.toSeq.sortBy(_._1)
-    // hive partition columns from the leaf chains (the manifest layout
-    // guard keeps them uniform); a partitioned merge/cdc ROUTES inserts
-    // to their partition leaf and must carry the partition columns. A
-    // nested NON-hive layout (adopted `batch1/`, `batch2/` directories —
-    // segments without `=`) is not partitioned: delete rewrites its
-    // leaves generically, but merge has nowhere to route inserts and
-    // must refuse rather than silently drop them.
-    val chains: Seq[String] = byLeaf.map(_._1).filter(_.nonEmpty)
-    val hiveChains = chains.nonEmpty &&
-      chains.forall(_.split('/').forall(_.indexOf('=') > 0))
-    val partCols: Seq[String] =
-      if (hiveChains)
-        chains.head.split('/').toSeq.map { seg =>
-          java.net.URLDecoder.decode(seg.substring(0, seg.indexOf('=')),
-            "UTF-8")
-        }
-      else Nil
-    if (appendSource.isDefined && chains.nonEmpty && !hiveChains)
-      throw new IllegalArgumentException(
-        s"$op on $path: table has non-hive subdirectories " +
-          s"(${chains.mkString(", ")}) — $op routes inserts by partition " +
-          "values and needs a hive key=value layout (deleteByKey supports " +
-          "any layout)")
-    val partitioned = partCols.nonEmpty
-
-    // table schema = the UNION of every live footer/header (a mutated
-    // table may carry evolved generations; projecting to the first file
-    // would silently drop evolved columns from the rewritten survivors) —
-    // validates keys before any work
-    val tableSchema0 = face.mergedSchema(spark,
-      snap.files.map { case (rel, len) => (new Path(root, rel).toString, len) })
-    // schema evolution on write (opt-in): the source's NEW columns join
-    // the table schema as nullable — survivors and untouched generations
-    // read them as null through mergeSchema, exactly the read-side
-    // evolution contract. Without the flag, an unexpected column stays
-    // the loud mistake it usually is.
-    val tableSchema =
-      if (!evolveSchema) tableSchema0
-      else appendSource match {
-        case Some(src) =>
-          val known = tableSchema0.fieldNames.toSet ++ partCols
-          val extra = src.schema.fields.filterNot(f => known(f.name))
-            .map(f => StructField(f.name, f.dataType, nullable = true))
-          StructType(tableSchema0.fields ++ extra)
-        case None => tableSchema0
-      }
-    // keys validate against the PRE-evolution schema: a key naming a
-    // column that exists only in the evolving SOURCE (a typo for a real
-    // key) would otherwise pass and silently rewrite the whole table as
-    // an expensive no-match append
-    keyCols.foreach(k => require(tableSchema0.fieldNames.contains(k),
-      if (partCols.contains(k))
-        s"$op: key column '$k' is a partition column — partition values " +
-          "live in the directory chain, not the data files; key on data " +
-          "columns (the source's partition values route the rows)"
-      else s"$op: key column '$k' not in table schema " +
-        s"(${tableSchema.fieldNames.mkString(", ")})"))
-    appendSource.foreach { src =>
-      val embedded = partCols.filter(tableSchema.fieldNames.contains)
-      require(embedded.isEmpty,
-        s"$op: partition column(s) ${embedded.mkString(", ")} are ALSO " +
-          "embedded in the data files — routing cannot tell the path copy " +
-          "from the data copy; rewrite the table without the embedded " +
-          "columns to merge (deleteByKey works as is)")
-      val expected = (tableSchema.fieldNames ++ partCols).sorted
-      require(src.columns.sorted.sameElements(expected),
-        s"$op: source columns (${src.columns.sorted.mkString(", ")}) must " +
-          s"be exactly the table's data columns" +
-          (if (partitioned) s" plus its partition columns" else "") +
-          s" (${expected.mkString(", ")})")
-      // names alone would let a type-mismatched source commit parts whose
-      // footer types disagree with the table — corruption that surfaces
-      // only on a later read. Compare types, nullability-insensitive.
-      tableSchema.fields.foreach { tf =>
-        val st = src.schema(tf.name).dataType
-        require(st == tf.dataType,
-          s"$op: source column '${tf.name}' is ${st.catalogString} but the " +
-            s"table carries ${tf.dataType.catalogString} — cast the source " +
-            "before merging")
-      }
-    }
-
-    // ---- prune: which files could contain a mutation key? ------------------
-    val absFiles = snap.files.map { case (rel, len) =>
-      (new Path(root, rel).toString, len) }
     val stats = FeatherStats.loadForFiles(conf, absFiles)
     val k0 = keyCols.head
     val ranges: Seq[KeyRange] = absFiles.map { case (abs, _) =>
@@ -452,6 +482,122 @@ object FeatherMutations {
       case (Unknown, i) => i
       case (_: Rng, i) if candidateIdx(i) => i
     }.toSet
+    touchedIdx
+  }
+
+  private def mutate(spark: SparkSession, path: String, op: String,
+                     keysDf: DataFrame, keyCols: Seq[String],
+                     appendSource: Option[DataFrame], codec: String,
+                     evolveSchema: Boolean = false): Result = {
+    require(keyCols.nonEmpty, s"$op: keyCols must be non-empty")
+    keyCols.foreach(k => require(keysDf.columns.contains(k),
+      s"$op: key column '$k' not in keys frame (${keysDf.columns.mkString(", ")})"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    require(FeatherSnapshots.enabled(fs, root),
+      s"$op on $path, which has no ${FeatherSnapshots.Dir} directory — " +
+        "row-level mutation is a manifest operation; write the table with " +
+        "option(\"snapshots\", \"true\") first")
+    val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
+      sys.error(s"$op on $path: snapshot directory exists but holds no versions"))
+    val face = ConnectorFace.detect(snap.files, op, path)
+    val parentV = snap.version
+    val prefix = f"mut-v${parentV + 1}%08d"
+
+    def relDirOf(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }
+    val byLeaf: Seq[(String, Seq[(String, Long)])] =
+      snap.files.groupBy { case (rel, _) => relDirOf(rel) }.toSeq.sortBy(_._1)
+    // hive partition columns from the leaf chains (the manifest layout
+    // guard keeps them uniform); a partitioned merge/cdc ROUTES inserts
+    // to their partition leaf and must carry the partition columns. A
+    // nested NON-hive layout (adopted `batch1/`, `batch2/` directories —
+    // segments without `=`) is not partitioned: delete rewrites its
+    // leaves generically, but merge has nowhere to route inserts and
+    // must refuse rather than silently drop them.
+    val chains: Seq[String] = byLeaf.map(_._1).filter(_.nonEmpty)
+    val hiveChains = chains.nonEmpty &&
+      chains.forall(_.split('/').forall(_.indexOf('=') > 0))
+    val partCols: Seq[String] =
+      if (hiveChains)
+        chains.head.split('/').toSeq.map { seg =>
+          java.net.URLDecoder.decode(seg.substring(0, seg.indexOf('=')),
+            "UTF-8")
+        }
+      else Nil
+    if (appendSource.isDefined && chains.nonEmpty && !hiveChains)
+      throw new IllegalArgumentException(
+        s"$op on $path: table has non-hive subdirectories " +
+          s"(${chains.mkString(", ")}) — $op routes inserts by partition " +
+          "values and needs a hive key=value layout (deleteByKey supports " +
+          "any layout)")
+    val partitioned = partCols.nonEmpty
+
+    // table schema = the UNION of every live footer/header (a mutated
+    // table may carry evolved generations; projecting to the first file
+    // would silently drop evolved columns from the rewritten survivors) —
+    // validates keys before any work
+    val tableSchema0 = face.mergedSchema(spark,
+      snap.files.map { case (rel, len) => (new Path(root, rel).toString, len) })
+    // schema evolution on write (opt-in): the source's NEW columns join
+    // the table schema as nullable — survivors and untouched generations
+    // read them as null through mergeSchema, exactly the read-side
+    // evolution contract. Without the flag, an unexpected column stays
+    // the loud mistake it usually is.
+    val tableSchema =
+      if (!evolveSchema) tableSchema0
+      else appendSource match {
+        case Some(src) =>
+          val known = tableSchema0.fieldNames.toSet ++ partCols
+          val extra = src.schema.fields.filterNot(f => known(f.name))
+            .map(f => StructField(f.name, f.dataType, nullable = true))
+          StructType(tableSchema0.fields ++ extra)
+        case None => tableSchema0
+      }
+    // keys validate against the PRE-evolution schema: a key naming a
+    // column that exists only in the evolving SOURCE (a typo for a real
+    // key) would otherwise pass and silently rewrite the whole table as
+    // an expensive no-match append
+    keyCols.foreach(k => require(tableSchema0.fieldNames.contains(k),
+      if (partCols.contains(k))
+        s"$op: key column '$k' is a partition column — partition values " +
+          "live in the directory chain, not the data files; key on data " +
+          "columns (the source's partition values route the rows)"
+      else s"$op: key column '$k' not in table schema " +
+        s"(${tableSchema.fieldNames.mkString(", ")})"))
+    appendSource.foreach { src =>
+      val embedded = partCols.filter(tableSchema.fieldNames.contains)
+      require(embedded.isEmpty,
+        s"$op: partition column(s) ${embedded.mkString(", ")} are ALSO " +
+          "embedded in the data files — routing cannot tell the path copy " +
+          "from the data copy; rewrite the table without the embedded " +
+          "columns to merge (deleteByKey works as is)")
+      val expected = (tableSchema.fieldNames ++ partCols).sorted
+      require(src.columns.sorted.sameElements(expected),
+        s"$op: source columns (${src.columns.sorted.mkString(", ")}) must " +
+          s"be exactly the table's data columns" +
+          (if (partitioned) s" plus its partition columns" else "") +
+          s" (${expected.mkString(", ")})")
+      // names alone would let a type-mismatched source commit parts whose
+      // footer types disagree with the table — corruption that surfaces
+      // only on a later read. Compare types, nullability-insensitive.
+      tableSchema.fields.foreach { tf =>
+        val st = src.schema(tf.name).dataType
+        require(st == tf.dataType,
+          s"$op: source column '${tf.name}' is ${st.catalogString} but the " +
+            s"table carries ${tf.dataType.catalogString} — cast the source " +
+            "before merging")
+      }
+    }
+
+    // ---- prune: which files could contain a mutation key? ------------------
+    val absFiles = snap.files.map { case (rel, len) =>
+      (new Path(root, rel).toString, len) }
+    val touchedIdx: Set[Int] =
+      probeTouched(spark, op, absFiles, tableSchema0, keysDf, keyCols)
     val touchedRel: Set[String] =
       touchedIdx.map(i => snap.files(i)._1)
 
@@ -467,9 +613,18 @@ object FeatherMutations {
         val survivors: Option[DataFrame] =
           if (touchedLeaf.isEmpty) None
           else {
-            val sv0 = face.readMerged(spark,
+            // deletion vectors on touched files apply INSIDE the read: a
+            // plain merged read would resurrect rows a DV delete already
+            // dropped — the rewrite folds the DV away (the new parts have
+            // no binding)
+            val dvPaths = touchedLeaf.flatMap { case (rel, _) =>
+              snap.dvs.get(rel).map { case (dvRel, _) =>
+                new Path(root, rel).toString ->
+                  new Path(root, dvRel).toString }
+            }.toMap
+            val sv0 = face.readMergedDv(spark,
               touchedLeaf.map { case (rel, len) =>
-                (new Path(root, rel).toString, len) })
+                (new Path(root, rel).toString, len) }, dvPaths)
             // project to the FULL table schema (mergeSchema above unions
             // only the TOUCHED footers): when every touched file predates
             // an evolved column, sv would lack it and a legitimate
@@ -574,11 +729,17 @@ object FeatherMutations {
     }
 
     // ---- one atomic manifest publish ---------------------------------------
-    val committed = FeatherSnapshots.commit(fs, root, op) { parentFiles =>
-      require(parentFiles.toSet == snap.files.toSet,
-        s"$op on $path: concurrent commit detected (parent moved past " +
-          s"v$parentV while the mutation ran) — re-run against the new state")
-      parentFiles.filterNot { case (rel, _) => touchedRel(rel) } ++ added
+    // the guard covers DV bindings too: a concurrent DV delete on a file
+    // this mutation rewrote would otherwise be silently folded WITHOUT
+    // its positions (the survivors were computed against the old DV)
+    val committed = FeatherSnapshots.commitDv(fs, root, op) {
+      (parentFiles, parentDvs) =>
+        require(parentFiles.toSet == snap.files.toSet &&
+            parentDvs == snap.dvs,
+          s"$op on $path: concurrent commit detected (parent moved past " +
+            s"v$parentV while the mutation ran) — re-run against the new state")
+        (parentFiles.filterNot { case (rel, _) => touchedRel(rel) } ++ added,
+          parentDvs.filter { case (rel, _) => !touchedRel(rel) })
     }
     Result(committed, touchedIdx.size, snap.files.size - touchedIdx.size,
       partsWritten)

@@ -297,7 +297,10 @@ object GraftAvro {
                                  files: Seq[(String, Long)],
                                  columns: Seq[String] = Nil,
                                  maxSplitBytes: Long = 128L << 20,
-                                 mergeSchema: Boolean = false): DataFrame = {
+                                 mergeSchema: Boolean = false,
+                                 dvPaths: Map[String, String] = Map.empty,
+                                 posKeep: Map[String, Array[Long]] = Map.empty)
+      : DataFrame = {
     val (firstJson, firstSchema, splits) =
       planReadFiles(spark, files, maxSplitBytes)
     val (schemaJson, sparkSchema) =
@@ -320,8 +323,19 @@ object GraftAvro {
           _.addTaskCompletionListener[Unit](_ =>
             open.asScala.foreach(r => try r.close() catch { case _: Exception => () })))
         sit.flatMap { case (file, start, end) =>
-          splitRows(execConf, schemaJson, file, start, end, None,
-            r => open.add(r), r => open.remove(r))
+          // deletion vectors load executor-side per split (tiny files);
+          // posKeep inverts the filter for driver-computed position sets
+          posKeep.get(file) match {
+            case Some(keep) =>
+              splitRows(execConf, schemaJson, file, start, end, None,
+                r => open.add(r), r => open.remove(r), dv = keep,
+                dvKeep = true)
+            case None =>
+              val dv = dvPaths.get(file)
+                .map(p => DeletionVectors.read(execConf, p)).orNull
+              splitRows(execConf, schemaJson, file, start, end, None,
+                r => open.add(r), r => open.remove(r), dv = dv)
+          }
         }
       }
     val df = spark.createDataFrame(rdd, sparkSchema)
@@ -373,8 +387,32 @@ object GraftAvro {
                                start: Long, end: Long,
                                colNames: Option[Seq[String]],
                                registerOpen: DataFileReader[GenericRecord] => Unit,
-                               registerClosed: DataFileReader[GenericRecord] => Unit)
-      : Iterator[Row] = {
+                               registerClosed: DataFileReader[GenericRecord] => Unit,
+                               dv: Array[Long] = null,
+                               dvKeep: Boolean = false)
+      : Iterator[Row] =
+    splitRowsPos(execConf, schemaJson, file, start, end, colNames,
+      registerOpen, registerClosed, dv, dvKeep).map(_._2)
+
+  /** [[splitRows]] with each row's DELETION-VECTOR POSITION
+    * (`(blockSyncOffset << 24) | recordInBlock` —
+    * [[DeletionVectors.avroPos]]). Block sync offsets come from the
+    * reader's `previousSync()` — the physical byte position of the
+    * block's leading sync marker, identical whether the reader arrived
+    * sequentially or `sync()`-ed straight into the block (AvroSpec pins
+    * this invariant against the runtime jar: it is what makes a DV
+    * written by a whole-file scan apply correctly under any split
+    * plan). */
+  private[graft] def splitRowsPos(
+      execConf: org.apache.hadoop.conf.Configuration,
+      schemaJson: String, file: String,
+      start: Long, end: Long,
+      colNames: Option[Seq[String]],
+      registerOpen: DataFileReader[GenericRecord] => Unit,
+      registerClosed: DataFileReader[GenericRecord] => Unit,
+      dv: Array[Long] = null,
+      dvKeep: Boolean = false)
+      : Iterator[(Long, Row)] = {
     val schema = new Schema.Parser().parse(schemaJson)
     val fields = colNames match {
       case None => schema.getFields.asScala.toSeq
@@ -392,25 +430,42 @@ object GraftAvro {
     registerOpen(reader)
     checkResolvable(schema, reader.getSchema, file)
     reader.sync(start) // first block boundary at-or-after start
-    new Iterator[Row] {
+    val base = new Iterator[(Long, Row)] {
+      // (block sync offset, record ordinal inside the block): hasNext
+      // loads the next block when the current one is exhausted, so by
+      // the time next() runs, previousSync() names the block this
+      // record belongs to
+      private var curSync = -1L
+      private var recIdx = 0L
       def hasNext: Boolean = {
         val h = reader.hasNext && !reader.pastSync(end)
         if (!h) { reader.close(); registerClosed(reader) }
         h
       }
-      def next(): Row =
+      def next(): (Long, Row) =
         try {
+          val s = reader.previousSync()
+          if (s != curSync) { curSync = s; recIdx = 0L }
+          val pos = DeletionVectors.avroPos(curSync, recIdx)
+          recIdx += 1
           val rec = reader.next()
           // resolution (expected schema) makes positions match the
           // driver schema regardless of each file's writer layout
-          Row.fromSeq(fields.map(f =>
-            toSparkValue(f.schema(), rec.get(f.pos()))))
+          (pos, Row.fromSeq(fields.map(f =>
+            toSparkValue(f.schema(), rec.get(f.pos())))))
         } catch {
           case e: org.apache.avro.AvroRuntimeException =>
             throw new java.io.IOException(
               s"Avro part file $file: record decode failed against the " +
                 s"driver schema (writer schema incompatible?): ${e.getMessage}", e)
         }
+    }
+    if (dv == null) base
+    else {
+      // positions ascend within a split, so the advancing cursor is
+      // O(1) amortized per row after its first catch-up
+      val cursor = new DeletionVectors.Cursor(dv, dvKeep)
+      base.filter(p => cursor.admit(p._1))
     }
   }
 

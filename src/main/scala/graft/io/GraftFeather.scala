@@ -254,7 +254,10 @@ object GraftFeather {
                                files: Seq[(String, Long)],
                                columns: Seq[String] = Nil,
                                maxSplitBytes: Long = 128L << 20,
-                               mergeSchema: Boolean = false): DataFrame = {
+                               mergeSchema: Boolean = false,
+                               dvPaths: Map[String, String] = Map.empty,
+                               posKeep: Map[String, Array[Long]] = Map.empty)
+      : DataFrame = {
     val (firstFields, splits) = planReadFiles(spark, files, maxSplitBytes)
     val arrowFields =
       if (mergeSchema) readFieldsMerged(spark, files) else firstFields
@@ -284,8 +287,21 @@ object GraftFeather {
           _.addTaskCompletionListener[Unit](_ =>
             open.asScala.foreach(r => try r.close() catch { case _: Exception => () })))
         sit.flatMap { case (file, len, batchIdxs) =>
-          splitRows(execConf, file, len, batchIdxs, colNames, open.add(_),
-            lenient = mergeSchema)
+          // deletion vectors load EXECUTOR-side (per split, tiny files):
+          // the driver never ships position arrays through the closure
+          // for the scan path. posKeep inverts the filter — the CDF
+          // "exactly these rows" read with driver-computed position sets.
+          posKeep.get(file) match {
+            case Some(keep) =>
+              splitRows(execConf, file, len, batchIdxs, colNames,
+                open.add(_), lenient = mergeSchema, dv = keep,
+                dvKeep = true)
+            case None =>
+              val dv = dvPaths.get(file)
+                .map(p => DeletionVectors.read(execConf, p)).orNull
+              splitRows(execConf, file, len, batchIdxs, colNames,
+                open.add(_), lenient = mergeSchema, dv = dv)
+          }
         }
       }
     spark.createDataFrame(rdd, sparkSchema)
@@ -454,27 +470,59 @@ object GraftFeather {
                                file: String, len: Long, batchIdxs: Seq[Int],
                                colNames: Seq[String],
                                registerClose: ArrowFileReader => Unit,
-                               lenient: Boolean = false): Iterator[Row] =
+                               lenient: Boolean = false,
+                               dv: Array[Long] = null,
+                               dvKeep: Boolean = false): Iterator[Row] =
     rowsFrom(execConf, file, len, _ => batchIdxs, colNames, registerClose,
-      lenient)
+      lenient, dv, dvKeep).map(_._2)
 
   /** Every record batch of `file` through ONE reader open — the whole-file
     * shape compaction consumes (a separate footer probe just to learn the
     * batch count would double per-file open cost on exactly the
-    * thousands-of-tiny-files inputs the job exists for). */
+    * thousands-of-tiny-files inputs the job exists for). `dv` filters
+    * deletion-vector positions out (merge-on-read application). */
   private[graft] def allRows(execConf: org.apache.hadoop.conf.Configuration,
                              file: String, len: Long, colNames: Seq[String],
                              registerClose: ArrowFileReader => Unit,
-                             lenient: Boolean = false): Iterator[Row] =
+                             lenient: Boolean = false,
+                             dv: Array[Long] = null): Iterator[Row] =
     rowsFrom(execConf, file, len, r => 0 until r.getRecordBlocks.size(),
-      colNames, registerClose, lenient)
+      colNames, registerClose, lenient, dv).map(_._2)
+
+  /** [[allRows]] with each row's DELETION-VECTOR POSITION
+    * (`(batchIdx << 32) | rowInBatch` — [[DeletionVectors.featherPos]]):
+    * the DV writer scans key columns with positions to learn WHERE the
+    * matched rows live without rewriting anything. */
+  private[graft] def allRowsPos(execConf: org.apache.hadoop.conf.Configuration,
+                                file: String, len: Long, colNames: Seq[String],
+                                registerClose: ArrowFileReader => Unit,
+                                lenient: Boolean = false,
+                                dv: Array[Long] = null)
+      : Iterator[(Long, Row)] =
+    rowsFrom(execConf, file, len, r => 0 until r.getRecordBlocks.size(),
+      colNames, registerClose, lenient, dv)
+
+  /** Rows at a file's given positions AND NO OTHERS (`dvKeep`) — the CDF
+    * reader's "rows newly deleted this version" read: positions come
+    * from a DV diff, the decode touches only the batches they name. */
+  private[graft] def rowsAtPositions(
+      execConf: org.apache.hadoop.conf.Configuration,
+      file: String, len: Long, positions: Array[Long],
+      colNames: Seq[String], registerClose: ArrowFileReader => Unit,
+      lenient: Boolean = false): Iterator[Row] = {
+    val batches = positions.map(p => (p >>> 32).toInt).distinct.sorted.toSeq
+    rowsFrom(execConf, file, len, _ => batches, colNames, registerClose,
+      lenient, positions, dvKeep = true).map(_._2)
+  }
 
   private def rowsFrom(execConf: org.apache.hadoop.conf.Configuration,
                        file: String, len: Long,
                        idxsOf: ArrowFileReader => Seq[Int],
                        colNames: Seq[String],
                        registerClose: ArrowFileReader => Unit,
-                       lenient: Boolean = false): Iterator[Row] = {
+                       lenient: Boolean = false,
+                       dv: Array[Long] = null,
+                       dvKeep: Boolean = false): Iterator[(Long, Row)] = {
     val reader =
       try openReader(execConf, file, len)
       catch { case e: Exception =>
@@ -501,11 +549,26 @@ object GraftFeather {
         s"Feather part file $file: failed to load record batch $bi")
       val n = root.getRowCount
       val vecs = colIdx.map(i => if (i < 0) null else root.getVector(i))
-      (0 until n).iterator.map { r =>
-        Row.fromSeq(colIdx.indices.map { c =>
-          if (vecs(c) == null) null else convs(c)(vecs(c).getObject(r))
-        })
-      }
+      // deletion-vector application: one binary search to enter the
+      // batch, then an O(1)-amortized advancing cursor per row — the
+      // decode of skipped rows' values is avoided, the batch decompress
+      // is not (Arrow IPC decompresses whole batches)
+      val cursor =
+        if (dv == null) null
+        else {
+          val c = new DeletionVectors.Cursor(dv, dvKeep)
+          c.seek(bi.toLong << 32)
+          c
+        }
+      (0 until n).iterator
+        .filter(r => cursor == null ||
+          cursor.admit(DeletionVectors.featherPos(bi, r)))
+        .map { r =>
+          (DeletionVectors.featherPos(bi, r),
+            Row.fromSeq(colIdx.indices.map { c =>
+              if (vecs(c) == null) null else convs(c)(vecs(c).getObject(r))
+            }))
+        }
     }
   }
 

@@ -74,6 +74,7 @@ object IoQueries extends QueryPack {
     "io_feather_evolution", "io_avro_evolution",
     "io_feather_bloom_skip", "io_bloom_string_takedown", "io_stats_backfill",
     "io_feather_cdf", "io_feather_restore",
+    "io_feather_delete_dv", "io_avro_delete_dv",
     "io_avro_time_travel", "dedup_lsh_incremental")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
@@ -929,6 +930,85 @@ object IoQueries extends QueryPack {
         s"delete should touch a strict subset of the 8 parts: $r")
     }
     s.read.format("feather").load(path)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(12, 2)))
+          .cast(DoubleType).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  // MERGE-ON-READ delete via deletion vectors
+  // (io/FeatherMutations.deleteByKeyDV + io/DeletionVectors.scala): the
+  // same takedown as io_feather_delete but NO data file is rewritten —
+  // the delete writes position-bitmap sidecars bound in the manifest,
+  // and the scan filters the positions out. The oracle is IDENTICAL to
+  // the copy-on-write delete's (semantics must not depend on the delete
+  // strategy); the fixture asserts zero data-file bytes changed, and the
+  // spec covers folding (compaction/cluster), CDF, restore, and expire.
+  // Reference: apply_boolean_mask (cpp/include/cudf/stream_compaction.hpp:202)
+  // as a persisted position mask; Delta deletion vectors are the
+  // industry shape.
+  register("io_feather_delete_dv",
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_orderkey <= 4000
+      |  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+      |                         WHERE o_orderkey BETWEEN 1001 AND 1500)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val path = readFixture("feather_delete_dv", d) { p =>
+      Tables.lineitem(s, d).filter(col("l_orderkey") <= 4000)
+        .select("l_returnflag", "l_orderkey", "l_quantity")
+        .repartitionByRange(8, col("l_orderkey"))
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(p)
+      val dataBytes = new java.io.File(p).listFiles()
+        .filter(f => f.getName.endsWith(".feather")).map(_.length()).sum
+      val takedown = Tables.orders(s, d)
+        .filter(col("o_orderkey").between(1001, 1500))
+        .select(col("o_orderkey").as("l_orderkey"))
+      val r = graft.io.FeatherMutations.deleteByKeyDV(
+        s, p, takedown, Seq("l_orderkey"))
+      require(r.filesTouched > 0 && r.filesTouched < 8,
+        s"DV delete should touch a strict subset of the 8 parts: $r")
+      val after = new java.io.File(p).listFiles()
+        .filter(f => f.getName.endsWith(".feather")).map(_.length()).sum
+      require(after == dataBytes,
+        s"DV delete must not rewrite data files ($dataBytes -> $after)")
+    }
+    s.read.format("feather").load(path)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(12, 2)))
+          .cast(DoubleType).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  // The avro face of the deletion-vector delete: positions are
+  // (block sync offset, in-block ordinal) — split-stable under the
+  // byte-range split plan (AvroSpec pins the invariant) — and the same
+  // manifest bindings drive the scan-side filtering.
+  register("io_avro_delete_dv",
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_orderkey <= 4000
+      |  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+      |                         WHERE o_orderkey BETWEEN 1001 AND 1500)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val path = readFixture("avro_delete_dv", d) { p =>
+      Tables.lineitem(s, d).filter(col("l_orderkey") <= 4000)
+        .select("l_returnflag", "l_orderkey", "l_quantity")
+        .repartitionByRange(8, col("l_orderkey"))
+        .write.format("graft-avro").mode("overwrite")
+        .option("snapshots", "true").save(p)
+      val takedown = Tables.orders(s, d)
+        .filter(col("o_orderkey").between(1001, 1500))
+        .select(col("o_orderkey").as("l_orderkey"))
+      val r = graft.io.FeatherMutations.deleteByKeyDV(
+        s, p, takedown, Seq("l_orderkey"))
+      require(r.filesTouched > 0 && r.filesTouched < 8,
+        s"DV delete should touch a strict subset of the 8 parts: $r")
+    }
+    s.read.format("graft-avro").load(path)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
         sum(col("l_quantity").cast(DecimalType(12, 2)))

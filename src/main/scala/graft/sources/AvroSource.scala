@@ -493,9 +493,10 @@ private class AvroScan(readSchema0: StructType, path: String,
     // schema is never consulted (Spark still constructs the factory)
     if (surviving.isEmpty)
       ("", org.apache.spark.sql.types.StructType(Nil),
-        Seq.empty[(String, Long, Long, Seq[(String, String)])])
+        Seq.empty[(String, Long, Long, Seq[(String, String)], Option[String])])
     else {
-      val byFile = surviving.map(l => l.file -> l.values).toMap
+      val byFile =
+        surviving.map(l => l.file -> (l.values, l.dv.map(_._1))).toMap
       val p = GraftAvro.planReadFiles(SparkSession.active,
         surviving.map(l => (l.file, l.len)), maxSplitBytes)
       // mergeSchema: the expected (reader) schema becomes the UNION of
@@ -507,13 +508,15 @@ private class AvroScan(readSchema0: StructType, path: String,
         if (mergeSchema) GraftAvro.mergedSchema(SparkSession.active,
           disc.files.map(l => (l.file, l.len))).toString
         else p._1
-      (schemaJson, p._2, p._3.map { case (f, s, e) => (f, s, e, byFile(f)) })
+      (schemaJson, p._2, p._3.map { case (f, s, e) =>
+        val (pv, dv) = byFile(f)
+        (f, s, e, pv, dv) })
     }
 
   override def planInputPartitions(): Array[InputPartition] =
     if (surviving.isEmpty) Array.empty
-    else plan._3.map { case (f, s, e, pv) =>
-      AvroInputPartition(f, s, e, pv)
+    else plan._3.map { case (f, s, e, pv, dv) =>
+      AvroInputPartition(f, s, e, pv, dv)
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -545,6 +548,8 @@ private class AvroScan(readSchema0: StructType, path: String,
     graft.io.FeatherStats.exactRowCount(
       SparkSession.active.sparkContext.hadoopConfiguration,
       surviving.map(l => (l.file, l.len)))
+      // manifest-tracked deletion vectors subtract exactly
+      .map(_ - surviving.flatMap(_.dv.map(_._2)).sum)
 
   override def estimateStatistics(): Statistics = new Statistics {
     // bytes AFTER partition pruning (post-pushdown, like parquet reports)
@@ -642,14 +647,18 @@ private class AvroSnapshotStream(readSchema: StructType, path: String,
     val s = start.asInstanceOf[SnapshotVersionOffset].v
     val e = end.asInstanceOf[SnapshotVersionOffset].v
     if (e <= s) return Array.empty
-    val newRel = FeatherSnapshots.versionDiffFiles(fs, rp, s, e, ignoreChanges)
+    val (newRel, dvs) =
+      FeatherSnapshots.versionDiffFiles(fs, rp, s, e, ignoreChanges)
     if (newRel.isEmpty) return Array.empty
     val leaves = FeatherSnapshots.toDiscovered(rp,
-      FeatherSnapshots.Snapshot(e, s, "batch", newRel.sortBy(_._1))).files
-    val byFile = leaves.map(l => l.file -> l.values).toMap
+      FeatherSnapshots.Snapshot(e, s, "batch", newRel.sortBy(_._1),
+        dvs = dvs)).files
+    val byFile = leaves.map(l => l.file -> (l.values, l.dv.map(_._1))).toMap
     GraftAvro.planReadFiles(SparkSession.active,
       leaves.map(l => (l.file, l.len)), maxSplitBytes)._3
-      .map { case (f, st, en) => AvroInputPartition(f, st, en, byFile(f)) }
+      .map { case (f, st, en) =>
+        val (pv, dv) = byFile(f)
+        AvroInputPartition(f, st, en, pv, dv) }
       .toArray
   }
 
@@ -659,7 +668,8 @@ private class AvroSnapshotStream(readSchema: StructType, path: String,
 }
 
 private case class AvroInputPartition(file: String, start: Long, end: Long,
-                                      partValues: Seq[(String, String)] = Nil)
+                                      partValues: Seq[(String, String)] = Nil,
+                                      dvPath: Option[String] = None)
     extends InputPartition
 
 private class AvroReaderFactory(
@@ -690,11 +700,16 @@ private class AvroReaderFactory(
       // release a half-constructed reader (schema-resolution throw) —
       // Spark only close()es readers whose construction succeeded
       private val all =
-        try GraftAvro.splitRows(
-          execConf, schemaJson, p.file, p.start, p.end,
-          Some(dataNames), // Some(Nil) = count(*) shape
-          r => open = Some(r), _ => open = None)
-        catch { case e: Throwable =>
+        try {
+          // deletion vector: loaded once per split (tiny file), applied
+          // as a position filter on the block-relative row coordinates
+          val dv = p.dvPath
+            .map(graft.io.DeletionVectors.read(execConf, _)).orNull
+          GraftAvro.splitRows(
+            execConf, schemaJson, p.file, p.start, p.end,
+            Some(dataNames), // Some(Nil) = count(*) shape
+            r => open = Some(r), _ => open = None, dv = dv)
+        } catch { case e: Throwable =>
           open.foreach(r => try r.close() catch { case _: Exception => () })
           throw e
         }

@@ -23,8 +23,13 @@ private[graft] object FeatherPartitions {
 
   /** One discovered leaf file: absolute path, length, and the (ordered)
     * partition values on its directory chain. */
+  /** `dv` = deletion-vector binding from the snapshot manifest:
+    * (absolute sidecar path, deleted-row count) — readers filter those
+    * row positions out; row statistics subtract the count. None for
+    * listing-discovered and DV-free files. */
   final case class LeafFile(file: String, len: Long,
-                            values: Seq[(String, String)])
+                            values: Seq[(String, String)],
+                            dv: Option[(String, Long)] = None)
 
   final case class Discovered(partCols: Seq[String], files: Seq[LeafFile]) {
     /** Inferred schema of the partition columns (nullable iff a null

@@ -50,9 +50,15 @@ private[graft] object FeatherSnapshots {
   val Dir = "_snapshots"
 
   /** files = (root-relative path, byte length), sorted by path.
-    * `ts` = commit wall-clock millis (0 for pre-timestamp manifests). */
+    * `ts` = commit wall-clock millis (0 for pre-timestamp manifests).
+    * `dvs` = deletion-vector bindings: data-file relative path →
+    * (DV sidecar relative path, deleted-row count) — a file with a
+    * binding reads with those row positions filtered out
+    * ([[graft.io.DeletionVectors]]); the count lets COUNT(*) pushdown
+    * and row statistics subtract without opening the sidecar. */
   final case class Snapshot(version: Long, parent: Long, op: String,
-                            files: Seq[(String, Long)], ts: Long = 0L)
+                            files: Seq[(String, Long)], ts: Long = 0L,
+                            dvs: Map[String, (String, Long)] = Map.empty)
 
   private def snapDir(root: Path) = new Path(root, Dir)
   private def snapPath(root: Path, v: Long) =
@@ -83,11 +89,19 @@ private[graft] object FeatherSnapshots {
   /** One manifest file as stored: `full` = complete file list (v1,
     * checkpoints, legacy pre-delta manifests); otherwise `add`/`remove`
     * actions against the parent version. `bytes` = the manifest file's
-    * serialized size (feeds the size-aware checkpoint cadence). */
+    * serialized size (feeds the size-aware checkpoint cadence).
+    * DV actions: `fullDv` rides checkpoints (complete binding list,
+    * ABSENT means "no bindings" for legacy and dv-free manifests);
+    * deltas carry `dvSet` (bind/replace a file's DV) and `dvClear`
+    * (unbind while the file survives — restore paths); removing a file
+    * implicitly drops its binding. */
   private final case class Raw(version: Long, parent: Long, op: String,
                                ts: Long, full: Option[Seq[(String, Long)]],
                                add: Seq[(String, Long)], remove: Set[String],
-                               bytes: Int = 0)
+                               bytes: Int = 0,
+                               fullDv: Map[String, (String, Long)] = Map.empty,
+                               dvSet: Map[String, (String, Long)] = Map.empty,
+                               dvClear: Set[String] = Set.empty)
 
   private def readRaw(fs: FileSystem, root: Path, version: Long): Raw = {
     val p = snapPath(root, version)
@@ -107,6 +121,14 @@ private[graft] object FeatherSnapshots {
         (f.get("p").asText(), f.get("len").asText().toLong)
       }
     }
+    def dvMap(field: String): Map[String, (String, Long)] = {
+      val arr = n.get(field)
+      (0 until arr.size()).map { i =>
+        val f = arr.get(i)
+        f.get("f").asText() ->
+          (f.get("p").asText(), f.get("n").asText().toLong)
+      }.toMap
+    }
     Raw(n.get("version").asText().toLong, n.get("parent").asText().toLong,
       n.get("op").asText(),
       if (n.hasNonNull("ts")) n.get("ts").asText().toLong else 0L,
@@ -116,12 +138,29 @@ private[graft] object FeatherSnapshots {
         val arr = n.get("remove")
         (0 until arr.size()).map(arr.get(_).asText()).toSet
       } else Set.empty,
-      txt.length)
+      txt.length,
+      if (n.has("dv")) dvMap("dv") else Map.empty,
+      if (n.has("dvSet")) dvMap("dvSet") else Map.empty,
+      if (n.has("dvClear")) {
+        val arr = n.get("dvClear")
+        (0 until arr.size()).map(arr.get(_).asText()).toSet
+      } else Set.empty)
   }
 
   private def applyDelta(parent: Seq[(String, Long)], d: Raw)
       : Seq[(String, Long)] =
     parent.filterNot(f => d.remove(f._1)) ++ d.add
+
+  /** Fold one delta's DV actions: a removed file takes its binding with
+    * it, `dvClear` unbinds surviving files, `dvSet` binds/replaces. A
+    * full manifest's `fullDv` IS the state. */
+  private def applyDvDelta(parentDv: Map[String, (String, Long)], d: Raw)
+      : Map[String, (String, Long)] =
+    d.full match {
+      case Some(_) => d.fullDv
+      case None =>
+        (parentDv -- d.remove -- d.dvClear) ++ d.dvSet
+    }
 
   /** Reconstruct one version: walk back to the nearest full manifest
     * (checkpoint / v1 / legacy), then fold the delta chain forward —
@@ -151,10 +190,14 @@ private[graft] object FeatherSnapshots {
       chain = parent :: chain
     }
     var files = chain.head.full.get
-    chain.tail.foreach(d => files = applyDelta(files, d))
+    var dvs = chain.head.fullDv
+    chain.tail.foreach { d =>
+      dvs = applyDvDelta(dvs, d)
+      files = applyDelta(files, d)
+    }
     val tip = chain.last
-    (Snapshot(tip.version, tip.parent, tip.op, files.sortBy(_._1), tip.ts),
-      chain)
+    (Snapshot(tip.version, tip.parent, tip.op, files.sortBy(_._1), tip.ts,
+      dvs), chain)
   }
 
   /** Versions `from..to` inclusive, reconstructed with each manifest file
@@ -168,14 +211,17 @@ private[graft] object FeatherSnapshots {
     val first = read(fs, root, from)
     val out = scala.collection.mutable.ArrayBuffer(first)
     var files = first.files
+    var dvs = first.dvs
     var v = from + 1
     while (v <= to) {
       val r = readRaw(fs, root, v)
       require(r.full.isDefined || r.parent == v - 1,
         s"snapshot chain under $root/$Dir is broken at delta v$v " +
           s"(parent v${r.parent})")
+      dvs = applyDvDelta(dvs, r)
       files = r.full.getOrElse(applyDelta(files, r))
-      out += Snapshot(r.version, r.parent, r.op, files.sortBy(_._1), r.ts)
+      out += Snapshot(r.version, r.parent, r.op, files.sortBy(_._1), r.ts,
+        dvs)
       files = out.last.files
       v += 1
     }
@@ -200,9 +246,20 @@ private[graft] object FeatherSnapshots {
   private[graft] def versionDiffFiles(fs: FileSystem, root: Path,
                                       s: Long, e: Long,
                                       ignoreChanges: Boolean)
-      : Seq[(String, Long)] = {
+      : (Seq[(String, Long)], Map[String, (String, Long)]) = {
     val newRel = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    if (s == 0) newRel ++= read(fs, root, e).files
+    // deletion vectors apply ONLY to the initial load (rows deleted
+    // before the stream started were never table content); incremental
+    // appends deliver files as-at-introduction — a LATER DV delete on a
+    // delivered file is a mid-stream deletion, which this stream does
+    // not propagate (the documented ignoreChanges contract; the CDF
+    // source is the feed that does)
+    var dvs: Map[String, (String, Long)] = Map.empty
+    if (s == 0) {
+      val snap = read(fs, root, e)
+      newRel ++= snap.files
+      dvs = snap.dvs
+    }
     else {
       val snaps = readRange(fs, root, s, e)
       var prev: Map[String, Long] = snaps.head.files.toMap
@@ -254,7 +311,7 @@ private[graft] object FeatherSnapshots {
         prev = snap.files.toMap
       }
     }
-    newRel.toSeq
+    (newRel.toSeq, dvs)
   }
 
   /** Every retained version reconstructed in ASCENDING order, each
@@ -277,6 +334,7 @@ private[graft] object FeatherSnapshots {
         "is a delta manifest with no parent — torn expire; restore the " +
         "chain or re-adopt the table")
     var cur: Seq[(String, Long)] = Nil
+    var curDv: Map[String, (String, Long)] = Map.empty
     var prevV = -1L
     raws.map { r =>
       // a delta must chain off the version the fold just produced — a
@@ -285,9 +343,10 @@ private[graft] object FeatherSnapshots {
       require(r.full.isDefined || r.parent == prevV,
         s"snapshot chain under $root/$Dir is broken: delta v${r.version} " +
           s"expects parent v${r.parent} but the fold is at v$prevV")
+      curDv = applyDvDelta(curDv, r)
       cur = r.full.getOrElse(applyDelta(cur, r))
       prevV = r.version
-      Snapshot(r.version, r.parent, r.op, cur.sortBy(_._1), r.ts)
+      Snapshot(r.version, r.parent, r.op, cur.sortBy(_._1), r.ts, curDv)
     }
   }
 
@@ -308,6 +367,13 @@ private[graft] object FeatherSnapshots {
     files.map { case (p, len) =>
       val f = new java.util.LinkedHashMap[String, Any]()
       f.put("p", p); f.put("len", len.toString)
+      f: Any
+    }.asJava
+
+  private def dvJson(dvs: Map[String, (String, Long)]): java.util.List[Any] =
+    dvs.toSeq.sortBy(_._1).map { case (file, (dvPath, n)) =>
+      val f = new java.util.LinkedHashMap[String, Any]()
+      f.put("f", file); f.put("p", dvPath); f.put("n", n.toString)
       f: Any
     }.asJava
 
@@ -363,7 +429,25 @@ private[graft] object FeatherSnapshots {
     * would write the 10⁵-entry list every K-th epoch no matter how small
     * the deltas were. */
   def commit(fs: FileSystem, root: Path, op: String)
-            (mkFiles: Seq[(String, Long)] => Seq[(String, Long)]): Long = {
+            (mkFiles: Seq[(String, Long)] => Seq[(String, Long)]): Long =
+    // DV bindings carry through for files the commit leaves IDENTICAL
+    // (same path, same length); a removed/replaced file takes its
+    // binding with it — appends and epoch publishes never have to know
+    // deletion vectors exist
+    commitDv(fs, root, op) { (parentFiles, parentDvs) =>
+      val out = mkFiles(parentFiles)
+      val outMap = out.toMap
+      val parentMap = parentFiles.toMap
+      (out, parentDvs.filter { case (f, _) =>
+        outMap.get(f).exists(parentMap.get(f).contains) })
+    }
+
+  /** [[commit]] with deletion-vector bindings exposed: `mk` maps the
+    * parent's (files, dvs) to the new version's. The mutation tier binds
+    * DVs here; everything else goes through [[commit]]. */
+  def commitDv(fs: FileSystem, root: Path, op: String)
+              (mk: (Seq[(String, Long)], Map[String, (String, Long)]) =>
+                (Seq[(String, Long)], Map[String, (String, Long)])): Long = {
     fs.mkdirs(snapDir(root))
     var attempt = 0
     while (true) {
@@ -373,8 +457,14 @@ private[graft] object FeatherSnapshots {
       val parent = latestVersion(fs, root)
       val parentChain = parent.map(readChain(fs, root, _))
       val parentFiles = parentChain.map(_._1.files).getOrElse(Nil)
+      val parentDvs = parentChain.map(_._1.dvs).getOrElse(Map.empty)
       val v = parent.getOrElse(0L) + 1
-      val files = mkFiles(parentFiles).distinct.sortBy(_._1)
+      val (files0, dvs) = mk(parentFiles, parentDvs)
+      val files = files0.distinct.sortBy(_._1)
+      val fileSet = files.map(_._1).toSet
+      dvs.keys.find(!fileSet(_)).foreach(f => sys.error(
+        s"commit on $root: DV binding for '$f', which is not in the " +
+          "published file list — the binding would be unreachable"))
       val parentMap = parentFiles.toMap
       val filesMap = files.toMap
       // a path whose length changed (immutable parts make this foreign,
@@ -382,14 +472,24 @@ private[graft] object FeatherSnapshots {
       val add = files.filter { case (p, len) => !parentMap.get(p).contains(len) }
       val remove = parentFiles.collect {
         case (p, len) if !filesMap.get(p).contains(len) => p }
+      val removeSet = remove.toSet
+      // DV delta vs the parent (bindings on removed files drop
+      // implicitly and never serialize)
+      val dvSet = dvs.filter { case (f, b) => !parentDvs.get(f).contains(b) }
+      val dvClear = parentDvs.keys
+        .filter(f => !dvs.contains(f) && !removeSet(f)).toSeq.sorted
       // serialized-size estimates (exact serialization of the full list
       // just to measure it would be the O(files) work the cadence exists
       // to avoid): per entry `{"p":"…","len":"…"},` ≈ path + len + 16
       def entryBytes(f: (String, Long)): Long =
         f._1.length + f._2.toString.length + 16L
-      val fullBytes = files.map(entryBytes).sum + 96L
-      val deltaBytes =
-        add.map(entryBytes).sum + remove.map(_.length + 3L).sum + 96L
+      def dvBytes(m: Map[String, (String, Long)]): Long =
+        m.map { case (f, (p, n)) =>
+          f.length + p.length + n.toString.length + 24L }.sum
+      val fullBytes = files.map(entryBytes).sum + dvBytes(dvs) + 96L
+      val deltaBytes = add.map(entryBytes).sum +
+        remove.map(_.length + 3L).sum + dvBytes(dvSet) +
+        dvClear.map(_.length + 3L).sum + 96L
       val deltas = parentChain.map(_._2.count(_.full.isEmpty)).getOrElse(0)
       val chainBytes = parentChain
         .map(_._2.iterator.filter(_.full.isEmpty).map(_.bytes.toLong).sum)
@@ -400,10 +500,15 @@ private[graft] object FeatherSnapshots {
         deltas + 1 > MaxDeltaChain
       val node = baseNode(v, parent.getOrElse(0L), op,
         System.currentTimeMillis())
-      if (checkpoint) node.put("files", pairsJson(files))
-      else {
+      if (checkpoint) {
+        node.put("files", pairsJson(files))
+        if (dvs.nonEmpty) node.put("dv", dvJson(dvs))
+      } else {
         node.put("add", pairsJson(add))
         node.put("remove", remove.map(x => x: Any).asJava)
+        if (dvSet.nonEmpty) node.put("dvSet", dvJson(dvSet))
+        if (dvClear.nonEmpty)
+          node.put("dvClear", dvClear.map(x => x: Any).asJava)
       }
       try {
         // create-exclusive: exactly one committer wins each version number
@@ -664,15 +769,22 @@ private[graft] object FeatherSnapshots {
     if (!enabled(fs, root)) return Nil
     val latest = latestVersion(fs, root).getOrElse(0L)
     // every retained version reconstructed once (one manifest read each);
-    // a file ANY retained version references is live, never an orphan
+    // a file (or DV sidecar) ANY retained version references is live,
+    // never an orphan
+    val allSnaps = readAll(fs, root)
     val referenced: Set[String] =
-      readAll(fs, root).flatMap(_.files.map(_._1)).toSet
-    val inFlight = raw"(?:mut|clust)-v(\d+)-.*".r
+      allSnaps.flatMap(_.files.map(_._1)).toSet ++
+        allSnaps.flatMap(_.dvs.values.map(_._1))
+    // `dv-v…` joins the in-flight prefixes: a DV written for a pending
+    // delete commit (target version > latest) must survive regardless of
+    // age, exactly like a mutation/cluster part awaiting its manifest
+    val inFlight = raw"(?:mut|clust|dv)-v(\d+)-.*".r
     val cutoff = System.currentTimeMillis() - graceMillis
     // derive data suffixes from the manifests themselves in addition to
-    // the caller's: vacuuming an avro table with the feather defaults
-    // would otherwise silently reclaim nothing
-    val effSuffixes = (suffixes ++ referenced.flatMap { n =>
+    // the caller's (vacuuming an avro table with the feather defaults
+    // would otherwise silently reclaim nothing); ".dv" always walks so a
+    // crashed DV delete's unreferenced sidecars reclaim too
+    val effSuffixes = (suffixes ++ Seq(".dv") ++ referenced.flatMap { n =>
       val i = n.lastIndexOf('.')
       if (i > 0) Some(n.substring(i)) else None
     }).distinct
@@ -736,7 +848,9 @@ private[graft] object FeatherSnapshots {
     // implies live files, and a per-file existence sweep here would be
     // O(files) object-store round-trips buying nothing
     val target = read(fs, root, toVersion)
-    commit(fs, root, "restore")(_ => target.files)
+    // DV bindings restore WITH the file set: the target version's
+    // deleted rows stay deleted, rows deleted after it come back
+    commitDv(fs, root, "restore")((_, _) => (target.files, target.dvs))
   }
 
   /** The version history as rows for a `describeHistory` frame:
@@ -788,10 +902,17 @@ private[graft] object FeatherSnapshots {
     if (readRaw(fs, root, oldest.version).full.isEmpty) {
       val node = baseNode(oldest.version, oldest.parent, oldest.op, oldest.ts)
       node.put("files", pairsJson(oldest.files))
+      if (oldest.dvs.nonEmpty) node.put("dv", dvJson(oldest.dvs))
       writeManifest(fs, root, oldest.version, node, overwrite = true)
     }
     val kept: Set[String] = keep.flatMap(_.files.map(_._1)).toSet
     val dropped: Set[String] = drop.flatMap(_.files.map(_._1)).toSet
+    // deletion-vector sidecars expire exactly like data files: a DV no
+    // kept version binds is dead weight (and, for a folded delete, the
+    // last trace of WHICH rows were dropped — retiring it is part of the
+    // same compliance step that erases the rows physically)
+    val keptDv: Set[String] = keep.flatMap(_.dvs.values.map(_._1)).toSet
+    val droppedDv: Set[String] = drop.flatMap(_.dvs.values.map(_._1)).toSet
     var removedFiles = 0
     // delete unreferenced data files first, manifests last: a crash
     // mid-expire leaves dangling manifests (loud on read), never kept
@@ -801,6 +922,9 @@ private[graft] object FeatherSnapshots {
       if (fs.delete(p, false)) removedFiles += 1
       fs.delete(new Path(p.getParent, p.getName + ".stats.json"), false)
       fs.delete(new Path(p.getParent, p.getName + ".bloom"), false)
+    }
+    (droppedDv -- keptDv).toSeq.sorted.foreach { rel =>
+      fs.delete(new Path(root, rel), false): Unit
     }
     // dropped manifests go in DESCENDING version order: at every instant
     // the surviving prefix is a valid chain (v1's full manifest is the
@@ -829,7 +953,9 @@ private[graft] object FeatherSnapshots {
              else java.net.URLDecoder.decode(raw, "UTF-8")))
         }
       }
-      FeatherPartitions.LeafFile(new Path(root, rel).toString, len, values)
+      FeatherPartitions.LeafFile(new Path(root, rel).toString, len, values,
+        snap.dvs.get(rel).map { case (dvRel, n) =>
+          (new Path(root, dvRel).toString, n) })
     }
     require(leaves.nonEmpty,
       s"feather snapshot v${snap.version} under $root lists no files")

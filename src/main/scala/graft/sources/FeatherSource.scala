@@ -300,6 +300,11 @@ private[sources] object StatsAggPushdown {
     val disc =
       try discover
       catch { case _: Exception => return None }
+    // deletion vectors: COUNT(*) subtracts the manifest's per-binding
+    // cardinality (exact); MIN/MAX cannot be answered from stats when any
+    // file has one — the extreme row may be among the deleted positions
+    val dvDeleted = disc.files.flatMap(_.dv.map(_._2)).sum
+    if (dvDeleted > 0 && plan.exists(_.isRight)) return None
     for (Right((c, _)) <- plan)
       if (disc.partCols.contains(c) || !fullSchema.fieldNames.contains(c) ||
           !tracked(fullSchema(c).dataType)) return None
@@ -322,7 +327,7 @@ private[sources] object StatsAggPushdown {
           case Some(ColStat.Count(bn)) => n += bn
           case _ => return None // pre-count sidecar: not answerable
         }
-        (n, LongType)
+        (n - dvDeleted, LongType)
       case Right((c, wantMin)) =>
         val dt = fullSchema(c).dataType
         var acc: Any = null
@@ -430,14 +435,20 @@ private class FeatherScan(readSchema0: StructType, path: String,
     else disc.files.filter(FeatherPartitions.survives(_, ps, pruneFilters))
   }
 
-  // footer-planned splits for the surviving files only
-  private lazy val splits: Seq[(String, Long, Seq[Int], Seq[(String, String)])] =
+  // footer-planned splits for the surviving files only; the deletion-
+  // vector binding rides every split of its file (positions are
+  // batch-relative, so a split owning batches [5, 6] applies the DV
+  // without knowing anything about batches 0..4)
+  private lazy val splits
+      : Seq[(String, Long, Seq[Int], Seq[(String, String)], Option[String])] =
     if (surviving.isEmpty) Seq.empty
     else {
-      val byFile = surviving.map(l => l.file -> l.values).toMap
+      val byFile = surviving.map(l => l.file -> (l.values, l.dv.map(_._1))).toMap
       GraftFeather.planReadFiles(SparkSession.active,
         surviving.map(l => (l.file, l.len)), maxSplitBytes)._2
-        .map { case (f, len, idxs) => (f, len, idxs, byFile(f)) }
+        .map { case (f, len, idxs) =>
+          val (pv, dv) = byFile(f)
+          (f, len, idxs, pv, dv) }
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -472,14 +483,14 @@ private class FeatherScan(readSchema0: StructType, path: String,
         case (f, len) if graft.io.FeatherBloom.excludesFile(
           spark.sparkContext.hadoopConfiguration, f, len, pointFilters) => f
       }.toSet
-    splits.flatMap { case (f, len, idxs, pv) =>
+    splits.flatMap { case (f, len, idxs, pv, dv) =>
       val kept = statsByFile.getOrElse(f, None) match {
         case Some(stats) => idxs.filterNot(i => i < stats.size &&
           graft.io.FeatherStats.batchProvablyEmpty(stats(i), skipFilters))
         case None => idxs
       }
       if (kept.isEmpty || bloomExcluded(f)) None
-      else Some(FeatherInputPartition(f, len, kept, pv))
+      else Some(FeatherInputPartition(f, len, kept, pv, dv))
     }.toArray
   }
 
@@ -512,6 +523,9 @@ private class FeatherScan(readSchema0: StructType, path: String,
     graft.io.FeatherStats.exactRowCount(
       SparkSession.active.sparkContext.hadoopConfiguration,
       surviving.map(l => (l.file, l.len)))
+      // deletion vectors: the sidecar counts include DV'd rows; the
+      // manifest's per-binding cardinality subtracts them exactly
+      .map(_ - surviving.flatMap(_.dv.map(_._2)).sum)
 
   override def estimateStatistics(): Statistics = new Statistics {
     // file bytes AFTER partition pruning: the honest size the broadcast
@@ -527,7 +541,8 @@ private class FeatherScan(readSchema0: StructType, path: String,
 
 private case class FeatherInputPartition(file: String, len: Long,
                                          batchIdxs: Seq[Int],
-                                         partValues: Seq[(String, String)] = Nil)
+                                         partValues: Seq[(String, String)] = Nil,
+                                         dvPath: Option[String] = None)
     extends InputPartition
 
 // ---- snapshot-version streaming read ---------------------------------------
@@ -577,16 +592,20 @@ private class FeatherSnapshotStream(readSchema: StructType, path: String,
     if (e <= s) return Array.empty
     // version-diff semantics live in FeatherSnapshots.versionDiffFiles —
     // ONE definition shared with the avro face
-    val newRel = FeatherSnapshots.versionDiffFiles(fs, rp, s, e, ignoreChanges)
+    val (newRel, dvs) =
+      FeatherSnapshots.versionDiffFiles(fs, rp, s, e, ignoreChanges)
     if (newRel.isEmpty) return Array.empty
-    // partition values ride the relative paths, exactly as batch discovery
+    // partition values ride the relative paths, exactly as batch
+    // discovery; the initial load's deletion vectors ride the same way
     val leaves = FeatherSnapshots.toDiscovered(rp,
-      FeatherSnapshots.Snapshot(e, s, "batch", newRel.toSeq.sortBy(_._1))).files
-    val byFile = leaves.map(l => l.file -> l.values).toMap
+      FeatherSnapshots.Snapshot(e, s, "batch", newRel.toSeq.sortBy(_._1),
+        dvs = dvs)).files
+    val byFile = leaves.map(l => l.file -> (l.values, l.dv.map(_._1))).toMap
     GraftFeather.planReadFiles(SparkSession.active,
       leaves.map(l => (l.file, l.len)), maxSplitBytes)._2
       .map { case (f, len, idxs) =>
-        FeatherInputPartition(f, len, idxs, byFile(f)) }
+        val (pv, dv) = byFile(f)
+        FeatherInputPartition(f, len, idxs, pv, dv) }
       .toArray
   }
 
@@ -942,10 +961,15 @@ private class FeatherReaderFactory(
       // (missing column, corrupt footer) means Spark never gets a reader
       // to close() — release here or the fd + Arrow buffers leak per retry
       private val all =
-        try GraftFeather.splitRows(
-          execConf, p.file, p.len, p.batchIdxs,
-          dataNames, r => open = Some(r), lenient = mergeSchema)
-        catch { case e: Throwable =>
+        try {
+          // deletion vector: loaded once per split (executor-side, tiny
+          // file), applied as a position filter inside the decode
+          val dv = p.dvPath
+            .map(graft.io.DeletionVectors.read(execConf, _)).orNull
+          GraftFeather.splitRows(
+            execConf, p.file, p.len, p.batchIdxs,
+            dataNames, r => open = Some(r), lenient = mergeSchema, dv = dv)
+        } catch { case e: Throwable =>
           open.foreach(r => try r.close() catch { case _: Exception => () })
           throw e
         }

@@ -185,6 +185,59 @@ class AvroSpec extends AnyFunSuite {
       whole.orderBy("id").collect().toSeq)
   }
 
+  test("DV positions are split-stable: previousSync agrees between a " +
+       "sequential read and a mid-file sync") {
+    // the deletion-vector encoding packs (block sync offset, in-block
+    // record ordinal); a DV written by a whole-file scan is applied by
+    // byte-range split readers that sync() into the middle — so the
+    // block offset previousSync() reports MUST be identical on both
+    // paths. This pins that invariant against the runtime avro jar.
+    val schema = SchemaBuilder.record("pos").fields()
+      .requiredLong("id").requiredString("payload").endRecord()
+    val dir = new java.io.File(tmp("pos_stability"))
+    dir.mkdirs()
+    val f = new java.io.File(dir, "part-00000.avro")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.setSyncInterval(200)
+    w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(3))
+    w.create(schema, f)
+    (0 until 3000).foreach { i =>
+      val r = new GenericData.Record(schema)
+      r.put("id", i.toLong)
+      r.put("payload", (0 until 4).map(j =>
+        java.lang.Long.toHexString((i * 4L + j) * 0x9E3779B97F4A7C15L)).mkString("-"))
+      w.append(r)
+    }
+    w.close()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val len = f.length()
+    def positions(start: Long, end: Long): Seq[(Long, Long)] = {
+      val open = new java.util.ArrayList[AutoCloseable]()
+      try GraftAvro.splitRowsPos(conf, schema.toString, f.getPath,
+          start, end, Some(Seq("id")), r => open.add(r): Unit,
+          r => open.remove(r): Unit)
+        .map { case (pos, row) => (row.getLong(0), pos) }.toSeq
+      finally open.asScala.foreach(c =>
+        try c.close() catch { case _: Exception => () })
+    }
+    val whole = positions(0, len).toMap
+    assert(whole.size === 3000, "every row gets a distinct position")
+    // byte-range splits covering the file: each row's position must match
+    // the whole-file read's exactly
+    val step = len / 7
+    val split = (0 until 7).flatMap { i =>
+      positions(i * step, if (i == 6) len else (i + 1) * step)
+    }
+    assert(split.size === 3000, "splits own each block exactly once")
+    split.foreach { case (id, pos) =>
+      assert(whole(id) === pos,
+        s"row $id: split position $pos != sequential ${whole(id)}")
+    }
+    // and multiple blocks exist, or the test proves nothing
+    assert(whole.values.map(_ >> 24).toSet.size > 5,
+      "fixture must span many avro blocks")
+  }
+
   test("schema-mismatched part file fails with the file named") {
     val schemaFull = SchemaBuilder.record("ev").fields()
       .requiredLong("id").requiredString("extra").endRecord()

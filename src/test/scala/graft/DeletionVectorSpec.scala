@@ -1,0 +1,281 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{DeletionVectors, FeatherChanges, FeatherCluster, FeatherCompact, FeatherMutations}
+import graft.sources.FeatherSnapshots
+
+/** Merge-on-read deletes (deletion vectors): sidecar format, manifest
+  * bindings, read-path application on both faces, folding through
+  * compaction/clustering, time travel / restore / CDF interplay, and the
+  * expire() physical-erasure path. */
+class DeletionVectorSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private def tmp(n: String): String = {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_dv_test/$n"
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(p))
+    p
+  }
+  private def fsOf(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeTable(path: String, n: Int, parts: Int,
+                         format: String = "feather"): Unit = {
+    import spark.implicits._
+    (1 to n).map(i => (i.toLong, s"g${i % 3}", s"p_$i")).toDF("id", "grp", "pay")
+      .repartitionByRange(parts, col("id"))
+      .write.format(format).mode("overwrite")
+      .option("snapshots", "true").save(path)
+  }
+  private def keysOf(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.toDF("id")
+  }
+  private def dataBytes(path: String, suffix: String): Long =
+    new java.io.File(path).listFiles()
+      .filter(f => f.getName.endsWith(suffix) && !f.getName.startsWith("_"))
+      .map(_.length()).sum
+
+  test("sidecar format: write/read/union/diff round-trip") {
+    val fs = fsOf(tmp("fmt"))
+    val dir = new Path(tmp("fmt"))
+    fs.mkdirs(dir)
+    val a = Array(5L, 1L, 9L, 5L)
+    DeletionVectors.write(fs, dir, "x.dv", a)
+    val back = DeletionVectors.read(
+      spark.sparkContext.hadoopConfiguration, new Path(dir, "x.dv").toString)
+    assert(back.toSeq === Seq(1L, 5L, 9L)) // sorted, deduplicated
+    assert(DeletionVectors.union(Array(1L, 3L), Array(2L, 3L, 8L)).toSeq ===
+      Seq(1L, 2L, 3L, 8L))
+    assert(DeletionVectors.diff(Array(1L, 2L, 3L, 8L), Array(2L, 8L)).toSeq ===
+      Seq(1L, 3L))
+    assert(DeletionVectors.diff(Array.empty[Long], Array(1L)).toSeq === Nil)
+  }
+
+  test("deleteByKeyDV matches deleteByKey semantics without rewriting " +
+       "data files, and bytes written scale with deleted rows") {
+    val pathCow = tmp("dv_vs_cow_c")
+    val pathDv = tmp("dv_vs_cow_d")
+    writeTable(pathCow, 2000, 8)
+    writeTable(pathDv, 2000, 8)
+    val ids = Seq(10L, 11L, 500L, 501L, 502L, 1999L)
+    val bytesBefore = dataBytes(pathDv, ".feather")
+    val rc = FeatherMutations.deleteByKey(spark, pathCow, keysOf(ids), Seq("id"))
+    val rd = FeatherMutations.deleteByKeyDV(spark, pathDv, keysOf(ids), Seq("id"))
+    assert(rd.version === 2L)
+    assert(rd.filesTouched === rc.filesTouched,
+      "the DV delete prunes with the same probe as the COW delete")
+    // the data files are untouched — only tiny .dv sidecars appeared
+    assert(dataBytes(pathDv, ".feather") === bytesBefore,
+      "a DV delete must not rewrite any data file")
+    val dvBytes = dataBytes(pathDv, ".dv")
+    assert(dvBytes > 0 && dvBytes < 1000,
+      s"six deleted rows should cost tens of bytes of sidecar, got $dvBytes")
+    // identical logical content
+    val cow = spark.read.format("feather").load(pathCow)
+      .orderBy("id").collect().toSeq
+    val dv = spark.read.format("feather").load(pathDv)
+      .orderBy("id").collect().toSeq
+    assert(dv === cow)
+    assert(dv.size === 1994)
+    // COUNT(*) pushdown subtracts the binding cardinality
+    assert(spark.read.format("feather").load(pathDv).count() === 1994L)
+  }
+
+  test("a second DV delete on the same file unions into a fresh sidecar; " +
+       "time travel sees each binding generation") {
+    val path = tmp("dv_union")
+    writeTable(path, 400, 2)
+    FeatherMutations.deleteByKeyDV(spark, path, keysOf(Seq(5L)), Seq("id"))
+    FeatherMutations.deleteByKeyDV(spark, path, keysOf(Seq(7L)), Seq("id"))
+    val head = spark.read.format("feather").load(path)
+    assert(head.count() === 398)
+    assert(head.where(col("id").isin(5L, 7L)).count() === 0)
+    // v2 has only the first delete; v1 none
+    assert(spark.read.format("feather").option("versionAsOf", "2").load(path)
+      .where(col("id").isin(5L, 7L)).collect().map(_.getLong(0)).toSeq ===
+      Seq(7L))
+    assert(spark.read.format("feather").option("versionAsOf", "1").load(path)
+      .count() === 400)
+    // an already-deleted row never re-matches (idempotent re-delete)
+    val r3 = FeatherMutations.deleteByKeyDV(spark, path,
+      keysOf(Seq(5L, 7L)), Seq("id"))
+    assert(spark.read.format("feather").load(path).count() === 398)
+    assert(r3.version === 4L)
+  }
+
+  test("a COW mutation on a DV'd file folds the DV instead of " +
+       "resurrecting deleted rows") {
+    val path = tmp("dv_then_merge")
+    writeTable(path, 400, 2)
+    FeatherMutations.deleteByKeyDV(spark, path, keysOf(Seq(10L)), Seq("id"))
+    // merge touches the same file (key 11 is in the same range)
+    import spark.implicits._
+    val source = Seq((11L, "gX", "merged")).toDF("id", "grp", "pay")
+    FeatherMutations.merge(spark, path, source, Seq("id"))
+    val after = spark.read.format("feather").load(path)
+    assert(after.where(col("id") === 10L).count() === 0,
+      "the merge rewrite must carry the DV's deletions")
+    assert(after.where(col("id") === 11L).select("pay").head().getString(0)
+      === "merged")
+    assert(after.count() === 399)
+    // the rewritten file has no binding left
+    val snap = FeatherSnapshots.resolve(fsOf(path), new Path(path), None).get
+    assert(snap.dvs.isEmpty)
+  }
+
+  test("compaction folds DVs: bindings disappear, rows stay correct, " +
+       "expire makes the erasure physical") {
+    val path = tmp("dv_compact")
+    writeTable(path, 600, 3)
+    FeatherMutations.deleteByKeyDV(spark, path,
+      keysOf(Seq(1L, 300L, 600L)), Seq("id"))
+    val fs = fsOf(path)
+    val before = FeatherSnapshots.resolve(fs, new Path(path), None).get
+    assert(before.dvs.nonEmpty)
+    val r = FeatherCompact.compact(spark, path, targetBytes = 1L)
+    // targetBytes=1 forms no small-file groups — only the DV folds ran
+    assert(r.groupsRewritten >= before.dvs.size)
+    val after = FeatherSnapshots.resolve(fs, new Path(path), None).get
+    assert(after.dvs.isEmpty, "folded files must carry no binding")
+    val got = spark.read.format("feather").load(path)
+    assert(got.count() === 597)
+    assert(got.where(col("id").isin(1L, 300L, 600L)).count() === 0)
+    // expire: old parts AND the dv sidecars physically reclaim
+    FeatherSnapshots.expire(fs, new Path(path), keepLast = 1)
+    assert(dataBytes(path, ".dv") === 0, "expired DV sidecars must delete")
+    assert(spark.read.format("feather").load(path).count() === 597)
+  }
+
+  test("clustering folds DVs and re-establishes disjoint ranges") {
+    val path = tmp("dv_cluster")
+    writeTable(path, 600, 3)
+    FeatherMutations.deleteByKeyDV(spark, path,
+      keysOf(Seq(2L, 301L)), Seq("id"))
+    FeatherCluster.cluster(spark, path, Seq("id"), targetBytes = 16L << 10)
+    val snap = FeatherSnapshots.resolve(fsOf(path), new Path(path), None).get
+    assert(snap.dvs.isEmpty)
+    val got = spark.read.format("feather").load(path)
+    assert(got.count() === 598)
+    assert(got.where(col("id").isin(2L, 301L)).count() === 0)
+  }
+
+  test("restore across a DV delete restores the bindings themselves") {
+    val path = tmp("dv_restore")
+    writeTable(path, 300, 2) // v1
+    FeatherMutations.deleteByKeyDV(spark, path, keysOf(Seq(9L)), Seq("id")) // v2
+    assert(spark.read.format("feather").load(path).count() === 299)
+    FeatherSnapshots.restore(fsOf(path), new Path(path), 1L) // v3 = v1 content
+    assert(spark.read.format("feather").load(path).count() === 300)
+    FeatherSnapshots.restore(fsOf(path), new Path(path), 2L) // v4 = v2 content
+    val got = spark.read.format("feather").load(path)
+    assert(got.count() === 299)
+    assert(got.where(col("id") === 9L).count() === 0)
+  }
+
+  test("CDF emits a DV delete's rows as 'delete' with the commit version") {
+    val path = tmp("dv_cdf")
+    writeTable(path, 500, 2) // v1
+    FeatherMutations.deleteByKeyDV(spark, path,
+      keysOf(Seq(20L, 21L, 400L)), Seq("id")) // v2
+    import spark.implicits._
+    Seq((501L, "g0", "p_501")).toDF("id", "grp", "pay")
+      .write.format("feather").mode("append").save(path) // v3 append
+    val ch = FeatherChanges.readChanges(spark, path, 1L, 3L)
+    val dels = ch.where(col("_change_type") === "delete")
+      .select("id", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(dels === Seq((20L, 2L), (21L, 2L), (400L, 2L)),
+      "exactly the DV'd rows, at the delete's version")
+    val ins = ch.where(col("_change_type") === "insert")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ins === Seq(501L))
+    // bootstrap from zero replays history: the DV'd rows arrive as v1
+    // inserts AND v2 deletes — a consumer folding the feed in version
+    // order ends with them absent
+    val boot = FeatherChanges.readChanges(spark, path, 0L, 3L)
+    val hist = boot.where(col("id") === 20L)
+      .select("_commit_version", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(hist === Seq((1L, "insert"), (2L, "delete")))
+    // bootstrap from the HEAD-only window applies the bindings: rows
+    // deleted before the window are not content
+    val bootHead = FeatherChanges.readChanges(spark, path, 2L, 3L)
+    assert(bootHead.where(col("id").isin(20L, 21L, 400L)).count() === 0)
+  }
+
+  test("a snapshot stream's initial load applies the head's bindings") {
+    val path = tmp("dv_stream")
+    writeTable(path, 200, 2)
+    FeatherMutations.deleteByKeyDV(spark, path,
+      keysOf(Seq(50L, 51L)), Seq("id"))
+    val q = spark.readStream.format("feather").load(path)
+      .writeStream.format("memory").queryName("dv_stream_t")
+      .option("checkpointLocation", tmp("dv_stream_ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dv_stream_t").count() === 198)
+      assert(spark.table("dv_stream_t")
+        .where(col("id").isin(50L, 51L)).count() === 0)
+    } finally q.stop()
+  }
+
+  test("avro face: DV delete end-to-end, including splits and compaction fold") {
+    val path = tmp("dv_avro")
+    writeTable(path, 1500, 4, format = "graft-avro")
+    val bytesBefore = dataBytes(path, ".avro")
+    val r = FeatherMutations.deleteByKeyDV(spark, path,
+      keysOf(Seq(3L, 10L, 1499L)), Seq("id"))
+    assert(r.filesTouched > 0 && r.filesTouched < 4,
+      s"keys live in 2 of 4 range-clustered parts: $r")
+    assert(dataBytes(path, ".avro") === bytesBefore)
+    // read through byte-range splits small enough to cut files
+    val got = spark.read.format("graft-avro")
+      .option("maxSplitBytes", "4096").load(path)
+    assert(got.count() === 1497)
+    assert(got.where(col("id").isin(3L, 10L, 1499L)).count() === 0)
+    assert(spark.read.format("graft-avro").load(path).count() === 1497L)
+    // fold through avro compaction
+    graft.io.AvroCompact.compact(spark, path, targetBytes = 1L)
+    val snap = FeatherSnapshots.resolve(fsOf(path), new Path(path), None).get
+    assert(snap.dvs.isEmpty)
+    assert(spark.read.format("graft-avro").load(path).count() === 1497)
+  }
+
+  test("vacuumOrphans: referenced DVs survive, orphaned DVs reclaim, " +
+       "in-flight DVs survive regardless of age") {
+    val path = tmp("dv_vacuum")
+    writeTable(path, 300, 2)
+    FeatherMutations.deleteByKeyDV(spark, path, keysOf(Seq(4L)), Seq("id"))
+    val fs = fsOf(path)
+    val root = new Path(path)
+    // an orphan: plausible dv name bound to nothing, older than any grace
+    DeletionVectors.write(fs, root, "dv-v00000001-deadbeef-old.feather.dv",
+      Array(1L))
+    new java.io.File(path, "dv-v00000001-deadbeef-old.feather.dv")
+      .setLastModified(1000L)
+    // in-flight: targets a version beyond latest
+    DeletionVectors.write(fs, root, "dv-v00000099-cafecafe-new.feather.dv",
+      Array(1L))
+    new java.io.File(path, "dv-v00000099-cafecafe-new.feather.dv")
+      .setLastModified(1000L)
+    val removed = FeatherSnapshots.vacuumOrphans(fs, root, graceMillis = 0L)
+    val left = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.endsWith(".dv")).toSet
+    assert(!left.contains("dv-v00000001-deadbeef-old.feather.dv"),
+      s"orphan DV must reclaim (removed=$removed, left=$left)")
+    assert(left.contains("dv-v00000099-cafecafe-new.feather.dv"),
+      "pending DV must survive")
+    assert(left.exists(_.startsWith("dv-v00000002")),
+      "the bound DV must survive")
+    assert(spark.read.format("feather").load(path).count() === 299)
+  }
+}
