@@ -300,10 +300,12 @@ private[graft] object Compaction {
       }
     }
     if (removedRel.nonEmpty) {
-      val gone = removedRel.toSet
-      FeatherSnapshots.commit(fs, root, "compact") { parentFiles =>
-        parentFiles.filterNot(f => gone(f._1)) ++ addedRel
-      }
+      // conflict matrix (FeatherSnapshots.commitMutation): concurrent
+      // appends commute; a concurrent mutation that touched any input
+      // aborts loudly instead of silently resurrecting its deleted rows
+      // through the compacted copies
+      FeatherSnapshots.commitMutation(fs, root, "compact", snap,
+        removedRel.toSet, addedRel.toSeq): Unit
     }
     Result(byLeaf.size, groupsRewritten, snap.files.size,
       snap.files.size - removedRel.size + addedRel.size)

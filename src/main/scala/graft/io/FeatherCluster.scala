@@ -196,17 +196,11 @@ object FeatherCluster {
     }
 
     val gone = snap.files.map(_._1).toSet
-    // DV bindings fold away with their files (the guard covers them: a
-    // concurrent DV delete would invalidate this rewrite's row set)
-    val committed = FeatherSnapshots.commitDv(fs, root, "cluster") {
-      (parentFiles, parentDvs) =>
-        require(parentFiles.toSet == snap.files.toSet &&
-            parentDvs == snap.dvs,
-          s"cluster on $path: concurrent commit detected (parent moved past " +
-            s"v${snap.version} while the rewrite ran) — re-run")
-        (parentFiles.filterNot { case (rel, _) => gone(rel) } ++ added,
-          parentDvs.filter { case (rel, _) => !gone(rel) })
-    }
+    // conflict matrix (FeatherSnapshots.commitMutation): concurrent
+    // appends commute (their files carry through un-clustered — the next
+    // OPTIMIZE sweeps them in); concurrent mutations abort loudly
+    val committed = FeatherSnapshots.commitMutation(fs, root, "cluster",
+      snap, gone, added.toSeq)
     bloomFor.foreach(FeatherBloom.build(spark, path, _, face.suffix): Unit)
     Result(committed, snap.files.size, added.size)
   }

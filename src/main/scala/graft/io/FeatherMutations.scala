@@ -43,11 +43,15 @@ import graft.sources.FeatherSnapshots
   *    pre-delete rows until `expire()` reclaims them, which is exactly
   *    the audit trail a takedown pipeline wants (and `expire` is the
   *    compliance point that makes erasure physical).
-  *  - **Single-mutator contract** (same as compaction): concurrent
-  *    mutators are outside the contract; the commit detects a raced
-  *    parent version and fails loudly rather than publish a manifest
-  *    computed against stale state. A crashed run's orphan parts are
-  *    reclaimed by the next run's prefix pre-clean ([[GraftFeather.writeParts]]).
+  *  - **Conflict matrix** ([[FeatherSnapshots.commitMutation]], shared
+  *    with cluster/compact): concurrent blind APPENDS commute — the
+  *    appended files carry through the mutation's manifest untouched
+  *    (write-serializable: the mutation serializes before the append, so
+  *    appended rows are not subject to its predicate). A concurrent
+  *    mutation/overwrite/restore that touched anything this run read
+  *    aborts loudly rather than publish a manifest computed against dead
+  *    state. A crashed run's orphan parts are reclaimed by the next
+  *    run's prefix pre-clean ([[GraftFeather.writeParts]]).
   *
   * Semantics:
   *  - `deleteByKey(keys, keyCols)`: drop every table row whose `keyCols`
@@ -192,15 +196,8 @@ object FeatherMutations {
           all.length.toLong)
     }
 
-    val committed = FeatherSnapshots.commitDv(fs, root, op) {
-      (parentFiles, parentDvs) =>
-        require(parentFiles.toSet == snap.files.toSet &&
-            parentDvs == snap.dvs,
-          s"$op on $path: concurrent commit detected (parent moved past " +
-            s"v${snap.version} while the DV delete ran) — re-run against " +
-            "the new state")
-        (parentFiles, parentDvs ++ newBindings)
-    }
+    val committed = FeatherSnapshots.commitMutation(fs, root, op, snap,
+      Set.empty, Nil, setDvs = newBindings)
     Result(committed, newBindings.size, snap.files.size - newBindings.size,
       newBindings.size)
   }
@@ -729,18 +726,11 @@ object FeatherMutations {
     }
 
     // ---- one atomic manifest publish ---------------------------------------
-    // the guard covers DV bindings too: a concurrent DV delete on a file
-    // this mutation rewrote would otherwise be silently folded WITHOUT
-    // its positions (the survivors were computed against the old DV)
-    val committed = FeatherSnapshots.commitDv(fs, root, op) {
-      (parentFiles, parentDvs) =>
-        require(parentFiles.toSet == snap.files.toSet &&
-            parentDvs == snap.dvs,
-          s"$op on $path: concurrent commit detected (parent moved past " +
-            s"v$parentV while the mutation ran) — re-run against the new state")
-        (parentFiles.filterNot { case (rel, _) => touchedRel(rel) } ++ added,
-          parentDvs.filter { case (rel, _) => !touchedRel(rel) })
-    }
+    // conflict matrix (FeatherSnapshots.commitMutation): concurrent blind
+    // appends commute — their files carry through; a concurrent mutation/
+    // overwrite/restore that touched anything this run READ aborts loudly
+    val committed = FeatherSnapshots.commitMutation(fs, root, op, snap,
+      touchedRel, added.toSeq)
     Result(committed, touchedIdx.size, snap.files.size - touchedIdx.size,
       partsWritten)
   }

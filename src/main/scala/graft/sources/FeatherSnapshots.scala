@@ -522,6 +522,56 @@ private[graft] object FeatherSnapshots {
     sys.error("unreachable")
   }
 
+  /** TEST seam for the conflict-matrix spec: runs once, after a mutation
+    * computed its rewrite and before its manifest commit — the window a
+    * concurrent committer races into. One-shot (cleared before invoking,
+    * so a hook that itself commits cannot recurse). */
+  private[graft] var testBeforeMutationCommit: () => Unit = () => ()
+
+  /** The MUTATION commit protocol (COW rewrites, DV binds, cluster,
+    * compact) with the optimistic-concurrency conflict matrix:
+    *
+    *  - **vs append / adopt / epoch publish**: COMMITS BOTH. A blind
+    *    append cannot invalidate a rewrite of OLDER files — the appended
+    *    files simply carry through the new manifest untouched. This is
+    *    write-serializable with blind appends (Delta's default): the
+    *    mutation serializes logically BEFORE the append, so appended
+    *    rows are not subject to e.g. a concurrent delete's predicate.
+    *  - **vs another mutation, overwrite, or restore**: ABORTS loudly.
+    *    Any file (or DV binding) the mutation READ that the parent no
+    *    longer carries identically means the rewrite was computed
+    *    against dead state — publishing it would lose the winner's
+    *    update (or resurrect its deleted rows).
+    *
+    * `basedOn` is the snapshot the mutation planned and read against;
+    * `removeRel`/`add`/`setDvs` are its outputs. The check runs INSIDE
+    * the commit retry loop, against the parent actually published over —
+    * losing the version race to an append retries and passes; losing it
+    * to a mutation retries and aborts. */
+  private[graft] def commitMutation(fs: FileSystem, root: Path, op: String,
+                                    basedOn: Snapshot,
+                                    removeRel: Set[String],
+                                    add: Seq[(String, Long)],
+                                    setDvs: Map[String, (String, Long)] =
+                                      Map.empty): Long = {
+    val hook = testBeforeMutationCommit
+    testBeforeMutationCommit = () => ()
+    hook()
+    commitDv(fs, root, op) { (parentFiles, parentDvs) =>
+      val parentMap = parentFiles.toMap
+      basedOn.files.foreach { case (rel, len) =>
+        require(parentMap.get(rel).contains(len) &&
+            parentDvs.get(rel) == basedOn.dvs.get(rel),
+          s"$op on $root: conflict with a concurrent commit — file '$rel' " +
+            s"(read at v${basedOn.version}) was rewritten, deleted, or " +
+            "re-bound by another committer; re-run against the new state " +
+            "(concurrent blind APPENDS commute and do not trigger this)")
+      }
+      (parentFiles.filterNot { case (rel, _) => removeRel(rel) } ++ add,
+        (parentDvs -- removeRel) ++ setDvs)
+    }
+  }
+
   /** Time travel by WALL CLOCK: the newest snapshot committed at or
     * before `tsMillis` (manifests carry their commit time; pre-timestamp
     * manifests read as ts=0, i.e. "before everything"). Loud when the
