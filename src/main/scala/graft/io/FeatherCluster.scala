@@ -55,10 +55,13 @@ object FeatherCluster {
     clusterImpl(spark, path, cols, targetBytes, codec, bloomFor,
       zorderBits = 0)
 
-  /** OPTIMIZE ZORDER BY over NUMERIC dimensions — see the object
-    * scaladoc. `bitsPerDim` trades per-dimension resolution against the
-    * dimension count (bitsPerDim × dims ≤ 62); nulls sort first (z = 0
-    * in that dimension). */
+  /** OPTIMIZE ZORDER BY over numeric, DATE, TIMESTAMP, or STRING
+    * dimensions — see the object scaladoc. Dates map by day number and
+    * timestamps by epoch seconds (monotonic, calendar-local); strings
+    * rank against a sampled boundary table before the bit interleave.
+    * `bitsPerDim` trades per-dimension resolution against the dimension
+    * count (bitsPerDim × dims ≤ 62); nulls sort first (z = 0 in that
+    * dimension). */
   def clusterZOrder(spark: SparkSession, path: String, cols: Seq[String],
                     bitsPerDim: Int = 12,
                     targetBytes: Long = 128L << 20,
@@ -104,44 +107,104 @@ object FeatherCluster {
       if (i < 0) "" else rel.substring(0, i)
     }.toSeq.sortBy(_._1)
 
-    // z-order: one GLOBAL min/max aggregation pass fixes the
-    // normalization (per-leaf ranges would give each leaf its own
-    // incompatible z-space)
-    val zRanges: Option[Seq[(Double, Double)]] =
+    // z-order dimension mapping: every dimension becomes a LONG in
+    // [0, 2^bitsPerDim). Numeric/date/timestamp dims min-max normalize
+    // against one GLOBAL aggregation pass (per-leaf ranges would give
+    // each leaf its own incompatible z-space); STRING dims rank against
+    // a sampled boundary table (the range-partitioner idea: a fixed-size
+    // uniform sample's quantiles ARE the value distribution's quantiles,
+    // so rank-by-binary-search spreads skewed string domains evenly
+    // where a hash would destroy locality and a lexicographic min-max
+    // over code points would collapse long shared prefixes to one
+    // bucket). Nulls map to 0 in their dimension (cluster first).
+    val zDims: Option[Seq[org.apache.spark.sql.Column]] =
       if (zorderBits == 0) None
       else {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.types._
         val all = face.readMergedDv(spark,
           snap.files.map { case (rel, len) =>
             (new Path(root, rel).toString, len) }, dvPathsFor(snap.files))
-        cols.foreach { c =>
-          require(all.columns.contains(c),
-            s"clusterZOrder: column '$c' not in table schema")
-          require(all.schema(c).dataType.isInstanceOf[
-              org.apache.spark.sql.types.NumericType],
-            s"clusterZOrder: '$c' must be numeric, got " +
-              all.schema(c).dataType.catalogString)
-        }
-        val aggs = cols.flatMap(c => Seq(
-          org.apache.spark.sql.functions.min(col(c)).cast("double"),
-          org.apache.spark.sql.functions.max(col(c)).cast("double")))
-        val row = all.agg(aggs.head, aggs.tail: _*).head()
+        val maxVal = (1L << zorderBits) - 1
+        // Left(doubleExpr) = numeric-ish; Right(()) = string-ranked
+        val kinds: Seq[Either[org.apache.spark.sql.Column, Unit]] =
+          cols.map { c =>
+            require(all.columns.contains(c),
+              s"clusterZOrder: column '$c' not in table schema")
+            all.schema(c).dataType match {
+              case _: NumericType => Left(col(c).cast("double"))
+              // day number / epoch micros: any monotonic map works for
+              // clustering; these keep calendar locality (and avoid the
+              // ANSI-forbidden date→int cast)
+              case DateType => Left(unix_date(col(c)).cast("double"))
+              case TimestampType => Left(unix_micros(col(c)).cast("double"))
+              case TimestampNTZType =>
+                Left(unix_micros(col(c).cast(TimestampType)).cast("double"))
+              case StringType => Right(())
+              case other => throw new IllegalArgumentException(
+                s"clusterZOrder: '$c' must be numeric, date, timestamp " +
+                  s"or string, got ${other.catalogString}")
+            }
+          }
+        val numIdx = kinds.zipWithIndex.collect { case (Left(e), i) => (e, i) }
+        val rangeOf: Map[Int, (Double, Double)] =
+          if (numIdx.isEmpty) Map.empty
+          else {
+            val aggs = numIdx.flatMap { case (e, _) => Seq(min(e), max(e)) }
+            val row = all.agg(aggs.head, aggs.tail: _*).head()
+            numIdx.zipWithIndex.map { case ((_, i), j) =>
+              i -> (
+                (if (row.isNullAt(2 * j)) 0.0 else row.getDouble(2 * j)),
+                (if (row.isNullAt(2 * j + 1)) 0.0
+                 else row.getDouble(2 * j + 1)))
+            }.toMap
+          }
+        // one bounded sample pass per string dim; boundaries sort in
+        // UTF-8 byte order — the ordering BoundBucket's binary search
+        // applies, which is also how the stats sidecars compare strings
+        val strBounds: Map[Int, Array[Any]] = kinds.zipWithIndex.collect {
+          case (Right(_), i) =>
+            val c = cols(i)
+            val sample = all.select(col(c).cast("string"))
+              .where(col(c).isNotNull)
+              .rdd.map(_.getString(0))
+              .takeSample(withReplacement = false, 8192, seed = 42)
+            val ord = Ordering.fromLessThan[String](FeatherStats.utf8Lt)
+            val distinct = sample.distinct.sorted(ord)
+            val want = math.max(1, math.min(distinct.length, maxVal.toInt))
+            val bounds: Array[Any] =
+              if (distinct.isEmpty) Array[Any](
+                org.apache.spark.unsafe.types.UTF8String.fromString(""))
+              else (0 until want)
+                .map(k => distinct((k.toLong * distinct.length / want).toInt))
+                .distinct
+                .map(v => org.apache.spark.unsafe.types.UTF8String
+                  .fromString(v): Any)
+                .toArray
+            i -> bounds
+        }.toMap
         Some(cols.indices.map { i =>
-          (if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i),
-           if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1))
+          kinds(i) match {
+            case Left(e) =>
+              val (lo, hi) = rangeOf(i)
+              if (hi <= lo) lit(0L)
+              else least(lit(maxVal), greatest(lit(0L),
+                ((coalesce(e, lit(lo)) - lit(lo)) *
+                  lit(maxVal / (hi - lo))).cast("long")))
+            case Right(_) =>
+              import org.apache.spark.sql.graft.Bridge
+              val rank = Bridge.column(graft.expressions.BoundBucket(
+                strBounds(i), Bridge.expression(col(cols(i)))))
+              least(lit(maxVal), greatest(lit(0L),
+                coalesce((rank + 1).cast("long"), lit(0L))))
+          }
         })
       }
 
-    /** The interleaved Z-value over min-max-normalized dimensions;
-      * null → 0 in that dimension (nulls cluster first). */
-    def zExpr(ranges: Seq[(Double, Double)]): org.apache.spark.sql.Column = {
+    /** The interleaved Z-value over pre-normalized [0, 2^bits) dims. */
+    def zExpr(dims: Seq[org.apache.spark.sql.Column])
+        : org.apache.spark.sql.Column = {
       import org.apache.spark.sql.functions._
-      val maxVal = (1L << zorderBits) - 1
-      val dims = cols.zip(ranges).map { case (c, (lo, hi)) =>
-        if (hi <= lo) lit(0L)
-        else least(lit(maxVal), greatest(lit(0L),
-          ((coalesce(col(c).cast("double"), lit(lo)) - lit(lo)) *
-            lit(maxVal / (hi - lo))).cast("long")))
-      }
       (0 until zorderBits).flatMap { b =>
         dims.zipWithIndex.map { case (d, i) =>
           shiftleft(shiftright(d, b).bitwiseAND(lit(1L)),
@@ -161,9 +224,9 @@ object FeatherCluster {
         dvPathsFor(leafFiles))
       cols.foreach(c => require(df.columns.contains(c),
         s"cluster: column '$c' not in table schema (${df.columns.mkString(", ")})"))
-      val clustered = zRanges match {
-        case Some(ranges) =>
-          df.withColumn("__zkey", zExpr(ranges))
+      val clustered = zDims match {
+        case Some(dims) =>
+          df.withColumn("__zkey", zExpr(dims))
             .repartitionByRange(nParts, col("__zkey"))
             .sortWithinPartitions(col("__zkey"))
             .drop("__zkey")

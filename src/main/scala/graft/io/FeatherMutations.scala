@@ -303,8 +303,15 @@ object FeatherMutations {
         case (a, b) if integral(a) && integral(b) => Some(LongType)
         case (a, b) if fractional(a) && fractional(b) => Some(DoubleType)
         case (StringType, StringType) => Some(StringType)
+        // dates probe in the LongType family: the stats tier records
+        // them as epoch-day longs (FeatherStats.dateToDay), and the key
+        // scan maps through unix_date to the same axis
+        case (DateType, DateType) => Some(LongType)
         case _ => None
       }
+    val dateKey = tableSchema(k0).dataType == DateType
+    def keyAsFamily(dt: DataType): org.apache.spark.sql.Column =
+      if (dateKey) unix_date(col(k0)).cast(LongType) else col(k0).cast(dt)
 
     val rangedIdx = ranges.zipWithIndex.collect { case (r: Rng, i) => (r, i) }
     val candidateIdx: Set[Int] = family match {
@@ -355,7 +362,7 @@ object FeatherMutations {
             val los: Array[Any] = sorted.map(r => exprVal(r._1.lo)).toArray
             val his = sorted.map(_._1.hi)
             val fids = sorted.map(_._2)
-            val keyed = keysDf.select(col(k0).cast(dt).as("__k"))
+            val keyed = keysDf.select(keyAsFamily(dt).as("__k"))
               .where(col("__k").isNotNull).distinct()
               .select(col("__k"), Bridge.column(graft.expressions.BoundBucket(
                 los, Bridge.expression(col("__k")))).as("__b"))
@@ -419,7 +426,7 @@ object FeatherMutations {
               typed.foreach { case (Rng(lo, hi), fi) =>
                 rows.add(org.apache.spark.sql.Row(fi, lo, hi)) }
               val rangesDf = spark.createDataFrame(rows, schema)
-              val hit = keysDf.select(col(k0).cast(dt).as("__k"))
+              val hit = keysDf.select(keyAsFamily(dt).as("__k"))
                 .where(col("__k").isNotNull).distinct()
                 .join(broadcast(rangesDf),
                   col("__k") >= col("__lo") && col("__k") <= col("__hi"))
@@ -433,7 +440,7 @@ object FeatherMutations {
             } else {
               val segStarts: Array[Any] = breakpoints.map(exprVal).toArray
               val coverLit = typedlit(coverSegs.map(_.toSeq).toSeq)
-              val hit = keysDf.select(col(k0).cast(dt).as("__k"))
+              val hit = keysDf.select(keyAsFamily(dt).as("__k"))
                 .where(col("__k").isNotNull).distinct()
                 .select(col("__k"), Bridge.column(graft.expressions.BoundBucket(
                   segStarts, Bridge.expression(col("__k")))).as("__s"))
@@ -460,7 +467,7 @@ object FeatherMutations {
         // alone prune nothing). Loading is one existence check + read per
         // ranged file, the same O(files) driver bound the stats load paid.
         val blooms: Option[Array[Any]] =
-          if (dt != LongType && dt != StringType) None
+          if ((dt != LongType && dt != StringType) || dateKey) None
           else {
             val loaded = typed.flatMap { case (_, i) =>
               FeatherBloom.load(conf, absFiles(i)._1, absFiles(i)._2, k0)

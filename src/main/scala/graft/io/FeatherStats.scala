@@ -51,8 +51,17 @@ object FeatherStats {
     * would silently drift when a type is added). */
   private[io] def trackedType(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType |
-         FloatType | DoubleType | StringType => true
+         FloatType | DoubleType | StringType | DateType => true
     case _ => false
+  }
+
+  /** Dates track as EPOCH DAY longs — the natural total order, shared by
+    * the collector, the filter-value normalizer, and the mutation
+    * probe's date→long key mapping (a per-site convention would drift). */
+  private[io] def dateToDay(v: Any): Option[Long] = v match {
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
   }
 
   final class Collector(st: StructType) {
@@ -73,6 +82,7 @@ object FeatherStats {
           case FloatType => r.getFloat(i).toDouble
           case DoubleType => r.getDouble(i)
           case StringType => r.getString(i)
+          case DateType => dateToDay(r.get(i)).orNull
           case _ => null
         }
         if (v != null) {
@@ -345,6 +355,10 @@ object FeatherStats {
     case l: java.lang.Long => Some(l.longValue())
     case f: java.lang.Float => Some(f.doubleValue())
     case d: java.lang.Double => Some(d.doubleValue())
+    // date filter values compare against the epoch-day Longs the
+    // collector records
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
     case _ => None
   }
 

@@ -71,6 +71,7 @@ object IoQueries extends QueryPack {
     "io_feather_delete", "io_feather_merge", "io_feather_cdc",
     "io_avro_delete", "io_avro_merge", "io_feather_merge_partitioned",
     "io_feather_cluster", "io_avro_cluster", "io_zorder_cluster",
+    "io_zorder_mixed",
     "io_feather_evolution", "io_avro_evolution",
     "io_feather_bloom_skip", "io_bloom_string_takedown", "io_stats_backfill",
     "io_feather_cdf", "io_feather_restore",
@@ -1483,6 +1484,46 @@ object IoQueries extends QueryPack {
     }
     s.read.format("feather").load(path)
       .select("o_orderkey", "o_custkey", "total")
+      .orderBy("o_orderkey")
+  }
+
+  // OPTIMIZE ZORDER BY over MIXED dimension types (io/FeatherCluster
+  // .clusterZOrder): a (date, string) pair — dates interleave by day
+  // number, strings by rank against a sampled boundary table (the
+  // range-partitioner idea; lexicographic min-max would collapse shared
+  // prefixes to one bucket). The fixture starts hash-partitioned
+  // (nothing prunes), z-orders, then deletes a DATE band and requires
+  // the probe touched a strict subset — which also exercises the
+  // date-key probe (epoch-day family) and DateType stats tracking the
+  // same commit introduced. The ORACLE pins the post-delete relational
+  // answer; FeatherClusterSpec pins the string-dimension prune.
+  register("io_zorder_mixed",
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+      |  o_orderpriority, CAST(o_totalprice AS DOUBLE) AS total
+      |FROM orders WHERE o_orderkey <= 4000
+      |  AND NOT (o_orderdate BETWEEN DATE '1993-03-01' AND DATE '1993-04-30')
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val path = readFixture("zorder_mixed", d) { p =>
+      Tables.orders(s, d).filter(col("o_orderkey") <= 4000)
+        .select(col("o_orderkey"), col("o_orderdate").cast(DateType).as("odate"),
+          col("o_orderpriority"), col("o_totalprice").cast(DoubleType).as("total"))
+        .repartition(8, col("o_orderkey")) // hash: nothing prunes
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(p)
+      val rc = graft.io.FeatherCluster.clusterZOrder(s, p,
+        Seq("odate", "o_orderpriority"), bitsPerDim = 10,
+        targetBytes = 24 << 10)
+      val band = Tables.orders(s, d)
+        .filter(col("o_orderdate").between("1993-03-01", "1993-04-30"))
+        .select(col("o_orderdate").cast(DateType).as("odate")).distinct()
+      val r = graft.io.FeatherMutations.deleteByKey(s, p, band, Seq("odate"))
+      if (rc.filesAfter >= 8)
+        require(r.filesTouched < rc.filesAfter,
+          s"date-dimension band must prune after mixed z-order: " +
+            s"$r of ${rc.filesAfter}")
+    }
+    s.read.format("feather").load(path)
+      .select("o_orderkey", "odate", "o_orderpriority", "total")
       .orderBy("o_orderkey")
   }
 

@@ -163,4 +163,52 @@ class FeatherClusterSpec extends AnyFunSuite {
     assert(after.where(col("y") === 105L).count() === 0)
   }
 
+  test("clusterZOrder over MIXED (date, string) dimensions: bands on " +
+       "both dimensions prune after the rewrite") {
+    val path = tmp("zorder_mixed")
+    import spark.implicits._
+    // 300 days × 300 categories; category names share a long prefix so a
+    // lexicographic min-max would collapse them — the sampled-rank
+    // mapping must still spread them
+    spark.range(90000)
+      .select(col("id"),
+        date_add(lit(java.sql.Date.valueOf("2020-01-01")),
+          (col("id") % 300).cast("int")).as("day"),
+        concat(lit("category_prefix_"),
+          format_string("%03d", (col("id") / 300).cast("int"))).as("cat"))
+      .repartition(8, col("id"))
+      .write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(path)
+    // hash layout: a date band touches everything
+    val r0 = graft.io.FeatherMutations.deleteByKey(spark, path,
+      (0 until 5).map(i => java.sql.Date.valueOf(
+        java.time.LocalDate.of(2020, 1, 1).plusDays(290 + i).toString))
+        .toDF("day"), Seq("day"))
+    assert(r0.filesTouched === 8, s"hash layout touches all parts: $r0")
+    val rc = graft.io.FeatherCluster.clusterZOrder(spark, path,
+      Seq("day", "cat"), bitsPerDim = 10, targetBytes = 60 << 10)
+    assert(rc.filesAfter >= 8, s"want a real file population: $rc")
+    // DATE band (epoch-day probe family + DateType stats)
+    val rd = graft.io.FeatherMutations.deleteByKey(spark, path,
+      (0 until 5).map(i => java.sql.Date.valueOf(
+        java.time.LocalDate.of(2020, 1, 1).plusDays(100 + i).toString))
+        .toDF("day"), Seq("day"))
+    assert(rd.filesTouched < rc.filesAfter,
+      s"date band must touch a strict subset: $rd of ${rc.filesAfter}")
+    // STRING band (sampled-rank dimension; probe via string stats)
+    val rs = graft.io.FeatherMutations.deleteByKey(spark, path,
+      (200 until 206).map(i => f"category_prefix_$i%03d").toDF("cat"),
+      Seq("cat"))
+    assert(rs.filesTouched < rc.filesAfter,
+      s"string band must touch a strict subset: $rs of ${rc.filesAfter}")
+    // content integrity: 5 + 5 day-rows of 300, 6 cat-columns of 300
+    // minus the 10-day cells those deletes already removed
+    val after = spark.read.format("feather").load(path)
+    assert(after.count() ===
+      90000L - 5 * 300 - 5 * 300 - (6 * 300 - 6 * 10))
+    assert(after.where(col("cat") === "category_prefix_203").count() === 0)
+    assert(after.where(col("day") ===
+      java.sql.Date.valueOf("2020-04-12")).count() === 0) // day 102
+  }
+
 }
