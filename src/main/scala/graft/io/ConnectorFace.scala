@@ -13,7 +13,7 @@ import graft.sources.FeatherSnapshots
   * stamp differ between the feather and avro faces. Detected from the
   * manifest's part suffixes — a maintenance job never needs to be told
   * what the table is. */
-private[io] sealed trait ConnectorFace extends Serializable {
+private[graft] sealed trait ConnectorFace extends Serializable {
   def label: String
   /** The face's part suffix (".feather" / ".avro") — what
     * [[FeatherBloom.build]] keys its row reader on. */
@@ -60,7 +60,7 @@ private[io] sealed trait ConnectorFace extends Serializable {
   def readerJson(spark: SparkSession, files: Seq[(String, Long)]): String
 }
 
-private[io] object ConnectorFace {
+private[graft] object ConnectorFace {
 
   /** Null-fill `df` to `schema`'s fields and column order — the ONE
     * definition of the align-to-union-schema fold (the mutation tier's

@@ -99,6 +99,21 @@ object FeatherChanges {
     } else (readChanges(spark, path, lastProcessedVersion, head), head)
   }
 
+  /** The feed's schema at the table's CURRENT head — what the streaming
+    * CDF source fixes at stream start. */
+  def feedSchemaAtHead(spark: SparkSession, path: String)
+      : org.apache.spark.sql.types.StructType = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = FeatherSnapshots.latestVersion(fs, root).getOrElse(
+      sys.error(s"change feed on $path: no snapshot versions — the feed " +
+        "is derived from the manifest history (write with " +
+        "option(\"snapshots\", \"true\"))"))
+    val snap = FeatherSnapshots.read(fs, root, head)
+    val face = ConnectorFace.detect(snap.files, "changeFeed", path)
+    feedSchema(spark, root, face, snap.files)
+  }
+
   /** The feed's output schema for a file population: data columns
     * (merged), typed partition columns, then the two change columns. */
   private def feedSchema(spark: SparkSession, root: Path,

@@ -1,0 +1,111 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Source, Offset => V1Offset}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.io.FeatherChanges
+
+/** STREAMING change-data-feed over a snapshotted graft table (either
+  * face — feather or avro; [[FeatherChanges]] detects it from the
+  * manifest):
+  *
+  * {{{
+  *   spark.readStream.format("feather-cdf").load(path)
+  * }}}
+  *
+  * Each micro-batch is a [[FeatherChanges.readChanges]] version diff —
+  * inserts AND deletes, tagged `_change_type` + `_commit_version` — so
+  * mutation commits (delete, DV delete, merge, cdc, overwrite, restore)
+  * STREAM as their row-level changes instead of refusing like the plain
+  * snapshot stream does. Offsets are manifest versions; exactly-once
+  * across restarts comes from manifest immutability (a replayed batch
+  * re-derives the identical version diff — no file-set bookkeeping).
+  *
+  * This is a V1 `Source` rather than a DSv2 `MicroBatchStream` by
+  * necessity: a CDF batch is a DATAFRAME computation (per-version row
+  * diffs net out through a shuffle), not a fixed set of file-partition
+  * reads, and only the V1 contract lets a source return a DataFrame.
+  * The plan re-tags as streaming lazily — nothing executes at planning.
+  *
+  * Options:
+  *  - `startingVersion` (default 0): the first batch covers
+  *    `(startingVersion, head]`. 0 bootstraps the whole table as
+  *    version-1 inserts; `latest` starts from the CURRENT head (only
+  *    changes after stream start flow).
+  *
+  * Caveat (documented divergence): the feed's schema is fixed at stream
+  * start from the head snapshot; a mid-stream schema evolution fails
+  * the query loudly — restart to pick up the widened schema. */
+class FeatherCdfSourceProvider extends StreamSourceProvider
+    with DataSourceRegister {
+  override def shortName(): String = "feather-cdf"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", sys.error(
+      "feather-cdf requires a path: " +
+        "spark.readStream.format(\"feather-cdf\").load(path)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) =
+    (shortName(),
+      schema.getOrElse(FeatherChanges.feedSchemaAtHead(
+        sqlContext.sparkSession, pathOf(parameters))))
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val starting = parameters.get("startingversion")
+      .orElse(parameters.get("startingVersion")) match {
+      case Some("latest") =>
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        FeatherSnapshots.latestVersion(fs, root).getOrElse(0L)
+      case Some(v) => v.toLong
+      case None => 0L
+    }
+    new FeatherCdfSource(spark, path,
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      starting)
+  }
+}
+
+private class FeatherCdfSource(spark: SparkSession, path: String,
+                               fixedSchema: StructType,
+                               startingVersion: Long) extends Source {
+  private def rp = new org.apache.hadoop.fs.Path(path)
+  private def fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def schema: StructType = fixedSchema
+
+  override def getOffset: Option[V1Offset] =
+    FeatherSnapshots.latestVersion(fs, rp)
+      .filter(_ > startingVersion).map(LongOffset(_))
+
+  // offsets arrive as LongOffset pre-restart and SerializedOffset after a
+  // checkpoint reload; both render the version as their json
+  private def ver(o: V1Offset): Long = o.json.trim.toLong
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val s = start.map(ver).getOrElse(startingVersion)
+    val e = ver(end)
+    val batch =
+      if (e <= s)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), fixedSchema)
+      else graft.io.ConnectorFace.align(
+        FeatherChanges.readChanges(spark, path, s, e), fixedSchema)
+    org.apache.spark.sql.graft.Bridge.asStreaming(batch)
+  }
+
+  override def stop(): Unit = ()
+}

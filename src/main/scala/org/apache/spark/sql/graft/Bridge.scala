@@ -13,4 +13,19 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Re-tag a BATCH DataFrame's plan as a STREAMING micro-batch: a V1
+    * streaming `Source.getBatch` must hand MicroBatchExecution a plan
+    * with `isStreaming = true`, and the standard way (what the built-in
+    * file source does) is `internalCreateDataFrame(rdd, schema,
+    * isStreaming = true)` over the batch plan's lazily-planned
+    * InternalRow RDD — private[sql], hence this forwarder. Nothing
+    * executes here; the RDD materializes when the micro-batch runs. */
+  def asStreaming(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark =
+      df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

@@ -198,4 +198,106 @@ class FeatherChangesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ahead"))
   }
 
+  test("streaming CDF (format feather-cdf): append, DV delete, and merge " +
+       "mid-stream arrive as row-level changes; exactly-once across a " +
+       "restart") {
+    val path = tmp("cdf_stream")
+    import spark.implicits._
+    writeV(path, 1, 200, "overwrite") // v1
+    val ckpt = tmp("cdf_stream_ckpt")
+    val out = tmp("cdf_stream_out")
+    // a parquet sink (unlike memory) supports checkpoint recovery — the
+    // restart half of this test needs it
+    def start() =
+      spark.readStream.format("feather-cdf").load(path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    def feed() = spark.read.parquet(out)
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(feed().count() === 200, "bootstrap: the whole table as inserts")
+      assert(feed().where(col("_change_type") =!= "insert").count() === 0)
+      assert(feed().where(col("_commit_version") =!= 1L).count() === 0)
+      // append (v2), DV delete (v3), merge (v4) — ALL stream, where the
+      // plain snapshot stream would refuse the mutations
+      writeV(path, 201, 210, "append")
+      FeatherMutations.deleteByKeyDV(spark, path,
+        Seq(5L, 6L).toDF("id"), Seq("id"))
+      FeatherMutations.merge(spark, path,
+        Seq((10L, "MERGED")).toDF("id", "name"), Seq("id"))
+      q.processAllAvailable()
+      val t1 = feed()
+      assert(t1.where(col("_commit_version") === 2L)
+        .agg(count(lit(1)), min(col("id"))).head().toSeq === Seq(10L, 201L))
+      assert(t1.where(col("_commit_version") === 3L)
+        .select("id", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ===
+        Seq((5L, "delete"), (6L, "delete")))
+      val mergeStep = t1.where(col("_commit_version") === 4L)
+        .select("id", "name", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+      assert(mergeStep === Seq((10L, "MERGED", "insert"),
+        (10L, "n_10", "delete")),
+        s"a merge is its old-image delete + new insert, got $mergeStep")
+    } finally q.stop()
+    // restart from the SAME checkpoint: committed versions never
+    // re-deliver (exactly-once by manifest immutability) — the sink
+    // gains exactly the post-checkpoint delta, no duplicates
+    FeatherMutations.deleteByKey(spark, path, Seq(7L).toDF("id"), Seq("id"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val t2 = feed()
+      assert(t2.count() === 200 + 10 + 2 + 2 + 1,
+        "no batch re-delivered across the restart")
+      assert(t2.where(col("_commit_version") === 5L)
+        .select("id", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((7L, "delete")),
+        "the restarted stream delivers exactly the post-checkpoint delta")
+    } finally q2.stop()
+  }
+
+  test("streaming CDF: startingVersion=latest skips the bootstrap") {
+    val path = tmp("cdf_latest")
+    import spark.implicits._
+    writeV(path, 1, 100, "overwrite") // v1
+    val q = spark.readStream.format("feather-cdf")
+      .option("startingVersion", "latest").load(path)
+      .writeStream.format("memory").queryName("cdf_latest_t")
+      .option("checkpointLocation", tmp("cdf_latest_ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdf_latest_t").count() === 0,
+        "no bootstrap under startingVersion=latest")
+      writeV(path, 101, 103, "append") // v2
+      q.processAllAvailable()
+      assert(spark.table("cdf_latest_t").select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq === Seq(101L, 102L, 103L))
+    } finally q.stop()
+  }
+
+  test("streaming CDF serves the avro face through the same format name") {
+    val path = tmp("cdf_avro_stream")
+    import spark.implicits._
+    writeV(path, 1, 50, "overwrite", fmt = "graft-avro") // v1
+    FeatherMutations.deleteByKeyDV(spark, path,
+      Seq(9L).toDF("id"), Seq("id")) // v2
+    val q = spark.readStream.format("feather-cdf").load(path)
+      .writeStream.format("memory").queryName("cdf_avro_t")
+      .option("checkpointLocation", tmp("cdf_avro_ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      val t = spark.table("cdf_avro_t")
+      assert(t.count() === 51) // 50 inserts + 1 delete
+      assert(t.where(col("_change_type") === "delete")
+        .select("id").head().getLong(0) === 9L)
+    } finally q.stop()
+  }
+
 }
