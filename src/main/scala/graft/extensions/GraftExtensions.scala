@@ -69,6 +69,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => new JaccardThresholdPruning)
 
+    // the table-maintenance tier's SQL face (CALL-style table functions:
+    // OPTIMIZE / ZORDER / VACUUM / RESTORE / expire / history / CDF)
+    GraftTableFunctions.register(ext)
+
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - fused cosine similarity of two double arrays"),
       (args: Seq[Expression]) => {

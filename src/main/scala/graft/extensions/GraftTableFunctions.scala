@@ -1,0 +1,240 @@
+package graft.extensions
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types._
+
+import graft.sources.FeatherSnapshots
+
+/** The SQL face of the TABLE-MAINTENANCE tier — CALL-style table-valued
+  * functions, registered via `injectTableFunction` so plain `spark.sql`
+  * drives everything the Scala API does (the expression tier already has
+  * this dual registration; the table tier was Scala-only):
+  *
+  * {{{
+  *   SELECT * FROM graft_table_changes('/t', 3, 7)      -- CDF read (lazy)
+  *   SELECT * FROM graft_history('/t')                  -- version history
+  *   SELECT * FROM graft_vacuum_dry_run('/t')           -- reclaim preview
+  *   SELECT * FROM graft_optimize('/t')                 -- compaction
+  *   SELECT * FROM graft_cluster('/t', 'id')            -- OPTIMIZE ... BY
+  *   SELECT * FROM graft_zorder('/t', 'day,cat')        -- ZORDER BY
+  *   SELECT * FROM graft_restore('/t', 4)               -- RESTORE
+  *   SELECT * FROM graft_expire('/t', 3)                -- retire history
+  *   SELECT * FROM graft_expire_older_than('/t', 86400000)
+  *   SELECT * FROM graft_vacuum('/t', 0)                -- orphan reclaim
+  * }}}
+  *
+  * `graft_table_changes` returns the CDF DataFrame's own plan — it
+  * executes lazily with the enclosing query, composes with
+  * joins/filters, and its schema is the table's columns plus
+  * `_change_type`/`_commit_version`. The MAINTENANCE functions run their
+  * action WHEN THE STATEMENT IS ANALYZED (the CALL contract: the
+  * one-row result the SELECT returns reports what happened) — an
+  * EXPLAIN over one still runs it, exactly like Delta's RESTORE/OPTIMIZE
+  * commands run at execution of the statement that names them.
+  *
+  * Arguments must be literals (a path computed per-row has no meaning
+  * for a table function); violations fail analysis loudly. */
+private[extensions] object GraftTableFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "",
+      "built-in")
+
+  private def fail(name: String, what: String, e: Expression): Nothing =
+    throw new IllegalArgumentException(
+      s"$name: $what must be a literal, got $e")
+
+  private def str(name: String, what: String, e: Expression): String =
+    if (!e.foldable) fail(name, what, e)
+    else e.eval() match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case _ => fail(name, what, e)
+    }
+
+  private def long(name: String, what: String, e: Expression): Long =
+    if (!e.foldable) fail(name, what, e)
+    else e.eval() match {
+      case n: java.lang.Number => n.longValue()
+      case _ => fail(name, what, e)
+    }
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    df.queryExecution.logical
+
+  private def rowPlan(schema: StructType, values: Any*): LogicalPlan = {
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row.fromSeq(values))
+    plan(spark.createDataFrame(rows, schema))
+  }
+
+  private def fsRoot(path: String) = {
+    val root = new Path(path)
+    (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+  }
+
+  /** Face-dispatched compaction: feather and avro tables both answer
+    * `graft_optimize`. */
+  private def compactAny(path: String, targetBytes: Long) = {
+    val (fs, root) = fsRoot(path)
+    val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
+      sys.error(s"graft_optimize on $path: no snapshot versions"))
+    if (snap.files.forall(_._1.endsWith(".avro")))
+      graft.io.AvroCompact.compact(spark, path, targetBytes)
+    else graft.io.FeatherCompact.compact(spark, path, targetBytes)
+  }
+
+  private def cols(csv: String): Seq[String] =
+    csv.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
+  def register(ext: SparkSessionExtensions): Unit = {
+    def tvf(name: String, usage: String)
+           (builder: Seq[Expression] => LogicalPlan): Unit =
+      ext.injectTableFunction((FunctionIdentifier(name), info(name, usage),
+        builder))
+
+    tvf("graft_table_changes",
+      "graft_table_changes(path, fromVersion, toVersion) - row-level " +
+        "changes versions (from, to] introduced, lazily planned") { args =>
+      require(args.size == 3,
+        "graft_table_changes(path, fromVersion, toVersion)")
+      val n = "graft_table_changes"
+      plan(graft.io.FeatherChanges.readChanges(spark, str(n, "path", args(0)),
+        long(n, "fromVersion", args(1)), long(n, "toVersion", args(2))))
+    }
+
+    tvf("graft_history",
+      "graft_history(path) - the retained version history") { args =>
+      require(args.size == 1, "graft_history(path)")
+      val (fs, root) = fsRoot(str("graft_history", "path", args.head))
+      val rows = new java.util.ArrayList[Row]()
+      FeatherSnapshots.history(fs, root).foreach { case (v, p, op, ts, n, b) =>
+        rows.add(Row(v, p, op, ts, n.toLong, b))
+      }
+      plan(spark.createDataFrame(rows, StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("parent", LongType, nullable = false),
+        StructField("op", StringType, nullable = false),
+        StructField("ts", LongType, nullable = false),
+        StructField("files", LongType, nullable = false),
+        StructField("bytes", LongType, nullable = false)))))
+    }
+
+    tvf("graft_vacuum_dry_run",
+      "graft_vacuum_dry_run(path[, graceMillis]) - paths a vacuum pass " +
+        "WOULD reclaim") { args =>
+      require(args.nonEmpty && args.size <= 2,
+        "graft_vacuum_dry_run(path[, graceMillis])")
+      val n = "graft_vacuum_dry_run"
+      val (fs, root) = fsRoot(str(n, "path", args.head))
+      val grace = if (args.size > 1) long(n, "graceMillis", args(1))
+                  else 7L * 24 * 3600 * 1000
+      val rows = new java.util.ArrayList[Row]()
+      FeatherSnapshots.vacuumOrphansDryRun(fs, root, grace)
+        .foreach(p => rows.add(Row(p)))
+      plan(spark.createDataFrame(rows, StructType(Seq(
+        StructField("path", StringType, nullable = false)))))
+    }
+
+    tvf("graft_optimize",
+      "graft_optimize(path[, targetBytes]) - compact small files " +
+        "(and fold deletion vectors) into target-sized parts") { args =>
+      require(args.nonEmpty && args.size <= 2,
+        "graft_optimize(path[, targetBytes])")
+      val n = "graft_optimize"
+      val r = compactAny(str(n, "path", args.head),
+        if (args.size > 1) long(n, "targetBytes", args(1)) else 128L << 20)
+      rowPlan(StructType(Seq(
+        StructField("groups_rewritten", LongType, nullable = false),
+        StructField("files_before", LongType, nullable = false),
+        StructField("files_after", LongType, nullable = false))),
+        r.groupsRewritten.toLong, r.filesBefore.toLong, r.filesAfter.toLong)
+    }
+
+    def clusterResult(r: graft.io.FeatherCluster.Result): LogicalPlan =
+      rowPlan(StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("files_before", LongType, nullable = false),
+        StructField("files_after", LongType, nullable = false))),
+        r.version, r.filesBefore.toLong, r.filesAfter.toLong)
+
+    tvf("graft_cluster",
+      "graft_cluster(path, colsCsv[, targetBytes]) - rewrite the table " +
+        "range-clustered on the columns (OPTIMIZE ... BY)") { args =>
+      require(args.size >= 2 && args.size <= 3,
+        "graft_cluster(path, colsCsv[, targetBytes])")
+      val n = "graft_cluster"
+      clusterResult(graft.io.FeatherCluster.cluster(spark,
+        str(n, "path", args(0)), cols(str(n, "cols", args(1))),
+        if (args.size > 2) long(n, "targetBytes", args(2)) else 128L << 20))
+    }
+
+    tvf("graft_zorder",
+      "graft_zorder(path, colsCsv[, bitsPerDim]) - OPTIMIZE ZORDER BY " +
+        "over numeric/date/timestamp/string dimensions") { args =>
+      require(args.size >= 2 && args.size <= 3,
+        "graft_zorder(path, colsCsv[, bitsPerDim])")
+      val n = "graft_zorder"
+      clusterResult(graft.io.FeatherCluster.clusterZOrder(spark,
+        str(n, "path", args(0)), cols(str(n, "cols", args(1))),
+        if (args.size > 2) long(n, "bitsPerDim", args(2)).toInt else 12))
+    }
+
+    tvf("graft_restore",
+      "graft_restore(path, version) - roll the head back to a retained " +
+        "version's content as a new commit") { args =>
+      require(args.size == 2, "graft_restore(path, version)")
+      val n = "graft_restore"
+      val (fs, root) = fsRoot(str(n, "path", args(0)))
+      val v = FeatherSnapshots.restore(fs, root, long(n, "version", args(1)))
+      rowPlan(StructType(Seq(
+        StructField("new_version", LongType, nullable = false))), v)
+    }
+
+    def expireResult(r: (Int, Int)): LogicalPlan =
+      rowPlan(StructType(Seq(
+        StructField("snapshots_removed", LongType, nullable = false),
+        StructField("files_removed", LongType, nullable = false))),
+        r._1.toLong, r._2.toLong)
+
+    tvf("graft_expire",
+      "graft_expire(path, keepLast) - retire all but the last N " +
+        "versions and delete files only they referenced") { args =>
+      require(args.size == 2, "graft_expire(path, keepLast)")
+      val n = "graft_expire"
+      val (fs, root) = fsRoot(str(n, "path", args(0)))
+      expireResult(FeatherSnapshots.expire(fs, root,
+        long(n, "keepLast", args(1)).toInt))
+    }
+
+    tvf("graft_expire_older_than",
+      "graft_expire_older_than(path, retentionMillis) - retire " +
+        "versions older than the retention window") { args =>
+      require(args.size == 2, "graft_expire_older_than(path, retentionMillis)")
+      val n = "graft_expire_older_than"
+      val (fs, root) = fsRoot(str(n, "path", args(0)))
+      expireResult(FeatherSnapshots.expireOlderThan(fs, root,
+        long(n, "retentionMillis", args(1))))
+    }
+
+    tvf("graft_vacuum",
+      "graft_vacuum(path[, graceMillis]) - delete orphan files no " +
+        "retained version references") { args =>
+      require(args.nonEmpty && args.size <= 2,
+        "graft_vacuum(path[, graceMillis])")
+      val n = "graft_vacuum"
+      val (fs, root) = fsRoot(str(n, "path", args.head))
+      val removed = FeatherSnapshots.vacuumOrphans(fs, root,
+        if (args.size > 1) long(n, "graceMillis", args(1))
+        else 7L * 24 * 3600 * 1000)
+      rowPlan(StructType(Seq(
+        StructField("files_removed", LongType, nullable = false))),
+        removed.toLong)
+    }
+  }
+}

@@ -75,7 +75,7 @@ object IoQueries extends QueryPack {
     "io_feather_evolution", "io_avro_evolution",
     "io_feather_bloom_skip", "io_bloom_string_takedown", "io_stats_backfill",
     "io_feather_cdf", "io_feather_restore",
-    "io_feather_delete_dv", "io_avro_delete_dv",
+    "io_feather_delete_dv", "io_avro_delete_dv", "io_sql_table_changes",
     "io_avro_time_travel", "dedup_lsh_incremental")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
@@ -936,6 +936,36 @@ object IoQueries extends QueryPack {
         sum(col("l_quantity").cast(DecimalType(12, 2)))
           .cast(DoubleType).as("sum_qty"))
       .orderBy("l_returnflag")
+  }
+
+  // The SQL face of the CDF read (extensions/GraftTableFunctions):
+  // `SELECT ... FROM graft_table_changes(path, from, to)` — a CALL-style
+  // table function returning the change feed's own lazy plan, so it
+  // composes with filters/joins in plain spark.sql. The fixture DV-deletes
+  // a key band; the ORACLE reconstructs the exact change rows
+  // relationally (the band rows, tagged delete at version 2).
+  register("io_sql_table_changes",
+    """SELECT o_orderkey, o_orderpriority,
+      |  'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+      |FROM orders WHERE o_orderkey <= 4000
+      |  AND o_orderkey BETWEEN 1001 AND 1500
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val path = readFixture("sql_table_changes", d) { p =>
+      Tables.orders(s, d).filter(col("o_orderkey") <= 4000)
+        .select("o_orderkey", "o_orderpriority")
+        .repartitionByRange(8, col("o_orderkey"))
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(p)
+      val takedown = Tables.orders(s, d)
+        .filter(col("o_orderkey").between(1001, 1500))
+        .select("o_orderkey")
+      graft.io.FeatherMutations.deleteByKeyDV(s, p, takedown,
+        Seq("o_orderkey")): Unit
+    }
+    s.sql(s"""SELECT o_orderkey, o_orderpriority, _change_type,
+             |  _commit_version
+             |FROM graft_table_changes('$path', 1, 2)
+             |ORDER BY o_orderkey""".stripMargin)
   }
 
   // MERGE-ON-READ delete via deletion vectors
