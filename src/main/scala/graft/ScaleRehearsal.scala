@@ -479,7 +479,76 @@ object ScaleRehearsal {
       overlapTier(spark, s"$out/overlap")
     if (mode == "all" || mode == "planning")
       planningTier(spark, s"$out/planning")
+    if (mode == "all" || mode == "dv")
+      dvTier(spark, s"$out/dv")
     spark.stop()
+  }
+
+  /** Deletion-vector tier (r12, io/DeletionVectors.scala): the
+    * structural claim behind merge-on-read deletes — a scattered
+    * takedown's WRITTEN BYTES scale with the DELETED ROWS under the DV
+    * path but with the TOUCHED FILE BYTES under copy-on-write. Two
+    * table scales (4×), same 1000 scattered keys hitting every part:
+    * COW bytes must grow ~4× (it rewrites every touched part), DV bytes
+    * must stay flat (1000 positions is 1000 positions). Real feather
+    * tables, real deletes, wall clocks reported for honesty. */
+  def dvTier(spark: SparkSession, out: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val results = Seq(8, 32).map { parts =>
+      val n = parts * 40000L
+      def build(path: String): Unit = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(conf)
+        fs.delete(p, true)
+        spark.range(n)
+          .select(col("id"),
+            concat(lit("payload_"), col("id") % 1000,
+              lit("_padpadpadpadpadpadpadpadpadpadpad")).as("pay"))
+          .repartitionByRange(parts, col("id"))
+          .write.format("feather").mode("overwrite")
+          .option("snapshots", "true").save(path)
+      }
+      // 1000 scattered keys, strided across the whole domain: every
+      // part is a candidate (the worst case for COW, the exact case DV
+      // exists for)
+      val keys = spark.range(1000)
+        .select((col("id") * (n / 1000) + 7).as("id"))
+      def dataBytes(path: String, v: Long): Long = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(conf)
+        graft.sources.FeatherSnapshots.read(fs, p, v).files.map(_._2).sum
+      }
+      val cowPath = s"$out/cow_$parts"
+      build(cowPath)
+      val before = dataBytes(cowPath, 1L)
+      val t0 = System.nanoTime()
+      val rc = graft.io.FeatherMutations.deleteByKey(spark, cowPath,
+        keys, Seq("id"))
+      val cowSec = (System.nanoTime() - t0) / 1e9
+      // COW write cost = the new parts' bytes (v2 files minus carried v1)
+      val p1 = new org.apache.hadoop.fs.Path(cowPath)
+      val fs1 = p1.getFileSystem(conf)
+      val v1 = graft.sources.FeatherSnapshots.read(fs1, p1, 1L).files.toSet
+      val cowBytes = graft.sources.FeatherSnapshots.read(fs1, p1, 2L)
+        .files.filterNot(v1).map(_._2).sum
+      val dvPath = s"$out/dv_$parts"
+      build(dvPath)
+      val t1 = System.nanoTime()
+      val rd = graft.io.FeatherMutations.deleteByKeyDV(spark, dvPath,
+        keys, Seq("id"))
+      val dvSec = (System.nanoTime() - t1) / 1e9
+      val p2 = new org.apache.hadoop.fs.Path(dvPath)
+      val fs2 = p2.getFileSystem(conf)
+      val dvBytes = graft.sources.FeatherSnapshots.read(fs2, p2, 2L)
+        .dvs.values.map { case (dvRel, _) =>
+          fs2.getFileStatus(new org.apache.hadoop.fs.Path(p2, dvRel)).getLen
+        }.sum
+      require(rc.filesTouched == parts && rd.filesTouched == parts,
+        s"scattered keys must touch every part: cow=$rc dv=$rd")
+      println(f"""{"dv_parts":$parts,"table_bytes":$before,"cow_bytes_written":$cowBytes,"dv_bytes_written":$dvBytes,"cow_sec":$cowSec%.2f,"dv_sec":$dvSec%.2f}""")
+      (cowBytes, dvBytes)
+    }
+    println(f"""{"dv_tier":"merge_on_read","table_ratio":4,"cow_bytes_ratio":${results(1)._1.toDouble / results(0)._1}%.2f,"dv_bytes_ratio":${results(1)._2.toDouble / results(0)._2}%.2f}""")
   }
 
   /** Overlapping-generations probe tier (r11,
@@ -543,7 +612,7 @@ object ScaleRehearsal {
     * checkpoint chain. */
   def manifestTier(spark: SparkSession, out: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val results = Seq(1000, 10000).map { parts =>
+    val results = Seq(1000, 10000, 100000).map { parts =>
       val dir = new org.apache.hadoop.fs.Path(s"$out/man_$parts")
       val fs = dir.getFileSystem(conf)
       fs.delete(dir, true)
@@ -553,7 +622,10 @@ object ScaleRehearsal {
       var appendBytes = List.empty[Long]
       var ckptBytes = List.empty[Long]
       val t0 = System.nanoTime()
-      for (k <- 0 until 12) {
+      // 20 commits: the size rule never fires for tiny deltas against a
+      // big table, so exactly ONE chain-cap checkpoint (MaxDeltaChain=16)
+      // lands inside the window — its bytes amortize over the commits
+      for (k <- 0 until 20) {
         val add = (0 until 10).map(i => (f"epoch-$k%03d-$i%02d.feather", 500L))
         val v = graft.sources.FeatherSnapshots.commit(fs, dir, "append")(
           parent => parent ++ add)
@@ -574,12 +646,17 @@ object ScaleRehearsal {
       val t1 = System.nanoTime()
       val head = graft.sources.FeatherSnapshots.readAll(fs, dir).last
       val readSec = (System.nanoTime() - t1) / 1e9
-      require(head.files.size == parts + 120, s"head files: ${head.files.size}")
+      require(head.files.size == parts + 200, s"head files: ${head.files.size}")
       val medAppend = appendBytes.sorted.apply(appendBytes.size / 2)
-      println(f"""{"manifest_parts":$parts,"append_manifest_bytes_median":$medAppend,"checkpoint_bytes":${ckptBytes.headOption.getOrElse(0L)},"commits_sec":$commitSec%.2f,"read_all_sec":$readSec%.2f}""")
-      medAppend
+      // checkpoint amortization: the size-aware cadence writes the full
+      // list only at the chain cap, so per-commit log cost is
+      // median-delta + ckptBytes/period — compare against the pre-r12
+      // fixed every-8th cadence's parts-list-every-8 cost
+      val amortized = medAppend + ckptBytes.sum / 20
+      println(f"""{"manifest_parts":$parts,"append_manifest_bytes_median":$medAppend,"checkpoints_in_20":${ckptBytes.size},"checkpoint_bytes":${ckptBytes.headOption.getOrElse(0L)},"amortized_bytes_per_commit":$amortized,"commits_sec":$commitSec%.2f,"read_all_sec":$readSec%.2f}""")
+      (medAppend, amortized)
     }
-    println(f"""{"manifest_tier":"delta_log","table_ratio":10,"append_bytes_ratio":${results(1).toDouble / results(0)}%.2f}""")
+    println(f"""{"manifest_tier":"delta_log","table_ratio":100,"append_bytes_ratio":${results(2)._1.toDouble / results(0)._1}%.2f,"amortized_ratio":${results(2)._2.toDouble / results(0)._2}%.2f}""")
   }
 
   /** Connector planning tier (r11): FeatherSource's driver-side planning
