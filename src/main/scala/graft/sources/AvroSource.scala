@@ -22,8 +22,44 @@ import graft.io.{GraftAvro, GraftHadoop}
   * every field's bytes — same contract as the reference's `columns=`);
   * file-length statistics feed the broadcast threshold. Writes stay on
   * [[GraftAvro.write]] (temp+rename commit, ErrorIfExists). */
-class AvroDataSource extends TableProvider with DataSourceRegister {
+class AvroDataSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
   override def shortName(): String = "graft-avro"
+
+  // `option("readChangeFeed", "true")` on readStream — same mechanism as
+  // the feather face: the table withholds MICRO_BATCH_READ and the
+  // stream falls back to the shared V1 CDF source (face-agnostic)
+  private val cdf = new FeatherCdfSourceProvider
+  private def wantsCdf(m: Map[String, String]): Boolean =
+    m.exists { case (k, v) => k.equalsIgnoreCase("readchangefeed") &&
+      v.toBoolean }
+  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) =
+    // invoked EAGERLY for every readStream (Spark builds the V1 relation
+    // before checking the table's capabilities) — so a plain stream gets
+    // the table schema here and never reaches createSource; only a
+    // readChangeFeed stream actually falls back to V1
+    if (wantsCdf(parameters))
+      cdf.sourceSchema(sqlContext, schema, providerName, parameters)
+    else
+      (shortName(), schema.getOrElse(inferSchema(
+        new CaseInsensitiveStringMap(
+          scala.jdk.CollectionConverters.MapHasAsJava(parameters).asJava))))
+  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    require(wantsCdf(parameters),
+      "V1 source requested without readChangeFeed=true — plain streams " +
+        "ride the DSv2 micro-batch path (this is a bug, not a user error)")
+    cdf.createSource(sqlContext, metadataPath, schema, providerName,
+      parameters)
+  }
 
   private def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -66,7 +102,8 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     new AvroTable(schema, pathOf(opts),
       Option(opts.get("mergeschema")).exists(_.toBoolean),
-      pinnedVersion(opts, pathOf(opts)))
+      pinnedVersion(opts, pathOf(opts)),
+      Option(opts.get("readchangefeed")).exists(_.toBoolean))
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -83,15 +120,23 @@ private object AvroDiscovery {
 
 private class AvroTable(tableSchema: StructType, path: String,
                         mergeSchema: Boolean = false,
-                        versionAsOf: Option[Long] = None)
+                        versionAsOf: Option[Long] = None,
+                        readChangeFeed: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-avro `$path`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
+    // under readChangeFeed the table withholds MICRO_BATCH_READ so the
+    // stream falls back to the provider's V1 CDF source
+    if (readChangeFeed)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.STREAMING_WRITE)
+    else
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(tableSchema, path,
       Option(options.get("maxsplitbytes")).map(_.toLong)

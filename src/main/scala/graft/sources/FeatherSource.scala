@@ -31,8 +31,46 @@ import graft.io.{GraftFeather, GraftHadoop}
   * Read-only by design: writes go through [[GraftFeather.write]], which
   * owns the commit discipline (temp+rename, `_SUCCESS`, ErrorIfExists).
   */
-class FeatherDataSource extends TableProvider with DataSourceRegister {
+class FeatherDataSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
   override def shortName(): String = "feather"
+
+  // `option("readChangeFeed", "true")` on readStream: the table then
+  // withholds MICRO_BATCH_READ, so Spark falls back to THIS provider's
+  // V1 streaming source — the change feed (delegated to the shared
+  // feather-cdf implementation; the DSv2 partition-reader contract
+  // cannot express a CDF batch, which is a DataFrame computation)
+  private val cdf = new FeatherCdfSourceProvider
+  private def wantsCdf(m: Map[String, String]): Boolean =
+    m.exists { case (k, v) => k.equalsIgnoreCase("readchangefeed") &&
+      v.toBoolean }
+  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) =
+    // invoked EAGERLY for every readStream (Spark builds the V1 relation
+    // before checking the table's capabilities) — so a plain stream gets
+    // the table schema here and never reaches createSource; only a
+    // readChangeFeed stream actually falls back to V1
+    if (wantsCdf(parameters))
+      cdf.sourceSchema(sqlContext, schema, providerName, parameters)
+    else
+      (shortName(), schema.getOrElse(inferSchema(
+        new CaseInsensitiveStringMap(
+          scala.jdk.CollectionConverters.MapHasAsJava(parameters).asJava))))
+  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    require(wantsCdf(parameters),
+      "V1 source requested without readChangeFeed=true — plain streams " +
+        "ride the DSv2 micro-batch path (this is a bug, not a user error)")
+    cdf.createSource(sqlContext, metadataPath, schema, providerName,
+      parameters)
+  }
 
   private def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -73,7 +111,8 @@ class FeatherDataSource extends TableProvider with DataSourceRegister {
       Option(opts.get("maxsplitbytes")).map(_.toLong)
         .getOrElse(128L << 20),
       pinnedVersion(opts, pathOf(opts)),
-      Option(opts.get("mergeschema")).exists(_.toBoolean))
+      Option(opts.get("mergeschema")).exists(_.toBoolean),
+      Option(opts.get("readchangefeed")).exists(_.toBoolean))
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -154,15 +193,24 @@ private object FeatherDiscovery {
 private class FeatherTable(tableSchema: StructType, path: String,
                            maxSplitBytes: Long,
                            versionAsOf: Option[Long],
-                           mergeSchema: Boolean = false)
+                           mergeSchema: Boolean = false,
+                           readChangeFeed: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"feather `$path`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
+    // under readChangeFeed the table withholds MICRO_BATCH_READ so the
+    // stream falls back to the provider's V1 CDF source (see
+    // FeatherDataSource.createSource)
+    if (readChangeFeed)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.STREAMING_WRITE)
+    else
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FeatherScanBuilder(tableSchema, path,
       // read options win over table properties (this is where

@@ -281,6 +281,55 @@ class FeatherChangesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("option(\"readChangeFeed\", \"true\") turns the MAIN formats' " +
+       "readStream into the change feed") {
+    val path = tmp("cdf_option")
+    import spark.implicits._
+    writeV(path, 1, 80, "overwrite") // v1
+    FeatherMutations.deleteByKeyDV(spark, path,
+      Seq(3L).toDF("id"), Seq("id")) // v2
+    // format("feather") + the option: the DSv2 table withholds its
+    // micro-batch capability and the V1 CDF source takes over — the
+    // Delta readChangeFeed surface, verbatim
+    val q = spark.readStream.format("feather")
+      .option("readChangeFeed", "true").load(path)
+      .writeStream.format("memory").queryName("cdf_opt_t")
+      .option("checkpointLocation", tmp("cdf_opt_ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      val t = spark.table("cdf_opt_t")
+      assert(t.columns.contains("_change_type"))
+      assert(t.count() === 81) // 80 bootstrap inserts + 1 delete
+      assert(t.where(col("_change_type") === "delete")
+        .select("id").head().getLong(0) === 3L)
+    } finally q.stop()
+    // avro face, same option
+    val apath = tmp("cdf_option_avro")
+    writeV(apath, 1, 40, "overwrite", fmt = "graft-avro")
+    val q2 = spark.readStream.format("graft-avro")
+      .option("readChangeFeed", "true").load(apath)
+      .writeStream.format("memory").queryName("cdf_opt_avro_t")
+      .option("checkpointLocation", tmp("cdf_opt_avro_ckpt"))
+      .start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("cdf_opt_avro_t").count() === 40)
+    } finally q2.stop()
+    // and WITHOUT the option the plain snapshot stream still runs
+    // (delivers rows, not change records)
+    val q3 = spark.readStream.format("feather").load(path)
+      .writeStream.format("memory").queryName("cdf_opt_plain_t")
+      .option("checkpointLocation", tmp("cdf_opt_plain_ckpt"))
+      .start()
+    try {
+      q3.processAllAvailable()
+      val t3 = spark.table("cdf_opt_plain_t")
+      assert(!t3.columns.contains("_change_type"))
+      assert(t3.count() === 79) // initial load applies the DV binding
+    } finally q3.stop()
+  }
+
   test("streaming CDF serves the avro face through the same format name") {
     val path = tmp("cdf_avro_stream")
     import spark.implicits._
