@@ -179,26 +179,67 @@ object FeatherMutations {
       }
 
     // ---- write the sidecars, bind them in ONE commit -----------------------
-    val newBindings: Map[String, (String, Long)] = newByFile.map {
+    // a DV that would cover EVERY row of its file drops the file from the
+    // manifest instead (stats-proven row counts only — no sidecar, no
+    // shortcut): readers then skip the file entirely rather than decode
+    // batches to discard every row. The file itself stays on disk for
+    // time travel until expire(), exactly like a COW delete's retired
+    // inputs.
+    val statsForCounts = FeatherStats.loadForFiles(conf,
+      newByFile.keys.toSeq.sorted.map(absFiles))
+    def fileRowCount(fid: Int): Option[Long] =
+      statsForCounts.getOrElse(absFiles(fid)._1, None).flatMap { batches =>
+        val counts = batches.map(_.get(FeatherStats.RowCountKey) match {
+          case Some(FeatherStats.ColStat.Count(n)) => Some(n)
+          case _ => None
+        })
+        if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+      }
+    val perFile: Map[Int, (String, Array[Long])] = newByFile.map {
       case (fid, fresh) =>
         val rel = snap.files(fid)._1
+        val existing = snap.dvs.get(rel).map { case (dvRel, _) =>
+          DeletionVectors.read(conf, new Path(root, dvRel).toString) }
+        fid -> (rel, existing.map(DeletionVectors.union(_, fresh))
+          .getOrElse(fresh.distinct.sorted))
+    }
+    val (dropped, bound) = perFile.partition { case (fid, (_, all)) =>
+      fileRowCount(fid).contains(all.length.toLong)
+    }
+    val newBindings: Map[String, (String, Long)] = bound.map {
+      case (_, (rel, all)) =>
         val i = rel.lastIndexOf('/')
         val (relDir, name) =
           if (i < 0) ("", rel) else (rel.substring(0, i), rel.substring(i + 1))
         val leafDir = if (relDir.isEmpty) root else new Path(root, relDir)
-        val existing = snap.dvs.get(rel).map { case (dvRel, _) =>
-          DeletionVectors.read(conf, new Path(root, dvRel).toString) }
-        val all = existing.map(DeletionVectors.union(_, fresh))
-          .getOrElse(fresh.distinct.sorted)
         val dvFile = DeletionVectors.dvName(targetV, name)
         DeletionVectors.write(fs, leafDir, dvFile, all)
         rel -> ((if (relDir.isEmpty) dvFile else s"$relDir/$dvFile"),
           all.length.toLong)
     }
+    val droppedRel: Set[String] = dropped.values.map(_._1).toSet
+
+    // an all-rows delete must still leave a readable table: when every
+    // file drops, stamp one schema-only part per leaf (hive layouts keep
+    // their key=value paths), same as the COW path
+    val added = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    if (droppedRel.nonEmpty &&
+        snap.files.forall { case (rel, _) => droppedRel(rel) }) {
+      snap.files.map { case (rel, _) =>
+        val i = rel.lastIndexOf('/')
+        if (i < 0) "" else rel.substring(0, i)
+      }.distinct.foreach { relDir =>
+        val leafDir = if (relDir.isEmpty) root else new Path(root, relDir)
+        val (name, len) = face.stamp(fs, leafDir,
+          f"mut-v$targetV%08d", tableSchema)
+        added += ((if (relDir.isEmpty) name else s"$relDir/$name", len))
+      }
+    }
 
     val committed = FeatherSnapshots.commitMutation(fs, root, op, snap,
-      Set.empty, Nil, setDvs = newBindings)
-    Result(committed, newBindings.size, snap.files.size - newBindings.size,
+      droppedRel, added.toSeq, setDvs = newBindings)
+    Result(committed, newBindings.size + droppedRel.size,
+      snap.files.size - newBindings.size - droppedRel.size,
       newBindings.size)
   }
 

@@ -250,6 +250,65 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(spark.read.format("graft-avro").load(path).count() === 1497)
   }
 
+  test("a DV covering every row of a file DROPS the file from the " +
+       "manifest (readers skip it entirely)") {
+    val path = tmp("dv_full_file")
+    writeTable(path, 400, 4) // disjoint ~100-id ranges
+    import spark.implicits._
+    // delete ALL of the first file's rows plus one row elsewhere
+    val r = FeatherMutations.deleteByKeyDV(spark, path,
+      ((1L to 100L) :+ 350L).toDF("id"), Seq("id"))
+    val snap = FeatherSnapshots.resolve(fsOf(path), new Path(path), None).get
+    assert(snap.files.size === 3,
+      s"the fully-deleted file must leave the manifest: ${snap.files}")
+    assert(snap.dvs.size === 1,
+      "only the partially-deleted file keeps a binding")
+    assert(r.filesTouched === 2)
+    val got = spark.read.format("feather").load(path)
+    assert(got.count() === 299)
+    assert(got.where(col("id") <= 100L || col("id") === 350L).count() === 0)
+    // time travel still reads v1 whole
+    assert(spark.read.format("feather").option("versionAsOf", "1")
+      .load(path).count() === 400)
+  }
+
+  test("a DV delete of EVERY row leaves a readable empty table") {
+    val path = tmp("dv_delete_all")
+    writeTable(path, 120, 2)
+    import spark.implicits._
+    FeatherMutations.deleteByKeyDV(spark, path,
+      (1L to 120L).toDF("id"), Seq("id"))
+    val got = spark.read.format("feather").load(path)
+    assert(got.count() === 0)
+    assert(got.columns.toSeq === Seq("id", "grp", "pay"),
+      "schema survives an all-rows DV delete")
+  }
+
+  test("hive-partitioned table: DV bindings ride the key=value leaves") {
+    val path = tmp("dv_hive")
+    import spark.implicits._
+    graft.io.GraftFeather.write(
+      (1 to 100).map(i => (i.toLong, s"p_$i")).toDF("id", "pay")
+        .repartition(1), s"$path/dom=a", overwrite = true)
+    graft.io.GraftFeather.write(
+      (101 to 200).map(i => (i.toLong, s"p_$i")).toDF("id", "pay")
+        .repartition(1), s"$path/dom=b", overwrite = true)
+    FeatherSnapshots.adopt(fsOf(path), new Path(path)) // v1
+    val r = FeatherMutations.deleteByKeyDV(spark, path,
+      keysOf(Seq(5L, 150L)), Seq("id"))
+    assert(r.partsWritten === 2)
+    val snap = FeatherSnapshots.resolve(fsOf(path), new Path(path), None).get
+    assert(snap.dvs.keySet.forall(k =>
+        k.startsWith("dom=a/") || k.startsWith("dom=b/")))
+    assert(snap.dvs.values.forall { case (dvRel, _) =>
+      dvRel.startsWith("dom=") })
+    val got = spark.read.format("feather").load(path)
+    assert(got.count() === 198)
+    assert(got.where(col("id").isin(5L, 150L)).count() === 0)
+    // partition pruning + DV compose
+    assert(got.where(col("dom") === "a").count() === 99)
+  }
+
   test("vacuumOrphans: referenced DVs survive, orphaned DVs reclaim, " +
        "in-flight DVs survive regardless of age") {
     val path = tmp("dv_vacuum")
