@@ -221,28 +221,38 @@ private[graft] object Compaction {
     val dvFold = snap.dvs.keySet
     if (dvFold.nonEmpty) {
       val face = ConnectorFace.detect(snap.files, "compact", root.toString)
-      val prefix = f"mut-v${snap.version + 1}%08d-dvfold"
+      // run-unique prefix (racing compactors must never pre-clean each
+      // other); ONE decode job per leaf over ALL its DV-bound files,
+      // coalesced toward targetBytes — a per-file loop would launch N
+      // sequential Spark jobs and leave the folds fragmented for a
+      // second optimize pass
+      val prefix = f"mut-v${snap.version + 1}%08d-dvf${java.util.UUID
+        .randomUUID().toString.take(8)}"
       byLeaf.foreach { case (relDir, relFiles) =>
         val leaf = if (relDir.isEmpty) root else new Path(root, relDir)
-        relFiles.filter { case (rel, _) => dvFold(rel) }
-          .zipWithIndex.foreach { case ((rel, len), i) =>
-            val abs = new Path(root, rel).toString
-            val dvAbs = new Path(root, snap.dvs(rel)._1).toString
-            val df = face.readMergedDv(spark, Seq((abs, len)),
-              Map(abs -> dvAbs)).coalesce(1)
-            // the binary Rewriter preserves input codecs; a decode pass
-            // picks the face default ("lz4" → lz4 feather / snappy avro)
-            val parts = face.writeParts(df, leaf.toString,
-              f"$prefix-$i%04d", "lz4")
-            if (parts.nonEmpty)
-              FeatherStats.upsertMerged(fs, leaf,
-                parts.map { case (name, l, js) =>
-                  name -> (l, FeatherStats.fromJson(js)) }.toMap)
-            addedRel ++= parts.map { case (name, l, _) =>
-              (if (relDir.isEmpty) name else s"$relDir/$name", l) }
-            removedRel += rel
-            groupsRewritten += 1
-          }
+        val folds = relFiles.filter { case (rel, _) => dvFold(rel) }
+        if (folds.nonEmpty) {
+          val absFiles = folds.map { case (rel, len) =>
+            (new Path(root, rel).toString, len) }
+          val dvPaths = folds.map { case (rel, _) =>
+            new Path(root, rel).toString ->
+              new Path(root, snap.dvs(rel)._1).toString }.toMap
+          val nOut = math.max(1, math.ceil(
+            folds.map(_._2).sum.toDouble / targetBytes).toInt)
+          // the binary Rewriter preserves input codecs; a decode pass
+          // picks the face default ("lz4" → lz4 feather / snappy avro)
+          val parts = face.writeParts(
+            face.readMergedDv(spark, absFiles, dvPaths).coalesce(nOut),
+            leaf.toString, prefix, "lz4")
+          if (parts.nonEmpty)
+            FeatherStats.upsertMerged(fs, leaf,
+              parts.map { case (name, l, js) =>
+                name -> (l, FeatherStats.fromJson(js)) }.toMap)
+          addedRel ++= parts.map { case (name, l, _) =>
+            (if (relDir.isEmpty) name else s"$relDir/$name", l) }
+          removedRel ++= folds.map(_._1)
+          groupsRewritten += 1
+        }
       }
     }
     byLeaf.foreach { case (relDir, relFiles) =>

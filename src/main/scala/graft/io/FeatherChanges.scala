@@ -57,7 +57,8 @@ object FeatherChanges {
   // just to shape an empty frame (versions are immutable, so the memo
   // is exact for its head)
   private val feedSchemaCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), org.apache.spark.sql.types.StructType]()
+    (String, Long, (Long, Long)),
+    org.apache.spark.sql.types.StructType]()
 
   /** The incremental-ETL loop primitive: everything that changed after
     * `lastProcessedVersion`, plus the head version to checkpoint for the
@@ -79,19 +80,22 @@ object FeatherChanges {
         "or this checkpoint belongs to another table; restart the " +
         "consumer from 0 deliberately")
     if (head == lastProcessedVersion) {
-      // idle poll: one manifest read for the head snapshot only when the
-      // schema is not memoized; never the per-version replay. Superseded
-      // heads for this path evict on each new memoization — a long-running
-      // poll loop holds ONE entry per table, not one per head version
-      // ever seen, and a drop/recreate that lands on a previously-seen
-      // (path, head) cannot be served that old incarnation's schema
-      // (the recreate moved the head, which evicted the stale entry).
-      val schema = Option(feedSchemaCache.get((path, head))).getOrElse {
+      // idle poll: manifest reads only when the schema is not memoized;
+      // never the per-version replay. Superseded keys for this path
+      // evict on each new memoization (a long-running poll loop holds
+      // ONE entry per table), and the key carries the table INCARNATION
+      // (oldest version + its commit ts): a drop-and-recreate that races
+      // back to the same (path, head) — even before the next poll —
+      // cannot be served the old incarnation's schema. One extra
+      // manifest read per idle poll, same cost class as the head probe.
+      val inc = FeatherSnapshots.incarnation(fs, root).getOrElse((0L, 0L))
+      val schema = Option(feedSchemaCache.get((path, head, inc))).getOrElse {
         val snap = FeatherSnapshots.read(fs, root, head)
         val face = ConnectorFace.detect(snap.files, "changesSince", path)
         val s = feedSchema(spark, root, face, snap.files)
-        feedSchemaCache.keySet.removeIf(k => k._1 == path && k._2 != head)
-        feedSchemaCache.put((path, head), s)
+        feedSchemaCache.keySet.removeIf(k =>
+          k._1 == path && (k._2 != head || k._3 != inc))
+        feedSchemaCache.put((path, head, inc), s)
         s
       }
       (spark.createDataFrame(

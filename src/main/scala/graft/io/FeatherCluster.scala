@@ -92,7 +92,10 @@ object FeatherCluster {
     val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
       sys.error(s"cluster on $path: snapshot directory holds no versions"))
     val face = ConnectorFace.detect(snap.files, "cluster", path)
-    val prefix = f"clust-v${snap.version + 1}%08d"
+    // run-unique: see FeatherMutations — racing clusterers must never
+    // pre-clean each other's uncommitted parts
+    val prefix = f"clust-v${snap.version + 1}%08d-${java.util.UUID
+      .randomUUID().toString.take(8)}"
     // deletion vectors FOLD into the rewrite: every read below applies
     // the bindings, so the re-clustered parts hold only live rows and
     // carry no bindings forward

@@ -50,8 +50,10 @@ import graft.sources.FeatherSnapshots
   *    appended rows are not subject to its predicate). A concurrent
   *    mutation/overwrite/restore that touched anything this run read
   *    aborts loudly rather than publish a manifest computed against dead
-  *    state. A crashed run's orphan parts are reclaimed by the next
-  *    run's prefix pre-clean ([[GraftFeather.writeParts]]).
+  *    state. Part prefixes are RUN-unique, so racing mutators can never
+  *    pre-clean each other's uncommitted parts; a crashed run's orphans
+  *    are reclaimed by [[FeatherSnapshots.vacuumOrphans]] (age-gated,
+  *    in-flight-guarded).
   *
   * Semantics:
   *  - `deleteByKey(keys, keyCols)`: drop every table row whose `keyCols`
@@ -200,8 +202,11 @@ object FeatherMutations {
         val rel = snap.files(fid)._1
         val existing = snap.dvs.get(rel).map { case (dvRel, _) =>
           DeletionVectors.read(conf, new Path(root, dvRel).toString) }
-        fid -> (rel, existing.map(DeletionVectors.union(_, fresh))
-          .getOrElse(fresh.distinct.sorted))
+        // union's contract is sorted inputs — the driver-collected
+        // positions arrive in arbitrary order
+        val sortedFresh = fresh.distinct.sorted
+        fid -> (rel, existing.map(DeletionVectors.union(_, sortedFresh))
+          .getOrElse(sortedFresh))
     }
     val (dropped, bound) = perFile.partition { case (fid, (_, all)) =>
       fileRowCount(fid).contains(all.length.toLong)
@@ -548,7 +553,16 @@ object FeatherMutations {
       sys.error(s"$op on $path: snapshot directory exists but holds no versions"))
     val face = ConnectorFace.detect(snap.files, op, path)
     val parentV = snap.version
-    val prefix = f"mut-v${parentV + 1}%08d"
+    // RUN-UNIQUE prefix: the pre-clean in writeParts removes only THIS
+    // run's residue (a crash-retry of the same logical mutation gets a
+    // new tag, so the crashed attempt's parts become vacuumOrphans
+    // work — age-gated, in-flight-guarded). A parent-version-only
+    // prefix would let two mutators racing the same parent pre-clean
+    // each other's uncommitted parts: the loser aborts at commit, but
+    // the WINNER could publish a manifest referencing files the loser
+    // already deleted.
+    val prefix = f"mut-v${parentV + 1}%08d-${java.util.UUID.randomUUID()
+      .toString.take(8)}"
 
     def relDirOf(rel: String): String = {
       val i = rel.lastIndexOf('/')
@@ -731,9 +745,9 @@ object FeatherMutations {
             s"${enc(c)}=${if (v == null)
               graft.sources.FeatherPartitions.HiveNull else enc(v.toString)}"
           }.mkString("/")
-        // deterministic leaf order: a crash-retry re-derives the same
-        // tuple → sub-prefix assignment, so its pre-clean reclaims the
-        // crashed attempt's parts instead of orphaning them
+        // deterministic leaf order keeps tuple → sub-prefix assignment
+        // stable within the run; a crashed attempt's residue (run-unique
+        // prefix) is vacuumOrphans work
         val tuples = src.select(partCols.map(col): _*).distinct().collect()
           .map(row => (leafOf(row), row)).sortBy(_._1)
         tuples.zipWithIndex.foreach { case ((relDir, row), idx) =>

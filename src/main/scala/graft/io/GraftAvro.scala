@@ -327,7 +327,15 @@ object GraftAvro {
           // posKeep inverts the filter for driver-computed position sets
           posKeep.get(file) match {
             case Some(keep) =>
-              splitRows(execConf, schemaJson, file, start, end, None,
+              // a split whose byte range owns none of the kept blocks
+              // (positions encode the block sync offset) has nothing to
+              // contribute — skip the whole decode
+              val owns = keep.exists { pos =>
+                val off = pos >>> 24
+                off >= start && off < end
+              }
+              if (!owns) Iterator.empty
+              else splitRows(execConf, schemaJson, file, start, end, None,
                 r => open.add(r), r => open.remove(r), dv = keep,
                 dvKeep = true)
             case None =>

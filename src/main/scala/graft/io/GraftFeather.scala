@@ -293,7 +293,12 @@ object GraftFeather {
           // "exactly these rows" read with driver-computed position sets.
           posKeep.get(file) match {
             case Some(keep) =>
-              splitRows(execConf, file, len, batchIdxs, colNames,
+              // decode ONLY the batches the kept positions name — a
+              // 10-row dv-diff read of a 100-batch part must not
+              // decompress 100 batches to keep 10 rows
+              val wanted = keep.map(p => (p >>> 32).toInt).toSet
+              splitRows(execConf, file, len,
+                batchIdxs.filter(wanted), colNames,
                 open.add(_), lenient = mergeSchema, dv = keep,
                 dvKeep = true)
             case None =>
@@ -501,19 +506,6 @@ object GraftFeather {
       : Iterator[(Long, Row)] =
     rowsFrom(execConf, file, len, r => 0 until r.getRecordBlocks.size(),
       colNames, registerClose, lenient, dv)
-
-  /** Rows at a file's given positions AND NO OTHERS (`dvKeep`) — the CDF
-    * reader's "rows newly deleted this version" read: positions come
-    * from a DV diff, the decode touches only the batches they name. */
-  private[graft] def rowsAtPositions(
-      execConf: org.apache.hadoop.conf.Configuration,
-      file: String, len: Long, positions: Array[Long],
-      colNames: Seq[String], registerClose: ArrowFileReader => Unit,
-      lenient: Boolean = false): Iterator[Row] = {
-    val batches = positions.map(p => (p >>> 32).toInt).distinct.sorted.toSeq
-    rowsFrom(execConf, file, len, _ => batches, colNames, registerClose,
-      lenient, positions, dvKeep = true).map(_._2)
-  }
 
   private def rowsFrom(execConf: org.apache.hadoop.conf.Configuration,
                        file: String, len: Long,

@@ -137,7 +137,13 @@ private class AvroTable(tableSchema: StructType, path: String,
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
         TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(!readChangeFeed && !Option(options.get("readchangefeed"))
+        .exists(_.toBoolean),
+      s"readChangeFeed on a BATCH read of $path: batch change feeds are " +
+        "served by graft_table_changes(path, from, to) in SQL or " +
+        "FeatherChanges.readChanges/changesSince on the API " +
+        "(readChangeFeed is a readStream option)")
     new AvroScanBuilder(tableSchema, path,
       Option(options.get("maxsplitbytes")).map(_.toLong)
         .getOrElse(128L << 20),
@@ -148,6 +154,7 @@ private class AvroTable(tableSchema: StructType, path: String,
         Option(options.get("versionasof")),
         Option(options.get("timestampasof")), path).orElse(versionAsOf),
       Option(options.get("ignorechanges")).exists(_.toBoolean))
+  }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =

@@ -522,6 +522,24 @@ private[graft] object FeatherSnapshots {
     sys.error("unreachable")
   }
 
+  /** A cheap TABLE-INCARNATION identity: (oldest retained version, that
+    * manifest's commit ts). A drop-and-recreate at the same path gets a
+    * different v1 timestamp even if it races back to the same version
+    * count, so caches keyed on this can never serve a previous
+    * incarnation's state; expire() also moves it, which only costs the
+    * cache a spurious (safe) rebuild. One manifest read. */
+  private[graft] def incarnation(fs: FileSystem, root: Path)
+      : Option[(Long, Long)] = {
+    val d = snapDir(root)
+    if (!fs.exists(d)) return None
+    fs.listStatus(d).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .minOption
+      .map(mv => (mv, readRaw(fs, root, mv).ts))
+  }
+
   /** TEST seam for the conflict-matrix spec: runs once, after a mutation
     * computed its rewrite and before its manifest commit — the window a
     * concurrent committer races into. One-shot (cleared before invoking,
@@ -737,11 +755,11 @@ private[graft] object FeatherSnapshots {
     // one O(1) manifest read per epoch buys the incarnation identity —
     // an empty versions list (fresh _snapshots dir, first commit pending)
     // has no incarnation and always resets the cache
-    val incarnation: Option[(Long, Long)] =
+    val inc: Option[(Long, Long)] =
       versions.minOption.map(mv => (mv, readRaw(fs, root, mv).ts))
     val cached = Option(epochRefCache.get(key))
-      .filter { case (inc, hw, _) =>
-        incarnation.contains(inc) && versions.nonEmpty && versions.max >= hw }
+      .filter { case (i, hw, _) =>
+        inc.contains(i) && versions.nonEmpty && versions.max >= hw }
       .map { case (_, hw, names) => (hw, names) }
       .getOrElse((0L, Set.empty[String]))
     val fresh = versions.filter(_ > cached._1).sorted
@@ -757,8 +775,8 @@ private[graft] object FeatherSnapshots {
         r.full.getOrElse(r.add).map(_._1)
       }
     if (fresh.nonEmpty)
-      incarnation.foreach(inc =>
-        epochRefCache.put(key, (inc, fresh.max, everReferenced)))
+      inc.foreach(i =>
+        epochRefCache.put(key, (i, fresh.max, everReferenced)))
     val novel = parts.filterNot(p => everReferenced(p._1))
     if (novel.isEmpty) return
     commit(fs, root, "append") { parent =>

@@ -211,7 +211,17 @@ private class FeatherTable(tableSchema: StructType, path: String,
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
         TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // a BATCH read with readChangeFeed would silently return current
+    // rows with no change columns — refuse loudly and point at the
+    // batch CDF surfaces (Delta serves batch CDF through read options;
+    // here the DSv2 scan contract cannot express the diff computation)
+    require(!readChangeFeed && !Option(options.get("readchangefeed"))
+        .exists(_.toBoolean),
+      s"readChangeFeed on a BATCH read of $path: batch change feeds are " +
+        "served by graft_table_changes(path, from, to) in SQL or " +
+        "FeatherChanges.readChanges/changesSince on the API " +
+        "(readChangeFeed is a readStream option)")
     new FeatherScanBuilder(tableSchema, path,
       // read options win over table properties (this is where
       // .option("maxSplitBytes", …) actually arrives)
@@ -224,6 +234,7 @@ private class FeatherTable(tableSchema: StructType, path: String,
       Option(options.get("ignorechanges")).exists(_.toBoolean),
       Option(options.get("mergeschema")).map(_.toBoolean)
         .getOrElse(mergeSchema))
+  }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =

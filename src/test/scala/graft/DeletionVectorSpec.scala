@@ -141,8 +141,9 @@ class DeletionVectorSpec extends AnyFunSuite {
     val before = FeatherSnapshots.resolve(fs, new Path(path), None).get
     assert(before.dvs.nonEmpty)
     val r = FeatherCompact.compact(spark, path, targetBytes = 1L)
-    // targetBytes=1 forms no small-file groups — only the DV folds ran
-    assert(r.groupsRewritten >= before.dvs.size)
+    // targetBytes=1 forms no small-file groups — only the DV fold ran
+    // (ONE decode job per leaf over all its bound files)
+    assert(r.groupsRewritten >= 1)
     val after = FeatherSnapshots.resolve(fs, new Path(path), None).get
     assert(after.dvs.isEmpty, "folded files must carry no binding")
     val got = spark.read.format("feather").load(path)

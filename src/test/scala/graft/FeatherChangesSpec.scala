@@ -330,6 +330,24 @@ class FeatherChangesSpec extends AnyFunSuite {
     } finally q3.stop()
   }
 
+  test("readChangeFeed on a BATCH read is refused loudly (both faces)") {
+    val path = tmp("cdf_batch_refuse")
+    writeV(path, 1, 20, "overwrite")
+    val e = intercept[Exception] {
+      spark.read.format("feather").option("readChangeFeed", "true")
+        .load(path).collect()
+    }
+    assert(e.getMessage.contains("graft_table_changes"),
+      s"must point at the batch CDF surfaces, got: ${e.getMessage}")
+    val apath = tmp("cdf_batch_refuse_avro")
+    writeV(apath, 1, 20, "overwrite", fmt = "graft-avro")
+    val e2 = intercept[Exception] {
+      spark.read.format("graft-avro").option("readChangeFeed", "true")
+        .load(apath).collect()
+    }
+    assert(e2.getMessage.contains("graft_table_changes"))
+  }
+
   test("streaming CDF serves the avro face through the same format name") {
     val path = tmp("cdf_avro_stream")
     import spark.implicits._
