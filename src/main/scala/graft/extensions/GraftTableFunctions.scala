@@ -84,7 +84,10 @@ private[extensions] object GraftTableFunctions {
     val (fs, root) = fsRoot(path)
     val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
       sys.error(s"graft_optimize on $path: no snapshot versions"))
-    if (snap.files.forall(_._1.endsWith(".avro")))
+    // the shared face detection — mixed-suffix manifests fail loudly
+    // instead of silently routing to the wrong compactor
+    if (graft.io.ConnectorFace.detect(snap.files, "graft_optimize", path)
+        .suffix == ".avro")
       graft.io.AvroCompact.compact(spark, path, targetBytes)
     else graft.io.FeatherCompact.compact(spark, path, targetBytes)
   }

@@ -310,12 +310,28 @@ private[graft] object Compaction {
       }
     }
     if (removedRel.nonEmpty) {
+      // a fold of the table's LAST live rows (full-coverage DV, zero
+      // output parts) must still publish a readable table — stamp one
+      // schema-only part per leaf, same as the mutation tier's all-rows
+      // delete
+      val goneSet = removedRel.toSet
+      if (addedRel.isEmpty && snap.files.forall(f => goneSet(f._1))) {
+        val face = ConnectorFace.detect(snap.files, "compact", root.toString)
+        val schema = face.mergedSchema(spark, snap.files.map {
+          case (rel, len) => (new Path(root, rel).toString, len) })
+        byLeaf.map(_._1).foreach { relDir =>
+          val leafDir = if (relDir.isEmpty) root else new Path(root, relDir)
+          val (name, len) = face.stamp(fs, leafDir,
+            f"mut-v${snap.version + 1}%08d-stamp", schema)
+          addedRel += ((if (relDir.isEmpty) name else s"$relDir/$name", len))
+        }
+      }
       // conflict matrix (FeatherSnapshots.commitMutation): concurrent
       // appends commute; a concurrent mutation that touched any input
       // aborts loudly instead of silently resurrecting its deleted rows
       // through the compacted copies
       FeatherSnapshots.commitMutation(fs, root, "compact", snap,
-        removedRel.toSet, addedRel.toSeq): Unit
+        goneSet, addedRel.toSeq): Unit
     }
     Result(byLeaf.size, groupsRewritten, snap.files.size,
       snap.files.size - removedRel.size + addedRel.size)

@@ -328,11 +328,20 @@ object GraftAvro {
           posKeep.get(file) match {
             case Some(keep) =>
               // a split whose byte range owns none of the kept blocks
-              // (positions encode the block sync offset) has nothing to
-              // contribute — skip the whole decode
+              // has nothing to contribute — skip the whole decode. The
+              // position encodes previousSync() = the byte AFTER the
+              // block's leading 16-byte sync marker, and the reader for
+              // [start, end) owns blocks with blockStart in
+              // [start+16, end+16) (pastSync stops at end+SYNC_SIZE) —
+              // so the upper bound extends by the marker size; a block
+              // landing within 16 bytes past `end` belongs to THIS
+              // split, and dropping it would silently lose its rows.
+              // The bounds are conservative (a false "owns" costs one
+              // wasted decode, never duplicates — the position filter
+              // only keeps rows this split actually reads).
               val owns = keep.exists { pos =>
                 val off = pos >>> 24
-                off >= start && off < end
+                off >= start && off < end + 16
               }
               if (!owns) Iterator.empty
               else splitRows(execConf, schemaJson, file, start, end, None,

@@ -45,9 +45,14 @@ class AvroDataSource extends TableProvider with DataSourceRegister
     if (wantsCdf(parameters))
       cdf.sourceSchema(sqlContext, schema, providerName, parameters)
     else
+      // this V1 schema is DISCARDED when the DSv2 path runs (which it
+      // always does for plain streams) — strip mergeSchema so the
+      // throwaway inference reads ONE footer, never the full sweep
       (shortName(), schema.getOrElse(inferSchema(
         new CaseInsensitiveStringMap(
-          scala.jdk.CollectionConverters.MapHasAsJava(parameters).asJava))))
+          scala.jdk.CollectionConverters.MapHasAsJava(
+            parameters.filter(!_._1.equalsIgnoreCase("mergeschema"))
+          ).asJava))))
   override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
                             metadataPath: String,
                             schema: Option[StructType],

@@ -48,14 +48,20 @@ class FeatherCdfSourceProvider extends StreamSourceProvider
       "feather-cdf requires a path: " +
         "spark.readStream.format(\"feather-cdf\").load(path)"))
 
+  // Spark calls sourceSchema (eagerly, building the relation) and then
+  // createSource on the SAME provider instance — the memo stops the
+  // second O(files) footer sweep at stream start
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String])
       : (String, StructType) =
     (shortName(),
-      schema.getOrElse(FeatherChanges.feedSchemaAtHead(
-        sqlContext.sparkSession, pathOf(parameters))))
+      schema.getOrElse(schemaMemo.computeIfAbsent(pathOf(parameters),
+        p => FeatherChanges.feedSchemaAtHead(sqlContext.sparkSession, p))))
 
   override def createSource(sqlContext: SQLContext,
                             metadataPath: String,
@@ -87,9 +93,13 @@ private class FeatherCdfSource(spark: SparkSession, path: String,
 
   override def schema: StructType = fixedSchema
 
+  // NEVER filtered by startingVersion: that value only seeds the FIRST
+  // batch (getBatch with start=None). A restart resumes from the
+  // checkpointed offset — re-filtering against a re-resolved
+  // startingVersion=latest would strand the versions committed while
+  // the stream was down until some future commit moved the head.
   override def getOffset: Option[V1Offset] =
-    FeatherSnapshots.latestVersion(fs, rp)
-      .filter(_ > startingVersion).map(LongOffset(_))
+    FeatherSnapshots.latestVersion(fs, rp).map(LongOffset(_))
 
   // offsets arrive as LongOffset pre-restart and SerializedOffset after a
   // checkpoint reload; both render the version as their json

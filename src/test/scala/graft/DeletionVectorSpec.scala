@@ -155,6 +155,32 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(spark.read.format("feather").load(path).count() === 597)
   }
 
+  test("compacting a table whose every row is DV-deleted still leaves a " +
+       "readable empty table") {
+    val path = tmp("dv_fold_all")
+    // adopt WITHOUT stats sidecars: the delete cannot take the
+    // stats-proven full-file drop shortcut and must bind a
+    // full-coverage DV — the fold then produces zero output parts
+    import spark.implicits._
+    graft.io.GraftFeather.write(
+      (1 to 50).map(i => (i.toLong, s"p_$i")).toDF("id", "pay")
+        .repartition(1), path, overwrite = true)
+    val fs = fsOf(path)
+    new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".stats.json")).foreach(_.delete())
+    new java.io.File(path, graft.io.FeatherStats.MergedName).delete()
+    FeatherSnapshots.adopt(fs, new Path(path)) // v1
+    FeatherMutations.deleteByKeyDV(spark, path,
+      (1L to 50L).toDF("id"), Seq("id")) // v2: full-coverage binding
+    val v2 = FeatherSnapshots.resolve(fs, new Path(path), None).get
+    assert(v2.dvs.nonEmpty, "without stats the file stays bound")
+    FeatherCompact.compact(spark, path, targetBytes = 1L) // v3: fold
+    val got = spark.read.format("feather").load(path)
+    assert(got.count() === 0)
+    assert(got.columns.toSeq === Seq("id", "pay"),
+      "the fold of the last live rows must stamp a readable schema")
+  }
+
   test("clustering folds DVs and re-establishes disjoint ranges") {
     val path = tmp("dv_cluster")
     writeTable(path, 600, 3)
