@@ -57,7 +57,7 @@ object FeatherCluster {
 
   /** OPTIMIZE ZORDER BY over numeric, DATE, TIMESTAMP, or STRING
     * dimensions — see the object scaladoc. Dates map by day number and
-    * timestamps by epoch seconds (monotonic, calendar-local); strings
+    * timestamps by epoch micros (monotonic, calendar-local); strings
     * rank against a sampled boundary table before the bit interleave.
     * `bitsPerDim` trades per-dimension resolution against the dimension
     * count (bitsPerDim × dims ≤ 62); nulls sort first (z = 0 in that

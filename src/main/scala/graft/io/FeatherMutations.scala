@@ -127,9 +127,9 @@ object FeatherMutations {
       s"$op: key column '$k' not in table schema " +
         s"(${tableSchema.fieldNames.mkString(", ")}) — partition columns " +
         "live in the directory chain and cannot key a DV delete"))
-    val touchedIdx =
+    val (touchedSet, probeStats) =
       probeTouched(spark, op, absFiles, tableSchema, keys, keyCols)
-        .toSeq.sorted
+    val touchedIdx = touchedSet.toSeq.sorted
     val targetV = snap.version + 1
 
     // ---- distributed position scan over the candidate files ----------------
@@ -187,10 +187,8 @@ object FeatherMutations {
     // batches to discard every row. The file itself stays on disk for
     // time travel until expire(), exactly like a COW delete's retired
     // inputs.
-    val statsForCounts = FeatherStats.loadForFiles(conf,
-      newByFile.keys.toSeq.sorted.map(absFiles))
     def fileRowCount(fid: Int): Option[Long] =
-      statsForCounts.getOrElse(absFiles(fid)._1, None).flatMap { batches =>
+      probeStats.getOrElse(absFiles(fid)._1, None).flatMap { batches =>
         val counts = batches.map(_.get(FeatherStats.RowCountKey) match {
           case Some(FeatherStats.ColStat.Count(n)) => Some(n)
           case _ => None
@@ -241,6 +239,12 @@ object FeatherMutations {
       }
     }
 
+    // a delete that matched NOTHING (already-deleted keys, absent keys)
+    // publishes no commit: an empty op="delete" version would abort any
+    // live snapshot stream for a change that altered zero rows, and a
+    // retried takedown must be a true no-op
+    if (newBindings.isEmpty && droppedRel.isEmpty && added.isEmpty)
+      return Result(snap.version, 0, snap.files.size, 0)
     val committed = FeatherSnapshots.commitMutation(fs, root, op, snap,
       droppedRel, added.toSeq, setDvs = newBindings)
     Result(committed, newBindings.size + droppedRel.size,
@@ -297,11 +301,16 @@ object FeatherMutations {
     * Bloom sidecars fold into one distributed pass; a file without usable
     * stats is touched unconditionally — pruning is an optimization, never
     * a correctness input. Mutation keys never collect to the driver. */
+  /** Returns (touched file indices, the stats it loaded) — callers that
+    * need sidecar stats afterwards (the DV delete's full-coverage check)
+    * reuse them instead of paying a second per-leaf sidecar read. */
   private def probeTouched(spark: SparkSession, op: String,
                            absFiles: Seq[(String, Long)],
                            tableSchema: StructType,
                            keysDf: DataFrame,
-                           keyCols: Seq[String]): Set[Int] = {
+                           keyCols: Seq[String])
+      : (Set[Int],
+         Map[String, Option[Seq[Map[String, FeatherStats.ColStat]]]]) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val stats = FeatherStats.loadForFiles(conf, absFiles)
     val k0 = keyCols.head
@@ -532,7 +541,7 @@ object FeatherMutations {
       case (Unknown, i) => i
       case (_: Rng, i) if candidateIdx(i) => i
     }.toSet
-    touchedIdx
+    (touchedIdx, stats)
   }
 
   private def mutate(spark: SparkSession, path: String, op: String,
@@ -656,7 +665,7 @@ object FeatherMutations {
     val absFiles = snap.files.map { case (rel, len) =>
       (new Path(root, rel).toString, len) }
     val touchedIdx: Set[Int] =
-      probeTouched(spark, op, absFiles, tableSchema0, keysDf, keyCols)
+      probeTouched(spark, op, absFiles, tableSchema0, keysDf, keyCols)._1
     val touchedRel: Set[String] =
       touchedIdx.map(i => snap.files(i)._1)
 
@@ -788,6 +797,13 @@ object FeatherMutations {
     }
 
     // ---- one atomic manifest publish ---------------------------------------
+    // a DELETE that touched no file publishes no commit (same reasoning
+    // as the DV path: an empty op="delete" version aborts live snapshot
+    // streams for nothing); merge/cdc always commit — even an insert-only
+    // batch writes parts, and a truly empty source is a legitimate
+    // idempotent version
+    if (op == "delete" && touchedRel.isEmpty && added.isEmpty)
+      return Result(snap.version, 0, snap.files.size, 0)
     // conflict matrix (FeatherSnapshots.commitMutation): concurrent blind
     // appends commute — their files carry through; a concurrent mutation/
     // overwrite/restore that touched anything this run READ aborts loudly

@@ -23,48 +23,9 @@ import graft.io.{GraftAvro, GraftHadoop}
   * file-length statistics feed the broadcast threshold. Writes stay on
   * [[GraftAvro.write]] (temp+rename commit, ErrorIfExists). */
 class AvroDataSource extends TableProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with CdfFallbackProvider {
   override def shortName(): String = "graft-avro"
 
-  // `option("readChangeFeed", "true")` on readStream — same mechanism as
-  // the feather face: the table withholds MICRO_BATCH_READ and the
-  // stream falls back to the shared V1 CDF source (face-agnostic)
-  private val cdf = new FeatherCdfSourceProvider
-  private def wantsCdf(m: Map[String, String]): Boolean =
-    m.exists { case (k, v) => k.equalsIgnoreCase("readchangefeed") &&
-      v.toBoolean }
-  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
-                            schema: Option[StructType],
-                            providerName: String,
-                            parameters: Map[String, String])
-      : (String, StructType) =
-    // invoked EAGERLY for every readStream (Spark builds the V1 relation
-    // before checking the table's capabilities) — so a plain stream gets
-    // the table schema here and never reaches createSource; only a
-    // readChangeFeed stream actually falls back to V1
-    if (wantsCdf(parameters))
-      cdf.sourceSchema(sqlContext, schema, providerName, parameters)
-    else
-      // this V1 schema is DISCARDED when the DSv2 path runs (which it
-      // always does for plain streams) — strip mergeSchema so the
-      // throwaway inference reads ONE footer, never the full sweep
-      (shortName(), schema.getOrElse(inferSchema(
-        new CaseInsensitiveStringMap(
-          scala.jdk.CollectionConverters.MapHasAsJava(
-            parameters.filter(!_._1.equalsIgnoreCase("mergeschema"))
-          ).asJava))))
-  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
-                            metadataPath: String,
-                            schema: Option[StructType],
-                            providerName: String,
-                            parameters: Map[String, String])
-      : org.apache.spark.sql.execution.streaming.Source = {
-    require(wantsCdf(parameters),
-      "V1 source requested without readChangeFeed=true — plain streams " +
-        "ride the DSv2 micro-batch path (this is a bug, not a user error)")
-    cdf.createSource(sqlContext, metadataPath, schema, providerName,
-      parameters)
-  }
 
   private def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")

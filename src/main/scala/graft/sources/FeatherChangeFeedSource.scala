@@ -112,10 +112,71 @@ private class FeatherCdfSource(spark: SparkSession, path: String,
       if (e <= s)
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), fixedSchema)
-      else graft.io.ConnectorFace.align(
-        FeatherChanges.readChanges(spark, path, s, e), fixedSchema)
+      else {
+        val raw = FeatherChanges.readChanges(spark, path, s, e)
+        // the documented contract: a mid-stream schema evolution fails
+        // LOUDLY — align() would silently project the new columns away,
+        // losing their values from the feed forever
+        val extra = raw.columns
+          .filterNot(fixedSchema.fieldNames.contains).toSeq
+        if (extra.nonEmpty) throw new IllegalStateException(
+          s"change feed on $path: versions ($s, $e] carry column(s) " +
+            s"${extra.mkString(", ")} not in the stream's start-time " +
+            "schema — the table evolved mid-stream; restart the stream " +
+            "to pick up the widened schema")
+        graft.io.ConnectorFace.align(raw, fixedSchema)
+      }
     org.apache.spark.sql.graft.Bridge.asStreaming(batch)
   }
 
   override def stop(): Unit = ()
+}
+
+/** Mixin for the MAIN DSv2 providers (feather, graft-avro):
+  * `option("readChangeFeed", "true")` on readStream. The table withholds
+  * MICRO_BATCH_READ under the option (see each face's Table), Spark
+  * falls back to this V1 source, and the fallback delegates to the
+  * shared feather-cdf implementation — ONE definition of the mechanics
+  * (a per-provider copy drifted once already in review).
+  *
+  * `sourceSchema` is invoked EAGERLY for every readStream (Spark builds
+  * the V1 relation before consulting table capabilities), so the plain
+  * path returns the table schema cheaply — mergeSchema stripped, one
+  * footer — and is discarded when the DSv2 path runs; only a
+  * readChangeFeed stream ever reaches `createSource`. */
+private[sources] trait CdfFallbackProvider
+    extends StreamSourceProvider {
+  self: org.apache.spark.sql.connector.catalog.TableProvider
+    with DataSourceRegister =>
+
+  private lazy val cdfDelegate = new FeatherCdfSourceProvider
+  private def wantsCdf(m: Map[String, String]): Boolean =
+    m.exists { case (k, v) => k.equalsIgnoreCase("readchangefeed") &&
+      v.toBoolean }
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) =
+    if (wantsCdf(parameters))
+      cdfDelegate.sourceSchema(sqlContext, schema, providerName, parameters)
+    else
+      (shortName(), schema.getOrElse(inferSchema(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          scala.jdk.CollectionConverters.MapHasAsJava(
+            parameters.filter(!_._1.equalsIgnoreCase("mergeschema"))
+          ).asJava))))
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source = {
+    require(wantsCdf(parameters),
+      "V1 source requested without readChangeFeed=true — plain streams " +
+        "ride the DSv2 micro-batch path (this is a bug, not a user error)")
+    cdfDelegate.createSource(sqlContext, metadataPath, schema, providerName,
+      parameters)
+  }
 }

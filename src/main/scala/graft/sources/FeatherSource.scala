@@ -32,50 +32,9 @@ import graft.io.{GraftFeather, GraftHadoop}
   * owns the commit discipline (temp+rename, `_SUCCESS`, ErrorIfExists).
   */
 class FeatherDataSource extends TableProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with CdfFallbackProvider {
   override def shortName(): String = "feather"
 
-  // `option("readChangeFeed", "true")` on readStream: the table then
-  // withholds MICRO_BATCH_READ, so Spark falls back to THIS provider's
-  // V1 streaming source — the change feed (delegated to the shared
-  // feather-cdf implementation; the DSv2 partition-reader contract
-  // cannot express a CDF batch, which is a DataFrame computation)
-  private val cdf = new FeatherCdfSourceProvider
-  private def wantsCdf(m: Map[String, String]): Boolean =
-    m.exists { case (k, v) => k.equalsIgnoreCase("readchangefeed") &&
-      v.toBoolean }
-  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
-                            schema: Option[StructType],
-                            providerName: String,
-                            parameters: Map[String, String])
-      : (String, StructType) =
-    // invoked EAGERLY for every readStream (Spark builds the V1 relation
-    // before checking the table's capabilities) — so a plain stream gets
-    // the table schema here and never reaches createSource; only a
-    // readChangeFeed stream actually falls back to V1
-    if (wantsCdf(parameters))
-      cdf.sourceSchema(sqlContext, schema, providerName, parameters)
-    else
-      // this V1 schema is DISCARDED when the DSv2 path runs (which it
-      // always does for plain streams) — strip mergeSchema so the
-      // throwaway inference reads ONE footer, never the full sweep
-      (shortName(), schema.getOrElse(inferSchema(
-        new CaseInsensitiveStringMap(
-          scala.jdk.CollectionConverters.MapHasAsJava(
-            parameters.filter(!_._1.equalsIgnoreCase("mergeschema"))
-          ).asJava))))
-  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
-                            metadataPath: String,
-                            schema: Option[StructType],
-                            providerName: String,
-                            parameters: Map[String, String])
-      : org.apache.spark.sql.execution.streaming.Source = {
-    require(wantsCdf(parameters),
-      "V1 source requested without readChangeFeed=true — plain streams " +
-        "ride the DSv2 micro-batch path (this is a bug, not a user error)")
-    cdf.createSource(sqlContext, metadataPath, schema, providerName,
-      parameters)
-  }
 
   private def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")

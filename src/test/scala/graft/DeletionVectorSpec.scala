@@ -104,11 +104,14 @@ class DeletionVectorSpec extends AnyFunSuite {
       Seq(7L))
     assert(spark.read.format("feather").option("versionAsOf", "1").load(path)
       .count() === 400)
-    // an already-deleted row never re-matches (idempotent re-delete)
+    // an already-deleted row never re-matches: the retried takedown is
+    // a TRUE no-op — no commit (an empty op="delete" version would abort
+    // live snapshot streams for nothing)
     val r3 = FeatherMutations.deleteByKeyDV(spark, path,
       keysOf(Seq(5L, 7L)), Seq("id"))
     assert(spark.read.format("feather").load(path).count() === 398)
-    assert(r3.version === 4L)
+    assert(r3.version === 3L, s"no-match delete must not commit: $r3")
+    assert(r3.filesTouched === 0)
   }
 
   test("a COW mutation on a DV'd file folds the DV instead of " +
