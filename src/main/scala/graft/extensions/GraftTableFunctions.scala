@@ -30,14 +30,18 @@ import graft.sources.FeatherSnapshots
   * `graft_table_changes` returns the CDF DataFrame's own plan — it
   * executes lazily with the enclosing query, composes with
   * joins/filters, and its schema is the table's columns plus
-  * `_change_type`/`_commit_version`. The MAINTENANCE functions run their
-  * action WHEN THE STATEMENT IS ANALYZED (the CALL contract: the
-  * one-row result the SELECT returns reports what happened) — an
-  * EXPLAIN over one still runs it, exactly like Delta's RESTORE/OPTIMIZE
-  * commands run at execution of the statement that names them.
+  * `_change_type`/`_commit_version`. The MAINTENANCE functions defer
+  * their action to STATEMENT EXECUTION via
+  * [[DeferredMaintenanceAction]] (the one-row result the SELECT returns
+  * reports what happened): an EXPLAIN or an eagerly-analyzing notebook
+  * never mutates the table — the same contract as Delta's
+  * RESTORE/OPTIMIZE commands. The read-only functions (`graft_history`,
+  * `graft_vacuum_dry_run`) materialize at analysis; their result is a
+  * point-in-time report either way.
   *
   * Arguments must be literals (a path computed per-row has no meaning
-  * for a table function); violations fail analysis loudly. */
+  * for a table function); violations fail analysis loudly — argument
+  * validation stays eager even where the action is deferred. */
 private[extensions] object GraftTableFunctions {
 
   private def info(name: String, usage: String) =
@@ -73,6 +77,16 @@ private[extensions] object GraftTableFunctions {
     plan(spark.createDataFrame(rows, schema))
   }
 
+  /** One-row maintenance result whose `action` runs at statement
+    * EXECUTION (planned by [[DeferredActionStrategy]]), never at
+    * analysis/EXPLAIN. */
+  private def deferred(name: String, schema: StructType)
+                      (action: () => Seq[Any]): LogicalPlan =
+    DeferredMaintenanceAction(name,
+      schema.map(f => org.apache.spark.sql.catalyst.expressions
+        .AttributeReference(f.name, f.dataType, f.nullable)()).toSeq,
+      () => Seq(Row.fromSeq(action())))
+
   private def fsRoot(path: String) = {
     val root = new Path(path)
     (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
@@ -96,6 +110,9 @@ private[extensions] object GraftTableFunctions {
     csv.split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
   def register(ext: SparkSessionExtensions): Unit = {
+    // plans the deferred maintenance leaves the destructive TVFs build
+    ext.injectPlannerStrategy(new DeferredActionStrategy(_))
+
     def tvf(name: String, usage: String)
            (builder: Seq[Expression] => LogicalPlan): Unit =
       ext.injectTableFunction((FunctionIdentifier(name), info(name, usage),
@@ -135,10 +152,13 @@ private[extensions] object GraftTableFunctions {
         "graft_vacuum_dry_run(path[, graceMillis])")
       val n = "graft_vacuum_dry_run"
       val (fs, root) = fsRoot(str(n, "path", args.head))
-      val grace = if (args.size > 1) long(n, "graceMillis", args(1))
-                  else 7L * 24 * 3600 * 1000
       val rows = new java.util.ArrayList[Row]()
-      FeatherSnapshots.vacuumOrphansDryRun(fs, root, grace)
+      // no grace argument = vacuumOrphansDryRun's own default window —
+      // never a re-encoded copy of it that could silently drift
+      (if (args.size > 1)
+        FeatherSnapshots.vacuumOrphansDryRun(fs, root,
+          long(n, "graceMillis", args(1)))
+      else FeatherSnapshots.vacuumOrphansDryRun(fs, root))
         .foreach(p => rows.add(Row(p)))
       plan(spark.createDataFrame(rows, StructType(Seq(
         StructField("path", StringType, nullable = false)))))
@@ -150,21 +170,23 @@ private[extensions] object GraftTableFunctions {
       require(args.nonEmpty && args.size <= 2,
         "graft_optimize(path[, targetBytes])")
       val n = "graft_optimize"
-      val r = compactAny(str(n, "path", args.head),
-        if (args.size > 1) long(n, "targetBytes", args(1)) else 128L << 20)
-      rowPlan(StructType(Seq(
+      val path = str(n, "path", args.head)
+      val tb = if (args.size > 1) long(n, "targetBytes", args(1))
+               else 128L << 20
+      deferred(n, StructType(Seq(
         StructField("groups_rewritten", LongType, nullable = false),
         StructField("files_before", LongType, nullable = false),
-        StructField("files_after", LongType, nullable = false))),
-        r.groupsRewritten.toLong, r.filesBefore.toLong, r.filesAfter.toLong)
+        StructField("files_after", LongType, nullable = false)))) { () =>
+        val r = compactAny(path, tb)
+        Seq(r.groupsRewritten.toLong, r.filesBefore.toLong,
+          r.filesAfter.toLong)
+      }
     }
 
-    def clusterResult(r: graft.io.FeatherCluster.Result): LogicalPlan =
-      rowPlan(StructType(Seq(
-        StructField("version", LongType, nullable = false),
-        StructField("files_before", LongType, nullable = false),
-        StructField("files_after", LongType, nullable = false))),
-        r.version, r.filesBefore.toLong, r.filesAfter.toLong)
+    val clusterSchema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("files_before", LongType, nullable = false),
+      StructField("files_after", LongType, nullable = false)))
 
     tvf("graft_cluster",
       "graft_cluster(path, colsCsv[, targetBytes]) - rewrite the table " +
@@ -172,9 +194,14 @@ private[extensions] object GraftTableFunctions {
       require(args.size >= 2 && args.size <= 3,
         "graft_cluster(path, colsCsv[, targetBytes])")
       val n = "graft_cluster"
-      clusterResult(graft.io.FeatherCluster.cluster(spark,
-        str(n, "path", args(0)), cols(str(n, "cols", args(1))),
-        if (args.size > 2) long(n, "targetBytes", args(2)) else 128L << 20))
+      val path = str(n, "path", args(0))
+      val cs = cols(str(n, "cols", args(1)))
+      val tb = if (args.size > 2) long(n, "targetBytes", args(2))
+               else 128L << 20
+      deferred(n, clusterSchema) { () =>
+        val r = graft.io.FeatherCluster.cluster(spark, path, cs, tb)
+        Seq(r.version, r.filesBefore.toLong, r.filesAfter.toLong)
+      }
     }
 
     tvf("graft_zorder",
@@ -183,9 +210,14 @@ private[extensions] object GraftTableFunctions {
       require(args.size >= 2 && args.size <= 3,
         "graft_zorder(path, colsCsv[, bitsPerDim])")
       val n = "graft_zorder"
-      clusterResult(graft.io.FeatherCluster.clusterZOrder(spark,
-        str(n, "path", args(0)), cols(str(n, "cols", args(1))),
-        if (args.size > 2) long(n, "bitsPerDim", args(2)).toInt else 12))
+      val path = str(n, "path", args(0))
+      val cs = cols(str(n, "cols", args(1)))
+      val bits = if (args.size > 2) long(n, "bitsPerDim", args(2)).toInt
+                 else 12
+      deferred(n, clusterSchema) { () =>
+        val r = graft.io.FeatherCluster.clusterZOrder(spark, path, cs, bits)
+        Seq(r.version, r.filesBefore.toLong, r.filesAfter.toLong)
+      }
     }
 
     tvf("graft_restore",
@@ -193,26 +225,31 @@ private[extensions] object GraftTableFunctions {
         "version's content as a new commit") { args =>
       require(args.size == 2, "graft_restore(path, version)")
       val n = "graft_restore"
-      val (fs, root) = fsRoot(str(n, "path", args(0)))
-      val v = FeatherSnapshots.restore(fs, root, long(n, "version", args(1)))
-      rowPlan(StructType(Seq(
-        StructField("new_version", LongType, nullable = false))), v)
+      val path = str(n, "path", args(0))
+      val v = long(n, "version", args(1))
+      deferred(n, StructType(Seq(
+        StructField("new_version", LongType, nullable = false)))) { () =>
+        val (fs, root) = fsRoot(path)
+        Seq(FeatherSnapshots.restore(fs, root, v))
+      }
     }
 
-    def expireResult(r: (Int, Int)): LogicalPlan =
-      rowPlan(StructType(Seq(
-        StructField("snapshots_removed", LongType, nullable = false),
-        StructField("files_removed", LongType, nullable = false))),
-        r._1.toLong, r._2.toLong)
+    val expireSchema = StructType(Seq(
+      StructField("snapshots_removed", LongType, nullable = false),
+      StructField("files_removed", LongType, nullable = false)))
 
     tvf("graft_expire",
       "graft_expire(path, keepLast) - retire all but the last N " +
         "versions and delete files only they referenced") { args =>
       require(args.size == 2, "graft_expire(path, keepLast)")
       val n = "graft_expire"
-      val (fs, root) = fsRoot(str(n, "path", args(0)))
-      expireResult(FeatherSnapshots.expire(fs, root,
-        long(n, "keepLast", args(1)).toInt))
+      val path = str(n, "path", args(0))
+      val keep = long(n, "keepLast", args(1)).toInt
+      deferred(n, expireSchema) { () =>
+        val (fs, root) = fsRoot(path)
+        val r = FeatherSnapshots.expire(fs, root, keep)
+        Seq(r._1.toLong, r._2.toLong)
+      }
     }
 
     tvf("graft_expire_older_than",
@@ -220,9 +257,13 @@ private[extensions] object GraftTableFunctions {
         "versions older than the retention window") { args =>
       require(args.size == 2, "graft_expire_older_than(path, retentionMillis)")
       val n = "graft_expire_older_than"
-      val (fs, root) = fsRoot(str(n, "path", args(0)))
-      expireResult(FeatherSnapshots.expireOlderThan(fs, root,
-        long(n, "retentionMillis", args(1))))
+      val path = str(n, "path", args(0))
+      val ret = long(n, "retentionMillis", args(1))
+      deferred(n, expireSchema) { () =>
+        val (fs, root) = fsRoot(path)
+        val r = FeatherSnapshots.expireOlderThan(fs, root, ret)
+        Seq(r._1.toLong, r._2.toLong)
+      }
     }
 
     tvf("graft_vacuum",
@@ -231,13 +272,18 @@ private[extensions] object GraftTableFunctions {
       require(args.nonEmpty && args.size <= 2,
         "graft_vacuum(path[, graceMillis])")
       val n = "graft_vacuum"
-      val (fs, root) = fsRoot(str(n, "path", args.head))
-      val removed = FeatherSnapshots.vacuumOrphans(fs, root,
-        if (args.size > 1) long(n, "graceMillis", args(1))
-        else 7L * 24 * 3600 * 1000)
-      rowPlan(StructType(Seq(
-        StructField("files_removed", LongType, nullable = false))),
-        removed.toLong)
+      val path = str(n, "path", args.head)
+      val grace = if (args.size > 1) Some(long(n, "graceMillis", args(1)))
+                  else None // None = vacuumOrphans's own default window
+      deferred(n, StructType(Seq(
+        StructField("files_removed", LongType, nullable = false)))) { () =>
+        val (fs, root) = fsRoot(path)
+        val removed = grace match {
+          case Some(g) => FeatherSnapshots.vacuumOrphans(fs, root, g)
+          case None => FeatherSnapshots.vacuumOrphans(fs, root)
+        }
+        Seq(removed.toLong)
+      }
     }
   }
 }

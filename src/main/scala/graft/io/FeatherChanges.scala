@@ -40,7 +40,14 @@ import graft.sources.{FeatherPartitions, FeatherSnapshots}
   *
   * Scale: the diff touches O(changed bytes) per version, never the full
   * table (except overwrite/restore, whose change set IS the table), and
-  * nets out in ONE shuffle of exactly those rows. A pipeline that can
+  * nets out in ONE shuffle of exactly those rows. PLANNING is O(changed
+  * files) too: the feed's data schema merges the footers of exactly the
+  * files the range reads (a no-change range shapes its empty frame from
+  * the newest non-empty snapshot) — a streaming micro-batch over a
+  * 100k-part table pays for its one appended file, not a 100k-footer
+  * sweep. Corollary: a column that exists only in files the range never
+  * touches does not appear in that range's output schema (it could only
+  * ever have been all-null). A pipeline that can
   * shape its writes should still prefer [[FeatherMutations.applyCdc]]
   * input frames as the change source (they ARE the change set, no diff
   * needed); the CDF read is for consumers who only see the table.
@@ -147,14 +154,89 @@ object FeatherChanges {
     val effFrom = math.max(1L, fromVersion)
     val snaps = FeatherSnapshots.readRange(fs, root, effFrom, toVersion)
     val face = ConnectorFace.detect(snaps.last.files, "readChanges", path)
-    val allFiles = snaps.flatMap(_.files).distinct
-    // typed partition schema over every involved file — partition values
-    // are part of row identity (see scaladoc)
+
+    // ---- pass 1 (metadata only): which files does this range READ? ----
+    // Planning must be O(changed files), not O(table): a streaming CDF
+    // micro-batch over a 100k-part table processes one appended file —
+    // sweeping every footer of every version's FULL file list per batch
+    // would make the stream's steady-state cost proportional to the
+    // table instead of the change.
+    val dvCache = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+    def loadDv(binding: Option[(String, Long)]): Array[Long] =
+      binding.map { case (dvRel, _) =>
+        dvCache.getOrElseUpdate(dvRel,
+          DeletionVectors.read(conf, new Path(root, dvRel).toString))
+      }.getOrElse(Array.emptyLongArray)
+    case class StepMeta(version: Long,
+                        removedFiles: Seq[(String, Long)],
+                        addedFiles: Seq[(String, Long)],
+                        prevDvs: Map[String, (String, Long)],
+                        curDvs: Map[String, (String, Long)],
+                        delKeep: Map[String, Array[Long]],
+                        insKeep: Map[String, Array[Long]],
+                        commonLens: Map[String, Long])
+    val stepMeta: Seq[StepMeta] = snaps.sliding(2).flatMap { pair =>
+      if (pair.size < 2) None
+      else {
+        val (prev, cur) = (pair.head, pair(1))
+        cur.op match {
+          case "compact" | "cluster" => None // row-preserving rewrites
+          case _ =>
+            val prevSet = prev.files.toSet
+            val curSet = cur.files.toSet
+            val removedFiles = prev.files.filterNot(curSet)
+            val addedFiles = cur.files.filterNot(prevSet)
+            // deletion-vector DELTAS on files carried through unchanged:
+            // positions newly bound are this version's deleted rows
+            // (read exactly those positions → "delete"); positions
+            // un-bound (a restore to an earlier binding) come back as
+            // inserts. O(delta positions) read work, no rewrite diffing.
+            val common = prev.files.filter(curSet)
+            var delKeep = Map.empty[String, Array[Long]]
+            var insKeep = Map.empty[String, Array[Long]]
+            val commonLens = scala.collection.mutable.HashMap.empty[String, Long]
+            common.foreach { case (rel, len) =>
+              val pb = prev.dvs.get(rel)
+              val cb = cur.dvs.get(rel)
+              if (pb != cb) {
+                val pArr = loadDv(pb)
+                val cArr = loadDv(cb)
+                val nd = DeletionVectors.diff(cArr, pArr)
+                val ui = DeletionVectors.diff(pArr, cArr)
+                if (nd.nonEmpty) { delKeep += rel -> nd; commonLens(rel) = len }
+                if (ui.nonEmpty) { insKeep += rel -> ui; commonLens(rel) = len }
+              }
+            }
+            if (removedFiles.isEmpty && addedFiles.isEmpty &&
+                delKeep.isEmpty && insKeep.isEmpty) None
+            else Some(StepMeta(cur.version, removedFiles, addedFiles,
+              prev.dvs, cur.dvs, delKeep, insKeep, commonLens.toMap))
+        }
+      }
+    }.toSeq
+    val bootstrapFiles: Seq[(String, Long)] =
+      if (fromVersion == 0) snaps.head.files else Nil
+    val readFilesAll: Seq[(String, Long)] =
+      (bootstrapFiles ++ stepMeta.flatMap(m =>
+        m.removedFiles ++ m.addedFiles ++
+          (m.delKeep.keySet ++ m.insKeep.keySet).toSeq.sorted
+            .map(r => (r, m.commonLens(r))))).distinct
+
+    // ---- schema over exactly the files the range reads (falling back
+    // to the newest non-empty snapshot when a no-change range still
+    // needs an output shape). Partition values are part of row identity
+    // (see scaladoc). ----
+    val schemaFiles =
+      if (readFilesAll.nonEmpty) readFilesAll
+      else snaps.reverse.map(_.files).find(_.nonEmpty).getOrElse(sys.error(
+        s"readChanges on $path: no files in versions " +
+          s"[${snaps.head.version}, $toVersion] to derive the feed " +
+          "schema from"))
     val partSchema = FeatherSnapshots.toDiscovered(root,
       FeatherSnapshots.Snapshot(toVersion, 0, "cdf",
-        allFiles.sortBy(_._1))).partSchema
+        schemaFiles.sortBy(_._1))).partSchema
     val dataSchema = face.mergedSchema(spark,
-      allFiles.map { case (rel, len) => (new Path(root, rel).toString, len) })
+      schemaFiles.map { case (rel, len) => (new Path(root, rel).toString, len) })
     dataSchema.fields.find(_.dataType.isInstanceOf[
         org.apache.spark.sql.types.MapType]).foreach { f =>
       throw new IllegalArgumentException(
@@ -237,67 +319,29 @@ object FeatherChanges {
         case (x, None) => x
         case (None, y) => y
       }
-    val dvCache = scala.collection.mutable.HashMap.empty[String, Array[Long]]
-    def loadDv(binding: Option[(String, Long)]): Array[Long] =
-      binding.map { case (dvRel, _) =>
-        dvCache.getOrElseUpdate(dvRel,
-          DeletionVectors.read(conf, new Path(root, dvRel).toString))
-      }.getOrElse(Array.emptyLongArray)
-
     val initial: Option[DataFrame] =
-      if (fromVersion == 0)
-        Some(tagged(readSet(snaps.head.files, snaps.head.dvs), "insert",
+      if (fromVersion == 0 && bootstrapFiles.nonEmpty)
+        Some(tagged(readSet(bootstrapFiles, snaps.head.dvs), "insert",
           snaps.head.version))
       else None
-    val steps = snaps.sliding(2).flatMap { pair =>
-      if (pair.size < 2) None
-      else {
-        val (prev, cur) = (pair.head, pair(1))
-        cur.op match {
-          case "compact" | "cluster" => None // row-preserving rewrites
-          case _ =>
-            val prevSet = prev.files.toSet
-            val curSet = cur.files.toSet
-            val removedFiles = prev.files.filterNot(curSet)
-            val addedFiles = cur.files.filterNot(prevSet)
-            // deletion-vector DELTAS on files carried through unchanged:
-            // positions newly bound are this version's deleted rows
-            // (read exactly those positions → "delete"); positions
-            // un-bound (a restore to an earlier binding) come back as
-            // inserts. O(delta positions) read work, no rewrite diffing.
-            val common = prev.files.filter(curSet)
-            var delKeep = Map.empty[String, Array[Long]]
-            var insKeep = Map.empty[String, Array[Long]]
-            val commonLens = scala.collection.mutable.HashMap.empty[String, Long]
-            common.foreach { case (rel, len) =>
-              val pb = prev.dvs.get(rel)
-              val cb = cur.dvs.get(rel)
-              if (pb != cb) {
-                val pArr = loadDv(pb)
-                val cArr = loadDv(cb)
-                val nd = DeletionVectors.diff(cArr, pArr)
-                val ui = DeletionVectors.diff(pArr, cArr)
-                if (nd.nonEmpty) { delKeep += rel -> nd; commonLens(rel) = len }
-                if (ui.nonEmpty) { insKeep += rel -> ui; commonLens(rel) = len }
-              }
-            }
-            def posFrame(keep: Map[String, Array[Long]]): Option[DataFrame] =
-              if (keep.isEmpty) None
-              else Some(readSet(
-                keep.keys.toSeq.sorted.map(r => (r, commonLens(r))),
-                Map.empty, keep))
-            val removedDf = merge2(
-              if (removedFiles.isEmpty) None
-              else Some(readSet(removedFiles, prev.dvs)),
-              posFrame(delKeep))
-            val addedDf = merge2(
-              if (addedFiles.isEmpty) None
-              else Some(readSet(addedFiles, cur.dvs)),
-              posFrame(insKeep))
-            diff(removedDf, addedDf, cur.version)
-        }
-      }
-    }.toSeq
+    val steps = stepMeta.map { m =>
+      def posFrame(keep: Map[String, Array[Long]]): Option[DataFrame] =
+        if (keep.isEmpty) None
+        else Some(readSet(
+          keep.keys.toSeq.sorted.map(r => (r, m.commonLens(r))),
+          Map.empty, keep))
+      val removedDf = merge2(
+        if (m.removedFiles.isEmpty) None
+        else Some(readSet(m.removedFiles, m.prevDvs)),
+        posFrame(m.delKeep))
+      val addedDf = merge2(
+        if (m.addedFiles.isEmpty) None
+        else Some(readSet(m.addedFiles, m.curDvs)),
+        posFrame(m.insKeep))
+      // a StepMeta only exists when some side is non-empty, so diff
+      // always yields a frame here
+      diff(removedDf, addedDf, m.version).get
+    }
     val frames = initial.toSeq ++ steps
     if (frames.isEmpty) {
       import org.apache.spark.sql.types._

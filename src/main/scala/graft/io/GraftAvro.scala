@@ -408,8 +408,13 @@ object GraftAvro {
                                dv: Array[Long] = null,
                                dvKeep: Boolean = false)
       : Iterator[Row] =
+    // positions are only consumed by the DV cursor — a plain read must
+    // not pay (or be bounded by) the position encoding: avroPos's 2^39
+    // byte / 2^24 records-per-block limits would otherwise fail reads
+    // of huge DV-free containers that decoded fine before
     splitRowsPos(execConf, schemaJson, file, start, end, colNames,
-      registerOpen, registerClosed, dv, dvKeep).map(_._2)
+      registerOpen, registerClosed, dv, dvKeep,
+      needPos = dv != null).map(_._2)
 
   /** [[splitRows]] with each row's DELETION-VECTOR POSITION
     * (`(blockSyncOffset << 24) | recordInBlock` —
@@ -428,7 +433,8 @@ object GraftAvro {
       registerOpen: DataFileReader[GenericRecord] => Unit,
       registerClosed: DataFileReader[GenericRecord] => Unit,
       dv: Array[Long] = null,
-      dvKeep: Boolean = false)
+      dvKeep: Boolean = false,
+      needPos: Boolean = true)
       : Iterator[(Long, Row)] = {
     val schema = new Schema.Parser().parse(schemaJson)
     val fields = colNames match {
@@ -461,10 +467,16 @@ object GraftAvro {
       }
       def next(): (Long, Row) =
         try {
-          val s = reader.previousSync()
-          if (s != curSync) { curSync = s; recIdx = 0L }
-          val pos = DeletionVectors.avroPos(curSync, recIdx)
-          recIdx += 1
+          // `needPos = false` (a plain read, no DV and no position
+          // consumer) skips the packing: its 2^39-byte offset bound must
+          // never gate a read that ignores positions anyway
+          val pos = if (needPos) {
+            val s = reader.previousSync()
+            if (s != curSync) { curSync = s; recIdx = 0L }
+            val p = DeletionVectors.avroPos(curSync, recIdx)
+            recIdx += 1
+            p
+          } else -1L
           val rec = reader.next()
           // resolution (expected schema) makes positions match the
           // driver schema regardless of each file's writer layout

@@ -37,8 +37,12 @@ import graft.io.FeatherChanges
   *    changes after stream start flow).
   *
   * Caveat (documented divergence): the feed's schema is fixed at stream
-  * start from the head snapshot; a mid-stream schema evolution fails
-  * the query loudly — restart to pick up the widened schema. */
+  * start from the head snapshot. A mid-stream WIDENING (a batch carries
+  * columns the start-time schema lacks) fails the query loudly — the new
+  * columns' values cannot flow through the fixed schema, so restart to
+  * pick them up. A batch MISSING fixed-schema columns null-fills them:
+  * that is the column's true value both for rows predating a widening
+  * and for rows written after a narrowing overwrite dropped it. */
 class FeatherCdfSourceProvider extends StreamSourceProvider
     with DataSourceRegister {
   override def shortName(): String = "feather-cdf"
@@ -73,9 +77,13 @@ class FeatherCdfSourceProvider extends StreamSourceProvider
     val starting = parameters.get("startingversion")
       .orElse(parameters.get("startingVersion")) match {
       case Some("latest") =>
-        val root = new org.apache.hadoop.fs.Path(path)
-        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        FeatherSnapshots.latestVersion(fs, root).getOrElse(0L)
+        // resolved ONCE per checkpoint, pinned under metadataPath: a
+        // restart must replay getBatch against the ORIGINAL start — a
+        // re-resolved "latest" would swallow every version committed
+        // while the stream was down if the crash left an uncommitted
+        // batch in the offset WAL (getBatch(None, walEnd) would then
+        // cover (newLatest, walEnd] = nothing)
+        pinnedLatest(spark, path, metadataPath)
       case Some(v) => v.toLong
       case None => 0L
     }
@@ -83,11 +91,48 @@ class FeatherCdfSourceProvider extends StreamSourceProvider
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       starting)
   }
+
+  /** The resolved form of `startingVersion=latest`, durable across
+    * restarts: first resolution writes `graft-cdf-start` under the
+    * stream's own checkpoint metadata dir (temp + atomic rename); every
+    * restart reads the pin back instead of re-resolving. */
+  private def pinnedLatest(spark: SparkSession, path: String,
+                           metadataPath: String): Long = {
+    val pin = new org.apache.hadoop.fs.Path(metadataPath, "graft-cdf-start")
+    val fs = pin.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(pin)) {
+      val in = fs.open(pin)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    } else {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val rfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val v = FeatherSnapshots.latestVersion(rfs, root).getOrElse(0L)
+      val tmp = new org.apache.hadoop.fs.Path(pin.getParent,
+        s".${pin.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, pin)) {
+        // raced by a concurrent (re)start pinning the same checkpoint:
+        // theirs won — read it back so both sides agree
+        fs.delete(tmp, false)
+        require(fs.exists(pin),
+          s"feather-cdf: cannot pin starting version under $metadataPath")
+        return pinnedLatest(spark, path, metadataPath)
+      }
+      v
+    }
+  }
 }
 
-private class FeatherCdfSource(spark: SparkSession, path: String,
-                               fixedSchema: StructType,
-                               startingVersion: Long) extends Source {
+private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
+                                      fixedSchema: StructType,
+                                      // exposed so the spec can pin the
+                                      // pinned-start restart contract
+                                      val startingVersion: Long)
+    extends Source {
   private def rp = new org.apache.hadoop.fs.Path(path)
   private def fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -114,9 +159,11 @@ private class FeatherCdfSource(spark: SparkSession, path: String,
           new java.util.ArrayList[org.apache.spark.sql.Row](), fixedSchema)
       else {
         val raw = FeatherChanges.readChanges(spark, path, s, e)
-        // the documented contract: a mid-stream schema evolution fails
-        // LOUDLY — align() would silently project the new columns away,
-        // losing their values from the feed forever
+        // the documented contract: a mid-stream WIDENING fails LOUDLY —
+        // align() would silently project the new columns away, losing
+        // their values from the feed forever. Columns the batch LACKS
+        // null-fill instead (align): null is those rows' true value,
+        // whether they predate a widening or follow a narrowing.
         val extra = raw.columns
           .filterNot(fixedSchema.fieldNames.contains).toSeq
         if (extra.nonEmpty) throw new IllegalStateException(

@@ -281,6 +281,33 @@ class FeatherChangesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("startingVersion=latest is PINNED at first start: a restart " +
+       "replays against the original start, never a re-resolved head") {
+    val path = tmp("cdf_latest_pin")
+    import spark.implicits._
+    writeV(path, 1, 50, "overwrite") // v1 — the head "latest" resolves to
+    val meta = tmp("cdf_latest_pin_meta")
+    val provider = new graft.sources.FeatherCdfSourceProvider
+    val params = Map("path" -> path, "startingVersion" -> "latest")
+    val s1 = provider.createSource(spark.sqlContext, meta, None,
+      "feather-cdf", params).asInstanceOf[graft.sources.FeatherCdfSource]
+    assert(s1.startingVersion === 1L)
+    // versions land while the stream is down (the crash window: the
+    // offset WAL may already name them without a committed batch)
+    writeV(path, 51, 60, "append") // v2
+    FeatherMutations.deleteByKey(spark, path,
+      Seq(5L).toDF("id"), Seq("id")) // v3
+    // recovery constructs a FRESH source for the same checkpoint; its
+    // getBatch(None, walEnd) must cover (1, walEnd] — a re-resolved
+    // "latest" (now 3) would make that range empty and silently drop
+    // v2 + v3 from the feed
+    val s2 = provider.createSource(spark.sqlContext, meta, None,
+      "feather-cdf", params).asInstanceOf[graft.sources.FeatherCdfSource]
+    assert(s2.startingVersion === 1L,
+      s"the pin under $meta must survive the restart, got " +
+        s"${s2.startingVersion}")
+  }
+
   test("option(\"readChangeFeed\", \"true\") turns the MAIN formats' " +
        "readStream into the change feed") {
     val path = tmp("cdf_option")

@@ -125,6 +125,34 @@ class SqlMaintenanceSpec extends AnyFunSuite {
     assert(spark.read.format("feather").load(path).count() === 99)
   }
 
+  test("maintenance actions run at EXECUTION: analysis and EXPLAIN " +
+       "never mutate the table") {
+    val path = tmp("sql_deferred")
+    import spark.implicits._
+    writeTable(path, 200, 2) // v1
+    FeatherMutations.deleteByKey(spark, path, Seq(7L).toDF("id"), Seq("id")) // v2
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def head(): Long =
+      FeatherSnapshots.latestVersion(fs, new Path(path)).get
+    // building + fully PLANNING the statement must not run the restore —
+    // a BI tool EXPLAINing, or a twice-analyzed statement, must be inert
+    val df = spark.sql(s"SELECT * FROM graft_restore('$path', 1)")
+    df.queryExecution.executedPlan // force analysis + physical planning
+    assert(head() === 2L, "planning graft_restore must not run it")
+    assert(spark.read.format("feather").load(path).count() === 199)
+    // executing the SAME statement performs it exactly once
+    assert(df.head().getAs[Long]("new_version") === 3L)
+    assert(head() === 3L)
+    assert(spark.read.format("feather").load(path).count() === 200)
+    // same deferral for the rewrite family
+    val dfc = spark.sql(s"SELECT * FROM graft_optimize('$path')")
+    dfc.queryExecution.executedPlan
+    assert(head() === 3L, "planning graft_optimize must not run it")
+    assert(dfc.head().getAs[Long]("files_before") >= 1L)
+    assert(head() === 4L)
+  }
+
   test("non-literal and malformed arguments fail analysis loudly") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM graft_history(version)").collect()
