@@ -21,7 +21,13 @@ import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
   * executes, and the one-row result the SELECT returns is whatever the
   * action reports — the same contract as Delta's RESTORE/OPTIMIZE
   * commands. A plan that references the node twice executes the action
-  * twice, exactly like issuing the statement twice. */
+  * twice, exactly like issuing the statement twice.
+  *
+  * Corollary (documented, deliberate): the action runs iff the leaf
+  * SURVIVES optimization. A statement that provably never reads the
+  * result — `WHERE 1=0`, `LIMIT 0` — is pruned to an empty relation and
+  * skips the action, the same way it would skip reading a table. Drive
+  * maintenance with a plain `SELECT * FROM graft_...(...)`. */
 private[extensions] case class DeferredMaintenanceAction(
     name: String,
     output: Seq[Attribute],

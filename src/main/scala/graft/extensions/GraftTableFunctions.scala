@@ -35,9 +35,12 @@ import graft.sources.FeatherSnapshots
   * [[DeferredMaintenanceAction]] (the one-row result the SELECT returns
   * reports what happened): an EXPLAIN or an eagerly-analyzing notebook
   * never mutates the table — the same contract as Delta's
-  * RESTORE/OPTIMIZE commands. The read-only functions (`graft_history`,
-  * `graft_vacuum_dry_run`) materialize at analysis; their result is a
-  * point-in-time report either way.
+  * RESTORE/OPTIMIZE commands. Flip side: a statement the optimizer
+  * proves reads nothing (`WHERE 1=0`, `LIMIT 0`) prunes the leaf and
+  * skips the action — drive maintenance with a plain `SELECT *`. The
+  * read-only functions (`graft_history`, `graft_vacuum_dry_run`)
+  * materialize at analysis; their result is a point-in-time report
+  * either way.
   *
   * Arguments must be literals (a path computed per-row has no meaning
   * for a table function); violations fail analysis loudly — argument

@@ -142,7 +142,19 @@ object FeatherChanges {
   }
 
   def readChanges(spark: SparkSession, path: String,
-                  fromVersion: Long, toVersion: Long): DataFrame = {
+                  fromVersion: Long, toVersion: Long): DataFrame =
+    readChanges(spark, path, fromVersion, toVersion, emptyShape = None)
+
+  /** [[readChanges]] with a caller-supplied shape for a NO-CHANGE range
+    * (only compact/cluster versions): the streaming source already holds
+    * the feed schema it will align every batch to, so deriving one from
+    * a footer sweep of the newest snapshot — O(table), per idle
+    * micro-batch — would be pure waste. */
+  private[graft] def readChanges(spark: SparkSession, path: String,
+                                 fromVersion: Long, toVersion: Long,
+                                 emptyShape: Option[
+                                   org.apache.spark.sql.types.StructType])
+      : DataFrame = {
     require(fromVersion >= 0 && toVersion >= math.max(fromVersion, 1L),
       s"readChanges: bad version range ($fromVersion, $toVersion]")
     val conf = spark.sparkContext.hadoopConfiguration
@@ -222,16 +234,35 @@ object FeatherChanges {
           (m.delKeep.keySet ++ m.insKeep.keySet).toSeq.sorted
             .map(r => (r, m.commonLens(r))))).distinct
 
-    // ---- schema over exactly the files the range reads (falling back
-    // to the newest non-empty snapshot when a no-change range still
-    // needs an output shape). Partition values are part of row identity
-    // (see scaladoc). ----
-    val schemaFiles =
-      if (readFilesAll.nonEmpty) readFilesAll
-      else snaps.reverse.map(_.files).find(_.nonEmpty).getOrElse(sys.error(
-        s"readChanges on $path: no files in versions " +
-          s"[${snaps.head.version}, $toVersion] to derive the feed " +
-          "schema from"))
+    // ---- a NO-CHANGE range (compact/cluster-only) returns its empty
+    // frame immediately: the caller's shape if supplied, else one
+    // derived from the newest non-empty snapshot (the only remaining
+    // O(snapshot files) schema sweep, and only on this rare path) ----
+    if (readFilesAll.isEmpty) {
+      import org.apache.spark.sql.types._
+      val outSchema = emptyShape.getOrElse {
+        val shapeFiles = snaps.reverse.map(_.files).find(_.nonEmpty)
+          .getOrElse(sys.error(
+            s"readChanges on $path: no files in versions " +
+              s"[${snaps.head.version}, $toVersion] to derive the feed " +
+              "schema from"))
+        val ps = FeatherSnapshots.toDiscovered(root,
+          FeatherSnapshots.Snapshot(toVersion, 0, "cdf",
+            shapeFiles.sortBy(_._1))).partSchema
+        val ds = face.mergedSchema(spark,
+          shapeFiles.map { case (rel, len) =>
+            (new Path(root, rel).toString, len) })
+        StructType(ds.fields ++ ps.fields ++ Seq(
+          StructField("_change_type", StringType, nullable = false),
+          StructField("_commit_version", LongType, nullable = false)))
+      }
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    }
+
+    // ---- schema over exactly the files the range reads. Partition
+    // values are part of row identity (see scaladoc). ----
+    val schemaFiles = readFilesAll
     val partSchema = FeatherSnapshots.toDiscovered(root,
       FeatherSnapshots.Snapshot(toVersion, 0, "cdf",
         schemaFiles.sortBy(_._1))).partSchema
@@ -342,14 +373,9 @@ object FeatherChanges {
       // always yields a frame here
       diff(removedDf, addedDf, m.version).get
     }
+    // readFilesAll non-empty ⇒ bootstrapFiles or some step is non-empty
+    // ⇒ at least one frame exists (the empty range returned early above)
     val frames = initial.toSeq ++ steps
-    if (frames.isEmpty) {
-      import org.apache.spark.sql.types._
-      val outSchema = StructType(dataSchema.fields ++ partSchema.fields ++ Seq(
-        StructField("_change_type", StringType, nullable = false),
-        StructField("_commit_version", LongType, nullable = false)))
-      spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
-    } else frames.reduce(_ unionByName _)
+    frames.reduce(_ unionByName _)
   }
 }

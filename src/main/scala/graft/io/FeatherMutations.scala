@@ -188,13 +188,7 @@ object FeatherMutations {
     // time travel until expire(), exactly like a COW delete's retired
     // inputs.
     def fileRowCount(fid: Int): Option[Long] =
-      probeStats.getOrElse(absFiles(fid)._1, None).flatMap { batches =>
-        val counts = batches.map(_.get(FeatherStats.RowCountKey) match {
-          case Some(FeatherStats.ColStat.Count(n)) => Some(n)
-          case _ => None
-        })
-        if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
-      }
+      probeStats.getOrElse(absFiles(fid)._1, None).flatMap(exactRows)
     val perFile: Map[Int, (String, Array[Long])] = newByFile.map {
       case (fid, fresh) =>
         val rel = snap.files(fid)._1
@@ -301,6 +295,19 @@ object FeatherMutations {
     * Bloom sidecars fold into one distributed pass; a file without usable
     * stats is touched unconditionally — pruning is an optimization, never
     * a correctness input. Mutation keys never collect to the driver. */
+  /** Exact row count from per-batch stats — defined only when EVERY
+    * batch carries a count (a partial answer could prove the wrong
+    * thing). Shared by the DV full-coverage check and the COW no-op
+    * delete proof. */
+  private def exactRows(batches: Seq[Map[String, FeatherStats.ColStat]])
+      : Option[Long] = {
+    val counts = batches.map(_.get(FeatherStats.RowCountKey) match {
+      case Some(FeatherStats.ColStat.Count(n)) => Some(n)
+      case _ => None
+    })
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+  }
+
   /** Returns (touched file indices, the stats it loaded) — callers that
     * need sidecar stats afterwards (the DV delete's full-coverage check)
     * reuse them instead of paying a second per-leaf sidecar read. */
@@ -664,14 +671,18 @@ object FeatherMutations {
     // ---- prune: which files could contain a mutation key? ------------------
     val absFiles = snap.files.map { case (rel, len) =>
       (new Path(root, rel).toString, len) }
-    val touchedIdx: Set[Int] =
-      probeTouched(spark, op, absFiles, tableSchema0, keysDf, keyCols)._1
+    val (touchedIdx, probeStatsCow) =
+      probeTouched(spark, op, absFiles, tableSchema0, keysDf, keyCols)
     val touchedRel: Set[String] =
       touchedIdx.map(i => snap.files(i)._1)
 
     // ---- rewrite touched leaves --------------------------------------------
     val keysProj = keysDf.select(keyCols.map(col): _*)
     val added = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    // (leafDir, part name, exact rows) per rewritten part — feeds the
+    // no-op delete proof below
+    val writtenMeta = scala.collection.mutable.ArrayBuffer
+      .empty[(Path, String, Option[Long])]
     var partsWritten = 0
     byLeaf.foreach { case (relDir, leafFiles) =>
       val touchedLeaf = leafFiles.filter { case (rel, _) => touchedRel(rel) }
@@ -724,6 +735,8 @@ object FeatherMutations {
               name -> (len, FeatherStats.fromJson(js)) }.toMap)
         added ++= parts.map { case (name, len, _) =>
           (if (relDir.isEmpty) name else s"$relDir/$name", len) }
+        writtenMeta ++= parts.map { case (name, _, js) =>
+          (leafDir, name, exactRows(FeatherStats.fromJson(js))) }
         partsWritten += parts.size
       }
     }
@@ -804,6 +817,44 @@ object FeatherMutations {
     // idempotent version
     if (op == "delete" && touchedRel.isEmpty && added.isEmpty)
       return Result(snap.version, 0, snap.files.size, 0)
+    // ... and a DELETE whose candidates were rewritten ROW-EQUIVALENTLY
+    // (a retried takedown whose keys fall inside surviving ranges, so
+    // stats/bloom pruning cannot clear them) must be a true no-op too:
+    // prove it by exact counts — old effective rows (stats minus DV
+    // cardinality) vs rewritten rows — and WITHDRAW the rewrite instead
+    // of publishing an empty op="delete" version. Unknown counts fall
+    // back to committing (pruning stats are optional; the proof is not
+    // allowed to guess).
+    if (op == "delete" && appendSource.isEmpty && touchedRel.nonEmpty) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val oldRows: Option[Long] = {
+        val per = touchedIdx.toSeq.map { i =>
+          val rel = snap.files(i)._1
+          val dvRows = snap.dvs.get(rel).map { case (dvRel, _) =>
+            DeletionVectors.read(conf,
+              new Path(root, dvRel).toString).length.toLong
+          }.getOrElse(0L)
+          probeStatsCow.getOrElse(absFiles(i)._1, None).flatMap(exactRows)
+            .map(_ - dvRows)
+        }
+        if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+      }
+      val newRows: Option[Long] =
+        if (writtenMeta.exists(_._3.isEmpty)) None
+        else Some(writtenMeta.flatMap(_._3).sum)
+      if (oldRows.isDefined && oldRows == newRows) {
+        writtenMeta.groupBy(_._1).foreach { case (leafDir, ps) =>
+          FeatherStats.upsertMerged(fs, leafDir, Map.empty,
+            ps.map(_._2).toSet)
+        }
+        added.foreach { case (rel, _) =>
+          fs.delete(new Path(root, rel), false): Unit
+          // the writer's per-part stats sidecar rides along
+          fs.delete(new Path(root, s"$rel.stats.json"), false): Unit
+        }
+        return Result(snap.version, 0, snap.files.size, 0)
+      }
+    }
     // conflict matrix (FeatherSnapshots.commitMutation): concurrent blind
     // appends commute — their files carry through; a concurrent mutation/
     // overwrite/restore that touched anything this run READ aborts loudly

@@ -37,12 +37,15 @@ import graft.io.FeatherChanges
   *    changes after stream start flow).
   *
   * Caveat (documented divergence): the feed's schema is fixed at stream
-  * start from the head snapshot. A mid-stream WIDENING (a batch carries
-  * columns the start-time schema lacks) fails the query loudly — the new
-  * columns' values cannot flow through the fixed schema, so restart to
-  * pick them up. A batch MISSING fixed-schema columns null-fills them:
-  * that is the column's true value both for rows predating a widening
-  * and for rows written after a narrowing overwrite dropped it. */
+  * start from the head snapshot. A mid-stream WIDENING (a batch past
+  * the stream-start head carries columns the start-time schema lacks)
+  * fails the query loudly — the new columns' values cannot flow through
+  * the fixed schema, so restart to pick them up. Pre-start history is
+  * exempt: it bootstraps in the fixed head schema, projecting columns a
+  * pre-start narrowing dropped (the Delta shape — CDF serves the
+  * table's current schema). A batch MISSING fixed-schema columns
+  * null-fills them: that is the column's true value both for rows
+  * predating a widening and for rows written after a narrowing. */
 class FeatherCdfSourceProvider extends StreamSourceProvider
     with DataSourceRegister {
   override def shortName(): String = "feather-cdf"
@@ -87,9 +90,12 @@ class FeatherCdfSourceProvider extends StreamSourceProvider
       case Some(v) => v.toLong
       case None => 0L
     }
+    val root = new org.apache.hadoop.fs.Path(path)
+    val rfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     new FeatherCdfSource(spark, path,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      starting)
+      starting,
+      startHead = FeatherSnapshots.latestVersion(rfs, root).getOrElse(0L))
   }
 
   /** The resolved form of `startingVersion=latest`, durable across
@@ -122,7 +128,12 @@ class FeatherCdfSourceProvider extends StreamSourceProvider
           s"feather-cdf: cannot pin starting version under $metadataPath")
         return pinnedLatest(spark, path, metadataPath)
       }
-      v
+      // POSIX rename OVERWRITES: a racing pinner may have replaced the
+      // file after our rename returned true. Converge on whatever pin
+      // survived — the durable file is the truth every restart reads.
+      // (Two live drivers on one checkpoint already violate Spark's
+      // checkpoint contract; this just keeps the pin self-consistent.)
+      pinnedLatest(spark, path, metadataPath)
     }
   }
 }
@@ -131,7 +142,15 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
                                       fixedSchema: StructType,
                                       // exposed so the spec can pin the
                                       // pinned-start restart contract
-                                      val startingVersion: Long)
+                                      val startingVersion: Long,
+                                      // the table head when this stream
+                                      // STARTED: the widening guard only
+                                      // polices versions after it (columns
+                                      // in pre-start history may be
+                                      // legitimately gone from the fixed
+                                      // head schema — a since-dropped
+                                      // column must not wedge bootstrap)
+                                      startHead: Long)
     extends Source {
   private def rp = new org.apache.hadoop.fs.Path(path)
   private def fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -158,15 +177,23 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), fixedSchema)
       else {
-        val raw = FeatherChanges.readChanges(spark, path, s, e)
-        // the documented contract: a mid-stream WIDENING fails LOUDLY —
+        // the empty-shape hint keeps a no-change batch (compact-only /
+        // cluster-only versions) from sweeping the table's footers just
+        // to shape a frame this align would immediately re-shape anyway
+        val raw = FeatherChanges.readChanges(spark, path, s, e,
+          emptyShape = Some(fixedSchema))
+        // the documented contract: a MID-STREAM widening fails LOUDLY —
         // align() would silently project the new columns away, losing
-        // their values from the feed forever. Columns the batch LACKS
+        // their values from the feed forever. The guard only polices
+        // batches fully past the stream-start head: pre-start history
+        // may carry since-dropped columns (a narrowing overwrite before
+        // the stream started), and those must bootstrap in the fixed
+        // head schema, not wedge the stream. Columns the batch LACKS
         // null-fill instead (align): null is those rows' true value,
         // whether they predate a widening or follow a narrowing.
         val extra = raw.columns
           .filterNot(fixedSchema.fieldNames.contains).toSeq
-        if (extra.nonEmpty) throw new IllegalStateException(
+        if (extra.nonEmpty && s >= startHead) throw new IllegalStateException(
           s"change feed on $path: versions ($s, $e] carry column(s) " +
             s"${extra.mkString(", ")} not in the stream's start-time " +
             "schema — the table evolved mid-stream; restart the stream " +

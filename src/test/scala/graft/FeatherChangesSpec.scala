@@ -281,6 +281,51 @@ class FeatherChangesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CDF: pre-start narrowed history bootstraps in the " +
+       "head schema (no wedge), a compact-only batch is empty, and a " +
+       "true mid-stream widening still fails loudly") {
+    val path = tmp("cdf_narrowed")
+    import spark.implicits._
+    (1 to 30).map(i => (i.toLong, s"n_$i", "de")).toDF("id", "name", "lang")
+      .repartition(1).write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(path) // v1: (id, name, lang)
+    (31 to 40).map(i => (i.toLong, s"n_$i")).toDF("id", "name")
+      .repartition(3).write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(path) // v2: NARROWED overwrite
+    val q = spark.readStream.format("feather-cdf").load(path)
+      .writeStream.format("memory").queryName("cdf_narrow_t")
+      .option("checkpointLocation", tmp("cdf_narrow_ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // the bootstrap range carries the since-dropped `lang`: it must
+      // project away (fixed head schema), never wedge the stream
+      val t = spark.table("cdf_narrow_t")
+      assert(!t.columns.contains("lang"))
+      assert(t.count() === 30 + 30 + 10,
+        "v1 inserts + overwrite's 30 deletes + 10 inserts")
+      // mid-stream compaction: the version advances, the batch is pure
+      // shape (served from the stream's fixed schema, no footer sweep)
+      graft.io.FeatherCompact.compact(spark, path, targetBytes = 64 << 20)
+      q.processAllAvailable()
+      assert(spark.table("cdf_narrow_t").count() === 70,
+        "compaction contributes no changes")
+      // a genuine post-start widening is still LOUD
+      val fs = new Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val parts = graft.io.GraftFeather.writeParts(
+        Seq((41L, "n_41", 9.9)).toDF("id", "name", "score")
+          .repartition(1), path, "gen-wide")
+      FeatherSnapshots.commit(fs, new Path(path), "append") { parent =>
+        parent ++ parts.map { case (n, len, _) => (n, len) }
+      }
+      val e = intercept[Exception] { q.processAllAvailable() }
+      assert(e.getMessage.contains("evolved mid-stream") ||
+        Option(e.getCause).exists(_.getMessage.contains("evolved mid-stream")),
+        s"widening must fail loudly, got: ${e.getMessage}")
+    } finally q.stop()
+  }
+
   test("startingVersion=latest is PINNED at first start: a restart " +
        "replays against the original start, never a re-resolved head") {
     val path = tmp("cdf_latest_pin")

@@ -614,6 +614,36 @@ class FeatherMutationsSpec extends AnyFunSuite {
   }
 
 
+  test("a retried COW delete is a TRUE no-op: the row-count proof " +
+       "withdraws the rewrite and publishes no commit") {
+    val path = tmp("cow_idempotent")
+    import spark.implicits._
+    (1 to 400).map(i => (i.toLong, s"p_$i")).toDF("id", "pay")
+      .repartitionByRange(4, col("id"))
+      .write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(path)
+    val r1 = FeatherMutations.deleteByKey(spark, path,
+      Seq(5L, 105L).toDF("id"), Seq("id"))
+    assert(r1.version === 2L)
+    // the keys sit INSIDE surviving files' min/max ranges, so pruning
+    // cannot clear the retry — only the count proof stops an empty
+    // op="delete" commit (which would abort live snapshot streams)
+    val r2 = FeatherMutations.deleteByKey(spark, path,
+      Seq(5L, 105L).toDF("id"), Seq("id"))
+    assert(r2.version === 2L, s"retried delete must not commit: $r2")
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(FeatherSnapshots.latestVersion(fs, new Path(path)).get === 2L)
+    assert(spark.read.format("feather").load(path).count() === 398)
+    // the withdrawn rewrite's parts are cleaned up, not left as residue
+    // (vacuum would shield them forever: mut-v3 targets a version newer
+    // than the latest manifest)
+    val leaked = fs.listStatus(new Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("mut-v00000003"))
+    assert(leaked.isEmpty,
+      s"withdrawn parts must be deleted: ${leaked.mkString(", ")}")
+  }
+
   test("nested NON-hive layout: deleteByKey rewrites generically, merge " +
        "refuses loudly (nowhere to route inserts)") {
     val path = tmp("nested_nonhive")
