@@ -239,22 +239,13 @@ object FeatherChanges {
     // derived from the newest non-empty snapshot (the only remaining
     // O(snapshot files) schema sweep, and only on this rare path) ----
     if (readFilesAll.isEmpty) {
-      import org.apache.spark.sql.types._
       val outSchema = emptyShape.getOrElse {
         val shapeFiles = snaps.reverse.map(_.files).find(_.nonEmpty)
           .getOrElse(sys.error(
             s"readChanges on $path: no files in versions " +
               s"[${snaps.head.version}, $toVersion] to derive the feed " +
               "schema from"))
-        val ps = FeatherSnapshots.toDiscovered(root,
-          FeatherSnapshots.Snapshot(toVersion, 0, "cdf",
-            shapeFiles.sortBy(_._1))).partSchema
-        val ds = face.mergedSchema(spark,
-          shapeFiles.map { case (rel, len) =>
-            (new Path(root, rel).toString, len) })
-        StructType(ds.fields ++ ps.fields ++ Seq(
-          StructField("_change_type", StringType, nullable = false),
-          StructField("_commit_version", LongType, nullable = false)))
+        feedSchema(spark, root, face, shapeFiles)
       }
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)

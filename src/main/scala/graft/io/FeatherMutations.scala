@@ -288,13 +288,6 @@ object FeatherMutations {
   private case object NoRows extends KeyRange  // zero non-null keys: skip
   private final case class Rng(lo: Any, hi: Any) extends KeyRange
 
-  /** The file-pruning PROBE shared by the copy-on-write mutations and the
-    * deletion-vector delete: which files (by index into `absFiles`) could
-    * contain a key from `keysDf`? Stats ranges (sorted-boundary binary
-    * search on disjoint layouts, interval-stab on overlapping ones) and
-    * Bloom sidecars fold into one distributed pass; a file without usable
-    * stats is touched unconditionally — pruning is an optimization, never
-    * a correctness input. Mutation keys never collect to the driver. */
   /** Exact row count from per-batch stats — defined only when EVERY
     * batch carries a count (a partial answer could prove the wrong
     * thing). Shared by the DV full-coverage check and the COW no-op
@@ -308,7 +301,15 @@ object FeatherMutations {
     if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
   }
 
-  /** Returns (touched file indices, the stats it loaded) — callers that
+  /** The file-pruning PROBE shared by the copy-on-write mutations and the
+    * deletion-vector delete: which files (by index into `absFiles`) could
+    * contain a key from `keysDf`? Stats ranges (sorted-boundary binary
+    * search on disjoint layouts, interval-stab on overlapping ones) and
+    * Bloom sidecars fold into one distributed pass; a file without usable
+    * stats is touched unconditionally — pruning is an optimization, never
+    * a correctness input. Mutation keys never collect to the driver.
+    *
+    * Returns (touched file indices, the stats it loaded) — callers that
     * need sidecar stats afterwards (the DV delete's full-coverage check)
     * reuse them instead of paying a second per-leaf sidecar read. */
   private def probeTouched(spark: SparkSession, op: String,
@@ -826,14 +827,12 @@ object FeatherMutations {
     // back to committing (pruning stats are optional; the proof is not
     // allowed to guess).
     if (op == "delete" && appendSource.isEmpty && touchedRel.nonEmpty) {
-      val conf = spark.sparkContext.hadoopConfiguration
       val oldRows: Option[Long] = {
         val per = touchedIdx.toSeq.map { i =>
           val rel = snap.files(i)._1
-          val dvRows = snap.dvs.get(rel).map { case (dvRel, _) =>
-            DeletionVectors.read(conf,
-              new Path(root, dvRel).toString).length.toLong
-          }.getOrElse(0L)
+          // the manifest binding carries the DV's cardinality exactly so
+          // accounting like this never opens the sidecar
+          val dvRows = snap.dvs.get(rel).map(_._2).getOrElse(0L)
           probeStatsCow.getOrElse(absFiles(i)._1, None).flatMap(exactRows)
             .map(_ - dvRows)
         }

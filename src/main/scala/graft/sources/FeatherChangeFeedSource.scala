@@ -77,33 +77,33 @@ class FeatherCdfSourceProvider extends StreamSourceProvider
                             parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
+    // the table head at the stream's TRUE start, resolved once per
+    // checkpoint and pinned under metadataPath (temp + atomic rename):
+    // every restart reads the pin back instead of re-resolving. Two
+    // contracts hang off it — (a) startingVersion=latest must replay
+    // getBatch against the ORIGINAL start (a re-resolved "latest" would
+    // swallow every version committed while the stream was down if the
+    // crash left an uncommitted batch in the offset WAL), and (b) the
+    // widening guard's pre-start/post-start boundary must be the FIRST
+    // start's head, or a restart would re-classify genuinely post-start
+    // widenings as exempt history and silently drop their columns
+    val startHead = pinnedStartHead(spark, path, metadataPath)
     val starting = parameters.get("startingversion")
       .orElse(parameters.get("startingVersion")) match {
-      case Some("latest") =>
-        // resolved ONCE per checkpoint, pinned under metadataPath: a
-        // restart must replay getBatch against the ORIGINAL start — a
-        // re-resolved "latest" would swallow every version committed
-        // while the stream was down if the crash left an uncommitted
-        // batch in the offset WAL (getBatch(None, walEnd) would then
-        // cover (newLatest, walEnd] = nothing)
-        pinnedLatest(spark, path, metadataPath)
+      case Some("latest") => startHead
       case Some(v) => v.toLong
       case None => 0L
     }
-    val root = new org.apache.hadoop.fs.Path(path)
-    val rfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     new FeatherCdfSource(spark, path,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      starting,
-      startHead = FeatherSnapshots.latestVersion(rfs, root).getOrElse(0L))
+      starting, startHead)
   }
 
-  /** The resolved form of `startingVersion=latest`, durable across
-    * restarts: first resolution writes `graft-cdf-start` under the
-    * stream's own checkpoint metadata dir (temp + atomic rename); every
-    * restart reads the pin back instead of re-resolving. */
-  private def pinnedLatest(spark: SparkSession, path: String,
-                           metadataPath: String): Long = {
+  /** The table's head version at the stream's first start, durable
+    * across restarts via a `graft-cdf-start` pin file under the
+    * stream's own checkpoint metadata dir. */
+  private def pinnedStartHead(spark: SparkSession, path: String,
+                              metadataPath: String): Long = {
     val pin = new org.apache.hadoop.fs.Path(metadataPath, "graft-cdf-start")
     val fs = pin.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(pin)) {
@@ -126,14 +126,14 @@ class FeatherCdfSourceProvider extends StreamSourceProvider
         fs.delete(tmp, false)
         require(fs.exists(pin),
           s"feather-cdf: cannot pin starting version under $metadataPath")
-        return pinnedLatest(spark, path, metadataPath)
+        return pinnedStartHead(spark, path, metadataPath)
       }
       // POSIX rename OVERWRITES: a racing pinner may have replaced the
       // file after our rename returned true. Converge on whatever pin
       // survived — the durable file is the truth every restart reads.
       // (Two live drivers on one checkpoint already violate Spark's
       // checkpoint contract; this just keeps the pin self-consistent.)
-      pinnedLatest(spark, path, metadataPath)
+      pinnedStartHead(spark, path, metadataPath)
     }
   }
 }
@@ -193,7 +193,17 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
         // whether they predate a widening or follow a narrowing.
         val extra = raw.columns
           .filterNot(fixedSchema.fieldNames.contains).toSeq
-        if (extra.nonEmpty && s >= startHead) throw new IllegalStateException(
+        // which side of the start boundary do the extra columns come
+        // from? Entirely-post-start batches are loud outright; a batch
+        // STRADDLING the boundary re-plans just its post-start sub-range
+        // (planning only — nothing executes) to attribute them: history
+        // may project, post-start values must not be lost silently
+        val postStartWidening = extra.nonEmpty && e > startHead &&
+          (s >= startHead ||
+            FeatherChanges.readChanges(spark, path, startHead, e,
+              emptyShape = Some(fixedSchema))
+              .columns.exists(extra.contains))
+        if (postStartWidening) throw new IllegalStateException(
           s"change feed on $path: versions ($s, $e] carry column(s) " +
             s"${extra.mkString(", ")} not in the stream's start-time " +
             "schema — the table evolved mid-stream; restart the stream " +
