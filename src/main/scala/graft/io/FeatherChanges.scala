@@ -120,7 +120,18 @@ object FeatherChanges {
       sys.error(s"change feed on $path: no snapshot versions — the feed " +
         "is derived from the manifest history (write with " +
         "option(\"snapshots\", \"true\"))"))
-    val snap = FeatherSnapshots.read(fs, root, head)
+    feedSchemaAt(spark, path, head)
+  }
+
+  /** The feed's schema at a specific retained version. The head form
+    * backs the streaming source's widening guard: a batch column still
+    * LIVE at the current head is a widening; one absent there was
+    * dropped (its only occurrences are retired rows) and projects. */
+  def feedSchemaAt(spark: SparkSession, path: String, version: Long)
+      : org.apache.spark.sql.types.StructType = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = FeatherSnapshots.read(fs, root, version)
     val face = ConnectorFace.detect(snap.files, "changeFeed", path)
     feedSchema(spark, root, face, snap.files)
   }

@@ -37,15 +37,18 @@ import graft.io.FeatherChanges
   *    changes after stream start flow).
   *
   * Caveat (documented divergence): the feed's schema is fixed at stream
-  * start from the head snapshot. A mid-stream WIDENING (a batch past
-  * the stream-start head carries columns the start-time schema lacks)
-  * fails the query loudly — the new columns' values cannot flow through
-  * the fixed schema, so restart to pick them up. Pre-start history is
-  * exempt: it bootstraps in the fixed head schema, projecting columns a
-  * pre-start narrowing dropped (the Delta shape — CDF serves the
-  * table's current schema). A batch MISSING fixed-schema columns
-  * null-fills them: that is the column's true value both for rows
-  * predating a widening and for rows written after a narrowing. */
+  * start from the head snapshot. A batch column the fixed schema lacks
+  * is attributed THROUGH THE MANIFEST at the table's current head:
+  * still live there ⇒ a mid-stream WIDENING, and the query fails loudly
+  * (the new values cannot flow through the fixed schema — restart to
+  * pick them up); absent there ⇒ a since-DROPPED column whose only
+  * occurrences are retired rows, and it projects away (the Delta
+  * shape — CDF serves the current schema; this also means history,
+  * narrowings, and replayed batches never wedge a restart). Corner: a
+  * column both introduced and dropped before its batch processes
+  * projects too. A batch MISSING fixed-schema columns null-fills them:
+  * that is the column's true value both for rows predating a widening
+  * and for rows written after a narrowing. */
 class FeatherCdfSourceProvider extends StreamSourceProvider
     with DataSourceRegister {
   override def shortName(): String = "feather-cdf"
@@ -77,26 +80,35 @@ class FeatherCdfSourceProvider extends StreamSourceProvider
                             parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
-    // the table head at the stream's TRUE start, resolved once per
-    // checkpoint and pinned under metadataPath (temp + atomic rename):
-    // every restart reads the pin back instead of re-resolving. Two
-    // contracts hang off it — (a) startingVersion=latest must replay
-    // getBatch against the ORIGINAL start (a re-resolved "latest" would
-    // swallow every version committed while the stream was down if the
-    // crash left an uncommitted batch in the offset WAL), and (b) the
-    // widening guard's pre-start/post-start boundary must be the FIRST
-    // start's head, or a restart would re-classify genuinely post-start
-    // widenings as exempt history and silently drop their columns
-    val startHead = pinnedStartHead(spark, path, metadataPath)
     val starting = parameters.get("startingversion")
       .orElse(parameters.get("startingVersion")) match {
-      case Some("latest") => startHead
+      case Some("latest") =>
+        // the head at the stream's TRUE start, resolved once per
+        // checkpoint and pinned under metadataPath: a restart must
+        // replay getBatch against the ORIGINAL start — a re-resolved
+        // "latest" would swallow every version committed while the
+        // stream was down if the crash left an uncommitted batch in
+        // the offset WAL (getBatch(None, walEnd) would then cover
+        // (newLatest, walEnd] = nothing)
+        pinnedStartHead(spark, path, metadataPath)
       case Some(v) => v.toLong
       case None => 0L
     }
+    // a future startingVersion is almost certainly a crossed checkpoint
+    // or the wrong table — and silently, the first (empty) batch would
+    // commit the head offset and stream the very versions the caller
+    // asked to skip. Loud beats that. (Restart-safe: heads only grow,
+    // and the latest-pin was ≤ the head when it was written.)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val rfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = FeatherSnapshots.latestVersion(rfs, root).getOrElse(0L)
+    require(starting <= head,
+      s"feather-cdf on $path: startingVersion $starting is ahead of the " +
+        s"table head $head — wrong table, or a checkpoint from another " +
+        "stream")
     new FeatherCdfSource(spark, path,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      starting, startHead)
+      starting)
   }
 
   /** The table's head version at the stream's first start, durable
@@ -142,15 +154,7 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
                                       fixedSchema: StructType,
                                       // exposed so the spec can pin the
                                       // pinned-start restart contract
-                                      val startingVersion: Long,
-                                      // the table head when this stream
-                                      // STARTED: the widening guard only
-                                      // polices versions after it (columns
-                                      // in pre-start history may be
-                                      // legitimately gone from the fixed
-                                      // head schema — a since-dropped
-                                      // column must not wedge bootstrap)
-                                      startHead: Long)
+                                      val startingVersion: Long)
     extends Source {
   private def rp = new org.apache.hadoop.fs.Path(path)
   private def fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -184,28 +188,30 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
           emptyShape = Some(fixedSchema))
         // the documented contract: a MID-STREAM widening fails LOUDLY —
         // align() would silently project the new columns away, losing
-        // their values from the feed forever. The guard only polices
-        // batches fully past the stream-start head: pre-start history
-        // may carry since-dropped columns (a narrowing overwrite before
-        // the stream started), and those must bootstrap in the fixed
-        // head schema, not wedge the stream. Columns the batch LACKS
-        // null-fill instead (align): null is those rows' true value,
-        // whether they predate a widening or follow a narrowing.
+        // their values from the feed forever. Extra columns are
+        // attributed through the MANIFEST at the table's CURRENT head
+        // (one footer sweep, only on this rare path): still live there
+        // ⇒ widening, loud; absent ⇒ since-dropped, its occurrences are
+        // retired rows — project, never wedge. Current head, NOT the
+        // batch's end version: on restart Spark REPLAYS the last
+        // committed batch, and a pre-narrowing replayed batch must
+        // project the dropped column exactly like live batches do
+        // (history bootstraps, narrowings restart cleanly). Columns the
+        // batch LACKS null-fill instead (align): null is those rows'
+        // true value, whether they predate a widening or follow a
+        // narrowing.
         val extra = raw.columns
           .filterNot(fixedSchema.fieldNames.contains).toSeq
-        // which side of the start boundary do the extra columns come
-        // from? Entirely-post-start batches are loud outright; a batch
-        // STRADDLING the boundary re-plans just its post-start sub-range
-        // (planning only — nothing executes) to attribute them: history
-        // may project, post-start values must not be lost silently
-        val postStartWidening = extra.nonEmpty && e > startHead &&
-          (s >= startHead ||
-            FeatherChanges.readChanges(spark, path, startHead, e,
-              emptyShape = Some(fixedSchema))
-              .columns.exists(extra.contains))
-        if (postStartWidening) throw new IllegalStateException(
+        val widened =
+          if (extra.isEmpty) Nil
+          else {
+            val live = FeatherChanges.feedSchemaAtHead(spark, path)
+              .fieldNames.toSet
+            extra.filter(live.contains)
+          }
+        if (widened.nonEmpty) throw new IllegalStateException(
           s"change feed on $path: versions ($s, $e] carry column(s) " +
-            s"${extra.mkString(", ")} not in the stream's start-time " +
+            s"${widened.mkString(", ")} not in the stream's start-time " +
             "schema — the table evolved mid-stream; restart the stream " +
             "to pick up the widened schema")
         graft.io.ConnectorFace.align(raw, fixedSchema)

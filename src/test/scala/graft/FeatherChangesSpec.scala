@@ -326,6 +326,39 @@ class FeatherChangesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CDF: a restart ACROSS a narrowing overwrite does not " +
+       "wedge — the dropped column's delete rows flow, projected") {
+    val path = tmp("cdf_narrow_restart")
+    import spark.implicits._
+    (1 to 20).map(i => (i.toLong, s"n_$i", "de")).toDF("id", "name", "lang")
+      .repartition(1).write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(path) // v1: (id, name, lang)
+    val ckpt = tmp("cdf_narrow_restart_ckpt")
+    val outDir = tmp("cdf_narrow_restart_out")
+    def start() = spark.readStream.format("feather-cdf").load(path)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt).start()
+    val q = start()
+    try { q.processAllAvailable() } finally q.stop()
+    // while DOWN: a narrowing overwrite drops lang (v2). The restarted
+    // stream re-derives its fixed schema from the new head — the batch
+    // (1, 2] carries lang on its delete side, which must PROJECT (lang
+    // is not live at v2), never throw: a throw here is unrecoverable,
+    // since every restart re-derives the same langless schema
+    (21 to 25).map(i => (i.toLong, s"n_$i")).toDF("id", "name")
+      .repartition(1).write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(path) // v2: narrowed
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // must not throw
+      val out = spark.read.parquet(outDir)
+      assert(!out.columns.contains("lang"))
+      assert(out.where(col("_commit_version") === 2L).count() === 20 + 5,
+        "the narrowing overwrite's 20 deletes + 5 inserts flow")
+    } finally q2.stop()
+  }
+
   test("startingVersion=latest is PINNED at first start: a restart " +
        "replays against the original start, never a re-resolved head") {
     val path = tmp("cdf_latest_pin")
