@@ -127,7 +127,7 @@ object FeatherChanges {
     * backs the streaming source's widening guard: a batch column still
     * LIVE at the current head is a widening; one absent there was
     * dropped (its only occurrences are retired rows) and projects. */
-  def feedSchemaAt(spark: SparkSession, path: String, version: Long)
+  private def feedSchemaAt(spark: SparkSession, path: String, version: Long)
       : org.apache.spark.sql.types.StructType = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

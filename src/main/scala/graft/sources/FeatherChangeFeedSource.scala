@@ -80,17 +80,22 @@ class FeatherCdfSourceProvider extends StreamSourceProvider
                             parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val rfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // resolved ONCE here and reused by the latest-pin, the ahead-check,
+    // and nothing else — stream startup should not pay three listings
+    val head = FeatherSnapshots.latestVersion(rfs, root).getOrElse(0L)
     val starting = parameters.get("startingversion")
       .orElse(parameters.get("startingVersion")) match {
       case Some("latest") =>
-        // the head at the stream's TRUE start, resolved once per
-        // checkpoint and pinned under metadataPath: a restart must
-        // replay getBatch against the ORIGINAL start — a re-resolved
-        // "latest" would swallow every version committed while the
-        // stream was down if the crash left an uncommitted batch in
-        // the offset WAL (getBatch(None, walEnd) would then cover
-        // (newLatest, walEnd] = nothing)
-        pinnedStartHead(spark, path, metadataPath)
+        // the head at the stream's TRUE start, pinned once per
+        // checkpoint under metadataPath: a restart must replay getBatch
+        // against the ORIGINAL start — a re-resolved "latest" would
+        // swallow every version committed while the stream was down if
+        // the crash left an uncommitted batch in the offset WAL
+        // (getBatch(None, walEnd) would then cover (newLatest, walEnd]
+        // = nothing)
+        pinned(spark, metadataPath, "graft-cdf-start")(head.toString).toLong
       case Some(v) => v.toLong
       case None => 0L
     }
@@ -99,53 +104,64 @@ class FeatherCdfSourceProvider extends StreamSourceProvider
     // commit the head offset and stream the very versions the caller
     // asked to skip. Loud beats that. (Restart-safe: heads only grow,
     // and the latest-pin was ≤ the head when it was written.)
-    val root = new org.apache.hadoop.fs.Path(path)
-    val rfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val head = FeatherSnapshots.latestVersion(rfs, root).getOrElse(0L)
     require(starting <= head,
       s"feather-cdf on $path: startingVersion $starting is ahead of the " +
         s"table head $head — wrong table, or a checkpoint from another " +
         "stream")
+    // table-INCARNATION pin: a drop-and-rebuild at the same path must
+    // never silently continue another incarnation's checkpoint (the
+    // manifest diffs would be pure garbage). The oldest retained version
+    // only GROWS on a live table (expire moves it forward), so a current
+    // oldest BELOW the pinned one — or the same version with a different
+    // commit ts — proves a rebuild. Best-effort: a rebuild that raced
+    // past the pinned oldest is indistinguishable from retention.
+    val inc = FeatherSnapshots.incarnation(rfs, root).getOrElse((0L, 0L))
+    val pinnedInc = pinned(spark, metadataPath,
+      "graft-cdf-incarnation")(s"${inc._1},${inc._2}").split(',')
+    val (pv, pts) = (pinnedInc(0).trim.toLong, pinnedInc(1).trim.toLong)
+    require(inc._1 > pv || (inc._1 == pv && inc._2 == pts),
+      s"feather-cdf on $path: the table was dropped and rebuilt since " +
+        s"this checkpoint started (oldest retained version v${inc._1} " +
+        s"ts ${inc._2} vs pinned v$pv ts $pts) — discard the checkpoint " +
+        "and restart deliberately")
     new FeatherCdfSource(spark, path,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       starting)
   }
 
-  /** The table's head version at the stream's first start, durable
-    * across restarts via a `graft-cdf-start` pin file under the
-    * stream's own checkpoint metadata dir. */
-  private def pinnedStartHead(spark: SparkSession, path: String,
-                              metadataPath: String): Long = {
-    val pin = new org.apache.hadoop.fs.Path(metadataPath, "graft-cdf-start")
+  /** A value durable across restarts: the first start resolves and
+    * writes it under the stream's own checkpoint metadata dir (temp +
+    * atomic rename); every restart reads the pin back instead of
+    * re-resolving. */
+  private def pinned(spark: SparkSession, metadataPath: String,
+                     name: String)(resolve: => String): String = {
+    val pin = new org.apache.hadoop.fs.Path(metadataPath, name)
     val fs = pin.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(pin)) {
       val in = fs.open(pin)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
     } else {
-      val root = new org.apache.hadoop.fs.Path(path)
-      val rfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val v = FeatherSnapshots.latestVersion(rfs, root).getOrElse(0L)
+      val v = resolve
       val tmp = new org.apache.hadoop.fs.Path(pin.getParent,
         s".${pin.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       val out = fs.create(tmp, true)
-      try out.write(v.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
+      try out.write(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       if (!fs.rename(tmp, pin)) {
         // raced by a concurrent (re)start pinning the same checkpoint:
         // theirs won — read it back so both sides agree
         fs.delete(tmp, false)
         require(fs.exists(pin),
-          s"feather-cdf: cannot pin starting version under $metadataPath")
-        return pinnedStartHead(spark, path, metadataPath)
+          s"feather-cdf: cannot pin $name under $metadataPath")
+        return pinned(spark, metadataPath, name)(v)
       }
       // POSIX rename OVERWRITES: a racing pinner may have replaced the
       // file after our rename returned true. Converge on whatever pin
       // survived — the durable file is the truth every restart reads.
       // (Two live drivers on one checkpoint already violate Spark's
       // checkpoint contract; this just keeps the pin self-consistent.)
-      pinnedStartHead(spark, path, metadataPath)
+      pinned(spark, metadataPath, name)(v)
     }
   }
 }

@@ -352,11 +352,46 @@ class FeatherChangesSpec extends AnyFunSuite {
     val q2 = start()
     try {
       q2.processAllAvailable() // must not throw
+      // NOTE: run 1's sink files legitimately carry lang (its fixed
+      // schema predates the narrowing), so no assertion on the merged
+      // dir's columns — the contract is that the restarted stream
+      // delivers v2's changes in its (langless) schema without wedging
       val out = spark.read.parquet(outDir)
-      assert(!out.columns.contains("lang"))
       assert(out.where(col("_commit_version") === 2L).count() === 20 + 5,
         "the narrowing overwrite's 20 deletes + 5 inserts flow")
     } finally q2.stop()
+  }
+
+  test("a checkpoint never continues onto a REBUILT table: the " +
+       "incarnation pin fails the restart loudly") {
+    val path = tmp("cdf_rebuild")
+    writeV(path, 1, 30, "overwrite") // v1, incarnation A
+    val ckpt = tmp("cdf_rebuild_ckpt")
+    val outDir = tmp("cdf_rebuild_out")
+    def start() = spark.readStream.format("feather-cdf").load(path)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).start()
+    val q = start()
+    try { q.processAllAvailable() } finally q.stop()
+    // drop and rebuild the table at the SAME path (new v1 commit ts):
+    // continuing the old checkpoint would diff manifests across
+    // incarnations — garbage presented as a change feed
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(path))
+    Thread.sleep(15) // commit ts granularity is millis
+    writeV(path, 1, 10, "overwrite") // incarnation B, same head version
+    val q2 = start()
+    val e = intercept[Exception] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("dropped and rebuilt")),
+      s"rebuild must be loud, got: ${msgs(e).mkString(" | ")}")
   }
 
   test("startingVersion=latest is PINNED at first start: a restart " +
