@@ -82,86 +82,110 @@ class FeatherCdfSourceProvider extends StreamSourceProvider
     val path = pathOf(parameters)
     val root = new org.apache.hadoop.fs.Path(path)
     val rfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // resolved ONCE here and reused by the latest-pin, the ahead-check,
-    // and nothing else — stream startup should not pay three listings
-    val head = FeatherSnapshots.latestVersion(rfs, root).getOrElse(0L)
+    // ONE listing serves the head (latest-pin + ahead-check) and the
+    // incarnation's oldest — stream startup pays a single listStatus
+    val bounds = FeatherSnapshots.versionBounds(rfs, root)
+    val head = bounds.map(_._2).getOrElse(0L)
+    val incNow = FeatherSnapshots.incarnationFrom(rfs, root,
+      bounds.map(_._1))
+    // ONE pin file, written atomically at first start, carrying BOTH
+    // the start head and the table incarnation — two separate files
+    // would open a crash window between them in which a rebuild could
+    // silently continue a latest-start checkpoint
+    val (pinStart, pinInc) = readOrWritePin(spark, metadataPath,
+      head, incNow)
+    // table-INCARNATION check FIRST (the sharper diagnosis): a
+    // drop-and-rebuild at the same path must never silently continue
+    // another incarnation's checkpoint — the manifest diffs would be
+    // pure garbage. The oldest retained version only GROWS on a live
+    // table (expire moves it forward), so a current oldest BELOW the
+    // pinned one — or the same version with a different commit ts —
+    // proves a rebuild. Best-effort: a rebuild that raced past the
+    // pinned oldest is indistinguishable from retention.
+    for ((cv, cts) <- incNow; (pv, pts) <- pinInc)
+      require(cv > pv || (cv == pv && cts == pts),
+        s"feather-cdf on $path: the table was dropped and rebuilt since " +
+          s"this checkpoint started (oldest retained version v$cv " +
+          s"ts $cts vs pinned v$pv ts $pts) — discard the checkpoint " +
+          "and restart deliberately")
     val starting = parameters.get("startingversion")
       .orElse(parameters.get("startingVersion")) match {
       case Some("latest") =>
-        // the head at the stream's TRUE start, pinned once per
-        // checkpoint under metadataPath: a restart must replay getBatch
-        // against the ORIGINAL start — a re-resolved "latest" would
-        // swallow every version committed while the stream was down if
-        // the crash left an uncommitted batch in the offset WAL
-        // (getBatch(None, walEnd) would then cover (newLatest, walEnd]
-        // = nothing)
-        pinned(spark, metadataPath, "graft-cdf-start")(head.toString).toLong
+        // the head at the stream's TRUE start, from the pin: a restart
+        // must replay getBatch against the ORIGINAL start — a
+        // re-resolved "latest" would swallow every version committed
+        // while the stream was down if the crash left an uncommitted
+        // batch in the offset WAL (getBatch(None, walEnd) would then
+        // cover (newLatest, walEnd] = nothing)
+        pinStart
       case Some(v) => v.toLong
       case None => 0L
     }
     // a future startingVersion is almost certainly a crossed checkpoint
     // or the wrong table — and silently, the first (empty) batch would
     // commit the head offset and stream the very versions the caller
-    // asked to skip. Loud beats that. (Restart-safe: heads only grow,
-    // and the latest-pin was ≤ the head when it was written.)
+    // asked to skip. Loud beats that. (Restart-safe: on one incarnation
+    // heads only grow, and the latest-pin was ≤ the head when written;
+    // cross-incarnation regressions were diagnosed above.)
     require(starting <= head,
       s"feather-cdf on $path: startingVersion $starting is ahead of the " +
         s"table head $head — wrong table, or a checkpoint from another " +
         "stream")
-    // table-INCARNATION pin: a drop-and-rebuild at the same path must
-    // never silently continue another incarnation's checkpoint (the
-    // manifest diffs would be pure garbage). The oldest retained version
-    // only GROWS on a live table (expire moves it forward), so a current
-    // oldest BELOW the pinned one — or the same version with a different
-    // commit ts — proves a rebuild. Best-effort: a rebuild that raced
-    // past the pinned oldest is indistinguishable from retention.
-    val inc = FeatherSnapshots.incarnation(rfs, root).getOrElse((0L, 0L))
-    val pinnedInc = pinned(spark, metadataPath,
-      "graft-cdf-incarnation")(s"${inc._1},${inc._2}").split(',')
-    val (pv, pts) = (pinnedInc(0).trim.toLong, pinnedInc(1).trim.toLong)
-    require(inc._1 > pv || (inc._1 == pv && inc._2 == pts),
-      s"feather-cdf on $path: the table was dropped and rebuilt since " +
-        s"this checkpoint started (oldest retained version v${inc._1} " +
-        s"ts ${inc._2} vs pinned v$pv ts $pts) — discard the checkpoint " +
-        "and restart deliberately")
     new FeatherCdfSource(spark, path,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       starting)
   }
 
-  /** A value durable across restarts: the first start resolves and
-    * writes it under the stream's own checkpoint metadata dir (temp +
-    * atomic rename); every restart reads the pin back instead of
-    * re-resolving. */
-  private def pinned(spark: SparkSession, metadataPath: String,
-                     name: String)(resolve: => String): String = {
-    val pin = new org.apache.hadoop.fs.Path(metadataPath, name)
+  /** The stream's durable identity pin (`graft-cdf-start` under its
+    * checkpoint metadata dir): `"<startHead>;<oldestV>,<oldestTs>"`, or
+    * `"<startHead>;"` while the table does not exist yet. The first
+    * start resolves and writes it (temp + atomic rename); restarts read
+    * it back. A pin whose incarnation half is still empty UPGRADES in
+    * place once a real incarnation exists — pinning the no-table
+    * sentinel forever would permanently disable rebuild detection for
+    * the checkpoint. Returns (pinned start head, pinned incarnation). */
+  private def readOrWritePin(spark: SparkSession, metadataPath: String,
+                             head: Long, incNow: Option[(Long, Long)],
+                             retries: Int = 3)
+      : (Long, Option[(Long, Long)]) = {
+    val pin = new org.apache.hadoop.fs.Path(metadataPath, "graft-cdf-start")
     val fs = pin.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(pin)) {
-      val in = fs.open(pin)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    } else {
-      val v = resolve
+    def parse(s: String): (Long, Option[(Long, Long)]) = {
+      val Array(h, i) = (s.trim + " ").split(';')
+      (h.trim.toLong,
+        if (i.trim.isEmpty) None
+        else { val Array(v, ts) = i.split(',')
+          Some((v.trim.toLong, ts.trim.toLong)) })
+    }
+    def write(start: Long, inc: Option[(Long, Long)]): Unit = {
+      val body = s"$start;${inc.map { case (v, ts) => s"$v,$ts" }
+        .getOrElse("")}"
       val tmp = new org.apache.hadoop.fs.Path(pin.getParent,
         s".${pin.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       val out = fs.create(tmp, true)
-      try out.write(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      if (!fs.rename(tmp, pin)) {
-        // raced by a concurrent (re)start pinning the same checkpoint:
-        // theirs won — read it back so both sides agree
-        fs.delete(tmp, false)
-        require(fs.exists(pin),
-          s"feather-cdf: cannot pin $name under $metadataPath")
-        return pinned(spark, metadataPath, name)(v)
-      }
-      // POSIX rename OVERWRITES: a racing pinner may have replaced the
-      // file after our rename returned true. Converge on whatever pin
-      // survived — the durable file is the truth every restart reads.
+      // POSIX rename OVERWRITES, so a racing (re)start may replace this
+      // write; the re-read below converges both sides on the survivor.
       // (Two live drivers on one checkpoint already violate Spark's
       // checkpoint contract; this just keeps the pin self-consistent.)
-      pinned(spark, metadataPath, name)(v)
+      if (!fs.rename(tmp, pin)) fs.delete(tmp, false): Unit
+    }
+    if (!fs.exists(pin)) {
+      write(head, incNow)
+      require(retries > 0,
+        s"feather-cdf: cannot pin the stream identity under $metadataPath")
+      readOrWritePin(spark, metadataPath, head, incNow, retries - 1)
+    } else {
+      val in = fs.open(pin)
+      val parsed = parse(
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close())
+      if (parsed._2.isEmpty && incNow.isDefined) {
+        // upgrade-in-place: the stream started before the table existed
+        write(parsed._1, incNow)
+        (parsed._1, incNow)
+      } else parsed
     }
   }
 }

@@ -529,16 +529,41 @@ private[graft] object FeatherSnapshots {
     * incarnation's state; expire() also moves it, which only costs the
     * cache a spurious (safe) rebuild. One manifest read. */
   private[graft] def incarnation(fs: FileSystem, root: Path)
+      : Option[(Long, Long)] =
+    incarnationFrom(fs, root, versionBounds(fs, root).map(_._1))
+
+  /** One listing serving both ends: (oldest, newest) retained manifest
+    * versions — callers that need the head AND the incarnation pay a
+    * single listStatus. */
+  private[graft] def versionBounds(fs: FileSystem, root: Path)
       : Option[(Long, Long)] = {
     val d = snapDir(root)
     if (!fs.exists(d)) return None
-    fs.listStatus(d).iterator
+    val vs = fs.listStatus(d).iterator
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
         n.stripPrefix("v").stripSuffix(".json").toLong }
-      .minOption
-      .map(mv => (mv, readRaw(fs, root, mv).ts))
+      .toSeq
+    if (vs.isEmpty) None else Some((vs.min, vs.max))
   }
+
+  /** [[incarnation]] given a pre-listed oldest version. Retries through
+    * a fresh listing when a concurrent expire() deletes the oldest
+    * manifest between the listing and the read — that race is ordinary
+    * retention, not an error. */
+  private[graft] def incarnationFrom(fs: FileSystem, root: Path,
+                                     oldest: Option[Long],
+                                     retries: Int = 3)
+      : Option[(Long, Long)] =
+    oldest match {
+      case None => None
+      case Some(v) =>
+        try Some((v, readRaw(fs, root, v).ts))
+        catch { case _: Exception if retries > 0 =>
+          incarnationFrom(fs, root,
+            versionBounds(fs, root).map(_._1), retries - 1)
+        }
+    }
 
   /** TEST seam for the conflict-matrix spec: runs once, after a mutation
     * computed its rewrite and before its manifest commit — the window a

@@ -352,13 +352,23 @@ class FeatherChangesSpec extends AnyFunSuite {
     val q2 = start()
     try {
       q2.processAllAvailable() // must not throw
-      // NOTE: run 1's sink files legitimately carry lang (its fixed
-      // schema predates the narrowing), so no assertion on the merged
-      // dir's columns — the contract is that the restarted stream
-      // delivers v2's changes in its (langless) schema without wedging
+      // run 1's sink files legitimately carry lang (its fixed schema
+      // predates the narrowing), so the merged dir's columns are mixed;
+      // the contract is that the restarted stream delivered v2's
+      // changes in its own LANGLESS schema — assert per sink file
       val out = spark.read.parquet(outDir)
       assert(out.where(col("_commit_version") === 2L).count() === 20 + 5,
         "the narrowing overwrite's 20 deletes + 5 inserts flow")
+      val v2Files = new java.io.File(outDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+        .filter(f => spark.read.parquet(f)
+          .where(col("_commit_version") === 2L).count() > 0)
+      assert(v2Files.nonEmpty)
+      v2Files.foreach { f =>
+        assert(!spark.read.parquet(f).columns.contains("lang"),
+          s"run 2 must deliver v2 in the langless schema, but $f " +
+            "carries lang")
+      }
     } finally q2.stop()
   }
 
