@@ -94,6 +94,14 @@ class FeatherCdfSourceProvider extends StreamSourceProvider
     // silently continue a latest-start checkpoint
     val (pinStart, pinInc) = readOrWritePin(spark, metadataPath,
       head, incNow)
+    // a checkpoint that recorded an incarnation while the table is now
+    // GONE must be loud — a later rebuild would otherwise continue it
+    for ((pv, pts) <- pinInc)
+      require(incNow.isDefined,
+        s"feather-cdf on $path: no snapshot versions exist but this " +
+          s"checkpoint recorded incarnation v$pv ts $pts — the table " +
+          "was dropped; discard the checkpoint and restart deliberately " +
+          "once it is rebuilt")
     // table-INCARNATION check FIRST (the sharper diagnosis): a
     // drop-and-rebuild at the same path must never silently continue
     // another incarnation's checkpoint — the manifest diffs would be
@@ -148,41 +156,55 @@ class FeatherCdfSourceProvider extends StreamSourceProvider
                              head: Long, incNow: Option[(Long, Long)],
                              retries: Int = 3)
       : (Long, Option[(Long, Long)]) = {
-    val pin = new org.apache.hadoop.fs.Path(metadataPath, "graft-cdf-start")
-    val fs = pin.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def parse(s: String): (Long, Option[(Long, Long)]) = {
-      val Array(h, i) = (s.trim + " ").split(';')
-      (h.trim.toLong,
-        if (i.trim.isEmpty) None
-        else { val Array(v, ts) = i.split(',')
-          Some((v.trim.toLong, ts.trim.toLong)) })
+    // CheckpointFileManager, not a raw FileSystem: its createAtomic
+    // gives atomic CREATE-OR-OVERWRITE on every checkpoint filesystem
+    // (HDFS rename does NOT overwrite; object stores need the direct
+    // strategy) — the same machinery Spark's own offset log rides
+    val dir = new org.apache.hadoop.fs.Path(metadataPath)
+    val cfm = org.apache.spark.sql.execution.streaming.checkpointing
+      .CheckpointFileManager.create(dir,
+        spark.sessionState.newHadoopConf())
+    val pin = new org.apache.hadoop.fs.Path(dir, "graft-cdf-start")
+    def parse(s0: String): (Long, Option[(Long, Long)]) = {
+      val s = s0.trim
+      val semi = s.indexOf(';')
+      if (semi < 0) (s.toLong, None) // head-only pin: upgrades below
+      else {
+        val h = s.substring(0, semi).trim.toLong
+        val i = s.substring(semi + 1).trim
+        if (i.isEmpty) (h, None)
+        else {
+          val Array(v, ts) = i.split(',')
+          (h, Some((v.trim.toLong, ts.trim.toLong)))
+        }
+      }
     }
     def write(start: Long, inc: Option[(Long, Long)]): Unit = {
       val body = s"$start;${inc.map { case (v, ts) => s"$v,$ts" }
         .getOrElse("")}"
-      val tmp = new org.apache.hadoop.fs.Path(pin.getParent,
-        s".${pin.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      val out = fs.create(tmp, true)
-      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      // POSIX rename OVERWRITES, so a racing (re)start may replace this
-      // write; the re-read below converges both sides on the survivor.
-      // (Two live drivers on one checkpoint already violate Spark's
-      // checkpoint contract; this just keeps the pin self-consistent.)
-      if (!fs.rename(tmp, pin)) fs.delete(tmp, false): Unit
+      val out = cfm.createAtomic(pin, true)
+      try {
+        out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+      } catch { case e: Throwable => out.cancel(); throw e }
     }
-    if (!fs.exists(pin)) {
+    if (!cfm.exists(pin)) {
+      cfm.mkdirs(dir)
       write(head, incNow)
+      // re-read what survived: a racing (re)start may have won the
+      // atomic overwrite — the durable file is the truth both sides use
       require(retries > 0,
         s"feather-cdf: cannot pin the stream identity under $metadataPath")
       readOrWritePin(spark, metadataPath, head, incNow, retries - 1)
     } else {
-      val in = fs.open(pin)
+      val in = cfm.open(pin)
       val parsed = parse(
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close())
       if (parsed._2.isEmpty && incNow.isDefined) {
-        // upgrade-in-place: the stream started before the table existed
+        // upgrade-in-place (atomic overwrite): the stream started
+        // before the table existed — pinning the no-table sentinel
+        // forever would permanently disable rebuild detection
         write(parsed._1, incNow)
         (parsed._1, incNow)
       } else parsed

@@ -67,15 +67,8 @@ private[graft] object FeatherSnapshots {
   def enabled(fs: FileSystem, root: Path): Boolean =
     try fs.exists(snapDir(root)) catch { case _: Exception => false }
 
-  def latestVersion(fs: FileSystem, root: Path): Option[Long] = {
-    val d = snapDir(root)
-    if (!fs.exists(d)) None
-    else fs.listStatus(d).iterator
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-        n.stripPrefix("v").stripSuffix(".json").toLong }
-      .maxOption
-  }
+  def latestVersion(fs: FileSystem, root: Path): Option[Long] =
+    versionBounds(fs, root).map(_._2)
 
   private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 

@@ -359,10 +359,9 @@ class FeatherChangesSpec extends AnyFunSuite {
       val out = spark.read.parquet(outDir)
       assert(out.where(col("_commit_version") === 2L).count() === 20 + 5,
         "the narrowing overwrite's 20 deletes + 5 inserts flow")
-      val v2Files = new java.io.File(outDir).listFiles()
-        .filter(_.getName.endsWith(".parquet")).map(_.toString)
-        .filter(f => spark.read.parquet(f)
-          .where(col("_commit_version") === 2L).count() > 0)
+      val v2Files = out.where(col("_commit_version") === 2L)
+        .select(input_file_name()).distinct()
+        .collect().map(_.getString(0))
       assert(v2Files.nonEmpty)
       v2Files.foreach { f =>
         assert(!spark.read.parquet(f).columns.contains("lang"),
