@@ -74,12 +74,6 @@ private[extensions] object GraftTableFunctions {
   private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
     df.queryExecution.logical
 
-  private def rowPlan(schema: StructType, values: Any*): LogicalPlan = {
-    val rows = new java.util.ArrayList[Row]()
-    rows.add(Row.fromSeq(values))
-    plan(spark.createDataFrame(rows, schema))
-  }
-
   /** One-row maintenance result whose `action` runs at statement
     * EXECUTION (planned by [[DeferredActionStrategy]]), never at
     * analysis/EXPLAIN. */

@@ -321,8 +321,12 @@ private[graft] object Compaction {
           case (rel, len) => (new Path(root, rel).toString, len) })
         byLeaf.map(_._1).foreach { relDir =>
           val leafDir = if (relDir.isEmpty) root else new Path(root, relDir)
+          // run-unique: a racing retry must never truncate a stamp a
+          // winning commit already references
           val (name, len) = face.stamp(fs, leafDir,
-            f"mut-v${snap.version + 1}%08d-stamp", schema)
+            f"mut-v${snap.version + 1}%08d-" +
+              java.util.UUID.randomUUID().toString.take(8) + "-stamp",
+            schema)
           addedRel += ((if (relDir.isEmpty) name else s"$relDir/$name", len))
         }
       }

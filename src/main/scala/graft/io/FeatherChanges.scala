@@ -45,9 +45,11 @@ import graft.sources.{FeatherPartitions, FeatherSnapshots}
   * files the range reads (a no-change range shapes its empty frame from
   * the newest non-empty snapshot) — a streaming micro-batch over a
   * 100k-part table pays for its one appended file, not a 100k-footer
-  * sweep. Corollary: a column that exists only in files the range never
-  * touches does not appear in that range's output schema (it could only
-  * ever have been all-null). A pipeline that can
+  * sweep. The BATCH forms then align that union to the feed schema at
+  * the range's end version (see [[readChanges]]) so consumers see a
+  * stable schema per head; the streaming source aligns to its own
+  * start-pinned schema instead and skips the end-version sweep
+  * entirely. A pipeline that can
   * shape its writes should still prefer [[FeatherMutations.applyCdc]]
   * input frames as the change source (they ARE the change set, no diff
   * needed); the CDF read is for consumers who only see the table.
@@ -86,28 +88,43 @@ object FeatherChanges {
         s"of the table head v$head — the table was dropped and rebuilt, " +
         "or this checkpoint belongs to another table; restart the " +
         "consumer from 0 deliberately")
-    if (head == lastProcessedVersion) {
-      // idle poll: manifest reads only when the schema is not memoized;
-      // never the per-version replay. Superseded keys for this path
-      // evict on each new memoization (a long-running poll loop holds
-      // ONE entry per table), and the key carries the table INCARNATION
-      // (oldest version + its commit ts): a drop-and-recreate that races
-      // back to the same (path, head) — even before the next poll —
-      // cannot be served the old incarnation's schema. One extra
-      // manifest read per idle poll, same cost class as the head probe.
-      val inc = FeatherSnapshots.incarnation(fs, root).getOrElse((0L, 0L))
-      val schema = Option(feedSchemaCache.get((path, head, inc))).getOrElse {
-        val snap = FeatherSnapshots.read(fs, root, head)
-        val face = ConnectorFace.detect(snap.files, "changesSince", path)
-        val s = feedSchema(spark, root, face, snap.files)
-        feedSchemaCache.keySet.removeIf(k =>
-          k._1 == path && (k._2 != head || k._3 != inc))
-        feedSchemaCache.put((path, head, inc), s)
-        s
-      }
+    // The feed schema AT THE HEAD shapes every result of this call —
+    // the idle poll's empty frame and a change batch alike — so a poll
+    // loop sees ONE schema per head regardless of which files a batch
+    // happened to touch (an old-generation append must not narrow the
+    // output, see [[headFeedSchema]]).
+    val schema = headFeedSchema(spark, path, root, fs, head)
+    if (head == lastProcessedVersion)
       (spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema), head)
-    } else (readChanges(spark, path, lastProcessedVersion, head), head)
+    else (ConnectorFace.align(
+      readChanges(spark, path, lastProcessedVersion, head, Some(schema)),
+      schema), head)
+  }
+
+  /** The feed schema at `head`, memoized per (path, head, incarnation):
+    * manifest reads only when the schema is not memoized; never the
+    * per-version replay. Superseded keys for this path evict on each
+    * new memoization (a long-running poll loop holds ONE entry per
+    * table), and the key carries the table INCARNATION (oldest version
+    * + its commit ts): a drop-and-recreate that races back to the same
+    * (path, head) — even before the next poll — cannot be served the
+    * old incarnation's schema. One extra manifest read per call, same
+    * cost class as the head probe; the footer sweep itself runs once
+    * per head transition. */
+  private def headFeedSchema(spark: SparkSession, path: String, root: Path,
+                             fs: org.apache.hadoop.fs.FileSystem, head: Long)
+      : org.apache.spark.sql.types.StructType = {
+    val inc = FeatherSnapshots.incarnation(fs, root).getOrElse((0L, 0L))
+    Option(feedSchemaCache.get((path, head, inc))).getOrElse {
+      val snap = FeatherSnapshots.read(fs, root, head)
+      val face = ConnectorFace.detect(snap.files, "changesSince", path)
+      val s = feedSchema(spark, root, face, snap.files)
+      feedSchemaCache.keySet.removeIf(k =>
+        k._1 == path && (k._2 != head || k._3 != inc))
+      feedSchemaCache.put((path, head, inc), s)
+      s
+    }
   }
 
   /** The feed's schema at the table's CURRENT head — what the streaming
@@ -152,9 +169,23 @@ object FeatherChanges {
       StructField("_commit_version", LongType, nullable = false)))
   }
 
+  /** Batch form: the output schema is the FEED SCHEMA AT `toVersion`
+    * (Delta's `table_changes` contract — the end-of-range schema), not
+    * the union over whichever files the range happened to touch: a
+    * range whose only change is an append of a pre-evolution file still
+    * carries the evolved columns (null-filled), and a column already
+    * dropped by `toVersion` projects away (its only occurrences are
+    * retired rows). Batch-to-batch, a consumer at one head sees ONE
+    * schema. Costs one footer sweep of `toVersion`'s live files per
+    * call — this is the pull/audit API; the streaming source pins its
+    * schema once at start instead. */
   def readChanges(spark: SparkSession, path: String,
-                  fromVersion: Long, toVersion: Long): DataFrame =
-    readChanges(spark, path, fromVersion, toVersion, emptyShape = None)
+                  fromVersion: Long, toVersion: Long): DataFrame = {
+    val out = feedSchemaAt(spark, path, toVersion)
+    ConnectorFace.align(
+      readChanges(spark, path, fromVersion, toVersion,
+        emptyShape = Some(out)), out)
+  }
 
   /** [[readChanges]] with a caller-supplied shape for a NO-CHANGE range
     * (only compact/cluster versions): the streaming source already holds

@@ -227,8 +227,12 @@ object FeatherMutations {
         if (i < 0) "" else rel.substring(0, i)
       }.distinct.foreach { relDir =>
         val leafDir = if (relDir.isEmpty) root else new Path(root, relDir)
+        // run-unique name (same invariant as the COW rewrite prefix):
+        // a racing retry must never truncate a stamp an already-won
+        // commit references
         val (name, len) = face.stamp(fs, leafDir,
-          f"mut-v$targetV%08d", tableSchema)
+          f"mut-v$targetV%08d-${java.util.UUID.randomUUID().toString
+            .take(8)}", tableSchema)
         added += ((if (relDir.isEmpty) name else s"$relDir/$name", len))
       }
     }

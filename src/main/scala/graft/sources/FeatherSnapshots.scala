@@ -551,12 +551,41 @@ private[graft] object FeatherSnapshots {
     oldest match {
       case None => None
       case Some(v) =>
-        try Some((v, readRaw(fs, root, v).ts))
+        try Some((v, readTs(fs, root, v)))
         catch { case _: Exception if retries > 0 =>
           incarnationFrom(fs, root,
             versionBounds(fs, root).map(_._1), retries - 1)
         }
     }
+
+  /** The manifest's commit ts WITHOUT parsing its body: [[baseNode]]
+    * serializes the header fields (version, parent, op, ts) before any
+    * file list, so a streaming parse stops after the first ~100 bytes
+    * even when the manifest is a multi-MB checkpoint. [[incarnation]]
+    * runs once per idle changesSince poll and per publishEpoch — a full
+    * Jackson tree parse of the oldest retained manifest (usually the
+    * biggest checkpoint) would make that identity probe O(file list)
+    * per poll, the exact cost class the delta log exists to avoid.
+    * Absent ts reads as 0, matching [[readRaw]]. */
+  private def readTs(fs: FileSystem, root: Path, version: Long): Long = {
+    import com.fasterxml.jackson.core.JsonToken
+    val in = fs.open(snapPath(root, version))
+    try {
+      val jp = mapper.getFactory.createParser(in: java.io.InputStream)
+      try {
+        var tok = jp.nextToken() // START_OBJECT
+        tok = jp.nextToken()
+        while (tok != null && tok != JsonToken.END_OBJECT) {
+          val name = jp.currentName()
+          jp.nextToken() // advance to the field's value
+          if (name == "ts") return jp.getText.toLong
+          jp.skipChildren() // no-op on scalars; skips a whole array/object
+          tok = jp.nextToken()
+        }
+        0L
+      } finally jp.close()
+    } finally in.close()
+  }
 
   /** TEST seam for the conflict-matrix spec: runs once, after a mutation
     * computed its rewrite and before its manifest commit — the window a
