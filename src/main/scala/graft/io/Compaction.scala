@@ -26,12 +26,18 @@ private[graft] object Compaction {
   }
 
   private case class Group(leaf: String, gid: Int, suffix: String,
-                           inputs: Seq[(String, Long)]) {
-    // deterministic output name: re-planning the same inputs reproduces
-    // it, so a crashed run's recovery and the re-run converge
+                           inputs: Seq[(String, Long)], tag: String = "") {
+    // directory mode (empty tag): deterministic output name — re-planning
+    // the same inputs reproduces it, so a crashed run's recovery through
+    // the _compact manifest and the re-run converge. Snapshot mode: the
+    // run-unique `mut-v…` tag prefixes it — concurrent compactors race to
+    // the COMMIT (conflict matrix), so neither may ever touch a name the
+    // other might have already published; a crashed run's orphan is
+    // unreferenced and vacuumOrphans reclaims it (in-flight guard covers
+    // the `mut-v` prefix, then the grace window)
     def outName: String = {
       val h = inputs.map(_._1).hashCode() & 0x7fffffff
-      f"compact-$gid%05d-$h%08x$suffix"
+      f"${tag}compact-$gid%05d-$h%08x$suffix"
     }
   }
 
@@ -169,12 +175,14 @@ private[graft] object Compaction {
   /** Greedy first-fit in name order; a group of ONE is left untouched,
     * so a re-run over a compacted directory rewrites nothing. */
   private def planGroups(leaf: String, files: Seq[(String, Long)],
-                         suffix: String, targetBytes: Long): Seq[Group] = {
+                         suffix: String, targetBytes: Long,
+                         tag: String = ""): Seq[Group] = {
     val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
     val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     var accBytes = 0L
     def close(): Unit = {
-      if (acc.size > 1) groups += Group(leaf, groups.size, suffix, acc.toSeq)
+      if (acc.size > 1)
+        groups += Group(leaf, groups.size, suffix, acc.toSeq, tag)
       acc.clear(); accBytes = 0L
     }
     files.foreach { case (f, len) =>
@@ -192,9 +200,11 @@ private[graft] object Compaction {
     * snapshot atomically swaps the group inputs for their outputs. Nothing
     * is physically deleted: retained versions keep reading their files and
     * expire() reclaims them later. Crash safety needs no _compact manifest
-    * here — an output that never made its snapshot commit is an orphan
-    * with a deterministic name; the re-run deletes and rewrites it, and
-    * the commit is the atomic publish. */
+    * here — outputs carry a run-unique `mut-v…` name (the commit is the
+    * atomic publish), so an output that never made its commit is an
+    * unreferenced orphan that vacuumOrphans reclaims; a rival compactor
+    * racing to the same commit (conflict matrix) can never collide with —
+    * let alone pre-delete — a name another run may have published. */
   private def runSnapshot(spark: SparkSession, root: Path,
                           fs: org.apache.hadoop.fs.FileSystem, suffix: String,
                           targetBytes: Long,
@@ -255,13 +265,20 @@ private[graft] object Compaction {
         }
       }
     }
+    // run-unique output tag, same invariant as the DV-fold prefix above:
+    // racing compactors must never write (or clean) each other's names,
+    // and the `mut-v` prefix keeps pending outputs under vacuumOrphans'
+    // in-flight guard until this run's commit wins or aborts
+    val runTag = f"mut-v${snap.version + 1}%08d-cpt${java.util.UUID
+      .randomUUID().toString.take(8)}-"
     byLeaf.foreach { case (relDir, relFiles) =>
       val leaf = if (relDir.isEmpty) root else new Path(root, relDir)
       val files = relFiles
         .filter { case (rel, _) => !dvFold(rel) } // folded above
         .map { case (rel, len) =>
           (new Path(root, rel).toString, len) }.sortBy(_._1)
-      val groups = planGroups(leaf.toString, files, suffix, targetBytes)
+      val groups = planGroups(leaf.toString, files, suffix, targetBytes,
+        runTag)
       if (groups.nonEmpty) {
         val rewriter = mkRewriter(leaf.toString, groups.head.inputs.head._1)
         val confMap = GraftHadoop.confBroadcast(spark)
@@ -280,12 +297,12 @@ private[graft] object Compaction {
             }
           }.collect().toMap
         groups.foreach { g =>
+          // the run-unique tag makes `out` exist-free by construction: a
+          // crashed run's orphan has a different tag and is vacuum's to
+          // reclaim, never this run's to delete (it may be a rival's
+          // already-committed live file)
           val out = new Path(g.leaf, g.outName)
           val tmp = new Path(g.leaf, s".${g.outName}.tmp")
-          // an existing output can only be a crashed run's orphan (a
-          // COMMITTED compaction retired these inputs from the manifest,
-          // so this group could not re-form) — replace it
-          if (fs.exists(out)) fs.delete(out, false)
           written(g.gid).foreach { sidecar =>
             val sc = fs.create(new Path(g.leaf, g.outName + ".stats.json"), true)
             try sc.write(sidecar.getBytes("UTF-8"))

@@ -47,9 +47,10 @@ object FeatherStats {
 
   /** Accumulates one batch's ranges; reset between batches. */
   /** The column types the stats tier tracks — ONE definition shared by
-    * the sink-side Collector and the backfill pass (a per-site copy
-    * would silently drift when a type is added). */
-  private[io] def trackedType(dt: DataType): Boolean = dt match {
+    * the sink-side Collector, the backfill pass, and the agg-pushdown
+    * answerability check (a per-site copy DID silently drift when
+    * DateType was added — review pass 12). */
+  private[graft] def trackedType(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType |
          FloatType | DoubleType | StringType | DateType => true
     case _ => false

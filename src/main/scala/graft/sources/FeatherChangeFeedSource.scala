@@ -141,74 +141,103 @@ class FeatherCdfSourceProvider extends StreamSourceProvider
         "stream")
     new FeatherCdfSource(spark, path,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      starting)
+      starting, metadataPath, pinStart,
+      // readOrWritePin folded incNow in (fresh write or upgrade), so
+      // this is false ONLY when the table does not exist yet
+      incAlreadyPinned = pinInc.isDefined)
   }
 
   /** The stream's durable identity pin (`graft-cdf-start` under its
     * checkpoint metadata dir): `"<startHead>;<oldestV>,<oldestTs>"`, or
     * `"<startHead>;"` while the table does not exist yet. The first
     * start resolves and writes it (temp + atomic rename); restarts read
-    * it back. A pin whose incarnation half is still empty UPGRADES in
-    * place once a real incarnation exists — pinning the no-table
-    * sentinel forever would permanently disable rebuild detection for
-    * the checkpoint. Returns (pinned start head, pinned incarnation). */
+    * it back.
+    *
+    * A pin whose incarnation half is still empty may upgrade in place
+    * here ONLY because the running source pins the incarnation from
+    * [[FeatherCdfSource.getOffset]] BEFORE the first offset a table can
+    * ever produce: an empty half at restart therefore proves no batch
+    * was served from ANY incarnation — there is nothing a rebuild could
+    * have invalidated. Without that ordering, upgrading here would
+    * silently adopt a REBUILT table into a checkpoint whose WAL offsets
+    * were committed against the dropped one.
+    * Returns (pinned start head, pinned incarnation). */
   private def readOrWritePin(spark: SparkSession, metadataPath: String,
                              head: Long, incNow: Option[(Long, Long)],
                              retries: Int = 3)
       : (Long, Option[(Long, Long)]) = {
-    // CheckpointFileManager, not a raw FileSystem: its createAtomic
-    // gives atomic CREATE-OR-OVERWRITE on every checkpoint filesystem
-    // (HDFS rename does NOT overwrite; object stores need the direct
-    // strategy) — the same machinery Spark's own offset log rides
-    val dir = new org.apache.hadoop.fs.Path(metadataPath)
-    val cfm = org.apache.spark.sql.execution.streaming.checkpointing
-      .CheckpointFileManager.create(dir,
-        spark.sessionState.newHadoopConf())
-    val pin = new org.apache.hadoop.fs.Path(dir, "graft-cdf-start")
-    def parse(s0: String): (Long, Option[(Long, Long)]) = {
-      val s = s0.trim
-      val semi = s.indexOf(';')
-      if (semi < 0) (s.toLong, None) // head-only pin: upgrades below
-      else {
-        val h = s.substring(0, semi).trim.toLong
-        val i = s.substring(semi + 1).trim
-        if (i.isEmpty) (h, None)
-        else {
-          val Array(v, ts) = i.split(',')
-          (h, Some((v.trim.toLong, ts.trim.toLong)))
-        }
-      }
-    }
-    def write(start: Long, inc: Option[(Long, Long)]): Unit = {
-      val body = s"$start;${inc.map { case (v, ts) => s"$v,$ts" }
-        .getOrElse("")}"
-      val out = cfm.createAtomic(pin, true)
-      try {
-        out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        out.close()
-      } catch { case e: Throwable => out.cancel(); throw e }
-    }
+    import FeatherCdfPin.{parse, write}
+    val (dir, cfm, pin) = FeatherCdfPin.manager(spark, metadataPath)
     if (!cfm.exists(pin)) {
       cfm.mkdirs(dir)
-      write(head, incNow)
+      write(cfm, pin, head, incNow)
       // re-read what survived: a racing (re)start may have won the
       // atomic overwrite — the durable file is the truth both sides use
       require(retries > 0,
         s"feather-cdf: cannot pin the stream identity under $metadataPath")
       readOrWritePin(spark, metadataPath, head, incNow, retries - 1)
     } else {
-      val in = cfm.open(pin)
-      val parsed = parse(
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close())
+      val parsed = parse(FeatherCdfPin.read(cfm, pin))
       if (parsed._2.isEmpty && incNow.isDefined) {
-        // upgrade-in-place (atomic overwrite): the stream started
-        // before the table existed — pinning the no-table sentinel
-        // forever would permanently disable rebuild detection
-        write(parsed._1, incNow)
+        // upgrade-in-place (atomic overwrite) — safe per the scaladoc
+        // invariant: empty half ⇒ no batch was ever served
+        write(cfm, pin, parsed._1, incNow)
         (parsed._1, incNow)
       } else parsed
     }
+  }
+}
+
+/** The pin file's read/write/parse mechanics, shared by the provider
+  * (start/restart) and the running [[FeatherCdfSource]] (the
+  * first-offset incarnation upgrade). */
+private[sources] object FeatherCdfPin {
+  import org.apache.hadoop.fs.Path
+  import org.apache.spark.sql.execution.streaming.checkpointing
+    .CheckpointFileManager
+
+  /** CheckpointFileManager, not a raw FileSystem: its createAtomic
+    * gives atomic CREATE-OR-OVERWRITE on every checkpoint filesystem
+    * (HDFS rename does NOT overwrite; object stores need the direct
+    * strategy) — the same machinery Spark's own offset log rides. */
+  def manager(spark: SparkSession, metadataPath: String)
+      : (Path, CheckpointFileManager, Path) = {
+    val dir = new Path(metadataPath)
+    val cfm = CheckpointFileManager.create(dir,
+      spark.sessionState.newHadoopConf())
+    (dir, cfm, new Path(dir, "graft-cdf-start"))
+  }
+
+  def parse(s0: String): (Long, Option[(Long, Long)]) = {
+    val s = s0.trim
+    val semi = s.indexOf(';')
+    if (semi < 0) (s.toLong, None) // head-only pin: upgrades later
+    else {
+      val h = s.substring(0, semi).trim.toLong
+      val i = s.substring(semi + 1).trim
+      if (i.isEmpty) (h, None)
+      else {
+        val Array(v, ts) = i.split(',')
+        (h, Some((v.trim.toLong, ts.trim.toLong)))
+      }
+    }
+  }
+
+  def read(cfm: CheckpointFileManager, pin: Path): String = {
+    val in = cfm.open(pin)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  def write(cfm: CheckpointFileManager, pin: Path,
+            start: Long, inc: Option[(Long, Long)]): Unit = {
+    val body = s"$start;${inc.map { case (v, ts) => s"$v,$ts" }
+      .getOrElse("")}"
+    val out = cfm.createAtomic(pin, true)
+    try {
+      out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    } catch { case e: Throwable => out.cancel(); throw e }
   }
 }
 
@@ -216,20 +245,41 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
                                       fixedSchema: StructType,
                                       // exposed so the spec can pin the
                                       // pinned-start restart contract
-                                      val startingVersion: Long)
+                                      val startingVersion: Long,
+                                      metadataPath: String,
+                                      pinStart: Long,
+                                      incAlreadyPinned: Boolean)
     extends Source {
   private def rp = new org.apache.hadoop.fs.Path(path)
   private def fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   override def schema: StructType = fixedSchema
 
+  // false only for a stream that started before its table existed
+  private var incarnationPinned = incAlreadyPinned
+
   // NEVER filtered by startingVersion: that value only seeds the FIRST
   // batch (getBatch with start=None). A restart resumes from the
   // checkpointed offset — re-filtering against a re-resolved
   // startingVersion=latest would strand the versions committed while
   // the stream was down until some future commit moved the head.
-  override def getOffset: Option[V1Offset] =
-    FeatherSnapshots.latestVersion(fs, rp).map(LongOffset(_))
+  override def getOffset: Option[V1Offset] = {
+    val bounds = FeatherSnapshots.versionBounds(fs, rp)
+    // pin the incarnation BEFORE the first offset this table can ever
+    // produce (the offset is what admits a batch into the WAL): every
+    // served batch then has its incarnation durable first, which is the
+    // invariant that makes the provider's restart-time upgrade-in-place
+    // safe — an empty pin half proves no batch was served. A failed
+    // write fails the trigger; the restart retries from the same state.
+    if (!incarnationPinned)
+      FeatherSnapshots.incarnationFrom(fs, rp, bounds.map(_._1))
+        .foreach { inc =>
+          val (_, cfm, pin) = FeatherCdfPin.manager(spark, metadataPath)
+          FeatherCdfPin.write(cfm, pin, pinStart, Some(inc))
+          incarnationPinned = true
+        }
+    bounds.map(b => LongOffset(b._2))
+  }
 
   // offsets arrive as LongOffset pre-restart and SerializedOffset after a
   // checkpoint reload; both render the version as their json
@@ -276,7 +326,34 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
             s"${widened.mkString(", ")} not in the stream's start-time " +
             "schema — the table evolved mid-stream; restart the stream " +
             "to pick up the widened schema")
-        graft.io.ConnectorFace.align(raw, fixedSchema)
+        // a name the fixed schema KNOWS but at a different TYPE is the
+        // same mid-stream evolution in disguise — align() never casts,
+        // so letting it through would fail deep in MicroBatchExecution
+        // with a schema-assertion instead of this message. Replay-safe
+        // carve-out: when the batch's type up-casts losslessly into the
+        // fixed one (Cast.canUpCast — int→long, int→string, …), cast and
+        // continue; that is exactly the post-restart replay of a batch
+        // written before a widening retype, which must not wedge.
+        val fixedTypes = fixedSchema.fields
+          .map(f => f.name -> f.dataType).toMap
+        val retyped = raw.schema.fields.flatMap { f =>
+          fixedTypes.get(f.name).collect {
+            case want if want != f.dataType => (f.name, f.dataType, want) }
+        }.toSeq
+        val stuck = retyped.filterNot { case (_, have, want) =>
+          org.apache.spark.sql.catalyst.expressions.Cast
+            .canUpCast(have, want) }
+        if (stuck.nonEmpty) throw new IllegalStateException(
+          s"change feed on $path: versions ($s, $e] carry column(s) " +
+            stuck.map { case (n, have, want) =>
+              s"$n ($have, stream expects $want)" }.mkString(", ") +
+            " whose type changed mid-stream and cannot be cast " +
+            "losslessly — the table was rewritten with a new type; " +
+            "restart the stream to pick up the new schema")
+        val casted = retyped.foldLeft(raw) { case (d, (n, _, want)) =>
+          d.withColumn(n, org.apache.spark.sql.functions.col(n).cast(want))
+        }
+        graft.io.ConnectorFace.align(casted, fixedSchema)
       }
     org.apache.spark.sql.graft.Bridge.asStreaming(batch)
   }

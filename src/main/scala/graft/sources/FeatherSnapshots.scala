@@ -799,11 +799,13 @@ private[graft] object FeatherSnapshots {
         n.stripPrefix("v").stripSuffix(".json").toLong }
       .toSeq
     val key = root.toString
-    // one O(1) manifest read per epoch buys the incarnation identity —
-    // an empty versions list (fresh _snapshots dir, first commit pending)
-    // has no incarnation and always resets the cache
+    // one header-only manifest read per epoch buys the incarnation
+    // identity ([[readTs]]), retrying through a relisting if a concurrent
+    // expire() deletes the oldest manifest mid-probe — an empty versions
+    // list (fresh _snapshots dir, first commit pending) has no
+    // incarnation and always resets the cache
     val inc: Option[(Long, Long)] =
-      versions.minOption.map(mv => (mv, readRaw(fs, root, mv).ts))
+      incarnationFrom(fs, root, versions.minOption)
     val cached = Option(epochRefCache.get(key))
       .filter { case (i, hw, _) =>
         inc.contains(i) && versions.nonEmpty && versions.max >= hw }

@@ -284,11 +284,9 @@ private[sources] object StatsAggPushdown {
   import graft.io.FeatherStats
   import graft.io.FeatherStats.ColStat
 
-  private def tracked(dt: DataType): Boolean = dt match {
-    case ByteType | ShortType | IntegerType | LongType |
-         FloatType | DoubleType | StringType => true
-    case _ => false
-  }
+  // the ONE stats-tracked-type definition — a local copy drifted once
+  // (DateType joined the collector but MIN/MAX(date) kept full-scanning)
+  private def tracked(dt: DataType): Boolean = FeatherStats.trackedType(dt)
 
   private def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
       : Option[String] = e match {
@@ -383,6 +381,10 @@ private[sources] object StatsAggPushdown {
           case (v: Long, LongType) => v
           case (v: Double, FloatType) => v.toFloat
           case (v: Double, DoubleType) => v
+          // dates are collected as epoch-day longs (FeatherStats
+          // .dateToDay); Catalyst's internal DateType value is the same
+          // day count as an Int
+          case (v: Long, DateType) => v.toInt
           case (v: String, StringType) =>
             org.apache.spark.unsafe.types.UTF8String.fromString(v)
           case _ => return None

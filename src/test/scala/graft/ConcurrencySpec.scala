@@ -177,4 +177,47 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(after.count() === 299, "the delete's update is not lost")
     assert(after.where(col("id") === 7L).count() === 0)
   }
+
+  test("two compactions racing from one snapshot: the loser aborts and " +
+       "never touches the winner's committed outputs") {
+    val path = tmp("compact_vs_compact")
+    import spark.implicits._
+    (1 to 300).map(i => (i.toLong, s"p_$i")).toDF("id", "pay")
+      .repartition(6).write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(path)
+    // the rival compaction plans from the SAME v1 snapshot and wins the
+    // commit inside the loser's race window (hook is one-shot, so the
+    // rival itself runs unhooked)
+    FeatherSnapshots.testBeforeMutationCommit = () => {
+      graft.io.FeatherCompact.compact(spark, path,
+        targetBytes = 1L << 30): Unit
+    }
+    val e = intercept[IllegalArgumentException] {
+      graft.io.FeatherCompact.compact(spark, path, targetBytes = 1L << 30)
+    }
+    assert(e.getMessage.contains("conflict"))
+    // every file the winning commit references must still exist — the
+    // loser's outputs carry a run-unique name, so it can neither have
+    // pre-deleted nor renamed over the winner's (identically-planned)
+    // output in its pre-commit window
+    val fs = fsOf(path)
+    val head = FeatherSnapshots.resolve(fs, new Path(path), None).get
+    val headNames = head.files.map(_._1).toSet
+    headNames.foreach { rel =>
+      assert(fs.exists(new Path(new Path(path), rel)),
+        s"winner's committed file $rel is missing — the loser unlinked it")
+    }
+    // and the loser's orphans are DISTINCT names, left for vacuum —
+    // not silent replacements of the winner's
+    val onDisk = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".feather") &&
+        !f.getName.startsWith(".")).map(_.getName).toSet
+    assert((onDisk -- headNames).exists(_.contains("-cpt")),
+      s"expected the loser's run-unique orphan outputs on disk, " +
+        s"got ${(onDisk -- headNames).mkString(", ")}")
+    val after = spark.read.format("feather").load(path)
+    assert(after.count() === 300)
+    assert(after.agg(sum("id")).head().getLong(0) ===
+      (1 to 300).map(_.toLong).sum)
+  }
 }

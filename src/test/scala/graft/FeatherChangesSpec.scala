@@ -497,6 +497,94 @@ class FeatherChangesSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("graft_table_changes"))
   }
 
+  test("a stream that started BEFORE its table existed pins the " +
+       "incarnation at the first offset, so a later rebuild is still " +
+       "loud") {
+    val path = tmp("cdf_preexist")
+    val meta = tmp("cdf_preexist_meta")
+    import org.apache.spark.sql.types._
+    // user-supplied schema: the only way to start a CDF stream on a
+    // path with no table yet (nothing to sweep a feed schema from)
+    val userSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_version", LongType, nullable = false)))
+    val provider = new graft.sources.FeatherCdfSourceProvider
+    def mk(m: String, p: String) = provider.createSource(spark.sqlContext,
+      m, Some(userSchema), "feather-cdf", Map("path" -> p))
+      .asInstanceOf[graft.sources.FeatherCdfSource]
+    val s1 = mk(meta, path)
+    assert(s1.getOffset.isEmpty, "no table yet: no offset")
+    writeV(path, 1, 20, "overwrite") // incarnation A appears (v1)
+    // the FIRST offset the table ever produces must durably pin A's
+    // identity — from here on the WAL may hold batches diffed against A
+    assert(s1.getOffset.map(_.json.trim.toLong) === Some(1L))
+    // crash; drop and rebuild at the same path (incarnation B)
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(path))
+    Thread.sleep(15) // commit ts granularity is millis
+    writeV(path, 1, 5, "overwrite")
+    // the restart must NOT silently upgrade an "empty" pin onto B —
+    // the pin is not empty: getOffset filled it when A appeared
+    val e = intercept[Exception] { mk(meta, path) }
+    def msgs(t: Throwable): Seq[String] = Option(t).toSeq.flatMap(x =>
+      Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("dropped and rebuilt")),
+      s"rebuild after a first-offset pin must be loud, got: " +
+        msgs(e).mkString(" | "))
+    // control: a checkpoint that never saw ANY table (no offset ever
+    // produced) upgrades in place and continues cleanly
+    val path2 = tmp("cdf_preexist2")
+    val meta2 = tmp("cdf_preexist_meta2")
+    mk(meta2, path2): Unit // pin "<0>;" — table absent, no getOffset
+    writeV(path2, 1, 5, "overwrite")
+    val s3 = mk(meta2, path2) // upgrade-in-place: nothing was served
+    assert(s3.getOffset.map(_.json.trim.toLong) === Some(1L))
+  }
+
+  test("a column re-added with a different TYPE mid-stream: loud when " +
+       "it cannot up-cast, cast-and-continue when it can") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    def overwriteV(p: String, df: org.apache.spark.sql.DataFrame): Unit =
+      df.repartitionByRange(2, col("id")).write.format("feather")
+        .mode("overwrite").option("snapshots", "true").save(p)
+    val provider = new graft.sources.FeatherCdfSourceProvider
+    def mk(p: String) = provider.createSource(spark.sqlContext,
+      tmp(s"meta_${p.reverse.takeWhile(_ != '/').reverse}"), None,
+      "feather-cdf", Map("path" -> p))
+      .asInstanceOf[graft.sources.FeatherCdfSource]
+    // fixed lang is INT; dropped, then re-added as STRING: string does
+    // not up-cast into int — the loud contract, not an opaque
+    // MicroBatchExecution schema assertion
+    val path = tmp("cdf_retype")
+    overwriteV(path, (1 to 10).map(i => (i.toLong, i)).toDF("id", "lang"))
+    val s1 = mk(path)
+    overwriteV(path, (1 to 10).map(_.toLong).toDF("id"))          // v2
+    overwriteV(path,
+      (1 to 10).map(i => (i.toLong, s"L$i")).toDF("id", "lang"))  // v3
+    val e = intercept[IllegalStateException] {
+      s1.getBatch(Some(LongOffset(2L)), LongOffset(3L))
+    }
+    assert(e.getMessage.contains("type changed mid-stream"),
+      s"got: ${e.getMessage}")
+    // fixed lang is STRING; re-added as INT: int up-casts losslessly —
+    // the batch casts and aligns instead of wedging (this is also the
+    // post-restart replay shape after a widening retype)
+    val path2 = tmp("cdf_retype2")
+    overwriteV(path2,
+      (1 to 10).map(i => (i.toLong, s"L$i")).toDF("id", "lang"))
+    val s2 = mk(path2)
+    overwriteV(path2, (1 to 10).map(_.toLong).toDF("id"))         // v2
+    overwriteV(path2, (1 to 10).map(i => (i.toLong, i)).toDF("id", "lang"))
+    val b = s2.getBatch(Some(LongOffset(2L)), LongOffset(3L))     // v3
+    assert(b.schema("lang").dataType ===
+      org.apache.spark.sql.types.StringType)
+  }
+
   test("streaming CDF serves the avro face through the same format name") {
     val path = tmp("cdf_avro_stream")
     import spark.implicits._

@@ -496,6 +496,29 @@ class FeatherSourceSpec extends AnyFunSuite {
     assert(r.getDouble(4) === 4000 * 1.5)
   }
 
+  test("min/max over a DATE column answer from sidecars (epoch-day " +
+       "stats narrow back to DateType)") {
+    val path = tmp("agg_push_date")
+    import spark.implicits._
+    val day0 = java.time.LocalDate.of(2024, 1, 1)
+    (1 to 3000).map(i => (i.toLong,
+        java.sql.Date.valueOf(day0.plusDays(i.toLong))))
+      .toDF("id", "d")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.format("feather").mode("overwrite").save(path)
+    val df = spark.read.format("feather").load(path)
+    val agged = df.agg(min("d").as("lo"), max("d").as("hi"),
+      count("*").as("n"))
+    val plan = agged.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"),
+      s"date min/max did not answer from stats:\n$plan")
+    assert(!plan.contains("BatchScan"), s"data scan should not run:\n$plan")
+    val r = agged.head()
+    assert(r.getDate(0).toLocalDate === day0.plusDays(1))
+    assert(r.getDate(1).toLocalDate === day0.plusDays(3000))
+    assert(r.getLong(2) === 3000L)
+  }
+
   test("aggregate pushdown bails to the data scan when it must") {
     val path = tmp("agg_bail")
     writeSample(path, rows = 1000, batchSize = 256)
