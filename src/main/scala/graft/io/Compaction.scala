@@ -236,8 +236,7 @@ private[graft] object Compaction {
       // coalesced toward targetBytes — a per-file loop would launch N
       // sequential Spark jobs and leave the folds fragmented for a
       // second optimize pass
-      val prefix = f"mut-v${snap.version + 1}%08d-dvf${java.util.UUID
-        .randomUUID().toString.take(8)}"
+      val prefix = FeatherSnapshots.runPrefix(snap.version + 1, "dvf")
       byLeaf.foreach { case (relDir, relFiles) =>
         val leaf = if (relDir.isEmpty) root else new Path(root, relDir)
         val folds = relFiles.filter { case (rel, _) => dvFold(rel) }
@@ -269,8 +268,7 @@ private[graft] object Compaction {
     // racing compactors must never write (or clean) each other's names,
     // and the `mut-v` prefix keeps pending outputs under vacuumOrphans'
     // in-flight guard until this run's commit wins or aborts
-    val runTag = f"mut-v${snap.version + 1}%08d-cpt${java.util.UUID
-      .randomUUID().toString.take(8)}-"
+    val runTag = FeatherSnapshots.runPrefix(snap.version + 1, "cpt") + "-"
     byLeaf.foreach { case (relDir, relFiles) =>
       val leaf = if (relDir.isEmpty) root else new Path(root, relDir)
       val files = relFiles
@@ -341,8 +339,7 @@ private[graft] object Compaction {
           // run-unique: a racing retry must never truncate a stamp a
           // winning commit already references
           val (name, len) = face.stamp(fs, leafDir,
-            f"mut-v${snap.version + 1}%08d-" +
-              java.util.UUID.randomUUID().toString.take(8) + "-stamp",
+            FeatherSnapshots.runPrefix(snap.version + 1) + "-stamp",
             schema)
           addedRel += ((if (relDir.isEmpty) name else s"$relDir/$name", len))
         }

@@ -61,13 +61,18 @@ import graft.sources.{FeatherPartitions, FeatherSnapshots}
   * history unreadable, loudly. */
 object FeatherChanges {
 
-  // feed schema per (path, head version) — the idle-poll path of
-  // changesSince must not pay an O(files) footer sweep per no-op poll
-  // just to shape an empty frame (versions are immutable, so the memo
-  // is exact for its head)
+  /** Per-table head-schema cache for the [[changesSince]] poll loop:
+    * the file list and DATA schema as of `head`, plus the combined feed
+    * schema. The file list is what makes the next head's schema
+    * INCREMENTAL (see [[headFeedSchema]]); versions are immutable, so
+    * the entry is exact for its head. One entry per (path, incarnation)
+    * — superseded keys evict on each memoization. */
+  private case class HeadSchemaEntry(head: Long,
+                                     files: Seq[(String, Long)],
+                                     data: org.apache.spark.sql.types.StructType,
+                                     combined: org.apache.spark.sql.types.StructType)
   private val feedSchemaCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, (Long, Long)),
-    org.apache.spark.sql.types.StructType]()
+    (String, (Long, Long)), HeadSchemaEntry]()
 
   /** The incremental-ETL loop primitive: everything that changed after
     * `lastProcessedVersion`, plus the head version to checkpoint for the
@@ -97,34 +102,90 @@ object FeatherChanges {
     if (head == lastProcessedVersion)
       (spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema), head)
-    else (ConnectorFace.align(
+    else (alignCast(
       readChanges(spark, path, lastProcessedVersion, head, Some(schema)),
-      schema), head)
+      schema, path), head)
   }
 
-  /** The feed schema at `head`, memoized per (path, head, incarnation):
-    * manifest reads only when the schema is not memoized; never the
-    * per-version replay. Superseded keys for this path evict on each
-    * new memoization (a long-running poll loop holds ONE entry per
-    * table), and the key carries the table INCARNATION (oldest version
-    * + its commit ts): a drop-and-recreate that races back to the same
-    * (path, head) — even before the next poll — cannot be served the
-    * old incarnation's schema. One extra manifest read per call, same
-    * cost class as the head probe; the footer sweep itself runs once
-    * per head transition. */
+  /** The feed schema at `head`, memoized per (path, incarnation) and
+    * computed INCREMENTALLY across head transitions: when no file the
+    * cached head referenced was removed, the new data schema is the
+    * cached one merged with the ADDED files' footers — a poll loop over
+    * a 100k-part table that receives one appended file per poll reads
+    * ONE footer per poll, not 100k (the cost class the module scaladoc
+    * promises). Any removal (mutation/overwrite/restore can drop a
+    * column's last carriers) falls back to the full sweep, the only
+    * operation whose schema cannot be derived forward. The idle poll
+    * (same head) touches no manifest beyond the incarnation probe. The
+    * incarnation key (oldest version + its commit ts) means a
+    * drop-and-recreate racing back to the same (path, head) cannot be
+    * served the old incarnation's schema. Partition-column inference is
+    * pure path-string work over the manifest list (no I/O) and always
+    * runs against the FULL head list — a range-local inference could
+    * type `k=1` as long where the head's `k=x` leaf makes the column a
+    * string. */
   private def headFeedSchema(spark: SparkSession, path: String, root: Path,
                              fs: org.apache.hadoop.fs.FileSystem, head: Long)
       : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
     val inc = FeatherSnapshots.incarnation(fs, root).getOrElse((0L, 0L))
-    Option(feedSchemaCache.get((path, head, inc))).getOrElse {
-      val snap = FeatherSnapshots.read(fs, root, head)
-      val face = ConnectorFace.detect(snap.files, "changesSince", path)
-      val s = feedSchema(spark, root, face, snap.files)
-      feedSchemaCache.keySet.removeIf(k =>
-        k._1 == path && (k._2 != head || k._3 != inc))
-      feedSchemaCache.put((path, head, inc), s)
-      s
+    val key = (path, inc)
+    Option(feedSchemaCache.get(key)) match {
+      case Some(e) if e.head == head => e.combined
+      case prev =>
+        val snap = FeatherSnapshots.read(fs, root, head)
+        val face = ConnectorFace.detect(snap.files, "changesSince", path)
+        def abs(fl: Seq[(String, Long)]) = fl.map { case (rel, len) =>
+          (new Path(root, rel).toString, len) }
+        val curNames = snap.files.map(_._1).toSet
+        val dataSchema = prev match {
+          case Some(e) if e.head < head &&
+              e.files.forall(f => curNames(f._1)) =>
+            val prevNames = e.files.map(_._1).toSet
+            val added = snap.files.filterNot(f => prevNames(f._1))
+            if (added.isEmpty) e.data
+            else mergeDataSchemas(e.data,
+              face.mergedSchema(spark, abs(added)), path)
+          case _ => face.mergedSchema(spark, abs(snap.files))
+        }
+        val partSchema = FeatherSnapshots.toDiscovered(root,
+          FeatherSnapshots.Snapshot(0, 0, "cdf",
+            snap.files.sortBy(_._1))).partSchema
+        val combined = StructType(dataSchema.fields ++ partSchema.fields ++
+          Seq(StructField("_change_type", StringType, nullable = false),
+            StructField("_commit_version", LongType, nullable = false)))
+        feedSchemaCache.keySet.removeIf(k => k._1 == path && k != key)
+        feedSchemaCache.put(key,
+          HeadSchemaEntry(head, snap.files, dataSchema, combined))
+        combined
     }
+  }
+
+  /** Merge two already-merged data schemas of DISJOINT file populations
+    * — the incremental form of both faces' footer fold, with the same
+    * two rules: a column must keep its (Spark) type across generations,
+    * and a column any side lacks — or either side declares nullable —
+    * widens to nullable (files predating it read null). */
+  private def mergeDataSchemas(a: org.apache.spark.sql.types.StructType,
+                               b: org.apache.spark.sql.types.StructType,
+                               path: String)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val bMap = b.fields.map(f => f.name -> f).toMap
+    val aNames = a.fieldNames.toSet
+    StructType(
+      a.fields.map { fa =>
+        bMap.get(fa.name) match {
+          case Some(fb) =>
+            require(fa.dataType == fb.dataType,
+              s"changesSince on $path: column '${fa.name}' is " +
+                s"${fa.dataType.catalogString} in older files but " +
+                s"${fb.dataType.catalogString} in newly added ones — " +
+                "evolved columns must keep their type")
+            fa.copy(nullable = fa.nullable || fb.nullable)
+          case None => fa.copy(nullable = true)
+        }
+      } ++ b.fields.filterNot(f => aNames(f.name)).map(_.copy(nullable = true)))
   }
 
   /** The feed's schema at the table's CURRENT head — what the streaming
@@ -182,9 +243,38 @@ object FeatherChanges {
   def readChanges(spark: SparkSession, path: String,
                   fromVersion: Long, toVersion: Long): DataFrame = {
     val out = feedSchemaAt(spark, path, toVersion)
-    ConnectorFace.align(
+    alignCast(
       readChanges(spark, path, fromVersion, toVersion,
-        emptyShape = Some(out)), out)
+        emptyShape = Some(out)), out, path)
+  }
+
+  /** [[ConnectorFace.align]] plus lossless up-casts for columns whose
+    * range-local type inferred NARROWER than the feed schema's — hive
+    * partition values are the reachable case (a range touching only
+    * `k=1` leaves infers long where the head's `k=x` leaf makes the
+    * column a string); align itself never casts, and silently emitting
+    * a batch whose column type disagrees with the feed schema is the
+    * instability the one-schema-per-head contract exists to prevent. A
+    * type the feed schema cannot absorb losslessly is a contract break
+    * and fails loudly. */
+  private def alignCast(df: DataFrame, schema:
+      org.apache.spark.sql.types.StructType, path: String): DataFrame = {
+    val want = schema.fields.map(f => f.name -> f.dataType).toMap
+    val mismatched = df.schema.fields.flatMap { f =>
+      want.get(f.name).collect {
+        case w if w != f.dataType => (f.name, f.dataType, w) } }.toSeq
+    val stuck = mismatched.filterNot { case (_, have, w) =>
+      org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(have, w) }
+    if (stuck.nonEmpty) throw new IllegalStateException(
+      s"change feed on $path: column(s) " +
+        stuck.map { case (n, have, w) =>
+          s"$n (${have.catalogString}, feed schema expects " +
+            s"${w.catalogString})" }.mkString(", ") +
+        " cannot be cast losslessly to the feed schema — the table's " +
+        "history carries an incompatible type change")
+    val casted = mismatched.foldLeft(df) { case (d, (n, _, w)) =>
+      d.withColumn(n, col(n).cast(w)) }
+    ConnectorFace.align(casted, schema)
   }
 
   /** [[readChanges]] with a caller-supplied shape for a NO-CHANGE range

@@ -231,8 +231,7 @@ object FeatherMutations {
         // a racing retry must never truncate a stamp an already-won
         // commit references
         val (name, len) = face.stamp(fs, leafDir,
-          f"mut-v$targetV%08d-${java.util.UUID.randomUUID().toString
-            .take(8)}", tableSchema)
+          FeatherSnapshots.runPrefix(targetV), tableSchema)
         added += ((if (relDir.isEmpty) name else s"$relDir/$name", len))
       }
     }
@@ -582,8 +581,7 @@ object FeatherMutations {
     // each other's uncommitted parts: the loser aborts at commit, but
     // the WINNER could publish a manifest referencing files the loser
     // already deleted.
-    val prefix = f"mut-v${parentV + 1}%08d-${java.util.UUID.randomUUID()
-      .toString.take(8)}"
+    val prefix = FeatherSnapshots.runPrefix(parentV + 1)
 
     def relDirOf(rel: String): String = {
       val i = rel.lastIndexOf('/')

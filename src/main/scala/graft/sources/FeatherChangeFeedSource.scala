@@ -271,13 +271,21 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
     // invariant that makes the provider's restart-time upgrade-in-place
     // safe — an empty pin half proves no batch was served. A failed
     // write fails the trigger; the restart retries from the same state.
-    if (!incarnationPinned)
-      FeatherSnapshots.incarnationFrom(fs, rp, bounds.map(_._1))
-        .foreach { inc =>
+    if (!incarnationPinned && bounds.isDefined) {
+      FeatherSnapshots.incarnationFrom(fs, rp, bounds.map(_._1)) match {
+        case Some(inc) =>
           val (_, cfm, pin) = FeatherCdfPin.manager(spark, metadataPath)
           FeatherCdfPin.write(cfm, pin, pinStart, Some(inc))
           incarnationPinned = true
-        }
+        case None =>
+          // the table vanished between the listing and the probe (a
+          // drop racing this trigger): offering the stale bounds anyway
+          // would admit an offset into the WAL with the pin still
+          // empty — the exact hole the invariant closes. Idle this
+          // trigger; the next one re-lists.
+          return None
+      }
+    }
     bounds.map(b => LongOffset(b._2))
   }
 

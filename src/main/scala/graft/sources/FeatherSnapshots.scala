@@ -573,7 +573,13 @@ private[graft] object FeatherSnapshots {
     try {
       val jp = mapper.getFactory.createParser(in: java.io.InputStream)
       try {
-        var tok = jp.nextToken() // START_OBJECT
+        var tok = jp.nextToken()
+        // a torn write (created, never written) parses as an EMPTY
+        // stream — that must stay an ERROR like readRaw's, not a
+        // fabricated ts=0 the identity probes would treat as a valid
+        // legacy incarnation
+        require(tok == com.fasterxml.jackson.core.JsonToken.START_OBJECT,
+          s"manifest v$version at $root is torn or empty (no JSON object)")
         tok = jp.nextToken()
         while (tok != null && tok != JsonToken.END_OBJECT) {
           val name = jp.currentName()
@@ -586,6 +592,20 @@ private[graft] object FeatherSnapshots {
       } finally jp.close()
     } finally in.close()
   }
+
+  /** Run-unique name prefix for data files written AHEAD of a
+    * mutation-tier commit targeting `targetV`: `mut-v%08d-<tag><uuid8>`.
+    * ONE definition shared by the COW rewrite, DV fold, compaction, and
+    * schema-stamp writers — [[vacuumOrphans]]'s in-flight guard keys on
+    * this exact shape, and a per-site copy that reordered the version
+    * and uuid (or dropped a dash) would silently fall out of the regex
+    * and get reclaimed mid-run. The uuid makes racing runs (and crash
+    * retries) unable to write, pre-clean, or truncate each other's
+    * pending outputs; the loser's files become vacuum-reclaimable
+    * orphans once `targetV` is at or below the committed head. */
+  private[graft] def runPrefix(targetV: Long, tag: String = ""): String =
+    f"mut-v$targetV%08d-$tag${java.util.UUID.randomUUID().toString
+      .take(8)}"
 
   /** TEST seam for the conflict-matrix spec: runs once, after a mutation
     * computed its rewrite and before its manifest commit — the window a
@@ -658,7 +678,8 @@ private[graft] object FeatherSnapshots {
     * the single definition of file eligibility that [[adopt]] and
     * [[vacuumOrphans]] share (a rule duplicated per caller would drift). */
   private def walkDataFiles(fs: FileSystem, root: Path,
-                            suffixes: Seq[String])(
+                            suffixes: Seq[String],
+                            includeHiddenTmps: Boolean = false)(
       visit: (org.apache.hadoop.fs.FileStatus, String) => Unit): Unit = {
     def walk(dir: Path, rel: String): Unit =
       fs.listStatus(dir).foreach { e =>
@@ -666,8 +687,11 @@ private[graft] object FeatherSnapshots {
         if (e.isDirectory) {
           if (!n.startsWith("_") && !n.startsWith(".")) walk(e.getPath,
             if (rel.isEmpty) n else s"$rel/$n")
-        } else if (suffixes.exists(n.endsWith) &&
-            !n.startsWith(".") && !n.startsWith("_"))
+        } else if ((suffixes.exists(n.endsWith) &&
+            !n.startsWith(".") && !n.startsWith("_")) ||
+            // vacuum also reclaims crashed runs' half-written outputs —
+            // `.<name>.tmp` in a data leaf (adopt never wants these)
+            (includeHiddenTmps && n.startsWith(".") && n.endsWith(".tmp")))
           visit(e, if (rel.isEmpty) n else s"$rel/$n")
       }
     walk(root, "")
@@ -906,20 +930,37 @@ private[graft] object FeatherSnapshots {
       if (i > 0) Some(n.substring(i)) else None
     }).distinct
     val removed = scala.collection.mutable.ArrayBuffer.empty[String]
-    walkDataFiles(fs, root, effSuffixes) { (e, relPath) =>
-      val pending = e.getPath.getName match {
-        case inFlight(v) => v.toLong > latest
-        case _ => false
-      }
-      if (!pending && !referenced(relPath) &&
-          e.getModificationTime < cutoff) {
-        if (dryRun) removed += relPath
-        else if (fs.delete(e.getPath, false)) {
-          removed += relPath
-          fs.delete(new Path(e.getPath.getParent,
-            e.getPath.getName + ".stats.json"), false)
-          fs.delete(new Path(e.getPath.getParent,
-            e.getPath.getName + ".bloom"), false)
+    walkDataFiles(fs, root, effSuffixes, includeHiddenTmps = true) {
+      (e, relPath) =>
+      val n = e.getPath.getName
+      if (n.startsWith(".") && n.endsWith(".tmp")) {
+        // a crashed run's half-written output (snapshot-mode outputs are
+        // run-unique, so no re-run ever reclaims the name): NEVER
+        // referenced — committed parts are never hidden — so only the
+        // in-flight prefix and the grace window gate it
+        val pending = n.drop(1).stripSuffix(".tmp") match {
+          case inFlight(v) => v.toLong > latest
+          case _ => false
+        }
+        if (!pending && e.getModificationTime < cutoff) {
+          if (dryRun) removed += relPath
+          else if (fs.delete(e.getPath, false)) removed += relPath
+        }
+      } else {
+        val pending = n match {
+          case inFlight(v) => v.toLong > latest
+          case _ => false
+        }
+        if (!pending && !referenced(relPath) &&
+            e.getModificationTime < cutoff) {
+          if (dryRun) removed += relPath
+          else if (fs.delete(e.getPath, false)) {
+            removed += relPath
+            fs.delete(new Path(e.getPath.getParent,
+              e.getPath.getName + ".stats.json"), false)
+            fs.delete(new Path(e.getPath.getParent,
+              e.getPath.getName + ".bloom"), false)
+          }
         }
       }
     }

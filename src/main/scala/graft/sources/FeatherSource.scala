@@ -366,8 +366,12 @@ private[sources] object StatsAggPushdown {
               else (acc, v) match {
                 case (a: Long, x: Long) => if (wantMin) a.min(x) else a.max(x)
                 case (a: Double, x: Double) => if (wantMin) a.min(x) else a.max(x)
+                // UTF-8 BYTE order, the order the collector wrote the
+                // per-batch extremes in and the order Spark's own string
+                // comparisons use — UTF-16 compareTo disagrees beyond
+                // the BMP and would merge the wrong extreme
                 case (a: String, x: String) =>
-                  if ((x.compareTo(a) < 0) == wantMin) x else a
+                  if (FeatherStats.utf8Lt(x, a) == wantMin) x else a
                 case _ => return None
               }
           case None => return None // column untracked in this batch

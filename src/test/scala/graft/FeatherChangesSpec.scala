@@ -497,6 +497,77 @@ class FeatherChangesSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("graft_table_changes"))
   }
 
+  test("changesSince serves one schema per head: a batch touching only " +
+       "a numeric partition leaf still types the column like the head") {
+    val path = tmp("cdf_part_type")
+    import spark.implicits._
+    // v1: adopt a hive layout whose only leaf is dom=x → dom infers
+    // STRING at every head from here on
+    (1 to 20).map(i => (i.toLong, s"p_$i")).toDF("id", "pay")
+      .repartition(1).write.format("feather").mode("overwrite")
+      .save(s"$path/dom=x")
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    FeatherSnapshots.adopt(fs, new Path(path)): Unit
+    // v2: a merge whose inserts route to a NEW dom=1 leaf — the only
+    // files the (1, 2] range touches, and range-local inference would
+    // type dom as LONG there
+    FeatherMutations.merge(spark, path,
+      Seq((100L, "p_100", "1")).toDF("id", "pay", "dom"), Seq("id"))
+    val (changes, v) = FeatherChanges.changesSince(spark, path, 1L)
+    assert(v === 2L)
+    assert(changes.schema("dom").dataType ===
+      org.apache.spark.sql.types.StringType,
+      s"range-local long must cast up to the head's string, got " +
+        s"${changes.schema("dom").dataType}")
+    val row = changes.where(col("_change_type") === "insert").head()
+    assert(row.getAs[String]("dom") === "1")
+    // and the idle poll's empty frame agrees exactly
+    val (idle, _) = FeatherChanges.changesSince(spark, path, v)
+    assert(idle.schema === changes.schema)
+  }
+
+  test("the head feed schema computes incrementally across appends and " +
+       "matches the full sweep, including evolution nullability") {
+    val path = tmp("cdf_incr_schema")
+    import spark.implicits._
+    def poll(from: Long) = FeatherChanges.changesSince(spark, path, from)
+    writeV(path, 1, 10, "overwrite")                       // v1: id, name
+    val (c1, v1) = poll(0L)
+    assert(c1.schema.fieldNames.toSeq ===
+      Seq("id", "name", "_change_type", "_commit_version"))
+    // v2: WIDENED append (extra column) — incremental path (no removals)
+    (11 to 15).map(i => (i.toLong, s"n_$i", i * 2))
+      .toDF("id", "name", "extra").repartition(1)
+      .write.format("feather").mode("append")
+      .option("snapshots", "true").save(path)
+    val (c2, v2) = poll(v1)
+    assert(c2.schema.fieldNames.contains("extra"))
+    assert(c2.where(col("_change_type") === "insert").count() === 5)
+    // the feed schema's NULLABILITY is observable on the idle poll's
+    // empty frame (a change batch's frame carries plan nullability):
+    // files predating the widening read null — the column must widen
+    assert(poll(v2)._1.schema("extra").nullable)
+    // v3: OLD-generation append (missing name) — name must survive,
+    // nullable, in the incrementally-merged schema
+    (16 to 18).map(_.toLong).toDF("id").repartition(1)
+      .write.format("feather").mode("append")
+      .option("snapshots", "true").save(path)
+    val (c3, v3) = poll(v2)
+    assert(c3.schema.fieldNames.contains("name"))
+    assert(c3.where(col("name").isNull).count() === 3)
+    val idleAfterV3 = poll(v3)._1.schema
+    assert(idleAfterV3("name").nullable)
+    // v4: a DELETE removes files — the full-sweep fallback path must
+    // reproduce the same feed schema the incremental path built
+    FeatherMutations.deleteByKey(spark, path,
+      Seq(1L).toDF("id"), Seq("id"))
+    val (c4, v4) = poll(v3)
+    assert(v4 === 4L)
+    assert(c4.where(col("_change_type") === "delete").count() === 1)
+    assert(poll(v4)._1.schema === idleAfterV3)
+  }
+
   test("a stream that started BEFORE its table existed pins the " +
        "incarnation at the first offset, so a later rebuild is still " +
        "loud") {

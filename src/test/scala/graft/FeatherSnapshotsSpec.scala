@@ -448,6 +448,35 @@ class FeatherSnapshotsSpec extends AnyFunSuite {
     assert(!fs.exists(stale))
   }
 
+  test("vacuumOrphans reclaims a crashed run's hidden .tmp outputs " +
+       "but never a pending run's") {
+    val path = tmp("vacuum_tmps")
+    writeV(path, 1, 50, "overwrite") // v1
+    val fs = fsOf(path)
+    // a crashed snapshot-mode compaction's half-write (run-unique name,
+    // target v2 <= latest after... still v1 here, so make it v1)
+    val crashed = new Path(path,
+      ".mut-v00000001-cptdeadbeef-compact-00000-0abc1234.feather.tmp")
+    fs.create(crashed, true).close()
+    // a PENDING run's half-write (targets a version beyond the head)
+    val pendingTmp = new Path(path,
+      ".mut-v00000099-cptcafebabe-compact-00000-0abc1234.feather.tmp")
+    fs.create(pendingTmp, true).close()
+    // inside grace: both kept
+    assert(FeatherSnapshots.vacuumOrphans(fs, new Path(path),
+      graceMillis = 3600 * 1000) === 0)
+    // past grace: the crashed tmp reclaims, the pending one survives
+    val gone = FeatherSnapshots.vacuumOrphansDryRun(fs, new Path(path),
+      graceMillis = -1000)
+    assert(gone.contains(crashed.getName))
+    assert(!gone.contains(pendingTmp.getName))
+    assert(FeatherSnapshots.vacuumOrphans(fs, new Path(path),
+      graceMillis = -1000) === 1)
+    assert(!fs.exists(crashed))
+    assert(fs.exists(pendingTmp))
+    assert(spark.read.format("feather").load(path).count() === 50)
+  }
+
   test("timestampAsOf local form resolves through the session timezone") {
     val path = tmp("ts_session_tz")
     writeV(path, 1, 100, "overwrite") // v1

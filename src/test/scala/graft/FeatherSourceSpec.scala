@@ -519,6 +519,30 @@ class FeatherSourceSpec extends AnyFunSuite {
     assert(r.getLong(2) === 3000L)
   }
 
+  test("min/max over strings beyond the BMP merge in UTF-8 byte order " +
+       "across files (the order Spark's data scan would return)") {
+    val path = tmp("agg_push_utf8")
+    import spark.implicits._
+    // two files with disjoint extremes: U+1F600 (UTF-8 F0 9F 98 80)
+    // sorts ABOVE U+E000 (EE 80 80) in UTF-8, but its UTF-16 surrogate
+    // D83D sorts BELOW — a compareTo merge would pick the wrong min
+    Seq((1L, "😀")).toDF("id", "s").repartition(1)
+      .write.format("feather").mode("overwrite").save(path)
+    Seq((2L, "")).toDF("id", "s").repartition(1)
+      .write.format("feather").mode("append").save(path)
+    val df = spark.read.format("feather").load(path)
+    val agged = df.agg(min("s").as("lo"), max("s").as("hi"))
+    assert(agged.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    val viaStats = agged.head()
+    // the data scan is the ground truth the pushdown must agree with
+    val viaData = df.filter(col("id") > 0L)
+      .agg(min("s").as("lo"), max("s").as("hi")).head()
+    assert(viaStats === viaData)
+    assert(viaStats.getString(0) === "")
+    assert(viaStats.getString(1) === "😀")
+  }
+
   test("aggregate pushdown bails to the data scan when it must") {
     val path = tmp("agg_bail")
     writeSample(path, rows = 1000, batchSize = 256)
