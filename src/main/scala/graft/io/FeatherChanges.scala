@@ -62,15 +62,19 @@ import graft.sources.{FeatherPartitions, FeatherSnapshots}
 object FeatherChanges {
 
   /** Per-table head-schema cache for the [[changesSince]] poll loop:
-    * the file list and DATA schema as of `head`, plus the combined feed
-    * schema. The file list is what makes the next head's schema
-    * INCREMENTAL (see [[headFeedSchema]]); versions are immutable, so
-    * the entry is exact for its head. One entry per (path, incarnation)
-    * — superseded keys evict on each memoization. */
+    * the live file NAMES and DATA schema as of `head`, plus the
+    * combined feed schema. The name set is what makes the next head's
+    * schema INCREMENTAL (see [[headFeedSchema]]); versions are
+    * immutable, so the entry is exact for its head. One entry per
+    * (normalized path, incarnation) — superseded keys for a path evict
+    * on each memoization, and the cache as a whole is CAPPED: a driver
+    * polling many distinct tables drops the excess (one footer sweep to
+    * rebuild) instead of pinning every table's name set forever. */
   private case class HeadSchemaEntry(head: Long,
-                                     files: Seq[(String, Long)],
+                                     fileNames: Set[String],
                                      data: org.apache.spark.sql.types.StructType,
                                      combined: org.apache.spark.sql.types.StructType)
+  private val FeedSchemaCacheCap = 32
   private val feedSchemaCache = new java.util.concurrent.ConcurrentHashMap[
     (String, (Long, Long)), HeadSchemaEntry]()
 
@@ -129,7 +133,7 @@ object FeatherChanges {
       : org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     val inc = FeatherSnapshots.incarnation(fs, root).getOrElse((0L, 0L))
-    val key = (path, inc)
+    val key = (root.toString, inc) // normalized: /t and /t/ are one table
     Option(feedSchemaCache.get(key)) match {
       case Some(e) if e.head == head => e.combined
       case prev =>
@@ -140,9 +144,8 @@ object FeatherChanges {
         val curNames = snap.files.map(_._1).toSet
         val dataSchema = prev match {
           case Some(e) if e.head < head &&
-              e.files.forall(f => curNames(f._1)) =>
-            val prevNames = e.files.map(_._1).toSet
-            val added = snap.files.filterNot(f => prevNames(f._1))
+              e.fileNames.forall(curNames.contains) =>
+            val added = snap.files.filterNot(f => e.fileNames(f._1))
             if (added.isEmpty) e.data
             else mergeDataSchemas(e.data,
               face.mergedSchema(spark, abs(added)), path)
@@ -154,9 +157,18 @@ object FeatherChanges {
         val combined = StructType(dataSchema.fields ++ partSchema.fields ++
           Seq(StructField("_change_type", StringType, nullable = false),
             StructField("_commit_version", LongType, nullable = false)))
-        feedSchemaCache.keySet.removeIf(k => k._1 == path && k != key)
+        feedSchemaCache.keySet.removeIf(k => k._1 == key._1 && k != key)
         feedSchemaCache.put(key,
-          HeadSchemaEntry(head, snap.files, dataSchema, combined))
+          HeadSchemaEntry(head, curNames, dataSchema, combined))
+        if (feedSchemaCache.size > FeedSchemaCacheCap) {
+          // blunt cap, deliberately: rebuilding an evicted entry costs
+          // one footer sweep, while an uncapped map pins every polled
+          // table's name set in driver memory forever
+          val it = feedSchemaCache.keySet.iterator
+          while (feedSchemaCache.size > FeedSchemaCacheCap && it.hasNext) {
+            val k = it.next(); if (k != key) it.remove()
+          }
+        }
         combined
     }
   }
@@ -249,39 +261,51 @@ object FeatherChanges {
   }
 
   /** [[ConnectorFace.align]] plus lossless up-casts for columns whose
-    * range-local type inferred NARROWER than the feed schema's — hive
-    * partition values are the reachable case (a range touching only
-    * `k=1` leaves infers long where the head's `k=x` leaf makes the
-    * column a string); align itself never casts, and silently emitting
-    * a batch whose column type disagrees with the feed schema is the
-    * instability the one-schema-per-head contract exists to prevent. A
-    * type the feed schema cannot absorb losslessly is a contract break
-    * and fails loudly. */
-  private def alignCast(df: DataFrame, schema:
-      org.apache.spark.sql.types.StructType, path: String): DataFrame = {
+    * batch-local type is NARROWER than the target schema's — a range
+    * touching only `k=1` leaves infers long where the head's `k=x` leaf
+    * makes the column a string (residually: string targets are adopted
+    * up front, see [[readChanges]]), and the streaming source replays
+    * pre-retype batches against its start-pinned schema. align itself
+    * never casts, and silently emitting a batch whose column type
+    * disagrees with the target is the instability the
+    * one-schema-per-head contract exists to prevent. A type the target
+    * cannot absorb losslessly throws with the CALLER's message — one
+    * definition of the mechanics for both the batch and streaming
+    * consumers (a per-caller copy of exactly this drifted once). */
+  private[graft] def alignCast(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType,
+      stuckMsg: Seq[(String, org.apache.spark.sql.types.DataType,
+        org.apache.spark.sql.types.DataType)] => String): DataFrame = {
     val want = schema.fields.map(f => f.name -> f.dataType).toMap
     val mismatched = df.schema.fields.flatMap { f =>
       want.get(f.name).collect {
         case w if w != f.dataType => (f.name, f.dataType, w) } }.toSeq
     val stuck = mismatched.filterNot { case (_, have, w) =>
       org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(have, w) }
-    if (stuck.nonEmpty) throw new IllegalStateException(
-      s"change feed on $path: column(s) " +
-        stuck.map { case (n, have, w) =>
-          s"$n (${have.catalogString}, feed schema expects " +
-            s"${w.catalogString})" }.mkString(", ") +
-        " cannot be cast losslessly to the feed schema — the table's " +
-        "history carries an incompatible type change")
+    if (stuck.nonEmpty) throw new IllegalStateException(stuckMsg(stuck))
     val casted = mismatched.foldLeft(df) { case (d, (n, _, w)) =>
       d.withColumn(n, col(n).cast(w)) }
     ConnectorFace.align(casted, schema)
   }
 
-  /** [[readChanges]] with a caller-supplied shape for a NO-CHANGE range
-    * (only compact/cluster versions): the streaming source already holds
-    * the feed schema it will align every batch to, so deriving one from
-    * a footer sweep of the newest snapshot — O(table), per idle
-    * micro-batch — would be pure waste. */
+  /** [[alignCast]] with the batch feed's error message. */
+  private def alignCast(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType,
+      path: String): DataFrame =
+    alignCast(df, schema, stuck => s"change feed on $path: column(s) " +
+      stuck.map { case (n, have, w) =>
+        s"$n (${have.catalogString}, feed schema expects " +
+          s"${w.catalogString})" }.mkString(", ") +
+      " cannot be cast losslessly to the feed schema — the table's " +
+      "history carries an incompatible type change")
+
+  /** [[readChanges]] with the caller's ALIGN TARGET schema (the feed
+    * schema the caller will shape the result to). Two uses: a NO-CHANGE
+    * range (only compact/cluster versions) shapes its empty frame from
+    * it instead of a footer sweep of the newest snapshot — O(table) per
+    * idle micro-batch would be pure waste — and string-typed partition
+    * columns adopt it up front so the raw leaf string survives verbatim
+    * (see the partSchema comment below). */
   private[graft] def readChanges(spark: SparkSession, path: String,
                                  fromVersion: Long, toVersion: Long,
                                  emptyShape: Option[
@@ -384,11 +408,28 @@ object FeatherChanges {
     }
 
     // ---- schema over exactly the files the range reads. Partition
-    // values are part of row identity (see scaladoc). ----
+    // values are part of row identity (see scaladoc). A partition
+    // column the align TARGET types as STRING adopts that type HERE,
+    // not via a later cast: the range-local inference can type `dom=01`
+    // as long where the head's `dom=x` leaf makes the column a string,
+    // and casting the parsed 1L back to string re-spells it "1" — a
+    // value no table read ever returns ("01" is what the head-typed
+    // read serves). With the column string-typed up front, castValue
+    // passes the raw leaf string through verbatim. Numeric/date
+    // narrowings re-spell identically under cast and stay range-local.
     val schemaFiles = readFilesAll
-    val partSchema = FeatherSnapshots.toDiscovered(root,
+    val partSchema0 = FeatherSnapshots.toDiscovered(root,
       FeatherSnapshots.Snapshot(toVersion, 0, "cdf",
         schemaFiles.sortBy(_._1))).partSchema
+    val partSchema = org.apache.spark.sql.types.StructType(
+      partSchema0.fields.map { f =>
+        emptyShape.flatMap(_.fields.find(_.name == f.name)) match {
+          case Some(t)
+              if t.dataType == org.apache.spark.sql.types.StringType =>
+            f.copy(dataType = t.dataType)
+          case _ => f
+        }
+      })
     val dataSchema = face.mergedSchema(spark,
       schemaFiles.map { case (rel, len) => (new Path(root, rel).toString, len) })
     dataSchema.fields.find(_.dataType.isInstanceOf[

@@ -277,6 +277,14 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
           val (_, cfm, pin) = FeatherCdfPin.manager(spark, metadataPath)
           FeatherCdfPin.write(cfm, pin, pinStart, Some(inc))
           incarnationPinned = true
+          // the probe may have RE-LISTED internally (its retry path,
+          // taken when a drop-rebuild raced the first listing): the
+          // pinned incarnation then belongs to the rebuilt table, and
+          // offering an offset from the PRE-drop bounds would wedge
+          // getBatch on manifests the new table does not have. Offer
+          // bounds no older than the pin.
+          return FeatherSnapshots.versionBounds(fs, rp)
+            .map(b => LongOffset(b._2))
         case None =>
           // the table vanished between the listing and the probe (a
           // drop racing this trigger): offering the stale bounds anyway
@@ -338,30 +346,18 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
         // same mid-stream evolution in disguise — align() never casts,
         // so letting it through would fail deep in MicroBatchExecution
         // with a schema-assertion instead of this message. Replay-safe
-        // carve-out: when the batch's type up-casts losslessly into the
-        // fixed one (Cast.canUpCast — int→long, int→string, …), cast and
-        // continue; that is exactly the post-restart replay of a batch
-        // written before a widening retype, which must not wedge.
-        val fixedTypes = fixedSchema.fields
-          .map(f => f.name -> f.dataType).toMap
-        val retyped = raw.schema.fields.flatMap { f =>
-          fixedTypes.get(f.name).collect {
-            case want if want != f.dataType => (f.name, f.dataType, want) }
-        }.toSeq
-        val stuck = retyped.filterNot { case (_, have, want) =>
-          org.apache.spark.sql.catalyst.expressions.Cast
-            .canUpCast(have, want) }
-        if (stuck.nonEmpty) throw new IllegalStateException(
+        // carve-out (inside alignCast): when the batch's type up-casts
+        // losslessly into the fixed one (int→long, int→string, …), cast
+        // and continue; that is exactly the post-restart replay of a
+        // batch written before a widening retype, which must not wedge.
+        FeatherChanges.alignCast(raw, fixedSchema, stuck =>
           s"change feed on $path: versions ($s, $e] carry column(s) " +
             stuck.map { case (n, have, want) =>
-              s"$n ($have, stream expects $want)" }.mkString(", ") +
+              s"$n (${have.catalogString}, stream expects " +
+                s"${want.catalogString})" }.mkString(", ") +
             " whose type changed mid-stream and cannot be cast " +
             "losslessly — the table was rewritten with a new type; " +
             "restart the stream to pick up the new schema")
-        val casted = retyped.foldLeft(raw) { case (d, (n, _, want)) =>
-          d.withColumn(n, org.apache.spark.sql.functions.col(n).cast(want))
-        }
-        graft.io.ConnectorFace.align(casted, fixedSchema)
       }
     org.apache.spark.sql.graft.Bridge.asStreaming(batch)
   }

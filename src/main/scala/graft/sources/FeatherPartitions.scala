@@ -119,7 +119,13 @@ private[graft] object FeatherPartitions {
       case (x: Long, y: Number) => Some(java.lang.Long.compare(x, y.longValue))
       case (x: Double, y: Number) =>
         Some(java.lang.Double.compare(x, y.doubleValue))
-      case (x: String, y: String) => Some(x.compareTo(y))
+      // UTF-8 BYTE order — the order Spark compares strings in. UTF-16
+      // compareTo disagrees beyond the BMP (surrogates sort below
+      // U+E000), and a pruning decision in the wrong order silently
+      // drops matching files, not just efficiency
+      case (x: String, y: String) =>
+        Some(if (graft.io.FeatherStats.utf8Lt(x, y)) -1
+        else if (graft.io.FeatherStats.utf8Lt(y, x)) 1 else 0)
       case _ => None
     }
     def eval(f: Filter): Option[Boolean] = f match {

@@ -509,19 +509,26 @@ class FeatherChangesSpec extends AnyFunSuite {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     FeatherSnapshots.adopt(fs, new Path(path)): Unit
-    // v2: a merge whose inserts route to a NEW dom=1 leaf — the only
-    // files the (1, 2] range touches, and range-local inference would
-    // type dom as LONG there
+    // v2: a merge whose inserts route to a NEW dom=01 leaf — the only
+    // files the (1, 2] range touches; range-local inference would type
+    // dom as LONG there, and a long→string cast would re-spell the
+    // value "1" — a dom no table read ever returns. The raw leaf
+    // string must survive verbatim.
     FeatherMutations.merge(spark, path,
-      Seq((100L, "p_100", "1")).toDF("id", "pay", "dom"), Seq("id"))
+      Seq((100L, "p_100", "01")).toDF("id", "pay", "dom"), Seq("id"))
     val (changes, v) = FeatherChanges.changesSince(spark, path, 1L)
     assert(v === 2L)
     assert(changes.schema("dom").dataType ===
       org.apache.spark.sql.types.StringType,
-      s"range-local long must cast up to the head's string, got " +
+      s"range-local long must take the head's string type, got " +
         s"${changes.schema("dom").dataType}")
     val row = changes.where(col("_change_type") === "insert").head()
-    assert(row.getAs[String]("dom") === "1")
+    assert(row.getAs[String]("dom") === "01",
+      s"the raw leaf string must pass through verbatim, got " +
+        s"${row.getAs[String]("dom")}")
+    // and the table read agrees on the spelling
+    assert(spark.read.format("feather").load(path)
+      .where(col("id") === 100L).head().getAs[String]("dom") === "01")
     // and the idle poll's empty frame agrees exactly
     val (idle, _) = FeatherChanges.changesSince(spark, path, v)
     assert(idle.schema === changes.schema)

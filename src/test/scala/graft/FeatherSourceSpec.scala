@@ -466,6 +466,27 @@ class FeatherSourceSpec extends AnyFunSuite {
       e.getMessage)
   }
 
+  test("string partition pruning compares in UTF-8 byte order beyond " +
+       "the BMP") {
+    // unit-level: the local filesystem cannot encode non-BMP directory
+    // names (JVM sun.jnu.encoding), but object stores can — so the
+    // comparator is pinned directly. U+1F600 sorts ABOVE U+E000 in
+    // UTF-8 (F0 9F… > EE 80…), Spark's order; its UTF-16 surrogate
+    // D83D sorts below, so a compareTo pruner would prune the emoji
+    // leaf for s > U+E000 and silently drop its rows.
+    import org.apache.spark.sql.sources.{GreaterThan, LessThan}
+    import org.apache.spark.sql.types._
+    val leaf = graft.sources.FeatherPartitions.LeafFile(
+      "f.feather", 1L, Seq("s" -> "😀"))
+    val ps = StructType(Seq(StructField("s", StringType)))
+    assert(graft.sources.FeatherPartitions.survives(leaf, ps,
+      Seq(GreaterThan("s", ""))),
+      "the emoji leaf matches s > U+E000 in UTF-8 order; pruning it " +
+        "silently drops rows")
+    assert(!graft.sources.FeatherPartitions.survives(leaf, ps,
+      Seq(LessThan("s", ""))))
+  }
+
   test("SQL over the source works via USING feather") {
     val path = tmp("sql")
     writeSample(path)
