@@ -74,9 +74,34 @@ object FeatherChanges {
                                      fileNames: Set[String],
                                      data: org.apache.spark.sql.types.StructType,
                                      combined: org.apache.spark.sql.types.StructType)
-  private val FeedSchemaCacheCap = 32
-  private val feedSchemaCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, (Long, Long)), HeadSchemaEntry]()
+  // var, not val: the eviction spec lowers it (driving 33 real tables
+  // through a unit test would dwarf the suite)
+  private[graft] var feedSchemaCacheCap = 32
+  // LRU, not hash order: evicting by CHM bin order under a fixed key
+  // set picks the SAME victim on every overflow — one unlucky table
+  // then pays the full footer sweep on every poll while the rest stay
+  // cached forever. accessOrder=true makes the victim the least
+  // recently POLLED table. Guarded by its own monitor (driver-side,
+  // poll-frequency access).
+  private val feedSchemaCache =
+    new java.util.LinkedHashMap[(String, (Long, Long)), HeadSchemaEntry](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, (Long, Long)), HeadSchemaEntry])
+          : Boolean = size() > feedSchemaCacheCap
+    }
+  private def cacheGet(k: (String, (Long, Long))): Option[HeadSchemaEntry] =
+    feedSchemaCache.synchronized(Option(feedSchemaCache.get(k)))
+  private def cachePut(k: (String, (Long, Long)),
+                       v: HeadSchemaEntry): Unit =
+    feedSchemaCache.synchronized {
+      // superseded incarnations of the same path evict eagerly — they
+      // can never be read again and would only displace live tables
+      feedSchemaCache.keySet.removeIf(kk => kk._1 == k._1 && kk != k)
+      feedSchemaCache.put(k, v): Unit
+    }
+  private[graft] def feedSchemaCacheSize: Int =
+    feedSchemaCache.synchronized(feedSchemaCache.size)
 
   /** The incremental-ETL loop primitive: everything that changed after
     * `lastProcessedVersion`, plus the head version to checkpoint for the
@@ -134,7 +159,7 @@ object FeatherChanges {
     import org.apache.spark.sql.types._
     val inc = FeatherSnapshots.incarnation(fs, root).getOrElse((0L, 0L))
     val key = (root.toString, inc) // normalized: /t and /t/ are one table
-    Option(feedSchemaCache.get(key)) match {
+    cacheGet(key) match {
       case Some(e) if e.head == head => e.combined
       case prev =>
         val snap = FeatherSnapshots.read(fs, root, head)
@@ -157,18 +182,7 @@ object FeatherChanges {
         val combined = StructType(dataSchema.fields ++ partSchema.fields ++
           Seq(StructField("_change_type", StringType, nullable = false),
             StructField("_commit_version", LongType, nullable = false)))
-        feedSchemaCache.keySet.removeIf(k => k._1 == key._1 && k != key)
-        feedSchemaCache.put(key,
-          HeadSchemaEntry(head, curNames, dataSchema, combined))
-        if (feedSchemaCache.size > FeedSchemaCacheCap) {
-          // blunt cap, deliberately: rebuilding an evicted entry costs
-          // one footer sweep, while an uncapped map pins every polled
-          // table's name set in driver memory forever
-          val it = feedSchemaCache.keySet.iterator
-          while (feedSchemaCache.size > FeedSchemaCacheCap && it.hasNext) {
-            val k = it.next(); if (k != key) it.remove()
-          }
-        }
+        cachePut(key, HeadSchemaEntry(head, curNames, dataSchema, combined))
         combined
     }
   }

@@ -374,8 +374,14 @@ object FeatherStats {
     * therefore every pushed string predicate) uses. One definition for
     * the collector and the pruning compare, or they would drift. */
   private[graft] def utf8Lt(a: String, b: String): Boolean =
+    utf8Cmp(a, b) < 0
+
+  /** Three-way form for callers that need the sign once (partition
+    * pruning compares per leaf per predicate — two [[utf8Lt]] calls
+    * would encode both strings twice over). */
+  private[graft] def utf8Cmp(a: String, b: String): Int =
     org.apache.spark.unsafe.types.UTF8String.fromString(a)
-      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
 
   /** Exact row count for a file set from the Count stats, merged-first:
     * Some only when EVERY file's every batch carries a count — a partial

@@ -278,13 +278,21 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
           FeatherCdfPin.write(cfm, pin, pinStart, Some(inc))
           incarnationPinned = true
           // the probe may have RE-LISTED internally (its retry path,
-          // taken when a drop-rebuild raced the first listing): the
-          // pinned incarnation then belongs to the rebuilt table, and
-          // offering an offset from the PRE-drop bounds would wedge
-          // getBatch on manifests the new table does not have. Offer
-          // bounds no older than the pin.
-          return FeatherSnapshots.versionBounds(fs, rp)
-            .map(b => LongOffset(b._2))
+          // taken when a drop-rebuild raced the first listing), so the
+          // first listing's bounds may not belong to the incarnation
+          // just pinned. Re-list AND re-probe: offer an offset only
+          // when both agree with the pin — offering a mismatched pair
+          // would either wedge getBatch on manifests the table does
+          // not have (stale bounds) or serve a REBUILT table's rows
+          // under the old pin (fresh bounds, stale pin). On mismatch,
+          // idle; from the next trigger the restart-time identity
+          // check is the (documented, best-effort) rebuild detector.
+          val bounds2 = FeatherSnapshots.versionBounds(fs, rp)
+          val inc2 = FeatherSnapshots.incarnationFrom(fs, rp,
+            bounds2.map(_._1))
+          return if (inc2.contains(inc))
+            bounds2.map(b => LongOffset(b._2))
+          else None
         case None =>
           // the table vanished between the listing and the probe (a
           // drop racing this trigger): offering the stale bounds anyway

@@ -124,8 +124,7 @@ private[graft] object FeatherPartitions {
       // U+E000), and a pruning decision in the wrong order silently
       // drops matching files, not just efficiency
       case (x: String, y: String) =>
-        Some(if (graft.io.FeatherStats.utf8Lt(x, y)) -1
-        else if (graft.io.FeatherStats.utf8Lt(y, x)) 1 else 0)
+        Some(graft.io.FeatherStats.utf8Cmp(x, y))
       case _ => None
     }
     def eval(f: Filter): Option[Boolean] = f match {

@@ -575,6 +575,32 @@ class FeatherChangesSpec extends AnyFunSuite {
     assert(poll(v4)._1.schema === idleAfterV3)
   }
 
+  test("the head-schema cache caps at its limit, evicts LRU, and " +
+       "rebuilds an evicted table's schema correctly on re-poll") {
+    import spark.implicits._
+    val oldCap = FeatherChanges.feedSchemaCacheCap
+    FeatherChanges.feedSchemaCacheCap = 3
+    try {
+      val paths = (1 to 4).map { i =>
+        val p = tmp(s"cdf_cache_$i")
+        (1 to 5).map(j => (j.toLong, s"t${i}_$j")).toDF("id", s"name$i")
+          .repartition(1).write.format("feather").mode("overwrite")
+          .option("snapshots", "true").save(p)
+        p
+      }
+      // polling 4 tables through a cap of 3 — the first becomes LRU
+      // and must be evicted, never the just-written key
+      paths.foreach(p => FeatherChanges.changesSince(spark, p, 0L): Unit)
+      assert(FeatherChanges.feedSchemaCacheSize <= 3)
+      // the evicted table re-polls through the full-sweep branch and
+      // still serves ITS schema (not another entry's)
+      val (c1, v1) = FeatherChanges.changesSince(spark, paths.head, 0L)
+      assert(v1 === 1L)
+      assert(c1.schema.fieldNames.contains("name1"))
+      assert(c1.count() === 5)
+    } finally FeatherChanges.feedSchemaCacheCap = oldCap
+  }
+
   test("a stream that started BEFORE its table existed pins the " +
        "incarnation at the first offset, so a later rebuild is still " +
        "loud") {
