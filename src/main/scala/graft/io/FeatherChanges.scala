@@ -102,6 +102,11 @@ object FeatherChanges {
     }
   private[graft] def feedSchemaCacheSize: Int =
     feedSchemaCache.synchronized(feedSchemaCache.size)
+  // removeEldestEntry evicts at most one entry per insertion, so a map
+  // already above a LOWERED cap never drains to it — the eviction spec
+  // clears first to make its size assertion order-independent
+  private[graft] def feedSchemaCacheClear(): Unit =
+    feedSchemaCache.synchronized(feedSchemaCache.clear())
 
   /** The incremental-ETL loop primitive: everything that changed after
     * `lastProcessedVersion`, plus the head version to checkpoint for the

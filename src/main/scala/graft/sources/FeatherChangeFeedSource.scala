@@ -276,7 +276,6 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
         case Some(inc) =>
           val (_, cfm, pin) = FeatherCdfPin.manager(spark, metadataPath)
           FeatherCdfPin.write(cfm, pin, pinStart, Some(inc))
-          incarnationPinned = true
           // the probe may have RE-LISTED internally (its retry path,
           // taken when a drop-rebuild raced the first listing), so the
           // first listing's bounds may not belong to the incarnation
@@ -285,14 +284,18 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
           // would either wedge getBatch on manifests the table does
           // not have (stale bounds) or serve a REBUILT table's rows
           // under the old pin (fresh bounds, stale pin). On mismatch,
-          // idle; from the next trigger the restart-time identity
-          // check is the (documented, best-effort) rebuild detector.
+          // idle WITHOUT marking pinned: no offset was admitted to the
+          // WAL, so the next trigger may safely re-probe and overwrite
+          // the pin with the survivor's incarnation — marking pinned
+          // here would stream the rebuilt table under the dropped
+          // table's pin from the very next trigger.
           val bounds2 = FeatherSnapshots.versionBounds(fs, rp)
           val inc2 = FeatherSnapshots.incarnationFrom(fs, rp,
             bounds2.map(_._1))
-          return if (inc2.contains(inc))
+          return if (inc2.contains(inc)) {
+            incarnationPinned = true
             bounds2.map(b => LongOffset(b._2))
-          else None
+          } else None
         case None =>
           // the table vanished between the listing and the probe (a
           // drop racing this trigger): offering the stale bounds anyway

@@ -580,6 +580,10 @@ class FeatherChangesSpec extends AnyFunSuite {
     import spark.implicits._
     val oldCap = FeatherChanges.feedSchemaCacheCap
     FeatherChanges.feedSchemaCacheCap = 3
+    // the singleton cache may hold earlier tests' tables; eviction is
+    // one-per-insert so an over-cap map would never drain to the
+    // lowered cap — start empty for an order-independent assertion
+    FeatherChanges.feedSchemaCacheClear()
     try {
       val paths = (1 to 4).map { i =>
         val p = tmp(s"cdf_cache_$i")
