@@ -35,6 +35,17 @@ import graft.io.FeatherChanges
   *    `(startingVersion, head]`. 0 bootstraps the whole table as
   *    version-1 inserts; `latest` starts from the CURRENT head (only
   *    changes after stream start flow).
+  *  - `startingTimestamp` (exclusive with startingVersion): changes
+  *    from the first version committed AFTER the instant flow (epoch
+  *    millis, ISO instant, or session-timezone local form — the
+  *    timestampAsOf forms). Resolved ONCE at first start and pinned in
+  *    the checkpoint: restarts never re-resolve against a history
+  *    whose tail has since expired.
+  *  - `maxVersionsPerTrigger`: admission control — each micro-batch
+  *    covers at most n version steps, so a consumer recovering a week
+  *    of backlog drains it in bounded pieces instead of diffing every
+  *    version (an overwrite's change set is the whole table) in ONE
+  *    job. The maxFilesPerTrigger idea, in versions.
   *
   * Caveat (documented divergence): the feed's schema is fixed at stream
   * start from the head snapshot. A batch column the fixed schema lacks
@@ -88,12 +99,41 @@ class FeatherCdfSourceProvider extends StreamSourceProvider
     val head = bounds.map(_._2).getOrElse(0L)
     val incNow = FeatherSnapshots.incarnationFrom(rfs, root,
       bounds.map(_._1))
+    val startingVersionOpt = parameters.get("startingversion")
+      .orElse(parameters.get("startingVersion"))
+    val startingTsOpt = parameters.get("startingtimestamp")
+      .orElse(parameters.get("startingTimestamp"))
+    require(startingVersionOpt.isEmpty || startingTsOpt.isEmpty,
+      "feather-cdf: specify either startingVersion or " +
+        "startingTimestamp, not both")
+    // startingTimestamp resolves ONCE, at first start, and rides the
+    // pin: a restart must not re-resolve against a history whose tail
+    // has since expired (the start would silently shift — or wedge —
+    // mid-checkpoint). Changes from the first version committed AFTER
+    // the instant flow; `starting` is exclusive, so the pin seed is
+    // the newest version AT OR BEFORE it (resolveAt). An instant
+    // predating every retained commit bootstraps from 0 when the FULL
+    // history is retained (oldest is v1); with an expired tail it is
+    // loud — silently starting mid-history would lose changes the
+    // caller asked for by time.
+    val pinSeed = startingTsOpt match {
+      case None => head
+      case Some(raw) =>
+        val millis = FeatherTimeTravel.parseTsMillis(raw)
+        if (bounds.isEmpty) 0L // no table yet: everything is "after"
+        else try FeatherSnapshots.resolveAt(rfs, root, millis).version
+        catch { case e: RuntimeException =>
+          if (bounds.map(_._1).contains(1L)) 0L else throw e
+        }
+    }
     // ONE pin file, written atomically at first start, carrying BOTH
-    // the start head and the table incarnation — two separate files
-    // would open a crash window between them in which a rebuild could
-    // silently continue a latest-start checkpoint
+    // the start seed (the head for startingVersion=latest, the
+    // resolved version for startingTimestamp) and the table
+    // incarnation — two separate files would open a crash window
+    // between them in which a rebuild could silently continue a
+    // latest-start checkpoint
     val (pinStart, pinInc) = readOrWritePin(spark, metadataPath,
-      head, incNow)
+      pinSeed, incNow)
     // a checkpoint that recorded an incarnation while the table is now
     // GONE must be loud — a later rebuild would otherwise continue it
     for ((pv, pts) <- pinInc)
@@ -116,8 +156,7 @@ class FeatherCdfSourceProvider extends StreamSourceProvider
           s"this checkpoint started (oldest retained version v$cv " +
           s"ts $cts vs pinned v$pv ts $pts) — discard the checkpoint " +
           "and restart deliberately")
-    val starting = parameters.get("startingversion")
-      .orElse(parameters.get("startingVersion")) match {
+    val starting = startingVersionOpt match {
       case Some("latest") =>
         // the head at the stream's TRUE start, from the pin: a restart
         // must replay getBatch against the ORIGINAL start — a
@@ -127,6 +166,7 @@ class FeatherCdfSourceProvider extends StreamSourceProvider
         // cover (newLatest, walEnd] = nothing)
         pinStart
       case Some(v) => v.toLong
+      case None if startingTsOpt.isDefined => pinStart // resolved above
       case None => 0L
     }
     // a future startingVersion is almost certainly a crossed checkpoint
@@ -139,12 +179,20 @@ class FeatherCdfSourceProvider extends StreamSourceProvider
       s"feather-cdf on $path: startingVersion $starting is ahead of the " +
         s"table head $head — wrong table, or a checkpoint from another " +
         "stream")
+    val maxVersions = parameters.get("maxversionspertrigger")
+      .orElse(parameters.get("maxVersionsPerTrigger")).map { v =>
+        val n = v.toLong
+        require(n > 0, s"feather-cdf: maxVersionsPerTrigger must be " +
+          s"positive, got $n")
+        n
+      }
     new FeatherCdfSource(spark, path,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       starting, metadataPath, pinStart,
       // readOrWritePin folded incNow in (fresh write or upgrade), so
       // this is false ONLY when the table does not exist yet
-      incAlreadyPinned = pinInc.isDefined)
+      incAlreadyPinned = pinInc.isDefined,
+      maxVersionsPerTrigger = maxVersions)
   }
 
   /** The stream's durable identity pin (`graft-cdf-start` under its
@@ -248,7 +296,9 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
                                       val startingVersion: Long,
                                       metadataPath: String,
                                       pinStart: Long,
-                                      incAlreadyPinned: Boolean)
+                                      incAlreadyPinned: Boolean,
+                                      maxVersionsPerTrigger: Option[Long] =
+                                        None)
     extends Source {
   private def rp = new org.apache.hadoop.fs.Path(path)
   private def fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -257,6 +307,28 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
 
   // false only for a stream that started before its table existed
   private var incarnationPinned = incAlreadyPinned
+
+  // newest version this source has OFFERED or SERVED — the admission
+  // base. getBatch raises it to the WAL's recovered end on restart, so
+  // a capped stream never crawls version-by-version through already-
+  // committed history just to catch its cap up to the checkpoint.
+  private var highWater: Option[Long] = None
+
+  /** Admission control: an uncapped CDF batch over a week of backlog
+    * diffs every version in ONE job (an overwrite's change set is the
+    * whole table) — `maxVersionsPerTrigger` bounds each micro-batch to
+    * n version steps, letting a recovering consumer drain in bounded
+    * pieces exactly like maxFilesPerTrigger does for the file stream.
+    * Offers below an already-committed WAL offset are harmless: the
+    * e<=s guard in getBatch returns the empty frame. */
+  private def offer(headV: Long): LongOffset = {
+    val base = math.max(highWater.getOrElse(startingVersion),
+      startingVersion)
+    val capped = maxVersionsPerTrigger
+      .fold(headV)(n => math.min(headV, base + n))
+    highWater = Some(math.max(base, capped))
+    LongOffset(capped)
+  }
 
   // NEVER filtered by startingVersion: that value only seeds the FIRST
   // batch (getBatch with start=None). A restart resumes from the
@@ -294,7 +366,7 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
             bounds2.map(_._1))
           return if (inc2.contains(inc)) {
             incarnationPinned = true
-            bounds2.map(b => LongOffset(b._2))
+            bounds2.map(b => offer(b._2))
           } else None
         case None =>
           // the table vanished between the listing and the probe (a
@@ -305,7 +377,7 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
           return None
       }
     }
-    bounds.map(b => LongOffset(b._2))
+    bounds.map(b => offer(b._2))
   }
 
   // offsets arrive as LongOffset pre-restart and SerializedOffset after a
@@ -315,6 +387,10 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val s = start.map(ver).getOrElse(startingVersion)
     val e = ver(end)
+    // restart fast-forward: the WAL's recovered end raises the
+    // admission base, so a capped stream resumes AT the checkpoint
+    // instead of crawling empty version-by-version batches up to it
+    highWater = Some(math.max(highWater.getOrElse(e), e))
     val batch =
       if (e <= s)
         spark.createDataFrame(

@@ -86,7 +86,7 @@ class FeatherDataSource extends TableProvider with DataSourceRegister
   * provider (infer/getTable) and the scan builder (where read options
   * actually arrive). Accepts epoch millis, an ISO-8601 instant
   * (`2026-08-14T09:00:00Z`), or a local `yyyy-MM-dd HH:mm:ss`. */
-private object FeatherTimeTravel {
+private[sources] object FeatherTimeTravel {
   // one read resolves the pin up to three times (inferSchema, getTable,
   // newScanBuilder) and resolveAt parses EVERY retained manifest — a
   // short-TTL memo collapses those into one resolution per read while
@@ -100,6 +100,22 @@ private object FeatherTimeTravel {
   private val memo = new java.util.concurrent.ConcurrentHashMap[
     (String, String, Long), (Long, Long)]()
   private val TtlMillis = 10000L
+
+  /** One definition of the user-facing timestamp forms (epoch millis,
+    * ISO instant, or local `yyyy-MM-dd HH:mm:ss` through the SESSION
+    * timezone — spark.sql.session.timeZone, not the JVM default, so
+    * the pin agrees with how the session renders timestamps). Shared
+    * by timestampAsOf and the CDF source's startingTimestamp. */
+  private[sources] def parseTsMillis(raw: String): Long =
+    raw.toLongOption.getOrElse {
+      try java.time.Instant.parse(raw).toEpochMilli
+      catch { case _: Exception =>
+        val tz = SparkSession.active.sessionState.conf
+          .sessionLocalTimeZone
+        java.time.LocalDateTime
+          .parse(raw.replaceFirst(" ", "T"))
+          .atZone(java.time.ZoneId.of(tz)).toInstant.toEpochMilli }
+    }
 
   def pinnedVersion(versionAsOf: Option[String],
                     timestampAsOf: Option[String],
@@ -118,19 +134,7 @@ private object FeatherTimeTravel {
         Option(memo.get((path, raw, latest)))
           .collect { case (v, at) if now - at < TtlMillis => v }
           .orElse {
-            val millis = raw.toLongOption.getOrElse {
-              try java.time.Instant.parse(raw).toEpochMilli
-              catch { case _: Exception =>
-                // local `yyyy-MM-dd HH:mm:ss` resolves through the SESSION
-                // timezone (spark.sql.session.timeZone), not the JVM
-                // default — the pin must agree with how the session
-                // renders timestamps
-                val tz = SparkSession.active.sessionState.conf
-                  .sessionLocalTimeZone
-                java.time.LocalDateTime
-                  .parse(raw.replaceFirst(" ", "T"))
-                  .atZone(java.time.ZoneId.of(tz)).toInstant.toEpochMilli }
-            }
+            val millis = parseTsMillis(raw)
             val v = FeatherSnapshots.resolveAt(fs, rp, millis).version
             // entries pinned under superseded head versions are dead —
             // evict them, or a long-lived driver over an actively

@@ -693,6 +693,89 @@ class FeatherChangesSpec extends AnyFunSuite {
       org.apache.spark.sql.types.StringType)
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch to n version " +
+       "steps and a restart resumes at the WAL, not the cap crawl") {
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val path = tmp("cdf_admission")
+    import spark.implicits._
+    writeV(path, 1, 20, "overwrite") // v1
+    writeV(path, 21, 25, "append")   // v2
+    FeatherMutations.deleteByKey(spark, path,
+      Seq(3L).toDF("id"), Seq("id")) // v3
+    writeV(path, 26, 30, "append")   // v4
+    val provider = new graft.sources.FeatherCdfSourceProvider
+    val params = Map("path" -> path, "maxVersionsPerTrigger" -> "1")
+    val s1 = provider.createSource(spark.sqlContext,
+      tmp("cdf_admission_meta"), None, "feather-cdf", params)
+      .asInstanceOf[graft.sources.FeatherCdfSource]
+    // offers advance ONE version per trigger from the starting point
+    assert(s1.getOffset === Some(LongOffset(1L)))
+    assert(s1.getOffset === Some(LongOffset(2L)))
+    assert(s1.getOffset === Some(LongOffset(3L)))
+    assert(s1.getOffset === Some(LongOffset(4L)))
+    assert(s1.getOffset === Some(LongOffset(4L)), "capped at the head")
+    // a restarted source fast-forwards its base from the recovered WAL
+    // batch instead of crawling versions 1..3 as empty offers
+    val s2 = provider.createSource(spark.sqlContext,
+      tmp("cdf_admission_meta2"), None, "feather-cdf", params)
+      .asInstanceOf[graft.sources.FeatherCdfSource]
+    s2.getBatch(Some(LongOffset(3L)), LongOffset(4L)): Unit // WAL replay
+    assert(s2.getOffset === Some(LongOffset(4L)),
+      "the admission base must jump to the WAL end")
+    // end-to-end: the capped stream still drains completely
+    val q = spark.readStream.format("feather-cdf")
+      .option("maxVersionsPerTrigger", "1").load(path)
+      .writeStream.format("memory").queryName("cdf_adm_t")
+      .option("checkpointLocation", tmp("cdf_admission_ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      val t = spark.table("cdf_adm_t")
+      assert(t.count() === 20 + 5 + 1 + 5) // bootstrap + v2 + delete + v4
+      // each delivered batch covered at most one commit version
+      import org.apache.spark.sql.functions.countDistinct
+      val perBatch = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(perBatch.length >= 4,
+        s"expected >=4 non-empty micro-batches, got ${perBatch.toSeq}")
+      assert(t.select(countDistinct(col("_commit_version"))).head()
+        .getLong(0) === 4L)
+    } finally q.stop()
+  }
+
+  test("startingTimestamp resolves once, pins in the checkpoint, and " +
+       "bootstraps only when the full history is retained") {
+    val path = tmp("cdf_start_ts")
+    writeV(path, 1, 10, "overwrite") // v1
+    Thread.sleep(1100)
+    val between = System.currentTimeMillis()
+    Thread.sleep(1100)
+    writeV(path, 11, 15, "append")   // v2
+    val provider = new graft.sources.FeatherCdfSourceProvider
+    val meta = tmp("cdf_start_ts_meta")
+    def mk(m: String, extra: (String, String)*) =
+      provider.createSource(spark.sqlContext, m, None, "feather-cdf",
+        Map("path" -> path) ++ extra)
+        .asInstanceOf[graft.sources.FeatherCdfSource]
+    // an instant between v1 and v2 starts the feed after v1
+    val s1 = mk(meta, "startingTimestamp" -> between.toString)
+    assert(s1.startingVersion === 1L)
+    // restart: the pin survives even as the table moves on
+    writeV(path, 16, 20, "append")   // v3
+    val s2 = mk(meta, "startingTimestamp" -> between.toString)
+    assert(s2.startingVersion === 1L, "the resolved start must be pinned")
+    // an instant before everything bootstraps (v1 is retained)
+    val s3 = mk(tmp("cdf_start_ts_meta2"),
+      "startingTimestamp" -> "100")
+    assert(s3.startingVersion === 0L)
+    // both options together are refused
+    val e = intercept[IllegalArgumentException] {
+      mk(tmp("cdf_start_ts_meta3"),
+        "startingTimestamp" -> between.toString,
+        "startingVersion" -> "1")
+    }
+    assert(e.getMessage.contains("not both"))
+  }
+
   test("streaming CDF serves the avro face through the same format name") {
     val path = tmp("cdf_avro_stream")
     import spark.implicits._
