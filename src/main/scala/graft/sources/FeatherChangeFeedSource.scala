@@ -106,24 +106,38 @@ class FeatherCdfSourceProvider extends StreamSourceProvider
     require(startingVersionOpt.isEmpty || startingTsOpt.isEmpty,
       "feather-cdf: specify either startingVersion or " +
         "startingTimestamp, not both")
-    // startingTimestamp resolves ONCE, at first start, and rides the
-    // pin: a restart must not re-resolve against a history whose tail
-    // has since expired (the start would silently shift — or wedge —
-    // mid-checkpoint). Changes from the first version committed AFTER
-    // the instant flow; `starting` is exclusive, so the pin seed is
-    // the newest version AT OR BEFORE it (resolveAt). An instant
-    // predating every retained commit bootstraps from 0 when the FULL
-    // history is retained (oldest is v1); with an expired tail it is
-    // loud — silently starting mid-history would lose changes the
-    // caller asked for by time.
-    val pinSeed = startingTsOpt match {
+    // startingTimestamp resolves ONCE, at FIRST start, and rides the
+    // pin: readOrWritePin takes the seed BY NAME and only forces it
+    // when no pin exists yet — a restart reads the pinned value and
+    // never re-resolves, so a history whose tail has since expired
+    // past the instant cannot wedge the restart (nor does a restart
+    // pay resolveAt's O(retained manifests) readAll). Changes from the
+    // first version committed AFTER the instant flow; `starting` is
+    // exclusive, so the seed is the newest version AT OR BEFORE it
+    // (resolveAt). An instant predating every retained commit
+    // bootstraps from 0 only when the FULL history is retained (the
+    // oldest is v1) — with an expired tail that is loud, decided by
+    // comparing against the oldest snapshot's commit ts directly (a
+    // catch around resolveAt would also swallow torn-chain
+    // diagnostics). A table that does not exist yet is refused: its
+    // future commits cannot be ordered against the instant at pin
+    // time, and a pinned 0 would deliver pre-instant rows forever.
+    def pinSeed: Long = startingTsOpt match {
       case None => head
       case Some(raw) =>
+        require(bounds.nonEmpty,
+          s"feather-cdf on $path: startingTimestamp on a table with no " +
+            "snapshot versions — start the stream once the table " +
+            "exists, or use startingVersion")
         val millis = FeatherTimeTravel.parseTsMillis(raw)
-        if (bounds.isEmpty) 0L // no table yet: everything is "after"
-        else try FeatherSnapshots.resolveAt(rfs, root, millis).version
-        catch { case e: RuntimeException =>
-          if (bounds.map(_._1).contains(1L)) 0L else throw e
+        incNow match {
+          case Some((ov, ots)) if millis < ots =>
+            if (ov == 1L) 0L
+            else sys.error(s"feather-cdf on $path: startingTimestamp " +
+              s"$raw predates the earliest retained snapshot (v$ov) — " +
+              "that history is expired; pick a later instant or an " +
+              "explicit startingVersion")
+          case _ => FeatherSnapshots.resolveAt(rfs, root, millis).version
         }
     }
     // ONE pin file, written atomically at first start, carrying BOTH
@@ -211,19 +225,21 @@ class FeatherCdfSourceProvider extends StreamSourceProvider
     * were committed against the dropped one.
     * Returns (pinned start head, pinned incarnation). */
   private def readOrWritePin(spark: SparkSession, metadataPath: String,
-                             head: Long, incNow: Option[(Long, Long)],
+                             seed: => Long, incNow: Option[(Long, Long)],
                              retries: Int = 3)
       : (Long, Option[(Long, Long)]) = {
     import FeatherCdfPin.{parse, write}
     val (dir, cfm, pin) = FeatherCdfPin.manager(spark, metadataPath)
     if (!cfm.exists(pin)) {
       cfm.mkdirs(dir)
-      write(cfm, pin, head, incNow)
+      // `seed` forces HERE only — on a restart the pinned value is the
+      // truth and the (possibly no-longer-resolvable) seed never runs
+      write(cfm, pin, seed, incNow)
       // re-read what survived: a racing (re)start may have won the
       // atomic overwrite — the durable file is the truth both sides use
       require(retries > 0,
         s"feather-cdf: cannot pin the stream identity under $metadataPath")
-      readOrWritePin(spark, metadataPath, head, incNow, retries - 1)
+      readOrWritePin(spark, metadataPath, seed, incNow, retries - 1)
     } else {
       val parsed = parse(FeatherCdfPin.read(cfm, pin))
       if (parsed._2.isEmpty && incNow.isDefined) {
@@ -299,7 +315,11 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
                                       incAlreadyPinned: Boolean,
                                       maxVersionsPerTrigger: Option[Long] =
                                         None)
-    extends Source {
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit,
+    Offset => OffsetV2}
   private def rp = new org.apache.hadoop.fs.Path(path)
   private def fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -308,34 +328,79 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
   // false only for a stream that started before its table existed
   private var incarnationPinned = incAlreadyPinned
 
-  // newest version this source has OFFERED or SERVED — the admission
-  // base. getBatch raises it to the WAL's recovered end on restart, so
-  // a capped stream never crawls version-by-version through already-
-  // committed history just to catch its cap up to the checkpoint.
+  // newest version this source has OFFERED or SERVED — one leg of the
+  // admission base. getBatch raises it to the WAL's recovered end on
+  // restart, so a capped stream never crawls version-by-version
+  // through already-committed history just to catch its cap up.
   private var highWater: Option[Long] = None
+
+  // outer Some = Trigger.AvailableNow prepared this run; inner = the
+  // head at prepare time, None when no table existed then (this run
+  // then serves nothing — AvailableNow's contract is "what was
+  // available at start", and commits racing in after prepare wait for
+  // the next run)
+  private var availableNowTarget: Option[Option[Long]] = None
 
   /** Admission control: an uncapped CDF batch over a week of backlog
     * diffs every version in ONE job (an overwrite's change set is the
     * whole table) — `maxVersionsPerTrigger` bounds each micro-batch to
     * n version steps, letting a recovering consumer drain in bounded
     * pieces exactly like maxFilesPerTrigger does for the file stream.
-    * Offers below an already-committed WAL offset are harmless: the
-    * e<=s guard in getBatch returns the empty frame. */
-  private def offer(headV: Long): LongOffset = {
-    val base = math.max(highWater.getOrElse(startingVersion),
-      startingVersion)
+    * The base is the max of the engine's startOffset (authoritative
+    * across restarts whose last batch committed — no getBatch replay
+    * raises highWater then), our own high water, and the starting
+    * version. */
+  private def offer(headV: Long, engineBase: Option[Long]): LongOffset = {
+    val base = (engineBase.toSeq ++ highWater.toSeq :+ startingVersion).max
     val capped = maxVersionsPerTrigger
       .fold(headV)(n => math.min(headV, base + n))
     highWater = Some(math.max(base, capped))
     LongOffset(capped)
   }
 
+  /** [[SupportsTriggerAvailableNow]]: pin the drain target at prepare
+    * time. Without this, Spark's AvailableNow wrapper would capture
+    * ONE capped getOffset and terminate the query n versions in,
+    * silently stranding the rest of the backlog; with it, the capped
+    * stream keeps triggering until the PREPARED head is reached. */
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(headUnderPin())
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** [[org.apache.spark.sql.connector.read.streaming
+    * .SupportsAdmissionControl]]: the engine calls this instead of
+    * [[getOffset]]. The ReadLimit parameter is unused — the version cap
+    * comes from the source's own option (versions are not rows/files/
+    * bytes, the limits ReadLimit can express). */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit)
+      : OffsetV2 = {
+    val engineBase = Option(startOffset).map(_.json.trim.toLong)
+    val h0 = headUnderPin()
+    val h = availableNowTarget match {
+      case Some(Some(t)) => h0.map(math.min(_, t))
+      case Some(None) => None // nothing existed at prepare time
+      case None => h0
+    }
+    h.map(offer(_, engineBase)).orNull
+  }
+
+  override def reportLatestOffset(): OffsetV2 =
+    FeatherSnapshots.latestVersion(fs, rp).map(LongOffset(_)).orNull
+
   // NEVER filtered by startingVersion: that value only seeds the FIRST
   // batch (getBatch with start=None). A restart resumes from the
   // checkpointed offset — re-filtering against a re-resolved
   // startingVersion=latest would strand the versions committed while
   // the stream was down until some future commit moved the head.
-  override def getOffset: Option[V1Offset] = {
+  override def getOffset: Option[V1Offset] =
+    Option(latestOffset(null, getDefaultReadLimit))
+      .map(_.asInstanceOf[V1Offset])
+
+  /** The table head this source may offer — after the identity-pin
+    * protocol (see the inline comments). None = nothing to offer this
+    * trigger. */
+  private def headUnderPin(): Option[Long] = {
     val bounds = FeatherSnapshots.versionBounds(fs, rp)
     // pin the incarnation BEFORE the first offset this table can ever
     // produce (the offset is what admits a batch into the WAL): every
@@ -366,7 +431,7 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
             bounds2.map(_._1))
           return if (inc2.contains(inc)) {
             incarnationPinned = true
-            bounds2.map(b => offer(b._2))
+            bounds2.map(_._2)
           } else None
         case None =>
           // the table vanished between the listing and the probe (a
@@ -377,7 +442,7 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
           return None
       }
     }
-    bounds.map(b => offer(b._2))
+    bounds.map(_._2)
   }
 
   // offsets arrive as LongOffset pre-restart and SerializedOffset after a

@@ -740,6 +740,25 @@ class FeatherChangesSpec extends AnyFunSuite {
       assert(t.select(countDistinct(col("_commit_version"))).head()
         .getLong(0) === 4L)
     } finally q.stop()
+    // Trigger.AvailableNow must DRAIN the backlog in capped pieces and
+    // then terminate — without SupportsTriggerAvailableNow, Spark's
+    // wrapper captures ONE capped offset and the query would stop after
+    // a single version, silently stranding the rest
+    val q2 = spark.readStream.format("feather-cdf")
+      .option("maxVersionsPerTrigger", "1").load(path)
+      .writeStream.format("memory").queryName("cdf_avn_t")
+      .option("checkpointLocation", tmp("cdf_avn_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q2.awaitTermination(120000), "AvailableNow did not finish")
+      val t2 = spark.table("cdf_avn_t")
+      assert(t2.count() === 20 + 5 + 1 + 5,
+        "the capped AvailableNow run must drain ALL versions")
+      assert(t2.select(
+        org.apache.spark.sql.functions.countDistinct(
+          col("_commit_version"))).head().getLong(0) === 4L)
+    } finally q2.stop()
   }
 
   test("startingTimestamp resolves once, pins in the checkpoint, and " +
@@ -763,10 +782,26 @@ class FeatherChangesSpec extends AnyFunSuite {
     writeV(path, 16, 20, "append")   // v3
     val s2 = mk(meta, "startingTimestamp" -> between.toString)
     assert(s2.startingVersion === 1L, "the resolved start must be pinned")
+    // the restart must not even TRY to re-resolve (an expired tail
+    // would wedge it): a garbage instant on an existing pin proves the
+    // seed is never forced
+    val s2b = mk(meta, "startingTimestamp" -> "not-a-timestamp")
+    assert(s2b.startingVersion === 1L,
+      "a restart must read the pin, never re-resolve the instant")
     // an instant before everything bootstraps (v1 is retained)
     val s3 = mk(tmp("cdf_start_ts_meta2"),
       "startingTimestamp" -> "100")
     assert(s3.startingVersion === 0L)
+    // ... but with the tail EXPIRED past the instant, a fresh start is
+    // loud — silently starting mid-history would lose changes the
+    // caller asked for by time
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    FeatherSnapshots.expire(fs, new Path(path), keepLast = 2): Unit
+    val e0 = intercept[RuntimeException] {
+      mk(tmp("cdf_start_ts_meta4"), "startingTimestamp" -> "100")
+    }
+    assert(e0.getMessage.contains("expired"), e0.getMessage)
     // both options together are refused
     val e = intercept[IllegalArgumentException] {
       mk(tmp("cdf_start_ts_meta3"),
