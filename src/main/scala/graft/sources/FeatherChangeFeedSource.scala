@@ -362,9 +362,25 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
     * time. Without this, Spark's AvailableNow wrapper would capture
     * ONE capped getOffset and terminate the query n versions in,
     * silently stranding the rest of the backlog; with it, the capped
-    * stream keeps triggering until the PREPARED head is reached. */
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(headUnderPin())
+    * stream keeps triggering until the PREPARED head is reached.
+    * headUnderPin's None is AMBIGUOUS — absent table (serve nothing,
+    * the AvailableNow contract) or a drop/rebuild racing the identity
+    * probe — and the race must not freeze into a zero-row run an
+    * orchestrator would read as a completed drain: retry, then loud. */
+  override def prepareForTriggerAvailableNow(): Unit = {
+    var target: Option[Long] = None
+    var tries = 0
+    while (target.isEmpty && tries < 4 &&
+        FeatherSnapshots.versionBounds(fs, rp).nonEmpty) {
+      target = headUnderPin(); tries += 1
+    }
+    require(target.nonEmpty ||
+        FeatherSnapshots.versionBounds(fs, rp).isEmpty,
+      s"feather-cdf on $path: cannot pin the table identity for " +
+        "Trigger.AvailableNow — a drop/rebuild is racing this start; " +
+        "retry the run")
+    availableNowTarget = Some(target)
+  }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -385,8 +401,15 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
     h.map(offer(_, engineBase)).orNull
   }
 
+  // the newest head any headUnderPin listing observed — metrics only
+  private var lastSeenHead: Option[Long] = None
+
+  /** Metric only: the head the last trigger's listing observed.
+    * Spark calls this back-to-back with latestOffset every trigger —
+    * a fresh versionBounds here would DOUBLE the per-trigger LIST
+    * cost on an object store just to report a number. */
   override def reportLatestOffset(): OffsetV2 =
-    FeatherSnapshots.latestVersion(fs, rp).map(LongOffset(_)).orNull
+    lastSeenHead.map(LongOffset(_)).orNull
 
   // NEVER filtered by startingVersion: that value only seeds the FIRST
   // batch (getBatch with start=None). A restart resumes from the
@@ -402,6 +425,7 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
     * trigger. */
   private def headUnderPin(): Option[Long] = {
     val bounds = FeatherSnapshots.versionBounds(fs, rp)
+    lastSeenHead = bounds.map(_._2).orElse(lastSeenHead)
     // pin the incarnation BEFORE the first offset this table can ever
     // produce (the offset is what admits a batch into the WAL): every
     // served batch then has its incarnation durable first, which is the
@@ -429,6 +453,7 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
           val bounds2 = FeatherSnapshots.versionBounds(fs, rp)
           val inc2 = FeatherSnapshots.incarnationFrom(fs, rp,
             bounds2.map(_._1))
+          lastSeenHead = bounds2.map(_._2).orElse(lastSeenHead)
           return if (inc2.contains(inc)) {
             incarnationPinned = true
             bounds2.map(_._2)

@@ -809,6 +809,22 @@ class FeatherChangesSpec extends AnyFunSuite {
         "startingVersion" -> "1")
     }
     assert(e.getMessage.contains("not both"))
+    // startingTimestamp on a table that does not exist yet is refused:
+    // its future commits cannot be ordered against the instant at pin
+    // time, and a pinned 0 would deliver pre-instant rows forever
+    import org.apache.spark.sql.types._
+    val userSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_version", LongType, nullable = false)))
+    val provider2 = new graft.sources.FeatherCdfSourceProvider
+    val eNo = intercept[IllegalArgumentException] {
+      provider2.createSource(spark.sqlContext,
+        tmp("cdf_start_ts_meta5"), Some(userSchema), "feather-cdf",
+        Map("path" -> tmp("cdf_start_ts_absent"),
+          "startingTimestamp" -> between.toString))
+    }
+    assert(eNo.getMessage.contains("no snapshot versions"), eNo.getMessage)
   }
 
   test("streaming CDF serves the avro face through the same format name") {
