@@ -368,18 +368,19 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
     * probe — and the race must not freeze into a zero-row run an
     * orchestrator would read as a completed drain: retry, then loud. */
   override def prepareForTriggerAvailableNow(): Unit = {
-    var target: Option[Long] = None
+    // decide loud-vs-serve-nothing from the SAME observation the head
+    // decision was made from (headObserved's flag), never a separate
+    // listing — a fresh listing could flip between decision and
+    // classification and misclassify both directions
+    var last: (Option[Long], Boolean) = (None, true)
     var tries = 0
-    while (target.isEmpty && tries < 4 &&
-        FeatherSnapshots.versionBounds(fs, rp).nonEmpty) {
-      target = headUnderPin(); tries += 1
-    }
-    require(target.nonEmpty ||
-        FeatherSnapshots.versionBounds(fs, rp).isEmpty,
+    while ({ last = headObserved()
+             last._1.isEmpty && last._2 && tries < 4 }) tries += 1
+    require(last._1.nonEmpty || !last._2,
       s"feather-cdf on $path: cannot pin the table identity for " +
         "Trigger.AvailableNow — a drop/rebuild is racing this start; " +
         "retry the run")
-    availableNowTarget = Some(target)
+    availableNowTarget = Some(last._1)
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
@@ -423,7 +424,16 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
   /** The table head this source may offer — after the identity-pin
     * protocol (see the inline comments). None = nothing to offer this
     * trigger. */
-  private def headUnderPin(): Option[Long] = {
+  private def headUnderPin(): Option[Long] = headObserved()._1
+
+  /** [[headUnderPin]] plus what THIS call's own listing saw: the
+    * second member is true iff a table existed in the observation the
+    * head decision was made from. AvailableNow's prepare classifies
+    * its None on exactly this flag — a separate listing could flip
+    * between the decision and the classification (TOCTOU), loudly
+    * failing a legitimately-absent table or silently zero-row-draining
+    * a racing one. */
+  private def headObserved(): (Option[Long], Boolean) = {
     val bounds = FeatherSnapshots.versionBounds(fs, rp)
     lastSeenHead = bounds.map(_._2).orElse(lastSeenHead)
     // pin the incarnation BEFORE the first offset this table can ever
@@ -453,21 +463,24 @@ private[graft] class FeatherCdfSource(spark: SparkSession, path: String,
           val bounds2 = FeatherSnapshots.versionBounds(fs, rp)
           val inc2 = FeatherSnapshots.incarnationFrom(fs, rp,
             bounds2.map(_._1))
-          lastSeenHead = bounds2.map(_._2).orElse(lastSeenHead)
           return if (inc2.contains(inc)) {
             incarnationPinned = true
-            bounds2.map(_._2)
-          } else None
+            // only a head the stream will actually serve from reaches
+            // the metric — a rebuilt table's head here would advertise
+            // progress for an incarnation no batch is served from
+            lastSeenHead = bounds2.map(_._2).orElse(lastSeenHead)
+            (bounds2.map(_._2), true)
+          } else (None, true) // probe race: retrying makes sense
         case None =>
           // the table vanished between the listing and the probe (a
           // drop racing this trigger): offering the stale bounds anyway
           // would admit an offset into the WAL with the pin still
           // empty — the exact hole the invariant closes. Idle this
           // trigger; the next one re-lists.
-          return None
+          return (None, true)
       }
     }
-    bounds.map(_._2)
+    (bounds.map(_._2), bounds.isDefined)
   }
 
   // offsets arrive as LongOffset pre-restart and SerializedOffset after a
