@@ -114,19 +114,26 @@ object Bench {
         graft.ops.OrderedOps.clearPins() // release pins outside the timed region
         r += 1
       }
+      // (median, min, max): the max makes a contention-poisoned rep
+      // self-evident per ROW — r12's driver sweep read two 6–10 s medians
+      // whose same-HEAD idle re-times were 3× lower, and adjudicating
+      // that took a judge TimeQ pass because the artifact only carried
+      // the whole-run load block. A row whose max ≫ median (with the
+      // min near the idle floor) is a contended rep, not a regression.
       val stats =
-        if (!ok) (-1.0, -1.0)
+        if (!ok) (-1.0, -1.0, -1.0)
         else {
           val sorted = times.sorted
-          (sorted(sorted.size / 2), sorted.head)
+          (sorted(sorted.size / 2), sorted.head, sorted.last)
         }
       name -> stats
     }
-    def jmap(f: ((String, (Double, Double))) => Double): String =
+    def jmap(f: ((String, (Double, Double, Double))) => Double): String =
       results.map { case (k, v) => "\"" + k + "\":" + f((k, v)) }
         .mkString("{", ",", "}")
     val qs = jmap(_._2._1)
     val qsMin = jmap(_._2._2)
+    val qsMax = jmap(_._2._3)
     val flFull = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // JSON-escape the error text (messages carry quotes/backslashes/newlines)
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -148,12 +155,12 @@ object Bench {
     val loadJson = s"""{"start":${r3(loadStart)},"end":${r3(loadEnd)},""" +
       s""""max":${r3(loadMax)},"mean":${r3(loadMean)},"queries":$loadsJson}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qsMin,"failed":$flFull,"errors":$errsJson,"load":$loadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"failed":$flFull,"errors":$errsJson,"load":$loadJson,"sf":"$sfDir"}"""
     val outFile = java.nio.file.Paths.get(
       sys.env.getOrElse("GRAFT_BENCH_FILE", "target/bench.json"))
     Option(outFile.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outFile, (fullLine + "\n").getBytes("UTF-8"))
-    val slow = results.collect { case (k, (med, _)) if med >= 0 => k -> med }
+    val slow = results.collect { case (k, (med, _, _)) if med >= 0 => k -> med }
       .toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
       .mkString("{", ",", "}")

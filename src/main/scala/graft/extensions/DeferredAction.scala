@@ -27,7 +27,16 @@ import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
   * SURVIVES optimization. A statement that provably never reads the
   * result — `WHERE 1=0`, `LIMIT 0` — is pruned to an empty relation and
   * skips the action, the same way it would skip reading a table. Drive
-  * maintenance with a plain `SELECT * FROM graft_...(...)`. */
+  * maintenance with a plain `SELECT * FROM graft_...(...)`.
+  *
+  * Precise firing point: `doExecute` runs when the statement's physical
+  * RDD is ASSEMBLED (`QueryExecution.toRdd`), so `df.rdd` /
+  * `df.queryExecution.toRdd` on a statement containing this leaf fires
+  * the action even if no job ever runs over the returned RDD — slightly
+  * stronger than "when the statement executes". The action cannot move
+  * into task compute (it spawns driver-side Spark jobs of its own), so
+  * this is the tightest deferral available; treat obtaining the RDD of a
+  * maintenance statement as executing it. */
 private[extensions] case class DeferredMaintenanceAction(
     name: String,
     output: Seq[Attribute],

@@ -260,7 +260,11 @@ private[graft] object Compaction {
           addedRel ++= parts.map { case (name, l, _) =>
             (if (relDir.isEmpty) name else s"$relDir/$name", l) }
           removedRel ++= folds.map(_._1)
-          groupsRewritten += 1
+          // one fold job can emit several output parts (nOut > 1): count
+          // them all, matching the plain path's per-group accounting —
+          // Result.groupsRewritten surfaces through graft_optimize's
+          // groups_rewritten column and must not under-report
+          groupsRewritten += math.max(1, parts.size)
         }
       }
     }

@@ -179,7 +179,10 @@ class FeatherCdfSourceProvider extends StreamSourceProvider
         // batch in the offset WAL (getBatch(None, walEnd) would then
         // cover (newLatest, walEnd] = nothing)
         pinStart
-      case Some(v) => v.toLong
+      case Some(v) => v.toLongOption.getOrElse(throw
+        new IllegalArgumentException(
+          s"feather-cdf: startingVersion must be a version number or " +
+            s"'latest', got '$v'"))
       case None if startingTsOpt.isDefined => pinStart // resolved above
       case None => 0L
     }
@@ -195,13 +198,24 @@ class FeatherCdfSourceProvider extends StreamSourceProvider
         "stream")
     val maxVersions = parameters.get("maxversionspertrigger")
       .orElse(parameters.get("maxVersionsPerTrigger")).map { v =>
-        val n = v.toLong
+        val n = v.toLongOption.getOrElse(throw
+          new IllegalArgumentException(
+            s"feather-cdf: maxVersionsPerTrigger must be a positive " +
+              s"number of versions, got '$v'"))
         require(n > 0, s"feather-cdf: maxVersionsPerTrigger must be " +
           s"positive, got $n")
         n
       }
-    new FeatherCdfSource(spark, path,
-      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+    val feedSchema =
+      sourceSchema(sqlContext, schema, providerName, parameters)._2
+    // the memo exists ONLY to bridge Spark's sourceSchema→createSource
+    // pair at THIS stream's start: evict now, so a drop-and-rebuild of
+    // the table between two stream starts in one session can never serve
+    // the old incarnation's schema to the NEW stream's relation (the
+    // running source's identity pin would catch the mismatch, but as a
+    // batch failure instead of a clean start-time schema)
+    schemaMemo.remove(path): Unit
+    new FeatherCdfSource(spark, path, feedSchema,
       starting, metadataPath, pinStart,
       // readOrWritePin folded incNow in (fresh write or upgrade), so
       // this is false ONLY when the table does not exist yet
@@ -241,7 +255,7 @@ class FeatherCdfSourceProvider extends StreamSourceProvider
         s"feather-cdf: cannot pin the stream identity under $metadataPath")
       readOrWritePin(spark, metadataPath, seed, incNow, retries - 1)
     } else {
-      val parsed = parse(FeatherCdfPin.read(cfm, pin))
+      val parsed = parse(FeatherCdfPin.read(cfm, pin), pin)
       if (parsed._2.isEmpty && incNow.isDefined) {
         // upgrade-in-place (atomic overwrite) — safe per the scaladoc
         // invariant: empty half ⇒ no batch was ever served
@@ -272,17 +286,32 @@ private[sources] object FeatherCdfPin {
     (dir, cfm, new Path(dir, "graft-cdf-start"))
   }
 
-  def parse(s0: String): (Long, Option[(Long, Long)]) = {
+  def parse(s0: String, pin: Path): (Long, Option[(Long, Long)]) = {
+    // a corrupt/foreign pin must name the file and the remedy, matching
+    // the torn-manifest diagnostics elsewhere — a raw
+    // NumberFormatException would leave the operator guessing which of
+    // the checkpoint's files went bad
+    def num(part: String, what: String): Long = part.trim.toLongOption
+      .getOrElse(throw new IllegalStateException(
+        s"feather-cdf stream identity pin $pin is corrupt ($what is " +
+          s"'${part.trim}', expected a number; full body: '${s0.trim}') " +
+          "— the checkpoint was damaged or belongs to another source; " +
+          "inspect the checkpoint directory and restart deliberately"))
     val s = s0.trim
     val semi = s.indexOf(';')
-    if (semi < 0) (s.toLong, None) // head-only pin: upgrades later
+    if (semi < 0) (num(s, "start head"), None) // head-only pin: upgrades later
     else {
-      val h = s.substring(0, semi).trim.toLong
+      val h = num(s.substring(0, semi), "start head")
       val i = s.substring(semi + 1).trim
       if (i.isEmpty) (h, None)
-      else {
-        val Array(v, ts) = i.split(',')
-        (h, Some((v.trim.toLong, ts.trim.toLong)))
+      else i.split(',') match {
+        case Array(v, ts) =>
+          (h, Some((num(v, "incarnation version"),
+            num(ts, "incarnation timestamp"))))
+        case _ => throw new IllegalStateException(
+          s"feather-cdf stream identity pin $pin is corrupt (incarnation " +
+            s"half '$i' is not 'version,ts'; full body: '${s0.trim}') — " +
+            "inspect the checkpoint directory and restart deliberately")
       }
     }
   }
