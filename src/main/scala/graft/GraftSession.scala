@@ -29,6 +29,11 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the modern physical timestamp encoding (Spark still defaults to
+      // the deprecated INT96 for Impala compat): footer stats stay usable
+      // and the parquet table tier's files carry annotated int64 micros.
+      // INT96 remains fully READABLE (foreign corpus + maintenance scan).
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.warehouse.dir",
         s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_warehouse")
       .config("spark.ui.enabled", "false")

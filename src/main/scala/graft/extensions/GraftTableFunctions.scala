@@ -89,18 +89,21 @@ private[extensions] object GraftTableFunctions {
     (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
   }
 
-  /** Face-dispatched compaction: feather and avro tables both answer
-    * `graft_optimize`. */
+  /** Face-dispatched compaction: feather, avro, and parquet tables all
+    * answer `graft_optimize`. */
   private def compactAny(path: String, targetBytes: Long) = {
     val (fs, root) = fsRoot(path)
     val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
       sys.error(s"graft_optimize on $path: no snapshot versions"))
     // the shared face detection — mixed-suffix manifests fail loudly
     // instead of silently routing to the wrong compactor
-    if (graft.io.ConnectorFace.detect(snap.files, "graft_optimize", path)
-        .suffix == ".avro")
-      graft.io.AvroCompact.compact(spark, path, targetBytes)
-    else graft.io.FeatherCompact.compact(spark, path, targetBytes)
+    graft.io.ConnectorFace.detect(snap.files, "graft_optimize", path)
+        .suffix match {
+      case ".avro" => graft.io.AvroCompact.compact(spark, path, targetBytes)
+      case ".parquet" => graft.io.ParquetCompact.compact(spark, path,
+        targetBytes)
+      case _ => graft.io.FeatherCompact.compact(spark, path, targetBytes)
+    }
   }
 
   private def cols(csv: String): Seq[String] =

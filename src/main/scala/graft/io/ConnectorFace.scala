@@ -80,6 +80,8 @@ private[graft] object ConnectorFace {
   def detect(files: Seq[(String, Long)], op: String,
              path: String): ConnectorFace =
     if (files.forall { case (rel, _) => rel.endsWith(".avro") }) AvroFace
+    else if (files.forall { case (rel, _) => rel.endsWith(".parquet") })
+      ParquetFace
     else if (files.forall { case (rel, _) =>
         FeatherSnapshots.FeatherSuffixes.exists(rel.endsWith) })
       FeatherFace
@@ -124,6 +126,45 @@ private[graft] object ConnectorFace {
                     untrack: AutoCloseable => Unit) =
       GraftFeather.allRowsPos(execConf, file, len, cols, r => track(r),
         lenient = true, dv = dv)
+    def readerJson(spark: SparkSession, files: Seq[(String, Long)]): String = ""
+  }
+
+  /** The parquet face rides Spark's NATIVE parquet machinery end to end
+    * (see [[GraftParquet]]): the merged read is the vectorized scan with
+    * pushdown/pruning intact, parts are written by Spark's own sink and
+    * renamed under the commit protocol, stats sidecars derive from the
+    * footers, and DV positions are the file-wide row ordinal
+    * (`_metadata.row_index`). */
+  object ParquetFace extends ConnectorFace {
+    val label = "parquet"
+    val suffix = ".parquet"
+    def mergedSchema(spark: SparkSession, files: Seq[(String, Long)]) =
+      GraftParquet.mergedSchema(spark, files)
+    def readMerged(spark: SparkSession, files: Seq[(String, Long)]) =
+      GraftParquet.readFiles(spark, files)
+    def readMergedDv(spark: SparkSession, files: Seq[(String, Long)],
+                     dvPaths: Map[String, String],
+                     posKeep: Map[String, Array[Long]] = Map.empty) =
+      GraftParquet.readFiles(spark, files, dvPaths, posKeep)
+    def writeParts(df: DataFrame, dir: String, prefix: String, codec: String) =
+      GraftParquet.writeParts(df, dir, prefix, codecFor(codec))
+    def stamp(fs: org.apache.hadoop.fs.FileSystem, dir: Path, prefix: String,
+              schema: StructType) =
+      GraftParquet.stampSchemaOnly(fs, dir, s"$prefix-empty.parquet", schema)
+    def codecFor(requested: String): String =
+      if (requested == "lz4") "snappy" else requested
+    def fileRows(execConf: org.apache.hadoop.conf.Configuration,
+                 readerJson: String, file: String, len: Long,
+                 cols: Seq[String],
+                 track: AutoCloseable => Unit,
+                 untrack: AutoCloseable => Unit) =
+      GraftParquet.allRows(execConf, file, cols, track, untrack)
+    def fileRowsPos(execConf: org.apache.hadoop.conf.Configuration,
+                    readerJson: String, file: String, len: Long,
+                    cols: Seq[String], dv: Array[Long],
+                    track: AutoCloseable => Unit,
+                    untrack: AutoCloseable => Unit) =
+      GraftParquet.allRowsPos(execConf, file, cols, dv, track, untrack)
     def readerJson(spark: SparkSession, files: Seq[(String, Long)]): String = ""
   }
 

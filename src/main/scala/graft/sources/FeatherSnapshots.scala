@@ -687,6 +687,13 @@ private[graft] object FeatherSnapshots {
         if (e.isDirectory) {
           if (!n.startsWith("_") && !n.startsWith(".")) walk(e.getPath,
             if (rel.isEmpty) n else s"$rel/$n")
+          // `_tmp-<prefix>` STAGING directories (the parquet face's part
+          // writer stages through Spark's sink before renaming): a
+          // crashed run's staging dir is reclamation work exactly like a
+          // hidden `.tmp` file — visited as the DIRECTORY entry, never
+          // recursed into (its contents are uncommitted by construction)
+          else if (includeHiddenTmps && n.startsWith("_tmp-"))
+            visit(e, if (rel.isEmpty) n else s"$rel/$n")
         } else if ((suffixes.exists(n.endsWith) &&
             !n.startsWith(".") && !n.startsWith("_")) ||
             // vacuum also reclaims crashed runs' half-written outputs —
@@ -933,7 +940,21 @@ private[graft] object FeatherSnapshots {
     walkDataFiles(fs, root, effSuffixes, includeHiddenTmps = true) {
       (e, relPath) =>
       val n = e.getPath.getName
-      if (n.startsWith(".") && n.endsWith(".tmp")) {
+      if (e.isDirectory) {
+        // a `_tmp-<prefix>` staging directory: in-flight while its
+        // embedded mutation/cluster target version is above the head
+        // (same guard as the part names it stages); a crashed USER
+        // write's staging (`_tmp-pq-…`, no version) is governed by the
+        // grace window alone
+        val pending = n.stripPrefix("_tmp-") match {
+          case inFlight(v) => v.toLong > latest
+          case _ => false
+        }
+        if (!pending && e.getModificationTime < cutoff) {
+          if (dryRun) removed += relPath
+          else if (fs.delete(e.getPath, true)) removed += relPath
+        }
+      } else if (n.startsWith(".") && n.endsWith(".tmp")) {
         // a crashed run's half-written output (snapshot-mode outputs are
         // run-unique, so no re-run ever reclaims the name): NEVER
         // referenced — committed parts are never hidden — so only the

@@ -86,7 +86,7 @@ class FeatherDataSource extends TableProvider with DataSourceRegister
   * provider (infer/getTable) and the scan builder (where read options
   * actually arrive). Accepts epoch millis, an ISO-8601 instant
   * (`2026-08-14T09:00:00Z`), or a local `yyyy-MM-dd HH:mm:ss`. */
-private[sources] object FeatherTimeTravel {
+private[graft] object FeatherTimeTravel {
   // one read resolves the pin up to three times (inferSchema, getTable,
   // newScanBuilder) and resolveAt parses EVERY retained manifest — a
   // short-TTL memo collapses those into one resolution per read while
@@ -106,7 +106,7 @@ private[sources] object FeatherTimeTravel {
     * timezone — spark.sql.session.timeZone, not the JVM default, so
     * the pin agrees with how the session renders timestamps). Shared
     * by timestampAsOf and the CDF source's startingTimestamp. */
-  private[sources] def parseTsMillis(raw: String): Long =
+  private[graft] def parseTsMillis(raw: String): Long =
     raw.toLongOption.getOrElse {
       try java.time.Instant.parse(raw).toEpochMilli
       catch { case _: Exception =>

@@ -28,4 +28,19 @@ object Bridge {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** StructType → parquet MessageType via Spark's OWN converter (the
+    * schema-stamp writer of the parquet face must emit exactly the
+    * physical types Spark's sink would, or a stamp would read back with
+    * drifted types). TIMESTAMP_MICROS matches the modern sink default;
+    * the stamp also carries Spark's schema-json footer key, which the
+    * reader prefers over physical-type inference anyway. */
+  def parquetMessageType(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.parquet.schema.MessageType =
+    new org.apache.spark.sql.execution.datasources.parquet
+      .SparkToParquetSchemaConverter(
+        writeLegacyParquetFormat = false,
+        outputTimestampType = org.apache.spark.sql.internal.SQLConf
+          .ParquetOutputTimestampType.TIMESTAMP_MICROS)
+      .convert(schema)
 }
