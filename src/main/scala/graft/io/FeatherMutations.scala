@@ -131,90 +131,12 @@ object FeatherMutations {
       probeTouched(spark, op, absFiles, tableSchema, keys, keyCols)
     val touchedIdx = touchedSet.toSeq.sorted
     val targetV = snap.version + 1
-
-    // ---- distributed position scan over the candidate files ----------------
-    // one task per candidate file reads ONLY the key columns with row
-    // positions (existing DV applied, so an already-deleted row can never
-    // re-match); the inner join against the key frame leaves exactly the
-    // matched (file, position) pairs
-    val newByFile: Map[Int, Array[Long]] =
-      if (touchedIdx.isEmpty) Map.empty
-      else {
-        val readerJson = face.readerJson(spark,
-          touchedIdx.map(absFiles))
-        val confMap = GraftHadoop.confBroadcast(spark)
-        val work = touchedIdx.map { i =>
-          (i, absFiles(i)._1, absFiles(i)._2,
-            snap.dvs.get(snap.files(i)._1).map { case (dvRel, _) =>
-              new Path(root, dvRel).toString })
-        }
-        import org.apache.spark.sql.Row
-        val scanSchema = StructType(
-          StructField("__fid", IntegerType, nullable = false) +:
-          StructField("__pos", LongType, nullable = false) +:
-          keyCols.map(k => tableSchema(k)))
-        val rdd = spark.sparkContext
-          .parallelize(work, math.max(1, work.size))
-          .mapPartitions { it =>
-            val execConf = new org.apache.hadoop.conf.Configuration(false)
-            confMap.value.foreach { case (k, v) => execConf.set(k, v) }
-            val open = new java.util.ArrayList[AutoCloseable]()
-            Option(org.apache.spark.TaskContext.get()).foreach(
-              _.addTaskCompletionListener[Unit](_ => open.forEach(r =>
-                try r.close() catch { case _: Exception => () })))
-            it.flatMap { case (fid, abs, len, dvPath) =>
-              val dv = dvPath
-                .map(p => DeletionVectors.read(execConf, p)).orNull
-              face.fileRowsPos(execConf, readerJson, abs, len, keyCols, dv,
-                r => open.add(r): Unit, r => open.remove(r): Unit)
-                .map { case (pos, row) =>
-                  Row.fromSeq(fid +: pos +: row.toSeq) }
-            }
-          }
-        val keysProj = keys.select(keyCols.map(col): _*).distinct()
-        spark.createDataFrame(rdd, scanSchema)
-          .join(keysProj, keyCols, "inner")
-          .select(col("__fid"), col("__pos"))
-          .collect()
-          .groupBy(_.getInt(0))
-          .map { case (fid, rows) => fid -> rows.map(_.getLong(1)) }
-      }
-
-    // ---- write the sidecars, bind them in ONE commit -----------------------
-    // a DV that would cover EVERY row of its file drops the file from the
-    // manifest instead (stats-proven row counts only — no sidecar, no
-    // shortcut): readers then skip the file entirely rather than decode
-    // batches to discard every row. The file itself stays on disk for
-    // time travel until expire(), exactly like a COW delete's retired
-    // inputs.
+    val newByFile = dvPositionScan(spark, face, root, snap, absFiles,
+      touchedIdx, keys, keyCols, tableSchema)
     def fileRowCount(fid: Int): Option[Long] =
       probeStats.getOrElse(absFiles(fid)._1, None).flatMap(exactRows)
-    val perFile: Map[Int, (String, Array[Long])] = newByFile.map {
-      case (fid, fresh) =>
-        val rel = snap.files(fid)._1
-        val existing = snap.dvs.get(rel).map { case (dvRel, _) =>
-          DeletionVectors.read(conf, new Path(root, dvRel).toString) }
-        // union's contract is sorted inputs — the driver-collected
-        // positions arrive in arbitrary order
-        val sortedFresh = fresh.distinct.sorted
-        fid -> (rel, existing.map(DeletionVectors.union(_, sortedFresh))
-          .getOrElse(sortedFresh))
-    }
-    val (dropped, bound) = perFile.partition { case (fid, (_, all)) =>
-      fileRowCount(fid).contains(all.length.toLong)
-    }
-    val newBindings: Map[String, (String, Long)] = bound.map {
-      case (_, (rel, all)) =>
-        val i = rel.lastIndexOf('/')
-        val (relDir, name) =
-          if (i < 0) ("", rel) else (rel.substring(0, i), rel.substring(i + 1))
-        val leafDir = if (relDir.isEmpty) root else new Path(root, relDir)
-        val dvFile = DeletionVectors.dvName(targetV, name)
-        DeletionVectors.write(fs, leafDir, dvFile, all)
-        rel -> ((if (relDir.isEmpty) dvFile else s"$relDir/$dvFile"),
-          all.length.toLong)
-    }
-    val droppedRel: Set[String] = dropped.values.map(_._1).toSet
+    val (newBindings, droppedRel) =
+      bindDvs(fs, conf, root, snap, targetV, newByFile, fileRowCount)
 
     // an all-rows delete must still leave a readable table: when every
     // file drops, stamp one schema-only part per leaf (hive layouts keep
@@ -284,7 +206,353 @@ object FeatherMutations {
       appendSource = Some(live), codec, evolveSchema)
   }
 
+  /** MERGE-ON-READ upsert: the same semantics as [[merge]] (matched table
+    * rows are REPLACED by the source row, unmatched source rows insert)
+    * but instead of copy-on-writing every candidate file it DV-masks the
+    * matched old rows ([[DeletionVectors]] sidecars, the same position
+    * scan as [[deleteByKeyDV]]) and lands the ENTIRE source as ordinary
+    * new parts — all in ONE manifest commit. Bytes written scale with
+    * CHANGED ROWS (source size + position sidecars), not with
+    * touched-file sizes: a 1000-key correction against scattered 128 MiB
+    * parts writes ~one small part + ~8 KB of sidecars instead of
+    * rewriting every candidate. Prefer [[merge]] when the source
+    * replaces a large fraction of the touched files' rows (the rewrite
+    * then pays for itself in read-side work — a DV-masked file still
+    * decodes its masked rows' pages).
+    *
+    * Same contracts as [[merge]]: idempotent on table CONTENT (a re-run
+    * masks the first run's copies and lands identical replacements —
+    * safe as a foreachBatch sink), partitioned tables route inserts by
+    * the source's partition values (a matched key with different values
+    * MOVES partitions: mask-here + insert-there), `evolveSchema` lets
+    * the source carry new columns (and is CHEAPER here: survivors are
+    * never rewritten, old generations read the new column as null via
+    * mergeSchema). The CDF emits the masked rows as deletes and the new
+    * parts as inserts through the same net-diff machinery; compaction
+    * folds the masks physically; expire() completes the erasure. */
+  def mergeDV(spark: SparkSession, path: String, source: DataFrame,
+              keyCols: Seq[String], codec: String = "lz4",
+              evolveSchema: Boolean = false): Result =
+    mutateDv(spark, path, "merge", source, keyCols,
+      insertSource = source, codec, evolveSchema)
+
+  /** The merge-on-read face of [[applyCdc]]: matched keys (tombstoned or
+    * live) DV-mask, live rows land as new parts — one atomic commit,
+    * idempotent on content, bytes ∝ the change batch. */
+  def applyCdcDV(spark: SparkSession, path: String, changes: DataFrame,
+                 keyCols: Seq[String], deleteCol: String = "_deleted",
+                 codec: String = "lz4",
+                 evolveSchema: Boolean = false): Result = {
+    require(changes.columns.contains(deleteCol),
+      s"applyCdcDV: tombstone column '$deleteCol' not in changes frame " +
+        s"(${changes.columns.mkString(", ")})")
+    val live = changes
+      .filter(!coalesce(col(deleteCol), lit(false))).drop(deleteCol)
+    mutateDv(spark, path, "cdc", changes, keyCols, live, codec,
+      evolveSchema)
+  }
+
   // ---- shared implementation ----------------------------------------------
+
+  /** The merge-on-read mutation core behind [[mergeDV]]/[[applyCdcDV]]:
+    * probe → position scan → DV bind → whole-source part write → one
+    * commit. `keysDf` drives the mask (all change keys, tombstones
+    * included); `insertSource` is what lands as new parts (the live
+    * rows). Validation mirrors [[mutate]]'s merge path exactly — the two
+    * strategies must accept and reject the same inputs. */
+  private def mutateDv(spark: SparkSession, path: String, op: String,
+                       keysDf: DataFrame, keyCols: Seq[String],
+                       insertSource: DataFrame, codec: String,
+                       evolveSchema: Boolean): Result = {
+    require(keyCols.nonEmpty, s"$op: keyCols must be non-empty")
+    keyCols.foreach(k => require(keysDf.columns.contains(k),
+      s"$op: key column '$k' not in keys frame (${keysDf.columns.mkString(", ")})"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    require(FeatherSnapshots.enabled(fs, root),
+      s"$op on $path, which has no ${FeatherSnapshots.Dir} directory — " +
+        "row-level mutation is a manifest operation; write the table with " +
+        "option(\"snapshots\", \"true\") first")
+    val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
+      sys.error(s"$op on $path: snapshot directory exists but holds no versions"))
+    val face = ConnectorFace.detect(snap.files, op, path)
+    val targetV = snap.version + 1
+    val prefix = FeatherSnapshots.runPrefix(targetV)
+
+    def relDirOf(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }
+    val chains: Seq[String] = snap.files.map { case (rel, _) => relDirOf(rel) }
+      .distinct.filter(_.nonEmpty)
+    val hiveChains = chains.nonEmpty &&
+      chains.forall(_.split('/').forall(_.indexOf('=') > 0))
+    if (chains.nonEmpty && !hiveChains)
+      throw new IllegalArgumentException(
+        s"$op on $path: table has non-hive subdirectories " +
+          s"(${chains.mkString(", ")}) — $op routes inserts by partition " +
+          "values and needs a hive key=value layout")
+    val partCols: Seq[String] =
+      if (hiveChains)
+        chains.head.split('/').toSeq.map { seg =>
+          java.net.URLDecoder.decode(seg.substring(0, seg.indexOf('=')),
+            "UTF-8")
+        }
+      else Nil
+    val partitioned = partCols.nonEmpty
+
+    val absFiles = snap.files.map { case (rel, len) =>
+      (new Path(root, rel).toString, len) }
+    val tableSchema0 = face.mergedSchema(spark, absFiles)
+    val tableSchema =
+      if (!evolveSchema) tableSchema0
+      else {
+        val known = tableSchema0.fieldNames.toSet ++ partCols
+        val extra = insertSource.schema.fields.filterNot(f => known(f.name))
+          .map(f => StructField(f.name, f.dataType, nullable = true))
+        StructType(tableSchema0.fields ++ extra)
+      }
+    keyCols.foreach(k => require(tableSchema0.fieldNames.contains(k),
+      if (partCols.contains(k))
+        s"$op: key column '$k' is a partition column — partition values " +
+          "live in the directory chain, not the data files; key on data " +
+          "columns (the source's partition values route the rows)"
+      else s"$op: key column '$k' not in table schema " +
+        s"(${tableSchema.fieldNames.mkString(", ")})"))
+    val embedded = partCols.filter(tableSchema.fieldNames.contains)
+    require(embedded.isEmpty,
+      s"$op: partition column(s) ${embedded.mkString(", ")} are ALSO " +
+        "embedded in the data files — routing cannot tell the path copy " +
+        "from the data copy")
+    val expected = (tableSchema.fieldNames ++ partCols).sorted
+    require(insertSource.columns.sorted.sameElements(expected),
+      s"$op: source columns (${insertSource.columns.sorted.mkString(", ")})" +
+        s" must be exactly the table's data columns" +
+        (if (partitioned) " plus its partition columns" else "") +
+        s" (${expected.mkString(", ")})")
+    tableSchema.fields.foreach { tf =>
+      val st = insertSource.schema(tf.name).dataType
+      require(st == tf.dataType,
+        s"$op: source column '${tf.name}' is ${st.catalogString} but the " +
+          s"table carries ${tf.dataType.catalogString} — cast the source " +
+          "before merging")
+    }
+
+    // ---- mask the matched old rows ------------------------------------------
+    val (touchedSet, probeStats) =
+      probeTouched(spark, op, absFiles, tableSchema0, keysDf, keyCols)
+    val touchedIdx = touchedSet.toSeq.sorted
+    val newByFile = dvPositionScan(spark, face, root, snap, absFiles,
+      touchedIdx, keysDf, keyCols, tableSchema0)
+    def fileRowCount(fid: Int): Option[Long] =
+      probeStats.getOrElse(absFiles(fid)._1, None).flatMap(exactRows)
+    val (newBindings, droppedRel) =
+      bindDvs(fs, conf, root, snap, targetV, newByFile, fileRowCount)
+
+    // ---- land the whole source as new parts ---------------------------------
+    val added = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var partsWritten = 0
+    if (!partitioned) {
+      val src = insertSource.select(tableSchema.fieldNames.map(col).toSeq: _*)
+      val targetParts = math.max(1, insertSource.rdd.getNumPartitions)
+      val parts = face.writeParts(src.coalesce(targetParts), root.toString,
+        prefix, codec)
+      if (parts.nonEmpty)
+        FeatherStats.upsertMerged(fs, root,
+          parts.map { case (name, len, js) =>
+            name -> (len, FeatherStats.fromJson(js)) }.toMap)
+      added ++= parts.map { case (name, len, _) => (name, len) }
+      partsWritten += parts.size
+    } else {
+      val routed = routePartitionedInserts(op, face, fs, root, insertSource,
+        partCols, tableSchema, prefix, codec)
+      added ++= routed
+      partsWritten += routed.size
+    }
+
+    // a change batch that tombstones EVERY remaining row and inserts
+    // nothing must still leave a readable table — stamp per leaf, same
+    // as the delete paths
+    if (added.isEmpty && droppedRel.nonEmpty &&
+        snap.files.forall { case (rel, _) => droppedRel(rel) }) {
+      snap.files.map { case (rel, _) => relDirOf(rel) }.distinct
+        .foreach { relDir =>
+          val leafDir = if (relDir.isEmpty) root else new Path(root, relDir)
+          val (name, len) = face.stamp(fs, leafDir,
+            FeatherSnapshots.runPrefix(targetV), tableSchema)
+          added += ((if (relDir.isEmpty) name else s"$relDir/$name", len))
+        }
+    }
+
+    val committed = FeatherSnapshots.commitMutation(fs, root, op, snap,
+      droppedRel, added.toSeq, setDvs = newBindings)
+    Result(committed, newBindings.size + droppedRel.size,
+      snap.files.size - newBindings.size - droppedRel.size, partsWritten)
+  }
+
+  // ---- shared implementation (cont.) ----------------------------------------
+
+  /** Distributed position scan shared by [[deleteByKeyDV]] and
+    * [[mergeDV]]: one task per candidate file reads ONLY the key columns
+    * with row positions (existing DV applied, so an already-deleted row
+    * can never re-match); the inner join against the key frame leaves
+    * exactly the matched (file index, position) pairs. Matched pairs
+    * collect to the driver — changed-row-count-sized by design (a
+    * takedown list or correction batch, never a retention sweep). */
+  private def dvPositionScan(spark: SparkSession, face: ConnectorFace,
+                             root: Path,
+                             snap: FeatherSnapshots.Snapshot,
+                             absFiles: Seq[(String, Long)],
+                             touchedIdx: Seq[Int], keysDf: DataFrame,
+                             keyCols: Seq[String],
+                             tableSchema: StructType)
+      : Map[Int, Array[Long]] =
+    if (touchedIdx.isEmpty) Map.empty
+    else {
+      val readerJson = face.readerJson(spark, touchedIdx.map(absFiles))
+      val confMap = GraftHadoop.confBroadcast(spark)
+      val work = touchedIdx.map { i =>
+        (i, absFiles(i)._1, absFiles(i)._2,
+          snap.dvs.get(snap.files(i)._1).map { case (dvRel, _) =>
+            new Path(root, dvRel).toString })
+      }
+      import org.apache.spark.sql.Row
+      val scanSchema = StructType(
+        StructField("__fid", IntegerType, nullable = false) +:
+        StructField("__pos", LongType, nullable = false) +:
+        keyCols.map(k => tableSchema(k)))
+      val rdd = spark.sparkContext
+        .parallelize(work, math.max(1, work.size))
+        .mapPartitions { it =>
+          val execConf = new org.apache.hadoop.conf.Configuration(false)
+          confMap.value.foreach { case (k, v) => execConf.set(k, v) }
+          val open = new java.util.ArrayList[AutoCloseable]()
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => open.forEach(r =>
+              try r.close() catch { case _: Exception => () })))
+          it.flatMap { case (fid, abs, len, dvPath) =>
+            val dv = dvPath
+              .map(p => DeletionVectors.read(execConf, p)).orNull
+            face.fileRowsPos(execConf, readerJson, abs, len, keyCols, dv,
+              r => open.add(r): Unit, r => open.remove(r): Unit)
+              .map { case (pos, row) =>
+                Row.fromSeq(fid +: pos +: row.toSeq) }
+          }
+        }
+      val keysProj = keysDf.select(keyCols.map(col): _*).distinct()
+      spark.createDataFrame(rdd, scanSchema)
+        .join(keysProj, keyCols, "inner")
+        .select(col("__fid"), col("__pos"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (fid, rows) => fid -> rows.map(_.getLong(1)) }
+    }
+
+  /** Partitioned insert routing shared by the COW and DV mutations:
+    * source rows land in the leaf THEIR partition values name (the hive
+    * contract: a matched key whose source row carries different
+    * partition values moves partitions — delete-here + insert-there,
+    * both inside the one manifest commit). The distinct partition tuples
+    * of the source collect to the driver: partition-count-sized (a
+    * correction batch touches few partitions), never row-count-sized.
+    * Returns the (rel path, len) parts written. */
+  private def routePartitionedInserts(op: String, face: ConnectorFace,
+                                      fs: org.apache.hadoop.fs.FileSystem,
+                                      root: Path, src0: DataFrame,
+                                      partCols: Seq[String],
+                                      tableSchema: StructType,
+                                      prefix: String, codec: String)
+      : Seq[(String, Long)] = {
+    val added = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    // one source scan feeds the distinct() AND every per-tuple slice —
+    // an expensive upstream plan must not re-execute once per partition
+    val src = src0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
+      def leafOf(row: org.apache.spark.sql.Row): String =
+        partCols.zipWithIndex.map { case (c, i) =>
+          val v = row.get(i)
+          if (v != null &&
+              v.toString == graft.sources.FeatherPartitions.HiveNull)
+            throw new IllegalArgumentException(
+              s"$op: partition value for '$c' is the literal hive null " +
+                s"marker '${v.toString}' — it would be unreadable as " +
+                "anything but NULL; use an actual null")
+          s"${enc(c)}=${if (v == null)
+            graft.sources.FeatherPartitions.HiveNull else enc(v.toString)}"
+        }.mkString("/")
+      // deterministic leaf order keeps tuple → sub-prefix assignment
+      // stable within the run; a crashed attempt's residue (run-unique
+      // prefix) is vacuumOrphans work
+      val tuples = src.select(partCols.map(col): _*).distinct().collect()
+        .map(row => (leafOf(row), row)).sortBy(_._1)
+      tuples.zipWithIndex.foreach { case ((relDir, row), idx) =>
+        val leafDir = new Path(root, relDir)
+        fs.mkdirs(leafDir)
+        val slice = src.filter(partCols.zipWithIndex.map { case (c, i) =>
+            if (row.get(i) == null) col(c).isNull
+            else col(c) === lit(row.get(i))
+          }.reduce(_ && _))
+          .drop(partCols: _*)
+          .select(tableSchema.fieldNames.map(col).toSeq: _*)
+        // per-tuple sub-prefix: the pre-clean of one tuple's write must
+        // never delete this run's survivor parts OR a sibling tuple's
+        // fresh insert parts
+        val parts = face.writeParts(slice.coalesce(1),
+          leafDir.toString, f"$prefix-ins$idx%04d", codec)
+        if (parts.nonEmpty)
+          FeatherStats.upsertMerged(fs, leafDir,
+            parts.map { case (name, len, js) =>
+              name -> (len, FeatherStats.fromJson(js)) }.toMap)
+        added ++= parts.map { case (name, len, _) => (s"$relDir/$name", len) }
+      }
+    } finally src.unpersist(blocking = false): Unit
+    added.toSeq
+  }
+
+  /** Write the DV sidecars and compute the manifest actions for one
+    * commit: fresh positions union into any existing binding (a fresh
+    * sidecar per commit — the old one expires with its version); a DV
+    * that would cover EVERY row of its file drops the file from the
+    * manifest instead (stats-proven row counts only — no sidecar, no
+    * shortcut): readers then skip the file entirely rather than decode
+    * batches to discard every row. The file itself stays on disk for
+    * time travel until expire(). Returns (bindings to set, rel paths to
+    * drop). */
+  private def bindDvs(fs: org.apache.hadoop.fs.FileSystem,
+                      conf: org.apache.hadoop.conf.Configuration,
+                      root: Path, snap: FeatherSnapshots.Snapshot,
+                      targetV: Long, newByFile: Map[Int, Array[Long]],
+                      fileRowCount: Int => Option[Long])
+      : (Map[String, (String, Long)], Set[String]) = {
+    val perFile: Map[Int, (String, Array[Long])] = newByFile.map {
+      case (fid, fresh) =>
+        val rel = snap.files(fid)._1
+        val existing = snap.dvs.get(rel).map { case (dvRel, _) =>
+          DeletionVectors.read(conf, new Path(root, dvRel).toString) }
+        // union's contract is sorted inputs — the driver-collected
+        // positions arrive in arbitrary order
+        val sortedFresh = fresh.distinct.sorted
+        fid -> (rel, existing.map(DeletionVectors.union(_, sortedFresh))
+          .getOrElse(sortedFresh))
+    }
+    val (dropped, bound) = perFile.partition { case (fid, (_, all)) =>
+      fileRowCount(fid).contains(all.length.toLong)
+    }
+    val newBindings: Map[String, (String, Long)] = bound.map {
+      case (_, (rel, all)) =>
+        val i = rel.lastIndexOf('/')
+        val (relDir, name) =
+          if (i < 0) ("", rel) else (rel.substring(0, i), rel.substring(i + 1))
+        val leafDir = if (relDir.isEmpty) root else new Path(root, relDir)
+        val dvFile = DeletionVectors.dvName(targetV, name)
+        DeletionVectors.write(fs, leafDir, dvFile, all)
+        rel -> ((if (relDir.isEmpty) dvFile else s"$relDir/$dvFile"),
+          all.length.toLong)
+    }
+    (newBindings, dropped.values.map(_._1).toSet)
+  }
 
   private sealed trait KeyRange
   private case object Unknown extends KeyRange // no/partial stats: must touch
@@ -745,58 +1013,11 @@ object FeatherMutations {
     }
 
     // ---- partitioned insert routing ----------------------------------------
-    // Source rows land in the leaf THEIR partition values name (the hive
-    // contract: a matched key whose source row carries different partition
-    // values moves partitions — delete-here + insert-there, both inside
-    // this one manifest commit). The distinct partition tuples of the
-    // source collect to the driver: partition-count-sized (a correction
-    // batch touches few partitions), never row-count-sized.
     if (partitioned && appendSource.isDefined) {
-      // one source scan feeds the distinct() AND every per-tuple slice —
-      // an expensive upstream plan must not re-execute once per partition
-      val src = appendSource.get
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
-        def leafOf(row: org.apache.spark.sql.Row): String =
-          partCols.zipWithIndex.map { case (c, i) =>
-            val v = row.get(i)
-            if (v != null &&
-                v.toString == graft.sources.FeatherPartitions.HiveNull)
-              throw new IllegalArgumentException(
-                s"$op: partition value for '$c' is the literal hive null " +
-                  s"marker '${v.toString}' — it would be unreadable as " +
-                  "anything but NULL; use an actual null")
-            s"${enc(c)}=${if (v == null)
-              graft.sources.FeatherPartitions.HiveNull else enc(v.toString)}"
-          }.mkString("/")
-        // deterministic leaf order keeps tuple → sub-prefix assignment
-        // stable within the run; a crashed attempt's residue (run-unique
-        // prefix) is vacuumOrphans work
-        val tuples = src.select(partCols.map(col): _*).distinct().collect()
-          .map(row => (leafOf(row), row)).sortBy(_._1)
-        tuples.zipWithIndex.foreach { case ((relDir, row), idx) =>
-          val leafDir = new Path(root, relDir)
-          fs.mkdirs(leafDir)
-          val slice = src.filter(partCols.zipWithIndex.map { case (c, i) =>
-              if (row.get(i) == null) col(c).isNull
-              else col(c) === lit(row.get(i))
-            }.reduce(_ && _))
-            .drop(partCols: _*)
-            .select(tableSchema.fieldNames.map(col).toSeq: _*)
-          // per-tuple sub-prefix: the pre-clean of one tuple's write must
-          // never delete this run's survivor parts OR a sibling tuple's
-          // fresh insert parts
-          val parts = face.writeParts(slice.coalesce(1),
-            leafDir.toString, f"$prefix-ins$idx%04d", codec)
-          if (parts.nonEmpty)
-            FeatherStats.upsertMerged(fs, leafDir,
-              parts.map { case (name, len, js) =>
-                name -> (len, FeatherStats.fromJson(js)) }.toMap)
-          added ++= parts.map { case (name, len, _) => (s"$relDir/$name", len) }
-          partsWritten += parts.size
-        }
-      } finally src.unpersist(blocking = false): Unit
+      val routed = routePartitionedInserts(op, face, fs, root,
+        appendSource.get, partCols, tableSchema, prefix, codec)
+      added ++= routed
+      partsWritten += routed.size
     }
 
     // a table whose every row was deleted must still read as an EMPTY

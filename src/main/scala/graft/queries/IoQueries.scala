@@ -77,6 +77,7 @@ object IoQueries extends QueryPack {
     "io_feather_cdf", "io_feather_restore",
     "io_feather_delete_dv", "io_avro_delete_dv", "io_sql_table_changes",
     "io_parquet_snapshot", "io_parquet_delete_dv", "io_parquet_cdf",
+    "io_feather_merge_dv",
     "io_avro_time_travel", "dedup_lsh_incremental")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
@@ -1143,6 +1144,56 @@ object IoQueries extends QueryPack {
              |  _commit_version
              |FROM graft_table_changes('$path', 1, 2)
              |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  // MERGE-ON-READ upsert (io/FeatherMutations.mergeDV): the same merge
+  // as io_feather_merge but NO candidate file rewrites — matched old
+  // rows DV-mask (position sidecars, the deleteByKeyDV scan) and the
+  // whole source lands as new parts in the one commit, so merge bytes
+  // scale with the CHANGE, not with touched-file sizes. The ORACLE is
+  // byte-identical to the copy-on-write merge's — the strategy must
+  // never change the semantics; the fixture pins zero data-file bytes
+  // rewritten. Reference: Delta's deletion-vector MERGE is the industry
+  // shape; in-memory analog is masked scatter
+  // (cpp/include/cudf/copying.hpp boolean_mask_scatter).
+  register("io_feather_merge_dv",
+    """SELECT o_orderkey, o_orderpriority, total FROM (
+      |  SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderkey <= 3000 AND NOT (o_orderkey BETWEEN 1000 AND 1600)
+      |  UNION ALL
+      |  SELECT o_orderkey, '9-MERGED' AS o_orderpriority,
+      |    CAST(o_totalprice AS DOUBLE) * 2 AS total
+      |  FROM orders WHERE o_orderkey BETWEEN 1000 AND 1600
+      |     OR o_orderkey BETWEEN 3001 AND 3500
+      |) t ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val path = readFixture("feather_merge_dv", d) { p =>
+      Tables.orders(s, d).filter(col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartitionByRange(6, col("o_orderkey"))
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(p)
+      val dataBytes = new java.io.File(p).listFiles()
+        .filter(f => f.getName.endsWith(".feather") &&
+          !f.getName.startsWith("mut-")).map(_.length()).sum
+      val source = Tables.orders(s, d)
+        .filter(col("o_orderkey").between(1000, 1600) ||
+          col("o_orderkey").between(3001, 3500))
+        .select(col("o_orderkey"), lit("9-MERGED").as("o_orderpriority"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+      val r = graft.io.FeatherMutations.mergeDV(
+        s, p, source, Seq("o_orderkey"))
+      require(r.filesTouched > 0 && r.filesTouched < 6,
+        s"DV merge should mask a strict subset of the 6 parts: $r")
+      val after = new java.io.File(p).listFiles()
+        .filter(f => f.getName.endsWith(".feather") &&
+          !f.getName.startsWith("mut-")).map(_.length()).sum
+      require(after == dataBytes,
+        s"DV merge must not rewrite candidate files ($dataBytes -> $after)")
+    }
+    s.read.format("feather").load(path)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").as("total"))
+      .orderBy("o_orderkey")
   }
 
   // MERGE (upsert) on a snapshotted table (io/FeatherMutations.scala):

@@ -367,4 +367,159 @@ class DeletionVectorSpec extends AnyFunSuite {
       "the bound DV must survive")
     assert(spark.read.format("feather").load(path).count() === 299)
   }
+
+  // ---- merge-on-read upsert (mergeDV / applyCdcDV) --------------------------
+
+  test("mergeDV matches merge semantics without rewriting candidate " +
+       "files; re-run is idempotent on content") {
+    import spark.implicits._
+    val pathCow = tmp("mdv_cow")
+    val pathDv = tmp("mdv_dv")
+    writeTable(pathCow, 2000, 8)
+    writeTable(pathDv, 2000, 8)
+    val source = Seq((100L, "gU", "updated_100"), (101L, "gU", "updated_101"),
+      (2500L, "gI", "inserted")).toDF("id", "grp", "pay")
+    val rc = FeatherMutations.merge(spark, pathCow, source, Seq("id"))
+    val bytes0 = dataBytes(pathDv, ".feather")
+    val rd = FeatherMutations.mergeDV(spark, pathDv, source, Seq("id"))
+    assert(rd.filesTouched === rc.filesTouched,
+      "the DV merge prunes with the same probe as the COW merge")
+    assert(dataBytes(pathDv, ".feather") > bytes0,
+      "only the small source part is new bytes")
+    val cow = spark.read.format("feather").load(pathCow)
+      .orderBy("id").collect()
+    val dv = spark.read.format("feather").load(pathDv)
+      .orderBy("id").collect()
+    assert(dv === cow, "strategy must not change merge semantics")
+    // idempotent re-run: one more version, identical rows
+    FeatherMutations.mergeDV(spark, pathDv, source, Seq("id"))
+    assert(spark.read.format("feather").load(pathDv)
+      .orderBy("id").collect() === cow)
+    // time travel: v1 still reads the pre-merge state whole
+    assert(spark.read.format("feather").option("versionAsOf", "1")
+      .load(pathDv).count() === 2000)
+  }
+
+  test("mergeDV emits CDF deletes for masked rows and inserts for the " +
+       "source; identical replacements net out") {
+    import spark.implicits._
+    val path = tmp("mdv_cdf")
+    writeTable(path, 1000, 4)
+    // row 50 gets an IDENTICAL replacement (nets out of the diff); row
+    // 60 changes payload; 2001 inserts
+    val source = Seq((50L, "g2", "p_50"), (60L, "g0", "CHANGED"),
+      (2001L, "gN", "new")).toDF("id", "grp", "pay")
+    FeatherMutations.mergeDV(spark, path, source, Seq("id"))
+    val feed = FeatherChanges.readChanges(spark, path, 1, 2)
+      .select("id", "pay", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(t => (t._1, t._3))
+    assert(feed.toSeq === Seq(
+      (60L, "p_60", "delete"), (60L, "CHANGED", "insert"),
+      (2001L, "new", "insert")))
+  }
+
+  test("mergeDV folds physically through compaction") {
+    import spark.implicits._
+    val path = tmp("mdv_fold")
+    writeTable(path, 1200, 6)
+    val source = Seq((1L, "gU", "u1"), (600L, "gU", "u600"))
+      .toDF("id", "grp", "pay")
+    FeatherMutations.mergeDV(spark, path, source, Seq("id"))
+    val r = FeatherCompact.compact(spark, path, targetBytes = 1L << 30)
+    assert(r.filesAfter < r.filesBefore)
+    val snap = FeatherSnapshots.resolve(fsOf(path), new Path(path), None).get
+    assert(snap.dvs.isEmpty, "the fold must clear every merge mask")
+    val back = spark.read.format("feather").load(path)
+    assert(back.count() === 1200)
+    assert(back.filter(col("id") === 1L).select("pay").head().getString(0)
+      === "u1")
+  }
+
+  test("mergeDV on a hive-partitioned table routes inserts and MOVES a " +
+       "matched key whose partition values changed") {
+    import spark.implicits._
+    val path = tmp("mdv_part")
+    for (d <- Seq("d0", "d1", "d2"))
+      graft.io.GraftFeather.write(
+        (1 to 600).filter(i => s"d${i % 3}" == d)
+          .map(i => (i.toLong, s"p$i")).toDF("id", "pay").repartition(1),
+        s"$path/day=$d", overwrite = true)
+    FeatherSnapshots.adopt(fsOf(path), new Path(path)) // v1
+    // id=3 lives in day=d0 (3 % 3 == 0); move it to day=d2 with new pay
+    val source = Seq((3L, "d2", "moved_3"), (601L, "d1", "new_601"))
+      .toDF("id", "day", "pay")
+    val r = FeatherMutations.mergeDV(spark, path, source, Seq("id"))
+    assert(r.partsWritten >= 2, "one insert part per touched leaf")
+    val back = spark.read.format("feather").load(path)
+    assert(back.count() === 601)
+    val moved = back.filter(col("id") === 3L)
+      .select("day", "pay").collect()
+    assert(moved.length === 1)
+    assert(moved.head.getString(0) === "d2")
+    assert(moved.head.getString(1) === "moved_3")
+  }
+
+  test("applyCdcDV: tombstones mask, live rows land, an all-tombstone " +
+       "batch over the whole table leaves a readable empty table") {
+    import spark.implicits._
+    val path = tmp("cdcdv")
+    writeTable(path, 100, 2)
+    val batch = Seq(
+      (5L, "g0", "upd_5", false),
+      (6L, "g0", null: String, true),
+      (101L, "gN", "ins_101", false))
+      .toDF("id", "grp", "pay", "_deleted")
+    FeatherMutations.applyCdcDV(spark, path, batch, Seq("id"))
+    val back = spark.read.format("feather").load(path)
+    assert(back.count() === 100) // -1 tombstone +1 insert
+    assert(back.filter(col("id") === 6L).count() === 0)
+    assert(back.filter(col("id") === 5L).select("pay").head().getString(0)
+      === "upd_5")
+    // tombstone EVERYTHING: the stamp keeps the table readable
+    val ids = back.select("id").collect().map(_.getLong(0)).toSeq
+    val killAll = ids.toDF("id")
+      .withColumn("grp", lit(null).cast("string"))
+      .withColumn("pay", lit(null).cast("string"))
+      .withColumn("_deleted", lit(true))
+    FeatherMutations.applyCdcDV(spark, path, killAll, Seq("id"))
+    val empty = spark.read.format("feather").load(path)
+    assert(empty.count() === 0)
+    assert(empty.columns.toSeq === Seq("id", "grp", "pay"))
+  }
+
+  test("mergeDV evolveSchema widens without touching survivors") {
+    import spark.implicits._
+    val path = tmp("mdv_evo")
+    writeTable(path, 500, 2)
+    val bytes0 = dataBytes(path, ".feather")
+    val source = Seq((10L, "gU", "u10", 0.9))
+      .toDF("id", "grp", "pay", "score")
+    FeatherMutations.mergeDV(spark, path, source, Seq("id"),
+      evolveSchema = true)
+    assert(dataBytes(path, ".feather") > bytes0)
+    val back = spark.read.format("feather")
+      .option("mergeSchema", "true").load(path)
+    assert(back.columns.contains("score"))
+    assert(back.filter(col("id") === 10L).select("score").head()
+      .getDouble(0) === 0.9)
+    assert(back.filter(col("id") === 11L).select("score").head().isNullAt(0))
+  }
+
+  test("mergeDV works on the parquet face too") {
+    import spark.implicits._
+    val path = tmp("mdv_pq")
+    val df = (1 to 800).map(i => (i.toLong, s"p$i")).toDF("id", "pay")
+      .repartitionByRange(4, col("id"))
+    graft.io.ParquetTable.write(df, path)
+    val bytes0 = dataBytes(path, ".parquet")
+    val source = Seq((7L, "u7"), (900L, "new")).toDF("id", "pay")
+    val r = FeatherMutations.mergeDV(spark, path, source, Seq("id"))
+    assert(r.filesTouched === 1 && r.partsWritten >= 1)
+    val back = graft.io.ParquetTable.read(spark, path)
+    assert(back.count() === 801)
+    assert(back.filter(col("id") === 7L).select("pay").head().getString(0)
+      === "u7")
+    assert(dataBytes(path, ".parquet") > bytes0)
+  }
 }
