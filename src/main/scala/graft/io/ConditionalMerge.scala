@@ -1,0 +1,371 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.FeatherSnapshots
+
+/** Conditional MERGE — the Delta/industry MERGE surface CDC consumers
+  * actually write (reference analog: the reference's in-memory upsert is
+  * an unconditional boolean-mask scatter, cpp/include/cudf/copying.hpp
+  * boolean_mask_scatter; a table needs the clause algebra):
+  *
+  * {{{
+  * ConditionalMerge(spark, path, source, keyCols = Seq("id"))
+  *   .whenMatchedUpdate(cond = Some(col("source.ts") > col("target.ts")),
+  *     set = Map("pay" -> col("source.pay")))
+  *   .whenMatchedDelete(Some(col("source.tombstone")))
+  *   .whenNotMatchedInsertAll()
+  *   .whenNotMatchedBySourceDelete(Some(col("target.expired")))
+  *   .execute()          // copy-on-write
+  *   // .executeDV()     // merge-on-read: masks + new parts
+  * }}}
+  *
+  * Semantics (the Delta contract):
+  *  - rows pair by `keyCols` equality (null keys never match);
+  *  - clauses of each family evaluate IN ORDER, first condition that
+  *    holds wins; a row matching no clause of its family carries through
+  *    unchanged (matched / not-matched-by-source families) or is ignored
+  *    (not-matched source rows);
+  *  - `update` SET expressions and clause conditions reference the two
+  *    sides as `target.<col>` / `source.<col>`; an `update` leaves
+  *    unlisted columns at their target values, an `insert` fills
+  *    unlisted columns with NULL;
+  *  - the source must carry UNIQUE key tuples — two source rows matching
+  *    one target row have no defined merge order, and the check is loud
+  *    (Delta's multiple-matches error);
+  *  - the whole operation is ONE atomic manifest commit under the
+  *    conflict matrix (concurrent blind appends commute, racing
+  *    mutations abort loudly).
+  *
+  * Strategies:
+  *  - [[execute]] (copy-on-write): candidate files — pruned by the
+  *    stats/bloom probe on the source keys — rewrite whole. A
+  *    `whenNotMatchedBySource` clause touches EVERY file (any row might
+  *    be unmatched; Delta scans the full table for this clause too). An
+  *    insert-only merge rewrites nothing — it reads candidate keys for
+  *    the anti-join and appends the insert parts.
+  *  - [[executeDV]] (merge-on-read): matched rows' positions mask via
+  *    [[DeletionVectors]] sidecars and the clause OUTPUT (updated +
+  *    carried-through matched rows + inserts) lands as new parts —
+  *    bytes ∝ matched + inserted rows, never touched-file sizes.
+  *    `whenNotMatchedBySource` is refused here: masking "every row not
+  *    in the source" is a full-table operation where the rewrite is the
+  *    right strategy anyway.
+  *
+  * Scope: flat (non-hive) tables, any face (feather/avro/parquet); a
+  * partitioned table routes through [[FeatherMutations.merge]] /
+  * [[FeatherMutations.mergeDV]] (replace-or-insert), whose insert
+  * routing understands leaves. */
+final case class ConditionalMerge(
+    spark: SparkSession, path: String, source: DataFrame,
+    keyCols: Seq[String],
+    matched: Seq[(Option[Column], ConditionalMerge.MatchedAction)] = Nil,
+    notMatched: Seq[(Option[Column], Map[String, Column])] = Nil,
+    bySource: Seq[(Option[Column], ConditionalMerge.MatchedAction)] = Nil,
+    codec: String = "lz4") {
+  import ConditionalMerge._
+
+  def whenMatchedUpdate(cond: Option[Column] = None,
+                        set: Map[String, Column]): ConditionalMerge =
+    copy(matched = matched :+ (cond -> Update(set)))
+  /** SET every table column to the source's value. */
+  def whenMatchedUpdateAll(cond: Option[Column] = None): ConditionalMerge =
+    copy(matched = matched :+ (cond -> UpdateAll))
+  def whenMatchedDelete(cond: Option[Column] = None): ConditionalMerge =
+    copy(matched = matched :+ (cond -> Delete))
+  /** Insert with explicit values; unlisted columns become NULL. */
+  def whenNotMatchedInsert(cond: Option[Column] = None,
+                           values: Map[String, Column]): ConditionalMerge = {
+    require(values.nonEmpty,
+      "whenNotMatchedInsert: empty values — use whenNotMatchedInsertAll()")
+    copy(notMatched = notMatched :+ (cond -> values))
+  }
+  def whenNotMatchedInsertAll(cond: Option[Column] = None): ConditionalMerge =
+    copy(notMatched = notMatched :+ (cond -> Map.empty[String, Column]))
+  def whenNotMatchedBySourceDelete(cond: Option[Column] = None)
+      : ConditionalMerge =
+    copy(bySource = bySource :+ (cond -> Delete))
+  def whenNotMatchedBySourceUpdate(cond: Option[Column] = None,
+                                   set: Map[String, Column])
+      : ConditionalMerge =
+    copy(bySource = bySource :+ (cond -> Update(set)))
+
+  /** Copy-on-write execution. */
+  def execute(): FeatherMutations.Result = run(dvMask = false)
+
+  /** Merge-on-read execution (DV masks + new parts). */
+  def executeDV(): FeatherMutations.Result = run(dvMask = true)
+
+  private def run(dvMask: Boolean): FeatherMutations.Result = {
+    require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
+      "merge: no clauses — add whenMatched*/whenNotMatched* first")
+    require(!dvMask || bySource.isEmpty,
+      "merge: whenNotMatchedBySource touches every table row — a " +
+        "merge-on-read mask of the whole table buys nothing; use " +
+        "execute() (copy-on-write) for this clause")
+    require(keyCols.nonEmpty, "merge: keyCols must be non-empty")
+    keyCols.foreach(k => require(source.columns.contains(k),
+      s"merge: key column '$k' not in source (${source.columns.mkString(", ")})"))
+    ConditionalMerge.run(this, dvMask)
+  }
+}
+
+object ConditionalMerge {
+  sealed trait MatchedAction extends Serializable
+  final case class Update(set: Map[String, Column]) extends MatchedAction
+  case object UpdateAll extends MatchedAction
+  case object Delete extends MatchedAction
+
+  // action-id encoding for the single-pass clause resolution: 0 = carry
+  // the target row through unchanged (or, for inserts, drop the source
+  // row); 1.. = that clause index fired; -1 = delete the row
+  private val Keep = 0
+
+  private def run(m: ConditionalMerge, dvMask: Boolean)
+      : FeatherMutations.Result = {
+    val spark = m.spark
+    val keys = m.keyCols
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(m.path)
+    val fs = root.getFileSystem(conf)
+    require(FeatherSnapshots.enabled(fs, root),
+      s"merge on ${m.path}, which has no ${FeatherSnapshots.Dir} " +
+        "directory — write the table with option(\"snapshots\", \"true\") first")
+    val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
+      sys.error(s"merge on ${m.path}: no snapshot versions"))
+    val face = ConnectorFace.detect(snap.files, "merge", m.path)
+    require(!snap.files.exists(_._1.contains("/")),
+      s"merge on ${m.path}: conditional clauses support flat tables — " +
+        "route a partitioned table through FeatherMutations.merge/mergeDV")
+    val absFiles = snap.files.map { case (rel, len) =>
+      (new Path(root, rel).toString, len) }
+    val absLen = absFiles.toMap
+    val tableSchema = face.mergedSchema(spark, absFiles)
+    keys.foreach(k => require(tableSchema.fieldNames.contains(k),
+      s"merge: key column '$k' not in table schema " +
+        s"(${tableSchema.fieldNames.mkString(", ")})"))
+    validateSetColumns(m, tableSchema)
+
+    // unique source keys: one target row must pair with at most one
+    // source row (and one source key with one insert). Null-keyed
+    // source rows never match anything and may repeat.
+    val dupes = m.source.groupBy(keys.map(col): _*)
+      .count().where(col("count") > 1 &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .limit(1).collect()
+    require(dupes.isEmpty,
+      s"merge: source carries a duplicate key tuple " +
+        s"${keys.zipWithIndex.map { case (k, i) =>
+          s"$k=${dupes.headOption.map(_.get(i)).orNull}" }
+          .mkString("(", ", ", ")")} — multiple source rows matching one " +
+        "target row have no defined merge order; pre-collapse the source " +
+        "(max-sequence per key)")
+
+    val targetV = snap.version + 1
+    val prefix = FeatherSnapshots.runPrefix(targetV)
+    val srcP = m.source.withColumn("__s_present", lit(true)).alias("source")
+    def keyCond = keys
+      .map(k => col(s"target.$k") === col(s"source.$k")).reduce(_ && _)
+
+    /** First-matching-clause-wins when-chain: built from the LAST clause
+      * outward so earlier clauses shadow later ones. `base` offsets the
+      * clause ids into the global action-id space. */
+    def chain(clauses: Seq[(Option[Column], MatchedAction)],
+              base: Int): Column =
+      clauses.zipWithIndex.foldRight(lit(Keep): Column) {
+        case (((c, a), i), tail) =>
+          val id = a match { case Delete => lit(-1); case _ => lit(base + i) }
+          when(c.getOrElse(lit(true)), id).otherwise(tail)
+      }
+
+    /** Clause application over target⋈source: one action id per row, one
+      * CASE per output column. Matched rows run the whenMatched family,
+      * unmatched target rows the whenNotMatchedBySource family; action 0
+      * carries the row through, -1 drops it. */
+    def applyClauses(tgt: DataFrame): DataFrame = {
+      val joined = tgt.alias("target").join(srcP, keyCond, "left_outer")
+      val present = col("source.__s_present").isNotNull
+      val actionId = when(present, chain(m.matched, 1))
+        .otherwise(chain(m.bySource, 1 + m.matched.size))
+      val all = m.matched ++ m.bySource
+      val outCols = tableSchema.fields.map { f =>
+        val keepV = col(s"target.${f.name}")
+        val v = all.zipWithIndex.foldRight(keepV: Column) {
+          case (((_, a), i), tail) =>
+            val setV: Column = a match {
+              case Update(set) => set.getOrElse(f.name, keepV)
+              case UpdateAll => col(s"source.${f.name}")
+              case Delete => keepV // unreachable: the row is filtered
+            }
+            when(col("__m_action") === lit(1 + i), setV).otherwise(tail)
+        }
+        v.cast(f.dataType).as(f.name)
+      }
+      joined.withColumn("__m_action", actionId)
+        .where(col("__m_action") =!= lit(-1))
+        .select(outCols.toSeq: _*)
+    }
+
+    /** Not-matched source rows through the insert-clause chain; a row
+      * matching no insert clause drops. */
+    def inserts(tgtKeys: DataFrame): DataFrame = {
+      val anti = srcP
+        .join(tgtKeys.toDF(keys: _*).alias("target"), keyCond, "left_anti")
+      val actionId = m.notMatched.zipWithIndex.foldRight(lit(Keep): Column) {
+        case (((c, _), i), tail) =>
+          when(c.getOrElse(lit(true)), lit(i + 1)).otherwise(tail)
+      }
+      val outCols = tableSchema.fields.map { f =>
+        val v = m.notMatched.zipWithIndex.foldRight(lit(null): Column) {
+          case (((_, values), i), tail) =>
+            val insV: Column =
+              if (values.isEmpty) col(s"source.${f.name}") // insertAll
+              else values.getOrElse(f.name, lit(null))
+            when(col("__m_action") === lit(i + 1), insV).otherwise(tail)
+        }
+        v.cast(f.dataType).as(f.name)
+      }
+      anti.withColumn("__m_action", actionId)
+        .where(col("__m_action") =!= lit(Keep))
+        .select(outCols.toSeq: _*)
+    }
+
+    // ---- which files participate? -------------------------------------------
+    // a whenNotMatchedBySource clause can fire on ANY row → every file;
+    // otherwise only files whose key range could contain a source key.
+    // Pruning is an over-approximation of "could match", so a source key
+    // outside every candidate file is unmatched BY CONSTRUCTION — the
+    // insert anti-join against the candidate rows alone is exact.
+    val candidateIdx: Seq[Int] =
+      if (m.bySource.nonEmpty) absFiles.indices
+      else FeatherMutations.probeTouched(spark, "merge", absFiles,
+        tableSchema, m.source, keys)._1.toSeq.sorted
+    val candidateAbs = candidateIdx.map(absFiles)
+    val candidateSet = candidateAbs.map(_._1).toSet
+    val dvPathsAll = snap.dvs.map { case (rel, (dvRel, _)) =>
+      new Path(root, rel).toString -> new Path(root, dvRel).toString }
+    def emptyFrame = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), tableSchema)
+    def readCandidates(): DataFrame =
+      if (candidateAbs.isEmpty) emptyFrame
+      else ConnectorFace.align(face.readMergedDv(spark, candidateAbs,
+        dvPathsAll.filter { case (abs, _) => candidateSet(abs) }),
+        tableSchema)
+
+    val added = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var partsWritten = 0
+    def writeOut(out: DataFrame, targetParts: Int): Unit = {
+      val parts = face.writeParts(
+        out.coalesce(math.max(1, targetParts)), root.toString, prefix,
+        m.codec)
+      if (parts.nonEmpty)
+        FeatherStats.upsertMerged(fs, root,
+          parts.map { case (name, len, js) =>
+            name -> (len, FeatherStats.fromJson(js)) }.toMap)
+      added ++= parts.map { case (name, len, _) => (name, len) }
+      partsWritten += parts.size
+    }
+
+    val rewriteNeeded = m.matched.nonEmpty || m.bySource.nonEmpty
+    val committed: Long =
+      if (!dvMask) {
+        // ---- copy-on-write ----------------------------------------------------
+        val cand = readCandidates()
+        if (rewriteNeeded && candidateAbs.nonEmpty)
+          writeOut(applyClauses(cand).unionByName(
+              inserts(cand.select(keys.map(col): _*))),
+            math.max(candidateAbs.size, m.source.rdd.getNumPartitions))
+        else
+          // insert-only merge: candidates are read for the anti-join but
+          // never rewritten — the commit is a pure append
+          writeOut(inserts(cand.select(keys.map(col): _*)),
+            m.source.rdd.getNumPartitions)
+        val removeRel: Set[String] =
+          if (rewriteNeeded) candidateIdx.map(i => snap.files(i)._1).toSet
+          else Set.empty
+        if (added.isEmpty && removeRel.nonEmpty &&
+            snap.files.forall { case (rel, _) => removeRel(rel) }) {
+          val (name, len) = face.stamp(fs, root, prefix, tableSchema)
+          added += ((name, len))
+        }
+        FeatherSnapshots.commitMutation(fs, root, "merge", snap,
+          removeRel, added.toSeq)
+      } else {
+        // ---- merge-on-read: mask EVERY matched position, land the clause
+        // output (updates + carried-through matched rows + inserts) as new
+        // parts. A matched row no clause fires on re-inserts identically
+        // (the CDF net-diff cancels it), so masks stay ∝ matched rows.
+        val positions = FeatherMutations.dvPositionScan(spark, face,
+          root, snap, absFiles, candidateIdx, m.source, keys, tableSchema)
+        val stats = FeatherStats.loadForFiles(conf, absFiles)
+        def fileRowCount(fid: Int): Option[Long] =
+          stats.getOrElse(absFiles(fid)._1, None)
+            .flatMap(FeatherMutations.exactRows)
+        val (bindings, droppedRel) = FeatherMutations.bindDvs(fs, conf,
+          root, snap, targetV, positions, fileRowCount)
+        // full matched rows: posKeep read of exactly the masked positions
+        val keepByAbs: Map[String, Array[Long]] = positions.map {
+          case (fid, pos) => absFiles(fid)._1 -> pos.distinct.sorted }
+        val matchedRows =
+          if (keepByAbs.isEmpty) emptyFrame
+          else ConnectorFace.align(face.readMergedDv(spark,
+            keepByAbs.keys.toSeq.sorted.map(abs => (abs, absLen(abs))),
+            dvPathsAll, keepByAbs), tableSchema)
+        writeOut(applyClauses(matchedRows).unionByName(
+            inserts(matchedRows.select(keys.map(col): _*))),
+          m.source.rdd.getNumPartitions)
+        if (added.isEmpty && droppedRel.nonEmpty &&
+            snap.files.forall { case (rel, _) => droppedRel(rel) }) {
+          val (name, len) = face.stamp(fs, root, prefix, tableSchema)
+          added += ((name, len))
+        }
+        FeatherSnapshots.commitMutation(fs, root, "merge", snap,
+          droppedRel, added.toSeq, setDvs = bindings)
+      }
+    val touched =
+      if (dvMask) positionsTouched(committed, snap, fs, root)
+      else if (rewriteNeeded) candidateIdx.size
+      else 0
+    FeatherMutations.Result(committed, touched,
+      snap.files.size - touched, partsWritten)
+  }
+
+  /** Files the committed DV-merge actually masked or dropped — read back
+    * from the committed manifest delta instead of threading counts
+    * through the branches. One manifest read. */
+  private def positionsTouched(v: Long, parent: FeatherSnapshots.Snapshot,
+                               fs: org.apache.hadoop.fs.FileSystem,
+                               root: Path): Int = {
+    val cur = FeatherSnapshots.read(fs, root, v)
+    val parentSet = parent.files.map(_._1).toSet
+    val gone = parent.files.count { case (rel, _) =>
+      !cur.files.exists(_._1 == rel) }
+    val rebound = cur.dvs.count { case (rel, b) =>
+      parentSet(rel) && !parent.dvs.get(rel).contains(b) }
+    gone + rebound
+  }
+
+  private def validateSetColumns(m: ConditionalMerge,
+                                 schema: StructType): Unit = {
+    def check(set: Map[String, Column], what: String): Unit =
+      set.keys.foreach(c => require(schema.fieldNames.contains(c),
+        s"merge: $what names column '$c', not in the table schema " +
+          s"(${schema.fieldNames.mkString(", ")})"))
+    (m.matched ++ m.bySource).foreach {
+      case (_, Update(set)) => check(set, "an update SET")
+      case _ => ()
+    }
+    m.notMatched.foreach { case (_, values) =>
+      check(values, "an insert VALUES") }
+    // updateAll / insertAll need the source to carry every table column
+    val needsAll = m.matched.exists(_._2 == UpdateAll) ||
+      m.notMatched.exists(_._2.isEmpty)
+    if (needsAll)
+      schema.fieldNames.foreach(c => require(m.source.columns.contains(c),
+        s"merge: updateAll/insertAll needs source column '$c' " +
+          s"(source has: ${m.source.columns.mkString(", ")})"))
+  }
+}

@@ -400,7 +400,7 @@ object FeatherMutations {
     * exactly the matched (file index, position) pairs. Matched pairs
     * collect to the driver — changed-row-count-sized by design (a
     * takedown list or correction batch, never a retention sweep). */
-  private def dvPositionScan(spark: SparkSession, face: ConnectorFace,
+  private[io] def dvPositionScan(spark: SparkSession, face: ConnectorFace,
                              root: Path,
                              snap: FeatherSnapshots.Snapshot,
                              absFiles: Seq[(String, Long)],
@@ -520,7 +520,7 @@ object FeatherMutations {
     * batches to discard every row. The file itself stays on disk for
     * time travel until expire(). Returns (bindings to set, rel paths to
     * drop). */
-  private def bindDvs(fs: org.apache.hadoop.fs.FileSystem,
+  private[io] def bindDvs(fs: org.apache.hadoop.fs.FileSystem,
                       conf: org.apache.hadoop.conf.Configuration,
                       root: Path, snap: FeatherSnapshots.Snapshot,
                       targetV: Long, newByFile: Map[Int, Array[Long]],
@@ -563,7 +563,7 @@ object FeatherMutations {
     * batch carries a count (a partial answer could prove the wrong
     * thing). Shared by the DV full-coverage check and the COW no-op
     * delete proof. */
-  private def exactRows(batches: Seq[Map[String, FeatherStats.ColStat]])
+  private[io] def exactRows(batches: Seq[Map[String, FeatherStats.ColStat]])
       : Option[Long] = {
     val counts = batches.map(_.get(FeatherStats.RowCountKey) match {
       case Some(FeatherStats.ColStat.Count(n)) => Some(n)
@@ -583,7 +583,7 @@ object FeatherMutations {
     * Returns (touched file indices, the stats it loaded) — callers that
     * need sidecar stats afterwards (the DV delete's full-coverage check)
     * reuse them instead of paying a second per-leaf sidecar read. */
-  private def probeTouched(spark: SparkSession, op: String,
+  private[io] def probeTouched(spark: SparkSession, op: String,
                            absFiles: Seq[(String, Long)],
                            tableSchema: StructType,
                            keysDf: DataFrame,

@@ -77,7 +77,7 @@ object IoQueries extends QueryPack {
     "io_feather_cdf", "io_feather_restore",
     "io_feather_delete_dv", "io_avro_delete_dv", "io_sql_table_changes",
     "io_parquet_snapshot", "io_parquet_delete_dv", "io_parquet_cdf",
-    "io_feather_merge_dv",
+    "io_feather_merge_dv", "io_merge_clauses", "io_merge_clauses_dv",
     "io_avro_time_travel", "dedup_lsh_incremental")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
@@ -1189,6 +1189,126 @@ object IoQueries extends QueryPack {
           !f.getName.startsWith("mut-")).map(_.length()).sum
       require(after == dataBytes,
         s"DV merge must not rewrite candidate files ($dataBytes -> $after)")
+    }
+    s.read.format("feather").load(path)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").as("total"))
+      .orderBy("o_orderkey")
+  }
+
+  // CONDITIONAL MERGE, copy-on-write (io/ConditionalMerge.scala): the
+  // Delta clause surface — whenMatched(cond){delete|update},
+  // whenNotMatched(cond){insert}, whenNotMatchedBySource{update} — in
+  // first-clause-wins order, exercised in ONE statement. The ORACLE
+  // reformulates the clause algebra as a relational CTE (LEFT JOIN with
+  // CASE chains + anti-join inserts), so every clause's effect is
+  // pinned value-exactly against DuckDB.
+  register("io_merge_clauses",
+    """WITH t AS (
+      |  SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderkey <= 3000),
+      |s AS (
+      |  SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 3500),
+      |survivors AS (
+      |  SELECT t.o_orderkey,
+      |    CASE WHEN s.o_orderkey IS NOT NULL THEN
+      |           CASE WHEN t.total > 100000 THEN '9-BIG'
+      |                ELSE t.o_orderpriority END
+      |         WHEN t.o_orderkey < 100 THEN '0-STALE'
+      |         ELSE t.o_orderpriority END AS o_orderpriority,
+      |    CASE WHEN s.o_orderkey IS NOT NULL
+      |              AND s.o_orderkey % 10 <> 0 AND t.total > 100000
+      |         THEN s.total * 2 ELSE t.total END AS total
+      |  FROM t LEFT JOIN s USING (o_orderkey)
+      |  WHERE s.o_orderkey IS NULL OR s.o_orderkey % 10 <> 0),
+      |ins AS (
+      |  SELECT s.o_orderkey, '9-NEW' AS o_orderpriority,
+      |    CAST(NULL AS DOUBLE) AS total
+      |  FROM s LEFT JOIN t USING (o_orderkey)
+      |  WHERE t.o_orderkey IS NULL AND s.o_orderkey % 2 = 1)
+      |SELECT * FROM survivors UNION ALL SELECT * FROM ins
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val path = readFixture("merge_clauses", d) { p =>
+      Tables.orders(s, d).filter(col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartitionByRange(6, col("o_orderkey"))
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(p)
+      val source = Tables.orders(s, d)
+        .filter(col("o_orderkey") > 2000 && col("o_orderkey") <= 3500)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      graft.io.ConditionalMerge(s, p, source, Seq("o_orderkey"))
+        .whenMatchedDelete(Some(col("source.o_orderkey") % 10 === 0))
+        .whenMatchedUpdate(Some(col("target.o_totalprice") > 100000),
+          set = Map("o_orderpriority" -> lit("9-BIG"),
+            "o_totalprice" -> col("source.o_totalprice") * 2))
+        .whenNotMatchedInsert(Some(col("source.o_orderkey") % 2 === 1),
+          values = Map("o_orderkey" -> col("source.o_orderkey"),
+            "o_orderpriority" -> lit("9-NEW")))
+        .whenNotMatchedBySourceUpdate(Some(col("target.o_orderkey") < 100),
+          set = Map("o_orderpriority" -> lit("0-STALE")))
+        .execute(): Unit
+    }
+    s.read.format("feather").load(path)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").as("total"))
+      .orderBy("o_orderkey")
+  }
+
+  // CONDITIONAL MERGE, merge-on-read (executeDV): same clause algebra
+  // minus whenNotMatchedBySource (a full-table clause where the rewrite
+  // is the right strategy), landed as DV masks + new parts. The fixture
+  // pins zero candidate bytes rewritten; the oracle pins the algebra.
+  register("io_merge_clauses_dv",
+    """WITH t AS (
+      |  SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderkey <= 3000),
+      |s AS (
+      |  SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 3500),
+      |survivors AS (
+      |  SELECT t.o_orderkey,
+      |    CASE WHEN s.o_orderkey IS NOT NULL AND t.total > 100000
+      |         THEN '9-BIG' ELSE t.o_orderpriority END AS o_orderpriority,
+      |    CASE WHEN s.o_orderkey IS NOT NULL
+      |              AND s.o_orderkey % 10 <> 0 AND t.total > 100000
+      |         THEN s.total * 2 ELSE t.total END AS total
+      |  FROM t LEFT JOIN s USING (o_orderkey)
+      |  WHERE s.o_orderkey IS NULL OR s.o_orderkey % 10 <> 0),
+      |ins AS (
+      |  SELECT s.o_orderkey, '9-NEW' AS o_orderpriority,
+      |    CAST(NULL AS DOUBLE) AS total
+      |  FROM s LEFT JOIN t USING (o_orderkey)
+      |  WHERE t.o_orderkey IS NULL AND s.o_orderkey % 2 = 1)
+      |SELECT * FROM survivors UNION ALL SELECT * FROM ins
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val path = readFixture("merge_clauses_dv", d) { p =>
+      Tables.orders(s, d).filter(col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartitionByRange(6, col("o_orderkey"))
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(p)
+      val dataBytes = new java.io.File(p).listFiles()
+        .filter(f => f.getName.endsWith(".feather") &&
+          !f.getName.startsWith("mut-")).map(_.length()).sum
+      val source = Tables.orders(s, d)
+        .filter(col("o_orderkey") > 2000 && col("o_orderkey") <= 3500)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      graft.io.ConditionalMerge(s, p, source, Seq("o_orderkey"))
+        .whenMatchedDelete(Some(col("source.o_orderkey") % 10 === 0))
+        .whenMatchedUpdate(Some(col("target.o_totalprice") > 100000),
+          set = Map("o_orderpriority" -> lit("9-BIG"),
+            "o_totalprice" -> col("source.o_totalprice") * 2))
+        .whenNotMatchedInsert(Some(col("source.o_orderkey") % 2 === 1),
+          values = Map("o_orderkey" -> col("source.o_orderkey"),
+            "o_orderpriority" -> lit("9-NEW")))
+        .executeDV(): Unit
+      val after = new java.io.File(p).listFiles()
+        .filter(f => f.getName.endsWith(".feather") &&
+          !f.getName.startsWith("mut-")).map(_.length()).sum
+      require(after == dataBytes,
+        s"DV clause merge must not rewrite candidates ($dataBytes -> $after)")
     }
     s.read.format("feather").load(path)
       .select(col("o_orderkey"), col("o_orderpriority"),

@@ -1,0 +1,275 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{ConditionalMerge, FeatherChanges}
+import graft.sources.FeatherSnapshots
+
+/** The Delta-shaped conditional MERGE: clause ordering, partial SET /
+  * partial INSERT semantics, whenNotMatchedBySource, the COW↔DV strategy
+  * equivalence, and the loud-refusal contracts. */
+class ConditionalMergeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private def tmp(n: String): String = {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_cmerge_test/$n"
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(p))
+    p
+  }
+  private def fsOf(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // table: id 1..100, grade g0/g1/g2, amt = id * 10
+  private def writeTable(path: String, format: String = "feather"): Unit = {
+    import spark.implicits._
+    (1 to 100).map(i => (i.toLong, s"g${i % 3}", i * 10.0))
+      .toDF("id", "grade", "amt")
+      .repartitionByRange(4, col("id"))
+      .write.format(format).mode("overwrite")
+      .option("snapshots", "true").save(path)
+  }
+  // source: ids 51..120 (51..100 match), flag = id % 2
+  private def src = {
+    import spark.implicits._
+    (51 to 120).map(i => (i.toLong, s"s${i % 3}", i * 100.0))
+      .toDF("id", "grade", "amt")
+  }
+
+  private def fullMerge(path: String) =
+    ConditionalMerge(spark, path, src, Seq("id"))
+      // matched, id divisible by 10 → delete
+      .whenMatchedDelete(Some(col("source.id") % 10 === 0))
+      // matched, target amt > 700 → partial update (grade only)
+      .whenMatchedUpdate(Some(col("target.amt") > 700),
+        set = Map("grade" -> concat(lit("up_"), col("source.grade"))))
+      // unmatched source, odd id → partial insert (amt stays null)
+      .whenNotMatchedInsert(Some(col("source.id") % 2 === 1),
+        values = Map("id" -> col("source.id"), "grade" -> lit("new")))
+      // target rows without a source match, id <= 5 → delete
+      .whenNotMatchedBySourceDelete(Some(col("target.id") <= 5))
+
+  /** The expected post-merge state, computed relationally. */
+  private def expected = {
+    import spark.implicits._
+    val t = (1 to 100).map(i => (i.toLong, s"g${i % 3}", i * 10.0))
+    val kept = t.filter { case (id, _, _) =>
+      !(id >= 51 && id % 10 == 0) && // matched deletes
+      !(id <= 5) // bySource deletes (ids 1..5 have no source match)
+    }.map { case (id, g, a) =>
+      if (id >= 51 && id <= 100 && a > 700) (id, s"up_s${id % 3}", a)
+      else (id, g, a)
+    }
+    val ins = (101 to 120).filter(_ % 2 == 1)
+      .map(i => (i.toLong, "new", null.asInstanceOf[java.lang.Double]))
+    (kept.map(x => (x._1, x._2, x._3: java.lang.Double)) ++ ins)
+      .sortBy(_._1)
+  }
+
+  private def collect(path: String, format: String = "feather") =
+    spark.read.format(format).load(path).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else (r.getDouble(2): java.lang.Double)))
+      .toSeq
+
+  test("full clause matrix, copy-on-write: ordering, partial SET, " +
+       "partial INSERT nulls, bySource delete") {
+    val path = tmp("cow")
+    writeTable(path)
+    val r = fullMerge(path).execute()
+    assert(r.version === 2L)
+    // bySource forces every file to participate
+    assert(r.filesTouched === 4)
+    assert(collect(path) === expected)
+  }
+
+  test("DV strategy produces identical content without rewriting " +
+       "candidate files (no bySource clause)") {
+    val pathCow = tmp("dv_c")
+    val pathDv = tmp("dv_d")
+    writeTable(pathCow)
+    writeTable(pathDv)
+    def m(p: String) = ConditionalMerge(spark, p, src, Seq("id"))
+      .whenMatchedDelete(Some(col("source.id") % 10 === 0))
+      .whenMatchedUpdate(Some(col("target.amt") > 700),
+        set = Map("grade" -> concat(lit("up_"), col("source.grade"))))
+      .whenNotMatchedInsert(Some(col("source.id") % 2 === 1),
+        values = Map("id" -> col("source.id"), "grade" -> lit("new")))
+    val bytes0 = new java.io.File(pathDv).listFiles()
+      .filter(f => f.getName.endsWith(".feather") && !f.getName.startsWith("mut-"))
+      .map(_.length()).sum
+    m(pathCow).execute()
+    val rd = m(pathDv).executeDV()
+    val after = new java.io.File(pathDv).listFiles()
+      .filter(f => f.getName.endsWith(".feather") && !f.getName.startsWith("mut-"))
+      .map(_.length()).sum
+    assert(after === bytes0, "DV strategy must not rewrite candidates")
+    assert(rd.filesTouched >= 1, "the matched files carry masks")
+    assert(collect(pathCow) === collect(pathDv))
+    // the source matches EVERY row of the two upper range files
+    // (51..75, 76..100): a full-coverage mask DROPS the file from the
+    // manifest instead of binding a sidecar
+    val snap = FeatherSnapshots.resolve(fsOf(pathDv), new Path(pathDv), None).get
+    val parent = FeatherSnapshots.read(fsOf(pathDv), new Path(pathDv), 1L)
+    val carried = parent.files.map(_._1).toSet
+      .intersect(snap.files.map(_._1).toSet)
+    assert(parent.files.size - carried.size === 2,
+      "the two fully-matched files drop from the manifest")
+    // a PARTIAL match binds a real sidecar
+    import spark.implicits._
+    ConditionalMerge(spark, pathDv,
+      Seq((1L, "sZ", 0.0)).toDF("id", "grade", "amt"), Seq("id"))
+      .whenMatchedUpdate(None, set = Map("grade" -> lit("one")))
+      .executeDV()
+    val snap3 = FeatherSnapshots.resolve(fsOf(pathDv), new Path(pathDv), None).get
+    assert(snap3.dvs.nonEmpty, "a partial match binds a DV sidecar")
+    assert(spark.read.format("feather").load(pathDv)
+      .filter(col("id") === 1L).select("grade").head().getString(0) === "one")
+    // time travel still serves the pre-merge state
+    assert(spark.read.format("feather").option("versionAsOf", "1")
+      .load(pathDv).count() === 100)
+  }
+
+  test("first matching clause wins: an unconditional clause shadows " +
+       "everything after it") {
+    import spark.implicits._
+    val path = tmp("order")
+    writeTable(path)
+    val s2 = Seq((60L, "sX", 1.0)).toDF("id", "grade", "amt")
+    ConditionalMerge(spark, path, s2, Seq("id"))
+      .whenMatchedUpdate(None, set = Map("grade" -> lit("first")))
+      .whenMatchedDelete(None) // unreachable
+      .execute()
+    val row = spark.read.format("feather").load(path)
+      .filter(col("id") === 60L).collect()
+    assert(row.length === 1)
+    assert(row.head.getString(1) === "first")
+  }
+
+  test("insert-only merge is a pure append: no file rewritten") {
+    val path = tmp("insonly")
+    writeTable(path)
+    val before = FeatherSnapshots.resolve(fsOf(path), new Path(path), None)
+      .get.files.toSet
+    val r = ConditionalMerge(spark, path, src, Seq("id"))
+      .whenNotMatchedInsertAll()
+      .execute()
+    assert(r.filesTouched === 0)
+    val afterSnap = FeatherSnapshots.resolve(fsOf(path), new Path(path), None).get
+    assert(before.subsetOf(afterSnap.files.toSet),
+      "every parent file carries through")
+    val back = spark.read.format("feather").load(path)
+    assert(back.count() === 120) // 100 + inserts 101..120
+    assert(back.filter(col("id") === 60L).select("amt").head().getDouble(0)
+      === 600.0, "matched rows untouched by an insert-only merge")
+  }
+
+  test("conditional DV merge emits CDF deletes + inserts; untouched " +
+       "matched rows net out") {
+    import spark.implicits._
+    val path = tmp("cdf")
+    writeTable(path)
+    val s2 = Seq((60L, "sX", 999.0), (61L, "sY", 1.0))
+      .toDF("id", "grade", "amt")
+    ConditionalMerge(spark, path, s2, Seq("id"))
+      // only id=60 changes (source.amt 999 > 500); 61 carries through
+      .whenMatchedUpdate(Some(col("source.amt") > 500),
+        set = Map("amt" -> col("source.amt")))
+      .executeDV()
+    val feed = FeatherChanges.readChanges(spark, path, 1, 2)
+      .select("id", "amt", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .sortBy(t => (t._1, t._3))
+    assert(feed.toSeq === Seq(
+      (60L, 600.0, "delete"), (60L, 999.0, "insert")))
+  }
+
+  test("loud contracts: duplicate source keys, bySource under DV, " +
+       "partitioned table, unknown SET column, missing insertAll column") {
+    import spark.implicits._
+    val path = tmp("loud")
+    writeTable(path)
+    val dup = Seq((60L, "a", 1.0), (60L, "b", 2.0)).toDF("id", "grade", "amt")
+    val e1 = intercept[IllegalArgumentException] {
+      ConditionalMerge(spark, path, dup, Seq("id"))
+        .whenMatchedUpdateAll().execute()
+    }
+    assert(e1.getMessage.contains("duplicate key"))
+    val e2 = intercept[IllegalArgumentException] {
+      ConditionalMerge(spark, path, src, Seq("id"))
+        .whenNotMatchedBySourceDelete().executeDV()
+    }
+    assert(e2.getMessage.contains("whenNotMatchedBySource"))
+    val e3 = intercept[IllegalArgumentException] {
+      ConditionalMerge(spark, path, src, Seq("id"))
+        .whenMatchedUpdate(None, set = Map("ghost" -> lit(1)))
+        .execute()
+    }
+    assert(e3.getMessage.contains("ghost"))
+    val e4 = intercept[IllegalArgumentException] {
+      ConditionalMerge(spark, path, src.drop("amt"), Seq("id"))
+        .whenNotMatchedInsertAll().execute()
+    }
+    assert(e4.getMessage.contains("amt"))
+    // partitioned table refused
+    val ppath = tmp("loud_part")
+    graft.io.GraftFeather.write(
+      Seq((1L, 1.0)).toDF("id", "amt").repartition(1),
+      s"$ppath/day=a", overwrite = true)
+    FeatherSnapshots.adopt(fsOf(ppath), new Path(ppath))
+    val e5 = intercept[IllegalArgumentException] {
+      ConditionalMerge(spark, ppath,
+        Seq((1L, 2.0)).toDF("id", "amt"), Seq("id"))
+        .whenMatchedUpdateAll().execute()
+    }
+    assert(e5.getMessage.contains("flat tables"))
+  }
+
+  test("the clause matrix runs on the parquet face, both strategies") {
+    import spark.implicits._
+    val pathCow = tmp("pq_c")
+    val pathDv = tmp("pq_d")
+    val df = (1 to 100).map(i => (i.toLong, s"g${i % 3}", i * 10.0))
+      .toDF("id", "grade", "amt")
+      .repartitionByRange(4, col("id"))
+    graft.io.ParquetTable.write(df, pathCow)
+    graft.io.ParquetTable.write(df, pathDv)
+    def m(p: String) = ConditionalMerge(spark, p, src, Seq("id"))
+      .whenMatchedDelete(Some(col("source.id") % 10 === 0))
+      .whenMatchedUpdate(Some(col("target.amt") > 700),
+        set = Map("grade" -> concat(lit("up_"), col("source.grade"))))
+      .whenNotMatchedInsert(Some(col("source.id") % 2 === 1),
+        values = Map("id" -> col("source.id"), "grade" -> lit("new")))
+    m(pathCow).execute()
+    m(pathDv).executeDV()
+    def got(p: String) = graft.io.ParquetTable.read(spark, p).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else (r.getDouble(2): java.lang.Double)))
+      .toSeq
+    assert(got(pathCow) === got(pathDv))
+    assert(got(pathCow).size === 100 - 5 + 10) // -deletes(60..100 by 10) +inserts
+  }
+
+  test("null-keyed source rows never match and never duplicate-trip") {
+    import spark.implicits._
+    val path = tmp("nullkey")
+    writeTable(path)
+    val s2 = Seq((java.lang.Long.valueOf(60L), "sX", 1.0),
+        (null.asInstanceOf[java.lang.Long], "n1", 2.0),
+        (null.asInstanceOf[java.lang.Long], "n2", 3.0))
+      .toDF("id", "grade", "amt")
+    ConditionalMerge(spark, path, s2, Seq("id"))
+      .whenMatchedUpdate(None, set = Map("grade" -> lit("upd")))
+      .whenNotMatchedInsertAll()
+      .execute()
+    val back = spark.read.format("feather").load(path)
+    assert(back.count() === 102, "null-keyed rows insert (no match)")
+    assert(back.filter(col("id") === 60L).select("grade").head()
+      .getString(0) === "upd")
+  }
+}
