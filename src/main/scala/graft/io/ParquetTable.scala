@@ -44,18 +44,35 @@ object ParquetTable {
   /** Append `df` to the table (op=append; blind appends commute with
     * concurrent maintenance through the conflict matrix). A first append
     * onto a legacy parquet directory seeds v1 from its listing, same as
-    * the other faces' sinks. */
-  def append(df: DataFrame, path: String, codec: String = "snappy"): Long =
-    writeImpl(df, path, truncate = false, codec)
+    * the other faces' sinks. `mergeSchema = true` is the write-side
+    * schema-evolution opt-in (the shared [[WriteSchemaEvolution]] gate):
+    * new columns widen the table, missing columns read as null in the
+    * new rows, type changes are refused outright. */
+  def append(df: DataFrame, path: String, codec: String = "snappy",
+             mergeSchema: Boolean = false): Long =
+    writeImpl(df, path, truncate = false, codec, mergeSchema)
 
   private def writeImpl(df: DataFrame, path: String, truncate: Boolean,
-                        codec: String): Long = {
+                        codec: String, mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)
-    if (!truncate)
+    if (!truncate) {
       FeatherSnapshots.requireRootAppendable(fs, root, Suffixes)
+      lazy val existing: Option[Seq[(String, Long)]] = {
+        val files = FeatherSnapshots.resolve(fs, root, None).map(_.files)
+          .getOrElse(FeatherSnapshots.listDataFiles(fs, root, Suffixes))
+          .map { case (rel, len) => (new Path(root, rel).toString, len) }
+        if (files.isEmpty) None else Some(files)
+      }
+      graft.sources.WriteSchemaEvolution.validateAppend(path, df.schema,
+        mergeSchema,
+        headSchema = existing.map(files =>
+          GraftParquet.mergedSchema(spark, files.take(1))),
+        unionSchema = existing.map(files =>
+          GraftParquet.mergedSchema(spark, files)))
+    }
     // run-unique part prefix: racing writers can never rename over (or
     // pre-clean) each other; a crashed run's parts are unreferenced
     // orphans vacuumOrphans reclaims after the grace window

@@ -72,7 +72,7 @@ object IoQueries extends QueryPack {
     "io_avro_delete", "io_avro_merge", "io_feather_merge_partitioned",
     "io_feather_cluster", "io_avro_cluster", "io_zorder_cluster",
     "io_zorder_mixed",
-    "io_feather_evolution", "io_avro_evolution",
+    "io_feather_evolution", "io_avro_evolution", "io_feather_write_evolution",
     "io_feather_bloom_skip", "io_bloom_string_takedown", "io_stats_backfill",
     "io_feather_cdf", "io_feather_restore",
     "io_feather_delete_dv", "io_avro_delete_dv", "io_sql_table_changes",
@@ -1490,6 +1490,44 @@ object IoQueries extends QueryPack {
         src.filter(col("c_custkey") > 60 && col("c_custkey") <= 120)
           .select("c_custkey", "c_mktsegment", "c_nationkey")
           .repartition(1), p, "gen2"): Unit
+    }
+    s.read.format("feather").option("mergeSchema", "true").load(path)
+      .select("c_custkey", "c_mktsegment", "c_nationkey")
+      .orderBy("c_custkey")
+  }
+
+  // WRITE-side schema evolution (sources/WriteSchemaEvolution.scala —
+  // the Delta option("mergeSchema","true") contract): an APPEND carrying
+  // a NEW column widens the table schema in the commit; without the
+  // option the sink refuses loudly (and a TYPE change is refused
+  // unconditionally — silently landing it would brick the merged read).
+  // The oracle pins the widened union: old rows read the new column as
+  // null. FeatherWriteEvolutionSpec pins the refusal matrix and the CDF
+  // head-schema contract.
+  register("io_feather_write_evolution",
+    """SELECT c_custkey, c_mktsegment,
+      |  CASE WHEN c_custkey <= 60 THEN NULL ELSE c_nationkey END AS c_nationkey
+      |FROM customer WHERE c_custkey <= 120 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val path = readFixture("feather_write_evolution", d) { p =>
+      val src = Tables.customer(s, d)
+      src.filter(col("c_custkey") <= 60)
+        .select("c_custkey", "c_mktsegment")
+        .repartition(1)
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(p)
+      // the gate: the SAME append without mergeSchema must refuse
+      val widened = src
+        .filter(col("c_custkey") > 60 && col("c_custkey") <= 120)
+        .select("c_custkey", "c_mktsegment", "c_nationkey")
+        .repartition(1)
+      val refused =
+        try { widened.write.format("feather").mode("append").save(p); false }
+        catch { case e: Exception =>
+          e.getMessage.contains("mergeSchema") }
+      require(refused,
+        "an un-opted widening append must fail naming the option")
+      widened.write.format("feather").mode("append")
+        .option("mergeSchema", "true").save(p)
     }
     s.read.format("feather").option("mergeSchema", "true").load(path)
       .select("c_custkey", "c_mktsegment", "c_nationkey")

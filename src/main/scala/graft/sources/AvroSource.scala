@@ -142,7 +142,8 @@ private class AvroWriteBuilder(
   override def build(): org.apache.spark.sql.connector.write.Write =
     new AvroWrite(info.schema(), path, doTruncate,
       Option(info.options.get("codec")).getOrElse("snappy"),
-      Option(info.options.get("snapshots")).exists(_.toBoolean))
+      Option(info.options.get("snapshots")).exists(_.toBoolean),
+      Option(info.options.get("mergeschema")).exists(_.toBoolean))
 }
 
 private case class AvroCommitMessage(tmpName: String, partitionId: Int,
@@ -150,13 +151,36 @@ private case class AvroCommitMessage(tmpName: String, partitionId: Int,
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private class AvroWrite(st: StructType, path: String, truncate: Boolean,
-                        codec: String, snapshotsOpt: Boolean = false)
+                        codec: String, snapshotsOpt: Boolean = false,
+                        mergeSchemaOpt: Boolean = false)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite {
   // fail on unmappable schemas / bad codecs BEFORE tasks launch
   private val schemaJson = GraftAvro.toAvroSchema(st).toString
   require(Seq("snappy", "deflate", "null", "none").contains(codec),
     s"unknown codec $codec (snappy, deflate, none)")
+  // write-side schema-evolution gate, shared contract with the feather
+  // sink (WriteSchemaEvolution): widening/narrowing appends need
+  // option("mergeSchema","true"); type changes are refused outright
+  if (!truncate) {
+    lazy val existing: Option[Seq[(String, Long)]] =
+      try {
+        val d = AvroDiscovery.discover(
+          org.apache.spark.sql.SparkSession.active, path, None)
+        Some(d.files.map(l => (l.file, l.len)))
+      } catch { case _: Exception => None } // new/empty directory
+    WriteSchemaEvolution.validateAppend(path, st, mergeSchemaOpt,
+      headSchema = existing.map { files =>
+        GraftAvro.toSparkType(GraftAvro.mergedSchema(
+          org.apache.spark.sql.SparkSession.active, files.take(1)))
+          .asInstanceOf[StructType]
+      },
+      unionSchema = existing.map { files =>
+        GraftAvro.toSparkType(GraftAvro.mergedSchema(
+          org.apache.spark.sql.SparkSession.active, files))
+          .asInstanceOf[StructType]
+      })
+  }
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = this
 

@@ -697,7 +697,8 @@ private class FeatherWriteBuilder(
     new FeatherWrite(info.schema(), path, doTruncate,
       Option(info.options.get("codec")).getOrElse("lz4"),
       Option(info.options.get("batchsize")).map(_.toInt).getOrElse(4096),
-      Option(info.options.get("snapshots")).exists(_.toBoolean))
+      Option(info.options.get("snapshots")).exists(_.toBoolean),
+      Option(info.options.get("mergeschema")).exists(_.toBoolean))
 }
 
 private case class FeatherCommitMessage(tmpName: String, partitionId: Int,
@@ -706,7 +707,8 @@ private case class FeatherCommitMessage(tmpName: String, partitionId: Int,
 
 private class FeatherWrite(st: StructType, path: String, truncate: Boolean,
                            codec: String, batchSize: Int,
-                           snapshotsOpt: Boolean)
+                           snapshotsOpt: Boolean,
+                           mergeSchemaOpt: Boolean = false)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite {
   // fail on unmappable schemas / bad options BEFORE tasks launch
@@ -714,6 +716,30 @@ private class FeatherWrite(st: StructType, path: String, truncate: Boolean,
   require(Seq("lz4", "zstd", "none", "null").contains(codec),
     s"unknown codec $codec (lz4, zstd, none)")
   require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+  // write-side schema-evolution gate (WriteSchemaEvolution): an append
+  // whose schema differs from the table widens ONLY under
+  // option("mergeSchema","true"); type changes are refused outright.
+  // Covers the batch sink and the streaming sink alike (toStreaming is
+  // built from this same Write, once per query start).
+  if (!truncate) {
+    lazy val existing: Option[Seq[(String, Long)]] =
+      try {
+        val d = FeatherDiscovery.discover(SparkSession.active, path, None)
+        Some(d.files.map(l => (l.file, l.len)))
+      } catch { case _: Exception => None } // new/empty directory
+    WriteSchemaEvolution.validateAppend(path, st, mergeSchemaOpt,
+      headSchema = existing.map { files =>
+        StructType(GraftFeather.readFieldsMerged(SparkSession.active,
+          files.take(1))
+          .map(f => org.apache.spark.sql.types.StructField(f.getName,
+            GraftFeather.toSparkType(f), f.isNullable)))
+      },
+      unionSchema = existing.map { files =>
+        StructType(GraftFeather.readFieldsMerged(SparkSession.active, files)
+          .map(f => org.apache.spark.sql.types.StructField(f.getName,
+            GraftFeather.toSparkType(f), f.isNullable)))
+      })
+  }
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = this
 

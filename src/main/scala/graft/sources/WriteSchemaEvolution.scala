@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+
+/** WRITE-SIDE schema evolution for the connector sinks — the Delta
+  * `option("mergeSchema", "true")` contract. The sinks pass the incoming
+  * frame's schema straight through to self-describing part files
+  * (supportsExternalMetadata hands Spark the frame schema as the table
+  * schema for writes, so the analyzer's output-resolution check is
+  * vacuous here); without a sink-side gate an append could silently land
+  *
+  *  - NEW columns (schema widens without the operator asking),
+  *  - MISSING columns (rows that read null where the table has data), or
+  *  - TYPE CONFLICTS (the merged read then fails loudly BY DESIGN — the
+  *    table is effectively bricked until the offending files are removed).
+  *
+  * The gate: an append whose schema differs from the table's must carry
+  * `option("mergeSchema", "true")` to widen (new columns join the union
+  * schema; older generations read them as null — the read-side
+  * mergeSchema contract) or to narrow (missing columns read as null in
+  * the new rows); a TYPE CHANGE on an existing column is refused
+  * unconditionally — merged reads refuse type drift loudly rather than
+  * silently coerce, so the write must too (rewrite via cluster() to
+  * retype). OVERWRITE is ungated: it replaces the table definition, and
+  * retained generations still time-travel with their own schema.
+  *
+  * Mid-stream widening: a running CDF/snapshot stream pins its schema at
+  * start; an evolved append mid-stream align-casts into the pinned shape
+  * (new columns invisible until the stream restarts) — the documented
+  * contract in [[graft.io.FeatherChanges]]. `changesSince` and fresh
+  * streams serve the widened head schema immediately. */
+private[graft] object WriteSchemaEvolution {
+
+  /** Nullability-insensitive structural type equality (Spark's sameType
+    * is private[sql]; the write gate must not refuse a nullable-vs-
+    * required re-append of the same physical type). */
+  private def eqType(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (x: StructType, y: StructType) =>
+      x.length == y.length && x.fields.zip(y.fields).forall { case (f, g) =>
+        f.name == g.name && eqType(f.dataType, g.dataType) }
+    case (x: ArrayType, y: ArrayType) => eqType(x.elementType, y.elementType)
+    case (x: MapType, y: MapType) =>
+      eqType(x.keyType, y.keyType) && eqType(x.valueType, y.valueType)
+    case _ => a == b
+  }
+
+  /** Validate an APPEND frame schema against the existing table.
+    * `headSchema` is the cheap fast path (one footer — exact re-appends,
+    * the overwhelmingly common case, never pay a sweep); `unionSchema`
+    * is the full evolved union, computed only on mismatch. Either
+    * returning None means "no existing table" — anything goes. */
+  def validateAppend(path: String, writeSchema: StructType,
+                     mergeSchema: Boolean,
+                     headSchema: => Option[StructType],
+                     unionSchema: => Option[StructType]): Unit = {
+    def norm(st: StructType): Map[String, DataType] =
+      st.fields.map(f => f.name -> f.dataType).toMap
+    val w = norm(writeSchema)
+    headSchema match {
+      case None => return
+      case Some(h) =>
+        val hn = norm(h)
+        if (hn.keySet == w.keySet && hn.forall { case (k, t) =>
+            eqType(t, w(k)) }) return
+    }
+    val union = unionSchema.getOrElse(return)
+    val t = norm(union)
+    val conflicts = w.keys.toSeq.sorted.filter(k =>
+      t.contains(k) && !eqType(t(k), w(k)))
+    require(conflicts.isEmpty,
+      s"append to $path: column type change is not supported — " +
+        conflicts.map(k => s"'$k' ${t(k).catalogString} -> " +
+          s"${w(k).catalogString}").mkString(", ") +
+        " (merged reads refuse type drift loudly rather than coerce; " +
+        "rewrite the table — cluster()/compact — to retype, or cast the " +
+        "frame to the table's types)")
+    val extra = (w.keySet -- t.keySet).toSeq.sorted
+    val missing = (t.keySet -- w.keySet).toSeq.sorted
+    if ((extra.nonEmpty || missing.nonEmpty) && !mergeSchema)
+      throw new IllegalArgumentException(
+        s"append to $path: the frame's schema differs from the table's" +
+          (if (extra.nonEmpty)
+            s" — new column(s) ${extra.mkString(", ")}" else "") +
+          (if (missing.nonEmpty)
+            s" — missing column(s) ${missing.mkString(", ")}" else "") +
+          ". Set option(\"mergeSchema\", \"true\") to evolve the schema " +
+          "on write (new columns read as null in older rows; missing " +
+          "columns read as null in the new rows), or align the frame")
+  }
+}

@@ -214,6 +214,7 @@ class AvroSnapshotsSpec extends AnyFunSuite {
     writeV(path, 1, 30, "overwrite")
     (31 to 40).map(i => (i.toLong, s"n_$i", "de")).toDF("id", "name", "lang")
       .repartition(1).write.format("graft-avro").mode("append")
+      .option("mergeSchema", "true") // the write-evolution opt-in
       .option("snapshots", "true").save(path)
     val q = spark.readStream.format("graft-avro")
       .option("mergeSchema", "true").load(path)

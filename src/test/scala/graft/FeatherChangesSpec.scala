@@ -547,6 +547,7 @@ class FeatherChangesSpec extends AnyFunSuite {
     (11 to 15).map(i => (i.toLong, s"n_$i", i * 2))
       .toDF("id", "name", "extra").repartition(1)
       .write.format("feather").mode("append")
+      .option("mergeSchema", "true") // the write-evolution opt-in
       .option("snapshots", "true").save(path)
     val (c2, v2) = poll(v1)
     assert(c2.schema.fieldNames.contains("extra"))
@@ -559,6 +560,7 @@ class FeatherChangesSpec extends AnyFunSuite {
     // nullable, in the incrementally-merged schema
     (16 to 18).map(_.toLong).toDF("id").repartition(1)
       .write.format("feather").mode("append")
+      .option("mergeSchema", "true") // narrowing append: same opt-in
       .option("snapshots", "true").save(path)
     val (c3, v3) = poll(v2)
     assert(c3.schema.fieldNames.contains("name"))
