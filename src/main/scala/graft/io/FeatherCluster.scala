@@ -51,9 +51,10 @@ object FeatherCluster {
   def cluster(spark: SparkSession, path: String, cols: Seq[String],
               targetBytes: Long = 128L << 20,
               codec: String = "lz4",
-              bloomFor: Option[String] = None): Result =
+              bloomFor: Option[String] = None,
+              incremental: Boolean = false): Result =
     clusterImpl(spark, path, cols, targetBytes, codec, bloomFor,
-      zorderBits = 0)
+      zorderBits = 0, incremental = incremental)
 
   /** OPTIMIZE ZORDER BY over numeric, DATE, TIMESTAMP, or STRING
     * dimensions — see the object scaladoc. Dates map by day number and
@@ -66,20 +67,22 @@ object FeatherCluster {
                     bitsPerDim: Int = 12,
                     targetBytes: Long = 128L << 20,
                     codec: String = "lz4",
-                    bloomFor: Option[String] = None): Result = {
+                    bloomFor: Option[String] = None,
+                    incremental: Boolean = false): Result = {
     require(cols.size >= 2,
       "clusterZOrder: need >= 2 dimensions (cluster() serves 1)")
     require(bitsPerDim >= 1 && bitsPerDim * cols.size <= 62,
       s"clusterZOrder: bitsPerDim=$bitsPerDim x ${cols.size} dims must " +
         "fit 62 bits")
     clusterImpl(spark, path, cols, targetBytes, codec, bloomFor,
-      zorderBits = bitsPerDim)
+      zorderBits = bitsPerDim, incremental = incremental)
   }
 
   private def clusterImpl(spark: SparkSession, path: String,
                           cols: Seq[String], targetBytes: Long,
                           codec: String, bloomFor: Option[String],
-                          zorderBits: Int): Result = {
+                          zorderBits: Int,
+                          incremental: Boolean = false): Result = {
     require(cols.nonEmpty, "cluster: cols must be non-empty")
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val conf = spark.sparkContext.hadoopConfiguration
@@ -96,16 +99,39 @@ object FeatherCluster {
     // pre-clean each other's uncommitted parts
     val prefix = f"clust-v${snap.version + 1}%08d-${java.util.UUID
       .randomUUID().toString.take(8)}"
+    // INCREMENTAL mode: only files appended/mutated SINCE the last
+    // cluster commit rewrite; that commit's still-live outputs carry
+    // through untouched (bindings included). This keeps a continuously
+    // ingesting table's OPTIMIZE cost ∝ new data instead of ∝ table
+    // size; each incremental run adds one clustered GENERATION, so
+    // band-prune overlap depth ≤ generation count — a periodic FULL run
+    // folds the generations back to one. A head whose every file is
+    // already clustered is a true no-op (no commit — an empty "cluster"
+    // version would churn streams and caches for nothing).
+    val keepFiles: Seq[(String, Long)] =
+      if (!incremental) Nil
+      else FeatherSnapshots.readAll(fs, root).reverse
+        .find(_.op == "cluster") match {
+          case None => Nil // never clustered: incremental = full
+          case Some(last) =>
+            val lastSet = last.files.toSet
+            snap.files.filter(lastSet)
+        }
+    val keepSet = keepFiles.map(_._1).toSet
+    val rewriteFiles = snap.files.filterNot { case (rel, _) => keepSet(rel) }
+    if (incremental && rewriteFiles.isEmpty)
+      return Result(snap.version, snap.files.size, snap.files.size)
     // deletion vectors FOLD into the rewrite: every read below applies
     // the bindings, so the re-clustered parts hold only live rows and
-    // carry no bindings forward
+    // carry no bindings forward (a carried-through clustered file keeps
+    // its binding — the next full run folds it)
     def dvPathsFor(files: Seq[(String, Long)]): Map[String, String] =
       files.flatMap { case (rel, _) =>
         snap.dvs.get(rel).map { case (dvRel, _) =>
           new Path(root, rel).toString -> new Path(root, dvRel).toString }
       }.toMap
 
-    val byLeaf = snap.files.groupBy { case (rel, _) =>
+    val byLeaf = rewriteFiles.groupBy { case (rel, _) =>
       val i = rel.lastIndexOf('/')
       if (i < 0) "" else rel.substring(0, i)
     }.toSeq.sortBy(_._1)
@@ -125,9 +151,13 @@ object FeatherCluster {
       else {
         import org.apache.spark.sql.functions._
         import org.apache.spark.sql.types._
+        // incremental: normalization ranges derive from the REWRITE set
+        // alone (each generation gets a self-consistent z-space; pruning
+        // is exact either way — it reads per-file RAW-column stats, the
+        // z-key only drives colocation)
         val all = face.readMergedDv(spark,
-          snap.files.map { case (rel, len) =>
-            (new Path(root, rel).toString, len) }, dvPathsFor(snap.files))
+          rewriteFiles.map { case (rel, len) =>
+            (new Path(root, rel).toString, len) }, dvPathsFor(rewriteFiles))
         val maxVal = (1L << zorderBits) - 1
         // Left(doubleExpr) = numeric-ish; Right(()) = string-ranked
         val kinds: Seq[Either[org.apache.spark.sql.Column, Unit]] =
@@ -247,10 +277,12 @@ object FeatherCluster {
         (if (relDir.isEmpty) name else s"$relDir/$name", len) }
     }
 
-    // a zero-row table (e.g. post delete-all, only schema-only stamps)
-    // yields no parts — stamp per leaf rather than commit an EMPTY
-    // manifest that would make every later read fail at discovery
-    if (added.isEmpty) {
+    // a zero-row rewrite set with nothing carried (e.g. post delete-all,
+    // only schema-only stamps) yields no parts — stamp per leaf rather
+    // than commit an EMPTY manifest that would make every later read
+    // fail at discovery (an incremental run with clustered survivors
+    // needs no stamp: the survivors keep the table readable)
+    if (added.isEmpty && keepFiles.isEmpty) {
       val schema = face.mergedSchema(spark,
         snap.files.map { case (rel, len) =>
           (new Path(root, rel).toString, len) })
@@ -261,13 +293,14 @@ object FeatherCluster {
       }
     }
 
-    val gone = snap.files.map(_._1).toSet
+    val gone = rewriteFiles.map(_._1).toSet
     // conflict matrix (FeatherSnapshots.commitMutation): concurrent
     // appends commute (their files carry through un-clustered — the next
     // OPTIMIZE sweeps them in); concurrent mutations abort loudly
     val committed = FeatherSnapshots.commitMutation(fs, root, "cluster",
       snap, gone, added.toSeq)
     bloomFor.foreach(FeatherBloom.build(spark, path, _, face.suffix): Unit)
-    Result(committed, snap.files.size, added.size)
+    Result(committed, snap.files.size,
+      snap.files.size - gone.size + added.size)
   }
 }

@@ -211,4 +211,72 @@ class FeatherClusterSpec extends AnyFunSuite {
       java.sql.Date.valueOf("2020-04-12")).count() === 0) // day 102
   }
 
+  test("incremental cluster rewrites ONLY files appended since the last " +
+       "cluster commit; clustered generations carry through; a no-new-" +
+       "files run is a true no-op") {
+    import spark.implicits._
+    val path = tmp("incremental")
+    writeHashed(path, 20000, 8)
+    val r1 = FeatherCluster.cluster(spark, path,
+      Seq("id"), targetBytes = 64 << 10)
+    assert(r1.filesAfter >= 4, s"want several clustered files: $r1")
+    val clustered = FeatherSnapshots.resolve(fsOf(path), new Path(path), None)
+      .get.files.map(_._1).toSet
+    // a small append lands 2 hash-ordered files
+    (20001 to 21000).map(i => (i.toLong, s"p_$i")).toDF("id", "pay")
+      .repartition(2, col("id"))
+      .write.format("feather").mode("append").save(path)
+    val r2 = FeatherCluster.cluster(spark, path, Seq("id"),
+      targetBytes = 64 << 10, incremental = true)
+    assert(r2.version === 4L)
+    val head = FeatherSnapshots.resolve(fsOf(path), new Path(path), None).get
+    // every clustered-generation file carried through untouched
+    assert(clustered.subsetOf(head.files.map(_._1).toSet),
+      "incremental must not touch the clustered generation")
+    // rewrite work ∝ new data: 2 appended files -> few small parts
+    val newParts = head.files.map(_._1).toSet -- clustered
+    assert(newParts.nonEmpty && newParts.size <= 3,
+      s"the rewrite set is the 2 appended files, got $newParts")
+    // band-prune payoff holds across BOTH generations
+    val rd = graft.io.FeatherMutations.deleteByKey(spark, path,
+      ((100L to 120L) ++ (20500L to 20520L)).toDF("id"), Seq("id"))
+    // each band hits exactly one file PER GENERATION (both clustered)
+    assert(rd.filesTouched <= 2 && rd.filesTouched < head.files.size,
+      s"banded delete must prune across generations: $rd")
+    // content survives
+    assert(spark.read.format("feather").load(path).count() === 21000 - 42)
+    // the delete's replacement parts are post-cluster "new" files: one
+    // more incremental run sweeps exactly those ...
+    val r3 = FeatherCluster.cluster(spark, path, Seq("id"),
+      targetBytes = 64 << 10, incremental = true)
+    assert(r3.version > rd.version)
+    // ... and with nothing new since, the next run commits NOTHING
+    val r4 = FeatherCluster.cluster(spark, path, Seq("id"),
+      targetBytes = 64 << 10, incremental = true)
+    assert(r4.version === FeatherSnapshots.latestVersion(
+      fsOf(path), new Path(path)).get)
+    assert(r4.filesBefore === r4.filesAfter)
+  }
+
+  test("incremental zorder sweeps only the new files on the parquet face") {
+    import spark.implicits._
+    val path = tmp("inc_zorder_pq")
+    val df = (1 to 10000).map(i => ((i * 37) % 1000L, (i * 91) % 500L, s"r$i"))
+      .toDF("x", "y", "pay").repartition(4)
+    graft.io.ParquetTable.write(df, path)
+    FeatherCluster.clusterZOrder(spark, path, Seq("x", "y"),
+      targetBytes = 64 << 10)
+    val clustered = FeatherSnapshots.resolve(fsOf(path), new Path(path), None)
+      .get.files.map(_._1).toSet
+    graft.io.ParquetTable.append(
+      Seq((5L, 7L, "new1"), (900L, 400L, "new2")).toDF("x", "y", "pay"), path)
+    val r = FeatherCluster.clusterZOrder(spark, path, Seq("x", "y"),
+      targetBytes = 64 << 10, incremental = true)
+    val head = FeatherSnapshots.resolve(fsOf(path), new Path(path), None).get
+    assert(clustered.subsetOf(head.files.map(_._1).toSet))
+    assert(head.files.size === clustered.size + 1,
+      "two tiny appended files fold into one z-clustered part")
+    assert(graft.io.ParquetTable.read(spark, path).count() === 10002)
+    assert(r.filesAfter === head.files.size)
+  }
 }
