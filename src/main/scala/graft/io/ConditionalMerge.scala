@@ -147,13 +147,23 @@ object ConditionalMerge {
     keys.foreach(k => require(tableSchema.fieldNames.contains(k),
       s"merge: key column '$k' not in table schema " +
         s"(${tableSchema.fieldNames.mkString(", ")})"))
+    // the clause machinery stakes out two working columns — a real column
+    // with either name would be silently clobbered by withColumn and
+    // mis-route rows (the same guard GraftParquet.readFiles applies to
+    // its __gp_dv_* names)
+    Seq("__m_action", "__s_present", "__m_cnt").foreach(n => require(
+      !tableSchema.fieldNames.contains(n) && !m.source.columns.contains(n),
+      s"merge: reserved column name '$n' collides with a table/source column"))
     validateSetColumns(m, tableSchema)
 
     // unique source keys: one target row must pair with at most one
     // source row (and one source key with one insert). Null-keyed
-    // source rows never match anything and may repeat.
+    // source rows never match anything and may repeat. (The aggregate
+    // alias is reserved above: a key column literally named "count"
+    // must not make this check ambiguous.)
     val dupes = m.source.groupBy(keys.map(col): _*)
-      .count().where(col("count") > 1 &&
+      .agg(count(lit(1)).as("__m_cnt"))
+      .where(col("__m_cnt") > 1 &&
         keys.map(col(_).isNotNull).reduce(_ && _))
       .limit(1).collect()
     require(dupes.isEmpty,
@@ -239,10 +249,17 @@ object ConditionalMerge {
     // Pruning is an over-approximation of "could match", so a source key
     // outside every candidate file is unmatched BY CONSTRUCTION — the
     // insert anti-join against the candidate rows alone is exact.
-    val candidateIdx: Seq[Int] =
-      if (m.bySource.nonEmpty) absFiles.indices
-      else FeatherMutations.probeTouched(spark, "merge", absFiles,
-        tableSchema, m.source, keys)._1.toSeq.sorted
+    // probeTouched also returns the stats it loaded; the DV branch's
+    // full-coverage check reuses them instead of paying a second
+    // per-leaf sidecar read (the documented probeTouched contract).
+    val (candidateIdx: Seq[Int],
+         probeStats: Map[String, Option[Seq[Map[String, FeatherStats.ColStat]]]]) =
+      if (m.bySource.nonEmpty) (absFiles.indices: Seq[Int], Map.empty)
+      else {
+        val (touched, stats) = FeatherMutations.probeTouched(spark, "merge",
+          absFiles, tableSchema, m.source, keys)
+        (touched.toSeq.sorted, stats)
+      }
     val candidateAbs = candidateIdx.map(absFiles)
     val candidateSet = candidateAbs.map(_._1).toSet
     val dvPathsAll = snap.dvs.map { case (rel, (dvRel, _)) =>
@@ -268,69 +285,105 @@ object ConditionalMerge {
       added ++= parts.map { case (name, len, _) => (name, len) }
       partsWritten += parts.size
     }
+    /** applyClauses + inserts both scan `base`: persist it for the one
+      * write job, or every candidate file decodes twice. Unpersisted in
+      * the finally below once the write ran (or failed). */
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val cached = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned += cached
+      cached
+    }
+    def clauseOutput(base: DataFrame): DataFrame = {
+      val cached = pin(base)
+      applyClauses(cached)
+        .unionByName(inserts(cached.select(keys.map(col): _*)))
+    }
+    def noOp = FeatherMutations.Result(snap.version, 0, snap.files.size, 0)
 
     val rewriteNeeded = m.matched.nonEmpty || m.bySource.nonEmpty
-    val committed: Long =
-      if (!dvMask) {
-        // ---- copy-on-write ----------------------------------------------------
-        val cand = readCandidates()
-        if (rewriteNeeded && candidateAbs.nonEmpty)
-          writeOut(applyClauses(cand).unionByName(
-              inserts(cand.select(keys.map(col): _*))),
-            math.max(candidateAbs.size, m.source.rdd.getNumPartitions))
-        else
-          // insert-only merge: candidates are read for the anti-join but
-          // never rewritten — the commit is a pure append
-          writeOut(inserts(cand.select(keys.map(col): _*)),
-            m.source.rdd.getNumPartitions)
-        val removeRel: Set[String] =
-          if (rewriteNeeded) candidateIdx.map(i => snap.files(i)._1).toSet
-          else Set.empty
-        if (added.isEmpty && removeRel.nonEmpty &&
-            snap.files.forall { case (rel, _) => removeRel(rel) }) {
-          val (name, len) = face.stamp(fs, root, prefix, tableSchema)
-          added += ((name, len))
-        }
-        FeatherSnapshots.commitMutation(fs, root, "merge", snap,
-          removeRel, added.toSeq)
-      } else {
-        // ---- merge-on-read: mask EVERY matched position, land the clause
-        // output (updates + carried-through matched rows + inserts) as new
-        // parts. A matched row no clause fires on re-inserts identically
-        // (the CDF net-diff cancels it), so masks stay ∝ matched rows.
-        val positions = FeatherMutations.dvPositionScan(spark, face,
-          root, snap, absFiles, candidateIdx, m.source, keys, tableSchema)
-        val stats = FeatherStats.loadForFiles(conf, absFiles)
-        def fileRowCount(fid: Int): Option[Long] =
-          stats.getOrElse(absFiles(fid)._1, None)
-            .flatMap(FeatherMutations.exactRows)
-        val (bindings, droppedRel) = FeatherMutations.bindDvs(fs, conf,
-          root, snap, targetV, positions, fileRowCount)
-        // full matched rows: posKeep read of exactly the masked positions
-        val keepByAbs: Map[String, Array[Long]] = positions.map {
-          case (fid, pos) => absFiles(fid)._1 -> pos.distinct.sorted }
-        val matchedRows =
-          if (keepByAbs.isEmpty) emptyFrame
-          else ConnectorFace.align(face.readMergedDv(spark,
-            keepByAbs.keys.toSeq.sorted.map(abs => (abs, absLen(abs))),
-            dvPathsAll, keepByAbs), tableSchema)
-        writeOut(applyClauses(matchedRows).unionByName(
-            inserts(matchedRows.select(keys.map(col): _*))),
+    try {
+      if (!rewriteNeeded) {
+        // insert-only merge, EITHER strategy: candidates are read for the
+        // anti-join but never rewritten or masked — the commit is a pure
+        // append (masking matched rows just to re-insert them identically
+        // would cost ∝ matched rows and buy nothing)
+        val cand = pin(readCandidates())
+        writeOut(inserts(cand.select(keys.map(col): _*)),
           m.source.rdd.getNumPartitions)
-        if (added.isEmpty && droppedRel.nonEmpty &&
-            snap.files.forall { case (rel, _) => droppedRel(rel) }) {
-          val (name, len) = face.stamp(fs, root, prefix, tableSchema)
-          added += ((name, len))
-        }
-        FeatherSnapshots.commitMutation(fs, root, "merge", snap,
-          droppedRel, added.toSeq, setDvs = bindings)
+        // zero qualifying inserts: a TRUE no-op — publishing an empty
+        // op="merge" version would abort live snapshot streams for a
+        // change that altered nothing (the deleteByKeyDV precedent)
+        if (added.isEmpty) return noOp
+        val committed = FeatherSnapshots.commitMutation(fs, root, "merge",
+          snap, Set.empty, added.toSeq)
+        return FeatherMutations.Result(committed, 0, snap.files.size,
+          partsWritten)
       }
-    val touched =
-      if (dvMask) positionsTouched(committed, snap, fs, root)
-      else if (rewriteNeeded) candidateIdx.size
-      else 0
-    FeatherMutations.Result(committed, touched,
-      snap.files.size - touched, partsWritten)
+      val committed: Long =
+        if (!dvMask) {
+          // ---- copy-on-write ------------------------------------------------
+          if (candidateAbs.nonEmpty)
+            writeOut(clauseOutput(readCandidates()),
+              math.max(candidateAbs.size, m.source.rdd.getNumPartitions))
+          else
+            writeOut(inserts(emptyFrame.select(keys.map(col): _*)),
+              m.source.rdd.getNumPartitions)
+          val removeRel: Set[String] =
+            if (candidateAbs.nonEmpty)
+              candidateIdx.map(i => snap.files(i)._1).toSet
+            else Set.empty
+          if (added.isEmpty && removeRel.isEmpty) return noOp
+          if (added.isEmpty && removeRel.nonEmpty &&
+              snap.files.forall { case (rel, _) => removeRel(rel) }) {
+            val (name, len) = face.stamp(fs, root, prefix, tableSchema)
+            added += ((name, len))
+          }
+          FeatherSnapshots.commitMutation(fs, root, "merge", snap,
+            removeRel, added.toSeq)
+        } else {
+          // ---- merge-on-read: mask EVERY matched position, land the clause
+          // output (updates + carried-through matched rows + inserts) as new
+          // parts. A matched row no clause fires on re-inserts identically
+          // (the CDF net-diff cancels it), so masks stay ∝ matched rows.
+          val positions = FeatherMutations.dvPositionScan(spark, face,
+            root, snap, absFiles, candidateIdx, m.source, keys, tableSchema)
+          def fileRowCount(fid: Int): Option[Long] =
+            probeStats.getOrElse(absFiles(fid)._1, None)
+              .flatMap(FeatherMutations.exactRows)
+          val (bindings, droppedRel) = FeatherMutations.bindDvs(fs, conf,
+            root, snap, targetV, positions, fileRowCount)
+          // full matched rows: posKeep read of exactly the masked positions
+          val keepByAbs: Map[String, Array[Long]] = positions.map {
+            case (fid, pos) => absFiles(fid)._1 -> pos.distinct.sorted }
+          val matchedRows =
+            if (keepByAbs.isEmpty) emptyFrame
+            else ConnectorFace.align(face.readMergedDv(spark,
+              keepByAbs.keys.toSeq.sorted.map(abs => (abs, absLen(abs))),
+              dvPathsAll, keepByAbs), tableSchema)
+          writeOut(clauseOutput(matchedRows),
+            m.source.rdd.getNumPartitions)
+          // nothing matched, nothing inserted: a TRUE no-op (see above)
+          if (added.isEmpty && bindings.isEmpty && droppedRel.isEmpty)
+            return noOp
+          if (added.isEmpty && droppedRel.nonEmpty &&
+              snap.files.forall { case (rel, _) => droppedRel(rel) }) {
+            val (name, len) = face.stamp(fs, root, prefix, tableSchema)
+            added += ((name, len))
+          }
+          FeatherSnapshots.commitMutation(fs, root, "merge", snap,
+            droppedRel, added.toSeq, setDvs = bindings)
+        }
+      val touched =
+        if (dvMask) positionsTouched(committed, snap, fs, root)
+        else candidateIdx.size
+      FeatherMutations.Result(committed, touched,
+        snap.files.size - touched, partsWritten)
+    } finally {
+      // drop whatever was pinned — the write jobs are done (or failed)
+      pinned.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Files the committed DV-merge actually masked or dropped — read back

@@ -115,7 +115,17 @@ object FeatherCluster {
           case None => Nil // never clustered: incremental = full
           case Some(last) =>
             val lastSet = last.files.toSet
-            snap.files.filter(lastSet)
+            // only files the cluster runs actually WROTE count as
+            // clustered (the `clust-` name prefix): a blind append that
+            // raced the last cluster's commit rides its manifest
+            // un-clustered — "the next OPTIMIZE sweeps them in" is this
+            // run's contract, so those must stay in the rewrite set
+            snap.files.filter { f =>
+              lastSet(f) && {
+                val name = f._1.substring(f._1.lastIndexOf('/') + 1)
+                name.startsWith("clust-")
+              }
+            }
         }
     val keepSet = keepFiles.map(_._1).toSet
     val rewriteFiles = snap.files.filterNot { case (rel, _) => keepSet(rel) }

@@ -385,6 +385,13 @@ object FeatherMutations {
         }
     }
 
+    // a batch that changed NOTHING (replayed tombstones whose rows are
+    // already masked, no live rows) publishes no commit: an empty
+    // op="merge"/"cdc" version would abort any live snapshot stream for
+    // a change that altered zero rows, and a foreachBatch replay must be
+    // a true no-op — the same guard deleteByKeyDV carries
+    if (newBindings.isEmpty && droppedRel.isEmpty && added.isEmpty)
+      return Result(snap.version, 0, snap.files.size, 0)
     val committed = FeatherSnapshots.commitMutation(fs, root, op, snap,
       droppedRel, added.toSeq, setDvs = newBindings)
     Result(committed, newBindings.size + droppedRel.size,

@@ -722,11 +722,25 @@ private class FeatherWrite(st: StructType, path: String, truncate: Boolean,
   // Covers the batch sink and the streaming sink alike (toStreaming is
   // built from this same Write, once per query start).
   if (!truncate) {
-    lazy val existing: Option[Seq[(String, Long)]] =
-      try {
-        val d = FeatherDiscovery.discover(SparkSession.active, path, None)
-        Some(d.files.map(l => (l.file, l.len)))
-      } catch { case _: Exception => None } // new/empty directory
+    // existing files resolved WITHOUT a broad catch: a transient IO
+    // failure here must propagate, not silently disable the gate (a
+    // type-conflicting append landing because the object store
+    // throttled one footer read is the corruption this gate exists to
+    // stop). Only a genuinely absent/empty table maps to None.
+    lazy val existing: Option[Seq[(String, Long)]] = {
+      val rootP = new org.apache.hadoop.fs.Path(path)
+      val wfs = rootP.getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      if (!wfs.exists(rootP)) None
+      else {
+        val files = FeatherSnapshots.resolve(wfs, rootP, None).map(_.files)
+          .getOrElse(FeatherSnapshots.listDataFiles(wfs, rootP,
+            FeatherSnapshots.FeatherSuffixes))
+          .map { case (rel, len) =>
+            (new org.apache.hadoop.fs.Path(rootP, rel).toString, len) }
+        if (files.isEmpty) None else Some(files)
+      }
+    }
     WriteSchemaEvolution.validateAppend(path, st, mergeSchemaOpt,
       headSchema = existing.map { files =>
         StructType(GraftFeather.readFieldsMerged(SparkSession.active,

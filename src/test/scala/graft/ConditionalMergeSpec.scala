@@ -255,6 +255,36 @@ class ConditionalMergeSpec extends AnyFunSuite {
     assert(got(pathCow).size === 100 - 5 + 10) // -deletes(60..100 by 10) +inserts
   }
 
+  test("a merge that changes nothing publishes NO version (insert-only " +
+       "with zero qualifying inserts; conditional DV matching nothing)") {
+    import spark.implicits._
+    val path = tmp("noop")
+    writeTable(path)
+    // every source key already exists -> zero inserts -> no commit
+    val allMatched = Seq((60L, "sX", 1.0)).toDF("id", "grade", "amt")
+    val r1 = ConditionalMerge(spark, path, allMatched, Seq("id"))
+      .whenNotMatchedInsertAll().execute()
+    assert(r1.version === 1L, s"zero-insert merge must not commit: $r1")
+    // DV strategy, no key matches, no clause output -> no commit
+    val noMatch = Seq((9999L, "sX", 1.0)).toDF("id", "grade", "amt")
+    val r2 = ConditionalMerge(spark, path, noMatch, Seq("id"))
+      .whenMatchedDelete(None).executeDV()
+    assert(r2.version === 1L, s"nothing-matched DV merge must not commit: $r2")
+    assert(spark.read.format("feather").load(path).count() === 100)
+  }
+
+  test("executeDV with insert-only clauses is a pure append: no scan of " +
+       "matched positions, no masks") {
+    val path = tmp("dv_insonly")
+    writeTable(path)
+    val r = ConditionalMerge(spark, path, src, Seq("id"))
+      .whenNotMatchedInsertAll().executeDV()
+    assert(r.filesTouched === 0, s"insert-only must not mask: $r")
+    val snap = FeatherSnapshots.resolve(fsOf(path), new Path(path), None).get
+    assert(snap.dvs.isEmpty)
+    assert(spark.read.format("feather").load(path).count() === 120)
+  }
+
   test("null-keyed source rows never match and never duplicate-trip") {
     import spark.implicits._
     val path = tmp("nullkey")

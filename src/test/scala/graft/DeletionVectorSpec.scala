@@ -506,6 +506,22 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(back.filter(col("id") === 11L).select("score").head().isNullAt(0))
   }
 
+  test("a replayed all-tombstone CDC batch is a TRUE no-op: no version " +
+       "published (live snapshot streams survive the replay)") {
+    import spark.implicits._
+    val path = tmp("cdcdv_replay")
+    writeTable(path, 100, 2)
+    val batch = Seq((5L, "g0", null: String, true))
+      .toDF("id", "grp", "pay", "_deleted")
+    val r1 = FeatherMutations.applyCdcDV(spark, path, batch, Seq("id"))
+    assert(r1.version === 2L)
+    // the replay: row 5 is already masked, nothing matches, no live rows
+    val r2 = FeatherMutations.applyCdcDV(spark, path, batch, Seq("id"))
+    assert(r2.version === 2L, s"replay must not commit: $r2")
+    assert(r2.filesTouched === 0 && r2.partsWritten === 0)
+    assert(spark.read.format("feather").load(path).count() === 99)
+  }
+
   test("mergeDV works on the parquet face too") {
     import spark.implicits._
     val path = tmp("mdv_pq")

@@ -258,6 +258,35 @@ class FeatherClusterSpec extends AnyFunSuite {
     assert(r4.filesBefore === r4.filesAfter)
   }
 
+  test("a blind append racing the cluster commit rides its manifest " +
+       "UN-clustered and the next incremental run sweeps it in") {
+    import spark.implicits._
+    val path = tmp("inc_raced")
+    writeHashed(path, 4000, 4)
+    // inject an append INSIDE the cluster's commit window: the conflict
+    // matrix folds it into the published manifest without clustering it
+    FeatherSnapshots.testBeforeMutationCommit = () => {
+      (4001 to 4100).map(i => (i.toLong, s"p_$i")).toDF("id", "pay")
+        .repartition(1)
+        .write.format("feather").mode("append").save(path)
+    }
+    FeatherCluster.cluster(spark, path, Seq("id"), targetBytes = 64 << 10)
+    val afterFull = FeatherSnapshots.resolve(fsOf(path), new Path(path), None).get
+    val raced = afterFull.files.map(_._1)
+      .filterNot(n => n.substring(n.lastIndexOf('/') + 1)
+        .startsWith("clust-"))
+    assert(raced.size === 1, s"the raced append rides the manifest: $raced")
+    // the incremental run must treat the raced file as NEW work
+    val r = FeatherCluster.cluster(spark, path, Seq("id"),
+      targetBytes = 64 << 10, incremental = true)
+    assert(r.version === afterFull.version + 1,
+      "incremental sweeps the raced append in")
+    val head = FeatherSnapshots.resolve(fsOf(path), new Path(path), None).get
+    assert(head.files.forall { case (rel, _) =>
+      rel.substring(rel.lastIndexOf('/') + 1).startsWith("clust-") })
+    assert(spark.read.format("feather").load(path).count() === 4100)
+  }
+
   test("incremental zorder sweeps only the new files on the parquet face") {
     import spark.implicits._
     val path = tmp("inc_zorder_pq")
