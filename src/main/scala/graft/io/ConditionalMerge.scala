@@ -156,12 +156,26 @@ object ConditionalMerge {
       s"merge: reserved column name '$n' collides with a table/source column"))
     validateSetColumns(m, tableSchema)
 
+    // ONE materialization of the source serves the duplicate check, the
+    // clause/insert joins, the DV position scan, and the partition-count
+    // probe — an expensive upstream plan must not re-execute per use
+    // (the routePartitionedInserts precedent). Unpersisted in the
+    // finally at the bottom.
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val cached = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned += cached
+      cached
+    }
+    val src = pin(m.source)
+    try {
     // unique source keys: one target row must pair with at most one
     // source row (and one source key with one insert). Null-keyed
     // source rows never match anything and may repeat. (The aggregate
     // alias is reserved above: a key column literally named "count"
     // must not make this check ambiguous.)
-    val dupes = m.source.groupBy(keys.map(col): _*)
+    val dupes = src.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__m_cnt"))
       .where(col("__m_cnt") > 1 &&
         keys.map(col(_).isNotNull).reduce(_ && _))
@@ -176,7 +190,7 @@ object ConditionalMerge {
 
     val targetV = snap.version + 1
     val prefix = FeatherSnapshots.runPrefix(targetV)
-    val srcP = m.source.withColumn("__s_present", lit(true)).alias("source")
+    val srcP = src.withColumn("__s_present", lit(true)).alias("source")
     def keyCond = keys
       .map(k => col(s"target.$k") === col(s"source.$k")).reduce(_ && _)
 
@@ -257,7 +271,7 @@ object ConditionalMerge {
       if (m.bySource.nonEmpty) (absFiles.indices: Seq[Int], Map.empty)
       else {
         val (touched, stats) = FeatherMutations.probeTouched(spark, "merge",
-          absFiles, tableSchema, m.source, keys)
+          absFiles, tableSchema, src, keys)
         (touched.toSeq.sorted, stats)
       }
     val candidateAbs = candidateIdx.map(absFiles)
@@ -288,30 +302,30 @@ object ConditionalMerge {
     /** applyClauses + inserts both scan `base`: persist it for the one
       * write job, or every candidate file decodes twice. Unpersisted in
       * the finally below once the write ran (or failed). */
-    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def pin(df: DataFrame): DataFrame = {
-      val cached = df.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pinned += cached
-      cached
-    }
     def clauseOutput(base: DataFrame): DataFrame = {
       val cached = pin(base)
       applyClauses(cached)
         .unionByName(inserts(cached.select(keys.map(col): _*)))
     }
     def noOp = FeatherMutations.Result(snap.version, 0, snap.files.size, 0)
+    // a source that came through a shuffle reports
+    // spark.sql.shuffle.partitions partitions even when tiny — cap the
+    // write fan-out at the cluster's parallelism so repeated merges
+    // don't fill the table with near-empty parts (OPTIMIZE owns long-run
+    // part hygiene either way)
+    val srcParts = math.min(math.max(1, src.rdd.getNumPartitions),
+      spark.sparkContext.defaultParallelism)
 
     val rewriteNeeded = m.matched.nonEmpty || m.bySource.nonEmpty
-    try {
       if (!rewriteNeeded) {
         // insert-only merge, EITHER strategy: candidates are read for the
         // anti-join but never rewritten or masked — the commit is a pure
         // append (masking matched rows just to re-insert them identically
         // would cost ∝ matched rows and buy nothing)
-        val cand = pin(readCandidates())
-        writeOut(inserts(cand.select(keys.map(col): _*)),
-          m.source.rdd.getNumPartitions)
+        // only the key columns feed the anti-join: select BEFORE the
+        // pin so the cache (and the scan, via pruning) is key-width
+        val cand = pin(readCandidates().select(keys.map(col): _*))
+        writeOut(inserts(cand), srcParts)
         // zero qualifying inserts: a TRUE no-op — publishing an empty
         // op="merge" version would abort live snapshot streams for a
         // change that altered nothing (the deleteByKeyDV precedent)
@@ -326,10 +340,10 @@ object ConditionalMerge {
           // ---- copy-on-write ------------------------------------------------
           if (candidateAbs.nonEmpty)
             writeOut(clauseOutput(readCandidates()),
-              math.max(candidateAbs.size, m.source.rdd.getNumPartitions))
+              math.max(candidateAbs.size, srcParts))
           else
             writeOut(inserts(emptyFrame.select(keys.map(col): _*)),
-              m.source.rdd.getNumPartitions)
+              srcParts)
           val removeRel: Set[String] =
             if (candidateAbs.nonEmpty)
               candidateIdx.map(i => snap.files(i)._1).toSet
@@ -348,7 +362,7 @@ object ConditionalMerge {
           // parts. A matched row no clause fires on re-inserts identically
           // (the CDF net-diff cancels it), so masks stay ∝ matched rows.
           val positions = FeatherMutations.dvPositionScan(spark, face,
-            root, snap, absFiles, candidateIdx, m.source, keys, tableSchema)
+            root, snap, absFiles, candidateIdx, src, keys, tableSchema)
           def fileRowCount(fid: Int): Option[Long] =
             probeStats.getOrElse(absFiles(fid)._1, None)
               .flatMap(FeatherMutations.exactRows)
@@ -363,7 +377,7 @@ object ConditionalMerge {
               keepByAbs.keys.toSeq.sorted.map(abs => (abs, absLen(abs))),
               dvPathsAll, keepByAbs), tableSchema)
           writeOut(clauseOutput(matchedRows),
-            m.source.rdd.getNumPartitions)
+            srcParts)
           // nothing matched, nothing inserted: a TRUE no-op (see above)
           if (added.isEmpty && bindings.isEmpty && droppedRel.isEmpty)
             return noOp

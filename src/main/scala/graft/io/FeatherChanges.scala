@@ -160,12 +160,33 @@ object FeatherChanges {
     * string. */
   private def headFeedSchema(spark: SparkSession, path: String, root: Path,
                              fs: org.apache.hadoop.fs.FileSystem, head: Long)
+      : org.apache.spark.sql.types.StructType =
+    headEntry(spark, path, root, fs, head).combined
+
+  /** The table's merged DATA schema at the current head, through the
+    * same incrementally-maintained cache — what the write-evolution gate
+    * ([[graft.sources.WriteSchemaEvolution]]) validates appends against:
+    * one footer per appended file amortized, full sweep only after
+    * removals. Comparing against any SINGLE file's footer would be
+    * unsound (the oldest generation predates evolved columns; the newest
+    * can be a narrowing append), so the union is the only authority. */
+  private[graft] def headDataSchema(spark: SparkSession, path: String)
       : org.apache.spark.sql.types.StructType = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = FeatherSnapshots.latestVersion(fs, root).getOrElse(
+      sys.error(s"headDataSchema on $path: no snapshot versions"))
+    headEntry(spark, path, root, fs, head).data
+  }
+
+  private def headEntry(spark: SparkSession, path: String, root: Path,
+                        fs: org.apache.hadoop.fs.FileSystem, head: Long)
+      : HeadSchemaEntry = {
     import org.apache.spark.sql.types._
     val inc = FeatherSnapshots.incarnation(fs, root).getOrElse((0L, 0L))
     val key = (root.toString, inc) // normalized: /t and /t/ are one table
     cacheGet(key) match {
-      case Some(e) if e.head == head => e.combined
+      case Some(e) if e.head == head => e
       case prev =>
         val snap = FeatherSnapshots.read(fs, root, head)
         val face = ConnectorFace.detect(snap.files, "changesSince", path)
@@ -187,8 +208,9 @@ object FeatherChanges {
         val combined = StructType(dataSchema.fields ++ partSchema.fields ++
           Seq(StructField("_change_type", StringType, nullable = false),
             StructField("_commit_version", LongType, nullable = false)))
-        cachePut(key, HeadSchemaEntry(head, curNames, dataSchema, combined))
-        combined
+        val entry = HeadSchemaEntry(head, curNames, dataSchema, combined)
+        cachePut(key, entry)
+        entry
     }
   }
 

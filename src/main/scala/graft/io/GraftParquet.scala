@@ -191,13 +191,26 @@ private[graft] object GraftParquet {
         .filter(p => p.getName.endsWith(Suffix) && !p.getName.startsWith(".")
           && !p.getName.startsWith("_"))
         .toSeq.sortBy(_.getName)
-      staged.zipWithIndex.map { case (src, i) =>
+      // Spark's parquet sink keeps partition 0's file even when it holds
+      // ZERO rows (only non-zero partitions suppress empties) — the
+      // feather face's writeParts skips empty partitions, and the no-op
+      // guards upstream (a merge that changed nothing publishes no
+      // commit) key on an EMPTY parts list, so a zero-row part must not
+      // escape here. Footer batches are needed for the sidecar anyway;
+      // deciding before the rename keeps skipped files in the staging
+      // dir for the finally-cleanup.
+      val withStats = staged.map(p =>
+        (p, footerBatches(fs.getConf, p.toString)))
+        .filter { case (_, batches) =>
+          batches.map(_.get(FeatherStats.RowCountKey).collect {
+            case FeatherStats.ColStat.Count(n) => n }.getOrElse(0L)).sum > 0L
+        }
+      withStats.zipWithIndex.map { case ((src, batches), i) =>
         val name = f"$prefix-$i%05d$Suffix"
         val dest = new Path(out, name)
         require(fs.rename(src, dest),
           s"writeParts: rename $src -> $dest failed")
-        val statsJson = FeatherStats.toJson(
-          footerBatches(fs.getConf, dest.toString))
+        val statsJson = FeatherStats.toJson(batches)
         val sc = fs.create(new Path(out, name + ".stats.json"), true)
         try sc.write(statsJson.getBytes("UTF-8")) finally sc.close()
         (name, fs.getFileStatus(dest).getLen, statsJson)

@@ -60,18 +60,8 @@ object ParquetTable {
     fs.mkdirs(root)
     if (!truncate) {
       FeatherSnapshots.requireRootAppendable(fs, root, Suffixes)
-      lazy val existing: Option[Seq[(String, Long)]] = {
-        val files = FeatherSnapshots.resolve(fs, root, None).map(_.files)
-          .getOrElse(FeatherSnapshots.listDataFiles(fs, root, Suffixes))
-          .map { case (rel, len) => (new Path(root, rel).toString, len) }
-        if (files.isEmpty) None else Some(files)
-      }
-      graft.sources.WriteSchemaEvolution.validateAppend(path, df.schema,
-        mergeSchema,
-        headSchema = existing.map(files =>
-          GraftParquet.mergedSchema(spark, files.take(1))),
-        unionSchema = existing.map(files =>
-          GraftParquet.mergedSchema(spark, files)))
+      graft.sources.WriteSchemaEvolution.validateSinkAppend(spark, path,
+        df.schema, mergeSchema, Suffixes)
     }
     // run-unique part prefix: racing writers can never rename over (or
     // pre-clean) each other; a crashed run's parts are unreferenced

@@ -162,36 +162,10 @@ private class AvroWrite(st: StructType, path: String, truncate: Boolean,
   // write-side schema-evolution gate, shared contract with the feather
   // sink (WriteSchemaEvolution): widening/narrowing appends need
   // option("mergeSchema","true"); type changes are refused outright
-  if (!truncate) {
-    // no broad catch: a transient IO failure must propagate, not
-    // silently disable the gate (see the feather sink's note); only a
-    // genuinely absent/empty table maps to None
-    lazy val existing: Option[Seq[(String, Long)]] = {
-      val rootP = new org.apache.hadoop.fs.Path(path)
-      val wfs = rootP.getFileSystem(org.apache.spark.sql.SparkSession
-        .active.sparkContext.hadoopConfiguration)
-      if (!wfs.exists(rootP)) None
-      else {
-        val files = FeatherSnapshots.resolve(wfs, rootP, None).map(_.files)
-          .getOrElse(FeatherSnapshots.listDataFiles(wfs, rootP,
-            Seq(".avro")))
-          .map { case (rel, len) =>
-            (new org.apache.hadoop.fs.Path(rootP, rel).toString, len) }
-        if (files.isEmpty) None else Some(files)
-      }
-    }
-    WriteSchemaEvolution.validateAppend(path, st, mergeSchemaOpt,
-      headSchema = existing.map { files =>
-        GraftAvro.toSparkType(GraftAvro.mergedSchema(
-          org.apache.spark.sql.SparkSession.active, files.take(1)))
-          .asInstanceOf[StructType]
-      },
-      unionSchema = existing.map { files =>
-        GraftAvro.toSparkType(GraftAvro.mergedSchema(
-          org.apache.spark.sql.SparkSession.active, files))
-          .asInstanceOf[StructType]
-      })
-  }
+  if (!truncate)
+    WriteSchemaEvolution.validateSinkAppend(
+      org.apache.spark.sql.SparkSession.active, path, st, mergeSchemaOpt,
+      Seq(".avro"))
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = this
 

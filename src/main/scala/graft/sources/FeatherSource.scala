@@ -721,39 +721,9 @@ private class FeatherWrite(st: StructType, path: String, truncate: Boolean,
   // option("mergeSchema","true"); type changes are refused outright.
   // Covers the batch sink and the streaming sink alike (toStreaming is
   // built from this same Write, once per query start).
-  if (!truncate) {
-    // existing files resolved WITHOUT a broad catch: a transient IO
-    // failure here must propagate, not silently disable the gate (a
-    // type-conflicting append landing because the object store
-    // throttled one footer read is the corruption this gate exists to
-    // stop). Only a genuinely absent/empty table maps to None.
-    lazy val existing: Option[Seq[(String, Long)]] = {
-      val rootP = new org.apache.hadoop.fs.Path(path)
-      val wfs = rootP.getFileSystem(
-        SparkSession.active.sparkContext.hadoopConfiguration)
-      if (!wfs.exists(rootP)) None
-      else {
-        val files = FeatherSnapshots.resolve(wfs, rootP, None).map(_.files)
-          .getOrElse(FeatherSnapshots.listDataFiles(wfs, rootP,
-            FeatherSnapshots.FeatherSuffixes))
-          .map { case (rel, len) =>
-            (new org.apache.hadoop.fs.Path(rootP, rel).toString, len) }
-        if (files.isEmpty) None else Some(files)
-      }
-    }
-    WriteSchemaEvolution.validateAppend(path, st, mergeSchemaOpt,
-      headSchema = existing.map { files =>
-        StructType(GraftFeather.readFieldsMerged(SparkSession.active,
-          files.take(1))
-          .map(f => org.apache.spark.sql.types.StructField(f.getName,
-            GraftFeather.toSparkType(f), f.isNullable)))
-      },
-      unionSchema = existing.map { files =>
-        StructType(GraftFeather.readFieldsMerged(SparkSession.active, files)
-          .map(f => org.apache.spark.sql.types.StructField(f.getName,
-            GraftFeather.toSparkType(f), f.isNullable)))
-      })
-  }
+  if (!truncate)
+    WriteSchemaEvolution.validateSinkAppend(SparkSession.active, path, st,
+      mergeSchemaOpt, FeatherSnapshots.FeatherSuffixes)
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = this
 

@@ -44,27 +44,52 @@ private[graft] object WriteSchemaEvolution {
     case _ => a == b
   }
 
-  /** Validate an APPEND frame schema against the existing table.
-    * `headSchema` is the cheap fast path (one footer — exact re-appends,
-    * the overwhelmingly common case, never pay a sweep); `unionSchema`
-    * is the full evolved union, computed only on mismatch. Either
-    * returning None means "no existing table" — anything goes. */
+  /** The sink-side gate, one definition for every face (a per-sink copy
+    * drifted within a day of being written): resolve the existing table
+    * — manifest head or legacy listing — and validate the incoming
+    * frame against its UNION data schema. The union is the only sound
+    * authority: any single file's footer can disagree with it (the
+    * oldest generation predates evolved columns; the newest file can be
+    * a narrowing append), so a "fast path" against one footer would let
+    * un-opted schema changes through on evolved tables. Snapshotted
+    * tables read the union from [[graft.io.FeatherChanges]]'
+    * incrementally-maintained head-schema cache (one footer per appended
+    * file amortized); legacy directories pay one bounded-pool sweep.
+    * Absent/empty tables pass (first write defines the schema); IO
+    * failures PROPAGATE — a transient error must never silently disable
+    * the gate. */
+  def validateSinkAppend(spark: org.apache.spark.sql.SparkSession,
+                         path: String, writeSchema: StructType,
+                         mergeSchema: Boolean,
+                         suffixes: Seq[String]): Unit = {
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootP)) return
+    val union: Option[StructType] =
+      if (FeatherSnapshots.enabled(fs, rootP) &&
+          FeatherSnapshots.latestVersion(fs, rootP).isDefined)
+        Some(graft.io.FeatherChanges.headDataSchema(spark, path))
+      else {
+        val files = FeatherSnapshots.listDataFiles(fs, rootP, suffixes)
+        if (files.isEmpty) None
+        else {
+          val face = graft.io.ConnectorFace.detect(files, "append", path)
+          Some(face.mergedSchema(spark, files.map { case (rel, len) =>
+            (new org.apache.hadoop.fs.Path(rootP, rel).toString, len) }))
+        }
+      }
+    union.foreach(u => validateAppend(path, writeSchema, mergeSchema, u))
+  }
+
+  /** Validate an APPEND frame schema against the table's union schema. */
   def validateAppend(path: String, writeSchema: StructType,
-                     mergeSchema: Boolean,
-                     headSchema: => Option[StructType],
-                     unionSchema: => Option[StructType]): Unit = {
+                     mergeSchema: Boolean, union: StructType): Unit = {
     def norm(st: StructType): Map[String, DataType] =
       st.fields.map(f => f.name -> f.dataType).toMap
     val w = norm(writeSchema)
-    headSchema match {
-      case None => return
-      case Some(h) =>
-        val hn = norm(h)
-        if (hn.keySet == w.keySet && hn.forall { case (k, t) =>
-            eqType(t, w(k)) }) return
-    }
-    val union = unionSchema.getOrElse(return)
     val t = norm(union)
+    if (t.keySet == w.keySet &&
+        t.forall { case (k, dt) => eqType(dt, w(k)) }) return
     val conflicts = w.keys.toSeq.sorted.filter(k =>
       t.contains(k) && !eqType(t(k), w(k)))
     require(conflicts.isEmpty,

@@ -273,6 +273,28 @@ class ConditionalMergeSpec extends AnyFunSuite {
     assert(spark.read.format("feather").load(path).count() === 100)
   }
 
+  test("the no-op guard holds on the PARQUET face too (Spark's sink " +
+       "keeps partition 0's file even when empty — writeParts must drop it)") {
+    import spark.implicits._
+    val path = tmp("noop_pq")
+    val df = (1 to 100).map(i => (i.toLong, s"g${i % 3}", i * 10.0))
+      .toDF("id", "grade", "amt").repartitionByRange(4, col("id"))
+    graft.io.ParquetTable.write(df, path)
+    val allMatched = Seq((60L, "sX", 1.0)).toDF("id", "grade", "amt")
+    val r1 = ConditionalMerge(spark, path, allMatched, Seq("id"))
+      .whenNotMatchedInsertAll().execute()
+    assert(r1.version === 1L, s"zero-insert parquet merge must not commit: $r1")
+    // replayed all-tombstone CDC on parquet: same contract
+    val batch = Seq((60L, "g0", null.asInstanceOf[java.lang.Double], true))
+      .toDF("id", "grade", "amt", "_deleted")
+      .withColumn("amt", col("amt").cast("double"))
+    val c1 = graft.io.FeatherMutations.applyCdcDV(spark, path, batch, Seq("id"))
+    assert(c1.version === 2L)
+    val c2 = graft.io.FeatherMutations.applyCdcDV(spark, path, batch, Seq("id"))
+    assert(c2.version === 2L, s"parquet CDC replay must not commit: $c2")
+    assert(graft.io.ParquetTable.read(spark, path).count() === 99)
+  }
+
   test("executeDV with insert-only clauses is a pure append: no scan of " +
        "matched positions, no masks") {
     val path = tmp("dv_insonly")

@@ -93,6 +93,28 @@ class WriteEvolutionSpec extends AnyFunSuite {
     }
   }
 
+  test("a stale producer appending the PRE-evolution schema to an " +
+       "evolved table is still gated (the union, not any single file, " +
+       "is the authority)") {
+    import spark.implicits._
+    val path = tmp("stale_producer")
+    base(path, "feather") // {id, pay}
+    widened.write.format("feather").mode("append")
+      .option("mergeSchema", "true").save(path) // union now {id, pay, score}
+    // the old producer's frame matches the OLDEST file exactly — but it
+    // narrows the evolved union, so it must still name the option
+    val stale = Seq((999L, "p999")).toDF("id", "pay")
+    val e = intercept[Exception] {
+      stale.write.format("feather").mode("append").save(path)
+    }
+    assert(e.getMessage.contains("missing column") &&
+      e.getMessage.contains("score"))
+    stale.write.format("feather").mode("append")
+      .option("mergeSchema", "true").save(path)
+    assert(spark.read.format("feather").option("mergeSchema", "true")
+      .load(path).count() === 61)
+  }
+
   test("an exact re-append (order/nullability differences only) never " +
        "needs the option") {
     import spark.implicits._
