@@ -194,6 +194,48 @@ object ConditionalMerge {
     def keyCond = keys
       .map(k => col(s"target.$k") === col(s"source.$k")).reduce(_ && _)
 
+    // ---- clause-expression TYPE validation (analysis only, zero jobs) ------
+    // The output columns cast each clause's expression to the table
+    // column's type; a silently lossy cast would corrupt matched rows
+    // (or, under ANSI, die per-row mid-write). Resolve every SET/VALUES
+    // expression against an EMPTY frame of the joined shape and refuse
+    // anything that is not the column's exact type or a lossless upcast.
+    {
+      def empty(st: StructType) = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), st)
+      val shape = empty(tableSchema).alias("target")
+        .join(empty(m.source.schema)
+          .withColumn("__s_present", lit(true)).alias("source"),
+          keyCond, "left_outer")
+      def exprType(c: Column): org.apache.spark.sql.types.DataType =
+        shape.select(c).schema.head.dataType
+      def checkExpr(where: String, name: String, e: Column): Unit = {
+        val target = tableSchema(name).dataType
+        val actual = exprType(e)
+        require(actual == target ||
+            org.apache.spark.sql.catalyst.expressions.Cast
+              .canUpCast(actual, target),
+          s"merge: $where sets column '$name' (${target.catalogString}) " +
+            s"from a ${actual.catalogString} expression — only exact " +
+            "types and lossless upcasts are applied; cast the expression " +
+            "explicitly if the narrowing is intended")
+      }
+      m.matched.zipWithIndex.foreach {
+        case ((_, Update(set)), i) => set.foreach { case (n, e) =>
+          checkExpr(s"whenMatched clause ${i + 1}", n, e) }
+        case _ => ()
+      }
+      m.bySource.zipWithIndex.foreach {
+        case ((_, Update(set)), i) => set.foreach { case (n, e) =>
+          checkExpr(s"whenNotMatchedBySource clause ${i + 1}", n, e) }
+        case _ => ()
+      }
+      m.notMatched.zipWithIndex.foreach { case ((_, values), i) =>
+        values.foreach { case (n, e) =>
+          checkExpr(s"whenNotMatched clause ${i + 1}", n, e) }
+      }
+    }
+
     /** First-matching-clause-wins when-chain: built from the LAST clause
       * outward so earlier clauses shadow later ones. `base` offsets the
       * clause ids into the global action-id space. */

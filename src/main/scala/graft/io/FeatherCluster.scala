@@ -95,9 +95,19 @@ object FeatherCluster {
     val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
       sys.error(s"cluster on $path: snapshot directory holds no versions"))
     val face = ConnectorFace.detect(snap.files, "cluster", path)
+    // the CLUSTERING-SPEC tag rides every output name: incremental runs
+    // recognize "already clustered" only for files written under the
+    // SAME (cols, zorderBits) — a call that changes the cluster key must
+    // re-sweep files clustered by the old key, or the caller would
+    // believe the table is now keyed by `a` while the files stay banded
+    // by `b` with no error. Manifests carry no metadata fields; the name
+    // tag is the durable record.
+    val keyTag = f"k${java.util.UUID.nameUUIDFromBytes(
+      (cols.mkString(",") + ":" + zorderBits).getBytes("UTF-8"))
+      .toString.take(8)}"
     // run-unique: see FeatherMutations — racing clusterers must never
     // pre-clean each other's uncommitted parts
-    val prefix = f"clust-v${snap.version + 1}%08d-${java.util.UUID
+    val prefix = f"clust-v${snap.version + 1}%08d-$keyTag-${java.util.UUID
       .randomUUID().toString.take(8)}"
     // INCREMENTAL mode: only files appended/mutated SINCE the last
     // cluster commit rewrite; that commit's still-live outputs carry
@@ -107,26 +117,28 @@ object FeatherCluster {
     // band-prune overlap depth ≤ generation count — a periodic FULL run
     // folds the generations back to one. A head whose every file is
     // already clustered is a true no-op (no commit — an empty "cluster"
-    // version would churn streams and caches for nothing).
+    // version would churn streams and caches for nothing). The lookup
+    // walks versions DESCENDING with header-only reads — O(versions
+    // since the last cluster), not O(retained history).
     val keepFiles: Seq[(String, Long)] =
       if (!incremental) Nil
-      else FeatherSnapshots.readAll(fs, root).reverse
-        .find(_.op == "cluster") match {
-          case None => Nil // never clustered: incremental = full
-          case Some(last) =>
-            val lastSet = last.files.toSet
-            // only files the cluster runs actually WROTE count as
-            // clustered (the `clust-` name prefix): a blind append that
-            // raced the last cluster's commit rides its manifest
-            // un-clustered — "the next OPTIMIZE sweeps them in" is this
-            // run's contract, so those must stay in the rewrite set
-            snap.files.filter { f =>
-              lastSet(f) && {
-                val name = f._1.substring(f._1.lastIndexOf('/') + 1)
-                name.startsWith("clust-")
-              }
+      else FeatherSnapshots.latestVersionWithOp(fs, root, "cluster") match {
+        case None => Nil // never clustered: incremental = full
+        case Some(last) =>
+          val lastSet = last.files.toSet
+          // only files the cluster runs actually WROTE — under THIS
+          // call's clustering spec — count as clustered: a blind append
+          // that raced the last cluster's commit rides its manifest
+          // un-clustered ("the next OPTIMIZE sweeps them in" is this
+          // run's contract), and files tagged with another spec (or the
+          // pre-tag era's) re-sweep
+          snap.files.filter { f =>
+            lastSet(f) && {
+              val name = f._1.substring(f._1.lastIndexOf('/') + 1)
+              name.startsWith("clust-") && name.contains(s"-$keyTag-")
             }
-        }
+          }
+      }
     val keepSet = keepFiles.map(_._1).toSet
     val rewriteFiles = snap.files.filterNot { case (rel, _) => keepSet(rel) }
     if (incremental && rewriteFiles.isEmpty)

@@ -340,11 +340,23 @@ object FeatherMutations {
     }
 
     // ---- mask the matched old rows ------------------------------------------
+    // ONE materialization of the change batch serves the probe, the
+    // position scan, and (for merge, where insertSource eq keysDf) the
+    // part write — a foreachBatch source built from an expensive plan
+    // must not re-execute per pass (the routePartitionedInserts
+    // precedent). Unpersisted in the finally.
+    val keysC = keysDf.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val insertC =
+      if (insertSource eq keysDf) keysC
+      else insertSource.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val (touchedSet, probeStats) =
-      probeTouched(spark, op, absFiles, tableSchema0, keysDf, keyCols)
+      probeTouched(spark, op, absFiles, tableSchema0, keysC, keyCols)
     val touchedIdx = touchedSet.toSeq.sorted
     val newByFile = dvPositionScan(spark, face, root, snap, absFiles,
-      touchedIdx, keysDf, keyCols, tableSchema0)
+      touchedIdx, keysC, keyCols, tableSchema0)
     def fileRowCount(fid: Int): Option[Long] =
       probeStats.getOrElse(absFiles(fid)._1, None).flatMap(exactRows)
     val (newBindings, droppedRel) =
@@ -354,8 +366,14 @@ object FeatherMutations {
     val added = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     var partsWritten = 0
     if (!partitioned) {
-      val src = insertSource.select(tableSchema.fieldNames.map(col).toSeq: _*)
-      val targetParts = math.max(1, insertSource.rdd.getNumPartitions)
+      val src = insertC.select(tableSchema.fieldNames.map(col).toSeq: _*)
+      // cap the fan-out at the cluster parallelism: a shuffle-born tiny
+      // source reports spark.sql.shuffle.partitions partitions, and a
+      // per-batch merge sink would otherwise fill the table with
+      // near-empty parts (OPTIMIZE owns long-run hygiene either way)
+      val targetParts = math.min(
+        math.max(1, insertC.rdd.getNumPartitions),
+        spark.sparkContext.defaultParallelism)
       val parts = face.writeParts(src.coalesce(targetParts), root.toString,
         prefix, codec)
       if (parts.nonEmpty)
@@ -365,7 +383,7 @@ object FeatherMutations {
       added ++= parts.map { case (name, len, _) => (name, len) }
       partsWritten += parts.size
     } else {
-      val routed = routePartitionedInserts(op, face, fs, root, insertSource,
+      val routed = routePartitionedInserts(op, face, fs, root, insertC,
         partCols, tableSchema, prefix, codec)
       added ++= routed
       partsWritten += routed.size
@@ -396,6 +414,10 @@ object FeatherMutations {
       droppedRel, added.toSeq, setDvs = newBindings)
     Result(committed, newBindings.size + droppedRel.size,
       snap.files.size - newBindings.size - droppedRel.size, partsWritten)
+    } finally {
+      keysC.unpersist(blocking = false)
+      if (!(insertC eq keysC)) insertC.unpersist(blocking = false): Unit
+    }
   }
 
   // ---- shared implementation (cont.) ----------------------------------------

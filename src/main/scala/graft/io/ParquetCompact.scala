@@ -52,13 +52,22 @@ object ParquetCompact {
         HadoopOutputFile.fromPath(tmp, execConf), schemas.head,
         ParquetFileWriter.Mode.OVERWRITE, 128L << 20,
         8 << 20 /* parquet-mr's default max padding */)
-      writer.start()
-      inputs.foreach { case (f, _) =>
-        writer.appendFile(HadoopInputFile.fromPath(new Path(f), execConf)) }
-      // identical schemas ⇒ identical Spark schema-json footer keys; the
-      // first input's key-value metadata rides the output so read-back
-      // types stay exact
-      writer.end(footers.head._2.getKeyValueMetaData)
+      // close() in the finally releases the output stream when a corrupt
+      // input aborts the append mid-group (end() already closed it on
+      // success — close() is then an idempotent no-op); without it the
+      // executor leaks the FD (and on HDFS the open lease can fail the
+      // retry's OVERWRITE create)
+      try {
+        writer.start()
+        inputs.foreach { case (f, _) =>
+          writer.appendFile(HadoopInputFile.fromPath(new Path(f), execConf)) }
+        // identical schemas ⇒ identical Spark schema-json footer keys; the
+        // first input's key-value metadata rides the output so read-back
+        // types stay exact
+        writer.end(footers.head._2.getKeyValueMetaData)
+      } finally {
+        try writer.close() catch { case _: Exception => () }
+      }
       Some(FeatherStats.toJson(
         GraftParquet.footerBatches(execConf, tmp.toString)))
     }

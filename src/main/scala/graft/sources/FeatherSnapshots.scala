@@ -567,7 +567,16 @@ private[graft] object FeatherSnapshots {
     * biggest checkpoint) would make that identity probe O(file list)
     * per poll, the exact cost class the delta log exists to avoid.
     * Absent ts reads as 0, matching [[readRaw]]. */
-  private def readTs(fs: FileSystem, root: Path, version: Long): Long = {
+  private def readTs(fs: FileSystem, root: Path, version: Long): Long =
+    readHeaderField(fs, root, version, "ts").map(_.toLong).getOrElse(0L)
+
+  /** One header field from a manifest WITHOUT parsing its body:
+    * [[baseNode]] serializes version/parent/op/ts before any file list,
+    * so the streaming parse stops after ~100 bytes even on a multi-MB
+    * checkpoint. Backs [[readTs]] (the identity probes) and
+    * [[latestVersionWithOp]] (the incremental-OPTIMIZE planning walk). */
+  private def readHeaderField(fs: FileSystem, root: Path, version: Long,
+                              field: String): Option[String] = {
     import com.fasterxml.jackson.core.JsonToken
     val in = fs.open(snapPath(root, version))
     try {
@@ -576,22 +585,35 @@ private[graft] object FeatherSnapshots {
         var tok = jp.nextToken()
         // a torn write (created, never written) parses as an EMPTY
         // stream — that must stay an ERROR like readRaw's, not a
-        // fabricated ts=0 the identity probes would treat as a valid
-        // legacy incarnation
+        // fabricated default the identity probes would treat as a valid
+        // legacy value
         require(tok == com.fasterxml.jackson.core.JsonToken.START_OBJECT,
           s"manifest v$version at $root is torn or empty (no JSON object)")
         tok = jp.nextToken()
         while (tok != null && tok != JsonToken.END_OBJECT) {
           val name = jp.currentName()
           jp.nextToken() // advance to the field's value
-          if (name == "ts") return jp.getText.toLong
+          if (name == field) return Some(jp.getText)
           jp.skipChildren() // no-op on scalars; skips a whole array/object
           tok = jp.nextToken()
         }
-        0L
+        None
       } finally jp.close()
     } finally in.close()
   }
+
+  /** The newest retained snapshot committed with `op`, found by walking
+    * version numbers DESCENDING with header-only manifest reads — the
+    * incremental-OPTIMIZE planner's lookup, O(versions since the last
+    * such commit) instead of readAll's O(all retained versions)
+    * reconstruction. */
+  private[graft] def latestVersionWithOp(fs: FileSystem, root: Path,
+                                         op: String): Option[Snapshot] =
+    versionBounds(fs, root).flatMap { case (oldest, newest) =>
+      (newest to oldest by -1L).find(v =>
+        readHeaderField(fs, root, v, "op").contains(op))
+        .map(read(fs, root, _))
+    }
 
   /** Run-unique name prefix for data files written AHEAD of a
     * mutation-tier commit targeting `targetV`: `mut-v%08d-<tag><uuid8>`.

@@ -216,6 +216,22 @@ class ConditionalMergeSpec extends AnyFunSuite {
         .whenNotMatchedInsertAll().execute()
     }
     assert(e4.getMessage.contains("amt"))
+    // a lossy SET expression type is refused up front (a silent cast
+    // would null-corrupt matched rows); lossless upcasts pass
+    val e6 = intercept[IllegalArgumentException] {
+      ConditionalMerge(spark, path, src, Seq("id"))
+        .whenMatchedUpdate(None, set = Map("amt" -> col("source.grade")))
+        .execute()
+    }
+    assert(e6.getMessage.contains("lossless"))
+    // an int literal into the double column is a lossless upcast: runs
+    val up = ConditionalMerge(spark, path,
+      Seq((60L, "s", 1.0)).toDF("id", "grade", "amt"), Seq("id"))
+      .whenMatchedUpdate(None, set = Map("amt" -> lit(7)))
+      .execute()
+    assert(up.version === 2L)
+    assert(spark.read.format("feather").load(path)
+      .filter(col("id") === 60L).select("amt").head().getDouble(0) === 7.0)
     // partitioned table refused
     val ppath = tmp("loud_part")
     graft.io.GraftFeather.write(
