@@ -162,12 +162,17 @@ object ConditionalMerge {
     // (the routePartitionedInserts precedent). Unpersisted in the
     // finally at the bottom.
     val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def pin(df: DataFrame): DataFrame = {
-      val cached = df.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pinned += cached
-      cached
-    }
+    def pin(df: DataFrame): DataFrame =
+      // a frame the CALLER already persisted is reused as-is — persisting
+      // again would warn, and unpersisting in the finally would evict the
+      // caller's own cache out from under their next use
+      if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+      else {
+        val cached = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pinned += cached
+        cached
+      }
     val src = pin(m.source)
     try {
     // unique source keys: one target row must pair with at most one
@@ -234,6 +239,22 @@ object ConditionalMerge {
         values.foreach { case (n, e) =>
           checkExpr(s"whenNotMatched clause ${i + 1}", n, e) }
       }
+      // updateAll/insertAll implicitly set EVERY table column from the
+      // source's — the same lossless-or-exact rule applies, or the two
+      // spellings of one merge would diverge (explicit SET refused,
+      // updateAll silently corrupting)
+      if (m.matched.exists(_._2 == UpdateAll) ||
+          m.notMatched.exists(_._2.isEmpty))
+        tableSchema.fields.foreach { f =>
+          val st = m.source.schema(f.name).dataType
+          require(st == f.dataType ||
+              org.apache.spark.sql.catalyst.expressions.Cast
+                .canUpCast(st, f.dataType),
+            s"merge: updateAll/insertAll sets column '${f.name}' " +
+              s"(${f.dataType.catalogString}) from the source's " +
+              s"${st.catalogString} — only exact types and lossless " +
+              "upcasts are applied; cast the source before merging")
+        }
     }
 
     /** First-matching-clause-wins when-chain: built from the LAST clause

@@ -141,8 +141,13 @@ object FeatherCluster {
       }
     val keepSet = keepFiles.map(_._1).toSet
     val rewriteFiles = snap.files.filterNot { case (rel, _) => keepSet(rel) }
-    if (incremental && rewriteFiles.isEmpty)
+    if (incremental && rewriteFiles.isEmpty) {
+      // no commit — but a REQUESTED bloom must still build (it covers
+      // files lacking sidecars idempotently); skipping it here would
+      // leave the caller believing point-lookup pruning is active
+      bloomFor.foreach(FeatherBloom.build(spark, path, _, face.suffix): Unit)
       return Result(snap.version, snap.files.size, snap.files.size)
+    }
     // deletion vectors FOLD into the rewrite: every read below applies
     // the bindings, so the re-clustered parts hold only live rows and
     // carry no bindings forward (a carried-through clustered file keeps

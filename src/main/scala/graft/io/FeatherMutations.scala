@@ -345,12 +345,17 @@ object FeatherMutations {
     // part write — a foreachBatch source built from an expensive plan
     // must not re-execute per pass (the routePartitionedInserts
     // precedent). Unpersisted in the finally.
-    val keysC = keysDf.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val insertC =
-      if (insertSource eq keysDf) keysC
-      else insertSource.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def pinIfUncached(df: DataFrame): (DataFrame, Boolean) =
+      // a caller-persisted frame is reused as-is: re-persisting warns and
+      // the finally's unpersist would evict the caller's own cache
+      if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        (df, false)
+      else (df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), true)
+    val (keysC, ownKeys) = pinIfUncached(keysDf)
+    val (insertC, ownInsert) =
+      if (insertSource eq keysDf) (keysC, false)
+      else pinIfUncached(insertSource)
     try {
     val (touchedSet, probeStats) =
       probeTouched(spark, op, absFiles, tableSchema0, keysC, keyCols)
@@ -415,8 +420,8 @@ object FeatherMutations {
     Result(committed, newBindings.size + droppedRel.size,
       snap.files.size - newBindings.size - droppedRel.size, partsWritten)
     } finally {
-      keysC.unpersist(blocking = false)
-      if (!(insertC eq keysC)) insertC.unpersist(blocking = false): Unit
+      if (ownKeys) keysC.unpersist(blocking = false): Unit
+      if (ownInsert) insertC.unpersist(blocking = false): Unit
     }
   }
 
@@ -495,8 +500,14 @@ object FeatherMutations {
       : Seq[(String, Long)] = {
     val added = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     // one source scan feeds the distinct() AND every per-tuple slice —
-    // an expensive upstream plan must not re-execute once per partition
-    val src = src0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // an expensive upstream plan must not re-execute once per partition.
+    // A frame the caller already persisted (mutateDv pins its batch) is
+    // reused as-is; unpersisting it here would evict the caller's cache.
+    val owned =
+      src0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val src = if (owned)
+      src0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else src0
     try {
       def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
       def leafOf(row: org.apache.spark.sql.Row): String =
@@ -536,7 +547,7 @@ object FeatherMutations {
               name -> (len, FeatherStats.fromJson(js)) }.toMap)
         added ++= parts.map { case (name, len, _) => (s"$relDir/$name", len) }
       }
-    } finally src.unpersist(blocking = false): Unit
+    } finally { if (owned) src.unpersist(blocking = false): Unit }
     added.toSeq
   }
 

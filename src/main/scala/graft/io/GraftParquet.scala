@@ -104,11 +104,20 @@ private[graft] object GraftParquet {
     val plain = files.filterNot(f =>
       posKeep.contains(f._1) || dvPaths.contains(f._1))
     val hconf = spark.sparkContext.hadoopConfiguration
-    // the join key must equal _metadata.file_path verbatim: qualify
-    // driver-side once per file instead of URI-parsing per row
+    // the join key must equal _metadata.file_path VERBATIM, which Spark
+    // fills with the percent-ENCODED URI form rendered WITHOUT empty
+    // authority slashes (measured: `file:/tmp/with%20space/part…` —
+    // Path.toString is decoded, Path.toUri.toString renders `file:///`).
+    // Rebuild the URI with a null authority when it is absent/empty so
+    // both plain and escapable paths match; real authorities (hdfs://nn)
+    // pass through. Qualified driver-side once per file instead of
+    // URI-parsing per row.
     def qualify(p: String): String = {
       val pp = new Path(p)
-      pp.getFileSystem(hconf).makeQualified(pp).toString
+      val u = pp.getFileSystem(hconf).makeQualified(pp).toUri
+      if (u.getAuthority == null || u.getAuthority.isEmpty)
+        new java.net.URI(u.getScheme, null, u.getPath, null, null).toString
+      else u.toString
     }
     val posSchema = StructType(Seq(
       StructField("__gp_dv_file", StringType, nullable = false),

@@ -78,12 +78,35 @@ private[graft] object WriteSchemaEvolution {
             (new org.apache.hadoop.fs.Path(rootP, rel).toString, len) }))
         }
       }
-    union.foreach(u => validateAppend(path, writeSchema, mergeSchema, u))
+    union.foreach(u => validateAppend(path, writeSchema, mergeSchema, u,
+      caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis))
   }
 
-  /** Validate an APPEND frame schema against the table's union schema. */
+  /** Validate an APPEND frame schema against the table's union schema.
+    * Under case-INsensitive analysis (Spark's default) a column whose
+    * spelling differs from the table's only by case is refused outright
+    * — landing it would put both spellings in the union and every
+    * `SELECT thatColumn` dies AMBIGUOUS_REFERENCE (the storage unions
+    * footers by exact name; the gate must enforce the resolver's
+    * equivalence). */
   def validateAppend(path: String, writeSchema: StructType,
-                     mergeSchema: Boolean, union: StructType): Unit = {
+                     mergeSchema: Boolean, union: StructType,
+                     caseSensitive: Boolean = false): Unit = {
+    if (!caseSensitive) {
+      val tableByLower = union.fields
+        .groupBy(_.name.toLowerCase(java.util.Locale.ROOT))
+      writeSchema.fields.foreach { f =>
+        val lower = f.name.toLowerCase(java.util.Locale.ROOT)
+        tableByLower.get(lower).foreach { matches =>
+          require(matches.exists(_.name == f.name),
+            s"append to $path: column '${f.name}' differs from the " +
+              s"table's '${matches.head.name}' only by case — under " +
+              "case-insensitive analysis both spellings would collide " +
+              "(AMBIGUOUS_REFERENCE on every read); rename the frame's " +
+              "column to the table's spelling")
+        }
+      }
+    }
     def norm(st: StructType): Map[String, DataType] =
       st.fields.map(f => f.name -> f.dataType).toMap
     val w = norm(writeSchema)

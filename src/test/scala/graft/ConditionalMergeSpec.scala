@@ -224,6 +224,15 @@ class ConditionalMergeSpec extends AnyFunSuite {
         .execute()
     }
     assert(e6.getMessage.contains("lossless"))
+    // updateAll with a type-drifted source column: the implicit SET is
+    // gated the same as the explicit spelling
+    val drift = src.withColumn("amt", col("amt").cast("string"))
+    val e7 = intercept[IllegalArgumentException] {
+      ConditionalMerge(spark, path, drift, Seq("id"))
+        .whenMatchedUpdateAll().execute()
+    }
+    assert(e7.getMessage.contains("updateAll/insertAll") &&
+      e7.getMessage.contains("amt"))
     // an int literal into the double column is a lossless upcast: runs
     val up = ConditionalMerge(spark, path,
       Seq((60L, "s", 1.0)).toDF("id", "grade", "amt"), Seq("id"))

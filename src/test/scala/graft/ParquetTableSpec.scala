@@ -306,6 +306,26 @@ class ParquetTableSpec extends AnyFunSuite {
       assert(sparkIdx(row.getLong(0)) === pos) }
   }
 
+  test("DV filtering survives URI-escapable table paths (a space in a " +
+       "directory name must not silently no-op the anti-join)") {
+    import spark.implicits._
+    val path = tmp("uri escape") + "/with space"
+    val df = (1 to 500).map(i => (i.toLong, s"p$i")).toDF("id", "pay")
+      .repartitionByRange(2, col("id"))
+    ParquetTable.write(df, path)
+    FeatherMutations.deleteByKeyDV(spark, path, {
+      import spark.implicits._
+      Seq(5L, 250L).toDF("id")
+    }, Seq("id"))
+    val back = ParquetTable.read(spark, path)
+    assert(back.count() === 498,
+      "masked rows must stay deleted on an escapable path")
+    assert(back.filter(col("id").isin(5L, 250L)).count() === 0)
+    // posKeep (CDF dv-diff) on the same path
+    val feed = graft.io.FeatherChanges.readChanges(spark, path, 1, 2)
+    assert(feed.filter(col("_change_type") === "delete").count() === 2)
+  }
+
   test("vacuum reclaims an aged crashed staging directory but never an " +
        "in-flight one") {
     val path = tmp("vac")

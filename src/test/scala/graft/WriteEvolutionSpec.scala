@@ -115,6 +115,20 @@ class WriteEvolutionSpec extends AnyFunSuite {
       .load(path).count() === 61)
   }
 
+  test("a case-variant column spelling is refused outright (both " +
+       "spellings in the union would make every read ambiguous)") {
+    import spark.implicits._
+    val path = tmp("case_variant")
+    base(path, "feather")
+    val e = intercept[Exception] {
+      Seq((1L, "x")).toDF("id", "Pay")
+        .write.format("feather").mode("append")
+        .option("mergeSchema", "true").save(path)
+    }
+    assert(e.getMessage.contains("only by case"))
+    assert(spark.read.format("feather").load(path).count() === 50)
+  }
+
   test("an exact re-append (order/nullability differences only) never " +
        "needs the option") {
     import spark.implicits._
