@@ -162,17 +162,11 @@ object ConditionalMerge {
     // (the routePartitionedInserts precedent). Unpersisted in the
     // finally at the bottom.
     val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def pin(df: DataFrame): DataFrame =
-      // a frame the CALLER already persisted is reused as-is — persisting
-      // again would warn, and unpersisting in the finally would evict the
-      // caller's own cache out from under their next use
-      if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
-      else {
-        val cached = df.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        pinned += cached
-        cached
-      }
+    def pin(df: DataFrame): DataFrame = {
+      val (cached, owned) = ConnectorFace.pinIfUncached(df)
+      if (owned) pinned += cached
+      cached
+    }
     val src = pin(m.source)
     try {
     // unique source keys: one target row must pair with at most one
@@ -230,10 +224,32 @@ object ConditionalMerge {
           checkExpr(s"whenMatched clause ${i + 1}", n, e) }
         case _ => ()
       }
-      m.bySource.zipWithIndex.foreach {
-        case ((_, Update(set)), i) => set.foreach { case (n, e) =>
-          checkExpr(s"whenNotMatchedBySource clause ${i + 1}", n, e) }
-        case _ => ()
+      // a NOT MATCHED BY SOURCE row HAS no source side: a source.*
+      // reference would evaluate to NULL on every row it applies to —
+      // conditions silently never fire, SETs overwrite survivors with
+      // nulls. Refuse at build (Delta's contract for this clause family).
+      def noSourceRefs(where: String, e: Column): Unit = {
+        val refs = org.apache.spark.sql.graft.Bridge.expression(e).collect {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if ua.nameParts.headOption.exists(_.equalsIgnoreCase("source")) =>
+            ua.name
+        }
+        require(refs.isEmpty,
+          s"merge: $where references ${refs.mkString(", ")} — a row not " +
+            "matched by the source has no source side (the reference " +
+            "would read NULL on every row); whenNotMatchedBySource " +
+            "expressions may use target.* columns only")
+      }
+      m.bySource.zipWithIndex.foreach { case ((cond, a), i) =>
+        val where = s"whenNotMatchedBySource clause ${i + 1}"
+        cond.foreach(noSourceRefs(s"$where's condition", _))
+        a match {
+          case Update(set) => set.foreach { case (n, e) =>
+            noSourceRefs(s"$where's SET of '$n'", e)
+            checkExpr(where, n, e)
+          }
+          case _ => ()
+        }
       }
       m.notMatched.zipWithIndex.foreach { case ((_, values), i) =>
         values.foreach { case (n, e) =>
@@ -371,13 +387,7 @@ object ConditionalMerge {
         .unionByName(inserts(cached.select(keys.map(col): _*)))
     }
     def noOp = FeatherMutations.Result(snap.version, 0, snap.files.size, 0)
-    // a source that came through a shuffle reports
-    // spark.sql.shuffle.partitions partitions even when tiny — cap the
-    // write fan-out at the cluster's parallelism so repeated merges
-    // don't fill the table with near-empty parts (OPTIMIZE owns long-run
-    // part hygiene either way)
-    val srcParts = math.min(math.max(1, src.rdd.getNumPartitions),
-      spark.sparkContext.defaultParallelism)
+    val srcParts = ConnectorFace.capWriteParts(src)
 
     val rewriteNeeded = m.matched.nonEmpty || m.bySource.nonEmpty
       if (!rewriteNeeded) {

@@ -62,6 +62,27 @@ private[graft] sealed trait ConnectorFace extends Serializable {
 
 private[graft] object ConnectorFace {
 
+  /** Persist `df` for a multi-pass maintenance operation UNLESS the
+    * caller already persisted it (re-persisting warns, and the paired
+    * unpersist would evict the caller's own cache out from under their
+    * next use). Returns (frame, owned): unpersist only when owned. ONE
+    * definition for every mutation path — three call sites each grew
+    * their own copy of this guard within a round. */
+  def pinIfUncached(df: DataFrame): (DataFrame, Boolean) =
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      (df, false)
+    else (df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), true)
+
+  /** Write fan-out for a mutation's new parts: the source's partition
+    * count capped at the cluster parallelism — a shuffle-born tiny
+    * frame reports spark.sql.shuffle.partitions partitions, and a
+    * per-batch merge sink would otherwise fill the table with
+    * near-empty parts (OPTIMIZE owns long-run hygiene either way). */
+  def capWriteParts(df: DataFrame): Int =
+    math.min(math.max(1, df.rdd.getNumPartitions),
+      df.sparkSession.sparkContext.defaultParallelism)
+
   /** Null-fill `df` to `schema`'s fields and column order — the ONE
     * definition of the align-to-union-schema fold (the mutation tier's
     * survivor projection and the CDF read both need it; a copy per

@@ -219,7 +219,7 @@ object FeatherChanges {
     * two rules: a column must keep its (Spark) type across generations,
     * and a column any side lacks — or either side declares nullable —
     * widens to nullable (files predating it read null). */
-  private def mergeDataSchemas(a: org.apache.spark.sql.types.StructType,
+  private[graft] def mergeDataSchemas(a: org.apache.spark.sql.types.StructType,
                                b: org.apache.spark.sql.types.StructType,
                                path: String)
       : org.apache.spark.sql.types.StructType = {

@@ -345,17 +345,10 @@ object FeatherMutations {
     // part write — a foreachBatch source built from an expensive plan
     // must not re-execute per pass (the routePartitionedInserts
     // precedent). Unpersisted in the finally.
-    def pinIfUncached(df: DataFrame): (DataFrame, Boolean) =
-      // a caller-persisted frame is reused as-is: re-persisting warns and
-      // the finally's unpersist would evict the caller's own cache
-      if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-        (df, false)
-      else (df.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), true)
-    val (keysC, ownKeys) = pinIfUncached(keysDf)
+    val (keysC, ownKeys) = ConnectorFace.pinIfUncached(keysDf)
     val (insertC, ownInsert) =
       if (insertSource eq keysDf) (keysC, false)
-      else pinIfUncached(insertSource)
+      else ConnectorFace.pinIfUncached(insertSource)
     try {
     val (touchedSet, probeStats) =
       probeTouched(spark, op, absFiles, tableSchema0, keysC, keyCols)
@@ -372,14 +365,8 @@ object FeatherMutations {
     var partsWritten = 0
     if (!partitioned) {
       val src = insertC.select(tableSchema.fieldNames.map(col).toSeq: _*)
-      // cap the fan-out at the cluster parallelism: a shuffle-born tiny
-      // source reports spark.sql.shuffle.partitions partitions, and a
-      // per-batch merge sink would otherwise fill the table with
-      // near-empty parts (OPTIMIZE owns long-run hygiene either way)
-      val targetParts = math.min(
-        math.max(1, insertC.rdd.getNumPartitions),
-        spark.sparkContext.defaultParallelism)
-      val parts = face.writeParts(src.coalesce(targetParts), root.toString,
+      val parts = face.writeParts(
+        src.coalesce(ConnectorFace.capWriteParts(insertC)), root.toString,
         prefix, codec)
       if (parts.nonEmpty)
         FeatherStats.upsertMerged(fs, root,
@@ -503,11 +490,7 @@ object FeatherMutations {
     // an expensive upstream plan must not re-execute once per partition.
     // A frame the caller already persisted (mutateDv pins its batch) is
     // reused as-is; unpersisting it here would evict the caller's cache.
-    val owned =
-      src0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
-    val src = if (owned)
-      src0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else src0
+    val (src, owned) = ConnectorFace.pinIfUncached(src0)
     try {
       def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
       def leafOf(row: org.apache.spark.sql.Row): String =

@@ -174,11 +174,15 @@ private[graft] object GraftParquet {
                  codec: String = "snappy"): Seq[(String, Long, String)] = {
     require(prefix.nonEmpty && !prefix.contains("/") && !prefix.startsWith("."),
       s"writeParts prefix must be a plain name fragment, got '$prefix'")
+    // "lz4" never reaches here: it is the feather-centric DEFAULT
+    // sentinel that ConnectorFace.codecFor maps to this face's default
+    // (snappy) — advertising it in this whitelist would promise an
+    // output the public API cannot deliver
     val codecNorm = codec match {
-      case "snappy" | "zstd" | "gzip" | "lz4" => codec
+      case "snappy" | "zstd" | "gzip" => codec
       case "none" | "null" | "uncompressed" => "uncompressed"
       case other => throw new IllegalArgumentException(
-        s"unknown parquet codec $other (snappy, zstd, gzip, lz4, none)")
+        s"unknown parquet codec $other (snappy, zstd, gzip, none)")
     }
     val spark = df.sparkSession
     val out = new Path(dir)

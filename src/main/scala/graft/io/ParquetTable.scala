@@ -37,7 +37,9 @@ object ParquetTable {
   /** Overwrite `path` with `df` as a snapshotted parquet table: parts
     * land via Spark's parquet sink + rename, then ONE manifest commit
     * publishes the swap (op=overwrite — prior versions keep reading
-    * their files until expire). Returns the committed version. */
+    * their files until expire). Returns the committed version.
+    * Codecs: snappy (default), zstd, gzip, none; "lz4" is the shared
+    * maintenance APIs' default sentinel and maps to snappy here. */
   def write(df: DataFrame, path: String, codec: String = "snappy"): Long =
     writeImpl(df, path, truncate = true, codec)
 

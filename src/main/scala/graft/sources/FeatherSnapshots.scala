@@ -610,9 +610,20 @@ private[graft] object FeatherSnapshots {
   private[graft] def latestVersionWithOp(fs: FileSystem, root: Path,
                                          op: String): Option[Snapshot] =
     versionBounds(fs, root).flatMap { case (oldest, newest) =>
-      (newest to oldest by -1L).find(v =>
-        readHeaderField(fs, root, v, "op").contains(op))
-        .map(read(fs, root, _))
+      var v = newest
+      while (v >= oldest) {
+        // a concurrent expire() deleting manifests under the walk is
+        // ordinary retention, not an error: a version that vanished —
+        // and everything older — is outside retention, and callers
+        // (incremental OPTIMIZE) already treat "no such commit retained"
+        // as the conservative full-rewrite case
+        val field =
+          try readHeaderField(fs, root, v, "op")
+          catch { case _: java.io.FileNotFoundException => return None }
+        if (field.contains(op)) return Some(read(fs, root, v))
+        v -= 1
+      }
+      None
     }
 
   /** Run-unique name prefix for data files written AHEAD of a

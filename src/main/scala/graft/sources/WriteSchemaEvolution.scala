@@ -28,7 +28,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
   * start; an evolved append mid-stream align-casts into the pinned shape
   * (new columns invisible until the stream restarts) — the documented
   * contract in [[graft.io.FeatherChanges]]. `changesSince` and fresh
-  * streams serve the widened head schema immediately. */
+  * streams serve the widened head schema immediately.
+  *
+  * Known race (documented, not closed): validation is check-then-act —
+  * two concurrent OPTED-IN appends that introduce the SAME new column
+  * with DIFFERENT types can both pass the gate and both commit (blind
+  * appends commute by design), leaving a type conflict the merged read
+  * then refuses loudly. Closing it would need schema actions in the
+  * commit log itself (the Delta design); with footer-defined schemas
+  * the recovery is explicit — delete or rewrite one side's files. The
+  * window requires two writers racing a schema CHANGE of one column
+  * within one validation interval, and the failure is loud, never
+  * silent. */
 private[graft] object WriteSchemaEvolution {
 
   /** Nullability-insensitive structural type equality (Spark's sameType
@@ -71,15 +82,51 @@ private[graft] object WriteSchemaEvolution {
         Some(graft.io.FeatherChanges.headDataSchema(spark, path))
       else {
         val files = FeatherSnapshots.listDataFiles(fs, rootP, suffixes)
-        if (files.isEmpty) None
-        else {
-          val face = graft.io.ConnectorFace.detect(files, "append", path)
-          Some(face.mergedSchema(spark, files.map { case (rel, len) =>
-            (new org.apache.hadoop.fs.Path(rootP, rel).toString, len) }))
-        }
+        if (files.isEmpty) None else Some(legacyUnion(spark, path, rootP,
+          files))
       }
     union.foreach(u => validateAppend(path, writeSchema, mergeSchema, u,
       caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis))
+  }
+
+  /** Per-directory union-schema cache for LEGACY (non-snapshot) tables:
+    * (file name set, schema). Data files are immutable, so when the
+    * cached names are a subset of the current listing the union is the
+    * cached schema merged with the NEW files' footers — one footer per
+    * appended file amortized, the same incremental shape the snapshot
+    * path gets from FeatherChanges' head-schema cache (without it, a
+    * periodic ingest job appending to a 50k-part legacy directory would
+    * pay a 50k-footer sweep per batch). A shrunk listing (files deleted)
+    * rebuilds fully. LRU-capped; worst case is a full re-sweep, never
+    * a wrong answer. */
+  private val legacyCache =
+    new java.util.LinkedHashMap[String, (Set[String], StructType)](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Set[String], StructType)])
+          : Boolean = size() > 32
+    }
+
+  private def legacyUnion(spark: org.apache.spark.sql.SparkSession,
+                          path: String,
+                          rootP: org.apache.hadoop.fs.Path,
+                          files: Seq[(String, Long)]): StructType = {
+    def abs(fl: Seq[(String, Long)]) = fl.map { case (rel, len) =>
+      (new org.apache.hadoop.fs.Path(rootP, rel).toString, len) }
+    val face = graft.io.ConnectorFace.detect(files, "append", path)
+    val names = files.map(_._1).toSet
+    val key = rootP.toString
+    val cached = legacyCache.synchronized(Option(legacyCache.get(key)))
+    val union = cached match {
+      case Some((known, schema)) if known.subsetOf(names) =>
+        val fresh = files.filterNot(f => known(f._1))
+        if (fresh.isEmpty) schema
+        else graft.io.FeatherChanges.mergeDataSchemas(schema,
+          face.mergedSchema(spark, abs(fresh)), path)
+      case _ => face.mergedSchema(spark, abs(files))
+    }
+    legacyCache.synchronized(legacyCache.put(key, (names, union))): Unit
+    union
   }
 
   /** Validate an APPEND frame schema against the table's union schema.
