@@ -228,11 +228,28 @@ object ConditionalMerge {
       // reference would evaluate to NULL on every row it applies to —
       // conditions silently never fire, SETs overwrite survivors with
       // nulls. Refuse at build (Delta's contract for this clause family).
+      val srcAttrIds = m.source.queryExecution.analyzed.output
+        .map(_.exprId).toSet
       def noSourceRefs(where: String, e: Column): Unit = {
-        val refs = org.apache.spark.sql.graft.Bridge.expression(e).collect {
+        val refs = org.apache.spark.sql.graft.Bridge
+          .convertedExpression(spark, e).collect {
+          // functions.col("source.x") may arrive as ONE unparsed name
+          // part ("source.x") or as parsed parts (["source","x"]) —
+          // normalize before testing the qualifier
           case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-              if ua.nameParts.headOption.exists(_.equalsIgnoreCase("source")) =>
-            ua.name
+              if {
+                val parts =
+                  if (ua.nameParts.length == 1)
+                    ua.nameParts.head.split('.').toSeq
+                  else ua.nameParts
+                parts.length >= 2 && parts.head.equalsIgnoreCase("source")
+              } => ua.name
+          // a RESOLVED column taken straight off the source frame
+          // (sourceDf("x")) carries an AttributeReference whose exprId
+          // belongs to the source plan — the same null-on-every-row trap
+          // in a different spelling
+          case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference
+              if srcAttrIds(ar.exprId) => ar.name
         }
         require(refs.isEmpty,
           s"merge: $where references ${refs.mkString(", ")} — a row not " +
@@ -411,14 +428,26 @@ object ConditionalMerge {
       val committed: Long =
         if (!dvMask) {
           // ---- copy-on-write ------------------------------------------------
-          if (candidateAbs.nonEmpty)
-            writeOut(clauseOutput(readCandidates()),
+          // the probe over-approximates: when no bySource clause forces a
+          // full sweep, one pruned limit-1 probe decides whether any row
+          // ACTUALLY matches — a merge whose keys fall inside candidate
+          // ranges but match nothing must not rewrite candidates
+          // byte-identically and publish a stream-aborting version (the
+          // replayed-foreachBatch case); it degrades to the insert path
+          val cand0 =
+            if (candidateAbs.isEmpty) None else Some(pin(readCandidates()))
+          val anyMatch = m.bySource.nonEmpty || cand0.exists(c =>
+            c.alias("target").join(srcP, keyCond, "left_semi")
+              .limit(1).count() > 0)
+          if (cand0.nonEmpty && anyMatch)
+            writeOut(clauseOutput(cand0.get),
               math.max(candidateAbs.size, srcParts))
           else
-            writeOut(inserts(emptyFrame.select(keys.map(col): _*)),
+            writeOut(inserts(cand0.map(_.select(keys.map(col): _*))
+                .getOrElse(emptyFrame.select(keys.map(col): _*))),
               srcParts)
           val removeRel: Set[String] =
-            if (candidateAbs.nonEmpty)
+            if (cand0.nonEmpty && anyMatch)
               candidateIdx.map(i => snap.files(i)._1).toSet
             else Set.empty
           if (added.isEmpty && removeRel.isEmpty) return noOp

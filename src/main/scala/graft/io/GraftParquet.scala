@@ -499,11 +499,18 @@ private[graft] object GraftParquet {
         case null => (g, i) => g.getLong(i, 0)
         case a: IntLogicalTypeAnnotation if a.isSigned =>
           (g, i) => g.getLong(i, 0)
+        case a: TimestampLogicalTypeAnnotation
+            if a.getUnit == TimeUnit.NANOS =>
+          // TIMESTAMP(NANOS) maps to LongType in this engine
+          // (spark.sql.legacy.parquet.nanosAsLong, pinned session-wide —
+          // without it Spark refuses nanos parquet outright), so the
+          // maintenance iterator must emit the raw long too or the scan
+          // frame's schema and the Row values disagree
+          (g, i) => g.getLong(i, 0)
         case a: TimestampLogicalTypeAnnotation =>
           val toMicros: Long => Long = a.getUnit match {
             case TimeUnit.MICROS => identity
-            case TimeUnit.MILLIS => _ * 1000L
-            case TimeUnit.NANOS => Math.floorDiv(_, 1000L)
+            case _ => _ * 1000L // MILLIS (NANOS handled above)
           }
           if (a.isAdjustedToUTC) (g, i) => micTs(toMicros(g.getLong(i, 0)))
           else (g, i) => micLdt(toMicros(g.getLong(i, 0)))

@@ -617,10 +617,10 @@ private[graft] object FeatherSnapshots {
         // and everything older — is outside retention, and callers
         // (incremental OPTIMIZE) already treat "no such commit retained"
         // as the conservative full-rewrite case
-        val field =
-          try readHeaderField(fs, root, v, "op")
-          catch { case _: java.io.FileNotFoundException => return None }
-        if (field.contains(op)) return Some(read(fs, root, v))
+        try {
+          if (readHeaderField(fs, root, v, "op").contains(op))
+            return Some(read(fs, root, v))
+        } catch { case _: java.io.FileNotFoundException => return None }
         v -= 1
       }
       None

@@ -100,10 +100,10 @@ private[graft] object WriteSchemaEvolution {
     * rebuilds fully. LRU-capped; worst case is a full re-sweep, never
     * a wrong answer. */
   private val legacyCache =
-    new java.util.LinkedHashMap[String, (Set[String], StructType)](
+    new java.util.LinkedHashMap[String, (Set[(String, Long)], StructType)](
       16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (Set[String], StructType)])
+          e: java.util.Map.Entry[String, (Set[(String, Long)], StructType)])
           : Boolean = size() > 32
     }
 
@@ -114,18 +114,22 @@ private[graft] object WriteSchemaEvolution {
     def abs(fl: Seq[(String, Long)]) = fl.map { case (rel, len) =>
       (new org.apache.hadoop.fs.Path(rootP, rel).toString, len) }
     val face = graft.io.ConnectorFace.detect(files, "append", path)
-    val names = files.map(_._1).toSet
+    // keyed on (name, LENGTH) pairs, matching the stats tier's staleness
+    // rule: a directory replaced out-of-band with identically-NAMED files
+    // must not be served the dead table's schema (a name-only key would
+    // skip every footer and admit a type-conflicting append)
+    val entries = files.toSet
     val key = rootP.toString
     val cached = legacyCache.synchronized(Option(legacyCache.get(key)))
     val union = cached match {
-      case Some((known, schema)) if known.subsetOf(names) =>
-        val fresh = files.filterNot(f => known(f._1))
+      case Some((known, schema)) if known.subsetOf(entries) =>
+        val fresh = files.filterNot(known)
         if (fresh.isEmpty) schema
         else graft.io.FeatherChanges.mergeDataSchemas(schema,
           face.mergedSchema(spark, abs(fresh)), path)
       case _ => face.mergedSchema(spark, abs(files))
     }
-    legacyCache.synchronized(legacyCache.put(key, (names, union))): Unit
+    legacyCache.synchronized(legacyCache.put(key, (entries, union))): Unit
     union
   }
 

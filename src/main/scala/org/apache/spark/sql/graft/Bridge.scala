@@ -14,6 +14,17 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The CONVERTED catalyst expression of a Column — [[expression]]
+    * returns a lazy ColumnNodeExpression wrapper whose tree is opaque to
+    * collect/transform until analysis; validation code that needs to
+    * inspect the attribute references (the conditional-merge clause
+    * guards) must force the conversion through the session's
+    * ColumnNode→Expression converter. */
+  def convertedExpression(spark: org.apache.spark.sql.SparkSession,
+                          c: Column): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .expression(c)
+
   /** Re-tag a BATCH DataFrame's plan as a STREAMING micro-batch: a V1
     * streaming `Source.getBatch` must hand MicroBatchExecution a plan
     * with `isStreaming = true`, and the standard way (what the built-in

@@ -205,6 +205,23 @@ class ConditionalMergeSpec extends AnyFunSuite {
         .whenNotMatchedBySourceDelete().executeDV()
     }
     assert(e2.getMessage.contains("whenNotMatchedBySource"))
+    // source references in a bySource clause are refused in BOTH
+    // spellings — unresolved col("source.x") and the resolved frame
+    // column (either would read NULL on every applicable row)
+    val eS1 = intercept[IllegalArgumentException] {
+      ConditionalMerge(spark, path, src, Seq("id"))
+        .whenNotMatchedBySourceDelete(Some(col("source.grade") === "x"))
+        .execute()
+    }
+    assert(eS1.getMessage.contains("no source side"))
+    val srcF = src
+    val eS2 = intercept[IllegalArgumentException] {
+      ConditionalMerge(spark, path, srcF, Seq("id"))
+        .whenNotMatchedBySourceUpdate(None,
+          set = Map("grade" -> srcF("grade")))
+        .execute()
+    }
+    assert(eS2.getMessage.contains("no source side"))
     val e3 = intercept[IllegalArgumentException] {
       ConditionalMerge(spark, path, src, Seq("id"))
         .whenMatchedUpdate(None, set = Map("ghost" -> lit(1)))
@@ -295,6 +312,15 @@ class ConditionalMergeSpec extends AnyFunSuite {
     val r2 = ConditionalMerge(spark, path, noMatch, Seq("id"))
       .whenMatchedDelete(None).executeDV()
     assert(r2.version === 1L, s"nothing-matched DV merge must not commit: $r2")
+    // COW too: keys INSIDE candidate ranges but matching no actual row
+    // (the probe over-approximates) must not rewrite candidates
+    // byte-identically — it is the replayed-foreachBatch shape
+    val inRange = Seq((50L, "sX", 1.0)).toDF("id", "grade", "amt")
+      .withColumn("id", col("id") + 0.5).withColumn("id", lit(1000000L))
+    val r3 = ConditionalMerge(spark, path,
+      Seq((1000000L, "sX", 1.0)).toDF("id", "grade", "amt"), Seq("id"))
+      .whenMatchedUpdateAll().execute()
+    assert(r3.version === 1L, s"nothing-matched COW merge must not commit: $r3")
     assert(spark.read.format("feather").load(path).count() === 100)
   }
 
