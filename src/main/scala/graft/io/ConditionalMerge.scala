@@ -38,7 +38,15 @@ import graft.sources.FeatherSnapshots
   *    (Delta's multiple-matches error);
   *  - the whole operation is ONE atomic manifest commit under the
   *    conflict matrix (concurrent blind appends commute, racing
-  *    mutations abort loudly).
+  *    mutations abort loudly);
+  *  - replay shape: a merge whose keys match NO actual row (or with no
+  *    qualifying insert) publishes NO version; one whose keys match but
+  *    whose CONDITIONS all evaluate false still rewrites the candidate
+  *    files under COW (Delta's touched-file rule — deciding "no clause
+  *    fired anywhere" would cost the same scan as the rewrite), so a
+  *    replayed CONDITIONAL merge is content-idempotent but not
+  *    version-free; executeDV's masks make the replay cheap where that
+  *    matters.
   *
   * Strategies:
   *  - [[execute]] (copy-on-write): candidate files — pruned by the
@@ -202,10 +210,13 @@ object ConditionalMerge {
     {
       def empty(st: StructType) = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), st)
+      // the source side of the shape is the REAL source plan (exprIds
+      // preserved): a resolved srcDf("x") column must type-check here
+      // exactly as it resolves in the execution join — an empty rebuild
+      // with fresh exprIds would refuse that legal spelling with a raw
+      // MISSING_ATTRIBUTE. Analysis only; nothing executes.
       val shape = empty(tableSchema).alias("target")
-        .join(empty(m.source.schema)
-          .withColumn("__s_present", lit(true)).alias("source"),
-          keyCond, "left_outer")
+        .join(srcP, keyCond, "left_outer")
       def exprType(c: Column): org.apache.spark.sql.types.DataType =
         shape.select(c).schema.head.dataType
       def checkExpr(where: String, name: String, e: Column): Unit = {
@@ -236,14 +247,13 @@ object ConditionalMerge {
           // functions.col("source.x") may arrive as ONE unparsed name
           // part ("source.x") or as parsed parts (["source","x"]) —
           // normalize before testing the qualifier
+          // a parsed source.x reference arrives as >= 2 name parts; a
+          // SINGLE part is a backtick-quoted literal column name (a
+          // target column could legally be named "source.flag") and is
+          // never a source reference
           case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-              if {
-                val parts =
-                  if (ua.nameParts.length == 1)
-                    ua.nameParts.head.split('.').toSeq
-                  else ua.nameParts
-                parts.length >= 2 && parts.head.equalsIgnoreCase("source")
-              } => ua.name
+              if ua.nameParts.length >= 2 &&
+                ua.nameParts.head.equalsIgnoreCase("source") => ua.name
           // a RESOLVED column taken straight off the source frame
           // (sourceDf("x")) carries an AttributeReference whose exprId
           // belongs to the source plan — the same null-on-every-row trap
@@ -407,6 +417,10 @@ object ConditionalMerge {
     val srcParts = ConnectorFace.capWriteParts(src)
 
     val rewriteNeeded = m.matched.nonEmpty || m.bySource.nonEmpty
+    // set by the COW branch: false when the merge degraded to a pure
+    // append (keys matched no actual row), so Result.filesTouched
+    // reports what happened, not what the probe guessed
+    var cowRewrote = false
       if (!rewriteNeeded) {
         // insert-only merge, EITHER strategy: candidates are read for the
         // anti-join but never rewritten or masked — the commit is a pure
@@ -439,7 +453,8 @@ object ConditionalMerge {
           val anyMatch = m.bySource.nonEmpty || cand0.exists(c =>
             c.alias("target").join(srcP, keyCond, "left_semi")
               .limit(1).count() > 0)
-          if (cand0.nonEmpty && anyMatch)
+          cowRewrote = cand0.nonEmpty && anyMatch
+          if (cowRewrote)
             writeOut(clauseOutput(cand0.get),
               math.max(candidateAbs.size, srcParts))
           else
@@ -447,8 +462,7 @@ object ConditionalMerge {
                 .getOrElse(emptyFrame.select(keys.map(col): _*))),
               srcParts)
           val removeRel: Set[String] =
-            if (cand0.nonEmpty && anyMatch)
-              candidateIdx.map(i => snap.files(i)._1).toSet
+            if (cowRewrote) candidateIdx.map(i => snap.files(i)._1).toSet
             else Set.empty
           if (added.isEmpty && removeRel.isEmpty) return noOp
           if (added.isEmpty && removeRel.nonEmpty &&
@@ -493,7 +507,8 @@ object ConditionalMerge {
         }
       val touched =
         if (dvMask) positionsTouched(committed, snap, fs, root)
-        else candidateIdx.size
+        else if (cowRewrote) candidateIdx.size
+        else 0
       FeatherMutations.Result(committed, touched,
         snap.files.size - touched, partsWritten)
     } finally {

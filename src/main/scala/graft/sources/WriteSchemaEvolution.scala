@@ -144,6 +144,13 @@ private[graft] object WriteSchemaEvolution {
                      mergeSchema: Boolean, union: StructType,
                      caseSensitive: Boolean = false): Unit = {
     if (!caseSensitive) {
+      // the frame itself must not carry two spellings of one name — both
+      // would land and every read of either dies AMBIGUOUS_REFERENCE
+      writeSchema.fields.groupBy(_.name.toLowerCase(java.util.Locale.ROOT))
+        .foreach { case (_, fs) => require(fs.length == 1,
+          s"append to $path: the frame carries columns that differ only " +
+            s"by case (${fs.map(_.name).mkString(", ")}) — under " +
+            "case-insensitive analysis they collide on every read") }
       val tableByLower = union.fields
         .groupBy(_.name.toLowerCase(java.util.Locale.ROOT))
       writeSchema.fields.foreach { f =>
