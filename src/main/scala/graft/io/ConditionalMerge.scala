@@ -177,23 +177,6 @@ object ConditionalMerge {
     }
     val src = pin(m.source)
     try {
-    // unique source keys: one target row must pair with at most one
-    // source row (and one source key with one insert). Null-keyed
-    // source rows never match anything and may repeat. (The aggregate
-    // alias is reserved above: a key column literally named "count"
-    // must not make this check ambiguous.)
-    val dupes = src.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__m_cnt"))
-      .where(col("__m_cnt") > 1 &&
-        keys.map(col(_).isNotNull).reduce(_ && _))
-      .limit(1).collect()
-    require(dupes.isEmpty,
-      s"merge: source carries a duplicate key tuple " +
-        s"${keys.zipWithIndex.map { case (k, i) =>
-          s"$k=${dupes.headOption.map(_.get(i)).orNull}" }
-          .mkString("(", ", ", ")")} — multiple source rows matching one " +
-        "target row have no defined merge order; pre-collapse the source " +
-        "(max-sequence per key)")
 
     val targetV = snap.version + 1
     val prefix = FeatherSnapshots.runPrefix(targetV)
@@ -278,9 +261,29 @@ object ConditionalMerge {
           case _ => ()
         }
       }
-      m.notMatched.zipWithIndex.foreach { case ((_, values), i) =>
+      // the insert family's frame is source-only (the anti-join): a
+      // target.* reference would die mid-run with a raw
+      // UNRESOLVED_COLUMN — in executeDV only after the sidecars were
+      // already written. Mirror of noSourceRefs for the other side.
+      def noTargetRefs(where: String, e: Column): Unit = {
+        val refs = org.apache.spark.sql.graft.Bridge
+          .convertedExpression(spark, e).collect {
+            case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                if ua.nameParts.length >= 2 &&
+                  ua.nameParts.head.equalsIgnoreCase("target") => ua.name
+          }
+        require(refs.isEmpty,
+          s"merge: $where references ${refs.mkString(", ")} — an " +
+            "unmatched source row has no target side; whenNotMatched " +
+            "expressions may use source.* columns only")
+      }
+      m.notMatched.zipWithIndex.foreach { case ((cond, values), i) =>
+        val where = s"whenNotMatched clause ${i + 1}"
+        cond.foreach(noTargetRefs(s"$where's condition", _))
         values.foreach { case (n, e) =>
-          checkExpr(s"whenNotMatched clause ${i + 1}", n, e) }
+          noTargetRefs(s"$where's VALUES of '$n'", e)
+          checkExpr(where, n, e)
+        }
       }
       // updateAll/insertAll implicitly set EVERY table column from the
       // source's — the same lossless-or-exact rule applies, or the two
@@ -362,6 +365,24 @@ object ConditionalMerge {
         .where(col("__m_action") =!= lit(Keep))
         .select(outCols.toSeq: _*)
     }
+
+    // unique source keys: one target row must pair with at most one
+    // source row (and one source key with one insert). Null-keyed
+    // source rows never match anything and may repeat. (The aggregate
+    // alias is reserved above: a key column literally named "count"
+    // must not make this check ambiguous.)
+    val dupes = src.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__m_cnt"))
+      .where(col("__m_cnt") > 1 &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .limit(1).collect()
+    require(dupes.isEmpty,
+      s"merge: source carries a duplicate key tuple " +
+        s"${keys.zipWithIndex.map { case (k, i) =>
+          s"$k=${dupes.headOption.map(_.get(i)).orNull}" }
+          .mkString("(", ", ", ")")} — multiple source rows matching one " +
+        "target row have no defined merge order; pre-collapse the source " +
+        "(max-sequence per key)")
 
     // ---- which files participate? -------------------------------------------
     // a whenNotMatchedBySource clause can fire on ANY row → every file;
@@ -448,17 +469,23 @@ object ConditionalMerge {
           // ranges but match nothing must not rewrite candidates
           // byte-identically and publish a stream-aborting version (the
           // replayed-foreachBatch case); it degrades to the insert path
-          val cand0 =
-            if (candidateAbs.isEmpty) None else Some(pin(readCandidates()))
-          val anyMatch = m.bySource.nonEmpty || cand0.exists(c =>
+          // the probe and the degraded (no actual match) path consume
+          // only the KEY columns — pin key-width, and read full width
+          // only once a rewrite is certain (the replayed-foreachBatch
+          // no-match case must not decode or cache every column of
+          // every candidate)
+          val candKeys =
+            if (candidateAbs.isEmpty) None
+            else Some(pin(readCandidates().select(keys.map(col): _*)))
+          val anyMatch = m.bySource.nonEmpty || candKeys.exists(c =>
             c.alias("target").join(srcP, keyCond, "left_semi")
               .limit(1).count() > 0)
-          cowRewrote = cand0.nonEmpty && anyMatch
+          cowRewrote = candKeys.nonEmpty && anyMatch
           if (cowRewrote)
-            writeOut(clauseOutput(cand0.get),
+            writeOut(clauseOutput(readCandidates()),
               math.max(candidateAbs.size, srcParts))
           else
-            writeOut(inserts(cand0.map(_.select(keys.map(col): _*))
+            writeOut(inserts(candKeys
                 .getOrElse(emptyFrame.select(keys.map(col): _*))),
               srcParts)
           val removeRel: Set[String] =

@@ -163,6 +163,16 @@ object FeatherCluster {
       if (i < 0) "" else rel.substring(0, i)
     }.toSeq.sortBy(_._1)
 
+    // the HEAD union schema, once: cluster columns validate against the
+    // TABLE (not whichever generation a leaf/rewrite set happens to
+    // hold), and every rewrite read aligns to it
+    val unionSchema = face.mergedSchema(spark,
+      snap.files.map { case (rel, len) =>
+        (new Path(root, rel).toString, len) })
+    cols.foreach(c => require(unionSchema.fieldNames.contains(c),
+      s"cluster: column '$c' not in table schema " +
+        s"(${unionSchema.fieldNames.mkString(", ")})"))
+
     // z-order dimension mapping: every dimension becomes a LONG in
     // [0, 2^bitsPerDim). Numeric/date/timestamp dims min-max normalize
     // against one GLOBAL aggregation pass (per-leaf ranges would give
@@ -182,15 +192,14 @@ object FeatherCluster {
         // alone (each generation gets a self-consistent z-space; pruning
         // is exact either way — it reads per-file RAW-column stats, the
         // z-key only drives colocation)
-        val all = face.readMergedDv(spark,
+        val all = ConnectorFace.align(face.readMergedDv(spark,
           rewriteFiles.map { case (rel, len) =>
-            (new Path(root, rel).toString, len) }, dvPathsFor(rewriteFiles))
+            (new Path(root, rel).toString, len) }, dvPathsFor(rewriteFiles)),
+          unionSchema)
         val maxVal = (1L << zorderBits) - 1
         // Left(doubleExpr) = numeric-ish; Right(()) = string-ranked
         val kinds: Seq[Either[org.apache.spark.sql.Column, Unit]] =
           cols.map { c =>
-            require(all.columns.contains(c),
-              s"clusterZOrder: column '$c' not in table schema")
             all.schema(c).dataType match {
               case _: NumericType => Left(col(c).cast("double"))
               // day number / epoch micros: any monotonic map works for
@@ -279,11 +288,14 @@ object FeatherCluster {
       val leafBytes = leafFiles.map(_._2).sum
       val nParts = math.max(1,
         math.ceil(leafBytes.toDouble / targetBytes).toInt)
-      val df = face.readMergedDv(spark, // evolved generations keep their columns
+      // aligned to the HEAD union schema: a leaf (or an incremental
+      // rewrite set) consisting only of narrowing-append files would
+      // otherwise lack an evolved cluster column and fail a false
+      // "not in table schema" — the missing values cluster as null,
+      // exactly what a merged read serves
+      val df = ConnectorFace.align(face.readMergedDv(spark,
         leafFiles.map { case (rel, len) => (new Path(root, rel).toString, len) },
-        dvPathsFor(leafFiles))
-      cols.foreach(c => require(df.columns.contains(c),
-        s"cluster: column '$c' not in table schema (${df.columns.mkString(", ")})"))
+        dvPathsFor(leafFiles)), unionSchema)
       val clustered = zDims match {
         case Some(dims) =>
           df.withColumn("__zkey", zExpr(dims))
@@ -310,12 +322,9 @@ object FeatherCluster {
     // fail at discovery (an incremental run with clustered survivors
     // needs no stamp: the survivors keep the table readable)
     if (added.isEmpty && keepFiles.isEmpty) {
-      val schema = face.mergedSchema(spark,
-        snap.files.map { case (rel, len) =>
-          (new Path(root, rel).toString, len) })
       byLeaf.foreach { case (relDir, _) =>
         val leafDir = if (relDir.isEmpty) root else new Path(root, relDir)
-        val (name, len) = face.stamp(fs, leafDir, prefix, schema)
+        val (name, len) = face.stamp(fs, leafDir, prefix, unionSchema)
         added += ((if (relDir.isEmpty) name else s"$relDir/$name", len))
       }
     }

@@ -322,10 +322,24 @@ private[graft] object GraftParquet {
             s: org.apache.parquet.column.statistics.BinaryStatistics)
           if ann.isInstanceOf[StringLogicalTypeAnnotation] =>
         // parquet STRING stats order is unsigned-lexicographic on the
-        // UTF-8 bytes — exactly the UTF8String order the stats tier pins
-        Some(ColStat.Strings(
-          new String(s.getMin.getBytes, java.nio.charset.StandardCharsets.UTF_8),
-          new String(s.getMax.getBytes, java.nio.charset.StandardCharsets.UTF_8)))
+        // UTF-8 bytes — exactly the UTF8String order the stats tier
+        // pins. FOREIGN writers may have byte-truncated a value
+        // mid-codepoint (still a valid byte-wise bound): decoding maps
+        // the dangling lead byte to U+FFFD, whose re-encoding can sort
+        // BELOW the true max and make the probe wrongly prune — record
+        // the stat only when the bytes survive a decode round-trip
+        // (graft-written stats always do; a foreign truncation falls
+        // back to "no stat", never to a wrong one).
+        def roundTrips(b: Array[Byte]): Boolean =
+          java.util.Arrays.equals(
+            new String(b, java.nio.charset.StandardCharsets.UTF_8)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8), b)
+        val (lo, hi) = (s.getMin.getBytes, s.getMax.getBytes)
+        if (roundTrips(lo) && roundTrips(hi))
+          Some(ColStat.Strings(
+            new String(lo, java.nio.charset.StandardCharsets.UTF_8),
+            new String(hi, java.nio.charset.StandardCharsets.UTF_8)))
+        else None
       case _ => None
     }
   }
