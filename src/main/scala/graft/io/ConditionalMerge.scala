@@ -481,9 +481,14 @@ object ConditionalMerge {
             c.alias("target").join(srcP, keyCond, "left_semi")
               .limit(1).count() > 0)
           cowRewrote = candKeys.nonEmpty && anyMatch
-          if (cowRewrote)
+          if (cowRewrote) {
+            // the probe cache served its one limit-1 job; the rewrite
+            // pins its own full-width read — holding both would cache
+            // the key columns twice for the whole write
+            candKeys.foreach(_.unpersist(blocking = false))
             writeOut(clauseOutput(readCandidates()),
               math.max(candidateAbs.size, srcParts))
+          }
           else
             writeOut(inserts(candKeys
                 .getOrElse(emptyFrame.select(keys.map(col): _*))),

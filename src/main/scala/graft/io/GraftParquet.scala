@@ -501,6 +501,16 @@ private[graft] object GraftParquet {
           (g, i) => g.getInteger(i, 0).toShort
         case a: IntLogicalTypeAnnotation if a.isSigned =>
           (g, i) => g.getInteger(i, 0)
+        // unsigned ints widen exactly as Spark's scan reads them
+        // (UINT_8→short, UINT_16→int, UINT_32→long) — foreign
+        // Arrow/C++ corpora carry these and a maintenance pass must not
+        // refuse a table for merely containing one
+        case a: IntLogicalTypeAnnotation if a.getBitWidth == 8 =>
+          (g, i) => (g.getInteger(i, 0) & 0xFF).toShort
+        case a: IntLogicalTypeAnnotation if a.getBitWidth == 16 =>
+          (g, i) => g.getInteger(i, 0) & 0xFFFF
+        case a: IntLogicalTypeAnnotation if a.getBitWidth == 32 =>
+          (g, i) => g.getInteger(i, 0).toLong & 0xFFFFFFFFL
         case _: DateLogicalTypeAnnotation =>
           (g, i) => java.sql.Date.valueOf(
             java.time.LocalDate.ofEpochDay(g.getInteger(i, 0).toLong))
@@ -513,6 +523,9 @@ private[graft] object GraftParquet {
         case null => (g, i) => g.getLong(i, 0)
         case a: IntLogicalTypeAnnotation if a.isSigned =>
           (g, i) => g.getLong(i, 0)
+        case a: IntLogicalTypeAnnotation => // UINT_64 → decimal(20,0)
+          (g, i) => new java.math.BigDecimal(
+            java.lang.Long.toUnsignedString(g.getLong(i, 0)))
         case a: TimestampLogicalTypeAnnotation
             if a.getUnit == TimeUnit.NANOS =>
           // TIMESTAMP(NANOS) maps to LongType in this engine

@@ -314,13 +314,26 @@ class ConditionalMergeSpec extends AnyFunSuite {
     assert(r2.version === 1L, s"nothing-matched DV merge must not commit: $r2")
     // COW too: keys INSIDE candidate ranges but matching no actual row
     // (the probe over-approximates) must not rewrite candidates
-    // byte-identically — it is the replayed-foreachBatch shape
-    val inRange = Seq((50L, "sX", 1.0)).toDF("id", "grade", "amt")
-      .withColumn("id", col("id") + 0.5).withColumn("id", lit(1000000L))
-    val r3 = ConditionalMerge(spark, path,
-      Seq((1000000L, "sX", 1.0)).toDF("id", "grade", "amt"), Seq("id"))
+    // byte-identically — it is the replayed-foreachBatch shape. The
+    // gapped table (even ids only) makes an in-range miss possible.
+    val gapped = tmp("noop_gap")
+    (1 to 100).map(i => ((i * 2).toLong, s"g${i % 3}", i * 10.0))
+      .toDF("id", "grade", "amt")
+      .repartitionByRange(4, col("id"))
+      .write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(gapped)
+    val r3 = ConditionalMerge(spark, gapped,
+      Seq((51L, "sX", 1.0)).toDF("id", "grade", "amt"), Seq("id"))
       .whenMatchedUpdateAll().execute()
-    assert(r3.version === 1L, s"nothing-matched COW merge must not commit: $r3")
+    assert(r3.version === 1L && r3.filesTouched === 0,
+      s"an in-range miss must degrade to a no-op, not a rewrite: $r3")
+    // ... and with a qualifying insert it degrades to a PURE APPEND
+    val r4 = ConditionalMerge(spark, gapped,
+      Seq((51L, "sX", 1.0)).toDF("id", "grade", "amt"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    assert(r4.version === 2L && r4.filesTouched === 0 && r4.partsWritten === 1,
+      s"in-range miss + insert = pure append: $r4")
+    assert(spark.read.format("feather").load(gapped).count() === 101)
     assert(spark.read.format("feather").load(path).count() === 100)
   }
 
