@@ -77,36 +77,21 @@ object FeatherChanges {
   // var, not val: the eviction spec lowers it (driving 33 real tables
   // through a unit test would dwarf the suite)
   private[graft] var feedSchemaCacheCap = 32
-  // LRU, not hash order: evicting by CHM bin order under a fixed key
-  // set picks the SAME victim on every overflow — one unlucky table
-  // then pays the full footer sweep on every poll while the rest stay
-  // cached forever. accessOrder=true makes the victim the least
-  // recently POLLED table. Guarded by its own monitor (driver-side,
-  // poll-frequency access).
   private val feedSchemaCache =
-    new java.util.LinkedHashMap[(String, (Long, Long)), HeadSchemaEntry](
-      16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, (Long, Long)), HeadSchemaEntry])
-          : Boolean = size() > feedSchemaCacheCap
-    }
+    new LruMap[(String, (Long, Long)), HeadSchemaEntry](
+      () => feedSchemaCacheCap)
   private def cacheGet(k: (String, (Long, Long))): Option[HeadSchemaEntry] =
-    feedSchemaCache.synchronized(Option(feedSchemaCache.get(k)))
+    feedSchemaCache.get(k)
   private def cachePut(k: (String, (Long, Long)),
                        v: HeadSchemaEntry): Unit =
-    feedSchemaCache.synchronized {
-      // superseded incarnations of the same path evict eagerly — they
-      // can never be read again and would only displace live tables
-      feedSchemaCache.keySet.removeIf(kk => kk._1 == k._1 && kk != k)
-      feedSchemaCache.put(k, v): Unit
-    }
-  private[graft] def feedSchemaCacheSize: Int =
-    feedSchemaCache.synchronized(feedSchemaCache.size)
+    // superseded incarnations of the same path evict eagerly — they
+    // can never be read again and would only displace live tables
+    feedSchemaCache.putEvicting(k, v)(kk => kk._1 == k._1 && kk != k)
+  private[graft] def feedSchemaCacheSize: Int = feedSchemaCache.size
   // removeEldestEntry evicts at most one entry per insertion, so a map
   // already above a LOWERED cap never drains to it — the eviction spec
   // clears first to make its size assertion order-independent
-  private[graft] def feedSchemaCacheClear(): Unit =
-    feedSchemaCache.synchronized(feedSchemaCache.clear())
+  private[graft] def feedSchemaCacheClear(): Unit = feedSchemaCache.clear()
 
   /** The incremental-ETL loop primitive: everything that changed after
     * `lastProcessedVersion`, plus the head version to checkpoint for the

@@ -142,6 +142,14 @@ object FeatherCluster {
     val keepSet = keepFiles.map(_._1).toSet
     val rewriteFiles = snap.files.filterNot { case (rel, _) => keepSet(rel) }
     if (incremental && rewriteFiles.isEmpty) {
+      // the no-op cycle still validates the cluster columns (via the
+      // CACHED head schema — no footer sweep per idle run): a typo'd
+      // column must fail on the first scheduled run, not silently
+      // report success until data arrives
+      val head = FeatherChanges.headDataSchema(spark, path)
+      cols.foreach(c => require(head.fieldNames.contains(c),
+        s"cluster: column '$c' not in table schema " +
+          s"(${head.fieldNames.mkString(", ")})"))
       // no commit — but a REQUESTED bloom must still build (it covers
       // files lacking sidecars idempotently); skipping it here would
       // leave the caller believing point-lookup pruning is active

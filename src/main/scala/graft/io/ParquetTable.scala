@@ -56,6 +56,15 @@ object ParquetTable {
 
   private def writeImpl(df: DataFrame, path: String, truncate: Boolean,
                         codec: String, mergeSchema: Boolean = false): Long = {
+    // "lz4" here is always an EXPLICIT user choice (this API's default
+    // is snappy; only the shared maintenance APIs use lz4 as their
+    // face-default sentinel) — and Spark's parquet "lz4" is the legacy
+    // hadoop-framed codec many foreign readers refuse. Silently
+    // remapping a deliberate choice would be worse than refusing it.
+    require(codec != "lz4",
+      "ParquetTable: codec 'lz4' is the shared maintenance APIs' " +
+        "default sentinel (→ snappy) and parquet's lz4 framing is not " +
+        "interoperable — pick snappy, zstd, gzip, or none")
     val spark = df.sparkSession
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -100,12 +100,7 @@ private[graft] object WriteSchemaEvolution {
     * rebuilds fully. LRU-capped; worst case is a full re-sweep, never
     * a wrong answer. */
   private val legacyCache =
-    new java.util.LinkedHashMap[String, (Set[(String, Long)], StructType)](
-      16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (Set[(String, Long)], StructType)])
-          : Boolean = size() > 32
-    }
+    new graft.io.LruMap[String, (Set[(String, Long)], StructType)](() => 32)
 
   private def legacyUnion(spark: org.apache.spark.sql.SparkSession,
                           path: String,
@@ -120,7 +115,7 @@ private[graft] object WriteSchemaEvolution {
     // skip every footer and admit a type-conflicting append)
     val entries = files.toSet
     val key = rootP.toString
-    val cached = legacyCache.synchronized(Option(legacyCache.get(key)))
+    val cached = legacyCache.get(key)
     val union = cached match {
       case Some((known, schema)) if known.subsetOf(entries) =>
         val fresh = files.filterNot(known)
@@ -129,7 +124,7 @@ private[graft] object WriteSchemaEvolution {
           face.mergedSchema(spark, abs(fresh)), path)
       case _ => face.mergedSchema(spark, abs(files))
     }
-    legacyCache.synchronized(legacyCache.put(key, (entries, union))): Unit
+    legacyCache.put(key, (entries, union))
     union
   }
 
