@@ -481,7 +481,193 @@ object ScaleRehearsal {
       planningTier(spark, s"$out/planning")
     if (mode == "all" || mode == "dv")
       dvTier(spark, s"$out/dv")
+    if (mode == "all" || mode == "dvmerge")
+      dvMergeTier(spark, s"$out/dvmerge")
+    if (mode == "all" || mode == "inccluster")
+      incClusterTier(spark, s"$out/inccluster")
+    if (mode == "all" || mode == "parquet")
+      parquetTier(spark, s"$out/parquet")
     spark.stop()
+  }
+
+  /** DV-MERGE tier (r13, FeatherMutations.mergeDV): the structural
+    * claim behind merge-on-read upserts — a scattered 1000-key
+    * correction's WRITTEN BYTES scale with the CHANGED ROWS under the
+    * DV path but with the TOUCHED FILE BYTES under copy-on-write. Two
+    * table scales (4×), the same strided source hitting every part:
+    * COW merge bytes must grow ~4×, DV merge bytes must stay flat
+    * (one small source part + position sidecars). */
+  def dvMergeTier(spark: SparkSession, out: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val results = Seq(8, 32).map { parts =>
+      val n = parts * 40000L
+      def build(path: String): Unit = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(conf)
+        fs.delete(p, true)
+        spark.range(n)
+          .select(col("id"),
+            concat(lit("payload_"), col("id") % 1000,
+              lit("_padpadpadpadpadpadpadpadpadpadpad")).as("pay"))
+          .repartitionByRange(parts, col("id"))
+          .write.format("feather").mode("overwrite")
+          .option("snapshots", "true").save(path)
+      }
+      // 1000 strided upserts + 100 inserts: every part is a candidate
+      val source = spark.range(1000)
+        .select((col("id") * (n / 1000) + 7).as("id"),
+          concat(lit("CORRECTED_"), col("id")).as("pay"))
+        .unionByName(spark.range(100)
+          .select((col("id") + n + 1).as("id"),
+            concat(lit("NEW_"), col("id")).as("pay")))
+      def newBytes(path: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(conf)
+        val v1 = graft.sources.FeatherSnapshots.read(fs, p, 1L).files.toSet
+        val v2 = graft.sources.FeatherSnapshots.read(fs, p, 2L)
+        v2.files.filterNot(v1).map(_._2).sum +
+          v2.dvs.values.map { case (dvRel, _) =>
+            fs.getFileStatus(new org.apache.hadoop.fs.Path(p, dvRel)).getLen
+          }.sum
+      }
+      val cowPath = s"$out/cow_$parts"
+      build(cowPath)
+      val t0 = System.nanoTime()
+      val rc = graft.io.FeatherMutations.merge(spark, cowPath, source,
+        Seq("id"))
+      val cowSec = (System.nanoTime() - t0) / 1e9
+      val cowBytes = newBytes(cowPath)
+      val dvPath = s"$out/dv_$parts"
+      build(dvPath)
+      val t1 = System.nanoTime()
+      val rd = graft.io.FeatherMutations.mergeDV(spark, dvPath, source,
+        Seq("id"))
+      val dvSec = (System.nanoTime() - t1) / 1e9
+      val dvBytes = newBytes(dvPath)
+      require(rc.filesTouched == parts && rd.filesTouched == parts,
+        s"strided keys must touch every part: cow=$rc dv=$rd")
+      println(f"""{"dvmerge_parts":$parts,"cow_bytes_written":$cowBytes,"dv_bytes_written":$dvBytes,"cow_sec":$cowSec%.2f,"dv_sec":$dvSec%.2f}""")
+      (cowBytes, dvBytes)
+    }
+    println(f"""{"dvmerge_tier":"merge_on_read_upsert","table_ratio":4,"cow_bytes_ratio":${results(1)._1.toDouble / results(0)._1}%.2f,"dv_bytes_ratio":${results(1)._2.toDouble / results(0)._2}%.2f}""")
+  }
+
+  /** INCREMENTAL-OPTIMIZE tier (r13, FeatherCluster incremental=true):
+    * the structural claim — a continuously-ingesting table's OPTIMIZE
+    * cost scales with NEW data, not table size. Build n rows, full
+    * cluster, append n/10, then compare the incremental sweep's
+    * rewritten bytes (must ≈ the append) against a full re-cluster's
+    * (must ≈ the whole table); pin the band-prune payoff across both
+    * generations. */
+  def incClusterTier(spark: SparkSession, out: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val n = 2000000L
+    val path = s"$out/t"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    spark.range(n)
+      .select(col("id"),
+        concat(lit("pay_"), col("id") % 997).as("pay"))
+      .repartition(16, col("id")) // hash: worst case, nothing prunes
+      .write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(path)
+    def liveBytes(v: Long): Map[String, Long] =
+      graft.sources.FeatherSnapshots.read(fs, p, v).files.toMap
+    val t0 = System.nanoTime()
+    graft.io.FeatherCluster.cluster(spark, path, Seq("id"),
+      targetBytes = 8L << 20)
+    val fullSec = (System.nanoTime() - t0) / 1e9
+    val vFull = graft.sources.FeatherSnapshots.latestVersion(fs, p).get
+    val clusteredBytes = liveBytes(vFull).values.sum
+    // a 10% append lands hash-ordered (un-clustered)
+    spark.range(n, n + n / 10)
+      .select(col("id"), concat(lit("pay_"), col("id") % 997).as("pay"))
+      .repartition(2, col("id"))
+      .write.format("feather").mode("append").save(path)
+    val vApp = graft.sources.FeatherSnapshots.latestVersion(fs, p).get
+    val appendBytes = liveBytes(vApp).values.sum - clusteredBytes
+    val t1 = System.nanoTime()
+    graft.io.FeatherCluster.cluster(spark, path, Seq("id"),
+      targetBytes = 8L << 20, incremental = true)
+    val incSec = (System.nanoTime() - t1) / 1e9
+    val vInc = graft.sources.FeatherSnapshots.latestVersion(fs, p).get
+    val before = liveBytes(vApp)
+    val incRewritten = liveBytes(vInc).filterNot { case (k, v) =>
+      before.get(k).contains(v) }.values.sum
+    // the payoff: a banded delete prunes across BOTH generations
+    val rd = graft.io.FeatherMutations.deleteByKey(spark, path,
+      spark.range(1000, 1200).select(col("id"))
+        .unionByName(spark.range(n + 500, n + 600).select(col("id"))),
+      Seq("id"))
+    val headFiles = graft.sources.FeatherSnapshots.read(fs, p,
+      graft.sources.FeatherSnapshots.latestVersion(fs, p).get).files.size
+    val t2 = System.nanoTime()
+    graft.io.FeatherCluster.cluster(spark, path, Seq("id"),
+      targetBytes = 8L << 20) // full run for the cost contrast
+    val fullSec2 = (System.nanoTime() - t2) / 1e9
+    println(f"""{"inccluster_rows":$n,"table_bytes":$clusteredBytes,"append_bytes":$appendBytes,"incremental_rewritten_bytes":$incRewritten,"full_first_sec":$fullSec%.2f,"incremental_sec":$incSec%.2f,"full_again_sec":$fullSec2%.2f,"banded_delete_touched":${rd.filesTouched},"head_files":$headFiles}""")
+  }
+
+  /** PARQUET-FACE tier (r13, GraftParquet/ParquetTable/ParquetCompact):
+    * the table tier over the format a 100-TB corpus actually stores.
+    * Pins (a) DV-delete bytes flat vs COW's table-proportional bytes on
+    * parquet, (b) the BINARY row-group compaction's wall vs a decode
+    * rewrite (cluster) of the same files, (c) manifest-planned read
+    * wall on the native vectorized scan. */
+  def parquetTier(spark: SparkSession, out: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val n = 2000000L
+    val parts = 32
+    def build(path: String, nParts: Int): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      fs.delete(p, true)
+      graft.io.ParquetTable.write(
+        spark.range(n)
+          .select(col("id"),
+            concat(lit("payload_"), col("id") % 1000,
+              lit("_padpadpadpadpadpadpadpadpadpadpad")).as("pay"))
+          .repartitionByRange(nParts, col("id")), path)
+    }
+    val keys = spark.range(1000).select((col("id") * (n / 1000) + 7).as("id"))
+    // (a) DV vs COW delete bytes
+    val cowPath = s"$out/cow"; build(cowPath, parts)
+    val p1 = new org.apache.hadoop.fs.Path(cowPath)
+    val fs1 = p1.getFileSystem(conf)
+    val t0 = System.nanoTime()
+    graft.io.FeatherMutations.deleteByKey(spark, cowPath, keys, Seq("id"))
+    val cowSec = (System.nanoTime() - t0) / 1e9
+    val v1 = graft.sources.FeatherSnapshots.read(fs1, p1, 1L).files.toSet
+    val cowBytes = graft.sources.FeatherSnapshots.read(fs1, p1, 2L)
+      .files.filterNot(v1).map(_._2).sum
+    val dvPath = s"$out/dv"; build(dvPath, parts)
+    val p2 = new org.apache.hadoop.fs.Path(dvPath)
+    val fs2 = p2.getFileSystem(conf)
+    val t1 = System.nanoTime()
+    graft.io.FeatherMutations.deleteByKeyDV(spark, dvPath, keys, Seq("id"))
+    val dvSec = (System.nanoTime() - t1) / 1e9
+    val dvBytes = graft.sources.FeatherSnapshots.read(fs2, p2, 2L)
+      .dvs.values.map { case (dvRel, _) =>
+        fs2.getFileStatus(new org.apache.hadoop.fs.Path(p2, dvRel)).getLen
+      }.sum
+    // (b) binary row-group compaction vs decode rewrite of the same data
+    val cmpPath = s"$out/cmp"; build(cmpPath, parts)
+    val t2 = System.nanoTime()
+    val rcmp = graft.io.ParquetCompact.compact(spark, cmpPath,
+      targetBytes = 1L << 30)
+    val binSec = (System.nanoTime() - t2) / 1e9
+    val cluPath = s"$out/clu"; build(cluPath, parts)
+    val t3 = System.nanoTime()
+    graft.io.FeatherCluster.cluster(spark, cluPath, Seq("id"),
+      targetBytes = 1L << 30)
+    val decodeSec = (System.nanoTime() - t3) / 1e9
+    // (c) manifest-planned filtered read on the native scan
+    val t4 = System.nanoTime()
+    val cnt = graft.io.ParquetTable.read(spark, dvPath)
+      .where(col("id").between(n / 2, n / 2 + 100000)).count()
+    val readSec = (System.nanoTime() - t4) / 1e9
+    println(f"""{"parquet_rows":$n,"cow_bytes_written":$cowBytes,"dv_bytes_written":$dvBytes,"cow_sec":$cowSec%.2f,"dv_sec":$dvSec%.2f,"binary_compact_sec":$binSec%.2f,"binary_files_after":${rcmp.filesAfter},"decode_cluster_sec":$decodeSec%.2f,"banded_read_sec":$readSec%.2f,"banded_read_rows":$cnt}""")
   }
 
   /** Deletion-vector tier (r12, io/DeletionVectors.scala): the
