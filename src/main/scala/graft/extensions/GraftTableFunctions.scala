@@ -69,6 +69,13 @@ private[extensions] object GraftTableFunctions {
       case _ => fail(name, what, e)
     }
 
+  private def bool(name: String, what: String, e: Expression): Boolean =
+    if (!e.foldable) fail(name, what, e)
+    else e.eval() match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case _ => fail(name, what, e)
+    }
+
   private def spark: SparkSession = SparkSession.active
 
   private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
@@ -189,33 +196,40 @@ private[extensions] object GraftTableFunctions {
       StructField("files_after", LongType, nullable = false)))
 
     tvf("graft_cluster",
-      "graft_cluster(path, colsCsv[, targetBytes]) - rewrite the table " +
-        "range-clustered on the columns (OPTIMIZE ... BY)") { args =>
-      require(args.size >= 2 && args.size <= 3,
-        "graft_cluster(path, colsCsv[, targetBytes])")
+      "graft_cluster(path, colsCsv[, targetBytes[, incremental]]) - " +
+        "rewrite the table range-clustered on the columns (OPTIMIZE ... " +
+        "BY); incremental=true sweeps only files appended since the " +
+        "last cluster commit") { args =>
+      require(args.size >= 2 && args.size <= 4,
+        "graft_cluster(path, colsCsv[, targetBytes[, incremental]])")
       val n = "graft_cluster"
       val path = str(n, "path", args(0))
       val cs = cols(str(n, "cols", args(1)))
       val tb = if (args.size > 2) long(n, "targetBytes", args(2))
                else 128L << 20
+      val inc = args.size > 3 && bool(n, "incremental", args(3))
       deferred(n, clusterSchema) { () =>
-        val r = graft.io.FeatherCluster.cluster(spark, path, cs, tb)
+        val r = graft.io.FeatherCluster.cluster(spark, path, cs, tb,
+          incremental = inc)
         Seq(r.version, r.filesBefore.toLong, r.filesAfter.toLong)
       }
     }
 
     tvf("graft_zorder",
-      "graft_zorder(path, colsCsv[, bitsPerDim]) - OPTIMIZE ZORDER BY " +
-        "over numeric/date/timestamp/string dimensions") { args =>
-      require(args.size >= 2 && args.size <= 3,
-        "graft_zorder(path, colsCsv[, bitsPerDim])")
+      "graft_zorder(path, colsCsv[, bitsPerDim[, incremental]]) - " +
+        "OPTIMIZE ZORDER BY over numeric/date/timestamp/string " +
+        "dimensions; incremental=true sweeps only new files") { args =>
+      require(args.size >= 2 && args.size <= 4,
+        "graft_zorder(path, colsCsv[, bitsPerDim[, incremental]])")
       val n = "graft_zorder"
       val path = str(n, "path", args(0))
       val cs = cols(str(n, "cols", args(1)))
       val bits = if (args.size > 2) long(n, "bitsPerDim", args(2)).toInt
                  else 12
+      val inc = args.size > 3 && bool(n, "incremental", args(3))
       deferred(n, clusterSchema) { () =>
-        val r = graft.io.FeatherCluster.clusterZOrder(spark, path, cs, bits)
+        val r = graft.io.FeatherCluster.clusterZOrder(spark, path, cs, bits,
+          incremental = inc)
         Seq(r.version, r.filesBefore.toLong, r.filesAfter.toLong)
       }
     }

@@ -326,6 +326,42 @@ class ParquetTableSpec extends AnyFunSuite {
     assert(feed.filter(col("_change_type") === "delete").count() === 2)
   }
 
+  test("the STREAMING change feed serves a parquet table: deletes and " +
+       "appends arrive as change rows with exactly-once restart semantics") {
+    import spark.implicits._
+    val path = tmp("stream_cdf")
+    ParquetTable.write((1 to 300).map(i => (i.toLong, s"p$i"))
+      .toDF("id", "pay").repartitionByRange(2, col("id")), path)
+    FeatherMutations.deleteByKeyDV(spark, path, keysOf(Seq(5L, 6L)), Seq("id"))
+    ParquetTable.append(Seq((301L, "p301")).toDF("id", "pay"), path)
+    val ckpt = tmp("stream_cdf_ckpt")
+    val sink = tmp("stream_cdf_sink")
+    def run(): Unit = {
+      val q = spark.readStream.format("feather-cdf").load(path)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .start(sink)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val got = spark.read.parquet(sink)
+    // bootstrap serves v1 whole (300 inserts), then the version diffs:
+    // v2's DV delete (2 deletes), v3's append (1 insert)
+    assert(got.filter(col("_change_type") === "insert").count() === 301)
+    assert(got.filter(col("_change_type") === "delete")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(5L, 6L))
+    // restart continues from the checkpoint: exactly the one new DV
+    // delete streams, nothing replays
+    FeatherMutations.deleteByKeyDV(spark, path, keysOf(Seq(7L)), Seq("id"))
+    run()
+    val got2 = spark.read.parquet(sink)
+    assert(got2.count() === got.count() + 1)
+    assert(got2.filter(col("_change_type") === "delete")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(5L, 6L, 7L))
+  }
+
   test("vacuum reclaims an aged crashed staging directory but never an " +
        "in-flight one") {
     val path = tmp("vac")

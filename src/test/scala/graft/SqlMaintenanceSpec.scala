@@ -153,6 +153,31 @@ class SqlMaintenanceSpec extends AnyFunSuite {
     assert(head() === 4L)
   }
 
+  test("graft_cluster/graft_zorder take the incremental flag; a " +
+       "no-new-files incremental cycle reports the unchanged head") {
+    import spark.implicits._
+    val path = tmp("sql_inc_cluster")
+    (1 to 2000).map(i => (i.toLong, s"p$i")).toDF("id", "pay")
+      .repartition(4, col("id"))
+      .write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(path)
+    val r1 = spark.sql(
+      s"SELECT * FROM graft_cluster('$path', 'id', 1048576, false)").head()
+    assert(r1.getAs[Long]("version") === 2L)
+    // nothing new since: the incremental run publishes NO version
+    val r2 = spark.sql(
+      s"SELECT * FROM graft_cluster('$path', 'id', 1048576, true)").head()
+    assert(r2.getAs[Long]("version") === 2L)
+    // an append is swept in incrementally
+    (2001 to 2100).map(i => (i.toLong, s"p$i")).toDF("id", "pay")
+      .repartition(1)
+      .write.format("feather").mode("append").save(path)
+    val r3 = spark.sql(
+      s"SELECT * FROM graft_cluster('$path', 'id', 1048576, true)").head()
+    assert(r3.getAs[Long]("version") === 4L)
+    assert(spark.read.format("feather").load(path).count() === 2100)
+  }
+
   test("non-literal and malformed arguments fail analysis loudly") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM graft_history(version)").collect()
