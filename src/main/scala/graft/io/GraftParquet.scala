@@ -174,16 +174,7 @@ private[graft] object GraftParquet {
                  codec: String = "snappy"): Seq[(String, Long, String)] = {
     require(prefix.nonEmpty && !prefix.contains("/") && !prefix.startsWith("."),
       s"writeParts prefix must be a plain name fragment, got '$prefix'")
-    // "lz4" never reaches here: it is the feather-centric DEFAULT
-    // sentinel that ConnectorFace.codecFor maps to this face's default
-    // (snappy) — advertising it in this whitelist would promise an
-    // output the public API cannot deliver
-    val codecNorm = codec match {
-      case "snappy" | "zstd" | "gzip" => codec
-      case "none" | "null" | "uncompressed" => "uncompressed"
-      case other => throw new IllegalArgumentException(
-        s"unknown parquet codec $other (snappy, zstd, gzip, none)")
-    }
+    val codecNorm = normCodec(codec)
     val spark = df.sparkSession
     val out = new Path(dir)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -231,6 +222,17 @@ private[graft] object GraftParquet {
     } finally {
       fs.delete(tmpDir, true): Unit
     }
+  }
+
+  /** The deliverable codecs. "lz4" never reaches here: it is the
+    * feather-centric DEFAULT sentinel that ConnectorFace.codecFor maps
+    * to this face's default (snappy) — advertising it would promise an
+    * output the public API cannot deliver. */
+  private[graft] def normCodec(codec: String): String = codec match {
+    case "snappy" | "zstd" | "gzip" => codec
+    case "none" | "null" | "uncompressed" => "uncompressed"
+    case other => throw new IllegalArgumentException(
+      s"unknown parquet codec $other (snappy, zstd, gzip, none)")
   }
 
   /** Schema-only part (footer, zero row groups): keeps an all-rows-deleted

@@ -40,8 +40,9 @@ object ParquetTable {
     * their files until expire). Returns the committed version.
     * Codecs: snappy (default), zstd, gzip, none; "lz4" is the shared
     * maintenance APIs' default sentinel and maps to snappy here. */
-  def write(df: DataFrame, path: String, codec: String = "snappy"): Long =
-    writeImpl(df, path, truncate = true, codec)
+  def write(df: DataFrame, path: String, codec: String = "snappy",
+            partitionBy: Seq[String] = Nil): Long =
+    writeImpl(df, path, truncate = true, codec, partitionBy = partitionBy)
 
   /** Append `df` to the table (op=append; blind appends commute with
     * concurrent maintenance through the conflict matrix). A first append
@@ -51,11 +52,13 @@ object ParquetTable {
     * new columns widen the table, missing columns read as null in the
     * new rows, type changes are refused outright. */
   def append(df: DataFrame, path: String, codec: String = "snappy",
-             mergeSchema: Boolean = false): Long =
-    writeImpl(df, path, truncate = false, codec, mergeSchema)
+             mergeSchema: Boolean = false,
+             partitionBy: Seq[String] = Nil): Long =
+    writeImpl(df, path, truncate = false, codec, mergeSchema, partitionBy)
 
   private def writeImpl(df: DataFrame, path: String, truncate: Boolean,
-                        codec: String, mergeSchema: Boolean = false): Long = {
+                        codec: String, mergeSchema: Boolean = false,
+                        partitionBy: Seq[String] = Nil): Long = {
     // "lz4" here is always an EXPLICIT user choice (this API's default
     // is snappy; only the shared maintenance APIs use lz4 as their
     // face-default sentinel) — and Spark's parquet "lz4" is the legacy
@@ -69,22 +72,122 @@ object ParquetTable {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)
+    partitionBy.foreach(c => require(df.columns.contains(c),
+      s"ParquetTable: partition column '$c' not in the frame " +
+        s"(${df.columns.mkString(", ")})"))
     if (!truncate) {
-      FeatherSnapshots.requireRootAppendable(fs, root, Suffixes)
+      if (partitionBy.isEmpty)
+        FeatherSnapshots.requireRootAppendable(fs, root, Suffixes)
+      else {
+        // a partitioned append must route into the SAME hive chain the
+        // table carries — mixing layouts bricks every manifest read
+        val existing = FeatherSnapshots.resolve(fs, root, None)
+          .map(_.files).getOrElse(
+            FeatherSnapshots.listDataFiles(fs, root, Suffixes))
+        val chains = existing.map(_._1.split('/').dropRight(1).toSeq
+          .flatMap { seg =>
+            val i = seg.indexOf('=')
+            if (i > 0) Some(java.net.URLDecoder.decode(
+              seg.substring(0, i), "UTF-8")) else None
+          }).distinct
+        require(chains.isEmpty || chains == Seq(partitionBy),
+          s"ParquetTable: append partitioned by " +
+            s"(${partitionBy.mkString(", ")}) into a table whose layout " +
+            s"is (${chains.map(_.mkString("/")).mkString(" vs ")})")
+      }
+      // the gate compares DATA columns (partition values live in the
+      // directory chain, never in the files — the table tier's contract)
       graft.sources.WriteSchemaEvolution.validateSinkAppend(spark, path,
-        df.schema, mergeSchema, Suffixes)
+        org.apache.spark.sql.types.StructType(
+          df.schema.fields.filterNot(f => partitionBy.contains(f.name))),
+        mergeSchema, Suffixes)
     }
     // run-unique part prefix: racing writers can never rename over (or
     // pre-clean) each other; a crashed run's parts are unreferenced
     // orphans vacuumOrphans reclaims after the grace window
     val prefix = s"pq-${java.util.UUID.randomUUID().toString.take(12)}"
-    val parts = GraftParquet.writeParts(df, path, prefix,
-      ConnectorFace.ParquetFace.codecFor(codec))
+    val parts: Seq[(String, Long)] =
+      if (partitionBy.isEmpty)
+        GraftParquet.writeParts(df, path, prefix,
+          ConnectorFace.ParquetFace.codecFor(codec))
+          .map { case (name, len, _) => (name, len) }
+      else writePartitionedParts(df, root, fs, prefix,
+        GraftParquet.normCodec(ConnectorFace.ParquetFace.codecFor(codec)),
+        partitionBy)
+    require(partitionBy.isEmpty || parts.nonEmpty,
+      "ParquetTable: an empty frame cannot define a partitioned table " +
+        "(no partition values to route)")
     FeatherSnapshots.publishDataCommit(fs, root, truncate, Suffixes,
-      parts.map { case (name, len, _) => (name, len) },
+      parts,
       stampPart = () =>
         GraftParquet.stampSchemaOnly(fs, root, s"$prefix-empty.parquet",
           df.schema))
+  }
+
+  /** Hive-partitioned part landing: Spark's own partitioned sink writes
+    * into a run-unique staging tree, each `key=value` leaf's files
+    * rename into the table's matching leaf under the run prefix, and
+    * footer-derived stats sidecars land beside them — the same
+    * mechanics as the flat writeParts, per leaf. Spark's partitionBy
+    * already strips the partition columns from the file contents, which
+    * IS the table tier's contract (values live in the directory chain).
+    * Returns the (relative path, len) parts for the manifest commit. */
+  private def writePartitionedParts(df: DataFrame, root: Path,
+                                    fs: org.apache.hadoop.fs.FileSystem,
+                                    prefix: String, codec: String,
+                                    partitionBy: Seq[String])
+      : Seq[(String, Long)] = {
+    val staging = new Path(root, s"_tmp-$prefix")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    df.write.mode("overwrite").partitionBy(partitionBy: _*)
+      .option("compression", codec).parquet(staging.toString)
+    try {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      def walk(dir: Path, relChain: String): Unit = {
+        val entries = fs.listStatus(dir)
+        entries.filter(e => e.isDirectory &&
+            e.getPath.getName.indexOf('=') > 0).foreach { e =>
+          val seg = e.getPath.getName
+          walk(e.getPath,
+            if (relChain.isEmpty) seg else s"$relChain/$seg")
+        }
+        val files = entries.filter { e =>
+          val n = e.getPath.getName
+          !e.isDirectory && n.endsWith(GraftParquet.Suffix) &&
+            !n.startsWith(".") && !n.startsWith("_")
+        }.map(_.getPath).sortBy(_.getName)
+        if (files.nonEmpty) {
+          require(relChain.nonEmpty,
+            "ParquetTable: partitioned staging left root-level files")
+          val leafDir = new Path(root, relChain)
+          fs.mkdirs(leafDir)
+          val stats = files.zipWithIndex.flatMap { case (src, i) =>
+            val batches = GraftParquet.footerBatches(fs.getConf, src.toString)
+            val rows = batches.map(_.get(FeatherStats.RowCountKey).collect {
+              case FeatherStats.ColStat.Count(n) => n }.getOrElse(0L)).sum
+            if (rows == 0L) None // the sink keeps partition 0 even empty
+            else {
+              val name = f"$prefix-$i%05d${GraftParquet.Suffix}"
+              val dest = new Path(leafDir, name)
+              require(fs.rename(src, dest),
+                s"ParquetTable: rename $src -> $dest failed")
+              val js = FeatherStats.toJson(batches)
+              val sc = fs.create(new Path(leafDir, name + ".stats.json"), true)
+              try sc.write(js.getBytes("UTF-8")) finally sc.close()
+              val len = fs.getFileStatus(dest).getLen
+              out += ((s"$relChain/$name", len))
+              Some(name -> (len, batches))
+            }
+          }
+          if (stats.nonEmpty)
+            FeatherStats.upsertMerged(fs, leafDir, stats.toMap)
+        }
+      }
+      walk(staging, "")
+      out.toSeq
+    } finally {
+      fs.delete(staging, true): Unit
+    }
   }
 
   /** Adopt an existing listing-based parquet directory (flat or hive

@@ -77,6 +77,7 @@ object IoQueries extends QueryPack {
     "io_feather_cdf", "io_feather_restore",
     "io_feather_delete_dv", "io_avro_delete_dv", "io_sql_table_changes",
     "io_parquet_snapshot", "io_parquet_delete_dv", "io_parquet_cdf",
+    "io_parquet_partitioned_write",
     "io_feather_merge_dv", "io_merge_clauses", "io_merge_clauses_dv",
     "io_avro_time_travel", "dedup_lsh_incremental")
 
@@ -1116,6 +1117,41 @@ object IoQueries extends QueryPack {
         sum(col("l_quantity").cast(DecimalType(12, 2)))
           .cast(DoubleType).as("sum_qty"))
       .orderBy("l_returnflag")
+  }
+
+  // PARTITIONED parquet-table writes (ParquetTable.write partitionBy):
+  // Spark's own partitioned sink stages the hive tree, the leaves
+  // rename under the manifest, and the whole maintenance tier runs
+  // per-leaf — here a partitioned write + append + DV delete, read back
+  // with partition-column filters (basePath inference). Oracle
+  // reconstructs the exact state relationally.
+  register("io_parquet_partitioned_write",
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders WHERE o_orderkey <= 3000
+      |  AND NOT (o_orderkey BETWEEN 1001 AND 1200)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val path = readFixture("parquet_partitioned_write", d) { p =>
+      val src = Tables.orders(s, d).filter(col("o_orderkey") <= 3000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      graft.io.ParquetTable.write(
+        src.filter(col("o_orderkey") <= 2500), p,
+        partitionBy = Seq("o_orderpriority"))
+      graft.io.ParquetTable.append(
+        src.filter(col("o_orderkey") > 2500), p,
+        partitionBy = Seq("o_orderpriority"))
+      val takedown = Tables.orders(s, d)
+        .filter(col("o_orderkey").between(1001, 1200))
+        .select("o_orderkey")
+      graft.io.FeatherMutations.deleteByKeyDV(s, p, takedown,
+        Seq("o_orderkey")): Unit
+    }
+    graft.io.ParquetTable.read(s, path)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2)))
+          .cast(DoubleType).as("total"))
+      .orderBy("o_orderpriority")
   }
 
   // The change feed over a PARQUET table, through the SQL TVF — the

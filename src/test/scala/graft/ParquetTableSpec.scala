@@ -204,6 +204,48 @@ class ParquetTableSpec extends AnyFunSuite {
     assert(sqlFeed.toSeq === Seq((5L, "delete"), (6L, "delete")))
   }
 
+  test("partitioned write/append: hive leaves under the manifest, " +
+       "partition columns read back, per-leaf mutations, layout guards") {
+    import spark.implicits._
+    val path = tmp("partwrite")
+    val df = (1 to 600).map(i => (i.toLong, s"d${i % 3}", s"p$i"))
+      .toDF("id", "day", "pay")
+    val v = ParquetTable.write(df, path, partitionBy = Seq("day"))
+    assert(v === 1L)
+    val back = ParquetTable.read(spark, path)
+    assert(back.columns.sorted.toSeq === Seq("day", "id", "pay"))
+    assert(back.count() === 600)
+    assert(back.filter(col("day") === "d1").count() === 200)
+    // partitioned append routes into the same chain
+    ParquetTable.append(Seq((601L, "d1", "p601")).toDF("id", "day", "pay"),
+      path, partitionBy = Seq("day"))
+    assert(ParquetTable.read(spark, path).count() === 601)
+    // DV delete + merge work per leaf on the written layout
+    FeatherMutations.deleteByKeyDV(spark, path, keysOf(Seq(3L, 6L)),
+      Seq("id"))
+    assert(ParquetTable.read(spark, path).count() === 599)
+    FeatherMutations.mergeDV(spark, path,
+      Seq((9L, "d0", "moved")).toDF("id", "day", "pay"), Seq("id"))
+    val moved = ParquetTable.read(spark, path).filter(col("id") === 9L)
+      .select("day", "pay").head()
+    assert(moved.getString(0) === "d0" && moved.getString(1) === "moved")
+    // a mismatched partitioning refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      ParquetTable.append(Seq((1L, "x", "p")).toDF("id", "other", "pay"),
+        path, partitionBy = Seq("other"))
+    }
+    assert(e.getMessage.contains("layout"))
+    // ... and a flat append into the partitioned table refuses too
+    val e2 = intercept[Exception] {
+      ParquetTable.append(Seq((1L, "d", "p")).toDF("id", "day", "pay"), path)
+    }
+    assert(e2.getMessage.contains("layout") ||
+      e2.getMessage.contains("key=value"))
+    // time travel across the partitioned history
+    assert(ParquetTable.read(spark, path, versionAsOf = Some(1L))
+      .count() === 600)
+  }
+
   test("adopt a hive-partitioned parquet directory: partition columns " +
        "survive, per-leaf delete works, basePath pruning holds") {
     import spark.implicits._
