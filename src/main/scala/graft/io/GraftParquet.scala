@@ -195,32 +195,39 @@ private[graft] object GraftParquet {
         .filter(p => p.getName.endsWith(Suffix) && !p.getName.startsWith(".")
           && !p.getName.startsWith("_"))
         .toSeq.sortBy(_.getName)
-      // Spark's parquet sink keeps partition 0's file even when it holds
-      // ZERO rows (only non-zero partitions suppress empties) — the
-      // feather face's writeParts skips empty partitions, and the no-op
-      // guards upstream (a merge that changed nothing publishes no
-      // commit) key on an EMPTY parts list, so a zero-row part must not
-      // escape here. Footer batches are needed for the sidecar anyway;
-      // deciding before the rename keeps skipped files in the staging
-      // dir for the finally-cleanup.
-      val withStats = staged.map(p =>
-        (p, footerBatches(fs.getConf, p.toString)))
-        .filter { case (_, batches) =>
-          batches.map(_.get(FeatherStats.RowCountKey).collect {
-            case FeatherStats.ColStat.Count(n) => n }.getOrElse(0L)).sum > 0L
-        }
-      withStats.zipWithIndex.map { case ((src, batches), i) =>
-        val name = f"$prefix-$i%05d$Suffix"
-        val dest = new Path(out, name)
-        require(fs.rename(src, dest),
-          s"writeParts: rename $src -> $dest failed")
-        val statsJson = FeatherStats.toJson(batches)
-        val sc = fs.create(new Path(out, name + ".stats.json"), true)
-        try sc.write(statsJson.getBytes("UTF-8")) finally sc.close()
-        (name, fs.getFileStatus(dest).getLen, statsJson)
-      }
+      landStaged(fs, staged, out, prefix)
     } finally {
       fs.delete(tmpDir, true): Unit
+    }
+  }
+
+  /** Land staged parquet files into `destDir` under the run prefix: one
+    * footer read per file derives the stats sidecar AND filters
+    * zero-row files (Spark's FLAT sink keeps partition 0's file even
+    * when empty; the no-op guards upstream key on an empty parts list —
+    * the partitioned sink emits no empty files, so the filter is a
+    * no-op there). ONE definition for the flat writeParts and the
+    * partitioned table writer — the landing protocol (skip rule, name
+    * shape, sidecar format) must not drift between them. Skipped files
+    * stay in the staging dir for the caller's cleanup. */
+  private[graft] def landStaged(fs: FileSystem, staged: Seq[Path],
+                                destDir: Path, prefix: String)
+      : Seq[(String, Long, String)] = {
+    val withStats = staged.map(p =>
+      (p, footerBatches(fs.getConf, p.toString)))
+      .filter { case (_, batches) =>
+        batches.map(_.get(FeatherStats.RowCountKey).collect {
+          case FeatherStats.ColStat.Count(n) => n }.getOrElse(0L)).sum > 0L
+      }
+    withStats.zipWithIndex.map { case ((src, batches), i) =>
+      val name = f"$prefix-$i%05d$Suffix"
+      val dest = new Path(destDir, name)
+      require(fs.rename(src, dest),
+        s"landStaged: rename $src -> $dest failed")
+      val statsJson = FeatherStats.toJson(batches)
+      val sc = fs.create(new Path(destDir, name + ".stats.json"), true)
+      try sc.write(statsJson.getBytes("UTF-8")) finally sc.close()
+      (name, fs.getFileStatus(dest).getLen, statsJson)
     }
   }
 

@@ -80,16 +80,18 @@ object ParquetTable {
         FeatherSnapshots.requireRootAppendable(fs, root, Suffixes)
       else {
         // a partitioned append must route into the SAME hive chain the
-        // table carries — mixing layouts bricks every manifest read
+        // table carries — mixing layouts bricks every manifest read.
+        // chainOf is the canonical key-segment walk; the decode must be
+        // hive-safe (URLDecoder alone turns a literal '+' in a column
+        // name into a space — hive escaping never encodes '+')
+        def hiveDecode(seg: String): String =
+          java.net.URLDecoder.decode(seg.replace("+", "%2B"), "UTF-8")
         val existing = FeatherSnapshots.resolve(fs, root, None)
           .map(_.files).getOrElse(
             FeatherSnapshots.listDataFiles(fs, root, Suffixes))
-        val chains = existing.map(_._1.split('/').dropRight(1).toSeq
-          .flatMap { seg =>
-            val i = seg.indexOf('=')
-            if (i > 0) Some(java.net.URLDecoder.decode(
-              seg.substring(0, i), "UTF-8")) else None
-          }).distinct
+        val chains = existing
+          .map(f => FeatherSnapshots.chainOf(f._1).map(hiveDecode))
+          .distinct
         require(chains.isEmpty || chains == Seq(partitionBy),
           s"ParquetTable: append partitioned by " +
             s"(${partitionBy.mkString(", ")}) into a table whose layout " +
@@ -114,7 +116,13 @@ object ParquetTable {
       else writePartitionedParts(df, root, fs, prefix,
         GraftParquet.normCodec(ConnectorFace.ParquetFace.codecFor(codec)),
         partitionBy)
-    require(partitionBy.isEmpty || parts.nonEmpty,
+    // an empty frame cannot DEFINE a partitioned table (no partition
+    // values to route) — but an empty APPEND to an existing one is the
+    // idempotent-replay shape and must no-op like the flat path
+    val tableDefined = !truncate &&
+      (FeatherSnapshots.latestVersion(fs, root).isDefined ||
+        FeatherSnapshots.listDataFiles(fs, root, Suffixes).nonEmpty)
+    require(partitionBy.isEmpty || parts.nonEmpty || tableDefined,
       "ParquetTable: an empty frame cannot define a partitioned table " +
         "(no partition values to route)")
     FeatherSnapshots.publishDataCommit(fs, root, truncate, Suffixes,
@@ -161,26 +169,17 @@ object ParquetTable {
             "ParquetTable: partitioned staging left root-level files")
           val leafDir = new Path(root, relChain)
           fs.mkdirs(leafDir)
-          val stats = files.zipWithIndex.flatMap { case (src, i) =>
-            val batches = GraftParquet.footerBatches(fs.getConf, src.toString)
-            val rows = batches.map(_.get(FeatherStats.RowCountKey).collect {
-              case FeatherStats.ColStat.Count(n) => n }.getOrElse(0L)).sum
-            if (rows == 0L) None // the sink keeps partition 0 even empty
-            else {
-              val name = f"$prefix-$i%05d${GraftParquet.Suffix}"
-              val dest = new Path(leafDir, name)
-              require(fs.rename(src, dest),
-                s"ParquetTable: rename $src -> $dest failed")
-              val js = FeatherStats.toJson(batches)
-              val sc = fs.create(new Path(leafDir, name + ".stats.json"), true)
-              try sc.write(js.getBytes("UTF-8")) finally sc.close()
-              val len = fs.getFileStatus(dest).getLen
-              out += ((s"$relChain/$name", len))
-              Some(name -> (len, batches))
-            }
-          }
-          if (stats.nonEmpty)
-            FeatherStats.upsertMerged(fs, leafDir, stats.toMap)
+          // the shared landing protocol (footer stats, zero-row filter,
+          // rename shape, sidecar format) — one definition with the
+          // flat writeParts
+          val landed = GraftParquet.landStaged(fs, files.toSeq, leafDir,
+            prefix)
+          if (landed.nonEmpty)
+            FeatherStats.upsertMerged(fs, leafDir,
+              landed.map { case (name, len, js) =>
+                name -> (len, FeatherStats.fromJson(js)) }.toMap)
+          out ++= landed.map { case (name, len, _) =>
+            (s"$relChain/$name", len) }
         }
       }
       walk(staging, "")

@@ -794,7 +794,7 @@ private[graft] object FeatherSnapshots {
     }
   }
 
-  private def chainOf(rel: String): Seq[String] =
+  private[graft] def chainOf(rel: String): Seq[String] =
     rel.split('/').dropRight(1).toSeq.flatMap { seg =>
       val i = seg.indexOf('=')
       if (i > 0) Some(seg.substring(0, i)) else None

@@ -241,6 +241,19 @@ class ParquetTableSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("layout") ||
       e2.getMessage.contains("key=value"))
+    // an EMPTY partitioned append (idempotent-replay shape) no-ops
+    // instead of throwing; defining a new table empty still refuses
+    val before = ParquetTable.read(spark, path).count()
+    ParquetTable.append(
+      Seq.empty[(Long, String, String)].toDF("id", "day", "pay"),
+      path, partitionBy = Seq("day"))
+    assert(ParquetTable.read(spark, path).count() === before)
+    val e3 = intercept[IllegalArgumentException] {
+      ParquetTable.write(
+        Seq.empty[(Long, String, String)].toDF("id", "day", "pay"),
+        tmp("partwrite_empty"), partitionBy = Seq("day"))
+    }
+    assert(e3.getMessage.contains("empty frame"))
     // time travel across the partitioned history
     assert(ParquetTable.read(spark, path, versionAsOf = Some(1L))
       .count() === 600)
