@@ -19,13 +19,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        v = df[c]
-        if pd.api.types.is_datetime64_any_dtype(v):
-            try:
-                df[c] = v.dt.tz_localize(None)
-            except TypeError:
-                df[c] = v.dt.tz_convert("UTC").dt.tz_localize(None)
+    # NOTE: deliberately NO timezone normalization — the driver's schema
+    # compare does NOT strip timezones, so a tz-aware Spark dump vs the
+    # oracle's naive timestamp MUST fail here exactly like it fails
+    # upstream (the r13 regression: this replica tz-stripped, read 327
+    # green locally, and the driver failed 7). Replica laxer than gate
+    # is the one divergence this file must never have.
     # NOTE: intentionally NO canonicalization of array/struct values — the
     # real driver's pandas compare errors on them (unhashable ndarray/dict),
     # so queries must flatten complex outputs; this replica must too.
@@ -80,6 +79,16 @@ def main():
         bad = None
         for c in g.columns:
             gv, ev = g[c], e[c]
+            if pd.api.types.is_datetime64_any_dtype(gv) or \
+               pd.api.types.is_datetime64_any_dtype(ev):
+                gtz = getattr(gv.dtype, "tz", None)
+                etz = getattr(ev.dtype, "tz", None)
+                if (gtz is None) != (etz is None):
+                    bad = (c, f"tz-awareness {gv.dtype}/{ev.dtype} "
+                           "(driver schema_match fails on this)",
+                           gv.head(2).astype(str).tolist(),
+                           ev.head(2).astype(str).tolist())
+                    break
             if pd.api.types.is_float_dtype(gv) and pd.api.types.is_float_dtype(ev):
                 eq = (gv.values == ev.values) | (pd.isna(gv.values) & pd.isna(ev.values))
                 if not eq.all():

@@ -160,9 +160,14 @@ object Bench {
       sys.env.getOrElse("GRAFT_BENCH_FILE", "target/bench.json"))
     Option(outFile.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outFile, (fullLine + "\n").getBytes("UTF-8"))
-    val slow = results.collect { case (k, (med, _, _)) if med >= 0 => k -> med }
+    // med AND min per slow row: a contended rep shows as max ≫ med in the
+    // full file, but the stdout tail is what the driver sweep headlines —
+    // a row whose min sits near the idle floor is contention, not code.
+    val slow = results.collect { case (k, (med, mn, _)) if med >= 0 =>
+        (k, med, mn) }
       .toSeq.sortBy(-_._2).take(10)
-      .map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
+      .map { case (k, med, mn) =>
+        "\"" + k + "\":{\"med\":" + r3(med) + ",\"min\":" + r3(mn) + "}" }
       .mkString("{", ",", "}")
     // Inline failed list capped at 20 names so a catastrophic run can't push
     // the summary line past the driver's 2000-char tail either.

@@ -29,11 +29,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // the modern physical timestamp encoding (Spark still defaults to
-      // the deprecated INT96 for Impala compat): footer stats stay usable
-      // and the parquet table tier's files carry annotated int64 micros.
-      // INT96 remains fully READABLE (foreign corpus + maintenance scan).
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // Deliberately NOT set here: spark.sql.parquet.outputTimestampType.
+      // The parquet TABLE tier pins TIMESTAMP_MICROS per write inside
+      // GraftParquet.withOutputMicros (footer stats stay usable, parts
+      // carry annotated int64 micros); a session-wide setting leaks into
+      // Verify's result dumps, which must keep Spark's default (INT96,
+      // tz-naive on read-back) to schema-match the driver's DuckDB oracle.
       .config("spark.sql.warehouse.dir",
         s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_warehouse")
       .config("spark.ui.enabled", "false")

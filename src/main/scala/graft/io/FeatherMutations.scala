@@ -296,8 +296,8 @@ object FeatherMutations {
     val partCols: Seq[String] =
       if (hiveChains)
         chains.head.split('/').toSeq.map { seg =>
-          java.net.URLDecoder.decode(seg.substring(0, seg.indexOf('=')),
-            "UTF-8")
+          graft.sources.FeatherPartitions.unescapePath(
+            seg.substring(0, seg.indexOf('=')))
         }
       else Nil
     val partitioned = partCols.nonEmpty
@@ -492,7 +492,10 @@ object FeatherMutations {
     // reused as-is; unpersisting it here would evict the caller's cache.
     val (src, owned) = ConnectorFace.pinIfUncached(src0)
     try {
-      def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
+      // Spark's Hive escaping — the SAME encoding the partitioned sink
+      // writes (ParquetTable) and every reader unescapes; URLEncoder's
+      // space→'+' would land key=a+b and read back the literal "a+b"
+      def enc(v: String) = graft.sources.FeatherPartitions.escapePath(v)
       def leafOf(row: org.apache.spark.sql.Row): String =
         partCols.zipWithIndex.map { case (c, i) =>
           val v = row.get(i)
@@ -893,8 +896,8 @@ object FeatherMutations {
     val partCols: Seq[String] =
       if (hiveChains)
         chains.head.split('/').toSeq.map { seg =>
-          java.net.URLDecoder.decode(seg.substring(0, seg.indexOf('=')),
-            "UTF-8")
+          graft.sources.FeatherPartitions.unescapePath(
+            seg.substring(0, seg.indexOf('=')))
         }
       else Nil
     if (appendSource.isDefined && chains.nonEmpty && !hiveChains)

@@ -81,11 +81,11 @@ object ParquetTable {
       else {
         // a partitioned append must route into the SAME hive chain the
         // table carries — mixing layouts bricks every manifest read.
-        // chainOf is the canonical key-segment walk; the decode must be
-        // hive-safe (URLDecoder alone turns a literal '+' in a column
-        // name into a space — hive escaping never encodes '+')
+        // chainOf is the canonical key-segment walk; the decode is the
+        // shared Hive unescape (never URLDecoder — hive escaping never
+        // encodes '+', so URL-decoding would corrupt a literal '+')
         def hiveDecode(seg: String): String =
-          java.net.URLDecoder.decode(seg.replace("+", "%2B"), "UTF-8")
+          graft.sources.FeatherPartitions.unescapePath(seg)
         val existing = FeatherSnapshots.resolve(fs, root, None)
           .map(_.files).getOrElse(
             FeatherSnapshots.listDataFiles(fs, root, Suffixes))
@@ -147,8 +147,10 @@ object ParquetTable {
       : Seq[(String, Long)] = {
     val staging = new Path(root, s"_tmp-$prefix")
     if (fs.exists(staging)) fs.delete(staging, true)
-    df.write.mode("overwrite").partitionBy(partitionBy: _*)
-      .option("compression", codec).parquet(staging.toString)
+    GraftParquet.withOutputMicros(df.sparkSession) {
+      df.write.mode("overwrite").partitionBy(partitionBy: _*)
+        .option("compression", codec).parquet(staging.toString)
+    }
     try {
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
       def walk(dir: Path, relChain: String): Unit = {

@@ -1487,7 +1487,7 @@ object IoQueries extends QueryPack {
           GraftFeather.write(
             base.where(col("o_orderpriority") === pr)
               .drop("o_orderpriority").repartition(1),
-            s"$p/o_orderpriority=${java.net.URLEncoder.encode(pr, "UTF-8")}",
+            s"$p/o_orderpriority=${graft.sources.FeatherPartitions.escapePath(pr)}",
             overwrite = true)
         }
       graft.sources.FeatherSnapshots.adopt(
@@ -1559,7 +1559,7 @@ object IoQueries extends QueryPack {
       val refused =
         try { widened.write.format("feather").mode("append").save(p); false }
         catch { case e: Exception =>
-          e.getMessage.contains("mergeSchema") }
+          Option(e.getMessage).exists(_.contains("mergeSchema")) }
       require(refused,
         "an un-opted widening append must fail naming the option")
       widened.write.format("feather").mode("append")

@@ -15,11 +15,29 @@ import org.apache.spark.sql.types._
   * Contract mirrors Spark's parquet discovery where it matters:
   * consistent key chains at a single depth (mixed layouts fail loudly,
   * not silently half-read), `__HIVE_DEFAULT_PARTITION__` decodes to
-  * null, values are URL-unescaped, and partition types are inferred
+  * null, values are Hive-unescaped, and partition types are inferred
   * long → double → string over the observed values. */
 private[graft] object FeatherPartitions {
 
   val HiveNull = "__HIVE_DEFAULT_PARTITION__"
+
+  /** THE partition-path escaping, everywhere: Spark's own Hive escaping
+    * (`ExternalCatalogUtils`) — the encoding Spark's partitioned sink
+    * writes (`ParquetTable.writePartitionedParts` lands its staging tree
+    * through that sink verbatim). Every graft-side leaf WRITER
+    * (mutation insert routing) and every leaf READER (discovery,
+    * manifest parsing, layout checks) must go through these two, or a
+    * value like `"a b"` lands under one spelling and reads back under
+    * another, silently splitting one logical partition across two
+    * directory leaves. Hive escaping %-encodes `/ \ : = % #` etc. but
+    * NOT space or '+' — which is why URLEncoder/URLDecoder (space↔'+')
+    * were the wrong pair here. */
+  def escapePath(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(s)
+  def unescapePath(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(s)
 
   /** One discovered leaf file: absolute path, length, and the (ordered)
     * partition values on its directory chain. */
@@ -82,11 +100,11 @@ private[graft] object FeatherPartitions {
           val n = e.getPath.getName
           val eq = n.indexOf('=')
           if (eq > 0) {
-            val key = java.net.URLDecoder.decode(n.substring(0, eq), "UTF-8")
+            val key = unescapePath(n.substring(0, eq))
             val raw = n.substring(eq + 1)
             val v =
               if (raw == HiveNull) null
-              else java.net.URLDecoder.decode(raw, "UTF-8")
+              else unescapePath(raw)
             walk(e.getPath, values :+ (key -> v))
           }
           // non-partition subdirectories (checkpoints, _temporary) skipped

@@ -1160,9 +1160,9 @@ private[graft] object FeatherSnapshots {
         if (eq <= 0) None
         else {
           val raw = seg.substring(eq + 1)
-          Some(java.net.URLDecoder.decode(seg.substring(0, eq), "UTF-8") ->
+          Some(FeatherPartitions.unescapePath(seg.substring(0, eq)) ->
             (if (raw == FeatherPartitions.HiveNull) null
-             else java.net.URLDecoder.decode(raw, "UTF-8")))
+             else FeatherPartitions.unescapePath(raw)))
         }
       }
       FeatherPartitions.LeafFile(new Path(root, rel).toString, len, values,

@@ -259,6 +259,36 @@ class ParquetTableSpec extends AnyFunSuite {
       .count() === 600)
   }
 
+  test("partition values needing escaping land in ONE leaf across the " +
+       "Spark sink and the mutation insert routing (space, colon, '+')") {
+    import spark.implicits._
+    val path = tmp("partescape")
+    // values that diverge between URL- and Hive-encodings: space (URL '+'
+    // vs literal), '+' (URL %2B vs literal), ':' (Hive %3A)
+    val vals = Seq("a b", "a+b", "a:b")
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v, "w") }
+      .toDF("id", "day", "pay")
+    ParquetTable.write(df, path, partitionBy = Seq("day"))
+    // merge-inserts (routePartitionedInserts) must hit the SAME leaves
+    val src = vals.zipWithIndex.map { case (v, i) => (100L + i, v, "m") }
+      .toDF("id", "day", "pay")
+    FeatherMutations.merge(spark, path, src, Seq("id"))
+    val back = ParquetTable.read(spark, path)
+    assert(back.count() === 6)
+    vals.foreach { v =>
+      assert(back.filter(col("day") === v).count() === 2,
+        s"partition value '$v' split across leaves or mis-decoded")
+    }
+    // exactly three key=value leaves on disk — no second spelling
+    val leaves = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .map(_.getName).sorted.toSeq
+    assert(leaves.size === 3, s"leaf spellings diverged: $leaves")
+    // and the spellings are Spark's own (space literal, '+' literal)
+    assert(leaves.contains("day=a b") && leaves.contains("day=a+b"),
+      s"unexpected escaping: $leaves")
+  }
+
   test("adopt a hive-partitioned parquet directory: partition columns " +
        "survive, per-leaf delete works, basePath pruning holds") {
     import spark.implicits._
