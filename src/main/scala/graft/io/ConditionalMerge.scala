@@ -63,10 +63,16 @@ import graft.sources.FeatherSnapshots
   *    in the source" is a full-table operation where the rewrite is the
   *    right strategy anyway.
   *
-  * Scope: flat (non-hive) tables, any face (feather/avro/parquet); a
-  * partitioned table routes through [[FeatherMutations.merge]] /
-  * [[FeatherMutations.mergeDV]] (replace-or-insert), whose insert
-  * routing understands leaves. */
+  * Scope: flat AND hive-partitioned tables, any face (feather/avro/
+  * parquet). On a partitioned table the partition columns ride the
+  * working frame as ordinary columns (typed by the same inference a
+  * partitioned read applies): clause conditions and SETs may reference
+  * `target.<partcol>`, a SET on one is a cross-partition move
+  * (delete-here + insert-there in the one commit), and every output row
+  * routes to the leaf its values name. Keys must be DATA columns
+  * (partition values live in the directory chain); an explicit insert
+  * VALUES must name every partition column. Nested non-hive layouts
+  * refuse (nowhere to route). */
 final case class ConditionalMerge(
     spark: SparkSession, path: String, source: DataFrame,
     keyCols: Seq[String],
@@ -145,24 +151,78 @@ object ConditionalMerge {
     val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
       sys.error(s"merge on ${m.path}: no snapshot versions"))
     val face = ConnectorFace.detect(snap.files, "merge", m.path)
-    require(!snap.files.exists(_._1.contains("/")),
-      s"merge on ${m.path}: conditional clauses support flat tables — " +
-        "route a partitioned table through FeatherMutations.merge/mergeDV")
+    // hive layout: partition columns come from the key=value chains and
+    // ride the merge as ordinary columns of the working frame — clause
+    // conditions and SETs may reference them (a SET on one is a
+    // cross-partition move), and the output routes each row to the leaf
+    // its values name. A nested NON-hive layout has nowhere to route.
+    def relDirOf(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }
+    val chains: Seq[String] = snap.files.map { case (rel, _) =>
+      relDirOf(rel) }.distinct.filter(_.nonEmpty)
+    val hiveChains = chains.nonEmpty &&
+      chains.forall(_.split('/').forall(_.indexOf('=') > 0))
+    require(chains.isEmpty || hiveChains,
+      s"merge on ${m.path}: table has non-hive subdirectories " +
+        s"(${chains.mkString(", ")}) — conditional clauses route output " +
+        "rows by partition values and need a hive key=value layout")
+    val partCols: Seq[String] =
+      if (hiveChains)
+        chains.head.split('/').toSeq.map { seg =>
+          graft.sources.FeatherPartitions.unescapePath(
+            seg.substring(0, seg.indexOf('=')))
+        }
+      else Nil
+    val partitioned = partCols.nonEmpty
     val absFiles = snap.files.map { case (rel, len) =>
       (new Path(root, rel).toString, len) }
     val absLen = absFiles.toMap
+    // data columns from the live footers; partition columns typed by the
+    // SAME long→double→string inference every partitioned READ applies
+    // (FeatherPartitions) — clause expressions see exactly the types a
+    // read of this table would produce
     val tableSchema = face.mergedSchema(spark, absFiles)
+    val partSchema: StructType =
+      if (!partitioned) new StructType()
+      else FeatherSnapshots.toDiscovered(root, snap).partSchema
+    val fullSchema = StructType(tableSchema.fields ++ partSchema.fields)
+    val embedded = partCols.filter(tableSchema.fieldNames.contains)
+    require(embedded.isEmpty,
+      s"merge: partition column(s) ${embedded.mkString(", ")} are ALSO " +
+        "embedded in the data files — routing cannot tell the path copy " +
+        "from the data copy")
     keys.foreach(k => require(tableSchema.fieldNames.contains(k),
-      s"merge: key column '$k' not in table schema " +
+      if (partCols.contains(k))
+        s"merge: key column '$k' is a partition column — partition " +
+          "values live in the directory chain, not the data files; key " +
+          "on data columns (clause output routes by partition values)"
+      else s"merge: key column '$k' not in table schema " +
         s"(${tableSchema.fieldNames.mkString(", ")})"))
+    // a partitioned insert must NAME its leaf: every explicit VALUES
+    // clause lists every partition column (a silently-absent one would
+    // route to the null leaf), and insertAll's source must carry them
+    // (checked with the other *All requirements below)
+    if (partitioned)
+      m.notMatched.zipWithIndex.foreach { case ((_, values), i) =>
+        if (values.nonEmpty) {
+          val missing = partCols.filterNot(values.contains)
+          require(missing.isEmpty,
+            s"merge: whenNotMatched clause ${i + 1}'s VALUES omits " +
+              s"partition column(s) ${missing.mkString(", ")} — an " +
+              "unnamed partition value would silently route the row to " +
+              "the null partition; name every partition column")
+        }
+      }
     // the clause machinery stakes out two working columns — a real column
     // with either name would be silently clobbered by withColumn and
     // mis-route rows (the same guard GraftParquet.readFiles applies to
     // its __gp_dv_* names)
     Seq("__m_action", "__s_present", "__m_cnt").foreach(n => require(
-      !tableSchema.fieldNames.contains(n) && !m.source.columns.contains(n),
+      !fullSchema.fieldNames.contains(n) && !m.source.columns.contains(n),
       s"merge: reserved column name '$n' collides with a table/source column"))
-    validateSetColumns(m, tableSchema)
+    validateSetColumns(m, fullSchema)
 
     // ONE materialization of the source serves the duplicate check, the
     // clause/insert joins, the DV position scan, and the partition-count
@@ -198,12 +258,12 @@ object ConditionalMerge {
       // exactly as it resolves in the execution join — an empty rebuild
       // with fresh exprIds would refuse that legal spelling with a raw
       // MISSING_ATTRIBUTE. Analysis only; nothing executes.
-      val shape = empty(tableSchema).alias("target")
+      val shape = empty(fullSchema).alias("target")
         .join(srcP, keyCond, "left_outer")
       def exprType(c: Column): org.apache.spark.sql.types.DataType =
         shape.select(c).schema.head.dataType
       def checkExpr(where: String, name: String, e: Column): Unit = {
-        val target = tableSchema(name).dataType
+        val target = fullSchema(name).dataType
         val actual = exprType(e)
         require(actual == target ||
             org.apache.spark.sql.catalyst.expressions.Cast
@@ -291,7 +351,7 @@ object ConditionalMerge {
       // updateAll silently corrupting)
       if (m.matched.exists(_._2 == UpdateAll) ||
           m.notMatched.exists(_._2.isEmpty))
-        tableSchema.fields.foreach { f =>
+        fullSchema.fields.foreach { f =>
           val st = m.source.schema(f.name).dataType
           require(st == f.dataType ||
               org.apache.spark.sql.catalyst.expressions.Cast
@@ -324,7 +384,7 @@ object ConditionalMerge {
       val actionId = when(present, chain(m.matched, 1))
         .otherwise(chain(m.bySource, 1 + m.matched.size))
       val all = m.matched ++ m.bySource
-      val outCols = tableSchema.fields.map { f =>
+      val outCols = fullSchema.fields.map { f =>
         val keepV = col(s"target.${f.name}")
         val v = all.zipWithIndex.foldRight(keepV: Column) {
           case (((_, a), i), tail) =>
@@ -351,7 +411,7 @@ object ConditionalMerge {
         case (((c, _), i), tail) =>
           when(c.getOrElse(lit(true)), lit(i + 1)).otherwise(tail)
       }
-      val outCols = tableSchema.fields.map { f =>
+      val outCols = fullSchema.fields.map { f =>
         val v = m.notMatched.zipWithIndex.foldRight(lit(null): Column) {
           case (((_, values), i), tail) =>
             val insV: Column =
@@ -406,25 +466,81 @@ object ConditionalMerge {
     val dvPathsAll = snap.dvs.map { case (rel, (dvRel, _)) =>
       new Path(root, rel).toString -> new Path(root, dvRel).toString }
     def emptyFrame = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), tableSchema)
-    def readCandidates(): DataFrame =
-      if (candidateAbs.isEmpty) emptyFrame
-      else ConnectorFace.align(face.readMergedDv(spark, candidateAbs,
-        dvPathsAll.filter { case (abs, _) => candidateSet(abs) }),
-        tableSchema)
+      new java.util.ArrayList[org.apache.spark.sql.Row](), fullSchema)
+    // partition values of one escaped leaf chain, in partCols order
+    def leafValues(relDir: String): Seq[String] =
+      relDir.split('/').toSeq.map { seg =>
+        val raw = seg.substring(seg.indexOf('=') + 1)
+        if (raw == graft.sources.FeatherPartitions.HiveNull) null
+        else graft.sources.FeatherPartitions.unescapePath(raw)
+      }
+    /** Attach a leaf's partition values as typed literal columns — the
+      * same values-from-the-chain contract every partitioned read
+      * applies. `lit(null).cast` for the hive null leaf. */
+    def attachParts(df: DataFrame, relDir: String): DataFrame =
+      if (!partitioned) df
+      else partCols.zip(leafValues(relDir)).foldLeft(df) {
+        case (acc, (c, v)) =>
+          acc.withColumn(c, lit(v).cast(partSchema(c).dataType))
+      }
+    /** Read `files` (abs path, len) with their DV bindings and, when
+      * partitioned, their leaf partition values attached — grouped by
+      * leaf, one union arm per leaf. Candidates are probe-pruned, so
+      * arm count is touched-leaf-sized; only a whenNotMatchedBySource
+      * full sweep pays O(live leaves) plan arms (the same full-table
+      * cost class Delta's bySource scan pays). `keep` optionally pins
+      * the posKeep positions per file (the DV matched-rows read). */
+    def readWithParts(files: Seq[(String, Long)],
+                      keep: Map[String, Array[Long]] = Map.empty)
+        : DataFrame = {
+      if (files.isEmpty) return emptyFrame
+      val absToRel: Map[String, String] = snap.files.map { case (rel, _) =>
+        new Path(root, rel).toString -> rel }.toMap
+      def relOf(abs: String): String = absToRel.getOrElse(abs,
+        sys.error(s"merge: $abs not in snapshot under $root"))
+      files.groupBy(f => relDirOf(relOf(f._1))).toSeq.sortBy(_._1)
+        .map { case (relDir, leafFiles) =>
+          val dvs = dvPathsAll.filter { case (abs, _) =>
+            leafFiles.exists(_._1 == abs) }
+          val raw =
+            if (keep.isEmpty) face.readMergedDv(spark, leafFiles, dvs)
+            else face.readMergedDv(spark, leafFiles, dvs,
+              keep.filter { case (abs, _) => leafFiles.exists(_._1 == abs) })
+          attachParts(ConnectorFace.align(raw, tableSchema), relDir)
+        }
+        .reduce(_.unionByName(_))
+    }
+    def readCandidates(): DataFrame = readWithParts(candidateAbs)
 
     val added = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     var partsWritten = 0
+    // candidate files per leaf: sizes the routed COW rewrite (one output
+    // part per rewritten input, the flat rewrite's rule); leaves that
+    // only RECEIVE rows (a cross-partition move target, pure inserts)
+    // default to 1
+    val candPerLeaf: Map[String, Int] = candidateIdx
+      .map(i => relDirOf(snap.files(i)._1))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
     def writeOut(out: DataFrame, targetParts: Int): Unit = {
-      val parts = face.writeParts(
-        out.coalesce(math.max(1, targetParts)), root.toString, prefix,
-        m.codec)
-      if (parts.nonEmpty)
-        FeatherStats.upsertMerged(fs, root,
-          parts.map { case (name, len, js) =>
-            name -> (len, FeatherStats.fromJson(js)) }.toMap)
-      added ++= parts.map { case (name, len, _) => (name, len) }
-      partsWritten += parts.size
+      if (partitioned) {
+        // rows land in the leaf THEIR partition values name — survivors
+        // return home, a SET on a partition column moves the row
+        val routed = FeatherMutations.routePartitionedInserts("merge",
+          face, fs, root, out, partCols, tableSchema, prefix, m.codec,
+          partsFor = relDir => candPerLeaf.getOrElse(relDir, 1))
+        added ++= routed
+        partsWritten += routed.size
+      } else {
+        val parts = face.writeParts(
+          out.coalesce(math.max(1, targetParts)), root.toString, prefix,
+          m.codec)
+        if (parts.nonEmpty)
+          FeatherStats.upsertMerged(fs, root,
+            parts.map { case (name, len, js) =>
+              name -> (len, FeatherStats.fromJson(js)) }.toMap)
+        added ++= parts.map { case (name, len, _) => (name, len) }
+        partsWritten += parts.size
+      }
     }
     /** applyClauses + inserts both scan `base`: persist it for the one
       * write job, or every candidate file decodes twice. Unpersisted in
@@ -435,6 +551,17 @@ object ConditionalMerge {
         .unionByName(inserts(cached.select(keys.map(col): _*)))
     }
     def noOp = FeatherMutations.Result(snap.version, 0, snap.files.size, 0)
+    // a merge that deletes EVERY row must still leave a readable table —
+    // one schema stamp per leaf, so a hive layout keeps its key=value
+    // paths (and the partition columns discovery infers from them)
+    def stampLeaves(): Unit =
+      snap.files.map { case (rel, _) => relDirOf(rel) }.distinct
+        .foreach { relDir =>
+          val leafDir =
+            if (relDir.isEmpty) root else new Path(root, relDir)
+          val (name, len) = face.stamp(fs, leafDir, prefix, tableSchema)
+          added += ((if (relDir.isEmpty) name else s"$relDir/$name", len))
+        }
     val srcParts = ConnectorFace.capWriteParts(src)
 
     val rewriteNeeded = m.matched.nonEmpty || m.bySource.nonEmpty
@@ -498,10 +625,8 @@ object ConditionalMerge {
             else Set.empty
           if (added.isEmpty && removeRel.isEmpty) return noOp
           if (added.isEmpty && removeRel.nonEmpty &&
-              snap.files.forall { case (rel, _) => removeRel(rel) }) {
-            val (name, len) = face.stamp(fs, root, prefix, tableSchema)
-            added += ((name, len))
-          }
+              snap.files.forall { case (rel, _) => removeRel(rel) })
+            stampLeaves()
           FeatherSnapshots.commitMutation(fs, root, "merge", snap,
             removeRel, added.toSeq)
         } else {
@@ -521,19 +646,17 @@ object ConditionalMerge {
             case (fid, pos) => absFiles(fid)._1 -> pos.distinct.sorted }
           val matchedRows =
             if (keepByAbs.isEmpty) emptyFrame
-            else ConnectorFace.align(face.readMergedDv(spark,
+            else readWithParts(
               keepByAbs.keys.toSeq.sorted.map(abs => (abs, absLen(abs))),
-              dvPathsAll, keepByAbs), tableSchema)
+              keep = keepByAbs)
           writeOut(clauseOutput(matchedRows),
             srcParts)
           // nothing matched, nothing inserted: a TRUE no-op (see above)
           if (added.isEmpty && bindings.isEmpty && droppedRel.isEmpty)
             return noOp
           if (added.isEmpty && droppedRel.nonEmpty &&
-              snap.files.forall { case (rel, _) => droppedRel(rel) }) {
-            val (name, len) = face.stamp(fs, root, prefix, tableSchema)
-            added += ((name, len))
-          }
+              snap.files.forall { case (rel, _) => droppedRel(rel) })
+            stampLeaves()
           FeatherSnapshots.commitMutation(fs, root, "merge", snap,
             droppedRel, added.toSeq, setDvs = bindings)
         }

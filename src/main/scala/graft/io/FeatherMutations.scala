@@ -477,13 +477,21 @@ object FeatherMutations {
     * both inside the one manifest commit). The distinct partition tuples
     * of the source collect to the driver: partition-count-sized (a
     * correction batch touches few partitions), never row-count-sized.
-    * Returns the (rel path, len) parts written. */
-  private def routePartitionedInserts(op: String, face: ConnectorFace,
+    * Returns the (rel path, len) parts written.
+    *
+    * `partsFor(escapedRelDir)` sizes the write per leaf — 1 for insert
+    * batches (the default; a correction batch per leaf is small), the
+    * leaf's touched-file count for [[ConditionalMerge]]'s COW rewrites
+    * (whose routed output carries every candidate row, not just the
+    * changed ones — one part per rewritten input keeps part counts
+    * stable, the same rule `mutate`'s flat rewrite applies). */
+  private[io] def routePartitionedInserts(op: String, face: ConnectorFace,
                                       fs: org.apache.hadoop.fs.FileSystem,
                                       root: Path, src0: DataFrame,
                                       partCols: Seq[String],
                                       tableSchema: StructType,
-                                      prefix: String, codec: String)
+                                      prefix: String, codec: String,
+                                      partsFor: String => Int = _ => 1)
       : Seq[(String, Long)] = {
     val added = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     // one source scan feeds the distinct() AND every per-tuple slice —
@@ -525,7 +533,8 @@ object FeatherMutations {
         // per-tuple sub-prefix: the pre-clean of one tuple's write must
         // never delete this run's survivor parts OR a sibling tuple's
         // fresh insert parts
-        val parts = face.writeParts(slice.coalesce(1),
+        val parts = face.writeParts(
+          slice.coalesce(math.max(1, partsFor(relDir))),
           leafDir.toString, f"$prefix-ins$idx%04d", codec)
         if (parts.nonEmpty)
           FeatherStats.upsertMerged(fs, leafDir,

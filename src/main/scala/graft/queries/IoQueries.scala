@@ -79,6 +79,7 @@ object IoQueries extends QueryPack {
     "io_parquet_snapshot", "io_parquet_delete_dv", "io_parquet_cdf",
     "io_parquet_partitioned_write",
     "io_feather_merge_dv", "io_merge_clauses", "io_merge_clauses_dv",
+    "io_merge_clauses_partitioned",
     "io_avro_time_travel", "dedup_lsh_incremental")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
@@ -1349,6 +1350,65 @@ object IoQueries extends QueryPack {
     s.read.format("feather").load(path)
       .select(col("o_orderkey"), col("o_orderpriority"),
         col("o_totalprice").as("total"))
+      .orderBy("o_orderkey")
+  }
+
+  // CONDITIONAL MERGE over a HIVE-PARTITIONED parquet table: partition
+  // columns ride the clause algebra as ordinary columns — the matched
+  // UPDATE here SETS the partition column, which is a cross-partition
+  // MOVE (delete in the old leaf + insert into the new one, one commit);
+  // inserts route to the leaf their VALUES name. The oracle rebuilds the
+  // post-merge state relationally; the fixture additionally pins that the
+  // move's target leaf materialized on disk.
+  register("io_merge_clauses_partitioned",
+    """WITH t AS (
+      |  SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderkey <= 1000),
+      |s AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderkey > 600 AND o_orderkey <= 1200),
+      |survivors AS (
+      |  SELECT t.o_orderkey,
+      |    CASE WHEN s.o_orderkey IS NOT NULL AND t.total > 100000
+      |         THEN '9-MOVED' ELSE t.o_orderpriority END AS o_orderpriority,
+      |    CASE WHEN s.o_orderkey IS NOT NULL AND t.total > 100000
+      |         THEN s.total * 2 ELSE t.total END AS total
+      |  FROM t LEFT JOIN s USING (o_orderkey)
+      |  WHERE s.o_orderkey IS NULL OR s.o_orderkey % 10 <> 0),
+      |ins AS (
+      |  SELECT s.o_orderkey, '9-NEW' AS o_orderpriority,
+      |    CAST(-1.0 AS DOUBLE) AS total
+      |  FROM s LEFT JOIN t USING (o_orderkey)
+      |  WHERE t.o_orderkey IS NULL AND s.o_orderkey % 2 = 1)
+      |SELECT * FROM survivors UNION ALL SELECT * FROM ins
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val path = readFixture("merge_clauses_partitioned", d) { p =>
+      graft.io.ParquetTable.write(
+        Tables.orders(s, d).filter(col("o_orderkey") <= 1000)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice").cast(DoubleType).as("total")),
+        p, partitionBy = Seq("o_orderpriority"))
+      // ranges hold movers and odd inserts at EVERY testdata SF (the
+      // sf0.001 smoke included), so the target-leaf pin below never
+      // no-ops silently
+      val source = Tables.orders(s, d)
+        .filter(col("o_orderkey") > 600 && col("o_orderkey") <= 1200)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast(DoubleType).as("total"))
+      graft.io.ConditionalMerge(s, p, source, Seq("o_orderkey"))
+        .whenMatchedDelete(Some(col("source.o_orderkey") % 10 === 0))
+        .whenMatchedUpdate(Some(col("target.total") > 100000),
+          set = Map("o_orderpriority" -> lit("9-MOVED"),
+            "total" -> col("source.total") * 2))
+        .whenNotMatchedInsert(Some(col("source.o_orderkey") % 2 === 1),
+          values = Map("o_orderkey" -> col("source.o_orderkey"),
+            "o_orderpriority" -> lit("9-NEW"), "total" -> lit(-1.0)))
+        .execute(): Unit
+      require(new java.io.File(s"$p/o_orderpriority=9-MOVED").isDirectory,
+        "cross-partition move must materialize its target leaf")
+    }
+    graft.io.ParquetTable.read(s, path)
+      .select("o_orderkey", "o_orderpriority", "total")
       .orderBy("o_orderkey")
   }
 

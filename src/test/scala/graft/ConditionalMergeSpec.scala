@@ -258,18 +258,19 @@ class ConditionalMergeSpec extends AnyFunSuite {
     assert(up.version === 2L)
     assert(spark.read.format("feather").load(path)
       .filter(col("id") === 60L).select("amt").head().getDouble(0) === 7.0)
-    // partitioned table refused
-    val ppath = tmp("loud_part")
+    // NON-HIVE nested layout refused (hive-partitioned is supported;
+    // an adopted batch1/-style nesting has nowhere to route output rows)
+    val ppath = tmp("loud_nonhive")
     graft.io.GraftFeather.write(
       Seq((1L, 1.0)).toDF("id", "amt").repartition(1),
-      s"$ppath/day=a", overwrite = true)
+      s"$ppath/batch1", overwrite = true)
     FeatherSnapshots.adopt(fsOf(ppath), new Path(ppath))
     val e5 = intercept[IllegalArgumentException] {
       ConditionalMerge(spark, ppath,
         Seq((1L, 2.0)).toDF("id", "amt"), Seq("id"))
         .whenMatchedUpdateAll().execute()
     }
-    assert(e5.getMessage.contains("flat tables"))
+    assert(e5.getMessage.contains("non-hive"))
   }
 
   test("the clause matrix runs on the parquet face, both strategies") {
@@ -387,5 +388,136 @@ class ConditionalMergeSpec extends AnyFunSuite {
     assert(back.count() === 102, "null-keyed rows insert (no match)")
     assert(back.filter(col("id") === 60L).select("grade").head()
       .getString(0) === "upd")
+  }
+
+  // ---- hive-partitioned tables ------------------------------------------
+
+  // partitioned parquet table: ids 1..60, day = d(id%3), amt = id
+  private def writePartitionedTable(path: String): Unit = {
+    import spark.implicits._
+    val df = (1 to 60).map(i => (i.toLong, i.toDouble, s"d${i % 3}"))
+      .toDF("id", "amt", "day")
+    graft.io.ParquetTable.write(df, path, partitionBy = Seq("day")): Unit
+  }
+  // source: matched 51..60 (day unchanged), the MOVER id 9 → day d9,
+  // unmatched 61..70
+  private def partSrc = {
+    import spark.implicits._
+    ((51 to 70).map(i => (i.toLong, i * 100.0, s"d${i % 3}")) :+
+      ((9L, 900.0, "d9")))
+      .toDF("id", "amt", "day")
+  }
+  private def partClauses(path: String) =
+    ConditionalMerge(spark, path, partSrc, Seq("id"))
+      .whenMatchedDelete(Some(col("source.id") % 10 === 0))
+      .whenMatchedUpdateAll() // incl. the day SET → cross-partition move
+      .whenNotMatchedInsert(Some(col("source.id") % 2 === 1),
+        values = Map("id" -> col("source.id"), "amt" -> lit(-1.0),
+          "day" -> col("source.day")))
+  private def expectedPart: Seq[(Long, Double, String)] = {
+    val start = (1 to 60).map(i => (i.toLong, i.toDouble, s"d${i % 3}"))
+    val matchedIds = ((51 to 60).map(_.toLong) :+ 9L).toSet
+    val kept = start.flatMap { case r @ (id, _, _) =>
+      if (!matchedIds(id)) Some(r)
+      else if (id % 10 == 0) None // clause 1: delete (id 60)
+      else if (id == 9L) Some((9L, 900.0, "d9")) // moved
+      else Some((id, id * 100.0, s"d${id % 3}")) // updateAll
+    }
+    val ins = (61 to 70).filter(_ % 2 == 1)
+      .map(i => (i.toLong, -1.0, s"d${i % 3}"))
+    (kept ++ ins).sortBy(_._1)
+  }
+  private def collectPart(path: String): Seq[(Long, Double, String)] =
+    graft.io.ParquetTable.read(spark, path).orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("amt"),
+        r.getAs[String]("day"))).toSeq
+
+  test("partitioned table, copy-on-write: clause matrix over partition " +
+       "columns, insert routing, cross-partition move") {
+    val path = tmp("part_cow")
+    writePartitionedTable(path)
+    // bySource clauses force the full sweep and may SET data columns
+    partClauses(path)
+      .whenNotMatchedBySourceDelete(Some(col("target.id") <= 3))
+      .execute()
+    val exp = expectedPart.filterNot(_._1 <= 3)
+    assert(collectPart(path) === exp)
+    // the mover landed in a NEW leaf on disk, exactly once
+    val d9 = new java.io.File(s"$path/day=d9")
+    assert(d9.isDirectory, "cross-partition move must create its leaf")
+    assert(graft.io.ParquetTable.read(spark, path)
+      .filter(col("day") === "d9").count() === 1)
+    // partition pruning still plans over the mutated layout
+    assert(graft.io.ParquetTable.read(spark, path)
+      .filter(col("day") === "d1").count() ===
+      exp.count(_._3 == "d1"))
+  }
+
+  test("partitioned table: DV strategy content-identical to COW, masks " +
+       "instead of rewriting the untouched leaves") {
+    val cowP = tmp("part_cow_twin")
+    val dvP = tmp("part_dv_twin")
+    writePartitionedTable(cowP)
+    writePartitionedTable(dvP)
+    partClauses(cowP).execute()
+    val r = partClauses(dvP).executeDV()
+    assert(collectPart(dvP) === collectPart(cowP))
+    assert(collectPart(dvP) === expectedPart)
+    // DV: the parent's data files survive (masked, not rewritten)
+    val snap = FeatherSnapshots.resolve(fsOf(dvP), new Path(dvP), None).get
+    assert(snap.dvs.nonEmpty, "matched files must carry DV bindings")
+    assert(r.version === 2L)
+    // a REPLAY is NOT content-idempotent for this clause set — by the
+    // Delta contract, rows the first run INSERTED now MATCH, so
+    // whenMatchedUpdateAll overwrites their values with the source's
+    partClauses(dvP).executeDV()
+    val replayed = collectPart(dvP)
+    assert(replayed.count(_._1 > 60) === 5)
+    assert(replayed.filter(_._1 > 60).forall(t => t._2 === t._1 * 100.0),
+      "replay must updateAll the previously-inserted rows")
+  }
+
+  test("partitioned loud contracts: partition-column key, VALUES " +
+       "omitting a partition column, non-hive nesting") {
+    import spark.implicits._
+    val path = tmp("part_loud")
+    writePartitionedTable(path)
+    val e1 = intercept[IllegalArgumentException] {
+      ConditionalMerge(spark, path, partSrc, Seq("day"))
+        .whenMatchedDelete().execute()
+    }
+    assert(e1.getMessage.contains("partition column"))
+    val e2 = intercept[IllegalArgumentException] {
+      ConditionalMerge(spark, path, partSrc, Seq("id"))
+        .whenNotMatchedInsert(values = Map("id" -> col("source.id")))
+        .execute()
+    }
+    assert(e2.getMessage.contains("omits partition column"))
+  }
+
+  test("partitioned clause merge runs on the adopted FEATHER face too") {
+    import spark.implicits._
+    val path = tmp("part_feather")
+    val df = (1 to 30).map(i => (i.toLong, s"p_$i", s"d${i % 3}"))
+      .toDF("id", "pay", "day")
+    Seq("d0", "d1", "d2").foreach { dm =>
+      graft.io.GraftFeather.write(
+        df.where(col("day") === dm).drop("day").repartition(1),
+        s"$path/day=$dm", overwrite = true)
+    }
+    FeatherSnapshots.adopt(fsOf(path), new Path(path)): Unit
+    val s2 = Seq((3L, "p_3_v2", "d2"), (100L, "p_100", "d9"))
+      .toDF("id", "pay", "day")
+    ConditionalMerge(spark, path, s2, Seq("id"))
+      .whenMatchedUpdateAll() // moves id 3 from d0 to d2
+      .whenNotMatchedInsertAll()
+      .execute()
+    val after = spark.read.format("feather").load(path)
+    assert(after.count() === 31)
+    val r3 = after.where(col("id") === 3L).collect()
+    assert(r3.length === 1 && r3.head.getAs[String]("day") === "d2"
+      && r3.head.getAs[String]("pay") === "p_3_v2")
+    assert(after.where(col("id") === 100L).head()
+      .getAs[String]("day") === "d9")
   }
 }
