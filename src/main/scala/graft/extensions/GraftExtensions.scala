@@ -69,6 +69,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => new JaccardThresholdPruning)
 
+    // SQL MERGE INTO over graft.`/path` / graft_dv.`/path` targets:
+    // Spark's parser builds MergeIntoTable; this rule claims the graft
+    // spellings during resolution (the target stays unresolved for the
+    // catalog, so the fixpoint reaches us before checkAnalysis) and
+    // lowers onto ConditionalMerge, deferred to statement execution
+    ext.injectResolutionRule(s => new GraftMergeIntoRule(s))
+
     // the table-maintenance tier's SQL face (CALL-style table functions:
     // OPTIMIZE / ZORDER / VACUUM / RESTORE / expire / history / CDF)
     GraftTableFunctions.register(ext)

@@ -1,0 +1,210 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+import graft.io.ConditionalMerge
+
+/** SQL `MERGE INTO` over graft tables — the statement CDC pipelines
+  * actually write (reference anchor: the reference's in-memory upsert is
+  * `boolean_mask_scatter`, cpp/include/cudf/copying.hpp; the clause
+  * algebra is [[graft.io.ConditionalMerge]], this is its SQL spelling):
+  *
+  * {{{
+  *   MERGE INTO graft.`/path/to/table` t
+  *   USING updates s
+  *   ON t.id = s.id
+  *   WHEN MATCHED AND s.tombstone THEN DELETE
+  *   WHEN MATCHED THEN UPDATE SET amt = s.amt * 2
+  *   WHEN NOT MATCHED AND s.id % 2 = 1 THEN INSERT (id, amt) VALUES (s.id, s.amt)
+  *   WHEN NOT MATCHED BY SOURCE AND t.expired THEN DELETE
+  * }}}
+  *
+  * Spark's OWN parser produces the [[MergeIntoTable]] plan (clause
+  * conditions, assignments, star forms — full syntax for free); this
+  * resolution rule claims statements whose target is the `graft.`-
+  * qualified path spelling (`graft_dv.` for the merge-on-read strategy,
+  * DV masks + new parts instead of copy-on-write) and lowers them onto
+  * [[ConditionalMerge]]. Everything else — catalog tables, other
+  * sources — passes through untouched for Spark's v2 machinery.
+  *
+  * The statement defers to EXECUTION via [[DeferredMaintenanceAction]]
+  * (the maintenance-TVF contract: EXPLAIN never mutates) and returns a
+  * one-row report (version, files_touched, files_kept, parts_written).
+  *
+  * Lowering contract (all violations fail analysis loudly):
+  *  - `ON` must be a conjunction of `t.k = s.k` column equalities (the
+  *    key-join shape ConditionalMerge executes; an inequality join has
+  *    no pruned-candidate story);
+  *  - alias qualifiers (`t.`, `s.`, the bare view name, or literal
+  *    `target.`/`source.`) rewrite onto ConditionalMerge's
+  *    target./source. working aliases; unqualified references pass
+  *    through and resolve wherever they are unambiguous;
+  *  - `WITH SCHEMA EVOLUTION` is refused (the write-side evolution gate
+  *    is an explicit per-write opt-in, not a statement modifier). */
+private[extensions] class GraftMergeIntoRule(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.graft.Bridge
+
+  private val Faces = Set("graft", "graft_dv")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case m: MergeIntoTable =>
+      unwrapTarget(m.targetTable) match {
+        case Some((face, path, targetAlias)) => lower(m, face, path, targetAlias)
+        case None => plan
+      }
+    case _ => plan
+  }
+
+  /** `graft.`/`graft_dv.`-qualified path target, with optional alias. */
+  private def unwrapTarget(t: LogicalPlan)
+      : Option[(String, String, Option[String])] = t match {
+    case SubqueryAlias(id, child) =>
+      unwrapTarget(child).map { case (f, p, _) => (f, p, Some(id.name)) }
+    case UnresolvedRelation(parts, _, _)
+        if parts.length == 2 && Faces(parts.head.toLowerCase) =>
+      Some((parts.head.toLowerCase, parts(1), None))
+    case _ => None
+  }
+
+  private def sourceNameOf(s: LogicalPlan): Option[String] = s match {
+    case SubqueryAlias(id, _) => Some(id.name)
+    case UnresolvedRelation(parts, _, _) => Some(parts.last)
+    case _ => None
+  }
+
+  private def lower(m: MergeIntoTable, face: String, path: String,
+                    targetAlias: Option[String]): LogicalPlan = {
+    def bad(msg: String): Nothing =
+      throw new IllegalArgumentException(s"MERGE INTO $face.`$path`: $msg")
+    if (m.withSchemaEvolution)
+      bad("WITH SCHEMA EVOLUTION is not supported — schema evolution is " +
+        "a per-write opt-in (option(\"mergeSchema\",\"true\")), not a " +
+        "merge statement modifier")
+
+    val tQuals: Set[String] =
+      (targetAlias.toSeq :+ "target").map(_.toLowerCase).toSet
+    val sQuals: Set[String] =
+      (sourceNameOf(m.sourceTable).toSeq :+ "source")
+        .map(_.toLowerCase).toSet
+
+    // the USING side analyzes independently — exactly what a
+    // free-standing source relation/subquery means
+    val sourceDf = Bridge.ofRows(spark, m.sourceTable)
+
+    // ---- ON clause → key columns -----------------------------------------
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    sealed trait Side
+    case object T extends Side; case object S extends Side
+    case object U extends Side
+    def nameSide(e: Expression): Option[(String, Side)] = e match {
+      case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
+        Some((ua.nameParts.head, U))
+      case ua: UnresolvedAttribute if ua.nameParts.length == 2 =>
+        val q = ua.nameParts.head.toLowerCase
+        if (tQuals(q)) Some((ua.nameParts(1), T))
+        else if (sQuals(q)) Some((ua.nameParts(1), S))
+        else None
+      // a source built straight from a DataFrame (createOrReplaceTempView
+      // round-trips as UnresolvedAttribute; a resolved reference appears
+      // only if someone hand-builds the plan) — name is enough: ON is
+      // validated by the key-name equality below either way
+      case ar: AttributeReference => Some((ar.name, U))
+      case _ => None
+    }
+    val keys: Seq[String] = conjuncts(m.mergeCondition).map {
+      case EqualTo(l, r) =>
+        (nameSide(l), nameSide(r)) match {
+          case (Some((ln, ls)), Some((rn, rs)))
+              if ln.equalsIgnoreCase(rn) &&
+                ((ls, rs) match {
+                  case (T, S) | (S, T) | (U, U) => true
+                  case (U, _) | (_, U) => true // one side unqualified
+                  case _ => false
+                }) =>
+            ln
+          case _ =>
+            bad(s"ON clause term ${EqualTo(l, r).sql} is not a " +
+              "target-key = source-key equality on one column name — " +
+              "the merge joins by key columns (t.k = s.k AND ...)")
+        }
+      case other =>
+        bad(s"ON clause term ${other.sql} is not a column equality — " +
+          "the merge joins by key columns (t.k = s.k AND ...)")
+    }.distinct
+
+    // ---- expression re-aliasing onto target./source. -----------------------
+    def remap(e: Expression): Column = Bridge.column(e.transform {
+      case ua: UnresolvedAttribute if ua.nameParts.length >= 2 &&
+          tQuals(ua.nameParts.head.toLowerCase) =>
+        UnresolvedAttribute("target" +: ua.nameParts.tail)
+      case ua: UnresolvedAttribute if ua.nameParts.length >= 2 &&
+          sQuals(ua.nameParts.head.toLowerCase) =>
+        UnresolvedAttribute("source" +: ua.nameParts.tail)
+    })
+    def remapOpt(c: Option[Expression]): Option[Column] = c.map(remap)
+    def setOf(assigns: Seq[Assignment], what: String): Map[String, Column] =
+      assigns.map { a =>
+        val name = a.key match {
+          case ua: UnresolvedAttribute => ua.nameParts.last
+          case attr: Attribute => attr.name
+          case other => bad(s"$what assigns to ${other.sql}, not a column")
+        }
+        name -> remap(a.value)
+      }.toMap
+
+    // ---- clauses ------------------------------------------------------------
+    var merge = ConditionalMerge(spark, path, sourceDf, keys)
+    m.matchedActions.foreach {
+      case UpdateAction(cond, assigns, _) =>
+        merge = merge.whenMatchedUpdate(remapOpt(cond),
+          setOf(assigns, "WHEN MATCHED UPDATE"))
+      case UpdateStarAction(cond) =>
+        merge = merge.whenMatchedUpdateAll(remapOpt(cond))
+      case DeleteAction(cond) =>
+        merge = merge.whenMatchedDelete(remapOpt(cond))
+      case other => bad(s"unsupported WHEN MATCHED action $other")
+    }
+    m.notMatchedActions.foreach {
+      case InsertAction(cond, assigns) =>
+        merge = merge.whenNotMatchedInsert(remapOpt(cond),
+          setOf(assigns, "WHEN NOT MATCHED INSERT"))
+      case InsertStarAction(cond) =>
+        merge = merge.whenNotMatchedInsertAll(remapOpt(cond))
+      case other => bad(s"unsupported WHEN NOT MATCHED action $other")
+    }
+    m.notMatchedBySourceActions.foreach {
+      case UpdateAction(cond, assigns, _) =>
+        merge = merge.whenNotMatchedBySourceUpdate(remapOpt(cond),
+          setOf(assigns, "WHEN NOT MATCHED BY SOURCE UPDATE"))
+      case DeleteAction(cond) =>
+        merge = merge.whenNotMatchedBySourceDelete(remapOpt(cond))
+      case other => bad(s"unsupported WHEN NOT MATCHED BY SOURCE action $other")
+    }
+    val frozen = merge
+
+    // ---- deferred execution (the maintenance-TVF contract) -----------------
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("files_touched", IntegerType, nullable = false),
+      StructField("files_kept", IntegerType, nullable = false),
+      StructField("parts_written", IntegerType, nullable = false)))
+    DeferredMaintenanceAction(s"merge_into($face, $path)",
+      schema.map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+        .toSeq,
+      () => {
+        val r = if (face == "graft_dv") frozen.executeDV()
+                else frozen.execute()
+        Seq(Row(r.version, r.filesTouched, r.filesKept, r.partsWritten))
+      })
+  }
+}

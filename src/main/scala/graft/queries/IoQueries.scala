@@ -79,7 +79,7 @@ object IoQueries extends QueryPack {
     "io_parquet_snapshot", "io_parquet_delete_dv", "io_parquet_cdf",
     "io_parquet_partitioned_write",
     "io_feather_merge_dv", "io_merge_clauses", "io_merge_clauses_dv",
-    "io_merge_clauses_partitioned",
+    "io_merge_clauses_partitioned", "io_sql_merge",
     "io_avro_time_travel", "dedup_lsh_incremental")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
@@ -1350,6 +1350,68 @@ object IoQueries extends QueryPack {
     s.read.format("feather").load(path)
       .select(col("o_orderkey"), col("o_orderpriority"),
         col("o_totalprice").as("total"))
+      .orderBy("o_orderkey")
+  }
+
+  // SQL MERGE INTO (extensions/GraftMergeInto): the statement CDC
+  // pipelines actually write, parsed by Spark's own grammar and lowered
+  // by the injected resolution rule onto ConditionalMerge — full clause
+  // matrix incl. WHEN NOT MATCHED BY SOURCE, executed at statement
+  // collect (the deferred maintenance contract). Same relational-CTE
+  // oracle shape as io_merge_clauses.
+  register("io_sql_merge",
+    """WITH t AS (
+      |  SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderkey <= 1000),
+      |s AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderkey > 600 AND o_orderkey <= 1200),
+      |survivors AS (
+      |  SELECT t.o_orderkey,
+      |    CASE WHEN s.o_orderkey IS NOT NULL THEN
+      |           CASE WHEN t.total > 100000 THEN '9-BIG'
+      |                ELSE t.o_orderpriority END
+      |         WHEN t.o_orderkey < 100 THEN '0-STALE'
+      |         ELSE t.o_orderpriority END AS o_orderpriority,
+      |    CASE WHEN s.o_orderkey IS NOT NULL
+      |              AND s.o_orderkey % 10 <> 0 AND t.total > 100000
+      |         THEN s.total * 2 ELSE t.total END AS total
+      |  FROM t LEFT JOIN s USING (o_orderkey)
+      |  WHERE s.o_orderkey IS NULL OR s.o_orderkey % 10 <> 0),
+      |ins AS (
+      |  SELECT s.o_orderkey, '9-NEW' AS o_orderpriority,
+      |    CAST(NULL AS DOUBLE) AS total
+      |  FROM s LEFT JOIN t USING (o_orderkey)
+      |  WHERE t.o_orderkey IS NULL AND s.o_orderkey % 2 = 1)
+      |SELECT * FROM survivors UNION ALL SELECT * FROM ins
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val path = readFixture("sql_merge", d) { p =>
+      Tables.orders(s, d).filter(col("o_orderkey") <= 1000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast(DoubleType).as("total"))
+        .repartitionByRange(6, col("o_orderkey"))
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(p)
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") > 600 && col("o_orderkey") <= 1200)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast(DoubleType).as("total"))
+        .createOrReplaceTempView("io_sql_merge_src")
+      s.sql(
+        s"""MERGE INTO graft.`$p` t
+           |USING io_sql_merge_src src
+           |ON t.o_orderkey = src.o_orderkey
+           |WHEN MATCHED AND src.o_orderkey % 10 = 0 THEN DELETE
+           |WHEN MATCHED AND t.total > 100000 THEN
+           |  UPDATE SET o_orderpriority = '9-BIG', total = src.total * 2
+           |WHEN NOT MATCHED AND src.o_orderkey % 2 = 1 THEN
+           |  INSERT (o_orderkey, o_orderpriority) VALUES (src.o_orderkey, '9-NEW')
+           |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey < 100 THEN
+           |  UPDATE SET o_orderpriority = '0-STALE'
+           |""".stripMargin).collect(): Unit
+    }
+    s.read.format("feather").load(path)
+      .select("o_orderkey", "o_orderpriority", "total")
       .orderBy("o_orderkey")
   }
 

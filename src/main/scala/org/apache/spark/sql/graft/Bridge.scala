@@ -40,6 +40,17 @@ object Bridge {
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** LogicalPlan → DataFrame (classic `Dataset.ofRows` is private[sql]).
+    * The MERGE INTO resolution rule needs the statement's SOURCE subtree
+    * as a frame to hand [[graft.io.ConditionalMerge]]; building the
+    * Dataset runs that subtree through the analyzer independently, which
+    * is exactly what a free-standing USING clause means. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** StructType → parquet MessageType via Spark's OWN converter (the
     * schema-stamp writer of the parquet face must emit exactly the
     * physical types Spark's sink would, or a stamp would read back with
