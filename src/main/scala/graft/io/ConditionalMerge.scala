@@ -121,7 +121,11 @@ final case class ConditionalMerge(
         "merge-on-read mask of the whole table buys nothing; use " +
         "execute() (copy-on-write) for this clause")
     require(keyCols.nonEmpty, "merge: keyCols must be non-empty")
-    keyCols.foreach(k => require(source.columns.contains(k),
+    // case-insensitive membership: the canonical (table-spelled) key
+    // resolves against the source through Spark's own resolver, which
+    // honors spark.sql.caseSensitive — this guard must not be stricter
+    keyCols.foreach(k => require(
+      source.columns.exists(c => c == k || c.equalsIgnoreCase(k)),
       s"merge: key column '$k' not in source (${source.columns.mkString(", ")})"))
     ConditionalMerge.run(this, dvMask)
   }
@@ -141,7 +145,6 @@ object ConditionalMerge {
   private def run(m: ConditionalMerge, dvMask: Boolean)
       : FeatherMutations.Result = {
     val spark = m.spark
-    val keys = m.keyCols
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(m.path)
     val fs = root.getFileSystem(conf)
@@ -162,19 +165,12 @@ object ConditionalMerge {
     }
     val chains: Seq[String] = snap.files.map { case (rel, _) =>
       relDirOf(rel) }.distinct.filter(_.nonEmpty)
-    val hiveChains = chains.nonEmpty &&
-      chains.forall(_.split('/').forall(_.indexOf('=') > 0))
+    val (hiveChains, partCols) =
+      graft.sources.FeatherPartitions.hiveLayout(chains)
     require(chains.isEmpty || hiveChains,
       s"merge on ${m.path}: table has non-hive subdirectories " +
         s"(${chains.mkString(", ")}) — conditional clauses route output " +
         "rows by partition values and need a hive key=value layout")
-    val partCols: Seq[String] =
-      if (hiveChains)
-        chains.head.split('/').toSeq.map { seg =>
-          graft.sources.FeatherPartitions.unescapePath(
-            seg.substring(0, seg.indexOf('=')))
-        }
-      else Nil
     val partitioned = partCols.nonEmpty
     val absFiles = snap.files.map { case (rel, len) =>
       (new Path(root, rel).toString, len) }
@@ -193,8 +189,24 @@ object ConditionalMerge {
       s"merge: partition column(s) ${embedded.mkString(", ")} are ALSO " +
         "embedded in the data files — routing cannot tell the path copy " +
         "from the data copy")
+    // key names canonicalize onto the table schema's spelling under
+    // spark.sql.caseSensitive=false (the default — a SQL-originated
+    // `ON t.Id = s.Id` legally names a column stored as `id`; every
+    // other identifier in the statement resolves case-insensitively,
+    // so the key must too); an ambiguous or absent name falls through
+    // to the loud require
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    val keys: Seq[String] = m.keyCols.map { k =>
+      if (tableSchema.fieldNames.contains(k) || caseSensitive) k
+      else tableSchema.fieldNames.filter(_.equalsIgnoreCase(k)) match {
+        case Array(one) => one
+        case _ => k
+      }
+    }
     keys.foreach(k => require(tableSchema.fieldNames.contains(k),
-      if (partCols.contains(k))
+      if (partCols.exists(p => p == k || (!caseSensitive &&
+          p.equalsIgnoreCase(k))))
         s"merge: key column '$k' is a partition column — partition " +
           "values live in the directory chain, not the data files; key " +
           "on data columns (clause output routes by partition values)"
@@ -462,53 +474,58 @@ object ConditionalMerge {
         (touched.toSeq.sorted, stats)
       }
     val candidateAbs = candidateIdx.map(absFiles)
-    val candidateSet = candidateAbs.map(_._1).toSet
     val dvPathsAll = snap.dvs.map { case (rel, (dvRel, _)) =>
       new Path(root, rel).toString -> new Path(root, dvRel).toString }
     def emptyFrame = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), fullSchema)
-    // partition values of one escaped leaf chain, in partCols order
-    def leafValues(relDir: String): Seq[String] =
-      relDir.split('/').toSeq.map { seg =>
-        val raw = seg.substring(seg.indexOf('=') + 1)
-        if (raw == graft.sources.FeatherPartitions.HiveNull) null
-        else graft.sources.FeatherPartitions.unescapePath(raw)
-      }
+    // per-file partition values straight from the SAME parse partSchema
+    // came from (toDiscovered's LeafFile.values) — never a second
+    // hand-rolled chain parse that could drift from the read path
+    val valuesByAbs: Map[String, Seq[(String, String)]] =
+      if (!partitioned) Map.empty
+      else FeatherSnapshots.toDiscovered(root, snap).files
+        .map(lf => lf.file -> lf.values).toMap
     /** Attach a leaf's partition values as typed literal columns — the
       * same values-from-the-chain contract every partitioned read
       * applies. `lit(null).cast` for the hive null leaf. */
-    def attachParts(df: DataFrame, relDir: String): DataFrame =
-      if (!partitioned) df
-      else partCols.zip(leafValues(relDir)).foldLeft(df) {
-        case (acc, (c, v)) =>
-          acc.withColumn(c, lit(v).cast(partSchema(c).dataType))
+    def attachParts(df: DataFrame,
+                    values: Seq[(String, String)]): DataFrame =
+      values.foldLeft(df) { case (acc, (c, v)) =>
+        acc.withColumn(c, lit(v).cast(partSchema(c).dataType))
       }
     /** Read `files` (abs path, len) with their DV bindings and, when
       * partitioned, their leaf partition values attached — grouped by
-      * leaf, one union arm per leaf. Candidates are probe-pruned, so
-      * arm count is touched-leaf-sized; only a whenNotMatchedBySource
-      * full sweep pays O(live leaves) plan arms (the same full-table
-      * cost class Delta's bySource scan pays). `keep` optionally pins
-      * the posKeep positions per file (the DV matched-rows read). */
+      * leaf, one union arm per leaf (balanced tree: the analyzer must
+      * never recurse 1000 deep on a left-leaning chain). Candidates are
+      * probe-pruned, so arm count is touched-leaf-sized; only a
+      * whenNotMatchedBySource full sweep pays O(live leaves) plan arms —
+      * Delta's bySource pays a full scan too, though over one planned
+      * relation; if wide-partitioned bySource merges become a real
+      * workload, a face-specific single-scan read (ParquetTable.read
+      * for the parquet face) is the upgrade path. `keep` optionally
+      * pins the posKeep positions per file (the DV matched-rows read). */
     def readWithParts(files: Seq[(String, Long)],
                       keep: Map[String, Array[Long]] = Map.empty)
         : DataFrame = {
       if (files.isEmpty) return emptyFrame
-      val absToRel: Map[String, String] = snap.files.map { case (rel, _) =>
-        new Path(root, rel).toString -> rel }.toMap
-      def relOf(abs: String): String = absToRel.getOrElse(abs,
-        sys.error(s"merge: $abs not in snapshot under $root"))
-      files.groupBy(f => relDirOf(relOf(f._1))).toSeq.sortBy(_._1)
-        .map { case (relDir, leafFiles) =>
+      val arms = files.groupBy(f =>
+          valuesByAbs.getOrElse(f._1, Nil)).toSeq.sortBy(_._1.toString)
+        .map { case (values, leafFiles) =>
           val dvs = dvPathsAll.filter { case (abs, _) =>
             leafFiles.exists(_._1 == abs) }
           val raw =
             if (keep.isEmpty) face.readMergedDv(spark, leafFiles, dvs)
             else face.readMergedDv(spark, leafFiles, dvs,
               keep.filter { case (abs, _) => leafFiles.exists(_._1 == abs) })
-          attachParts(ConnectorFace.align(raw, tableSchema), relDir)
+          attachParts(ConnectorFace.align(raw, tableSchema), values)
         }
-        .reduce(_.unionByName(_))
+      def balanced(fs: Seq[DataFrame]): DataFrame =
+        if (fs.size == 1) fs.head
+        else {
+          val (l, r) = fs.splitAt(fs.size / 2)
+          balanced(l).unionByName(balanced(r))
+        }
+      balanced(arms)
     }
     def readCandidates(): DataFrame = readWithParts(candidateAbs)
 
@@ -521,13 +538,19 @@ object ConditionalMerge {
     val candPerLeaf: Map[String, Int] = candidateIdx
       .map(i => relDirOf(snap.files(i)._1))
       .groupBy(identity).map { case (k, v) => k -> v.size }
-    def writeOut(out: DataFrame, targetParts: Int): Unit = {
+    // `rewrite` = the output carries every candidate row (the COW
+    // rewrite), so a leaf's write sizes to its rewritten-file count;
+    // insert-only and degraded-no-match outputs are change-batch-sized
+    // and land one part per leaf like any routed insert
+    def writeOut(out: DataFrame, targetParts: Int,
+                 rewrite: Boolean = false): Unit = {
       if (partitioned) {
         // rows land in the leaf THEIR partition values name — survivors
         // return home, a SET on a partition column moves the row
         val routed = FeatherMutations.routePartitionedInserts("merge",
           face, fs, root, out, partCols, tableSchema, prefix, m.codec,
-          partsFor = relDir => candPerLeaf.getOrElse(relDir, 1))
+          partsFor = relDir =>
+            if (rewrite) candPerLeaf.getOrElse(relDir, 1) else 1)
         added ++= routed
         partsWritten += routed.size
       } else {
@@ -614,7 +637,7 @@ object ConditionalMerge {
             // the key columns twice for the whole write
             candKeys.foreach(_.unpersist(blocking = false))
             writeOut(clauseOutput(readCandidates()),
-              math.max(candidateAbs.size, srcParts))
+              math.max(candidateAbs.size, srcParts), rewrite = true)
           }
           else
             writeOut(inserts(candKeys

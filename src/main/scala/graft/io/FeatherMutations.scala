@@ -900,15 +900,8 @@ object FeatherMutations {
     // leaves generically, but merge has nowhere to route inserts and
     // must refuse rather than silently drop them.
     val chains: Seq[String] = byLeaf.map(_._1).filter(_.nonEmpty)
-    val hiveChains = chains.nonEmpty &&
-      chains.forall(_.split('/').forall(_.indexOf('=') > 0))
-    val partCols: Seq[String] =
-      if (hiveChains)
-        chains.head.split('/').toSeq.map { seg =>
-          graft.sources.FeatherPartitions.unescapePath(
-            seg.substring(0, seg.indexOf('=')))
-        }
-      else Nil
+    val (hiveChains, partCols) =
+      graft.sources.FeatherPartitions.hiveLayout(chains)
     if (appendSource.isDefined && chains.nonEmpty && !hiveChains)
       throw new IllegalArgumentException(
         s"$op on $path: table has non-hive subdirectories " +

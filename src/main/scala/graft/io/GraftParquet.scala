@@ -170,24 +170,20 @@ private[graft] object GraftParquet {
     * properties) instead of a second decode pass. A crashed run's
     * staging directory is run-unique residue that
     * [[graft.sources.FeatherSnapshots.vacuumOrphans]] reclaims. */
-  /** Runs `body` with this session's parquet sink pinned to the modern
-    * physical timestamp encoding — annotated int64 micros instead of
-    * Spark's deprecated INT96 default — restoring the caller's setting
-    * after. Scoped to the TABLE tier's own writes (every part lands
-    * through here or [[graft.io.ParquetTable]]'s partitioned twin), NOT
-    * the shared session: an unscoped setting leaks into every other
-    * parquet write on the session — most damagingly `graft.Verify`'s
-    * result dumps, whose timestamps must stay tz-naive on read-back to
-    * schema-match the naive-timestamp DuckDB oracle (the r13 regression).
-    * INT96 remains fully READABLE (foreign corpus + maintenance scan);
-    * table parts just never WRITE it, keeping footer stats usable. */
-  private[graft] def withOutputMicros[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.parquet.outputTimestampType"
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try body
-    finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
-  }
+  /** `df` rebound for a table-tier part write: the parquet sink pinned
+    * to the modern physical timestamp encoding — annotated int64 micros
+    * instead of Spark's deprecated INT96 default. Scoped via a CLONED
+    * session (no per-write parquet option exists for this key), so it
+    * can neither leak into the shared session — most damagingly
+    * `graft.Verify`'s result dumps, whose timestamps must stay tz-naive
+    * on read-back to schema-match the naive-timestamp DuckDB oracle
+    * (the r13 regression) — nor race a concurrent writer's
+    * get/set/restore on another thread. INT96 remains fully READABLE
+    * (foreign corpus + maintenance scan); table parts just never WRITE
+    * it, keeping footer stats usable. */
+  private[graft] def withOutputMicros(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.Bridge.withClonedConf(df,
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
 
   def writeParts(df: DataFrame, dir: String, prefix: String,
                  codec: String = "snappy"): Seq[(String, Long, String)] = {
@@ -206,10 +202,8 @@ private[graft] object GraftParquet {
       .foreach(e => fs.delete(e.getPath, false))
     val tmpDir = new Path(out, s"_tmp-$prefix")
     if (fs.exists(tmpDir)) fs.delete(tmpDir, true)
-    withOutputMicros(spark) {
-      df.write.mode("overwrite").option("compression", codecNorm)
-        .parquet(tmpDir.toString)
-    }
+    withOutputMicros(df).write.mode("overwrite")
+      .option("compression", codecNorm).parquet(tmpDir.toString)
     try {
       val staged = fs.listStatus(tmpDir).iterator
         .map(_.getPath)

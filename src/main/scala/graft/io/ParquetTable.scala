@@ -147,10 +147,9 @@ object ParquetTable {
       : Seq[(String, Long)] = {
     val staging = new Path(root, s"_tmp-$prefix")
     if (fs.exists(staging)) fs.delete(staging, true)
-    GraftParquet.withOutputMicros(df.sparkSession) {
-      df.write.mode("overwrite").partitionBy(partitionBy: _*)
-        .option("compression", codec).parquet(staging.toString)
-    }
+    GraftParquet.withOutputMicros(df).write.mode("overwrite")
+      .partitionBy(partitionBy: _*)
+      .option("compression", codec).parquet(staging.toString)
     try {
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
       def walk(dir: Path, relChain: String): Unit = {

@@ -39,6 +39,24 @@ private[graft] object FeatherPartitions {
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       .unescapePathName(s)
 
+  /** Hive-layout detection over a table's relative directory chains
+    * (ONE definition — the mutation tier and the conditional merge both
+    * route by it; a drifted copy re-opens the split-leaf bug class):
+    * `(isHive, partCols)` where isHive means every non-empty chain is
+    * all `key=value` segments, and partCols are the unescaped key names
+    * of the first chain (the manifest layout guard keeps them uniform). */
+  def hiveLayout(chains: Seq[String]): (Boolean, Seq[String]) = {
+    val hive = chains.nonEmpty &&
+      chains.forall(_.split('/').forall(_.indexOf('=') > 0))
+    val cols =
+      if (hive)
+        chains.head.split('/').toSeq.map { seg =>
+          unescapePath(seg.substring(0, seg.indexOf('=')))
+        }
+      else Nil
+    (hive, cols)
+  }
+
   /** One discovered leaf file: absolute path, length, and the (ordered)
     * partition values on its directory chain. */
   /** `dv` = deletion-vector binding from the snapshot manifest:

@@ -51,6 +51,22 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Rebind `df` onto a CLONED session carrying the given conf overrides
+    * — the thread-safe way to scope a session conf to one write: the
+    * clone owns a forked SQLConf (shared state, catalog, and cache stay
+    * shared), so nothing mutates the caller's session and concurrent
+    * writes on other threads can never observe or race the override
+    * (a get/set/restore on the shared conf would — interleaved restores
+    * can even leave the override pinned session-wide). */
+  def withClonedConf(df: org.apache.spark.sql.DataFrame,
+                     kv: (String, String)*): org.apache.spark.sql.DataFrame = {
+    val clone = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+    kv.foreach { case (k, v) => clone.conf.set(k, v) }
+    org.apache.spark.sql.classic.Dataset.ofRows(clone,
+      df.queryExecution.analyzed)
+  }
+
   /** StructType → parquet MessageType via Spark's OWN converter (the
     * schema-stamp writer of the parquet face must emit exactly the
     * physical types Spark's sink would, or a stamp would read back with

@@ -192,6 +192,18 @@ class SqlMergeSpec extends AnyFunSuite {
       s"non-graft targets must pass through, got: ${e4.getMessage}")
   }
 
+  test("key spellings resolve case-insensitively like every other " +
+       "identifier in the statement (spark.sql.caseSensitive=false)") {
+    val path = tmp("caseless")
+    writeTable(path) // columns: id, grade, amt
+    srcView("updates")
+    spark.sql(
+      s"""MERGE INTO graft.`$path` t USING updates s ON t.ID = s.Id
+         |WHEN MATCHED AND s.ID % 10 = 0 THEN DELETE""".stripMargin)
+      .collect()
+    assert(!collect(path).exists(t => t._1 >= 51 && t._1 % 10 == 0))
+  }
+
   test("MERGE INTO works on a hive-partitioned parquet-face table " +
        "(SQL → partitioned clause routing)") {
     import spark.implicits._

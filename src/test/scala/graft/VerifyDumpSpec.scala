@@ -99,7 +99,8 @@ class VerifyDumpSpec extends AnyFunSuite {
     graft.io.ParquetTable.write(df, parted, partitionBy = Seq("grp"))
     assertMicros(s"$parted/grp=a")
 
-    // and the scoped pin RESTORES the caller's setting after
+    // and the pin never touches the caller's session at all (it rides a
+    // cloned session, so concurrent writers can never observe it either)
     assert(spark.conf.getOption("spark.sql.parquet.outputTimestampType")
       .forall(_ == "INT96"))
   }
