@@ -152,15 +152,24 @@ private[extensions] class GraftMergeIntoRule(spark: SparkSession)
         UnresolvedAttribute("source" +: ua.nameParts.tail)
     })
     def remapOpt(c: Option[Expression]): Option[Column] = c.map(remap)
-    def setOf(assigns: Seq[Assignment], what: String): Map[String, Column] =
-      assigns.map { a =>
+    def setOf(assigns: Seq[Assignment], what: String): Map[String, Column] = {
+      val named = assigns.map { a =>
         val name = a.key match {
           case ua: UnresolvedAttribute => ua.nameParts.last
           case attr: Attribute => attr.name
           case other => bad(s"$what assigns to ${other.sql}, not a column")
         }
         name -> remap(a.value)
-      }.toMap
+      }
+      // `.toMap` would silently keep the LAST duplicate — Spark's own
+      // MERGE resolution raises an analysis error here, and so must we
+      // (this rule claims the plan before Spark's checks run)
+      val dups = named.groupBy(_._1.toLowerCase).collect {
+        case (_, vs) if vs.size > 1 => vs.head._1 }
+      if (dups.nonEmpty)
+        bad(s"$what assigns ${dups.mkString(", ")} more than once")
+      named.toMap
+    }
 
     // ---- clauses ------------------------------------------------------------
     var merge = ConditionalMerge(spark, path, sourceDf, keys)

@@ -121,11 +121,14 @@ final case class ConditionalMerge(
         "merge-on-read mask of the whole table buys nothing; use " +
         "execute() (copy-on-write) for this clause")
     require(keyCols.nonEmpty, "merge: keyCols must be non-empty")
-    // case-insensitive membership: the canonical (table-spelled) key
-    // resolves against the source through Spark's own resolver, which
-    // honors spark.sql.caseSensitive — this guard must not be stricter
+    // membership mirrors Spark's resolver: case-insensitive under the
+    // default conf, exact under spark.sql.caseSensitive=true — laxer
+    // and a wrong-case key would die later as a raw UNRESOLVED_COLUMN,
+    // stricter and legal SQL spellings would be refused
+    val csGuard =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
     keyCols.foreach(k => require(
-      source.columns.exists(c => c == k || c.equalsIgnoreCase(k)),
+      source.columns.exists(c => if (csGuard) c == k else c.equalsIgnoreCase(k)),
       s"merge: key column '$k' not in source (${source.columns.mkString(", ")})"))
     ConditionalMerge.run(this, dvMask)
   }
@@ -142,18 +145,18 @@ object ConditionalMerge {
   // row); 1.. = that clause index fired; -1 = delete the row
   private val Keep = 0
 
-  private def run(m: ConditionalMerge, dvMask: Boolean)
+  private def run(m0: ConditionalMerge, dvMask: Boolean)
       : FeatherMutations.Result = {
-    val spark = m.spark
+    val spark = m0.spark
     val conf = spark.sparkContext.hadoopConfiguration
-    val root = new Path(m.path)
+    val root = new Path(m0.path)
     val fs = root.getFileSystem(conf)
     require(FeatherSnapshots.enabled(fs, root),
-      s"merge on ${m.path}, which has no ${FeatherSnapshots.Dir} " +
+      s"merge on ${m0.path}, which has no ${FeatherSnapshots.Dir} " +
         "directory — write the table with option(\"snapshots\", \"true\") first")
     val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
-      sys.error(s"merge on ${m.path}: no snapshot versions"))
-    val face = ConnectorFace.detect(snap.files, "merge", m.path)
+      sys.error(s"merge on ${m0.path}: no snapshot versions"))
+    val face = ConnectorFace.detect(snap.files, "merge", m0.path)
     // hive layout: partition columns come from the key=value chains and
     // ride the merge as ordinary columns of the working frame — clause
     // conditions and SETs may reference them (a SET on one is a
@@ -168,7 +171,7 @@ object ConditionalMerge {
     val (hiveChains, partCols) =
       graft.sources.FeatherPartitions.hiveLayout(chains)
     require(chains.isEmpty || hiveChains,
-      s"merge on ${m.path}: table has non-hive subdirectories " +
+      s"merge on ${m0.path}: table has non-hive subdirectories " +
         s"(${chains.mkString(", ")}) — conditional clauses route output " +
         "rows by partition values and need a hive key=value layout")
     val partitioned = partCols.nonEmpty
@@ -180,9 +183,13 @@ object ConditionalMerge {
     // (FeatherPartitions) — clause expressions see exactly the types a
     // read of this table would produce
     val tableSchema = face.mergedSchema(spark, absFiles)
+    // ONE discovery pass serves both the partition-column types and the
+    // per-file values map below (toDiscovered re-parses every rel path)
+    val discovered =
+      if (!partitioned) None
+      else Some(FeatherSnapshots.toDiscovered(root, snap))
     val partSchema: StructType =
-      if (!partitioned) new StructType()
-      else FeatherSnapshots.toDiscovered(root, snap).partSchema
+      discovered.map(_.partSchema).getOrElse(new StructType())
     val fullSchema = StructType(tableSchema.fields ++ partSchema.fields)
     val embedded = partCols.filter(tableSchema.fieldNames.contains)
     require(embedded.isEmpty,
@@ -197,7 +204,7 @@ object ConditionalMerge {
     // to the loud require
     val caseSensitive =
       spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
-    val keys: Seq[String] = m.keyCols.map { k =>
+    val keys: Seq[String] = m0.keyCols.map { k =>
       if (tableSchema.fieldNames.contains(k) || caseSensitive) k
       else tableSchema.fieldNames.filter(_.equalsIgnoreCase(k)) match {
         case Array(one) => one
@@ -212,6 +219,26 @@ object ConditionalMerge {
           "on data columns (clause output routes by partition values)"
       else s"merge: key column '$k' not in table schema " +
         s"(${tableSchema.fieldNames.mkString(", ")})"))
+    // SET/VALUES column names canonicalize exactly like the keys — a
+    // SQL statement legally spells `GRADE` for a column stored as
+    // `grade`; every clause check and CASE chain below keys on the
+    // schema spelling, so the maps must carry it
+    def canonName(k: String): String =
+      if (fullSchema.fieldNames.contains(k) || caseSensitive) k
+      else fullSchema.fieldNames.filter(_.equalsIgnoreCase(k)) match {
+        case Array(one) => one
+        case _ => k // absent/ambiguous: the loud validations below fire
+      }
+    def canonAction(a: MatchedAction): MatchedAction = a match {
+      case Update(set) =>
+        Update(set.map { case (k, v) => canonName(k) -> v })
+      case other => other
+    }
+    val m = m0.copy(
+      matched = m0.matched.map { case (c, a) => (c, canonAction(a)) },
+      notMatched = m0.notMatched.map { case (c, vs) =>
+        (c, vs.map { case (k, v) => canonName(k) -> v }) },
+      bySource = m0.bySource.map { case (c, a) => (c, canonAction(a)) })
     // a partitioned insert must NAME its leaf: every explicit VALUES
     // clause lists every partition column (a silently-absent one would
     // route to the null leaf), and insertAll's source must carry them
@@ -482,9 +509,8 @@ object ConditionalMerge {
     // came from (toDiscovered's LeafFile.values) — never a second
     // hand-rolled chain parse that could drift from the read path
     val valuesByAbs: Map[String, Seq[(String, String)]] =
-      if (!partitioned) Map.empty
-      else FeatherSnapshots.toDiscovered(root, snap).files
-        .map(lf => lf.file -> lf.values).toMap
+      discovered.map(_.files.map(lf => lf.file -> lf.values).toMap)
+        .getOrElse(Map.empty)
     /** Attach a leaf's partition values as typed literal columns — the
       * same values-from-the-chain contract every partitioned read
       * applies. `lit(null).cast` for the hive null leaf. */
@@ -541,7 +567,12 @@ object ConditionalMerge {
     // `rewrite` = the output carries every candidate row (the COW
     // rewrite), so a leaf's write sizes to its rewritten-file count;
     // insert-only and degraded-no-match outputs are change-batch-sized
-    // and land one part per leaf like any routed insert
+    // and land one part per leaf like any routed insert (deliberate:
+    // the right per-leaf parallelism would be ∝ the leaf's share of
+    // the batch, unknowable without counting — a global srcParts per
+    // leaf would shatter small batches into empty-task parts; an
+    // insert batch big enough to need parallel leaf writes is
+    // compaction's job to fold either way)
     def writeOut(out: DataFrame, targetParts: Int,
                  rewrite: Boolean = false): Unit = {
       if (partitioned) {

@@ -286,20 +286,13 @@ object FeatherMutations {
     }
     val chains: Seq[String] = snap.files.map { case (rel, _) => relDirOf(rel) }
       .distinct.filter(_.nonEmpty)
-    val hiveChains = chains.nonEmpty &&
-      chains.forall(_.split('/').forall(_.indexOf('=') > 0))
+    val (hiveChains, partCols) =
+      graft.sources.FeatherPartitions.hiveLayout(chains)
     if (chains.nonEmpty && !hiveChains)
       throw new IllegalArgumentException(
         s"$op on $path: table has non-hive subdirectories " +
           s"(${chains.mkString(", ")}) — $op routes inserts by partition " +
           "values and needs a hive key=value layout")
-    val partCols: Seq[String] =
-      if (hiveChains)
-        chains.head.split('/').toSeq.map { seg =>
-          graft.sources.FeatherPartitions.unescapePath(
-            seg.substring(0, seg.indexOf('=')))
-        }
-      else Nil
     val partitioned = partCols.nonEmpty
 
     val absFiles = snap.files.map { case (rel, len) =>

@@ -181,9 +181,21 @@ private[graft] object GraftParquet {
     * get/set/restore on another thread. INT96 remains fully READABLE
     * (foreign corpus + maintenance scan); table parts just never WRITE
     * it, keeping footer stats usable. */
-  private[graft] def withOutputMicros(df: DataFrame): DataFrame =
-    org.apache.spark.sql.graft.Bridge.withClonedConf(df,
-      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
+  // one clone per source session, forked at FIRST table write (a
+  // partitioned merge writes once per leaf — cloning SessionState per
+  // part write would be pure driver garbage); the clone tracks only
+  // this one override, so a later parent-conf change to anything else
+  // does not propagate — acceptable: table parts depend on no other
+  // session-conf knob, and the parent's catalog/cache stay shared
+  private val microsSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private[graft] def withOutputMicros(df: DataFrame): DataFrame = {
+    val clone = microsSessions.computeIfAbsent(df.sparkSession, s =>
+      org.apache.spark.sql.graft.Bridge.cloneWithConf(s,
+        "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS"))
+    org.apache.spark.sql.graft.Bridge.ofRows(clone,
+      df.queryExecution.analyzed)
+  }
 
   def writeParts(df: DataFrame, dir: String, prefix: String,
                  codec: String = "snappy"): Seq[(String, Long, String)] = {

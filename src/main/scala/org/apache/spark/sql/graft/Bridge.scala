@@ -51,20 +51,22 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
-  /** Rebind `df` onto a CLONED session carrying the given conf overrides
-    * — the thread-safe way to scope a session conf to one write: the
-    * clone owns a forked SQLConf (shared state, catalog, and cache stay
+  /** A CLONE of `spark` carrying the given conf overrides — the
+    * thread-safe way to scope a session conf to a write path: the clone
+    * owns a forked SQLConf (shared state, catalog, and cache stay
     * shared), so nothing mutates the caller's session and concurrent
     * writes on other threads can never observe or race the override
     * (a get/set/restore on the shared conf would — interleaved restores
-    * can even leave the override pinned session-wide). */
-  def withClonedConf(df: org.apache.spark.sql.DataFrame,
-                     kv: (String, String)*): org.apache.spark.sql.DataFrame = {
-    val clone = df.sparkSession
+    * can even leave the override pinned session-wide). Callers that
+    * write repeatedly should CACHE the clone (one cloneSession per part
+    * write forks SessionState each time) and rebind frames onto it via
+    * [[ofRows]]. */
+  def cloneWithConf(spark: org.apache.spark.sql.SparkSession,
+                    kv: (String, String)*): org.apache.spark.sql.SparkSession = {
+    val clone = spark
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
     kv.foreach { case (k, v) => clone.conf.set(k, v) }
-    org.apache.spark.sql.classic.Dataset.ofRows(clone,
-      df.queryExecution.analyzed)
+    clone
   }
 
   /** StructType → parquet MessageType via Spark's OWN converter (the

@@ -199,9 +199,25 @@ class SqlMergeSpec extends AnyFunSuite {
     srcView("updates")
     spark.sql(
       s"""MERGE INTO graft.`$path` t USING updates s ON t.ID = s.Id
-         |WHEN MATCHED AND s.ID % 10 = 0 THEN DELETE""".stripMargin)
+         |WHEN MATCHED AND s.ID % 10 = 0 THEN DELETE
+         |WHEN MATCHED AND t.id > 90 THEN UPDATE SET GRADE = 'up'
+         |WHEN NOT MATCHED AND s.id % 2 = 1 THEN
+         |  INSERT (ID, Grade) VALUES (s.id, 'new')""".stripMargin)
       .collect()
-    assert(!collect(path).exists(t => t._1 >= 51 && t._1 % 10 == 0))
+    val back = collect(path)
+    assert(!back.exists(t => t._1 >= 51 && t._1 % 10 == 0))
+    assert(back.filter(t => t._1 > 90 && t._1 <= 100)
+      .forall(_._2 == "up"), "wrong-case SET column must resolve")
+    assert(back.exists(t => t._1 > 100 && t._2 == "new"),
+      "wrong-case INSERT columns must resolve")
+    // duplicate assignments refuse loudly instead of silently collapsing
+    val eDup = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""MERGE INTO graft.`$path` t USING updates s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET grade = 'a', grade = 'b'"""
+          .stripMargin)
+    }
+    assert(eDup.getMessage.contains("more than once"))
   }
 
   test("MERGE INTO works on a hive-partitioned parquet-face table " +
