@@ -59,7 +59,103 @@ private[extensions] class GraftMergeIntoRule(spark: SparkSession)
         case Some((face, path, targetAlias)) => lower(m, face, path, targetAlias)
         case None => plan
       }
+    case d: DeleteFromTable =>
+      unwrapTarget(d.table) match {
+        case Some((face, path, alias)) => lowerDelete(d, face, path, alias)
+        case None => plan
+      }
+    case u: UpdateTable =>
+      unwrapTarget(u.table) match {
+        case Some((face, path, alias)) => lowerUpdate(u, face, path, alias)
+        case None => plan
+      }
     case _ => plan
+  }
+
+  /** The statement's one-row execution report, deferred to collect (the
+    * maintenance-TVF contract shared by all three DML statements). */
+  private def report(name: String)
+                    (action: () => graft.io.FeatherMutations.Result)
+      : LogicalPlan = {
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("files_touched", IntegerType, nullable = false),
+      StructField("files_kept", IntegerType, nullable = false),
+      StructField("parts_written", IntegerType, nullable = false)))
+    DeferredMaintenanceAction(name,
+      schema.map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+        .toSeq,
+      () => {
+        val r = action()
+        Seq(Row(r.version, r.filesTouched, r.filesKept, r.partsWritten))
+      })
+  }
+
+  private def normOf: String => String = {
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    s => if (caseSensitive) s else s.toLowerCase
+  }
+
+  /** Strip the table alias qualifier off references (`t.amt` → `amt`):
+    * DELETE/UPDATE are single-relation statements, and
+    * [[graft.io.PredicateMutations]] evaluates over one unaliased
+    * working frame. */
+  private def stripQual(e: Expression, quals: Set[String],
+                        norm: String => String): Expression =
+    e.transform {
+      case ua: UnresolvedAttribute if ua.nameParts.length >= 2 &&
+          quals(norm(ua.nameParts.head)) =>
+        UnresolvedAttribute(ua.nameParts.tail)
+    }
+
+  /** SQL `DELETE FROM graft.`/p`` [t] WHERE ...` — predicate delete;
+    * the `graft_dv.` spelling masks instead of rewriting (DV sidecars,
+    * bytes ∝ deleted rows). No WHERE deletes every row (Spark's parser
+    * supplies a literal-true condition). */
+  private def lowerDelete(d: DeleteFromTable, face: String, path: String,
+                          alias: Option[String]): LogicalPlan = {
+    val norm = normOf
+    val quals = alias.toSeq.map(norm).toSet
+    val cond = Bridge.column(stripQual(d.condition, quals, norm))
+    report(s"delete_from($face, $path)") { () =>
+      if (face == "graft_dv")
+        graft.io.PredicateMutations.deleteWhereDV(spark, path, cond)
+      else graft.io.PredicateMutations.deleteWhere(spark, path, cond)
+    }
+  }
+
+  /** SQL `UPDATE graft.`/p`` [t] SET ... [WHERE ...]` — predicate
+    * update, copy-on-write (a SET on a partition column moves rows).
+    * `graft_dv.` is refused: an update REWRITES rows; the
+    * mask-and-reinsert spelling is `MERGE INTO graft_dv.`..``. */
+  private def lowerUpdate(u: UpdateTable, face: String, path: String,
+                          alias: Option[String]): LogicalPlan = {
+    def bad(msg: String): Nothing =
+      throw new IllegalArgumentException(s"UPDATE $face.`$path`: $msg")
+    if (face == "graft_dv")
+      bad("UPDATE has no merge-on-read strategy — an update rewrites " +
+        "rows; use MERGE INTO graft_dv.`..` for mask-and-reinsert")
+    val norm = normOf
+    val quals = alias.toSeq.map(norm).toSet
+    val named = u.assignments.map { a =>
+      val name = a.key match {
+        case ua: UnresolvedAttribute => ua.nameParts.last
+        case attr: Attribute => attr.name
+        case other => bad(s"SET assigns to ${other.sql}, not a column")
+      }
+      name -> Bridge.column(stripQual(a.value, quals, norm))
+    }
+    val dups = named.groupBy(n => norm(n._1)).collect {
+      case (_, vs) if vs.size > 1 => vs.head._1 }
+    if (dups.nonEmpty)
+      bad(s"SET assigns ${dups.mkString(", ")} more than once")
+    val cond = u.condition.map(c =>
+      Bridge.column(stripQual(c, quals, norm)))
+    report(s"update($face, $path)") { () =>
+      graft.io.PredicateMutations.updateWhere(spark, path, named.toMap,
+        cond)
+    }
   }
 
   /** `graft.`/`graft_dv.`-qualified path target, with optional alias. */
@@ -88,11 +184,24 @@ private[extensions] class GraftMergeIntoRule(spark: SparkSession)
         "a per-write opt-in (option(\"mergeSchema\",\"true\")), not a " +
         "merge statement modifier")
 
+    // identifier matching honors spark.sql.caseSensitive like Spark's
+    // own resolver (lowercased under the default conf, exact otherwise)
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def norm(s: String): String = if (caseSensitive) s else s.toLowerCase
     val tQuals: Set[String] =
-      (targetAlias.toSeq :+ "target").map(_.toLowerCase).toSet
+      (targetAlias.toSeq :+ "target").map(norm).toSet
     val sQuals: Set[String] =
       (sourceNameOf(m.sourceTable).toSeq :+ "source")
-        .map(_.toLowerCase).toSet
+        .map(norm).toSet
+    // a user alias that collides with the reserved working names —
+    // source aliased 'target', target aliased 'source' — would have its
+    // references SILENTLY remapped onto the wrong side (tQuals wins the
+    // remap order); refuse instead of mis-routing rows
+    val collided = tQuals.intersect(sQuals)
+    if (collided.nonEmpty)
+      bad(s"alias '${collided.head}' collides with the reserved " +
+        "target./source. working names — rename the alias")
 
     // the USING side analyzes independently — exactly what a
     // free-standing source relation/subquery means
@@ -110,7 +219,7 @@ private[extensions] class GraftMergeIntoRule(spark: SparkSession)
       case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
         Some((ua.nameParts.head, U))
       case ua: UnresolvedAttribute if ua.nameParts.length == 2 =>
-        val q = ua.nameParts.head.toLowerCase
+        val q = norm(ua.nameParts.head)
         if (tQuals(q)) Some((ua.nameParts(1), T))
         else if (sQuals(q)) Some((ua.nameParts(1), S))
         else None
@@ -125,7 +234,7 @@ private[extensions] class GraftMergeIntoRule(spark: SparkSession)
       case EqualTo(l, r) =>
         (nameSide(l), nameSide(r)) match {
           case (Some((ln, ls)), Some((rn, rs)))
-              if ln.equalsIgnoreCase(rn) &&
+              if norm(ln) == norm(rn) &&
                 ((ls, rs) match {
                   case (T, S) | (S, T) | (U, U) => true
                   case (U, _) | (_, U) => true // one side unqualified
@@ -145,10 +254,10 @@ private[extensions] class GraftMergeIntoRule(spark: SparkSession)
     // ---- expression re-aliasing onto target./source. -----------------------
     def remap(e: Expression): Column = Bridge.column(e.transform {
       case ua: UnresolvedAttribute if ua.nameParts.length >= 2 &&
-          tQuals(ua.nameParts.head.toLowerCase) =>
+          tQuals(norm(ua.nameParts.head)) =>
         UnresolvedAttribute("target" +: ua.nameParts.tail)
       case ua: UnresolvedAttribute if ua.nameParts.length >= 2 &&
-          sQuals(ua.nameParts.head.toLowerCase) =>
+          sQuals(norm(ua.nameParts.head)) =>
         UnresolvedAttribute("source" +: ua.nameParts.tail)
     })
     def remapOpt(c: Option[Expression]): Option[Column] = c.map(remap)
@@ -164,7 +273,7 @@ private[extensions] class GraftMergeIntoRule(spark: SparkSession)
       // `.toMap` would silently keep the LAST duplicate — Spark's own
       // MERGE resolution raises an analysis error here, and so must we
       // (this rule claims the plan before Spark's checks run)
-      val dups = named.groupBy(_._1.toLowerCase).collect {
+      val dups = named.groupBy(n => norm(n._1)).collect {
         case (_, vs) if vs.size > 1 => vs.head._1 }
       if (dups.nonEmpty)
         bad(s"$what assigns ${dups.mkString(", ")} more than once")
@@ -200,20 +309,8 @@ private[extensions] class GraftMergeIntoRule(spark: SparkSession)
       case other => bad(s"unsupported WHEN NOT MATCHED BY SOURCE action $other")
     }
     val frozen = merge
-
-    // ---- deferred execution (the maintenance-TVF contract) -----------------
-    val schema = StructType(Seq(
-      StructField("version", LongType, nullable = false),
-      StructField("files_touched", IntegerType, nullable = false),
-      StructField("files_kept", IntegerType, nullable = false),
-      StructField("parts_written", IntegerType, nullable = false)))
-    DeferredMaintenanceAction(s"merge_into($face, $path)",
-      schema.map(f => AttributeReference(f.name, f.dataType, f.nullable)())
-        .toSeq,
-      () => {
-        val r = if (face == "graft_dv") frozen.executeDV()
-                else frozen.execute()
-        Seq(Row(r.version, r.filesTouched, r.filesKept, r.partsWritten))
-      })
+    report(s"merge_into($face, $path)") { () =>
+      if (face == "graft_dv") frozen.executeDV() else frozen.execute()
+    }
   }
 }

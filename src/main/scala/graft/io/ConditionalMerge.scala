@@ -191,7 +191,14 @@ object ConditionalMerge {
     val partSchema: StructType =
       discovered.map(_.partSchema).getOrElse(new StructType())
     val fullSchema = StructType(tableSchema.fields ++ partSchema.fields)
-    val embedded = partCols.filter(tableSchema.fieldNames.contains)
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    // the embedded check matches like the resolver (case-insensitive
+    // under the default conf): a data column 'Day' beside a day= chain
+    // would otherwise slip past, get clobbered by attachParts'
+    // withColumn, and die later as a raw AMBIGUOUS_REFERENCE
+    val embedded = partCols.filter(p => tableSchema.fieldNames.exists(f =>
+      f == p || (!caseSensitive && f.equalsIgnoreCase(p))))
     require(embedded.isEmpty,
       s"merge: partition column(s) ${embedded.mkString(", ")} are ALSO " +
         "embedded in the data files — routing cannot tell the path copy " +
@@ -202,8 +209,6 @@ object ConditionalMerge {
     // other identifier in the statement resolves case-insensitively,
     // so the key must too); an ambiguous or absent name falls through
     // to the loud require
-    val caseSensitive =
-      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
     val keys: Seq[String] = m0.keyCols.map { k =>
       if (tableSchema.fieldNames.contains(k) || caseSensitive) k
       else tableSchema.fieldNames.filter(_.equalsIgnoreCase(k)) match {
@@ -511,48 +516,18 @@ object ConditionalMerge {
     val valuesByAbs: Map[String, Seq[(String, String)]] =
       discovered.map(_.files.map(lf => lf.file -> lf.values).toMap)
         .getOrElse(Map.empty)
-    /** Attach a leaf's partition values as typed literal columns — the
-      * same values-from-the-chain contract every partitioned read
-      * applies. `lit(null).cast` for the hive null leaf. */
-    def attachParts(df: DataFrame,
-                    values: Seq[(String, String)]): DataFrame =
-      values.foldLeft(df) { case (acc, (c, v)) =>
-        acc.withColumn(c, lit(v).cast(partSchema(c).dataType))
-      }
-    /** Read `files` (abs path, len) with their DV bindings and, when
-      * partitioned, their leaf partition values attached — grouped by
-      * leaf, one union arm per leaf (balanced tree: the analyzer must
-      * never recurse 1000 deep on a left-leaning chain). Candidates are
-      * probe-pruned, so arm count is touched-leaf-sized; only a
-      * whenNotMatchedBySource full sweep pays O(live leaves) plan arms —
-      * Delta's bySource pays a full scan too, though over one planned
-      * relation; if wide-partitioned bySource merges become a real
-      * workload, a face-specific single-scan read (ParquetTable.read
-      * for the parquet face) is the upgrade path. `keep` optionally
-      * pins the posKeep positions per file (the DV matched-rows read). */
+    // the shared leaf-grouped DV read (one union arm per leaf, balanced;
+    // probe-pruned candidates keep arm count touched-leaf-sized; only a
+    // whenNotMatchedBySource full sweep pays O(live leaves) plan arms —
+    // Delta's bySource pays a full scan too, though over one planned
+    // relation; a face-specific single-scan read is the upgrade path if
+    // wide-partitioned bySource merges become a real workload)
     def readWithParts(files: Seq[(String, Long)],
                       keep: Map[String, Array[Long]] = Map.empty)
-        : DataFrame = {
-      if (files.isEmpty) return emptyFrame
-      val arms = files.groupBy(f =>
-          valuesByAbs.getOrElse(f._1, Nil)).toSeq.sortBy(_._1.toString)
-        .map { case (values, leafFiles) =>
-          val dvs = dvPathsAll.filter { case (abs, _) =>
-            leafFiles.exists(_._1 == abs) }
-          val raw =
-            if (keep.isEmpty) face.readMergedDv(spark, leafFiles, dvs)
-            else face.readMergedDv(spark, leafFiles, dvs,
-              keep.filter { case (abs, _) => leafFiles.exists(_._1 == abs) })
-          attachParts(ConnectorFace.align(raw, tableSchema), values)
-        }
-      def balanced(fs: Seq[DataFrame]): DataFrame =
-        if (fs.size == 1) fs.head
-        else {
-          val (l, r) = fs.splitAt(fs.size / 2)
-          balanced(l).unionByName(balanced(r))
-        }
-      balanced(arms)
-    }
+        : DataFrame =
+      if (files.isEmpty) emptyFrame
+      else FeatherMutations.readWithPartValues(spark, face, files,
+        dvPathsAll, tableSchema, partSchema, valuesByAbs, keep)
     def readCandidates(): DataFrame = readWithParts(candidateAbs)
 
     val added = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
@@ -606,16 +581,10 @@ object ConditionalMerge {
     }
     def noOp = FeatherMutations.Result(snap.version, 0, snap.files.size, 0)
     // a merge that deletes EVERY row must still leave a readable table —
-    // one schema stamp per leaf, so a hive layout keeps its key=value
-    // paths (and the partition columns discovery infers from them)
+    // one schema stamp per leaf (the shared mutation-tier loop)
     def stampLeaves(): Unit =
-      snap.files.map { case (rel, _) => relDirOf(rel) }.distinct
-        .foreach { relDir =>
-          val leafDir =
-            if (relDir.isEmpty) root else new Path(root, relDir)
-          val (name, len) = face.stamp(fs, leafDir, prefix, tableSchema)
-          added += ((if (relDir.isEmpty) name else s"$relDir/$name", len))
-        }
+      added ++= FeatherMutations.stampLeaves(face, fs, root,
+        snap.files.map(_._1), prefix, tableSchema)
     val srcParts = ConnectorFace.capWriteParts(src)
 
     val rewriteNeeded = m.matched.nonEmpty || m.bySource.nonEmpty

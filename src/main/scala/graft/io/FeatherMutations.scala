@@ -143,20 +143,9 @@ object FeatherMutations {
     // their key=value paths), same as the COW path
     val added = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     if (droppedRel.nonEmpty &&
-        snap.files.forall { case (rel, _) => droppedRel(rel) }) {
-      snap.files.map { case (rel, _) =>
-        val i = rel.lastIndexOf('/')
-        if (i < 0) "" else rel.substring(0, i)
-      }.distinct.foreach { relDir =>
-        val leafDir = if (relDir.isEmpty) root else new Path(root, relDir)
-        // run-unique name (same invariant as the COW rewrite prefix):
-        // a racing retry must never truncate a stamp an already-won
-        // commit references
-        val (name, len) = face.stamp(fs, leafDir,
-          FeatherSnapshots.runPrefix(targetV), tableSchema)
-        added += ((if (relDir.isEmpty) name else s"$relDir/$name", len))
-      }
-    }
+        snap.files.forall { case (rel, _) => droppedRel(rel) })
+      added ++= stampLeaves(face, fs, root, snap.files.map(_._1),
+        FeatherSnapshots.runPrefix(targetV), tableSchema)
 
     // a delete that matched NOTHING (already-deleted keys, absent keys)
     // publishes no commit: an empty op="delete" version would abort any
@@ -378,15 +367,9 @@ object FeatherMutations {
     // nothing must still leave a readable table — stamp per leaf, same
     // as the delete paths
     if (added.isEmpty && droppedRel.nonEmpty &&
-        snap.files.forall { case (rel, _) => droppedRel(rel) }) {
-      snap.files.map { case (rel, _) => relDirOf(rel) }.distinct
-        .foreach { relDir =>
-          val leafDir = if (relDir.isEmpty) root else new Path(root, relDir)
-          val (name, len) = face.stamp(fs, leafDir,
-            FeatherSnapshots.runPrefix(targetV), tableSchema)
-          added += ((if (relDir.isEmpty) name else s"$relDir/$name", len))
-        }
-    }
+        snap.files.forall { case (rel, _) => droppedRel(rel) })
+      added ++= stampLeaves(face, fs, root, snap.files.map(_._1),
+        FeatherSnapshots.runPrefix(targetV), tableSchema)
 
     // a batch that changed NOTHING (replayed tombstones whose rows are
     // already masked, no live rows) publishes no commit: an empty
@@ -461,6 +444,75 @@ object FeatherMutations {
         .collect()
         .groupBy(_.getInt(0))
         .map { case (fid, rows) => fid -> rows.map(_.getLong(1)) }
+    }
+
+  /** Leaf-grouped DV read shared by the clause and predicate mutation
+    * tiers: `files` (abs path, len) read with their DV bindings applied
+    * and, when partitioned, each leaf's partition values attached as
+    * typed literal columns (the same values-from-the-chain contract
+    * every partitioned read applies; `lit(null).cast` for the hive null
+    * leaf) — one union arm per leaf, folded as a BALANCED tree so the
+    * analyzer never recurses O(leaves) deep. `keep` optionally pins the
+    * posKeep positions per file (the DV matched-rows read). Callers
+    * guarantee `files` is non-empty. */
+  private[io] def readWithPartValues(spark: SparkSession,
+                                     face: ConnectorFace,
+                                     files: Seq[(String, Long)],
+                                     dvPathsAll: Map[String, String],
+                                     tableSchema: StructType,
+                                     partSchema: StructType,
+                                     valuesByAbs: Map[String, Seq[(String, String)]],
+                                     keep: Map[String, Array[Long]] = Map.empty)
+      : DataFrame = {
+    require(files.nonEmpty, "readWithPartValues: empty file list")
+    def attachParts(df: DataFrame,
+                    values: Seq[(String, String)]): DataFrame =
+      values.foldLeft(df) { case (acc, (c, v)) =>
+        acc.withColumn(c, lit(v).cast(partSchema(c).dataType))
+      }
+    val arms = files.groupBy(f =>
+        valuesByAbs.getOrElse(f._1, Nil)).toSeq.sortBy(_._1.toString)
+      .map { case (values, leafFiles) =>
+        val dvs = dvPathsAll.filter { case (abs, _) =>
+          leafFiles.exists(_._1 == abs) }
+        val raw =
+          if (keep.isEmpty) face.readMergedDv(spark, leafFiles, dvs)
+          else face.readMergedDv(spark, leafFiles, dvs,
+            keep.filter { case (abs, _) => leafFiles.exists(_._1 == abs) })
+        attachParts(ConnectorFace.align(raw, tableSchema), values)
+      }
+    def balanced(fs: Seq[DataFrame]): DataFrame =
+      if (fs.size == 1) fs.head
+      else {
+        val (l, r) = fs.splitAt(fs.size / 2)
+        balanced(l).unionByName(balanced(r))
+      }
+    balanced(arms)
+  }
+
+  /** One schema-only stamp per distinct leaf of `relPaths` — the
+    * all-rows-deleted shape shared by every mutation path (COW delete,
+    * DV delete, DV merge, conditional merge): a table whose every row
+    * dropped must still read as an EMPTY frame with its schema, and a
+    * hive layout must keep its key=value paths (a single root-level
+    * stamp would silently drop the partition columns discovery infers).
+    * Stamp names ride the run-unique `prefix`, so a racing retry can
+    * never truncate a stamp an already-won commit references. Returns
+    * the (rel path, len) entries for the manifest. ONE definition —
+    * this loop existed in four copies before r14, the same drift class
+    * hiveLayout was extracted for. */
+  private[io] def stampLeaves(face: ConnectorFace,
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              root: Path, relPaths: Seq[String],
+                              prefix: String, schema: StructType)
+      : Seq[(String, Long)] =
+    relPaths.map { rel =>
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }.distinct.map { relDir =>
+      val leafDir = if (relDir.isEmpty) root else new Path(root, relDir)
+      val (name, len) = face.stamp(fs, leafDir, prefix, schema)
+      (if (relDir.isEmpty) name else s"$relDir/$name", len)
     }
 
   /** Partitioned insert routing shared by the COW and DV mutations:
@@ -1046,13 +1098,9 @@ object FeatherMutations {
     // hive layout keeps its key=value paths (and with them the partition
     // columns discovery infers; a single root-level stamp would silently
     // drop them from the table's schema)
-    if (added.isEmpty && snap.files.forall { case (rel, _) => touchedRel(rel) }) {
-      byLeaf.foreach { case (relDir, _) =>
-        val leafDir = if (relDir.isEmpty) root else new Path(root, relDir)
-        val (name, len) = face.stamp(fs, leafDir, prefix, tableSchema)
-        added += ((if (relDir.isEmpty) name else s"$relDir/$name", len))
-      }
-    }
+    if (added.isEmpty && snap.files.forall { case (rel, _) => touchedRel(rel) })
+      added ++= stampLeaves(face, fs, root, snap.files.map(_._1), prefix,
+        tableSchema)
 
     // ---- one atomic manifest publish ---------------------------------------
     // a DELETE that touched no file publishes no commit (same reasoning

@@ -80,6 +80,7 @@ object IoQueries extends QueryPack {
     "io_parquet_partitioned_write",
     "io_feather_merge_dv", "io_merge_clauses", "io_merge_clauses_dv",
     "io_merge_clauses_partitioned", "io_sql_merge",
+    "io_sql_delete", "io_sql_update", "io_delete_where_dv",
     "io_avro_time_travel", "dedup_lsh_incremental")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
@@ -1411,6 +1412,98 @@ object IoQueries extends QueryPack {
            |""".stripMargin).collect(): Unit
     }
     s.read.format("feather").load(path)
+      .select("o_orderkey", "o_orderpriority", "total")
+      .orderBy("o_orderkey")
+  }
+
+  // SQL DELETE FROM (extensions/GraftMergeInto lowerDelete →
+  // io/PredicateMutations.deleteWhere): predicate delete, candidates
+  // pruned by stats/partition values, copy-on-write rewrite of the
+  // touched files only. Completes the SQL DML triad with MERGE/UPDATE.
+  register("io_sql_delete",
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(o_totalprice AS DOUBLE) AS total
+      |FROM orders
+      |WHERE o_orderkey <= 2000
+      |  AND NOT (CAST(o_totalprice AS DOUBLE) > 200000
+      |           OR o_orderpriority = '5-LOW')
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val path = readFixture("sql_delete", d) { p =>
+      Tables.orders(s, d).filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast(DoubleType).as("total"))
+        .repartitionByRange(6, col("o_orderkey"))
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(p)
+      s.sql(
+        s"""DELETE FROM graft.`$p`
+           |WHERE total > 200000 OR o_orderpriority = '5-LOW'"""
+          .stripMargin).collect(): Unit
+    }
+    s.read.format("feather").load(path)
+      .select("o_orderkey", "o_orderpriority", "total")
+      .orderBy("o_orderkey")
+  }
+
+  // SQL UPDATE (lowerUpdate → PredicateMutations.updateWhere): SET
+  // expressions on selected rows only, everything else carries through
+  // byte-identically in the untouched files.
+  register("io_sql_update",
+    """SELECT o_orderkey,
+      |  CASE WHEN CAST(o_totalprice AS DOUBLE) > 150000 THEN '9-HOT'
+      |       ELSE o_orderpriority END AS o_orderpriority,
+      |  CASE WHEN CAST(o_totalprice AS DOUBLE) > 150000
+      |       THEN CAST(o_totalprice AS DOUBLE) * 2
+      |       ELSE CAST(o_totalprice AS DOUBLE) END AS total
+      |FROM orders WHERE o_orderkey <= 2000
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val path = readFixture("sql_update", d) { p =>
+      Tables.orders(s, d).filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast(DoubleType).as("total"))
+        .repartitionByRange(6, col("o_orderkey"))
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(p)
+      s.sql(
+        s"""UPDATE graft.`$p`
+           |SET o_orderpriority = '9-HOT', total = total * 2
+           |WHERE total > 150000""".stripMargin).collect(): Unit
+    }
+    s.read.format("feather").load(path)
+      .select("o_orderkey", "o_orderpriority", "total")
+      .orderBy("o_orderkey")
+  }
+
+  // PREDICATE DELETE, merge-on-read, on the PARQUET face
+  // (PredicateMutations.deleteWhereDV): matching positions mask via DV
+  // sidecars — the fixture pins ZERO data bytes rewritten (bytes ∝
+  // deleted rows, the takedown-at-rest shape for predicates the way
+  // io_parquet_delete_dv pins it for key lists).
+  register("io_delete_where_dv",
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(o_totalprice AS DOUBLE) AS total
+      |FROM orders
+      |WHERE o_orderkey <= 2000 AND o_orderkey % 97 <> 0
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val path = readFixture("delete_where_dv", d) { p =>
+      graft.io.ParquetTable.write(
+        Tables.orders(s, d).filter(col("o_orderkey") <= 2000)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice").cast(DoubleType).as("total"))
+          .repartitionByRange(6, col("o_orderkey")),
+        p)
+      val dataBytes = new java.io.File(p).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("_")).map(_.length()).sum
+      graft.io.PredicateMutations.deleteWhereDV(s, p,
+        col("o_orderkey") % 97 === 0): Unit
+      val after = new java.io.File(p).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("_")).map(_.length()).sum
+      require(after == dataBytes,
+        s"DV predicate delete must not rewrite data ($dataBytes -> $after)")
+    }
+    graft.io.ParquetTable.read(s, path)
       .select("o_orderkey", "o_orderpriority", "total")
       .orderBy("o_orderkey")
   }

@@ -78,11 +78,20 @@ private[graft] object FeatherPartitions {
     })
   }
 
+  // long → double → DATE → string, mirroring Spark's own partition-type
+  // inference (the parquet face's read plans through Spark's basePath
+  // discovery, which types day=2024-01-01 as DATE — the mutation tier's
+  // partition columns must carry the SAME type or a merge whose source
+  // is a read of the table refuses its own partition values). Timestamps
+  // stay strings: their canonical spellings carry ':' which hive-escapes
+  // in dir names, so real layouts partition by date, not timestamp.
   private def inferType(values: Seq[String]): DataType =
     if (values.nonEmpty && values.forall(v => scala.util.Try(v.toLong).isSuccess))
       LongType
     else if (values.nonEmpty &&
       values.forall(v => scala.util.Try(v.toDouble).isSuccess)) DoubleType
+    else if (values.nonEmpty && values.forall(v =>
+      scala.util.Try(java.sql.Date.valueOf(v)).isSuccess)) DateType
     else StringType
 
   def castValue(v: String, dt: DataType): Any =
@@ -90,6 +99,7 @@ private[graft] object FeatherPartitions {
     else dt match {
       case LongType => v.toLong
       case DoubleType => v.toDouble
+      case DateType => java.sql.Date.valueOf(v)
       case _ => v
     }
 
@@ -161,6 +171,8 @@ private[graft] object FeatherPartitions {
       // drops matching files, not just efficiency
       case (x: String, y: String) =>
         Some(graft.io.FeatherStats.utf8Cmp(x, y))
+      case (x: java.sql.Date, y: java.sql.Date) =>
+        Some(java.lang.Long.compare(x.getTime, y.getTime))
       case _ => None
     }
     def eval(f: Filter): Option[Boolean] = f match {

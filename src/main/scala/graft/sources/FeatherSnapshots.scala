@@ -290,7 +290,7 @@ private[graft] object FeatherSnapshots {
                 s"(v$v): rows were removed mid-stream. Restart from " +
                 "scratch, or set option(\"ignoreChanges\", \"true\") to " +
                 "continue (the deletions are not propagated downstream).")
-          case "merge" | "cdc" =>
+          case "merge" | "cdc" | "update" =>
             if (!ignoreChanges) throw new IllegalStateException(
               s"snapshot stream on $root hit a ${snap.op} commit " +
                 s"(v$v): rows were updated mid-stream. Restart from " +

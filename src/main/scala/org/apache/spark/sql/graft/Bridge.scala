@@ -69,6 +69,16 @@ object Bridge {
     clone
   }
 
+  /** Catalyst predicate → data-source `Filter`, via Spark's own
+    * translator (`protected[sql]`) — the predicate-mutation tier prunes
+    * candidate files with the SAME translation the scans push down, so
+    * pruning semantics can never drift from read semantics. Nested
+    * fields stay untranslated (file stats carry top-level columns). */
+  def translateFilter(e: Expression)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = false)
+
   /** StructType → parquet MessageType via Spark's OWN converter (the
     * schema-stamp writer of the parquet face must emit exactly the
     * physical types Spark's sink would, or a stamp would read back with

@@ -495,6 +495,40 @@ class ConditionalMergeSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("omits partition column"))
   }
 
+  test("DATE-typed partition values: the merge's partition typing " +
+       "matches what ParquetTable.read produces (Spark's inference)") {
+    import spark.implicits._
+    val path = tmp("part_date")
+    val df = (1 to 30).map(i => (i.toLong, i * 1.0,
+        java.sql.Date.valueOf(s"2024-01-0${i % 3 + 1}")))
+      .toDF("id", "amt", "day")
+    graft.io.ParquetTable.write(df, path, partitionBy = Seq("day"))
+    val read = graft.io.ParquetTable.read(spark, path)
+    assert(read.schema("day").dataType ===
+      org.apache.spark.sql.types.DateType)
+    // source built FROM a read of the table (the natural CDC shape):
+    // day arrives as DateType and must pass the updateAll type gate;
+    // the update moves id 5 to a new date leaf
+    val src = read.filter(col("id") === 5L)
+      .withColumn("amt", lit(-5.0))
+      .withColumn("day", lit(java.sql.Date.valueOf("2024-02-01")))
+    ConditionalMerge(spark, path, src, Seq("id"))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    val after = graft.io.ParquetTable.read(spark, path)
+    assert(after.count() === 30)
+    val r5 = after.filter(col("id") === 5L).collect()
+    assert(r5.length === 1)
+    assert(r5.head.getAs[java.sql.Date]("day") ===
+      java.sql.Date.valueOf("2024-02-01"))
+    assert(r5.head.getAs[Double]("amt") === -5.0)
+    assert(new java.io.File(s"$path/day=2024-02-01").isDirectory)
+    // date filters still prune/evaluate over the mutated layout
+    assert(after.filter(col("day") === lit(java.sql.Date.valueOf(
+      "2024-02-01"))).count() === 1)
+  }
+
   test("partitioned clause merge runs on the adopted FEATHER face too") {
     import spark.implicits._
     val path = tmp("part_feather")
