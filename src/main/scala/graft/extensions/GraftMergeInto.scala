@@ -97,6 +97,26 @@ private[extensions] class GraftMergeIntoRule(spark: SparkSession)
     s => if (caseSensitive) s else s.toLowerCase
   }
 
+  /** Assignment-key column name: bare, or qualified by a KNOWN alias.
+    * A wrong qualifier or a nested-field path refuses loudly — silently
+    * taking the last name part would update a DIFFERENT top-level
+    * column (`SET addr.city = ..` must not rewrite `city`). */
+  private def assignName(key: Expression, quals: Set[String],
+                         norm: String => String, what: String,
+                         bad: String => Nothing): String = key match {
+    case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
+      ua.nameParts.head
+    case ua: UnresolvedAttribute if ua.nameParts.length == 2 &&
+        quals(norm(ua.nameParts.head)) =>
+      ua.nameParts(1)
+    case ua: UnresolvedAttribute =>
+      bad(s"$what assigns to '${ua.name}' — assign a bare top-level " +
+        "column, optionally qualified by the target alias (nested-field " +
+        "assignment is not supported)")
+    case attr: Attribute => attr.name
+    case other => bad(s"$what assigns to ${other.sql}, not a column")
+  }
+
   /** Strip the table alias qualifier off references (`t.amt` → `amt`):
     * DELETE/UPDATE are single-relation statements, and
     * [[graft.io.PredicateMutations]] evaluates over one unaliased
@@ -139,12 +159,8 @@ private[extensions] class GraftMergeIntoRule(spark: SparkSession)
     val norm = normOf
     val quals = alias.toSeq.map(norm).toSet
     val named = u.assignments.map { a =>
-      val name = a.key match {
-        case ua: UnresolvedAttribute => ua.nameParts.last
-        case attr: Attribute => attr.name
-        case other => bad(s"SET assigns to ${other.sql}, not a column")
-      }
-      name -> Bridge.column(stripQual(a.value, quals, norm))
+      assignName(a.key, quals, norm, "SET", bad) ->
+        Bridge.column(stripQual(a.value, quals, norm))
     }
     val dups = named.groupBy(n => norm(n._1)).collect {
       case (_, vs) if vs.size > 1 => vs.head._1 }
@@ -263,12 +279,7 @@ private[extensions] class GraftMergeIntoRule(spark: SparkSession)
     def remapOpt(c: Option[Expression]): Option[Column] = c.map(remap)
     def setOf(assigns: Seq[Assignment], what: String): Map[String, Column] = {
       val named = assigns.map { a =>
-        val name = a.key match {
-          case ua: UnresolvedAttribute => ua.nameParts.last
-          case attr: Attribute => attr.name
-          case other => bad(s"$what assigns to ${other.sql}, not a column")
-        }
-        name -> remap(a.value)
+        assignName(a.key, tQuals, norm, what, bad) -> remap(a.value)
       }
       // `.toMap` would silently keep the LAST duplicate — Spark's own
       // MERGE resolution raises an analysis error here, and so must we

@@ -234,15 +234,26 @@ object ConditionalMerge {
         case Array(one) => one
         case _ => k // absent/ambiguous: the loud validations below fire
       }
+    def canonSet(set: Map[String, Column],
+                 what: String): Map[String, Column] = {
+      val named = set.toSeq.map { case (k, v) => canonName(k) -> v }
+      // two case-variant keys canonicalizing to one column would let
+      // the Map silently keep whichever iterates last
+      val dups = named.groupBy(_._1).collect {
+        case (n, vs) if vs.size > 1 => n }
+      require(dups.isEmpty,
+        s"merge: $what assigns ${dups.mkString(", ")} more than once " +
+          "(case-variant spellings name the same column)")
+      named.toMap
+    }
     def canonAction(a: MatchedAction): MatchedAction = a match {
-      case Update(set) =>
-        Update(set.map { case (k, v) => canonName(k) -> v })
+      case Update(set) => Update(canonSet(set, "an update SET"))
       case other => other
     }
     val m = m0.copy(
       matched = m0.matched.map { case (c, a) => (c, canonAction(a)) },
       notMatched = m0.notMatched.map { case (c, vs) =>
-        (c, vs.map { case (k, v) => canonName(k) -> v }) },
+        (c, canonSet(vs, "an insert VALUES")) },
       bySource = m0.bySource.map { case (c, a) => (c, canonAction(a)) })
     // a partitioned insert must NAME its leaf: every explicit VALUES
     // clause lists every partition column (a silently-absent one would

@@ -407,44 +407,66 @@ object FeatherMutations {
       : Map[Int, Array[Long]] =
     if (touchedIdx.isEmpty) Map.empty
     else {
-      val readerJson = face.readerJson(spark, touchedIdx.map(absFiles))
-      val confMap = GraftHadoop.confBroadcast(spark)
-      val work = touchedIdx.map { i =>
-        (i, absFiles(i)._1, absFiles(i)._2,
-          snap.dvs.get(snap.files(i)._1).map { case (dvRel, _) =>
-            new Path(root, dvRel).toString })
-      }
-      import org.apache.spark.sql.Row
-      val scanSchema = StructType(
-        StructField("__fid", IntegerType, nullable = false) +:
-        StructField("__pos", LongType, nullable = false) +:
-        keyCols.map(k => tableSchema(k)))
-      val rdd = spark.sparkContext
-        .parallelize(work, math.max(1, work.size))
-        .mapPartitions { it =>
-          val execConf = new org.apache.hadoop.conf.Configuration(false)
-          confMap.value.foreach { case (k, v) => execConf.set(k, v) }
-          val open = new java.util.ArrayList[AutoCloseable]()
-          Option(org.apache.spark.TaskContext.get()).foreach(
-            _.addTaskCompletionListener[Unit](_ => open.forEach(r =>
-              try r.close() catch { case _: Exception => () })))
-          it.flatMap { case (fid, abs, len, dvPath) =>
-            val dv = dvPath
-              .map(p => DeletionVectors.read(execConf, p)).orNull
-            face.fileRowsPos(execConf, readerJson, abs, len, keyCols, dv,
-              r => open.add(r): Unit, r => open.remove(r): Unit)
-              .map { case (pos, row) =>
-                Row.fromSeq(fid +: pos +: row.toSeq) }
-          }
-        }
       val keysProj = keysDf.select(keyCols.map(col): _*).distinct()
-      spark.createDataFrame(rdd, scanSchema)
-        .join(keysProj, keyCols, "inner")
-        .select(col("__fid"), col("__pos"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (fid, rows) => fid -> rows.map(_.getLong(1)) }
+      collectPositions(
+        positionScanFrame(spark, face, root, snap, absFiles, touchedIdx,
+          keyCols, tableSchema)
+          .join(keysProj, keyCols, "inner"))
     }
+
+  /** The distributed (file ordinal, row position, columns) scan frame
+    * both position scans build on: one task per candidate file reads
+    * `cols` with row positions (existing DV applied, so already-deleted
+    * rows can never re-match), readers tracked onto the task completion
+    * listener. ONE definition — the key-join delete/merge scan and the
+    * predicate scan differ only in their tail (inner join vs filter). */
+  private[io] def positionScanFrame(spark: SparkSession,
+                                    face: ConnectorFace, root: Path,
+                                    snap: FeatherSnapshots.Snapshot,
+                                    absFiles: Seq[(String, Long)],
+                                    touchedIdx: Seq[Int],
+                                    cols: Seq[String],
+                                    tableSchema: StructType): DataFrame = {
+    val readerJson = face.readerJson(spark, touchedIdx.map(absFiles))
+    val confMap = GraftHadoop.confBroadcast(spark)
+    val work = touchedIdx.map { i =>
+      (i, absFiles(i)._1, absFiles(i)._2,
+        snap.dvs.get(snap.files(i)._1).map { case (dvRel, _) =>
+          new Path(root, dvRel).toString })
+    }
+    import org.apache.spark.sql.Row
+    val scanSchema = StructType(
+      StructField("__fid", IntegerType, nullable = false) +:
+      StructField("__pos", LongType, nullable = false) +:
+      cols.map(k => tableSchema(k)))
+    val rdd = spark.sparkContext
+      .parallelize(work, math.max(1, work.size))
+      .mapPartitions { it =>
+        val execConf = new org.apache.hadoop.conf.Configuration(false)
+        confMap.value.foreach { case (k, v) => execConf.set(k, v) }
+        val open = new java.util.ArrayList[AutoCloseable]()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => open.forEach(r =>
+            try r.close() catch { case _: Exception => () })))
+        it.flatMap { case (fid, abs, len, dvPath) =>
+          val dv = dvPath
+            .map(p => DeletionVectors.read(execConf, p)).orNull
+          face.fileRowsPos(execConf, readerJson, abs, len, cols, dv,
+            r => open.add(r): Unit, r => open.remove(r): Unit)
+            .map { case (pos, row) =>
+              Row.fromSeq(fid +: pos +: row.toSeq) }
+        }
+      }
+    spark.createDataFrame(rdd, scanSchema)
+  }
+
+  /** Matched (file ordinal → sorted positions) off a position-scan
+    * frame's surviving rows — changed-row-count-sized by design. */
+  private[io] def collectPositions(df: DataFrame): Map[Int, Array[Long]] =
+    df.select(col("__fid"), col("__pos"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (fid, rows) => fid -> rows.map(_.getLong(1)) }
 
   /** Leaf-grouped DV read shared by the clause and predicate mutation
     * tiers: `files` (abs path, len) read with their DV bindings applied

@@ -96,14 +96,30 @@ object PredicateMutations {
     val fullSchema = StructType(tableSchema.fields ++ partSchema.fields)
     val caseSensitive =
       spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    // a data column that is ALSO a partition key (case-insensitively
+    // under the default conf) would be clobbered by the partition-value
+    // attach in the rewrite — the same refusal ConditionalMerge carries
+    val embedded = partCols.filter(p => tableSchema.fieldNames.exists(f =>
+      f == p || (!caseSensitive && f.equalsIgnoreCase(p))))
+    require(embedded.isEmpty,
+      s"$op: partition column(s) ${embedded.mkString(", ")} are ALSO " +
+        "embedded in the data files — the rewrite cannot tell the path " +
+        "copy from the data copy")
     def canonName(k: String): String =
       if (fullSchema.fieldNames.contains(k) || caseSensitive) k
       else fullSchema.fieldNames.filter(_.equalsIgnoreCase(k)) match {
         case Array(one) => one
         case _ => k
       }
-    val set: Map[String, Column] = set0.getOrElse(Map.empty)
+    val setNamed = set0.getOrElse(Map.empty).toSeq
       .map { case (k, v) => canonName(k) -> v }
+    // two case-variant keys canonicalizing to one column would silently
+    // keep whichever the Map retains — the .toMap-keeps-last bug class
+    val setDups = setNamed.groupBy(_._1).collect {
+      case (n, vs) if vs.size > 1 => n }
+    require(setDups.isEmpty,
+      s"$op: SET assigns ${setDups.mkString(", ")} more than once")
+    val set: Map[String, Column] = setNamed.toMap
     set.keys.foreach(c => require(fullSchema.fieldNames.contains(c),
       s"$op: SET names column '$c', not in the table schema " +
         s"(${fullSchema.fieldNames.mkString(", ")})"))
@@ -170,9 +186,13 @@ object PredicateMutations {
     val leafByAbs: Map[String, FeatherPartitions.LeafFile] =
       discovered.map(_.files.map(lf => lf.file -> lf).toMap)
         .getOrElse(Map.empty)
+    // stats load whenever pruning can use them OR the DV branch needs
+    // exact row counts (bindDvs drops a fully-masked file only when it
+    // can PROVE full coverage — an untranslatable predicate must not
+    // silently lose that, the keyed deleteByKeyDV's behavior)
     val statsByFile
         : Map[String, Option[Seq[Map[String, FeatherStats.ColStat]]]] =
-      if (condFilters.isEmpty) Map.empty
+      if (condFilters.isEmpty && !dvMask) Map.empty
       else FeatherStats.loadForFiles(conf, absFiles)
     val candidateIdx: Seq[Int] = absFiles.indices.filter { i =>
       val (abs, _) = absFiles(i)
@@ -304,36 +324,8 @@ object PredicateMutations {
           f.condition.references.map(_.name).toSet
       }.getOrElse(Set.empty)
     val dataCols = tableSchema.fieldNames.filter(refs.contains).toSeq
-    val readerJson = face.readerJson(spark, candidateIdx.map(absFiles))
-    val confMap = GraftHadoop.confBroadcast(spark)
-    val work = candidateIdx.map { i =>
-      (i, absFiles(i)._1, absFiles(i)._2,
-        snap.dvs.get(snap.files(i)._1).map { case (dvRel, _) =>
-          new Path(root, dvRel).toString })
-    }
-    val scanSchema = StructType(
-      StructField("__fid", IntegerType, nullable = false) +:
-      StructField("__pos", LongType, nullable = false) +:
-      dataCols.map(c => tableSchema(c)))
-    val rdd = spark.sparkContext
-      .parallelize(work, math.max(1, work.size))
-      .mapPartitions { it =>
-        val execConf = new org.apache.hadoop.conf.Configuration(false)
-        confMap.value.foreach { case (k, v) => execConf.set(k, v) }
-        val open = new java.util.ArrayList[AutoCloseable]()
-        Option(org.apache.spark.TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ => open.forEach(r =>
-            try r.close() catch { case _: Exception => () })))
-        it.flatMap { case (fid, abs, len, dvPath) =>
-          val dv = dvPath
-            .map(p => DeletionVectors.read(execConf, p)).orNull
-          face.fileRowsPos(execConf, readerJson, abs, len, dataCols, dv,
-            r => open.add(r): Unit, r => open.remove(r): Unit)
-            .map { case (pos, row) =>
-              Row.fromSeq(fid +: pos +: row.toSeq) }
-        }
-      }
-    val scan = spark.createDataFrame(rdd, scanSchema)
+    val scan = FeatherMutations.positionScanFrame(spark, face, root, snap,
+      absFiles, candidateIdx, dataCols, tableSchema)
     // per-file partition values (file-count-sized; broadcast-cheap)
     val withParts =
       if (partSchema.isEmpty) scan
@@ -354,10 +346,7 @@ object PredicateMutations {
           }
         scan.join(broadcast(typed), "__fid")
       }
-    withParts.where(coalesce(condCol, lit(false)))
-      .select(col("__fid"), col("__pos"))
-      .collect()
-      .groupBy(_.getInt(0))
-      .map { case (fid, rows) => fid -> rows.map(_.getLong(1)) }
+    FeatherMutations.collectPositions(
+      withParts.where(coalesce(condCol, lit(false))))
   }
 }

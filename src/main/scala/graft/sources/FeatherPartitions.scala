@@ -172,7 +172,12 @@ private[graft] object FeatherPartitions {
       case (x: String, y: String) =>
         Some(graft.io.FeatherStats.utf8Cmp(x, y))
       case (x: java.sql.Date, y: java.sql.Date) =>
-        Some(java.lang.Long.compare(x.getTime, y.getTime))
+        Some(java.lang.Long.compare(x.toLocalDate.toEpochDay,
+          y.toLocalDate.toEpochDay))
+      // translated filter values arrive as java.time.LocalDate under
+      // spark.sql.datetime.java8API.enabled=true
+      case (x: java.sql.Date, y: java.time.LocalDate) =>
+        Some(java.lang.Long.compare(x.toLocalDate.toEpochDay, y.toEpochDay))
       case _ => None
     }
     def eval(f: Filter): Option[Boolean] = f match {
@@ -185,7 +190,16 @@ private[graft] object FeatherPartitions {
         cmp(vals(a), v).map(_ <= 0)
       case In(a, vs) if vals.contains(a) =>
         if (vals(a) == null) Some(false)
-        else Some(vs.exists(v => cmp(vals(a), v).contains(0)))
+        else {
+          // an UNDECIDABLE element comparison must yield None (keep the
+          // leaf), never "not equal" — treating incomparable types as a
+          // miss would wrongly PRUNE a matching leaf (a correctness
+          // hole, not an efficiency one)
+          val cs = vs.map(v => cmp(vals(a), v))
+          if (cs.exists(_.contains(0))) Some(true)
+          else if (cs.forall(_.isDefined)) Some(false)
+          else None
+        }
       case IsNull(a) if vals.contains(a) => Some(vals(a) == null)
       case IsNotNull(a) if vals.contains(a) => Some(vals(a) != null)
       case And(l, r) => (eval(l), eval(r)) match {
