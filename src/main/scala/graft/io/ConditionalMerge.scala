@@ -193,29 +193,16 @@ object ConditionalMerge {
     val fullSchema = StructType(tableSchema.fields ++ partSchema.fields)
     val caseSensitive =
       spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
-    // the embedded check matches like the resolver (case-insensitive
-    // under the default conf): a data column 'Day' beside a day= chain
-    // would otherwise slip past, get clobbered by attachParts'
-    // withColumn, and die later as a raw AMBIGUOUS_REFERENCE
-    val embedded = partCols.filter(p => tableSchema.fieldNames.exists(f =>
-      f == p || (!caseSensitive && f.equalsIgnoreCase(p))))
-    require(embedded.isEmpty,
-      s"merge: partition column(s) ${embedded.mkString(", ")} are ALSO " +
-        "embedded in the data files — routing cannot tell the path copy " +
-        "from the data copy")
+    FeatherMutations.requireNotEmbedded("merge", partCols, tableSchema,
+      caseSensitive)
     // key names canonicalize onto the table schema's spelling under
     // spark.sql.caseSensitive=false (the default — a SQL-originated
     // `ON t.Id = s.Id` legally names a column stored as `id`; every
     // other identifier in the statement resolves case-insensitively,
     // so the key must too); an ambiguous or absent name falls through
     // to the loud require
-    val keys: Seq[String] = m0.keyCols.map { k =>
-      if (tableSchema.fieldNames.contains(k) || caseSensitive) k
-      else tableSchema.fieldNames.filter(_.equalsIgnoreCase(k)) match {
-        case Array(one) => one
-        case _ => k
-      }
-    }
+    val keys: Seq[String] = m0.keyCols.map(
+      FeatherMutations.canonicalName(tableSchema, caseSensitive))
     keys.foreach(k => require(tableSchema.fieldNames.contains(k),
       if (partCols.exists(p => p == k || (!caseSensitive &&
           p.equalsIgnoreCase(k))))
@@ -228,24 +215,10 @@ object ConditionalMerge {
     // SQL statement legally spells `GRADE` for a column stored as
     // `grade`; every clause check and CASE chain below keys on the
     // schema spelling, so the maps must carry it
-    def canonName(k: String): String =
-      if (fullSchema.fieldNames.contains(k) || caseSensitive) k
-      else fullSchema.fieldNames.filter(_.equalsIgnoreCase(k)) match {
-        case Array(one) => one
-        case _ => k // absent/ambiguous: the loud validations below fire
-      }
     def canonSet(set: Map[String, Column],
-                 what: String): Map[String, Column] = {
-      val named = set.toSeq.map { case (k, v) => canonName(k) -> v }
-      // two case-variant keys canonicalizing to one column would let
-      // the Map silently keep whichever iterates last
-      val dups = named.groupBy(_._1).collect {
-        case (n, vs) if vs.size > 1 => n }
-      require(dups.isEmpty,
-        s"merge: $what assigns ${dups.mkString(", ")} more than once " +
-          "(case-variant spellings name the same column)")
-      named.toMap
-    }
+                 what: String): Map[String, Column] =
+      FeatherMutations.canonicalSet(fullSchema, caseSensitive, set,
+        s"merge: $what")
     def canonAction(a: MatchedAction): MatchedAction = a match {
       case Update(set) => Update(canonSet(set, "an update SET"))
       case other => other

@@ -302,11 +302,8 @@ object FeatherMutations {
           "columns (the source's partition values route the rows)"
       else s"$op: key column '$k' not in table schema " +
         s"(${tableSchema.fieldNames.mkString(", ")})"))
-    val embedded = partCols.filter(tableSchema.fieldNames.contains)
-    require(embedded.isEmpty,
-      s"$op: partition column(s) ${embedded.mkString(", ")} are ALSO " +
-        "embedded in the data files — routing cannot tell the path copy " +
-        "from the data copy")
+    requireNotEmbedded(op, partCols, tableSchema,
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean)
     val expected = (tableSchema.fieldNames ++ partCols).sorted
     require(insertSource.columns.sorted.sameElements(expected),
       s"$op: source columns (${insertSource.columns.sorted.mkString(", ")})" +
@@ -460,8 +457,10 @@ object FeatherMutations {
     spark.createDataFrame(rdd, scanSchema)
   }
 
-  /** Matched (file ordinal → sorted positions) off a position-scan
-    * frame's surviving rows — changed-row-count-sized by design. */
+  /** Matched (file ordinal → positions, ARBITRARY order — the shuffle
+    * decides; [[bindDvs]] sorts before writing sidecars) off a
+    * position-scan frame's surviving rows — changed-row-count-sized by
+    * design. */
   private[io] def collectPositions(df: DataFrame): Map[Int, Array[Long]] =
     df.select(col("__fid"), col("__pos"))
       .collect()
@@ -510,6 +509,52 @@ object FeatherMutations {
         balanced(l).unionByName(balanced(r))
       }
     balanced(arms)
+  }
+
+  /** Refuse a table whose DATA files also embed a partition column —
+    * the partition-value attach in every routed rewrite would clobber
+    * the embedded values (or the plan dies later as a raw
+    * AMBIGUOUS_REFERENCE). Matches like the resolver: case-insensitive
+    * under the default conf. ONE definition across all four mutation
+    * paths. */
+  private[io] def requireNotEmbedded(op: String, partCols: Seq[String],
+                                     tableSchema: StructType,
+                                     caseSensitive: Boolean): Unit = {
+    val embedded = partCols.filter(p => tableSchema.fieldNames.exists(f =>
+      f == p || (!caseSensitive && f.equalsIgnoreCase(p))))
+    require(embedded.isEmpty,
+      s"$op: partition column(s) ${embedded.mkString(", ")} are ALSO " +
+        "embedded in the data files — routing cannot tell the path copy " +
+        "from the data copy")
+  }
+
+  /** Column-name canonicalization onto a schema's spelling under
+    * spark.sql.caseSensitive=false (exact names and the case-sensitive
+    * conf pass through; absent/ambiguous names fall through unchanged
+    * for the caller's loud validation). */
+  private[io] def canonicalName(schema: StructType,
+                                caseSensitive: Boolean)(k: String): String =
+    if (schema.fieldNames.contains(k) || caseSensitive) k
+    else schema.fieldNames.filter(_.equalsIgnoreCase(k)) match {
+      case Array(one) => one
+      case _ => k
+    }
+
+  /** Canonicalize a SET/VALUES map's keys, refusing case-variant
+    * spellings that collapse onto one column (the Map would silently
+    * keep whichever iterates last). */
+  private[io] def canonicalSet(schema: StructType, caseSensitive: Boolean,
+                               set: Map[String, org.apache.spark.sql.Column],
+                               what: String)
+      : Map[String, org.apache.spark.sql.Column] = {
+    val canon = canonicalName(schema, caseSensitive) _
+    val named = set.toSeq.map { case (k, v) => canon(k) -> v }
+    val dups = named.groupBy(_._1).collect {
+      case (n, vs) if vs.size > 1 => n }
+    require(dups.isEmpty,
+      s"$what assigns ${dups.mkString(", ")} more than once " +
+        "(case-variant spellings name the same column)")
+    named.toMap
   }
 
   /** One schema-only stamp per distinct leaf of `relPaths` — the
@@ -1010,12 +1055,8 @@ object FeatherMutations {
       else s"$op: key column '$k' not in table schema " +
         s"(${tableSchema.fieldNames.mkString(", ")})"))
     appendSource.foreach { src =>
-      val embedded = partCols.filter(tableSchema.fieldNames.contains)
-      require(embedded.isEmpty,
-        s"$op: partition column(s) ${embedded.mkString(", ")} are ALSO " +
-          "embedded in the data files — routing cannot tell the path copy " +
-          "from the data copy; rewrite the table without the embedded " +
-          "columns to merge (deleteByKey works as is)")
+      requireNotEmbedded(op, partCols, tableSchema,
+        spark.conf.get("spark.sql.caseSensitive", "false").toBoolean)
       val expected = (tableSchema.fieldNames ++ partCols).sorted
       require(src.columns.sorted.sameElements(expected),
         s"$op: source columns (${src.columns.sorted.mkString(", ")}) must " +

@@ -96,30 +96,10 @@ object PredicateMutations {
     val fullSchema = StructType(tableSchema.fields ++ partSchema.fields)
     val caseSensitive =
       spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
-    // a data column that is ALSO a partition key (case-insensitively
-    // under the default conf) would be clobbered by the partition-value
-    // attach in the rewrite — the same refusal ConditionalMerge carries
-    val embedded = partCols.filter(p => tableSchema.fieldNames.exists(f =>
-      f == p || (!caseSensitive && f.equalsIgnoreCase(p))))
-    require(embedded.isEmpty,
-      s"$op: partition column(s) ${embedded.mkString(", ")} are ALSO " +
-        "embedded in the data files — the rewrite cannot tell the path " +
-        "copy from the data copy")
-    def canonName(k: String): String =
-      if (fullSchema.fieldNames.contains(k) || caseSensitive) k
-      else fullSchema.fieldNames.filter(_.equalsIgnoreCase(k)) match {
-        case Array(one) => one
-        case _ => k
-      }
-    val setNamed = set0.getOrElse(Map.empty).toSeq
-      .map { case (k, v) => canonName(k) -> v }
-    // two case-variant keys canonicalizing to one column would silently
-    // keep whichever the Map retains — the .toMap-keeps-last bug class
-    val setDups = setNamed.groupBy(_._1).collect {
-      case (n, vs) if vs.size > 1 => n }
-    require(setDups.isEmpty,
-      s"$op: SET assigns ${setDups.mkString(", ")} more than once")
-    val set: Map[String, Column] = setNamed.toMap
+    FeatherMutations.requireNotEmbedded(op, partCols, tableSchema,
+      caseSensitive)
+    val set: Map[String, Column] = FeatherMutations.canonicalSet(
+      fullSchema, caseSensitive, set0.getOrElse(Map.empty), s"$op: SET")
     set.keys.foreach(c => require(fullSchema.fieldNames.contains(c),
       s"$op: SET names column '$c', not in the table schema " +
         s"(${fullSchema.fieldNames.mkString(", ")})"))

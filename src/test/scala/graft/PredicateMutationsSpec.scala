@@ -85,11 +85,38 @@ class PredicateMutationsSpec extends AnyFunSuite {
       .filter(_.getName.endsWith(".feather")).map(_.length()).sum
     assert(after === dataBytes, "DV delete must not rewrite data files")
     assert(r.version === 2L)
-    // a predicate covering EVERY row of the table drops all files and
-    // leaves a readable empty table with its schema
-    PredicateMutations.deleteWhereDV(spark, path, lit(true))
+    // a predicate covering EVERY row of the table DROPS all files from
+    // the manifest (full coverage proved from the stats row counts even
+    // for an untranslatable predicate) and leaves a readable empty
+    // table with its schema
+    PredicateMutations.deleteWhereDV(spark, path,
+      (col("id") * 1 >= 0) || col("id").isNull) // untranslatable shape
     assert(readAll(path).count() === 0)
     assert(readAll(path).columns.sorted.toSeq === Seq("amt", "grp", "id"))
+    val snap2 = FeatherSnapshots.resolve(fsOf(path), new Path(path), None).get
+    assert(snap2.dvs.isEmpty && snap2.files.size === 1,
+      "fully-masked files must DROP from the manifest (one schema " +
+        s"stamp left), not stay bound: ${snap2.files}")
+  }
+
+  test("In-list pruning keeps a leaf when an element comparison is " +
+       "undecidable (java8 LocalDate filter values vs date chains)") {
+    import graft.sources.FeatherPartitions
+    val leaf = FeatherPartitions.LeafFile("/t/day=2024-01-01/p.feather",
+      1L, Seq("day" -> "2024-01-01"))
+    val ps = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.DateType)))
+    import org.apache.spark.sql.sources.In
+    // LocalDate element (java8 datetime API): decidable, equal → keep
+    assert(FeatherPartitions.survives(leaf, ps,
+      Seq(In("day", Array(java.time.LocalDate.parse("2024-01-01"))))))
+    // LocalDate element, unequal → prune
+    assert(!FeatherPartitions.survives(leaf, ps,
+      Seq(In("day", Array(java.time.LocalDate.parse("2024-02-01"))))))
+    // an INCOMPARABLE element must KEEP the leaf (undecidable ≠ miss)
+    assert(FeatherPartitions.survives(leaf, ps,
+      Seq(In("day", Array("not-a-date-object": Any)))))
   }
 
   test("updateWhere applies SETs to selected rows only; lossless-or-" +
