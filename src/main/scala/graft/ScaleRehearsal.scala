@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleRehearsal [outDir] [mode]
   *   mode ∈ dedup|ordered|joins|cc|skew|io|sketch|ingest|compaction|
-  *          mutation|cluster|manifest|planning|overlap|all;
+  *          mutation|cluster|manifest|planning|overlap|dv|dvmerge|
+  *          inccluster|parquet|preddml|all;
   *   builds <outDir>/sf1/{documents,embeddings}.parquet from
   *   /root/testdata/sf0.1, then times the family at both scales.
   */
@@ -487,7 +488,87 @@ object ScaleRehearsal {
       incClusterTier(spark, s"$out/inccluster")
     if (mode == "all" || mode == "parquet")
       parquetTier(spark, s"$out/parquet")
+    if (mode == "all" || mode == "preddml")
+      predDmlTier(spark, s"$out/preddml")
     spark.stop()
+  }
+
+  /** PREDICATE-DML tier (r14, PredicateMutations): the structural
+    * claims behind DELETE FROM / UPDATE —
+    *  (a) a BANDED predicate's COW rewrite touches only the parts whose
+    *      stats admit the band (work ∝ selectivity, not table size:
+    *      filesTouched must stay ≤2 across a 4× table);
+    *  (b) a SCATTERED predicate under the DV spelling writes bytes ∝
+    *      deleted rows (data files untouched) where the COW spelling
+    *      rewrites every part — the reason both strategies exist. The
+    *      scattered predicate is deliberately UNTRANSLATABLE (modulo),
+    *      so this also rehearses the no-pruning worst case. */
+  def predDmlTier(spark: SparkSession, out: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataBytes(dir: String): Long =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".feather") &&
+          !f.getName.startsWith("_")).map(_.length()).sum
+    def build(dir: String, n: Long, parts: Int): Unit = {
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      spark.range(n)
+        .select(col("id"), concat(lit("pay_"), col("id")).as("pay"))
+        .repartitionByRange(parts, col("id"))
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(dir)
+    }
+    val results = Seq((10, 1000000L), (40, 4000000L)).map { case (parts, n) =>
+      val dir = s"$out/pd_$n"
+      build(dir, n, parts)
+      // (a) banded COW delete: stats admit the band into ≤2 parts
+      val lo = n / 2
+      val t0 = System.nanoTime()
+      val rd = graft.io.PredicateMutations.deleteWhere(spark, dir,
+        col("id").between(lo, lo + 49999L))
+      val delSec = (System.nanoTime() - t0) / 1e9
+      require(rd.filesTouched <= 2,
+        s"banded predicate must touch <=2 of $parts range parts: $rd")
+      require(spark.read.format("feather").load(dir).count() == n - 50000L)
+      // banded UPDATE at the table head
+      val t1 = System.nanoTime()
+      val ru = graft.io.PredicateMutations.updateWhere(spark, dir,
+        Map("pay" -> concat(lit("upd_"), col("id"))),
+        Some(col("id") < 40000L))
+      val updSec = (System.nanoTime() - t1) / 1e9
+      require(ru.filesTouched <= 2,
+        s"banded update must touch <=2 parts: $ru")
+      // (b) scattered untranslatable predicate: DV vs COW twin
+      val dvDir = s"$out/pd_dv_$n"; val cowDir = s"$out/pd_cow_$n"
+      build(dvDir, n, parts); build(cowDir, n, parts)
+      val before = dataBytes(dvDir)
+      val t2 = System.nanoTime()
+      graft.io.PredicateMutations.deleteWhereDV(spark, dvDir,
+        col("id") % 1999L === 0L)
+      val dvSec = (System.nanoTime() - t2) / 1e9
+      require(dataBytes(dvDir) == before,
+        "DV predicate delete must not rewrite data files")
+      val dvSidecars = new java.io.File(dvDir).listFiles()
+        .filter(_.getName.endsWith(".dv")).map(_.length()).sum
+      val cowBefore = dataBytes(cowDir)
+      val t3 = System.nanoTime()
+      val rc = graft.io.PredicateMutations.deleteWhere(spark, cowDir,
+        col("id") % 1999L === 0L)
+      val cowSec = (System.nanoTime() - t3) / 1e9
+      // NEW bytes the rewrite wrote (retired parts stay on disk for
+      // time travel until expire() — total dir size would double-count)
+      val cowNewBytes = dataBytes(cowDir) - cowBefore
+      (n, delSec, updSec, dvSec, dvSidecars, cowSec, cowNewBytes,
+        cowBefore, rc.filesTouched)
+    }
+    println("PREDDML tier (banded COW ∝ selectivity; scattered DV " +
+      "bytes ∝ deleted rows vs COW full rewrite):")
+    results.foreach { case (n, d, u, dv, dvB, cw, cwB, before, cowTouched) =>
+      println(f"  n=$n%8d bandedDelete=$d%6.2fs bandedUpdate=$u%6.2fs " +
+        f"scatteredDV=$dv%6.2fs dvSidecarBytes=$dvB%9d " +
+        f"scatteredCOW=$cw%6.2fs cowNewBytes=$cwB%11d " +
+        f"(table $before%11d, touched $cowTouched)")
+    }
   }
 
   /** DV-MERGE tier (r13, FeatherMutations.mergeDV): the structural
