@@ -44,8 +44,10 @@ import graft.io.ConditionalMerge
   *    `target.`/`source.`) rewrite onto ConditionalMerge's
   *    target./source. working aliases; unqualified references pass
   *    through and resolve wherever they are unambiguous;
-  *  - `WITH SCHEMA EVOLUTION` is refused (the write-side evolution gate
-  *    is an explicit per-write opt-in, not a statement modifier). */
+  *  - `MERGE WITH SCHEMA EVOLUTION` maps onto ConditionalMerge's
+  *    withSchemaEvolution(): the source's NEW columns join the table
+  *    schema as nullable (the mutation tier's evolveSchema contract);
+  *    without the modifier extra source columns are ignored. */
 private[extensions] class GraftMergeIntoRule(spark: SparkSession)
     extends Rule[LogicalPlan] {
 
@@ -195,10 +197,8 @@ private[extensions] class GraftMergeIntoRule(spark: SparkSession)
                     targetAlias: Option[String]): LogicalPlan = {
     def bad(msg: String): Nothing =
       throw new IllegalArgumentException(s"MERGE INTO $face.`$path`: $msg")
-    if (m.withSchemaEvolution)
-      bad("WITH SCHEMA EVOLUTION is not supported — schema evolution is " +
-        "a per-write opt-in (option(\"mergeSchema\",\"true\")), not a " +
-        "merge statement modifier")
+    // MERGE WITH SCHEMA EVOLUTION maps onto ConditionalMerge's
+    // withSchemaEvolution() (the source's NEW columns join as nullable)
 
     // identifier matching honors spark.sql.caseSensitive like Spark's
     // own resolver (lowercased under the default conf, exact otherwise)
@@ -292,7 +292,8 @@ private[extensions] class GraftMergeIntoRule(spark: SparkSession)
     }
 
     // ---- clauses ------------------------------------------------------------
-    var merge = ConditionalMerge(spark, path, sourceDf, keys)
+    var merge = ConditionalMerge(spark, path, sourceDf, keys,
+      evolveSchema = m.withSchemaEvolution)
     m.matchedActions.foreach {
       case UpdateAction(cond, assigns, _) =>
         merge = merge.whenMatchedUpdate(remapOpt(cond),

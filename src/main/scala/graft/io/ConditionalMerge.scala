@@ -79,8 +79,18 @@ final case class ConditionalMerge(
     matched: Seq[(Option[Column], ConditionalMerge.MatchedAction)] = Nil,
     notMatched: Seq[(Option[Column], Map[String, Column])] = Nil,
     bySource: Seq[(Option[Column], ConditionalMerge.MatchedAction)] = Nil,
-    codec: String = "lz4") {
+    codec: String = "lz4",
+    evolveSchema: Boolean = false) {
   import ConditionalMerge._
+
+  /** Schema evolution opt-in (Delta's `WITH SCHEMA EVOLUTION`): the
+    * source's NEW columns join the table schema as nullable — survivors
+    * and untouched generations read them as null through mergeSchema,
+    * exactly the mutation tier's evolveSchema contract
+    * ([[FeatherMutations.mergeDV]]). Without the opt-in an extra source
+    * column is simply ignored (Delta's default) unless a clause
+    * references it as a TABLE column, which stays loud. */
+  def withSchemaEvolution(): ConditionalMerge = copy(evolveSchema = true)
 
   def whenMatchedUpdate(cond: Option[Column] = None,
                         set: Map[String, Column]): ConditionalMerge =
@@ -182,7 +192,23 @@ object ConditionalMerge {
     // SAME long→double→string inference every partitioned READ applies
     // (FeatherPartitions) — clause expressions see exactly the types a
     // read of this table would produce
-    val tableSchema = face.mergedSchema(spark, absFiles)
+    val tableSchema0 = face.mergedSchema(spark, absFiles)
+    // schema evolution opt-in: the source's NEW columns join as nullable
+    // (the mutateDv contract) — survivors and untouched generations read
+    // them as null through mergeSchema; KEYS still validate against the
+    // pre-evolution schema below (a key naming a source-only column is
+    // a typo, not an evolution)
+    val tableSchema =
+      if (!m0.evolveSchema) tableSchema0
+      else {
+        val known = tableSchema0.fieldNames.toSet ++ partCols
+        val extra = m0.source.schema.fields
+          .filterNot(f => known.exists(k => k == f.name ||
+            k.equalsIgnoreCase(f.name)))
+          .map(f => org.apache.spark.sql.types
+            .StructField(f.name, f.dataType, nullable = true))
+        StructType(tableSchema0.fields ++ extra)
+      }
     // ONE discovery pass serves both the partition-column types and the
     // per-file values map below (toDiscovered re-parses every rel path)
     val discovered =
@@ -202,15 +228,15 @@ object ConditionalMerge {
     // so the key must too); an ambiguous or absent name falls through
     // to the loud require
     val keys: Seq[String] = m0.keyCols.map(
-      FeatherMutations.canonicalName(tableSchema, caseSensitive))
-    keys.foreach(k => require(tableSchema.fieldNames.contains(k),
+      FeatherMutations.canonicalName(tableSchema0, caseSensitive))
+    keys.foreach(k => require(tableSchema0.fieldNames.contains(k),
       if (partCols.exists(p => p == k || (!caseSensitive &&
           p.equalsIgnoreCase(k))))
         s"merge: key column '$k' is a partition column — partition " +
           "values live in the directory chain, not the data files; key " +
           "on data columns (clause output routes by partition values)"
       else s"merge: key column '$k' not in table schema " +
-        s"(${tableSchema.fieldNames.mkString(", ")})"))
+        s"(${tableSchema0.fieldNames.mkString(", ")})"))
     // SET/VALUES column names canonicalize exactly like the keys — a
     // SQL statement legally spells `GRADE` for a column stored as
     // `grade`; every clause check and CASE chain below keys on the

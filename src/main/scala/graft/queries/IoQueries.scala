@@ -80,6 +80,7 @@ object IoQueries extends QueryPack {
     "io_parquet_partitioned_write",
     "io_feather_merge_dv", "io_merge_clauses", "io_merge_clauses_dv",
     "io_merge_clauses_partitioned", "io_sql_merge",
+    "io_sql_merge_evolution",
     "io_sql_delete", "io_sql_update", "io_delete_where_dv",
     "io_avro_time_travel", "dedup_lsh_incremental")
 
@@ -1413,6 +1414,58 @@ object IoQueries extends QueryPack {
     }
     s.read.format("feather").load(path)
       .select("o_orderkey", "o_orderpriority", "total")
+      .orderBy("o_orderkey")
+  }
+
+  // MERGE WITH SCHEMA EVOLUTION (ConditionalMerge.withSchemaEvolution,
+  // via the SQL modifier): the source's NEW column joins the table as
+  // nullable — untouched rows read it as null through mergeSchema,
+  // merged/inserted rows carry the source's values. The oracle builds
+  // the same evolved state relationally.
+  register("io_sql_merge_evolution",
+    """WITH t AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderkey <= 1000),
+      |s AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total,
+      |    o_orderpriority AS src_prio
+      |  FROM orders WHERE o_orderkey > 600 AND o_orderkey <= 1200),
+      |survivors AS (
+      |  SELECT t.o_orderkey,
+      |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.total * 2
+      |         ELSE t.total END AS total,
+      |    s.src_prio
+      |  FROM t LEFT JOIN s USING (o_orderkey)),
+      |ins AS (
+      |  SELECT s.o_orderkey, s.total, s.src_prio
+      |  FROM s LEFT JOIN t USING (o_orderkey)
+      |  WHERE t.o_orderkey IS NULL)
+      |SELECT * FROM survivors UNION ALL SELECT * FROM ins
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val path = readFixture("sql_merge_evolution", d) { p =>
+      Tables.orders(s, d).filter(col("o_orderkey") <= 1000)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast(DoubleType).as("total"))
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(p)
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") > 600 && col("o_orderkey") <= 1200)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast(DoubleType).as("total"),
+          col("o_orderpriority").as("src_prio"))
+        .createOrReplaceTempView("io_sql_merge_evo_src")
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$p` t
+           |USING io_sql_merge_evo_src src
+           |ON t.o_orderkey = src.o_orderkey
+           |WHEN MATCHED THEN
+           |  UPDATE SET total = src.total * 2, src_prio = src.src_prio
+           |WHEN NOT MATCHED THEN INSERT *
+           |""".stripMargin).collect(): Unit
+    }
+    s.read.format("feather").option("mergeSchema", "true").load(path)
+      .select("o_orderkey", "total", "src_prio")
       .orderBy("o_orderkey")
   }
 

@@ -529,6 +529,66 @@ class ConditionalMergeSpec extends AnyFunSuite {
       "2024-02-01"))).count() === 1)
   }
 
+  test("withSchemaEvolution: the source's NEW columns join as nullable " +
+       "(COW, DV, and the SQL WITH SCHEMA EVOLUTION modifier)") {
+    import spark.implicits._
+    def mkTable(p: String): Unit = {
+      (1 to 40).map(i => (i.toLong, i * 1.0)).toDF("id", "amt")
+        .repartitionByRange(2, col("id"))
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(p)
+    }
+    def evolvedSrc = (31 to 50).map(i => (i.toLong, i * 100.0, s"tag_$i"))
+      .toDF("id", "amt", "tag")
+    def readBack(p: String) = spark.read.format("feather")
+      .option("mergeSchema", "true").load(p)
+    def checkEvolved(p: String): Unit = {
+      val back = readBack(p)
+      assert(back.columns.sorted.toSeq === Seq("amt", "id", "tag"))
+      assert(back.count() === 50)
+      // untouched old rows read tag as null; merged rows carry it
+      assert(back.filter(col("id") === 5L).head().isNullAt(
+        back.columns.indexOf("tag")))
+      assert(back.filter(col("id") === 31L).head()
+        .getAs[String]("tag") === "tag_31")
+      assert(back.filter(col("id") === 50L).head()
+        .getAs[String]("tag") === "tag_50")
+    }
+    val cowP = tmp("evo_cow"); mkTable(cowP)
+    ConditionalMerge(spark, cowP, evolvedSrc, Seq("id"))
+      .withSchemaEvolution()
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .execute()
+    checkEvolved(cowP)
+    val dvP = tmp("evo_dv"); mkTable(dvP)
+    ConditionalMerge(spark, dvP, evolvedSrc, Seq("id"))
+      .withSchemaEvolution()
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .executeDV()
+    assert(collectOf(dvP) === collectOf(cowP))
+    val sqlP = tmp("evo_sql"); mkTable(sqlP)
+    evolvedSrc.createOrReplaceTempView("evo_updates")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$sqlP` t
+         |USING evo_updates s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    checkEvolved(sqlP)
+    // WITHOUT the opt-in, updateAll refuses (source column 'tag' is not
+    // a table column the *All spellings can satisfy)... the Delta
+    // default for extra source columns under explicit SETs is to
+    // ignore them — pin that a plain keyed update still works
+    val plainP = tmp("evo_plain"); mkTable(plainP)
+    ConditionalMerge(spark, plainP, evolvedSrc, Seq("id"))
+      .whenMatchedUpdate(None, set = Map("amt" -> col("source.amt")))
+      .execute()
+    assert(readBack(plainP).columns.sorted.toSeq === Seq("amt", "id"),
+      "un-opted merge must not evolve the schema")
+  }
+  private def collectOf(p: String) =
+    spark.read.format("feather").option("mergeSchema", "true").load(p)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+
   test("partitioned clause merge runs on the adopted FEATHER face too") {
     import spark.implicits._
     val path = tmp("part_feather")

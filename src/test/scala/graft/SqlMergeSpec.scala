@@ -174,13 +174,15 @@ class SqlMergeSpec extends AnyFunSuite {
            |WHEN MATCHED THEN DELETE""".stripMargin)
     }
     assert(e2.getMessage.contains("one column name"))
+    // alias colliding with a reserved working name refuses (a source
+    // aliased 'target' would have its references silently remapped onto
+    // the table side)
     val e3 = intercept[IllegalArgumentException] {
       spark.sql(
-        s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$path` t
-           |USING updates s ON t.id = s.id
-           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+        s"""MERGE INTO graft.`$path` USING updates target ON id = id
+           |WHEN MATCHED THEN DELETE""".stripMargin)
     }
-    assert(e3.getMessage.contains("SCHEMA EVOLUTION"))
+    assert(e3.getMessage.contains("collides"))
     // a non-graft target is NOT claimed — Spark's own resolution error
     // (table not found), not a graft message
     val e4 = intercept[Exception] {
