@@ -89,7 +89,11 @@ final case class ConditionalMerge(
     * exactly the mutation tier's evolveSchema contract
     * ([[FeatherMutations.mergeDV]]). Without the opt-in an extra source
     * column is simply ignored (Delta's default) unless a clause
-    * references it as a TABLE column, which stays loud. */
+    * references it as a TABLE column, which stays loud. Deliberate
+    * trade-off: a merge that degrades to a NO-OP (no row matched, no
+    * insert qualified) publishes no version and therefore evolves
+    * NOTHING — replay-cleanliness wins over metadata-only evolution;
+    * the columns land with the first commit that writes rows. */
   def withSchemaEvolution(): ConditionalMerge = copy(evolveSchema = true)
 
   def whenMatchedUpdate(cond: Option[Column] = None,
@@ -193,18 +197,21 @@ object ConditionalMerge {
     // (FeatherPartitions) — clause expressions see exactly the types a
     // read of this table would produce
     val tableSchema0 = face.mergedSchema(spark, absFiles)
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
     // schema evolution opt-in: the source's NEW columns join as nullable
     // (the mutateDv contract) — survivors and untouched generations read
     // them as null through mergeSchema; KEYS still validate against the
     // pre-evolution schema below (a key naming a source-only column is
-    // a typo, not an evolution)
+    // a typo, not an evolution). "New" matches like the resolver —
+    // under caseSensitive=true a case-variant spelling IS a new column.
     val tableSchema =
       if (!m0.evolveSchema) tableSchema0
       else {
-        val known = tableSchema0.fieldNames.toSet ++ partCols
+        val known = tableSchema0.fieldNames.toSeq ++ partCols
         val extra = m0.source.schema.fields
-          .filterNot(f => known.exists(k => k == f.name ||
-            k.equalsIgnoreCase(f.name)))
+          .filterNot(f => known.exists(k =>
+            if (caseSensitive) k == f.name else k.equalsIgnoreCase(f.name)))
           .map(f => org.apache.spark.sql.types
             .StructField(f.name, f.dataType, nullable = true))
         StructType(tableSchema0.fields ++ extra)
@@ -217,8 +224,6 @@ object ConditionalMerge {
     val partSchema: StructType =
       discovered.map(_.partSchema).getOrElse(new StructType())
     val fullSchema = StructType(tableSchema.fields ++ partSchema.fields)
-    val caseSensitive =
-      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
     FeatherMutations.requireNotEmbedded("merge", partCols, tableSchema,
       caseSensitive)
     // key names canonicalize onto the table schema's spelling under

@@ -574,13 +574,12 @@ class ConditionalMergeSpec extends AnyFunSuite {
          |WHEN MATCHED THEN UPDATE SET *
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
     checkEvolved(sqlP)
-    // WITHOUT the opt-in, updateAll refuses (source column 'tag' is not
-    // a table column the *All spellings can satisfy)... the Delta
-    // default for extra source columns under explicit SETs is to
-    // ignore them — pin that a plain keyed update still works
+    // WITHOUT the opt-in, an extra source column is silently IGNORED
+    // (Delta's default — the *All spellings select table columns only);
+    // pin that nothing evolves
     val plainP = tmp("evo_plain"); mkTable(plainP)
     ConditionalMerge(spark, plainP, evolvedSrc, Seq("id"))
-      .whenMatchedUpdate(None, set = Map("amt" -> col("source.amt")))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
       .execute()
     assert(readBack(plainP).columns.sorted.toSeq === Seq("amt", "id"),
       "un-opted merge must not evolve the schema")

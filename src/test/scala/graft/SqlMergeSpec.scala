@@ -157,8 +157,8 @@ class SqlMergeSpec extends AnyFunSuite {
       .get.version === 2L, "collect executes the merge")
   }
 
-  test("loud refusals: non-equi ON, non-key equality, schema evolution, " +
-       "unknown face passthrough") {
+  test("loud refusals: non-equi ON, non-key equality, reserved-alias " +
+       "collision, unknown face passthrough") {
     val path = tmp("loud")
     writeTable(path)
     srcView("updates")
