@@ -47,6 +47,27 @@ private[extensions] case class DeferredMaintenanceAction(
     s"DeferredMaintenanceAction $name"
 }
 
+/** The COMMAND twin of [[DeferredMaintenanceAction]], for the SQL DML
+  * statements (MERGE INTO / UPDATE / DELETE FROM): Spark's own
+  * MergeIntoTable/UpdateTable/DeleteFromTable are Commands, so the
+  * graft lowering must keep the Command contract — `spark.sql("DELETE
+  * FROM graft.\`/t\` ...")` executes EAGERLY, exactly ONCE, at
+  * statement issue (Delta parity; a ported ETL job that discards the
+  * returned frame must still mutate), and re-collecting the returned
+  * frame replays the CACHED one-row report, never the mutation.
+  * `EXPLAIN <statement>` still never mutates — Spark analyzes explained
+  * commands with CommandExecutionMode.SKIP. The TVF tier keeps the
+  * DEFERRED leaf above: a table function lives inside a SELECT, where
+  * eager execution at analysis would be the bug. */
+private[extensions] case class GraftDmlCommand(
+    name: String,
+    override val output: Seq[Attribute],
+    action: () => Seq[Row]) extends LeafNode
+    with org.apache.spark.sql.catalyst.plans.logical.Command {
+  override def simpleString(maxFields: Int): String =
+    s"GraftDmlCommand $name"
+}
+
 private[extensions] case class DeferredMaintenanceActionExec(
     name: String,
     output: Seq[Attribute],
@@ -73,6 +94,11 @@ private[extensions] class DeferredActionStrategy(spark: SparkSession)
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case d: DeferredMaintenanceAction =>
       DeferredMaintenanceActionExec(d.name, d.output, d.action) :: Nil
+    case c: GraftDmlCommand =>
+      // same exec node: doExecute runs the action when the command's
+      // RDD assembles — for a Command that is commandExecuted's ONE
+      // eager executeCollect at statement issue
+      DeferredMaintenanceActionExec(c.name, c.output, c.action) :: Nil
     case _ => Nil
   }
 }

@@ -74,8 +74,12 @@ private[extensions] class GraftMergeIntoRule(spark: SparkSession)
     case _ => plan
   }
 
-  /** The statement's one-row execution report, deferred to collect (the
-    * maintenance-TVF contract shared by all three DML statements). */
+  /** The statement lowered as a COMMAND with a one-row report: eager,
+    * exactly once, at statement issue (Delta parity — Spark's own DML
+    * plans are Commands, and a ported job that discards the frame must
+    * still mutate); re-collecting replays the cached report. `EXPLAIN
+    * <statement>` never mutates (commands explain under
+    * CommandExecutionMode.SKIP). */
   private def report(name: String)
                     (action: () => graft.io.FeatherMutations.Result)
       : LogicalPlan = {
@@ -84,7 +88,7 @@ private[extensions] class GraftMergeIntoRule(spark: SparkSession)
       StructField("files_touched", IntegerType, nullable = false),
       StructField("files_kept", IntegerType, nullable = false),
       StructField("parts_written", IntegerType, nullable = false)))
-    DeferredMaintenanceAction(name,
+    GraftDmlCommand(name,
       schema.map(f => AttributeReference(f.name, f.dataType, f.nullable)())
         .toSeq,
       () => {

@@ -176,12 +176,8 @@ object ConditionalMerge {
     // conditions and SETs may reference them (a SET on one is a
     // cross-partition move), and the output routes each row to the leaf
     // its values name. A nested NON-hive layout has nowhere to route.
-    def relDirOf(rel: String): String = {
-      val i = rel.lastIndexOf('/')
-      if (i < 0) "" else rel.substring(0, i)
-    }
     val chains: Seq[String] = snap.files.map { case (rel, _) =>
-      relDirOf(rel) }.distinct.filter(_.nonEmpty)
+      FeatherMutations.relDirOf(rel) }.distinct.filter(_.nonEmpty)
     val (hiveChains, partCols) =
       graft.sources.FeatherPartitions.hiveLayout(chains)
     require(chains.isEmpty || hiveChains,
@@ -552,7 +548,7 @@ object ConditionalMerge {
     // only RECEIVE rows (a cross-partition move target, pure inserts)
     // default to 1
     val candPerLeaf: Map[String, Int] = candidateIdx
-      .map(i => relDirOf(snap.files(i)._1))
+      .map(i => FeatherMutations.relDirOf(snap.files(i)._1))
       .groupBy(identity).map { case (k, v) => k -> v.size }
     // `rewrite` = the output carries every candidate row (the COW
     // rewrite), so a leaf's write sizes to its rewritten-file count;

@@ -269,10 +269,6 @@ object FeatherMutations {
     val targetV = snap.version + 1
     val prefix = FeatherSnapshots.runPrefix(targetV)
 
-    def relDirOf(rel: String): String = {
-      val i = rel.lastIndexOf('/')
-      if (i < 0) "" else rel.substring(0, i)
-    }
     val chains: Seq[String] = snap.files.map { case (rel, _) => relDirOf(rel) }
       .distinct.filter(_.nonEmpty)
     val (hiveChains, partCols) =
@@ -494,12 +490,15 @@ object FeatherMutations {
     val arms = files.groupBy(f =>
         valuesByAbs.getOrElse(f._1, Nil)).toSeq.sortBy(_._1.toString)
       .map { case (values, leafFiles) =>
-        val dvs = dvPathsAll.filter { case (abs, _) =>
-          leafFiles.exists(_._1 == abs) }
+        // Set membership, not a linear scan per map entry — a bySource
+        // sweep over thousands of DV-bound files would otherwise pay
+        // O(leaves × dvMappings × filesPerLeaf) driver work
+        val leafSet = leafFiles.map(_._1).toSet
+        val dvs = dvPathsAll.filter { case (abs, _) => leafSet(abs) }
         val raw =
           if (keep.isEmpty) face.readMergedDv(spark, leafFiles, dvs)
           else face.readMergedDv(spark, leafFiles, dvs,
-            keep.filter { case (abs, _) => leafFiles.exists(_._1 == abs) })
+            keep.filter { case (abs, _) => leafSet(abs) })
         attachParts(ConnectorFace.align(raw, tableSchema), values)
       }
     def balanced(fs: Seq[DataFrame]): DataFrame =
@@ -557,6 +556,14 @@ object FeatherMutations {
     named.toMap
   }
 
+  /** The relative DIRECTORY of a manifest rel path ("" for a root
+    * file) — ONE definition (this split existed in four private copies,
+    * the same drift class hiveLayout/stampLeaves were extracted for). */
+  private[io] def relDirOf(rel: String): String = {
+    val i = rel.lastIndexOf('/')
+    if (i < 0) "" else rel.substring(0, i)
+  }
+
   /** One schema-only stamp per distinct leaf of `relPaths` — the
     * all-rows-deleted shape shared by every mutation path (COW delete,
     * DV delete, DV merge, conditional merge): a table whose every row
@@ -573,10 +580,7 @@ object FeatherMutations {
                               root: Path, relPaths: Seq[String],
                               prefix: String, schema: StructType)
       : Seq[(String, Long)] =
-    relPaths.map { rel =>
-      val i = rel.lastIndexOf('/')
-      if (i < 0) "" else rel.substring(0, i)
-    }.distinct.map { relDir =>
+    relPaths.map(relDirOf).distinct.map { relDir =>
       val leafDir = if (relDir.isEmpty) root else new Path(root, relDir)
       val (name, len) = face.stamp(fs, leafDir, prefix, schema)
       (if (relDir.isEmpty) name else s"$relDir/$name", len)
@@ -998,10 +1002,6 @@ object FeatherMutations {
     // already deleted.
     val prefix = FeatherSnapshots.runPrefix(parentV + 1)
 
-    def relDirOf(rel: String): String = {
-      val i = rel.lastIndexOf('/')
-      if (i < 0) "" else rel.substring(0, i)
-    }
     val byLeaf: Seq[(String, Seq[(String, Long)])] =
       snap.files.groupBy { case (rel, _) => relDirOf(rel) }.toSeq.sortBy(_._1)
     // hive partition columns from the leaf chains (the manifest layout

@@ -181,18 +181,29 @@ private[graft] object GraftParquet {
     * get/set/restore on another thread. INT96 remains fully READABLE
     * (foreign corpus + maintenance scan); table parts just never WRITE
     * it, keeping footer stats usable. */
-  // one clone per source session, forked at FIRST table write (a
-  // partitioned merge writes once per leaf — cloning SessionState per
-  // part write would be pure driver garbage); the clone tracks only
-  // this one override, so a later parent-conf change to anything else
-  // does not propagate — acceptable: table parts depend on no other
-  // session-conf knob, and the parent's catalog/cache stay shared
+  // one clone per LIVE source session, forked at the first table write
+  // (a partitioned merge writes once per leaf — cloning SessionState
+  // per part write would be pure driver garbage). WEAK keys: a stopped
+  // session and its clone become collectable (the clone holds no
+  // reference back to the parent), so a session-per-job service never
+  // accretes SessionStates. Each write RESYNCS the clone's modifiable
+  // confs from the parent — a post-fork change (ANSI mode, rebase
+  // modes, codec defaults) must reach table-part writes.
+  private val MicrosPin =
+    Map("spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
   private val microsSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
   private[graft] def withOutputMicros(df: DataFrame): DataFrame = {
-    val clone = microsSessions.computeIfAbsent(df.sparkSession, s =>
-      org.apache.spark.sql.graft.Bridge.cloneWithConf(s,
-        "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS"))
+    val parent = df.sparkSession
+    val clone = microsSessions.synchronized {
+      Option(microsSessions.get(parent)).getOrElse {
+        val c = org.apache.spark.sql.graft.Bridge.cloneWithConf(parent,
+          MicrosPin.toSeq: _*)
+        microsSessions.put(parent, c)
+        c
+      }
+    }
+    org.apache.spark.sql.graft.Bridge.resyncConf(parent, clone, MicrosPin)
     org.apache.spark.sql.graft.Bridge.ofRows(clone,
       df.queryExecution.analyzed)
   }

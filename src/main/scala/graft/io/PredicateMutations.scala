@@ -55,10 +55,40 @@ object PredicateMutations {
     run(spark, path, cond, Some(set), dvMask = false, codec)
   }
 
-  private def run(spark: SparkSession, path: String, cond0: Option[Column],
+  private def run(spark: SparkSession, path: String,
+                  condRaw: Option[Column],
                   set0: Option[Map[String, Column]], dvMask: Boolean,
                   codec: String): Result = {
     val op = if (set0.isDefined) "update" else "delete"
+    // WALL-CLOCK PINNED ONCE per statement: the pruning fold, the
+    // limit-1 probe, and the rewrite/position scan each run as separate
+    // Spark queries — left unpinned, current_timestamp()/current_date()
+    // would evaluate at THREE different instants and pruning could drop
+    // files the executed predicate matches (pruning must never be a
+    // correctness input). Spark/Delta pin one instant per query; a
+    // statement here is one query.
+    val cond0: Option[Column] = condRaw.map { c =>
+      import org.apache.spark.sql.catalyst.expressions._
+      val zone = java.time.ZoneId.of(
+        spark.conf.get("spark.sql.session.timeZone",
+          java.util.TimeZone.getDefault.getID))
+      val nowInstant = java.time.Instant.now()
+      val pinned = org.apache.spark.sql.graft.Bridge
+        .convertedExpression(spark, c).transform {
+          case _: CurrentTimestamp | _: Now =>
+            Literal(org.apache.spark.sql.catalyst.util.DateTimeUtils
+              .instantToMicros(nowInstant), TimestampType)
+          case _: CurrentDate =>
+            Literal(java.time.LocalDate.ofInstant(nowInstant, zone)
+              .toEpochDay.toInt, DateType)
+          case _: LocalTimestamp =>
+            Literal(org.apache.spark.sql.catalyst.util.DateTimeUtils
+              .localDateTimeToMicros(
+                java.time.LocalDateTime.ofInstant(nowInstant, zone)),
+              TimestampNTZType)
+        }
+      org.apache.spark.sql.graft.Bridge.column(pinned)
+    }
     require(!dvMask || set0.isEmpty,
       "updateWhere has no merge-on-read strategy — an update rewrites " +
         "rows; use MERGE (mergeDV / MERGE INTO graft_dv.`..`) for " +
@@ -73,11 +103,7 @@ object PredicateMutations {
     val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
       sys.error(s"$op on $path: no snapshot versions"))
     val face = ConnectorFace.detect(snap.files, op, path)
-    def relDirOf(rel: String): String = {
-      val i = rel.lastIndexOf('/')
-      if (i < 0) "" else rel.substring(0, i)
-    }
-    val chains = snap.files.map { case (rel, _) => relDirOf(rel) }
+    val chains = snap.files.map { case (rel, _) => FeatherMutations.relDirOf(rel) }
       .distinct.filter(_.nonEmpty)
     val (hiveChains, partCols) = FeatherPartitions.hiveLayout(chains)
     require(chains.isEmpty || hiveChains || set0.isEmpty,
@@ -220,8 +246,11 @@ object PredicateMutations {
       val committed = FeatherSnapshots.commitMutation(fs, root, op, snap,
         droppedRel, added.toSeq, setDvs = bindings)
       val touched = bindings.size + droppedRel.size
+      // partsWritten reports DV sidecars written (+ any stamps) — the
+      // deleteByKeyDV contract; monitoring keyed on parts_written > 0
+      // must read a landed takedown as landed
       return Result(committed, touched, snap.files.size - touched,
-        added.size)
+        bindings.size + added.size)
     }
 
     // ---- copy-on-write ------------------------------------------------------
@@ -245,7 +274,7 @@ object PredicateMutations {
       val added = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
       if (partitioned) {
         val candPerLeaf: Map[String, Int] = candidateIdx
-          .map(i => relDirOf(snap.files(i)._1))
+          .map(i => FeatherMutations.relDirOf(snap.files(i)._1))
           .groupBy(identity).map { case (k, v) => k -> v.size }
         added ++= FeatherMutations.routePartitionedInserts(op, face, fs,
           root, out, partCols, tableSchema, prefix, codec,

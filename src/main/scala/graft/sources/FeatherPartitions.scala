@@ -31,7 +31,14 @@ private[graft] object FeatherPartitions {
     * another, silently splitting one logical partition across two
     * directory leaves. Hive escaping %-encodes `/ \ : = % #` etc. but
     * NOT space or '+' — which is why URLEncoder/URLDecoder (space↔'+')
-    * were the wrong pair here. */
+    * were the wrong pair here.
+    *
+    * COMPATIBILITY (pre-release format change, r14): leaves written by
+    * the earlier URL-encoding writer spelled a space as '+' — those
+    * dev-era tables read the '+' literally now and must be rewritten
+    * (the two spellings are indistinguishable in general: a literal
+    * '+' is a legal partition value under both encodings). No released
+    * table carries the old spelling. */
   def escapePath(s: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       .escapePathName(s)

@@ -99,6 +99,32 @@ class PredicateMutationsSpec extends AnyFunSuite {
         s"stamp left), not stay bound: ${snap2.files}")
   }
 
+  test("wall-clock predicates pin one instant per statement and still " +
+       "execute correctly (current_timestamp / current_date)") {
+    import spark.implicits._
+    val path = tmp("clock")
+    val past = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    val future = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
+    (1 to 10).map(i => (i.toLong, if (i <= 4) past else future))
+      .toDF("id", "ts")
+      .repartitionByRange(2, col("id"))
+      .write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(path)
+    // past rows delete; future rows survive — and the pinned literal
+    // keeps the pruning fold, probe, and rewrite on ONE instant
+    val r = PredicateMutations.deleteWhere(spark, path,
+      col("ts") <= current_timestamp())
+    assert(readAll(path).count() === 6)
+    assert(r.version === 2L)
+    // a current_date predicate matching nothing stays a clean no-op
+    val r2 = PredicateMutations.deleteWhere(spark, path,
+      col("ts") <= to_timestamp(lit("1970-01-02")))
+    assert(r2.version === 2L)
+    spark.sql(
+      s"DELETE FROM graft.`$path` WHERE ts > current_timestamp()")
+    assert(readAll(path).count() === 0)
+  }
+
   test("In-list pruning keeps a leaf when an element comparison is " +
        "undecidable (java8 LocalDate filter values vs date chains)") {
     import graft.sources.FeatherPartitions
@@ -149,16 +175,23 @@ class PredicateMutationsSpec extends AnyFunSuite {
   }
 
   test("SQL: DELETE FROM / UPDATE over graft.` ` targets; graft_dv " +
-       "DELETE masks; EXPLAIN never mutates") {
+       "DELETE masks; eager-once command semantics") {
     val path = tmp("sql_dml")
     writeTable(path)
-    val df = spark.sql(
-      s"DELETE FROM graft.`$path` t WHERE t.id % 100 = 0")
-    df.explain()
+    spark.sql(
+      s"EXPLAIN DELETE FROM graft.`$path` t WHERE t.id % 100 = 0")
+      .collect()
     assert(FeatherSnapshots.resolve(fsOf(path), new Path(path), None)
       .get.version === 1L, "EXPLAIN must not mutate")
-    val rep = df.collect()
+    // the statement executes eagerly, once; collect replays the report
+    val df = spark.sql(
+      s"DELETE FROM graft.`$path` t WHERE t.id % 100 = 0")
+    assert(FeatherSnapshots.resolve(fsOf(path), new Path(path), None)
+      .get.version === 2L, "spark.sql must execute the delete eagerly")
+    val rep = df.collect(); df.collect()
     assert(rep.head.getAs[Long]("version") === 2L)
+    assert(FeatherSnapshots.resolve(fsOf(path), new Path(path), None)
+      .get.version === 2L, "re-collect must not re-run")
     assert(readAll(path).count() === 396)
     spark.sql(
       s"""UPDATE graft.`$path` SET grp = 'hot', amt = amt + 0.5

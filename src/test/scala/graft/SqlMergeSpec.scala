@@ -144,17 +144,25 @@ class SqlMergeSpec extends AnyFunSuite {
     }
   }
 
-  test("deferred contract: EXPLAIN and analysis never mutate the table") {
-    val path = tmp("deferred")
+  test("command contract: eager exactly once at statement issue; " +
+       "re-collect replays the cached report; EXPLAIN never mutates") {
+    val path = tmp("command")
     writeTable(path)
     srcView("updates")
-    val df = spark.sql(sqlMerge("graft", path))
-    df.explain() // plans, must not run the merge
+    // EXPLAIN <statement> analyzes under CommandExecutionMode.SKIP
+    spark.sql("EXPLAIN " + sqlMerge("graft", path)).collect()
     assert(FeatherSnapshots.resolve(fsOf(path), new Path(path), None)
       .get.version === 1L, "EXPLAIN must not mutate")
-    df.collect()
+    // the statement itself executes EAGERLY (Delta parity: a ported job
+    // that discards the returned frame must still mutate)
+    val df = spark.sql(sqlMerge("graft", path))
     assert(FeatherSnapshots.resolve(fsOf(path), new Path(path), None)
-      .get.version === 2L, "collect executes the merge")
+      .get.version === 2L, "spark.sql must execute the merge eagerly")
+    // re-collecting replays the CACHED report — never the mutation
+    df.collect(); df.collect()
+    assert(FeatherSnapshots.resolve(fsOf(path), new Path(path), None)
+      .get.version === 2L, "re-collect must not re-run the merge")
+    assert(df.collect().head.getAs[Long]("version") === 2L)
   }
 
   test("loud refusals: non-equi ON, non-key equality, reserved-alias " +
