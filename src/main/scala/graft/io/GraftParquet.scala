@@ -181,29 +181,36 @@ private[graft] object GraftParquet {
     * get/set/restore on another thread. INT96 remains fully READABLE
     * (foreign corpus + maintenance scan); table parts just never WRITE
     * it, keeping footer stats usable. */
-  // one clone per LIVE source session, forked at the first table write
-  // (a partitioned merge writes once per leaf — cloning SessionState
-  // per part write would be pure driver garbage). WEAK keys: a stopped
-  // session and its clone become collectable (the clone holds no
-  // reference back to the parent), so a session-per-job service never
-  // accretes SessionStates. Each write RESYNCS the clone's modifiable
-  // confs from the parent — a post-fork change (ANSI mode, rebase
-  // modes, codec defaults) must reach table-part writes.
+  // one IMMUTABLE clone per (live session, conf fingerprint): clones
+  // are never mutated after the fork, so a write in flight on one
+  // thread can never observe another thread's conf change — when the
+  // parent's runtime conf drifts (ANSI mode, rebase modes, custom
+  // keys), the fingerprint changes and the NEXT write forks a fresh
+  // clone while in-flight writes keep theirs. Both map slots are weak
+  // (the clone strongly references its parent through
+  // parentSessionState→planner, so a weak KEY alone would never
+  // expunge — the value must be a WeakReference too); a collected
+  // clone just re-forks, the cache is best-effort.
   private val MicrosPin =
-    Map("spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
+    "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS"
   private val microsSessions =
-    new java.util.WeakHashMap[SparkSession, SparkSession]()
+    new java.util.WeakHashMap[SparkSession,
+      (Int, java.lang.ref.WeakReference[SparkSession])]()
   private[graft] def withOutputMicros(df: DataFrame): DataFrame = {
     val parent = df.sparkSession
+    val fp = parent.conf.getAll.hashCode()
     val clone = microsSessions.synchronized {
-      Option(microsSessions.get(parent)).getOrElse {
-        val c = org.apache.spark.sql.graft.Bridge.cloneWithConf(parent,
-          MicrosPin.toSeq: _*)
-        microsSessions.put(parent, c)
-        c
-      }
+      Option(microsSessions.get(parent))
+        .collect { case (f, ref) if f == fp => ref.get }
+        .flatMap(Option(_))
+        .getOrElse {
+          val c = org.apache.spark.sql.graft.Bridge
+            .cloneWithConf(parent, MicrosPin)
+          microsSessions.put(parent,
+            (fp, new java.lang.ref.WeakReference(c)))
+          c
+        }
     }
-    org.apache.spark.sql.graft.Bridge.resyncConf(parent, clone, MicrosPin)
     org.apache.spark.sql.graft.Bridge.ofRows(clone,
       df.queryExecution.analyzed)
   }

@@ -60,35 +60,6 @@ object PredicateMutations {
                   set0: Option[Map[String, Column]], dvMask: Boolean,
                   codec: String): Result = {
     val op = if (set0.isDefined) "update" else "delete"
-    // WALL-CLOCK PINNED ONCE per statement: the pruning fold, the
-    // limit-1 probe, and the rewrite/position scan each run as separate
-    // Spark queries — left unpinned, current_timestamp()/current_date()
-    // would evaluate at THREE different instants and pruning could drop
-    // files the executed predicate matches (pruning must never be a
-    // correctness input). Spark/Delta pin one instant per query; a
-    // statement here is one query.
-    val cond0: Option[Column] = condRaw.map { c =>
-      import org.apache.spark.sql.catalyst.expressions._
-      val zone = java.time.ZoneId.of(
-        spark.conf.get("spark.sql.session.timeZone",
-          java.util.TimeZone.getDefault.getID))
-      val nowInstant = java.time.Instant.now()
-      val pinned = org.apache.spark.sql.graft.Bridge
-        .convertedExpression(spark, c).transform {
-          case _: CurrentTimestamp | _: Now =>
-            Literal(org.apache.spark.sql.catalyst.util.DateTimeUtils
-              .instantToMicros(nowInstant), TimestampType)
-          case _: CurrentDate =>
-            Literal(java.time.LocalDate.ofInstant(nowInstant, zone)
-              .toEpochDay.toInt, DateType)
-          case _: LocalTimestamp =>
-            Literal(org.apache.spark.sql.catalyst.util.DateTimeUtils
-              .localDateTimeToMicros(
-                java.time.LocalDateTime.ofInstant(nowInstant, zone)),
-              TimestampNTZType)
-        }
-      org.apache.spark.sql.graft.Bridge.column(pinned)
-    }
     require(!dvMask || set0.isEmpty,
       "updateWhere has no merge-on-read strategy — an update rewrites " +
         "rows; use MERGE (mergeDV / MERGE INTO graft_dv.`..`) for " +
@@ -124,8 +95,66 @@ object PredicateMutations {
       spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
     FeatherMutations.requireNotEmbedded(op, partCols, tableSchema,
       caseSensitive)
+    // WALL-CLOCK PINNED ONCE per statement, in the CONDITION and the
+    // SET values: the pruning fold, the limit-1 probe, and the
+    // rewrite/position scan each run as separate Spark queries — left
+    // unpinned, current_timestamp()/current_date() evaluate at a
+    // different instant per query and pruning could drop files the
+    // executed predicate matches (pruning must never be a correctness
+    // input). The clock functions arrive as UNRESOLVED nodes here —
+    // functions.current_timestamp() lowers to UnresolvedFunction, the
+    // bare SQL keyword to a one-part UnresolvedAttribute (claimed only
+    // when no real column shadows the name, mirroring Spark's
+    // literal-function resolution order) — plus the resolved spellings
+    // for hand-built expressions.
+    val nowInstant = java.time.Instant.now()
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID))
+    def clockLit(name: String)
+        : Option[org.apache.spark.sql.catalyst.expressions.Literal] = {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.util.DateTimeUtils
+      name.toLowerCase match {
+        case "current_timestamp" | "now" =>
+          Some(Literal(DateTimeUtils.instantToMicros(nowInstant),
+            TimestampType))
+        case "current_date" | "curdate" =>
+          Some(Literal(java.time.LocalDate.ofInstant(nowInstant, zone)
+            .toEpochDay.toInt, DateType))
+        case "localtimestamp" =>
+          Some(Literal(DateTimeUtils.localDateTimeToMicros(
+            java.time.LocalDateTime.ofInstant(nowInstant, zone)),
+            TimestampNTZType))
+        case _ => None
+      }
+    }
+    def pinClock(c: Column): Column = {
+      import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+      import org.apache.spark.sql.catalyst.expressions._
+      org.apache.spark.sql.graft.Bridge.column(
+        org.apache.spark.sql.graft.Bridge.convertedExpression(spark, c)
+          .transform {
+            case f: UnresolvedFunction
+                if f.nameParts.length == 1 && f.arguments.isEmpty &&
+                  clockLit(f.nameParts.head).isDefined =>
+              clockLit(f.nameParts.head).get
+            case ua: UnresolvedAttribute
+                if ua.nameParts.length == 1 &&
+                  clockLit(ua.nameParts.head).isDefined &&
+                  !fullSchema.fieldNames.exists(
+                    _.equalsIgnoreCase(ua.nameParts.head)) =>
+              clockLit(ua.nameParts.head).get
+            case _: CurrentTimestamp | _: Now =>
+              clockLit("current_timestamp").get
+            case _: CurrentDate => clockLit("current_date").get
+            case _: LocalTimestamp => clockLit("localtimestamp").get
+          })
+    }
+    val cond0: Option[Column] = condRaw.map(pinClock)
     val set: Map[String, Column] = FeatherMutations.canonicalSet(
       fullSchema, caseSensitive, set0.getOrElse(Map.empty), s"$op: SET")
+      .map { case (k, v) => k -> pinClock(v) }
     set.keys.foreach(c => require(fullSchema.fieldNames.contains(c),
       s"$op: SET names column '$c', not in the table schema " +
         s"(${fullSchema.fieldNames.mkString(", ")})"))
@@ -246,11 +275,11 @@ object PredicateMutations {
       val committed = FeatherSnapshots.commitMutation(fs, root, op, snap,
         droppedRel, added.toSeq, setDvs = bindings)
       val touched = bindings.size + droppedRel.size
-      // partsWritten reports DV sidecars written (+ any stamps) — the
-      // deleteByKeyDV contract; monitoring keyed on parts_written > 0
-      // must read a landed takedown as landed
+      // partsWritten = DV sidecars written, exactly deleteByKeyDV's
+      // accounting (stamps excluded there too) — the two spellings of
+      // one takedown must report identically
       return Result(committed, touched, snap.files.size - touched,
-        bindings.size + added.size)
+        bindings.size)
     }
 
     // ---- copy-on-write ------------------------------------------------------

@@ -69,31 +69,6 @@ object Bridge {
     clone
   }
 
-  /** Re-sync a cached clone's MODIFIABLE runtime confs from its parent
-    * (minus the pinned overrides): the clone forks SQLConf once, so a
-    * later parent-side change (ANSI mode, rebase modes, codec defaults)
-    * must be copied forward or table-part writes run under stale
-    * settings. Static/non-modifiable keys are skipped — they were
-    * inherited at fork time and cannot drift. Cheap relative to any
-    * write job (one settings-map walk). */
-  def resyncConf(parent: org.apache.spark.sql.SparkSession,
-                 clone: org.apache.spark.sql.SparkSession,
-                 pinned: Map[String, String]): Unit = {
-    val p = parent.conf.getAll
-    val c = clone.conf.getAll
-    (c.keySet -- p.keySet -- pinned.keySet).foreach { k =>
-      if (clone.conf.isModifiable(k)) clone.conf.unset(k)
-    }
-    p.foreach { case (k, v) =>
-      if (!pinned.contains(k) && !c.get(k).contains(v) &&
-          clone.conf.isModifiable(k))
-        clone.conf.set(k, v)
-    }
-    pinned.foreach { case (k, v) =>
-      if (!c.get(k).contains(v)) clone.conf.set(k, v)
-    }
-  }
-
   /** Catalyst predicate → data-source `Filter`, via Spark's own
     * translator (`protected[sql]`) — the predicate-mutation tier prunes
     * candidate files with the SAME translation the scans push down, so

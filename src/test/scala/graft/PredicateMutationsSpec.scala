@@ -123,6 +123,36 @@ class PredicateMutationsSpec extends AnyFunSuite {
     spark.sql(
       s"DELETE FROM graft.`$path` WHERE ts > current_timestamp()")
     assert(readAll(path).count() === 0)
+    // SET values pin too: the written instant falls inside the
+    // statement's wall-clock window (a real literal, not a re-planned
+    // per-query clock)
+    val path2 = tmp("clock_set")
+    (1 to 4).map(i => (i.toLong, past)).toDF("id", "ts")
+      .repartition(1).write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(path2)
+    val before = java.sql.Timestamp.from(java.time.Instant.now())
+    PredicateMutations.updateWhere(spark, path2,
+      Map("ts" -> current_timestamp()), Some(col("id") <= 2))
+    val after = java.sql.Timestamp.from(java.time.Instant.now())
+    val got = readAll(path2).where(col("id") <= 2)
+      .select("ts").collect().map(_.getTimestamp(0))
+    assert(got.toSet.size === 1, "one pinned instant for every row")
+    assert(!got.head.before(before) && !got.head.after(after))
+  }
+
+  test("a real column named current_date SHADOWS the clock keyword " +
+       "(mirrors Spark's literal-function resolution order)") {
+    import spark.implicits._
+    val path = tmp("clock_shadow")
+    Seq((1L, "x"), (2L, "y"), (3L, "x"))
+      .toDF("id", "current_date")
+      .repartition(1).write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(path)
+    PredicateMutations.deleteWhere(spark, path,
+      col("current_date") === "x")
+    val left = readAll(path).select("id").collect().map(_.getLong(0))
+    assert(left.toSeq === Seq(2L),
+      "the column reference must not be hijacked by the clock pin")
   }
 
   test("In-list pruning keeps a leaf when an element comparison is " +
