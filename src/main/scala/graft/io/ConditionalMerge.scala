@@ -189,7 +189,7 @@ object ConditionalMerge {
       (new Path(root, rel).toString, len) }
     val absLen = absFiles.toMap
     // data columns from the live footers; partition columns typed by the
-    // SAME long→double→string inference every partitioned READ applies
+    // SAME long→double→date→string inference every partitioned READ applies
     // (FeatherPartitions) — clause expressions see exactly the types a
     // read of this table would produce
     val tableSchema0 = face.mergedSchema(spark, absFiles)
@@ -242,19 +242,31 @@ object ConditionalMerge {
     // SQL statement legally spells `GRADE` for a column stored as
     // `grade`; every clause check and CASE chain below keys on the
     // schema spelling, so the maps must carry it
+    // WALL CLOCK PINNED ONCE per MERGE statement in every clause
+    // condition, SET value, and insert VALUES (the shared
+    // FeatherMutations.pinClock): the probe, the rewrite/position scan,
+    // and routePartitionedInserts' per-leaf writes run as separate
+    // Spark jobs (persist best-effort under eviction), so an unpinned
+    // `SET updated_at = current_timestamp()` could write a DIFFERENT
+    // instant per leaf — one statement, one instant. Shadow names cover
+    // both sides: a table/source column named `current_date` wins over
+    // the bare-keyword spelling, like Spark's own resolution order.
+    val nowInstant = java.time.Instant.now()
+    val pinC: Column => Column = FeatherMutations.pinClock(spark,
+      fullSchema.fieldNames.toSeq ++ m0.source.columns, nowInstant)
     def canonSet(set: Map[String, Column],
                  what: String): Map[String, Column] =
       FeatherMutations.canonicalSet(fullSchema, caseSensitive, set,
-        s"merge: $what")
+        s"merge: $what").map { case (k, v) => k -> pinC(v) }
     def canonAction(a: MatchedAction): MatchedAction = a match {
       case Update(set) => Update(canonSet(set, "an update SET"))
       case other => other
     }
     val m = m0.copy(
-      matched = m0.matched.map { case (c, a) => (c, canonAction(a)) },
+      matched = m0.matched.map { case (c, a) => (c.map(pinC), canonAction(a)) },
       notMatched = m0.notMatched.map { case (c, vs) =>
-        (c, canonSet(vs, "an insert VALUES")) },
-      bySource = m0.bySource.map { case (c, a) => (c, canonAction(a)) })
+        (c.map(pinC), canonSet(vs, "an insert VALUES")) },
+      bySource = m0.bySource.map { case (c, a) => (c.map(pinC), canonAction(a)) })
     // a partitioned insert must NAME its leaf: every explicit VALUES
     // clause lists every partition column (a silently-absent one would
     // route to the null leaf), and insertAll's source must carry them
@@ -328,10 +340,40 @@ object ConditionalMerge {
             "types and lossless upcasts are applied; cast the expression " +
             "explicitly if the narrowing is intended")
       }
-      m.matched.zipWithIndex.foreach {
-        case ((_, Update(set)), i) => set.foreach { case (n, e) =>
-          checkExpr(s"whenMatched clause ${i + 1}", n, e) }
-        case _ => ()
+      // nondeterministic clause expressions are REFUSED (Delta's rule,
+      // for the same reason): conditions and SET/VALUES evaluate in
+      // separate Spark jobs — the limit-1 probe, the rewrite/position
+      // scan, and routePartitionedInserts' distinct() + per-leaf scans
+      // (persist best-effort under eviction/task retry) — so rand()
+      // could fire a clause in the probe and not in the rewrite, or
+      // route a row to one leaf and write another's values. Clock
+      // functions are already pinned to per-statement literals above.
+      // Determinism reads off the RESOLVED tree (unresolved nodes
+      // default to deterministic=true); an expression that does not
+      // resolve against the joined shape is skipped here — the
+      // family-specific resolution checks own that refusal.
+      def checkDet(where: String, e: Column): Unit = {
+        val resolved =
+          try Some(shape.select(e).queryExecution.analyzed)
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        resolved.foreach(p => require(p.expressions.forall(_.deterministic),
+          s"merge: $where is nondeterministic — clause conditions and " +
+            "SET/VALUES evaluate in separate Spark jobs (probe, rewrite, " +
+            "per-leaf routed writes), so a nondeterministic expression " +
+            "can silently duplicate, lose, or mis-route rows; make it " +
+            "deterministic (clock functions are pinned per statement " +
+            "automatically)"))
+      }
+      m.matched.zipWithIndex.foreach { case ((cond, a), i) =>
+        val where = s"whenMatched clause ${i + 1}"
+        cond.foreach(c => checkDet(s"$where's condition", c))
+        a match {
+          case Update(set) => set.foreach { case (n, e) =>
+            checkExpr(where, n, e)
+            checkDet(s"$where's SET of '$n'", e)
+          }
+          case _ => ()
+        }
       }
       // a NOT MATCHED BY SOURCE row HAS no source side: a source.*
       // reference would evaluate to NULL on every row it applies to —
@@ -367,11 +409,15 @@ object ConditionalMerge {
       }
       m.bySource.zipWithIndex.foreach { case ((cond, a), i) =>
         val where = s"whenNotMatchedBySource clause ${i + 1}"
-        cond.foreach(noSourceRefs(s"$where's condition", _))
+        cond.foreach { c =>
+          noSourceRefs(s"$where's condition", c)
+          checkDet(s"$where's condition", c)
+        }
         a match {
           case Update(set) => set.foreach { case (n, e) =>
             noSourceRefs(s"$where's SET of '$n'", e)
             checkExpr(where, n, e)
+            checkDet(s"$where's SET of '$n'", e)
           }
           case _ => ()
         }
@@ -394,10 +440,14 @@ object ConditionalMerge {
       }
       m.notMatched.zipWithIndex.foreach { case ((cond, values), i) =>
         val where = s"whenNotMatched clause ${i + 1}"
-        cond.foreach(noTargetRefs(s"$where's condition", _))
+        cond.foreach { c =>
+          noTargetRefs(s"$where's condition", c)
+          checkDet(s"$where's condition", c)
+        }
         values.foreach { case (n, e) =>
           noTargetRefs(s"$where's VALUES of '$n'", e)
           checkExpr(where, n, e)
+          checkDet(s"$where's VALUES of '$n'", e)
         }
       }
       // updateAll/insertAll implicitly set EVERY table column from the

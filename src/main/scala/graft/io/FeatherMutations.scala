@@ -556,6 +556,67 @@ object FeatherMutations {
     named.toMap
   }
 
+  /** WALL-CLOCK pin, shared by every mutation statement (predicate
+    * DELETE/UPDATE and the clause merge): rewrite clock functions in a
+    * user expression to LITERALS of one per-statement instant. A
+    * mutation evaluates its expressions in several separate Spark jobs
+    * (pruning fold, limit-1 probe, position scan, COW rewrite, and
+    * routePartitionedInserts' distinct() + per-leaf scans, where persist
+    * is only best-effort under eviction/task retry) — left unpinned,
+    * current_timestamp()/current_date() would evaluate at a DIFFERENT
+    * instant per job: pruning could drop files the executed predicate
+    * matches, and a routed write could route on one timestamp and write
+    * another. The clock functions arrive as UNRESOLVED nodes here —
+    * functions.current_timestamp() lowers to UnresolvedFunction, the
+    * bare SQL keyword to a one-part UnresolvedAttribute (claimed only
+    * when no real column in `shadowNames` shadows the name, mirroring
+    * Spark's literal-function resolution order) — plus the resolved
+    * spellings for hand-built expressions. */
+  private[io] def pinClock(spark: SparkSession, shadowNames: Seq[String],
+                           nowInstant: java.time.Instant)
+                          (c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions._
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID))
+    def clockLit(name: String): Option[Literal] = {
+      import org.apache.spark.sql.catalyst.util.DateTimeUtils
+      name.toLowerCase match {
+        case "current_timestamp" | "now" =>
+          Some(Literal(DateTimeUtils.instantToMicros(nowInstant),
+            TimestampType))
+        case "current_date" | "curdate" =>
+          Some(Literal(java.time.LocalDate.ofInstant(nowInstant, zone)
+            .toEpochDay.toInt, DateType))
+        case "localtimestamp" =>
+          Some(Literal(DateTimeUtils.localDateTimeToMicros(
+            java.time.LocalDateTime.ofInstant(nowInstant, zone)),
+            TimestampNTZType))
+        case _ => None
+      }
+    }
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.Bridge.convertedExpression(spark, c)
+        .transform {
+          case f: UnresolvedFunction
+              if f.nameParts.length == 1 && f.arguments.isEmpty &&
+                clockLit(f.nameParts.head).isDefined =>
+            clockLit(f.nameParts.head).get
+          case ua: UnresolvedAttribute
+              if ua.nameParts.length == 1 &&
+                clockLit(ua.nameParts.head).isDefined &&
+                !shadowNames.exists(
+                  _.equalsIgnoreCase(ua.nameParts.head)) =>
+            clockLit(ua.nameParts.head).get
+          case _: CurrentTimestamp | _: Now =>
+            clockLit("current_timestamp").get
+          case _: CurrentDate => clockLit("current_date").get
+          case _: LocalTimestamp => clockLit("localtimestamp").get
+        })
+  }
+
   /** The relative DIRECTORY of a manifest rel path ("" for a root
     * file) — ONE definition (this split existed in four private copies,
     * the same drift class hiveLayout/stampLeaves were extracted for). */

@@ -193,10 +193,15 @@ object GraftIO {
     df.write.mode("overwrite").option("compression", compression).orc(path)
 
   /** to_parquet with partition_cols (cudf/io/parquet.py:262): hive-style
-    * directory partitioning; read-back prunes partitions from the paths. */
+    * directory partitioning; read-back prunes partitions from the paths.
+    * Timestamps write as annotated int64 micros (withOutputMicros — the
+    * session-scoped pin, never a shared-conf mutation) so readParquet's
+    * documented footer-stats row-group pruning works on timestamp
+    * columns; INT96 carries no usable min/max. */
   def writeParquet(df: DataFrame, path: String, partitionCols: Seq[String] = Nil,
                    compression: String = "snappy"): Unit = {
-    val w = df.write.mode("overwrite").option("compression", compression)
+    val w = GraftParquet.withOutputMicros(df)
+      .write.mode("overwrite").option("compression", compression)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 

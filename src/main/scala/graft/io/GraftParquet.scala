@@ -193,12 +193,15 @@ private[graft] object GraftParquet {
   // clone just re-forks, the cache is best-effort.
   private val MicrosPin =
     "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS"
+  // the fingerprint is the conf MAP compared by equality — a hashCode
+  // fingerprint could collide after a conf change (ANSI toggled) and
+  // silently reuse a clone carrying the stale conf for a part write
   private val microsSessions =
     new java.util.WeakHashMap[SparkSession,
-      (Int, java.lang.ref.WeakReference[SparkSession])]()
+      (Map[String, String], java.lang.ref.WeakReference[SparkSession])]()
   private[graft] def withOutputMicros(df: DataFrame): DataFrame = {
     val parent = df.sparkSession
-    val fp = parent.conf.getAll.hashCode()
+    val fp = parent.conf.getAll
     val clone = microsSessions.synchronized {
       Option(microsSessions.get(parent))
         .collect { case (f, ref) if f == fp => ref.get }

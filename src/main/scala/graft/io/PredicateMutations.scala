@@ -40,6 +40,13 @@ import graft.sources.{FeatherPartitions, FeatherSnapshots}
 object PredicateMutations {
   import FeatherMutations.Result
 
+  /** Cap on DV positions a predicate delete may collect to the driver
+    * (10M positions ≈ 80 MB of longs — comfortable; a delete past it
+    * belongs to the COW path anyway). Session conf, overridable per
+    * workload. */
+  val MaxDvPositionsKey = "spark.graft.dv.maxDeletePositions"
+  val MaxDvPositionsDefault: Long = 10000000L
+
   def deleteWhere(spark: SparkSession, path: String, cond: Column,
                   codec: String = "lz4"): Result =
     run(spark, path, Some(cond), set0 = None, dvMask = false, codec)
@@ -96,61 +103,13 @@ object PredicateMutations {
     FeatherMutations.requireNotEmbedded(op, partCols, tableSchema,
       caseSensitive)
     // WALL-CLOCK PINNED ONCE per statement, in the CONDITION and the
-    // SET values: the pruning fold, the limit-1 probe, and the
-    // rewrite/position scan each run as separate Spark queries — left
-    // unpinned, current_timestamp()/current_date() evaluate at a
-    // different instant per query and pruning could drop files the
-    // executed predicate matches (pruning must never be a correctness
-    // input). The clock functions arrive as UNRESOLVED nodes here —
-    // functions.current_timestamp() lowers to UnresolvedFunction, the
-    // bare SQL keyword to a one-part UnresolvedAttribute (claimed only
-    // when no real column shadows the name, mirroring Spark's
-    // literal-function resolution order) — plus the resolved spellings
-    // for hand-built expressions.
+    // SET values (the shared FeatherMutations.pinClock — the pruning
+    // fold, the limit-1 probe, and the rewrite/position scan each run
+    // as separate Spark queries; pruning must never be a correctness
+    // input).
     val nowInstant = java.time.Instant.now()
-    val zone = java.time.ZoneId.of(
-      spark.conf.get("spark.sql.session.timeZone",
-        java.util.TimeZone.getDefault.getID))
-    def clockLit(name: String)
-        : Option[org.apache.spark.sql.catalyst.expressions.Literal] = {
-      import org.apache.spark.sql.catalyst.expressions.Literal
-      import org.apache.spark.sql.catalyst.util.DateTimeUtils
-      name.toLowerCase match {
-        case "current_timestamp" | "now" =>
-          Some(Literal(DateTimeUtils.instantToMicros(nowInstant),
-            TimestampType))
-        case "current_date" | "curdate" =>
-          Some(Literal(java.time.LocalDate.ofInstant(nowInstant, zone)
-            .toEpochDay.toInt, DateType))
-        case "localtimestamp" =>
-          Some(Literal(DateTimeUtils.localDateTimeToMicros(
-            java.time.LocalDateTime.ofInstant(nowInstant, zone)),
-            TimestampNTZType))
-        case _ => None
-      }
-    }
-    def pinClock(c: Column): Column = {
-      import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
-      import org.apache.spark.sql.catalyst.expressions._
-      org.apache.spark.sql.graft.Bridge.column(
-        org.apache.spark.sql.graft.Bridge.convertedExpression(spark, c)
-          .transform {
-            case f: UnresolvedFunction
-                if f.nameParts.length == 1 && f.arguments.isEmpty &&
-                  clockLit(f.nameParts.head).isDefined =>
-              clockLit(f.nameParts.head).get
-            case ua: UnresolvedAttribute
-                if ua.nameParts.length == 1 &&
-                  clockLit(ua.nameParts.head).isDefined &&
-                  !fullSchema.fieldNames.exists(
-                    _.equalsIgnoreCase(ua.nameParts.head)) =>
-              clockLit(ua.nameParts.head).get
-            case _: CurrentTimestamp | _: Now =>
-              clockLit("current_timestamp").get
-            case _: CurrentDate => clockLit("current_date").get
-            case _: LocalTimestamp => clockLit("localtimestamp").get
-          })
-    }
+    val pinClock: Column => Column = FeatherMutations.pinClock(spark,
+      fullSchema.fieldNames.toSeq, nowInstant)
     val cond0: Option[Column] = condRaw.map(pinClock)
     val set: Map[String, Column] = FeatherMutations.canonicalSet(
       fullSchema, caseSensitive, set0.getOrElse(Map.empty), s"$op: SET")
@@ -168,10 +127,29 @@ object PredicateMutations {
     {
       def exprType(c: Column): DataType =
         emptyFrame.select(c).schema.head.dataType
+      // nondeterministic expressions are REFUSED (Delta's rule, for the
+      // same reason): the statement evaluates them in separate Spark
+      // jobs — pruning, the limit-1 probe, the rewrite/position scan,
+      // and routePartitionedInserts' distinct() + per-leaf scans (where
+      // persist is best-effort under eviction/task retry) — so rand()
+      // in a WHERE or SET could silently duplicate or lose rows. The
+      // clock functions are already pinned to per-statement literals
+      // above, so they pass; determinism is checked on the RESOLVED
+      // tree (an UnresolvedFunction reports deterministic=true).
+      def requireDeterministic(what: String, c: Column): Unit =
+        require(emptyFrame.select(c).queryExecution.analyzed.expressions
+            .forall(_.deterministic),
+          s"$op: $what is nondeterministic — the statement evaluates " +
+            "expressions in several separate Spark jobs (pruning, probe, " +
+            "rewrite, partitioned routing), so a nondeterministic " +
+            "expression can silently duplicate or lose rows; make it " +
+            "deterministic (clock functions are pinned per statement " +
+            "automatically)")
       cond0.foreach { c =>
         val dt = exprType(c)
         require(dt == BooleanType,
           s"$op: WHERE predicate is ${dt.catalogString}, not boolean")
+        requireDeterministic("the WHERE predicate", c)
       }
       set.foreach { case (n, e) =>
         val target = fullSchema(n).dataType
@@ -183,6 +161,7 @@ object PredicateMutations {
             s"${actual.catalogString} expression — only exact types and " +
             "lossless upcasts are applied; cast the expression " +
             "explicitly if the narrowing is intended")
+        requireDeterministic(s"the SET of column '$n'", e)
       }
     }
 
@@ -384,7 +363,23 @@ object PredicateMutations {
           }
         scan.join(broadcast(typed), "__fid")
       }
-    FeatherMutations.collectPositions(
-      withParts.where(coalesce(condCol, lit(false))))
+    val matching = withParts.where(coalesce(condCol, lit(false)))
+    // DRIVER-COLLECT GUARD: the masked positions collect to the driver
+    // (that is the DV design — bytes ∝ deleted rows), so a mis-aimed
+    // predicate that selects half a 100-TB table must refuse BEFORE the
+    // collect, not OOM the driver. One count over the same pruned scan
+    // decides; the threshold is a session conf. The extra scan is
+    // takedown-cheap: candidates are already pruned to the predicate's
+    // leaves/files, and a delete large enough for the count to hurt is
+    // past the threshold anyway.
+    val maxPos = spark.conf.get(MaxDvPositionsKey,
+      MaxDvPositionsDefault.toString).toLong
+    val selected = matching.count()
+    require(selected <= maxPos,
+      s"deleteWhereDV on $root: this predicate selects $selected rows, " +
+        s"above the $maxPos-position driver-collect cap " +
+        s"($MaxDvPositionsKey) — use deleteWhere (copy-on-write), where " +
+        "a delete this large pays for its rewrite")
+    FeatherMutations.collectPositions(matching)
   }
 }

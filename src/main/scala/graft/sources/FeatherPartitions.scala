@@ -92,13 +92,22 @@ private[graft] object FeatherPartitions {
   // is a read of the table refuses its own partition values). Timestamps
   // stay strings: their canonical spellings carry ':' which hive-escapes
   // in dir names, so real layouts partition by date, not timestamp.
+  // DATE claims only the CANONICAL yyyy-MM-dd spelling: Date.valueOf
+  // also accepts '2024-1-1', but a leaf written with that spelling
+  // would round-trip through a mutation as the canonical '2024-01-01'
+  // and the rewritten rows would land in a DIFFERENTLY-SPELLED directory
+  // than the surviving files of the same logical partition (reads stay
+  // consistent, layout splits). Value-to-path must be identity; a
+  // non-canonical spelling stays a string partition.
+  private val CanonicalDate = "\\d{4}-\\d{2}-\\d{2}".r
   private def inferType(values: Seq[String]): DataType =
     if (values.nonEmpty && values.forall(v => scala.util.Try(v.toLong).isSuccess))
       LongType
     else if (values.nonEmpty &&
       values.forall(v => scala.util.Try(v.toDouble).isSuccess)) DoubleType
     else if (values.nonEmpty && values.forall(v =>
-      scala.util.Try(java.sql.Date.valueOf(v)).isSuccess)) DateType
+      CanonicalDate.matches(v) &&
+        scala.util.Try(java.sql.Date.valueOf(v)).isSuccess)) DateType
     else StringType
 
   def castValue(v: String, dt: DataType): Any =

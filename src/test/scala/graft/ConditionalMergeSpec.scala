@@ -613,4 +613,71 @@ class ConditionalMergeSpec extends AnyFunSuite {
     assert(after.where(col("id") === 100L).head()
       .getAs[String]("day") === "d9")
   }
+
+  test("a partitioned merge writes ONE wall-clock instant across every " +
+       "leaf (Scala and SQL spellings)") {
+    import spark.implicits._
+    val seedTs = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    def seed(path: String): Unit = {
+      val df = (1 to 30).map(i => (i.toLong, seedTs, s"d${i % 3}"))
+        .toDF("id", "updated_at", "day")
+      graft.io.ParquetTable.write(df, path, partitionBy = Seq("day"))
+    }
+    // every row the statement touched (update or insert), across leaves
+    def distinctTouched(path: String): Long = {
+      val touched = graft.io.ParquetTable.read(spark, path)
+        .where(col("updated_at") =!= lit(seedTs))
+      assert(touched.select("day").distinct().count() >= 2,
+        "the touched rows must span multiple leaves for this to prove " +
+          "anything")
+      touched.select("updated_at").distinct().count()
+    }
+    val source = Seq(1L, 2L, 40L, 41L).toDF("id")
+
+    val p1 = tmp("clock_scala")
+    seed(p1)
+    ConditionalMerge(spark, p1, source, Seq("id"))
+      .whenMatchedUpdate(set = Map("updated_at" -> current_timestamp()))
+      .whenNotMatchedInsert(values = Map("id" -> col("source.id"),
+        "updated_at" -> current_timestamp(), "day" -> lit("d9")))
+      .execute()
+    assert(distinctTouched(p1) === 1L,
+      "one statement, one instant — even across per-leaf routed writes")
+
+    val p2 = tmp("clock_sql")
+    seed(p2)
+    source.createOrReplaceTempView("cm_clock_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$p2` t USING cm_clock_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET updated_at = current_timestamp()
+         |WHEN NOT MATCHED THEN
+         |  INSERT (id, updated_at, day) VALUES (s.id, current_timestamp(), 'd9')
+         |""".stripMargin).collect(): Unit
+    assert(distinctTouched(p2) === 1L, "the SQL spelling pins too")
+  }
+
+  test("nondeterministic clause conditions and SET/VALUES refuse " +
+       "loudly (separate jobs would see different draws)") {
+    val path = tmp("nondet_merge")
+    writeTable(path)
+    val e1 = intercept[IllegalArgumentException] {
+      ConditionalMerge(spark, path, src, Seq("id"))
+        .whenMatchedDelete(Some(rand() < lit(2.0)))
+        .execute()
+    }
+    assert(e1.getMessage.contains("nondeterministic"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      ConditionalMerge(spark, path, src, Seq("id"))
+        .whenMatchedUpdate(set = Map("amt" -> (rand() * 100)))
+        .execute()
+    }
+    assert(e2.getMessage.contains("nondeterministic"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      ConditionalMerge(spark, path, src, Seq("id"))
+        .whenNotMatchedInsert(values = Map("id" -> col("source.id"),
+          "amt" -> rand()))
+        .execute()
+    }
+    assert(e3.getMessage.contains("nondeterministic"), e3.getMessage)
+  }
 }

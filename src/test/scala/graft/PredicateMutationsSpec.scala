@@ -271,6 +271,47 @@ class PredicateMutationsSpec extends AnyFunSuite {
     assert(graft.io.ParquetTable.read(spark, path).count() === 56)
   }
 
+  test("deleteWhereDV refuses above the driver-collect position cap " +
+       "with COW guidance; under the cap the path is unchanged") {
+    val path = tmp("dv_cap")
+    writeTable(path)
+    spark.conf.set(PredicateMutations.MaxDvPositionsKey, "5")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        PredicateMutations.deleteWhereDV(spark, path, col("id") <= 12)
+      }
+      assert(e.getMessage.contains("selects 12 rows") &&
+        e.getMessage.contains("deleteWhere"),
+        s"guard must name the count and the COW alternative: ${e.getMessage}")
+      // the refusal happened BEFORE any commit — version unchanged
+      assert(FeatherSnapshots.resolve(fsOf(path), new Path(path), None)
+        .get.version === 1)
+      // under the cap: same statement shape lands DV sidecars as before
+      val r = PredicateMutations.deleteWhereDV(spark, path, col("id") <= 4)
+      assert(r.partsWritten === 1 && readAll(path).count() === 396)
+    } finally spark.conf.unset(PredicateMutations.MaxDvPositionsKey)
+  }
+
+  test("nondeterministic WHERE / SET refuse loudly (the predicate " +
+       "evaluates in separate jobs; rand() could lose or duplicate rows)") {
+    val path = tmp("nondet")
+    writeTable(path)
+    val e1 = intercept[IllegalArgumentException] {
+      PredicateMutations.deleteWhere(spark, path, rand() < lit(2.0))
+    }
+    assert(e1.getMessage.contains("nondeterministic"))
+    val e2 = intercept[IllegalArgumentException] {
+      PredicateMutations.updateWhere(spark, path,
+        Map("amt" -> rand()), Some(col("id") === 1))
+    }
+    assert(e2.getMessage.contains("nondeterministic"))
+    // pinned clock functions stay legal (they are literals by the time
+    // the determinism check runs)
+    PredicateMutations.deleteWhere(spark, path,
+      col("id") === 1 && current_date() >= lit(java.sql.Date.valueOf("2020-01-01")))
+    assert(readAll(path).count() === 399)
+  }
+
   test("deleting every row leaves a readable empty table with its " +
        "schema (per-leaf stamps keep hive layouts)") {
     import spark.implicits._
