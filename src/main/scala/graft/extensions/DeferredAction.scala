@@ -68,6 +68,33 @@ private[extensions] case class GraftDmlCommand(
     s"GraftDmlCommand $name"
 }
 
+/** The one-row DML report every SQL mutation statement returns
+  * (version, files_touched, files_kept, parts_written), lowered as a
+  * [[GraftDmlCommand]] — shared by the MERGE/UPDATE/DELETE rule and the
+  * INSERT rule so the two spellings of one mutation tier report
+  * identically. */
+private[extensions] object GraftDml {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types._
+
+  def report(name: String)
+            (action: () => graft.io.FeatherMutations.Result): LogicalPlan = {
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("files_touched", IntegerType, nullable = false),
+      StructField("files_kept", IntegerType, nullable = false),
+      StructField("parts_written", IntegerType, nullable = false)))
+    GraftDmlCommand(name,
+      schema.map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+        .toSeq,
+      () => {
+        val r = action()
+        Seq(Row(r.version, r.filesTouched, r.filesKept, r.partsWritten))
+      })
+  }
+}
+
 private[extensions] case class DeferredMaintenanceActionExec(
     name: String,
     output: Seq[Attribute],

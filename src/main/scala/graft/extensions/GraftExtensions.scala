@@ -76,6 +76,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // lowers onto ConditionalMerge, deferred to statement execution
     ext.injectResolutionRule(s => new GraftMergeIntoRule(s))
 
+    // SQL reads (head + VERSION/TIMESTAMP AS OF time travel) and
+    // INSERT INTO / INSERT OVERWRITE over the same graft spellings —
+    // registered AFTER the DML rule so a graft-target statement is
+    // already lowered before this rule's read-claiming runs
+    ext.injectResolutionRule(s => new GraftSqlRelationsRule(s))
+
     // the table-maintenance tier's SQL face (CALL-style table functions:
     // OPTIMIZE / ZORDER / VACUUM / RESTORE / expire / history / CDF)
     GraftTableFunctions.register(ext)

@@ -82,20 +82,7 @@ private[extensions] class GraftMergeIntoRule(spark: SparkSession)
     * CommandExecutionMode.SKIP). */
   private def report(name: String)
                     (action: () => graft.io.FeatherMutations.Result)
-      : LogicalPlan = {
-    val schema = StructType(Seq(
-      StructField("version", LongType, nullable = false),
-      StructField("files_touched", IntegerType, nullable = false),
-      StructField("files_kept", IntegerType, nullable = false),
-      StructField("parts_written", IntegerType, nullable = false)))
-    GraftDmlCommand(name,
-      schema.map(f => AttributeReference(f.name, f.dataType, f.nullable)())
-        .toSeq,
-      () => {
-        val r = action()
-        Seq(Row(r.version, r.filesTouched, r.filesKept, r.partsWritten))
-      })
-  }
+      : LogicalPlan = GraftDml.report(name)(action)
 
   private def normOf: String => String = {
     val caseSensitive =

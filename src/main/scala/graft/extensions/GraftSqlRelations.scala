@@ -1,0 +1,138 @@
+package graft.extensions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DateType, TimestampType}
+
+import graft.sources.FeatherTimeTravel
+
+/** SQL READS and INSERTS over graft tables — the half of the SQL story
+  * the DML rule ([[GraftMergeIntoRule]]) does not claim:
+  *
+  * {{{
+  *   SELECT * FROM graft.`/t`                           -- head read
+  *   SELECT * FROM graft.`/t` VERSION AS OF 3           -- time travel
+  *   SELECT * FROM graft.`/t` TIMESTAMP AS OF '2024-06-01 12:00:00'
+  *   INSERT INTO graft.`/t` SELECT ...                  -- blind append
+  *   INSERT INTO graft.`/t` (id, amt) SELECT ...        -- column list
+  *   INSERT OVERWRITE graft.`/t` PARTITION (day='d1') SELECT ...
+  * }}}
+  *
+  * Spark's OWN parser produces the plans (UnresolvedRelation /
+  * RelationTimeTravel / InsertIntoStatement); this resolution rule
+  * claims the `graft.`-qualified path spelling (`graft_dv.` is
+  * accepted as an alias — the strategy faces only differ where a
+  * mutation can mask) and lowers reads onto the face-dispatched
+  * snapshot read ([[graft.io.TableReads]]) and inserts onto the
+  * append/overwrite commit ([[graft.io.TableInserts]]). Everything
+  * else passes through untouched for Spark's catalog machinery.
+  *
+  * Reads claim ANYWHERE in a query (joins, subqueries, CTEs, a MERGE's
+  * USING side) — with one carve-out: a graft-target DML statement's
+  * target relation belongs to [[GraftMergeIntoRule]] (registered
+  * earlier in the same batch), so those statements pass through here
+  * whole. Time travel pins the version at PLAN time: the frame keeps
+  * reading that version's files even if the table commits underneath
+  * the running query.
+  *
+  * INSERT keeps the Command contract ([[GraftDmlCommand]]): eager,
+  * exactly once, at statement issue; re-collect replays the cached
+  * one-row report; EXPLAIN never mutates. */
+private[extensions] class GraftSqlRelationsRule(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.graft.Bridge
+
+  private val Faces = Set("graft", "graft_dv")
+
+  /** `graft.`/`graft_dv.`-qualified path relation (through an alias). */
+  private def pathOf(t: LogicalPlan): Option[String] = t match {
+    case SubqueryAlias(_, child) => pathOf(child)
+    case UnresolvedRelation(parts, _, _)
+        if parts.length == 2 && Faces(parts.head.toLowerCase) =>
+      Some(parts(1))
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case i: InsertIntoStatement if pathOf(i.table).isDefined =>
+      lowerInsert(i, pathOf(i.table).get)
+    // graft-target DML statements belong to GraftMergeIntoRule — never
+    // resolve the target relation out from under it (its USING side
+    // analyzes independently via ofRows, where this rule applies)
+    case m: MergeIntoTable if pathOf(m.targetTable).isDefined => m
+    case d: DeleteFromTable if pathOf(d.table).isDefined => d
+    case u: UpdateTable if pathOf(u.table).isDefined => u
+    case other => claimReads(other)
+  }
+
+  private def claimReads(plan: LogicalPlan): LogicalPlan =
+    plan.transformUpWithSubqueries {
+      // RelationTimeTravel is a LEAF — its relation is not a child, so
+      // the bare-relation case below never double-claims it
+      case tt: RelationTimeTravel if pathOf(tt.relation).isDefined =>
+        lowerTimeTravel(pathOf(tt.relation).get, tt.timestamp, tt.version)
+      case r: UnresolvedRelation if pathOf(r).isDefined =>
+        readPlan(pathOf(r).get, None, None)
+    }
+
+  /** A fresh read plan per occurrence (a self-join's two branches must
+    * not share attribute ids). */
+  private def readPlan(path: String, versionAsOf: Option[Long],
+                       tsMillis: Option[Long]): LogicalPlan =
+    graft.io.TableReads.read(spark, path, versionAsOf, tsMillis)
+      .queryExecution.logical
+
+  private def lowerTimeTravel(path: String, ts: Option[Expression],
+                              version: Option[String]): LogicalPlan = {
+    def bad(msg: String): Nothing =
+      throw new IllegalArgumentException(
+        s"time travel on graft.`$path`: $msg")
+    val versionAsOf: Option[Long] = version.map(v =>
+      v.toLongOption.getOrElse(
+        bad(s"VERSION AS OF '$v' is not an integer version")))
+    val tsMillis: Option[Long] = ts.map {
+      case e if e.resolved && e.foldable => e.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String =>
+          FeatherTimeTravel.parseTsMillis(s.toString)
+        case micros: java.lang.Long if e.dataType == TimestampType =>
+          Math.floorDiv(micros, 1000L)
+        case days: java.lang.Integer if e.dataType == DateType =>
+          val zone = java.time.ZoneId.of(
+            spark.conf.get("spark.sql.session.timeZone",
+              java.util.TimeZone.getDefault.getID))
+          java.time.LocalDate.ofEpochDay(days.toLong).atStartOfDay(zone)
+            .toInstant.toEpochMilli
+        case other =>
+          bad(s"TIMESTAMP AS OF evaluates to $other " +
+            s"(${e.dataType.catalogString}) — use a timestamp, date, " +
+            "epoch-millis, or ISO/local-datetime string literal")
+      }
+      case e =>
+        bad(s"TIMESTAMP AS OF ${e.sql} is not a literal — the version " +
+          "pins at plan time, so the instant must fold")
+    }
+    readPlan(path, versionAsOf, tsMillis)
+  }
+
+  private def lowerInsert(i: InsertIntoStatement,
+                          path: String): LogicalPlan = {
+    if (i.ifPartitionNotExists)
+      throw new IllegalArgumentException(
+        s"INSERT INTO graft.`$path`: IF NOT EXISTS is not supported — " +
+          "overwrite semantics are per-statement, not per-partition-" +
+          "existence")
+    // the query analyzes independently (graft reads inside it resolve
+    // through this same rule)
+    val query = Bridge.ofRows(spark, i.query)
+    val op = if (i.overwrite) "insert_overwrite" else "insert_into"
+    GraftDml.report(s"$op($path)") { () =>
+      graft.io.TableInserts.insert(spark, path, query,
+        overwrite = i.overwrite, partitionSpec = i.partitionSpec,
+        userCols = i.userSpecifiedCols, byName = i.byName)
+    }
+  }
+}

@@ -500,7 +500,11 @@ object ConditionalMerge {
             }
             when(col("__m_action") === lit(1 + i), setV).otherwise(tail)
         }
-        v.cast(f.dataType).as(f.name)
+        // table nullability stamps the output (a non-nullable SET
+        // literal must not narrow the written footer — see
+        // FeatherMutations.nullableAsTable)
+        FeatherMutations.nullableAsTable(v.cast(f.dataType), f.nullable)
+          .as(f.name)
       }
       joined.withColumn("__m_action", actionId)
         .where(col("__m_action") =!= lit(-1))
@@ -524,7 +528,8 @@ object ConditionalMerge {
               else values.getOrElse(f.name, lit(null))
             when(col("__m_action") === lit(i + 1), insV).otherwise(tail)
         }
-        v.cast(f.dataType).as(f.name)
+        FeatherMutations.nullableAsTable(v.cast(f.dataType), f.nullable)
+          .as(f.name)
       }
       anti.withColumn("__m_action", actionId)
         .where(col("__m_action") =!= lit(Keep))

@@ -572,31 +572,38 @@ object FeatherMutations {
     * when no real column in `shadowNames` shadows the name, mirroring
     * Spark's literal-function resolution order) — plus the resolved
     * spellings for hand-built expressions. */
+  /** The pinned literal for one clock function name at `nowInstant`
+    * (session-zone-aware for the date/local spellings). */
+  private def clockLit(spark: SparkSession,
+                       nowInstant: java.time.Instant)(name: String)
+      : Option[org.apache.spark.sql.catalyst.expressions.Literal] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    lazy val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID))
+    name.toLowerCase match {
+      case "current_timestamp" | "now" =>
+        Some(Literal(DateTimeUtils.instantToMicros(nowInstant),
+          TimestampType))
+      case "current_date" | "curdate" =>
+        Some(Literal(java.time.LocalDate.ofInstant(nowInstant, zone)
+          .toEpochDay.toInt, DateType))
+      case "localtimestamp" =>
+        Some(Literal(DateTimeUtils.localDateTimeToMicros(
+          java.time.LocalDateTime.ofInstant(nowInstant, zone)),
+          TimestampNTZType))
+      case _ => None
+    }
+  }
+
   private[io] def pinClock(spark: SparkSession, shadowNames: Seq[String],
                            nowInstant: java.time.Instant)
                           (c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
     import org.apache.spark.sql.catalyst.expressions._
-    val zone = java.time.ZoneId.of(
-      spark.conf.get("spark.sql.session.timeZone",
-        java.util.TimeZone.getDefault.getID))
-    def clockLit(name: String): Option[Literal] = {
-      import org.apache.spark.sql.catalyst.util.DateTimeUtils
-      name.toLowerCase match {
-        case "current_timestamp" | "now" =>
-          Some(Literal(DateTimeUtils.instantToMicros(nowInstant),
-            TimestampType))
-        case "current_date" | "curdate" =>
-          Some(Literal(java.time.LocalDate.ofInstant(nowInstant, zone)
-            .toEpochDay.toInt, DateType))
-        case "localtimestamp" =>
-          Some(Literal(DateTimeUtils.localDateTimeToMicros(
-            java.time.LocalDateTime.ofInstant(nowInstant, zone)),
-            TimestampNTZType))
-        case _ => None
-      }
-    }
+    val clockLit = this.clockLit(spark, nowInstant) _
     org.apache.spark.sql.graft.Bridge.column(
       org.apache.spark.sql.graft.Bridge.convertedExpression(spark, c)
         .transform {
@@ -615,6 +622,42 @@ object FeatherMutations {
           case _: CurrentDate => clockLit("current_date").get
           case _: LocalTimestamp => clockLit("localtimestamp").get
         })
+  }
+
+  /** Stamp the TABLE's nullability on an output column: a
+    * literal-valued insert would otherwise write a NON-NULLABLE footer
+    * for a column the table holds nulls in elsewhere — and since part
+    * files sort mutation-prefix-first, first-footer schema inference
+    * (mergeSchema=false) would then read the null-bearing generations
+    * under a non-nullable schema and NPE in codegen. KnownNullable is a
+    * no-op tag at execution; it only widens the ANALYZED schema the
+    * part writers derive their footers from. */
+  private[io] def nullableAsTable(c: org.apache.spark.sql.Column,
+                                  nullable: Boolean)
+      : org.apache.spark.sql.Column =
+    if (!nullable) c
+    else org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.KnownNullable(
+        org.apache.spark.sql.graft.Bridge.expression(c)))
+
+  /** [[pinClock]] for a whole ANALYZED frame (the INSERT statement's
+    * query): resolved clock calls anywhere in the plan pin to literals
+    * of one per-statement instant — the routed partitioned write
+    * evaluates the plan in several jobs (distinct() + per-leaf slices,
+    * persist best-effort), and `INSERT ... SELECT current_timestamp()`
+    * must write ONE instant, not one per leaf. Only the RESOLVED
+    * spellings appear in an analyzed plan. */
+  private[io] def pinClockInPlan(spark: SparkSession, df: DataFrame,
+                                 nowInstant: java.time.Instant): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val clockLit = this.clockLit(spark, nowInstant) _
+    val pinned = df.queryExecution.analyzed.transformAllExpressions {
+      case _: CurrentTimestamp | _: Now =>
+        clockLit("current_timestamp").get
+      case _: CurrentDate => clockLit("current_date").get
+      case _: LocalTimestamp => clockLit("localtimestamp").get
+    }
+    org.apache.spark.sql.graft.Bridge.ofRows(spark, pinned)
   }
 
   /** The relative DIRECTORY of a manifest rel path ("" for a root

@@ -82,6 +82,7 @@ object IoQueries extends QueryPack {
     "io_merge_clauses_partitioned", "io_sql_merge",
     "io_sql_merge_evolution",
     "io_sql_delete", "io_sql_update", "io_delete_where_dv",
+    "io_sql_select_version", "io_sql_insert",
     "io_avro_time_travel", "dedup_lsh_incremental")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
@@ -1614,6 +1615,89 @@ object IoQueries extends QueryPack {
         .execute(): Unit
       require(new java.io.File(s"$p/o_orderpriority=9-MOVED").isDirectory,
         "cross-partition move must materialize its target leaf")
+    }
+    graft.io.ParquetTable.read(s, path)
+      .select("o_orderkey", "o_orderpriority", "total")
+      .orderBy("o_orderkey")
+  }
+
+  // SQL TIME TRAVEL (extensions/GraftSqlRelations → io/TableReads):
+  // `VERSION AS OF n` and the plain head read, BOTH in one statement —
+  // the v1 read anti-joins the head, returning exactly the rows the
+  // intervening DELETE removed (the audit query a takedown review runs).
+  // The version pins at plan time onto the face-dispatched snapshot
+  // read. The oracle reconstructs the diff as the delete's own
+  // predicate over the parquet source of truth.
+  register("io_sql_select_version",
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(o_totalprice AS DOUBLE) AS total
+      |FROM orders
+      |WHERE o_orderkey <= 1500 AND CAST(o_totalprice AS DOUBLE) > 200000
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val path = readFixture("sql_select_version", d) { p =>
+      Tables.orders(s, d).filter(col("o_orderkey") <= 1500)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast(DoubleType).as("total"))
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(p)
+      s.sql(s"DELETE FROM graft.`$p` WHERE total > 200000")
+        .collect(): Unit
+    }
+    s.sql(
+      s"""SELECT v.o_orderkey, v.o_orderpriority, v.total
+         |FROM graft.`$path` VERSION AS OF 1 v
+         |LEFT ANTI JOIN graft.`$path` h ON v.o_orderkey = h.o_orderkey
+         |ORDER BY v.o_orderkey""".stripMargin)
+  }
+
+  // SQL INSERT INTO (extensions/GraftSqlRelations → io/TableInserts)
+  // over a HIVE-PARTITIONED parquet table: the positional statement
+  // routes each row to the leaf its LAST column names; the static
+  // `PARTITION (k=v)` spelling pins the partition for every row. Both
+  // commit as blind appends. The oracle is the UNION ALL
+  // reconstruction.
+  register("io_sql_insert",
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(o_totalprice AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderkey <= 1000),
+      |routed AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(o_totalprice AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 1200),
+      |pinned AS (
+      |  SELECT o_orderkey, '9-INS' AS o_orderpriority,
+      |    CAST(o_totalprice AS DOUBLE) * 2 AS total
+      |  FROM orders WHERE o_orderkey > 1200 AND o_orderkey <= 1400)
+      |SELECT * FROM base UNION ALL SELECT * FROM routed
+      |UNION ALL SELECT * FROM pinned
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val path = readFixture("sql_insert", d) { p =>
+      graft.io.ParquetTable.write(
+        Tables.orders(s, d).filter(col("o_orderkey") <= 1000)
+          .select(col("o_orderkey"),
+            col("o_totalprice").cast(DoubleType).as("total"),
+            col("o_orderpriority")),
+        p, partitionBy = Seq("o_orderpriority"))
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") > 1000 && col("o_orderkey") <= 1400)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast(DoubleType).as("total"),
+          col("o_orderpriority"))
+        .createOrReplaceTempView("io_sql_insert_src")
+      s.sql(
+        s"""INSERT INTO graft.`$p`
+           |SELECT o_orderkey, total, o_orderpriority
+           |FROM io_sql_insert_src WHERE o_orderkey <= 1200"""
+          .stripMargin).collect(): Unit
+      s.sql(
+        s"""INSERT INTO graft.`$p` PARTITION (o_orderpriority='9-INS')
+           |SELECT o_orderkey, total * 2
+           |FROM io_sql_insert_src WHERE o_orderkey > 1200"""
+          .stripMargin).collect(): Unit
+      require(new java.io.File(s"$p/o_orderpriority=9-INS").isDirectory,
+        "the static PARTITION spec must materialize its leaf")
     }
     graft.io.ParquetTable.read(s, path)
       .select("o_orderkey", "o_orderpriority", "total")
