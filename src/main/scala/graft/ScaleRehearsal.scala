@@ -490,7 +490,95 @@ object ScaleRehearsal {
       parquetTier(spark, s"$out/parquet")
     if (mode == "all" || mode == "preddml")
       predDmlTier(spark, s"$out/preddml")
+    if (mode == "all" || mode == "replovr")
+      replaceOverwriteTier(spark, s"$out/replovr")
     spark.stop()
+  }
+
+  /** REPLACE-OVERWRITE tier (r15, PredicateMutations.replaceWhere +
+    * TableInserts dynamic partition overwrite): the backfill statements'
+    * structural claims on day-partitioned parquet tables at two scales
+    * (4×) —
+    *  (a) a leaf-aligned replaceWhere rewrites exactly the target
+    *      leaf's files; every OTHER leaf is byte-identical on disk
+    *      (required, not observed), so written bytes ∝ the replaced
+    *      slice, not the table;
+    *  (b) dynamic INSERT OVERWRITE replaces exactly the leaves the
+    *      query's rows land in, same untouched-leaf requirement —
+    *      re-running one day's job at 100 TB swaps one day's files. */
+  def replaceOverwriteTier(spark: SparkSession, out: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val days = 20
+    def leafFiles(dir: String, day: Int): Set[(String, Long)] = {
+      val d = new java.io.File(s"$dir/day=d$day")
+      if (!d.isDirectory) Set.empty
+      else d.listFiles().filter(f => !f.getName.startsWith("_"))
+        .map(f => (f.getName, f.length())).toSet
+    }
+    def tableBytes(dir: String): Long =
+      (0 until days).map(d => leafFiles(dir, d).map(_._2).sum).sum
+    def build(dir: String, n: Long): Unit = {
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      graft.io.ParquetTable.write(
+        spark.range(n).select(col("id"),
+          concat(lit("pay_"), col("id")).as("pay"),
+          concat(lit("d"), col("id") % days).as("day"))
+          .repartition(col("id") % days),
+        dir, partitionBy = Seq("day"))
+    }
+    val results = Seq(1000000L, 4000000L).map { n =>
+      val dir = s"$out/ro_$n"
+      build(dir, n)
+      val before = (0 until days).map(d => d -> leafFiles(dir, d)).toMap
+      val total = tableBytes(dir)
+      // (a) leaf-aligned replaceWhere: recompute day d7 and swap it
+      val fresh = spark.range(n / days)
+        .select((col("id") * days + 7).as("id"),
+          concat(lit("redo_"), col("id")).as("pay"), lit("d7").as("day"))
+      val t0 = System.nanoTime()
+      val r = graft.io.PredicateMutations.replaceWhere(spark, dir, fresh,
+        col("day") === "d7")
+      val rwSec = (System.nanoTime() - t0) / 1e9
+      require(r.filesTouched == before(7).size,
+        s"replaceWhere candidates must be exactly the d7 leaf: $r")
+      (0 until days).filter(_ != 7).foreach { d =>
+        require(leafFiles(dir, d) == before(d),
+          s"replaceWhere must leave day=d$d byte-identical") }
+      val rwNew = leafFiles(dir, 7).map(_._2).sum
+      // (b) dynamic INSERT OVERWRITE swapping two days via SQL
+      spark.range(n / days)
+        .select((col("id") * days + 3).as("id"),
+          concat(lit("ow_"), col("id")).as("pay"),
+          concat(lit("d"), lit(3) + (col("id") % 2) * 8).as("day"))
+        .createOrReplaceTempView("replovr_src") // days d3 and d11
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      val t1 = System.nanoTime()
+      try spark.sql(s"INSERT OVERWRITE graft.`$dir` " +
+        "SELECT id, pay, day FROM replovr_src").collect(): Unit
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      val ovSec = (System.nanoTime() - t1) / 1e9
+      (0 until days).filter(d => d != 3 && d != 7 && d != 11).foreach { d =>
+        require(leafFiles(dir, d) == before(d),
+          s"dynamic overwrite must leave day=d$d byte-identical") }
+      require(leafFiles(dir, 3) != before(3) &&
+          leafFiles(dir, 11) != before(11),
+        "dynamic overwrite must replace exactly the named leaves")
+      val ovNew = leafFiles(dir, 3).map(_._2).sum +
+        leafFiles(dir, 11).map(_._2).sum
+      (n, total, rwSec, rwNew, ovSec, ovNew)
+    }
+    println("REPLOVR tier (leaf-aligned backfill: bytes ∝ the replaced " +
+      "slice, untouched leaves byte-identical — required, not observed):")
+    results.foreach { case (n, total, rw, rwB, ov, ovB) =>
+      println(f"  n=$n%8d tableBytes=$total%11d replaceWhere=$rw%6.2fs " +
+        f"newBytes=$rwB%9d dynOverwrite=$ov%6.2fs newBytes=$ovB%9d")
+    }
   }
 
   /** PREDICATE-DML tier (r14, PredicateMutations): the structural

@@ -62,15 +62,31 @@ object PredicateMutations {
     run(spark, path, cond, Some(set), dvMask = false, codec)
   }
 
-  private def run(spark: SparkSession, path: String,
-                  condRaw: Option[Column],
-                  set0: Option[Map[String, Column]], dvMask: Boolean,
-                  codec: String): Result = {
-    val op = if (set0.isDefined) "update" else "delete"
-    require(!dvMask || set0.isEmpty,
-      "updateWhere has no merge-on-read strategy — an update rewrites " +
-        "rows; use MERGE (mergeDV / MERGE INTO graft_dv.`..`) for " +
-        "mask-and-reinsert semantics")
+  /** Shared table resolution for the predicate statements: snapshot
+    * head, face, hive layout, merged + partition schemas. `requireHive`
+    * refuses non-hive subdirectories for ops that must ROUTE rewritten
+    * rows by partition values (update, replaceWhere); a pure delete only
+    * drops rows and reads any layout. */
+  private case class Resolved(root: Path,
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              snap: FeatherSnapshots.Snapshot,
+                              face: ConnectorFace, partCols: Seq[String],
+                              absFiles: Seq[(String, Long)],
+                              tableSchema: StructType,
+                              partSchema: StructType,
+                              fullSchema: StructType,
+                              caseSensitive: Boolean,
+                              leafByAbs: Map[String, FeatherPartitions.LeafFile]) {
+    def partitioned: Boolean = partCols.nonEmpty
+    def valuesByAbs: Map[String, Seq[(String, String)]] =
+      leafByAbs.map { case (abs, lf) => abs -> lf.values }
+    def dvPathsAll: Map[String, String] =
+      snap.dvs.map { case (rel, (dvRel, _)) =>
+        new Path(root, rel).toString -> new Path(root, dvRel).toString }
+  }
+
+  private def resolveTable(spark: SparkSession, path: String, op: String,
+                           requireHive: Boolean): Resolved = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
@@ -84,9 +100,9 @@ object PredicateMutations {
     val chains = snap.files.map { case (rel, _) => FeatherMutations.relDirOf(rel) }
       .distinct.filter(_.nonEmpty)
     val (hiveChains, partCols) = FeatherPartitions.hiveLayout(chains)
-    require(chains.isEmpty || hiveChains || set0.isEmpty,
+    require(chains.isEmpty || hiveChains || !requireHive,
       s"$op on $path: table has non-hive subdirectories " +
-        s"(${chains.mkString(", ")}) — update routes rewritten rows by " +
+        s"(${chains.mkString(", ")}) — $op routes rewritten rows by " +
         "partition values and needs a hive key=value layout")
     val partitioned = partCols.nonEmpty
     val absFiles = snap.files.map { case (rel, len) =>
@@ -102,6 +118,27 @@ object PredicateMutations {
       spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
     FeatherMutations.requireNotEmbedded(op, partCols, tableSchema,
       caseSensitive)
+    val leafByAbs: Map[String, FeatherPartitions.LeafFile] =
+      discovered.map(_.files.map(lf => lf.file -> lf).toMap)
+        .getOrElse(Map.empty)
+    Resolved(root, fs, snap, face, partCols, absFiles, tableSchema,
+      partSchema, fullSchema, caseSensitive, leafByAbs)
+  }
+
+  private def run(spark: SparkSession, path: String,
+                  condRaw: Option[Column],
+                  set0: Option[Map[String, Column]], dvMask: Boolean,
+                  codec: String): Result = {
+    val op = if (set0.isDefined) "update" else "delete"
+    require(!dvMask || set0.isEmpty,
+      "updateWhere has no merge-on-read strategy — an update rewrites " +
+        "rows; use MERGE (mergeDV / MERGE INTO graft_dv.`..`) for " +
+        "mask-and-reinsert semantics")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val r = resolveTable(spark, path, op, requireHive = set0.isDefined)
+    val Resolved(root, fs, snap, face, partCols, absFiles, tableSchema,
+      partSchema, fullSchema, caseSensitive, leafByAbs) = r
+    val partitioned = r.partitioned
     // WALL-CLOCK PINNED ONCE per statement, in the CONDITION and the
     // SET values (the shared FeatherMutations.pinClock — the pruning
     // fold, the limit-1 probe, and the rewrite/position scan each run
@@ -169,37 +206,7 @@ object PredicateMutations {
     // translatable conjuncts of the RESOLVED predicate; anything the
     // translator cannot express just doesn't prune
     val condFilters: Seq[org.apache.spark.sql.sources.Filter] =
-      cond0.toSeq.flatMap { c =>
-        val analyzed = emptyFrame.where(c).queryExecution.analyzed
-        val resolved = analyzed.collectFirst {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-            f.condition
-        }
-        def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
-            : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
-          e match {
-            case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-              conjuncts(l) ++ conjuncts(r)
-            case other => Seq(other)
-          }
-        // fold foldable subtrees first: analysis leaves `id > CAST(350
-        // AS bigint)` unfolded (the optimizer would fold it, but
-        // optimizing over the empty shape relation would erase the
-        // whole Filter), and the translator only recognizes bare
-        // literals
-        def fold(e: org.apache.spark.sql.catalyst.expressions.Expression) =
-          e.transformUp {
-            case x if x.foldable &&
-                !x.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
-              org.apache.spark.sql.catalyst.expressions.Literal
-                .create(x.eval(null), x.dataType)
-          }
-        resolved.toSeq.flatMap(conjuncts).map(fold).flatMap(e =>
-          org.apache.spark.sql.graft.Bridge.translateFilter(e))
-      }
-    val leafByAbs: Map[String, FeatherPartitions.LeafFile] =
-      discovered.map(_.files.map(lf => lf.file -> lf).toMap)
-        .getOrElse(Map.empty)
+      cond0.toSeq.flatMap(translatedConjuncts(spark, fullSchema, _))
     // stats load whenever pruning can use them OR the DV branch needs
     // exact row counts (bindDvs drops a fully-masked file only when it
     // can PROVE full coverage — an untranslatable predicate must not
@@ -208,26 +215,12 @@ object PredicateMutations {
         : Map[String, Option[Seq[Map[String, FeatherStats.ColStat]]]] =
       if (condFilters.isEmpty && !dvMask) Map.empty
       else FeatherStats.loadForFiles(conf, absFiles)
-    val candidateIdx: Seq[Int] = absFiles.indices.filter { i =>
-      val (abs, _) = absFiles(i)
-      val leafOk = condFilters.isEmpty ||
-        leafByAbs.get(abs).forall(
-          FeatherPartitions.survives(_, partSchema, condFilters))
-      val statsOk = condFilters.isEmpty ||
-        (statsByFile.getOrElse(abs, None) match {
-          case Some(batches) if batches.nonEmpty =>
-            !batches.forall(
-              FeatherStats.batchProvablyEmpty(_, condFilters))
-          case _ => true
-        })
-      leafOk && statsOk
-    }
+    val candidateIdx: Seq[Int] =
+      pruneCandidateIdx(absFiles, condFilters, leafByAbs, partSchema,
+        statsByFile)
     val candidateAbs = candidateIdx.map(absFiles)
-    val dvPathsAll = snap.dvs.map { case (rel, (dvRel, _)) =>
-      new Path(root, rel).toString -> new Path(root, dvRel).toString }
-    val valuesByAbs: Map[String, Seq[(String, String)]] =
-      discovered.map(_.files.map(lf => lf.file -> lf.values).toMap)
-        .getOrElse(Map.empty)
+    val dvPathsAll = r.dvPathsAll
+    val valuesByAbs = r.valuesByAbs
     val targetV = snap.version + 1
     val prefix = FeatherSnapshots.runPrefix(targetV)
     def noOp = Result(snap.version, 0, snap.files.size, 0)
@@ -381,5 +374,255 @@ object PredicateMutations {
         s"($MaxDvPositionsKey) — use deleteWhere (copy-on-write), where " +
         "a delete this large pays for its rewrite")
     FeatherMutations.collectPositions(matching)
+  }
+
+  /** Translatable conjuncts of a RESOLVED predicate, through Spark's
+    * OWN filter translation (`Bridge.translateFilter`) so pruning
+    * semantics can never drift from scan pushdown. Foldable subtrees
+    * fold first: analysis leaves `id > CAST(350 AS bigint)` unfolded
+    * (the optimizer would fold it, but optimizing over the empty shape
+    * relation would erase the whole Filter), and the translator only
+    * recognizes bare literals. Anything untranslatable just doesn't
+    * prune — pruning is an optimization, never a correctness input. */
+  private def translatedConjuncts(spark: SparkSession,
+                                  fullSchema: StructType, cond: Column)
+      : Seq[org.apache.spark.sql.sources.Filter] = {
+    val shape = spark.createDataFrame(new java.util.ArrayList[Row](),
+      fullSchema)
+    val analyzed = shape.where(cond).queryExecution.analyzed
+    val resolved = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+    def fold(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      e.transformUp {
+        case x if x.foldable &&
+            !x.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+          org.apache.spark.sql.catalyst.expressions.Literal
+            .create(x.eval(null), x.dataType)
+      }
+    resolved.toSeq.flatMap(conjuncts).map(fold).flatMap(e =>
+      org.apache.spark.sql.graft.Bridge.translateFilter(e))
+  }
+
+  /** The two-tier conservative candidate filter: a file survives unless
+    * its partition LEAF refutes every translated conjunct or its stats
+    * sidecars prove every row group empty. No filters → every file is a
+    * candidate. */
+  private def pruneCandidateIdx(absFiles: Seq[(String, Long)],
+                                condFilters: Seq[org.apache.spark.sql.sources.Filter],
+                                leafByAbs: Map[String, FeatherPartitions.LeafFile],
+                                partSchema: StructType,
+                                statsByFile: Map[String, Option[Seq[Map[String, FeatherStats.ColStat]]]])
+      : Seq[Int] =
+    absFiles.indices.filter { i =>
+      val (abs, _) = absFiles(i)
+      val leafOk = condFilters.isEmpty ||
+        leafByAbs.get(abs).forall(
+          FeatherPartitions.survives(_, partSchema, condFilters))
+      val statsOk = condFilters.isEmpty ||
+        (statsByFile.getOrElse(abs, None) match {
+          case Some(batches) if batches.nonEmpty =>
+            !batches.forall(
+              FeatherStats.batchProvablyEmpty(_, condFilters))
+          case _ => true
+        })
+      leafOk && statsOk
+    }
+
+  /** Predicate-scoped atomic OVERWRITE — the `replaceWhere` backfill
+    * statement (Delta's `option("replaceWhere", ...)` semantics, as an
+    * API): ONE commit deletes every row `cond` selects and inserts
+    * `data`. The recompute-one-slice-and-swap-it job a daily-partitioned
+    * 100-TB corpus runs — readers see the old slice or the new one,
+    * never a mix, and time travel keeps the old version. (Reference
+    * anchor: the reference replaces a slice by boolean-mask drop +
+    * concat over an in-memory frame, python/cudf/cudf/core/dataframe.py
+    * `drop`/reshape.py `concat`; a distributed table needs the atomic
+    * commit + pruning story instead.)
+    *
+    * Contract (Delta parity):
+    *  - every `data` row must satisfy `cond`, checked BEFORE any write —
+    *    a row outside the predicate would silently grow the replacement
+    *    scope and make the backfill non-idempotent;
+    *  - `cond` must be a deterministic boolean; `data`'s plan must be
+    *    deterministic too (the constraint probe, the routed write's
+    *    distinct() and its per-leaf slices each re-evaluate it; persist
+    *    is best-effort under eviction, the DML triad's rule);
+    *  - clock functions in both pin to one per-statement instant;
+    *  - `data` aligns BY NAME under the lossless-or-exact cast rule;
+    *    columns it does not supply read as NULL (partition columns must
+    *    be supplied); extra columns refuse with evolution guidance.
+    *
+    * Work ∝ selectivity: candidates prune through partition values and
+    * stats sidecars exactly like the DML triad (Spark's own filter
+    * translation), non-candidate files carry through the manifest
+    * untouched, and only candidate rows the predicate does NOT select
+    * rewrite — for the common leaf-aligned backfill that is ~zero rows,
+    * so the write is the new data plus the manifest. Commits as an
+    * `overwrite` under the mutation conflict matrix; a statement that
+    * matches nothing and inserts nothing publishes NO version (the
+    * replay-clean rule). */
+  def replaceWhere(spark: SparkSession, path: String, data: DataFrame,
+                   cond: Column, codec: String = "lz4"): Result = {
+    val op = "replaceWhere"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val r = resolveTable(spark, path, op, requireHive = true)
+    val Resolved(root, fs, snap, face, partCols, absFiles, tableSchema,
+      partSchema, fullSchema, caseSensitive, leafByAbs) = r
+    def bad(msg: String): Nothing =
+      throw new IllegalArgumentException(s"$op on $path: $msg")
+    val nowInstant = java.time.Instant.now()
+    val cond0 = FeatherMutations.pinClock(spark,
+      fullSchema.fieldNames.toSeq, nowInstant)(cond)
+    def emptyFrame = spark.createDataFrame(
+      new java.util.ArrayList[Row](), fullSchema)
+    locally {
+      val dt = emptyFrame.select(cond0).schema.head.dataType
+      if (dt != BooleanType)
+        bad(s"predicate is ${dt.catalogString}, not boolean")
+      if (!emptyFrame.select(cond0).queryExecution.analyzed.expressions
+          .forall(_.deterministic))
+        bad("the predicate is nondeterministic — the statement evaluates " +
+          "it in several separate Spark jobs (pruning, the constraint " +
+          "probe, the survivor rewrite), so a nondeterministic predicate " +
+          "can silently duplicate or lose rows; make it deterministic " +
+          "(clock functions are pinned per statement automatically)")
+      // data's PLAN too: the routed write re-scans it per leaf
+      data.queryExecution.analyzed.find(p =>
+          !p.expressions.forall(_.deterministic)).foreach(_ =>
+        bad("the replacement data's plan is nondeterministic — the " +
+          "constraint probe and the routed write's per-leaf slices " +
+          "re-evaluate it (persist is best-effort under eviction), so " +
+          "rand()/uuid()-shaped data can silently violate the predicate " +
+          "or mis-route rows; materialize the data first (write it to a " +
+          "staging path and read it back)"))
+    }
+    // ---- align data BY NAME -------------------------------------------------
+    val canon = FeatherMutations.canonicalName(fullSchema, caseSensitive) _
+    val aligned0: DataFrame = {
+      val posNames = data.columns.indices.map(i => s"__rw_c$i")
+      val d2 = data.toDF(posNames: _*)
+      val named: Seq[(String, Column, DataType)] =
+        data.schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+          (canon(f.name), d2(posNames(i)), f.dataType) }
+      named.groupBy(_._1).foreach { case (n, vs) =>
+        if (vs.size > 1) bad(s"data supplies column '$n' more than once") }
+      val unknown = named.map(_._1)
+        .filterNot(fullSchema.fieldNames.contains)
+      if (unknown.nonEmpty)
+        bad(s"data supplies column(s) ${unknown.mkString(", ")} not in " +
+          s"the table schema (${fullSchema.fieldNames.mkString(", ")}) — " +
+          "replaceWhere never evolves the schema; evolve via the write " +
+          "API's mergeSchema=true or MERGE WITH SCHEMA EVOLUTION first, " +
+          "or drop the column")
+      val byName = named.map { case (n, c, dt) => n -> (c, dt) }.toMap
+      val cols = fullSchema.fields.toSeq.map { f =>
+        val raw: Column = byName.get(f.name) match {
+          case Some((c, actual)) =>
+            if (!(actual == f.dataType ||
+                org.apache.spark.sql.catalyst.expressions.Cast
+                  .canUpCast(actual, f.dataType)))
+              bad(s"column '${f.name}' (${f.dataType.catalogString}) " +
+                s"from a ${actual.catalogString} expression — only exact " +
+                "types and lossless upcasts are applied; cast the data " +
+                "column explicitly if the narrowing is intended")
+            c.cast(f.dataType)
+          case None =>
+            if (partCols.contains(f.name))
+              bad(s"data does not supply partition column '${f.name}' — " +
+                "an unnamed partition value would route rows to the " +
+                "null leaf")
+            lit(null).cast(f.dataType)
+        }
+        FeatherMutations.nullableAsTable(raw, f.nullable).as(f.name)
+      }
+      d2.select(cols: _*)
+    }
+    val fire: Column = coalesce(cond0, lit(false))
+    // one statement, one instant, even across the probe + routed writes
+    val (ins, ownIns) = ConnectorFace.pinIfUncached(
+      FeatherMutations.pinClockInPlan(spark, aligned0, nowInstant))
+    try {
+      // ---- the scope constraint (before any pruning or write) --------------
+      val insEmpty = ins.limit(1).count() == 0
+      if (!insEmpty && ins.where(!fire).limit(1).count() > 0)
+        bad("the replacement data contains row(s) the predicate does " +
+          "NOT select — every inserted row must satisfy the replaceWhere " +
+          "predicate (otherwise the statement silently grows its own " +
+          "scope); widen the predicate or filter the data")
+      // ---- candidates (the DML triad's two-tier pruning) --------------------
+      val condFilters = translatedConjuncts(spark, fullSchema, cond0)
+      val statsByFile
+          : Map[String, Option[Seq[Map[String, FeatherStats.ColStat]]]] =
+        if (condFilters.isEmpty) Map.empty
+        else FeatherStats.loadForFiles(conf, absFiles)
+      val candidateIdx = pruneCandidateIdx(absFiles, condFilters,
+        leafByAbs, partSchema, statsByFile)
+      val candidateAbs = candidateIdx.map(absFiles)
+      val targetV = snap.version + 1
+      val prefix = FeatherSnapshots.runPrefix(targetV, "rw-")
+      def noOp = Result(snap.version, 0, snap.files.size, 0)
+      val (cand, ownCand) =
+        if (candidateAbs.isEmpty) (emptyFrame, false)
+        else ConnectorFace.pinIfUncached(
+          FeatherMutations.readWithPartValues(spark, face, candidateAbs,
+            r.dvPathsAll, tableSchema, partSchema, r.valuesByAbs))
+      try {
+        // exact limit-1 probe: nothing to delete AND nothing to insert
+        // publishes no version (replay-clean), even when stats could not
+        // refute the match
+        val anyMatch = candidateAbs.nonEmpty &&
+          cand.where(fire).limit(1).count() > 0
+        if (!anyMatch && insEmpty) return noOp
+        // survivors: candidate rows the predicate does NOT select (NULL
+        // keeps, SQL semantics) — non-candidate files never rewrite
+        val out = cand.where(!fire).unionAll(ins)
+        val added = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        if (r.partitioned) {
+          val candPerLeaf: Map[String, Int] = candidateIdx
+            .map(i => FeatherMutations.relDirOf(snap.files(i)._1))
+            .groupBy(identity).map { case (k, v) => k -> v.size }
+          added ++= FeatherMutations.routePartitionedInserts(op, face, fs,
+            root, out, partCols, tableSchema, prefix, codec,
+            partsFor = relDir => candPerLeaf.getOrElse(relDir, 1))
+        } else {
+          val parts = face.writeParts(
+            out.coalesce(math.max(1, candidateAbs.size +
+              (if (insEmpty) 0 else ConnectorFace.capWriteParts(ins)))),
+            root.toString, prefix, codec)
+          if (parts.nonEmpty)
+            FeatherStats.upsertMerged(fs, root,
+              parts.map { case (name, len, js) =>
+                name -> (len, FeatherStats.fromJson(js)) }.toMap)
+          added ++= parts.map { case (name, len, _) => (name, len) }
+        }
+        val removeRel: Set[String] =
+          candidateIdx.map(i => snap.files(i)._1).toSet
+        if (added.isEmpty && snap.files.nonEmpty &&
+            snap.files.forall { case (rel, _) => removeRel(rel) })
+          added ++= FeatherMutations.stampLeaves(face, fs, root,
+            snap.files.map(_._1), prefix, tableSchema)
+        // commits as "overwrite": the snapshot stream's closed op set
+        // treats it exactly like Delta does (new files are novel rows,
+        // replaced rows are not retracted), and CDF is diff-based either
+        // way
+        val committed = FeatherSnapshots.commitMutation(fs, root,
+          "overwrite", snap, removeRel, added.toSeq)
+        Result(committed, candidateIdx.size,
+          snap.files.size - candidateIdx.size, added.size)
+      } finally {
+        if (ownCand) cand.unpersist(blocking = false): Unit
+      }
+    } finally {
+      if (ownIns) ins.unpersist(blocking = false): Unit
+    }
   }
 }

@@ -208,6 +208,20 @@ object TableInserts {
     // best-effort), so resolved clock calls pin to literals first
     val out0 = FeatherMutations.pinClockInPlan(spark,
       q2.select(outCols: _*), java.time.Instant.now())
+    // a PARTITIONED insert re-scans the query per leaf (the routed
+    // write's distinct() + slices; persist is best-effort under
+    // eviction), so a nondeterministic query could route a row by one
+    // evaluation and write another — refuse loudly, the DML triad's
+    // rule. A flat insert writes in one job and stays unguarded
+    // (rand()-valued appends are legal there, as in Spark's own sinks).
+    if (partitioned)
+      query.queryExecution.analyzed.find(p =>
+          !p.expressions.forall(_.deterministic)).foreach(_ =>
+        bad("the query's plan is nondeterministic and the table is " +
+          "hive-partitioned — the routed write re-evaluates the query " +
+          "per leaf, so rand()/uuid()-shaped output can silently " +
+          "duplicate, lose, or mis-route rows; materialize the query " +
+          "first (write it to a staging path and read it back)"))
 
     // ---- write + commit -----------------------------------------------------
     val targetV = snap.version + 1
@@ -226,11 +240,22 @@ object TableInserts {
         scala.util.Try(FeatherPartitions.castValue(leaf, dt)).toOption ==
           scala.util.Try(FeatherPartitions.castValue(v, dt)).toOption
     }
-    val removeRel: Set[String] =
+    val removeRelStatic: Set[String] =
       if (!overwrite) Set.empty
       else if (static.isEmpty) snap.files.map(_._1).toSet
       else snap.files.map(_._1).toSet.filter(rel =>
         matchesSpec(new Path(root, rel).toString))
+    // Spark's OWN partitionOverwriteMode conf decides OVERWRITE scope on
+    // a partitioned table when the static spec leaves partition columns
+    // dynamic: STATIC (the default) replaces the whole table / the
+    // static-spec leaves; DYNAMIC replaces exactly the leaves the
+    // query's rows land in — the backfill contract (re-run one day's
+    // job, swap only that day's leaves), same conf the built-in
+    // partitioned sinks honor. A fully-static spec is static either way.
+    val dynamicOverwrite = overwrite && partitioned &&
+      static.size < partCols.size &&
+      spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        .equalsIgnoreCase("dynamic")
 
     val (out, ownOut) = ConnectorFace.pinIfUncached(out0)
     try {
@@ -260,6 +285,18 @@ object TableInserts {
           stampPart = () => face.stamp(fs, root, prefix, tableSchema))
         Result(committed, 0, snap.files.size, added.size)
       } else {
+        // DYNAMIC victims derive from the WRITTEN leaf dirs — zero extra
+        // jobs, a leaf the query produced no rows for is (correctly)
+        // untouched, and a zero-row dynamic overwrite is a NO-OP, not a
+        // truncation (Spark's own dynamic-mode semantics).
+        val removeRel: Set[String] =
+          if (!dynamicOverwrite) removeRelStatic
+          else {
+            val writtenDirs = added.map { case (rel, _) =>
+              FeatherMutations.relDirOf(rel) }.toSet
+            snap.files.map(_._1).toSet
+              .filter(rel => writtenDirs(FeatherMutations.relDirOf(rel)))
+          }
         if (added.isEmpty && removeRel.isEmpty) return noOp
         // an overwrite that empties the table (or all of it) still
         // leaves a readable schema — the shared per-leaf stamps

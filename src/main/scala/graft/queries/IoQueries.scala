@@ -83,6 +83,7 @@ object IoQueries extends QueryPack {
     "io_sql_merge_evolution",
     "io_sql_delete", "io_sql_update", "io_delete_where_dv",
     "io_sql_select_version", "io_sql_insert",
+    "io_replace_where", "io_insert_overwrite_dynamic",
     "io_avro_time_travel", "dedup_lsh_incremental")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
@@ -1698,6 +1699,117 @@ object IoQueries extends QueryPack {
           .stripMargin).collect(): Unit
       require(new java.io.File(s"$p/o_orderpriority=9-INS").isDirectory,
         "the static PARTITION spec must materialize its leaf")
+    }
+    graft.io.ParquetTable.read(s, path)
+      .select("o_orderkey", "o_orderpriority", "total")
+      .orderBy("o_orderkey")
+  }
+
+  // REPLACE WHERE (io/PredicateMutations.replaceWhere): predicate-scoped
+  // atomic overwrite — ONE commit deletes every row the predicate selects
+  // and inserts the replacement slice (Delta's replaceWhere semantics; the
+  // recompute-one-day-and-swap backfill a partitioned 100-TB corpus runs).
+  // The predicate here is deliberately NOT leaf-aligned (priority leaf AND
+  // a key band) so the survivor-rewrite path exercises: rows of the
+  // candidate leaf outside the band carry into rewritten files, every
+  // OTHER leaf is pinned byte-identical on disk. The oracle rebuilds
+  // kept-plus-replacement relationally from the parquet source of truth.
+  register("io_replace_where",
+    """SELECT o_orderkey, o_orderpriority, total FROM (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(o_totalprice AS DOUBLE) AS total
+      |  FROM orders
+      |  WHERE o_orderkey <= 2000
+      |    AND NOT (o_orderpriority = '1-URGENT' AND o_orderkey <= 1500)
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(o_totalprice AS DOUBLE) * 2 AS total
+      |  FROM orders
+      |  WHERE o_orderkey <= 1500 AND o_orderpriority = '1-URGENT'
+      |) ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val path = readFixture("replace_where", d) { p =>
+      graft.io.ParquetTable.write(
+        Tables.orders(s, d).filter(col("o_orderkey") <= 2000)
+          .select(col("o_orderkey"),
+            col("o_totalprice").cast(DoubleType).as("total"),
+            col("o_orderpriority")),
+        p, partitionBy = Seq("o_orderpriority"))
+      def leafFiles(leaf: String): Set[String] = {
+        val dir = new java.io.File(s"$p/o_orderpriority=$leaf")
+        if (!dir.isDirectory) Set.empty
+        else dir.listFiles().map(f => f.getName -> f.length())
+          .map(_.toString).toSet
+      }
+      val untouchedBefore = leafFiles("5-LOW")
+      val replacement = Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 1500 &&
+          col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast(DoubleType) * 2).as("total"),
+          col("o_orderpriority"))
+      graft.io.PredicateMutations.replaceWhere(s, p, replacement,
+        col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderkey") <= 1500): Unit
+      require(leafFiles("5-LOW") == untouchedBefore,
+        "replaceWhere must leave non-candidate leaves byte-identical")
+    }
+    graft.io.ParquetTable.read(s, path)
+      .select("o_orderkey", "o_orderpriority", "total")
+      .orderBy("o_orderkey")
+  }
+
+  // SQL INSERT OVERWRITE under Spark's OWN dynamic partitionOverwriteMode
+  // (io/TableInserts): with the conf set to `dynamic`, OVERWRITE replaces
+  // exactly the leaves the query's rows land in — the re-run-one-day's-job
+  // backfill contract — instead of truncating the table (the `static`
+  // default, pinned by ReplaceOverwriteSpec). Victims derive from the
+  // WRITTEN leaf dirs, zero extra jobs. The oracle derives the replaced
+  // leaf-set from the source itself (a CTE DISTINCT) so the comparison is
+  // robust at every testdata SF, including leaves the source happens to
+  // produce no rows for (which stay, per Spark's dynamic-mode semantics).
+  register("io_insert_overwrite_dynamic",
+    """WITH src AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(o_totalprice AS DOUBLE) * 3 AS total
+      |  FROM orders
+      |  WHERE o_orderkey > 1000 AND o_orderkey <= 1400
+      |    AND o_orderpriority IN ('1-URGENT', '2-HIGH')),
+      |kept AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(o_totalprice AS DOUBLE) AS total
+      |  FROM orders
+      |  WHERE o_orderkey <= 1000 AND o_orderpriority NOT IN (
+      |    SELECT DISTINCT o_orderpriority FROM src))
+      |SELECT o_orderkey, o_orderpriority, total FROM kept
+      |UNION ALL
+      |SELECT o_orderkey, o_orderpriority, total FROM src
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val path = readFixture("insert_overwrite_dynamic", d) { p =>
+      graft.io.ParquetTable.write(
+        Tables.orders(s, d).filter(col("o_orderkey") <= 1000)
+          .select(col("o_orderkey"),
+            col("o_totalprice").cast(DoubleType).as("total"),
+            col("o_orderpriority")),
+        p, partitionBy = Seq("o_orderpriority"))
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") > 1000 && col("o_orderkey") <= 1400 &&
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast(DoubleType) * 3).as("total"),
+          col("o_orderpriority"))
+        .createOrReplaceTempView("io_dyn_overwrite_src")
+      val confKey = "spark.sql.sources.partitionOverwriteMode"
+      val prior = s.conf.getOption(confKey)
+      s.conf.set(confKey, "dynamic")
+      try
+        s.sql(
+          s"""INSERT OVERWRITE graft.`$p`
+             |SELECT o_orderkey, total, o_orderpriority
+             |FROM io_dyn_overwrite_src""".stripMargin).collect(): Unit
+      finally prior match {
+        case Some(v) => s.conf.set(confKey, v)
+        case None    => s.conf.unset(confKey)
+      }
     }
     graft.io.ParquetTable.read(s, path)
       .select("o_orderkey", "o_orderpriority", "total")

@@ -121,6 +121,16 @@ class DmlPropertySpec extends AnyFunSuite {
                          insertVals: Option[(Option[Pred], Map[String, SE])],
                          bySource: Seq[(Option[Pred], MAct)],
                          dv: Boolean) extends Stmt
+  /** SQL INSERT INTO (blind append) / INSERT OVERWRITE — `dynamic` maps
+    * onto Spark's partitionOverwriteMode conf (leaf-replace on a
+    * partitioned table; adjust() clears it on flat layouts where the
+    * conf has no effect and OVERWRITE replaces the whole table). */
+  private case class Ins(rows: Seq[MR], overwrite: Boolean,
+                         dynamic: Boolean) extends Stmt
+  /** replaceWhere: atomic predicate-scoped overwrite; rows are filtered
+    * to the predicate at GENERATION time (eval == Some(true), the same
+    * Kleene fire the engine's scope constraint enforces). */
+  private case class RepW(p: Pred, rows: Seq[MR]) extends Stmt
 
   // ---- generators -------------------------------------------------------------
   private val genLeaf: Gen[Pred] = Gen.oneOf(
@@ -185,13 +195,35 @@ class DmlPropertySpec extends AnyFunSuite {
     dv <- Gen.oneOf(true, false)
   } yield Mrg(srcRows, matched, ins, bySrc, dv)
 
+  /** Fresh full rows (never-null fields so partitioned routing and the
+    * replaceWhere scope stay well-defined), ids offset above the base
+    * table's range sometimes and overlapping it sometimes. */
+  private def genFullRows(maxId: Long): Gen[Seq[MR]] = for {
+    lo <- Gen.oneOf(Gen.chooseNum(1L, maxId),
+      Gen.chooseNum(maxId + 1, maxId + 200))
+    width <- Gen.chooseNum(4L, 30L)
+  } yield (lo to lo + width).map(i =>
+    MR(i, Some(s"g${i % 4}"), Some(i * 3.0 + 0.25), Some(s"d${i % 3}")))
+
+  private def genIns(maxId: Long): Gen[Stmt] = for {
+    rows <- genFullRows(maxId)
+    overwrite <- Gen.frequency(2 -> Gen.const(false), 1 -> Gen.const(true))
+    dynamic <- Gen.oneOf(true, false)
+  } yield Ins(rows, overwrite, dynamic)
+
+  private def genRepW(maxId: Long): Gen[Stmt] = for {
+    p <- genPred
+    rows0 <- genFullRows(maxId)
+  } yield RepW(p, rows0.filter(r => p.eval(r).contains(true)))
+
   private def genScenario(maxId: Long): Gen[(Int, Seq[MR], Seq[Stmt])] = for {
     face <- Gen.chooseNum(0, 2) // 0 feather flat, 1 parquet flat, 2 parquet partitioned
     n <- Gen.chooseNum(40L, maxId)
     rows = (1L to n).map(i =>
       MR(i, Some(s"g${i % 4}"), Some(i * 1.0), Some(s"d${i % 3}")))
-    stmts <- Gen.listOfN(6, Gen.frequency(
-      2 -> genDel, 2 -> genUpd, 3 -> genMrg(maxId)))
+    stmts <- Gen.listOfN(7, Gen.frequency(
+      2 -> genDel, 2 -> genUpd, 3 -> genMrg(maxId),
+      2 -> genIns(maxId), 1 -> genRepW(maxId)))
   } yield (face, rows, stmts)
 
   // ---- model folds -------------------------------------------------------------
@@ -208,6 +240,15 @@ class DmlPropertySpec extends AnyFunSuite {
         .getOrElse(r.day))
   }
   private def foldModel(rows: Seq[MR], st: Stmt): Seq[MR] = st match {
+    case Ins(fresh, false, _) => rows ++ fresh // blind append
+    case Ins(fresh, true, dynamic) =>
+      if (!dynamic) fresh // static overwrite truncates the whole scope
+      else { // dynamic: replace exactly the leaves the fresh rows land in
+        val days = fresh.flatMap(_.day).toSet
+        rows.filterNot(r => r.day.exists(days)) ++ fresh
+      }
+    case RepW(p, fresh) =>
+      rows.filterNot(r => p.eval(r).getOrElse(false)) ++ fresh
     case Del(p, _) => rows.filterNot(r => p.eval(r).getOrElse(false))
     case Upd(set, p) =>
       rows.map(r => if (fire(p, r)) applySet(r, set, None) else r)
@@ -261,8 +302,10 @@ class DmlPropertySpec extends AnyFunSuite {
 
   /** ONE adjustment both interpreters share: a partitioned insert must
     * name `day` (routed by the source's), a DV merge drops its bySource
-    * clauses, and a merge left with no clauses is skipped (the builder
-    * refuses empty clause lists). */
+    * clauses, a merge left with no clauses is skipped (the builder
+    * refuses empty clause lists), and the dynamic-overwrite flag clears
+    * on flat layouts (the conf has no effect there — OVERWRITE replaces
+    * the whole table either way, which is what the model must fold). */
   private def adjust(st: Stmt, partitioned: Boolean): Option[Stmt] =
     st match {
       case m: Mrg =>
@@ -275,11 +318,34 @@ class DmlPropertySpec extends AnyFunSuite {
         if (a.matched.nonEmpty || a.insertVals.nonEmpty ||
             a.bySource.nonEmpty) Some(a)
         else None
+      case i: Ins if !partitioned => Some(i.copy(dynamic = false))
       case other => Some(other)
     }
 
+  private def withOverwriteMode[A](mode: String)(body: => A): A = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, mode)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private def runStmt(path: String, st: Stmt): Unit =
     st match {
+      case Ins(fresh, overwrite, dynamic) =>
+        toDf(fresh).createOrReplaceTempView("dml_prop_ins_src")
+        val verb = if (overwrite) "INSERT OVERWRITE" else "INSERT INTO"
+        val sql = s"$verb graft.`$path` " +
+          "SELECT id, grp, amt, day FROM dml_prop_ins_src"
+        withOverwriteMode(if (dynamic) "dynamic" else "static") {
+          spark.sql(sql).collect(): Unit
+        }
+      case RepW(p, fresh) =>
+        PredicateMutations.replaceWhere(spark, path, toDf(fresh),
+          p.col(unq)): Unit
       case Del(p, dv) =>
         if (dv) PredicateMutations.deleteWhereDV(spark, path, p.col(unq))
         else PredicateMutations.deleteWhere(spark, path, p.col(unq))
