@@ -513,7 +513,8 @@ object ScaleRehearsal {
     def leafFiles(dir: String, day: Int): Set[(String, Long)] = {
       val d = new java.io.File(s"$dir/day=d$day")
       if (!d.isDirectory) Set.empty
-      else d.listFiles().filter(f => !f.getName.startsWith("_"))
+      else d.listFiles().filter(f => !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")) // .crc checksum shadows
         .map(f => (f.getName, f.length())).toSet
     }
     def tableBytes(dir: String): Long =
@@ -540,8 +541,12 @@ object ScaleRehearsal {
       val r = graft.io.PredicateMutations.replaceWhere(spark, dir, fresh,
         col("day") === "d7")
       val rwSec = (System.nanoTime() - t0) / 1e9
-      require(r.filesTouched == before(7).size,
-        s"replaceWhere candidates must be exactly the d7 leaf: $r")
+      // the leaf sets above include the .stats.json sidecars (byte-pinned
+      // too); the manifest candidate count compares DATA files only
+      val d7Data = before(7).count(_._1.endsWith(".parquet"))
+      require(r.filesTouched == d7Data,
+        s"replaceWhere candidates must be exactly the d7 leaf " +
+          s"($d7Data data files): $r")
       (0 until days).filter(_ != 7).foreach { d =>
         require(leafFiles(dir, d) == before(d),
           s"replaceWhere must leave day=d$d byte-identical") }
