@@ -252,6 +252,28 @@ private[extensions] object GraftTableFunctions {
       StructField("snapshots_removed", LongType, nullable = false),
       StructField("files_removed", LongType, nullable = false)))
 
+    tvf("graft_copy_into",
+      "graft_copy_into(path, sourceDir, format[, pattern]) - idempotent " +
+        "batch file ingestion: diff the source directory against the " +
+        "table's copy ledger and append only never-ingested files") { args =>
+      require(args.size >= 3 && args.size <= 4,
+        "graft_copy_into(path, sourceDir, format[, pattern])")
+      val n = "graft_copy_into"
+      val path = str(n, "path", args(0))
+      val src = str(n, "sourceDir", args(1))
+      val fmt = str(n, "format", args(2))
+      val pat = if (args.size > 3) Some(str(n, "pattern", args(3))) else None
+      deferred(n, StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("files_ingested", LongType, nullable = false),
+        StructField("files_skipped", LongType, nullable = false),
+        StructField("bytes_source", LongType, nullable = false)))) { () =>
+        val r = graft.io.CopyInto.run(spark, path, src, fmt, pattern = pat)
+        Seq(r.version, r.filesIngested.toLong, r.filesSkipped.toLong,
+          r.bytesSource)
+      }
+    }
+
     tvf("graft_expire",
       "graft_expire(path, keepLast) - retire all but the last N " +
         "versions and delete files only they referenced") { args =>

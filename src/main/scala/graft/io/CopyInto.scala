@@ -1,0 +1,285 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.FeatherSnapshots
+
+/** COPY INTO — idempotent batch file ingestion into a snapshot table
+  * (the operational loader statement: Delta/Snowflake `COPY INTO`
+  * semantics). Re-running never double-ingests: each run lists the
+  * source directory, diffs against a per-table LEDGER of
+  * already-ingested source paths, reads only the new files, and lands
+  * them as ONE append commit. A crawl pipeline re-runs its loader after
+  * every failure without bookkeeping of its own. (Reference anchor: the
+  * reference reads files eagerly per call — `python/cudf/cudf/io/
+  * parquet.py read_parquet`, `csv.py read_csv` — and leaves
+  * already-seen tracking to the caller; a distributed 100-TB ingest
+  * needs the exactly-once ledger in the table itself.)
+  *
+  * Exactly-once protocol (`_copy/` beside `_snapshots/`):
+  *  1. `intent-v{K+1}.json` is written CREATE-EXCLUSIVE before any read
+  *     — two concurrent copiers serialize here; the loser refuses
+  *     loudly instead of double-ingesting.
+  *  2. The batch reads through Spark's own format readers and appends
+  *     via the shared INSERT alignment/routing (by-name, lossless-cast
+  *     rule, per-leaf partitioned routing), with every part name
+  *     carrying a DIGEST of the sorted new-file list.
+  *  3. `ledger-v{K+1}.json` (the cumulative ingested set) publishes,
+  *     then the intent deletes.
+  * Crash healing: an intent without its ledger is resolved on the next
+  * run — if parts tagged with the intent's digest exist in a retained
+  * version, the batch COMMITTED and the ledger is rewritten from the
+  * intent (never re-ingesting); if no tagged parts exist the batch
+  * never landed, and the run refuses by default (an in-flight copier
+  * looks the same) unless `healStale = true` discards the intent.
+  *
+  * Scale: ledger bytes are O(ingested source files) — the same order
+  * as a checkpoint manifest; listing is one directory scan; only NEW
+  * files are read (work ∝ the batch, not the table or the source
+  * history); the append commits through the normal conflict matrix.
+  *
+  * Contract notes: source files are keyed by PATH (the Delta COPY INTO
+  * contract) — a file rewritten in place under the same name is NOT
+  * re-ingested; for csv/json the table's schema is imposed on the
+  * reader (csv sources must carry the table's columns in table order,
+  * json aligns by name); self-describing formats (parquet/orc/avro/
+  * feather) align by name with missing columns reading NULL and extra
+  * columns refusing (a COPY never evolves the schema by accident). */
+object CopyInto {
+
+  final case class Report(version: Long, filesIngested: Int,
+                          filesSkipped: Int, bytesSource: Long)
+
+  private val LedgerDir = "_copy"
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def ledgerPath(root: Path, k: Long) =
+    new Path(new Path(root, LedgerDir), f"ledger-v$k%08d.json")
+  private def intentPath(root: Path, k: Long) =
+    new Path(new Path(root, LedgerDir), f"intent-v$k%08d.json")
+
+  private def readJson(fs: FileSystem, p: Path)
+      : com.fasterxml.jackson.databind.JsonNode = {
+    val in = fs.open(p)
+    val txt =
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    mapper.readTree(txt)
+  }
+
+  /** Create-exclusive JSON write — the same publish primitive the
+    * manifests use, so two copiers (or a copier and a replay) can
+    * never both claim the same ledger slot. */
+  private def writeExclusive(fs: FileSystem, p: Path, json: String)
+      : Boolean =
+    try {
+      val out = fs.create(p, false)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+
+  private def filesArray(paths: Seq[String]): String = {
+    val arr = mapper.createArrayNode()
+    paths.foreach(arr.add)
+    mapper.writeValueAsString(arr)
+  }
+
+  /** Latest ledger number and its cumulative ingested set (empty when
+    * no COPY ever ran), plus any unresolved intent numbers > K. */
+  private def loadLedger(fs: FileSystem, root: Path)
+      : (Long, Set[String], Seq[Long]) = {
+    val dir = new Path(root, LedgerDir)
+    if (!fs.exists(dir)) return (0L, Set.empty, Nil)
+    val names = fs.listStatus(dir).map(_.getPath.getName).toSeq
+    val ledgers = names.collect {
+      case n if n.startsWith("ledger-v") && n.endsWith(".json") =>
+        n.stripPrefix("ledger-v").stripSuffix(".json").toLong }
+    val k = if (ledgers.isEmpty) 0L else ledgers.max
+    val ingested: Set[String] =
+      if (ledgers.isEmpty) Set.empty
+      else {
+        val n = readJson(fs, ledgerPath(root, k)).get("files")
+        (0 until n.size()).map(n.get(_).asText()).toSet
+      }
+    val intents = names.collect {
+      case nm if nm.startsWith("intent-v") && nm.endsWith(".json") =>
+        nm.stripPrefix("intent-v").stripSuffix(".json").toLong }
+      .filter(_ > k).sorted
+    // stale intents at or below the ledger head were superseded by a
+    // successful publish that crashed before its cleanup delete
+    names.collect {
+      case nm if nm.startsWith("intent-v") && nm.endsWith(".json") =>
+        nm.stripPrefix("intent-v").stripSuffix(".json").toLong }
+      .filter(_ <= k)
+      .foreach(v => fs.delete(intentPath(root, v), false))
+    (k, ingested, intents)
+  }
+
+  private def sha12(parts: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    parts.sorted.foreach(p => md.update(p.getBytes("UTF-8")))
+    md.digest().take(6).map(b => f"$b%02x").mkString
+  }
+
+  /** Did the digest-tagged batch land? Scans the retained versions
+    * AFTER the intent's recorded head — the crash window is one run,
+    * so this is a handful of manifests, newest first for the common
+    * immediate-restart case. */
+  private def committedVersion(fs: FileSystem, root: Path,
+                               afterVersion: Long, digest: String)
+      : Option[Long] = {
+    val latest = FeatherSnapshots.latestVersion(fs, root).getOrElse(0L)
+    val tag = s"copy-$digest-"
+    (latest to math.max(afterVersion + 1, 1L) by -1L).find { v =>
+      scala.util.Try(FeatherSnapshots.read(fs, root, v).files
+        .exists(_._1.contains(tag))).getOrElse(false)
+    }
+  }
+
+  /** List the source: recursive, hidden files skipped, optional GLOB
+    * on the file NAME. Returns (absolute path, byte length). */
+  private def listSource(fs: FileSystem, src: Path,
+                         pattern: Option[String]): Seq[(String, Long)] = {
+    val glob = pattern.map(new org.apache.hadoop.fs.GlobPattern(_))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    // hidden segments (_SUCCESS, _snapshots/, .crc) are judged BELOW the
+    // source root only — a source dir that itself lives under a
+    // _staging/-style ancestor must not silently list empty
+    val rootPrefix = fs.makeQualified(src).toString.stripSuffix("/") + "/"
+    val it = fs.listFiles(src, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      val rel = st.getPath.toString.stripPrefix(rootPrefix)
+      val hidden = rel.split('/').exists(s =>
+        s.startsWith("_") || s.startsWith("."))
+      if (!hidden && st.isFile && glob.forall(_.matches(name)))
+        out += ((st.getPath.toString, st.getLen))
+    }
+    out.sortBy(_._1).toSeq
+  }
+
+  def run(spark: SparkSession, path: String, sourceDir: String,
+          format: String, options: Map[String, String] = Map.empty,
+          pattern: Option[String] = None, healStale: Boolean = false,
+          codec: String = "lz4"): Report = {
+    val op = "COPY INTO"
+    def bad(msg: String): Nothing =
+      throw new IllegalArgumentException(s"$op graft.`$path`: $msg")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    require(FeatherSnapshots.enabled(fs, root),
+      s"$op on $path, which has no ${FeatherSnapshots.Dir} directory — " +
+        "COPY INTO ingests into an EXISTING table; create one with the " +
+        "write APIs or option(\"snapshots\", \"true\") first")
+    val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
+      sys.error(s"$op on $path: no snapshot versions"))
+    val fmt = format.toLowerCase(java.util.Locale.ROOT)
+    val knownFmts = Set("parquet", "orc", "avro", "json", "csv", "feather")
+    if (!knownFmts(fmt))
+      bad(s"unknown source format '$format' (one of " +
+        s"${knownFmts.toSeq.sorted.mkString(", ")})")
+
+    // ---- ledger + crash healing --------------------------------------------
+    val (k0, ingested0, intents) = loadLedger(fs, root)
+    var k = k0
+    var ingested = ingested0
+    intents.foreach { iv =>
+      val in = readJson(fs, intentPath(root, iv))
+      val digest = in.get("digest").asText()
+      val after = in.get("headVersion").asText().toLong
+      val files = {
+        val a = in.get("files")
+        (0 until a.size()).map(a.get(_).asText())
+      }
+      committedVersion(fs, root, after, digest) match {
+        case Some(v) =>
+          // the batch COMMITTED; the crash hit between commit and
+          // ledger publish — heal the ledger from the intent, never
+          // re-ingesting
+          val node = mapper.createObjectNode()
+          node.put("commitVersion", v)
+          node.set[com.fasterxml.jackson.databind.JsonNode]("files",
+            mapper.readTree(filesArray((ingested ++ files).toSeq.sorted)))
+          if (!writeExclusive(fs, ledgerPath(root, iv),
+              mapper.writeValueAsString(node)))
+            bad(s"healing intent v$iv: ledger slot already taken — " +
+              "another copier is resolving the same crash; retry")
+          fs.delete(intentPath(root, iv), false)
+          k = iv
+          ingested ++= files
+        case None if healStale =>
+          // never landed: crash residue before the commit — discard
+          fs.delete(intentPath(root, iv), false)
+        case None =>
+          bad(s"unresolved COPY intent v$iv (digest $digest) with no " +
+            "committed parts — another COPY INTO may be IN FLIGHT on " +
+            "this table, or a previous one crashed before its commit. " +
+            "If no copier is running, re-run with healStale = true to " +
+            "discard the stale intent")
+      }
+    }
+
+    // ---- diff the source against the ledger ---------------------------------
+    val srcRoot = new Path(sourceDir)
+    val srcFs = srcRoot.getFileSystem(conf)
+    require(srcFs.exists(srcRoot), s"$op: source $sourceDir does not exist")
+    val listed = listSource(srcFs, srcRoot, pattern)
+    val fresh = listed.filterNot { case (p, _) => ingested(p) }
+    val skipped = listed.size - fresh.size
+    if (fresh.isEmpty) return Report(snap.version, 0, skipped, 0L)
+    val digest = sha12(fresh.map(_._1))
+
+    // ---- claim the batch (serializes concurrent copiers) --------------------
+    fs.mkdirs(new Path(root, LedgerDir))
+    val intentNode = mapper.createObjectNode()
+    intentNode.put("headVersion", snap.version)
+    intentNode.put("digest", digest)
+    intentNode.set[com.fasterxml.jackson.databind.JsonNode]("files",
+      mapper.readTree(filesArray(fresh.map(_._1))))
+    if (!writeExclusive(fs, intentPath(root, k + 1),
+        mapper.writeValueAsString(intentNode)))
+      bad(s"another COPY INTO is in flight on this table (intent " +
+        s"v${k + 1} exists); retry after it finishes")
+
+    try {
+      // ---- read ONLY the new files and append as one tagged commit ----------
+      // csv/json impose the TABLE's schema (csv columns must arrive in
+      // table order; json aligns by name); self-describing formats carry
+      // their own and align by name in the shared insert path
+      val needSchema = fmt == "csv" || fmt == "json"
+      val fullSchema = TableInserts.tableFullSchema(spark, path)
+      var reader = spark.read.format(fmt).options(options)
+      if (needSchema) reader = reader.schema(fullSchema)
+      val df: DataFrame = reader.load(fresh.map(_._1): _*)
+      // the imposed schema (csv/json) and self-describing sources both
+      // arrive table-named — BY NAME alignment covers every format
+      val r = TableInserts.insert(spark, path, df, overwrite = false,
+        byName = true, codec = codec, tag = s"copy-$digest-")
+      // ---- publish the ledger, release the intent ----------------------------
+      val node = mapper.createObjectNode()
+      node.put("commitVersion", r.version)
+      node.set[com.fasterxml.jackson.databind.JsonNode]("files",
+        mapper.readTree(filesArray(
+          (ingested ++ fresh.map(_._1)).toSeq.sorted)))
+      if (!writeExclusive(fs, ledgerPath(root, k + 1),
+          mapper.writeValueAsString(node)))
+        bad(s"ledger v${k + 1} already exists after this run's commit — " +
+          "the _copy directory was modified concurrently; the batch " +
+          s"committed as v${r.version} (digest $digest); heal on the " +
+          "next run")
+      fs.delete(intentPath(root, k + 1), false)
+      Report(r.version, fresh.size, skipped, fresh.map(_._2).sum)
+    } catch {
+      case e: Throwable =>
+        // a refusal BEFORE any commit must not leave a blocking intent;
+        // a crash (process death) cannot reach here and heals next run
+        if (committedVersion(fs, root, snap.version, digest).isEmpty)
+          fs.delete(intentPath(root, k + 1), false)
+        throw e
+    }
+  }
+}

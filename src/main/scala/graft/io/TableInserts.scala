@@ -49,11 +49,32 @@ import graft.sources.{FeatherPartitions, FeatherSnapshots}
 object TableInserts {
   import FeatherMutations.Result
 
+  /** The table's merged schema, data columns first and hive partition
+    * columns last — what a COPY INTO must impose on schemaless source
+    * reads (csv/json). One snapshot resolution, no data read. */
+  def tableFullSchema(spark: SparkSession, path: String): StructType = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
+      sys.error(s"tableFullSchema on $path: no snapshot versions"))
+    val face = ConnectorFace.detect(snap.files, "tableFullSchema", path)
+    val tableSchema = face.mergedSchema(spark,
+      snap.files.map { case (rel, len) =>
+        (new Path(root, rel).toString, len) })
+    val chains = snap.files.map { case (rel, _) =>
+      FeatherMutations.relDirOf(rel) }.distinct.filter(_.nonEmpty)
+    val (hiveChains, _) = FeatherPartitions.hiveLayout(chains)
+    val partSchema =
+      if (chains.isEmpty || !hiveChains) new StructType()
+      else FeatherSnapshots.toDiscovered(root, snap).partSchema
+    StructType(tableSchema.fields ++ partSchema.fields)
+  }
+
   def insert(spark: SparkSession, path: String, query: DataFrame,
              overwrite: Boolean,
              partitionSpec: Map[String, Option[String]] = Map.empty,
              userCols: Seq[String] = Nil, byName: Boolean = false,
-             codec: String = "lz4"): Result = {
+             codec: String = "lz4", tag: String = "ins-"): Result = {
     val op = if (overwrite) "INSERT OVERWRITE" else "INSERT INTO"
     def bad(msg: String): Nothing =
       throw new IllegalArgumentException(s"$op graft.`$path`: $msg")
@@ -225,7 +246,7 @@ object TableInserts {
 
     // ---- write + commit -----------------------------------------------------
     val targetV = snap.version + 1
-    val prefix = FeatherSnapshots.runPrefix(targetV, "ins-")
+    val prefix = FeatherSnapshots.runPrefix(targetV, tag)
     def noOp = Result(snap.version, 0, snap.files.size, 0)
     val valuesByAbs: Map[String, Seq[(String, String)]] =
       discovered.map(_.files.map(lf => lf.file -> lf.values).toMap)

@@ -83,7 +83,7 @@ object IoQueries extends QueryPack {
     "io_sql_merge_evolution",
     "io_sql_delete", "io_sql_update", "io_delete_where_dv",
     "io_sql_select_version", "io_sql_insert",
-    "io_replace_where", "io_insert_overwrite_dynamic",
+    "io_replace_where", "io_insert_overwrite_dynamic", "io_copy_into",
     "io_avro_time_travel", "dedup_lsh_incremental")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
@@ -1812,6 +1812,57 @@ object IoQueries extends QueryPack {
       }
     }
     graft.io.ParquetTable.read(s, path)
+      .select("o_orderkey", "o_orderpriority", "total")
+      .orderBy("o_orderkey")
+  }
+
+  // COPY INTO (io/CopyInto): idempotent batch file ingestion — the
+  // loader statement a crawl pipeline re-runs after every failure. The
+  // fixture ingests batch A, re-runs (must be a version-clean NO-OP —
+  // the ledger diff), drops batch B beside A, and re-runs again (only
+  // B's files read). The oracle is the UNION reconstruction; the
+  // exactly-once pins (no duplicate A rows after three runs) are what
+  // the hash compare verifies.
+  register("io_copy_into",
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(o_totalprice AS DOUBLE) AS total
+      |FROM orders WHERE o_orderkey <= 1400
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val path = readFixture("copy_into", d) { p =>
+      Tables.orders(s, d).filter(col("o_orderkey") <= 1000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast(DoubleType).as("total"))
+        .repartitionByRange(3, col("o_orderkey"))
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(p)
+      // readFixture wipes only the fixture path: the source dir must
+      // reset too, or a fresh JVM's rebuild ingests LAST JVM's batches
+      // (uuid-named parts) beside its own
+      val src = s"${p}_src"
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(wipe)
+        f.delete(): Unit
+      }
+      wipe(new java.io.File(src))
+      def batch(lo: Long, hi: Long): Unit =
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice").cast(DoubleType).as("total"))
+          .coalesce(1).write.mode("append").parquet(src)
+      batch(1000, 1200)
+      val r1 = graft.io.CopyInto.run(s, p, src, "parquet")
+      require(r1.filesIngested == 1, s"batch A must ingest: $r1")
+      val r2 = graft.io.CopyInto.run(s, p, src, "parquet")
+      require(r2.filesIngested == 0 && r2.filesSkipped == 1 &&
+          r2.version == r1.version,
+        s"the re-run must be a version-clean no-op: $r2")
+      batch(1200, 1400)
+      val r3 = graft.io.CopyInto.run(s, p, src, "parquet")
+      require(r3.filesIngested == 1 && r3.filesSkipped == 1,
+        s"only batch B's file is new: $r3")
+    }
+    s.read.format("feather").load(path)
       .select("o_orderkey", "o_orderpriority", "total")
       .orderBy("o_orderkey")
   }
