@@ -86,8 +86,41 @@ object CopyInto {
     mapper.writeValueAsString(arr)
   }
 
-  /** Latest ledger number and its cumulative ingested set (empty when
-    * no COPY ever ran), plus any unresolved intent numbers > K. */
+  /** Every [[CheckpointEvery]]-th ledger entry is a CHECKPOINT carrying
+    * the complete cumulative set; the rest are DELTAS carrying only
+    * their batch — per-run write bytes stay O(batch), and reconstruction
+    * folds ≤ CheckpointEvery entries (the manifest tier's delta-log
+    * shape). A checkpoint also deletes the entries BELOW it (never
+    * walked again), so retained ledger bytes stay O(ingested files +
+    * CheckpointEvery batches) instead of O(runs × files). */
+  private[io] val CheckpointEvery = 16L
+
+  /** Publish ledger entry `k`: `batch` = this entry's new files,
+    * `all` = the cumulative set (serialized only at checkpoints). */
+  private def publishLedger(fs: FileSystem, root: Path, k: Long,
+                            commitVersion: Long, batch: Seq[String],
+                            all: => Set[String]): Boolean = {
+    val full = k == 1L || k % CheckpointEvery == 0L
+    val node = mapper.createObjectNode()
+    node.put("commitVersion", commitVersion)
+    node.put("full", full)
+    node.set[com.fasterxml.jackson.databind.JsonNode]("files",
+      mapper.readTree(filesArray(
+        if (full) all.toSeq.sorted else batch.sorted)))
+    val ok = writeExclusive(fs, ledgerPath(root, k),
+      mapper.writeValueAsString(node))
+    if (ok && full)
+      // entries below a checkpoint are never read again
+      (math.max(1L, k - 3 * CheckpointEvery) until k).foreach(v =>
+        fs.delete(ledgerPath(root, v), false))
+    ok
+  }
+
+  /** Latest ledger number and the reconstructed cumulative ingested set
+    * (empty when no COPY ever ran), plus any unresolved intent numbers
+    * > K. Reconstruction walks back from K to the nearest checkpoint
+    * (`full`; legacy entries without the field count as full — they
+    * predate the delta shape and carried the whole set). */
   private def loadLedger(fs: FileSystem, root: Path)
       : (Long, Set[String], Seq[Long]) = {
     val dir = new Path(root, LedgerDir)
@@ -97,12 +130,23 @@ object CopyInto {
       case n if n.startsWith("ledger-v") && n.endsWith(".json") =>
         n.stripPrefix("ledger-v").stripSuffix(".json").toLong }
     val k = if (ledgers.isEmpty) 0L else ledgers.max
-    val ingested: Set[String] =
-      if (ledgers.isEmpty) Set.empty
-      else {
-        val n = readJson(fs, ledgerPath(root, k)).get("files")
-        (0 until n.size()).map(n.get(_).asText()).toSet
+    var ingested = Set.empty[String]
+    if (ledgers.nonEmpty) {
+      var v = k
+      var folded = List.empty[Seq[String]]
+      var done = false
+      while (!done) {
+        val n = readJson(fs, ledgerPath(root, v))
+        val arr = n.get("files")
+        folded ::= (0 until arr.size()).map(arr.get(_).asText())
+        done = !n.has("full") || n.get("full").asBoolean() || v == 1L
+        require(done || fs.exists(ledgerPath(root, v - 1)),
+          s"copy ledger chain broken under $root/$LedgerDir: entry " +
+            s"v${v - 1} is missing below delta v$v")
+        v -= 1
       }
+      ingested = folded.flatten.toSet
+    }
     val intents = names.collect {
       case nm if nm.startsWith("intent-v") && nm.endsWith(".json") =>
         nm.stripPrefix("intent-v").stripSuffix(".json").toLong }
@@ -200,12 +244,8 @@ object CopyInto {
           // the batch COMMITTED; the crash hit between commit and
           // ledger publish — heal the ledger from the intent, never
           // re-ingesting
-          val node = mapper.createObjectNode()
-          node.put("commitVersion", v)
-          node.set[com.fasterxml.jackson.databind.JsonNode]("files",
-            mapper.readTree(filesArray((ingested ++ files).toSeq.sorted)))
-          if (!writeExclusive(fs, ledgerPath(root, iv),
-              mapper.writeValueAsString(node)))
+          if (!publishLedger(fs, root, iv, v, files,
+              ingested ++ files))
             bad(s"healing intent v$iv: ledger slot already taken — " +
               "another copier is resolving the same crash; retry")
           fs.delete(intentPath(root, iv), false)
@@ -260,13 +300,8 @@ object CopyInto {
       val r = TableInserts.insert(spark, path, df, overwrite = false,
         byName = true, codec = codec, tag = s"copy-$digest-")
       // ---- publish the ledger, release the intent ----------------------------
-      val node = mapper.createObjectNode()
-      node.put("commitVersion", r.version)
-      node.set[com.fasterxml.jackson.databind.JsonNode]("files",
-        mapper.readTree(filesArray(
-          (ingested ++ fresh.map(_._1)).toSeq.sorted)))
-      if (!writeExclusive(fs, ledgerPath(root, k + 1),
-          mapper.writeValueAsString(node)))
+      if (!publishLedger(fs, root, k + 1, r.version, fresh.map(_._1),
+          ingested ++ fresh.map(_._1)))
         bad(s"ledger v${k + 1} already exists after this run's commit — " +
           "the _copy directory was modified concurrently; the batch " +
           s"committed as v${r.version} (digest $digest); heal on the " +

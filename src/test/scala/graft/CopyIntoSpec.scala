@@ -204,6 +204,43 @@ class CopyIntoSpec extends AnyFunSuite {
     assert(spark.read.format("feather").load(path).count() === 110)
   }
 
+  test("the ledger is a delta log: per-run entries carry only the " +
+       "batch, every 16th is a checkpoint that prunes the history, " +
+       "and reconstruction still skips every ingested file") {
+    val path = tmp("delta"); val src = tmp("delta_src")
+    newTable(path)
+    // 17 single-file batches → v1 full, v2..v15 deltas, v16 checkpoint
+    // (deleting v1..v15), v17 delta
+    (1 to 17).foreach { b =>
+      writeBatch(s"$src/b$b", (b * 1000 + 1) to (b * 1000 + 3))
+      val r = CopyInto.run(spark, path, s"$src/b$b", "parquet")
+      assert(r.filesIngested === 1, s"batch $b: $r")
+    }
+    val fs = fsOf(path)
+    val copyDir = new Path(path, "_copy")
+    def ledger(k: Int): Path =
+      new Path(copyDir, f"ledger-v$k%08d.json")
+    def json(p: Path): String = {
+      val in = fs.open(p)
+      try new String(org.apache.hadoop.io.IOUtils
+        .readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    assert(!fs.exists(ledger(1)) && !fs.exists(ledger(15)),
+      "the v16 checkpoint must prune the entries below it")
+    assert(json(ledger(16)).contains("\"full\":true"))
+    assert(json(ledger(17)).contains("\"full\":false"))
+    // a delta entry carries ONLY its batch (one file), not the set
+    assert(json(ledger(17)).split("\\.parquet", -1).length - 1 === 1)
+    // reconstruction = checkpoint + delta: every source file skips
+    (1 to 17).foreach { b =>
+      val r = CopyInto.run(spark, path, s"$src/b$b", "parquet")
+      assert(r.filesIngested === 0 && r.filesSkipped === 1,
+        s"batch $b must be remembered through the delta chain: $r")
+    }
+    assert(spark.read.format("feather").load(path).count() === 100 + 17 * 3)
+  }
+
   test("the graft_copy_into TVF returns the report row and defers " +
        "execution (EXPLAIN never ingests)") {
     val path = tmp("tvf"); val src = tmp("tvf_src")
