@@ -302,7 +302,28 @@ object ConditionalMerge {
       if (owned) pinned += cached
       cached
     }
-    val src = pin(m.source)
+    // The SOURCE PLAN gets the same two guards as the clause
+    // expressions: its rows re-read in the probe, the clause joins, and
+    // the routed per-leaf writes (persist is best-effort under
+    // eviction/task retry), so clock calls pin to the statement instant
+    // and a nondeterministic plan refuses — a rand()-shaped source
+    // could match one row set in the probe and write another. (Delta
+    // MATERIALIZES the source for exactly this hazard; refusing with
+    // materialize-first guidance is the honest equivalent without a
+    // spill tier.) Expression replacement preserves the plan's output
+    // exprIds, so the source.col remaps below stay valid.
+    val srcGuarded =
+      FeatherMutations.pinClockInPlan(spark, m.source, nowInstant)
+    srcGuarded.queryExecution.analyzed.find(p =>
+        !p.expressions.forall(_.deterministic)).foreach(_ =>
+      throw new IllegalArgumentException(
+        "merge: the source plan is nondeterministic — the probe, the " +
+          "clause joins, and the routed per-leaf writes re-evaluate " +
+          "the source (persist is best-effort under eviction), so " +
+          "rand()/uuid()-shaped sources can silently duplicate, lose, " +
+          "or mis-route rows; materialize the source first (write it " +
+          "to a staging path and read it back)"))
+    val src = pin(srcGuarded)
     try {
 
     val targetV = snap.version + 1

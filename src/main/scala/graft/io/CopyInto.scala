@@ -54,6 +54,12 @@ object CopyInto {
   private val LedgerDir = "_copy"
   private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  /** TEST seam for the claim-race spec: runs once, after the intent
+    * claim lands and before the ledger-head re-check — the window a
+    * COMPLETE competing run can fit into. One-shot (cleared before
+    * invoking, the FeatherSnapshots.testBeforeMutationCommit pattern). */
+  private[graft] var testAfterClaim: () => Unit = () => ()
+
   private def ledgerPath(root: Path, k: Long) =
     new Path(new Path(root, LedgerDir), f"ledger-v$k%08d.json")
   private def intentPath(root: Path, k: Long) =
@@ -259,7 +265,11 @@ object CopyInto {
             "committed parts — another COPY INTO may be IN FLIGHT on " +
             "this table, or a previous one crashed before its commit. " +
             "If no copier is running, re-run with healStale = true to " +
-            "discard the stale intent")
+            "discard the stale intent. CAUTION: if versions were " +
+            "EXPIRED since the crash, a committed batch can look " +
+            "uncommitted here (the tagged parts' manifests are gone) — " +
+            "healStale would then re-ingest it; check the expire " +
+            "history before forcing")
       }
     }
 
@@ -284,16 +294,44 @@ object CopyInto {
         mapper.writeValueAsString(intentNode)))
       bad(s"another COPY INTO is in flight on this table (intent " +
         s"v${k + 1} exists); retry after it finishes")
+    locally { // TEST seam: the claim→re-check window (one-shot)
+      val hook = testAfterClaim; testAfterClaim = () => (); hook()
+    }
+    // RE-CHECK the ledger head now that the claim is exclusive: a whole
+    // competing run (claim → ingest → publish → release) can fit inside
+    // the window between our loadLedger and our claim, in which case OUR
+    // claim landed at a number the winner already published — diffing
+    // against the stale set would re-ingest its batch. After this check
+    // the claim is sound: any later copier computes the same k and its
+    // create-exclusive claim fails against our intent.
+    locally {
+      val headNow = fs.listStatus(new Path(root, LedgerDir))
+        .map(_.getPath.getName).collect {
+          case n if n.startsWith("ledger-v") && n.endsWith(".json") =>
+            n.stripPrefix("ledger-v").stripSuffix(".json").toLong }
+      if (headNow.nonEmpty && headNow.max != k) {
+        fs.delete(intentPath(root, k + 1), false)
+        bad(s"lost a race with a concurrent COPY INTO (ledger advanced " +
+          s"$k -> ${headNow.max} while claiming); retry — the next run " +
+          "diffs against the winner's ledger")
+      }
+    }
 
     try {
       // ---- read ONLY the new files and append as one tagged commit ----------
       // csv/json impose the TABLE's schema (csv columns must arrive in
       // table order; json aligns by name); self-describing formats carry
-      // their own and align by name in the shared insert path
+      // their own and align by name in the shared insert path. Schemaful
+      // multi-file reads merge footers (a batch whose files disagree must
+      // hit the by-name refusal DETERMINISTICALLY, not per whichever
+      // footer the reader samples); avro has no merge option — its batch
+      // reads under the first file's schema, documented
       val needSchema = fmt == "csv" || fmt == "json"
-      val fullSchema = TableInserts.tableFullSchema(spark, path)
       var reader = spark.read.format(fmt).options(options)
-      if (needSchema) reader = reader.schema(fullSchema)
+      if (needSchema)
+        reader = reader.schema(TableInserts.tableFullSchema(spark, path))
+      else if (fmt != "avro")
+        reader = reader.option("mergeSchema", "true")
       val df: DataFrame = reader.load(fresh.map(_._1): _*)
       // the imposed schema (csv/json) and self-describing sources both
       // arrive table-named — BY NAME alignment covers every format

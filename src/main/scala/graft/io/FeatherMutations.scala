@@ -660,6 +660,74 @@ object FeatherMutations {
     org.apache.spark.sql.graft.Bridge.ofRows(spark, pinned)
   }
 
+  /** Shared table resolution for every statement that opens a snapshot
+    * table by path (predicate DELETE/UPDATE, replaceWhere, INSERT,
+    * COPY INTO): snapshot head, face, hive layout, merged + partition
+    * schemas — ONE definition (the same drift class relDirOf/hiveLayout
+    * were extracted for). `requireHive` refuses non-hive subdirectories
+    * for ops that must ROUTE rows by partition values; a pure delete
+    * only drops rows and reads any layout. `snapshotsHint` tailors the
+    * no-manifest refusal's guidance to the statement family. */
+  private[io] final case class Resolved(root: Path,
+      fs: org.apache.hadoop.fs.FileSystem,
+      snap: graft.sources.FeatherSnapshots.Snapshot,
+      face: ConnectorFace, partCols: Seq[String],
+      absFiles: Seq[(String, Long)],
+      tableSchema: StructType,
+      partSchema: StructType,
+      fullSchema: StructType,
+      caseSensitive: Boolean,
+      leafByAbs: Map[String, graft.sources.FeatherPartitions.LeafFile]) {
+    def partitioned: Boolean = partCols.nonEmpty
+    def valuesByAbs: Map[String, Seq[(String, String)]] =
+      leafByAbs.map { case (abs, lf) => abs -> lf.values }
+    def dvPathsAll: Map[String, String] =
+      snap.dvs.map { case (rel, (dvRel, _)) =>
+        new Path(root, rel).toString -> new Path(root, dvRel).toString }
+  }
+
+  private[io] def resolveTable(spark: SparkSession, path: String,
+      op: String, requireHive: Boolean,
+      snapshotsHint: String = "row-level mutation is a manifest " +
+        "operation; write the table with option(\"snapshots\", " +
+        "\"true\") first"): Resolved = {
+    import graft.sources.{FeatherPartitions, FeatherSnapshots}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    require(FeatherSnapshots.enabled(fs, root),
+      s"$op on $path, which has no ${FeatherSnapshots.Dir} directory — " +
+        snapshotsHint)
+    val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
+      sys.error(s"$op on $path: no snapshot versions"))
+    val face = ConnectorFace.detect(snap.files, op, path)
+    val chains = snap.files.map { case (rel, _) => relDirOf(rel) }
+      .distinct.filter(_.nonEmpty)
+    val (hiveChains, partCols) = FeatherPartitions.hiveLayout(chains)
+    require(chains.isEmpty || hiveChains || !requireHive,
+      s"$op on $path: table has non-hive subdirectories " +
+        s"(${chains.mkString(", ")}) — $op routes rows by " +
+        "partition values and needs a hive key=value layout")
+    val partitioned = partCols.nonEmpty
+    val absFiles = snap.files.map { case (rel, len) =>
+      (new Path(root, rel).toString, len) }
+    val tableSchema = face.mergedSchema(spark, absFiles)
+    val discovered =
+      if (!partitioned) None
+      else Some(FeatherSnapshots.toDiscovered(root, snap))
+    val partSchema: StructType =
+      discovered.map(_.partSchema).getOrElse(new StructType())
+    val fullSchema = StructType(tableSchema.fields ++ partSchema.fields)
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    requireNotEmbedded(op, partCols, tableSchema, caseSensitive)
+    val leafByAbs: Map[String, FeatherPartitions.LeafFile] =
+      discovered.map(_.files.map(lf => lf.file -> lf).toMap)
+        .getOrElse(Map.empty)
+    Resolved(root, fs, snap, face, partCols, absFiles, tableSchema,
+      partSchema, fullSchema, caseSensitive, leafByAbs)
+  }
+
   /** The relative DIRECTORY of a manifest rel path ("" for a root
     * file) — ONE definition (this split existed in four private copies,
     * the same drift class hiveLayout/stampLeaves were extracted for). */

@@ -62,68 +62,11 @@ object PredicateMutations {
     run(spark, path, cond, Some(set), dvMask = false, codec)
   }
 
-  /** Shared table resolution for the predicate statements: snapshot
-    * head, face, hive layout, merged + partition schemas. `requireHive`
-    * refuses non-hive subdirectories for ops that must ROUTE rewritten
-    * rows by partition values (update, replaceWhere); a pure delete only
-    * drops rows and reads any layout. */
-  private case class Resolved(root: Path,
-                              fs: org.apache.hadoop.fs.FileSystem,
-                              snap: FeatherSnapshots.Snapshot,
-                              face: ConnectorFace, partCols: Seq[String],
-                              absFiles: Seq[(String, Long)],
-                              tableSchema: StructType,
-                              partSchema: StructType,
-                              fullSchema: StructType,
-                              caseSensitive: Boolean,
-                              leafByAbs: Map[String, FeatherPartitions.LeafFile]) {
-    def partitioned: Boolean = partCols.nonEmpty
-    def valuesByAbs: Map[String, Seq[(String, String)]] =
-      leafByAbs.map { case (abs, lf) => abs -> lf.values }
-    def dvPathsAll: Map[String, String] =
-      snap.dvs.map { case (rel, (dvRel, _)) =>
-        new Path(root, rel).toString -> new Path(root, dvRel).toString }
-  }
-
+  private type Resolved = FeatherMutations.Resolved
+  private val Resolved = FeatherMutations.Resolved
   private def resolveTable(spark: SparkSession, path: String, op: String,
-                           requireHive: Boolean): Resolved = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val root = new Path(path)
-    val fs = root.getFileSystem(conf)
-    require(FeatherSnapshots.enabled(fs, root),
-      s"$op on $path, which has no ${FeatherSnapshots.Dir} directory — " +
-        "row-level mutation is a manifest operation; write the table " +
-        "with option(\"snapshots\", \"true\") first")
-    val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
-      sys.error(s"$op on $path: no snapshot versions"))
-    val face = ConnectorFace.detect(snap.files, op, path)
-    val chains = snap.files.map { case (rel, _) => FeatherMutations.relDirOf(rel) }
-      .distinct.filter(_.nonEmpty)
-    val (hiveChains, partCols) = FeatherPartitions.hiveLayout(chains)
-    require(chains.isEmpty || hiveChains || !requireHive,
-      s"$op on $path: table has non-hive subdirectories " +
-        s"(${chains.mkString(", ")}) — $op routes rewritten rows by " +
-        "partition values and needs a hive key=value layout")
-    val partitioned = partCols.nonEmpty
-    val absFiles = snap.files.map { case (rel, len) =>
-      (new Path(root, rel).toString, len) }
-    val tableSchema = face.mergedSchema(spark, absFiles)
-    val discovered =
-      if (!partitioned) None
-      else Some(FeatherSnapshots.toDiscovered(root, snap))
-    val partSchema: StructType =
-      discovered.map(_.partSchema).getOrElse(new StructType())
-    val fullSchema = StructType(tableSchema.fields ++ partSchema.fields)
-    val caseSensitive =
-      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
-    FeatherMutations.requireNotEmbedded(op, partCols, tableSchema,
-      caseSensitive)
-    val leafByAbs: Map[String, FeatherPartitions.LeafFile] =
-      discovered.map(_.files.map(lf => lf.file -> lf).toMap)
-        .getOrElse(Map.empty)
-    Resolved(root, fs, snap, face, partCols, absFiles, tableSchema,
-      partSchema, fullSchema, caseSensitive, leafByAbs)
-  }
+                           requireHive: Boolean): Resolved =
+    FeatherMutations.resolveTable(spark, path, op, requireHive)
 
   private def run(spark: SparkSession, path: String,
                   condRaw: Option[Column],
@@ -582,12 +525,19 @@ object PredicateMutations {
         val anyMatch = candidateAbs.nonEmpty &&
           cand.where(fire).limit(1).count() > 0
         if (!anyMatch && insEmpty) return noOp
+        // a PROVEN zero-match statement is semantically a pure insert:
+        // keep every candidate file untouched and append only the data
+        // (without this, an insert-only backfill under an UNTRANSLATABLE
+        // predicate — every file a candidate — would rewrite the whole
+        // table to delete nothing)
+        val rewriting = anyMatch
         // survivors: candidate rows the predicate does NOT select (NULL
         // keeps, SQL semantics) — non-candidate files never rewrite
-        val out = cand.where(!fire).unionAll(ins)
+        val out = if (rewriting) cand.where(!fire).unionAll(ins) else ins
+        val rewriteIdx = if (rewriting) candidateIdx else Seq.empty
         val added = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
         if (r.partitioned) {
-          val candPerLeaf: Map[String, Int] = candidateIdx
+          val candPerLeaf: Map[String, Int] = rewriteIdx
             .map(i => FeatherMutations.relDirOf(snap.files(i)._1))
             .groupBy(identity).map { case (k, v) => k -> v.size }
           added ++= FeatherMutations.routePartitionedInserts(op, face, fs,
@@ -595,7 +545,7 @@ object PredicateMutations {
             partsFor = relDir => candPerLeaf.getOrElse(relDir, 1))
         } else {
           val parts = face.writeParts(
-            out.coalesce(math.max(1, candidateAbs.size +
+            out.coalesce(math.max(1, rewriteIdx.size +
               (if (insEmpty) 0 else ConnectorFace.capWriteParts(ins)))),
             root.toString, prefix, codec)
           if (parts.nonEmpty)
@@ -605,7 +555,7 @@ object PredicateMutations {
           added ++= parts.map { case (name, len, _) => (name, len) }
         }
         val removeRel: Set[String] =
-          candidateIdx.map(i => snap.files(i)._1).toSet
+          rewriteIdx.map(i => snap.files(i)._1).toSet
         if (added.isEmpty && snap.files.nonEmpty &&
             snap.files.forall { case (rel, _) => removeRel(rel) })
           added ++= FeatherMutations.stampLeaves(face, fs, root,
@@ -613,11 +563,18 @@ object PredicateMutations {
         // commits as "overwrite": the snapshot stream's closed op set
         // treats it exactly like Delta does (new files are novel rows,
         // replaced rows are not retracted), and CDF is diff-based either
-        // way
-        val committed = FeatherSnapshots.commitMutation(fs, root,
-          "overwrite", snap, removeRel, added.toSeq)
-        Result(committed, candidateIdx.size,
-          snap.files.size - candidateIdx.size, added.size)
+        // way. The proven-zero-match case removed nothing — it is a
+        // blind APPEND and commits as one (streams keep flowing, and it
+        // commutes with concurrent mutations under the conflict matrix)
+        val committed =
+          if (!rewriting)
+            FeatherSnapshots.publishDataCommit(fs, root,
+              truncate = false, Seq(face.suffix), added.toSeq,
+              stampPart = () => face.stamp(fs, root, prefix, tableSchema))
+          else FeatherSnapshots.commitMutation(fs, root,
+            "overwrite", snap, removeRel, added.toSeq)
+        Result(committed, rewriteIdx.size,
+          snap.files.size - rewriteIdx.size, added.size)
       } finally {
         if (ownCand) cand.unpersist(blocking = false): Unit
       }

@@ -49,26 +49,17 @@ import graft.sources.{FeatherPartitions, FeatherSnapshots}
 object TableInserts {
   import FeatherMutations.Result
 
+  private val InsertSnapshotsHint =
+    "the statement writes into an EXISTING table (its schema comes " +
+      "from the table); create one with the write APIs or " +
+      "option(\"snapshots\", \"true\") first"
+
   /** The table's merged schema, data columns first and hive partition
     * columns last — what a COPY INTO must impose on schemaless source
     * reads (csv/json). One snapshot resolution, no data read. */
-  def tableFullSchema(spark: SparkSession, path: String): StructType = {
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
-      sys.error(s"tableFullSchema on $path: no snapshot versions"))
-    val face = ConnectorFace.detect(snap.files, "tableFullSchema", path)
-    val tableSchema = face.mergedSchema(spark,
-      snap.files.map { case (rel, len) =>
-        (new Path(root, rel).toString, len) })
-    val chains = snap.files.map { case (rel, _) =>
-      FeatherMutations.relDirOf(rel) }.distinct.filter(_.nonEmpty)
-    val (hiveChains, _) = FeatherPartitions.hiveLayout(chains)
-    val partSchema =
-      if (chains.isEmpty || !hiveChains) new StructType()
-      else FeatherSnapshots.toDiscovered(root, snap).partSchema
-    StructType(tableSchema.fields ++ partSchema.fields)
-  }
+  def tableFullSchema(spark: SparkSession, path: String): StructType =
+    FeatherMutations.resolveTable(spark, path, "tableFullSchema",
+      requireHive = false, snapshotsHint = InsertSnapshotsHint).fullSchema
 
   def insert(spark: SparkSession, path: String, query: DataFrame,
              overwrite: Boolean,
@@ -78,38 +69,12 @@ object TableInserts {
     val op = if (overwrite) "INSERT OVERWRITE" else "INSERT INTO"
     def bad(msg: String): Nothing =
       throw new IllegalArgumentException(s"$op graft.`$path`: $msg")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val root = new Path(path)
-    val fs = root.getFileSystem(conf)
-    require(FeatherSnapshots.enabled(fs, root),
-      s"$op on $path, which has no ${FeatherSnapshots.Dir} directory — " +
-        "the INSERT statement writes into an EXISTING table (its schema " +
-        "comes from the table); create one with the write APIs or " +
-        "option(\"snapshots\", \"true\") first")
-    val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
-      sys.error(s"$op on $path: no snapshot versions"))
-    val face = ConnectorFace.detect(snap.files, op, path)
-    val chains = snap.files.map { case (rel, _) =>
-      FeatherMutations.relDirOf(rel) }.distinct.filter(_.nonEmpty)
-    val (hiveChains, partCols) = FeatherPartitions.hiveLayout(chains)
-    require(chains.isEmpty || hiveChains,
-      s"$op on $path: table has non-hive subdirectories " +
-        s"(${chains.mkString(", ")}) — insert routes rows by partition " +
-        "values and needs a hive key=value layout")
-    val partitioned = partCols.nonEmpty
-    val absFiles = snap.files.map { case (rel, len) =>
-      (new Path(root, rel).toString, len) }
-    val tableSchema = face.mergedSchema(spark, absFiles)
-    val caseSensitive =
-      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
-    FeatherMutations.requireNotEmbedded(op, partCols, tableSchema,
-      caseSensitive)
-    val discovered =
-      if (!partitioned) None
-      else Some(FeatherSnapshots.toDiscovered(root, snap))
-    val partSchema: StructType =
-      discovered.map(_.partSchema).getOrElse(new StructType())
-    val fullSchema = StructType(tableSchema.fields ++ partSchema.fields)
+    val r = FeatherMutations.resolveTable(spark, path, op,
+      requireHive = true, snapshotsHint = InsertSnapshotsHint)
+    val FeatherMutations.Resolved(root, fs, snap, face, partCols,
+      absFiles, tableSchema, partSchema, fullSchema, caseSensitive,
+      _) = r
+    val partitioned = r.partitioned
     val canon = FeatherMutations.canonicalName(fullSchema, caseSensitive) _
 
     // ---- PARTITION spec -----------------------------------------------------
@@ -248,9 +213,7 @@ object TableInserts {
     val targetV = snap.version + 1
     val prefix = FeatherSnapshots.runPrefix(targetV, tag)
     def noOp = Result(snap.version, 0, snap.files.size, 0)
-    val valuesByAbs: Map[String, Seq[(String, String)]] =
-      discovered.map(_.files.map(lf => lf.file -> lf.values).toMap)
-        .getOrElse(Map.empty)
+    val valuesByAbs: Map[String, Seq[(String, String)]] = r.valuesByAbs
     // OVERWRITE's victims: every current file, or exactly the leaves
     // matching the static spec (typed compare — 'd1' matches d1 however
     // the spelling canonicalizes)
@@ -309,14 +272,29 @@ object TableInserts {
         // DYNAMIC victims derive from the WRITTEN leaf dirs — zero extra
         // jobs, a leaf the query produced no rows for is (correctly)
         // untouched, and a zero-row dynamic overwrite is a NO-OP, not a
-        // truncation (Spark's own dynamic-mode semantics).
+        // truncation (Spark's own dynamic-mode semantics). Matching is
+        // by TYPED value, not raw dir string (matchesSpec's rule): an
+        // adopted layout may spell 'day=07' where the routed write
+        // spells 'day=7' — string equality would leave the old leaf in
+        // place and the partition would read both generations.
         val removeRel: Set[String] =
           if (!dynamicOverwrite) removeRelStatic
           else {
-            val writtenDirs = added.map { case (rel, _) =>
-              FeatherMutations.relDirOf(rel) }.toSet
+            def typedLeaf(rel: String): Option[Seq[Option[Any]]] = {
+              val dir = FeatherMutations.relDirOf(rel)
+              if (dir.isEmpty) None
+              else Some(dir.split('/').toSeq.zip(partCols).map {
+                case (seg, c) =>
+                  val raw = FeatherPartitions.unescapePath(
+                    seg.substring(seg.indexOf('=') + 1))
+                  scala.util.Try(FeatherPartitions
+                    .castValue(raw, fullSchema(c).dataType)).toOption
+              })
+            }
+            val written = added.flatMap { case (rel, _) =>
+              typedLeaf(rel) }.toSet
             snap.files.map(_._1).toSet
-              .filter(rel => writtenDirs(FeatherMutations.relDirOf(rel)))
+              .filter(rel => typedLeaf(rel).exists(written))
           }
         if (added.isEmpty && removeRel.isEmpty) return noOp
         // an overwrite that empties the table (or all of it) still

@@ -680,4 +680,44 @@ class ConditionalMergeSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("nondeterministic"), e3.getMessage)
   }
+
+  test("a nondeterministic SOURCE PLAN refuses too — the probe, the " +
+       "clause joins, and the routed writes re-evaluate the source") {
+    import spark.implicits._
+    val path = tmp("nondet_source")
+    writeTable(path)
+    val e = intercept[IllegalArgumentException] {
+      ConditionalMerge(spark, path, src.withColumn("amt", rand() * 100),
+        Seq("id"))
+        .whenMatchedUpdate(set = Map("amt" -> col("source.amt")))
+        .execute()
+    }
+    assert(e.getMessage.contains("source plan is nondeterministic"),
+      e.getMessage)
+    // a deterministic source still merges
+    ConditionalMerge(spark, path, src, Seq("id"))
+      .whenMatchedUpdate(set = Map("amt" -> col("source.amt")))
+      .execute(): Unit
+  }
+
+  test("clock calls INSIDE the source plan pin to the statement " +
+       "instant: one distinct timestamp across every routed leaf") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.TimestampType
+    val path = tmp("src_clock")
+    graft.io.ParquetTable.write(
+      (1 to 20).map(i => (i.toLong, s"d${i % 2}")).toDF("id", "day")
+        .withColumn("ts", lit(null).cast(TimestampType)),
+      path, partitionBy = Seq("day"))
+    val source = (101 to 140).map(i => (i.toLong, s"d${i % 2}"))
+      .toDF("id", "day").withColumn("ts", current_timestamp())
+    ConditionalMerge(spark, path, source, Seq("id"))
+      .whenNotMatchedInsert(values = Map("id" -> col("source.id"),
+        "day" -> col("source.day"), "ts" -> col("source.ts")))
+      .execute(): Unit
+    val distinctTs = graft.io.ParquetTable.read(spark, path)
+      .where(col("ts").isNotNull).select("ts").distinct().count()
+    assert(distinctTs === 1L,
+      "one statement, one instant, even through the source plan")
+  }
 }

@@ -204,6 +204,37 @@ class CopyIntoSpec extends AnyFunSuite {
     assert(spark.read.format("feather").load(path).count() === 110)
   }
 
+  test("a COMPLETE competing run landing inside the claim window is " +
+       "caught by the ledger-head re-check: the loser aborts before " +
+       "reading anything and releases its claim") {
+    val path = tmp("race"); val src = tmp("race_src")
+    newTable(path)
+    writeBatch(src, 1001 to 1010)
+    val fs = fsOf(path)
+    val copyDir = new Path(path, "_copy")
+    // simulate the winner: its whole run (claim → ingest → publish →
+    // release) fits between our loadLedger and our claim, so by the
+    // time we hold intent-v1 its ledger-v1 is already on disk
+    CopyInto.testAfterClaim = () => {
+      val out = fs.create(new Path(copyDir, "ledger-v00000001.json"), false)
+      out.write(("""{"commitVersion":1,"full":true,""" +
+        """"files":["file:/elsewhere/winner.parquet"]}""").getBytes("UTF-8"))
+      out.close()
+    }
+    val e = intercept[IllegalArgumentException] {
+      CopyInto.run(spark, path, src, "parquet")
+    }
+    assert(e.getMessage.contains("lost a race"), e.getMessage)
+    assert(spark.read.format("feather").load(path).count() === 100,
+      "the loser must not have ingested")
+    assert(!fs.exists(new Path(copyDir, "intent-v00000001.json")),
+      "the loser's claim is released")
+    // the retry diffs against the winner's ledger and ingests our batch
+    val r = CopyInto.run(spark, path, src, "parquet")
+    assert(r.filesIngested === 1 && r.filesSkipped === 0)
+    assert(spark.read.format("feather").load(path).count() === 110)
+  }
+
   test("the ledger is a delta log: per-run entries carry only the " +
        "batch, every 16th is a checkpoint that prunes the history, " +
        "and reconstruction still skips every ingested file") {

@@ -146,6 +146,54 @@ class ReplaceOverwriteSpec extends AnyFunSuite {
     assert(got.count() === 300 && got.where(col("id") > 300).count() === 0)
   }
 
+  test("replaceWhere with a PROVEN zero-match predicate is a pure " +
+       "insert: no candidate rewrites even when the predicate is " +
+       "untranslatable (every file a candidate), and it commits as " +
+       "an APPEND") {
+    import spark.implicits._
+    val path = tmp("insert_only")
+    writeFlat(path)
+    val before = headFiles(path)
+    // modulo is untranslatable → zero pruning, all 4 files candidates;
+    // it matches NO existing row (ids 1..400) but does select the
+    // fresh row (9999 % 7777 = 2222)
+    val fresh = Seq((9999L, 1.0)).toDF("id", "amt")
+    val r = PredicateMutations.replaceWhere(spark, path, fresh,
+      col("id") % 7777L === 2222L)
+    assert(r.filesTouched === 0 && r.filesKept === 4,
+      s"a proven zero-match must rewrite nothing: $r")
+    val after = headFiles(path)
+    assert(before.subsetOf(after), "every data file carries through")
+    assert(spark.read.format("feather").load(path).count() === 401)
+    assert(FeatherSnapshots.resolve(fsOf(path), new Path(path), None)
+      .get.op === "append",
+      "removing nothing is a blind append — streams keep flowing")
+  }
+
+  test("dynamic overwrite matches victims by TYPED partition value: " +
+       "an adopted 'day=07' leaf is replaced by rows spelling day=7") {
+    import spark.implicits._
+    val path = tmp("typed_victims")
+    (1 to 20).map(i => (i.toLong, i * 1.0)).toDF("id", "amt")
+      .coalesce(1).write.parquet(s"$path/day=07")
+    (21 to 40).map(i => (i.toLong, i * 1.0)).toDF("id", "amt")
+      .coalesce(1).write.parquet(s"$path/day=08")
+    graft.io.ParquetTable.adopt(spark, path): Unit
+    assert(graft.io.ParquetTable.read(spark, path).count() === 40)
+    Seq((100L, 9.0, 7L)).toDF("id", "amt", "day")
+      .createOrReplaceTempView("typed_victims_src")
+    withOverwriteMode("dynamic") {
+      spark.sql(s"INSERT OVERWRITE graft.`$path` " +
+        "SELECT id, amt, day FROM typed_victims_src").collect(): Unit
+    }
+    val got = graft.io.ParquetTable.read(spark, path)
+    assert(got.where(col("day") === 7L).count() === 1,
+      "the non-canonically spelled 'day=07' leaf must be REPLACED — " +
+        "string-matching victims would leave both generations readable")
+    assert(got.where(col("day") === 8L).count() === 20,
+      "the unnamed leaf is untouched")
+  }
+
   test("replaceWhere respects existing deletion vectors — masked rows " +
        "do not resurrect through the rewrite") {
     val path = tmp("dv_respect")
