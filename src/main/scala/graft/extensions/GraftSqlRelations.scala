@@ -19,6 +19,8 @@ import graft.sources.FeatherTimeTravel
   *   INSERT INTO graft.`/t` SELECT ...                  -- blind append
   *   INSERT INTO graft.`/t` (id, amt) SELECT ...        -- column list
   *   INSERT OVERWRITE graft.`/t` PARTITION (day='d1') SELECT ...
+  *   TRUNCATE TABLE graft.`/t`                          -- manifest-only
+  *   ALTER TABLE graft.`/t` ADD COLUMNS (score DOUBLE)  -- stamp-only
   * }}}
   *
   * Spark's OWN parser produces the plans (UnresolvedRelation /
@@ -57,9 +59,25 @@ private[extensions] class GraftSqlRelationsRule(spark: SparkSession)
     case _ => None
   }
 
+  /** `graft.`-qualified path in an UnresolvedTable (DDL statements name
+    * tables through this node, not UnresolvedRelation). */
+  private def tablePathOf(t: LogicalPlan): Option[String] = t match {
+    case org.apache.spark.sql.catalyst.analysis
+        .UnresolvedTable(parts, _, _)
+        if parts.length == 2 && Faces(parts.head.toLowerCase) =>
+      Some(parts(1))
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case i: InsertIntoStatement if pathOf(i.table).isDefined =>
       lowerInsert(i, pathOf(i.table).get)
+    case t: TruncateTable if tablePathOf(t.table).isDefined =>
+      val path = tablePathOf(t.table).get
+      GraftDml.report(s"truncate($path)") { () =>
+        graft.io.TableDdl.truncate(spark, path) }
+    case a: AddColumns if tablePathOf(a.table).isDefined =>
+      lowerAddColumns(a, tablePathOf(a.table).get)
     // graft-target DML statements belong to GraftMergeIntoRule — never
     // resolve the target relation out from under it (its USING side
     // analyzes independently via ofRows, where this rule applies)
@@ -116,6 +134,32 @@ private[extensions] class GraftSqlRelationsRule(spark: SparkSession)
           "pins at plan time, so the instant must fold")
     }
     readPlan(path, versionAsOf, tsMillis)
+  }
+
+  private def lowerAddColumns(a: AddColumns, path: String): LogicalPlan = {
+    def bad(msg: String): Nothing =
+      throw new IllegalArgumentException(
+        s"ALTER TABLE graft.`$path` ADD COLUMNS: $msg")
+    val fields = a.columnsToAdd.map { qct =>
+      if (qct.path.nonEmpty || qct.name.length > 1)
+        bad(s"'${qct.name.mkString(".")}' is nested — only top-level " +
+          "columns can be added (nested evolution would rewrite every " +
+          "struct footer)")
+      if (qct.position.nonEmpty)
+        bad(s"'${qct.colName}' carries FIRST/AFTER — added columns " +
+          "append at the end (footer order is the merge order)")
+      if (qct.default.nonEmpty)
+        bad(s"'${qct.colName}' carries a DEFAULT — existing footers " +
+          "cannot record it; add the column nullable and backfill " +
+          "with UPDATE")
+      org.apache.spark.sql.types.StructField(qct.colName, qct.dataType,
+        qct.nullable, qct.comment.map(c =>
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("comment", c).build())
+          .getOrElse(org.apache.spark.sql.types.Metadata.empty))
+    }
+    GraftDml.report(s"add_columns($path)") { () =>
+      graft.io.TableDdl.addColumns(spark, path, fields) }
   }
 
   private def lowerInsert(i: InsertIntoStatement,

@@ -1,0 +1,90 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{StructField, StructType}
+
+import graft.sources.FeatherSnapshots
+
+/** The two DDL statements a snapshot table takes by path — lowered from
+  * Spark's OWN parser plans (TruncateTable / AddColumns) by
+  * [[graft.extensions.GraftSqlRelationsRule]]:
+  *
+  * {{{
+  *   TRUNCATE TABLE graft.`/t`
+  *   ALTER TABLE graft.`/t` ADD COLUMNS (score DOUBLE, tags ARRAY<STRING>)
+  * }}}
+  *
+  * Both are MANIFEST operations — no data reads, no data writes beyond
+  * the per-leaf zero-row schema stamps, so each costs O(leaves)
+  * regardless of table size. (Reference anchor: the reference drops all
+  * rows with a boolean mask and adds columns by assignment over an
+  * in-memory frame — python/cudf/cudf/core/dataframe.py `drop`,
+  * `__setitem__`; a distributed table needs the committed-metadata
+  * equivalents.) */
+object TableDdl {
+  import FeatherMutations.Result
+
+  /** TRUNCATE TABLE — ONE commit removes every data file while the
+    * schema (and the hive layout's key=value paths) stay readable via
+    * the shared per-leaf stamps. Prior versions keep reading their
+    * files: time travel and RESTORE undo a truncate until expire.
+    * Unlike a zero-row `INSERT OVERWRITE`, TRUNCATE truncates under
+    * `partitionOverwriteMode=dynamic` too — the statement's meaning
+    * does not depend on a session conf. */
+  def truncate(spark: SparkSession, path: String): Result = {
+    val r = FeatherMutations.resolveTable(spark, path, "TRUNCATE TABLE",
+      requireHive = false, snapshotsHint = TableInserts.InsertSnapshotsHint)
+    val targetV = r.snap.version + 1
+    val prefix = FeatherSnapshots.runPrefix(targetV, "trunc-")
+    val added = FeatherMutations.stampLeaves(r.face, r.fs, r.root,
+      r.snap.files.map(_._1), prefix, r.tableSchema)
+    val committed = FeatherSnapshots.commitMutation(r.fs, r.root,
+      "overwrite", r.snap, r.snap.files.map(_._1).toSet, added)
+    Result(committed, r.snap.files.size, 0, added.size)
+  }
+
+  /** ALTER TABLE ... ADD COLUMNS — schema evolution WITHOUT data: one
+    * append commit of per-leaf zero-row stamps carrying the union
+    * schema, so existing rows read the new columns as NULL (the
+    * write-evolution read contract) and subsequent INSERTs may supply
+    * them. Added columns must be top-level, nullable, position-free,
+    * and default-free; a name colliding with an existing column OR its
+    * case-variant refuses outright (the WriteSchemaEvolution rule — a
+    * silently-landed case conflict bricks every merged read). */
+  def addColumns(spark: SparkSession, path: String,
+                 cols: Seq[StructField]): Result = {
+    val op = "ALTER TABLE ADD COLUMNS"
+    def bad(msg: String): Nothing =
+      throw new IllegalArgumentException(s"$op on graft.`$path`: $msg")
+    if (cols.isEmpty) bad("no columns to add")
+    val r = FeatherMutations.resolveTable(spark, path, op,
+      requireHive = false, snapshotsHint = TableInserts.InsertSnapshotsHint)
+    // case-variants refuse REGARDLESS of spark.sql.caseSensitive: the
+    // footers outlive the session conf, and an insensitive reader of a
+    // sensitive writer's 'amt'+'AMT' table has no sound merge
+    val existing = r.fullSchema.fieldNames.toSeq
+    cols.foreach { f =>
+      existing.find(_.equalsIgnoreCase(f.name)).foreach(e =>
+        bad(s"column '${f.name}' already exists as '$e'" +
+          (if (r.partCols.contains(e)) " (a partition column)" else "")))
+      if (!f.nullable)
+        bad(s"column '${f.name}' is NOT NULL — existing rows have no " +
+          "value for it; add it nullable (backfill with UPDATE, then " +
+          "treat it as required downstream)")
+    }
+    cols.groupBy(_.name.toLowerCase(java.util.Locale.ROOT)).foreach {
+      case (_, vs) if vs.size > 1 =>
+        bad(s"column '${vs.head.name}' is added more than once")
+      case _ => ()
+    }
+    val newSchema = StructType(r.tableSchema.fields ++ cols)
+    val targetV = r.snap.version + 1
+    val prefix = FeatherSnapshots.runPrefix(targetV, "alt-")
+    val added = FeatherMutations.stampLeaves(r.face, r.fs, r.root,
+      r.snap.files.map(_._1), prefix, newSchema)
+    val committed = FeatherSnapshots.publishDataCommit(r.fs, r.root,
+      truncate = false, Seq(r.face.suffix), added,
+      stampPart = () => r.face.stamp(r.fs, r.root, prefix, newSchema))
+    Result(committed, 0, r.snap.files.size, added.size)
+  }
+}

@@ -49,7 +49,7 @@ import graft.sources.{FeatherPartitions, FeatherSnapshots}
 object TableInserts {
   import FeatherMutations.Result
 
-  private val InsertSnapshotsHint =
+  private[io] val InsertSnapshotsHint =
     "the statement writes into an EXISTING table (its schema comes " +
       "from the table); create one with the write APIs or " +
       "option(\"snapshots\", \"true\") first"

@@ -84,6 +84,7 @@ object IoQueries extends QueryPack {
     "io_sql_delete", "io_sql_update", "io_delete_where_dv",
     "io_sql_select_version", "io_sql_insert",
     "io_replace_where", "io_insert_overwrite_dynamic", "io_copy_into",
+    "io_sql_ddl",
     "io_avro_time_travel", "dedup_lsh_incremental")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
@@ -1864,6 +1865,48 @@ object IoQueries extends QueryPack {
     }
     s.read.format("feather").load(path)
       .select("o_orderkey", "o_orderpriority", "total")
+      .orderBy("o_orderkey")
+  }
+
+  // SQL DDL (io/TableDdl via GraftSqlRelationsRule): TRUNCATE TABLE +
+  // ALTER TABLE ADD COLUMNS, chained with INSERTs — truncate empties in
+  // one manifest commit (schema survives via stamps), the ALTER evolves
+  // without touching data (pre-evolution rows read the new column as
+  // NULL). The oracle is the UNION reconstruction with a typed NULL.
+  register("io_sql_ddl",
+    """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total,
+      |  CAST(NULL AS VARCHAR) AS src
+      |FROM orders WHERE o_orderkey <= 500
+      |UNION ALL
+      |SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) * 2 AS total,
+      |  'late' AS src
+      |FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 900
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val path = readFixture("sql_ddl", d) { p =>
+      Tables.orders(s, d).filter(col("o_orderkey") <= 800)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast(DoubleType).as("total"))
+        .repartitionByRange(3, col("o_orderkey"))
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(p)
+      Tables.orders(s, d).filter(col("o_orderkey") <= 900)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast(DoubleType).as("total"))
+        .createOrReplaceTempView("io_sql_ddl_src")
+      s.sql(s"TRUNCATE TABLE graft.`$p`").collect(): Unit
+      s.sql(
+        s"""INSERT INTO graft.`$p`
+           |SELECT o_orderkey, total FROM io_sql_ddl_src
+           |WHERE o_orderkey <= 500""".stripMargin).collect(): Unit
+      s.sql(s"ALTER TABLE graft.`$p` ADD COLUMNS (src STRING)")
+        .collect(): Unit
+      s.sql(
+        s"""INSERT INTO graft.`$p`
+           |SELECT o_orderkey, total * 2, 'late' FROM io_sql_ddl_src
+           |WHERE o_orderkey > 500""".stripMargin).collect(): Unit
+    }
+    s.read.format("feather").option("mergeSchema", "true").load(path)
+      .select("o_orderkey", "total", "src")
       .orderBy("o_orderkey")
   }
 

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.FeatherSnapshots
+
+/** SQL DDL over graft tables (io/TableDdl via GraftSqlRelationsRule):
+  * TRUNCATE TABLE and ALTER TABLE ADD COLUMNS — both manifest-only
+  * statements (per-leaf zero-row stamps, no data reads or rewrites). */
+class TableDdlSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private def tmp(n: String): String = {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_ddl/$n"
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(p))
+    p
+  }
+  private def fsOf(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def head(p: String) =
+    FeatherSnapshots.resolve(fsOf(p), new Path(p), None).get
+
+  private def writeFlat(path: String): Unit = {
+    import spark.implicits._
+    (1 to 100).map(i => (i.toLong, i * 1.0)).toDF("id", "amt")
+      .repartitionByRange(2, col("id"))
+      .write.format("feather").mode("overwrite")
+      .option("snapshots", "true").save(path)
+  }
+
+  test("TRUNCATE TABLE empties the table in one commit, keeps the " +
+       "schema and hive layout readable, and time travel undoes it") {
+    import spark.implicits._
+    val flat = tmp("trunc_flat")
+    writeFlat(flat)
+    spark.sql(s"TRUNCATE TABLE graft.`$flat`").collect(): Unit
+    val got = spark.read.format("feather").load(flat)
+    assert(got.count() === 0)
+    assert(got.columns.toSeq === Seq("id", "amt"), "schema survives")
+    assert(spark.sql(s"SELECT * FROM graft.`$flat` VERSION AS OF 1")
+      .count() === 100, "prior versions keep reading")
+    // partitioned: the key=value layout survives via per-leaf stamps
+    val part = tmp("trunc_part")
+    graft.io.ParquetTable.write(
+      (1 to 60).map(i => (i.toLong, s"d${i % 3}")).toDF("id", "day"),
+      part, partitionBy = Seq("day"))
+    spark.sql(s"TRUNCATE TABLE graft.`$part`").collect(): Unit
+    assert(graft.io.ParquetTable.read(spark, part).count() === 0)
+    (0 to 2).foreach(d => assert(
+      new java.io.File(s"$part/day=d$d").isDirectory,
+      "leaf dirs survive a truncate"))
+    // a subsequent partitioned insert still routes
+    spark.sql(s"INSERT INTO graft.`$part` SELECT 999L, 'd1'")
+      .collect(): Unit
+    assert(graft.io.ParquetTable.read(spark, part).count() === 1)
+    // TRUNCATE truncates under DYNAMIC overwrite mode too (unlike a
+    // zero-row INSERT OVERWRITE, which no-ops there)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try spark.sql(s"TRUNCATE TABLE graft.`$part`").collect(): Unit
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    assert(graft.io.ParquetTable.read(spark, part).count() === 0)
+  }
+
+  test("ALTER TABLE ADD COLUMNS evolves the schema without touching " +
+       "data: existing rows read NULL, inserts may then supply it, " +
+       "EXPLAIN never mutates") {
+    import spark.implicits._
+    val path = tmp("add_cols")
+    writeFlat(path)
+    val dataBefore = head(path).files.toSet
+    val q = s"ALTER TABLE graft.`$path` ADD COLUMNS " +
+      "(score DOUBLE, tags ARRAY<STRING>)"
+    // the Command contract: EXPLAIN <stmt> plans under
+    // CommandExecutionMode.SKIP and never mutates (spark.sql(stmt)
+    // itself IS the eager execution, like Spark's own DML)
+    spark.sql(s"EXPLAIN $q").collect(): Unit
+    assert(spark.read.format("feather").load(path).columns.length === 2,
+      "EXPLAIN must not evolve")
+    spark.sql(q).collect(): Unit
+    // an evolved table reads under its UNION schema (the write-evolution
+    // read contract: mergeSchema, or the SQL read which sets it)
+    def got = spark.read.format("feather")
+      .option("mergeSchema", "true").load(path)
+    assert(got.columns.toSeq === Seq("id", "amt", "score", "tags"))
+    assert(got.where(col("score").isNull).count() === 100,
+      "existing rows read the new column as NULL")
+    assert(head(path).files.toSet.intersect(dataBefore) === dataBefore,
+      "no data file is rewritten — the commit is stamps only")
+    spark.sql(s"INSERT INTO graft.`$path` " +
+      "SELECT 999L, 1.0D, 0.5D, array('a')").collect(): Unit
+    assert(got.where(col("id") === 999L && col("score") === 0.5)
+      .count() === 1)
+  }
+
+  test("ADD COLUMNS refusals: existing name, case-variant, duplicate, " +
+       "NOT NULL, nested, positioned, DEFAULT") {
+    val path = tmp("add_refuse")
+    writeFlat(path)
+    def refuse(ddl: String, needle: String): Unit = {
+      val e = intercept[Exception] { spark.sql(ddl).collect() }
+      assert(e.getMessage.contains(needle), s"$ddl → ${e.getMessage}")
+    }
+    refuse(s"ALTER TABLE graft.`$path` ADD COLUMNS (amt DOUBLE)",
+      "already exists")
+    refuse(s"ALTER TABLE graft.`$path` ADD COLUMNS (AMT DOUBLE)",
+      "already exists")
+    refuse(s"ALTER TABLE graft.`$path` ADD COLUMNS (x INT, X LONG)",
+      "more than once")
+    refuse(s"ALTER TABLE graft.`$path` ADD COLUMNS (x INT NOT NULL)",
+      "NOT NULL")
+    refuse(s"ALTER TABLE graft.`$path` ADD COLUMNS (x INT FIRST)",
+      "FIRST/AFTER")
+    refuse(s"ALTER TABLE graft.`$path` ADD COLUMNS (x INT DEFAULT 3)",
+      "DEFAULT")
+    // nothing committed by any refusal
+    assert(head(path).version === 1L)
+  }
+
+  test("a partition-column name refuses; the parquet face evolves too") {
+    import spark.implicits._
+    val part = tmp("add_part")
+    graft.io.ParquetTable.write(
+      (1 to 30).map(i => (i.toLong, s"d${i % 3}")).toDF("id", "day"),
+      part, partitionBy = Seq("day"))
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$part` ADD COLUMNS (day STRING)")
+        .collect()
+    }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    spark.sql(s"ALTER TABLE graft.`$part` ADD COLUMNS (score DOUBLE)")
+      .collect(): Unit
+    val got = graft.io.ParquetTable.read(spark, part)
+    assert(got.columns.contains("score"))
+    assert(got.where(col("score").isNull).count() === 30)
+  }
+}
