@@ -492,7 +492,87 @@ object ScaleRehearsal {
       predDmlTier(spark, s"$out/preddml")
     if (mode == "all" || mode == "replovr")
       replaceOverwriteTier(spark, s"$out/replovr")
+    if (mode == "all" || mode == "copyinto")
+      copyIntoTier(spark, s"$out/copyinto")
     spark.stop()
+  }
+
+  /** COPY-INTO tier (r15, io/CopyInto): the exactly-once loader's
+    * structural claim — an INCREMENTAL batch costs the batch, not the
+    * history. A source with N already-ingested files takes a fixed
+    * 20-file increment; the increment's wall time and its ledger
+    * entry's bytes must stay ~flat as N grows 4× (the ledger is a
+    * delta log: per-run entries carry only the batch; only every 16th
+    * run pays a checkpoint). REQUIRED: the increment reads exactly 20
+    * files at both scales and its ledger delta stays under 16 KB. */
+  def copyIntoTier(spark: SparkSession, out: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val results = Seq(400, 1600).map { n =>
+      val table = s"$out/ct_$n"; val src = s"$out/src_$n"
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      fs.delete(new org.apache.hadoop.fs.Path(src), true)
+      spark.range(10).select(col("id"), (col("id") * 2).as("v"))
+        .coalesce(1)
+        .write.format("feather").mode("overwrite")
+        .option("snapshots", "true").save(table)
+      // N source files land first (the accumulated history)...
+      spark.range(n * 50L)
+        .select(col("id"), (col("id") * 3).as("v"))
+        .repartition(n).write.mode("append").parquet(src)
+      val t0 = System.nanoTime()
+      val r0 = graft.io.CopyInto.run(spark, table, src, "parquet")
+      val bulkSec = (System.nanoTime() - t0) / 1e9
+      require(r0.filesIngested == n, s"bulk load: $r0")
+      // ...then the fixed-size increment the nightly job ships
+      spark.range(1000).select((col("id") + 10000000L).as("id"),
+        lit(0L).as("v")).repartition(20)
+        .write.mode("append").parquet(src)
+      val t1 = System.nanoTime()
+      val r1 = graft.io.CopyInto.run(spark, table, src, "parquet")
+      val incSec = (System.nanoTime() - t1) / 1e9
+      require(r1.filesIngested == 20 && r1.filesSkipped == n,
+        s"increment must read exactly its own files: $r1")
+      // a NO-OP re-run isolates the metadata floor (listing + ledger
+      // reconstruction + diff) every nightly re-run pays even with
+      // nothing new — this is the statement's one O(history) term, and
+      // it is the LISTING (you cannot diff what you do not list); the
+      // operational answer at scale is per-batch source subdirectories
+      // (the ledger is absolute-path-keyed, so pointing each run at its
+      // batch's dir keeps listing ∝ batch — CopyIntoSpec's delta-ledger
+      // case runs 17 batches from 17 dirs against one ledger)
+      val t2 = System.nanoTime()
+      val r2 = graft.io.CopyInto.run(spark, table, src, "parquet")
+      val noopSec = (System.nanoTime() - t2) / 1e9
+      require(r2.filesIngested == 0, s"no-op re-run: $r2")
+      // a narrowed source dir pays only its own listing: stage a
+      // 20-file batch in a SUBDIR and copy from there — the flat-cost
+      // spelling of the same ledger
+      spark.range(500).select((col("id") + 20000000L).as("id"),
+        lit(1L).as("v")).repartition(20)
+        .write.mode("overwrite").parquet(s"$src/batch_b")
+      val t3 = System.nanoTime()
+      val r3 = graft.io.CopyInto.run(spark, table, s"$src/batch_b",
+        "parquet")
+      val subdirSec = (System.nanoTime() - t3) / 1e9
+      require(r3.filesIngested == 20, s"subdir increment: $r3")
+      // the increment's ledger entry is a DELTA: bytes ∝ the batch
+      val ledger2 = new org.apache.hadoop.fs.Path(table,
+        "_copy/ledger-v00000002.json")
+      val deltaBytes = fs.getFileStatus(ledger2).getLen
+      require(deltaBytes < 16 * 1024,
+        s"the increment's ledger entry must carry only the batch " +
+          s"($deltaBytes bytes)")
+      (n, bulkSec, incSec, noopSec, subdirSec, deltaBytes)
+    }
+    println("COPYINTO tier (read work + ledger bytes ∝ batch; the one " +
+      "O(history) term is the source LISTING, avoided by per-batch " +
+      "subdirs — the ledger is path-keyed across source dirs):")
+    results.foreach { case (n, bulk, inc, noop, sub, db) =>
+      println(f"  history=$n%5d files bulkLoad=$bulk%6.2fs " +
+        f"increment20=$inc%6.2fs noopRerun=$noop%6.2fs " +
+        f"subdirIncrement20=$sub%6.2fs ledgerDeltaBytes=$db%6d")
+    }
   }
 
   /** REPLACE-OVERWRITE tier (r15, PredicateMutations.replaceWhere +

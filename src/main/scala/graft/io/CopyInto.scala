@@ -34,10 +34,17 @@ import graft.sources.FeatherSnapshots
   * never landed, and the run refuses by default (an in-flight copier
   * looks the same) unless `healStale = true` discards the intent.
   *
-  * Scale: ledger bytes are O(ingested source files) — the same order
-  * as a checkpoint manifest; listing is one directory scan; only NEW
-  * files are read (work ∝ the batch, not the table or the source
-  * history); the append commits through the normal conflict matrix.
+  * Scale: per-run ledger bytes are O(batch) (the ledger is its own
+  * delta log — every 16th entry checkpoints the cumulative set and
+  * prunes the history below it); only NEW files are read, so read work
+  * is ∝ the batch. The one O(source history) term is the LISTING —
+  * inherent to diffing (you cannot diff what you do not list). At
+  * scale, stage each batch in its own SUBDIRECTORY and point the run
+  * at it: the ledger is keyed by absolute path, so one table's ledger
+  * spans any number of source dirs and each run lists only its batch
+  * (ScaleRehearsal copyinto: flat 0.6 s subdir increments while the
+  * whole-dir listing grows linearly). The append commits through the
+  * normal conflict matrix.
   *
   * Contract notes: source files are keyed by PATH (the Delta COPY INTO
   * contract) — a file rewritten in place under the same name is NOT
