@@ -131,6 +131,9 @@ class DmlPropertySpec extends AnyFunSuite {
     * to the predicate at GENERATION time (eval == Some(true), the same
     * Kleene fire the engine's scope constraint enforces). */
   private case class RepW(p: Pred, rows: Seq[MR]) extends Stmt
+  /** SQL TRUNCATE TABLE — the schema (and layout) survive; the model
+    * folds to empty. */
+  private case object Trunc extends Stmt
 
   // ---- generators -------------------------------------------------------------
   private val genLeaf: Gen[Pred] = Gen.oneOf(
@@ -223,7 +226,8 @@ class DmlPropertySpec extends AnyFunSuite {
       MR(i, Some(s"g${i % 4}"), Some(i * 1.0), Some(s"d${i % 3}")))
     stmts <- Gen.listOfN(7, Gen.frequency(
       2 -> genDel, 2 -> genUpd, 3 -> genMrg(maxId),
-      2 -> genIns(maxId), 1 -> genRepW(maxId)))
+      2 -> genIns(maxId), 1 -> genRepW(maxId),
+      1 -> Gen.const(Trunc: Stmt)))
   } yield (face, rows, stmts)
 
   // ---- model folds -------------------------------------------------------------
@@ -240,6 +244,7 @@ class DmlPropertySpec extends AnyFunSuite {
         .getOrElse(r.day))
   }
   private def foldModel(rows: Seq[MR], st: Stmt): Seq[MR] = st match {
+    case Trunc => Nil
     case Ins(fresh, false, _) => rows ++ fresh // blind append
     case Ins(fresh, true, dynamic) =>
       if (!dynamic) fresh // static overwrite truncates the whole scope
@@ -335,6 +340,8 @@ class DmlPropertySpec extends AnyFunSuite {
 
   private def runStmt(path: String, st: Stmt): Unit =
     st match {
+      case Trunc =>
+        spark.sql(s"TRUNCATE TABLE graft.`$path`").collect(): Unit
       case Ins(fresh, overwrite, dynamic) =>
         toDf(fresh).createOrReplaceTempView("dml_prop_ins_src")
         val verb = if (overwrite) "INSERT OVERWRITE" else "INSERT INTO"
