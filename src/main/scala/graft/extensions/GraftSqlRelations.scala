@@ -78,6 +78,24 @@ private[extensions] class GraftSqlRelationsRule(spark: SparkSession)
         graft.io.TableDdl.truncate(spark, path) }
     case a: AddColumns if tablePathOf(a.table).isDefined =>
       lowerAddColumns(a, tablePathOf(a.table).get)
+    // the ADJACENT DDL spellings refuse LOUDLY with guidance — falling
+    // through would hand them to Spark's catalog machinery, which
+    // reports 'table not found' for a table every other graft statement
+    // can see (the most confusing possible error)
+    case TruncatePartition(tbl, _) if tablePathOf(tbl).isDefined =>
+      throw new IllegalArgumentException(
+        s"TRUNCATE TABLE graft.`${tablePathOf(tbl).get}` PARTITION " +
+          "(...): partition-scoped truncate is not supported — use " +
+          "DELETE FROM ... WHERE on the partition column, or INSERT " +
+          "OVERWRITE ... PARTITION (k=v) with an empty query")
+    case ac: AlterTableCommand if tablePathOf(ac.table).isDefined =>
+      throw new IllegalArgumentException(
+        s"ALTER TABLE graft.`${tablePathOf(ac.table).get}` " +
+          s"${ac.nodeName}: only ADD COLUMNS is supported — DROP/" +
+          "RENAME/ALTER COLUMN would rewrite or remap every footer " +
+          "(schema columns live in the data files, not a catalog); " +
+          "widen with ADD COLUMNS, backfill with UPDATE, or rewrite " +
+          "via replaceWhere")
     // graft-target DML statements belong to GraftMergeIntoRule — never
     // resolve the target relation out from under it (its USING side
     // analyzes independently via ofRows, where this rule applies)

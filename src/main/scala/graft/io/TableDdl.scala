@@ -14,13 +14,21 @@ import graft.sources.FeatherSnapshots
   *   ALTER TABLE graft.`/t` ADD COLUMNS (score DOUBLE, tags ARRAY<STRING>)
   * }}}
   *
-  * Both are MANIFEST operations — no data reads, no data writes beyond
-  * the per-leaf zero-row schema stamps, so each costs O(leaves)
-  * regardless of table size. (Reference anchor: the reference drops all
-  * rows with a boolean mask and adds columns by assignment over an
-  * in-memory frame — python/cudf/cudf/core/dataframe.py `drop`,
-  * `__setitem__`; a distributed table needs the committed-metadata
-  * equivalents.) */
+  * Neither statement reads or rewrites DATA — the writes are the
+  * per-leaf zero-row schema stamps plus one manifest. The statements'
+  * cost is the shared table resolution (a snapshot read plus the
+  * merged-schema footer resolution, served by the head-schema cache on
+  * warm tables but O(files) footer opens cold) and O(leaves) stamp
+  * writes. (Reference anchor: the reference drops all rows with a
+  * boolean mask and adds columns by assignment over an in-memory
+  * frame — python/cudf/cudf/core/dataframe.py `drop`, `__setitem__`;
+  * a distributed table needs the committed-metadata equivalents.)
+  *
+  * `truncate` intentionally shares its stamp+overwrite-commit shape
+  * with TableInserts' empty-static-OVERWRITE branch (both are "remove
+  * everything, keep the schema readable") — the composition is four
+  * lines over the same shared helpers (stampLeaves/commitMutation), so
+  * the drift surface is the helpers, not the call sites. */
 object TableDdl {
   import FeatherMutations.Result
 
@@ -82,9 +90,15 @@ object TableDdl {
     val prefix = FeatherSnapshots.runPrefix(targetV, "alt-")
     val added = FeatherMutations.stampLeaves(r.face, r.fs, r.root,
       r.snap.files.map(_._1), prefix, newSchema)
-    val committed = FeatherSnapshots.publishDataCommit(r.fs, r.root,
-      truncate = false, Seq(r.face.suffix), added,
-      stampPart = () => r.face.stamp(r.fs, r.root, prefix, newSchema))
+    // op "append" (streams deliver the zero-row stamps as nothing; CDF
+    // is diff-based) — but through the MUTATION commit with the
+    // no-new-files check: the name validation above ran against THIS
+    // snapshot's schema, and any concurrent addition (another ALTER's
+    // stamps, a mergeSchema append) may have evolved it; two racing
+    // ALTERs landing 'score DOUBLE' and 'score STRING' would brick
+    // every merged read. Refused racers re-run and revalidate.
+    val committed = FeatherSnapshots.commitMutation(r.fs, r.root,
+      "append", r.snap, Set.empty, added, requireNoNewFiles = true)
     Result(committed, 0, r.snap.files.size, added.size)
   }
 }

@@ -671,7 +671,9 @@ private[graft] object FeatherSnapshots {
                                     removeRel: Set[String],
                                     add: Seq[(String, Long)],
                                     setDvs: Map[String, (String, Long)] =
-                                      Map.empty): Long = {
+                                      Map.empty,
+                                    requireNoNewFiles: Boolean = false)
+      : Long = {
     val hook = testBeforeMutationCommit
     testBeforeMutationCommit = () => ()
     hook()
@@ -684,6 +686,24 @@ private[graft] object FeatherSnapshots {
             s"(read at v${basedOn.version}) was rewritten, deleted, or " +
             "re-bound by another committer; re-run against the new state " +
             "(concurrent blind APPENDS commute and do not trigger this)")
+      }
+      // SCHEMA-LEVEL statements (ALTER TABLE ADD COLUMNS) validate
+      // against the snapshot's schema, and any concurrent ADDITION may
+      // have evolved it (another ALTER's stamps, a mergeSchema append,
+      // MERGE WITH SCHEMA EVOLUTION) — two racing ALTERs would
+      // otherwise BOTH land and a name/type conflict bricks every
+      // merged read. Stricter than the file-read check on purpose:
+      // re-running a refused ALTER is cheap; un-bricking footers isn't.
+      if (requireNoNewFiles) {
+        val basedOnKeys = basedOn.files.map(_._1).toSet
+        val grew = parentFiles.collect {
+          case (rel, _) if !basedOnKeys(rel) => rel }
+        require(grew.isEmpty,
+          s"$op on $root: a concurrent commit added file(s) " +
+            s"(${grew.take(3).mkString(", ")}${
+              if (grew.size > 3) ", …" else ""}) since v${basedOn.version}" +
+            " — the schema this statement validated against may have " +
+            "evolved; re-run (the retry revalidates against the new head)")
       }
       (parentFiles.filterNot { case (rel, _) => removeRel(rel) } ++ add,
         (parentDvs -- removeRel) ++ setDvs)

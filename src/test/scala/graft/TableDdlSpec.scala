@@ -127,6 +127,54 @@ class TableDdlSpec extends AnyFunSuite {
     assert(head(path).version === 1L)
   }
 
+  test("a RACING commit that adds files aborts an in-flight ALTER — " +
+       "two ALTERs landing conflicting types would brick merged reads") {
+    import spark.implicits._
+    val path = tmp("race_alter")
+    writeFlat(path)
+    // land a competing commit inside the ALTER's commit window (the
+    // conflict-matrix test seam): a second ALTER's stamps, which would
+    // give 'score' a DIFFERENT type
+    FeatherSnapshots.testBeforeMutationCommit = () => {
+      graft.io.TableDdl.addColumns(spark, path, Seq(
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.StringType))): Unit
+    }
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$path` ADD COLUMNS (score DOUBLE)")
+        .collect()
+    }
+    assert(e.getMessage.contains("concurrent commit added file"),
+      e.getMessage)
+    // the winner's evolution (STRING) is intact and the table reads
+    val got = spark.read.format("feather")
+      .option("mergeSchema", "true").load(path)
+    assert(got.schema("score").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(got.count() === 100)
+  }
+
+  test("adjacent DDL spellings refuse loudly instead of falling " +
+       "through to a catalog 'table not found'") {
+    val path = tmp("adjacent")
+    writeFlat(path)
+    val e1 = intercept[Exception] {
+      spark.sql(s"TRUNCATE TABLE graft.`$path` PARTITION (day='d1')")
+        .collect()
+    }
+    assert(e1.getMessage.contains("partition-scoped truncate"),
+      e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$path` DROP COLUMN amt").collect()
+    }
+    assert(e2.getMessage.contains("only ADD COLUMNS"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$path` RENAME COLUMN amt TO amount")
+        .collect()
+    }
+    assert(e3.getMessage.contains("only ADD COLUMNS"), e3.getMessage)
+  }
+
   test("a partition-column name refuses; the parquet face evolves too") {
     import spark.implicits._
     val part = tmp("add_part")
