@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.ScaleRehearsal [outDir] [mode]
   *   mode ∈ dedup|ordered|joins|cc|skew|io|sketch|ingest|compaction|
   *          mutation|cluster|manifest|planning|overlap|dv|dvmerge|
-  *          inccluster|parquet|preddml|all;
+  *          inccluster|parquet|preddml|replovr|copyinto|all;
   *   builds <outDir>/sf1/{documents,embeddings}.parquet from
   *   /root/testdata/sf0.1, then times the family at both scales.
   */
@@ -438,6 +438,14 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("target/scale")
     val mode = args.drop(1).headOption.getOrElse("all")
+    // a typo'd mode must not run ZERO tiers and exit 0 — that reads as
+    // "rehearsal passed" when nothing was measured
+    val validModes = Set("dedup", "ordered", "joins", "cc", "skew", "io",
+      "sketch", "ingest", "compaction", "mutation", "cluster", "manifest",
+      "planning", "overlap", "dv", "dvmerge", "inccluster", "parquet",
+      "preddml", "replovr", "copyinto", "all")
+    require(validModes(mode),
+      s"unknown mode '$mode' (one of ${validModes.toSeq.sorted.mkString("|")})")
     val src = "/root/testdata/sf0.1"
     val sf1 = s"$out/sf1"
     val spark = GraftSession.build("graft-scale")

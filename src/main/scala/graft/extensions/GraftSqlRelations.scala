@@ -90,12 +90,13 @@ private[extensions] class GraftSqlRelationsRule(spark: SparkSession)
           "OVERWRITE ... PARTITION (k=v) with an empty query")
     case ac: AlterTableCommand if tablePathOf(ac.table).isDefined =>
       throw new IllegalArgumentException(
-        s"ALTER TABLE graft.`${tablePathOf(ac.table).get}` " +
-          s"${ac.nodeName}: only ADD COLUMNS is supported — DROP/" +
-          "RENAME/ALTER COLUMN would rewrite or remap every footer " +
-          "(schema columns live in the data files, not a catalog); " +
-          "widen with ADD COLUMNS, backfill with UPDATE, or rewrite " +
-          "via replaceWhere")
+        s"ALTER TABLE graft.`${tablePathOf(ac.table).get}`: this ALTER " +
+          s"form (${ac.nodeName}) is not supported — only ADD COLUMNS " +
+          "is. Column drops/renames/retypes would rewrite or remap " +
+          "every footer (schema columns live in the data files, not a " +
+          "catalog; widen with ADD COLUMNS, backfill with UPDATE, or " +
+          "rewrite via replaceWhere), and table properties have no " +
+          "catalog to live in (a graft table is a path plus manifests)")
     // graft-target DML statements belong to GraftMergeIntoRule — never
     // resolve the target relation out from under it (its USING side
     // analyzes independently via ofRows, where this rule applies)

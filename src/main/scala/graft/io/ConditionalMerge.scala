@@ -212,6 +212,11 @@ object ConditionalMerge {
             .StructField(f.name, f.dataType, nullable = true))
         StructType(tableSchema0.fields ++ extra)
       }
+    // an EVOLVING merge's commit must abort if anything else landed
+    // files since this snapshot (another evolution, an ALTER's stamps)
+    // — the same no-new-files rule ALTER itself commits under; a
+    // non-evolving merge keeps the append-commutes matrix
+    val schemaEvolved = tableSchema.length > tableSchema0.length
     // ONE discovery pass serves both the partition-column types and the
     // per-file values map below (toDiscovered re-parses every rel path)
     val discovered =
@@ -693,7 +698,8 @@ object ConditionalMerge {
         // change that altered nothing (the deleteByKeyDV precedent)
         if (added.isEmpty) return noOp
         val committed = FeatherSnapshots.commitMutation(fs, root, "merge",
-          snap, Set.empty, added.toSeq)
+          snap, Set.empty, added.toSeq,
+          requireNoNewFiles = schemaEvolved)
         return FeatherMutations.Result(committed, 0, snap.files.size,
           partsWritten)
       }
@@ -738,7 +744,7 @@ object ConditionalMerge {
               snap.files.forall { case (rel, _) => removeRel(rel) })
             stampLeaves()
           FeatherSnapshots.commitMutation(fs, root, "merge", snap,
-            removeRel, added.toSeq)
+            removeRel, added.toSeq, requireNoNewFiles = schemaEvolved)
         } else {
           // ---- merge-on-read: mask EVERY matched position, land the clause
           // output (updates + carried-through matched rows + inserts) as new
@@ -768,7 +774,8 @@ object ConditionalMerge {
               snap.files.forall { case (rel, _) => droppedRel(rel) })
             stampLeaves()
           FeatherSnapshots.commitMutation(fs, root, "merge", snap,
-            droppedRel, added.toSeq, setDvs = bindings)
+            droppedRel, added.toSeq, setDvs = bindings,
+            requireNoNewFiles = schemaEvolved)
         }
       val touched =
         if (dvMask) positionsTouched(committed, snap, fs, root)

@@ -25,8 +25,9 @@ import graft.sources.FeatherSnapshots
   *     via the shared INSERT alignment/routing (by-name, lossless-cast
   *     rule, per-leaf partitioned routing), with every part name
   *     carrying a DIGEST of the sorted new-file list.
-  *  3. `ledger-v{K+1}.json` (the cumulative ingested set) publishes,
-  *     then the intent deletes.
+  *  3. `ledger-v{K+1}.json` publishes (a DELTA carrying only the
+  *     batch; every 16th entry is a checkpoint with the cumulative
+  *     set), then the intent deletes.
   * Crash healing: an intent without its ledger is resolved on the next
   * run — if parts tagged with the intent's digest exist in a retained
   * version, the batch COMMITTED and the ledger is rewritten from the
@@ -145,20 +146,36 @@ object CopyInto {
     val k = if (ledgers.isEmpty) 0L else ledgers.max
     var ingested = Set.empty[String]
     if (ledgers.nonEmpty) {
-      var v = k
-      var folded = List.empty[Seq[String]]
-      var done = false
-      while (!done) {
-        val n = readJson(fs, ledgerPath(root, v))
-        val arr = n.get("files")
-        folded ::= (0 until arr.size()).map(arr.get(_).asText())
-        done = !n.has("full") || n.get("full").asBoolean() || v == 1L
-        require(done || fs.exists(ledgerPath(root, v - 1)),
-          s"copy ledger chain broken under $root/$LedgerDir: entry " +
-            s"v${v - 1} is missing below delta v$v")
-        v -= 1
+      // a RACING copier can publish a checkpoint and prune entries
+      // below it mid-walk — on a missing link, re-list and restart the
+      // reconstruction ONCE from the (necessarily newer) head before
+      // declaring the chain broken
+      def reconstruct(from: Long): Option[Set[String]] = {
+        var v = from
+        var folded = List.empty[Seq[String]]
+        var done = false
+        while (!done) {
+          val n =
+            try readJson(fs, ledgerPath(root, v))
+            catch { case _: java.io.FileNotFoundException => return None }
+          val arr = n.get("files")
+          folded ::= (0 until arr.size()).map(arr.get(_).asText())
+          done = !n.has("full") || n.get("full").asBoolean() || v == 1L
+          if (!done && !fs.exists(ledgerPath(root, v - 1))) return None
+          v -= 1
+        }
+        Some(folded.flatten.toSet)
       }
-      ingested = folded.flatten.toSet
+      ingested = reconstruct(k).orElse {
+        val again = fs.listStatus(dir).map(_.getPath.getName).collect {
+          case n if n.startsWith("ledger-v") && n.endsWith(".json") =>
+            n.stripPrefix("ledger-v").stripSuffix(".json").toLong }
+        if (again.nonEmpty) reconstruct(again.max) else None
+      }.getOrElse(sys.error(
+        s"copy ledger chain broken under $root/$LedgerDir: a delta's " +
+          "parent entry is missing and a re-listed walk still fails — " +
+          "either the directory was modified by hand, or a concurrent " +
+          "copier is checkpointing right now (retry)"))
     }
     val intents = names.collect {
       case nm if nm.startsWith("intent-v") && nm.endsWith(".json") =>
@@ -245,7 +262,15 @@ object CopyInto {
     var k = k0
     var ingested = ingested0
     intents.foreach { iv =>
-      val in = readJson(fs, intentPath(root, iv))
+      // a racing copier may resolve (and delete) this intent between
+      // our listing and this read — its healing supersedes ours, and
+      // any staleness in our k is caught by the post-claim re-check
+      val inOpt =
+        try Some(readJson(fs, intentPath(root, iv)))
+        catch { case _: java.io.FileNotFoundException => None }
+      if (inOpt.isEmpty) return run(spark, path, sourceDir, format,
+        options, pattern, healStale, codec) // restart on the new state
+      val in = inOpt.get
       val digest = in.get("digest").asText()
       val after = in.get("headVersion").asText().toLong
       val files = {

@@ -65,40 +65,70 @@ object TableDdl {
     def bad(msg: String): Nothing =
       throw new IllegalArgumentException(s"$op on graft.`$path`: $msg")
     if (cols.isEmpty) bad("no columns to add")
-    val r = FeatherMutations.resolveTable(spark, path, op,
-      requireHive = false, snapshotsHint = TableInserts.InsertSnapshotsHint)
-    // case-variants refuse REGARDLESS of spark.sql.caseSensitive: the
-    // footers outlive the session conf, and an insensitive reader of a
-    // sensitive writer's 'amt'+'AMT' table has no sound merge
-    val existing = r.fullSchema.fieldNames.toSeq
-    cols.foreach { f =>
-      existing.find(_.equalsIgnoreCase(f.name)).foreach(e =>
-        bad(s"column '${f.name}' already exists as '$e'" +
-          (if (r.partCols.contains(e)) " (a partition column)" else "")))
-      if (!f.nullable)
-        bad(s"column '${f.name}' is NOT NULL — existing rows have no " +
-          "value for it; add it nullable (backfill with UPDATE, then " +
-          "treat it as required downstream)")
-    }
     cols.groupBy(_.name.toLowerCase(java.util.Locale.ROOT)).foreach {
       case (_, vs) if vs.size > 1 =>
         bad(s"column '${vs.head.name}' is added more than once")
       case _ => ()
     }
-    val newSchema = StructType(r.tableSchema.fields ++ cols)
-    val targetV = r.snap.version + 1
-    val prefix = FeatherSnapshots.runPrefix(targetV, "alt-")
-    val added = FeatherMutations.stampLeaves(r.face, r.fs, r.root,
-      r.snap.files.map(_._1), prefix, newSchema)
-    // op "append" (streams deliver the zero-row stamps as nothing; CDF
-    // is diff-based) — but through the MUTATION commit with the
-    // no-new-files check: the name validation above ran against THIS
-    // snapshot's schema, and any concurrent addition (another ALTER's
-    // stamps, a mergeSchema append) may have evolved it; two racing
-    // ALTERs landing 'score DOUBLE' and 'score STRING' would brick
-    // every merged read. Refused racers re-run and revalidate.
-    val committed = FeatherSnapshots.commitMutation(r.fs, r.root,
-      "append", r.snap, Set.empty, added, requireNoNewFiles = true)
-    Result(committed, 0, r.snap.files.size, added.size)
+    def attempt(): Result = {
+      val r = FeatherMutations.resolveTable(spark, path, op,
+        requireHive = false,
+        snapshotsHint = TableInserts.InsertSnapshotsHint)
+      // case-variants refuse REGARDLESS of spark.sql.caseSensitive: the
+      // footers outlive the session conf, and an insensitive reader of a
+      // sensitive writer's 'amt'+'AMT' table has no sound merge
+      val existing = r.fullSchema.fieldNames.toSeq
+      cols.foreach { f =>
+        existing.find(_.equalsIgnoreCase(f.name)).foreach(e =>
+          bad(s"column '${f.name}' already exists as '$e'" +
+            (if (r.partCols.contains(e)) " (a partition column)" else "")))
+        if (!f.nullable)
+          bad(s"column '${f.name}' is NOT NULL — existing rows have no " +
+            "value for it; add it nullable (backfill with UPDATE, then " +
+            "treat it as required downstream)")
+      }
+      val newSchema = StructType(r.tableSchema.fields ++ cols)
+      val targetV = r.snap.version + 1
+      val prefix = FeatherSnapshots.runPrefix(targetV, "alt-")
+      val added0 = FeatherMutations.stampLeaves(r.face, r.fs, r.root,
+        r.snap.files.map(_._1), prefix, newSchema)
+      // a zero-file head (unreachable today — every commit path stamps
+      // empties) must still record the column SOMEWHERE: a stamp-less
+      // "success" would silently add nothing
+      val added =
+        if (added0.nonEmpty) added0
+        else Seq(r.face.stamp(r.fs, r.root, prefix, newSchema))
+      // op "append" (streams deliver the zero-row stamps as nothing; CDF
+      // is diff-based) — but through the MUTATION commit with the
+      // no-new-files check: the name validation above ran against THIS
+      // snapshot's schema, and a concurrent addition (another ALTER's
+      // stamps, an evolving merge/append) may have evolved it; two
+      // racing ALTERs landing 'score DOUBLE' and 'score STRING' would
+      // brick every merged read.
+      val committed = FeatherSnapshots.commitMutation(r.fs, r.root,
+        "append", r.snap, Set.empty, added, requireNoNewFiles = true)
+      Result(committed, 0, r.snap.files.size, added.size)
+    }
+    // the no-new-files abort also fires on schema-NEUTRAL blind appends
+    // (a plain append cannot evolve the schema, but commit-time footers
+    // are not read to prove it) — on a continuously-ingesting table the
+    // statement would never land without this revalidate-and-retry
+    // loop: each retry re-resolves the head and re-runs the name checks
+    // against the possibly-evolved schema before committing again
+    var lastConflict: Throwable = null
+    for (_ <- 1 to 5) {
+      try return attempt()
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.contains("concurrent commit added file") =>
+          lastConflict = e
+      }
+    }
+    throw new IllegalArgumentException(
+      s"$op on graft.`$path`: lost the commit race 5 times in a row to " +
+        "concurrent commits (each retry revalidated against the new " +
+        "head); pause the heaviest writer or re-run",
+      lastConflict)
   }
 }

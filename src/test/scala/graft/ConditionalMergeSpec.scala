@@ -681,6 +681,35 @@ class ConditionalMergeSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("nondeterministic"), e3.getMessage)
   }
 
+  test("an EVOLVING merge racing a concurrent schema change ABORTS " +
+       "(the no-new-files rule) — landing both could brick merged reads") {
+    import spark.implicits._
+    val path = tmp("evolve_race")
+    writeTable(path)
+    // a concurrent ALTER lands 'extra_col' STRING inside the evolving
+    // merge's commit window; the merge's footers would carry it as
+    // DOUBLE — the commit must abort, not land the conflict
+    FeatherSnapshots.testBeforeMutationCommit = () => {
+      graft.io.TableDdl.addColumns(spark, path, Seq(
+        org.apache.spark.sql.types.StructField("extra_col",
+          org.apache.spark.sql.types.StringType))): Unit
+    }
+    val e = intercept[Exception] {
+      ConditionalMerge(spark, path,
+        src.withColumn("extra_col", lit(1.0)), Seq("id"))
+        .withSchemaEvolution()
+        .whenMatchedUpdate(set = Map("amt" -> col("source.amt")))
+        .execute()
+    }
+    assert(e.getMessage.contains("concurrent commit added file"),
+      e.getMessage)
+    // the winner's STRING evolution is intact and the table reads
+    val got = spark.read.format("feather")
+      .option("mergeSchema", "true").load(path)
+    assert(got.schema("extra_col").dataType ===
+      org.apache.spark.sql.types.StringType)
+  }
+
   test("a nondeterministic SOURCE PLAN refuses too — the probe, the " +
        "clause joins, and the routed writes re-evaluate the source") {
     import spark.implicits._

@@ -144,14 +144,36 @@ class TableDdlSpec extends AnyFunSuite {
       spark.sql(s"ALTER TABLE graft.`$path` ADD COLUMNS (score DOUBLE)")
         .collect()
     }
-    assert(e.getMessage.contains("concurrent commit added file"),
-      e.getMessage)
+    // the loser's commit aborts on the no-new-files check, and its
+    // revalidate-and-retry then sees the winner's 'score' and refuses
+    // with the CORRECT diagnosis (not a raw race error)
+    assert(e.getMessage.contains("already exists"), e.getMessage)
     // the winner's evolution (STRING) is intact and the table reads
     val got = spark.read.format("feather")
       .option("mergeSchema", "true").load(path)
     assert(got.schema("score").dataType ===
       org.apache.spark.sql.types.StringType)
     assert(got.count() === 100)
+  }
+
+  test("an ALTER racing schema-NEUTRAL appends retries and LANDS — " +
+       "continuous ingest must not starve schema evolution") {
+    import spark.implicits._
+    val path = tmp("race_append")
+    writeFlat(path)
+    // a blind append lands inside the ALTER's first commit window; the
+    // retry revalidates (no conflict — the append is schema-neutral)
+    // and commits
+    FeatherSnapshots.testBeforeMutationCommit = () => {
+      Seq((9999L, 9.9)).toDF("id", "amt")
+        .write.format("feather").mode("append").save(path)
+    }
+    spark.sql(s"ALTER TABLE graft.`$path` ADD COLUMNS (score DOUBLE)")
+      .collect(): Unit
+    val got = spark.read.format("feather")
+      .option("mergeSchema", "true").load(path)
+    assert(got.columns.contains("score"))
+    assert(got.count() === 101, "both the append and the ALTER landed")
   }
 
   test("adjacent DDL spellings refuse loudly instead of falling " +
