@@ -82,6 +82,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // already lowered before this rule's read-claiming runs
     ext.injectResolutionRule(s => new GraftSqlRelationsRule(s))
 
+    // CREATE TABLE / CTAS over graft paths: POST-HOC, necessarily —
+    // Spark's DataSourceAnalysis (earlier in the same post-hoc batch)
+    // is what lowers the statement onto the claimable V1 commands
+    ext.injectPostHocResolutionRule(s => new GraftCreateTableRule(s))
+
     // the table-maintenance tier's SQL face (CALL-style table functions:
     // OPTIMIZE / ZORDER / VACUUM / RESTORE / expire / history / CDF)
     GraftTableFunctions.register(ext)

@@ -199,3 +199,162 @@ private[extensions] class GraftSqlRelationsRule(spark: SparkSession)
     }
   }
 }
+
+/** `CREATE TABLE graft.`/t`` / `CREATE TABLE ... AS SELECT` — a
+  * POST-HOC resolution rule, necessarily: by the time the resolution
+  * batch finishes, Spark's OWN ResolveSessionCatalog + the Post-Hoc
+  * batch's DataSourceAnalysis have lowered the parsed CreateTable onto
+  * the session-catalog V1 commands (the 'graft' qualifier reads as a
+  * database name), and custom post-hoc rules run AFTER DataSourceAnalysis
+  * — so the V1 commands are the claim point, with the parsed spelling
+  * recovered from the CatalogTable. Executing them unclaimed would hit
+  * the session catalog's name validation with the most confusing
+  * possible error for a table every other graft statement can see.
+  *
+  * Validation: the graft.`path` identifier IS the location (a LOCATION
+  * clause arrives as EXTERNAL — refused as ambiguous), properties have
+  * no catalog to live in, column DEFAULTs have no footer to live in,
+  * bucketing does not map onto the hive key=value layout. USING omitted
+  * arrives as Spark's own spark.sql.sources.default (parquet unless
+  * reconfigured) — spell USING feather for the native face. */
+private[extensions] class GraftCreateTableRule(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.graft.Bridge
+
+  private val Faces = Set("graft", "graft_dv")
+
+  private def catalogPathOf(
+      t: org.apache.spark.sql.catalyst.catalog.CatalogTable)
+      : Option[String] =
+    t.identifier.database.filter(d => Faces(d.toLowerCase))
+      .map(_ => t.identifier.table)
+
+  /** V2-provider CREATEs (USING feather / `graft-avro` — both DSv2)
+    * never convert to V1 commands; they stay CreateTable /
+    * CreateTableAsSelect with a ResolvedIdentifier. */
+  private def v2PathOf(name: LogicalPlan): Option[String] = name match {
+    case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier
+        if r.identifier.namespace.length == 1 &&
+          Faces(r.identifier.namespace.head.toLowerCase) =>
+      Some(r.identifier.name)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case c: org.apache.spark.sql.execution.command
+        .CreateDataSourceTableCommand if catalogPathOf(c.table).isDefined =>
+      lowerCreate(c.table, c.ignoreIfExists, ctas = None)
+    case c: org.apache.spark.sql.execution.command
+        .CreateDataSourceTableAsSelectCommand
+        if catalogPathOf(c.table).isDefined =>
+      lowerCreate(c.table,
+        c.mode == org.apache.spark.sql.SaveMode.Ignore,
+        ctas = Some(c.query))
+    case c: org.apache.spark.sql.execution.command.CreateTableCommand
+        if catalogPathOf(c.table).isDefined =>
+      throw new IllegalArgumentException(
+        s"CREATE TABLE graft.`${catalogPathOf(c.table).get}`: hive " +
+          "serde formats (STORED AS / ROW FORMAT) are not supported — " +
+          "USING feather, parquet, or avro")
+    case c: CreateTable if v2PathOf(c.name).isDefined =>
+      val path = v2PathOf(c.name).get
+      val (provider, partCols) = v2Parts("CREATE TABLE", path,
+        c.columns.flatMap(col =>
+          if (col.defaultValue.nonEmpty) Some(col.name) else None),
+        c.partitioning, c.tableSpec)
+      val schema = c.tableSchema
+      GraftDml.report(s"create_table($path)") { () =>
+        graft.io.TableDdl.createTable(spark, path, schema, provider,
+          partCols, c.ignoreIfExists) }
+    case c: CreateTableAsSelect if v2PathOf(c.name).isDefined =>
+      val path = v2PathOf(c.name).get
+      val (provider, partCols) = v2Parts("CREATE TABLE AS SELECT", path,
+        Nil, c.partitioning, c.tableSpec)
+      val query = Bridge.ofRows(spark, c.query)
+      GraftDml.report(s"create_table_as($path)") { () =>
+        graft.io.TableDdl.createTableAs(spark, path, query, provider,
+          partCols, c.ignoreIfExists) }
+    case other => other
+  }
+
+  private def v2Parts(what: String, path: String,
+                      defaultCols: Seq[String],
+                      partitioning: Seq[
+                        org.apache.spark.sql.connector.expressions.Transform],
+                      tableSpec: TableSpecBase)
+      : (Option[String], Seq[String]) = {
+    def bad(msg: String): Nothing =
+      throw new IllegalArgumentException(s"$what graft.`$path`: $msg")
+    defaultCols.headOption.foreach(c =>
+      bad(s"column '$c' carries a DEFAULT — footers cannot record it; " +
+        "create the column plain and backfill with UPDATE"))
+    val (provider, location, external, props) = tableSpec match {
+      case t: TableSpec =>
+        (t.provider, t.location, t.external, t.properties)
+      case t: UnresolvedTableSpec =>
+        (t.provider, t.location, t.external, t.properties)
+      case other => bad(s"unsupported table spec ${other.getClass.getName}")
+    }
+    location.foreach(l => bad(s"LOCATION '$l' — the graft.`path` " +
+      "identifier IS the location; drop the clause"))
+    if (external) bad("LOCATION/EXTERNAL — the graft.`path` identifier " +
+      "IS the location; drop the clause")
+    if (props.nonEmpty)
+      bad(s"TBLPROPERTIES (${props.keys.mkString(", ")}) — a graft " +
+        "table is a path plus manifests; there is no catalog to hold " +
+        "properties")
+    val partCols = partitioning.map { t =>
+      if (t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1)
+        t.references.head.fieldNames.head
+      else bad(s"PARTITIONED BY ${t.describe()} — only plain column " +
+        "partitioning maps onto the hive key=value layout")
+    }
+    (provider, partCols)
+  }
+
+  private def lowerCreate(
+      ct: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+      ifNotExists: Boolean, ctas: Option[LogicalPlan]): LogicalPlan = {
+    val path = ct.identifier.table
+    val what =
+      if (ctas.isDefined) "CREATE TABLE AS SELECT" else "CREATE TABLE"
+    def bad(msg: String): Nothing =
+      throw new IllegalArgumentException(s"$what graft.`$path`: $msg")
+    if (ct.tableType ==
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL)
+      bad("LOCATION/EXTERNAL — the graft.`path` identifier IS the " +
+        "location; drop the clause")
+    if (ct.properties.nonEmpty)
+      bad(s"TBLPROPERTIES (${ct.properties.keys.mkString(", ")}) — a " +
+        "graft table is a path plus manifests; there is no catalog to " +
+        "hold properties")
+    ct.bucketSpec.foreach(b => bad(s"CLUSTERED BY/bucketing ($b) does " +
+      "not map onto the hive key=value layout — only plain column " +
+      "partitioning; cluster content with the graft_cluster/" +
+      "graft_zorder maintenance functions instead"))
+    ct.schema.fields.find(f =>
+        f.metadata.contains("CURRENT_DEFAULT") ||
+        f.metadata.contains("EXISTS_DEFAULT")).foreach(f =>
+      bad(s"column '${f.name}' carries a DEFAULT — footers cannot " +
+        "record it; create the column plain and backfill with UPDATE"))
+    val partCols = ct.partitionColumnNames
+    ctas match {
+      case Some(q) =>
+        // the query analyzes independently (graft reads inside it
+        // resolve through the relation rule)
+        val query = Bridge.ofRows(spark, q)
+        GraftDml.report(s"create_table_as($path)") { () =>
+          graft.io.TableDdl.createTableAs(spark, path, query,
+            ct.provider, partCols, ifNotExists) }
+      case None =>
+        // the V1 CatalogTable appends partition columns at the END of
+        // its schema — exactly the graft layout's column order
+        val schema = ct.schema
+        GraftDml.report(s"create_table($path)") { () =>
+          graft.io.TableDdl.createTable(spark, path, schema, ct.provider,
+            partCols, ifNotExists) }
+    }
+  }
+}

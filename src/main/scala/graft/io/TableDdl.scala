@@ -1,5 +1,6 @@
 package graft.io
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.{StructField, StructType}
 
@@ -31,6 +32,104 @@ import graft.sources.FeatherSnapshots
   * the drift surface is the helpers, not the call sites. */
 object TableDdl {
   import FeatherMutations.Result
+
+  /** The USING clause names the FACE. The SQL path always arrives with
+    * a provider (Spark fills an omitted USING with its own
+    * spark.sql.sources.default — parquet unless reconfigured); the
+    * direct API defaults to feather, the engine's native format. */
+  private def faceFormat(provider: Option[String],
+                         bad: String => Nothing): String =
+    provider.map(_.toLowerCase(java.util.Locale.ROOT))
+      .getOrElse("feather") match {
+      case "feather" => "feather"
+      case "parquet" => "parquet"
+      case "avro" | "graft-avro" => "graft-avro"
+      case other => bad(s"USING $other — a graft table's face is one " +
+        "of feather (default), parquet, avro (spelled `graft-avro` in " +
+        "SQL: Spark's own provider lookup runs first)")
+    }
+
+  /** `CREATE TABLE graft.`/t` (cols) [USING face]` — an EMPTY snapshot
+    * table: v1 is the schema stamp, so the table reads (zero rows,
+    * full schema) and every statement (INSERT/MERGE/COPY INTO/ALTER)
+    * targets it from birth. PARTITIONED BY refuses: partitioning
+    * derives from the hive key=value layout, which an empty table
+    * cannot record — create partitioned tables with rows (CTAS or the
+    * writer API's partitionBy). IF NOT EXISTS no-ops on an existing
+    * table (Spark semantics). */
+  def createTable(spark: SparkSession, path: String, schema: StructType,
+                  provider: Option[String], partitionCols: Seq[String],
+                  ifNotExists: Boolean): Result = {
+    val op = "CREATE TABLE"
+    def bad(msg: String): Nothing =
+      throw new IllegalArgumentException(s"$op graft.`$path`: $msg")
+    val fmt = faceFormat(provider, bad)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (FeatherSnapshots.enabled(fs, root)) {
+      if (!ifNotExists)
+        bad("the table already exists — TRUNCATE or INSERT OVERWRITE " +
+          "to replace its content, or CREATE TABLE IF NOT EXISTS to " +
+          "no-op; recreating with a different schema means deleting " +
+          "the directory first (its versions are history)")
+      val snap = FeatherSnapshots.resolve(fs, root, None).get
+      return Result(snap.version, 0, snap.files.size, 0)
+    }
+    if (partitionCols.nonEmpty)
+      bad(s"PARTITIONED BY (${partitionCols.mkString(", ")}) on an " +
+        "empty table — partitioning derives from the hive key=value " +
+        "layout, which exists only once rows land; use CREATE TABLE " +
+        "... AS SELECT (rows route to their leaves) or the writer " +
+        "API's partitionBy")
+    if (schema.isEmpty) bad("no columns")
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    writeByFace(spark, path, empty, fmt, Nil)
+    Result(1L, 0, 0, 1)
+  }
+
+  /** `CREATE TABLE graft.`/t` [USING face] [PARTITIONED BY (cols)]
+    * AS SELECT ...` — create-and-fill in one statement; the schema
+    * comes from the query. Partitioned CTAS rides the parquet face's
+    * partitioned writer (the other faces' partitioned layouts arrive
+    * via adopt); IF NOT EXISTS no-ops WITHOUT running the query. */
+  def createTableAs(spark: SparkSession, path: String,
+                    query: org.apache.spark.sql.DataFrame,
+                    provider: Option[String], partitionCols: Seq[String],
+                    ifNotExists: Boolean): Result = {
+    val op = "CREATE TABLE AS SELECT"
+    def bad(msg: String): Nothing =
+      throw new IllegalArgumentException(s"$op graft.`$path`: $msg")
+    val fmt = faceFormat(provider, bad)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (FeatherSnapshots.enabled(fs, root)) {
+      if (!ifNotExists)
+        bad("the table already exists — INSERT INTO/OVERWRITE to add " +
+          "or replace content, or CREATE TABLE IF NOT EXISTS to no-op")
+      val snap = FeatherSnapshots.resolve(fs, root, None).get
+      return Result(snap.version, 0, snap.files.size, 0)
+    }
+    partitionCols.filterNot(query.columns.contains).headOption.foreach(
+      c => bad(s"PARTITIONED BY names '$c', which the query does not " +
+        s"produce (${query.columns.mkString(", ")})"))
+    if (partitionCols.nonEmpty && fmt != "parquet")
+      bad("partitioned CTAS is parquet-face only (USING parquet) — " +
+        "the feather/avro faces take partitioned layouts via adopt")
+    writeByFace(spark, path, query, fmt, partitionCols)
+    Result(1L, 0, 0, 1)
+  }
+
+  private def writeByFace(spark: SparkSession, path: String,
+                          df: org.apache.spark.sql.DataFrame,
+                          fmt: String, partitionCols: Seq[String]): Unit =
+    fmt match {
+      case "parquet" =>
+        ParquetTable.write(df, path, partitionBy = partitionCols)
+      case f =>
+        df.write.format(f).mode("overwrite")
+          .option("snapshots", "true").save(path)
+    }
 
   /** TRUNCATE TABLE — ONE commit removes every data file while the
     * schema (and the hive layout's key=value paths) stay readable via

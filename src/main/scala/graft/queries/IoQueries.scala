@@ -84,7 +84,7 @@ object IoQueries extends QueryPack {
     "io_sql_delete", "io_sql_update", "io_delete_where_dv",
     "io_sql_select_version", "io_sql_insert",
     "io_replace_where", "io_insert_overwrite_dynamic", "io_copy_into",
-    "io_sql_ddl",
+    "io_sql_ddl", "io_sql_create",
     "io_avro_time_travel", "dedup_lsh_incremental")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
@@ -1908,6 +1908,44 @@ object IoQueries extends QueryPack {
     s.read.format("feather").option("mergeSchema", "true").load(path)
       .select("o_orderkey", "total", "src")
       .orderBy("o_orderkey")
+  }
+
+  // SQL CREATE TABLE + CTAS (io/TableDdl via GraftCreateTableRule):
+  // the statement set's birth end — a CTAS through the V2 claim path
+  // (USING feather, a DSv2 provider) and a plain CREATE through the V1
+  // claim path (the default provider), each then taking INSERTs. The
+  // oracle is the UNION reconstruction of both tables' content.
+  register("io_sql_create",
+    """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+      |FROM orders WHERE o_orderkey <= 900
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val path = readFixture("sql_create", d) { p =>
+      Tables.orders(s, d).filter(col("o_orderkey") <= 900)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast(DoubleType).as("total"))
+        .createOrReplaceTempView("io_sql_create_src")
+      s.sql(
+        s"""CREATE TABLE graft.`$p/a` USING feather AS
+           |SELECT o_orderkey, total FROM io_sql_create_src
+           |WHERE o_orderkey <= 700""".stripMargin).collect(): Unit
+      // IF NOT EXISTS on the existing table: a no-op that must NOT
+      // re-run the query (content pinned by the oracle compare)
+      s.sql(
+        s"""CREATE TABLE IF NOT EXISTS graft.`$p/a` USING feather AS
+           |SELECT o_orderkey, total FROM io_sql_create_src"""
+          .stripMargin).collect(): Unit
+      s.sql(s"CREATE TABLE graft.`$p/b` " +
+        "(o_orderkey BIGINT, total DOUBLE)").collect(): Unit
+      s.sql(
+        s"""INSERT INTO graft.`$p/b`
+           |SELECT o_orderkey, total FROM io_sql_create_src
+           |WHERE o_orderkey > 700""".stripMargin).collect(): Unit
+    }
+    s.sql(
+      s"""SELECT o_orderkey, total FROM graft.`$path/a`
+         |UNION ALL
+         |SELECT o_orderkey, total FROM graft.`$path/b`
+         |ORDER BY o_orderkey""".stripMargin)
   }
 
   // MERGE (upsert) on a snapshotted table (io/FeatherMutations.scala):

@@ -197,6 +197,95 @@ class TableDdlSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("only ADD COLUMNS"), e3.getMessage)
   }
 
+  test("CREATE TABLE makes an empty snapshot table every statement " +
+       "can target from birth; IF NOT EXISTS no-ops; re-CREATE refuses") {
+    val path = tmp("create_flat")
+    spark.sql(s"CREATE TABLE graft.`$path` (id BIGINT, amt DOUBLE)")
+      .collect(): Unit
+    val got = spark.sql(s"SELECT * FROM graft.`$path`")
+    assert(got.columns.toSeq === Seq("id", "amt") && got.count() === 0)
+    spark.sql(s"INSERT INTO graft.`$path` SELECT 1L, 2.0D").collect(): Unit
+    assert(spark.sql(s"SELECT * FROM graft.`$path`").count() === 1)
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$path` (x INT)").collect()
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    spark.sql(s"CREATE TABLE IF NOT EXISTS graft.`$path` (x INT)")
+      .collect(): Unit
+    assert(spark.sql(s"SELECT * FROM graft.`$path`").count() === 1,
+      "IF NOT EXISTS must be a no-op")
+  }
+
+  test("CTAS creates-and-fills in one statement; partitioned CTAS " +
+       "routes leaves on the parquet face; IF NOT EXISTS skips the query") {
+    import spark.implicits._
+    val flat = tmp("ctas_flat")
+    (1 to 40).map(i => (i.toLong, i * 2.0)).toDF("id", "amt")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql(s"CREATE TABLE graft.`$flat` AS SELECT * FROM ctas_src")
+      .collect(): Unit
+    assert(spark.sql(s"SELECT * FROM graft.`$flat`").count() === 40)
+    // IF NOT EXISTS on an existing table: content unchanged
+    spark.sql(s"CREATE TABLE IF NOT EXISTS graft.`$flat` AS " +
+      "SELECT * FROM ctas_src").collect(): Unit
+    assert(spark.sql(s"SELECT * FROM graft.`$flat`").count() === 40)
+    // partitioned CTAS (parquet face)
+    val part = tmp("ctas_part")
+    (1 to 30).map(i => (i.toLong, s"d${i % 3}")).toDF("id", "day")
+      .createOrReplaceTempView("ctas_part_src")
+    spark.sql(s"CREATE TABLE graft.`$part` USING parquet " +
+      "PARTITIONED BY (day) AS SELECT * FROM ctas_part_src")
+      .collect(): Unit
+    (0 to 2).foreach(d => assert(
+      new java.io.File(s"$part/day=d$d").isDirectory,
+      "CTAS must route rows to their leaves"))
+    assert(graft.io.ParquetTable.read(spark, part)
+      .where(col("day") === "d1").count() === 10)
+    // the full statement set runs on a CTAS table
+    spark.sql(s"DELETE FROM graft.`$part` WHERE id <= 10").collect(): Unit
+    assert(graft.io.ParquetTable.read(spark, part).count() === 20)
+  }
+
+  test("CREATE refusals: PARTITIONED BY on an empty table, LOCATION, " +
+       "TBLPROPERTIES, DEFAULT, non-identity transforms, unknown face") {
+    val path = tmp("create_refuse")
+    def refuse(ddl: String, needle: String): Unit = {
+      val e = intercept[Exception] { spark.sql(ddl).collect() }
+      assert(e.getMessage.contains(needle), s"$ddl → ${e.getMessage}")
+    }
+    refuse(s"CREATE TABLE graft.`$path` (id BIGINT, day STRING) " +
+      "PARTITIONED BY (day)", "empty table")
+    refuse(s"CREATE TABLE graft.`$path` (id BIGINT) LOCATION '/elsewhere'",
+      "LOCATION")
+    refuse(s"CREATE TABLE graft.`$path` (id BIGINT) " +
+      "TBLPROPERTIES ('a'='b')", "TBLPROPERTIES")
+    refuse(s"CREATE TABLE graft.`$path` (id BIGINT DEFAULT 3)", "DEFAULT")
+    refuse(s"CREATE TABLE graft.`$path` (id BIGINT, day STRING) " +
+      "PARTITIONED BY (bucket(4, id))", "plain column")
+    refuse(s"CREATE TABLE graft.`$path` (id BIGINT) USING orc",
+      "feather (default), parquet, avro")
+    assert(!new java.io.File(path).exists(),
+      "no refusal may leave a half-created table")
+  }
+
+  test("USING selects the face: avro and parquet CREATEs take inserts " +
+       "through their own connectors") {
+    val avro = tmp("create_avro")
+    // Spark's own provider lookup runs before the claim, so the
+    // spelling is the REGISTERED source name (plain 'avro' would need
+    // the external spark-avro module)
+    spark.sql(s"CREATE TABLE graft.`$avro` (id BIGINT, v STRING) " +
+      "USING `graft-avro`").collect(): Unit
+    spark.sql(s"INSERT INTO graft.`$avro` SELECT 7L, 'x'").collect(): Unit
+    val gotAvro = spark.read.format("graft-avro").load(avro)
+    assert(gotAvro.count() === 1)
+    val pq = tmp("create_pq")
+    spark.sql(s"CREATE TABLE graft.`$pq` (id BIGINT, v STRING) " +
+      "USING parquet").collect(): Unit
+    spark.sql(s"INSERT INTO graft.`$pq` SELECT 8L, 'y'").collect(): Unit
+    assert(graft.io.ParquetTable.read(spark, pq).count() === 1)
+  }
+
   test("a partition-column name refuses; the parquet face evolves too") {
     import spark.implicits._
     val part = tmp("add_part")
