@@ -88,6 +88,14 @@ private[extensions] class GraftSqlRelationsRule(spark: SparkSession)
           "(...): partition-scoped truncate is not supported — use " +
           "DELETE FROM ... WHERE on the partition column, or INSERT " +
           "OVERWRITE ... PARTITION (k=v) with an empty query")
+    case d: DescribeRelation if tovPathOf(d.relation).isDefined =>
+      lowerDescribe(d, tovPathOf(d.relation).get)
+    case d: DropTable if tovPathOf(d.child).isDefined =>
+      throw new IllegalArgumentException(
+        s"DROP TABLE graft.`${tovPathOf(d.child).get}`: a graft table " +
+          "IS its directory — DROP would delete data as a side effect " +
+          "of a metadata statement; delete the path deliberately, or " +
+          "use graft_expire/graft_vacuum to reclaim history")
     case ac: AlterTableCommand if tablePathOf(ac.table).isDefined =>
       throw new IllegalArgumentException(
         s"ALTER TABLE graft.`${tablePathOf(ac.table).get}`: this ALTER " +
@@ -153,6 +161,55 @@ private[extensions] class GraftSqlRelationsRule(spark: SparkSession)
           "pins at plan time, so the instant must fold")
     }
     readPlan(path, versionAsOf, tsMillis)
+  }
+
+  /** `graft.`-qualified path in an UnresolvedTableOrView (DESCRIBE /
+    * DROP name tables through this node). */
+  private def tovPathOf(t: LogicalPlan): Option[String] = t match {
+    case org.apache.spark.sql.catalyst.analysis
+        .UnresolvedTableOrView(parts, _, _)
+        if parts.length == 2 && Faces(parts.head.toLowerCase) =>
+      Some(parts(1))
+    case _ => None
+  }
+
+  /** DESCRIBE [EXTENDED] — a metadata-only read resolved at plan time
+    * (one snapshot + schema resolution, Spark's own output shape:
+    * col_name / data_type / comment rows, the hive-style partition
+    * section, and the detail block under EXTENDED). */
+  private def lowerDescribe(d: DescribeRelation, path: String)
+      : LogicalPlan = {
+    if (d.partitionSpec.nonEmpty)
+      throw new IllegalArgumentException(
+        s"DESCRIBE graft.`$path` PARTITION (...): per-partition " +
+          "describe is not supported — partition values are ordinary " +
+          "columns here; SELECT DISTINCT them")
+    val info = graft.io.TableDdl.describeInfo(spark, path)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    def u(s: String) = if (s == null) null else UTF8String.fromString(s)
+    def row(n: String, t: String, c: String) =
+      InternalRow(u(n), u(t), u(c))
+    def colRows(st: org.apache.spark.sql.types.StructType) =
+      st.fields.toSeq.map(f => row(f.name, f.dataType.simpleString,
+        if (f.metadata.contains("comment"))
+          f.metadata.getString("comment") else null))
+    val partSection =
+      if (info.partCols.isEmpty) Nil
+      else row("# Partition Information", "", "") +:
+        row("# col_name", "data_type", "comment") +:
+        colRows(info.partSchema)
+    val detail =
+      if (!d.isExtended) Nil
+      else Seq(row("", "", ""),
+        row("# Detailed Table Information", "", ""),
+        row("Location", path, null),
+        row("Face", info.face, null),
+        row("Version", info.version.toString, null),
+        row("Data Files", info.files.toString, null),
+        row("Deletion Vectors", info.dvs.toString, null))
+    org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+      d.output, colRows(info.dataSchema) ++ partSection ++ detail)
   }
 
   private def lowerAddColumns(a: AddColumns, path: String): LogicalPlan = {
@@ -241,7 +298,33 @@ private[extensions] class GraftCreateTableRule(spark: SparkSession)
     case _ => None
   }
 
+  /** DROP TABLE's target: the parser emits an identifier node that
+    * Spark's ResolveCatalogs converts to ResolvedIdentifier before any
+    * injected resolution rule runs — match every shape it can arrive
+    * in by the post-hoc batch. */
+  private def dropPathOf(t: LogicalPlan): Option[String] = t match {
+    case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier
+        if r.identifier.namespace.length == 1 &&
+          Faces(r.identifier.namespace.head.toLowerCase) =>
+      Some(r.identifier.name)
+    case org.apache.spark.sql.catalyst.analysis
+        .UnresolvedIdentifier(parts, _)
+        if parts.length == 2 && Faces(parts.head.toLowerCase) =>
+      Some(parts(1))
+    case org.apache.spark.sql.catalyst.analysis
+        .UnresolvedTableOrView(parts, _, _)
+        if parts.length == 2 && Faces(parts.head.toLowerCase) =>
+      Some(parts(1))
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case d: DropTable if dropPathOf(d.child).isDefined =>
+      throw new IllegalArgumentException(
+        s"DROP TABLE graft.`${dropPathOf(d.child).get}`: a graft table " +
+          "IS its directory — DROP would delete data as a side effect " +
+          "of a metadata statement; delete the path deliberately, or " +
+          "use graft_expire/graft_vacuum to reclaim history")
     case c: org.apache.spark.sql.execution.command
         .CreateDataSourceTableCommand if catalogPathOf(c.table).isDefined =>
       lowerCreate(c.table, c.ignoreIfExists, ctas = None)

@@ -131,6 +131,23 @@ object TableDdl {
           .option("snapshots", "true").save(path)
     }
 
+  /** Everything `DESCRIBE TABLE graft.`/t`` prints: the merged schema
+    * split into data and partition columns, plus the head's face /
+    * version / file count / DV count for the EXTENDED form. One
+    * snapshot resolution, no data read. */
+  final case class DescribeInfo(dataSchema: StructType,
+                                partCols: Seq[String],
+                                partSchema: StructType,
+                                face: String, version: Long,
+                                files: Int, dvs: Int)
+  def describeInfo(spark: SparkSession, path: String): DescribeInfo = {
+    val r = FeatherMutations.resolveTable(spark, path, "DESCRIBE TABLE",
+      requireHive = false, snapshotsHint = TableInserts.InsertSnapshotsHint)
+    DescribeInfo(r.tableSchema, r.partCols, r.partSchema,
+      r.face.suffix.stripPrefix("."), r.snap.version,
+      r.snap.files.size, r.snap.dvs.size)
+  }
+
   /** TRUNCATE TABLE — ONE commit removes every data file while the
     * schema (and the hive layout's key=value paths) stay readable via
     * the shared per-leaf stamps. Prior versions keep reading their

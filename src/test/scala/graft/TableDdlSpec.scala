@@ -286,6 +286,32 @@ class TableDdlSpec extends AnyFunSuite {
     assert(graft.io.ParquetTable.read(spark, pq).count() === 1)
   }
 
+  test("DESCRIBE TABLE prints the schema (partition section included); " +
+       "EXTENDED adds the face/version detail; DROP TABLE refuses") {
+    import spark.implicits._
+    val part = tmp("describe")
+    graft.io.ParquetTable.write(
+      (1 to 30).map(i => (i.toLong, i * 1.0, s"d${i % 3}"))
+        .toDF("id", "amt", "day"),
+      part, partitionBy = Seq("day"))
+    val rows = spark.sql(s"DESCRIBE TABLE graft.`$part`").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.contains(("id", "bigint")) &&
+      rows.contains(("amt", "double")))
+    assert(rows.exists(_._1 == "# Partition Information"))
+    assert(rows.count(_._1 == "day") === 1, "partition col in its section")
+    val ext = spark.sql(s"DESCRIBE TABLE EXTENDED graft.`$part`")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(ext("Face") === "parquet")
+    assert(ext("Version") === "1")
+    val e = intercept[Exception] {
+      spark.sql(s"DROP TABLE graft.`$part`").collect()
+    }
+    assert(e.getMessage.contains("delete the path deliberately"),
+      e.getMessage)
+    assert(new java.io.File(part).isDirectory, "DROP must not delete")
+  }
+
   test("a partition-column name refuses; the parquet face evolves too") {
     import spark.implicits._
     val part = tmp("add_part")
