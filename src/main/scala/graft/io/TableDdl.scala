@@ -6,13 +6,16 @@ import org.apache.spark.sql.types.{StructField, StructType}
 
 import graft.sources.FeatherSnapshots
 
-/** The two DDL statements a snapshot table takes by path — lowered from
-  * Spark's OWN parser plans (TruncateTable / AddColumns) by
-  * [[graft.extensions.GraftSqlRelationsRule]]:
+/** The DDL statements a snapshot table takes by path — lowered from
+  * Spark's OWN parser plans by [[graft.extensions.GraftSqlRelationsRule]]
+  * and [[graft.extensions.GraftCreateTableRule]]:
   *
   * {{{
+  *   CREATE TABLE graft.`/t` (id BIGINT) [USING face]
+  *   CREATE TABLE graft.`/t` [PARTITIONED BY (day)] AS SELECT ...
   *   TRUNCATE TABLE graft.`/t`
   *   ALTER TABLE graft.`/t` ADD COLUMNS (score DOUBLE, tags ARRAY<STRING>)
+  *   DESCRIBE TABLE [EXTENDED] graft.`/t`
   * }}}
   *
   * Neither statement reads or rewrites DATA — the writes are the
@@ -82,11 +85,25 @@ object TableDdl {
         "... AS SELECT (rows route to their leaves) or the writer " +
         "API's partitionBy")
     if (schema.isEmpty) bad("no columns")
+    requireFreshDir(fs, root, bad)
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     writeByFace(spark, path, empty, fmt, Nil)
-    Result(1L, 0, 0, 1)
+    val v1 = FeatherSnapshots.resolve(fs, root, None).get
+    Result(v1.version, 0, 0, v1.files.size)
   }
+
+  /** A CREATE must never destroy what it did not make: the path may be
+    * missing or an empty directory, but a NON-EMPTY non-snapshot
+    * directory (a plain parquet/csv dir) refuses — the overwrite write
+    * below would silently delete its files. */
+  private def requireFreshDir(fs: org.apache.hadoop.fs.FileSystem,
+                              root: Path, bad: String => Nothing): Unit =
+    if (fs.exists(root) && fs.listStatus(root).nonEmpty)
+      bad("the path exists and is not empty (and carries no " +
+        s"${FeatherSnapshots.Dir} directory) — CREATE would overwrite " +
+        "files it did not make; adopt() the directory into a snapshot " +
+        "table, or point CREATE at an empty path")
 
   /** `CREATE TABLE graft.`/t` [USING face] [PARTITIONED BY (cols)]
     * AS SELECT ...` — create-and-fill in one statement; the schema
@@ -116,8 +133,10 @@ object TableDdl {
     if (partitionCols.nonEmpty && fmt != "parquet")
       bad("partitioned CTAS is parquet-face only (USING parquet) — " +
         "the feather/avro faces take partitioned layouts via adopt")
+    requireFreshDir(fs, root, bad)
     writeByFace(spark, path, query, fmt, partitionCols)
-    Result(1L, 0, 0, 1)
+    val v1 = FeatherSnapshots.resolve(fs, root, None).get
+    Result(v1.version, 0, 0, v1.files.size)
   }
 
   private def writeByFace(spark: SparkSession, path: String,

@@ -246,6 +246,25 @@ class TableDdlSpec extends AnyFunSuite {
     assert(graft.io.ParquetTable.read(spark, part).count() === 20)
   }
 
+  test("CREATE never destroys what it did not make: a non-empty " +
+       "non-snapshot directory refuses instead of being overwritten") {
+    import spark.implicits._
+    val path = tmp("create_plain")
+    Seq((1L, "keep")).toDF("id", "v").write.parquet(path)
+    val before = new java.io.File(path).listFiles().map(_.getName).toSet
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$path` (id BIGINT)").collect()
+    }
+    assert(e.getMessage.contains("adopt"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$path` AS SELECT 1L AS id")
+        .collect()
+    }
+    assert(e2.getMessage.contains("adopt"), e2.getMessage)
+    assert(new java.io.File(path).listFiles().map(_.getName).toSet
+      === before, "the plain directory is untouched")
+  }
+
   test("CREATE refusals: PARTITIONED BY on an empty table, LOCATION, " +
        "TBLPROPERTIES, DEFAULT, non-identity transforms, unknown face") {
     val path = tmp("create_refuse")
