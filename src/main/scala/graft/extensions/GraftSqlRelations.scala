@@ -90,12 +90,16 @@ private[extensions] class GraftSqlRelationsRule(spark: SparkSession)
           "OVERWRITE ... PARTITION (k=v) with an empty query")
     case d: DescribeRelation if tovPathOf(d.relation).isDefined =>
       lowerDescribe(d, tovPathOf(d.relation).get)
-    case d: DropTable if tovPathOf(d.child).isDefined =>
+    case d: DescribeColumn if tovPathOf(d.relation).isDefined =>
+      lowerDescribeColumn(d, tovPathOf(d.relation).get)
+    case s: ShowColumns if tovPathOf(s.child).isDefined =>
+      lowerShowColumns(s, tovPathOf(s.child).get)
+    case s: ShowCreateTable if tovPathOf(s.child).isDefined =>
       throw new IllegalArgumentException(
-        s"DROP TABLE graft.`${tovPathOf(d.child).get}`: a graft table " +
-          "IS its directory — DROP would delete data as a side effect " +
-          "of a metadata statement; delete the path deliberately, or " +
-          "use graft_expire/graft_vacuum to reclaim history")
+        s"SHOW CREATE TABLE graft.`${tovPathOf(s.child).get}`: there " +
+          "is no stored CREATE statement (a graft table is a path plus " +
+          "manifests) — DESCRIBE TABLE EXTENDED prints the schema, " +
+          "partitioning, and face")
     case ac: AlterTableCommand if tablePathOf(ac.table).isDefined =>
       throw new IllegalArgumentException(
         s"ALTER TABLE graft.`${tablePathOf(ac.table).get}`: this ALTER " +
@@ -208,8 +212,52 @@ private[extensions] class GraftSqlRelationsRule(spark: SparkSession)
         row("Version", info.version.toString, null),
         row("Data Files", info.files.toString, null),
         row("Deletion Vectors", info.dvs.toString, null))
+    // Spark's own DESCRIBE shape: the MAIN section lists the FULL
+    // schema (partition columns included), then the partition section
+    // repeats them — consumers that parse rows up to the first '#'
+    // marker must recover the whole schema
+    val fullSchema = org.apache.spark.sql.types.StructType(
+      info.dataSchema.fields ++ info.partSchema.fields)
     org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
-      d.output, colRows(info.dataSchema) ++ partSection ++ detail)
+      d.output, colRows(fullSchema) ++ partSection ++ detail)
+  }
+
+  /** `DESCRIBE graft.`/t` col` — Spark's info_name/info_value shape. */
+  private def lowerDescribeColumn(d: DescribeColumn, path: String)
+      : LogicalPlan = {
+    val name = d.column match {
+      case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if ua.nameParts.length == 1 => ua.nameParts.head
+      case other => throw new IllegalArgumentException(
+        s"DESCRIBE graft.`$path` ${other.sql}: describe a top-level " +
+          "column by its bare name")
+    }
+    val info = graft.io.TableDdl.describeInfo(spark, path)
+    val all = info.dataSchema.fields ++ info.partSchema.fields
+    val f = all.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"DESCRIBE graft.`$path` $name: no such column " +
+          s"(${all.map(_.name).mkString(", ")})"))
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    def row(a: String, b: String) =
+      InternalRow(UTF8String.fromString(a), UTF8String.fromString(b))
+    org.apache.spark.sql.catalyst.plans.logical.LocalRelation(d.output,
+      Seq(row("col_name", f.name),
+        row("data_type", f.dataType.simpleString),
+        row("comment", if (f.metadata.contains("comment"))
+          f.metadata.getString("comment") else "NULL")))
+  }
+
+  /** `SHOW COLUMNS IN graft.`/t`` — one col_name column, full schema. */
+  private def lowerShowColumns(s: ShowColumns, path: String)
+      : LogicalPlan = {
+    val info = graft.io.TableDdl.describeInfo(spark, path)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    org.apache.spark.sql.catalyst.plans.logical.LocalRelation(s.output,
+      (info.dataSchema.fields ++ info.partSchema.fields).toSeq.map(f =>
+        InternalRow(UTF8String.fromString(f.name))))
   }
 
   private def lowerAddColumns(a: AddColumns, path: String): LogicalPlan = {
@@ -320,11 +368,39 @@ private[extensions] class GraftCreateTableRule(spark: SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case d: DropTable if dropPathOf(d.child).isDefined =>
+      val path = dropPathOf(d.child).get
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val exists = graft.sources.FeatherSnapshots.enabled(fs, root)
+      if (exists)
+        throw new IllegalArgumentException(
+          s"DROP TABLE graft.`$path`: a graft table IS its directory — " +
+            "DROP would delete data as a side effect of a metadata " +
+            "statement; delete the path deliberately, or use " +
+            "graft_expire/graft_vacuum to reclaim history")
+      else if (d.ifExists)
+        // idempotent cleanup scripts (DROP IF EXISTS before CREATE)
+        // must no-op on a path holding no table
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          d.output)
+      else
+        throw new IllegalArgumentException(
+          s"DROP TABLE graft.`$path`: no snapshot table at this path " +
+            "(nothing to drop; DROP TABLE IF EXISTS no-ops)")
+    case r: ReplaceTable if v2PathOf(r.name).isDefined =>
       throw new IllegalArgumentException(
-        s"DROP TABLE graft.`${dropPathOf(d.child).get}`: a graft table " +
-          "IS its directory — DROP would delete data as a side effect " +
-          "of a metadata statement; delete the path deliberately, or " +
-          "use graft_expire/graft_vacuum to reclaim history")
+        s"CREATE OR REPLACE TABLE graft.`${v2PathOf(r.name).get}`: " +
+          "REPLACE is not supported — replacing content is TRUNCATE + " +
+          "INSERT (or INSERT OVERWRITE); replacing the SCHEMA means the " +
+          "old versions stop describing the data, so recreate " +
+          "deliberately (delete the directory) instead")
+    case r: ReplaceTableAsSelect if v2PathOf(r.name).isDefined =>
+      throw new IllegalArgumentException(
+        s"CREATE OR REPLACE TABLE graft.`${v2PathOf(r.name).get}` AS " +
+          "SELECT: REPLACE is not supported — INSERT OVERWRITE replaces " +
+          "content atomically (time travel keeps the old version); a " +
+          "schema change means recreating deliberately (delete the " +
+          "directory first)")
     case c: org.apache.spark.sql.execution.command
         .CreateDataSourceTableCommand if catalogPathOf(c.table).isDefined =>
       lowerCreate(c.table, c.ignoreIfExists, ctas = None)
@@ -372,13 +448,16 @@ private[extensions] class GraftCreateTableRule(spark: SparkSession)
     defaultCols.headOption.foreach(c =>
       bad(s"column '$c' carries a DEFAULT — footers cannot record it; " +
         "create the column plain and backfill with UPDATE"))
-    val (provider, location, external, props) = tableSpec match {
-      case t: TableSpec =>
-        (t.provider, t.location, t.external, t.properties)
-      case t: UnresolvedTableSpec =>
-        (t.provider, t.location, t.external, t.properties)
-      case other => bad(s"unsupported table spec ${other.getClass.getName}")
-    }
+    val (provider, location, external, props, hasOptions, comment) =
+      tableSpec match {
+        case t: TableSpec =>
+          (t.provider, t.location, t.external, t.properties,
+            t.options.nonEmpty, t.comment)
+        case t: UnresolvedTableSpec =>
+          (t.provider, t.location, t.external, t.properties,
+            t.optionExpression.options.nonEmpty, t.comment)
+        case other => bad(s"unsupported table spec ${other.getClass.getName}")
+      }
     location.foreach(l => bad(s"LOCATION '$l' — the graft.`path` " +
       "identifier IS the location; drop the clause"))
     if (external) bad("LOCATION/EXTERNAL — the graft.`path` identifier " +
@@ -387,6 +466,12 @@ private[extensions] class GraftCreateTableRule(spark: SparkSession)
       bad(s"TBLPROPERTIES (${props.keys.mkString(", ")}) — a graft " +
         "table is a path plus manifests; there is no catalog to hold " +
         "properties")
+    if (hasOptions)
+      bad("OPTIONS — writer options do not persist (no catalog to " +
+        "hold them); configure writes per statement or session instead")
+    comment.foreach(_ => bad("COMMENT — there is no catalog to hold " +
+      "a table comment; record it beside the data (a README in the " +
+      "directory outlives any session)"))
     val partCols = partitioning.map { t =>
       if (t.name == "identity" && t.references.length == 1 &&
           t.references.head.fieldNames.length == 1)
@@ -413,6 +498,16 @@ private[extensions] class GraftCreateTableRule(spark: SparkSession)
       bad(s"TBLPROPERTIES (${ct.properties.keys.mkString(", ")}) — a " +
         "graft table is a path plus manifests; there is no catalog to " +
         "hold properties")
+    // silently DROPPING a clause is worse than refusing it: OPTIONS
+    // and COMMENT have nowhere to persist, so a user who spelled them
+    // must hear that, not discover it later
+    if (ct.storage.properties.nonEmpty)
+      bad(s"OPTIONS (${ct.storage.properties.keys.mkString(", ")}) — " +
+        "writer options do not persist (no catalog to hold them); " +
+        "configure writes per statement or session instead")
+    ct.comment.foreach(_ => bad("COMMENT — there is no catalog to " +
+      "hold a table comment; record it beside the data (a README in " +
+      "the directory outlives any session)"))
     ct.bucketSpec.foreach(b => bad(s"CLUSTERED BY/bucketing ($b) does " +
       "not map onto the hive key=value layout — only plain column " +
       "partitioning; cluster content with the graft_cluster/" +

@@ -690,7 +690,8 @@ object FeatherMutations {
       op: String, requireHive: Boolean,
       snapshotsHint: String = "row-level mutation is a manifest " +
         "operation; write the table with option(\"snapshots\", " +
-        "\"true\") first"): Resolved = {
+        "\"true\") first",
+      checkEmbedded: Boolean = true): Resolved = {
     import graft.sources.{FeatherPartitions, FeatherSnapshots}
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
@@ -720,7 +721,11 @@ object FeatherMutations {
     val fullSchema = StructType(tableSchema.fields ++ partSchema.fields)
     val caseSensitive =
       spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
-    requireNotEmbedded(op, partCols, tableSchema, caseSensitive)
+    // the embedded-partition-column refusal is a ROUTING contract —
+    // metadata-only consumers (DESCRIBE) read such tables fine and
+    // must not inherit a write-path refusal
+    if (checkEmbedded)
+      requireNotEmbedded(op, partCols, tableSchema, caseSensitive)
     val leafByAbs: Map[String, FeatherPartitions.LeafFile] =
       discovered.map(_.files.map(lf => lf.file -> lf).toMap)
         .getOrElse(Map.empty)

@@ -161,10 +161,16 @@ object TableDdl {
                                 files: Int, dvs: Int)
   def describeInfo(spark: SparkSession, path: String): DescribeInfo = {
     val r = FeatherMutations.resolveTable(spark, path, "DESCRIBE TABLE",
-      requireHive = false, snapshotsHint = TableInserts.InsertSnapshotsHint)
+      requireHive = false,
+      snapshotsHint = "DESCRIBE targets a snapshot table; a plain " +
+        "directory describes via spark.read(...).printSchema",
+      checkEmbedded = false) // a metadata read, not a routing write
+    // schema STAMPS (zero-row '-empty.' parts) are bookkeeping, not
+    // data — a freshly-created or truncated table must report 0
+    val dataFiles = r.snap.files.count(f => !f._1.contains("-empty."))
     DescribeInfo(r.tableSchema, r.partCols, r.partSchema,
       r.face.suffix.stripPrefix("."), r.snap.version,
-      r.snap.files.size, r.snap.dvs.size)
+      dataFiles, r.snap.dvs.size)
   }
 
   /** TRUNCATE TABLE — ONE commit removes every data file while the

@@ -318,17 +318,71 @@ class TableDdlSpec extends AnyFunSuite {
     assert(rows.contains(("id", "bigint")) &&
       rows.contains(("amt", "double")))
     assert(rows.exists(_._1 == "# Partition Information"))
-    assert(rows.count(_._1 == "day") === 1, "partition col in its section")
+    // Spark's own shape: the MAIN section carries the FULL schema
+    // (partition cols included), the partition section repeats them
+    val mainRows = rows.takeWhile(!_._1.startsWith("#"))
+    assert(mainRows.exists(_._1 == "day"),
+      "consumers parsing up to the first '#' must see the whole schema")
+    assert(rows.count(_._1 == "day") === 2)
     val ext = spark.sql(s"DESCRIBE TABLE EXTENDED graft.`$part`")
       .collect().map(r => (r.getString(0), r.getString(1))).toMap
     assert(ext("Face") === "parquet")
     assert(ext("Version") === "1")
+    // the COLUMN form and SHOW COLUMNS ride the same resolution
+    val colRows = spark.sql(s"DESCRIBE graft.`$part` amt").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(colRows("col_name") === "amt" &&
+      colRows("data_type") === "double")
+    assert(spark.sql(s"SHOW COLUMNS IN graft.`$part`").collect()
+      .map(_.getString(0)).toSeq === Seq("id", "amt", "day"))
     val e = intercept[Exception] {
       spark.sql(s"DROP TABLE graft.`$part`").collect()
     }
     assert(e.getMessage.contains("delete the path deliberately"),
       e.getMessage)
     assert(new java.io.File(part).isDirectory, "DROP must not delete")
+    // idempotent cleanup: IF EXISTS no-ops on a table-less path, the
+    // plain form names the real problem
+    spark.sql(s"DROP TABLE IF EXISTS graft.`${tmp("drop_missing")}`")
+      .collect(): Unit
+    val e2 = intercept[Exception] {
+      spark.sql(s"DROP TABLE graft.`${tmp("drop_missing2")}`").collect()
+    }
+    assert(e2.getMessage.contains("nothing to drop"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql(s"SHOW CREATE TABLE graft.`$part`").collect()
+    }
+    assert(e3.getMessage.contains("DESCRIBE TABLE EXTENDED"),
+      e3.getMessage)
+  }
+
+  test("CREATE OR REPLACE refuses with guidance; OPTIONS and COMMENT " +
+       "refuse instead of silently dropping; an empty table DESCRIBEs " +
+       "with Data Files = 0") {
+    val path = tmp("replace_refuse")
+    spark.sql(s"CREATE TABLE graft.`$path` (id BIGINT)").collect(): Unit
+    val e1 = intercept[Exception] {
+      spark.sql(s"CREATE OR REPLACE TABLE graft.`$path` USING feather " +
+        "AS SELECT 1L AS id").collect()
+    }
+    assert(e1.getMessage.contains("REPLACE is not supported"),
+      e1.getMessage)
+    def refuse(ddl: String, needle: String): Unit = {
+      val e = intercept[Exception] { spark.sql(ddl).collect() }
+      assert(e.getMessage.contains(needle), s"$ddl → ${e.getMessage}")
+    }
+    val p2 = tmp("opts_refuse")
+    refuse(s"CREATE TABLE graft.`$p2` (id BIGINT) " +
+      "OPTIONS (compression 'zstd')", "OPTIONS")
+    refuse(s"CREATE TABLE graft.`$p2` (id BIGINT) COMMENT 'hello'",
+      "COMMENT")
+    refuse(s"CREATE TABLE graft.`$p2` (id BIGINT) USING feather " +
+      "OPTIONS (compression 'zstd')", "OPTIONS")
+    // stamps are bookkeeping, not data
+    val ext = spark.sql(s"DESCRIBE TABLE EXTENDED graft.`$path`")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(ext("Data Files") === "0",
+      "an empty table must not count its schema stamps as data")
   }
 
   test("a partition-column name refuses; the parquet face evolves too") {
