@@ -94,6 +94,26 @@ private[extensions] class GraftSqlRelationsRule(spark: SparkSession)
       lowerDescribeColumn(d, tovPathOf(d.relation).get)
     case s: ShowColumns if tovPathOf(s.child).isDefined =>
       lowerShowColumns(s, tovPathOf(s.child).get)
+    case s: ShowPartitions if tablePathOf(s.table).isDefined =>
+      val path = tablePathOf(s.table).get
+      if (s.pattern.nonEmpty)
+        throw new IllegalArgumentException(
+          s"SHOW PARTITIONS graft.`$path` PARTITION (...): the " +
+            "filtered form is not supported — filter the full listing")
+      val parts = graft.io.TableDdl.showPartitions(spark, path)
+      import org.apache.spark.unsafe.types.UTF8String
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(s.output,
+        parts.map(p => org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(p))))
+    case a: AnalyzeTable
+        if tablePathOf(a.child).orElse(tovPathOf(a.child)).isDefined =>
+      throw new IllegalArgumentException(
+        s"ANALYZE TABLE graft.`${tablePathOf(a.child)
+          .orElse(tovPathOf(a.child)).get}`: statistics " +
+          "live in per-file sidecars, not a catalog — they are written " +
+          "at write time and backfilled with " +
+          "graft.io.FeatherStats backfill (the io_stats_backfill path); " +
+          "nothing here needs ANALYZE")
     case s: ShowCreateTable if tovPathOf(s.child).isDefined =>
       throw new IllegalArgumentException(
         s"SHOW CREATE TABLE graft.`${tovPathOf(s.child).get}`: there " +

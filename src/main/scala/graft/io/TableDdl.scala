@@ -173,6 +173,20 @@ object TableDdl {
       dataFiles, r.snap.dvs.size)
   }
 
+  /** `SHOW PARTITIONS graft.`/t`` — the table's hive leaf directories,
+    * straight off the manifest (no listing), in Spark's k=v/k2=v2 row
+    * shape. Metadata-only, like DESCRIBE. */
+  def showPartitions(spark: SparkSession, path: String): Seq[String] = {
+    val r = FeatherMutations.resolveTable(spark, path, "SHOW PARTITIONS",
+      requireHive = false,
+      snapshotsHint = "SHOW PARTITIONS targets a snapshot table",
+      checkEmbedded = false)
+    require(r.partitioned,
+      s"SHOW PARTITIONS on graft.`$path`: the table is not partitioned")
+    r.snap.files.map(f => FeatherMutations.relDirOf(f._1))
+      .filter(_.nonEmpty).distinct.sorted
+  }
+
   /** TRUNCATE TABLE — ONE commit removes every data file while the
     * schema (and the hive layout's key=value paths) stay readable via
     * the shared per-leaf stamps. Prior versions keep reading their

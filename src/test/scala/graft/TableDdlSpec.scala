@@ -385,6 +385,28 @@ class TableDdlSpec extends AnyFunSuite {
       "an empty table must not count its schema stamps as data")
   }
 
+  test("SHOW PARTITIONS lists the manifest's hive leaves; ANALYZE " +
+       "refuses pointing at the stats sidecar tier") {
+    import spark.implicits._
+    val part = tmp("show_parts")
+    graft.io.ParquetTable.write(
+      (1 to 30).map(i => (i.toLong, s"d${i % 3}")).toDF("id", "day"),
+      part, partitionBy = Seq("day"))
+    assert(spark.sql(s"SHOW PARTITIONS graft.`$part`").collect()
+      .map(_.getString(0)).toSeq === Seq("day=d0", "day=d1", "day=d2"))
+    val flat = tmp("show_parts_flat")
+    writeFlat(flat)
+    val e = intercept[Exception] {
+      spark.sql(s"SHOW PARTITIONS graft.`$flat`").collect()
+    }
+    assert(e.getMessage.contains("not partitioned"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ANALYZE TABLE graft.`$part` COMPUTE STATISTICS")
+        .collect()
+    }
+    assert(e2.getMessage.contains("sidecars"), e2.getMessage)
+  }
+
   test("a partition-column name refuses; the parquet face evolves too") {
     import spark.implicits._
     val part = tmp("add_part")
