@@ -105,6 +105,12 @@ private[extensions] class GraftSqlRelationsRule(spark: SparkSession)
       org.apache.spark.sql.catalyst.plans.logical.LocalRelation(s.output,
         parts.map(p => org.apache.spark.sql.catalyst.InternalRow(
           UTF8String.fromString(p))))
+    case r: RepairTable if tablePathOf(r.child).isDefined =>
+      // MSCK REPAIR = ADOPT: build the v1 manifest from a plain
+      // directory — the SQL spelling of the one-shot migration API
+      val path = tablePathOf(r.child).get
+      GraftDml.report(s"repair_table($path)") { () =>
+        graft.io.TableDdl.repairTable(spark, path) }
     case a: AnalyzeTable
         if tablePathOf(a.child).orElse(tovPathOf(a.child)).isDefined =>
       throw new IllegalArgumentException(

@@ -173,6 +173,38 @@ object TableDdl {
       dataFiles, r.snap.dvs.size)
   }
 
+  /** `MSCK REPAIR TABLE graft.`/t`` — ADOPT: build the v1 manifest
+    * from an existing plain directory (flat or hive key=value), the
+    * face detected from the files' own extension. The SQL spelling of
+    * the adopt() API a migration runs once per legacy directory; an
+    * already-snapshotted table refuses through adopt's own exactly-once
+    * contract. */
+  def repairTable(spark: SparkSession, path: String): Result = {
+    def bad(msg: String): Nothing =
+      throw new IllegalArgumentException(
+        s"MSCK REPAIR TABLE graft.`$path`: $msg")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) bad("the path does not exist")
+    val known = Seq(".parquet", ".feather", ".avro")
+    val seen = scala.collection.mutable.Set.empty[String]
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { e =>
+      val n = e.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) ()
+      else if (e.isDirectory) walk(e.getPath)
+      else known.find(n.endsWith).foreach(seen += _)
+    }
+    walk(root)
+    if (seen.isEmpty)
+      bad(s"no ${known.mkString("/")} data files under the path")
+    if (seen.size > 1)
+      bad(s"mixed data formats (${seen.toSeq.sorted.mkString(", ")}) — " +
+        "a table has ONE face; split the directory first")
+    val v = FeatherSnapshots.adopt(fs, root, seen.toSeq)
+    val snap = FeatherSnapshots.resolve(fs, root, None).get
+    Result(v, 0, snap.files.size, 0)
+  }
+
   /** `SHOW PARTITIONS graft.`/t`` — the table's hive leaf directories,
     * straight off the manifest (no listing), in Spark's k=v/k2=v2 row
     * shape. Metadata-only, like DESCRIBE. */

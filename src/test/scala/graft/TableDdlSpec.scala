@@ -407,6 +407,42 @@ class TableDdlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("sidecars"), e2.getMessage)
   }
 
+  test("MSCK REPAIR TABLE adopts a plain directory: hive parquet and " +
+       "flat feather both become snapshot tables; mixed formats and " +
+       "re-repair refuse") {
+    import spark.implicits._
+    // hive parquet dir, written with NO graft involvement
+    val part = tmp("msck_part")
+    (1 to 30).map(i => (i.toLong, s"d${i % 3}")).toDF("id", "day")
+      .write.partitionBy("day").parquet(part)
+    spark.sql(s"MSCK REPAIR TABLE graft.`$part`").collect(): Unit
+    assert(spark.sql(s"SELECT * FROM graft.`$part`").count() === 30)
+    assert(spark.sql(s"SHOW PARTITIONS graft.`$part`").collect()
+      .map(_.getString(0)).toSeq === Seq("day=d0", "day=d1", "day=d2"))
+    // the full statement set runs on the adopted table
+    spark.sql(s"DELETE FROM graft.`$part` WHERE id <= 10").collect(): Unit
+    assert(spark.sql(s"SELECT * FROM graft.`$part`").count() === 20)
+    val e = intercept[Exception] {
+      spark.sql(s"MSCK REPAIR TABLE graft.`$part`").collect()
+    }
+    assert(e.getMessage.contains("exactly once"), e.getMessage)
+    // flat feather dir (plain writer, no snapshots)
+    val flat = tmp("msck_flat")
+    graft.io.GraftFeather.write(
+      (1 to 40).map(i => (i.toLong, i * 1.0)).toDF("id", "amt"), flat)
+    spark.sql(s"MSCK REPAIR TABLE graft.`$flat`").collect(): Unit
+    assert(spark.sql(s"SELECT * FROM graft.`$flat`").count() === 40)
+    // mixed formats refuse
+    val mixed = tmp("msck_mixed")
+    Seq((1L, 1.0)).toDF("id", "amt").write.parquet(s"$mixed/p")
+    graft.io.GraftFeather.write(
+      Seq((2L, 2.0)).toDF("id", "amt"), s"$mixed/f")
+    val e2 = intercept[Exception] {
+      spark.sql(s"MSCK REPAIR TABLE graft.`$mixed`").collect()
+    }
+    assert(e2.getMessage.contains("mixed data formats"), e2.getMessage)
+  }
+
   test("a partition-column name refuses; the parquet face evolves too") {
     import spark.implicits._
     val part = tmp("add_part")
