@@ -58,6 +58,17 @@ final class GdfFrame(val df: DataFrame, val indexCol: String) extends GdfFrameOp
     val ord = if (periods > 0) idx.asc else idx.desc
     val ordRev = if (periods > 0) idx.desc else idx.asc
     val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // the edge repair broadcasts ≤ 2·periods·numPartitions rows — fine for
+    // sane shifts, but a pathological shift(10⁷) would broadcast a
+    // frame-sized relation through the driver. Make the contract LOUD
+    // instead of OOMing an executor
+    require(2L * p * nPart <= 4_000_000L,
+      s"shift($periods) with $nPart shuffle partitions repairs " +
+        s"${2L * p * nPart} partition-edge rows through a broadcast — " +
+        "beyond the 4M-row guard. A shift this deep is a frame-scale " +
+        "reorder, not a window op: lower spark.sql.shuffle.partitions " +
+        "for this call, or join against the index shifted by a constant " +
+        "(df.join(df.withColumn(idx, idx + periods), idx)) instead")
     // pinned: the edge relation and the main path both read this, and
     // repartitionByRange samples bounds per evaluation — same dual-branch
     // determinism hazard OrderedOps documents; the tracked pin evaluates it
@@ -73,7 +84,10 @@ final class GdfFrame(val df: DataFrame, val indexCol: String) extends GdfFrameOp
     val edge = local.filter(col("__rn") <= p || col("__rr") <= p)
       .select(idx, col(valueCol))
     val edgeLag = edge
-      .withColumn("__edge_lag", lag(col(valueCol), p).over(Window.orderBy(ord)))
+      // ≤ 2p rows per partition boundary — tiny, but constant-partitioned
+      // so WindowExec's global-window warning stays meaningful
+      .withColumn("__edge_lag",
+        lag(col(valueCol), p).over(Window.partitionBy(lit(0)).orderBy(ord)))
       .select(idx.as("__eidx"), col("__edge_lag"))
     local
       .join(broadcast(edgeLag), idx === col("__eidx"), "left")

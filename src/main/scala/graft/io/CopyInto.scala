@@ -229,7 +229,11 @@ object CopyInto {
       val rel = st.getPath.toString.stripPrefix(rootPrefix)
       val hidden = rel.split('/').exists(s =>
         s.startsWith("_") || s.startsWith("."))
-      if (!hidden && st.isFile && glob.forall(_.matches(name)))
+      // the graft writers' skipping-index sidecars (`<part>.stats.json`)
+      // are service files riding beside the data parts — listing them as
+      // batch files would feed JSON to an avro/feather/parquet read
+      val sidecar = name.endsWith(".stats.json")
+      if (!hidden && !sidecar && st.isFile && glob.forall(_.matches(name)))
         out += ((st.getPath.toString, st.getLen))
     }
     out.sortBy(_._1).toSeq
@@ -261,6 +265,10 @@ object CopyInto {
     val (k0, ingested0, intents) = loadLedger(fs, root)
     var k = k0
     var ingested = ingested0
+    // the table version healing (below) proves committed — a no-op run
+    // after a crash-heal must report the HEALED head, not the snapshot
+    // resolved before healing ran
+    var healedVersion = snap.version
     intents.foreach { iv =>
       // a racing copier may resolve (and delete) this intent between
       // our listing and this read — its healing supersedes ours, and
@@ -289,6 +297,7 @@ object CopyInto {
           fs.delete(intentPath(root, iv), false)
           k = iv
           ingested ++= files
+          healedVersion = math.max(healedVersion, v)
         case None if healStale =>
           // never landed: crash residue before the commit — discard
           fs.delete(intentPath(root, iv), false)
@@ -312,7 +321,7 @@ object CopyInto {
     val listed = listSource(srcFs, srcRoot, pattern)
     val fresh = listed.filterNot { case (p, _) => ingested(p) }
     val skipped = listed.size - fresh.size
-    if (fresh.isEmpty) return Report(snap.version, 0, skipped, 0L)
+    if (fresh.isEmpty) return Report(healedVersion, 0, skipped, 0L)
     val digest = sha12(fresh.map(_._1))
 
     // ---- claim the batch (serializes concurrent copiers) --------------------
@@ -356,15 +365,48 @@ object CopyInto {
       // their own and align by name in the shared insert path. Schemaful
       // multi-file reads merge footers (a batch whose files disagree must
       // hit the by-name refusal DETERMINISTICALLY, not per whichever
-      // footer the reader samples); avro has no merge option — its batch
-      // reads under the first file's schema, documented
-      val needSchema = fmt == "csv" || fmt == "json"
-      var reader = spark.read.format(fmt).options(options)
-      if (needSchema)
-        reader = reader.schema(TableInserts.tableFullSchema(spark, path))
-      else if (fmt != "avro")
-        reader = reader.option("mergeSchema", "true")
-      val df: DataFrame = reader.load(fresh.map(_._1): _*)
+      // footer the reader samples). The graft connectors (feather, avro)
+      // take ONE path per scan — batches read per file and union.
+      val df: DataFrame = fmt match {
+        case "avro" =>
+          // Spark ships no avro SQL reader in this build; the graft-avro
+          // connector reads plain files too. Avro has no schema-merge
+          // semantics, so the batch's headers are pre-scanned (schema
+          // only, no rows, O(batch) driver-side opens) and a
+          // disagreement refuses outright — reading under the first
+          // file's schema would silently drop later files' extra
+          // columns. With agreement proven, the per-file scans union
+          // positionally.
+          val scans = fresh.map { case (p, _) =>
+            p -> spark.read.format("graft-avro").options(options).load(p) }
+          val (p0, d0) = scans.head
+          scans.find(_._2.schema != d0.schema).foreach { case (p1, d1) =>
+            bad(s"avro batch files disagree on schema — '$p0' reads " +
+              s"${d0.schema.simpleString} but '$p1' reads " +
+              s"${d1.schema.simpleString}; avro multi-file reads have " +
+              "no schema merge, so a mixed batch would silently read " +
+              "under one file's schema. Split the batch by schema " +
+              "(COPY INTO with a pattern per generation) or convert " +
+              "the source to parquet/orc") }
+          scans.map(_._2).reduce(_.union(_))
+        case "feather" =>
+          // per-file scans merged by NAME with null-fill, the same
+          // union schema a parquet/orc mergeSchema read produces — so a
+          // batch whose files disagree hits the insert path's
+          // deterministic evolution refusal exactly like the footer
+          // formats
+          fresh.map { case (p, _) =>
+            spark.read.format("feather").options(options)
+              .option("mergeSchema", "true").load(p) }
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+        case _ =>
+          val reader = spark.read.format(fmt).options(options)
+          val configured =
+            if (fmt == "csv" || fmt == "json")
+              reader.schema(TableInserts.tableFullSchema(spark, path))
+            else reader.option("mergeSchema", "true")
+          configured.load(fresh.map(_._1): _*)
+      }
       // the imposed schema (csv/json) and self-describing sources both
       // arrive table-named — BY NAME alignment covers every format
       val r = TableInserts.insert(spark, path, df, overwrite = false,

@@ -165,9 +165,14 @@ object TableDdl {
       snapshotsHint = "DESCRIBE targets a snapshot table; a plain " +
         "directory describes via spark.read(...).printSchema",
       checkEmbedded = false) // a metadata read, not a routing write
-    // schema STAMPS (zero-row '-empty.' parts) are bookkeeping, not
-    // data — a freshly-created or truncated table must report 0
-    val dataFiles = r.snap.files.count(f => !f._1.contains("-empty."))
+    // schema STAMPS (zero-row parts, always named `<prefix>-empty.<ext>`
+    // by ConnectorFace.stamp) are bookkeeping, not data — a freshly-
+    // created or truncated table must report 0. Match the engine's
+    // exact stamp naming (suffix-anchored on the table's own face), not
+    // a bare substring: an ADOPTED external file whose name merely
+    // contains '-empty.' is data and must count
+    val dataFiles = r.snap.files.count(f =>
+      !f._1.endsWith("-empty" + r.face.suffix))
     DescribeInfo(r.tableSchema, r.partCols, r.partSchema,
       r.face.suffix.stripPrefix("."), r.snap.version,
       dataFiles, r.snap.dvs.size)
@@ -301,14 +306,19 @@ object TableDdl {
     // are not read to prove it) — on a continuously-ingesting table the
     // statement would never land without this revalidate-and-retry
     // loop: each retry re-resolves the head and re-runs the name checks
-    // against the possibly-evolved schema before committing again
+    // against the possibly-evolved schema before committing again.
+    // The MUTATION-conflict abort ('file ... was rewritten, deleted')
+    // retries too: ALTER reads no data files, so losing the commit race
+    // to a delete/merge/compact invalidates nothing the statement did —
+    // the retry's re-resolve restamps against the winner's head
     var lastConflict: Throwable = null
     for (_ <- 1 to 5) {
       try return attempt()
       catch {
         case e: IllegalArgumentException
             if e.getMessage != null &&
-              e.getMessage.contains("concurrent commit added file") =>
+              (e.getMessage.contains("concurrent commit added file") ||
+               e.getMessage.contains("conflict with a concurrent commit")) =>
           lastConflict = e
       }
     }

@@ -192,22 +192,21 @@ object TableInserts {
     // one statement, one instant: the routed write evaluates the query
     // in several jobs (distinct() + per-leaf slices; persist is
     // best-effort), so resolved clock calls pin to literals first
-    val out0 = FeatherMutations.pinClockInPlan(spark,
+    val out1 = FeatherMutations.pinClockInPlan(spark,
       q2.select(outCols: _*), java.time.Instant.now())
     // a PARTITIONED insert re-scans the query per leaf (the routed
-    // write's distinct() + slices; persist is best-effort under
-    // eviction), so a nondeterministic query could route a row by one
-    // evaluation and write another — refuse loudly, the DML triad's
-    // rule. A flat insert writes in one job and stays unguarded
-    // (rand()-valued appends are legal there, as in Spark's own sinks).
-    if (partitioned)
-      query.queryExecution.analyzed.find(p =>
-          !p.expressions.forall(_.deterministic)).foreach(_ =>
-        bad("the query's plan is nondeterministic and the table is " +
-          "hive-partitioned — the routed write re-evaluates the query " +
-          "per leaf, so rand()/uuid()-shaped output can silently " +
-          "duplicate, lose, or mis-route rows; materialize the query " +
-          "first (write it to a staging path and read it back)"))
+    // write's distinct() + slices), so a nondeterministic query could
+    // route a row by one evaluation and write another. Spark's own
+    // sinks and Delta ACCEPT such inserts (one evaluation), so refusing
+    // would be a regression — instead MATERIALIZE: localCheckpoint
+    // severs the lineage eagerly, so every later job reads the one
+    // evaluated result (plain persist is best-effort under eviction —
+    // an evicted block would re-evaluate rand() differently)
+    val out0 =
+      if (partitioned && query.queryExecution.analyzed.exists(p =>
+            !p.expressions.forall(_.deterministic)))
+        out1.localCheckpoint()
+      else out1
 
     // ---- write + commit -----------------------------------------------------
     val targetV = snap.version + 1

@@ -84,8 +84,12 @@ object OrderedOps {
     val offsets = ranged
       .groupBy(col("__gpid")).agg(sum(col("__gval")).as("__gtot"))
       .withColumn("__goff",
-        sum(col("__gtot")).over(
-          Window.orderBy(col("__gpid")).rowsBetween(Window.unboundedPreceding, -1)))
+        // one row per range partition — a tiny relation, but partition
+        // by a constant anyway: same single-task execution, and the
+        // WindowExec "no partition defined" warning stays meaningful
+        // for REAL unpartitioned-window regressions
+        sum(col("__gtot")).over(Window.partitionBy(lit(0))
+          .orderBy(col("__gpid")).rowsBetween(Window.unboundedPreceding, -1)))
       .select(col("__gpid"), col("__goff"))
     local
       .join(broadcast(offsets), Seq("__gpid"))
@@ -127,8 +131,9 @@ object OrderedOps {
       .agg(max_by(col("__glf"), col("__glrn")).as("__gtail"))
     val carries = tails
       .withColumn("__gcarry",
-        last(col("__gtail"), ignoreNulls = true).over(
-          Window.orderBy(col("__gpid")).rowsBetween(Window.unboundedPreceding, -1)))
+        // one row per range partition — constant-partitioned (see cumsum)
+        last(col("__gtail"), ignoreNulls = true).over(Window.partitionBy(lit(0))
+          .orderBy(col("__gpid")).rowsBetween(Window.unboundedPreceding, -1)))
       .select(col("__gpid"), col("__gcarry"))
     local
       .join(broadcast(carries), Seq("__gpid"))
@@ -186,8 +191,9 @@ object OrderedOps {
       .groupBy(col("__gpid")).agg(count(lit(1)).as("__gcnt"))
       .withColumn("__goff",
         coalesce(
-          sum(col("__gcnt")).over(
-            Window.orderBy(col("__gpid")).rowsBetween(Window.unboundedPreceding, -1)),
+          // one row per range partition — constant-partitioned (see cumsum)
+          sum(col("__gcnt")).over(Window.partitionBy(lit(0))
+            .orderBy(col("__gpid")).rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col("__gpid"), col("__goff"))
     local

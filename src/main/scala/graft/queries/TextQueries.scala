@@ -792,7 +792,8 @@ object TextQueries extends QueryPack {
     // centroid collection); collected to ONE array row and broadcast
     val merges = pc.orderBy(col("cnt").desc, col("a"), col("b")).limit(24)
       .withColumn("mrank",
-        row_number().over(Window.orderBy(col("cnt").desc, col("a"), col("b"))))
+        row_number().over(Window.partitionBy(lit(0))
+          .orderBy(col("cnt").desc, col("a"), col("b"))))
       .agg(sort_array(collect_list(struct(col("mrank"), col("a"), col("b"))))
         .as("ms"))
     s0.crossJoin(broadcast(merges))

@@ -119,7 +119,8 @@ private class AvroTable(tableSchema: StructType, path: String,
       FeatherTimeTravel.pinnedVersion(
         Option(options.get("versionasof")),
         Option(options.get("timestampasof")), path).orElse(versionAsOf),
-      Option(options.get("ignorechanges")).exists(_.toBoolean))
+      Option(options.get("ignorechanges")).exists(_.toBoolean),
+      Option(options.get("maxbytespertrigger")).map(_.toLong))
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -399,7 +400,8 @@ private class AvroScanBuilder(fullSchema: StructType, path: String,
                               maxFilesPerTrigger: Option[Int],
                               mergeSchema: Boolean = false,
                               versionAsOf: Option[Long] = None,
-                              ignoreChanges: Boolean = false)
+                              ignoreChanges: Boolean = false,
+                              maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -446,7 +448,7 @@ private class AvroScanBuilder(fullSchema: StructType, path: String,
     case None =>
       new AvroScan(required, path, maxSplitBytes, limit,
         pruneFilters.toSeq, maxFilesPerTrigger, mergeSchema, versionAsOf,
-        ignoreChanges)
+        ignoreChanges, maxBytesPerTrigger)
   }
 }
 
@@ -466,7 +468,8 @@ private class AvroScan(readSchema0: StructType, path: String,
                        maxFilesPerTrigger: Option[Int],
                        mergeSchema: Boolean = false,
                        versionAsOf: Option[Long] = None,
-                       ignoreChanges: Boolean = false)
+                       ignoreChanges: Boolean = false,
+                       maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = readSchema0
   override def description(): String =
@@ -566,7 +569,7 @@ private class AvroScan(readSchema0: StructType, path: String,
         mergeSchema)
     else
       new AvroMicroBatchStream(readSchema0, path, maxSplitBytes,
-        maxFilesPerTrigger, checkpointLocation)
+        maxFilesPerTrigger, checkpointLocation, maxBytesPerTrigger)
   }
 
   // exact row count from the stats sidecars (one Count batch per avro
@@ -597,9 +600,10 @@ private class AvroScan(readSchema0: StructType, path: String,
 private class AvroMicroBatchStream(readSchema: StructType, path: String,
                                    maxSplitBytes: Long,
                                    maxFilesPerTrigger: Option[Int],
-                                   checkpointLocation: String)
+                                   checkpointLocation: String,
+                                   maxBytesPerTrigger: Option[Long] = None)
     extends DropDirectoryMicroBatchStream(path, Seq(".avro"),
-      maxFilesPerTrigger, checkpointLocation) {
+      maxFilesPerTrigger, checkpointLocation, maxBytesPerTrigger) {
 
   // Expected schema for per-file resolution, fixed at stream start for the
   // stream's lifetime (same contract as the batch scan, where it is the

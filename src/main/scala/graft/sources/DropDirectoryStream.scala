@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.InputPartition
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl}
 
 /** Offset for drop-directory streams: the SET of processed file names. A
   * set — not a high-watermark timestamp or name — means arrival order and
@@ -71,13 +71,21 @@ private[sources] object FileSetOffset {
   * the last offset. The contract on producers is atomic drops (write
   * elsewhere, rename in; both graft sinks already commit by rename).
   *
-  * ADMISSION CONTROL (`maxFilesPerTrigger`): a stream started over a
-  * large backlog — thousands of dropped files after downtime — must not
-  * plan them all into one micro-batch (one giant commit, no progress
-  * checkpoints, restart loses everything). With the option set, each
-  * trigger admits at most N new files (name order, so batch membership
-  * is deterministic across restarts); Spark keeps firing triggers until
-  * the backlog drains, checkpointing after each.
+  * ADMISSION CONTROL (`maxFilesPerTrigger` / `maxBytesPerTrigger`): a
+  * stream started over a large backlog — thousands of dropped files
+  * after downtime — must not plan them all into one micro-batch (one
+  * giant commit, no progress checkpoints, restart loses everything).
+  * With `maxFilesPerTrigger`, each trigger admits at most N new files;
+  * with `maxBytesPerTrigger`, files greedy-pack into the byte budget in
+  * name order and admission stops at the first file that would overflow
+  * it (contiguous name order, so batch membership is deterministic
+  * across restarts) — but always at least ONE file, or a single
+  * over-budget file would stall the stream forever. A crawl drop
+  * arrives as a mix of 10-GB dumps and kilobyte pages: a count cap
+  * alone lets one giant batch stall a trigger while a thousand tiny
+  * files under-fill the next, so the byte budget is the one that keeps
+  * trigger latency flat. Both caps compose (Spark's composite limit):
+  * a batch closes at whichever cap it hits first.
   *
   * OFFSET COMPACTION: once more than
   * `spark.graft.streaming.seenCompactThreshold` (default 4096) names sit
@@ -88,28 +96,34 @@ private[sources] object FileSetOffset {
   * reader factory. */
 private[sources] abstract class DropDirectoryMicroBatchStream(
     path: String, suffixes: Seq[String], maxFilesPerTrigger: Option[Int],
-    checkpointLocation: String)
+    checkpointLocation: String,
+    maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   require(maxFilesPerTrigger.forall(_ > 0),
     s"maxFilesPerTrigger must be positive, got ${maxFilesPerTrigger.get}")
+  require(maxBytesPerTrigger.forall(_ > 0),
+    s"maxBytesPerTrigger must be positive, got ${maxBytesPerTrigger.get}")
 
   protected def spark: SparkSession = SparkSession.active
 
   /** Plan executor splits for ONLY the files new in this batch. */
   protected def planSplits(freshFiles: Seq[String]): Array[InputPartition]
 
-  protected def listFiles(): Set[String] = {
+  /** Eligible drop files with their byte lengths (admission needs both). */
+  protected def listFilesWithLen(): Map[String, Long] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Set.empty
-    else fs.listStatus(p).iterator.map(_.getPath)
+    if (!fs.exists(p)) Map.empty
+    else fs.listStatus(p).iterator
       .filter { f =>
-        val n = f.getName
+        val n = f.getPath.getName
         suffixes.exists(n.endsWith) && !n.startsWith("_") && !n.startsWith(".")
       }
-      .map(_.toString).toSet
+      .map(f => f.getPath.toString -> f.getLen).toMap
   }
+
+  protected def listFiles(): Set[String] = listFilesWithLen().keySet
 
   // defensive session lookup: the threshold is tunable per session, but
   // the offset arithmetic itself must not require one (property tests
@@ -168,20 +182,57 @@ private[sources] abstract class DropDirectoryMicroBatchStream(
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called with admission control")
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
-      .getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)).toSeq ++
+      maxBytesPerTrigger.map(b => ReadLimit.maxBytes(b)).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case both => ReadLimit.compositeLimit(both.toArray)
+    }
+  }
+
+  /** Greedy byte-budget pack in name order, stopping at the FIRST file
+    * that would overflow either cap — contiguous prefixes keep batch
+    * membership deterministic and replay-stable (skipping an oversized
+    * file to pack later small ones would process out of name order). An
+    * empty batch never helps, so the head file always admits even when
+    * it alone busts the byte budget. */
+  private def admit(fresh: Seq[(String, Long)], maxFiles: Option[Int],
+                    maxBytes: Option[Long]): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var bytes = 0L
+    var stop = false
+    val it = fresh.iterator
+    while (!stop && it.hasNext) {
+      val (f, len) = it.next()
+      if (maxFiles.exists(out.size >= _)) stop = true
+      else if (maxBytes.exists(b => out.nonEmpty && bytes + len > b))
+        stop = true
+      else { out += f; bytes += len }
+    }
+    out.toSeq
+  }
+
+  private def capsOf(limit: ReadLimit): (Option[Int], Option[Long]) =
+    limit match {
+      case m: ReadMaxFiles => (Some(m.maxFiles), None)
+      case b: ReadMaxBytes => (None, Some(b.maxBytes))
+      case c: CompositeReadLimit =>
+        val parts = c.getReadLimits.map(capsOf)
+        (parts.flatMap(_._1).minOption, parts.flatMap(_._2).minOption)
+      case _: ReadAllAvailable => (None, None)
+      case _ => (None, None) // unknown limits: admit everything
+    }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val prev = start.asInstanceOf[FileSetOffset]
     // monotone union: a processed file DELETED from the directory must
     // stay in the offset, or it would replay on reappearing
-    val fresh = (listFiles() -- prev.files).toSeq.sorted
-    val admitted = limit match {
-      case m: ReadMaxFiles => fresh.take(m.maxFiles)
-      case _: ReadAllAvailable => fresh
-      case _ => fresh // composite/unknown limits: admit everything
-    }
+    val fresh = listFilesWithLen().view
+      .filterKeys(f => !prev.files(f)).toSeq.sortBy(_._1)
+    val (maxF, maxB) = capsOf(limit)
+    val admitted = admit(fresh, maxF, maxB)
     val next = FileSetOffset(prev.base, prev.extra ++ admitted, prev.logPath)
     if (next.extra.size <= compactThreshold) next
     else {

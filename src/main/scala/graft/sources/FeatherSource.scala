@@ -201,7 +201,8 @@ private class FeatherTable(tableSchema: StructType, path: String,
       Option(options.get("maxfilespertrigger")).map(_.toInt),
       Option(options.get("ignorechanges")).exists(_.toBoolean),
       Option(options.get("mergeschema")).map(_.toBoolean)
-        .getOrElse(mergeSchema))
+        .getOrElse(mergeSchema),
+      Option(options.get("maxbytespertrigger")).map(_.toLong))
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -214,7 +215,8 @@ private class FeatherScanBuilder(fullSchema: StructType, path: String,
                                  versionAsOf: Option[Long],
                                  maxFilesPerTrigger: Option[Int],
                                  ignoreChanges: Boolean = false,
-                                 mergeSchema: Boolean = false)
+                                 mergeSchema: Boolean = false,
+                                 maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
@@ -268,7 +270,7 @@ private class FeatherScanBuilder(fullSchema: StructType, path: String,
     case None =>
       new FeatherScan(required, path, maxSplitBytes, limit, skipFilters.toSeq,
         allFilters.toSeq, versionAsOf, maxFilesPerTrigger, ignoreChanges,
-        mergeSchema)
+        mergeSchema, maxBytesPerTrigger)
   }
 }
 
@@ -449,7 +451,8 @@ private class FeatherScan(readSchema0: StructType, path: String,
                           versionAsOf: Option[Long],
                           maxFilesPerTrigger: Option[Int],
                           ignoreChanges: Boolean = false,
-                          mergeSchema: Boolean = false)
+                          mergeSchema: Boolean = false,
+                          maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = readSchema0
   override def description(): String =
@@ -546,7 +549,8 @@ private class FeatherScan(readSchema0: StructType, path: String,
         ignoreChanges, mergeSchema)
     else
       new FeatherMicroBatchStream(readSchema0, path, maxSplitBytes,
-        maxFilesPerTrigger, checkpointLocation, mergeSchema)
+        maxFilesPerTrigger, checkpointLocation, mergeSchema,
+        maxBytesPerTrigger)
   }
 
   // exact row count from the stats sidecars (the IPC footer itself
@@ -656,9 +660,10 @@ private class FeatherMicroBatchStream(readSchema: StructType, path: String,
                                       maxSplitBytes: Long,
                                       maxFilesPerTrigger: Option[Int],
                                       checkpointLocation: String,
-                                      mergeSchema: Boolean = false)
+                                      mergeSchema: Boolean = false,
+                                      maxBytesPerTrigger: Option[Long] = None)
     extends DropDirectoryMicroBatchStream(path, Seq(".feather", ".arrow"),
-      maxFilesPerTrigger, checkpointLocation) {
+      maxFilesPerTrigger, checkpointLocation, maxBytesPerTrigger) {
 
   override protected def planSplits(fresh: Seq[String]): Array[InputPartition] =
     // footer-planned splits for ONLY the new files (GraftFeather.planRead

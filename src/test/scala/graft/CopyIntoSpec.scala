@@ -178,9 +178,34 @@ class CopyIntoSpec extends AnyFunSuite {
     val r = CopyInto.run(spark, path, src, "parquet")
     assert(r.filesIngested === 0 && r.filesSkipped === 1,
       s"healing must not re-ingest: $r")
+    // the no-op report carries the healed head, not a stale resolve
+    assert(r.version === v1, s"healed no-op reports a stale version: $r")
     assert(headVersion(path) === v1)
     assert(spark.read.format("feather").load(path).count() === count1)
     assert(fs.exists(ledger), "the ledger must be rebuilt from the intent")
+  }
+
+  test("an avro batch whose files disagree on schema refuses " +
+       "deterministically (no silent first-file-schema read)") {
+    import spark.implicits._
+    val path = tmp("avro_mixed"); val src = tmp("avro_mixed_src")
+    newTable(path)
+    Seq((2001L, 1.0)).toDF("id", "amt").coalesce(1)
+      .write.mode("append").format("graft-avro").save(src + "/gen1")
+    Seq((2002L, 2.0, "x")).toDF("id", "amt", "note").coalesce(1)
+      .write.mode("append").format("graft-avro").save(src + "/gen2")
+    val e = intercept[IllegalArgumentException] {
+      CopyInto.run(spark, path, src, "avro")
+    }
+    assert(e.getMessage.contains("disagree on schema"), e.getMessage)
+    // the refusal left no blocking intent: a batch of AGREEING files
+    // (scoped by pattern... here: one generation removed) then ingests
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe); f.delete(): Unit }
+    wipe(new java.io.File(src + "/gen2"))
+    val r = CopyInto.run(spark, path, src, "avro")
+    assert(r.filesIngested === 1, s"$r")
+    assert(spark.read.format("feather").load(path).count() === 101)
   }
 
   test("a stale UNCOMMITTED intent refuses by default (an in-flight " +

@@ -36,6 +36,17 @@ class GdfFrameSpec extends AnyFunSuite {
     }
   }
 
+  test("a frame-scale shift refuses loudly instead of broadcasting the " +
+       "edge set through the driver") {
+    import spark.implicits._
+    val f = GdfFrame(Seq(1, 2, 3).toDF("i"), "i")
+    val e = intercept[IllegalArgumentException] {
+      f.shift("i", "prev", periods = 10_000_000)
+    }
+    assert(e.getMessage.contains("partition-edge rows"), e.getMessage)
+    assert(e.getMessage.contains("shuffle"), e.getMessage)
+  }
+
   test("diff subtracts the shifted value") {
     import spark.implicits._
     val base = Seq((1, 10.0), (2, 13.0), (3, 11.5)).toDF("i", "v")

@@ -218,6 +218,30 @@ class SqlRelationsSpec extends AnyFunSuite {
     assert(graft.io.ParquetTable.read(spark, path).count() === 1)
   }
 
+  test("a NONDETERMINISTIC partitioned insert materializes once and " +
+       "routes consistently (Spark/Delta sink parity — no refusal)") {
+    val path = tmp("ins_nondet")
+    import spark.implicits._
+    val df = (1 to 30).map(i => (i.toLong, s"d${i % 3}")).toDF("id", "day")
+    graft.io.ParquetTable.write(df, path, partitionBy = Seq("day"))
+    // rand() feeds a DATA column and the partition value derives from a
+    // nondeterministic id draw: pre-materialization, the per-leaf
+    // re-evaluation could route one draw and write another
+    spark.sql(s"INSERT INTO graft.`$path` " +
+      "SELECT CAST(rand() * 1000 AS BIGINT) + 1000 AS id, " +
+      "concat('r', CAST(CAST(rand() * 3 AS INT) AS STRING)) AS day " +
+      "FROM range(50)").collect()
+    val got = graft.io.ParquetTable.read(spark, path)
+      .where(col("day").startsWith("r"))
+    // exactly 50 rows landed — no duplicate/lost rows across leaves —
+    // and every row's hive leaf agrees with its column value
+    assert(got.count() === 50)
+    val byLeaf = got.groupBy("day").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLeaf.keys.forall(Set("r0", "r1", "r2")), byLeaf.toString)
+    assert(byLeaf.values.sum === 50L)
+  }
+
   test("INSERT refusals: schema evolution (extra column), positional " +
        "width, unparseable PARTITION value, missing partition column") {
     val path = tmp("ins_refuse")

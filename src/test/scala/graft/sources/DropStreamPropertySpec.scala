@@ -55,7 +55,8 @@ class DropStreamPropertySpec extends AnyFunSuite {
       val stream = new DropDirectoryMicroBatchStream(
           "/nonexistent", Seq(".feather"), Some(limit),
           s"${sys.props("java.io.tmpdir")}/graft_drop_ckpt_prop") {
-        override protected def listFiles(): Set[String] = onDisk
+        override protected def listFilesWithLen(): Map[String, Long] =
+          onDisk.iterator.map(_ -> 0L).toMap
         override protected def planSplits(fresh: Seq[String]) =
           Array.empty[org.apache.spark.sql.connector.read.InputPartition]
         override def createReaderFactory() = null
@@ -87,13 +88,62 @@ class DropStreamPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("byte-budget admission greedy-packs in name order, admits every " +
+       "file exactly once, and never stalls on an oversized file") {
+    val scenarios = sample(Gen.listOfN(60, for {
+      total <- Gen.chooseNum(0, 40)
+      sizes <- Gen.listOfN(total, Gen.chooseNum(0L, 5000L))
+      budget <- Gen.chooseNum(1L, 6000L)
+      maxFiles <- Gen.option(Gen.chooseNum(1, 10))
+    } yield (sizes, budget, maxFiles)), 4242L)
+    scenarios.foreach { case (sizes, budget, maxFiles) =>
+      var onDisk = sizes.zipWithIndex
+        .map { case (len, i) => f"file:/drops/b$i%03d.feather" -> len }.toMap
+      val stream = new DropDirectoryMicroBatchStream(
+          "/nonexistent", Seq(".feather"), maxFiles,
+          s"${sys.props("java.io.tmpdir")}/graft_drop_ckpt_bytes",
+          maxBytesPerTrigger = Some(budget)) {
+        override protected def listFilesWithLen(): Map[String, Long] = onDisk
+        override protected def planSplits(fresh: Seq[String]) =
+          Array.empty[org.apache.spark.sql.connector.read.InputPartition]
+        override def createReaderFactory() = null
+      }
+      var offset = stream.initialOffset().asInstanceOf[FileSetOffset]
+      var admittedTotal = Seq.empty[String]
+      var batches = 0
+      while ({
+        val next = stream
+          .latestOffset(offset, stream.getDefaultReadLimit)
+          .asInstanceOf[FileSetOffset]
+        val admitted = (next.files -- offset.files).toSeq.sorted
+        // batch respects BOTH caps (head file exempt from the byte cap)
+        maxFiles.foreach(n => assert(admitted.size <= n))
+        if (admitted.size > 1)
+          assert(admitted.map(onDisk).sum <= budget,
+            s"multi-file batch over byte budget: $admitted")
+        // greedy pack is a contiguous name-order prefix of the backlog
+        val backlog = (onDisk.keySet -- offset.files).toSeq.sorted
+        assert(admitted === backlog.take(admitted.size),
+          "admission skipped a file out of name order")
+        admittedTotal ++= admitted
+        offset = next
+        batches += 1
+        assert(batches <= sizes.size + 2, "byte admission did not converge")
+        admitted.nonEmpty
+      }) ()
+      // oversized files still flow (≥1 per batch): nothing is lost
+      assert(admittedTotal.sorted === onDisk.keySet.toSeq.sorted)
+    }
+  }
+
   test("offsets compact into a checkpointed log and a restart picks up exactly-once") {
     val spark = graft.TestSpark.spark // compaction reads the session conf + fs
     val ckpt = java.nio.file.Files.createTempDirectory("graft_compact").toString
     def mkStream(disk: () => Set[String]) =
       new DropDirectoryMicroBatchStream("/nonexistent", Seq(".feather"),
           Some(7), ckpt) {
-        override protected def listFiles(): Set[String] = disk()
+        override protected def listFilesWithLen(): Map[String, Long] =
+          disk().iterator.map(_ -> 0L).toMap
         override protected def planSplits(fresh: Seq[String]) =
           Array.empty[org.apache.spark.sql.connector.read.InputPartition]
         override def createReaderFactory() = null
