@@ -351,9 +351,11 @@ private[graft] object Compaction {
       // conflict matrix (FeatherSnapshots.commitMutation): concurrent
       // appends commute; a concurrent mutation that touched any input
       // aborts loudly instead of silently resurrecting its deleted rows
-      // through the compacted copies
+      // through the compacted copies — but one disjoint from the inputs
+      // (a delete on files this pass is not compacting) commits beside,
+      // so maintenance never blocks takedowns on other partitions
       FeatherSnapshots.commitMutation(fs, root, "compact", snap,
-        goneSet, addedRel.toSeq): Unit
+        goneSet, addedRel.toSeq, readRel = Some(goneSet)): Unit
     }
     Result(byLeaf.size, groupsRewritten, snap.files.size,
       snap.files.size - removedRel.size + addedRel.size)

@@ -598,6 +598,13 @@ object ConditionalMerge {
         (touched.toSeq.sorted, stats)
       }
     val candidateAbs = candidateIdx.map(absFiles)
+    // conflict scope for every commit below: the candidates are exactly
+    // the files whose content this merge read (probe-pruned files
+    // provably hold no matching key; a bySource clause already widened
+    // candidates to every file) — a concurrent mutation disjoint from
+    // them commits beside this one (commitMutation's readRel contract)
+    val candidateRel: Set[String] =
+      candidateIdx.map(i => snap.files(i)._1).toSet
     val dvPathsAll = snap.dvs.map { case (rel, (dvRel, _)) =>
       new Path(root, rel).toString -> new Path(root, dvRel).toString }
     def emptyFrame = spark.createDataFrame(
@@ -699,7 +706,8 @@ object ConditionalMerge {
         if (added.isEmpty) return noOp
         val committed = FeatherSnapshots.commitMutation(fs, root, "merge",
           snap, Set.empty, added.toSeq,
-          requireNoNewFiles = schemaEvolved)
+          requireNoNewFiles = schemaEvolved,
+          readRel = Some(candidateRel))
         return FeatherMutations.Result(committed, 0, snap.files.size,
           partsWritten)
       }
@@ -744,7 +752,8 @@ object ConditionalMerge {
               snap.files.forall { case (rel, _) => removeRel(rel) })
             stampLeaves()
           FeatherSnapshots.commitMutation(fs, root, "merge", snap,
-            removeRel, added.toSeq, requireNoNewFiles = schemaEvolved)
+            removeRel, added.toSeq, requireNoNewFiles = schemaEvolved,
+            readRel = Some(candidateRel))
         } else {
           // ---- merge-on-read: mask EVERY matched position, land the clause
           // output (updates + carried-through matched rows + inserts) as new
@@ -775,7 +784,8 @@ object ConditionalMerge {
             stampLeaves()
           FeatherSnapshots.commitMutation(fs, root, "merge", snap,
             droppedRel, added.toSeq, setDvs = bindings,
-            requireNoNewFiles = schemaEvolved)
+            requireNoNewFiles = schemaEvolved,
+            readRel = Some(candidateRel))
         }
       val touched =
         if (dvMask) positionsTouched(committed, snap, fs, root)

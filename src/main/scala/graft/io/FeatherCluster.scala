@@ -340,9 +340,12 @@ object FeatherCluster {
     val gone = rewriteFiles.map(_._1).toSet
     // conflict matrix (FeatherSnapshots.commitMutation): concurrent
     // appends commute (their files carry through un-clustered — the next
-    // OPTIMIZE sweeps them in); concurrent mutations abort loudly
+    // OPTIMIZE sweeps them in); a concurrent mutation touching any
+    // rewrite INPUT aborts loudly, while one disjoint from them (a
+    // delete on a partition this incremental pass is not re-clustering)
+    // commits beside — the rewrite read nothing else
     val committed = FeatherSnapshots.commitMutation(fs, root, "cluster",
-      snap, gone, added.toSeq)
+      snap, gone, added.toSeq, readRel = Some(gone))
     bloomFor.foreach(FeatherBloom.build(spark, path, _, face.suffix): Unit)
     Result(committed, snap.files.size,
       snap.files.size - gone.size + added.size)

@@ -153,8 +153,12 @@ object FeatherMutations {
     // retried takedown must be a true no-op
     if (newBindings.isEmpty && droppedRel.isEmpty && added.isEmpty)
       return Result(snap.version, 0, snap.files.size, 0)
+    // conflict scope = the key-probed candidates (commitMutation's
+    // readRel contract): a concurrent mutation disjoint from them
+    // commits beside this takedown
     val committed = FeatherSnapshots.commitMutation(fs, root, op, snap,
-      droppedRel, added.toSeq, setDvs = newBindings)
+      droppedRel, added.toSeq, setDvs = newBindings,
+      readRel = Some(touchedIdx.map(i => snap.files(i)._1).toSet))
     Result(committed, newBindings.size + droppedRel.size,
       snap.files.size - newBindings.size - droppedRel.size,
       newBindings.size)
@@ -371,8 +375,10 @@ object FeatherMutations {
     // a true no-op — the same guard deleteByKeyDV carries
     if (newBindings.isEmpty && droppedRel.isEmpty && added.isEmpty)
       return Result(snap.version, 0, snap.files.size, 0)
+    // conflict scope = the key-probed candidates (deleteByKeyDV's rule)
     val committed = FeatherSnapshots.commitMutation(fs, root, op, snap,
-      droppedRel, added.toSeq, setDvs = newBindings)
+      droppedRel, added.toSeq, setDvs = newBindings,
+      readRel = Some(touchedIdx.map(i => snap.files(i)._1).toSet))
     Result(committed, newBindings.size + droppedRel.size,
       snap.files.size - newBindings.size - droppedRel.size, partsWritten)
     } finally {
@@ -1388,9 +1394,10 @@ object FeatherMutations {
     }
     // conflict matrix (FeatherSnapshots.commitMutation): concurrent blind
     // appends commute — their files carry through; a concurrent mutation/
-    // overwrite/restore that touched anything this run READ aborts loudly
+    // overwrite/restore touching any key-probed candidate aborts loudly,
+    // while one disjoint from them commits beside this run (readRel)
     val committed = FeatherSnapshots.commitMutation(fs, root, op, snap,
-      touchedRel, added.toSeq)
+      touchedRel, added.toSeq, readRel = Some(touchedRel))
     Result(committed, touchedIdx.size, snap.files.size - touchedIdx.size,
       partsWritten)
   }

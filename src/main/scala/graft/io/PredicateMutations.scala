@@ -187,8 +187,11 @@ object PredicateMutations {
           snap.files.forall { case (rel, _) => droppedRel(rel) })
         added ++= FeatherMutations.stampLeaves(face, fs, root,
           snap.files.map(_._1), prefix, tableSchema)
+      // conflict scope = the pruned candidates: a concurrent mutation on
+      // files stats/partitions proved matchless commits beside this one
       val committed = FeatherSnapshots.commitMutation(fs, root, op, snap,
-        droppedRel, added.toSeq, setDvs = bindings)
+        droppedRel, added.toSeq, setDvs = bindings,
+        readRel = Some(candidateIdx.map(i => snap.files(i)._1).toSet))
       val touched = bindings.size + droppedRel.size
       // partsWritten = DV sidecars written, exactly deleteByKeyDV's
       // accounting (stamps excluded there too) — the two spellings of
@@ -239,8 +242,9 @@ object PredicateMutations {
           snap.files.forall { case (rel, _) => removeRel(rel) })
         added ++= FeatherMutations.stampLeaves(face, fs, root,
           snap.files.map(_._1), prefix, tableSchema)
+      // conflict scope = the pruned candidates (see the DV branch)
       val committed = FeatherSnapshots.commitMutation(fs, root, op, snap,
-        removeRel, added.toSeq)
+        removeRel, added.toSeq, readRel = Some(removeRel))
       Result(committed, candidateIdx.size,
         snap.files.size - candidateIdx.size, added.size)
     } finally {
@@ -572,7 +576,11 @@ object PredicateMutations {
               truncate = false, Seq(face.suffix), added.toSeq,
               stampPart = () => face.stamp(fs, root, prefix, tableSchema))
           else FeatherSnapshots.commitMutation(fs, root,
-            "overwrite", snap, removeRel, added.toSeq)
+            "overwrite", snap, removeRel, added.toSeq,
+            // conflict scope = the rewritten candidates (the DML
+            // triad's rule): a concurrent mutation on non-candidate
+            // files commits beside this backfill
+            readRel = Some(removeRel))
         Result(committed, rewriteIdx.size,
           snap.files.size - rewriteIdx.size, added.size)
       } finally {

@@ -655,37 +655,62 @@ private[graft] object FeatherSnapshots {
     *    write-serializable with blind appends (Delta's default): the
     *    mutation serializes logically BEFORE the append, so appended
     *    rows are not subject to e.g. a concurrent delete's predicate.
-    *  - **vs another mutation, overwrite, or restore**: ABORTS loudly.
-    *    Any file (or DV binding) the mutation READ that the parent no
-    *    longer carries identically means the rewrite was computed
-    *    against dead state — publishing it would lose the winner's
-    *    update (or resurrect its deleted rows).
+    *  - **vs another mutation, overwrite, or restore**: conflict
+    *    detection is LOGICAL, scoped to the mutation's READ SET
+    *    (Delta's contract). Any file (or DV binding) the mutation READ
+    *    that the parent no longer carries identically means the rewrite
+    *    was computed against dead state — ABORTS loudly: publishing it
+    *    would lose the winner's update (or resurrect its deleted rows).
+    *    A raced commit whose touched files are DISJOINT from the read
+    *    set commits both: the rebase below starts from the parent's
+    *    actual file list, so the winner's rewrites carry through and
+    *    this mutation's outputs land beside them (two DELETEs on
+    *    different partitions both land; same-partition still aborts).
     *
     * `basedOn` is the snapshot the mutation planned and read against;
-    * `removeRel`/`add`/`setDvs` are its outputs. The check runs INSIDE
-    * the commit retry loop, against the parent actually published over —
-    * losing the version race to an append retries and passes; losing it
-    * to a mutation retries and aborts. */
+    * `readRel` the relative names of the files whose CONTENT the
+    * mutation's output depends on — for the predicate/keyed mutations
+    * that is the pruned candidate set: pruned-out files provably hold
+    * no matching row, so the output is exact without them, and a
+    * concurrent rewrite of such a file serializes AFTER this statement
+    * (write-serializable, the same order already granted to blind
+    * appends). `None` = the whole snapshot (conservative, for callers
+    * with no pruning story). `removeRel`/`add`/`setDvs` are the
+    * mutation's outputs; removeRel must be ⊆ the read set. The check
+    * runs INSIDE the commit retry loop, against the parent actually
+    * published over — losing the version race to an append or a
+    * disjoint mutation retries and passes; losing it to an overlapping
+    * mutation retries and aborts. */
   private[graft] def commitMutation(fs: FileSystem, root: Path, op: String,
                                     basedOn: Snapshot,
                                     removeRel: Set[String],
                                     add: Seq[(String, Long)],
                                     setDvs: Map[String, (String, Long)] =
                                       Map.empty,
-                                    requireNoNewFiles: Boolean = false)
+                                    requireNoNewFiles: Boolean = false,
+                                    readRel: Option[Set[String]] = None)
       : Long = {
     val hook = testBeforeMutationCommit
     testBeforeMutationCommit = () => ()
     hook()
+    readRel.foreach { rs =>
+      val outside = removeRel.diff(rs) ++ setDvs.keySet.diff(rs)
+      require(outside.isEmpty,
+        s"$op on $root: the commit touches files outside the declared " +
+          s"read set (${outside.take(3).mkString(", ")}) — the conflict " +
+          "check would not protect them")
+    }
     commitDv(fs, root, op) { (parentFiles, parentDvs) =>
       val parentMap = parentFiles.toMap
+      val readSet = readRel.getOrElse(basedOn.files.map(_._1).toSet)
       basedOn.files.foreach { case (rel, len) =>
-        require(parentMap.get(rel).contains(len) &&
-            parentDvs.get(rel) == basedOn.dvs.get(rel),
-          s"$op on $root: conflict with a concurrent commit — file '$rel' " +
-            s"(read at v${basedOn.version}) was rewritten, deleted, or " +
-            "re-bound by another committer; re-run against the new state " +
-            "(concurrent blind APPENDS commute and do not trigger this)")
+        if (readSet(rel))
+          require(parentMap.get(rel).contains(len) &&
+              parentDvs.get(rel) == basedOn.dvs.get(rel),
+            s"$op on $root: conflict with a concurrent commit — file '$rel' " +
+              s"(read at v${basedOn.version}) was rewritten, deleted, or " +
+              "re-bound by another committer; re-run against the new state " +
+              "(concurrent blind APPENDS commute and do not trigger this)")
       }
       // SCHEMA-LEVEL statements (ALTER TABLE ADD COLUMNS) validate
       // against the snapshot's schema, and any concurrent ADDITION may

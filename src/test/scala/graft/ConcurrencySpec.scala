@@ -132,6 +132,69 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(after.where(col("id").isin(41L, 43L)).count() === 2)
   }
 
+  test("two predicate DELETEs on DISJOINT partitions both commit " +
+       "(logical conflict detection scoped to the read set); the " +
+       "same-partition pairing still aborts") {
+    val path = tmp("disjoint_del")
+    import spark.implicits._
+    val df = (1 to 300).map(i => (i.toLong, s"d${(i - 1) / 100}", i * 1.0))
+      .toDF("id", "day", "amt")
+    graft.io.ParquetTable.write(df, path, partitionBy = Seq("day"))
+    // the rival delete (day=d0) lands inside the day=d2 delete's commit
+    // window — their pruned candidates are different leaves entirely
+    FeatherSnapshots.testBeforeMutationCommit = () => {
+      graft.io.PredicateMutations.deleteWhere(spark, path,
+        col("day") === "d0" && col("id") <= 10): Unit
+    }
+    val r = graft.io.PredicateMutations.deleteWhere(spark, path,
+      col("day") === "d2" && col("id") > 290)
+    assert(r.filesTouched > 0, s"the disjoint loser must commit: $r")
+    val after = graft.io.ParquetTable.read(spark, path)
+    assert(after.count() === 300 - 10 - 10)
+    assert(after.where(col("id") <= 10).count() === 0, "winner applied")
+    assert(after.where(col("id") > 290).count() === 0,
+      "loser rebased onto the winner's manifest and landed")
+    val hist = FeatherSnapshots.history(fsOf(path), new Path(path))
+    assert(hist.map(_._3).count(_ == "delete") === 2,
+      s"both deletes in history: ${hist.map(_._3)}")
+    // OVERLAPPING candidates still abort loudly: both deletes target
+    // the same row, so their pruned candidate sets share its file
+    // (adjacent ids can legitimately land in different parts of one
+    // leaf — and two such deletes commuting is the new contract)
+    FeatherSnapshots.testBeforeMutationCommit = () => {
+      graft.io.PredicateMutations.deleteWhere(spark, path,
+        col("day") === "d1" && col("id") === 150L): Unit
+    }
+    val e = intercept[IllegalArgumentException] {
+      graft.io.PredicateMutations.deleteWhere(spark, path,
+        col("day") === "d1" && col("id") === 150L && col("amt") > 0)
+    }
+    assert(e.getMessage.contains("conflict with a concurrent commit"))
+    val fin = graft.io.ParquetTable.read(spark, path)
+    assert(fin.where(col("id") === 150L).count() === 0, "winner applied")
+    assert(fin.count() === 279, "loser aborted without publishing")
+  }
+
+  test("disjoint-partition DV deletes both commit; each leaf carries " +
+       "its own masks") {
+    val path = tmp("disjoint_dv")
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i.toLong, s"d${(i - 1) / 100}", i * 1.0))
+      .toDF("id", "day", "amt")
+    graft.io.ParquetTable.write(df, path, partitionBy = Seq("day"))
+    FeatherSnapshots.testBeforeMutationCommit = () => {
+      graft.io.PredicateMutations.deleteWhereDV(spark, path,
+        col("day") === "d0" && col("id") === 5L): Unit
+    }
+    val r = graft.io.PredicateMutations.deleteWhereDV(spark, path,
+      col("day") === "d1" && col("id") === 105L)
+    assert(r.partsWritten === 1, s"the disjoint DV loser must commit: $r")
+    val after = graft.io.ParquetTable.read(spark, path)
+    assert(after.count() === 198)
+    assert(after.where(col("id").isin(5L, 105L)).count() === 0,
+      "both masks serve reads")
+  }
+
   test("a mutation racing an overwrite aborts loudly") {
     val path = tmp("del_vs_ow")
     writeTable(path, 200, 2)

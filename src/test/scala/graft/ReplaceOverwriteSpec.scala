@@ -332,17 +332,23 @@ class ReplaceOverwriteSpec extends AnyFunSuite {
     assert(headVersion(path) === v0 + 1)
   }
 
-  test("a PARTITIONED insert refuses a nondeterministic query (the " +
-       "routed write re-evaluates it per leaf)") {
+  test("a PARTITIONED insert of a nondeterministic query materializes " +
+       "it once and lands exactly its rows (Spark/Delta sink parity)") {
     import spark.implicits._
     val path = tmp("nondeterm_ins")
     writePartitioned(path)
-    Seq((1L, "d1")).toDF("id", "day").createOrReplaceTempView("nd_src")
-    val e = intercept[Exception] {
-      spark.sql(s"INSERT INTO graft.`$path` " +
-        "SELECT id, rand(), day FROM nd_src").collect()
-    }
-    assert(e.getMessage.contains("nondeterministic"))
+    Seq((1L, "d1"), (2L, "d1"), (3L, "d9")).toDF("id", "day")
+      .createOrReplaceTempView("nd_src")
+    // pre-materialization, the routed write's per-leaf re-evaluation
+    // could draw rand() differently per job — the insert used to refuse;
+    // it now localCheckpoints the one evaluation and routes THAT
+    val before = graft.io.ParquetTable.read(spark, path).count()
+    spark.sql(s"INSERT INTO graft.`$path` " +
+      "SELECT id, rand(), day FROM nd_src").collect(): Unit
+    val after = graft.io.ParquetTable.read(spark, path)
+    assert(after.count() === before + 3, "exactly the drawn rows landed")
+    assert(after.where(col("day") === "d9").count() === 1,
+      "routing agrees with the materialized draw")
     // a FLAT insert stays unguarded (single write job — rand() is legal)
     val flat = tmp("nondeterm_flat")
     writeFlat(flat)
