@@ -37,6 +37,17 @@ object GraftSession {
       // tz-naive on read-back) to schema-match the driver's DuckDB oracle.
       .config("spark.sql.warehouse.dir",
         s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_warehouse")
+      // name-based addressing through Spark's public catalog machinery:
+      // CREATE/SELECT/INSERT/MERGE/SHOW TABLES resolve `graft.<name>`
+      // via GraftCatalog (the graft.`/abs/path` spelling keeps working
+      // through the same catalog); graft_dv = the merge-on-read DML
+      // strategy by name
+      .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse",
+        s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_tables")
+      .config("spark.sql.catalog.graft_dv", "graft.catalog.GraftCatalog")
+      .config("spark.sql.catalog.graft_dv.warehouse",
+        s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_tables")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }

@@ -1,0 +1,412 @@
+package graft.catalog
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.io.{ConnectorFace, TableDdl}
+import graft.sources.{FeatherPartitions, FeatherSnapshots}
+
+/** Name-based addressing for graft tables through Spark's PUBLIC
+  * catalog machinery — a DSv2 `TableCatalog`:
+  *
+  * {{{
+  *   spark.sql.catalog.graft            = graft.catalog.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse  = /data/graft
+  *
+  *   CREATE TABLE graft.events (id BIGINT, payload STRING) USING feather
+  *   INSERT INTO graft.events SELECT ...
+  *   SELECT * FROM graft.events VERSION AS OF 3
+  *   SHOW TABLES IN graft
+  *   DESCRIBE TABLE EXTENDED graft.events
+  *   ALTER TABLE graft.events ADD COLUMNS (score DOUBLE)
+  *   DROP TABLE graft.events
+  * }}}
+  *
+  * The store is the FILESYSTEM, not a metastore: table `ns.t` IS the
+  * directory `<warehouse>/ns/t` (a graft table is a path plus
+  * manifests — the standing contract), so the catalog is self-healing
+  * and needs no extra consistency protocol. `SHOW TABLES` lists the
+  * warehouse directories that carry a `_snapshots` manifest; a
+  * directory without one is a NAMESPACE.
+  *
+  * The path spelling stays as the escape hatch THROUGH the same
+  * catalog: an identifier whose name starts with `/` (or carries a
+  * URI scheme) addresses that absolute path — `graft.`/tmp/t`` keeps
+  * resolving with the catalog registered, and its DROP keeps the loud
+  * refusal (the catalog manages warehouse directories; it does not
+  * delete arbitrary paths).
+  *
+  * Registering the SAME class as `spark.sql.catalog.graft_dv` gives
+  * the merge-on-read DML strategy by name (the catalog's initialized
+  * NAME picks the face, exactly like the path spellings).
+  *
+  * Reads, inserts, and DML over catalog-resolved relations are lowered
+  * by the session extension rules ([[graft.extensions]]) onto the same
+  * face-dispatched engine paths the path spellings use — the catalog
+  * resolves NAMES and serves metadata (schema, partitioning,
+  * DESCRIBE/SHOW surfaces, CREATE/ALTER/DROP/RENAME); it does not
+  * duplicate the execution tier. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft"
+  private var warehouse: Option[String] = None
+
+  override def name(): String = catalogName
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).map(_.stripSuffix("/"))
+  }
+
+  /** The merge-on-read strategy face rides the catalog NAME (register
+    * the class twice: graft = copy-on-write, graft_dv = DV masks). */
+  private[graft] def dvFace: Boolean =
+    catalogName.toLowerCase(java.util.Locale.ROOT) == "graft_dv"
+
+  private def spark: SparkSession = SparkSession.active
+  private def hadoopConf = spark.sparkContext.hadoopConfiguration
+  private def fsOf(p: Path) = p.getFileSystem(hadoopConf)
+
+  /** `graft.`/abs/path`` — the escape hatch: a name that IS a path. */
+  private def isPathIdent(ident: Identifier): Boolean =
+    ident.namespace.isEmpty &&
+      (ident.name.startsWith("/") || ident.name.contains("://"))
+
+  private def requireWarehouse(what: String): String =
+    warehouse.getOrElse(throw new IllegalArgumentException(
+      s"$what on catalog '$catalogName': no warehouse configured — set " +
+        s"spark.sql.catalog.$catalogName.warehouse to the directory " +
+        "that holds named graft tables (absolute-path identifiers " +
+        s"like $catalogName.`/data/t` work without one)"))
+
+  private def checkSegment(what: String, seg: String): Unit = {
+    if (seg.isEmpty || seg.contains("/") || seg.contains("=") ||
+        seg.startsWith("_") || seg.startsWith("."))
+      throw new IllegalArgumentException(
+        s"$what: identifier segment '$seg' — table and namespace names " +
+          "are single path segments (no '/', no '=', not starting with " +
+          "'_' or '.'; those collide with hive key=value leaves and " +
+          "service directories)")
+  }
+
+  private[graft] def pathOf(ident: Identifier): String =
+    if (isPathIdent(ident)) ident.name
+    else {
+      val wh = requireWarehouse(s"resolving $catalogName.$ident")
+      (ident.namespace :+ ident.name).foreach(
+        checkSegment(s"$catalogName.$ident", _))
+      (wh +: ident.namespace :+ ident.name).mkString("/")
+    }
+
+  private def nsDir(namespace: Array[String]): Path =
+    new Path((requireWarehouse(s"namespace ${namespace.mkString(".")}") +:
+      namespace).mkString("/"))
+
+  // ---- tables --------------------------------------------------------------
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val root = new Path(pathOf(ident))
+    val fs = fsOf(root)
+    fs.exists(root) && FeatherSnapshots.enabled(fs, root)
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    resolve(ident, None, None)
+
+  /** `VERSION AS OF n` — Spark's time-travel overload. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    resolve(ident, Some(version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"time travel on $catalogName.$ident: VERSION AS OF '$version' " +
+          "is not an integer version"))), None)
+
+  /** `TIMESTAMP AS OF ts` — micros since epoch (Spark's contract). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    resolve(ident, None, Some(Math.floorDiv(timestampMicros, 1000L)))
+
+  private def resolve(ident: Identifier, versionAsOf: Option[Long],
+                      tsMillis: Option[Long]): GraftTable = {
+    val path = pathOf(ident)
+    val root = new Path(path)
+    val fs = fsOf(root)
+    if (!fs.exists(root) || !FeatherSnapshots.enabled(fs, root))
+      throw new NoSuchTableException(ident)
+    val snap = tsMillis match {
+      case Some(ms) => FeatherSnapshots.resolveAt(fs, root, ms)
+      case None => FeatherSnapshots.resolve(fs, root, versionAsOf)
+        .getOrElse(throw new NoSuchTableException(ident))
+    }
+    val face = ConnectorFace.detect(snap.files, "loadTable", path)
+    val absFiles = snap.files.map { case (rel, len) =>
+      (new Path(root, rel).toString, len) }
+    val dataSchema = face.mergedSchema(spark, absFiles)
+    val discovered = FeatherSnapshots.toDiscovered(root, snap)
+    val partSchema = discovered.partSchema
+    val pinned = if (versionAsOf.isDefined || tsMillis.isDefined)
+      Some(snap.version) else None
+    new GraftTable(path, s"$catalogName.$ident", dataSchema,
+      discovered.partCols, partSchema,
+      face.suffix.stripPrefix("."), snap.version, pinned, dvFace)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsDir(namespace)
+    val fs = fsOf(dir)
+    if (!fs.exists(dir)) {
+      if (namespace.isEmpty) return Array.empty
+      throw new NoSuchNamespaceException(namespace)
+    }
+    fs.listStatus(dir).iterator
+      .filter(s => s.isDirectory &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".") &&
+        FeatherSnapshots.enabled(fs, s.getPath))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .toArray
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    val path = pathOf(ident)
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(
+      s"CREATE TABLE $catalogName.$ident: $msg")
+    if (tableExists(ident))
+      throw new TableAlreadyExistsException(ident)
+    val props = properties.asScala.toMap
+    // silently DROPPING a clause is worse than refusing it (the
+    // GraftCreateTableRule contract, applied to the catalog surface)
+    props.get(TableCatalog.PROP_LOCATION).foreach(l =>
+      bad(s"LOCATION '$l' — a named table lives at " +
+        s"<warehouse>/<name>; address an existing path as " +
+        s"$catalogName.`$l` (MSCK REPAIR adopts plain directories)"))
+    props.get(TableCatalog.PROP_COMMENT).foreach(_ =>
+      bad("COMMENT — there is no metastore to hold it; record it " +
+        "beside the data (a README in the directory outlives any " +
+        "session)"))
+    val noisy = props.keys.filterNot(Set(
+      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_TABLE_TYPE, "is_managed_location"))
+    if (noisy.nonEmpty)
+      bad(s"TBLPROPERTIES/OPTIONS (${noisy.mkString(", ")}) — a graft " +
+        "table is a path plus manifests; there is no catalog store to " +
+        "hold properties")
+    val partCols = partitions.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1 =>
+        t.references.head.fieldNames.head
+      case t => bad(s"PARTITIONED BY ${t.describe()} — only plain " +
+        "column partitioning maps onto the hive key=value layout")
+    }
+    TableDdl.createTable(spark, path, schema,
+      props.get(TableCatalog.PROP_PROVIDER), partCols.toSeq,
+      ifNotExists = false): Unit
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table = {
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(
+      s"ALTER TABLE $catalogName.$ident: $msg")
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val fields = changes.map {
+      case add: TableChange.AddColumn =>
+        if (add.fieldNames.length != 1)
+          bad(s"'${add.fieldNames.mkString(".")}' is nested — only " +
+            "top-level columns can be added")
+        if (add.position != null)
+          bad(s"'${add.fieldNames.head}' carries FIRST/AFTER — added " +
+            "columns append at the end (footer order is the merge order)")
+        if (add.defaultValue != null)
+          bad(s"'${add.fieldNames.head}' carries a DEFAULT — existing " +
+            "footers cannot record it; add the column nullable and " +
+            "backfill with UPDATE")
+        org.apache.spark.sql.types.StructField(add.fieldNames.head,
+          add.dataType, add.isNullable,
+          Option(add.comment).map(c =>
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("comment", c).build())
+            .getOrElse(org.apache.spark.sql.types.Metadata.empty))
+      case other =>
+        bad(s"${other.getClass.getSimpleName} is not supported — only " +
+          "ADD COLUMNS is. Column drops/renames/retypes would rewrite " +
+          "or remap every footer, and table properties have no catalog " +
+          "store to live in")
+    }
+    TableDdl.addColumns(spark, pathOf(ident), fields): Unit
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (isPathIdent(ident))
+      throw new IllegalArgumentException(
+        s"DROP TABLE $catalogName.`${ident.name}`: a path-addressed " +
+          "graft table IS its directory — DROP would delete data as a " +
+          "side effect of a metadata statement; delete the path " +
+          "deliberately, or use graft_expire/graft_vacuum to reclaim " +
+          "history (named warehouse tables ARE catalog-managed and do " +
+          "drop)")
+    val root = new Path(pathOf(ident))
+    val fs = fsOf(root)
+    if (!fs.exists(root) || !FeatherSnapshots.enabled(fs, root)) false
+    else { fs.delete(root, true); true }
+  }
+
+  override def purgeTable(ident: Identifier): Boolean = dropTable(ident)
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit = {
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(
+      s"ALTER TABLE $catalogName.$oldIdent RENAME TO $newIdent: $msg")
+    if (isPathIdent(oldIdent) || isPathIdent(newIdent))
+      bad("renames move MANAGED warehouse tables; a path-addressed " +
+        "table renames by moving its directory deliberately")
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    val to = new Path(pathOf(newIdent))
+    val fs = fsOf(to)
+    if (fs.exists(to)) throw new TableAlreadyExistsException(newIdent)
+    if (!fs.exists(to.getParent))
+      bad(s"namespace ${newIdent.namespace.mkString(".")} does not " +
+        "exist — CREATE NAMESPACE first")
+    // one atomic directory move: the manifest travels with its data
+    if (!fs.rename(new Path(pathOf(oldIdent)), to))
+      bad("filesystem rename failed")
+  }
+
+  override def invalidateTable(ident: Identifier): Unit = ()
+
+  // ---- namespaces ----------------------------------------------------------
+
+  private def isNamespaceDir(fs: org.apache.hadoop.fs.FileSystem,
+                             p: Path): Boolean =
+    fs.getFileStatus(p).isDirectory && !p.getName.startsWith("_") &&
+      !p.getName.startsWith(".") && !FeatherSnapshots.enabled(fs, p)
+
+  override def defaultNamespace(): Array[String] = Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val dir = nsDir(namespace)
+      val fs = fsOf(dir)
+      fs.exists(dir) && isNamespaceDir(fs, dir)
+    }
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    val dir = nsDir(namespace)
+    val fs = fsOf(dir)
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).iterator
+      .filter(s => isNamespaceDir(fs, s.getPath))
+      .map(s => namespace :+ s.getPath.getName).toArray
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : JMap[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Map(SupportsNamespaces.PROP_LOCATION ->
+      nsDir(namespace).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: JMap[String, String]): Unit = {
+    namespace.foreach(checkSegment(
+      s"CREATE NAMESPACE ${namespace.mkString(".")}", _))
+    val user = metadata.asScala.keys.filterNot(
+      Set(SupportsNamespaces.PROP_OWNER))
+    if (user.nonEmpty)
+      throw new IllegalArgumentException(
+        s"CREATE NAMESPACE ${namespace.mkString(".")}: properties " +
+          s"(${user.mkString(", ")}) have no catalog store to live in")
+    val dir = nsDir(namespace)
+    fsOf(dir).mkdirs(dir): Unit
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new IllegalArgumentException(
+      s"ALTER NAMESPACE ${namespace.mkString(".")}: namespaces are " +
+        "plain warehouse directories; there are no properties to alter")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val dir = nsDir(namespace)
+    val fs = fsOf(dir)
+    if (fs.listStatus(dir).nonEmpty && !cascade)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NonEmptyNamespaceException(namespace)
+    if (cascade && fs.listStatus(dir).nonEmpty)
+      throw new IllegalArgumentException(
+        s"DROP NAMESPACE ${namespace.mkString(".")} CASCADE: the " +
+          "namespace holds tables — cascading would delete their data " +
+          "as a side effect; DROP each table deliberately first")
+    fs.delete(dir, true)
+  }
+}
+
+/** The catalog's Table handle: metadata (schema, partitioning,
+  * DESCRIBE/SHOW surfaces) plus TRUNCATE. Reads and writes over it are
+  * claimed by the extension rules and lowered onto the engine's own
+  * scan/commit paths — the capabilities below exist so Spark's
+  * analyzer builds the standard logical plans (AppendData,
+  * OverwriteByExpression, OverwritePartitionsDynamic) for the rules to
+  * claim; no physical ScanBuilder/WriteBuilder ever runs.
+  * `ACCEPT_ANY_SCHEMA` keeps Spark's output resolver from re-aligning
+  * the insert query — TableInserts owns alignment (positional/BY
+  * NAME/column list under the lossless-or-exact cast rule), identical
+  * to the path spelling. */
+private[graft] class GraftTable(
+    val path: String, ident: String,
+    val dataSchema: StructType, val partCols: Seq[String],
+    partSchema: StructType, val face: String,
+    val headVersion: Long, val pinnedVersion: Option[Long],
+    val dvFace: Boolean)
+    extends Table with TruncatableTable {
+
+  override def name(): String = ident
+
+  override def schema(): StructType =
+    StructType(dataSchema.fields ++ partSchema.fields)
+
+  override def partitioning(): Array[Transform] =
+    partCols.map(Expressions.identity).toArray
+
+  override def properties(): JMap[String, String] =
+    Map(
+      TableCatalog.PROP_LOCATION -> path,
+      TableCatalog.PROP_PROVIDER -> face,
+      "face" -> face,
+      "format" -> s"graft/$face",
+      "current-version" -> headVersion.toString).asJava
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def truncateTable(): Boolean = {
+    TableDdl.truncate(SparkSession.active, path): Unit
+    true
+  }
+}

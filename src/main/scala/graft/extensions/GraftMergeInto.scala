@@ -58,17 +58,17 @@ private[extensions] class GraftMergeIntoRule(spark: SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case m: MergeIntoTable =>
       unwrapTarget(m.targetTable) match {
-        case Some((face, path, targetAlias)) => lower(m, face, path, targetAlias)
+        case Some(t) => lower(m, t.face, t.path, t.alias, t.output)
         case None => plan
       }
     case d: DeleteFromTable =>
       unwrapTarget(d.table) match {
-        case Some((face, path, alias)) => lowerDelete(d, face, path, alias)
+        case Some(t) => lowerDelete(d, t.face, t.path, t.alias)
         case None => plan
       }
     case u: UpdateTable =>
       unwrapTarget(u.table) match {
-        case Some((face, path, alias)) => lowerUpdate(u, face, path, alias)
+        case Some(t) => lowerUpdate(u, t.face, t.path, t.alias)
         case None => plan
       }
     case _ => plan
@@ -113,13 +113,17 @@ private[extensions] class GraftMergeIntoRule(spark: SparkSession)
   /** Strip the table alias qualifier off references (`t.amt` → `amt`):
     * DELETE/UPDATE are single-relation statements, and
     * [[graft.io.PredicateMutations]] evaluates over one unaliased
-    * working frame. */
+    * working frame. A catalog-resolved statement arrives with
+    * references already BOUND to the claimed relation's attribute
+    * ids — re-anchor those by bare name the same way (single relation,
+    * so the name is unambiguous). */
   private def stripQual(e: Expression, quals: Set[String],
                         norm: String => String): Expression =
     e.transform {
       case ua: UnresolvedAttribute if ua.nameParts.length >= 2 &&
           quals(norm(ua.nameParts.head)) =>
         UnresolvedAttribute(ua.nameParts.tail)
+      case ar: AttributeReference => UnresolvedAttribute(Seq(ar.name))
     }
 
   /** SQL `DELETE FROM graft.`/p`` [t] WHERE ...` — predicate delete;
@@ -167,14 +171,35 @@ private[extensions] class GraftMergeIntoRule(spark: SparkSession)
     }
   }
 
-  /** `graft.`/`graft_dv.`-qualified path target, with optional alias. */
-  private def unwrapTarget(t: LogicalPlan)
-      : Option[(String, String, Option[String])] = t match {
+  /** The claimed DML target: path spelling (still unresolved) or a
+    * catalog-resolved graft relation. `output` is non-empty only for
+    * the resolved shape — by the time this rule runs, the analyzer may
+    * already have bound clause references to those attribute ids, and
+    * the lowering re-anchors them by NAME onto its own working frames. */
+  private final case class Target(face: String, path: String,
+                                  alias: Option[String],
+                                  output: Seq[Attribute])
+
+  /** `graft.`/`graft_dv.`-qualified path target, with optional alias;
+    * or a [[graft.catalog.GraftCatalog]]-resolved relation (the DV
+    * strategy rides the catalog NAME — graft_dv = merge-on-read). */
+  private def unwrapTarget(t: LogicalPlan): Option[Target] = t match {
     case SubqueryAlias(id, child) =>
-      unwrapTarget(child).map { case (f, p, _) => (f, p, Some(id.name)) }
+      unwrapTarget(child).map(_.copy(alias = Some(id.name)))
     case UnresolvedRelation(parts, _, _)
-        if parts.length == 2 && Faces(parts.head.toLowerCase) =>
-      Some((parts.head.toLowerCase, parts(1), None))
+        if parts.length == 2 && Faces(parts.head.toLowerCase) &&
+          (parts(1).contains("/") || parts(1).contains("://") ||
+            spark.conf.getOption(
+              s"spark.sql.catalog.${parts.head.toLowerCase}").isEmpty) =>
+      Some(Target(parts.head.toLowerCase, parts(1), None, Nil))
+    case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2Relation =>
+      r.table match {
+        case g: graft.catalog.GraftTable =>
+          Some(Target(if (g.dvFace) "graft_dv" else "graft", g.path,
+            None, r.output))
+        case _ => None
+      }
     case _ => None
   }
 
@@ -185,7 +210,8 @@ private[extensions] class GraftMergeIntoRule(spark: SparkSession)
   }
 
   private def lower(m: MergeIntoTable, face: String, path: String,
-                    targetAlias: Option[String]): LogicalPlan = {
+                    targetAlias: Option[String],
+                    targetOutput: Seq[Attribute]): LogicalPlan = {
     def bad(msg: String): Nothing =
       throw new IllegalArgumentException(s"MERGE INTO $face.`$path`: $msg")
     // MERGE WITH SCHEMA EVOLUTION maps onto ConditionalMerge's
@@ -214,6 +240,17 @@ private[extensions] class GraftMergeIntoRule(spark: SparkSession)
     // free-standing source relation/subquery means
     val sourceDf = Bridge.ofRows(spark, m.sourceTable)
 
+    // a catalog-resolved statement may arrive with clause references
+    // already BOUND (the analyzer resolves within the same fix-point
+    // iteration that resolved the target): classify those by exprId —
+    // target-relation ids re-anchor as target., source-plan ids as
+    // source. — so the lowering below treats them exactly like the
+    // still-unresolved qualified spellings
+    val targetIds = targetOutput.map(_.exprId).toSet
+    val sourceIds =
+      if (m.sourceTable.resolved) m.sourceTable.output.map(_.exprId).toSet
+      else Set.empty[org.apache.spark.sql.catalyst.expressions.ExprId]
+
     // ---- ON clause → key columns -----------------------------------------
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -230,6 +267,12 @@ private[extensions] class GraftMergeIntoRule(spark: SparkSession)
         if (tQuals(q)) Some((ua.nameParts(1), T))
         else if (sQuals(q)) Some((ua.nameParts(1), S))
         else None
+      // catalog-resolved references classify by exprId (bound to the
+      // claimed target relation or the source plan)
+      case ar: AttributeReference if targetIds(ar.exprId) =>
+        Some((ar.name, T))
+      case ar: AttributeReference if sourceIds(ar.exprId) =>
+        Some((ar.name, S))
       // a source built straight from a DataFrame (createOrReplaceTempView
       // round-trips as UnresolvedAttribute; a resolved reference appears
       // only if someone hand-builds the plan) — name is enough: ON is
@@ -266,6 +309,10 @@ private[extensions] class GraftMergeIntoRule(spark: SparkSession)
       case ua: UnresolvedAttribute if ua.nameParts.length >= 2 &&
           sQuals(norm(ua.nameParts.head)) =>
         UnresolvedAttribute("source" +: ua.nameParts.tail)
+      case ar: AttributeReference if targetIds(ar.exprId) =>
+        UnresolvedAttribute(Seq("target", ar.name))
+      case ar: AttributeReference if sourceIds(ar.exprId) =>
+        UnresolvedAttribute(Seq("source", ar.name))
     })
     def remapOpt(c: Option[Expression]): Option[Column] = c.map(remap)
     def setOf(assigns: Seq[Assignment], what: String): Map[String, Column] = {

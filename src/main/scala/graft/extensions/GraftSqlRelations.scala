@@ -47,14 +47,40 @@ private[extensions] class GraftSqlRelationsRule(spark: SparkSession)
     extends Rule[LogicalPlan] {
 
   import org.apache.spark.sql.graft.Bridge
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+  import graft.catalog.GraftTable
 
   private val Faces = Set("graft", "graft_dv")
+
+  /** With a GraftCatalog registered under the face name, bare
+    * single-segment names belong to the CATALOG (a miss must surface
+    * Spark's TABLE_OR_VIEW_NOT_FOUND, not a relative-path read); the
+    * rules claim only path-shaped spellings then. Without a catalog,
+    * every spelling claims as before. */
+  private def claimablePath(face: String, name: String): Boolean =
+    name.contains("/") || name.contains("://") ||
+      spark.conf.getOption(s"spark.sql.catalog.${face.toLowerCase}").isEmpty
+
+  /** Catalog-resolved graft relation ([[graft.catalog.GraftCatalog]]):
+    * the analyzer resolved the name through the PUBLIC catalog
+    * machinery; the rules lower the resolved relation onto the same
+    * engine paths the path spellings use. */
+  private def graftRelOf(t: LogicalPlan)
+      : Option[(GraftTable, DataSourceV2Relation)] = t match {
+    case SubqueryAlias(_, child) => graftRelOf(child)
+    case r: DataSourceV2Relation => r.table match {
+      case g: GraftTable => Some((g, r))
+      case _ => None
+    }
+    case _ => None
+  }
 
   /** `graft.`/`graft_dv.`-qualified path relation (through an alias). */
   private def pathOf(t: LogicalPlan): Option[String] = t match {
     case SubqueryAlias(_, child) => pathOf(child)
     case UnresolvedRelation(parts, _, _)
-        if parts.length == 2 && Faces(parts.head.toLowerCase) =>
+        if parts.length == 2 && Faces(parts.head.toLowerCase) &&
+          claimablePath(parts.head, parts(1)) =>
       Some(parts(1))
     case _ => None
   }
@@ -64,7 +90,8 @@ private[extensions] class GraftSqlRelationsRule(spark: SparkSession)
   private def tablePathOf(t: LogicalPlan): Option[String] = t match {
     case org.apache.spark.sql.catalyst.analysis
         .UnresolvedTable(parts, _, _)
-        if parts.length == 2 && Faces(parts.head.toLowerCase) =>
+        if parts.length == 2 && Faces(parts.head.toLowerCase) &&
+          claimablePath(parts.head, parts(1)) =>
       Some(parts(1))
     case _ => None
   }
@@ -72,30 +99,44 @@ private[extensions] class GraftSqlRelationsRule(spark: SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case i: InsertIntoStatement if pathOf(i.table).isDefined =>
       lowerInsert(i, pathOf(i.table).get)
-    case t: TruncateTable if tablePathOf(t.table).isDefined =>
-      val path = tablePathOf(t.table).get
+    case t: TruncateTable if tablePathOf(t.table)
+        .orElse(resolvedGraftPath(t.table)).isDefined =>
+      val path = tablePathOf(t.table)
+        .orElse(resolvedGraftPath(t.table)).get
       GraftDml.report(s"truncate($path)") { () =>
         graft.io.TableDdl.truncate(spark, path) }
-    case a: AddColumns if tablePathOf(a.table).isDefined =>
-      lowerAddColumns(a, tablePathOf(a.table).get)
+    case a: AddColumns if tablePathOf(a.table)
+        .orElse(resolvedGraftPath(a.table)).isDefined =>
+      lowerAddColumns(a, tablePathOf(a.table)
+        .orElse(resolvedGraftPath(a.table)).get)
     // the ADJACENT DDL spellings refuse LOUDLY with guidance — falling
     // through would hand them to Spark's catalog machinery, which
     // reports 'table not found' for a table every other graft statement
     // can see (the most confusing possible error)
-    case TruncatePartition(tbl, _) if tablePathOf(tbl).isDefined =>
+    case TruncatePartition(tbl, _) if tablePathOf(tbl)
+        .orElse(resolvedGraftPath(tbl)).isDefined =>
       throw new IllegalArgumentException(
-        s"TRUNCATE TABLE graft.`${tablePathOf(tbl).get}` PARTITION " +
+        s"TRUNCATE TABLE graft.`${tablePathOf(tbl)
+          .orElse(resolvedGraftPath(tbl)).get}` PARTITION " +
           "(...): partition-scoped truncate is not supported — use " +
           "DELETE FROM ... WHERE on the partition column, or INSERT " +
           "OVERWRITE ... PARTITION (k=v) with an empty query")
-    case d: DescribeRelation if tovPathOf(d.relation).isDefined =>
-      lowerDescribe(d, tovPathOf(d.relation).get)
-    case d: DescribeColumn if tovPathOf(d.relation).isDefined =>
-      lowerDescribeColumn(d, tovPathOf(d.relation).get)
-    case s: ShowColumns if tovPathOf(s.child).isDefined =>
-      lowerShowColumns(s, tovPathOf(s.child).get)
-    case s: ShowPartitions if tablePathOf(s.table).isDefined =>
-      val path = tablePathOf(s.table).get
+    case d: DescribeRelation if tovPathOf(d.relation)
+        .orElse(resolvedGraftPath(d.relation)).isDefined =>
+      lowerDescribe(d, tovPathOf(d.relation)
+        .orElse(resolvedGraftPath(d.relation)).get)
+    case d: DescribeColumn if tovPathOf(d.relation)
+        .orElse(resolvedGraftPath(d.relation)).isDefined =>
+      lowerDescribeColumn(d, tovPathOf(d.relation)
+        .orElse(resolvedGraftPath(d.relation)).get)
+    case s: ShowColumns if tovPathOf(s.child)
+        .orElse(resolvedGraftPath(s.child)).isDefined =>
+      lowerShowColumns(s, tovPathOf(s.child)
+        .orElse(resolvedGraftPath(s.child)).get)
+    case s: ShowPartitions if tablePathOf(s.table)
+        .orElse(resolvedGraftPath(s.table)).isDefined =>
+      val path = tablePathOf(s.table)
+        .orElse(resolvedGraftPath(s.table)).get
       if (s.pattern.nonEmpty)
         throw new IllegalArgumentException(
           s"SHOW PARTITIONS graft.`$path` PARTITION (...): the " +
@@ -105,43 +146,139 @@ private[extensions] class GraftSqlRelationsRule(spark: SparkSession)
       org.apache.spark.sql.catalyst.plans.logical.LocalRelation(s.output,
         parts.map(p => org.apache.spark.sql.catalyst.InternalRow(
           UTF8String.fromString(p))))
-    case r: RepairTable if tablePathOf(r.child).isDefined =>
+    case r: RepairTable if tablePathOf(r.child)
+        .orElse(resolvedGraftPath(r.child)).isDefined =>
       // MSCK REPAIR = ADOPT: build the v1 manifest from a plain
       // directory — the SQL spelling of the one-shot migration API
-      val path = tablePathOf(r.child).get
+      // (an EXISTING table resolves through the catalog to a
+      // ResolvedTable; adopt's own exactly-once contract refuses it)
+      val path = tablePathOf(r.child)
+        .orElse(resolvedGraftPath(r.child)).get
       GraftDml.report(s"repair_table($path)") { () =>
         graft.io.TableDdl.repairTable(spark, path) }
     case a: AnalyzeTable
-        if tablePathOf(a.child).orElse(tovPathOf(a.child)).isDefined =>
+        if tablePathOf(a.child).orElse(tovPathOf(a.child))
+          .orElse(resolvedGraftPath(a.child)).isDefined =>
       throw new IllegalArgumentException(
         s"ANALYZE TABLE graft.`${tablePathOf(a.child)
-          .orElse(tovPathOf(a.child)).get}`: statistics " +
+          .orElse(tovPathOf(a.child))
+          .orElse(resolvedGraftPath(a.child)).get}`: statistics " +
           "live in per-file sidecars, not a catalog — they are written " +
           "at write time and backfilled with " +
           "graft.io.FeatherStats backfill (the io_stats_backfill path); " +
           "nothing here needs ANALYZE")
-    case s: ShowCreateTable if tovPathOf(s.child).isDefined =>
+    case s: ShowCreateTable if tovPathOf(s.child)
+        .orElse(resolvedGraftPath(s.child)).isDefined =>
       throw new IllegalArgumentException(
-        s"SHOW CREATE TABLE graft.`${tovPathOf(s.child).get}`: there " +
+        s"SHOW CREATE TABLE graft.`${tovPathOf(s.child)
+          .orElse(resolvedGraftPath(s.child)).get}`: there " +
           "is no stored CREATE statement (a graft table is a path plus " +
           "manifests) — DESCRIBE TABLE EXTENDED prints the schema, " +
           "partitioning, and face")
-    case ac: AlterTableCommand if tablePathOf(ac.table).isDefined =>
+    case ac: AlterTableCommand if tablePathOf(ac.table)
+        .orElse(resolvedGraftPath(ac.table)).isDefined =>
       throw new IllegalArgumentException(
-        s"ALTER TABLE graft.`${tablePathOf(ac.table).get}`: this ALTER " +
+        s"ALTER TABLE graft.`${tablePathOf(ac.table)
+          .orElse(resolvedGraftPath(ac.table)).get}`: this ALTER " +
           s"form (${ac.nodeName}) is not supported — only ADD COLUMNS " +
           "is. Column drops/renames/retypes would rewrite or remap " +
           "every footer (schema columns live in the data files, not a " +
           "catalog; widen with ADD COLUMNS, backfill with UPDATE, or " +
           "rewrite via replaceWhere), and table properties have no " +
           "catalog to live in (a graft table is a path plus manifests)")
+    // ---- catalog-resolved V2 writes (GraftCatalog names) ------------------
+    // Spark's own ResolveInsertInto built these from INSERT statements
+    // over catalog-resolved graft relations (static PARTITION values
+    // are already folded into the query, column lists and BY NAME into
+    // isByName/projections); ACCEPT_ANY_SCHEMA kept the output resolver
+    // from re-aligning, so TableInserts owns alignment exactly like the
+    // path spelling
+    case a: AppendData if graftRelOf(a.table).isDefined =>
+      lowerV2Insert(graftRelOf(a.table).get._1, a.query, a.isByName,
+        overwrite = false)
+    case o: OverwriteByExpression if graftRelOf(o.table).isDefined =>
+      lowerV2Overwrite(graftRelOf(o.table).get._1, o.query, o.isByName,
+        o.deleteExpr)
+    case o: OverwritePartitionsDynamic if graftRelOf(o.table).isDefined =>
+      val g = graftRelOf(o.table).get._1
+      if (!spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+          "static").equalsIgnoreCase("dynamic"))
+        throw new IllegalArgumentException(
+          s"overwritePartitions on graft table ${g.path}: set " +
+            "spark.sql.sources.partitionOverwriteMode=dynamic — the " +
+            "insert path scopes dynamic overwrites by that conf (the " +
+            "SQL INSERT OVERWRITE spelling arrives here only when it " +
+            "is already set)")
+      lowerV2Insert(g, o.query, o.isByName, overwrite = true)
     // graft-target DML statements belong to GraftMergeIntoRule — never
     // resolve the target relation out from under it (its USING side
-    // analyzes independently via ofRows, where this rule applies)
-    case m: MergeIntoTable if pathOf(m.targetTable).isDefined => m
-    case d: DeleteFromTable if pathOf(d.table).isDefined => d
-    case u: UpdateTable if pathOf(u.table).isDefined => u
+    // analyzes independently via ofRows, where this rule applies). The
+    // catalog-resolved (DataSourceV2Relation) targets are carved out
+    // the same way.
+    case m: MergeIntoTable if pathOf(m.targetTable).isDefined ||
+        graftRelOf(m.targetTable).isDefined => m
+    case d: DeleteFromTable if pathOf(d.table).isDefined ||
+        graftRelOf(d.table).isDefined => d
+    case u: UpdateTable if pathOf(u.table).isDefined ||
+        graftRelOf(u.table).isDefined => u
     case other => claimReads(other)
+  }
+
+  private def lowerV2Insert(g: GraftTable, query: LogicalPlan,
+                            byName: Boolean,
+                            overwrite: Boolean): LogicalPlan = {
+    val q = Bridge.ofRows(spark, query)
+    val op = if (overwrite) "insert_overwrite" else "insert_into"
+    GraftDml.report(s"$op(${g.path})") { () =>
+      graft.io.TableInserts.insert(spark, g.path, q,
+        overwrite = overwrite, byName = byName)
+    }
+  }
+
+  /** `INSERT OVERWRITE` over a catalog name, and DataFrameWriterV2's
+    * `overwrite(condition)`: a TRUE filter replaces everything (the
+    * whole-table overwrite commit); anything else is EXACTLY
+    * replaceWhere — delete the filter's rows and insert the query, one
+    * predicate-scoped atomic commit (a static `PARTITION (k=v)` spec
+    * arrives as that equality filter). */
+  private def lowerV2Overwrite(g: GraftTable, query: LogicalPlan,
+                               byName: Boolean,
+                               deleteExpr: Expression): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
+    deleteExpr match {
+      case Literal(true, org.apache.spark.sql.types.BooleanType) =>
+        lowerV2Insert(g, query, byName, overwrite = true)
+      case _ =>
+        val q0 = Bridge.ofRows(spark, query)
+        // a POSITIONAL query arrives with its own column names (Spark's
+        // output re-aligner is disabled by ACCEPT_ANY_SCHEMA, and the
+        // analyzer already arranged the columns — static PARTITION
+        // literals included — in table order), so rename positionally
+        // onto the table schema before replaceWhere's by-name alignment
+        val q = if (byName) q0 else {
+          val names = g.schema().fieldNames.toSeq
+          if (q0.columns.length != names.length)
+            throw new IllegalArgumentException(
+              s"INSERT OVERWRITE graft table ${g.path}: the query " +
+                s"produces ${q0.columns.length} column(s) but the " +
+                s"table has ${names.length} (${names.mkString(", ")}) " +
+                "— a positional insert must supply every column " +
+                "(static PARTITION values count); use BY NAME to " +
+                "match by name instead")
+          q0.toDF(names: _*)
+        }
+        // the filter resolved against the claimed relation — re-anchor
+        // its references by NAME (replaceWhere evaluates over its own
+        // unaliased working frame)
+        val cond = Bridge.column(deleteExpr.transform {
+          case ar: AttributeReference =>
+            org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute(Seq(ar.name))
+        })
+        GraftDml.report(s"replace_where(${g.path})") { () =>
+          graft.io.PredicateMutations.replaceWhere(spark, g.path, q, cond)
+        }
+    }
   }
 
   private def claimReads(plan: LogicalPlan): LogicalPlan =
@@ -152,7 +289,36 @@ private[extensions] class GraftSqlRelationsRule(spark: SparkSession)
         lowerTimeTravel(pathOf(tt.relation).get, tt.timestamp, tt.version)
       case r: UnresolvedRelation if pathOf(r).isDefined =>
         readPlan(pathOf(r).get, None, None)
+      // catalog-resolved graft relation: the analyzer resolved the name
+      // (and any VERSION/TIMESTAMP AS OF pin) through GraftCatalog's
+      // public loadTable; swap in the face-dispatched snapshot read.
+      // Surrounding operators may already reference this relation's
+      // attribute ids (resolution interleaves within the fix-point), so
+      // the fresh read is re-aliased ONTO the claimed output ids.
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+        val g = r.table.asInstanceOf[GraftTable]
+        aliasOnto(r.output,
+          graft.io.TableReads.read(spark, g.path, g.pinnedVersion, None)
+            .queryExecution.analyzed)
     }
+
+  /** Re-alias `fresh`'s columns onto the exprIds a claimed relation
+    * already leaked into its surrounding plan. */
+  private def aliasOnto(
+      oldOutput: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      fresh: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    val resolver = spark.sessionState.analyzer.resolver
+    Project(oldOutput.map { old =>
+      val src = fresh.output.find(a => resolver(a.name, old.name))
+        .getOrElse(throw new IllegalStateException(
+          s"graft catalog read: column '${old.name}' is missing from " +
+            s"the table read (${fresh.output.map(_.name).mkString(", ")})"))
+      Alias(src, old.name)(exprId = old.exprId,
+        qualifier = old.qualifier)
+    }, fresh)
+  }
 
   /** A fresh read plan per occurrence (a self-join's two branches must
     * not share attribute ids). */
@@ -198,8 +364,20 @@ private[extensions] class GraftSqlRelationsRule(spark: SparkSession)
   private def tovPathOf(t: LogicalPlan): Option[String] = t match {
     case org.apache.spark.sql.catalyst.analysis
         .UnresolvedTableOrView(parts, _, _)
-        if parts.length == 2 && Faces(parts.head.toLowerCase) =>
+        if parts.length == 2 && Faces(parts.head.toLowerCase) &&
+          claimablePath(parts.head, parts(1)) =>
       Some(parts(1))
+    case _ => None
+  }
+
+  /** Catalog-resolved table node (SHOW PARTITIONS / ANALYZE name their
+    * target through ResolvedTable once GraftCatalog resolves it). */
+  private def resolvedGraftPath(t: LogicalPlan): Option[String] = t match {
+    case r: org.apache.spark.sql.catalyst.analysis.ResolvedTable =>
+      r.table match {
+        case g: GraftTable => Some(g.path)
+        case _ => None
+      }
     case _ => None
   }
 
@@ -254,6 +432,10 @@ private[extensions] class GraftSqlRelationsRule(spark: SparkSession)
     val name = d.column match {
       case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
           if ua.nameParts.length == 1 => ua.nameParts.head
+      // the catalog-resolved shape: the analyzer already bound the bare
+      // name against the relation (nested fields arrive as extract
+      // expressions and still refuse below)
+      case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
       case other => throw new IllegalArgumentException(
         s"DESCRIBE graft.`$path` ${other.sql}: describe a top-level " +
           "column by its bare name")
@@ -352,8 +534,24 @@ private[extensions] class GraftCreateTableRule(spark: SparkSession)
     extends Rule[LogicalPlan] {
 
   import org.apache.spark.sql.graft.Bridge
+  import graft.catalog.GraftCatalog
 
   private val Faces = Set("graft", "graft_dv")
+
+  /** Identifier resolved against a registered [[GraftCatalog]]: the
+    * catalog handles plain CREATE itself (public createTable); CTAS
+    * must be claimed here because the V2 exec would otherwise write
+    * through a WriteBuilder the metadata-only table does not carry. */
+  private def catalogIdentOf(name: LogicalPlan)
+      : Option[(GraftCatalog, org.apache.spark.sql.connector.catalog.Identifier)] =
+    name match {
+      case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier =>
+        r.catalog match {
+          case c: GraftCatalog => Some((c, r.identifier))
+          case _ => None
+        }
+      case _ => None
+    }
 
   private def catalogPathOf(
       t: org.apache.spark.sql.catalyst.catalog.CatalogTable)
@@ -413,20 +611,40 @@ private[extensions] class GraftCreateTableRule(spark: SparkSession)
         throw new IllegalArgumentException(
           s"DROP TABLE graft.`$path`: no snapshot table at this path " +
             "(nothing to drop; DROP TABLE IF EXISTS no-ops)")
-    case r: ReplaceTable if v2PathOf(r.name).isDefined =>
+    case r: ReplaceTable
+        if v2PathOf(r.name).orElse(catalogIdentOf(r.name).map(_._2.name))
+          .isDefined =>
       throw new IllegalArgumentException(
-        s"CREATE OR REPLACE TABLE graft.`${v2PathOf(r.name).get}`: " +
+        s"CREATE OR REPLACE TABLE graft.`${v2PathOf(r.name)
+          .orElse(catalogIdentOf(r.name).map(_._2.toString)).get}`: " +
           "REPLACE is not supported — replacing content is TRUNCATE + " +
           "INSERT (or INSERT OVERWRITE); replacing the SCHEMA means the " +
           "old versions stop describing the data, so recreate " +
-          "deliberately (delete the directory) instead")
-    case r: ReplaceTableAsSelect if v2PathOf(r.name).isDefined =>
+          "deliberately (DROP TABLE first) instead")
+    case r: ReplaceTableAsSelect
+        if v2PathOf(r.name).orElse(catalogIdentOf(r.name).map(_._2.name))
+          .isDefined =>
       throw new IllegalArgumentException(
-        s"CREATE OR REPLACE TABLE graft.`${v2PathOf(r.name).get}` AS " +
+        s"CREATE OR REPLACE TABLE graft.`${v2PathOf(r.name)
+          .orElse(catalogIdentOf(r.name).map(_._2.toString)).get}` AS " +
           "SELECT: REPLACE is not supported — INSERT OVERWRITE replaces " +
           "content atomically (time travel keeps the old version); a " +
-          "schema change means recreating deliberately (delete the " +
-          "directory first)")
+          "schema change means recreating deliberately (DROP TABLE " +
+          "first)")
+    // catalog-named CTAS: the catalog's createTable makes the empty
+    // table, but the V2 exec would then write through a WriteBuilder
+    // the metadata-only table does not carry — claim the plan and run
+    // create-and-fill through the engine's own routed writer (identical
+    // to the path spelling's CTAS)
+    case c: CreateTableAsSelect if catalogIdentOf(c.name).isDefined =>
+      val (cat, ident) = catalogIdentOf(c.name).get
+      val path = cat.pathOf(ident)
+      val (provider, partCols) = v2Parts("CREATE TABLE AS SELECT",
+        s"$ident", Nil, c.partitioning, c.tableSpec)
+      val query = Bridge.ofRows(spark, c.query)
+      GraftDml.report(s"create_table_as($path)") { () =>
+        graft.io.TableDdl.createTableAs(spark, path, query, provider,
+          partCols, c.ignoreIfExists) }
     case c: org.apache.spark.sql.execution.command
         .CreateDataSourceTableCommand if catalogPathOf(c.table).isDefined =>
       lowerCreate(c.table, c.ignoreIfExists, ctas = None)

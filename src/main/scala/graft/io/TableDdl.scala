@@ -86,11 +86,22 @@ object TableDdl {
         "API's partitionBy")
     if (schema.isEmpty) bad("no columns")
     requireFreshDir(fs, root, bad)
-    val empty = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    writeByFace(spark, path, empty, fmt, Nil)
-    val v1 = FeatherSnapshots.resolve(fs, root, None).get
-    Result(v1.version, 0, 0, v1.files.size)
+    // v1 is ONE schema stamp — never a zero-row data part: DESCRIBE
+    // counts data files by the `<prefix>-empty.<ext>` stamp naming, and
+    // an empty CREATE routed through a face's ordinary writer would
+    // land a part-…​ file that miscounts as data
+    val connFace = fmt match {
+      case "parquet" => ConnectorFace.ParquetFace
+      case "graft-avro" => ConnectorFace.AvroFace
+      case _ => ConnectorFace.FeatherFace
+    }
+    fs.mkdirs(root)
+    val prefix = FeatherSnapshots.runPrefix(1L, "create-")
+    val stamp = connFace.stamp(fs, root, prefix, schema)
+    val v = FeatherSnapshots.publishDataCommit(fs, root,
+      truncate = false, Seq(connFace.suffix), Seq(stamp),
+      stampPart = () => stamp)
+    Result(v, 0, 0, 1)
   }
 
   /** A CREATE must never destroy what it did not make: the path may be

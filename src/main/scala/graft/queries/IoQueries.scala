@@ -84,7 +84,7 @@ object IoQueries extends QueryPack {
     "io_sql_delete", "io_sql_update", "io_delete_where_dv",
     "io_sql_select_version", "io_sql_insert",
     "io_replace_where", "io_insert_overwrite_dynamic", "io_copy_into",
-    "io_sql_ddl", "io_sql_create",
+    "io_sql_ddl", "io_sql_create", "io_sql_catalog",
     "io_avro_time_travel", "dedup_lsh_incremental")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
@@ -1946,6 +1946,60 @@ object IoQueries extends QueryPack {
          |UNION ALL
          |SELECT o_orderkey, total FROM graft.`$path/b`
          |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  // NAME-based addressing through the DSv2 GraftCatalog
+  // (catalog/GraftCatalog.scala + the extension rules' V2 claims):
+  // CREATE by catalog name under the warehouse, INSERT, MERGE, and a
+  // VERSION AS OF read all resolve the NAME through Spark's public
+  // catalog machinery — no path spelled anywhere. The pinned version is
+  // deterministic (v1 = CREATE's stamp, v2 = the INSERT), so the query
+  // reproduces on a warm fixture; the oracle reconstructs head and
+  // pinned states relationally.
+  register("io_sql_catalog",
+    """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) * 3 AS total,
+      |  'head' AS at FROM orders WHERE o_orderkey <= 200
+      |UNION ALL
+      |SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), 'head'
+      |FROM orders WHERE o_orderkey > 200 AND o_orderkey <= 600
+      |UNION ALL
+      |SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) * 3, 'head'
+      |FROM orders WHERE o_orderkey > 600 AND o_orderkey <= 800
+      |UNION ALL
+      |SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), 'v2'
+      |FROM orders WHERE o_orderkey <= 600
+      |ORDER BY at, o_orderkey""".stripMargin) { (s, d) =>
+    val table = s"sqlcat_${java.lang.Integer.toHexString(d.hashCode)}"
+    readFixture("sql_catalog", d) { _ =>
+      Tables.orders(s, d).filter(col("o_orderkey") <= 800)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast(DoubleType).as("total"))
+        .createOrReplaceTempView("io_sql_catalog_src")
+      s.sql(s"DROP TABLE IF EXISTS graft.$table").collect(): Unit
+      s.sql(s"CREATE TABLE graft.$table " +
+        "(o_orderkey BIGINT, total DOUBLE) USING feather").collect(): Unit
+      require(s.sql("SHOW TABLES IN graft").collect()
+          .exists(_.getString(1) == table),
+        s"SHOW TABLES must enumerate the created $table")
+      s.sql(
+        s"""INSERT INTO graft.$table
+           |SELECT o_orderkey, total FROM io_sql_catalog_src
+           |WHERE o_orderkey <= 600""".stripMargin).collect(): Unit
+      s.sql(
+        s"""MERGE INTO graft.$table t
+           |USING (SELECT o_orderkey, total * 3 AS total
+           |       FROM io_sql_catalog_src
+           |       WHERE o_orderkey <= 200 OR o_orderkey > 600) m
+           |ON t.o_orderkey = m.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET total = m.total
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect(): Unit
+    }
+    s.sql(
+      s"""SELECT o_orderkey, total, 'head' AS at FROM graft.$table
+         |UNION ALL
+         |SELECT o_orderkey, total, 'v2' AS at
+         |FROM graft.$table VERSION AS OF 2
+         |ORDER BY at, o_orderkey""".stripMargin)
   }
 
   // MERGE (upsert) on a snapshotted table (io/FeatherMutations.scala):

@@ -262,7 +262,11 @@ class SqlRelationsSpec extends AnyFunSuite {
       spark.sql(s"INSERT INTO graft.`$path` PARTITION (nope='d0') " +
         "SELECT 1L")
     }
-    assert(e3.getMessage.contains("not a partition column"))
+    // with GraftCatalog registered, Spark's own ResolveInsertInto
+    // validates the spec first (NON_PARTITION_COLUMN); the rule-based
+    // path keeps the engine's message
+    assert(e3.getMessage.contains("not a partition column") ||
+      e3.getMessage.contains("NON_PARTITION_COLUMN"), e3.getMessage)
     val e4 = intercept[Exception] {
       spark.sql(s"INSERT INTO graft.`$path` (id) SELECT 1L")
     }

@@ -15,6 +15,12 @@ object TestSpark {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",
         s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_warehouse")
+      .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse",
+        s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_tables")
+      .config("spark.sql.catalog.graft_dv", "graft.catalog.GraftCatalog")
+      .config("spark.sql.catalog.graft_dv.warehouse",
+        s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_tables")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
