@@ -124,6 +124,39 @@ object ScaleRehearsal {
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
+  /** FULL sf1 dataset for the whole-suite bench rehearsal: every table
+    * ×10 with CONSISTENTLY shifted keys, so joins fan out exactly as at
+    * sf0.1 (each copy is a disjoint key universe: orders↔lineitem,
+    * orders↔customer, lineitem↔part/supplier all stay 1:N with the same
+    * N). The tiny dims (nation, region) copy as-is — their keys are the
+    * unshifted c_nationkey/s_nationkey targets. Documents/embeddings
+    * come from [[buildScaled]] (perturbed copies — verbatim replicas
+    * would multiply the near-dup rate tenfold and turn the dedup tier
+    * into a different workload). Usage:
+    * `runMain graft.ScaleRehearsal <outDir> bench1` then
+    * `SPARK_GRAFT_SF_DIR=<outDir>/sf1full runMain graft.Bench`. */
+  def buildFullSf1(spark: SparkSession, srcDir: String, outDir: String,
+                   copies: Int = 10): Unit = {
+    val shift = (k: Int) => lit(k * 10_000_000L)
+    def scaled(table: String, keyCols: Seq[String]): Unit =
+      (0 until copies).map { k =>
+        keyCols.foldLeft(Tables(spark, srcDir, table)) { (df, c) =>
+          df.withColumn(c, col(c) + shift(k)) }
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    scaled("orders", Seq("o_orderkey", "o_custkey"))
+    scaled("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    scaled("customer", Seq("c_custkey"))
+    scaled("part", Seq("p_partkey"))
+    scaled("supplier", Seq("s_suppkey"))
+    scaled("events", Seq("event_id", "user_id"))
+    Seq("nation", "region").foreach(t =>
+      Tables(spark, srcDir, t).write.mode("overwrite")
+        .parquet(s"$outDir/$t.parquet"))
+    buildScaled(spark, srcDir, outDir, copies)
+    println(s"[scale] full sf1 dataset at $outDir")
+  }
+
   /** Skew-payoff demo: the registered `join_skew_salted` query runs on
     * organic (unskewed) data where Spark broadcasts the dim and salt is
     * moot — the honest measurement of WHY SkewJoin exists needs (a) a
@@ -393,7 +426,11 @@ object ScaleRehearsal {
       val secs = (System.nanoTime() - t0) / 1e9
       require(distinct == 1L, s"a chain is ONE component, got $distinct labels")
       val failed =
-        try { graft.ops.ConnectedComponents.minLabel(chain, maxIters = 4)
+        // contraction off: the loud-failure contract is about the
+        // ROUND CAP, and local union-find would collapse the chain
+        // before the cap could bite
+        try { graft.ops.ConnectedComponents.minLabel(chain, maxIters = 4,
+                localContract = false)
               .write.format("noop").mode("overwrite").save(); false }
         catch { case _: IllegalStateException => true }
       require(failed, s"cap 4 on a $n-vertex chain MUST fail loudly")
@@ -443,13 +480,18 @@ object ScaleRehearsal {
     val validModes = Set("dedup", "ordered", "joins", "cc", "skew", "io",
       "sketch", "ingest", "compaction", "mutation", "cluster", "manifest",
       "planning", "overlap", "dv", "dvmerge", "inccluster", "parquet",
-      "preddml", "replovr", "copyinto", "all")
+      "preddml", "replovr", "copyinto", "bench1", "all")
     require(validModes(mode),
       s"unknown mode '$mode' (one of ${validModes.toSeq.sorted.mkString("|")})")
     val src = "/root/testdata/sf0.1"
     val sf1 = s"$out/sf1"
     val spark = GraftSession.build("graft-scale")
     spark.sparkContext.setLogLevel("WARN")
+    if (mode == "bench1")
+      // build only — the 3-rep sweep itself is
+      // SPARK_GRAFT_SF_DIR=<out>/sf1full runMain graft.Bench (one JVM,
+      // the same warmup + med-of-3 discipline the driver uses)
+      buildFullSf1(spark, src, s"$out/sf1full")
     if (mode == "all" || mode == "dedup") {
       buildScaled(spark, src, sf1, copies = 10)
       runFamily(spark, Family, src, sf1, "dedup")

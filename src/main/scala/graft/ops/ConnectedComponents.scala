@@ -56,16 +56,91 @@ object ConnectedComponents {
     (out, () => { rdd.unpersist(false); () })
   }
 
+  /** [[materialized]] fused with the round's convergence probe: the
+    * filtered count scans every partition of the persisting RDD, so ONE
+    * job both pins the blocks and answers "did any label improve" — the
+    * separate count-then-isEmpty pair was two jobs per round, pure
+    * scheduler overhead on small inputs. */
+  private def materializedChanged(df: DataFrame)
+      : (DataFrame, () => Unit, Long) = {
+    val rdd = df.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = df.sparkSession.createDataFrame(rdd, df.schema)
+    val changed = out.filter(col("label") < col("old")).count()
+    (out, () => { rdd.unpersist(false); () }, changed)
+  }
+
+  /** Rounds the last [[minLabel]] call took to converge — a TEST seam
+    * (the chain-shaped spec pins that local contraction collapses the
+    * round count), not an API. */
+  private[graft] var lastRounds: Int = 0
+
+  /** PHASE 1 — local contraction: a per-partition union-find over each
+    * partition's edges (mapPartitions is the right tool here: the
+    * union-find is genuinely imperative and touches only local state),
+    * emitting one STAR edge (v, localRoot) per vertex the partition
+    * saw. Component-equivalent by construction — every original edge
+    * lives in exactly one partition and its endpoints share a local
+    * root there — so the global min-label rounds run on a graph whose
+    * intra-partition chains have already collapsed to depth 1: the
+    * edge volume drops to ≈ one row per (vertex, partition) and the
+    * remaining diameter is bounded by the number of PARTITIONS a
+    * component spans, not its vertex count. O(|E_p|·α) time and
+    * O(|V_p|) heap per partition, no shuffle (the MapReduce-CC /
+    * large-star contraction step, done partition-locally). */
+  private def contractLocally(pairs: DataFrame): DataFrame = {
+    val session = pairs.sparkSession
+    import session.implicits._
+    pairs.select(col("d1").cast("long"), col("d2").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def add(x: Long): Unit =
+          if (!parent.containsKey(x)) parent.put(x, x): Unit
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.get(c) != r) {
+            val n = parent.get(c); parent.put(c, r); c = n
+          }
+          r
+        }
+        it.foreach { case (a, b) =>
+          add(a); add(b)
+          val ra = find(a); val rb = find(b)
+          // union by MIN id: the root is always the component's local
+          // minimum, so the emitted stars carry the final local labels
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        parent.keySet().forEach { v => out += ((v, find(v))) }
+        out.iterator
+      }
+      .toDF("d1", "d2")
+  }
+
   /** Labels every vertex of the undirected `pairs` graph with its
     * component's minimum vertex id.
     *
     * @param pairs    (d1, d2) edge list; direction ignored
     * @param maxIters hard round cap; exceeding it throws IllegalStateException
+    * @param localContract run the per-partition union-find contraction
+    *                      first (long-typed vertex ids only; the tests
+    *                      that pin the round-cap contract disable it)
     * @return (doc_id, label) — one row per vertex that appears in any pair
     */
-  def minLabel(pairs: DataFrame, maxIters: Int = 32): DataFrame = {
-    val (edges, releaseEdges) = materialized(pairs.select("d1", "d2")
-      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2"))))
+  def minLabel(pairs: DataFrame, maxIters: Int = 32,
+               localContract: Boolean = true): DataFrame = {
+    val contractable = localContract &&
+      pairs.schema.fields.take(2).forall(
+        _.dataType == org.apache.spark.sql.types.LongType)
+    val base =
+      if (contractable) contractLocally(pairs.select("d1", "d2"))
+      else pairs.select("d1", "d2")
+    val (edges, releaseEdges) = materialized(base
+      .union(base.select(col("d2").as("d1"), col("d1").as("d2"))))
     // round 1 for free: from identity labels, one propagation step is just
     // min(neighbor) vs self over the raw edge list — a single aggregation
     // instead of the loop body's join+agg+join round
@@ -90,20 +165,22 @@ object ConnectedComponents {
           Seq("via"))
         .select(col("doc_id"), col("sl"))
       // carry the old label through the same projection so convergence needs
-      // no second labels join — one filter over the materialized round result
-      val (round, releaseRound) = materialized(labels
+      // no second labels join — the materialization job doubles as the
+      // convergence probe (materializedChanged)
+      val (round, releaseRound, changed) = materializedChanged(labels
         .join(nbrMin, Seq("doc_id"), "left")
         .join(shortcut, Seq("doc_id"), "left")
         .select(col("doc_id"), col("label").as("old"),
           least(col("label"),
             coalesce(col("nmin"), col("label")),
             coalesce(col("sl"), col("label"))).as("label")))
-      converged = round.filter(col("label") < col("old")).isEmpty
+      converged = changed == 0
       releasePrev() // superseded round's blocks freed immediately
       releasePrev = releaseRound
       labels = round.select("doc_id", "label")
       iter += 1
     }
+    lastRounds = iter
     releaseEdges()
     if (!converged) {
       releasePrev()

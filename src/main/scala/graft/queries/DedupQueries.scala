@@ -221,16 +221,26 @@ object DedupQueries extends QueryPack {
     // backs three registered queries (lsh_verified, connected_components,
     // cluster_best); the pins pay off in each.
     val base = Tables.documents(s, d)
-    val fp = base
-      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("fp"))
     val nHashes = 8
+    // per-row minhash: min over the shingle-hash ARRAY of each affine
+    // transform — identical values to the former explode + groupBy(min)
+    // but with NO shuffle (the exploded relation was |docs|·|shingles|
+    // rows wide; array_min(transform(...)) folds it inside the row)
+    val harr = base.select(col("doc_id"), shingleHashes(col("text")).as("fp"))
     val hashCols = (0 until nHashes).map(i =>
-      min((lit(2L * i + 1) * col("fp") + lit(i * 7919L)) % lit(HashMod)).as(s"h$i"))
-    val sig = fp.groupBy(col("doc_id")).agg(hashCols.head, hashCols.tail: _*)
-    // 8 bands × 1 hash: band key IS the single minhash value
+      array_min(transform(col("fp"),
+        x => (lit(2L * i + 1) * x + lit(i * 7919L)) % lit(HashMod)))
+        .as(s"h$i"))
+    val sig = harr.select(col("doc_id") +: hashCols: _*)
+    // 8 bands × 1 hash: band key IS the single minhash value. The PIN
+    // sits on the compact signature table (|docs| rows × 8 longs), not
+    // the 8×-exploded banded relation: both self-join arms derive the
+    // explosion from the one cached signature scan (a projection, no
+    // shuffle), so the cache write is an eighth the size
+    val sigP = graft.ops.OrderedOps.pinned(sig)
     val bandCols = (0 until nHashes).map(i => col(s"h$i").cast(StringType))
-    val keyed = graft.ops.OrderedOps.pinned(sig
-      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bkey"))))
+    val keyed = sigP
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
     val cand = graft.ops.OrderedOps.pinned(
       keyed.select(col("band"), col("bkey"), col("doc_id").as("d1"))
         .join(keyed.select(col("band"), col("bkey"), col("doc_id").as("d2")),
@@ -239,9 +249,13 @@ object DedupQueries extends QueryPack {
         .select("d1", "d2").distinct())
     val candIds = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
-    // verify side re-derives hash sets for the (small) candidate id set only
-    val candH = base.join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), shingleHashes(col("text")).as("h"))
+    // verify side re-derives hash sets for the (small) candidate id set
+    // only — PINNED: it feeds both the d1 and d2 arms of the verify
+    // join, and unpinned each arm re-scans the corpus and re-shingles
+    // the candidates (two full passes for one small relation)
+    val candH = graft.ops.OrderedOps.pinned(
+      base.join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), shingleHashes(col("text")).as("h")))
     val jac = size(array_intersect(col("h1"), col("h2"))).cast(DoubleType) /
       size(array_distinct(concat(col("h1"), col("h2"))))
     cand
@@ -410,9 +424,13 @@ object DedupQueries extends QueryPack {
         .select("d1", "d2"))
     val candIds = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
-    // verify side re-derives hash sets for the (small) candidate id set only
-    val candH = base.join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), shingleHashes(col("text")).as("h"))
+    // verify side re-derives hash sets for the (small) candidate id set
+    // only — PINNED: it feeds both the d1 and d2 arms of the verify
+    // join, and unpinned each arm re-scans the corpus and re-shingles
+    // the candidates (two full passes for one small relation)
+    val candH = graft.ops.OrderedOps.pinned(
+      base.join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), shingleHashes(col("text")).as("h")))
     val jac = size(array_intersect(col("h1"), col("h2"))).cast(DoubleType) /
       size(array_distinct(concat(col("h1"), col("h2"))))
     cand

@@ -22,13 +22,26 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
-  test("pointer doubling converges a deep chain in O(log n) rounds") {
+  test("local contraction collapses a deep chain: rounds bounded by " +
+       "the partition count, not the diameter") {
     import spark.implicits._
-    // path graph 0-1-...-499: diameter 499. Plain propagation would need
-    // ~500 rounds; label shortcutting halves pointer chains each round,
-    // so ~11 rounds suffice — well under the default cap of 32.
+    // path graph 0-1-...-499 over 4 partitions: the per-partition
+    // union-find collapses each partition's sub-chains to depth-1
+    // stars, so the global rounds see a graph of ~4 segment
+    // representatives — a handful of rounds, not ~log2(500) ≈ 9
     val chain = (0L until 499L).map(i => (i, i + 1)).toDF("d1", "d2")
     val ok = ConnectedComponents.minLabel(chain).collect()
+    assert(ok.forall(_.getLong(1) == 0L) && ok.length == 500)
+    assert(ConnectedComponents.lastRounds <= 5,
+      s"contracted chain took ${ConnectedComponents.lastRounds} rounds")
+  }
+
+  test("pointer doubling alone (contraction off) still converges a " +
+       "deep chain in O(log n) rounds") {
+    import spark.implicits._
+    val chain = (0L until 499L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val ok = ConnectedComponents.minLabel(chain, localContract = false)
+      .collect()
     assert(ok.forall(_.getLong(1) == 0L) && ok.length == 500)
   }
 
@@ -36,9 +49,11 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     import spark.implicits._
     // after 3 rounds shortcutting reaches distance ≈ 2^2; a 500-node
     // chain cannot finish — the loud-failure contract is unchanged
+    // (contraction off: it would collapse the chain before the cap)
     val chain = (0L until 499L).map(i => (i, i + 1)).toDF("d1", "d2")
     val e = intercept[IllegalStateException] {
-      ConnectedComponents.minLabel(chain, maxIters = 3)
+      ConnectedComponents.minLabel(chain, maxIters = 3,
+        localContract = false)
     }
     assert(e.getMessage.contains("did not converge"))
   }
