@@ -112,6 +112,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new Path((requireWarehouse(s"namespace ${namespace.mkString(".")}") +:
       namespace).mkString("/"))
 
+  /** No table or namespace may nest INSIDE an existing table's
+    * directory: the outer table's maintenance walks every non-hidden
+    * subdirectory (hive leaves), so vacuum would see the nested
+    * table's parts as unreferenced orphans and delete them — silent
+    * data loss. Checked at creation/rename time (ancestor segments
+    * must not carry a manifest). */
+  private def requireNoTableAncestor(what: String,
+                                     ident: Identifier): Unit = {
+    val wh = requireWarehouse(what)
+    val segs = ident.namespace :+ ident.name
+    segs.inits.toSeq.reverse.drop(1).dropRight(1).foreach { prefix =>
+      val p = new Path((wh +: prefix).mkString("/"))
+      val fs = fsOf(p)
+      if (fs.exists(p) && FeatherSnapshots.enabled(fs, p))
+        throw new IllegalArgumentException(
+          s"$what: '${prefix.mkString(".")}' is a TABLE — tables and " +
+            "namespaces cannot nest inside a table's directory (the " +
+            "outer table's vacuum would reclaim the nested data as " +
+            "orphans)")
+    }
+  }
+
   // ---- tables --------------------------------------------------------------
 
   override def tableExists(ident: Identifier): Boolean = {
@@ -183,6 +205,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       s"CREATE TABLE $catalogName.$ident: $msg")
     if (tableExists(ident))
       throw new TableAlreadyExistsException(ident)
+    if (!isPathIdent(ident))
+      requireNoTableAncestor(s"CREATE TABLE $catalogName.$ident", ident)
     val props = properties.asScala.toMap
     // silently DROPPING a clause is worse than refusing it (the
     // GraftCreateTableRule contract, applied to the catalog surface)
@@ -272,6 +296,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       bad("renames move MANAGED warehouse tables; a path-addressed " +
         "table renames by moving its directory deliberately")
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    requireNoTableAncestor(
+      s"RENAME TO $catalogName.$newIdent", newIdent)
     val to = new Path(pathOf(newIdent))
     val fs = fsOf(to)
     if (fs.exists(to)) throw new TableAlreadyExistsException(newIdent)
@@ -287,10 +313,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   // ---- namespaces ----------------------------------------------------------
 
-  private def isNamespaceDir(fs: org.apache.hadoop.fs.FileSystem,
-                             p: Path): Boolean =
-    fs.getFileStatus(p).isDirectory && !p.getName.startsWith("_") &&
-      !p.getName.startsWith(".") && !FeatherSnapshots.enabled(fs, p)
+  /** A namespace is a plain warehouse directory: not hidden, no
+    * manifest. Takes the already-listed FileStatus — re-fetching it
+    * would cost one extra RPC per child on an object store. */
+  private def isNamespaceStatus(fs: org.apache.hadoop.fs.FileSystem,
+                                s: org.apache.hadoop.fs.FileStatus)
+      : Boolean =
+    s.isDirectory && !s.getPath.getName.startsWith("_") &&
+      !s.getPath.getName.startsWith(".") &&
+      !FeatherSnapshots.enabled(fs, s.getPath)
 
   override def defaultNamespace(): Array[String] = Array.empty
 
@@ -298,7 +329,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     namespace.isEmpty || {
       val dir = nsDir(namespace)
       val fs = fsOf(dir)
-      fs.exists(dir) && isNamespaceDir(fs, dir)
+      fs.exists(dir) && isNamespaceStatus(fs, fs.getFileStatus(dir))
     }
 
   override def listNamespaces(): Array[Array[String]] =
@@ -312,7 +343,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val fs = fsOf(dir)
     if (!fs.exists(dir)) Array.empty
     else fs.listStatus(dir).iterator
-      .filter(s => isNamespaceDir(fs, s.getPath))
+      .filter(isNamespaceStatus(fs, _))
       .map(s => namespace :+ s.getPath.getName).toArray
   }
 
@@ -328,6 +359,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                                metadata: JMap[String, String]): Unit = {
     namespace.foreach(checkSegment(
       s"CREATE NAMESPACE ${namespace.mkString(".")}", _))
+    if (namespace.nonEmpty)
+      requireNoTableAncestor(
+        s"CREATE NAMESPACE ${namespace.mkString(".")}",
+        Identifier.of(namespace.init, namespace.last))
     val user = metadata.asScala.keys.filterNot(
       Set(SupportsNamespaces.PROP_OWNER))
     if (user.nonEmpty)
@@ -349,14 +384,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!namespaceExists(namespace)) return false
     val dir = nsDir(namespace)
     val fs = fsOf(dir)
-    if (fs.listStatus(dir).nonEmpty && !cascade)
-      throw new org.apache.spark.sql.catalyst.analysis
-        .NonEmptyNamespaceException(namespace)
-    if (cascade && fs.listStatus(dir).nonEmpty)
+    if (fs.listStatus(dir).nonEmpty) {
+      if (!cascade)
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NonEmptyNamespaceException(namespace)
       throw new IllegalArgumentException(
         s"DROP NAMESPACE ${namespace.mkString(".")} CASCADE: the " +
           "namespace holds tables — cascading would delete their data " +
           "as a side effect; DROP each table deliberately first")
+    }
     fs.delete(dir, true)
   }
 }

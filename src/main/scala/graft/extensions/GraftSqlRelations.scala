@@ -96,47 +96,39 @@ private[extensions] class GraftSqlRelationsRule(spark: SparkSession)
     case _ => None
   }
 
+  /** DDL target: the path spelling (UnresolvedTable) or a
+    * catalog-resolved table — ONE extractor for every DDL case below
+    * (the orElse chain was copy-pasted a dozen times before). */
+  private def ddlPathOf(t: LogicalPlan): Option[String] =
+    tablePathOf(t).orElse(tovPathOf(t)).orElse(resolvedGraftPath(t))
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case i: InsertIntoStatement if pathOf(i.table).isDefined =>
       lowerInsert(i, pathOf(i.table).get)
-    case t: TruncateTable if tablePathOf(t.table)
-        .orElse(resolvedGraftPath(t.table)).isDefined =>
-      val path = tablePathOf(t.table)
-        .orElse(resolvedGraftPath(t.table)).get
+    case t: TruncateTable if ddlPathOf(t.table).isDefined =>
+      val path = ddlPathOf(t.table).get
       GraftDml.report(s"truncate($path)") { () =>
         graft.io.TableDdl.truncate(spark, path) }
-    case a: AddColumns if tablePathOf(a.table)
-        .orElse(resolvedGraftPath(a.table)).isDefined =>
-      lowerAddColumns(a, tablePathOf(a.table)
-        .orElse(resolvedGraftPath(a.table)).get)
+    case a: AddColumns if ddlPathOf(a.table).isDefined =>
+      lowerAddColumns(a, ddlPathOf(a.table).get)
     // the ADJACENT DDL spellings refuse LOUDLY with guidance — falling
     // through would hand them to Spark's catalog machinery, which
     // reports 'table not found' for a table every other graft statement
     // can see (the most confusing possible error)
-    case TruncatePartition(tbl, _) if tablePathOf(tbl)
-        .orElse(resolvedGraftPath(tbl)).isDefined =>
+    case TruncatePartition(tbl, _) if ddlPathOf(tbl).isDefined =>
       throw new IllegalArgumentException(
-        s"TRUNCATE TABLE graft.`${tablePathOf(tbl)
-          .orElse(resolvedGraftPath(tbl)).get}` PARTITION " +
+        s"TRUNCATE TABLE graft.`${ddlPathOf(tbl).get}` PARTITION " +
           "(...): partition-scoped truncate is not supported — use " +
           "DELETE FROM ... WHERE on the partition column, or INSERT " +
           "OVERWRITE ... PARTITION (k=v) with an empty query")
-    case d: DescribeRelation if tovPathOf(d.relation)
-        .orElse(resolvedGraftPath(d.relation)).isDefined =>
-      lowerDescribe(d, tovPathOf(d.relation)
-        .orElse(resolvedGraftPath(d.relation)).get)
-    case d: DescribeColumn if tovPathOf(d.relation)
-        .orElse(resolvedGraftPath(d.relation)).isDefined =>
-      lowerDescribeColumn(d, tovPathOf(d.relation)
-        .orElse(resolvedGraftPath(d.relation)).get)
-    case s: ShowColumns if tovPathOf(s.child)
-        .orElse(resolvedGraftPath(s.child)).isDefined =>
-      lowerShowColumns(s, tovPathOf(s.child)
-        .orElse(resolvedGraftPath(s.child)).get)
-    case s: ShowPartitions if tablePathOf(s.table)
-        .orElse(resolvedGraftPath(s.table)).isDefined =>
-      val path = tablePathOf(s.table)
-        .orElse(resolvedGraftPath(s.table)).get
+    case d: DescribeRelation if ddlPathOf(d.relation).isDefined =>
+      lowerDescribe(d, ddlPathOf(d.relation).get)
+    case d: DescribeColumn if ddlPathOf(d.relation).isDefined =>
+      lowerDescribeColumn(d, ddlPathOf(d.relation).get)
+    case s: ShowColumns if ddlPathOf(s.child).isDefined =>
+      lowerShowColumns(s, ddlPathOf(s.child).get)
+    case s: ShowPartitions if ddlPathOf(s.table).isDefined =>
+      val path = ddlPathOf(s.table).get
       if (s.pattern.nonEmpty)
         throw new IllegalArgumentException(
           s"SHOW PARTITIONS graft.`$path` PARTITION (...): the " +
@@ -146,40 +138,30 @@ private[extensions] class GraftSqlRelationsRule(spark: SparkSession)
       org.apache.spark.sql.catalyst.plans.logical.LocalRelation(s.output,
         parts.map(p => org.apache.spark.sql.catalyst.InternalRow(
           UTF8String.fromString(p))))
-    case r: RepairTable if tablePathOf(r.child)
-        .orElse(resolvedGraftPath(r.child)).isDefined =>
+    case r: RepairTable if ddlPathOf(r.child).isDefined =>
       // MSCK REPAIR = ADOPT: build the v1 manifest from a plain
       // directory — the SQL spelling of the one-shot migration API
       // (an EXISTING table resolves through the catalog to a
       // ResolvedTable; adopt's own exactly-once contract refuses it)
-      val path = tablePathOf(r.child)
-        .orElse(resolvedGraftPath(r.child)).get
+      val path = ddlPathOf(r.child).get
       GraftDml.report(s"repair_table($path)") { () =>
         graft.io.TableDdl.repairTable(spark, path) }
-    case a: AnalyzeTable
-        if tablePathOf(a.child).orElse(tovPathOf(a.child))
-          .orElse(resolvedGraftPath(a.child)).isDefined =>
+    case a: AnalyzeTable if ddlPathOf(a.child).isDefined =>
       throw new IllegalArgumentException(
-        s"ANALYZE TABLE graft.`${tablePathOf(a.child)
-          .orElse(tovPathOf(a.child))
-          .orElse(resolvedGraftPath(a.child)).get}`: statistics " +
+        s"ANALYZE TABLE graft.`${ddlPathOf(a.child).get}`: statistics " +
           "live in per-file sidecars, not a catalog — they are written " +
           "at write time and backfilled with " +
           "graft.io.FeatherStats backfill (the io_stats_backfill path); " +
           "nothing here needs ANALYZE")
-    case s: ShowCreateTable if tovPathOf(s.child)
-        .orElse(resolvedGraftPath(s.child)).isDefined =>
+    case s: ShowCreateTable if ddlPathOf(s.child).isDefined =>
       throw new IllegalArgumentException(
-        s"SHOW CREATE TABLE graft.`${tovPathOf(s.child)
-          .orElse(resolvedGraftPath(s.child)).get}`: there " +
+        s"SHOW CREATE TABLE graft.`${ddlPathOf(s.child).get}`: there " +
           "is no stored CREATE statement (a graft table is a path plus " +
           "manifests) — DESCRIBE TABLE EXTENDED prints the schema, " +
           "partitioning, and face")
-    case ac: AlterTableCommand if tablePathOf(ac.table)
-        .orElse(resolvedGraftPath(ac.table)).isDefined =>
+    case ac: AlterTableCommand if ddlPathOf(ac.table).isDefined =>
       throw new IllegalArgumentException(
-        s"ALTER TABLE graft.`${tablePathOf(ac.table)
-          .orElse(resolvedGraftPath(ac.table)).get}`: this ALTER " +
+        s"ALTER TABLE graft.`${ddlPathOf(ac.table).get}`: this ALTER " +
           s"form (${ac.nodeName}) is not supported — only ADD COLUMNS " +
           "is. Column drops/renames/retypes would rewrite or remap " +
           "every footer (schema columns live in the data files, not a " +

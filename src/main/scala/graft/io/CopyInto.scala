@@ -229,10 +229,14 @@ object CopyInto {
       val rel = st.getPath.toString.stripPrefix(rootPrefix)
       val hidden = rel.split('/').exists(s =>
         s.startsWith("_") || s.startsWith("."))
-      // the graft writers' skipping-index sidecars (`<part>.stats.json`)
-      // are service files riding beside the data parts — listing them as
-      // batch files would feed JSON to an avro/feather/parquet read
-      val sidecar = name.endsWith(".stats.json")
+      // the graft writers' skipping-index sidecars
+      // (`<part>.<data-ext>.stats.json`) are service files riding beside
+      // the data parts — listing them as batch files would feed JSON to
+      // an avro/feather/parquet read. Match the exact sidecar naming,
+      // never bare `*.stats.json`: a json/csv source may legitimately
+      // ship a data file called metrics.stats.json
+      val sidecar = Seq(".feather", ".arrow", ".parquet", ".avro", ".orc")
+        .exists(ext => name.endsWith(ext + ".stats.json"))
       if (!hidden && !sidecar && st.isFile && glob.forall(_.matches(name)))
         out += ((st.getPath.toString, st.getLen))
     }

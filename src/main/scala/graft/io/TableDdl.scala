@@ -307,9 +307,13 @@ object TableDdl {
       // snapshot's schema, and a concurrent addition (another ALTER's
       // stamps, an evolving merge/append) may have evolved it; two
       // racing ALTERs landing 'score DOUBLE' and 'score STRING' would
-      // brick every merged read.
+      // brick every merged read. The READ SET is declared empty — ALTER
+      // reads no data files, so losing a race to a delete/merge/compact
+      // invalidates nothing (those commutes land both); only the
+      // added-files schema race aborts, and the loop below retries it.
       val committed = FeatherSnapshots.commitMutation(r.fs, r.root,
-        "append", r.snap, Set.empty, added, requireNoNewFiles = true)
+        "append", r.snap, Set.empty, added, requireNoNewFiles = true,
+        readRel = Some(Set.empty))
       Result(committed, 0, r.snap.files.size, added.size)
     }
     // the no-new-files abort also fires on schema-NEUTRAL blind appends
@@ -318,18 +322,16 @@ object TableDdl {
     // statement would never land without this revalidate-and-retry
     // loop: each retry re-resolves the head and re-runs the name checks
     // against the possibly-evolved schema before committing again.
-    // The MUTATION-conflict abort ('file ... was rewritten, deleted')
-    // retries too: ALTER reads no data files, so losing the commit race
-    // to a delete/merge/compact invalidates nothing the statement did —
-    // the retry's re-resolve restamps against the winner's head
+    // (Races against deletes/merges/compactions never abort at all: the
+    // commit declares an EMPTY read set, so the conflict matrix lets
+    // them land beside the stamps.)
     var lastConflict: Throwable = null
     for (_ <- 1 to 5) {
       try return attempt()
       catch {
         case e: IllegalArgumentException
             if e.getMessage != null &&
-              (e.getMessage.contains("concurrent commit added file") ||
-               e.getMessage.contains("conflict with a concurrent commit")) =>
+              e.getMessage.contains("concurrent commit added file") =>
           lastConflict = e
       }
     }

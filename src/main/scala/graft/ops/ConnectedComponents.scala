@@ -133,9 +133,13 @@ object ConnectedComponents {
     */
   def minLabel(pairs: DataFrame, maxIters: Int = 32,
                localContract: Boolean = true): DataFrame = {
+    // gate on the d1/d2 columns BY NAME (the same columns the selects
+    // below use) — a positional check could approve unrelated leading
+    // columns and cast string vertex ids to null
     val contractable = localContract &&
-      pairs.schema.fields.take(2).forall(
-        _.dataType == org.apache.spark.sql.types.LongType)
+      Seq("d1", "d2").forall(c =>
+        pairs.schema.fields.find(_.name == c)
+          .exists(_.dataType == org.apache.spark.sql.types.LongType))
     val base =
       if (contractable) contractLocally(pairs.select("d1", "d2"))
       else pairs.select("d1", "d2")

@@ -214,6 +214,29 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.dvtab").collect(): Unit
   }
 
+  test("a table or namespace can NEVER nest inside a table's " +
+       "directory (the outer table's vacuum would reclaim the nested " +
+       "data as orphans)") {
+    wipe("outer_t")
+    spark.sql("CREATE TABLE graft.outer_t (id BIGINT) USING feather")
+      .collect(): Unit
+    val e1 = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.outer_t.inner (id BIGINT) " +
+        "USING feather").collect()
+    }
+    // either the ancestor guard or Spark's own namespace resolution
+    // (a table is not a namespace) — both refuse before any write
+    assert(e1.getMessage.contains("cannot nest") ||
+      e1.getMessage.contains("SCHEMA_NOT_FOUND"), e1.getMessage)
+    assert(!new java.io.File(s"$warehouse/outer_t/inner").exists())
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE NAMESPACE graft.outer_t.ns").collect()
+    }
+    assert(e2.getMessage.contains("cannot nest") ||
+      e2.getMessage.contains("SCHEMA_NOT_FOUND"), e2.getMessage)
+    spark.sql("DROP TABLE graft.outer_t").collect(): Unit
+  }
+
   test("refusals: unknown name is TABLE_OR_VIEW_NOT_FOUND; hostile " +
        "identifier segments refuse; CREATE OR REPLACE refuses") {
     val e1 = intercept[Exception] {
