@@ -37,6 +37,13 @@ object GraftSession {
       // tz-naive on read-back) to schema-match the driver's DuckDB oracle.
       .config("spark.sql.warehouse.dir",
         s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_warehouse")
+      // the engine's deliberate tiny-relation global windows partition
+      // by a CONSTANT so WindowExec's "no partition defined" warning
+      // stays meaningful for real regressions; this rule would fold the
+      // constant away and bring the warning back (the rule is a no-op
+      // optimization here — nothing else emits foldable partitions)
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions")
       // name-based addressing through Spark's public catalog machinery:
       // CREATE/SELECT/INSERT/MERGE/SHOW TABLES resolve `graft.<name>`
       // via GraftCatalog (the graft.`/abs/path` spelling keeps working

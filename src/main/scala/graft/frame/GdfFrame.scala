@@ -85,9 +85,11 @@ final class GdfFrame(val df: DataFrame, val indexCol: String) extends GdfFrameOp
       .select(idx, col(valueCol))
     val edgeLag = edge
       // ≤ 2p rows per partition boundary — tiny, but constant-partitioned
-      // so WindowExec's global-window warning stays meaningful
+      // so WindowExec's global-window warning stays meaningful (the
+      // session excludes EliminateWindowPartitions — see GraftSession)
       .withColumn("__edge_lag",
-        lag(col(valueCol), p).over(Window.partitionBy(lit(0)).orderBy(ord)))
+        lag(col(valueCol), p)
+          .over(Window.partitionBy(lit(0)).orderBy(ord)))
       .select(idx.as("__eidx"), col("__edge_lag"))
     local
       .join(broadcast(edgeLag), idx === col("__eidx"), "left")

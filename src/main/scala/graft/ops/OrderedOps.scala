@@ -87,7 +87,9 @@ object OrderedOps {
         // one row per range partition — a tiny relation, but partition
         // by a constant anyway: same single-task execution, and the
         // WindowExec "no partition defined" warning stays meaningful
-        // for REAL unpartitioned-window regressions
+        // for REAL unpartitioned-window regressions (the session
+        // excludes EliminateWindowPartitions, which would fold the
+        // deliberate constant away — see GraftSession)
         sum(col("__gtot")).over(Window.partitionBy(lit(0))
           .orderBy(col("__gpid")).rowsBetween(Window.unboundedPreceding, -1)))
       .select(col("__gpid"), col("__goff"))
@@ -132,8 +134,9 @@ object OrderedOps {
     val carries = tails
       .withColumn("__gcarry",
         // one row per range partition — constant-partitioned (see cumsum)
-        last(col("__gtail"), ignoreNulls = true).over(Window.partitionBy(lit(0))
-          .orderBy(col("__gpid")).rowsBetween(Window.unboundedPreceding, -1)))
+        last(col("__gtail"), ignoreNulls = true)
+          .over(Window.partitionBy(lit(0))
+            .orderBy(col("__gpid")).rowsBetween(Window.unboundedPreceding, -1)))
       .select(col("__gpid"), col("__gcarry"))
     local
       .join(broadcast(carries), Seq("__gpid"))

@@ -15,6 +15,13 @@ object TestSpark {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",
         s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_warehouse")
+      // the engine's deliberate tiny-relation global windows partition
+      // by a CONSTANT so WindowExec's "no partition defined" warning
+      // stays meaningful for real regressions; this rule would fold the
+      // constant away and bring the warning back (the rule is a no-op
+      // optimization here — nothing else emits foldable partitions)
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions")
       .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
       .config("spark.sql.catalog.graft.warehouse",
         s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_tables")
