@@ -414,7 +414,8 @@ private[graft] class GraftTable(
     partSchema: StructType, val face: String,
     val headVersion: Long, val pinnedVersion: Option[Long],
     val dvFace: Boolean)
-    extends Table with TruncatableTable {
+    extends Table with TruncatableTable
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   override def name(): String = ident
 
@@ -432,14 +433,48 @@ private[graft] class GraftTable(
       "format" -> s"graft/$face",
       "current-version" -> headVersion.toString).asJava
 
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(
+  /** The feather/avro faces are full DSv2 connectors — STREAMING reads
+    * (`spark.readStream.table("graft.events")`) delegate to them, so a
+    * named table streams exactly like its `format("feather")` spelling
+    * (version-based snapshot offsets, exactly-once restarts). Batch
+    * scans never reach here in a graft session (the extension rules
+    * swap the relation for the face-dispatched snapshot read at
+    * analysis), but the delegation serves them too when only the
+    * catalog conf is set. */
+  private lazy val delegate: Option[Table] = (face match {
+    case "feather" => Some(new graft.sources.FeatherDataSource())
+    case "avro" => Some(new graft.sources.AvroDataSource())
+    case _ => None
+  }).map(_.getTable(schema(), partitioning(),
+    java.util.Collections.singletonMap("path", path)))
+
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.TRUNCATE,
       TableCapability.ACCEPT_ANY_SCHEMA)
+    // a time-travel pin has no streaming meaning, and the parquet face
+    // streams through the face-agnostic `feather-cdf` format instead
+    if (delegate.isDefined && pinnedVersion.isEmpty)
+      caps.add(TableCapability.MICRO_BATCH_READ): Unit
+    caps
+  }
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    delegate match {
+      case Some(t: org.apache.spark.sql.connector.catalog.SupportsRead) =>
+        t.newScanBuilder(options)
+      case _ => throw new UnsupportedOperationException(
+        s"$ident: the $face face has no DSv2 scan delegate — batch " +
+          "reads resolve through the graft session extensions, and " +
+          "parquet-face streaming rides the face-agnostic " +
+          "spark.readStream.format(\"feather-cdf\") source")
+    }
 
   override def truncateTable(): Boolean = {
     TableDdl.truncate(SparkSession.active, path): Unit

@@ -214,6 +214,64 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.dvtab").collect(): Unit
   }
 
+  test("the DataFrameWriterV2 API resolves names too: writeTo.append, " +
+       "overwrite(condition) = replaceWhere, overwritePartitions " +
+       "guarded by the conf; INSERT OVERWRITE BY NAME aligns by name") {
+    import spark.implicits._
+    wipe("wt")
+    spark.sql("CREATE TABLE graft.wt (id BIGINT, day STRING) " +
+      "USING parquet").collect(): Unit
+    (1L to 10L).map(i => (i, s"d${i % 2}")).toDF("id", "day")
+      .writeTo("graft.wt").append()
+    assert(spark.sql("SELECT count(*) AS n FROM graft.wt")
+      .head().getLong(0) === 10L)
+    // overwrite(condition) is the replaceWhere spelling
+    Seq((100L, "d1")).toDF("id", "day")
+      .writeTo("graft.wt").overwrite(col("day") === "d1")
+    val got = spark.sql("SELECT id FROM graft.wt ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(got === Seq(2L, 4L, 6L, 8L, 10L, 100L), got.toString)
+    // overwritePartitions without the dynamic conf refuses with guidance
+    val e = intercept[Exception] {
+      Seq((7L, "d1")).toDF("id", "day")
+        .writeTo("graft.wt").overwritePartitions()
+    }
+    assert(e.getMessage.contains("partitionOverwriteMode"), e.getMessage)
+    // BY NAME insert: reordered query columns match by name
+    spark.sql("INSERT INTO graft.wt BY NAME " +
+      "SELECT 'd0' AS day, 200L AS id").collect(): Unit
+    assert(spark.sql("SELECT day FROM graft.wt WHERE id = 200")
+      .head().getString(0) === "d0")
+    spark.sql("DROP TABLE graft.wt").collect(): Unit
+  }
+
+  test("readStream.table resolves a NAME onto the face connector's " +
+       "snapshot stream: appends arrive as micro-batches") {
+    import spark.implicits._
+    wipe("feed")
+    spark.sql("CREATE TABLE graft.feed (id BIGINT) USING feather")
+      .collect(): Unit
+    spark.sql("INSERT INTO graft.feed SELECT id FROM range(1, 4)")
+      .collect(): Unit
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cat_stream").toString
+    val q = spark.readStream.table("graft.feed")
+      .writeStream.format("memory").queryName("graft_cat_feed")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT id FROM graft_cat_feed").collect()
+        .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+      spark.sql("INSERT INTO graft.feed SELECT 9L").collect(): Unit
+      q.processAllAvailable()
+      assert(spark.sql("SELECT id FROM graft_cat_feed").collect()
+        .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 9L),
+        "the named stream must deliver the appended version")
+    } finally q.stop()
+    spark.sql("DROP TABLE graft.feed").collect(): Unit
+  }
+
   test("a table or namespace can NEVER nest inside a table's " +
        "directory (the outer table's vacuum would reclaim the nested " +
        "data as orphans)") {
