@@ -245,6 +245,45 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.wt").collect(): Unit
   }
 
+  test("named graft tables compose with Spark's broader machinery: " +
+       "views, CACHE TABLE, self-joins, USE catalog, and EXPLAIN " +
+       "never mutating") {
+    import spark.implicits._
+    wipe("compose")
+    spark.sql("CREATE TABLE graft.compose (id BIGINT, amt DOUBLE) " +
+      "USING feather").collect(): Unit
+    spark.sql("INSERT INTO graft.compose " +
+      "SELECT id, CAST(id AS DOUBLE) FROM range(1, 21)").collect(): Unit
+    // a temp view over the claimed read
+    spark.sql("CREATE OR REPLACE TEMP VIEW compose_v AS " +
+      "SELECT id, amt * 2 AS amt2 FROM graft.compose WHERE id <= 10")
+      .collect(): Unit
+    assert(spark.sql("SELECT sum(amt2) AS s FROM compose_v")
+      .head().getDouble(0) === (1 to 10).map(_ * 2.0).sum)
+    // CACHE TABLE caches the claimed plan; reads still serve
+    spark.sql("CACHE TABLE compose_v").collect(): Unit
+    assert(spark.sql("SELECT count(*) AS n FROM compose_v")
+      .head().getLong(0) === 10L)
+    spark.sql("UNCACHE TABLE compose_v").collect(): Unit
+    // a self-join of the same name gets fresh attribute ids per branch
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.compose a " +
+      "JOIN graft.compose b ON a.id = b.id + 1").head().getLong(0) === 19L)
+    // USE graft: bare names resolve against the current catalog
+    spark.sql("USE graft").collect(): Unit
+    try
+      assert(spark.sql("SELECT count(*) AS n FROM compose")
+        .head().getLong(0) === 20L)
+    finally spark.sql("USE spark_catalog").collect(): Unit
+    // EXPLAIN of DML through a name never mutates
+    spark.sql("EXPLAIN MERGE INTO graft.compose t USING " +
+      "(SELECT 999L AS id, CAST(0.0 AS DOUBLE) AS amt) s " +
+      "ON t.id = s.id WHEN NOT MATCHED THEN INSERT *").collect(): Unit
+    assert(spark.sql("SELECT count(*) AS n FROM graft.compose")
+      .head().getLong(0) === 20L, "EXPLAIN must not insert")
+    spark.sql("DROP TABLE graft.compose").collect(): Unit
+  }
+
   test("readStream.table resolves a NAME onto the face connector's " +
        "snapshot stream: appends arrive as micro-batches") {
     import spark.implicits._
