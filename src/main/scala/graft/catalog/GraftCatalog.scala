@@ -359,10 +359,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                                metadata: JMap[String, String]): Unit = {
     namespace.foreach(checkSegment(
       s"CREATE NAMESPACE ${namespace.mkString(".")}", _))
-    if (namespace.nonEmpty)
+    if (namespace.nonEmpty) {
       requireNoTableAncestor(
         s"CREATE NAMESPACE ${namespace.mkString(".")}",
         Identifier.of(namespace.init, namespace.last))
+      // ... and the namespace's OWN path must not be a table either —
+      // mkdirs on an existing table dir would no-op and report success
+      // for a namespace SHOW NAMESPACES then omits
+      val own = nsDir(namespace)
+      val ofs = fsOf(own)
+      if (ofs.exists(own) && FeatherSnapshots.enabled(ofs, own))
+        throw new IllegalArgumentException(
+          s"CREATE NAMESPACE ${namespace.mkString(".")}: the path is a " +
+            "TABLE — a table directory cannot double as a namespace")
+    }
     val user = metadata.asScala.keys.filterNot(
       Set(SupportsNamespaces.PROP_OWNER))
     if (user.nonEmpty)
@@ -445,8 +455,15 @@ private[graft] class GraftTable(
     case "feather" => Some(new graft.sources.FeatherDataSource())
     case "avro" => Some(new graft.sources.AvroDataSource())
     case _ => None
-  }).map(_.getTable(schema(), partitioning(),
-    java.util.Collections.singletonMap("path", path)))
+  }).map { src =>
+    // the pin travels with the delegate: in a catalog-only session
+    // (no graft extensions) BATCH scans run through this builder, and
+    // a VERSION AS OF read must not silently serve the head
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("path", path)
+    pinnedVersion.foreach(v => opts.put("versionasof", v.toString): Unit)
+    src.getTable(schema(), partitioning(), opts)
+  }
 
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(

@@ -107,14 +107,27 @@ object TableDdl {
   /** A CREATE must never destroy what it did not make: the path may be
     * missing or an empty directory, but a NON-EMPTY non-snapshot
     * directory (a plain parquet/csv dir) refuses — the overwrite write
-    * below would silently delete its files. */
+    * below would silently delete its files. And NO ancestor may be a
+    * snapshot table: the outer table's maintenance walks every
+    * non-hidden subdirectory (hive leaves), so its vacuum would reclaim
+    * a nested table's parts as orphans — silent data loss. The walk is
+    * O(path depth) exists() probes, paid once per CREATE. */
   private def requireFreshDir(fs: org.apache.hadoop.fs.FileSystem,
-                              root: Path, bad: String => Nothing): Unit =
+                              root: Path, bad: String => Nothing): Unit = {
     if (fs.exists(root) && fs.listStatus(root).nonEmpty)
       bad("the path exists and is not empty (and carries no " +
         s"${FeatherSnapshots.Dir} directory) — CREATE would overwrite " +
         "files it did not make; adopt() the directory into a snapshot " +
         "table, or point CREATE at an empty path")
+    var p = root.getParent
+    while (p != null && !p.isRoot) {
+      if (fs.exists(p) && FeatherSnapshots.enabled(fs, p))
+        bad(s"'$p' is a snapshot TABLE — a table cannot nest inside " +
+          "another table's directory (the outer table's vacuum would " +
+          "reclaim the nested data as orphans)")
+      p = p.getParent
+    }
+  }
 
   /** `CREATE TABLE graft.`/t` [USING face] [PARTITIONED BY (cols)]
     * AS SELECT ...` — create-and-fill in one statement; the schema

@@ -331,6 +331,20 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("cannot nest") ||
       e2.getMessage.contains("SCHEMA_NOT_FOUND"), e2.getMessage)
+    // the PATH spelling cannot sneak a nested table in either (the
+    // shared TableDdl guard walks the ancestors)
+    val e3 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$warehouse/outer_t/sub` " +
+        "(id BIGINT) USING feather").collect()
+    }
+    assert(e3.getMessage.contains("nest inside"), e3.getMessage)
+    assert(!new java.io.File(s"$warehouse/outer_t/sub").exists())
+    // a namespace cannot double as an existing table's directory
+    val e4 = intercept[Exception] {
+      spark.sql("CREATE NAMESPACE graft.outer_t").collect()
+    }
+    assert(e4.getMessage.contains("TABLE") ||
+      e4.getMessage.contains("already exists"), e4.getMessage)
     spark.sql("DROP TABLE graft.outer_t").collect(): Unit
   }
 
