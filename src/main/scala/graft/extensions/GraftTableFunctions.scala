@@ -62,6 +62,21 @@ private[extensions] object GraftTableFunctions {
       case _ => fail(name, what, e)
     }
 
+  /** Path argument with catalog-NAME resolution: a value carrying no
+    * '/' (and no URI scheme) names a table of the `graft` catalog —
+    * `graft_history('events')` serves `<warehouse>/events`, dots
+    * descending namespaces — so the maintenance surface addresses
+    * tables the same two ways every other statement does. Falls back
+    * to the raw string when no warehouse is configured (the
+    * pre-catalog relative-path behavior). */
+  private def pathArg(name: String, e: Expression): String = {
+    val v = str(name, "path", e)
+    if (v.contains("/") || v.contains("://")) v
+    else spark.conf.getOption("spark.sql.catalog.graft.warehouse")
+      .map(wh => (wh.stripSuffix("/") +: v.split('.').toSeq).mkString("/"))
+      .getOrElse(v)
+  }
+
   private def long(name: String, what: String, e: Expression): Long =
     if (!e.foldable) fail(name, what, e)
     else e.eval() match {
@@ -131,14 +146,14 @@ private[extensions] object GraftTableFunctions {
       require(args.size == 3,
         "graft_table_changes(path, fromVersion, toVersion)")
       val n = "graft_table_changes"
-      plan(graft.io.FeatherChanges.readChanges(spark, str(n, "path", args(0)),
+      plan(graft.io.FeatherChanges.readChanges(spark, pathArg(n, args(0)),
         long(n, "fromVersion", args(1)), long(n, "toVersion", args(2))))
     }
 
     tvf("graft_history",
       "graft_history(path) - the retained version history") { args =>
       require(args.size == 1, "graft_history(path)")
-      val (fs, root) = fsRoot(str("graft_history", "path", args.head))
+      val (fs, root) = fsRoot(pathArg("graft_history", args.head))
       val rows = new java.util.ArrayList[Row]()
       FeatherSnapshots.history(fs, root).foreach { case (v, p, op, ts, n, b) =>
         rows.add(Row(v, p, op, ts, n.toLong, b))
@@ -158,7 +173,7 @@ private[extensions] object GraftTableFunctions {
       require(args.nonEmpty && args.size <= 2,
         "graft_vacuum_dry_run(path[, graceMillis])")
       val n = "graft_vacuum_dry_run"
-      val (fs, root) = fsRoot(str(n, "path", args.head))
+      val (fs, root) = fsRoot(pathArg(n, args.head))
       val rows = new java.util.ArrayList[Row]()
       // no grace argument = vacuumOrphansDryRun's own default window —
       // never a re-encoded copy of it that could silently drift
@@ -177,7 +192,7 @@ private[extensions] object GraftTableFunctions {
       require(args.nonEmpty && args.size <= 2,
         "graft_optimize(path[, targetBytes])")
       val n = "graft_optimize"
-      val path = str(n, "path", args.head)
+      val path = pathArg(n, args.head)
       val tb = if (args.size > 1) long(n, "targetBytes", args(1))
                else 128L << 20
       deferred(n, StructType(Seq(
@@ -203,7 +218,7 @@ private[extensions] object GraftTableFunctions {
       require(args.size >= 2 && args.size <= 4,
         "graft_cluster(path, colsCsv[, targetBytes[, incremental]])")
       val n = "graft_cluster"
-      val path = str(n, "path", args(0))
+      val path = pathArg(n, args(0))
       val cs = cols(str(n, "cols", args(1)))
       val tb = if (args.size > 2) long(n, "targetBytes", args(2))
                else 128L << 20
@@ -222,7 +237,7 @@ private[extensions] object GraftTableFunctions {
       require(args.size >= 2 && args.size <= 4,
         "graft_zorder(path, colsCsv[, bitsPerDim[, incremental]])")
       val n = "graft_zorder"
-      val path = str(n, "path", args(0))
+      val path = pathArg(n, args(0))
       val cs = cols(str(n, "cols", args(1)))
       val bits = if (args.size > 2) long(n, "bitsPerDim", args(2)).toInt
                  else 12
@@ -239,7 +254,7 @@ private[extensions] object GraftTableFunctions {
         "version's content as a new commit") { args =>
       require(args.size == 2, "graft_restore(path, version)")
       val n = "graft_restore"
-      val path = str(n, "path", args(0))
+      val path = pathArg(n, args(0))
       val v = long(n, "version", args(1))
       deferred(n, StructType(Seq(
         StructField("new_version", LongType, nullable = false)))) { () =>
@@ -259,7 +274,7 @@ private[extensions] object GraftTableFunctions {
       require(args.size >= 3 && args.size <= 4,
         "graft_copy_into(path, sourceDir, format[, pattern])")
       val n = "graft_copy_into"
-      val path = str(n, "path", args(0))
+      val path = pathArg(n, args(0))
       val src = str(n, "sourceDir", args(1))
       val fmt = str(n, "format", args(2))
       val pat = if (args.size > 3) Some(str(n, "pattern", args(3))) else None
@@ -279,7 +294,7 @@ private[extensions] object GraftTableFunctions {
         "versions and delete files only they referenced") { args =>
       require(args.size == 2, "graft_expire(path, keepLast)")
       val n = "graft_expire"
-      val path = str(n, "path", args(0))
+      val path = pathArg(n, args(0))
       val keep = long(n, "keepLast", args(1)).toInt
       deferred(n, expireSchema) { () =>
         val (fs, root) = fsRoot(path)
@@ -293,7 +308,7 @@ private[extensions] object GraftTableFunctions {
         "versions older than the retention window") { args =>
       require(args.size == 2, "graft_expire_older_than(path, retentionMillis)")
       val n = "graft_expire_older_than"
-      val path = str(n, "path", args(0))
+      val path = pathArg(n, args(0))
       val ret = long(n, "retentionMillis", args(1))
       deferred(n, expireSchema) { () =>
         val (fs, root) = fsRoot(path)
@@ -308,7 +323,7 @@ private[extensions] object GraftTableFunctions {
       require(args.nonEmpty && args.size <= 2,
         "graft_vacuum(path[, graceMillis])")
       val n = "graft_vacuum"
-      val path = str(n, "path", args.head)
+      val path = pathArg(n, args.head)
       val grace = if (args.size > 1) Some(long(n, "graceMillis", args(1)))
                   else None // None = vacuumOrphans's own default window
       deferred(n, StructType(Seq(

@@ -245,6 +245,29 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.wt").collect(): Unit
   }
 
+  test("the maintenance TVFs take catalog names: graft_history, " +
+       "graft_optimize, and graft_table_changes address by name") {
+    wipe("maint")
+    spark.sql("CREATE TABLE graft.maint (id BIGINT) USING feather")
+      .collect(): Unit
+    spark.sql("INSERT INTO graft.maint SELECT id FROM range(10)")
+      .collect(): Unit
+    spark.sql("INSERT INTO graft.maint SELECT id + 10 FROM range(10)")
+      .collect(): Unit
+    val hist = spark.sql("SELECT * FROM graft_history('maint')").collect()
+    assert(hist.length === 3, s"create + 2 inserts: ${hist.length}")
+    val opt = spark.sql("SELECT * FROM graft_optimize('maint')").collect()
+    assert(opt.length === 1)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.maint")
+      .head().getLong(0) === 20L)
+    // (from, to] version-diff semantics: (1, 3] = both inserts
+    val changes = spark.sql(
+      "SELECT count(*) AS n FROM graft_table_changes('maint', 1, 3)")
+      .head().getLong(0)
+    assert(changes === 20L, s"(1, 3] = both inserts: $changes")
+    spark.sql("DROP TABLE graft.maint").collect(): Unit
+  }
+
   test("named graft tables compose with Spark's broader machinery: " +
        "views, CACHE TABLE, self-joins, USE catalog, and EXPLAIN " +
        "never mutating") {
