@@ -54,7 +54,13 @@ import graft.sources.{FeatherPartitions, FeatherSnapshots}
   * face-dispatched engine paths the path spellings use — the catalog
   * resolves NAMES and serves metadata (schema, partitioning,
   * DESCRIBE/SHOW surfaces, CREATE/ALTER/DROP/RENAME); it does not
-  * duplicate the execution tier. */
+  * duplicate the execution tier.
+  *
+  * (Reference anchor: the reference's frames are named PYTHON objects —
+  * python/cudf/cudf/core/dataframe.py instances live in the
+  * interpreter's namespace — so "address a table by name" needs no
+  * machinery there; a persistent distributed engine expresses the same
+  * ergonomics through Spark's TableCatalog.) */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = "graft"
