@@ -96,13 +96,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"like $catalogName.`/data/t` work without one)"))
 
   private def checkSegment(what: String, seg: String): Unit = {
+    // dots are refused OUTRIGHT (not just leading): `events.v2` as one
+    // backticked segment is indistinguishable from namespace `events`,
+    // table `v2` everywhere names travel as strings (the maintenance
+    // TVFs take 'ns.t'), and a destructive op resolving the WRONG
+    // reading is the worst possible outcome of the ambiguity
     if (seg.isEmpty || seg.contains("/") || seg.contains("=") ||
-        seg.startsWith("_") || seg.startsWith("."))
+        seg.contains(".") || seg.startsWith("_"))
       throw new IllegalArgumentException(
         s"$what: identifier segment '$seg' — table and namespace names " +
-          "are single path segments (no '/', no '=', not starting with " +
-          "'_' or '.'; those collide with hive key=value leaves and " +
-          "service directories)")
+          "are single path segments (no '/', '=', or '.', not starting " +
+          "with '_'; '/' and '=' collide with hive key=value leaves, " +
+          "'.' with namespace syntax, '_' with service directories)")
   }
 
   private[graft] def pathOf(ident: Identifier): String =
@@ -211,8 +216,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       s"CREATE TABLE $catalogName.$ident: $msg")
     if (tableExists(ident))
       throw new TableAlreadyExistsException(ident)
-    if (!isPathIdent(ident))
-      requireNoTableAncestor(s"CREATE TABLE $catalogName.$ident", ident)
+    // no requireNoTableAncestor here: TableDdl's fresh-directory guard
+    // walks the target's ancestors itself (one probe chain, not two)
     val props = properties.asScala.toMap
     // silently DROPPING a clause is worse than refusing it (the
     // GraftCreateTableRule contract, applied to the catalog surface)
@@ -371,10 +376,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         Identifier.of(namespace.init, namespace.last))
       // ... and the namespace's OWN path must not be a table either —
       // mkdirs on an existing table dir would no-op and report success
-      // for a namespace SHOW NAMESPACES then omits
+      // for a namespace SHOW NAMESPACES then omits (enabled() handles
+      // a missing path itself — no extra exists() probe)
       val own = nsDir(namespace)
-      val ofs = fsOf(own)
-      if (ofs.exists(own) && FeatherSnapshots.enabled(ofs, own))
+      if (FeatherSnapshots.enabled(fsOf(own), own))
         throw new IllegalArgumentException(
           s"CREATE NAMESPACE ${namespace.mkString(".")}: the path is a " +
             "TABLE — a table directory cannot double as a namespace")

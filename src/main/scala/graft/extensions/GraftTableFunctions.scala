@@ -65,10 +65,13 @@ private[extensions] object GraftTableFunctions {
   /** Path argument with catalog-NAME resolution: a value carrying no
     * '/' (and no URI scheme) names a table of the `graft` catalog —
     * `graft_history('events')` serves `<warehouse>/events`, dots
-    * descending namespaces — so the maintenance surface addresses
-    * tables the same two ways every other statement does. Falls back
-    * to the raw string when no warehouse is configured (the
-    * pre-catalog relative-path behavior). */
+    * descending namespaces (unambiguous: the catalog refuses dots
+    * INSIDE a segment) — so the maintenance surface addresses tables
+    * the same two ways every other statement does. With a warehouse
+    * configured, a no-slash value is ALWAYS a name — a cwd-relative
+    * path (never a supported spelling) would now resolve into the
+    * warehouse, and a miss fails loudly naming the resolved path.
+    * Falls back to the raw string when no warehouse is configured. */
   private def pathArg(name: String, e: Expression): String = {
     val v = str(name, "path", e)
     if (v.contains("/") || v.contains("://")) v

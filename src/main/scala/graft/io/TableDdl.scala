@@ -215,6 +215,20 @@ object TableDdl {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) bad("the path does not exist")
+    // adopt is a table-minting door like CREATE: repairing a hive LEAF
+    // of an existing table would nest a manifest inside it, and the
+    // outer table's vacuum would reclaim the nested parts as orphans
+    locally {
+      var p = root.getParent
+      while (p != null && !p.isRoot) {
+        if (fs.exists(p) && FeatherSnapshots.enabled(fs, p))
+          bad(s"'$p' is a snapshot TABLE — repairing a subdirectory " +
+            "of an existing table would nest a manifest inside it " +
+            "(the outer table's vacuum would reclaim the nested data); " +
+            "repair the table root, or move the directory out first")
+        p = p.getParent
+      }
+    }
     val known = Seq(".parquet", ".feather", ".avro")
     val seen = scala.collection.mutable.Set.empty[String]
     def walk(p: Path): Unit = fs.listStatus(p).foreach { e =>

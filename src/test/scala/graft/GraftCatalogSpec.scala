@@ -368,6 +368,17 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
     assert(e4.getMessage.contains("TABLE") ||
       e4.getMessage.contains("already exists"), e4.getMessage)
+    // MSCK REPAIR (adopt) is a table-minting door too: repairing a
+    // subdirectory of an existing table refuses
+    new java.io.File(s"$warehouse/outer_t/drop").mkdirs()
+    import spark.implicits._
+    Seq((1L, 1.0)).toDF("a", "b").coalesce(1)
+      .write.mode("overwrite").parquet(s"$warehouse/outer_t/drop/raw")
+    val e5 = intercept[Exception] {
+      spark.sql(s"MSCK REPAIR TABLE graft.`$warehouse/outer_t/drop/raw`")
+        .collect()
+    }
+    assert(e5.getMessage.contains("nest"), e5.getMessage)
     spark.sql("DROP TABLE graft.outer_t").collect(): Unit
   }
 
