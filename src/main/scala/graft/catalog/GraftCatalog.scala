@@ -436,7 +436,8 @@ private[graft] class GraftTable(
     val headVersion: Long, val pinnedVersion: Option[Long],
     val dvFace: Boolean)
     extends Table with TruncatableTable
-    with org.apache.spark.sql.connector.catalog.SupportsRead {
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = ident
 
@@ -486,8 +487,12 @@ private[graft] class GraftTable(
       TableCapability.ACCEPT_ANY_SCHEMA)
     // a time-travel pin has no streaming meaning, and the parquet face
     // streams through the face-agnostic `feather-cdf` format instead
-    if (delegate.isDefined && pinnedVersion.isEmpty)
+    if (delegate.isDefined && pinnedVersion.isEmpty) {
       caps.add(TableCapability.MICRO_BATCH_READ): Unit
+      // writeStream.toTable("graft.t") — the connectors' streaming
+      // sinks commit epoch-tagged idempotent appends to the manifest
+      caps.add(TableCapability.STREAMING_WRITE): Unit
+    }
     caps
   }
 
@@ -503,6 +508,28 @@ private[graft] class GraftTable(
           "parquet-face streaming rides the face-agnostic " +
           "spark.readStream.format(\"feather-cdf\") source")
     }
+
+  /** Streaming sinks (and catalog-only batch writes) delegate like the
+    * read path — the connectors' write builders detect the manifest and
+    * commit through the snapshot protocol regardless of options, so a
+    * delegated write IS a proper table commit. In a graft session,
+    * batch INSERTs never reach here (the extension rules claim the V2
+    * write plans at analysis). */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    if (pinnedVersion.isDefined)
+      throw new UnsupportedOperationException(
+        s"$ident: a time-travel-pinned table is read-only")
+    delegate match {
+      case Some(t: org.apache.spark.sql.connector.catalog.SupportsWrite) =>
+        t.newWriteBuilder(info)
+      case _ => throw new UnsupportedOperationException(
+        s"$ident: the $face face has no DSv2 write delegate — write " +
+          "through SQL INSERT/MERGE (the graft session extensions) or " +
+          "the ParquetTable API")
+    }
+  }
 
   override def truncateTable(): Boolean = {
     TableDdl.truncate(SparkSession.active, path): Unit

@@ -307,6 +307,36 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.compose").collect(): Unit
   }
 
+  test("writeStream.toTable resolves a NAME onto the face connector's " +
+       "streaming sink: the sink commits manifest versions") {
+    import spark.implicits._
+    wipe("sink_src"); wipe("sink_t")
+    spark.sql("CREATE TABLE graft.sink_src (id BIGINT) USING feather")
+      .collect(): Unit
+    spark.sql("CREATE TABLE graft.sink_t (id BIGINT) USING feather")
+      .collect(): Unit
+    spark.sql("INSERT INTO graft.sink_src SELECT id FROM range(1, 6)")
+      .collect(): Unit
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cat_sink").toString
+    val q = spark.readStream.table("graft.sink_src")
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").toTable("graft.sink_t")
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT id FROM graft.sink_t").collect()
+        .map(_.getLong(0)).sorted.toSeq === (1L to 5L),
+        "the streamed rows must land as a table commit")
+      // the sink committed through the snapshot protocol (new version)
+      val p = new Path(s"$warehouse/sink_t")
+      val snap = FeatherSnapshots.resolve(
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration), p, None)
+      assert(snap.get.version >= 2, s"manifest advanced: ${snap.get}")
+    } finally q.stop()
+    spark.sql("DROP TABLE graft.sink_t").collect(): Unit
+    spark.sql("DROP TABLE graft.sink_src").collect(): Unit
+  }
+
   test("readStream.table resolves a NAME onto the face connector's " +
        "snapshot stream: appends arrive as micro-batches") {
     import spark.implicits._
