@@ -166,14 +166,18 @@ object Bench {
       sys.env.getOrElse("GRAFT_BENCH_FILE", "target/bench.json"))
     Option(outFile.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outFile, (fullLine + "\n").getBytes("UTF-8"))
-    // med AND min per slow row: a contended rep shows as max ≫ med in the
-    // full file, but the stdout tail is what the driver sweep headlines —
-    // a row whose min sits near the idle floor is contention, not code.
+    // med, min AND the row's max sampled loadavg per slow row: a contended
+    // rep shows as max ≫ med in the full file, but the stdout tail is what
+    // the driver sweep headlines — a row whose min sits near the idle floor
+    // with load ≫ ~32 (our own saturation point) is contention, not code.
+    // The r16 driver-vs-judge bench dispute (196.5 s vs 129.1 s, settled by
+    // a judge re-run) becomes a one-line read with the load in the entry.
     val slow = results.collect { case (k, (med, mn, _)) if med >= 0 =>
         (k, med, mn) }
       .toSeq.sortBy(-_._2).take(10)
       .map { case (k, med, mn) =>
-        "\"" + k + "\":{\"med\":" + r3(med) + ",\"min\":" + r3(mn) + "}" }
+        "\"" + k + "\":{\"med\":" + r3(med) + ",\"min\":" + r3(mn) +
+          ",\"load\":" + r3(loads.getOrElse(k, 0.0)) + "}" }
       .mkString("{", ",", "}")
     // Inline failed list capped at 20 names so a catastrophic run can't push
     // the summary line past the driver's 2000-char tail either.

@@ -199,13 +199,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       if (namespace.isEmpty) return Array.empty
       throw new NoSuchNamespaceException(namespace)
     }
-    fs.listStatus(dir).iterator
-      .filter(s => s.isDirectory &&
-        !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith(".") &&
-        FeatherSnapshots.enabled(fs, s.getPath))
-      .map(s => Identifier.of(namespace, s.getPath.getName))
-      .toArray
+    // ONE glob over `*/_snapshots` instead of a per-child enabled() probe
+    // chain: N+1 RPCs become 2 on an object store (a child with a manifest
+    // dir is necessarily itself a directory, so no isDirectory re-check)
+    Option(fs.globStatus(new Path(dir, s"*/${FeatherSnapshots.Dir}")))
+      .getOrElse(Array.empty).iterator
+      .map(_.getPath.getParent.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .toArray.sorted
+      .map(n => Identifier.of(namespace, n))
   }
 
   override def createTable(ident: Identifier, schema: StructType,

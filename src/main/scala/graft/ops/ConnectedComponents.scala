@@ -70,10 +70,14 @@ object ConnectedComponents {
     (out, () => { rdd.unpersist(false); () }, changed)
   }
 
-  /** Rounds the last [[minLabel]] call took to converge — a TEST seam
-    * (the chain-shaped spec pins that local contraction collapses the
-    * round count), not an API. */
-  private[graft] var lastRounds: Int = 0
+  /** Rounds the last [[minLabel]] call ON THIS THREAD took to converge —
+    * a TEST seam (the chain-shaped spec pins that local contraction
+    * collapses the round count), not an API. ThreadLocal, not a shared
+    * var: concurrent minLabel callers (parallel streaming micro-batches,
+    * concurrent queries) must not interleave each other's counts. */
+  private val lastRoundsTl: ThreadLocal[Int] =
+    ThreadLocal.withInitial(() => 0)
+  private[graft] def lastRounds: Int = lastRoundsTl.get()
 
   /** PHASE 1 — local contraction: a per-partition union-find over each
     * partition's edges (mapPartitions is the right tool here: the
@@ -184,7 +188,7 @@ object ConnectedComponents {
       labels = round.select("doc_id", "label")
       iter += 1
     }
-    lastRounds = iter
+    lastRoundsTl.set(iter)
     releaseEdges()
     if (!converged) {
       releasePrev()
