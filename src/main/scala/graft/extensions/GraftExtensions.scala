@@ -40,6 +40,18 @@ class JaccardThresholdPruning extends Rule[LogicalPlan] {
             And(GreaterThanOrEqual(sizeOf(a), Multiply(t, sizeOf(b))),
                 GreaterThanOrEqual(sizeOf(b), Multiply(t, sizeOf(a)))),
             GreaterThan(j.copy(prefiltered = true), t))
+        // the long-array kernel does its own ratio-preprune and mid-merge
+        // early exit — the rewrite just hands it the filter's threshold
+        // (exact values for surviving rows are part of its contract); the
+        // non-infinite threshold after copy() keeps the fixpoint at once
+        case GreaterThanOrEqual(
+            j @ graft.expressions.LongJaccardSim(_, _, t0),
+            lt @ Literal(t: Double, DoubleType)) if t0.isNegInfinity && t > 0 =>
+          GreaterThanOrEqual(j.copy(threshold = t), lt)
+        case GreaterThan(
+            j @ graft.expressions.LongJaccardSim(_, _, t0),
+            lt @ Literal(t: Double, DoubleType)) if t0.isNegInfinity && t > 0 =>
+          GreaterThan(j.copy(threshold = t), lt)
       }
       if (rewritten fastEquals cond) f else Filter(rewritten, child)
   }
@@ -103,6 +115,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_jaccard(a, b) takes 2 arguments")
         graft.expressions.JaccardSim(args.head, args(1))
+      }))
+
+    ext.injectFunction((FunctionIdentifier("graft_jaccard_hashes"),
+      info("graft_jaccard_hashes",
+        "graft_jaccard_hashes(a, b[, t]) - jaccard of two bigint-array hash " +
+          "sets; with threshold t, rows provably under t may return -1 " +
+          "(compose with a >= t filter)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          "graft_jaccard_hashes(a, b[, t]) takes 2 or 3 arguments")
+        val t =
+          if (args.length < 3) Double.NegativeInfinity
+          else args(2) match {
+            case e if e.foldable => e.eval() match {
+              case n: java.lang.Number => n.doubleValue()
+              case d: org.apache.spark.sql.types.Decimal => d.toDouble
+              case other => throw new IllegalArgumentException(
+                s"threshold must be a numeric literal, got $other")
+            }
+            case other => throw new IllegalArgumentException(
+              s"threshold must be a numeric literal, got $other")
+          }
+        // the public surface is TOTAL: compact+dedup+sort each argument so
+        // the kernel's strictly-ascending contract holds for arbitrary SQL
+        // inputs (DataFrame internals sort once per row upstream instead)
+        def norm(e: Expression): Expression =
+          new SortArray(ArrayDistinct(ArrayCompact(e)), Literal(true))
+        graft.expressions.LongJaccardSim(norm(args.head), norm(args(1)), t)
       }))
 
     ext.injectFunction((FunctionIdentifier("graft_polyhash"),

@@ -146,10 +146,13 @@ object DedupQueries extends QueryPack {
     // not O(corpus).
     val candIds = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
+    // hash sets SORTED once per candidate doc: the LongJaccardSim merge
+    // kernel (exact for rows ≥ threshold, early-exit below it) replaces
+    // the array_intersect/array_distinct(concat) builtins — same values
+    // on surviving rows, no per-pair array materialization
     val candH = base.join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), shingleHashes(col("text")).as("h"))
-    val jac = size(array_intersect(col("h1"), col("h2"))).cast(DoubleType) /
-      size(array_distinct(concat(col("h1"), col("h2"))))
+      .select(col("doc_id"), array_sort(shingleHashes(col("text"))).as("h"))
+    val jac = jaccardHashes(col("h1"), col("h2"), 0.3)
     cand
       .join(candH.select(col("doc_id").as("d1"), col("h").as("h1")), Seq("d1"))
       .join(candH.select(col("doc_id").as("d2"), col("h").as("h2")), Seq("d2"))
@@ -253,11 +256,14 @@ object DedupQueries extends QueryPack {
     // only — PINNED: it feeds both the d1 and d2 arms of the verify
     // join, and unpinned each arm re-scans the corpus and re-shingles
     // the candidates (two full passes for one small relation)
+    // SORTED hash sets + the LongJaccardSim merge kernel (threshold
+    // early-exit; exact on surviving rows) — the sort runs once per
+    // candidate doc inside the pinned relation, amortized over every
+    // pair the doc participates in
     val candH = graft.ops.OrderedOps.pinned(
       base.join(candIds, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), shingleHashes(col("text")).as("h")))
-    val jac = size(array_intersect(col("h1"), col("h2"))).cast(DoubleType) /
-      size(array_distinct(concat(col("h1"), col("h2"))))
+        .select(col("doc_id"), array_sort(shingleHashes(col("text"))).as("h")))
+    val jac = jaccardHashes(col("h1"), col("h2"), 0.2)
     cand
       .join(candH.select(col("doc_id").as("d1"), col("h").as("h1")), Seq("d1"))
       .join(candH.select(col("doc_id").as("d2"), col("h").as("h2")), Seq("d2"))
@@ -428,11 +434,12 @@ object DedupQueries extends QueryPack {
     // only — PINNED: it feeds both the d1 and d2 arms of the verify
     // join, and unpinned each arm re-scans the corpus and re-shingles
     // the candidates (two full passes for one small relation)
+    // SORTED hash sets + the LongJaccardSim merge kernel, as in
+    // lshVerifiedPairs — sort once per candidate doc, early-exit per pair
     val candH = graft.ops.OrderedOps.pinned(
       base.join(candIds, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), shingleHashes(col("text")).as("h")))
-    val jac = size(array_intersect(col("h1"), col("h2"))).cast(DoubleType) /
-      size(array_distinct(concat(col("h1"), col("h2"))))
+        .select(col("doc_id"), array_sort(shingleHashes(col("text"))).as("h")))
+    val jac = jaccardHashes(col("h1"), col("h2"), 0.2)
     cand
       .join(candH.select(col("doc_id").as("d1"), col("h").as("h1")), Seq("d1"))
       .join(candH.select(col("doc_id").as("d2"), col("h").as("h2")), Seq("d2"))
@@ -744,9 +751,8 @@ object DedupQueries extends QueryPack {
     def candH(idCol: String) = base
       .join(cand.select(col(idCol).as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), shingleHashes(col("text")).as("h"))
-    val jac = size(array_intersect(col("h1"), col("h2"))).cast(DoubleType) /
-      size(array_distinct(concat(col("h1"), col("h2"))))
+      .select(col("doc_id"), array_sort(shingleHashes(col("text"))).as("h"))
+    val jac = jaccardHashes(col("h1"), col("h2"), 0.2)
     cand
       .join(candH("new_id").select(col("doc_id").as("new_id"), col("h").as("h1")),
         Seq("new_id"))

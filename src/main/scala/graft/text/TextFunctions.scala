@@ -122,6 +122,20 @@ object TextFunctions {
     B.column(graft.expressions.JaccardSim(B.expression(a), B.expression(b)))
   }
 
+  /** Jaccard similarity of two STRICTLY-ASCENDING distinct long-array
+    * columns (hash sets sorted once per row — `array_sort(shingleHashes)`)
+    * with threshold early-exit: rows provably under `threshold` may return
+    * -1.0 instead of the exact value, so compose it with the matching
+    * `>= threshold` filter. The LSH verify kernel — one merge pass per
+    * candidate pair, no allocation; see [[graft.expressions.LongJaccardSim]].
+    */
+  def jaccardHashes(a: Column, b: Column,
+                    threshold: Double = Double.NegativeInfinity): Column = {
+    val B = org.apache.spark.sql.graft.Bridge
+    B.column(graft.expressions.LongJaccardSim(
+      B.expression(a), B.expression(b), threshold))
+  }
+
   /** SimHash over token hashes, `bits` wide: bit j is set iff the sum of
     * ±1 votes (per token, by that token-hash's bit j) is positive.
     * Bit extraction is an integer shiftright per literal j — exact for the
