@@ -439,7 +439,18 @@ private[graft] class GraftTable(
     val dvFace: Boolean)
     extends Table with TruncatableTable
     with org.apache.spark.sql.connector.catalog.SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_file` — the feather scan serves it as a per-split constant (the
+    * row-level rewrite plans require it; `SELECT _file FROM graft.t`
+    * gets it too). Faces without the serving scan declare none, so the
+    * reference stays an analysis error instead of a decode failure. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (face == "feather") graft.sources.GraftMetaColumns.columns
+    else Array.empty
 
   override def name(): String = ident
 
@@ -479,14 +490,31 @@ private[graft] class GraftTable(
     src.getTable(schema(), partitioning(), opts)
   }
 
+  /** ACCEPT_ANY_SCHEMA is reported ONLY to graft sessions: there, the
+    * extension rules claim every write plan and TableInserts owns
+    * alignment (positional/BY NAME/column list under the
+    * lossless-or-exact cast rule), so Spark's output resolver must stay
+    * out of the way. In a catalog-only session nothing downstream
+    * re-aligns — worse, the capability sets `skipSchemaResolution` on
+    * UPDATE/MERGE, which disables Spark's row-level assignment
+    * alignment and strands the statement at physical planning — so
+    * plain sessions get the standard contract: Spark's own
+    * TableOutputResolver aligns INSERTs and the DML rewrites align
+    * assignments. */
+  private def isGraftSession: Boolean =
+    try SparkSession.active.sessionState.analyzer.extendedResolutionRules
+      .exists(_.getClass.getName.startsWith("graft.extensions."))
+    catch { case _: Exception => true } // conservative: assume graft
+
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC,
-      TableCapability.TRUNCATE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.TRUNCATE)
+    if (isGraftSession)
+      caps.add(TableCapability.ACCEPT_ANY_SCHEMA): Unit
     // a time-travel pin has no streaming meaning, and the parquet face
     // streams through the face-agnostic `feather-cdf` format instead
     if (delegate.isDefined && pinnedVersion.isEmpty) {
@@ -536,5 +564,39 @@ private[graft] class GraftTable(
   override def truncateTable(): Boolean = {
     TableDdl.truncate(SparkSession.active, path): Unit
     true
+  }
+
+  /** Catalog-only DELETE / UPDATE / MERGE: Spark's own row-level rewrite
+    * machinery over a group-based (copy-on-write) operation — see
+    * [[graft.sources.FeatherRowLevelOperation]] for the group contract.
+    * In a graft session the extension rules claim these statements at
+    * resolution (before the analyzer's DML-rewrite batch runs), so this
+    * path serves exactly the sessions the engine rules cannot reach. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    def refuse(msg: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"$ident: ${info.command()} $msg")
+    if (pinnedVersion.isDefined)
+      refuse("on a time-travel-pinned table — pinned snapshots are " +
+        "read-only; address the table without VERSION/TIMESTAMP AS OF")
+    if (face != "feather")
+      refuse(s"through the catalog-only rewrite requires the feather " +
+        s"face (this table is $face) — run the statement in a graft " +
+        "session (spark.sql.extensions=graft.extensions.GraftExtensions)" +
+        ", whose DML engine serves every face")
+    if (partCols.nonEmpty)
+      refuse("on a hive-partitioned table through the catalog-only " +
+        "rewrite — the group-based writer emits flat parts and cannot " +
+        "route rows into key=value leaves; run the statement in a graft " +
+        "session (spark.sql.extensions=graft.extensions.GraftExtensions)" +
+        ", whose DML engine routes partitioned rewrites")
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build()
+          : org.apache.spark.sql.connector.write.RowLevelOperation =
+        new graft.sources.FeatherRowLevelOperation(
+          info.command(), path, schema(), 128L << 20)
+    }
   }
 }

@@ -1,0 +1,298 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.io.{ConnectorFace, FeatherStats, GraftFeather, GraftHadoop}
+
+/** Group-based (copy-on-write) DSv2 row-level operations for feather
+  * snapshot tables — what lets a session configured with ONLY
+  * `spark.sql.catalog.graft` (no graft extensions) run DELETE / UPDATE /
+  * MERGE against `graft.<ns>.<table>` through Spark's OWN rewrite
+  * machinery (`RewriteDeleteFromTable` / `RewriteUpdateTable` /
+  * `RewriteMergeIntoTable` → ReplaceData). In a graft session the
+  * extension resolution rules claim these statements first (the engine's
+  * pruned COW / merge-on-read DML paths, which also serve hive-partitioned
+  * tables and every face); this module is the third-party-session
+  * interop path.
+  *
+  * THE GROUP CONTRACT (what makes copy-on-write correct here):
+  *
+  *  - the scan defines the replacement granularity: whatever FILES it
+  *    reads are the "groups" the commit atomically replaces with the
+  *    rewrite query's output. Spark's planning rule
+  *    (GroupBasedRowLevelOperationScanPlanning) pushes the command's
+  *    condition into the scan builder — the scan may use it ONLY to
+  *    prune whole files (a pruned file is left untouched), NEVER to
+  *    drop rows or batches inside a kept file: dropped rows would
+  *    silently vanish from the rewritten table. The feather scan's
+  *    batch-level stats skipping is therefore deliberately absent here;
+  *    pruning is whole-file (partition-less tables: stats sidecars
+  *    proving EVERY batch empty, or a bloom excluding every point
+  *    lookup), and every pushed filter is returned as residual so Spark
+  *    re-evaluates the predicate row-by-row above the scan.
+  *
+  *  - the scan and the write share this operation instance: the scan
+  *    records the snapshot it planned against and the files it kept;
+  *    the write's commit publishes through
+  *    [[FeatherSnapshots.commitMutation]] with readRel = removeRel =
+  *    those files — the r16 optimistic-concurrency contract (a
+  *    concurrent rewrite of a READ file aborts loudly; disjoint
+  *    mutations and blind appends commute).
+  *
+  * Refusals live in GraftTable.newRowLevelOperationBuilder (pinned
+  * time-travel handles, non-feather faces, hive-partitioned layouts —
+  * the flat DSv2 writer cannot route rows into key=value leaves).
+  */
+private[graft] class FeatherRowLevelOperation(cmd: Command, path: String,
+                                              fullSchema: StructType,
+                                              maxSplitBytes: Long)
+    extends RowLevelOperation {
+
+  /** Set by the scan at planning time; read by the write at commit.
+    * One operation instance serves one statement execution (Spark holds
+    * it in a RowLevelOperationTable), and the scan plans strictly before
+    * the write commits. */
+  @volatile private[sources] var scanState: Option[FeatherCowState] = None
+
+  override def command(): Command = cmd
+  override def description(): String = s"graft COW $cmd on $path"
+
+  /** `_file` (the table's metadata column) rides the rewrite plan. This
+    * is what puts Spark's write pipeline into its data+metadata mode
+    * (DataAndMetadataWritingSparkTask): the plan's bookkeeping columns —
+    * `__row_operation`, `_file` — are projected AWAY from the data rows
+    * before they reach the part writer, and the metadata row arrives
+    * through the `DataWriter.write(meta, row)` overload whose default
+    * ignores it. Without a metadata attribute Spark hands the writer the
+    * RAW query output, operation column included (the
+    * plain-DataWritingSparkTask path), which no fixed-schema writer can
+    * decode. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftMetaColumns.FileName))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FeatherCowScanBuilder(this, path, fullSchema, maxSplitBytes)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new FeatherCowWrite(this, info.schema(), path)
+}
+
+/** What the COW scan read: the snapshot it planned against and the
+  * root-relative names of the files it kept (= the groups the commit
+  * replaces). */
+private[sources] final case class FeatherCowState(
+    snap: FeatherSnapshots.Snapshot, keptRel: Set[String])
+
+/** The engine's DSv2 metadata columns (feather face): `_file`, the
+  * absolute data-file path of each row — Spark's `_metadata.file_path`
+  * parity for the connector, and the metadata attribute the row-level
+  * rewrite plans carry. Served by BOTH the regular feather scan and the
+  * COW scan through the same splice the hive partition values use: a
+  * per-split constant, never decoded from the file. */
+private[graft] object GraftMetaColumns {
+  val FileName = "_file"
+
+  val columns: Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = FileName
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "absolute path of the data file holding the row"
+    })
+
+  /** The (name, value) splice entry for a split of file `f` — empty when
+    * the projected schema never asked for `_file`. */
+  def fileValue(readSchema: StructType, f: String): Seq[(String, String)] =
+    if (readSchema.fieldNames.contains(FileName)) Seq(FileName -> f)
+    else Seq.empty
+}
+
+private class FeatherCowScanBuilder(op: FeatherRowLevelOperation,
+                                    path: String, fullSchema: StructType,
+                                    maxSplitBytes: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = fullSchema
+  private var fileFilters: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  // file-skip-only pushdown: remember the shapes the skipping index can
+  // use, return EVERY filter as residual (row-level evaluation stays with
+  // Spark — the group contract above)
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    fileFilters = filters.filter(FeatherScanBuilder.usable)
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    fileFilters
+  override def build(): Scan =
+    new FeatherCowScan(op, required, path, maxSplitBytes, fileFilters.toSeq)
+}
+
+private class FeatherCowScan(op: FeatherRowLevelOperation,
+                             readSchema0: StructType, path: String,
+                             maxSplitBytes: Long,
+                             fileFilters: Seq[org.apache.spark.sql.sources.Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = readSchema0
+  override def description(): String =
+    s"graft COW scan `$path`" + (if (fileFilters.nonEmpty)
+      s", FileSkipFilters: ${fileFilters.mkString(", ")}" else "")
+  override def toBatch: Batch = this
+
+  // resolved ONCE per scan instance (memoized): the snapshot, the kept
+  // files, and their splits must be one consistent view — re-resolving
+  // per call could straddle a concurrent commit
+  private lazy val planned: (FeatherCowState, Array[InputPartition]) = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
+      throw new IllegalStateException(
+        s"row-level ${op.command()} on $path: no snapshot manifest"))
+    val disc = FeatherSnapshots.toDiscovered(root, snap)
+    val relOfAbs: Map[String, String] = snap.files.map { case (rel, _) =>
+      new org.apache.hadoop.fs.Path(root, rel).toString -> rel }.toMap
+    // footer-planned splits for ALL files first: whole-file pruning needs
+    // to know every batch of a file is provably empty, and the batch
+    // count comes from the footer plan
+    val files = disc.files.map(l => (l.file, l.len))
+    val splits = GraftFeather.planReadFiles(spark, files, maxSplitBytes)._2
+    val batchesByFile: Map[String, Seq[Int]] =
+      splits.groupBy(_._1).view.mapValues(_.flatMap(_._3)).toMap
+    val statsByFile
+        : Map[String, Option[Seq[Map[String, FeatherStats.ColStat]]]] =
+      if (fileFilters.isEmpty) Map.empty
+      else FeatherStats.loadForFiles(conf, files)
+    val pointFilters = FeatherScanBuilder.pointLookups(fileFilters)
+    def provablyEmpty(abs: String): Boolean =
+      statsByFile.getOrElse(abs, None) match {
+        case Some(stats) =>
+          val idxs = batchesByFile.getOrElse(abs, Seq.empty)
+          idxs.forall(i => i < stats.size &&
+            FeatherStats.batchProvablyEmpty(stats(i), fileFilters))
+        case None => false
+      }
+    def bloomExcluded(abs: String, len: Long): Boolean =
+      pointFilters.nonEmpty &&
+        graft.io.FeatherBloom.excludesFile(conf, abs, len, pointFilters)
+    val kept = disc.files.filterNot(l =>
+      provablyEmpty(l.file) || bloomExcluded(l.file, l.len))
+    val keptAbs = kept.map(_.file).toSet
+    val dvByAbs = kept.flatMap(l => l.dv.map(d => l.file -> d._1)).toMap
+    val state = FeatherCowState(snap, keptAbs.map(relOfAbs))
+    val parts = splits.filter(s => keptAbs(s._1)).map { case (f, len, idxs) =>
+      // partition values empty by construction (hive layouts are refused
+      // upstream); `_file` splices per split exactly like a partition
+      // value; the DV binding rides every split of its file
+      FeatherInputPartition(f, len, idxs,
+        GraftMetaColumns.fileValue(readSchema0, f), dvByAbs.get(f))
+        : InputPartition
+    }.toArray
+    (state, parts)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (state, parts) = planned
+    op.scanState = Some(state)
+    parts
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    // lenient decode: an evolved table's older files null-fill the
+    // columns an ALTER added (the catalog serves the merged union schema)
+    new FeatherReaderFactory(readSchema0, -1,
+      GraftHadoop.confBroadcast(SparkSession.active), mergeSchema = true)
+}
+
+/** The ReplaceData write: same per-task part writers as the append sink,
+  * commit = one atomic manifest mutation removing the scanned groups and
+  * adding the rewrite's parts. */
+private class FeatherCowWrite(op: FeatherRowLevelOperation, st: StructType,
+                              path: String)
+    extends WriteBuilder with Write with BatchWrite {
+  // fail on unmappable schemas BEFORE tasks launch (the append sink's rule)
+  st.fields.foreach(f =>
+    GraftFeather.toArrowField(f.name, f.dataType, f.nullable))
+
+  override def build(): Write = this
+  override def toBatch: BatchWrite = this
+  override def description(): String = s"graft COW ${op.command()} $path"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = {
+    val spark = SparkSession.active
+    new FeatherWriterFactory(st, path, "lz4", 4096,
+      GraftHadoop.confBroadcast(spark))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = messages.collect { case m: FeatherCommitMessage => m }
+    val state = op.scanState.getOrElse(throw new IllegalStateException(
+      s"row-level ${op.command()} on $path: write committed before the " +
+        "scan planned — the group set is unknown"))
+    if (state.keptRel.isEmpty) {
+      // every file was pruned: no group was read, nothing to replace —
+      // a no-match statement publishes NO version (replay-clean); any
+      // empty parts zero-row tasks produced are dropped as tmp files
+      abort(messages)
+      return
+    }
+    // rename tmp parts to final names + write their stats sidecars (the
+    // append sink's naming: gen tag keeps rewrite parts collision-free
+    // beside retained generations)
+    val gen = f"-g${System.nanoTime()}%x"
+    val mergedAdd = committed.map { m =>
+      val tmp = new org.apache.hadoop.fs.Path(path, m.tmpName)
+      val fin = new org.apache.hadoop.fs.Path(path,
+        f"part-${m.partitionId}%05d-${java.util.UUID.nameUUIDFromBytes(
+          m.tmpName.getBytes("UTF-8"))}$gen.feather")
+      require(fs.rename(tmp, fin), s"commit rename $tmp -> $fin failed")
+      val sc = fs.create(new org.apache.hadoop.fs.Path(path,
+        fin.getName + ".stats.json"), true)
+      try sc.write(m.statsJson.getBytes("UTF-8")) finally sc.close()
+      fin.getName -> (m.bytes, FeatherStats.fromJson(m.statsJson))
+    }.toMap
+    if (mergedAdd.nonEmpty)
+      FeatherStats.upsertMerged(fs, root, mergedAdd)
+    val added = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    added ++= mergedAdd.map { case (n, (len, _)) => (n, len) }
+    // table fully emptied (every file replaced, nothing written): a
+    // schema-only stamp keeps the table readable (the mutation tier's
+    // shared all-rows-deleted shape)
+    if (added.isEmpty &&
+        state.snap.files.forall { case (rel, _) => state.keptRel(rel) })
+      added += ConnectorFace.FeatherFace.stamp(fs, root,
+        FeatherSnapshots.runPrefix(state.snap.version + 1), st)
+    FeatherSnapshots.commitMutation(fs, root,
+      s"rowlevel_${op.command().toString.toLowerCase}", state.snap,
+      removeRel = state.keptRel, add = added.toSeq,
+      readRel = Some(state.keptRel)): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.collect { case m: FeatherCommitMessage => m }.foreach { m =>
+      try fs.delete(new org.apache.hadoop.fs.Path(path, m.tmpName), false)
+      catch { case _: Exception => () }
+    }
+  }
+}

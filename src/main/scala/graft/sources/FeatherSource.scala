@@ -526,7 +526,10 @@ private class FeatherScan(readSchema0: StructType, path: String,
         case None => idxs
       }
       if (kept.isEmpty || bloomExcluded(f)) None
-      else Some(FeatherInputPartition(f, len, kept, pv, dv))
+      // `_file` metadata column: a per-split constant, spliced exactly
+      // like the hive partition values (never decoded from the file)
+      else Some(FeatherInputPartition(f, len, kept,
+        pv ++ GraftMetaColumns.fileValue(readSchema0, f), dv))
     }.toArray
   }
 

@@ -69,6 +69,33 @@ object Bridge {
     clone
   }
 
+  /** A session over `parent`'s context and shared state but with ZERO
+    * session extensions — what a third-party deployment that only set
+    * `spark.sql.catalog.graft` in its own conf looks like. The builder
+    * cannot produce this in-JVM (it re-applies `spark.sql.extensions`
+    * from the shared SparkContext conf to every new session), so interop
+    * tests proving the catalog surface works WITHOUT the graft rules
+    * (DSv2 row-level DML, delegated reads/writes) construct it here.
+    * `options` are the session's initial SQL confs (catalog + warehouse
+    * overrides). */
+  def sessionWithoutExtensions(parent: org.apache.spark.sql.SparkSession,
+                               options: Map[String, String])
+      : org.apache.spark.sql.SparkSession = {
+    val p = parent.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // the primary constructor is Scala-private (the public overloads all
+    // re-apply the context conf's extensions, which is exactly what this
+    // helper must NOT do) but bytecode-public — reflection reaches it
+    // without setAccessible
+    val ctor = classOf[org.apache.spark.sql.classic.SparkSession]
+      .getConstructors.find(_.getParameterCount == 6)
+      .getOrElse(sys.error("classic SparkSession primary constructor " +
+        "not found — Spark version drift"))
+    ctor.newInstance(p.sparkContext, Some(p.sharedState), None,
+      new org.apache.spark.sql.SparkSessionExtensions, options,
+      Map.empty[String, String])
+      .asInstanceOf[org.apache.spark.sql.SparkSession]
+  }
+
   /** Catalyst predicate → data-source `Filter`, via Spark's own
     * translator (`protected[sql]`) — the predicate-mutation tier prunes
     * candidate files with the SAME translation the scans push down, so

@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SupportsRowLevelOperations: DELETE / UPDATE / MERGE against
+  * `graft.<ns>.<t>` in a session built with ONLY the catalog conf — no
+  * graft extensions anywhere — through Spark's own row-level rewrite
+  * machinery (RewriteDeleteFromTable / RewriteUpdateTable /
+  * RewriteMergeIntoTable → ReplaceData over the group-based COW
+  * operation). Also pins the refusal stories (hive-partitioned,
+  * non-feather faces) and that a pruned-to-nothing statement publishes
+  * NO version. */
+class RowLevelCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val wh = java.nio.file.Files
+    .createTempDirectory("graft_rowlevel_wh").toString
+
+  /** A SparkSession sharing TestSpark's context but with a FRESH session
+    * state built from an EMPTY SparkSessionExtensions — no graft rules
+    * anywhere, so any DML that runs must run through Spark's own
+    * machinery. (The builder can't produce this: it re-applies
+    * spark.sql.extensions from the shared SparkContext conf.) */
+  private lazy val plain: SparkSession = {
+    val s = org.apache.spark.sql.graft.Bridge.sessionWithoutExtensions(
+      TestSpark.spark, Map(
+        "spark.sql.shuffle.partitions" -> "4",
+        "spark.sql.session.timeZone" -> "UTC",
+        "spark.sql.catalog.graft" -> "graft.catalog.GraftCatalog",
+        "spark.sql.catalog.graft.warehouse" -> wh,
+        "spark.sql.catalog.graft_dv" -> "graft.catalog.GraftCatalog",
+        "spark.sql.catalog.graft_dv.warehouse" -> wh))
+    assert(s.sessionState ne TestSpark.spark.sessionState)
+    // prove the graft rules are truly absent from this session's analyzer
+    assert(!s.sessionState.analyzer.extendedResolutionRules.exists(
+      _.getClass.getName.contains("graft")),
+      "the plain session must carry no graft extension rules")
+    SparkSession.setActiveSession(s)
+    SparkSession.setDefaultSession(s)
+    s
+  }
+
+  override def afterAll(): Unit = {
+    // restore the shared session for the suites that run after this one
+    SparkSession.setDefaultSession(TestSpark.spark)
+    SparkSession.setActiveSession(TestSpark.spark)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh)): Unit
+  }
+
+  private def versionOf(name: String): Long =
+    plain.sql(s"DESCRIBE TABLE EXTENDED $name").collect()
+      .find(_.getString(0) == "current-version") match {
+      case Some(r) => r.getString(1).toLong
+      case None => // fall back to table properties via SHOW TBLPROPERTIES
+        plain.sql(s"SHOW TBLPROPERTIES $name").collect()
+          .find(_.getString(0) == "current-version").get.getString(1).toLong
+    }
+
+  test("catalog-only DELETE rewrites groups and keeps the non-matching rows") {
+    plain.sql("CREATE NAMESPACE IF NOT EXISTS graft.rl")
+    plain.sql("CREATE TABLE graft.rl.t (id BIGINT, v DOUBLE, s STRING) USING feather")
+    plain.sql("INSERT INTO graft.rl.t SELECT id, id * 1.5 AS v, " +
+      "concat('r', id) AS s FROM range(0, 30)")
+    val v0 = versionOf("graft.rl.t")
+    plain.sql("DELETE FROM graft.rl.t WHERE id % 3 = 0")
+    val rows = plain.sql("SELECT id, v, s FROM graft.rl.t ORDER BY id").collect()
+    assert(rows.length == 20)
+    assert(rows.forall(r => r.getLong(0) % 3 != 0))
+    // spot-check a surviving row's full content (the rewrite carries
+    // every column, not just the predicate's)
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    assert(r1.getDouble(1) == 1.5 && r1.getString(2) == "r1")
+    assert(versionOf("graft.rl.t") == v0 + 1)
+  }
+
+  test("catalog-only UPDATE applies SET to matching rows only") {
+    plain.sql("UPDATE graft.rl.t SET v = v + 100 WHERE id < 5")
+    val rows = plain.sql("SELECT id, v FROM graft.rl.t ORDER BY id").collect()
+    assert(rows.length == 20)
+    for (r <- rows) {
+      val expect = if (r.getLong(0) < 5) r.getLong(0) * 1.5 + 100
+        else r.getLong(0) * 1.5
+      assert(r.getDouble(1) == expect, s"id=${r.getLong(0)}")
+    }
+  }
+
+  test("catalog-only MERGE updates matches and inserts the rest") {
+    plain.sql("MERGE INTO graft.rl.t t USING (SELECT id * 2 AS id, " +
+      "CAST(id AS DOUBLE) AS nv FROM range(0, 25)) s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s.nv " +
+      "WHEN NOT MATCHED THEN INSERT (id, v, s) VALUES (s.id, s.nv, 'merged')")
+    val rows = plain.sql("SELECT id, v, s FROM graft.rl.t ORDER BY id").collect()
+    // prior state: ids 1..29 without multiples of 3 (20 rows); source ids
+    // 0,2,..,48 (25 rows); matched evens update v, unmatched evens insert
+    val prior = (0L until 30L).filter(_ % 3 != 0).toSet
+    val src = (0L until 25L).map(_ * 2).toSet
+    assert(rows.map(_.getLong(0)).toSet == (prior ++ src))
+    for (r <- rows; id = r.getLong(0)) {
+      if (src(id)) assert(r.getDouble(1) == id / 2.0, s"id=$id")
+      if (!prior(id)) assert(r.getString(2) == "merged", s"id=$id")
+    }
+  }
+
+  test("a statement whose predicate prunes every file publishes NO version") {
+    val v = versionOf("graft.rl.t")
+    // id = -999 is outside every file's min/max stats range: all groups
+    // prune, the scan reads nothing, the write commits nothing
+    plain.sql("DELETE FROM graft.rl.t WHERE id = -999")
+    assert(versionOf("graft.rl.t") == v,
+      "a no-match DELETE must be replay-clean (no version published)")
+  }
+
+  test("DELETE matching everything leaves a readable empty table (stamp)") {
+    plain.sql("CREATE TABLE graft.rl.wipe (id BIGINT, s STRING) USING feather")
+    plain.sql("INSERT INTO graft.rl.wipe SELECT id, 'x' AS s FROM range(0, 7)")
+    plain.sql("DELETE FROM graft.rl.wipe WHERE id >= 0")
+    val out = plain.sql("SELECT * FROM graft.rl.wipe")
+    assert(out.count() == 0)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "s"))
+  }
+
+  test("rewrites read through deletion vectors (DV'd rows stay deleted)") {
+    plain.sql("CREATE TABLE graft.rl.dvt (id BIGINT, v DOUBLE) USING feather")
+    plain.sql("INSERT INTO graft.rl.dvt SELECT id, CAST(id AS DOUBLE) AS v " +
+      "FROM range(0, 20)")
+    // bind a DV through the engine API (the graft-session spelling):
+    // mask ids 0..2 merge-on-read — a PARTIAL file, so a sidecar binds
+    // (masking a whole file would just drop it from the manifest)
+    val res = graft.io.PredicateMutations.deleteWhereDV(plain,
+      s"$wh/rl/dvt", org.apache.spark.sql.functions.col("id") < 3)
+    assert(res.partsWritten > 0, "expected a DV sidecar to be written")
+    // catalog-only UPDATE now rewrites the file: the DV-masked rows must
+    // NOT resurrect into the rewritten table
+    plain.sql("UPDATE graft.rl.dvt SET v = v * 10 WHERE id >= 15")
+    val rows = plain.sql("SELECT id, v FROM graft.rl.dvt ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (3L until 20L))
+    for (r <- rows) {
+      val expect = if (r.getLong(0) >= 15) r.getLong(0) * 10.0
+        else r.getLong(0).toDouble
+      assert(r.getDouble(1) == expect)
+    }
+  }
+
+  test("refusals: hive-partitioned and non-feather faces point at a graft session") {
+    // a partitioned FEATHER table is built leaf-by-leaf and adopted (the
+    // no-rewrite migration path — feather-face partitioned CTAS refuses)
+    val partPath = s"$wh/rl/part"
+    for (k <- Seq("k0", "k1"))
+      graft.io.GraftFeather.write(
+        TestSpark.spark.range(0, 8).filter(s"id % 2 = ${k.drop(1)}")
+          .selectExpr("id").repartition(1),
+        s"$partPath/k=$k", overwrite = true)
+    graft.sources.FeatherSnapshots.adopt(
+      new org.apache.hadoop.fs.Path(partPath).getFileSystem(
+        TestSpark.spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(partPath)): Unit
+    val e1 = intercept[Exception] {
+      plain.sql("DELETE FROM graft.rl.part WHERE id = 1")
+    }
+    assert(e1.getMessage.contains("graft session"),
+      s"partitioned refusal must point at the graft session: ${e1.getMessage}")
+    // a parquet-face table (adopted) refuses with face guidance
+    val pq = s"$wh/rl/pq"
+    TestSpark.spark.range(0, 5).selectExpr("id", "id * 2 AS v")
+      .write.parquet(pq)
+    graft.io.TableDdl.repairTable(TestSpark.spark, pq): Unit
+    val e2 = intercept[Exception] {
+      plain.sql("DELETE FROM graft.rl.pq WHERE id = 1")
+    }
+    assert(e2.getMessage.contains("feather face") &&
+      e2.getMessage.contains("graft session"),
+      s"face refusal must carry guidance: ${e2.getMessage}")
+  }
+
+  test("concurrent mutation of a read file aborts the row-level commit") {
+    plain.sql("CREATE TABLE graft.rl.race (id BIGINT, v DOUBLE) USING feather")
+    plain.sql("INSERT INTO graft.rl.race SELECT id, CAST(id AS DOUBLE) AS v " +
+      "FROM range(0, 10)")
+    // the racing committer rewrites the same file between the row-level
+    // scan and its manifest commit
+    graft.sources.FeatherSnapshots.testBeforeMutationCommit = () => {
+      graft.io.PredicateMutations.deleteWhere(plain, s"$wh/rl/race",
+        org.apache.spark.sql.functions.col("id") === 9): Unit
+    }
+    val e = intercept[Exception] {
+      plain.sql("DELETE FROM graft.rl.race WHERE id < 3")
+    }
+    assert(e.getMessage.contains("conflict with a concurrent commit"),
+      s"expected the read-set conflict abort, got: ${e.getMessage}")
+    // the winner's delete landed; the loser's did not
+    assert(plain.sql("SELECT count(*) FROM graft.rl.race").head().getLong(0) == 9)
+  }
+}
