@@ -6,6 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
@@ -61,7 +62,19 @@ import graft.sources.{FeatherPartitions, FeatherSnapshots}
   * interpreter's namespace — so "address a table by name" needs no
   * machinery there; a persistent distributed engine expresses the same
   * ergonomics through Spark's TableCatalog.) */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+private[graft] object GraftCatalog {
+  /** Whether the ACTIVE session carries the graft extension rules —
+    * decides which table handle [[GraftCatalog.loadTable]] returns (see
+    * the note in resolve()). Conservative on any failure: assume graft,
+    * whose handle has the smaller surface. */
+  def isGraftSession: Boolean =
+    try SparkSession.active.sessionState.analyzer.extendedResolutionRules
+      .exists(_.getClass.getName.startsWith("graft.extensions."))
+    catch { case _: Exception => true }
+}
+
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: Option[String] = None
@@ -187,9 +200,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val partSchema = discovered.partSchema
     val pinned = if (versionAsOf.isDefined || tsMillis.isDefined)
       Some(snap.version) else None
-    new GraftTable(path, s"$catalogName.$ident", dataSchema,
-      discovered.partCols, partSchema,
-      face.suffix.stripPrefix("."), snap.version, pinned, dvFace)
+    // A graft session gets the base handle: its extension rules claim
+    // every DML statement and own insert alignment (ACCEPT_ANY_SCHEMA),
+    // and the handle must NOT implement SupportsRowLevelOperations —
+    // Spark's analyzer-batch DML rewrites would otherwise claim a
+    // by-name DELETE/UPDATE/MERGE before the extension rules run,
+    // silently rerouting graft_dv merge-on-read deletes into COW
+    // rewrites and refusing partitioned targets the engine serves. A
+    // catalog-only session gets the row-level handle instead: Spark's
+    // own rewrite machinery is its ONLY DML path.
+    if (GraftCatalog.isGraftSession)
+      new GraftTable(path, s"$catalogName.$ident", dataSchema,
+        discovered.partCols, partSchema,
+        face.suffix.stripPrefix("."), snap.version, pinned, dvFace)
+    else
+      new GraftRowLevelTable(path, s"$catalogName.$ident", dataSchema,
+        discovered.partCols, partSchema,
+        face.suffix.stripPrefix("."), snap.version, pinned, dvFace)
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -210,19 +237,80 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .map(n => Identifier.of(namespace, n))
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
+  // ---- StagingTableCatalog -------------------------------------------------
+  // Atomic CREATE / REPLACE / CREATE OR REPLACE (plain and AS SELECT):
+  // Spark stages the table, writes the query through the staged table's
+  // DSv2 writer (tmp parts, invisible), and ONE manifest publish at
+  // commitStagedChanges makes everything visible — replace keeps prior
+  // versions time-travelable, and the strictest conflict contract in
+  // the tier aborts on ANY concurrent commit (see FeatherStagedTable).
+  // Graft sessions reach the identical TableDdl.replaceTable commit
+  // through the extension rules instead; this is the catalog surface.
+
+  override def stageCreate(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: JMap[String, String]): Table = {
+                           properties: JMap[String, String]): StagedTable =
+    stage("CREATE TABLE", ident, schema, partitions, properties,
+      replaceExisting = false, requireExists = false)
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: JMap[String, String]): StagedTable =
+    stage("REPLACE TABLE", ident, schema, partitions, properties,
+      replaceExisting = true, requireExists = true)
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: JMap[String, String])
+      : StagedTable =
+    stage("CREATE OR REPLACE TABLE", ident, schema, partitions, properties,
+      replaceExisting = true, requireExists = false)
+
+  private def stage(op: String, ident: Identifier, schema: StructType,
+                    partitions: Array[Transform],
+                    properties: JMap[String, String],
+                    replaceExisting: Boolean,
+                    requireExists: Boolean): StagedTable = {
     val path = pathOf(ident)
     def bad(msg: String): Nothing = throw new IllegalArgumentException(
-      s"CREATE TABLE $catalogName.$ident: $msg")
-    if (tableExists(ident))
+      s"$op $catalogName.$ident: $msg")
+    validateTableClauses(op, ident, properties.asScala.toMap, bad)
+    if (partitions.nonEmpty)
+      bad(s"PARTITIONED BY — the staged writer emits flat parts and " +
+        "cannot route rows into key=value leaves; run the statement in " +
+        "a graft session (spark.sql.extensions=" +
+        "graft.extensions.GraftExtensions) or adopt a hive layout")
+    properties.asScala.get(TableCatalog.PROP_PROVIDER)
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+      .filterNot(p => p == "feather")
+      .foreach(p => bad(s"USING $p — the staged CREATE/REPLACE writer " +
+        "serves the feather face only; run the statement in a graft " +
+        "session (spark.sql.extensions=graft.extensions.GraftExtensions)" +
+        " for the parquet/avro faces"))
+    val exists = tableExists(ident)
+    if (requireExists && !exists) throw new NoSuchTableException(ident)
+    if (!replaceExisting && exists)
       throw new TableAlreadyExistsException(ident)
-    // no requireNoTableAncestor here: TableDdl's fresh-directory guard
-    // walks the target's ancestors itself (one probe chain, not two)
-    val props = properties.asScala.toMap
-    // silently DROPPING a clause is worse than refusing it (the
-    // GraftCreateTableRule contract, applied to the catalog surface)
+    if (!exists) {
+      requireNoTableAncestor(s"$op $catalogName.$ident", ident)
+      val root = new Path(path)
+      val fs = fsOf(root)
+      if (fs.exists(root) && fs.listStatus(root).nonEmpty)
+        bad("the path exists and is not empty (and carries no " +
+          s"${FeatherSnapshots.Dir} directory) — a staged CREATE would " +
+          "overwrite files it did not make; MSCK REPAIR adopts plain " +
+          "directories")
+    }
+    new graft.sources.FeatherStagedTable(path, s"$catalogName.$ident",
+      schema, replaceExisting)
+  }
+
+  /** The clause refusals shared by CREATE and the staged CREATE/REPLACE
+    * surfaces — silently DROPPING a clause is worse than refusing it
+    * (the GraftCreateTableRule contract, applied to the catalog). */
+  private def validateTableClauses(op: String, ident: Identifier,
+                                   props: Map[String, String],
+                                   bad: String => Nothing): Unit = {
     props.get(TableCatalog.PROP_LOCATION).foreach(l =>
       bad(s"LOCATION '$l' — a named table lives at " +
         s"<warehouse>/<name>; address an existing path as " +
@@ -238,6 +326,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       bad(s"TBLPROPERTIES/OPTIONS (${noisy.mkString(", ")}) — a graft " +
         "table is a path plus manifests; there is no catalog store to " +
         "hold properties")
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    val path = pathOf(ident)
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(
+      s"CREATE TABLE $catalogName.$ident: $msg")
+    if (tableExists(ident))
+      throw new TableAlreadyExistsException(ident)
+    // no requireNoTableAncestor here: TableDdl's fresh-directory guard
+    // walks the target's ancestors itself (one probe chain, not two)
+    val props = properties.asScala.toMap
+    validateTableClauses("CREATE TABLE", ident, props, bad)
     val partCols = partitions.map {
       case t if t.name == "identity" && t.references.length == 1 &&
           t.references.head.fieldNames.length == 1 =>
@@ -440,8 +542,8 @@ private[graft] class GraftTable(
     extends Table with TruncatableTable
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
 
   /** `_file` — the feather scan serves it as a per-split constant (the
     * row-level rewrite plans require it; `SELECT _file FROM graft.t`
@@ -490,31 +592,14 @@ private[graft] class GraftTable(
     src.getTable(schema(), partitioning(), opts)
   }
 
-  /** ACCEPT_ANY_SCHEMA is reported ONLY to graft sessions: there, the
-    * extension rules claim every write plan and TableInserts owns
-    * alignment (positional/BY NAME/column list under the
-    * lossless-or-exact cast rule), so Spark's output resolver must stay
-    * out of the way. In a catalog-only session nothing downstream
-    * re-aligns — worse, the capability sets `skipSchemaResolution` on
-    * UPDATE/MERGE, which disables Spark's row-level assignment
-    * alignment and strands the statement at physical planning — so
-    * plain sessions get the standard contract: Spark's own
-    * TableOutputResolver aligns INSERTs and the DML rewrites align
-    * assignments. */
-  private def isGraftSession: Boolean =
-    try SparkSession.active.sessionState.analyzer.extendedResolutionRules
-      .exists(_.getClass.getName.startsWith("graft.extensions."))
-    catch { case _: Exception => true } // conservative: assume graft
-
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC,
-      TableCapability.TRUNCATE)
-    if (isGraftSession)
-      caps.add(TableCapability.ACCEPT_ANY_SCHEMA): Unit
+      TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
     // a time-travel pin has no streaming meaning, and the parquet face
     // streams through the face-agnostic `feather-cdf` format instead
     if (delegate.isDefined && pinnedVersion.isEmpty) {
@@ -566,12 +651,105 @@ private[graft] class GraftTable(
     true
   }
 
-  /** Catalog-only DELETE / UPDATE / MERGE: Spark's own row-level rewrite
-    * machinery over a group-based (copy-on-write) operation — see
-    * [[graft.sources.FeatherRowLevelOperation]] for the group contract.
-    * In a graft session the extension rules claim these statements at
-    * resolution (before the analyzer's DML-rewrite batch runs), so this
-    * path serves exactly the sessions the engine rules cannot reach. */
+  // ---- SupportsPartitionManagement ----------------------------------------
+  // SHOW PARTITIONS (incl. the filtered PARTITION (k=v) form) runs
+  // through Spark's OWN ShowPartitionsExec — in graft and catalog-only
+  // sessions alike. Partitions DERIVE from the hive key=value layout
+  // the manifest records, so the management verbs refuse with the
+  // statement that actually does the job.
+
+  override def partitionSchema(): StructType = partSchema
+
+  private def partitionRefusal(what: String, instead: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$ident: $what — partitions derive from the hive key=value " +
+        s"layout the manifest records, not from catalog entries; $instead")
+
+  override def createPartition(ident0: InternalRow,
+                               properties: JMap[String, String]): Unit =
+    partitionRefusal("ALTER TABLE ADD PARTITION",
+      "rows create their partition on write (INSERT routes each row to " +
+        "its key=value leaf)")
+
+  override def dropPartition(ident0: InternalRow): Boolean =
+    partitionRefusal("ALTER TABLE DROP PARTITION",
+      "use DELETE FROM ... WHERE <partition column> = <value> (one " +
+        "predicate-scoped atomic commit) or INSERT OVERWRITE ... " +
+        "PARTITION (k=v) with an empty query")
+
+  override def replacePartitionMetadata(ident0: InternalRow,
+                                        properties: JMap[String, String])
+      : Unit =
+    partitionRefusal("ALTER TABLE ... SET partition metadata",
+      "there is no metastore to hold per-partition properties")
+
+  override def loadPartitionMetadata(ident0: InternalRow)
+      : JMap[String, String] = java.util.Collections.emptyMap()
+
+  override def listPartitionIdentifiers(names: Array[String],
+                                        ident0: InternalRow)
+      : Array[InternalRow] = {
+    require(partCols.nonEmpty,
+      s"SHOW PARTITIONS on $ident: the table is not partitioned")
+    require(names.length == ident0.numFields,
+      s"partition filter names (${names.length}) and values " +
+        s"(${ident0.numFields}) differ")
+    val root = new Path(path)
+    val fs = root.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    val snap = FeatherSnapshots.resolve(fs, root,
+        pinnedVersion.orElse(Some(headVersion)))
+      .getOrElse(throw new IllegalStateException(
+        s"$ident: snapshot v$headVersion no longer resolves " +
+          "(expired under this handle?)"))
+    val leaves = FeatherSnapshots.toDiscovered(root, snap).files
+    val toCatalyst = partSchema.fields.map(f =>
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(f.dataType))
+    val tuples: Seq[Seq[String]] = leaves
+      .map(l => partCols.map(c => l.values.toMap.getOrElse(c, null)))
+      .distinct.sortBy(_.map(v => if (v == null) "" else v).mkString("/"))
+    val rows = tuples.map { vs =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        vs.zipWithIndex.map { case (raw, i) =>
+          toCatalyst(i)(graft.sources.FeatherPartitions.castValue(
+            raw, partSchema.fields(i).dataType)) }.toArray)
+    }
+    val nameIdx = names.map(n => partSchema.fieldIndex(n))
+    rows.filter(r => nameIdx.indices.forall { j =>
+      val dt = partSchema.fields(nameIdx(j)).dataType
+      java.util.Objects.equals(r.get(nameIdx(j), dt), ident0.get(j, dt))
+    }).toArray
+  }
+
+}
+
+/** The catalog-only session's table handle: the base surface plus
+  * `SupportsRowLevelOperations`, so DELETE / UPDATE / MERGE run through
+  * Spark's own rewrite machinery ([[graft.sources.FeatherRowLevelOperation]]
+  * — group-based copy-on-write). Never handed to a graft session: there
+  * the extension rules own DML (pruned COW / merge-on-read, every face,
+  * partitioned layouts), and the analyzer's DML-rewrite batch would
+  * claim a row-level-capable table first. ACCEPT_ANY_SCHEMA is withheld
+  * too — nothing in a plain session re-aligns inserts (Spark's
+  * TableOutputResolver must), and the capability sets
+  * `skipSchemaResolution` on UPDATE/MERGE, which disables Spark's
+  * assignment alignment and strands the statement at physical
+  * planning. */
+private[graft] class GraftRowLevelTable(
+    path: String, ident: String, dataSchema: StructType,
+    partCols: Seq[String], partSchema: StructType, face: String,
+    headVersion: Long, pinnedVersion: Option[Long], dvFace: Boolean)
+    extends GraftTable(path, ident, dataSchema, partCols, partSchema,
+      face, headVersion, pinnedVersion, dvFace)
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.copyOf(super.capabilities())
+    caps.remove(TableCapability.ACCEPT_ANY_SCHEMA): Unit
+    caps
+  }
+
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {

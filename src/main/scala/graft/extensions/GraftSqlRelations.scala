@@ -127,12 +127,18 @@ private[extensions] class GraftSqlRelationsRule(spark: SparkSession)
       lowerDescribeColumn(d, ddlPathOf(d.relation).get)
     case s: ShowColumns if ddlPathOf(s.child).isDefined =>
       lowerShowColumns(s, ddlPathOf(s.child).get)
-    case s: ShowPartitions if ddlPathOf(s.table).isDefined =>
-      val path = ddlPathOf(s.table).get
+    // PATH spellings only: a catalog-resolved name runs through Spark's
+    // own ShowPartitionsExec (GraftTable implements
+    // SupportsPartitionManagement), which also serves the filtered
+    // PARTITION (k=v) form and catalog-only sessions
+    case s: ShowPartitions if tablePathOf(s.table)
+        .orElse(tovPathOf(s.table)).isDefined =>
+      val path = tablePathOf(s.table).orElse(tovPathOf(s.table)).get
       if (s.pattern.nonEmpty)
         throw new IllegalArgumentException(
           s"SHOW PARTITIONS graft.`$path` PARTITION (...): the " +
-            "filtered form is not supported — filter the full listing")
+            "filtered form is not supported on the path spelling — " +
+            "address the table by name, or filter the full listing")
       val parts = graft.io.TableDdl.showPartitions(spark, path)
       import org.apache.spark.unsafe.types.UTF8String
       org.apache.spark.sql.catalyst.plans.logical.LocalRelation(s.output,
@@ -524,6 +530,12 @@ private[extensions] class GraftCreateTableRule(spark: SparkSession)
     * catalog handles plain CREATE itself (public createTable); CTAS
     * must be claimed here because the V2 exec would otherwise write
     * through a WriteBuilder the metadata-only table does not carry. */
+  /** REPLACE-target path: path spelling, or a catalog name resolved to
+    * its warehouse path (both spellings lower onto one engine impl). */
+  private def replacePathOf(name: LogicalPlan): Option[String] =
+    v2PathOf(name).orElse(
+      catalogIdentOf(name).map { case (cat, id) => cat.pathOf(id) })
+
   private def catalogIdentOf(name: LogicalPlan)
       : Option[(GraftCatalog, org.apache.spark.sql.connector.catalog.Identifier)] =
     name match {
@@ -593,26 +605,30 @@ private[extensions] class GraftCreateTableRule(spark: SparkSession)
         throw new IllegalArgumentException(
           s"DROP TABLE graft.`$path`: no snapshot table at this path " +
             "(nothing to drop; DROP TABLE IF EXISTS no-ops)")
-    case r: ReplaceTable
-        if v2PathOf(r.name).orElse(catalogIdentOf(r.name).map(_._2.name))
-          .isDefined =>
-      throw new IllegalArgumentException(
-        s"CREATE OR REPLACE TABLE graft.`${v2PathOf(r.name)
-          .orElse(catalogIdentOf(r.name).map(_._2.toString)).get}`: " +
-          "REPLACE is not supported — replacing content is TRUNCATE + " +
-          "INSERT (or INSERT OVERWRITE); replacing the SCHEMA means the " +
-          "old versions stop describing the data, so recreate " +
-          "deliberately (DROP TABLE first) instead")
-    case r: ReplaceTableAsSelect
-        if v2PathOf(r.name).orElse(catalogIdentOf(r.name).map(_._2.name))
-          .isDefined =>
-      throw new IllegalArgumentException(
-        s"CREATE OR REPLACE TABLE graft.`${v2PathOf(r.name)
-          .orElse(catalogIdentOf(r.name).map(_._2.toString)).get}` AS " +
-          "SELECT: REPLACE is not supported — INSERT OVERWRITE replaces " +
-          "content atomically (time travel keeps the old version); a " +
-          "schema change means recreating deliberately (DROP TABLE " +
-          "first)")
+    // [CREATE OR] REPLACE TABLE: one manifest commit swaps the whole
+    // table (files, schema, face); prior versions stay time-travelable
+    // and RESTORE undoes the replace. Both spellings (path and catalog
+    // name) lower onto the same engine implementation — catalog-only
+    // sessions reach the identical commit through the
+    // StagingTableCatalog surface instead.
+    case r: ReplaceTable if replacePathOf(r.name).isDefined =>
+      val path = replacePathOf(r.name).get
+      val (provider, partCols) = v2Parts("REPLACE TABLE", path,
+        r.columns.flatMap(col =>
+          if (col.defaultValue.nonEmpty) Some(col.name) else None),
+        r.partitioning, r.tableSpec)
+      val schema = r.tableSchema
+      GraftDml.report(s"replace_table($path)") { () =>
+        graft.io.TableDdl.replaceTable(spark, path, Left(schema),
+          provider, partCols, r.orCreate) }
+    case r: ReplaceTableAsSelect if replacePathOf(r.name).isDefined =>
+      val path = replacePathOf(r.name).get
+      val (provider, partCols) = v2Parts("REPLACE TABLE AS SELECT", path,
+        Nil, r.partitioning, r.tableSpec)
+      val query = Bridge.ofRows(spark, r.query)
+      GraftDml.report(s"replace_table_as($path)") { () =>
+        graft.io.TableDdl.replaceTable(spark, path, Right(query),
+          provider, partCols, r.orCreate) }
     // catalog-named CTAS: the catalog's createTable makes the empty
     // table, but the V2 exec would then write through a WriteBuilder
     // the metadata-only table does not carry — claim the plan and run

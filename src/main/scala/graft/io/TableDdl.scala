@@ -163,6 +163,82 @@ object TableDdl {
     Result(v1.version, 0, 0, v1.files.size)
   }
 
+  /** `[CREATE OR] REPLACE TABLE graft.`/t` [USING face] [AS SELECT ...]`
+    * — ONE manifest commit swaps the whole table: files, schema, even
+    * the face. Prior versions keep reading their own files, so time
+    * travel and RESTORE undo a replace until expire (the concern the
+    * old refusal named — "old versions stop describing the data" — does
+    * not apply to a versioned manifest: each version describes itself).
+    *
+    * Concurrency: the STRICTEST contract in the mutation tier. A
+    * replace's output does not depend on the old content, but any
+    * concurrent commit must abort — a blind append would otherwise
+    * carry its file into the replaced table (appends commute with
+    * ordinary mutations, NOT with a whole-table swap), so the commit
+    * runs with the full read set AND requireNoNewFiles.
+    *
+    * `orCreate=false` (REPLACE TABLE) requires the table to exist.
+    * PARTITIONED BY refuses: a partitioned layout replaces by DROP +
+    * partitioned CTAS (parquet face) or adopt. */
+  def replaceTable(spark: SparkSession, path: String,
+                   schemaOrQuery: Either[StructType,
+                     org.apache.spark.sql.DataFrame],
+                   provider: Option[String], partitionCols: Seq[String],
+                   orCreate: Boolean): Result = {
+    val op = if (orCreate) "CREATE OR REPLACE TABLE" else "REPLACE TABLE"
+    def bad(msg: String): Nothing =
+      throw new IllegalArgumentException(s"$op graft.`$path`: $msg")
+    val fmt = faceFormat(provider, bad)
+    if (partitionCols.nonEmpty)
+      bad(s"PARTITIONED BY (${partitionCols.mkString(", ")}) — a " +
+        "partitioned layout replaces by DROP TABLE + CREATE TABLE AS " +
+        "SELECT (partitioned CTAS, parquet face) or adopt")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!FeatherSnapshots.enabled(fs, root)) {
+      if (!orCreate)
+        bad("no snapshot table at this path — REPLACE TABLE requires " +
+          "one (CREATE OR REPLACE TABLE creates it)")
+      return schemaOrQuery match {
+        case Right(q) =>
+          createTableAs(spark, path, q, provider, Nil, ifNotExists = false)
+        case Left(schema) =>
+          createTable(spark, path, schema, provider, Nil,
+            ifNotExists = false)
+      }
+    }
+    val snap = FeatherSnapshots.resolve(fs, root, None).get
+    val connFace = fmt match {
+      case "parquet" => ConnectorFace.ParquetFace
+      case "graft-avro" => ConnectorFace.AvroFace
+      case _ => ConnectorFace.FeatherFace
+    }
+    val targetV = snap.version + 1
+    val prefix = FeatherSnapshots.runPrefix(targetV, "rep-")
+    val schema = schemaOrQuery.fold(identity, _.schema)
+    if (schema.isEmpty) bad("no columns")
+    val added = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    schemaOrQuery.foreach { q =>
+      val parts = connFace.writeParts(
+        q.coalesce(ConnectorFace.capWriteParts(q)), root.toString,
+        prefix, "lz4")
+      if (parts.nonEmpty)
+        FeatherStats.upsertMerged(fs, root,
+          parts.map { case (name, len, js) =>
+            name -> (len, FeatherStats.fromJson(js)) }.toMap)
+      added ++= parts.map { case (name, len, _) => (name, len) }
+    }
+    // empty replace (schema-only, or a zero-row query): v+1 is one
+    // schema stamp, the shared all-rows-gone shape
+    if (added.isEmpty)
+      added += connFace.stamp(fs, root, prefix, schema)
+    val committed = FeatherSnapshots.commitMutation(fs, root, "replace",
+      snap, removeRel = snap.files.map(_._1).toSet, add = added.toSeq,
+      readRel = Some(snap.files.map(_._1).toSet),
+      requireNoNewFiles = true)
+    Result(committed, snap.files.size, 0, added.size)
+  }
+
   private def writeByFace(spark: SparkSession, path: String,
                           df: org.apache.spark.sql.DataFrame,
                           fmt: String, partitionCols: Seq[String]): Unit =

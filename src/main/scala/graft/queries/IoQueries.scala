@@ -84,7 +84,7 @@ object IoQueries extends QueryPack {
     "io_sql_delete", "io_sql_update", "io_delete_where_dv",
     "io_sql_select_version", "io_sql_insert",
     "io_replace_where", "io_insert_overwrite_dynamic", "io_copy_into",
-    "io_sql_ddl", "io_sql_create", "io_sql_catalog",
+    "io_sql_ddl", "io_sql_create", "io_sql_catalog", "io_sql_replace",
     "io_avro_time_travel", "dedup_lsh_incremental")
 
   // --- CSV roundtrip: header + inferred-free explicit dtype ----------------
@@ -1999,6 +1999,41 @@ object IoQueries extends QueryPack {
          |UNION ALL
          |SELECT o_orderkey, total, 'v2' AS at
          |FROM graft.$table VERSION AS OF 2
+         |ORDER BY at, o_orderkey""".stripMargin)
+  }
+
+  // CREATE OR REPLACE TABLE ... AS SELECT by NAME: one manifest commit
+  // swaps content and schema (the r17 StagingTableCatalog/TableDdl
+  // .replaceTable surface); the pre-replace generation stays fully
+  // time-travelable, which is exactly what the query reads back — the
+  // replaced head beside VERSION AS OF the original CTAS. The oracle
+  // reconstructs both states relationally from the parquet source.
+  register("io_sql_replace",
+    """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) * 2 AS total,
+      |  'head' AS at FROM orders WHERE o_orderkey <= 300
+      |UNION ALL
+      |SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), 'v1'
+      |FROM orders WHERE o_orderkey <= 600
+      |ORDER BY at, o_orderkey""".stripMargin) { (s, d) =>
+    val table = s"sqlrep_${java.lang.Integer.toHexString(d.hashCode)}"
+    readFixture("sql_replace", d) { _ =>
+      Tables.orders(s, d).filter(col("o_orderkey") <= 600)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast(DoubleType).as("total"))
+        .createOrReplaceTempView("io_sql_replace_src")
+      s.sql(s"DROP TABLE IF EXISTS graft.$table").collect(): Unit
+      s.sql(s"CREATE TABLE graft.$table USING feather AS " +
+        "SELECT o_orderkey, total FROM io_sql_replace_src")
+        .collect(): Unit
+      s.sql(s"CREATE OR REPLACE TABLE graft.$table USING feather AS " +
+        "SELECT o_orderkey, total * 2 AS total FROM io_sql_replace_src " +
+        "WHERE o_orderkey <= 300").collect(): Unit
+    }
+    s.sql(
+      s"""SELECT o_orderkey, total, 'head' AS at FROM graft.$table
+         |UNION ALL
+         |SELECT o_orderkey, total, 'v1' AS at
+         |FROM graft.$table VERSION AS OF 1
          |ORDER BY at, o_orderkey""".stripMargin)
   }
 

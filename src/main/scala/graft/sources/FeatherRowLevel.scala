@@ -254,25 +254,8 @@ private class FeatherCowWrite(op: FeatherRowLevelOperation, st: StructType,
       abort(messages)
       return
     }
-    // rename tmp parts to final names + write their stats sidecars (the
-    // append sink's naming: gen tag keeps rewrite parts collision-free
-    // beside retained generations)
-    val gen = f"-g${System.nanoTime()}%x"
-    val mergedAdd = committed.map { m =>
-      val tmp = new org.apache.hadoop.fs.Path(path, m.tmpName)
-      val fin = new org.apache.hadoop.fs.Path(path,
-        f"part-${m.partitionId}%05d-${java.util.UUID.nameUUIDFromBytes(
-          m.tmpName.getBytes("UTF-8"))}$gen.feather")
-      require(fs.rename(tmp, fin), s"commit rename $tmp -> $fin failed")
-      val sc = fs.create(new org.apache.hadoop.fs.Path(path,
-        fin.getName + ".stats.json"), true)
-      try sc.write(m.statsJson.getBytes("UTF-8")) finally sc.close()
-      fin.getName -> (m.bytes, FeatherStats.fromJson(m.statsJson))
-    }.toMap
-    if (mergedAdd.nonEmpty)
-      FeatherStats.upsertMerged(fs, root, mergedAdd)
     val added = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    added ++= mergedAdd.map { case (n, (len, _)) => (n, len) }
+    added ++= FeatherDsvWrites.finalizeParts(fs, path, committed.toSeq)
     // table fully emptied (every file replaced, nothing written): a
     // schema-only stamp keeps the table readable (the mutation tier's
     // shared all-rows-deleted shape)
@@ -294,5 +277,35 @@ private class FeatherCowWrite(op: FeatherRowLevelOperation, st: StructType,
       try fs.delete(new org.apache.hadoop.fs.Path(path, m.tmpName), false)
       catch { case _: Exception => () }
     }
+  }
+}
+
+/** Shared plumbing of the engine's DSv2 writes that publish through a
+  * MANIFEST commit (the row-level COW write, the staged CREATE/REPLACE
+  * write): rename the tasks' tmp parts to gen-tagged finals, write their
+  * stats sidecars, fold the merged stats — and leave PUBLISHING to the
+  * caller (one atomic manifest commit owns visibility). */
+private[sources] object FeatherDsvWrites {
+  def finalizeParts(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                    committed: Seq[FeatherCommitMessage])
+      : Seq[(String, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    // the append sink's naming: the gen tag keeps these parts
+    // collision-free beside retained generations
+    val gen = f"-g${System.nanoTime()}%x"
+    val mergedAdd = committed.map { m =>
+      val tmp = new org.apache.hadoop.fs.Path(path, m.tmpName)
+      val fin = new org.apache.hadoop.fs.Path(path,
+        f"part-${m.partitionId}%05d-${java.util.UUID.nameUUIDFromBytes(
+          m.tmpName.getBytes("UTF-8"))}$gen.feather")
+      require(fs.rename(tmp, fin), s"commit rename $tmp -> $fin failed")
+      val sc = fs.create(new org.apache.hadoop.fs.Path(path,
+        fin.getName + ".stats.json"), true)
+      try sc.write(m.statsJson.getBytes("UTF-8")) finally sc.close()
+      fin.getName -> (m.bytes, FeatherStats.fromJson(m.statsJson))
+    }.toMap
+    if (mergedAdd.nonEmpty)
+      FeatherStats.upsertMerged(fs, root, mergedAdd)
+    mergedAdd.map { case (n, (len, _)) => (n, len) }.toSeq
   }
 }

@@ -27,6 +27,7 @@ class CatalogPropertySpec extends AnyFunSuite {
   private case class Truncate(t: Int) extends Op
   private case class Rename(from: Int, to: Int) extends Op
   private case class Drop(t: Int, ifExists: Boolean) extends Op
+  private case class Replace(t: Int, n: Int) extends Op
 
   private def sample[A](g: Gen[A], seed: Long): A =
     g.pureApply(Gen.Parameters.default, Seed(seed))
@@ -41,7 +42,8 @@ class CatalogPropertySpec extends AnyFunSuite {
         4 -> Gen.zip(t, Gen.chooseNum(1, 5)).map((Insert.apply _).tupled),
         1 -> t.map(Truncate),
         2 -> Gen.zip(t, t).map((Rename.apply _).tupled),
-        2 -> Gen.zip(t, Gen.oneOf(true, false)).map((Drop.apply _).tupled))
+        2 -> Gen.zip(t, Gen.oneOf(true, false)).map((Drop.apply _).tupled),
+        2 -> Gen.zip(t, Gen.chooseNum(1, 5)).map((Replace.apply _).tupled))
     }
     val scenarios = sample(Gen.listOfN(20, Gen.listOfN(12, opGen)), 816L)
 
@@ -116,6 +118,16 @@ class CatalogPropertySpec extends AnyFunSuite {
                   s"$clue: $e")
               case _ => ()
             }
+          // CREATE OR REPLACE: one commit swaps the content whether the
+          // name exists (replace) or not (create) — the model simply
+          // overwrites its entry either way
+          case Replace(t, n) =>
+            val ids = (nextId until nextId + n).toVector
+            nextId += n
+            spark.sql(s"CREATE OR REPLACE TABLE ${full(t)} USING " +
+              s"feather AS SELECT id + ${ids.head} AS id FROM range($n)")
+              .collect(): Unit
+            model(name(t)) = ids
           case Drop(t, ifExists) =>
             if (model.contains(name(t))) {
               spark.sql(s"DROP TABLE ${full(t)}").collect(): Unit

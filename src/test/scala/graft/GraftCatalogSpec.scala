@@ -413,7 +413,7 @@ class GraftCatalogSpec extends AnyFunSuite {
   }
 
   test("refusals: unknown name is TABLE_OR_VIEW_NOT_FOUND; hostile " +
-       "identifier segments refuse; CREATE OR REPLACE refuses") {
+       "identifier segments refuse; CREATE OR REPLACE swaps atomically") {
     val e1 = intercept[Exception] {
       spark.sql("SELECT * FROM graft.no_such_table_xyz").collect()
     }
@@ -427,12 +427,13 @@ class GraftCatalogSpec extends AnyFunSuite {
     wipe("replaceme")
     spark.sql("CREATE TABLE graft.replaceme (id BIGINT) USING feather")
       .collect(): Unit
-    val e3 = intercept[Exception] {
-      spark.sql("CREATE OR REPLACE TABLE graft.replaceme " +
-        "USING feather AS SELECT 1L AS id").collect()
-    }
-    assert(e3.getMessage.contains("REPLACE is not supported"),
-      e3.getMessage)
+    // one manifest commit swaps content AND schema; the old version
+    // stays time-travelable (ReplaceTableSpec pins the full story)
+    spark.sql("CREATE OR REPLACE TABLE graft.replaceme " +
+      "USING feather AS SELECT 7L AS id, 'x' AS tag").collect(): Unit
+    val swapped = spark.sql("SELECT id, tag FROM graft.replaceme").collect()
+    assert(swapped.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((7L, "x")))
     spark.sql("DROP TABLE graft.replaceme").collect(): Unit
   }
 }

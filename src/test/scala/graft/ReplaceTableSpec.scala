@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `[CREATE OR] REPLACE TABLE [AS SELECT]` — one manifest commit swaps
+  * files, schema, and face, on BOTH spellings (path + catalog name, via
+  * the extension lowering) and in a catalog-only session (via
+  * StagingTableCatalog). Prior versions stay time-travelable and RESTORE
+  * undoes a replace; the conflict contract is the tier's strictest (any
+  * concurrent commit aborts the replace, appends included). */
+class ReplaceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = TestSpark.spark
+  private val wh = java.nio.file.Files
+    .createTempDirectory("graft_replace_wh").toString
+
+  private def tmp(name: String): String = s"$wh/$name"
+
+  override def afterAll(): Unit = {
+    SparkSession.setDefaultSession(TestSpark.spark)
+    SparkSession.setActiveSession(TestSpark.spark)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh)): Unit
+  }
+
+  test("replace swaps content, schema, and face; time travel and " +
+       "RESTORE still read the old table") {
+    val path = tmp("swap")
+    spark.sql(s"CREATE TABLE graft.`$path` USING parquet " +
+      "AS SELECT id, CAST(id AS DOUBLE) AS v FROM range(10)").collect(): Unit
+    spark.sql(s"CREATE OR REPLACE TABLE graft.`$path` USING feather " +
+      "AS SELECT concat('d', id) AS doc, id * 2 AS n FROM range(3)")
+      .collect(): Unit
+    val now = spark.sql(s"SELECT doc, n FROM graft.`$path` ORDER BY n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(now == Seq(("d0", 0L), ("d1", 2L), ("d2", 4L)))
+    // the parquet generation is version 1, still fully readable
+    val old = spark.sql(
+      s"SELECT id, v FROM graft.`$path` VERSION AS OF 1 ORDER BY id")
+      .collect()
+    assert(old.length == 10 && old.head.getDouble(1) == 0.0)
+    // RESTORE undoes the replace entirely (schema AND content)
+    spark.sql(s"SELECT * FROM graft_restore('$path', 1)").collect(): Unit
+    assert(spark.sql(s"SELECT id, v FROM graft.`$path`").count() == 10L)
+  }
+
+  test("REPLACE TABLE (no AS SELECT) leaves an empty table with the new " +
+       "schema; missing table refuses without OR CREATE") {
+    val path = tmp("schema_only")
+    spark.sql(s"CREATE TABLE graft.`$path` USING feather " +
+      "AS SELECT 1L AS id").collect(): Unit
+    spark.sql(s"REPLACE TABLE graft.`$path` (doc STRING, score DOUBLE) " +
+      "USING feather").collect(): Unit
+    val out = spark.sql(s"SELECT * FROM graft.`$path`")
+    assert(out.count() == 0L)
+    assert(out.schema.fieldNames.toSeq == Seq("doc", "score"))
+    val e = intercept[Exception] {
+      spark.sql(s"REPLACE TABLE graft.`${tmp("nope")}` (id BIGINT) " +
+        "USING feather").collect()
+    }
+    assert(e.getMessage.contains("CREATE OR REPLACE TABLE creates"),
+      e.getMessage)
+  }
+
+  test("a concurrent commit aborts the replace — appends included") {
+    val path = tmp("race")
+    spark.sql(s"CREATE TABLE graft.`$path` USING feather " +
+      "AS SELECT id FROM range(5)").collect(): Unit
+    // a blind append lands between the replace's staging and its commit:
+    // appends commute with ordinary mutations, NOT with a whole-table
+    // swap — the replace must abort rather than orphan the new rows
+    graft.sources.FeatherSnapshots.testBeforeMutationCommit = () => {
+      spark.sql(s"INSERT INTO graft.`$path` SELECT 99L AS id").collect()
+      ()
+    }
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE OR REPLACE TABLE graft.`$path` USING feather " +
+        "AS SELECT id FROM range(2)").collect()
+    }
+    assert(e.getMessage.contains("concurrent commit added file"),
+      e.getMessage)
+    // the append won; the replace published nothing
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$path`")
+      .head().getLong(0) == 6L)
+  }
+
+  test("PARTITIONED BY refuses on replace with working guidance") {
+    val path = tmp("part_refuse")
+    spark.sql(s"CREATE TABLE graft.`$path` USING feather " +
+      "AS SELECT 1L AS id, 'a' AS k").collect(): Unit
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE OR REPLACE TABLE graft.`$path` USING parquet " +
+        "PARTITIONED BY (k) AS SELECT 1L AS id, 'a' AS k").collect()
+    }
+    assert(e.getMessage.contains("DROP TABLE"), e.getMessage)
+  }
+
+  test("catalog-only session: staged CREATE OR REPLACE, atomic CTAS, " +
+       "REPLACE-missing refusal, racing-writer abort") {
+    val plain = org.apache.spark.sql.graft.Bridge.sessionWithoutExtensions(
+      TestSpark.spark, Map(
+        "spark.sql.shuffle.partitions" -> "4",
+        "spark.sql.session.timeZone" -> "UTC",
+        "spark.sql.catalog.graft" -> "graft.catalog.GraftCatalog",
+        "spark.sql.catalog.graft.warehouse" -> wh))
+    SparkSession.setActiveSession(plain)
+    SparkSession.setDefaultSession(plain)
+    // atomic CTAS by name through stageCreate
+    plain.sql("CREATE TABLE graft.stg USING feather " +
+      "AS SELECT id, concat('r', id) AS s FROM range(4)")
+    assert(plain.sql("SELECT count(*) FROM graft.stg").head().getLong(0) == 4L)
+    // staged CREATE OR REPLACE swaps schema+content in one commit
+    plain.sql("CREATE OR REPLACE TABLE graft.stg USING feather " +
+      "AS SELECT CAST(id AS DOUBLE) AS score FROM range(2)")
+    val out = plain.sql("SELECT score FROM graft.stg ORDER BY score")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(0.0, 1.0))
+    // the pre-replace generation stays time-travelable by name
+    assert(plain.sql("SELECT s FROM graft.stg VERSION AS OF 1").count() == 4L)
+    // REPLACE TABLE without OR CREATE requires the table to exist
+    // (Spark's own pre-check raises before stageReplace even runs)
+    intercept[
+      org.apache.spark.sql.catalyst.analysis.CannotReplaceMissingTableException] {
+      plain.sql("REPLACE TABLE graft.stg_missing (id BIGINT) USING feather")
+    }
+    // racing writer: an append during staging aborts the staged commit
+    graft.sources.FeatherSnapshots.testBeforeMutationCommit = () => {
+      plain.sql("INSERT INTO graft.stg SELECT 9.9D AS score")
+      ()
+    }
+    val e = intercept[Exception] {
+      plain.sql("CREATE OR REPLACE TABLE graft.stg USING feather " +
+        "AS SELECT 1.0D AS score")
+    }
+    assert(e.getMessage.contains("concurrent commit added file"),
+      e.getMessage)
+    assert(plain.sql("SELECT count(*) FROM graft.stg")
+      .head().getLong(0) == 3L)
+  }
+}

@@ -180,12 +180,28 @@ class TableDdlSpec extends AnyFunSuite {
        "through to a catalog 'table not found'") {
     val path = tmp("adjacent")
     writeFlat(path)
+    // flat table: Spark's own partition-spec resolver refuses first
+    // (SupportsPartitionManagement exposes the empty partition schema)
     val e1 = intercept[Exception] {
       spark.sql(s"TRUNCATE TABLE graft.`$path` PARTITION (day='d1')")
         .collect()
     }
-    assert(e1.getMessage.contains("partition-scoped truncate"),
-      e1.getMessage)
+    assert(e1.getMessage.contains("PARTITIONS_NOT_FOUND"), e1.getMessage)
+    // partitioned table: the spec resolves, and the graft claim refuses
+    // with its own guidance
+    val partPath: String = tmp("adjacent_part")
+    locally {
+      import spark.implicits._
+      graft.io.ParquetTable.write(
+        (1 to 12).map(i => (i.toLong, s"d${i % 2}")).toDF("id", "day"),
+        partPath, partitionBy = Seq("day"))
+    }
+    val e1b = intercept[Exception] {
+      spark.sql(s"TRUNCATE TABLE graft.`$partPath` PARTITION (day='d1')")
+        .collect()
+    }
+    assert(e1b.getMessage.contains("partition-scoped truncate"),
+      e1b.getMessage)
     val e2 = intercept[Exception] {
       spark.sql(s"ALTER TABLE graft.`$path` DROP COLUMN amt").collect()
     }
@@ -369,17 +385,18 @@ class TableDdlSpec extends AnyFunSuite {
       e3.getMessage)
   }
 
-  test("CREATE OR REPLACE refuses with guidance; OPTIONS and COMMENT " +
-       "refuse instead of silently dropping; an empty table DESCRIBEs " +
-       "with Data Files = 0") {
+  test("CREATE OR REPLACE swaps in one commit (path spelling); OPTIONS " +
+       "and COMMENT refuse instead of silently dropping; an empty table " +
+       "DESCRIBEs with Data Files = 0") {
     val path = tmp("replace_refuse")
     spark.sql(s"CREATE TABLE graft.`$path` (id BIGINT)").collect(): Unit
-    val e1 = intercept[Exception] {
-      spark.sql(s"CREATE OR REPLACE TABLE graft.`$path` USING feather " +
-        "AS SELECT 1L AS id").collect()
-    }
-    assert(e1.getMessage.contains("REPLACE is not supported"),
-      e1.getMessage)
+    spark.sql(s"CREATE OR REPLACE TABLE graft.`$path` USING feather " +
+      "AS SELECT 11L AS id").collect(): Unit
+    assert(spark.sql(s"SELECT id FROM graft.`$path`").collect()
+      .map(_.getLong(0)).toSeq == Seq(11L))
+    // restore the empty shape the Data Files assertion below pins
+    spark.sql(s"REPLACE TABLE graft.`$path` (id BIGINT)").collect(): Unit
+    assert(spark.sql(s"SELECT * FROM graft.`$path`").count() == 0L)
     def refuse(ddl: String, needle: String): Unit = {
       val e = intercept[Exception] { spark.sql(ddl).collect() }
       assert(e.getMessage.contains(needle), s"$ddl → ${e.getMessage}")
