@@ -27,11 +27,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Reference: nvtext/generate_ngrams.hpp + the hashing discipline of
   * TextFunctions.polyHash.
   */
-case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+case class WordShingleHashes(child: Expression, n: Int,
+                             distinct: Boolean = true)
+    extends UnaryExpression {
   require(n >= 1, "shingle width must be >= 1")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "graft_word_shingle_hashes"
+  override def prettyName: String =
+    if (distinct) "graft_word_shingle_hashes" else "graft_word_span_hashes"
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -39,20 +42,29 @@ case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression 
       s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
 
   override def nullSafeEval(input: Any): Any =
-    WordShingleHashesImpl.eval(input.asInstanceOf[UTF8String], n)
+    WordShingleHashesImpl.eval(input.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.WordShingleHashesImpl.eval($c, $n)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.WordShingleHashesImpl.eval($c, $n, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
     copy(child = newChild)
 }
 
 object WordShingleHashesImpl {
-  def eval(text: UTF8String, n: Int): ArrayData = {
+  /** distinct=true: the shingle SET (minhash/LSH input, insertion
+    * order). distinct=false: ONE hash per window position, in window
+    * order — the duplicate-span primitive (array index IS the token
+    * position of the window start), semantically
+    * `transform(wordNgrams(tokenize(text), n), polyHash)`. */
+  def eval(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     val tokens = text.toString.split(" ", -1)
     if (tokens.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new mutable.LinkedHashSet[Long]
+    val out =
+      if (distinct) null
+      else new Array[Any](tokens.length - n + 1)
+    val seen = if (distinct) new mutable.LinkedHashSet[Long] else null
     var i = 0
     while (i <= tokens.length - n) {
       var h = 0L
@@ -68,9 +80,14 @@ object WordShingleHashesImpl {
         }
         k += 1
       }
-      seen.add(h)
+      if (distinct) seen.add(h) else out(i) = h
       i += 1
     }
-    new GenericArrayData(seen.iterator.map(_.asInstanceOf[Any]).toArray[Any])
+    if (distinct)
+      new GenericArrayData(seen.iterator.map(_.asInstanceOf[Any]).toArray[Any])
+    else new GenericArrayData(out)
   }
+
+  /** Back-compat entry (pre-r17 codegen sites compiled against it). */
+  def eval(text: UTF8String, n: Int): ArrayData = eval(text, n, true)
 }

@@ -804,13 +804,17 @@ object DedupQueries extends QueryPack {
        |    t -> len(list_filter(coalesce(dpos, []), i -> t - i BETWEEN 0 AND 7)) > 0)) AS DOUBLE) / n_tok, 6) AS dup_cover_frac
        |FROM pd LEFT JOIN dp ON pd.doc_id = dp.doc_id
        |ORDER BY pd.doc_id""".stripMargin) { (s, d) =>
+    // FUSED span hashing (r17): one hash per window position straight
+    // off the text — the '_'-joined 8-gram strings never materialize
+    // (the same fusion shingleHashes gave the LSH tier), and posexplode's
+    // index IS the window's start-token position
     val base = Tables.documents(s, d)
-      .select(col("doc_id"), tokenize(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), col("text"),
+        size(tokenize(col("text"))).cast(LongType).as("n_tok"))
+      .filter(col("n_tok") >= 8)
     val wins = base
-      .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_tok"),
-        posexplode(wordNgrams(col("toks"), 8)).as(Seq("pos", "g")))
-      .select(col("doc_id"), col("n_tok"), col("pos"), polyHash(col("g")).as("shid"))
+      .select(col("doc_id"), col("n_tok"),
+        posexplode(spanHashes(col("text"), 8)).as(Seq("pos", "shid")))
     val dup = wins.select(col("doc_id"), col("shid")).distinct()
       .groupBy(col("shid")).agg(count(lit(1)).as("docfreq"))
       .filter(col("docfreq") >= 2)

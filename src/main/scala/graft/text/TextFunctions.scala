@@ -80,6 +80,16 @@ object TextFunctions {
       graft.expressions.WordShingleHashes(
         org.apache.spark.sql.graft.Bridge.expression(text), n))
 
+  /** One hash PER WINDOW POSITION, in window order (duplicates kept —
+    * the array index is the window's start-token position): the
+    * duplicate-span primitive, [[shingleHashes]] without the distinct.
+    * Oracle equivalent: list_transform(n-gram windows, polyhash). */
+  def spanHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.WordShingleHashes(
+        org.apache.spark.sql.graft.Bridge.expression(text), n,
+        distinct = false))
+
   /** Shingle fingerprints: polyHash per shingle. Materialize this as its own
     * column (withColumn) before building signatures — polyHash is expensive
     * and must be computed once per shingle, not once per signature position.
@@ -138,19 +148,15 @@ object TextFunctions {
 
   /** SimHash over token hashes, `bits` wide: bit j is set iff the sum of
     * ±1 votes (per token, by that token-hash's bit j) is positive.
-    * Bit extraction is an integer shiftright per literal j — exact for the
-    * FULL non-negative 64-bit range (the old floor(h/2^j) float-pow form was
-    * exact only below 2⁵³, a landmine had anyone swapped in xxhash64).
+    * One codegen'd pass ([[graft.expressions.SimHash]]) — each token
+    * hashes ONCE and votes on every bit; the former builtin composition
+    * ran `bits` interpreted aggregate() HOFs whose collapsed projections
+    * re-hashed every token per bit.
     */
-  def simhash(tokens: Column, bits: Int): Column = {
-    val hashes = transform(tokens, t => polyHash(t))
-    (0 until bits).map { j =>
-      when(
-        aggregate(hashes, lit(0L),
-          (s, h) => s + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L)) > 0,
-        lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-  }
+  def simhash(tokens: Column, bits: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.SimHash(
+        org.apache.spark.sql.graft.Bridge.expression(tokens), bits))
 
   /** Porter stemmer measure m (nvtext/stemmer.hpp), with the full y-rule:
     * 'y' is a vowel iff preceded by a consonant (Porter's cons(i) =

@@ -131,6 +131,52 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("spanHashes equals per-window polyHash(ngram) with duplicates " +
+       "kept, in window order (real documents)") {
+    val spark = TestSpark.spark
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val ref = transform(
+      TextFunctions.wordNgrams(TextFunctions.tokenize(col("text")), 8),
+      g => TextFunctions.polyHash(g))
+    val diff = docs
+      .filter(size(TextFunctions.tokenize(col("text"))) >= 8)
+      .select(TextFunctions.spanHashes(col("text"), 8).as("fast"),
+        ref.as("ref"))
+      .filter(not(col("fast") === col("ref")))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("SimHashImpl matches the builtin-composed vote form (fuzz + docs)") {
+    // scala reference: per-token polyhash, ±1 vote per bit, bit set iff sum>0
+    def refSimhash(tokens: Seq[String], bits: Int): Long = {
+      val votes = new Array[Int](bits)
+      for (t <- tokens; h = refPolyHash(t); j <- 0 until bits)
+        votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+      (0 until bits).map(j => if (votes(j) > 0) 1L << j else 0L).sum
+    }
+    for (_ <- 1 to 300) {
+      val toks = Seq.fill(rnd.nextInt(20))(randText().takeWhile(_ != ' '))
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(t => UTF8String.fromString(t): Any).toArray)
+      assert(graft.expressions.SimHashImpl.eval(arr, 16) ==
+        refSimhash(toks, 16), s"tokens=$toks")
+    }
+    // and over real documents, against the builtin composition it replaced
+    val spark = TestSpark.spark
+    val toks = TextFunctions.tokenize(col("text"))
+    val hashes = transform(toks, t => TextFunctions.polyHash(t))
+    val builtin = (0 until 16).map { j =>
+      when(aggregate(hashes, lit(0L),
+        (s, h) => s + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L)) > 0,
+        lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    val diff = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(TextFunctions.simhash(toks, 16).as("fast"), builtin.as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0)
+  }
+
   test("BoundBucketImpl binary search matches a linear reference (fuzz)") {
     def refSearch(bounds: Seq[Long], v: Long): Int =
       bounds.lastIndexWhere(_ <= v)
