@@ -110,9 +110,16 @@ private[graft] object GraftMetaColumns {
     })
 
   /** The (name, value) splice entry for a split of file `f` — empty when
-    * the projected schema never asked for `_file`. */
-  def fileValue(readSchema: StructType, f: String): Seq[(String, String)] =
-    if (readSchema.fieldNames.contains(FileName)) Seq(FileName -> f)
+    * the projected schema never asked for `_file`, and empty when the
+    * TABLE already owns a `_file` column (`existing` — e.g. a hive
+    * partition named `_file`): Spark hides a conflicting metadata column
+    * (canRenameConflictingMetadataColumns = false), so the reference is
+    * the data column and the splice must not shadow its value. */
+  def fileValue(readSchema: StructType, f: String,
+                existing: Seq[(String, String)] = Seq.empty)
+      : Seq[(String, String)] =
+    if (readSchema.fieldNames.contains(FileName) &&
+        !existing.exists(_._1 == FileName)) Seq(FileName -> f)
     else Seq.empty
 }
 
@@ -179,13 +186,16 @@ private class FeatherCowScan(op: FeatherRowLevelOperation,
       else FeatherStats.loadForFiles(conf, files)
     val pointFilters = FeatherScanBuilder.pointLookups(fileFilters)
     def provablyEmpty(abs: String): Boolean =
-      statsByFile.getOrElse(abs, None) match {
-        case Some(stats) =>
-          val idxs = batchesByFile.getOrElse(abs, Seq.empty)
-          idxs.forall(i => i < stats.size &&
-            FeatherStats.batchProvablyEmpty(stats(i), fileFilters))
-        case None => false
-      }
+      // a file the footer plan gives ZERO batches (schema stamps) can
+      // never produce a row — never a group, regardless of stats
+      batchesByFile.getOrElse(abs, Seq.empty).isEmpty ||
+        (statsByFile.getOrElse(abs, None) match {
+          case Some(stats) =>
+            val idxs = batchesByFile(abs)
+            idxs.forall(i => i < stats.size &&
+              FeatherStats.batchProvablyEmpty(stats(i), fileFilters))
+          case None => false
+        })
     def bloomExcluded(abs: String, len: Long): Boolean =
       pointFilters.nonEmpty &&
         graft.io.FeatherBloom.excludesFile(conf, abs, len, pointFilters)

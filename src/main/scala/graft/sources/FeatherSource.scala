@@ -527,9 +527,11 @@ private class FeatherScan(readSchema0: StructType, path: String,
       }
       if (kept.isEmpty || bloomExcluded(f)) None
       // `_file` metadata column: a per-split constant, spliced exactly
-      // like the hive partition values (never decoded from the file)
+      // like the hive partition values (never decoded from the file);
+      // a table-owned `_file` column wins (Spark hides the metadata
+      // column on conflict, so the reference is the data column)
       else Some(FeatherInputPartition(f, len, kept,
-        pv ++ GraftMetaColumns.fileValue(readSchema0, f), dv))
+        pv ++ GraftMetaColumns.fileValue(readSchema0, f, pv), dv))
     }.toArray
   }
 

@@ -173,15 +173,46 @@ class RowLevelCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"face refusal must carry guidance: ${e2.getMessage}")
   }
 
+  test("file-level pruning: a narrow DELETE rewrites ONLY the files its " +
+       "predicate can touch (manifest diff keeps the rest verbatim)") {
+    plain.sql("CREATE TABLE graft.rl.pr (id BIGINT, v DOUBLE) USING feather")
+    // three single-part appends → three disjoint-range files with stats
+    // sidecars (range(..., numPartitions=1) keeps each insert one part)
+    for (lo <- Seq(0, 100, 200))
+      plain.sql(s"INSERT INTO graft.rl.pr SELECT id + $lo AS id, " +
+        s"CAST(id AS DOUBLE) AS v FROM range(0, 50, 1, 1)")
+    val root = new org.apache.hadoop.fs.Path(s"$wh/rl/pr")
+    val fs = root.getFileSystem(
+      plain.sparkContext.hadoopConfiguration)
+    val before = graft.sources.FeatherSnapshots.resolve(fs, root, None)
+      .get.files.map(_._1).toSet
+    plain.sql("DELETE FROM graft.rl.pr WHERE id BETWEEN 120 AND 130")
+    val after = graft.sources.FeatherSnapshots.resolve(fs, root, None)
+      .get.files.map(_._1).toSet
+    // exactly one group replaced: the other two files survive by NAME
+    assert((before -- after).size == 1,
+      s"expected one removed group, got ${before -- after}")
+    assert((before & after).size == before.size - 1,
+      "untouched files must carry through the manifest verbatim")
+    assert(plain.sql("SELECT count(*) FROM graft.rl.pr").head().getLong(0)
+      == 139L)
+    assert(plain.sql(
+      "SELECT count(*) FROM graft.rl.pr WHERE id BETWEEN 120 AND 130")
+      .head().getLong(0) == 0L)
+  }
+
   test("concurrent mutation of a read file aborts the row-level commit") {
     plain.sql("CREATE TABLE graft.rl.race (id BIGINT, v DOUBLE) USING feather")
     plain.sql("INSERT INTO graft.rl.race SELECT id, CAST(id AS DOUBLE) AS v " +
       "FROM range(0, 10)")
-    // the racing committer rewrites the same file between the row-level
-    // scan and its manifest commit
+    // the racing committer rewrites a file the row-level scan READ
+    // (id=1 lives in the same group the id<3 predicate keeps) between
+    // the scan and its manifest commit — the read-set check must abort.
+    // (A racing mutation on a DISJOINT file commits beside it — the
+    // pruning test above is what makes the read set that precise.)
     graft.sources.FeatherSnapshots.testBeforeMutationCommit = () => {
       graft.io.PredicateMutations.deleteWhere(plain, s"$wh/rl/race",
-        org.apache.spark.sql.functions.col("id") === 9): Unit
+        org.apache.spark.sql.functions.col("id") === 1): Unit
     }
     val e = intercept[Exception] {
       plain.sql("DELETE FROM graft.rl.race WHERE id < 3")
