@@ -166,5 +166,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "graft_shingle_hashes(s, n) takes 2 arguments")
         graft.expressions.WordShingleHashes(args.head, intLit(args(1), "shingle width n"))
       }))
+
+    ext.injectFunction((FunctionIdentifier("graft_span_hashes"),
+      info("graft_span_hashes",
+        "graft_span_hashes(s, n) - one polynomial hash per word n-gram " +
+          "window, in window order (duplicates kept; the array index is " +
+          "the window's start-token position)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_span_hashes(s, n) takes 2 arguments")
+        graft.expressions.WordShingleHashes(args.head,
+          intLit(args(1), "window width n"), distinct = false)
+      }))
+
+    ext.injectFunction((FunctionIdentifier("graft_simhash"),
+      info("graft_simhash",
+        "graft_simhash(tokens, bits) - SimHash of a token array: bit j " +
+          "set iff the per-token polyhash bit-j votes sum positive"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_simhash(tokens, bits) takes 2 arguments")
+        graft.expressions.SimHash(args.head, intLit(args(1), "bits"))
+      }))
   }
 }

@@ -64,18 +64,24 @@ class ExtensionsSpec extends AnyFunSuite {
         |  graft_jaccard(split(s, ' '), slice(split(s, ' '), 1, 3)) AS j,
         |  graft_polyhash(s) AS h,
         |  graft_shingles(s, 3) AS sh,
-        |  graft_shingle_hashes(s, 3) AS shh
+        |  graft_shingle_hashes(s, 3) AS shh,
+        |  graft_span_hashes(s, 3) AS sph,
+        |  graft_simhash(split(s, ' '), 16) AS sim
         |FROM ext_fn_probe""".stripMargin).head
     val ref = spark.table("ext_fn_probe").select(
       graft.functions.GF.cosine(col("va"), col("vb")),
       TextFunctions.jaccard(split(col("s"), " "), slice(split(col("s"), " "), 1, 3)),
       TextFunctions.polyHash(col("s")),
       TextFunctions.shingles(col("s")),
-      TextFunctions.shingleHashes(col("s"))).head
+      TextFunctions.shingleHashes(col("s")),
+      TextFunctions.spanHashes(col("s"), 3),
+      TextFunctions.simhash(split(col("s"), " "), 16)).head
     assert(r.getDouble(0) == ref.getDouble(0))
     assert(r.getDouble(1) == ref.getDouble(1))
     assert(r.getLong(2) == ref.getLong(2))
     assert(r.getSeq[String](3) == ref.getSeq[String](3))
     assert(r.getSeq[Long](4) == ref.getSeq[Long](4))
+    assert(r.getSeq[Long](5) == ref.getSeq[Long](5))
+    assert(r.getLong(6) == ref.getLong(6))
   }
 }
