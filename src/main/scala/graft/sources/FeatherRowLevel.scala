@@ -173,34 +173,37 @@ private class FeatherCowScan(op: FeatherRowLevelOperation,
     val disc = FeatherSnapshots.toDiscovered(root, snap)
     val relOfAbs: Map[String, String] = snap.files.map { case (rel, _) =>
       new org.apache.hadoop.fs.Path(root, rel).toString -> rel }.toMap
-    // footer-planned splits for ALL files first: whole-file pruning needs
-    // to know every batch of a file is provably empty, and the batch
-    // count comes from the footer plan
+    // STATS-FIRST whole-file pruning, footers only for survivors: the
+    // sidecars are length-validated (a present entry was written for
+    // exactly this file content, so it covers every batch — the same
+    // trust the COUNT(*) pushdown answers from), and loads are
+    // merged-first (O(directories), not O(files)). Footer-planning all
+    // files BEFORE pruning would cost O(files) footer fetches for a
+    // narrow DELETE over a wide table — the wrong side of a 10⁵-part
+    // 100 TB layout.
     val files = disc.files.map(l => (l.file, l.len))
-    val splits = GraftFeather.planReadFiles(spark, files, maxSplitBytes)._2
-    val batchesByFile: Map[String, Seq[Int]] =
-      splits.groupBy(_._1).view.mapValues(_.flatMap(_._3)).toMap
     val statsByFile
         : Map[String, Option[Seq[Map[String, FeatherStats.ColStat]]]] =
       if (fileFilters.isEmpty) Map.empty
       else FeatherStats.loadForFiles(conf, files)
     val pointFilters = FeatherScanBuilder.pointLookups(fileFilters)
-    def provablyEmpty(abs: String): Boolean =
-      // a file the footer plan gives ZERO batches (schema stamps) can
-      // never produce a row — never a group, regardless of stats
-      batchesByFile.getOrElse(abs, Seq.empty).isEmpty ||
-        (statsByFile.getOrElse(abs, None) match {
-          case Some(stats) =>
-            val idxs = batchesByFile(abs)
-            idxs.forall(i => i < stats.size &&
-              FeatherStats.batchProvablyEmpty(stats(i), fileFilters))
-          case None => false
-        })
+    def statsEmpty(abs: String): Boolean =
+      statsByFile.getOrElse(abs, None).exists(stats =>
+        stats.nonEmpty && stats.forall(
+          FeatherStats.batchProvablyEmpty(_, fileFilters)))
     def bloomExcluded(abs: String, len: Long): Boolean =
       pointFilters.nonEmpty &&
         graft.io.FeatherBloom.excludesFile(conf, abs, len, pointFilters)
-    val kept = disc.files.filterNot(l =>
-      provablyEmpty(l.file) || bloomExcluded(l.file, l.len))
+    val candidates = disc.files.filterNot(l =>
+      statsEmpty(l.file) || bloomExcluded(l.file, l.len))
+    val splits = GraftFeather.planReadFiles(spark,
+      candidates.map(l => (l.file, l.len)), maxSplitBytes)._2
+    val batchesByFile: Map[String, Seq[Int]] =
+      splits.groupBy(_._1).view.mapValues(_.flatMap(_._3)).toMap
+    // a file the footer plan gives ZERO batches (schema stamps) can
+    // never produce a row — never a group, regardless of stats
+    val kept = candidates.filter(l =>
+      batchesByFile.getOrElse(l.file, Seq.empty).nonEmpty)
     val keptAbs = kept.map(_.file).toSet
     val dvByAbs = kept.flatMap(l => l.dv.map(d => l.file -> d._1)).toMap
     val state = FeatherCowState(snap, keptAbs.map(relOfAbs))
