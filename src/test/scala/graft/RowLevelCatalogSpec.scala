@@ -142,6 +142,18 @@ class RowLevelCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("the graft_dv spelling runs the same catalog-only DML (group " +
+       "rewrite clears the replaced files' DV bindings)") {
+    // dvt carries a DV binding from the previous test; address it via
+    // the merge-on-read catalog name and DELETE — the group rewrite
+    // must keep masked rows deleted and drop the replaced binding
+    plain.sql("DELETE FROM graft_dv.rl.dvt WHERE id = 7")
+    val rows = plain.sql("SELECT id FROM graft_dv.rl.dvt ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == (3L until 20L).filterNot(_ == 7L))
+    assert(plain.sql("SELECT id FROM graft.rl.dvt").count() == 16L)
+  }
+
   test("refusals: hive-partitioned and non-feather faces point at a graft session") {
     // a partitioned FEATHER table is built leaf-by-leaf and adopted (the
     // no-rewrite migration path — feather-face partitioned CTAS refuses)
