@@ -65,12 +65,23 @@ import graft.sources.{FeatherPartitions, FeatherSnapshots}
 private[graft] object GraftCatalog {
   /** Whether the ACTIVE session carries the graft extension rules —
     * decides which table handle [[GraftCatalog.loadTable]] returns (see
-    * the note in resolve()). Conservative on any failure: assume graft,
-    * whose handle has the smaller surface. */
+    * the note in resolve()). Primary signal: the EXPLICIT marker conf
+    * the extension's rule builders stamp on their session
+    * ([[graft.extensions.GraftExtensions.ActiveMarker]]); touching the
+    * analyzer first forces the builders to have run. Fallback for
+    * exotically-built sessions: a compile-time instance check against
+    * the rule class itself (never a class-NAME sniff — a package rename
+    * must fail to compile here, not silently flip every catalog-only
+    * session onto the wrong handle). Conservative on any failure:
+    * assume graft, whose handle has the smaller surface. */
   def isGraftSession: Boolean =
-    try SparkSession.active.sessionState.analyzer.extendedResolutionRules
-      .exists(_.getClass.getName.startsWith("graft.extensions."))
-    catch { case _: Exception => true }
+    try {
+      val s = SparkSession.active
+      val rules = s.sessionState.analyzer.extendedResolutionRules
+      s.conf.get(graft.extensions.GraftExtensions.ActiveMarker,
+        "false") == "true" ||
+        rules.exists(_.isInstanceOf[graft.extensions.GraftMergeIntoRule])
+    } catch { case _: Exception => true }
 }
 
 class GraftCatalog extends TableCatalog with SupportsNamespaces
@@ -227,10 +238,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new NoSuchNamespaceException(namespace)
     }
     // ONE glob over `*/_snapshots` instead of a per-child enabled() probe
-    // chain: N+1 RPCs become 2 on an object store (a child with a manifest
-    // dir is necessarily itself a directory, so no isDirectory re-check)
+    // chain: N+1 RPCs become 2 on an object store. The glob also matches
+    // a plain FILE named _snapshots — filter on the status's own
+    // isDirectory (already fetched, no extra RPC) so a listed table is
+    // one loadTable can actually resolve
     Option(fs.globStatus(new Path(dir, s"*/${FeatherSnapshots.Dir}")))
       .getOrElse(Array.empty).iterator
+      .filter(_.isDirectory)
       .map(_.getPath.getParent.getName)
       .filter(n => !n.startsWith("_") && !n.startsWith("."))
       .toArray.sorted

@@ -24,7 +24,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * cpp-side anchor is the MinHash/fingerprint family of nvtext.
   */
 case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
-  require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+  // hard cap 30, not 63: PolyHash values are mod 1e9+7 (< 2^30), so bits
+  // 30..63 would always vote -1 and come out zero — a wider request would
+  // SILENTLY degenerate to a ~30-bit fingerprint; refuse it loudly
+  require(bits >= 1 && bits <= 30,
+    s"bits must be in [1, 30], got $bits — the per-token PolyHash is " +
+      "bounded by 1e9+7 (< 2^30), so higher bits carry no signal")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"

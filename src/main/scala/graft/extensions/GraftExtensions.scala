@@ -85,8 +85,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Spark's parser builds MergeIntoTable; this rule claims the graft
     // spellings during resolution (the target stays unresolved for the
     // catalog, so the fixpoint reaches us before checkAnalysis) and
-    // lowers onto ConditionalMerge, deferred to statement execution
-    ext.injectResolutionRule(s => new GraftMergeIntoRule(s))
+    // lowers onto ConditionalMerge, deferred to statement execution.
+    // The builder also stamps the EXPLICIT session marker GraftCatalog
+    // reads to pick its table handle (rule builders run exactly once per
+    // session, when its analyzer is built — strictly before any
+    // loadTable, which runs DURING analysis): stringly class-name
+    // sniffing would silently flip every catalog-only session onto the
+    // wrong handle if the package were ever renamed.
+    ext.injectResolutionRule { s =>
+      s.conf.set(GraftExtensions.ActiveMarker, "true")
+      new GraftMergeIntoRule(s)
+    }
 
     // SQL reads (head + VERSION/TIMESTAMP AS OF time travel) and
     // INSERT INTO / INSERT OVERWRITE over the same graft spellings —
@@ -181,10 +190,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash"),
       info("graft_simhash",
         "graft_simhash(tokens, bits) - SimHash of a token array: bit j " +
-          "set iff the per-token polyhash bit-j votes sum positive"),
+          "set iff the per-token polyhash bit-j votes sum positive; " +
+          "bits <= 30 (the polyhash is bounded by 1e9+7, so higher " +
+          "bits carry no signal)"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_simhash(tokens, bits) takes 2 arguments")
         graft.expressions.SimHash(args.head, intLit(args(1), "bits"))
       }))
   }
+}
+
+object GraftExtensions {
+  /** Session-conf marker stamped by the rule builders above — the
+    * explicit "this session carries the graft extension rules" signal
+    * [[graft.catalog.GraftCatalog.isGraftSession]] reads (with an
+    * instance-of fallback for sessions built before the marker landed). */
+  val ActiveMarker = "spark.graft.extensions.active"
 }

@@ -48,7 +48,7 @@ import graft.io.ConditionalMerge
   *    withSchemaEvolution(): the source's NEW columns join the table
   *    schema as nullable (the mutation tier's evolveSchema contract);
   *    without the modifier extra source columns are ignored. */
-private[extensions] class GraftMergeIntoRule(spark: SparkSession)
+private[graft] class GraftMergeIntoRule(spark: SparkSession)
     extends Rule[LogicalPlan] {
 
   import org.apache.spark.sql.graft.Bridge

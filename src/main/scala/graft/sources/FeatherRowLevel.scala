@@ -260,15 +260,16 @@ private class FeatherCowWrite(op: FeatherRowLevelOperation, st: StructType,
     val state = op.scanState.getOrElse(throw new IllegalStateException(
       s"row-level ${op.command()} on $path: write committed before the " +
         "scan planned — the group set is unknown"))
-    if (state.keptRel.isEmpty) {
-      // every file was pruned: no group was read, nothing to replace —
-      // a no-match statement publishes NO version (replay-clean); any
-      // empty parts zero-row tasks produced are dropped as tmp files
-      abort(messages)
-      return
-    }
+    // finalize FIRST, then decide: a MERGE with NOT MATCHED clauses into
+    // an empty (stamp-only) or fully-pruned table keeps ZERO groups but
+    // still produces insert rows — skipping the publish on an empty group
+    // set alone silently threw those rows away. Only a statement that
+    // read no group AND wrote no row publishes no version (the no-match
+    // DELETE/UPDATE replay-clean case). renameParts drops zero-row parts.
+    val mergedAdd = FeatherDsvWrites.renameParts(fs, path, committed.toSeq)
     val added = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    added ++= FeatherDsvWrites.finalizeParts(fs, path, committed.toSeq)
+    added ++= mergedAdd.map { case (n, (len, _)) => (n, len) }
+    if (state.keptRel.isEmpty && added.isEmpty) return
     // table fully emptied (every file replaced, nothing written): a
     // schema-only stamp keeps the table readable (the mutation tier's
     // shared all-rows-deleted shape)
@@ -276,10 +277,23 @@ private class FeatherCowWrite(op: FeatherRowLevelOperation, st: StructType,
         state.snap.files.forall { case (rel, _) => state.keptRel(rel) })
       added += ConnectorFace.FeatherFace.stamp(fs, root,
         FeatherSnapshots.runPrefix(state.snap.version + 1), st)
-    FeatherSnapshots.commitMutation(fs, root,
-      s"rowlevel_${op.command().toString.toLowerCase}", state.snap,
-      removeRel = state.keptRel, add = added.toSeq,
-      readRel = Some(state.keptRel)): Unit
+    try
+      FeatherSnapshots.commitMutation(fs, root,
+        s"rowlevel_${op.command().toString.toLowerCase}", state.snap,
+        removeRel = state.keptRel, add = added.toSeq,
+        readRel = Some(state.keptRel)): Unit
+    catch { case e: Throwable =>
+      // the publish failed (COW conflict): the finalized parts, their
+      // sidecars, and any stamp were never visible — delete them instead
+      // of stranding orphans in the table directory
+      FeatherDsvWrites.deleteFinalized(fs, path, added.toSeq.map(_._1))
+      throw e
+    }
+    // merged-stats fold AFTER the manifest commit: the per-part sidecars
+    // already cover readers (merged is a planning cache), and folding
+    // first would strand cache entries for never-published parts if the
+    // commit lost its conflict check
+    FeatherStats.upsertMerged(fs, root, mergedAdd)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -294,31 +308,56 @@ private class FeatherCowWrite(op: FeatherRowLevelOperation, st: StructType,
 }
 
 /** Shared plumbing of the engine's DSv2 writes that publish through a
-  * MANIFEST commit (the row-level COW write, the staged CREATE/REPLACE
-  * write): rename the tasks' tmp parts to gen-tagged finals, write their
-  * stats sidecars, fold the merged stats — and leave PUBLISHING to the
-  * caller (one atomic manifest commit owns visibility). */
+  * MANIFEST commit (the row-level COW/delta writes, the staged
+  * CREATE/REPLACE write): rename the tasks' tmp parts to gen-tagged
+  * finals and write their stats sidecars. PUBLISHING belongs to the
+  * caller (one atomic manifest commit owns visibility), and so does the
+  * merged-stats fold — callers run [[graft.io.FeatherStats.upsertMerged]]
+  * only AFTER their manifest commit succeeds, so a lost conflict check
+  * never strands cache entries for parts that were never published
+  * (per-part sidecars cover readers in the window; merged is a planning
+  * cache). */
 private[sources] object FeatherDsvWrites {
-  def finalizeParts(fs: org.apache.hadoop.fs.FileSystem, path: String,
-                    committed: Seq[FeatherCommitMessage])
-      : Seq[(String, Long)] = {
-    val root = new org.apache.hadoop.fs.Path(path)
+  /** Rename tmp parts to final names + write per-part sidecars; returns
+    * final name → (bytes, batch stats), the upsertMerged input shape.
+    * ZERO-ROW parts (empty batch stats — a task every row bypassed) are
+    * deleted, not renamed: publishing them would add one junk file per
+    * idle task to the manifest. */
+  def renameParts(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                  committed: Seq[FeatherCommitMessage])
+      : Map[String, (Long, Seq[Map[String, FeatherStats.ColStat]])] = {
     // the append sink's naming: the gen tag keeps these parts
     // collision-free beside retained generations
     val gen = f"-g${System.nanoTime()}%x"
-    val mergedAdd = committed.map { m =>
+    committed.flatMap { m =>
+      val stats = FeatherStats.fromJson(m.statsJson)
       val tmp = new org.apache.hadoop.fs.Path(path, m.tmpName)
-      val fin = new org.apache.hadoop.fs.Path(path,
-        f"part-${m.partitionId}%05d-${java.util.UUID.nameUUIDFromBytes(
-          m.tmpName.getBytes("UTF-8"))}$gen.feather")
-      require(fs.rename(tmp, fin), s"commit rename $tmp -> $fin failed")
-      val sc = fs.create(new org.apache.hadoop.fs.Path(path,
-        fin.getName + ".stats.json"), true)
-      try sc.write(m.statsJson.getBytes("UTF-8")) finally sc.close()
-      fin.getName -> (m.bytes, FeatherStats.fromJson(m.statsJson))
+      if (stats.isEmpty) {
+        try fs.delete(tmp, false) catch { case _: Exception => () }
+        None
+      } else {
+        val fin = new org.apache.hadoop.fs.Path(path,
+          f"part-${m.partitionId}%05d-${java.util.UUID.nameUUIDFromBytes(
+            m.tmpName.getBytes("UTF-8"))}$gen.feather")
+        require(fs.rename(tmp, fin), s"commit rename $tmp -> $fin failed")
+        val sc = fs.create(new org.apache.hadoop.fs.Path(path,
+          fin.getName + ".stats.json"), true)
+        try sc.write(m.statsJson.getBytes("UTF-8")) finally sc.close()
+        Some(fin.getName -> (m.bytes, stats))
+      }
     }.toMap
-    if (mergedAdd.nonEmpty)
-      FeatherStats.upsertMerged(fs, root, mergedAdd)
-    mergedAdd.map { case (n, (len, _)) => (n, len) }.toSeq
   }
+
+  /** Failure-path unwind: delete finalized parts and their sidecars — a
+    * manifest commit that threw never made them visible. */
+  def deleteFinalized(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                      names: Seq[String]): Unit =
+    names.foreach { n =>
+      try {
+        fs.delete(new org.apache.hadoop.fs.Path(path, n), false)
+        fs.delete(new org.apache.hadoop.fs.Path(path, n + ".stats.json"),
+          false)
+      } catch { case _: Exception => () }
+      ()
+    }
 }

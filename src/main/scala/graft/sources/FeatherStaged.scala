@@ -38,9 +38,12 @@ private[graft] class FeatherStagedTable(path: String, identName: String,
                                         replaceExisting: Boolean)
     extends StagedTable with SupportsWrite {
 
-  // the staged write's finalized parts, pending the ONE manifest publish
-  private val staged =
-    scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+  // the staged write's finalized parts (name → bytes + batch stats),
+  // pending the ONE manifest publish; the merged-stats fold is deferred
+  // to commitStagedChanges so a failed/raced publish strands no cache
+  // entries for parts that were never visible
+  private[sources] val staged = scala.collection.mutable.LinkedHashMap
+    .empty[String, (Long, Seq[Map[String, graft.io.FeatherStats.ColStat]])]
 
   override def name(): String = identName
   override def schema(): StructType = tableSchema
@@ -63,48 +66,54 @@ private[graft] class FeatherStagedTable(path: String, identName: String,
           "re-run (or use CREATE OR REPLACE)")
     def stamp(prefix: String): (String, Long) =
       ConnectorFace.FeatherFace.stamp(fs, root, prefix, tableSchema)
-    if (exists) {
-      val snap = FeatherSnapshots.resolve(fs, root, None).get
-      val added =
-        if (staged.nonEmpty) staged.toSeq
-        else Seq(stamp(FeatherSnapshots.runPrefix(snap.version + 1, "rep-")))
-      FeatherSnapshots.commitMutation(fs, root, "replace", snap,
-        removeRel = snap.files.map(_._1).toSet, add = added,
-        readRel = Some(snap.files.map(_._1).toSet),
-        requireNoNewFiles = true): Unit
-    } else {
-      // v1 creation: the append sink's publish protocol (exactly-once
-      // v1 — a racing creator's publish loses the manifest commit)
-      fs.mkdirs(root): Unit
-      FeatherSnapshots.publishDataCommit(fs, root, truncate = false,
-        FeatherSnapshots.FeatherSuffixes, staged.toSeq,
-        stampPart = () => stamp(FeatherSnapshots.runPrefix(1L, "create-"))
-      ): Unit
+    val parts = staged.toSeq.map { case (n, (len, _)) => (n, len) }
+    try {
+      if (exists) {
+        val snap = FeatherSnapshots.resolve(fs, root, None).get
+        val added =
+          if (parts.nonEmpty) parts
+          else Seq(stamp(FeatherSnapshots.runPrefix(snap.version + 1, "rep-")))
+        FeatherSnapshots.commitMutation(fs, root, "replace", snap,
+          removeRel = snap.files.map(_._1).toSet, add = added,
+          readRel = Some(snap.files.map(_._1).toSet),
+          requireNoNewFiles = true): Unit
+      } else {
+        // v1 creation: the append sink's publish protocol (exactly-once
+        // v1 — a racing creator's publish loses the manifest commit)
+        fs.mkdirs(root): Unit
+        FeatherSnapshots.publishDataCommit(fs, root, truncate = false,
+          FeatherSnapshots.FeatherSuffixes, parts,
+          stampPart = () => stamp(FeatherSnapshots.runPrefix(1L, "create-"))
+        ): Unit
+      }
+    } catch { case e: Throwable =>
+      // a lost replace conflict / CREATE race published nothing — delete
+      // the staged parts and sidecars instead of stranding them (in the
+      // race case, inside a directory the WINNING creator now owns)
+      abortStagedChanges()
+      throw e
     }
+    // merged-stats fold only after the ONE successful publish (planning
+    // cache; per-part sidecars already cover readers)
+    graft.io.FeatherStats.upsertMerged(fs, root, staged.toMap)
   }
 
   override def abortStagedChanges(): Unit = {
     val spark = SparkSession.active
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    staged.foreach { case (rel, _) =>
-      try {
-        fs.delete(new org.apache.hadoop.fs.Path(path, rel), false)
-        fs.delete(new org.apache.hadoop.fs.Path(path,
-          rel + ".stats.json"), false)
-      } catch { case _: Exception => () }
-      ()
-    }
+    FeatherDsvWrites.deleteFinalized(fs, path, staged.keys.toSeq)
   }
 }
 
 /** The staged table's DSv2 write: same task-side part writers as the
-  * append sink; `commit` only FINALIZES (rename + sidecars + merged
-  * stats) and stashes the part names on the staged table — visibility
-  * belongs to commitStagedChanges' single manifest publish. */
+  * append sink; `commit` only FINALIZES (rename + per-part sidecars)
+  * and stashes the parts on the staged table — visibility AND the
+  * merged-stats fold belong to commitStagedChanges' single publish. */
 private class FeatherStagedWrite(
     st: StructType, path: String,
-    staged: scala.collection.mutable.ArrayBuffer[(String, Long)])
+    staged: scala.collection.mutable.LinkedHashMap[
+      String, (Long, Seq[Map[String, graft.io.FeatherStats.ColStat]])])
     extends WriteBuilder with Write with BatchWrite
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   // fail on unmappable schemas BEFORE tasks launch (the append sink's rule)
@@ -124,6 +133,9 @@ private class FeatherStagedWrite(
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(root): Unit
+    // retry-idempotence: a re-run batch write (new factory) must not
+    // double-publish a previous attempt's finalized names
+    staged.synchronized { staged.clear() }
     new FeatherWriterFactory(st, path, "lz4", 4096,
       graft.io.GraftHadoop.confBroadcast(spark))
   }
@@ -133,9 +145,8 @@ private class FeatherStagedWrite(
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = messages.collect { case m: FeatherCommitMessage => m }
-    staged.synchronized {
-      staged ++= FeatherDsvWrites.finalizeParts(fs, path, committed.toSeq)
-    }
+    val renamed = FeatherDsvWrites.renameParts(fs, path, committed.toSeq)
+    staged.synchronized { staged ++= renamed }
     ()
   }
 

@@ -154,6 +154,35 @@ class RowLevelCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plain.sql("SELECT id FROM graft.rl.dvt").count() == 16L)
   }
 
+  test("MERGE into an EMPTY table keeps its NOT MATCHED inserts (no " +
+       "group kept, rows still written — the r17 silent-loss shape)") {
+    plain.sql("CREATE TABLE graft.rl.mempty (id BIGINT, v DOUBLE) USING feather")
+    val v0 = versionOf("graft.rl.mempty")
+    // the stamp-only table keeps ZERO groups (a stamp has no batches),
+    // but the NOT MATCHED clause still produces 5 insert rows — the
+    // commit must publish them, not abort on the empty group set
+    plain.sql("MERGE INTO graft.rl.mempty t USING (SELECT id, " +
+      "CAST(id AS DOUBLE) AS v FROM range(0, 5)) s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)")
+    val rows = plain.sql("SELECT id, v FROM graft.rl.mempty ORDER BY id")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 5L),
+      "NOT MATCHED inserts into an empty table must survive the commit")
+    assert(rows.forall(r => r.getDouble(1) == r.getLong(0).toDouble))
+    assert(versionOf("graft.rl.mempty") == v0 + 1)
+  }
+
+  test("a MERGE with only MATCHED clauses into an empty table publishes " +
+       "NO version (nothing read, nothing written)") {
+    plain.sql("CREATE TABLE graft.rl.mnoop (id BIGINT) USING feather")
+    val v0 = versionOf("graft.rl.mnoop")
+    plain.sql("MERGE INTO graft.rl.mnoop t USING (SELECT 1 AS id) s " +
+      "ON t.id = s.id WHEN MATCHED THEN DELETE")
+    assert(versionOf("graft.rl.mnoop") == v0,
+      "a no-op MERGE must be replay-clean (no version published)")
+  }
+
   test("refusals: hive-partitioned and non-feather faces point at a graft session") {
     // a partitioned FEATHER table is built leaf-by-leaf and adopted (the
     // no-rewrite migration path — feather-face partitioned CTAS refuses)
