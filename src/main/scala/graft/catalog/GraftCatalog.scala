@@ -785,10 +785,19 @@ private[graft] class GraftRowLevelTable(
         "session (spark.sql.extensions=graft.extensions.GraftExtensions)" +
         ", whose DML engine routes partitioned rewrites")
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      // the catalog NAME picks the strategy, exactly like the engine's
+      // path spellings: graft = group-based copy-on-write rewrite,
+      // graft_dv = delta rewrite producing deletion-vector sidecars
+      // (bytes ∝ deleted rows — the merge-on-read parity the graft_dv
+      // spelling promises)
       override def build()
           : org.apache.spark.sql.connector.write.RowLevelOperation =
-        new graft.sources.FeatherRowLevelOperation(
-          info.command(), path, schema(), 128L << 20)
+        if (dvFace)
+          new graft.sources.FeatherDeltaOperation(
+            info.command(), path, schema(), 128L << 20)
+        else
+          new graft.sources.FeatherRowLevelOperation(
+            info.command(), path, schema(), 128L << 20)
     }
   }
 }

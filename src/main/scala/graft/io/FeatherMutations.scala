@@ -854,7 +854,7 @@ object FeatherMutations {
     * batches to discard every row. The file itself stays on disk for
     * time travel until expire(). Returns (bindings to set, rel paths to
     * drop). */
-  private[io] def bindDvs(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def bindDvs(fs: org.apache.hadoop.fs.FileSystem,
                       conf: org.apache.hadoop.conf.Configuration,
                       root: Path, snap: FeatherSnapshots.Snapshot,
                       targetV: Long, newByFile: Map[Int, Array[Long]],
@@ -897,7 +897,7 @@ object FeatherMutations {
     * batch carries a count (a partial answer could prove the wrong
     * thing). Shared by the DV full-coverage check and the COW no-op
     * delete proof. */
-  private[io] def exactRows(batches: Seq[Map[String, FeatherStats.ColStat]])
+  private[graft] def exactRows(batches: Seq[Map[String, FeatherStats.ColStat]])
       : Option[Long] = {
     val counts = batches.map(_.get(FeatherStats.RowCountKey) match {
       case Some(FeatherStats.ColStat.Count(n)) => Some(n)

@@ -481,6 +481,20 @@ object GraftFeather {
     rowsFrom(execConf, file, len, _ => batchIdxs, colNames, registerClose,
       lenient, dv, dvKeep).map(_._2)
 
+  /** [[splitRows]] with each row's DV POSITION (the `_pos` metadata
+    * column and the delta row-level writes consume this — positions are
+    * batch-absolute, so any split plan yields the same coordinates). */
+  private[graft] def splitRowsPos(execConf: org.apache.hadoop.conf.Configuration,
+                                  file: String, len: Long,
+                                  batchIdxs: Seq[Int],
+                                  colNames: Seq[String],
+                                  registerClose: ArrowFileReader => Unit,
+                                  lenient: Boolean = false,
+                                  dv: Array[Long] = null)
+      : Iterator[(Long, Row)] =
+    rowsFrom(execConf, file, len, _ => batchIdxs, colNames, registerClose,
+      lenient, dv)
+
   /** Every record batch of `file` through ONE reader open — the whole-file
     * shape compaction consumes (a separate footer probe just to learn the
     * batch count would double per-file open cost on exactly the

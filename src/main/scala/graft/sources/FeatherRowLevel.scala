@@ -48,16 +48,21 @@ import graft.io.{ConnectorFace, FeatherStats, GraftFeather, GraftHadoop}
   * time-travel handles, non-feather faces, hive-partitioned layouts —
   * the flat DSv2 writer cannot route rows into key=value leaves).
   */
+/** What the row-level SCAN hands the row-level WRITE: both the COW and
+  * the delta operations host one scan-state slot, set by the scan at
+  * planning time and read by the write at commit. One operation instance
+  * serves one statement execution (Spark holds it in a
+  * RowLevelOperationTable), and the scan plans strictly before the write
+  * commits. */
+private[sources] trait FeatherRowLevelHost {
+  def command(): Command
+  @volatile private[sources] var scanState: Option[FeatherCowState] = None
+}
+
 private[graft] class FeatherRowLevelOperation(cmd: Command, path: String,
                                               fullSchema: StructType,
                                               maxSplitBytes: Long)
-    extends RowLevelOperation {
-
-  /** Set by the scan at planning time; read by the write at commit.
-    * One operation instance serves one statement execution (Spark holds
-    * it in a RowLevelOperationTable), and the scan plans strictly before
-    * the write commits. */
-  @volatile private[sources] var scanState: Option[FeatherCowState] = None
+    extends RowLevelOperation with FeatherRowLevelHost {
 
   override def command(): Command = cmd
   override def description(): String = s"graft COW $cmd on $path"
@@ -90,24 +95,52 @@ private[graft] class FeatherRowLevelOperation(cmd: Command, path: String,
 private[sources] final case class FeatherCowState(
     snap: FeatherSnapshots.Snapshot, keptRel: Set[String])
 
-/** The engine's DSv2 metadata columns (feather face): `_file`, the
-  * absolute data-file path of each row — Spark's `_metadata.file_path`
-  * parity for the connector, and the metadata attribute the row-level
-  * rewrite plans carry. Served by BOTH the regular feather scan and the
-  * COW scan through the same splice the hive partition values use: a
-  * per-split constant, never decoded from the file. */
+/** The engine's DSv2 metadata columns (feather face):
+  *
+  *  - `_file` — the absolute data-file path of each row (Spark's
+  *    `_metadata.file_path` parity for the connector). A per-split
+  *    CONSTANT, spliced exactly like the hive partition values.
+  *  - `_pos` — the row's format-local position inside its file
+  *    (`(batchIdx << 32) | rowInBatch`, [[graft.io.DeletionVectors
+  *    .featherPos]]): batch-absolute, so every split plan yields the
+  *    same coordinate. Together `(_file, _pos)` is the stable row id
+  *    the DELTA row-level operation ([[FeatherDeltaOperation]]) keys
+  *    its deletion vectors on; `SELECT _pos` serves it too.
+  *
+  * Served by the regular feather scan and both row-level scans. */
 private[graft] object GraftMetaColumns {
   val FileName = "_file"
+  val PosName = "_pos"
 
   val columns: Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = FileName
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.StringType
-      override def isNullable: Boolean = false
-      override def comment(): String =
-        "absolute path of the data file holding the row"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = FileName
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "absolute path of the data file holding the row"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = PosName
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "format-local row position inside the data file " +
+            "((recordBatch << 32) | rowInBatch)"
+      })
+
+  /** `_pos` splice request for a split — mirrors [[fileValue]]'s
+    * shadowing rule: a table-owned `_pos` (e.g. a hive partition named
+    * `_pos`) wins, because Spark hides a conflicting metadata column and
+    * the reference is then the data column. */
+  def posName(readSchema: StructType,
+              existing: Seq[(String, String)] = Seq.empty): Option[String] =
+    if (readSchema.fieldNames.contains(PosName) &&
+        !existing.exists(_._1 == PosName)) Some(PosName)
+    else None
 
   /** The (name, value) splice entry for a split of file `f` — empty when
     * the projected schema never asked for `_file`, and empty when the
@@ -123,9 +156,10 @@ private[graft] object GraftMetaColumns {
     else Seq.empty
 }
 
-private class FeatherCowScanBuilder(op: FeatherRowLevelOperation,
+private class FeatherCowScanBuilder(op: FeatherRowLevelHost,
                                     path: String, fullSchema: StructType,
-                                    maxSplitBytes: Long)
+                                    maxSplitBytes: Long,
+                                    batchSkip: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = fullSchema
@@ -145,18 +179,28 @@ private class FeatherCowScanBuilder(op: FeatherRowLevelOperation,
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     fileFilters
   override def build(): Scan =
-    new FeatherCowScan(op, required, path, maxSplitBytes, fileFilters.toSeq)
+    new FeatherCowScan(op, required, path, maxSplitBytes, fileFilters.toSeq,
+      batchSkip)
 }
 
-private class FeatherCowScan(op: FeatherRowLevelOperation,
+/** The row-level read shared by the COW and delta operations. With
+  * `batchSkip = false` (COW) pruning is WHOLE-FILE only — the group
+  * contract: a kept file's every batch must be read or rewritten rows
+  * would vanish. With `batchSkip = true` (delta) stats may drop batches
+  * INSIDE a kept file too: a delta write touches only the rows it is
+  * handed, untouched rows stay in place, and `_pos` coordinates are
+  * batch-absolute — skipping batches never shifts them. */
+private class FeatherCowScan(op: FeatherRowLevelHost,
                              readSchema0: StructType, path: String,
                              maxSplitBytes: Long,
-                             fileFilters: Seq[org.apache.spark.sql.sources.Filter])
+                             fileFilters: Seq[org.apache.spark.sql.sources.Filter],
+                             batchSkip: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = readSchema0
   override def description(): String =
-    s"graft COW scan `$path`" + (if (fileFilters.nonEmpty)
-      s", FileSkipFilters: ${fileFilters.mkString(", ")}" else "")
+    s"graft ${if (batchSkip) "delta" else "COW"} scan `$path`" +
+      (if (fileFilters.nonEmpty)
+        s", FileSkipFilters: ${fileFilters.mkString(", ")}" else "")
   override def toBatch: Batch = this
 
   // resolved ONCE per scan instance (memoized): the snapshot, the kept
@@ -196,8 +240,19 @@ private class FeatherCowScan(op: FeatherRowLevelOperation,
         graft.io.FeatherBloom.excludesFile(conf, abs, len, pointFilters)
     val candidates = disc.files.filterNot(l =>
       statsEmpty(l.file) || bloomExcluded(l.file, l.len))
-    val splits = GraftFeather.planReadFiles(spark,
+    val splits0 = GraftFeather.planReadFiles(spark,
       candidates.map(l => (l.file, l.len)), maxSplitBytes)._2
+    // delta mode may skip batches INSIDE kept files (positions are
+    // batch-absolute; untouched rows stay in place) — COW must not
+    val splits = if (!batchSkip) splits0 else splits0.flatMap {
+      case (f, len, idxs) =>
+        val keep = statsByFile.getOrElse(f, None) match {
+          case Some(stats) => idxs.filter(i => !(i < stats.size &&
+            FeatherStats.batchProvablyEmpty(stats(i), fileFilters)))
+          case None => idxs
+        }
+        if (keep.isEmpty) None else Some((f, len, keep))
+    }
     val batchesByFile: Map[String, Seq[Int]] =
       splits.groupBy(_._1).view.mapValues(_.flatMap(_._3)).toMap
     // a file the footer plan gives ZERO batches (schema stamps) can
@@ -210,9 +265,10 @@ private class FeatherCowScan(op: FeatherRowLevelOperation,
     val parts = splits.filter(s => keptAbs(s._1)).map { case (f, len, idxs) =>
       // partition values empty by construction (hive layouts are refused
       // upstream); `_file` splices per split exactly like a partition
-      // value; the DV binding rides every split of its file
+      // value; `_pos` rides per row; the DV binding rides every split
       FeatherInputPartition(f, len, idxs,
-        GraftMetaColumns.fileValue(readSchema0, f), dvByAbs.get(f))
+        GraftMetaColumns.fileValue(readSchema0, f), dvByAbs.get(f),
+        GraftMetaColumns.posName(readSchema0))
         : InputPartition
     }.toArray
     (state, parts)

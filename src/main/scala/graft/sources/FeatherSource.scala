@@ -529,9 +529,11 @@ private class FeatherScan(readSchema0: StructType, path: String,
       // `_file` metadata column: a per-split constant, spliced exactly
       // like the hive partition values (never decoded from the file);
       // a table-owned `_file` column wins (Spark hides the metadata
-      // column on conflict, so the reference is the data column)
+      // column on conflict, so the reference is the data column).
+      // `_pos` rides per row through the position-carrying decode.
       else Some(FeatherInputPartition(f, len, kept,
-        pv ++ GraftMetaColumns.fileValue(readSchema0, f, pv), dv))
+        pv ++ GraftMetaColumns.fileValue(readSchema0, f, pv), dv,
+        GraftMetaColumns.posName(readSchema0, pv)))
     }.toArray
   }
 
@@ -584,7 +586,8 @@ private class FeatherScan(readSchema0: StructType, path: String,
 private case class FeatherInputPartition(file: String, len: Long,
                                          batchIdxs: Seq[Int],
                                          partValues: Seq[(String, String)] = Nil,
-                                         dvPath: Option[String] = None)
+                                         dvPath: Option[String] = None,
+                                         posName: Option[String] = None)
     extends InputPartition
 
 // ---- snapshot-version streaming read ---------------------------------------
@@ -949,7 +952,7 @@ private class FeatherWriterFactory(
 /** The task-side writer shared by the batch and streaming factories: only
   * the tmp-file naming differs (streaming tags the epoch so a replayed
   * epoch's tmps never collide with a committed one's finals). */
-private object FeatherSourceWriters {
+private[sources] object FeatherSourceWriters {
   def dataWriter(st: StructType, path: String, tmpName: String,
                  codec: String, batchSize: Int, partitionId: Int,
                  confMap: org.apache.spark.broadcast.Broadcast[Map[String, String]])
@@ -1008,39 +1011,53 @@ private class FeatherReaderFactory(
           case (f, i) if partRaw.contains(f.name) =>
             i -> FeatherPartitions.castValue(partRaw(f.name), f.dataType)
         }.toMap
+      // `_pos` metadata column: per-ROW (unlike the per-split `_file`
+      // splice) — the decode switches to the position-carrying iterator
+      // and the splice injects each row's batch-absolute coordinate
+      private val posIdx: Int =
+        p.posName.map(readSchema.fieldIndex).getOrElse(-1)
       private val dataNames =
-        readSchema.fieldNames.filterNot(partRaw.contains).toSeq
+        readSchema.fieldNames.filterNot(n =>
+          partRaw.contains(n) || p.posName.contains(n)).toSeq
       // a throw AFTER the reader opened but BEFORE construction finishes
       // (missing column, corrupt footer) means Spark never gets a reader
       // to close() — release here or the fd + Arrow buffers leak per retry
-      private val all =
+      private val all: Iterator[(Long, org.apache.spark.sql.Row)] =
         try {
           // deletion vector: loaded once per split (executor-side, tiny
           // file), applied as a position filter inside the decode
           val dv = p.dvPath
             .map(graft.io.DeletionVectors.read(execConf, _)).orNull
-          GraftFeather.splitRows(
-            execConf, p.file, p.len, p.batchIdxs,
-            dataNames, r => open = Some(r), lenient = mergeSchema, dv = dv)
+          if (posIdx >= 0)
+            GraftFeather.splitRowsPos(
+              execConf, p.file, p.len, p.batchIdxs,
+              dataNames, r => open = Some(r), lenient = mergeSchema, dv = dv)
+          else
+            GraftFeather.splitRows(
+              execConf, p.file, p.len, p.batchIdxs,
+              dataNames, r => open = Some(r), lenient = mergeSchema, dv = dv)
+              .map((0L, _))
         } catch { case e: Throwable =>
           open.foreach(r => try r.close() catch { case _: Exception => () })
           throw e
         }
       private val rows = if (limit >= 0) all.take(limit) else all
       private var current: InternalRow = _
-      private def splice(dataRow: org.apache.spark.sql.Row)
+      private def splice(pos: Long, dataRow: org.apache.spark.sql.Row)
           : org.apache.spark.sql.Row =
-        if (partAt.isEmpty) dataRow
+        if (partAt.isEmpty && posIdx < 0) dataRow
         else {
           var di = 0
           org.apache.spark.sql.Row.fromSeq(
             readSchema.fields.indices.map { i =>
-              partAt.getOrElse(i, { val v = dataRow.get(di); di += 1; v })
+              if (i == posIdx) pos
+              else partAt.getOrElse(i, { val v = dataRow.get(di); di += 1; v })
             })
         }
       override def next(): Boolean =
         if (rows.hasNext) {
-          current = toInternal(splice(rows.next())).asInstanceOf[InternalRow]
+          val (pos, r) = rows.next()
+          current = toInternal(splice(pos, r)).asInstanceOf[InternalRow]
           true
         } else false
       override def get(): InternalRow = current

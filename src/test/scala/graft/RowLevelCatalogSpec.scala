@@ -142,12 +142,20 @@ class RowLevelCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("the graft_dv spelling runs the same catalog-only DML (group " +
-       "rewrite clears the replaced files' DV bindings)") {
+  test("the graft_dv spelling routes catalog-only DML through the DELTA " +
+       "rewrite: the new mask UNIONs with the existing DV binding") {
     // dvt carries a DV binding from the previous test; address it via
-    // the merge-on-read catalog name and DELETE — the group rewrite
-    // must keep masked rows deleted and drop the replaced binding
+    // the merge-on-read catalog name and DELETE — the delta rewrite
+    // must keep masked rows deleted, grow the vector by one position,
+    // and rewrite nothing
+    val before = snapOf("rl/dvt")
     plain.sql("DELETE FROM graft_dv.rl.dvt WHERE id = 7")
+    val after = snapOf("rl/dvt")
+    assert(after.files.toSet == before.files.toSet,
+      "graft_dv DELETE must not rewrite data files")
+    assert(after.dvs.values.map(_._2).sum ==
+      before.dvs.values.map(_._2).sum + 1,
+      s"one more masked position: ${before.dvs} -> ${after.dvs}")
     val rows = plain.sql("SELECT id FROM graft_dv.rl.dvt ORDER BY id")
       .collect().map(_.getLong(0)).toSeq
     assert(rows == (3L until 20L).filterNot(_ == 7L))
@@ -240,6 +248,116 @@ class RowLevelCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plain.sql(
       "SELECT count(*) FROM graft.rl.pr WHERE id BETWEEN 120 AND 130")
       .head().getLong(0) == 0L)
+  }
+
+  private def snapOf(rel: String) = {
+    val root = new org.apache.hadoop.fs.Path(s"$wh/$rel")
+    graft.sources.FeatherSnapshots.resolve(
+      root.getFileSystem(plain.sparkContext.hadoopConfiguration),
+      root, None).get
+  }
+
+  /** Data parts only — the CREATE stamp (zero rows) rides every manifest
+    * and is irrelevant to rewrite/DV accounting. */
+  private def dataFiles(s: graft.sources.FeatherSnapshots.Snapshot) =
+    s.files.map(_._1).filter(_.startsWith("part-")).toSet
+
+  test("graft_dv DELETE runs the DELTA rewrite: DV sidecars, ZERO data " +
+       "files rewritten, reads identical to the COW twin") {
+    for (t <- Seq("dvd", "cowd")) {
+      plain.sql(s"CREATE TABLE graft.rl.$t (id BIGINT, v DOUBLE) USING feather")
+      plain.sql(s"INSERT INTO graft.rl.$t SELECT id, CAST(id AS DOUBLE) " +
+        "AS v FROM range(0, 40, 1, 2)")
+    }
+    val before = snapOf("rl/dvd")
+    assert(before.dvs.isEmpty)
+    // scattered predicate (untranslatable %): no file prunes, both files
+    // lose rows — the delta path must BIND vectors, not rewrite groups
+    plain.sql("DELETE FROM graft_dv.rl.dvd WHERE id % 10 = 3")
+    plain.sql("DELETE FROM graft.rl.cowd WHERE id % 10 = 3")
+    val after = snapOf("rl/dvd")
+    assert(after.files.toSet == before.files.toSet,
+      "merge-on-read DELETE must rewrite ZERO data files (manifest " +
+        s"diff: ${before.files.toSet -- after.files.toSet} removed)")
+    assert(after.dvs.keySet == dataFiles(before),
+      s"both files lost rows, both need a DV binding: ${after.dvs}")
+    assert(after.version == before.version + 1)
+    // the COW twin rewrote its groups; contents must agree exactly
+    val dvRows = plain.sql("SELECT id, v FROM graft.rl.dvd ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val cowRows = plain.sql("SELECT id, v FROM graft.rl.cowd ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(dvRows == cowRows && dvRows.size == 36)
+    assert(dvRows.forall { case (id, _) => id % 10 != 3 })
+  }
+
+  test("graft_dv UPDATE masks the old rows and appends the new ones " +
+       "(delete half → DV, insert half → new part)") {
+    val before = snapOf("rl/dvd")
+    plain.sql("UPDATE graft_dv.rl.dvd SET v = v + 1000 WHERE id IN (5, 25)")
+    val after = snapOf("rl/dvd")
+    assert(before.files.map(_._1).toSet.subsetOf(after.files.map(_._1).toSet),
+      "UPDATE must not rewrite existing files")
+    val newParts = dataFiles(after) -- dataFiles(before)
+    assert(newParts.nonEmpty && newParts.size <= 2,
+      s"the insert half lands as new part(s), one per task: $newParts")
+    val rows = plain.sql("SELECT id, v FROM graft.rl.dvd ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.count { case (id, v) => v == id + 1000.0 } == 2)
+    assert(rows.length == 36, "row count unchanged by UPDATE")
+  }
+
+  test("graft_dv MERGE: matched rows mask+reinsert, NOT MATCHED rows " +
+       "insert — still zero rewrites of existing files") {
+    val before = snapOf("rl/dvd")
+    plain.sql("MERGE INTO graft_dv.rl.dvd t USING (SELECT id * 4 AS id, " +
+      "CAST(-1 AS DOUBLE) AS nv FROM range(0, 12)) s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s.nv " +
+      "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)")
+    val after = snapOf("rl/dvd")
+    assert(before.files.map(_._1).toSet.subsetOf(after.files.map(_._1).toSet))
+    val rows = plain.sql("SELECT id, v FROM graft.rl.dvd ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // source ids 0,4,..,44; the table held 36 ids (0..39 minus %10==3);
+    // every source id present afterwards with v = -1
+    for (sid <- 0L until 12L; id = sid * 4)
+      assert(rows.find(_._1 == id).exists(_._2 == -1.0), s"id=$id")
+    // a non-source survivor is untouched
+    assert(rows.find(_._1 == 1L).exists(_._2 == 1.0))
+  }
+
+  test("graft_dv DELETE that empties a file DROPS it from the manifest " +
+       "instead of binding a full-coverage vector") {
+    plain.sql("CREATE TABLE graft.rl.dvdrop (id BIGINT) USING feather")
+    for (lo <- Seq(0, 100))
+      plain.sql(s"INSERT INTO graft.rl.dvdrop SELECT id + $lo AS id " +
+        "FROM range(0, 50, 1, 1)")
+    val before = snapOf("rl/dvdrop")
+    assert(dataFiles(before).size == 2)
+    plain.sql("DELETE FROM graft_dv.rl.dvdrop WHERE id < 100")
+    val after = snapOf("rl/dvdrop")
+    assert(dataFiles(after).size == 1 && after.dvs.isEmpty,
+      s"the fully-deleted file must drop, the other carries no DV: " +
+        s"files=${after.files}, dvs=${after.dvs}")
+    assert(plain.sql("SELECT count(*), min(id) FROM graft.rl.dvdrop")
+      .head().toSeq == Seq(50L, 100L))
+  }
+
+  test("graft_dv no-match DELETE publishes NO version (delta parity " +
+       "with the COW contract)") {
+    val v = versionOf("graft_dv.rl.dvdrop")
+    plain.sql("DELETE FROM graft_dv.rl.dvdrop WHERE id = -5")
+    assert(versionOf("graft_dv.rl.dvdrop") == v)
+  }
+
+  test("SELECT _pos/_file metadata columns serve the stable row id") {
+    val rows = plain.sql("SELECT _file, _pos, id FROM graft.rl.dvdrop " +
+      "ORDER BY _pos").collect()
+    assert(rows.length == 50)
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).distinct.length
+      == 50, "(_file, _pos) must be unique per row")
+    // batch-absolute encoding: positions within one batch are contiguous
+    assert(rows.head.getLong(1) == 0L)
   }
 
   test("concurrent mutation of a read file aborts the row-level commit") {
