@@ -559,14 +559,14 @@ private[graft] class GraftTable(
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
 
-  /** `_file` — the feather scan serves it as a per-split constant (the
-    * row-level rewrite plans require it; `SELECT _file FROM graft.t`
-    * gets it too). Faces without the serving scan declare none, so the
-    * reference stays an analysis error instead of a decode failure. */
+  /** `_file` (per-split constant) and `_pos` (per-row format-local
+    * position) — the engine's stable row id, served by EVERY face's
+    * batch scan (feather/avro connectors splice them; the parquet face
+    * reads through the generic [[graft.sources.FaceScanBuilder]] which
+    * does the same) and required by the row-level rewrite plans. */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    if (face == "feather") graft.sources.GraftMetaColumns.columns
-    else Array.empty
+    graft.sources.GraftMetaColumns.columns
 
   override def name(): String = ident
 
@@ -631,11 +631,18 @@ private[graft] class GraftTable(
     delegate match {
       case Some(t: org.apache.spark.sql.connector.catalog.SupportsRead) =>
         t.newScanBuilder(options)
-      case _ => throw new UnsupportedOperationException(
-        s"$ident: the $face face has no DSv2 scan delegate — batch " +
-          "reads resolve through the graft session extensions, and " +
-          "parquet-face streaming rides the face-agnostic " +
-          "spark.readStream.format(\"feather-cdf\") source")
+      case _ =>
+        // faces without a DSv2 connector (parquet) read through the
+        // generic ConnectorFace scan: whole-file partitions, partition/
+        // stats/bloom file skipping, DV-aware, `_file`/`_pos` served. A
+        // graft session never reaches here for batch reads (the
+        // extension rules lower them onto the vectorized engine scan);
+        // this is the catalog-only interop path.
+        // pinnedVersion only: an unpinned handle resolves the HEAD at
+        // scan time, exactly like the connector delegates
+        new graft.sources.FaceScanBuilder(None,
+          graft.io.ConnectorFace.byLabel(face), path, schema(), partSchema,
+          pinnedVersion)
     }
 
   /** Streaming sinks (and catalog-only batch writes) delegate like the
@@ -767,37 +774,34 @@ private[graft] class GraftRowLevelTable(
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
-    def refuse(msg: String): Nothing =
-      throw new UnsupportedOperationException(
-        s"$ident: ${info.command()} $msg")
     if (pinnedVersion.isDefined)
-      refuse("on a time-travel-pinned table — pinned snapshots are " +
-        "read-only; address the table without VERSION/TIMESTAMP AS OF")
-    if (face != "feather")
-      refuse(s"through the catalog-only rewrite requires the feather " +
-        s"face (this table is $face) — run the statement in a graft " +
-        "session (spark.sql.extensions=graft.extensions.GraftExtensions)" +
-        ", whose DML engine serves every face")
-    if (partCols.nonEmpty)
-      refuse("on a hive-partitioned table through the catalog-only " +
-        "rewrite — the group-based writer emits flat parts and cannot " +
-        "route rows into key=value leaves; run the statement in a graft " +
-        "session (spark.sql.extensions=graft.extensions.GraftExtensions)" +
-        ", whose DML engine routes partitioned rewrites")
+      throw new UnsupportedOperationException(
+        s"$ident: ${info.command()} on a time-travel-pinned table — " +
+          "pinned snapshots are read-only; address the table without " +
+          "VERSION/TIMESTAMP AS OF")
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       // the catalog NAME picks the strategy, exactly like the engine's
       // path spellings: graft = group-based copy-on-write rewrite,
       // graft_dv = delta rewrite producing deletion-vector sidecars
       // (bytes ∝ deleted rows — the merge-on-read parity the graft_dv
-      // spelling promises)
+      // spelling promises). Flat feather tables take the feather-native
+      // operations (split scans, direct part writes); every other
+      // face/layout takes the ConnectorFace-generic pair (whole-file
+      // scans, tmp-feather tasks converted to face parts at commit,
+      // hive rows routed to their key=value leaves).
       override def build()
           : org.apache.spark.sql.connector.write.RowLevelOperation =
-        if (dvFace)
-          new graft.sources.FeatherDeltaOperation(
-            info.command(), path, schema(), 128L << 20)
-        else
-          new graft.sources.FeatherRowLevelOperation(
-            info.command(), path, schema(), 128L << 20)
+        if (face == "feather" && partCols.isEmpty) {
+          if (dvFace)
+            new graft.sources.FeatherDeltaOperation(
+              info.command(), path, schema(), 128L << 20)
+          else
+            new graft.sources.FeatherRowLevelOperation(
+              info.command(), path, schema(), 128L << 20)
+        } else
+          graft.sources.FaceRowLevel.operation(info.command(), path,
+            graft.io.ConnectorFace.byLabel(face), dataSchema, partCols,
+            partSchema, delta = dvFace)
     }
   }
 }

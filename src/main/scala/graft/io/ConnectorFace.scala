@@ -96,6 +96,16 @@ private[graft] object ConnectorFace {
     filled.select(schema.fieldNames.map(col).toSeq: _*)
   }
 
+  /** Label → face object (the catalog's Table handle carries the label
+    * string; the generic scans/writes need the adapter back). */
+  def byLabel(label: String): ConnectorFace = label match {
+    case "feather" => FeatherFace
+    case "parquet" => ParquetFace
+    case "avro" => AvroFace
+    case other => throw new IllegalArgumentException(
+      s"no connector face for format '$other'")
+  }
+
   /** Detect the face from a manifest's relative part paths; loud on a
     * mixed-format manifest (no maintenance semantics exist for it). */
   def detect(files: Seq[(String, Long)], op: String,

@@ -758,7 +758,7 @@ object FeatherMutations {
     * the (rel path, len) entries for the manifest. ONE definition —
     * this loop existed in four copies before r14, the same drift class
     * hiveLayout was extracted for. */
-  private[io] def stampLeaves(face: ConnectorFace,
+  private[graft] def stampLeaves(face: ConnectorFace,
                               fs: org.apache.hadoop.fs.FileSystem,
                               root: Path, relPaths: Seq[String],
                               prefix: String, schema: StructType)
@@ -784,7 +784,7 @@ object FeatherMutations {
     * (whose routed output carries every candidate row, not just the
     * changed ones — one part per rewritten input keeps part counts
     * stable, the same rule `mutate`'s flat rewrite applies). */
-  private[io] def routePartitionedInserts(op: String, face: ConnectorFace,
+  private[graft] def routePartitionedInserts(op: String, face: ConnectorFace,
                                       fs: org.apache.hadoop.fs.FileSystem,
                                       root: Path, src0: DataFrame,
                                       partCols: Seq[String],

@@ -546,7 +546,12 @@ private class AvroScan(readSchema0: StructType, path: String,
   override def planInputPartitions(): Array[InputPartition] =
     if (surviving.isEmpty) Array.empty
     else plan._3.map { case (f, s, e, pv, dv) =>
-      AvroInputPartition(f, s, e, pv, dv)
+      // `_file` splices as a per-split constant, `_pos` per row (block
+      // coordinates are byte-offset-absolute, so any split plan yields
+      // the same row ids) — the feather connector's metadata contract
+      AvroInputPartition(f, s, e,
+        pv ++ GraftMetaColumns.fileValue(readSchema0, f, pv), dv,
+        GraftMetaColumns.posName(readSchema0, pv))
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -700,7 +705,8 @@ private class AvroSnapshotStream(readSchema: StructType, path: String,
 
 private case class AvroInputPartition(file: String, start: Long, end: Long,
                                       partValues: Seq[(String, String)] = Nil,
-                                      dvPath: Option[String] = None)
+                                      dvPath: Option[String] = None,
+                                      posName: Option[String] = None)
     extends InputPartition
 
 private class AvroReaderFactory(
@@ -726,39 +732,51 @@ private class AvroReaderFactory(
           case (f, i) if partRaw.contains(f.name) =>
             i -> FeatherPartitions.castValue(partRaw(f.name), f.dataType)
         }.toMap
+      private val posIdx: Int =
+        p.posName.map(readSchema.fieldIndex).getOrElse(-1)
       private val dataNames =
-        readSchema.fieldNames.filterNot(partRaw.contains).toSeq
+        readSchema.fieldNames.filterNot(n =>
+          partRaw.contains(n) || p.posName.contains(n)).toSeq
       // release a half-constructed reader (schema-resolution throw) —
       // Spark only close()es readers whose construction succeeded
-      private val all =
+      private val all: Iterator[(Long, org.apache.spark.sql.Row)] =
         try {
           // deletion vector: loaded once per split (tiny file), applied
           // as a position filter on the block-relative row coordinates
           val dv = p.dvPath
             .map(graft.io.DeletionVectors.read(execConf, _)).orNull
-          GraftAvro.splitRows(
-            execConf, schemaJson, p.file, p.start, p.end,
-            Some(dataNames), // Some(Nil) = count(*) shape
-            r => open = Some(r), _ => open = None, dv = dv)
+          if (posIdx >= 0)
+            GraftAvro.splitRowsPos(
+              execConf, schemaJson, p.file, p.start, p.end,
+              Some(dataNames),
+              r => open = Some(r), _ => open = None, dv = dv)
+          else
+            GraftAvro.splitRows(
+              execConf, schemaJson, p.file, p.start, p.end,
+              Some(dataNames), // Some(Nil) = count(*) shape
+              r => open = Some(r), _ => open = None, dv = dv)
+              .map((0L, _))
         } catch { case e: Throwable =>
           open.foreach(r => try r.close() catch { case _: Exception => () })
           throw e
         }
       private val rows = if (limit >= 0) all.take(limit) else all
       private var current: InternalRow = _
-      private def splice(dataRow: org.apache.spark.sql.Row)
+      private def splice(pos: Long, dataRow: org.apache.spark.sql.Row)
           : org.apache.spark.sql.Row =
-        if (partAt.isEmpty) dataRow
+        if (partAt.isEmpty && posIdx < 0) dataRow
         else {
           var di = 0
           org.apache.spark.sql.Row.fromSeq(
             readSchema.fields.indices.map { i =>
-              partAt.getOrElse(i, { val v = dataRow.get(di); di += 1; v })
+              if (i == posIdx) pos
+              else partAt.getOrElse(i, { val v = dataRow.get(di); di += 1; v })
             })
         }
       override def next(): Boolean =
         if (rows.hasNext) {
-          current = toInternal(splice(rows.next())).asInstanceOf[InternalRow]
+          val (pos, r) = rows.next()
+          current = toInternal(splice(pos, r)).asInstanceOf[InternalRow]
           true
         } else false
       override def get(): InternalRow = current

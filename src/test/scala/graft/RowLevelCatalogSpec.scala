@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+
+import graft.io.GraftAvro
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -191,35 +193,102 @@ class RowLevelCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a no-op MERGE must be replay-clean (no version published)")
   }
 
-  test("refusals: hive-partitioned and non-feather faces point at a graft session") {
-    // a partitioned FEATHER table is built leaf-by-leaf and adopted (the
-    // no-rewrite migration path — feather-face partitioned CTAS refuses)
+  test("parquet face, catalog-only: generic batch reads by name + COW " +
+       "DELETE/UPDATE (the r17 refusal, now served)") {
+    val pq = s"$wh/rl/pq"
+    TestSpark.spark.range(0, 30).selectExpr("id", "id * 2 AS v")
+      .coalesce(2).write.parquet(pq)
+    graft.io.TableDdl.repairTable(TestSpark.spark, pq): Unit
+    // the parquet face has no DSv2 delegate — this read runs through the
+    // generic ConnectorFace scan (r17: UnsupportedOperationException)
+    assert(plain.sql("SELECT count(*) FROM graft.rl.pq").head().getLong(0)
+      == 30L)
+    plain.sql("DELETE FROM graft.rl.pq WHERE id % 3 = 0")
+    plain.sql("UPDATE graft.rl.pq SET v = -1 WHERE id = 1")
+    val rows = plain.sql("SELECT id, v FROM graft.rl.pq ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 20 && rows.forall(_._1 % 3 != 0))
+    assert(rows.forall { case (id, v) => v == (if (id == 1) -1L else id * 2) })
+    // still a parquet-face table: every part the rewrite landed is .parquet
+    assert(snapOf("rl/pq").files.forall(_._1.endsWith(".parquet")),
+      s"rewrite must stay on the table's own face: ${snapOf("rl/pq").files}")
+  }
+
+  test("parquet face, graft_dv: delta DELETE binds a DV, rewrites nothing") {
+    val pq = s"$wh/rl/pqdv"
+    TestSpark.spark.range(0, 25).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .coalesce(1).write.parquet(pq)
+    graft.io.TableDdl.repairTable(TestSpark.spark, pq): Unit
+    val before = snapOf("rl/pqdv")
+    plain.sql("DELETE FROM graft_dv.rl.pqdv WHERE id % 5 = 2")
+    val after = snapOf("rl/pqdv")
+    assert(after.files.toSet == before.files.toSet,
+      "parquet delta DELETE must rewrite zero files")
+    assert(after.dvs.values.map(_._2).sum == 5L, s"5 masked: ${after.dvs}")
+    assert(plain.sql("SELECT count(*) FROM graft_dv.rl.pqdv")
+      .head().getLong(0) == 20L)
+    // the graft-session engine read agrees (DV bindings are face-shared)
+    assert(graft.io.ParquetTable.read(TestSpark.spark, pq).count() == 20L)
+  }
+
+  test("avro face, catalog-only: COW MERGE updates + inserts on the " +
+       "avro connector's own parts") {
+    val av = s"$wh/rl/av"
+    GraftAvro.write(TestSpark.spark.range(0, 10)
+      .selectExpr("id", "CAST(id AS DOUBLE) AS v"), av, overwrite = true)
+    graft.io.TableDdl.repairTable(TestSpark.spark, av): Unit
+    plain.sql("MERGE INTO graft.rl.av t USING (SELECT id * 2 AS id, " +
+      "CAST(-1 AS DOUBLE) AS nv FROM range(0, 8)) s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s.nv " +
+      "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)")
+    val rows = plain.sql("SELECT id, v FROM graft.rl.av ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val src = (0L until 8L).map(_ * 2).toSet
+    assert(rows.map(_._1).toSet == ((0L until 10L).toSet ++ src))
+    assert(rows.forall { case (id, v) =>
+      if (src(id)) v == -1.0 else v == id.toDouble })
+    assert(snapOf("rl/av").files.forall(_._1.endsWith(".avro")))
+  }
+
+  test("hive-partitioned feather table, catalog-only: partition-pruned " +
+       "COW DELETE keeps untouched leaves verbatim (manifest diff)") {
     val partPath = s"$wh/rl/part"
-    for (k <- Seq("k0", "k1"))
+    for (k <- Seq(0, 1))
       graft.io.GraftFeather.write(
-        TestSpark.spark.range(0, 8).filter(s"id % 2 = ${k.drop(1)}")
+        TestSpark.spark.range(0, 8).filter(s"id % 2 = $k")
           .selectExpr("id").repartition(1),
         s"$partPath/k=$k", overwrite = true)
     graft.sources.FeatherSnapshots.adopt(
       new org.apache.hadoop.fs.Path(partPath).getFileSystem(
         TestSpark.spark.sparkContext.hadoopConfiguration),
       new org.apache.hadoop.fs.Path(partPath)): Unit
-    val e1 = intercept[Exception] {
-      plain.sql("DELETE FROM graft.rl.part WHERE id = 1")
-    }
-    assert(e1.getMessage.contains("graft session"),
-      s"partitioned refusal must point at the graft session: ${e1.getMessage}")
-    // a parquet-face table (adopted) refuses with face guidance
-    val pq = s"$wh/rl/pq"
-    TestSpark.spark.range(0, 5).selectExpr("id", "id * 2 AS v")
-      .write.parquet(pq)
-    graft.io.TableDdl.repairTable(TestSpark.spark, pq): Unit
-    val e2 = intercept[Exception] {
-      plain.sql("DELETE FROM graft.rl.pq WHERE id = 1")
-    }
-    assert(e2.getMessage.contains("feather face") &&
-      e2.getMessage.contains("graft session"),
-      s"face refusal must carry guidance: ${e2.getMessage}")
+    val before = snapOf("rl/part")
+    // k is a PARTITION column: the k=0 leaf must prune, its file must
+    // carry through the manifest by name (r17: refused outright)
+    plain.sql("DELETE FROM graft.rl.part WHERE k = 1 AND id = 1")
+    val after = snapOf("rl/part")
+    val k0 = before.files.map(_._1).filter(_.startsWith("k=0/"))
+    assert(k0.nonEmpty && k0.forall(after.files.map(_._1).contains),
+      s"pruned leaf k=0 must survive verbatim: ${after.files}")
+    assert(!after.files.map(_._1).exists(before.files.map(_._1)
+      .filter(_.startsWith("k=1/")).contains),
+      "the touched k=1 leaf must be rewritten")
+    val rows = plain.sql("SELECT k, id FROM graft.rl.part ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._2).toSeq == Seq(0L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(rows.forall { case (k, id) => id % 2 == k })
+  }
+
+  test("hive-partitioned UPDATE that changes the partition column MOVES " +
+       "the row between leaves inside one commit") {
+    plain.sql("UPDATE graft.rl.part SET k = 0 WHERE id = 3")
+    val rows = plain.sql("SELECT k, id FROM graft.rl.part ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.contains((0L, 3L)), s"id=3 must now live in k=0: ${rows.toSeq}")
+    assert(rows.length == 7)
+    // the moved row physically lives under the k=0 leaf
+    assert(plain.sql("SELECT _file FROM graft.rl.part WHERE id = 3")
+      .head().getString(0).contains("k=0"))
   }
 
   test("file-level pruning: a narrow DELETE rewrites ONLY the files its " +
