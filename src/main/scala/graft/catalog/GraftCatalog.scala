@@ -289,18 +289,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     def bad(msg: String): Nothing = throw new IllegalArgumentException(
       s"$op $catalogName.$ident: $msg")
     validateTableClauses(op, ident, properties.asScala.toMap, bad)
-    if (partitions.nonEmpty)
-      bad(s"PARTITIONED BY — the staged writer emits flat parts and " +
-        "cannot route rows into key=value leaves; run the statement in " +
-        "a graft session (spark.sql.extensions=" +
-        "graft.extensions.GraftExtensions) or adopt a hive layout")
-    properties.asScala.get(TableCatalog.PROP_PROVIDER)
-      .map(_.toLowerCase(java.util.Locale.ROOT))
-      .filterNot(p => p == "feather")
-      .foreach(p => bad(s"USING $p — the staged CREATE/REPLACE writer " +
-        "serves the feather face only; run the statement in a graft " +
-        "session (spark.sql.extensions=graft.extensions.GraftExtensions)" +
-        " for the parquet/avro faces"))
+    // identity transforms only — same rule as the non-staged CREATE;
+    // the staged publish routes rows into key=value leaves through the
+    // engine's own CTAS lowering (parquet face), so PARTITIONED BY no
+    // longer refuses outright
+    val partCols = partitions.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1 =>
+        t.references.head.fieldNames.head
+      case t => bad(s"PARTITIONED BY ${t.describe()} — only plain " +
+        "column partitioning maps onto the hive key=value layout")
+    }
     val exists = tableExists(ident)
     if (requireExists && !exists) throw new NoSuchTableException(ident)
     if (!replaceExisting && exists)
@@ -316,7 +315,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "directories")
     }
     new graft.sources.FeatherStagedTable(path, s"$catalogName.$ident",
-      schema, replaceExisting)
+      schema, partCols.toSeq,
+      properties.asScala.get(TableCatalog.PROP_PROVIDER),
+      replaceExisting, orCreate = !requireExists)
   }
 
   /** The clause refusals shared by CREATE and the staged CREATE/REPLACE

@@ -5,45 +5,58 @@ import org.apache.spark.sql.connector.catalog.{StagedTable, SupportsWrite, Table
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.StructType
 
-import graft.io.ConnectorFace
+import graft.io.{GraftFeather, TableDdl}
 
 /** The STAGED table behind `StagingTableCatalog` — what gives a
   * catalog-only session atomic `CREATE OR REPLACE TABLE [AS SELECT]`,
-  * `REPLACE TABLE`, and atomic CTAS by name (graft sessions reach the
-  * identical manifest commit through the extension rules'
-  * `TableDdl.replaceTable` lowering instead).
+  * `REPLACE TABLE`, and atomic CTAS by name, on EVERY face and (for
+  * parquet CTAS) partitioned layouts.
   *
   * Protocol: Spark stages the table, writes the query through
-  * [[newWriteBuilder]] (tasks land tmp parts; the DSv2 write's commit
-  * renames them to gen-tagged finals and stashes the names HERE — it
-  * publishes nothing), then calls [[commitStagedChanges]], which
-  * publishes ONE manifest version:
+  * [[newWriteBuilder]] (tasks land hidden TMP FEATHER parts — the
+  * engine's universal task-side row writer — visible to nobody), then
+  * calls [[commitStagedChanges]], which reads the tmp parts back as one
+  * frame and hands the publish to the ENGINE's own DDL lowering —
+  * [[TableDdl.createTableAs]] / [[TableDdl.createTable]] /
+  * [[TableDdl.replaceTable]] — so a catalog-only statement gets exactly
+  * the graft session's semantics: face-dispatched final parts (USING
+  * feather/parquet/avro), partitioned-CTAS leaf routing (parquet face),
+  * schema stamps for empty results, prior versions time-travelable with
+  * RESTORE undoing a replace, and the strictest conflict contract in the
+  * tier (replace commits with the FULL read set + requireNoNewFiles —
+  * ANY concurrent commit aborts; a racing CREATE loses at the
+  * manifest's exactly-once v1 / the fresh-directory check).
   *
-  *  - table exists → a `replace` mutation removing every current file
-  *    and adding the staged parts (schema stamp when none). Prior
-  *    versions stay time-travelable; RESTORE undoes the replace. The
-  *    conflict contract is the strictest in the tier: the commit runs
-  *    with the FULL read set and `requireNoNewFiles` — a replace's
-  *    output doesn't depend on the old content, but a concurrent blind
-  *    append must not leak its file into the replaced table, so ANY
-  *    concurrent commit aborts.
-  *  - table absent (CREATE / CREATE OR REPLACE) → the v1 publish the
-  *    append sink uses; a racing creator loses at the manifest's
-  *    exactly-once v1 commit.
+  * Cost honesty: the staged rows are written twice (tmp feather, then
+  * the face parts) — bytes ∝ the statement's own output, one extra
+  * conversion pass per STATEMENT.
   *
-  * [[abortStagedChanges]] deletes the staged parts and their sidecars —
-  * un-manifested files were never visible to readers. */
+  * [[abortStagedChanges]] (and any publish failure) deletes the tmp
+  * parts — un-manifested files were never visible to readers. */
 private[graft] class FeatherStagedTable(path: String, identName: String,
                                         tableSchema: StructType,
-                                        replaceExisting: Boolean)
+                                        partCols: Seq[String],
+                                        provider: Option[String],
+                                        replaceExisting: Boolean,
+                                        orCreate: Boolean)
     extends StagedTable with SupportsWrite {
 
-  // the staged write's finalized parts (name → bytes + batch stats),
-  // pending the ONE manifest publish; the merged-stats fold is deferred
-  // to commitStagedChanges so a failed/raced publish strands no cache
-  // entries for parts that were never visible
-  private[sources] val staged = scala.collection.mutable.LinkedHashMap
-    .empty[String, (Long, Seq[Map[String, graft.io.FeatherStats.ColStat]])]
+  // the staged write's TMP part messages, pending the one publish; the
+  // buffer clears when a (retried) batch write creates a new factory
+  private[sources] val staged =
+    scala.collection.mutable.ArrayBuffer.empty[FeatherCommitMessage]
+
+  /** Tmp parts live in a HIDDEN SIBLING directory (same filesystem — a
+    * cluster's tasks need a shared landing zone), never in the target:
+    * a staged CREATE must find the target directory exactly as fresh as
+    * the engine's own fresh-directory guard demands. */
+  private val stagingDir: String = {
+    val t = new org.apache.hadoop.fs.Path(path)
+    new org.apache.hadoop.fs.Path(
+      Option(t.getParent).getOrElse(t),
+      s".${t.getName}-staged-${java.util.UUID.randomUUID().toString.take(8)}"
+    ).toString
+  }
 
   override def name(): String = identName
   override def schema(): StructType = tableSchema
@@ -52,71 +65,62 @@ private[graft] class FeatherStagedTable(path: String, identName: String,
       TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new FeatherStagedWrite(info.schema(), path, staged)
+    new FeatherStagedWrite(info.schema(), stagingDir, staged)
 
   override def commitStagedChanges(): Unit = {
     val spark = SparkSession.active
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val exists = FeatherSnapshots.enabled(fs, root)
-    if (exists && !replaceExisting)
-      throw new IllegalStateException(
-        s"CREATE TABLE $identName: a concurrent committer created the " +
-          "table while this CTAS was staging — nothing was published; " +
-          "re-run (or use CREATE OR REPLACE)")
-    def stamp(prefix: String): (String, Long) =
-      ConnectorFace.FeatherFace.stamp(fs, root, prefix, tableSchema)
-    val parts = staged.toSeq.map { case (n, (len, _)) => (n, len) }
+    val msgs = staged.synchronized { staged.toSeq }
     try {
-      if (exists) {
-        val snap = FeatherSnapshots.resolve(fs, root, None).get
-        val added =
-          if (parts.nonEmpty) parts
-          else Seq(stamp(FeatherSnapshots.runPrefix(snap.version + 1, "rep-")))
-        FeatherSnapshots.commitMutation(fs, root, "replace", snap,
-          removeRel = snap.files.map(_._1).toSet, add = added,
-          readRel = Some(snap.files.map(_._1).toSet),
-          requireNoNewFiles = true): Unit
-      } else {
-        // v1 creation: the append sink's publish protocol (exactly-once
-        // v1 — a racing creator's publish loses the manifest commit)
-        fs.mkdirs(root): Unit
-        FeatherSnapshots.publishDataCommit(fs, root, truncate = false,
-          FeatherSnapshots.FeatherSuffixes, parts,
-          stampPart = () => stamp(FeatherSnapshots.runPrefix(1L, "create-"))
-        ): Unit
+      // zero-batch tmps are zero-row tasks' residue; with NO rows staged
+      // at all the statement is schema-only (plain REPLACE TABLE, or a
+      // CTAS whose query planned zero tasks)
+      val dataTmps = msgs.filter(m =>
+        graft.io.FeatherStats.fromJson(m.statsJson).nonEmpty)
+      val query = if (dataTmps.isEmpty) None else Some(
+        GraftFeather.readFiles(spark, dataTmps.map(m =>
+          (new org.apache.hadoop.fs.Path(stagingDir, m.tmpName).toString,
+            m.bytes))))
+      if (replaceExisting)
+        // replaceTable handles the table-vanished-since-staging race
+        // itself: orCreate falls back to CREATE, plain REPLACE refuses
+        TableDdl.replaceTable(spark, path, query.toRight(tableSchema),
+          provider, partCols, orCreate): Unit
+      else query match {
+        case Some(q) =>
+          TableDdl.createTableAs(spark, path, q, provider, partCols,
+            ifNotExists = false): Unit
+        case None =>
+          TableDdl.createTable(spark, path, tableSchema, provider,
+            partCols, ifNotExists = false): Unit
       }
-    } catch { case e: Throwable =>
-      // a lost replace conflict / CREATE race published nothing — delete
-      // the staged parts and sidecars instead of stranding them (in the
-      // race case, inside a directory the WINNING creator now owns)
+    } finally
+      // the tmp parts served their purpose (or the publish refused /
+      // lost its race) — they were never visible; delete either way
       abortStagedChanges()
-      throw e
-    }
-    // merged-stats fold only after the ONE successful publish (planning
-    // cache; per-part sidecars already cover readers)
-    graft.io.FeatherStats.upsertMerged(fs, root, staged.toMap)
   }
 
   override def abortStagedChanges(): Unit = {
     val spark = SparkSession.active
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    FeatherDsvWrites.deleteFinalized(fs, path, staged.keys.toSeq)
+    val sd = new org.apache.hadoop.fs.Path(stagingDir)
+    val fs = sd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try fs.delete(sd, true) catch { case _: Exception => () }
+    ()
   }
 }
 
-/** The staged table's DSv2 write: same task-side part writers as the
-  * append sink; `commit` only FINALIZES (rename + per-part sidecars)
-  * and stashes the parts on the staged table — visibility AND the
-  * merged-stats fold belong to commitStagedChanges' single publish. */
+/** The staged table's DSv2 write: the engine's universal tmp-feather
+  * task writers; `commit` only STASHES the tmp messages on the staged
+  * table — every rename/conversion/publish belongs to
+  * commitStagedChanges' single engine-DDL call. */
 private class FeatherStagedWrite(
     st: StructType, path: String,
-    staged: scala.collection.mutable.LinkedHashMap[
-      String, (Long, Seq[Map[String, graft.io.FeatherStats.ColStat]])])
+    staged: scala.collection.mutable.ArrayBuffer[FeatherCommitMessage])
     extends WriteBuilder with Write with BatchWrite
     with org.apache.spark.sql.connector.write.SupportsTruncate {
-  // fail on unmappable schemas BEFORE tasks launch (the append sink's rule)
+  // fail on unmappable schemas BEFORE tasks launch (the tmp parts must
+  // round-trip every column)
   st.fields.foreach(f =>
     graft.io.GraftFeather.toArrowField(f.name, f.dataType, f.nullable))
 
@@ -134,26 +138,22 @@ private class FeatherStagedWrite(
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(root): Unit
     // retry-idempotence: a re-run batch write (new factory) must not
-    // double-publish a previous attempt's finalized names
+    // double-publish a previous attempt's parts
     staged.synchronized { staged.clear() }
     new FeatherWriterFactory(st, path, "lz4", 4096,
       graft.io.GraftHadoop.confBroadcast(spark))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val spark = SparkSession.active
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = messages.collect { case m: FeatherCommitMessage => m }
-    val renamed = FeatherDsvWrites.renameParts(fs, path, committed.toSeq)
-    staged.synchronized { staged ++= renamed }
+    staged.synchronized { staged ++= committed }
     ()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     messages.collect { case m: FeatherCommitMessage => m }.foreach { m =>
       try fs.delete(new org.apache.hadoop.fs.Path(path, m.tmpName), false)
       catch { case _: Exception => () }

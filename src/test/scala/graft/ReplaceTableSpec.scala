@@ -96,6 +96,67 @@ class ReplaceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("DROP TABLE"), e.getMessage)
   }
 
+  test("catalog-only session: staged CTAS on the parquet/avro faces and " +
+       "partitioned parquet CTAS route through the engine's DDL lowering") {
+    val plain = org.apache.spark.sql.graft.Bridge.sessionWithoutExtensions(
+      TestSpark.spark, Map(
+        "spark.sql.shuffle.partitions" -> "4",
+        "spark.sql.session.timeZone" -> "UTC",
+        "spark.sql.catalog.graft" -> "graft.catalog.GraftCatalog",
+        "spark.sql.catalog.graft.warehouse" -> wh))
+    SparkSession.setActiveSession(plain)
+    SparkSession.setDefaultSession(plain)
+    try {
+      // USING parquet: final parts are parquet (r17: feather-only refusal)
+      plain.sql("CREATE TABLE graft.stg_pq USING parquet " +
+        "AS SELECT id, id * 2 AS v FROM range(6)")
+      val fs = new org.apache.hadoop.fs.Path(wh).getFileSystem(
+        plain.sparkContext.hadoopConfiguration)
+      val pqSnap = graft.sources.FeatherSnapshots.resolve(fs,
+        new org.apache.hadoop.fs.Path(s"$wh/stg_pq"), None).get
+      assert(pqSnap.files.nonEmpty &&
+        pqSnap.files.forall(_._1.endsWith(".parquet")), s"${pqSnap.files}")
+      assert(plain.sql("SELECT sum(v) FROM graft.stg_pq")
+        .head().getLong(0) == 30L)
+      // USING avro (graft-avro spelling works too)
+      plain.sql("CREATE TABLE graft.stg_av USING avro " +
+        "AS SELECT id FROM range(3)")
+      assert(graft.sources.FeatherSnapshots.resolve(fs,
+        new org.apache.hadoop.fs.Path(s"$wh/stg_av"), None).get
+        .files.forall(_._1.endsWith(".avro")))
+      assert(plain.sql("SELECT count(*) FROM graft.stg_av")
+        .head().getLong(0) == 3L)
+      // partitioned CTAS (parquet face): rows route to key=value leaves
+      plain.sql("CREATE TABLE graft.stg_part USING parquet " +
+        "PARTITIONED BY (k) AS SELECT id, id % 2 AS k FROM range(8)")
+      val partSnap = graft.sources.FeatherSnapshots.resolve(fs,
+        new org.apache.hadoop.fs.Path(s"$wh/stg_part"), None).get
+      assert(partSnap.files.map(_._1).forall(f =>
+        f.startsWith("k=0/") || f.startsWith("k=1/")), s"${partSnap.files}")
+      // the layout serves partition pruning + SHOW PARTITIONS
+      assert(plain.sql("SELECT count(*) FROM graft.stg_part WHERE k = 1")
+        .head().getLong(0) == 4L)
+      assert(plain.sql("SHOW PARTITIONS graft.stg_part").count() == 2L)
+      // staged REPLACE can change the face in one atomic commit
+      plain.sql("CREATE OR REPLACE TABLE graft.stg_pq USING feather " +
+        "AS SELECT concat('d', id) AS doc FROM range(2)")
+      assert(graft.sources.FeatherSnapshots.resolve(fs,
+        new org.apache.hadoop.fs.Path(s"$wh/stg_pq"), None).get
+        .files.forall(_._1.endsWith(".feather")))
+      assert(plain.sql("SELECT count(*) FROM graft.stg_pq " +
+        "VERSION AS OF 1").head().getLong(0) == 6L)
+      // partitioned CTAS keeps the engine's face rule (feather → adopt)
+      val e = intercept[Exception] {
+        plain.sql("CREATE TABLE graft.stg_bad USING feather " +
+          "PARTITIONED BY (k) AS SELECT id, id % 2 AS k FROM range(4)")
+      }
+      assert(e.getMessage.contains("parquet-face only"), e.getMessage)
+    } finally {
+      SparkSession.setActiveSession(TestSpark.spark)
+      SparkSession.setDefaultSession(TestSpark.spark)
+    }
+  }
+
   test("catalog-only session: staged CREATE OR REPLACE, atomic CTAS, " +
        "REPLACE-missing refusal, racing-writer abort") {
     val plain = org.apache.spark.sql.graft.Bridge.sessionWithoutExtensions(
