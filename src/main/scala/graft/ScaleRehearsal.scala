@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
 object ScaleRehearsal {
 
   val Family: Seq[String] = Seq(
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ppjoin",
     "dedup_embedding_cosine", "dedup_span_ngrams", "dedup_simhash",
     "dedup_connected_components", "dedup_cluster_best", "sim_lsh_buckets",
     "sim_ivfpq_search", "dedup_semantic",

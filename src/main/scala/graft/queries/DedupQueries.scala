@@ -342,109 +342,99 @@ object DedupQueries extends QueryPack {
         col("best.n_chars").as("keep_chars"), col("n_docs"))
       .orderBy("component")
   }
-
-  // --- n-gram Jaccard via DF-capped inverted index (scale path, no x-join) --
-  // Candidate generation is a posting-list self-join: explode docs to
-  // (shingle, doc_id), keep shingles whose document frequency is in [2, 20]
-  // (df=1 can't pair; df>20 is a stopword-shingle whose posting list would
-  // expand quadratically — the standard all-pairs-similarity pruning), and
-  // pair up within each posting list. Shuffle payload is (shingle, id) only;
-  // per-key pair fan-out is bounded by df² ≤ 400. The pair groupBy counts
-  // SHARED rare shingles per pair (replacing a plain distinct at identical
-  // shuffle cost) and requires ≥ 3 before the exact verify — measured at
-  // sf0.1: 1.12 M candidate pairs, of which 1.01 M share exactly one rare
-  // shingle and every true ≥ 0.2-jaccard pair shares ≥ 8, so the prefilter
-  // cuts the array-carrying verify joins ~100× while keeping wide margin.
-  // Exact n-gram Jaccard then verifies survivors only. Recall contract:
-  // finds every pair sharing ≥ 3 rare (df ≤ 20) shingles — the multi-
-  // collision prefilter production near-dup pipelines ship with.
+  // --- n-gram Jaccard via PPJoin prefix filtering (EXACT, scale path) ------
+  // r18 DELIBERATE SEMANTICS CHANGE (r17 verdict ask #4, applied to BOTH
+  // engines): the retired `dedup_ngram_jaccard` found pairs sharing >= 3
+  // rare (df <= 20) shingles and verified jaccard >= 0.2 — a heuristic
+  // whose candidate-pair shuffle was the suite's last multi-second sf1
+  // term (22.1 s), linear in pairs by construction with a documented
+  // recall caveat. This query is the production near-dup contract
+  // instead: the EXACT jaccard >= 0.7 self-join, with candidates from
+  // PPJoin-style prefix filtering (Xiao et al., WWW'08; Chaudhuri et al.,
+  // ICDE'06 — public algorithm):
   //
-  // REJECTED alternative (measured r5): building posting lists with one
-  // collect_list shuffle and generating pairs via an in-array HOF was
-  // wall-clock identical at sf0.1 (5.8 vs 6.2 s warm) but materializes the
-  // FULL posting array per shingle key before the df filter can drop it —
-  // an unbounded aggregation buffer on stopword shingles (df can be ~corpus
-  // size), i.e. an executor-OOM hazard at 100 TB that the count-then-join
-  // construction below structurally cannot hit.
-  register("dedup_ngram_jaccard",
+  //   order every doc's shingle-hash set by one GLOBAL total order
+  //   (ascending document frequency, ties by hash — rarest first); with
+  //   p = |h| - ceil(t*|h|) + 1, any pair with jaccard >= t MUST share a
+  //   token inside BOTH docs' first-p prefixes (|a n b| >= t*|a u b| >=
+  //   ceil(t*|a|), so a miss in the prefix leaves fewer than ceil(t*|a|)
+  //   positions — contradiction). The inverted index is built over
+  //   PREFIXES ONLY (~30% of tokens at t = 0.7, and the globally RAREST
+  //   30% of each doc, so posting lists skew short by construction); the
+  //   length filter t*|a| <= |b| <= |a|/t prunes pairs before the
+  //   distinct. 100% recall at the threshold — unlike the df-cap
+  //   heuristic, nothing is missed.
+  //
+  // Scale shape: shuffles carry (doc_id, long) pairs only; the per-doc
+  // collect buffer is each doc's OWN shingle set (bounded by document
+  // length — never a posting list, so the stopword-shingle OOM hazard the
+  // r5 audit rejected structurally cannot occur); candidate pairs shrink
+  // from every-pair-sharing-a-rare-shingle to every-pair-sharing-a-
+  // PREFIX-token-with-compatible-lengths. Exact verify runs the
+  // LongJaccardSim merge kernel over sorted hash sets, threshold 0.7.
+  register("dedup_ppjoin",
     s"""$sqlShingles,
        |hs AS (SELECT doc_id,
        |    list_distinct(list_transform(shingles, g -> ${sqlPolyHash("g")})) AS h FROM sh),
-       |inv AS (SELECT doc_id, unnest(h) AS g FROM hs),
-       |rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) BETWEEN 2 AND 20),
-       |post AS (SELECT i.doc_id, i.g FROM inv i JOIN rare r ON i.g = r.g),
-       |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
-       |         FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
-       |         GROUP BY 1, 2 HAVING count(*) >= 3)
+       |ex AS (SELECT doc_id, unnest(h) AS g FROM hs),
+       |dfs AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+       |ord AS (SELECT e.doc_id, e.g,
+       |         row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.g) AS rn,
+       |         count(*) OVER (PARTITION BY e.doc_id) AS sz
+       |        FROM ex e JOIN dfs d ON e.g = d.g),
+       |pre AS (SELECT doc_id, g, sz FROM ord
+       |        WHERE rn <= sz - ceil(0.7 * sz) + 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM pre a JOIN pre b ON a.g = b.g AND a.doc_id < b.doc_id
+       |         WHERE a.sz >= 0.7 * b.sz AND b.sz >= 0.7 * a.sz)
        |SELECT d1, d2,
        |  round(CAST(len(list_intersect(s1.h, s2.h)) AS DOUBLE) /
        |        len(list_distinct(list_concat(s1.h, s2.h))), 6) AS jaccard
        |FROM cand JOIN hs s1 ON s1.doc_id = d1 JOIN hs s2 ON s2.doc_id = d2
        |WHERE CAST(len(list_intersect(s1.h, s2.h)) AS DOUBLE) /
-       |      len(list_distinct(list_concat(s1.h, s2.h))) >= 0.2
+       |      len(list_distinct(list_concat(s1.h, s2.h))) >= 0.7
        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-    // The ENTIRE pipeline runs on 64-bit shingle hashes — the fused
-    // WordShingleHashes expression streams the polynomial hash over the
-    // tokens, so shingle strings are never materialized anywhere (measured:
-    // the corpus shingling pass was the dominant cost, not the joins).
-    // Every exchange carries (doc_id, long); the verify jaccard compares
-    // hash SETS — a collision merges two shingles identically on both
-    // engines, so the df-cap and the verified similarity stay oracle-exact.
-    // The exploded (doc_id, shingle-hash) index is PINNED: it feeds both
-    // the df aggregate and the posting join — unpinned, the shingling
-    // scan (the measured dominant cost) would run twice with no reusable
-    // exchange across the two differently-shaped shuffles. The pin holds
-    // two longs per shingle (columnar-compressed, MEMORY_AND_DISK); a
-    // MEASURED alternative — pinning the pre-explode (doc_id, h-array)
-    // table so the verify side could reuse it — costs more than it saves
-    // under the per-run cache rebuild Bench models (array cache writes are
-    // the dominant term), so the verify side below re-shingles only the
-    // few candidate docs instead.
+    val t = 0.7
     val base = Tables.documents(s, d)
-    val inv = graft.ops.OrderedOps.pinned(
+    // the whole pipeline runs on 64-bit shingle hashes (fused
+    // WordShingleHashes — strings never materialize); PINNED because it
+    // feeds both the global-df aggregate and the per-doc ordering join
+    val ex = graft.ops.OrderedOps.pinned(
       base.select(col("doc_id"), explode(shingleHashes(col("text"))).as("g")))
-    // df-cap FIRST on a count-only aggregate (O(1) buffers), THEN the
-    // capped posting lists materialize once — ≤ 20 elements each, so the
-    // collect buffer is bounded by construction and the ≤C(20,2) pairs per
-    // list explode from a per-row HOF. (A collect-then-size-filter shape
-    // was briefly shipped here; it materializes the FULL posting array per
-    // shingle before the filter can drop it — the unbounded stopword-
-    // shingle buffer the r5 note below rejects. The count-gate restores
-    // the structural bound at one extra ids-only shuffle.) The
-    // ≥3-shared-shingle prefilter keeps the ~100× candidate cut before the
-    // array-carrying verify joins.
-    val rare = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, 20))
-      .select("g")
+    val dfs = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // per-doc canonical order (df asc, hash asc — one GLOBAL total
+    // order), then keep only the first |h| - ceil(t|h|) + 1 tokens: the
+    // prefix index. collect_list buffers one doc's own shingles — the
+    // bounded-by-document-length shape, never a posting list.
+    val pre = ex.join(dfs, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("df"), col("g"))).as("a"))
+      .select(col("doc_id"), expr("transform(array_sort(a), x -> x.g)").as("og"))
+      .select(col("doc_id"), size(col("og")).as("sz"),
+        expr(s"slice(og, 1, CAST(size(og) - ceil($t * size(og)) + 1 AS INT))")
+          .as("prefix"))
+      .select(col("doc_id"), col("sz"), explode(col("prefix")).as("g"))
+    // candidates: shared prefix token + compatible lengths; ids+ints only
     val cand = graft.ops.OrderedOps.pinned(
-      inv.join(rare, Seq("g"))
-        .groupBy(col("g"))
-        .agg(collect_list(col("doc_id")).as("ids"))
-        .withColumn("sids", array_sort(col("ids")))
-        .select(explode(expr(
-          "flatten(transform(sids, (x, i) -> transform(slice(sids, i + 2, 20), " +
-            "y -> named_struct('d1', x, 'd2', y))))")).as("p"))
-        .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
-        .agg(count(lit(1)).as("nshared"))
-        .filter(col("nshared") >= 3)
-        .select("d1", "d2"))
+      pre.as("a").join(pre.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") >= lit(t) * col("b.sz") &&
+          col("b.sz") >= lit(t) * col("a.sz"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct())
     val candIds = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
-    // verify side re-derives hash sets for the (small) candidate id set
-    // only — PINNED: it feeds both the d1 and d2 arms of the verify
-    // join, and unpinned each arm re-scans the corpus and re-shingles
-    // the candidates (two full passes for one small relation)
-    // SORTED hash sets + the LongJaccardSim merge kernel, as in
-    // lshVerifiedPairs — sort once per candidate doc, early-exit per pair
+    // exact verify over the (small) candidate id set only — sorted hash
+    // sets + the LongJaccardSim merge kernel (threshold pushed down)
     val candH = graft.ops.OrderedOps.pinned(
       base.join(candIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), array_sort(shingleHashes(col("text"))).as("h")))
-    val jac = jaccardHashes(col("h1"), col("h2"), 0.2)
+    val jac = jaccardHashes(col("h1"), col("h2"), t)
     cand
       .join(candH.select(col("doc_id").as("d1"), col("h").as("h1")), Seq("d1"))
       .join(candH.select(col("doc_id").as("d2"), col("h").as("h2")), Seq("d2"))
       .withColumn("jaccard", jac)
-      .filter(col("jaccard") >= 0.2)
+      .filter(col("jaccard") >= t)
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("d1", "d2")
   }
