@@ -659,12 +659,21 @@ private[graft] class GraftTable(
       throw new UnsupportedOperationException(
         s"$ident: a time-travel-pinned table is read-only")
     delegate match {
-      case Some(t: org.apache.spark.sql.connector.catalog.SupportsWrite) =>
+      // flat tables on connector faces write through the delegate (the
+      // native part writers, streaming sinks included)
+      case Some(t: org.apache.spark.sql.connector.catalog.SupportsWrite)
+          if partCols.isEmpty =>
         t.newWriteBuilder(info)
-      case _ => throw new UnsupportedOperationException(
-        s"$ident: the $face face has no DSv2 write delegate — write " +
-          "through SQL INSERT/MERGE (the graft session extensions) or " +
-          "the ParquetTable API")
+      // everything else — the parquet face (no connector) and HIVE-
+      // PARTITIONED tables on any face (the flat sinks refuse root
+      // appends into key=value layouts) — writes through the generic
+      // ConnectorFace batch write: append / truncate / static
+      // partition-equality overwrite / dynamic partition overwrite,
+      // rows routed to their leaves
+      case _ =>
+        new graft.sources.FaceBatchWrite(path,
+          graft.io.ConnectorFace.byLabel(face), dataSchema, partCols,
+          info.schema())
     }
   }
 

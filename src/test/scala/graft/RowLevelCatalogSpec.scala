@@ -429,6 +429,55 @@ class RowLevelCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.head.getLong(1) == 0L)
   }
 
+  test("catalog-only INSERT INTO the parquet face and hive-partitioned " +
+       "tables routes through the generic face write") {
+    // parquet face (no DSv2 connector): INSERT INTO by name now lands
+    // parquet parts (r17: 'no DSv2 write delegate' refusal)
+    plain.sql("INSERT INTO graft.rl.pq SELECT id, id * 2 AS v " +
+      "FROM range(100, 103)")
+    assert(plain.sql("SELECT count(*) FROM graft.rl.pq WHERE id >= 100")
+      .head().getLong(0) == 3L)
+    assert(snapOf("rl/pq").files.forall(_._1.endsWith(".parquet")))
+    // hive-partitioned feather table: rows route to their k=v leaves
+    // (r17: the flat sink's root-append refusal)
+    plain.sql("INSERT INTO graft.rl.part SELECT 100 AS id, 0 AS k")
+    val added = snapOf("rl/part").files.map(_._1)
+      .filter(_.contains("id")) // no-op guard for compilation warmth
+    assert(plain.sql("SELECT _file FROM graft.rl.part WHERE id = 100")
+      .head().getString(0).contains("k=0"), s"routed leaf: $added")
+  }
+
+  test("catalog-only INSERT OVERWRITE: truncate, static partition " +
+       "equality, and a zero-row append publishing no version") {
+    // zero-row INSERT INTO publishes NO version
+    val v0 = versionOf("graft.rl.pq")
+    plain.sql("INSERT INTO graft.rl.pq SELECT id, id AS v FROM range(0) ")
+    assert(versionOf("graft.rl.pq") == v0,
+      "zero-row append must be replay-clean")
+    // truncate overwrite replaces the whole flat table in one commit
+    plain.sql("INSERT OVERWRITE graft.rl.pq SELECT id, id * 7 AS v " +
+      "FROM range(0, 4)")
+    val rows = plain.sql("SELECT id, v FROM graft.rl.pq ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == (0L until 4L).map(i => (i, i * 7)))
+    // the pre-overwrite generation stays time-travelable
+    assert(plain.sql(s"SELECT count(*) FROM graft.rl.pq VERSION AS OF $v0")
+      .head().getLong(0) > 4L)
+    // static partition overwrite replaces ONLY the named leaf
+    val partBefore = snapOf("rl/part")
+    plain.sql("INSERT OVERWRITE graft.rl.part PARTITION (k=0) " +
+      "SELECT id + 200 AS id FROM range(0, 2)")
+    val partAfter = snapOf("rl/part")
+    val k1Before = partBefore.files.map(_._1).filter(_.startsWith("k=1/"))
+    assert(k1Before.forall(partAfter.files.map(_._1).contains),
+      "the k=1 leaf must carry through a PARTITION (k=0) overwrite")
+    val ids = plain.sql("SELECT id FROM graft.rl.part WHERE k = 0")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(200L, 201L), s"k=0 replaced wholesale: $ids")
+    assert(plain.sql("SELECT count(*) FROM graft.rl.part WHERE k = 1")
+      .head().getLong(0) > 0L)
+  }
+
   test("concurrent mutation of a read file aborts the row-level commit") {
     plain.sql("CREATE TABLE graft.rl.race (id BIGINT, v DOUBLE) USING feather")
     plain.sql("INSERT INTO graft.rl.race SELECT id, CAST(id AS DOUBLE) AS v " +
