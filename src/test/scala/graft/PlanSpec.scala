@@ -41,6 +41,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("dedup_ppjoin: prefix-posting candidates are an equi-join, no " +
+       "cartesian/BNLJ anywhere") {
+    val p = executedPlan("dedup_ppjoin")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dedup_minhash_lsh band join does not shuffle shingle arrays") {
     // the band self-join now lives inside the pinned candidate cache —
     // search through the InMemoryRelation boundary; its output must not
