@@ -271,7 +271,7 @@ private[graft] object FeatherSnapshots {
                 s"(v$v): the table changed non-append. Restart the stream " +
                 "from scratch, or set option(\"ignoreChanges\", \"true\") " +
                 "to skip the replaced data.")
-          case "overwrite" =>
+          case "overwrite" | "replace" | "insert_overwrite" =>
             // an overwrite's NEW files hold rows never delivered — under
             // ignoreChanges they must arrive (the Delta contract; skipping
             // them would silently lose the replacement's novel rows). The
@@ -284,13 +284,18 @@ private[graft] object FeatherSnapshots {
                 "are not retracted downstream).")
             else newRel ++= snap.files.filterNot {
               case (rel, _) => prev.contains(rel) }
-          case "delete" =>
+          case "delete" | "rowlevel_delete" | "rowlevel_delta_delete" =>
+            // COW row-level deletes ADD files, but those hold only
+            // previously-delivered surviving rows; delta deletes add
+            // nothing — either way there is nothing novel to send
             if (!ignoreChanges) throw new IllegalStateException(
               s"snapshot stream on $root hit a delete commit " +
                 s"(v$v): rows were removed mid-stream. Restart from " +
                 "scratch, or set option(\"ignoreChanges\", \"true\") to " +
                 "continue (the deletions are not propagated downstream).")
-          case "merge" | "cdc" | "update" =>
+          case "merge" | "cdc" | "update" | "replaceWhere" |
+               "rowlevel_update" | "rowlevel_merge" |
+               "rowlevel_delta_update" | "rowlevel_delta_merge" =>
             if (!ignoreChanges) throw new IllegalStateException(
               s"snapshot stream on $root hit a ${snap.op} commit " +
                 s"(v$v): rows were updated mid-stream. Restart from " +

@@ -478,6 +478,50 @@ class RowLevelCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getLong(0) > 0L)
   }
 
+  test("version streams classify catalog-only DML commits: loud on the " +
+       "delete, skip/deliver under ignoreChanges — never 'unknown op'") {
+    val g = TestSpark.spark
+    plain.sql("CREATE TABLE graft.rl.strm (id BIGINT) USING feather")
+    plain.sql("INSERT INTO graft.rl.strm SELECT id FROM range(0, 10, 1, 1)")
+    val path = s"$wh/rl/strm"
+    val q = g.readStream.format("feather").load(path)
+      .writeStream.format("memory").queryName("rl_strm")
+      .option("checkpointLocation", s"$wh/rl/strm_ckpt").start()
+    try {
+      q.processAllAvailable()
+      assert(g.table("rl_strm").count() == 10L)
+      // catalog-only COW DELETE commits op=rowlevel_delete — the stream
+      // must classify it as a delete (loud), not crash on 'unknown op'
+      plain.sql("DELETE FROM graft.rl.strm WHERE id = 3")
+      val e = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      assert(msgs(e).exists(m => m != null && m.contains("delete commit")),
+        s"expected the delete classification, got: ${msgs(e)}")
+      assert(!msgs(e).exists(m => m != null && m.contains("unknown op")))
+    } finally q.stop()
+    // under ignoreChanges: a graft_dv delta delete SKIPS (nothing novel),
+    // a catalog-only INSERT OVERWRITE delivers its novel files
+    val q2 = g.readStream.format("feather")
+      .option("ignoreChanges", "true").load(path)
+      .writeStream.format("memory").queryName("rl_strm2")
+      .option("checkpointLocation", s"$wh/rl/strm_ckpt2").start()
+    try {
+      q2.processAllAvailable()
+      plain.sql("DELETE FROM graft_dv.rl.strm WHERE id = 5") // delta DV
+      q2.processAllAvailable() // alive, nothing delivered
+      val before = g.table("rl_strm2").count()
+      plain.sql("INSERT OVERWRITE graft.rl.strm SELECT id + 100 AS id " +
+        "FROM range(0, 4, 1, 1)")
+      q2.processAllAvailable()
+      assert(g.table("rl_strm2").count() == before + 4,
+        "the overwrite's novel files must arrive under ignoreChanges")
+    } finally q2.stop()
+  }
+
   test("concurrent mutation of a read file aborts the row-level commit") {
     plain.sql("CREATE TABLE graft.rl.race (id BIGINT, v DOUBLE) USING feather")
     plain.sql("INSERT INTO graft.rl.race SELECT id, CAST(id AS DOUBLE) AS v " +
