@@ -323,9 +323,12 @@ private object FaceConvert {
       val df = GraftFeather.readFiles(spark, tmpFiles)
       val prefix = FeatherSnapshots.runPrefix(targetV)
       if (partCols.isEmpty) {
+        // cap the write fan-out like the mutation tier: a 32-task insert
+        // must not fill the table with 32 near-empty parts per statement
         val parts = face.writeParts(
           df.select(dataSchema.fieldNames.toSeq.map(
-            org.apache.spark.sql.functions.col): _*),
+            org.apache.spark.sql.functions.col): _*)
+            .coalesce(ConnectorFace.capWriteParts(df)),
           path, prefix, face.codecFor("lz4"))
         (parts.map { case (n, len, _) => (n, len) },
           parts.map { case (n, len, js) =>
