@@ -429,6 +429,57 @@ class RowLevelCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.head.getLong(1) == 0L)
   }
 
+  test("avro face, graft_dv: delta DELETE binds an avro-position DV " +
+       "(block coordinates), rewrites nothing") {
+    val av = s"$wh/rl/avdv"
+    GraftAvro.write(TestSpark.spark.range(0, 30)
+      .selectExpr("id", "CAST(id AS DOUBLE) AS v").coalesce(1), av,
+      overwrite = true)
+    graft.io.TableDdl.repairTable(TestSpark.spark, av): Unit
+    val before = snapOf("rl/avdv")
+    plain.sql("DELETE FROM graft_dv.rl.avdv WHERE id % 6 = 1")
+    val after = snapOf("rl/avdv")
+    assert(after.files.toSet == before.files.toSet,
+      "avro delta DELETE must rewrite zero files")
+    assert(after.dvs.values.map(_._2).sum == 5L, s"${after.dvs}")
+    // both the catalog-only generic scan and the engine's avro read
+    // apply the binding (shared avro position encoding)
+    assert(plain.sql("SELECT count(*) FROM graft.rl.avdv")
+      .head().getLong(0) == 25L)
+    assert(graft.io.GraftAvro.readFilesDF(TestSpark.spark,
+      before.files.map { case (rel, len) =>
+        (s"$av/$rel", len) }, mergeSchema = true,
+      dvPaths = after.dvs.map { case (rel, (dvRel, _)) =>
+        (s"$av/$rel", s"$av/$dvRel") }).count() == 25L)
+  }
+
+  test("hive-partitioned graft_dv: delta DELETE masks inside the leaf, " +
+       "MERGE inserts route to their leaves") {
+    val p = s"$wh/rl/pdv"
+    for (k <- Seq(0, 1))
+      graft.io.GraftFeather.write(
+        TestSpark.spark.range(0, 10).filter(s"id % 2 = $k")
+          .selectExpr("id").repartition(1), s"$p/k=$k", overwrite = true)
+    graft.sources.FeatherSnapshots.adopt(
+      new org.apache.hadoop.fs.Path(p).getFileSystem(
+        TestSpark.spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(p)): Unit
+    val before = snapOf("rl/pdv")
+    plain.sql("DELETE FROM graft_dv.rl.pdv WHERE id = 4") // lives in k=0
+    val after = snapOf("rl/pdv")
+    assert(after.files.toSet == before.files.toSet)
+    assert(after.dvs.keys.forall(_.startsWith("k=0/")), s"${after.dvs}")
+    plain.sql("MERGE INTO graft_dv.rl.pdv t USING (SELECT 100 AS id, " +
+      "1 AS k) s ON t.id = s.id " +
+      "WHEN NOT MATCHED THEN INSERT (id, k) VALUES (s.id, s.k)")
+    assert(plain.sql("SELECT _file FROM graft.rl.pdv WHERE id = 100")
+      .head().getString(0).contains("k=1"),
+      "the delta MERGE insert must route to its key=value leaf")
+    val ids = plain.sql("SELECT id FROM graft.rl.pdv ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == ((0L until 10L).filterNot(_ == 4L) :+ 100L))
+  }
+
   test("catalog-only INSERT INTO the parquet face and hive-partitioned " +
        "tables routes through the generic face write") {
     // parquet face (no DSv2 connector): INSERT INTO by name now lands
