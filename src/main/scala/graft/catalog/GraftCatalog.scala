@@ -300,6 +300,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case t => bad(s"PARTITIONED BY ${t.describe()} — only plain " +
         "column partitioning maps onto the hive key=value layout")
     }
+    // refusals the engine DDL would raise at COMMIT time surface HERE,
+    // before Spark runs the (possibly huge) CTAS query into tmp parts
+    // for a statement that was never going to publish
+    if (partCols.nonEmpty) {
+      if (replaceExisting)
+        bad(s"PARTITIONED BY (${partCols.mkString(", ")}) — a " +
+          "partitioned layout replaces by DROP TABLE + CREATE TABLE AS " +
+          "SELECT (partitioned CTAS, parquet face) or adopt")
+      val fmt = properties.asScala.get(TableCatalog.PROP_PROVIDER)
+        .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("feather")
+      if (fmt != "parquet")
+        bad("partitioned CTAS is parquet-face only (USING parquet) — " +
+          "the feather/avro faces take partitioned layouts via adopt")
+    }
     val exists = tableExists(ident)
     if (requireExists && !exists) throw new NoSuchTableException(ident)
     if (!replaceExisting && exists)
@@ -620,8 +634,11 @@ private[graft] class GraftTable(
     if (delegate.isDefined && pinnedVersion.isEmpty) {
       caps.add(TableCapability.MICRO_BATCH_READ): Unit
       // writeStream.toTable("graft.t") — the connectors' streaming
-      // sinks commit epoch-tagged idempotent appends to the manifest
-      caps.add(TableCapability.STREAMING_WRITE): Unit
+      // sinks commit epoch-tagged idempotent appends to the manifest.
+      // Hive-partitioned tables write through the BATCH-only generic
+      // face write, so the capability must not promise a streaming
+      // sink the builder cannot produce.
+      if (partCols.isEmpty) caps.add(TableCapability.STREAMING_WRITE): Unit
     }
     caps
   }

@@ -448,7 +448,8 @@ private class AvroScanBuilder(fullSchema: StructType, path: String,
     case None =>
       new AvroScan(required, path, maxSplitBytes, limit,
         pruneFilters.toSeq, maxFilesPerTrigger, mergeSchema, versionAsOf,
-        ignoreChanges, maxBytesPerTrigger)
+        ignoreChanges, maxBytesPerTrigger,
+        owned = fullSchema.fieldNames.toSet)
   }
 }
 
@@ -469,7 +470,8 @@ private class AvroScan(readSchema0: StructType, path: String,
                        mergeSchema: Boolean = false,
                        versionAsOf: Option[Long] = None,
                        ignoreChanges: Boolean = false,
-                       maxBytesPerTrigger: Option[Long] = None)
+                       maxBytesPerTrigger: Option[Long] = None,
+                       owned: Set[String] = Set.empty)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = readSchema0
   override def description(): String =
@@ -550,8 +552,8 @@ private class AvroScan(readSchema0: StructType, path: String,
       // coordinates are byte-offset-absolute, so any split plan yields
       // the same row ids) — the feather connector's metadata contract
       AvroInputPartition(f, s, e,
-        pv ++ GraftMetaColumns.fileValue(readSchema0, f, pv), dv,
-        GraftMetaColumns.posName(readSchema0, pv))
+        pv ++ GraftMetaColumns.fileValue(readSchema0, f, pv, owned), dv,
+        GraftMetaColumns.posName(readSchema0, pv, owned))
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -81,8 +81,7 @@ private class FaceCowOperation(cmd: Command, path: String,
     new FaceScanBuilder(Some(this), face, path,
       StructType(dataSchema.fields ++ partSchema.fields), partSchema, None)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new FaceCowWrite(this, info.schema(), path, face, dataSchema, partCols,
-      partSchema)
+    new FaceCowWrite(this, info.schema(), path, face, dataSchema, partCols)
 }
 
 private class FaceDeltaOperation(cmd: Command, path: String,
@@ -104,8 +103,7 @@ private class FaceDeltaOperation(cmd: Command, path: String,
     new FaceScanBuilder(Some(this), face, path,
       StructType(dataSchema.fields ++ partSchema.fields), partSchema, None)
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
-    new FaceDeltaWrite(this, info, path, face, dataSchema, partCols,
-      partSchema)
+    new FaceDeltaWrite(this, info, path, face, dataSchema, partCols)
 }
 
 // ---------------------------------------------------------------------------
@@ -138,14 +136,15 @@ private[graft] class FaceScanBuilder(host: Option[FeatherRowLevelHost],
     fileFilters
   override def build(): Scan =
     new FaceScan(host, face, path, required, fileFilters.toSeq, partSchema,
-      pinnedVersion)
+      pinnedVersion, owned = fullSchema.fieldNames.toSet)
 }
 
 private class FaceScan(host: Option[FeatherRowLevelHost],
                        face: ConnectorFace, path: String,
                        readSchema0: StructType,
                        fileFilters: Seq[org.apache.spark.sql.sources.Filter],
-                       partSchema: StructType, pinnedVersion: Option[Long])
+                       partSchema: StructType, pinnedVersion: Option[Long],
+                       owned: Set[String] = Set.empty)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = readSchema0
   override def description(): String =
@@ -185,15 +184,20 @@ private class FaceScan(host: Option[FeatherRowLevelHost],
     def bloomExcluded(abs: String, len: Long): Boolean =
       pointFilters.nonEmpty &&
         graft.io.FeatherBloom.excludesFile(conf, abs, len, pointFilters)
+    // schema stamps (`<prefix>-empty.<ext>`) hold ZERO rows by the
+    // engine's reserved naming — never a group (a no-op statement must
+    // publish NO version, the feather twin's contract), never scanned
     val kept = leafKept.filterNot(l =>
-      statsEmpty(l.file) || bloomExcluded(l.file, l.len))
+      l.file.endsWith(s"-empty${face.suffix}") ||
+        statsEmpty(l.file) || bloomExcluded(l.file, l.len))
     val state = FeatherCowState(snap, kept.map(l => relOfAbs(l.file)).toSet)
     val parts = kept.map { l =>
       val pv = l.values ++
-        GraftMetaColumns.fileValue(readSchema0, l.file, l.values)
+        GraftMetaColumns.fileValue(readSchema0, l.file, l.values, owned)
       FaceInputPartition(l.file, l.len, pv,
         l.dv.map(d => new org.apache.hadoop.fs.Path(root, d._1).toString),
-        GraftMetaColumns.posName(readSchema0, l.values)): InputPartition
+        GraftMetaColumns.posName(readSchema0, l.values, owned))
+        : InputPartition
     }.toArray
     (state, parts, kept.map(_.len).sum)
   }
@@ -345,22 +349,55 @@ private object FaceConvert {
     }
   }
 
+  /** Unwind twin of [[FeatherMutations.routePartitionedInserts]]'s
+    * per-leaf merged-stats fold (which runs BEFORE the caller's manifest
+    * commit): when that commit loses its conflict check, the converted
+    * parts are deleted and their cache entries must go too, or the
+    * merged file strands entries for parts that never published. No-op
+    * for the flat path (its fold is already deferred past the commit). */
+  def unpublishLeafStats(fs: org.apache.hadoop.fs.FileSystem,
+                         path: String, rels: Seq[String]): Unit =
+    rels.groupBy { rel =>
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }.foreach { case (dir, names) =>
+      val leaf = if (dir.isEmpty) new org.apache.hadoop.fs.Path(path)
+        else new org.apache.hadoop.fs.Path(path, dir)
+      val base = names.map(n => n.substring(n.lastIndexOf('/') + 1)).toSet
+      try FeatherStats.upsertMerged(fs, leaf, Map.empty, remove = base)
+      catch { case _: Exception => () }
+    }
+
   /** The write schema must round-trip through the tmp feather parts. */
   def requireFeatherMappable(st: StructType): Unit =
     st.fields.foreach(f =>
       GraftFeather.toArrowField(f.name, f.dataType, f.nullable))
 }
 
-/** Group-based COW write, face-generic: same commit contract as
-  * [[FeatherCowWrite]] (finalize first — a MERGE into a fully-pruned
+/** Group-based COW write — ONE commit protocol for the feather-native
+  * and face-generic paths (finalize first: a MERGE into a fully-pruned
   * table still publishes its NOT MATCHED inserts; no-read no-write
-  * statements publish NO version; unwind on a lost conflict check). */
-private class FaceCowWrite(op: FaceCowOperation, st: StructType,
-                           path: String, face: ConnectorFace,
-                           dataSchema: StructType, partCols: Seq[String],
-                           partSchema: StructType)
+  * statements publish NO version; unwind on a lost conflict check).
+  * Only [[finalizeInserts]] differs per path: the generic one converts
+  * tmp feathers to face parts, [[FeatherCowWrite]] renames them in
+  * place (zero-copy — flat feather tables never pay the conversion). */
+private[sources] class FaceCowWrite(op: FeatherRowLevelHost,
+                                    st: StructType,
+                                    path: String, face: ConnectorFace,
+                                    dataSchema: StructType,
+                                    partCols: Seq[String])
     extends WriteBuilder with Write with BatchWrite {
   FaceConvert.requireFeatherMappable(st)
+
+  /** tmp-part messages (zero-row ones already dropped by the caller) →
+    * (final parts, the DEFERRED flat merged-stats fold input). */
+  protected def finalizeInserts(fs: org.apache.hadoop.fs.FileSystem,
+                                msgs: Seq[FeatherCommitMessage],
+                                opName: String, targetV: Long)
+      : (Seq[(String, Long)],
+         Map[String, (Long, Seq[Map[String, FeatherStats.ColStat]])]) =
+    FaceConvert.toFaceParts(opName, face, fs, path, msgs, dataSchema,
+      partCols, targetV)
 
   override def build(): Write = this
   override def toBatch: BatchWrite = this
@@ -391,8 +428,7 @@ private class FaceCowWrite(op: FaceCowOperation, st: StructType,
     if (state.keptRel.isEmpty && data.isEmpty) return
     val opName = s"rowlevel_${op.command().toString.toLowerCase}"
     val targetV = state.snap.version + 1
-    val (parts, flatStats) = FaceConvert.toFaceParts(opName, face, fs, path,
-      data.toSeq, dataSchema, partCols, targetV)
+    val (parts, flatStats) = finalizeInserts(fs, data.toSeq, opName, targetV)
     val added = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     added ++= parts
     if (added.isEmpty &&
@@ -406,6 +442,7 @@ private class FaceCowWrite(op: FaceCowOperation, st: StructType,
         readRel = Some(state.keptRel)): Unit
     catch { case e: Throwable =>
       FeatherDsvWrites.deleteFinalized(fs, path, added.toSeq.map(_._1))
+      FaceConvert.unpublishLeafStats(fs, path, added.toSeq.map(_._1))
       throw e
     }
     if (flatStats.nonEmpty) FeatherStats.upsertMerged(fs, root, flatStats)
@@ -422,14 +459,19 @@ private class FaceCowWrite(op: FaceCowOperation, st: StructType,
   }
 }
 
-/** Delta write, face-generic: deleted rows → DV sidecars (per-face
-  * position encodings ride [[ConnectorFace.fileRowsPos]] on the way in
-  * and the faces' DV-aware reads on the way out), inserted rows → tmp
-  * feather then final face parts, one atomic manifest commit. */
-private class FaceDeltaWrite(op: FaceDeltaOperation, info: LogicalWriteInfo,
-                             path: String, face: ConnectorFace,
-                             dataSchema: StructType, partCols: Seq[String],
-                             partSchema: StructType)
+/** Delta write — ONE commit protocol for the feather-native and
+  * face-generic merge-on-read paths: deleted rows → DV sidecars
+  * (per-face position encodings ride [[ConnectorFace.fileRowsPos]] on
+  * the way in and the faces' DV-aware reads on the way out), inserted
+  * rows → final parts through [[finalizeInserts]] (generic: tmp-feather
+  * conversion; [[FeatherDeltaWrite]]: zero-copy rename), one atomic
+  * manifest commit, full unwind (parts, sidecars, fresh DVs, leaf-stats
+  * entries) when the conflict check loses. */
+private[sources] class FaceDeltaWrite(op: FeatherRowLevelHost,
+                                      info: LogicalWriteInfo,
+                                      path: String, face: ConnectorFace,
+                                      dataSchema: StructType,
+                                      partCols: Seq[String])
     extends DeltaWriteBuilder with DeltaWrite with DeltaBatchWrite {
 
   private val rowSchema: StructType = info.schema()
@@ -437,6 +479,14 @@ private class FaceDeltaWrite(op: FaceDeltaOperation, info: LogicalWriteInfo,
     new IllegalStateException(
       s"delta ${op.command()} on $path: Spark supplied no rowId schema"))
   FaceConvert.requireFeatherMappable(rowSchema)
+
+  protected def finalizeInserts(fs: org.apache.hadoop.fs.FileSystem,
+                                msgs: Seq[FeatherCommitMessage],
+                                opName: String, targetV: Long)
+      : (Seq[(String, Long)],
+         Map[String, (Long, Seq[Map[String, FeatherStats.ColStat]])]) =
+    FaceConvert.toFaceParts(opName, face, fs, path, msgs, dataSchema,
+      partCols, targetV)
 
   override def build(): DeltaWrite = this
   override def toBatch(): DeltaBatchWrite = this
@@ -479,12 +529,17 @@ private class FaceDeltaWrite(op: FaceDeltaOperation, info: LogicalWriteInfo,
       try fs.delete(new org.apache.hadoop.fs.Path(path, m.tmpName), false)
       catch { case _: Exception => () }
     }
+    // nothing deleted, nothing inserted: a no-match statement publishes
+    // NO version (replay-clean, the COW sibling's contract)
     if (byFid.isEmpty && insertMsgs.isEmpty) return
     val targetV = state.snap.version + 1
     val opName =
       s"rowlevel_delta_${op.command().toString.toLowerCase}"
-    val (parts, flatStats) = FaceConvert.toFaceParts(opName, face, fs,
-      path, insertMsgs, dataSchema, partCols, targetV)
+    val (parts, flatStats) =
+      finalizeInserts(fs, insertMsgs, opName, targetV)
+    // exact row counts (stats sidecars) let fully-masked files DROP from
+    // the manifest instead of carrying a 100%-coverage vector — loads
+    // are bounded by the TOUCHED file set, not the table
     val touched = byFid.keys.map(state.snap.files(_)).toSeq
       .map { case (rel, len) =>
         (new org.apache.hadoop.fs.Path(root, rel).toString, len) }
@@ -499,6 +554,8 @@ private class FaceDeltaWrite(op: FaceDeltaOperation, info: LogicalWriteInfo,
       byFid.view.mapValues(_.toArray).toMap, fileRowCount)
     val added = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     added ++= parts
+    // every file dropped and nothing inserted: schema stamps keep the
+    // table readable (the mutation tier's shared all-rows-deleted shape)
     if (added.isEmpty && droppedRel.nonEmpty &&
         state.snap.files.forall { case (rel, _) => droppedRel(rel) })
       added ++= FeatherMutations.stampLeaves(face, fs, root,
@@ -509,7 +566,11 @@ private class FaceDeltaWrite(op: FaceDeltaOperation, info: LogicalWriteInfo,
         removeRel = droppedRel, add = added.toSeq, setDvs = bindings,
         readRel = Some(state.keptRel)): Unit
     catch { case e: Throwable =>
+      // the publish failed (conflict): parts, stamps, leaf-stats
+      // entries, AND the freshly written DV sidecars were never
+      // visible — delete them all
       FeatherDsvWrites.deleteFinalized(fs, path, added.toSeq.map(_._1))
+      FaceConvert.unpublishLeafStats(fs, path, added.toSeq.map(_._1))
       bindings.values.foreach { case (dvRel, _) =>
         try fs.delete(new org.apache.hadoop.fs.Path(root, dvRel), false)
         catch { case _: Exception => () }

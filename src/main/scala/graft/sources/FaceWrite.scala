@@ -166,6 +166,7 @@ private[graft] class FaceBatchWrite(path: String, face: ConnectorFace,
         readRel = Some(removeRel)): Unit
     catch { case e: Throwable =>
       FeatherDsvWrites.deleteFinalized(fs, path, added.toSeq.map(_._1))
+      FaceConvert.unpublishLeafStats(fs, path, added.toSeq.map(_._1))
       throw e
     }
     if (flatStats.nonEmpty) FeatherStats.upsertMerged(fs, root, flatStats)

@@ -78,114 +78,23 @@ private case class FeatherDeltaCommitMessage(
     insert: Option[FeatherCommitMessage],
     deletes: Map[String, Array[Long]]) extends WriterCommitMessage
 
-private class FeatherDeltaWrite(op: FeatherDeltaOperation,
+/** The flat-feather delta write: the shared [[FaceDeltaWrite]] commit
+  * protocol with ZERO-COPY insert finalization — tmp feather parts
+  * RENAME to finals instead of paying the generic path's conversion
+  * pass (flat feather is the one face whose tmp and final formats
+  * coincide). */
+private class FeatherDeltaWrite(op: FeatherRowLevelHost,
                                 info: LogicalWriteInfo, path: String,
                                 tableSchema: StructType)
-    extends DeltaWriteBuilder with DeltaWrite with DeltaBatchWrite {
-
-  // row schema: present for UPDATE/MERGE (the insert half), ABSENT for
-  // DELETE (Spark projects only the row id); fail unmappable schemas
-  // before tasks launch (the append sink's rule)
-  private val rowSchema: StructType = info.schema()
-  private val rowIdSchema: StructType = info.rowIdSchema().orElseThrow(() =>
-    new IllegalStateException(
-      s"delta ${op.command()} on $path: Spark supplied no rowId schema"))
-  rowSchema.fields.foreach(f =>
-    GraftFeather.toArrowField(f.name, f.dataType, f.nullable))
-
-  override def build(): DeltaWrite = this
-  override def toBatch(): DeltaBatchWrite = this
-  override def description(): String = s"graft delta ${op.command()} $path"
-
-  override def createBatchWriterFactory(pinfo: PhysicalWriteInfo)
-      : DeltaWriterFactory = {
-    val spark = SparkSession.active
-    new FeatherDeltaWriterFactory(rowSchema, rowIdSchema, path,
-      GraftHadoop.confBroadcast(spark))
-  }
-
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val spark = SparkSession.active
-    val root = new org.apache.hadoop.fs.Path(path)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = root.getFileSystem(conf)
-    val state = op.scanState.getOrElse(throw new IllegalStateException(
-      s"delta ${op.command()} on $path: write committed before the scan " +
-        "planned — the touched-file set is unknown"))
-    val msgs = messages.collect { case m: FeatherDeltaCommitMessage => m }
-    // inserted rows → ordinary finalized parts (zero-row tasks drop)
-    val mergedAdd =
-      FeatherDsvWrites.renameParts(fs, path, msgs.flatMap(_.insert).toSeq)
-    // deleted rows → positions per file, folded across tasks
-    val relOfAbs: Map[String, String] = state.snap.files.map {
-      case (rel, _) =>
-        new org.apache.hadoop.fs.Path(root, rel).toString -> rel }.toMap
-    val relIdx: Map[String, Int] =
-      state.snap.files.map(_._1).zipWithIndex.toMap
-    val byFid = scala.collection.mutable.HashMap
-      .empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
-    msgs.foreach(_.deletes.foreach { case (abs, poss) =>
-      val rel = relOfAbs.getOrElse(abs, throw new IllegalStateException(
-        s"delta ${op.command()} on $path: writer reported deletions in " +
-          s"'$abs', which is not in the scanned snapshot"))
-      byFid.getOrElseUpdate(relIdx(rel),
-        scala.collection.mutable.ArrayBuffer.empty[Long]) ++= poss
-    })
-    // nothing deleted, nothing inserted: a no-match statement publishes
-    // NO version (replay-clean, the COW sibling's contract)
-    if (byFid.isEmpty && mergedAdd.isEmpty) return
-    // exact row counts (stats sidecars) let fully-masked files DROP from
-    // the manifest instead of carrying a 100%-coverage vector — loads
-    // are bounded by the TOUCHED file set, not the table
-    val touched = byFid.keys.map(state.snap.files(_)).toSeq
-      .map { case (rel, len) =>
-        (new org.apache.hadoop.fs.Path(root, rel).toString, len) }
-    val statsByFile = FeatherStats.loadForFiles(conf, touched)
-    def fileRowCount(fid: Int): Option[Long] = {
-      val abs = new org.apache.hadoop.fs.Path(root,
-        state.snap.files(fid)._1).toString
-      statsByFile.getOrElse(abs, None).flatMap(FeatherMutations.exactRows)
-    }
-    val targetV = state.snap.version + 1
-    val (bindings, droppedRel) = FeatherMutations.bindDvs(fs, conf, root,
-      state.snap, targetV,
-      byFid.view.mapValues(_.toArray).toMap, fileRowCount)
-    val added = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    added ++= mergedAdd.map { case (n, (len, _)) => (n, len) }
-    // every file dropped and nothing inserted: schema stamp keeps the
-    // table readable (the mutation tier's shared all-rows-deleted shape)
-    if (added.isEmpty && droppedRel.nonEmpty &&
-        state.snap.files.forall { case (rel, _) => droppedRel(rel) })
-      added += ConnectorFace.FeatherFace.stamp(fs, root,
-        FeatherSnapshots.runPrefix(targetV), tableSchema)
-    try
-      FeatherSnapshots.commitMutation(fs, root,
-        s"rowlevel_delta_${op.command().toString.toLowerCase}", state.snap,
-        removeRel = droppedRel, add = added.toSeq, setDvs = bindings,
-        readRel = Some(state.keptRel)): Unit
-    catch { case e: Throwable =>
-      // the publish failed (conflict): parts, stamp, AND the freshly
-      // written DV sidecars were never visible — delete them all
-      FeatherDsvWrites.deleteFinalized(fs, path, added.toSeq.map(_._1))
-      bindings.values.foreach { case (dvRel, _) =>
-        try fs.delete(new org.apache.hadoop.fs.Path(root, dvRel), false)
-        catch { case _: Exception => () }
-        ()
-      }
-      throw e
-    }
-    FeatherStats.upsertMerged(fs, root, mergedAdd)
-  }
-
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val spark = SparkSession.active
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    messages.collect { case m: FeatherDeltaCommitMessage => m }
-      .flatMap(_.insert).foreach { m =>
-        try fs.delete(new org.apache.hadoop.fs.Path(path, m.tmpName), false)
-        catch { case _: Exception => () }
-      }
+    extends FaceDeltaWrite(op, info, path,
+      graft.io.ConnectorFace.FeatherFace, tableSchema, Nil) {
+  override protected def finalizeInserts(
+      fs: org.apache.hadoop.fs.FileSystem,
+      msgs: Seq[FeatherCommitMessage], opName: String, targetV: Long)
+      : (Seq[(String, Long)],
+         Map[String, (Long, Seq[Map[String, FeatherStats.ColStat]])]) = {
+    val renamed = FeatherDsvWrites.renameParts(fs, path, msgs)
+    (renamed.map { case (n, (len, _)) => (n, len) }.toSeq, renamed)
   }
 }
 

@@ -133,26 +133,31 @@ private[graft] object GraftMetaColumns {
       })
 
   /** `_pos` splice request for a split — mirrors [[fileValue]]'s
-    * shadowing rule: a table-owned `_pos` (e.g. a hive partition named
-    * `_pos`) wins, because Spark hides a conflicting metadata column and
-    * the reference is then the data column. */
+    * shadowing rule: a table-owned `_pos` (hive partition OR data
+    * column) wins, because Spark hides a conflicting metadata column and
+    * the reference is then the table column. */
   def posName(readSchema: StructType,
-              existing: Seq[(String, String)] = Seq.empty): Option[String] =
+              existing: Seq[(String, String)] = Seq.empty,
+              owned: Set[String] = Set.empty): Option[String] =
     if (readSchema.fieldNames.contains(PosName) &&
-        !existing.exists(_._1 == PosName)) Some(PosName)
+        !existing.exists(_._1 == PosName) && !owned.contains(PosName))
+      Some(PosName)
     else None
 
   /** The (name, value) splice entry for a split of file `f` — empty when
     * the projected schema never asked for `_file`, and empty when the
-    * TABLE already owns a `_file` column (`existing` — e.g. a hive
-    * partition named `_file`): Spark hides a conflicting metadata column
+    * TABLE already owns a `_file` column (a hive partition value in
+    * `existing`, or a data/partition column in `owned` — the table's own
+    * schema): Spark hides a conflicting metadata column
     * (canRenameConflictingMetadataColumns = false), so the reference is
-    * the data column and the splice must not shadow its value. */
+    * the table column and the splice must not shadow its value. */
   def fileValue(readSchema: StructType, f: String,
-                existing: Seq[(String, String)] = Seq.empty)
+                existing: Seq[(String, String)] = Seq.empty,
+                owned: Set[String] = Set.empty)
       : Seq[(String, String)] =
     if (readSchema.fieldNames.contains(FileName) &&
-        !existing.exists(_._1 == FileName)) Seq(FileName -> f)
+        !existing.exists(_._1 == FileName) && !owned.contains(FileName))
+      Seq(FileName -> f)
     else Seq.empty
 }
 
@@ -180,7 +185,7 @@ private class FeatherCowScanBuilder(op: FeatherRowLevelHost,
     fileFilters
   override def build(): Scan =
     new FeatherCowScan(op, required, path, maxSplitBytes, fileFilters.toSeq,
-      batchSkip)
+      batchSkip, owned = fullSchema.fieldNames.toSet)
 }
 
 /** The row-level read shared by the COW and delta operations. With
@@ -194,7 +199,8 @@ private class FeatherCowScan(op: FeatherRowLevelHost,
                              readSchema0: StructType, path: String,
                              maxSplitBytes: Long,
                              fileFilters: Seq[org.apache.spark.sql.sources.Filter],
-                             batchSkip: Boolean = false)
+                             batchSkip: Boolean = false,
+                             owned: Set[String] = Set.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = readSchema0
   override def description(): String =
@@ -267,8 +273,9 @@ private class FeatherCowScan(op: FeatherRowLevelHost,
       // upstream); `_file` splices per split exactly like a partition
       // value; `_pos` rides per row; the DV binding rides every split
       FeatherInputPartition(f, len, idxs,
-        GraftMetaColumns.fileValue(readSchema0, f), dvByAbs.get(f),
-        GraftMetaColumns.posName(readSchema0))
+        GraftMetaColumns.fileValue(readSchema0, f, owned = owned),
+        dvByAbs.get(f),
+        GraftMetaColumns.posName(readSchema0, owned = owned))
         : InputPartition
     }.toArray
     (state, parts)
@@ -287,79 +294,20 @@ private class FeatherCowScan(op: FeatherRowLevelHost,
       GraftHadoop.confBroadcast(SparkSession.active), mergeSchema = true)
 }
 
-/** The ReplaceData write: same per-task part writers as the append sink,
-  * commit = one atomic manifest mutation removing the scanned groups and
-  * adding the rewrite's parts. */
-private class FeatherCowWrite(op: FeatherRowLevelOperation, st: StructType,
+/** The flat-feather ReplaceData write: the shared [[FaceCowWrite]]
+  * commit protocol with ZERO-COPY insert finalization — tmp feather
+  * parts RENAME to finals (flat feather is the one face whose tmp and
+  * final formats coincide, so it never pays the generic conversion). */
+private class FeatherCowWrite(op: FeatherRowLevelHost, st: StructType,
                               path: String)
-    extends WriteBuilder with Write with BatchWrite {
-  // fail on unmappable schemas BEFORE tasks launch (the append sink's rule)
-  st.fields.foreach(f =>
-    GraftFeather.toArrowField(f.name, f.dataType, f.nullable))
-
-  override def build(): Write = this
-  override def toBatch: BatchWrite = this
-  override def description(): String = s"graft COW ${op.command()} $path"
-
-  override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : DataWriterFactory = {
-    val spark = SparkSession.active
-    new FeatherWriterFactory(st, path, "lz4", 4096,
-      GraftHadoop.confBroadcast(spark))
-  }
-
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val spark = SparkSession.active
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed = messages.collect { case m: FeatherCommitMessage => m }
-    val state = op.scanState.getOrElse(throw new IllegalStateException(
-      s"row-level ${op.command()} on $path: write committed before the " +
-        "scan planned — the group set is unknown"))
-    // finalize FIRST, then decide: a MERGE with NOT MATCHED clauses into
-    // an empty (stamp-only) or fully-pruned table keeps ZERO groups but
-    // still produces insert rows — skipping the publish on an empty group
-    // set alone silently threw those rows away. Only a statement that
-    // read no group AND wrote no row publishes no version (the no-match
-    // DELETE/UPDATE replay-clean case). renameParts drops zero-row parts.
-    val mergedAdd = FeatherDsvWrites.renameParts(fs, path, committed.toSeq)
-    val added = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    added ++= mergedAdd.map { case (n, (len, _)) => (n, len) }
-    if (state.keptRel.isEmpty && added.isEmpty) return
-    // table fully emptied (every file replaced, nothing written): a
-    // schema-only stamp keeps the table readable (the mutation tier's
-    // shared all-rows-deleted shape)
-    if (added.isEmpty &&
-        state.snap.files.forall { case (rel, _) => state.keptRel(rel) })
-      added += ConnectorFace.FeatherFace.stamp(fs, root,
-        FeatherSnapshots.runPrefix(state.snap.version + 1), st)
-    try
-      FeatherSnapshots.commitMutation(fs, root,
-        s"rowlevel_${op.command().toString.toLowerCase}", state.snap,
-        removeRel = state.keptRel, add = added.toSeq,
-        readRel = Some(state.keptRel)): Unit
-    catch { case e: Throwable =>
-      // the publish failed (COW conflict): the finalized parts, their
-      // sidecars, and any stamp were never visible — delete them instead
-      // of stranding orphans in the table directory
-      FeatherDsvWrites.deleteFinalized(fs, path, added.toSeq.map(_._1))
-      throw e
-    }
-    // merged-stats fold AFTER the manifest commit: the per-part sidecars
-    // already cover readers (merged is a planning cache), and folding
-    // first would strand cache entries for never-published parts if the
-    // commit lost its conflict check
-    FeatherStats.upsertMerged(fs, root, mergedAdd)
-  }
-
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val spark = SparkSession.active
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    messages.collect { case m: FeatherCommitMessage => m }.foreach { m =>
-      try fs.delete(new org.apache.hadoop.fs.Path(path, m.tmpName), false)
-      catch { case _: Exception => () }
-    }
+    extends FaceCowWrite(op, st, path, ConnectorFace.FeatherFace, st, Nil) {
+  override protected def finalizeInserts(
+      fs: org.apache.hadoop.fs.FileSystem,
+      msgs: Seq[FeatherCommitMessage], opName: String, targetV: Long)
+      : (Seq[(String, Long)],
+         Map[String, (Long, Seq[Map[String, FeatherStats.ColStat]])]) = {
+    val renamed = FeatherDsvWrites.renameParts(fs, path, msgs)
+    (renamed.map { case (n, (len, _)) => (n, len) }.toSeq, renamed)
   }
 }
 

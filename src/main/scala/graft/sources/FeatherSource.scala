@@ -270,7 +270,8 @@ private class FeatherScanBuilder(fullSchema: StructType, path: String,
     case None =>
       new FeatherScan(required, path, maxSplitBytes, limit, skipFilters.toSeq,
         allFilters.toSeq, versionAsOf, maxFilesPerTrigger, ignoreChanges,
-        mergeSchema, maxBytesPerTrigger)
+        mergeSchema, maxBytesPerTrigger,
+        owned = fullSchema.fieldNames.toSet)
   }
 }
 
@@ -452,7 +453,8 @@ private class FeatherScan(readSchema0: StructType, path: String,
                           maxFilesPerTrigger: Option[Int],
                           ignoreChanges: Boolean = false,
                           mergeSchema: Boolean = false,
-                          maxBytesPerTrigger: Option[Long] = None)
+                          maxBytesPerTrigger: Option[Long] = None,
+                          owned: Set[String] = Set.empty)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = readSchema0
   override def description(): String =
@@ -529,11 +531,13 @@ private class FeatherScan(readSchema0: StructType, path: String,
       // `_file` metadata column: a per-split constant, spliced exactly
       // like the hive partition values (never decoded from the file);
       // a table-owned `_file` column wins (Spark hides the metadata
-      // column on conflict, so the reference is the data column).
+      // column on conflict, so the reference is the table column —
+      // `owned` carries the table/file schema so the splice never
+      // shadows a real column's values).
       // `_pos` rides per row through the position-carrying decode.
       else Some(FeatherInputPartition(f, len, kept,
-        pv ++ GraftMetaColumns.fileValue(readSchema0, f, pv), dv,
-        GraftMetaColumns.posName(readSchema0, pv)))
+        pv ++ GraftMetaColumns.fileValue(readSchema0, f, pv, owned), dv,
+        GraftMetaColumns.posName(readSchema0, pv, owned)))
     }.toArray
   }
 
