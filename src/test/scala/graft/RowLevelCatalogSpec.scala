@@ -480,6 +480,40 @@ class RowLevelCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids == ((0L until 10L).filterNot(_ == 4L) :+ 100L))
   }
 
+  test("no-op DML on a stamp-bearing parquet table publishes NO version " +
+       "(schema stamps are never groups)") {
+    plain.sql("CREATE TABLE graft.rl.pqstamp (id BIGINT) USING parquet")
+    val v0 = versionOf("graft.rl.pqstamp")
+    // the CREATE stamp is the only file; a MATCHED-only MERGE reads no
+    // group and writes no row — replay-clean, like the feather twin
+    plain.sql("MERGE INTO graft.rl.pqstamp t USING (SELECT 1 AS id) s " +
+      "ON t.id = s.id WHEN MATCHED THEN DELETE")
+    assert(versionOf("graft.rl.pqstamp") == v0,
+      "a no-op statement must not publish (the stamp is not a group)")
+    // and the stamp stays: inserts + DML keep working afterwards
+    plain.sql("INSERT INTO graft.rl.pqstamp SELECT id FROM range(0, 3)")
+    plain.sql("DELETE FROM graft.rl.pqstamp WHERE id = 1")
+    assert(plain.sql("SELECT id FROM graft.rl.pqstamp ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(0L, 2L))
+  }
+
+  test("a table-owned _pos/_file column keeps its stored values (the " +
+       "metadata splice yields to the table schema)") {
+    // a FEATHER file whose DATA schema contains `_pos` — written through
+    // the path API, read through the connector: `SELECT _pos` must
+    // return the stored values, never spliced row positions
+    val p = s"$wh/rl/ownpos"
+    graft.io.GraftFeather.write(
+      TestSpark.spark.range(0, 4)
+        .selectExpr("id", "id * 111 AS _pos").repartition(1),
+      p, overwrite = true)
+    val rows = plain.read.format("feather").load(p)
+      .selectExpr("id", "_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.toSeq == (0L until 4L).map(i => (i, i * 111)),
+      s"table-owned _pos must win over the metadata splice: ${rows.toSeq}")
+  }
+
   test("catalog-only INSERT INTO the parquet face and hive-partitioned " +
        "tables routes through the generic face write") {
     // parquet face (no DSv2 connector): INSERT INTO by name now lands
