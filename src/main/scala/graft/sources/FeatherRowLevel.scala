@@ -44,9 +44,11 @@ import graft.io.{ConnectorFace, FeatherStats, GraftFeather, GraftHadoop}
   *    concurrent rewrite of a READ file aborts loudly; disjoint
   *    mutations and blind appends commute).
   *
-  * Refusals live in GraftTable.newRowLevelOperationBuilder (pinned
-  * time-travel handles, non-feather faces, hive-partitioned layouts —
-  * the flat DSv2 writer cannot route rows into key=value leaves).
+  * This FEATHER-NATIVE pair serves flat feather tables (split scans,
+  * zero-copy part renames); every other face/layout routes through the
+  * ConnectorFace-generic siblings in [[FaceRowLevel]]. The one refusal
+  * left in GraftTable.newRowLevelOperationBuilder is the pinned
+  * time-travel handle (read-only by definition).
   */
 /** What the row-level SCAN hands the row-level WRITE: both the COW and
   * the delta operations host one scan-state slot, set by the scan at

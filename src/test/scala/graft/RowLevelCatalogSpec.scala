@@ -6,14 +6,15 @@ import graft.io.GraftAvro
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** SupportsRowLevelOperations: DELETE / UPDATE / MERGE against
-  * `graft.<ns>.<t>` in a session built with ONLY the catalog conf — no
-  * graft extensions anywhere — through Spark's own row-level rewrite
-  * machinery (RewriteDeleteFromTable / RewriteUpdateTable /
-  * RewriteMergeIntoTable → ReplaceData over the group-based COW
-  * operation). Also pins the refusal stories (hive-partitioned,
-  * non-feather faces) and that a pruned-to-nothing statement publishes
-  * NO version. */
+/** SupportsRowLevelOperations + SupportsDelta: DELETE / UPDATE / MERGE
+  * against `graft.<ns>.<t>` / `graft_dv.<ns>.<t>` in a session built
+  * with ONLY the catalog conf — no graft extensions anywhere — through
+  * Spark's own row-level rewrite machinery (group-based COW for graft,
+  * delta/DV for graft_dv), on every face (feather/parquet/avro) and on
+  * hive-partitioned layouts, plus the generic INSERT INTO/OVERWRITE
+  * surface and the by-name parquet batch reads. Pins replay-cleanliness
+  * (pruned-to-nothing statements publish NO version), manifest-diff
+  * zero-rewrite contracts, and stream-op classification. */
 class RowLevelCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val wh = java.nio.file.Files
