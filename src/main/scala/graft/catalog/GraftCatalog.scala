@@ -816,10 +816,24 @@ private[graft] class GraftRowLevelTable(
       // face/layout takes the ConnectorFace-generic pair (whole-file
       // scans, tmp-feather tasks converted to face parts at commit,
       // hive rows routed to their key=value leaves).
+      // A table that OWNS a `_pos` or `_file` column (data or hive
+      // partition) shadows the engine's metadata columns — Spark hides
+      // a conflicting metadata column, so the delta rowId (`_file`,
+      // `_pos`) would resolve to the STORED values and the delta writer
+      // would record those as deletion-vector coordinates, masking
+      // arbitrary rows: the one silent-corruption shape in this tier.
+      // Such tables take the group-based COW strategy even on the
+      // graft_dv catalog: COW never consumes rowId values (the scan
+      // state names the groups, rows are rewritten wholesale), so the
+      // statement stays correct — it just pays copy-on-write instead of
+      // merge-on-read. Pinned by RowLevelCatalogSpec's owned-rowid rows.
+      private val ownsRowId = schema().fieldNames.exists(n =>
+        n == graft.sources.GraftMetaColumns.FileName ||
+          n == graft.sources.GraftMetaColumns.PosName)
       override def build()
           : org.apache.spark.sql.connector.write.RowLevelOperation =
         if (face == "feather" && partCols.isEmpty) {
-          if (dvFace)
+          if (dvFace && !ownsRowId)
             new graft.sources.FeatherDeltaOperation(
               info.command(), path, schema(), 128L << 20)
           else
@@ -828,7 +842,7 @@ private[graft] class GraftRowLevelTable(
         } else
           graft.sources.FaceRowLevel.operation(info.command(), path,
             graft.io.ConnectorFace.byLabel(face), dataSchema, partCols,
-            partSchema, delta = dvFace)
+            partSchema, delta = dvFace && !ownsRowId)
     }
   }
 }

@@ -135,16 +135,26 @@ private[graft] class FaceScanBuilder(host: Option[FeatherRowLevelHost],
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     fileFilters
   override def build(): Scan =
-    new FaceScan(host, face, path, required, fileFilters.toSeq, partSchema,
-      pinnedVersion, owned = fullSchema.fieldNames.toSet)
+    // the parquet face's BY-NAME batch read rides the engine's read plan
+    // (vectorized splits — see ParquetFaceBatchScan); row-level scans
+    // (host = Some) stay on the whole-file group contract
+    if (host.isEmpty && (face eq graft.io.ConnectorFace.ParquetFace))
+      new ParquetFaceBatchScan(face, path, required, fileFilters.toSeq,
+        StructType(fullSchema.fields.filterNot(f =>
+          partSchema.fieldNames.contains(f.name))),
+        partSchema, pinnedVersion, owned = fullSchema.fieldNames.toSet)
+    else
+      new FaceScan(host, face, path, required, fileFilters.toSeq, partSchema,
+        pinnedVersion, owned = fullSchema.fieldNames.toSet)
 }
 
-private class FaceScan(host: Option[FeatherRowLevelHost],
-                       face: ConnectorFace, path: String,
-                       readSchema0: StructType,
-                       fileFilters: Seq[org.apache.spark.sql.sources.Filter],
-                       partSchema: StructType, pinnedVersion: Option[Long],
-                       owned: Set[String] = Set.empty)
+private[sources] class FaceScan(host: Option[FeatherRowLevelHost],
+                                face: ConnectorFace, path: String,
+                                readSchema0: StructType,
+                                fileFilters: Seq[org.apache.spark.sql.sources.Filter],
+                                partSchema: StructType,
+                                pinnedVersion: Option[Long],
+                                owned: Set[String] = Set.empty)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = readSchema0
   override def description(): String =
@@ -153,8 +163,10 @@ private class FaceScan(host: Option[FeatherRowLevelHost],
   override def toBatch: Batch = this
 
   // resolved ONCE per scan instance: snapshot + kept files + their DVs
-  // must be one consistent view (the feather COW scan's memo rule)
-  private lazy val planned: (FeatherCowState, Array[InputPartition], Long) = {
+  // must be one consistent view (the feather COW scan's memo rule);
+  // private[sources]: the parquet batch scan reuses this exact planning
+  private[sources] lazy val planned
+      : (FeatherCowState, Array[InputPartition], Long) = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
@@ -232,10 +244,9 @@ private class FaceScan(host: Option[FeatherRowLevelHost],
   }
 }
 
-private case class FaceInputPartition(file: String, len: Long,
-                                      partValues: Seq[(String, String)],
-                                      dvPath: Option[String],
-                                      posName: Option[String])
+private[sources] case class FaceInputPartition(
+    file: String, len: Long, partValues: Seq[(String, String)],
+    dvPath: Option[String], posName: Option[String])
     extends InputPartition
 
 private class FaceReaderFactory(
@@ -246,11 +257,9 @@ private class FaceReaderFactory(
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[FaceInputPartition]
     new PartitionReader[InternalRow] {
-      private val execConf = {
-        val c = new org.apache.hadoop.conf.Configuration(false)
-        confMap.value.foreach { case (k, v) => c.set(k, v) }
-        c
-      }
+      // per-JVM cached rebuild — O(entries) once per executor, not per
+      // partition (the 10⁵-partition lens)
+      private val execConf = GraftHadoop.execConf(confMap)
       private val open =
         scala.collection.mutable.Set.empty[AutoCloseable]
       private val toInternal =

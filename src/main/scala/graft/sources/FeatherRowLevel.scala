@@ -97,19 +97,21 @@ private[graft] class FeatherRowLevelOperation(cmd: Command, path: String,
 private[sources] final case class FeatherCowState(
     snap: FeatherSnapshots.Snapshot, keptRel: Set[String])
 
-/** The engine's DSv2 metadata columns (feather face):
+/** The engine's DSv2 metadata columns, served by EVERY face's scans:
   *
   *  - `_file` — the absolute data-file path of each row (Spark's
   *    `_metadata.file_path` parity for the connector). A per-split
   *    CONSTANT, spliced exactly like the hive partition values.
-  *  - `_pos` — the row's format-local position inside its file
-  *    (`(batchIdx << 32) | rowInBatch`, [[graft.io.DeletionVectors
-  *    .featherPos]]): batch-absolute, so every split plan yields the
-  *    same coordinate. Together `(_file, _pos)` is the stable row id
-  *    the DELTA row-level operation ([[FeatherDeltaOperation]]) keys
-  *    its deletion vectors on; `SELECT _pos` serves it too.
-  *
-  * Served by the regular feather scan and both row-level scans. */
+  *  - `_pos` — the row's format-local stable position inside its file.
+  *    The ENCODING is face-specific (each face's DV position axis):
+  *    feather packs `(recordBatch << 32) | rowInBatch`
+  *    ([[graft.io.DeletionVectors.featherPos]]), avro packs
+  *    `(blockSyncOffset << 24) | recordInBlock`, parquet serves the
+  *    file-wide row ordinal (Spark's `_metadata.row_index`). All three
+  *    are split-plan-invariant, so `(_file, _pos)` is the stable row id
+  *    the DELTA row-level operations key their deletion vectors on;
+  *    `SELECT _pos` serves it too — compare positions only within one
+  *    face, never across faces. */
 private[graft] object GraftMetaColumns {
   val FileName = "_file"
   val PosName = "_pos"
@@ -130,8 +132,9 @@ private[graft] object GraftMetaColumns {
           org.apache.spark.sql.types.LongType
         override def isNullable: Boolean = false
         override def comment(): String =
-          "format-local row position inside the data file " +
-            "((recordBatch << 32) | rowInBatch)"
+          "format-local stable row position inside the data file " +
+            "(encoding varies by face: feather packs batch<<32|row, " +
+            "avro packs block offset|record, parquet is the row ordinal)"
       })
 
   /** `_pos` splice request for a split — mirrors [[fileValue]]'s

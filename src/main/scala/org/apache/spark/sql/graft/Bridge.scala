@@ -106,6 +106,102 @@ object Bridge {
     org.apache.spark.sql.execution.datasources.DataSourceStrategy
       .translateFilter(e, supportNestedPredicatePushdown = false)
 
+  // ---- catalog-only parquet-face batch reads --------------------------------
+  // The pieces that let the graft catalog's DSv2 batch scan hand parquet
+  // decoding to Spark's OWN reader factory (vectorized columnar batches,
+  // intra-file byte-range splits, executor-side row-group pruning)
+  // instead of a per-row converter loop. All of it is public machinery
+  // in `execution.datasources` that a DSv2 file source (ParquetScan)
+  // composes the same way; only SerializableConfiguration is
+  // private[spark], hence this forwarder.
+
+  /** Spark's own DSv2 parquet reader factory over the given schemas:
+    * emits `readDataSchema ++ partitionSchema` rows/batches per
+    * [[org.apache.spark.sql.execution.datasources.PartitionedFile]],
+    * vectorized whenever the session conf and schema allow
+    * (`supportColumnarReads` decides per partition). A `readDataSchema`
+    * field named [[rowIndexField]]'s name is filled with the file-wide
+    * row ordinal by the reader itself (both the vectorized and the
+    * parquet-mr paths) — exactly the parquet face's `_pos`/DV position
+    * encoding. `filters` prune row groups executor-side via the footer
+    * stats; rows are NOT filtered (record-level filtering stays off by
+    * default), so a scan that reports every filter as residual stays
+    * correct.
+    *
+    * Built by instantiating Spark's own `ParquetScan` (over an EMPTY
+    * file index — `createReaderFactory` never consults it) and letting
+    * ITS `createReaderFactory` prime the Hadoop conf (read-support
+    * class, requested-schema json, converter flags) exactly as a native
+    * parquet query would: reconstructing that priming by hand is the
+    * kind of key list that silently drifts across Spark upgrades. One
+    * conf broadcast per scan — the same cost every native parquet query
+    * pays. */
+  def parquetReaderFactory(
+      spark: org.apache.spark.sql.SparkSession,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      readDataSchema: org.apache.spark.sql.types.StructType,
+      partitionSchema: org.apache.spark.sql.types.StructType,
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, NoopCache}
+    val s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val emptyIndex = new InMemoryFileIndex(s, Nil,
+      Map.empty[String, String], None, NoopCache, None, None)
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+      s, s.sessionState.newHadoopConf(), emptyIndex, dataSchema,
+      readDataSchema, partitionSchema, filters,
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty(),
+      None, Nil, Nil,
+      Array.empty[org.apache.spark.sql.connector.read.VariantExtraction])
+      .createReaderFactory()
+  }
+
+  /** The temporary LongType field Spark's parquet readers recognize as
+    * "fill with the file-wide row index" — the catalog scan splices it
+    * in place of a requested `_pos` metadata column. */
+  def rowIndexField: org.apache.spark.sql.types.StructField =
+    // the TEMPORARY spelling (what the readers key generation on), not
+    // ROW_INDEX_FIELD ("row_index" — the `_metadata` struct member);
+    // NULLABLE is load-bearing: the clip of a non-nullable missing
+    // column is a `required` parquet field, and the vectorized reader
+    // refuses required-missing BEFORE its row-index check runs. The
+    // generated values are never null regardless.
+    org.apache.spark.sql.types.StructField(
+      org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+        .ROW_INDEX_TEMPORARY_COLUMN_NAME,
+      org.apache.spark.sql.types.LongType, nullable = true)
+
+  /** Byte-range splits packed into read tasks with Spark's own policy:
+    * `maxPartitionBytes` capped, open-cost padded, sized so every core
+    * gets work (`FilePartition.getFilePartitions` — the exact planning
+    * the native file scans run). `files` = (absolute path, length,
+    * partition-values row); one file may yield many splits, small files
+    * coalesce into shared tasks. */
+  def parquetFilePartitions(
+      spark: org.apache.spark.sql.SparkSession,
+      files: Seq[(String, Long,
+        org.apache.spark.sql.catalyst.InternalRow)])
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+    val s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val conf = s.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val minPartitionNum = conf.filesMinPartitionNum
+      .getOrElse(s.sparkContext.defaultParallelism)
+    val totalBytes = files.map(_._2 + openCost).sum
+    val maxSplit = math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, totalBytes / math.max(1, minPartitionNum)))
+    val splits = files.flatMap { case (abs, len, pv) =>
+      (0L until len by maxSplit).map { start =>
+        PartitionedFile(pv,
+          org.apache.spark.paths.SparkPath.fromPathString(abs), start,
+          math.min(maxSplit, len - start), Array.empty, 0L, len, Map.empty)
+      }
+    }.sortBy(-_.length)
+    FilePartition.getFilePartitions(s, splits, maxSplit)
+      .toArray[org.apache.spark.sql.connector.read.InputPartition]
+  }
+
   /** StructType → parquet MessageType via Spark's OWN converter (the
     * schema-stamp writer of the parquet face must emit exactly the
     * physical types Spark's sink would, or a stamp would read back with
