@@ -291,28 +291,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     validateTableClauses(op, ident, properties.asScala.toMap, bad)
     // identity transforms only — same rule as the non-staged CREATE;
     // the staged publish routes rows into key=value leaves through the
-    // engine's own CTAS lowering (parquet face), so PARTITIONED BY no
-    // longer refuses outright
+    // engine's own CTAS/REPLACE lowering (every face), so PARTITIONED
+    // BY carries straight through
     val partCols = partitions.map {
       case t if t.name == "identity" && t.references.length == 1 &&
           t.references.head.fieldNames.length == 1 =>
         t.references.head.fieldNames.head
       case t => bad(s"PARTITIONED BY ${t.describe()} — only plain " +
         "column partitioning maps onto the hive key=value layout")
-    }
-    // refusals the engine DDL would raise at COMMIT time surface HERE,
-    // before Spark runs the (possibly huge) CTAS query into tmp parts
-    // for a statement that was never going to publish
-    if (partCols.nonEmpty) {
-      if (replaceExisting)
-        bad(s"PARTITIONED BY (${partCols.mkString(", ")}) — a " +
-          "partitioned layout replaces by DROP TABLE + CREATE TABLE AS " +
-          "SELECT (partitioned CTAS, parquet face) or adopt")
-      val fmt = properties.asScala.get(TableCatalog.PROP_PROVIDER)
-        .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("feather")
-      if (fmt != "parquet")
-        bad("partitioned CTAS is parquet-face only (USING parquet) — " +
-          "the feather/avro faces take partitioned layouts via adopt")
     }
     val exists = tableExists(ident)
     if (requireExists && !exists) throw new NoSuchTableException(ident)
@@ -617,6 +603,10 @@ private[graft] class GraftTable(
     // a VERSION AS OF read must not silently serve the head
     val opts = new java.util.HashMap[String, String]()
     opts.put("path", path)
+    // the catalog serves the merged UNION schema — the delegate must
+    // decode leniently (older files null-fill evolved columns), exactly
+    // like the engine's own table-read spelling (TableReads)
+    opts.put("mergeSchema", "true")
     pinnedVersion.foreach(v => opts.put("versionasof", v.toString): Unit)
     src.getTable(schema(), partitioning(), opts)
   }
@@ -795,6 +785,16 @@ private[graft] class GraftRowLevelTable(
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.copyOf(super.capabilities())
     caps.remove(TableCapability.ACCEPT_ANY_SCHEMA): Unit
+    // MERGE WITH SCHEMA EVOLUTION parity with graft sessions: Spark's
+    // ResolveMergeIntoSchemaEvolution keys on this capability, computes
+    // the source-minus-target additions, applies them through THIS
+    // catalog's alterTable (top-level nullable ADD COLUMNS — exactly
+    // the engine's evolution contract; retypes refuse there loudly),
+    // and reloads the relation before the row-level rewrite plans.
+    // Never on the graft-session handle: the extension rules own merge
+    // evolution there (ConditionalMerge.withSchemaEvolution), and an
+    // eager analyzer-side ALTER would race their one-commit semantics.
+    caps.add(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION): Unit
     caps
   }
 

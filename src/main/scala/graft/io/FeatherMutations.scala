@@ -845,6 +845,35 @@ object FeatherMutations {
     added.toSeq
   }
 
+  /** Failure-path unwind for parts that never published: delete the
+    * files and their stats sidecars — a manifest commit that threw
+    * never made them visible. */
+  private[graft] def deletePartsAndSidecars(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      rels: Seq[String]): Unit =
+    rels.foreach { rel =>
+      try {
+        fs.delete(new Path(root, rel), false)
+        fs.delete(new Path(root, rel + ".stats.json"), false)
+      } catch { case _: Exception => () }
+      ()
+    }
+
+  /** Unwind twin of [[routePartitionedInserts]]'s per-leaf merged-stats
+    * fold (which runs BEFORE the caller's manifest commit): when that
+    * commit loses its conflict check, the routed parts are deleted and
+    * their cache entries must go too, or the merged file strands
+    * entries for parts that never published. */
+  private[graft] def unpublishLeafStats(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      rels: Seq[String]): Unit =
+    rels.groupBy(relDirOf).foreach { case (dir, names) =>
+      val leaf = if (dir.isEmpty) root else new Path(root, dir)
+      val base = names.map(n => n.substring(n.lastIndexOf('/') + 1)).toSet
+      try FeatherStats.upsertMerged(fs, leaf, Map.empty, remove = base)
+      catch { case _: Exception => () }
+    }
+
   /** Write the DV sidecars and compute the manifest actions for one
     * commit: fresh positions union into any existing binding (a fresh
     * sidecar per commit — the old one expires with its version); a DV

@@ -154,11 +154,36 @@ object TableDdl {
     partitionCols.filterNot(query.columns.contains).headOption.foreach(
       c => bad(s"PARTITIONED BY names '$c', which the query does not " +
         s"produce (${query.columns.mkString(", ")})"))
-    if (partitionCols.nonEmpty && fmt != "parquet")
-      bad("partitioned CTAS is parquet-face only (USING parquet) — " +
-        "the feather/avro faces take partitioned layouts via adopt")
     requireFreshDir(fs, root, bad)
-    writeByFace(spark, path, query, fmt, partitionCols)
+    if (partitionCols.isEmpty || fmt == "parquet")
+      // flat any-face, and parquet-face partitioned (Spark's own
+      // partitioned sink through ParquetTable.write)
+      writeByFace(spark, path, query, fmt, partitionCols)
+    else {
+      // feather/avro partitioned CTAS: rows route to their key=value
+      // leaves through the engine's shared insert routing (the same
+      // path every partitioned INSERT/MERGE takes), then ONE v1 commit
+      val connFace =
+        if (fmt == "graft-avro") ConnectorFace.AvroFace
+        else ConnectorFace.FeatherFace
+      val dataSchema = StructType(query.schema.fields.filterNot(f =>
+        partitionCols.contains(f.name)))
+      if (dataSchema.isEmpty)
+        bad("the query produces only the partition columns — a hive " +
+          "leaf's files hold the DATA columns (values live in the " +
+          "directory chain)")
+      fs.mkdirs(root)
+      val prefix = FeatherSnapshots.runPrefix(1L, "ctas-")
+      val parts = FeatherMutations.routePartitionedInserts(op, connFace,
+        fs, root, query, partitionCols, dataSchema, prefix,
+        connFace.codecFor("lz4"))
+      if (parts.isEmpty)
+        bad("the query produced no rows — an empty frame cannot define " +
+          "a partitioned table (no partition values to route)")
+      FeatherSnapshots.publishDataCommit(fs, root, truncate = false,
+        Seq(connFace.suffix), parts,
+        stampPart = () => connFace.stamp(fs, root, prefix, dataSchema)): Unit
+    }
     val v1 = FeatherSnapshots.resolve(fs, root, None).get
     Result(v1.version, 0, 0, v1.files.size)
   }
@@ -178,8 +203,14 @@ object TableDdl {
     * runs with the full read set AND requireNoNewFiles.
     *
     * `orCreate=false` (REPLACE TABLE) requires the table to exist.
-    * PARTITIONED BY refuses: a partitioned layout replaces by DROP +
-    * partitioned CTAS (parquet face) or adopt. */
+    *
+    * PARTITIONED BY replaces the table WITH a hive layout (any face):
+    * the query's rows route to their key=value leaves through the
+    * shared insert routing, and the one commit swaps every old file for
+    * the new leaves — the layout itself may change (flat→partitioned,
+    * different keys, different face). A partitioned replace needs ROWS:
+    * schema-only / zero-row shapes refuse (no partition values to
+    * route; TRUNCATE keeps the existing layout and removes the rows). */
   def replaceTable(spark: SparkSession, path: String,
                    schemaOrQuery: Either[StructType,
                      org.apache.spark.sql.DataFrame],
@@ -189,10 +220,10 @@ object TableDdl {
     def bad(msg: String): Nothing =
       throw new IllegalArgumentException(s"$op graft.`$path`: $msg")
     val fmt = faceFormat(provider, bad)
-    if (partitionCols.nonEmpty)
-      bad(s"PARTITIONED BY (${partitionCols.mkString(", ")}) — a " +
-        "partitioned layout replaces by DROP TABLE + CREATE TABLE AS " +
-        "SELECT (partitioned CTAS, parquet face) or adopt")
+    if (partitionCols.nonEmpty && schemaOrQuery.isLeft)
+      bad(s"PARTITIONED BY (${partitionCols.mkString(", ")}) without " +
+        "AS SELECT — a hive layout derives from rows; REPLACE ... AS " +
+        "SELECT routes them (TRUNCATE TABLE keeps the existing layout)")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!FeatherSnapshots.enabled(fs, root)) {
@@ -201,7 +232,8 @@ object TableDdl {
           "one (CREATE OR REPLACE TABLE creates it)")
       return schemaOrQuery match {
         case Right(q) =>
-          createTableAs(spark, path, q, provider, Nil, ifNotExists = false)
+          createTableAs(spark, path, q, provider, partitionCols,
+            ifNotExists = false)
         case Left(schema) =>
           createTable(spark, path, schema, provider, Nil,
             ifNotExists = false)
@@ -218,7 +250,24 @@ object TableDdl {
     val schema = schemaOrQuery.fold(identity, _.schema)
     if (schema.isEmpty) bad("no columns")
     val added = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    schemaOrQuery.foreach { q =>
+    if (partitionCols.nonEmpty) {
+      val q = schemaOrQuery.toOption.get
+      partitionCols.filterNot(q.columns.contains).headOption.foreach(
+        c => bad(s"PARTITIONED BY names '$c', which the query does not " +
+          s"produce (${q.columns.mkString(", ")})"))
+      val dataSchema = StructType(schema.fields.filterNot(f =>
+        partitionCols.contains(f.name)))
+      if (dataSchema.isEmpty)
+        bad("the query produces only the partition columns — a hive " +
+          "leaf's files hold the DATA columns")
+      added ++= FeatherMutations.routePartitionedInserts(op, connFace,
+        fs, root, q, partitionCols, dataSchema, prefix,
+        connFace.codecFor("lz4"))
+      if (added.isEmpty)
+        bad("the query produced no rows — an empty result cannot " +
+          "define a partitioned layout (TRUNCATE TABLE keeps the " +
+          "existing layout and removes the rows)")
+    } else schemaOrQuery.foreach { q =>
       val parts = connFace.writeParts(
         q.coalesce(ConnectorFace.capWriteParts(q)), root.toString,
         prefix, "lz4")
@@ -228,15 +277,27 @@ object TableDdl {
             name -> (len, FeatherStats.fromJson(js)) }.toMap)
       added ++= parts.map { case (name, len, _) => (name, len) }
     }
-    // empty replace (schema-only, or a zero-row query): v+1 is one
+    // empty FLAT replace (schema-only, or a zero-row query): v+1 is one
     // schema stamp, the shared all-rows-gone shape
     if (added.isEmpty)
       added += connFace.stamp(fs, root, prefix, schema)
-    val committed = FeatherSnapshots.commitMutation(fs, root, "replace",
-      snap, removeRel = snap.files.map(_._1).toSet, add = added.toSeq,
-      readRel = Some(snap.files.map(_._1).toSet),
-      requireNoNewFiles = true)
-    Result(committed, snap.files.size, 0, added.size)
+    try {
+      val committed = FeatherSnapshots.commitMutation(fs, root, "replace",
+        snap, removeRel = snap.files.map(_._1).toSet, add = added.toSeq,
+        readRel = Some(snap.files.map(_._1).toSet),
+        requireNoNewFiles = true)
+      Result(committed, snap.files.size, 0, added.size)
+    } catch { case e: Throwable =>
+      // a lost conflict check never published the new parts: delete
+      // them and unwind the eager merged-stats entries (flat and routed
+      // alike — the cache must not strand entries for parts that never
+      // published)
+      FeatherMutations.deletePartsAndSidecars(fs, root,
+        added.toSeq.map(_._1))
+      FeatherMutations.unpublishLeafStats(fs, root,
+        added.toSeq.map(_._1))
+      throw e
+    }
   }
 
   private def writeByFace(spark: SparkSession, path: String,

@@ -358,24 +358,14 @@ private object FaceConvert {
     }
   }
 
-  /** Unwind twin of [[FeatherMutations.routePartitionedInserts]]'s
-    * per-leaf merged-stats fold (which runs BEFORE the caller's manifest
-    * commit): when that commit loses its conflict check, the converted
-    * parts are deleted and their cache entries must go too, or the
-    * merged file strands entries for parts that never published. No-op
-    * for the flat path (its fold is already deferred past the commit). */
+  /** Unwind twin of the routed inserts' per-leaf merged-stats fold —
+    * ONE definition in [[FeatherMutations.unpublishLeafStats]], shared
+    * with the partitioned REPLACE/CTAS commits. No-op for the flat path
+    * (its fold is already deferred past the commit). */
   def unpublishLeafStats(fs: org.apache.hadoop.fs.FileSystem,
                          path: String, rels: Seq[String]): Unit =
-    rels.groupBy { rel =>
-      val i = rel.lastIndexOf('/')
-      if (i < 0) "" else rel.substring(0, i)
-    }.foreach { case (dir, names) =>
-      val leaf = if (dir.isEmpty) new org.apache.hadoop.fs.Path(path)
-        else new org.apache.hadoop.fs.Path(path, dir)
-      val base = names.map(n => n.substring(n.lastIndexOf('/') + 1)).toSet
-      try FeatherStats.upsertMerged(fs, leaf, Map.empty, remove = base)
-      catch { case _: Exception => () }
-    }
+    FeatherMutations.unpublishLeafStats(fs,
+      new org.apache.hadoop.fs.Path(path), rels)
 
   /** The write schema must round-trip through the tmp feather parts. */
   def requireFeatherMappable(st: StructType): Unit =

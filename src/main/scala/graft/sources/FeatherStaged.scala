@@ -9,8 +9,10 @@ import graft.io.{GraftFeather, TableDdl}
 
 /** The STAGED table behind `StagingTableCatalog` — what gives a
   * catalog-only session atomic `CREATE OR REPLACE TABLE [AS SELECT]`,
-  * `REPLACE TABLE`, and atomic CTAS by name, on EVERY face and (for
-  * parquet CTAS) partitioned layouts.
+  * `REPLACE TABLE`, and atomic CTAS by name, on EVERY face, partitioned
+  * layouts included (rows route to their key=value leaves through the
+  * engine's shared insert routing; a partitioned REPLACE swaps the old
+  * files for the new leaves in the one commit).
   *
   * Protocol: Spark stages the table, writes the query through
   * [[newWriteBuilder]] (tasks land hidden TMP FEATHER parts — the
@@ -20,7 +22,7 @@ import graft.io.{GraftFeather, TableDdl}
   * [[TableDdl.createTableAs]] / [[TableDdl.createTable]] /
   * [[TableDdl.replaceTable]] — so a catalog-only statement gets exactly
   * the graft session's semantics: face-dispatched final parts (USING
-  * feather/parquet/avro), partitioned-CTAS leaf routing (parquet face),
+  * feather/parquet/avro), partitioned leaf routing on every face,
   * schema stamps for empty results, prior versions time-travelable with
   * RESTORE undoing a replace, and the strictest conflict contract in the
   * tier (replace commits with the FULL read set + requireNoNewFiles —

@@ -85,15 +85,41 @@ class ReplaceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getLong(0) == 6L)
   }
 
-  test("PARTITIONED BY refuses on replace with working guidance") {
-    val path = tmp("part_refuse")
+  test("PARTITIONED BY on replace swaps the table WITH a hive layout " +
+       "(manifest diff: every old file out, key=value leaves in)") {
+    val path = tmp("part_replace")
     spark.sql(s"CREATE TABLE graft.`$path` USING feather " +
       "AS SELECT 1L AS id, 'a' AS k").collect(): Unit
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def snap = graft.sources.FeatherSnapshots.resolve(fs,
+      new org.apache.hadoop.fs.Path(path), None).get
+    val before = snap
+    spark.sql(s"CREATE OR REPLACE TABLE graft.`$path` USING parquet " +
+      "PARTITIONED BY (k) AS SELECT id, concat('g', id % 2) AS k " +
+      "FROM range(8)").collect(): Unit
+    val after = snap
+    // the one commit swapped layout AND face: no old file survives, all
+    // new parts live in hive leaves
+    assert(after.files.map(_._1).toSet
+      .intersect(before.files.map(_._1).toSet).isEmpty)
+    assert(after.files.nonEmpty && after.files.map(_._1).forall(f =>
+      (f.startsWith("k=g0/") || f.startsWith("k=g1/")) &&
+        f.endsWith(".parquet")), s"${after.files}")
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$path` WHERE k = 'g1'")
+      .head().getLong(0) == 4L)
+    assert(spark.sql(s"SHOW PARTITIONS graft.`$path`").count() == 2L)
+    // the flat generation stays time-travelable
+    assert(spark.sql(s"SELECT id FROM graft.`$path` VERSION AS OF 1")
+      .head().getLong(0) == 1L)
+    // a partitioned replace needs rows: zero-row queries refuse with
+    // working guidance (TRUNCATE keeps the layout)
     val e = intercept[Exception] {
       spark.sql(s"CREATE OR REPLACE TABLE graft.`$path` USING parquet " +
-        "PARTITIONED BY (k) AS SELECT 1L AS id, 'a' AS k").collect()
+        "PARTITIONED BY (k) AS SELECT id, concat('g', id) AS k " +
+        "FROM range(0)").collect()
     }
-    assert(e.getMessage.contains("DROP TABLE"), e.getMessage)
+    assert(e.getMessage.contains("TRUNCATE"), e.getMessage)
   }
 
   test("catalog-only session: staged CTAS on the parquet/avro faces and " +
@@ -145,12 +171,46 @@ class ReplaceTableSpec extends AnyFunSuite with BeforeAndAfterAll {
         .files.forall(_._1.endsWith(".feather")))
       assert(plain.sql("SELECT count(*) FROM graft.stg_pq " +
         "VERSION AS OF 1").head().getLong(0) == 6L)
-      // partitioned CTAS keeps the engine's face rule (feather → adopt)
-      val e = intercept[Exception] {
-        plain.sql("CREATE TABLE graft.stg_bad USING feather " +
-          "PARTITIONED BY (k) AS SELECT id, id % 2 AS k FROM range(4)")
-      }
-      assert(e.getMessage.contains("parquet-face only"), e.getMessage)
+      // partitioned CTAS on the feather and avro faces by name: rows
+      // route to key=value leaves in the face's own format (r18: the
+      // parquet-face-only stage-time refusal)
+      plain.sql("CREATE TABLE graft.stg_fpart USING feather " +
+        "PARTITIONED BY (k) AS SELECT id, id % 2 AS k FROM range(4)")
+      val fSnap = graft.sources.FeatherSnapshots.resolve(fs,
+        new org.apache.hadoop.fs.Path(s"$wh/stg_fpart"), None).get
+      assert(fSnap.files.map(_._1).forall(f =>
+        (f.startsWith("k=0/") || f.startsWith("k=1/")) &&
+          f.endsWith(".feather")), s"${fSnap.files}")
+      assert(plain.sql("SELECT count(*) FROM graft.stg_fpart WHERE k = 0")
+        .head().getLong(0) == 2L)
+      plain.sql("CREATE TABLE graft.stg_apart USING avro " +
+        "PARTITIONED BY (k) AS SELECT id, id % 2 AS k FROM range(6)")
+      assert(graft.sources.FeatherSnapshots.resolve(fs,
+        new org.apache.hadoop.fs.Path(s"$wh/stg_apart"), None).get
+        .files.map(_._1).forall(f =>
+          f.contains("k=") && f.endsWith(".avro")))
+      assert(plain.sql("SELECT count(*) FROM graft.stg_apart WHERE k = 1")
+        .head().getLong(0) == 3L)
+      // staged PARTITIONED REPLACE by name: one commit swaps the flat
+      // parquet table for a feather hive layout — manifest-diff pinned
+      val beforeRep = graft.sources.FeatherSnapshots.resolve(fs,
+        new org.apache.hadoop.fs.Path(s"$wh/stg_part"), None).get
+      plain.sql("CREATE OR REPLACE TABLE graft.stg_part USING feather " +
+        "PARTITIONED BY (day) AS SELECT id, concat('d', id % 3) AS day " +
+        "FROM range(9)")
+      val afterRep = graft.sources.FeatherSnapshots.resolve(fs,
+        new org.apache.hadoop.fs.Path(s"$wh/stg_part"), None).get
+      assert(afterRep.op == "replace" &&
+        afterRep.files.map(_._1).toSet
+          .intersect(beforeRep.files.map(_._1).toSet).isEmpty)
+      assert(afterRep.files.map(_._1).forall(f =>
+        f.startsWith("day=d") && f.endsWith(".feather")),
+        s"${afterRep.files}")
+      assert(plain.sql("SELECT count(*) FROM graft.stg_part " +
+        "WHERE day = 'd2'").head().getLong(0) == 3L)
+      // the pre-replace generation stays time-travelable
+      assert(plain.sql(s"SELECT count(*) FROM graft.stg_part VERSION " +
+        s"AS OF ${beforeRep.version}").head().getLong(0) == 8L)
     } finally {
       SparkSession.setActiveSession(TestSpark.spark)
       SparkSession.setDefaultSession(TestSpark.spark)

@@ -515,6 +515,88 @@ class RowLevelCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"table-owned _pos must win over the metadata splice: ${rows.toSeq}")
   }
 
+  test("graft_dv DML on a table OWNING a _pos/_file column falls back to " +
+       "COW (a delta rowId would record stored values as DV positions)") {
+    // parquet face, owned `_pos` data column: the face-generic pair
+    plain.sql("CREATE TABLE graft.rl.ownid USING parquet AS " +
+      "SELECT id, id * 7 AS _pos FROM range(0, 40)")
+    plain.sql("DELETE FROM graft_dv.rl.ownid WHERE id % 4 = 0")
+    val after = snapOf("rl/ownid")
+    assert(after.dvs.isEmpty && after.op == "rowlevel_delete",
+      s"owned rowid must force the COW strategy: op=${after.op}, " +
+        s"dvs=${after.dvs}")
+    val rows = plain.sql("SELECT id, _pos FROM graft.rl.ownid ORDER BY id")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq ==
+      (0L until 40L).filterNot(_ % 4 == 0))
+    assert(rows.forall(r => r.getLong(1) == r.getLong(0) * 7),
+      "stored _pos values must survive the rewrite untouched")
+    // flat feather face, owned `_file` data column: the feather-native pair
+    plain.sql("CREATE TABLE graft.rl.ownfile USING feather AS " +
+      "SELECT id, concat('orig-', id) AS _file FROM range(0, 20)")
+    plain.sql("UPDATE graft_dv.rl.ownfile SET _file = 'touched' " +
+      "WHERE id < 5")
+    val af = snapOf("rl/ownfile")
+    assert(af.dvs.isEmpty && af.op == "rowlevel_update",
+      s"owned _file must force COW on the feather face too: op=${af.op}")
+    val fr = plain.sql("SELECT id, _file FROM graft.rl.ownfile ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(fr.toSeq == (0L until 20L).map(i =>
+      (i, if (i < 5) "touched" else s"orig-$i")))
+  }
+
+  test("catalog-only MERGE WITH SCHEMA EVOLUTION widens the table on " +
+       "BOTH strategies (graft-session parity via AUTOMATIC_SCHEMA_" +
+       "EVOLUTION + this catalog's own ALTER)") {
+    def run(cat: String, tbl: String): Unit = {
+      plain.sql(s"CREATE TABLE graft.$tbl USING feather AS " +
+        "SELECT id, CAST(id AS DOUBLE) AS v FROM range(5)")
+      plain.sql(s"MERGE WITH SCHEMA EVOLUTION INTO $cat.$tbl t USING " +
+        "(SELECT id, CAST(id * 2 AS DOUBLE) AS v, concat('x', id) AS tag " +
+        "FROM range(3, 8)) s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      val rows = plain.sql(s"SELECT id, v, tag FROM graft.$tbl ORDER BY id")
+        .collect()
+      assert(rows.map(_.getLong(0)).toSeq == (0L until 8L))
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        if (id < 3) assert(r.getDouble(1) == id * 1.0 && r.isNullAt(2))
+        else assert(r.getDouble(1) == id * 2.0 &&
+          r.getString(2) == s"x$id")
+      }
+    }
+    // COW: the rewrite lands full-width files; DELTA: pre-evolution
+    // files survive and null-fill through the lenient delegate read
+    run("graft", "rl.mevc")
+    run("graft_dv", "rl.mevd")
+    val d = snapOf("rl/mevd")
+    // the delta strategy ran (fully-masked files may DROP instead of
+    // binding a DV, so dvs can legitimately be empty)
+    assert(d.op == "rowlevel_delta_merge", s"expected the delta path: $d")
+    // WITHOUT the keyword, a widening merge refuses loudly (Spark's own
+    // unresolved-column analysis — no silent column drop)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      plain.sql("MERGE INTO graft.rl.mevc t USING (SELECT id, " +
+        "concat('y', id) AS extra FROM range(2)) s ON t.id = s.id " +
+        "WHEN NOT MATCHED THEN INSERT (id, extra) VALUES (s.id, s.extra)")
+    }
+  }
+
+  test("catalog-only reads null-fill evolved columns on the connector " +
+       "faces (the delegate reads with the union schema, leniently)") {
+    plain.sql("CREATE TABLE graft.rl.evof USING feather AS " +
+      "SELECT id FROM range(4)")
+    plain.sql("ALTER TABLE graft.rl.evof ADD COLUMNS (score DOUBLE)")
+    plain.sql("INSERT INTO graft.rl.evof SELECT id, id * 0.5 AS score " +
+      "FROM range(4, 6)")
+    val rows = plain.sql("SELECT id, score FROM graft.rl.evof ORDER BY id")
+      .collect()
+    assert(rows.length == 6)
+    assert(rows.filter(_.getLong(0) < 4).forall(_.isNullAt(1)))
+    assert(rows.filter(_.getLong(0) >= 4)
+      .forall(r => r.getDouble(1) == r.getLong(0) * 0.5))
+  }
+
   test("catalog-only INSERT INTO the parquet face and hive-partitioned " +
        "tables routes through the generic face write") {
     // parquet face (no DSv2 connector): INSERT INTO by name now lands
