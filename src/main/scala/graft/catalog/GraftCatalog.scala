@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -85,7 +86,7 @@ private[graft] object GraftCatalog {
 }
 
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog {
+    with StagingTableCatalog with ProcedureCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: Option[String] = None
@@ -440,6 +441,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def invalidateTable(ident: Identifier): Unit = ()
+
+  // ---- ProcedureCatalog ----------------------------------------------------
+  // `CALL <catalog>.system.<proc>(...)` — maintenance for catalog-only
+  // sessions (compact / expire / vacuum / analyze / restore), each
+  // delegating to the same engine implementation its graft-session TVF
+  // twin calls. See [[GraftProcedures]].
+
+  /** Table-address resolution for procedure arguments: the catalog's
+    * two spellings (`ns.t` against THIS warehouse, or an absolute
+    * path), with the same segment validation every statement runs. */
+  private def resolveProcTable(v: String): String =
+    if (v.contains("/") || v.contains("://")) v
+    else {
+      val segs = v.split('.')
+      pathOf(Identifier.of(segs.dropRight(1), segs.last))
+    }
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(
+      s"CALL $catalogName.$ident: $msg (procedures live in the " +
+        s"'system' namespace: CALL $catalogName.system.<name>; " +
+        s"available: ${GraftProcedures.all.map(_.name).mkString(", ")})")
+    if (ident.namespace.toSeq != Seq("system")) bad("unknown namespace")
+    GraftProcedures.byName.get(
+        ident.name.toLowerCase(java.util.Locale.ROOT))
+      .map(GraftProcedures.unbound(_, resolveProcTable))
+      .getOrElse(bad("unknown procedure"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system") || namespace.isEmpty)
+      GraftProcedures.all.map(s =>
+        Identifier.of(Array("system"), s.name)).toArray
+    else Array.empty
 
   // ---- namespaces ----------------------------------------------------------
 

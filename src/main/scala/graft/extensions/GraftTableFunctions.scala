@@ -115,21 +115,10 @@ private[extensions] object GraftTableFunctions {
   }
 
   /** Face-dispatched compaction: feather, avro, and parquet tables all
-    * answer `graft_optimize`. */
-  private def compactAny(path: String, targetBytes: Long) = {
-    val (fs, root) = fsRoot(path)
-    val snap = FeatherSnapshots.resolve(fs, root, None).getOrElse(
-      sys.error(s"graft_optimize on $path: no snapshot versions"))
-    // the shared face detection — mixed-suffix manifests fail loudly
-    // instead of silently routing to the wrong compactor
-    graft.io.ConnectorFace.detect(snap.files, "graft_optimize", path)
-        .suffix match {
-      case ".avro" => graft.io.AvroCompact.compact(spark, path, targetBytes)
-      case ".parquet" => graft.io.ParquetCompact.compact(spark, path,
-        targetBytes)
-      case _ => graft.io.FeatherCompact.compact(spark, path, targetBytes)
-    }
-  }
+    * answer `graft_optimize` (one definition with the CALL procedure —
+    * [[graft.io.Compaction.compactAny]]). */
+  private def compactAny(path: String, targetBytes: Long) =
+    graft.io.Compaction.compactAny(spark, path, targetBytes)
 
   private def cols(csv: String): Seq[String] =
     csv.split(',').map(_.trim).filter(_.nonEmpty).toSeq

@@ -17,6 +17,24 @@ private[graft] object Compaction {
   case class Result(leaves: Int, groupsRewritten: Int,
                     filesBefore: Int, filesAfter: Int)
 
+  /** Face-dispatched compaction — ONE definition shared by the
+    * graft-session TVF (`graft_optimize`) and the catalog-only `CALL
+    * <catalog>.system.compact` procedure: the face detects from the
+    * manifest's suffixes, mixed-suffix manifests fail loudly instead of
+    * silently routing to the wrong compactor. */
+  def compactAny(spark: SparkSession, path: String,
+                 targetBytes: Long): Result = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = graft.sources.FeatherSnapshots.resolve(fs, root, None)
+      .getOrElse(sys.error(s"compact on $path: no snapshot versions"))
+    ConnectorFace.detect(snap.files, "compact", path).suffix match {
+      case ".avro" => AvroCompact.compact(spark, path, targetBytes)
+      case ".parquet" => ParquetCompact.compact(spark, path, targetBytes)
+      case _ => FeatherCompact.compact(spark, path, targetBytes)
+    }
+  }
+
   /** Executor-side group rewrite. Implementations stream rows from every
     * input into ONE part file at `tmp` and return the sidecar JSON to
     * commit beside the final part, if the format carries one. */
@@ -276,7 +294,14 @@ private[graft] object Compaction {
     byLeaf.foreach { case (relDir, relFiles) =>
       val leaf = if (relDir.isEmpty) root else new Path(root, relDir)
       val files = relFiles
-        .filter { case (rel, _) => !dvFold(rel) } // folded above
+        .filter { case (rel, _) => !dvFold(rel) && // folded above
+          // schema STAMPS (`<prefix>-empty.<ext>`, zero rows by the
+          // engine's reserved naming) are bookkeeping, never compaction
+          // inputs: rewriting them gains nothing, and the parquet
+          // binary row-group appender refuses their footer (a stamp is
+          // not a sink part — the shape ProcedureSpec caught on a
+          // CREATE-then-INSERT table)
+          !rel.endsWith("-empty" + suffix) }
         .map { case (rel, len) =>
           (new Path(root, rel).toString, len) }.sortBy(_._1)
       val groups = planGroups(leaf.toString, files, suffix, targetBytes,
