@@ -207,7 +207,11 @@ private[sources] class FaceScan(host: Option[FeatherRowLevelHost],
       val pv = l.values ++
         GraftMetaColumns.fileValue(readSchema0, l.file, l.values, owned)
       FaceInputPartition(l.file, l.len, pv,
-        l.dv.map(d => new org.apache.hadoop.fs.Path(root, d._1).toString),
+        // LeafFile.dv already carries the ROOT-RESOLVED sidecar path
+        // (toDiscovered) — re-resolving doubled the prefix for relative
+        // roots (absolute roots silently absorbed it: Path(parent, abs)
+        // = abs), caught by the pqread scale receipt
+        l.dv.map(_._1),
         GraftMetaColumns.posName(readSchema0, l.values, owned))
         : InputPartition
     }.toArray
