@@ -15,8 +15,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Footer-schema cache, keyed by absolute file path. `spark.read.parquet`
+    * with no explicit schema runs a schema-inference JOB (a footer read) on
+    * EVERY DataFrame construction — measured ~25-30 ms per table per query,
+    * 3-5 such jobs ahead of every benched query (see OPTIMIZATION_r19.md).
+    * The fixtures are immutable files; caching their STRUCTTYPE is the same
+    * metadata caching a catalog table gets from the session catalog, and
+    * nothing of the DATA is cached — every query still scans the parquet.
+    * Keyed per path (not per name) so distinct sf dirs never collide. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")

@@ -73,7 +73,11 @@ final class GdfFrame(val df: DataFrame, val indexCol: String) extends GdfFrameOp
     // repartitionByRange samples bounds per evaluation — same dual-branch
     // determinism hazard OrderedOps documents; the tracked pin evaluates it
     // once and OrderedOps.clearPins() can release it after the action.
-    val ranged = graft.ops.OrderedOps.pinned(df.repartitionByRange(nPart, ord)
+    // no explicit partition count — AQE right-sizes the range shuffle
+    // (adjacent-only coalescing keeps ranges contiguous, so the edge-set
+    // repair below stays exact; nPart above only sizes the LOUD guard,
+    // an upper bound since AQE never splits this shuffle)
+    val ranged = graft.ops.OrderedOps.pinned(df.repartitionByRange(ord)
       .withColumn("__pid", spark_partition_id()))
     val wFwd = Window.partitionBy(col("__pid")).orderBy(ord)
     val wRev = Window.partitionBy(col("__pid")).orderBy(ordRev)
@@ -181,9 +185,11 @@ trait GdfFrameOps { self: GdfFrame =>
     * view; in Spark an explicit range repartition + intra-partition sort —
     * the layout downstream merge-type operators want). */
   def sortIndex(): GdfFrame = {
-    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // no explicit partition count — AQE right-sizes the range shuffle at
+    // any scale (see OrderedOps: adjacency-preserving coalesce keeps
+    // range contiguity)
     new GdfFrame(
-      df.repartitionByRange(nPart, col(indexCol)).sortWithinPartitions(indexCol),
+      df.repartitionByRange(col(indexCol)).sortWithinPartitions(indexCol),
       indexCol)
   }
 

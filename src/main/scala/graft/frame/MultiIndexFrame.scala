@@ -88,9 +88,10 @@ final class MultiIndexFrame(val df: DataFrame, val levels: Seq[String]) {
 
   /** sort_index(): lexicographic order over the level list. */
   def sortIndex(): MultiIndexFrame = {
-    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // no explicit partition count — AQE right-sizes the range shuffle at
+    // any scale (see OrderedOps)
     new MultiIndexFrame(
-      df.repartitionByRange(nPart, levels.map(col): _*)
+      df.repartitionByRange(levels.map(col): _*)
         .sortWithinPartitions(levels.map(col): _*),
       levels)
   }

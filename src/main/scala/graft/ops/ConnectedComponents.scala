@@ -56,18 +56,22 @@ object ConnectedComponents {
     (out, () => { rdd.unpersist(false); () })
   }
 
-  /** [[materialized]] fused with the round's convergence probe: the
-    * filtered count scans every partition of the persisting RDD, so ONE
-    * job both pins the blocks and answers "did any label improve" — the
-    * separate count-then-isEmpty pair was two jobs per round, pure
-    * scheduler overhead on small inputs. */
-  private def materializedChanged(df: DataFrame)
-      : (DataFrame, () => Unit, Long) = {
+  /** [[materialized]] fused with the round's convergence probe: labels are
+    * per-vertex NON-INCREASING (each round folds L(L(v)) ≤ L(v) into the
+    * min), so the exact decimal SUM of labels strictly decreases iff any
+    * label improved — one scalar per round replaces carrying the previous
+    * label through an extra join just to count `label < old` rows. The agg
+    * job both pins the persisting blocks and answers "did anything change"
+    * (None = empty graph). */
+  private def materializedSum(df: DataFrame)
+      : (DataFrame, () => Unit, Option[java.math.BigDecimal]) = {
     val rdd = df.rdd.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = df.sparkSession.createDataFrame(rdd, df.schema)
-    val changed = out.filter(col("label") < col("old")).count()
-    (out, () => { rdd.unpersist(false); () }, changed)
+    val s = Option(out.agg(
+        sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+      .head.getDecimal(0))
+    (out, () => { rdd.unpersist(false); () }, s)
   }
 
   /** Rounds the last [[minLabel]] call ON THIS THREAD took to converge —
@@ -151,41 +155,36 @@ object ConnectedComponents {
       .union(base.select(col("d2").as("d1"), col("d1").as("d2"))))
     // round 1 for free: from identity labels, one propagation step is just
     // min(neighbor) vs self over the raw edge list — a single aggregation
-    // instead of the loop body's join+agg+join round
-    var (labels, releasePrev) = {
-      val (l, r) = materialized(edges.groupBy(col("d1"))
+    // instead of a full loop-body round
+    var (labels, releasePrev, prevSum) = materializedSum(
+      edges.groupBy(col("d1"))
         .agg(min(col("d2")).as("nmin"))
         .select(col("d1").as("doc_id"), least(col("d1"), col("nmin")).as("label")))
-      (l, r)
-    }
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("d2"), col("label").as("nl")), Seq("d2"))
-        .groupBy(col("d1").as("doc_id")).agg(min(col("nl")).as("nmin"))
-      // pointer doubling: resolve each vertex's label's OWN label. Labels
-      // are always vertex ids inside the same component (initially a
-      // neighbor min; inductively preserved), so the inner self-join
-      // resolves every row, and least() keeps the invariant L(v) ≤ v.
-      val shortcut = labels.select(col("doc_id"), col("label").as("via"))
-        .join(labels.select(col("doc_id").as("via"), col("label").as("sl")),
-          Seq("via"))
-        .select(col("doc_id"), col("sl"))
-      // carry the old label through the same projection so convergence needs
-      // no second labels join — the materialization job doubles as the
-      // convergence probe (materializedChanged)
-      val (round, releaseRound, changed) = materializedChanged(labels
-        .join(nbrMin, Seq("doc_id"), "left")
-        .join(shortcut, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("label").as("old"),
-          least(col("label"),
-            coalesce(col("nmin"), col("label")),
-            coalesce(col("sl"), col("label"))).as("label")))
-      converged = changed == 0
+      // ONE join + ONE aggregate per round: the label relation rides along
+      // as PSEUDO-EDGES (v → L(v)), so min-of-joined-labels over
+      // edges ∪ pseudo yields min(min_{u∈N(v)} L(u), L(L(v))) in a single
+      // equi-join — the pointer-doubling shortcut (L(L(v))) that used to be
+      // a separate labels×labels self-join, and the old-label carry join,
+      // both fold away. L(L(v)) ≤ L(v) keeps the per-vertex minimum
+      // non-increasing (which the sum probe relies on), every vertex has a
+      // pseudo-edge (no vertex drops out), and labels are always vertex ids
+      // of the same component, so the inner join resolves every row. The
+      // label progression is identical to the former
+      // least(L(v), nbrMin, shortcut) round — same round counts.
+      val g = edges.union(
+        labels.select(col("doc_id").as("d1"), col("label").as("d2")))
+      val (round, releaseRound, roundSum) = materializedSum(g
+        .join(labels.select(col("doc_id").as("d2"), col("label").as("nl")),
+          Seq("d2"))
+        .groupBy(col("d1").as("doc_id")).agg(min(col("nl")).as("label")))
+      converged = roundSum == prevSum
+      prevSum = roundSum
       releasePrev() // superseded round's blocks freed immediately
       releasePrev = releaseRound
-      labels = round.select("doc_id", "label")
+      labels = round
       iter += 1
     }
     lastRoundsTl.set(iter)

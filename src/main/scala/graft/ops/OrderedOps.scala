@@ -72,10 +72,14 @@ object OrderedOps {
     */
   def withRunningTotal(df: DataFrame, valueCol: Column, outCol: String,
                        sortCols: Seq[Column]): DataFrame = {
-    val spark = df.sparkSession
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // no explicit partition count: an explicit n pins the shuffle and AQE
+    // cannot right-size it (32 near-empty tasks on a tiny frame locally, a
+    // fixed 32 on a 100-TB frame on a cluster). Unpinned, the range shuffle
+    // starts at spark.sql.shuffle.partitions and AQE coalesces ADJACENT
+    // partitions to the advisory size — adjacency preserves range
+    // contiguity, so the per-partition-id two-phase math stays exact.
     val ranged = pinned(df
-      .repartitionByRange(nPart, sortCols: _*)
+      .repartitionByRange(sortCols: _*)
       .withColumn("__gpid", spark_partition_id())
       .withColumn("__gval", valueCol))
     val wLocal = Window.partitionBy(col("__gpid")).orderBy(sortCols: _*)
@@ -110,10 +114,8 @@ object OrderedOps {
     */
   def withGlobalFfill(df: DataFrame, valueCol: Column, outCol: String,
                       sortCols: Seq[Column]): DataFrame = {
-    val spark = df.sparkSession
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ranged = pinned(df
-      .repartitionByRange(nPart, sortCols: _*)
+      .repartitionByRange(sortCols: _*)
       .withColumn("__gpid", spark_partition_id())
       .withColumn("__gval", valueCol))
     val wLocal = Window.partitionBy(col("__gpid")).orderBy(sortCols: _*)
@@ -182,10 +184,8 @@ object OrderedOps {
     * unique tie-break key, same contract as cudf's stable argsort).
     */
   def withGlobalRowNumber(df: DataFrame, posCol: String, sortCols: Seq[Column]): DataFrame = {
-    val spark = df.sparkSession
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ranged = pinned(df
-      .repartitionByRange(nPart, sortCols: _*)
+      .repartitionByRange(sortCols: _*)
       .withColumn("__gpid", spark_partition_id()))
     val local = ranged.withColumn("__grn",
       row_number().over(Window.partitionBy(col("__gpid")).orderBy(sortCols: _*)))

@@ -470,15 +470,21 @@ object RelationalQueries extends QueryPack {
       |                    AND l3.l_suppkey <> l1.l_suppkey
       |                    AND l3.l_returnflag = 'R')
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin) { (s, d) =>
-    // per-order facts both EXISTS probes need, in one aggregate:
+    // per-order facts both EXISTS probes need:
     //   n_supp  — distinct suppliers on the order
     //   n_late  — distinct suppliers with a late (returnflag='R') line
+    // TWO-PHASE instead of a double countDistinct: Spark plans multiple
+    // distinct aggregates via Expand (2× every fact row into the first
+    // exchange). Pre-aggregating per (orderkey, suppkey) first shuffles
+    // the fact ONCE at its natural width, un-Expanded; the second shuffle
+    // is per-order and tiny. Values are identical: n_supp = #(ok,sk)
+    // groups, n_late = #groups with any 'R' line.
     val orderStats = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_returnflag")
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("is_late"))
       .groupBy(col("l_orderkey").as("st_orderkey"))
-      .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-          .as("n_late"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("is_late")).as("n_late"))
     // EXISTS other-supplier      <=> n_supp >= 2
     // NOT EXISTS other-late-supp <=> n_late = 1 (l1's own supplier is late)
     val qualifying = orderStats

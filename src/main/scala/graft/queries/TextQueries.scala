@@ -728,7 +728,13 @@ object TextQueries extends QueryPack {
     }
     var syms = s0
     val rows = (1 to 3).map { r =>
-      val (win, merged) = bpeRound(syms)
+      val (win, merged0) = bpeRound(syms)
+      // PIN each round's merged symbol table: round r+1's pair counts, the
+      // same round's stats aggregate, AND the final union all re-read it —
+      // unpinned, round 3 re-derives rounds 1-2 from scratch under every
+      // consumer (the sequential-dependency chain makes the recompute
+      // quadratic in rounds). Tracked pin, released by clearPins().
+      val merged = graft.ops.OrderedOps.pinned(merged0)
       val stats = merged.agg(sum(size(col("syms")) * col("freq")).as("n_symbols"))
       syms = merged
       win.withColumn("round", lit(r)).crossJoin(broadcast(stats))
