@@ -30,5 +30,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // The forked JVM is driver AND executor (local mode): 32 concurrent
+  // tasks share one heap, and allocation-heavy stages were GC-throttled
+  // at the old 8g default (taskMetrics showed executorRunTime ~10x
+  // executorCpuTime with jvmGCTime the gap; r19 bench A/B on a 128 GiB
+  // box: 8g 131.4 s min-sum vs 24g 114.2 s over the same 343 queries).
+  // Still env-overridable for memory-constrained hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // GC selectable for A/B (default JVM choice when unset)
+) ++ sys.env.get("GRAFT_GC").map(gc => s"-XX:+Use${gc}GC").toSeq

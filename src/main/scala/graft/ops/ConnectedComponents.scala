@@ -151,8 +151,13 @@ object ConnectedComponents {
     val base =
       if (contractable) contractLocally(pairs.select("d1", "d2"))
       else pairs.select("d1", "d2")
-    val (edges, releaseEdges) = materialized(base
-      .union(base.select(col("d2").as("d1"), col("d1").as("d2"))))
+    // materialize the DIRECTED star list once and derive the reversed arm
+    // from the cache: materializing the 2-arm union instead evaluated the
+    // whole upstream pipeline (candidate verify + contraction) TWICE in
+    // the pinning job, since neither arm was cached yet
+    val (baseMat, releaseEdges) = materialized(base)
+    val edges = baseMat
+      .union(baseMat.select(col("d2").as("d1"), col("d1").as("d2")))
     // round 1 for free: from identity labels, one propagation step is just
     // min(neighbor) vs self over the raw edge list — a single aggregation
     // instead of a full loop-body round

@@ -487,14 +487,29 @@ object AggregationQueries extends QueryPack {
       |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY flag, status""".stripMargin) { (s, d) =>
-    Tables.lineitem(s, d)
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"),
-        sum(decQ(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+    // HIERARCHICAL re-aggregation instead of .rollup(): Spark plans rollup
+    // via Expand — every fact row is tripled (one copy per grouping set)
+    // BEFORE the first exchange. count and the exact DECIMAL sum are both
+    // re-aggregable, so the two coarser levels are derived from the
+    // finest level's tiny result (|flags|·|statuses| rows) instead of
+    // from three copies of the fact. Identical values: sum of per-group
+    // exact-decimal sums = the direct decimal sum; counts likewise.
+    val fine = graft.ops.OrderedOps.pinned(
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(decQ(col("l_quantity"))).as("sq")))
+    val lvl1 = fine.groupBy(col("l_returnflag"))
+      .agg(sum(col("n")).as("n"), sum(col("sq")).as("sq"))
+      .select(col("l_returnflag"), lit(null).cast(StringType).as("l_linestatus"),
+        col("n"), col("sq"))
+    val total = fine.agg(sum(col("n")).as("n"), sum(col("sq")).as("sq"))
+      .select(lit(null).cast(StringType).as("l_returnflag"),
+        lit(null).cast(StringType).as("l_linestatus"), col("n"), col("sq"))
+    fine.unionByName(lvl1).unionByName(total)
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("status"),
-        col("n"), col("sum_qty"))
+        col("n"), col("sq").cast(DoubleType).as("sum_qty"))
       .orderBy(col("flag"), col("status"))
   }
 

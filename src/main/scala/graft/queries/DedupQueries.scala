@@ -223,6 +223,10 @@ object DedupQueries extends QueryPack {
     // the verify side re-shingles only the few candidate docs. This helper
     // backs three registered queries (lsh_verified, connected_components,
     // cluster_best); the pins pay off in each.
+    // NOT widened (measured twice, 8g and 24g heaps): a repartition ahead
+    // of the shingle pipeline made every LSH query 2-3x slower — the pinned
+    // exploded relations amortize the serial scan already, and the extra
+    // exchange + wide cache writes dominate. See OPTIMIZATION_r19.md.
     val base = Tables.documents(s, d)
     val nHashes = 8
     // per-row minhash: min over the shingle-hash ARRAY of each affine
@@ -395,7 +399,7 @@ object DedupQueries extends QueryPack {
        |      len(list_distinct(list_concat(s1.h, s2.h))) >= 0.7
        |ORDER BY d1, d2""".stripMargin) { (s, d) =>
     val t = 0.7
-    val base = Tables.documents(s, d)
+    val base = Tables.documents(s, d) // not widened — see lshVerifiedPairs note
     // the whole pipeline runs on 64-bit shingle hashes (fused
     // WordShingleHashes — strings never materialize); PINNED because it
     // feeds both the global-df aggregate and the per-doc ordering join
@@ -622,12 +626,16 @@ object DedupQueries extends QueryPack {
       |  md5(coalesce(array_to_string(list_transform(
       |    list_sort(list((pos, line)) FILTER (NOT boiler)), x -> x[2]), ' '), '')) AS kept_md5
       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val lines = Tables.documents(s, d)
+    // PINNED: the line relation feeds both the document-frequency aggregate
+    // and the probe side of the boilerplate join — unpinned, the
+    // tokenize+explode line derivation runs twice (no reusable exchange:
+    // the two consumers shuffle by different keys)
+    val lines = graft.ops.OrderedOps.pinned(Tables.documents(s, d)
       .select(col("doc_id"), tokenize(col("text")).as("toks"))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, cast(ceil(size(toks) / 3.0) as int) - 1), " +
           "i -> struct(i as pos, array_join(slice(toks, i*3+1, 3), ' ') as line))")).as("p"))
-      .select(col("doc_id"), col("p.pos").as("pos"), col("p.line").as("line"))
+      .select(col("doc_id"), col("p.pos").as("pos"), col("p.line").as("line")))
     val df = lines.groupBy(col("line"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     lines.join(df, Seq("line"))
@@ -813,8 +821,12 @@ object DedupQueries extends QueryPack {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_spans"),
         sort_array(collect_set(col("pos"))).as("dpos"))
-    val perDoc = wins.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"), first(col("n_tok")).as("n_tok"))
+    // n_spans is DERIVED, not aggregated: spanHashes emits exactly
+    // n_tok - 7 windows per kept doc, so the per-doc stats come straight
+    // off the base relation — one full span-hash pass (and its shuffle)
+    // fewer than aggregating `wins` a second time
+    val perDoc = base
+      .select(col("doc_id"), (col("n_tok") - 7).as("n_spans"), col("n_tok"))
     // interval-merge fold over the sorted dup positions (TextFunctions
     // .spanCoverage — property-pinned against a naive per-position scan)
     val covered = spanCoverage(
@@ -854,9 +866,12 @@ object DedupQueries extends QueryPack {
        |  round(CAST(n_common AS DOUBLE) / least(x.n, y.n), 6) AS overlap
        |FROM inter JOIN sizes x ON s1 = x.source JOIN sizes y ON s2 = y.source
        |ORDER BY s1, s2""".stripMargin) { (s, d) =>
-    val sd = Tables.documents(s, d)
+    // PINNED: the distinct (source, hash) relation has three consumers
+    // (sizes + both self-join arms) — unpinned, the shingle pass and its
+    // distinct shuffle run for each
+    val sd = graft.ops.OrderedOps.pinned(Tables.documents(s, d)
       .select(col("source"), explode(shingleHashes(col("text"))).as("hsh"))
-      .distinct()
+      .distinct())
     val sizes = sd.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val inter = sd.as("a")
       .join(sd.as("b"), col("a.hsh") === col("b.hsh") &&

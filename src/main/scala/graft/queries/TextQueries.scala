@@ -364,7 +364,10 @@ object TextQueries extends QueryPack {
     """SELECT doc_id, true AS roundtrip_ok, 0 AS n_unk
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     val pieces = wordpiece(col("text"))
-    Tables.documents(s, d)
+    // widen: the longest-match WordPiece tokenizer is the heaviest per-row
+    // expression in the pack and the single-row-group fixture scans as one
+    // task — identity on pre-split inputs (see ScanParallel)
+    graft.ops.ScanParallel.widen(Tables.documents(s, d))
       .select(col("doc_id"),
         (array_join(transform(pieces, p => regexp_replace(p, "^##", "")), "")
           === regexp_replace(col("text"), " ", "")).as("roundtrip_ok"),
@@ -435,26 +438,42 @@ object TextQueries extends QueryPack {
       |FROM term GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     val t = Tables.documents(s, d).select(col("doc_id"), tokenize(col("text")).as("toks"))
     // adjacent-pair generation is a per-row HOF (slice + transform with the
-    // outer array in scope) — no self-join, no shuffle to form bigrams
-    val pairs = t.select(col("doc_id"),
-      explode(expr("transform(slice(toks, 1, size(toks) - 1), " +
-        "(x, i) -> struct(x AS w1, toks[i + 1] AS w2))")).as("p"))
+    // outer array in scope) — no self-join, no shuffle to form bigrams.
+    // Bigram INSTANCES collapse to per-(doc, bigram) multiplicities before
+    // anything else reads them: every instance of one (doc, big) carries
+    // the SAME rounded nll term, so sum(m · nll) / sum(m) is the identical
+    // decimal fold — the bg relation serves both the corpus bigram counts
+    // (re-aggregated from multiplicities) and the probe side of the
+    // scoring join, one tokenize+explode pass instead of two, with
+    // join/shuffle volume in distinct bigrams rather than instances.
+    // NOT pinned: both consumers read the same (doc,big,w1) aggregate, so
+    // ReuseExchange already shares the one shuffle — a persist here only
+    // added string-relation cache-write cost (A/B: 1.85 s vs 1.51 s).
+    val bg = t.select(col("doc_id"),
+        explode(expr("transform(slice(toks, 1, size(toks) - 1), " +
+          "(x, i) -> struct(x AS w1, toks[i + 1] AS w2))")).as("p"))
       .select(col("doc_id"),
         concat_ws("\t", col("p.w1"), col("p.w2")).as("big"),
         col("p.w1").as("w1"))
+      .groupBy(col("doc_id"), col("big"), col("w1"))
+      .agg(count(lit(1)).as("m"))
     val uni = t.select(col("doc_id"), explode(col("toks")).as("w"))
     val c1 = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val c12 = pairs.groupBy(col("big")).agg(count(lit(1)).as("c12"))
+    val c12 = bg.groupBy(col("big")).agg(sum(col("m")).as("c12"))
     val v = c1.agg(count(lit(1)).as("v"))
-    val term = pairs.join(c12, Seq("big"))
+    val term = bg.join(c12, Seq("big"))
       .join(c1.withColumnRenamed("w", "w1"), Seq("w1"))
       .crossJoin(broadcast(v))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("m"),
         round(-log((col("c12") + 1.0) / (col("c1") + col("v"))), 6)
           .cast(DecimalType(18, 6)).as("nll"))
     term.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("nll")).cast(DoubleType) / count(lit(1)), 6).as("avg_nll"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        // cast the exact decimal sum to DOUBLE before dividing — decimal
+        // division has its own rounding and would drift from the
+        // original double(sum)/count
+        round(sum(col("m") * col("nll")).cast(DoubleType) / sum(col("m")), 6)
+          .as("avg_nll"))
       .orderBy("doc_id")
   }
 
@@ -560,7 +579,9 @@ object TextQueries extends QueryPack {
       lit(".com from 10."), (col("doc_id") % 256).cast(StringType), lit("."),
       (col("doc_id") % 100).cast(StringType), lit(".7 call +1-555-"),
       lpad((col("doc_id") % 10000).cast(StringType), 4, "0"), lit(" end"))
-    Tables.documents(s, d)
+    // widen: six regex passes per row dominate the serial one-task scan —
+    // identity on pre-split inputs (see ScanParallel)
+    graft.ops.ScanParallel.widen(Tables.documents(s, d))
       .select(col("doc_id"), aug.as("aug"))
       .select(col("doc_id"),
         regexp_count(col("aug"), lit(EmailRe)).as("n_emails"),
@@ -998,6 +1019,9 @@ object TextQueries extends QueryPack {
     // expression would re-split the document per n-gram (measured 3 s →
     // 0.4 s per corpus pass at sf0.1; the same column-boundary CSE rule
     // TextFunctions documents at shingleFingerprints)
+    // NOT widened (measured): parallelizing the CMS update costs a 32-way
+    // merge of ~560 KB partial sketches + an exchange — warm 1.2 → 1.6 s.
+    // The serial update is the cheaper evil at this sketch width.
     val grams = Tables.documents(s, d)
       .select(tokenize(col("text")).as("toks"))
       .select(explode(wordNgrams(col("toks"), 2)).as("gram"))
