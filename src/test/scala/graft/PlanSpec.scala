@@ -218,8 +218,14 @@ class PlanSpec extends AnyFunSuite {
   test("text_pii_redact and text_chunk_stride shuffle only for the output sort") {
     for (name <- Seq("text_pii_redact", "text_chunk_stride")) {
       val p = executedPlan(name)
+      // pii_redact deliberately widens a single-row-group scan with ONE
+      // round-robin repartition so its 6-regex chain parallelizes
+      // (ScanParallel, r19) — allow exactly that exchange kind beyond the
+      // output sort; any extra DATA-keyed exchange still fails.
       val exchanges = "Exchange".r.findAllIn(p).length
-      assert(exchanges <= 1, s"$name has $exchanges exchanges:\n$p")
+      val widen = "Exchange RoundRobinPartitioning".r.findAllIn(p).length
+      assert(exchanges - widen <= 1 && widen <= 1,
+        s"$name has $exchanges exchanges ($widen round-robin widen):\n$p")
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     }
   }
