@@ -402,7 +402,12 @@ object DedupQueries extends QueryPack {
     val base = Tables.documents(s, d) // not widened — see lshVerifiedPairs note
     // the whole pipeline runs on 64-bit shingle hashes (fused
     // WordShingleHashes — strings never materialize); PINNED because it
-    // feeds both the global-df aggregate and the per-doc ordering join
+    // feeds both the global-df aggregate and the per-doc ordering join.
+    // (r19 A/B: a count-over-window(g) variant that drops the pin and one
+    // exchange measured only noise-level different locally and is WORSE at
+    // scale — a stopword-frequency shingle becomes one unsplittable window
+    // partition, where this shape keeps a one-counter aggregate and an
+    // AQE-skew-splittable join. Kept as-is deliberately.)
     val ex = graft.ops.OrderedOps.pinned(
       base.select(col("doc_id"), explode(shingleHashes(col("text"))).as("g")))
     val dfs = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
