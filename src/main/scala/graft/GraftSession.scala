@@ -24,7 +24,8 @@ object GraftSession {
       // at large SF); letting it also repartition cached plans keeps the
       // iterative queries (connected components) from paying 32 near-empty
       // tasks per round
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("GRAFT_AQE_PARALLELISM_FIRST", "false"))
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
