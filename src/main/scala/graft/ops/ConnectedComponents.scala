@@ -44,19 +44,10 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** Eagerly materializes into a persisted RDD and re-wraps it as a fresh
-    * leaf DataFrame — truncates the logical plan like Dataset.checkpoint,
-    * but returns a release handle so superseded rounds free their blocks
-    * deterministically. */
-  private def materialized(df: DataFrame): (DataFrame, () => Unit) = {
-    val rdd = df.rdd.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rdd.count() // eager: pin blocks before the next round's plan reads twice
-    val out = df.sparkSession.createDataFrame(rdd, df.schema)
-    (out, () => { rdd.unpersist(false); () })
-  }
-
-  /** [[materialized]] fused with the round's convergence probe: labels are
+  /** Eager materialization (persisted RDD re-wrapped as a fresh leaf
+    * DataFrame — truncates the logical plan like Dataset.checkpoint, with
+    * an explicit release handle) fused with the round's convergence probe:
+    * labels are
     * per-vertex NON-INCREASING (each round folds L(L(v)) ≤ L(v) into the
     * min), so the exact decimal SUM of labels strictly decreases iff any
     * label improved — one scalar per round replaces carrying the previous
@@ -151,13 +142,22 @@ object ConnectedComponents {
     val base =
       if (contractable) contractLocally(pairs.select("d1", "d2"))
       else pairs.select("d1", "d2")
-    // materialize the DIRECTED star list once and derive the reversed arm
-    // from the cache: materializing the 2-arm union instead evaluated the
-    // whole upstream pipeline (candidate verify + contraction) TWICE in
-    // the pinning job, since neither arm was cached yet
-    val (baseMat, releaseEdges) = materialized(base)
-    val edges = baseMat
-      .union(baseMat.select(col("d2").as("d1"), col("d1").as("d2")))
+    // round 1 FUSED into the edge materialization (r20, guide §2.4): the
+    // undirected edge list derives from the directed stars by an INLINE
+    // explode — one evaluation of the upstream pipeline with the rows
+    // doubled inside the same stage, where the former union-of-two-arms
+    // shape forced the directed list through its own rdd-materialization
+    // job barrier first (two ~equal sequential jobs in the Prof dump)
+    // before round 1 could run. The doubled list persists as a DataFrame
+    // cache that round 1's aggregation job both populates (en route to its
+    // exchange) and consumes; every loop round then reads ONE cached leaf
+    // instead of two cached scans + union. Same relation, same labels.
+    val edges = base.select(explode(array(
+        struct(col("d1").as("d1"), col("d2").as("d2")),
+        struct(col("d2").as("d1"), col("d1").as("d2")))).as("e"))
+      .select(col("e.d1").as("d1"), col("e.d2").as("d2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val releaseEdges = () => { edges.unpersist(false); () }
     // round 1 for free: from identity labels, one propagation step is just
     // min(neighbor) vs self over the raw edge list — a single aggregation
     // instead of a full loop-body round

@@ -458,19 +458,28 @@ object AggregationQueries extends QueryPack {
       |  count(DISTINCT l_orderkey) AS exact_orders,
       |  true AS apx_parts_ok, true AS apx_orders_ok
       |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-    // two countDistincts in one agg would plan an Expand (row multiplier);
-    // per-column pre-distinct aggregations joined on the 3-row group keys
-    // keep every pass map-side-combinable (measured 11.1 s → ~2 s at sf0.1)
+    // TWO scans instead of three (r20; guide §2.3/§2.4): the HLL sketches
+    // ride the per-column distinct passes instead of a third dedicated
+    // pass — an HLL sketch is a pure function of the distinct VALUE SET
+    // (registers are maxima over per-value hashes; duplicates are no-ops),
+    // so approx_count_distinct over the deduped (flag, key) relation is
+    // bit-identical to running it over the raw rows, and it now runs
+    // PARALLEL over the post-shuffle dedup partitions rather than inside
+    // the serial single-row-group scan. Two countDistincts in one agg
+    // would plan an Expand (row multiplier) — measured 11.1 s at sf0.1;
+    // a fully fused single-pass variant (2× explode + one dedup) was
+    // measured-and-rejected in r20 (warm 1.18 → 2.10 s: the doubled rows
+    // make the serial scan-side partial aggregate the bottleneck).
     val li = Tables.lineitem(s, d)
-    val apx = li.groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("apx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("apx_orders"))
     val ep = li.select(col("l_returnflag"), col("l_partkey")).distinct()
-      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("apx_parts"))
     val eo = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
-      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_orders"))
-    apx.join(ep, Seq("l_returnflag")).join(eo, Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("apx_orders"))
+    ep.join(eo, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
         (abs(col("apx_parts") - col("exact_parts"))
           <= col("exact_parts") * 0.05).as("apx_parts_ok"),

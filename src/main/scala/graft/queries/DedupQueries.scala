@@ -415,14 +415,20 @@ object DedupQueries extends QueryPack {
     // order), then keep only the first |h| - ceil(t|h|) + 1 tokens: the
     // prefix index. collect_list buffers one doc's own shingles — the
     // bounded-by-document-length shape, never a posting list.
-    val pre = ex.join(dfs, Seq("g"))
+    // PINNED (r20): `pre` feeds both arms of the candidate self-join, which
+    // plans as a BROADCAST hash join — the build arm evaluates `pre` inside
+    // its broadcast-exchange future while the probe arm evaluates it again
+    // in the main stage, and ReuseExchange cannot dedupe across a
+    // broadcast/probe split (Prof: two ~350 ms collect_list+sort pipeline
+    // stages per run, one per arm). The pin is (doc_id, sz, g) ints only.
+    val pre = graft.ops.OrderedOps.pinned(ex.join(dfs, Seq("g"))
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("df"), col("g"))).as("a"))
       .select(col("doc_id"), expr("transform(array_sort(a), x -> x.g)").as("og"))
       .select(col("doc_id"), size(col("og")).as("sz"),
         expr(s"slice(og, 1, CAST(size(og) - ceil($t * size(og)) + 1 AS INT))")
           .as("prefix"))
-      .select(col("doc_id"), col("sz"), explode(col("prefix")).as("g"))
+      .select(col("doc_id"), col("sz"), explode(col("prefix")).as("g")))
     // candidates: shared prefix token + compatible lengths; ids+ints only
     val cand = graft.ops.OrderedOps.pinned(
       pre.as("a").join(pre.as("b"),
