@@ -29,4 +29,20 @@ object ScanParallel {
     // real split count and the branch is not taken
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** [[widen]] by HASH of deterministic key columns instead of round-robin
+    * (r20). A keyless repartition(n) local-sorts its whole input first
+    * (sort-before-repartition, SPARK-23207) — on the single-task fixture
+    * scan that is another full serial sort, self-defeating exactly where
+    * the downstream serial cost IS a sort (e.g. the partial
+    * WindowGroupLimit's sort). Hash partitioning skips that sort and is
+    * retry-deterministic by construction, provided `keys` are real data
+    * columns (never rand()-derived — guide §2.5). Pick a high-cardinality
+    * key so 32 partitions spread evenly. Identity on pre-split inputs,
+    * like widen. */
+  def widenBy(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, keys: _*)
+    else df
+  }
 }

@@ -821,6 +821,13 @@ object DedupQueries extends QueryPack {
       .select(col("doc_id"), col("text"),
         size(tokenize(col("text"))).cast(LongType).as("n_tok"))
       .filter(col("n_tok") >= 8)
+    // NOT pinned (r20 measured-and-rejected): `wins` does feed two
+    // consumers (the doc-frequency aggregate and the semi-join probe, two
+    // ~190 ms spanHashes stages in the Prof dump), but pinning it measured
+    // SLOWER (Prof warm 1.05 → 1.47 s) — the block-store write of the
+    // exploded (doc_id, n_tok, pos, shid) relation costs more than the
+    // second fused span-hash pass it saves. Same lesson as
+    // PersistShingles above.
     val wins = base
       .select(col("doc_id"), col("n_tok"),
         posexplode(spanHashes(col("text"), 8)).as(Seq("pos", "shid")))

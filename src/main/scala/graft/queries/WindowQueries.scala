@@ -388,7 +388,19 @@ object WindowQueries extends QueryPack {
       |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
     val w = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-    Tables.lineitem(s, d)
+    // conditional hash-widen (r20, guide §2.5 input-skew remedy): the
+    // partial WindowGroupLimit below the flag exchange must SORT its map
+    // partition — on the unsplittable single-row-group fixture that is a
+    // full serial sort of the table (Prof: ~1.1 s of the query's 1.5).
+    // Hash-spreading by the high-cardinality key first costs one narrow
+    // serial shuffle write (no sort-before-repartition: keyed, not
+    // round-robin) and makes the sort+prune 32-way parallel; identity on
+    // pre-split inputs, and row_number's (price, pk) total order makes the
+    // result partitioning-independent.
+    graft.ops.ScanParallel.widenBy(
+        Tables.lineitem(s, d)
+          .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        col("l_orderkey"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
